@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   * Plain `spark.read.parquet` — Catalyst pushes filters/column pruning
@@ -22,7 +24,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) on disk, which Spark 4 refuses to
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL). With
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
+    * builder in this project) it arrives as a ns-epoch Long; convert to
+    * µs TimestampType with *integer* division — `ts div 1000` — because
+    * a double division would lose precision at 1.7e18 ns magnitudes.
+    * DuckDB reads the same file truncated to µs, so both engines agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
