@@ -1,0 +1,187 @@
+package graft.cassandra
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The Cassandra cell data model (SURVEY §1.1 / §2 table C).
+  *
+  * Cassandra stores a table as partitions of *cells*: each cell is
+  * `(partition key, clustering key, column name, value, writetime,
+  * ttl?, tombstone?)`, and the same logical cell may exist in many
+  * SSTables at different writetimes; a read reconciles them
+  * (last-write-wins, tombstone shadowing, TTL expiry, counter-shard
+  * summation, collection reassembly). This module models that cell
+  * table and the reconciliation operators Spark-natively.
+  *
+  * For the oracle-checkable t2 realization (SURVEY §2 note under table
+  * C) the cell table is derived deterministically from `lineitem` — no
+  * RNG, no engine-specific functions — so DuckDB builds the identical
+  * relation from the same parquet via [[CellSql.CELLS_CTE]]:
+  *   pk = l_orderkey, ck = l_linenumber,
+  *   writetime = epoch_seconds(l_shipdate)*1000 + ck  (ms + seq),
+  *   two columns 'qty' / 'price' with integer-scaled values, plus a
+  *   one-day-later rewrite of 'qty' for pk % 3 = 0 (exercises LWW).
+  *
+  * Scale design: every reconciliation operator is keyed by
+  * (pk, ck, col) or a prefix — at 100 TB the cell table
+  * hash-partitions on pk (exactly how Cassandra shards), each operator
+  * is one shuffle on that key, and the window/aggregate work is
+  * per-key local. Nothing here collects to the driver.
+  */
+object CellModel {
+
+  /** One-day / two-day offsets in ms used to stage rewrites and
+    * deletions above the base writetime.
+    */
+  val RewriteOffsetMs = 86400000L
+  val DeleteOffsetMs = 172800000L
+
+  /** TTL granted to pk % 11 == 0 cells (90 days, in ms). */
+  val TtlMs: Long = 90L * 86400000L
+
+  /** Fixed "query time" for TTL evaluation: 1998-01-01 UTC in epoch ms.
+    * Deterministic — never `now()` (SURVEY §7.4).
+    */
+  val QueryTimeMs = 883612800000L
+
+  /** Per-lineitem-row staging relation: keys, writetime, scaled values.
+    * Values are floor-scaled to BIGINT because raw double→string /
+    * double→int casts differ across engines (FIXTURES.md traps).
+    */
+  def base(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey").as("pk"),
+      col("l_linenumber").as("ck"),
+      (unix_timestamp(col("l_shipdate")) * 1000 + col("l_linenumber"))
+        .as("wt"),
+      floor(col("l_quantity") * 100).as("qty_v"),
+      floor(col("l_extendedprice") * 100).as("price_v"))
+
+  /** The cell table: 'qty' + 'price' cells for every row, plus a newer
+    * rewrite of 'qty' (value+7, writetime+1d) for pk % 3 == 0.
+    */
+  def cells(s: SparkSession, d: String): DataFrame = {
+    val b = base(s, d)
+    val qty = b.select(col("pk"), col("ck"), lit("qty").as("col"),
+      col("qty_v").as("value"), col("wt"))
+    val price = b.select(col("pk"), col("ck"), lit("price").as("col"),
+      col("price_v").as("value"), col("wt"))
+    val rewrite = b.filter(col("pk") % 3 === 0)
+      .select(col("pk"), col("ck"), lit("qty").as("col"),
+        (col("qty_v") + 7).as("value"), (col("wt") + RewriteOffsetMs).as("wt"))
+    qty.union(price).union(rewrite)
+  }
+
+  /** C4 — last-write-wins reconciliation: for each (pk, ck, col) keep
+    * the max-writetime cell; ties resolve to the greater value (the
+    * Cassandra byte-compare tie-break). One shuffle on the cell key.
+    */
+  def lwwMerge(cells: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pk"), col("ck"), col("col"))
+      .orderBy(col("wt").desc, col("value").desc)
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Cell-level deletions: pk % 97 == 0 rows delete their 'qty' cell
+    * two days after the base write (covers base AND the +1d rewrite).
+    */
+  def cellDeletions(s: SparkSession, d: String): DataFrame =
+    base(s, d).filter(col("pk") % 97 === 0)
+      .select(col("pk"), col("ck"), lit("qty").as("col"),
+        (col("wt") + DeleteOffsetMs).as("dts"))
+
+  /** Partition-level deletions: pk % 101 == 0 partitions are dropped
+    * entirely at (max writetime in partition) + 1.
+    */
+  def partitionDeletions(s: SparkSession, d: String): DataFrame =
+    base(s, d).filter(col("pk") % 101 === 0)
+      .groupBy(col("pk")).agg((max(col("wt")) + 1).as("pdts"))
+
+  /** C5 — tombstone shadowing: drop any cell covered by a cell- or
+    * partition-level deletion with deletion-ts >= cell writetime.
+    * Left-anti joins keyed on pk (and pk,ck,col) — shuffle-local.
+    */
+  def tombstoneFilter(cells: DataFrame, cellDel: DataFrame,
+      partDel: DataFrame): DataFrame = {
+    val cd = cellDel.withColumnRenamed("pk", "dpk")
+      .withColumnRenamed("ck", "dck").withColumnRenamed("col", "dcol")
+    val pd = partDel.withColumnRenamed("pk", "ppk")
+    cells
+      .join(cd, col("pk") === col("dpk") && col("ck") === col("dck") &&
+        col("col") === col("dcol") && col("dts") >= col("wt"), "left_anti")
+      .join(pd, col("pk") === col("ppk") && col("pdts") >= col("wt"),
+        "left_anti")
+  }
+
+  /** C6 — TTL expiry: cells of pk % 11 == 0 carry a 90-day TTL; a cell
+    * is dead at query time qt when wt + ttl < qt.
+    */
+  def ttlFilter(cells: DataFrame, qt: Long = QueryTimeMs): DataFrame =
+    cells
+      .withColumn("ttl",
+        when(col("pk") % 11 === 0, lit(TtlMs)).otherwise(lit(null)))
+      .filter(col("ttl").isNull || col("wt") + col("ttl") >= qt)
+      .drop("ttl")
+
+  /** C7 — clustering decode: reconciled wide-row view, one row per
+    * (pk, ck) with typed columns, in clustering order.
+    */
+  def wideView(merged: DataFrame): DataFrame =
+    merged.groupBy(col("pk"), col("ck"))
+      .agg(
+        max(when(col("col") === "qty", col("value"))).as("qty"),
+        max(when(col("col") === "price", col("value"))).as("price"))
+
+  /** C10 — counter merge: counter columns reconcile by SUMMING shards
+    * (every write is an increment), not LWW.
+    */
+  def counterMerge(cells: DataFrame): DataFrame =
+    cells.filter(col("col") === "qty")
+      .groupBy(col("pk"), col("ck"))
+      .agg(sum(col("value")).as("counter"), count(lit(1)).as("n_shards"))
+
+  /** C11 — collection reassembly: CQL collections store one cell per
+    * element; rebuild the list per partition in (ck, value) order.
+    */
+  def reassembleList(cells: DataFrame): DataFrame =
+    cells.filter(col("col") === "qty")
+      .groupBy(col("pk"))
+      .agg(expr("transform(array_sort(collect_list(struct(ck, value))), s -> s.value)")
+        .as("elems"))
+}
+
+/** DuckDB twin of [[CellModel]]: a WITH-prefix every table-C oracle
+  * shares, building the byte-identical cell relation from the same
+  * parquet fixture.
+  */
+object CellSql {
+  val CELLS_CTE: String =
+    """WITH base AS (
+      |  SELECT l_orderkey AS pk, l_linenumber AS ck,
+      |    CAST(floor(epoch(l_shipdate)) AS BIGINT) * 1000 + l_linenumber AS wt,
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_v,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_v
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT pk, ck, 'qty' AS col, qty_v AS value, wt FROM base
+      |  UNION ALL
+      |  SELECT pk, ck, 'price' AS col, price_v AS value, wt FROM base
+      |  UNION ALL
+      |  SELECT pk, ck, 'qty' AS col, qty_v + 7 AS value,
+      |         wt + 86400000 AS wt FROM base WHERE pk % 3 = 0),
+      |merged AS (
+      |  SELECT pk, ck, col, value, wt FROM (
+      |    SELECT cells.*, ROW_NUMBER() OVER (PARTITION BY pk, ck, col
+      |      ORDER BY wt DESC, value DESC) AS rn FROM cells)
+      |  WHERE rn = 1),
+      |cell_del AS (
+      |  SELECT pk, ck, 'qty' AS col, wt + 172800000 AS dts
+      |  FROM base WHERE pk % 97 = 0),
+      |part_del AS (
+      |  SELECT pk, max(wt) + 1 AS pdts FROM base
+      |  WHERE pk % 101 = 0 GROUP BY pk)
+      |""".stripMargin
+}

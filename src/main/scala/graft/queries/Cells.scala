@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GQuery
+import graft.cassandra.{CellModel => CM, CellSql}
+
+/** SURVEY §2 table C — the connector/scan semantics layer (what
+  * cassowary's own code did). Each query exercises one reconciliation
+  * operator from [[graft.cassandra.CellModel]] over the deterministic
+  * synthetic cell table; oracles share [[CellSql.CELLS_CTE]] so DuckDB
+  * reconstructs the identical relation. C1/C3/C8/C9 are the scan-layer
+  * rows, realized today over the parquet-backed cell relation (the
+  * DSv2 `cassowary` source rewires them in a later phase — SURVEY
+  * §7.2 phase 6).
+  */
+object Cells {
+  private val cte = CellSql.CELLS_CTE
+
+  // C1 — sstable_scan: enumerate raw cells (sampled, total order).
+  private def scan(s: SparkSession, d: String): DataFrame =
+    CM.cells(s, d).filter(col("pk") % 50 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"), col("wt"), col("value"))
+
+  private val scanSql = cte +
+    """SELECT pk, ck, col, value, wt FROM cells WHERE pk % 50 = 0
+      |ORDER BY pk, ck, col, wt, value""".stripMargin
+
+  // C3 — cell_deserialize: bytes → typed values (scaled long → double
+  // via exact /100.0 division, identical fp op both engines).
+  private def deserialize(s: SparkSession, d: String): DataFrame =
+    CM.cells(s, d).filter(col("pk") % 50 === 0)
+      .select(col("pk"), col("ck"), col("col"),
+        (col("value") / 100.0).as("typed_value"),
+        timestamp_millis(col("wt")).as("write_ts"))
+      .orderBy(col("pk"), col("ck"), col("col"), col("write_ts"),
+        col("typed_value"))
+
+  private val deserializeSql = cte +
+    """SELECT pk, ck, col, value / 100.0 AS typed_value,
+      |  make_timestamp(wt * 1000) AS write_ts
+      |FROM cells WHERE pk % 50 = 0
+      |ORDER BY pk, ck, col, write_ts, typed_value""".stripMargin
+
+  // C4 — lww_merge: keep max-writetime cell per (pk,ck,col), ties to
+  // greater value (Cassandra byte-compare tie-break).
+  private def lww(s: SparkSession, d: String): DataFrame =
+    CM.lwwMerge(CM.cells(s, d)).filter(col("pk") % 10 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val lwwSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 0
+      |ORDER BY pk, ck, col""".stripMargin
+
+  // C5 — tombstone_filter: LWW survivors minus cells shadowed by
+  // cell-/partition-level deletions; aggregate signature per column.
+  private def tombstone(s: SparkSession, d: String): DataFrame = {
+    val live = CM.tombstoneFilter(CM.lwwMerge(CM.cells(s, d)),
+      CM.cellDeletions(s, d), CM.partitionDeletions(s, d))
+    live.groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+  }
+
+  private val tombstoneSql = cte +
+    """SELECT col, CAST(COUNT(*) AS BIGINT) AS n_live,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value
+      |FROM merged m
+      |WHERE NOT EXISTS (SELECT 1 FROM cell_del c
+      |    WHERE c.pk = m.pk AND c.ck = m.ck AND c.col = m.col
+      |      AND c.dts >= m.wt)
+      |  AND NOT EXISTS (SELECT 1 FROM part_del p
+      |    WHERE p.pk = m.pk AND p.pdts >= m.wt)
+      |GROUP BY col ORDER BY col""".stripMargin
+
+  // C6 — ttl_expiry: drop cells whose writetime + ttl < query time.
+  private def ttl(s: SparkSession, d: String): DataFrame =
+    CM.ttlFilter(CM.lwwMerge(CM.cells(s, d)))
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val ttlSql = cte +
+    s"""SELECT col, CAST(COUNT(*) AS BIGINT) AS n_live,
+       |  CAST(SUM(value) AS BIGINT) AS sum_value
+       |FROM merged
+       |WHERE NOT (pk % 11 = 0 AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
+       |GROUP BY col ORDER BY col""".stripMargin
+
+  // C7 — clustering_decode: reconciled wide rows in clustering order.
+  private def clustering(s: SparkSession, d: String): DataFrame =
+    CM.wideView(CM.lwwMerge(CM.cells(s, d)))
+      .filter(col("pk") % 20 === 0)
+      .orderBy(col("pk"), col("ck"))
+
+  private val clusteringSql = cte +
+    """SELECT pk, ck,
+      |  CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT) AS qty,
+      |  CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT) AS price
+      |FROM merged WHERE pk % 20 = 0
+      |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
+
+  // C8 — pk_pushdown: point lookup on the partition key; the predicate
+  // reaches the scan (PushedFilters — asserted in CellSpec tests).
+  private def pkPushdown(s: SparkSession, d: String): DataFrame =
+    CM.cells(s, d).filter(col("pk") === 3)
+      .orderBy(col("ck"), col("col"), col("wt"), col("value"))
+
+  private val pkPushdownSql = cte +
+    """SELECT pk, ck, col, value, wt FROM cells WHERE pk = 3
+      |ORDER BY ck, col, wt, value""".stripMargin
+
+  // C9 — col_pruning: project a column subset only (ReadSchema prunes).
+  private def colPruning(s: SparkSession, d: String): DataFrame =
+    CM.cells(s, d).filter(col("pk") % 50 === 0)
+      .select(col("pk"), col("ck"), col("value"))
+      .orderBy(col("pk"), col("ck"), col("value"))
+
+  private val colPruningSql = cte +
+    """SELECT pk, ck, value FROM cells WHERE pk % 50 = 0
+      |ORDER BY pk, ck, value""".stripMargin
+
+  // C10 — counter_merge: counter columns reconcile by shard SUM.
+  private def counter(s: SparkSession, d: String): DataFrame =
+    CM.counterMerge(CM.cells(s, d))
+      .filter(col("pk") % 20 === 0)
+      .orderBy(col("pk"), col("ck"))
+
+  private val counterSql = cte +
+    """SELECT pk, ck, CAST(SUM(value) AS BIGINT) AS counter,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shards
+      |FROM cells WHERE col = 'qty' AND pk % 20 = 0
+      |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
+
+  // C11 — collection_reassemble: per-partition element cells → list.
+  private def reassemble(s: SparkSession, d: String): DataFrame =
+    CM.reassembleList(CM.cells(s, d))
+      .filter(col("pk") % 20 === 0)
+      .orderBy(col("pk"))
+
+  private val reassembleSql = cte +
+    """SELECT pk, list(value ORDER BY ck, value) AS elems
+      |FROM cells WHERE col = 'qty' AND pk % 20 = 0
+      |GROUP BY pk ORDER BY pk""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+    GQuery("C1_sstable_scan", scan, Some(scanSql)),
+    GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),
+    GQuery("C4_lww_merge", lww, Some(lwwSql)),
+    GQuery("C5_tombstone_filter", tombstone, Some(tombstoneSql)),
+    GQuery("C6_ttl_expiry", ttl, Some(ttlSql)),
+    GQuery("C7_clustering_decode", clustering, Some(clusteringSql)),
+    GQuery("C8_pk_pushdown", pkPushdown, Some(pkPushdownSql)),
+    GQuery("C9_col_pruning", colPruning, Some(colPruningSql)),
+    GQuery("C10_counter_merge", counter, Some(counterSql)),
+    GQuery("C11_collection_reassemble", reassemble, Some(reassembleSql)))
+}

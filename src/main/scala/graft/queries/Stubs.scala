@@ -4,6 +4,5 @@ import graft.GQuery
 
 // Phase placeholders — each object graduates to its own file as its
 // SURVEY §2 table is implemented (§7.2 build order).
-object Cells { def all: Seq[GQuery] = Seq.empty }
 object NorthStar { def all: Seq[GQuery] = Seq.empty }
 object Streaming { def all: Seq[GQuery] = Seq.empty }
