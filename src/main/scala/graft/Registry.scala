@@ -31,7 +31,8 @@ object Registry {
       graft.queries.Functions.all ++
       graft.queries.Cells.all ++
       graft.queries.NorthStar.all ++
-      graft.queries.Streaming.all
+      graft.queries.Streaming.all ++
+      graft.queries.Misc.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

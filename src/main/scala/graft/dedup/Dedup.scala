@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (SURVEY table N):
+  * exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard. The scale
+  * story for each:
+  *
+  * - exact: one hash-groupBy shuffle on the digest — embarrassingly
+  *   parallel, the canonical 100 TB dedup pass;
+  * - MinHash+LSH: per-doc signature computation is map-only; the only
+  *   shuffle is the band-bucket self-join, whose cost is bounded by
+  *   bucket sizes (not corpus²) — candidate pairs only, never an
+  *   all-pairs cross join;
+  * - SimHash: map-only signature; pairing by signature equality (or
+  *   banded Hamming) is again a bucket join;
+  * - Jaccard: exact verification on *blocked* candidate pairs only.
+  *
+  * Signatures use md5-derived hashing exclusively so signatures are
+  * reproducible across engines and runs (no seed state, SURVEY §7.4).
+  */
+object Dedup {
+
+  /** Normalized content digest for exact dedup. */
+  def contentDigest(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+
+  /** Exact dedup: keep the minimum id per digest. Returns
+    * (digest, keep_id, n_copies).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), contentDigest(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature of a shingle array: k md5 "permutations"
+    * (salted by index), each taking the lexicographic minimum of the
+    * 16-hex-char prefix — a pure-expression, engine-portable MinHash.
+    */
+  def minhashSignature(shinglesCol: String, k: Int = 8): Column = {
+    val sh = shinglesCol
+    expr(s"transform(sequence(0, ${k - 1}), i -> " +
+      s"array_min(transform($sh, s2 -> " +
+      s"substr(md5(concat(cast(i as string), ':', s2)), 1, 16))))")
+  }
+
+  /** LSH band keys from a signature: bands of `r` rows hashed together,
+    * band index prefixed so different bands never collide.
+    */
+  def lshBands(sigCol: String, k: Int = 8, r: Int = 2): Column = {
+    val s = sigCol
+    val bands = k / r
+    // 0-based [] subscripts (Spark SQL array indexing).
+    expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+      s"concat(cast(b as string), ':', " +
+      s"md5(concat($s[b * $r], $s[b * $r + 1]))))")
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
+    */
+  def lshCandidatePairs(withBands: DataFrame): DataFrame = {
+    val exploded = withBands
+      .select(col("id"), explode(col("bands")).as("band"))
+      .filter(col("band").isNotNull)
+    val l = exploded.select(col("id").as("id_a"), col("band"))
+    val r = exploded.select(col("id").as("id_b"), col("band").as("band_r"))
+    l.join(r, col("band") === col("band_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard similarity of two (multi)sets, computed on distinct
+    * elements via |∩| / (|A| + |B| − |∩|) — avoids cross-engine
+    * union-ordering differences.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val na = size(array_distinct(a))
+    val nb = size(array_distinct(b))
+    inter / (na + nb - inter)
+  }
+}

@@ -1,0 +1,430 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** SURVEY §2 table N — the LLM-training-data-pipeline surface: dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+  * similarity search, text analysis, multimodal joins, and the
+  * UDF/UDAF/UDTF extension surface. Thin wrappers over the library
+  * modules graft.dedup / graft.sim / graft.text / graft.multimodal.
+  */
+object NorthStar {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ---- dedup -----------------------------------------------------------
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text").orderBy(col("digest"))
+
+  private val dedupExactSql =
+    """SELECT md5(lower(trim(text))) AS digest,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val withBands = docs(s, d)
+      .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("shingles", TextOps.shingles("toks"))
+      .withColumn("sig", Dedup.minhashSignature("shingles"))
+      .withColumn("bands", Dedup.lshBands("sig"))
+    Dedup.lshCandidatePairs(withBands).orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupMinhashSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(0, len(t) - 2),
+      |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 8), i ->
+      |    list_min(list_transform(shingles, s2 ->
+      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    CAST(b AS VARCHAR) || ':' || md5(sg[b*2+1] || sg[b*2+2]))) AS band
+      |  FROM sig)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.simhash16("toks").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val dedupSimhashSql =
+    """SELECT doc_id, array_to_string(list_transform(range(0, 16), b ->
+      |  CASE WHEN list_reduce(list_prepend(0,
+      |    list_transform(list_distinct(string_split(text, ' ')), tok ->
+      |      CASE WHEN strpos('89abcdef', substr(md5(tok), b + 1, 1)) > 0
+      |      THEN 1 ELSE -1 END)), (a, c) -> a + c) >= 0
+      |  THEN '1' ELSE '0' END), '') AS simhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .withColumn("sh", array_distinct(TextOps.shingles("toks")))
+      // guard 0/0 in the Jaccard ratio for degenerate (<3-token) docs
+      .filter(size(col("sh")) > 0)
+    val a = base.select(col("doc_id").as("id_a"), col("lang"),
+      col("source"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") &&
+        col("source") === col("source_b") && col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= 0.01)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupJaccardSql =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+      |        i -> array_to_string(list_slice(string_split(text, ' '),
+      |             i + 1, i + 3), ' ')) END) AS sh
+      |  FROM documents),
+      |base2 AS (SELECT * FROM base WHERE len(sh) > 0)
+      |SELECT id_a, id_b, ROUND(jac, 4) AS jac_r FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |  FROM base2 a JOIN base2 b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.01 ORDER BY id_a, id_b""".stripMargin
+
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedPairs(embs(s, d), 0.4)
+      .select(col("id_a"), col("id_b"), col("score_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
+
+  private val dedupEmbeddingSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings)
+       |SELECT id_a, id_b, ROUND(score, 4) AS score_r FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosSql("a.v", "b.v")} AS score
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity ------------------------------------------------------
+
+  private def simTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.topK(embs(s, d), embs(s, d).filter(col("vec_id") === 0), 20)
+
+  private val simTopKSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |  WHERE vec_id = 0)
+       |SELECT vec_id, label,
+       |  ROUND(${cosSql("v", "qv")}, 4) AS score
+       |FROM e CROSS JOIN q
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
+  private def simPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.blockedPairs(embs(s, d), 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val simPairsSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings)
+       |SELECT id_a, id_b, label, ROUND(score, 4) AS score_r FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       |    ${cosSql("a.v", "b.v")} AS score
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  private def simCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.centroids(embs(s, d)).orderBy(col("label"))
+
+  private val simCentroidsSql =
+    """WITH ex AS (
+      |  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings))
+      |SELECT label, list(m ORDER BY pos) AS centroid FROM (
+      |  SELECT label, pos, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, pos)
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- text ------------------------------------------------------------
+
+  private def textWordcount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(100)
+
+  private val textWordcountSql =
+    """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin
+
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val tf = tok.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
+    tf.join(df, "word").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("word")).limit(200)
+  }
+
+  private val textTfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok
+      |  WHERE doc_id % 5 = 0 GROUP BY doc_id, word),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT tf.doc_id, tf.word,
+      |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      |FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+      |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 200""".stripMargin
+
+  private def textDocStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val textDocStatsSql =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Language-ID by vocabulary profile: build a top-20 token profile
+    * per language from the corpus, score each doc against every
+    * profile, predict the argmax — the stopword-profile method, fully
+    * relational (broadcastable vocab at scale).
+    */
+  private def textLangId(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+    val counts = tok.groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("lang"))
+      .orderBy(col("c").desc, col("t"))
+    val vocab = counts.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("vlang"), col("t").as("vt"))
+    val dt = tok.select(col("doc_id"), col("lang"), col("t")).distinct()
+    val scores = dt.join(broadcast(vocab), col("t") === col("vt"))
+      .groupBy(col("doc_id"), col("lang"), col("vlang"))
+      .agg(count(lit(1)).as("score"))
+    val wp = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("vlang"))
+    scores.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("vlang").as("predicted"),
+        (col("lang") === col("vlang")).cast("int").as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangIdSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |counts AS (SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t),
+      |vocab AS (SELECT lang AS vlang, t AS vt FROM (
+      |  SELECT lang, t, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY c DESC, t) AS rn FROM counts) WHERE rn <= 20),
+      |dt AS (SELECT DISTINCT doc_id, lang, t FROM tok),
+      |scores AS (SELECT dt.doc_id, dt.lang, vocab.vlang, COUNT(*) AS score
+      |  FROM dt JOIN vocab ON dt.t = vocab.vt
+      |  GROUP BY dt.doc_id, dt.lang, vocab.vlang)
+      |SELECT doc_id, lang, vlang AS predicted,
+      |  CAST(lang = vlang AS INTEGER) AS correct
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |  ORDER BY score DESC, vlang) AS rn FROM scores)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        (expr("aggregate(toks, 0, (a, t) -> a + length(t))")
+          / size(col("toks"))).as("avg_tok_len"),
+        (size(expr("filter(toks, t -> length(t) > 7)"))
+          / size(col("toks"))).as("long_frac"),
+        TextOps.rollingFingerprint("toks").as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val textQualitySql =
+    """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  list_reduce(list_prepend(0, list_transform(toks,
+      |    tok -> CAST(length(tok) AS INTEGER))), (a, b) -> a + b)
+      |    / len(toks) AS avg_tok_len,
+      |  len(list_filter(toks, tok -> length(tok) > 7)) / len(toks) AS long_frac,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks,
+      |    tok -> CAST(length(tok) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal ------------------------------------------------------
+
+  private def mmJoin(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    docs(s, d).join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(col("v")).as("dim"),
+        sqrt(Similarity.dot("v", "v")).as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmJoinSql =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CAST(len(v) AS INTEGER) AS dim,
+      |  sqrt(list_dot_product(v, v)) AS norm
+      |FROM documents
+      |JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+      |  ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin
+
+  private def mmBinaryMeta(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy(col("doc_id"))
+
+  private val mmBinaryMetaSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS digest
+      |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  private def mmDecode(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decode(s, Multimodal.mediaTable(docs(s, d))).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        size(col("features")).as("dim"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- extension surface ----------------------------------------------
+
+  private def udfCosine(s: SparkSession, d: String): DataFrame = {
+    val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = broadcast(embs(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv")))
+    embs(s, d).filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(q)
+      .select(col("vec_id"), round(cosUdf(col("v"), col("qv")), 4).as("score"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val udfCosineSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |  WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 4) AS score
+       |FROM e CROSS JOIN q ORDER BY vec_id""".stripMargin
+
+  private def udafMinhash(s: SparkSession, d: String): DataFrame = {
+    val mh = udaf(graft.functions.MinHashAgg)
+    docs(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(mh(col("tok")).as("sig"))
+      .orderBy(col("source"))
+  }
+
+  private val udafMinhashSql =
+    """SELECT source, [
+      |  min(substr(md5('0:' || tok), 1, 16)),
+      |  min(substr(md5('1:' || tok), 1, 16)),
+      |  min(substr(md5('2:' || tok), 1, 16)),
+      |  min(substr(md5('3:' || tok), 1, 16))] AS sig
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  private def udtfShingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shingles("toks"))
+        .as("shingle"))
+      .orderBy(col("doc_id"), col("shingle"))
+
+  private val udtfShinglesSql =
+    """SELECT doc_id, unnest(
+      |  CASE WHEN len(string_split(text, ' ')) < 3 THEN CAST([] AS VARCHAR[])
+      |  ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+      |    i -> array_to_string(list_slice(string_split(text, ' '),
+      |         i + 1, i + 3), ' ')) END) AS shingle
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY doc_id, shingle""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+    GQuery("N_DEDUP1_exact", dedupExact, Some(dedupExactSql)),
+    GQuery("N_DEDUP2_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    GQuery("N_DEDUP3_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    GQuery("N_DEDUP4_ngram_jaccard", dedupJaccard, Some(dedupJaccardSql)),
+    GQuery("N_DEDUP5_embedding_neardup", dedupEmbedding,
+      Some(dedupEmbeddingSql)),
+    GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
+    GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
+    GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
+    GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
+    GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),
+    GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),
+    GQuery("N_TEXT4_langid", textLangId, Some(textLangIdSql)),
+    GQuery("N_TEXT5_quality_fingerprint", textQuality, Some(textQualitySql)),
+    GQuery("N_MM1_multimodal_join", mmJoin, Some(mmJoinSql)),
+    GQuery("N_MM2_binary_meta", mmBinaryMeta, Some(mmBinaryMetaSql)),
+    GQuery("N_MM3_decode_features", mmDecode, None),
+    GQuery("N_UDF1_cosine_udf", udfCosine, Some(udfCosineSql)),
+    GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
+    GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)))
+}

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.GQuery
 
-// Phase placeholders — each object graduates to its own file as its
-// SURVEY §2 table is implemented (§7.2 build order).
-object NorthStar { def all: Seq[GQuery] = Seq.empty }
+// Phase placeholder — graduates to its own file with SURVEY §7.2
+// phase 5 (streaming batch-equivalents).
 object Streaming { def all: Seq[GQuery] = Seq.empty }

@@ -1,0 +1,83 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over embedding columns (SURVEY table N).
+  *
+  * The fixture embeddings are `array<float>` dim 64; every operator
+  * casts to double FIRST (float math diverges across engines —
+  * FIXTURES.md trap 3) and computes dot products with sequential HOF
+  * folds, whose addition order matches DuckDB's list_dot_product —
+  * bit-identical results.
+  *
+  * Scale paths:
+  * - brute-force top-k: map-only score + TakeOrderedAndProject (per-
+  *   partition heaps, driver merges k — no global sort, no shuffle);
+  * - all-pairs search is NEVER unblocked: the self-join variant blocks
+  *   on a partition key (label here; LSH bucket or IVF cell in
+  *   general), turning O(n²) into Σ O(block²);
+  * - IVF-style: assign to nearest centroid (broadcast centroids,
+  *   map-only), then search within the cell — the bucketed variant of
+  *   the same blocked join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: String, b: String): Column = {
+    val (as, bs) = (a, b)
+    expr(s"aggregate(zip_with($as, $bs, (x, y) -> x * y), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+  }
+
+  /** Cosine similarity (double arrays; callers cast floats first). */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against one query vector: the exact
+    * baseline every approximate method is judged against.
+    */
+  def topK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(query.select(col("embedding")
+      .cast("array<double>").as("qvec")))
+    embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        round(cosine("vec", "qvec"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Label-blocked all-pairs similarity join: pairs within the same
+    * block with cosine ≥ threshold.
+    */
+  def blockedPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("vec"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("vec").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("vec").as("vec_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("score", cosine("vec_a", "vec_b"))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("label"),
+        round(col("score"), 4).as("score_r"))
+  }
+
+  /** Per-label mean vector (nearest-centroid training step): explode
+    * to (label, pos, v), average per cell, reassemble in pos order.
+    * One shuffle keyed (label, pos) — fully distributed.
+    */
+  def centroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 4).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+}
