@@ -51,10 +51,10 @@ object Dedup {
   def lshBands(sigCol: String, k: Int = 8, r: Int = 2): Column = {
     val s = sigCol
     val bands = k / r
-    // 0-based [] subscripts (Spark SQL array indexing).
+    // slice() is 1-based; '|' separator keeps band hashing unambiguous.
     expr(s"transform(sequence(0, ${bands - 1}), b -> " +
       s"concat(cast(b as string), ':', " +
-      s"md5(concat($s[b * $r], $s[b * $r + 1]))))")
+      s"md5(array_join(slice($s, b * $r + 1, $r), '|'))))")
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.

@@ -54,7 +54,8 @@ object NorthStar {
       |  FROM sh),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-      |    CAST(b AS VARCHAR) || ':' || md5(sg[b*2+1] || sg[b*2+2]))) AS band
+      |    CAST(b AS VARCHAR) || ':' ||
+      |    md5(array_to_string(list_slice(sg, b*2+1, b*2+2), '|')))) AS band
       |  FROM sig)
       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+
+/** SURVEY §2 table S — streaming surface, declared in batch-equivalent
+  * form over `events` (oracle-checkable); the Structured Streaming
+  * twins live in [[graft.streaming.StreamingOps]] and are exercised in
+  * StreamingSpec with MemoryStream.
+  *
+  * Determinism: window ORDER BYs tie-break on event_id (µs-truncated
+  * ns timestamps collide — FIXTURES.md trap 1); session gaps compare
+  * second-floored epochs identically in both engines.
+  */
+object Streaming {
+
+  // S_WIN1 — tumbling 1 h windows per event type.
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val tumblingSql =
+    """SELECT date_trunc('hour', ts) AS win_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  // S_WIN2 — sliding 1 h / 15 min windows via hop-grid expansion:
+  // each event contributes to the 4 hops covering it (the batch twin
+  // of `window(ts, "1 hour", "15 minutes")`).
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("floor15",
+        expr("timestamp_seconds((unix_timestamp(ts) div 900) * 900)"))
+      .select(col("floor15"), explode(sequence(lit(0), lit(3))).as("k"))
+      .select((col("floor15") - expr("make_interval(0,0,0,0,0,0,k*900)"))
+        .as("win_start"))
+      .groupBy(col("win_start")).agg(count(lit(1)).as("n"))
+      .orderBy(col("win_start"))
+
+  private val slidingSql =
+    """SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 900)
+      |           - k) * 900 * 1000000) AS win_start
+      |  FROM events, (SELECT unnest(range(0, 4)) AS k))
+      |GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  // S_WIN3 — session windows (30 min gap) via gaps-and-islands.
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        date_trunc("second", min(col("ts"))).as("start_ts"),
+        date_trunc("second", max(col("ts"))).as("end_ts"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  private val sessionsSql =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(CASE WHEN prev IS NULL OR
+      |      CAST(floor(epoch(ts)) AS BIGINT) -
+      |        CAST(floor(epoch(prev)) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM l)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  date_trunc('second', MIN(ts)) AS start_ts,
+      |  date_trunc('second', MAX(ts)) AS end_ts
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  // S_STATE1 — streaming dedup by key: first event per
+  // (user_id, event_type).
+  private def dedupFirst(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val dedupFirstSql =
+    """SELECT user_id, event_type, event_id AS first_event FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // S_STATE2 — watermark semantics, two-pass batch form: drop events
+  // older than (max ts − 7 days), count survivors per day.
+  private def watermark(s: SparkSession, d: String): DataFrame = {
+    val wm = Tables.events(s, d).agg(max(col("ts")).as("mx"))
+    Tables.events(s, d).crossJoin(broadcast(wm))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+  }
+
+  private val watermarkSql =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events)
+      |SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events, m WHERE ts >= mx - INTERVAL 7 DAY
+      |GROUP BY day ORDER BY day""".stripMargin
+
+  // S_STATE3 — arbitrary stateful aggregation, batch twin: final
+  // per-user state (count, total, last activity).
+  private def statefulTotals(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"),
+        date_trunc("second", max(col("ts"))).as("last_seen"))
+      .orderBy(col("user_id"))
+
+  private val statefulTotalsSql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(SUM(value), 2) AS total_value,
+      |  date_trunc('second', MAX(ts)) AS last_seen
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+    GQuery("S_WIN1_tumbling", tumbling, Some(tumblingSql)),
+    GQuery("S_WIN2_sliding", sliding, Some(slidingSql)),
+    GQuery("S_WIN3_session", sessions, Some(sessionsSql)),
+    GQuery("S_STATE1_stream_dedup", dedupFirst, Some(dedupFirstSql)),
+    GQuery("S_STATE2_watermark", watermark, Some(watermarkSql)),
+    GQuery("S_STATE3_stateful_totals", statefulTotals,
+      Some(statefulTotalsSql)))
+}

@@ -38,14 +38,19 @@ object Similarity {
     * baseline every approximate method is judged against.
     */
   def topK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    // The query norm is computed once in the broadcast row instead of
+    // per scanned vector — identical fp ops, so results (and the
+    // DuckDB oracle twin) are bit-unchanged.
     val q = broadcast(query.select(col("embedding")
-      .cast("array<double>").as("qvec")))
+      .cast("array<double>").as("qvec"))
+      .withColumn("qnorm", sqrt(dot("qvec", "qvec"))))
     embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        round(cosine("vec", "qvec"), 4).as("score"))
+        round((dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")))
+          .as("score"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -54,14 +59,20 @@ object Similarity {
     * block with cosine ≥ threshold.
     */
   def blockedPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // Norms are precomputed per VECTOR (O(n)) rather than per PAIR
+    // (O(n²/blocks)) — the dominant cost in a similarity self-join.
+    // Same fp op sequence per pair as the naive form, so scores are
+    // bit-identical to the oracle's formula.
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("vec"))
+      .withColumn("nrm", sqrt(dot("vec", "vec")))
     val a = e.select(col("vec_id").as("id_a"), col("label"),
-      col("vec").as("vec_a"))
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-      col("vec").as("vec_b"))
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-      .withColumn("score", cosine("vec_a", "vec_b"))
+      .withColumn("score",
+        dot("vec_a", "vec_b") / (col("nrm_a") * col("nrm_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("label"),
         round(col("score"), 4).as("score_r"))

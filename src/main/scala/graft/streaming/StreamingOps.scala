@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of SURVEY §2 table S. The declared
+  * oracle queries in [[graft.queries.Streaming]] are the
+  * batch-equivalents; these operators run the same semantics over an
+  * unbounded stream and are exercised with MemoryStream in
+  * StreamingSpec (sketch/stateful internals can't hash-match a batch
+  * oracle — SURVEY table S policy).
+  *
+  * Scale notes: all operators key their state by (window, type) or
+  * user_id, so state is hash-distributed across executors; watermarks
+  * bound state size (no unbounded accumulation) — the only viable
+  * shape for an always-on 100 TB/day ingest.
+  */
+object StreamingOps {
+
+  /** S_WIN1 twin — tumbling 1 h counts per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** S_WIN2 twin — sliding 1 h window hopping every 15 min. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+  /** S_WIN3 twin — session windows with a 30 min inactivity gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** S_STATE1 twin — streaming dedup by key within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** S_STATE3 twin — arbitrary per-user running state via
+    * flatMapGroupsWithState (the transformWithState-style custom
+    * state machine): emits updated totals on every batch.
+    */
+  def runningTotals(spark: SparkSession, events: DataFrame)
+      : Dataset[UserTotals] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserTotals(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** Structured Streaming twins of table S, driven by MemoryStream
+  * (SURVEY table S policy: streaming internals are test-covered, the
+  * oracle checks the batch equivalents).
+  */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(
+    1704067200000L + minute * 60000L) // 2024-01-01 00:00 UTC + minutes
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def runQuery(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: OutputMode = OutputMode.Append()) = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window counts per type (streaming twin of S_WIN1)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 1, "view", 3.0), Ev(4, ts(70), 2, "click", 4.0))
+    // Complete mode: no watermark advancement games needed for a test.
+    val out = runQuery("tumb", StreamingOps.tumbling(in.toDF()),
+      OutputMode.Complete())
+    val rows = out.select(col("window.start").cast("long"),
+      col("event_type"), col("n")).as[(Long, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1704067200L, "click", 2L),
+      (1704070800L, "view", 1L),
+      (1704070800L, "click", 1L)))
+  }
+
+  test("session window groups by 30-min gaps (streaming twin of S_WIN3)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(60), 1, "click", 1.0),   // 50-min gap → new session
+      Ev(4, ts(0), 2, "view", 1.0))
+    val out = runQuery("sess", StreamingOps.sessions(in.toDF()),
+      OutputMode.Complete())
+    val rows = out.select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().toList.sorted
+    assert(rows == List((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("streaming dedup keeps one row per key (twin of S_STATE1)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 1, "click", 2.0),
+      Ev(3, ts(2), 1, "view", 3.0))
+    val out = runQuery("dedup", StreamingOps.dedup(in.toDF()))
+    assert(out.count() == 2)
+    assert(out.select("event_type").as[String].collect().toSet ==
+      Set("click", "view"))
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals (S_STATE3)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(Ev(1, ts(0), 1, "click", 1.5), Ev(2, ts(1), 1, "click", 2.5))
+    val q = StreamingOps.runningTotals(spark, in.toDF()).writeStream
+      .outputMode(OutputMode.Append()).format("memory")
+      .queryName("totals").start()
+    q.processAllAvailable()
+    in.addData(Ev(3, ts(2), 1, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val states = spark.table("totals")
+      .select("user_id", "n", "total").as[(Long, Long, Double)]
+      .collect().toList
+    // Two emissions: after batch 1 (n=2, 4.0) and batch 2 (n=3, 8.0).
+    assert(states.contains((1L, 2L, 4.0)) && states.contains((1L, 3L, 8.0)))
+  }
+
+  test("sliding window assigns each event to 4 hops (twin of S_WIN2)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(Ev(1, ts(16), 1, "click", 1.0))
+    val out = runQuery("slide", StreamingOps.sliding(in.toDF()),
+      OutputMode.Complete())
+    assert(out.count() == 4) // one event → 4 overlapping 1h/15m windows
+  }
+}
