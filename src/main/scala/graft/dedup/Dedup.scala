@@ -57,6 +57,38 @@ object Dedup {
       s"md5(array_join(slice($s, b * $r + 1, $r), '|'))))")
   }
 
+  /** Relational (exploded) MinHash signature computation — the form
+    * that scales: shingles become ROWS, each row hashes k times, and
+    * signatures fall out of a min-aggregate with map-side partial
+    * combine. Unlike the nested-HOF form ([[minhashSignature]]), no
+    * expression tree gets re-evaluated per lambda element (Catalyst's
+    * projection collapse inlines split() into HOF lambdas, turning the
+    * one-projection form O(k·shingles·tokens) per doc — observed as a
+    * single task spinning for minutes at sf0.1), and the shuffle
+    * spreads documents across the cluster. Returns (id, sig).
+    */
+  def minhashSignaturesRelational(docsIdText: DataFrame,
+      k: Int = 8): DataFrame = {
+    val shingleRows = docsIdText
+      .select(col("id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      // Exchange = materialization barrier: toks computed exactly once
+      // per doc, and downstream shingle work is distributed.
+      .repartition(col("id"))
+      .withColumn("sh2", explode(graft.text.TextOps.shingles("toks")))
+      .select(col("id"), col("sh2"))
+    shingleRows
+      .select(col("id"), col("sh2"),
+        explode(sequence(lit(0), lit(k - 1))).as("perm"))
+      .withColumn("h",
+        expr("substr(md5(concat(cast(perm as string), ':', sh2)), 1, 16)"))
+      .groupBy(col("id"), col("perm"))
+      .agg(min(col("h")).as("m"))
+      .groupBy(col("id"))
+      .agg(expr("transform(array_sort(collect_list(struct(perm, m))), s -> s.m)")
+        .as("sig"))
+  }
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
     */

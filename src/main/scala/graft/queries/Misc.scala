@@ -45,7 +45,21 @@ object Misc {
       .select(col("doc_id"), rand(42).as("u"), randn(42).as("g"))
       .orderBy(col("doc_id"))
 
+  /** Q_SRC1 — the bare parquet scan row of the inventory (every other
+    * query exercises it implicitly; declared explicitly for the §2
+    * checklist). Q_SNK1 (file sink) is the Verify harness itself —
+    * every declared result is written through it.
+    */
+  private def parquetScan(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  private val parquetScanSql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   def all: Seq[GQuery] = Seq(
+    GQuery("Q_SRC1_parquet_scan", parquetScan, Some(parquetScanSql)),
     GQuery("Q_SRC2_cache", cached, Some(cachedSql)),
     GQuery("Q_SAMP1_tablesample", sampled, None),
     GQuery("F_MATH2_rand", seededRand, None))

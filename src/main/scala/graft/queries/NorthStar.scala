@@ -31,11 +31,9 @@ object NorthStar {
       |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
 
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val withBands = docs(s, d)
-      .select(col("doc_id").as("id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("shingles", TextOps.shingles("toks"))
-      .withColumn("sig", Dedup.minhashSignature("shingles"))
-      .withColumn("bands", Dedup.lshBands("sig"))
+    val sigs = Dedup.minhashSignaturesRelational(
+      docs(s, d).select(col("doc_id").as("id"), col("text")))
+    val withBands = sigs.withColumn("bands", Dedup.lshBands("sig"))
     Dedup.lshCandidatePairs(withBands).orderBy(col("id_a"), col("id_b"))
   }
 
@@ -64,6 +62,9 @@ object NorthStar {
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // exchange barrier: stop projection collapse from inlining the
+      // tokenizer into all 16 per-bit aggregate lambdas
+      .repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.simhash16("toks").as("simhash"))
       .orderBy(col("doc_id"))
 
@@ -76,20 +77,32 @@ object NorthStar {
       |  THEN '1' ELSE '0' END), '') AS simhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // Relational exact Jaccard: intersection sizes come from a shuffle
+  // join on the SHINGLE (count of shared shingles per pair), never
+  // from per-pair array_intersect — interpreted array set-ops per pair
+  // were the sf0.1 bottleneck, and at scale the shingle join is the
+  // only shape that distributes. Pairs sharing zero shingles vanish,
+  // which the jac >= τ filter removes anyway (τ > 0).
   private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
     val base = docs(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // barrier: tokenize once per doc
       .withColumn("sh", array_distinct(TextOps.shingles("toks")))
-      // guard 0/0 in the Jaccard ratio for degenerate (<3-token) docs
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("sh")).as("n_sh"), explode(col("sh")).as("sh2"))
     val a = base.select(col("doc_id").as("id_a"), col("lang"),
-      col("source"), col("sh").as("sh_a"))
+      col("source"), col("n_sh").as("na"), col("sh2"))
     val b = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("sh").as("sh_b"))
+      col("source").as("source_b"), col("n_sh").as("nb"),
+      col("sh2").as("sh2_b"))
     a.join(b, col("lang") === col("lang_b") &&
-        col("source") === col("source_b") && col("id_a") < col("id_b"))
-      .withColumn("jac", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        col("source") === col("source_b") && col("sh2") === col("sh2_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("i"))
+      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jac") >= 0.01)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy(col("id_a"), col("id_b"))
@@ -104,14 +117,19 @@ object NorthStar {
       |        i -> array_to_string(list_slice(string_split(text, ' '),
       |             i + 1, i + 3), ' ')) END) AS sh
       |  FROM documents),
-      |base2 AS (SELECT * FROM base WHERE len(sh) > 0)
-      |SELECT id_a, id_b, ROUND(jac, 4) AS jac_r FROM (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.sh, b.sh)) /
-      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-      |  FROM base2 a JOIN base2 b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-      |WHERE jac >= 0.01 ORDER BY id_a, id_b""".stripMargin
+      |rows2 AS (SELECT doc_id, lang, source, len(sh) AS n_sh,
+      |    unnest(sh) AS sh2
+      |  FROM base WHERE len(sh) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na,
+      |    b.n_sh AS nb, COUNT(*) AS i
+      |  FROM rows2 a JOIN rows2 b
+      |    ON a.lang = b.lang AND a.source = b.source AND a.sh2 = b.sh2
+      |   AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, ROUND(i / (na + nb - i), 4) AS jac_r
+      |FROM pairs WHERE i / (na + nb - i) >= 0.01
+      |ORDER BY id_a, id_b""".stripMargin
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.blockedPairs(embs(s, d), 0.4)
@@ -158,6 +176,35 @@ object NorthStar {
        |    ${cosSql("a.v", "b.v")} AS score
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  // N_SIM4 — IVF-bucketed approximate top-k (the ANN scale path):
+  // probe the 2 cells whose centroids are nearest the query, search
+  // only inside them. On this fixture the cells are the labels. Note:
+  // the fixture embeddings carry no cluster structure (within-label
+  // cosine ≤ 0.48, measured), so recall vs the exact N_SIM1 top-k is
+  // ~nprobe/cells — the honest behavior of IVF on unclustered data;
+  // on real clustered embeddings the same plan gives high recall.
+  private def simIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embs(s, d),
+      embs(s, d).filter(col("vec_id") === 0), k = 20, nprobe = 2)
+
+  private val simIvfSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |ex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+       |  unnest(v) AS x FROM e),
+       |cb AS (SELECT label, list(m ORDER BY pos) AS centroid FROM (
+       |  SELECT label, pos, AVG(x) AS m FROM ex GROUP BY label, pos)
+       |  GROUP BY label),
+       |probed AS (SELECT label FROM (
+       |    SELECT cb.label, ROUND(${cosSql("centroid", "qv")}, 6) AS cdist
+       |    FROM cb CROSS JOIN q)
+       |  ORDER BY cdist DESC, label LIMIT 2)
+       |SELECT vec_id, label, ROUND(${cosSql("v", "qv")}, 4) AS score
+       |FROM e JOIN probed USING (label) CROSS JOIN q
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
   private def simCentroids(s: SparkSession, d: String): DataFrame =
     Similarity.centroids(embs(s, d)).orderBy(col("label"))
@@ -277,6 +324,7 @@ object NorthStar {
     docs(s, d)
       .select(col("doc_id"), col("n_chars"),
         TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // barrier: tokenize once per doc
       .select(
         col("doc_id"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
@@ -394,6 +442,7 @@ object NorthStar {
     docs(s, d)
       .filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("doc_id")) // barrier: tokenize once per doc
       .select(col("doc_id"), explode(TextOps.shingles("toks"))
         .as("shingle"))
       .orderBy(col("doc_id"), col("shingle"))
@@ -417,6 +466,7 @@ object NorthStar {
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
+    GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),
     GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),

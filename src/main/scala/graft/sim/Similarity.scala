@@ -78,6 +78,55 @@ object Similarity {
         round(col("score"), 4).as("score_r"))
   }
 
+  /** Raw (unrounded) per-label mean vectors — the IVF coarse
+    * quantizer's codebook. Same shuffle shape as [[centroids]].
+    */
+  def rawCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+
+  /** IVF-style approximate top-k: rank cells (labels) by the query's
+    * distance to each cell centroid, probe only the `nprobe` nearest
+    * cells, brute-force inside them. At 100 TB this is the standard
+    * two-level ANN: the codebook broadcasts (KB), cell assignment is
+    * map-only, and the probed fraction bounds the scan to
+    * nprobe/cells of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val cb = rawCentroids(embeddings)
+    val q = broadcast(query.select(col("embedding")
+      .cast("array<double>").as("qvec"))
+      .withColumn("qnorm", sqrt(dot("qvec", "qvec"))))
+    // Rank cells by (rounded) centroid cosine to the query; ties by
+    // label — deterministic across engines despite fp-order ε in the
+    // unrounded centroid sums.
+    val probed = broadcast(cb.crossJoin(q)
+      .select(col("label"),
+        round((dot("centroid", "qvec") /
+          (sqrt(dot("centroid", "centroid")) * col("qnorm"))), 6)
+          .as("cdist"))
+      .orderBy(col("cdist").desc, col("label"))
+      .limit(nprobe)
+      .select(col("label").as("probe_label")))
+    embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      .join(probed, col("label") === col("probe_label"), "left_semi")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"),
+        round(dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")),
+          4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label mean vector (nearest-centroid training step): explode
     * to (label, pos, v), average per cell, reassemble in pos order.
     * One shuffle keyed (label, pos) — fully distributed.

@@ -15,6 +15,7 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
+  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
