@@ -97,8 +97,10 @@ object Aggregates {
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
         round(var_samp(col("l_extendedprice")), 2).as("var_price"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"))
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0))
+          .as("corr_qp"),
+        (round(covar_samp(col("l_quantity"), col("l_discount")), 4) + lit(0.0))
+          .as("cov_qd"))
       .orderBy(col("l_linestatus"))
 
   private val aggStatsSql =
@@ -106,8 +108,8 @@ object Aggregates {
       |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
       |  ROUND(STDDEV_POP(l_quantity), 4) AS sdp_qty,
       |  ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
-      |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qp,
-      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qd
+      |  ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+      |  ROUND(COVAR_SAMP(l_quantity, l_discount), 4) + 0.0 AS cov_qd
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   // Q_AGG6 — exact percentile / median (linear interpolation definition

@@ -143,7 +143,7 @@ object NorthStar {
   private val dedupEmbeddingSql =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
        |  FROM embeddings)
-       |SELECT id_a, id_b, ROUND(score, 4) AS score_r FROM (
+       |SELECT id_a, id_b, ROUND(score, 4) + 0.0 AS score_r FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${cosSql("a.v", "b.v")} AS score
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -160,7 +160,7 @@ object NorthStar {
        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
        |  WHERE vec_id = 0)
        |SELECT vec_id, label,
-       |  ROUND(${cosSql("v", "qv")}, 4) AS score
+       |  ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS score
        |FROM e CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
@@ -171,7 +171,7 @@ object NorthStar {
   private val simPairsSql =
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
        |  FROM embeddings)
-       |SELECT id_a, id_b, label, ROUND(score, 4) AS score_r FROM (
+       |SELECT id_a, id_b, label, ROUND(score, 4) + 0.0 AS score_r FROM (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        |    ${cosSql("a.v", "b.v")} AS score
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -202,7 +202,7 @@ object NorthStar {
        |    SELECT cb.label, ROUND(${cosSql("centroid", "qv")}, 6) AS cdist
        |    FROM cb CROSS JOIN q)
        |  ORDER BY cdist DESC, label LIMIT 2)
-       |SELECT vec_id, label, ROUND(${cosSql("v", "qv")}, 4) AS score
+       |SELECT vec_id, label, ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS score
        |FROM e JOIN probed USING (label) CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
@@ -214,7 +214,8 @@ object NorthStar {
       |  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings))
       |SELECT label, list(m ORDER BY pos) AS centroid FROM (
-      |  SELECT label, pos, ROUND(AVG(x), 4) AS m FROM ex GROUP BY label, pos)
+      |  SELECT label, pos, ROUND(AVG(x), 4) + 0.0 AS m FROM ex
+      |  GROUP BY label, pos)
       |GROUP BY label ORDER BY label""".stripMargin
 
   // ---- text ------------------------------------------------------------
@@ -407,7 +408,8 @@ object NorthStar {
     embs(s, d).filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(q)
-      .select(col("vec_id"), round(cosUdf(col("v"), col("qv")), 4).as("score"))
+      .select(col("vec_id"),
+        (round(cosUdf(col("v"), col("qv")), 4) + lit(0.0)).as("score"))
       .orderBy(col("vec_id"))
   }
 
@@ -416,7 +418,7 @@ object NorthStar {
        |  FROM embeddings WHERE vec_id % 20 = 0),
        |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
        |  WHERE vec_id = 0)
-       |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 4) AS score
+       |SELECT vec_id, ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS score
        |FROM e CROSS JOIN q ORDER BY vec_id""".stripMargin
 
   private def udafMinhash(s: SparkSession, d: String): DataFrame = {

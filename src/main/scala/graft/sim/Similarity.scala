@@ -49,8 +49,8 @@ object Similarity {
         col("embedding").cast("array<double>").as("vec"))
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        round((dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")))
-          .as("score"), 4).as("score"))
+        (round((dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm"))),
+          4) + lit(0.0)).as("score")) // +0.0 folds -0.0 into +0.0
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -75,7 +75,7 @@ object Similarity {
         dot("vec_a", "vec_b") / (col("nrm_a") * col("nrm_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("label"),
-        round(col("score"), 4).as("score_r"))
+        (round(col("score"), 4) + lit(0.0)).as("score_r"))
   }
 
   /** Raw (unrounded) per-label mean vectors — the IVF coarse
@@ -121,8 +121,8 @@ object Similarity {
       .join(probed, col("label") === col("probe_label"), "left_semi")
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        round(dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")),
-          4).as("score"))
+        (round(dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")),
+          4) + lit(0.0)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -136,7 +136,7 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v")), 4).as("m"))
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("m"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("centroid"))
