@@ -66,6 +66,11 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("vec"))
       .withColumn("nrm", sqrt(dot("vec", "vec")))
+      // The fixture arrives as ONE file → one partition → the pair
+      // loop would run on a single task (and the score filter gets
+      // pushed into the join condition, evaluated per candidate pair).
+      // Spreading the probe side parallelizes the O(pairs) work.
+      .repartition(col("vec_id"))
     val a = e.select(col("vec_id").as("id_a"), col("label"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
