@@ -78,15 +78,18 @@ object Aggregates {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // Q_AGG4 — collect_list/collect_set, order-normalized via array_sort
-  // (SURVEY §7.4 rule 5: never emit an unsorted collected array).
+  // (SURVEY §7.4 rule 5: never emit an unsorted collected array) and
+  // '|'-joined: the driver's comparer hashes scalars only.
   private def aggCollect(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
       .groupBy(col("s_nationkey"))
-      .agg(array_sort(collect_list(col("s_name"))).as("names"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), "|")
+        .as("names"))
       .orderBy(col("s_nationkey"))
 
   private val aggCollectSql =
-    """SELECT s_nationkey, list(s_name ORDER BY s_name) AS names
+    """SELECT s_nationkey,
+      |  array_to_string(list(s_name ORDER BY s_name), '|') AS names
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   // Q_AGG5 — statistical moments: stddev/variance (samp+pop), corr, covar.

@@ -133,13 +133,17 @@ object Cells {
       |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
 
   // C11 — collection_reassemble: per-partition element cells → list.
+  // The list is emitted '|'-joined (driver's comparer hashes scalars
+  // only — array-typed output columns are unhashable on its side).
   private def reassemble(s: SparkSession, d: String): DataFrame =
     CM.reassembleList(CM.cells(s, d))
       .filter(col("pk") % 20 === 0)
+      .select(col("pk"),
+        array_join(col("elems").cast("array<string>"), "|").as("elems"))
       .orderBy(col("pk"))
 
   private val reassembleSql = cte +
-    """SELECT pk, list(value ORDER BY ck, value) AS elems
+    """SELECT pk, array_to_string(list(value ORDER BY ck, value), '|') AS elems
       |FROM cells WHERE col = 'qty' AND pk % 20 = 0
       |GROUP BY pk ORDER BY pk""".stripMargin
 

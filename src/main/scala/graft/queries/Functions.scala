@@ -193,24 +193,28 @@ object Functions {
 
   // F_ARR1 — array family (set-ops order-normalized via array_sort,
   // SURVEY §7.4 rule 5; DuckDB list_distinct does NOT preserve order).
+  // Every array output is '|'-joined: the driver's comparer hashes
+  // scalars only (array cells are unhashable on its pandas side).
   private def arrBasic(s: SparkSession, d: String): DataFrame = {
     val words = split(col("p_name"), " ")
+    def j(c: org.apache.spark.sql.Column) =
+      array_join(c.cast("array<string>"), "|")
     Tables.part(s, d)
       .filter(col("p_partkey") % 13 === 0)
       .select(
         col("p_partkey"),
         size(words).as("n"),
         array_contains(words, "small").as("has_small"),
-        sort_array(words).as("sorted_words"),
-        slice(sort_array(words), 1, 2).as("first2"),
-        array_sort(array_distinct(words)).as("dist"),
-        array_sort(array_union(words, array(lit("ring"), lit("zzz"))))
+        j(sort_array(words)).as("sorted_words"),
+        j(slice(sort_array(words), 1, 2)).as("first2"),
+        j(array_sort(array_distinct(words))).as("dist"),
+        j(array_sort(array_union(words, array(lit("ring"), lit("zzz")))))
           .as("un"),
-        array_sort(array_intersect(words, array(lit("small"), lit("ring"))))
+        j(array_sort(array_intersect(words, array(lit("small"), lit("ring")))))
           .as("inter"),
-        array_sort(array_except(words, array(lit("small")))).as("exc"),
-        flatten(array(words, array(lit("x")))).as("flat"),
-        sequence(lit(1), col("p_size") % 4 + 1).as("seq"))
+        j(array_sort(array_except(words, array(lit("small"))))).as("exc"),
+        j(flatten(array(words, array(lit("x"))))).as("flat"),
+        j(sequence(lit(1), col("p_size") % 4 + 1)).as("seq"))
       .orderBy(col("p_partkey"))
   }
 
@@ -218,19 +222,20 @@ object Functions {
     """SELECT p_partkey,
       |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n,
       |  list_contains(string_split(p_name, ' '), 'small') AS has_small,
-      |  list_sort(string_split(p_name, ' ')) AS sorted_words,
-      |  list_slice(list_sort(string_split(p_name, ' ')), 1, 2) AS first2,
-      |  list_sort(list_distinct(string_split(p_name, ' '))) AS dist,
-      |  list_sort(list_distinct(string_split(p_name, ' ') || ['ring', 'zzz'])) AS un,
-      |  list_sort(list_intersect(string_split(p_name, ' '), ['small', 'ring'])) AS inter,
-      |  list_sort(list_filter(list_distinct(string_split(p_name, ' ')),
-      |    w -> w <> 'small')) AS exc,
-      |  flatten([string_split(p_name, ' '), ['x']]) AS flat,
-      |  list_transform(range(1, p_size % 4 + 2), x -> CAST(x AS INTEGER)) AS seq
+      |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+      |  array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 2), '|') AS first2,
+      |  array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS dist,
+      |  array_to_string(list_sort(list_distinct(string_split(p_name, ' ') || ['ring', 'zzz'])), '|') AS un,
+      |  COALESCE(array_to_string(list_sort(list_intersect(string_split(p_name, ' '), ['small', 'ring'])), '|'), '') AS inter,
+      |  COALESCE(array_to_string(list_sort(list_filter(list_distinct(string_split(p_name, ' ')),
+      |    w -> w <> 'small')), '|'), '') AS exc,
+      |  array_to_string(flatten([string_split(p_name, ' '), ['x']]), '|') AS flat,
+      |  array_to_string(list_transform(range(1, p_size % 4 + 2), x -> CAST(x AS INTEGER)), '|') AS seq
       |FROM part WHERE p_partkey % 13 = 0 ORDER BY p_partkey""".stripMargin
 
   // F_ARR2 — higher-order functions: transform/filter/aggregate/
-  // exists/forall/zip_with (the primitives N_SIM* builds on).
+  // exists/forall/zip_with (the primitives N_SIM* builds on). Array
+  // outputs '|'-joined for the driver's scalar-only comparer.
   private def arrHof(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
       .filter(col("p_partkey") % 13 === 0)
@@ -238,12 +243,15 @@ object Functions {
       .withColumn("nums", sequence(lit(1), col("p_size") % 4 + 2))
       .select(
         col("p_partkey"),
-        expr("transform(words, w -> upper(w))").as("upper_words"),
-        expr("filter(words, w -> length(w) > 4)").as("long_words"),
+        expr("array_join(transform(words, w -> upper(w)), '|')")
+          .as("upper_words"),
+        expr("array_join(filter(words, w -> length(w) > 4), '|')")
+          .as("long_words"),
         expr("aggregate(words, 0, (a, w) -> a + length(w))").as("total_len"),
         expr("exists(words, w -> length(w) > 5)").as("any_long"),
         expr("forall(words, w -> length(w) < 12)").as("all_short"),
-        expr("zip_with(nums, reverse(nums), (a, b) -> a + b)").as("zip_sum"))
+        expr("array_join(cast(zip_with(nums, reverse(nums), " +
+          "(a, b) -> a + b) as array<string>), '|')").as("zip_sum"))
       .orderBy(col("p_partkey"))
 
   private val arrHofSql =
@@ -252,15 +260,15 @@ object Functions {
       |    list_transform(range(1, p_size % 4 + 3), x -> CAST(x AS INTEGER)) AS nums
       |  FROM part WHERE p_partkey % 13 = 0)
       |SELECT p_partkey,
-      |  list_transform(words, w -> upper(w)) AS upper_words,
-      |  list_filter(words, w -> length(w) > 4) AS long_words,
+      |  array_to_string(list_transform(words, w -> upper(w)), '|') AS upper_words,
+      |  COALESCE(array_to_string(list_filter(words, w -> length(w) > 4), '|'), '') AS long_words,
       |  list_reduce(list_prepend(CAST(0 AS INTEGER),
       |    list_transform(words, w -> CAST(length(w) AS INTEGER))),
       |    (a, b) -> a + b) AS total_len,
       |  len(list_filter(words, w -> length(w) > 5)) > 0 AS any_long,
       |  len(list_filter(words, w -> length(w) >= 12)) = 0 AS all_short,
-      |  list_transform(range(1, len(nums) + 1),
-      |    i -> nums[i] + nums[len(nums) + 1 - i]) AS zip_sum
+      |  array_to_string(list_transform(range(1, len(nums) + 1),
+      |    i -> nums[i] + nums[len(nums) + 1 - i]), '|') AS zip_sum
       |FROM t ORDER BY p_partkey""".stripMargin
 
   // F_MAP1 — map construction and access (scalars + sorted keys out;
@@ -274,7 +282,7 @@ object Functions {
         element_at(m, "brand").as("brand_v"),
         element_at(m, "type").as("type_v"),
         size(m).as("n_keys"),
-        array_sort(map_keys(m)).as("keys_sorted"))
+        array_join(array_sort(map_keys(m)), "|").as("keys_sorted"))
       .orderBy(col("p_partkey"))
   }
 
@@ -286,7 +294,7 @@ object Functions {
       |  map_extract(m, 'brand')[1] AS brand_v,
       |  map_extract(m, 'type')[1] AS type_v,
       |  CAST(cardinality(m) AS INTEGER) AS n_keys,
-      |  list_sort(map_keys(m)) AS keys_sorted
+      |  array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted
       |FROM t ORDER BY p_partkey""".stripMargin
 
   // F_COND1 — if / nvl / nullif / isnull (CASE covered by Q_FILT2).

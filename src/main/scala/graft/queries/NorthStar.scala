@@ -206,16 +206,30 @@ object NorthStar {
        |FROM e JOIN probed USING (label) CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  // Centroid components are emitted ×10000 as integers, '|'-joined:
+  // the driver's comparer hashes scalars only, and double→string
+  // rendering differs across engines (Spark prints 2.0E-4, DuckDB
+  // 0.0002) — integer-scaling sidesteps both.
   private def simCentroids(s: SparkSession, d: String): DataFrame =
-    Similarity.centroids(embs(s, d)).orderBy(col("label"))
+    embs(s, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")) * 10000).cast("long").as("mi"))
+      .groupBy(col("label"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, mi))), s -> cast(s.mi as string)), '|')")
+        .as("centroid"))
+      .orderBy(col("label"))
 
   private val simCentroidsSql =
     """WITH ex AS (
       |  SELECT label, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
       |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings))
-      |SELECT label, list(m ORDER BY pos) AS centroid FROM (
-      |  SELECT label, pos, ROUND(AVG(x), 4) + 0.0 AS m FROM ex
-      |  GROUP BY label, pos)
+      |SELECT label, array_to_string(list(mi ORDER BY pos), '|') AS centroid
+      |FROM (
+      |  SELECT label, pos, CAST(ROUND(AVG(x) * 10000) AS BIGINT) AS mi
+      |  FROM ex GROUP BY label, pos)
       |GROUP BY label ORDER BY label""".stripMargin
 
   // ---- text ------------------------------------------------------------
@@ -426,16 +440,17 @@ object NorthStar {
     docs(s, d)
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("source"))
-      .agg(mh(col("tok")).as("sig"))
+      // '|'-joined signature: the driver's comparer hashes scalars only
+      .agg(array_join(mh(col("tok")), "|").as("sig"))
       .orderBy(col("source"))
   }
 
   private val udafMinhashSql =
-    """SELECT source, [
+    """SELECT source, array_to_string([
       |  min(substr(md5('0:' || tok), 1, 16)),
       |  min(substr(md5('1:' || tok), 1, 16)),
       |  min(substr(md5('2:' || tok), 1, 16)),
-      |  min(substr(md5('3:' || tok), 1, 16))] AS sig
+      |  min(substr(md5('3:' || tok), 1, 16))], '|') AS sig
       |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
