@@ -77,58 +77,63 @@ object NorthStar {
       |  THEN '1' ELSE '0' END), '') AS simhash
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // Relational exact Jaccard: intersection sizes come from a shuffle
-  // join on the SHINGLE (count of shared shingles per pair), never
-  // from per-pair array_intersect — interpreted array set-ops per pair
-  // were the sf0.1 bottleneck, and at scale the shingle join is the
-  // only shape that distributes. Pairs sharing zero shingles vanish,
-  // which the jac >= τ filter removes anyway (τ > 0).
+  // Exact n-gram Jaccard as verify-after-block: candidates come from
+  // the MinHash-LSH band join (bounded by bucket sizes), and exact
+  // intersection counts are computed only for those pairs via
+  // [[Dedup.jaccardOnCandidates]]. The round-1 unblocked shingle-
+  // equality self-join was an effective all-pairs (424 s at sf0.1,
+  // quadratic on hot shingles) — this composition is the 100 TB shape:
+  // LSH recall bounds the candidate set, exact Jaccard scores it.
   private def dedupJaccard(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("doc_id")) // barrier: tokenize once per doc
+    val idText = docs(s, d).select(col("doc_id").as("id"), col("text"))
+    val sigs = Dedup.minhashSignaturesRelational(idText)
+    val cand = Dedup.lshCandidatePairs(
+      sigs.withColumn("bands", Dedup.lshBands("sig")))
+    val shingleRows = idText
+      .select(col("id"), TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("id")) // barrier: tokenize once per doc
       .withColumn("sh", array_distinct(TextOps.shingles("toks")))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("lang"), col("source"),
-        size(col("sh")).as("n_sh"), explode(col("sh")).as("sh2"))
-    val a = base.select(col("doc_id").as("id_a"), col("lang"),
-      col("source"), col("n_sh").as("na"), col("sh2"))
-    val b = base.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("n_sh").as("nb"),
-      col("sh2").as("sh2_b"))
-    a.join(b, col("lang") === col("lang_b") &&
-        col("source") === col("source_b") && col("sh2") === col("sh2_b") &&
-        col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("i"))
-      .withColumn("jac", col("i") / (col("na") + col("nb") - col("i")))
-      .filter(col("jac") >= 0.01)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("sh2"))
+    Dedup.jaccardOnCandidates(cand, shingleRows)
+      .filter(col("jac") >= 0.1)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   private val dedupJaccardSql =
-    """WITH base AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
-      |      THEN CAST([] AS VARCHAR[])
-      |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
-      |        i -> array_to_string(list_slice(string_split(text, ' '),
-      |             i + 1, i + 3), ' ')) END) AS sh
-      |  FROM documents),
-      |rows2 AS (SELECT doc_id, lang, source, len(sh) AS n_sh,
-      |    unnest(sh) AS sh2
-      |  FROM base WHERE len(sh) > 0),
-      |pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na,
-      |    b.n_sh AS nb, COUNT(*) AS i
-      |  FROM rows2 a JOIN rows2 b
-      |    ON a.lang = b.lang AND a.source = b.source AND a.sh2 = b.sh2
-      |   AND a.doc_id < b.doc_id
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(0, len(t) - 2),
+      |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 8), i ->
+      |    list_min(list_transform(shingles, s2 ->
+      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
+      |  FROM shl),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    CAST(b AS VARCHAR) || ':' ||
+      |    md5(array_to_string(list_slice(sg, b*2+1, b*2+2), '|')))) AS band
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM shl
+      |  WHERE len(shingles) > 0),
+      |rows2 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh2 FROM ds),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN rows2 a ON c.id_a = a.doc_id
+      |  JOIN rows2 b ON c.id_b = b.doc_id AND a.sh2 = b.sh2
       |  GROUP BY 1, 2, 3, 4)
       |SELECT id_a, id_b, ROUND(i / (na + nb - i), 4) AS jac_r
-      |FROM pairs WHERE i / (na + nb - i) >= 0.01
+      |FROM inter WHERE i / (na + nb - i) >= 0.1
       |ORDER BY id_a, id_b""".stripMargin
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
