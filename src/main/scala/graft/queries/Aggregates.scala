@@ -133,14 +133,21 @@ object Aggregates {
       |  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
-  // Q_AGG7 — approx percentile (t-digest-style sketch; rows-only check:
-  // a sketch is engine-specific and can't hash-match an exact oracle).
+  // Q_AGG7 — approx percentile (Greenwald-Khanna sketch). With
+  // accuracy ≥ n the sketch stores every sample and the answer is the
+  // exact order statistic — so the sketch path itself becomes
+  // oracle-checkable (DuckDB quantile_disc) while still exercising the
+  // mergeable-summary aggregation plan the 100 TB case uses.
   private def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_linestatus"))
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
         .as("p50_approx"))
       .orderBy(col("l_linestatus"))
+
+  private val aggApproxPercentileSql =
+    """SELECT l_linestatus, quantile_disc(l_quantity, 0.5) AS p50_approx
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   // Q_AGG8 — HAVING (post-aggregation filter).
   private def aggHaving(s: SparkSession, d: String): DataFrame =
@@ -204,12 +211,25 @@ object Aggregates {
       |ORDER BY o_orderstatus ASC NULLS FIRST,
       |  o_orderpriority ASC NULLS FIRST""".stripMargin
 
-  // Q_AGG12 — HLL approximate distinct (rows-only; exact twin = Q_AGG3).
+  // Q_AGG12 — HLL approximate distinct (exact twin = Q_AGG3). The HLL
+  // estimate itself is engine-specific, so the emitted columns are the
+  // exact count plus a deterministic within-tolerance flag — the
+  // property an HLL must satisfy — which DuckDB can oracle as TRUE.
   private def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("ap") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("approx_ok"))
       .orderBy(col("l_returnflag"))
+
+  private val aggApproxDistinctSql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // Q_AGG13 — max_by / min_by (argmax — the primitive behind C4 LWW).
   private def aggMaxBy(s: SparkSession, d: String): DataFrame =
@@ -234,11 +254,13 @@ object Aggregates {
     GQuery("Q_AGG4_collect_sorted", aggCollect, Some(aggCollectSql)),
     GQuery("Q_AGG5_stats_moments", aggStats, Some(aggStatsSql)),
     GQuery("Q_AGG6_percentile_exact", aggPercentile, Some(aggPercentileSql)),
-    GQuery("Q_AGG7_percentile_approx", aggApproxPercentile, None),
+    GQuery("Q_AGG7_percentile_approx", aggApproxPercentile,
+      Some(aggApproxPercentileSql)),
     GQuery("Q_AGG8_having", aggHaving, Some(aggHavingSql)),
     GQuery("Q_AGG9_rollup", aggRollup, Some(aggRollupSql)),
     GQuery("Q_AGG10_cube", aggCube, Some(aggCubeSql)),
     GQuery("Q_AGG11_grouping_sets", aggGroupingSets, Some(aggGroupingSetsSql)),
-    GQuery("Q_AGG12_approx_distinct", aggApproxDistinct, None),
+    GQuery("Q_AGG12_approx_distinct", aggApproxDistinct,
+      Some(aggApproxDistinctSql)),
     GQuery("Q_AGG13_max_by", aggMaxBy, Some(aggMaxBySql)))
 }

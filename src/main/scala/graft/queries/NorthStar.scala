@@ -403,13 +403,26 @@ object NorthStar {
       |  md5(text) AS digest
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  // The stub codec is deterministic (feature j = md5-byte j / 256), so
+  // the decode output is fully oracle-checkable: features re-emerge as
+  // '|'-joined integer bytes and DuckDB recomputes them from md5 hex.
   private def mmDecode(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Multimodal
     Multimodal.decode(s, Multimodal.mediaTable(docs(s, d))).toDF()
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        size(col("features")).as("dim"))
+        expr("array_join(transform(features, " +
+          "x -> cast(cast(x * 256 as int) as string)), '|')").as("feat"))
       .orderBy(col("doc_id"))
   }
+
+  private val mmDecodeSql =
+    """SELECT doc_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  array_to_string(list_transform(range(0, 8), j ->
+      |    (strpos('0123456789abcdef', substr(md5(text), CAST(j*2+1 AS INTEGER), 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(text), CAST(j*2+2 AS INTEGER), 1)) - 1)), '|') AS feat
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- extension surface ----------------------------------------------
 
@@ -496,7 +509,7 @@ object NorthStar {
     GQuery("N_TEXT5_quality_fingerprint", textQuality, Some(textQualitySql)),
     GQuery("N_MM1_multimodal_join", mmJoin, Some(mmJoinSql)),
     GQuery("N_MM2_binary_meta", mmBinaryMeta, Some(mmBinaryMetaSql)),
-    GQuery("N_MM3_decode_features", mmDecode, None),
+    GQuery("N_MM3_decode_features", mmDecode, Some(mmDecodeSql)),
     GQuery("N_UDF1_cosine_udf", udfCosine, Some(udfCosineSql)),
     GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
     GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)))
