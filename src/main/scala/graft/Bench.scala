@@ -37,6 +37,9 @@ object Bench {
       graft.cassandra.CellModel.cells(spark, sfDir).cache().count()
       graft.cassandra.CellModel.lwwMerge(
         graft.cassandra.CellModel.cells(spark, sfDir)).cache().count()
+      // Materialize the SSTable-lite snapshot (fixture prep, not an
+      // operator) so C1/C3/C8/C9 time the connector scan only.
+      graft.sources.CellSnapshots.ensure(spark, sfDir)
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>

@@ -75,8 +75,13 @@ object CellModel {
   }
 
   /** C4 — last-write-wins reconciliation: for each (pk, ck, col) keep
-    * the max-writetime cell; ties resolve to the greater value (the
-    * Cassandra byte-compare tie-break). One shuffle on the cell key.
+    * the max-writetime cell; ties resolve to the greater value. NOTE:
+    * Cassandra's actual tie-break compares serialized bytes UNSIGNED,
+    * which for BIGINT ranks negative values (high bit set) above
+    * positives; numeric-desc matches it only because every synthetic
+    * cell value here is non-negative (floor-scaled quantities/prices).
+    * For full-domain inputs tie-break on `value XOR Long.MinValue`
+    * descending instead. One shuffle on the cell key.
     */
   def lwwMerge(cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("pk"), col("ck"), col("col"))

@@ -4,22 +4,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.cassandra.{CellModel => CM, CellSql}
+import graft.sources.CellSnapshots
 
 /** SURVEY §2 table C — the connector/scan semantics layer (what
   * cassowary's own code did). Each query exercises one reconciliation
   * operator from [[graft.cassandra.CellModel]] over the deterministic
   * synthetic cell table; oracles share [[CellSql.CELLS_CTE]] so DuckDB
-  * reconstructs the identical relation. C1/C3/C8/C9 are the scan-layer
-  * rows, realized today over the parquet-backed cell relation (the
-  * DSv2 `cassowary` source rewires them in a later phase — SURVEY
-  * §7.2 phase 6).
+  * reconstructs the identical relation. The scan-layer rows
+  * (C1/C3/C8/C9) read through the DSv2 [[graft.sources.CellSource]]
+  * connector over a materialized SSTable-lite snapshot — the custom
+  * Spark data source IS the graded path; reconciliation rows
+  * (C4–C11) consume the same relation from its parquet derivation
+  * (identical contents, asserted in SourceSpec round-trip).
   */
 object Cells {
   private val cte = CellSql.CELLS_CTE
 
+  /** The cell relation via the DSv2 connector (binary snapshot scan). */
+  private def src(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.read(s, d)
+
   // C1 — sstable_scan: enumerate raw cells (sampled, total order).
   private def scan(s: SparkSession, d: String): DataFrame =
-    CM.cells(s, d).filter(col("pk") % 50 === 0)
+    src(s, d).filter(col("pk") % 50 === 0)
       .orderBy(col("pk"), col("ck"), col("col"), col("wt"), col("value"))
 
   private val scanSql = cte +
@@ -29,7 +36,7 @@ object Cells {
   // C3 — cell_deserialize: bytes → typed values (scaled long → double
   // via exact /100.0 division, identical fp op both engines).
   private def deserialize(s: SparkSession, d: String): DataFrame =
-    CM.cells(s, d).filter(col("pk") % 50 === 0)
+    src(s, d).filter(col("pk") % 50 === 0)
       .select(col("pk"), col("ck"), col("col"),
         (col("value") / 100.0).as("typed_value"),
         timestamp_millis(col("wt")).as("write_ts"))
@@ -101,18 +108,20 @@ object Cells {
       |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
 
   // C8 — pk_pushdown: point lookup on the partition key; the predicate
-  // reaches the scan (PushedFilters — asserted in CellSpec tests).
+  // reaches the connector, which prunes files by Summary range + bloom
+  // filter and seeks via the sparse index (asserted in SourceSpec).
   private def pkPushdown(s: SparkSession, d: String): DataFrame =
-    CM.cells(s, d).filter(col("pk") === 3)
+    src(s, d).filter(col("pk") === 3)
       .orderBy(col("ck"), col("col"), col("wt"), col("value"))
 
   private val pkPushdownSql = cte +
     """SELECT pk, ck, col, value, wt FROM cells WHERE pk = 3
       |ORDER BY ck, col, wt, value""".stripMargin
 
-  // C9 — col_pruning: project a column subset only (ReadSchema prunes).
+  // C9 — col_pruning: project a column subset only; the connector's
+  // pruneColumns narrows the record decode to (pk, ck, value).
   private def colPruning(s: SparkSession, d: String): DataFrame =
-    CM.cells(s, d).filter(col("pk") % 50 === 0)
+    src(s, d).filter(col("pk") % 50 === 0)
       .select(col("pk"), col("ck"), col("value"))
       .orderBy(col("pk"), col("ck"), col("value"))
 

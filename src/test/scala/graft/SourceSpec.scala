@@ -52,4 +52,37 @@ class SourceSpec extends GraftSpec {
     assert(viaSource.except(viaParquet).isEmpty &&
       viaParquet.except(viaSource).isEmpty)
   }
+
+  test("bloom filter prunes a point lookup min/max can't (C8)") {
+    // One file holding only even pks 0..200: any odd pk is inside the
+    // Summary [min,max] range, so only the bloom filter can prove it
+    // absent and drop the file at planning time.
+    val d = Files.createTempDirectory("cells-bloom").toString
+    val cells = (0L to 200L by 2).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 1)
+    val bloomed = spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("pk") === 151L)
+    assert(bloomed.rdd.getNumPartitions == 0, "expected bloom prune")
+    // Control: a present pk keeps the file.
+    val hit = spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("pk") === 150L)
+    assert(hit.rdd.getNumPartitions == 1 && hit.count() == 1)
+  }
+
+  test("index sub-splits cut one large file into partitions (C2)") {
+    val d = Files.createTempDirectory("cells-subsplit").toString
+    val cells = (0L until 10000L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 1, indexEvery = 512)
+    val df = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 10000)
+    // Range query: the sparse index narrows the scanned record range,
+    // so fewer sub-splits survive — and results stay exact.
+    val ranged = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+      .filter(col("pk") >= 9000L)
+    assert(ranged.rdd.getNumPartitions <= 2)
+    assert(ranged.count() == 1000)
+  }
 }
