@@ -83,9 +83,15 @@ object CellModel {
     * For full-domain inputs tie-break on `value XOR Long.MinValue`
     * descending instead. One shuffle on the cell key.
     */
-  def lwwMerge(cells: DataFrame): DataFrame = {
+  def lwwMerge(cells: DataFrame): DataFrame = lwwMergeOn(cells, "value")
+
+  /** LWW generalized to any value column (string cells tie-break on
+    * the string itself; plain ASCII here, so numeric/lexicographic
+    * desc agrees with the oracle's ORDER BY ... DESC).
+    */
+  def lwwMergeOn(cells: DataFrame, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col("pk"), col("ck"), col("col"))
-      .orderBy(col("wt").desc, col("value").desc)
+      .orderBy(col("wt").desc, col(valueCol).desc)
     cells.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
@@ -156,6 +162,70 @@ object CellModel {
       .groupBy(col("pk"))
       .agg(expr("transform(array_sort(collect_list(struct(ck, value))), s -> s.value)")
         .as("elems"))
+
+  /** C12 — MAP reassembly: the reconciled cells of one (pk, ck) become
+    * a genuine MapType column (CQL `map<text, bigint>` decode), built
+    * with map_from_entries over the sorted entry list.
+    */
+  def reassembleMap(merged: DataFrame): DataFrame =
+    merged.groupBy(col("pk"), col("ck"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("col"),
+        col("value"))))).as("m"))
+
+  /** C13 — SET reassembly: CQL sets store one cell per element keyed by
+    * the element itself; the decoded set is the DISTINCT sorted values
+    * per partition.
+    */
+  def reassembleSet(cells: DataFrame): DataFrame =
+    cells.filter(col("col") === "qty")
+      .groupBy(col("pk"))
+      .agg(array_sort(collect_set(col("value"))).as("elems"))
+
+  /** Typed (non-BIGINT) cells for the SURVEY §1.1 type-map rows beyond
+    * the two numeric columns: a string-valued 'flag' cell per row
+    * (plus a newer rewrite for pk % 5 == 0, exercising string LWW) and
+    * the raw price double carried for decimal decode.
+    */
+  def stringCells(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.lineitem(s, d).select(
+      col("l_orderkey").as("pk"),
+      col("l_linenumber").as("ck"),
+      lit("flag").as("col"),
+      col("l_returnflag").as("sval"),
+      col("l_extendedprice").as("dval"),
+      (unix_timestamp(col("l_shipdate")) * 1000 + col("l_linenumber"))
+        .as("wt"))
+    val rewrite = b.filter(col("pk") % 5 === 0)
+      .withColumn("sval", concat(lit("X"), col("sval")))
+      .withColumn("wt", col("wt") + RewriteOffsetMs)
+    b.union(rewrite)
+  }
+
+  /** Clustering-range tombstones: pk % 89 == 0 partitions delete the
+    * ck range [2, 4] two days after the partition's last base write —
+    * the RangeTombstone (start/end clustering bound) case of the
+    * Cassandra read path, which cell- and partition-level deletion
+    * models can't express.
+    */
+  def rangeDeletions(s: SparkSession, d: String): DataFrame =
+    base(s, d).filter(col("pk") % 89 === 0)
+      .groupBy(col("pk"))
+      .agg((max(col("wt")) + DeleteOffsetMs).as("rdts"))
+      .select(col("pk"), lit(2).as("ck_lo"), lit(4).as("ck_hi"),
+        col("rdts"))
+
+  /** C5b — apply clustering-range tombstones: drop any cell inside a
+    * deleted (pk, [ck_lo, ck_hi]) clustering range whose deletion-ts
+    * covers its writetime. Left-anti join keyed on pk — shuffle-local,
+    * the range predicate evaluates inside the join.
+    */
+  def rangeTombstoneFilter(cells: DataFrame,
+      rangeDel: DataFrame): DataFrame = {
+    val rd = rangeDel.withColumnRenamed("pk", "rpk")
+    cells.join(rd, col("pk") === col("rpk") &&
+      col("ck") >= col("ck_lo") && col("ck") <= col("ck_hi") &&
+      col("rdts") >= col("wt"), "left_anti")
+  }
 }
 
 /** DuckDB twin of [[CellModel]]: a WITH-prefix every table-C oracle
@@ -187,6 +257,25 @@ object CellSql {
       |  FROM base WHERE pk % 97 = 0),
       |part_del AS (
       |  SELECT pk, max(wt) + 1 AS pdts FROM base
-      |  WHERE pk % 101 = 0 GROUP BY pk)
+      |  WHERE pk % 101 = 0 GROUP BY pk),
+      |range_del AS (
+      |  SELECT pk, 2 AS ck_lo, 4 AS ck_hi, max(wt) + 172800000 AS rdts
+      |  FROM base WHERE pk % 89 = 0 GROUP BY pk),
+      |str_cells AS (
+      |  SELECT l_orderkey AS pk, l_linenumber AS ck, 'flag' AS col,
+      |    l_returnflag AS sval, l_extendedprice AS dval,
+      |    CAST(floor(epoch(l_shipdate)) AS BIGINT) * 1000 + l_linenumber AS wt
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'flag', 'X' || l_returnflag,
+      |    l_extendedprice,
+      |    CAST(floor(epoch(l_shipdate)) AS BIGINT) * 1000 + l_linenumber
+      |      + 86400000
+      |  FROM lineitem WHERE l_orderkey % 5 = 0),
+      |str_merged AS (
+      |  SELECT pk, ck, col, sval, dval, wt FROM (
+      |    SELECT str_cells.*, ROW_NUMBER() OVER (PARTITION BY pk, ck, col
+      |      ORDER BY wt DESC, sval DESC) AS rn FROM str_cells)
+      |  WHERE rn = 1)
       |""".stripMargin
 }

@@ -156,6 +156,86 @@ object Cells {
       |FROM cells WHERE col = 'qty' AND pk % 20 = 0
       |GROUP BY pk ORDER BY pk""".stripMargin
 
+  // C5b — clustering-range tombstones (the RangeTombstone read-path
+  // case); same aggregate signature as C5.
+  private def rangeTombstone(s: SparkSession, d: String): DataFrame =
+    CM.rangeTombstoneFilter(CM.lwwMerge(CM.cells(s, d)),
+      CM.rangeDeletions(s, d))
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val rangeTombstoneSql = cte +
+    """SELECT col, CAST(COUNT(*) AS BIGINT) AS n_live,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value
+      |FROM merged m
+      |WHERE NOT EXISTS (SELECT 1 FROM range_del r
+      |    WHERE r.pk = m.pk AND m.ck BETWEEN r.ck_lo AND r.ck_hi
+      |      AND r.rdts >= m.wt)
+      |GROUP BY col ORDER BY col""".stripMargin
+
+  // C12 — MAP reassembly: reconciled cells of a (pk, ck) become a real
+  // MapType column; emitted as typed lookups + sorted k=v string (the
+  // driver's comparer hashes scalars only).
+  private def mapReassemble(s: SparkSession, d: String): DataFrame =
+    CM.reassembleMap(CM.lwwMerge(CM.cells(s, d)))
+      .filter(col("pk") % 20 === 0)
+      .select(col("pk"), col("ck"),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "qty").as("qty"),
+        element_at(col("m"), "price").as("price"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, '=', cast(e.value as string))), '|')")
+          .as("kv"))
+      .orderBy(col("pk"), col("ck"))
+
+  private val mapReassembleSql = cte +
+    """SELECT pk, ck, CAST(COUNT(*) AS INTEGER) AS n_keys,
+      |  CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT) AS qty,
+      |  CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT) AS price,
+      |  string_agg(col || '=' || value, '|' ORDER BY col) AS kv
+      |FROM merged WHERE pk % 20 = 0
+      |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
+
+  // C13 — SET reassembly: distinct element cells per partition.
+  private def setReassemble(s: SparkSession, d: String): DataFrame =
+    CM.reassembleSet(CM.cells(s, d))
+      .filter(col("pk") % 20 === 0)
+      .select(col("pk"),
+        array_join(col("elems").cast("array<string>"), "|").as("elems"))
+      .orderBy(col("pk"))
+
+  private val setReassembleSql = cte +
+    """SELECT pk,
+      |  array_to_string(list(DISTINCT value ORDER BY value), '|') AS elems
+      |FROM cells WHERE col = 'qty' AND pk % 20 = 0
+      |GROUP BY pk ORDER BY pk""".stripMargin
+
+  // C14 — typed cell decode beyond BIGINT: string LWW (flag), decimal
+  // (scaled price), and a deterministic UUID-format id from md5.
+  private def typedDecode(s: SparkSession, d: String): DataFrame = {
+    val h = md5(concat(col("pk").cast("string"), lit(":"),
+      col("ck").cast("string")))
+    CM.lwwMergeOn(CM.stringCells(s, d), "sval")
+      .filter(col("pk") % 25 === 0)
+      .select(col("pk"), col("ck"), col("sval").as("flag"),
+        round(col("dval"), 2).cast("decimal(12,2)").as("dec"),
+        concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+          substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+          substring(h, 21, 12)).as("uid"))
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val typedDecodeSql = cte +
+    """SELECT pk, ck, sval AS flag,
+      |  CAST(ROUND(dval, 2) AS DECIMAL(12,2)) AS dec,
+      |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+      |    substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+      |    substr(h, 21, 12) AS uid
+      |FROM (SELECT *, md5(CAST(pk AS VARCHAR) || ':' || CAST(ck AS VARCHAR)) AS h
+      |      FROM str_merged)
+      |WHERE pk % 25 = 0 ORDER BY pk, ck""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("C1_sstable_scan", scan, Some(scanSql)),
     GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),
@@ -166,5 +246,9 @@ object Cells {
     GQuery("C8_pk_pushdown", pkPushdown, Some(pkPushdownSql)),
     GQuery("C9_col_pruning", colPruning, Some(colPruningSql)),
     GQuery("C10_counter_merge", counter, Some(counterSql)),
-    GQuery("C11_collection_reassemble", reassemble, Some(reassembleSql)))
+    GQuery("C11_collection_reassemble", reassemble, Some(reassembleSql)),
+    GQuery("C5b_range_tombstone", rangeTombstone, Some(rangeTombstoneSql)),
+    GQuery("C12_map_reassemble", mapReassemble, Some(mapReassembleSql)),
+    GQuery("C13_set_reassemble", setReassemble, Some(setReassembleSql)),
+    GQuery("C14_typed_decode", typedDecode, Some(typedDecodeSql)))
 }

@@ -57,6 +57,33 @@ class CellSpec extends GraftSpec {
     assert(live == Set((23L, 1), (11L, 2)))
   }
 
+  test("C5b range tombstones shadow only covered (ck, wt) cells") {
+    val cells = cellDf(Seq(
+      (1L, 1, "qty", 10L, 100L),   // ck outside [2,4] → survives
+      (1L, 2, "qty", 11L, 100L),   // inside range, wt <= rdts → deleted
+      (1L, 4, "qty", 12L, 100L),   // inside range boundary → deleted
+      (1L, 3, "qty", 13L, 400L),   // inside range, written after → survives
+      (2L, 3, "qty", 14L, 100L)))  // other partition → survives
+    val rd = Seq((1L, 2, 4, 300L)).toDF("pk", "ck_lo", "ck_hi", "rdts")
+    val live = CellModel.rangeTombstoneFilter(cells, rd)
+      .select("pk", "ck", "value").as[(Long, Int, Long)].collect().toSet
+    assert(live == Set((1L, 1, 10L), (1L, 3, 13L), (2L, 3, 14L)))
+  }
+
+  test("C12/C13 map and set reassembly decode collection cells") {
+    val cells = cellDf(Seq(
+      (1L, 1, "qty", 5L, 100L), (1L, 1, "price", 9L, 100L),
+      (1L, 2, "qty", 5L, 100L), (1L, 2, "qty", 7L, 200L)))
+    val m = CellModel.reassembleMap(CellModel.lwwMerge(cells))
+      .selectExpr("pk", "ck", "m['qty']", "m['price']")
+      .as[(Long, Int, Option[Long], Option[Long])].collect().toSet
+    assert(m == Set((1L, 1, Some(5L), Some(9L)),
+      (1L, 2, Some(7L), None)))
+    val set = CellModel.reassembleSet(cells)
+      .select("elems").as[Seq[Long]].head()
+    assert(set == Seq(5L, 7L)) // distinct + sorted
+  }
+
   test("C10 counter merge sums shards instead of LWW") {
     val cells = cellDf(Seq(
       (1L, 1, "qty", 5L, 100L), (1L, 1, "qty", 7L, 200L)))
