@@ -34,23 +34,32 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine via the native codegen'd expression
+    * [[graft.functions.CosineSim]] — a fused primitive loop instead of
+    * three HOF folds; bit-identical accumulation order (see its
+    * scaladoc), so oracles are unchanged. Callers must hold a session
+    * with graft functions registered; [[cosineNative]] handles that.
+    */
+  def cosineNative(df: DataFrame, a: String, b: String): Column = {
+    graft.GraftExtensions.register(df.sparkSession)
+    expr(s"graft_cosine($a, $b)")
+  }
+
   /** Brute-force cosine top-k against one query vector: the exact
-    * baseline every approximate method is judged against.
+    * baseline every approximate method is judged against. Map-only
+    * native scoring + TakeOrderedAndProject — no shuffle, no global
+    * sort.
     */
   def topK(embeddings: DataFrame, query: DataFrame, k: Int): DataFrame = {
-    // The query norm is computed once in the broadcast row instead of
-    // per scanned vector — identical fp ops, so results (and the
-    // DuckDB oracle twin) are bit-unchanged.
     val q = broadcast(query.select(col("embedding")
-      .cast("array<double>").as("qvec"))
-      .withColumn("qnorm", sqrt(dot("qvec", "qvec"))))
-    embeddings
+      .cast("array<double>").as("qvec")))
+    val e = embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
-      .crossJoin(q)
+    e.crossJoin(q)
       .select(col("vec_id"), col("label"),
-        (round((dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm"))),
-          4) + lit(0.0)).as("score")) // +0.0 folds -0.0 into +0.0
+        (round(cosineNative(embeddings, "vec", "qvec"), 4) + lit(0.0))
+          .as("score")) // +0.0 folds -0.0 into +0.0
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -126,8 +135,8 @@ object Similarity {
       .join(probed, col("label") === col("probe_label"), "left_semi")
       .crossJoin(q)
       .select(col("vec_id"), col("label"),
-        (round(dot("vec", "qvec") / (sqrt(dot("vec", "vec")) * col("qnorm")),
-          4) + lit(0.0)).as("score"))
+        (round(cosineNative(embeddings, "vec", "qvec"), 4) + lit(0.0))
+          .as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
