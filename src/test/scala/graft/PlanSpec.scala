@@ -51,4 +51,66 @@ class PlanSpec extends GraftSpec {
     val p = plan(Registry.byName("N_SIM1_cosine_topk").fn(spark, sf()))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("C1/C8 scan-layer queries run on the DSv2 CellScan") {
+    val p1 = plan(Registry.byName("C1_sstable_scan").fn(spark, sf()))
+    assert(p1.contains("CellScan"), p1)
+    val p8 = plan(Registry.byName("C8_pk_pushdown").fn(spark, sf()))
+    assert(p8.contains("pkRange=[3,3]"), p8) // pushed range in the scan
+  }
+
+  test("Q_JOIN12: bucketed tables join with no shuffle exchange") {
+    // Bucketing pre-partitions both sides on the join key at write
+    // time — the co-located-join path a 100 TB fact/fact join needs
+    // (shuffle once at layout time, never per query).
+    // The derby-less in-memory catalog forgets tables between JVMs but
+    // their warehouse directories persist — clear both.
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Tables.orders(spark, sf()).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.lineitem(spark, sf()).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // Disable auto-broadcast so the join is the fact/fact SMJ shape the
+    // bucketing is for (at real scale neither side broadcasts).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      joined.collect() // finalize adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      // The join reads pre-bucketed sides: neither join key is ever
+      // exchanged (the only Exchange is the final tiny aggregation's).
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    // Equal row count with the shuffled join (same semantics).
+    val plain = Tables.lineitem(spark, sf()).join(
+      Tables.orders(spark, sf()),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val bucketed = spark.table("b_lineitem").join(spark.table("b_orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(bucketed == plain)
+  }
+
+  test("N_DEDUP4 broadcasts the LSH candidate list into the verify join") {
+    val p = plan(Registry.byName("N_DEDUP4_ngram_jaccard").fn(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
