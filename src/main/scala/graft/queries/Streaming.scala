@@ -141,7 +141,40 @@ object Streaming {
       |  date_trunc('second', MAX(ts)) AS last_seen
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // S_JOIN1 — stream-stream interval join, batch twin: each click
+  // pairs with the same user's purchases within the following hour
+  // (streaming twin: StreamingOps.intervalJoin, watermark-bounded
+  // state, exercised in StreamingSpec).
+  private def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    clicks.join(purchases, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("c_id")).as("first_click"),
+        max(col("p_id")).as("last_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  private val intervalJoinSql =
+    """WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  MIN(c_id) AS first_click, MAX(p_id) AS last_purchase
+      |FROM c JOIN p ON user_id = p_user
+      |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("S_JOIN1_interval_join", intervalJoin, Some(intervalJoinSql)),
     GQuery("S_WIN1_tumbling", tumbling, Some(tumblingSql)),
     GQuery("S_WIN2_sliding", sliding, Some(slidingSql)),
     GQuery("S_WIN3_session", sessions, Some(sessionsSql)),

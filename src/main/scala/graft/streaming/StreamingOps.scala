@@ -45,6 +45,23 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** S_JOIN1 twin — stream-stream interval join: each click pairs with
+    * the same user's purchases within the following hour. Both sides
+    * carry watermarks and the join condition bounds event time, so
+    * Spark evicts join state once the slower watermark passes
+    * `c_ts + 1 hour` — bounded state, the only viable shape for two
+    * unbounded 100 TB/day streams.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    c.join(p, expr("user_id = p_user AND " +
+      "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+  }
+
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
   /** S_STATE3 twin — arbitrary per-user running state via

@@ -86,6 +86,23 @@ class StreamingSpec extends GraftSpec {
     assert(states.contains((1L, 2L, 4.0)) && states.contains((1L, 3L, 8.0)))
   }
 
+  test("stream-stream interval join pairs clicks with purchases (S_JOIN1)") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    clicks.addData(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(30), 2, "click", 1.0))
+    purchases.addData(
+      Ev(10, ts(20), 1, "purchase", 9.0),  // within 1h of click 1 → pair
+      Ev(11, ts(95), 2, "purchase", 9.0),  // 65 min after click 2 → no pair
+      Ev(12, ts(40), 3, "purchase", 9.0))  // no click for user 3
+    val out = runQuery("ivj",
+      StreamingOps.intervalJoin(clicks.toDF(), purchases.toDF()))
+    val pairs = out.select(col("c_id"), col("p_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L)))
+  }
+
   test("sliding window assigns each event to 4 hops (twin of S_WIN2)") {
     val in = MemoryStream[Ev](spark)
     in.addData(Ev(1, ts(16), 1, "click", 1.0))
