@@ -369,6 +369,35 @@ object NorthStar {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // N_TEXT6 — token counting three ways: whitespace, regex word
+  // tokens, and a BPE-ish subword piece count (ceil(len/4) pieces per
+  // word — the "every ~4 chars is a token" budgeting heuristic). All
+  // pure codegen'd expressions; the regex class [^a-z0-9]+ behaves
+  // identically under Java regex and DuckDB's RE2.
+  private def textTokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        expr("size(filter(split(lower(text), '[^a-z0-9]+'), " +
+          "t -> t <> ''))").as("n_rx"),
+        expr("aggregate(filter(split(lower(text), '[^a-z0-9]+'), " +
+          "t -> t <> ''), cast(0 as bigint), " +
+          "(a, t) -> a + (length(t) + 3) div 4)").as("n_bpe"))
+      .orderBy(col("doc_id"))
+
+  private val textTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    t -> t <> '')) AS INTEGER) AS n_rx,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(
+      |      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |        t -> t <> ''),
+      |      t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+      |    (a, b) -> a + b) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- multimodal ------------------------------------------------------
 
   private def mmJoin(s: SparkSession, d: String): DataFrame = {
@@ -507,6 +536,7 @@ object NorthStar {
     GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),
     GQuery("N_TEXT4_langid", textLangId, Some(textLangIdSql)),
     GQuery("N_TEXT5_quality_fingerprint", textQuality, Some(textQualitySql)),
+    GQuery("N_TEXT6_token_count", textTokenCount, Some(textTokenCountSql)),
     GQuery("N_MM1_multimodal_join", mmJoin, Some(mmJoinSql)),
     GQuery("N_MM2_binary_meta", mmBinaryMeta, Some(mmBinaryMetaSql)),
     GQuery("N_MM3_decode_features", mmDecode, Some(mmDecodeSql)),
