@@ -77,16 +77,19 @@ object Dedup {
       .repartition(col("id"))
       .withColumn("sh2", explode(graft.text.TextOps.shingles("toks")))
       .select(col("id"), col("sh2"))
-    shingleRows
-      .select(col("id"), col("sh2"),
-        explode(sequence(lit(0), lit(k - 1))).as("perm"))
-      .withColumn("h",
-        expr("substr(md5(concat(cast(perm as string), ':', sh2)), 1, 16)"))
-      .groupBy(col("id"), col("perm"))
-      .agg(min(col("h")).as("m"))
-      .groupBy(col("id"))
-      .agg(expr("transform(array_sort(collect_list(struct(perm, m))), s -> s.m)")
-        .as("sig"))
+    // The k salted hashes are COLUMNS of the shingle row, folded by k
+    // parallel min-aggregates in ONE groupBy — no k-way row explosion,
+    // no second shuffle (both existed in the explode(perm) form), and
+    // map-side partial min still collapses before the exchange.
+    val hashed = shingleRows.select(
+      col("id") +: (0 until k).map { i =>
+        expr(s"substr(md5(concat('$i:', sh2)), 1, 16)").as(s"h$i")
+      }: _*)
+    hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
