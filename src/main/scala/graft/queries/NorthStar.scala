@@ -453,6 +453,53 @@ object NorthStar {
       |    (strpos('0123456789abcdef', substr(md5(text), CAST(j*2+2 AS INTEGER), 1)) - 1)), '|') AS feat
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // N_MM4 — resize (the image-downscale analogue over decoded
+  // features): halve the feature dimension by averaging adjacent
+  // pairs. Averages of exact b/256 floats are exact, so emitting
+  // ×512-scaled integers (= byte sums) stays engine-portable.
+  private def mmResize(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decode(s, Multimodal.mediaTable(docs(s, d))).toDF()
+      .select(col("doc_id"),
+        expr("array_join(transform(transform(sequence(0, 3), " +
+          "j -> (cast(features[j*2] as double) + features[j*2+1]) / 2), " +
+          "x -> cast(cast(x * 512 as int) as string)), '|')").as("rfeat"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmResizeSql =
+    """SELECT doc_id, array_to_string(list_transform(range(0, 4), j ->
+      |  (strpos('0123456789abcdef', substr(md5(text), CAST(j*4+1 AS INTEGER), 1)) - 1) * 16 +
+      |  (strpos('0123456789abcdef', substr(md5(text), CAST(j*4+2 AS INTEGER), 1)) - 1) +
+      |  (strpos('0123456789abcdef', substr(md5(text), CAST(j*4+3 AS INTEGER), 1)) - 1) * 16 +
+      |  (strpos('0123456789abcdef', substr(md5(text), CAST(j*4+4 AS INTEGER), 1)) - 1)), '|') AS rfeat
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // N_MM5 — frame sampling (the video-frame analogue): sample one
+  // "frame" (character) every 64 positions, emit frame count and a
+  // codepoint checksum. Map-only; at scale this is the bounded-work
+  // preview pass over multi-GB payload columns.
+  private def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        ((length(col("text")) + 63).cast("long") / 64).cast("long")
+          .as("n_frames"),
+        expr("aggregate(transform(sequence(0, " +
+          "cast((length(text) - 1) div 64 as int)), " +
+          "i -> ascii(substring(text, i * 64 + 1, 1))), " +
+          "cast(0 as bigint), (a, c) -> a + c)").as("checksum"))
+      .orderBy(col("doc_id"))
+
+  private val mmFrameSampleSql =
+    """SELECT doc_id,
+      |  CAST((length(text) + 63) // 64 AS BIGINT) AS n_frames,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, (length(text) + 63) // 64),
+      |      i -> CAST(unicode(substr(text, CAST(i*64+1 AS INTEGER), 1)) AS BIGINT))),
+      |    (a, b) -> a + b) AS checksum
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+
   // ---- extension surface ----------------------------------------------
 
   private def udfCosine(s: SparkSession, d: String): DataFrame = {
@@ -540,6 +587,8 @@ object NorthStar {
     GQuery("N_MM1_multimodal_join", mmJoin, Some(mmJoinSql)),
     GQuery("N_MM2_binary_meta", mmBinaryMeta, Some(mmBinaryMetaSql)),
     GQuery("N_MM3_decode_features", mmDecode, Some(mmDecodeSql)),
+    GQuery("N_MM4_resize", mmResize, Some(mmResizeSql)),
+    GQuery("N_MM5_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     GQuery("N_UDF1_cosine_udf", udfCosine, Some(udfCosineSql)),
     GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
     GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)))
