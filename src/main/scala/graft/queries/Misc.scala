@@ -87,9 +87,42 @@ object Misc {
   private val parquetScanSql =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** Q_SRC3/Q_SRC4 — CSV and JSON sources: the engine materializes a
+    * deterministic copy of `nation` in the format once per sf (fixture
+    * prep, same pattern as CellSnapshots), then reads it back with an
+    * explicit schema. The oracle reads the parquet original — a
+    * lossless round-trip is exactly the SerDe contract.
+    */
+  private def serdeScan(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.serde.dir", "/root/repo/target/serde"),
+      java.nio.file.Paths.get(d).getFileName.toString + "-" + fmt)
+    val src = Tables.nation(s, d)
+    this.synchronized {
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        val w = src.coalesce(1).write.mode("overwrite")
+        if (fmt == "csv") w.option("header", "true").csv(dir.toString)
+        else w.json(dir.toString)
+      }
+    }
+    val r = s.read.schema(src.schema)
+    val back = if (fmt == "csv") r.option("header", "true").csv(dir.toString)
+      else r.json(dir.toString)
+    back.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val serdeSql =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("Q_SRC1_parquet_scan", parquetScan, Some(parquetScanSql)),
     GQuery("Q_SRC2_cache", cached, Some(cachedSql)),
+    GQuery("Q_SRC3_csv_roundtrip", (s, d) => serdeScan(s, d, "csv"),
+      Some(serdeSql)),
+    GQuery("Q_SRC4_json_roundtrip", (s, d) => serdeScan(s, d, "json"),
+      Some(serdeSql)),
     GQuery("Q_SAMP1_tablesample", sampled, Some(sampledSql)),
     GQuery("F_MATH2_rand", seededRand, Some(seededRandSql)))
 }
