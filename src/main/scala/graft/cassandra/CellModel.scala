@@ -201,6 +201,18 @@ object CellModel {
     b.union(rewrite)
   }
 
+  /** C15 — static columns: a CQL `static` column is stored once per
+    * PARTITION (no clustering key) and surfaces on every row of that
+    * partition. Modeled as per-pk metadata (the partition's last write
+    * time) joined onto the wide view — shuffle keyed on pk, or
+    * broadcast when the static relation is small.
+    */
+  def staticCells(s: SparkSession, d: String): DataFrame =
+    base(s, d).groupBy(col("pk")).agg(max(col("wt")).as("last_wt"))
+
+  def withStatics(wide: DataFrame, statics: DataFrame): DataFrame =
+    wide.join(statics, "pk")
+
   /** Clustering-range tombstones: pk % 89 == 0 partitions delete the
     * ck range [2, 4] two days after the partition's last base write —
     * the RangeTombstone (start/end clustering bound) case of the

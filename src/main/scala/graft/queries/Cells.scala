@@ -236,6 +236,26 @@ object Cells {
       |      FROM str_merged)
       |WHERE pk % 25 = 0 ORDER BY pk, ck""".stripMargin
 
+  // C15 — static columns: per-partition metadata surfaced on every
+  // clustering row (CQL `static` semantics).
+  private def statics(s: SparkSession, d: String): DataFrame =
+    CM.withStatics(
+      CM.wideView(CM.lwwMerge(CM.cells(s, d))).filter(col("pk") % 20 === 0),
+      CM.staticCells(s, d))
+      .select(col("pk"), col("ck"), col("qty"), col("price"),
+        col("last_wt"))
+      .orderBy(col("pk"), col("ck"))
+
+  private val staticsSql = cte +
+    """SELECT w.pk, w.ck, w.qty, w.price, st.last_wt FROM (
+      |  SELECT pk, ck,
+      |    CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT) AS qty,
+      |    CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT) AS price
+      |  FROM merged WHERE pk % 20 = 0 GROUP BY pk, ck) w
+      |JOIN (SELECT pk, max(wt) AS last_wt FROM base GROUP BY pk) st
+      |  ON w.pk = st.pk
+      |ORDER BY w.pk, w.ck""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("C1_sstable_scan", scan, Some(scanSql)),
     GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),
@@ -250,5 +270,6 @@ object Cells {
     GQuery("C5b_range_tombstone", rangeTombstone, Some(rangeTombstoneSql)),
     GQuery("C12_map_reassemble", mapReassemble, Some(mapReassembleSql)),
     GQuery("C13_set_reassemble", setReassemble, Some(setReassembleSql)),
-    GQuery("C14_typed_decode", typedDecode, Some(typedDecodeSql)))
+    GQuery("C14_typed_decode", typedDecode, Some(typedDecodeSql)),
+    GQuery("C15_static_columns", statics, Some(staticsSql)))
 }

@@ -141,6 +141,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Squared L2 distance of two double arrays (sequential fold). */
+  def l2sq(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+
+  /** One Lloyd (k-means) iteration — the IVF codebook training step at
+    * scale: the codebook broadcasts (KB), assignment is a map-only
+    * argmin over it, and the mean update is one shuffle keyed
+    * (cell, pos). No driver-side loops; iterate by calling again.
+    *
+    * @param embeddings (vec_id, vec: array<double>)
+    * @param centroids  (cell: int, centroid: array<double>)
+    * @return updated (cell, centroid) — cells that captured no vectors
+    *         drop out (standard empty-cluster drop policy)
+    */
+  def kmeansIter(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val assigned = assign(embeddings, centroids)
+    assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+  }
+
+  /** Nearest-centroid assignment (map-only; broadcast codebook).
+    * Ties break to the lowest cell id — deterministic.
+    */
+  def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", l2sq("vec", "centroid"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("cell"), col("d2"))
+  }
+
   /** Per-label mean vector (nearest-centroid training step): explode
     * to (label, pos, v), average per cell, reassemble in pos order.
     * One shuffle keyed (label, pos) — fully distributed.

@@ -40,4 +40,35 @@ class SimilaritySpec extends GraftSpec {
     val c = Similarity.centroids(df).as[(Int, Array[Double])].head()
     assert(c._2.toSeq == Seq(1.0, 2.0))
   }
+
+  test("kmeans iteration never increases the clustering objective") {
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+    // Seed the codebook with 4 arbitrary data points.
+    val seed = e.filter(col("vec_id") % 125 === 0).limit(4)
+      .select((col("vec_id") / 125).cast("int").as("cell"),
+        col("vec").as("centroid"))
+    def objective(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assign(e, cb).agg(sum(col("d2"))).as[Double].head()
+    val cb1 = Similarity.kmeansIter(e, seed).cache()
+    val cb2 = Similarity.kmeansIter(e, cb1).cache()
+    val (o0, o1, o2) = (objective(seed), objective(cb1), objective(cb2))
+    assert(o1 <= o0 + 1e-6, s"$o1 > $o0")
+    assert(o2 <= o1 + 1e-6, s"$o2 > $o1")
+    // Centroid means are true means of their assigned sets.
+    val dim = 64
+    val c1 = cb1.as[(Int, Array[Double])].collect()
+    assert(c1.forall(_._2.length == dim))
+  }
+
+  test("assignment is the argmin cell with deterministic tie-break") {
+    val vecs = Seq((1L, Array(0.0, 0.0)), (2L, Array(10.0, 10.0)))
+      .toDF("vec_id", "vec")
+    val cb = Seq((0, Array(1.0, 1.0)), (1, Array(9.0, 9.0)))
+      .toDF("cell", "centroid")
+    val a = Similarity.assign(vecs, cb)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(a == Map(1L -> 0, 2L -> 1))
+  }
 }
