@@ -231,6 +231,51 @@ object Aggregates {
       |  TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // Q_AGG14 — PIVOT: long → wide with an EXPLICIT value list (value
+  // discovery would be a nondeterministic extra pass); columns
+  // re-aliased to parquet-safe names. Oracle: conditional aggregation,
+  // the engine-portable spelling of the same thing.
+  private def aggPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        col("`1-URGENT`").as("p_urgent"), col("`2-HIGH`").as("p_high"),
+        col("`3-MEDIUM`").as("p_medium"),
+        col("`4-NOT SPECIFIED`").as("p_notspec"),
+        col("`5-LOW`").as("p_low"))
+      .orderBy(col("o_orderstatus"))
+
+  private val aggPivotSql =
+    """SELECT o_orderstatus,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p_urgent,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p_high,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p_medium,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p_notspec,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // Q_AGG15 — UNPIVOT/melt: wide → long (the inverse surface).
+  private def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") % 200 === 0)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retail")), "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val aggUnpivotSql =
+    """SELECT p_partkey, metric, val FROM (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+      |  FROM part WHERE p_partkey % 200 = 0
+      |  UNION ALL
+      |  SELECT p_partkey, 'retail', p_retailprice
+      |  FROM part WHERE p_partkey % 200 = 0)
+      |ORDER BY p_partkey, metric""".stripMargin
+
   // Q_AGG13 — max_by / min_by (argmax — the primitive behind C4 LWW).
   private def aggMaxBy(s: SparkSession, d: String): DataFrame =
     Tables.supplier(s, d)
@@ -262,5 +307,7 @@ object Aggregates {
     GQuery("Q_AGG11_grouping_sets", aggGroupingSets, Some(aggGroupingSetsSql)),
     GQuery("Q_AGG12_approx_distinct", aggApproxDistinct,
       Some(aggApproxDistinctSql)),
-    GQuery("Q_AGG13_max_by", aggMaxBy, Some(aggMaxBySql)))
+    GQuery("Q_AGG13_max_by", aggMaxBy, Some(aggMaxBySql)),
+    GQuery("Q_AGG14_pivot", aggPivot, Some(aggPivotSql)),
+    GQuery("Q_AGG15_unpivot", aggUnpivot, Some(aggUnpivotSql)))
 }
