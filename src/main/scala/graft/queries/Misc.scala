@@ -101,13 +101,19 @@ object Misc {
     this.synchronized {
       if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
         val w = src.coalesce(1).write.mode("overwrite")
-        if (fmt == "csv") w.option("header", "true").csv(dir.toString)
-        else w.json(dir.toString)
+        fmt match {
+          case "csv" => w.option("header", "true").csv(dir.toString)
+          case "json" => w.json(dir.toString)
+          case "orc" => w.orc(dir.toString)
+        }
       }
     }
     val r = s.read.schema(src.schema)
-    val back = if (fmt == "csv") r.option("header", "true").csv(dir.toString)
-      else r.json(dir.toString)
+    val back = fmt match {
+      case "csv" => r.option("header", "true").csv(dir.toString)
+      case "json" => r.json(dir.toString)
+      case "orc" => r.orc(dir.toString)
+    }
     back.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
   }
@@ -122,6 +128,8 @@ object Misc {
     GQuery("Q_SRC3_csv_roundtrip", (s, d) => serdeScan(s, d, "csv"),
       Some(serdeSql)),
     GQuery("Q_SRC4_json_roundtrip", (s, d) => serdeScan(s, d, "json"),
+      Some(serdeSql)),
+    GQuery("Q_SRC5_orc_roundtrip", (s, d) => serdeScan(s, d, "orc"),
       Some(serdeSql)),
     GQuery("Q_SAMP1_tablesample", sampled, Some(sampledSql)),
     GQuery("F_MATH2_rand", seededRand, Some(seededRandSql)))

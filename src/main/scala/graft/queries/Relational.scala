@@ -280,6 +280,43 @@ object Relational {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  // Q_JOIN14 — TPC-H-Q9-style profit rollup: a 5-table snowflake
+  // (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation) grouped by
+  // nation × order year. The fact side carries every shuffle; part is
+  // filtered before the join (selective predicate first), supplier
+  // and nation broadcast.
+  private def joinProfit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val p = Tables.part(s, d).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("profit"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  private val joinProfitSql =
+    """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY n_name, o_year""".stripMargin
+
   // Q_JOIN10 — range/interval join: clicks within 1 h before a purchase
   // by the same user. Equi key (user_id) carries the shuffle; the range
   // predicate filters within each key group — the scalable shape.
@@ -466,6 +503,7 @@ object Relational {
     GQuery("Q_JOIN7_cross", joinCross, Some(joinCrossSql)),
     GQuery("Q_JOIN8_theta", joinTheta, Some(joinThetaSql)),
     GQuery("Q_JOIN9_star_top10", joinStar, Some(joinStarSql)),
+    GQuery("Q_JOIN14_profit", joinProfit, Some(joinProfitSql)),
     GQuery("Q_JOIN10_range", joinRange, Some(joinRangeSql)),
     GQuery("Q_JOIN11_asof", joinAsOf, Some(joinAsOfSql)),
     GQuery("Q_SORT1_multikey", sortMultiKey, Some(sortMultiKeySql)),
