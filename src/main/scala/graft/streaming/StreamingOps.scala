@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of SURVEY §2 table S. The declared
   * oracle queries in [[graft.queries.Streaming]] are the
@@ -63,6 +63,43 @@ object StreamingOps {
   }
 
   case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  /** S_STATE3 twin, modern API — the same per-user running totals as a
+    * Spark 4 `transformWithState` StatefulProcessor over the new
+    * state-v2 store: named ValueState, explicit init/handleInputRows
+    * lifecycle. This is the API new state machines should target;
+    * [[runningTotals]] keeps the flatMapGroupsWithState form for the
+    * legacy surface.
+    */
+  class TotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserTotals] {
+    @transient private var state: ValueState[UserTotals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotals]("totals",
+        Encoders.product[UserTotals], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[UserTotals] = {
+      val prev = if (state.exists()) state.get()
+        else UserTotals(key, 0L, 0.0)
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { case (_, v) => n += 1; total += v }
+      val next = UserTotals(key, n, total)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  def runningTotalsTws(spark: SparkSession, events: DataFrame)
+      : Dataset[UserTotals] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** S_STATE3 twin — arbitrary per-user running state via
     * flatMapGroupsWithState (the transformWithState-style custom

@@ -113,4 +113,10 @@ class PlanSpec extends GraftSpec {
     val p = plan(Registry.byName("N_DEDUP4_ngram_jaccard").fn(spark, sf()))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("Q_JOIN14 pushes the part filter into the scan and broadcasts dims") {
+    val p = plan(Registry.byName("Q_JOIN14_profit").fn(spark, sf()))
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

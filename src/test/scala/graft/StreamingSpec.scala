@@ -86,6 +86,31 @@ class StreamingSpec extends GraftSpec {
     assert(states.contains((1L, 2L, 4.0)) && states.contains((1L, 3L, 8.0)))
   }
 
+  test("transformWithState accumulates per-user totals (S_STATE3, state v2)") {
+    // transformWithState's multi-column-family state needs the RocksDB
+    // provider (the production choice at scale anyway; HDFS-backed
+    // store doesn't support state v2).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      in.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 7, "click", 2.0))
+      val q = StreamingOps.runningTotalsTws(spark, in.toDF()).writeStream
+        .outputMode(OutputMode.Append()).format("memory")
+        .queryName("tws_totals").start()
+      q.processAllAvailable()
+      in.addData(Ev(3, ts(2), 7, "click", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val states = spark.table("tws_totals")
+        .select("user_id", "n", "total").as[(Long, Long, Double)]
+        .collect().toList
+      assert(states.contains((7L, 2L, 3.0)) && states.contains((7L, 3L, 6.0)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join pairs clicks with purchases (S_JOIN1)") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
