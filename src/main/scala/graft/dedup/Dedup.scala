@@ -116,6 +116,33 @@ object Dedup {
     inter / (na + nb - inter)
   }
 
+  /** Connected components over candidate pairs by min-label
+    * propagation — the step that turns near-dup PAIRS into dedup
+    * GROUPS (keep one doc per component). Runs a FIXED number of
+    * propagation rounds, each one shuffle keyed on id: neighbor labels
+    * union self labels, min per id. A fixed round count keeps the
+    * result deterministic and oracle-mirrorable; diameter > rounds
+    * leaves a component split (callers size `iterations` to the
+    * expected chain length — near-dup components are short chains).
+    * At 100 TB each round is a self-contained shuffle join, the
+    * standard large-graph CC shape (no driver iteration state).
+    */
+  def dedupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "nid"),
+          col("dst") === col("nid"))
+        .select(col("src").as("id"), col("lbl"))
+      labels = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
   /** Exact Jaccard verification restricted to blocked candidate pairs
     * (verify-after-block — the only all-corpus-safe shape). Intersection
     * sizes come from joins THROUGH the candidate list: candidates ⋈

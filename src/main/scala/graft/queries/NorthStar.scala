@@ -136,6 +136,61 @@ object NorthStar {
       |FROM inter WHERE i / (na + nb - i) >= 0.1
       |ORDER BY id_a, id_b""".stripMargin
 
+  // N_DEDUP6 — dedup clusters: connected components over the LSH
+  // candidate pairs (3 min-label rounds, mirrored exactly in the
+  // oracle), then one keeper per multi-doc component.
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup.minhashSignaturesRelational(
+      docs(s, d).select(col("doc_id").as("id"), col("text")))
+    val cand = Dedup.lshCandidatePairs(
+      sigs.withColumn("bands", Dedup.lshBands("sig")))
+    Dedup.dedupClusters(cand, iterations = 3)
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupClustersSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(0, len(t) - 2),
+      |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 8), i ->
+      |    list_min(list_transform(shingles, s2 ->
+      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
+      |  FROM shl),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    CAST(b AS VARCHAR) || ':' ||
+      |    md5(array_to_string(list_slice(sg, b*2+1, b*2+2), '|')))) AS band
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL SELECT id_b, id_a FROM cand),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+      |l1 AS (SELECT id, MIN(lbl) AS lbl FROM (
+      |  SELECT id, lbl FROM l0 UNION ALL
+      |  SELECT e.src, l.lbl FROM edges e JOIN l0 l ON e.dst = l.id)
+      |  GROUP BY id),
+      |l2 AS (SELECT id, MIN(lbl) AS lbl FROM (
+      |  SELECT id, lbl FROM l1 UNION ALL
+      |  SELECT e.src, l.lbl FROM edges e JOIN l1 l ON e.dst = l.id)
+      |  GROUP BY id),
+      |l3 AS (SELECT id, MIN(lbl) AS lbl FROM (
+      |  SELECT id, lbl FROM l2 UNION ALL
+      |  SELECT e.src, l.lbl FROM edges e JOIN l2 l ON e.dst = l.id)
+      |  GROUP BY id)
+      |SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  MIN(id) AS keep_id
+      |FROM l3 GROUP BY lbl HAVING COUNT(*) >= 2 ORDER BY cluster""".stripMargin
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.blockedPairs(embs(s, d), 0.4)
       .select(col("id_a"), col("id_b"), col("score_r"))
@@ -574,6 +629,7 @@ object NorthStar {
     GQuery("N_DEDUP4_ngram_jaccard", dedupJaccard, Some(dedupJaccardSql)),
     GQuery("N_DEDUP5_embedding_neardup", dedupEmbedding,
       Some(dedupEmbeddingSql)),
+    GQuery("N_DEDUP6_clusters", dedupClusters, Some(dedupClustersSql)),
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),

@@ -52,6 +52,15 @@ class DedupSpec extends GraftSpec {
     assert(same == 1.0 && disjoint == 0.0)
   }
 
+  test("dedupClusters merges chains into one component") {
+    // Chain 1-2-3 (never paired directly 1-3) plus isolated pair 8-9:
+    // 3 propagation rounds must give {1,2,3} label 1 and {8,9} label 8.
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val lbl = Dedup.dedupClusters(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical docs equal, unrelated docs differ") {
     val h = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely other tokens entirely"))
