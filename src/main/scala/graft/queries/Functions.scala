@@ -407,9 +407,29 @@ object Functions {
       |  json_extract_string(props, '$.missing') AS absent
       |FROM events WHERE user_id % 25 = 0 ORDER BY event_id""".stripMargin
 
+  // F_STR4 — edit distance (fuzzy-match primitive behind near-dup
+  // candidate verification on short strings). Same Levenshtein
+  // definition in both engines.
+  private def strEditDist(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_nt"),
+        levenshtein(lit("standard"), col("p_type")).as("lev_std"))
+      .orderBy(col("p_partkey"))
+
+  private val strEditDistSql =
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_bt,
+      |  CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev_nt,
+      |  CAST(levenshtein('standard', p_type) AS INTEGER) AS lev_std
+      |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("F_STR1_basic", strBasic, Some(strBasicSql)),
     GQuery("F_STR2_regex", strRegex, Some(strRegexSql)),
+    GQuery("F_STR4_editdist", strEditDist, Some(strEditDistSql)),
     GQuery("F_DATE1_parts", dateParts, Some(datePartsSql)),
     GQuery("F_DATE2_arith", dateArith, Some(dateArithSql)),
     GQuery("F_DATE3_epoch", dateEpoch, Some(dateEpochSql)),

@@ -162,7 +162,28 @@ object Windows {
       |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // Q_WIN9 — cumulative distribution (cume_dist; percent_rank's twin
+  // in Q_WIN2). Ordering on (o_totalprice, o_orderkey) is unique, so
+  // the integer rank ratios are identical across engines.
+  private def winCumeDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val winCumeDistSql =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
+      |FROM orders WHERE o_custkey % 50 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("Q_WIN9_cume_dist", winCumeDist, Some(winCumeDistSql)),
     GQuery("Q_WIN1_ranks", winRank, Some(winRankSql)),
     GQuery("Q_WIN2_ntile_pctrank", winNtile, Some(winNtileSql)),
     GQuery("Q_WIN3_lead_lag", winLeadLag, Some(winLeadLagSql)),
