@@ -128,8 +128,16 @@ object Dedup {
     * standard large-graph CC shape (no driver iteration state).
     */
   def dedupClusters(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    // MATERIALIZE the edge list before iterating: every round
+    // references `edges`, and an unmaterialized lineage would
+    // re-evaluate the whole upstream candidate pipeline (minhash +
+    // LSH join) once per reference while the plan doubles per round —
+    // observed 285 s at sf0.1 vs ~5 s materialized. At cluster scale
+    // this persist becomes a checkpoint; same principle.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    edges.count() // cut the lineage now, before the rounds multiply it
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to iterations) {
