@@ -1,8 +1,10 @@
 package graft.sources
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.ByteBuffer
 import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
+import java.util.zip.{Deflater, Inflater}
 import scala.util.Using
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -16,29 +18,34 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** A DataSource V2 source with the architecture of a Cassandra-SSTable
   * snapshot reader (SURVEY §2 rows C1/C2/C3/C8/C9), over a
-  * self-contained binary cell format ("SSTable-lite", v2) since no
+  * self-contained binary cell format ("SSTable-lite", v3) since no
   * Cassandra jars exist in this environment (SURVEY §7.2 phase 6).
   * Component map onto a real SSTable:
   *
-  * - `data-NNNN.cells`: pk-sorted fixed-width cell records — `Data.db`;
+  * - `data-NNNN.cells`: pk-sorted fixed-width cell records in
+  *   independently-deflated chunks — `Data.db` + compression;
   * - header (minPk, maxPk, count) — `Summary.db` (partition range);
   * - header bloom filter over distinct pks (double-hashed, k=7,
   *   ~10 bits/key) — `Filter.db`: point lookups skip whole files the
   *   range check alone can't, BEFORE any executor work;
   * - header sparse index, one (pk, recordIdx) every `indexEvery`
-  *   records — `Index.db`: pk-range scans seek to the first candidate
-  *   record instead of scanning from byte 0, and split generation can
-  *   cut one large file into several InputPartitions (sub-splits) so a
-  *   single hot SSTable still parallelizes across executors;
-  * - C2 split_gen: file × sub-split range → InputPartition, planned
+  *   records — `Index.db`: pk-range scans narrow to the candidate
+  *   record range instead of scanning everything;
+  * - header chunk table, one (byteOffset, compressedLen, nRecords) per
+  *   compression chunk — `CompressionInfo.db`: random access into
+  *   compressed data stays possible because each chunk inflates
+  *   independently; index narrowing and sub-splits land on chunk
+  *   boundaries and the reader seeks straight to the first byte of
+  *   its chunk range;
+  * - C2 split_gen: file × chunk-range → InputPartition, planned
   *   driver-side (the getSplits analogue);
   * - C8 pk_pushdown: range/equality filters prune files (range +
-  *   bloom) and narrow record ranges (index) at planning time
+  *   bloom) and narrow chunk ranges (index) at planning time
   *   (`SupportsPushDownFilters`);
   * - C9 col_pruning: `SupportsPushDownRequiredColumns` projects the
   *   cell schema down to requested columns;
-  * - C3 cell_deserialize: the PartitionReader decodes binary framing
-  *   into typed InternalRows on executors.
+  * - C3 cell_deserialize: the PartitionReader inflates chunks and
+  *   decodes binary framing into typed InternalRows on executors.
   *
   * Usage: `spark.read.format("graft.sources.CellSource").load(dir)`,
   * optional `.option("subsplitRecords", n)` to bound records per
@@ -65,10 +72,11 @@ object CellSource {
 
   val ColNames: Array[String] = Array("qty", "price")
 
-  val Magic = 0x43454c32 // "CEL2"
+  val Magic = 0x43454c33 // "CEL3"
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8)
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
+  val DefaultChunkRecords = 4096
   val DefaultSubsplitRecords = 65536
 
   /** 64-bit finalizer (splitmix64) for bloom double-hashing. */
@@ -110,12 +118,13 @@ object CellSource {
     words
   }
 
-  /** Per-file metadata block: Summary (range+count) + Filter (bloom) +
-    * sparse Index.
+  /** Per-file metadata: Summary (range+count) + Filter (bloom) +
+    * sparse Index + chunk table (CompressionInfo).
     */
   private[sources] case class Header(minPk: Long, maxPk: Long, count: Int,
       bloom: Array[Long], indexPks: Array[Long], indexIdx: Array[Int],
-      dataStart: Long)
+      chunkRecords: Int, chunkOffsets: Array[Long], chunkLens: Array[Int],
+      chunkRecCounts: Array[Int], dataStart: Long)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
@@ -130,25 +139,59 @@ object CellSource {
       val ipks = new Array[Long](nIdx); val iidx = new Array[Int](nIdx)
       var i = 0
       while (i < nIdx) { ipks(i) = in.readLong(); iidx(i) = in.readInt(); i += 1 }
-      Header(lo, hi, n, bloom, ipks, iidx, 8L + headerLen)
+      val chunkRecords = in.readInt()
+      val nChunks = in.readInt()
+      val offs = new Array[Long](nChunks)
+      val lens = new Array[Int](nChunks)
+      val recs = new Array[Int](nChunks)
+      i = 0
+      while (i < nChunks) {
+        offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
+        i += 1
+      }
+      Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
+        8L + headerLen)
     }
   }
 
   /** Snapshot writer (the `nodetool snapshot` stand-in): writes cells
-    * into `files` pk-sorted data files, each with Summary/Filter/Index
-    * metadata. Driver-side test/fixture utility.
+    * into `files` pk-sorted data files, each with Summary/Filter/
+    * Index/CompressionInfo metadata and a chunk-deflated data section.
+    * Driver-side test/fixture utility.
     */
   def writeSnapshot(dir: String, cells: Seq[(Long, Int, String, Long, Long)],
-      files: Int, indexEvery: Int = DefaultIndexEvery): Unit = {
+      files: Int, indexEvery: Int = DefaultIndexEvery,
+      chunkRecords: Int = DefaultChunkRecords): Unit = {
     cells.iterator.map(_._3).distinct.foreach { c =>
       require(ColNames.contains(c), s"unknown cell column '$c'")
     }
     val p = Paths.get(dir)
     Files.createDirectories(p)
     val sorted = cells.sortBy(c => (c._1, c._2, c._3, c._5, c._4))
-    val chunks = if (sorted.isEmpty) Seq(Seq.empty)
+    val fileChunks = if (sorted.isEmpty) Seq(Seq.empty)
       else sorted.grouped(math.max(1, (sorted.size + files - 1) / files)).toSeq
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
+    fileChunks.zipWithIndex.foreach { case (chunk, i) =>
+      // Deflate the data section chunk by chunk, recording the table.
+      val data = new ByteArrayOutputStream()
+      val offsets = Seq.newBuilder[(Long, Int, Int)]
+      chunk.grouped(chunkRecords).foreach { recs =>
+        val raw = ByteBuffer.allocate(recs.size * RecordBytes)
+        recs.foreach { case (pk, ck, col, value, wt) =>
+          raw.putLong(pk); raw.putInt(ck)
+          raw.put(ColNames.indexOf(col).toByte)
+          raw.putLong(value); raw.putLong(wt)
+        }
+        val deflater = new Deflater()
+        deflater.setInput(raw.array()); deflater.finish()
+        val buf = new Array[Byte](raw.capacity() + 64)
+        var clen = 0
+        while (!deflater.finished())
+          clen += deflater.deflate(buf, clen, buf.length - clen)
+        deflater.end()
+        offsets += ((data.size().toLong, clen, recs.size))
+        data.write(buf, 0, clen)
+      }
+      val chunkTable = offsets.result()
       val header = new ByteArrayOutputStream()
       val h = new DataOutputStream(header)
       h.writeLong(if (chunk.isEmpty) Long.MaxValue else chunk.head._1)
@@ -162,16 +205,17 @@ object CellSource {
       }
       h.writeInt(idx.size)
       idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
+      h.writeInt(chunkRecords)
+      h.writeInt(chunkTable.size)
+      chunkTable.foreach { case (off, clen, nrec) =>
+        h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+      }
       Using.resource(new DataOutputStream(Files.newOutputStream(
           p.resolve(f"data-$i%04d.cells")))) { out =>
         out.writeInt(Magic)
         out.writeInt(header.size)
         out.write(header.toByteArray)
-        chunk.foreach { case (pk, ck, col, value, wt) =>
-          out.writeLong(pk); out.writeInt(ck)
-          out.writeByte(ColNames.indexOf(col))
-          out.writeLong(value); out.writeLong(wt)
-        }
+        data.writeTo(out)
       }
     }
   }
@@ -248,10 +292,12 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     * 2. Filter bloom check — for point lookups, skip files whose bloom
     *    filter proves the pk absent (catches pks inside the range but
     *    not present, which min/max can't);
-    * 3. Index seek — binary-narrow the record range to the first/last
-    *    candidate via the sparse index (pk-sorted data);
-    * 4. sub-splits — cut the surviving record range into ≤
-    *    `subsplitRecords` chunks so one large file parallelizes.
+    * 3. Index narrowing — bound the candidate record range via the
+    *    sparse index (pk-sorted data), rounded out to chunk bounds;
+    * 4. sub-splits — cut the surviving chunk range into ≈
+    *    `subsplitRecords`-record pieces so one large file
+    *    parallelizes; every piece is a whole number of chunks, so
+    *    each task inflates only its own bytes.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
@@ -274,22 +320,30 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
         // Sparse-index narrowing: records before the last entry with
         // pk < pkLower are all < pkLower; records from the first entry
         // with pk > pkUpper on are all > pkUpper.
-        var start = 0
-        var end = h.count
+        var startRec = 0
+        var endRec = h.count
         var i = 0
         while (i < h.indexPks.length && h.indexPks(i) < pkLower) {
-          start = h.indexIdx(i); i += 1
+          startRec = h.indexIdx(i); i += 1
         }
         i = 0
         while (i < h.indexPks.length) {
-          if (h.indexPks(i) > pkUpper) { end = math.min(end, h.indexIdx(i)); i = h.indexPks.length }
-          else i += 1
+          if (h.indexPks(i) > pkUpper) {
+            endRec = math.min(endRec, h.indexIdx(i)); i = h.indexPks.length
+          } else i += 1
         }
-        Iterator.range(start.toLong, end.toLong, subsplitRecords.toLong)
-          .map { s0 =>
-            val n = math.min(subsplitRecords.toLong, end - s0).toInt
-            CellInputPartition(f, h.dataStart, s0, n): InputPartition
-          }.toSeq
+        val nChunks = h.chunkOffsets.length
+        val startChunk = startRec / h.chunkRecords
+        val endChunk = math.min(nChunks,
+          (endRec + h.chunkRecords - 1) / h.chunkRecords)
+        val chunksPerSplit =
+          math.max(1, subsplitRecords / math.max(1, h.chunkRecords))
+        Iterator.range(startChunk, endChunk, chunksPerSplit).map { c0 =>
+          val c1 = math.min(endChunk, c0 + chunksPerSplit)
+          CellInputPartition(f, h.dataStart,
+            h.chunkOffsets.slice(c0, c1), h.chunkLens.slice(c0, c1),
+            h.chunkRecCounts.slice(c0, c1)): InputPartition
+        }.toSeq
       }
     }.toArray
   }
@@ -298,11 +352,13 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     new CellReaderFactory(pkLower, pkUpper, required.fieldNames)
 }
 
-/** One sub-split: `nRecords` fixed-width records starting at record
-  * `startRecord` of `file` (data section begins at byte `dataStart`).
+/** One sub-split: a contiguous run of compression chunks of `file`
+  * (data section begins at byte `dataStart`; per-chunk byte offsets,
+  * compressed lengths, and record counts from the chunk table).
   */
 case class CellInputPartition(file: String, dataStart: Long,
-    startRecord: Long, nRecords: Int) extends InputPartition
+    chunkOffsets: Array[Long], chunkLens: Array[Int],
+    chunkRecCounts: Array[Int]) extends InputPartition
 
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
     cols: Array[String]) extends PartitionReaderFactory {
@@ -310,35 +366,62 @@ class CellReaderFactory(pkLower: Long, pkUpper: Long,
     new CellReader(p.asInstanceOf[CellInputPartition], pkLower, pkUpper, cols)
 }
 
-/** C3 — executor-side deserialization of the binary cell framing,
-  * seeking straight to the sub-split's record range.
+/** C3 — executor-side chunk inflation + cell deserialization, seeking
+  * straight to the sub-split's first chunk.
   */
 class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
     cols: Array[String]) extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(
     Files.newInputStream(Paths.get(part.file)))
   locally {
-    var toSkip = part.dataStart + part.startRecord * CellSource.RecordBytes
+    // Chunks of one sub-split are contiguous: one seek, then stream.
+    var toSkip = part.dataStart +
+      (if (part.chunkOffsets.nonEmpty) part.chunkOffsets(0) else 0L)
     while (toSkip > 0) toSkip -= in.skip(toSkip)
   }
-  private var remaining = part.nRecords
+  private var chunkIdx = 0
+  private var buf: ByteBuffer = ByteBuffer.allocate(0)
+  private var remainingInChunk = 0
   private var row: InternalRow = _
   // Column projection is precomputed once: projIdx(i) = field of the
   // full record to emit at output position i (C9).
   private val projIdx: Array[Int] =
     cols.map(c => CellSource.Schema.fieldIndex(c))
 
+  private def nextChunk(): Boolean = {
+    if (chunkIdx >= part.chunkOffsets.length) return false
+    val clen = part.chunkLens(chunkIdx)
+    val nRecs = part.chunkRecCounts(chunkIdx)
+    val compressed = new Array[Byte](clen)
+    in.readFully(compressed)
+    val inflater = new Inflater()
+    inflater.setInput(compressed)
+    val raw = new Array[Byte](nRecs * CellSource.RecordBytes)
+    var off = 0
+    while (off < raw.length && !inflater.finished())
+      off += inflater.inflate(raw, off, raw.length - off)
+    inflater.end()
+    require(off == raw.length, s"short inflate in ${part.file}")
+    buf = ByteBuffer.wrap(raw)
+    remainingInChunk = nRecs
+    chunkIdx += 1
+    true
+  }
+
   override def next(): Boolean = {
-    while (remaining > 0) {
-      remaining -= 1
-      val pk = in.readLong(); val ck = in.readInt()
-      val colId = in.readByte(); val value = in.readLong()
-      val wt = in.readLong()
-      if (pk >= pkLower && pk <= pkUpper) {
-        val full = Array[Any](pk, ck,
-          UTF8String.fromString(CellSource.ColNames(colId)), value, wt)
-        row = InternalRow.fromSeq(projIdx.map(full).toSeq)
-        return true
+    while (true) {
+      if (remainingInChunk == 0 && !nextChunk()) return false
+      while (remainingInChunk > 0) {
+        remainingInChunk -= 1
+        val pk = buf.getLong(); val ck = buf.getInt()
+        val colId = buf.get(); val value = buf.getLong()
+        val wt = buf.getLong()
+        if (pk >= pkLower && pk <= pkUpper) {
+          val full = Array[Any](pk, ck,
+            UTF8String.fromString(CellSource.ColNames(colId)), value, wt)
+          row = InternalRow.fromSeq(projIdx.map(full).toSeq)
+          return true
+        }
       }
     }
     false

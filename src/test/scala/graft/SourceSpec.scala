@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import graft.cassandra.CellModel
@@ -72,17 +73,34 @@ class SourceSpec extends GraftSpec {
   test("index sub-splits cut one large file into partitions (C2)") {
     val d = Files.createTempDirectory("cells-subsplit").toString
     val cells = (0L until 10000L).map(pk => (pk, 0, "qty", pk, 1000L))
-    CellSource.writeSnapshot(d, cells, files = 1, indexEvery = 512)
+    CellSource.writeSnapshot(d, cells, files = 1, indexEvery = 512,
+      chunkRecords = 2500)
     val df = spark.read.format("graft.sources.CellSource")
       .option("subsplitRecords", "2500").load(d)
-    assert(df.rdd.getNumPartitions == 4)
+    assert(df.rdd.getNumPartitions == 4) // 4 compression chunks
     assert(df.count() == 10000)
-    // Range query: the sparse index narrows the scanned record range,
-    // so fewer sub-splits survive — and results stay exact.
+    // Range query: the sparse index narrows the scanned record range
+    // (rounded to chunk bounds), so fewer sub-splits survive — and
+    // results stay exact.
     val ranged = spark.read.format("graft.sources.CellSource")
       .option("subsplitRecords", "2500").load(d)
       .filter(col("pk") >= 9000L)
     assert(ranged.rdd.getNumPartitions <= 2)
     assert(ranged.count() == 1000)
+  }
+
+  test("compression chunks round-trip and shrink the file (Data.db+CompressionInfo)") {
+    val d = Files.createTempDirectory("cells-compress").toString
+    // Highly compressible: constant values.
+    val cells = (0L until 50000L).map(pk => (pk, 1, "qty", 7L, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 1)
+    val file = Files.list(java.nio.file.Paths.get(d)).iterator()
+      .asScala.filter(_.toString.endsWith(".cells")).next()
+    val rawBytes = 50000L * CellSource.RecordBytes
+    assert(Files.size(file) < rawBytes / 4,
+      s"expected 4x+ compression, got ${Files.size(file)} of $rawBytes")
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() == 50000)
+    assert(back.agg(sum(col("value"))).head().getLong(0) == 350000L)
   }
 }
