@@ -93,7 +93,31 @@ object Subqueries {
       |                        WHERE o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  // Q_SUB5 — LATERAL correlated subquery in FROM: per-nation top-2
+  // suppliers by balance. Catalyst plans the correlation as a
+  // ranked-window equivalent — no per-row re-execution.
+  private def lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+    s.sql(
+      """SELECT n_name, s_name, s_acctbal
+        |FROM nation_v,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier_v
+        |         WHERE s_nationkey = n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2)
+        |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin)
+  }
+
+  private val lateralSql =
+    """SELECT n_name, s_name, s_acctbal
+      |FROM nation,
+      |LATERAL (SELECT s_name, s_acctbal FROM supplier
+      |         WHERE s_nationkey = n_nationkey
+      |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+      |ORDER BY n_name, s_acctbal DESC, s_name""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("Q_SUB5_lateral", lateral, Some(lateralSql)),
     GQuery("Q_SUB1_scalar", scalar, Some(scalarSql)),
     GQuery("Q_SUB2_in", inSub, Some(inSubSql)),
     GQuery("Q_SUB3_correlated", correlated, Some(correlatedSql)),

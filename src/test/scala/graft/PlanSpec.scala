@@ -114,6 +114,27 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("partitioned layout gets partition pruning (PartitionFilters)") {
+    // Hive-style partitioned parquet: the o_orderstatus predicate must
+    // prune DIRECTORIES at planning time (PartitionFilters), never
+    // touching other partitions' files — at 100 TB, date/tenant
+    // partition pruning is the first line of scan reduction.
+    val dir = new java.io.File("/root/repo/target/part-orders")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      Tables.orders(spark, sf()).write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(dir.toString)
+    }
+    val df = spark.read.parquet(dir.toString)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+    assert(p.contains("(o_orderstatus") && p.contains("= F)"), p)
+    val full = Tables.orders(spark, sf())
+      .filter(col("o_orderstatus") === "F").count()
+    assert(df.count() == full)
+  }
+
   test("Q_JOIN14 pushes the part filter into the scan and broadcasts dims") {
     val p = plan(Registry.byName("Q_JOIN14_profit").fn(spark, sf()))
     assert(p.contains("StringContains(p_name,red)"), p)
