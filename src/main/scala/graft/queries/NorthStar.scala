@@ -292,6 +292,51 @@ object NorthStar {
       |  FROM ex GROUP BY label, pos)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // N_SIM5 — int8 scalar quantization: per-vector max-abs scale,
+  // round each dim to [-127, 127], dequantize, score. The 4×-smaller
+  // representation is how a 100 TB embedding store fits executor
+  // memory; the query emits exact vs quantized scores plus the
+  // bounded-error invariant. All math is engine-portable (same fp op
+  // order both sides).
+  private def simQuantized(s: SparkSession, d: String): DataFrame = {
+    def dq(v: String) =
+      s"transform($v, x -> cast(round(x / (array_max(transform($v, " +
+        s"y -> abs(y))) + 1e-12) * 127) as double) * " +
+        s"(array_max(transform($v, y -> abs(y))) + 1e-12) / 127)"
+    val e = embs(s, d).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vq", expr(dq("v")))
+    val q = broadcast(embs(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qq", expr(dq("qv"))))
+    e.crossJoin(q)
+      .select(col("vec_id"),
+        (round(Similarity.cosine("v", "qv"), 4) + lit(0.0)).as("exact"),
+        (round(Similarity.cosine("vq", "qq"), 4) + lit(0.0)).as("approx"))
+      .withColumn("err_ok",
+        abs(col("exact") - col("approx")) <= 0.05)
+      .orderBy(col("vec_id"))
+  }
+
+  private val simQuantizedSql = {
+    def dq(v: String) =
+      s"list_transform($v, x -> CAST(round(x / (list_max(list_transform($v, " +
+        s"y -> abs(y))) + 1e-12) * 127) AS DOUBLE) * " +
+        s"(list_max(list_transform($v, y -> abs(y))) + 1e-12) / 127)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |eq AS (SELECT vec_id, v, ${dq("v")} AS vq FROM e),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |qq AS (SELECT qv, ${dq("qv")} AS qqv FROM q)
+       |SELECT vec_id,
+       |  ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS exact,
+       |  ROUND(${cosSql("vq", "qqv")}, 4) + 0.0 AS approx,
+       |  abs((ROUND(${cosSql("v", "qv")}, 4) + 0.0) -
+       |      (ROUND(${cosSql("vq", "qqv")}, 4) + 0.0)) <= 0.05 AS err_ok
+       |FROM eq CROSS JOIN qq ORDER BY vec_id""".stripMargin
+  }
+
   // ---- text ------------------------------------------------------------
 
   private def textWordcount(s: SparkSession, d: String): DataFrame =
@@ -634,6 +679,7 @@ object NorthStar {
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
+    GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),
     GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),
