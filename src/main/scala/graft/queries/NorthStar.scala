@@ -498,6 +498,30 @@ object NorthStar {
       |    (a, b) -> a + b) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // N_TEXT7 — PII-style scrubbing: mask digit runs and long tokens
+  // (the standard training-corpus cleaning pass), emitting scrub
+  // counts + a digest of the scrubbed text. Simple character-class
+  // regexes behave identically under Java regex and RE2.
+  private def textScrub(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"),
+          "[0-9]+", "<NUM>"), "[a-z]{12,}", "<LONG>").cast("binary"))
+          .as("scrubbed_digest"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_nums"),
+        size(expr("regexp_extract_all(text, '[a-z]{12,}', 0)"))
+          .as("n_long"))
+      .orderBy(col("doc_id"))
+
+  private val textScrubSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+      |      '[a-z]{12,}', '<LONG>', 'g')) AS scrubbed_digest,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{12,}')) AS INTEGER) AS n_long
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
+
   // ---- multimodal ------------------------------------------------------
 
   private def mmJoin(s: SparkSession, d: String): DataFrame = {
@@ -686,6 +710,7 @@ object NorthStar {
     GQuery("N_TEXT4_langid", textLangId, Some(textLangIdSql)),
     GQuery("N_TEXT5_quality_fingerprint", textQuality, Some(textQualitySql)),
     GQuery("N_TEXT6_token_count", textTokenCount, Some(textTokenCountSql)),
+    GQuery("N_TEXT7_scrub", textScrub, Some(textScrubSql)),
     GQuery("N_MM1_multimodal_join", mmJoin, Some(mmJoinSql)),
     GQuery("N_MM2_binary_meta", mmBinaryMeta, Some(mmBinaryMetaSql)),
     GQuery("N_MM3_decode_features", mmDecode, Some(mmDecodeSql)),

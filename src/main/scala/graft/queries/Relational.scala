@@ -479,6 +479,29 @@ object Relational {
       |SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
       |ORDER BY o_orderkey""".stripMargin
 
+  // Q_SET6 — multiset (ALL) set ops: duplicates preserved by count,
+  // the bag-semantics twins of Q_SET3/4.
+  private def setAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).select(col("l_returnflag").as("f"))
+    val b = Tables.lineitem(s, d).filter(col("l_quantity") > 25.0)
+      .select(col("l_returnflag").as("f"))
+    a.exceptAll(b).groupBy(col("f")).agg(count(lit(1)).as("n_except"))
+      .join(a.intersectAll(b).groupBy(col("f"))
+        .agg(count(lit(1)).as("n_intersect")), Seq("f"), "full")
+      .orderBy(col("f"))
+  }
+
+  private val setAllSql =
+    """WITH a AS (SELECT l_returnflag AS f FROM lineitem),
+      |b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_quantity > 25.0),
+      |ex AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_except
+      |  FROM (SELECT f FROM a EXCEPT ALL SELECT f FROM b) GROUP BY f),
+      |ia AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_intersect
+      |  FROM (SELECT f FROM a INTERSECT ALL SELECT f FROM b) GROUP BY f)
+      |SELECT COALESCE(ex.f, ia.f) AS f, n_except, n_intersect
+      |FROM ex FULL JOIN ia ON ex.f = ia.f
+      |ORDER BY f""".stripMargin
+
   // Q_SET5 — DISTINCT over a projection.
   private def distinctQ(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -514,5 +537,6 @@ object Relational {
     GQuery("Q_SET2_union_distinct", unionDistinct, Some(unionDistinctSql)),
     GQuery("Q_SET3_intersect", intersectQ, Some(intersectSql)),
     GQuery("Q_SET4_except", exceptQ, Some(exceptSql)),
-    GQuery("Q_SET5_distinct", distinctQ, Some(distinctSql)))
+    GQuery("Q_SET5_distinct", distinctQ, Some(distinctSql)),
+    GQuery("Q_SET6_all_ops", setAll, Some(setAllSql)))
 }
