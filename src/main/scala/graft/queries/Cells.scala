@@ -256,6 +256,27 @@ object Cells {
       |  ON w.pk = st.pk
       |ORDER BY w.pk, w.ck""".stripMargin
 
+  // C16 — incremental scan: "cells written on/after T", the
+  // change-data path of a snapshot store. The wt predicate pushes into
+  // the connector, whose per-chunk writetime zone maps (Statistics.db
+  // analogue) drop chunks at planning time; TPC-H orderkeys correlate
+  // with time, so pk-sorted chunks genuinely narrow.
+  private def incremental(s: SparkSession, d: String): DataFrame = {
+    val cutoff = 867715200000L // 1997-07-01 UTC in epoch ms
+    src(s, d).filter(col("wt") >= cutoff)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_new"), sum(col("value")).as("sum_value"),
+        min(col("wt")).as("first_wt"))
+      .orderBy(col("col"))
+  }
+
+  private val incrementalSql = cte +
+    """SELECT col, CAST(COUNT(*) AS BIGINT) AS n_new,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value,
+      |  MIN(wt) AS first_wt
+      |FROM cells WHERE wt >= 867715200000
+      |GROUP BY col ORDER BY col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("C1_sstable_scan", scan, Some(scanSql)),
     GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),
@@ -271,5 +292,6 @@ object Cells {
     GQuery("C12_map_reassemble", mapReassemble, Some(mapReassembleSql)),
     GQuery("C13_set_reassemble", setReassemble, Some(setReassembleSql)),
     GQuery("C14_typed_decode", typedDecode, Some(typedDecodeSql)),
-    GQuery("C15_static_columns", statics, Some(staticsSql)))
+    GQuery("C15_static_columns", statics, Some(staticsSql)),
+    GQuery("C16_incremental_scan", incremental, Some(incrementalSql)))
 }

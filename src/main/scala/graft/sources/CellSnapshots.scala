@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions.col
   */
 object CellSnapshots {
   /** Bump when the snapshot binary format or cell derivation changes. */
-  private val Version = 3
+  private val Version = 4
 
   private def root: String = sys.props.getOrElse(
     "graft.cell.snapshots", "/root/repo/target/cell-snapshots")

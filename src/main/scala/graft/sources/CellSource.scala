@@ -72,7 +72,7 @@ object CellSource {
 
   val ColNames: Array[String] = Array("qty", "price")
 
-  val Magic = 0x43454c33 // "CEL3"
+  val Magic = 0x43454c34 // "CEL4"
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8)
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
@@ -124,7 +124,8 @@ object CellSource {
   private[sources] case class Header(minPk: Long, maxPk: Long, count: Int,
       bloom: Array[Long], indexPks: Array[Long], indexIdx: Array[Int],
       chunkRecords: Int, chunkOffsets: Array[Long], chunkLens: Array[Int],
-      chunkRecCounts: Array[Int], dataStart: Long)
+      chunkRecCounts: Array[Int], chunkMinWt: Array[Long],
+      chunkMaxWt: Array[Long], dataStart: Long)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
@@ -144,13 +145,16 @@ object CellSource {
       val offs = new Array[Long](nChunks)
       val lens = new Array[Int](nChunks)
       val recs = new Array[Int](nChunks)
+      val wlo = new Array[Long](nChunks)
+      val whi = new Array[Long](nChunks)
       i = 0
       while (i < nChunks) {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
+        wlo(i) = in.readLong(); whi(i) = in.readLong()
         i += 1
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
-        8L + headerLen)
+        wlo, whi, 8L + headerLen)
     }
   }
 
@@ -173,7 +177,7 @@ object CellSource {
     fileChunks.zipWithIndex.foreach { case (chunk, i) =>
       // Deflate the data section chunk by chunk, recording the table.
       val data = new ByteArrayOutputStream()
-      val offsets = Seq.newBuilder[(Long, Int, Int)]
+      val offsets = Seq.newBuilder[(Long, Int, Int, Long, Long)]
       chunk.grouped(chunkRecords).foreach { recs =>
         val raw = ByteBuffer.allocate(recs.size * RecordBytes)
         recs.foreach { case (pk, ck, col, value, wt) =>
@@ -188,7 +192,8 @@ object CellSource {
         while (!deflater.finished())
           clen += deflater.deflate(buf, clen, buf.length - clen)
         deflater.end()
-        offsets += ((data.size().toLong, clen, recs.size))
+        offsets += ((data.size().toLong, clen, recs.size,
+          recs.iterator.map(_._5).min, recs.iterator.map(_._5).max))
         data.write(buf, 0, clen)
       }
       val chunkTable = offsets.result()
@@ -207,8 +212,9 @@ object CellSource {
       idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
       h.writeInt(chunkRecords)
       h.writeInt(chunkTable.size)
-      chunkTable.foreach { case (off, clen, nrec) =>
+      chunkTable.foreach { case (off, clen, nrec, wlo, whi) =>
         h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+        h.writeLong(wlo); h.writeLong(whi)
       }
       Using.resource(new DataOutputStream(Files.newOutputStream(
           p.resolve(f"data-$i%04d.cells")))) { out =>
@@ -235,19 +241,23 @@ class CellScanBuilder(path: String, subsplitRecords: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pkLower = Long.MinValue
   private var pkUpper = Long.MaxValue
+  private var wtLower = Long.MinValue
+  private var wtUpper = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellSource.Schema
 
-  /** Accept pk range predicates (the Summary/Filter/Index pruning
-    * set); leave everything else to Spark's post-scan Filter.
+  /** Accept pk range predicates (the Summary/Filter/Index pruning set)
+    * and wt range predicates (the Statistics.db zone-map set — the
+    * incremental "cells written since T" path); leave everything else
+    * to Spark's post-scan Filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
-      case EqualTo("pk", _: java.lang.Long) => true
-      case GreaterThan("pk", _: java.lang.Long) => true
-      case GreaterThanOrEqual("pk", _: java.lang.Long) => true
-      case LessThan("pk", _: java.lang.Long) => true
-      case LessThanOrEqual("pk", _: java.lang.Long) => true
+      case EqualTo(c, _: java.lang.Long) => c == "pk" || c == "wt"
+      case GreaterThan(c, _: java.lang.Long) => c == "pk" || c == "wt"
+      case GreaterThanOrEqual(c, _: java.lang.Long) => c == "pk" || c == "wt"
+      case LessThan(c, _: java.lang.Long) => c == "pk" || c == "wt"
+      case LessThanOrEqual(c, _: java.lang.Long) => c == "pk" || c == "wt"
       case _ => false
     }
     accepted.foreach {
@@ -261,6 +271,16 @@ class CellScanBuilder(path: String, subsplitRecords: Int) extends ScanBuilder
         pkUpper = math.min(pkUpper, v - 1)
       case LessThanOrEqual("pk", v: java.lang.Long) =>
         pkUpper = math.min(pkUpper, v)
+      case EqualTo("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v); wtUpper = math.min(wtUpper, v)
+      case GreaterThan("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v + 1)
+      case GreaterThanOrEqual("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v)
+      case LessThan("wt", v: java.lang.Long) =>
+        wtUpper = math.min(wtUpper, v - 1)
+      case LessThanOrEqual("wt", v: java.lang.Long) =>
+        wtUpper = math.min(wtUpper, v)
       case _ =>
     }
     pushed = accepted
@@ -275,18 +295,21 @@ class CellScanBuilder(path: String, subsplitRecords: Int) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new CellScan(path, pkLower, pkUpper, required, subsplitRecords)
+    new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
+      subsplitRecords)
 }
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
-    required: StructType, subsplitRecords: Int) extends Scan with Batch {
+    wtLower: Long, wtUpper: Long, required: StructType,
+    subsplitRecords: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"CellScan path=$path pkRange=[$pkLower,$pkUpper] " +
+      s"wtRange=[$wtLower,$wtUpper] " +
       s"cols=${required.fieldNames.mkString(",")}"
 
-  /** C2 split_gen + C8 pruning, all driver-side from file headers:
+  /** C2 split_gen + C8/C16 pruning, all driver-side from file headers:
     * 1. Summary range check — skip files whose [minPk,maxPk] misses
     *    the pushed pk range;
     * 2. Filter bloom check — for point lookups, skip files whose bloom
@@ -294,10 +317,12 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     *    not present, which min/max can't);
     * 3. Index narrowing — bound the candidate record range via the
     *    sparse index (pk-sorted data), rounded out to chunk bounds;
-    * 4. sub-splits — cut the surviving chunk range into ≈
+    * 4. Statistics zone maps — drop chunks whose [minWt,maxWt] misses
+    *    the pushed wt range (the incremental "written since T" path);
+    * 5. sub-splits — group the surviving chunks into ≈
     *    `subsplitRecords`-record pieces so one large file
-    *    parallelizes; every piece is a whole number of chunks, so
-    *    each task inflates only its own bytes.
+    *    parallelizes; each task inflates only its own chunks, seeking
+    *    over pruned gaps.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = Paths.get(path)
@@ -336,13 +361,15 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
         val startChunk = startRec / h.chunkRecords
         val endChunk = math.min(nChunks,
           (endRec + h.chunkRecords - 1) / h.chunkRecords)
+        val surviving = (startChunk until endChunk).filter { c =>
+          h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper
+        }
         val chunksPerSplit =
           math.max(1, subsplitRecords / math.max(1, h.chunkRecords))
-        Iterator.range(startChunk, endChunk, chunksPerSplit).map { c0 =>
-          val c1 = math.min(endChunk, c0 + chunksPerSplit)
+        surviving.grouped(chunksPerSplit).map { cs =>
           CellInputPartition(f, h.dataStart,
-            h.chunkOffsets.slice(c0, c1), h.chunkLens.slice(c0, c1),
-            h.chunkRecCounts.slice(c0, c1)): InputPartition
+            cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
+            cs.map(h.chunkRecCounts).toArray): InputPartition
         }.toSeq
       }
     }.toArray
@@ -352,8 +379,9 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     new CellReaderFactory(pkLower, pkUpper, required.fieldNames)
 }
 
-/** One sub-split: a contiguous run of compression chunks of `file`
-  * (data section begins at byte `dataStart`; per-chunk byte offsets,
+/** One sub-split: a set of compression chunks of `file` in offset
+  * order, possibly with gaps where zone maps pruned chunks (data
+  * section begins at byte `dataStart`; per-chunk byte offsets,
   * compressed lengths, and record counts from the chunk table).
   */
 case class CellInputPartition(file: String, dataStart: Long,
@@ -373,12 +401,7 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
     cols: Array[String]) extends PartitionReader[InternalRow] {
   private val in = new DataInputStream(
     Files.newInputStream(Paths.get(part.file)))
-  locally {
-    // Chunks of one sub-split are contiguous: one seek, then stream.
-    var toSkip = part.dataStart +
-      (if (part.chunkOffsets.nonEmpty) part.chunkOffsets(0) else 0L)
-    while (toSkip > 0) toSkip -= in.skip(toSkip)
-  }
+  private var pos = 0L // bytes consumed from file start
   private var chunkIdx = 0
   private var buf: ByteBuffer = ByteBuffer.allocate(0)
   private var remainingInChunk = 0
@@ -390,10 +413,15 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
 
   private def nextChunk(): Boolean = {
     if (chunkIdx >= part.chunkOffsets.length) return false
+    // Seek to this chunk's offset (zone-map pruning leaves gaps).
+    val target = part.dataStart + part.chunkOffsets(chunkIdx)
+    var toSkip = target - pos
+    while (toSkip > 0) { val sk = in.skip(toSkip); toSkip -= sk; pos += sk }
     val clen = part.chunkLens(chunkIdx)
     val nRecs = part.chunkRecCounts(chunkIdx)
     val compressed = new Array[Byte](clen)
     in.readFully(compressed)
+    pos += clen
     val inflater = new Inflater()
     inflater.setInput(compressed)
     val raw = new Array[Byte](nRecs * CellSource.RecordBytes)

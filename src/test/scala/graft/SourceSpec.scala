@@ -89,6 +89,25 @@ class SourceSpec extends GraftSpec {
     assert(ranged.count() == 1000)
   }
 
+  test("writetime zone maps prune chunks for incremental scans (C16)") {
+    val d = Files.createTempDirectory("cells-zonemap").toString
+    // wt grows with pk, so pk-sorted chunks have disjoint wt ranges.
+    val cells = (0L until 10000L).map(pk => (pk, 0, "qty", 1L, pk * 10))
+    CellSource.writeSnapshot(d, cells, files = 1, chunkRecords = 2500)
+    def read() = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+    assert(read().rdd.getNumPartitions == 4)
+    // Only the last chunk holds wt >= 75000 — 3 of 4 chunks pruned.
+    val recent = read().filter(col("wt") >= 75000L)
+    assert(recent.rdd.getNumPartitions == 1, "expected zone-map prune")
+    assert(recent.count() == 2500)
+    // Middle slice: only the two boundary-straddling chunks survive
+    // (chunk bounds: [0,24990] [25000,49990] [50000,74990] …).
+    val mid = read().filter(col("wt") >= 24990L && col("wt") < 50000L)
+    assert(mid.rdd.getNumPartitions == 2)
+    assert(mid.count() == 2501)
+  }
+
   test("compression chunks round-trip and shrink the file (Data.db+CompressionInfo)") {
     val d = Files.createTempDirectory("cells-compress").toString
     // Highly compressible: constant values.
