@@ -297,6 +297,46 @@ object Functions {
       |  array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted
       |FROM t ORDER BY p_partkey""".stripMargin
 
+  // F_MAP2 — map higher-order functions: transform_values, map_filter,
+  // map_zip_with (the MapType side of the HOF matrix). Results emitted
+  // as sorted k=v strings; the oracle reconstructs them directly
+  // (keys 'retail' < 'size' sort stably).
+  private def mapHof(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") % 40 === 0)
+      .withColumn("m", map(lit("retail"), col("p_retailprice"),
+        lit("size"), col("p_size").cast("double")))
+      .withColumn("m2", map(lit("retail"), lit(2.0), lit("size"), lit(3.0)))
+      .select(
+        col("p_partkey"),
+        expr("array_join(transform(array_sort(map_entries(" +
+          "transform_values(m, (k, v) -> round(v * 2, 2)))), " +
+          "e -> concat(e.key, '=', cast(e.value as string))), '|')")
+          .as("doubled"),
+        expr("array_join(transform(array_sort(map_entries(" +
+          "map_filter(m, (k, v) -> v > 20))), " +
+          "e -> concat(e.key, '=', cast(e.value as string))), '|')")
+          .as("big_only"),
+        expr("array_join(transform(array_sort(map_entries(" +
+          "map_zip_with(m, m2, (k, v1, v2) -> round(v1 * v2, 2)))), " +
+          "e -> concat(e.key, '=', cast(e.value as string))), '|')")
+          .as("zipped"))
+      .orderBy(col("p_partkey"))
+
+  private val mapHofSql =
+    """SELECT p_partkey,
+      |  'retail=' || CAST(ROUND(p_retailprice * 2, 2) AS VARCHAR) ||
+      |    '|size=' || CAST(ROUND(CAST(p_size AS DOUBLE) * 2, 2) AS VARCHAR)
+      |    AS doubled,
+      |  'retail=' || CAST(p_retailprice AS VARCHAR) ||
+      |    CASE WHEN p_size > 20
+      |      THEN '|size=' || CAST(CAST(p_size AS DOUBLE) AS VARCHAR)
+      |      ELSE '' END AS big_only,
+      |  'retail=' || CAST(ROUND(p_retailprice * 2.0, 2) AS VARCHAR) ||
+      |    '|size=' || CAST(ROUND(CAST(p_size AS DOUBLE) * 3.0, 2) AS VARCHAR)
+      |    AS zipped
+      |FROM part WHERE p_partkey % 40 = 0 ORDER BY p_partkey""".stripMargin
+
   // F_COND1 — if / nvl / nullif / isnull (CASE covered by Q_FILT2).
   private def condBasic(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -436,6 +476,7 @@ object Functions {
     GQuery("F_MATH1_scalar", mathScalar, Some(mathScalarSql)),
     GQuery("F_ARR1_basic", arrBasic, Some(arrBasicSql)),
     GQuery("F_ARR2_hof", arrHof, Some(arrHofSql)),
+    GQuery("F_MAP2_hof", mapHof, Some(mapHofSql)),
     GQuery("F_MAP1_basic", mapBasic, Some(mapBasicSql)),
     GQuery("F_COND1_basic", condBasic, Some(condBasicSql)),
     GQuery("F_HASH1_digest", hashDigest, Some(hashDigestSql)),
