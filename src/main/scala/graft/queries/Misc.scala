@@ -122,7 +122,40 @@ object Misc {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Q_TYPED1 — the typed Dataset[T] surface: case-class encoder,
+    * typed filter/map lambdas, groupByKey + mapGroups. Lambdas opt out
+    * of codegen (each is a deserialize→fn→serialize hop), so this is
+    * the API-completeness row, NOT the perf-path — the equivalent
+    * DataFrame form is what the rest of the inventory uses. Group
+    * values are sorted before summing for within-engine determinism.
+    */
+  private def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .as[(Long, Long, Double, String)]
+      .filter(o => o._4 == "1-URGENT")
+      .map(o => (o._2, o._3))
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val xs = it.map(_._2).toArray.sorted
+        (k, xs.length.toLong,
+          math.round(xs.sum * 100.0) / 100.0)
+      }
+      .toDF("o_custkey", "n_urgent", "sum_total")
+      .filter(col("n_urgent") >= 5)
+      .orderBy(col("o_custkey"))
+  }
+
+  private val typedPipelineSql =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent,
+      |  ROUND(SUM(o_totalprice), 2) AS sum_total
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("Q_TYPED1_dataset", typedPipeline, Some(typedPipelineSql)),
     GQuery("Q_SRC1_parquet_scan", parquetScan, Some(parquetScanSql)),
     GQuery("Q_SRC2_cache", cached, Some(cachedSql)),
     GQuery("Q_SRC3_csv_roundtrip", (s, d) => serdeScan(s, d, "csv"),

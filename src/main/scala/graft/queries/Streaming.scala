@@ -173,7 +173,40 @@ object Streaming {
       |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // S_WIN4 — NATIVE session_window in batch, cross-checked against an
+  // INDEPENDENT formulation: the oracle is gaps-and-islands with the
+  // native merge rule (new session when the gap is ≥ 30 min — native
+  // windows extend only while the next event is strictly inside
+  // last + gap). Two different algorithms agreeing is a much stronger
+  // check than mirroring one shape.
+  private def sessionNative(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start")).as("start_ts"),
+        col("n"))
+      .orderBy(col("user_id"), col("start_ts"))
+
+  private val sessionNativeSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |t AS (SELECT user_id, ts,
+      |  CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800
+      |    THEN 1 ELSE 0 END AS new_s FROM o),
+      |sess AS (SELECT user_id, ts, SUM(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM t)
+      |SELECT user_id, date_trunc('second', MIN(ts)) AS start_ts,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, start_ts""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("S_WIN4_session_native", sessionNative, Some(sessionNativeSql)),
     GQuery("S_JOIN1_interval_join", intervalJoin, Some(intervalJoinSql)),
     GQuery("S_WIN1_tumbling", tumbling, Some(tumblingSql)),
     GQuery("S_WIN2_sliding", sliding, Some(slidingSql)),
