@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: the driver's bench
+// harness JSON-parses stdout lines, and sbt's default logged output
+// strategy prefixes every line with "[info] ", which made the
+// `{"metric":"total",...}` line unparseable in rounds 1-2
+// (BENCH_r0{1,2}.json recorded parsed:null).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

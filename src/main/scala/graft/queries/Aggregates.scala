@@ -137,13 +137,21 @@ object Aggregates {
   // accuracy ≥ n the sketch stores every sample and the answer is the
   // exact order statistic — so the sketch path itself becomes
   // oracle-checkable (DuckDB quantile_disc) while still exercising the
-  // mergeable-summary aggregation plan the 100 TB case uses.
-  private def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_linestatus"))
-      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
+  // mergeable-summary aggregation plan the 100 TB case uses. The
+  // accuracy is DERIVED from the input count (not a fixed 1e6) so the
+  // exactness precondition holds at every scale factor — at a fixed
+  // accuracy the sketch would silently go approximate once per-group
+  // rows exceed it and the hash oracle would flake with scale. (In a
+  // real 100 TB job one uses a fixed accuracy and tolerates the bounded
+  // error; the derivation here exists for the exact-match gate.)
+  private def aggApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val acc = math.min(math.max(li.count(), 10000L), Int.MaxValue.toLong).toInt
+    li.groupBy(col("l_linestatus"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(acc))
         .as("p50_approx"))
       .orderBy(col("l_linestatus"))
+  }
 
   private val aggApproxPercentileSql =
     """SELECT l_linestatus, quantile_disc(l_quantity, 0.5) AS p50_approx

@@ -218,8 +218,12 @@ object Cells {
       col("ck").cast("string")))
     CM.lwwMergeOn(CM.stringCells(s, d), "sval")
       .filter(col("pk") % 25 === 0)
+      // decimal decode emitted as integer CENTS: a DECIMAL(12,2) column
+      // hashes as Decimal objects from Spark but float64 from DuckDB's
+      // pandas conversion (r02's one mismatch) — integer-scale instead,
+      // same pattern as N_SIM3/C12.
       .select(col("pk"), col("ck"), col("sval").as("flag"),
-        round(col("dval"), 2).cast("decimal(12,2)").as("dec"),
+        round(col("dval") * 100).cast("long").as("dec_cents"),
         concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
           substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
           substring(h, 21, 12)).as("uid"))
@@ -228,7 +232,7 @@ object Cells {
 
   private val typedDecodeSql = cte +
     """SELECT pk, ck, sval AS flag,
-      |  CAST(ROUND(dval, 2) AS DECIMAL(12,2)) AS dec,
+      |  CAST(ROUND(dval * 100) AS BIGINT) AS dec_cents,
       |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
       |    substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
       |    substr(h, 21, 12) AS uid

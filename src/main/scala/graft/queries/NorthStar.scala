@@ -49,7 +49,7 @@ object NorthStar {
       |  SELECT doc_id, list_transform(range(0, 8), i ->
       |    list_min(list_transform(shingles, s2 ->
       |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  FROM sh),
+      |  FROM sh WHERE len(shingles) > 0),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||
@@ -114,7 +114,10 @@ object NorthStar {
       |  SELECT doc_id, list_transform(range(0, 8), i ->
       |    list_min(list_transform(shingles, s2 ->
       |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  FROM shl),
+      |  -- docs with no shingles are dropped, mirroring the Spark
+      |  -- pipeline (explode emits no rows) — without this, all-NULL
+      |  -- signatures band to md5('') and pair every short doc
+      |  FROM shl WHERE len(shingles) > 0),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||
@@ -163,7 +166,10 @@ object NorthStar {
       |  SELECT doc_id, list_transform(range(0, 8), i ->
       |    list_min(list_transform(shingles, s2 ->
       |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  FROM shl),
+      |  -- docs with no shingles are dropped, mirroring the Spark
+      |  -- pipeline (explode emits no rows) — without this, all-NULL
+      |  -- signatures band to md5('') and pair every short doc
+      |  FROM shl WHERE len(shingles) > 0),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||

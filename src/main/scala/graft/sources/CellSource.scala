@@ -187,7 +187,12 @@ object CellSource {
         }
         val deflater = new Deflater()
         deflater.setInput(raw.array()); deflater.finish()
-        val buf = new Array[Byte](raw.capacity() + 64)
+        // Worst-case deflate output on incompressible input is ~5 bytes
+        // per 16 KiB stored block plus a small header — a flat +64 slack
+        // would underflow once the chunk passes ~200 KiB and the
+        // deflate() loop would spin forever returning 0 into a full
+        // buffer. zlib's own deflateBound-style margin:
+        val buf = new Array[Byte](raw.capacity() + raw.capacity() / 1000 + 64)
         var clen = 0
         while (!deflater.finished())
           clen += deflater.deflate(buf, clen, buf.length - clen)
