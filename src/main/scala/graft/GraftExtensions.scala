@@ -18,10 +18,15 @@ import graft.functions.CosineSim
   * live session's registry (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // (c)-tier extension points: a whole custom operator (logical node
+    // + strategy + two-phase physical plan) and an optimizer rewrite.
+    ext.injectPlannerStrategy(s => new graft.plans.TopKStrategy(s))
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+  }
 }
 
 object GraftExtensions {
@@ -32,10 +37,23 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
 
-  /** Install graft functions into an already-running session. */
-  def register(spark: SparkSession): Unit =
+  /** Install graft functions, the custom-operator strategy, and the
+    * optimizer rule into an already-running session (idempotent) — the
+    * programmatic twin of booting with
+    * `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def register(spark: SparkSession): Unit = {
     injected.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKStrategy]))
+      exp.extraStrategies =
+        exp.extraStrategies :+ new graft.plans.TopKStrategy(spark)
+    if (!exp.extraOptimizations.contains(graft.plans.LevenshteinLengthGuard))
+      exp.extraOptimizations =
+        exp.extraOptimizations :+ graft.plans.LevenshteinLengthGuard
+  }
 }

@@ -432,6 +432,30 @@ object Relational {
       |  FROM customer
       |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin
 
+  // Q_TOPK3 — per-group top-k through the CUSTOM whole-plan operator
+  // (graft.plans.TopKPerKey: logical node + injected strategy +
+  // two-phase partial/final exec). Same result contract as Q_TOPK2's
+  // window formulation, but the pre-shuffle phase prunes every
+  // partition to ≤ k rows per key, so the exchange carries k·|keys|
+  // rows per partition instead of the whole table — the shape that
+  // matters at 100 TB (see the node's scaladoc).
+  private def topKCustom(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.perKey(
+      Tables.customer(s, d).select(col("c_mktsegment"), col("c_custkey"),
+        col("c_acctbal").as("acctbal")),
+      keys = Seq("c_mktsegment"),
+      orderBy = Seq(("acctbal", false), ("c_custkey", true)),
+      k = 3)
+      .orderBy(col("c_mktsegment"), col("acctbal").desc, col("c_custkey"))
+
+  private val topKCustomSql =
+    """SELECT c_mktsegment, c_custkey, acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal AS acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer) WHERE rk <= 3
+      |ORDER BY c_mktsegment, acctbal DESC, c_custkey""".stripMargin
+
   private def urgent(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
@@ -533,6 +557,7 @@ object Relational {
     GQuery("Q_LIM1_limit", limitK, Some(limitKSql)),
     GQuery("Q_TOPK1_global", topK, Some(topKSql)),
     GQuery("Q_TOPK2_per_group", topKPerGroup, Some(topKPerGroupSql)),
+    GQuery("Q_TOPK3_custom", topKCustom, Some(topKCustomSql)),
     GQuery("Q_SET1_union_all", unionAll, Some(unionAllSql)),
     GQuery("Q_SET2_union_distinct", unionDistinct, Some(unionDistinctSql)),
     GQuery("Q_SET3_intersect", intersectQ, Some(intersectSql)),
