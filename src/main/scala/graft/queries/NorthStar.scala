@@ -356,6 +356,70 @@ object NorthStar {
       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin
 
+  // N_SKETCH1 — count-min sketch heavy hitters. The sketch is built
+  // RELATIONALLY: explode each (token, count) into d=4 hash rows,
+  // bucket by two md5 hex nibbles (w=256), partial-sum per (row,
+  // bucket) — i.e. the CMS merge IS Spark's partial aggregation, so
+  // the sketch is mergeable across 100 TB of partitions by
+  // construction, and its size is a constant d×w = 1024 cells no
+  // matter the corpus. Estimates (min over rows of the bucket sum)
+  // are then probed for the top-10 exact heavy hitters. Every hash is
+  // md5-derived → the whole sketch, estimates included, is
+  // bit-reproducible in DuckDB: the estimate VALUES are
+  // oracle-checked, not just invariants (est_ge_exact is the CMS
+  // guarantee and is also emitted).
+  private val cmsBucket =
+    "(instr('0123456789abcdef', substr(md5(concat(cast(r as string), " +
+      "':', tok)), 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(concat(cast(r as string), " +
+      "':', tok)), 2, 1)) - 1)"
+
+  private def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val hashed = counts
+      .select(col("tok"), col("cnt"),
+        explode(sequence(lit(0), lit(3))).as("r"))
+      .withColumn("bucket", expr(cmsBucket))
+    val sketch = hashed.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("bsum"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(10)
+    top.join(hashed.select(col("tok"), col("r"), col("bucket")), "tok")
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("bsum")).as("cms_est"))
+      .select(col("tok"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).as("est_ge_exact"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private val cmsHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      |bk AS (
+      |  SELECT c.tok, c.cnt, rs.r,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(rs.r AS VARCHAR) || ':' || c.tok), 1, 1)) - 1)
+      |      * 16 +
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(rs.r AS VARCHAR) || ':' || c.tok), 2, 1)) - 1)
+      |    AS bucket
+      |  FROM counts c CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rs),
+      |sketch AS (
+      |  SELECT r, bucket, CAST(SUM(cnt) AS BIGINT) AS bsum
+      |  FROM bk GROUP BY r, bucket),
+      |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 10)
+      |SELECT t.tok AS tok, t.cnt AS exact_cnt, MIN(s.bsum) AS cms_est,
+      |  MIN(s.bsum) >= t.cnt AS est_ge_exact
+      |FROM top t
+      |JOIN bk b ON b.tok = t.tok
+      |JOIN sketch s ON s.r = b.r AND s.bucket = b.bucket
+      |GROUP BY t.tok, t.cnt
+      |ORDER BY exact_cnt DESC, t.tok""".stripMargin
+
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
@@ -710,6 +774,7 @@ object NorthStar {
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
+    GQuery("N_SKETCH1_cms", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),
     GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),
