@@ -420,6 +420,62 @@ object NorthStar {
       |GROUP BY t.tok, t.cnt
       |ORDER BY exact_cnt DESC, t.tok""".stripMargin
 
+  // N_TEXT8 — collocation mining: top-20 bigrams by frequency, scored
+  // with pointwise mutual information ln(P(ab) / (P(a)·P(b))) — the
+  // standard phrase-extraction signal for tokenizer/vocab building.
+  // Shape: two counting aggregations (unigram, bigram — both
+  // map-side-combined), a tiny broadcast totals row, and joins only on
+  // the 20 surviving bigrams; nothing pairwise, nothing driver-side.
+  private def textBigramPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .repartition(col("doc_id")) // barrier: tokenize once per doc
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bg = toks.select(explode(TextOps.shingles("t", 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val tot = uni.agg(sum(col("cw")).cast("double").as("tu"))
+      .crossJoin(bg.agg(sum(col("cbg")).cast("double").as("tb")))
+    bg.orderBy(col("cbg").desc, col("bg")).limit(20)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("cbg"),
+        round(log((col("cbg").cast("double") / col("tb")) /
+          ((col("c1").cast("double") / col("tu")) *
+            (col("c2").cast("double") / col("tu")))), 4).as("pmi"))
+      .orderBy(col("cbg").desc, col("bg"))
+  }
+
+  private val textBigramPmiSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uc AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |bgc AS (
+      |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg FROM (
+      |    SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(t) - 1),
+      |        i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')) END)
+      |      AS bg
+      |    FROM toks) GROUP BY bg),
+      |tot AS (SELECT
+      |  (SELECT CAST(SUM(cw) AS DOUBLE) FROM uc) AS tu,
+      |  (SELECT CAST(SUM(cbg) AS DOUBLE) FROM bgc) AS tb),
+      |top AS (SELECT bg, cbg FROM bgc ORDER BY cbg DESC, bg LIMIT 20)
+      |SELECT t.bg AS bg, t.cbg AS cbg,
+      |  ROUND(LN((CAST(t.cbg AS DOUBLE) / tot.tb) /
+      |    ((CAST(u1.cw AS DOUBLE) / tot.tu) *
+      |     (CAST(u2.cw AS DOUBLE) / tot.tu))), 4) AS pmi
+      |FROM top t
+      |JOIN uc u1 ON u1.w = string_split(t.bg, ' ')[1]
+      |JOIN uc u2 ON u2.w = string_split(t.bg, ' ')[2]
+      |CROSS JOIN tot
+      |ORDER BY cbg DESC, bg""".stripMargin
+
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
@@ -777,6 +833,7 @@ object NorthStar {
     GQuery("N_SKETCH1_cms", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),
+    GQuery("N_TEXT8_bigram_pmi", textBigramPmi, Some(textBigramPmiSql)),
     GQuery("N_TEXT3_docstats", textDocStats, Some(textDocStatsSql)),
     GQuery("N_TEXT4_langid", textLangId, Some(textLangIdSql)),
     GQuery("N_TEXT5_quality_fingerprint", textQuality, Some(textQualitySql)),

@@ -62,6 +62,28 @@ object StreamingOps {
       "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
   }
 
+  /** S_SINK1 — idempotent foreachBatch upsert into a partitioned
+    * parquet store. Each micro-batch's updated (event_type, totals)
+    * rows overwrite ONLY the key partitions they touch
+    * (`partitionOverwriteMode=dynamic`), so a replayed micro-batch
+    * (post-failure re-trigger — Spark's at-least-once sink contract)
+    * deterministically rewrites the same partitions instead of
+    * double-counting: the standard exactly-once recipe for
+    * non-transactional stores, with no side registry of batch ids.
+    */
+  def upsertBatch(batch: DataFrame, dir: String): Unit =
+    batch.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type")
+      .parquet(dir)
+
+  /** The per-type running aggregate whose update-mode stream feeds
+    * [[upsertBatch]] through foreachBatch.
+    */
+  def typeTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
   /** S_STATE3 twin, modern API — the same per-user running totals as a

@@ -167,4 +167,28 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("StringContains(p_name,red)"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB a selectively-filtered dim beside a shuffle join should
+    // push a bloom filter of its join keys into the fact scan — rows
+    // that can't match die before the exchange. Thresholds tuned so
+    // the InjectRuntimeFilter conditions hold on test-sized data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      val ord = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
