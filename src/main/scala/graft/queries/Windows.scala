@@ -182,8 +182,41 @@ object Windows {
       |FROM orders WHERE o_custkey % 50 = 0
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // Q_WIN10 — IGNORE NULLS navigation: last non-null preceding value
+  // (lag) and last non-null in the running frame (last_value) — the
+  // gap-filling / forward-fill idiom over sparse measurements.
+  private def winIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") % 50 === 0)
+      .withColumn("urgent_price",
+        when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("urgent_price"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_urgent"),
+        last(col("urgent_price"), ignoreNulls = true).over(wf)
+          .as("fill_urgent"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val winIgnoreNullsSql =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(urgent_price IGNORE NULLS) OVER w AS prev_urgent,
+      |  last_value(urgent_price IGNORE NULLS) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS fill_urgent
+      |FROM (SELECT *, CASE WHEN o_orderpriority = '1-URGENT'
+      |        THEN o_totalprice END AS urgent_price
+      |      FROM orders WHERE o_custkey % 50 = 0)
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("Q_WIN9_cume_dist", winCumeDist, Some(winCumeDistSql)),
+    GQuery("Q_WIN10_ignore_nulls", winIgnoreNulls, Some(winIgnoreNullsSql)),
     GQuery("Q_WIN1_ranks", winRank, Some(winRankSql)),
     GQuery("Q_WIN2_ntile_pctrank", winNtile, Some(winNtileSql)),
     GQuery("Q_WIN3_lead_lag", winLeadLag, Some(winLeadLagSql)),
