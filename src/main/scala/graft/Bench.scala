@@ -74,10 +74,18 @@ object Bench {
     val p1 = ordered.map { case (name, fn) => name -> time(fn) }
     val p1Total = p1.map(_._2).sum
     val retryThreshold = 2.0
-    val results = p1.map { case (name, t) =>
-      if (t <= retryThreshold) name -> t
-      else name -> math.min(t, time(SparkEntry.queries(name)))
+    // Up to TWO retry sweeps, each a full pass over the still-slow
+    // set: a stall window long enough to cover pass 1 AND both retry
+    // sweeps (separated by all other retries) would have to span the
+    // whole bench. Keep the per-query minimum across passes.
+    val afterRetries = (1 to 2).foldLeft(p1) { case (acc, _) =>
+      if (!acc.exists(_._2 > retryThreshold)) acc
+      else acc.map { case (name, t) =>
+        if (t <= retryThreshold) name -> t
+        else name -> math.min(t, time(SparkEntry.queries(name)))
+      }
     }
+    val results = afterRetries
     def r3(v: Double): String = f"$v%.3f"
     // Per-query detail on its own line (informational; may be long)...
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }

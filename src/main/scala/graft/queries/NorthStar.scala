@@ -817,7 +817,114 @@ object NorthStar {
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY doc_id, shingle""".stripMargin
 
+  // N_SAMP2 — deterministic stratified sampling: a fixed-size per-language
+  // sample selected by hash order (md5 of the id), so every engine and
+  // every rerun picks the same rows — the reproducible train/eval-split
+  // primitive. One shuffle on the stratum key; the window prunes to n
+  // rows per stratum before anything downstream runs.
+  private def sampStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, d)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val sampStratifiedSql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // N_PACK1 — token-budget shard packing: assign docs to fixed-budget
+  // training shards by running token count in a stable order. shard =
+  // floor(tokens_before_this_doc / budget): pure window arithmetic, no
+  // driver loop; per-lang ordering keys the single shuffle.
+  private def packTokenShards(s: SparkSession, d: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("shard", floor((col("cum") - col("ntok")) / budget))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("shard_tokens"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  private val packTokenShardsSql =
+    """WITH t AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS ntok
+      |  FROM documents
+      |), c AS (
+      |  SELECT lang, ntok,
+      |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT lang, (cum - ntok) // 2000 AS shard,
+      |  count(*) AS n_docs, sum(ntok) AS shard_tokens
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY lang, shard""".stripMargin
+
+  // N_TEXT9 — winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+  // local fingerprinting): hash every 3-gram shingle, keep the minimum
+  // hash of each sliding 4-window of positions — a guaranteed-coverage
+  // document fingerprint set that two near-identical docs share. All
+  // map-side except one per-doc window; fingerprint count + extremes
+  // keep the declared output scalar.
+  private def textWinnow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, 0)
+    docs(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles("toks")).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("sh")), 1, 12).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= 3)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textWinnowSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(shl, 1) - 1 AS INTEGER) AS pos,
+      |    substr(md5(unnest(shl)), 1, 12) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(string_split(text, ' ')) < 3
+      |        THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+      |        i -> array_to_string(list_slice(string_split(text, ' '),
+      |             i + 1, i + 3), ' ')) END AS shl
+      |    FROM documents WHERE doc_id % 5 = 0)
+      |), fp AS (
+      |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM sh)
+      |SELECT doc_id, count(DISTINCT fp) AS n_fp,
+      |  min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM fp WHERE pos >= 3
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("N_SAMP2_stratified", sampStratified, Some(sampStratifiedSql)),
+    GQuery("N_PACK1_token_shards", packTokenShards, Some(packTokenShardsSql)),
+    GQuery("N_TEXT9_winnow", textWinnow, Some(textWinnowSql)),
     GQuery("N_DEDUP1_exact", dedupExact, Some(dedupExactSql)),
     GQuery("N_DEDUP2_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     GQuery("N_DEDUP3_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -345,6 +345,42 @@ object Relational {
       | AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // Q_JOIN15 — binned range join: clicks within 5 min before a purchase
+  // by ANY user — no equi key exists, so the scalable plan is the
+  // time-binning rewrite (graft.operators.RangeJoin): equi-join on a
+  // 5-min bin both sides shuffle-partition by, exact filter after.
+  // PlanSpec asserts the plan has no nested-loop/cartesian join.
+  private def joinBinnedRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"),
+      (col("ts") - expr("INTERVAL 5 MINUTE")).as("lo"), col("ts").as("hi"))
+    val clicks = ev.filter(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("ts").as("c_ts"),
+      col("value").as("c_val"))
+    val pairs = graft.operators.RangeJoin.binned(
+      clicks, col("c_ts"), purchases, col("lo"), col("hi"), width = 300L)
+    val perPurchase = pairs.groupBy(col("purchase_id")).agg(
+      count(lit(1)).as("n_clicks"),
+      round(sum(col("c_val")), 2).as("click_value"))
+    purchases.select(col("purchase_id"))
+      .join(perPurchase, Seq("purchase_id"), "left")
+      .select(col("purchase_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val joinBinnedRangeSql =
+    """SELECT p.event_id AS purchase_id,
+      |  count(c.event_id) AS n_clicks,
+      |  COALESCE(round(sum(c.value), 2), 0) AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+      |GROUP BY 1
+      |ORDER BY purchase_id""".stripMargin
+
   // Q_JOIN11 — as-of join: latest click at-or-before each purchase per
   // user (range join + row_number, the window-SQL portable form).
   private def joinAsOf(s: SparkSession, d: String): DataFrame = {
@@ -552,6 +588,7 @@ object Relational {
     GQuery("Q_JOIN9_star_top10", joinStar, Some(joinStarSql)),
     GQuery("Q_JOIN14_profit", joinProfit, Some(joinProfitSql)),
     GQuery("Q_JOIN10_range", joinRange, Some(joinRangeSql)),
+    GQuery("Q_JOIN15_binned_range", joinBinnedRange, Some(joinBinnedRangeSql)),
     GQuery("Q_JOIN11_asof", joinAsOf, Some(joinAsOfSql)),
     GQuery("Q_SORT1_multikey", sortMultiKey, Some(sortMultiKeySql)),
     GQuery("Q_LIM1_limit", limitK, Some(limitKSql)),

@@ -191,4 +191,13 @@ class PlanSpec extends GraftSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("Q_JOIN15 binned range join plans an equi join, not a nested loop") {
+    val p = plan(Registry.byName("Q_JOIN15_binned_range").fn(spark, sf()))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the bin is a real equi key: a hash-partitionable join both sides
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }
