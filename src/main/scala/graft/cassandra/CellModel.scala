@@ -226,6 +226,39 @@ object CellModel {
       .select(col("pk"), lit(2).as("ck_lo"), lit(4).as("ck_hi"),
         col("rdts"))
 
+  /** Tombstone GC grace (gc_grace_seconds analogue): 10 days in ms.
+    * A tombstone older than (compaction time - grace) has been
+    * delivered to every replica and can be purged from the compacted
+    * output; a younger one must be carried forward.
+    */
+  val GcGraceMs: Long = 10L * 86400000L
+
+  /** C17 — compaction: the live data cells a major compaction at time
+    * `t` writes out — newest version per cell, tombstone-shadowed and
+    * TTL-expired cells dropped. The full read-path chain as ONE
+    * operator; every stage is keyed on pk or (pk, ck, col), so the
+    * whole chain is one shuffle partitioning reused across stages.
+    */
+  def compactLive(cells: DataFrame, cellDel: DataFrame,
+      partDel: DataFrame, rangeDel: DataFrame,
+      t: Long = QueryTimeMs): DataFrame =
+    ttlFilter(rangeTombstoneFilter(
+      tombstoneFilter(lwwMerge(cells), cellDel, partDel), rangeDel), t)
+
+  /** C17 — tombstone GC decision: every deletion marker labeled purged
+    * (older than t - grace: droppable, all replicas have seen it) or
+    * retained (must be rewritten into the compacted SSTable).
+    */
+  def tombstoneGc(cellDel: DataFrame, partDel: DataFrame,
+      rangeDel: DataFrame, t: Long = QueryTimeMs,
+      graceMs: Long = GcGraceMs): DataFrame = {
+    val cutoff = t - graceMs
+    val ts = cellDel.select(col("pk"), col("dts").as("ts"))
+      .union(partDel.select(col("pk"), col("pdts").as("ts")))
+      .union(rangeDel.select(col("pk"), col("rdts").as("ts")))
+    ts.withColumn("purged", col("ts") < cutoff)
+  }
+
   /** C5b — apply clustering-range tombstones: drop any cell inside a
     * deleted (pk, [ck_lo, ck_hi]) clustering range whose deletion-ts
     * covers its writetime. Left-anti join keyed on pk — shuffle-local,

@@ -281,7 +281,66 @@ object Cells {
       |FROM cells WHERE wt >= 867715200000
       |GROUP BY col ORDER BY col""".stripMargin
 
+  // C17 — compaction: what a major compaction at QueryTimeMs writes
+  // out, summarized per pk-decile: live cells surviving the full
+  // reconciliation chain (LWW → cell/partition/range tombstones → TTL)
+  // plus the tombstone GC split (purged past gc_grace vs retained).
+  private def compaction(s: SparkSession, d: String): DataFrame = {
+    val live = CM.compactLive(CM.cells(s, d), CM.cellDeletions(s, d),
+      CM.partitionDeletions(s, d), CM.rangeDeletions(s, d))
+    val liveStats = live.groupBy((col("pk") % 10).as("g"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_live"))
+    val tsStats = CM.tombstoneGc(CM.cellDeletions(s, d),
+        CM.partitionDeletions(s, d), CM.rangeDeletions(s, d))
+      .groupBy((col("pk") % 10).as("g"))
+      .agg(sum(when(col("purged"), 1L).otherwise(0L)).as("n_ts_purged"),
+        sum(when(!col("purged"), 1L).otherwise(0L)).as("n_ts_retained"))
+    liveStats.join(tsStats, Seq("g"), "full")
+      .select(col("g"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("sum_live"), lit(0L)).as("sum_live"),
+        coalesce(col("n_ts_purged"), lit(0L)).as("n_ts_purged"),
+        coalesce(col("n_ts_retained"), lit(0L)).as("n_ts_retained"))
+      .orderBy(col("g"))
+  }
+
+  private val compactionSql = cte +
+    s""", live AS (
+       |  SELECT m.* FROM merged m
+       |  WHERE NOT EXISTS (SELECT 1 FROM cell_del c
+       |      WHERE c.pk = m.pk AND c.ck = m.ck AND c.col = m.col
+       |        AND c.dts >= m.wt)
+       |    AND NOT EXISTS (SELECT 1 FROM part_del p
+       |      WHERE p.pk = m.pk AND p.pdts >= m.wt)
+       |    AND NOT EXISTS (SELECT 1 FROM range_del r
+       |      WHERE r.pk = m.pk AND m.ck BETWEEN r.ck_lo AND r.ck_hi
+       |        AND r.rdts >= m.wt)
+       |    AND NOT (m.pk % 11 = 0 AND m.wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
+       |), all_ts AS (
+       |  SELECT pk, dts AS ts FROM cell_del
+       |  UNION ALL SELECT pk, pdts FROM part_del
+       |  UNION ALL SELECT pk, rdts FROM range_del
+       |), ls AS (
+       |  SELECT pk % 10 AS g, CAST(count(*) AS BIGINT) AS n_live,
+       |    CAST(sum(value) AS BIGINT) AS sum_live
+       |  FROM live GROUP BY 1
+       |), ts AS (
+       |  SELECT pk % 10 AS g,
+       |    CAST(sum(CASE WHEN ts < ${CM.QueryTimeMs - CM.GcGraceMs}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_purged,
+       |    CAST(sum(CASE WHEN ts >= ${CM.QueryTimeMs - CM.GcGraceMs}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_retained
+       |  FROM all_ts GROUP BY 1)
+       |SELECT COALESCE(ls.g, ts.g) AS g,
+       |  COALESCE(n_live, 0) AS n_live,
+       |  COALESCE(sum_live, 0) AS sum_live,
+       |  COALESCE(n_ts_purged, 0) AS n_ts_purged,
+       |  COALESCE(n_ts_retained, 0) AS n_ts_retained
+       |FROM ls FULL JOIN ts ON ls.g = ts.g
+       |ORDER BY g""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C17_compaction", compaction, Some(compactionSql)),
     GQuery("C1_sstable_scan", scan, Some(scanSql)),
     GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),
     GQuery("C4_lww_merge", lww, Some(lwwSql)),

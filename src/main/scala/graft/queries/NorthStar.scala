@@ -817,6 +817,60 @@ object NorthStar {
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY doc_id, shingle""".stripMargin
 
+  // N_SIM6 — random-hyperplane LSH ANN: the vector twin of MinHash
+  // banding (Similarity.hyperplaneBuckets — md5-derived ±1 planes, sign
+  // bits, 2 bands × 8 rows). Candidates are same-(band,bucket) pairs —
+  // never all pairs — then exact cosine verifies. Complements IVF
+  // (N_SIM4): LSH needs no codebook/training pass.
+  private def simHyperplane(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    val bucketed = Similarity.hyperplaneBuckets(e, "vec")
+    val a = bucketed.select(col("vec_id").as("id_a"), col("band"),
+      col("bucket"))
+    val b = bucketed.select(col("vec_id").as("id_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    val cand = a.join(b, col("band") === col("band_b") &&
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("vec").as("va"))
+    val eb = e.select(col("vec_id").as("id_b"), col("vec").as("vb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (round(Similarity.cosineNative(e, "va", "vb"), 4) + lit(0.0))
+          .as("score_r"))
+      .filter(col("score_r") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simHyperplaneSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, h.range AS h,
+       |    list_dot_product(v, list_transform(range(0, 64), d ->
+       |      CASE WHEN substr(md5(h.range || ':' || d), 1, 1) >= '8'
+       |        THEN 1.0 ELSE -1.0 END)) AS s
+       |  FROM e, range(0, 16) h),
+       |sigs AS (
+       |  SELECT vec_id, h // 8 AS band,
+       |    CAST(sum(CASE WHEN s >= 0 THEN (1 << (h % 8))
+       |      ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, score_r FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    ROUND(${cosSql("ea.v", "eb.v")}, 4) + 0.0 AS score_r
+       |  FROM cand c
+       |  JOIN e ea ON c.id_a = ea.vec_id
+       |  JOIN e eb ON c.id_b = eb.vec_id)
+       |WHERE score_r >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
   // N_SAMP2 — deterministic stratified sampling: a fixed-size per-language
   // sample selected by hash order (md5 of the id), so every engine and
   // every rerun picks the same rows — the reproducible train/eval-split
@@ -922,6 +976,7 @@ object NorthStar {
       |ORDER BY doc_id""".stripMargin
 
   def all: Seq[GQuery] = Seq(
+    GQuery("N_SIM6_hyperplane_lsh", simHyperplane, Some(simHyperplaneSql)),
     GQuery("N_SAMP2_stratified", sampStratified, Some(sampStratifiedSql)),
     GQuery("N_PACK1_token_shards", packTokenShards, Some(packTokenShardsSql)),
     GQuery("N_TEXT9_winnow", textWinnow, Some(textWinnowSql)),

@@ -194,4 +194,43 @@ object Similarity {
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
         .as("centroid"))
+
+  /** Random-hyperplane LSH bucketing (angular-distance banding — the
+    * vector twin of MinHash banding). Plane (h, d) weights are ±1
+    * derived from md5, so every engine and every run draws the same
+    * "random" planes; bit h of a band's bucket is the sign of the
+    * vector's dot product with plane h. Two near-parallel vectors
+    * agree on each bit with probability 1 - θ/π; banding (OR across
+    * bands of AND-ed bits) gives the usual LSH S-curve. Map-only per
+    * row — the only shuffle is the bucket self-join that follows.
+    *
+    * Returns (all input columns, band, bucket) with one row per band.
+    */
+  def hyperplaneBuckets(embeddings: DataFrame, vecCol: String,
+      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+    val bucketOf = (b: Int) => {
+      val planes = (0 until rowsPerBand).map { j =>
+        val h = b * rowsPerBand + j
+        // sign bit: first md5 hex digit of "h:d" ≥ '8' → +1 else -1
+        s"""CASE WHEN aggregate(sequence(0, size($vecCol) - 1),
+           |  cast(0.0 as double), (s, d) -> s + element_at($vecCol, d + 1) *
+           |    CASE WHEN substring(md5(concat('$h', ':',
+           |      cast(d as string))), 1, 1) >= '8'
+           |    THEN cast(1.0 as double) ELSE cast(-1.0 as double) END)
+           |  >= cast(0.0 as double)
+           |THEN ${1L << j}L ELSE 0L END""".stripMargin
+      }
+      expr(planes.mkString("(", " + ", ")"))
+    }
+    val withBands = (0 until bands).foldLeft(embeddings) { (df, b) =>
+      df.withColumn(s"__bucket_$b", bucketOf(b))
+    }
+    withBands
+      .withColumn("band",
+        explode(expr(s"sequence(0, ${bands - 1})")))
+      .withColumn("bucket",
+        expr((0 until bands).map(b => s"WHEN band = $b THEN __bucket_$b")
+          .mkString("CASE ", " ", " END")))
+      .drop((0 until bands).map(b => s"__bucket_$b"): _*)
+  }
 }
