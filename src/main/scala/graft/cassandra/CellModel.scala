@@ -259,6 +259,18 @@ object CellModel {
     ts.withColumn("purged", col("ts") < cutoff)
   }
 
+  /** C18 — secondary-index relation (Cassandra 2i analogue): the
+    * inverted (value → key) mapping for one column, built from the
+    * RECONCILED cells so the index never returns shadowed versions.
+    * At scale this is a pre-materialized relation partitioned by
+    * indexed value — an equality lookup touches one value-partition
+    * and semi-joins back to the primary relation on (pk, ck) instead
+    * of scanning it.
+    */
+  def secondaryIndex(merged: DataFrame, column: String): DataFrame =
+    merged.filter(col("col") === column)
+      .select(col("value").as("ival"), col("pk"), col("ck"))
+
   /** C5b — apply clustering-range tombstones: drop any cell inside a
     * deleted (pk, [ck_lo, ck_hi]) clustering range whose deletion-ts
     * covers its writetime. Left-anti join keyed on pk — shuffle-local,

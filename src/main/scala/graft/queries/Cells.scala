@@ -339,7 +339,31 @@ object Cells {
        |FROM ls FULL JOIN ts ON ls.g = ts.g
        |ORDER BY g""".stripMargin
 
+  // C18 — secondary-index lookup: answer an equality predicate on a
+  // VALUE (qty = 2500) through the inverted index + (pk, ck) semi-join
+  // back to the wide view, never scanning the primary relation for the
+  // predicate. Index hits and direct-filter rows must agree — which is
+  // exactly what the oracle checks.
+  private def secondaryIdx(s: SparkSession, d: String): DataFrame = {
+    val merged = CM.lwwMerge(CM.cells(s, d))
+    val hits = CM.secondaryIndex(merged, "qty")
+      .filter(col("ival") === 2500)
+      .select(col("pk"), col("ck"))
+    CM.wideView(merged).join(hits, Seq("pk", "ck"), "left_semi")
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val secondaryIdxSql = cte +
+    """SELECT pk, ck,
+      |  CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT) AS qty,
+      |  CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT) AS price
+      |FROM merged
+      |GROUP BY pk, ck
+      |HAVING max(CASE WHEN col = 'qty' THEN value END) = 2500
+      |ORDER BY pk, ck""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C18_secondary_index", secondaryIdx, Some(secondaryIdxSql)),
     GQuery("C17_compaction", compaction, Some(compactionSql)),
     GQuery("C1_sstable_scan", scan, Some(scanSql)),
     GQuery("C3_cell_deserialize", deserialize, Some(deserializeSql)),

@@ -105,6 +105,11 @@ object Misc {
           case "csv" => w.option("header", "true").csv(dir.toString)
           case "json" => w.json(dir.toString)
           case "orc" => w.orc(dir.toString)
+          // era text table (LazySimpleSerDe): delimited lines, parsed
+          // back field-by-field on read
+          case "text" => src.select(concat_ws("|", col("n_nationkey"),
+              col("n_name"), col("n_regionkey")).as("value"))
+            .coalesce(1).write.mode("overwrite").text(dir.toString)
         }
       }
     }
@@ -113,6 +118,11 @@ object Misc {
       case "csv" => r.option("header", "true").csv(dir.toString)
       case "json" => r.json(dir.toString)
       case "orc" => r.orc(dir.toString)
+      case "text" => s.read.text(dir.toString)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(element_at(col("f"), 1).cast("int").as("n_nationkey"),
+          element_at(col("f"), 2).as("n_name"),
+          element_at(col("f"), 3).cast("int").as("n_regionkey"))
     }
     back.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .orderBy(col("n_nationkey"))
@@ -158,6 +168,8 @@ object Misc {
     GQuery("Q_TYPED1_dataset", typedPipeline, Some(typedPipelineSql)),
     GQuery("Q_SRC1_parquet_scan", parquetScan, Some(parquetScanSql)),
     GQuery("Q_SRC2_cache", cached, Some(cachedSql)),
+    GQuery("Q_SRC7_text_roundtrip", (s, d) => serdeScan(s, d, "text"),
+      Some(serdeSql)),
     GQuery("Q_SRC3_csv_roundtrip", (s, d) => serdeScan(s, d, "csv"),
       Some(serdeSql)),
     GQuery("Q_SRC4_json_roundtrip", (s, d) => serdeScan(s, d, "json"),
