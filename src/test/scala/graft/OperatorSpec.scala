@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cassandra.{CellModel => CM}
+import graft.operators.RangeJoin
+import graft.sim.Similarity
+
+/** Properties of the round-3 operators: binned range join parity with
+  * the naive non-equi form, compaction tombstone-GC invariants, and
+  * hyperplane-LSH bucket determinism/scale-invariance.
+  */
+class OperatorSpec extends GraftSpec {
+
+  private lazy val events = Tables.events(spark, sf())
+
+  test("RangeJoin.binned equals the naive non-equi join") {
+    val p = events.filter(col("event_type") === "purchase").select(
+      col("event_id").as("purchase_id"),
+      (col("ts") - expr("INTERVAL 5 MINUTE")).as("lo"), col("ts").as("hi"))
+    val c = events.filter(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val binned = RangeJoin.binned(c, col("c_ts"), p, col("lo"), col("hi"),
+        width = 300L)
+      .select(col("purchase_id"), col("click_id"))
+    val naive = c.join(p,
+        col("c_ts") >= col("lo") && col("c_ts") <= col("hi"))
+      .select(col("purchase_id"), col("click_id"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // and each qualifying pair appears exactly once (no bin double-count)
+    assert(binned.count() === binned.distinct().count())
+  }
+
+  test("RangeJoin.binned covers pairs straddling a bin boundary") {
+    // A width chosen much smaller than the interval span forces every
+    // interval to explode over many bins; parity must still hold.
+    val p = events.filter(col("event_type") === "purchase").limit(50).select(
+      col("event_id").as("purchase_id"),
+      (col("ts") - expr("INTERVAL 5 MINUTE")).as("lo"), col("ts").as("hi"))
+    val c = events.filter(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val binned = RangeJoin.binned(c, col("c_ts"), p, col("lo"), col("hi"),
+        width = 7L)
+      .select(col("purchase_id"), col("click_id"))
+    val naive = c.join(p,
+        col("c_ts") >= col("lo") && col("c_ts") <= col("hi"))
+      .select(col("purchase_id"), col("click_id"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+
+  test("compaction: tombstone GC splits every marker, grace bounds behave") {
+    val cd = CM.cellDeletions(spark, sf())
+    val pd = CM.partitionDeletions(spark, sf())
+    val rd = CM.rangeDeletions(spark, sf())
+    val total = cd.count() + pd.count() + rd.count()
+    val gc = CM.tombstoneGc(cd, pd, rd).cache()
+    assert(gc.count() === total)
+    // grace = infinity → nothing purged; grace covering all time → all
+    // markers older than the cutoff purged
+    val keepAll = CM.tombstoneGc(cd, pd, rd, graceMs = Long.MaxValue)
+    assert(keepAll.filter(col("purged")).count() === 0)
+    val purgeAll = CM.tombstoneGc(cd, pd, rd, t = Long.MaxValue,
+      graceMs = 0L)
+    assert(purgeAll.filter(col("purged")).count() === total)
+    gc.unpersist()
+  }
+
+  test("compaction live set is a subset of the LWW merge") {
+    val cells = CM.cells(spark, sf())
+    val live = CM.compactLive(cells, CM.cellDeletions(spark, sf()),
+      CM.partitionDeletions(spark, sf()), CM.rangeDeletions(spark, sf()))
+    val lww = CM.lwwMerge(cells)
+    assert(live.exceptAll(lww).isEmpty)
+    assert(live.count() < lww.count()) // tombstones/TTL really dropped
+  }
+
+  test("hyperplane buckets are deterministic and scale-invariant") {
+    val e = Tables.embeddings(spark, sf())
+      .limit(64)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val b1 = Similarity.hyperplaneBuckets(e, "vec")
+      .select(col("vec_id"), col("band"), col("bucket"))
+    val b2 = Similarity.hyperplaneBuckets(e, "vec")
+      .select(col("vec_id"), col("band"), col("bucket"))
+    assert(b1.exceptAll(b2).isEmpty && b2.exceptAll(b1).isEmpty)
+    // positive scaling never changes a dot product's sign → buckets
+    // (pure sign patterns) are identical for 3·v
+    val scaled = e.select(col("vec_id"),
+      expr("transform(vec, x -> x * 3.0)").as("vec"))
+    val b3 = Similarity.hyperplaneBuckets(scaled, "vec")
+      .select(col("vec_id"), col("band"), col("bucket"))
+    assert(b1.exceptAll(b3).isEmpty && b3.exceptAll(b1).isEmpty)
+  }
+}
