@@ -345,6 +345,71 @@ object Relational {
       | AND c.ts <= p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // Q_JOIN16 — local-supplier volume (TPC-H Q5 shape): six-table join
+  // where customer AND supplier must share a nation — the join-order
+  // stress test. Fact side shuffles on its keys; region/nation are
+  // broadcast; the c_nationkey = s_nationkey conjunct rides the
+  // supplier join rather than forcing an extra shuffle.
+  private def joinVolume(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val o = Tables.orders(s, d).filter(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val joinVolumeSql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // Q_AGG16 — large-volume orders (TPC-H Q18 shape): pre-aggregate the
+  // fact to find qualifying orders (partial agg before one shuffle on
+  // the order key), then enrich — never join-then-aggregate the raw
+  // fact against dimensions.
+  private def aggLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  private val aggLargeOrdersSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice,
+      |  CAST(t.total_qty AS BIGINT) AS total_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY 1
+      |      HAVING sum(l_quantity) > 250) t
+      |JOIN orders ON o_orderkey = t.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey""".stripMargin
+
   // Q_JOIN15 — binned range join: clicks within 5 min before a purchase
   // by ANY user — no equi key exists, so the scalable plan is the
   // time-binning rewrite (graft.operators.RangeJoin): equi-join on a
@@ -589,6 +654,8 @@ object Relational {
     GQuery("Q_JOIN14_profit", joinProfit, Some(joinProfitSql)),
     GQuery("Q_JOIN10_range", joinRange, Some(joinRangeSql)),
     GQuery("Q_JOIN15_binned_range", joinBinnedRange, Some(joinBinnedRangeSql)),
+    GQuery("Q_JOIN16_local_volume", joinVolume, Some(joinVolumeSql)),
+    GQuery("Q_AGG16_large_orders", aggLargeOrders, Some(aggLargeOrdersSql)),
     GQuery("Q_JOIN11_asof", joinAsOf, Some(joinAsOfSql)),
     GQuery("Q_SORT1_multikey", sortMultiKey, Some(sortMultiKeySql)),
     GQuery("Q_LIM1_limit", limitK, Some(limitKSql)),
