@@ -975,7 +975,78 @@ object NorthStar {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // N_EVAL1 — train/eval contamination: eval-split documents that share
+  // a winnowing fingerprint with any train-split document (near-dup
+  // leakage the exact-hash check misses). Composes N_SAMP2's
+  // deterministic split with N_TEXT9's fingerprints; the train
+  // fingerprint set is DISTINCT fps (small — broadcastable at scale),
+  // so the check is a fingerprint-keyed join, never doc × doc.
+  private def winnowFpsAll(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-3, 0)
+    d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles("toks")).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("sh")), 1, 12).as("h"))
+      .withColumn("fp", min(col("h")).over(w))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  private def evalContamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val train = all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20).select(col("doc_id"))
+    val fps = winnowFpsAll(all)
+    val trainFps = fps.join(train, "doc_id").select(col("fp")).distinct()
+    fps.join(train, Seq("doc_id"), "left_anti") // eval-side fingerprints
+      .join(trainFps, "fp")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("shared_fps"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val evalContaminationSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(shl, 1) - 1 AS INTEGER) AS pos,
+      |    substr(md5(unnest(shl)), 1, 12) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(string_split(text, ' ')) < 3
+      |        THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+      |        i -> array_to_string(list_slice(string_split(text, ' '),
+      |             i + 1, i + 3), ' ')) END AS shl
+      |    FROM documents)
+      |), fp0 AS (
+      |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM sh
+      |), fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM fp0 WHERE pos >= 3
+      |), train AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents)
+      |  WHERE rn <= 20
+      |), train_fps AS (
+      |  SELECT DISTINCT fp FROM fps JOIN train USING (doc_id)
+      |), eval_fps AS (
+      |  SELECT f.doc_id, f.fp FROM fps f
+      |  WHERE f.doc_id NOT IN (SELECT doc_id FROM train))
+      |SELECT doc_id, count(DISTINCT fp) AS shared_fps
+      |FROM eval_fps JOIN train_fps USING (fp)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("N_EVAL1_contamination", evalContamination,
+      Some(evalContaminationSql)),
     GQuery("N_SIM6_hyperplane_lsh", simHyperplane, Some(simHyperplaneSql)),
     GQuery("N_SAMP2_stratified", sampStratified, Some(sampStratifiedSql)),
     GQuery("N_PACK1_token_shards", packTokenShards, Some(packTokenShardsSql)),
