@@ -74,18 +74,31 @@ object Bench {
     val p1 = ordered.map { case (name, fn) => name -> time(fn) }
     val p1Total = p1.map(_._2).sum
     val retryThreshold = 2.0
-    // Up to TWO retry sweeps, each a full pass over the still-slow
-    // set: a stall window long enough to cover pass 1 AND both retry
-    // sweeps (separated by all other retries) would have to span the
-    // whole bench. Keep the per-query minimum across passes.
-    val afterRetries = (1 to 2).foldLeft(p1) { case (acc, _) =>
-      if (!acc.exists(_._2 > retryThreshold)) acc
-      else acc.map { case (name, t) =>
+    // ADAPTIVE retry sweeps over the still-slow set, keeping each
+    // query's minimum: a sweep that runs inside a host stall window
+    // changes nothing, but the first post-stall sweep recovers the
+    // warm floor — so keep sweeping while any retry still improves
+    // ≥30% (evidence a stall was in effect), up to 4 sweeps. Observed:
+    // one window covered a first pass AND two back-to-back retries
+    // (55.7 s recorded for a query whose floor is 6.4 s); adaptive
+    // continuation spans enough wall-clock to escape such windows,
+    // while a warm run stops after one no-improvement sweep.
+    var results = p1
+    var sweeps = 0
+    var improved = true
+    while (improved && sweeps < 4 &&
+        results.exists(_._2 > retryThreshold)) {
+      sweeps += 1
+      improved = false
+      results = results.map { case (name, t) =>
         if (t <= retryThreshold) name -> t
-        else name -> math.min(t, time(SparkEntry.queries(name)))
+        else {
+          val t2 = time(SparkEntry.queries(name))
+          if (t2 < t * 0.7) improved = true
+          name -> math.min(t, t2)
+        }
       }
     }
-    val results = afterRetries
     def r3(v: Double): String = f"$v%.3f"
     // Per-query detail on its own line (informational; may be long)...
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
