@@ -43,7 +43,7 @@ object Bench {
       graft.sources.CellSnapshots.ensure(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
-        "Q_SRC5_orc_roundtrip").foreach { q =>
+        "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip").foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
@@ -61,10 +61,11 @@ object Bench {
     // The sandbox host injects random multi-minute CPU-stall windows
     // (same query: 5 s one run, 200-470 s another while RUNNABLE), so a
     // single timed pass can inflate one query's number ~100x. Queries
-    // whose first-pass time exceeds a threshold get ONE warm re-run and
-    // keep the min — a stalled query cannot finish under the threshold,
-    // and the cheap majority keeps its (already warm) pass-1 number, so
-    // the retry pass costs a fraction of a full second sweep.
+    // whose time exceeds a threshold get adaptive warm re-runs (see the
+    // sweep loop below) and keep the min — a stalled query cannot
+    // finish under the threshold, and the cheap majority keeps its
+    // (already warm) pass-1 number, so retries cost a fraction of a
+    // full second sweep.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -876,16 +876,21 @@ object NorthStar {
   // every rerun picks the same rows — the reproducible train/eval-split
   // primitive. One shuffle on the stratum key; the window prunes to n
   // rows per stratum before anything downstream runs.
-  private def sampStratified(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic per-lang train split (md5-hash order, first n):
+    * shared by N_SAMP2 (which declares it) and N_EVAL1 (which checks
+    * leakage against it) so the split definition cannot diverge.
+    */
+  private def trainSplit(all: DataFrame, n: Int = 20): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs(s, d)
-      .select(col("lang"), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20)
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n).drop("rn")
+  }
+
+  private def sampStratified(s: SparkSession, d: String): DataFrame =
+    trainSplit(docs(s, d).select(col("lang"), col("doc_id")))
       .select(col("lang"), col("doc_id"))
       .orderBy(col("lang"), col("doc_id"))
-  }
 
   private val sampStratifiedSql =
     """SELECT lang, doc_id FROM (
@@ -922,8 +927,8 @@ object NorthStar {
       |    sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
-      |SELECT lang, (cum - ntok) // 2000 AS shard,
-      |  count(*) AS n_docs, sum(ntok) AS shard_tokens
+      |SELECT lang, CAST((cum - ntok) // 2000 AS BIGINT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS shard_tokens
       |FROM c
       |GROUP BY 1, 2
       |ORDER BY lang, shard""".stripMargin
@@ -934,23 +939,12 @@ object NorthStar {
   // document fingerprint set that two near-identical docs share. All
   // map-side except one per-doc window; fingerprint count + extremes
   // keep the declared output scalar.
-  private def textWinnow(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(-3, 0)
-    docs(s, d)
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        posexplode(TextOps.shingles("toks")).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"),
-        substring(md5(col("sh")), 1, 12).as("h"))
-      .withColumn("fp", min(col("h")).over(w))
-      .filter(col("pos") >= 3)
+  private def textWinnow(s: SparkSession, d: String): DataFrame =
+    winnowFpsAll(docs(s, d).filter(col("doc_id") % 5 === 0))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("fp")).as("n_fp"),
         min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
       .orderBy(col("doc_id"))
-  }
 
   private val textWinnowSql =
     """WITH sh AS (
@@ -996,10 +990,7 @@ object NorthStar {
 
   private def evalContamination(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val train = all.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 20).select(col("doc_id"))
+    val train = trainSplit(all).select(col("doc_id"))
     val fps = winnowFpsAll(all)
     val trainFps = fps.join(train, "doc_id").select(col("fp")).distinct()
     fps.join(train, Seq("doc_id"), "left_anti") // eval-side fingerprints

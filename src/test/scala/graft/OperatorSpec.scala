@@ -33,7 +33,8 @@ class OperatorSpec extends GraftSpec {
   test("RangeJoin.binned covers pairs straddling a bin boundary") {
     // A width chosen much smaller than the interval span forces every
     // interval to explode over many bins; parity must still hold.
-    val p = events.filter(col("event_type") === "purchase").limit(50).select(
+    val p = events.filter(col("event_type") === "purchase")
+      .filter(col("event_id") % 20 === 0).select(
       col("event_id").as("purchase_id"),
       (col("ts") - expr("INTERVAL 5 MINUTE")).as("lo"), col("ts").as("hi"))
     val c = events.filter(col("event_type") === "click").select(
