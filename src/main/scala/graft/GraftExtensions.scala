@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, ShingleGenerator}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -35,7 +35,11 @@ object GraftExtensions {
   private val injected: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShingleGenerator].getName,
+        "graft_shingles"),
+      (args: Seq[Expression]) => ShingleGenerator(args(0), args(1))))
 
   /** Install graft functions, the custom-operator strategy, and the
     * optimizer rule into an already-running session (idempotent) — the

@@ -799,6 +799,20 @@ object NorthStar {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // N_UDTF2 — the same table function as a NATIVE Catalyst Generator
+  // (graft.functions.ShingleGenerator via GraftExtensions): rows are
+  // emitted straight from the token split, no intermediate shingle
+  // array per document. Same oracle as N_UDTF1 — the two forms must
+  // shingle identically.
+  private def udtfNativeShingles(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    docs(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        expr("graft_shingles(text, 3)").as("shingle"))
+      .orderBy(col("doc_id"), col("shingle"))
+  }
+
   private def udtfShingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .filter(col("doc_id") % 50 === 0)
@@ -1070,5 +1084,7 @@ object NorthStar {
     GQuery("N_MM5_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     GQuery("N_UDF1_cosine_udf", udfCosine, Some(udfCosineSql)),
     GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
-    GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)))
+    GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)),
+    GQuery("N_UDTF2_native_shingles", udtfNativeShingles,
+      Some(udtfShinglesSql)))
 }

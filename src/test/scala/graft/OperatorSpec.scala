@@ -74,6 +74,27 @@ class OperatorSpec extends GraftSpec {
     assert(live.count() < lww.count()) // tombstones/TTL really dropped
   }
 
+  test("native ShingleGenerator equals the HOF explode(transform) form") {
+    GraftExtensions.register(spark)
+    val d = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+    val native = d.select(col("doc_id"),
+      expr("graft_shingles(text, 3)").as("shingle"))
+    val hof = d.select(col("doc_id"),
+      graft.text.TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.shingles("toks")).as("shingle"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // null text and docs shorter than n emit no rows, not nulls
+    import spark.implicits._
+    val edge = Seq((1L, null: String), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val rows = edge.select(col("doc_id"),
+      expr("graft_shingles(text, 3)").as("shingle")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(rows.head.getString(1) === "a b c")
+  }
+
   test("hyperplane buckets are deterministic and scale-invariant") {
     val e = Tables.embeddings(spark, sf())
       .limit(64)
