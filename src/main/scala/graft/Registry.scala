@@ -34,6 +34,7 @@ object Registry {
       graft.queries.Streaming.all ++
       graft.queries.Subqueries.all ++
       graft.queries.Extras.all ++
+      graft.queries.Quality.all ++
       graft.queries.Misc.all
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap

@@ -112,4 +112,39 @@ class OperatorSpec extends GraftSpec {
       .select(col("vec_id"), col("band"), col("bucket"))
     assert(b1.exceptAll(b3).isEmpty && b3.exceptAll(b1).isEmpty)
   }
+
+  test("gopher quality stats satisfy their ratio invariants") {
+    val q = Registry.byName("N_TEXT10_gopher_quality")
+      .fn(spark, sf()).cache()
+    assert(q.count() === Tables.documents(spark, sf()).count())
+    // per-mille ratios are bounded, the most-common word can't exceed
+    // the total, and distinct ≤ total words
+    assert(q.filter(col("top_permille") > 1000 ||
+      col("distinct_permille") > 1000 || col("stop_permille") > 1000 ||
+      col("top2_permille") > 1000).isEmpty)
+    assert(q.filter(col("n_distinct") > col("n_words")).isEmpty)
+    assert(q.filter(!col("keep").isin(0L, 1L)).isEmpty)
+    q.unpersist()
+  }
+
+  test("segment dedup flags both sides of a planted near-copy") {
+    import spark.implicits._
+    // two docs sharing one exact 10-token run + one unique doc
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, run + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, run + " one two three four five six seven eight nine ten"),
+      (3L, "solo words only here nothing shared across any doc at all"))
+      .toDF("doc_id", "text")
+    val segs = docsDf
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) div 10 - 1), " +
+          "i -> array_join(slice(t, i * 10 + 1, 10), ' '))")).as("seg"))
+    val dup = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+    val flagged = segs.join(dup.select("seg"), Seq("seg"), "left_semi")
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(flagged === Seq(1L, 2L))
+  }
 }
