@@ -131,18 +131,19 @@ object Quality {
           s"i -> array_join(slice(t, i * $n + 1, $n), ' ')) end"))
         .as("seg"))
       .select(col("doc_id"), md5(col("seg")).as("h"))
-    val dup = segRows.groupBy(col("h"))
+    // Two passes over the segment relation, not three: aggregate the
+    // distinct-doc count per hash (shuffle on h), join it back (the agg
+    // output is already h-partitioned, so only the probe side moves),
+    // then ONE per-doc aggregation computes total and duplicated
+    // segment counts together.
+    val perSeg = segRows.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val perDoc = segRows.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segs"))
-    val dupPerDoc = segRows.join(dup, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_segs"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segs"),
-        coalesce(col("n_dup_segs"), lit(0L)).as("n_dup_segs"),
-        expr("coalesce(n_dup_segs, 0) * 1000 div n_segs")
-          .as("dup_permille"))
+    segRows.join(perSeg, Seq("h"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        expr("n_dup_segs * 1000 div n_segs").as("dup_permille"))
       .filter(col("dup_permille") > 0)
       .orderBy(col("doc_id"))
   }
