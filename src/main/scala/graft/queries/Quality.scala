@@ -1,15 +1,18 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables}
+import graft.dedup.Dedup
 import graft.text.TextOps
 
 /** Corpus-quality operators from the published LLM-data-curation
   * playbook (Gopher/MassiveText-style heuristic filters, C4-style
-  * cross-document span dedup) — SURVEY table N additions for round 3.
+  * cross-document span dedup, and the staged curation funnel that
+  * composes them) — SURVEY table N additions for round 3.
   *
-  * Both operators are exact integer arithmetic end-to-end (counts and
+  * All operators are exact integer arithmetic end-to-end (counts and
   * truncating per-mille ratios), so the DuckDB oracle matches
   * bit-for-bit with no float tolerance games (SURVEY §7.4).
   *
@@ -19,26 +22,23 @@ import graft.text.TextOps
   *   this is the canonical two-level rollup, no skew (doc_id keys).
   * - segment dedup: explode fixed 10-token segments, aggregate by
   *   segment HASH (md5 — shuffle keys stay 32 bytes however long the
-  *   segment is), count distinct docs per hash, semi-join the
-  *   duplicated hashes back. Never doc×doc; cost is O(tokens) +
-  *   one hash-shuffle — the same shape C4/MassiveText dedup runs at
-  *   web scale.
+  *   segment is), join the per-hash doc counts back, one per-doc agg.
+  *   Never doc×doc; cost is O(tokens) + one hash-shuffle — the same
+  *   shape C4/MassiveText dedup runs at web scale.
+  * - curation funnel: each stage is a doc_id-keyed filter/join over
+  *   the previous stage's survivors; the final rollup is a tiny
+  *   per-language aggregate of four pre-aggregated counts.
   */
 object Quality {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  // ---- N_TEXT10: Gopher-style quality heuristics ---------------------
+  // ---- shared per-doc stats ------------------------------------------
 
   private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "on")
 
-  /** Per-doc quality stats + keep/drop verdict, Gopher table-A1 style,
-    * adapted to the fixture corpus (single-line, punctuation-free):
-    * word count, mean word length (×100), most-common-word share and
-    * top-bigram share (per-mille), distinct-word ratio (per-mille),
-    * stopword share (per-mille), and the composite `keep` flag.
-    */
-  private def gopherQuality(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc Gopher-style stats with the composite `keep` flag (0/1). */
+  private def gopherStats(s: SparkSession, d: String): DataFrame = {
     val words = docs(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
     val wc = words.groupBy(col("doc_id"), col("w"))
@@ -58,7 +58,7 @@ object Quality {
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top2_cnt"))
-    val st = uni.join(bi, Seq("doc_id"), "left")
+    uni.join(bi, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         expr("sum_wlen * 100 div n_words").as("mean_wlen_x100"),
         expr("top_cnt * 1000 div n_words").as("top_permille"),
@@ -66,16 +66,16 @@ object Quality {
         expr("n_stop * 1000 div n_words").as("stop_permille"),
         expr("coalesce(top2_cnt * 1000 div n_bigrams, 0)")
           .as("top2_permille"))
-    st.withColumn("keep",
+      .withColumn("keep",
         (col("n_words").between(20, 100000) &&
           col("mean_wlen_x100").between(300, 1000) &&
           col("top_permille") < 150 &&
           col("top2_permille") < 120 &&
           col("distinct_permille") > 300).cast("long"))
-      .orderBy(col("doc_id"))
   }
 
-  private val gopherQualitySql =
+  /** The shared gopher-stats oracle CTE chain, ending in `st`. */
+  private val statsCte =
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |  FROM documents),
@@ -98,30 +98,27 @@ object Quality {
       |bi AS (
       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
       |    CAST(MAX(cnt) AS BIGINT) AS top2_cnt
-      |  FROM bc GROUP BY 1)
-      |SELECT u.doc_id, n_words, n_distinct,
-      |  sum_wlen * 100 // n_words AS mean_wlen_x100,
-      |  top_cnt * 1000 // n_words AS top_permille,
-      |  n_distinct * 1000 // n_words AS distinct_permille,
-      |  n_stop * 1000 // n_words AS stop_permille,
-      |  COALESCE(top2_cnt * 1000 // n_bigrams, 0) AS top2_permille,
-      |  CAST(n_words BETWEEN 20 AND 100000
-      |    AND sum_wlen * 100 // n_words BETWEEN 300 AND 1000
-      |    AND top_cnt * 1000 // n_words < 150
-      |    AND COALESCE(top2_cnt * 1000 // n_bigrams, 0) < 120
-      |    AND n_distinct * 1000 // n_words > 300 AS BIGINT) AS keep
-      |FROM uni u LEFT JOIN bi USING (doc_id)
-      |ORDER BY doc_id""".stripMargin
+      |  FROM bc GROUP BY 1),
+      |st AS (
+      |  SELECT u.doc_id, n_words, n_distinct,
+      |    sum_wlen * 100 // n_words AS mean_wlen_x100,
+      |    top_cnt * 1000 // n_words AS top_permille,
+      |    n_distinct * 1000 // n_words AS distinct_permille,
+      |    n_stop * 1000 // n_words AS stop_permille,
+      |    COALESCE(top2_cnt * 1000 // n_bigrams, 0) AS top2_permille,
+      |    CAST(n_words BETWEEN 20 AND 100000
+      |      AND sum_wlen * 100 // n_words BETWEEN 300 AND 1000
+      |      AND top_cnt * 1000 // n_words < 150
+      |      AND COALESCE(top2_cnt * 1000 // n_bigrams, 0) < 120
+      |      AND n_distinct * 1000 // n_words > 300 AS BIGINT) AS keep
+      |  FROM uni u LEFT JOIN bi USING (doc_id)),
+      |""".stripMargin
 
-  // ---- N_DEDUP7: cross-document span (segment) dedup -----------------
-
-  /** C4/MassiveText-style duplicated-span report: chop every document
-    * into fixed 10-token segments, find segments shared by ≥2 distinct
-    * docs (by md5, so the shuffle key is fixed-width), and emit each
-    * doc's duplicated-span exposure. A doc with high `dup_permille` is
-    * a near-copy of something else in the corpus.
+  /** Per-doc (n_segs, n_dup_segs, dup_permille) over fixed 10-token
+    * segments, duplicated = the segment text occurs in ≥2 distinct
+    * docs corpus-wide. Docs shorter than 10 tokens emit no row.
     */
-  private def segmentDedup(s: SparkSession, d: String): DataFrame = {
+  private def segmentStats(s: SparkSession, d: String): DataFrame = {
     val n = 10
     val segRows = docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -144,34 +141,130 @@ object Quality {
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_segs"))
       .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
         expr("n_dup_segs * 1000 div n_segs").as("dup_permille"))
+  }
+
+  /** The shared segment-stats oracle CTE chain (`toks` must already be
+    * defined), ending in `perdoc`.
+    */
+  private val segCte =
+    """segs AS (
+      |  SELECT doc_id, md5(array_to_string(
+      |    list_slice(t, i * 10 + 1, i * 10 + 10), ' ')) AS h
+      |  FROM toks, unnest(range(0, len(t) // 10)) AS u(i)),
+      |perseg AS (
+      |  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY 1),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_segs
+      |  FROM segs JOIN perseg USING (h) GROUP BY 1),
+      |""".stripMargin
+
+  // ---- N_TEXT10: Gopher-style quality heuristics ---------------------
+
+  private def gopherQuality(s: SparkSession, d: String): DataFrame =
+    gopherStats(s, d).orderBy(col("doc_id"))
+
+  private val gopherQualitySql = statsCte.dropRight(2) +
+    """
+      |SELECT doc_id, n_words, n_distinct, mean_wlen_x100, top_permille,
+      |  distinct_permille, stop_permille, top2_permille, keep
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---- N_DEDUP7: cross-document span (segment) dedup -----------------
+
+  /** C4/MassiveText-style duplicated-span report: chop every document
+    * into fixed 10-token segments, find segments shared by ≥2 distinct
+    * docs (by md5, so the shuffle key is fixed-width), and emit each
+    * doc's duplicated-span exposure. A doc with high `dup_permille` is
+    * a near-copy of something else in the corpus.
+    */
+  private def segmentDedup(s: SparkSession, d: String): DataFrame =
+    segmentStats(s, d)
       .filter(col("dup_permille") > 0)
       .orderBy(col("doc_id"))
-  }
 
   private val segmentDedupSql =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |segs AS (
-      |  SELECT doc_id, md5(array_to_string(
-      |    list_slice(t, i * 10 + 1, i * 10 + 10), ' ')) AS h
-      |  FROM toks, unnest(range(0, len(t) // 10)) AS u(i)),
-      |dup AS (
-      |  SELECT h FROM segs GROUP BY h
-      |  HAVING COUNT(DISTINCT doc_id) >= 2),
-      |per_doc AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs
-      |  GROUP BY 1),
-      |dup_per_doc AS (
-      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_segs
-      |  FROM segs WHERE h IN (SELECT h FROM dup) GROUP BY 1)
-      |SELECT doc_id, n_segs,
-      |  COALESCE(n_dup_segs, 0) AS n_dup_segs,
-      |  COALESCE(n_dup_segs, 0) * 1000 // n_segs AS dup_permille
-      |FROM per_doc LEFT JOIN dup_per_doc USING (doc_id)
-      |WHERE COALESCE(n_dup_segs, 0) * 1000 // n_segs > 0
+      |""".stripMargin + segCte.dropRight(2) +
+    """
+      |SELECT doc_id, n_segs, n_dup_segs,
+      |  n_dup_segs * 1000 // n_segs AS dup_permille
+      |FROM perdoc WHERE n_dup_segs * 1000 // n_segs > 0
       |ORDER BY doc_id""".stripMargin
+
+  // ---- N_PIPE1: the staged curation funnel ---------------------------
+
+  /** The end-to-end curation story, per language: how many documents
+    * survive each published-pipeline stage —
+    * n0 all → n1 quality keep → n2 exact-dedup winners (min doc_id per
+    * content digest among quality survivors) → n3 span-dedup pass
+    * (≤500‰ duplicated 10-token spans corpus-wide).
+    *
+    * Every stage is a doc_id-keyed semi-join/filter — the funnel adds
+    * no shuffle shape beyond its ingredient operators, and the final
+    * rollup aggregates four tiny per-language counts.
+    */
+  private def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val s1 = base
+      .join(gopherStats(s, d).select(col("doc_id"), col("keep")),
+        Seq("doc_id"))
+      .filter(col("keep") === 1L)
+      .select(col("doc_id"), col("lang"),
+        Dedup.contentDigest(col("text")).as("digest"))
+    val s2 = s1
+      .withColumn("m", min(col("doc_id"))
+        .over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("m"))
+      .select(col("doc_id"), col("lang"))
+    val s3 = s2
+      .join(segmentStats(s, d).select(col("doc_id"), col("dup_permille")),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("dup_permille"), lit(0L)) <= 500)
+      .select(col("doc_id"), col("lang"))
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as(name))
+    cnt(base, "n0")
+      .join(cnt(s1, "n1"), Seq("lang"), "left")
+      .join(cnt(s2, "n2"), Seq("lang"), "left")
+      .join(cnt(s3, "n3"), Seq("lang"), "left")
+      .select(col("lang"),
+        col("n0"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .orderBy(col("lang"))
+  }
+
+  private val curationFunnelSql = statsCte + segCte +
+    """s1 AS (
+      |  SELECT d.doc_id, d.lang, md5(lower(trim(d.text))) AS digest
+      |  FROM documents d JOIN st USING (doc_id) WHERE st.keep = 1),
+      |s2 AS (
+      |  SELECT doc_id, lang FROM (
+      |    SELECT doc_id, lang,
+      |      MIN(doc_id) OVER (PARTITION BY digest) AS m FROM s1)
+      |  WHERE doc_id = m),
+      |s3 AS (
+      |  SELECT s2.doc_id, s2.lang FROM s2 LEFT JOIN perdoc USING (doc_id)
+      |  WHERE COALESCE(n_dup_segs * 1000 // n_segs, 0) <= 500)
+      |SELECT d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n0,
+      |  CAST(COALESCE(MAX(c1.n), 0) AS BIGINT) AS n1,
+      |  CAST(COALESCE(MAX(c2.n), 0) AS BIGINT) AS n2,
+      |  CAST(COALESCE(MAX(c3.n), 0) AS BIGINT) AS n3
+      |FROM documents d
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n FROM s1 GROUP BY 1) c1
+      |  ON d.lang = c1.lang
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n FROM s2 GROUP BY 1) c2
+      |  ON d.lang = c2.lang
+      |LEFT JOIN (SELECT lang, COUNT(*) AS n FROM s3 GROUP BY 1) c3
+      |  ON d.lang = c3.lang
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   def all: Seq[GQuery] = Seq(
     GQuery("N_TEXT10_gopher_quality", gopherQuality, Some(gopherQualitySql)),
-    GQuery("N_DEDUP7_segment_dedup", segmentDedup, Some(segmentDedupSql)))
+    GQuery("N_DEDUP7_segment_dedup", segmentDedup, Some(segmentDedupSql)),
+    GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }

@@ -127,6 +127,17 @@ class OperatorSpec extends GraftSpec {
     q.unpersist()
   }
 
+  test("curation funnel stages are monotone and cover the corpus") {
+    val f = Registry.byName("N_PIPE1_curation_funnel")
+      .fn(spark, sf()).cache()
+    // n0 ≥ n1 ≥ n2 ≥ n3 per language (each stage only removes docs)
+    assert(f.filter(col("n1") > col("n0") || col("n2") > col("n1") ||
+      col("n3") > col("n2")).isEmpty)
+    val total = f.agg(sum(col("n0"))).head.getLong(0)
+    assert(total === Tables.documents(spark, sf()).count())
+    f.unpersist()
+  }
+
   test("segment dedup flags both sides of a planted near-copy") {
     import spark.implicits._
     // two docs sharing one exact 10-token run + one unique doc
