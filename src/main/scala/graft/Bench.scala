@@ -140,7 +140,7 @@ object Bench {
       "Q_JOIN14_profit", "Q_AGG1_groupby", "Q_WIN5_running_sum",
       "N_DEDUP2_minhash_lsh", "N_DEDUP4_ngram_jaccard",
       "N_SIM1_cosine_topk", "N_TEXT2_tfidf", "C4_lww_merge",
-      "S_WIN3_session")
+      "S_WIN3_session", "N_PIPE1_curation_funnel")
     val hq = results.filter(r => headline(r._1))
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

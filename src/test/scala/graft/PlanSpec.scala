@@ -200,4 +200,13 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {
+    val p = plan(Registry.byName("N_DEDUP7_segment_dedup").fn(spark, sf()))
+    // never doc×doc: the duplicated-span join must be an equi join on
+    // the segment hash, and every aggregate must have a map-side phase
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
