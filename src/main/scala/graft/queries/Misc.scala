@@ -132,6 +132,38 @@ object Misc {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Q_SNK2 — partitioned parquet sink: write `documents` once per sf
+    * as a lang-partitioned layout (the standard lake layout for a
+    * language-split corpus), then answer a two-language rollup through
+    * it. The lang predicate prunes whole partition directories at
+    * planning time (PartitionFilters — asserted on this layout shape
+    * in PlanSpec); at 100 TB the non-selected languages are never
+    * opened. The oracle computes the same rollup from the unpartitioned
+    * original — sink + pruned scan must be lossless.
+    */
+  private def partitionedSink(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.serde.dir", "/root/repo/target/serde"),
+      java.nio.file.Paths.get(d).getFileName.toString + "-bylang")
+    this.synchronized {
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        Tables.documents(s, d).write.mode("overwrite")
+          .partitionBy("lang").parquet(dir.toString)
+      }
+    }
+    s.read.parquet(dir.toString)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val partitionedSinkSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'de')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Q_TYPED1 — the typed Dataset[T] surface: case-class encoder,
     * typed filter/map lambdas, groupByKey + mapGroups. Lambdas opt out
     * of codegen (each is a deserialize→fn→serialize hop), so this is
@@ -176,6 +208,8 @@ object Misc {
       Some(serdeSql)),
     GQuery("Q_SRC5_orc_roundtrip", (s, d) => serdeScan(s, d, "orc"),
       Some(serdeSql)),
+    GQuery("Q_SNK2_partitioned_write", partitionedSink,
+      Some(partitionedSinkSql)),
     GQuery("Q_SAMP1_tablesample", sampled, Some(sampledSql)),
     GQuery("F_MATH2_rand", seededRand, Some(seededRandSql)))
 }

@@ -194,6 +194,45 @@ object Quality {
       |FROM perdoc WHERE n_dup_segs * 1000 // n_segs > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---- N_TEXT11: within-document repetition --------------------------
+
+  /** Gopher's *intra*-document repetition signal, token-gram form: the
+    * fraction of a doc's 5-gram occurrences that are repeats of an
+    * earlier occurrence in the SAME doc ((total − distinct) / total,
+    * per-mille). High values mark looping/boilerplate text that the
+    * corpus-wide span dedup (N_DEDUP7) cannot see. Map-side partial
+    * aggregation on (doc_id, gram); no joins at all.
+    */
+  private def intradocRepetition(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(TextOps.shingles("t", 5)).as("g"))
+    grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        expr("(n_grams - n_distinct_grams) * 1000 div n_grams")
+          .as("rep_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val intradocRepetitionSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(t, i + 1, i + 5), ' ') AS g
+      |  FROM toks, unnest(range(0, len(t) - 4)) AS u(i)
+      |  WHERE len(t) >= 5),
+      |gc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+      |  CAST((SUM(cnt) - COUNT(*)) * 1000 // SUM(cnt) AS BIGINT)
+      |    AS rep_permille
+      |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- N_PIPE1: the staged curation funnel ---------------------------
 
   /** The end-to-end curation story, per language: how many documents
@@ -266,5 +305,7 @@ object Quality {
   def all: Seq[GQuery] = Seq(
     GQuery("N_TEXT10_gopher_quality", gopherQuality, Some(gopherQualitySql)),
     GQuery("N_DEDUP7_segment_dedup", segmentDedup, Some(segmentDedupSql)),
+    GQuery("N_TEXT11_intradoc_repetition", intradocRepetition,
+      Some(intradocRepetitionSql)),
     GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }
