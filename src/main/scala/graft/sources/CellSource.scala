@@ -11,9 +11,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A DataSource V2 source with the architecture of a Cassandra-SSTable
@@ -239,10 +241,12 @@ class CellTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellScanBuilder(path,
-      options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords))
+      options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
+      options.getBoolean("columnar", true))
 }
 
-class CellScanBuilder(path: String, subsplitRecords: Int) extends ScanBuilder
+class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pkLower = Long.MinValue
   private var pkUpper = Long.MaxValue
@@ -301,12 +305,12 @@ class CellScanBuilder(path: String, subsplitRecords: Int) extends ScanBuilder
 
   override def build(): Scan =
     new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-      subsplitRecords)
+      subsplitRecords, columnar)
 }
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
-    subsplitRecords: Int) extends Scan with Batch {
+    subsplitRecords: Int, columnar: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -381,7 +385,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReaderFactory(pkLower, pkUpper, required.fieldNames)
+    new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)
 }
 
 /** One sub-split: a set of compression chunks of `file` in offset
@@ -394,31 +398,36 @@ case class CellInputPartition(file: String, dataStart: Long,
     chunkRecCounts: Array[Int]) extends InputPartition
 
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
-    cols: Array[String]) extends PartitionReaderFactory {
+    cols: Array[String], columnar: Boolean) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new CellReader(p.asInstanceOf[CellInputPartition], pkLower, pkUpper, cols)
+
+  // Vectorized path (the parquet VectorizedColumnReader analogue): one
+  // ColumnarBatch per compression chunk, filled straight from the
+  // inflated record buffer — Spark plans ColumnarToRow on top and the
+  // scan feeds whole-stage codegen batches instead of row-at-a-time.
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] =
+    new CellColumnarReader(p.asInstanceOf[CellInputPartition],
+      pkLower, pkUpper, cols)
 }
 
-/** C3 — executor-side chunk inflation + cell deserialization, seeking
-  * straight to the sub-split's first chunk.
+/** Shared executor-side chunk cursor: seeks straight to each surviving
+  * chunk of the sub-split (zone-map pruning leaves gaps), inflates it,
+  * and exposes the raw record buffer.
   */
-class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
-    cols: Array[String]) extends PartitionReader[InternalRow] {
+private[sources] final class ChunkCursor(part: CellInputPartition) {
   private val in = new DataInputStream(
     Files.newInputStream(Paths.get(part.file)))
   private var pos = 0L // bytes consumed from file start
   private var chunkIdx = 0
-  private var buf: ByteBuffer = ByteBuffer.allocate(0)
-  private var remainingInChunk = 0
-  private var row: InternalRow = _
-  // Column projection is precomputed once: projIdx(i) = field of the
-  // full record to emit at output position i (C9).
-  private val projIdx: Array[Int] =
-    cols.map(c => CellSource.Schema.fieldIndex(c))
+  var buf: ByteBuffer = ByteBuffer.allocate(0)
+  var chunkRecs = 0
 
-  private def nextChunk(): Boolean = {
+  /** Advance to the next chunk; false when the sub-split is done. */
+  def nextChunk(): Boolean = {
     if (chunkIdx >= part.chunkOffsets.length) return false
-    // Seek to this chunk's offset (zone-map pruning leaves gaps).
     val target = part.dataStart + part.chunkOffsets(chunkIdx)
     var toSkip = target - pos
     while (toSkip > 0) { val sk = in.skip(toSkip); toSkip -= sk; pos += sk }
@@ -436,16 +445,36 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
     inflater.end()
     require(off == raw.length, s"short inflate in ${part.file}")
     buf = ByteBuffer.wrap(raw)
-    remainingInChunk = nRecs
+    chunkRecs = nRecs
     chunkIdx += 1
     true
   }
 
+  def close(): Unit = in.close()
+}
+
+/** C3 — row-at-a-time reader (`columnar=false` fallback and the
+  * reference semantics for the columnar parity test).
+  */
+class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
+    cols: Array[String]) extends PartitionReader[InternalRow] {
+  private val cursor = new ChunkCursor(part)
+  private var remainingInChunk = 0
+  private var row: InternalRow = _
+  // Column projection is precomputed once: projIdx(i) = field of the
+  // full record to emit at output position i (C9).
+  private val projIdx: Array[Int] =
+    cols.map(c => CellSource.Schema.fieldIndex(c))
+
   override def next(): Boolean = {
     while (true) {
-      if (remainingInChunk == 0 && !nextChunk()) return false
+      if (remainingInChunk == 0) {
+        if (!cursor.nextChunk()) return false
+        remainingInChunk = cursor.chunkRecs
+      }
       while (remainingInChunk > 0) {
         remainingInChunk -= 1
+        val buf = cursor.buf
         val pk = buf.getLong(); val ck = buf.getInt()
         val colId = buf.get(); val value = buf.getLong()
         val wt = buf.getLong()
@@ -461,5 +490,70 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** Vectorized twin of [[CellReader]]: each compression chunk becomes
+  * one ColumnarBatch (chunk sizing already bounds batch memory), with
+  * the pk range filter applied during the fill so downstream operators
+  * see only surviving rows.
+  */
+class CellColumnarReader(part: CellInputPartition, pkLower: Long,
+    pkUpper: Long, cols: Array[String])
+    extends PartitionReader[ColumnarBatch] {
+  private val cursor = new ChunkCursor(part)
+  private val projIdx: Array[Int] =
+    cols.map(c => CellSource.Schema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map(CellSource.Schema.apply))
+  private val colNameBytes: Array[Array[Byte]] =
+    CellSource.ColNames.map(_.getBytes("UTF-8"))
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    var n = 0
+    var vectors: Array[OnHeapColumnVector] = null
+    // Chunks can be entirely pk-filtered away; keep going until a
+    // batch has rows (or the sub-split is exhausted) so Spark never
+    // sees a 0-row batch.
+    while (n == 0) {
+      if (!cursor.nextChunk()) return false
+      val nRecs = cursor.chunkRecs
+      vectors = OnHeapColumnVector.allocateColumns(nRecs, outSchema)
+      val buf = cursor.buf
+      var r = 0
+      while (r < nRecs) {
+        val pk = buf.getLong(); val ck = buf.getInt()
+        val colId = buf.get(); val value = buf.getLong()
+        val wt = buf.getLong()
+        if (pk >= pkLower && pk <= pkUpper) {
+          var i = 0
+          while (i < projIdx.length) {
+            projIdx(i) match {
+              case 0 => vectors(i).putLong(n, pk)
+              case 1 => vectors(i).putInt(n, ck)
+              case 2 =>
+                val b = colNameBytes(colId)
+                vectors(i).putByteArray(n, b, 0, b.length)
+              case 3 => vectors(i).putLong(n, value)
+              case 4 => vectors(i).putLong(n, wt)
+            }
+            i += 1
+          }
+          n += 1
+        }
+        r += 1
+      }
+    }
+    batch = new ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    cursor.close()
+  }
 }

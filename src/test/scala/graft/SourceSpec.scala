@@ -122,4 +122,25 @@ class SourceSpec extends GraftSpec {
     assert(back.count() == 50000)
     assert(back.agg(sum(col("value"))).head().getLong(0) == 350000L)
   }
+
+  test("columnar read: batches feed the plan, parity with row reader") {
+    // Default path is vectorized: the scan's plan converts batches.
+    val plan = read().queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    val row = spark.read.format("graft.sources.CellSource")
+      .option("columnar", "false").load(dir)
+    assert(!row.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    // Bit-identical contents: full scan, projection, and a pk filter
+    // that drops rows mid-chunk (exercises the fill-time filter).
+    assert(read().except(row).isEmpty && row.except(read()).isEmpty)
+    val pkMid = CellModel.cells(spark, sf())
+      .select(expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY pk)" +
+        " as long)"))
+      .head().getLong(0)
+    val c = read().filter(col("pk") <= pkMid).select("pk", "value", "col")
+    val r = row.filter(col("pk") <= pkMid).select("pk", "value", "col")
+    assert(c.except(r).isEmpty && r.except(c).isEmpty)
+    assert(c.count() === r.count())
+  }
 }
