@@ -167,7 +167,8 @@ object CellSource {
     */
   def writeSnapshot(dir: String, cells: Seq[(Long, Int, String, Long, Long)],
       files: Int, indexEvery: Int = DefaultIndexEvery,
-      chunkRecords: Int = DefaultChunkRecords): Unit = {
+      chunkRecords: Int = DefaultChunkRecords,
+      startIndex: Int = 0): Unit = {
     cells.iterator.map(_._3).distinct.foreach { c =>
       require(ColNames.contains(c), s"unknown cell column '$c'")
     }
@@ -224,7 +225,7 @@ object CellSource {
         h.writeLong(wlo); h.writeLong(whi)
       }
       Using.resource(new DataOutputStream(Files.newOutputStream(
-          p.resolve(f"data-$i%04d.cells")))) { out =>
+          p.resolve(f"data-${startIndex + i}%04d.cells")))) { out =>
         out.writeInt(Magic)
         out.writeInt(header.size)
         out.write(header.toByteArray)
@@ -238,7 +239,8 @@ class CellTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"cells($path)"
   override def schema(): StructType = CellSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellScanBuilder(path,
       options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
@@ -333,9 +335,34 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     *    parallelizes; each task inflates only its own chunks, seeking
     *    over pruned gaps.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Paths.get(path)
-    val files = Using.resource(Files.list(dir)) { s =>
+  override def planInputPartitions(): Array[InputPartition] =
+    CellPlanning.listFiles(path).flatMap(f =>
+      CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
+        subsplitRecords)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)
+
+  /** The streaming face of the same scan: new `.cells` files appearing
+    * in the snapshot directory are the stream (the Cassandra-flush/CDC
+    * analogue — each memtable flush lands a new immutable SSTable).
+    * Offsets are positions in the name-sorted file list, so a batch is
+    * a contiguous run of newly-flushed files, planned with the same
+    * pruning + sub-split logic as the batch scan and read by the same
+    * (vectorized) reader factory.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CellMicroBatchStream(path, pkLower, pkUpper, wtLower, wtUpper,
+      required, subsplitRecords, columnar)
+}
+
+/** Driver-side planning shared by the batch scan and the micro-batch
+  * stream: file listing + per-file prune/narrow/sub-split.
+  */
+private[sources] object CellPlanning {
+  def listFiles(path: String): Seq[String] =
+    Using.resource(Files.list(Paths.get(path))) { s =>
       val it = s.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
       while (it.hasNext) {
@@ -344,44 +371,83 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
       }
       buf.sorted.toSeq
     }
+
+  /** C2/C8/C16 per-file planning (see CellScan scaladoc): Summary range
+    * check, bloom point-lookup check, sparse-index narrowing, wt
+    * zone-map chunk pruning, chunk-aligned sub-splits.
+    */
+  def planFile(f: String, pkLower: Long, pkUpper: Long, wtLower: Long,
+      wtUpper: Long, subsplitRecords: Int): Seq[InputPartition] = {
     val pointPk = if (pkLower == pkUpper) Some(pkLower) else None
-    files.flatMap { f =>
-      val h = CellSource.readHeader(f)
-      if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
-      else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
-        Nil // bloom-pruned: pk in range but provably absent
-      else {
-        // Sparse-index narrowing: records before the last entry with
-        // pk < pkLower are all < pkLower; records from the first entry
-        // with pk > pkUpper on are all > pkUpper.
-        var startRec = 0
-        var endRec = h.count
-        var i = 0
-        while (i < h.indexPks.length && h.indexPks(i) < pkLower) {
-          startRec = h.indexIdx(i); i += 1
-        }
-        i = 0
-        while (i < h.indexPks.length) {
-          if (h.indexPks(i) > pkUpper) {
-            endRec = math.min(endRec, h.indexIdx(i)); i = h.indexPks.length
-          } else i += 1
-        }
-        val nChunks = h.chunkOffsets.length
-        val startChunk = startRec / h.chunkRecords
-        val endChunk = math.min(nChunks,
-          (endRec + h.chunkRecords - 1) / h.chunkRecords)
-        val surviving = (startChunk until endChunk).filter { c =>
-          h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper
-        }
-        val chunksPerSplit =
-          math.max(1, subsplitRecords / math.max(1, h.chunkRecords))
-        surviving.grouped(chunksPerSplit).map { cs =>
-          CellInputPartition(f, h.dataStart,
-            cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
-            cs.map(h.chunkRecCounts).toArray): InputPartition
-        }.toSeq
+    val h = CellSource.readHeader(f)
+    if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
+    else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
+      Nil // bloom-pruned: pk in range but provably absent
+    else {
+      // Sparse-index narrowing: records before the last entry with
+      // pk < pkLower are all < pkLower; records from the first entry
+      // with pk > pkUpper on are all > pkUpper.
+      var startRec = 0
+      var endRec = h.count
+      var i = 0
+      while (i < h.indexPks.length && h.indexPks(i) < pkLower) {
+        startRec = h.indexIdx(i); i += 1
       }
-    }.toArray
+      i = 0
+      while (i < h.indexPks.length) {
+        if (h.indexPks(i) > pkUpper) {
+          endRec = math.min(endRec, h.indexIdx(i)); i = h.indexPks.length
+        } else i += 1
+      }
+      val nChunks = h.chunkOffsets.length
+      val startChunk = startRec / h.chunkRecords
+      val endChunk = math.min(nChunks,
+        (endRec + h.chunkRecords - 1) / h.chunkRecords)
+      val surviving = (startChunk until endChunk).filter { c =>
+        h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper
+      }
+      val chunksPerSplit =
+        math.max(1, subsplitRecords / math.max(1, h.chunkRecords))
+      surviving.grouped(chunksPerSplit).map { cs =>
+        CellInputPartition(f, h.dataStart,
+          cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
+          cs.map(h.chunkRecCounts).toArray): InputPartition
+      }.toSeq
+    }
+  }
+}
+
+/** Stream offset: a position in the name-sorted `.cells` file list —
+  * files before it are committed, files at/after it are new.
+  */
+class CellOffset(val n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = n.toString
+}
+
+class CellMicroBatchStream(path: String, pkLower: Long, pkUpper: Long,
+    wtLower: Long, wtUpper: Long, required: StructType,
+    subsplitRecords: Int, columnar: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = new CellOffset(0)
+  override def latestOffset(): Offset =
+    new CellOffset(CellPlanning.listFiles(path).size)
+  override def deserializeOffset(json: String): Offset =
+    new CellOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CellOffset].n
+    val e = end.asInstanceOf[CellOffset].n
+    // Name-sorted listing is append-stable: flush k lands data-000k, so
+    // the slice [s, e) is exactly the files this batch owns.
+    CellPlanning.listFiles(path).slice(s, e).flatMap(f =>
+      CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
+        subsplitRecords)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -143,4 +143,24 @@ class SourceSpec extends GraftSpec {
     assert(c.except(r).isEmpty && r.except(c).isEmpty)
     assert(c.count() === r.count())
   }
+
+  test("micro-batch stream ingests newly flushed sstable files (CDC)") {
+    val d = Files.createTempDirectory("cells-stream").toString
+    val flushA = (0L until 1000L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, flushA, files = 2)
+    val q = spark.readStream.format("graft.sources.CellSource").load(d)
+      .groupBy(col("col")).count()
+      .writeStream.format("memory").queryName("cellcdc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cellcdc").head().getLong(1) === 1000L)
+      // A later "memtable flush" lands one more immutable file; the
+      // stream discovers and reads ONLY the new file.
+      val flushB = (1000L until 1500L).map(pk => (pk, 0, "qty", pk, 2000L))
+      CellSource.writeSnapshot(d, flushB, files = 1, startIndex = 2)
+      q.processAllAvailable()
+      assert(spark.table("cellcdc").head().getLong(1) === 1500L)
+    } finally q.stop()
+  }
 }
