@@ -249,13 +249,65 @@ class CellTable(path: String) extends Table with SupportsRead {
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pkLower = Long.MinValue
   private var pkUpper = Long.MaxValue
   private var wtLower = Long.MinValue
   private var wtUpper = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = CellSource.Schema
+  private var aggTags: Option[Array[String]] = None
+
+  // Aggregate pushdown (the Statistics.db/Summary.db story): a global
+  // COUNT(*) / MIN(pk) / MAX(pk) is answerable from file HEADERS alone
+  // — Summary holds the pk range, the chunk table holds exact record
+  // counts — so the whole query plans to a header-only scan that never
+  // touches a data section. Only offered for the unfiltered scan
+  // (header stats are table-wide; a pushed pk/wt range would need the
+  // data) and only for the exact trio the headers can answer.
+  private def pkRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "pk"
+      case _ => false
+    }
+
+  private def aggTag(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    f match {
+      case _: CountStar => Some("count")
+      case m: Min if pkRef(m.column) => Some("min")
+      case m: Max if pkRef(m.column) => Some("max")
+      case _ => None
+    }
+  }
+
+  private def tagsFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Array[String]] = {
+    val noFilters = pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
+      wtLower == Long.MinValue && wtUpper == Long.MaxValue
+    val tags = agg.aggregateExpressions.flatMap(aggTag(_).toSeq)
+    if (noFilters && agg.groupByExpressions.isEmpty &&
+        tags.length == agg.aggregateExpressions.length && tags.nonEmpty)
+      Some(tags)
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tagsFor(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggTags = tagsFor(agg)
+    aggTags.isDefined
+  }
 
   /** Accept pk range predicates (the Summary/Filter/Index pruning set)
     * and wt range predicates (the Statistics.db zone-map set — the
@@ -305,10 +357,59 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-      subsplitRecords, columnar)
+  override def build(): Scan = aggTags match {
+    case Some(tags) => new CellAggScan(path, tags)
+    case None =>
+      new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
+        subsplitRecords, columnar)
+  }
 }
+
+/** Header-only scan answering a completely-pushed COUNT(*) / MIN(pk) /
+  * MAX(pk): the driver folds every file's Summary range and record
+  * count at planning time and ships ONE single-row partition — zero
+  * data-section bytes read, zero executor decode work.
+  */
+class CellAggScan(path: String, tags: Array[String]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(tags.map {
+    case "count" => StructField("count(*)", LongType, nullable = false)
+    case "min" => StructField("min(pk)", LongType, nullable = true)
+    case "max" => StructField("max(pk)", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellAggScan path=$path aggs=${tags.mkString(",")} (header-only)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val headers = CellPlanning.listFiles(path).map(CellSource.readHeader)
+    val nonEmpty = headers.filter(_.count > 0)
+    val cnt = headers.iterator.map(_.count.toLong).sum
+    val minPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_.minPk).min
+    val maxPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_.maxPk).max
+    Array(CellAggPartition(tags, cnt, minPk, maxPk, nonEmpty.nonEmpty))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val a = p.asInstanceOf[CellAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(a.tags.toSeq.map {
+            case "count" => a.cnt
+            case "min" => if (a.hasRows) a.minPk else null
+            case "max" => if (a.hasRows) a.maxPk else null
+          })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
+    maxPk: Long, hasRows: Boolean) extends InputPartition
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,

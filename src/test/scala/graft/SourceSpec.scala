@@ -144,6 +144,25 @@ class SourceSpec extends GraftSpec {
     assert(c.count() === r.count())
   }
 
+  test("count/min/max answered from headers alone (aggregate pushdown)") {
+    val df = read().selectExpr("count(*) AS n", "min(pk) AS lo",
+      "max(pk) AS hi")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CellAggScan"), p)
+    val got = df.head()
+    val want = CellModel.cells(spark, sf())
+      .selectExpr("count(*)", "min(pk)", "max(pk)").head()
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(2) === want.getLong(2))
+    // A pushed pk filter disqualifies the header answer: the scan must
+    // fall back to reading data.
+    val filtered = read().filter(col("pk") > 100L)
+      .selectExpr("count(*) AS n")
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("CellAggScan"))
+  }
+
   test("micro-batch stream ingests newly flushed sstable files (CDC)") {
     val d = Files.createTempDirectory("cells-stream").toString
     val flushA = (0L until 1000L).map(pk => (pk, 0, "qty", pk, 1000L))
