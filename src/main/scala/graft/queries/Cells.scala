@@ -362,7 +362,23 @@ object Cells {
       |HAVING max(CASE WHEN col = 'qty' THEN value END) = 2500
       |ORDER BY pk, ck""".stripMargin
 
+  // C20 — header-only aggregate: the unfiltered COUNT/MIN/MAX trio is
+  // completely pushed into the connector (SupportsPushDownAggregates)
+  // and answered from Summary ranges + chunk-table counts — the plan
+  // is a CellAggScan that reads zero data-section bytes (PlanSpec
+  // asserts the scan node; SourceSpec asserts the fallback).
+  private def headerAgg(s: SparkSession, d: String): DataFrame =
+    src(s, d).selectExpr("count(*) AS n_cells", "min(pk) AS min_pk",
+      "max(pk) AS max_pk")
+
+  private val headerAggSql = cte +
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(MIN(pk) AS BIGINT) AS min_pk,
+      |  CAST(MAX(pk) AS BIGINT) AS max_pk
+      |FROM cells""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C20_header_agg", headerAgg, Some(headerAggSql)),
     GQuery("C18_secondary_index", secondaryIdx, Some(secondaryIdxSql)),
     GQuery("C17_compaction", compaction, Some(compactionSql)),
     GQuery("C1_sstable_scan", scan, Some(scanSql)),

@@ -201,6 +201,26 @@ class PlanSpec extends GraftSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("C20 header agg plans the header-only CellAggScan") {
+    val p = plan(Registry.byName("C20_header_agg").fn(spark, sf()))
+    assert(p.contains("CellAggScan"), p)
+  }
+
+  test("flagship q1 and the funnel run inside whole-stage codegen") {
+    // AQE prints codegen spans only once the final plan materializes —
+    // execute first, then inspect.
+    def finalPlan(name: String): String = {
+      val df = Registry.byName(name).fn(spark, sf())
+      df.collect() // count() would execute a DIFFERENT (re-planned) query
+      df.queryExecution.executedPlan.toString
+    }
+    // "*(n)" is the WholeStageCodegen stage marker in plan toString.
+    val q1 = finalPlan("q1_pricing_summary")
+    assert(q1.contains("isFinalPlan=true") && q1.contains("*("), q1)
+    val f = finalPlan("N_PIPE1_curation_funnel")
+    assert(f.contains("isFinalPlan=true") && f.contains("*("), f)
+  }
+
   test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {
     val p = plan(Registry.byName("N_DEDUP7_segment_dedup").fn(spark, sf()))
     // never doc×doc: the duplicated-span join must be an equi join on
