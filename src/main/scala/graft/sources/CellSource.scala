@@ -165,6 +165,69 @@ object CellSource {
     * Index/CompressionInfo metadata and a chunk-deflated data section.
     * Driver-side test/fixture utility.
     */
+  /** Write ONE pk-sorted `.cells` file (Summary/Filter/Index/
+    * CompressionInfo header + chunk-deflated data section). `chunk`
+    * MUST already be record-sorted. Shared by the fixture snapshot
+    * writer and the DSv2 task writers.
+    */
+  private[sources] def writeFile(target: java.nio.file.Path,
+      chunk: Seq[(Long, Int, String, Long, Long)], indexEvery: Int,
+      chunkRecords: Int): Unit = {
+    // Deflate the data section chunk by chunk, recording the table.
+    val data = new ByteArrayOutputStream()
+    val offsets = Seq.newBuilder[(Long, Int, Int, Long, Long)]
+    chunk.grouped(chunkRecords).foreach { recs =>
+      val raw = ByteBuffer.allocate(recs.size * RecordBytes)
+      recs.foreach { case (pk, ck, col, value, wt) =>
+        raw.putLong(pk); raw.putInt(ck)
+        raw.put(ColNames.indexOf(col).toByte)
+        raw.putLong(value); raw.putLong(wt)
+      }
+      val deflater = new Deflater()
+      deflater.setInput(raw.array()); deflater.finish()
+      // Worst-case deflate output on incompressible input is ~5 bytes
+      // per 16 KiB stored block plus a small header — a flat +64 slack
+      // would underflow once the chunk passes ~200 KiB and the
+      // deflate() loop would spin forever returning 0 into a full
+      // buffer. zlib's own deflateBound-style margin:
+      val buf = new Array[Byte](raw.capacity() + raw.capacity() / 1000 + 64)
+      var clen = 0
+      while (!deflater.finished())
+        clen += deflater.deflate(buf, clen, buf.length - clen)
+      deflater.end()
+      offsets += ((data.size().toLong, clen, recs.size,
+        recs.iterator.map(_._5).min, recs.iterator.map(_._5).max))
+      data.write(buf, 0, clen)
+    }
+    val chunkTable = offsets.result()
+    val header = new ByteArrayOutputStream()
+    val h = new DataOutputStream(header)
+    h.writeLong(if (chunk.isEmpty) Long.MaxValue else chunk.head._1)
+    h.writeLong(if (chunk.isEmpty) Long.MinValue else chunk.last._1)
+    h.writeInt(chunk.size)
+    val bloom = bloomBuild(chunk.map(_._1))
+    h.writeInt(bloom.length)
+    bloom.foreach(h.writeLong)
+    val idx = chunk.zipWithIndex.collect {
+      case (c, j) if j % indexEvery == 0 => (c._1, j)
+    }
+    h.writeInt(idx.size)
+    idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
+    h.writeInt(chunkRecords)
+    h.writeInt(chunkTable.size)
+    chunkTable.foreach { case (off, clen, nrec, wlo, whi) =>
+      h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+      h.writeLong(wlo); h.writeLong(whi)
+    }
+    Using.resource(new DataOutputStream(
+        Files.newOutputStream(target))) { out =>
+      out.writeInt(Magic)
+      out.writeInt(header.size)
+      out.write(header.toByteArray)
+      data.writeTo(out)
+    }
+  }
+
   def writeSnapshot(dir: String, cells: Seq[(Long, Int, String, Long, Long)],
       files: Int, indexEvery: Int = DefaultIndexEvery,
       chunkRecords: Int = DefaultChunkRecords,
@@ -178,73 +241,28 @@ object CellSource {
     val fileChunks = if (sorted.isEmpty) Seq(Seq.empty)
       else sorted.grouped(math.max(1, (sorted.size + files - 1) / files)).toSeq
     fileChunks.zipWithIndex.foreach { case (chunk, i) =>
-      // Deflate the data section chunk by chunk, recording the table.
-      val data = new ByteArrayOutputStream()
-      val offsets = Seq.newBuilder[(Long, Int, Int, Long, Long)]
-      chunk.grouped(chunkRecords).foreach { recs =>
-        val raw = ByteBuffer.allocate(recs.size * RecordBytes)
-        recs.foreach { case (pk, ck, col, value, wt) =>
-          raw.putLong(pk); raw.putInt(ck)
-          raw.put(ColNames.indexOf(col).toByte)
-          raw.putLong(value); raw.putLong(wt)
-        }
-        val deflater = new Deflater()
-        deflater.setInput(raw.array()); deflater.finish()
-        // Worst-case deflate output on incompressible input is ~5 bytes
-        // per 16 KiB stored block plus a small header — a flat +64 slack
-        // would underflow once the chunk passes ~200 KiB and the
-        // deflate() loop would spin forever returning 0 into a full
-        // buffer. zlib's own deflateBound-style margin:
-        val buf = new Array[Byte](raw.capacity() + raw.capacity() / 1000 + 64)
-        var clen = 0
-        while (!deflater.finished())
-          clen += deflater.deflate(buf, clen, buf.length - clen)
-        deflater.end()
-        offsets += ((data.size().toLong, clen, recs.size,
-          recs.iterator.map(_._5).min, recs.iterator.map(_._5).max))
-        data.write(buf, 0, clen)
-      }
-      val chunkTable = offsets.result()
-      val header = new ByteArrayOutputStream()
-      val h = new DataOutputStream(header)
-      h.writeLong(if (chunk.isEmpty) Long.MaxValue else chunk.head._1)
-      h.writeLong(if (chunk.isEmpty) Long.MinValue else chunk.last._1)
-      h.writeInt(chunk.size)
-      val bloom = bloomBuild(chunk.map(_._1))
-      h.writeInt(bloom.length)
-      bloom.foreach(h.writeLong)
-      val idx = chunk.zipWithIndex.collect {
-        case (c, j) if j % indexEvery == 0 => (c._1, j)
-      }
-      h.writeInt(idx.size)
-      idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
-      h.writeInt(chunkRecords)
-      h.writeInt(chunkTable.size)
-      chunkTable.foreach { case (off, clen, nrec, wlo, whi) =>
-        h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
-        h.writeLong(wlo); h.writeLong(whi)
-      }
-      Using.resource(new DataOutputStream(Files.newOutputStream(
-          p.resolve(f"data-${startIndex + i}%04d.cells")))) { out =>
-        out.writeInt(Magic)
-        out.writeInt(header.size)
-        out.write(header.toByteArray)
-        data.writeTo(out)
-      }
+      writeFile(p.resolve(f"data-${startIndex + i}%04d.cells"), chunk,
+        indexEvery, chunkRecords)
     }
   }
 }
 
-class CellTable(path: String) extends Table with SupportsRead {
+class CellTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"cells($path)"
   override def schema(): StructType = CellSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellScanBuilder(path,
       options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       options.getBoolean("columnar", true))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CellWriteBuilder(path, info.schema())
 }
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
@@ -410,6 +428,112 @@ class CellAggScan(path: String, tags: Array[String]) extends Scan with Batch {
 
 case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
     maxPk: Long, hasRows: Boolean) extends InputPartition
+
+/** DSv2 batch write: each task sorts its rows and stages one `.cells`
+  * file (full Summary/Filter/Index/CompressionInfo header); the driver
+  * commit renames staged files into the `data-NNNN.cells` sequence
+  * AFTER the existing files — exactly a set of new SSTable flushes, so
+  * a running [[CellMicroBatchStream]] picks a committed write up as
+  * its next micro-batch. Overwrite (`SupportsTruncate`) clears the
+  * directory first; abort deletes the staged files. For sorted output
+  * at scale, `df.repartitionByRange($"pk").sortWithinPartitions(...)`
+  * upstream gives globally range-partitioned files (the task-local
+  * sort here guarantees per-file order regardless).
+  */
+class CellWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(schema.fieldNames.sameElements(CellSource.Schema.fieldNames),
+    s"cell write needs columns ${CellSource.Schema.fieldNames.mkString(",")}" +
+      s", got ${schema.fieldNames.mkString(",")}")
+  private var truncateFirst = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new CellBatchWrite(path, truncateFirst)
+    }
+}
+
+case class CellCommitMessage(stagedFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class CellBatchWrite(path: String, truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new CellDataWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (truncateFirst)
+      CellPlanning.listFiles(path).foreach(f => Files.delete(Paths.get(f)))
+    // Rename staged files into the sequence after the current max index
+    // (driver-side, single-threaded — the atomic "flush publish").
+    val existing = CellPlanning.listFiles(path)
+    var next = existing.map { f =>
+      val n = Paths.get(f).getFileName.toString
+      n.substring(5, n.length - 6).toInt
+    }.foldLeft(-1)(math.max) + 1
+    messages.foreach {
+      case CellCommitMessage(staged) =>
+        Files.move(Paths.get(staged),
+          dir.resolve(f"data-$next%04d.cells"))
+        next += 1
+      case _ =>
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CellCommitMessage(staged) =>
+        Files.deleteIfExists(Paths.get(staged))
+      case _ =>
+    }
+}
+
+class CellDataWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CellDataWriter(path, partitionId, taskId)
+}
+
+class CellDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val rows =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+
+  override def write(r: InternalRow): Unit =
+    rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
+      r.getLong(3), r.getLong(4)))
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val staged = dir.resolve(
+      f".staged-$taskId%d-$partitionId%05d.cells.tmp")
+    val sorted = rows.sortBy(c => (c._1, c._2, c._3, c._5, c._4)).toSeq
+    sorted.iterator.map(_._3).distinct.foreach { c =>
+      require(CellSource.ColNames.contains(c), s"unknown cell column '$c'")
+    }
+    CellSource.writeFile(staged, sorted, CellSource.DefaultIndexEvery,
+      CellSource.DefaultChunkRecords)
+    CellCommitMessage(staged.toString)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = rows.clear()
+}
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,

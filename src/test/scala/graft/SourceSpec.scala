@@ -163,6 +163,28 @@ class SourceSpec extends GraftSpec {
       .contains("CellAggScan"))
   }
 
+  test("DSv2 batch write round-trips, appends as flushes, truncates") {
+    val d = Files.createTempDirectory("cells-write").toString
+    val orig = CellModel.cells(spark, sf())
+    orig.repartition(3).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() === orig.count())
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+    // append mode lands additional flush files after the existing ones
+    val extra = orig.limit(100)
+    extra.coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    assert(spark.read.format("graft.sources.CellSource").load(d).count()
+      === orig.count() + 100)
+    // overwrite truncates to exactly the new contents
+    extra.coalesce(1).write.format("graft.sources.CellSource")
+      .mode("overwrite").save(d)
+    val after = spark.read.format("graft.sources.CellSource").load(d)
+    assert(after.count() === 100)
+    assert(after.except(extra).isEmpty && extra.except(after).isEmpty)
+  }
+
   test("micro-batch stream ingests newly flushed sstable files (CDC)") {
     val d = Files.createTempDirectory("cells-stream").toString
     val flushA = (0L until 1000L).map(pk => (pk, 0, "qty", pk, 1000L))
