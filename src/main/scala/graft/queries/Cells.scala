@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GQuery
 import graft.cassandra.{CellModel => CM, CellSql}
@@ -377,7 +378,60 @@ object Cells {
       |  CAST(MAX(pk) AS BIGINT) AS max_pk
       |FROM cells""".stripMargin
 
+  // C22 — PER PARTITION LIMIT n (a first-class CQL clause): the first
+  // n clustering rows of every partition of the reconciled wide view.
+  // Per-pk row_number over ck — the window key IS the partition key,
+  // so the plan is one hash-partitioned window, no skew, no global
+  // sort before the final presentation ORDER BY.
+  private def perPartitionLimit(s: SparkSession, d: String): DataFrame = {
+    val w = CM.wideView(CM.lwwMerge(CM.cells(s, d)))
+    w.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pk")).orderBy(col("ck"))))
+      .filter(col("rn") <= 2).drop("rn")
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val perPartitionLimitSql = cte +
+    """SELECT pk, ck, qty, price FROM (
+      |  SELECT pk, ck, qty, price,
+      |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ck) AS rn
+      |  FROM (
+      |    SELECT pk, ck,
+      |      CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT) AS qty,
+      |      CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT)
+      |        AS price
+      |    FROM merged GROUP BY pk, ck))
+      |WHERE rn <= 2 ORDER BY pk, ck""".stripMargin
+
+  // C23 — anti-entropy range digests (the repair/Merkle-tree leaf
+  // analogue): per contiguous pk range, a content digest of every raw
+  // cell in canonical order plus the cell count. Two replicas compare
+  // digests per range and stream only mismatching ranges — here the
+  // leaf computation itself: bucket → sorted cell strings → md5.
+  // collect_list is bounded by the range width (the Merkle leaf
+  // granularity knob), not the table size.
+  private def rangeDigest(s: SparkSession, d: String): DataFrame = {
+    val cs = concat_ws(":", col("pk"), col("ck"), col("col"),
+      col("value"), col("wt"))
+    CM.cells(s, d)
+      .select(expr("pk div 1024").as("bucket"), cs.as("cs"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cells"),
+        md5(array_join(sort_array(collect_list(col("cs"))), "|")
+          .cast("binary")).as("digest"))
+      .orderBy(col("bucket"))
+  }
+
+  private val rangeDigestSql = cte +
+    """SELECT pk // 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  md5(string_agg(concat_ws(':', pk, ck, col, value, wt), '|'
+      |    ORDER BY concat_ws(':', pk, ck, col, value, wt))) AS digest
+      |FROM cells GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C22_per_partition_limit", perPartitionLimit,
+      Some(perPartitionLimitSql)),
+    GQuery("C23_range_digest", rangeDigest, Some(rangeDigestSql)),
     GQuery("C20_header_agg", headerAgg, Some(headerAggSql)),
     GQuery("C18_secondary_index", secondaryIdx, Some(secondaryIdxSql)),
     GQuery("C17_compaction", compaction, Some(compactionSql)),

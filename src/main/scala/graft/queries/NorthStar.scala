@@ -230,6 +230,44 @@ object NorthStar {
        |FROM e CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  // N_SIM7 — batch top-k: k nearest base vectors for EVERY query in a
+  // small query set at once (the ANN batch-query mode). The query set
+  // broadcasts (map-only scoring, no shuffle of the base side), and
+  // the per-query k-selection runs through the custom TopKPerKey
+  // operator — per-partition heaps prune to k·|queries| rows BEFORE
+  // the shuffle, so the exchanged volume is O(k) per query regardless
+  // of base size.
+  private def simBatchTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec")))
+    val base = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val scored = base.crossJoin(queries)
+      .select(col("qid"), col("vec_id"),
+        (round(Similarity.cosineNative(e, "vec", "qvec"), 4) + lit(0.0))
+          .as("score"))
+    graft.operators.TopK.perKey(scored, Seq("qid"),
+        Seq(("score", false), ("vec_id", true)), 3)
+      .orderBy(col("qid"), col("score").desc, col("vec_id"))
+  }
+
+  private val simBatchTopKSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings WHERE vec_id >= 5),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |s AS (
+       |  SELECT qid, e.vec_id,
+       |    ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS score
+       |  FROM e CROSS JOIN q),
+       |r AS (
+       |  SELECT qid, vec_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM s)
+       |SELECT qid, vec_id, score FROM r WHERE rn <= 3
+       |ORDER BY qid, score DESC, vec_id""".stripMargin
+
   private def simPairs(s: SparkSession, d: String): DataFrame =
     Similarity.blockedPairs(embs(s, d), 0.3)
       .orderBy(col("id_a"), col("id_b"))
@@ -1064,6 +1102,7 @@ object NorthStar {
       Some(dedupEmbeddingSql)),
     GQuery("N_DEDUP6_clusters", dedupClusters, Some(dedupClustersSql)),
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
+    GQuery("N_SIM7_batch_topk", simBatchTopK, Some(simBatchTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
