@@ -410,6 +410,74 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY total_qty DESC, o_orderkey""".stripMargin
 
+  // Q_JOIN17 — volume shipping (TPC-H Q7 shape): bidirectional
+  // two-nation trade by year. The nation pair predicate is a
+  // disjunction over BOTH broadcast nation joins (supp side, cust
+  // side); the fact side shuffles once per join key, the two tiny
+  // nation dims broadcast, and the year rollup is a partial-agg
+  // two-phase.
+  private def joinVolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" &&
+          col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val joinVolumeShippingSql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // Q_AGG17 — small-quantity-order revenue (TPC-H Q17 shape): the
+  // correlated "below 20% of this part's average quantity" predicate,
+  // decorrelated into one per-part aggregate joined back to the fact —
+  // the scan-twice-shuffle-once plan, never a per-row subquery.
+  private def aggSmallQty(s: SparkSession, d: String): DataFrame = {
+    val avgQty = Tables.lineitem(s, d).groupBy(col("l_partkey").as("p_pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_cut"))
+    Tables.lineitem(s, d)
+      .join(avgQty, col("l_partkey") === col("p_pk"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val aggSmallQtySql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS p_pk, 0.2 * avg(l_quantity) AS qty_cut
+      |      FROM lineitem GROUP BY 1) t
+      |  ON l.l_partkey = t.p_pk
+      |WHERE l.l_quantity < t.qty_cut""".stripMargin
+
   // Q_JOIN15 — binned range join: clicks within 5 min before a purchase
   // by ANY user — no equi key exists, so the scalable plan is the
   // time-binning rewrite (graft.operators.RangeJoin): equi-join on a
@@ -656,6 +724,9 @@ object Relational {
     GQuery("Q_JOIN15_binned_range", joinBinnedRange, Some(joinBinnedRangeSql)),
     GQuery("Q_JOIN16_local_volume", joinVolume, Some(joinVolumeSql)),
     GQuery("Q_AGG16_large_orders", aggLargeOrders, Some(aggLargeOrdersSql)),
+    GQuery("Q_JOIN17_volume_shipping", joinVolumeShipping,
+      Some(joinVolumeShippingSql)),
+    GQuery("Q_AGG17_small_qty", aggSmallQty, Some(aggSmallQtySql)),
     GQuery("Q_JOIN11_asof", joinAsOf, Some(joinAsOfSql)),
     GQuery("Q_SORT1_multikey", sortMultiKey, Some(sortMultiKeySql)),
     GQuery("Q_LIM1_limit", limitK, Some(limitKSql)),
