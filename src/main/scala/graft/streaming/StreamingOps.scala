@@ -84,6 +84,36 @@ object StreamingOps {
     events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Incremental LWW view maintenance over the connector's CDC stream
+    * (compose with `readStream.format("graft.sources.CellSource")` +
+    * `foreachBatch`): merge a micro-batch of newly-flushed cells into
+    * a pk-bucketed parquet store, keeping per-(pk, ck, col) LWW
+    * winners across ALL batches seen so far. Read-modify-write is
+    * limited to the buckets the batch touches; dynamic partition
+    * overwrite makes a replayed batch rewrite the same buckets to the
+    * same bytes (idempotent — the at-least-once sink contract). At
+    * scale the bucket count is the rewrite-granularity knob, exactly
+    * like compaction granularity on the source side.
+    */
+  def lwwUpsertBatch(spark: SparkSession, batch: DataFrame,
+      dir: String, buckets: Int = 16): Unit = {
+    if (batch.isEmpty) return
+    val incoming = batch.withColumn("bucket", pmod(col("pk"), lit(buckets)))
+    val touched = incoming.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ `buckets` values — driver-safe
+    val existing =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+        Some(spark.read.parquet(dir)
+          .filter(col("bucket").isInCollection(touched.toSeq)))
+      else None
+    val unioned = existing.fold(incoming)(_.unionByName(incoming))
+    graft.cassandra.CellModel.lwwMerge(unioned)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(dir)
+  }
+
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
   /** S_STATE3 twin, modern API — the same per-user running totals as a

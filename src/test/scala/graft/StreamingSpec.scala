@@ -191,4 +191,35 @@ class StreamingSpec extends GraftSpec {
       OutputMode.Complete())
     assert(out.count() == 4) // one event → 4 overlapping 1h/15m windows
   }
+
+  test("CDC stream + lwwUpsertBatch converges to the batch LWW view") {
+    import graft.cassandra.CellModel
+    import graft.sources.CellSource
+    val snap = java.nio.file.Files.createTempDirectory("cdc-snap").toString
+    val store = java.nio.file.Files.createTempDirectory("cdc-store")
+      .resolve("view").toString
+    val all = CellModel.cells(spark, sf())
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    // Flush 1 = older writes, flush 2 = newer (the +1d rewrites land in
+    // flush 2), so LWW winners must be found ACROSS micro-batches.
+    val cut = all.map(_._5).sorted.apply(all.size / 2)
+    CellSource.writeSnapshot(snap, all.filter(_._5 < cut), files = 1)
+    val q = spark.readStream.format("graft.sources.CellSource").load(snap)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.lwwUpsertBatch(spark, batch, store)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      CellSource.writeSnapshot(snap, all.filter(_._5 >= cut), files = 1,
+        startIndex = 1)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(store)
+      .select("pk", "ck", "col", "value", "wt")
+    val want = CellModel.lwwMerge(CellModel.cells(spark, sf()))
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
 }
