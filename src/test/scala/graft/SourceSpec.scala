@@ -185,6 +185,33 @@ class SourceSpec extends GraftSpec {
     assert(after.except(extra).isEmpty && extra.except(after).isEmpty)
   }
 
+  test("write/read round-trip holds across adversarial sizes (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Sizes hugging the chunk boundary (chunkRecords=7) plus pk
+    // duplication stress the chunk table, index, bloom, and the
+    // columnar fill in one go.
+    val cellsGen = for {
+      n <- Gen.oneOf(0, 1, 6, 7, 8, 13, 14, 50)
+      pks <- Gen.listOfN(n, Gen.chooseNum(0L, 20L))
+      cks <- Gen.listOfN(n, Gen.chooseNum(0, 3))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-5000L, 5000L))
+      ws <- Gen.listOfN(n, Gen.chooseNum(0L, 99L))
+    } yield pks.lazyZip(cks).lazyZip(vs).lazyZip(ws).toList.map {
+      case (pk, ck, v, w) =>
+        (pk, ck, if (v % 2 == 0) "qty" else "price", v, w)
+    }
+    val prop = Prop.forAll(cellsGen) { cells =>
+      val d = Files.createTempDirectory("cells-prop").toString
+      CellSource.writeSnapshot(d, cells, files = 2, chunkRecords = 7)
+      val back = spark.read.format("graft.sources.CellSource").load(d)
+        .as[(Long, Int, String, Long, Long)].collect().toSeq
+      back.sorted == cells.sorted
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("micro-batch stream ingests newly flushed sstable files (CDC)") {
     val d = Files.createTempDirectory("cells-stream").toString
     val flushA = (0L until 1000L).map(pk => (pk, 0, "qty", pk, 1000L))
