@@ -300,7 +300,79 @@ object Aggregates {
       |  MAX(s_acctbal) AS max_bal
       |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // Q_AGG18 — deterministic mode: the most frequent value per group,
+  // ties broken toward the SMALLEST value. Native `mode()` is
+  // tie-nondeterministic in both engines (SURVEY §7.4), so the
+  // portable form is count + row_number — same two-shuffle shape as
+  // any top-1-per-group.
+  private def aggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"),
+        (col("l_quantity") * 100).cast("long").as("qty_c"))
+      .agg(count(lit(1)).as("n_occ"))
+    counts
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("n_occ").desc, col("qty_c"))))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val aggModeSql =
+    """SELECT l_returnflag, qty_c, n_occ FROM (
+      |  SELECT l_returnflag, CAST(l_quantity * 100 AS BIGINT) AS qty_c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_occ,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, CAST(l_quantity * 100 AS BIGINT)) AS rn
+      |  FROM lineitem GROUP BY 1, 2)
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  // Q_AGG19 — conditional/boolean aggregates: count_if + bool_and/
+  // bool_or (ANSI ANY/EVERY) — single partial-aggregable pass.
+  private def aggCondBool(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 1000).cast("long").as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).cast("long").as("any_over_400k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val aggCondBoolSql =
+    """SELECT o_orderpriority,
+      |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+      |  CAST(bool_and(o_totalprice > 1000) AS BIGINT) AS all_over_1k,
+      |  CAST(bool_or(o_totalprice > 400000) AS BIGINT) AS any_over_400k,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Q_AGG20 — bitwise aggregates: bit_and/bit_or/bit_xor over a
+  // bounded integer domain + summed popcount. Exact integers, fully
+  // partial-aggregable (each bit op is associative-commutative).
+  private def aggBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((col("o_orderkey") % 16).as("g"),
+        (col("o_orderkey") % 4096).as("v"))
+      .groupBy(col("g"))
+      .agg(bit_and(col("v")).as("band"), bit_or(col("v")).as("bor"),
+        bit_xor(col("v")).as("bxor"),
+        sum(expr("bit_count(v)")).as("popcnt"))
+      .orderBy(col("g"))
+
+  private val aggBitwiseSql =
+    """SELECT o_orderkey % 16 AS g,
+      |  CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS band,
+      |  CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS bor,
+      |  CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS bxor,
+      |  CAST(SUM(bit_count(CAST(o_orderkey % 4096 AS BIGINT))) AS BIGINT)
+      |    AS popcnt
+      |FROM orders GROUP BY 1 ORDER BY g""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("Q_AGG18_mode_deterministic", aggMode, Some(aggModeSql)),
+    GQuery("Q_AGG19_cond_bool", aggCondBool, Some(aggCondBoolSql)),
+    GQuery("Q_AGG20_bitwise", aggBitwise, Some(aggBitwiseSql)),
     GQuery("Q_AGG1_groupby", aggGroupBy, Some(aggGroupBySql)),
     GQuery("Q_AGG2_global", aggGlobal, Some(aggGlobalSql)),
     GQuery("Q_AGG3_count_distinct", aggDistinct, Some(aggDistinctSql)),

@@ -720,6 +720,43 @@ object NorthStar {
       |  md5(text) AS digest
       |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  // N_MM6 — perceptual-hash near-dup (the image-dedup shape): a 60-bit
+  // pHash analogue per media payload (md5-derived here, since the
+  // container has no codecs — a real pHash plugs into the same
+  // column), then pairs within a language block whose Hamming distance
+  // is ≤ 20. The distance is one xor + popcount per candidate pair —
+  // the cheapest near-dup verify there is — and blocking keeps the
+  // pair space Σ O(block²), never corpus². At 100 TB you'd block on
+  // hash prefixes (BK-tree/multi-index style) instead of metadata;
+  // same join shape.
+  private def mmPhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val ph = docs(s, d).select(col("doc_id"), col("lang"),
+      expr("cast(conv(substring(md5(cast(text as binary)), 1, 15), 16, 10)" +
+        " as bigint)").as("ph"))
+    val a = ph.select(col("lang"), col("doc_id").as("id_a"),
+      col("ph").as("ph_a"))
+    val b = ph.select(col("lang"), col("doc_id").as("id_b"),
+      col("ph").as("ph_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        expr("cast(bit_count(ph_a ^ ph_b) as bigint)"))
+      .filter(col("hamming") <= 20)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val mmPhashNearDupSql =
+    """WITH ph AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS ph
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ph, b.ph)) <= 20
+      |ORDER BY id_a, id_b""".stripMargin
+
   // The stub codec is deterministic (feature j = md5-byte j / 256), so
   // the decode output is fully oracle-checkable: features re-emerge as
   // '|'-joined integer bytes and DuckDB recomputes them from md5 hex.
@@ -1121,6 +1158,7 @@ object NorthStar {
     GQuery("N_MM3_decode_features", mmDecode, Some(mmDecodeSql)),
     GQuery("N_MM4_resize", mmResize, Some(mmResizeSql)),
     GQuery("N_MM5_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    GQuery("N_MM6_phash_neardup", mmPhashNearDup, Some(mmPhashNearDupSql)),
     GQuery("N_UDF1_cosine_udf", udfCosine, Some(udfCosineSql)),
     GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
     GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)),
