@@ -478,6 +478,30 @@ object Relational {
       |  ON l.l_partkey = t.p_pk
       |WHERE l.l_quantity < t.qty_cut""".stripMargin
 
+  // Q_JOIN13 — skew-mitigated (salted) join, oracle-checked: the
+  // salted plan replicates the build side nSalts× and splits each hot
+  // probe key across salts, but its RESULT is exactly the plain join —
+  // which is what the oracle states. SkewSpec separately asserts the
+  // physical property (shuffle keys are (key, salt)).
+  private def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val probe = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val build = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"))
+    graft.operators.Skew
+      .saltedJoin(probe, build, "l_suppkey", "s_suppkey", "l_orderkey", 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .orderBy(col("s_name"))
+  }
+
+  private val joinSaltedSql =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
   // Q_JOIN15 — binned range join: clicks within 5 min before a purchase
   // by ANY user — no equi key exists, so the scalable plan is the
   // time-binning rewrite (graft.operators.RangeJoin): equi-join on a
@@ -726,6 +750,7 @@ object Relational {
     GQuery("Q_AGG16_large_orders", aggLargeOrders, Some(aggLargeOrdersSql)),
     GQuery("Q_JOIN17_volume_shipping", joinVolumeShipping,
       Some(joinVolumeShippingSql)),
+    GQuery("Q_JOIN13_salted", joinSalted, Some(joinSaltedSql)),
     GQuery("Q_AGG17_small_qty", aggSmallQty, Some(aggSmallQtySql)),
     GQuery("Q_JOIN11_asof", joinAsOf, Some(joinAsOfSql)),
     GQuery("Q_SORT1_multikey", sortMultiKey, Some(sortMultiKeySql)),
