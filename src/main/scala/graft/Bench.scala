@@ -44,7 +44,7 @@ object Bench {
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",
-        "Q_SNK2_partitioned_write").foreach { q =>
+        "Q_SNK2_partitioned_write", "Q_JOIN12_bucketed").foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
       }

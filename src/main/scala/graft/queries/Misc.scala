@@ -164,6 +164,51 @@ object Misc {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Q_JOIN12 — bucketed co-located join, oracle-checked: both fact
+    * sides are written once per sf bucketed (and sorted) on the join
+    * key, so the fact/fact join reads pre-partitioned buckets and
+    * never exchanges either join key — shuffle once at LAYOUT time,
+    * never per query, the only sustainable shape for a repeated
+    * 100 TB fact/fact join. The no-Exchange physical property is
+    * asserted in PlanSpec; here the oracle states the result equals
+    * the plain shuffled join.
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val sfTag = java.nio.file.Paths.get(d).getFileName.toString
+      .replace('.', '_')
+    val (to, tl) = (s"b_orders_$sfTag", s"b_lineitem_$sfTag")
+    this.synchronized {
+      if (!s.catalog.tableExists(to) || !s.catalog.tableExists(tl)) {
+        // The derby-less in-memory catalog forgets tables between JVMs
+        // but their warehouse dirs persist — clear both, then rebuild.
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tl")
+        val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"))
+        Seq(to, tl).foreach { t =>
+          val dd = new java.io.File(wh, t)
+          if (dd.exists()) { dd.listFiles().foreach(_.delete()); dd.delete() }
+        }
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      }
+    }
+    s.table(tl).join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_c
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q_TYPED1 — the typed Dataset[T] surface: case-class encoder,
     * typed filter/map lambdas, groupByKey + mapGroups. Lambdas opt out
     * of codegen (each is a deserialize→fn→serialize hop), so this is
@@ -210,6 +255,7 @@ object Misc {
       Some(serdeSql)),
     GQuery("Q_SNK2_partitioned_write", partitionedSink,
       Some(partitionedSinkSql)),
+    GQuery("Q_JOIN12_bucketed", bucketedJoin, Some(bucketedJoinSql)),
     GQuery("Q_SAMP1_tablesample", sampled, Some(sampledSql)),
     GQuery("F_MATH2_rand", seededRand, Some(seededRandSql)))
 }

@@ -492,13 +492,13 @@ object Relational {
       .saltedJoin(probe, build, "l_suppkey", "s_suppkey", "l_orderkey", 8)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_items"),
-        sum((col("l_quantity") * 100).cast("long")).as("qty_c"))
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
       .orderBy(col("s_name"))
   }
 
   private val joinSaltedSql =
     """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
-      |  CAST(SUM(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_c
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
 
