@@ -473,7 +473,7 @@ class CellBatchWrite(path: String, truncateFirst: Boolean)
     new CellDataWriterFactory(path)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
+    val dir = Paths.get(CellPlanning.normalize(path))
     if (truncateFirst)
       CellPlanning.listFiles(path).foreach(f => Files.delete(Paths.get(f)))
     // Rename staged files into the sequence after the current max index
@@ -518,7 +518,7 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long)
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val dir = Paths.get(path)
+    val dir = Paths.get(CellPlanning.normalize(path))
     Files.createDirectories(dir)
     val staged = dir.resolve(
       f".staged-$taskId%d-$partitionId%05d.cells.tmp")
@@ -586,7 +586,15 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
   * stream: file listing + per-file prune/narrow/sub-split.
   */
 private[sources] object CellPlanning {
-  def listFiles(path: String): Seq[String] =
+  /** Catalog-registered tables (CREATE TABLE ... USING ... OPTIONS
+    * (path ...)) normalize the path to a `file:` URI; local reads and
+    * writes want the raw filesystem path.
+    */
+  def normalize(path: String): String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  def listFiles(rawPath: String): Seq[String] = {
+    val path = normalize(rawPath)
     Using.resource(Files.list(Paths.get(path))) { s =>
       val it = s.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -596,6 +604,7 @@ private[sources] object CellPlanning {
       }
       buf.sorted.toSeq
     }
+  }
 
   /** C2/C8/C16 per-file planning (see CellScan scaladoc): Summary range
     * check, bloom point-lookup check, sparse-index narrowing, wt

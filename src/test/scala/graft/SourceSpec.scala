@@ -185,6 +185,28 @@ class SourceSpec extends GraftSpec {
     assert(after.except(extra).isEmpty && extra.except(after).isEmpty)
   }
 
+  test("SQL DDL registers the source as an external table (storage handler)") {
+    // The reference era's user path: a Hive storage handler registered
+    // by DDL, then queried in plain SQL. Same contract here via DSv2.
+    spark.sql("DROP TABLE IF EXISTS cells_ddl")
+    spark.sql(
+      s"""CREATE TABLE cells_ddl
+         |USING graft.sources.CellSource
+         |OPTIONS (path '$dir')""".stripMargin)
+    val viaSql = spark.sql(
+      "SELECT col, count(*) AS n, sum(value) AS sv FROM cells_ddl " +
+        "GROUP BY col ORDER BY col")
+    val viaRead = read().groupBy(col("col"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .orderBy(col("col"))
+    assert(viaSql.collect().toSeq === viaRead.collect().toSeq)
+    // pushdown still applies through the DDL-registered table
+    val one = spark.sql(s"SELECT * FROM cells_ddl WHERE pk = " +
+      CellModel.cells(spark, sf()).select(min(col("pk"))).head().getLong(0))
+    assert(one.rdd.getNumPartitions == 1)
+    spark.sql("DROP TABLE cells_ddl")
+  }
+
   test("write/read round-trip holds across adversarial sizes (property)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
