@@ -233,6 +233,45 @@ object Quality {
       |    AS rep_permille
       |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- N_SCORE1: model-scored quality (classifier-filter analogue) ---
+
+  /** The "quality classifier" stage of published pipelines (fasttext/
+    * logistic filters): score = sigmoid(w·x) over per-doc stats, with
+    * FIXED published-style weights — the model is a broadcast constant,
+    * scoring is map-only over the stats relation, and the keep decision
+    * is a threshold. A trained model swaps in the same shape. Output
+    * rounded to 4 dp (both engines evaluate the identical expression
+    * tree on the same doubles).
+    */
+  private def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val z = lit(-2.0) +
+      lit(0.55) * log(col("n_words").cast("double")) +
+      lit(-3.0) * (col("top_permille").cast("double") / 1000.0) +
+      lit(2.0) * (col("distinct_permille").cast("double") / 1000.0) +
+      lit(4.0) * (col("stop_permille").cast("double") / 1000.0)
+    gopherStats(s, d)
+      .select(col("doc_id"),
+        (round(lit(1.0) / (lit(1.0) + exp(-z)), 4) + lit(0.0)).as("score"))
+      .withColumn("keep_scored", (col("score") >= 0.5).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoreSql = statsCte.dropRight(2) +
+    """
+      |SELECT doc_id,
+      |  ROUND(1.0 / (1.0 + exp(-(-2.0 + 0.55 * ln(CAST(n_words AS DOUBLE))
+      |    + -3.0 * (CAST(top_permille AS DOUBLE) / 1000.0)
+      |    + 2.0 * (CAST(distinct_permille AS DOUBLE) / 1000.0)
+      |    + 4.0 * (CAST(stop_permille AS DOUBLE) / 1000.0)))), 4) + 0.0
+      |    AS score,
+      |  CAST(ROUND(1.0 / (1.0 + exp(-(-2.0
+      |    + 0.55 * ln(CAST(n_words AS DOUBLE))
+      |    + -3.0 * (CAST(top_permille AS DOUBLE) / 1000.0)
+      |    + 2.0 * (CAST(distinct_permille AS DOUBLE) / 1000.0)
+      |    + 4.0 * (CAST(stop_permille AS DOUBLE) / 1000.0)))), 4) + 0.0
+      |    >= 0.5 AS BIGINT) AS keep_scored
+      |FROM st ORDER BY doc_id""".stripMargin
+
   // ---- N_PIPE1: the staged curation funnel ---------------------------
 
   /** The end-to-end curation story, per language: how many documents
@@ -307,5 +346,7 @@ object Quality {
     GQuery("N_DEDUP7_segment_dedup", segmentDedup, Some(segmentDedupSql)),
     GQuery("N_TEXT11_intradoc_repetition", intradocRepetition,
       Some(intradocRepetitionSql)),
+    GQuery("N_SCORE1_quality_classifier", qualityScore,
+      Some(qualityScoreSql)),
     GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }
