@@ -1089,6 +1089,49 @@ object NorthStar {
       .orderBy(col("doc_id"))
   }
 
+  // N_EVAL2 — exact 13-gram overlap decontamination (the GPT-3-report
+  // protocol, sitting beside N_EVAL1's winnow-based variant): an eval
+  // doc is contaminated if any exact 13-token run also occurs in the
+  // train split. Grams are md5'd so the join/shuffle key is 32 bytes
+  // regardless of gram text; per-side dedup keeps the join input at
+  // distinct-gram cardinality.
+  private def evalNgramOverlap(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val train = trainSplit(all).select(col("doc_id"))
+    val grams = all
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
+      .distinct()
+    val trainGrams = grams.join(train, "doc_id").select(col("h")).distinct()
+    grams.join(train, Seq("doc_id"), "left_anti")
+      .join(trainGrams, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_13grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val evalNgramOverlapSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(t, i + 1, i + 13), ' ')) AS h
+      |  FROM toks, unnest(range(0, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |train AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents)
+      |  WHERE rn <= 20),
+      |tg AS (SELECT DISTINCT h FROM g JOIN train USING (doc_id)),
+      |eg AS (SELECT doc_id, h FROM g
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM train))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_13grams
+      |FROM eg JOIN tg USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val evalContaminationSql =
     """WITH sh AS (
       |  SELECT doc_id,
@@ -1127,6 +1170,8 @@ object NorthStar {
   def all: Seq[GQuery] = Seq(
     GQuery("N_EVAL1_contamination", evalContamination,
       Some(evalContaminationSql)),
+    GQuery("N_EVAL2_ngram_overlap", evalNgramOverlap,
+      Some(evalNgramOverlapSql)),
     GQuery("N_SIM6_hyperplane_lsh", simHyperplane, Some(simHyperplaneSql)),
     GQuery("N_SAMP2_stratified", sampStratified, Some(sampStratifiedSql)),
     GQuery("N_PACK1_token_shards", packTokenShards, Some(packTokenShardsSql)),
