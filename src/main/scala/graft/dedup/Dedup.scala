@@ -159,14 +159,75 @@ object Dedup {
     out
   }
 
+  /** Connected components iterated to a LABEL FIXPOINT — the
+    * scale-correct form of [[dedupClusters]]: a fixed round count
+    * silently splits any component whose diameter exceeds it, while
+    * this one stops exactly when a propagation round changes zero
+    * labels (so every component is fully merged), with a hard
+    * `maxRounds` cap as the runaway guard (rounds needed = max
+    * component diameter; near-dup components are short chains, so the
+    * cap should never bind in practice — when it does, the result is
+    * the same best-effort answer the capped form gives).
+    *
+    * Per round: one shuffle join (neighbor labels) + one min-aggregate,
+    * then an EAGER localCheckpoint so the lineage stays one round deep
+    * instead of doubling per round, then a changed-label count (labels
+    * only decrease under min-propagation, so `new < old` is the exact
+    * change test). Label tables are one row per clustered doc — the
+    * per-round checkpoint footprint is small next to the edge cache,
+    * which is released on exit. At cluster scale localCheckpoint
+    * becomes a reliable checkpoint; the driver holds only the loop
+    * counter and the changed count, never the data.
+    *
+    * Not oracle-expressible (data-dependent round count), so declared
+    * queries keep the capped [[dedupClusters]]; this is the form a
+    * production pipeline calls.
+    */
+  def dedupClustersFixpoint(pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    edges.count()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("nid"), col("lbl")),
+          col("dst") === col("nid"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
+        .filter(col("lbl") < col("prev"))
+        .count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard verification restricted to blocked candidate pairs
     * (verify-after-block — the only all-corpus-safe shape). Intersection
     * sizes come from joins THROUGH the candidate list: candidates ⋈
-    * shingles(a) keyed on id_a (candidates are small → broadcast), then
-    * ⋈ shingles(b) keyed (id_b, shingle). Work is O(|candidates| ×
-    * shingles/doc), never O(co-shingle pairs) — at 100 TB the unblocked
-    * shingle-equality self-join explodes quadratically on hot shingles
-    * (observed: 424 s at sf0.1), while this stays linear in candidates.
+    * shingles(a) keyed on id_a, then ⋈ shingles(b) keyed (id_b,
+    * shingle). Work is O(|candidates| × shingles/doc), never
+    * O(co-shingle pairs) — at 100 TB the unblocked shingle-equality
+    * self-join explodes quadratically on hot shingles (observed: 424 s
+    * at sf0.1), while this stays linear in candidates.
+    *
+    * No broadcast hint on the candidate side: LSH keeps candidates
+    * small in the typical case (and AQE broadcasts them at runtime
+    * from the REAL size), but one hot band bucket — boilerplate docs,
+    * empty strings — makes the pair list super-linear, and a forced
+    * broadcast then dies on the driver. Both joins are equi-keyed, so
+    * the worst case degrades to ordinary shuffle joins instead.
     *
     * @param candidates  (id_a, id_b) with id_a < id_b, e.g. from
     *                    [[lshCandidatePairs]]
@@ -181,7 +242,7 @@ object Dedup {
       col("sh2"))
     val b = shingleRows.select(col("id").as("jb"), col("n_sh").as("nb"),
       col("sh2").as("sh2_b"))
-    broadcast(candidates)
+    candidates
       .join(a, col("id_a") === col("ja"))
       .join(b, col("id_b") === col("jb") && col("sh2") === col("sh2_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))

@@ -61,6 +61,42 @@ class DedupSpec extends GraftSpec {
     assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("dedupClustersFixpoint converges past the fixed-round horizon") {
+    // Chain 1-2-3-4-5-6 has diameter 5: 3 fixed rounds leave it split,
+    // the fixpoint form must converge it to a single label-1 component
+    // (and stop on its own — changed-label count hits 0).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val capped = Dedup.dedupClusters(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(capped.values.toSet.size > 1) // honest cap: still split
+    val fixed = Dedup.dedupClustersFixpoint(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("jaccardOnCandidates: no forced broadcast, hot bucket completes") {
+    // 40 docs sharing one hot band → 780 candidate pairs; the verify
+    // join must complete without a broadcast HINT on the candidate
+    // side (AQE may still choose broadcast from the real size — the
+    // hazard is forcing it regardless of size).
+    val docs = (1L to 40L).map(i => (i, "common boilerplate text here"))
+    val shingleRows = docs.toDF("id", "text")
+      .select(col("id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("sh2", explode(TextOps.shingles("toks")))
+      .groupBy(col("id"), col("sh2")).agg(count(lit(1)))
+      .groupBy(col("id"))
+      .agg(collect_list(col("sh2")).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("sh2"))
+    val cand = docs.map(_._1).combinations(2)
+      .map { case Seq(a, b) => (a, b) }.toSeq.toDF("id_a", "id_b")
+    val out = Dedup.jaccardOnCandidates(cand, shingleRows)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val rows = out.collect()
+    assert(rows.length == 780 && rows.forall(_.getAs[Double]("jac") == 1.0))
+  }
+
   test("simhash: identical docs equal, unrelated docs differ") {
     val h = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely other tokens entirely"))
