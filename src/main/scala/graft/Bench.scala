@@ -92,17 +92,24 @@ object Bench {
       spark.range(20000000L).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val canaryFloor = (1 to 3).map(_ => timeCanary()).min
+    // The floor is FOLDED over every later canary observation (not
+    // sampled once): if the bench starts inside a stall window the
+    // initial min-of-3 is itself inflated, and a gate comparing stalled
+    // canaries against a stalled baseline silently passes — a post-
+    // stall sample then recovers the true floor.
+    var canaryFloor = (1 to 3).map(_ => timeCanary()).min
     val retryT0 = System.nanoTime()
     def retryWallLeft: Double = 600.0 - (System.nanoTime() - retryT0) / 1e9
     // Returns true if the host looks fast; waits out a stall up to 150 s.
     def waitClear(): Boolean = {
       var waited = 0.0
       var c = timeCanary()
+      canaryFloor = math.min(canaryFloor, c)
       while (c > math.max(canaryFloor * 3, canaryFloor + 0.25) &&
           waited < 150.0 && retryWallLeft > 0) {
         Thread.sleep(10000); waited += 10.0
         c = timeCanary()
+        canaryFloor = math.min(canaryFloor, c)
       }
       c <= math.max(canaryFloor * 3, canaryFloor + 0.25)
     }

@@ -479,10 +479,9 @@ class CellBatchWrite(path: String, truncateFirst: Boolean)
     // Rename staged files into the sequence after the current max index
     // (driver-side, single-threaded — the atomic "flush publish").
     val existing = CellPlanning.listFiles(path)
-    var next = existing.map { f =>
-      val n = Paths.get(f).getFileName.toString
-      n.substring(5, n.length - 6).toInt
-    }.foldLeft(-1)(math.max) + 1
+    var next = existing.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
     messages.foreach {
       case CellCommitMessage(staged) =>
         Files.move(Paths.get(staged),
@@ -593,6 +592,22 @@ private[sources] object CellPlanning {
   def normalize(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** Parsed numeric flush index of a `data-NNNN.cells` name; -1 for
+    * anything else.
+    */
+  def fileIndex(name: String): Int =
+    if (name.startsWith("data-") && name.endsWith(".cells"))
+      name.stripPrefix("data-").stripSuffix(".cells").toIntOption
+        .getOrElse(-1)
+    else -1
+
+  /** Committed `.cells` files in FLUSH ORDER. Sorted by the parsed
+    * numeric index, not the name: the zero-padding is width-4, so at
+    * flush 10000 'data-10000.cells' sorts lexicographically BEFORE
+    * 'data-9999.cells' and a name sort would break the append-stability
+    * invariant that [[CellMicroBatchStream]] offsets (positions in this
+    * listing) and the commit-side max-index scan both rely on.
+    */
   def listFiles(rawPath: String): Seq[String] = {
     val path = normalize(rawPath)
     Using.resource(Files.list(Paths.get(path))) { s =>
@@ -602,7 +617,10 @@ private[sources] object CellPlanning {
         val f = it.next()
         if (f.getFileName.toString.endsWith(".cells")) buf += f.toString
       }
-      buf.sorted.toSeq
+      buf.sortBy { f =>
+        val n = Paths.get(f).getFileName.toString
+        (fileIndex(n), n)
+      }.toSeq
     }
   }
 

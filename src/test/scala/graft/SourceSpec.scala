@@ -234,6 +234,32 @@ class SourceSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("flush listing stays append-stable past index 9999") {
+    // The zero-padding is width-4: 'data-10000.cells' sorts
+    // lexicographically BEFORE 'data-9999.cells', so a name-sorted
+    // listing would re-read the old flush as the "new" micro-batch.
+    // Numeric index ordering must keep the slice correct.
+    val d = Files.createTempDirectory("cells-order").toString
+    val flushA = (0L until 100L).map(pk => (pk, 0, "qty", 1L, 1000L))
+    CellSource.writeSnapshot(d, flushA, files = 1, startIndex = 9999)
+    val q = spark.readStream.format("graft.sources.CellSource").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("cellorder")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cellorder").head().getLong(0) === 100L)
+      // DSv2 append commits the next flush as data-10000.cells.
+      val flushB = (100L until 150L).map(pk => (pk, 0, "qty", 2L, 2000L))
+      flushB.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+      assert(Files.exists(java.nio.file.Paths.get(d, "data-10000.cells")))
+      q.processAllAvailable()
+      assert(spark.table("cellorder").head().getLong(0) === 150L)
+    } finally q.stop()
+  }
+
   test("micro-batch stream ingests newly flushed sstable files (CDC)") {
     val d = Files.createTempDirectory("cells-stream").toString
     val flushA = (0L until 1000L).map(pk => (pk, 0, "qty", pk, 1000L))
