@@ -1,6 +1,8 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -12,15 +14,23 @@ import org.apache.spark.sql.functions.col
   * binary snapshot through [[CellSource]] — rather than the
   * parquet-derived relation (VERDICT r1 "What's missing" §1).
   *
-  * The collect-and-write here is FIXTURE PREPARATION, not an operator:
-  * in production the snapshot directory IS the input (Cassandra wrote
-  * it); tests/bench must first manufacture one from the parquet
-  * fixture. Cached per (format-version, sf) under target/ with an _OK
-  * marker; rewrites only when absent.
+  * Snapshot creation is EXECUTOR-PARALLEL: the cell relation is
+  * range-partitioned on pk and written through the connector's own
+  * DSv2 batch write path ([[CellWriteBuilder]]), each task staging one
+  * pk-sorted `.cells` file — never collected to the driver (VERDICT r3
+  * "What's wrong" §1: the old collect-and-write was a driver OOM at
+  * 100× sf). Range partitioning on pk keeps per-file pk ranges
+  * disjoint, so Summary-range pruning drops whole files for point
+  * lookups exactly as the single-threaded writer's global sort did.
+  * Cached per (format-version, sf) under target/ with an _OK marker;
+  * rewrites only when absent.
   */
 object CellSnapshots {
   /** Bump when the snapshot binary format or cell derivation changes. */
-  private val Version = 4
+  private val Version = 5
+
+  /** Data files in the snapshot = write-side range partitions. */
+  val SnapshotFiles = 8
 
   private def root: String = sys.props.getOrElse(
     "graft.cell.snapshots", "/root/repo/target/cell-snapshots")
@@ -30,14 +40,17 @@ object CellSnapshots {
     val dir = Paths.get(root, s"v$Version-$sfName")
     val marker = dir.resolve("_OK")
     if (!Files.exists(marker)) {
-      val cells = graft.cassandra.CellModel.cells(s, sfDir)
+      // A dir without a marker is a half-written leftover: clear it.
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      graft.cassandra.CellModel.cells(s, sfDir)
         .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
           col("value").cast("long"), col("wt").cast("long"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-          r.getLong(3), r.getLong(4)))
-        .toSeq
-      CellSource.writeSnapshot(dir.toString, cells, files = 8)
+        .repartitionByRange(SnapshotFiles, col("pk"), col("ck"), col("col"))
+        .write.format("graft.sources.CellSource")
+        .mode("append").save(dir.toString)
       Files.writeString(marker, "ok")
     }
     dir.toString

@@ -610,6 +610,9 @@ private[sources] object CellPlanning {
     */
   def listFiles(rawPath: String): Seq[String] = {
     val path = normalize(rawPath)
+    // A not-yet-created snapshot dir has no flushes (first write into a
+    // fresh dir commits before any reader can list it).
+    if (!Files.exists(Paths.get(path))) return Nil
     Using.resource(Files.list(Paths.get(path))) { s =>
       val it = s.iterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[String]

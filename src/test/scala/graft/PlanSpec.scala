@@ -109,9 +109,14 @@ class PlanSpec extends GraftSpec {
     assert(bucketed == plain)
   }
 
-  test("N_DEDUP4 broadcasts the LSH candidate list into the verify join") {
-    val p = plan(Registry.byName("N_DEDUP4_ngram_jaccard").fn(spark, sf()))
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("N_DEDUP4: planner broadcasts small candidates, without a hint") {
+    // The candidate side carries NO broadcast hint (a hot band bucket
+    // can make it super-linear; a forced broadcast then kills the
+    // driver) — the planner/AQE must still pick broadcast here from
+    // the actual small size.
+    val df = Registry.byName("N_DEDUP4_ngram_jaccard").fn(spark, sf())
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(plan(df).contains("BroadcastHashJoin"))
   }
 
   test("partitioned layout gets partition pruning (PartitionFilters)") {

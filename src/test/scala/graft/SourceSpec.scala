@@ -234,6 +234,33 @@ class SourceSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("snapshot prep is an executor-parallel write job, not a collect") {
+    val tmpRoot = Files.createTempDirectory("cells-snaproot").toString
+    val old = sys.props.get("graft.cell.snapshots")
+    sys.props("graft.cell.snapshots") = tmpRoot
+    try {
+      val d = graft.sources.CellSnapshots.ensure(spark, sf())
+      // One pk-sorted flush file per write-side range partition — the
+      // DSv2 task writers staged these, the driver only renamed.
+      val files = Files.list(java.nio.file.Paths.get(d)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".cells")).toList
+      assert(files.size == graft.sources.CellSnapshots.SnapshotFiles)
+      val back = spark.read.format("graft.sources.CellSource").load(d)
+      val orig = CellModel.cells(spark, sf())
+      assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+      // Regression tripwire for the r3 'weak' mark: the fixture path
+      // must never pull the cell relation onto the driver.
+      val src = new String(Files.readAllBytes(java.nio.file.Paths.get(
+        "src/main/scala/graft/sources/CellSnapshots.scala")))
+      assert(!src.contains(".collect("))
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.cell.snapshots") = v
+        case None => sys.props -= "graft.cell.snapshots"
+      }
+    }
+  }
+
   test("flush listing stays append-stable past index 9999") {
     // The zero-padding is width-4: 'data-10000.cells' sorts
     // lexicographically BEFORE 'data-9999.cells', so a name-sorted
