@@ -262,7 +262,8 @@ class CellTable(path: String) extends Table with SupportsRead
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new CellWriteBuilder(path, info.schema())
+    new CellWriteBuilder(path, info.schema(),
+      info.options.getInt("rollRecords", CellSource.DefaultRollRecords))
 }
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
