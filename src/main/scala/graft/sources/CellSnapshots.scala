@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions.col
   * pk-sorted `.cells` file — never collected to the driver (VERDICT r3
   * "What's wrong" §1: the old collect-and-write was a driver OOM at
   * 100× sf). Range partitioning on pk keeps per-file pk ranges
-  * disjoint, so Summary-range pruning drops whole files for point
-  * lookups exactly as the single-threaded writer's global sort did.
+  * near-disjoint (adjacent files can overlap at most at a
+  * partition-boundary pk), so Summary-range pruning drops whole files
+  * for point lookups almost exactly as the single-threaded writer's
+  * global sort did.
   * Cached per (format-version, sf) under target/ with an _OK marker;
   * rewrites only when absent.
   */

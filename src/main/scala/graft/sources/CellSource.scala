@@ -80,6 +80,12 @@ object CellSource {
   val DefaultIndexEvery = 4096
   val DefaultChunkRecords = 4096
   val DefaultSubsplitRecords = 65536
+  /** Task writers roll to a fresh staged `.cells` file every this
+    * many records, so a write task's heap footprint is bounded by the
+    * roll size rather than its whole partition (a 100 TB snapshot
+    * write would otherwise buffer ~1/tasks of the table per JVM).
+    */
+  val DefaultRollRecords = 1 << 20
 
   /** 64-bit finalizer (splitmix64) for bloom double-hashing. */
   private[sources] def mix64(z0: Long): Long = {
@@ -430,8 +436,10 @@ class CellAggScan(path: String, tags: Array[String]) extends Scan with Batch {
 case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
     maxPk: Long, hasRows: Boolean) extends InputPartition
 
-/** DSv2 batch write: each task sorts its rows and stages one `.cells`
-  * file (full Summary/Filter/Index/CompressionInfo header); the driver
+/** DSv2 batch write: each task buffers up to `rollRecords` rows,
+  * then sorts the buffer and stages it as a `.cells` file (full
+  * Summary/Filter/Index/CompressionInfo header) — a long partition
+  * rolls over several staged files, bounding writer heap; the driver
   * commit renames staged files into the `data-NNNN.cells` sequence
   * AFTER the existing files — exactly a set of new SSTable flushes, so
   * a running [[CellMicroBatchStream]] picks a committed write up as
@@ -441,7 +449,8 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
   * upstream gives globally range-partitioned files (the task-local
   * sort here guarantees per-file order regardless).
   */
-class CellWriteBuilder(path: String, schema: StructType)
+class CellWriteBuilder(path: String, schema: StructType,
+    rollRecords: Int = CellSource.DefaultRollRecords)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   require(schema.fieldNames.sameElements(CellSource.Schema.fieldNames),
@@ -458,20 +467,21 @@ class CellWriteBuilder(path: String, schema: StructType)
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
-        new CellBatchWrite(path, truncateFirst)
+        new CellBatchWrite(path, truncateFirst, rollRecords)
     }
 }
 
-case class CellCommitMessage(stagedFile: String)
+case class CellCommitMessage(stagedFiles: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-class CellBatchWrite(path: String, truncateFirst: Boolean)
+class CellBatchWrite(path: String, truncateFirst: Boolean,
+    rollRecords: Int)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new CellDataWriterFactory(path)
+    new CellDataWriterFactory(path, rollRecords)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
@@ -484,10 +494,10 @@ class CellBatchWrite(path: String, truncateFirst: Boolean)
       CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
       .foldLeft(-1)(math.max) + 1
     messages.foreach {
-      case CellCommitMessage(staged) =>
-        Files.move(Paths.get(staged),
-          dir.resolve(f"data-$next%04d.cells"))
+      case CellCommitMessage(staged) => staged.foreach { s =>
+        Files.move(Paths.get(s), dir.resolve(f"data-$next%04d.cells"))
         next += 1
+      }
       case _ =>
     }
   }
@@ -495,43 +505,63 @@ class CellBatchWrite(path: String, truncateFirst: Boolean)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case CellCommitMessage(staged) =>
-        Files.deleteIfExists(Paths.get(staged))
+        staged.foreach(s => Files.deleteIfExists(Paths.get(s)))
       case _ =>
     }
 }
 
-class CellDataWriterFactory(path: String)
+class CellDataWriterFactory(path: String, rollRecords: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CellDataWriter(path, partitionId, taskId)
+    new CellDataWriter(path, partitionId, taskId, rollRecords)
 }
 
-class CellDataWriter(path: String, partitionId: Int, taskId: Long)
+class CellDataWriter(path: String, partitionId: Int, taskId: Long,
+    rollRecords: Int)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  require(rollRecords > 0, s"rollRecords must be positive, got $rollRecords")
   private val rows =
     scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var rollSeq = 0
 
-  override def write(r: InternalRow): Unit =
+  override def write(r: InternalRow): Unit = {
     rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
       r.getLong(3), r.getLong(4)))
+    if (rows.length >= rollRecords) roll()
+  }
 
-  override def commit()
-      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+  /** Sort + stage the current buffer as one `.cells` file and reset.
+    * Each rolled file is individually pk-sorted with its own full
+    * header; files from one task may overlap in pk range when the
+    * incoming rows aren't sorted, which the format allows (they merge
+    * like any other set of flushes).
+    */
+  private def roll(): Unit = if (rows.nonEmpty) {
     val dir = Paths.get(CellPlanning.normalize(path))
     Files.createDirectories(dir)
-    val staged = dir.resolve(
-      f".staged-$taskId%d-$partitionId%05d.cells.tmp")
+    val file = dir.resolve(
+      f".staged-$taskId%d-$partitionId%05d-$rollSeq%04d.cells.tmp")
+    rollSeq += 1
     val sorted = rows.sortBy(c => (c._1, c._2, c._3, c._5, c._4)).toSeq
     sorted.iterator.map(_._3).distinct.foreach { c =>
       require(CellSource.ColNames.contains(c), s"unknown cell column '$c'")
     }
-    CellSource.writeFile(staged, sorted, CellSource.DefaultIndexEvery,
+    CellSource.writeFile(file, sorted, CellSource.DefaultIndexEvery,
       CellSource.DefaultChunkRecords)
-    CellCommitMessage(staged.toString)
+    staged += file.toString
+    rows.clear()
   }
 
-  override def abort(): Unit = ()
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    roll()
+    CellCommitMessage(staged.toList)
+  }
+
+  override def abort(): Unit =
+    staged.foreach(s => Files.deleteIfExists(Paths.get(s)))
   override def close(): Unit = rows.clear()
 }
 

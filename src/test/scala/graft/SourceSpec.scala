@@ -185,6 +185,30 @@ class SourceSpec extends GraftSpec {
     assert(after.except(extra).isEmpty && extra.except(after).isEmpty)
   }
 
+  test("write tasks roll to a new file every rollRecords records") {
+    val d = Files.createTempDirectory("cells-roll").toString
+    val orig = CellModel.cells(spark, sf())
+    val n = orig.count()
+    // One write task, tiny roll size: the single task must stage
+    // ceil(n / 1000) files instead of buffering the whole partition.
+    orig.coalesce(1).write.format("graft.sources.CellSource")
+      .option("rollRecords", "1000").mode("append").save(d)
+    val files = Files.list(java.nio.file.Paths.get(d)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".cells")).toSeq
+    assert(files.size === ((n + 999) / 1000).toInt)
+    assert(files.forall(f => f.startsWith("data-")))
+    // Rolled files still read back to exactly the input relation, and
+    // each is individually pk-sorted (pushdown-prunable).
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() === n)
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+    val minPk = orig.agg(min(col("pk"))).head().getLong(0)
+    val one = spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("pk") === minPk)
+    assert(one.rdd.getNumPartitions < files.size,
+      "point lookup should prune most rolled files via Summary ranges")
+  }
+
   test("SQL DDL registers the source as an external table (storage handler)") {
     // The reference era's user path: a Hive storage handler registered
     // by DDL, then queried in plain SQL. Same contract here via DSv2.
