@@ -428,7 +428,16 @@ object Cells {
       |    ORDER BY concat_ws(':', pk, ck, col, value, wt))) AS digest
       |FROM cells GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // C24 — reconciling scan: C4's LWW semantics performed INSIDE the
+  // connector reader (k-way merge across flush files, Cassandra read
+  // path shape) instead of a Spark shuffle; same oracle as C4, so the
+  // two paths are cross-checked against each other via DuckDB.
+  private def reconcileScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readReconciled(s, d).filter(col("pk") % 10 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
     GQuery("C22_per_partition_limit", perPartitionLimit,
       Some(perPartitionLimitSql)),
     GQuery("C23_range_digest", rangeDigest, Some(rangeDigestSql)),

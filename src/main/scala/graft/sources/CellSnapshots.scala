@@ -61,4 +61,13 @@ object CellSnapshots {
   /** The cell relation as served by the DSv2 connector. */
   def read(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource").load(ensure(s, sfDir))
+
+  /** The RECONCILED cell relation: the connector's own k-way LWW
+    * merge across flush files (C24, [[CellReconcileScan]]) — one live
+    * cell per (pk, ck, col), merged in the reader, not in a Spark
+    * shuffle.
+    */
+  def readReconciled(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensure(s, sfDir))
 }

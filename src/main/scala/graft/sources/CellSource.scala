@@ -264,7 +264,8 @@ class CellTable(path: String) extends Table with SupportsRead
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellScanBuilder(path,
       options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
-      options.getBoolean("columnar", true))
+      options.getBoolean("columnar", true),
+      options.getBoolean("reconcile", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -272,7 +273,8 @@ class CellTable(path: String) extends Table with SupportsRead
       info.options.getInt("rollRecords", CellSource.DefaultRollRecords))
 }
 
-class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
+class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
+    reconcile: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -314,7 +316,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
   private def tagsFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Array[String]] = {
-    val noFilters = pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
+    val noFilters = !reconcile &&
+      pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
       wtLower == Long.MinValue && wtUpper == Long.MaxValue
     val tags = agg.aggregateExpressions.flatMap(aggTag(_).toSeq)
     if (noFilters && agg.groupByExpressions.isEmpty &&
@@ -340,12 +343,17 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
     * to Spark's post-scan Filter.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Under reconcile, a wt filter is NOT pushable: dropping an old
+    // cell before the LWW merge would promote a shadowed version to
+    // winner. pk filters commute with the per-pk merge and stay
+    // pushable. Plain scans push both.
+    def ok(c: String): Boolean = c == "pk" || (c == "wt" && !reconcile)
     val accepted = filters.filter {
-      case EqualTo(c, _: java.lang.Long) => c == "pk" || c == "wt"
-      case GreaterThan(c, _: java.lang.Long) => c == "pk" || c == "wt"
-      case GreaterThanOrEqual(c, _: java.lang.Long) => c == "pk" || c == "wt"
-      case LessThan(c, _: java.lang.Long) => c == "pk" || c == "wt"
-      case LessThanOrEqual(c, _: java.lang.Long) => c == "pk" || c == "wt"
+      case EqualTo(c, _: java.lang.Long) => ok(c)
+      case GreaterThan(c, _: java.lang.Long) => ok(c)
+      case GreaterThanOrEqual(c, _: java.lang.Long) => ok(c)
+      case LessThan(c, _: java.lang.Long) => ok(c)
+      case LessThanOrEqual(c, _: java.lang.Long) => ok(c)
       case _ => false
     }
     accepted.foreach {
@@ -384,6 +392,9 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean)
 
   override def build(): Scan = aggTags match {
     case Some(tags) => new CellAggScan(path, tags)
+    case None if reconcile =>
+      new CellReconcileScan(path, pkLower, pkUpper, required,
+        subsplitRecords)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar)
@@ -435,6 +446,175 @@ class CellAggScan(path: String, tags: Array[String]) extends Scan with Batch {
 
 case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
     maxPk: Long, hasRows: Boolean) extends InputPartition
+
+
+/** C24 — reconciling scan (`reconcile=true`): the connector itself
+  * performs the per-key last-write-wins merge ACROSS flush files, the
+  * way Cassandra's read path merges SSTables, so a raw DSv2 consumer
+  * sees one live cell per (pk, ck, col) instead of every version.
+  *
+  * Parallelism is by PK RANGE, not by file: every version of a key
+  * must meet in one task, so the driver derives ~`subsplitRecords`-
+  * sized disjoint pk ranges from the files' sparse indexes (header
+  * metadata only — no data bytes), and each task k-way-merges the
+  * pk-sorted record streams of the files overlapping its range.
+  * Per-file chunk pruning (Summary range + sparse-index narrowing)
+  * still applies inside each range, so a point lookup is one task
+  * reading a handful of chunks. At 100 TB this is the scalable shape:
+  * ranges ~= Cassandra vnodes, merge fan-in = flushes-per-range after
+  * pruning, memory O(fan-in) regardless of range size.
+  *
+  * wt filters and header aggregates are NOT pushed under reconcile
+  * (both are pre-merge and would change winners — see
+  * [[CellScanBuilder.pushFilters]]); Spark applies them post-merge.
+  */
+class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
+    required: StructType, subsplitRecords: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
+      s"cols=${required.fieldNames.mkString(",")} (LWW k-way merge)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val headers = CellPlanning.listFiles(path)
+      .map(f => (f, CellSource.readHeader(f)))
+      .filter { case (_, h) =>
+        h.count > 0 && h.maxPk >= pkLower && h.minPk <= pkUpper
+      }
+    if (headers.isEmpty) return Array.empty
+    val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
+    val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
+    // Split boundaries from the sparse indexes: each index entry
+    // stands for ~indexEvery records of its file, so evenly-spaced
+    // picks from the merged entry list give near-balanced ranges.
+    val cands = headers.iterator.flatMap(_._2.indexPks.iterator)
+      .filter(p => p > lo && p <= hi).toArray.distinct.sorted
+    val totalRecs = headers.iterator.map(_._2.count.toLong).sum
+    val nSplits = math.max(1, math.min(cands.length + 1,
+      ((totalRecs + subsplitRecords - 1) / subsplitRecords).toInt))
+    val bounds = (1 until nSplits)
+      .map(i => cands((i.toLong * cands.length / nSplits).toInt))
+      .distinct
+    val los = lo +: bounds
+    val his = bounds.map(_ - 1) :+ hi
+    los.zip(his).flatMap { case (rlo, rhi) =>
+      // One chunk-narrowed piece per overlapping file (no sub-split:
+      // the range IS the parallel unit).
+      val fileParts = headers.flatMap { case (f, _) =>
+        CellPlanning.planFile(f, rlo, rhi, Long.MinValue, Long.MaxValue,
+          Int.MaxValue)
+      }.map(_.asInstanceOf[CellInputPartition])
+      if (fileParts.isEmpty) None
+      else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
+        : InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellReconcileReaderFactory(required.fieldNames)
+}
+
+class CellReconcileReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols)
+}
+
+/** One disjoint pk range plus the chunk-narrowed piece of every flush
+  * file overlapping it.
+  */
+case class CellReconcilePartition(pkLo: Long, pkHi: Long,
+    fileParts: Array[CellInputPartition]) extends InputPartition
+
+/** K-way merging reader: streams each file's (already pk,ck,col-sorted)
+  * records through a min-heap keyed on (pk, ck, col-name order) and
+  * emits the LWW winner — max wt, ties to greater value, matching
+  * [[graft.cassandra.CellModel.lwwMerge]] — once per key. Memory is
+  * O(open files), independent of range size.
+  */
+class CellReconcileReader(part: CellReconcilePartition,
+    cols: Array[String]) extends PartitionReader[InternalRow] {
+
+  /** File records are sorted by column NAME (the writer's sort key),
+    * but carry the colId byte; rank maps colId -> name order.
+    */
+  private val colRank: Array[Int] = {
+    val sorted = CellSource.ColNames.sorted
+    CellSource.ColNames.map(sorted.indexOf(_))
+  }
+
+  private final class MergeStream(p: CellInputPartition) {
+    private val cursor = new ChunkCursor(p)
+    private var remaining = 0
+    var pk = 0L; var ck = 0; var colId = 0; var value = 0L; var wt = 0L
+    /** Next record inside [pkLo, pkHi]; false (and closed) when done. */
+    def advance(): Boolean = {
+      while (true) {
+        while (remaining > 0) {
+          remaining -= 1
+          val b = cursor.buf
+          pk = b.getLong(); ck = b.getInt(); colId = b.get()
+          value = b.getLong(); wt = b.getLong()
+          if (pk >= part.pkLo && pk <= part.pkHi) return true
+        }
+        if (!cursor.nextChunk()) { cursor.close(); return false }
+        remaining = cursor.chunkRecs
+      }
+      false
+    }
+    def close(): Unit = cursor.close()
+  }
+
+  private val heap = new java.util.PriorityQueue[MergeStream](
+    math.max(1, part.fileParts.length),
+    (a: MergeStream, b: MergeStream) => {
+      var c = java.lang.Long.compare(a.pk, b.pk)
+      if (c == 0) c = Integer.compare(a.ck, b.ck)
+      if (c == 0) c = Integer.compare(colRank(a.colId), colRank(b.colId))
+      c
+    })
+  part.fileParts.foreach { fp =>
+    val st = new MergeStream(fp)
+    if (st.advance()) heap.add(st)
+  }
+
+  private val projIdx: Array[Int] =
+    cols.map(c => CellSource.Schema.fieldIndex(c))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val s = heap.poll()
+    if (s == null) return false
+    val kpk = s.pk; val kck = s.ck; val kcol = s.colId
+    var bwt = s.wt; var bval = s.value
+    if (s.advance()) heap.add(s)
+    // Drain every version of this key (later versions of the same key
+    // in the same file re-enter the heap on advance).
+    var top = heap.peek()
+    while (top != null && top.pk == kpk && top.ck == kck &&
+        top.colId == kcol) {
+      val t = heap.poll()
+      if (t.wt > bwt || (t.wt == bwt && t.value > bval)) {
+        bwt = t.wt; bval = t.value
+      }
+      if (t.advance()) heap.add(t)
+      top = heap.peek()
+    }
+    val full = Array[Any](kpk, kck,
+      UTF8String.fromString(CellSource.ColNames(kcol)), bval, bwt)
+    row = InternalRow.fromSeq(projIdx.map(full).toSeq)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = {
+    val it = heap.iterator()
+    while (it.hasNext) it.next().close()
+    heap.clear()
+  }
+}
 
 /** DSv2 batch write: each task buffers up to `rollRecords` rows,
   * then sorts the buffer and stages it as a `.cells` file (full

@@ -185,6 +185,52 @@ class SourceSpec extends GraftSpec {
     assert(after.except(extra).isEmpty && extra.except(after).isEmpty)
   }
 
+  test("reconcile=true scan LWW-merges across flush files (C24)") {
+    val d = Files.createTempDirectory("cells-reconcile").toString
+    val all = CellModel.cells(spark, sf())
+    // Two separate flush generations over the SAME pk range: base
+    // cells first, the +1d qty rewrites as a later append — so every
+    // rewritten key's versions live in DIFFERENT files and the merge
+    // must happen across files, not within one.
+    val base = CellModel.base(spark, sf())
+    val rewrites = all.join(
+      base.select(col("pk"), col("ck"), col("wt").as("base_wt")),
+      Seq("pk", "ck")).filter(col("wt") > col("base_wt"))
+      .select(col("pk"), col("ck"), col("col"), col("value"), col("wt"))
+    val firstGen = all.exceptAll(rewrites)
+    firstGen.repartitionByRange(4, col("pk"))
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    rewrites.repartitionByRange(2, col("pk"))
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+
+    val reconciled = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    val expected = CellModel.lwwMerge(all)
+    assert(reconciled.count() === expected.count())
+    assert(reconciled.except(expected).isEmpty &&
+      expected.except(reconciled).isEmpty)
+
+    // pk pushdown survives reconcile: a point lookup plans far fewer
+    // partitions than the full range scan.
+    val minPk = expected.agg(min(col("pk"))).head().getLong(0)
+    val one = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d).filter(col("pk") === minPk)
+    assert(one.rdd.getNumPartitions <= 2)
+    assert(one.collect().length ===
+      expected.filter(col("pk") === minPk).count())
+
+    // wt filters must NOT be pushed below the merge: filtering old
+    // cells pre-merge would resurrect shadowed versions. Post-merge
+    // semantics = merge everything, then filter.
+    val cut = expected.agg(avg(col("wt"))).head().getDouble(0).toLong
+    val wtFiltered = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("wt") >= lit(cut))
+    val wtExpected = expected.filter(col("wt") >= lit(cut))
+    assert(wtFiltered.except(wtExpected).isEmpty &&
+      wtExpected.except(wtFiltered).isEmpty)
+  }
+
   test("write tasks roll to a new file every rollRecords records") {
     val d = Files.createTempDirectory("cells-roll").toString
     val orig = CellModel.cells(spark, sf())
