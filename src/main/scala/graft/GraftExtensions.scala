@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, ShingleGenerator}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, ShingleGenerator}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -39,7 +39,17 @@ object GraftExtensions {
     ("graft_shingles",
       new ExpressionInfo(classOf[ShingleGenerator].getName,
         "graft_shingles"),
-      (args: Seq[Expression]) => ShingleGenerator(args(0), args(1))))
+      (args: Seq[Expression]) => ShingleGenerator(args(0), args(1))),
+    ("graft_collect_bounded",
+      new ExpressionInfo(classOf[BoundedCollectList].getName,
+        "graft_collect_bounded"),
+      (args: Seq[Expression]) => BoundedCollectList(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_collect_set_bounded",
+      new ExpressionInfo(classOf[BoundedCollectSet].getName,
+        "graft_collect_set_bounded"),
+      (args: Seq[Expression]) => BoundedCollectSet(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
 
   /** Install graft functions, the custom-operator strategy, and the
     * optimizer rule into an already-running session (idempotent) — the

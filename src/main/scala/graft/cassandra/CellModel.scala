@@ -154,32 +154,51 @@ object CellModel {
       .groupBy(col("pk"), col("ck"))
       .agg(sum(col("value")).as("counter"), count(lit(1)).as("n_shards"))
 
+  /** Per-group width cap for the reassembly/digest aggregates (the
+    * `graft.maxGroupWidth` knob): registers the bounded-collect
+    * functions and returns the session's configured limit. A group
+    * wider than this fails fast in the aggregate buffer instead of
+    * OOMing a task (VERDICT r4 "What's wrong" §3).
+    */
+  private def guardLimit(df: DataFrame): Int = {
+    graft.GraftExtensions.register(df.sparkSession)
+    graft.functions.BoundedCollect.maxGroupWidth(df.sparkSession)
+  }
+
   /** C11 — collection reassembly: CQL collections store one cell per
     * element; rebuild the list per partition in (ck, value) order.
     */
-  def reassembleList(cells: DataFrame): DataFrame =
+  def reassembleList(cells: DataFrame): DataFrame = {
+    val lim = guardLimit(cells)
     cells.filter(col("col") === "qty")
       .groupBy(col("pk"))
-      .agg(expr("transform(array_sort(collect_list(struct(ck, value))), s -> s.value)")
-        .as("elems"))
+      .agg(expr("transform(array_sort(graft_collect_bounded(" +
+        s"struct(ck, value), $lim)), s -> s.value)").as("elems"))
+  }
 
   /** C12 — MAP reassembly: the reconciled cells of one (pk, ck) become
     * a genuine MapType column (CQL `map<text, bigint>` decode), built
     * with map_from_entries over the sorted entry list.
     */
-  def reassembleMap(merged: DataFrame): DataFrame =
+  def reassembleMap(merged: DataFrame): DataFrame = {
+    val lim = guardLimit(merged)
     merged.groupBy(col("pk"), col("ck"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("col"),
-        col("value"))))).as("m"))
+      .agg(map_from_entries(array_sort(
+        expr(s"graft_collect_bounded(struct(col, value), $lim)")))
+        .as("m"))
+  }
 
   /** C13 — SET reassembly: CQL sets store one cell per element keyed by
     * the element itself; the decoded set is the DISTINCT sorted values
     * per partition.
     */
-  def reassembleSet(cells: DataFrame): DataFrame =
+  def reassembleSet(cells: DataFrame): DataFrame = {
+    val lim = guardLimit(cells)
     cells.filter(col("col") === "qty")
       .groupBy(col("pk"))
-      .agg(array_sort(collect_set(col("value"))).as("elems"))
+      .agg(array_sort(
+        expr(s"graft_collect_set_bounded(value, $lim)")).as("elems"))
+  }
 
   /** Typed (non-BIGINT) cells for the SURVEY §1.1 type-map rows beyond
     * the two numeric columns: a string-valued 'flag' cell per row

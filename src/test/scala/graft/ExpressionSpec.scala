@@ -57,4 +57,43 @@ class ExpressionSpec extends GraftSpec {
       .select(col("c").isNull).as[Boolean].head()
     assert(out)
   }
+
+  test("bounded collect matches collect_list/set when under the limit") {
+    GraftExtensions.register(spark)
+    val df = spark.range(0, 1000)
+      .select((col("id") % 10).as("g"), (col("id") % 7).as("v"))
+    df.createOrReplaceTempView("bc_in")
+    val bounded = spark.sql(
+      """SELECT g, array_sort(graft_collect_bounded(v, 1000)) AS l,
+        |  array_sort(graft_collect_set_bounded(v, 1000)) AS s
+        |FROM bc_in GROUP BY g""".stripMargin)
+    val plain = spark.sql(
+      """SELECT g, array_sort(collect_list(v)) AS l,
+        |  array_sort(collect_set(v)) AS s
+        |FROM bc_in GROUP BY g""".stripMargin)
+    assert(bounded.except(plain).isEmpty && plain.except(bounded).isEmpty)
+  }
+
+  test("bounded collect fails FAST past the group-width limit") {
+    GraftExtensions.register(spark)
+    spark.range(0, 10000).select(lit(1).as("g"), col("id").as("v"))
+      .createOrReplaceTempView("bc_wide")
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_collect_bounded(v, 100) FROM bc_wide " +
+        "GROUP BY g").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft.maxGroupWidth")),
+      s"expected group-width error, got: ${msgs(e).mkString(" | ")}")
+    // The set variant absorbs duplicates BEFORE the guard: 10k rows of
+    // 50 distinct values stay under a 100-element limit.
+    spark.range(0, 10000)
+      .select(lit(1).as("g"), (col("id") % 50).as("v"))
+      .createOrReplaceTempView("bc_dup")
+    val ok = spark.sql(
+      "SELECT size(graft_collect_set_bounded(v, 100)) AS n FROM bc_dup " +
+        "GROUP BY g").collect()
+    assert(ok.head.getInt(0) === 50)
+  }
 }
