@@ -442,8 +442,23 @@ object Cells {
     CellSnapshots.readReconciled(s, d).filter(col("pk") % 10 === 0)
       .orderBy(col("pk"), col("ck"), col("col"))
 
+  // C14b — typed connector round-trip: the string-valued 'flag' cells
+  // written through the connector as a CEL5 string table, read back
+  // through the typed RECONCILING scan (string LWW tie-break in the
+  // k-way merge). Oracle = the str_merged CTE, so the whole
+  // write→merge→read path is checked against DuckDB.
+  private def typedConnector(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readStringReconciled(s, d).filter(col("pk") % 10 === 0)
+      .orderBy(col("pk"), col("ck"))
+
+  private val typedConnectorSql = cte +
+    """SELECT pk, ck, col, sval AS value, wt FROM str_merged
+      |WHERE pk % 10 = 0 ORDER BY pk, ck""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
+    GQuery("C14b_typed_connector_scan", typedConnector,
+      Some(typedConnectorSql)),
     GQuery("C22_per_partition_limit", perPartitionLimit,
       Some(perPartitionLimitSql)),
     GQuery("C23_range_digest", rangeDigest, Some(rangeDigestSql)),

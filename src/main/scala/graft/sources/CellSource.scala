@@ -54,28 +54,165 @@ import org.apache.spark.unsafe.types.UTF8String
   * InputPartition (default 65536).
   */
 class CellSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    CellSource.Schema
+  /** Schema resolution order: existing files' header value type wins
+    * (the format is self-describing); an empty directory falls back to
+    * the `valueType` option (`long|int|double|boolean|string|binary|
+    * timestamp|decimal(p,s)`, the intended type of a FIRST write into
+    * a fresh table), then to the long default.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    val existing = if (path == null) Nil else CellPlanning.listFiles(path)
+    existing.headOption match {
+      case Some(f) =>
+        val h = CellSource.readHeader(f)
+        CellSource.schemaFor(
+          ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale))
+      case None =>
+        Option(options.get("valueType"))
+          .map(t => CellSource.schemaFor(ValueCodec.parseType(t)))
+          .getOrElse(CellSource.Schema)
+    }
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new CellTable(properties.get("path"))
+    new CellTable(properties.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
+/** Per-type value codec for the v5 ("CEL5") typed cell format
+  * (SURVEY §1.1 type map; VERDICT r4 "What's missing" §3): each file
+  * header carries a value-type tag (+ precision/scale for decimal) and
+  * a column-name table, so the format is self-describing and a text /
+  * decimal / timestamp column round-trips through the connector.
+  * In-memory representations match InternalRow conventions (UTF8String
+  * for strings, micros Long for timestamps, Decimal for decimals).
+  * Binary comparison is UNSIGNED byte-wise — Cassandra's tie-break
+  * order.
+  */
+private[sources] object ValueCodec {
+  val LongTag = 0; val IntTag = 1; val DoubleTag = 2; val BoolTag = 3
+  val StringTag = 4; val BinaryTag = 5; val TimestampTag = 6
+  val DecimalTag = 7
+
+  def tagFor(dt: DataType): Int = dt match {
+    case LongType => LongTag
+    case IntegerType => IntTag
+    case DoubleType => DoubleTag
+    case BooleanType => BoolTag
+    case StringType => StringTag
+    case BinaryType => BinaryTag
+    case TimestampType => TimestampTag
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      DecimalTag
+    case other => throw new IllegalArgumentException(
+      s"unsupported cell value type ${other.simpleString} " +
+        "(supported: long, int, double, boolean, string, binary, " +
+        "timestamp, decimal(p<=18,s))")
+  }
+
+  def dataTypeFor(tag: Int, prec: Int, scale: Int): DataType = tag match {
+    case LongTag => LongType
+    case IntTag => IntegerType
+    case DoubleTag => DoubleType
+    case BoolTag => BooleanType
+    case StringTag => StringType
+    case BinaryTag => BinaryType
+    case TimestampTag => TimestampType
+    case DecimalTag => DecimalType(prec, scale)
+  }
+
+  /** Parse the `valueType` write option. */
+  def parseType(t: String): DataType =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(t) match {
+      case dt =>
+        tagFor(dt) // validates support
+        dt
+    }
+
+  /** Typed value out of a row/array slot, defensively copied (Spark
+    * reuses row buffers).
+    */
+  def fromRow(r: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int, tag: Int, prec: Int, scale: Int): Any = tag match {
+    case LongTag | TimestampTag => r.getLong(i)
+    case IntTag => r.getInt(i)
+    case DoubleTag => r.getDouble(i)
+    case BoolTag => r.getBoolean(i)
+    case StringTag => r.getUTF8String(i).copy()
+    case BinaryTag => r.getBinary(i).clone()
+    case DecimalTag => r.getDecimal(i, prec, scale)
+  }
+
+  def write(out: DataOutputStream, tag: Int, v: Any): Unit = tag match {
+    case LongTag | TimestampTag => out.writeLong(v.asInstanceOf[Long])
+    case IntTag => out.writeInt(v.asInstanceOf[Int])
+    case DoubleTag => out.writeDouble(v.asInstanceOf[Double])
+    case BoolTag => out.writeBoolean(v.asInstanceOf[Boolean])
+    case StringTag =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      out.writeInt(b.length); out.write(b)
+    case BinaryTag =>
+      val b = v.asInstanceOf[Array[Byte]]
+      out.writeInt(b.length); out.write(b)
+    case DecimalTag =>
+      out.writeLong(v.asInstanceOf[Decimal].toUnscaledLong)
+  }
+
+  def read(buf: ByteBuffer, tag: Int, prec: Int, scale: Int): Any =
+    tag match {
+      case LongTag | TimestampTag => buf.getLong()
+      case IntTag => buf.getInt()
+      case DoubleTag => buf.getDouble()
+      case BoolTag => buf.get() != 0
+      case StringTag =>
+        val b = new Array[Byte](buf.getInt()); buf.get(b)
+        UTF8String.fromBytes(b)
+      case BinaryTag =>
+        val b = new Array[Byte](buf.getInt()); buf.get(b)
+        b
+      case DecimalTag =>
+        Decimal.createUnsafe(buf.getLong(), prec, scale)
+    }
+
+  def compare(tag: Int, a: Any, b: Any): Int = tag match {
+    case LongTag | TimestampTag =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntTag =>
+      Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleTag =>
+      java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case BoolTag =>
+      java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case StringTag =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case BinaryTag => java.util.Arrays.compareUnsigned(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    case DecimalTag =>
+      a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+  }
+}
+
 object CellSource {
-  val Schema: StructType = StructType(Seq(
+  def schemaFor(valueType: DataType): StructType = StructType(Seq(
     StructField("pk", LongType, nullable = false),
     StructField("ck", IntegerType, nullable = false),
     StructField("col", StringType, nullable = false),
-    StructField("value", LongType, nullable = false),
+    StructField("value", valueType, nullable = false),
     StructField("wt", LongType, nullable = false)))
+
+  val Schema: StructType = schemaFor(LongType)
 
   val ColNames: Array[String] = Array("qty", "price")
 
-  val Magic = 0x43454c34 // "CEL4"
-  val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8)
+  val Magic = 0x43454c34 // "CEL4": fixed long values, ColNames table
+  val Magic5 = 0x43454c35 // "CEL5": typed values + per-file col table
+  val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
   val DefaultChunkRecords = 4096
@@ -132,15 +269,28 @@ object CellSource {
   private[sources] case class Header(minPk: Long, maxPk: Long, count: Int,
       bloom: Array[Long], indexPks: Array[Long], indexIdx: Array[Int],
       chunkRecords: Int, chunkOffsets: Array[Long], chunkLens: Array[Int],
-      chunkRecCounts: Array[Int], chunkMinWt: Array[Long],
-      chunkMaxWt: Array[Long], dataStart: Long)
+      chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
+      chunkMinWt: Array[Long], chunkMaxWt: Array[Long], dataStart: Long,
+      valueTag: Int, decPrec: Int, decScale: Int, colNames: Array[String])
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
-      require(magic == Magic, s"bad cell file magic in $file")
+      require(magic == Magic || magic == Magic5,
+        s"bad cell file magic in $file")
+      val v5 = magic == Magic5
       val headerLen = in.readInt()
+      // CEL5 prefix: value-type tag (+ decimal precision/scale) and
+      // the column-name table; CEL4 is long-valued with the fixed
+      // ColNames table.
+      val (tag, prec, scale, cols) =
+        if (v5) {
+          val t = in.readUnsignedByte()
+          val p = in.readUnsignedByte(); val sc = in.readUnsignedByte()
+          val nCols = in.readInt()
+          (t, p, sc, Array.fill(nCols)(in.readUTF()))
+        } else (ValueCodec.LongTag, 0, 0, ColNames)
       val lo = in.readLong(); val hi = in.readLong(); val n = in.readInt()
       val nWords = in.readInt()
       val bloom = Array.fill(nWords)(in.readLong())
@@ -153,16 +303,18 @@ object CellSource {
       val offs = new Array[Long](nChunks)
       val lens = new Array[Int](nChunks)
       val recs = new Array[Int](nChunks)
+      val raws = new Array[Int](nChunks)
       val wlo = new Array[Long](nChunks)
       val whi = new Array[Long](nChunks)
       i = 0
       while (i < nChunks) {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
+        raws(i) = if (v5) in.readInt() else recs(i) * RecordBytes
         wlo(i) = in.readLong(); whi(i) = in.readLong()
         i += 1
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
-        wlo, whi, 8L + headerLen)
+        raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols)
     }
   }
 
@@ -176,38 +328,65 @@ object CellSource {
     * MUST already be record-sorted. Shared by the fixture snapshot
     * writer and the DSv2 task writers.
     */
+  /** Long-valued convenience (tests/fixtures): CEL5 with the fixed
+    * ColNames table and the long codec.
+    */
   private[sources] def writeFile(target: java.nio.file.Path,
       chunk: Seq[(Long, Int, String, Long, Long)], indexEvery: Int,
       chunkRecords: Int): Unit = {
+    chunk.iterator.map(_._3).distinct.foreach { c =>
+      require(ColNames.contains(c), s"unknown cell column '$c'")
+    }
+    writeFileTyped(target,
+      chunk.map(c => (c._1, c._2, c._3, c._4: Any, c._5)), ColNames,
+      ValueCodec.LongTag, 0, 0, indexEvery, chunkRecords)
+  }
+
+  /** Write ONE pk-sorted CEL5 `.cells` file: typed values (per-file
+    * value-type tag + column-name table in the header), variable-width
+    * records, per-chunk raw lengths for exact inflate sizing.
+    */
+  private[sources] def writeFileTyped(target: java.nio.file.Path,
+      chunk: Seq[(Long, Int, String, Any, Long)], colNames: Array[String],
+      valueTag: Int, decPrec: Int, decScale: Int, indexEvery: Int,
+      chunkRecords: Int): Unit = {
+    require(colNames.length <= 255, "at most 255 distinct cell columns")
+    val colId: Map[String, Int] = colNames.zipWithIndex.toMap
     // Deflate the data section chunk by chunk, recording the table.
     val data = new ByteArrayOutputStream()
-    val offsets = Seq.newBuilder[(Long, Int, Int, Long, Long)]
+    val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long)]
     chunk.grouped(chunkRecords).foreach { recs =>
-      val raw = ByteBuffer.allocate(recs.size * RecordBytes)
+      val rawOut = new ByteArrayOutputStream()
+      val rawDs = new DataOutputStream(rawOut)
       recs.foreach { case (pk, ck, col, value, wt) =>
-        raw.putLong(pk); raw.putInt(ck)
-        raw.put(ColNames.indexOf(col).toByte)
-        raw.putLong(value); raw.putLong(wt)
+        rawDs.writeLong(pk); rawDs.writeInt(ck)
+        rawDs.writeByte(colId(col))
+        ValueCodec.write(rawDs, valueTag, value)
+        rawDs.writeLong(wt)
       }
+      val raw = rawOut.toByteArray
       val deflater = new Deflater()
-      deflater.setInput(raw.array()); deflater.finish()
+      deflater.setInput(raw); deflater.finish()
       // Worst-case deflate output on incompressible input is ~5 bytes
       // per 16 KiB stored block plus a small header — a flat +64 slack
       // would underflow once the chunk passes ~200 KiB and the
       // deflate() loop would spin forever returning 0 into a full
       // buffer. zlib's own deflateBound-style margin:
-      val buf = new Array[Byte](raw.capacity() + raw.capacity() / 1000 + 64)
+      val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
       var clen = 0
       while (!deflater.finished())
         clen += deflater.deflate(buf, clen, buf.length - clen)
       deflater.end()
-      offsets += ((data.size().toLong, clen, recs.size,
+      offsets += ((data.size().toLong, clen, recs.size, raw.length,
         recs.iterator.map(_._5).min, recs.iterator.map(_._5).max))
       data.write(buf, 0, clen)
     }
     val chunkTable = offsets.result()
     val header = new ByteArrayOutputStream()
     val h = new DataOutputStream(header)
+    h.writeByte(valueTag); h.writeByte(decPrec); h.writeByte(decScale)
+    h.writeInt(colNames.length)
+    colNames.foreach(h.writeUTF)
     h.writeLong(if (chunk.isEmpty) Long.MaxValue else chunk.head._1)
     h.writeLong(if (chunk.isEmpty) Long.MinValue else chunk.last._1)
     h.writeInt(chunk.size)
@@ -221,13 +400,14 @@ object CellSource {
     idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
     h.writeInt(chunkRecords)
     h.writeInt(chunkTable.size)
-    chunkTable.foreach { case (off, clen, nrec, wlo, whi) =>
+    chunkTable.foreach { case (off, clen, nrec, rawLen, wlo, whi) =>
       h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+      h.writeInt(rawLen)
       h.writeLong(wlo); h.writeLong(whi)
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic)
+      out.writeInt(Magic5)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
@@ -253,10 +433,12 @@ object CellSource {
   }
 }
 
-class CellTable(path: String) extends Table with SupportsRead
+class CellTable(path: String,
+    tableSchema: StructType = CellSource.Schema) extends Table
+    with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"cells($path)"
-  override def schema(): StructType = CellSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
@@ -265,7 +447,8 @@ class CellTable(path: String) extends Table with SupportsRead
     new CellScanBuilder(path,
       options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       options.getBoolean("columnar", true),
-      options.getBoolean("reconcile", false))
+      options.getBoolean("reconcile", false),
+      tableSchema)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -274,7 +457,8 @@ class CellTable(path: String) extends Table with SupportsRead
 }
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
-    reconcile: Boolean = false)
+    reconcile: Boolean = false,
+    tableSchema: StructType = CellSource.Schema)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -283,7 +467,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private var wtLower = Long.MinValue
   private var wtUpper = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = CellSource.Schema
+  private var required: StructType = tableSchema
   private var aggTags: Option[Array[String]] = None
 
   // Aggregate pushdown (the Statistics.db/Summary.db story): a global
@@ -483,6 +667,9 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
         h.count > 0 && h.maxPk >= pkLower && h.minPk <= pkUpper
       }
     if (headers.isEmpty) return Array.empty
+    require(headers.map(h =>
+      (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct.size == 1,
+      s"reconcile scan needs a uniform value type across files in $path")
     val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
     val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
     // Split boundaries from the sparse indexes: each index entry
@@ -537,26 +724,28 @@ case class CellReconcilePartition(pkLo: Long, pkHi: Long,
 class CellReconcileReader(part: CellReconcilePartition,
     cols: Array[String]) extends PartitionReader[InternalRow] {
 
-  /** File records are sorted by column NAME (the writer's sort key),
-    * but carry the colId byte; rank maps colId -> name order.
-    */
-  private val colRank: Array[Int] = {
-    val sorted = CellSource.ColNames.sorted
-    CellSource.ColNames.map(sorted.indexOf(_))
-  }
+  private val valueTag =
+    if (part.fileParts.isEmpty) ValueCodec.LongTag
+    else part.fileParts(0).valueTag
 
+  /** Per-file stream; records are sorted by column NAME (the writer's
+    * sort key) and each file carries its own column table, so the
+    * merge keys on the NAME, not the file-local colId byte.
+    */
   private final class MergeStream(p: CellInputPartition) {
     private val cursor = new ChunkCursor(p)
     private var remaining = 0
-    var pk = 0L; var ck = 0; var colId = 0; var value = 0L; var wt = 0L
+    var pk = 0L; var ck = 0; var colName: String = null
+    var value: Any = null; var wt = 0L
     /** Next record inside [pkLo, pkHi]; false (and closed) when done. */
     def advance(): Boolean = {
       while (true) {
         while (remaining > 0) {
           remaining -= 1
           val b = cursor.buf
-          pk = b.getLong(); ck = b.getInt(); colId = b.get()
-          value = b.getLong(); wt = b.getLong()
+          pk = b.getLong(); ck = b.getInt(); colName = p.colNames(b.get())
+          value = ValueCodec.read(b, p.valueTag, p.decPrec, p.decScale)
+          wt = b.getLong()
           if (pk >= part.pkLo && pk <= part.pkHi) return true
         }
         if (!cursor.nextChunk()) { cursor.close(); return false }
@@ -572,7 +761,7 @@ class CellReconcileReader(part: CellReconcilePartition,
     (a: MergeStream, b: MergeStream) => {
       var c = java.lang.Long.compare(a.pk, b.pk)
       if (c == 0) c = Integer.compare(a.ck, b.ck)
-      if (c == 0) c = Integer.compare(colRank(a.colId), colRank(b.colId))
+      if (c == 0) c = a.colName.compareTo(b.colName)
       c
     })
   part.fileParts.foreach { fp =>
@@ -580,30 +769,34 @@ class CellReconcileReader(part: CellReconcilePartition,
     if (st.advance()) heap.add(st)
   }
 
+  private val fullSchema = CellSource.schemaFor(
+    if (part.fileParts.isEmpty) LongType
+    else ValueCodec.dataTypeFor(valueTag, part.fileParts(0).decPrec,
+      part.fileParts(0).decScale))
   private val projIdx: Array[Int] =
-    cols.map(c => CellSource.Schema.fieldIndex(c))
+    cols.map(c => fullSchema.fieldIndex(c))
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     val s = heap.poll()
     if (s == null) return false
-    val kpk = s.pk; val kck = s.ck; val kcol = s.colId
+    val kpk = s.pk; val kck = s.ck; val kcol = s.colName
     var bwt = s.wt; var bval = s.value
     if (s.advance()) heap.add(s)
     // Drain every version of this key (later versions of the same key
     // in the same file re-enter the heap on advance).
     var top = heap.peek()
     while (top != null && top.pk == kpk && top.ck == kck &&
-        top.colId == kcol) {
+        top.colName == kcol) {
       val t = heap.poll()
-      if (t.wt > bwt || (t.wt == bwt && t.value > bval)) {
+      if (t.wt > bwt || (t.wt == bwt &&
+          ValueCodec.compare(valueTag, t.value, bval) > 0)) {
         bwt = t.wt; bval = t.value
       }
       if (t.advance()) heap.add(t)
       top = heap.peek()
     }
-    val full = Array[Any](kpk, kck,
-      UTF8String.fromString(CellSource.ColNames(kcol)), bval, bwt)
+    val full = Array[Any](kpk, kck, UTF8String.fromString(kcol), bval, bwt)
     row = InternalRow.fromSeq(projIdx.map(full).toSeq)
     true
   }
@@ -636,6 +829,12 @@ class CellWriteBuilder(path: String, schema: StructType,
   require(schema.fieldNames.sameElements(CellSource.Schema.fieldNames),
     s"cell write needs columns ${CellSource.Schema.fieldNames.mkString(",")}" +
       s", got ${schema.fieldNames.mkString(",")}")
+  private val valueType = schema("value").dataType
+  private val valueTag = ValueCodec.tagFor(valueType) // validates support
+  private val (decPrec, decScale) = valueType match {
+    case d: DecimalType => (d.precision, d.scale)
+    case _ => (0, 0)
+  }
   private var truncateFirst = false
 
   override def truncate()
@@ -647,7 +846,8 @@ class CellWriteBuilder(path: String, schema: StructType,
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
-        new CellBatchWrite(path, truncateFirst, rollRecords)
+        new CellBatchWrite(path, truncateFirst, rollRecords,
+          valueTag, decPrec, decScale)
     }
 }
 
@@ -655,13 +855,14 @@ case class CellCommitMessage(stagedFiles: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class CellBatchWrite(path: String, truncateFirst: Boolean,
-    rollRecords: Int)
+    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new CellDataWriterFactory(path, rollRecords)
+    new CellDataWriterFactory(path, rollRecords, valueTag, decPrec,
+      decScale)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
@@ -690,31 +891,35 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
     }
 }
 
-class CellDataWriterFactory(path: String, rollRecords: Int)
+class CellDataWriterFactory(path: String, rollRecords: Int,
+    valueTag: Int, decPrec: Int, decScale: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new CellDataWriter(path, partitionId, taskId, rollRecords)
+    new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
+      decPrec, decScale)
 }
 
 class CellDataWriter(path: String, partitionId: Int, taskId: Long,
-    rollRecords: Int)
+    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   require(rollRecords > 0, s"rollRecords must be positive, got $rollRecords")
   private val rows =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Any, Long)]
   private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rollSeq = 0
 
   override def write(r: InternalRow): Unit = {
     rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
-      r.getLong(3), r.getLong(4)))
+      ValueCodec.fromRow(r, 3, valueTag, decPrec, decScale),
+      r.getLong(4)))
     if (rows.length >= rollRecords) roll()
   }
 
   /** Sort + stage the current buffer as one `.cells` file and reset.
     * Each rolled file is individually pk-sorted with its own full
-    * header; files from one task may overlap in pk range when the
+    * header (including its own column-name table derived from the
+    * buffer); files from one task may overlap in pk range when the
     * incoming rows aren't sorted, which the format allows (they merge
     * like any other set of flushes).
     */
@@ -724,11 +929,16 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
     val file = dir.resolve(
       f".staged-$taskId%d-$partitionId%05d-$rollSeq%04d.cells.tmp")
     rollSeq += 1
-    val sorted = rows.sortBy(c => (c._1, c._2, c._3, c._5, c._4)).toSeq
-    sorted.iterator.map(_._3).distinct.foreach { c =>
-      require(CellSource.ColNames.contains(c), s"unknown cell column '$c'")
-    }
-    CellSource.writeFile(file, sorted, CellSource.DefaultIndexEvery,
+    val sorted = rows.sortWith { (a, b) =>
+      if (a._1 != b._1) a._1 < b._1
+      else if (a._2 != b._2) a._2 < b._2
+      else if (a._3 != b._3) a._3 < b._3
+      else if (a._5 != b._5) a._5 < b._5
+      else ValueCodec.compare(valueTag, a._4, b._4) < 0
+    }.toSeq
+    val colNames = sorted.iterator.map(_._3).toArray.distinct.sorted
+    CellSource.writeFileTyped(file, sorted, colNames, valueTag, decPrec,
+      decScale, CellSource.DefaultIndexEvery,
       CellSource.DefaultChunkRecords)
     staged += file.toString
     rows.clear()
@@ -877,7 +1087,8 @@ private[sources] object CellPlanning {
       surviving.grouped(chunksPerSplit).map { cs =>
         CellInputPartition(f, h.dataStart,
           cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
-          cs.map(h.chunkRecCounts).toArray): InputPartition
+          cs.map(h.chunkRecCounts).toArray, cs.map(h.chunkRawLens).toArray,
+          h.valueTag, h.decPrec, h.decScale, h.colNames): InputPartition
       }.toSeq
     }
   }
@@ -927,7 +1138,9 @@ class CellMicroBatchStream(path: String, pkLower: Long, pkUpper: Long,
   */
 case class CellInputPartition(file: String, dataStart: Long,
     chunkOffsets: Array[Long], chunkLens: Array[Int],
-    chunkRecCounts: Array[Int]) extends InputPartition
+    chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
+    valueTag: Int, decPrec: Int, decScale: Int,
+    colNames: Array[String]) extends InputPartition
 
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
     cols: Array[String], columnar: Boolean) extends PartitionReaderFactory {
@@ -970,7 +1183,7 @@ private[sources] final class ChunkCursor(part: CellInputPartition) {
     pos += clen
     val inflater = new Inflater()
     inflater.setInput(compressed)
-    val raw = new Array[Byte](nRecs * CellSource.RecordBytes)
+    val raw = new Array[Byte](part.chunkRawLens(chunkIdx))
     var off = 0
     while (off < raw.length && !inflater.finished())
       off += inflater.inflate(raw, off, raw.length - off)
@@ -997,6 +1210,8 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
   // full record to emit at output position i (C9).
   private val projIdx: Array[Int] =
     cols.map(c => CellSource.Schema.fieldIndex(c))
+  private val colUtf8: Array[UTF8String] =
+    part.colNames.map(UTF8String.fromString)
 
   override def next(): Boolean = {
     while (true) {
@@ -1008,11 +1223,12 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
         remainingInChunk -= 1
         val buf = cursor.buf
         val pk = buf.getLong(); val ck = buf.getInt()
-        val colId = buf.get(); val value = buf.getLong()
+        val colId = buf.get()
+        val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
+          part.decScale)
         val wt = buf.getLong()
         if (pk >= pkLower && pk <= pkUpper) {
-          val full = Array[Any](pk, ck,
-            UTF8String.fromString(CellSource.ColNames(colId)), value, wt)
+          val full = Array[Any](pk, ck, colUtf8(colId), value, wt)
           row = InternalRow.fromSeq(projIdx.map(full).toSeq)
           return true
         }
@@ -1034,12 +1250,34 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
     pkUpper: Long, cols: Array[String])
     extends PartitionReader[ColumnarBatch] {
   private val cursor = new ChunkCursor(part)
+  private val valueType: DataType =
+    ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
+  private val fullSchema = CellSource.schemaFor(valueType)
   private val projIdx: Array[Int] =
-    cols.map(c => CellSource.Schema.fieldIndex(c))
-  private val outSchema = StructType(projIdx.map(CellSource.Schema.apply))
+    cols.map(c => fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map(fullSchema.apply))
   private val colNameBytes: Array[Array[Byte]] =
-    CellSource.ColNames.map(_.getBytes("UTF-8"))
+    part.colNames.map(_.getBytes("UTF-8"))
   private var batch: ColumnarBatch = _
+
+  /** Typed value → column vector slot (CEL5 value union). */
+  private def putValue(vec: OnHeapColumnVector, n: Int, v: Any): Unit =
+    part.valueTag match {
+      case ValueCodec.LongTag | ValueCodec.TimestampTag =>
+        vec.putLong(n, v.asInstanceOf[Long])
+      case ValueCodec.IntTag => vec.putInt(n, v.asInstanceOf[Int])
+      case ValueCodec.DoubleTag => vec.putDouble(n, v.asInstanceOf[Double])
+      case ValueCodec.BoolTag =>
+        vec.putBoolean(n, v.asInstanceOf[Boolean])
+      case ValueCodec.StringTag =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        vec.putByteArray(n, b, 0, b.length)
+      case ValueCodec.BinaryTag =>
+        val b = v.asInstanceOf[Array[Byte]]
+        vec.putByteArray(n, b, 0, b.length)
+      case ValueCodec.DecimalTag =>
+        vec.putDecimal(n, v.asInstanceOf[Decimal], part.decPrec)
+    }
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
@@ -1056,7 +1294,9 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
       var r = 0
       while (r < nRecs) {
         val pk = buf.getLong(); val ck = buf.getInt()
-        val colId = buf.get(); val value = buf.getLong()
+        val colId = buf.get()
+        val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
+          part.decScale)
         val wt = buf.getLong()
         if (pk >= pkLower && pk <= pkUpper) {
           var i = 0
@@ -1067,7 +1307,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
               case 2 =>
                 val b = colNameBytes(colId)
                 vectors(i).putByteArray(n, b, 0, b.length)
-              case 3 => vectors(i).putLong(n, value)
+              case 3 => putValue(vectors(i), n, value)
               case 4 => vectors(i).putLong(n, wt)
             }
             i += 1

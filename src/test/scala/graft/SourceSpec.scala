@@ -231,6 +231,63 @@ class SourceSpec extends GraftSpec {
       wtExpected.except(wtFiltered).isEmpty)
   }
 
+  test("CEL5 typed values round-trip: string, decimal, timestamp") {
+    // String cells (the text-column case the long-only format could
+    // not express), including a rewrite generation for LWW below.
+    val sd = Files.createTempDirectory("cells-str").toString
+    val strCells = CellModel.stringCells(spark, sf())
+      .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+        col("sval").as("value"), col("wt").cast("long"))
+    strCells.repartition(3).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(sd)
+    val strBack = spark.read.format("graft.sources.CellSource").load(sd)
+    assert(strBack.schema("value").dataType.typeName === "string")
+    assert(strBack.except(strCells).isEmpty &&
+      strCells.except(strBack).isEmpty)
+
+    // Typed RECONCILE: connector-side string LWW equals lwwMergeOn.
+    val merged = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(sd)
+    val expected = CellModel.lwwMergeOn(
+      strCells.withColumnRenamed("value", "sval"), "sval")
+      .withColumnRenamed("sval", "value")
+      .select(col("pk"), col("ck"), col("col"), col("value"), col("wt"))
+    assert(merged.except(expected).isEmpty &&
+      expected.except(merged).isEmpty)
+
+    // Decimal(12,2) and timestamp values survive the codec exactly.
+    val dd = Files.createTempDirectory("cells-dec").toString
+    val decCells = CellModel.stringCells(spark, sf()).limit(500)
+      .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+        col("dval").cast("decimal(12,2)").as("value"),
+        col("wt").cast("long"))
+    decCells.coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "decimal(12,2)").mode("append").save(dd)
+    val decBack = spark.read.format("graft.sources.CellSource").load(dd)
+    assert(decBack.schema("value").dataType.simpleString
+      === "decimal(12,2)")
+    assert(decBack.except(decCells).isEmpty &&
+      decCells.except(decBack).isEmpty)
+
+    val td = Files.createTempDirectory("cells-ts").toString
+    val tsCells = CellModel.cells(spark, sf()).limit(500)
+      .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+        timestamp_millis(col("wt")).as("value"), col("wt").cast("long"))
+    tsCells.coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "timestamp").mode("append").save(td)
+    val tsBack = spark.read.format("graft.sources.CellSource").load(td)
+    assert(tsBack.schema("value").dataType.typeName === "timestamp")
+    assert(tsBack.except(tsCells).isEmpty &&
+      tsCells.except(tsBack).isEmpty)
+
+    // pk pushdown + column pruning still work on a typed table.
+    val minPk = strCells.agg(min(col("pk"))).head().getLong(0)
+    val one = spark.read.format("graft.sources.CellSource").load(sd)
+      .filter(col("pk") === minPk).select(col("pk"), col("value"))
+    assert(one.count() ===
+      strCells.filter(col("pk") === minPk).count())
+  }
+
   test("write tasks roll to a new file every rollRecords records") {
     val d = Files.createTempDirectory("cells-roll").toString
     val orig = CellModel.cells(spark, sf())
