@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.cassandra.CellModel
+
+/** The V2 `TableCatalog` surface ([[graft.sources.CellCatalog]]):
+  * connector tables visible to SHOW TABLES, DDL lifecycle, INSERT
+  * INTO, typed value columns via the `_type` marker, and pushdown
+  * through catalog-resolved scans.
+  */
+class CatalogSpec extends GraftSpec {
+
+  private lazy val cat: String = {
+    val root = Files.createTempDirectory("cell-catalog").toString
+    spark.conf.set("spark.sql.catalog.gcells",
+      "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.gcells.root", root)
+    "gcells"
+  }
+
+  test("create / show / insert / select / rename / drop lifecycle") {
+    spark.sql(s"CREATE TABLE $cat.default.t1 " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    val shown = spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("t1"))
+
+    val cells = CellModel.cells(spark, sf()).limit(1000)
+    cells.writeTo(s"$cat.default.t1").append()
+    spark.sql(s"INSERT INTO $cat.default.t1 " +
+      "VALUES (9999999999, 1, 'qty', 42, 12345)")
+    assert(spark.table(s"$cat.default.t1").count() === 1001)
+    val back = spark.sql(
+      s"SELECT value FROM $cat.default.t1 WHERE pk = 9999999999")
+    assert(back.collect().map(_.getLong(0)).toSeq === Seq(42L))
+    // the pk predicate reached the connector (file pruning planned)
+    assert(back.rdd.getNumPartitions <= 2)
+
+    spark.sql(s"ALTER TABLE $cat.default.t1 RENAME TO t1_renamed")
+    val afterRename = spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).toSet
+    assert(afterRename.contains("t1_renamed") && !afterRename.contains("t1"))
+    assert(spark.table(s"$cat.default.t1_renamed").count() === 1001)
+
+    spark.sql(s"DROP TABLE $cat.default.t1_renamed")
+    assert(!spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).contains("t1_renamed"))
+  }
+
+  test("typed value column persists through the created-empty window") {
+    spark.sql(s"CREATE TABLE $cat.default.flags " +
+      "(pk bigint, ck int, col string, value string, wt bigint)")
+    // schema honored BEFORE any data lands (the _type marker)
+    assert(spark.table(s"$cat.default.flags")
+      .schema("value").dataType.typeName === "string")
+    spark.sql(s"INSERT INTO $cat.default.flags " +
+      "VALUES (1, 1, 'flag', 'R', 100), (1, 1, 'flag', 'XR', 200)")
+    // and still honored after (now from the CEL5 header)
+    val vals = spark.table(s"$cat.default.flags")
+      .orderBy(col("wt")).collect().map(_.getString(3)).toSeq
+    assert(vals === Seq("R", "XR"))
+    spark.sql(s"DROP TABLE $cat.default.flags")
+  }
+
+  test("catalog rejects what the format cannot hold") {
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.bad (a int, b string)")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.default.bad2 " +
+        "(pk bigint, ck int, col string, value array<int>, wt bigint)")
+    }
+    assert(spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).toSet.intersect(Set("bad", "bad2")).isEmpty)
+  }
+}
