@@ -207,16 +207,27 @@ object Similarity {
     * Returns (all input columns, band, bucket) with one row per band.
     */
   def hyperplaneBuckets(embeddings: DataFrame, vecCol: String,
-      bands: Int = 2, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 2, rowsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    // The plane signs are ROW-INDEPENDENT: derive them from md5 ONCE,
+    // driver-side, and embed them as array literals — the per-row work
+    // is then a pure multiply-add dot product inside codegen. The
+    // original per-row form re-derived every sign with an md5 call
+    // (bands*rowsPerBand*dim md5s PER ROW — at 100M vectors, ~10^14
+    // hashes of pure waste). Same signs, same fold order → identical
+    // buckets.
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
     val bucketOf = (b: Int) => {
       val planes = (0 until rowsPerBand).map { j =>
         val h = b * rowsPerBand + j
         // sign bit: first md5 hex digit of "h:d" ≥ '8' → +1 else -1
-        s"""CASE WHEN aggregate(sequence(0, size($vecCol) - 1),
-           |  cast(0.0 as double), (s, d) -> s + element_at($vecCol, d + 1) *
-           |    CASE WHEN substring(md5(concat('$h', ':',
-           |      cast(d as string))), 1, 1) >= '8'
-           |    THEN cast(1.0 as double) ELSE cast(-1.0 as double) END)
+        val signs = (0 until dim).map(d =>
+          if (md5hex(s"$h:$d").charAt(0) >= '8') "1.0D" else "-1.0D")
+        val planeLit = signs.mkString("array(", ", ", ")")
+        s"""CASE WHEN aggregate(zip_with($vecCol, $planeLit,
+           |  (x, p) -> x * p), cast(0.0 as double), (s, v) -> s + v)
            |  >= cast(0.0 as double)
            |THEN ${1L << j}L ELSE 0L END""".stripMargin
       }
