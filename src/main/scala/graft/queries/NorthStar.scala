@@ -976,6 +976,42 @@ object NorthStar {
       .filter(col("rn") <= n).drop("rn")
   }
 
+  // N_SAMP3 — deterministic MIXTURE sampling: the data-mixture knob of
+  // a training pipeline. Each source gets a target sampling rate
+  // (src<i> → [0.2, 0.4, 0.6, 0.8] by i % 4 here; a real run plugs in
+  // its mixture weights) and a doc survives iff the first 8 hex chars
+  // of md5("mix:"+doc_id) sort below the rate's 8-hex threshold
+  // (floor(rate·2^32) as hex) — selection is a pure per-row string
+  // compare, map-only and shuffle-free until the final per-source agg,
+  // reproducible across engines and reruns, and independent of
+  // N_SAMP2's split hash (different salt). At 100 TB: no shuffle, no
+  // state, rates broadcast as a literal.
+  private def sampMixture(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Seq(0.2, 0.4, 0.6, 0.8)
+      .map(r => f"${math.floor(r * 4294967296.0).toLong}%08x")
+    val thrExpr = expr("element_at(array(" +
+      thresholds.map(t => s"'$t'").mkString(",") +
+      "), cast(substring(source, 4) as int) % 4 + 1)")
+    docs(s, d)
+      .withColumn("h",
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          1, 8))
+      .filter(col("h") < thrExpr)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(TextOps.tokens(col("text")))).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val sampMixtureSql =
+    """SELECT source, count(*) AS n_kept,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens
+      |FROM documents
+      |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  (['33333333', '66666666', '99999999', 'cccccccc'])[
+      |    CAST(substr(source, 4) AS INTEGER) % 4 + 1]
+      |GROUP BY source ORDER BY source""".stripMargin
+
   private def sampStratified(s: SparkSession, d: String): DataFrame =
     trainSplit(docs(s, d).select(col("lang"), col("doc_id")))
       .select(col("lang"), col("doc_id"))
@@ -1208,5 +1244,6 @@ object NorthStar {
     GQuery("N_UDAF1_minhash_agg", udafMinhash, Some(udafMinhashSql)),
     GQuery("N_UDTF1_shingles", udtfShingles, Some(udtfShinglesSql)),
     GQuery("N_UDTF2_native_shingles", udtfNativeShingles,
-      Some(udtfShinglesSql)))
+      Some(udtfShinglesSql)),
+    GQuery("N_SAMP3_mixture_sampling", sampMixture, Some(sampMixtureSql)))
 }
