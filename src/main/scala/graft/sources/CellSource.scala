@@ -92,7 +92,7 @@ class CellSource extends TableProvider {
   * Binary comparison is UNSIGNED byte-wise — Cassandra's tie-break
   * order.
   */
-private[sources] object ValueCodec {
+object ValueCodec {
   val LongTag = 0; val IntTag = 1; val DoubleTag = 2; val BoolTag = 3
   val StringTag = 4; val BinaryTag = 5; val TimestampTag = 6
   val DecimalTag = 7

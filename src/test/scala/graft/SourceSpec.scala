@@ -231,6 +231,44 @@ class SourceSpec extends GraftSpec {
       wtExpected.except(wtFiltered).isEmpty)
   }
 
+  test("compact rewrites many flush generations to one reconciled one") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-compact").toString
+    val all = CellModel.cells(spark, sf())
+    // Three flush generations with overlapping keys (rewrites land in
+    // their own files), so compaction must merge across generations.
+    val base = CellModel.base(spark, sf())
+    val rewrites = all.join(
+      base.select(col("pk"), col("ck"), col("wt").as("base_wt")),
+      Seq("pk", "ck")).filter(col("wt") > col("base_wt"))
+      .select(col("pk"), col("ck"), col("col"), col("value"), col("wt"))
+    val firstGen = all.exceptAll(rewrites)
+    firstGen.repartitionByRange(4, col("pk"))
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    rewrites.repartitionByRange(2, col("pk"))
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    rewrites.limit(50).coalesce(1)
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+
+    val expected = CellModel.lwwMerge(all)
+    val (before, after) = CellMaintenance.compact(spark, d)
+    assert(before === 7)
+    assert(after < before)
+    val compacted = spark.read.format("graft.sources.CellSource").load(d)
+    // One generation, already reconciled: the RAW scan now equals the
+    // LWW merge, and a reconcile scan is a no-op on top.
+    assert(compacted.except(expected).isEmpty &&
+      expected.except(compacted).isEmpty)
+    val reconciled = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(reconciled.count() === expected.count())
+    // header-only generation probe sums to the merged row count
+    assert(CellMaintenance.generations(d).map(_._2.toLong).sum
+      === expected.count())
+    // trigger respects the threshold
+    assert(CellMaintenance.compactIfNeeded(spark, d, maxFiles = 64).isEmpty)
+  }
+
   test("CEL5 typed values round-trip: string, decimal, timestamp") {
     // String cells (the text-column case the long-only format could
     // not express), including a rewrite generation for LWW below.
@@ -310,6 +348,63 @@ class SourceSpec extends GraftSpec {
       .filter(col("pk") === minPk)
     assert(one.rdd.getNumPartitions < files.size,
       "point lookup should prune most rolled files via Summary ranges")
+  }
+
+  test("ValueCodec round-trips and orders every type tag (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    import java.nio.ByteBuffer
+    import graft.sources.ValueCodec
+    import org.apache.spark.sql.types.Decimal
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def rt(tag: Int, prec: Int, scale: Int, vs: Seq[Any]): Seq[Any] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      vs.foreach(ValueCodec.write(out, tag, _))
+      val buf = ByteBuffer.wrap(bos.toByteArray)
+      vs.map(_ => ValueCodec.read(buf, tag, prec, scale))
+    }
+
+    val cases: Seq[(Int, Int, Int, Gen[Any])] = Seq(
+      (ValueCodec.LongTag, 0, 0, Gen.long.map(x => x: Any)),
+      (ValueCodec.IntTag, 0, 0, Gen.chooseNum(Int.MinValue,
+        Int.MaxValue).map(x => x: Any)),
+      (ValueCodec.DoubleTag, 0, 0,
+        Gen.chooseNum(-1e12, 1e12).map(x => x: Any)),
+      (ValueCodec.BoolTag, 0, 0, Gen.oneOf(true, false).map(x => x: Any)),
+      (ValueCodec.StringTag, 0, 0, Gen.listOf(Gen.asciiPrintableChar)
+        .map(cs => UTF8String.fromString(cs.mkString): Any)),
+      (ValueCodec.BinaryTag, 0, 0, Gen.listOf(Gen.chooseNum(-128, 127))
+        .map(bs => bs.map(_.toByte).toArray: Any)),
+      (ValueCodec.TimestampTag, 0, 0, Gen.long.map(x => x: Any)),
+      (ValueCodec.DecimalTag, 12, 2,
+        Gen.chooseNum(-999999999L, 999999999L)
+          .map(u => Decimal.createUnsafe(u, 12, 2): Any)))
+
+    cases.foreach { case (tag, prec, scale, gen) =>
+      val prop = Prop.forAllNoShrink(Gen.listOfN(20, gen)) { vs =>
+        val back = rt(tag, prec, scale, vs)
+        // exact round-trip, and codec ordering is a total order
+        // consistent with equality on the round-tripped values
+        back.zip(vs).forall { case (b, v) =>
+          ValueCodec.compare(tag, b, v) == 0 } &&
+          back.sliding(2).forall {
+            case Seq(a, b) =>
+              math.signum(ValueCodec.compare(tag, a, b)) ==
+                -math.signum(ValueCodec.compare(tag, b, a))
+            case _ => true
+          }
+      }
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      assert(res.passed, s"tag=$tag: $res")
+    }
+
+    // binary compares UNSIGNED (the Cassandra byte-order rule):
+    // 0x80 sorts after 0x7f even though it is negative as a JVM byte
+    assert(ValueCodec.compare(ValueCodec.BinaryTag,
+      Array(0x80.toByte), Array(0x7f.toByte)) > 0)
   }
 
   test("SQL DDL registers the source as an external table (storage handler)") {
