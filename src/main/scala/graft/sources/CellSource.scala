@@ -687,10 +687,13 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     val his = bounds.map(_ - 1) :+ hi
     los.zip(his).flatMap { case (rlo, rhi) =>
       // One chunk-narrowed piece per overlapping file (no sub-split:
-      // the range IS the parallel unit).
-      val fileParts = headers.flatMap { case (f, _) =>
-        CellPlanning.planFile(f, rlo, rhi, Long.MinValue, Long.MaxValue,
-          Int.MaxValue)
+      // the range IS the parallel unit). Headers were read ONCE above;
+      // the summary pre-filter skips non-overlapping files before any
+      // narrowing work.
+      val fileParts = headers.flatMap { case (f, h) =>
+        if (h.maxPk < rlo || h.minPk > rhi) Nil
+        else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
+          Long.MaxValue, Int.MaxValue)
       }.map(_.asInstanceOf[CellInputPartition])
       if (fileParts.isEmpty) None
       else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
@@ -1053,9 +1056,19 @@ private[sources] object CellPlanning {
     * zone-map chunk pruning, chunk-aligned sub-splits.
     */
   def planFile(f: String, pkLower: Long, pkUpper: Long, wtLower: Long,
-      wtUpper: Long, subsplitRecords: Int): Seq[InputPartition] = {
+      wtUpper: Long, subsplitRecords: Int): Seq[InputPartition] =
+    planFile(f, CellSource.readHeader(f), pkLower, pkUpper, wtLower,
+      wtUpper, subsplitRecords)
+
+  /** Header-reusing overload: the reconcile planner intersects EVERY
+    * pk range with EVERY file — re-reading headers there would be
+    * O(ranges x files) driver I/O (quadratic at 100 TB file counts);
+    * headers are read once and passed in.
+    */
+  def planFile(f: String, h: CellSource.Header, pkLower: Long,
+      pkUpper: Long, wtLower: Long, wtUpper: Long,
+      subsplitRecords: Int): Seq[InputPartition] = {
     val pointPk = if (pkLower == pkUpper) Some(pkLower) else None
-    val h = CellSource.readHeader(f)
     if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
     else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
       Nil // bloom-pruned: pk in range but provably absent

@@ -59,6 +59,24 @@ class PlanSpec extends GraftSpec {
     assert(p8.contains("pkRange=[3,3]"), p8) // pushed range in the scan
   }
 
+  test("C24 reconcile scan: pk pushed into the merge plan, wt NOT") {
+    val p = plan(Registry.byName("C24_reconcile_scan").fn(spark, sf()))
+    assert(p.contains("CellReconcileScan"), p)
+    // pk point filter reaches the reconcile planner...
+    val snap = graft.sources.CellSnapshots.ensure(spark, sf())
+    def read() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(snap)
+    val point = plan(read().filter(col("pk") === 3))
+    assert(point.contains("pkRange=[3,3]"), point)
+    // ...but a wt filter must NOT narrow the scan (pre-merge filtering
+    // would resurrect shadowed versions): the scan stays unbounded and
+    // Spark filters post-merge.
+    val wt = plan(read().filter(col("wt") > 100L))
+    assert(wt.contains("CellReconcileScan"), wt)
+    assert(wt.contains(s"pkRange=[${Long.MinValue},${Long.MaxValue}]"), wt)
+    assert(wt.contains("Filter"), wt)
+  }
+
   test("Q_JOIN12: bucketed tables join with no shuffle exchange") {
     // Bucketing pre-partitions both sides on the join key at write
     // time — the co-located-join path a 100 TB fact/fact join needs
