@@ -578,7 +578,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords)
+        subsplitRecords, columnar)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar)
@@ -653,7 +653,8 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
   * [[CellScanBuilder.pushFilters]]); Spark applies them post-merge.
   */
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
-    required: StructType, subsplitRecords: Int) extends Scan with Batch {
+    required: StructType, subsplitRecords: Int,
+    columnar: Boolean = true) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -702,14 +703,23 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReconcileReaderFactory(required.fieldNames)
+    new CellReconcileReaderFactory(required.fieldNames, columnar)
 }
 
-class CellReconcileReaderFactory(cols: Array[String])
+class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] =
     new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols)
+
+  // The merged stream is rows by nature (one winner per key out of a
+  // heap), but batching the OUTPUT keeps downstream operators on the
+  // ColumnarToRow + whole-stage-codegen path, same as the plain scan.
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] =
+    new CellReconcileColumnarReader(
+      p.asInstanceOf[CellReconcilePartition], cols)
 }
 
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
@@ -718,21 +728,23 @@ class CellReconcileReaderFactory(cols: Array[String])
 case class CellReconcilePartition(pkLo: Long, pkHi: Long,
     fileParts: Array[CellInputPartition]) extends InputPartition
 
-/** K-way merging reader: streams each file's (already pk,ck,col-sorted)
-  * records through a min-heap keyed on (pk, ck, col-name order) and
-  * emits the LWW winner — max wt, ties to greater value, matching
-  * [[graft.cassandra.CellModel.lwwMerge]] — once per key. Memory is
-  * O(open files), independent of range size.
+/** K-way merge core shared by the row and columnar reconcile
+  * readers: streams each file's (already pk,ck,col-sorted) records
+  * through a min-heap keyed on (pk, ck, col name) and yields the LWW
+  * winner — max wt, ties to greater value under the typed codec
+  * order, matching [[graft.cassandra.CellModel.lwwMerge]] — once per
+  * key. Memory is O(open files), independent of range size.
   */
-class CellReconcileReader(part: CellReconcilePartition,
-    cols: Array[String]) extends PartitionReader[InternalRow] {
-
-  private val valueTag =
+private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
+  val valueTag: Int =
     if (part.fileParts.isEmpty) ValueCodec.LongTag
     else part.fileParts(0).valueTag
+  val decPrec: Int =
+    if (part.fileParts.isEmpty) 0 else part.fileParts(0).decPrec
+  val decScale: Int =
+    if (part.fileParts.isEmpty) 0 else part.fileParts(0).decScale
 
-  /** Per-file stream; records are sorted by column NAME (the writer's
-    * sort key) and each file carries its own column table, so the
+  /** Per-file stream; each file carries its own column table, so the
     * merge keys on the NAME, not the file-local colId byte.
     */
   private final class MergeStream(p: CellInputPartition) {
@@ -772,25 +784,21 @@ class CellReconcileReader(part: CellReconcilePartition,
     if (st.advance()) heap.add(st)
   }
 
-  private val fullSchema = CellSource.schemaFor(
-    if (part.fileParts.isEmpty) LongType
-    else ValueCodec.dataTypeFor(valueTag, part.fileParts(0).decPrec,
-      part.fileParts(0).decScale))
-  private val projIdx: Array[Int] =
-    cols.map(c => fullSchema.fieldIndex(c))
-  private var row: InternalRow = _
+  // The current winner, valid after nextWinner() returns true.
+  var pk = 0L; var ck = 0; var colName: String = null
+  var value: Any = null; var wt = 0L
 
-  override def next(): Boolean = {
+  def nextWinner(): Boolean = {
     val s = heap.poll()
     if (s == null) return false
-    val kpk = s.pk; val kck = s.ck; val kcol = s.colName
+    pk = s.pk; ck = s.ck; colName = s.colName
     var bwt = s.wt; var bval = s.value
     if (s.advance()) heap.add(s)
     // Drain every version of this key (later versions of the same key
     // in the same file re-enter the heap on advance).
     var top = heap.peek()
-    while (top != null && top.pk == kpk && top.ck == kck &&
-        top.colName == kcol) {
+    while (top != null && top.pk == pk && top.ck == ck &&
+        top.colName == colName) {
       val t = heap.poll()
       if (t.wt > bwt || (t.wt == bwt &&
           ValueCodec.compare(valueTag, t.value, bval) > 0)) {
@@ -799,16 +807,116 @@ class CellReconcileReader(part: CellReconcilePartition,
       if (t.advance()) heap.add(t)
       top = heap.peek()
     }
-    val full = Array[Any](kpk, kck, UTF8String.fromString(kcol), bval, bwt)
-    row = InternalRow.fromSeq(projIdx.map(full).toSeq)
+    wt = bwt; value = bval
+    true
+  }
+
+  def close(): Unit = {
+    val it = heap.iterator()
+    while (it.hasNext) it.next().close()
+    heap.clear()
+  }
+}
+
+/** Row-at-a-time reconcile reader (`columnar=false` fallback). */
+class CellReconcileReader(part: CellReconcilePartition,
+    cols: Array[String]) extends PartitionReader[InternalRow] {
+  private val cursor = new CellMergeCursor(part)
+  private val fullSchema = CellSource.schemaFor(
+    ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
+      cursor.decScale))
+  private val projIdx: Array[Int] =
+    cols.map(c => fullSchema.fieldIndex(c))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!cursor.nextWinner()) return false
+    val out = new Array[Any](projIdx.length)
+    var i = 0
+    while (i < projIdx.length) {
+      out(i) = projIdx(i) match {
+        case 0 => cursor.pk
+        case 1 => cursor.ck
+        case 2 => UTF8String.fromString(cursor.colName)
+        case 3 => cursor.value
+        case 4 => cursor.wt
+      }
+      i += 1
+    }
+    row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(out)
     true
   }
 
   override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
+}
+
+/** Batch-emitting reconcile reader: merged winners are packed into
+  * fixed-size ColumnarBatches so the plan above the merge runs
+  * ColumnarToRow + whole-stage codegen, like the plain scan.
+  */
+class CellReconcileColumnarReader(part: CellReconcilePartition,
+    cols: Array[String]) extends PartitionReader[ColumnarBatch] {
+  private val BatchRows = 4096
+  private val cursor = new CellMergeCursor(part)
+  private val valueType: DataType =
+    ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
+      cursor.decScale)
+  private val fullSchema = CellSource.schemaFor(valueType)
+  private val projIdx: Array[Int] =
+    cols.map(c => fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+  private var batch: ColumnarBatch = _
+
+  private def putValue(vec: OnHeapColumnVector, n: Int, v: Any): Unit =
+    cursor.valueTag match {
+      case ValueCodec.LongTag | ValueCodec.TimestampTag =>
+        vec.putLong(n, v.asInstanceOf[Long])
+      case ValueCodec.IntTag => vec.putInt(n, v.asInstanceOf[Int])
+      case ValueCodec.DoubleTag => vec.putDouble(n, v.asInstanceOf[Double])
+      case ValueCodec.BoolTag => vec.putBoolean(n, v.asInstanceOf[Boolean])
+      case ValueCodec.StringTag =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        vec.putByteArray(n, b, 0, b.length)
+      case ValueCodec.BinaryTag =>
+        val b = v.asInstanceOf[Array[Byte]]
+        vec.putByteArray(n, b, 0, b.length)
+      case ValueCodec.DecimalTag =>
+        vec.putDecimal(n, v.asInstanceOf[Decimal], cursor.decPrec)
+    }
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    val vectors = OnHeapColumnVector.allocateColumns(BatchRows, outSchema)
+    var n = 0
+    while (n < BatchRows && cursor.nextWinner()) {
+      var i = 0
+      while (i < projIdx.length) {
+        projIdx(i) match {
+          case 0 => vectors(i).putLong(n, cursor.pk)
+          case 1 => vectors(i).putInt(n, cursor.ck)
+          case 2 =>
+            val b = cursor.colName.getBytes("UTF-8")
+            vectors(i).putByteArray(n, b, 0, b.length)
+          case 3 => putValue(vectors(i), n, cursor.value)
+          case 4 => vectors(i).putLong(n, cursor.wt)
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (n == 0) { vectors.foreach(_.close()); return false }
+    batch = new ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
   override def close(): Unit = {
-    val it = heap.iterator()
-    while (it.hasNext) it.next().close()
-    heap.clear()
+    if (batch != null) batch.close()
+    cursor.close()
   }
 }
 

@@ -219,6 +219,15 @@ class SourceSpec extends GraftSpec {
     assert(one.collect().length ===
       expected.filter(col("pk") === minPk).count())
 
+    // Columnar (default) and row reconcile readers agree exactly, and
+    // the columnar path feeds the plan as batches (ColumnarToRow).
+    val rowForm = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("columnar", "false").load(d)
+    assert(reconciled.except(rowForm).isEmpty &&
+      rowForm.except(reconciled).isEmpty)
+    assert(reconciled.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+
     // wt filters must NOT be pushed below the merge: filtering old
     // cells pre-merge would resurrect shadowed versions. Post-merge
     // semantics = merge everything, then filter.
