@@ -977,14 +977,20 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
-    if (truncateFirst)
-      CellPlanning.listFiles(path).foreach(f => Files.delete(Paths.get(f)))
-    // Rename staged files into the sequence after the current max index
-    // (driver-side, single-threaded — the atomic "flush publish").
+    // Flush indices are MONOTONIC, NEVER reused — SSTable generation
+    // numbers: next is computed from the PRE-truncate listing, so a
+    // truncate-rewrite (compaction) publishes its generation at
+    // indices ABOVE everything it replaced. A running micro-batch
+    // stream (index-based offsets) then sees the compacted files as
+    // new flushes — an LWW-idempotent re-delivery — instead of
+    // silently missing every post-compaction flush under restarted
+    // numbering.
     val existing = CellPlanning.listFiles(path)
     var next = existing.map(f =>
       CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
       .foldLeft(-1)(math.max) + 1
+    if (truncateFirst)
+      existing.foreach(f => Files.delete(Paths.get(f)))
     messages.foreach {
       case CellCommitMessage(staged) => staged.foreach { s =>
         Files.move(Paths.get(s), dir.resolve(f"data-$next%04d.cells"))
@@ -1230,8 +1236,20 @@ class CellMicroBatchStream(path: String, pkLower: Long, pkUpper: Long,
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   override def initialOffset(): Offset = new CellOffset(0)
+
+  /** Offsets are NEXT FLUSH INDEX, not file count: indices are
+    * monotonic and never reused (see [[CellBatchWrite.commit]]), so an
+    * offset stays meaningful across a compaction that REPLACES files —
+    * the compacted generation lands at higher indices and is delivered
+    * as a (LWW-idempotent) re-flush, while a count-based offset would
+    * point past the shrunken list and silently skip flushes until the
+    * count caught back up. In the append-only case index+1 == count,
+    * so checkpointed offsets from the count era read identically.
+    */
   override def latestOffset(): Offset =
-    new CellOffset(CellPlanning.listFiles(path).size)
+    new CellOffset(CellPlanning.listFiles(path).map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1)
   override def deserializeOffset(json: String): Offset =
     new CellOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
@@ -1241,9 +1259,11 @@ class CellMicroBatchStream(path: String, pkLower: Long, pkUpper: Long,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CellOffset].n
     val e = end.asInstanceOf[CellOffset].n
-    // Name-sorted listing is append-stable: flush k lands data-000k, so
-    // the slice [s, e) is exactly the files this batch owns.
-    CellPlanning.listFiles(path).slice(s, e).flatMap(f =>
+    // This batch owns exactly the flushes with index in [s, e).
+    CellPlanning.listFiles(path).filter { f =>
+      val idx = CellPlanning.fileIndex(Paths.get(f).getFileName.toString)
+      idx >= s && idx < e
+    }.flatMap(f =>
       CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
         subsplitRecords)).toArray
   }

@@ -492,6 +492,44 @@ class SourceSpec extends GraftSpec {
     }
   }
 
+  test("a running stream survives compaction (monotonic flush indices)") {
+    // Compaction REPLACES files. Count-based offsets would point past
+    // the shrunken list and silently skip every later flush until the
+    // count caught up; index-based offsets + never-reused generation
+    // numbers deliver the compacted files as one (LWW-idempotent)
+    // re-flush and keep going.
+    val d = Files.createTempDirectory("cells-stream-compact").toString
+    val flushA = (0L until 100L).map(pk => (pk, 0, "qty", 1L, 1000L))
+    val flushB = (0L until 100L).map(pk => (pk, 0, "qty", 2L, 2000L))
+    CellSource.writeSnapshot(d, flushA, files = 1)
+    CellSource.writeSnapshot(d, flushB, files = 1, startIndex = 1)
+    val q = spark.readStream.format("graft.sources.CellSource").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("streamcompact")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("streamcompact").head().getLong(0) === 200L)
+      // Compact 2 generations -> 1 reconciled file at index 2 (NOT 0).
+      val (before, after) = graft.sources.CellMaintenance
+        .compact(spark, d)
+      assert(before === 2 && after >= 1)
+      assert(Files.exists(java.nio.file.Paths.get(d, "data-0002.cells")))
+      assert(!Files.exists(java.nio.file.Paths.get(d, "data-0000.cells")))
+      q.processAllAvailable()
+      // compacted generation re-delivered: 100 merged rows appended
+      assert(spark.table("streamcompact").head().getLong(0) === 300L)
+      // and a post-compaction flush still arrives (the case restarted
+      // numbering would lose entirely)
+      val flushC = (100L until 150L).map(pk => (pk, 0, "qty", 3L, 3000L))
+      flushC.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+      q.processAllAvailable()
+      assert(spark.table("streamcompact").head().getLong(0) === 350L)
+    } finally q.stop()
+  }
+
   test("flush listing stays append-stable past index 9999") {
     // The zero-padding is width-4: 'data-10000.cells' sorts
     // lexicographically BEFORE 'data-9999.cells', so a name-sorted
