@@ -121,6 +121,25 @@ case class BoundedCollectSet(
 
   override def prettyName: String = "graft_collect_set_bounded"
 
+  // Set membership relies on value equality of buffered elements;
+  // nested types mix Unsafe/Generic representations whose equals is
+  // not value-based, so only atomic elements are accepted (Spark's
+  // own collect_set carries the same hazard for maps).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    child.dataType match {
+      case _: ArrayType | _: MapType | _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName needs an atomic element type, got " +
+              child.dataType.simpleString)
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+    }
+  }
+
   override def createAggregationBuffer(): mutable.LinkedHashSet[Any] =
     mutable.LinkedHashSet.empty
 
