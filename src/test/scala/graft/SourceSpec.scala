@@ -359,6 +359,40 @@ class SourceSpec extends GraftSpec {
       "point lookup should prune most rolled files via Summary ranges")
   }
 
+  test("failed write aborts cleanly: no staged tmp, no published flush") {
+    val d = Files.createTempDirectory("cells-abort").toString
+    // Seed one good generation, then attempt a write whose source
+    // throws mid-stream: the published state must be untouched and the
+    // staged .tmp files cleaned up by the abort path.
+    val good = CellModel.cells(spark, sf()).limit(500)
+    good.coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val before = Files.list(java.nio.file.Paths.get(d)).iterator()
+      .asScala.map(_.getFileName.toString).toSet
+
+    val boom = udf((pk: Long) =>
+      if (pk < 0) throw new RuntimeException("boom") else pk)
+    // rows sorted desc so some rows stream into the writer before the
+    // failing row arrives (staged state exists when the task dies)
+    val failing = CellModel.cells(spark, sf()).limit(2000)
+      .union(spark.range(1).select(lit(-1L).as("pk"), lit(0).as("ck"),
+        lit("qty").as("col"), lit(0L).as("value"), lit(0L).as("wt")))
+      .orderBy(col("pk").desc)
+      .select(boom(col("pk")).as("pk"), col("ck"), col("col"),
+        col("value"), col("wt"))
+    intercept[Exception] {
+      failing.coalesce(1).write.format("graft.sources.CellSource")
+        .option("rollRecords", "100").mode("append").save(d)
+    }
+    val after = Files.list(java.nio.file.Paths.get(d)).iterator()
+      .asScala.map(_.getFileName.toString).toSet
+    assert(after === before,
+      s"dir changed across failed write: ${after.diff(before)}")
+    // and the table still reads exactly the seeded generation
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() === 500)
+  }
+
   test("ValueCodec round-trips and orders every type tag (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import java.io.{ByteArrayOutputStream, DataOutputStream}
