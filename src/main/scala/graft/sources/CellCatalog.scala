@@ -86,10 +86,24 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
         else CellSource.Schema
     }
 
+  /** Catalog-persisted table properties (`_props`, java properties
+    * format): per-table defaults for scan/write options — the way a
+    * reconciled table is declared once in DDL.
+    */
+  private def propsOf(dir: Path): Map[String, String] = {
+    val f = dir.resolve("_props")
+    if (!Files.exists(f)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      Using.resource(Files.newBufferedReader(f))(p.load)
+      p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
-    new CellTable(dir.toString, schemaOf(dir))
+    new CellTable(dir.toString, schemaOf(dir), propsOf(dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -114,7 +128,17 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("_type"),
       resolved("value").dataType.sql.toLowerCase)
-    new CellTable(dir.toString, resolved)
+    val userProps = properties.asScala.toMap
+      .filter { case (k, _) => !k.startsWith("option.") &&
+        k != "provider" && k != "location" && k != "owner" &&
+        k != "external" }
+    if (userProps.nonEmpty) {
+      val p = new java.util.Properties()
+      userProps.foreach { case (k, v) => p.setProperty(k, v) }
+      Using.resource(Files.newBufferedWriter(dir.resolve("_props")))(
+        w => p.store(w, null))
+    }
+    new CellTable(dir.toString, resolved, userProps)
   }
 
   override def alterTable(ident: Identifier,

@@ -434,26 +434,53 @@ object CellSource {
 }
 
 class CellTable(path: String,
-    tableSchema: StructType = CellSource.Schema) extends Table
+    tableSchema: StructType = CellSource.Schema,
+    tableProps: Map[String, String] = Map.empty) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"cells($path)"
   override def schema(): StructType = tableSchema
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** Catalog-persisted table properties act as per-table DEFAULTS for
+    * scan/write options (`reconcile`, `subsplitRecords`, `columnar`,
+    * `rollRecords`) — e.g. `CREATE TABLE ... TBLPROPERTIES
+    * ('reconcile'='true')` defines a table every reader sees
+    * reconciled; per-read/write options still win.
+    */
+  private def effective(
+      options: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    if (tableProps.isEmpty) options
+    else {
+      val m = new java.util.HashMap[String, String]()
+      tableProps.foreach { case (k, v) => m.put(k, v) }
+      m.putAll(options.asCaseSensitiveMap())
+      new CaseInsensitiveStringMap(m)
+    }
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val o = effective(options)
     new CellScanBuilder(path,
-      options.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
-      options.getBoolean("columnar", true),
-      options.getBoolean("reconcile", false),
+      o.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
+      o.getBoolean("columnar", true),
+      o.getBoolean("reconcile", false),
       tableSchema)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CellWriteBuilder(path, info.schema(),
-      info.options.getInt("rollRecords", CellSource.DefaultRollRecords))
+      effective(info.options)
+        .getInt("rollRecords", CellSource.DefaultRollRecords))
 }
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,

@@ -64,6 +64,26 @@ class CatalogSpec extends GraftSpec {
     spark.sql(s"DROP TABLE $cat.default.flags")
   }
 
+  test("TBLPROPERTIES('reconcile'='true') defines a reconciled table") {
+    spark.sql(s"CREATE TABLE $cat.default.merged_view " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint) " +
+      "TBLPROPERTIES ('reconcile'='true')")
+    // two versions of the same cell, inserted as separate flushes
+    spark.sql(s"INSERT INTO $cat.default.merged_view " +
+      "VALUES (1, 1, 'qty', 10, 100)")
+    spark.sql(s"INSERT INTO $cat.default.merged_view " +
+      "VALUES (1, 1, 'qty', 99, 200)")
+    // every reader of the catalog table sees ONE reconciled cell —
+    // the LWW winner — without passing any read option
+    val rows = spark.table(s"$cat.default.merged_view").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(3) === 99L && rows.head.getLong(4) === 200L)
+    // the property survives a catalog reload (persisted in _props)
+    spark.sql(s"ALTER TABLE $cat.default.merged_view RENAME TO mv2")
+    assert(spark.table(s"$cat.default.mv2").count() === 1)
+    spark.sql(s"DROP TABLE $cat.default.mv2")
+  }
+
   test("catalog rejects what the format cannot hold") {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.default.bad (a int, b string)")
