@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, ShingleGenerator}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, ShingleGenerator}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -36,6 +36,9 @@ object GraftExtensions {
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("graft_shingles",
       new ExpressionInfo(classOf[ShingleGenerator].getName,
         "graft_shingles"),

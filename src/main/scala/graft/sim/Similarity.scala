@@ -45,6 +45,16 @@ object Similarity {
     expr(s"graft_cosine($a, $b)")
   }
 
+  /** Dot product via the native codegen'd expression
+    * [[graft.functions.DotProduct]] — same accumulation order as
+    * [[dot]], bit-identical results, no per-pair lambda/array
+    * overhead. Use on the per-PAIR hot path of similarity joins.
+    */
+  def dotNative(df: DataFrame, a: String, b: String): Column = {
+    graft.GraftExtensions.register(df.sparkSession)
+    expr(s"graft_dot($a, $b)")
+  }
+
   /** Brute-force cosine top-k against one query vector: the exact
     * baseline every approximate method is judged against. Map-only
     * native scoring + TakeOrderedAndProject — no shuffle, no global
@@ -86,7 +96,8 @@ object Similarity {
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
       .withColumn("score",
-        dot("vec_a", "vec_b") / (col("nrm_a") * col("nrm_b")))
+        dotNative(embeddings, "vec_a", "vec_b") /
+          (col("nrm_a") * col("nrm_b")))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("label"),
         (round(col("score"), 4) + lit(0.0)).as("score_r"))
