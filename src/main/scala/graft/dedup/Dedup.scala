@@ -92,6 +92,49 @@ object Dedup {
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** PRODUCTION-path MinHash signatures: the same relational shape as
+    * [[minhashSignaturesRelational]] (shingles as rows, k parallel
+    * min-aggregates, map-side combine) but hashing with codegen'd
+    * 64-bit xxhash64 instead of md5 hex strings — no MessageDigest
+    * call, no 32-char string allocation per (shingle, permutation), an
+    * order of magnitude less per-shingle work. Returns (id, sig:
+    * array<bigint>).
+    *
+    * The md5 form exists because the DuckDB oracle must reproduce
+    * signatures bit-for-bit; DECLARED queries keep it. A 100 TB run
+    * wants this one: LSH quality is hash-agnostic (any uniform hash
+    * family gives the same S-curve), and the Jaccard VERIFY stage
+    * ([[jaccardOnCandidates]]) makes the final pairs independent of
+    * which hash proposed them.
+    */
+  def minhashSignaturesFast(docsIdText: DataFrame,
+      k: Int = 8): DataFrame = {
+    val shingleRows = docsIdText
+      .select(col("id"),
+        graft.text.TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("id"))
+      .withColumn("sh2", explode(graft.text.TextOps.shingles("toks")))
+      .select(col("id"), col("sh2"))
+    val hashed = shingleRows.select(
+      col("id") +: (0 until k).map { i =>
+        expr(s"xxhash64($i, sh2)").as(s"h$i")
+      }: _*)
+    hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys for the fast (long-array) signatures: one xxhash64
+    * over each band's signature slice, band index salted in.
+    */
+  def lshBandsFast(sigCol: String, k: Int = 8, r: Int = 2): Column = {
+    val bands = k / r
+    expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+      s"xxhash64(b, slice($sigCol, b * $r + 1, $r)))")
+  }
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
     */

@@ -105,4 +105,42 @@ class DedupSpec extends GraftSpec {
       .select(TextOps.simhash16("toks").as("h")).as[String].collect()
     assert(h(0) == h(1) && h(0) != h(2) && h(0).length == 16)
   }
+
+  test("fast (xxhash64) pipeline verifies to the same near-dup pairs") {
+    // The md5 form is for oracle parity; the production path hashes
+    // with codegen'd xxhash64. LSH candidates MAY differ between hash
+    // families — but after the Jaccard VERIFY stage the surviving
+    // pairs must agree, because verification depends only on the
+    // shingle sets.
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id").as("id"), col("text"))
+
+    def verified(cand: org.apache.spark.sql.DataFrame) = {
+      val shingleRows = docs
+        .select(col("id"), TextOps.tokens(col("text")).as("toks"))
+        .repartition(col("id"))
+        .withColumn("sh", array_distinct(TextOps.shingles("toks")))
+        .filter(size(col("sh")) > 0)
+        .select(col("id"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("sh2"))
+      Dedup.jaccardOnCandidates(cand, shingleRows)
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+    }
+
+    val md5Pairs = verified(Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesRelational(docs)
+        .withColumn("bands", Dedup.lshBands("sig"))))
+    val fastPairs = verified(Dedup.lshCandidatePairs(
+      Dedup.minhashSignaturesFast(docs)
+        .withColumn("bands", Dedup.lshBandsFast("sig"))))
+    assert(md5Pairs.count() > 0, "fixture should contain near-dups")
+    assert(fastPairs.except(md5Pairs).isEmpty &&
+      md5Pairs.except(fastPairs).isEmpty)
+
+    // and the fast signatures are deterministic across runs
+    val s1 = Dedup.minhashSignaturesFast(docs)
+    val s2 = Dedup.minhashSignaturesFast(docs)
+    assert(s1.except(s2).isEmpty && s2.except(s1).isEmpty)
+  }
 }
