@@ -455,8 +455,19 @@ object Cells {
     """SELECT pk, ck, col, sval AS value, wt FROM str_merged
       |WHERE pk % 10 = 0 ORDER BY pk, ck""".stripMargin
 
+  // C27 — tombstone-aware reconcile: deletions travel IN the flush
+  // stream as sort-first marker cells, and the connector's merge
+  // consumes them as shadowing state — C5's tombstone_filter performed
+  // entirely inside the reader, sharing C5's oracle.
+  private def tombstoneScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readLive(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
   def all: Seq[GQuery] = Seq(
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
+    GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,
       Some(typedConnectorSql)),
     GQuery("C22_per_partition_limit", perPartitionLimit,

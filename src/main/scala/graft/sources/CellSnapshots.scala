@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Materializes the deterministic synthetic cell relation
   * ([[graft.cassandra.CellModel.cells]]) as an SSTable-lite snapshot
@@ -70,6 +70,55 @@ object CellSnapshots {
   def readReconciled(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensure(s, sfDir))
+
+  /** TOMBSTONE-bearing snapshot: the cell relation PLUS its deletion
+    * relations written into the same flush stream as marker cells —
+    * `!del:<col>` at the deleted (pk, ck) for cell deletions,
+    * `!del*` at (pk, Int.MinValue) for partition deletions, each
+    * carrying the deletion ts as its wt. A raw scan surfaces them
+    * verbatim (an SSTable dump shows its tombstones); the reconciling
+    * scan consumes them as shadowing state and emits only live cells
+    * (C27 = C5's semantics inside the reader).
+    */
+  def ensureTombstoned(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-del")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        val cm = graft.cassandra.CellModel
+        val cells = cm.cells(s, sfDir)
+        val cellDel = cm.cellDeletions(s, sfDir)
+          .select(col("pk"), col("ck"),
+            concat(lit(graft.sources.CellSource.CellTombstonePrefix),
+              col("col")).as("col"),
+            lit(0L).as("value"), col("dts").as("wt"))
+        val partDel = cm.partitionDeletions(s, sfDir)
+          .select(col("pk"), lit(Int.MinValue).as("ck"),
+            lit(graft.sources.CellSource.PartitionTombstone).as("col"),
+            lit(0L).as("value"), col("pdts").as("wt"))
+        cells.unionByName(cellDel).unionByName(partDel)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** Live cells of the tombstoned snapshot: LWW + tombstone shadowing
+    * performed entirely inside the connector's reconciling reader.
+    */
+  def readLive(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensureTombstoned(s, sfDir))
 
   /** STRING-valued snapshot (CEL5 typed cells): the 'flag' cells of
     * [[graft.cassandra.CellModel.stringCells]] written through the

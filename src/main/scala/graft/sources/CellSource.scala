@@ -210,6 +210,17 @@ object CellSource {
 
   val ColNames: Array[String] = Array("qty", "price")
 
+  /** Tombstones travel IN the cell stream as marker columns that sort
+    * before every data column ('!' < alphanumerics): a partition
+    * deletion is one `!del*` cell at ck = Int.MinValue whose wt is the
+    * deletion ts; a cell deletion is one `!del:<col>` cell at its
+    * (pk, ck). The reconciling scan consumes them as shadowing state
+    * (C5 semantics in the reader); a raw scan surfaces them verbatim,
+    * like an SSTable dump would.
+    */
+  val PartitionTombstone = "!del*"
+  val CellTombstonePrefix = "!del:"
+
   val Magic = 0x43454c34 // "CEL4": fixed long values, ColNames table
   val Magic5 = 0x43454c35 // "CEL5": typed values + per-file col table
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
@@ -815,7 +826,19 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
   var pk = 0L; var ck = 0; var colName: String = null
   var value: Any = null; var wt = 0L
 
-  def nextWinner(): Boolean = {
+  // Tombstone state, carried across the sorted key stream (markers
+  // sort FIRST: '!' precedes every alphanumeric column name, and
+  // partition markers are written at ck = Int.MinValue): the live
+  // partition-deletion ts for the current pk, and the per-(pk, ck)
+  // cell-deletion map. O(columns) state, reset on key-group change.
+  private var havePos = false
+  private var curPk = 0L
+  private var curCk = 0
+  private var pdts = Long.MinValue
+  private var cellDel = Map.empty[String, Long]
+
+  /** Raw key-winner step (pure LWW, markers included). */
+  private def nextKeyWinner(): Boolean = {
     val s = heap.poll()
     if (s == null) return false
     pk = s.pk; ck = s.ck; colName = s.colName
@@ -836,6 +859,42 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
     }
     wt = bwt; value = bval
     true
+  }
+
+  /** Next LIVE cell: key winners minus tombstone-shadowed cells (C5
+    * semantics inside the scan): a `!del*` marker deletes every cell
+    * of its pk with wt <= deletion ts; a `!del:<col>` marker deletes
+    * that column's cells of its (pk, ck). Marker rows are consumed
+    * into state and never emitted. Tables without markers take the
+    * `colName.charAt(0) != '!'` fast path.
+    */
+  def nextWinner(): Boolean = {
+    while (nextKeyWinner()) {
+      // group-change bookkeeping first, for markers and data alike
+      if (!havePos || pk != curPk) {
+        havePos = true; curPk = pk; curCk = ck
+        pdts = Long.MinValue; cellDel = Map.empty
+      } else if (ck != curCk) {
+        curCk = ck
+        cellDel = Map.empty
+      }
+      if (colName.length > 0 && colName.charAt(0) == '!') {
+        if (colName == CellSource.PartitionTombstone)
+          pdts = math.max(pdts, wt)
+        else if (colName.startsWith(CellSource.CellTombstonePrefix)) {
+          val target = colName.substring(
+            CellSource.CellTombstonePrefix.length)
+          cellDel = cellDel.updated(target,
+            math.max(wt, cellDel.getOrElse(target, Long.MinValue)))
+        }
+        // marker rows are metadata, not output
+      } else {
+        val coveredByPk = pdts != Long.MinValue && wt <= pdts
+        val coveredByCell = cellDel.get(colName).exists(wt <= _)
+        if (!coveredByPk && !coveredByCell) return true
+      }
+    }
+    false
   }
 
   def close(): Unit = {

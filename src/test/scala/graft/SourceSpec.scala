@@ -240,6 +240,41 @@ class SourceSpec extends GraftSpec {
       wtExpected.except(wtFiltered).isEmpty)
   }
 
+  test("reconcile consumes tombstone markers as shadowing state (C27)") {
+    val d = Files.createTempDirectory("cells-tomb").toString
+    // flush 1: data cells
+    val data = Seq(
+      (1L, 1, "qty", 10L, 100L), (1L, 1, "price", 20L, 100L),
+      (1L, 2, "qty", 30L, 100L),
+      (2L, 1, "qty", 40L, 100L),
+      (3L, 1, "qty", 50L, 100L), (3L, 1, "qty", 55L, 300L))
+    CellSource.writeSnapshot(d, data, files = 1)
+    // flush 2 (separate file — markers must shadow ACROSS files):
+    // - cell tombstone on (1,1,'qty') at ts 150: kills qty, not price
+    // - partition tombstone on pk 2 at ts 200: kills everything in pk 2
+    // - cell tombstone on (3,1,'qty') at ts 200: kills the 100-write
+    //   but NOT the 300-rewrite (wt > dts survives)
+    val markers = Seq(
+      (1L, 1, "!del:qty", 0L, 150L),
+      (2L, Int.MinValue, "!del*", 0L, 200L),
+      (3L, 1, "!del:qty", 0L, 200L))
+    val mdf = markers.toDF("pk", "ck", "col", "value", "wt")
+    // writer sorts within the file; marker columns are legal there
+    mdf.coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+
+    val live = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(live === Set(
+      (1L, 1, "price", 20L, 100L), // qty deleted, price untouched
+      (1L, 2, "qty", 30L, 100L),   // other ck untouched by cell del
+      (3L, 1, "qty", 55L, 300L)))  // rewrite survives dts=200
+    // raw scan surfaces the markers verbatim (SSTable-dump honesty)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    assert(raw.filter(col("col").startsWith("!del")).count() === 3)
+  }
+
   test("compact rewrites many flush generations to one reconciled one") {
     import graft.sources.CellMaintenance
     val d = Files.createTempDirectory("cells-compact").toString
