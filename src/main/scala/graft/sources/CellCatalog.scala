@@ -141,11 +141,32 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     new CellTable(dir.toString, resolved, userProps)
   }
 
+  /** ALTER TABLE: only SET/UNSET TBLPROPERTIES (the per-table option
+    * defaults); schema changes stay rejected — the column set is fixed
+    * by the cell model and the value type is set at CREATE.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported for cell tables (schemas are " +
-        "fixed by the cell model; the value type is set at CREATE)")
+      changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
+    var props = propsOf(dir)
+    changes.foreach {
+      case set: TableChange.SetProperty =>
+        props = props.updated(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"cell tables only support SET/UNSET TBLPROPERTIES, got $other")
+    }
+    val f = dir.resolve("_props")
+    if (props.isEmpty) Files.deleteIfExists(f)
+    else {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      Using.resource(Files.newBufferedWriter(f))(w => p.store(w, null))
+    }
+    new CellTable(dir.toString, schemaOf(dir), props)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

@@ -1079,8 +1079,24 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
       existing.foreach(f => Files.delete(Paths.get(f)))
     messages.foreach {
       case CellCommitMessage(staged) => staged.foreach { s =>
-        Files.move(Paths.get(s), dir.resolve(f"data-$next%04d.cells"))
-        next += 1
+        // Concurrent appends race for flush slots. Files.move's
+        // no-replace check is NOT atomic (check-then-rename: two
+        // racers can both pass the check and the second rename
+        // silently overwrites). link(2) IS atomic — it fails with
+        // EEXIST if the slot is taken — so losers skip forward until
+        // they claim a free index; nothing is ever overwritten.
+        var done = false
+        while (!done) {
+          try {
+            Files.createLink(dir.resolve(f"data-$next%04d.cells"),
+              Paths.get(s))
+            Files.delete(Paths.get(s))
+            done = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+          }
+          next += 1
+        }
       }
       case _ =>
     }

@@ -84,6 +84,24 @@ class CatalogSpec extends GraftSpec {
     spark.sql(s"DROP TABLE $cat.default.mv2")
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES flips scan defaults") {
+    spark.sql(s"CREATE TABLE $cat.default.alterable " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    spark.sql(s"INSERT INTO $cat.default.alterable " +
+      "VALUES (1, 1, 'qty', 10, 100), (1, 1, 'qty', 99, 200)")
+    assert(spark.table(s"$cat.default.alterable").count() === 2) // raw
+    spark.sql(s"ALTER TABLE $cat.default.alterable " +
+      "SET TBLPROPERTIES ('reconcile'='true')")
+    assert(spark.table(s"$cat.default.alterable").count() === 1) // LWW
+    spark.sql(s"ALTER TABLE $cat.default.alterable " +
+      "UNSET TBLPROPERTIES ('reconcile')")
+    assert(spark.table(s"$cat.default.alterable").count() === 2)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.default.alterable ADD COLUMN x int")
+    }
+    spark.sql(s"DROP TABLE $cat.default.alterable")
+  }
+
   test("catalog rejects what the format cannot hold") {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.default.bad (a int, b string)")

@@ -394,6 +394,28 @@ class SourceSpec extends GraftSpec {
       "point lookup should prune most rolled files via Summary ranges")
   }
 
+  test("concurrent appends commit disjoint flush slots, no loss") {
+    val d = Files.createTempDirectory("cells-concurrent").toString
+    val dfs = (0 until 4).map { i =>
+      (0L until 250L).map(j => (i * 1000L + j, 0, "qty", j, 100L + i))
+        .toDF("pk", "ck", "col", "value", "wt")
+    }
+    // four appends racing from different threads: every file must land
+    // in a unique slot and every row survive
+    val threads = dfs.map { df =>
+      new Thread(() => df.coalesce(1)
+        .write.format("graft.sources.CellSource").mode("append").save(d))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() === 1000)
+    assert(back.select(countDistinct(col("pk"))).head().getLong(0)
+      === 1000)
+    val names = Files.list(java.nio.file.Paths.get(d)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".cells")).toSeq
+    assert(names.size === 4 && names.distinct.size === 4)
+  }
+
   test("failed write aborts cleanly: no staged tmp, no published flush") {
     val d = Files.createTempDirectory("cells-abort").toString
     // Seed one good generation, then attempt a write whose source
