@@ -465,9 +465,19 @@ object Cells {
       .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
       .orderBy(col("col"))
 
+  // C28 — TTL-aware reconcile: table-default TTL travels as a `!ttl*`
+  // marker; a reconciling scan with queryTime drops expired winners —
+  // C6's ttl_expiry inside the reader, sharing C6's oracle.
+  private def ttlScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readUnexpired(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
   def all: Seq[GQuery] = Seq(
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
     GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
+    GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,
       Some(typedConnectorSql)),
     GQuery("C22_per_partition_limit", perPartitionLimit,

@@ -120,6 +120,49 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureTombstoned(s, sfDir))
 
+  /** TTL-bearing snapshot: the cell relation plus one `!ttl*` marker
+    * (value = TTL ms) at ck = Int.MinValue for every pk with a TTL in
+    * the model (pk % 11 == 0, 90 days) — the table-default TTL story.
+    * A reconciling scan with `queryTime` drops expired winners (C28 =
+    * C6's semantics inside the reader).
+    */
+  def ensureTtled(s: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, s"v$Version-$sfName-ttl")
+    val marker = dir.resolve("_OK")
+    if (!Files.exists(marker)) {
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      val cm = graft.cassandra.CellModel
+      val cells = cm.cells(s, sfDir)
+      val ttlMarks = cells.filter(col("pk") % 11 === 0)
+        .select(col("pk")).distinct()
+        .select(col("pk"), lit(Int.MinValue).as("ck"),
+          lit(graft.sources.CellSource.PartitionTtl).as("col"),
+          lit(cm.TtlMs).as("value"), lit(0L).as("wt"))
+      cells.unionByName(ttlMarks)
+        .select(col("pk").cast("long"), col("ck").cast("int"),
+          col("col"), col("value").cast("long"), col("wt").cast("long"))
+        .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+          col("col"))
+        .write.format("graft.sources.CellSource")
+        .mode("append").save(dir.toString)
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
+  /** Live (unexpired) cells of the TTL'd snapshot at the model's fixed
+    * query time, expiry applied inside the connector's reader.
+    */
+  def readUnexpired(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("queryTime", graft.cassandra.CellModel.QueryTimeMs.toString)
+      .load(ensureTtled(s, sfDir))
+
   /** STRING-valued snapshot (CEL5 typed cells): the 'flag' cells of
     * [[graft.cassandra.CellModel.stringCells]] written through the
     * connector with `valueType=string` — the text-column round-trip

@@ -221,6 +221,14 @@ object CellSource {
   val PartitionTombstone = "!del*"
   val CellTombstonePrefix = "!del:"
 
+  /** Partition-default TTL marker (the `default_time_to_live`
+    * analogue): one `!ttl*` cell at ck = Int.MinValue whose VALUE is
+    * the TTL in ms; under a reconciling scan with a `queryTime`
+    * option, a winner dies when wt + ttl < queryTime (C6 in the
+    * reader).
+    */
+  val PartitionTtl = "!ttl*"
+
   val Magic = 0x43454c34 // "CEL4": fixed long values, ColNames table
   val Magic5 = 0x43454c35 // "CEL5": typed values + per-file col table
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
@@ -484,7 +492,8 @@ class CellTable(path: String,
       o.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       o.getBoolean("columnar", true),
       o.getBoolean("reconcile", false),
-      tableSchema)
+      tableSchema,
+      o.getLong("queryTime", Long.MaxValue))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -496,7 +505,8 @@ class CellTable(path: String,
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcile: Boolean = false,
-    tableSchema: StructType = CellSource.Schema)
+    tableSchema: StructType = CellSource.Schema,
+    queryTime: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -616,7 +626,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar)
+        subsplitRecords, columnar, queryTime)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar)
@@ -692,7 +702,8 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
   */
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
-    columnar: Boolean = true) extends Scan with Batch {
+    columnar: Boolean = true,
+    queryTime: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -741,14 +752,17 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReconcileReaderFactory(required.fieldNames, columnar)
+    new CellReconcileReaderFactory(required.fieldNames, columnar,
+      queryTime)
 }
 
-class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean)
+class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
+    queryTime: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] =
-    new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols)
+    new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols,
+      queryTime)
 
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
@@ -757,7 +771,7 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new CellReconcileColumnarReader(
-      p.asInstanceOf[CellReconcilePartition], cols)
+      p.asInstanceOf[CellReconcilePartition], cols, queryTime)
 }
 
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
@@ -773,7 +787,8 @@ case class CellReconcilePartition(pkLo: Long, pkHi: Long,
   * order, matching [[graft.cassandra.CellModel.lwwMerge]] — once per
   * key. Memory is O(open files), independent of range size.
   */
-private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
+private[sources] final class CellMergeCursor(part: CellReconcilePartition,
+    queryTime: Long = Long.MaxValue) {
   val valueTag: Int =
     if (part.fileParts.isEmpty) ValueCodec.LongTag
     else part.fileParts(0).valueTag
@@ -835,6 +850,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
   private var curPk = 0L
   private var curCk = 0
   private var pdts = Long.MinValue
+  private var ttlMs = Long.MinValue // partition-default TTL, if any
   private var cellDel = Map.empty[String, Long]
 
   /** Raw key-winner step (pure LWW, markers included). */
@@ -873,7 +889,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
       // group-change bookkeeping first, for markers and data alike
       if (!havePos || pk != curPk) {
         havePos = true; curPk = pk; curCk = ck
-        pdts = Long.MinValue; cellDel = Map.empty
+        pdts = Long.MinValue; ttlMs = Long.MinValue; cellDel = Map.empty
       } else if (ck != curCk) {
         curCk = ck
         cellDel = Map.empty
@@ -881,6 +897,12 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
       if (colName.length > 0 && colName.charAt(0) == '!') {
         if (colName == CellSource.PartitionTombstone)
           pdts = math.max(pdts, wt)
+        else if (colName == CellSource.PartitionTtl)
+          ttlMs = value match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case _ => ttlMs
+          }
         else if (colName.startsWith(CellSource.CellTombstonePrefix)) {
           val target = colName.substring(
             CellSource.CellTombstonePrefix.length)
@@ -891,7 +913,9 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
       } else {
         val coveredByPk = pdts != Long.MinValue && wt <= pdts
         val coveredByCell = cellDel.get(colName).exists(wt <= _)
-        if (!coveredByPk && !coveredByCell) return true
+        val expired = ttlMs != Long.MinValue &&
+          queryTime != Long.MaxValue && wt + ttlMs < queryTime
+        if (!coveredByPk && !coveredByCell && !expired) return true
       }
     }
     false
@@ -906,8 +930,9 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition) {
 
 /** Row-at-a-time reconcile reader (`columnar=false` fallback). */
 class CellReconcileReader(part: CellReconcilePartition,
-    cols: Array[String]) extends PartitionReader[InternalRow] {
-  private val cursor = new CellMergeCursor(part)
+    cols: Array[String], queryTime: Long = Long.MaxValue)
+    extends PartitionReader[InternalRow] {
+  private val cursor = new CellMergeCursor(part, queryTime)
   private val fullSchema = CellSource.schemaFor(
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
@@ -943,9 +968,10 @@ class CellReconcileReader(part: CellReconcilePartition,
   * ColumnarToRow + whole-stage codegen, like the plain scan.
   */
 class CellReconcileColumnarReader(part: CellReconcilePartition,
-    cols: Array[String]) extends PartitionReader[ColumnarBatch] {
+    cols: Array[String], queryTime: Long = Long.MaxValue)
+    extends PartitionReader[ColumnarBatch] {
   private val BatchRows = 4096
-  private val cursor = new CellMergeCursor(part)
+  private val cursor = new CellMergeCursor(part, queryTime)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)
