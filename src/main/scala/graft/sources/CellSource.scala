@@ -20,9 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** A DataSource V2 source with the architecture of a Cassandra-SSTable
   * snapshot reader (SURVEY §2 rows C1/C2/C3/C8/C9), over a
-  * self-contained binary cell format ("SSTable-lite", v3) since no
-  * Cassandra jars exist in this environment (SURVEY §7.2 phase 6).
-  * Component map onto a real SSTable:
+  * self-contained binary cell format ("SSTable-lite", CEL5: typed
+  * values + per-file column tables; CEL4 long-valued files stay
+  * readable) since no Cassandra jars exist in this environment
+  * (SURVEY §7.2 phase 6). Component map onto a real SSTable:
   *
   * - `data-NNNN.cells`: pk-sorted fixed-width cell records in
   *   independently-deflated chunks — `Data.db` + compression;

@@ -370,6 +370,27 @@ class SourceSpec extends GraftSpec {
       strCells.filter(col("pk") === minPk).count())
   }
 
+  test("compaction preserves typed tables (string values)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-compact-str").toString
+    val strCells = CellModel.stringCells(spark, sf()).limit(2000)
+      .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+        col("sval").as("value"), col("wt").cast("long"))
+    // two generations -> compact -> still a string table, LWW applied
+    strCells.coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(d)
+    strCells.limit(300).coalesce(1)
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    val expected = CellModel.lwwMergeOn(
+      strCells.withColumnRenamed("value", "sval"), "sval")
+      .withColumnRenamed("sval", "value")
+      .select(col("pk"), col("ck"), col("col"), col("value"), col("wt"))
+    CellMaintenance.compact(spark, d)
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.schema("value").dataType.typeName === "string")
+    assert(back.except(expected).isEmpty && expected.except(back).isEmpty)
+  }
+
   test("write tasks roll to a new file every rollRecords records") {
     val d = Files.createTempDirectory("cells-roll").toString
     val orig = CellModel.cells(spark, sf())
