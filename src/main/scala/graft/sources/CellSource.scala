@@ -486,7 +486,7 @@ class CellTable(path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = effective(options)
     new CellScanBuilder(path,
@@ -1072,7 +1072,73 @@ class CellWriteBuilder(path: String, schema: StructType,
           : org.apache.spark.sql.connector.write.BatchWrite =
         new CellBatchWrite(path, truncateFirst, rollRecords,
           valueTag, decPrec, decScale)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new CellStreamingWrite(path, rollRecords, valueTag, decPrec,
+          decScale)
     }
+}
+
+/** Streaming SINK face of the connector: every epoch's rows are staged
+  * by the same rolling task writers and published as new flush files
+  * in one driver-side commit — a micro-batch IS a memtable flush, so a
+  * [[CellMicroBatchStream]] on the same directory sees each epoch as
+  * its next batch (the connector pipes stream-to-stream).
+  *
+  * Exactly-once across epoch RETRIES: committed epoch ids are recorded
+  * in `_epochs`; a re-delivered epoch's staged files are deleted
+  * instead of re-published. (Epoch ids are per-query: point distinct
+  * streaming queries at distinct directories.)
+  */
+class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
+    decPrec: Int, decScale: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory =
+    new CellStreamingWriterFactory(path, rollRecords, valueTag, decPrec,
+      decScale)
+
+  private def epochsFile =
+    Paths.get(CellPlanning.normalize(path)).resolve("_epochs")
+
+  private def committed(epochId: Long): Boolean =
+    Files.exists(epochsFile) &&
+      Files.readAllLines(epochsFile).contains(epochId.toString)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (committed(epochId)) {
+      abort(epochId, messages) // replay: drop the duplicate stage
+    } else {
+      new CellBatchWrite(path, truncateFirst = false, rollRecords,
+        valueTag, decPrec, decScale).commit(messages)
+      Files.writeString(epochsFile, s"$epochId\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CellCommitMessage(staged) =>
+        staged.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      case _ =>
+    }
+}
+
+class CellStreamingWriterFactory(path: String, rollRecords: Int,
+    valueTag: Int, decPrec: Int, decScale: Int)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
+      decPrec, decScale)
 }
 
 case class CellCommitMessage(stagedFiles: Seq[String])

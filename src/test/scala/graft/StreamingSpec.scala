@@ -222,4 +222,37 @@ class StreamingSpec extends GraftSpec {
     assert(got.count() === want.count())
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
+
+  test("connector as streaming SINK: epochs publish as flushes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cells-sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cells-sink-ckpt").toString
+    val in = MemoryStream[(Long, Int, String, Long, Long)](spark)
+    val q = in.toDF().toDF("pk", "ck", "col", "value", "wt")
+      .writeStream.format("graft.sources.CellSource")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start(dir)
+    try {
+      in.addData((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L))
+      q.processAllAvailable()
+      in.addData((1L, 1, "qty", 99L, 200L))
+      q.processAllAvailable()
+      val back = spark.read.format("graft.sources.CellSource").load(dir)
+      assert(back.count() === 3)
+      // each epoch landed as its own flush generation
+      val files = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir)).iterator()
+      val flushes = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(files).asScala
+        .map(_.getFileName.toString).count(_.endsWith(".cells"))
+      assert(flushes === 2)
+      // reconciled view across the streamed flushes: LWW applies
+      val merged = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(dir)
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+      assert(merged === Set((1L, 1, "qty", 99L, 200L),
+        (2L, 1, "qty", 20L, 100L)))
+    } finally q.stop()
+  }
 }
