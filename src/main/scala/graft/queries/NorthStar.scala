@@ -1116,7 +1116,10 @@ object NorthStar {
   private def evalContamination(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
     val train = trainSplit(all).select(col("doc_id"))
-    val fps = winnowFpsAll(all)
+    // fps feeds BOTH join branches: materialize once (eager local
+    // checkpoint) or the whole winnow pipeline runs twice — at scale
+    // this is a reliable checkpoint of a doc-count-sized relation.
+    val fps = winnowFpsAll(all).localCheckpoint(true)
     val trainFps = fps.join(train, "doc_id").select(col("fp")).distinct()
     fps.join(train, Seq("doc_id"), "left_anti") // eval-side fingerprints
       .join(trainFps, "fp")
@@ -1139,6 +1142,10 @@ object NorthStar {
       .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .distinct()
+      // referenced by BOTH sides of the overlap join: materialize once
+      // (eager local checkpoint) or the tokenize+shingle+md5 pipeline
+      // runs twice — the dominant cost of the whole query.
+      .localCheckpoint(true)
     val trainGrams = grams.join(train, "doc_id").select(col("h")).distinct()
     grams.join(train, Seq("doc_id"), "left_anti")
       .join(trainGrams, "h")
