@@ -139,9 +139,15 @@ object Dedup {
     * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
     */
   def lshCandidatePairs(withBands: DataFrame): DataFrame = {
+    // The exploded band relation feeds BOTH sides of the self-join;
+    // without a barrier the whole signature pipeline (the md5-heavy
+    // part) evaluates twice. Eager localCheckpoint materializes it
+    // once — at cluster scale, a reliable checkpoint of an
+    // id x bands-sized relation.
     val exploded = withBands
       .select(col("id"), explode(col("bands")).as("band"))
       .filter(col("band").isNotNull)
+      .localCheckpoint(true)
     val l = exploded.select(col("id").as("id_a"), col("band"))
     val r = exploded.select(col("id").as("id_b"), col("band").as("band_r"))
     l.join(r, col("band") === col("band_r") && col("id_a") < col("id_b"))
@@ -281,9 +287,13 @@ object Dedup {
     */
   def jaccardOnCandidates(candidates: DataFrame,
       shingleRows: DataFrame): DataFrame = {
-    val a = shingleRows.select(col("id").as("ja"), col("n_sh").as("na"),
+    // shingleRows verifies from BOTH ends of each candidate pair:
+    // materialize it once (tokenize+shingle+explode would otherwise
+    // run twice).
+    val sh = shingleRows.localCheckpoint(true)
+    val a = sh.select(col("id").as("ja"), col("n_sh").as("na"),
       col("sh2"))
-    val b = shingleRows.select(col("id").as("jb"), col("n_sh").as("nb"),
+    val b = sh.select(col("id").as("jb"), col("n_sh").as("nb"),
       col("sh2").as("sh2_b"))
     candidates
       .join(a, col("id_a") === col("ja"))

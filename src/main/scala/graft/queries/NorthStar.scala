@@ -914,7 +914,10 @@ object NorthStar {
   private def simHyperplane(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d).select(col("vec_id"),
       col("embedding").cast("array<double>").as("vec"))
+    // bucketed feeds both sides of the bucket self-join — materialize
+    // the hyperplane signatures once.
     val bucketed = Similarity.hyperplaneBuckets(e, "vec")
+      .localCheckpoint(true)
     val a = bucketed.select(col("vec_id").as("id_a"), col("band"),
       col("bucket"))
     val b = bucketed.select(col("vec_id").as("id_b"),
