@@ -474,10 +474,33 @@ object Cells {
       .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
       .orderBy(col("col"))
 
+  // C29 — the full read path in ONE scan: LWW + tombstone shadowing +
+  // TTL expiry, all inside the connector's reconciling reader over one
+  // marker-bearing snapshot. Oracle composes C5's NOT EXISTS with
+  // C6's expiry predicate over the shared merged CTE.
+  private def fullReadPath(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readFullLive(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val fullReadPathSql = cte +
+    s"""SELECT col, CAST(COUNT(*) AS BIGINT) AS n_live,
+       |  CAST(SUM(value) AS BIGINT) AS sum_value
+       |FROM merged m
+       |WHERE NOT EXISTS (SELECT 1 FROM cell_del c
+       |    WHERE c.pk = m.pk AND c.ck = m.ck AND c.col = m.col
+       |      AND c.dts >= m.wt)
+       |  AND NOT EXISTS (SELECT 1 FROM part_del p
+       |    WHERE p.pk = m.pk AND p.pdts >= m.wt)
+       |  AND NOT (pk % 11 = 0 AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
+       |GROUP BY col ORDER BY col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
     GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
+    GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,
       Some(typedConnectorSql)),
     GQuery("C22_per_partition_limit", perPartitionLimit,

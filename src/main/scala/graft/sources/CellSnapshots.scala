@@ -163,6 +163,55 @@ object CellSnapshots {
       .option("queryTime", graft.cassandra.CellModel.QueryTimeMs.toString)
       .load(ensureTtled(s, sfDir))
 
+  /** FULL read-path snapshot: cells + tombstone markers + TTL markers
+    * in one flush stream — the complete Cassandra read condition (LWW
+    * + shadowing + expiry) exercised by a single reconciling scan
+    * (C29).
+    */
+  def ensureFull(s: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, s"v$Version-$sfName-full")
+    val marker = dir.resolve("_OK")
+    if (!Files.exists(marker)) {
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      val cm = graft.cassandra.CellModel
+      val cells = cm.cells(s, sfDir)
+      val cellDel = cm.cellDeletions(s, sfDir)
+        .select(col("pk"), col("ck"),
+          concat(lit(graft.sources.CellSource.CellTombstonePrefix),
+            col("col")).as("col"),
+          lit(0L).as("value"), col("dts").as("wt"))
+      val partDel = cm.partitionDeletions(s, sfDir)
+        .select(col("pk"), lit(Int.MinValue).as("ck"),
+          lit(graft.sources.CellSource.PartitionTombstone).as("col"),
+          lit(0L).as("value"), col("pdts").as("wt"))
+      val ttlMarks = cells.filter(col("pk") % 11 === 0)
+        .select(col("pk")).distinct()
+        .select(col("pk"), lit(Int.MinValue).as("ck"),
+          lit(graft.sources.CellSource.PartitionTtl).as("col"),
+          lit(cm.TtlMs).as("value"), lit(0L).as("wt"))
+      cells.unionByName(cellDel).unionByName(partDel)
+        .unionByName(ttlMarks)
+        .select(col("pk").cast("long"), col("ck").cast("int"),
+          col("col"), col("value").cast("long"), col("wt").cast("long"))
+        .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+          col("col"))
+        .write.format("graft.sources.CellSource")
+        .mode("append").save(dir.toString)
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
+  def readFullLive(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("queryTime", graft.cassandra.CellModel.QueryTimeMs.toString)
+      .load(ensureFull(s, sfDir))
+
   /** STRING-valued snapshot (CEL5 typed cells): the 'flag' cells of
     * [[graft.cassandra.CellModel.stringCells]] written through the
     * connector with `valueType=string` — the text-column round-trip

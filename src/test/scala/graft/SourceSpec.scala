@@ -471,6 +471,40 @@ class SourceSpec extends GraftSpec {
     assert(back.count() === 500)
   }
 
+  test("reconcile == lwwMerge on random multi-file layouts (property)") {
+    // Random cell relations with heavy key collisions, split into
+    // random flush files: the connector's k-way merge must equal the
+    // relational lwwMerge exactly, whatever the file layout.
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 4).foreach { trial =>
+      val nCells = 300 + rnd.nextInt(700)
+      val cells = (0 until nCells).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(4), // heavy pk/ck reuse
+          if (rnd.nextBoolean()) "qty" else "price",
+          rnd.nextInt(100).toLong,              // value collisions too
+          rnd.nextInt(10).toLong * 100)         // wt TIES likely
+      }
+      val d = Files.createTempDirectory(s"cells-prop-$trial").toString
+      // random number of flushes, random assignment of cells to them
+      val nFlushes = 1 + rnd.nextInt(5)
+      val byFlush = cells.groupBy(_ => rnd.nextInt(nFlushes))
+      byFlush.values.zipWithIndex.foreach { case (flush, i) =>
+        CellSource.writeSnapshot(d,
+          flush.sortBy(c => (c._1, c._2, c._3, c._5, c._4)),
+          files = 1, startIndex = i)
+      }
+      val got = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("subsplitRecords", "64") // force several pk ranges
+        .load(d)
+      val want = CellModel.lwwMerge(
+        cells.toDF("pk", "ck", "col", "value", "wt"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"trial $trial: layout $nFlushes flushes, $nCells cells")
+      assert(got.count() === want.count(), s"trial $trial dup keys")
+    }
+  }
+
   test("ValueCodec round-trips and orders every type tag (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import java.io.{ByteArrayOutputStream, DataOutputStream}
