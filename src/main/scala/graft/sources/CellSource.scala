@@ -755,6 +755,16 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReconcileReaderFactory(required.fieldNames, columnar,
       queryTime)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "reconcile scans are batch-only: a per-micro-batch merge would " +
+        "only see each batch's flushes, not the table's. Stream the " +
+        "raw cells and reconcile per batch " +
+        "(graft.streaming.StreamingOps.lwwUpsertBatch), or compact " +
+        "first (graft.sources.CellMaintenance.compact) and stream the " +
+        "reconciled generation.")
 }
 
 class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
