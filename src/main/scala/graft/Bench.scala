@@ -53,10 +53,12 @@ object Bench {
       // all three (same Shark-style policy as the base tables).
       locally {
         import org.apache.spark.sql.functions.col
-        graft.dedup.Dedup.minhashSignaturesRelational(
-          Tables.documents(spark, sfDir)
-            .select(col("doc_id").as("id"), col("text")))
+        val idText = Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), col("text"))
+        graft.dedup.Dedup.minhashSignaturesRelational(idText)
           .cache().count()
+        // N_DEDUP4's verify-side shingle relation, same policy.
+        graft.dedup.Dedup.shingleRows(idText).cache().count()
       }
     } catch { case _: Throwable => }
     // The sandbox host injects random multi-minute CPU-stall windows

@@ -135,6 +135,21 @@ object Dedup {
       s"xxhash64(b, slice($sigCol, b * $r + 1, $r)))")
   }
 
+  /** Per-doc DISTINCT shingles exploded to rows with the set size —
+    * the verify-side relation of [[jaccardOnCandidates]]. Shared by
+    * the declared query and Bench's warm-up so both build the same
+    * canonical plan (plan-level cache lookup then serves the query).
+    */
+  def shingleRows(docsIdText: DataFrame): DataFrame =
+    docsIdText
+      .select(col("id"), graft.text.TextOps.tokens(col("text")).as("toks"))
+      .repartition(col("id")) // barrier: tokenize once per doc
+      .withColumn("sh",
+        array_distinct(graft.text.TextOps.shingles("toks")))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("sh2"))
+
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
     */

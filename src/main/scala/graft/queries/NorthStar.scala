@@ -89,14 +89,7 @@ object NorthStar {
     val sigs = Dedup.minhashSignaturesRelational(idText)
     val cand = Dedup.lshCandidatePairs(
       sigs.withColumn("bands", Dedup.lshBands("sig")))
-    val shingleRows = idText
-      .select(col("id"), TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("id")) // barrier: tokenize once per doc
-      .withColumn("sh", array_distinct(TextOps.shingles("toks")))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("sh2"))
-    Dedup.jaccardOnCandidates(cand, shingleRows)
+    Dedup.jaccardOnCandidates(cand, Dedup.shingleRows(idText))
       .filter(col("jac") >= 0.1)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac_r"))
       .orderBy(col("id_a"), col("id_b"))
