@@ -38,9 +38,15 @@ object Bench {
       graft.cassandra.CellModel.cells(spark, sfDir).cache().count()
       graft.cassandra.CellModel.lwwMerge(
         graft.cassandra.CellModel.cells(spark, sfDir)).cache().count()
-      // Materialize the SSTable-lite snapshot (fixture prep, not an
-      // operator) so C1/C3/C8/C9 time the connector scan only.
+      // Materialize the SSTable-lite snapshots (fixture prep, not an
+      // operator) so the C-scan queries time the connector only —
+      // including the typed, tombstoned, TTL'd, and full-read-path
+      // variants (C14b/C27/C28/C29).
       graft.sources.CellSnapshots.ensure(spark, sfDir)
+      graft.sources.CellSnapshots.ensureString(spark, sfDir)
+      graft.sources.CellSnapshots.ensureTombstoned(spark, sfDir)
+      graft.sources.CellSnapshots.ensureTtled(spark, sfDir)
+      graft.sources.CellSnapshots.ensureFull(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",
