@@ -54,6 +54,42 @@ object CellMaintenance {
         CellSource.readHeader(f).count)
     }
 
+  /** Anti-entropy range diff (the repair workflow over C23's Merkle
+    * leaves): digest both tables per contiguous pk bucket and return
+    * ONLY the buckets whose content differs — `mismatch` when both
+    * sides have the bucket with different cells, `missing_a`/
+    * `missing_b` when one side lacks it entirely. Two replicas
+    * exchange O(buckets) digests and stream only the flagged ranges.
+    * Digests run over the RAW scans (all versions count — reconciled
+    * equality is a weaker statement than replica equality).
+    */
+  def rangeDiff(spark: SparkSession, dirA: String, dirB: String,
+      bucketWidth: Long = 1024L): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val lim = graft.functions.BoundedCollect.maxGroupWidth(spark)
+    def digest(dir: String) = {
+      import org.apache.spark.sql.functions._
+      spark.read.format("graft.sources.CellSource").load(dir)
+        .select(expr(s"pk div $bucketWidth").as("bucket"),
+          concat_ws(":", col("pk"), col("ck"), col("col"), col("value"),
+            col("wt")).as("cs"))
+        .groupBy(col("bucket"))
+        .agg(md5(array_join(sort_array(
+          expr(s"graft_collect_bounded(cs, $lim)")), "|")
+          .cast("binary")).as("digest"))
+    }
+    import org.apache.spark.sql.functions._
+    val a = digest(dirA).withColumnRenamed("digest", "digest_a")
+    val b = digest(dirB).withColumnRenamed("digest", "digest_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .withColumn("status",
+        when(col("digest_a").isNull, lit("missing_a"))
+          .when(col("digest_b").isNull, lit("missing_b"))
+          .when(col("digest_a") =!= col("digest_b"), lit("mismatch")))
+      .filter(col("status").isNotNull)
+      .select(col("bucket"), col("status"))
+  }
+
   /** The incremental-view variant: compact only when the table has
     * more than `maxFiles` flush files (minor-compaction trigger).
     */

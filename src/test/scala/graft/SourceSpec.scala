@@ -240,6 +240,31 @@ class SourceSpec extends GraftSpec {
       wtExpected.except(wtFiltered).isEmpty)
   }
 
+  test("cell columns can appear in later flushes (per-file col tables)") {
+    // CEL5 column tables are per FILE: a table grows a new cell
+    // column by just flushing it — no schema migration. Both the raw
+    // scan and the reconciling merge see the union of columns.
+    val d = Files.createTempDirectory("cells-evolve").toString
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "price", 20L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 1, "discount", 5L, 200L), (1L, 1, "qty", 11L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    assert(raw.count() === 4)
+    assert(raw.select(col("col")).distinct().count() === 3)
+    val merged = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(merged === Set(
+      (1L, 1, "discount", 5L, 200L),
+      (1L, 1, "qty", 11L, 200L), // LWW across flushes
+      (2L, 1, "price", 20L, 100L)))
+  }
+
   test("reconcile consumes tombstone markers as shadowing state (C27)") {
     val d = Files.createTempDirectory("cells-tomb").toString
     // flush 1: data cells
@@ -273,6 +298,26 @@ class SourceSpec extends GraftSpec {
     // raw scan surfaces the markers verbatim (SSTable-dump honesty)
     val raw = spark.read.format("graft.sources.CellSource").load(d)
     assert(raw.filter(col("col").startsWith("!del")).count() === 3)
+  }
+
+  test("rangeDiff flags exactly the diverged pk buckets (anti-entropy)") {
+    import graft.sources.CellMaintenance
+    val a = Files.createTempDirectory("cells-replica-a").toString
+    val b = Files.createTempDirectory("cells-replica-b").toString
+    val cells = (0L until 4000L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(a, cells, files = 2)
+    CellSource.writeSnapshot(b, cells, files = 3) // layout differs, content same
+    assert(CellMaintenance.rangeDiff(spark, a, b).count() === 0,
+      "identical content must diff clean regardless of file layout")
+    // replica b misses one write and has one divergent value
+    val mutated = cells.filterNot(_._1 == 1500L)
+      .map(c => if (c._1 == 2500L) c.copy(_4 = -1L) else c)
+    val b2 = Files.createTempDirectory("cells-replica-b2").toString
+    CellSource.writeSnapshot(b2, mutated, files = 3)
+    val diff = CellMaintenance.rangeDiff(spark, a, b2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff === Set((1500L / 1024, "mismatch"),
+      (2500L / 1024, "mismatch")))
   }
 
   test("compact rewrites many flush generations to one reconciled one") {
