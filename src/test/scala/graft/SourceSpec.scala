@@ -320,6 +320,24 @@ class SourceSpec extends GraftSpec {
       (2500L / 1024, "mismatch")))
   }
 
+  test("tombstone markers work on typed (string) tables too") {
+    val d = Files.createTempDirectory("cells-tomb-str").toString
+    Seq((1L, 1, "flag", "R", 100L), (2L, 1, "flag", "A", 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(d)
+    // delete (1,1,'flag') at ts 150 — marker value is just a
+    // placeholder of the table's type
+    Seq((1L, 1, "!del:flag", "", 150L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val live = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, String, Long)].collect().toSet
+    assert(live === Set((2L, 1, "flag", "A", 100L)))
+  }
+
   test("compact rewrites many flush generations to one reconciled one") {
     import graft.sources.CellMaintenance
     val d = Files.createTempDirectory("cells-compact").toString
