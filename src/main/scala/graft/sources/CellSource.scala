@@ -1125,6 +1125,8 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
     } else {
       new CellBatchWrite(path, truncateFirst = false, rollRecords,
         valueTag, decPrec, decScale).commit(messages)
+      // an empty epoch stages nothing, so the table dir may not exist
+      Files.createDirectories(epochsFile.getParent)
       Files.writeString(epochsFile, s"$epochId\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
