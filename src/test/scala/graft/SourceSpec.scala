@@ -739,6 +739,45 @@ class SourceSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("a checkpointed stream restarts cleanly across a compaction") {
+    // Offsets checkpointed before a compaction must stay valid after
+    // it: generations are monotone, so the restarted stream resumes
+    // at its old index, re-reads only the compacted generation, and
+    // keeps consuming new flushes.
+    val d = Files.createTempDirectory("cells-ckpt-compact").toString
+    val ckpt = Files.createTempDirectory("cells-ckpt-dir").toString
+    CellSource.writeSnapshot(d,
+      (0L until 100L).map(pk => (pk, 0, "qty", 1L, 1000L)), files = 1)
+    CellSource.writeSnapshot(d,
+      (0L until 100L).map(pk => (pk, 0, "qty", 2L, 2000L)),
+      files = 1, startIndex = 1)
+    def start() = spark.readStream
+      .format("graft.sources.CellSource").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("ckptcompact")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(spark.table("ckptcompact").head().getLong(0) === 200L)
+    q1.stop()
+    // compact while the stream is DOWN; then restart from checkpoint
+    graft.sources.CellMaintenance.compact(spark, d)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // resumed past the old offset: the compacted generation (100
+      // merged rows) re-delivered, nothing lost, no crash
+      assert(spark.table("ckptcompact").head().getLong(0) === 300L)
+      (100L until 130L).map(pk => (pk, 0, "qty", 3L, 3000L))
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+      q2.processAllAvailable()
+      assert(spark.table("ckptcompact").head().getLong(0) === 330L)
+    } finally q2.stop()
+  }
+
   test("flush listing stays append-stable past index 9999") {
     // The zero-padding is width-4: 'data-10000.cells' sorts
     // lexicographically BEFORE 'data-9999.cells', so a name-sorted
