@@ -242,7 +242,15 @@ object Similarity {
            |  >= cast(0.0 as double)
            |THEN ${1L << j}L ELSE 0L END""".stripMargin
       }
-      expr(planes.mkString("(", " + ", ")"))
+      // The plane literals are fixed-width: a vector of any OTHER
+      // dimension would zip_with null-padded, fold to null, and take
+      // every CASE's 0 branch — silently wrong buckets. Fail instead.
+      expr(s"""CASE WHEN size($vecCol) <> $dim THEN
+        |  cast(raise_error(concat(
+        |    'hyperplaneBuckets: vector dim ',
+        |    cast(size($vecCol) as string),
+        |    ' does not match configured dim $dim')) as bigint)
+        |ELSE ${planes.mkString("(", " + ", ")")} END""".stripMargin)
     }
     val withBands = (0 until bands).foldLeft(embeddings) { (df, b) =>
       df.withColumn(s"__bucket_$b", bucketOf(b))

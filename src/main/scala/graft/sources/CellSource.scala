@@ -822,7 +822,11 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         while (remaining > 0) {
           remaining -= 1
           val b = cursor.buf
-          pk = b.getLong(); ck = b.getInt(); colName = p.colNames(b.get())
+          // colId is an UNSIGNED byte (writer allows up to 255
+          // columns); a raw signed get() would index negative for
+          // ids >= 128.
+          pk = b.getLong(); ck = b.getInt()
+          colName = p.colNames(b.get() & 0xff)
           value = ValueCodec.read(b, p.valueTag, p.decPrec, p.decScale)
           wt = b.getLong()
           if (pk >= part.pkLo && pk <= part.pkHi) return true
@@ -1076,7 +1080,25 @@ class CellWriteBuilder(path: String, schema: StructType,
     truncateFirst = true; this
   }
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    // An APPEND into an existing table must match its value type: the
+    // format is self-describing per FILE, so a mismatched append would
+    // "succeed" and leave a mixed-type directory that the reconcile
+    // scan rejects and the plain scan serves with an inconsistent
+    // schema. Mirror the reconcile planner's uniformity check at write
+    // planning time instead (a truncate replaces the table, so any
+    // type is fine there).
+    if (!truncateFirst) {
+      CellPlanning.listFiles(path).headOption.foreach { f =>
+        val h = CellSource.readHeader(f)
+        require((h.valueTag, h.decPrec, h.decScale) ==
+            ((valueTag, decPrec, decScale)),
+          s"append value type ${valueType.simpleString} does not match " +
+            s"existing table value type " +
+            ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale)
+              .simpleString + s" in $path (overwrite to change the type)")
+      }
+    }
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
@@ -1087,6 +1109,7 @@ class CellWriteBuilder(path: String, schema: StructType,
         new CellStreamingWrite(path, rollRecords, valueTag, decPrec,
           decScale)
     }
+  }
 }
 
 /** Streaming SINK face of the connector: every epoch's rows are staged
@@ -1099,6 +1122,18 @@ class CellWriteBuilder(path: String, schema: StructType,
   * in `_epochs`; a re-delivered epoch's staged files are deleted
   * instead of re-published. (Epoch ids are per-query: point distinct
   * streaming queries at distinct directories.)
+  *
+  * Crash-window caveat: publish happens before the epoch id is
+  * recorded, so a driver crash BETWEEN the two leaves the epoch
+  * published but unrecorded — the retry re-publishes it, i.e. the sink
+  * is at-least-once across driver crashes and exactly-once only for
+  * completed commits. Duplicated flushes are LWW-idempotent, so
+  * RECONCILED reads (reconcile=true, compaction, readLive/
+  * readUnexpired) still see exactly-once results; raw scans, COUNTs
+  * over raw cells, and rangeDiff digests observe the duplicates.
+  * (Recording first would invert the failure into silent data LOSS on
+  * the retry; a fully atomic publish needs a manifest-commit protocol
+  * — documented trade-off, not an oversight.)
   */
 class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
     decPrec: Int, decScale: Int)
@@ -1168,6 +1203,21 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
+    // Close the plan-to-commit race of the CellWriteBuilder type check:
+    // a first write into a concurrently-created table of another type
+    // must not publish a mixed-type generation.
+    if (!truncateFirst) {
+      CellPlanning.listFiles(path).headOption.foreach { f =>
+        val h = CellSource.readHeader(f)
+        if ((h.valueTag, h.decPrec, h.decScale) !=
+            ((valueTag, decPrec, decScale))) {
+          abort(messages)
+          throw new IllegalArgumentException(
+            s"append value type does not match existing table value " +
+              s"type in $path (overwrite to change the type)")
+        }
+      }
+    }
     // Flush indices are MONOTONIC, NEVER reused — SSTable generation
     // numbers: next is computed from the PRE-truncate listing, so a
     // truncate-rewrite (compaction) publishes its generation at
@@ -1571,7 +1621,7 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
         remainingInChunk -= 1
         val buf = cursor.buf
         val pk = buf.getLong(); val ck = buf.getInt()
-        val colId = buf.get()
+        val colId = buf.get() & 0xff // unsigned: ids 128-255 are legal
         val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
           part.decScale)
         val wt = buf.getLong()
@@ -1642,7 +1692,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
       var r = 0
       while (r < nRecs) {
         val pk = buf.getLong(); val ck = buf.getInt()
-        val colId = buf.get()
+        val colId = buf.get() & 0xff // unsigned: ids 128-255 are legal
         val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
           part.decScale)
         val wt = buf.getLong()

@@ -111,6 +111,18 @@ class OperatorSpec extends GraftSpec {
     val b3 = Similarity.hyperplaneBuckets(scaled, "vec")
       .select(col("vec_id"), col("band"), col("bucket"))
     assert(b1.exceptAll(b3).isEmpty && b3.exceptAll(b1).isEmpty)
+    // a vector whose dimension doesn't match the configured planes
+    // must ERROR (the zip_with null-pad would otherwise silently send
+    // every such row to bucket 0)
+    import spark.implicits._
+    val wrongDim = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "vec")
+    val err = intercept[Exception] {
+      Similarity.hyperplaneBuckets(wrongDim, "vec")
+        .select(col("bucket")).collect()
+    }
+    assert(err.toString.contains("hyperplaneBuckets") ||
+      Option(err.getCause).exists(_.toString.contains("hyperplaneBuckets")),
+      err.toString)
   }
 
   test("gopher quality stats satisfy their ratio invariants") {

@@ -823,4 +823,54 @@ class SourceSpec extends GraftSpec {
       assert(spark.table("cellcdc").head().getLong(1) === 1500L)
     } finally q.stop()
   }
+
+  test("tables with more than 128 distinct columns read back (unsigned colId)") {
+    // colIds 128..255 have the sign bit set; a signed byte read would
+    // index the column table at a negative position.
+    val d = Files.createTempDirectory("cells-wide").toString
+    val cells = (0 until 200).map(i => (i.toLong, 0, f"c$i%03d", i.toLong, 1000L))
+    cells.toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() === 200)
+    assert(back.select(countDistinct(col("col"))).head().getLong(0) === 200)
+    // both readers and the reconcile merge see ids above 127
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec.count() === 200)
+    val expected = cells.toDF("pk", "ck", "col", "value", "wt")
+    assert(back.except(expected).isEmpty && expected.except(back).isEmpty)
+    assert(rec.except(expected).isEmpty && expected.except(rec).isEmpty)
+  }
+
+  test("append into an existing table rejects a mismatched value type") {
+    val d = Files.createTempDirectory("cells-mixed").toString
+    Seq((1L, 0, "qty", 10L, 1000L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val strDf = Seq((2L, 0, "qty", "s", 2000L))
+      .toDF("pk", "ck", "col", "value", "wt")
+    // Spark's own analyzer already rejects the DataFrameWriter path
+    // (inferSchema serves the existing long type, string can't cast)…
+    intercept[Exception] {
+      strDf.coalesce(1).write.format("graft.sources.CellSource")
+        .option("valueType", "string").mode("append").save(d)
+    }
+    // …and the connector's OWN guard covers direct DSv2 use and the
+    // plan-to-commit race, so a mixed-type table can't be published
+    // even when the analyzer is out of the loop.
+    val wb = new graft.sources.CellWriteBuilder(d,
+      CellSource.schemaFor(org.apache.spark.sql.types.StringType))
+    val e = intercept[IllegalArgumentException](wb.build())
+    assert(e.getMessage.contains("does not match existing table value"),
+      e.toString)
+    // the table is untouched and still long-valued (a retype needs the
+    // DSv2 truncate, which replaces the table wholesale — the analyzer
+    // keeps even overwrite type-stable through DataFrameWriter, since
+    // inferSchema serves the existing type)
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.schema("value").dataType.typeName === "long")
+    assert(back.count() === 1)
+  }
 }
