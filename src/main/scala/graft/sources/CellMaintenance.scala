@@ -32,12 +32,29 @@ import org.apache.spark.sql.functions.col
 object CellMaintenance {
   /** Rewrite `dir` as one reconciled flush generation. Returns
     * (filesBefore, filesAfter).
+    *
+    * The read side runs the reconciling scan in `keepMarkers` mode:
+    * shadowed/expired data is dropped, but the table's `!ttl*` config
+    * marker is rewritten (a compaction must never disable future
+    * expiry) and tombstone markers are rewritten while inside the
+    * gc-grace window — `wt >= nowMs - gcGraceMs` — so a write that
+    * arrives after the compaction with a pre-deletion timestamp is
+    * still shadowed. Tombstones OLDER than the window are purged
+    * together with the data they shadowed (dropped by this same merge
+    * pass), which is exactly Cassandra's gc_grace compaction rule.
+    * The default `gcGraceMs = Long.MaxValue` retains every tombstone.
     */
   def compact(spark: SparkSession, dir: String,
-      rollRecords: Int = CellSource.DefaultRollRecords): (Int, Int) = {
+      rollRecords: Int = CellSource.DefaultRollRecords,
+      gcGraceMs: Long = Long.MaxValue,
+      nowMs: Long = Long.MaxValue): (Int, Int) = {
     val before = CellPlanning.listFiles(dir).size
     spark.read.format("graft.sources.CellSource")
-      .option("reconcile", "true").load(dir)
+      .option("reconcile", "true")
+      .option("keepMarkers", "true")
+      .option("gcGraceMs", gcGraceMs.toString)
+      .option("gcNowMs", nowMs.toString)
+      .load(dir)
       .write.format("graft.sources.CellSource")
       .option("rollRecords", rollRecords.toString)
       .mode("overwrite").save(dir)

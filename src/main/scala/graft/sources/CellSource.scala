@@ -494,7 +494,10 @@ class CellTable(path: String,
       o.getBoolean("columnar", true),
       o.getBoolean("reconcile", false),
       tableSchema,
-      o.getLong("queryTime", Long.MaxValue))
+      o.getLong("queryTime", Long.MaxValue),
+      o.getBoolean("keepMarkers", false),
+      o.getLong("gcGraceMs", Long.MaxValue),
+      o.getLong("gcNowMs", Long.MaxValue))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -507,7 +510,10 @@ class CellTable(path: String,
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcile: Boolean = false,
     tableSchema: StructType = CellSource.Schema,
-    queryTime: Long = Long.MaxValue)
+    queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -627,7 +633,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, queryTime)
+        subsplitRecords, columnar, queryTime, keepMarkers, gcGraceMs,
+        gcNowMs)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar)
@@ -704,7 +711,10 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
-    queryTime: Long = Long.MaxValue) extends Scan with Batch {
+    queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -754,7 +764,7 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReconcileReaderFactory(required.fieldNames, columnar,
-      queryTime)
+      queryTime, keepMarkers, gcGraceMs, gcNowMs)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -768,12 +778,15 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 }
 
 class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
-    queryTime: Long = Long.MaxValue)
+    queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] =
     new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols,
-      queryTime)
+      queryTime, keepMarkers, gcGraceMs, gcNowMs)
 
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
@@ -782,7 +795,8 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new CellReconcileColumnarReader(
-      p.asInstanceOf[CellReconcilePartition], cols, queryTime)
+      p.asInstanceOf[CellReconcilePartition], cols, queryTime,
+      keepMarkers, gcGraceMs, gcNowMs)
 }
 
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
@@ -799,7 +813,10 @@ case class CellReconcilePartition(pkLo: Long, pkHi: Long,
   * key. Memory is O(open files), independent of range size.
   */
 private[sources] final class CellMergeCursor(part: CellReconcilePartition,
-    queryTime: Long = Long.MaxValue) {
+    queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue) {
   val valueTag: Int =
     if (part.fileParts.isEmpty) ValueCodec.LongTag
     else part.fileParts(0).valueTag
@@ -896,8 +913,19 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
     * semantics inside the scan): a `!del*` marker deletes every cell
     * of its pk with wt <= deletion ts; a `!del:<col>` marker deletes
     * that column's cells of its (pk, ck). Marker rows are consumed
-    * into state and never emitted. Tables without markers take the
-    * `colName.charAt(0) != '!'` fast path.
+    * into state and — by default — never emitted. Tables without
+    * markers take the `colName.charAt(0) != '!'` fast path.
+    *
+    * Under `keepMarkers` (the COMPACTION read mode) the marker winner
+    * is ALSO re-emitted after being folded into state, so a
+    * compaction rewrite preserves the table's deletion/TTL metadata:
+    * the `!ttl*` config marker always survives (dropping it would
+    * silently disable all future expiry), and tombstones survive
+    * while younger than the gc-grace window (`wt >= gcNowMs -
+    * gcGraceMs`, mirroring [[graft.cassandra.CellModel.tombstoneGc]])
+    * — older ones are purged WITH the data they shadow, which this
+    * same merge pass already dropped, exactly Cassandra's
+    * gc_grace-expired tombstone drop during compaction.
     */
   def nextWinner(): Boolean = {
     while (nextKeyWinner()) {
@@ -924,7 +952,15 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
           cellDel = cellDel.updated(target,
             math.max(wt, cellDel.getOrElse(target, Long.MinValue)))
         }
-        // marker rows are metadata, not output
+        // marker rows are metadata, not output — except under
+        // keepMarkers, where surviving markers are re-emitted so the
+        // rewrite keeps shadowing/expiring future data
+        if (keepMarkers) {
+          val isTtl = colName == CellSource.PartitionTtl
+          val inGrace = gcGraceMs == Long.MaxValue ||
+            wt >= gcNowMs - gcGraceMs
+          if (isTtl || inGrace) return true
+        }
       } else {
         val coveredByPk = pdts != Long.MinValue && wt <= pdts
         val coveredByCell = cellDel.get(colName).exists(wt <= _)
@@ -945,9 +981,13 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
 
 /** Row-at-a-time reconcile reader (`columnar=false` fallback). */
 class CellReconcileReader(part: CellReconcilePartition,
-    cols: Array[String], queryTime: Long = Long.MaxValue)
+    cols: Array[String], queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
-  private val cursor = new CellMergeCursor(part, queryTime)
+  private val cursor = new CellMergeCursor(part, queryTime, keepMarkers,
+    gcGraceMs, gcNowMs)
   private val fullSchema = CellSource.schemaFor(
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
@@ -983,10 +1023,14 @@ class CellReconcileReader(part: CellReconcilePartition,
   * ColumnarToRow + whole-stage codegen, like the plain scan.
   */
 class CellReconcileColumnarReader(part: CellReconcilePartition,
-    cols: Array[String], queryTime: Long = Long.MaxValue)
+    cols: Array[String], queryTime: Long = Long.MaxValue,
+    keepMarkers: Boolean = false,
+    gcGraceMs: Long = Long.MaxValue,
+    gcNowMs: Long = Long.MaxValue)
     extends PartitionReader[ColumnarBatch] {
   private val BatchRows = 4096
-  private val cursor = new CellMergeCursor(part, queryTime)
+  private val cursor = new CellMergeCursor(part, queryTime, keepMarkers,
+    gcGraceMs, gcNowMs)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)

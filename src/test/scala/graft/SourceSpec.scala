@@ -844,6 +844,94 @@ class SourceSpec extends GraftSpec {
     assert(rec.except(expected).isEmpty && expected.except(rec).isEmpty)
   }
 
+  test("compaction preserves TTL markers: expiry still works afterwards") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-compact-ttl").toString
+    // pk 1 carries a partition-default TTL of 1000ms; pk 2 has none
+    Seq((1L, 1, "qty", 10L, 100L),   // expired at qt=2000 (100+1000<2000)
+        (1L, 2, "qty", 20L, 5000L),  // alive at qt=2000
+        (2L, 1, "qty", 30L, 100L))   // no TTL — immortal
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, Int.MinValue, "!ttl*", 1000L, 0L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    def unexpired() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "2000")
+      .load(d).as[(Long, Int, String, Long, Long)].collect().toSet
+    val pre = unexpired()
+    assert(pre === Set((1L, 2, "qty", 20L, 5000L),
+      (2L, 1, "qty", 30L, 100L)))
+    CellMaintenance.compact(spark, d)
+    // the answer a queryTime read gives must be IDENTICAL after the
+    // rewrite — i.e. the `!ttl*` marker survived the compaction
+    assert(unexpired() === pre)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    assert(raw.filter(col("col") === "!ttl*").count() === 1)
+    // compacting AT a query time applies expiry to the data while
+    // still carrying the TTL config forward
+    CellMaintenance.compact(spark, d)
+    assert(unexpired() === pre)
+  }
+
+  test("compaction preserves tombstones: late pre-deletion writes stay dead") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-compact-tomb").toString
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 40L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, Int.MinValue, "!del*", 0L, 200L),
+        (2L, 1, "!del:qty", 0L, 300L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    CellMaintenance.compact(spark, d)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    // shadowed data gone, tombstone markers rewritten (default grace
+    // window = infinite)
+    assert(raw.filter(!col("col").startsWith("!")).count() === 0)
+    assert(raw.filter(col("col").startsWith("!del")).count() === 2)
+    // a replica's late write with a PRE-deletion timestamp arrives
+    // after the compaction: the retained tombstones must still shadow
+    Seq((1L, 1, "qty", 99L, 150L), (2L, 1, "qty", 77L, 250L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    def live() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(live() === Set.empty, "pre-deletion writes must stay dead")
+    // a genuinely NEWER write wins as usual
+    Seq((1L, 1, "qty", 111L, 250L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    assert(live() === Set((1L, 1, "qty", 111L, 250L)))
+  }
+
+  test("tombstones older than gcGrace are purged by compaction") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-compact-gc").toString
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 40L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, Int.MinValue, "!del*", 0L, 200L),  // old: outside grace
+        (2L, Int.MinValue, "!del*", 0L, 900L))  // recent: inside grace
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // now=1000, grace=500 → cutoff 500: the ts-200 tombstone is purged
+    // (every replica has seen it), the ts-900 one is rewritten
+    CellMaintenance.compact(spark, d, gcGraceMs = 500L, nowMs = 1000L)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(raw === Set((2L, Int.MinValue, "!del*", 0L, 900L)))
+  }
+
   test("append into an existing table rejects a mismatched value type") {
     val d = Files.createTempDirectory("cells-mixed").toString
     Seq((1L, 0, "qty", 10L, 1000L)).toDF("pk", "ck", "col", "value", "wt")
