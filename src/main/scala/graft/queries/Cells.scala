@@ -474,6 +474,18 @@ object Cells {
       .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
       .orderBy(col("col"))
 
+  // C5b-variant — clustering-range tombstones INSIDE the connector:
+  // range deletions travel in the flush stream as sort-first
+  // `!delr:<lo>:<hi>` markers at ck = Int.MinValue, and the merge
+  // cursor keeps the active range set per pk — C5b's
+  // rangeTombstoneFilter performed entirely in the reader, sharing
+  // C5b's NOT-EXISTS-BETWEEN oracle.
+  private def rangeTombstoneScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readRangeLive(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
   // C29 — the full read path in ONE scan: LWW + tombstone shadowing +
   // TTL expiry, all inside the connector's reconciling reader over one
   // marker-bearing snapshot. Oracle composes C5's NOT EXISTS with
@@ -499,6 +511,8 @@ object Cells {
   def all: Seq[GQuery] = Seq(
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
     GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
+    GQuery("C5b_range_tombstone_scan", rangeTombstoneScan,
+      Some(rangeTombstoneSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,

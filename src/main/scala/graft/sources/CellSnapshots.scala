@@ -120,6 +120,49 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureTombstoned(s, sfDir))
 
+  /** Clustering-RANGE-tombstone-bearing snapshot (C5b through the
+    * connector): the cell relation plus the model's range deletions
+    * written as `!delr:<ck_lo>:<ck_hi>` markers at ck = Int.MinValue,
+    * wt = deletion ts — `DELETE ... WHERE pk=? AND ck BETWEEN ? AND ?`
+    * expressed in the flush stream itself.
+    */
+  def ensureRangeTombstoned(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-rdel")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        val cm = graft.cassandra.CellModel
+        val cells = cm.cells(s, sfDir)
+        val rangeDel = cm.rangeDeletions(s, sfDir)
+          .select(col("pk"), lit(Int.MinValue).as("ck"),
+            concat(lit(graft.sources.CellSource.RangeTombstonePrefix),
+              col("ck_lo"), lit(":"), col("ck_hi")).as("col"),
+            lit(0L).as("value"), col("rdts").as("wt"))
+        cells.unionByName(rangeDel)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** Live cells of the range-tombstoned snapshot: LWW + range
+    * shadowing inside the connector's reconciling reader.
+    */
+  def readRangeLive(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .load(ensureRangeTombstoned(s, sfDir))
+
   /** TTL-bearing snapshot: the cell relation plus one `!ttl*` marker
     * (value = TTL ms) at ck = Int.MinValue for every pk with a TTL in
     * the model (pk % 11 == 0, 90 days) — the table-default TTL story.

@@ -222,6 +222,27 @@ object CellSource {
   val PartitionTombstone = "!del*"
   val CellTombstonePrefix = "!del:"
 
+  /** Clustering-RANGE tombstone marker (the CQL `DELETE ... WHERE
+    * pk=? AND ck >= ? AND ck <= ?` case, C5b connector-side): one
+    * `!delr:<ck_lo>:<ck_hi>` cell at ck = Int.MinValue, wt = deletion
+    * ts. Bounds travel in the column NAME (not the value) so the
+    * marker works identically on every typed table. Sorting at
+    * ck = Int.MinValue puts the marker ahead of all data rows of its
+    * pk, so the merge cursor accumulates the active range set before
+    * any covered cell arrives.
+    */
+  val RangeTombstonePrefix = "!delr:"
+
+  /** ROW tombstone marker (delete ONE clustering row): one `!delrow`
+    * cell at the deleted (pk, ck), wt = deletion ts. Shadows every
+    * column of that row with wt <= deletion ts; '!' sorts before data
+    * columns inside the (pk, ck) group.
+    */
+  val RowTombstone = "!delrow"
+
+  def rangeTombstoneCol(ckLo: Int, ckHi: Int): String =
+    s"$RangeTombstonePrefix$ckLo:$ckHi"
+
   /** Partition-default TTL marker (the `default_time_to_live`
     * analogue): one `!ttl*` cell at ck = Int.MinValue whose VALUE is
     * the TTL in ms; under a reconciling scan with a `queryTime`
@@ -884,6 +905,11 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
   private var pdts = Long.MinValue
   private var ttlMs = Long.MinValue // partition-default TTL, if any
   private var cellDel = Map.empty[String, Long]
+  // active clustering-range tombstones of the current pk — (lo, hi,
+  // ts); markers sit at ck = Int.MinValue so the set is complete
+  // before any data row of the pk is seen
+  private var rangeDel: List[(Int, Int, Long)] = Nil
+  private var rowDelTs = Long.MinValue // row tombstone of current (pk, ck)
 
   /** Raw key-winner step (pure LWW, markers included). */
   private def nextKeyWinner(): Boolean = {
@@ -933,9 +959,11 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
       if (!havePos || pk != curPk) {
         havePos = true; curPk = pk; curCk = ck
         pdts = Long.MinValue; ttlMs = Long.MinValue; cellDel = Map.empty
+        rangeDel = Nil; rowDelTs = Long.MinValue
       } else if (ck != curCk) {
         curCk = ck
         cellDel = Map.empty
+        rowDelTs = Long.MinValue
       }
       if (colName.length > 0 && colName.charAt(0) == '!') {
         if (colName == CellSource.PartitionTombstone)
@@ -946,6 +974,19 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
             case i: java.lang.Integer => i.longValue()
             case _ => ttlMs
           }
+        else if (colName == CellSource.RowTombstone)
+          rowDelTs = math.max(rowDelTs, wt)
+        else if (colName.startsWith(CellSource.RangeTombstonePrefix)) {
+          // `!delr:<lo>:<hi>` — bounds in the name, ts in wt
+          val body = colName.substring(
+            CellSource.RangeTombstonePrefix.length)
+          val sep = body.indexOf(':')
+          if (sep > 0) {
+            val lo = body.substring(0, sep).toInt
+            val hi = body.substring(sep + 1).toInt
+            rangeDel = (lo, hi, wt) :: rangeDel
+          }
+        }
         else if (colName.startsWith(CellSource.CellTombstonePrefix)) {
           val target = colName.substring(
             CellSource.CellTombstonePrefix.length)
@@ -963,10 +1004,15 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         }
       } else {
         val coveredByPk = pdts != Long.MinValue && wt <= pdts
+        val coveredByRow = rowDelTs != Long.MinValue && wt <= rowDelTs
         val coveredByCell = cellDel.get(colName).exists(wt <= _)
+        val coveredByRange = rangeDel.nonEmpty && rangeDel.exists {
+          case (lo, hi, ts) => ck >= lo && ck <= hi && wt <= ts
+        }
         val expired = ttlMs != Long.MinValue &&
           queryTime != Long.MaxValue && wt + ttlMs < queryTime
-        if (!coveredByPk && !coveredByCell && !expired) return true
+        if (!coveredByPk && !coveredByRow && !coveredByCell &&
+            !coveredByRange && !expired) return true
       }
     }
     false

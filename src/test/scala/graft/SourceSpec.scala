@@ -912,6 +912,47 @@ class SourceSpec extends GraftSpec {
     assert(live() === Set((1L, 1, "qty", 111L, 250L)))
   }
 
+  test("range and row tombstone markers shadow across files (C5b)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-rdel").toString
+    Seq((1L, 1, "qty", 10L, 100L),
+        (1L, 2, "qty", 20L, 100L),  // in range, wt <= rdts → dead
+        (1L, 3, "qty", 30L, 100L),  // in range → dead
+        (1L, 4, "qty", 40L, 500L),  // in range but NEWER than rdts → lives
+        (1L, 5, "qty", 50L, 100L),  // outside range → lives
+        (2L, 1, "qty", 60L, 100L),  // row-deleted → dead
+        (2L, 1, "price", 70L, 100L),// same row → dead
+        (2L, 2, "qty", 80L, 100L))  // other row → lives
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // markers land in a SEPARATE flush file: DELETE WHERE pk=1 AND
+    // ck BETWEEN 2 AND 4 at ts 200, and DELETE ROW (2, 1) at ts 200
+    Seq((1L, Int.MinValue, CellSource.rangeTombstoneCol(2, 4), 0L, 200L),
+        (2L, 1, CellSource.RowTombstone, 0L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    def live() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 1, "qty", 10L, 100L), (1L, 4, "qty", 40L, 500L),
+      (1L, 5, "qty", 50L, 100L), (2L, 2, "qty", 80L, 100L))
+    assert(live() === expected)
+    // compaction carries both marker kinds (default grace = infinite)…
+    CellMaintenance.compact(spark, d)
+    assert(live() === expected)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    assert(raw.filter(col("col").startsWith("!del")).count() === 2)
+    // …so a late write with a pre-deletion timestamp still dies
+    Seq((1L, 3, "qty", 99L, 150L), (2L, 1, "qty", 88L, 150L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    assert(live() === expected)
+  }
+
   test("tombstones older than gcGrace are purged by compaction") {
     import graft.sources.CellMaintenance
     val d = Files.createTempDirectory("cells-compact-gc").toString
