@@ -486,6 +486,21 @@ object Cells {
       .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
       .orderBy(col("col"))
 
+  // C10b — counter tables through the connector: the same flush
+  // snapshot read with counter=true, which switches the merge cursor's
+  // per-key combine from LWW to shard-SUM (value = Σ shards, wt = max
+  // shard wt) — C10's counter_merge semantics inside the reader,
+  // checked against a direct SUM/GROUP BY oracle over the raw cells.
+  private def counterScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readCounter(s, d).filter(col("pk") % 20 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val counterScanSql = cte +
+    """SELECT pk, ck, col, CAST(SUM(value) AS BIGINT) AS value,
+      |  MAX(wt) AS wt
+      |FROM cells WHERE pk % 20 = 0
+      |GROUP BY pk, ck, col ORDER BY pk, ck, col""".stripMargin
+
   // C29 — the full read path in ONE scan: LWW + tombstone shadowing +
   // TTL expiry, all inside the connector's reconciling reader over one
   // marker-bearing snapshot. Oracle composes C5's NOT EXISTS with
@@ -513,6 +528,7 @@ object Cells {
     GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
     GQuery("C5b_range_tombstone_scan", rangeTombstoneScan,
       Some(rangeTombstoneSql)),
+    GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,

@@ -120,6 +120,18 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureTombstoned(s, sfDir))
 
+  /** COUNTER-mode reconciled read over the plain snapshot: every cell
+    * version is a shard delta and the merge cursor SUMS shards per
+    * (pk, ck, col) — value = Σ shards, wt = max shard wt — instead of
+    * LWW (C10's counter_merge inside the reader). In production this
+    * mode comes from the table property `counter=true` on a
+    * catalog-created table; here it's the per-read option.
+    */
+  def readCounter(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("counter", "true")
+      .load(ensure(s, sfDir))
+
   /** Clustering-RANGE-tombstone-bearing snapshot (C5b through the
     * connector): the cell relation plus the model's range deletions
     * written as `!delr:<ck_lo>:<ck_hi>` markers at ck = Int.MinValue,

@@ -179,6 +179,27 @@ object ValueCodec {
         Decimal.createUnsafe(buf.getLong(), prec, scale)
     }
 
+  /** Shard addition for counter-mode reconciliation (numeric tags
+    * only — counter tables reject text/binary/bool/timestamp values
+    * at plan time).
+    */
+  def add(tag: Int, a: Any, b: Any): Any = tag match {
+    case LongTag => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+    case IntTag => a.asInstanceOf[Int] + b.asInstanceOf[Int]
+    case DoubleTag => a.asInstanceOf[Double] + b.asInstanceOf[Double]
+    case DecimalTag =>
+      val da = a.asInstanceOf[Decimal]; val db = b.asInstanceOf[Decimal]
+      Decimal.createUnsafe(da.toUnscaledLong + db.toUnscaledLong,
+        da.precision, da.scale)
+    case other => throw new IllegalArgumentException(
+      s"counter merge is not defined for value tag $other")
+  }
+
+  def isNumeric(tag: Int): Boolean = tag match {
+    case LongTag | IntTag | DoubleTag | DecimalTag => true
+    case _ => false
+  }
+
   def compare(tag: Int, a: Any, b: Any): Int = tag match {
     case LongTag | TimestampTag =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -515,10 +536,12 @@ class CellTable(path: String,
       o.getBoolean("columnar", true),
       o.getBoolean("reconcile", false),
       tableSchema,
-      o.getLong("queryTime", Long.MaxValue),
-      o.getBoolean("keepMarkers", false),
-      o.getLong("gcGraceMs", Long.MaxValue),
-      o.getLong("gcNowMs", Long.MaxValue))
+      ReconcileOptions(
+        queryTime = o.getLong("queryTime", Long.MaxValue),
+        keepMarkers = o.getBoolean("keepMarkers", false),
+        gcGraceMs = o.getLong("gcGraceMs", Long.MaxValue),
+        gcNowMs = o.getLong("gcNowMs", Long.MaxValue),
+        counter = o.getBoolean("counter", false)))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -531,10 +554,7 @@ class CellTable(path: String,
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcile: Boolean = false,
     tableSchema: StructType = CellSource.Schema,
-    queryTime: Long = Long.MaxValue,
-    keepMarkers: Boolean = false,
-    gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue)
+    reconcileOpts: ReconcileOptions = ReconcileOptions())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -654,8 +674,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, queryTime, keepMarkers, gcGraceMs,
-        gcNowMs)
+        subsplitRecords, columnar, reconcileOpts)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar)
@@ -729,13 +748,24 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
   * (both are pre-merge and would change winners — see
   * [[CellScanBuilder.pushFilters]]); Spark applies them post-merge.
   */
-class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
-    required: StructType, subsplitRecords: Int,
-    columnar: Boolean = true,
+/** Options steering the reconciling read path. `queryTime` applies
+  * TTL expiry as of that instant; `keepMarkers` re-emits surviving
+  * markers (the compaction read mode, with `gcGraceMs`/`gcNowMs`
+  * bounding tombstone retention); `counter` switches the per-key
+  * combine from LWW to shard-SUM (value = Σ shards, wt = max shard
+  * wt) — Cassandra counter-column semantics, numeric tables only.
+  */
+case class ReconcileOptions(
     queryTime: Long = Long.MaxValue,
     keepMarkers: Boolean = false,
     gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue) extends Scan with Batch {
+    gcNowMs: Long = Long.MaxValue,
+    counter: Boolean = false)
+
+class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
+    required: StructType, subsplitRecords: Int,
+    columnar: Boolean = true,
+    opts: ReconcileOptions = ReconcileOptions()) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -752,6 +782,11 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     require(headers.map(h =>
       (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct.size == 1,
       s"reconcile scan needs a uniform value type across files in $path")
+    require(!opts.counter ||
+      ValueCodec.isNumeric(headers.head._2.valueTag),
+      s"counter tables need a numeric value type; $path holds " +
+        ValueCodec.dataTypeFor(headers.head._2.valueTag,
+          headers.head._2.decPrec, headers.head._2.decScale).simpleString)
     val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
     val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
     // Split boundaries from the sparse indexes: each index entry
@@ -784,8 +819,7 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReconcileReaderFactory(required.fieldNames, columnar,
-      queryTime, keepMarkers, gcGraceMs, gcNowMs)
+    new CellReconcileReaderFactory(required.fieldNames, columnar, opts)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -799,15 +833,12 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 }
 
 class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
-    queryTime: Long = Long.MaxValue,
-    keepMarkers: Boolean = false,
-    gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue)
+    opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] =
     new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols,
-      queryTime, keepMarkers, gcGraceMs, gcNowMs)
+      opts)
 
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
@@ -816,8 +847,7 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new CellReconcileColumnarReader(
-      p.asInstanceOf[CellReconcilePartition], cols, queryTime,
-      keepMarkers, gcGraceMs, gcNowMs)
+      p.asInstanceOf[CellReconcilePartition], cols, opts)
 }
 
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
@@ -834,10 +864,11 @@ case class CellReconcilePartition(pkLo: Long, pkHi: Long,
   * key. Memory is O(open files), independent of range size.
   */
 private[sources] final class CellMergeCursor(part: CellReconcilePartition,
-    queryTime: Long = Long.MaxValue,
-    keepMarkers: Boolean = false,
-    gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue) {
+    opts: ReconcileOptions = ReconcileOptions()) {
+  private val queryTime = opts.queryTime
+  private val keepMarkers = opts.keepMarkers
+  private val gcGraceMs = opts.gcGraceMs
+  private val gcNowMs = opts.gcNowMs
   val valueTag: Int =
     if (part.fileParts.isEmpty) ValueCodec.LongTag
     else part.fileParts(0).valueTag
@@ -911,11 +942,18 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
   private var rangeDel: List[(Int, Int, Long)] = Nil
   private var rowDelTs = Long.MinValue // row tombstone of current (pk, ck)
 
-  /** Raw key-winner step (pure LWW, markers included). */
+  /** Raw key-winner step: LWW by default; under counter mode, DATA
+    * versions are shard deltas that SUM (value = Σ shards, wt = max
+    * shard wt) while marker cells keep LWW (their values are
+    * metadata, not deltas). Markers included in the output either
+    * way.
+    */
   private def nextKeyWinner(): Boolean = {
     val s = heap.poll()
     if (s == null) return false
     pk = s.pk; ck = s.ck; colName = s.colName
+    val sumShards = opts.counter &&
+      !(colName.length > 0 && colName.charAt(0) == '!')
     var bwt = s.wt; var bval = s.value
     if (s.advance()) heap.add(s)
     // Drain every version of this key (later versions of the same key
@@ -924,7 +962,10 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
     while (top != null && top.pk == pk && top.ck == ck &&
         top.colName == colName) {
       val t = heap.poll()
-      if (t.wt > bwt || (t.wt == bwt &&
+      if (sumShards) {
+        bval = ValueCodec.add(valueTag, bval, t.value)
+        if (t.wt > bwt) bwt = t.wt
+      } else if (t.wt > bwt || (t.wt == bwt &&
           ValueCodec.compare(valueTag, t.value, bval) > 0)) {
         bwt = t.wt; bval = t.value
       }
@@ -1027,13 +1068,9 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
 
 /** Row-at-a-time reconcile reader (`columnar=false` fallback). */
 class CellReconcileReader(part: CellReconcilePartition,
-    cols: Array[String], queryTime: Long = Long.MaxValue,
-    keepMarkers: Boolean = false,
-    gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue)
+    cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[InternalRow] {
-  private val cursor = new CellMergeCursor(part, queryTime, keepMarkers,
-    gcGraceMs, gcNowMs)
+  private val cursor = new CellMergeCursor(part, opts)
   private val fullSchema = CellSource.schemaFor(
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
@@ -1069,14 +1106,10 @@ class CellReconcileReader(part: CellReconcilePartition,
   * ColumnarToRow + whole-stage codegen, like the plain scan.
   */
 class CellReconcileColumnarReader(part: CellReconcilePartition,
-    cols: Array[String], queryTime: Long = Long.MaxValue,
-    keepMarkers: Boolean = false,
-    gcGraceMs: Long = Long.MaxValue,
-    gcNowMs: Long = Long.MaxValue)
+    cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[ColumnarBatch] {
   private val BatchRows = 4096
-  private val cursor = new CellMergeCursor(part, queryTime, keepMarkers,
-    gcGraceMs, gcNowMs)
+  private val cursor = new CellMergeCursor(part, opts)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)

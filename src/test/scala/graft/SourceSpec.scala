@@ -953,6 +953,49 @@ class SourceSpec extends GraftSpec {
     assert(live() === expected)
   }
 
+  test("counter=true sums shards across flush files (C10b)") {
+    val d = Files.createTempDirectory("cells-counter").toString
+    // three flush generations of increments to the same counters —
+    // the shard merge must meet across files, like the LWW merge
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 5L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 1, "qty", 7L, 200L), (1L, 1, "price", 3L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 1, "qty", -2L, 300L)) // decrements are just negative shards
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val counters = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("counter", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(counters === Set(
+      (1L, 1, "qty", 15L, 300L),  // 10 + 7 - 2, wt = max shard wt
+      (1L, 1, "price", 3L, 200L),
+      (2L, 1, "qty", 5L, 100L)))
+    // the same table under plain reconcile stays LWW (a counter table
+    // is a READ-MODE property, the raw shards are ordinary cells)
+    val lww = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(lww.contains((1L, 1, "qty", -2L, 300L)))
+    // counter mode on a non-numeric table is a plan-time error
+    val sd = Files.createTempDirectory("cells-counter-str").toString
+    Seq((1L, 1, "flag", "R", 100L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(sd)
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("counter", "true").load(sd)
+        .collect()
+    }
+    assert(e.toString.contains("numeric") ||
+      Option(e.getCause).exists(_.toString.contains("numeric")), e.toString)
+  }
+
   test("tombstones older than gcGrace are purged by compaction") {
     import graft.sources.CellMaintenance
     val d = Files.createTempDirectory("cells-compact-gc").toString
