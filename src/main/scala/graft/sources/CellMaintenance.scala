@@ -65,11 +65,15 @@ object CellMaintenance {
     * counts from headers only (no data bytes) — the "do I need a
     * compaction" probe.
     */
-  def generations(dir: String): Seq[(String, Int)] =
-    CellPlanning.listFiles(dir).map { f =>
-      (java.nio.file.Paths.get(f).getFileName.toString,
-        CellSource.readHeader(f).count)
-    }
+  def generations(dir: String): Seq[(String, Int)] = {
+    val files = CellPlanning.listFiles(dir)
+    CellManifest.current(dir, files)
+      .map(_.map(e => (e.name, e.count)))
+      .getOrElse(files.map { f =>
+        (java.nio.file.Paths.get(f).getFileName.toString,
+          CellSource.readHeader(f).count)
+      })
+  }
 
   /** Anti-entropy range diff (the repair workflow over C23's Merkle
     * leaves): digest both tables per contiguous pk bucket and return

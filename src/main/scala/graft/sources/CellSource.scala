@@ -66,9 +66,16 @@ class CellSource extends TableProvider {
     val existing = if (path == null) Nil else CellPlanning.listFiles(path)
     existing.headOption match {
       case Some(f) =>
-        val h = CellSource.readHeader(f)
-        CellSource.schemaFor(
-          ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale))
+        // Manifest fast path: the value type comes from the summary
+        // file, zero data-file opens; fall back to the first header.
+        val (tag, prec, scale) = CellManifest.current(path, existing)
+          .flatMap(_.headOption)
+          .map(e => (e.valueTag, e.decPrec, e.decScale))
+          .getOrElse {
+            val h = CellSource.readHeader(f)
+            (h.valueTag, h.decPrec, h.decScale)
+          }
+        CellSource.schemaFor(ValueCodec.dataTypeFor(tag, prec, scale))
       case None =>
         Option(options.get("valueType"))
           .map(t => CellSource.schemaFor(ValueCodec.parseType(t)))
@@ -492,6 +499,7 @@ object CellSource {
       writeFile(p.resolve(f"data-${startIndex + i}%04d.cells"), chunk,
         indexEvery, chunkRecords)
     }
+    CellManifest.refresh(dir)
   }
 }
 
@@ -697,11 +705,17 @@ class CellAggScan(path: String, tags: Array[String]) extends Scan with Batch {
     s"CellAggScan path=$path aggs=${tags.mkString(",")} (header-only)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val headers = CellPlanning.listFiles(path).map(CellSource.readHeader)
-    val nonEmpty = headers.filter(_.count > 0)
-    val cnt = headers.iterator.map(_.count.toLong).sum
-    val minPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_.minPk).min
-    val maxPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_.maxPk).max
+    // Manifest fast path: COUNT/MIN/MAX fold over summary entries —
+    // the whole query is ONE metadata-file read, zero data-file opens.
+    val files = CellPlanning.listFiles(path)
+    val sums = CellManifest.current(path, files)
+      .map(_.map(e => (e.minPk, e.maxPk, e.count)))
+      .getOrElse(files.map(CellSource.readHeader)
+        .map(h => (h.minPk, h.maxPk, h.count)))
+    val nonEmpty = sums.filter(_._3 > 0)
+    val cnt = sums.iterator.map(_._3.toLong).sum
+    val minPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_._1).min
+    val maxPk = if (nonEmpty.isEmpty) 0L else nonEmpty.iterator.map(_._2).max
     Array(CellAggPartition(tags, cnt, minPk, maxPk, nonEmpty.nonEmpty))
   }
 
@@ -773,7 +787,19 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       s"cols=${required.fieldNames.mkString(",")} (LWW k-way merge)"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val headers = CellPlanning.listFiles(path)
+    val files = CellPlanning.listFiles(path)
+    // Manifest pre-filter: the Summary range/emptiness check runs on
+    // summary entries, so files a pk-bounded merge never touches are
+    // pruned without a header open; survivors still need their FULL
+    // header (sparse index → split bounds, chunk table → narrowing).
+    val byName = CellManifest.current(path, files)
+      .map(_.map(e => e.name -> e).toMap)
+    val headers = files
+      .filter { f =>
+        byName.flatMap(_.get(Paths.get(f).getFileName.toString))
+          .forall(e =>
+            e.count > 0 && e.maxPk >= pkLower && e.minPk <= pkUpper)
+      }
       .map(f => (f, CellSource.readHeader(f)))
       .filter { case (_, h) =>
         h.count > 0 && h.maxPk >= pkLower && h.minPk <= pkUpper
@@ -1378,6 +1404,11 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
       }
       case _ =>
     }
+    // Publish the planning manifest for the new generation (appends
+    // read O(new files) headers only; see CellManifest). Best-effort:
+    // a crash before this line leaves a stale manifest, which readers
+    // detect and fall back from.
+    CellManifest.refresh(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1477,10 +1508,11 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     *    parallelizes; each task inflates only its own chunks, seeking
     *    over pruned gaps.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    CellPlanning.listFiles(path).flatMap(f =>
-      CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
-        subsplitRecords)).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = CellPlanning.listFiles(path)
+    CellPlanning.planFilesWithManifest(path, files, pkLower, pkUpper,
+      wtLower, wtUpper, subsplitRecords).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)
@@ -1553,6 +1585,29 @@ private[sources] object CellPlanning {
       wtUpper: Long, subsplitRecords: Int): Seq[InputPartition] =
     planFile(f, CellSource.readHeader(f), pkLower, pkUpper, wtLower,
       wtUpper, subsplitRecords)
+
+  /** Manifest-guided planning over `files` (already listed by the
+    * caller): when the `_manifest` matches the listing, files failing
+    * the Summary range/emptiness check are pruned from its entries
+    * WITHOUT opening their headers — only survivors pay a header
+    * read (at 100 TB file counts, driver planning I/O goes from
+    * O(files) opens to one metadata read + O(survivors) opens).
+    * Without a fresh manifest this is exactly the old per-file path.
+    */
+  def planFilesWithManifest(path: String, files: Seq[String],
+      pkLower: Long, pkUpper: Long, wtLower: Long, wtUpper: Long,
+      subsplitRecords: Int): Seq[InputPartition] = {
+    val byName = CellManifest.current(path, files)
+      .map(_.map(e => e.name -> e).toMap)
+    files.flatMap { f =>
+      val entry = byName.flatMap(
+        _.get(Paths.get(f).getFileName.toString))
+      if (entry.exists(e =>
+          e.count == 0 || e.maxPk < pkLower || e.minPk > pkUpper)) Nil
+      else planFile(f, pkLower, pkUpper, wtLower, wtUpper,
+        subsplitRecords)
+    }
+  }
 
   /** Header-reusing overload: the reconcile planner intersects EVERY
     * pk range with EVERY file — re-reading headers there would be
@@ -1640,12 +1695,23 @@ class CellMicroBatchStream(path: String, pkLower: Long, pkUpper: Long,
     val s = start.asInstanceOf[CellOffset].n
     val e = end.asInstanceOf[CellOffset].n
     // This batch owns exactly the flushes with index in [s, e).
-    CellPlanning.listFiles(path).filter { f =>
+    val files = CellPlanning.listFiles(path)
+    val batch = files.filter { f =>
       val idx = CellPlanning.fileIndex(Paths.get(f).getFileName.toString)
       idx >= s && idx < e
-    }.flatMap(f =>
-      CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
-        subsplitRecords)).toArray
+    }
+    // manifest staleness is judged against the FULL listing; pruning
+    // then applies to this batch's slice of it
+    val byName = CellManifest.current(path, files)
+      .map(_.map(en => en.name -> en).toMap)
+    batch.flatMap { f =>
+      val entry = byName.flatMap(
+        _.get(Paths.get(f).getFileName.toString))
+      if (entry.exists(en =>
+          en.count == 0 || en.maxPk < pkLower || en.minPk > pkUpper)) Nil
+      else CellPlanning.planFile(f, pkLower, pkUpper, wtLower, wtUpper,
+        subsplitRecords)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -824,6 +824,65 @@ class SourceSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("planning manifest: written at commit, parity, zero-open agg plan") {
+    import java.nio.file.{Paths => JPaths}
+    import graft.sources.CellManifest
+    val d = Files.createTempDirectory("cells-manifest").toString
+    Seq((1L, 1, "qty", 10L, 100L), (5L, 1, "qty", 20L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((9L, 1, "qty", 30L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val mf = JPaths.get(d, "_manifest")
+    assert(Files.exists(mf), "commit must publish the manifest")
+    def rec() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val expect = rec()
+    assert(expect.size === 3)
+    // fallback parity: a missing manifest reads identically…
+    Files.delete(mf)
+    assert(rec() === expect)
+    // …and refresh() heals it
+    CellManifest.refresh(d)
+    assert(CellManifest.read(d).map(_.size) === Some(2))
+    assert(rec() === expect)
+    // The header-only agg plan reads ONLY the manifest when fresh:
+    // doctor every entry's count and watch the pushed COUNT(*) report
+    // the doctored sum — proof of zero data-file opens.
+    val lines = Files.readAllLines(mf)
+    val doctored = new java.util.ArrayList[String]()
+    lines.forEach { l =>
+      doctored.add(if (l.startsWith("CELLMANIFEST") || l.isEmpty) l
+      else {
+        val f = l.split('\t'); f(3) = (f(3).toInt + 1000).toString
+        f.mkString("\t")
+      })
+    }
+    Files.write(mf, doctored)
+    def countStar() = spark.read.format("graft.sources.CellSource")
+      .load(d).selectExpr("count(*)").head().getLong(0)
+    assert(countStar() === 3L + 2000L)
+    // a STALE manifest (name list mismatch) is ignored, not trusted:
+    // truncate it to one entry and the agg falls back to headers
+    Files.write(mf, java.util.List.of(lines.get(0), lines.get(1)))
+    assert(countStar() === 3L)
+    // heal for real and confirm the true counts flow again
+    Files.delete(mf); CellManifest.refresh(d)
+    assert(countStar() === 3L)
+    // pruning parity: a point lookup plans the same single partition
+    // through manifest pre-filter as through raw header reads
+    def parts() = spark.read.format("graft.sources.CellSource")
+      .load(d).filter(col("pk") === 9L).rdd.getNumPartitions
+    val withManifest = parts()
+    Files.delete(mf)
+    assert(parts() === withManifest)
+    CellManifest.refresh(d)
+  }
+
   test("tables with more than 128 distinct columns read back (unsigned colId)") {
     // colIds 128..255 have the sign bit set; a signed byte read would
     // index the column table at a negative position.
