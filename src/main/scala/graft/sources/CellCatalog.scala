@@ -5,26 +5,28 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** V2 `TableCatalog` over a directory of cell tables (VERDICT r4
-  * "What's missing" §4): each subdirectory of `root` holding `.cells`
-  * flush files is one table, so the connector participates in the
-  * catalog surface — `SHOW TABLES IN cells`, `SELECT ... FROM
-  * cells.default.t`, `CREATE/DROP/ALTER RENAME TABLE`, `INSERT INTO`
+/** V2 `TableCatalog` over a directory tree of cell tables (VERDICT r4
+  * "What's missing" §4): `root/<namespace>/<table>/data-*.cells` —
+  * one directory level per NAMESPACE (the Cassandra keyspace
+  * analogue), one subdirectory per table — so the connector
+  * participates in the full catalog surface: `SHOW NAMESPACES`,
+  * `CREATE/DROP NAMESPACE`, `SHOW TABLES IN cells.ks`, `SELECT ...
+  * FROM cells.ks.t`, `CREATE/DROP/ALTER RENAME TABLE`, `INSERT INTO`
   * — instead of only path-based `load()`/DDL-registered externals.
   *
   * Boot: `--conf spark.sql.catalog.cells=graft.sources.CellCatalog
-  * --conf spark.sql.catalog.cells.root=/data/cells`. One flat
-  * `default` namespace (the keyspace analogue); table schemas are
-  * self-describing from file headers (CEL5 typed values), with a
-  * `_type` marker carrying the value type of a created-but-still-empty
-  * table so `CREATE TABLE (… value string …)` survives until the
-  * first flush lands.
+  * --conf spark.sql.catalog.cells.root=/data/cells`. A `default`
+  * namespace directory is created at initialize, so unqualified use
+  * works out of the box. Table schemas are self-describing from file
+  * headers (CEL5 typed values), with a `_type` marker carrying the
+  * value type of a created-but-still-empty table so `CREATE TABLE
+  * (… value string …)` survives until the first flush lands.
   */
 class CellCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -37,37 +39,57 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     require(r != null,
       s"spark.sql.catalog.$name.root must point at the table directory")
     root = Paths.get(r)
-    Files.createDirectories(root)
+    Files.createDirectories(root.resolve("default"))
   }
 
   override def name(): String = catalogName
 
   private val Default = Array("default")
 
-  private def checkNamespace(ns: Array[String]): Unit =
-    if (!(ns.isEmpty || ns.sameElements(Default)))
+  private def legal(n: String, what: String): Unit =
+    require(!n.contains("/") && !n.startsWith(".") && !n.startsWith("_"),
+      s"illegal $what name '$n'")
+
+  /** The session's current namespace resolves to `default`. */
+  private def nsOf(namespace: Array[String]): Array[String] =
+    if (namespace.isEmpty) Default else namespace
+
+  private def nsDir(namespace: Array[String]): Path = {
+    val ns = nsOf(namespace)
+    if (ns.length != 1)
       throw new NoSuchNamespaceException(catalogName +: ns)
+    legal(ns(0), "namespace")
+    root.resolve(ns(0))
+  }
+
+  private def checkNamespace(namespace: Array[String]): Path = {
+    val d = nsDir(namespace)
+    if (!Files.isDirectory(d))
+      throw new NoSuchNamespaceException(catalogName +: nsOf(namespace))
+    d
+  }
 
   private def dirFor(ident: Identifier): Path = {
-    checkNamespace(ident.namespace())
-    require(!ident.name().contains("/") && !ident.name().startsWith("."),
-      s"illegal table name '${ident.name()}'")
-    root.resolve(ident.name())
+    val d = checkNamespace(ident.namespace())
+    legal(ident.name(), "table")
+    d.resolve(ident.name())
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    checkNamespace(namespace)
-    Using.resource(Files.list(root)) { st =>
+    val d = checkNamespace(namespace)
+    Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
-          !p.getFileName.toString.startsWith("."))
-        .map(p => Identifier.of(Default, p.getFileName.toString))
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => Identifier.of(nsOf(namespace), p.getFileName.toString))
         .toArray
     }
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.isDirectory(dirFor(ident))
+    namespaceExists(ident.namespace()) &&
+      Files.isDirectory(dirFor(ident))
 
   /** Schema: file headers win (self-describing); a `_type` marker
     * covers the created-but-empty window; long default otherwise.
@@ -169,6 +191,7 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (!namespaceExists(ident.namespace())) return false
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) false
     else {
@@ -184,42 +207,67 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
       newIdent: Identifier): Unit = {
     val from = dirFor(oldIdent)
     if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
-    val to = dirFor(newIdent)
+    val to = dirFor(newIdent) // checks the TARGET namespace exists
     if (Files.isDirectory(to)) throw new TableAlreadyExistsException(newIdent)
     Files.move(from, to)
   }
 
-  // --- SupportsNamespaces: one flat "default" namespace ---
+  // --- SupportsNamespaces: one directory level = one namespace ---
 
-  override def listNamespaces(): Array[Array[String]] = Array(Default)
+  override def listNamespaces(): Array[Array[String]] =
+    Using.resource(Files.list(root)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith(".") &&
+          !p.getFileName.toString.startsWith("_"))
+        .map(p => Array(p.getFileName.toString))
+        .toArray
+    }
 
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] = {
-    checkNamespace(namespace)
+    if (namespace.isEmpty) return listNamespaces()
+    checkNamespace(namespace) // namespaces are one level deep
     Array.empty
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || namespace.sameElements(Default)
+    namespace.isEmpty || (namespace.length == 1 &&
+      !namespace(0).contains("/") && !namespace(0).startsWith(".") &&
+      !namespace(0).startsWith("_") &&
+      Files.isDirectory(root.resolve(namespace(0))))
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): JMap[String, String] = {
-    checkNamespace(namespace)
-    java.util.Collections.emptyMap()
+    val d = checkNamespace(namespace)
+    java.util.Map.of(SupportsNamespaces.PROP_LOCATION, d.toUri.toString)
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: JMap[String, String]): Unit =
-    throw new UnsupportedOperationException(
-      "cell catalogs have a single fixed 'default' namespace")
+      metadata: JMap[String, String]): Unit = {
+    val d = nsDir(namespace)
+    if (Files.isDirectory(d))
+      throw new NamespaceAlreadyExistsException(catalogName +: nsOf(namespace))
+    Files.createDirectories(d)
+  }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
-      "cell catalogs have a single fixed 'default' namespace")
+      "cell namespaces carry no mutable metadata")
 
   override def dropNamespace(namespace: Array[String],
-      cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException(
-      "cell catalogs have a single fixed 'default' namespace")
+      cascade: Boolean): Boolean = {
+    val d = checkNamespace(namespace)
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new NonEmptyNamespaceException(catalogName +: nsOf(namespace))
+    tables.foreach(t => dropTable(t))
+    // any residual metadata files (_nsprops etc.), then the dir itself
+    Using.resource(Files.list(d)) {
+      _.iterator().asScala.toList.foreach(Files.delete)
+    }
+    Files.delete(d)
+    true
+  }
 }

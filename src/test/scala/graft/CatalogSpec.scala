@@ -102,6 +102,40 @@ class CatalogSpec extends GraftSpec {
     spark.sql(s"DROP TABLE $cat.default.alterable")
   }
 
+  test("namespace (keyspace) lifecycle across two namespaces") {
+    spark.sql(s"CREATE NAMESPACE $cat.ks1")
+    spark.sql(s"CREATE NAMESPACE $cat.ks2")
+    val namespaces = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("default", "ks1", "ks2").subsetOf(namespaces))
+    // same table NAME in two namespaces = two independent tables
+    spark.sql(s"CREATE TABLE $cat.ks1.t " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    spark.sql(s"CREATE TABLE $cat.ks2.t " +
+      "(pk bigint, ck int, col string, value string, wt bigint)")
+    spark.sql(s"INSERT INTO $cat.ks1.t VALUES (1, 1, 'qty', 10, 100)")
+    spark.sql(s"INSERT INTO $cat.ks2.t VALUES (1, 1, 'flag', 'R', 100)")
+    assert(spark.table(s"$cat.ks1.t").head().getLong(3) === 10L)
+    assert(spark.table(s"$cat.ks2.t").head().getString(3) === "R")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ks1").collect()
+      .map(_.getString(1)).toSet === Set("t"))
+    // rename MOVES a table across namespaces
+    spark.sql(s"ALTER TABLE $cat.ks1.t RENAME TO ks2.t_moved")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ks1").collect().isEmpty)
+    assert(spark.table(s"$cat.ks2.t_moved").count() === 1)
+    // a missing namespace is an error, not an empty listing
+    intercept[Exception] {
+      spark.sql(s"SHOW TABLES IN $cat.nope").collect()
+    }
+    // non-cascade drop refuses a non-empty namespace
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $cat.ks2") }
+    spark.sql(s"DROP NAMESPACE $cat.ks2 CASCADE")
+    spark.sql(s"DROP NAMESPACE $cat.ks1")
+    val after = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet
+    assert(!after.contains("ks1") && !after.contains("ks2"))
+  }
+
   test("catalog rejects what the format cannot hold") {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.default.bad (a int, b string)")
