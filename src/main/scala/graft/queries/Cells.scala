@@ -501,6 +501,27 @@ object Cells {
       |FROM cells WHERE pk % 20 = 0
       |GROUP BY pk, ck, col ORDER BY pk, ck, col""".stripMargin
 
+  // C11b — collection cells through the connector: CQL collections
+  // are ELEMENT-PER-CELL on disk (one cell per list/set element, one
+  // per map entry) — which is exactly the CEL5 encoding, so
+  // collection writes need no special casing in the connector.
+  // Reassembly is the relational layer over the RECONCILED scan: the
+  // reader k-way-merges element cells across flush files (LWW per
+  // element), and reassembleList folds the winners into the ordered
+  // list — the full write→merge→reassemble path against C11's
+  // list(... ORDER BY) oracle over the merged relation.
+  private def listScan(s: SparkSession, d: String): DataFrame =
+    CM.reassembleList(CellSnapshots.readReconciled(s, d))
+      .filter(col("pk") % 20 === 0)
+      .select(col("pk"),
+        array_join(col("elems").cast("array<string>"), "|").as("elems"))
+      .orderBy(col("pk"))
+
+  private val listScanSql = cte +
+    """SELECT pk, array_to_string(list(value ORDER BY ck, value), '|') AS elems
+      |FROM merged WHERE col = 'qty' AND pk % 20 = 0
+      |GROUP BY pk ORDER BY pk""".stripMargin
+
   // C29 — the full read path in ONE scan: LWW + tombstone shadowing +
   // TTL expiry, all inside the connector's reconciling reader over one
   // marker-bearing snapshot. Oracle composes C5's NOT EXISTS with
@@ -529,6 +550,7 @@ object Cells {
     GQuery("C5b_range_tombstone_scan", rangeTombstoneScan,
       Some(rangeTombstoneSql)),
     GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
+    GQuery("C11b_collection_scan", listScan, Some(listScanSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,

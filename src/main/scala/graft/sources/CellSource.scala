@@ -271,6 +271,18 @@ object CellSource {
   def rangeTombstoneCol(ckLo: Int, ckHi: Int): String =
     s"$RangeTombstonePrefix$ckLo:$ckHi"
 
+  /** COLLECTION CONTRACT (C11b): CQL collections are element-per-cell
+    * on disk — one cell per list/set element (ck/value-keyed), one per
+    * map entry (col-keyed) — which is exactly this format's cell
+    * shape, so collection writes flow through the connector unchanged
+    * and per-ELEMENT LWW falls out of the reconcile merge. Reassembly
+    * (elements → ARRAY/MAP value) is deliberately the relational
+    * layer over the reconciled scan
+    * ([[graft.cassandra.CellModel.reassembleList]]/Set/Map): a scan
+    * that emitted ARRAY rows would re-buffer unbounded collections in
+    * the reader and lose per-element pushdown/pruning.
+    */
+
   /** Partition-default TTL marker (the `default_time_to_live`
     * analogue): one `!ttl*` cell at ck = Int.MinValue whose VALUE is
     * the TTL in ms; under a reconciling scan with a `queryTime`

@@ -1012,6 +1012,29 @@ class SourceSpec extends GraftSpec {
     assert(live() === expected)
   }
 
+  test("collection element cells reassemble over the reconcile scan (C11b)") {
+    graft.GraftExtensions.register(spark)
+    val d = Files.createTempDirectory("cells-coll").toString
+    // list elements as element-per-cell, two flushes: pk 1 gets
+    // elements at ck 1..3, then a REWRITE of element ck=2 in a later
+    // flush — per-element LWW must keep the rewrite only
+    Seq((1L, 1, "qty", 10L, 100L), (1L, 2, "qty", 20L, 100L),
+        (1L, 3, "qty", 30L, 100L), (2L, 1, "qty", 5L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 2, "qty", 99L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val merged = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    val lists = graft.cassandra.CellModel.reassembleList(merged)
+      .select(col("pk"), col("elems"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
+  }
+
   test("counter=true sums shards across flush files (C10b)") {
     val d = Files.createTempDirectory("cells-counter").toString
     // three flush generations of increments to the same counters —
