@@ -153,6 +153,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query FLOORS (BASELINE.md: min over recorded clean runs):
+    // emit the measured-vs-floor comparison so a stall-inflated total
+    // is distinguishable from a real regression — queries ≥3× floor
+    // (and ≥0.5 s over it) are named with their floor. This line goes
+    // BEFORE the final summary: the driver tail-parses the LAST line.
+    locally {
+      val floorsFile = Seq("BASELINE_floors.json",
+        "/root/repo/BASELINE_floors.json")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+      val floors: Map[String, Double] = floorsFile.map { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+      if (floors.nonEmpty) {
+        val floorTotal =
+          results.flatMap { case (k, _) => floors.get(k) }.sum
+        val regressed = results.flatMap { case (k, v) =>
+          floors.get(k).filter(f => v >= f * 3 && v - f >= 0.5)
+            .map(f => (k, v, f))
+        }.sortBy { case (_, v, f) => f - v } // worst ratio first-ish
+        val rq = regressed.take(12).map { case (k, v, f) =>
+          "\"" + k + "\":{\"sec\":" + r3(v) + ",\"floor\":" + r3(f) + "}"
+        }.mkString("{", ",", "}")
+        val total = results.map(_._2).sum
+        println(s"""{"metric":"floor_delta","floor_total":${r3(floorTotal)},"total":${r3(total)},"n_regressed":${regressed.size},"regressions":$rq}""")
+      }
+    }
     // ...then a SHORT final line: the driver's tail-capture truncated
     // round 1's single huge line and recorded parsed:null, so the
     // parseable summary (with a small headline-query map) goes LAST.
