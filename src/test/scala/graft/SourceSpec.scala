@@ -568,6 +568,86 @@ class SourceSpec extends GraftSpec {
     }
   }
 
+  test("full marker protocol == reference model on random layouts (property)") {
+    // Random data + random markers of EVERY kind (partition, cell,
+    // range, row tombstones and TTL), split into random flush files:
+    // the connector's carried-state merge must equal a plain-Scala
+    // reference model of the read condition, and a marker-preserving
+    // compaction must not change the answer.
+    import graft.sources.CellMaintenance
+    val rnd = new scala.util.Random(20260813L)
+    val qt = 500L
+    (1 to 4).foreach { trial =>
+      val nCells = 200 + rnd.nextInt(400)
+      val data = (0 until nCells).map { _ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(5),
+          if (rnd.nextBoolean()) "qty" else "price",
+          rnd.nextInt(50).toLong, (1 + rnd.nextInt(9)).toLong * 100)
+      }
+      def ts() = (1 + rnd.nextInt(9)).toLong * 100
+      val markers =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+      data.map(_._1).distinct.foreach { pk =>
+        if (rnd.nextInt(4) == 0)
+          markers += ((pk, Int.MinValue, "!del*", 0L, ts()))
+        if (rnd.nextInt(4) == 0) {
+          val lo = rnd.nextInt(5); val hi = lo + rnd.nextInt(5 - lo)
+          markers += ((pk, Int.MinValue, s"!delr:$lo:$hi", 0L, ts()))
+        }
+        if (rnd.nextInt(4) == 0)
+          markers += ((pk, rnd.nextInt(5), "!delrow", 0L, ts()))
+        if (rnd.nextInt(4) == 0)
+          markers += ((pk, rnd.nextInt(5),
+            "!del:" + (if (rnd.nextBoolean()) "qty" else "price"), 0L, ts()))
+        if (rnd.nextInt(3) == 0)
+          markers += ((pk, Int.MinValue, "!ttl*",
+            (2 + rnd.nextInt(6)).toLong * 100, 0L))
+      }
+      val all = data ++ markers
+      // ---- reference model: LWW winner per key, then the shadowing
+      // and expiry predicates applied to data winners
+      val winners = all.groupBy(r => (r._1, r._2, r._3))
+        .map { case (_, rs) => rs.maxBy(r => (r._5, r._4)) }.toSeq
+      val pdts = winners.filter(_._3 == "!del*")
+        .map(w => w._1 -> w._5).toMap
+      val rowDel = winners.filter(_._3 == "!delrow")
+        .map(w => (w._1, w._2) -> w._5).toMap
+      val cellDel = winners
+        .filter(w => w._3.startsWith("!del:"))
+        .map(w => (w._1, w._2, w._3.stripPrefix("!del:")) -> w._5).toMap
+      val ranges = winners.filter(_._3.startsWith("!delr:")).map { w =>
+        val p = w._3.stripPrefix("!delr:").split(':')
+        (w._1, p(0).toInt, p(1).toInt, w._5)
+      }
+      val ttls = winners.filter(_._3 == "!ttl*")
+        .map(w => w._1 -> w._4).toMap
+      val expected = winners.filter(w => !w._3.startsWith("!")).filter {
+        case (pk, ck, colName, _, wt) =>
+          !pdts.get(pk).exists(wt <= _) &&
+          !rowDel.get((pk, ck)).exists(wt <= _) &&
+          !cellDel.get((pk, ck, colName)).exists(wt <= _) &&
+          !ranges.exists { case (p, lo, hi, t) =>
+            p == pk && ck >= lo && ck <= hi && wt <= t } &&
+          !ttls.get(pk).exists(t => wt + t < qt)
+      }.toSet
+      // ---- random flush layout through the DSv2 writer
+      val d = Files.createTempDirectory(s"cells-mprop-$trial").toString
+      val nFlushes = 1 + rnd.nextInt(4)
+      all.groupBy(_ => rnd.nextInt(nFlushes)).values.foreach { flush =>
+        flush.toDF("pk", "ck", "col", "value", "wt")
+          .coalesce(1).write.format("graft.sources.CellSource")
+          .mode("append").save(d)
+      }
+      def live() = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("queryTime", qt.toString)
+        .option("subsplitRecords", "64") // force several pk ranges
+        .load(d).as[(Long, Int, String, Long, Long)].collect().toSet
+      assert(live() === expected, s"trial $trial (${all.size} rows)")
+      CellMaintenance.compact(spark, d)
+      assert(live() === expected, s"trial $trial post-compaction")
+    }
+  }
+
   test("ValueCodec round-trips and orders every type tag (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import java.io.{ByteArrayOutputStream, DataOutputStream}
