@@ -47,6 +47,7 @@ object Bench {
       graft.sources.CellSnapshots.ensureTombstoned(spark, sfDir)
       graft.sources.CellSnapshots.ensureTtled(spark, sfDir)
       graft.sources.CellSnapshots.ensureFull(spark, sfDir)
+      graft.sources.CellSnapshots.ensureRangeTombstoned(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",

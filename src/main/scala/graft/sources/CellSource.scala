@@ -796,7 +796,9 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   override def toBatch: Batch = this
   override def description(): String =
     s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
-      s"cols=${required.fieldNames.mkString(",")} (LWW k-way merge)"
+      s"cols=${required.fieldNames.mkString(",")} " +
+      (if (opts.counter) "(counter shard-SUM k-way merge)"
+       else "(LWW k-way merge)")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = CellPlanning.listFiles(path)
