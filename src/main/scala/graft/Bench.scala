@@ -48,6 +48,7 @@ object Bench {
       graft.sources.CellSnapshots.ensureTtled(spark, sfDir)
       graft.sources.CellSnapshots.ensureFull(spark, sfDir)
       graft.sources.CellSnapshots.ensureRangeTombstoned(spark, sfDir)
+      graft.sources.CellSnapshots.ensureIndexed(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",

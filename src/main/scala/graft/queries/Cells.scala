@@ -363,6 +363,22 @@ object Cells {
       |HAVING max(CASE WHEN col = 'qty' THEN value END) = 2500
       |ORDER BY pk, ck""".stripMargin
 
+  // C18b — connector-side secondary index (the Cassandra 2i story):
+  // the inverted index is ITS OWN cell table whose partition key is
+  // the indexed VALUE, so the equality lookup is a Summary/bloom-
+  // pruned POINT SCAN of the index table; the (tiny, auto-broadcast)
+  // hit set semi-joins back to the reconciled wide view with the
+  // predicate re-applied — Cassandra's re-read-and-filter. Shares
+  // C18's oracle, so the two index paths cross-check each other.
+  private def secondaryIdxScan(s: SparkSession, d: String): DataFrame = {
+    val pks = graft.sources.CellIndex.lookupPks(s,
+      CellSnapshots.ensureIndexed(s, d), 2500L)
+    CM.wideView(CellSnapshots.readReconciled(s, d))
+      .join(pks, Seq("pk"), "left_semi")
+      .filter(col("qty") === 2500)
+      .orderBy(col("pk"), col("ck"))
+  }
+
   // C20 — header-only aggregate: the unfiltered COUNT/MIN/MAX trio is
   // completely pushed into the connector (SupportsPushDownAggregates)
   // and answered from Summary ranges + chunk-table counts — the plan
@@ -551,6 +567,7 @@ object Cells {
       Some(rangeTombstoneSql)),
     GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
     GQuery("C11b_collection_scan", listScan, Some(listScanSql)),
+    GQuery("C18b_index_scan", secondaryIdxScan, Some(secondaryIdxSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,

@@ -120,6 +120,26 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureTombstoned(s, sfDir))
 
+  /** Connector-side secondary index (C18b) of the plain snapshot's
+    * 'qty' column: a cell table whose partition key is the indexed
+    * VALUE, built through [[CellIndex.build]] once per sf.
+    */
+  def ensureIndexed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-idx")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellIndex.build(s, ensure(s, sfDir), dir.toString, "qty")
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
   /** COUNTER-mode reconciled read over the plain snapshot: every cell
     * version is a shard delta and the merge cursor SUMS shards per
     * (pk, ck, col) — value = Σ shards, wt = max shard wt — instead of

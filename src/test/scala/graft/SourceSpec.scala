@@ -1115,6 +1115,46 @@ class SourceSpec extends GraftSpec {
     assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
   }
 
+  test("secondary index: value-keyed cell table, pruned lookup (C18b)") {
+    import graft.sources.CellIndex
+    val d = Files.createTempDirectory("cells-2i-base").toString
+    Seq((1L, 1, "qty", 100L, 100L), (2L, 1, "qty", 200L, 100L),
+        (3L, 1, "qty", 100L, 100L), (3L, 2, "qty", 100L, 100L),
+        (4L, 1, "price", 100L, 100L)) // other column: NOT indexed
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // a later flush REWRITES (1,1): pk 1 no longer holds qty=100
+    Seq((1L, 1, "qty", 300L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val idx = Files.createTempDirectory("cells-2i-idx").toString
+    CellIndex.build(spark, d, idx, "qty", files = 4)
+    def pksOf(v: Long): Set[Long] =
+      CellIndex.lookupPks(spark, idx, v).as[Long].collect().toSet
+    // built from the RECONCILED base: the rewritten-away value is out
+    assert(pksOf(100L) === Set(3L))
+    assert(pksOf(300L) === Set(1L))
+    assert(pksOf(200L) === Set(2L))
+    assert(pksOf(999L) === Set.empty[Long])
+    // the index IS a normal cell table: its point lookup plans with
+    // file pruning (Summary/bloom over pk = the indexed value), and
+    // commits published its manifest
+    val lookupScan = spark.read.format("graft.sources.CellSource")
+      .load(idx).filter(col("pk") === 100L)
+    assert(lookupScan.rdd.getNumPartitions <=
+      graft.sources.CellManifest.read(idx).map(_.size).getOrElse(99))
+    assert(graft.sources.CellManifest.read(idx).nonEmpty)
+    // a REBUILD after more writes replaces the index generation
+    Seq((5L, 1, "qty", 100L, 300L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    CellIndex.build(spark, d, idx, "qty", files = 4)
+    assert(pksOf(100L) === Set(3L, 5L))
+  }
+
   test("counter=true sums shards across flush files (C10b)") {
     val d = Files.createTempDirectory("cells-counter").toString
     // three flush generations of increments to the same counters —
