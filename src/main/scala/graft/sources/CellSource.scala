@@ -1286,17 +1286,20 @@ class CellWriteBuilder(path: String, schema: StructType,
   * instead of re-published. (Epoch ids are per-query: point distinct
   * streaming queries at distinct directories.)
   *
-  * Crash-window caveat: publish happens before the epoch id is
-  * recorded, so a driver crash BETWEEN the two leaves the epoch
-  * published but unrecorded — the retry re-publishes it, i.e. the sink
-  * is at-least-once across driver crashes and exactly-once only for
-  * completed commits. Duplicated flushes are LWW-idempotent, so
-  * RECONCILED reads (reconcile=true, compaction, readLive/
-  * readUnexpired) still see exactly-once results; raw scans, COUNTs
-  * over raw cells, and rangeDiff digests observe the duplicates.
-  * (Recording first would invert the failure into silent data LOSS on
-  * the retry; a fully atomic publish needs a manifest-commit protocol
-  * — documented trade-off, not an oversight.)
+  * EXACTLY-ONCE across driver crashes (round 6): the crash window
+  * between publish and epoch-record is closed by an epoch INTENT
+  * journal (`_epoch_intent`, see [[EpochIntent]]) written atomically
+  * BEFORE the publish: it records the epoch id, the pre-publish max
+  * flush index, and a content fingerprint of every staged file. A
+  * retry of the same epoch first deletes any data file above that
+  * index whose fingerprint matches — the crashed attempt's
+  * half-published orphans — then publishes its own stage. A crash at
+  * ANY single point replays to the same committed state: before the
+  * intent nothing was published; after it, orphans are fingerprint-
+  * matched and removed; after the epoch record, the replay takes the
+  * duplicate-abort path. (The index bound keeps recovery from even
+  * LOOKING at files of concurrent batch appends; fingerprints make
+  * deletion content-safe besides.)
   */
 class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
     decPrec: Int, decScale: Int)
@@ -1319,15 +1322,41 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     if (committed(epochId)) {
-      abort(epochId, messages) // replay: drop the duplicate stage
+      // Completed commit replayed: drop the duplicate stage. A
+      // leftover intent (crash between record and intent-clear)
+      // references LEGITIMATELY published files — just clear it.
+      EpochIntent.read(path).filter(_.epochId == epochId)
+        .foreach(_ => EpochIntent.clear(path))
+      abort(epochId, messages)
     } else {
+      // Recover a crashed prior attempt of THIS epoch: delete its
+      // half-published orphans (above the recorded pre-publish index
+      // AND fingerprint-matched) before publishing our own stage.
+      EpochIntent.read(path).filter(_.epochId == epochId).foreach { in =>
+        CellPlanning.listFiles(path).foreach { f =>
+          val idx = CellPlanning.fileIndex(
+            Paths.get(f).getFileName.toString)
+          if (idx > in.preMaxIndex &&
+              in.fingerprints.contains(EpochIntent.fingerprint(f)))
+            Files.delete(Paths.get(f))
+        }
+      }
+      val staged = messages.toSeq.flatMap {
+        case CellCommitMessage(s) => s
+        case _ => Nil
+      }
+      Files.createDirectories(epochsFile.getParent)
+      val preMax = CellPlanning.listFiles(path).map(f =>
+        CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+        .foldLeft(-1)(math.max)
+      EpochIntent.write(path, EpochIntent.Intent(epochId, preMax,
+        staged.map(EpochIntent.fingerprint).toSet))
       new CellBatchWrite(path, truncateFirst = false, rollRecords,
         valueTag, decPrec, decScale).commit(messages)
-      // an empty epoch stages nothing, so the table dir may not exist
-      Files.createDirectories(epochsFile.getParent)
       Files.writeString(epochsFile, s"$epochId\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      EpochIntent.clear(path)
     }
   }
 
@@ -1338,6 +1367,53 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
         staged.foreach(f => Files.deleteIfExists(Paths.get(f)))
       case _ =>
     }
+}
+
+/** Epoch intent journal for the streaming sink's exactly-once commit
+  * (see [[CellStreamingWrite]] scaladoc): one small file written
+  * atomically before each epoch's publish, cleared after its record.
+  * The fingerprint is (size, record count, pk range) from the file's
+  * own header — enough to recognize the crashed attempt's orphans
+  * among files above the recorded index without hashing data bytes
+  * (and deleting a coincidentally-identical file from a concurrent
+  * append would be content-neutral under LWW anyway).
+  */
+private[sources] object EpochIntent {
+  case class Intent(epochId: Long, preMaxIndex: Int,
+      fingerprints: Set[String])
+
+  private def file(dir: String) =
+    Paths.get(CellPlanning.normalize(dir)).resolve("_epoch_intent")
+
+  def fingerprint(f: String): String = {
+    val h = CellSource.readHeader(f)
+    s"${Files.size(Paths.get(f))}:${h.count}:${h.minPk}:${h.maxPk}"
+  }
+
+  def write(dir: String, in: Intent): Unit = {
+    val p = file(dir)
+    val tmp = p.resolveSibling("_epoch_intent.tmp")
+    val body = (s"${in.epochId}" +: s"${in.preMaxIndex}" +:
+      in.fingerprints.toSeq.sorted).mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(dir: String): Option[Intent] = {
+    val p = file(dir)
+    if (!Files.exists(p)) return None
+    try {
+      val lines = Files.readAllLines(p)
+      if (lines.size < 2) return None
+      Some(Intent(lines.get(0).toLong, lines.get(1).toInt,
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          lines.subList(2, lines.size)).asScala.filter(_.nonEmpty).toSet))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def clear(dir: String): Unit = Files.deleteIfExists(file(dir))
 }
 
 class CellStreamingWriterFactory(path: String, rollRecords: Int,

@@ -568,6 +568,54 @@ class SourceSpec extends GraftSpec {
     }
   }
 
+  test("streaming sink epoch retry is exactly-once (intent recovery)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import graft.sources.{CellCommitMessage, CellStreamingWrite}
+    val d = Files.createTempDirectory("cells-sink-eo").toString
+    JF.createDirectories(JP.get(d))
+    // stage a pk-sorted .cells file the way a task writer would: write
+    // a 1-file snapshot into a side dir and move it to a staged name
+    def stage(cells: Seq[(Long, Int, String, Long, Long)]): String = {
+      val side = Files.createTempDirectory("cells-sink-stage").toString
+      CellSource.writeSnapshot(side, cells, files = 1)
+      val staged = JP.get(d).resolve(s"stage-${cells.hashCode}.tmp")
+      JF.move(JP.get(side, "data-0000.cells"), staged)
+      staged.toString
+    }
+    val w = new CellStreamingWrite(d, 1 << 20,
+      graft.sources.ValueCodec.LongTag, 0, 0)
+    val cells0 = Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L))
+    w.commit(0L, Array(CellCommitMessage(Seq(stage(cells0)))))
+    // ---- simulate a crash of epoch 1 AFTER publish, BEFORE record:
+    // its flush sits at data-0001 but _epochs has no entry, and the
+    // intent journal names it
+    val cells1 = Seq((3L, 1, "qty", 30L, 200L), (4L, 1, "qty", 40L, 200L))
+    val s1a = stage(cells1)
+    JF.move(JP.get(s1a), JP.get(d, "data-0001.cells"))
+    val orphan = JP.get(d, "data-0001.cells")
+    val fp = s"${JF.size(orphan)}:${cells1.size}:3:4"
+    JF.write(JP.get(d, "_epoch_intent"), s"1\n0\n$fp\n".getBytes("UTF-8"))
+    // a CONCURRENT batch append lands between crash and retry — its
+    // file is above the intent's index bound but must survive (no
+    // fingerprint match)
+    Seq((9L, 1, "qty", 90L, 300L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // ---- the retry: same epoch, freshly staged identical content
+    w.commit(1L, Array(CellCommitMessage(Seq(stage(cells1)))))
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    // EXACTLY once: no duplicate of cells1, concurrent append intact
+    assert(back.sorted === (cells0 ++ cells1 ++
+      Seq((9L, 1, "qty", 90L, 300L))).sorted)
+    assert(!JF.exists(JP.get(d, "_epoch_intent")), "intent cleared")
+    // a full replay of the COMMITTED epoch takes the duplicate-abort
+    // path and changes nothing
+    w.commit(1L, Array(CellCommitMessage(Seq(stage(cells1)))))
+    assert(spark.read.format("graft.sources.CellSource").load(d)
+      .count() === back.size.toLong)
+  }
+
   test("full marker protocol == reference model on random layouts (property)") {
     // Random data + random markers of EVERY kind (partition, cell,
     // range, row tombstones and TTL), split into random flush files:
