@@ -48,17 +48,40 @@ object CellMaintenance {
       rollRecords: Int = CellSource.DefaultRollRecords,
       gcGraceMs: Long = Long.MaxValue,
       nowMs: Long = Long.MaxValue): (Int, Int) = {
+    // Catalog-created tables can declare their grace window once in
+    // DDL (TBLPROPERTIES('gcGraceMs'='...')); the explicit parameter
+    // still wins. `nowMs` has no sensible per-table default — the
+    // caller owns the clock (determinism).
+    val grace =
+      if (gcGraceMs != Long.MaxValue) gcGraceMs
+      else tableProp(dir, "gcGraceMs").map(_.toLong)
+        .getOrElse(Long.MaxValue)
     val before = CellPlanning.listFiles(dir).size
     spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
-      .option("gcGraceMs", gcGraceMs.toString)
+      .option("gcGraceMs", grace.toString)
       .option("gcNowMs", nowMs.toString)
       .load(dir)
       .write.format("graft.sources.CellSource")
       .option("rollRecords", rollRecords.toString)
       .mode("overwrite").save(dir)
     (before, CellPlanning.listFiles(dir).size)
+  }
+
+  /** A catalog-persisted table property (`_props` in the table dir),
+    * if the table was created through [[CellCatalog]].
+    */
+  private def tableProp(dir: String, key: String): Option[String] = {
+    val f = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      Option(p.getProperty(key))
+    }
   }
 
   /** Split health of a table: flush-file count and per-file record

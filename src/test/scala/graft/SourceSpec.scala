@@ -1264,6 +1264,14 @@ class SourceSpec extends GraftSpec {
     val raw = spark.read.format("graft.sources.CellSource").load(d)
       .as[(Long, Int, String, Long, Long)].collect().toSet
     assert(raw === Set((2L, Int.MinValue, "!del*", 0L, 900L)))
+    // the grace window can also come from a catalog table property:
+    // with TBLPROPERTIES('gcGraceMs'='50') and now=1000, the ts-900
+    // tombstone (cutoff 950) is purged too
+    Files.writeString(java.nio.file.Paths.get(d, "_props"),
+      "gcGraceMs=50\n")
+    CellMaintenance.compact(spark, d, nowMs = 1000L)
+    assert(spark.read.format("graft.sources.CellSource").load(d)
+      .count() === 0L)
   }
 
   test("append into an existing table rejects a mismatched value type") {
