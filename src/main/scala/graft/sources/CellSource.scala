@@ -791,16 +791,39 @@ case class ReconcileOptions(
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
-    opts: ReconcileOptions = ReconcileOptions()) extends Scan with Batch {
+    opts: ReconcileOptions = ReconcileOptions()) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Pre-merge upper bound from the same chunk metadata the plan was
+    * pruned with (the merge can only shrink it) — enough for Catalyst
+    * to size joins over reconciled reads without executing them.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val parts = planInputPartitions()
+      .map(_.asInstanceOf[CellReconcilePartition])
+    val rows = parts.iterator.flatMap(_.fileParts.iterator)
+      .map(_.chunkRecCounts.iterator.map(_.toLong).sum).sum
+    val bytes = parts.iterator.flatMap(_.fileParts.iterator)
+      .map(_.chunkRawLens.iterator.map(_.toLong).sum).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
       s"cols=${required.fieldNames.mkString(",")} " +
       (if (opts.counter) "(counter shard-SUM k-way merge)"
        else "(LWW k-way merge)")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // planned once per Scan instance: estimateStatistics and Spark's
+  // own planInputPartitions call share the result
+  private lazy val plannedParts: Array[InputPartition] = {
     val files = CellPlanning.listFiles(path)
     // Manifest pre-filter: the Summary range/emptiness check runs on
     // summary entries, so files a pk-bounded merge never touches are
@@ -818,45 +841,49 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       .filter { case (_, h) =>
         h.count > 0 && h.maxPk >= pkLower && h.minPk <= pkUpper
       }
-    if (headers.isEmpty) return Array.empty
-    require(headers.map(h =>
-      (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct.size == 1,
-      s"reconcile scan needs a uniform value type across files in $path")
-    require(!opts.counter ||
-      ValueCodec.isNumeric(headers.head._2.valueTag),
-      s"counter tables need a numeric value type; $path holds " +
-        ValueCodec.dataTypeFor(headers.head._2.valueTag,
-          headers.head._2.decPrec, headers.head._2.decScale).simpleString)
-    val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
-    val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
-    // Split boundaries from the sparse indexes: each index entry
-    // stands for ~indexEvery records of its file, so evenly-spaced
-    // picks from the merged entry list give near-balanced ranges.
-    val cands = headers.iterator.flatMap(_._2.indexPks.iterator)
-      .filter(p => p > lo && p <= hi).toArray.distinct.sorted
-    val totalRecs = headers.iterator.map(_._2.count.toLong).sum
-    val nSplits = math.max(1, math.min(cands.length + 1,
-      ((totalRecs + subsplitRecords - 1) / subsplitRecords).toInt))
-    val bounds = (1 until nSplits)
-      .map(i => cands((i.toLong * cands.length / nSplits).toInt))
-      .distinct
-    val los = lo +: bounds
-    val his = bounds.map(_ - 1) :+ hi
-    los.zip(his).flatMap { case (rlo, rhi) =>
-      // One chunk-narrowed piece per overlapping file (no sub-split:
-      // the range IS the parallel unit). Headers were read ONCE above;
-      // the summary pre-filter skips non-overlapping files before any
-      // narrowing work.
-      val fileParts = headers.flatMap { case (f, h) =>
-        if (h.maxPk < rlo || h.minPk > rhi) Nil
-        else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
-          Long.MaxValue, Int.MaxValue)
-      }.map(_.asInstanceOf[CellInputPartition])
-      if (fileParts.isEmpty) None
-      else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
-        : InputPartition)
-    }.toArray
+    if (headers.isEmpty) Array.empty[InputPartition]
+    else {
+      require(headers.map(h =>
+        (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct.size == 1,
+        s"reconcile scan needs a uniform value type across files in $path")
+      require(!opts.counter ||
+        ValueCodec.isNumeric(headers.head._2.valueTag),
+        s"counter tables need a numeric value type; $path holds " +
+          ValueCodec.dataTypeFor(headers.head._2.valueTag,
+            headers.head._2.decPrec, headers.head._2.decScale).simpleString)
+      val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
+      val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
+      // Split boundaries from the sparse indexes: each index entry
+      // stands for ~indexEvery records of its file, so evenly-spaced
+      // picks from the merged entry list give near-balanced ranges.
+      val cands = headers.iterator.flatMap(_._2.indexPks.iterator)
+        .filter(p => p > lo && p <= hi).toArray.distinct.sorted
+      val totalRecs = headers.iterator.map(_._2.count.toLong).sum
+      val nSplits = math.max(1, math.min(cands.length + 1,
+        ((totalRecs + subsplitRecords - 1) / subsplitRecords).toInt))
+      val bounds = (1 until nSplits)
+        .map(i => cands((i.toLong * cands.length / nSplits).toInt))
+        .distinct
+      val los = lo +: bounds
+      val his = bounds.map(_ - 1) :+ hi
+      los.zip(his).flatMap { case (rlo, rhi) =>
+        // One chunk-narrowed piece per overlapping file (no sub-split:
+        // the range IS the parallel unit). Headers were read ONCE above;
+        // the summary pre-filter skips non-overlapping files before any
+        // narrowing work.
+        val fileParts = headers.flatMap { case (f, h) =>
+          if (h.maxPk < rlo || h.minPk > rhi) Nil
+          else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
+            Long.MaxValue, Int.MaxValue)
+        }.map(_.asInstanceOf[CellInputPartition])
+        if (fileParts.isEmpty) None
+        else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
+          : InputPartition)
+      }.toArray
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedParts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReconcileReaderFactory(required.fieldNames, columnar, opts)
@@ -1575,9 +1602,33 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
-    subsplitRecords: Int, columnar: Boolean) extends Scan with Batch {
+    subsplitRecords: Int, columnar: Boolean) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Pruning-aware statistics from chunk metadata (the header is the
+    * Statistics.db): record counts and UNCOMPRESSED byte sizes of
+    * exactly the chunks that survive the pushed pk/wt bounds — so a
+    * point lookup (e.g. a secondary-index probe) reports a tiny
+    * relation and Catalyst broadcasts it statically instead of
+    * waiting for an AQE re-plan.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val parts = planInputPartitions()
+      .map(_.asInstanceOf[CellInputPartition])
+    val rows = parts.iterator
+      .map(_.chunkRecCounts.iterator.map(_.toLong).sum).sum
+    val bytes = parts.iterator
+      .map(_.chunkRawLens.iterator.map(_.toLong).sum).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
   override def description(): String =
     s"CellScan path=$path pkRange=[$pkLower,$pkUpper] " +
       s"wtRange=[$wtLower,$wtUpper] " +
@@ -1598,11 +1649,15 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     *    parallelizes; each task inflates only its own chunks, seeking
     *    over pruned gaps.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  // planned once per Scan instance: estimateStatistics and Spark's
+  // own planInputPartitions call share the result
+  private lazy val plannedParts: Array[InputPartition] = {
     val files = CellPlanning.listFiles(path)
     CellPlanning.planFilesWithManifest(path, files, pkLower, pkUpper,
       wtLower, wtUpper, subsplitRecords).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedParts
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)

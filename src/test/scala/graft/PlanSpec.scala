@@ -244,6 +244,22 @@ class PlanSpec extends GraftSpec {
     assert(f.contains("isFinalPlan=true") && f.contains("*("), f)
   }
 
+  test("C18b index lookup: point scan on the index, broadcast semi join") {
+    val p = plan(Registry.byName("C18b_index_scan").fn(spark, sf()))
+    // the equality lookup runs as a pk-pushed scan of the INDEX cell
+    // table (partition key = indexed value)…
+    assert(p.contains("CellScan") && p.contains("pkRange=[2500,2500]"), p)
+    // …and the tiny hit set broadcasts into a semi join — never a
+    // shuffled or nested-loop join against the base relation
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("C10b counter scan plans the shard-SUM reconcile merge") {
+    val p = plan(Registry.byName("C10b_counter_scan").fn(spark, sf()))
+    assert(p.contains("counter shard-SUM k-way merge"), p)
+  }
+
   test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {
     val p = plan(Registry.byName("N_DEDUP7_segment_dedup").fn(spark, sf()))
     // never doc×doc: the duplicated-span join must be an equi join on
