@@ -792,9 +792,59 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
     opts: ReconcileOptions = ReconcileOptions()) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // Runtime pk filtering commutes with the per-pk merge: a file that
+  // provably holds NO queried pk (Summary range + bloom, per value)
+  // holds no version of any queried key, so dropping it cannot change
+  // a winner. Same join-driven point pruning as the plain scan.
+  private var runtimePkSet: Option[Set[Long]] = None
+  private var cached: Array[InputPartition] = _
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("pk"))
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    def isPk(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.sameElements(Array("pk"))
+        case _ => false
+      }
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case x: java.lang.Long => Some(x.longValue)
+          case x: java.lang.Integer => Some(x.longValue)
+          case _ => None
+        }
+      case _ => None
+    }
+    val sets = predicates.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isPk(kids(0)) =>
+          val vs = kids.drop(1).flatMap(longOf)
+          if (vs.length == kids.length - 1) Some(vs.toSet) else None
+        case "=" if kids.length == 2 && isPk(kids(0)) =>
+          longOf(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) synchronized {
+      runtimePkSet = Some(sets.reduce(_ intersect _))
+      cached = null
+    }
+  }
 
   /** Pre-merge upper bound from the same chunk metadata the plan was
     * pruned with (the merge can only shrink it) — enough for Catalyst
@@ -821,9 +871,14 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       (if (opts.counter) "(counter shard-SUM k-way merge)"
        else "(LWW k-way merge)")
 
-  // planned once per Scan instance: estimateStatistics and Spark's
-  // own planInputPartitions call share the result
-  private lazy val plannedParts: Array[InputPartition] = {
+  // planned once per (runtime-filter) state: estimateStatistics and
+  // Spark's own planInputPartitions call share the result; filter()
+  // invalidates so post-broadcast re-planning sees the pk set
+  private def planNow(): Array[InputPartition] = {
+    val vals = runtimePkSet
+    if (vals.exists(_.isEmpty)) return Array.empty
+    val pkLo = vals.map(v => math.max(pkLower, v.min)).getOrElse(pkLower)
+    val pkHi = vals.map(v => math.min(pkUpper, v.max)).getOrElse(pkUpper)
     val files = CellPlanning.listFiles(path)
     // Manifest pre-filter: the Summary range/emptiness check runs on
     // summary entries, so files a pk-bounded merge never touches are
@@ -835,11 +890,13 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       .filter { f =>
         byName.flatMap(_.get(Paths.get(f).getFileName.toString))
           .forall(e =>
-            e.count > 0 && e.maxPk >= pkLower && e.minPk <= pkUpper)
+            e.count > 0 && e.maxPk >= pkLo && e.minPk <= pkHi)
       }
       .map(f => (f, CellSource.readHeader(f)))
       .filter { case (_, h) =>
-        h.count > 0 && h.maxPk >= pkLower && h.minPk <= pkUpper
+        h.count > 0 && h.maxPk >= pkLo && h.minPk <= pkHi &&
+          vals.forall(_.exists(v => v >= h.minPk && v <= h.maxPk &&
+            CellSource.bloomContains(h.bloom, v)))
       }
     if (headers.isEmpty) Array.empty[InputPartition]
     else {
@@ -851,8 +908,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
         s"counter tables need a numeric value type; $path holds " +
           ValueCodec.dataTypeFor(headers.head._2.valueTag,
             headers.head._2.decPrec, headers.head._2.decScale).simpleString)
-      val lo = math.max(pkLower, headers.iterator.map(_._2.minPk).min)
-      val hi = math.min(pkUpper, headers.iterator.map(_._2.maxPk).max)
+      val lo = math.max(pkLo, headers.iterator.map(_._2.minPk).min)
+      val hi = math.min(pkHi, headers.iterator.map(_._2.maxPk).max)
       // Split boundaries from the sparse indexes: each index entry
       // stands for ~indexEvery records of its file, so evenly-spaced
       // picks from the merged entry list give near-balanced ranges.
@@ -883,7 +940,11 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = plannedParts
+  override def planInputPartitions(): Array[InputPartition] =
+    synchronized {
+      if (cached == null) cached = planNow()
+      cached
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReconcileReaderFactory(required.fieldNames, columnar, opts)
@@ -1603,9 +1664,85 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
     subsplitRecords: Int, columnar: Boolean) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // --- Runtime (DPP-style) pk filtering: when this scan is the probe
+  // side of a broadcast join on pk, Spark hands the build side's pk
+  // SET here after the broadcast materializes, and the scan re-plans:
+  // a file survives only if SOME queried pk passes its Summary range
+  // AND bloom filter — point-read pruning driven by the join itself,
+  // the Cassandra "fetch these partitions" shape (and what a
+  // secondary-index probe does to the base table at 100 TB).
+  private var runtimePkSet: Option[Set[Long]] = None
+  private var cached: Array[InputPartition] = _
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("pk"))
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    def isPk(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.sameElements(Array("pk"))
+        case _ => false
+      }
+    def longOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value match {
+          case x: java.lang.Long => Some(x.longValue)
+          case x: java.lang.Integer => Some(x.longValue)
+          case _ => None
+        }
+      case _ => None
+    }
+    val sets = predicates.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isPk(kids(0)) =>
+          val vs = kids.drop(1).flatMap(longOf)
+          if (vs.length == kids.length - 1) Some(vs.toSet) else None
+        case "=" if kids.length == 2 && isPk(kids(0)) =>
+          longOf(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) synchronized {
+      runtimePkSet = Some(sets.reduce(_ intersect _))
+      cached = null // re-plan under the runtime set
+    }
+  }
+
+  private def planWithRuntimeSet(vals: Set[Long]): Array[InputPartition] = {
+    if (vals.isEmpty) return Array.empty
+    val lo = math.max(pkLower, vals.min)
+    val hi = math.min(pkUpper, vals.max)
+    val files = CellPlanning.listFiles(path)
+    val byName = CellManifest.current(path, files)
+      .map(_.map(e => e.name -> e).toMap)
+    files.flatMap { f =>
+      val entry = byName.flatMap(
+        _.get(Paths.get(f).getFileName.toString))
+      if (entry.exists(e => e.count == 0 ||
+          !vals.exists(v => v >= e.minPk && v <= e.maxPk))) Nil
+      else {
+        val h = CellSource.readHeader(f)
+        val hit = vals.exists(v => v >= h.minPk && v <= h.maxPk &&
+          CellSource.bloomContains(h.bloom, v))
+        if (!hit) Nil
+        else CellPlanning.planFile(f, h, lo, hi, wtLower, wtUpper,
+          subsplitRecords)
+      }
+    }.toArray
+  }
 
   /** Pruning-aware statistics from chunk metadata (the header is the
     * Statistics.db): record counts and UNCOMPRESSED byte sizes of
@@ -1649,15 +1786,20 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     *    parallelizes; each task inflates only its own chunks, seeking
     *    over pruned gaps.
     */
-  // planned once per Scan instance: estimateStatistics and Spark's
-  // own planInputPartitions call share the result
-  private lazy val plannedParts: Array[InputPartition] = {
-    val files = CellPlanning.listFiles(path)
-    CellPlanning.planFilesWithManifest(path, files, pkLower, pkUpper,
-      wtLower, wtUpper, subsplitRecords).toArray
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = plannedParts
+  // planned once per (runtime-filter) state: estimateStatistics and
+  // Spark's own planInputPartitions call share the result; filter()
+  // invalidates so post-broadcast re-planning sees the pk set
+  override def planInputPartitions(): Array[InputPartition] =
+    synchronized {
+      if (cached == null) cached = runtimePkSet match {
+        case Some(vals) => planWithRuntimeSet(vals)
+        case None =>
+          val files = CellPlanning.listFiles(path)
+          CellPlanning.planFilesWithManifest(path, files, pkLower,
+            pkUpper, wtLower, wtUpper, subsplitRecords).toArray
+      }
+      cached
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)

@@ -1163,6 +1163,73 @@ class SourceSpec extends GraftSpec {
     assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
   }
 
+  test("runtime pk filtering: a broadcast join prunes cell files at runtime") {
+    // SupportsRuntimeV2Filtering: the build side's pk set reaches the
+    // scan after the broadcast materializes, and the scan re-plans to
+    // the files whose Summary range + bloom admit SOME queried pk —
+    // join-driven point pruning (what a 100 TB index probe needs).
+    val d = Files.createTempDirectory("cells-dpp").toString
+    // 4 disjoint pk-range files via 4 single-file appends
+    (0 until 4).foreach { i =>
+      val base = i * 1000L
+      (0 until 50).map(j => (base + j, 0, "qty", j.toLong, 100L))
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    }
+    // file-backed dim (a LocalRelation doesn't qualify for the
+    // pruning-subquery rewrite), filtered to pks in ONE file's range
+    val dimDir = Files.createTempDirectory("cells-dpp-dim").toString
+    import spark.implicits._
+    Seq((2001L, "a"), (2002L, "b"), (9999L, "miss"))
+      .toDF("jpk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") =!= "miss")
+    val cells = spark.read.format("graft.sources.CellSource").load(d)
+    val joined = cells.join(dim, col("pk") === col("jpk"))
+      .select(col("pk"), col("value"), col("tag"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(2001L, 2002L))
+    // the scan carries a runtime filter in the executed plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning") ||
+      p.contains("RuntimeFilters: [pk"), p)
+  }
+
+  test("runtime pk filtering also prunes the reconcile merge plan") {
+    // same join-driven pruning through the k-way MERGE scan: a file
+    // holding no queried pk holds no version of any queried key, so
+    // dropping it can't change a winner
+    val d = Files.createTempDirectory("cells-dpp-rec").toString
+    (0 until 4).foreach { i =>
+      val base = i * 1000L
+      (0 until 50).map(j => (base + j, 0, "qty", j.toLong, 100L + i))
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    }
+    // one REWRITE of a queried key in a separate flush — the merge
+    // must still see both versions after pruning
+    Seq((2001L, 0, "qty", 777L, 999L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val dimDir = Files.createTempDirectory("cells-dpp-rec-dim").toString
+    import spark.implicits._
+    Seq((2001L, "a"), (2002L, "b"), (9999L, "miss"))
+      .toDF("jpk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") =!= "miss")
+    val merged = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    val joined = merged.join(dim, col("pk") === col("jpk"))
+      .select(col("pk"), col("value"))
+    val rows = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((2001L, 777L), (2002L, 2L)),
+      s"LWW winner must survive runtime pruning: $rows")
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning") ||
+      p.contains("RuntimeFilters: [pk"), p)
+  }
+
   test("secondary index: value-keyed cell table, pruned lookup (C18b)") {
     import graft.sources.CellIndex
     val d = Files.createTempDirectory("cells-2i-base").toString
