@@ -134,6 +134,32 @@ object CellMaintenance {
       .select(col("bucket"), col("status"))
   }
 
+  /** Delete crash-orphaned staged files (`.staged-*.tmp`): a task
+    * that died between roll() and commit leaves its stage behind —
+    * invisible to readers (listFiles only serves `.cells`) but
+    * holding disk forever. A stage older than `olderThanMs` cannot
+    * belong to a live write (task stages are consumed by their own
+    * job's commit). Returns the deleted names. The wall clock is only
+    * a default — tests and schedulers can pin `nowMs`.
+    */
+  def cleanOrphans(dir: String, olderThanMs: Long = 86400000L,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val d = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+    if (!java.nio.file.Files.exists(d)) return Nil
+    val old = scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".staged-") && n.endsWith(".tmp") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis <
+              nowMs - olderThanMs
+        }.toList
+    }
+    old.map { p =>
+      java.nio.file.Files.delete(p); p.getFileName.toString
+    }
+  }
+
   /** The incremental-view variant: compact only when the table has
     * more than `maxFiles` flush files (minor-compaction trigger).
     */

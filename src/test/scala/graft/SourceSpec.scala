@@ -1163,6 +1163,31 @@ class SourceSpec extends GraftSpec {
     assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
   }
 
+  test("cleanOrphans removes only stale staged files") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-orphans").toString
+    Seq((1L, 1, "qty", 10L, 100L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // an OLD crash orphan, a FRESH in-flight stage, and a decoy name
+    val old = JP.get(d, ".staged-1-00000-0000.cells.tmp")
+    val fresh = JP.get(d, ".staged-2-00000-0000.cells.tmp")
+    JF.write(old, Array[Byte](1)); JF.write(fresh, Array[Byte](1))
+    val now = 1000000000L
+    JF.setLastModifiedTime(old,
+      java.nio.file.attribute.FileTime.fromMillis(now - 7200000L))
+    JF.setLastModifiedTime(fresh,
+      java.nio.file.attribute.FileTime.fromMillis(now - 1000L))
+    val deleted = CellMaintenance.cleanOrphans(d,
+      olderThanMs = 3600000L, nowMs = now)
+    assert(deleted === Seq(".staged-1-00000-0000.cells.tmp"))
+    assert(!JF.exists(old) && JF.exists(fresh))
+    // the table itself is untouched
+    assert(spark.read.format("graft.sources.CellSource").load(d)
+      .count() === 1L)
+  }
+
   test("runtime pk filtering: a broadcast join prunes cell files at runtime") {
     // SupportsRuntimeV2Filtering: the build side's pk set reaches the
     // scan after the broadcast materializes, and the scan re-plans to
