@@ -119,6 +119,20 @@ object Cells {
     """SELECT pk, ck, col, value, wt FROM cells WHERE pk = 3
       |ORDER BY ck, col, wt, value""".stripMargin
 
+  // C8b — multiget (the CQL `WHERE pk IN (...)` shape): the IN list
+  // pushes into the connector, which prunes files PER VALUE (Summary
+  // range + bloom) — k point reads planned as one scan, through the
+  // reconcile merge (pk sets commute with it).
+  private def multiget(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readReconciled(s, d)
+      .filter(col("pk").isin(3L, 7L, 2500L, 999999999L))
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val multigetSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk IN (3, 7, 2500, 999999999)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C9 — col_pruning: project a column subset only; the connector's
   // pruneColumns narrows the record decode to (pk, ck, value).
   private def colPruning(s: SparkSession, d: String): DataFrame =
@@ -568,6 +582,7 @@ object Cells {
     GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
     GQuery("C11b_collection_scan", listScan, Some(listScanSql)),
     GQuery("C18b_index_scan", secondaryIdxScan, Some(secondaryIdxSql)),
+    GQuery("C8b_multiget", multiget, Some(multigetSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),
     GQuery("C14b_typed_connector_scan", typedConnector,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -582,6 +582,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private var pkUpper = Long.MaxValue
   private var wtLower = Long.MinValue
   private var wtUpper = Long.MaxValue
+  private var pkSet: Option[Set[Long]] = None // pushed pk IN (...)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggTags: Option[Array[String]] = None
@@ -618,7 +619,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       : Option[Array[String]] = {
     val noFilters = !reconcile &&
       pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
-      wtLower == Long.MinValue && wtUpper == Long.MaxValue
+      wtLower == Long.MinValue && wtUpper == Long.MaxValue &&
+      pkSet.isEmpty
     val tags = agg.aggregateExpressions.flatMap(aggTag(_).toSeq)
     if (noFilters && agg.groupByExpressions.isEmpty &&
         tags.length == agg.aggregateExpressions.length && tags.nonEmpty)
@@ -654,9 +656,17 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       case GreaterThanOrEqual(c, _: java.lang.Long) => ok(c)
       case LessThan(c, _: java.lang.Long) => ok(c)
       case LessThanOrEqual(c, _: java.lang.Long) => ok(c)
+      // the CQL multiget: `pk IN (...)` prunes files per VALUE
+      // (Summary range + bloom), commuting with the reconcile merge
+      case In("pk", vs) => vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[java.lang.Long])
       case _ => false
     }
     accepted.foreach {
+      case In("pk", vs) =>
+        val s = vs.iterator.map(_.asInstanceOf[java.lang.Long].longValue)
+          .toSet
+        pkSet = Some(pkSet.fold(s)(_ intersect s))
       case EqualTo("pk", v: java.lang.Long) =>
         pkLower = math.max(pkLower, v); pkUpper = math.min(pkUpper, v)
       case GreaterThan("pk", v: java.lang.Long) =>
@@ -694,10 +704,10 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, reconcileOpts)
+        subsplitRecords, columnar, reconcileOpts, pkSet)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-        subsplitRecords, columnar)
+        subsplitRecords, columnar, pkSet)
   }
 }
 
@@ -791,7 +801,8 @@ case class ReconcileOptions(
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
-    opts: ReconcileOptions = ReconcileOptions()) extends Scan with Batch
+    opts: ReconcileOptions = ReconcileOptions(),
+    staticPks: Option[Set[Long]] = None) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -874,8 +885,16 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   // planned once per (runtime-filter) state: estimateStatistics and
   // Spark's own planInputPartitions call share the result; filter()
   // invalidates so post-broadcast re-planning sees the pk set
+  // static pushed `pk IN (...)` (multiget) and the runtime join set
+  // compose by intersection
+  private def effectivePkSet: Option[Set[Long]] =
+    (staticPks, runtimePkSet) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+
   private def planNow(): Array[InputPartition] = {
-    val vals = runtimePkSet
+    val vals = effectivePkSet
     if (vals.exists(_.isEmpty)) return Array.empty
     val pkLo = vals.map(v => math.max(pkLower, v.min)).getOrElse(pkLower)
     val pkHi = vals.map(v => math.min(pkUpper, v.max)).getOrElse(pkUpper)
@@ -1663,7 +1682,8 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
-    subsplitRecords: Int, columnar: Boolean) extends Scan with Batch
+    subsplitRecords: Int, columnar: Boolean,
+    staticPks: Option[Set[Long]] = None) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -1788,10 +1808,18 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     */
   // planned once per (runtime-filter) state: estimateStatistics and
   // Spark's own planInputPartitions call share the result; filter()
-  // invalidates so post-broadcast re-planning sees the pk set
+  // invalidates so post-broadcast re-planning sees the pk set. The
+  // STATIC pushed `pk IN (...)` set (multiget) and the RUNTIME join
+  // set compose by intersection.
+  private def effectivePkSet: Option[Set[Long]] =
+    (staticPks, runtimePkSet) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     synchronized {
-      if (cached == null) cached = runtimePkSet match {
+      if (cached == null) cached = effectivePkSet match {
         case Some(vals) => planWithRuntimeSet(vals)
         case None =>
           val files = CellPlanning.listFiles(path)

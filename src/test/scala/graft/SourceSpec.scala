@@ -1163,6 +1163,42 @@ class SourceSpec extends GraftSpec {
     assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
   }
 
+  test("pk IN (...) pushes down and prunes files per value (C8b)") {
+    val d = Files.createTempDirectory("cells-multiget").toString
+    (0 until 4).foreach { i =>
+      val base = i * 1000L
+      (0 until 50).map(j => (base + j, 0, "qty", j.toLong, 100L))
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    }
+    def read() = spark.read.format("graft.sources.CellSource").load(d)
+    // values from ONE file's range → one partition planned
+    val one = read().filter(col("pk").isin(2001L, 2002L))
+    assert(one.rdd.getNumPartitions === 1, "per-value file pruning")
+    assert(one.collect().map(_.getLong(0)).toSet === Set(2001L, 2002L))
+    // values inside ranges but ABSENT → bloom prunes to zero
+    val none = read().filter(col("pk").isin(57L, 1063L))
+    assert(none.rdd.getNumPartitions === 0, "bloom per-value pruning")
+    assert(none.count() === 0L)
+    // spanning sets hit exactly the covering files; the residual
+    // filter still drops in-range non-members
+    val span = read().filter(col("pk").isin(5L, 3005L))
+    assert(span.rdd.getNumPartitions === 2)
+    assert(span.collect().map(_.getLong(0)).toSet === Set(5L, 3005L))
+    // reconcile path: LWW winner of a multiget key survives
+    Seq((2001L, 0, "qty", 777L, 999L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk").isin(2001L, 3005L))
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(rec === Set((2001L, 0, "qty", 777L, 999L),
+      (3005L, 0, "qty", 5L, 100L)))
+  }
+
   test("cleanOrphans removes only stale staged files") {
     import java.nio.file.{Files => JF, Paths => JP}
     import graft.sources.CellMaintenance
