@@ -190,15 +190,25 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     new CellTable(dir.toString, schemaOf(dir), props)
   }
 
+  /** Depth-first recursive delete: table/namespace residue can nest
+    * (a streaming `_checkpoint` dir, a hidden working dir) and a flat
+    * `Files.delete` would die half-way with DirectoryNotEmptyException,
+    * leaving a partially-deleted tree behind.
+    */
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Using.resource(Files.list(p)) {
+        _.iterator().asScala.toList.foreach(deleteTree)
+      }
+    Files.delete(p)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     if (!namespaceExists(ident.namespace())) return false
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) false
     else {
-      Using.resource(Files.list(dir)) {
-        _.iterator().asScala.toList.foreach(Files.delete)
-      }
-      Files.delete(dir)
+      deleteTree(dir)
       true
     }
   }
@@ -263,9 +273,12 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     if (tables.nonEmpty && !cascade)
       throw new NonEmptyNamespaceException(catalogName +: nsOf(namespace))
     tables.foreach(t => dropTable(t))
-    // any residual metadata files (_nsprops etc.), then the dir itself
+    // Residual metadata entries (_nsprops etc.) can themselves be
+    // directories that listTables skips ('_'/'.'-prefixed); delete
+    // them recursively so the drop never dies half-way with
+    // DirectoryNotEmptyException and a partially-deleted namespace.
     Using.resource(Files.list(d)) {
-      _.iterator().asScala.toList.foreach(Files.delete)
+      _.iterator().asScala.toList.foreach(deleteTree)
     }
     Files.delete(d)
     true

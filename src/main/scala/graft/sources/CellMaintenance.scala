@@ -56,10 +56,18 @@ object CellMaintenance {
       if (gcGraceMs != Long.MaxValue) gcGraceMs
       else tableProp(dir, "gcGraceMs").map(_.toLong)
         .getOrElse(Long.MaxValue)
+    // Counter tables MUST compact under shard-SUM merge: a default LWW
+    // read would keep only the latest shard and permanently lose the
+    // other deltas. Path-based reads never see catalog `_props`, so
+    // the property is resolved here and forwarded explicitly (same
+    // pattern as the grace window above). The summed cell the rewrite
+    // lands is the new single shard — Σ is preserved.
+    val counter = tableProp(dir, "counter").exists(_.toBoolean)
     val before = CellPlanning.listFiles(dir).size
     spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
+      .option("counter", counter.toString)
       .option("gcGraceMs", grace.toString)
       .option("gcNowMs", nowMs.toString)
       .load(dir)

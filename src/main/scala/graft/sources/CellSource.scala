@@ -905,23 +905,36 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     // header (sparse index → split bounds, chunk table → narrowing).
     val byName = CellManifest.current(path, files)
       .map(_.map(e => e.name -> e).toMap)
-    val headers = files
+    val opened = files
       .filter { f =>
         byName.flatMap(_.get(Paths.get(f).getFileName.toString))
           .forall(e =>
             e.count > 0 && e.maxPk >= pkLo && e.minPk <= pkHi)
       }
       .map(f => (f, CellSource.readHeader(f)))
-      .filter { case (_, h) =>
-        h.count > 0 && h.maxPk >= pkLo && h.minPk <= pkHi &&
-          vals.forall(_.exists(v => v >= h.minPk && v <= h.maxPk &&
-            CellSource.bloomContains(h.bloom, v)))
-      }
+    // Value-type uniformity is a TABLE property, so the guard must run
+    // over every non-empty file, not just pruning survivors — a
+    // pre-existing mixed-type dir whose odd-typed file happens to be
+    // pruned would otherwise silently serve wrong-typed winners. With
+    // a fresh manifest the full check is free (types are in the
+    // entries); without one, every header was opened above anyway.
+    val tableTypes = byName match {
+      case Some(m) => files
+        .flatMap(f => m.get(Paths.get(f).getFileName.toString))
+        .filter(_.count > 0)
+        .map(e => (e.valueTag, e.decPrec, e.decScale)).distinct
+      case None => opened.filter(_._2.count > 0)
+        .map(h => (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct
+    }
+    require(tableTypes.size <= 1,
+      s"reconcile scan needs a uniform value type across files in $path")
+    val headers = opened.filter { case (_, h) =>
+      h.count > 0 && h.maxPk >= pkLo && h.minPk <= pkHi &&
+        vals.forall(_.exists(v => v >= h.minPk && v <= h.maxPk &&
+          CellSource.bloomContains(h.bloom, v)))
+    }
     if (headers.isEmpty) Array.empty[InputPartition]
     else {
-      require(headers.map(h =>
-        (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct.size == 1,
-        s"reconcile scan needs a uniform value type across files in $path")
       require(!opts.counter ||
         ValueCodec.isNumeric(headers.head._2.valueTag),
         s"counter tables need a numeric value type; $path holds " +

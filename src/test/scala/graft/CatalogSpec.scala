@@ -12,8 +12,10 @@ import graft.cassandra.CellModel
   */
 class CatalogSpec extends GraftSpec {
 
+  private lazy val root: String =
+    Files.createTempDirectory("cell-catalog").toString
+
   private lazy val cat: String = {
-    val root = Files.createTempDirectory("cell-catalog").toString
     spark.conf.set("spark.sql.catalog.gcells",
       "graft.sources.CellCatalog")
     spark.conf.set("spark.sql.catalog.gcells.root", root)
@@ -146,5 +148,26 @@ class CatalogSpec extends GraftSpec {
     }
     assert(spark.sql(s"SHOW TABLES IN $cat.default").collect()
       .map(_.getString(1)).toSet.intersect(Set("bad", "bad2")).isEmpty)
+  }
+
+  test("drops survive nested residual directories") {
+    import java.nio.file.{Files, Paths}
+    spark.sql(s"CREATE NAMESPACE $cat.ksres")
+    spark.sql(s"CREATE TABLE $cat.ksres.t " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    spark.sql(s"INSERT INTO $cat.ksres.t VALUES (1, 1, 'qty', 10, 100)")
+    // residue a real pipeline leaves behind: a nested streaming
+    // checkpoint dir inside the table, and a '_'-prefixed working dir
+    // in the namespace that listTables skips — a flat delete dies
+    // half-way on either
+    val nsDir = Paths.get(root, "ksres")
+    Files.createDirectories(nsDir.resolve("t").resolve("_checkpoint"))
+    Files.writeString(
+      nsDir.resolve("t").resolve("_checkpoint").resolve("state"), "x")
+    Files.createDirectories(nsDir.resolve("_staging").resolve("job1"))
+    Files.writeString(
+      nsDir.resolve("_staging").resolve("job1").resolve("tmp"), "y")
+    spark.sql(s"DROP NAMESPACE $cat.ksres CASCADE")
+    assert(!Files.exists(nsDir))
   }
 }

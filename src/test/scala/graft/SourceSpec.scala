@@ -1431,4 +1431,72 @@ class SourceSpec extends GraftSpec {
     assert(back.schema("value").dataType.typeName === "long")
     assert(back.count() === 1)
   }
+
+  test("compaction preserves counter sums via the counter property") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-counter-compact").toString
+    // counter shards across two flush generations
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 5L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 1, "qty", 7L, 200L), (1L, 1, "qty", -2L, 300L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // the catalog-declared counter table property must steer the
+    // compaction read: an LWW rewrite would keep only the -2 shard
+    // and permanently lose the sum
+    Files.writeString(java.nio.file.Paths.get(d, "_props"),
+      "counter=true\n")
+    CellMaintenance.compact(spark, d)
+    val summed = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("counter", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(summed === Set((1L, 1, "qty", 15L, 300L),
+      (2L, 1, "qty", 5L, 100L)))
+    // the rewrite landed ONE summed shard per counter, not the loser
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(raw === summed)
+  }
+
+  test("mixed-type dir fails reconcile even when pruning drops the odd file") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val d = Files.createTempDirectory("cells-mixed").toString
+    Seq((1L, 1, "qty", 10L, 100L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // fabricate a pre-guard mixed directory: a string-valued file
+    // smuggled in as a later generation, far away in pk space so a
+    // point lookup at pk=1 range-prunes it
+    val sd = Files.createTempDirectory("cells-mixed-str").toString
+    Seq((1000L, 1, "flag", "R", 100L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(sd)
+    val sfile = Files.list(Paths.get(sd)).iterator.asScala
+      .find(_.toString.endsWith(".cells")).get
+    Files.copy(sfile, Paths.get(d, "data-0001.cells"),
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.CellManifest.refresh(d)
+    // manifest path: the odd-typed file is pruned by the Summary range
+    // check, but the uniformity guard must still fail table-wide
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(d)
+        .filter(col("pk") === 1L).collect()
+    }
+    assert(e.toString.contains("uniform") ||
+      Option(e.getCause).exists(_.toString.contains("uniform")), e.toString)
+    // header-fallback path (stale/absent manifest): same failure
+    Files.delete(Paths.get(d, "_manifest"))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(d)
+        .filter(col("pk") === 1L).collect()
+    }
+    assert(e2.toString.contains("uniform") ||
+      Option(e2.getCause).exists(_.toString.contains("uniform")),
+      e2.toString)
+  }
 }
