@@ -38,7 +38,8 @@ object CellManifest {
     * its header.
     */
   case class Entry(name: String, minPk: Long, maxPk: Long, count: Int,
-      valueTag: Int, decPrec: Int, decScale: Int)
+      valueTag: Int, decPrec: Int, decScale: Int,
+      keySpec: KeySpec = KeySpec.Default)
 
   private def manifestPath(dir: String): Path =
     Paths.get(CellPlanning.normalize(dir)).resolve(FileName)
@@ -46,7 +47,7 @@ object CellManifest {
   private def entryFor(file: String): Entry = {
     val h = CellSource.readHeader(file)
     Entry(Paths.get(file).getFileName.toString, h.minPk, h.maxPk,
-      h.count, h.valueTag, h.decPrec, h.decScale)
+      h.count, h.valueTag, h.decPrec, h.decScale, h.keySpec)
   }
 
   /** Raw manifest contents; None when absent or unparseable. */
@@ -58,8 +59,11 @@ object CellManifest {
       if (lines.isEmpty || lines.head != MagicLine) return None
       Some(lines.tail.filter(_.nonEmpty).map { l =>
         val f = l.split('\t')
+        // field 8 (CEL6): the typed key spec's serial form; absent in
+        // manifests written before typed keys existed = default layout
         Entry(f(0), f(1).toLong, f(2).toLong, f(3).toInt, f(4).toInt,
-          f(5).toInt, f(6).toInt)
+          f(5).toInt, f(6).toInt,
+          if (f.length > 7) KeySpec.parse(f(7)) else KeySpec.Default)
       }.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -92,7 +96,8 @@ object CellManifest {
     }
     val body = (MagicLine +: entries.map(e =>
       s"${e.name}\t${e.minPk}\t${e.maxPk}\t${e.count}\t${e.valueTag}" +
-        s"\t${e.decPrec}\t${e.decScale}")).mkString("", "\n", "\n")
+        s"\t${e.decPrec}\t${e.decScale}\t${e.keySpec.serial}"))
+      .mkString("", "\n", "\n")
     val p = manifestPath(dir)
     val tmp = p.resolveSibling(s"$FileName.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))

@@ -66,20 +66,32 @@ class CellSource extends TableProvider {
     val existing = if (path == null) Nil else CellPlanning.listFiles(path)
     existing.headOption match {
       case Some(f) =>
-        // Manifest fast path: the value type comes from the summary
-        // file, zero data-file opens; fall back to the first header.
-        val (tag, prec, scale) = CellManifest.current(path, existing)
+        // Manifest fast path: the value type AND key spec come from
+        // the summary file, zero data-file opens; fall back to the
+        // first header.
+        val (tag, prec, scale, spec) = CellManifest.current(path, existing)
           .flatMap(_.headOption)
-          .map(e => (e.valueTag, e.decPrec, e.decScale))
+          .map(e => (e.valueTag, e.decPrec, e.decScale, e.keySpec))
           .getOrElse {
             val h = CellSource.readHeader(f)
-            (h.valueTag, h.decPrec, h.decScale)
+            (h.valueTag, h.decPrec, h.decScale, h.keySpec)
           }
-        CellSource.schemaFor(ValueCodec.dataTypeFor(tag, prec, scale))
+        CellSource.schemaFor(spec,
+          ValueCodec.dataTypeFor(tag, prec, scale))
       case None =>
-        Option(options.get("valueType"))
-          .map(t => CellSource.schemaFor(ValueCodec.parseType(t)))
-          .getOrElse(CellSource.Schema)
+        val vt = Option(options.get("valueType"))
+          .map(ValueCodec.parseType).getOrElse(LongType)
+        Option(options.get("primaryKey")) match {
+          case Some(pkSyntax) =>
+            // A fresh typed table: the intended key layout comes from
+            // the `primaryKey` option plus per-part `keyType.<name>`
+            // type options (default long), same as the write side.
+            CellSource.schemaFor(
+              KeySpec.fromSyntax(pkSyntax, n =>
+                Option(options.get(s"keyType.$n"))
+                  .map(ValueCodec.parseType).getOrElse(LongType)), vt)
+          case None => CellSource.schemaFor(vt)
+        }
     }
   }
 
@@ -227,13 +239,196 @@ object ValueCodec {
   }
 }
 
+/** One typed key component (CEL6): a named column of the partition or
+  * clustering key, typed by a [[ValueCodec]] tag.
+  */
+case class KeyPart(name: String, tag: Int, prec: Int, scale: Int) {
+  def dataType: DataType = ValueCodec.dataTypeFor(tag, prec, scale)
+}
+
+/** The key layout of a cell table (CEL6, SURVEY §1.1 "PRIMARY KEY
+  * ((p1, p2), c1)" row; VERDICT r6 "Next round" §1): an ordered list
+  * of typed partition-key parts and clustering-key parts. The default
+  * spec — single `pk: long`, single `ck: int` — is the CEL4/5 layout;
+  * any other spec writes the CEL6 format.
+  */
+case class KeySpec(pkParts: List[KeyPart], ckParts: List[KeyPart]) {
+  def isDefault: Boolean = this == KeySpec.Default
+  def keyFields: Seq[StructField] = (pkParts ++ ckParts)
+    .map(p => StructField(p.name, p.dataType, nullable = false))
+  /** Manifest/debug serialization: `pk parts ; ck parts`. */
+  def serial: String = {
+    def one(ps: List[KeyPart]) =
+      ps.map(p => s"${p.name}:${p.tag}:${p.prec}:${p.scale}")
+        .mkString(",")
+    s"${one(pkParts)};${one(ckParts)}"
+  }
+}
+
+object KeySpec {
+  val Default: KeySpec = KeySpec(
+    List(KeyPart("pk", ValueCodec.LongTag, 0, 0)),
+    List(KeyPart("ck", ValueCodec.IntTag, 0, 0)))
+
+  def parse(s: String): KeySpec = {
+    def parts(x: String): List[KeyPart] =
+      if (x.isEmpty) Nil
+      else x.split(',').toList.map { p =>
+        val f = p.split(':')
+        KeyPart(f(0), f(1).toInt, f(2).toInt, f(3).toInt)
+      }
+    val halves = s.split(';')
+    KeySpec(parts(halves(0)),
+      parts(if (halves.length > 1) halves(1) else ""))
+  }
+
+  /** CQL-style key declaration: `((p1, p2), c1, c2)` — the inner
+    * parens group the partition key; without them the FIRST name is
+    * the partition key and the rest cluster (`(p, c)` =
+    * `PRIMARY KEY (p, c)`). Part types come from `typeOf` (the input
+    * dataframe's schema on the write side; `keyType.<name>` options on
+    * the schema-inference side).
+    */
+  def fromSyntax(s: String, typeOf: String => DataType): KeySpec = {
+    val t = s.trim
+    require(t.startsWith("(") && t.endsWith(")"),
+      s"primaryKey must look like ((p1,p2),c1) or (p,c): got '$s'")
+    val inner = t.substring(1, t.length - 1).trim
+    def names(x: String): List[String] =
+      x.split(',').map(_.trim).filter(_.nonEmpty).toList
+    val (pkNames, ckNames) =
+      if (inner.startsWith("(")) {
+        val close = inner.indexOf(')')
+        require(close > 0, s"unclosed partition-key group in '$s'")
+        (names(inner.substring(1, close)),
+          names(inner.substring(close + 1).dropWhile(c =>
+            c == ',' || c == ' ')))
+      } else {
+        val all = names(inner)
+        (all.take(1), all.drop(1))
+      }
+    require(pkNames.nonEmpty, s"empty partition key in '$s'")
+    def part(n: String): KeyPart = {
+      val dt = typeOf(n)
+      dt match {
+        case d: DecimalType =>
+          KeyPart(n, ValueCodec.tagFor(dt), d.precision, d.scale)
+        case _ => KeyPart(n, ValueCodec.tagFor(dt), 0, 0)
+      }
+    }
+    KeySpec(pkNames.map(part), ckNames.map(part))
+  }
+}
+
+/** Partition-token computation and typed-key comparison (CEL6). The
+  * physical layer — Summary min/max, bloom filter, sparse index,
+  * manifest ranges — is keyed by a LONG TOKEN, exactly Cassandra's
+  * Murmur3Partitioner architecture: partitions live in token order,
+  * not key order, and every point/IN lookup hashes the key to its
+  * token before pruning. A single-`long` partition key uses the
+  * IDENTITY token (token == value) so long-keyed tables keep true
+  * range pushdown; any other key type or composite hashes. Range
+  * predicates on a hashed key are NOT pushed (Cassandra requires
+  * `token()` for partition ranges for the same reason) — Spark
+  * applies them post-scan as residual filters. Token collisions are
+  * harmless everywhere: pruning is advisory (residual filters re-run
+  * on survivors) and the merge cursor compares the FULL typed key
+  * after the token.
+  */
+object KeyCodec {
+  /** token == pk value: single long partition key (range-pushable). */
+  def identityToken(spec: KeySpec): Boolean = spec.pkParts match {
+    case KeyPart(_, ValueCodec.LongTag, _, _) :: Nil => true
+    case _ => false
+  }
+
+  private def bytesHash(b: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ len
+    var i = off
+    val end = off + len
+    while (i < end) {
+      h = CellSource.mix64(h ^ (b(i) & 0xffL))
+      i += 1
+    }
+    h
+  }
+
+  private def partHash(tag: Int, v: Any): Long = tag match {
+    case ValueCodec.LongTag | ValueCodec.TimestampTag =>
+      v.asInstanceOf[Long]
+    case ValueCodec.IntTag => v.asInstanceOf[Int].toLong
+    case ValueCodec.BoolTag => if (v.asInstanceOf[Boolean]) 1L else 0L
+    case ValueCodec.DoubleTag =>
+      java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+    case ValueCodec.StringTag =>
+      val u = v.asInstanceOf[UTF8String].getBytes
+      bytesHash(u, 0, u.length)
+    case ValueCodec.BinaryTag =>
+      val b = v.asInstanceOf[Array[Byte]]
+      bytesHash(b, 0, b.length)
+    case ValueCodec.DecimalTag => v.asInstanceOf[Decimal].toUnscaledLong
+  }
+
+  /** Token of one partition key (internal representations). */
+  def token(spec: KeySpec, pkVals: Array[Any]): Long =
+    if (identityToken(spec)) pkVals(0).asInstanceOf[Long]
+    else {
+      var h = 0x2545f4914f6cdd1dL
+      var i = 0
+      while (i < spec.pkParts.length) {
+        h = CellSource.mix64(h ^ partHash(spec.pkParts(i).tag, pkVals(i)))
+        i += 1
+      }
+      h
+    }
+
+  /** External (filter-value) JVM type → internal representation for
+    * one key part; None when the value's type doesn't match the tag
+    * (the filter is then simply not pushed).
+    */
+  def toInternal(tag: Int, v: Any): Option[Any] = (tag, v) match {
+    case (ValueCodec.LongTag, x: java.lang.Long) => Some(x.longValue)
+    case (ValueCodec.LongTag, x: java.lang.Integer) => Some(x.longValue)
+    case (ValueCodec.IntTag, x: java.lang.Integer) => Some(x.intValue)
+    case (ValueCodec.StringTag, x: String) =>
+      Some(UTF8String.fromString(x))
+    case (ValueCodec.StringTag, x: UTF8String) => Some(x)
+    case (ValueCodec.TimestampTag, x: java.lang.Long) =>
+      Some(x.longValue)
+    case (ValueCodec.DoubleTag, x: java.lang.Double) =>
+      Some(x.doubleValue)
+    case (ValueCodec.BoolTag, x: java.lang.Boolean) =>
+      Some(x.booleanValue)
+    case (ValueCodec.BinaryTag, x: Array[Byte]) => Some(x)
+    case _ => None
+  }
+
+  /** Typed lexicographic comparison of two key-part arrays. */
+  def compareParts(parts: List[KeyPart], a: Array[Any],
+      b: Array[Any]): Int = {
+    var i = 0
+    var ps = parts
+    while (ps.nonEmpty) {
+      val c = ValueCodec.compare(ps.head.tag, a(i), b(i))
+      if (c != 0) return c
+      i += 1; ps = ps.tail
+    }
+    0
+  }
+}
+
 object CellSource {
-  def schemaFor(valueType: DataType): StructType = StructType(Seq(
-    StructField("pk", LongType, nullable = false),
-    StructField("ck", IntegerType, nullable = false),
-    StructField("col", StringType, nullable = false),
-    StructField("value", valueType, nullable = false),
-    StructField("wt", LongType, nullable = false)))
+  def schemaFor(valueType: DataType): StructType =
+    schemaFor(KeySpec.Default, valueType)
+
+  /** Full scan schema of a table: typed key part columns (CEL6), then
+    * the fixed (col, value, wt) cell tail.
+    */
+  def schemaFor(spec: KeySpec, valueType: DataType): StructType =
+    StructType(spec.keyFields ++ Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("value", valueType, nullable = false),
+      StructField("wt", LongType, nullable = false)))
 
   val Schema: StructType = schemaFor(LongType)
 
@@ -293,6 +488,21 @@ object CellSource {
 
   val Magic = 0x43454c34 // "CEL4": fixed long values, ColNames table
   val Magic5 = 0x43454c35 // "CEL5": typed values + per-file col table
+  /** "CEL6": typed partition/clustering KEYS. Records are token-sorted
+    * (`token(8) | pk parts | rank(1) | ck parts | colId(1) | value |
+    * wt(8)`); the header carries the [[KeySpec]] before the CEL5
+    * value/column prefix, and Summary/Filter/Index/manifest metadata
+    * all operate on the token. `rank` orders partition-level marker
+    * cells (`!del*`, `!ttl*`, `!delr:`) before every data row of
+    * their partition — the CEL4/5 `ck = Int.MinValue` convention,
+    * made type-agnostic.
+    */
+  val Magic6 = 0x43454c36
+
+  /** rank byte: 0 = partition-level marker row, 1 = normal row. */
+  def rankOf(colName: String): Byte =
+    if (colName == PartitionTombstone || colName == PartitionTtl ||
+        colName.startsWith(RangeTombstonePrefix)) 0 else 1
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
@@ -352,16 +562,28 @@ object CellSource {
       chunkRecords: Int, chunkOffsets: Array[Long], chunkLens: Array[Int],
       chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
       chunkMinWt: Array[Long], chunkMaxWt: Array[Long], dataStart: Long,
-      valueTag: Int, decPrec: Int, decScale: Int, colNames: Array[String])
+      valueTag: Int, decPrec: Int, decScale: Int, colNames: Array[String],
+      keySpec: KeySpec = KeySpec.Default)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
-      require(magic == Magic || magic == Magic5,
+      require(magic == Magic || magic == Magic5 || magic == Magic6,
         s"bad cell file magic in $file")
-      val v5 = magic == Magic5
+      val v5 = magic == Magic5 || magic == Magic6
       val headerLen = in.readInt()
+      // CEL6 prefix: the typed key spec (pk parts, then ck parts).
+      val spec =
+        if (magic == Magic6) {
+          def parts(): List[KeyPart] = {
+            val n = in.readInt()
+            List.fill(n)(KeyPart(in.readUTF(), in.readUnsignedByte(),
+              in.readUnsignedByte(), in.readUnsignedByte()))
+          }
+          val pk = parts(); val ck = parts()
+          KeySpec(pk, ck)
+        } else KeySpec.Default
       // CEL5 prefix: value-type tag (+ decimal precision/scale) and
       // the column-name table; CEL4 is long-valued with the fixed
       // ColNames table.
@@ -395,7 +617,7 @@ object CellSource {
         i += 1
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
-        raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols)
+        raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec)
     }
   }
 
@@ -495,6 +717,111 @@ object CellSource {
     }
   }
 
+  /** One CEL6 record in memory: precomputed partition token + typed
+    * key part values (internal representations).
+    */
+  private[sources] final case class KeyedRec(token: Long,
+      pkVals: Array[Any], rank: Byte, ckVals: Array[Any], col: String,
+      value: Any, wt: Long)
+
+  /** Record order of a CEL6 file: token, typed pk parts, marker rank,
+    * typed ck parts, col name, wt, value.
+    */
+  private[sources] def keyedLess(spec: KeySpec)(
+      a: KeyedRec, b: KeyedRec): Boolean = {
+    var c = java.lang.Long.compare(a.token, b.token)
+    if (c == 0) c = KeyCodec.compareParts(spec.pkParts, a.pkVals, b.pkVals)
+    if (c == 0) c = java.lang.Byte.compare(a.rank, b.rank)
+    if (c == 0) c = KeyCodec.compareParts(spec.ckParts, a.ckVals, b.ckVals)
+    if (c == 0) c = a.col.compareTo(b.col)
+    if (c == 0) c = java.lang.Long.compare(a.wt, b.wt)
+    c < 0
+  }
+
+  /** Write ONE token-sorted CEL6 `.cells` file: typed keys per the
+    * spec, typed values per the CEL5 union; Summary/Filter/Index
+    * metadata over the TOKEN. `rows` MUST already be sorted by
+    * [[keyedLess]].
+    */
+  private[sources] def writeFileKeyed(target: java.nio.file.Path,
+      rows: Seq[KeyedRec], spec: KeySpec, colNames: Array[String],
+      valueTag: Int, decPrec: Int, decScale: Int, indexEvery: Int,
+      chunkRecords: Int): Unit = {
+    require(colNames.length <= 255, "at most 255 distinct cell columns")
+    val colId: Map[String, Int] = colNames.zipWithIndex.toMap
+    val data = new ByteArrayOutputStream()
+    val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long)]
+    rows.grouped(chunkRecords).foreach { recs =>
+      val rawOut = new ByteArrayOutputStream()
+      val rawDs = new DataOutputStream(rawOut)
+      recs.foreach { r =>
+        rawDs.writeLong(r.token)
+        var i = 0
+        spec.pkParts.foreach { p =>
+          ValueCodec.write(rawDs, p.tag, r.pkVals(i)); i += 1
+        }
+        rawDs.writeByte(r.rank)
+        i = 0
+        spec.ckParts.foreach { p =>
+          ValueCodec.write(rawDs, p.tag, r.ckVals(i)); i += 1
+        }
+        rawDs.writeByte(colId(r.col))
+        ValueCodec.write(rawDs, valueTag, r.value)
+        rawDs.writeLong(r.wt)
+      }
+      val raw = rawOut.toByteArray
+      val deflater = new Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + raw.length / 1000 + 64)
+      var clen = 0
+      while (!deflater.finished())
+        clen += deflater.deflate(buf, clen, buf.length - clen)
+      deflater.end()
+      offsets += ((data.size().toLong, clen, recs.size, raw.length,
+        recs.iterator.map(_.wt).min, recs.iterator.map(_.wt).max))
+      data.write(buf, 0, clen)
+    }
+    val chunkTable = offsets.result()
+    val header = new ByteArrayOutputStream()
+    val h = new DataOutputStream(header)
+    def keyParts(ps: List[KeyPart]): Unit = {
+      h.writeInt(ps.length)
+      ps.foreach { p =>
+        h.writeUTF(p.name); h.writeByte(p.tag)
+        h.writeByte(p.prec); h.writeByte(p.scale)
+      }
+    }
+    keyParts(spec.pkParts); keyParts(spec.ckParts)
+    h.writeByte(valueTag); h.writeByte(decPrec); h.writeByte(decScale)
+    h.writeInt(colNames.length)
+    colNames.foreach(h.writeUTF)
+    h.writeLong(if (rows.isEmpty) Long.MaxValue else rows.head.token)
+    h.writeLong(if (rows.isEmpty) Long.MinValue else rows.last.token)
+    h.writeInt(rows.size)
+    val bloom = bloomBuild(rows.map(_.token))
+    h.writeInt(bloom.length)
+    bloom.foreach(h.writeLong)
+    val idx = rows.zipWithIndex.collect {
+      case (r, j) if j % indexEvery == 0 => (r.token, j)
+    }
+    h.writeInt(idx.size)
+    idx.foreach { case (t, j) => h.writeLong(t); h.writeInt(j) }
+    h.writeInt(chunkRecords)
+    h.writeInt(chunkTable.size)
+    chunkTable.foreach { case (off, clen, nrec, rawLen, wlo, whi) =>
+      h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+      h.writeInt(rawLen)
+      h.writeLong(wlo); h.writeLong(whi)
+    }
+    Using.resource(new DataOutputStream(
+        Files.newOutputStream(target))) { out =>
+      out.writeInt(Magic6)
+      out.writeInt(header.size)
+      out.write(header.toByteArray)
+      data.writeTo(out)
+    }
+  }
+
   def writeSnapshot(dir: String, cells: Seq[(Long, Int, String, Long, Long)],
       files: Int, indexEvery: Int = DefaultIndexEvery,
       chunkRecords: Int = DefaultChunkRecords,
@@ -549,6 +876,14 @@ class CellTable(path: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+  /** Typed key layout of the directory (CEL6) — manifest/header-
+    * resolved once per table handle; empty dirs are default-keyed.
+    */
+  private lazy val keySpec: KeySpec = {
+    val p = CellPlanning.normalize(path)
+    CellPlanning.keySpecOf(p, CellPlanning.listFiles(p))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = effective(options)
     new CellScanBuilder(path,
@@ -561,20 +896,24 @@ class CellTable(path: String,
         keepMarkers = o.getBoolean("keepMarkers", false),
         gcGraceMs = o.getLong("gcGraceMs", Long.MaxValue),
         gcNowMs = o.getLong("gcNowMs", Long.MaxValue),
-        counter = o.getBoolean("counter", false)))
+        counter = o.getBoolean("counter", false)),
+      keySpec)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val o = effective(info.options)
     new CellWriteBuilder(path, info.schema(),
-      effective(info.options)
-        .getInt("rollRecords", CellSource.DefaultRollRecords))
+      o.getInt("rollRecords", CellSource.DefaultRollRecords),
+      Option(o.get("primaryKey")))
+  }
 }
 
 class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcile: Boolean = false,
     tableSchema: StructType = CellSource.Schema,
-    reconcileOpts: ReconcileOptions = ReconcileOptions())
+    reconcileOpts: ReconcileOptions = ReconcileOptions(),
+    spec: KeySpec = KeySpec.Default)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -598,7 +937,11 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "pk"
+        // Summary min/max are TOKENS; they equal pk values only for
+        // identity-token layouts (single long pk part — the default
+        // included), so min/max pushdown is offered only there.
+        nr.fieldNames.length == 1 && KeyCodec.identityToken(spec) &&
+          nr.fieldNames()(0) == spec.pkParts.head.name
       case _ => false
     }
 
@@ -644,7 +987,103 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     * incremental "cells written since T" path); leave everything else
     * to Spark's post-scan Filter.
     */
+  /** Typed-key (CEL6) filter translation: the physical layer prunes by
+    * partition TOKEN, so predicates on key-part columns become token
+    * bounds/sets here and the scans stay long-keyed underneath.
+    * Identity-token layouts (single `long` pk part) keep full range
+    * pushdown (token == value); hashed layouts push only equality —
+    * every pk part bound by `=` hashes to ONE token, and `IN` on a
+    * single-part pk hashes per value (the multiget shape). Hashed
+    * pruning is ADVISORY (token collisions), which is sound because
+    * every accepted filter is also handed back as residual.
+    */
+  private def pushFiltersTyped(filters: Array[Filter]): Array[Filter] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    // wt zone-map pruning is key-layout-independent (and still
+    // reconcile-unsafe, as on the default path)
+    if (!reconcile) filters.foreach {
+      case f @ GreaterThan("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v); accepted += f
+      case f @ LessThan("wt", v: java.lang.Long) =>
+        wtUpper = math.min(wtUpper, v - 1); accepted += f
+      case f @ LessThanOrEqual("wt", v: java.lang.Long) =>
+        wtUpper = math.min(wtUpper, v); accepted += f
+      case f @ EqualTo("wt", v: java.lang.Long) =>
+        wtLower = math.max(wtLower, v); wtUpper = math.min(wtUpper, v)
+        accepted += f
+      case _ =>
+    }
+    val pName = spec.pkParts.head.name
+    val pTag = spec.pkParts.head.tag
+    def tokenOf(v: Any): Option[Long] =
+      KeyCodec.toInternal(pTag, v)
+        .map(iv => KeyCodec.token(spec, Array(iv)))
+    if (KeyCodec.identityToken(spec)) {
+      // single long pk part: token == value, ranges push exactly as
+      // the default layout's pk
+      filters.foreach {
+        case f @ EqualTo(c, v: java.lang.Long) if c == pName =>
+          pkLower = math.max(pkLower, v); pkUpper = math.min(pkUpper, v)
+          accepted += f
+        case f @ GreaterThan(c, v: java.lang.Long) if c == pName =>
+          pkLower = math.max(pkLower, v + 1); accepted += f
+        case f @ GreaterThanOrEqual(c, v: java.lang.Long) if c == pName =>
+          pkLower = math.max(pkLower, v); accepted += f
+        case f @ LessThan(c, v: java.lang.Long) if c == pName =>
+          pkUpper = math.min(pkUpper, v - 1); accepted += f
+        case f @ LessThanOrEqual(c, v: java.lang.Long) if c == pName =>
+          pkUpper = math.min(pkUpper, v); accepted += f
+        case f @ In(c, vs) if c == pName && vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[java.lang.Long]) =>
+          val s = vs.iterator
+            .map(_.asInstanceOf[java.lang.Long].longValue).toSet
+          pkSet = Some(pkSet.fold(s)(_ intersect s)); accepted += f
+        case _ =>
+      }
+    } else if (spec.pkParts.length == 1) {
+      filters.foreach {
+        case f @ EqualTo(c, v) if c == pName =>
+          tokenOf(v).foreach { t =>
+            pkSet = Some(pkSet.fold(Set(t))(_ intersect Set(t)))
+            accepted += f
+          }
+        case f @ In(c, vs) if c == pName && vs.nonEmpty =>
+          val toks = vs.flatMap(tokenOf(_).toSeq)
+          if (toks.length == vs.length) {
+            val s = toks.toSet
+            pkSet = Some(pkSet.fold(s)(_ intersect s)); accepted += f
+          }
+        case _ =>
+      }
+    } else {
+      // composite partition key: prune only when EVERY part is bound
+      // by equality (Cassandra's own rule — a partial partition key
+      // cannot be routed)
+      val eqs = filters.collect {
+        case f @ EqualTo(c, v)
+            if spec.pkParts.exists(_.name == c) => (c, v, f)
+      }
+      val byPart = eqs.groupBy(_._1)
+      if (byPart.size == spec.pkParts.length) {
+        val ivs = spec.pkParts.map(p =>
+          KeyCodec.toInternal(p.tag, byPart(p.name).head._2))
+        if (ivs.forall(_.isDefined)) {
+          val t = KeyCodec.token(spec, ivs.map(_.get).toArray)
+          pkSet = Some(pkSet.fold(Set(t))(_ intersect Set(t)))
+          accepted ++= eqs.map(_._3)
+        }
+      }
+    }
+    pushed = accepted.toArray
+    // Everything stays residual: token pruning is file-granular and —
+    // for hashed layouts — collision-advisory besides.
+    filters
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!spec.isDefault) return pushFiltersTyped(filters)
     // Under reconcile, a wt filter is NOT pushable: dropping an old
     // cell before the LWW merge would promote a shadowed version to
     // winner. pk filters commute with the per-pk merge and stay
@@ -704,10 +1143,10 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, reconcileOpts, pkSet)
+        subsplitRecords, columnar, reconcileOpts, pkSet, spec)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-        subsplitRecords, columnar, pkSet)
+        subsplitRecords, columnar, pkSet, spec)
   }
 }
 
@@ -802,7 +1241,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
     opts: ReconcileOptions = ReconcileOptions(),
-    staticPks: Option[Set[Long]] = None) extends Scan with Batch
+    staticPks: Option[Set[Long]] = None,
+    spec: KeySpec = KeySpec.Default) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -817,45 +1257,18 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column("pk"))
+    CellRuntimeFilter.attributes(spec)
 
   override def filter(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    def isPk(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames.sameElements(Array("pk"))
-        case _ => false
-      }
-    def longOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[Long] = e match {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-        l.value match {
-          case x: java.lang.Long => Some(x.longValue)
-          case x: java.lang.Integer => Some(x.longValue)
-          case _ => None
-        }
-      case _ => None
-    }
-    val sets = predicates.flatMap { p =>
-      val kids = p.children()
-      p.name() match {
-        case "IN" if kids.nonEmpty && isPk(kids(0)) =>
-          val vs = kids.drop(1).flatMap(longOf)
-          if (vs.length == kids.length - 1) Some(vs.toSet) else None
-        case "=" if kids.length == 2 && isPk(kids(0)) =>
-          longOf(kids(1)).map(Set(_))
-        case _ => None
+      : Unit =
+    CellRuntimeFilter.tokenSets(spec, predicates).foreach { s =>
+      synchronized {
+        runtimePkSet = Some(runtimePkSet.fold(s)(_ intersect s))
+        cached = null
       }
     }
-    if (sets.nonEmpty) synchronized {
-      runtimePkSet = Some(sets.reduce(_ intersect _))
-      cached = null
-    }
-  }
 
   /** Pre-merge upper bound from the same chunk metadata the plan was
     * pruned with (the merge can only shrink it) — enough for Catalyst
@@ -995,15 +1408,24 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
     opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReaderFactory {
+  private def keyed(p: InputPartition): Boolean =
+    p.asInstanceOf[CellReconcilePartition].fileParts.headOption
+      .exists(!_.keySpec.isDefault)
+
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] =
-    new CellReconcileReader(p.asInstanceOf[CellReconcilePartition], cols,
-      opts)
+    if (keyed(p))
+      new CellKeyedReconcileReader(
+        p.asInstanceOf[CellReconcilePartition], cols, opts)
+    else new CellReconcileReader(
+      p.asInstanceOf[CellReconcilePartition], cols, opts)
 
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
   // ColumnarToRow + whole-stage-codegen path, same as the plain scan.
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  // Typed-key (CEL6) partitions read row-at-a-time for now.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && !keyed(p)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new CellReconcileColumnarReader(
@@ -1344,12 +1766,13 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
   * sort here guarantees per-file order regardless).
   */
 class CellWriteBuilder(path: String, schema: StructType,
-    rollRecords: Int = CellSource.DefaultRollRecords)
+    rollRecords: Int = CellSource.DefaultRollRecords,
+    primaryKeyOpt: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  require(schema.fieldNames.sameElements(CellSource.Schema.fieldNames),
-    s"cell write needs columns ${CellSource.Schema.fieldNames.mkString(",")}" +
-      s", got ${schema.fieldNames.mkString(",")}")
+  require(schema.fieldNames.contains("value"),
+    s"cell write needs a 'value' column, got " +
+      schema.fieldNames.mkString(","))
   private val valueType = schema("value").dataType
   private val valueTag = ValueCodec.tagFor(valueType) // validates support
   private val (decPrec, decScale) = valueType match {
@@ -1364,33 +1787,59 @@ class CellWriteBuilder(path: String, schema: StructType,
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write = {
+    // The key layout this write writes (CEL6): an append inherits the
+    // directory's spec; a fresh table (or truncate) takes the
+    // `primaryKey` option — `((p1,p2),c1)`, part types from the input
+    // schema — defaulting to the classic `pk: long, ck: int`. A
+    // declared spec that contradicts the directory is an error, as is
+    // an input schema that doesn't match the resolved layout.
+    val declared = primaryKeyOpt.map(s => KeySpec.fromSyntax(s, n => {
+      require(schema.fieldNames.contains(n),
+        s"primaryKey part '$n' is not a column of the input " +
+          s"(${schema.fieldNames.mkString(",")})")
+      schema(n).dataType
+    }))
+    val existingHeader =
+      if (truncateFirst) None
+      else CellPlanning.listFiles(path).headOption
+        .map(f => CellSource.readHeader(f))
     // An APPEND into an existing table must match its value type: the
     // format is self-describing per FILE, so a mismatched append would
     // "succeed" and leave a mixed-type directory that the reconcile
     // scan rejects and the plain scan serves with an inconsistent
     // schema. Mirror the reconcile planner's uniformity check at write
     // planning time instead (a truncate replaces the table, so any
-    // type is fine there).
-    if (!truncateFirst) {
-      CellPlanning.listFiles(path).headOption.foreach { f =>
-        val h = CellSource.readHeader(f)
-        require((h.valueTag, h.decPrec, h.decScale) ==
-            ((valueTag, decPrec, decScale)),
-          s"append value type ${valueType.simpleString} does not match " +
-            s"existing table value type " +
-            ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale)
-              .simpleString + s" in $path (overwrite to change the type)")
-      }
+    // type is fine there). Same rule for the key layout.
+    existingHeader.foreach { h =>
+      require((h.valueTag, h.decPrec, h.decScale) ==
+          ((valueTag, decPrec, decScale)),
+        s"append value type ${valueType.simpleString} does not match " +
+          s"existing table value type " +
+          ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale)
+            .simpleString + s" in $path (overwrite to change the type)")
+      declared.foreach(d => require(d == h.keySpec,
+        s"declared primaryKey (${d.serial}) does not match the " +
+          s"existing table's key layout (${h.keySpec.serial}) in $path"))
     }
+    val spec = existingHeader.map(_.keySpec)
+      .orElse(declared).getOrElse(KeySpec.Default)
+    val want = CellSource.schemaFor(spec, valueType)
+    require(schema.fieldNames.sameElements(want.fieldNames),
+      s"cell write needs columns ${want.fieldNames.mkString(",")}, " +
+        s"got ${schema.fieldNames.mkString(",")}")
+    (spec.pkParts ++ spec.ckParts).foreach(p =>
+      require(ValueCodec.tagFor(schema(p.name).dataType) == p.tag,
+        s"key part '${p.name}' is ${schema(p.name).dataType.simpleString}" +
+          s", table expects ${p.dataType.simpleString}"))
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new CellBatchWrite(path, truncateFirst, rollRecords,
-          valueTag, decPrec, decScale)
+          valueTag, decPrec, decScale, spec)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new CellStreamingWrite(path, rollRecords, valueTag, decPrec,
-          decScale)
+          decScale, spec)
     }
   }
 }
@@ -1422,7 +1871,7 @@ class CellWriteBuilder(path: String, schema: StructType,
   * deletion content-safe besides.)
   */
 class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
-    decPrec: Int, decScale: Int)
+    decPrec: Int, decScale: Int, spec: KeySpec = KeySpec.Default)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1430,7 +1879,7 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
       info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new CellStreamingWriterFactory(path, rollRecords, valueTag, decPrec,
-      decScale)
+      decScale, spec)
 
   private def epochsFile =
     Paths.get(CellPlanning.normalize(path)).resolve("_epochs")
@@ -1472,7 +1921,7 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
       EpochIntent.write(path, EpochIntent.Intent(epochId, preMax,
         staged.map(EpochIntent.fingerprint).toSet))
       new CellBatchWrite(path, truncateFirst = false, rollRecords,
-        valueTag, decPrec, decScale).commit(messages)
+        valueTag, decPrec, decScale, spec).commit(messages)
       Files.writeString(epochsFile, s"$epochId\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -1537,43 +1986,45 @@ private[sources] object EpochIntent {
 }
 
 class CellStreamingWriterFactory(path: String, rollRecords: Int,
-    valueTag: Int, decPrec: Int, decScale: Int)
+    valueTag: Int, decPrec: Int, decScale: Int,
+    spec: KeySpec = KeySpec.Default)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
-      decPrec, decScale)
+      decPrec, decScale, spec)
 }
 
 case class CellCommitMessage(stagedFiles: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class CellBatchWrite(path: String, truncateFirst: Boolean,
-    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int)
+    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int,
+    spec: KeySpec = KeySpec.Default)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new CellDataWriterFactory(path, rollRecords, valueTag, decPrec,
-      decScale)
+      decScale, spec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
     // Close the plan-to-commit race of the CellWriteBuilder type check:
     // a first write into a concurrently-created table of another type
-    // must not publish a mixed-type generation.
+    // or key layout must not publish a mixed generation.
     if (!truncateFirst) {
       CellPlanning.listFiles(path).headOption.foreach { f =>
         val h = CellSource.readHeader(f)
         if ((h.valueTag, h.decPrec, h.decScale) !=
-            ((valueTag, decPrec, decScale))) {
+            ((valueTag, decPrec, decScale)) || h.keySpec != spec) {
           abort(messages)
           throw new IllegalArgumentException(
-            s"append value type does not match existing table value " +
-              s"type in $path (overwrite to change the type)")
+            s"append value type / key layout does not match existing " +
+              s"table in $path (overwrite to change either)")
         }
       }
     }
@@ -1630,56 +2081,92 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
 }
 
 class CellDataWriterFactory(path: String, rollRecords: Int,
-    valueTag: Int, decPrec: Int, decScale: Int)
+    valueTag: Int, decPrec: Int, decScale: Int,
+    spec: KeySpec = KeySpec.Default)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
-      decPrec, decScale)
+      decPrec, decScale, spec)
 }
 
 class CellDataWriter(path: String, partitionId: Int, taskId: Long,
-    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int)
+    rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int,
+    spec: KeySpec = KeySpec.Default)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   require(rollRecords > 0, s"rollRecords must be positive, got $rollRecords")
   private val rows =
     scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Any, Long)]
+  private val krows =
+    scala.collection.mutable.ArrayBuffer.empty[CellSource.KeyedRec]
   private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
   private var rollSeq = 0
+  private val nPk = spec.pkParts.length
+  private val nCk = spec.ckParts.length
 
   override def write(r: InternalRow): Unit = {
-    rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
-      ValueCodec.fromRow(r, 3, valueTag, decPrec, decScale),
-      r.getLong(4)))
-    if (rows.length >= rollRecords) roll()
+    if (spec.isDefault)
+      rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
+        ValueCodec.fromRow(r, 3, valueTag, decPrec, decScale),
+        r.getLong(4)))
+    else {
+      // CEL6: typed key parts lead the row; the partition token is
+      // computed HERE, once per cell, and carried through the file.
+      val pkVals = new Array[Any](nPk)
+      var i = 0
+      spec.pkParts.foreach { p =>
+        pkVals(i) = ValueCodec.fromRow(r, i, p.tag, p.prec, p.scale)
+        i += 1
+      }
+      val ckVals = new Array[Any](nCk)
+      var j = 0
+      spec.ckParts.foreach { p =>
+        ckVals(j) = ValueCodec.fromRow(r, nPk + j, p.tag, p.prec, p.scale)
+        j += 1
+      }
+      val col = r.getUTF8String(nPk + nCk).toString
+      krows += CellSource.KeyedRec(KeyCodec.token(spec, pkVals), pkVals,
+        CellSource.rankOf(col), ckVals, col,
+        ValueCodec.fromRow(r, nPk + nCk + 1, valueTag, decPrec, decScale),
+        r.getLong(nPk + nCk + 2))
+    }
+    if (rows.length + krows.length >= rollRecords) roll()
   }
 
   /** Sort + stage the current buffer as one `.cells` file and reset.
-    * Each rolled file is individually pk-sorted with its own full
-    * header (including its own column-name table derived from the
-    * buffer); files from one task may overlap in pk range when the
-    * incoming rows aren't sorted, which the format allows (they merge
-    * like any other set of flushes).
+    * Each rolled file is individually pk-sorted (token-sorted for
+    * CEL6) with its own full header (including its own column-name
+    * table derived from the buffer); files from one task may overlap
+    * in pk range when the incoming rows aren't sorted, which the
+    * format allows (they merge like any other set of flushes).
     */
-  private def roll(): Unit = if (rows.nonEmpty) {
+  private def roll(): Unit = if (rows.nonEmpty || krows.nonEmpty) {
     val dir = Paths.get(CellPlanning.normalize(path))
     Files.createDirectories(dir)
     val file = dir.resolve(
       f".staged-$taskId%d-$partitionId%05d-$rollSeq%04d.cells.tmp")
     rollSeq += 1
-    val sorted = rows.sortWith { (a, b) =>
-      if (a._1 != b._1) a._1 < b._1
-      else if (a._2 != b._2) a._2 < b._2
-      else if (a._3 != b._3) a._3 < b._3
-      else if (a._5 != b._5) a._5 < b._5
-      else ValueCodec.compare(valueTag, a._4, b._4) < 0
-    }.toSeq
-    val colNames = sorted.iterator.map(_._3).toArray.distinct.sorted
-    CellSource.writeFileTyped(file, sorted, colNames, valueTag, decPrec,
-      decScale, CellSource.DefaultIndexEvery,
-      CellSource.DefaultChunkRecords)
+    if (spec.isDefault) {
+      val sorted = rows.sortWith { (a, b) =>
+        if (a._1 != b._1) a._1 < b._1
+        else if (a._2 != b._2) a._2 < b._2
+        else if (a._3 != b._3) a._3 < b._3
+        else if (a._5 != b._5) a._5 < b._5
+        else ValueCodec.compare(valueTag, a._4, b._4) < 0
+      }.toSeq
+      val colNames = sorted.iterator.map(_._3).toArray.distinct.sorted
+      CellSource.writeFileTyped(file, sorted, colNames, valueTag, decPrec,
+        decScale, CellSource.DefaultIndexEvery,
+        CellSource.DefaultChunkRecords)
+    } else {
+      val sorted = krows.sortWith(CellSource.keyedLess(spec)).toSeq
+      val colNames = sorted.iterator.map(_.col).toArray.distinct.sorted
+      CellSource.writeFileKeyed(file, sorted, spec, colNames, valueTag,
+        decPrec, decScale, CellSource.DefaultIndexEvery,
+        CellSource.DefaultChunkRecords)
+    }
     staged += file.toString
-    rows.clear()
+    rows.clear(); krows.clear()
   }
 
   override def commit()
@@ -1690,13 +2177,64 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
 
   override def abort(): Unit =
     staged.foreach(s => Files.deleteIfExists(Paths.get(s)))
-  override def close(): Unit = rows.clear()
+  override def close(): Unit = { rows.clear(); krows.clear() }
+}
+
+/** Runtime (DPP-style) filter translation shared by both scans: join-
+  * side literals on the partition-key column become a TOKEN set. Works
+  * for any SINGLE-part partition key — hashed layouts hash each
+  * literal exactly like the write side did — and is disabled for
+  * composite keys (a lone part can't be routed, Cassandra's own
+  * restriction).
+  */
+private[sources] object CellRuntimeFilter {
+  def attributes(spec: KeySpec)
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (spec.pkParts.length == 1)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(spec.pkParts.head.name))
+    else Array.empty
+
+  def tokenSets(spec: KeySpec,
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Set[Long]] = {
+    if (spec.pkParts.length != 1) return None
+    val pName = spec.pkParts.head.name
+    val pTag = spec.pkParts.head.tag
+    def isPk(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.sameElements(Array(pName))
+        case _ => false
+      }
+    def tokenOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        KeyCodec.toInternal(pTag, l.value)
+          .map(iv => KeyCodec.token(spec, Array(iv)))
+      case _ => None
+    }
+    val sets = predicates.flatMap { p =>
+      val kids = p.children()
+      p.name() match {
+        case "IN" if kids.nonEmpty && isPk(kids(0)) =>
+          val vs = kids.drop(1).flatMap(tokenOf(_).toSeq)
+          if (vs.length == kids.length - 1) Some(vs.toSet) else None
+        case "=" if kids.length == 2 && isPk(kids(0)) =>
+          tokenOf(kids(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty) Some(sets.reduce(_ intersect _)) else None
+  }
 }
 
 class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
     subsplitRecords: Int, columnar: Boolean,
-    staticPks: Option[Set[Long]] = None) extends Scan with Batch
+    staticPks: Option[Set[Long]] = None,
+    spec: KeySpec = KeySpec.Default) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -1709,50 +2247,25 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
   // AND bloom filter — point-read pruning driven by the join itself,
   // the Cassandra "fetch these partitions" shape (and what a
   // secondary-index probe does to the base table at 100 TB).
+  // Typed single-part keys participate too: literals hash to tokens
+  // (see [[CellRuntimeFilter]]); composite keys opt out.
   private var runtimePkSet: Option[Set[Long]] = None
   private var cached: Array[InputPartition] = _
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column("pk"))
+    CellRuntimeFilter.attributes(spec)
 
   override def filter(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    def isPk(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames.sameElements(Array("pk"))
-        case _ => false
-      }
-    def longOf(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[Long] = e match {
-      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-        l.value match {
-          case x: java.lang.Long => Some(x.longValue)
-          case x: java.lang.Integer => Some(x.longValue)
-          case _ => None
-        }
-      case _ => None
-    }
-    val sets = predicates.flatMap { p =>
-      val kids = p.children()
-      p.name() match {
-        case "IN" if kids.nonEmpty && isPk(kids(0)) =>
-          val vs = kids.drop(1).flatMap(longOf)
-          if (vs.length == kids.length - 1) Some(vs.toSet) else None
-        case "=" if kids.length == 2 && isPk(kids(0)) =>
-          longOf(kids(1)).map(Set(_))
-        case _ => None
+      : Unit =
+    CellRuntimeFilter.tokenSets(spec, predicates).foreach { s =>
+      synchronized {
+        runtimePkSet = Some(runtimePkSet.fold(s)(_ intersect s))
+        cached = null // re-plan under the runtime set
       }
     }
-    if (sets.nonEmpty) synchronized {
-      runtimePkSet = Some(sets.reduce(_ intersect _))
-      cached = null // re-plan under the runtime set
-    }
-  }
 
   private def planWithRuntimeSet(vals: Set[Long]): Array[InputPartition] = {
     if (vals.isEmpty) return Array.empty
@@ -1905,6 +2418,19 @@ private[sources] object CellPlanning {
     }
   }
 
+  /** The table's typed key layout (CEL6): manifest first (zero file
+    * opens), else the first file's header; an empty directory is the
+    * default `pk: long, ck: int` layout. Key specs are a TABLE
+    * property — the write path refuses mixed-spec appends — so the
+    * first committed file speaks for the directory.
+    */
+  def keySpecOf(path: String, files: Seq[String]): KeySpec =
+    files.headOption.map { f =>
+      CellManifest.current(path, files)
+        .flatMap(_.headOption.map(_.keySpec))
+        .getOrElse(CellSource.readHeader(f).keySpec)
+    }.getOrElse(KeySpec.Default)
+
   /** C2/C8/C16 per-file planning (see CellScan scaladoc): Summary range
     * check, bloom point-lookup check, sparse-index narrowing, wt
     * zone-map chunk pruning, chunk-aligned sub-splits.
@@ -1978,7 +2504,8 @@ private[sources] object CellPlanning {
         CellInputPartition(f, h.dataStart,
           cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
           cs.map(h.chunkRecCounts).toArray, cs.map(h.chunkRawLens).toArray,
-          h.valueTag, h.decPrec, h.decScale, h.colNames): InputPartition
+          h.valueTag, h.decPrec, h.decScale, h.colNames,
+          h.keySpec): InputPartition
       }.toSeq
     }
   }
@@ -2055,18 +2582,25 @@ case class CellInputPartition(file: String, dataStart: Long,
     chunkOffsets: Array[Long], chunkLens: Array[Int],
     chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
     valueTag: Int, decPrec: Int, decScale: Int,
-    colNames: Array[String]) extends InputPartition
+    colNames: Array[String],
+    keySpec: KeySpec = KeySpec.Default) extends InputPartition
 
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
     cols: Array[String], columnar: Boolean) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CellReader(p.asInstanceOf[CellInputPartition], pkLower, pkUpper, cols)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[CellInputPartition]
+    if (part.keySpec.isDefault)
+      new CellReader(part, pkLower, pkUpper, cols)
+    else new CellKeyedReader(part, pkLower, pkUpper, cols)
+  }
 
   // Vectorized path (the parquet VectorizedColumnReader analogue): one
   // ColumnarBatch per compression chunk, filled straight from the
   // inflated record buffer — Spark plans ColumnarToRow on top and the
   // scan feeds whole-stage codegen batches instead of row-at-a-time.
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  // Typed-key (CEL6) partitions read row-at-a-time for now.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.asInstanceOf[CellInputPartition].keySpec.isDefault
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new CellColumnarReader(p.asInstanceOf[CellInputPartition],
