@@ -574,7 +574,40 @@ object Cells {
        |  AND NOT (pk % 11 = 0 AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
        |GROUP BY col ORDER BY col""".stripMargin
 
+  // C36 — typed partition keys (CEL6) through the connector: the cell
+  // relation re-keyed by the TEXT key `user = 'user-' || pk`, written
+  // through the typed write path and LWW-merged by the typed k-way
+  // cursor (token order + typed comparator). Shares C4's merged
+  // oracle modulo the key derivation, which DuckDB reproduces
+  // verbatim.
+  private def typedKeyScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readKeyedReconciled(s, d)
+      .filter(expr("CAST(substring(user, 6) AS BIGINT) % 10 = 0"))
+      .orderBy(col("user"), col("ck"), col("col"))
+
+  private val typedKeyScanSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE pk % 10 = 0
+      |ORDER BY user, ck, col""".stripMargin
+
+  // C36b — the typed MULTIGET: `user IN (...)` hashes each text key to
+  // its partition token and prunes files per value (Summary emptiness
+  // + token bloom), exactly C8b's shape on a hashed text key. One
+  // probe is absent on purpose: the empty side must agree too.
+  private def typedKeyMultiget(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readKeyedReconciled(s, d)
+      .filter(col("user").isin("user-3", "user-32", "user-999999999"))
+      .orderBy(col("user"), col("ck"), col("col"))
+
+  private val typedKeyMultigetSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE pk IN (3, 32, 999999999)
+      |ORDER BY user, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C36_typed_key_scan", typedKeyScan, Some(typedKeyScanSql)),
+    GQuery("C36b_typed_key_multiget", typedKeyMultiget,
+      Some(typedKeyMultigetSql)),
     GQuery("C24_reconcile_scan", reconcileScan, Some(lwwSql)),
     GQuery("C27_tombstone_scan", tombstoneScan, Some(tombstoneSql)),
     GQuery("C5b_range_tombstone_scan", rangeTombstoneScan,

@@ -320,4 +320,45 @@ object CellSnapshots {
   def readStringReconciled(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureString(s, sfDir))
+
+  /** STRING-KEYED snapshot (CEL6 typed keys, C36): the cell relation
+    * re-keyed by `user = 'user-' || pk` and written through the typed
+    * connector path (`primaryKey ((user),ck)`), so partition pruning,
+    * the k-way merge and the multiget all run on a HASHED text
+    * partition key — the `PRIMARY KEY (text_id, ck)` table shape the
+    * long-only connector couldn't represent (VERDICT r6 "What's
+    * missing" §2). Files are range-partitioned by user, so each
+    * file's token BLOOM covers ~1/8 of the keys and point lookups
+    * prune files even though hashed token RANGES overlap.
+    */
+  def ensureKeyed(s: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, s"v$Version-$sfName-key")
+    val marker = dir.resolve("_OK")
+    if (!Files.exists(marker)) {
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      graft.cassandra.CellModel.cells(s, sfDir)
+        .select(concat(lit("user-"), col("pk")).as("user"),
+          col("ck").cast("int"), col("col"),
+          col("value").cast("long"), col("wt").cast("long"))
+        .repartitionByRange(SnapshotFiles, col("user"), col("ck"),
+          col("col"))
+        .write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(dir.toString)
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
+  /** The string-keyed relation, LWW-reconciled inside the connector's
+    * typed merge cursor (C36).
+    */
+  def readKeyedReconciled(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensureKeyed(s, sfDir))
 }
