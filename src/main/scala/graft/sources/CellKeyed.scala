@@ -234,6 +234,10 @@ private[sources] final class CellKeyedMergeCursor(
   private var cellDel = Map.empty[String, Long]
   private var rangeDel: List[(Int, Int, Long)] = Nil
   private var rowDelTs = Long.MinValue
+  // PER PARTITION LIMIT — see [[CellMergeCursor]]; typed ck equality.
+  private val ppLimit = opts.perPartitionLimit
+  private var cksEmitted = 0
+  private var lastEmitCk: Array[Any] = _
 
   def nextWinner(): Boolean = {
     while (nextKeyWinner()) {
@@ -243,6 +247,7 @@ private[sources] final class CellKeyedMergeCursor(
         havePos = true; curToken = token; curPk = pkVals; curCk = ckVals
         pdts = Long.MinValue; ttlMs = Long.MinValue; cellDel = Map.empty
         rangeDel = Nil; rowDelTs = Long.MinValue
+        cksEmitted = 0; lastEmitCk = null
       } else if (
           KeyCodec.compareParts(spec.ckParts, curCk, ckVals) != 0) {
         curCk = ckVals
@@ -297,7 +302,16 @@ private[sources] final class CellKeyedMergeCursor(
         val expired = ttlMs != Long.MinValue &&
           queryTime != Long.MaxValue && wt + ttlMs < queryTime
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
-            !coveredByRange && !expired) return true
+            !coveredByRange && !expired) {
+          if (ppLimit == Int.MaxValue) return true
+          if (lastEmitCk != null &&
+              KeyCodec.compareParts(spec.ckParts, ckVals,
+                lastEmitCk) == 0) return true
+          if (cksEmitted < ppLimit) {
+            cksEmitted += 1; lastEmitCk = ckVals
+            return true
+          } // else: row past the partition's limit — keep draining
+        }
       }
     }
     false

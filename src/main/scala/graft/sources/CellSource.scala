@@ -896,7 +896,9 @@ class CellTable(path: String,
         keepMarkers = o.getBoolean("keepMarkers", false),
         gcGraceMs = o.getLong("gcGraceMs", Long.MaxValue),
         gcNowMs = o.getLong("gcNowMs", Long.MaxValue),
-        counter = o.getBoolean("counter", false)),
+        counter = o.getBoolean("counter", false),
+        perPartitionLimit =
+          o.getInt("perPartitionLimit", Int.MaxValue)),
       keySpec)
   }
   override def newWriteBuilder(
@@ -916,7 +918,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     spec: KeySpec = KeySpec.Default)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var pkLower = Long.MinValue
   private var pkUpper = Long.MaxValue
   private var wtLower = Long.MinValue
@@ -925,6 +928,18 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggTags: Option[Array[String]] = None
+  private var limit = Int.MaxValue
+
+  /** LIMIT n pushdown: every partition reader stops after n rows —
+    * PARTIALLY pushed (Spark still applies the global limit), but a
+    * `LIMIT 10` over a 10⁵-file table now reads ~one chunk per task
+    * instead of decompressing everything. Sound under reconcile too:
+    * the cap applies to MERGED winners, post marker shadowing.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = math.min(limit, l); true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   // Aggregate pushdown (the Statistics.db/Summary.db story): a global
   // COUNT(*) / MIN(pk) / MAX(pk) is answerable from file HEADERS alone
@@ -1143,10 +1158,10 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, reconcileOpts, pkSet, spec)
+        subsplitRecords, columnar, reconcileOpts, pkSet, spec, limit)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-        subsplitRecords, columnar, pkSet, spec)
+        subsplitRecords, columnar, pkSet, spec, limit)
   }
 }
 
@@ -1235,14 +1250,16 @@ case class ReconcileOptions(
     keepMarkers: Boolean = false,
     gcGraceMs: Long = Long.MaxValue,
     gcNowMs: Long = Long.MaxValue,
-    counter: Boolean = false)
+    counter: Boolean = false,
+    perPartitionLimit: Int = Int.MaxValue)
 
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
     columnar: Boolean = true,
     opts: ReconcileOptions = ReconcileOptions(),
     staticPks: Option[Set[Long]] = None,
-    spec: KeySpec = KeySpec.Default) extends Scan with Batch
+    spec: KeySpec = KeySpec.Default,
+    limit: Int = Int.MaxValue) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -1392,7 +1409,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReconcileReaderFactory(required.fieldNames, columnar, opts)
+    new CellReconcileReaderFactory(required.fieldNames, columnar, opts,
+      limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1406,19 +1424,23 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
 }
 
 class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
-    opts: ReconcileOptions = ReconcileOptions())
+    opts: ReconcileOptions = ReconcileOptions(),
+    limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   private def keyed(p: InputPartition): Boolean =
     p.asInstanceOf[CellReconcilePartition].fileParts.headOption
       .exists(!_.keySpec.isDefault)
 
   override def createReader(
-      p: InputPartition): PartitionReader[InternalRow] =
-    if (keyed(p))
-      new CellKeyedReconcileReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val r: PartitionReader[InternalRow] =
+      if (keyed(p))
+        new CellKeyedReconcileReader(
+          p.asInstanceOf[CellReconcilePartition], cols, opts)
+      else new CellReconcileReader(
         p.asInstanceOf[CellReconcilePartition], cols, opts)
-    else new CellReconcileReader(
-      p.asInstanceOf[CellReconcilePartition], cols, opts)
+    if (limit == Int.MaxValue) r else new LimitedRowReader(r, limit)
+  }
 
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
@@ -1427,9 +1449,11 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && !keyed(p)
   override def createColumnarReader(
-      p: InputPartition): PartitionReader[ColumnarBatch] =
-    new CellReconcileColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val r = new CellReconcileColumnarReader(
       p.asInstanceOf[CellReconcilePartition], cols, opts)
+    if (limit == Int.MaxValue) r else new LimitedBatchReader(r, limit)
+  }
 }
 
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
@@ -1523,6 +1547,16 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
   // before any data row of the pk is seen
   private var rangeDel: List[(Int, Int, Long)] = Nil
   private var rowDelTs = Long.MinValue // row tombstone of current (pk, ck)
+  // PER PARTITION LIMIT n (C22, CQL's clause) executed INSIDE the
+  // merge: count distinct cks that emitted a live cell for the
+  // current pk — cks stream in ascending order, so the first n
+  // counted ARE the first n clustering rows — and skip live cells of
+  // later rows. Shadowed rows never count (they emit nothing), same
+  // as the post-scan window they replace.
+  private val ppLimit = opts.perPartitionLimit
+  private var cksEmitted = 0
+  private var lastEmitCk = 0
+  private var haveEmitCk = false
 
   /** Raw key-winner step: LWW by default; under counter mode, DATA
     * versions are shard deltas that SUM (value = Σ shards, wt = max
@@ -1583,6 +1617,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         havePos = true; curPk = pk; curCk = ck
         pdts = Long.MinValue; ttlMs = Long.MinValue; cellDel = Map.empty
         rangeDel = Nil; rowDelTs = Long.MinValue
+        cksEmitted = 0; haveEmitCk = false
       } else if (ck != curCk) {
         curCk = ck
         cellDel = Map.empty
@@ -1635,7 +1670,14 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         val expired = ttlMs != Long.MinValue &&
           queryTime != Long.MaxValue && wt + ttlMs < queryTime
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
-            !coveredByRange && !expired) return true
+            !coveredByRange && !expired) {
+          if (ppLimit == Int.MaxValue) return true
+          if (haveEmitCk && ck == lastEmitCk) return true
+          if (cksEmitted < ppLimit) {
+            cksEmitted += 1; lastEmitCk = ck; haveEmitCk = true
+            return true
+          } // else: row past the partition's limit — keep draining
+        }
       }
     }
     false
@@ -2234,7 +2276,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     wtLower: Long, wtUpper: Long, required: StructType,
     subsplitRecords: Int, columnar: Boolean,
     staticPks: Option[Set[Long]] = None,
-    spec: KeySpec = KeySpec.Default) extends Scan with Batch
+    spec: KeySpec = KeySpec.Default,
+    limit: Int = Int.MaxValue) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2356,7 +2399,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar)
+    new CellReaderFactory(pkLower, pkUpper, required.fieldNames, columnar,
+      limit)
 
   /** The streaming face of the same scan: new `.cells` files appearing
     * in the snapshot directory are the stream (the Cassandra-flush/CDC
@@ -2585,13 +2629,46 @@ case class CellInputPartition(file: String, dataStart: Long,
     colNames: Array[String],
     keySpec: KeySpec = KeySpec.Default) extends InputPartition
 
+/** Pushed-LIMIT caps (see [[CellScanBuilder.pushLimit]]): stop a
+  * partition reader after n output rows — later chunks are never even
+  * decompressed — and truncate the final columnar batch in place.
+  */
+private[sources] final class LimitedRowReader(
+    inner: PartitionReader[InternalRow], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var n = 0
+  override def next(): Boolean =
+    n < limit && inner.next() && { n += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+private[sources] final class LimitedBatchReader(
+    inner: PartitionReader[ColumnarBatch], limit: Int)
+    extends PartitionReader[ColumnarBatch] {
+  private var remaining = limit
+  private var batch: ColumnarBatch = _
+  override def next(): Boolean = {
+    if (remaining <= 0 || !inner.next()) return false
+    batch = inner.get()
+    if (batch.numRows > remaining) batch.setNumRows(remaining)
+    remaining -= batch.numRows
+    true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = inner.close()
+}
+
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
-    cols: Array[String], columnar: Boolean) extends PartitionReaderFactory {
+    cols: Array[String], columnar: Boolean,
+    limit: Int = Int.MaxValue) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[CellInputPartition]
-    if (part.keySpec.isDefault)
-      new CellReader(part, pkLower, pkUpper, cols)
-    else new CellKeyedReader(part, pkLower, pkUpper, cols)
+    val r =
+      if (part.keySpec.isDefault)
+        new CellReader(part, pkLower, pkUpper, cols)
+      else new CellKeyedReader(part, pkLower, pkUpper, cols)
+    if (limit == Int.MaxValue) r else new LimitedRowReader(r, limit)
   }
 
   // Vectorized path (the parquet VectorizedColumnReader analogue): one
@@ -2602,9 +2679,11 @@ class CellReaderFactory(pkLower: Long, pkUpper: Long,
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar && p.asInstanceOf[CellInputPartition].keySpec.isDefault
   override def createColumnarReader(
-      p: InputPartition): PartitionReader[ColumnarBatch] =
-    new CellColumnarReader(p.asInstanceOf[CellInputPartition],
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val r = new CellColumnarReader(p.asInstanceOf[CellInputPartition],
       pkLower, pkUpper, cols)
+    if (limit == Int.MaxValue) r else new LimitedBatchReader(r, limit)
+  }
 }
 
 /** Shared executor-side chunk cursor: seeks straight to each surviving

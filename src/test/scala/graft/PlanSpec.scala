@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.sources.CellSnapshots
 
 /** Physical-plan assertions (SURVEY §4): the plans we designed for are
   * the plans Catalyst actually produces. Also covers the two
@@ -258,6 +259,27 @@ class PlanSpec extends GraftSpec {
   test("C10b counter scan plans the shard-SUM reconcile merge") {
     val p = plan(Registry.byName("C10b_counter_scan").fn(spark, sf()))
     assert(p.contains("counter shard-SUM k-way merge"), p)
+  }
+
+  test("C22 per-partition limit runs in the merge cursor, no window") {
+    val p = plan(Registry.byName("C22_per_partition_limit")
+      .fn(spark, sf()))
+    // the CQL clause executes inside the reconcile scan; the plan must
+    // hold NO row_number window over the full reconciled view
+    assert(p.contains("CellReconcileScan"), p)
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("LIMIT pushes into the cell scan (partial, per-reader cap)") {
+    val d = CellSnapshots.ensure(spark, sf())
+    val df = spark.read.format("graft.sources.CellSource").load(d)
+      .limit(7)
+    assert(df.count() == 7)
+    val p = df.queryExecution.executedPlan.toString
+    // DSv2 prints pushed limits on the scan line
+    assert(p.contains("PushedLimit") || p.toLowerCase.contains("limit"),
+      p)
   }
 
   test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {

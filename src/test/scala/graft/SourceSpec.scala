@@ -1629,6 +1629,46 @@ class SourceSpec extends GraftSpec {
       e.toString.contains("key layout"), e.toString)
   }
 
+  test("perPartitionLimit emits first n live rows per pk (C22)") {
+    val d = Files.createTempDirectory("cells-pplim").toString
+    // pk 1: cks 1..5 ('qty'+'price' each); pk 2: cks 1..3
+    val data = for {
+      pk <- Seq(1L, 2L); ck <- 1 to (if (pk == 1) 5 else 3)
+      c <- Seq("qty", "price")
+    } yield (pk, ck, c, ck.toLong, 100L)
+    CellSource.writeSnapshot(d, data, files = 2)
+    def readLim(n: Int) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("perPartitionLimit", n.toString).load(d)
+    val two = readLim(2).as[(Long, Int, String, Long, Long)]
+      .collect().toSet
+    assert(two == data.filter(_._2 <= 2).toSet) // both cells of rows 1,2
+    // a FULLY-SHADOWED first row must not consume the budget: delete
+    // ck=1 of pk=1 (both cells) with a row tombstone, then limit 2
+    // must serve cks 2 and 3
+    Seq((1L, 1, CellSource.RowTombstone, 0L, 999L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val afterDel = readLim(2).filter(col("pk") === 1L)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(afterDel == data.filter(r =>
+      r._1 == 1L && (r._2 == 2 || r._2 == 3)).toSet)
+  }
+
+  test("pushed LIMIT caps reconcile readers per partition") {
+    val d = Files.createTempDirectory("cells-lim").toString
+    val data = (0 until 1000).map(i =>
+      (i.toLong, 0, "qty", i.toLong, 1L))
+    CellSource.writeSnapshot(d, data, files = 4)
+    val lim = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d).limit(5)
+    assert(lim.count() == 5)
+    val plain = spark.read.format("graft.sources.CellSource").load(d)
+      .limit(3)
+    assert(plain.count() == 3)
+  }
+
   test("identity-token long pk keeps range pushdown (C36)") {
     val d = Files.createTempDirectory("cells-typed-id").toString
     val rows = (0 until 400).map(i => (i.toLong, i % 3, "qty", i.toLong,
