@@ -393,6 +393,25 @@ object Cells {
       .orderBy(col("pk"), col("ck"))
   }
 
+  // C18c — STRING-valued secondary index (round 7): the indexed value
+  // is text, so the index cell table's partition key is a CEL6 typed
+  // key and the equality lookup hashes the probe to its token for the
+  // same Summary/bloom point-read pruning the long index gets. Hit
+  // pks semi-join back to the reconciled string view with the
+  // predicate re-applied; the oracle filters str_merged directly.
+  private def stringIdxScan(s: SparkSession, d: String): DataFrame = {
+    val pks = graft.sources.CellIndex.lookupPks(s,
+      CellSnapshots.ensureStringIndexed(s, d), "XR")
+    CellSnapshots.readStringReconciled(s, d)
+      .join(pks, Seq("pk"), "left_semi")
+      .filter(col("value") === "XR")
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val stringIdxSql = cte +
+    """SELECT pk, ck, col, sval AS value, wt FROM str_merged
+      |WHERE sval = 'XR' ORDER BY pk, ck""".stripMargin
+
   // C20 — header-only aggregate: the unfiltered COUNT/MIN/MAX trio is
   // completely pushed into the connector (SupportsPushDownAggregates)
   // and answered from Summary ranges + chunk-table counts — the plan
@@ -617,6 +636,7 @@ object Cells {
     GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
     GQuery("C11b_collection_scan", listScan, Some(listScanSql)),
     GQuery("C18b_index_scan", secondaryIdxScan, Some(secondaryIdxSql)),
+    GQuery("C18c_string_index", stringIdxScan, Some(stringIdxSql)),
     GQuery("C8b_multiget", multiget, Some(multigetSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),
     GQuery("C29_full_read_path", fullReadPath, Some(fullReadPathSql)),

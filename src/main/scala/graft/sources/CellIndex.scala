@@ -1,8 +1,12 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Connector-side secondary index (C18b — the Cassandra 2i story):
   * the inverted (value → primary pk) mapping of one column,
@@ -30,24 +34,70 @@ import org.apache.spark.sql.functions._
   * bounds the probe side of that join to the hit partitions; the
   * Spark-idiomatic equivalent of per-pk point reads.
   *
-  * Long-valued columns only (the indexed value must BE a cell-table
-  * partition key); non-long base tables are rejected by the write
-  * path's type check.
+  * Indexed-value types (round 7): `long` values keep the classic
+  * layout; any other cell value type (text first among them) becomes
+  * a TYPED partition key via CEL6 — the index table is declared
+  * `primaryKey ((pk),ck)` with the value's type, and the lookup
+  * hashes the probe to its token like any typed point read. The BASE
+  * table must be default-keyed (its pk is the index entry's value).
+  *
+  * Staleness (round 7, C18c): `build` records the base table's
+  * committed GENERATION — its flush-file listing, immutable per file
+  * — in the index's `_base` metadata, and `lookupPks` compares it to
+  * the live listing on every probe (one directory listing, the same
+  * I/O planning already does). A lookup against a base that has
+  * flushed since the build either REBUILDS the index in place
+  * (`onStale = "rebuild"`, the default — Cassandra's
+  * synchronous-maintenance UX at rebuild granularity) or fails fast
+  * (`onStale = "fail"`); `"ignore"` serves the stale generation
+  * knowingly.
   */
 object CellIndex {
   private val Fmt = "graft.sources.CellSource"
+  private val BaseFile = "_base"
+
+  /** The base table's committed generation: its flush-file names.
+    * Files are immutable once committed and indices never reused, so
+    * the name list identifies the generation exactly.
+    */
+  private def generation(dir: String): String =
+    CellPlanning.listFiles(dir)
+      .map(f => Paths.get(f).getFileName.toString)
+      .mkString(",")
+
+  private case class BaseMeta(column: String, baseDir: String,
+      gen: String)
+
+  private def readMeta(idxDir: String): Option[BaseMeta] = {
+    val p = Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile)
+    if (!Files.exists(p)) return None
+    try {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+      if (lines.size < 3) None
+      else Some(BaseMeta(lines.get(0), lines.get(1), lines.get(2)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Build (or rebuild) the inverted index of `column` over the table
     * at `dir` into the cell table at `idxDir`. Overwrites: a rebuild
     * replaces the index generation wholesale (truncate write), and
     * the commit publishes its `_manifest` like any other cell table.
+    * The base generation is captured BEFORE the read, so a flush that
+    * races the build leaves the index looking stale — never silently
+    * fresh-but-incomplete.
     */
   def build(spark: SparkSession, dir: String, idxDir: String,
       column: String, files: Int = 8): Unit = {
-    val merged = spark.read.format(Fmt)
+    val gen = generation(dir)
+    val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
-      .filter(col("col") === column)
-    merged.select(
+    require(base.schema.fieldNames.take(2).sameElements(
+        Array("pk", "ck")),
+      s"secondary index needs a default-keyed base table; $dir is " +
+        s"keyed (${base.schema.fieldNames.mkString(",")})")
+    val valueIsLong = base.schema("value").dataType == LongType
+    val entries = base.filter(col("col") === column)
+      .select(
         col("value").as("pk"),
         row_number().over(
           Window.partitionBy(col("value"))
@@ -56,15 +106,70 @@ object CellIndex {
         col("pk").as("value"),
         col("wt"))
       .repartitionByRange(files, col("pk"), col("ck"))
-      .write.format(Fmt).mode("overwrite").save(idxDir)
+    val writer = entries.write.format(Fmt).mode("overwrite")
+    // non-long indexed values become a typed (CEL6) partition key;
+    // keyType hints let schema inference agree on a still-empty dir
+    (if (valueIsLong) writer
+     else writer.option("primaryKey", "((pk),ck)")
+       .option("keyType.pk", base.schema("value").dataType.simpleString)
+       .option("keyType.ck", "int")).save(idxDir)
+    Files.writeString(
+      Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
+      s"$column\n${CellPlanning.normalize(dir)}\n$gen\n")
   }
+
+  /** True when the base table has flushed files since the recorded
+    * build (or the metadata is unreadable on a metadata-bearing
+    * index).
+    */
+  def isStale(idxDir: String): Boolean =
+    readMeta(idxDir).exists(m => generation(m.baseDir) != m.gen)
 
   /** Distinct primary pks whose `column` equals `v` — served by the
     * index table's PRUNED point scan (pk pushdown on the index = the
-    * value lookup).
+    * value lookup; typed probes hash to their token). `onStale`:
+    * "rebuild" (default) re-indexes the base in place first, "fail"
+    * raises, "ignore" serves the recorded generation.
     */
-  def lookupPks(spark: SparkSession, idxDir: String, v: Long): DataFrame =
+  def lookupPks(spark: SparkSession, idxDir: String, v: Any,
+      onStale: String = "rebuild"): DataFrame = {
+    readMeta(idxDir).foreach { m =>
+      if (generation(m.baseDir) != m.gen) onStale match {
+        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "fail" => throw new IllegalStateException(
+          s"secondary index at $idxDir is STALE: base table " +
+            s"${m.baseDir} has flushed since the index build " +
+            s"(rebuild with CellIndex.build, or pass " +
+            s"onStale=rebuild/ignore)")
+        case _ => // "ignore": serve the recorded generation
+      }
+    }
     spark.read.format(Fmt).load(idxDir)
-      .filter(col("pk") === v)
+      .filter(col("pk") === lit(v))
       .select(col("value").as("pk")).distinct()
+  }
+
+  /** Index probe COMPOSED into the base read (round 7): when the hit
+    * set is small — the normal case for a selective index — collect
+    * it and push `pk IN (...)` into the base scan, so the probe plans
+    * as k POINT READS of the base table (C8b's multiget machinery:
+    * per-value Summary + bloom file pruning) with NO join at all.
+    * Past `multigetMax` hits it falls back to the broadcast semi
+    * join. The driver-side collect is bounded by multigetMax+1 rows
+    * of (already index-pruned) longs — the Cassandra coordinator's
+    * index-then-fetch, not a table collect.
+    */
+  def lookupBase(spark: SparkSession, dir: String, idxDir: String,
+      v: Any, multigetMax: Int = 128,
+      onStale: String = "rebuild"): DataFrame = {
+    val hits = lookupPks(spark, idxDir, v, onStale)
+    val sample = hits.limit(multigetMax + 1).collect()
+      .map(_.getLong(0))
+    val base = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    if (sample.isEmpty) base.filter(lit(false))
+    else if (sample.length <= multigetMax)
+      base.filter(col("pk").isin(sample.map(Long.box).toSeq: _*))
+    else base.join(hits, Seq("pk"), "left_semi")
+  }
 }

@@ -321,6 +321,28 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureString(s, sfDir))
 
+  /** STRING-VALUED secondary index (C18c, round 7): the inverted
+    * index of the string snapshot's 'flag' column — the indexed VALUE
+    * is text, so the index table's partition key is a CEL6 typed key
+    * and a lookup hashes the probe string to its token. Built once
+    * per sf from the reconciled string table.
+    */
+  def ensureStringIndexed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-sidx")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellIndex.build(s, ensureString(s, sfDir), dir.toString, "flag")
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
   /** STRING-KEYED snapshot (CEL6 typed keys, C36): the cell relation
     * re-keyed by `user = 'user-' || pk` and written through the typed
     * connector path (`primaryKey ((user),ck)`), so partition pruning,

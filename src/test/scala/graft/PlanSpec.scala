@@ -282,6 +282,28 @@ class PlanSpec extends GraftSpec {
       p)
   }
 
+  test("small-hit index lookup composes into a base multiget (C18c)") {
+    import java.nio.file.Files
+    import graft.sources.{CellIndex, CellSource}
+    val base = Files.createTempDirectory("cells-mg-base").toString
+    val idx = Files.createTempDirectory("cells-mg-idx").toString
+    CellSource.writeSnapshot(base, (0 until 200).map(i =>
+      (i.toLong, 1, "qty", (i % 50).toLong, 10L)), files = 4)
+    CellIndex.build(spark, base, idx, "qty")
+    val df = CellIndex.lookupBase(spark, base, idx, 7L)
+    // 4 hits ≤ multigetMax → the probe plans as pk IN (...) point
+    // reads of the base scan: no join node at all
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CellReconcileScan"), p)
+    assert(!p.contains("Join"), p)
+    assert(df.filter(col("col") === "qty").count() == 4)
+    // past the bound it falls back to the broadcast semi join
+    val big = CellIndex.lookupBase(spark, base, idx, 7L, multigetMax = 2)
+    val bp = big.queryExecution.executedPlan.toString
+    assert(bp.contains("Join"), bp)
+    assert(big.filter(col("col") === "qty").count() == 4)
+  }
+
   test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {
     val p = plan(Registry.byName("N_DEDUP7_segment_dedup").fn(spark, sf()))
     // never doc×doc: the duplicated-span join must be an equi join on

@@ -1669,6 +1669,58 @@ class SourceSpec extends GraftSpec {
     assert(plain.count() == 3)
   }
 
+  test("index staleness: detect, fail fast, rebuild on lookup (C18c)") {
+    import graft.sources.CellIndex
+    val base = Files.createTempDirectory("cells-idx-base").toString
+    val idx = Files.createTempDirectory("cells-idx").toString
+    CellSource.writeSnapshot(base, Seq(
+      (1L, 1, "qty", 100L, 10L),
+      (2L, 1, "qty", 200L, 10L),
+      (3L, 1, "qty", 100L, 10L)), files = 1)
+    CellIndex.build(spark, base, idx, "qty")
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 100L)
+      .as[Long].collect().toSet == Set(1L, 3L))
+    // a base flush after the build makes the index stale
+    Seq((9L, 1, "qty", 777L, 10L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    assert(CellIndex.isStale(idx))
+    intercept[IllegalStateException] {
+      CellIndex.lookupPks(spark, idx, 777L, onStale = "fail")
+    }
+    // ignore serves the recorded generation (777 not yet indexed)…
+    assert(CellIndex.lookupPks(spark, idx, 777L, onStale = "ignore")
+      .isEmpty)
+    // …and the default REBUILDS in place, then serves the new row
+    assert(CellIndex.lookupPks(spark, idx, 777L)
+      .as[Long].collect().toSet == Set(9L))
+    assert(!CellIndex.isStale(idx))
+  }
+
+  test("string-valued index: typed key lookup returns base pks (C18c)") {
+    import graft.sources.CellIndex
+    val base = Files.createTempDirectory("cells-sidx-base").toString
+    val idx = Files.createTempDirectory("cells-sidx").toString
+    Seq((1L, 1, "flag", "R", 10L), (2L, 1, "flag", "A", 10L),
+        (3L, 1, "flag", "R", 10L), (3L, 1, "flag", "N", 20L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append").save(base)
+    CellIndex.build(spark, base, idx, "flag")
+    // index table is CEL6: partition key = the string value
+    val idxSchema = spark.read.format("graft.sources.CellSource")
+      .load(idx).schema
+    assert(idxSchema("pk").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // pk 3's 'R' was rewritten to 'N' (LWW) before indexing
+    assert(CellIndex.lookupPks(spark, idx, "R")
+      .as[Long].collect().toSet == Set(1L))
+    assert(CellIndex.lookupPks(spark, idx, "N")
+      .as[Long].collect().toSet == Set(3L))
+    assert(CellIndex.lookupPks(spark, idx, "Z").isEmpty)
+  }
+
   test("identity-token long pk keeps range pushdown (C36)") {
     val d = Files.createTempDirectory("cells-typed-id").toString
     val rows = (0 until 400).map(i => (i.toLong, i % 3, "qty", i.toLong,
