@@ -176,4 +176,83 @@ object CellMaintenance {
     if (CellPlanning.listFiles(dir).size > maxFiles)
       Some(compact(spark, dir))
     else None
+
+  /** SIZE-TIERED compaction (Cassandra's STCS default, round 7): a
+    * 100 TB table must not rewrite its cold multi-GB generations every
+    * time four fresh flushes land, which is exactly what a count-
+    * triggered major compaction does. Files are bucketed into
+    * similar-size TIERS (greedy over the size-sorted list: a file
+    * joins the current bucket while its size is ≤ `bucketHigh` × the
+    * bucket's average, Cassandra's own rule), and only the tier with
+    * the most files — the hot, freshly-flushed one — is compacted,
+    * once it holds ≥ `minThreshold` files. Each pass merges ~equal-
+    * size inputs into one file a tier up; total write amplification
+    * stays O(log(table/flush)) per cell instead of O(flushes).
+    *
+    * A tier compaction reads ONLY its own files (hard-linked into a
+    * scratch dir so pruning/merge machinery runs unchanged) and
+    * publishes the merged result as a new flush BEFORE deleting the
+    * inputs — a reconciling reader that races the swap sees both
+    * generations, which LWW merges to identical winners. Markers are
+    * always kept and NEVER gc-purged here (`gcGraceMs` retention
+    * needs table-wide scope: an older shadowed version may live in a
+    * tier this pass can't see — the same reason Cassandra only purges
+    * tombstones when the sstable set covers the partition). Full
+    * [[compact]] remains the purge path.
+    *
+    * Returns (compacted file names, files before, files after), or
+    * None when no tier is eligible.
+    */
+  def compactTiered(spark: SparkSession, dir: String,
+      minThreshold: Int = 4, bucketHigh: Double = 1.5,
+      rollRecords: Int = CellSource.DefaultRollRecords)
+      : Option[(Seq[String], Int, Int)] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val norm = CellPlanning.normalize(dir)
+    val files = CellPlanning.listFiles(dir)
+    val sized = files.map(f => (f, JFiles.size(JPaths.get(f))))
+      .sortBy(_._2)
+    val buckets =
+      scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(String, Long)]]
+    sized.foreach { case (f, s) =>
+      buckets.lastOption match {
+        case Some(b)
+            if s <= bucketHigh * (b.map(_._2).sum.toDouble / b.size) =>
+          b += ((f, s))
+        case _ =>
+          buckets += scala.collection.mutable.ArrayBuffer((f, s))
+      }
+    }
+    val eligible = buckets.filter(_.size >= minThreshold)
+    if (eligible.isEmpty) return None
+    val tier = eligible.maxBy(_.size).map(_._1).toSeq
+    val counter = tableProp(dir, "counter").exists(_.toBoolean)
+    // Same-filesystem scratch view of the tier (links, no copies).
+    val scratch = JFiles.createTempDirectory(JPaths.get(norm), ".tier-")
+    try {
+      tier.foreach { f =>
+        val p = JPaths.get(f)
+        JFiles.createLink(scratch.resolve(p.getFileName), p)
+      }
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("keepMarkers", "true")
+        .option("counter", counter.toString)
+        .load(scratch.toString)
+        .write.format("graft.sources.CellSource")
+        .option("rollRecords", rollRecords.toString)
+        .mode("append").save(dir) // publish BEFORE deleting inputs
+      tier.foreach(f => JFiles.delete(JPaths.get(f)))
+      CellManifest.refresh(dir)
+      Some((tier.map(f => JPaths.get(f).getFileName.toString),
+        files.size, CellPlanning.listFiles(dir).size))
+    } finally {
+      scala.util.Using.resource(JFiles.list(scratch)) { s =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.toList.foreach(JFiles.deleteIfExists(_))
+      }
+      JFiles.deleteIfExists(scratch)
+    }
+  }
 }

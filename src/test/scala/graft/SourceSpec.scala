@@ -1669,6 +1669,98 @@ class SourceSpec extends GraftSpec {
     assert(plain.count() == 3)
   }
 
+  test("append mid-plan / stale manifest: reads are a consistent " +
+      "generation") {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val d = Files.createTempDirectory("cells-race").toString
+    CellSource.writeSnapshot(d, Seq(
+      (1L, 1, "qty", 10L, 1L), (2L, 1, "qty", 20L, 1L)), files = 1)
+    def reconciled(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, String, Long, Long)].collect().toSet
+    // 1. Define the read BEFORE the append commits (the "mid-plan"
+    //    interleave — DSv2 plans at action time, so the read must
+    //    serve exactly the post-append generation, never a torn mix).
+    val df = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    Seq((2L, 1, "qty", 99L, 5L), (3L, 1, "qty", 30L, 1L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val gen1 = Set((1L, 1, "qty", 10L, 1L), (2L, 1, "qty", 99L, 5L),
+      (3L, 1, "qty", 30L, 1L))
+    assert(reconciled(df) == gen1)
+    // 2. STALE manifest (the crash-between-publish-and-refresh
+    //    window): land a third flush by hand, bypassing the commit's
+    //    manifest rewrite — the name-list no longer matches, so every
+    //    planner must fall back to per-file headers and still serve
+    //    the full listing.
+    val side = Files.createTempDirectory("cells-race-side").toString
+    CellSource.writeSnapshot(side, Seq((4L, 1, "qty", 40L, 1L)),
+      files = 1)
+    JF.copy(JP.get(side, "data-0000.cells"),
+      JP.get(d, "data-0099.cells"), StandardCopyOption.REPLACE_EXISTING)
+    val manifest = JF.readString(JP.get(d, "_manifest"))
+    assert(!manifest.contains("data-0099.cells")) // really stale
+    assert(reconciled(spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)) ==
+      gen1 + ((4L, 1, "qty", 40L, 1L)))
+    // point lookups keep pruning correctly under the stale manifest
+    val one = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d).filter(col("pk") === 4L)
+    assert(reconciled(one) == Set((4L, 1, "qty", 40L, 1L)))
+    // 3. A manifest refresh heals it; results unchanged.
+    graft.sources.CellManifest.refresh(d)
+    assert(JF.readString(JP.get(d, "_manifest"))
+      .contains("data-0099.cells"))
+    assert(reconciled(spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)) ==
+      gen1 + ((4L, 1, "qty", 40L, 1L)))
+  }
+
+  test("size-tiered compaction rewrites only the small tier (STCS)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-stcs").toString
+    def names() = scala.util.Using.resource(JF.list(JP.get(d))) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells")).toSet
+    }
+    // one BIG cold generation…
+    CellSource.writeSnapshot(d, (0 until 20000).map(i =>
+      (i.toLong, 1, "qty", i.toLong, 1L)), files = 1)
+    // …plus three small flushes with LWW rewrites…
+    (1 to 3).foreach { k =>
+      CellSource.writeSnapshot(d,
+        Seq((k.toLong, 1, "qty", (1000 + k).toLong, 10L + k)),
+        files = 1, startIndex = k)
+    }
+    // …and a fourth small flush carrying a row tombstone for (5, 1)
+    Seq((5L, 1, CellSource.RowTombstone, 0L, 999L),
+        (6L, 1, "qty", 1006L, 10L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    def reconciled() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val before = reconciled()
+    assert(!before.exists(_._1 == 5L)) // tombstone shadows row 5
+    val Some((compacted, nb, na)) = CellMaintenance.compactTiered(spark, d)
+    // only the 4-file small tier compacts; the big generation is
+    // untouched (name survives — cold data never rewritten)
+    assert(compacted.toSet ==
+      Set("data-0001.cells", "data-0002.cells", "data-0003.cells",
+        "data-0004.cells"))
+    assert(names().contains("data-0000.cells"))
+    assert(nb == 5 && na == 2, s"$nb -> $na")
+    // read parity: same winners, and the tombstone still shadows the
+    // BIG tier's row 5 (markers survive a subset compaction)
+    assert(reconciled() == before)
+    // a second pass finds no eligible tier (1 big + 1 merged file)
+    assert(CellMaintenance.compactTiered(spark, d).isEmpty)
+  }
+
   test("index staleness: detect, fail fast, rebuild on lookup (C18c)") {
     import graft.sources.CellIndex
     val base = Files.createTempDirectory("cells-idx-base").toString
