@@ -625,7 +625,31 @@ object Cells {
       |WHERE pk IN (3, 32, 999999999)
       |ORDER BY user, ck, col""".stripMargin
 
+  // C37 — clustering-slice pushdown (round 7): `ck BETWEEN 2 AND 4`
+  // is THE CQL read shape (`WHERE pk = ? AND ck >= ? AND ck <= ?`),
+  // pushed INTO the reconciling scan — CEL7 per-chunk clustering zone
+  // maps prune chunks, the merge cursor skips out-of-slice rows
+  // pre-materialization, and marker-bearing chunks are always kept so
+  // the slice still sees every tombstone that shadows it (oracle
+  // composes the slice with C5's NOT-EXISTS shadowing).
+  private def clusteringSlice(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readLive(s, d)
+      .filter(col("pk") % 10 === 0 && col("ck").between(2, 4))
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val clusteringSliceSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged m
+      |WHERE pk % 10 = 0 AND ck BETWEEN 2 AND 4
+      |  AND NOT EXISTS (SELECT 1 FROM cell_del c
+      |    WHERE c.pk = m.pk AND c.ck = m.ck AND c.col = m.col
+      |      AND c.dts >= m.wt)
+      |  AND NOT EXISTS (SELECT 1 FROM part_del p
+      |    WHERE p.pk = m.pk AND p.pdts >= m.wt)
+      |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C37_clustering_slice", clusteringSlice,
+      Some(clusteringSliceSql)),
     GQuery("C36_typed_key_scan", typedKeyScan, Some(typedKeyScanSql)),
     GQuery("C36b_typed_key_multiget", typedKeyMultiget,
       Some(typedKeyMultigetSql)),

@@ -499,6 +499,19 @@ object CellSource {
     */
   val Magic6 = 0x43454c36
 
+  /** "CEL7" (round 7): the CEL5 default-key layout plus per-chunk
+    * CLUSTERING zone maps — each chunk-table entry carries
+    * (minCk, maxCk) over ALL its records plus a hasMarkers flag. A
+    * pushed ck slice (`WHERE pk = ? AND ck BETWEEN ? AND ?`, THE CQL
+    * read shape) prunes chunks the way wt zone maps prune
+    * incremental reads; the marker flag lets the reconcile planner
+    * keep chunks holding tombstone/TTL markers (which sit at
+    * ck = Int.MinValue and shadow data far outside their own ck)
+    * while plain scans prune purely by the zone, which covers every
+    * physical row. Record layout is unchanged from CEL5.
+    */
+  val Magic7 = 0x43454c37
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
@@ -563,15 +576,20 @@ object CellSource {
       chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
       chunkMinWt: Array[Long], chunkMaxWt: Array[Long], dataStart: Long,
       valueTag: Int, decPrec: Int, decScale: Int, colNames: Array[String],
-      keySpec: KeySpec = KeySpec.Default)
+      keySpec: KeySpec,
+      // CEL7 clustering zone maps; pre-CEL7 files carry full-range
+      // sentinels + hasMarkers=true, so ck pruning degrades to a no-op
+      chunkMinCk: Array[Int], chunkMaxCk: Array[Int],
+      chunkHasMarkers: Array[Boolean])
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
-      require(magic == Magic || magic == Magic5 || magic == Magic6,
+      require(magic == Magic || magic == Magic5 || magic == Magic6 ||
+        magic == Magic7,
         s"bad cell file magic in $file")
-      val v5 = magic == Magic5 || magic == Magic6
+      val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7
       val headerLen = in.readInt()
       // CEL6 prefix: the typed key spec (pk parts, then ck parts).
       val spec =
@@ -609,15 +627,27 @@ object CellSource {
       val raws = new Array[Int](nChunks)
       val wlo = new Array[Long](nChunks)
       val whi = new Array[Long](nChunks)
+      val cklo = new Array[Int](nChunks)
+      val ckhi = new Array[Int](nChunks)
+      val cmk = new Array[Boolean](nChunks)
       i = 0
       while (i < nChunks) {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
         raws(i) = if (v5) in.readInt() else recs(i) * RecordBytes
         wlo(i) = in.readLong(); whi(i) = in.readLong()
+        if (magic == Magic7) {
+          cklo(i) = in.readInt(); ckhi(i) = in.readInt()
+          cmk(i) = in.readBoolean()
+        } else {
+          // pre-CEL7: no clustering zone map — full range + assume
+          // markers so ck pruning never drops anything
+          cklo(i) = Int.MinValue; ckhi(i) = Int.MaxValue; cmk(i) = true
+        }
         i += 1
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
-        raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec)
+        raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec,
+        cklo, ckhi, cmk)
     }
   }
 
@@ -657,7 +687,8 @@ object CellSource {
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
     // Deflate the data section chunk by chunk, recording the table.
     val data = new ByteArrayOutputStream()
-    val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long)]
+    val offsets =
+      Seq.newBuilder[(Long, Int, Int, Int, Long, Long, Int, Int, Boolean)]
     chunk.grouped(chunkRecords).foreach { recs =>
       val rawOut = new ByteArrayOutputStream()
       val rawDs = new DataOutputStream(rawOut)
@@ -681,7 +712,9 @@ object CellSource {
         clen += deflater.deflate(buf, clen, buf.length - clen)
       deflater.end()
       offsets += ((data.size().toLong, clen, recs.size, raw.length,
-        recs.iterator.map(_._5).min, recs.iterator.map(_._5).max))
+        recs.iterator.map(_._5).min, recs.iterator.map(_._5).max,
+        recs.iterator.map(_._2).min, recs.iterator.map(_._2).max,
+        recs.exists(r => r._3.nonEmpty && r._3.charAt(0) == '!')))
       data.write(buf, 0, clen)
     }
     val chunkTable = offsets.result()
@@ -703,14 +736,16 @@ object CellSource {
     idx.foreach { case (pk, j) => h.writeLong(pk); h.writeInt(j) }
     h.writeInt(chunkRecords)
     h.writeInt(chunkTable.size)
-    chunkTable.foreach { case (off, clen, nrec, rawLen, wlo, whi) =>
-      h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
-      h.writeInt(rawLen)
-      h.writeLong(wlo); h.writeLong(whi)
+    chunkTable.foreach {
+      case (off, clen, nrec, rawLen, wlo, whi, cklo, ckhi, mk) =>
+        h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+        h.writeInt(rawLen)
+        h.writeLong(wlo); h.writeLong(whi)
+        h.writeInt(cklo); h.writeInt(ckhi); h.writeBoolean(mk)
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic5)
+      out.writeInt(Magic7)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
@@ -924,6 +959,14 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private var pkUpper = Long.MaxValue
   private var wtLower = Long.MinValue
   private var wtUpper = Long.MaxValue
+  // pushed clustering slice (C37): `pk = ? AND ck BETWEEN ? AND ?` is
+  // THE CQL read shape — CEL7 chunk zone maps prune on it, and the
+  // merge cursor skips out-of-slice rows pre-materialization. Unlike
+  // wt, a ck bound COMMUTES with the reconcile merge: the merge is
+  // per (pk, ck, col), and every version of an in-slice key is
+  // itself in-slice.
+  private var ckLower = Int.MinValue
+  private var ckUpper = Int.MaxValue
   private var pkSet: Option[Set[Long]] = None // pushed pk IN (...)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
@@ -1110,6 +1153,12 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       case GreaterThanOrEqual(c, _: java.lang.Long) => ok(c)
       case LessThan(c, _: java.lang.Long) => ok(c)
       case LessThanOrEqual(c, _: java.lang.Long) => ok(c)
+      // clustering slice — commutes with the merge (see ckLower)
+      case EqualTo("ck", _: java.lang.Integer) => true
+      case GreaterThan("ck", _: java.lang.Integer) => true
+      case GreaterThanOrEqual("ck", _: java.lang.Integer) => true
+      case LessThan("ck", _: java.lang.Integer) => true
+      case LessThanOrEqual("ck", _: java.lang.Integer) => true
       // the CQL multiget: `pk IN (...)` prunes files per VALUE
       // (Summary range + bloom), commuting with the reconcile merge
       case In("pk", vs) => vs.nonEmpty &&
@@ -1141,6 +1190,16 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
         wtUpper = math.min(wtUpper, v - 1)
       case LessThanOrEqual("wt", v: java.lang.Long) =>
         wtUpper = math.min(wtUpper, v)
+      case EqualTo("ck", v: java.lang.Integer) =>
+        ckLower = math.max(ckLower, v); ckUpper = math.min(ckUpper, v)
+      case GreaterThan("ck", v: java.lang.Integer) =>
+        ckLower = math.max(ckLower, v + 1)
+      case GreaterThanOrEqual("ck", v: java.lang.Integer) =>
+        ckLower = math.max(ckLower, v)
+      case LessThan("ck", v: java.lang.Integer) =>
+        ckUpper = math.min(ckUpper, v - 1)
+      case LessThanOrEqual("ck", v: java.lang.Integer) =>
+        ckUpper = math.min(ckUpper, v)
       case _ =>
     }
     pushed = accepted
@@ -1158,10 +1217,12 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar, reconcileOpts, pkSet, spec, limit)
+        subsplitRecords, columnar,
+        reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper),
+        pkSet, spec, limit)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-        subsplitRecords, columnar, pkSet, spec, limit)
+        subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper)
   }
 }
 
@@ -1251,7 +1312,12 @@ case class ReconcileOptions(
     gcGraceMs: Long = Long.MaxValue,
     gcNowMs: Long = Long.MaxValue,
     counter: Boolean = false,
-    perPartitionLimit: Int = Int.MaxValue)
+    perPartitionLimit: Int = Int.MaxValue,
+    // pushed clustering slice (C37): rows outside [ckLower, ckUpper]
+    // are skipped pre-materialization; CQL order — slice first, THEN
+    // PER PARTITION LIMIT counts only in-slice rows
+    ckLower: Int = Int.MinValue,
+    ckUpper: Int = Int.MaxValue)
 
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
@@ -1308,6 +1374,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
   }
   override def description(): String =
     s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
+      (if (opts.ckLower != Int.MinValue || opts.ckUpper != Int.MaxValue)
+        s"ckRange=[${opts.ckLower},${opts.ckUpper}] " else "") +
       s"cols=${required.fieldNames.mkString(",")} " +
       (if (opts.counter) "(counter shard-SUM k-way merge)"
        else "(LWW k-way merge)")
@@ -1393,7 +1461,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
         val fileParts = headers.flatMap { case (f, h) =>
           if (h.maxPk < rlo || h.minPk > rhi) Nil
           else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
-            Long.MaxValue, Int.MaxValue)
+            Long.MaxValue, Int.MaxValue, opts.ckLower, opts.ckUpper,
+            keepMarkerChunks = true)
         }.map(_.asInstanceOf[CellInputPartition])
         if (fileParts.isEmpty) None
         else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
@@ -1660,6 +1729,14 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
             wt >= gcNowMs - gcGraceMs
           if (isTtl || inGrace) return true
         }
+      } else if (ck < opts.ckLower || ck > opts.ckUpper) {
+        // pushed clustering slice (C37): out-of-slice data rows are
+        // dropped pre-materialization and never count toward the
+        // per-partition limit (CQL: slice first, then LIMIT). Marker
+        // rows took the branch above, so shadowing state for
+        // in-slice rows is already complete. Every version of an
+        // in-slice key shares its ck, so skipping here cannot change
+        // a surviving winner.
       } else {
         val coveredByPk = pdts != Long.MinValue && wt <= pdts
         val coveredByRow = rowDelTs != Long.MinValue && wt <= rowDelTs
@@ -2277,7 +2354,9 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     subsplitRecords: Int, columnar: Boolean,
     staticPks: Option[Set[Long]] = None,
     spec: KeySpec = KeySpec.Default,
-    limit: Int = Int.MaxValue) extends Scan with Batch
+    limit: Int = Int.MaxValue,
+    ckLower: Int = Int.MinValue,
+    ckUpper: Int = Int.MaxValue) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2328,7 +2407,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
           CellSource.bloomContains(h.bloom, v))
         if (!hit) Nil
         else CellPlanning.planFile(f, h, lo, hi, wtLower, wtUpper,
-          subsplitRecords)
+          subsplitRecords, ckLower, ckUpper, keepMarkerChunks = false)
       }
     }.toArray
   }
@@ -2358,6 +2437,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
   override def description(): String =
     s"CellScan path=$path pkRange=[$pkLower,$pkUpper] " +
       s"wtRange=[$wtLower,$wtUpper] " +
+      (if (ckLower != Int.MinValue || ckUpper != Int.MaxValue)
+        s"ckRange=[$ckLower,$ckUpper] " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
 
   /** C2 split_gen + C8/C16 pruning, all driver-side from file headers:
@@ -2393,7 +2474,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
         case None =>
           val files = CellPlanning.listFiles(path)
           CellPlanning.planFilesWithManifest(path, files, pkLower,
-            pkUpper, wtLower, wtUpper, subsplitRecords).toArray
+            pkUpper, wtLower, wtUpper, subsplitRecords,
+            ckLower, ckUpper, keepMarkerChunks = false).toArray
       }
       cached
     }
@@ -2480,9 +2562,11 @@ private[sources] object CellPlanning {
     * zone-map chunk pruning, chunk-aligned sub-splits.
     */
   def planFile(f: String, pkLower: Long, pkUpper: Long, wtLower: Long,
-      wtUpper: Long, subsplitRecords: Int): Seq[InputPartition] =
+      wtUpper: Long, subsplitRecords: Int,
+      ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
+      keepMarkerChunks: Boolean = true): Seq[InputPartition] =
     planFile(f, CellSource.readHeader(f), pkLower, pkUpper, wtLower,
-      wtUpper, subsplitRecords)
+      wtUpper, subsplitRecords, ckLower, ckUpper, keepMarkerChunks)
 
   /** Manifest-guided planning over `files` (already listed by the
     * caller): when the `_manifest` matches the listing, files failing
@@ -2494,7 +2578,9 @@ private[sources] object CellPlanning {
     */
   def planFilesWithManifest(path: String, files: Seq[String],
       pkLower: Long, pkUpper: Long, wtLower: Long, wtUpper: Long,
-      subsplitRecords: Int): Seq[InputPartition] = {
+      subsplitRecords: Int,
+      ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
+      keepMarkerChunks: Boolean = true): Seq[InputPartition] = {
     val byName = CellManifest.current(path, files)
       .map(_.map(e => e.name -> e).toMap)
     files.flatMap { f =>
@@ -2503,7 +2589,7 @@ private[sources] object CellPlanning {
       if (entry.exists(e =>
           e.count == 0 || e.maxPk < pkLower || e.minPk > pkUpper)) Nil
       else planFile(f, pkLower, pkUpper, wtLower, wtUpper,
-        subsplitRecords)
+        subsplitRecords, ckLower, ckUpper, keepMarkerChunks)
     }
   }
 
@@ -2514,7 +2600,8 @@ private[sources] object CellPlanning {
     */
   def planFile(f: String, h: CellSource.Header, pkLower: Long,
       pkUpper: Long, wtLower: Long, wtUpper: Long,
-      subsplitRecords: Int): Seq[InputPartition] = {
+      subsplitRecords: Int, ckLower: Int, ckUpper: Int,
+      keepMarkerChunks: Boolean): Seq[InputPartition] = {
     val pointPk = if (pkLower == pkUpper) Some(pkLower) else None
     if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
     else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
@@ -2540,7 +2627,14 @@ private[sources] object CellPlanning {
       val endChunk = math.min(nChunks,
         (endRec + h.chunkRecords - 1) / h.chunkRecords)
       val surviving = (startChunk until endChunk).filter { c =>
-        h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper
+        h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper &&
+          // CEL7 clustering zone map: the zone spans every physical
+          // row (markers included), so plain scans prune exactly;
+          // reconcile keeps marker-bearing chunks regardless — their
+          // tombstones shadow data outside their own ck
+          (ckLower == Int.MinValue && ckUpper == Int.MaxValue ||
+            h.chunkMaxCk(c) >= ckLower && h.chunkMinCk(c) <= ckUpper ||
+            keepMarkerChunks && h.chunkHasMarkers(c))
       }
       val chunksPerSplit =
         math.max(1, subsplitRecords / math.max(1, h.chunkRecords))

@@ -1761,6 +1761,92 @@ class SourceSpec extends GraftSpec {
     assert(CellMaintenance.compactTiered(spark, d).isEmpty)
   }
 
+  test("clustering zone maps prune chunks for ck slices (C37/CEL7)") {
+    val d = Files.createTempDirectory("cells-ckzone").toString
+    // one partition, ck grows with record index → chunks have
+    // disjoint ck ranges: [0,2499] [2500,4999] [5000,7499] [7500,9999]
+    val cells = (0 until 10000).map(i => (1L, i, "qty", i.toLong, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 1, chunkRecords = 2500)
+    def read() = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+    assert(read().rdd.getNumPartitions == 4)
+    val tail = read().filter(col("ck") >= 7500)
+    assert(tail.rdd.getNumPartitions == 1, "expected ck zone-map prune")
+    assert(tail.count() == 2500)
+    val mid = read().filter(col("ck").between(2500, 4999))
+    assert(mid.rdd.getNumPartitions == 1)
+    assert(mid.count() == 2500)
+    // boundary-straddling slice keeps both neighbours; residual
+    // filters keep the row count exact
+    val straddle = read().filter(col("ck").between(2499, 5000))
+    assert(straddle.rdd.getNumPartitions == 3)
+    assert(straddle.count() == 2502)
+  }
+
+  test("ck slice under reconcile keeps marker chunks (no resurrection)") {
+    val d = Files.createTempDirectory("cells-ckmark").toString
+    CellSource.writeSnapshot(d,
+      (0 until 8000).map(i => (1L, i, "qty", i.toLong, 1000L)),
+      files = 1, chunkRecords = 2000)
+    // flush 2: a partition tombstone (sits at ck = Int.MinValue, far
+    // below any slice) shadowing every wt <= 5000 row, plus one fresh
+    // in-slice row that survives it
+    Seq((1L, Int.MinValue, CellSource.PartitionTombstone, 0L, 5000L),
+        (1L, 6000, "qty", 42L, 9000L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val sliced = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("ck") >= 6000)
+    // if the marker chunk were ck-pruned, the 2000 shadowed rows with
+    // ck in [6000, 7999] would resurrect
+    assert(sliced.as[(Long, Int, String, Long, Long)].collect().toSet ==
+      Set((1L, 6000, "qty", 42L, 9000L)))
+    // slice-parity + limit composition on a marker-free table
+    val d2 = Files.createTempDirectory("cells-ckplain").toString
+    CellSource.writeSnapshot(d2,
+      (0 until 8000).map(i => (2L, i, "qty", i.toLong, 1000L)),
+      files = 2, chunkRecords = 2000)
+    def rec(dir: String) = spark.read
+      .format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    val full = rec(d2).as[(Long, Int, String, Long, Long)].collect()
+      .filter(r => r._2 >= 1000 && r._2 <= 1500).toSet
+    val push = rec(d2).filter(col("ck").between(1000, 1500))
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(push == full && push.size == 501)
+    // CQL order of clauses: slice FIRST, then PER PARTITION LIMIT
+    // counts only in-slice clustering rows
+    val ppl = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("perPartitionLimit", "2")
+      .load(d2).filter(col("ck") >= 1000)
+      .as[(Long, Int, String, Long, Long)].collect().map(_._2).sorted
+    assert(ppl.toSeq == Seq(1000, 1001))
+  }
+
+  test("plain scans keep ck = MIN marker rows visible under a slice") {
+    val d = Files.createTempDirectory("cells-ckraw").toString
+    CellSource.writeSnapshot(d,
+      (0 until 4000).map(i => (1L, i, "qty", i.toLong, 1000L)),
+      files = 1, chunkRecords = 1000)
+    Seq((1L, Int.MinValue, CellSource.PartitionTombstone, 0L, 5000L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // the raw (sstable-dump) view: a point filter AT the marker's
+    // physical ck still surfaces it — the zone map spans every
+    // physical row, markers included
+    val marks = spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("ck") === Int.MinValue)
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(marks.toSeq ==
+      Seq((1L, Int.MinValue, CellSource.PartitionTombstone, 0L, 5000L)))
+    // and a data slice on the raw view prunes the marker flush cleanly
+    assert(spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("ck").between(3000, 3999)).count() == 1000)
+  }
+
   test("index staleness: detect, fail fast, rebuild on lookup (C18c)") {
     import graft.sources.CellIndex
     val base = Files.createTempDirectory("cells-idx-base").toString
