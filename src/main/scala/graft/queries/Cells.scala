@@ -647,7 +647,29 @@ object Cells {
       |    WHERE p.pk = m.pk AND p.pdts >= m.wt)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C38 — DELETE-as-tombstone (round 7): SQL DELETE through the V2
+  // catalog writes marker flushes (partition / row / range tombstone
+  // per the predicate shape) instead of rewriting data; the fixture
+  // applies a partition, a row, and a range delete through
+  // CellTable.deleteWhere (the exact path SQL DELETE takes), and the
+  // reconciled read must shadow precisely those keys. Marker wt is
+  // (max wt + 1), so the oracle is merged minus the key predicates.
+  private def deleteTombstones(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readDeleted(s, d)
+      .filter(col("pk") <= 60)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val deleteTombstonesSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk <= 60
+      |  AND pk NOT IN (5, 7)
+      |  AND NOT (pk = 1 AND ck = 2)
+      |  AND NOT (pk = 3 AND ck BETWEEN 2 AND 4)
+      |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C38_delete_tombstones", deleteTombstones,
+      Some(deleteTombstonesSql)),
     GQuery("C37_clustering_slice", clusteringSlice,
       Some(clusteringSliceSql)),
     GQuery("C36_typed_key_scan", typedKeyScan, Some(typedKeyScanSql)),

@@ -62,6 +62,52 @@ object CellSnapshots {
   def read(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource").load(ensure(s, sfDir))
 
+  /** DELETE-as-tombstone fixture (C38, round 7): the plain cell
+    * snapshot with three SQL-DELETE-shaped [[CellTable.deleteWhere]]
+    * calls applied — a partition delete (`pk IN (5, 7)`), a row
+    * delete (`pk = 1 AND ck = 2`) and a range delete (`pk = 3 AND
+    * ck BETWEEN 2 AND 4`). Each lands as an APPENDED tombstone flush
+    * whose wt is (table max wt + 1), so it shadows exactly the data
+    * present at delete time — the oracle is the merged relation minus
+    * those key predicates.
+    */
+  def ensureDeleted(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-sqldel")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir.toString)
+        import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+          In, LessThanOrEqual}
+        val t = new CellTable(dir.toString)
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          In("pk", Array[Any](5L, 7L))))
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          EqualTo("pk", 1L), EqualTo("ck", 2)))
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          EqualTo("pk", 3L), GreaterThanOrEqual("ck", 2),
+          LessThanOrEqual("ck", 4)))
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** The reconciled view AFTER the C38 deletes: live cells only. */
+  def readDeleted(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensureDeleted(s, sfDir))
+
   /** The RECONCILED cell relation: the connector's own k-way LWW
     * merge across flush files (C24, [[CellReconcileScan]]) — one live
     * cell per (pk, ck, col), merged in the reader, not in a Spark

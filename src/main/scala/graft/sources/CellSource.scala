@@ -219,6 +219,20 @@ object ValueCodec {
     case _ => false
   }
 
+  /** The type's neutral value — tombstone marker cells carry it as
+    * their (meaningless) payload so a marker flush type-checks
+    * against the table's value type.
+    */
+  def zeroOf(tag: Int, prec: Int, scale: Int): Any = tag match {
+    case LongTag | TimestampTag => 0L
+    case IntTag => 0
+    case DoubleTag => 0.0
+    case BoolTag => false
+    case StringTag => UTF8String.fromString("")
+    case BinaryTag => Array.empty[Byte]
+    case DecimalTag => Decimal.createUnsafe(0L, prec, scale)
+  }
+
   def compare(tag: Int, a: Any, b: Any): Int = tag match {
     case LongTag | TimestampTag =>
       java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -881,7 +895,8 @@ class CellTable(path: String,
     tableSchema: StructType = CellSource.Schema,
     tableProps: Map[String, String] = Map.empty) extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"cells($path)"
   override def schema(): StructType = tableSchema
   override def properties(): JMap[String, String] = {
@@ -943,6 +958,144 @@ class CellTable(path: String,
     new CellWriteBuilder(path, info.schema(),
       o.getInt("rollRecords", CellSource.DefaultRollRecords),
       Option(o.get("primaryKey")))
+  }
+
+  // ---- C38: DELETE-as-tombstone (SupportsDelete, round 7) ----
+  // A Cassandra DELETE never touches existing data: it WRITES a
+  // tombstone that the read path's merge shadows with. `DELETE FROM t
+  // WHERE pk = ?` appends a partition tombstone flush; `... AND
+  // ck = ?` a row tombstone; `... AND ck BETWEEN ? AND ?` a range
+  // tombstone marker. The marker's writetime is (table max wt + 1) —
+  // deterministic, and by LWW it deletes exactly what exists at
+  // delete time; later writes with fresh wts survive it, Cassandra's
+  // own rewrite-past-deletion behavior. Typed-key (CEL6) tables and
+  // other predicate shapes refuse via canDeleteWhere.
+
+  /** Parse a Cassandra-shaped DELETE predicate: (pk set, ckLo, ckHi,
+    * any-ck-constraint). None = unsupported shape.
+    */
+  private def parseDelete(filters: Array[Filter])
+      : Option[(Set[Long], Int, Int, Boolean)] = {
+    if (!keySpec.isDefault) return None
+    var pkSets = List.empty[Set[Long]]
+    var ckLo = Int.MinValue
+    var ckHi = Int.MaxValue
+    var hasCk = false
+    var ok = true
+    filters.foreach {
+      case EqualTo("pk", v: java.lang.Long) =>
+        pkSets ::= Set(v.longValue)
+      case In("pk", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        pkSets ::= vs.iterator
+          .map(_.asInstanceOf[java.lang.Long].longValue).toSet
+      case EqualTo("ck", v: java.lang.Integer) =>
+        hasCk = true
+        ckLo = math.max(ckLo, v); ckHi = math.min(ckHi, v)
+      case GreaterThan("ck", v: java.lang.Integer) =>
+        hasCk = true; ckLo = math.max(ckLo, v + 1)
+      case GreaterThanOrEqual("ck", v: java.lang.Integer) =>
+        hasCk = true; ckLo = math.max(ckLo, v)
+      case LessThan("ck", v: java.lang.Integer) =>
+        hasCk = true; ckHi = math.min(ckHi, v - 1)
+      case LessThanOrEqual("ck", v: java.lang.Integer) =>
+        hasCk = true; ckHi = math.min(ckHi, v)
+      case _ => ok = false
+    }
+    if (!ok || pkSets.isEmpty) None
+    else Some((pkSets.reduce(_ intersect _), ckLo, ckHi, hasCk))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    parseDelete(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (pks, ckLo, ckHi, hasCk) = parseDelete(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported DELETE predicate " +
+          s"[${filters.mkString(", ")}]: Cassandra shape is " +
+          "pk = ? / pk IN (...), optionally AND an integer ck " +
+          "equality or range, on a default-keyed table"))
+    if (pks.isEmpty || (hasCk && ckLo > ckHi)) return // contradiction
+    val norm = CellPlanning.normalize(path)
+    val dir = Paths.get(norm)
+    Files.createDirectories(dir)
+    val files = CellPlanning.listFiles(norm)
+    val headers = files.map(CellSource.readHeader)
+    val wt = headers.iterator.flatMap(_.chunkMaxWt.iterator)
+      .foldLeft(0L)(math.max) + 1
+    val (tag, prec, scale) = headers.headOption
+      .map(h => (h.valueTag, h.decPrec, h.decScale))
+      .getOrElse(tableSchema("value").dataType match {
+        case d: DecimalType => (ValueCodec.DecimalTag, d.precision, d.scale)
+        case dt => (ValueCodec.tagFor(dt), 0, 0)
+      })
+    val zero = ValueCodec.zeroOf(tag, prec, scale)
+    val markers: Seq[(Long, Int, String, Any, Long)] =
+      pks.toSeq.sorted.map { pk =>
+        if (!hasCk)
+          (pk, Int.MinValue, CellSource.PartitionTombstone, zero, wt)
+        else if (ckLo == ckHi)
+          (pk, ckLo, CellSource.RowTombstone, zero, wt)
+        else
+          (pk, Int.MinValue, CellSource.rangeTombstoneCol(ckLo, ckHi),
+            zero, wt)
+      }
+    val cols = markers.map(_._3).distinct.sorted.toArray
+    // Stage, then atomically claim the next flush slot — the same
+    // link(2) protocol as the batch committer, so a DELETE racing an
+    // append never overwrites a flush.
+    val staged = Files.createTempFile(dir, ".delete-", ".tmp")
+    CellSource.writeFileTyped(staged,
+      markers.sortBy(m => (m._1, m._2, m._3, m._5)), cols, tag, prec,
+      scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
+    var next = files.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    var done = false
+    while (!done) {
+      try {
+        Files.createLink(dir.resolve(f"data-$next%04d.cells"), staged)
+        Files.delete(staged)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+      next += 1
+    }
+    CellManifest.refresh(norm)
+  }
+
+  /** SQL TRUNCATE TABLE: drop every flush, then publish one EMPTY
+    * flush at the next index so generation numbering stays monotonic
+    * (a live CDC stream's offsets must never see indices reused —
+    * same invariant as the truncating batch commit).
+    */
+  override def truncateTable(): Boolean = {
+    val norm = CellPlanning.normalize(path)
+    val dir = Paths.get(norm)
+    if (!Files.isDirectory(dir)) return true
+    val files = CellPlanning.listFiles(norm)
+    val next = files.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    val (tag, prec, scale) = files.headOption
+      .map(CellSource.readHeader)
+      .map(h => (h.valueTag, h.decPrec, h.decScale))
+      .getOrElse((ValueCodec.LongTag, 0, 0))
+    val spec = keySpec // resolve BEFORE the files vanish
+    files.foreach(f => Files.delete(Paths.get(f)))
+    val target = dir.resolve(f"data-$next%04d.cells")
+    if (spec.isDefault)
+      CellSource.writeFileTyped(target, Seq.empty, Array.empty, tag,
+        prec, scale, CellSource.DefaultIndexEvery,
+        CellSource.DefaultChunkRecords)
+    else // typed table: the empty file must carry the key layout
+      CellSource.writeFileKeyed(target, Seq.empty, spec, Array.empty,
+        tag, prec, scale, CellSource.DefaultIndexEvery,
+        CellSource.DefaultChunkRecords)
+    CellManifest.refresh(norm)
+    true
   }
 }
 

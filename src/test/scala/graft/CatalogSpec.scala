@@ -170,4 +170,78 @@ class CatalogSpec extends GraftSpec {
     spark.sql(s"DROP NAMESPACE $cat.ksres CASCADE")
     assert(!Files.exists(nsDir))
   }
+
+  test("SQL DELETE writes tombstones, never rewrites data (C38)") {
+    import java.nio.file.{Files, Paths}
+    spark.sql(s"CREATE TABLE $cat.default.del " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint) " +
+      "TBLPROPERTIES ('reconcile'='true')")
+    spark.sql(s"INSERT INTO $cat.default.del VALUES " +
+      "(1, 1, 'qty', 10, 100), (1, 2, 'qty', 11, 100), " +
+      "(1, 3, 'qty', 12, 100), (2, 1, 'qty', 20, 100), " +
+      "(3, 1, 'qty', 30, 100), (3, 2, 'qty', 31, 100)")
+    val before = spark.table(s"$cat.default.del").count()
+    assert(before === 6)
+    def rows() = spark.table(s"$cat.default.del")
+      .select("pk", "ck", "value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // partition delete
+    spark.sql(s"DELETE FROM $cat.default.del WHERE pk = 2")
+    assert(!rows().exists(_._1 == 2L))
+    // row delete
+    spark.sql(s"DELETE FROM $cat.default.del WHERE pk = 1 AND ck = 2")
+    assert(rows().filter(_._1 == 1L).map(_._2) === Set(1, 3))
+    // range delete
+    spark.sql(
+      s"DELETE FROM $cat.default.del WHERE pk = 3 AND ck >= 1 AND ck <= 1")
+    assert(rows().filter(_._1 == 3L).map(_._2) === Set(2))
+    // a LATER write past the deletion survives it (Cassandra LWW)
+    spark.sql(s"INSERT INTO $cat.default.del " +
+      "VALUES (2, 7, 'qty', 99, 200)")
+    assert(rows().filter(_._1 == 2L) === Set((2L, 7, 99L)))
+    // deletes APPENDED flushes; the original data file was never
+    // rewritten (its flush index is still present)
+    val names = Files.list(Paths.get(root, "default", "del"))
+      .iterator()
+    val cells = {
+      val it = names
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.endsWith(".cells")) b += n
+      }
+      b.result()
+    }
+    assert(cells.size >= 5, cells.mkString(","))
+    // unsupported shapes refuse loudly instead of deleting wrong rows
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.default.del WHERE value = 99")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+  }
+
+  test("SQL TRUNCATE keeps flush numbering monotonic (C38)") {
+    import java.nio.file.{Files, Paths}
+    spark.sql(s"CREATE TABLE $cat.default.trunc " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    spark.sql(s"INSERT INTO $cat.default.trunc VALUES " +
+      "(1, 1, 'qty', 10, 100)")
+    spark.sql(s"INSERT INTO $cat.default.trunc VALUES " +
+      "(2, 1, 'qty', 20, 100)")
+    spark.sql(s"TRUNCATE TABLE $cat.default.trunc")
+    assert(spark.table(s"$cat.default.trunc").count() === 0)
+    spark.sql(s"INSERT INTO $cat.default.trunc VALUES " +
+      "(3, 1, 'qty', 30, 300)")
+    assert(spark.table(s"$cat.default.trunc").count() === 1)
+    // indices were never reused: the post-truncate flushes sit ABOVE
+    // the pre-truncate generation (CDC stream offset invariant)
+    val it = Files.list(Paths.get(root, "default", "trunc")).iterator()
+    val idx = Seq.newBuilder[Int]
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      if (n.endsWith(".cells"))
+        idx += n.stripPrefix("data-").stripSuffix(".cells").toInt
+    }
+    assert(idx.result().max >= 3, idx.result().sorted.mkString(","))
+  }
 }
