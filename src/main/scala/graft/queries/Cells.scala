@@ -667,7 +667,27 @@ object Cells {
       |  AND NOT (pk = 3 AND ck BETWEEN 2 AND 4)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C39 — reversed clustering reads (round 7): CQL's `ORDER BY ck
+  // DESC LIMIT n` per partition — the "latest n rows per key" read.
+  // The scan's reverse mode emits each partition tail-first from a
+  // bounded per-ck ring (the forward merge still folds markers before
+  // the data they shadow), and PER PARTITION LIMIT keeps the LAST n
+  // clustering rows, not the first n. Oracle: dense_rank over ck DESC.
+  private def reverseLatest(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("reverse", "true")
+      .option("perPartitionLimit", "2")
+      .load(CellSnapshots.ensure(s, d))
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val reverseLatestSql = cte +
+    """SELECT pk, ck, col, value, wt FROM (
+      |  SELECT m.*, DENSE_RANK() OVER (PARTITION BY pk
+      |    ORDER BY ck DESC) AS rn FROM merged m)
+      |WHERE rn <= 2 ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C39_reverse_latest", reverseLatest, Some(reverseLatestSql)),
     GQuery("C38_delete_tombstones", deleteTombstones,
       Some(deleteTombstonesSql)),
     GQuery("C37_clustering_slice", clusteringSlice,

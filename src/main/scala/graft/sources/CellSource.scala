@@ -948,7 +948,9 @@ class CellTable(path: String,
         gcNowMs = o.getLong("gcNowMs", Long.MaxValue),
         counter = o.getBoolean("counter", false),
         perPartitionLimit =
-          o.getInt("perPartitionLimit", Int.MaxValue)),
+          o.getInt("perPartitionLimit", Int.MaxValue),
+        reverse = o.getBoolean("reverse", false),
+        reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20)),
       keySpec)
   }
   override def newWriteBuilder(
@@ -1470,7 +1472,14 @@ case class ReconcileOptions(
     // are skipped pre-materialization; CQL order — slice first, THEN
     // PER PARTITION LIMIT counts only in-slice rows
     ckLower: Int = Int.MinValue,
-    ckUpper: Int = Int.MaxValue)
+    ckUpper: Int = Int.MaxValue,
+    // C39: emit each partition's rows in REVERSE clustering order
+    // (CQL `ORDER BY ck DESC`); with perPartitionLimit n this is the
+    // "latest n rows per partition" read, kept in a bounded tail
+    // buffer. reverseMaxRows fail-fasts a reversed read of a
+    // partition too wide to buffer (Cassandra warns on the same).
+    reverse: Boolean = false,
+    reverseMaxRows: Int = 1 << 20)
 
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
@@ -1655,6 +1664,8 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
+    if (keyed(p)) require(!opts.reverse,
+      "reverse reads are not supported on typed-key (CEL6) tables yet")
     val r: PartitionReader[InternalRow] =
       if (keyed(p))
         new CellKeyedReconcileReader(
@@ -1684,6 +1695,112 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
 case class CellReconcilePartition(pkLo: Long, pkHi: Long,
     fileParts: Array[CellInputPartition]) extends InputPartition
 
+/** What the reconcile readers need from a winner stream — the k-way
+  * merge cursor and its reversing wrapper both provide it.
+  */
+private[sources] trait ReconcileCursor {
+  def nextWinner(): Boolean
+  def close(): Unit
+  def pk: Long
+  def ck: Int
+  def colName: String
+  def value: Any
+  def wt: Long
+  def valueTag: Int
+  def decPrec: Int
+  def decScale: Int
+}
+
+private[sources] object ReconcileCursor {
+  def of(part: CellReconcilePartition,
+      opts: ReconcileOptions): ReconcileCursor =
+    if (opts.reverse) new CellReverseCursor(part, opts)
+    else new CellMergeCursor(part, opts)
+}
+
+/** Reversed clustering order (C39, CQL `ORDER BY ck DESC`): winners
+  * stream out per partition in DESCENDING ck (columns of one row stay
+  * name-ascending). The inner merge still runs FORWARD — markers sort
+  * first and must fold into shadowing state before the data they
+  * cover, so reading backward would see tombstones last — and each
+  * partition's surviving rows buffer in a per-ck tail deque. With
+  * PER PARTITION LIMIT n the deque is a RING holding only the LAST n
+  * clustering rows (CQL's reversed-limit semantics: last n, not first
+  * n — the inner cursor's own first-n counter is disabled), so memory
+  * is O(n·columns). Without a limit the buffer is one whole
+  * partition, fail-fast bounded by `reverseMaxRows` — the same
+  * wide-partition guard philosophy as `graft_collect_bounded`.
+  */
+private[sources] final class CellReverseCursor(part: CellReconcilePartition,
+    opts: ReconcileOptions) extends ReconcileCursor {
+  require(!opts.keepMarkers,
+    "reverse reads cannot keepMarkers (compaction is forward-only)")
+  private val inner = new CellMergeCursor(part,
+    opts.copy(perPartitionLimit = Int.MaxValue))
+  private val ppl = opts.perPartitionLimit
+  private val maxRows = opts.reverseMaxRows
+  def valueTag: Int = inner.valueTag
+  def decPrec: Int = inner.decPrec
+  def decScale: Int = inner.decScale
+
+  var pk = 0L; var ck = 0; var colName: String = null
+  var value: Any = null; var wt = 0L
+
+  private var innerValid = inner.nextWinner()
+  // the current partition's surviving rows, one entry per ck in
+  // ASCENDING order; emitted back-to-front
+  private val groups = new java.util.ArrayDeque[
+    (Int, scala.collection.mutable.ArrayBuffer[(String, Any, Long)])]()
+  private var bufferedRows = 0
+  private var outPk = 0L
+  private var emit: Iterator[(Int, String, Any, Long)] = Iterator.empty
+
+  /** Buffer the next partition's winners; false when drained. */
+  private def fillNextPk(): Boolean = {
+    if (!innerValid) return false
+    val cur = inner.pk
+    groups.clear(); bufferedRows = 0
+    while (innerValid && inner.pk == cur) {
+      if (groups.isEmpty || groups.peekLast()._1 != inner.ck) {
+        groups.addLast((inner.ck,
+          scala.collection.mutable.ArrayBuffer.empty))
+        if (ppl != Int.MaxValue && groups.size > ppl)
+          bufferedRows -= groups.removeFirst()._2.size // tail ring
+      }
+      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt))
+      bufferedRows += 1
+      if (bufferedRows > maxRows)
+        throw new IllegalStateException(
+          s"reverse read buffered > $maxRows rows of partition $cur; " +
+            "add perPartitionLimit, a ck slice, or raise reverseMaxRows")
+      innerValid = inner.nextWinner()
+    }
+    outPk = cur
+    emit = new Iterator[(Int, String, Any, Long)] {
+      private val it = groups.descendingIterator()
+      private var row: Iterator[(Int, String, Any, Long)] = Iterator.empty
+      def hasNext: Boolean = {
+        while (!row.hasNext && it.hasNext) {
+          val (c, cells) = it.next()
+          row = cells.iterator.map(x => (c, x._1, x._2, x._3))
+        }
+        row.hasNext
+      }
+      def next(): (Int, String, Any, Long) = { hasNext; row.next() }
+    }
+    true
+  }
+
+  def nextWinner(): Boolean = {
+    while (!emit.hasNext) if (!fillNextPk()) return false
+    val (c, n, v, w) = emit.next()
+    pk = outPk; ck = c; colName = n; value = v; wt = w
+    true
+  }
+
+  def close(): Unit = inner.close()
+}
+
 /** K-way merge core shared by the row and columnar reconcile
   * readers: streams each file's (already pk,ck,col-sorted) records
   * through a min-heap keyed on (pk, ck, col name) and yields the LWW
@@ -1692,7 +1809,7 @@ case class CellReconcilePartition(pkLo: Long, pkHi: Long,
   * key. Memory is O(open files), independent of range size.
   */
 private[sources] final class CellMergeCursor(part: CellReconcilePartition,
-    opts: ReconcileOptions = ReconcileOptions()) {
+    opts: ReconcileOptions = ReconcileOptions()) extends ReconcileCursor {
   private val queryTime = opts.queryTime
   private val keepMarkers = opts.keepMarkers
   private val gcGraceMs = opts.gcGraceMs
@@ -1924,7 +2041,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
 class CellReconcileReader(part: CellReconcilePartition,
     cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[InternalRow] {
-  private val cursor = new CellMergeCursor(part, opts)
+  private val cursor = ReconcileCursor.of(part, opts)
   private val fullSchema = CellSource.schemaFor(
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
@@ -1963,7 +2080,7 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
     cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[ColumnarBatch] {
   private val BatchRows = 4096
-  private val cursor = new CellMergeCursor(part, opts)
+  private val cursor = ReconcileCursor.of(part, opts)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)
