@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,11 +48,22 @@ import org.apache.spark.sql.types.LongType
   * — in the index's `_base` metadata, and `lookupPks` compares it to
   * the live listing on every probe (one directory listing, the same
   * I/O planning already does). A lookup against a base that has
-  * flushed since the build either REBUILDS the index in place
-  * (`onStale = "rebuild"`, the default — Cassandra's
-  * synchronous-maintenance UX at rebuild granularity) or fails fast
-  * (`onStale = "fail"`); `"ignore"` serves the stale generation
+  * flushed since the build either heals in place — `onStale =
+  * "refresh"` (the default, C18d): index ONLY the delta flushes and
+  * append, falling back to a full rebuild when the old generation was
+  * compacted away; `"rebuild"` forces the full rebuild — or fails
+  * fast (`onStale = "fail"`); `"ignore"` serves the stale generation
   * knowingly.
+  *
+  * Incremental refresh semantics are exactly Cassandra's
+  * write-path 2i maintenance: new entries are APPENDED for the
+  * delta's winners; entries for values a rewrite or deletion
+  * replaced are NOT removed — they surface as index false positives
+  * that the base re-read filters out ([[lookupBase]] re-applies the
+  * predicate, as Cassandra re-reads the base row). Delta entries get
+  * their dense ck in a fresh EPOCH band (epoch · 2^20 + seq) so they
+  * can never LWW-collapse with an earlier build's entries for the
+  * same indexed value.
   */
 object CellIndex {
   private val Fmt = "graft.sources.CellSource"
@@ -66,7 +79,7 @@ object CellIndex {
       .mkString(",")
 
   private case class BaseMeta(column: String, baseDir: String,
-      gen: String)
+      gen: String, epoch: Int)
 
   private def readMeta(idxDir: String): Option[BaseMeta] = {
     val p = Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile)
@@ -74,9 +87,15 @@ object CellIndex {
     try {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
       if (lines.size < 3) None
-      else Some(BaseMeta(lines.get(0), lines.get(1), lines.get(2)))
+      else Some(BaseMeta(lines.get(0), lines.get(1), lines.get(2),
+        if (lines.size >= 4) lines.get(3).trim.toInt else 0))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Epoch band width: one build/refresh may index up to 2^20 rows
+    * of ONE indexed value; the next epoch's cks start a band up.
+    */
+  private val EpochBand = 1 << 20
 
   /** Build (or rebuild) the inverted index of `column` over the table
     * at `dir` into the cell table at `idxDir`. Overwrites: a rebuild
@@ -96,26 +115,88 @@ object CellIndex {
       s"secondary index needs a default-keyed base table; $dir is " +
         s"keyed (${base.schema.fieldNames.mkString(",")})")
     val valueIsLong = base.schema("value").dataType == LongType
+    writeEntries(base, column, valueIsLong, files, idxDir,
+      epoch = 0, overwrite = true)
+    Files.writeString(
+      Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
+      s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
+  }
+
+  /** Shared entry derivation + write: dense per-value ck in the
+    * epoch's band, value-typed partition key for non-long columns.
+    */
+  private def writeEntries(base: DataFrame, column: String,
+      valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
+      overwrite: Boolean): Unit = {
     val entries = base.filter(col("col") === column)
       .select(
         col("value").as("pk"),
-        row_number().over(
+        (row_number().over(
           Window.partitionBy(col("value"))
-            .orderBy(col("pk"), col("ck"))).as("ck"),
+            .orderBy(col("pk"), col("ck"))) +
+          lit(epoch * EpochBand)).as("ck"),
         lit("ref").as("col"),
         col("pk").as("value"),
         col("wt"))
       .repartitionByRange(files, col("pk"), col("ck"))
-    val writer = entries.write.format(Fmt).mode("overwrite")
+    val writer = entries.write.format(Fmt)
+      .mode(if (overwrite) "overwrite" else "append")
     // non-long indexed values become a typed (CEL6) partition key;
     // keyType hints let schema inference agree on a still-empty dir
     (if (valueIsLong) writer
      else writer.option("primaryKey", "((pk),ck)")
        .option("keyType.pk", base.schema("value").dataType.simpleString)
        .option("keyType.ck", "int")).save(idxDir)
+  }
+
+  /** Incremental refresh (C18d): index ONLY the flushes the base
+    * gained since the recorded generation and APPEND their entries in
+    * a fresh epoch band — one delta-sized pass instead of a table
+    * rebuild. Falls back to [[build]] when the recorded files are no
+    * longer all present (compaction/truncation replaced the
+    * generation wholesale). The delta is reconciled WITHIN itself:
+    * winners of the new flushes enter the index; entries an overwrite
+    * or deletion obsoleted remain as false positives for the base
+    * re-read to drop — Cassandra's own 2i contract.
+    */
+  def refresh(spark: SparkSession, idxDir: String): Unit = {
+    val m = readMeta(idxDir).getOrElse(throw new IllegalStateException(
+      s"$idxDir carries no _base metadata; use CellIndex.build"))
+    val liveFiles = CellPlanning.listFiles(m.baseDir)
+    val liveNames = liveFiles.map(f => Paths.get(f).getFileName.toString)
+    val oldNames = m.gen.split(',').filter(_.nonEmpty).toSet
+    if (liveNames.toSet == oldNames) return // not stale
+    if (!oldNames.subsetOf(liveNames.toSet)) {
+      // generation replaced (compaction/truncate): delta undefined
+      build(spark, m.baseDir, idxDir, m.column)
+      return
+    }
+    val gen = liveNames.mkString(",")
+    val deltaFiles = liveFiles.filter(f =>
+      !oldNames.contains(Paths.get(f).getFileName.toString))
+    // same-filesystem scratch view of the delta (links, no copies)
+    val baseDir = Paths.get(CellPlanning.normalize(m.baseDir))
+    val scratch = Files.createTempDirectory(baseDir, ".idx-delta-")
+    try {
+      deltaFiles.foreach { f =>
+        val p = Paths.get(f)
+        Files.createLink(scratch.resolve(p.getFileName), p)
+      }
+      val delta = spark.read.format(Fmt)
+        .option("reconcile", "true").load(scratch.toString)
+      writeEntries(delta, m.column,
+        delta.schema("value").dataType == LongType, files = 8, idxDir,
+        epoch = m.epoch + 1, overwrite = false)
+    } finally {
+      Using.resource(Files.list(scratch)) { st =>
+        st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
+      }
+      Files.deleteIfExists(scratch)
+    }
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
-      s"$column\n${CellPlanning.normalize(dir)}\n$gen\n")
+      s"${m.column}\n${CellPlanning.normalize(m.baseDir)}\n$gen\n" +
+        s"${m.epoch + 1}\n")
   }
 
   /** True when the base table has flushed files since the recorded
@@ -132,15 +213,16 @@ object CellIndex {
     * raises, "ignore" serves the recorded generation.
     */
   def lookupPks(spark: SparkSession, idxDir: String, v: Any,
-      onStale: String = "rebuild"): DataFrame = {
+      onStale: String = "refresh"): DataFrame = {
     readMeta(idxDir).foreach { m =>
       if (generation(m.baseDir) != m.gen) onStale match {
+        case "refresh" => refresh(spark, idxDir)
         case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
         case "fail" => throw new IllegalStateException(
           s"secondary index at $idxDir is STALE: base table " +
             s"${m.baseDir} has flushed since the index build " +
             s"(rebuild with CellIndex.build, or pass " +
-            s"onStale=rebuild/ignore)")
+            s"onStale=refresh/rebuild/ignore)")
         case _ => // "ignore": serve the recorded generation
       }
     }
@@ -161,7 +243,7 @@ object CellIndex {
     */
   def lookupBase(spark: SparkSession, dir: String, idxDir: String,
       v: Any, multigetMax: Int = 128,
-      onStale: String = "rebuild"): DataFrame = {
+      onStale: String = "refresh"): DataFrame = {
     val hits = lookupPks(spark, idxDir, v, onStale)
     val sample = hits.limit(multigetMax + 1).collect()
       .map(_.getLong(0))

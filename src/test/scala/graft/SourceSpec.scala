@@ -1847,6 +1847,99 @@ class SourceSpec extends GraftSpec {
       .filter(col("ck").between(3000, 3999)).count() == 1000)
   }
 
+  test("reverse reads: ck DESC, tail limit, slice + shadow compose (C39)") {
+    val d = Files.createTempDirectory("cells-rev").toString
+    CellSource.writeSnapshot(d,
+      (0 until 10).map(i => (1L, i, "qty", i.toLong, 100L)) ++
+        (0 until 4).map(i => (2L, i, "qty", (10 + i).toLong, 100L)),
+      files = 1)
+    def rev(extra: (String, String)*) = {
+      val r0 = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("reverse", "true")
+      extra.foldLeft(r0)((r, kv) => r.option(kv._1, kv._2)).load(d)
+    }
+    // stream order: pk ascending, ck DESCENDING within each pk
+    val order = rev().as[(Long, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSeq
+    assert(order == (9 to 0 by -1).map((1L, _)) ++
+      (3 to 0 by -1).map((2L, _)), order)
+    // PER PARTITION LIMIT under reverse keeps the LAST n rows
+    assert(rev("perPartitionLimit" -> "3")
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet ==
+      Set((1L, 9), (1L, 8), (1L, 7), (2L, 3), (2L, 2), (2L, 1)))
+    // slice first, then the tail limit — and a row tombstone on the
+    // newest row moves the tail window back
+    Seq((1L, 9, CellSource.RowTombstone, 0L, 999L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    assert(rev("perPartitionLimit" -> "2")
+      .filter(col("pk") === 1L)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(_._2).toSet == Set(8, 7))
+    assert(rev("perPartitionLimit" -> "2")
+      .filter(col("pk") === 1L && col("ck").between(2, 5))
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(_._2).toSet == Set(5, 4))
+    // unbounded reverse of a too-wide partition fails fast
+    val e = intercept[org.apache.spark.SparkException] {
+      rev("reverseMaxRows" -> "5").collect()
+    }
+    assert(e.getMessage.contains("reverse") ||
+      e.getCause != null, e.getMessage)
+  }
+
+  test("stale index heals incrementally; rebuild only on compaction " +
+      "(C18d)") {
+    import graft.sources.{CellIndex, CellMaintenance}
+    import java.nio.file.{Files => JF, Paths => JP}
+    val base = Files.createTempDirectory("cells-idxd-base").toString
+    val idx = Files.createTempDirectory("cells-idxd").toString
+    def idxFiles() = scala.util.Using.resource(JF.list(JP.get(idx))) {
+      s => scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells")).toSet
+    }
+    CellSource.writeSnapshot(base, Seq(
+      (1L, 1, "qty", 100L, 10L),
+      (2L, 1, "qty", 200L, 10L),
+      (3L, 1, "qty", 100L, 10L)), files = 1)
+    CellIndex.build(spark, base, idx, "qty")
+    val gen0 = idxFiles()
+    // delta flush: one NEW value and one REWRITE (pk 1: 100 -> 300)
+    Seq((9L, 1, "qty", 777L, 10L), (1L, 1, "qty", 300L, 20L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    assert(CellIndex.isStale(idx))
+    // default heal is INCREMENTAL: the original index generation is
+    // still on disk afterwards (a full rebuild would truncate it)
+    assert(CellIndex.lookupPks(spark, idx, 777L)
+      .as[Long].collect().toSet == Set(9L))
+    assert(gen0.subsetOf(idxFiles()), s"$gen0 vs ${idxFiles()}")
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 300L)
+      .as[Long].collect().toSet == Set(1L))
+    // the rewritten-away value stays as an index FALSE POSITIVE —
+    // Cassandra's 2i contract — and the base re-read drops it
+    assert(CellIndex.lookupPks(spark, idx, 100L)
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(CellIndex.lookupBase(spark, base, idx, 100L)
+      .filter(col("value") === 100L)
+      .select("pk").as[Long].collect().toSet == Set(3L))
+    // compaction replaces the base generation wholesale: the delta is
+    // undefined, so the heal falls back to a FULL rebuild — which
+    // also purges the false positive
+    CellMaintenance.compact(spark, base)
+    assert(CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 100L)
+      .as[Long].collect().toSet == Set(3L))
+    assert(CellIndex.lookupPks(spark, idx, 777L)
+      .as[Long].collect().toSet == Set(9L))
+    assert(!CellIndex.isStale(idx))
+  }
+
   test("index staleness: detect, fail fast, rebuild on lookup (C18c)") {
     import graft.sources.CellIndex
     val base = Files.createTempDirectory("cells-idx-base").toString
