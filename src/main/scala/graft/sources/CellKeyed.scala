@@ -138,9 +138,119 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
   * effect (writing one there is a modeling error, not data loss —
   * the marker survives compaction via keepMarkers either way).
   */
+/** What the keyed reconcile reader needs from a winner stream —
+  * implemented by the forward merge cursor and its reversing wrapper
+  * (the typed twin of [[ReconcileCursor]]).
+  */
+private[sources] trait KeyedCursor {
+  def nextWinner(): Boolean
+  def close(): Unit
+  def pkVals: Array[Any]
+  def ckVals: Array[Any]
+  def colName: String
+  def value: Any
+  def wt: Long
+  def valueTag: Int
+  def decPrec: Int
+  def decScale: Int
+}
+
+private[sources] object KeyedCursor {
+  def of(part: CellReconcilePartition,
+      opts: ReconcileOptions): KeyedCursor =
+    if (opts.reverse) new CellKeyedReverseCursor(part, opts)
+    else new CellKeyedMergeCursor(part, opts)
+}
+
+/** Reversed clustering order over a typed (CEL6) table — the typed
+  * twin of [[CellReverseCursor]]: forward merge (markers must fold
+  * before the data they shadow), per-ck tail deque per partition, a
+  * ring of the LAST `perPartitionLimit` clustering rows when a limit
+  * is set, `reverseMaxRows` fail-fast otherwise.
+  */
+private[sources] final class CellKeyedReverseCursor(
+    part: CellReconcilePartition, opts: ReconcileOptions)
+    extends KeyedCursor {
+  require(!opts.keepMarkers,
+    "reverse reads cannot keepMarkers (compaction is forward-only)")
+  private val spec: KeySpec =
+    if (part.fileParts.isEmpty) KeySpec.Default
+    else part.fileParts(0).keySpec
+  private val inner = new CellKeyedMergeCursor(part,
+    opts.copy(perPartitionLimit = Int.MaxValue))
+  private val ppl = opts.perPartitionLimit
+  private val maxRows = opts.reverseMaxRows
+  def valueTag: Int = inner.valueTag
+  def decPrec: Int = inner.decPrec
+  def decScale: Int = inner.decScale
+
+  var pkVals: Array[Any] = _
+  var ckVals: Array[Any] = _
+  var colName: String = _
+  var value: Any = _
+  var wt = 0L
+
+  private var innerValid = inner.nextWinner()
+  private val groups = new java.util.ArrayDeque[
+    (Array[Any], scala.collection.mutable.ArrayBuffer[
+      (String, Any, Long)])]()
+  private var bufferedRows = 0
+  private var outPk: Array[Any] = _
+  private var emit: Iterator[(Array[Any], String, Any, Long)] =
+    Iterator.empty
+
+  private def fillNextPk(): Boolean = {
+    if (!innerValid) return false
+    val cur = inner.pkVals
+    groups.clear(); bufferedRows = 0
+    while (innerValid &&
+        KeyCodec.compareParts(spec.pkParts, inner.pkVals, cur) == 0) {
+      if (groups.isEmpty || KeyCodec.compareParts(spec.ckParts,
+          groups.peekLast()._1, inner.ckVals) != 0) {
+        groups.addLast((inner.ckVals,
+          scala.collection.mutable.ArrayBuffer.empty))
+        if (ppl != Int.MaxValue && groups.size > ppl)
+          bufferedRows -= groups.removeFirst()._2.size
+      }
+      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt))
+      bufferedRows += 1
+      if (bufferedRows > maxRows)
+        throw new IllegalStateException(
+          s"reverse read buffered > $maxRows rows of one partition; " +
+            "add perPartitionLimit, a ck slice, or raise " +
+            "reverseMaxRows")
+      innerValid = inner.nextWinner()
+    }
+    outPk = cur
+    emit = new Iterator[(Array[Any], String, Any, Long)] {
+      private val it = groups.descendingIterator()
+      private var row: Iterator[(Array[Any], String, Any, Long)] =
+        Iterator.empty
+      def hasNext: Boolean = {
+        while (!row.hasNext && it.hasNext) {
+          val (c, cells) = it.next()
+          row = cells.iterator.map(x => (c, x._1, x._2, x._3))
+        }
+        row.hasNext
+      }
+      def next(): (Array[Any], String, Any, Long) = { hasNext; row.next() }
+    }
+    true
+  }
+
+  def nextWinner(): Boolean = {
+    while (!emit.hasNext) if (!fillNextPk()) return false
+    val (c, n, v, w) = emit.next()
+    pkVals = outPk; ckVals = c; colName = n; value = v; wt = w
+    true
+  }
+
+  def close(): Unit = inner.close()
+}
+
 private[sources] final class CellKeyedMergeCursor(
     part: CellReconcilePartition,
-    opts: ReconcileOptions = ReconcileOptions()) {
+    opts: ReconcileOptions = ReconcileOptions()) extends KeyedCursor {
   private val spec: KeySpec =
     if (part.fileParts.isEmpty) KeySpec.Default
     else part.fileParts(0).keySpec
@@ -330,7 +440,7 @@ private[sources] final class CellKeyedMergeCursor(
 class CellKeyedReconcileReader(part: CellReconcilePartition,
     cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[InternalRow] {
-  private val cursor = new CellKeyedMergeCursor(part, opts)
+  private val cursor = KeyedCursor.of(part, opts)
   private val spec =
     if (part.fileParts.isEmpty) KeySpec.Default
     else part.fileParts(0).keySpec

@@ -170,12 +170,28 @@ object CellMaintenance {
 
   /** The incremental-view variant: compact only when the table has
     * more than `maxFiles` flush files (minor-compaction trigger).
+    * `policy = "stcs"` (round 7) runs [[compactTiered]] passes
+    * instead of a major compaction — cold generations are never
+    * rewritten; the trigger fires the same way, but each pass merges
+    * only the most-populous similar-size tier and repeats while a
+    * tier is eligible and the file count stays above the threshold.
+    * Falls back to ONE major compaction if no tier is eligible but
+    * the count still exceeds `maxFiles` (pathological all-different-
+    * size layout).
     */
   def compactIfNeeded(spark: SparkSession, dir: String,
-      maxFiles: Int): Option[(Int, Int)] =
-    if (CellPlanning.listFiles(dir).size > maxFiles)
-      Some(compact(spark, dir))
-    else None
+      maxFiles: Int, policy: String = "major"): Option[(Int, Int)] =
+    if (CellPlanning.listFiles(dir).size <= maxFiles) None
+    else if (policy == "stcs") {
+      val before = CellPlanning.listFiles(dir).size
+      var progressed = true
+      while (progressed &&
+          CellPlanning.listFiles(dir).size > maxFiles)
+        progressed = compactTiered(spark, dir).isDefined
+      val after = CellPlanning.listFiles(dir).size
+      if (after > maxFiles) Some(compact(spark, dir))
+      else Some((before, after))
+    } else Some(compact(spark, dir))
 
   /** SIZE-TIERED compaction (Cassandra's STCS default, round 7): a
     * 100 TB table must not rewrite its cold multi-GB generations every

@@ -1008,10 +1008,144 @@ class CellTable(path: String,
     else Some((pkSets.reduce(_ intersect _), ckLo, ckHi, hasCk))
   }
 
+  /** Typed-table (CEL6) DELETE parse: every pk part bound by
+    * equality (or IN on a single-part key), optionally every ck part
+    * bound by equality (row tombstone) or an int-range on a single
+    * int ck (range tombstone — the marker encodes int bounds in its
+    * name). Returns (pk tuples, ck equality tuple, ck range).
+    */
+  private def parseTypedDelete(filters: Array[Filter]): Option[
+      (Seq[Array[Any]], Option[Array[Any]], Option[(Int, Int)])] = {
+    if (keySpec.isDefault) return None
+    val pkParts = keySpec.pkParts
+    val ckParts = keySpec.ckParts
+    val pkNames = pkParts.map(_.name)
+    val ckNames = ckParts.map(_.name)
+    val intCk = ckParts match {
+      case KeyPart(_, ValueCodec.IntTag, _, _) :: Nil => true
+      case _ => false
+    }
+    val pkEq = scala.collection.mutable.Map.empty[String, Any]
+    var pkIn: Option[Seq[Any]] = None
+    val ckEq = scala.collection.mutable.Map.empty[String, Any]
+    var ckLo = Int.MinValue
+    var ckHi = Int.MaxValue
+    var hasRange = false
+    var ok = true
+    filters.foreach {
+      case EqualTo(n, v) if pkNames.contains(n) =>
+        if (pkEq.contains(n)) ok = false else pkEq(n) = v
+      case In(n, vs)
+          if pkNames == List(n) && vs.nonEmpty && pkIn.isEmpty =>
+        pkIn = Some(vs.toSeq)
+      case EqualTo(n, v)
+          if ckNames.contains(n) && !ckEq.contains(n) =>
+        ckEq(n) = v
+      case GreaterThan(n, v: java.lang.Integer)
+          if intCk && ckNames.contains(n) =>
+        hasRange = true; ckLo = math.max(ckLo, v + 1)
+      case GreaterThanOrEqual(n, v: java.lang.Integer)
+          if intCk && ckNames.contains(n) =>
+        hasRange = true; ckLo = math.max(ckLo, v)
+      case LessThan(n, v: java.lang.Integer)
+          if intCk && ckNames.contains(n) =>
+        hasRange = true; ckHi = math.min(ckHi, v - 1)
+      case LessThanOrEqual(n, v: java.lang.Integer)
+          if intCk && ckNames.contains(n) =>
+        hasRange = true; ckHi = math.min(ckHi, v)
+      case _ => ok = false
+    }
+    if (!ok || hasRange && ckEq.nonEmpty) return None
+    val pkTuples: Seq[Array[Any]] =
+      if (pkIn.isDefined && pkEq.isEmpty && pkParts.length == 1)
+        pkIn.get.map(v => Array[Any](v))
+      else if (pkIn.isEmpty &&
+          pkParts.forall(p => pkEq.contains(p.name)))
+        Seq(pkParts.map(p => pkEq(p.name)).toArray)
+      else return None
+    val ckTuple =
+      if (ckEq.isEmpty) None
+      else if (ckParts.forall(p => ckEq.contains(p.name)))
+        Some(ckParts.map(p => ckEq(p.name)).toArray)
+      else return None
+    Some((pkTuples, ckTuple,
+      if (hasRange) Some((ckLo, ckHi)) else None))
+  }
+
+  /** The type's neutral EXTERNAL (Row-side) value, for marker rows
+    * built as a DataFrame.
+    */
+  private def zeroExternal(dt: DataType): Any = dt match {
+    case LongType => 0L
+    case IntegerType => 0
+    case DoubleType => 0.0
+    case BooleanType => false
+    case StringType => ""
+    case BinaryType => Array.empty[Byte]
+    case TimestampType => new java.sql.Timestamp(0L)
+    case d: DecimalType =>
+      new java.math.BigDecimal(java.math.BigInteger.ZERO, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"no neutral value for $other")
+  }
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    parseDelete(filters).isDefined
+    if (keySpec.isDefault) parseDelete(filters).isDefined
+    else parseTypedDelete(filters).isDefined
+
+  /** Typed-table DELETE: marker rows append through the DSv2 typed
+    * write path (rank ordering puts partition/range markers ahead of
+    * every data row of their partition regardless of the neutral ck
+    * values they carry).
+    */
+  private def deleteWhereTyped(filters: Array[Filter]): Unit = {
+    val (pks, ckEq, ckRange) = parseTypedDelete(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported DELETE predicate " +
+          s"[${filters.mkString(", ")}] for typed key " +
+          s"(${keySpec.serial}): bind every partition-key part by " +
+          "equality (IN allowed on a single-part key), optionally " +
+          "every clustering part by equality or an int-ck range"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val norm = CellPlanning.normalize(path)
+    val files = CellPlanning.listFiles(norm)
+    val wt = files.map(CellSource.readHeader).iterator
+      .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
+    val ckZeros = keySpec.ckParts.map(p => zeroExternal(p.dataType))
+    // resolve the value type from the files (path-handle CellTables
+    // may carry the default schema); typed marker rows must match the
+    // TABLE's typed layout, not the handle's
+    val valueDt = files.headOption.map(CellSource.readHeader)
+      .map(h => ValueCodec.dataTypeFor(h.valueTag, h.decPrec,
+        h.decScale))
+      .getOrElse(tableSchema("value").dataType)
+    val typedSchema = CellSource.schemaFor(keySpec, valueDt)
+    val zeroV = zeroExternal(valueDt)
+    val marker = (ckRange, ckEq) match {
+      case (Some((lo, hi)), _) =>
+        (CellSource.rangeTombstoneCol(lo, hi), ckZeros)
+      case (None, Some(cks)) => (CellSource.RowTombstone, cks.toSeq)
+      case (None, None) => (CellSource.PartitionTombstone, ckZeros)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList()
+    pks.foreach { pkVals =>
+      rows.add(org.apache.spark.sql.Row.fromSeq(
+        pkVals.toSeq ++ marker._2 ++ Seq(marker._1, zeroV, wt)))
+    }
+    val pkSyntax = "((" + keySpec.pkParts.map(_.name).mkString(",") +
+      ")," + keySpec.ckParts.map(_.name).mkString(",") + ")"
+    var w = spark.createDataFrame(rows, typedSchema).coalesce(1)
+      .write.format("graft.sources.CellSource")
+      .option("primaryKey", pkSyntax)
+    (keySpec.pkParts ++ keySpec.ckParts).foreach { p =>
+      w = w.option(s"keyType.${p.name}", p.dataType.simpleString)
+    }
+    w.mode("append").save(path)
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (!keySpec.isDefault) { deleteWhereTyped(filters); return }
     val (pks, ckLo, ckHi, hasCk) = parseDelete(filters).getOrElse(
       throw new IllegalArgumentException(
         "unsupported DELETE predicate " +
@@ -1109,7 +1243,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var pkLower = Long.MinValue
   private var pkUpper = Long.MaxValue
   private var wtLower = Long.MinValue
@@ -1138,6 +1273,40 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     limit = math.min(limit, l); true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <natural-prefix> LIMIT n pushdown: cell files stream in
+    * (pk, ck, col) order and the reconcile merge emits the same
+    * order per pk range, so each partition reader's FIRST n rows ARE
+    * its top n under any ascending prefix of that order — the cap is
+    * the per-partition top-n and Spark's global TopN just merges the
+    * capped streams. Descending or non-prefix orders are refused
+    * (Spark sorts post-scan as usual).
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference,
+      SortDirection}
+    if (orders.isEmpty) return false
+    val natural =
+      if (spec.isDefault) Seq("pk", "ck", "col")
+      else spec.pkParts.map(_.name) // typed files sort by TOKEN, not
+    // key value — only a single-long pk (identity token) keeps value
+    // order, so refuse typed tables entirely for now
+    if (!spec.isDefault) return false
+    val names = orders.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          nr.fieldNames()(0)
+        case _ => return false
+      }
+    }
+    if (orders.exists(_.direction() != SortDirection.ASCENDING))
+      return false
+    if (!names.sameElements(natural.take(names.length))) return false
+    limit = math.min(limit, l)
+    true
+  }
 
   // Aggregate pushdown (the Statistics.db/Summary.db story): a global
   // COUNT(*) / MIN(pk) / MAX(pk) is answerable from file HEADERS alone
@@ -1538,6 +1707,7 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
       (if (opts.ckLower != Int.MinValue || opts.ckUpper != Int.MaxValue)
         s"ckRange=[${opts.ckLower},${opts.ckUpper}] " else "") +
+      (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")} " +
       (if (opts.counter) "(counter shard-SUM k-way merge)"
        else "(LWW k-way merge)")
@@ -1664,8 +1834,6 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    if (keyed(p)) require(!opts.reverse,
-      "reverse reads are not supported on typed-key (CEL6) tables yet")
     val r: PartitionReader[InternalRow] =
       if (keyed(p))
         new CellKeyedReconcileReader(
@@ -2709,6 +2877,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
       s"wtRange=[$wtLower,$wtUpper] " +
       (if (ckLower != Int.MinValue || ckUpper != Int.MaxValue)
         s"ckRange=[$ckLower,$ckUpper] " else "") +
+      (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
 
   /** C2 split_gen + C8/C16 pruning, all driver-side from file headers:

@@ -304,6 +304,32 @@ class PlanSpec extends GraftSpec {
     assert(big.filter(col("col") === "qty").count() == 4)
   }
 
+  test("ORDER BY natural prefix LIMIT pushes TopN into the scan") {
+    import java.nio.file.Files
+    import graft.sources.CellSource
+    val d = Files.createTempDirectory("cells-topn").toString
+    CellSource.writeSnapshot(d, (0 until 5000).map(i =>
+      (i.toLong, 1, "qty", i.toLong, 10L)), files = 4)
+    val df = spark.read.format("graft.sources.CellSource").load(d)
+      .orderBy("pk", "ck").limit(5)
+    // the pushed top-n caps every partition reader (scan description
+    // carries the cap)
+    assert(df.queryExecution.executedPlan.toString.contains("limit=5"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      (0L until 5L).toSeq)
+    // descending order is refused — correctness over cleverness
+    val desc = spark.read.format("graft.sources.CellSource").load(d)
+      .orderBy(col("pk").desc).limit(3)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(4999L, 4998L, 4997L))
+    // reconcile scans cap the merged stream the same way
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .orderBy("pk").limit(3)
+    assert(rec.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("N_DEDUP7 segment dedup: hash-keyed joins only, partial aggs") {
     val p = plan(Registry.byName("N_DEDUP7_segment_dedup").fn(spark, sf()))
     // never doc×doc: the duplicated-span join must be an equi join on

@@ -1940,6 +1940,105 @@ class SourceSpec extends GraftSpec {
     assert(!CellIndex.isStale(idx))
   }
 
+  test("compactIfNeeded stcs policy: tier passes, cold file survives") {
+    import graft.sources.CellMaintenance
+    import java.nio.file.{Files => JF, Paths => JP}
+    val d = Files.createTempDirectory("cells-stcs-pol").toString
+    def names() = scala.util.Using.resource(JF.list(JP.get(d))) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells")).toSet
+    }
+    CellSource.writeSnapshot(d, (0 until 20000).map(i =>
+      (i.toLong, 1, "qty", i.toLong, 1L)), files = 1)
+    (1 to 5).foreach { k =>
+      CellSource.writeSnapshot(d,
+        Seq((k.toLong, 1, "qty", (1000 + k).toLong, 10L + k)),
+        files = 1, startIndex = k)
+    }
+    def reconciled() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val before = reconciled()
+    val Some((nb, na)) =
+      CellMaintenance.compactIfNeeded(spark, d, maxFiles = 3,
+        policy = "stcs")
+    assert(nb == 6 && na <= 3, s"$nb -> $na")
+    // the cold generation was never rewritten
+    assert(names().contains("data-0000.cells"))
+    assert(reconciled() == before)
+    // below threshold: no-op
+    assert(CellMaintenance.compactIfNeeded(spark, d, maxFiles = 3,
+      policy = "stcs").isEmpty)
+  }
+
+  test("typed-key reverse reads: ck DESC + tail limit on CEL6 (C39)") {
+    val d = Files.createTempDirectory("cells-typed-rev").toString
+    typedWrite(
+      ((0 until 6).map(i => ("alice", i, "qty", i.toLong, 100L)) ++
+        (0 until 3).map(i => ("bob", i, "qty", (10 + i).toLong, 100L)))
+        .toDF("user", "ck", "col", "value", "wt"),
+      d, "((user),ck)", "user" -> "string", "ck" -> "int")
+    def rev(extra: (String, String)*) = {
+      val r0 = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("reverse", "true")
+      extra.foldLeft(r0)((r, kv) => r.option(kv._1, kv._2)).load(d)
+    }
+    // within each user, ck strictly DESCENDING in stream order
+    val byUser = rev().as[(String, Int, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byUser("alice") == (5 to 0 by -1) &&
+      byUser("bob") == (2 to 0 by -1), byUser)
+    // tail limit keeps the LAST n clustering rows per typed key, and
+    // a row tombstone on the newest row moves the window back
+    typedWrite(Seq(("alice", 5, CellSource.RowTombstone, 0L, 999L))
+      .toDF("user", "ck", "col", "value", "wt"), d, "((user),ck)",
+      "user" -> "string", "ck" -> "int")
+    assert(rev("perPartitionLimit" -> "2")
+      .as[(String, Int, String, Long, Long)].collect()
+      .filter(_._1 == "alice").map(_._2).toSet == Set(4, 3))
+  }
+
+  test("DELETE-as-tombstone on a typed-key table (C38/CEL6)") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+      LessThanOrEqual}
+    val d = Files.createTempDirectory("cells-typed-del").toString
+    typedWrite(
+      (Seq("alice", "bob", "carol").flatMap(u =>
+        (0 until 4).map(i => (u, i, "qty", i.toLong, 100L))))
+        .toDF("user", "ck", "col", "value", "wt"),
+      d, "((user),ck)", "user" -> "string", "ck" -> "int")
+    val t = new graft.sources.CellTable(d)
+    def live() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(String, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    // partition delete on the text key
+    assert(t.canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user", "alice"))))
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("user", "alice")))
+    assert(!live().exists(_._1 == "alice"))
+    // row delete
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("user", "bob"), EqualTo("ck", 1)))
+    assert(live().filter(_._1 == "bob").map(_._2) == Set(0, 2, 3))
+    // int-ck range delete
+    t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("user", "carol"), GreaterThanOrEqual("ck", 1),
+      LessThanOrEqual("ck", 2)))
+    assert(live().filter(_._1 == "carol").map(_._2) == Set(0, 3))
+    // a later write past the deletion survives (LWW)
+    typedWrite(Seq(("alice", 9, "qty", 99L, 50000L))
+      .toDF("user", "ck", "col", "value", "wt"), d, "((user),ck)",
+      "user" -> "string", "ck" -> "int")
+    assert(live().filter(_._1 == "alice") == Set(("alice", 9)))
+    // unbound pk part refuses
+    assert(!t.canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("ck", 1))))
+  }
+
   test("index staleness: detect, fail fast, rebuild on lookup (C18c)") {
     import graft.sources.CellIndex
     val base = Files.createTempDirectory("cells-idx-base").toString
