@@ -686,7 +686,44 @@ object Cells {
       |    ORDER BY ck DESC) AS rn FROM merged m)
       |WHERE rn <= 2 ORDER BY pk, ck, col""".stripMargin
 
+  // C38b — DELETE-as-tombstone on a TYPED-key table (round 7, second
+  // half): the same partition / row / int-ck-range deletes as C38,
+  // addressed by the hashed STRING key — marker rows ride the typed
+  // write path and fold in the typed merge cursor. Oracle: merged
+  // minus the key predicates, with the user mapping.
+  private def typedDelete(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readKeyedDeleted(s, d)
+      .filter(expr("CAST(substring(user, 6) AS BIGINT) <= 60"))
+      .orderBy(col("user"), col("ck"), col("col"))
+
+  private val typedDeleteSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE pk <= 60
+      |  AND pk NOT IN (5, 7)
+      |  AND NOT (pk = 1 AND ck = 2)
+      |  AND NOT (pk = 3 AND ck BETWEEN 2 AND 4)
+      |ORDER BY user, ck, col""".stripMargin
+
+  // C39b — reversed clustering reads on a TYPED-key table: `ORDER BY
+  // ck DESC PER PARTITION LIMIT 2` where the partition key is hashed
+  // text — the typed reversing cursor keeps the LAST 2 clustering
+  // rows per user from the forward typed merge.
+  private def typedReverse(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("reverse", "true")
+      .option("perPartitionLimit", "2")
+      .load(CellSnapshots.ensureKeyed(s, d))
+      .orderBy(col("user"), col("ck"), col("col"))
+
+  private val typedReverseSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM (
+      |  SELECT m.*, DENSE_RANK() OVER (PARTITION BY pk
+      |    ORDER BY ck DESC) AS rn FROM merged m)
+      |WHERE rn <= 2 ORDER BY user, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C38b_typed_delete", typedDelete, Some(typedDeleteSql)),
+    GQuery("C39b_typed_reverse", typedReverse, Some(typedReverseSql)),
     GQuery("C39_reverse_latest", reverseLatest, Some(reverseLatestSql)),
     GQuery("C38_delete_tombstones", deleteTombstones,
       Some(deleteTombstonesSql)),

@@ -429,4 +429,50 @@ object CellSnapshots {
   def readKeyedReconciled(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureKeyed(s, sfDir))
+
+  /** The typed-key table AFTER SQL-DELETE-shaped tombstones (C38 on
+    * CEL6): the same partition / row / int-ck-range deletes as
+    * [[ensureDeleted]], but addressed by the STRING key and written
+    * through the typed marker path (suffix `-keydel`; unique — see
+    * the r7 fixture-collision trap).
+    */
+  def ensureKeyedDeleted(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-keydel")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .select(concat(lit("user-"), col("pk")).as("user"),
+            col("ck").cast("int"), col("col"),
+            col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("user"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("primaryKey", "((user),ck)")
+          .option("keyType.user", "string").option("keyType.ck", "int")
+          .mode("append").save(dir.toString)
+        import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual,
+          In, LessThanOrEqual}
+        val t = new CellTable(dir.toString)
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          In("user", Array[Any]("user-5", "user-7"))))
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          EqualTo("user", "user-1"), EqualTo("ck", 2)))
+        t.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          EqualTo("user", "user-3"), GreaterThanOrEqual("ck", 2),
+          LessThanOrEqual("ck", 4)))
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** The typed reconciled view AFTER the C38 deletes: live cells only. */
+  def readKeyedDeleted(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(ensureKeyedDeleted(s, sfDir))
 }
