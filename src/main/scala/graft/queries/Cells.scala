@@ -721,7 +721,24 @@ object Cells {
       |    ORDER BY ck DESC) AS rn FROM merged m)
       |WHERE rn <= 2 ORDER BY user, ck, col""".stripMargin
 
+  // C37b — the clustering slice on a TYPED-key table (round 7,
+  // second half): `WHERE user = ... AND ck BETWEEN 2 AND 4` with a
+  // hashed text partition key — CEL8 per-chunk typed zone maps prune
+  // chunks, the typed merge cursor skips out-of-slice rows
+  // pre-materialization, and the residual filter keeps exactness.
+  private def typedSlice(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readKeyedReconciled(s, d)
+      .filter(expr("CAST(substring(user, 6) AS BIGINT) % 10 = 0") &&
+        col("ck").between(2, 4))
+      .orderBy(col("user"), col("ck"), col("col"))
+
+  private val typedSliceSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE pk % 10 = 0 AND ck BETWEEN 2 AND 4
+      |ORDER BY user, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C37b_typed_slice", typedSlice, Some(typedSliceSql)),
     GQuery("C38b_typed_delete", typedDelete, Some(typedDeleteSql)),
     GQuery("C39b_typed_reverse", typedReverse, Some(typedReverseSql)),
     GQuery("C39_reverse_latest", reverseLatest, Some(reverseLatestSql)),

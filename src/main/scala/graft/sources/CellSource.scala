@@ -198,6 +198,25 @@ object ValueCodec {
         Decimal.createUnsafe(buf.getLong(), prec, scale)
     }
 
+  /** Stream twin of [[read]] — header metadata (CEL8 clustering zone
+    * maps) is parsed from the DataInputStream, not a record buffer.
+    */
+  def readStream(in: java.io.DataInputStream, tag: Int, prec: Int,
+      scale: Int): Any = tag match {
+    case LongTag | TimestampTag => in.readLong()
+    case IntTag => in.readInt()
+    case DoubleTag => in.readDouble()
+    case BoolTag => in.readBoolean()
+    case StringTag =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      UTF8String.fromBytes(b)
+    case BinaryTag =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      b
+    case DecimalTag =>
+      Decimal.createUnsafe(in.readLong(), prec, scale)
+  }
+
   /** Shard addition for counter-mode reconciliation (numeric tags
     * only — counter tables reject text/binary/bool/timestamp values
     * at plan time).
@@ -526,6 +545,18 @@ object CellSource {
     */
   val Magic7 = 0x43454c37
 
+  /** "CEL8" (round 7, second half): the CEL6 typed-key layout plus
+    * per-chunk clustering zone maps over the FIRST clustering part —
+    * C37's chunk pruning lifted to typed tables. Each chunk-table
+    * entry carries (min, max) of that part serialized with its value
+    * codec (spanning EVERY physical row, marker rows' neutral cks
+    * included, so plain scans prune exactly) plus a hasMarkers flag
+    * (reconcile planners keep marker-bearing chunks — their
+    * tombstones shadow data far outside their own ck). Record layout
+    * is unchanged from CEL6; CEL6 files read with no-op zones.
+    */
+  val Magic8 = 0x43454c38
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
@@ -594,20 +625,24 @@ object CellSource {
       // CEL7 clustering zone maps; pre-CEL7 files carry full-range
       // sentinels + hasMarkers=true, so ck pruning degrades to a no-op
       chunkMinCk: Array[Int], chunkMaxCk: Array[Int],
-      chunkHasMarkers: Array[Boolean])
+      chunkHasMarkers: Array[Boolean],
+      // CEL8 TYPED zone maps (internal comparables of the first ck
+      // part); null arrays for every other format
+      chunkMinCkT: Array[Any] = null, chunkMaxCkT: Array[Any] = null)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
       require(magic == Magic || magic == Magic5 || magic == Magic6 ||
-        magic == Magic7,
+        magic == Magic7 || magic == Magic8,
         s"bad cell file magic in $file")
-      val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7
+      val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7 ||
+        magic == Magic8
       val headerLen = in.readInt()
-      // CEL6 prefix: the typed key spec (pk parts, then ck parts).
+      // CEL6/8 prefix: the typed key spec (pk parts, then ck parts).
       val spec =
-        if (magic == Magic6) {
+        if (magic == Magic6 || magic == Magic8) {
           def parts(): List[KeyPart] = {
             val n = in.readInt()
             List.fill(n)(KeyPart(in.readUTF(), in.readUnsignedByte(),
@@ -644,6 +679,9 @@ object CellSource {
       val cklo = new Array[Int](nChunks)
       val ckhi = new Array[Int](nChunks)
       val cmk = new Array[Boolean](nChunks)
+      val hasTypedZone = magic == Magic8 && spec.ckParts.nonEmpty
+      val cktlo = if (hasTypedZone) new Array[Any](nChunks) else null
+      val ckthi = if (hasTypedZone) new Array[Any](nChunks) else null
       i = 0
       while (i < nChunks) {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
@@ -653,15 +691,23 @@ object CellSource {
           cklo(i) = in.readInt(); ckhi(i) = in.readInt()
           cmk(i) = in.readBoolean()
         } else {
-          // pre-CEL7: no clustering zone map — full range + assume
-          // markers so ck pruning never drops anything
+          // pre-CEL7 / typed: no INT zone map — full range; CEL8 sets
+          // the marker flag from the file below, others assume markers
           cklo(i) = Int.MinValue; ckhi(i) = Int.MaxValue; cmk(i) = true
+        }
+        if (magic == Magic8) {
+          if (in.readBoolean()) {
+            val ck = spec.ckParts.head
+            cktlo(i) = ValueCodec.readStream(in, ck.tag, ck.prec, ck.scale)
+            ckthi(i) = ValueCodec.readStream(in, ck.tag, ck.prec, ck.scale)
+          }
+          cmk(i) = in.readBoolean()
         }
         i += 1
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
         raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec,
-        cklo, ckhi, cmk)
+        cklo, ckhi, cmk, cktlo, ckthi)
     }
   }
 
@@ -799,7 +845,8 @@ object CellSource {
     require(colNames.length <= 255, "at most 255 distinct cell columns")
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
     val data = new ByteArrayOutputStream()
-    val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long)]
+    val offsets = Seq.newBuilder[
+      (Long, Int, Int, Int, Long, Long, Option[(Any, Any)], Boolean)]
     rows.grouped(chunkRecords).foreach { recs =>
       val rawOut = new ByteArrayOutputStream()
       val rawDs = new DataOutputStream(rawOut)
@@ -826,8 +873,26 @@ object CellSource {
       while (!deflater.finished())
         clen += deflater.deflate(buf, clen, buf.length - clen)
       deflater.end()
+      // CEL8 typed clustering zone: (min, max) of the FIRST ck part
+      // over EVERY row of the chunk (marker rows' neutral cks
+      // included — the zone must cover every physical row so plain
+      // scans prune exactly), plus the marker flag reconcile planners
+      // key on.
+      val zone =
+        if (spec.ckParts.isEmpty) None
+        else {
+          val t = spec.ckParts.head.tag
+          var mn: Any = null; var mx: Any = null
+          recs.foreach { r =>
+            val v = r.ckVals(0)
+            if (mn == null || ValueCodec.compare(t, v, mn) < 0) mn = v
+            if (mx == null || ValueCodec.compare(t, v, mx) > 0) mx = v
+          }
+          Some((mn, mx))
+        }
       offsets += ((data.size().toLong, clen, recs.size, raw.length,
-        recs.iterator.map(_.wt).min, recs.iterator.map(_.wt).max))
+        recs.iterator.map(_.wt).min, recs.iterator.map(_.wt).max,
+        zone, recs.exists(_.rank == 0)))
       data.write(buf, 0, clen)
     }
     val chunkTable = offsets.result()
@@ -857,18 +922,65 @@ object CellSource {
     idx.foreach { case (t, j) => h.writeLong(t); h.writeInt(j) }
     h.writeInt(chunkRecords)
     h.writeInt(chunkTable.size)
-    chunkTable.foreach { case (off, clen, nrec, rawLen, wlo, whi) =>
-      h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
-      h.writeInt(rawLen)
-      h.writeLong(wlo); h.writeLong(whi)
+    chunkTable.foreach {
+      case (off, clen, nrec, rawLen, wlo, whi, zone, hasMk) =>
+        h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
+        h.writeInt(rawLen)
+        h.writeLong(wlo); h.writeLong(whi)
+        h.writeBoolean(zone.isDefined)
+        zone.foreach { case (mn, mx) =>
+          val ck = spec.ckParts.head
+          ValueCodec.write(h, ck.tag, mn)
+          ValueCodec.write(h, ck.tag, mx)
+        }
+        h.writeBoolean(hasMk)
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic6)
+      out.writeInt(Magic8)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
     }
+  }
+
+  /** TYPED-snapshot test/fixture utility (CEL8 twin of
+    * [[writeSnapshot]]): key tuples carry EXTERNAL values
+    * (String/Int/Long/...), converted through [[KeyCodec.toInternal]];
+    * rows land keyedLess-sorted across `files` token-ordered files.
+    */
+  def writeSnapshotKeyed(dir: String, pkSyntax: String,
+      types: Map[String, String],
+      rows: Seq[(Seq[Any], Seq[Any], String, Any, Long)],
+      valueType: DataType = LongType, files: Int = 1,
+      indexEvery: Int = DefaultIndexEvery,
+      chunkRecords: Int = DefaultChunkRecords,
+      startIndex: Int = 0): Unit = {
+    val spec = KeySpec.fromSyntax(pkSyntax,
+      n => ValueCodec.parseType(types(n)))
+    val tag = ValueCodec.tagFor(valueType)
+    def internal(p: KeyPart, v: Any): Any =
+      KeyCodec.toInternal(p.tag, v).getOrElse(throw
+        new IllegalArgumentException(s"bad ${p.name} value $v"))
+    val recs = rows.map { case (pk, ck, col, v, wt) =>
+      val pkIv = spec.pkParts.zip(pk)
+        .map { case (p, x) => internal(p, x) }.toArray
+      val ckIv = spec.ckParts.zip(ck)
+        .map { case (p, x) => internal(p, x) }.toArray
+      KeyedRec(KeyCodec.token(spec, pkIv), pkIv, rankOf(col), ckIv,
+        col, KeyCodec.toInternal(tag, v).getOrElse(v), wt)
+    }.sortWith(keyedLess(spec))
+    val p = Paths.get(dir)
+    Files.createDirectories(p)
+    val colNames = recs.iterator.map(_.col).toArray.distinct.sorted
+    val fileChunks = if (recs.isEmpty) Seq(Seq.empty[KeyedRec])
+      else recs.grouped(
+        math.max(1, (recs.size + files - 1) / files)).toSeq
+    fileChunks.zipWithIndex.foreach { case (chunk, i) =>
+      writeFileKeyed(p.resolve(f"data-${startIndex + i}%04d.cells"),
+        chunk, spec, colNames, tag, 0, 0, indexEvery, chunkRecords)
+    }
+    CellManifest.refresh(dir)
   }
 
   def writeSnapshot(dir: String, cells: Seq[(Long, Int, String, Long, Long)],
@@ -1257,6 +1369,12 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   // itself in-slice.
   private var ckLower = Int.MinValue
   private var ckUpper = Int.MaxValue
+  // the TYPED slice (CEL8): bounds on the first ck part as internal
+  // comparables; tightened filter by filter
+  private var ckLoT: Option[Any] = None
+  private var ckLoInc = true
+  private var ckHiT: Option[Any] = None
+  private var ckHiInc = true
   private var pkSet: Option[Set[Long]] = None // pushed pk IN (...)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
@@ -1458,11 +1576,60 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
         }
       }
     }
+    // Clustering slice on the FIRST ck part (C37 lifted to typed
+    // tables): CEL8 zone maps prune chunks, the typed merge cursor
+    // skips out-of-slice rows pre-materialization. Values convert
+    // through KeyCodec.toInternal; a type mismatch simply isn't
+    // pushed.
+    if (spec.ckParts.nonEmpty) {
+      val ck = spec.ckParts.head
+      def low(v: Any, inc: Boolean): Boolean =
+        KeyCodec.toInternal(ck.tag, v).exists { iv =>
+          ckLoT match {
+            case None => ckLoT = Some(iv); ckLoInc = inc; true
+            case Some(cur) =>
+              val c = ValueCodec.compare(ck.tag, iv, cur)
+              if (c > 0) { ckLoT = Some(iv); ckLoInc = inc }
+              else if (c == 0 && !inc) ckLoInc = false
+              true
+          }
+        }
+      def high(v: Any, inc: Boolean): Boolean =
+        KeyCodec.toInternal(ck.tag, v).exists { iv =>
+          ckHiT match {
+            case None => ckHiT = Some(iv); ckHiInc = inc; true
+            case Some(cur) =>
+              val c = ValueCodec.compare(ck.tag, iv, cur)
+              if (c < 0) { ckHiT = Some(iv); ckHiInc = inc }
+              else if (c == 0 && !inc) ckHiInc = false
+              true
+          }
+        }
+      filters.foreach {
+        case f @ EqualTo(c, v) if c == ck.name =>
+          if (low(v, inc = true) && high(v, inc = true)) accepted += f
+        case f @ GreaterThan(c, v) if c == ck.name =>
+          if (low(v, inc = false)) accepted += f
+        case f @ GreaterThanOrEqual(c, v) if c == ck.name =>
+          if (low(v, inc = true)) accepted += f
+        case f @ LessThan(c, v) if c == ck.name =>
+          if (high(v, inc = false)) accepted += f
+        case f @ LessThanOrEqual(c, v) if c == ck.name =>
+          if (high(v, inc = true)) accepted += f
+        case _ =>
+      }
+    }
     pushed = accepted.toArray
     // Everything stays residual: token pruning is file-granular and —
     // for hashed layouts — collision-advisory besides.
     filters
   }
+
+  /** The accumulated typed slice, None when unbounded. */
+  private def typedSlice: Option[CkSlice] =
+    if (ckLoT.isEmpty && ckHiT.isEmpty) None
+    else Some(CkSlice(spec.ckParts.head.tag, ckLoT, ckLoInc,
+      ckHiT, ckHiInc))
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!spec.isDefault) return pushFiltersTyped(filters)
@@ -1542,11 +1709,13 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case None if reconcile =>
       new CellReconcileScan(path, pkLower, pkUpper, required,
         subsplitRecords, columnar,
-        reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper),
+        reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper,
+          ckSlice = typedSlice),
         pkSet, spec, limit)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
-        subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper)
+        subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper,
+        typedSlice)
   }
 }
 
@@ -1630,6 +1799,36 @@ case class CellAggPartition(tags: Array[String], cnt: Long, minPk: Long,
   * combine from LWW to shard-SUM (value = Σ shards, wt = max shard
   * wt) — Cassandra counter-column semantics, numeric tables only.
   */
+/** Pushed clustering slice on the FIRST ck part of a TYPED (CEL6/8)
+  * table — C37 lifted off the fixed int ck. Bounds are INTERNAL
+  * comparables of that part's tag (UTF8String/Long/Int/...; all
+  * Serializable, so the slice rides the InputPartition). Slices on
+  * later ck parts are never pushed: a (ck1, ck2)-sorted layout can't
+  * prune on ck2 without ck1 bound, and the residual filter handles
+  * exactness either way.
+  */
+case class CkSlice(tag: Int, lo: Option[Any], loInc: Boolean,
+    hi: Option[Any], hiInc: Boolean) {
+  def contains(v: Any): Boolean =
+    lo.forall { l =>
+      val c = ValueCodec.compare(tag, v, l); c > 0 || (loInc && c == 0)
+    } && hi.forall { h =>
+      val c = ValueCodec.compare(tag, v, h); c < 0 || (hiInc && c == 0)
+    }
+
+  /** Chunk-zone overlap: could [min, max] hold an in-slice value? */
+  def overlaps(min: Any, max: Any): Boolean =
+    lo.forall { l =>
+      val c = ValueCodec.compare(tag, max, l); c > 0 || (loInc && c == 0)
+    } && hi.forall { h =>
+      val c = ValueCodec.compare(tag, min, h); c < 0 || (hiInc && c == 0)
+    }
+
+  override def toString: String =
+    (if (loInc) "[" else "(") + lo.getOrElse("-inf") + "," +
+      hi.getOrElse("+inf") + (if (hiInc) "]" else ")")
+}
+
 case class ReconcileOptions(
     queryTime: Long = Long.MaxValue,
     keepMarkers: Boolean = false,
@@ -1642,6 +1841,8 @@ case class ReconcileOptions(
     // PER PARTITION LIMIT counts only in-slice rows
     ckLower: Int = Int.MinValue,
     ckUpper: Int = Int.MaxValue,
+    // the TYPED slice (CEL6/8) — same CQL clause order as above
+    ckSlice: Option[CkSlice] = None,
     // C39: emit each partition's rows in REVERSE clustering order
     // (CQL `ORDER BY ck DESC`); with perPartitionLimit n this is the
     // "latest n rows per partition" read, kept in a bounded tail
@@ -1707,6 +1908,7 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     s"CellReconcileScan path=$path pkRange=[$pkLower,$pkUpper] " +
       (if (opts.ckLower != Int.MinValue || opts.ckUpper != Int.MaxValue)
         s"ckRange=[${opts.ckLower},${opts.ckUpper}] " else "") +
+      opts.ckSlice.fold("")(s => s"ckSlice=$s ") +
       (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")} " +
       (if (opts.counter) "(counter shard-SUM k-way merge)"
@@ -1794,7 +1996,7 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
           if (h.maxPk < rlo || h.minPk > rhi) Nil
           else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
             Long.MaxValue, Int.MaxValue, opts.ckLower, opts.ckUpper,
-            keepMarkerChunks = true)
+            keepMarkerChunks = true, opts.ckSlice)
         }.map(_.asInstanceOf[CellInputPartition])
         if (fileParts.isEmpty) None
         else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
@@ -2794,7 +2996,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     spec: KeySpec = KeySpec.Default,
     limit: Int = Int.MaxValue,
     ckLower: Int = Int.MinValue,
-    ckUpper: Int = Int.MaxValue) extends Scan with Batch
+    ckUpper: Int = Int.MaxValue,
+    ckSlice: Option[CkSlice] = None) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2845,7 +3048,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
           CellSource.bloomContains(h.bloom, v))
         if (!hit) Nil
         else CellPlanning.planFile(f, h, lo, hi, wtLower, wtUpper,
-          subsplitRecords, ckLower, ckUpper, keepMarkerChunks = false)
+          subsplitRecords, ckLower, ckUpper, keepMarkerChunks = false,
+          ckSlice)
       }
     }.toArray
   }
@@ -2877,6 +3081,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
       s"wtRange=[$wtLower,$wtUpper] " +
       (if (ckLower != Int.MinValue || ckUpper != Int.MaxValue)
         s"ckRange=[$ckLower,$ckUpper] " else "") +
+      ckSlice.fold("")(s => s"ckSlice=$s ") +
       (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
 
@@ -2914,7 +3119,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
           val files = CellPlanning.listFiles(path)
           CellPlanning.planFilesWithManifest(path, files, pkLower,
             pkUpper, wtLower, wtUpper, subsplitRecords,
-            ckLower, ckUpper, keepMarkerChunks = false).toArray
+            ckLower, ckUpper, keepMarkerChunks = false, ckSlice).toArray
       }
       cached
     }
@@ -3003,9 +3208,11 @@ private[sources] object CellPlanning {
   def planFile(f: String, pkLower: Long, pkUpper: Long, wtLower: Long,
       wtUpper: Long, subsplitRecords: Int,
       ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
-      keepMarkerChunks: Boolean = true): Seq[InputPartition] =
+      keepMarkerChunks: Boolean = true,
+      ckSlice: Option[CkSlice] = None): Seq[InputPartition] =
     planFile(f, CellSource.readHeader(f), pkLower, pkUpper, wtLower,
-      wtUpper, subsplitRecords, ckLower, ckUpper, keepMarkerChunks)
+      wtUpper, subsplitRecords, ckLower, ckUpper, keepMarkerChunks,
+      ckSlice)
 
   /** Manifest-guided planning over `files` (already listed by the
     * caller): when the `_manifest` matches the listing, files failing
@@ -3019,7 +3226,8 @@ private[sources] object CellPlanning {
       pkLower: Long, pkUpper: Long, wtLower: Long, wtUpper: Long,
       subsplitRecords: Int,
       ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
-      keepMarkerChunks: Boolean = true): Seq[InputPartition] = {
+      keepMarkerChunks: Boolean = true,
+      ckSlice: Option[CkSlice] = None): Seq[InputPartition] = {
     val byName = CellManifest.current(path, files)
       .map(_.map(e => e.name -> e).toMap)
     files.flatMap { f =>
@@ -3028,7 +3236,7 @@ private[sources] object CellPlanning {
       if (entry.exists(e =>
           e.count == 0 || e.maxPk < pkLower || e.minPk > pkUpper)) Nil
       else planFile(f, pkLower, pkUpper, wtLower, wtUpper,
-        subsplitRecords, ckLower, ckUpper, keepMarkerChunks)
+        subsplitRecords, ckLower, ckUpper, keepMarkerChunks, ckSlice)
     }
   }
 
@@ -3040,7 +3248,9 @@ private[sources] object CellPlanning {
   def planFile(f: String, h: CellSource.Header, pkLower: Long,
       pkUpper: Long, wtLower: Long, wtUpper: Long,
       subsplitRecords: Int, ckLower: Int, ckUpper: Int,
-      keepMarkerChunks: Boolean): Seq[InputPartition] = {
+      keepMarkerChunks: Boolean,
+      // no default — Scala forbids defaults on multiple overloads
+      ckSlice: Option[CkSlice]): Seq[InputPartition] = {
     val pointPk = if (pkLower == pkUpper) Some(pkLower) else None
     if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
     else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
@@ -3073,6 +3283,12 @@ private[sources] object CellPlanning {
           // tombstones shadow data outside their own ck
           (ckLower == Int.MinValue && ckUpper == Int.MaxValue ||
             h.chunkMaxCk(c) >= ckLower && h.chunkMinCk(c) <= ckUpper ||
+            keepMarkerChunks && h.chunkHasMarkers(c)) &&
+          // CEL8 TYPED zone (same keep-markers rule); pre-CEL8 typed
+          // files carry no zones and never prune
+          (ckSlice.isEmpty || h.chunkMinCkT == null ||
+            h.chunkMinCkT(c) == null ||
+            ckSlice.get.overlaps(h.chunkMinCkT(c), h.chunkMaxCkT(c)) ||
             keepMarkerChunks && h.chunkHasMarkers(c))
       }
       val chunksPerSplit =
@@ -3208,13 +3424,16 @@ class CellReaderFactory(pkLower: Long, pkUpper: Long,
   // ColumnarBatch per compression chunk, filled straight from the
   // inflated record buffer — Spark plans ColumnarToRow on top and the
   // scan feeds whole-stage codegen batches instead of row-at-a-time.
-  // Typed-key (CEL6) partitions read row-at-a-time for now.
+  // Typed-key (CEL6/8) partitions vectorize too (r7 second half).
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && p.asInstanceOf[CellInputPartition].keySpec.isDefault
+    columnar
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val r = new CellColumnarReader(p.asInstanceOf[CellInputPartition],
-      pkLower, pkUpper, cols)
+    val part = p.asInstanceOf[CellInputPartition]
+    val r =
+      if (part.keySpec.isDefault)
+        new CellColumnarReader(part, pkLower, pkUpper, cols)
+      else new CellKeyedColumnarReader(part, pkLower, pkUpper, cols)
     if (limit == Int.MaxValue) r else new LimitedBatchReader(r, limit)
   }
 }

@@ -1940,6 +1940,96 @@ class SourceSpec extends GraftSpec {
     assert(!CellIndex.isStale(idx))
   }
 
+  test("typed ck zone maps prune chunks for slices (C37b/CEL8)") {
+    val d = Files.createTempDirectory("cells-typed-ckzone").toString
+    // ONE text-keyed partition, ck grows with record index → chunks
+    // hold disjoint ck ranges, exactly the CEL7 layout lifted to a
+    // hashed key
+    CellSource.writeSnapshotKeyed(d, "((user),ck)",
+      Map("user" -> "string", "ck" -> "int"),
+      (0 until 10000).map(i =>
+        (Seq("alice"), Seq(i), "qty", i.toLong, 1000L)),
+      files = 1, chunkRecords = 2500)
+    def read() = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+    assert(read().rdd.getNumPartitions == 4)
+    val tail = read().filter(col("ck") >= 7500)
+    assert(tail.rdd.getNumPartitions == 1, "expected typed ck prune")
+    assert(tail.count() == 2500)
+    // boundary-straddling slice keeps both neighbours, counts exact
+    val straddle = read().filter(col("ck").between(2499, 5000))
+    assert(straddle.rdd.getNumPartitions == 3)
+    assert(straddle.count() == 2502)
+    // the pushed slice is visible in the plan
+    assert(tail.queryExecution.executedPlan.toString.contains("ckSlice="),
+      tail.queryExecution.executedPlan.toString)
+  }
+
+  test("typed slice: marker safety, limit and reverse compose (C37b)") {
+    val d = Files.createTempDirectory("cells-typed-ckmark").toString
+    CellSource.writeSnapshotKeyed(d, "((user),ck)",
+      Map("user" -> "string", "ck" -> "int"),
+      (0 until 8000).map(i =>
+        (Seq("u1"), Seq(i), "qty", i.toLong, 1000L)),
+      files = 1, chunkRecords = 2000)
+    // DELETE the partition (marker flush; wt = max+1 = 1001), then a
+    // fresh in-slice row past the deletion
+    new graft.sources.CellTable(d).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("user", "u1")))
+    typedWrite(Seq(("u1", 6000, "qty", 42L, 9000L))
+      .toDF("user", "ck", "col", "value", "wt"), d, "((user),ck)",
+      "user" -> "string", "ck" -> "int")
+    def rec() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    // if the marker chunk were slice-pruned, the 2000 shadowed rows
+    // with ck in [6000, 7999] would resurrect
+    assert(rec().filter(col("ck") >= 6000)
+      .as[(String, Int, String, Long, Long)].collect().toSet ==
+      Set(("u1", 6000, "qty", 42L, 9000L)))
+    // slice-parity + CQL clause order on a marker-free table
+    val d2 = Files.createTempDirectory("cells-typed-ckplain").toString
+    CellSource.writeSnapshotKeyed(d2, "((user),ck)",
+      Map("user" -> "string", "ck" -> "int"),
+      (0 until 8000).map(i =>
+        (Seq("u2"), Seq(i), "qty", i.toLong, 1000L)),
+      files = 2, chunkRecords = 2000)
+    val push = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d2)
+      .filter(col("ck").between(1000, 1500))
+    assert(push.count() == 501)
+    val ppl = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("perPartitionLimit", "2")
+      .load(d2).filter(col("ck") >= 1000)
+      .as[(String, Int, String, Long, Long)].collect().map(_._2).sorted
+    assert(ppl.toSeq == Seq(1000, 1001))
+    // reverse + slice: the tail of the SLICE, not of the partition
+    val rev = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("reverse", "true")
+      .option("perPartitionLimit", "2").load(d2)
+      .filter(col("ck").between(10, 20))
+      .as[(String, Int, String, Long, Long)].collect().map(_._2)
+    assert(rev.toSeq == Seq(20, 19), rev.toSeq)
+  }
+
+  test("typed raw scans vectorize and round-trip (CEL8 columnar)") {
+    val d = Files.createTempDirectory("cells-typed-vec").toString
+    val rows = (0 until 5000).map(i => (s"u${i % 7}", i, "qty",
+      i.toLong, 1000L + i))
+    typedWrite(rows.toDF("user", "ck", "col", "value", "wt"), d,
+      "((user),ck)", "user" -> "string", "ck" -> "int")
+    val df = spark.read.format("graft.sources.CellSource").load(d)
+    // the typed plain scan feeds ColumnarBatches (ColumnarToRow on
+    // top), not row-at-a-time GenericInternalRows
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), df.queryExecution.executedPlan)
+    assert(df.as[(String, Int, String, Long, Long)].collect().toSet ==
+      rows.toSet)
+    // column pruning through the vectorized path
+    assert(df.select("value").as[Long].collect().sorted.toSeq ==
+      (0L until 5000L).toSeq)
+  }
+
   test("compactIfNeeded stcs policy: tier passes, cold file survives") {
     import graft.sources.CellMaintenance
     import java.nio.file.{Files => JF, Paths => JP}
