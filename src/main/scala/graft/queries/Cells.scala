@@ -737,7 +737,28 @@ object Cells {
       |WHERE pk % 10 = 0 AND ck BETWEEN 2 AND 4
       |ORDER BY user, ck, col""".stripMargin
 
+  // C40 — MATERIALIZED VIEW (round 7, second half): the base table
+  // re-keyed by its 'qty' value (Cassandra's
+  // `CREATE MATERIALIZED VIEW ... PRIMARY KEY (qty, pk, ck)`); the
+  // view holds the FULL row, so a value lookup answers from the
+  // view's typed point read with zero base-table I/O. Oracle: merged
+  // self-joined on the qty keys.
+  private def materializedView(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readViewed(s, d)
+      .filter(col("vk") % 50 === 0)
+      .orderBy(col("vk"), col("bpk"), col("bck"), col("col"))
+
+  private val materializedViewSql = cte +
+    """, vkeys AS (SELECT pk, ck, value AS vk FROM merged
+      |  WHERE col = 'qty')
+      |SELECT k.vk, m.pk AS bpk, m.ck AS bck, m.col, m.value, m.wt
+      |FROM merged m JOIN vkeys k ON m.pk = k.pk AND m.ck = k.ck
+      |WHERE k.vk % 50 = 0
+      |ORDER BY vk, bpk, bck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C40_materialized_view", materializedView,
+      Some(materializedViewSql)),
     GQuery("C37b_typed_slice", typedSlice, Some(typedSliceSql)),
     GQuery("C38b_typed_delete", typedDelete, Some(typedDeleteSql)),
     GQuery("C39b_typed_reverse", typedReverse, Some(typedReverseSql)),

@@ -475,4 +475,28 @@ object CellSnapshots {
   def readKeyedDeleted(s: SparkSession, sfDir: String): DataFrame =
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensureKeyedDeleted(s, sfDir))
+
+  /** MATERIALIZED VIEW fixture (C40): the plain snapshot re-keyed by
+    * its 'qty' value through [[CellView.build]] (suffix `-mv`).
+    */
+  def ensureViewed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-mv")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellView.build(s, ensure(s, sfDir), dir.toString, "qty",
+          files = SnapshotFiles)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** The reconciled materialized-view relation (C40). */
+  def readViewed(s: SparkSession, sfDir: String): DataFrame =
+    CellView.read(s, ensureViewed(s, sfDir))
 }

@@ -1,0 +1,275 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connector-side MATERIALIZED VIEW (C40 — Cassandra's MV): the base
+  * table RE-KEYED by the value of one column, holding the FULL row —
+  * unlike the 2i ([[CellIndex]]), a view lookup answers WITHOUT
+  * touching the base table. This is Cassandra's
+  * `CREATE MATERIALIZED VIEW ... PRIMARY KEY (x, pk, ck)` shape: the
+  * view's partition key is the selected column's value and the base
+  * primary key is appended to the view clustering so view rows stay
+  * unique.
+  *
+  * View row layout (typed, CEL8): `(vk = value of `column`,
+  * bpk = base pk, bck = base ck, col, value, wt)` — one view cell
+  * per base cell of every base row that HAS `column`. The view is
+  * itself a cell table, so the whole read path (token pruning, zone
+  * maps, k-way LWW merge, slices, reverse reads) applies to view
+  * lookups for free.
+  *
+  * Maintenance mirrors Cassandra's write path, batch-style. `build`
+  * records the base generation (flush-file listing) in `_base`;
+  * `refresh` heals a stale view DELTA-SIZED: it reads only the
+  * flushes the base gained, finds the touched base rows, and
+  * - appends the rows' CURRENT cells under their current vk (LWW
+  *   collapses same-partition rewrites),
+  * - writes view ROW TOMBSTONES where a row MOVED partitions (its
+  *   `column` value changed) — ts = the row's max old-generation wt,
+  *   so every stale copy is shadowed; this is the batch analogue of
+  *   Cassandra's read-before-write MV update,
+  * - writes view row tombstones where the base row was deleted
+  *   (partition/row tombstone in the delta) — ts = the marker's ts,
+  *   exactly the base's own shadowing window.
+  * A clustering-RANGE tombstone in the delta or a replaced base
+  * generation (compaction/truncation) falls back to a full rebuild.
+  *
+  * Known divergence, shared with Cassandra's own MV caveats: an
+  * A-B-A move (row leaves a view partition and later returns with
+  * cells whose writetimes predate the movement tombstone) can
+  * over-shadow — Cassandra needs "shadowable tombstones" for the
+  * same corner and still documents MVs as experimental. The refresh
+  * keeps the common paths (update / move / delete) exact.
+  */
+object CellView {
+  private val Fmt = "graft.sources.CellSource"
+  private val BaseFile = "_base"
+
+  private def generation(dir: String): String =
+    CellPlanning.listFiles(dir)
+      .map(f => Paths.get(f).getFileName.toString)
+      .mkString(",")
+
+  private case class ViewMeta(column: String, baseDir: String,
+      gen: String)
+
+  private def readMeta(viewDir: String): Option[ViewMeta] = {
+    val p = Paths.get(CellPlanning.normalize(viewDir)).resolve(BaseFile)
+    if (!Files.exists(p)) return None
+    try {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+      if (lines.size < 3) None
+      else Some(ViewMeta(lines.get(0), lines.get(1), lines.get(2)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeMeta(viewDir: String, column: String,
+      baseDir: String, gen: String): Unit =
+    Files.writeString(
+      Paths.get(CellPlanning.normalize(viewDir)).resolve(BaseFile),
+      s"$column\n${CellPlanning.normalize(baseDir)}\n$gen\n")
+
+  private def reconciled(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format(Fmt).option("reconcile", "true").load(dir)
+
+  /** Base rows' cells re-keyed by their `column` value: the view
+    * relation `(vk, bpk, bck, col, value, wt)`.
+    */
+  private def viewRows(base: DataFrame, column: String): DataFrame = {
+    val keys = base.filter(col("col") === column)
+      .select(col("pk"), col("ck"), col("value").as("vk"))
+    base.join(keys, Seq("pk", "ck"))
+      .select(col("vk"), col("pk").as("bpk"), col("ck").as("bck"),
+        col("col"), col("value"), col("wt"))
+  }
+
+  private def writeView(rows: DataFrame, viewDir: String,
+      vkType: String, files: Int, overwrite: Boolean): Unit =
+    rows.repartitionByRange(files, col("vk"), col("bpk"), col("bck"))
+      .write.format(Fmt)
+      .option("primaryKey", "((vk),bpk,bck)")
+      .option("keyType.vk", vkType)
+      .option("keyType.bpk", "bigint").option("keyType.bck", "int")
+      .mode(if (overwrite) "overwrite" else "append")
+      .save(viewDir)
+
+  /** Build (or rebuild) the view of `column` over the DEFAULT-keyed
+    * table at `dir` into the typed cell table at `viewDir`. The base
+    * generation is captured BEFORE the read — a racing flush leaves
+    * the view stale, never silently incomplete.
+    */
+  def build(spark: SparkSession, dir: String, viewDir: String,
+      column: String, files: Int = 8): Unit = {
+    val gen = generation(dir)
+    val base = reconciled(spark, dir)
+    require(base.schema.fieldNames.take(2).sameElements(
+        Array("pk", "ck")),
+      s"materialized view needs a default-keyed base table; $dir is " +
+        s"keyed (${base.schema.fieldNames.mkString(",")})")
+    writeView(viewRows(base, column), viewDir,
+      base.schema("value").dataType.simpleString, files,
+      overwrite = true)
+    writeMeta(viewDir, column, dir, gen)
+  }
+
+  def isStale(viewDir: String): Boolean =
+    readMeta(viewDir).exists(m => generation(m.baseDir) != m.gen)
+
+  /** Same-filesystem scratch view over a file subset (hard links). */
+  private def withScratch[A](baseDir: String, files: Seq[String])(
+      f: String => A): A = {
+    val dir = Paths.get(CellPlanning.normalize(baseDir))
+    val scratch = Files.createTempDirectory(dir, ".view-delta-")
+    try {
+      files.foreach { fl =>
+        val p = Paths.get(fl)
+        Files.createLink(scratch.resolve(p.getFileName), p)
+      }
+      f(scratch.toString)
+    } finally {
+      Using.resource(Files.list(scratch)) { st =>
+        st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
+      }
+      Files.deleteIfExists(scratch)
+    }
+  }
+
+  /** Delta-sized heal of a stale view — see the object doc for the
+    * tombstone protocol. Falls back to [[build]] when the recorded
+    * generation was replaced or the delta carries a clustering-range
+    * tombstone.
+    */
+  def refresh(spark: SparkSession, viewDir: String,
+      files: Int = 8): Unit = {
+    val m = readMeta(viewDir).getOrElse(throw new IllegalStateException(
+      s"$viewDir carries no _base metadata; use CellView.build"))
+    val liveFiles = CellPlanning.listFiles(m.baseDir)
+    val liveNames = liveFiles.map(f => Paths.get(f).getFileName.toString)
+    val oldNames = m.gen.split(',').filter(_.nonEmpty).toSet
+    if (liveNames.toSet == oldNames) return // not stale
+    if (!oldNames.subsetOf(liveNames.toSet)) {
+      build(spark, m.baseDir, viewDir, m.column, files)
+      return
+    }
+    val gen = liveNames.mkString(",")
+    val deltaFiles = liveFiles.filter(f =>
+      !oldNames.contains(Paths.get(f).getFileName.toString))
+    val oldFiles = liveFiles.filter(f =>
+      oldNames.contains(Paths.get(f).getFileName.toString))
+    withScratch(m.baseDir, deltaFiles) { deltaDir =>
+      // the delta's raw face: marker rows included (a reconciled read
+      // folds them away, but view maintenance must SEE deletions)
+      val rawDelta = spark.read.format(Fmt).load(deltaDir)
+      if (!rawDelta.filter(col("col")
+          .startsWith(CellSource.RangeTombstonePrefix)).isEmpty) {
+        // range-tombstone translation needs the old rows' ck spans —
+        // rebuild is the coarse-but-correct path
+        build(spark, m.baseDir, viewDir, m.column, files)
+        return
+      }
+      // touched base rows: data rows name their (pk, ck) — as does a
+      // CELL tombstone (deleting just `column` moves the row OUT of
+      // the view); a row tombstone its (pk, ck); a partition
+      // tombstone every old row of its pk (resolved against the old
+      // generation below)
+      val dataKeys = rawDelta
+        .filter(!col("col").startsWith("!") ||
+          col("col").startsWith(CellSource.CellTombstonePrefix))
+        .select(col("pk"), col("ck")).distinct()
+      val rowDels = rawDelta
+        .filter(col("col") === CellSource.RowTombstone)
+        .groupBy(col("pk"), col("ck"))
+        .agg(max(col("wt")).as("dts"))
+      val partDels = rawDelta
+        .filter(col("col") === CellSource.PartitionTombstone)
+        .groupBy(col("pk")).agg(max(col("wt")).as("pdts"))
+      withScratch(m.baseDir, oldFiles) { oldDir =>
+        val old = reconciled(spark, oldDir)
+        // the rows' OLD placement: old vk + max old wt per (pk, ck)
+        val oldState = viewRows(old, m.column)
+          .groupBy(col("bpk").as("pk"), col("bck").as("ck"),
+            col("vk"))
+          .agg(max(col("wt")).as("maxOldWt"))
+        val cur = reconciled(spark, m.baseDir)
+        val touched = dataKeys
+          .unionByName(rowDels.select(col("pk"), col("ck")))
+          .unionByName(partDels.join(
+            oldState.select(col("pk"), col("ck")).distinct(),
+            Seq("pk")).select(col("pk"), col("ck")))
+          .distinct()
+        // CURRENT cells of touched rows, under their current vk
+        val fresh = viewRows(cur.join(touched, Seq("pk", "ck")),
+          m.column)
+        // MOVEMENT tombstones: the row had vk=old but now has a
+        // DIFFERENT vk (or none) — shadow every stale copy
+        val curKeys = fresh
+          .select(col("bpk").as("pk"), col("bck").as("ck"),
+            col("vk").as("newVk")).distinct()
+        val moved = oldState.join(touched, Seq("pk", "ck"))
+          .join(curKeys, Seq("pk", "ck"), "left_outer")
+          .filter(col("newVk").isNull || col("newVk") =!= col("vk"))
+          .select(col("vk"), col("pk").as("bpk"),
+            col("ck").as("bck"),
+            lit(CellSource.RowTombstone).as("col"),
+            // the view's value type is the base's; a marker's payload
+            // is meaningless but must type-check
+            (col("maxOldWt") * lit(0)).cast(
+              fresh.schema("value").dataType).as("value"),
+            col("maxOldWt").as("wt"))
+        // DELETION tombstones: base partition/row deletes, at the
+        // marker's own ts (the base's exact shadowing window)
+        val delTombs = oldState
+          .join(rowDels, Seq("pk", "ck"))
+          .select(col("vk"), col("pk"), col("ck"), col("dts"))
+          .unionByName(oldState.join(partDels, Seq("pk"))
+            .select(col("vk"), col("pk"), col("ck"),
+              col("pdts").as("dts")))
+          .groupBy(col("vk"), col("pk"), col("ck"))
+          .agg(max(col("dts")).as("dts"))
+          .select(col("vk"), col("pk").as("bpk"),
+            col("ck").as("bck"),
+            lit(CellSource.RowTombstone).as("col"),
+            (col("dts") * lit(0)).cast(
+              fresh.schema("value").dataType).as("value"),
+            col("dts").as("wt"))
+        writeView(fresh.unionByName(moved).unionByName(delTombs),
+          viewDir, cur.schema("value").dataType.simpleString, files,
+          overwrite = false)
+      }
+    }
+    writeMeta(viewDir, m.column, m.baseDir, gen)
+  }
+
+  /** The full view relation (reconciled): `(vk, bpk, bck, col,
+    * value, wt)` — tombstoned movements and deletions folded away.
+    */
+  def read(spark: SparkSession, viewDir: String,
+      onStale: String = "refresh"): DataFrame = {
+    readMeta(viewDir).foreach { m =>
+      if (generation(m.baseDir) != m.gen) onStale match {
+        case "refresh" => refresh(spark, viewDir)
+        case "rebuild" => build(spark, m.baseDir, viewDir, m.column)
+        case "fail" => throw new IllegalStateException(
+          s"materialized view at $viewDir is STALE: base table " +
+            s"${m.baseDir} has flushed since the build (pass " +
+            s"onStale=refresh/rebuild/ignore)")
+        case _ => // "ignore": serve the recorded generation
+      }
+    }
+    reconciled(spark, viewDir)
+  }
+
+  /** Point lookup: the base rows whose `column` = `v`, served
+    * ENTIRELY from the view's typed point read (token bloom + zone
+    * maps) — no base-table I/O, Cassandra's MV promise.
+    */
+  def lookup(spark: SparkSession, viewDir: String, v: Any,
+      onStale: String = "refresh"): DataFrame =
+    read(spark, viewDir, onStale).filter(col("vk") === lit(v))
+}

@@ -2030,6 +2030,76 @@ class SourceSpec extends GraftSpec {
       (0L until 5000L).toSeq)
   }
 
+  test("materialized view: build + full-row lookup, no base I/O (C40)") {
+    import graft.sources.CellView
+    val d = Files.createTempDirectory("cells-mv-base").toString
+    val vd = Files.createTempDirectory("cells-mv-view").toString
+    // rows (pk, 1): qty = pk % 3, price = pk * 10
+    CellSource.writeSnapshot(d, (0L until 12L).flatMap(pk => Seq(
+      (pk, 1, "qty", pk % 3, 100L),
+      (pk, 1, "price", pk * 10, 100L))), files = 2)
+    CellView.build(spark, d, vd, "qty")
+    val hit = CellView.lookup(spark, vd, 1L)
+      .as[(Long, Long, Int, String, Long, Long)].collect().toSet
+    // pks with qty=1: 1, 4, 7, 10 — FULL rows (price included)
+    assert(hit == (Seq(1L, 4L, 7L, 10L).flatMap(pk => Seq(
+      (1L, pk, 1, "price", pk * 10, 100L),
+      (1L, pk, 1, "qty", 1L, 100L))).toSet), hit)
+    // the lookup plans against the VIEW table only
+    val plan = CellView.lookup(spark, vd, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(vd) && !plan.contains(d), plan)
+  }
+
+  test("materialized view refresh: update, move, delete (C40)") {
+    import graft.sources.CellView
+    import org.apache.spark.sql.sources.EqualTo
+    val d = Files.createTempDirectory("cells-mv2-base").toString
+    val vd = Files.createTempDirectory("cells-mv2-view").toString
+    CellSource.writeSnapshot(d, (0L until 9L).flatMap(pk => Seq(
+      (pk, 1, "qty", pk % 3, 100L),
+      (pk, 1, "price", pk * 10, 100L))), files = 1)
+    CellView.build(spark, d, vd, "qty")
+    def vk(v: Long) = CellView.lookup(spark, vd, v)
+      .as[(Long, Long, Int, String, Long, Long)].collect()
+      .map(r => (r._2, r._4, r._5)).toSet
+    // flush 2: pk=1 price update (same partition), pk=4 qty 1 → 2
+    // (moves partitions), pk=7 row-deleted
+    CellSource.writeSnapshot(d, Seq(
+      (1L, 1, "price", 999L, 200L),
+      (4L, 1, "qty", 2L, 200L)), files = 1, startIndex = 1)
+    new graft.sources.CellTable(d).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("pk", 7L), EqualTo("ck", 1)))
+    assert(CellView.isStale(vd))
+    CellView.refresh(spark, vd)
+    assert(!CellView.isStale(vd))
+    // pk=1: updated price visible, still at vk=1
+    assert(vk(1L) == Set((1L, "price", 999L), (1L, "qty", 1L)), vk(1L))
+    // pk=4 moved: gone from vk=1 (asserted above), full row at vk=2
+    assert(vk(2L) == Set((2L, "price", 20L), (2L, "qty", 2L),
+      (5L, "price", 50L), (5L, "qty", 2L),
+      (8L, "price", 80L), (8L, "qty", 2L),
+      (4L, "price", 40L), (4L, "qty", 2L)), vk(2L))
+    // pk=7 deleted: gone from its old partition vk=1 — checked above;
+    // vk=0 untouched
+    assert(vk(0L).map(_._1) == Set(0L, 3L, 6L))
+    // deleting just the view column moves the row OUT of the view
+    Seq((0L, 1, CellSource.CellTombstonePrefix + "qty", 0L, 300L))
+      .toDF("pk", "ck", "col", "value", "wt").coalesce(1)
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    CellView.refresh(spark, vd)
+    assert(vk(0L).map(_._1) == Set(3L, 6L))
+    // compaction replaces the generation → refresh rebuilds
+    graft.sources.CellMaintenance.compact(spark, d)
+    assert(CellView.isStale(vd))
+    val total = CellView.read(spark, vd).count()
+    assert(!CellView.isStale(vd))
+    // rows: pks 1..6,8 minus... pk 7 deleted, pk 0 qty-deleted →
+    // 8 rows × 2 cells minus pk7, pk0 → (9-2)*2 = 14
+    assert(total == 14, total)
+  }
+
   test("compactIfNeeded stcs policy: tier passes, cold file survives") {
     import graft.sources.CellMaintenance
     import java.nio.file.{Files => JF, Paths => JP}
