@@ -137,6 +137,29 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
   * CDC streams included — is decode-bound exactly like the untyped
   * one was before CEL5 vectorization).
   */
+private[sources] object KeyedVec {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  /** Typed key-part / value → column vector slot. */
+  def put(vec: OnHeapColumnVector, n: Int, tag: Int, prec: Int,
+      v: Any): Unit = tag match {
+    case ValueCodec.LongTag | ValueCodec.TimestampTag =>
+      vec.putLong(n, v.asInstanceOf[Long])
+    case ValueCodec.IntTag => vec.putInt(n, v.asInstanceOf[Int])
+    case ValueCodec.DoubleTag => vec.putDouble(n, v.asInstanceOf[Double])
+    case ValueCodec.BoolTag => vec.putBoolean(n, v.asInstanceOf[Boolean])
+    case ValueCodec.StringTag =>
+      val b = v.asInstanceOf[UTF8String].getBytes
+      vec.putByteArray(n, b, 0, b.length)
+    case ValueCodec.BinaryTag =>
+      val b = v.asInstanceOf[Array[Byte]]
+      vec.putByteArray(n, b, 0, b.length)
+    case ValueCodec.DecimalTag =>
+      vec.putDecimal(n,
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal], prec)
+  }
+}
+
 class CellKeyedColumnarReader(part: CellInputPartition,
     tokenLower: Long, tokenUpper: Long, cols: Array[String])
     extends PartitionReader[
@@ -163,24 +186,8 @@ class CellKeyedColumnarReader(part: CellInputPartition,
     (spec.pkParts ++ spec.ckParts).map(_.scale).toArray
   private var batch: ColumnarBatch = _
 
-  /** Typed key-part / value → column vector slot. */
   private def put(vec: OnHeapColumnVector, n: Int, tag: Int, prec: Int,
-      v: Any): Unit = tag match {
-    case ValueCodec.LongTag | ValueCodec.TimestampTag =>
-      vec.putLong(n, v.asInstanceOf[Long])
-    case ValueCodec.IntTag => vec.putInt(n, v.asInstanceOf[Int])
-    case ValueCodec.DoubleTag => vec.putDouble(n, v.asInstanceOf[Double])
-    case ValueCodec.BoolTag => vec.putBoolean(n, v.asInstanceOf[Boolean])
-    case ValueCodec.StringTag =>
-      val b = v.asInstanceOf[UTF8String].getBytes
-      vec.putByteArray(n, b, 0, b.length)
-    case ValueCodec.BinaryTag =>
-      val b = v.asInstanceOf[Array[Byte]]
-      vec.putByteArray(n, b, 0, b.length)
-    case ValueCodec.DecimalTag =>
-      vec.putDecimal(n, v.asInstanceOf[org.apache.spark.sql.types.Decimal],
-        prec)
-  }
+      v: Any): Unit = KeyedVec.put(vec, n, tag, prec, v)
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
@@ -577,4 +584,74 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
 
   override def get(): InternalRow = row
   override def close(): Unit = cursor.close()
+}
+
+/** Batched output over the typed winner stream — the typed twin of
+  * [[CellReconcileColumnarReader]]: the merge is rows by nature, but
+  * batching the OUTPUT keeps downstream operators on ColumnarToRow +
+  * whole-stage codegen, same as the plain scans.
+  */
+class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
+    cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
+    extends PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+  private val BatchRows = 4096
+  private val cursor = KeyedCursor.of(part, opts)
+  private val spec =
+    if (part.fileParts.isEmpty) KeySpec.Default
+    else part.fileParts(0).keySpec
+  private val valueType: DataType =
+    ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
+      cursor.decScale)
+  private val fullSchema: StructType =
+    CellSource.schemaFor(spec, valueType)
+  private val projIdx: Array[Int] = cols.map(fullSchema.fieldIndex)
+  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+  private val nPk = spec.pkParts.length
+  private val nCk = spec.ckParts.length
+  private val partTags: Array[Int] =
+    (spec.pkParts ++ spec.ckParts).map(_.tag).toArray
+  private val partPrec: Array[Int] =
+    (spec.pkParts ++ spec.ckParts).map(_.prec).toArray
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    val vectors = OnHeapColumnVector.allocateColumns(BatchRows, outSchema)
+    var n = 0
+    while (n < BatchRows && cursor.nextWinner()) {
+      var i = 0
+      while (i < projIdx.length) {
+        val f = projIdx(i)
+        if (f < nPk)
+          KeyedVec.put(vectors(i), n, partTags(f), partPrec(f),
+            cursor.pkVals(f))
+        else if (f < nPk + nCk)
+          KeyedVec.put(vectors(i), n, partTags(f), partPrec(f),
+            cursor.ckVals(f - nPk))
+        else if (f == nPk + nCk) {
+          val b = cursor.colName.getBytes("UTF-8")
+          vectors(i).putByteArray(n, b, 0, b.length)
+        } else if (f == nPk + nCk + 1)
+          KeyedVec.put(vectors(i), n, cursor.valueTag, cursor.decPrec,
+            cursor.value)
+        else vectors(i).putLong(n, cursor.wt)
+        i += 1
+      }
+      n += 1
+    }
+    if (n == 0) { vectors.foreach(_.close()); return false }
+    batch = new ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    cursor.close()
+  }
 }

@@ -1406,12 +1406,6 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     import org.apache.spark.sql.connector.expressions.{NamedReference,
       SortDirection}
     if (orders.isEmpty) return false
-    val natural =
-      if (spec.isDefault) Seq("pk", "ck", "col")
-      else spec.pkParts.map(_.name) // typed files sort by TOKEN, not
-    // key value — only a single-long pk (identity token) keeps value
-    // order, so refuse typed tables entirely for now
-    if (!spec.isDefault) return false
     val names = orders.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -1421,6 +1415,14 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     }
     if (orders.exists(_.direction() != SortDirection.ASCENDING))
       return false
+    val natural =
+      if (spec.isDefault) Seq("pk", "ck", "col")
+      else if (KeyCodec.identityToken(spec))
+        // typed files sort by TOKEN; only a single-long pk keeps
+        // value order — and only the pk prefix is safe (the rank
+        // byte puts marker rows' neutral cks out of logical order)
+        Seq(spec.pkParts.head.name)
+      else return false
     if (!names.sameElements(natural.take(names.length))) return false
     limit = math.min(limit, l)
     true
@@ -2048,13 +2050,17 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
   // The merged stream is rows by nature (one winner per key out of a
   // heap), but batching the OUTPUT keeps downstream operators on the
   // ColumnarToRow + whole-stage-codegen path, same as the plain scan.
-  // Typed-key (CEL6) partitions read row-at-a-time for now.
+  // Typed-key (CEL6/8) partitions batch the same way (r7 second half).
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && !keyed(p)
+    columnar
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val r = new CellReconcileColumnarReader(
-      p.asInstanceOf[CellReconcilePartition], cols, opts)
+    val r: PartitionReader[ColumnarBatch] =
+      if (keyed(p))
+        new CellKeyedReconcileColumnarReader(
+          p.asInstanceOf[CellReconcilePartition], cols, opts)
+      else new CellReconcileColumnarReader(
+        p.asInstanceOf[CellReconcilePartition], cols, opts)
     if (limit == Int.MaxValue) r else new LimitedBatchReader(r, limit)
   }
 }

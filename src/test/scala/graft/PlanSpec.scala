@@ -312,9 +312,11 @@ class PlanSpec extends GraftSpec {
       (i.toLong, 1, "qty", i.toLong, 10L)), files = 4)
     val df = spark.read.format("graft.sources.CellSource").load(d)
       .orderBy("pk", "ck").limit(5)
-    // the pushed top-n caps every partition reader (scan description
-    // carries the cap)
-    assert(df.queryExecution.executedPlan.toString.contains("limit=5"),
+    // the pushed top-n caps every partition reader — anchor on the
+    // SCAN description ("limit=n cols="); TakeOrderedAndProject
+    // prints "limit=n" whether or not anything was pushed
+    assert(df.queryExecution.executedPlan.toString
+      .contains("limit=5 cols="),
       df.queryExecution.executedPlan.toString)
     assert(df.collect().map(_.getLong(0)).toSeq ==
       (0L until 5L).toSeq)

@@ -2030,6 +2030,39 @@ class SourceSpec extends GraftSpec {
       (0L until 5000L).toSeq)
   }
 
+  test("typed reconcile batches output; identity-token TopN pushes") {
+    val d = Files.createTempDirectory("cells-typed-recvec").toString
+    val rows = (0 until 5000).map(i => (s"u${i % 7}", i, "qty",
+      i.toLong, 1000L))
+    typedWrite(rows.toDF("user", "ck", "col", "value", "wt"), d,
+      "((user),ck)", "user" -> "string", "ck" -> "int")
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), rec.queryExecution.executedPlan)
+    assert(rec.count() == 5000)
+    // ORDER BY the long identity-token pk LIMIT n pushes TopN on a
+    // typed table too (hashed keys refuse — token order != value
+    // order)
+    val d2 = Files.createTempDirectory("cells-typed-topn").toString
+    typedWrite((0 until 5000).map(i => (i.toLong, 1, "qty", i.toLong,
+      10L)).toDF("id", "ck", "col", "value", "wt"), d2,
+      "((id),ck)", "id" -> "bigint", "ck" -> "int")
+    // anchor on the SCAN description ("limit=n cols=...") — the
+    // TakeOrderedAndProject operator prints "limit=n" regardless
+    val top = spark.read.format("graft.sources.CellSource").load(d2)
+      .orderBy("id").limit(3)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("limit=3 cols="),
+      top.queryExecution.executedPlan.toString)
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val hashedTop = spark.read.format("graft.sources.CellSource")
+      .load(d).orderBy("user").limit(3)
+    assert(!hashedTop.queryExecution.executedPlan.toString
+      .contains("limit=3 cols="))
+    assert(hashedTop.collect().map(_.getString(0)).forall(_ == "u0"))
+  }
+
   test("materialized view: build + full-row lookup, no base I/O (C40)") {
     import graft.sources.CellView
     val d = Files.createTempDirectory("cells-mv-base").toString
