@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   * Plain `spark.read.parquet` — Catalyst pushes filters/column pruning
@@ -24,20 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) on disk, which Spark 4 refuses to
-    * read as a timestamp (PARQUET_TYPE_ILLEGAL). With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session
-    * builder in this project) it arrives as a ns-epoch Long; convert to
-    * µs TimestampType with *integer* division — `ts div 1000` — because
-    * a double division would lose precision at 1.7e18 ns magnitudes.
-    * DuckDB reads the same file truncated to µs, so both engines agree.
+  /** Normalize `events.ts` to session-TZ TimestampType whatever the
+    * fixture generation wrote:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses it (PARQUET_TYPE_ILLEGAL);
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set by every
+    *    session builder here) it arrives as a ns-epoch Long → *integer*
+    *    division to µs (`ts div 1000`; double division would lose
+    *    precision at 1.7e18 ns magnitudes).
+    *  - TIMESTAMP(MICROS, no tz): arrives as TIMESTAMP_NTZ, which bans
+    *    numeric casts — cast to TimestampType (session tz is UTC
+    *    project-wide, so the wall clock maps to the same epoch DuckDB
+    *    computes with `epoch(ts)`).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

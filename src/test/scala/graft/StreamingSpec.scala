@@ -68,10 +68,9 @@ class StreamingSpec extends GraftSpec {
     spark.read.parquet(s"${sf()}/events.parquet")
       .limit(500).write.mode("overwrite").parquet(src)
     val sch = spark.read.parquet(src).schema
-    // events.ts is parquet timestamp[ns] read as long (nanosAsLong);
-    // normalize to a real timestamp exactly as Tables.events does
-    val stream = spark.readStream.schema(sch).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize ts (ns-as-long or TIMESTAMP_NTZ, fixture-dependent) to
+    // a real timestamp exactly as Tables.events does
+    val stream = Tables.normalizeTs(spark.readStream.schema(sch).parquet(src))
     val q = StreamingOps.tumbling(stream)
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("an_tumb")
