@@ -756,7 +756,44 @@ object Cells {
       |WHERE k.vk % 50 = 0
       |ORDER BY vk, bpk, bck, col""".stripMargin
 
+  // C41 — TOKEN-RANGE scan (round 7, second half): Cassandra's
+  // full-scan/export unit — `WHERE token(pk) >= ? AND token(pk) <= ?`,
+  // a nodetool repair range, a Spark-Cassandra-connector input split.
+  // The `tokenRange` read option seeds the scan's physical token
+  // bounds, so Summary/manifest pruning, sparse-index narrowing and
+  // the readers' exact range checks all apply before the merge (which
+  // the restriction commutes with: every cell of a partition shares
+  // its token). Identity tokens here, so the oracle is a pk range.
+  private def tokenRangeScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readTokenRange(s, d, 20, 40)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val tokenRangeSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk BETWEEN 20 AND 40
+      |ORDER BY pk, ck, col""".stripMargin
+
+  // C41b — ring-split coverage: the union of all 4 contiguous ring
+  // splits aggregated per column must equal the full reconciled
+  // table's aggregate — splits are disjoint (no double counts) and
+  // collectively exhaustive (no gaps), the invariant a parallel
+  // full-table export rides on.
+  private def tokenSplitUnion(s: SparkSession, d: String): DataFrame =
+    (0 until 4).map(i => CellSnapshots.readTokenSplit(s, d, 4, i))
+      .reduce(_ unionAll _)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val tokenSplitUnionSql = cte +
+    """SELECT col, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value
+      |FROM merged GROUP BY col ORDER BY col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C41_token_range_scan", tokenRangeScan, Some(tokenRangeSql)),
+    GQuery("C41b_token_split_union", tokenSplitUnion,
+      Some(tokenSplitUnionSql)),
     GQuery("C40_materialized_view", materializedView,
       Some(materializedViewSql)),
     GQuery("C37b_typed_slice", typedSlice, Some(typedSliceSql)),

@@ -117,6 +117,28 @@ object CellSnapshots {
     s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(ensure(s, sfDir))
 
+  /** C41 — the reconciled relation restricted to one inclusive token
+    * range (identity tokens on this long-keyed snapshot, so the range
+    * IS a pk range; hashed layouts take the same option on hashed
+    * tokens).
+    */
+  def readTokenRange(s: SparkSession, sfDir: String, lo: Long,
+      hi: Long): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("tokenRange", s"$lo:$hi").load(ensure(s, sfDir))
+
+  /** C41 — the i-th of k contiguous ring splits of the reconciled
+    * relation (the Spark-Cassandra-connector input-split shape;
+    * unioning all k splits is exactly the full table).
+    */
+  def readTokenSplit(s: SparkSession, sfDir: String, k: Int,
+      i: Int): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("tokenSplits", k.toString)
+      .option("tokenSplit", i.toString).load(ensure(s, sfDir))
+
   /** TOMBSTONE-bearing snapshot: the cell relation PLUS its deletion
     * relations written into the same flush stream as marker cells —
     * `!del:<col>` at the deleted (pk, ck) for cell deletions,

@@ -1048,6 +1048,7 @@ class CellTable(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = effective(options)
+    val (tokLo, tokHi) = CellPlanning.tokenBounds(o)
     new CellScanBuilder(path,
       o.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       o.getBoolean("columnar", true),
@@ -1063,7 +1064,7 @@ class CellTable(path: String,
           o.getInt("perPartitionLimit", Int.MaxValue),
         reverse = o.getBoolean("reverse", false),
         reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20)),
-      keySpec)
+      keySpec, tokLo, tokHi)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1351,14 +1352,22 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcile: Boolean = false,
     tableSchema: StructType = CellSource.Schema,
     reconcileOpts: ReconcileOptions = ReconcileOptions(),
-    spec: KeySpec = KeySpec.Default)
+    spec: KeySpec = KeySpec.Default,
+    tokenLo: Long = Long.MinValue,
+    tokenHi: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
-  private var pkLower = Long.MinValue
-  private var pkUpper = Long.MaxValue
+  // C41: pk bounds ARE token bounds at the physical layer (identity
+  // for single-long keys, hashed otherwise), so a tokenRange /
+  // tokenSplits read option simply seeds them — every downstream
+  // mechanism (manifest/Summary pruning, sparse-index narrowing,
+  // exact reader-side range checks, the typed merge) applies
+  // unchanged, and pushed pk filters compose by intersection.
+  private var pkLower = tokenLo
+  private var pkUpper = tokenHi
   private var wtLower = Long.MinValue
   private var wtUpper = Long.MaxValue
   // pushed clustering slice (C37): `pk = ? AND ck BETWEEN ? AND ?` is
@@ -3152,6 +3161,46 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
   * stream: file listing + per-file prune/narrow/sub-split.
   */
 private[sources] object CellPlanning {
+  /** C41 — token-range reads (the Cassandra full-scan/export shape).
+    * `tokenSplit(k, i)` carves the full signed-64 token ring into k
+    * contiguous, disjoint, collectively-exhaustive inclusive ranges —
+    * the unit the Spark-Cassandra connector hands each input split, and
+    * what `nodetool`-style range repair/export operates on. Computed in
+    * unsigned ring arithmetic so the k ranges differ in size by at most
+    * one token.
+    */
+  def tokenSplit(k: Int, i: Int): (Long, Long) = {
+    require(k > 0 && i >= 0 && i < k, s"tokenSplit($k, $i) out of range")
+    val span = BigInt(1) << 64
+    def bound(j: Int): Long =
+      (BigInt(Long.MinValue) + span * j / k).toLong
+    val hi = if (i == k - 1) Long.MaxValue else bound(i + 1) - 1
+    (bound(i), hi)
+  }
+
+  /** Parse C41 read options: `tokenRange=lo:hi` (inclusive bounds) and
+    * `tokenSplits=k` + `tokenSplit=i` (the i-th of k ring splits);
+    * both present compose by intersection.
+    */
+  def tokenBounds(o: CaseInsensitiveStringMap): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    Option(o.get("tokenRange")).foreach { s =>
+      val parts = s.split(":", -1)
+      require(parts.length == 2,
+        s"tokenRange must be '<lo>:<hi>', got '$s'")
+      lo = math.max(lo, parts(0).trim.toLong)
+      hi = math.min(hi, parts(1).trim.toLong)
+    }
+    val k = o.getInt("tokenSplits", 0)
+    if (k > 0) {
+      val (slo, shi) = tokenSplit(k, o.getInt("tokenSplit", 0))
+      lo = math.max(lo, slo)
+      hi = math.min(hi, shi)
+    }
+    (lo, hi)
+  }
+
   /** Catalog-registered tables (CREATE TABLE ... USING ... OPTIONS
     * (path ...)) normalize the path to a `file:` URI; local reads and
     * writes want the raw filesystem path.

@@ -2299,4 +2299,64 @@ class SourceSpec extends GraftSpec {
     assert(hi.rdd.getNumPartitions <= 2)
     assert(hi.count() == 50)
   }
+
+  test("token-range scan restricts exactly and prunes files (C41)") {
+    val full = read()
+    val ranged = spark.read.format("graft.sources.CellSource")
+      .option("tokenRange", "20:40").load(dir)
+    val expected = full.filter(col("pk").between(20, 40))
+    assert(ranged.except(expected).isEmpty &&
+      expected.except(ranged).isEmpty)
+    // identity tokens on the range-partitioned snapshot: a narrow
+    // range plans fewer than the 8 full-table files
+    assert(ranged.rdd.getNumPartitions < 8)
+    // pushed pk filters compose with the option by intersection
+    val both = ranged.filter(col("pk") >= 30)
+    val expect2 = full.filter(col("pk").between(30, 40))
+    assert(both.except(expect2).isEmpty &&
+      expect2.except(both).isEmpty)
+  }
+
+  test("ring splits are disjoint and exhaustive, long + hashed (C41)") {
+    // identity-token table: all pks sit in split 2 of 4 ([0, 2^62)),
+    // but the union must still be exactly the table — no double
+    // counts (disjoint) and no gaps (exhaustive)
+    val full = graft.sources.CellSnapshots.readReconciled(spark, sf())
+    val union = (0 until 4)
+      .map(i => graft.sources.CellSnapshots.readTokenSplit(spark, sf(),
+        4, i))
+      .reduce(_ unionAll _)
+    assert(union.count() == full.count())
+    assert(union.except(full).isEmpty && full.except(union).isEmpty)
+    // hashed text-key table: tokens spread over the ring, so several
+    // of 8 splits are non-empty and the union is still the table
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    def ksplit(i: Int) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("tokenSplits", "8")
+      .option("tokenSplit", i.toString).load(kdir)
+    val kfull = graft.sources.CellSnapshots.readKeyedReconciled(spark,
+      sf())
+    val kparts = (0 until 8).map(ksplit)
+    val kunion = kparts.reduce(_ unionAll _)
+    assert(kunion.count() == kfull.count())
+    assert(kunion.except(kfull).isEmpty && kfull.except(kunion).isEmpty)
+    assert(kparts.count(_.limit(1).count() > 0) > 1)
+  }
+
+  test("token range addresses hashed partitions by token (C41)") {
+    import graft.sources.{KeyCodec, KeyPart, KeySpec, ValueCodec}
+    val spec = KeySpec(
+      List(KeyPart("user", ValueCodec.StringTag, 0, 0)),
+      List(KeyPart("ck", ValueCodec.IntTag, 0, 0)))
+    val t = KeyCodec.token(spec, Array(
+      org.apache.spark.unsafe.types.UTF8String.fromString("user-3")))
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val one = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("tokenRange", s"$t:$t").load(kdir)
+    // the point token range holds exactly user-3's partition (no
+    // colliding keys in this fixture)
+    assert(one.select("user").distinct().as[String].collect().toSet ==
+      Set("user-3"))
+  }
 }
