@@ -790,7 +790,62 @@ object Cells {
       |  CAST(SUM(value) AS BIGINT) AS sum_value
       |FROM merged GROUP BY col ORDER BY col""".stripMargin
 
+  // C42 — anti-entropy REPAIR (round 7): two divergent replicas (A is
+  // missing a contiguous range of 'price' cells, B a range of 'qty'
+  // cells) converge after CellMaintenance.repair streams each side the
+  // cells it lacks — Merkle-leaf diff (C23's digests), range-pruned
+  // re-read of ONLY the mismatched buckets, cell-level EXCEPT, one
+  // appended flush per direction. The repaired replica B reconciles to
+  // the plain full-table merge.
+  private def repairRead(s: SparkSession, d: String): DataFrame = {
+    val (_, dirB) = CellSnapshots.ensureRepaired(s, d)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dirB)
+      .filter(col("pk") % 10 === 3)
+      .orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val repairReadSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 3
+      |ORDER BY pk, ck, col""".stripMargin
+
+  // C42b — the Merkle-leaf diff itself: per-1024-pk-bucket digests of
+  // both replicas, returning only buckets whose cell sets differ. The
+  // oracle recomputes set difference per bucket directly.
+  private def repairDiff(s: SparkSession, d: String): DataFrame = {
+    val (dirA, dirB) = CellSnapshots.ensureReplicas(s, d)
+    graft.sources.CellMaintenance.rangeDiff(s, dirA, dirB)
+      .orderBy(col("bucket"))
+  }
+
+  private val repairDiffSql = cte +
+    """, rep_a AS (SELECT * FROM cells
+      |    WHERE NOT (col = 'price' AND pk >= 1000 AND pk < 3000)),
+      |rep_b AS (SELECT * FROM cells
+      |    WHERE NOT (col = 'qty' AND pk >= 4096 AND pk < 6144)),
+      |rep_d AS (
+      |  SELECT CAST(pk // 1024 AS BIGINT) AS bucket
+      |  FROM (SELECT * FROM rep_a EXCEPT SELECT * FROM rep_b)
+      |  UNION ALL
+      |  SELECT CAST(pk // 1024 AS BIGINT) AS bucket
+      |  FROM (SELECT * FROM rep_b EXCEPT SELECT * FROM rep_a)),
+      |rep_buckets AS (SELECT DISTINCT bucket FROM rep_d),
+      |rep_acnt AS (SELECT CAST(pk // 1024 AS BIGINT) AS bucket,
+      |    count(*) AS ca FROM rep_a GROUP BY 1),
+      |rep_bcnt AS (SELECT CAST(pk // 1024 AS BIGINT) AS bucket,
+      |    count(*) AS cb FROM rep_b GROUP BY 1)
+      |SELECT k.bucket AS bucket,
+      |  CASE WHEN a.ca IS NULL THEN 'missing_a'
+      |       WHEN b.cb IS NULL THEN 'missing_b'
+      |       ELSE 'mismatch' END AS status
+      |FROM rep_buckets k
+      |LEFT JOIN rep_acnt a ON k.bucket = a.bucket
+      |LEFT JOIN rep_bcnt b ON k.bucket = b.bucket
+      |ORDER BY bucket""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C42_repair_read", repairRead, Some(repairReadSql)),
+    GQuery("C42b_repair_diff", repairDiff, Some(repairDiffSql)),
     GQuery("C41_token_range_scan", tokenRangeScan, Some(tokenRangeSql)),
     GQuery("C41b_token_split_union", tokenSplitUnion,
       Some(tokenSplitUnionSql)),

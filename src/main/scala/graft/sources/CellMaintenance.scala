@@ -142,6 +142,79 @@ object CellMaintenance {
       .select(col("bucket"), col("status"))
   }
 
+  /** Per-direction repair statistics: mismatched Merkle-leaf buckets
+    * and the number of cells streamed INTO each replica.
+    */
+  final case class RepairStats(buckets: Int, cellsToA: Long, cellsToB: Long)
+
+  /** Anti-entropy REPAIR — the streaming phase Cassandra runs after
+    * the Merkle-tree exchange ([[rangeDiff]] is the leaf diff): make
+    * two replica directories of the same table converge by shipping
+    * each side the raw cells it is missing, as ONE appended flush per
+    * direction.
+    *
+    * Protocol (and why it scales):
+    *  1. `rangeDiff` digests both tables per contiguous pk bucket and
+    *     the driver collects ONLY the mismatched bucket ids —
+    *     O(table-range / bucketWidth) rows, the bounded Merkle-leaf
+    *     exchange, never data. Pick `bucketWidth` so leaf count stays
+    *     ~2^15, exactly Cassandra's tree-depth bound.
+    *  2. Mismatched buckets coalesce into contiguous pk runs; each
+    *     side re-reads ONLY those runs (pk range predicates push into
+    *     the scan → Summary/manifest file pruning, so an almost-in-sync
+    *     pair touches almost no data).
+    *  3. Cell-level delta inside the runs: `other EXCEPT self` on the
+    *     full record — one shuffle bounded by the mismatched ranges,
+    *     finer than Cassandra's whole-range streaming (which re-ships
+    *     cells both sides already hold).
+    *  4. Each non-empty delta appends as one flush generation via the
+    *     normal staged-commit write — LWW-idempotent (a re-run or a
+    *     crashed half-repair re-converges; second repair streams 0).
+    *
+    * Tombstone/TTL/range markers are ordinary sort-first records in
+    * the raw scan, so DELETIONS repair exactly like writes — a
+    * tombstone on one replica shadows the other side's data after
+    * repair (Cassandra ships tombstones in repair streams for the
+    * same reason).
+    *
+    * Both tables must share value type and key layout (the append
+    * write validates). Typed-key (CEL6) tables would bucket by TOKEN
+    * rather than pk; not wired yet — default-layout tables only.
+    */
+  def repair(spark: SparkSession, dirA: String, dirB: String,
+      bucketWidth: Long = 1024L): RepairStats = {
+    val mism = rangeDiff(spark, dirA, dirB, bucketWidth)
+      .select("bucket").collect().map(_.getLong(0)).sorted
+    if (mism.isEmpty) return RepairStats(0, 0L, 0L)
+    // adjacent mismatched buckets → contiguous inclusive pk runs
+    val runs = mism.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, b) if b == hi + 1 => (lo, b) :: rest
+      case (acc, b) => (b, b) :: acc
+    }.reverse.map { case (lo, hi) =>
+      (lo * bucketWidth, hi * bucketWidth + bucketWidth - 1)
+    }
+    def ranged(dir: String) = runs.map { case (lo, hi) =>
+      spark.read.format("graft.sources.CellSource").load(dir)
+        .filter(col("pk") >= lo && col("pk") <= hi)
+    }.reduce(_ unionAll _)
+    val a = ranged(dirA)
+    val b = ranged(dirB)
+    def ship(delta: org.apache.spark.sql.DataFrame, dir: String): Long = {
+      val d = delta.persist()
+      val n = d.count()
+      if (n > 0)
+        d.repartitionByRange(math.min(runs.length, 16),
+            col("pk"), col("ck"), col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir)
+      d.unpersist()
+      n
+    }
+    val toB = ship(a.except(b), dirB)
+    val toA = ship(b.except(a), dirA)
+    RepairStats(mism.length, toA, toB)
+  }
+
   /** Delete crash-orphaned staged files (`.staged-*.tmp`): a task
     * that died between roll() and commit leaves its stage behind —
     * invisible to readers (listFiles only serves `.cells`) but

@@ -521,4 +521,60 @@ object CellSnapshots {
   /** The reconciled materialized-view relation (C40). */
   def readViewed(s: SparkSession, sfDir: String): DataFrame =
     CellView.read(s, ensureViewed(s, sfDir))
+
+  // ---- C42: anti-entropy repair fixtures ----
+  // Two divergent replicas of the SAME logical table: replica A is
+  // missing the 'price' cells of pk ∈ [1000, 3000), replica B the
+  // 'qty' cells (base + rewrite) of pk ∈ [4096, 6144). The missing
+  // sets are disjoint, so A ∪ B is the full cell relation and a
+  // repaired pair reconciles to the plain `merged` oracle. Ranges are
+  // CONTIGUOUS so the Merkle-leaf diff flags only a handful of
+  // buckets — the repair read is genuinely range-pruned, which the
+  // SourceSpec asserts.
+
+  private def writeReplica(s: SparkSession, dir: java.nio.file.Path,
+      keepCond: org.apache.spark.sql.Column, sfDir: String): Unit = {
+    graft.cassandra.CellModel.cells(s, sfDir)
+      .filter(keepCond)
+      .select(col("pk").cast("long"), col("ck").cast("int"), col("col"),
+        col("value").cast("long"), col("wt").cast("long"))
+      .repartitionByRange(SnapshotFiles, col("pk"), col("ck"), col("col"))
+      .write.format("graft.sources.CellSource")
+      .mode("append").save(dir.toString)
+  }
+
+  private def ensureReplicaPair(s: SparkSession, sfDir: String,
+      suffix: String, repair: Boolean): (String, String) = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dirA = Paths.get(root, s"v$Version-$sfName-$suffix-a")
+    val dirB = Paths.get(root, s"v$Version-$sfName-$suffix-b")
+    val marker = dirA.resolve("_OK")
+    if (!Files.exists(marker)) {
+      Seq(dirA, dirB).foreach { d =>
+        if (Files.exists(d))
+          Using.resource(Files.list(d)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+      }
+      import org.apache.spark.sql.functions.not
+      writeReplica(s, dirA,
+        not(col("col") === "price" && col("pk") >= 1000 &&
+          col("pk") < 3000), sfDir)
+      writeReplica(s, dirB,
+        not(col("col") === "qty" && col("pk") >= 4096 &&
+          col("pk") < 6144), sfDir)
+      if (repair)
+        CellMaintenance.repair(s, dirA.toString, dirB.toString)
+      Files.writeString(marker, "ok")
+    }
+    (dirA.toString, dirB.toString)
+  }
+
+  /** Pristine divergent replicas (for the C42b diff query). */
+  def ensureReplicas(s: SparkSession, sfDir: String): (String, String) =
+    ensureReplicaPair(s, sfDir, "repd", repair = false)
+
+  /** A replica pair that has been repaired once (for C42). */
+  def ensureRepaired(s: SparkSession, sfDir: String): (String, String) =
+    ensureReplicaPair(s, sfDir, "repr", repair = true)
 }

@@ -2359,4 +2359,58 @@ class SourceSpec extends GraftSpec {
     assert(one.select("user").distinct().as[String].collect().toSet ==
       Set("user-3"))
   }
+
+  // ---- C42: anti-entropy repair ----
+
+  private def replicaPair(): (String, String) = {
+    // Full table: pks 0..999 × cols qty/price. A is missing the
+    // price cells of pk ∈ [100,200); B the qty cells of pk ∈ [500,600).
+    val all = (0L until 1000L).flatMap(pk =>
+      Seq((pk, 0, "qty", pk, 1000L), (pk, 0, "price", pk * 2, 1000L)))
+    val dA = Files.createTempDirectory("cells-rep-a").toString
+    val dB = Files.createTempDirectory("cells-rep-b").toString
+    CellSource.writeSnapshot(dA, all.filterNot(c =>
+      c._3 == "price" && c._1 >= 100 && c._1 < 200), files = 4)
+    CellSource.writeSnapshot(dB, all.filterNot(c =>
+      c._3 == "qty" && c._1 >= 500 && c._1 < 600), files = 4)
+    (dA, dB)
+  }
+
+  test("repair converges divergent replicas, streaming only deltas (C42)") {
+    val (dA, dB) = replicaPair()
+    val stats = graft.sources.CellMaintenance
+      .repair(spark, dA, dB, bucketWidth = 64L)
+    // mismatched Merkle leaves: [100,200) → buckets 1..3 of width 64,
+    // [500,600) → buckets 7..9 (bucket ids 1,2,3,7,8,9)
+    assert(stats.buckets == 6, stats)
+    // exactly the missing cells stream, nothing both sides hold
+    assert(stats.cellsToA == 100 && stats.cellsToB == 100, stats)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(dA).count() == 2000 && rec(dB).count() == 2000)
+    assert(rec(dA).except(rec(dB)).isEmpty &&
+      rec(dB).except(rec(dA)).isEmpty)
+    // idempotence: a second repair exchanges digests only
+    val again = graft.sources.CellMaintenance
+      .repair(spark, dA, dB, bucketWidth = 64L)
+    assert(again == graft.sources.CellMaintenance.RepairStats(0, 0L, 0L))
+  }
+
+  test("repair ships tombstones: a delete on one replica lands on both") {
+    val (dA, dB) = replicaPair()
+    import org.apache.spark.sql.sources.EqualTo
+    new graft.sources.CellTable(dA).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("pk", 700L)))
+    graft.sources.CellMaintenance.repair(spark, dA, dB,
+      bucketWidth = 64L)
+    val recB = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dB)
+    assert(recB.filter(col("pk") === 700L).count() == 0,
+      "A's partition tombstone must shadow pk=700 on B after repair")
+    // and a post-repair write with a fresh wt survives the shipped
+    // tombstone on BOTH sides (rewrite-past-deletion via LWW)
+    Seq((700L, 0, "qty", 9L, 5000L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(dB)
+    assert(recB.filter(col("pk") === 700L).count() == 1)
+  }
 }
