@@ -843,7 +843,24 @@ object Cells {
       |LEFT JOIN rep_bcnt b ON k.bucket = b.bucket
       |ORDER BY bucket""".stripMargin
 
+  // C43 — snapshot isolation (nodetool snapshot): the table was
+  // snapshotted, then rewritten AND major-compacted (every original
+  // file name deleted); the snapshot's hard links pin the inodes, so
+  // reading the snapshot path reconciles to the ORIGINAL merged view,
+  // untouched by the post-snapshot writes.
+  private def snapshotRead(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .load(CellSnapshots.ensureSnapshotted(s, d))
+      .filter(col("pk") % 10 === 7)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val snapshotReadSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 7
+      |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),
     GQuery("C42_repair_read", repairRead, Some(repairReadSql)),
     GQuery("C42b_repair_diff", repairDiff, Some(repairDiffSql)),
     GQuery("C41_token_range_scan", tokenRangeScan, Some(tokenRangeSql)),

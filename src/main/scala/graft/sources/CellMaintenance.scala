@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -140,6 +142,133 @@ object CellMaintenance {
           .when(col("digest_a") =!= col("digest_b"), lit("mismatch")))
       .filter(col("status").isNotNull)
       .select(col("bucket"), col("status"))
+  }
+
+  // ---- C43: snapshots (`nodetool snapshot` analogue) ----
+  // A snapshot is a HARD-LINK copy of the table's current flush files
+  // under `_snapshots/<tag>/` — O(files) metadata ops, zero data
+  // bytes, exactly how Cassandra snapshots SSTables. Links pin the
+  // inodes, so later compaction/truncation (which deletes the table's
+  // own names) cannot touch snapshot content; `listFiles` is
+  // non-recursive, so `_snapshots` is invisible to the table's own
+  // scans, and the snapshot directory IS a readable table path for
+  // every scan/merge/export in the connector.
+
+  private def snapshotDir(dir: String, tag: String): java.nio.file.Path = {
+    require(tag.nonEmpty && !tag.contains('/') && !tag.startsWith("."),
+      s"bad snapshot tag '$tag'")
+    java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_snapshots").resolve(tag)
+  }
+
+  /** Snapshot the table's current generation set under
+    * `_snapshots/<tag>/`. Returns the number of files captured.
+    * Safe against a concurrent compaction commit: if a listed file
+    * vanishes mid-link, the attempt clears and retries with a fresh
+    * listing (the publish-then-delete commit order guarantees a
+    * consistent listing exists at every instant).
+    */
+  def snapshot(dir: String, tag: String): Int = {
+    val norm = CellPlanning.normalize(dir)
+    val snap = snapshotDir(dir, tag)
+    require(!java.nio.file.Files.exists(snap),
+      s"snapshot '$tag' already exists in $dir")
+    java.nio.file.Files.createDirectories(snap)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val files = CellPlanning.listFiles(norm)
+      try {
+        files.foreach { f =>
+          val p = java.nio.file.Paths.get(f)
+          java.nio.file.Files.createLink(
+            snap.resolve(p.getFileName.toString), p)
+        }
+        // Seed the snapshot's manifest from the parent's (cheap when
+        // current), then refresh against the snapshot's own listing.
+        val pm = java.nio.file.Paths.get(norm)
+          .resolve(CellManifest.FileName)
+        if (java.nio.file.Files.exists(pm))
+          java.nio.file.Files.copy(pm,
+            snap.resolve(CellManifest.FileName),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        CellManifest.refresh(snap.toString)
+        return files.size
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+            _: java.nio.file.FileAlreadyExistsException
+            if attempt < 5 =>
+          scala.util.Using.resource(java.nio.file.Files.list(snap)) {
+            _.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+          }
+      }
+    }
+    0 // unreachable
+  }
+
+  /** Tags of existing snapshots, sorted. */
+  def listSnapshots(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_snapshots")
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else scala.util.Using.resource(java.nio.file.Files.list(root)) {
+      _.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toList.sorted
+    }
+  }
+
+  /** Delete a snapshot (`nodetool clearsnapshot`). */
+  def dropSnapshot(dir: String, tag: String): Boolean = {
+    val snap = snapshotDir(dir, tag)
+    if (!java.nio.file.Files.isDirectory(snap)) false
+    else {
+      scala.util.Using.resource(java.nio.file.Files.list(snap)) {
+        _.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.delete(snap)
+      true
+    }
+  }
+
+  /** The snapshot as a readable table path (feed to
+    * `spark.read.format("graft.sources.CellSource").load(...)`).
+    */
+  def snapshotPath(dir: String, tag: String): String = {
+    val snap = snapshotDir(dir, tag)
+    require(java.nio.file.Files.isDirectory(snap),
+      s"no snapshot '$tag' in $dir")
+    snap.toString
+  }
+
+  /** Restore the table to a snapshot's content: delete the current
+    * flush files and re-publish the snapshot's files as hard links at
+    * FRESH flush indices (generation numbering stays monotonic, so a
+    * live CDC stream's offsets never see an index reused — it replays
+    * the restored generation as new LWW-idempotent flushes, the same
+    * contract as compaction/truncation). Like Cassandra's own
+    * refresh-from-snapshot, restore assumes no CONCURRENT WRITER on
+    * the table (readers racing the swap may see a mixed listing).
+    * Returns the number of files restored.
+    */
+  def restoreSnapshot(dir: String, tag: String): Int = {
+    val norm = CellPlanning.normalize(dir)
+    val snap = snapshotDir(dir, tag)
+    require(java.nio.file.Files.isDirectory(snap),
+      s"no snapshot '$tag' in $dir")
+    val snapFiles = CellPlanning.listFiles(snap.toString)
+    val current = CellPlanning.listFiles(norm)
+    val next = current.map(f => CellPlanning.fileIndex(
+      java.nio.file.Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    current.foreach(f =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(f)))
+    snapFiles.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(norm).resolve(f"data-${next + i}%04d.cells"),
+        java.nio.file.Paths.get(f))
+    }
+    CellManifest.refresh(norm)
+    snapFiles.size
   }
 
   /** Per-direction repair statistics: mismatched Merkle-leaf buckets

@@ -574,6 +574,48 @@ object CellSnapshots {
   def ensureReplicas(s: SparkSession, sfDir: String): (String, String) =
     ensureReplicaPair(s, sfDir, "repd", repair = false)
 
+  // ---- C43: snapshot fixture ----
+  // Full cell table, snapshotted at tag "t0", then MUTATED past the
+  // snapshot: a rewrite flush (newer qty values for pk % 4 == 0, which
+  // would change the merged view) followed by a major compaction
+  // (which deletes every pre-snapshot file NAME). The declared query
+  // reads the snapshot: hard links pin the inodes, so it still
+  // reconciles to the ORIGINAL merged view.
+  def ensureSnapshotted(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-snap")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir)) {
+          // recursive: a half-built fixture may hold _snapshots/
+          Using.resource(Files.walk(dir)) {
+            _.iterator().asScala.toList.reverse
+              .filterNot(_ == dir).foreach(Files.delete)
+          }
+        }
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir.toString)
+        CellMaintenance.snapshot(dir.toString, "t0")
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .filter(col("pk") % 4 === 0 && col("col") === "qty")
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), (col("value") + 999).cast("long").as("value"),
+            (col("wt") + 3L * 86400000L).cast("long").as("wt"))
+          .repartitionByRange(2, col("pk"), col("ck"), col("col"))
+          .write.format("graft.sources.CellSource")
+          .mode("append").save(dir.toString)
+        CellMaintenance.compact(s, dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      CellMaintenance.snapshotPath(dir.toString, "t0")
+    }
+
   /** A replica pair that has been repaired once (for C42). */
   def ensureRepaired(s: SparkSession, sfDir: String): (String, String) =
     ensureReplicaPair(s, sfDir, "repr", repair = true)

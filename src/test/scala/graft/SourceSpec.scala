@@ -2396,6 +2396,65 @@ class SourceSpec extends GraftSpec {
     assert(again == graft.sources.CellMaintenance.RepairStats(0, 0L, 0L))
   }
 
+  // ---- C43: snapshots ----
+
+  test("snapshot survives rewrite, compaction, and truncate (C43)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-snapshot").toString
+    val cells = (0L until 500L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 4)
+    def rec(p: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(p)
+    val before = rec(d).collect().toSet
+    assert(CellMaintenance.snapshot(d, "t0") == 4)
+    assert(CellMaintenance.listSnapshots(d) == Seq("t0"))
+    val snapPath = CellMaintenance.snapshotPath(d, "t0")
+    // mutate past the snapshot: rewrite + major compaction (deletes
+    // every original file name), then truncate (deletes everything)
+    Seq((7L, 0, "qty", 999L, 2000L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    CellMaintenance.compact(spark, d)
+    assert(rec(d).filter(col("pk") === 7L).select("value")
+      .as[Long].head() == 999L)
+    // the snapshot still reconciles to the pre-mutation content
+    assert(rec(snapPath).collect().toSet == before)
+    new graft.sources.CellTable(d).truncateTable()
+    assert(rec(d).count() == 0)
+    assert(rec(snapPath).collect().toSet == before)
+  }
+
+  test("restore republishes a snapshot at fresh flush indices (C43)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-restore").toString
+    val cells = (0L until 300L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 3)
+    def rec() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    val golden = rec().collect().toSet
+    CellMaintenance.snapshot(d, "pre")
+    Seq((5L, 0, "qty", -1L, 9000L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    assert(rec().filter(col("pk") === 5L).select("value")
+      .as[Long].head() == -1L)
+    def indices(): Seq[Int] = scala.util.Using.resource(
+      Files.list(java.nio.file.Paths.get(d))) {
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells"))
+        .map(n => n.stripPrefix("data-").stripSuffix(".cells").toInt)
+        .toList
+    }
+    val idxBefore = indices().max
+    assert(CellMaintenance.restoreSnapshot(d, "pre") == 3)
+    // restored content == snapshot content, at strictly FRESH indices
+    // (monotonic generations keep a live CDC stream's offsets valid)
+    assert(rec().collect().toSet == golden)
+    assert(indices().min > idxBefore)
+    // drop: snapshot dir gone, restored table unaffected
+    assert(CellMaintenance.dropSnapshot(d, "pre"))
+    assert(CellMaintenance.listSnapshots(d).isEmpty)
+    assert(rec().collect().toSet == golden)
+  }
+
   test("repair ships tombstones: a delete on one replica lands on both") {
     val (dA, dB) = replicaPair()
     import org.apache.spark.sql.sources.EqualTo
