@@ -859,7 +859,25 @@ object Cells {
     """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 7
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C44 — value zone maps (CEL9): a pushed value range prunes
+  // compression chunks on the PLAIN scan from header metadata alone
+  // (the parquet-stats story for cell data); the raw (all-versions)
+  // relation is the oracle's `cells` set under the same predicate.
+  private def valueZoneScan(s: SparkSession, d: String): DataFrame =
+    src(s, d)
+      .filter(col("value") >= 400000L && col("value") <= 600000L)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val valueZoneSql = cte +
+    """SELECT col, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(value) AS BIGINT) AS sum_value
+      |FROM cells WHERE value BETWEEN 400000 AND 600000
+      |GROUP BY col ORDER BY col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),
     GQuery("C42_repair_read", repairRead, Some(repairReadSql)),
     GQuery("C42b_repair_diff", repairDiff, Some(repairDiffSql)),

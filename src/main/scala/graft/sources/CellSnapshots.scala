@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions.{col, concat, lit}
   */
 object CellSnapshots {
   /** Bump when the snapshot binary format or cell derivation changes. */
-  private val Version = 8 // CEL8: typed clustering zone maps
+  private val Version = 9 // CEL9: value zone maps on long-valued tables
 
   /** Data files in the snapshot = write-side range partitions. */
   val SnapshotFiles = 8

@@ -557,6 +557,19 @@ object CellSource {
     */
   val Magic8 = 0x43454c38
 
+  /** "CEL9" (round 7): the CEL7 layout plus per-chunk VALUE zone maps
+    * for long-valued tables — each chunk-table entry optionally
+    * carries (minValue, maxValue) over ALL its records (markers
+    * included, so the zone covers every physical row). A pushed value
+    * range predicate (analytics shapes like `WHERE value > ?`) prunes
+    * chunks on PLAIN scans exactly — the parquet-stats story for cell
+    * data. Reconcile scans never push value bounds (dropping an old
+    * version pre-merge could promote a shadowed cell), same rule as
+    * wt. Non-long value tags write no zone and never prune. Record
+    * layout is unchanged from CEL5/7.
+    */
+  val Magic9 = 0x43454c39
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
@@ -628,17 +641,20 @@ object CellSource {
       chunkHasMarkers: Array[Boolean],
       // CEL8 TYPED zone maps (internal comparables of the first ck
       // part); null arrays for every other format
-      chunkMinCkT: Array[Any] = null, chunkMaxCkT: Array[Any] = null)
+      chunkMinCkT: Array[Any] = null, chunkMaxCkT: Array[Any] = null,
+      // CEL9 VALUE zone maps (long-valued tables only); null arrays
+      // for every other format / value tag → no value pruning
+      chunkMinV: Array[Long] = null, chunkMaxV: Array[Long] = null)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
       require(magic == Magic || magic == Magic5 || magic == Magic6 ||
-        magic == Magic7 || magic == Magic8,
+        magic == Magic7 || magic == Magic8 || magic == Magic9,
         s"bad cell file magic in $file")
       val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7 ||
-        magic == Magic8
+        magic == Magic8 || magic == Magic9
       val headerLen = in.readInt()
       // CEL6/8 prefix: the typed key spec (pk parts, then ck parts).
       val spec =
@@ -682,14 +698,24 @@ object CellSource {
       val hasTypedZone = magic == Magic8 && spec.ckParts.nonEmpty
       val cktlo = if (hasTypedZone) new Array[Any](nChunks) else null
       val ckthi = if (hasTypedZone) new Array[Any](nChunks) else null
+      var vlo: Array[Long] = null
+      var vhi: Array[Long] = null
       i = 0
       while (i < nChunks) {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
         raws(i) = if (v5) in.readInt() else recs(i) * RecordBytes
         wlo(i) = in.readLong(); whi(i) = in.readLong()
-        if (magic == Magic7) {
+        if (magic == Magic7 || magic == Magic9) {
           cklo(i) = in.readInt(); ckhi(i) = in.readInt()
           cmk(i) = in.readBoolean()
+          if (magic == Magic9 && in.readBoolean()) {
+            if (vlo == null) {
+              vlo = new Array[Long](nChunks); vhi = new Array[Long](nChunks)
+              java.util.Arrays.fill(vlo, Long.MinValue)
+              java.util.Arrays.fill(vhi, Long.MaxValue)
+            }
+            vlo(i) = in.readLong(); vhi(i) = in.readLong()
+          }
         } else {
           // pre-CEL7 / typed: no INT zone map — full range; CEL8 sets
           // the marker flag from the file below, others assume markers
@@ -707,7 +733,7 @@ object CellSource {
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
         raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec,
-        cklo, ckhi, cmk, cktlo, ckthi)
+        cklo, ckhi, cmk, cktlo, ckthi, vlo, vhi)
     }
   }
 
@@ -747,8 +773,8 @@ object CellSource {
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
     // Deflate the data section chunk by chunk, recording the table.
     val data = new ByteArrayOutputStream()
-    val offsets =
-      Seq.newBuilder[(Long, Int, Int, Int, Long, Long, Int, Int, Boolean)]
+    val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long, Int,
+      Int, Boolean, Option[(Long, Long)])]
     chunk.grouped(chunkRecords).foreach { recs =>
       val rawOut = new ByteArrayOutputStream()
       val rawDs = new DataOutputStream(rawOut)
@@ -771,10 +797,17 @@ object CellSource {
       while (!deflater.finished())
         clen += deflater.deflate(buf, clen, buf.length - clen)
       deflater.end()
+      // CEL9 value zone: long-valued tables only, spanning EVERY
+      // physical row (markers included) so plain scans prune exactly
+      val vZone =
+        if (valueTag == ValueCodec.LongTag && recs.nonEmpty)
+          Some((recs.iterator.map(_._4.asInstanceOf[Long]).min,
+            recs.iterator.map(_._4.asInstanceOf[Long]).max))
+        else None
       offsets += ((data.size().toLong, clen, recs.size, raw.length,
         recs.iterator.map(_._5).min, recs.iterator.map(_._5).max,
         recs.iterator.map(_._2).min, recs.iterator.map(_._2).max,
-        recs.exists(r => r._3.nonEmpty && r._3.charAt(0) == '!')))
+        recs.exists(r => r._3.nonEmpty && r._3.charAt(0) == '!'), vZone))
       data.write(buf, 0, clen)
     }
     val chunkTable = offsets.result()
@@ -797,15 +830,19 @@ object CellSource {
     h.writeInt(chunkRecords)
     h.writeInt(chunkTable.size)
     chunkTable.foreach {
-      case (off, clen, nrec, rawLen, wlo, whi, cklo, ckhi, mk) =>
+      case (off, clen, nrec, rawLen, wlo, whi, cklo, ckhi, mk, vz) =>
         h.writeLong(off); h.writeInt(clen); h.writeInt(nrec)
         h.writeInt(rawLen)
         h.writeLong(wlo); h.writeLong(whi)
         h.writeInt(cklo); h.writeInt(ckhi); h.writeBoolean(mk)
+        h.writeBoolean(vz.isDefined)
+        vz.foreach { case (lo2, hi2) =>
+          h.writeLong(lo2); h.writeLong(hi2)
+        }
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic7)
+      out.writeInt(Magic9)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
@@ -1385,6 +1422,11 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private var ckHiT: Option[Any] = None
   private var ckHiInc = true
   private var pkSet: Option[Set[Long]] = None // pushed pk IN (...)
+  // CEL9 value zone bounds: accepted only on PLAIN long-valued scans
+  // (a pre-merge value drop could promote a shadowed version under
+  // reconcile — same commutation rule as wt)
+  private var vLower = Long.MinValue
+  private var vUpper = Long.MaxValue
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggTags: Option[Array[String]] = None
@@ -1648,7 +1690,10 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     // cell before the LWW merge would promote a shadowed version to
     // winner. pk filters commute with the per-pk merge and stay
     // pushable. Plain scans push both.
-    def ok(c: String): Boolean = c == "pk" || (c == "wt" && !reconcile)
+    val valueIsLong = tableSchema.fieldNames.contains("value") &&
+      tableSchema("value").dataType == LongType
+    def ok(c: String): Boolean = c == "pk" || (c == "wt" && !reconcile) ||
+      (c == "value" && !reconcile && valueIsLong)
     val accepted = filters.filter {
       case EqualTo(c, _: java.lang.Long) => ok(c)
       case GreaterThan(c, _: java.lang.Long) => ok(c)
@@ -1692,6 +1737,16 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
         wtUpper = math.min(wtUpper, v - 1)
       case LessThanOrEqual("wt", v: java.lang.Long) =>
         wtUpper = math.min(wtUpper, v)
+      case EqualTo("value", v: java.lang.Long) =>
+        vLower = math.max(vLower, v); vUpper = math.min(vUpper, v)
+      case GreaterThan("value", v: java.lang.Long) =>
+        vLower = math.max(vLower, v + 1)
+      case GreaterThanOrEqual("value", v: java.lang.Long) =>
+        vLower = math.max(vLower, v)
+      case LessThan("value", v: java.lang.Long) =>
+        vUpper = math.min(vUpper, v - 1)
+      case LessThanOrEqual("value", v: java.lang.Long) =>
+        vUpper = math.min(vUpper, v)
       case EqualTo("ck", v: java.lang.Integer) =>
         ckLower = math.max(ckLower, v); ckUpper = math.min(ckUpper, v)
       case GreaterThan("ck", v: java.lang.Integer) =>
@@ -1726,7 +1781,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper,
-        typedSlice)
+        typedSlice, vLower, vUpper)
   }
 }
 
@@ -2007,7 +2062,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
           if (h.maxPk < rlo || h.minPk > rhi) Nil
           else CellPlanning.planFile(f, h, rlo, rhi, Long.MinValue,
             Long.MaxValue, Int.MaxValue, opts.ckLower, opts.ckUpper,
-            keepMarkerChunks = true, opts.ckSlice)
+            keepMarkerChunks = true, opts.ckSlice,
+            Long.MinValue, Long.MaxValue)
         }.map(_.asInstanceOf[CellInputPartition])
         if (fileParts.isEmpty) None
         else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
@@ -3012,7 +3068,9 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     limit: Int = Int.MaxValue,
     ckLower: Int = Int.MinValue,
     ckUpper: Int = Int.MaxValue,
-    ckSlice: Option[CkSlice] = None) extends Scan with Batch
+    ckSlice: Option[CkSlice] = None,
+    vLower: Long = Long.MinValue,
+    vUpper: Long = Long.MaxValue) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -3064,7 +3122,7 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
         if (!hit) Nil
         else CellPlanning.planFile(f, h, lo, hi, wtLower, wtUpper,
           subsplitRecords, ckLower, ckUpper, keepMarkerChunks = false,
-          ckSlice)
+          ckSlice, vLower, vUpper)
       }
     }.toArray
   }
@@ -3097,6 +3155,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
       (if (ckLower != Int.MinValue || ckUpper != Int.MaxValue)
         s"ckRange=[$ckLower,$ckUpper] " else "") +
       ckSlice.fold("")(s => s"ckSlice=$s ") +
+      (if (vLower != Long.MinValue || vUpper != Long.MaxValue)
+        s"vRange=[$vLower,$vUpper] " else "") +
       (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
 
@@ -3134,7 +3194,8 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
           val files = CellPlanning.listFiles(path)
           CellPlanning.planFilesWithManifest(path, files, pkLower,
             pkUpper, wtLower, wtUpper, subsplitRecords,
-            ckLower, ckUpper, keepMarkerChunks = false, ckSlice).toArray
+            ckLower, ckUpper, keepMarkerChunks = false, ckSlice,
+            vLower, vUpper).toArray
       }
       cached
     }
@@ -3264,10 +3325,12 @@ private[sources] object CellPlanning {
       wtUpper: Long, subsplitRecords: Int,
       ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
       keepMarkerChunks: Boolean = true,
-      ckSlice: Option[CkSlice] = None): Seq[InputPartition] =
+      ckSlice: Option[CkSlice] = None,
+      vLower: Long = Long.MinValue,
+      vUpper: Long = Long.MaxValue): Seq[InputPartition] =
     planFile(f, CellSource.readHeader(f), pkLower, pkUpper, wtLower,
       wtUpper, subsplitRecords, ckLower, ckUpper, keepMarkerChunks,
-      ckSlice)
+      ckSlice, vLower, vUpper)
 
   /** Manifest-guided planning over `files` (already listed by the
     * caller): when the `_manifest` matches the listing, files failing
@@ -3282,7 +3345,9 @@ private[sources] object CellPlanning {
       subsplitRecords: Int,
       ckLower: Int = Int.MinValue, ckUpper: Int = Int.MaxValue,
       keepMarkerChunks: Boolean = true,
-      ckSlice: Option[CkSlice] = None): Seq[InputPartition] = {
+      ckSlice: Option[CkSlice] = None,
+      vLower: Long = Long.MinValue,
+      vUpper: Long = Long.MaxValue): Seq[InputPartition] = {
     val byName = CellManifest.current(path, files)
       .map(_.map(e => e.name -> e).toMap)
     files.flatMap { f =>
@@ -3291,7 +3356,8 @@ private[sources] object CellPlanning {
       if (entry.exists(e =>
           e.count == 0 || e.maxPk < pkLower || e.minPk > pkUpper)) Nil
       else planFile(f, pkLower, pkUpper, wtLower, wtUpper,
-        subsplitRecords, ckLower, ckUpper, keepMarkerChunks, ckSlice)
+        subsplitRecords, ckLower, ckUpper, keepMarkerChunks, ckSlice,
+        vLower, vUpper)
     }
   }
 
@@ -3304,8 +3370,9 @@ private[sources] object CellPlanning {
       pkUpper: Long, wtLower: Long, wtUpper: Long,
       subsplitRecords: Int, ckLower: Int, ckUpper: Int,
       keepMarkerChunks: Boolean,
-      // no default — Scala forbids defaults on multiple overloads
-      ckSlice: Option[CkSlice]): Seq[InputPartition] = {
+      // no defaults — Scala forbids defaults on multiple overloads
+      ckSlice: Option[CkSlice],
+      vLower: Long, vUpper: Long): Seq[InputPartition] = {
     val pointPk = if (pkLower == pkUpper) Some(pkLower) else None
     if (h.count == 0 || h.maxPk < pkLower || h.minPk > pkUpper) Nil
     else if (pointPk.exists(pk => !CellSource.bloomContains(h.bloom, pk)))
@@ -3332,6 +3399,11 @@ private[sources] object CellPlanning {
         (endRec + h.chunkRecords - 1) / h.chunkRecords)
       val surviving = (startChunk until endChunk).filter { c =>
         h.chunkMaxWt(c) >= wtLower && h.chunkMinWt(c) <= wtUpper &&
+          // CEL9 value zone (long-valued tables; plain scans only —
+          // value bounds are never pushed under reconcile). The zone
+          // spans every physical row, so pruning is exact.
+          (h.chunkMinV == null ||
+            h.chunkMaxV(c) >= vLower && h.chunkMinV(c) <= vUpper) &&
           // CEL7 clustering zone map: the zone spans every physical
           // row (markers included), so plain scans prune exactly;
           // reconcile keeps marker-bearing chunks regardless — their

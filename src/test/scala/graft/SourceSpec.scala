@@ -2396,6 +2396,50 @@ class SourceSpec extends GraftSpec {
     assert(again == graft.sources.CellMaintenance.RepairStats(0, 0L, 0L))
   }
 
+  // ---- C44: CEL9 value zone maps ----
+
+  test("value range prunes chunks on the plain scan (C44, CEL9)") {
+    val d = Files.createTempDirectory("cells-vzone").toString
+    // value == pk in pk-sorted files → tight per-chunk value zones
+    val cells = (0L until 10000L).map(pk => (pk, 0, "qty", pk, 1000L))
+    CellSource.writeSnapshot(d, cells, files = 1, chunkRecords = 2500)
+    def scan() = spark.read.format("graft.sources.CellSource")
+      .option("subsplitRecords", "2500").load(d)
+    // chunk zones: [0,2499][2500,4999][5000,7499][7500,9999]
+    val one = scan().filter(col("value") >= 3000L && col("value") <= 4000L)
+    assert(one.rdd.getNumPartitions == 1, "expected 3 of 4 chunks pruned")
+    assert(one.count() == 1001)
+    assert(one.queryExecution.executedPlan.toString
+      .contains("vRange=[3000,4000]"))
+    // a range past every zone prunes the whole file
+    val none = scan().filter(col("value") > 20000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    // bounds compose: value AND pk zones intersect
+    val both = scan().filter(col("value") <= 4000L && col("pk") >= 2600L)
+    assert(both.count() == 1401) // pks 2600..4000
+  }
+
+  test("value bounds never push under reconcile (shadowed-winner rule)") {
+    val d = Files.createTempDirectory("cells-vzone-rec").toString
+    // two flushes: pk=1 value=5 wt=1, rewritten to value=50 wt=2
+    Seq((1L, 0, "qty", 5L, 1L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    Seq((1L, 0, "qty", 50L, 2L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("value") <= 10L)
+    // the OLD version matches the predicate but is NOT the winner: a
+    // pushed pre-merge value drop would resurrect it
+    assert(rec.count() == 0)
+    assert(!rec.queryExecution.executedPlan.toString.contains("vRange"))
+    // the raw view still serves the shadowed version
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("value") <= 10L)
+    assert(raw.count() == 1)
+  }
+
   // ---- C43: snapshots ----
 
   test("snapshot survives rewrite, compaction, and truncate (C43)") {
