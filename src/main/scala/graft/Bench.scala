@@ -49,6 +49,17 @@ object Bench {
       graft.sources.CellSnapshots.ensureFull(spark, sfDir)
       graft.sources.CellSnapshots.ensureRangeTombstoned(spark, sfDir)
       graft.sources.CellSnapshots.ensureIndexed(spark, sfDir)
+      // Round-7 fixtures: typed keys, SQL-delete, string 2i, MV,
+      // repair replicas, snapshots — built here so pass 1 times the
+      // operator, not the fixture construction.
+      graft.sources.CellSnapshots.ensureKeyed(spark, sfDir)
+      graft.sources.CellSnapshots.ensureKeyedDeleted(spark, sfDir)
+      graft.sources.CellSnapshots.ensureDeleted(spark, sfDir)
+      graft.sources.CellSnapshots.ensureStringIndexed(spark, sfDir)
+      graft.sources.CellSnapshots.ensureViewed(spark, sfDir)
+      graft.sources.CellSnapshots.ensureReplicas(spark, sfDir)
+      graft.sources.CellSnapshots.ensureRepaired(spark, sfDir)
+      graft.sources.CellSnapshots.ensureSnapshotted(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",

@@ -272,6 +272,94 @@ object Quality {
       |    >= 0.5 AS BIGINT) AS keep_scored
       |FROM st ORDER BY doc_id""".stripMargin
 
+  // ---- N_SCORE2: LM-perplexity filter (CCNet analogue) ---------------
+
+  /** The CCNet/RefinedWeb perplexity-filter stage: score every document
+    * by a language-model negative log-likelihood and rank (head/tail
+    * selection happens on this score). Stand-in model: a CHARACTER
+    * TRIGRAM LM with add-one smoothing over the bigram prefix,
+    * p(c₃|c₁c₂) = (c(g)+1) / (c(prefix)+V), trained on the corpus
+    * itself — the real pipeline swaps in KenLM scores, the Spark shape
+    * is identical.
+    *
+    * Scale shapes: the model is bounded by charset³ regardless of
+    * corpus size, so both count relations BROADCAST and scoring is
+    * map-only over the exploded trigram stream; the per-doc rollup is
+    * one doc_id-keyed aggregation with map-side combine. Nothing
+    * pairwise, nothing driver-side.
+    *
+    * Determinism (§7.4): each trigram's −ln p is FIXED-POINT-quantized
+    * to a BIGINT (×10⁴) before the per-doc SUM, so the aggregation is
+    * exact integer arithmetic — no float-sum ordering games; the final
+    * divide/round is one identical expression in both engines.
+    */
+  private def lmPerplexity(s: SparkSession, d: String): DataFrame = {
+    // Split once into a char array: substring(t, i, 3) is O(i) on
+    // UTF8String (multibyte-aware scan from the start), which makes
+    // positional extraction O(L²) per document — element_at on the
+    // split array is O(1), so trigram extraction is O(L).
+    val ch = docs(s, d).select(col("doc_id"),
+      split(lower(col("text")), "").as("a"))
+    val tri = ch
+      .select(col("doc_id"), explode(when(size(col("a")) >= 3,
+        expr("transform(sequence(1, size(a) - 2), i -> " +
+          "concat(element_at(a, i), element_at(a, i + 1)," +
+          " element_at(a, i + 2)))"))
+        .otherwise(array())).as("g"))
+    // ONE explode pass: per-(doc, trigram) multiplicities. Both the
+    // model branch and the scoring branch consume this same shuffle
+    // (ReuseExchange), so the corpus is tokenized exactly once.
+    val dg = tri.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("k"))
+    val tric = dg.groupBy(col("g")).agg(sum(col("k")).as("c"))
+    val prec = tric.groupBy(substring(col("g"), 1, 2).as("p2"))
+      .agg(sum(col("c")).as("cp"))
+    val vsz = tric.select(countDistinct(substring(col("g"), 3, 1)).as("v"))
+    // Fold counts + smoothing into ONE g → quantized-surprise map so
+    // the hot scoring pass is a single broadcast join (the model
+    // relations are charset³-bounded; only `dg` scales with the
+    // corpus).
+    val model = tric
+      .withColumn("p2", substring(col("g"), 1, 2))
+      .join(prec, "p2")
+      .crossJoin(vsz)
+      .select(col("g"),
+        round(-log((col("c") + lit(1.0)) /
+          (col("cp") + col("v"))) * lit(10000.0))
+          .cast("long").as("nl"))
+    dg.join(broadcast(model), "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_ngrams"),
+        round(sum(col("k") * col("nl")) / lit(10000.0) / sum(col("k")), 3)
+          .as("nll"))
+      .orderBy(col("nll").desc, col("doc_id")).limit(200)
+  }
+
+  private val lmPerplexitySql =
+    """WITH ch AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents),
+      |tri AS (
+      |  SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS g
+      |  FROM ch, UNNEST(range(1, length(t) - 1)) AS u(i)),
+      |tric AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tri GROUP BY g),
+      |prec AS (SELECT substring(g, 1, 2) AS p2, SUM(c) AS cp
+      |  FROM tric GROUP BY 1),
+      |vsz AS (SELECT CAST(COUNT(DISTINCT substring(g, 3, 1)) AS BIGINT)
+      |  AS v FROM tric),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |    CAST(ROUND(-LN((tc.c + 1.0) / (pc.cp + vz.v)) * 10000.0)
+      |      AS BIGINT) AS nl
+      |  FROM tri t
+      |  JOIN tric tc ON t.g = tc.g
+      |  JOIN prec pc ON substring(t.g, 1, 2) = pc.p2
+      |  CROSS JOIN vsz vz)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+      |  ROUND(SUM(nl) / 10000.0 / COUNT(*), 3) AS nll
+      |FROM scored GROUP BY doc_id
+      |ORDER BY nll DESC, doc_id LIMIT 200""".stripMargin
+
   // ---- N_PIPE1: the staged curation funnel ---------------------------
 
   /** The end-to-end curation story, per language: how many documents
@@ -348,5 +436,6 @@ object Quality {
       Some(intradocRepetitionSql)),
     GQuery("N_SCORE1_quality_classifier", qualityScore,
       Some(qualityScoreSql)),
+    GQuery("N_SCORE2_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }

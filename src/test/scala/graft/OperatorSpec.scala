@@ -139,6 +139,36 @@ class OperatorSpec extends GraftSpec {
     q.unpersist()
   }
 
+  test("LM perplexity: repetitive text scores lower NLL than novel text") {
+    import spark.implicits._
+    // Stand-alone model property on a controlled corpus: a document of
+    // pure repetition compresses (low per-trigram surprise), a
+    // high-variety document does not. Build the same trigram LM the
+    // N_SCORE2 query builds and compare per-doc NLL.
+    val docsDf = Seq(
+      (1L, "en", "abababababababababababababababab"),
+      (2L, "en", "the quick brown fox jumps over lazy dogs vex"))
+      .toDF("doc_id", "lang", "text")
+    val ch = docsDf.select(col("doc_id"), lower(col("text")).as("t"))
+    val tri = ch.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(t) - 2)," +
+        " i -> substring(t, i, 3))")).as("g"))
+    val tric = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val prec = tric.groupBy(substring(col("g"), 1, 2).as("p2"))
+      .agg(sum(col("c")).as("cp"))
+    val vsz = tric.select(
+      countDistinct(substring(col("g"), 3, 1)).as("v"))
+    val nll = tri.join(tric, "g")
+      .join(prec, substring(col("g"), 1, 2) === col("p2"))
+      .crossJoin(vsz)
+      .select(col("doc_id"),
+        (-log((col("c") + lit(1.0)) / (col("cp") + col("v")))).as("nl"))
+      .groupBy(col("doc_id")).agg(avg(col("nl")).as("nll"))
+      .as[(Long, Double)].collect().toMap
+    assert(nll(1L) < nll(2L),
+      s"repetition must score lower NLL: $nll")
+  }
+
   test("curation funnel stages are monotone and cover the corpus") {
     val f = Registry.byName("N_PIPE1_curation_funnel")
       .fn(spark, sf()).cache()
