@@ -119,18 +119,24 @@ object CellMaintenance {
     */
   def rangeDiff(spark: SparkSession, dirA: String, dirB: String,
       bucketWidth: Long = 1024L): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.register(spark)
-    val lim = graft.functions.BoundedCollect.maxGroupWidth(spark)
+    // Per-bucket digest = SUM of per-cell 64-bit hashes: commutative
+    // and order-independent, so it needs no per-group collect/sort —
+    // one partial-aggregating shuffle of (bucket, sum), O(1) state per
+    // bucket however wide the partition (a collect-based digest caps
+    // bucket width; Cassandra's Merkle leaves face the same choice).
+    // Multiset-correct: equal buckets hash equal; a differing cell
+    // shifts the sum except for engineered 2⁶⁴ collisions, the usual
+    // anti-entropy trade.
     def digest(dir: String) = {
       import org.apache.spark.sql.functions._
       spark.read.format("graft.sources.CellSource").load(dir)
         .select(expr(s"pk div $bucketWidth").as("bucket"),
-          concat_ws(":", col("pk"), col("ck"), col("col"), col("value"),
-            col("wt")).as("cs"))
+          xxhash64(concat_ws(":", col("pk"), col("ck"), col("col"),
+            col("value"), col("wt"))).as("h"))
         .groupBy(col("bucket"))
-        .agg(md5(array_join(sort_array(
-          expr(s"graft_collect_bounded(cs, $lim)")), "|")
-          .cast("binary")).as("digest"))
+        // decimal(38,0) accumulator: a LONG sum would overflow under
+        // ANSI; 38 digits holds ~10¹⁹ cells per bucket exactly
+        .agg(sum(col("h").cast("decimal(38,0)")).as("digest"))
     }
     import org.apache.spark.sql.functions._
     val a = digest(dirA).withColumnRenamed("digest", "digest_a")
