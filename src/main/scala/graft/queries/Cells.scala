@@ -876,7 +876,27 @@ object Cells {
       |FROM cells WHERE value BETWEEN 400000 AND 600000
       |GROUP BY col ORDER BY col""".stripMargin
 
+  // C42c — TYPED anti-entropy repair: the same divergent-replica
+  // convergence as C42, but on a hashed STRING key — Merkle leaves
+  // are token buckets (`_token >> shift` via the withToken scan
+  // column), mismatched runs re-read through `tokenRange`, and the
+  // deltas append through the typed write path. Repaired replica B
+  // reconciles to the full string-keyed merge.
+  private def typedRepairRead(s: SparkSession, d: String): DataFrame = {
+    val (_, dirB) = CellSnapshots.ensureKeyedRepaired(s, d)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dirB)
+      .filter(expr("CAST(substring(user, 6) AS BIGINT) % 10 = 3"))
+      .orderBy(col("user"), col("ck"), col("col"))
+  }
+
+  private val typedRepairReadSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE pk % 10 = 3
+      |ORDER BY user, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),
     GQuery("C42_repair_read", repairRead, Some(repairReadSql)),

@@ -81,18 +81,21 @@ private[sources] final class CellKeyedStream(p: CellInputPartition) {
 private[sources] final class KeyedProjection(spec: KeySpec,
     valueType: DataType, cols: Array[String]) {
   private val fullSchema: StructType = CellSource.schemaFor(spec, valueType)
-  private val projIdx: Array[Int] = cols.map(fullSchema.fieldIndex)
+  // -1 = the pseudo-column `_token` (withToken scans)
+  private val projIdx: Array[Int] = cols.map(c =>
+    if (c == "_token") -1 else fullSchema.fieldIndex(c))
   private val nPk = spec.pkParts.length
   private val nCk = spec.ckParts.length
 
-  def row(pkVals: Array[Any], ckVals: Array[Any], colName: String,
-      value: Any, wt: Long): InternalRow = {
+  def row(token: Long, pkVals: Array[Any], ckVals: Array[Any],
+      colName: String, value: Any, wt: Long): InternalRow = {
     val out = new Array[Any](projIdx.length)
     var i = 0
     while (i < projIdx.length) {
       val f = projIdx(i)
       out(i) =
-        if (f < nPk) pkVals(f)
+        if (f == -1) token
+        else if (f < nPk) pkVals(f)
         else if (f < nPk + nCk) ckVals(f - nPk)
         else if (f == nPk + nCk) UTF8String.fromString(colName)
         else if (f == nPk + nCk + 1) value
@@ -120,8 +123,8 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
 
   override def next(): Boolean = {
     if (!stream.advance(tokenLower, tokenUpper)) return false
-    row = proj.row(stream.pkVals, stream.ckVals, stream.colName,
-      stream.value, stream.wt)
+    row = proj.row(stream.token, stream.pkVals, stream.ckVals,
+      stream.colName, stream.value, stream.wt)
     true
   }
 
@@ -172,8 +175,14 @@ class CellKeyedColumnarReader(part: CellInputPartition,
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
   private val fullSchema: StructType =
     CellSource.schemaFor(spec, valueType)
-  private val projIdx: Array[Int] = cols.map(fullSchema.fieldIndex)
-  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+  // -1 = the pseudo-column `_token` (withToken scans)
+  private val projIdx: Array[Int] = cols.map(c =>
+    if (c == "_token") -1 else fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map {
+    case -1 => org.apache.spark.sql.types.StructField("_token",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    case f => fullSchema(f)
+  })
   private val colNameBytes: Array[Array[Byte]] =
     part.colNames.map(_.getBytes("UTF-8"))
   private val nPk = spec.pkParts.length
@@ -222,7 +231,8 @@ class CellKeyedColumnarReader(part: CellInputPartition,
           var i = 0
           while (i < projIdx.length) {
             val f = projIdx(i)
-            if (f < nPk + nCk) put(vectors(i), n, partTags(f),
+            if (f == -1) vectors(i).putLong(n, token)
+            else if (f < nPk + nCk) put(vectors(i), n, partTags(f),
               partPrec(f), rec(f))
             else if (f == nPk + nCk) {
               val b = colNameBytes(colId)
@@ -577,7 +587,9 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
 
   override def next(): Boolean = {
     if (!cursor.nextWinner()) return false
-    row = proj.row(cursor.pkVals, cursor.ckVals, cursor.colName,
+    // token arg unused: reconcile scans refuse `_token` (no single
+    // source record for a merged winner)
+    row = proj.row(0L, cursor.pkVals, cursor.ckVals, cursor.colName,
       cursor.value, cursor.wt)
     true
   }

@@ -65,8 +65,15 @@ object CellMaintenance {
     // pattern as the grace window above). The summed cell the rewrite
     // lands is the new single shard — Σ is preserved.
     val counter = tableProp(dir, "counter").exists(_.toBoolean)
-    val before = CellPlanning.listFiles(dir).size
-    spark.read.format("graft.sources.CellSource")
+    val norm = CellPlanning.normalize(dir)
+    val files = CellPlanning.listFiles(norm)
+    val before = files.size
+    // The truncating rewrite must RE-DECLARE a typed key layout: the
+    // overwrite replaces the table, so the writer can't inherit the
+    // spec from a directory it is about to empty (part types resolve
+    // from the rewrite's own schema).
+    val spec = CellPlanning.keySpecOf(norm, files)
+    val w = spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
       .option("counter", counter.toString)
@@ -75,6 +82,10 @@ object CellMaintenance {
       .load(dir)
       .write.format("graft.sources.CellSource")
       .option("rollRecords", rollRecords.toString)
+    (if (spec.isDefault) w
+     else w.option("primaryKey",
+       s"((${spec.pkParts.map(_.name).mkString(",")})," +
+         s"${spec.ckParts.map(_.name).mkString(",")})"))
       .mode("overwrite").save(dir)
     (before, CellPlanning.listFiles(dir).size)
   }
@@ -317,15 +328,52 @@ object CellMaintenance {
     * rather than pk; not wired yet — default-layout tables only.
     */
   def repair(spark: SparkSession, dirA: String, dirB: String,
-      bucketWidth: Long = 1024L): RepairStats = {
+      bucketWidth: Long = 1024L, tokenShift: Int = 48): RepairStats = {
+    val normA = CellPlanning.normalize(dirA)
+    val spec = CellPlanning.keySpecOf(normA, CellPlanning.listFiles(normA))
+    if (spec.isDefault) repairDefault(spark, dirA, dirB, bucketWidth)
+    else repairTyped(spark, dirA, dirB, tokenShift)
+  }
+
+  /** Coalesce sorted bucket ids into inclusive runs, then cap the run
+    * count at `maxRuns` by merging across the SMALLEST gaps (each run
+    * becomes one pruned re-read; over-reading a small gap beats
+    * planning hundreds of tiny scans).
+    */
+  private def bucketRuns(mism: Array[Long],
+      maxRuns: Int): List[(Long, Long)] = {
+    var runs = mism.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, b) if b == hi + 1 => (lo, b) :: rest
+      case (acc, b) => (b, b) :: acc
+    }.reverse
+    while (runs.length > maxRuns) {
+      // merge the adjacent pair with the smallest gap
+      val gaps = runs.zip(runs.tail).map { case ((_, h), (l, _)) => l - h }
+      val i = gaps.indexOf(gaps.min)
+      runs = (runs.take(i) :+ ((runs(i)._1, runs(i + 1)._2))) :::
+        runs.drop(i + 2)
+    }
+    runs
+  }
+
+  private def ship(delta: org.apache.spark.sql.DataFrame, dir: String,
+      shards: Int, sortCols: Seq[String]): Long = {
+    val d = delta.persist()
+    val n = d.count()
+    if (n > 0)
+      d.repartitionByRange(shards, sortCols.map(col): _*)
+        .write.format("graft.sources.CellSource")
+        .mode("append").save(dir)
+    d.unpersist()
+    n
+  }
+
+  private def repairDefault(spark: SparkSession, dirA: String,
+      dirB: String, bucketWidth: Long): RepairStats = {
     val mism = rangeDiff(spark, dirA, dirB, bucketWidth)
       .select("bucket").collect().map(_.getLong(0)).sorted
     if (mism.isEmpty) return RepairStats(0, 0L, 0L)
-    // adjacent mismatched buckets → contiguous inclusive pk runs
-    val runs = mism.foldLeft(List.empty[(Long, Long)]) {
-      case ((lo, hi) :: rest, b) if b == hi + 1 => (lo, b) :: rest
-      case (acc, b) => (b, b) :: acc
-    }.reverse.map { case (lo, hi) =>
+    val runs = bucketRuns(mism, 32).map { case (lo, hi) =>
       (lo * bucketWidth, hi * bucketWidth + bucketWidth - 1)
     }
     def ranged(dir: String) = runs.map { case (lo, hi) =>
@@ -334,20 +382,71 @@ object CellMaintenance {
     }.reduce(_ unionAll _)
     val a = ranged(dirA)
     val b = ranged(dirB)
-    def ship(delta: org.apache.spark.sql.DataFrame, dir: String): Long = {
-      val d = delta.persist()
-      val n = d.count()
-      if (n > 0)
-        d.repartitionByRange(math.min(runs.length, 16),
-            col("pk"), col("ck"), col("col"))
-          .write.format("graft.sources.CellSource")
-          .mode("append").save(dir)
-      d.unpersist()
-      n
-    }
-    val toB = ship(a.except(b), dirB)
-    val toA = ship(b.except(a), dirA)
+    val shards = math.min(runs.length, 16)
+    val sortCols = Seq("pk", "ck", "col")
+    val toB = ship(a.except(b), dirB, shards, sortCols)
+    val toA = ship(b.except(a), dirA, shards, sortCols)
     RepairStats(mism.length, toA, toB)
+  }
+
+  /** Typed-key (CEL6/8) repair: buckets are the top bits of the
+    * physical partition token (`_token >> tokenShift` — arithmetic
+    * shift = floor-division, so bucket order is token order and each
+    * bucket is one contiguous ring range of width 2^tokenShift);
+    * mismatched runs re-read through the `tokenRange` option, so
+    * Summary/manifest/sparse-index pruning applies exactly as on the
+    * default layout. Default shift 48 = 65536 Merkle leaves.
+    */
+  private def repairTyped(spark: SparkSession, dirA: String,
+      dirB: String, tokenShift: Int): RepairStats = {
+    require(tokenShift > 0 && tokenShift < 64, s"bad shift $tokenShift")
+    val mism = rangeDiffTyped(spark, dirA, dirB, tokenShift)
+      .select("bucket").collect().map(_.getLong(0)).sorted
+    if (mism.isEmpty) return RepairStats(0, 0L, 0L)
+    val maxBucket = (Long.MaxValue >> tokenShift)
+    val runs = bucketRuns(mism, 32).map { case (lo, hi) =>
+      (lo << tokenShift,
+        if (hi >= maxBucket) Long.MaxValue
+        else ((hi + 1) << tokenShift) - 1)
+    }
+    def ranged(dir: String) = runs.map { case (lo, hi) =>
+      spark.read.format("graft.sources.CellSource")
+        .option("tokenRange", s"$lo:$hi").load(dir)
+    }.reduce(_ unionAll _)
+    val a = ranged(dirA)
+    val b = ranged(dirB)
+    val shards = math.min(runs.length, 16)
+    val sortCols = a.columns.toSeq // key parts lead the schema
+    val toB = ship(a.except(b), dirB, shards, sortCols)
+    val toA = ship(b.except(a), dirA, shards, sortCols)
+    RepairStats(mism.length, toA, toB)
+  }
+
+  /** Typed twin of [[rangeDiff]]: per-token-bucket sum-of-hashes
+    * digests via the `_token` scan column.
+    */
+  def rangeDiffTyped(spark: SparkSession, dirA: String, dirB: String,
+      tokenShift: Int = 48): org.apache.spark.sql.DataFrame = {
+    def digest(dir: String) = {
+      import org.apache.spark.sql.functions._
+      val df = spark.read.format("graft.sources.CellSource")
+        .option("withToken", "true").load(dir)
+      val dataCols = df.columns.filter(_ != "_token").map(col).toSeq
+      df.select(expr(s"shiftright(_token, $tokenShift)").as("bucket"),
+        xxhash64(concat_ws(":", dataCols: _*)).as("h"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("digest"))
+    }
+    import org.apache.spark.sql.functions._
+    val a = digest(dirA).withColumnRenamed("digest", "digest_a")
+    val b = digest(dirB).withColumnRenamed("digest", "digest_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .withColumn("status",
+        when(col("digest_a").isNull, lit("missing_a"))
+          .when(col("digest_b").isNull, lit("missing_b"))
+          .when(col("digest_a") =!= col("digest_b"), lit("mismatch")))
+      .filter(col("status").isNotNull)
+      .select(col("bucket"), col("status"))
   }
 
   /** Delete crash-orphaned staged files (`.staged-*.tmp`): a task

@@ -619,4 +619,47 @@ object CellSnapshots {
   /** A replica pair that has been repaired once (for C42). */
   def ensureRepaired(s: SparkSession, sfDir: String): (String, String) =
     ensureReplicaPair(s, sfDir, "repr", repair = true)
+
+  /** TYPED (string-keyed) repaired replica pair (C42c): same missing
+    * ranges as the default-layout pair, but keyed by the hashed text
+    * key — the Merkle leaves are token buckets and the re-reads go
+    * through `tokenRange`. Built repaired; the declared query reads
+    * replica B's reconciled view.
+    */
+  def ensureKeyedRepaired(s: SparkSession, sfDir: String)
+      : (String, String) = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dirA = Paths.get(root, s"v$Version-$sfName-krep-a")
+    val dirB = Paths.get(root, s"v$Version-$sfName-krep-b")
+    val marker = dirA.resolve("_OK")
+    if (!Files.exists(marker)) {
+      Seq(dirA, dirB).foreach { d =>
+        if (Files.exists(d))
+          Using.resource(Files.list(d)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+      }
+      import org.apache.spark.sql.functions.not
+      def write(dir: java.nio.file.Path,
+          keep: org.apache.spark.sql.Column): Unit =
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .filter(keep)
+          .select(concat(lit("user-"), col("pk")).as("user"),
+            col("ck").cast("int"), col("col"),
+            col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("user"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("primaryKey", "((user),ck)")
+          .option("keyType.user", "string").option("keyType.ck", "int")
+          .mode("append").save(dir.toString)
+      write(dirA, not(col("col") === "price" && col("pk") >= 1000 &&
+        col("pk") < 3000))
+      write(dirB, not(col("col") === "qty" && col("pk") >= 4096 &&
+        col("pk") < 6144))
+      CellMaintenance.repair(s, dirA.toString, dirB.toString)
+      Files.writeString(marker, "ok")
+    }
+    (dirA.toString, dirB.toString)
+  }
 }

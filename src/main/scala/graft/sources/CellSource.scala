@@ -64,35 +64,48 @@ class CellSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     val existing = if (path == null) Nil else CellPlanning.listFiles(path)
-    existing.headOption match {
+    val (spec, vt) = existing.headOption match {
       case Some(f) =>
         // Manifest fast path: the value type AND key spec come from
         // the summary file, zero data-file opens; fall back to the
         // first header.
-        val (tag, prec, scale, spec) = CellManifest.current(path, existing)
+        val (tag, prec, scale, sp) = CellManifest.current(path, existing)
           .flatMap(_.headOption)
           .map(e => (e.valueTag, e.decPrec, e.decScale, e.keySpec))
           .getOrElse {
             val h = CellSource.readHeader(f)
             (h.valueTag, h.decPrec, h.decScale, h.keySpec)
           }
-        CellSource.schemaFor(spec,
-          ValueCodec.dataTypeFor(tag, prec, scale))
+        (sp, ValueCodec.dataTypeFor(tag, prec, scale))
       case None =>
-        val vt = Option(options.get("valueType"))
+        val vt0 = Option(options.get("valueType"))
           .map(ValueCodec.parseType).getOrElse(LongType)
         Option(options.get("primaryKey")) match {
           case Some(pkSyntax) =>
             // A fresh typed table: the intended key layout comes from
             // the `primaryKey` option plus per-part `keyType.<name>`
             // type options (default long), same as the write side.
-            CellSource.schemaFor(
-              KeySpec.fromSyntax(pkSyntax, n =>
-                Option(options.get(s"keyType.$n"))
-                  .map(ValueCodec.parseType).getOrElse(LongType)), vt)
-          case None => CellSource.schemaFor(vt)
+            (KeySpec.fromSyntax(pkSyntax, n =>
+              Option(options.get(s"keyType.$n"))
+                .map(ValueCodec.parseType).getOrElse(LongType)), vt0)
+          case None => (KeySpec.Default, vt0)
         }
     }
+    val base = CellSource.schemaFor(spec, vt)
+    // `withToken=true`: surface the record's physical partition TOKEN
+    // as a `_token` long column — the CQL `token(pk)` analogue (ring
+    // position for range exports, bucketed anti-entropy, split
+    // debugging). Plain typed scans only: the merge cursor projects
+    // reconciled rows (no single source record), and default-layout
+    // records carry no stored token (token == pk there — select pk).
+    if (options.getBoolean("withToken", false)) {
+      require(!options.getBoolean("reconcile", false),
+        "withToken applies to plain (non-reconcile) scans only")
+      require(!spec.isDefault,
+        "withToken needs a typed key layout (token == pk on the " +
+          "default layout; select pk instead)")
+      base.add(StructField("_token", LongType, nullable = false))
+    } else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -1566,6 +1579,22 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       case f @ EqualTo("wt", v: java.lang.Long) =>
         wtLower = math.max(wtLower, v); wtUpper = math.min(wtUpper, v)
         accepted += f
+      case _ =>
+    }
+    // `_token` range predicates (withToken scans) are LITERALLY the
+    // scan's physical token bounds — the SQL `token(pk)` pushdown.
+    filters.foreach {
+      case f @ EqualTo("_token", v: java.lang.Long) =>
+        pkLower = math.max(pkLower, v); pkUpper = math.min(pkUpper, v)
+        accepted += f
+      case f @ GreaterThan("_token", v: java.lang.Long) =>
+        pkLower = math.max(pkLower, v + 1); accepted += f
+      case f @ GreaterThanOrEqual("_token", v: java.lang.Long) =>
+        pkLower = math.max(pkLower, v); accepted += f
+      case f @ LessThan("_token", v: java.lang.Long) =>
+        pkUpper = math.min(pkUpper, v - 1); accepted += f
+      case f @ LessThanOrEqual("_token", v: java.lang.Long) =>
+        pkUpper = math.min(pkUpper, v); accepted += f
       case _ =>
     }
     val pName = spec.pkParts.head.name

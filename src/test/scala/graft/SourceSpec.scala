@@ -2360,6 +2360,46 @@ class SourceSpec extends GraftSpec {
       Set("user-3"))
   }
 
+  // ---- `_token` metadata column (withToken) ----
+
+  test("_token surfaces the physical partition token on typed scans") {
+    import graft.sources.{KeyCodec, KeyPart, KeySpec, ValueCodec}
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val df = spark.read.format("graft.sources.CellSource")
+      .option("withToken", "true").load(kdir)
+    assert(df.schema.fieldNames.last == "_token")
+    val spec = KeySpec(
+      List(KeyPart("user", ValueCodec.StringTag, 0, 0)),
+      List(KeyPart("ck", ValueCodec.IntTag, 0, 0)))
+    // every row's _token == token(user)
+    val rows = df.select(col("user"), col("_token")).distinct()
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, t) =>
+      assert(t == KeyCodec.token(spec, Array(
+        org.apache.spark.unsafe.types.UTF8String.fromString(u))), u)
+    }
+    // a _token range predicate IS the scan's token bounds (plan
+    // prunes like the tokenRange option) and restricts exactly
+    val t3 = KeyCodec.token(spec, Array(
+      org.apache.spark.unsafe.types.UTF8String.fromString("user-3")))
+    val one = df.filter(col("_token") === t3)
+    assert(one.select("user").distinct().as[String].collect().toSet ==
+      Set("user-3"))
+    assert(one.queryExecution.executedPlan.toString
+      .contains(s"pkRange=[$t3,$t3]"))
+    // refused where meaningless
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("withToken", "true").option("reconcile", "true")
+        .load(kdir).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("withToken", "true").load(dir).collect()
+    }
+  }
+
   // ---- C42: anti-entropy repair ----
 
   private def replicaPair(): (String, String) = {
@@ -2497,6 +2537,61 @@ class SourceSpec extends GraftSpec {
     assert(CellMaintenance.dropSnapshot(d, "pre"))
     assert(CellMaintenance.listSnapshots(d).isEmpty)
     assert(rec().collect().toSet == golden)
+  }
+
+  test("typed repair converges string-keyed replicas by token range") {
+    import graft.sources.CellMaintenance
+    // full table: 60 users × 3 clustering rows × qty/price
+    val full = (0 until 60).flatMap(u => (0 until 3).flatMap(k => Seq(
+      (s"user-$u", k, "qty", (u * 10 + k).toLong, 1000L),
+      (s"user-$u", k, "price", (u * 20 + k).toLong, 1000L))))
+    def write(dir: String, rows: Seq[(String, Int, String, Long, Long)])
+        : Unit =
+      rows.toDF("user", "ck", "col", "value", "wt")
+        .repartitionByRange(4, col("user"), col("ck"), col("col"))
+        .write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(dir)
+    val dA = Files.createTempDirectory("cells-trep-a").toString
+    val dB = Files.createTempDirectory("cells-trep-b").toString
+    // A is missing users 10..14 entirely; B is missing 'price' of 40..44
+    write(dA, full.filterNot(r => (10 to 14)
+      .exists(u => r._1 == s"user-$u")))
+    write(dB, full.filterNot(r => r._3 == "price" && (40 to 44)
+      .exists(u => r._1 == s"user-$u")))
+    val stats = CellMaintenance.repair(spark, dA, dB)
+    assert(stats.cellsToA == 30 && stats.cellsToB == 15, stats)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(dA).count() == 360 && rec(dB).count() == 360)
+    assert(rec(dA).except(rec(dB)).isEmpty &&
+      rec(dB).except(rec(dA)).isEmpty)
+    assert(CellMaintenance.repair(spark, dA, dB) ==
+      CellMaintenance.RepairStats(0, 0L, 0L))
+  }
+
+  test("snapshots work unchanged on typed tables") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-tsnap").toString
+    Seq(("alice", 0, "qty", 1L, 10L), ("bob", 0, "qty", 2L, 10L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(d)
+    def rec(p: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(p)
+    val before = rec(d).collect().toSet
+    CellMaintenance.snapshot(d, "t0")
+    Seq(("alice", 0, "qty", 99L, 20L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(d)
+    CellMaintenance.compact(spark, d)
+    assert(rec(CellMaintenance.snapshotPath(d, "t0")).collect().toSet
+      == before)
+    CellMaintenance.restoreSnapshot(d, "t0")
+    assert(rec(d).collect().toSet == before)
   }
 
   test("repair ships tombstones: a delete on one replica lands on both") {
