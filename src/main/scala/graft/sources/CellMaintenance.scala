@@ -223,6 +223,45 @@ object CellMaintenance {
     0 // unreachable
   }
 
+  /** Incremental backup (`nodetool` incremental backups): hard-link
+    * into `backupDir` every current flush file NOT already backed up —
+    * each call captures exactly the flushes landed since the last one,
+    * O(new files) metadata ops, zero data bytes. The backup directory
+    * accumulates every generation ever flushed (compaction deletes the
+    * table's names, never the backup's links), so it is a readable
+    * table path whose reconciled view REPLAYS the table's history —
+    * restoring = reading it (LWW folds duplicate generations). Names
+    * collide only per flush index, which is monotonic per table.
+    * Returns the newly-captured file names.
+    *
+    * Cassandra's own restore caveat applies verbatim: a tombstone
+    * PURGED by a gc-grace compaction no longer shadows the older
+    * backed-up generation that still holds the data — never fold
+    * backups older than gc_grace into a live view.
+    */
+  def backupIncremental(dir: String, backupDir: String): Seq[String] = {
+    val norm = CellPlanning.normalize(dir)
+    val bdir = java.nio.file.Paths.get(CellPlanning.normalize(backupDir))
+    java.nio.file.Files.createDirectories(bdir)
+    val have = scala.util.Using.resource(
+      java.nio.file.Files.list(bdir)) {
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells")).toSet
+    }
+    val fresh = CellPlanning.listFiles(norm).filterNot(f =>
+      have(java.nio.file.Paths.get(f).getFileName.toString))
+    fresh.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      try java.nio.file.Files.createLink(
+        bdir.resolve(p.getFileName.toString), p)
+      catch { // racing backup call landed it first — fine
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    CellManifest.refresh(bdir.toString)
+    fresh.map(f => java.nio.file.Paths.get(f).getFileName.toString)
+  }
+
   /** Tags of existing snapshots, sorted. */
   def listSnapshots(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(CellPlanning.normalize(dir))

@@ -2594,6 +2594,35 @@ class SourceSpec extends GraftSpec {
     assert(rec(d).collect().toSet == before)
   }
 
+  test("incremental backup captures only new flushes; backup dir reads") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-bak").toString
+    val b = Files.createTempDirectory("cells-bak-dst").toString
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    def rec(p: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(p)
+    flush(Seq((1L, 0, "qty", 10L, 1L)))
+    flush(Seq((2L, 0, "qty", 20L, 1L)))
+    assert(CellMaintenance.backupIncremental(d, b).size == 2)
+    flush(Seq((1L, 0, "qty", 11L, 2L))) // rewrite
+    assert(CellMaintenance.backupIncremental(d, b).size == 1)
+    // nothing new → nothing captured
+    assert(CellMaintenance.backupIncremental(d, b).isEmpty)
+    // compaction replaces the table's names; backup captures the new
+    // generation and its merged view still equals the table's
+    CellMaintenance.compact(spark, d)
+    assert(CellMaintenance.backupIncremental(d, b).nonEmpty)
+    assert(rec(b).collect().toSet == rec(d).collect().toSet)
+    // truncate wipes the table — the backup still replays history
+    new graft.sources.CellTable(d).truncateTable()
+    assert(rec(d).count() == 0)
+    assert(rec(b).filter(col("pk") === 1L).select("value")
+      .as[Long].head() == 11L)
+  }
+
   test("repair ships tombstones: a delete on one replica lands on both") {
     val (dA, dB) = replicaPair()
     import org.apache.spark.sql.sources.EqualTo
