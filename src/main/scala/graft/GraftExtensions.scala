@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, ShingleGenerator}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, ShingleGenerator}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -48,6 +48,9 @@ object GraftExtensions {
         "graft_collect_bounded"),
       (args: Seq[Expression]) => BoundedCollectList(args(0),
         args(1).eval().asInstanceOf[Number].intValue())),
+    ("graft_token",
+      new ExpressionInfo(classOf[PartitionToken].getName, "graft_token"),
+      (args: Seq[Expression]) => PartitionToken(args)),
     ("graft_collect_set_bounded",
       new ExpressionInfo(classOf[BoundedCollectSet].getName,
         "graft_collect_set_bounded"),

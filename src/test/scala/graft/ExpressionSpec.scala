@@ -96,4 +96,42 @@ class ExpressionSpec extends GraftSpec {
         "GROUP BY g").collect()
     assert(ok.head.getInt(0) === 50)
   }
+
+  test("graft_token matches the connector's ring positions from SQL") {
+    GraftExtensions.register(spark)
+    import graft.sources.{KeyCodec, KeyPart, KeySpec, ValueCodec}
+    // text key: SQL value == KeyCodec hash
+    val t = spark.sql("SELECT graft_token('user-3') AS t")
+      .as[Long].head()
+    val spec = KeySpec(
+      List(KeyPart("user", ValueCodec.StringTag, 0, 0)), Nil)
+    assert(t == KeyCodec.token(spec, Array(
+      org.apache.spark.unsafe.types.UTF8String.fromString("user-3"))))
+    // single bigint key: identity (the default layout's token IS pk)
+    assert(spark.sql("SELECT graft_token(CAST(42 AS BIGINT)) AS t")
+      .as[Long].head() == 42L)
+    // composite key hashes over all parts, in order
+    val t2 = spark.sql(
+      "SELECT graft_token('tenant-1', CAST(7 AS BIGINT)) AS t")
+      .as[Long].head()
+    val spec2 = KeySpec(List(
+      KeyPart("a", ValueCodec.StringTag, 0, 0),
+      KeyPart("b", ValueCodec.LongTag, 0, 0)), Nil)
+    assert(t2 == KeyCodec.token(spec2, Array(
+      org.apache.spark.unsafe.types.UTF8String.fromString("tenant-1"),
+      7L)))
+    // composes with the _token scan column end-to-end: the point
+    // predicate addresses exactly user-3's partition
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    spark.read.format("graft.sources.CellSource")
+      .option("withToken", "true").load(kdir)
+      .createOrReplaceTempView("keyed_tok")
+    val users = spark.sql(
+      "SELECT DISTINCT user FROM keyed_tok " +
+        "WHERE _token = graft_token('user-3')").as[String].collect()
+    assert(users.toSet == Set("user-3"))
+    // null propagates
+    assert(spark.sql("SELECT graft_token(CAST(NULL AS STRING)) AS t")
+      .head().isNullAt(0))
+  }
 }
