@@ -24,7 +24,12 @@ import graft.sources.{KeyCodec, KeyPart, KeySpec, ValueCodec}
   * argument is the identity (the default layout's token IS the pk);
   * any other shape hashes, exactly as the write path does. Part types
   * are taken from the argument types, so the argument list must match
-  * the table's partition-key layout part for part.
+  * the table's partition-key layout part for part — TYPE-STRICT like
+  * CQL's own `token()`: on a bigint-keyed table write
+  * `graft_token(CAST(3 AS BIGINT))`, because a bare `3` is an INT
+  * literal and an int part HASHES (int and bigint are distinct key
+  * layouts; silently widening would mis-token genuinely int-keyed
+  * tables).
   *
   * CodegenFallback: tokens are computed on key literals and small
   * probe sets in practice, never in a per-row hot loop (per-row ring

@@ -140,10 +140,19 @@ object CellMaintenance {
     // anti-entropy trade.
     def digest(dir: String) = {
       import org.apache.spark.sql.functions._
+      // FLOOR-division buckets (pk - pmod is an exact multiple, so
+      // `div` is exact): `pk div w` truncates toward zero, which would
+      // put negative pks in the wrong bucket vs the run expansion
+      // below AND vs DuckDB's floor `//`. Multi-arg xxhash64 hashes
+      // each field type-tagged — no delimiter-ambiguity collisions
+      // (a ':' joiner would alias col="a:b",value="c" with
+      // col="a",value="b:c" on string-valued tables).
       spark.read.format("graft.sources.CellSource").load(dir)
-        .select(expr(s"pk div $bucketWidth").as("bucket"),
-          xxhash64(concat_ws(":", col("pk"), col("ck"), col("col"),
-            col("value"), col("wt"))).as("h"))
+        .select(
+          expr(s"(pk - pmod(pk, $bucketWidth)) div $bucketWidth")
+            .as("bucket"),
+          xxhash64(col("pk"), col("ck"), col("col"), col("value"),
+            col("wt")).as("h"))
         .groupBy(col("bucket"))
         // decimal(38,0) accumulator: a LONG sum would overflow under
         // ANSI; 38 digits holds ~10¹⁹ cells per bucket exactly
@@ -178,19 +187,32 @@ object CellMaintenance {
       .resolve("_snapshots").resolve(tag)
   }
 
+  /** Delete every direct child of `p` (non-recursive). */
+  private def clearDir(p: java.nio.file.Path): Unit =
+    scala.util.Using.resource(java.nio.file.Files.list(p)) {
+      _.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
+    }
+
   /** Snapshot the table's current generation set under
     * `_snapshots/<tag>/`. Returns the number of files captured.
     * Safe against a concurrent compaction commit: if a listed file
     * vanishes mid-link, the attempt clears and retries with a fresh
     * listing (the publish-then-delete commit order guarantees a
-    * consistent listing exists at every instant).
+    * consistent listing exists at every instant). ATOMIC from a
+    * reader's point of view: links land in a dot-prefixed staging dir
+    * (invisible to [[listSnapshots]]) and one rename publishes the
+    * tag — a crash mid-snapshot leaves only staging garbage, never a
+    * partial snapshot that reads as a truncated table, and a retried
+    * snapshot(tag) reclaims the stage instead of failing.
     */
   def snapshot(dir: String, tag: String): Int = {
     val norm = CellPlanning.normalize(dir)
     val snap = snapshotDir(dir, tag)
     require(!java.nio.file.Files.exists(snap),
       s"snapshot '$tag' already exists in $dir")
-    java.nio.file.Files.createDirectories(snap)
+    val stage = snap.resolveSibling(s".stage-$tag")
+    if (java.nio.file.Files.isDirectory(stage)) clearDir(stage)
+    java.nio.file.Files.createDirectories(stage)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -199,7 +221,7 @@ object CellMaintenance {
         files.foreach { f =>
           val p = java.nio.file.Paths.get(f)
           java.nio.file.Files.createLink(
-            snap.resolve(p.getFileName.toString), p)
+            stage.resolve(p.getFileName.toString), p)
         }
         // Seed the snapshot's manifest from the parent's (cheap when
         // current), then refresh against the snapshot's own listing.
@@ -207,17 +229,17 @@ object CellMaintenance {
           .resolve(CellManifest.FileName)
         if (java.nio.file.Files.exists(pm))
           java.nio.file.Files.copy(pm,
-            snap.resolve(CellManifest.FileName),
+            stage.resolve(CellManifest.FileName),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        CellManifest.refresh(snap.toString)
+        CellManifest.refresh(stage.toString)
+        java.nio.file.Files.move(stage, snap,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         return files.size
       } catch {
         case _: java.nio.file.NoSuchFileException |
             _: java.nio.file.FileAlreadyExistsException
             if attempt < 5 =>
-          scala.util.Using.resource(java.nio.file.Files.list(snap)) {
-            _.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
-          }
+          clearDir(stage)
       }
     }
     0 // unreachable
@@ -262,14 +284,15 @@ object CellMaintenance {
     fresh.map(f => java.nio.file.Paths.get(f).getFileName.toString)
   }
 
-  /** Tags of existing snapshots, sorted. */
+  /** Tags of existing snapshots, sorted (staging dirs excluded). */
   def listSnapshots(dir: String): Seq[String] = {
     val root = java.nio.file.Paths.get(CellPlanning.normalize(dir))
       .resolve("_snapshots")
     if (!java.nio.file.Files.isDirectory(root)) Nil
     else scala.util.Using.resource(java.nio.file.Files.list(root)) {
       _.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString).toList.sorted
+        .map(_.getFileName.toString).filterNot(_.startsWith("."))
+        .toList.sorted
     }
   }
 
@@ -278,9 +301,7 @@ object CellMaintenance {
     val snap = snapshotDir(dir, tag)
     if (!java.nio.file.Files.isDirectory(snap)) false
     else {
-      scala.util.Using.resource(java.nio.file.Files.list(snap)) {
-        _.iterator().asScala.toList.foreach(java.nio.file.Files.delete)
-      }
+      clearDir(snap)
       java.nio.file.Files.delete(snap)
       true
     }
@@ -423,8 +444,12 @@ object CellMaintenance {
     val b = ranged(dirB)
     val shards = math.min(runs.length, 16)
     val sortCols = Seq("pk", "ck", "col")
-    val toB = ship(a.except(b), dirB, shards, sortCols)
-    val toA = ship(b.except(a), dirA, shards, sortCols)
+    // exceptAll, not except: the digest is a MULTISET statement, so a
+    // duplicated identical record (a retried append) must also stream
+    // — set-based except would ship nothing, the digests would stay
+    // unequal, and repair would re-flag the bucket forever.
+    val toB = ship(a.exceptAll(b), dirB, shards, sortCols)
+    val toA = ship(b.exceptAll(a), dirA, shards, sortCols)
     RepairStats(mism.length, toA, toB)
   }
 
@@ -456,8 +481,10 @@ object CellMaintenance {
     val b = ranged(dirB)
     val shards = math.min(runs.length, 16)
     val sortCols = a.columns.toSeq // key parts lead the schema
-    val toB = ship(a.except(b), dirB, shards, sortCols)
-    val toA = ship(b.except(a), dirA, shards, sortCols)
+    // exceptAll: multiset delta, matching the multiset digest (see
+    // repairDefault)
+    val toB = ship(a.exceptAll(b), dirB, shards, sortCols)
+    val toA = ship(b.exceptAll(a), dirA, shards, sortCols)
     RepairStats(mism.length, toA, toB)
   }
 
@@ -470,9 +497,11 @@ object CellMaintenance {
       import org.apache.spark.sql.functions._
       val df = spark.read.format("graft.sources.CellSource")
         .option("withToken", "true").load(dir)
+      // arithmetic shift IS floor division by 2^shift; multi-arg
+      // xxhash64 avoids delimiter-ambiguity collisions (see rangeDiff)
       val dataCols = df.columns.filter(_ != "_token").map(col).toSeq
       df.select(expr(s"shiftright(_token, $tokenShift)").as("bucket"),
-        xxhash64(concat_ws(":", dataCols: _*)).as("h"))
+        xxhash64(dataCols: _*).as("h"))
         .groupBy(col("bucket"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("digest"))
     }

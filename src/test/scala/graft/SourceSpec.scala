@@ -2436,6 +2436,32 @@ class SourceSpec extends GraftSpec {
     assert(again == graft.sources.CellMaintenance.RepairStats(0, 0L, 0L))
   }
 
+  test("repair converges duplicated records and negative pks") {
+    import graft.sources.CellMaintenance
+    val dA = Files.createTempDirectory("cells-repdup-a").toString
+    val dB = Files.createTempDirectory("cells-repdup-b").toString
+    def flush(d: String, rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    val base = Seq((-100L, 0, "qty", 1L, 1L), (5L, 0, "qty", 2L, 1L))
+    flush(dA, base)
+    flush(dB, base)
+    // a RETRIED append: A holds the same record twice (multiset
+    // divergence the digest sees but a set-based except would not)
+    flush(dA, Seq((5L, 0, "qty", 2L, 1L)))
+    // and a genuinely missing NEGATIVE-pk cell on B (floor-division
+    // bucketing: truncation would place it outside the re-read run)
+    flush(dA, Seq((-200L, 0, "qty", 3L, 1L)))
+    val stats = CellMaintenance.repair(spark, dA, dB, bucketWidth = 64L)
+    assert(stats.cellsToB == 2, stats) // the dup copy + the -200 cell
+    assert(CellMaintenance.repair(spark, dA, dB, bucketWidth = 64L) ==
+      CellMaintenance.RepairStats(0, 0L, 0L))
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(dB).filter(col("pk") === -200L).count() == 1)
+  }
+
   // ---- C44: CEL9 value zone maps ----
 
   test("value range prunes chunks on the plain scan (C44, CEL9)") {
