@@ -60,6 +60,7 @@ object Bench {
       graft.sources.CellSnapshots.ensureReplicas(spark, sfDir)
       graft.sources.CellSnapshots.ensureRepaired(spark, sfDir)
       graft.sources.CellSnapshots.ensureKeyedRepaired(spark, sfDir)
+      graft.sources.CellSnapshots.ensureCellTtled(spark, sfDir)
       graft.sources.CellSnapshots.ensureSnapshotted(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",

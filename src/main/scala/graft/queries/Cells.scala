@@ -895,7 +895,26 @@ object Cells {
       |WHERE pk % 10 = 3
       |ORDER BY user, ck, col""".stripMargin
 
+  // C28b — PER-CELL TTL (CEL10, CQL `USING TTL`): qty cells of
+  // pk % 11 == 0 were written with their own relative ttl (stored as
+  // per-record absolute expiry — no `!ttl*` marker anywhere), and the
+  // reconciling merge drops expired winners at queryTime.
+  private def cellTtlScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readCellUnexpired(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val cellTtlSql = cte +
+    s"""SELECT col, CAST(COUNT(*) AS BIGINT) AS n_live,
+       |  CAST(SUM(value) AS BIGINT) AS sum_value
+       |FROM merged
+       |WHERE NOT (pk % 11 = 0 AND col = 'qty'
+       |  AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
+       |GROUP BY col ORDER BY col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),

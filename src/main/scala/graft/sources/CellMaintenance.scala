@@ -73,14 +73,19 @@ object CellMaintenance {
     // spec from a directory it is about to empty (part types resolve
     // from the rewrite's own schema).
     val spec = CellPlanning.keySpecOf(norm, files)
+    // Default-layout rewrites read + write `_expiry` so per-cell TTL
+    // (CEL10) survives compaction — Cassandra rewrites
+    // localExpirationTime with the cell for the same reason.
     val w = spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
+      .option("withTtl", spec.isDefault.toString)
       .option("counter", counter.toString)
       .option("gcGraceMs", grace.toString)
       .option("gcNowMs", nowMs.toString)
       .load(dir)
       .write.format("graft.sources.CellSource")
+      .option("withTtl", spec.isDefault.toString)
       .option("rollRecords", rollRecords.toString)
     (if (spec.isDefault) w
      else w.option("primaryKey",
@@ -147,12 +152,13 @@ object CellMaintenance {
       // each field type-tagged — no delimiter-ambiguity collisions
       // (a ':' joiner would alias col="a:b",value="c" with
       // col="a",value="b:c" on string-valued tables).
-      spark.read.format("graft.sources.CellSource").load(dir)
+      spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true").load(dir)
         .select(
           expr(s"(pk - pmod(pk, $bucketWidth)) div $bucketWidth")
             .as("bucket"),
           xxhash64(col("pk"), col("ck"), col("col"), col("value"),
-            col("wt")).as("h"))
+            col("wt"), col("_expiry")).as("h"))
         .groupBy(col("bucket"))
         // decimal(38,0) accumulator: a LONG sum would overflow under
         // ANSI; 38 digits holds ~10¹⁹ cells per bucket exactly
@@ -417,12 +423,14 @@ object CellMaintenance {
   }
 
   private def ship(delta: org.apache.spark.sql.DataFrame, dir: String,
-      shards: Int, sortCols: Seq[String]): Long = {
+      shards: Int, sortCols: Seq[String],
+      withExpiry: Boolean = false): Long = {
     val d = delta.persist()
     val n = d.count()
     if (n > 0)
       d.repartitionByRange(shards, sortCols.map(col): _*)
         .write.format("graft.sources.CellSource")
+        .option("withTtl", withExpiry.toString)
         .mode("append").save(dir)
     d.unpersist()
     n
@@ -437,7 +445,11 @@ object CellMaintenance {
       (lo * bucketWidth, hi * bucketWidth + bucketWidth - 1)
     }
     def ranged(dir: String) = runs.map { case (lo, hi) =>
-      spark.read.format("graft.sources.CellSource").load(dir)
+      // withTtl: deltas carry `_expiry`, so a shipped TTL'd cell
+      // lands on the peer with its expiry intact (the write side
+      // takes the trailing `_expiry` column)
+      spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true").load(dir)
         .filter(col("pk") >= lo && col("pk") <= hi)
     }.reduce(_ unionAll _)
     val a = ranged(dirA)
@@ -448,8 +460,10 @@ object CellMaintenance {
     // duplicated identical record (a retried append) must also stream
     // — set-based except would ship nothing, the digests would stay
     // unequal, and repair would re-flag the bucket forever.
-    val toB = ship(a.exceptAll(b), dirB, shards, sortCols)
-    val toA = ship(b.exceptAll(a), dirA, shards, sortCols)
+    val toB = ship(a.exceptAll(b), dirB, shards, sortCols,
+      withExpiry = true)
+    val toA = ship(b.exceptAll(a), dirA, shards, sortCols,
+      withExpiry = true)
     RepairStats(mism.length, toA, toB)
   }
 
@@ -626,12 +640,15 @@ object CellMaintenance {
         val p = JPaths.get(f)
         JFiles.createLink(scratch.resolve(p.getFileName), p)
       }
+      val tierSpec = CellPlanning.keySpecOf(norm, files)
       spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")
         .option("keepMarkers", "true")
+        .option("withTtl", tierSpec.isDefault.toString) // CEL10 expiry
         .option("counter", counter.toString)
         .load(scratch.toString)
         .write.format("graft.sources.CellSource")
+        .option("withTtl", tierSpec.isDefault.toString)
         .option("rollRecords", rollRecords.toString)
         .mode("append").save(dir) // publish BEFORE deleting inputs
       tier.foreach(f => JFiles.delete(JPaths.get(f)))

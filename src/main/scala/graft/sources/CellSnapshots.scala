@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{col, concat, lit, when}
 
 /** Materializes the deterministic synthetic cell relation
   * ([[graft.cassandra.CellModel.cells]]) as an SSTable-lite snapshot
@@ -296,6 +296,47 @@ object CellSnapshots {
     }
     dir.toString
   }
+
+  /** Per-CELL TTL fixture (CEL10, CQL `USING TTL`): the same cell
+    * relation, but the qty cells of pk % 11 == 0 carry their OWN
+    * relative ttl through the write's trailing `ttl` column — no
+    * `!ttl*` marker anywhere; expiry is stored per record.
+    */
+  def ensureCellTtled(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-cttl")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        val cm = graft.cassandra.CellModel
+        cm.cells(s, sfDir)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"),
+            col("wt").cast("long"),
+            when(col("pk") % 11 === 0 && col("col") === "qty",
+              lit(cm.TtlMs)).cast("long").as("ttl"))
+          .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("ttl", "true")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** Live cells of the per-cell-TTL'd snapshot at the model's query
+    * time — CEL10 expiry applied inside the merge.
+    */
+  def readCellUnexpired(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("queryTime", graft.cassandra.CellModel.QueryTimeMs.toString)
+      .load(ensureCellTtled(s, sfDir))
 
   /** Live (unexpired) cells of the TTL'd snapshot at the model's fixed
     * query time, expiry applied inside the connector's reader.

@@ -98,14 +98,37 @@ class CellSource extends TableProvider {
     // debugging). Plain typed scans only: the merge cursor projects
     // reconciled rows (no single source record), and default-layout
     // records carry no stored token (token == pk there — select pk).
-    if (options.getBoolean("withToken", false)) {
-      require(!options.getBoolean("reconcile", false),
-        "withToken applies to plain (non-reconcile) scans only")
-      require(!spec.isDefault,
-        "withToken needs a typed key layout (token == pk on the " +
-          "default layout; select pk instead)")
-      base.add(StructField("_token", LongType, nullable = false))
-    } else base
+    val withTok =
+      if (options.getBoolean("withToken", false)) {
+        require(!options.getBoolean("reconcile", false),
+          "withToken applies to plain (non-reconcile) scans only")
+        require(!spec.isDefault,
+          "withToken needs a typed key layout (token == pk on the " +
+            "default layout; select pk instead)")
+        base.add(StructField("_token", LongType, nullable = false))
+      } else base
+    // `withTtl=true`: surface the CEL10 per-record absolute expiry as
+    // `_expiry` (Long.MaxValue = never). Plain scans serve the raw
+    // record's expiry; reconcile scans the WINNING version's — well
+    // defined either way. On a WRITE, the same option declares a
+    // trailing `_expiry` data column (rewrites that must preserve
+    // stored expiry). `ttl=true` is the USER write shape — CQL
+    // `USING TTL`: a trailing nullable `ttl` column of RELATIVE ms
+    // (expiry = wt + ttl; NULL = never). Default layout only (typed
+    // records carry no expiry field).
+    val wantTtlCol = options.getBoolean("ttl", false)
+    val wantExpiry = options.getBoolean("withTtl", false)
+    require(!(wantTtlCol && wantExpiry),
+      "pass either ttl=true (relative write column) or withTtl=true " +
+        "(absolute _expiry column), not both")
+    if (wantTtlCol || wantExpiry) {
+      require(spec.isDefault,
+        "per-cell ttl needs the default key layout (typed tables do " +
+          "not store per-cell expiry)")
+      if (wantTtlCol)
+        withTok.add(StructField("ttl", LongType, nullable = true))
+      else withTok.add(StructField("_expiry", LongType, nullable = false))
+    } else withTok
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -583,6 +606,19 @@ object CellSource {
     */
   val Magic9 = 0x43454c39
 
+  /** "CEL10" (round 7): the CEL9 layout plus a PER-RECORD absolute
+    * expiry — CQL's `USING TTL` made durable the way Cassandra stores
+    * it (localExpirationTime per cell, not a table property). Records
+    * append expiry(8) after wt (`Long.MaxValue` = never expires); the
+    * reconciling merge drops winners whose effective expiry has
+    * passed `queryTime`, where a per-cell expiry OVERRIDES the
+    * `!ttl*` table default (Cassandra's precedence). Files holding no
+    * expiring cell keep writing CEL9 — the magic IS the has-expiry
+    * flag, so non-TTL tables pay zero bytes. Default key layout only
+    * (typed writes refuse a ttl column).
+    */
+  val Magic10 = 0x43454c3a
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
@@ -657,17 +693,20 @@ object CellSource {
       chunkMinCkT: Array[Any] = null, chunkMaxCkT: Array[Any] = null,
       // CEL9 VALUE zone maps (long-valued tables only); null arrays
       // for every other format / value tag → no value pruning
-      chunkMinV: Array[Long] = null, chunkMaxV: Array[Long] = null)
+      chunkMinV: Array[Long] = null, chunkMaxV: Array[Long] = null,
+      // CEL10: records carry a trailing absolute expiry long
+      hasExpiry: Boolean = false)
 
   private[sources] def readHeader(file: String): Header = {
     Using.resource(new DataInputStream(
         Files.newInputStream(Paths.get(file)))) { in =>
       val magic = in.readInt()
       require(magic == Magic || magic == Magic5 || magic == Magic6 ||
-        magic == Magic7 || magic == Magic8 || magic == Magic9,
+        magic == Magic7 || magic == Magic8 || magic == Magic9 ||
+        magic == Magic10,
         s"bad cell file magic in $file")
       val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7 ||
-        magic == Magic8 || magic == Magic9
+        magic == Magic8 || magic == Magic9 || magic == Magic10
       val headerLen = in.readInt()
       // CEL6/8 prefix: the typed key spec (pk parts, then ck parts).
       val spec =
@@ -718,10 +757,10 @@ object CellSource {
         offs(i) = in.readLong(); lens(i) = in.readInt(); recs(i) = in.readInt()
         raws(i) = if (v5) in.readInt() else recs(i) * RecordBytes
         wlo(i) = in.readLong(); whi(i) = in.readLong()
-        if (magic == Magic7 || magic == Magic9) {
+        if (magic == Magic7 || magic == Magic9 || magic == Magic10) {
           cklo(i) = in.readInt(); ckhi(i) = in.readInt()
           cmk(i) = in.readBoolean()
-          if (magic == Magic9 && in.readBoolean()) {
+          if ((magic == Magic9 || magic == Magic10) && in.readBoolean()) {
             if (vlo == null) {
               vlo = new Array[Long](nChunks); vhi = new Array[Long](nChunks)
               java.util.Arrays.fill(vlo, Long.MinValue)
@@ -746,7 +785,7 @@ object CellSource {
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
         raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec,
-        cklo, ckhi, cmk, cktlo, ckthi, vlo, vhi)
+        cklo, ckhi, cmk, cktlo, ckthi, vlo, vhi, magic == Magic10)
     }
   }
 
@@ -781,9 +820,23 @@ object CellSource {
   private[sources] def writeFileTyped(target: java.nio.file.Path,
       chunk: Seq[(Long, Int, String, Any, Long)], colNames: Array[String],
       valueTag: Int, decPrec: Int, decScale: Int, indexEvery: Int,
+      chunkRecords: Int): Unit =
+    writeFileTypedE(target,
+      chunk.map(c => (c._1, c._2, c._3, c._4, c._5, Long.MaxValue)),
+      colNames, valueTag, decPrec, decScale, indexEvery, chunkRecords)
+
+  /** Expiry-carrying form (CEL10): rows add an ABSOLUTE expiry ms
+    * (`Long.MaxValue` = never). Files with no expiring record write
+    * plain CEL9.
+    */
+  private[sources] def writeFileTypedE(target: java.nio.file.Path,
+      chunk: Seq[(Long, Int, String, Any, Long, Long)],
+      colNames: Array[String],
+      valueTag: Int, decPrec: Int, decScale: Int, indexEvery: Int,
       chunkRecords: Int): Unit = {
     require(colNames.length <= 255, "at most 255 distinct cell columns")
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
+    val hasExpiry = chunk.exists(_._6 != Long.MaxValue)
     // Deflate the data section chunk by chunk, recording the table.
     val data = new ByteArrayOutputStream()
     val offsets = Seq.newBuilder[(Long, Int, Int, Int, Long, Long, Int,
@@ -791,11 +844,12 @@ object CellSource {
     chunk.grouped(chunkRecords).foreach { recs =>
       val rawOut = new ByteArrayOutputStream()
       val rawDs = new DataOutputStream(rawOut)
-      recs.foreach { case (pk, ck, col, value, wt) =>
+      recs.foreach { case (pk, ck, col, value, wt, exp) =>
         rawDs.writeLong(pk); rawDs.writeInt(ck)
         rawDs.writeByte(colId(col))
         ValueCodec.write(rawDs, valueTag, value)
         rawDs.writeLong(wt)
+        if (hasExpiry) rawDs.writeLong(exp)
       }
       val raw = rawOut.toByteArray
       val deflater = new Deflater()
@@ -855,7 +909,7 @@ object CellSource {
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic9)
+      out.writeInt(if (hasExpiry) Magic10 else Magic9)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
@@ -2176,6 +2230,10 @@ private[sources] trait ReconcileCursor {
   def colName: String
   def value: Any
   def wt: Long
+  /** The winning version's CEL10 per-cell expiry (absolute ms;
+    * `Long.MaxValue` = never).
+    */
+  def expiry: Long
   def valueTag: Int
   def decPrec: Int
   def decScale: Int
@@ -2215,15 +2273,17 @@ private[sources] final class CellReverseCursor(part: CellReconcilePartition,
 
   var pk = 0L; var ck = 0; var colName: String = null
   var value: Any = null; var wt = 0L
+  var expiry = Long.MaxValue
 
   private var innerValid = inner.nextWinner()
   // the current partition's surviving rows, one entry per ck in
   // ASCENDING order; emitted back-to-front
   private val groups = new java.util.ArrayDeque[
-    (Int, scala.collection.mutable.ArrayBuffer[(String, Any, Long)])]()
+    (Int, scala.collection.mutable.ArrayBuffer[(String, Any, Long, Long)])]()
   private var bufferedRows = 0
   private var outPk = 0L
-  private var emit: Iterator[(Int, String, Any, Long)] = Iterator.empty
+  private var emit: Iterator[(Int, String, Any, Long, Long)] =
+    Iterator.empty
 
   /** Buffer the next partition's winners; false when drained. */
   private def fillNextPk(): Boolean = {
@@ -2237,7 +2297,8 @@ private[sources] final class CellReverseCursor(part: CellReconcilePartition,
         if (ppl != Int.MaxValue && groups.size > ppl)
           bufferedRows -= groups.removeFirst()._2.size // tail ring
       }
-      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt))
+      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt,
+        inner.expiry))
       bufferedRows += 1
       if (bufferedRows > maxRows)
         throw new IllegalStateException(
@@ -2246,25 +2307,26 @@ private[sources] final class CellReverseCursor(part: CellReconcilePartition,
       innerValid = inner.nextWinner()
     }
     outPk = cur
-    emit = new Iterator[(Int, String, Any, Long)] {
+    emit = new Iterator[(Int, String, Any, Long, Long)] {
       private val it = groups.descendingIterator()
-      private var row: Iterator[(Int, String, Any, Long)] = Iterator.empty
+      private var row: Iterator[(Int, String, Any, Long, Long)] =
+        Iterator.empty
       def hasNext: Boolean = {
         while (!row.hasNext && it.hasNext) {
           val (c, cells) = it.next()
-          row = cells.iterator.map(x => (c, x._1, x._2, x._3))
+          row = cells.iterator.map(x => (c, x._1, x._2, x._3, x._4))
         }
         row.hasNext
       }
-      def next(): (Int, String, Any, Long) = { hasNext; row.next() }
+      def next(): (Int, String, Any, Long, Long) = { hasNext; row.next() }
     }
     true
   }
 
   def nextWinner(): Boolean = {
     while (!emit.hasNext) if (!fillNextPk()) return false
-    val (c, n, v, w) = emit.next()
-    pk = outPk; ck = c; colName = n; value = v; wt = w
+    val (c, n, v, w, e) = emit.next()
+    pk = outPk; ck = c; colName = n; value = v; wt = w; expiry = e
     true
   }
 
@@ -2300,6 +2362,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
     private var remaining = 0
     var pk = 0L; var ck = 0; var colName: String = null
     var value: Any = null; var wt = 0L
+    var exp = Long.MaxValue // CEL10 per-record expiry
     /** Next record inside [pkLo, pkHi]; false (and closed) when done. */
     def advance(): Boolean = {
       while (true) {
@@ -2313,6 +2376,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
           colName = p.colNames(b.get() & 0xff)
           value = ValueCodec.read(b, p.valueTag, p.decPrec, p.decScale)
           wt = b.getLong()
+          exp = if (p.hasExpiry) b.getLong() else Long.MaxValue
           if (pk >= part.pkLo && pk <= part.pkHi) return true
         }
         if (!cursor.nextChunk()) { cursor.close(); return false }
@@ -2339,6 +2403,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
   // The current winner, valid after nextWinner() returns true.
   var pk = 0L; var ck = 0; var colName: String = null
   var value: Any = null; var wt = 0L
+  var expiry = Long.MaxValue // the WINNING version's per-cell expiry
 
   // Tombstone state, carried across the sorted key stream (markers
   // sort FIRST: '!' precedes every alphanumeric column name, and
@@ -2379,7 +2444,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
     pk = s.pk; ck = s.ck; colName = s.colName
     val sumShards = opts.counter &&
       !(colName.length > 0 && colName.charAt(0) == '!')
-    var bwt = s.wt; var bval = s.value
+    var bwt = s.wt; var bval = s.value; var bexp = s.exp
     if (s.advance()) heap.add(s)
     // Drain every version of this key (later versions of the same key
     // in the same file re-enter the heap on advance).
@@ -2389,15 +2454,15 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
       val t = heap.poll()
       if (sumShards) {
         bval = ValueCodec.add(valueTag, bval, t.value)
-        if (t.wt > bwt) bwt = t.wt
+        if (t.wt > bwt) { bwt = t.wt; bexp = t.exp }
       } else if (t.wt > bwt || (t.wt == bwt &&
           ValueCodec.compare(valueTag, t.value, bval) > 0)) {
-        bwt = t.wt; bval = t.value
+        bwt = t.wt; bval = t.value; bexp = t.exp
       }
       if (t.advance()) heap.add(t)
       top = heap.peek()
     }
-    wt = bwt; value = bval
+    wt = bwt; value = bval; expiry = bexp
     true
   }
 
@@ -2484,8 +2549,16 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         val coveredByRange = rangeDel.nonEmpty && rangeDel.exists {
           case (lo, hi, ts) => ck >= lo && ck <= hi && wt <= ts
         }
-        val expired = ttlMs != Long.MinValue &&
-          queryTime != Long.MaxValue && wt + ttlMs < queryTime
+        // Effective expiry: a per-cell expiry (CEL10, `USING TTL`)
+        // OVERRIDES the `!ttl*` table default — Cassandra's own
+        // precedence — and the table default applies only to cells
+        // without one.
+        val effExp =
+          if (expiry != Long.MaxValue) expiry
+          else if (ttlMs != Long.MinValue) wt + ttlMs
+          else Long.MaxValue
+        val expired = effExp != Long.MaxValue &&
+          queryTime != Long.MaxValue && effExp < queryTime
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
             !coveredByRange && !expired) {
           if (ppLimit == Int.MaxValue) return true
@@ -2516,7 +2589,7 @@ class CellReconcileReader(part: CellReconcilePartition,
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
   private val projIdx: Array[Int] =
-    cols.map(c => fullSchema.fieldIndex(c))
+    cols.map(c => if (c == "_expiry") 5 else fullSchema.fieldIndex(c))
   private var row: InternalRow = _
 
   override def next(): Boolean = {
@@ -2530,6 +2603,7 @@ class CellReconcileReader(part: CellReconcilePartition,
         case 2 => UTF8String.fromString(cursor.colName)
         case 3 => cursor.value
         case 4 => cursor.wt
+        case 5 => cursor.expiry
       }
       i += 1
     }
@@ -2555,9 +2629,13 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)
   private val fullSchema = CellSource.schemaFor(valueType)
+  // 5 = the CEL10 pseudo-column `_expiry` (the winner's expiry)
   private val projIdx: Array[Int] =
-    cols.map(c => fullSchema.fieldIndex(c))
-  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+    cols.map(c => if (c == "_expiry") 5 else fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map {
+    case 5 => StructField("_expiry", LongType, nullable = false)
+    case f => fullSchema(f)
+  })
   private var batch: ColumnarBatch = _
 
   private def putValue(vec: OnHeapColumnVector, n: Int, v: Any): Unit =
@@ -2592,6 +2670,7 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
             vectors(i).putByteArray(n, b, 0, b.length)
           case 3 => putValue(vectors(i), n, cursor.value)
           case 4 => vectors(i).putLong(n, cursor.wt)
+          case 5 => vectors(i).putLong(n, cursor.expiry)
         }
         i += 1
       }
@@ -2683,9 +2762,29 @@ class CellWriteBuilder(path: String, schema: StructType,
     val spec = existingHeader.map(_.keySpec)
       .orElse(declared).getOrElse(KeySpec.Default)
     val want = CellSource.schemaFor(spec, valueType)
-    require(schema.fieldNames.sameElements(want.fieldNames),
-      s"cell write needs columns ${want.fieldNames.mkString(",")}, " +
-        s"got ${schema.fieldNames.mkString(",")}")
+    // CQL `USING TTL` (CEL10): the base schema may carry ONE trailing
+    // TTL column — `ttl` (relative ms; expiry = wt + ttl) on user
+    // writes, or `_expiry` (absolute ms) on rewrites that must
+    // preserve stored expiry (compaction, repair). NULL = no expiry.
+    // Default key layout only: typed records don't store expiry.
+    val ttlMode: Int =
+      if (schema.fieldNames.sameElements(want.fieldNames)) 0
+      else if (spec.isDefault &&
+          schema.fieldNames.sameElements(want.fieldNames :+ "ttl")) 1
+      else if (spec.isDefault &&
+          schema.fieldNames.sameElements(want.fieldNames :+ "_expiry")) 2
+      else {
+        require(false,
+          s"cell write needs columns ${want.fieldNames.mkString(",")}" +
+            (if (spec.isDefault) " (+ optional trailing ttl | _expiry)"
+             else " (typed tables take no ttl column)") +
+            s", got ${schema.fieldNames.mkString(",")}")
+        0
+      }
+    if (ttlMode > 0)
+      require(schema.fields.last.dataType == LongType,
+        s"'${schema.fieldNames.last}' must be bigint (ms), got " +
+          schema.fields.last.dataType.simpleString)
     (spec.pkParts ++ spec.ckParts).foreach(p =>
       require(ValueCodec.tagFor(schema(p.name).dataType) == p.tag,
         s"key part '${p.name}' is ${schema(p.name).dataType.simpleString}" +
@@ -2694,11 +2793,11 @@ class CellWriteBuilder(path: String, schema: StructType,
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new CellBatchWrite(path, truncateFirst, rollRecords,
-          valueTag, decPrec, decScale, spec)
+          valueTag, decPrec, decScale, spec, ttlMode)
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new CellStreamingWrite(path, rollRecords, valueTag, decPrec,
-          decScale, spec)
+          decScale, spec, ttlMode)
     }
   }
 }
@@ -2730,7 +2829,8 @@ class CellWriteBuilder(path: String, schema: StructType,
   * deletion content-safe besides.)
   */
 class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
-    decPrec: Int, decScale: Int, spec: KeySpec = KeySpec.Default)
+    decPrec: Int, decScale: Int, spec: KeySpec = KeySpec.Default,
+    ttlMode: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2738,7 +2838,7 @@ class CellStreamingWrite(path: String, rollRecords: Int, valueTag: Int,
       info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory =
     new CellStreamingWriterFactory(path, rollRecords, valueTag, decPrec,
-      decScale, spec)
+      decScale, spec, ttlMode)
 
   private def epochsFile =
     Paths.get(CellPlanning.normalize(path)).resolve("_epochs")
@@ -2846,14 +2946,14 @@ private[sources] object EpochIntent {
 
 class CellStreamingWriterFactory(path: String, rollRecords: Int,
     valueTag: Int, decPrec: Int, decScale: Int,
-    spec: KeySpec = KeySpec.Default)
+    spec: KeySpec = KeySpec.Default, ttlMode: Int = 0)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
-      decPrec, decScale, spec)
+      decPrec, decScale, spec, ttlMode)
 }
 
 case class CellCommitMessage(stagedFiles: Seq[String])
@@ -2861,14 +2961,14 @@ case class CellCommitMessage(stagedFiles: Seq[String])
 
 class CellBatchWrite(path: String, truncateFirst: Boolean,
     rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int,
-    spec: KeySpec = KeySpec.Default)
+    spec: KeySpec = KeySpec.Default, ttlMode: Int = 0)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new CellDataWriterFactory(path, rollRecords, valueTag, decPrec,
-      decScale, spec)
+      decScale, spec, ttlMode)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(CellPlanning.normalize(path))
@@ -2941,21 +3041,21 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
 
 class CellDataWriterFactory(path: String, rollRecords: Int,
     valueTag: Int, decPrec: Int, decScale: Int,
-    spec: KeySpec = KeySpec.Default)
+    spec: KeySpec = KeySpec.Default, ttlMode: Int = 0)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new CellDataWriter(path, partitionId, taskId, rollRecords, valueTag,
-      decPrec, decScale, spec)
+      decPrec, decScale, spec, ttlMode)
 }
 
 class CellDataWriter(path: String, partitionId: Int, taskId: Long,
     rollRecords: Int, valueTag: Int, decPrec: Int, decScale: Int,
-    spec: KeySpec = KeySpec.Default)
+    spec: KeySpec = KeySpec.Default, ttlMode: Int = 0)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   require(rollRecords > 0, s"rollRecords must be positive, got $rollRecords")
-  private val rows =
-    scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Any, Long)]
+  private val rows = scala.collection.mutable.ArrayBuffer
+    .empty[(Long, Int, String, Any, Long, Long)]
   private val krows =
     scala.collection.mutable.ArrayBuffer.empty[CellSource.KeyedRec]
   private val staged = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2964,11 +3064,19 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
   private val nCk = spec.ckParts.length
 
   override def write(r: InternalRow): Unit = {
-    if (spec.isDefault)
+    if (spec.isDefault) {
+      val wt = r.getLong(4)
+      // CQL USING TTL: col 5 is `ttl` (relative; expiry = wt + ttl)
+      // or `_expiry` (absolute); NULL = never expires.
+      val exp = ttlMode match {
+        case 1 => if (r.isNullAt(5)) Long.MaxValue else wt + r.getLong(5)
+        case 2 => if (r.isNullAt(5)) Long.MaxValue else r.getLong(5)
+        case _ => Long.MaxValue
+      }
       rows += ((r.getLong(0), r.getInt(1), r.getUTF8String(2).toString,
         ValueCodec.fromRow(r, 3, valueTag, decPrec, decScale),
-        r.getLong(4)))
-    else {
+        wt, exp))
+    } else {
       // CEL6: typed key parts lead the row; the partition token is
       // computed HERE, once per cell, and carried through the file.
       val pkVals = new Array[Any](nPk)
@@ -3014,8 +3122,8 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
         else ValueCodec.compare(valueTag, a._4, b._4) < 0
       }.toSeq
       val colNames = sorted.iterator.map(_._3).toArray.distinct.sorted
-      CellSource.writeFileTyped(file, sorted, colNames, valueTag, decPrec,
-        decScale, CellSource.DefaultIndexEvery,
+      CellSource.writeFileTypedE(file, sorted, colNames, valueTag,
+        decPrec, decScale, CellSource.DefaultIndexEvery,
         CellSource.DefaultChunkRecords)
     } else {
       val sorted = krows.sortWith(CellSource.keyedLess(spec)).toSeq
@@ -3454,7 +3562,7 @@ private[sources] object CellPlanning {
           cs.map(h.chunkOffsets).toArray, cs.map(h.chunkLens).toArray,
           cs.map(h.chunkRecCounts).toArray, cs.map(h.chunkRawLens).toArray,
           h.valueTag, h.decPrec, h.decScale, h.colNames,
-          h.keySpec): InputPartition
+          h.keySpec, h.hasExpiry): InputPartition
       }.toSeq
     }
   }
@@ -3532,7 +3640,8 @@ case class CellInputPartition(file: String, dataStart: Long,
     chunkRecCounts: Array[Int], chunkRawLens: Array[Int],
     valueTag: Int, decPrec: Int, decScale: Int,
     colNames: Array[String],
-    keySpec: KeySpec = KeySpec.Default) extends InputPartition
+    keySpec: KeySpec = KeySpec.Default,
+    hasExpiry: Boolean = false) extends InputPartition
 
 /** Pushed-LIMIT caps (see [[CellScanBuilder.pushLimit]]): stop a
   * partition reader after n output rows — later chunks are never even
@@ -3643,9 +3752,11 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
   private var remainingInChunk = 0
   private var row: InternalRow = _
   // Column projection is precomputed once: projIdx(i) = field of the
-  // full record to emit at output position i (C9).
+  // full record to emit at output position i (C9); 5 = the CEL10
+  // pseudo-column `_expiry` (withTtl scans).
   private val projIdx: Array[Int] =
-    cols.map(c => CellSource.Schema.fieldIndex(c))
+    cols.map(c =>
+      if (c == "_expiry") 5 else CellSource.Schema.fieldIndex(c))
   private val colUtf8: Array[UTF8String] =
     part.colNames.map(UTF8String.fromString)
 
@@ -3663,8 +3774,9 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
         val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
           part.decScale)
         val wt = buf.getLong()
+        val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
         if (pk >= pkLower && pk <= pkUpper) {
-          val full = Array[Any](pk, ck, colUtf8(colId), value, wt)
+          val full = Array[Any](pk, ck, colUtf8(colId), value, wt, exp)
           row = InternalRow.fromSeq(projIdx.map(full).toSeq)
           return true
         }
@@ -3689,9 +3801,13 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
   private val valueType: DataType =
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
   private val fullSchema = CellSource.schemaFor(valueType)
+  // 5 = the CEL10 pseudo-column `_expiry` (withTtl scans)
   private val projIdx: Array[Int] =
-    cols.map(c => fullSchema.fieldIndex(c))
-  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+    cols.map(c => if (c == "_expiry") 5 else fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map {
+    case 5 => StructField("_expiry", LongType, nullable = false)
+    case f => fullSchema(f)
+  })
   private val colNameBytes: Array[Array[Byte]] =
     part.colNames.map(_.getBytes("UTF-8"))
   private var batch: ColumnarBatch = _
@@ -3734,6 +3850,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
         val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
           part.decScale)
         val wt = buf.getLong()
+        val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
         if (pk >= pkLower && pk <= pkUpper) {
           var i = 0
           while (i < projIdx.length) {
@@ -3745,6 +3862,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
                 vectors(i).putByteArray(n, b, 0, b.length)
               case 3 => putValue(vectors(i), n, value)
               case 4 => vectors(i).putLong(n, wt)
+              case 5 => vectors(i).putLong(n, exp)
             }
             i += 1
           }

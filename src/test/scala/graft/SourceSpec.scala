@@ -2400,6 +2400,103 @@ class SourceSpec extends GraftSpec {
     }
   }
 
+  // ---- CEL10: per-cell TTL (USING TTL) ----
+
+  test("per-cell TTL: write with ttl, expire at queryTime, raw survives") {
+    val d = Files.createTempDirectory("cells-ttl10").toString
+    // pk=1 expires at 1000+50=1050; pk=2 never (null ttl)
+    Seq((1L, 0, "qty", 10L, 1000L, Some(50L)),
+      (2L, 0, "qty", 20L, 1000L, None))
+      .toDF("pk", "ck", "col", "value", "wt", "ttl")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("ttl", "true")
+      .mode("append").save(d)
+    def rec(qt: Long) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", qt.toString)
+      .load(d)
+    // before expiry both live; after, only the non-TTL'd cell
+    assert(rec(1040L).count() == 2)
+    assert(rec(2000L).select("pk").as[Long].collect().toSet == Set(2L))
+    // the raw (plain) view still serves the expired record, and
+    // withTtl surfaces its absolute expiry
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d)
+    assert(raw.count() == 2)
+    assert(raw.filter(col("pk") === 1L).select("_expiry")
+      .as[Long].head() == 1050L)
+    assert(raw.filter(col("pk") === 2L).select("_expiry")
+      .as[Long].head() == Long.MaxValue)
+  }
+
+  test("per-cell TTL overrides the table default and survives compaction") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-ttl10c").toString
+    // partition-default TTL = 100ms via the !ttl* marker (per-pk
+    // state in the merge), on BOTH partitions...
+    Seq((1L, Int.MinValue, CellSource.PartitionTtl, 100L, 0L),
+      (2L, Int.MinValue, CellSource.PartitionTtl, 100L, 0L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // ...but pk=1's cell carries its own LONGER ttl (10_000ms), and
+    // pk=2's cell has none (default applies)
+    Seq((1L, 0, "qty", 1L, 1000L, Some(10000L)),
+      (2L, 0, "qty", 2L, 1000L, None))
+      .toDF("pk", "ck", "col", "value", "wt", "ttl")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("ttl", "true")
+      .mode("append").save(d)
+    def rec(qt: Long) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", qt.toString)
+      .load(d)
+    // at t=2000: default (1000+100) expired pk=2; pk=1's own ttl wins
+    assert(rec(2000L).select("pk").as[Long].collect().toSet == Set(1L))
+    // compaction preserves per-cell expiry AND the default marker
+    CellMaintenance.compact(spark, d)
+    assert(rec(2000L).select("pk").as[Long].collect().toSet == Set(1L))
+    assert(rec(20000L).count() == 0) // pk=1 expires past its own ttl
+  }
+
+  test("repair ships per-cell expiry with the delta") {
+    import graft.sources.CellMaintenance
+    val dA = Files.createTempDirectory("cells-ttlrep-a").toString
+    val dB = Files.createTempDirectory("cells-ttlrep-b").toString
+    val common = Seq((1L, 0, "qty", 1L, 1000L, None: Option[Long]))
+    def w(d: String, rows: Seq[(Long, Int, String, Long, Long, Option[Long])]) =
+      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("ttl", "true")
+        .mode("append").save(d)
+    w(dA, common); w(dB, common)
+    w(dA, Seq((5L, 0, "qty", 5L, 1000L, Some(500L)))) // TTL'd, A-only
+    CellMaintenance.repair(spark, dA, dB, bucketWidth = 64L)
+    val rawB = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(dB)
+    assert(rawB.filter(col("pk") === 5L).select("_expiry")
+      .as[Long].head() == 1500L)
+  }
+
+  test("typed tables refuse a ttl column and withTtl scans") {
+    val d = Files.createTempDirectory("cells-ttl-typed").toString
+    val e = intercept[Exception] {
+      Seq(("u", 0, "qty", 1L, 1L, Some(5L)))
+        .toDF("user", "ck", "col", "value", "wt", "ttl")
+        .write.format("graft.sources.CellSource")
+        .option("ttl", "true")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(d)
+    }
+    assert(e.getMessage.contains("ttl") ||
+      Option(e.getCause).exists(_.getMessage.contains("ttl")),
+      e.getMessage)
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true").load(kdir).collect()
+    }
+  }
+
   // ---- C42: anti-entropy repair ----
 
   private def replicaPair(): (String, String) = {
