@@ -913,7 +913,27 @@ object Cells {
        |  AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
        |GROUP BY col ORDER BY col""".stripMargin
 
+  // C47 — QUORUM read: the reconcile merge across REPLICA
+  // directories (Cassandra's multi-replica data read — every replica
+  // contributes its flushes to one k-way LWW merge, folding
+  // divergence at read time without writing anything). The fixture
+  // replicas are DIVERGENT (each missing a disjoint range), so
+  // neither alone reconciles to `merged` — the quorum read must.
+  private def quorumRead(s: SparkSession, d: String): DataFrame = {
+    val (dirA, dirB) = CellSnapshots.ensureReplicas(s, d)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("replicas", dirB)
+      .load(dirA)
+      .filter(col("pk") % 10 === 9)
+      .orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val quorumReadSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 9
+      |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),

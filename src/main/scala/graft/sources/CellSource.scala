@@ -1168,7 +1168,11 @@ class CellTable(path: String,
           o.getInt("perPartitionLimit", Int.MaxValue),
         reverse = o.getBoolean("reverse", false),
         reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20)),
-      keySpec, tokLo, tokHi)
+      keySpec, tokLo, tokHi,
+      // C47 quorum read: comma-separated replica dirs merged into
+      // this table's reconcile
+      Option(o.get("replicas")).map(_.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1458,7 +1462,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     reconcileOpts: ReconcileOptions = ReconcileOptions(),
     spec: KeySpec = KeySpec.Default,
     tokenLo: Long = Long.MinValue,
-    tokenHi: Long = Long.MaxValue)
+    tokenHi: Long = Long.MaxValue,
+    replicas: Seq[String] = Nil)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -1860,7 +1865,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
         subsplitRecords, columnar,
         reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper,
           ckSlice = typedSlice),
-        pkSet, spec, limit)
+        pkSet, spec, limit, replicas)
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper,
@@ -2006,7 +2011,12 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     opts: ReconcileOptions = ReconcileOptions(),
     staticPks: Option[Set[Long]] = None,
     spec: KeySpec = KeySpec.Default,
-    limit: Int = Int.MaxValue) extends Scan with Batch
+    limit: Int = Int.MaxValue,
+    // C47 quorum read: extra REPLICA directories whose flush files
+    // join this table's in the k-way merge — Cassandra's multi-replica
+    // read (digest-free data read from every replica), LWW folding
+    // divergence exactly as repair would, without writing anything.
+    replicas: Seq[String] = Nil) extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -2079,36 +2089,45 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     if (vals.exists(_.isEmpty)) return Array.empty
     val pkLo = vals.map(v => math.max(pkLower, v.min)).getOrElse(pkLower)
     val pkHi = vals.map(v => math.min(pkUpper, v.max)).getOrElse(pkUpper)
-    val files = CellPlanning.listFiles(path)
+    // All roots contribute flush files to ONE merge (C47): per-root
+    // manifests pre-filter their own files; entries key on the FULL
+    // path because replicas reuse flush indices/names.
+    val perRoot = (path +: replicas).map { r =>
+      val fs = CellPlanning.listFiles(r)
+      (CellPlanning.normalize(r), fs, CellManifest.current(r, fs))
+    }
+    val files = perRoot.flatMap(_._2)
+    val entryByPath: Map[String, CellManifest.Entry] =
+      perRoot.flatMap { case (norm, _, mOpt) =>
+        mOpt.toSeq.flatten.map(e => s"$norm/${e.name}" -> e)
+      }.toMap
     // Manifest pre-filter: the Summary range/emptiness check runs on
     // summary entries, so files a pk-bounded merge never touches are
     // pruned without a header open; survivors still need their FULL
     // header (sparse index → split bounds, chunk table → narrowing).
-    val byName = CellManifest.current(path, files)
-      .map(_.map(e => e.name -> e).toMap)
     val opened = files
-      .filter { f =>
-        byName.flatMap(_.get(Paths.get(f).getFileName.toString))
-          .forall(e =>
-            e.count > 0 && e.maxPk >= pkLo && e.minPk <= pkHi)
-      }
+      .filter(f => entryByPath.get(f).forall(e =>
+        e.count > 0 && e.maxPk >= pkLo && e.minPk <= pkHi))
       .map(f => (f, CellSource.readHeader(f)))
     // Value-type uniformity is a TABLE property, so the guard must run
     // over every non-empty file, not just pruning survivors — a
     // pre-existing mixed-type dir whose odd-typed file happens to be
-    // pruned would otherwise silently serve wrong-typed winners. With
-    // a fresh manifest the full check is free (types are in the
-    // entries); without one, every header was opened above anyway.
-    val tableTypes = byName match {
-      case Some(m) => files
-        .flatMap(f => m.get(Paths.get(f).getFileName.toString))
-        .filter(_.count > 0)
-        .map(e => (e.valueTag, e.decPrec, e.decScale)).distinct
-      case None => opened.filter(_._2.count > 0)
-        .map(h => (h._2.valueTag, h._2.decPrec, h._2.decScale)).distinct
-    }
+    // pruned would otherwise silently serve wrong-typed winners. A
+    // root with a fresh manifest covers its files via entries (free);
+    // a manifest-less root's files were all opened above anyway.
+    val tableTypes = (files.flatMap(entryByPath.get)
+      .filter(_.count > 0)
+      .map(e => (e.valueTag, e.decPrec, e.decScale)) ++
+      opened.filter { case (f, h) =>
+        !entryByPath.contains(f) && h.count > 0
+      }.map { case (_, h) => (h.valueTag, h.decPrec, h.decScale) })
+      .distinct
     require(tableTypes.size <= 1,
-      s"reconcile scan needs a uniform value type across files in $path")
+      s"reconcile scan needs a uniform value type across files in " +
+        s"$path${if (replicas.nonEmpty) replicas.mkString(" + ", ",", "")
+        else ""}")
+    require(opened.forall(_._2.keySpec == spec),
+      s"replica dirs must share the table's key layout (${spec.serial})")
     val headers = opened.filter { case (_, h) =>
       h.count > 0 && h.maxPk >= pkLo && h.minPk <= pkHi &&
         vals.forall(_.exists(v => v >= h.minPk && v <= h.maxPk &&

@@ -2746,6 +2746,34 @@ class SourceSpec extends GraftSpec {
       .as[Long].head() == 11L)
   }
 
+  test("quorum read merges divergent replicas without writing (C47)") {
+    val (dA, dB) = replicaPair()
+    def quorum() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("replicas", dB).load(dA)
+    // neither replica alone holds everything; the quorum read does
+    assert(quorum().count() == 2000)
+    // LWW across replicas: a newer version on B wins over A's
+    Seq((50L, 0, "qty", 999L, 2000L)).toDF("pk", "ck", "col", "value", "wt")
+      .write.format("graft.sources.CellSource").mode("append").save(dB)
+    assert(quorum().filter(col("pk") === 50L && col("col") === "qty")
+      .select("value").as[Long].head() == 999L)
+    // nothing was written to either replica by reading
+    val aOnly = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dA)
+    assert(aOnly.filter(col("pk") === 150L && col("col") === "price")
+      .count() == 0)
+    // point lookups prune files across BOTH roots
+    val one = quorum().filter(col("pk") === 700L)
+    assert(one.rdd.getNumPartitions <= 2 && one.count() == 2)
+    // a mismatched-layout replica refuses
+    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("replicas", kdir)
+        .load(dA).collect()
+    }
+  }
+
   test("repair ships tombstones: a delete on one replica lands on both") {
     val (dA, dB) = replicaPair()
     import org.apache.spark.sql.sources.EqualTo
