@@ -2746,6 +2746,25 @@ class SourceSpec extends GraftSpec {
       .as[Long].head() == 11L)
   }
 
+  test("CDC stream reads CEL10 (expiry-carrying) flushes") {
+    val d = Files.createTempDirectory("cells-stream-ttl").toString
+    Seq((1L, 0, "qty", 10L, 1000L, Some(50L)),
+      (2L, 0, "qty", 20L, 1000L, None))
+      .toDF("pk", "ck", "col", "value", "wt", "ttl")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("ttl", "true").mode("append").save(d)
+    val q = spark.readStream.format("graft.sources.CellSource").load(d)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("streamttl")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // raw CDC serves every record of the CEL10 flush (expiry is
+      // storage metadata; the stream's schema is the plain 5 columns)
+      assert(spark.table("streamttl").head().getLong(0) === 2L)
+    } finally q.stop()
+  }
+
   test("quorum read merges divergent replicas without writing (C47)") {
     val (dA, dB) = replicaPair()
     def quorum() = spark.read.format("graft.sources.CellSource")
