@@ -932,7 +932,29 @@ object Cells {
     """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 9
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C48 — READ repair: after a quorum read of a fixed pk probe set,
+  // CellMaintenance.readRepair shipped each replica the versions it
+  // lacked for EXACTLY those partitions (scoped per-read convergence,
+  // vs C42's full anti-entropy sweep). Replica A — missing every
+  // 'price' cell in [1000, 3000) before the repair — now answers a
+  // SOLO reconciled read of the probe set identically to the
+  // full-table merge; the probe reads through the pushed `pk IN`
+  // multiget on both the repair and this query.
+  private def readRepairRead(s: SparkSession, d: String): DataFrame = {
+    val (dirA, _) = CellSnapshots.ensureReadRepaired(s, d)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dirA)
+      .filter(col("pk").isin(CellSnapshots.ReadRepairPks: _*))
+      .orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val readRepairSql = cte +
+    s"""SELECT pk, ck, col, value, wt FROM merged
+       |WHERE pk IN (${CellSnapshots.ReadRepairPks.mkString(", ")})
+       |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),

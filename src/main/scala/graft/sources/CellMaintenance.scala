@@ -390,8 +390,8 @@ object CellMaintenance {
     * same reason).
     *
     * Both tables must share value type and key layout (the append
-    * write validates). Typed-key (CEL6) tables would bucket by TOKEN
-    * rather than pk; not wired yet — default-layout tables only.
+    * write validates). Typed-key (CEL6/8) tables bucket by TOKEN
+    * (`_token >> tokenShift`) and re-read through `tokenRange`.
     */
   def repair(spark: SparkSession, dirA: String, dirB: String,
       bucketWidth: Long = 1024L, tokenShift: Int = 48): RepairStats = {
@@ -500,6 +500,52 @@ object CellMaintenance {
     val toB = ship(a.exceptAll(b), dirB, shards, sortCols)
     val toA = ship(b.exceptAll(a), dirA, shards, sortCols)
     RepairStats(mism.length, toA, toB)
+  }
+
+  /** C48 — READ repair: Cassandra's per-read convergence path, as
+    * opposed to [[repair]]'s full anti-entropy sweep. When a quorum
+    * read (C47 `replicas=`) touches a handful of partitions, the
+    * coordinator reconciles the replicas' versions and writes the
+    * difference BACK to whichever replicas were stale — scoped to
+    * exactly the partitions read, not the whole ring.
+    *
+    * Mechanics here: each root's RAW cells of the queried pks are read
+    * through the pushed `pk IN (...)` multiget (Summary + bloom prune
+    * files per value — the read path is k point reads per replica, not
+    * a table scan), the distinct union across roots is the quorum
+    * version set, and each root receives `union EXCEPT own` as one
+    * appended flush. After that every replica's SOLO reconciled read
+    * of those pks equals the quorum read (LWW folds the shipped
+    * versions identically everywhere). Tombstone/TTL markers at those
+    * pks are ordinary sort-first rows in the raw scan, so deletions
+    * read-repair exactly like writes; `withTtl` carries per-cell
+    * expiry intact (CEL10). Idempotent: a second call ships 0.
+    *
+    * Distinct (set) union is deliberate, unlike [[repair]]'s multiset
+    * deltas: read repair's contract is agreement of the RECONCILED
+    * views (≥1 copy of each version suffices), not digest equality —
+    * Cassandra's read repair likewise ships the merged mutation, not
+    * the full version history. Default-layout tables (pk long); typed
+    * tables converge via [[repair]]'s token buckets instead.
+    *
+    * Returns shipped-cell count per root, in `roots` order.
+    */
+  def readRepair(spark: SparkSession, roots: Seq[String],
+      pks: Seq[Long]): Seq[(String, Long)] = {
+    require(roots.size >= 2, "read repair needs at least two replicas")
+    require(pks.nonEmpty, "read repair is per-read: pass the read's pks")
+    def cellsOf(dir: String) =
+      spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true").load(dir)
+        .filter(col("pk").isin(pks: _*))
+    val own = roots.map(r => r -> cellsOf(r))
+    val quorum = own.map(_._2).reduce(_ unionAll _).distinct().persist()
+    val shipped = own.map { case (r, mine) =>
+      r -> ship(quorum.except(mine), r, 1, Seq("pk", "ck", "col"),
+        withExpiry = true)
+    }
+    quorum.unpersist()
+    shipped
   }
 
   /** Typed twin of [[rangeDiff]]: per-token-bucket sum-of-hashes

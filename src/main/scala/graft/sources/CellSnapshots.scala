@@ -615,6 +615,44 @@ object CellSnapshots {
   def ensureReplicas(s: SparkSession, sfDir: String): (String, String) =
     ensureReplicaPair(s, sfDir, "repd", repair = false)
 
+  // ---- C48: READ repair fixture ----
+  // The partitions "a quorum read touched": a fixed pk probe set
+  // inside replica A's missing-price range, shared by the fixture,
+  // the declared query, and its oracle. Only these pks converge —
+  // read repair is per-read, not anti-entropy.
+  val ReadRepairPks: Seq[Long] = 1000L until 1320L by 8
+
+  /** Divergent replica pair after a READ REPAIR of [[ReadRepairPks]]
+    * only (for C48): replica A's solo read of those pks now matches
+    * the quorum; the rest of A's missing range stays divergent.
+    */
+  def ensureReadRepaired(s: SparkSession, sfDir: String)
+      : (String, String) = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dirA = Paths.get(root, s"v$Version-$sfName-rrep-a")
+    val dirB = Paths.get(root, s"v$Version-$sfName-rrep-b")
+    val marker = dirA.resolve("_OK")
+    if (!Files.exists(marker)) {
+      Seq(dirA, dirB).foreach { d =>
+        if (Files.exists(d))
+          Using.resource(Files.list(d)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+      }
+      import org.apache.spark.sql.functions.not
+      writeReplica(s, dirA,
+        not(col("col") === "price" && col("pk") >= 1000 &&
+          col("pk") < 3000), sfDir)
+      writeReplica(s, dirB,
+        not(col("col") === "qty" && col("pk") >= 4096 &&
+          col("pk") < 6144), sfDir)
+      CellMaintenance.readRepair(s, Seq(dirA.toString, dirB.toString),
+        ReadRepairPks)
+      Files.writeString(marker, "ok")
+    }
+    (dirA.toString, dirB.toString)
+  }
+
   // ---- C43: snapshot fixture ----
   // Full cell table, snapshotted at tag "t0", then MUTATED past the
   // snapshot: a rewrite flush (newer qty values for pk % 4 == 0, which

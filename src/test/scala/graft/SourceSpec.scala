@@ -2559,6 +2559,50 @@ class SourceSpec extends GraftSpec {
     assert(rec(dB).filter(col("pk") === -200L).count() == 1)
   }
 
+  // ---- C48: read repair ----
+
+  test("read repair converges only the partitions read (C48)") {
+    val (dA, dB) = replicaPair()
+    // the quorum read touched pks 100..139 — all inside A's missing
+    // price range — so read repair ships A exactly those 40 price
+    // cells and B (which already holds everything there) nothing
+    val pks = 100L until 140L
+    val shipped = graft.sources.CellMaintenance
+      .readRepair(spark, Seq(dA, dB), pks).toMap
+    assert(shipped(dA) == 40 && shipped(dB) == 0, shipped)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    // a SOLO read of A now answers the probe set fully (40 qty + 40
+    // price rows)...
+    assert(rec(dA).filter(col("pk").isin(pks: _*)).count() == 80)
+    // ...while the rest of A's missing range stays divergent —
+    // read repair is per-read, not anti-entropy
+    assert(rec(dA).filter(col("pk") >= 140 && col("pk") < 200 &&
+      col("col") === "price").count() == 0)
+    // idempotent: a second read repair of the same pks ships nothing
+    assert(graft.sources.CellMaintenance
+      .readRepair(spark, Seq(dA, dB), pks).forall(_._2 == 0L))
+  }
+
+  test("read repair ships tombstones for the read partitions") {
+    val dA = Files.createTempDirectory("cells-rrepts-a").toString
+    val dB = Files.createTempDirectory("cells-rrepts-b").toString
+    def flush(d: String, rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    val base = Seq((7L, 0, "qty", 1L, 100L), (8L, 0, "qty", 2L, 100L))
+    flush(dA, base); flush(dB, base)
+    // B deleted partition 7 after the shared write; A never saw it
+    flush(dB, Seq((7L, Int.MinValue, "!del*", 0L, 200L)))
+    graft.sources.CellMaintenance
+      .readRepair(spark, Seq(dA, dB), Seq(7L, 8L))
+    // the tombstone travelled: A's solo read now drops pk 7 too
+    val soloA = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dA)
+    assert(soloA.select("pk").as[Long].collect().toSet == Set(8L))
+  }
+
   // ---- C44: CEL9 value zone maps ----
 
   test("value range prunes chunks on the plain scan (C44, CEL9)") {
