@@ -932,6 +932,24 @@ object Cells {
     """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 9
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
+  // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
+  // read-path aggregation): reconcile partitions are disjoint pk
+  // ranges, so every group row is final inside its one task — the
+  // whole query plans with ZERO exchange and no Spark-side
+  // re-aggregation (CellGroupAggScan; plan asserted in SourceSpec).
+  // Per-partition live-cell counts and last-modified wt.
+  private def partitionStats(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readReconciled(s, d)
+      .groupBy(col("pk"))
+      .agg(expr("count(*)").as("n_cells"), max(col("wt")).as("last_wt"))
+      .orderBy(col("pk"))
+
+  private val partitionStatsSql = cte +
+    """SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  MAX(wt) AS last_wt
+      |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
+
   // C48 — READ repair: after a quorum read of a fixed pk probe set,
   // CellMaintenance.readRepair shipped each replica the versions it
   // lacked for EXACTLY those partitions (scoped per-read convergence,
@@ -954,6 +972,7 @@ object Cells {
        |ORDER BY pk, ck, col""".stripMargin
 
   def all: Seq[GQuery] = Seq(
+    GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),

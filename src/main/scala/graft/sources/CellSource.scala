@@ -1596,15 +1596,74 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     else None
   }
 
+  // C49 — GROUP BY pk over the RECONCILED view, pushed COMPLETELY
+  // into the scan: reconcile partitions are disjoint pk ranges, so
+  // every version of a partition meets in exactly one task and its
+  // group row is FINAL there — no partial/final re-aggregation, no
+  // exchange, the CQL `SELECT pk, count(*) FROM t GROUP BY pk` shape
+  // executed the way Cassandra 3.10's GROUP BY runs inside the read
+  // path. Winners stream (pk, ck, col)-sorted out of the merge
+  // cursor, so the per-pk fold is O(1) state. Offered only on the
+  // default layout (typed layouts order by TOKEN — a pk value can
+  // still only live in one range, but the output column is a key
+  // part, not `pk`; keep the surface narrow) and only for plain
+  // reconcile options (counter/limit/reverse/markers interact with
+  // row multiplicity; queryTime is fine — expiry drops winners before
+  // the fold, exactly like the full read).
+  private def wtRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "wt"
+      case _ => false
+    }
+
+  private def groupedAggTag(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    f match {
+      case _: CountStar => Some("count")
+      case m: Min if wtRef(m.column) => Some("minwt")
+      case m: Max if wtRef(m.column) => Some("maxwt")
+      case _ => None
+    }
+  }
+
+  private def groupedTagsFor(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Array[String]] = {
+    val groupOk = agg.groupByExpressions.length == 1 &&
+      (agg.groupByExpressions()(0) match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "pk"
+        case _ => false
+      })
+    val plainOpts = !reconcileOpts.counter && !reconcileOpts.keepMarkers &&
+      reconcileOpts.perPartitionLimit == Int.MaxValue &&
+      !reconcileOpts.reverse
+    val noFilters = pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
+      pkSet.isEmpty && ckLower == Int.MinValue && ckUpper == Int.MaxValue &&
+      ckLoT.isEmpty && ckHiT.isEmpty
+    val tags = agg.aggregateExpressions.flatMap(groupedAggTag(_).toSeq)
+    if (reconcile && spec.isDefault && groupOk && plainOpts && noFilters &&
+        tags.length == agg.aggregateExpressions.length && tags.nonEmpty)
+      Some(tags)
+    else None
+  }
+
+  private var groupedTags: Option[Array[String]] = None
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = tagsFor(agg).isDefined
+      : Boolean = tagsFor(agg).isDefined || groupedTagsFor(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     aggTags = tagsFor(agg)
-    aggTags.isDefined
+    if (aggTags.isEmpty) groupedTags = groupedTagsFor(agg)
+    aggTags.isDefined || groupedTags.isDefined
   }
 
   /** Accept pk range predicates (the Summary/Filter/Index pruning set)
@@ -1860,17 +1919,94 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
 
   override def build(): Scan = aggTags match {
     case Some(tags) => new CellAggScan(path, tags)
-    case None if reconcile =>
-      new CellReconcileScan(path, pkLower, pkUpper, required,
-        subsplitRecords, columnar,
-        reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper,
-          ckSlice = typedSlice),
-        pkSet, spec, limit, replicas)
+    case None if reconcile => groupedTags match {
+      case Some(tags) =>
+        new CellGroupAggScan(path, tags, subsplitRecords, reconcileOpts,
+          spec, replicas, limit)
+      case None =>
+        new CellReconcileScan(path, pkLower, pkUpper, required,
+          subsplitRecords, columnar,
+          reconcileOpts.copy(ckLower = ckLower, ckUpper = ckUpper,
+            ckSlice = typedSlice),
+          pkSet, spec, limit, replicas)
+    }
     case None =>
       new CellScan(path, pkLower, pkUpper, wtLower, wtUpper, required,
         subsplitRecords, columnar, pkSet, spec, limit, ckLower, ckUpper,
         typedSlice, vLower, vUpper)
   }
+}
+
+/** C49 — completely-pushed `GROUP BY pk` over the reconciling scan.
+  * Plans the SAME disjoint-pk-range partitions as [[CellReconcileScan]]
+  * and folds each range's winner stream into one row per pk inside the
+  * reader — zero exchange, zero re-aggregation (a pk's versions all
+  * meet in its one range). Output schema: pk, then the pushed
+  * aggregates in query order.
+  */
+class CellGroupAggScan(path: String, tags: Array[String],
+    subsplitRecords: Int, opts: ReconcileOptions, spec: KeySpec,
+    replicas: Seq[String], limit: Int) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    StructField("pk", LongType, nullable = false) +: tags.map {
+      case "count" => StructField("count(*)", LongType, nullable = false)
+      case "minwt" => StructField("min(wt)", LongType, nullable = false)
+      case "maxwt" => StructField("max(wt)", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CellGroupAggScan path=$path groupBy=pk aggs=${tags.mkString(",")} " +
+      "(per-range fold, no exchange)"
+
+  // the range planner is the reconcile scan's — delegate
+  private val inner = new CellReconcileScan(path, Long.MinValue,
+    Long.MaxValue, CellSource.Schema, subsplitRecords, columnar = false,
+    opts, None, spec, Int.MaxValue, replicas)
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellGroupAggReaderFactory(tags, opts, limit)
+}
+
+class CellGroupAggReaderFactory(tags: Array[String],
+    opts: ReconcileOptions, limit: Int) extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val r = new CellGroupAggReader(
+      p.asInstanceOf[CellReconcilePartition], tags, opts)
+    if (limit == Int.MaxValue) r else new LimitedRowReader(r, limit)
+  }
+}
+
+private[sources] final class CellGroupAggReader(
+    part: CellReconcilePartition, tags: Array[String],
+    opts: ReconcileOptions) extends PartitionReader[InternalRow] {
+  private val cursor = ReconcileCursor.of(part, opts)
+  private var valid = cursor.nextWinner()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!valid) return false
+    val pk = cursor.pk
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    while (valid && cursor.pk == pk) {
+      n += 1
+      if (cursor.wt < mn) mn = cursor.wt
+      if (cursor.wt > mx) mx = cursor.wt
+      valid = cursor.nextWinner()
+    }
+    row = InternalRow.fromSeq(pk +: tags.toSeq.map {
+      case "count" => n
+      case "minwt" => mn
+      case "maxwt" => mx
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
 }
 
 /** Header-only scan answering a completely-pushed COUNT(*) / MIN(pk) /

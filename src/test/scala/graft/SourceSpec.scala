@@ -2559,6 +2559,69 @@ class SourceSpec extends GraftSpec {
     assert(rec(dB).filter(col("pk") === -200L).count() == 1)
   }
 
+  // ---- C49: GROUP BY pk pushed into the reconcile scan ----
+
+  test("GROUP BY pk aggregates fold inside the reconcile scan (C49)") {
+    val d = Files.createTempDirectory("cells-gbypk").toString
+    val base = (0L until 200L).flatMap(pk =>
+      (0 until 3).map(ck => (pk, ck, "qty", pk + ck, 100L)))
+    CellSource.writeSnapshot(d, base, files = 3)
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    // a rewrite (same key, newer wt — must not double-count) and a
+    // partition delete (pk 7 must vanish from the group rows)
+    flush(Seq((5L, 0, "qty", 999L, 200L)))
+    flush(Seq((7L, Int.MinValue, "!del*", 0L, 300L)))
+    val df = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .groupBy(col("pk"))
+      .agg(expr("count(*)").as("n"), max(col("wt")).as("mw"))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"), "expected the pushed group scan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: fold the reconciled winner rows driver-side
+    val rows = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("pk", "wt").as[(Long, Long)].collect()
+    val exp = rows.groupBy(_._1).map { case (pk, g) =>
+      (pk, g.size.toLong, g.map(_._2).max)
+    }.toSet
+    assert(got == exp)
+    assert(!got.exists(_._1 == 7L), "deleted partition leaked a group")
+    assert(got.find(_._1 == 5L).get._3 == 200L, "rewrite wt not folded")
+  }
+
+  test("grouped pushdown refuses filters, typed keys, counter mode") {
+    // filtered: the residual pk filter keeps a Filter under the
+    // Aggregate, so Spark must NOT push — plan falls back to the
+    // normal reconcile scan + hash aggregate, same results
+    val d = graft.sources.CellSnapshots.ensure(spark, sf())
+    val filtered = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") < 1000L)
+      .groupBy(col("pk")).agg(expr("count(*)").as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+    // typed keys: grouped pushdown is default-layout only
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val typed = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .groupBy(col("user")).agg(expr("count(*)").as("n"))
+    assert(!typed.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+    assert(typed.count() > 0)
+    // counter mode: shard-SUM rows must re-aggregate in Spark
+    val cd = graft.sources.CellSnapshots.ensure(spark, sf())
+    val counter = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("counter", "true").load(cd)
+      .groupBy(col("pk")).agg(expr("count(*)").as("n"))
+    assert(!counter.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+  }
+
   // ---- C48: read repair ----
 
   test("read repair converges only the partitions read (C48)") {
