@@ -194,6 +194,91 @@ object Quality {
       |FROM perdoc WHERE n_dup_segs * 1000 // n_segs > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---- N_DEDUP8: boilerplate-span REMOVAL (cleaned corpus) -----------
+
+  /** RefinedWeb/CCNet-style boilerplate removal — the TRANSFORM stage
+    * N_DEDUP7 only reports on: every fixed 10-token segment that occurs
+    * in ≥2 distinct docs corpus-wide is REMOVED from each doc, and the
+    * document text is REASSEMBLED from the surviving segments in their
+    * original order (the sub-10-token tail piece is exempt — too short
+    * to dedup — and always kept). Emits per-doc segment counts plus
+    * md5/length of the cleaned text so the whole reconstructed corpus
+    * is oracle-checked, not just the drop counts.
+    *
+    * Scale shape: identical to N_DEDUP7 (one md5-keyed shuffle for the
+    * df counts, one doc_id-keyed reassembly agg) plus a bounded
+    * per-doc collect — segments of ONE doc, the same width class the
+    * reassembly operators already carry. Never doc×doc.
+    */
+  private def boilerplateRemoval(s: SparkSession, d: String): DataFrame = {
+    val n = 10
+    val toks = docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val segs = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"case when size(t) < $n then array() else " +
+          s"transform(sequence(0, size(t) div $n - 1), " +
+          s"i -> array_join(slice(t, i * $n + 1, $n), ' ')) end"))
+        .as(Seq("i", "seg")))
+      .withColumn("is_full", lit(1))
+    val tails = toks
+      .select(col("doc_id"), (size(col("t")) / n).cast("int").as("i"),
+        expr(s"array_join(slice(t, (size(t) div $n) * $n + 1, size(t)), ' ')")
+          .as("seg"),
+        lit(0).as("is_full"))
+      .filter(col("seg") =!= "")
+    val all = segs.union(tails).withColumn("h", md5(col("seg")))
+    val perSeg = segs.select(md5(col("seg")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(count_distinct(col("doc_id")).as("nd"))
+    all.join(perSeg, Seq("h"), "left")
+      .withColumn("dropped",
+        when(col("is_full") === 1 && col("nd") >= 2, 1L).otherwise(0L))
+      .groupBy(col("doc_id")).agg(
+        sum(col("is_full")).cast("long").as("n_segs"),
+        sum(col("dropped")).as("n_dropped"),
+        array_join(expr(
+          "transform(array_sort(collect_list(case when dropped = 0 " +
+            "then struct(i, seg) end)), x -> x.seg)"), " ").as("cleaned"))
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"),
+        md5(col("cleaned")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val boilerplateRemovalSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b_segs AS (
+      |  SELECT doc_id, i, array_to_string(
+      |    list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS seg, 1 AS is_full
+      |  FROM toks, unnest(range(0, len(t) // 10)) AS u(i)),
+      |b_tails AS (
+      |  SELECT doc_id, len(t) // 10 AS i, array_to_string(
+      |    list_slice(t, (len(t) // 10) * 10 + 1, len(t)), ' ') AS seg,
+      |    0 AS is_full
+      |  FROM toks
+      |  WHERE array_to_string(
+      |    list_slice(t, (len(t) // 10) * 10 + 1, len(t)), ' ') != ''),
+      |b_all AS (SELECT * FROM b_segs UNION ALL SELECT * FROM b_tails),
+      |b_perseg AS (
+      |  SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS nd
+      |  FROM b_segs GROUP BY 1),
+      |b_marked AS (
+      |  SELECT a.doc_id, a.i, a.seg,  a.is_full,
+      |    CASE WHEN a.is_full = 1 AND p.nd >= 2 THEN 1 ELSE 0 END AS dropped
+      |  FROM b_all a LEFT JOIN b_perseg p ON md5(a.seg) = p.h),
+      |b_perdoc AS (
+      |  SELECT doc_id, CAST(SUM(is_full) AS BIGINT) AS n_segs,
+      |    CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+      |    COALESCE(array_to_string(
+      |      list(seg ORDER BY i) FILTER (WHERE dropped = 0), ' '), '')
+      |      AS cleaned
+      |  FROM b_marked GROUP BY 1)
+      |SELECT doc_id, n_segs, n_dropped,
+      |  CAST(length(cleaned) AS BIGINT) AS n_chars_clean,
+      |  md5(cleaned) AS clean_md5
+      |FROM b_perdoc ORDER BY doc_id""".stripMargin
+
   // ---- N_TEXT11: within-document repetition --------------------------
 
   /** Gopher's *intra*-document repetition signal, token-gram form: the
@@ -432,6 +517,8 @@ object Quality {
   def all: Seq[GQuery] = Seq(
     GQuery("N_TEXT10_gopher_quality", gopherQuality, Some(gopherQualitySql)),
     GQuery("N_DEDUP7_segment_dedup", segmentDedup, Some(segmentDedupSql)),
+    GQuery("N_DEDUP8_boilerplate_removal", boilerplateRemoval,
+      Some(boilerplateRemovalSql)),
     GQuery("N_TEXT11_intradoc_repetition", intradocRepetition,
       Some(intradocRepetitionSql)),
     GQuery("N_SCORE1_quality_classifier", qualityScore,

@@ -180,6 +180,23 @@ class OperatorSpec extends GraftSpec {
     f.unpersist()
   }
 
+  test("boilerplate removal reconstructs untouched docs verbatim") {
+    val q = Registry.byName("N_DEDUP8_boilerplate_removal")
+      .fn(spark, sf()).cache()
+    val docs = Tables.documents(spark, sf())
+    assert(q.count() === docs.count())
+    assert(q.filter(col("n_dropped") > col("n_segs")).isEmpty)
+    val joined = q.join(docs, "doc_id")
+    // a doc with nothing dropped reassembles to EXACTLY its original
+    // text (segments + tail in order, single-space joined)
+    assert(joined.filter(col("n_dropped") === 0 &&
+      md5(col("text")) =!= col("clean_md5")).isEmpty)
+    // a cleaned doc got strictly shorter
+    assert(joined.filter(col("n_dropped") > 0 &&
+      col("n_chars_clean") >= col("n_chars")).isEmpty)
+    q.unpersist()
+  }
+
   test("segment dedup flags both sides of a planted near-copy") {
     import spark.implicits._
     // two docs sharing one exact 10-token run + one unique doc
