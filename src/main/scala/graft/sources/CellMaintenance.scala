@@ -654,6 +654,75 @@ object CellMaintenance {
     * Returns (compacted file names, files before, files after), or
     * None when no tier is eligible.
     */
+  /** TIME-WINDOW compaction (Cassandra's TWCS, round 7 — C51): the
+    * policy for TTL'd time-series tables. Files bucket by the TIME
+    * WINDOW of their max writetime (`floorDiv(maxWt, windowMs)`, read
+    * from header wt zone maps — zero data bytes), and compaction only
+    * ever merges files WITHIN one window: a fully-expired old window
+    * stays one cold file that expiry eventually empties and a major
+    * compaction can drop wholesale, and fresh-flush churn never
+    * rewrites last week's data. Cross-window merges are exactly what
+    * TWCS exists to forbid (they glue old and new timestamps into one
+    * file that can then never age out).
+    *
+    * Every window holding ≥ `minThreshold` files merges to one via
+    * the same scratch-link + publish-then-delete pass as
+    * [[compactTiered]] (markers kept, no gc purge — subset merges
+    * can't see table-wide shadowing); merging never changes wt values,
+    * so a file's window assignment is stable across passes. Returns
+    * (window id, files merged) per compacted window.
+    */
+  def compactWindows(spark: SparkSession, dir: String, windowMs: Long,
+      minThreshold: Int = 2,
+      rollRecords: Int = CellSource.DefaultRollRecords)
+      : Seq[(Long, Int)] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    val norm = CellPlanning.normalize(dir)
+    val files = CellPlanning.listFiles(dir)
+    val spec = CellPlanning.keySpecOf(norm, files)
+    val counter = tableProp(dir, "counter").exists(_.toBoolean)
+    val byWindow = files.map { f =>
+      val h = CellSource.readHeader(f)
+      val maxWt =
+        if (h.chunkMaxWt.isEmpty) Long.MinValue else h.chunkMaxWt.max
+      (Math.floorDiv(maxWt, windowMs), f)
+    }.groupBy(_._1)
+    byWindow.toSeq.sortBy(_._1).flatMap { case (w, wf) =>
+      val tier = wf.map(_._2)
+      if (tier.size < minThreshold) None
+      else {
+        val scratch =
+          JFiles.createTempDirectory(JPaths.get(norm), ".twin-")
+        try {
+          tier.foreach { f =>
+            val p = JPaths.get(f)
+            JFiles.createLink(scratch.resolve(p.getFileName), p)
+          }
+          spark.read.format("graft.sources.CellSource")
+            .option("reconcile", "true")
+            .option("keepMarkers", "true")
+            .option("withTtl", spec.isDefault.toString)
+            .option("counter", counter.toString)
+            .load(scratch.toString)
+            .write.format("graft.sources.CellSource")
+            .option("withTtl", spec.isDefault.toString)
+            .option("rollRecords", rollRecords.toString)
+            .mode("append").save(dir) // publish BEFORE deleting inputs
+          tier.foreach(f => JFiles.delete(JPaths.get(f)))
+          CellManifest.refresh(dir)
+          Some((w, tier.size))
+        } finally {
+          scala.util.Using.resource(JFiles.list(scratch)) { s =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+              .asScala.toList.foreach(JFiles.deleteIfExists(_))
+          }
+          JFiles.deleteIfExists(scratch)
+        }
+      }
+    }
+  }
+
   def compactTiered(spark: SparkSession, dir: String,
       minThreshold: Int = 4, bucketHigh: Double = 1.5,
       rollRecords: Int = CellSource.DefaultRollRecords)

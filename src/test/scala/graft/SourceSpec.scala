@@ -1761,6 +1761,42 @@ class SourceSpec extends GraftSpec {
     assert(CellMaintenance.compactTiered(spark, d).isEmpty)
   }
 
+  test("time-window compaction never merges across windows (C51, TWCS)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-twcs").toString
+    def names() = scala.util.Using.resource(JF.list(JP.get(d))) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".cells")).toSet
+    }
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    // window width 1000 ms: two flushes land in window 0 (an LWW
+    // rewrite pair), two in window 5, and ONE cold file in window 9
+    flush(Seq((1L, 0, "qty", 1L, 100L)))
+    flush(Seq((1L, 0, "qty", 2L, 200L)))
+    flush(Seq((2L, 0, "qty", 3L, 5100L)))
+    flush(Seq((2L, 0, "qty", 4L, 5200L)))
+    flush(Seq((3L, 0, "qty", 5L, 9100L)))
+    val coldName = names().toSeq.sorted.last // data-0004, window 9
+    def reconciled() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val before = reconciled()
+    val merged = CellMaintenance.compactWindows(spark, d, 1000L)
+    // windows 0 and 5 each merged their two files; the single-file
+    // window 9 was NOT glued onto either (the TWCS invariant)
+    assert(merged.toMap == Map(0L -> 2, 5L -> 2), merged)
+    assert(names().size == 3, names())
+    assert(names().contains(coldName), "cold window file rewritten")
+    assert(reconciled() == before)
+    // stable windows: a second pass finds nothing to do
+    assert(CellMaintenance.compactWindows(spark, d, 1000L).isEmpty)
+  }
+
   test("clustering zone maps prune chunks for ck slices (C37/CEL7)") {
     val d = Files.createTempDirectory("cells-ckzone").toString
     // one partition, ck grows with record index → chunks have
