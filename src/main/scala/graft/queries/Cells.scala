@@ -932,6 +932,42 @@ object Cells {
     """SELECT pk, ck, col, value, wt FROM merged WHERE pk % 10 = 9
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C52 — paging state: the CQL page loop (SELECT ... LIMIT n, then
+  // resume from the returned paging state). Three pages of the
+  // reconciled view are fetched through `pageAfter` cursors — each
+  // page is an ascending-natural-prefix TopN (pushed caps on every
+  // reader), its last cell becomes the next page's cursor, and the
+  // cursor pk doubles as a pushed lower bound so deep pages never
+  // open pre-cursor files. The stitched pages must equal the merged
+  // view's first 3·n cells exactly.
+  private val PageRows = 1200
+  private def pagedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    def page(after: Option[(Long, Int, String)]): DataFrame = {
+      val r = s.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      after.fold(r)(a =>
+        r.option("pageAfter", s"${a._1}:${a._2}:${a._3}"))
+        .load(dir)
+        .orderBy(col("pk"), col("ck"), col("col")).limit(PageRows)
+    }
+    var after: Option[(Long, Int, String)] = None
+    val pages = (0 until 3).map { i =>
+      val p = page(after)
+      if (i < 2) {
+        val last = p.orderBy(col("pk").desc, col("ck").desc,
+          col("col").desc).select("pk", "ck", "col").head()
+        after = Some((last.getLong(0), last.getInt(1), last.getString(2)))
+      }
+      p
+    }
+    pages.reduce(_ unionAll _).orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val pagedScanSql = cte +
+    s"""SELECT pk, ck, col, value, wt FROM merged
+       |ORDER BY pk, ck, col LIMIT ${3 * PageRows}""".stripMargin
+
   // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
   // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
   // read-path aggregation): reconcile partitions are disjoint pk
@@ -972,6 +1008,7 @@ object Cells {
        |ORDER BY pk, ck, col""".stripMargin
 
   def all: Seq[GQuery] = Seq(
+    GQuery("C52_paged_scan", pagedScan, Some(pagedScanSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),

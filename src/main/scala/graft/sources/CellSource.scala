@@ -1153,6 +1153,26 @@ class CellTable(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = effective(options)
     val (tokLo, tokHi) = CellPlanning.tokenBounds(o)
+    // C52 — paging state: `pageAfter=pk:ck:col` resumes the reconciled
+    // read strictly after that cell. Reconcile-only (Cassandra pages
+    // the MERGED read, never raw sstables), default layout only (the
+    // cursor compares by pk/ck/col), and mutually exclusive with the
+    // reads that re-window rows (PER PARTITION LIMIT counts from the
+    // true partition start; reverse pages would need a reversed
+    // cursor).
+    val pageAfter = Option(o.get("pageAfter")).map { s =>
+      val parts = s.split(":", 3)
+      require(parts.length == 3,
+        s"pageAfter must be <pk>:<ck>:<col>, got '$s'")
+      require(o.getBoolean("reconcile", false),
+        "pageAfter requires reconcile=true (paging is a merged read)")
+      require(keySpec.isDefault,
+        "pageAfter pages default-layout tables only")
+      require(o.getInt("perPartitionLimit", Int.MaxValue) ==
+        Int.MaxValue && !o.getBoolean("reverse", false),
+        "pageAfter cannot combine with perPartitionLimit or reverse")
+      (parts(0).toLong, parts(1).toInt, parts(2))
+    }
     new CellScanBuilder(path,
       o.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       o.getBoolean("columnar", true),
@@ -1167,8 +1187,12 @@ class CellTable(path: String,
         perPartitionLimit =
           o.getInt("perPartitionLimit", Int.MaxValue),
         reverse = o.getBoolean("reverse", false),
-        reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20)),
-      keySpec, tokLo, tokHi,
+        reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20),
+        pageAfter = pageAfter),
+      keySpec,
+      // the cursor pk is the physical lower bound: pre-cursor files
+      // and chunks are pruned at planning, not skipped at read
+      pageAfter.fold(tokLo)(pa => math.max(tokLo, pa._1)), tokHi,
       // C47 quorum read: comma-separated replica dirs merged into
       // this table's reconcile
       Option(o.get("replicas")).map(_.split(',').toSeq
@@ -1641,7 +1665,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       })
     val plainOpts = !reconcileOpts.counter && !reconcileOpts.keepMarkers &&
       reconcileOpts.perPartitionLimit == Int.MaxValue &&
-      !reconcileOpts.reverse
+      !reconcileOpts.reverse && reconcileOpts.pageAfter.isEmpty
     val noFilters = pkLower == Long.MinValue && pkUpper == Long.MaxValue &&
       pkSet.isEmpty && ckLower == Int.MinValue && ckUpper == Int.MaxValue &&
       ckLoT.isEmpty && ckHiT.isEmpty
@@ -2139,7 +2163,15 @@ case class ReconcileOptions(
     // buffer. reverseMaxRows fail-fasts a reversed read of a
     // partition too wide to buffer (Cassandra warns on the same).
     reverse: Boolean = false,
-    reverseMaxRows: Int = 1 << 20)
+    reverseMaxRows: Int = 1 << 20,
+    // C52: Cassandra PAGING STATE — resume the reconciled read
+    // strictly AFTER cell (pk, ck, col). The pk doubles as the scan's
+    // lower bound (files/chunks before the cursor are never opened),
+    // and the merge cursor drops the cursor partition's already-served
+    // winners pre-materialization. Exclusive at cell granularity, so
+    // a page may end mid-clustering-row and the next page completes
+    // it — the same cursor position Cassandra's pages carry.
+    pageAfter: Option[(Long, Int, String)] = None)
 
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
@@ -2204,6 +2236,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       (if (opts.ckLower != Int.MinValue || opts.ckUpper != Int.MaxValue)
         s"ckRange=[${opts.ckLower},${opts.ckUpper}] " else "") +
       opts.ckSlice.fold("")(s => s"ckSlice=$s ") +
+      opts.pageAfter.fold("")(p =>
+        s"pageAfter=${p._1}:${p._2}:${p._3} ") +
       (if (limit != Int.MaxValue) s"limit=$limit " else "") +
       s"cols=${required.fieldNames.mkString(",")} " +
       (if (opts.counter) "(counter shard-SUM k-way merge)"
@@ -2396,9 +2430,41 @@ private[sources] trait ReconcileCursor {
 
 private[sources] object ReconcileCursor {
   def of(part: CellReconcilePartition,
-      opts: ReconcileOptions): ReconcileCursor =
-    if (opts.reverse) new CellReverseCursor(part, opts)
-    else new CellMergeCursor(part, opts)
+      opts: ReconcileOptions): ReconcileCursor = {
+    val base: ReconcileCursor =
+      if (opts.reverse) new CellReverseCursor(part, opts)
+      else new CellMergeCursor(part, opts)
+    opts.pageAfter.fold(base)(pa => new CellPagedCursor(base, pa))
+  }
+}
+
+/** C52 — paging-state skip: drops winners at-or-before the page
+  * cursor (pk, ck, col). Only the cursor PARTITION pays a skip walk
+  * (the pk doubles as the scan's pushed lower bound, so earlier
+  * partitions' files were never opened), and the skip runs on merged
+  * winners — tombstone/TTL markers at the cursor pk have already
+  * folded into shadowing state by the time rows reach here.
+  */
+private[sources] final class CellPagedCursor(inner: ReconcileCursor,
+    pa: (Long, Int, String)) extends ReconcileCursor {
+  def nextWinner(): Boolean = {
+    var v = inner.nextWinner()
+    while (v && (inner.pk < pa._1 || (inner.pk == pa._1 &&
+        (inner.ck < pa._2 ||
+          (inner.ck == pa._2 && inner.colName <= pa._3)))))
+      v = inner.nextWinner()
+    v
+  }
+  def close(): Unit = inner.close()
+  def pk: Long = inner.pk
+  def ck: Int = inner.ck
+  def colName: String = inner.colName
+  def value: Any = inner.value
+  def wt: Long = inner.wt
+  def expiry: Long = inner.expiry
+  def valueTag: Int = inner.valueTag
+  def decPrec: Int = inner.decPrec
+  def decScale: Int = inner.decScale
 }
 
 /** Reversed clustering order (C39, CQL `ORDER BY ck DESC`): winners

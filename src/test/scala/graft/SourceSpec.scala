@@ -2595,6 +2595,68 @@ class SourceSpec extends GraftSpec {
     assert(rec(dB).filter(col("pk") === -200L).count() == 1)
   }
 
+  // ---- C52: paging state ----
+
+  test("pageAfter resumes a reconciled read exactly after the cursor (C52)") {
+    val d = Files.createTempDirectory("cells-page").toString
+    val all = (0L until 100L).flatMap(pk =>
+      Seq((pk, 0, "qty", pk, 100L), (pk, 0, "price", pk * 2, 100L)))
+    CellSource.writeSnapshot(d, all, files = 3)
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    flush(Seq((50L, 0, "qty", 999L, 200L)))             // LWW rewrite
+    flush(Seq((60L, Int.MinValue, "!del*", 0L, 300L)))  // partition gone
+    def read(after: Option[String]) = {
+      val r = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      after.fold(r)(a => r.option("pageAfter", a)).load(d)
+        .as[(Long, Int, String, Long, Long)].collect().toSeq
+        .sortBy(t => (t._1, t._2, t._3))
+    }
+    val full = read(None)
+    assert(!full.exists(_._1 == 60L))
+    // resume mid-stream: the cursor is the 77th cell — the next page
+    // must be exactly the remaining suffix, rewrites and the folded
+    // tombstone included
+    val cur = full(76)
+    val page2 = read(Some(s"${cur._1}:${cur._2}:${cur._3}"))
+    assert(page2 == full.drop(77))
+    // resuming after the LAST cell yields an empty page
+    val last = full.last
+    assert(read(Some(s"${last._1}:${last._2}:${last._3}")).isEmpty)
+    // the cursor pk is a pushed lower bound: a deep-page plan prunes
+    // pre-cursor files (3 base files over pks 0..99 → resuming at 90
+    // needs only the last file + the two small flushes)
+    val deep = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("pageAfter", "90:0:zz").load(d)
+    assert(deep.queryExecution.executedPlan.toString
+      .contains("pageAfter=90:0:zz"))
+    assert(deep.count() == full.count(_._1 > 90))
+  }
+
+  test("pageAfter refuses raw scans, typed tables, ppl and reverse") {
+    val d = Files.createTempDirectory("cells-pageref").toString
+    CellSource.writeSnapshot(d,
+      Seq((1L, 0, "qty", 1L, 1L)), files = 1)
+    def r(opts: (String, String)*) = {
+      val b = spark.read.format("graft.sources.CellSource")
+        .option("pageAfter", "0:0:a")
+      opts.foldLeft(b)((x, kv) => x.option(kv._1, kv._2)).load(d).collect()
+    }
+    intercept[Exception](r())  // raw scan
+    intercept[Exception](r("reconcile" -> "true",
+      "perPartitionLimit" -> "1"))
+    intercept[Exception](r("reconcile" -> "true", "reverse" -> "true"))
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("pageAfter", "0:0:a")
+        .load(kd).collect()
+    }
+  }
+
   // ---- C49: GROUP BY pk pushed into the reconcile scan ----
 
   test("GROUP BY pk aggregates fold inside the reconcile scan (C49)") {
