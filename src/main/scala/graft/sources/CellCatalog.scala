@@ -32,6 +32,16 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: Path = _
 
+  /** C53 — the VIRTUAL `system` namespace (Cassandra's system_views
+    * analogue): read-only tables computed from catalog metadata at
+    * scan time, never stored. `system.tables` is per-table stats
+    * (files/records/bytes/value type/key layout/max flush index) from
+    * manifests + headers — zero data-section reads; `system.snapshots`
+    * lists `nodetool listsnapshots`-style snapshot tags. The namespace
+    * always exists, cannot be created/dropped, and rejects DDL/writes.
+    */
+  private val SystemNs = "system"
+
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -76,6 +86,9 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (nsOf(namespace).sameElements(Array(SystemNs)))
+      return CellSystem.names
+        .map(n => Identifier.of(Array(SystemNs), n)).toArray
     val d = checkNamespace(namespace)
     Using.resource(Files.list(d)) { st =>
       st.iterator().asScala
@@ -88,7 +101,9 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    namespaceExists(ident.namespace()) &&
+    if (nsOf(ident.namespace()).sameElements(Array(SystemNs)))
+      CellSystem.names.contains(ident.name())
+    else namespaceExists(ident.namespace()) &&
       Files.isDirectory(dirFor(ident))
 
   /** Schema: file headers win (self-describing); a `_type` marker
@@ -123,6 +138,11 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    if (nsOf(ident.namespace()).sameElements(Array(SystemNs))) {
+      if (!CellSystem.names.contains(ident.name()))
+        throw new NoSuchTableException(ident)
+      return new CellSystemTable(root, ident.name())
+    }
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) throw new NoSuchTableException(ident)
     new CellTable(dir.toString, schemaOf(dir), propsOf(dir))
@@ -131,6 +151,8 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String])
       : Table = {
+    require(!nsOf(ident.namespace()).sameElements(Array(SystemNs)),
+      "the system namespace is virtual and read-only")
     val dir = dirFor(ident)
     if (Files.isDirectory(dir)) throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty,
@@ -204,6 +226,7 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    if (nsOf(ident.namespace()).sameElements(Array(SystemNs))) return false
     if (!namespaceExists(ident.namespace())) return false
     val dir = dirFor(ident)
     if (!Files.isDirectory(dir)) false
@@ -215,6 +238,9 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {
+    require(!nsOf(oldIdent.namespace()).sameElements(Array(SystemNs)) &&
+      !nsOf(newIdent.namespace()).sameElements(Array(SystemNs)),
+      "the system namespace is virtual and read-only")
     val from = dirFor(oldIdent)
     if (!Files.isDirectory(from)) throw new NoSuchTableException(oldIdent)
     val to = dirFor(newIdent) // checks the TARGET namespace exists
@@ -229,10 +255,11 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
       st.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           !p.getFileName.toString.startsWith(".") &&
-          !p.getFileName.toString.startsWith("_"))
+          !p.getFileName.toString.startsWith("_") &&
+          p.getFileName.toString != SystemNs)
         .map(p => Array(p.getFileName.toString))
         .toArray
-    }
+    } :+ Array(SystemNs)
 
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] = {
@@ -242,6 +269,7 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
+    (namespace.length == 1 && namespace(0) == SystemNs) ||
     namespace.isEmpty || (namespace.length == 1 &&
       !namespace(0).contains("/") && !namespace(0).startsWith(".") &&
       !namespace(0).startsWith("_") &&
@@ -249,12 +277,18 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): JMap[String, String] = {
+    if (nsOf(namespace).sameElements(Array(SystemNs)))
+      return java.util.Map.of("comment",
+        "virtual system tables (read-only)")
     val d = checkNamespace(namespace)
     java.util.Map.of(SupportsNamespaces.PROP_LOCATION, d.toUri.toString)
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit = {
+    if (nsOf(namespace).sameElements(Array(SystemNs)))
+      throw new NamespaceAlreadyExistsException(
+        catalogName +: nsOf(namespace))
     val d = nsDir(namespace)
     if (Files.isDirectory(d))
       throw new NamespaceAlreadyExistsException(catalogName +: nsOf(namespace))
@@ -268,6 +302,8 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
+    require(!nsOf(namespace).sameElements(Array(SystemNs)),
+      "the system namespace is virtual and cannot be dropped")
     val d = checkNamespace(namespace)
     val tables = listTables(namespace)
     if (tables.nonEmpty && !cascade)
@@ -284,3 +320,159 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 }
+
+/** Row sources for the virtual `system` namespace (C53). All stats
+  * come from directory listings, manifests, and file headers — the
+  * same metadata the planners read; never a data section.
+  */
+private[sources] object CellSystem {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  val Tables = "tables"
+  val Snapshots = "snapshots"
+  val names: Seq[String] = Seq(Tables, Snapshots)
+
+  def schema(kind: String): StructType = kind match {
+    case Tables => StructType(Seq(
+      StructField("namespace", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_records", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("value_type", StringType, nullable = false),
+      StructField("key_layout", StringType, nullable = false),
+      StructField("max_flush", LongType, nullable = false)))
+    case Snapshots => StructType(Seq(
+      StructField("namespace", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("tag", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(
+      s"unknown system table '$other'")
+  }
+
+  private def dirs(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Nil
+    else Using.resource(Files.list(p)) { st =>
+      st.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          !d.getFileName.toString.startsWith(".") &&
+          !d.getFileName.toString.startsWith("_") &&
+          d.getFileName.toString != "system")
+        .toSeq.sortBy(_.getFileName.toString)
+    }
+
+  /** CQL-style key layout display: `((pk bigint), ck int)`. */
+  private def layout(spec: KeySpec): String =
+    "((" + spec.pkParts.map(p =>
+      s"${p.name} ${p.dataType.sql.toLowerCase}").mkString(", ") + ")" +
+      (if (spec.ckParts.isEmpty) ")"
+       else spec.ckParts.map(p =>
+         s"${p.name} ${p.dataType.sql.toLowerCase}")
+         .mkString(", ", ", ", ")"))
+
+  private def flushIndex(f: String): Long = {
+    val n = Paths.get(f).getFileName.toString
+    // data-NNNN[.suffix].cells
+    val core = n.stripPrefix("data-").takeWhile(_.isDigit)
+    if (core.isEmpty) -1L else core.toLong
+  }
+
+  def rows(root: Path, kind: String): Seq[Seq[Any]] =
+    for {
+      ns <- dirs(root)
+      t <- dirs(ns)
+      row <- rowsOf(ns.getFileName.toString, t, kind)
+    } yield row
+
+  private def rowsOf(ns: String, dir: Path,
+      kind: String): Seq[Seq[Any]] = kind match {
+    case Tables =>
+      val files = CellPlanning.listFiles(dir.toString)
+      val spec = CellPlanning.keySpecOf(
+        CellPlanning.normalize(dir.toString), files)
+      // manifest entries answer counts/types without header opens;
+      // manifest-less dirs fall back to per-file headers
+      val ents = CellManifest.current(dir.toString, files)
+        .map(_.map(e => (e.count.toLong, e.valueTag, e.decPrec,
+          e.decScale)))
+        .getOrElse(files.map(CellSource.readHeader)
+          .map(h => (h.count.toLong, h.valueTag, h.decPrec, h.decScale)))
+      val nRecords = ents.iterator.map(_._1).sum
+      val vt = ents.find(_._1 > 0).map(e =>
+        ValueCodec.dataTypeFor(e._2, e._3, e._4).sql.toLowerCase)
+        .getOrElse {
+          val m = dir.resolve("_type")
+          if (Files.exists(m)) Files.readString(m).trim else "bigint"
+        }
+      val bytes = files.iterator.map(f => Files.size(Paths.get(f))).sum
+      val maxFlush =
+        if (files.isEmpty) -1L else files.iterator.map(flushIndex).max
+      Seq(Seq(ns, dir.getFileName.toString, files.size.toLong,
+        nRecords, bytes, vt, layout(spec), maxFlush))
+    case Snapshots =>
+      val snaps = dir.resolve("_snapshots")
+      dirs(snaps).map { tagDir =>
+        val n = Using.resource(Files.list(tagDir)) { st =>
+          st.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".cells")).toLong
+        }
+        Seq(ns, dir.getFileName.toString, tagDir.getFileName.toString, n)
+      }
+    case other => throw new IllegalArgumentException(other)
+  }
+}
+
+/** A read-only virtual table: rows computed driver-side at planning
+  * from catalog metadata, shipped as one partition (system tables are
+  * O(tables) small by construction).
+  */
+private[sources] class CellSystemTable(root: Path, kind: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+    PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+
+  override def name(): String = s"system.$kind"
+  override def schema(): StructType = CellSystem.schema(kind)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = CellSystem.schema(kind)
+      override def toBatch: Batch = this
+      override def description(): String = s"CellSystemScan $kind"
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(CellSystemPartition(kind,
+          CellSystem.rows(root, kind).map(_.toArray).toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition)
+              : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+            val rows = p.asInstanceOf[CellSystemPartition].rows
+            new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < rows.length }
+              override def get()
+                  : org.apache.spark.sql.catalyst.InternalRow =
+                org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                  rows(i).toSeq.map {
+                    case s: String =>
+                      org.apache.spark.unsafe.types.UTF8String
+                        .fromString(s)
+                    case v => v
+                  })
+              override def close(): Unit = ()
+            }
+          }
+        }
+    }
+}
+
+private[sources] case class CellSystemPartition(kind: String,
+    rows: Array[Array[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition

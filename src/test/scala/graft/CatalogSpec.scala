@@ -244,4 +244,42 @@ class CatalogSpec extends GraftSpec {
     }
     assert(idx.result().max >= 3, idx.result().sorted.mkString(","))
   }
+
+  test("system virtual tables expose per-table stats (C53)") {
+    spark.sql(s"CREATE TABLE $cat.default.sysdemo " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)")
+    spark.sql(s"INSERT INTO $cat.default.sysdemo VALUES " +
+      "(1, 0, 'qty', 10, 100), (2, 0, 'qty', 20, 100)")
+    // the namespace and its two tables are visible to SHOW
+    val nss = spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).toSet
+    assert(nss.contains("system"), nss)
+    val tabs = spark.sql(s"SHOW TABLES IN $cat.system").collect()
+      .map(_.getString(1)).toSet
+    assert(tabs == Set("tables", "snapshots"), tabs)
+    // per-table stats row from manifest metadata
+    val r = spark.table(s"$cat.system.tables")
+      .filter(col("table") === "sysdemo").collect()
+    assert(r.length == 1, r.mkString)
+    assert(r(0).getAs[String]("namespace") == "default")
+    val nf = r(0).getAs[Long]("n_files")
+    assert(nf >= 1L)
+    assert(r(0).getAs[Long]("n_records") == 2L)
+    assert(r(0).getAs[Long]("n_bytes") > 0L)
+    assert(r(0).getAs[String]("value_type") == "bigint")
+    assert(r(0).getAs[String]("key_layout") == "((pk bigint), ck int)")
+    assert(r(0).getAs[Long]("max_flush") == nf - 1)
+    // a snapshot surfaces in system.snapshots with its file count
+    graft.sources.CellMaintenance.snapshot(
+      java.nio.file.Paths.get(root, "default", "sysdemo").toString, "t0")
+    val snaps = spark.table(s"$cat.system.snapshots")
+      .filter(col("table") === "sysdemo").collect()
+      .map(x => (x.getAs[String]("tag"), x.getAs[Long]("n_files"))).toSeq
+    assert(snaps == Seq(("t0", nf)), snaps)
+    // virtual and read-only: no DDL in, no dropping the namespace
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.system.x " +
+      "(pk bigint, ck int, col string, value bigint, wt bigint)"))
+    intercept[Exception](spark.sql(s"DROP NAMESPACE $cat.system"))
+    assert(spark.table(s"$cat.system.tables").count() >= 1)
+  }
 }
