@@ -194,6 +194,88 @@ object Quality {
       |FROM perdoc WHERE n_dup_segs * 1000 // n_segs > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---- N_SCORE3: DSIR importance weighting ---------------------------
+
+  /** DSIR-style data-selection weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw doc by log(p_target/p_raw) under hashed bag-of-words
+    * models — here target = the corpus's English docs, features =
+    * words hashed into 256 md5 buckets, add-one smoothing on both
+    * sides. Docs with positive log-weight look more target-like than
+    * raw-like and get the `keep` flag (DSIR then resamples by these
+    * weights; the weight column is the operator).
+    *
+    * Scale: the model is 256 rows WHATEVER the corpus size — it
+    * broadcasts; scoring is one map-side join over the per-(doc,
+    * bucket) counts and one doc-keyed rollup, and the model branch
+    * reuses the same (doc, bucket) shuffle. Determinism: per-bucket
+    * log-ratios are quantized to BIGINT ×10⁴ BEFORE the per-doc sum
+    * (exact integer aggregation — the N_SCORE2 idiom).
+    */
+  private val dsirBucket =
+    "(instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1)"
+
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("b", expr(dsirBucket))
+    // per-(doc, bucket) multiplicities: the model and scoring branches
+    // both consume this one shuffle (ReuseExchange)
+    val db = words.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val cr = db.groupBy(col("b")).agg(sum(col("k")).as("cr"))
+    val ct = db.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
+    val totals = db.agg(sum(col("k")).as("nr"),
+      sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("nt"))
+    val model = cr.join(ct, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(totals)
+      .select(col("b"),
+        round((log((col("ct") + lit(1.0)) / (col("nt") + lit(256.0))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + lit(256.0)))) *
+          lit(10000.0)).cast("long").as("lrq"))
+    db.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("lrq")).as("logw_q"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("logw_q"),
+        (col("logw_q") > 0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeightsSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wb AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+      |  FROM wrd),
+      |db AS (
+      |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM wb GROUP BY 1, 2, 3),
+      |d_cr AS (SELECT b, CAST(SUM(k) AS BIGINT) AS cr FROM db GROUP BY 1),
+      |d_ct AS (SELECT b, CAST(SUM(k) AS BIGINT) AS ct FROM db
+      |  WHERE lang = 'en' GROUP BY 1),
+      |d_tot AS (SELECT CAST(SUM(k) AS BIGINT) AS nr,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS BIGINT) AS nt
+      |  FROM db),
+      |model AS (
+      |  SELECT d_cr.b, CAST(round(
+      |    (ln((COALESCE(d_ct.ct, 0) + 1.0) / (d_tot.nt + 256.0)) -
+      |     ln((d_cr.cr + 1.0) / (d_tot.nr + 256.0))) * 10000.0)
+      |    AS BIGINT) AS lrq
+      |  FROM d_cr LEFT JOIN d_ct ON d_cr.b = d_ct.b CROSS JOIN d_tot)
+      |SELECT db.doc_id, db.lang, CAST(SUM(k) AS BIGINT) AS n_words,
+      |  CAST(SUM(k * lrq) AS BIGINT) AS logw_q,
+      |  CAST(SUM(k * lrq) > 0 AS BIGINT) AS keep
+      |FROM db JOIN model USING (b)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   // ---- N_DEDUP8: boilerplate-span REMOVAL (cleaned corpus) -----------
 
   /** RefinedWeb/CCNet-style boilerplate removal — the TRANSFORM stage
@@ -524,5 +606,6 @@ object Quality {
     GQuery("N_SCORE1_quality_classifier", qualityScore,
       Some(qualityScoreSql)),
     GQuery("N_SCORE2_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
+    GQuery("N_SCORE3_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }

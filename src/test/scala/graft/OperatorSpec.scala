@@ -180,6 +180,19 @@ class OperatorSpec extends GraftSpec {
     f.unpersist()
   }
 
+  test("DSIR weights rank target-language docs above the rest") {
+    val q = Registry.byName("N_SCORE3_dsir_weights")
+      .fn(spark, sf()).cache()
+    assert(q.count() === Tables.documents(spark, sf()).count())
+    // the target (en) corpus must score higher under its own model
+    // than every other language, on average
+    val means = q.groupBy(col("lang")).agg(avg(col("logw_q")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means.filter(_._1 != "en").values.forall(_ < means("en")),
+      means.toString)
+    q.unpersist()
+  }
+
   test("boilerplate removal reconstructs untouched docs verbatim") {
     val q = Registry.byName("N_DEDUP8_boilerplate_removal")
       .fn(spark, sf()).cache()
