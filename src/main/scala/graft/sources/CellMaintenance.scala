@@ -617,12 +617,14 @@ object CellMaintenance {
   def compactIfNeeded(spark: SparkSession, dir: String,
       maxFiles: Int, policy: String = "major"): Option[(Int, Int)] =
     if (CellPlanning.listFiles(dir).size <= maxFiles) None
-    else if (policy == "stcs") {
+    else if (policy == "stcs" || policy == "lcs") {
       val before = CellPlanning.listFiles(dir).size
       var progressed = true
       while (progressed &&
           CellPlanning.listFiles(dir).size > maxFiles)
-        progressed = compactTiered(spark, dir).isDefined
+        progressed =
+          if (policy == "stcs") compactTiered(spark, dir).isDefined
+          else compactLeveled(spark, dir).isDefined
       val after = CellPlanning.listFiles(dir).size
       if (after > maxFiles) Some(compact(spark, dir))
       else Some((before, after))
@@ -654,6 +656,145 @@ object CellMaintenance {
     * Returns (compacted file names, files before, files after), or
     * None when no tier is eligible.
     */
+  // ---- C54: LEVELED compaction (Cassandra's LCS) ----
+
+  /** The table's level registry (`_levels`, java-properties file:
+    * flush file name → level). Files without an entry are LEVEL 0 —
+    * fresh flushes land there by construction, and the registry is
+    * purely a COMPACTION HINT: read correctness never consults it, so
+    * a crash between publish and registry write just leaves new files
+    * at L0 to be re-leveled by the next pass.
+    */
+  def levels(dir: String): Map[String, Int] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val f = JPaths.get(CellPlanning.normalize(dir)).resolve("_levels")
+    if (!JFiles.exists(f)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(JFiles.newBufferedReader(f))(p.load)
+      p.stringPropertyNames().asScala
+        .map(k => k -> p.getProperty(k).toInt).toMap
+    }
+  }
+
+  private def writeLevels(dir: String, m: Map[String, Int]): Unit = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths,
+      StandardCopyOption}
+    val d = JPaths.get(CellPlanning.normalize(dir))
+    val tmp = JFiles.createTempFile(d, "._levels", ".tmp")
+    val p = new java.util.Properties()
+    m.foreach { case (k, v) => p.setProperty(k, v.toString) }
+    scala.util.Using.resource(JFiles.newBufferedWriter(tmp))(
+      w => p.store(w, null))
+    JFiles.move(tmp, d.resolve("_levels"),
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One LEVELED-compaction pass (Cassandra's LCS, round 7 — C54):
+    * the read-amplification-bounded strategy. Levels ≥ 1 hold files
+    * with pairwise NON-OVERLAPPING pk ranges (so a point read touches
+    * ≤ 1 file per level + every L0 file); level L's byte budget is
+    * `l1Bytes × fanout^(L-1)`. A pass does the first applicable of:
+    *
+    *  1. |L0| ≥ `l0Threshold`: merge ALL of L0 with the L1 files whose
+    *     pk range overlaps any L0 file, publish the result as L1.
+    *  2. Some level L ≥ 1 over budget: take its first (lowest-minPk)
+    *     file, merge it with the overlapping L+1 files, publish at
+    *     L+1 — files of L (and L+1) outside the overlap are NEVER
+    *     rewritten, which is the whole point of LCS: write
+    *     amplification per pass is bounded by fanout, not table size.
+    *
+    * Outputs are non-overlapping by construction: the merge reads
+    * through the reconcile scan (disjoint pk ranges per task) and
+    * each task's writer rolls files inside its own range. Subset
+    * merges keep markers and never gc-purge (same rule as STCS/TWCS).
+    * Returns (target level, inputs, outputs), or None when nothing
+    * applies.
+    */
+  def compactLeveled(spark: SparkSession, dir: String,
+      l0Threshold: Int = 4, l1Bytes: Long = 64L << 20, fanout: Int = 10,
+      rollRecords: Int = CellSource.DefaultRollRecords)
+      : Option[(Int, Seq[String], Seq[String])] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val norm = CellPlanning.normalize(dir)
+    val files = CellPlanning.listFiles(dir)
+    val lv = levels(dir)
+    def nameOf(f: String) = JPaths.get(f).getFileName.toString
+    def levelOf(f: String) = lv.getOrElse(nameOf(f), 0)
+    val byLevel = files.groupBy(levelOf)
+    def rangeOf(f: String) = {
+      val h = CellSource.readHeader(f)
+      (h.minPk, h.maxPk, h.count)
+    }
+    def overlapping(cands: Seq[String],
+        ranges: Seq[(Long, Long)]): Seq[String] =
+      cands.filter { f =>
+        val (lo, hi, n) = rangeOf(f)
+        n > 0 && ranges.exists(r => hi >= r._1 && lo <= r._2)
+      }
+
+    def mergeInto(target: Int, inputs: Seq[String])
+        : Option[(Int, Seq[String], Seq[String])] = {
+      val counter = tableProp(dir, "counter").exists(_.toBoolean)
+      val spec = CellPlanning.keySpecOf(norm, files)
+      val scratch = JFiles.createTempDirectory(JPaths.get(norm), ".lvl-")
+      try {
+        inputs.foreach { f =>
+          val p = JPaths.get(f)
+          JFiles.createLink(scratch.resolve(p.getFileName), p)
+        }
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true")
+          .option("keepMarkers", "true")
+          .option("withTtl", spec.isDefault.toString)
+          .option("counter", counter.toString)
+          .load(scratch.toString)
+          .write.format("graft.sources.CellSource")
+          .option("withTtl", spec.isDefault.toString)
+          .option("rollRecords", rollRecords.toString)
+          .mode("append").save(dir) // publish BEFORE deleting inputs
+        val outputs = CellPlanning.listFiles(dir)
+          .filterNot(files.contains)
+        inputs.foreach(f => JFiles.delete(JPaths.get(f)))
+        CellManifest.refresh(dir)
+        writeLevels(dir,
+          (lv -- inputs.map(nameOf)) ++
+            outputs.map(f => nameOf(f) -> target))
+        Some((target, inputs.map(nameOf), outputs.map(nameOf)))
+      } finally {
+        scala.util.Using.resource(JFiles.list(scratch)) { s =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+            .asScala.toList.foreach(JFiles.deleteIfExists(_))
+        }
+        JFiles.deleteIfExists(scratch)
+      }
+    }
+
+    val l0 = byLevel.getOrElse(0, Nil)
+    if (l0.size >= l0Threshold) {
+      val l0Ranges = l0.map(rangeOf).filter(_._3 > 0)
+        .map(r => (r._1, r._2))
+      val l1Overlap =
+        if (l0Ranges.isEmpty) Nil
+        else overlapping(byLevel.getOrElse(1, Nil), l0Ranges)
+      mergeInto(1, l0 ++ l1Overlap)
+    } else {
+      val over = byLevel.keys.filter(_ >= 1).toSeq.sorted.find { l =>
+        val budget = l1Bytes * math.pow(fanout, l - 1).toLong
+        byLevel(l).iterator
+          .map(f => JFiles.size(JPaths.get(f))).sum > budget
+      }
+      over.flatMap { l =>
+        val pick = byLevel(l).minBy(f => rangeOf(f)._1)
+        val (lo, hi, _) = rangeOf(pick)
+        val next = overlapping(byLevel.getOrElse(l + 1, Nil),
+          Seq((lo, hi)))
+        mergeInto(l + 1, pick +: next)
+      }
+    }
+  }
+
   /** TIME-WINDOW compaction (Cassandra's TWCS, round 7 — C51): the
     * policy for TTL'd time-series tables. Files bucket by the TIME
     * WINDOW of their max writetime (`floorDiv(maxWt, windowMs)`, read

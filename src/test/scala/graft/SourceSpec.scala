@@ -1761,6 +1761,67 @@ class SourceSpec extends GraftSpec {
     assert(CellMaintenance.compactTiered(spark, d).isEmpty)
   }
 
+  test("leveled compaction: L0 merges to disjoint L1, promotes on budget (C54)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-lcs").toString
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    // four overlapping L0 flushes (one is an LWW rewrite of another)
+    flush((0L until 60L).map(pk => (pk, 0, "qty", pk, 100L)))
+    flush((30L until 90L).map(pk => (pk, 0, "qty", pk + 1000, 200L)))
+    flush((60L until 120L).map(pk => (pk, 0, "qty", pk + 2000, 300L)))
+    flush(Seq((40L, 0, "qty", 9999L, 400L)))
+    def reconciled() = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    val before = reconciled()
+    val Some((t1, in1, out1)) =
+      CellMaintenance.compactLeveled(spark, d, rollRecords = 64)
+    assert(t1 == 1 && in1.size == 4, (t1, in1))
+    assert(out1.nonEmpty)
+    // the registry holds every output at level 1, and L1 ranges are
+    // pairwise disjoint (the LCS invariant a point read relies on)
+    val lv1 = CellMaintenance.levels(d)
+    assert(out1.forall(lv1.get(_).contains(1)), lv1)
+    val files1 = scala.util.Using.resource(JF.list(JP.get(d))) { s0 =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s0.iterator())
+        .asScala.map(_.toString).filter(_.endsWith(".cells"))
+        .toList.sorted
+    }
+    val ranges = graft.sources.CellManifest.current(d, files1).get
+      .filter(e => lv1.get(e.name).contains(1))
+      .map(e => (e.minPk, e.maxPk)).sortBy(_._1)
+    assert(ranges.size == out1.size)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"overlap: $a $b")
+      case _ =>
+    }
+    assert(reconciled() == before)
+    // under threshold and under budget: nothing to do
+    assert(CellMaintenance.compactLeveled(spark, d).isEmpty)
+    // a fresh L0 flush far to the RIGHT + 3 more: the next L0 pass
+    // pulls in only the L1 files its range overlaps
+    (0 until 4).foreach(k =>
+      flush(Seq((200L + k, 0, "qty", k.toLong, 500L))))
+    val Some((t2, in2, _)) =
+      CellMaintenance.compactLeveled(spark, d, rollRecords = 64)
+    assert(t2 == 1 && in2.size == 4, (t2, in2)) // NO L1 file touched
+    assert(reconciled() == before ++
+      (0 until 4).map(k => (200L + k, 0, "qty", k.toLong, 500L)))
+    // budget pressure: l1Bytes=1 puts L1 over budget → its first file
+    // promotes to L2 (no L2 files exist yet to merge with)
+    val Some((t3, in3, out3)) = CellMaintenance
+      .compactLeveled(spark, d, l1Bytes = 1L, rollRecords = 64)
+    assert(t3 == 2 && in3.size == 1, (t3, in3))
+    val lv3 = CellMaintenance.levels(d)
+    assert(out3.forall(lv3.get(_).contains(2)), lv3)
+    assert(reconciled() == before ++
+      (0 until 4).map(k => (200L + k, 0, "qty", k.toLong, 500L)))
+  }
+
   test("time-window compaction never merges across windows (C51, TWCS)") {
     import java.nio.file.{Files => JF, Paths => JP}
     import graft.sources.CellMaintenance
