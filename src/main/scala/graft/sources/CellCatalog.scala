@@ -330,7 +330,8 @@ private[sources] object CellSystem {
 
   val Tables = "tables"
   val Snapshots = "snapshots"
-  val names: Seq[String] = Seq(Tables, Snapshots)
+  val Ring = "ring"
+  val names: Seq[String] = Seq(Tables, Snapshots, Ring)
 
   def schema(kind: String): StructType = kind match {
     case Tables => StructType(Seq(
@@ -347,6 +348,13 @@ private[sources] object CellSystem {
       StructField("table", StringType, nullable = false),
       StructField("tag", StringType, nullable = false),
       StructField("n_files", LongType, nullable = false)))
+    case Ring => StructType(Seq(
+      StructField("namespace", StringType, nullable = false),
+      StructField("table", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("min_token", LongType, nullable = false),
+      StructField("max_token", LongType, nullable = false),
+      StructField("n_records", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(
       s"unknown system table '$other'")
   }
@@ -410,6 +418,21 @@ private[sources] object CellSystem {
         if (files.isEmpty) -1L else files.iterator.map(flushIndex).max
       Seq(Seq(ns, dir.getFileName.toString, files.size.toLong,
         nRecords, bytes, vt, layout(spec), maxFlush))
+    case Ring =>
+      // nodetool describering per file: the physical token range each
+      // flush covers (pk == token on the default layout, hashed on
+      // CEL6) — the unit repair/export/split planning rides on
+      val files = CellPlanning.listFiles(dir.toString)
+      val ents = CellManifest.current(dir.toString, files)
+        .map(_.map(e => (e.name, e.minPk, e.maxPk, e.count.toLong)))
+        .getOrElse(files.map { f =>
+          val h = CellSource.readHeader(f)
+          (Paths.get(f).getFileName.toString, h.minPk, h.maxPk,
+            h.count.toLong)
+        })
+      ents.filter(_._4 > 0).map { case (n, lo, hi, c) =>
+        Seq(ns, dir.getFileName.toString, n, lo, hi, c)
+      }
     case Snapshots =>
       val snaps = dir.resolve("_snapshots")
       dirs(snaps).map { tagDir =>

@@ -256,7 +256,7 @@ class CatalogSpec extends GraftSpec {
     assert(nss.contains("system"), nss)
     val tabs = spark.sql(s"SHOW TABLES IN $cat.system").collect()
       .map(_.getString(1)).toSet
-    assert(tabs == Set("tables", "snapshots"), tabs)
+    assert(tabs == Set("tables", "snapshots", "ring"), tabs)
     // per-table stats row from manifest metadata
     val r = spark.table(s"$cat.system.tables")
       .filter(col("table") === "sysdemo").collect()
@@ -269,6 +269,14 @@ class CatalogSpec extends GraftSpec {
     assert(r(0).getAs[String]("value_type") == "bigint")
     assert(r(0).getAs[String]("key_layout") == "((pk bigint), ck int)")
     assert(r(0).getAs[Long]("max_flush") == nf - 1)
+    // system.ring: one row per flush file with its physical token
+    // range and record count (nodetool describering from SQL)
+    val ring = spark.table(s"$cat.system.ring")
+      .filter(col("table") === "sysdemo").collect()
+    assert(ring.length == nf.toInt, ring.mkString)
+    assert(ring.forall(x => x.getAs[Long]("min_token") <=
+      x.getAs[Long]("max_token")))
+    assert(ring.map(_.getAs[Long]("n_records")).sum == 2L)
     // a snapshot surfaces in system.snapshots with its file count
     graft.sources.CellMaintenance.snapshot(
       java.nio.file.Paths.get(root, "default", "sysdemo").toString, "t0")
