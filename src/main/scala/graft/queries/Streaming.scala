@@ -173,6 +173,29 @@ object Streaming {
       |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // S_JOIN2 — stream-STATIC enrichment join, batch twin: the event
+  // stream joined to the static customer dimension (broadcast — the
+  // canonical per-micro-batch enrichment; no join state at all, which
+  // is why dims stay cheap at any stream volume). Rollup per market
+  // segment; sums in DECIMAL so the cross-engine compare is exact.
+  // Streaming twin: StreamingOps.enrich (StreamingSpec).
+  private def streamStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Tables.events(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val streamStaticSql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // S_WIN4 — NATIVE session_window in batch, cross-checked against an
   // INDEPENDENT formulation: the oracle is gaps-and-islands with the
   // native merge rule (new session when the gap is ≥ 30 min — native
@@ -208,6 +231,7 @@ object Streaming {
   def all: Seq[GQuery] = Seq(
     GQuery("S_WIN4_session_native", sessionNative, Some(sessionNativeSql)),
     GQuery("S_JOIN1_interval_join", intervalJoin, Some(intervalJoinSql)),
+    GQuery("S_JOIN2_stream_static", streamStatic, Some(streamStaticSql)),
     GQuery("S_WIN1_tumbling", tumbling, Some(tumblingSql)),
     GQuery("S_WIN2_sliding", sliding, Some(slidingSql)),
     GQuery("S_WIN3_session", sessions, Some(sessionsSql)),

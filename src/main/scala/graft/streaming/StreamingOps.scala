@@ -62,6 +62,17 @@ object StreamingOps {
       "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
   }
 
+  /** S_JOIN2 twin — stream-STATIC enrichment join: every micro-batch
+    * joins against the static dimension, broadcast per batch. No
+    * watermark and no join state — the static side is re-resolvable
+    * at each batch, which is why enrichment dims cost nothing however
+    * large the stream gets (and why this is the right shape for a
+    * dim that fits in memory; a huge dim would bucket-join instead).
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col("user_id") === col("c_custkey"))
+
   /** S_SINK1 — idempotent foreachBatch upsert into a partitioned
     * parquet store. Each micro-batch's updated (event_type, totals)
     * rows overwrite ONLY the key partitions they touch

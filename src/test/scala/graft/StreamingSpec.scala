@@ -183,6 +183,21 @@ class StreamingSpec extends GraftSpec {
     assert(pairs == Set((1L, 10L)))
   }
 
+  test("stream-static join enriches events per micro-batch (S_JOIN2)") {
+    val in = MemoryStream[Ev](spark)
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(1), 2, "view", 2.0),
+      Ev(3, ts(2), 9, "click", 3.0)) // no dim row → dropped
+    val dim = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = runQuery("enrich",
+      StreamingOps.enrich(in.toDF(), dim))
+    assert(out.select(col("event_id"), col("c_mktsegment"))
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "BUILDING"), (2L, "AUTOMOBILE")))
+  }
+
   test("sliding window assigns each event to 4 hops (twin of S_WIN2)") {
     val in = MemoryStream[Ev](spark)
     in.addData(Ev(1, ts(16), 1, "click", 1.0))
