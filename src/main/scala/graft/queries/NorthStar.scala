@@ -303,6 +303,47 @@ object NorthStar {
        |FROM e JOIN probed USING (label) CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  // N_SIM8 — product quantization (Similarity.pqTopK scaladoc has the
+  // full design): 8 subspaces × 16-entry deterministic codebooks, m
+  // 4-bit codes per vector (32× smaller store), ADC lookup-table
+  // scoring for the query. Emits each top-k candidate's code word AND
+  // its quantized ADC score, so the oracle checks the entire encode +
+  // score pipeline, not just the ranking.
+  private def simPq(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(embs(s, d),
+      embs(s, d).filter(col("vec_id") === 0), k = 20)
+
+  private val simPqSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+      |  FROM embeddings),
+      |ss AS (SELECT vec_id, label, s,
+      |    list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+      |  FROM e, unnest(range(0, 8)) AS u(s)),
+      |cb AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cent
+      |  FROM ss WHERE vec_id < 16),
+      |enc AS (SELECT ss.vec_id, ss.label, ss.s, cb.c,
+      |    CAST(ROUND((list_dot_product(sv, sv)
+      |      - 2 * list_dot_product(sv, cent)
+      |      + list_dot_product(cent, cent)) * 1000000) AS BIGINT) AS d2q
+      |  FROM ss JOIN cb USING (s)),
+      |codes AS (SELECT vec_id, label, s, c FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2q, c) AS rn FROM enc)
+      |  WHERE rn = 1),
+      |q AS (SELECT s, list_slice(v, s * 8 + 1, s * 8 + 8) AS qsv
+      |  FROM e, unnest(range(0, 8)) AS u(s) WHERE vec_id = 0),
+      |lut AS (SELECT cb.s, cb.c,
+      |    CAST(ROUND(list_dot_product(cent, qsv) * 10000) AS BIGINT)
+      |      AS pdq
+      |  FROM cb JOIN q USING (s))
+      |SELECT vec_id, label,
+      |  array_to_string(list(CAST(c AS VARCHAR) ORDER BY s), '|')
+      |    AS codes,
+      |  CAST(SUM(pdq) AS BIGINT) AS ascore_q
+      |FROM codes JOIN lut USING (s, c)
+      |GROUP BY vec_id, label
+      |ORDER BY ascore_q DESC, vec_id LIMIT 20""".stripMargin
+
   // Centroid components are emitted ×10000 as integers, '|'-joined:
   // the driver's comparer hashes scalars only, and double→string
   // rendering differs across engines (Spark prints 2.0E-4, DuckDB
@@ -1228,6 +1269,7 @@ object NorthStar {
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
+    GQuery("N_SIM8_product_quant", simPq, Some(simPqSql)),
     GQuery("N_SKETCH1_cms", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),

@@ -263,4 +263,65 @@ object Similarity {
           .mkString("CASE ", " ", " END")))
       .drop((0 until bands).map(b => s"__bucket_$b"): _*)
   }
+
+  /** N_SIM8 — product quantization (the PQ half of FAISS IVFPQ): each
+    * vector splits into `m` subvectors of `subDim` dims; per subspace
+    * a 16-entry codebook encodes every vector as m 4-bit codes (for
+    * 64-dim float vectors: 256 bytes → 8 bytes, 32× compression), and
+    * a query scores candidates via an ADC lookup table — approx dot =
+    * Σ_s LUT[s][code_s], m table adds per candidate, zero per-dim
+    * work. The codebook here is deterministic (the subvectors of the
+    * 16 lowest-id vectors — sample-seeded; kmeans-trained centroids
+    * plug into the same shape, see [[kmeansIter]]).
+    *
+    * Scale: the codebook is m×16 rows whatever the corpus size
+    * (broadcasts), encoding is a map-only argmin via `min_by` (no
+    * window, no shuffle beyond the final per-vector rollup), scoring
+    * is a broadcast-LUT join + top-k. Determinism: subspace distances
+    * and LUT entries are fixed-point quantized (×10⁶ / ×10⁴ BIGINT)
+    * before any argmin/sum, ties broken on centroid index.
+    */
+  def pqTopK(embeddings: DataFrame, query: DataFrame, k: Int = 20,
+      m: Int = 8, subDim: Int = 8): DataFrame = {
+    val nc = 16
+    def dotS(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    val e = embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    def split(vcol: String, out: String) =
+      expr(s"transform(sequence(0, ${m - 1}), s -> " +
+        s"struct(s AS s, slice($vcol, s * $subDim + 1, $subDim) AS $out))")
+    val subs = e
+      .select(col("vec_id"), col("label"), explode(split("v", "sv")).as("x"))
+      .select(col("vec_id"), col("label"), col("x.s").as("s"),
+        col("x.sv").as("sv"))
+    val cb = subs.filter(col("vec_id") < nc)
+      .select(col("s"), col("vec_id").cast("int").as("c"),
+        col("sv").as("cent"))
+    // encode: quantized L2² argmin per (vector, subspace); the
+    // expanded dot form matches the oracle's list_dot_product shape
+    val d2q = round((expr(dotS("sv", "sv")) -
+      expr(dotS("sv", "cent")) * 2 + expr(dotS("cent", "cent"))) *
+      lit(1000000.0)).cast("long")
+    val codes = subs.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("label"), col("s"), col("c"),
+        d2q.as("d2q"))
+      .groupBy(col("vec_id"), col("label"), col("s"))
+      .agg(min_by(col("c"), struct(col("d2q"), col("c"))).as("c"))
+    val qsub = query
+      .select(col("embedding").cast("array<double>").as("qv"))
+      .select(explode(split("qv", "qsv")).as("x"))
+      .select(col("x.s").as("s"), col("x.qsv").as("qsv"))
+    val lut = cb.join(qsub, "s")
+      .select(col("s"), col("c"),
+        round(expr(dotS("cent", "qsv")) * lit(10000.0)).cast("long")
+          .as("pdq"))
+    codes.join(broadcast(lut), Seq("s", "c"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(s, c))), t -> cast(t.c as string)), '|')").as("codes"),
+        sum(col("pdq")).as("ascore_q"))
+      .orderBy(col("ascore_q").desc, col("vec_id")).limit(k)
+  }
 }

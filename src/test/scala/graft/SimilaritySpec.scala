@@ -71,4 +71,26 @@ class SimilaritySpec extends GraftSpec {
       .select("vec_id", "cell").as[(Long, Int)].collect().toMap
     assert(a == Map(1L -> 0, 2L -> 1))
   }
+
+  test("PQ encodes to the nearest codebook entry and ADC-scores it (N_SIM8)") {
+    // dim 4, m=2×subDim=2: vec i = [i, 1, 0, i] → subspaces [i,1] and
+    // [0,i]; vectors 0..15 ARE the codebook
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, "a", Array(i.toFloat, 1f, 0f, i.toFloat))) ++ Seq(
+      (100L, "b", Array(3f, 1f, 0f, 3f)),     // == codebook vec 3
+      (101L, "b", Array(7.2f, 1f, 0f, 6.9f))) // nearest 7 both subspaces
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val out = Similarity.pqTopK(df,
+      df.filter(col("vec_id") === 0), k = 50, m = 2, subDim = 2).cache()
+    val codes = out.select(col("vec_id"), col("codes"))
+      .as[(Long, String)].collect().toMap
+    assert(codes(100L) == "3|3", codes)
+    assert(codes(101L) == "7|7", codes)
+    // ADC of a codebook vector is the exact quantized dot with the
+    // query: q=[0,1,0,0], vec 3 → dot sub0 = 1 (×10⁴), sub1 = 0
+    val s3 = out.filter(col("vec_id") === 3)
+      .select(col("ascore_q")).as[Long].head()
+    assert(s3 == 10000L)
+    out.unpersist()
+  }
 }
