@@ -344,6 +344,78 @@ object NorthStar {
       |GROUP BY vec_id, label
       |ORDER BY ascore_q DESC, vec_id LIMIT 20""".stripMargin
 
+  // N_SIM9 — two-stage retrieval (Similarity.pqRerankTopK scaladoc):
+  // the PQ compressed-domain scan keeps c=50 ADC candidates, then
+  // exact cosine re-ranks ONLY those 50 against the raw vectors —
+  // FAISS's refine step. The oracle reproduces both stages, so the
+  // candidate cut AND the re-ranked order are checked.
+  private def simPqRerank(s: SparkSession, d: String): DataFrame =
+    Similarity.pqRerankTopK(embs(s, d),
+      embs(s, d).filter(col("vec_id") === 0), k = 10, c = 50)
+
+  private val simPqRerankSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |ss AS (SELECT vec_id, label, s,
+       |    list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+       |  FROM e, unnest(range(0, 8)) AS u(s)),
+       |cb AS (SELECT s, CAST(vec_id AS INT) AS c, sv AS cent
+       |  FROM ss WHERE vec_id < 16),
+       |enc AS (SELECT ss.vec_id, ss.s, cb.c,
+       |    CAST(ROUND((list_dot_product(sv, sv)
+       |      - 2 * list_dot_product(sv, cent)
+       |      + list_dot_product(cent, cent)) * 1000000) AS BIGINT) AS d2q
+       |  FROM ss JOIN cb USING (s)),
+       |codes AS (SELECT vec_id, s, c FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY d2q, c) AS rn FROM enc)
+       |  WHERE rn = 1),
+       |q AS (SELECT s, list_slice(v, s * 8 + 1, s * 8 + 8) AS qsv
+       |  FROM e, unnest(range(0, 8)) AS u(s) WHERE vec_id = 0),
+       |lut AS (SELECT cb.s, cb.c,
+       |    CAST(ROUND(list_dot_product(cent, qsv) * 10000) AS BIGINT)
+       |      AS pdq
+       |  FROM cb JOIN q USING (s)),
+       |cand AS (SELECT vec_id, CAST(SUM(pdq) AS BIGINT) AS ascore_q
+       |  FROM codes JOIN lut USING (s, c)
+       |  GROUP BY vec_id ORDER BY ascore_q DESC, vec_id LIMIT 50),
+       |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, c.ascore_q,
+       |  ROUND(${cosSql("e.v", "qv")}, 4) + 0.0 AS score_r
+       |FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN qv
+       |ORDER BY score_r DESC, e.vec_id LIMIT 10""".stripMargin
+
+  // N_DEDUP9 — SemDeDup (Similarity.semDedup scaladoc): embedding
+  // k-means-style clusters (deterministic 8-entry codebook here),
+  // pairwise cosine ONLY within a cluster, greedy min-id keeper.
+  // Declared output = every removed vector with its cluster, keeper,
+  // and duplicate-partner count.
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Similarity.semDedup(embs(s, d), nc = 8, tau = 0.4)
+
+  private val dedupSemanticSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |cb AS (SELECT CAST(vec_id AS INT) AS cell, v AS cent FROM e
+       |  WHERE vec_id < 8),
+       |d AS (SELECT e.vec_id, e.v, cb.cell,
+       |    CAST(ROUND((list_dot_product(v, v)
+       |      - 2 * list_dot_product(v, cent)
+       |      + list_dot_product(cent, cent)) * 1000000) AS BIGINT) AS d2q
+       |  FROM e CROSS JOIN cb),
+       |sel AS (SELECT vec_id, v, cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2q, cell) AS rn FROM d)
+       |  WHERE rn = 1),
+       |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${cosSql("a.v", "b.v")}, 4) + 0.0 AS score_r
+       |  FROM sel a JOIN sel b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT id_b AS vec_id, cell, CAST(MIN(id_a) AS BIGINT) AS keeper_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dup_partners
+       |FROM p WHERE score_r >= 0.4
+       |GROUP BY id_b, cell ORDER BY vec_id""".stripMargin
+
   // Centroid components are emitted ×10000 as integers, '|'-joined:
   // the driver's comparer hashes scalars only, and double→string
   // rendering differs across engines (Spark prints 2.0E-4, DuckDB
@@ -1247,6 +1319,117 @@ object NorthStar {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // N_EVAL3 — BLOOM-FILTER decontamination: the scalable form of
+  // N_EVAL2's exact-join protocol (Brown et al. built the GPT-3
+  // filter exactly this way). The train split's 13-gram hashes set
+  // k=3 bit positions each in an m=2²⁴-bit filter (positions = three
+  // 6-hex-nibble slices of the gram's md5 — deterministic in both
+  // engines); an eval gram is bloom-POSITIVE iff all 3 of its
+  // positions are set. The filter is a distinct-position relation
+  // bounded by min(3·|train grams|, 2²⁴) rows (~1 MB) that BROADCASTS,
+  // so the eval side — the 100 TB side — is scanned map-only: no
+  // gram-keyed shuffle of the big side, which is what makes this the
+  // scale path over N_EVAL2. False positives (~(fill)³ ≈ 3e-7 here)
+  // are the operator's documented semantics; both engines reproduce
+  // them bit-for-bit, so the count itself is oracle-checked.
+  private def evalBloomDecontam(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val train = trainSplit(all).select(col("doc_id"))
+    val grams = all
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
+      .distinct()
+      // both the filter build and the eval probe read this: one pass
+      .localCheckpoint(true)
+    def bits(hc: String) = expr(
+      s"transform(array(1, 9, 17), o -> " +
+        s"cast(conv(substring($hc, o, 6), 16, 10) as bigint))")
+    val filterBits = grams.join(train, "doc_id")
+      .select(explode(bits("h")).as("bit")).distinct()
+    val evalPos = grams.join(train, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("h"), explode(bits("h")).as("bit"))
+    evalPos.join(broadcast(filterBits), "bit")
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val evalBloomDecontamSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(t, i + 1, i + 13), ' ')) AS h
+      |  FROM toks, unnest(range(0, len(t) - 12)) AS u(i)
+      |  WHERE len(t) >= 13),
+      |train AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM documents)
+      |  WHERE rn <= 20),
+      |fb AS (
+      |  SELECT DISTINCT CAST('0x' || substr(h, o, 6) AS BIGINT) AS bit
+      |  FROM g JOIN train USING (doc_id), unnest([1, 9, 17]) AS uu(o)),
+      |ep AS (
+      |  SELECT doc_id, h, CAST('0x' || substr(h, o, 6) AS BIGINT) AS bit
+      |  FROM g, unnest([1, 9, 17]) AS uu(o)
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM train)),
+      |pos AS (
+      |  SELECT doc_id, h FROM ep JOIN fb USING (bit)
+      |  GROUP BY doc_id, h HAVING COUNT(*) = 3)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_pos
+      |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // N_TEXT12 — sliding-window CHUNKING: the RAG / context-window prep
+  // stage — each document splits into 32-token windows with stride 24
+  // (8-token overlap), the shape every retrieval corpus and many
+  // packing pipelines need. Pure per-doc generate + slice: map-side
+  // explode, one doc-keyed rollup, nothing cross-document. The
+  // declared output folds each doc's ordered chunk md5s into one
+  // digest, so chunk CONTENT, count, boundaries, and order are all
+  // oracle-checked while the result stays one row per doc.
+  private def textChunking(s: SparkSession, d: String): DataFrame = {
+    val cs = 32 // chunk size (tokens)
+    val st = 24 // stride
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr(s"sequence(0, cast(floor((n - 1) / $st) as int))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(col("n") - col("chunk_idx") * st, lit(cs)).cast("long")
+          .as("n_tok"),
+        md5(expr(s"concat_ws(' ', slice(t, chunk_idx * $st + 1, $cs))")
+          .cast("binary")).as("ch"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("chunk_tokens"),
+        md5(expr("cast(array_join(transform(array_sort(" +
+          "collect_list(struct(chunk_idx, ch))), x -> x.ch), '|') " +
+          "as binary)")).as("chunks_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textChunkingSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ch AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    CAST(LEAST(len(t) - i * 24, 32) AS BIGINT) AS n_tok,
+      |    md5(array_to_string(
+      |      list_slice(t, i * 24 + 1, i * 24 + 32), ' ')) AS h
+      |  FROM toks, unnest(range(0, (len(t) - 1) // 24 + 1)) AS u(i))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+      |  md5(string_agg(h, '|' ORDER BY chunk_idx)) AS chunks_digest
+      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("N_EVAL1_contamination", evalContamination,
       Some(evalContaminationSql)),
@@ -1270,6 +1453,11 @@ object NorthStar {
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
     GQuery("N_SIM8_product_quant", simPq, Some(simPqSql)),
+    GQuery("N_SIM9_pq_rerank", simPqRerank, Some(simPqRerankSql)),
+    GQuery("N_DEDUP9_semdedup", dedupSemantic, Some(dedupSemanticSql)),
+    GQuery("N_EVAL3_bloom_decontam", evalBloomDecontam,
+      Some(evalBloomDecontamSql)),
+    GQuery("N_TEXT12_chunking", textChunking, Some(textChunkingSql)),
     GQuery("N_SKETCH1_cms", cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     GQuery("N_TEXT1_wordcount", textWordcount, Some(textWordcountSql)),
     GQuery("N_TEXT2_tfidf", textTfidf, Some(textTfidfSql)),

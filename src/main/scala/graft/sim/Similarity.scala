@@ -324,4 +324,85 @@ object Similarity {
         sum(col("pdq")).as("ascore_q"))
       .orderBy(col("ascore_q").desc, col("vec_id")).limit(k)
   }
+
+  /** N_SIM9 — two-stage retrieval (the refine step of FAISS IVFPQ):
+    * stage 1 scans the COMPRESSED domain ([[pqTopK]]'s ADC scores —
+    * m LUT adds per candidate, the full-precision vectors never
+    * touched) and keeps the top `c` candidates; stage 2 re-ranks only
+    * those `c` against the raw vectors with exact cosine and returns
+    * the top `k`. This is the standard recall-repair architecture:
+    * ADC's quantization error decides at most which of the `c`
+    * survivors win, not the final ordering.
+    *
+    * Scale: stage 1 is the PQ scan (broadcast LUT, map-only adds);
+    * stage 2 touches `c` rows — a broadcast semi-join back to the
+    * vector store, O(c) exact scores however large the corpus.
+    */
+  def pqRerankTopK(embeddings: DataFrame, query: DataFrame, k: Int = 10,
+      c: Int = 50, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val cand = pqTopK(embeddings, query, c, m, subDim)
+      .select(col("vec_id"), col("ascore_q"))
+    val q = broadcast(query
+      .select(col("embedding").cast("array<double>").as("qv")))
+    embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(cand), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), col("label"), col("ascore_q"),
+        (round(cosineNative(embeddings, "v", "qv"), 4) + lit(0.0))
+          .as("score_r"))
+      .orderBy(col("score_r").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** N_DEDUP9 — SemDeDup (Abbas et al. 2023): semantic deduplication
+    * by clustering embeddings and removing near-duplicates WITHIN each
+    * cluster. Cluster assignment uses a deterministic `nc`-entry
+    * codebook (the `nc` lowest-id vectors; kmeans-trained centroids
+    * from [[kmeansIter]] plug into the same shape), candidate pairs
+    * are cluster-blocked — the paper's whole point: pairwise cosine
+    * only inside a cluster, never across the corpus — and a vector is
+    * removed when a LOWER-id cluster-mate scores ≥ `tau` (greedy
+    * min-id keeper, deterministic).
+    *
+    * Scale: the codebook broadcasts (KB), assignment is a map-only
+    * quantized-L2 argmin, and the pair join is keyed on `cell` — at
+    * 100 TB the O(n²) all-pairs shape never appears; cost is
+    * Σ O(cell²) with cells sized by the codebook.
+    *
+    * @return one row per REMOVED vector: (vec_id, cell, keeper_id =
+    *         lowest-id duplicate partner, n_dup_partners).
+    */
+  def semDedup(embeddings: DataFrame, nc: Int = 8,
+      tau: Double = 0.4): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cb = e.filter(col("vec_id") < nc)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cent"))
+    // quantized-L2 argmin (fixed-point BIGINT before the min_by, cell
+    // tie-break) — the same determinism discipline as PQ encoding; the
+    // expanded dot form matches the oracle's list_dot_product shape
+    val d2q = round((dot("v", "v") - dot("v", "cent") * 2 +
+      dot("cent", "cent")) * lit(1000000.0)).cast("long")
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("v"), col("cell"), d2q.as("d2q"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("v")),
+        struct(col("d2q"), col("cell"))).as("w"))
+      .select(col("vec_id"), col("w.cell").as("cell"), col("w.v").as("v"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score_r",
+        round(cosineNative(embeddings, "va", "vb"), 4) + lit(0.0))
+      .filter(col("score_r") >= tau)
+      .groupBy(col("id_b").as("vec_id"), col("cell"))
+      .agg(min(col("id_a")).as("keeper_id"),
+        count(lit(1)).as("n_dup_partners"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -230,4 +230,37 @@ class OperatorSpec extends GraftSpec {
       .select("doc_id").distinct().as[Long].collect().sorted.toSeq
     assert(flagged === Seq(1L, 2L))
   }
+
+  test("bloom decontamination never misses an exact-overlap doc (N_EVAL3)") {
+    import spark.implicits._
+    // the bloom filter's one-sided guarantee: every doc the exact
+    // 13-gram join flags must be bloom-positive, with at least as
+    // many positive grams (false positives only ever ADD)
+    val exact = Registry.byName("N_EVAL2_ngram_overlap")
+      .fn(spark, sf()).as[(Long, Long)].collect().toMap
+    val bloom = Registry.byName("N_EVAL3_bloom_decontam")
+      .fn(spark, sf()).as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty) // fixture really contains contamination
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id: bloom misses") }
+  }
+
+  test("chunking covers every token with stride-24 windows (N_TEXT12)") {
+    import spark.implicits._
+    val out = Registry.byName("N_TEXT12_chunking").fn(spark, sf())
+      .as[(Long, Long, Long, String)].collect()
+    val nToks = Tables.documents(spark, sf())
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.length == nToks.size) // one row per doc
+    out.foreach { case (id, nChunks, chunkToks, digest) =>
+      val n = nToks(id)
+      assert(nChunks == (n - 1) / 24 + 1, s"doc $id chunk count")
+      // sum over i of min(n - 24 i, 32): every token appears, overlap
+      // tokens (8 per full window pair) appear twice
+      val expected = (0L until nChunks).map(i => math.min(n - 24 * i, 32L)).sum
+      assert(chunkToks == expected, s"doc $id token coverage")
+      assert(digest.length == 32)
+    }
+  }
 }

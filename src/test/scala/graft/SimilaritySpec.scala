@@ -93,4 +93,40 @@ class SimilaritySpec extends GraftSpec {
     assert(s3 == 10000L)
     out.unpersist()
   }
+
+  test("PQ rerank emits exact cosine order over the ADC candidates (N_SIM9)") {
+    val e = Tables.embeddings(spark, sf())
+    val q = e.filter(col("vec_id") === 0)
+    val out = Similarity.pqRerankTopK(e, q, k = 10, c = 50)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 10)
+    // stage 2 is EXACT cosine: the query itself survives the ADC cut
+    // and re-ranks first with self-similarity 1.0
+    assert(out.head._1 == 0L && out.head._4 == 1.0, out.head)
+    // re-ranked order is by the exact score, not the ADC score
+    assert(out.sliding(2).forall(p => p(0)._4 >= p(1)._4))
+    // every emitted score matches the brute-force exact computation
+    val exact = Similarity.topK(e, q, 500)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.forall(r => exact(r._1) == r._4), out.toSeq)
+  }
+
+  test("semDedup removes exactly the lower-id-partnered near-dups (N_DEDUP9)") {
+    // two planted clusters: ids 0/1 are the nc=2 codebook; 8 and 9
+    // duplicate 0 (cell 0), 10 near-duplicates 1 (cell 1)
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (8L, Array(0.99f, 0.01f)), (9L, Array(1.01f, 0f)),
+      (10L, Array(0.1f, 0.9f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, nc = 2, tau = 0.95)
+      .as[(Long, Int, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set(8L, 9L, 10L), out.toSeq)
+    assert(byId(8L)._2 == 0 && byId(8L)._3 == 0L) // cell 0, keeper 0
+    assert(byId(9L)._2 == 0 && byId(9L)._3 == 0L)
+    assert(byId(10L)._2 == 1 && byId(10L)._3 == 1L)
+    // 9 pairs with both 0 and 8 (all three are mutual near-dups)
+    assert(byId(9L)._4 == 2L, byId(9L))
+  }
 }
