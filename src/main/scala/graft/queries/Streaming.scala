@@ -173,6 +173,46 @@ object Streaming {
       |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // S_JOIN3 — stream-stream LEFT OUTER interval join, batch twin:
+  // S_JOIN1's pairing, but clicks with no purchase in the following
+  // hour are KEPT (the watermark-evicted null emission of the
+  // streaming form — StreamingOps.intervalJoinOuter, exercised in
+  // StreamingSpec). Per user: matched pair count, unmatched click
+  // count, total clicks — the outer join's conservation law
+  // (every click lands in exactly one bucket) visible in the output.
+  private def intervalJoinOuterBatch(s: SparkSession,
+      d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    clicks.join(purchases, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 1 hour"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(col("p_id")).as("n_pairs"),
+        countDistinct(when(col("p_id").isNull, col("c_id")))
+          .as("n_unmatched_clicks"),
+        countDistinct(col("c_id")).as("n_clicks"))
+      .orderBy(col("user_id"))
+  }
+
+  private val intervalJoinOuterBatchSql =
+    """WITH c AS (SELECT user_id, ts AS c_ts, event_id AS c_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(COUNT(p_id) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(DISTINCT CASE WHEN p_id IS NULL THEN c_id END)
+      |    AS BIGINT) AS n_unmatched_clicks,
+      |  CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_clicks
+      |FROM c LEFT JOIN p ON user_id = p_user
+      |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // S_JOIN2 — stream-STATIC enrichment join, batch twin: the event
   // stream joined to the static customer dimension (broadcast — the
   // canonical per-micro-batch enrichment; no join state at all, which
@@ -232,6 +272,8 @@ object Streaming {
     GQuery("S_WIN4_session_native", sessionNative, Some(sessionNativeSql)),
     GQuery("S_JOIN1_interval_join", intervalJoin, Some(intervalJoinSql)),
     GQuery("S_JOIN2_stream_static", streamStatic, Some(streamStaticSql)),
+    GQuery("S_JOIN3_interval_outer", intervalJoinOuterBatch,
+      Some(intervalJoinOuterBatchSql)),
     GQuery("S_WIN1_tumbling", tumbling, Some(tumblingSql)),
     GQuery("S_WIN2_sliding", sliding, Some(slidingSql)),
     GQuery("S_WIN3_session", sessions, Some(sessionsSql)),

@@ -62,6 +62,28 @@ object StreamingOps {
       "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
   }
 
+  /** S_JOIN3 — stream-stream LEFT OUTER interval join: every click is
+    * emitted — paired while purchases match, and with a NULL purchase
+    * side once the watermark proves no match can still arrive. The
+    * null emission is exactly the state-eviction contract of
+    * watermark-bounded outer joins: a click is held in state until
+    * the purchase watermark passes `c_ts + 1h`, then released
+    * unmatched — so state stays bounded at any stream volume and no
+    * click is ever silently dropped (the difference from S_JOIN1's
+    * inner form).
+    */
+  def intervalJoinOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    c.join(p, expr("user_id = p_user AND " +
+      "p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"), "left_outer")
+  }
+
   /** S_JOIN2 twin — stream-STATIC enrichment join: every micro-batch
     * joins against the static dimension, broadcast per batch. No
     * watermark and no join state — the static side is re-resolvable

@@ -183,6 +183,35 @@ class StreamingSpec extends GraftSpec {
     assert(pairs == Set((1L, 10L)))
   }
 
+  test("outer interval join emits unmatched clicks after watermark (S_JOIN3)") {
+    val clicks = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val q = StreamingOps.intervalJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivjo").start()
+    clicks.addData(
+      Ev(1, ts(0), 1, "click", 1.0),   // will pair
+      Ev(2, ts(30), 2, "click", 1.0))  // will never pair
+    purchases.addData(
+      Ev(10, ts(20), 1, "purchase", 9.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click 2's 1-hour window so its
+    // state is provably unmatched and must be released with nulls
+    clicks.addData(Ev(3, ts(600), 9, "click", 1.0))
+    purchases.addData(Ev(11, ts(600), 9, "purchase", 9.0))
+    q.processAllAvailable()
+    // one more batch: null emission happens when a batch RUNS with
+    // the advanced watermark
+    purchases.addData(Ev(12, ts(601), 8, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ivjo")
+      .select(col("c_id"), col("p_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((1L, Some(10L))), rows)  // matched pair intact
+    assert(rows.contains((2L, None)), rows)       // unmatched click emitted
+  }
+
   test("stream-static join enriches events per micro-batch (S_JOIN2)") {
     val in = MemoryStream[Ev](spark)
     in.addData(
