@@ -1007,7 +1007,28 @@ object Cells {
        |WHERE pk IN (${CellSnapshots.ReadRepairPks.mkString(", ")})
        |ORDER BY pk, ck, col""".stripMargin
 
+  // C50 — HINTED handoff: replica A was down while the price cells of
+  // pk ∈ [200, 700) were written; the coordinator stored a hint
+  // (writeWithHints) and replayed it when A returned (deliverHints).
+  // A's solo reconciled read of a band straddling the hinted slice
+  // must equal the plain merged view — the hint carried the original
+  // writetimes, so LWW folds the replayed cells exactly as a direct
+  // write would have.
+  private def hintedHandoffRead(s: SparkSession, d: String): DataFrame = {
+    val dirA = CellSnapshots.ensureHinted(s, d)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dirA)
+      .filter(col("pk") >= 150 && col("pk") < 750)
+      .orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val hintedHandoffSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk >= 150 AND pk < 750
+      |ORDER BY pk, ck, col""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("C50_hinted_handoff", hintedHandoffRead, Some(hintedHandoffSql)),
     GQuery("C52_paged_scan", pagedScan, Some(pagedScanSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

@@ -603,6 +603,127 @@ object CellMaintenance {
     }
   }
 
+  // ---- C50: hinted handoff -------------------------------------------
+
+  /** Hint-table directory for one down target under `hintsDir` — the
+    * target path is URL-encoded into a single path segment, so any
+    * replica path round-trips and two targets can never collide.
+    */
+  def hintPath(hintsDir: String, target: String): String =
+    CellPlanning.normalize(hintsDir) + "/" +
+      java.net.URLEncoder.encode(
+        CellPlanning.normalize(target), "UTF-8")
+
+  /** C50 — HINTED HANDOFF, the write half: Cassandra's short-outage
+    * protocol. A coordinator writing while some replicas are down
+    * appends `cells` to every UP replica now, and for each DOWN
+    * replica appends the same rows to a per-target HINT TABLE under
+    * `hintsDir`. The hint store is an ordinary cell table: hints
+    * survive coordinator restarts, are inspectable with every scan,
+    * and inherit the flush commit's crash atomicity — nothing new to
+    * get wrong. Original writetimes ship with the cells, so a later
+    * delivery folds by LWW exactly as the direct write would have;
+    * tombstone/TTL markers are ordinary rows and hint like data.
+    *
+    * `cells` is default-layout `(pk, ck, col, value, wt[, _expiry])`;
+    * pass `withExpiry = true` when the trailing per-cell expiry
+    * column is present (CEL10).
+    */
+  def writeWithHints(spark: SparkSession,
+      cells: org.apache.spark.sql.DataFrame, up: Seq[String],
+      down: Seq[String], hintsDir: String,
+      withExpiry: Boolean = false): Unit = {
+    require(up.nonEmpty, "a write needs at least one live replica " +
+      "(Cassandra: CL unmet -> the write fails, no hints are stored)")
+    val d = cells.persist()
+    d.count()
+    def append(target: String): Unit =
+      d.coalesce(1).write.format("graft.sources.CellSource")
+        .option("withTtl", withExpiry.toString)
+        .mode("append").save(target)
+    up.foreach(append)
+    down.foreach(t => append(hintPath(hintsDir, t)))
+    d.unpersist()
+  }
+
+  /** C50 — HINTED HANDOFF, the replay half: when `target` comes back,
+    * its pending hints are read as one view and appended as ONE flush,
+    * then the hint files are cleared. Returns the delivered cell
+    * count.
+    *
+    * Crash safety: delivery-then-crash-before-clear re-delivers on the
+    * next call — LWW-idempotent (identical records reconcile to the
+    * same winners), the same contract every replay path here rides on.
+    *
+    * Hints whose FILE is older than `maxHintAgeMs` (Cassandra's
+    * `max_hint_window_in_ms`) are DROPPED, not delivered: a replica
+    * down past the window must run anti-entropy [[repair]] instead —
+    * hints cannot be trusted across the gc-grace boundary (a dropped
+    * tombstone delivered late would resurrect data; repair re-reads
+    * live state, hints replay history). Expiry granularity is the
+    * hint FLUSH (one [[writeWithHints]] call), mirroring Cassandra's
+    * per-hint-file expiry. `nowMs = Long.MaxValue` (the default)
+    * disables expiry — callers own the clock, as with [[compact]].
+    */
+  def deliverHints(spark: SparkSession, hintsDir: String,
+      target: String, maxHintAgeMs: Long = Long.MaxValue,
+      nowMs: Long = Long.MaxValue): Long = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val hp = hintPath(hintsDir, target)
+    val files = CellPlanning.listFiles(hp)
+    if (files.isEmpty) return 0L
+    val cutoff =
+      if (maxHintAgeMs == Long.MaxValue || nowMs == Long.MaxValue)
+        Long.MinValue
+      else nowMs - maxHintAgeMs
+    val live = files.filter(f =>
+      JFiles.getLastModifiedTime(JPaths.get(f)).toMillis >= cutoff)
+    var delivered = 0L
+    if (live.nonEmpty) {
+      // scratch hard-link view of exactly the non-expired hint files
+      // (the compaction-pass trick): zero data copies, and the read
+      // is pinned against a concurrent writeWithHints appending more
+      val scratch = JFiles.createTempDirectory("hints-deliver")
+      live.foreach { f =>
+        val p = JPaths.get(f)
+        JFiles.createLink(scratch.resolve(p.getFileName), p)
+      }
+      val df = spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true").load(scratch.toString)
+      delivered = ship(df, target, 1, Seq("pk", "ck", "col"),
+        withExpiry = true)
+      scala.util.Using.resource(JFiles.list(scratch)) { s =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.toList.foreach(JFiles.delete)
+      }
+      JFiles.delete(scratch)
+    }
+    // clear delivered AND expired hints; drop the manifest too so a
+    // later hint append rebuilds it from the live listing
+    files.foreach(f => JFiles.deleteIfExists(JPaths.get(f)))
+    JFiles.deleteIfExists(
+      JPaths.get(hp).resolve(CellManifest.FileName))
+    delivered
+  }
+
+  /** Pending hint-cell count per target under `hintsDir` (from file
+    * headers — zero data reads); targets decoded back to their paths.
+    */
+  def pendingHints(hintsDir: String): Seq[(String, Long)] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = JPaths.get(CellPlanning.normalize(hintsDir))
+    if (!JFiles.isDirectory(root)) return Nil
+    val dirs = scala.util.Using.resource(JFiles.list(root)) { s =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.filter(JFiles.isDirectory(_)).toList
+    }
+    dirs.map { d =>
+      val n = CellPlanning.listFiles(d.toString)
+        .map(f => CellSource.readHeader(f).count.toLong).sum
+      java.net.URLDecoder.decode(d.getFileName.toString, "UTF-8") -> n
+    }.sortBy(_._1)
+  }
+
   /** The incremental-view variant: compact only when the table has
     * more than `maxFiles` flush files (minor-compaction trigger).
     * `policy = "stcs"` (round 7) runs [[compactTiered]] passes

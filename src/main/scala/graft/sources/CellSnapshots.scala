@@ -741,4 +741,46 @@ object CellSnapshots {
     }
     (dirA.toString, dirB.toString)
   }
+
+  // ---- C50: hinted-handoff fixture ----
+  // Replica A was DOWN while the price cells of pk ∈ [200, 700)
+  // were written: the coordinator appended them to the up replica and
+  // stored a hint for A (CellMaintenance.writeWithHints), then A came
+  // back and the hint replayed (deliverHints). A's solo reconciled
+  // read must therefore equal the full merged view — which is exactly
+  // what the declared query checks against the plain C4 oracle.
+  def ensureHinted(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dirA = Paths.get(root, s"v$Version-$sfName-hintb-a")
+      val up = Paths.get(root, s"v$Version-$sfName-hintb-up")
+      val hints = Paths.get(root, s"v$Version-$sfName-hintb-log")
+      val marker = dirA.resolve("_OK")
+      if (!Files.exists(marker)) {
+        Seq(dirA, up).foreach { d =>
+          if (Files.exists(d))
+            Using.resource(Files.list(d)) {
+              _.iterator().asScala.toList.foreach(Files.delete)
+            }
+        }
+        if (Files.exists(hints))
+          Using.resource(Files.walk(hints)) {
+            _.iterator().asScala.toList.reverse.foreach(Files.delete)
+          }
+        import org.apache.spark.sql.functions.not
+        val missing = col("col") === "price" &&
+          col("pk") >= 200 && col("pk") < 700
+        writeReplica(s, dirA, not(missing), sfDir)
+        val slice = graft.cassandra.CellModel.cells(s, sfDir)
+          .filter(missing)
+          .select(col("pk").cast("long"), col("ck").cast("int"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+        CellMaintenance.writeWithHints(s, slice,
+          up = Seq(up.toString), down = Seq(dirA.toString),
+          hintsDir = hints.toString)
+        CellMaintenance.deliverHints(s, hints.toString, dirA.toString)
+        Files.writeString(marker, "ok")
+      }
+      dirA.toString
+    }
 }

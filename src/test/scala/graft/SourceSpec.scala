@@ -2781,6 +2781,78 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C50: hinted handoff ----
+
+  test("hinted handoff stores, reports, and replays a down replica's writes") {
+    import graft.sources.CellMaintenance
+    val up1 = Files.createTempDirectory("cells-hint-a").toString
+    val up2 = Files.createTempDirectory("cells-hint-b").toString
+    val down = Files.createTempDirectory("cells-hint-c").toString
+    val hints = Files.createTempDirectory("cells-hints").toString
+    def cells(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+    // two coordinator writes while C is down
+    CellMaintenance.writeWithHints(spark,
+      cells(Seq((1L, 0, "qty", 10L, 100L), (2L, 0, "qty", 20L, 100L))),
+      up = Seq(up1, up2), down = Seq(down), hintsDir = hints)
+    CellMaintenance.writeWithHints(spark,
+      cells(Seq((1L, 0, "qty", 11L, 200L))), // rewrite — LWW must hold
+      up = Seq(up1, up2), down = Seq(down), hintsDir = hints)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(up1).count() == 2 && rec(down).count() == 0)
+    // pending hints are visible per target, counted from headers
+    val pending = CellMaintenance.pendingHints(hints)
+    assert(pending == Seq(down -> 3L), pending)
+    // replica returns: replay converges it to the up replicas' view
+    assert(CellMaintenance.deliverHints(spark, hints, down) == 3L)
+    assert(rec(down).except(rec(up1)).isEmpty &&
+      rec(up1).except(rec(down)).isEmpty)
+    assert(rec(down).filter(col("pk") === 1L)
+      .select("value").as[Long].head() == 11L)
+    // hints cleared: a second delivery ships nothing
+    assert(CellMaintenance.deliverHints(spark, hints, down) == 0L)
+    assert(CellMaintenance.pendingHints(hints) == Seq(down -> 0L))
+  }
+
+  test("hints past the max window are dropped, not delivered") {
+    import graft.sources.CellMaintenance
+    val up1 = Files.createTempDirectory("cells-hintw-a").toString
+    val down = Files.createTempDirectory("cells-hintw-c").toString
+    val hints = Files.createTempDirectory("cells-hintw").toString
+    CellMaintenance.writeWithHints(spark,
+      Seq((7L, 0, "qty", 1L, 100L)).toDF("pk", "ck", "col", "value", "wt"),
+      up = Seq(up1), down = Seq(down), hintsDir = hints)
+    // deliver far in the future: the hint file's mtime is long past
+    // the window — Cassandra's rule: repair, don't replay stale hints
+    val far = System.currentTimeMillis() + 7200000L
+    assert(CellMaintenance.deliverHints(spark, hints, down,
+      maxHintAgeMs = 3600000L, nowMs = far + 3600001L) == 0L)
+    // dropped AND cleared — no zombie hints waiting forever
+    assert(spark.read.format("graft.sources.CellSource")
+      .load(down).count() == 0)
+    assert(CellMaintenance.deliverHints(spark, hints, down) == 0L)
+  }
+
+  test("tombstones hint and replay like ordinary writes") {
+    import graft.sources.CellMaintenance
+    val up1 = Files.createTempDirectory("cells-hintt-a").toString
+    val down = Files.createTempDirectory("cells-hintt-c").toString
+    val hints = Files.createTempDirectory("cells-hintt").toString
+    def w(rows: Seq[(Long, Int, String, Long, Long)]) =
+      CellMaintenance.writeWithHints(spark,
+        rows.toDF("pk", "ck", "col", "value", "wt"),
+        up = Seq(up1), down = Seq(down), hintsDir = hints)
+    w(Seq((1L, 0, "qty", 5L, 100L), (2L, 0, "qty", 6L, 100L)))
+    CellMaintenance.deliverHints(spark, hints, down) // both in sync
+    w(Seq((1L, Int.MinValue, CellSource.PartitionTombstone, 0L, 200L)))
+    CellMaintenance.deliverHints(spark, hints, down)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(down).select("pk").as[Long].collect().toSet == Set(2L))
+    assert(rec(up1).except(rec(down)).isEmpty)
+  }
+
   // ---- C48: read repair ----
 
   test("read repair converges only the partitions read (C48)") {
