@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Coordinator-side write protocols beyond the plain flush: CQL
+  * lightweight transactions (C55) and logged batches (C56).
+  *
+  * Both ride the machinery that already exists — the reconciled point
+  * read, the staged-then-atomically-linked flush commit, and LWW
+  * idempotence — rather than inventing new storage. What Cassandra
+  * runs Paxos/batchlog replicas for collapses here to single-
+  * filesystem primitives with the SAME externally visible contracts:
+  * CAS is linearized by an exclusive ballot lock; a logged batch is
+  * journaled before any table sees a write and replayed to completion
+  * after a crash.
+  */
+object CellTransactions {
+
+  /** Outcome of a [[cas]]: Cassandra's `[applied]` result row —
+    * `applied = false` carries the value that caused the miss (the
+    * current winner), exactly what `IF` returns to a CQL client.
+    */
+  final case class CasResult(applied: Boolean, current: Option[Long])
+
+  private val LockName = "_paxos.lock"
+
+  /** C55 — LIGHTWEIGHT TRANSACTION: CQL's `INSERT ... IF NOT EXISTS` /
+    * `UPDATE ... IF value = ?` on one cell. Cassandra serializes these
+    * with Paxos rounds across replicas; the single-filesystem
+    * coordinator form needs one linearization point, so the ballot is
+    * an exclusive LOCK FILE claimed with the same atomic
+    * create-if-absent the flush committer's link(2) protocol uses.
+    * Under the lock: read the cell's current reconciled winner (a
+    * pushed point read — Summary/bloom-pruned, not a scan), test the
+    * condition, and on success append a one-row flush whose wt is
+    * table-max-wt + 1 — the same deterministic "wins LWW now" rule as
+    * DELETE's tombstones (C38). The lock releases in a finally; a
+    * coordinator that died mid-round leaves a lock older than
+    * `lockTimeoutMs`, which the next caller breaks (the crash left
+    * either no flush or a complete one — the commit is atomic — so
+    * breaking the ballot is always safe).
+    *
+    * `expected = None` is IF NOT EXISTS. Long-valued default-layout
+    * tables only (the CQL shape: condition on one column's value);
+    * TTL'd/expired cells count as absent when `queryTimeMs` is given.
+    *
+    * The LWT caveat carries over from Cassandra verbatim: mixing CAS
+    * and plain writes on the same cell forfeits the guarantee — a
+    * non-CAS append does not take the ballot.
+    */
+  def cas(spark: SparkSession, dir: String, pk: Long, ck: Int,
+      colName: String, expected: Option[Long], newValue: Long,
+      lockTimeoutMs: Long = 30000L,
+      nowMs: Long = System.currentTimeMillis(),
+      queryTimeMs: Long = Long.MaxValue): CasResult = {
+    require(!colName.startsWith("!"), "CAS targets data cells, not markers")
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    withBallot(d, lockTimeoutMs, nowMs) {
+      val reader = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      val cur = (if (queryTimeMs != Long.MaxValue)
+        reader.option("queryTime", queryTimeMs.toString) else reader)
+        .load(norm)
+        .filter(col("pk") === pk && col("ck") === ck &&
+          col("col") === colName)
+        .select(col("value")).collect().headOption.map(_.getLong(0))
+      if (cur != expected) CasResult(applied = false, cur)
+      else {
+        val files = CellPlanning.listFiles(norm)
+        val wt = files.map(CellSource.readHeader).iterator
+          .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
+        appendRow(d, files, pk, ck, colName, newValue, wt)
+        CasResult(applied = true, cur)
+      }
+    }
+  }
+
+  /** Claim the table's ballot lock, run `body`, release. A lock file
+    * older than `timeoutMs` belongs to a dead coordinator and is
+    * broken; an unexpired lock means an in-flight round — callers get
+    * a ContentionException (Cassandra: WriteTimeout with CAS
+    * contention) rather than a blocking wait, so schedulers stay in
+    * control of retry policy.
+    */
+  final class ContentionException(msg: String)
+    extends RuntimeException(msg)
+
+  private def withBallot[A](dir: Path, timeoutMs: Long, nowMs: Long)
+      (body: => A): A = {
+    val lock = dir.resolve(LockName)
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      try { Files.createFile(lock); claimed = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = nowMs - Files.getLastModifiedTime(lock).toMillis
+          if (age > timeoutMs && attempts < 3) {
+            Files.deleteIfExists(lock) // break the dead ballot
+            attempts += 1
+          } else throw new ContentionException(
+            s"CAS ballot held on $dir (age ${age}ms <= ${timeoutMs}ms)")
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** One-row flush through the staged-link commit (the DELETE marker
+    * path's exact protocol, C38) — no Spark job for a single cell.
+    */
+  private def appendRow(dir: Path, files: Seq[String], pk: Long, ck: Int,
+      colName: String, value: Long, wt: Long): Unit = {
+    val (tag, prec, scale) = files.headOption
+      .map(CellSource.readHeader)
+      .map(h => (h.valueTag, h.decPrec, h.decScale))
+      .getOrElse((ValueCodec.LongTag, 0, 0))
+    require(tag == ValueCodec.LongTag,
+      s"CAS is defined on long-valued tables (found tag $tag)")
+    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
+    CellSource.writeFileTyped(staged,
+      Seq((pk, ck, colName, value, wt)), Array(colName), tag, prec,
+      scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
+    var next = files.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    var done = false
+    while (!done) {
+      try {
+        Files.createLink(dir.resolve(f"data-$next%04d.cells"), staged)
+        Files.delete(staged)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+      next += 1
+    }
+    CellManifest.refresh(dir.toString)
+  }
+
+  // ---- C56: logged batch -------------------------------------------
+
+  /** C56 — LOGGED BATCH (CQL `BEGIN BATCH ... APPLY BATCH`): a
+    * multi-table mutation with Cassandra's exact guarantee — ATOMIC
+    * in the eventual sense (either every table eventually applies or
+    * none does), NOT isolated (a reader can observe one table's part
+    * before another's lands).
+    *
+    * Protocol, mirroring the batchlog: (1) the batch's rows are
+    * STAGED under `logDir/.staging-<id>/t<k>` — each target's slice
+    * as its own cell table — plus a `targets` manifest; (2) one
+    * atomic rename publishes the journal entry (`logDir/<id>`) — the
+    * point of no return: before it, a crash leaves an invisible
+    * staging orphan and NO table was touched; after it, the batch is
+    * guaranteed to complete; (3) each slice appends to its target;
+    * (4) the entry is deleted. A crash inside (3)/(4) is healed by
+    * [[replayBatchlog]], which re-applies EVERY slice of every
+    * surviving entry — over-applying is safe because identical
+    * records fold by LWW to the same winners (the idempotence every
+    * replay path here rides on). Counter tables are the one exception
+    * — double-applied shard deltas double-count — and are refused,
+    * as Cassandra refuses counters in logged batches.
+    *
+    * Returns the batch id (journal entry name while in flight).
+    */
+  def loggedBatch(spark: SparkSession,
+      writes: Seq[(String, DataFrame)], logDir: String,
+      applyNow: Boolean = true,
+      withExpiry: Boolean = false): String = {
+    require(writes.nonEmpty, "an empty batch is a no-op — refuse loudly")
+    writes.foreach { case (t, _) =>
+      require(!isCounterTable(t),
+        s"counter table $t cannot join a LOGGED batch (replay would " +
+          "double-count shard deltas) — Cassandra's rule, kept")
+    }
+    val root = Paths.get(CellPlanning.normalize(logDir))
+    Files.createDirectories(root)
+    val id = f"batch-${System.nanoTime()}%016x"
+    val staging = root.resolve(s".staging-$id")
+    writes.zipWithIndex.foreach { case ((_, df), k) =>
+      df.coalesce(1).write.format("graft.sources.CellSource")
+        .option("withTtl", withExpiry.toString)
+        .mode("append").save(staging.resolve(f"t$k%03d").toString)
+    }
+    Files.writeString(staging.resolve("targets"),
+      writes.zipWithIndex.map { case ((t, _), k) =>
+        f"t$k%03d\t${CellPlanning.normalize(t)}\t$withExpiry"
+      }.mkString("", "\n", "\n"))
+    val entry = root.resolve(id)
+    Files.move(staging, entry, StandardCopyOption.ATOMIC_MOVE)
+    if (applyNow) applyEntry(spark, entry)
+    id
+  }
+
+  /** Re-apply and clear every surviving journal entry (crash
+    * recovery; also the tail of a normal [[loggedBatch]]). Returns
+    * the number of entries completed. Staging orphans (`.staging-*`)
+    * are NOT replayed — their batch never promised anything — and are
+    * swept here once they are old enough to be dead.
+    */
+  def replayBatchlog(spark: SparkSession, logDir: String,
+      orphanAgeMs: Long = 86400000L,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val root = Paths.get(CellPlanning.normalize(logDir))
+    if (!Files.isDirectory(root)) return 0
+    val (entries, orphans) = Using.resource(Files.list(root)) { s =>
+      val all = s.iterator().asScala.filter(Files.isDirectory(_)).toList
+      all.partition(!_.getFileName.toString.startsWith("."))
+    }
+    entries.foreach(e => applyEntry(spark, e))
+    orphans.filter(o =>
+      Files.getLastModifiedTime(o).toMillis < nowMs - orphanAgeMs)
+      .foreach(deleteTree)
+    entries.size
+  }
+
+  private def applyEntry(spark: SparkSession, entry: Path): Unit = {
+    val lines = Files.readAllLines(entry.resolve("targets")).asScala
+    lines.filter(_.nonEmpty).foreach { line =>
+      val Array(slot, target, expiry) = line.split("\t", 3)
+      // read the slice with the expiry column iff the batch carried
+      // one — the read and write schemas must agree either way
+      val df = spark.read.format("graft.sources.CellSource")
+        .option("withTtl", expiry).load(entry.resolve(slot).toString)
+      if (!df.isEmpty)
+        df.coalesce(1).write.format("graft.sources.CellSource")
+          .option("withTtl", expiry)
+          .mode("append").save(target)
+    }
+    deleteTree(entry)
+  }
+
+  private def isCounterTable(dir: String): Boolean = {
+    val p = Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    Files.exists(p) && Files.readAllLines(p).asScala
+      .exists(l => l.startsWith("counter") && l.contains("true"))
+  }
+
+  private def deleteTree(p: Path): Unit =
+    Using.resource(Files.walk(p)) {
+      _.iterator().asScala.toList.reverse.foreach(Files.delete)
+    }
+}

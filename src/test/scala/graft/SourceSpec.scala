@@ -2781,6 +2781,116 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C55: lightweight transactions ----
+
+  test("CAS applies IF NOT EXISTS / IF value conditions atomically (C55)") {
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasResult
+    val d = Files.createTempDirectory("cells-cas").toString
+    // INSERT IF NOT EXISTS on an empty table: applied
+    assert(CellTransactions.cas(spark, d, 1L, 0, "qty", None, 10L) ==
+      CasResult(applied = true, None))
+    // same again: not applied, current value returned (CQL [applied])
+    assert(CellTransactions.cas(spark, d, 1L, 0, "qty", None, 99L) ==
+      CasResult(applied = false, Some(10L)))
+    // conditional UPDATE with the right expectation: applied
+    assert(CellTransactions.cas(spark, d, 1L, 0, "qty", Some(10L), 20L) ==
+      CasResult(applied = true, Some(10L)))
+    // stale expectation: refused, current told
+    assert(CellTransactions.cas(spark, d, 1L, 0, "qty", Some(10L), 30L) ==
+      CasResult(applied = false, Some(20L)))
+    // the applied chain is the reconciled winner; ballot released
+    val v = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("value").as[Long].collect().toSeq
+    assert(v == Seq(20L))
+    assert(!Files.exists(java.nio.file.Paths.get(d, "_paxos.lock")))
+    // other cells stay independent
+    assert(CellTransactions.cas(spark, d, 1L, 1, "qty", None, 7L).applied)
+  }
+
+  test("CAS contention: live ballot refused, dead ballot broken") {
+    import graft.sources.CellTransactions
+    val d = Files.createTempDirectory("cells-caslock").toString
+    val lock = java.nio.file.Paths.get(d, "_paxos.lock")
+    Files.createFile(lock)
+    // a live lock (age < timeout) means an in-flight round: refuse
+    intercept[CellTransactions.ContentionException] {
+      CellTransactions.cas(spark, d, 1L, 0, "qty", None, 1L,
+        lockTimeoutMs = 60000L)
+    }
+    // a dead coordinator's lock (older than the timeout) is broken
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000L))
+    assert(CellTransactions.cas(spark, d, 1L, 0, "qty", None, 1L,
+      lockTimeoutMs = 60000L).applied)
+    assert(!Files.exists(lock))
+  }
+
+  // ---- C56: logged batch ----
+
+  test("logged batch applies across tables and clears its journal (C56)") {
+    import graft.sources.CellTransactions
+    val t1 = Files.createTempDirectory("cells-batch-1").toString
+    val t2 = Files.createTempDirectory("cells-batch-2").toString
+    val log = Files.createTempDirectory("cells-batchlog").toString
+    def cells(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+    // pre-existing state in t1 the batch must LWW over
+    cells(Seq((1L, 0, "qty", 1L, 100L))).coalesce(1)
+      .write.format("graft.sources.CellSource").mode("append").save(t1)
+    CellTransactions.loggedBatch(spark, Seq(
+      t1 -> cells(Seq((1L, 0, "qty", 2L, 200L))),
+      t2 -> cells(Seq((9L, 0, "price", 5L, 100L)))), log)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(t1).select("value").as[Long].collect().toSeq == Seq(2L))
+    assert(rec(t2).count() == 1)
+    // journal fully cleared
+    assert(Files.list(java.nio.file.Paths.get(log)).count() == 0)
+  }
+
+  test("batchlog replay completes a crashed batch; replay is idempotent") {
+    import graft.sources.CellTransactions
+    val t1 = Files.createTempDirectory("cells-bcrash-1").toString
+    val t2 = Files.createTempDirectory("cells-bcrash-2").toString
+    val log = Files.createTempDirectory("cells-bcrashlog").toString
+    def cells(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+    // "crash" after journal publish, before any table applied
+    CellTransactions.loggedBatch(spark, Seq(
+      t1 -> cells(Seq((1L, 0, "qty", 10L, 100L))),
+      t2 -> cells(Seq((2L, 0, "qty", 20L, 100L)))), log,
+      applyNow = false)
+    def rec(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec(t1).count() == 0 && rec(t2).count() == 0) // atomic: none yet
+    // recovery replays the journal to completion...
+    assert(CellTransactions.replayBatchlog(spark, log) == 1)
+    assert(rec(t1).count() == 1 && rec(t2).count() == 1)
+    // ...and a second replay finds nothing
+    assert(CellTransactions.replayBatchlog(spark, log) == 0)
+    // double-application is safe anyway: re-journal the same rows and
+    // replay — the reconciled views are unchanged (LWW idempotence)
+    CellTransactions.loggedBatch(spark, Seq(
+      t1 -> cells(Seq((1L, 0, "qty", 10L, 100L)))), log)
+    assert(rec(t1).select("value").as[Long].collect().toSeq == Seq(10L))
+  }
+
+  test("counter tables are refused in logged batches") {
+    import graft.sources.CellTransactions
+    val t = Files.createTempDirectory("cells-bcounter").toString
+    Files.writeString(java.nio.file.Paths.get(t, "_props"),
+      "counter=true\n")
+    intercept[IllegalArgumentException] {
+      CellTransactions.loggedBatch(spark, Seq(
+        t -> Seq((1L, 0, "qty", 1L, 1L))
+          .toDF("pk", "ck", "col", "value", "wt")),
+        Files.createTempDirectory("cells-bclog").toString)
+    }
+  }
+
   // ---- C50: hinted handoff ----
 
   test("hinted handoff stores, reports, and replays a down replica's writes") {
