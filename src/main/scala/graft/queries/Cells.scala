@@ -913,6 +913,21 @@ object Cells {
        |  AND wt + ${CM.TtlMs} < ${CM.QueryTimeMs})
        |GROUP BY col ORDER BY col""".stripMargin
 
+  // C28c — per-cell TTL on a TYPED (CEL11) table: the same `USING
+  // TTL` grants as C28b, but on the string-keyed layout — records
+  // append expiry after wt in the typed format, and the TYPED merge
+  // cursor applies the effective-expiry rule (per-cell overrides the
+  // partition default). Closes CEL10's default-layout-only
+  // restriction; same oracle shape as C28b over the string-keyed
+  // merged view.
+  private def typedTtlScan(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readKeyedUnexpired(s, d)
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_live"), sum(col("value")).as("sum_value"))
+      .orderBy(col("col"))
+
+  private val typedTtlSql = cellTtlSql
+
   // C47 — QUORUM read: the reconcile merge across REPLICA
   // directories (Cassandra's multi-replica data read — every replica
   // contributes its flushes to one k-way LWW merge, folding
@@ -1034,6 +1049,7 @@ object Cells {
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),
+    GQuery("C28c_typed_ttl_scan", typedTtlScan, Some(typedTtlSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),

@@ -36,6 +36,7 @@ private[sources] final class CellKeyedStream(p: CellInputPartition) {
   var colName: String = _
   var value: Any = _
   var wt = 0L
+  var expiry = Long.MaxValue // CEL11 per-record expiry
 
   /** Next record with token in [lo, hi]; false (and closed) when the
     * sub-split is exhausted.
@@ -63,6 +64,7 @@ private[sources] final class CellKeyedStream(p: CellInputPartition) {
         colName = p.colNames(b.get() & 0xff)
         value = ValueCodec.read(b, p.valueTag, p.decPrec, p.decScale)
         wt = b.getLong()
+        expiry = if (p.hasExpiry) b.getLong() else Long.MaxValue
         pkVals = pk; ckVals = ck
         if (token >= lo && token <= hi) return true
       }
@@ -81,20 +83,25 @@ private[sources] final class CellKeyedStream(p: CellInputPartition) {
 private[sources] final class KeyedProjection(spec: KeySpec,
     valueType: DataType, cols: Array[String]) {
   private val fullSchema: StructType = CellSource.schemaFor(spec, valueType)
-  // -1 = the pseudo-column `_token` (withToken scans)
+  // -1 = the pseudo-column `_token` (withToken scans); -2 = the
+  // CEL11 pseudo-column `_expiry` (withTtl scans)
   private val projIdx: Array[Int] = cols.map(c =>
-    if (c == "_token") -1 else fullSchema.fieldIndex(c))
+    if (c == "_token") -1
+    else if (c == "_expiry") -2
+    else fullSchema.fieldIndex(c))
   private val nPk = spec.pkParts.length
   private val nCk = spec.ckParts.length
 
   def row(token: Long, pkVals: Array[Any], ckVals: Array[Any],
-      colName: String, value: Any, wt: Long): InternalRow = {
+      colName: String, value: Any, wt: Long,
+      expiry: Long = Long.MaxValue): InternalRow = {
     val out = new Array[Any](projIdx.length)
     var i = 0
     while (i < projIdx.length) {
       val f = projIdx(i)
       out(i) =
         if (f == -1) token
+        else if (f == -2) expiry
         else if (f < nPk) pkVals(f)
         else if (f < nPk + nCk) ckVals(f - nPk)
         else if (f == nPk + nCk) UTF8String.fromString(colName)
@@ -124,7 +131,7 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
   override def next(): Boolean = {
     if (!stream.advance(tokenLower, tokenUpper)) return false
     row = proj.row(stream.token, stream.pkVals, stream.ckVals,
-      stream.colName, stream.value, stream.wt)
+      stream.colName, stream.value, stream.wt, stream.expiry)
     true
   }
 
@@ -175,11 +182,15 @@ class CellKeyedColumnarReader(part: CellInputPartition,
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
   private val fullSchema: StructType =
     CellSource.schemaFor(spec, valueType)
-  // -1 = the pseudo-column `_token` (withToken scans)
+  // -1 = `_token` (withToken scans); -2 = `_expiry` (withTtl scans)
   private val projIdx: Array[Int] = cols.map(c =>
-    if (c == "_token") -1 else fullSchema.fieldIndex(c))
+    if (c == "_token") -1
+    else if (c == "_expiry") -2
+    else fullSchema.fieldIndex(c))
   private val outSchema = StructType(projIdx.map {
     case -1 => org.apache.spark.sql.types.StructField("_token",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    case -2 => org.apache.spark.sql.types.StructField("_expiry",
       org.apache.spark.sql.types.LongType, nullable = false)
     case f => fullSchema(f)
   })
@@ -227,11 +238,13 @@ class CellKeyedColumnarReader(part: CellInputPartition,
         val value = ValueCodec.read(buf, part.valueTag, part.decPrec,
           part.decScale)
         val wt = buf.getLong()
+        val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
         if (token >= tokenLower && token <= tokenUpper) {
           var i = 0
           while (i < projIdx.length) {
             val f = projIdx(i)
             if (f == -1) vectors(i).putLong(n, token)
+            else if (f == -2) vectors(i).putLong(n, exp)
             else if (f < nPk + nCk) put(vectors(i), n, partTags(f),
               partPrec(f), rec(f))
             else if (f == nPk + nCk) {
@@ -281,6 +294,10 @@ private[sources] trait KeyedCursor {
   def colName: String
   def value: Any
   def wt: Long
+  /** The winning version's CEL11 per-cell expiry (absolute ms;
+    * Long.MaxValue = never).
+    */
+  def expiry: Long
   def valueTag: Int
   def decPrec: Int
   def decScale: Int
@@ -320,14 +337,15 @@ private[sources] final class CellKeyedReverseCursor(
   var colName: String = _
   var value: Any = _
   var wt = 0L
+  var expiry = Long.MaxValue
 
   private var innerValid = inner.nextWinner()
   private val groups = new java.util.ArrayDeque[
     (Array[Any], scala.collection.mutable.ArrayBuffer[
-      (String, Any, Long)])]()
+      (String, Any, Long, Long)])]()
   private var bufferedRows = 0
   private var outPk: Array[Any] = _
-  private var emit: Iterator[(Array[Any], String, Any, Long)] =
+  private var emit: Iterator[(Array[Any], String, Any, Long, Long)] =
     Iterator.empty
 
   private def fillNextPk(): Boolean = {
@@ -338,12 +356,13 @@ private[sources] final class CellKeyedReverseCursor(
         KeyCodec.compareParts(spec.pkParts, inner.pkVals, cur) == 0) {
       if (groups.isEmpty || KeyCodec.compareParts(spec.ckParts,
           groups.peekLast()._1, inner.ckVals) != 0) {
-        groups.addLast((inner.ckVals,
-          scala.collection.mutable.ArrayBuffer.empty))
+        groups.addLast((inner.ckVals, scala.collection.mutable
+          .ArrayBuffer.empty[(String, Any, Long, Long)]))
         if (ppl != Int.MaxValue && groups.size > ppl)
           bufferedRows -= groups.removeFirst()._2.size
       }
-      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt))
+      groups.peekLast()._2 += ((inner.colName, inner.value, inner.wt,
+        inner.expiry))
       bufferedRows += 1
       if (bufferedRows > maxRows)
         throw new IllegalStateException(
@@ -353,26 +372,29 @@ private[sources] final class CellKeyedReverseCursor(
       innerValid = inner.nextWinner()
     }
     outPk = cur
-    emit = new Iterator[(Array[Any], String, Any, Long)] {
+    emit = new Iterator[(Array[Any], String, Any, Long, Long)] {
       private val it = groups.descendingIterator()
-      private var row: Iterator[(Array[Any], String, Any, Long)] =
+      private var row: Iterator[(Array[Any], String, Any, Long, Long)] =
         Iterator.empty
       def hasNext: Boolean = {
         while (!row.hasNext && it.hasNext) {
           val (c, cells) = it.next()
-          row = cells.iterator.map(x => (c, x._1, x._2, x._3))
+          row = cells.iterator.map(x => (c, x._1, x._2, x._3, x._4))
         }
         row.hasNext
       }
-      def next(): (Array[Any], String, Any, Long) = { hasNext; row.next() }
+      def next(): (Array[Any], String, Any, Long, Long) = {
+        hasNext; row.next()
+      }
     }
     true
   }
 
   def nextWinner(): Boolean = {
     while (!emit.hasNext) if (!fillNextPk()) return false
-    val (c, n, v, w) = emit.next()
+    val (c, n, v, w, e) = emit.next()
     pkVals = outPk; ckVals = c; colName = n; value = v; wt = w
+    expiry = e
     true
   }
 
@@ -425,6 +447,7 @@ private[sources] final class CellKeyedMergeCursor(
   var colName: String = _
   var value: Any = _
   var wt = 0L
+  var expiry = Long.MaxValue // the WINNING version's per-cell expiry
   private var token = 0L
   private var rank: Byte = 1
 
@@ -444,22 +467,22 @@ private[sources] final class CellKeyedMergeCursor(
     ckVals = s.ckVals; colName = s.colName
     val sumShards = opts.counter &&
       !(colName.length > 0 && colName.charAt(0) == '!')
-    var bwt = s.wt; var bval = s.value
+    var bwt = s.wt; var bval = s.value; var bexp = s.expiry
     if (s.advance(part.pkLo, part.pkHi)) heap.add(s)
     var top = heap.peek()
     while (top != null && sameKey(top)) {
       val t = heap.poll()
       if (sumShards) {
         bval = ValueCodec.add(valueTag, bval, t.value)
-        if (t.wt > bwt) bwt = t.wt
+        if (t.wt > bwt) { bwt = t.wt; bexp = t.expiry }
       } else if (t.wt > bwt || (t.wt == bwt &&
           ValueCodec.compare(valueTag, t.value, bval) > 0)) {
-        bwt = t.wt; bval = t.value
+        bwt = t.wt; bval = t.value; bexp = t.expiry
       }
       if (t.advance(part.pkLo, part.pkHi)) heap.add(t)
       top = heap.peek()
     }
-    wt = bwt; value = bval
+    wt = bwt; value = bval; expiry = bexp
     true
   }
 
@@ -545,8 +568,16 @@ private[sources] final class CellKeyedMergeCursor(
             ck >= lo && ck <= hi && wt <= ts
           }
         }
-        val expired = ttlMs != Long.MinValue &&
-          queryTime != Long.MaxValue && wt + ttlMs < queryTime
+        // Effective expiry: a per-cell expiry (CEL11, `USING TTL`)
+        // OVERRIDES the `!ttl*` table default — Cassandra's own
+        // precedence — and the table default applies only to cells
+        // without one.
+        val effExp =
+          if (expiry != Long.MaxValue) expiry
+          else if (ttlMs != Long.MinValue) wt + ttlMs
+          else Long.MaxValue
+        val expired = effExp != Long.MaxValue &&
+          queryTime != Long.MaxValue && effExp < queryTime
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
             !coveredByRange && !expired) {
           if (ppLimit == Int.MaxValue) return true
@@ -590,7 +621,7 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
     // token arg unused: reconcile scans refuse `_token` (no single
     // source record for a merged winner)
     row = proj.row(0L, cursor.pkVals, cursor.ckVals, cursor.colName,
-      cursor.value, cursor.wt)
+      cursor.value, cursor.wt, cursor.expiry)
     true
   }
 
@@ -619,8 +650,14 @@ class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
       cursor.decScale)
   private val fullSchema: StructType =
     CellSource.schemaFor(spec, valueType)
-  private val projIdx: Array[Int] = cols.map(fullSchema.fieldIndex)
-  private val outSchema = StructType(projIdx.map(fullSchema.apply))
+  // -2 = the CEL11 pseudo-column `_expiry` (withTtl reconcile scans)
+  private val projIdx: Array[Int] = cols.map(c =>
+    if (c == "_expiry") -2 else fullSchema.fieldIndex(c))
+  private val outSchema = StructType(projIdx.map {
+    case -2 => org.apache.spark.sql.types.StructField("_expiry",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    case f => fullSchema(f)
+  })
   private val nPk = spec.pkParts.length
   private val nCk = spec.ckParts.length
   private val partTags: Array[Int] =
@@ -637,7 +674,8 @@ class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
       var i = 0
       while (i < projIdx.length) {
         val f = projIdx(i)
-        if (f < nPk)
+        if (f == -2) vectors(i).putLong(n, cursor.expiry)
+        else if (f < nPk)
           KeyedVec.put(vectors(i), n, partTags(f), partPrec(f),
             cursor.pkVals(f))
         else if (f < nPk + nCk)

@@ -73,19 +73,19 @@ object CellMaintenance {
     // spec from a directory it is about to empty (part types resolve
     // from the rewrite's own schema).
     val spec = CellPlanning.keySpecOf(norm, files)
-    // Default-layout rewrites read + write `_expiry` so per-cell TTL
-    // (CEL10) survives compaction — Cassandra rewrites
+    // Rewrites read + write `_expiry` so per-cell TTL (CEL10 default /
+    // CEL11 typed) survives compaction — Cassandra rewrites
     // localExpirationTime with the cell for the same reason.
     val w = spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
-      .option("withTtl", spec.isDefault.toString)
+      .option("withTtl", "true")
       .option("counter", counter.toString)
       .option("gcGraceMs", grace.toString)
       .option("gcNowMs", nowMs.toString)
       .load(dir)
       .write.format("graft.sources.CellSource")
-      .option("withTtl", spec.isDefault.toString)
+      .option("withTtl", "true")
       .option("rollRecords", rollRecords.toString)
     (if (spec.isDefault) w
      else w.option("primaryKey",
@@ -488,17 +488,22 @@ object CellMaintenance {
         else ((hi + 1) << tokenShift) - 1)
     }
     def ranged(dir: String) = runs.map { case (lo, hi) =>
+      // withTtl: typed deltas carry `_expiry` (CEL11), so a shipped
+      // TTL'd cell lands on the peer with its expiry intact
       spark.read.format("graft.sources.CellSource")
+        .option("withTtl", "true")
         .option("tokenRange", s"$lo:$hi").load(dir)
     }.reduce(_ unionAll _)
     val a = ranged(dirA)
     val b = ranged(dirB)
     val shards = math.min(runs.length, 16)
-    val sortCols = a.columns.toSeq // key parts lead the schema
+    val sortCols = a.columns.init.toSeq // key parts lead; drop _expiry
     // exceptAll: multiset delta, matching the multiset digest (see
     // repairDefault)
-    val toB = ship(a.exceptAll(b), dirB, shards, sortCols)
-    val toA = ship(b.exceptAll(a), dirA, shards, sortCols)
+    val toB = ship(a.exceptAll(b), dirB, shards, sortCols,
+      withExpiry = true)
+    val toA = ship(b.exceptAll(a), dirA, shards, sortCols,
+      withExpiry = true)
     RepairStats(mism.length, toA, toB)
   }
 
@@ -555,8 +560,11 @@ object CellMaintenance {
       tokenShift: Int = 48): org.apache.spark.sql.DataFrame = {
     def digest(dir: String) = {
       import org.apache.spark.sql.functions._
+      // withTtl: the digest covers `_expiry` too (CEL11), so replicas
+      // divergent only in a cell's TTL still flag and repair
       val df = spark.read.format("graft.sources.CellSource")
-        .option("withToken", "true").load(dir)
+        .option("withToken", "true")
+        .option("withTtl", "true").load(dir)
       // arithmetic shift IS floor division by 2^shift; multi-arg
       // xxhash64 avoids delimiter-ambiguity collisions (see rangeDiff)
       val dataCols = df.columns.filter(_ != "_token").map(col).toSeq

@@ -329,6 +329,51 @@ object CellSnapshots {
       dir.toString
     }
 
+  /** TYPED (CEL11) per-cell-TTL fixture: the string-keyed layout of
+    * [[ensureKeyed]] with the same `USING TTL` grants as
+    * [[ensureCellTtled]] — qty cells of pk % 11 == 0 expire. Written
+    * through the DSv2 typed write with a trailing relative `ttl`
+    * column; files carrying an expiring record flush as CEL11, the
+    * rest stay CEL8 (the magic is the flag).
+    */
+  def ensureKeyedTtled(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-keycttl")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        val cm = graft.cassandra.CellModel
+        cm.cells(s, sfDir)
+          .select(concat(lit("user-"), col("pk")).as("user"),
+            col("ck").cast("int"), col("col"),
+            col("value").cast("long"), col("wt").cast("long"),
+            when(col("pk") % 11 === 0 && col("col") === "qty",
+              lit(cm.TtlMs)).cast("long").as("ttl"))
+          .repartitionByRange(SnapshotFiles, col("user"), col("ck"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("primaryKey", "((user),ck)")
+          .option("keyType.user", "string").option("keyType.ck", "int")
+          .option("ttl", "true")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** Live cells of the TYPED per-cell-TTL'd snapshot at the model's
+    * query time — CEL11 expiry applied inside the typed merge.
+    */
+  def readKeyedUnexpired(s: SparkSession, sfDir: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("queryTime", graft.cassandra.CellModel.QueryTimeMs.toString)
+      .load(ensureKeyedTtled(s, sfDir))
+
   /** Live cells of the per-cell-TTL'd snapshot at the model's query
     * time — CEL10 expiry applied inside the merge.
     */

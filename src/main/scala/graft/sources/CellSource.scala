@@ -107,24 +107,21 @@ class CellSource extends TableProvider {
             "default layout; select pk instead)")
         base.add(StructField("_token", LongType, nullable = false))
       } else base
-    // `withTtl=true`: surface the CEL10 per-record absolute expiry as
-    // `_expiry` (Long.MaxValue = never). Plain scans serve the raw
-    // record's expiry; reconcile scans the WINNING version's — well
-    // defined either way. On a WRITE, the same option declares a
+    // `withTtl=true`: surface the CEL10/CEL11 per-record absolute
+    // expiry as `_expiry` (Long.MaxValue = never). Plain scans serve
+    // the raw record's expiry; reconcile scans the WINNING version's —
+    // well defined either way. On a WRITE, the same option declares a
     // trailing `_expiry` data column (rewrites that must preserve
     // stored expiry). `ttl=true` is the USER write shape — CQL
     // `USING TTL`: a trailing nullable `ttl` column of RELATIVE ms
-    // (expiry = wt + ttl; NULL = never). Default layout only (typed
-    // records carry no expiry field).
+    // (expiry = wt + ttl; NULL = never). Works on the default layout
+    // (CEL10) and typed layouts (CEL11) alike.
     val wantTtlCol = options.getBoolean("ttl", false)
     val wantExpiry = options.getBoolean("withTtl", false)
     require(!(wantTtlCol && wantExpiry),
       "pass either ttl=true (relative write column) or withTtl=true " +
         "(absolute _expiry column), not both")
     if (wantTtlCol || wantExpiry) {
-      require(spec.isDefault,
-        "per-cell ttl needs the default key layout (typed tables do " +
-          "not store per-cell expiry)")
       if (wantTtlCol)
         withTok.add(StructField("ttl", LongType, nullable = true))
       else withTok.add(StructField("_expiry", LongType, nullable = false))
@@ -619,6 +616,16 @@ object CellSource {
     */
   val Magic10 = 0x43454c3a
 
+  /** "CEL11" (round 7): the CEL8 TYPED layout plus the CEL10
+    * per-record absolute expiry — `USING TTL` on typed-key tables,
+    * closing CEL10's default-layout-only restriction (Cassandra TTLs
+    * any table whatever its key shape). Records append expiry(8)
+    * after wt; header/zones are CEL8's unchanged. Typed files holding
+    * no expiring cell keep writing CEL8 — the magic IS the has-expiry
+    * flag, same zero-cost rule as CEL9→CEL10.
+    */
+  val Magic11 = 0x43454c3b
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
@@ -703,14 +710,15 @@ object CellSource {
       val magic = in.readInt()
       require(magic == Magic || magic == Magic5 || magic == Magic6 ||
         magic == Magic7 || magic == Magic8 || magic == Magic9 ||
-        magic == Magic10,
+        magic == Magic10 || magic == Magic11,
         s"bad cell file magic in $file")
       val v5 = magic == Magic5 || magic == Magic6 || magic == Magic7 ||
-        magic == Magic8 || magic == Magic9 || magic == Magic10
+        magic == Magic8 || magic == Magic9 || magic == Magic10 ||
+        magic == Magic11
       val headerLen = in.readInt()
       // CEL6/8 prefix: the typed key spec (pk parts, then ck parts).
       val spec =
-        if (magic == Magic6 || magic == Magic8) {
+        if (magic == Magic6 || magic == Magic8 || magic == Magic11) {
           def parts(): List[KeyPart] = {
             val n = in.readInt()
             List.fill(n)(KeyPart(in.readUTF(), in.readUnsignedByte(),
@@ -747,7 +755,8 @@ object CellSource {
       val cklo = new Array[Int](nChunks)
       val ckhi = new Array[Int](nChunks)
       val cmk = new Array[Boolean](nChunks)
-      val hasTypedZone = magic == Magic8 && spec.ckParts.nonEmpty
+      val hasTypedZone = (magic == Magic8 || magic == Magic11) &&
+        spec.ckParts.nonEmpty
       val cktlo = if (hasTypedZone) new Array[Any](nChunks) else null
       val ckthi = if (hasTypedZone) new Array[Any](nChunks) else null
       var vlo: Array[Long] = null
@@ -773,7 +782,7 @@ object CellSource {
           // the marker flag from the file below, others assume markers
           cklo(i) = Int.MinValue; ckhi(i) = Int.MaxValue; cmk(i) = true
         }
-        if (magic == Magic8) {
+        if (magic == Magic8 || magic == Magic11) {
           if (in.readBoolean()) {
             val ck = spec.ckParts.head
             cktlo(i) = ValueCodec.readStream(in, ck.tag, ck.prec, ck.scale)
@@ -785,7 +794,8 @@ object CellSource {
       }
       Header(lo, hi, n, bloom, ipks, iidx, chunkRecords, offs, lens, recs,
         raws, wlo, whi, 8L + headerLen, tag, prec, scale, cols, spec,
-        cklo, ckhi, cmk, cktlo, ckthi, vlo, vhi, magic == Magic10)
+        cklo, ckhi, cmk, cktlo, ckthi, vlo, vhi,
+        magic == Magic10 || magic == Magic11)
     }
   }
 
@@ -921,7 +931,9 @@ object CellSource {
     */
   private[sources] final case class KeyedRec(token: Long,
       pkVals: Array[Any], rank: Byte, ckVals: Array[Any], col: String,
-      value: Any, wt: Long)
+      value: Any, wt: Long,
+      // CEL11 per-record absolute expiry (Long.MaxValue = never)
+      expiry: Long = Long.MaxValue)
 
   /** Record order of a CEL6 file: token, typed pk parts, marker rank,
     * typed ck parts, col name, wt, value.
@@ -948,6 +960,9 @@ object CellSource {
       chunkRecords: Int): Unit = {
     require(colNames.length <= 255, "at most 255 distinct cell columns")
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
+    // CEL11: the magic IS the has-expiry flag — typed tables with no
+    // expiring cell keep the CEL8 record shape, zero extra bytes
+    val hasExpiry = rows.exists(_.expiry != Long.MaxValue)
     val data = new ByteArrayOutputStream()
     val offsets = Seq.newBuilder[
       (Long, Int, Int, Int, Long, Long, Option[(Any, Any)], Boolean)]
@@ -968,6 +983,7 @@ object CellSource {
         rawDs.writeByte(colId(r.col))
         ValueCodec.write(rawDs, valueTag, r.value)
         rawDs.writeLong(r.wt)
+        if (hasExpiry) rawDs.writeLong(r.expiry)
       }
       val raw = rawOut.toByteArray
       val deflater = new Deflater()
@@ -1041,7 +1057,7 @@ object CellSource {
     }
     Using.resource(new DataOutputStream(
         Files.newOutputStream(target))) { out =>
-      out.writeInt(Magic8)
+      out.writeInt(if (hasExpiry) Magic11 else Magic8)
       out.writeInt(header.size)
       out.write(header.toByteArray)
       data.writeTo(out)
@@ -2983,22 +2999,20 @@ class CellWriteBuilder(path: String, schema: StructType,
     val spec = existingHeader.map(_.keySpec)
       .orElse(declared).getOrElse(KeySpec.Default)
     val want = CellSource.schemaFor(spec, valueType)
-    // CQL `USING TTL` (CEL10): the base schema may carry ONE trailing
-    // TTL column — `ttl` (relative ms; expiry = wt + ttl) on user
-    // writes, or `_expiry` (absolute ms) on rewrites that must
-    // preserve stored expiry (compaction, repair). NULL = no expiry.
-    // Default key layout only: typed records don't store expiry.
+    // CQL `USING TTL` (CEL10 default / CEL11 typed): the base schema
+    // may carry ONE trailing TTL column — `ttl` (relative ms; expiry
+    // = wt + ttl) on user writes, or `_expiry` (absolute ms) on
+    // rewrites that must preserve stored expiry (compaction, repair).
+    // NULL = no expiry.
     val ttlMode: Int =
       if (schema.fieldNames.sameElements(want.fieldNames)) 0
-      else if (spec.isDefault &&
-          schema.fieldNames.sameElements(want.fieldNames :+ "ttl")) 1
-      else if (spec.isDefault &&
-          schema.fieldNames.sameElements(want.fieldNames :+ "_expiry")) 2
+      else if (schema.fieldNames.sameElements(want.fieldNames :+ "ttl")) 1
+      else if (schema.fieldNames
+          .sameElements(want.fieldNames :+ "_expiry")) 2
       else {
         require(false,
           s"cell write needs columns ${want.fieldNames.mkString(",")}" +
-            (if (spec.isDefault) " (+ optional trailing ttl | _expiry)"
-             else " (typed tables take no ttl column)") +
+            " (+ optional trailing ttl | _expiry)" +
             s", got ${schema.fieldNames.mkString(",")}")
         0
       }
@@ -3313,10 +3327,20 @@ class CellDataWriter(path: String, partitionId: Int, taskId: Long,
         j += 1
       }
       val col = r.getUTF8String(nPk + nCk).toString
+      val kwt = r.getLong(nPk + nCk + 2)
+      // CEL11 `USING TTL`: trailing `ttl` (relative) / `_expiry`
+      // (absolute) column, same contract as the default layout
+      val kexp = ttlMode match {
+        case 1 => if (r.isNullAt(nPk + nCk + 3)) Long.MaxValue
+                  else kwt + r.getLong(nPk + nCk + 3)
+        case 2 => if (r.isNullAt(nPk + nCk + 3)) Long.MaxValue
+                  else r.getLong(nPk + nCk + 3)
+        case _ => Long.MaxValue
+      }
       krows += CellSource.KeyedRec(KeyCodec.token(spec, pkVals), pkVals,
         CellSource.rankOf(col), ckVals, col,
         ValueCodec.fromRow(r, nPk + nCk + 1, valueTag, decPrec, decScale),
-        r.getLong(nPk + nCk + 2))
+        kwt, kexp)
     }
     if (rows.length + krows.length >= rollRecords) roll()
   }

@@ -2573,25 +2573,100 @@ class SourceSpec extends GraftSpec {
       .as[Long].head() == 1500L)
   }
 
-  test("typed tables refuse a ttl column and withTtl scans") {
-    val d = Files.createTempDirectory("cells-ttl-typed").toString
-    val e = intercept[Exception] {
-      Seq(("u", 0, "qty", 1L, 1L, Some(5L)))
-        .toDF("user", "ck", "col", "value", "wt", "ttl")
-        .write.format("graft.sources.CellSource")
-        .option("ttl", "true")
-        .option("primaryKey", "((user),ck)")
-        .option("keyType.user", "string").option("keyType.ck", "int")
-        .mode("append").save(d)
-    }
-    assert(e.getMessage.contains("ttl") ||
-      Option(e.getCause).exists(_.getMessage.contains("ttl")),
-      e.getMessage)
-    val kdir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
-    intercept[Exception] {
-      spark.read.format("graft.sources.CellSource")
-        .option("withTtl", "true").load(kdir).collect()
-    }
+  // ---- CEL11: per-cell TTL on TYPED tables ----
+
+  private def writeTypedTtl(d: String,
+      rows: Seq[(String, Int, String, Long, Long, Option[Long])]): Unit =
+    rows.toDF("user", "ck", "col", "value", "wt", "ttl")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("ttl", "true")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(d)
+
+  test("typed per-cell TTL: write, expire at queryTime, raw survives (CEL11)") {
+    val d = Files.createTempDirectory("cells-ttl11").toString
+    writeTypedTtl(d, Seq(
+      ("u-1", 0, "qty", 10L, 1000L, Some(50L)), // expires at 1050
+      ("u-2", 0, "qty", 20L, 1000L, None)))     // never
+    def rec(qt: Long) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", qt.toString)
+      .load(d)
+    assert(rec(1040L).count() == 2)
+    assert(rec(2000L).select("user").as[String].collect().toSet ==
+      Set("u-2"))
+    // raw typed scan still serves the record; withTtl surfaces expiry
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d)
+    assert(raw.filter(col("user") === "u-1").select("_expiry")
+      .as[Long].head() == 1050L)
+    assert(raw.filter(col("user") === "u-2").select("_expiry")
+      .as[Long].head() == Long.MaxValue)
+  }
+
+  test("typed per-cell TTL overrides the default and survives compaction") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-ttl11c").toString
+    // partition-default TTL markers on both users (typed marker rows
+    // append through the same typed write; ck is neutral)
+    Seq(("u-1", Int.MinValue, CellSource.PartitionTtl, 100L, 0L,
+        None: Option[Long]),
+      ("u-2", Int.MinValue, CellSource.PartitionTtl, 100L, 0L, None))
+      .toDF("user", "ck", "col", "value", "wt", "ttl")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("ttl", "true")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(d)
+    writeTypedTtl(d, Seq(
+      ("u-1", 0, "qty", 1L, 1000L, Some(10000L)), // own longer ttl
+      ("u-2", 0, "qty", 2L, 1000L, None)))        // default applies
+    def rec(qt: Long) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", qt.toString)
+      .load(d)
+    // at t=2000: default (1000+100) expired u-2; u-1's own ttl wins
+    assert(rec(2000L).select("user").as[String].collect().toSet ==
+      Set("u-1"))
+    // typed compaction preserves per-cell expiry AND the marker
+    CellMaintenance.compact(spark, d)
+    assert(rec(2000L).select("user").as[String].collect().toSet ==
+      Set("u-1"))
+    assert(rec(20000L).count() == 0)
+  }
+
+  test("typed repair ships per-cell expiry with the delta (CEL11)") {
+    import graft.sources.CellMaintenance
+    val dA = Files.createTempDirectory("cells-ttl11rep-a").toString
+    val dB = Files.createTempDirectory("cells-ttl11rep-b").toString
+    val common = Seq(("u-1", 0, "qty", 1L, 1000L, None: Option[Long]))
+    writeTypedTtl(dA, common); writeTypedTtl(dB, common)
+    writeTypedTtl(dA, Seq(("u-5", 0, "qty", 5L, 1000L, Some(500L))))
+    CellMaintenance.repair(spark, dA, dB)
+    val rawB = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(dB)
+    assert(rawB.filter(col("user") === "u-5").select("_expiry")
+      .as[Long].head() == 1500L)
+    // converged: a second repair exchanges digests only
+    assert(CellMaintenance.repair(spark, dA, dB) ==
+      CellMaintenance.RepairStats(0, 0L, 0L))
+  }
+
+  test("typed files without expiring cells keep the CEL8 magic") {
+    val d = Files.createTempDirectory("cells-ttl11z").toString
+    writeTypedTtl(d, Seq(("u-1", 0, "qty", 1L, 1000L, None)))
+    writeTypedTtl(d, Seq(("u-2", 0, "qty", 2L, 1000L, Some(9L))))
+    val magics = Files.list(java.nio.file.Paths.get(d)).iterator()
+      .asScala.filter(_.getFileName.toString.endsWith(".cells"))
+      .map { f =>
+        val in = new java.io.DataInputStream(Files.newInputStream(f))
+        try in.readInt() finally in.close()
+      }.toSeq.sorted
+    assert(magics == Seq(CellSource.Magic8, CellSource.Magic11), magics)
+    // mixed CEL8/CEL11 dirs merge fine; non-expiry record reads MaxValue
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d)
+    assert(raw.select("_expiry").as[Long].collect().toSet ==
+      Set(Long.MaxValue, 1009L))
   }
 
   // ---- C42: anti-entropy repair ----
