@@ -1212,7 +1212,10 @@ class CellTable(path: String,
       // C47 quorum read: comma-separated replica dirs merged into
       // this table's reconcile
       Option(o.get("replicas")).map(_.split(',').toSeq
-        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil))
+        .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      // C57 — CQL's ALLOW FILTERING guard (see pushFilters)
+      o.getBoolean("strictCql", false),
+      o.getBoolean("allowFiltering", false))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1503,7 +1506,9 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     spec: KeySpec = KeySpec.Default,
     tokenLo: Long = Long.MinValue,
     tokenHi: Long = Long.MaxValue,
-    replicas: Seq[String] = Nil)
+    replicas: Seq[String] = Nil,
+    strictCql: Boolean = false,
+    allowFiltering: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -1860,6 +1865,15 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       }
     }
     pushed = accepted.toArray
+    // C57: under strictCql, a predicate the typed read path did not
+    // accept as key machinery needs ALLOW FILTERING; wt bounds count
+    // as data filtering too (not CQL-expressible as a key predicate)
+    strictGuard(filters, f => accepted.contains(f) && (f match {
+      case EqualTo("wt", _) | GreaterThan("wt", _) |
+           GreaterThanOrEqual("wt", _) | LessThan("wt", _) |
+           LessThanOrEqual("wt", _) => false
+      case _ => true
+    }))
     // Everything stays residual: token pruning is file-granular and —
     // for hashed layouts — collision-advisory besides.
     filters
@@ -1870,6 +1884,32 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     if (ckLoT.isEmpty && ckHiT.isEmpty) None
     else Some(CkSlice(spec.ckParts.head.tag, ckLoT, ckLoInc,
       ckHiT, ckHiInc))
+
+  /** C57 — CQL's ALLOW FILTERING contract: under `strictCql=true`
+    * the scan REFUSES any predicate its read path cannot answer from
+    * key machinery (partition-key routing + clustering slices) —
+    * exactly the queries Cassandra rejects with "Cannot execute this
+    * query as it might involve data filtering" — unless
+    * `allowFiltering=true` opts into the row-wise work. At 100 TB
+    * this is the guard between a k-point-read query and an accidental
+    * full-table filter scan; Spark's residual filtering makes such
+    * scans silently "work", which is precisely the footgun. Scope:
+    * predicates Spark cannot translate to V2 filters never reach the
+    * connector and are not guarded — the guard covers the CQL-shaped
+    * predicate surface, not arbitrary expressions.
+    */
+  private def strictGuard(filters: Array[Filter],
+      accepted: Filter => Boolean): Unit = {
+    if (!strictCql || allowFiltering) return
+    val offending = filters.filterNot(accepted)
+    require(offending.isEmpty,
+      "Cannot execute this query as it might involve data filtering " +
+        "and thus may have unpredictable performance: " +
+        offending.mkString("[", ", ", "]") +
+        " cannot be served by the key read path. If you want to " +
+        "execute this query despite the performance " +
+        "unpredictability, use allowFiltering=true")
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (!spec.isDefault) return pushFiltersTyped(filters)
@@ -1947,6 +1987,20 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       case _ =>
     }
     pushed = accepted
+    // C57: under strictCql only KEY-SERVED predicates pass without
+    // ALLOW FILTERING — pk point/range/IN (identity tokens make a pk
+    // range a token range, CQL's `token(pk)` shape) and ck slices.
+    // wt/value predicates ride zone maps, but CQL has no key form for
+    // them: they are data filtering and need the opt-in.
+    strictGuard(filters, {
+      case EqualTo(c, _) => c == "pk" || c == "ck"
+      case GreaterThan(c, _) => c == "pk" || c == "ck"
+      case GreaterThanOrEqual(c, _) => c == "pk" || c == "ck"
+      case LessThan(c, _) => c == "pk" || c == "ck"
+      case LessThanOrEqual(c, _) => c == "pk" || c == "ck"
+      case In("pk", _) => true
+      case _ => false
+    })
     // Hand accepted filters back as residual too: file pruning is
     // range-granular, rows inside a kept file still need the filter.
     filters

@@ -2856,6 +2856,53 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C57: ALLOW FILTERING guard ----
+
+  test("strictCql refuses data-filtering predicates without allowFiltering") {
+    val d = Files.createTempDirectory("cells-strict").toString
+    Seq((1L, 0, "qty", 10L, 100L), (2L, 0, "price", 20L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    def strict = spark.read.format("graft.sources.CellSource")
+      .option("strictCql", "true").load(d)
+    // key-served shapes pass: pk point, pk range, pk IN, ck slice
+    assert(strict.filter(col("pk") === 1L).count() == 1)
+    assert(strict.filter(col("pk") > 0L && col("ck") <= 5).count() == 2)
+    assert(strict.filter(col("pk").isin(1L, 2L)).count() == 2)
+    // a non-key predicate is data filtering: refused with the CQL error
+    val e = intercept[Exception] {
+      strict.filter(col("value") > 15L).count()
+    }
+    def msgOf(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | "))
+    assert(msgOf(e).contains("allowFiltering"), msgOf(e))
+    intercept[Exception] { strict.filter(col("col") === "qty").count() }
+    // ALLOW FILTERING opts in; result identical to the unguarded scan
+    val allowed = spark.read.format("graft.sources.CellSource")
+      .option("strictCql", "true").option("allowFiltering", "true")
+      .load(d).filter(col("value") > 15L)
+    assert(allowed.select("pk").as[Long].collect().toSeq == Seq(2L))
+    // without strictCql nothing changes (the default stays permissive)
+    assert(spark.read.format("graft.sources.CellSource").load(d)
+      .filter(col("value") > 15L).count() == 1)
+  }
+
+  test("strictCql guards typed tables: pk-part equality passes, value refused") {
+    val d = Files.createTempDirectory("cells-strict-t").toString
+    Seq(("u-1", 0, "qty", 10L, 100L), ("u-2", 0, "qty", 20L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(d)
+    def strict = spark.read.format("graft.sources.CellSource")
+      .option("strictCql", "true").load(d)
+    assert(strict.filter(col("user") === "u-1").count() == 1)
+    intercept[Exception] { strict.filter(col("value") > 15L).count() }
+  }
+
   // ---- C55: lightweight transactions ----
 
   test("CAS applies IF NOT EXISTS / IF value conditions atomically (C55)") {
