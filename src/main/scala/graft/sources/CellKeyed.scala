@@ -578,8 +578,13 @@ private[sources] final class CellKeyedMergeCursor(
           else Long.MaxValue
         val expired = effExp != Long.MaxValue &&
           queryTime != Long.MaxValue && effExp < queryTime
+        // C58: dropped_columns hide pre-drop cells (see the default
+        // cursor); before PER PARTITION LIMIT counting
+        val droppedHide =
+          opts.droppedColumns.nonEmpty &&
+            opts.droppedColumns.get(colName).exists(wt <= _)
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
-            !coveredByRange && !expired) {
+            !coveredByRange && !expired && !droppedHide) {
           if (ppLimit == Int.MaxValue) return true
           if (lastEmitCk != null &&
               KeyCodec.compareParts(spec.ckParts, ckVals,

@@ -65,6 +65,12 @@ object CellMaintenance {
     // pattern as the grace window above). The summed cell the rewrite
     // lands is the new single shard — Σ is preserved.
     val counter = tableProp(dir, "counter").exists(_.toBoolean)
+    // C58: compaction PURGES dropped-column data (Cassandra scrubs
+    // dropped_columns during compaction) — the drop timestamps are
+    // recorded forever in `_props`, so a purged cell can never be
+    // resurrected by a later read or repair. Forwarded explicitly,
+    // same pattern as counter/grace (path reads never see _props).
+    val dropped = tablePropsPrefix(dir, "dropped.")
     val norm = CellPlanning.normalize(dir)
     val files = CellPlanning.listFiles(norm)
     val before = files.size
@@ -76,13 +82,16 @@ object CellMaintenance {
     // Rewrites read + write `_expiry` so per-cell TTL (CEL10 default /
     // CEL11 typed) survives compaction — Cassandra rewrites
     // localExpirationTime with the cell for the same reason.
-    val w = spark.read.format("graft.sources.CellSource")
+    val r0 = spark.read.format("graft.sources.CellSource")
       .option("reconcile", "true")
       .option("keepMarkers", "true")
       .option("withTtl", "true")
       .option("counter", counter.toString)
       .option("gcGraceMs", grace.toString)
       .option("gcNowMs", nowMs.toString)
+    val w = (if (dropped.isEmpty) r0
+      else r0.option("droppedColumns",
+        dropped.map { case (c, t) => s"$c:$t" }.mkString(",")))
       .load(dir)
       .write.format("graft.sources.CellSource")
       .option("withTtl", "true")
@@ -93,6 +102,26 @@ object CellMaintenance {
          s"${spec.ckParts.map(_.name).mkString(",")})"))
       .mode("overwrite").save(dir)
     (before, CellPlanning.listFiles(dir).size)
+  }
+
+  /** All catalog-persisted `_props` entries with the given key prefix
+    * (prefix stripped).
+    */
+  private def tablePropsPrefix(dir: String,
+      prefix: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      import scala.jdk.CollectionConverters._
+      p.stringPropertyNames().asScala.iterator
+        .filter(_.startsWith(prefix))
+        .map(k => k.substring(prefix.length) -> p.getProperty(k))
+        .toMap
+    }
   }
 
   /** A catalog-persisted table property (`_props` in the table dir),

@@ -1176,6 +1176,25 @@ class CellTable(path: String,
     // reads that re-window rows (PER PARTITION LIMIT counts from the
     // true partition start; reverse pages would need a reversed
     // cursor).
+    // C58 — dropped columns: `dropped.<col> = <dropTsMs>` table
+    // properties (set via ALTER TABLE ... SET TBLPROPERTIES, merged
+    // into options by `effective`) plus the explicit
+    // `droppedColumns=col:ts,col:ts` read option for path-based reads.
+    val droppedCols: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val fromProps = o.asCaseSensitiveMap().asScala.collect {
+        case (k, v) if k.length > 8 &&
+            k.substring(0, 8).equalsIgnoreCase("dropped.") =>
+          k.substring(8) -> v.toLong
+      }.toMap
+      val fromOpt = Option(o.get("droppedColumns")).map(_.split(',')
+        .iterator.filter(_.nonEmpty).map { e =>
+          val i = e.lastIndexOf(':')
+          require(i > 0, s"droppedColumns entry must be col:ts, got '$e'")
+          e.substring(0, i) -> e.substring(i + 1).toLong
+        }.toMap).getOrElse(Map.empty[String, Long])
+      fromProps ++ fromOpt
+    }
     val pageAfter = Option(o.get("pageAfter")).map { s =>
       val parts = s.split(":", 3)
       require(parts.length == 3,
@@ -1204,7 +1223,8 @@ class CellTable(path: String,
           o.getInt("perPartitionLimit", Int.MaxValue),
         reverse = o.getBoolean("reverse", false),
         reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20),
-        pageAfter = pageAfter),
+        pageAfter = pageAfter,
+        droppedColumns = droppedCols),
       keySpec,
       // the cursor pk is the physical lower bound: pre-cursor files
       // and chunks are pruned at planning, not skipped at read
@@ -2241,7 +2261,12 @@ case class ReconcileOptions(
     // winners pre-materialization. Exclusive at cell granularity, so
     // a page may end mid-clustering-row and the next page completes
     // it — the same cursor position Cassandra's pages carry.
-    pageAfter: Option[(Long, Int, String)] = None)
+    pageAfter: Option[(Long, Int, String)] = None,
+    // C58: Cassandra dropped_columns — cells of column c with
+    // wt <= droppedColumns(c) are INVISIBLE to reconciled reads
+    // forever (a re-added column sees only newer writes). Raw scans
+    // keep serving them, exactly as sstabledump shows dropped data.
+    droppedColumns: Map[String, Long] = Map.empty)
 
 class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     required: StructType, subsplitRecords: Int,
@@ -2850,8 +2875,15 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
           else Long.MaxValue
         val expired = effExp != Long.MaxValue &&
           queryTime != Long.MaxValue && effExp < queryTime
+        // C58: a cell written before its column's drop is invisible
+        // forever (Cassandra dropped_columns); the skip sits before
+        // PER PARTITION LIMIT counting, so hidden cells never consume
+        // the row budget
+        val droppedHide =
+          opts.droppedColumns.nonEmpty &&
+            opts.droppedColumns.get(colName).exists(wt <= _)
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
-            !coveredByRange && !expired) {
+            !coveredByRange && !expired && !droppedHide) {
           if (ppLimit == Int.MaxValue) return true
           if (haveEmitCk && ck == lastEmitCk) return true
           if (cksEmitted < ppLimit) {

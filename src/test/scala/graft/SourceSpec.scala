@@ -2856,6 +2856,72 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C58: dropped-column timestamps ----
+
+  test("dropped columns hide pre-drop cells; re-add sees only newer writes") {
+    val d = Files.createTempDirectory("cells-dropcol").toString
+    def flush(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(d)
+    flush(Seq((1L, 0, "qty", 10L, 100L), (1L, 0, "price", 7L, 100L),
+      (2L, 0, "qty", 20L, 100L)))
+    // DROP qty at ts=150, then the column is re-added and written
+    flush(Seq((1L, 0, "qty", 11L, 200L)))
+    def rec(extra: Map[String, String] = Map.empty) = {
+      val r = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load(d)
+    }
+    val dropped = Map("droppedColumns" -> "qty:150")
+    // pk=2's qty (wt=100 <= 150) is gone; pk=1's re-added write
+    // (wt=200 > 150) is visible; price untouched
+    val rows = rec(dropped).select("pk", "col", "value")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((1L, "qty", 11L), (1L, "price", 7L)), rows)
+    // raw scans keep serving dropped data (sstabledump shows it)
+    assert(spark.read.format("graft.sources.CellSource")
+      .option("droppedColumns", "qty:150").load(d).count() == 4)
+    // without the drop record everything is visible
+    assert(rec().count() == 3)
+  }
+
+  test("ALTER TABLE drop property drives hiding; compaction purges (C58)") {
+    import graft.sources.CellMaintenance
+    val root = Files.createTempDirectory("cells-dropcat").toString
+    spark.conf.set("spark.sql.catalog.dropcat",
+      "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.dropcat.root", root)
+    try {
+      spark.sql("CREATE TABLE dropcat.default.t (pk BIGINT, ck INT, " +
+        "col STRING, value BIGINT, wt BIGINT) USING cells")
+      spark.sql("INSERT INTO dropcat.default.t VALUES " +
+        "(1, 0, 'qty', 10, 100), (1, 0, 'price', 7, 100)")
+      // the CQL `ALTER TABLE t DROP qty` analogue: record the drop ts
+      spark.sql("ALTER TABLE dropcat.default.t " +
+        "SET TBLPROPERTIES ('dropped.qty' = '150')")
+      // catalog reads pick the property up via the table handle
+      assert(spark.table("dropcat.default.t").count() == 2) // raw scan
+      val rec = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("droppedColumns", "qty:150")
+        .load(s"$root/default/t")
+      assert(rec.select("col").as[String].collect().toSeq ==
+        Seq("price"))
+      // compaction PURGES the dropped data from disk (the props are
+      // resolved from _props and forwarded)
+      CellMaintenance.compact(spark, s"$root/default/t")
+      val raw = spark.read.format("graft.sources.CellSource")
+        .load(s"$root/default/t")
+      assert(raw.select("col").as[String].collect().toSeq ==
+        Seq("price"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dropcat.root")
+      spark.conf.unset("spark.sql.catalog.dropcat")
+    }
+  }
+
   // ---- C57: ALLOW FILTERING guard ----
 
   test("strictCql refuses data-filtering predicates without allowFiltering") {
