@@ -64,6 +64,8 @@ object Bench {
       graft.sources.CellSnapshots.ensureSnapshotted(spark, sfDir)
       graft.sources.CellSnapshots.ensureReadRepaired(spark, sfDir)
       graft.sources.CellSnapshots.ensureHinted(spark, sfDir)
+      graft.sources.CellSnapshots.ensureKeyedTtled(spark, sfDir)
+      graft.sources.CellSnapshots.ensureUdt(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",

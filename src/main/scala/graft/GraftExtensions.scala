@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, ShingleGenerator}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, ShingleGenerator, UdtPack, UdtUnpack}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -51,6 +51,12 @@ object GraftExtensions {
     ("graft_token",
       new ExpressionInfo(classOf[PartitionToken].getName, "graft_token"),
       (args: Seq[Expression]) => PartitionToken(args)),
+    ("graft_udt_pack",
+      new ExpressionInfo(classOf[UdtPack].getName, "graft_udt_pack"),
+      (args: Seq[Expression]) => UdtPack(args.head, args.tail)),
+    ("graft_udt_unpack",
+      new ExpressionInfo(classOf[UdtUnpack].getName, "graft_udt_unpack"),
+      (args: Seq[Expression]) => UdtUnpack(args(0), args(1))),
     ("graft_collect_set_bounded",
       new ExpressionInfo(classOf[BoundedCollectSet].getName,
         "graft_collect_set_bounded"),

@@ -928,6 +928,53 @@ object Cells {
 
   private val typedTtlSql = cellTtlSql
 
+  // C58 — dropped-column timestamps (Cassandra's `ALTER TABLE DROP`):
+  // cells of a dropped column written BEFORE the drop are invisible
+  // to reconciled reads forever; a re-added column sees only newer
+  // writes. The declared read drops 'qty' at the model query time —
+  // base-era qty cells vanish, the post-drop rewrites survive, price
+  // is untouched. Raw scans keep serving dropped data (sstabledump
+  // semantics) and compaction purges it (tested in SourceSpec).
+  private def droppedColumnsScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .option("droppedColumns", s"qty:${CM.QueryTimeMs}")
+      .load(CellSnapshots.ensure(s, d))
+      .filter(col("pk") % 10 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val droppedColumnsSql = cte +
+    s"""SELECT pk, ck, col, value, wt FROM merged
+       |WHERE pk % 10 = 0
+       |  AND NOT (col = 'qty' AND wt <= ${CM.QueryTimeMs})
+       |ORDER BY pk, ck, col""".stripMargin
+
+  // C59 — frozen UDT: qty cell versions packed into `(q bigint,
+  // t string)` blobs (graft_udt_pack) and written as a BINARY cell
+  // table — Cassandra's frozen-UDT storage model (one blob,
+  // byte-compared by the merge; only the schema layer knows fields).
+  // The reconciling scan LWW-merges the blobs; unpacking the winners
+  // must reproduce the merged oracle's fields — pack∘unpack identity
+  // AND blob-level LWW checked in one query.
+  private def frozenUdtScan(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .load(CellSnapshots.ensureUdt(s, d))
+      .filter(col("pk") % 10 === 0)
+      .select(col("pk"), col("ck"),
+        expr("graft_udt_unpack('q bigint,t string', value)").as("u"),
+        col("wt"))
+      .select(col("pk"), col("ck"), col("u.q").as("q"),
+        col("u.t").as("tag"), col("wt"))
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val frozenUdtSql = cte +
+    """SELECT pk, ck, value AS q, 'q:' || pk AS tag, wt FROM merged
+      |WHERE col = 'qty' AND pk % 10 = 0
+      |ORDER BY pk, ck""".stripMargin
+
   // C47 — QUORUM read: the reconcile merge across REPLICA
   // directories (Cassandra's multi-replica data read — every replica
   // contributes its flushes to one k-way LWW merge, folding
@@ -1050,6 +1097,9 @@ object Cells {
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),
     GQuery("C28c_typed_ttl_scan", typedTtlScan, Some(typedTtlSql)),
+    GQuery("C58_dropped_columns", droppedColumnsScan,
+      Some(droppedColumnsSql)),
+    GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),

@@ -787,6 +787,42 @@ object CellSnapshots {
     (dirA.toString, dirB.toString)
   }
 
+  // ---- C59: frozen-UDT fixture ----
+  // Each qty cell version (LWW rewrites included) packs into a frozen
+  // UDT blob `(q bigint, t string)` via graft_udt_pack, written
+  // through the connector as a BINARY-valued table — exactly how
+  // Cassandra stores frozen UDTs (one blob, byte-compared; only the
+  // schema layer knows the fields). The reconciling merge runs on the
+  // blobs; the declared query unpacks the WINNERS and checks the
+  // fields against the merged oracle.
+  def ensureUdt(s: SparkSession, sfDir: String): String = synchronized {
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val dir = Paths.get(root, s"v$Version-$sfName-udt")
+    val marker = dir.resolve("_OK")
+    if (!Files.exists(marker)) {
+      if (Files.exists(dir))
+        Using.resource(Files.list(dir)) {
+          _.iterator().asScala.toList.foreach(Files.delete)
+        }
+      graft.GraftExtensions.register(s)
+      graft.cassandra.CellModel.cells(s, sfDir)
+        .filter(col("col") === "qty")
+        .select(col("pk").cast("long"), col("ck").cast("int"),
+          lit("u").as("col"),
+          org.apache.spark.sql.functions.expr(
+            "graft_udt_pack('q bigint,t string', cast(value as bigint)," +
+              " concat('q:', cast(pk as string)))").as("value"),
+          col("wt").cast("long"))
+        .repartitionByRange(SnapshotFiles, col("pk"), col("ck"),
+          col("col"))
+        .write.format("graft.sources.CellSource")
+        .option("valueType", "binary")
+        .mode("append").save(dir.toString)
+      Files.writeString(marker, "ok")
+    }
+    dir.toString
+  }
+
   // ---- C50: hinted-handoff fixture ----
   // Replica A was DOWN while the price cells of pk ∈ [200, 700)
   // were written: the coordinator appended them to the up replica and

@@ -134,4 +134,54 @@ class ExpressionSpec extends GraftSpec {
     assert(spark.sql("SELECT graft_token(CAST(NULL AS STRING)) AS t")
       .head().isNullAt(0))
   }
+
+  test("frozen UDT pack/unpack round-trips incl. nulls (C59)") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_udt_unpack('a bigint,b string,c double', " +
+        "graft_udt_pack('a bigint,b string,c double', " +
+        "CAST(7 AS BIGINT), 'hi', CAST(2.5 AS DOUBLE))) AS u")
+      .select("u.a", "u.b", "u.c").head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "hi" &&
+      r.getDouble(2) == 2.5)
+    // null field: packed as length -1, unpacks as null
+    val n = spark.sql(
+      "SELECT graft_udt_unpack('a bigint,b string', " +
+        "graft_udt_pack('a bigint,b string', CAST(NULL AS BIGINT), " +
+        "'x')) AS u").select("u.a", "u.b").head()
+    assert(n.isNullAt(0) && n.getString(1) == "x")
+  }
+
+  test("UDT schema evolution: old layout reads new blobs and vice versa") {
+    graft.GraftExtensions.register(spark)
+    // blob written with an EXTRA trailing field still unpacks under
+    // the older two-field layout (trailing bytes ignored)...
+    val oldRead = spark.sql(
+      "SELECT graft_udt_unpack('a bigint,b string', " +
+        "graft_udt_pack('a bigint,b string,c int', " +
+        "CAST(1 AS BIGINT), 'y', 9)) AS u")
+      .select("u.a", "u.b").head()
+    assert(oldRead.getLong(0) == 1L && oldRead.getString(1) == "y")
+    // ...and a blob written BEFORE a field existed unpacks the new
+    // field as null (Cassandra's add-field evolution rule)
+    val newRead = spark.sql(
+      "SELECT graft_udt_unpack('a bigint,b string,c int', " +
+        "graft_udt_pack('a bigint,b string', " +
+        "CAST(1 AS BIGINT), 'y')) AS u")
+      .select("u.a", "u.b", "u.c").head()
+    assert(newRead.getLong(0) == 1L && newRead.getString(1) == "y" &&
+      newRead.isNullAt(2))
+  }
+
+  test("UDT pack refuses arity and type mismatches") {
+    graft.GraftExtensions.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT graft_udt_pack('a bigint', 1L, 'extra')")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_udt_pack('a bigint', 'not-a-long')")
+        .collect()
+    }
+  }
 }
