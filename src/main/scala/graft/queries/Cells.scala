@@ -975,6 +975,27 @@ object Cells {
       |WHERE col = 'qty' AND pk % 10 = 0
       |ORDER BY pk, ck""".stripMargin
 
+  // C61 — range movement (bootstrap/decommission): tokens [2000,5999]
+  // streamed from node A to a fresh node B, then cleaned from A
+  // (stream-first ordering — a crash leaves over-ownership, never
+  // under-ownership). The ring as a whole still holds every cell
+  // exactly once: the UNION of both nodes' reconciled reads must
+  // equal the plain merged view, which is exactly what this query
+  // states against C4's oracle.
+  private def rangeMovementRead(s: SparkSession, d: String): DataFrame = {
+    val (dirA, dirB) = CellSnapshots.ensureMoved(s, d)
+    def rec(p: String) = s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(p)
+    rec(dirA).unionAll(rec(dirB))
+      .filter(col("pk") % 10 === 0)
+      .orderBy(col("pk"), col("ck"), col("col"))
+  }
+
+  private val rangeMovementSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk % 10 = 0
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C47 — QUORUM read: the reconcile merge across REPLICA
   // directories (Cassandra's multi-replica data read — every replica
   // contributes its flushes to one k-way LWW merge, folding
@@ -1100,6 +1121,8 @@ object Cells {
     GQuery("C58_dropped_columns", droppedColumnsScan,
       Some(droppedColumnsSql)),
     GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
+    GQuery("C61_range_movement", rangeMovementRead,
+      Some(rangeMovementSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),
     GQuery("C44_value_zone_scan", valueZoneScan, Some(valueZoneSql)),
     GQuery("C43_snapshot_read", snapshotRead, Some(snapshotReadSql)),

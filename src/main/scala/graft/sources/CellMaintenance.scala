@@ -640,6 +640,88 @@ object CellMaintenance {
     }
   }
 
+  // ---- C60/C61: ring operations (cleanup, range movement) ------------
+
+  /** C60 — `nodetool cleanup`: after a ring change (a new node took
+    * over part of this node's range), rewrite the table keeping ONLY
+    * rows whose token falls in the ranges this node still owns.
+    * Ranges are inclusive `[lo, hi]` token bounds (C41's unit); the
+    * rewrite is the reconciling scan restricted to them feeding the
+    * truncate write — markers kept, nothing else interpreted, so
+    * tombstones/TTL/range markers inside an owned range survive and
+    * everything outside is physically dropped. Returns (rowsBefore,
+    * rowsAfter) raw record counts from headers.
+    *
+    * Cassandra's own caveat carries over: cleanup is the LAST step of
+    * a movement — run it only after the receiving node holds the data
+    * (see [[moveRange]], which sequences this correctly).
+    */
+  def cleanup(spark: SparkSession, dir: String,
+      ownedRanges: Seq[(Long, Long)],
+      rollRecords: Int = CellSource.DefaultRollRecords): (Long, Long) = {
+    require(ownedRanges.nonEmpty,
+      "cleanup with no owned ranges would truncate the table; " +
+        "call truncate explicitly if that is the intent")
+    val norm = CellPlanning.normalize(dir)
+    val files = CellPlanning.listFiles(norm)
+    val before = files.map(f => CellSource.readHeader(f).count.toLong).sum
+    val spec = CellPlanning.keySpecOf(norm, files)
+    val kept = ownedRanges.map { case (lo, hi) =>
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("keepMarkers", "true")
+        .option("withTtl", "true")
+        .option("tokenRange", s"$lo:$hi").load(dir)
+    }.reduce(_ unionAll _)
+    val w = kept.write.format("graft.sources.CellSource")
+      .option("withTtl", "true")
+      .option("rollRecords", rollRecords.toString)
+    (if (spec.isDefault) w
+     else w.option("primaryKey",
+       s"((${spec.pkParts.map(_.name).mkString(",")})," +
+         s"${spec.ckParts.map(_.name).mkString(",")})"))
+      .mode("overwrite").save(dir)
+    val after = CellPlanning.listFiles(norm)
+      .map(f => CellSource.readHeader(f).count.toLong).sum
+    (before, after)
+  }
+
+  /** C61 — range movement (`nodetool move` / bootstrap /
+    * decommission): stream one inclusive token range from `from` to
+    * `to`, then CLEAN the source of it. Ordered exactly as Cassandra
+    * orders it: (1) the receiving node gets the data — a raw
+    * keepMarkers tokenRange read (every version, tombstones and
+    * expiry included) appended as one flush, LWW-idempotent on
+    * retry; (2) only then does the source cleanup drop the moved
+    * range (`cleanup` with the complement). A crash between the two
+    * leaves BOTH nodes holding the range — over-ownership, which
+    * reads tolerate (quorum/LWW) and a re-run converges — never
+    * under-ownership. Returns the moved cell count.
+    */
+  def moveRange(spark: SparkSession, from: String, to: String,
+      lo: Long, hi: Long): Long = {
+    require(lo <= hi, s"empty token range $lo:$hi")
+    // RAW scan: every version streams, marker rows included (a raw
+    // read serves tombstone/TTL markers verbatim)
+    val src = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true")
+      .option("tokenRange", s"$lo:$hi").load(from)
+    val moved = ship(src, to, 1, src.columns.init.toSeq,
+      withExpiry = true)
+    // the complement of [lo, hi] on the signed-64 ring
+    val complement = Seq(
+      (Long.MinValue, lo - 1), (hi + 1, Long.MaxValue)).filter {
+      case (a, b) => a <= b && !(lo == Long.MinValue && b == lo - 1) &&
+        !(hi == Long.MaxValue && a == hi + 1)
+    }
+    if (complement.nonEmpty) cleanup(spark, from, complement)
+    else { // the range was the whole ring: the source is decommissioned
+      val t = new CellTable(CellPlanning.normalize(from))
+      t.truncateTable()
+    }
+    moved
+  }
+
   // ---- C50: hinted handoff -------------------------------------------
 
   /** Hint-table directory for one down target under `hintsDir` — the

@@ -787,6 +787,33 @@ object CellSnapshots {
     (dirA.toString, dirB.toString)
   }
 
+  // ---- C61: range-movement fixture ----
+  // Node A starts with the whole ring; tokens [2000, 5999] move to a
+  // fresh node B (stream-then-cleanup, CellMaintenance.moveRange).
+  // The declared query unions both nodes' reconciled reads — the ring
+  // still holds every cell exactly once, so the union must equal the
+  // plain merged view.
+  def ensureMoved(s: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dirA = Paths.get(root, s"v$Version-$sfName-move-a")
+      val dirB = Paths.get(root, s"v$Version-$sfName-move-b")
+      val marker = dirA.resolve("_OK")
+      if (!Files.exists(marker)) {
+        Seq(dirA, dirB).foreach { d =>
+          if (Files.exists(d))
+            Using.resource(Files.list(d)) {
+              _.iterator().asScala.toList.foreach(Files.delete)
+            }
+        }
+        writeReplica(s, dirA, lit(true), sfDir)
+        CellMaintenance.moveRange(s, dirA.toString, dirB.toString,
+          2000L, 5999L)
+        Files.writeString(marker, "ok")
+      }
+      (dirA.toString, dirB.toString)
+    }
+
   // ---- C59: frozen-UDT fixture ----
   // Each qty cell version (LWW rewrites included) packs into a frozen
   // UDT blob `(q bigint, t string)` via graft_udt_pack, written

@@ -2856,6 +2856,62 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C60/C61: ring operations ----
+
+  test("cleanup drops only tokens outside the owned ranges (C60)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-cleanup").toString
+    (0L until 100L).map(pk => (pk, 0, "qty", pk, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(2).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // a tombstone inside an owned range must survive the rewrite
+    Seq((10L, Int.MinValue, CellSource.PartitionTombstone, 0L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // identity tokens: this node keeps [0,19] and [60,79]
+    val (before, after) = CellMaintenance.cleanup(spark, d,
+      Seq((0L, 19L), (60L, 79L)))
+    // 39 live data cells (pk 10's is shadowed and drops in the
+    // compacting rewrite) + the kept tombstone marker
+    assert(before == 101L && after == 40L, (before, after))
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    val pks = rec.select("pk").as[Long].collect().toSet
+    assert(pks == ((0L until 20L).toSet - 10L) ++ (60L until 80L), pks)
+    // refuse the truncate-by-accident shape
+    intercept[IllegalArgumentException] {
+      CellMaintenance.cleanup(spark, d, Nil)
+    }
+  }
+
+  test("moveRange streams a range then cleans the source (C61)") {
+    import graft.sources.CellMaintenance
+    val from = Files.createTempDirectory("cells-move-a").toString
+    val to = Files.createTempDirectory("cells-move-b").toString
+    (0L until 50L).map(pk => (pk, 0, "qty", pk, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(from)
+    // the receiving node already holds some data
+    Seq((200L, 0, "qty", 7L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(to)
+    val moved = CellMaintenance.moveRange(spark, from, to, 20L, 29L)
+    assert(moved == 10L)
+    def pks(d: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("pk").as[Long].collect().toSet
+    assert(pks(to) == (20L until 30L).toSet + 200L)
+    assert(pks(from) == (0L until 50L).toSet -- (20L until 30L))
+    // re-running the same move converges (LWW-idempotent stream;
+    // the source no longer holds the range, so 0 cells move)
+    assert(CellMaintenance.moveRange(spark, from, to, 20L, 29L) == 0L)
+    assert(pks(to) == (20L until 30L).toSet + 200L)
+  }
+
   // ---- C58: dropped-column timestamps ----
 
   test("dropped columns hide pre-drop cells; re-add sees only newer writes") {
