@@ -666,11 +666,16 @@ object CellMaintenance {
     val files = CellPlanning.listFiles(norm)
     val before = files.map(f => CellSource.readHeader(f).count.toLong).sum
     val spec = CellPlanning.keySpecOf(norm, files)
+    // counter tables MUST rewrite under shard-SUM (same rule as
+    // compact: a default LWW read keeps only the latest shard and
+    // silently loses the other deltas)
+    val counter = tableProp(dir, "counter").exists(_.toBoolean)
     val kept = ownedRanges.map { case (lo, hi) =>
       spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")
         .option("keepMarkers", "true")
         .option("withTtl", "true")
+        .option("counter", counter.toString)
         .option("tokenRange", s"$lo:$hi").load(dir)
     }.reduce(_ unionAll _)
     val w = kept.write.format("graft.sources.CellSource")

@@ -62,6 +62,12 @@ object CellTransactions {
     val norm = CellPlanning.normalize(dir)
     val d = Paths.get(norm)
     Files.createDirectories(d)
+    // default layout only: the one-row flush writes (pk, ck) records;
+    // appending it into a typed dir would mix key layouts
+    require(CellPlanning.keySpecOf(norm,
+      CellPlanning.listFiles(norm)).isDefault,
+      s"CAS supports default-keyed tables (pk bigint, ck int); " +
+        s"$dir is typed")
     withBallot(d, lockTimeoutMs, nowMs) {
       val reader = spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")

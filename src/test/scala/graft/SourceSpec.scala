@@ -2886,6 +2886,40 @@ class SourceSpec extends GraftSpec {
     }
   }
 
+  test("cleanup preserves counter shards via shard-SUM rewrite") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-cleanctr").toString
+    // two shard deltas of one counter cell in separate flushes — a
+    // LWW rewrite would keep only the later shard and lose 3
+    Seq((1L, 0, "hits", 3L, 100L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((1L, 0, "hits", 4L, 200L)).toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Files.writeString(java.nio.file.Paths.get(d, "_props"),
+      "counter=true\n")
+    CellMaintenance.cleanup(spark, d, Seq((0L, 10L)))
+    val v = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("counter", "true").load(d)
+      .select("value").as[Long].head()
+    assert(v == 7L, s"counter sum lost in cleanup: $v")
+  }
+
+  test("CAS refuses typed-key tables") {
+    import graft.sources.CellTransactions
+    val d = Files.createTempDirectory("cells-castyped").toString
+    Seq(("u-1", 0, "qty", 1L, 1L)).toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(d)
+    val e = intercept[IllegalArgumentException] {
+      CellTransactions.cas(spark, d, 1L, 0, "qty", None, 1L)
+    }
+    assert(e.getMessage.contains("typed"), e.getMessage)
+  }
+
   test("moveRange streams a range then cleans the source (C61)") {
     import graft.sources.CellMaintenance
     val from = Files.createTempDirectory("cells-move-a").toString
