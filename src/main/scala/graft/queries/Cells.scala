@@ -1051,6 +1051,44 @@ object Cells {
     s"""SELECT pk, ck, col, value, wt FROM merged
        |ORDER BY pk, ck, col LIMIT ${3 * PageRows}""".stripMargin
 
+  // C52b — TYPED paging: the CQL paging-state contract on a typed
+  // (CEL6) table — per-part cursor options `pageAfter.<part>` +
+  // `pageAfter.col`, resumed in the stream's (token, key) order by
+  // the typed paged cursor, cursor token seeding the scan's pushed
+  // lower bound. Declared over the IDENTITY-token typed fixture
+  // (single long pk part: token order == pk order), so the stitched
+  // pages share C52's merged-prefix oracle; hashed layouts page the
+  // same way and are covered in SourceSpec (order is token order,
+  // which DuckDB cannot reproduce).
+  private def typedPagedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensureKeyedLong(s, d)
+    def page(after: Option[(Long, Int, String)]): DataFrame = {
+      val r = s.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      after.fold(r)(a => r
+        .option("pageAfter.id", a._1.toString)
+        .option("pageAfter.seq", a._2.toString)
+        .option("pageAfter.col", a._3))
+        .load(dir)
+        .orderBy(col("id"), col("seq"), col("col")).limit(PageRows)
+    }
+    var after: Option[(Long, Int, String)] = None
+    val pages = (0 until 3).map { i =>
+      val p = page(after)
+      if (i < 2) {
+        val last = p.orderBy(col("id").desc, col("seq").desc,
+          col("col").desc).select("id", "seq", "col").head()
+        after = Some((last.getLong(0), last.getInt(1), last.getString(2)))
+      }
+      p
+    }
+    pages.reduce(_ unionAll _).orderBy(col("id"), col("seq"), col("col"))
+  }
+
+  private val typedPagedScanSql = cte +
+    s"""SELECT pk AS id, ck AS seq, col, value, wt FROM merged
+       |ORDER BY id, seq, col LIMIT ${3 * PageRows}""".stripMargin
+
   // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
   // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
   // read-path aggregation): reconcile partitions are disjoint pk
@@ -1113,6 +1151,8 @@ object Cells {
   def all: Seq[GQuery] = Seq(
     GQuery("C50_hinted_handoff", hintedHandoffRead, Some(hintedHandoffSql)),
     GQuery("C52_paged_scan", pagedScan, Some(pagedScanSql)),
+    GQuery("C52b_typed_paged_scan", typedPagedScan,
+      Some(typedPagedScanSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),

@@ -305,9 +305,65 @@ private[sources] trait KeyedCursor {
 
 private[sources] object KeyedCursor {
   def of(part: CellReconcilePartition,
-      opts: ReconcileOptions): KeyedCursor =
-    if (opts.reverse) new CellKeyedReverseCursor(part, opts)
-    else new CellKeyedMergeCursor(part, opts)
+      opts: ReconcileOptions): KeyedCursor = {
+    val base: KeyedCursor =
+      if (opts.reverse) new CellKeyedReverseCursor(part, opts)
+      else new CellKeyedMergeCursor(part, opts)
+    opts.pageAfterTyped.fold(base)(pa =>
+      new CellKeyedPagedCursor(base, part, pa))
+  }
+}
+
+/** C52b — typed paging wrapper (the typed twin of
+  * [[CellPagedCursor]]): drops winners at or before the cursor
+  * position in the stream's OWN order — (token, pk parts, ck parts,
+  * col) — so pages compose with tombstones, rewrites, and TTL exactly
+  * like the default layout's. The cursor's token already seeded the
+  * scan's lower bound, so only the cursor partition's (and token
+  * collisions') already-served winners reach this skip.
+  */
+private[sources] final class CellKeyedPagedCursor(inner: KeyedCursor,
+    part: CellReconcilePartition,
+    pa: (Array[Any], Array[Any], String)) extends KeyedCursor {
+  private val spec: KeySpec =
+    if (part.fileParts.isEmpty) KeySpec.Default
+    else part.fileParts(0).keySpec
+  private val paToken = KeyCodec.token(spec, pa._1)
+
+  private def beforeOrAtCursor: Boolean = {
+    val t = KeyCodec.token(spec, inner.pkVals)
+    var c = java.lang.Long.compare(t, paToken)
+    if (c == 0)
+      c = KeyCodec.compareParts(spec.pkParts, inner.pkVals, pa._1)
+    if (c == 0)
+      c = KeyCodec.compareParts(spec.ckParts, inner.ckVals, pa._2)
+    if (c == 0) c = inner.colName.compareTo(pa._3)
+    c <= 0
+  }
+
+  // winner positions are MONOTONE in stream order: once one winner
+  // passes the cursor, no later winner can precede it — the per-row
+  // token/compare work stops after the first kept row
+  private var passed = false
+
+  def nextWinner(): Boolean = {
+    var v = inner.nextWinner()
+    if (!passed) {
+      while (v && beforeOrAtCursor) v = inner.nextWinner()
+      if (v) passed = true
+    }
+    v
+  }
+  def close(): Unit = inner.close()
+  def pkVals: Array[Any] = inner.pkVals
+  def ckVals: Array[Any] = inner.ckVals
+  def colName: String = inner.colName
+  def value: Any = inner.value
+  def wt: Long = inner.wt
+  def expiry: Long = inner.expiry
+  def valueTag: Int = inner.valueTag
+  def decPrec: Int = inner.decPrec
+  def decScale: Int = inner.decScale
 }
 
 /** Reversed clustering order over a typed (CEL6) table — the typed

@@ -787,6 +787,39 @@ object CellSnapshots {
     (dirA.toString, dirB.toString)
   }
 
+  // ---- C52b: identity-token TYPED fixture ----
+  // The cell relation as a TYPED table whose single long pk part
+  // makes tokens the identity — typed machinery (CEL6 records, typed
+  // merge cursor, typed paging) with a physical order the DuckDB
+  // oracle can reproduce (token order == pk order).
+  def ensureKeyedLong(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      // part names (id, seq): `((pk),ck)` long/int IS KeySpec.Default,
+      // which the writer normalizes to the default layout — renaming
+      // forces a genuine CEL6 typed file with identity tokens
+      val dir = Paths.get(root, s"v$Version-$sfName-keyid")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .select(col("pk").cast("long").as("id"),
+            col("ck").cast("int").as("seq"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("id"), col("seq"),
+            col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("primaryKey", "((id),seq)")
+          .option("keyType.id", "long").option("keyType.seq", "int")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
   // ---- C61: range-movement fixture ----
   // Node A starts with the whole ring; tokens [2000, 5999] move to a
   // fresh node B (stream-then-cleanup, CellMaintenance.moveRange).

@@ -1208,6 +1208,37 @@ class CellTable(path: String,
         "pageAfter cannot combine with perPartitionLimit or reverse")
       (parts(0).toLong, parts(1).toInt, parts(2))
     }
+    // C52b — TYPED paging: per-part cursor options
+    // `pageAfter.<part> = <value>` for EVERY pk and ck part, plus
+    // `pageAfter.col`. Values parse by the part's key type
+    // (long/int/string — the CQL-common clustering shapes; other part
+    // types refuse). Same exclusions as the default-path pageAfter.
+    val pageAfterTyped: Option[(Array[Any], Array[Any], String)] =
+      if (keySpec.isDefault || o.get("pageAfter.col") == null) None
+      else {
+        require(o.getBoolean("reconcile", false),
+          "pageAfter requires reconcile=true (paging is a merged read)")
+        require(o.getInt("perPartitionLimit", Int.MaxValue) ==
+          Int.MaxValue && !o.getBoolean("reverse", false),
+          "pageAfter cannot combine with perPartitionLimit or reverse")
+        def parsePart(part: KeyPart): Any = {
+          val raw = o.get(s"pageAfter.${part.name}")
+          require(raw != null,
+            s"typed paging needs pageAfter.${part.name}")
+          part.tag match {
+            case ValueCodec.LongTag => raw.toLong
+            case ValueCodec.IntTag => raw.toInt
+            case ValueCodec.StringTag =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+            case t => throw new IllegalArgumentException(
+              s"typed paging does not support key part tag $t " +
+                s"(${part.name}); page on long/int/string parts")
+          }
+        }
+        Some((keySpec.pkParts.map(parsePart).toArray,
+          keySpec.ckParts.map(parsePart).toArray,
+          o.get("pageAfter.col")))
+      }
     new CellScanBuilder(path,
       o.getInt("subsplitRecords", CellSource.DefaultSubsplitRecords),
       o.getBoolean("columnar", true),
@@ -1224,11 +1255,14 @@ class CellTable(path: String,
         reverse = o.getBoolean("reverse", false),
         reverseMaxRows = o.getInt("reverseMaxRows", 1 << 20),
         pageAfter = pageAfter,
+        pageAfterTyped = pageAfterTyped,
         droppedColumns = droppedCols),
       keySpec,
       // the cursor pk is the physical lower bound: pre-cursor files
       // and chunks are pruned at planning, not skipped at read
-      pageAfter.fold(tokLo)(pa => math.max(tokLo, pa._1)), tokHi,
+      pageAfterTyped.fold(
+        pageAfter.fold(tokLo)(pa => math.max(tokLo, pa._1)))(pt =>
+        math.max(tokLo, KeyCodec.token(keySpec, pt._1))), tokHi,
       // C47 quorum read: comma-separated replica dirs merged into
       // this table's reconcile
       Option(o.get("replicas")).map(_.split(',').toSeq
@@ -2262,6 +2296,9 @@ case class ReconcileOptions(
     // a page may end mid-clustering-row and the next page completes
     // it — the same cursor position Cassandra's pages carry.
     pageAfter: Option[(Long, Int, String)] = None,
+    // C52b: the TYPED paging cursor — (pk part values, ck part
+    // values, col name) in internal form; resume strictly after it
+    pageAfterTyped: Option[(Array[Any], Array[Any], String)] = None,
     // C58: Cassandra dropped_columns — cells of column c with
     // wt <= droppedColumns(c) are INVISIBLE to reconciled reads
     // forever (a re-added column sees only newer writes). Raw scans

@@ -2856,6 +2856,53 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C52b: typed paging ----
+
+  test("typed paging resumes hashed-key tables in token order (C52b)") {
+    graft.GraftExtensions.register(spark)
+    val dir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val n = 500
+    // the stream's physical order: (token, key) — reproducible
+    // client-side via graft_token for the assertion
+    val ord = Seq(expr("graft_token(user)"), col("user"), col("ck"),
+      col("col"))
+    def read(after: Option[(String, Int, String)]) = {
+      val r = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      after.fold(r)(a => r.option("pageAfter.user", a._1)
+        .option("pageAfter.ck", a._2.toString)
+        .option("pageAfter.col", a._3)).load(dir)
+    }
+    val full = read(None).orderBy(ord: _*)
+      .select("user", "ck", "col", "value", "wt")
+    val p1 = full.limit(n).collect()
+    val last = p1.last
+    val p2 = read(Some((last.getString(0), last.getInt(1),
+      last.getString(2)))).orderBy(ord: _*)
+      .select("user", "ck", "col", "value", "wt").limit(n).collect()
+    // page 2 is exactly rows n+1..2n of the token-ordered stream
+    val expect = full.limit(2 * n).collect().drop(n)
+    assert(p2.toSeq == expect.toSeq)
+    // and the pages are disjoint
+    assert(p1.toSet.intersect(p2.toSet).isEmpty)
+  }
+
+  test("typed paging refuses ppl/reverse and non-reconcile reads") {
+    val dir = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    def r = spark.read.format("graft.sources.CellSource")
+      .option("pageAfter.user", "user-3")
+      .option("pageAfter.ck", "1").option("pageAfter.col", "qty")
+    intercept[Exception] { r.load(dir).collect() } // no reconcile
+    intercept[Exception] {
+      r.option("reconcile", "true").option("reverse", "true")
+        .load(dir).collect()
+    }
+    intercept[Exception] {
+      r.option("reconcile", "true").option("perPartitionLimit", "1")
+        .load(dir).collect()
+    }
+  }
+
   // ---- C60/C61: ring operations ----
 
   test("cleanup drops only tokens outside the owned ranges (C60)") {
