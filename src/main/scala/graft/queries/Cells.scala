@@ -1102,6 +1102,24 @@ object Cells {
       .agg(expr("count(*)").as("n_cells"), max(col("wt")).as("last_wt"))
       .orderBy(col("pk"))
 
+  // C49b — grouped pushdown lifted to TYPED keys: `GROUP BY user`
+  // (the full partition key of the string-keyed table) folds inside
+  // the typed reconcile task via the typed group-agg reader — a pk's
+  // versions and its group all meet inside its one token range, so
+  // the plan stays zero-exchange exactly as on the default layout.
+  private def typedPartitionStats(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .load(CellSnapshots.ensureKeyed(s, d))
+      .groupBy(col("user"))
+      .agg(expr("count(*)").as("n_cells"), max(col("wt")).as("last_wt"))
+      .orderBy(col("user"))
+
+  private val typedPartitionStatsSql = cte +
+    """SELECT 'user-' || pk AS user,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cells, MAX(wt) AS last_wt
+      |FROM merged GROUP BY 1 ORDER BY user""".stripMargin
+
   private val partitionStatsSql = cte +
     """SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_cells,
       |  MAX(wt) AS last_wt
@@ -1154,6 +1172,8 @@ object Cells {
     GQuery("C52b_typed_paged_scan", typedPagedScan,
       Some(typedPagedScanSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
+    GQuery("C49b_typed_partition_stats", typedPartitionStats,
+      Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
     GQuery("C47_quorum_read", quorumRead, Some(quorumReadSql)),
     GQuery("C28b_cell_ttl_scan", cellTtlScan, Some(cellTtlSql)),

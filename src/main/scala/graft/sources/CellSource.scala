@@ -1732,12 +1732,14 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   private def groupedTagsFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Array[String]] = {
-    val groupOk = agg.groupByExpressions.length == 1 &&
-      (agg.groupByExpressions()(0) match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "pk"
-        case _ => false
-      })
+    // CQL's rule: GROUP BY the full partition key — the pk part
+    // names in declared order ("pk" alone on the default layout)
+    val groupNames = agg.groupByExpressions.toSeq.map {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+      case _ => ""
+    }
+    val groupOk = groupNames == spec.pkParts.map(_.name)
     val plainOpts = !reconcileOpts.counter && !reconcileOpts.keepMarkers &&
       reconcileOpts.perPartitionLimit == Int.MaxValue &&
       !reconcileOpts.reverse && reconcileOpts.pageAfter.isEmpty
@@ -1745,7 +1747,8 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       pkSet.isEmpty && ckLower == Int.MinValue && ckUpper == Int.MaxValue &&
       ckLoT.isEmpty && ckHiT.isEmpty
     val tags = agg.aggregateExpressions.flatMap(groupedAggTag(_).toSeq)
-    if (reconcile && spec.isDefault && groupOk && plainOpts && noFilters &&
+    if (reconcile && groupOk && plainOpts && noFilters &&
+        reconcileOpts.pageAfterTyped.isEmpty &&
         tags.length == agg.aggregateExpressions.length && tags.nonEmpty)
       Some(tags)
     else None
@@ -2096,34 +2099,84 @@ class CellGroupAggScan(path: String, tags: Array[String],
     subsplitRecords: Int, opts: ReconcileOptions, spec: KeySpec,
     replicas: Seq[String], limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    StructField("pk", LongType, nullable = false) +: tags.map {
+    spec.pkParts.map(p =>
+      StructField(p.name, p.dataType, nullable = false)) ++ tags.map {
       case "count" => StructField("count(*)", LongType, nullable = false)
       case "minwt" => StructField("min(wt)", LongType, nullable = false)
       case "maxwt" => StructField("max(wt)", LongType, nullable = false)
     })
   override def toBatch: Batch = this
   override def description(): String =
-    s"CellGroupAggScan path=$path groupBy=pk aggs=${tags.mkString(",")} " +
-      "(per-range fold, no exchange)"
+    s"CellGroupAggScan path=$path groupBy=" +
+      spec.pkParts.map(_.name).mkString(",") +
+      s" aggs=${tags.mkString(",")} (per-range fold, no exchange)"
 
-  // the range planner is the reconcile scan's — delegate
+  // the range planner is the reconcile scan's — delegate (typed specs
+  // plan typed token-range partitions; a pk's versions and groups all
+  // meet inside its one range either way)
   private val inner = new CellReconcileScan(path, Long.MinValue,
-    Long.MaxValue, CellSource.Schema, subsplitRecords, columnar = false,
+    Long.MaxValue,
+    if (spec.isDefault) CellSource.Schema
+    else CellSource.schemaFor(spec, LongType),
+    subsplitRecords, columnar = false,
     opts, None, spec, Int.MaxValue, replicas)
   override def planInputPartitions(): Array[InputPartition] =
     inner.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellGroupAggReaderFactory(tags, opts, limit)
+    new CellGroupAggReaderFactory(tags, opts, limit, spec)
 }
 
 class CellGroupAggReaderFactory(tags: Array[String],
-    opts: ReconcileOptions, limit: Int) extends PartitionReaderFactory {
+    opts: ReconcileOptions, limit: Int,
+    spec: KeySpec = KeySpec.Default) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val r = new CellGroupAggReader(
-      p.asInstanceOf[CellReconcilePartition], tags, opts)
+    val r: PartitionReader[InternalRow] =
+      if (spec.isDefault)
+        new CellGroupAggReader(
+          p.asInstanceOf[CellReconcilePartition], tags, opts)
+      else new CellKeyedGroupAggReader(
+        p.asInstanceOf[CellReconcilePartition], tags, opts, spec)
     if (limit == Int.MaxValue) r else new LimitedRowReader(r, limit)
   }
+}
+
+/** C49b — the typed twin of [[CellGroupAggReader]]: folds the TYPED
+  * merge cursor's winner stream into one row per partition key
+  * (grouping on the typed pk parts — same-pk winners are contiguous
+  * in the (token, pk) stream order).
+  */
+private[sources] final class CellKeyedGroupAggReader(
+    part: CellReconcilePartition, tags: Array[String],
+    opts: ReconcileOptions, spec: KeySpec)
+    extends PartitionReader[InternalRow] {
+  private val cursor = graft.sources.KeyedCursor.of(part, opts)
+  private var valid = cursor.nextWinner()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!valid) return false
+    val pk = cursor.pkVals
+    var n = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    while (valid &&
+        KeyCodec.compareParts(spec.pkParts, cursor.pkVals, pk) == 0) {
+      n += 1
+      if (cursor.wt < mn) mn = cursor.wt
+      if (cursor.wt > mx) mx = cursor.wt
+      valid = cursor.nextWinner()
+    }
+    row = InternalRow.fromSeq(pk.toSeq ++ tags.toSeq.map {
+      case "count" => n
+      case "minwt" => mn
+      case "maxwt" => mx
+    })
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = cursor.close()
 }
 
 private[sources] final class CellGroupAggReader(

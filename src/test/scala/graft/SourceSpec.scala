@@ -2828,7 +2828,35 @@ class SourceSpec extends GraftSpec {
     assert(got.find(_._1 == 5L).get._3 == 200L, "rewrite wt not folded")
   }
 
-  test("grouped pushdown refuses filters, typed keys, counter mode") {
+  test("typed GROUP BY partition key folds inside the scan (C49b)") {
+    // the string-keyed table groups by its full pk part list and
+    // plans the pushed group scan — zero exchange, typed twin of C49
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val typed = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .groupBy(col("user"))
+      .agg(expr("count(*)").as("n"), max(col("wt")).as("mw"))
+    assert(typed.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"), "expected the pushed group scan")
+    val got = typed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .select("user", "wt").as[(String, Long)].collect()
+    val exp = rows.groupBy(_._1).map { case (u, g) =>
+      (u, g.size.toLong, g.map(_._2).max)
+    }.toSet
+    assert(got == exp)
+    // grouping on a ck part is NOT the partition key: no pushdown
+    val byCk = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .groupBy(col("ck")).agg(expr("count(*)").as("n"))
+    assert(!byCk.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+    assert(byCk.count() > 0)
+  }
+
+  test("grouped pushdown refuses filters and counter mode") {
     // filtered: the residual pk filter keeps a Filter under the
     // Aggregate, so Spark must NOT push — plan falls back to the
     // normal reconcile scan + hash aggregate, same results
@@ -2839,14 +2867,6 @@ class SourceSpec extends GraftSpec {
       .groupBy(col("pk")).agg(expr("count(*)").as("n"))
     assert(!filtered.queryExecution.executedPlan.toString
       .contains("CellGroupAggScan"))
-    // typed keys: grouped pushdown is default-layout only
-    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
-    val typed = spark.read.format("graft.sources.CellSource")
-      .option("reconcile", "true").load(kd)
-      .groupBy(col("user")).agg(expr("count(*)").as("n"))
-    assert(!typed.queryExecution.executedPlan.toString
-      .contains("CellGroupAggScan"))
-    assert(typed.count() > 0)
     // counter mode: shard-SUM rows must re-aggregate in Spark
     val cd = graft.sources.CellSnapshots.ensure(spark, sf())
     val counter = spark.read.format("graft.sources.CellSource")
