@@ -68,6 +68,7 @@ object Bench {
       graft.sources.CellSnapshots.ensureUdt(spark, sfDir)
       graft.sources.CellSnapshots.ensureMoved(spark, sfDir)
       graft.sources.CellSnapshots.ensureKeyedLong(spark, sfDir)
+      graft.sources.CellSnapshots.ensureComposite(spark, sfDir)
       // Same for the CSV/JSON/ORC round-trip fixtures.
       Seq("Q_SRC3_csv_roundtrip", "Q_SRC4_json_roundtrip",
         "Q_SRC5_orc_roundtrip", "Q_SRC7_text_roundtrip",

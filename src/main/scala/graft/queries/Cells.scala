@@ -1089,6 +1089,28 @@ object Cells {
     s"""SELECT pk AS id, ck AS seq, col, value, wt FROM merged
        |ORDER BY id, seq, col LIMIT ${3 * PageRows}""".stripMargin
 
+  // C36c — COMPOSITE partition key: `PRIMARY KEY ((tenant, day),
+  // seq)` — the real-world Cassandra shape CEL6 was built for. Both
+  // parts hash into one token; routing needs every part bound
+  // (pruning covered in SourceSpec), the k-way merge compares by the
+  // composite comparator, and the reconciled view must reproduce the
+  // merged oracle re-keyed through the same (tenant, day) derivation.
+  // The point probe (both parts bound by equality) is included so the
+  // declared query also exercises the composite multiget shape.
+  private def compositeKeyScan(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensureComposite(s, d)
+    val full = s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    full.filter(expr("day % 5 = 0"))
+      .orderBy(col("tenant"), col("day"), col("seq"), col("col"))
+  }
+
+  private val compositeKeySql = cte +
+    """SELECT 't' || (pk % 8) AS tenant, pk // 8 AS day, ck AS seq,
+      |  col, value, wt
+      |FROM merged WHERE (pk // 8) % 5 = 0
+      |ORDER BY tenant, day, seq, col""".stripMargin
+
   // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
   // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
   // read-path aggregation): reconcile partitions are disjoint pk
@@ -1171,6 +1193,8 @@ object Cells {
     GQuery("C52_paged_scan", pagedScan, Some(pagedScanSql)),
     GQuery("C52b_typed_paged_scan", typedPagedScan,
       Some(typedPagedScanSql)),
+    GQuery("C36c_composite_key_scan", compositeKeyScan,
+      Some(compositeKeySql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit, when}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
 
 /** Materializes the deterministic synthetic cell relation
   * ([[graft.cassandra.CellModel.cells]]) as an SSTable-lite snapshot
@@ -814,6 +814,42 @@ object CellSnapshots {
           .write.format("graft.sources.CellSource")
           .option("primaryKey", "((id),seq)")
           .option("keyType.id", "long").option("keyType.seq", "int")
+          .mode("append").save(dir.toString)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  // ---- C36c: composite-partition-key fixture ----
+  // `PRIMARY KEY ((tenant, day), seq)` — THE real-world Cassandra
+  // shape (VERDICT r6's motivating example). tenant = 't' || pk % 8,
+  // day = pk / 8: the original pk is recoverable (day * 8 + suffix),
+  // so the merged oracle reconstructs the exact same relation.
+  // Composite keys hash both parts into one token; pruning applies
+  // only when EVERY part is bound (Cassandra's routing rule, covered
+  // in SourceSpec) — the declared query reads the whole table.
+  def ensureComposite(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-comp")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        graft.cassandra.CellModel.cells(s, sfDir)
+          .select(
+            concat(lit("t"), col("pk") % 8).as("tenant"),
+            expr("pk div 8").as("day"),
+            col("ck").cast("int").as("seq"),
+            col("col"), col("value").cast("long"), col("wt").cast("long"))
+          .repartitionByRange(SnapshotFiles, col("tenant"), col("day"),
+            col("seq"), col("col"))
+          .write.format("graft.sources.CellSource")
+          .option("primaryKey", "((tenant,day),seq)")
+          .option("keyType.tenant", "string")
+          .option("keyType.day", "long").option("keyType.seq", "int")
           .mode("append").save(dir.toString)
         Files.writeString(marker, "ok")
       }

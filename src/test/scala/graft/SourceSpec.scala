@@ -2876,6 +2876,28 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C36c: composite partition key ----
+
+  test("composite point probe: both parts bound routes to one partition") {
+    val dir = graft.sources.CellSnapshots.ensureComposite(spark, sf())
+    def rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    // pk 43 → tenant t3, day 5 (43 = 5*8 + 3)
+    val probe = rec.filter(col("tenant") === "t3" && col("day") === 5L)
+      .select("seq", "col", "value")
+    val got = probe.as[(Int, String, Long)].collect().toSet
+    val exp = graft.cassandra.CellModel.lwwMerge(
+      graft.cassandra.CellModel.cells(spark, sf()))
+      .filter(col("pk") === 43L)
+      .select(col("ck").cast("int"), col("col"),
+        col("value").cast("long"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == exp && got.nonEmpty)
+    // a LONE part is not routable (Cassandra's rule): still correct,
+    // served by residual filtering over the unpruned scan
+    assert(rec.filter(col("tenant") === "t3").count() > got.size)
+  }
+
   // ---- C52b: typed paging ----
 
   test("typed paging resumes hashed-key tables in token order (C52b)") {
