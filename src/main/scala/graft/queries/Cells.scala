@@ -412,6 +412,35 @@ object Cells {
     """SELECT pk, ck, col, sval AS value, wt FROM str_merged
       |WHERE sval = 'XR' ORDER BY pk, ck""".stripMargin
 
+  // C18e — SASI-style RANGE query through the secondary index: qty ∈
+  // [1000, 1500]. The long-valued index table's pk IS the indexed
+  // value with identity tokens, so the range pushes as a
+  // Summary-pruned pk range over the INDEX (files outside the value
+  // range never open — Cassandra SASI's sparse numeric mode); hit pks
+  // compose into the base read (multiget or semi join) and the value
+  // predicate re-applies on the wide view, dropping refresh-epoch
+  // false positives exactly like the equality path.
+  private def rangeIdxScan(s: SparkSession, d: String): DataFrame = {
+    val base = CellSnapshots.ensure(s, d)
+    val rows = graft.sources.CellIndex.lookupBaseRange(s, base,
+      CellSnapshots.ensureIndexed(s, d), 1000L, 1500L)
+    CM.wideView(rows)
+      .filter(col("qty").between(1000L, 1500L))
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  private val rangeIdxSql = cte +
+    """SELECT pk, ck,
+      |  CAST(max(CASE WHEN col = 'qty' THEN value END) AS BIGINT)
+      |    AS qty,
+      |  CAST(max(CASE WHEN col = 'price' THEN value END) AS BIGINT)
+      |    AS price
+      |FROM merged
+      |GROUP BY pk, ck
+      |HAVING max(CASE WHEN col = 'qty' THEN value END)
+      |  BETWEEN 1000 AND 1500
+      |ORDER BY pk, ck""".stripMargin
+
   // C20 — header-only aggregate: the unfiltered COUNT/MIN/MAX trio is
   // completely pushed into the connector (SupportsPushDownAggregates)
   // and answered from Summary ranges + chunk-table counts — the plan
@@ -1235,6 +1264,7 @@ object Cells {
     GQuery("C10b_counter_scan", counterScan, Some(counterScanSql)),
     GQuery("C11b_collection_scan", listScan, Some(listScanSql)),
     GQuery("C18b_index_scan", secondaryIdxScan, Some(secondaryIdxSql)),
+    GQuery("C18e_range_index_scan", rangeIdxScan, Some(rangeIdxSql)),
     GQuery("C18c_string_index", stringIdxScan, Some(stringIdxSql)),
     GQuery("C8b_multiget", multiget, Some(multigetSql)),
     GQuery("C28_ttl_scan", ttlScan, Some(ttlSql)),

@@ -231,6 +231,58 @@ object CellIndex {
       .select(col("value").as("pk")).distinct()
   }
 
+  /** C18e — SASI-style RANGE lookup: base pks whose indexed value
+    * lies in `[lo, hi]`. On a long-valued index the value IS the
+    * index table's partition key with IDENTITY tokens, so the range
+    * predicate pushes as a Summary-pruned pk range — the probe opens
+    * only the index files overlapping the value range, never scans
+    * the index, and never touches the base until the hit set exists.
+    * This is exactly why Cassandra's SASI serves range queries only
+    * in SPARSE (numeric) mode: a hashed layout scatters adjacent
+    * values across the ring, so ranges on typed (text-keyed) index
+    * tables are refused here the same way.
+    */
+  def lookupPksRange(spark: SparkSession, idxDir: String, lo: Long,
+      hi: Long, onStale: String = "refresh"): DataFrame = {
+    val norm = CellPlanning.normalize(idxDir)
+    require(CellPlanning.keySpecOf(norm,
+      CellPlanning.listFiles(norm)).isDefault,
+      "range lookup needs a long-valued (identity-token) index — " +
+        "a typed index hashes values across the ring (Cassandra " +
+        "SASI's SPARSE-mode-only range rule)")
+    readMeta(idxDir).foreach { m =>
+      if (generation(m.baseDir) != m.gen) onStale match {
+        case "refresh" => refresh(spark, idxDir)
+        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "fail" => throw new IllegalStateException(
+          s"secondary index at $idxDir is STALE (see lookupPks)")
+        case _ =>
+      }
+    }
+    spark.read.format(Fmt).load(idxDir)
+      .filter(col("pk") >= lo && col("pk") <= hi)
+      .select(col("value").as("pk")).distinct()
+  }
+
+  /** Range probe COMPOSED into the base read — [[lookupBase]]'s
+    * multiget-or-semi-join composition over [[lookupPksRange]]'s hit
+    * set. The caller re-applies the value predicate on the base rows
+    * (index false positives from refresh epochs drop there).
+    */
+  def lookupBaseRange(spark: SparkSession, dir: String, idxDir: String,
+      lo: Long, hi: Long, multigetMax: Int = 128,
+      onStale: String = "refresh"): DataFrame = {
+    val hits = lookupPksRange(spark, idxDir, lo, hi, onStale)
+    val sample = hits.limit(multigetMax + 1).collect()
+      .map(_.getLong(0))
+    val base = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    if (sample.isEmpty) base.filter(lit(false))
+    else if (sample.length <= multigetMax)
+      base.filter(col("pk").isin(sample.map(Long.box).toSeq: _*))
+    else base.join(hits, Seq("pk"), "left_semi")
+  }
+
   /** Index probe COMPOSED into the base read (round 7): when the hit
     * set is small — the normal case for a selective index — collect
     * it and push `pk IN (...)` into the base scan, so the probe plans

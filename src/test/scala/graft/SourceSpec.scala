@@ -2876,6 +2876,38 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C18e: SASI-style range index lookups ----
+
+  test("range index lookup prunes index files by value range (C18e)") {
+    import graft.sources.CellIndex
+    val base = Files.createTempDirectory("cells-ridx-base").toString
+    val idx = Files.createTempDirectory("cells-ridx").toString
+    // values 0..999 spread over pks; index files are value-ranged
+    (0L until 1000L).map(pk => (pk, 0, "score", pk % 1000, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .repartitionByRange(4, col("value"))
+      .write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    CellIndex.build(spark, base, idx, "score", files = 4)
+    val hits = CellIndex.lookupPksRange(spark, idx, 100L, 120L)
+    assert(hits.count() == 21)
+    // the probe's physical plan pushes the value range as the index
+    // table's pk bounds (identity tokens) — visible in the scan
+    val desc = hits.queryExecution.executedPlan.toString
+    assert(desc.contains("pkRange=[100,120]"), desc)
+    // composed base read returns exactly the in-range rows
+    val rows = CellIndex.lookupBaseRange(spark, base, idx, 100L, 120L)
+      .filter(col("value").between(100L, 120L))
+    assert(rows.count() == 21)
+    // a typed (string-valued) index refuses ranges — SASI's
+    // sparse-mode-only rule
+    val sIdx = graft.sources.CellSnapshots
+      .ensureStringIndexed(spark, sf())
+    intercept[IllegalArgumentException] {
+      CellIndex.lookupPksRange(spark, sIdx, 0L, 1L)
+    }
+  }
+
   // ---- C36c: composite partition key ----
 
   test("composite point probe: both parts bound routes to one partition") {
