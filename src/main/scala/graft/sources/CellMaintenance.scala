@@ -640,6 +640,129 @@ object CellMaintenance {
     }
   }
 
+  // ---- C62: scrub (corruption recovery) ------------------------------
+
+  /** Per-file scrub report: (file name, records salvaged, records
+    * lost, quarantined?).
+    */
+  final case class ScrubReport(file: String, salvaged: Int, lost: Int,
+      quarantined: Boolean)
+
+  /** C62 — `nodetool scrub`: salvage what is readable from corrupt
+    * flush files so the table serves again, accepting BOUNDED data
+    * loss (exactly Cassandra's contract — scrub discards unreadable
+    * rows; repair from replicas restores them). Per file:
+    *
+    *  - healthy (every chunk inflates to its recorded length and
+    *    decodes): left untouched, byte-identical;
+    *  - partially corrupt: the readable chunks' records are rewritten
+    *    IN PLACE at the same flush name (fresh header/index/bloom,
+    *    atomic replace), the bad chunks' records are LOST and
+    *    counted;
+    *  - header-corrupt: the whole file is QUARANTINED — renamed to
+    *    `<name>.corrupt`, invisible to `listFiles`, kept on disk for
+    *    forensics.
+    *
+    * Default-layout files only in this round (the typed record shapes
+    * scrub by the same procedure; refused for now). Each file's pass
+    * is independent and streaming — at scale, run one scrub per file
+    * in parallel. Run [[repair]] against a replica afterwards to
+    * restore the lost rows.
+    */
+  def scrub(spark: SparkSession, dir: String): Seq[ScrubReport] = {
+    import java.nio.file.{Files => JFiles, Paths => JPaths,
+      StandardCopyOption}
+    val norm = CellPlanning.normalize(dir)
+    CellPlanning.listFiles(norm).map { f =>
+      val p = JPaths.get(f)
+      val name = p.getFileName.toString
+      val h =
+        try Some(CellSource.readHeader(f))
+        catch { case _: Exception => None }
+      h match {
+        case None =>
+          JFiles.move(p, p.resolveSibling(name + ".corrupt"),
+            StandardCopyOption.ATOMIC_MOVE)
+          CellManifest.refresh(norm)
+          ScrubReport(name, 0, 0, quarantined = true)
+        case Some(hdr) =>
+          require(hdr.keySpec.isDefault,
+            s"scrub handles default-layout files for now ($name is typed)")
+          val rows = Seq.newBuilder[(Long, Int, String, Any, Long, Long)]
+          var lost = 0
+          var salvaged = 0
+          var anyBad = false
+          scala.util.Using.resource(new java.io.DataInputStream(
+              JFiles.newInputStream(p))) { in =>
+            var pos = 0L
+            var c = 0
+            while (c < hdr.chunkOffsets.length) {
+              try {
+                val target = hdr.dataStart + hdr.chunkOffsets(c)
+                var toSkip = target - pos
+                while (toSkip > 0) {
+                  val sk = in.skip(toSkip); toSkip -= sk; pos += sk
+                }
+                val compressed = new Array[Byte](hdr.chunkLens(c))
+                in.readFully(compressed)
+                pos += hdr.chunkLens(c)
+                val inf = new java.util.zip.Inflater()
+                inf.setInput(compressed)
+                val raw = new Array[Byte](hdr.chunkRawLens(c))
+                var off = 0
+                while (off < raw.length && !inf.finished())
+                  off += inf.inflate(raw, off, raw.length - off)
+                inf.end()
+                require(off == raw.length, "short inflate")
+                val buf = java.nio.ByteBuffer.wrap(raw)
+                var r = 0
+                while (r < hdr.chunkRecCounts(c)) {
+                  val pk = buf.getLong(); val ck = buf.getInt()
+                  val col = hdr.colNames(buf.get() & 0xff)
+                  val v = ValueCodec.read(buf, hdr.valueTag,
+                    hdr.decPrec, hdr.decScale)
+                  val wt = buf.getLong()
+                  val exp = if (hdr.hasExpiry) buf.getLong()
+                            else Long.MaxValue
+                  rows += ((pk, ck, col, v, wt, exp))
+                  salvaged += 1
+                  r += 1
+                }
+              } catch {
+                case _: Exception =>
+                  lost += hdr.chunkRecCounts(c)
+                  anyBad = true
+              }
+              c += 1
+            }
+          }
+          if (!anyBad) ScrubReport(name, salvaged, 0,
+            quarantined = false)
+          else {
+            // rewrite in place: fresh header/index/bloom over the
+            // surviving records, atomically replacing the flush name
+            val sorted = rows.result().sortBy(r =>
+              (r._1, r._2, r._3, r._5))
+            val cols = sorted.iterator.map(_._3).toArray.distinct.sorted
+            val staged = JFiles.createTempFile(JPaths.get(norm),
+              ".scrub-", ".tmp")
+            CellSource.writeFileTypedE(staged, sorted, cols,
+              hdr.valueTag, hdr.decPrec, hdr.decScale,
+              CellSource.DefaultIndexEvery,
+              CellSource.DefaultChunkRecords)
+            JFiles.move(staged, p, StandardCopyOption.REPLACE_EXISTING)
+            // the manifest caches per-NAME summaries and the rewrite
+            // kept the flush name: drop it so refresh re-reads the
+            // new header instead of trusting the stale entry
+            JFiles.deleteIfExists(
+              JPaths.get(norm).resolve(CellManifest.FileName))
+            CellManifest.refresh(norm)
+            ScrubReport(name, salvaged, lost, quarantined = false)
+          }
+      }
+    }
+  }
+
   // ---- C60/C61: ring operations (cleanup, range movement) ------------
 
   /** C60 — `nodetool cleanup`: after a ring change (a new node took

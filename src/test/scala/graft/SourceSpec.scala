@@ -2876,6 +2876,57 @@ class SourceSpec extends GraftSpec {
       .contains("CellGroupAggScan"))
   }
 
+  // ---- C62: scrub ----
+
+  test("scrub salvages readable chunks and quarantines dead files (C62)") {
+    import graft.sources.CellMaintenance
+    val d = Files.createTempDirectory("cells-scrub").toString
+    // small chunks so one file holds several: corruption is bounded
+    (0L until 4000L).map(pk => (pk, 0, "qty", pk, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    Seq((9999L, 0, "qty", 1L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val files = Files.list(java.nio.file.Paths.get(d)).iterator()
+      .asScala.filter(_.getFileName.toString.endsWith(".cells"))
+      .toSeq.sortBy(_.getFileName.toString)
+    // corrupt a slice of file 0's data section (past the header)
+    val f0 = files.head
+    val bytes = Files.readAllBytes(f0)
+    val mid = bytes.length - bytes.length / 4
+    (mid until math.min(mid + 64, bytes.length)).foreach(i =>
+      bytes(i) = (bytes(i) ^ 0x5a).toByte)
+    Files.write(f0, bytes)
+    // and destroy file 1's header outright
+    val f1 = files(1)
+    Files.write(f1, Array.fill[Byte](32)(0x7f))
+    // the table is now unreadable (a DATA read — count() alone would
+    // be answered from headers/manifest and never touch the chunks)
+    intercept[Exception] {
+      spark.read.format("graft.sources.CellSource").load(d)
+        .agg(sum(col("value"))).collect()
+    }
+    val reports = CellMaintenance.scrub(spark, d)
+    assert(reports.exists(r => r.quarantined), reports)
+    val partial = reports.find(r => r.lost > 0).get
+    assert(partial.salvaged > 0 && partial.lost > 0, reports)
+    // readable again; the surviving records are intact and the lost
+    // count accounts exactly for the rest
+    val back = spark.read.format("graft.sources.CellSource").load(d)
+    assert(back.count() == partial.salvaged)
+    assert(back.select("pk").as[Long].collect().toSet
+      .subsetOf((0L until 4000L).toSet))
+    // the quarantined file is kept for forensics, out of the listing
+    assert(Files.exists(
+      f1.resolveSibling(f1.getFileName.toString + ".corrupt")))
+    // a second scrub is a no-op on the healed table
+    assert(CellMaintenance.scrub(spark, d)
+      .forall(r => r.lost == 0 && !r.quarantined))
+  }
+
   // ---- C18e: SASI-style range index lookups ----
 
   test("range index lookup prunes index files by value range (C18e)") {
