@@ -276,6 +276,72 @@ object Quality {
       |FROM db JOIN model USING (b)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // ---- N_SAMP4: DSIR importance RESAMPLING ---------------------------
+
+  /** The resampling half of DSIR (Xie et al. 2023): select k docs with
+    * probability ∝ exp(logw) WITHOUT replacement via the GUMBEL TOP-K
+    * trick — key = logw + Gumbel noise, take the k largest keys. The
+    * "noise" is deterministic (the md5 idiom every sampler here uses):
+    * u = (first-8-hex of md5('gum:'||doc_id) + 1) / 2³², g =
+    * −ln(−ln u) — every engine and every rerun draws the same Gumbels,
+    * so the selected SET is reproducible and oracle-checked, which is
+    * the property a training-data pipeline actually needs from its
+    * sampler. Keys round to 4 decimals with a doc_id tie-break before
+    * the top-k (§7.4 rule 2).
+    *
+    * Scale: the weights are N_SCORE3's (broadcast 256-bucket model,
+    * one (doc,bucket) shuffle); the selection itself is map-only key
+    * arithmetic + TakeOrderedAndProject — per-partition heaps, the
+    * driver merges k, no global sort of the corpus.
+    */
+  private def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirWeights(s, d)
+      .select(col("doc_id"), col("lang"), col("logw_q"))
+      .withColumn("u",
+        (expr("cast(conv(substring(md5(concat('gum:', " +
+          "cast(doc_id as string))), 1, 8), 16, 10) as double)") +
+          lit(1.0)) / lit(4294967296.0))
+      .withColumn("key_r",
+        round(col("logw_q") / lit(10000.0) - log(-log(col("u"))), 4) +
+          lit(0.0))
+      .orderBy(col("key_r").desc, col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("lang"), col("logw_q"), col("key_r"))
+
+  private val dsirResampleSql =
+    """WITH wrd AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wb AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+      |  FROM wrd),
+      |db AS (
+      |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM wb GROUP BY 1, 2, 3),
+      |d_cr AS (SELECT b, CAST(SUM(k) AS BIGINT) AS cr FROM db GROUP BY 1),
+      |d_ct AS (SELECT b, CAST(SUM(k) AS BIGINT) AS ct FROM db
+      |  WHERE lang = 'en' GROUP BY 1),
+      |d_tot AS (SELECT CAST(SUM(k) AS BIGINT) AS nr,
+      |  CAST(SUM(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS BIGINT) AS nt
+      |  FROM db),
+      |model AS (
+      |  SELECT d_cr.b, CAST(round(
+      |    (ln((COALESCE(d_ct.ct, 0) + 1.0) / (d_tot.nt + 256.0)) -
+      |     ln((d_cr.cr + 1.0) / (d_tot.nr + 256.0))) * 10000.0)
+      |    AS BIGINT) AS lrq
+      |  FROM d_cr LEFT JOIN d_ct ON d_cr.b = d_ct.b CROSS JOIN d_tot),
+      |sel AS (
+      |  SELECT db.doc_id, db.lang,
+      |    CAST(SUM(k * lrq) AS BIGINT) AS logw_q
+      |  FROM db JOIN model USING (b) GROUP BY 1, 2)
+      |SELECT doc_id, lang, logw_q,
+      |  ROUND(logw_q / 10000.0 - ln(-ln(
+      |    (CAST('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)),
+      |      1, 8) AS BIGINT) + 1.0) / 4294967296.0)), 4) + 0.0 AS key_r
+      |FROM sel ORDER BY key_r DESC, doc_id LIMIT 200""".stripMargin
+
   // ---- N_DEDUP8: boilerplate-span REMOVAL (cleaned corpus) -----------
 
   /** RefinedWeb/CCNet-style boilerplate removal — the TRANSFORM stage
@@ -607,5 +673,6 @@ object Quality {
       Some(qualityScoreSql)),
     GQuery("N_SCORE2_lm_perplexity", lmPerplexity, Some(lmPerplexitySql)),
     GQuery("N_SCORE3_dsir_weights", dsirWeights, Some(dsirWeightsSql)),
+    GQuery("N_SAMP4_dsir_resample", dsirResample, Some(dsirResampleSql)),
     GQuery("N_PIPE1_curation_funnel", curationFunnel, Some(curationFunnelSql)))
 }

@@ -231,6 +231,24 @@ class OperatorSpec extends GraftSpec {
     assert(flagged === Seq(1L, 2L))
   }
 
+  test("DSIR resampling skews the selection toward the target (N_SAMP4)") {
+    import spark.implicits._
+    val sel = Registry.byName("N_SAMP4_dsir_resample")
+      .fn(spark, sf()).cache()
+    assert(sel.count() == 200)
+    // Gumbel top-k samples proportional to exp(logw): the selected
+    // 200 must over-represent the target language vs the corpus
+    val selEn = sel.filter(col("lang") === "en").count().toDouble / 200
+    val all = Tables.documents(spark, sf())
+    val corpusEn = all.filter(col("lang") === "en").count().toDouble /
+      all.count()
+    assert(selEn > corpusEn, s"selected en=$selEn corpus en=$corpusEn")
+    // keys are unique-ordered: rerunning yields the identical set
+    val again = Registry.byName("N_SAMP4_dsir_resample").fn(spark, sf())
+    assert(sel.select("doc_id").except(again.select("doc_id")).isEmpty)
+    sel.unpersist()
+  }
+
   test("bloom decontamination never misses an exact-overlap doc (N_EVAL3)") {
     import spark.implicits._
     // the bloom filter's one-sided guarantee: every doc the exact
