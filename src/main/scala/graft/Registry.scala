@@ -33,6 +33,7 @@ object Registry {
       graft.queries.NorthStar.all ++
       graft.queries.Streaming.all ++
       graft.queries.Subqueries.all ++
+      graft.queries.Tpch.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all

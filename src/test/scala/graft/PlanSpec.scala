@@ -340,4 +340,30 @@ class PlanSpec extends GraftSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("TPC-H sweep: subquery shapes decorrelate, top-k avoids sorts") {
+    // Q3: global top 10 must be TakeOrderedAndProject, never a full sort
+    val p3 = plan(Registry.byName("Q_TPCH3_shipping_priority").fn(spark, sf()))
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    // Q4: EXISTS decorrelates to a left-semi join — no per-row re-exec,
+    // no nested loop
+    val p4 = plan(Registry.byName("Q_TPCH4_priority_exists").fn(spark, sf()))
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
+    // Q21: the EXISTS + NOT EXISTS pair becomes semi + anti joins on
+    // l_orderkey; nothing quadratic survives planning
+    val p21 = plan(Registry.byName("Q_TPCH21_waiting_supplier").fn(spark, sf()))
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+    // Q16: the NOT IN blacklist is a null-aware anti join, broadcast
+    // (supplier is tiny); the distinct count keeps a partial phase
+    val p16 = plan(Registry.byName("Q_TPCH16_supplier_cnt").fn(spark, sf()))
+    assert(p16.contains("LeftAnti"), p16)
+    // Q6: all three predicates reach the parquet scan
+    val p6 = plan(Registry.byName("Q_TPCH6_forecast_revenue").fn(spark, sf()))
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"), p6)
+    assert(p6.contains("partial_sum"), p6)
+  }
 }
