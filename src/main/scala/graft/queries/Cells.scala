@@ -1176,6 +1176,24 @@ object Cells {
       |  MAX(wt) AS last_wt
       |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
 
+  // C49c — grouped pushdown extended to a CLUSTERING-column prefix
+  // (Cassandra 3.10's `GROUP BY pk, ck`): one group per reconciled
+  // ROW, counting its live cells. Winners stream (pk, ck, col)-sorted
+  // out of the merge cursor, so the (pk, ck) fold is as O(1)-state and
+  // exchange-free as C49's per-partition fold — the group never spans
+  // a token range.
+  private def rowStats(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readReconciled(s, d)
+      .groupBy(col("pk"), col("ck"))
+      .agg(expr("count(*)").as("n_cells"), max(col("wt")).as("last_wt"))
+      .orderBy(col("pk"), col("ck"))
+
+  private val rowStatsSql = cte +
+    """SELECT pk, ck, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  MAX(wt) AS last_wt
+      |FROM merged
+      |GROUP BY pk, ck ORDER BY pk, ck""".stripMargin
+
   // C48 — READ repair: after a quorum read of a fixed pk probe set,
   // CellMaintenance.readRepair shipped each replica the versions it
   // lacked for EXACTLY those partitions (scoped per-read convergence,
@@ -1225,6 +1243,7 @@ object Cells {
     GQuery("C36c_composite_key_scan", compositeKeyScan,
       Some(compositeKeySql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
+    GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

@@ -1731,15 +1731,24 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
 
   private def groupedTagsFor(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Array[String]] = {
-    // CQL's rule: GROUP BY the full partition key — the pk part
-    // names in declared order ("pk" alone on the default layout)
+      : Option[(Array[String], Int)] = {
+    // CQL's rule (Cassandra 3.10 GROUP BY): the full partition key,
+    // optionally extended by a clustering-column PREFIX in declared
+    // order — `GROUP BY pk [, ck1 [, ck2 …]]`. Winners stream
+    // (token, pk, ck…)-sorted out of the merge cursor, so any such
+    // group is contiguous within its one token range and the fold
+    // stays O(1)-state, final, zero-exchange (C49/C49b/C49c).
     val groupNames = agg.groupByExpressions.toSeq.map {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
           if nr.fieldNames.length == 1 => nr.fieldNames()(0)
       case _ => ""
     }
-    val groupOk = groupNames == spec.pkParts.map(_.name)
+    val pkNames = spec.pkParts.map(_.name)
+    val ckNames = spec.ckParts.map(_.name)
+    val ckN = groupNames.length - pkNames.length
+    val groupOk = ckN >= 0 && ckN <= ckNames.length &&
+      groupNames.take(pkNames.length) == pkNames &&
+      groupNames.drop(pkNames.length) == ckNames.take(ckN)
     val plainOpts = !reconcileOpts.counter && !reconcileOpts.keepMarkers &&
       reconcileOpts.perPartitionLimit == Int.MaxValue &&
       !reconcileOpts.reverse && reconcileOpts.pageAfter.isEmpty
@@ -1750,11 +1759,11 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
     if (reconcile && groupOk && plainOpts && noFilters &&
         reconcileOpts.pageAfterTyped.isEmpty &&
         tags.length == agg.aggregateExpressions.length && tags.nonEmpty)
-      Some(tags)
+      Some((tags, ckN))
     else None
   }
 
-  private var groupedTags: Option[Array[String]] = None
+  private var groupedTags: Option[(Array[String], Int)] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -2071,9 +2080,9 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   override def build(): Scan = aggTags match {
     case Some(tags) => new CellAggScan(path, tags)
     case None if reconcile => groupedTags match {
-      case Some(tags) =>
+      case Some((tags, ckN)) =>
         new CellGroupAggScan(path, tags, subsplitRecords, reconcileOpts,
-          spec, replicas, limit)
+          spec, replicas, limit, ckN)
       case None =>
         new CellReconcileScan(path, pkLower, pkUpper, required,
           subsplitRecords, columnar,
@@ -2097,9 +2106,10 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
   */
 class CellGroupAggScan(path: String, tags: Array[String],
     subsplitRecords: Int, opts: ReconcileOptions, spec: KeySpec,
-    replicas: Seq[String], limit: Int) extends Scan with Batch {
+    replicas: Seq[String], limit: Int, ckN: Int = 0)
+    extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    spec.pkParts.map(p =>
+    (spec.pkParts ++ spec.ckParts.take(ckN)).map(p =>
       StructField(p.name, p.dataType, nullable = false)) ++ tags.map {
       case "count" => StructField("count(*)", LongType, nullable = false)
       case "minwt" => StructField("min(wt)", LongType, nullable = false)
@@ -2108,7 +2118,7 @@ class CellGroupAggScan(path: String, tags: Array[String],
   override def toBatch: Batch = this
   override def description(): String =
     s"CellGroupAggScan path=$path groupBy=" +
-      spec.pkParts.map(_.name).mkString(",") +
+      (spec.pkParts ++ spec.ckParts.take(ckN)).map(_.name).mkString(",") +
       s" aggs=${tags.mkString(",")} (per-range fold, no exchange)"
 
   // the range planner is the reconcile scan's — delegate (typed specs
@@ -2123,20 +2133,21 @@ class CellGroupAggScan(path: String, tags: Array[String],
   override def planInputPartitions(): Array[InputPartition] =
     inner.planInputPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellGroupAggReaderFactory(tags, opts, limit, spec)
+    new CellGroupAggReaderFactory(tags, opts, limit, spec, ckN)
 }
 
 class CellGroupAggReaderFactory(tags: Array[String],
     opts: ReconcileOptions, limit: Int,
-    spec: KeySpec = KeySpec.Default) extends PartitionReaderFactory {
+    spec: KeySpec = KeySpec.Default, ckN: Int = 0)
+    extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val r: PartitionReader[InternalRow] =
       if (spec.isDefault)
         new CellGroupAggReader(
-          p.asInstanceOf[CellReconcilePartition], tags, opts)
+          p.asInstanceOf[CellReconcilePartition], tags, opts, ckN)
       else new CellKeyedGroupAggReader(
-        p.asInstanceOf[CellReconcilePartition], tags, opts, spec)
+        p.asInstanceOf[CellReconcilePartition], tags, opts, spec, ckN)
     if (limit == Int.MaxValue) r else new LimitedRowReader(r, limit)
   }
 }
@@ -2148,26 +2159,31 @@ class CellGroupAggReaderFactory(tags: Array[String],
   */
 private[sources] final class CellKeyedGroupAggReader(
     part: CellReconcilePartition, tags: Array[String],
-    opts: ReconcileOptions, spec: KeySpec)
+    opts: ReconcileOptions, spec: KeySpec, ckN: Int = 0)
     extends PartitionReader[InternalRow] {
   private val cursor = graft.sources.KeyedCursor.of(part, opts)
+  private val ckPrefix = spec.ckParts.take(ckN)
   private var valid = cursor.nextWinner()
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (!valid) return false
     val pk = cursor.pkVals
+    val ck = if (ckN == 0) null else cursor.ckVals.take(ckN)
     var n = 0L
     var mn = Long.MaxValue
     var mx = Long.MinValue
     while (valid &&
-        KeyCodec.compareParts(spec.pkParts, cursor.pkVals, pk) == 0) {
+        KeyCodec.compareParts(spec.pkParts, cursor.pkVals, pk) == 0 &&
+        (ckN == 0 ||
+          KeyCodec.compareParts(ckPrefix, cursor.ckVals, ck) == 0)) {
       n += 1
       if (cursor.wt < mn) mn = cursor.wt
       if (cursor.wt > mx) mx = cursor.wt
       valid = cursor.nextWinner()
     }
-    row = InternalRow.fromSeq(pk.toSeq ++ tags.toSeq.map {
+    val keys = if (ckN == 0) pk.toSeq else pk.toSeq ++ ck.toSeq
+    row = InternalRow.fromSeq(keys ++ tags.toSeq.map {
       case "count" => n
       case "minwt" => mn
       case "maxwt" => mx
@@ -2181,7 +2197,8 @@ private[sources] final class CellKeyedGroupAggReader(
 
 private[sources] final class CellGroupAggReader(
     part: CellReconcilePartition, tags: Array[String],
-    opts: ReconcileOptions) extends PartitionReader[InternalRow] {
+    opts: ReconcileOptions, ckN: Int = 0)
+    extends PartitionReader[InternalRow] {
   private val cursor = ReconcileCursor.of(part, opts)
   private var valid = cursor.nextWinner()
   private var row: InternalRow = _
@@ -2189,16 +2206,21 @@ private[sources] final class CellGroupAggReader(
   override def next(): Boolean = {
     if (!valid) return false
     val pk = cursor.pk
+    val ck = cursor.ck
     var n = 0L
     var mn = Long.MaxValue
     var mx = Long.MinValue
-    while (valid && cursor.pk == pk) {
+    while (valid && cursor.pk == pk && (ckN == 0 || cursor.ck == ck)) {
       n += 1
       if (cursor.wt < mn) mn = cursor.wt
       if (cursor.wt > mx) mx = cursor.wt
       valid = cursor.nextWinner()
     }
-    row = InternalRow.fromSeq(pk +: tags.toSeq.map {
+    // NB: Seq(pk, ck) would numerically widen ck to Long (lub of
+    // Long/Int) and break the IntegerType schema slot — box explicitly.
+    val keys: Seq[Any] =
+      if (ckN == 0) Seq(Long.box(pk)) else Seq(Long.box(pk), Int.box(ck))
+    row = InternalRow.fromSeq(keys ++ tags.toSeq.map {
       case "count" => n
       case "minwt" => mn
       case "maxwt" => mx

@@ -2856,6 +2856,53 @@ class SourceSpec extends GraftSpec {
     assert(byCk.count() > 0)
   }
 
+  test("GROUP BY pk + clustering prefix folds inside the scan (C49c)") {
+    // Cassandra 3.10's `GROUP BY pk, ck`: one group per reconciled
+    // row, still fully pushed (winners stream (pk, ck, col)-sorted,
+    // so the group never spans a token range)
+    val d = graft.sources.CellSnapshots.ensure(spark, sf())
+    val df = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .groupBy(col("pk"), col("ck"))
+      .agg(expr("count(*)").as("n"), max(col("wt")).as("mw"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CellGroupAggScan"), plan)
+    assert(plan.contains("groupBy=pk,ck"), plan)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val rows = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("pk", "ck", "wt").as[(Long, Int, Long)].collect()
+    val exp = rows.groupBy(r => (r._1, r._2)).map { case ((pk, ck), g) =>
+      (pk, ck, g.size.toLong, g.map(_._3).max)
+    }.toSet
+    assert(got == exp)
+    // typed twin: string-keyed table grouped by (user, ck)
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val typed = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .groupBy(col("user"), col("ck"))
+      .agg(expr("count(*)").as("n"))
+    val tplan = typed.queryExecution.executedPlan.toString
+    assert(tplan.contains("CellGroupAggScan"), tplan)
+    val tgot = typed.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val trows = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .select("user", "ck").as[(String, Int)].collect()
+    val texp = trows.groupBy(identity).map { case ((u, ck), g) =>
+      (u, ck, g.size.toLong)
+    }.toSet
+    assert(tgot == texp)
+    // a ck suffix without the full prefix is NOT a CQL group: refuse
+    val skipped = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .groupBy(col("ck")).agg(expr("count(*)").as("n"))
+    assert(!skipped.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+  }
+
   test("grouped pushdown refuses filters and counter mode") {
     // filtered: the residual pk filter keeps a Filter under the
     // Aggregate, so Spark must NOT push — plan falls back to the
