@@ -34,6 +34,7 @@ object Registry {
       graft.queries.Streaming.all ++
       graft.queries.Subqueries.all ++
       graft.queries.Tpch.all ++
+      graft.queries.Sketches.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables}
+import graft.text.TextOps
+
+/** Mergeable distinct-count / set-similarity sketches (round 8) —
+  * the SURVEY Table-N sketch family beyond N_SKETCH1's count-min:
+  * KMV (k-minimum-values, the theta-sketch core) and an HLL-style
+  * register sketch, both md5-derived so the DuckDB oracle recomputes
+  * the EXACT sketch (estimates oracle-checked as values, not just
+  * invariants — same policy as N_SKETCH1).
+  *
+  * Scale notes (100 TB): every sketch here is a pure two-level
+  * aggregation over the element stream — distinct-by-key (one hash
+  * shuffle at distinct-element cardinality, map-side combined), then
+  * an O(k) or O(m) per-group reduction. KMV's k-smallest and HLL's
+  * per-register max are both classic mergeable-sketch folds: on a
+  * real cluster each executor folds its partition's elements into an
+  * O(k)/O(m) state and the combiner unions states — no element list
+  * ever materializes. The element domain is word TRIGRAMS of the
+  * `documents` corpus (the vocabulary itself is too small to sketch).
+  */
+object Sketches {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  /** Distinct (lang, trigram) pairs — the element stream all three
+    * sketches consume. One shuffle at distinct cardinality.
+    */
+  private def triDistinct(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+      .select(col("lang"), explode(TextOps.shingles("t", 3)).as("g"))
+      .distinct()
+
+  private val triCte =
+    """WITH t AS (
+      |  SELECT lang, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT lang,
+      |    array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      |  FROM t, unnest(range(0, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |""".stripMargin
+
+  // ---------------------------------------------------------------
+  // N_SKETCH2 — KMV distinct-count sketch, k = 32: the k-th smallest
+  // of the elements' 48-bit hash fractions estimates the cardinality
+  // as (k-1)/frac_k. Estimate AND exact are both oracle-checked.
+  private val KmvK = 32
+  private val Pow48 = 281474976710656.0 // 2^48
+
+  private def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val tri = triDistinct(s, d)
+    val h = tri.select(col("lang"), col("g"),
+      expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
+    val kth = h
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("g"))))
+      .filter(col("r") === KmvK)
+      .select(col("lang"), col("h").as("hk"))
+    val exact = tri.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("exact_distinct"))
+    exact.join(kth, "lang")
+      .select(col("lang"), col("exact_distinct"),
+        round(lit((KmvK - 1).toDouble) * lit(Pow48) / col("hk"), 2)
+          .as("kmv_est"))
+      .orderBy(col("lang"))
+  }
+
+  private val kmvDistinctSql = triCte +
+    s"""h AS (
+      |  SELECT lang, g,
+      |    ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM g),
+      |ranked AS (
+      |  SELECT lang, h,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, g) AS r
+      |  FROM h),
+      |kth AS (SELECT lang, h AS hk FROM ranked WHERE r = $KmvK),
+      |exact AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+      |  FROM g GROUP BY lang)
+      |SELECT lang, exact_distinct,
+      |  round(${KmvK - 1}.0 * $Pow48 / hk, 2) AS kmv_est
+      |FROM exact JOIN kth USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // N_SKETCH3 — HyperLogLog, the real register protocol: m = 256
+  // registers addressed by the hash's first byte; each keeps the max
+  // rho = leading zero BITS of the next 40 bits + 1 (bit count
+  // recovered from the hex digits: 4·(leading '0' nibbles) + the
+  // first nonzero nibble's own leading zeros). Estimate =
+  // α₂₅₆·m²/Σ 2^(−M_j) — every 2^-M term is dyadic so the Σ is EXACT
+  // in doubles (order-free, merge-safe) — with HLL's small-range
+  // linear-counting correction m·ln(m/V) when raw ≤ 2.5·m and V
+  // (empty registers) > 0. Expected error 1.04/√256 ≈ 6.5%.
+  private val Alpha256 = "0.7182725932495458" // 0.7213/(1 + 1.079/256)
+
+  private def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val tri = triDistinct(s, d)
+    // rho over the 40-bit suffix: zcnt leading '0' nibbles, then the
+    // first nonzero nibble d contributes (d<2 ? 3 : d<4 ? 2 : d<8 ? 1
+    // : 0) more zero bits
+    val rho = expr(
+      """CASE WHEN length(trim(LEADING '0' FROM substr(md5(g), 3, 10))) = 0
+        |THEN 41
+        |ELSE 4 * (10 - length(trim(LEADING '0' FROM substr(md5(g), 3, 10))))
+        |  + (CASE
+        |       WHEN cast(conv(substr(trim(LEADING '0' FROM
+        |         substr(md5(g), 3, 10)), 1, 1), 16, 10) as int) >= 8 THEN 0
+        |       WHEN cast(conv(substr(trim(LEADING '0' FROM
+        |         substr(md5(g), 3, 10)), 1, 1), 16, 10) as int) >= 4 THEN 1
+        |       WHEN cast(conv(substr(trim(LEADING '0' FROM
+        |         substr(md5(g), 3, 10)), 1, 1), 16, 10) as int) >= 2 THEN 2
+        |       ELSE 3 END) + 1
+        |END""".stripMargin)
+    val regs = tri.select(col("lang"),
+      expr("cast(conv(substr(md5(g), 1, 2), 16, 10) as int)").as("reg"),
+      rho.as("rho"))
+      .groupBy(col("lang"), col("reg"))
+      .agg(max(col("rho")).as("m_reg"))
+    val langs = docs(s, d).select(col("lang")).distinct()
+    val allRegs = langs
+      .select(col("lang"), explode(sequence(lit(0), lit(255))).as("reg"))
+      .join(regs, Seq("lang", "reg"), "left")
+      .select(col("lang"), col("reg"),
+        coalesce(col("m_reg"), lit(0)).as("m_reg"))
+    val folded = allRegs.groupBy(col("lang"))
+      .agg(sum(pow(lit(2.0), -col("m_reg"))).as("ssum"),
+        sum(when(col("m_reg") === 0, 1L).otherwise(0L)).cast("long")
+          .as("v_empty"))
+      .select(col("lang"), col("v_empty"),
+        (lit(0.7182725932495458) * lit(65536.0) / col("ssum")).as("raw"))
+    val est = folded.select(col("lang"), col("v_empty"),
+      when(col("raw") <= 640.0 && col("v_empty") > 0,
+        lit(256.0) * log(lit(256.0) / col("v_empty")))
+        .otherwise(col("raw")).as("est"))
+    val exact = tri.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("exact_distinct"))
+    exact.join(est, "lang")
+      .select(col("lang"), col("exact_distinct"), col("v_empty"),
+        round(col("est"), 2).as("hll_est"))
+      .orderBy(col("lang"))
+  }
+
+  private val hllDistinctSql = triCte +
+    s"""z AS (
+      |  SELECT lang,
+      |    ('0x' || substr(md5(g), 1, 2))::INTEGER AS reg,
+      |    ltrim(substr(md5(g), 3, 10), '0') AS nz
+      |  FROM g),
+      |rho AS (
+      |  SELECT lang, reg,
+      |    CASE WHEN length(nz) = 0 THEN 41
+      |    ELSE 4 * (10 - length(nz))
+      |      + (CASE WHEN ('0x' || substr(nz, 1, 1))::INTEGER >= 8 THEN 0
+      |              WHEN ('0x' || substr(nz, 1, 1))::INTEGER >= 4 THEN 1
+      |              WHEN ('0x' || substr(nz, 1, 1))::INTEGER >= 2 THEN 2
+      |              ELSE 3 END) + 1
+      |    END AS rho
+      |  FROM z),
+      |regs AS (
+      |  SELECT lang, reg, max(rho) AS m_reg FROM rho GROUP BY 1, 2),
+      |langs AS (SELECT DISTINCT lang FROM documents),
+      |allregs AS (
+      |  SELECT l.lang, r.reg, coalesce(regs.m_reg, 0) AS m_reg
+      |  FROM langs l
+      |  CROSS JOIN (SELECT unnest(range(0, 256)) AS reg) r
+      |  LEFT JOIN regs ON regs.lang = l.lang AND regs.reg = r.reg),
+      |folded AS (
+      |  SELECT lang,
+      |    CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_empty,
+      |    CAST($Alpha256 AS DOUBLE) * 65536.0
+      |      / sum(power(2.0, -m_reg)) AS raw
+      |  FROM allregs GROUP BY lang),
+      |est AS (
+      |  SELECT lang, v_empty,
+      |    CASE WHEN raw <= 640.0 AND v_empty > 0
+      |         THEN 256.0 * ln(256.0 / v_empty) ELSE raw END AS est
+      |  FROM folded),
+      |exact AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS exact_distinct
+      |  FROM g GROUP BY lang)
+      |SELECT lang, exact_distinct, v_empty, round(est, 2) AS hll_est
+      |FROM exact JOIN est USING (lang)
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // N_SKETCH4 — KMV set operations: the union sketch of two element
+  // sets estimates their Jaccard similarity as the fraction of the
+  // union's k smallest hashes present in both sets (the theta-sketch
+  // intersection protocol). Exact Jaccard emitted beside it.
+  private def kmvJaccard(s: SparkSession, d: String): DataFrame = {
+    val tri = triDistinct(s, d)
+      .filter(col("lang").isin("en", "fr"))
+      .select(col("lang"), col("g"),
+        expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
+    val union = tri.select(col("g"), col("h")).distinct()
+    val topK = union
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("h"), col("g"))))
+      .filter(col("r") <= KmvK)
+    val flags = tri.groupBy(col("g"))
+      .agg(max(when(col("lang") === "en", 1).otherwise(0)).as("in_en"),
+        max(when(col("lang") === "fr", 1).otherwise(0)).as("in_fr"))
+    val sketchJ = topK.join(flags, "g")
+      .agg(sum(col("in_en") * col("in_fr")).cast("long").as("k_both"))
+      .select(col("k_both"),
+        round(col("k_both") / lit(KmvK.toDouble), 4).as("kmv_jaccard"))
+    val exactJ = flags
+      .agg(sum(col("in_en") * col("in_fr")).cast("long").as("n_both"),
+        count(lit(1)).cast("long").as("n_union"))
+      .select(round(col("n_both") / col("n_union").cast("double"), 4)
+        .as("exact_jaccard"))
+    sketchJ.crossJoin(exactJ)
+  }
+
+  private val kmvJaccardSql = triCte +
+    s"""tri AS (
+      |  SELECT lang, g,
+      |    ('0x' || substr(md5(g), 1, 12))::BIGINT AS h
+      |  FROM g WHERE lang IN ('en', 'fr')),
+      |un AS (SELECT DISTINCT g, h FROM tri),
+      |topk AS (
+      |  SELECT g FROM (
+      |    SELECT g, row_number() OVER (ORDER BY h, g) AS r FROM un)
+      |  WHERE r <= $KmvK),
+      |flags AS (
+      |  SELECT g,
+      |    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS in_en,
+      |    max(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS in_fr
+      |  FROM tri GROUP BY g),
+      |sk AS (
+      |  SELECT CAST(sum(in_en * in_fr) AS BIGINT) AS k_both,
+      |    round(CAST(sum(in_en * in_fr) AS DOUBLE) / $KmvK.0, 4)
+      |      AS kmv_jaccard
+      |  FROM topk JOIN flags USING (g)),
+      |ex AS (
+      |  SELECT round(CAST(sum(in_en * in_fr) AS DOUBLE) /
+      |      CAST(count(*) AS DOUBLE), 4) AS exact_jaccard
+      |  FROM flags)
+      |SELECT k_both, kmv_jaccard, exact_jaccard
+      |FROM sk CROSS JOIN ex""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+    GQuery("N_SKETCH2_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    GQuery("N_SKETCH3_hll_registers", hllDistinct, Some(hllDistinctSql)),
+    GQuery("N_SKETCH4_kmv_jaccard", kmvJaccard, Some(kmvJaccardSql)))
+}
