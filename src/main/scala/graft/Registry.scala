@@ -35,6 +35,7 @@ object Registry {
       graft.queries.Subqueries.all ++
       graft.queries.Tpch.all ++
       graft.queries.Sketches.all ++
+      graft.queries.Mixing.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all

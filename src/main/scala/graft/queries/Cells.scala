@@ -1176,6 +1176,25 @@ object Cells {
       |  MAX(wt) AS last_wt
       |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
 
+  // C63 — CQL's `SELECT JSON` (Cassandra 2.2+): each reconciled row
+  // rendered as a one-column JSON document, key order = column order.
+  // Pure projection over the merged read — the JSON encode is
+  // codegen'd (to_json), map-only, no extra shuffle.
+  private def selectJson(s: SparkSession, d: String): DataFrame =
+    CellSnapshots.readReconciled(s, d)
+      .filter(col("pk") % 25 === 0)
+      .select(to_json(struct(col("pk"), col("ck"), col("col"),
+        col("value"), col("wt"))).as("json"),
+        col("pk"), col("ck"), col("col"))
+      .orderBy(col("pk"), col("ck"), col("col"))
+
+  private val selectJsonSql = cte +
+    """SELECT to_json(struct_pack(pk := pk, ck := ck, col := col,
+      |    value := value, wt := wt)) AS json,
+      |  pk, ck, col
+      |FROM merged WHERE pk % 25 = 0
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C49c — grouped pushdown extended to a CLUSTERING-column prefix
   // (Cassandra 3.10's `GROUP BY pk, ck`): one group per reconciled
   // ROW, counting its live cells. Winners stream (pk, ck, col)-sorted
@@ -1244,6 +1263,7 @@ object Cells {
       Some(compositeKeySql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
+    GQuery("C63_select_json", selectJson, Some(selectJsonSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

@@ -404,7 +404,7 @@ object Tpch {
   private val q20Sql =
     """SELECT s_suppkey, s_name
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      |WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_11', 'NATION_17')
+      |WHERE (n_name LIKE 'NATION_1%' OR n_name LIKE 'NATION_2%')
       |  AND s_suppkey IN (
       |    SELECT l_suppkey
       |    FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -447,7 +447,7 @@ object Tpch {
       |  SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
       |  FROM customer
       |  WHERE right(c_name, 2) IN
-      |      ('01', '13', '17', '18', '23', '29', '30', '31')
+      |      ('03', '04', '06', '13', '17', '23', '29', '31')
       |    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
       |                     WHERE c_acctbal > 0.0)
       |    AND NOT EXISTS (SELECT 1 FROM orders
