@@ -1195,6 +1195,32 @@ object Cells {
       |FROM merged WHERE pk % 25 = 0
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C64 — CQL `CONTAINS` through the secondary index: collections are
+  // element-per-cell (C11b), so the SAME inverted value→pk index that
+  // serves equality (C18b) answers `WHERE list_col CONTAINS v` — the
+  // hit set is every partition owning ANY element cell = v, read
+  // through the index's point-scan machinery, and the base re-read
+  // reassembles the full list and re-applies the predicate
+  // (Cassandra's base-row re-check; index false positives drop here).
+  private def containsIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    val idx = CellSnapshots.ensureIndexed(s, d)
+    val hits = graft.sources.CellIndex.lookupBase(s, dir, idx, 1200L)
+    CM.reassembleList(hits)
+      .filter(array_contains(col("elems"), lit(1200L)))
+      .select(col("pk"),
+        array_join(col("elems").cast("array<string>"), "|").as("elems"))
+      .orderBy(col("pk"))
+  }
+
+  private val containsIndexSql = cte +
+    """SELECT pk,
+      |  array_to_string(list(value ORDER BY ck, value), '|') AS elems
+      |FROM merged WHERE col = 'qty'
+      |GROUP BY pk
+      |HAVING sum(CASE WHEN value = 1200 THEN 1 ELSE 0 END) > 0
+      |ORDER BY pk""".stripMargin
+
   // C49c — grouped pushdown extended to a CLUSTERING-column prefix
   // (Cassandra 3.10's `GROUP BY pk, ck`): one group per reconciled
   // ROW, counting its live cells. Winners stream (pk, ck, col)-sorted
@@ -1264,6 +1290,7 @@ object Cells {
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),
+    GQuery("C64_contains_index", containsIndex, Some(containsIndexSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

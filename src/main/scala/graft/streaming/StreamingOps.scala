@@ -186,6 +186,69 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class SessionOut(user_id: Long, n: Long, first_ms: Long,
+      last_ms: Long)
+
+  /** S_STATE4 — EVENT-TIME TIMERS on the state-v2 store: a custom
+    * session machine that accumulates per-user (n, first, last) and
+    * registers a timer at `last + gap`; when the WATERMARK passes the
+    * timer, `handleExpiredTimer` emits the closed session and clears
+    * state. This is the canonical timer pattern (session emission in
+    * Append mode without session_window), impossible with plain
+    * windowed aggregation when the close condition is stateful.
+    * State and timers are keyed by user → hash-distributed; the
+    * watermark bounds both (every timer fires at most `gap` after the
+    * key's last event reaches the watermark).
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionOut] {
+    @transient private var sess: ValueState[SessionOut] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionOut]("sess",
+        Encoders.product[SessionOut], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p.last_ms + gapMs))
+      var n = prev.map(_.n).getOrElse(0L)
+      var first = prev.map(_.first_ms).getOrElse(Long.MaxValue)
+      var last = prev.map(_.last_ms).getOrElse(Long.MinValue)
+      rows.foreach { case (_, ts) =>
+        n += 1
+        if (ts < first) first = ts
+        if (ts > last) last = ts
+      }
+      sess.update(SessionOut(key, n, first, last))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      val out = if (sess.exists()) Iterator.single(sess.get())
+        else Iterator.empty
+      sess.clear()
+      out
+    }
+  }
+
+  /** S_STATE4 — timer-closed sessions over the state-v2 store (30 min
+    * gap); requires an event-time watermark on `ts`.
+    */
+  def timerSessions(spark: SparkSession, events: DataFrame)
+      : Dataset[SessionOut] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "cast(ts as long) * 1000 as ts_ms")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(30L * 60 * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** S_STATE3 twin — arbitrary per-user running state via
     * flatMapGroupsWithState (the transformWithState-style custom
     * state machine): emits updated totals on every batch.

@@ -1331,6 +1331,45 @@ class SourceSpec extends GraftSpec {
     assert(pksOf(100L) === Set(3L, 5L))
   }
 
+  test("CONTAINS lookup through the collection index (C64)") {
+    import graft.sources.CellIndex
+    import graft.cassandra.{CellModel => CM64}
+    val d = Files.createTempDirectory("cells-contains-base").toString
+    // element-per-cell collections: pk's 'qty' list is its ck-ordered
+    // element cells (C11b layout)
+    Seq((1L, 0, "qty", 10L, 100L), (1L, 1, "qty", 20L, 100L),
+        (2L, 0, "qty", 20L, 100L), (2L, 1, "qty", 30L, 100L),
+        (3L, 0, "qty", 40L, 100L),
+        (4L, 0, "price", 20L, 100L)) // same value, other column
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val idx = Files.createTempDirectory("cells-contains-idx").toString
+    CellIndex.build(spark, d, idx, "qty", files = 4)
+    def containing(v: Long): Map[Long, Seq[Long]] =
+      CM64.reassembleList(CellIndex.lookupBase(spark, d, idx, v))
+        .filter(array_contains(col("elems"), lit(v)))
+        .as[(Long, Seq[Long])].collect().toMap
+    // CONTAINS 20 → pks 1 and 2, each with its FULL list
+    assert(containing(20L) === Map(1L -> Seq(10L, 20L), 2L -> Seq(20L, 30L)))
+    assert(containing(40L) === Map(3L -> Seq(40L)))
+    // absent element: empty, and the probe never scans the base
+    assert(containing(99L).isEmpty)
+    // an element REMOVED by a later list rewrite drops out after the
+    // base re-check even while the index still holds the stale entry
+    Seq((1L, 1, "qty", 25L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // onStale=ignore keeps the stale index entry (20 → pk 1); the
+    // reassembled base row no longer contains 20 → filtered out
+    val stale = CM64.reassembleList(
+        CellIndex.lookupBase(spark, d, idx, 20L, onStale = "ignore"))
+      .filter(array_contains(col("elems"), lit(20L)))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(stale === Map(2L -> Seq(20L, 30L)))
+  }
+
   test("counter=true sums shards across flush files (C10b)") {
     val d = Files.createTempDirectory("cells-counter").toString
     // three flush generations of increments to the same counters —

@@ -166,6 +166,40 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("event-time timers close sessions on watermark (S_STATE4)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      // user 7: events at minutes 0, 1, 2 → session should close once
+      // the watermark passes minute 2 + 30 min gap
+      in.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 7, "click", 1.0),
+        Ev(3, ts(2), 7, "click", 1.0))
+      val q = StreamingOps.timerSessions(spark, in.toDF()).writeStream
+        .outputMode("append").format("memory")
+        .queryName("timer_sessions").start()
+      q.processAllAvailable()
+      // nothing emitted yet: watermark is still behind last + gap
+      assert(spark.table("timer_sessions").isEmpty)
+      // a later event (minute 50) advances the watermark to minute 40
+      // (10 min delay) > minute 32 → user 7's timer fires
+      in.addData(Ev(4, ts(50), 8, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to timers
+      in.addData(Ev(5, ts(51), 8, "click", 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("timer_sessions")
+        .select("user_id", "n", "first_ms", "last_ms")
+        .as[(Long, Long, Long, Long)].collect().toList
+      assert(out.contains((7L, 3L, ts(0).getTime, ts(2).getTime)), out)
+      // user 8's session is still open (watermark hasn't passed it)
+      assert(!out.exists(_._1 == 8L), out)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join pairs clicks with purchases (S_JOIN1)") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
