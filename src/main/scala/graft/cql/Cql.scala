@@ -1,0 +1,307 @@
+package graft.cql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** C65 — a CQL front door over the cell connector: parse a (typed
+  * subset of the) CQL grammar and execute it through the SAME read
+  * and write paths every other entry point uses, so each CQL contract
+  * lands on the machinery built for it:
+  *
+  *  - `SELECT` → reconciled DSv2 read; key predicates push
+  *    (Summary/bloom/sparse-index pruning, C8/C8b), `PER PARTITION
+  *    LIMIT` → the merge-cursor early-out (C22), missing `ALLOW
+  *    FILTERING` → the strictCql guard (C57), `GROUP BY pk[, ck]` →
+  *    the zero-exchange grouped pushdown (C49/C49c), `SELECT JSON` →
+  *    C63's row rendering, `LIMIT` → scan limit pushdown.
+  *  - `INSERT`/`UPDATE` → cell appends (one cell per SET/data column,
+  *    writetime = `USING TIMESTAMP` or table-max-wt + 1 — the C38
+  *    deterministic-timestamp rule).
+  *  - `DELETE` → tombstone MARKER appends, never data rewrites:
+  *    partition (`!del*`), row (`!delrow`), clustering range
+  *    (`!delr:lo:hi`), single cell (`!del:<col>`) — the exact marker
+  *    protocol the merge cursor shadows with (C5/C5b/C5c).
+  *
+  * The grammar is the default-layout (pk bigint, ck int) slice of
+  * CQL; table names resolve to cell-table directories via the caller-
+  * supplied `resolve` (identity = the name IS the path). Statements
+  * the subset can't represent fail fast with a parse error — never a
+  * silent wrong answer.
+  *
+  * Scale: the facade adds NOTHING to the execution path — it only
+  * chooses read options and predicates; plans are identical to the
+  * hand-built equivalents (CqlSpec asserts the pushed plans).
+  */
+object Cql {
+  private val Fmt = "graft.sources.CellSource"
+
+  private val SelectRe =
+    ("""(?is)^\s*SELECT\s+(JSON\s+)?(.+?)\s+FROM\s+(\S+?)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+GROUP\s+BY\s+([\w\s,]+?))?""" +
+      """(?:\s+ORDER\s+BY\s+([\w\s,]+?))?""" +
+      """(?:\s+PER\s+PARTITION\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+LIMIT\s+(\d+))?""" +
+      """(\s+ALLOW\s+FILTERING)?\s*;?\s*$""").r
+
+  private val InsertRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
+      """VALUES\s*\(([^)]*)\)""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
+
+  private val UpdateRe =
+    ("""(?is)^\s*UPDATE\s+(\S+?)""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  private val DeleteRe =
+    ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** Execute one CQL statement. SELECT returns its result; writes
+    * return an empty DataFrame after committing.
+    */
+  def execute(spark: SparkSession, cql: String,
+      resolve: String => String = identity): DataFrame = cql match {
+    case SelectRe(json, cols, table, where, group, order, ppl, lim, af) =>
+      select(spark, resolve(table), Option(json).isDefined, cols.trim,
+        Option(where), Option(group), Option(order),
+        Option(ppl).map(_.toInt), Option(lim).map(_.toInt),
+        Option(af).isDefined)
+    case InsertRe(table, cols, vals, usingTs) =>
+      insert(spark, resolve(table), cols, vals, Option(usingTs).map(_.toLong))
+      spark.emptyDataFrame
+    case UpdateRe(table, usingTs, sets, where) =>
+      update(spark, resolve(table), sets, where,
+        Option(usingTs).map(_.toLong))
+      spark.emptyDataFrame
+    case DeleteRe(colOpt, table, usingTs, where) =>
+      delete(spark, resolve(table), Option(colOpt), where,
+        Option(usingTs).map(_.toLong))
+      spark.emptyDataFrame
+    case _ => fail(s"unsupported CQL statement: $cql")
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CQL: $msg")
+
+  // ---------------------------------------------------------------
+  // literals & predicates
+
+  private def literal(s: String): Any = {
+    val t = s.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.matches("[-+]?\\d+")) t.toLong
+    else if (t.matches("[-+]?\\d*\\.\\d+")) t.toDouble
+    else fail(s"unsupported literal: $t")
+  }
+
+  private val PredRe =
+    """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
+  private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
+
+  private def predicates(where: String): Seq[Column] =
+    // CQL WHERE is a pure AND-conjunction (no OR, no parens)
+    where.split("(?i)\\s+AND\\s+").toSeq.map {
+      case InRe(c, vs) =>
+        col(c).isin(vs.split(',').map(literal).toIndexedSeq: _*)
+      case PredRe(c, op, v) =>
+        val l = lit(literal(v))
+        op match {
+          case "=" => col(c) === l
+          case "<" => col(c) < l
+          case "<=" => col(c) <= l
+          case ">" => col(c) > l
+          case ">=" => col(c) >= l
+        }
+      case p => fail(s"unsupported predicate: $p")
+    }
+
+  /** Parse WHERE into (pkSet, ckEq, ckLo, ckHi) for the write paths —
+    * the Cassandra-shaped key-only predicate DELETE/UPDATE require.
+    */
+  private def keyPredicate(where: String)
+      : (Set[Long], Option[Int], Int, Int) = {
+    var pks = Set.empty[Long]
+    var ckEq: Option[Int] = None
+    var ckLo = Int.MinValue
+    var ckHi = Int.MaxValue
+    where.split("(?i)\\s+AND\\s+").foreach {
+      case InRe(c, vs) if c.equalsIgnoreCase("pk") =>
+        pks ++= vs.split(',').map(v => literal(v).asInstanceOf[Long])
+      case PredRe(c, "=", v) if c.equalsIgnoreCase("pk") =>
+        pks += literal(v).asInstanceOf[Long]
+      case PredRe(c, "=", v) if c.equalsIgnoreCase("ck") =>
+        ckEq = Some(literal(v).asInstanceOf[Long].toInt)
+      case PredRe(c, op, v) if c.equalsIgnoreCase("ck") =>
+        val x = literal(v).asInstanceOf[Long].toInt
+        op match {
+          case ">" => ckLo = math.max(ckLo, x + 1)
+          case ">=" => ckLo = math.max(ckLo, x)
+          case "<" => ckHi = math.min(ckHi, x - 1)
+          case "<=" => ckHi = math.min(ckHi, x)
+        }
+      case p => fail(s"write WHERE must bind keys only, got: $p")
+    }
+    if (pks.isEmpty) fail("write WHERE must bind pk")
+    (pks, ckEq, ckLo, ckHi)
+  }
+
+  // ---------------------------------------------------------------
+  // SELECT
+
+  private val AggRe = """(?is)^\s*(count|min|max|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+  private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
+
+  private def select(spark: SparkSession, dir: String, json: Boolean,
+      cols: String, where: Option[String], group: Option[String],
+      order: Option[String], ppl: Option[Int], lim: Option[Int],
+      allowFiltering: Boolean): DataFrame = {
+    var reader = spark.read.format(Fmt).option("reconcile", "true")
+      .option("strictCql", (!allowFiltering).toString)
+      .option("allowFiltering", allowFiltering.toString)
+    ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
+    var df = reader.load(dir)
+    where.foreach(w => predicates(w).foreach(p => df = df.filter(p)))
+    group match {
+      case Some(g) =>
+        val keys = g.split(',').map(_.trim).filter(_.nonEmpty)
+        val aggs = cols.split(',').map(_.trim).flatMap {
+          case ColRe(c, _) if keys.exists(_.equalsIgnoreCase(c)) => None
+          case AggRe(fn, arg, alias) =>
+            val e = fn.toLowerCase match {
+              case "count" => count(lit(1)).cast("long")
+              case "min" => min(col(arg))
+              case "max" => max(col(arg))
+              case "sum" => sum(col(arg))
+              case "avg" => avg(col(arg))
+            }
+            Some(e.as(Option(alias).getOrElse(
+              s"${fn.toLowerCase}(${arg.toLowerCase})")))
+          case c => fail(s"non-aggregate select item under GROUP BY: $c")
+        }
+        if (aggs.isEmpty) fail("GROUP BY needs at least one aggregate")
+        df = df.groupBy(keys.map(col).toIndexedSeq: _*)
+          .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      case None if cols != "*" =>
+        val items = cols.split(',').map(_.trim).map {
+          case ColRe(c, alias) =>
+            Option(alias).map(col(c).as(_)).getOrElse(col(c))
+          case c => fail(s"unsupported select item: $c")
+        }
+        df = df.select(items.toIndexedSeq: _*)
+      case None => // SELECT *
+    }
+    if (json) {
+      val names = df.schema.fieldNames
+      df = df.select(
+        to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))
+    }
+    order.foreach { o =>
+      val keys = o.split(',').map(_.trim).filter(_.nonEmpty).map { k =>
+        val parts = k.split("\\s+")
+        if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC"))
+          col(parts(0)).desc
+        else col(parts(0)).asc
+      }
+      df = df.orderBy(keys.toIndexedSeq: _*)
+    }
+    lim.map(df.limit).getOrElse(df)
+  }
+
+  // ---------------------------------------------------------------
+  // writes
+
+  /** CQL's deterministic default writetime: table max wt + 1 (the
+    * C38 DELETE rule) — one header-agg-pushed scan, no data read.
+    */
+  private def nextWt(spark: SparkSession, dir: String): Long = {
+    val r = spark.read.format(Fmt).load(dir).agg(max(col("wt"))).collect()
+    if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
+  }
+
+  private def appendCells(spark: SparkSession, dir: String,
+      rows: Seq[(Long, Int, String, Long, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+  }
+
+  private def insert(spark: SparkSession, dir: String, cols: String,
+      vals: String, usingTs: Option[Long]): Unit = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(literal)).toMap
+    val pk = kv.getOrElse("pk", fail("INSERT must bind pk"))
+      .asInstanceOf[Long]
+    val ck = kv.getOrElse("ck", fail("INSERT must bind ck"))
+      .asInstanceOf[Long].toInt
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    val wt = usingTs.getOrElse(nextWt(spark, dir))
+    appendCells(spark, dir, data.toSeq.map { c =>
+      (pk, ck, c, kv(c).asInstanceOf[Long], wt)
+    })
+  }
+
+  /** Split a VALUES list on commas outside quotes. */
+  private def splitValues(vals: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    vals.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  private val SetRe = """(?is)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+
+  private def update(spark: SparkSession, dir: String, sets: String,
+      where: String, usingTs: Option[Long]): Unit = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    val wt = usingTs.getOrElse(nextWt(spark, dir))
+    val cells = for {
+      s <- sets.split(',').toSeq
+      (c, v) = s match {
+        case SetRe(c, v) => (c.toLowerCase,
+          literal(v).asInstanceOf[Long])
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks.toSeq.sorted
+    } yield (pk, ck, c, v, wt)
+    appendCells(spark, dir, cells)
+  }
+
+  private def delete(spark: SparkSession, dir: String,
+      colOpt: Option[String], where: String,
+      usingTs: Option[Long]): Unit = {
+    val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
+    val dts = usingTs.getOrElse(nextWt(spark, dir))
+    val markers = pks.toSeq.sorted.map { pk =>
+      (colOpt, ckEq, ckLo != Int.MinValue || ckHi != Int.MaxValue) match {
+        case (Some(c), Some(ck), _) => // DELETE col ... AND ck = ?
+          (pk, ck, s"!del:${c.toLowerCase}", 0L, dts)
+        case (None, Some(ck), _) => // row tombstone
+          (pk, ck, "!delrow", 0L, dts)
+        case (None, None, true) => // clustering-range tombstone
+          (pk, Int.MinValue, s"!delr:$ckLo:$ckHi", 0L, dts)
+        case (None, None, false) => // partition tombstone
+          (pk, Int.MinValue, "!del*", 0L, dts)
+        case (Some(_), None, _) =>
+          fail("DELETE <col> needs WHERE ... AND ck = ?")
+      }
+    }
+    appendCells(spark, dir, markers)
+  }
+}

@@ -1221,6 +1221,37 @@ object Cells {
       |HAVING sum(CASE WHEN value = 1200 THEN 1 ELSE 0 END) > 0
       |ORDER BY pk""".stripMargin
 
+  // C65 — the CQL front door end-to-end: a CQL SELECT string parsed
+  // and executed through the reconciled read (key-range pushdown, no
+  // ALLOW FILTERING needed — the predicate is key-served, so the
+  // strictCql guard stays quiet), against the same merged oracle.
+  private def cqlSelect(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT pk, ck, col, value, wt FROM $dir " +
+        "WHERE pk >= 1000 AND pk <= 2000 " +
+        "ORDER BY pk, ck, col LIMIT 500")
+  }
+
+  private val cqlSelectSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk >= 1000 AND pk <= 2000
+      |ORDER BY pk, ck, col LIMIT 500""".stripMargin
+
+  // C65b — CQL GROUP BY through the front door: lands on the C49
+  // zero-exchange grouped pushdown (CqlSpec asserts the plan).
+  private def cqlGroup(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT pk, count(*) AS n_cells, max(wt) AS last_wt FROM $dir " +
+        "GROUP BY pk ORDER BY pk")
+  }
+
+  private val cqlGroupSql = cte +
+    """SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  MAX(wt) AS last_wt
+      |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
+
   // C49c — grouped pushdown extended to a CLUSTERING-column prefix
   // (Cassandra 3.10's `GROUP BY pk, ck`): one group per reconciled
   // ROW, counting its live cells. Winners stream (pk, ck, col)-sorted
@@ -1291,6 +1322,8 @@ object Cells {
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),
     GQuery("C64_contains_index", containsIndex, Some(containsIndexSql)),
+    GQuery("C65_cql_select", cqlSelect, Some(cqlSelectSql)),
+    GQuery("C65b_cql_group", cqlGroup, Some(cqlGroupSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

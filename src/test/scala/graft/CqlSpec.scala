@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.cql.Cql
+
+/** C65 — the CQL front door: every statement shape lands on the
+  * connector machinery built for its contract, and write statements
+  * follow the marker protocol exactly.
+  */
+class CqlSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("cql-t").toString
+    Seq((1L, 1, "qty", 10L, 100L), (1L, 2, "qty", 20L, 100L),
+        (2L, 1, "qty", 30L, 100L), (2L, 1, "price", 5L, 100L),
+        (3L, 1, "qty", 40L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    d
+  }
+
+  private def rows(d: String): Set[(Long, Int, String, Long)] =
+    spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("pk", "ck", "col", "value")
+      .as[(Long, Int, String, Long)].collect().toSet
+
+  test("SELECT: key predicates push, LIMIT and ORDER BY apply") {
+    val d = freshTable()
+    val df = Cql.execute(spark,
+      s"SELECT pk, ck, col, value FROM $d WHERE pk = 2 ORDER BY ck, col")
+    // the key predicate reached the scan (pkRange in the plan)
+    assert(df.queryExecution.executedPlan.toString.contains("pkRange=[2,2]"))
+    assert(df.as[(Long, Int, String, Long)].collect().toSeq ===
+      Seq((2L, 1, "price", 5L), (2L, 1, "qty", 30L)))
+    val lim = Cql.execute(spark,
+      s"SELECT pk, ck, col, value FROM $d ORDER BY pk, ck, col LIMIT 2")
+    assert(lim.count() === 2)
+  }
+
+  test("SELECT without ALLOW FILTERING refuses data predicates (C57)") {
+    val d = freshTable()
+    val bad = Cql.execute(spark,
+      s"SELECT pk, ck FROM $d WHERE value = 10")
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("allowFiltering"), e.getMessage)
+    val ok = Cql.execute(spark,
+      s"SELECT pk, ck FROM $d WHERE value = 10 ALLOW FILTERING")
+    assert(ok.as[(Long, Int)].collect().toSet === Set((1L, 1)))
+  }
+
+  test("SELECT GROUP BY pk lands on the zero-exchange pushdown (C49)") {
+    val d = freshTable()
+    val g = Cql.execute(spark,
+      s"SELECT pk, count(*) AS n, max(wt) AS mw FROM $d GROUP BY pk " +
+        "ORDER BY pk")
+    assert(g.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"))
+    assert(g.as[(Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 2L, 100L), (2L, 2L, 100L), (3L, 1L, 100L)))
+  }
+
+  test("SELECT JSON renders rows as [json] documents (C63)") {
+    val d = freshTable()
+    val j = Cql.execute(spark,
+      s"SELECT JSON pk, ck, col, value FROM $d WHERE pk = 3")
+    val out = j.as[String].collect().toSeq
+    assert(out === Seq("""{"pk":3,"ck":1,"col":"qty","value":40}"""))
+    assert(j.schema.fieldNames.toSeq === Seq("[json]"))
+  }
+
+  test("PER PARTITION LIMIT routes to the merge-cursor early-out (C22)") {
+    val d = freshTable()
+    val df = Cql.execute(spark,
+      s"SELECT pk, ck, col, value FROM $d PER PARTITION LIMIT 1")
+    // pk 1 has rows ck=1,2 → only ck=1 survives; pk 2's single row
+    // (both its cells) and pk 3 stay
+    val got = df.as[(Long, Int, String, Long)].collect().toSet
+    assert(got === Set((1L, 1, "qty", 10L), (2L, 1, "price", 5L),
+      (2L, 1, "qty", 30L), (3L, 1, "qty", 40L)))
+  }
+
+  test("INSERT / UPDATE write cells with the deterministic writetime") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"INSERT INTO $d (pk, ck, qty, price) VALUES (9, 1, 77, 88)")
+    assert(rows(d).contains((9L, 1, "qty", 77L)))
+    assert(rows(d).contains((9L, 1, "price", 88L)))
+    // the insert's wt was table-max + 1 → a same-key UPDATE at the
+    // NEXT wt shadows it
+    Cql.execute(spark, s"UPDATE $d SET qty = 99 WHERE pk = 9 AND ck = 1")
+    assert(rows(d).contains((9L, 1, "qty", 99L)))
+    assert(!rows(d).contains((9L, 1, "qty", 77L)))
+    // USING TIMESTAMP in the past does NOT shadow (LWW)
+    Cql.execute(spark,
+      s"UPDATE $d USING TIMESTAMP 50 SET qty = 1 WHERE pk = 9 AND ck = 1")
+    assert(rows(d).contains((9L, 1, "qty", 99L)))
+  }
+
+  test("DELETE writes the marker protocol, never data rewrites") {
+    val d = freshTable()
+    // row tombstone
+    Cql.execute(spark, s"DELETE FROM $d WHERE pk = 1 AND ck = 2")
+    assert(!rows(d).exists(r => r._1 == 1L && r._2 == 2))
+    assert(rows(d).contains((1L, 1, "qty", 10L)))
+    // single-cell tombstone
+    Cql.execute(spark, s"DELETE price FROM $d WHERE pk = 2 AND ck = 1")
+    assert(!rows(d).contains((2L, 1, "price", 5L)))
+    assert(rows(d).contains((2L, 1, "qty", 30L)))
+    // partition tombstone
+    Cql.execute(spark, s"DELETE FROM $d WHERE pk = 3")
+    assert(!rows(d).exists(_._1 == 3L))
+    // clustering-range tombstone
+    Cql.execute(spark, s"DELETE FROM $d WHERE pk = 1 AND ck >= 1 AND ck <= 5")
+    assert(!rows(d).exists(_._1 == 1L))
+    // a write PAST the deletion survives it (Cassandra rewrite rule)
+    Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (3, 1, 55)")
+    assert(rows(d).contains((3L, 1, "qty", 55L)))
+  }
+
+  test("unsupported statements fail fast, never silently wrong") {
+    val d = freshTable()
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE value LIKE 'x'")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"DROP TABLE $d")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"DELETE qty FROM $d WHERE pk = 1") // no ck
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"INSERT INTO $d (pk, ck) VALUES (1, 2)")
+    }
+  }
+}
