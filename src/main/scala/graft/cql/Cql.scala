@@ -49,10 +49,21 @@ object Cql {
       """VALUES\s*\(([^)]*)\)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
 
+  private val InsertIfNotExistsRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
+      """VALUES\s*\(([^)]*)\)\s+IF\s+NOT\s+EXISTS\s*;?\s*$""").r
+
   private val UpdateRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  private val UpdateIfRe =
+    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+(\w+)\s*=\s*(\S+?)\s*;?\s*$""").r
+
+  private val BatchRe =
+    """(?is)^\s*BEGIN\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
 
   private val DeleteRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
@@ -64,23 +75,114 @@ object Cql {
     */
   def execute(spark: SparkSession, cql: String,
       resolve: String => String = identity): DataFrame = cql match {
+    case BatchRe(body) =>
+      batch(spark, body, resolve)
+      spark.emptyDataFrame
+    case InsertIfNotExistsRe(table, cols, vals) =>
+      lwtInsert(spark, resolve(table), cols, vals)
+    case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
+      lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
     case SelectRe(json, cols, table, where, group, order, ppl, lim, af) =>
       select(spark, resolve(table), Option(json).isDefined, cols.trim,
         Option(where), Option(group), Option(order),
         Option(ppl).map(_.toInt), Option(lim).map(_.toInt),
         Option(af).isDefined)
     case InsertRe(table, cols, vals, usingTs) =>
-      insert(spark, resolve(table), cols, vals, Option(usingTs).map(_.toLong))
+      val dir = resolve(table)
+      val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
+      appendCells(spark, dir, insertCells(cols, vals, wt))
       spark.emptyDataFrame
     case UpdateRe(table, usingTs, sets, where) =>
-      update(spark, resolve(table), sets, where,
-        Option(usingTs).map(_.toLong))
+      val dir = resolve(table)
+      val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
+      appendCells(spark, dir, updateCells(sets, where, wt))
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
-      delete(spark, resolve(table), Option(colOpt), where,
-        Option(usingTs).map(_.toLong))
+      val dir = resolve(table)
+      val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
+      appendCells(spark, dir, deleteMarkers(Option(colOpt), where, dts))
       spark.emptyDataFrame
     case _ => fail(s"unsupported CQL statement: $cql")
+  }
+
+  // ---------------------------------------------------------------
+  // LWT (C55) — `IF NOT EXISTS` / `IF col = v` route through the
+  // ballot-locked compare-and-set; the result relation mirrors
+  // Cassandra's `[applied]` row.
+
+  private def lwtResult(spark: SparkSession,
+      r: graft.sources.CellTransactions.CasResult): DataFrame = {
+    import spark.implicits._
+    Seq((r.applied, r.current)).toDF("[applied]", "current")
+  }
+
+  private def lwtInsert(spark: SparkSession, dir: String,
+      cols: String, vals: String): DataFrame = {
+    val cells = insertCells(cols, vals, 0L)
+    if (cells.length != 1)
+      fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
+        "(the CAS cell)")
+    val (pk, ck, c, v, _) = cells.head
+    lwtResult(spark, graft.sources.CellTransactions.cas(
+      spark, dir, pk, ck, c, expected = None, newValue = v))
+  }
+
+  private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
+      where: String, ifCol: String, ifVal: String): DataFrame = {
+    val cells = updateCells(sets, where, 0L)
+    if (cells.length != 1)
+      fail("UPDATE ... IF takes exactly one SET column and one pk")
+    val (pk, ck, c, v, _) = cells.head
+    if (!ifCol.equalsIgnoreCase(c))
+      fail("UPDATE ... IF condition must target the SET column " +
+        "(the CAS cell)")
+    lwtResult(spark, graft.sources.CellTransactions.cas(
+      spark, dir, pk, ck, c,
+      expected = Some(literal(ifVal).asInstanceOf[Long]), newValue = v))
+  }
+
+  // ---------------------------------------------------------------
+  // BATCH (C56) — `BEGIN BATCH … APPLY BATCH` journals every
+  // sub-statement's cells atomically through the logged-batch
+  // machinery: one shared batch writetime, journal-then-apply, crash
+  // replay from the log.
+
+  private def batch(spark: SparkSession, body: String,
+      resolve: String => String): Unit = {
+    import spark.implicits._
+    val stmts = body.split(';').map(_.trim).filter(_.nonEmpty)
+    if (stmts.isEmpty) fail("empty BATCH")
+    val parsed: Seq[(String, Seq[(Long, Int, String, Long, Long)])] =
+      stmts.toSeq.map {
+        case InsertRe(table, cols, vals, usingTs) =>
+          (resolve(table), insertCells(cols, vals,
+            Option(usingTs).map(_.toLong).getOrElse(0L)))
+        case UpdateRe(table, usingTs, sets, where) =>
+          (resolve(table), updateCells(sets, where,
+            Option(usingTs).map(_.toLong).getOrElse(0L)))
+        case DeleteRe(colOpt, table, usingTs, where) =>
+          (resolve(table), deleteMarkers(Option(colOpt), where,
+            Option(usingTs).map(_.toLong).getOrElse(0L)))
+        case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+      }
+    // Cassandra's batch rule: one shared writetime for the whole
+    // batch — the max of the involved tables' next writetimes, so the
+    // batch shadows everything any member table holds
+    val batchWt = parsed.map(_._1).distinct
+      .map(nextWt(spark, _)).max
+    val writes = parsed
+      .map { case (dir, cells) =>
+        (dir, cells.map { case (pk, ck, c, v, wt) =>
+          (pk, ck, c, v, if (wt == 0L) batchWt else wt)
+        })
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dir, group) =>
+        (dir, group.flatMap(_._2)
+          .toDF("pk", "ck", "col", "value", "wt"))
+      }
+    val logDir = writes.head._1 + ".batchlog"
+    graft.sources.CellTransactions.loggedBatch(spark, writes, logDir)
   }
 
   private def fail(msg: String): Nothing =
@@ -229,8 +331,9 @@ object Cql {
       .coalesce(1).write.format(Fmt).mode("append").save(dir)
   }
 
-  private def insert(spark: SparkSession, dir: String, cols: String,
-      vals: String, usingTs: Option[Long]): Unit = {
+  /** Cells an INSERT contributes (wt = 0 means "assign later"). */
+  private def insertCells(cols: String, vals: String, wt: Long)
+      : Seq[(Long, Int, String, Long, Long)] = {
     val names = cols.split(',').map(_.trim)
     val values = splitValues(vals)
     if (names.length != values.length)
@@ -244,10 +347,7 @@ object Cql {
     val data = names.map(_.toLowerCase)
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    val wt = usingTs.getOrElse(nextWt(spark, dir))
-    appendCells(spark, dir, data.toSeq.map { c =>
-      (pk, ck, c, kv(c).asInstanceOf[Long], wt)
-    })
+    data.toSeq.map(c => (pk, ck, c, kv(c).asInstanceOf[Long], wt))
   }
 
   /** Split a VALUES list on commas outside quotes. */
@@ -266,12 +366,12 @@ object Cql {
 
   private val SetRe = """(?is)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
 
-  private def update(spark: SparkSession, dir: String, sets: String,
-      where: String, usingTs: Option[Long]): Unit = {
+  /** Cells an UPDATE contributes (wt = 0 means "assign later"). */
+  private def updateCells(sets: String, where: String, wt: Long)
+      : Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
     val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
-    val wt = usingTs.getOrElse(nextWt(spark, dir))
-    val cells = for {
+    for {
       s <- sets.split(',').toSeq
       (c, v) = s match {
         case SetRe(c, v) => (c.toLowerCase,
@@ -280,15 +380,13 @@ object Cql {
       }
       pk <- pks.toSeq.sorted
     } yield (pk, ck, c, v, wt)
-    appendCells(spark, dir, cells)
   }
 
-  private def delete(spark: SparkSession, dir: String,
-      colOpt: Option[String], where: String,
-      usingTs: Option[Long]): Unit = {
+  /** Tombstone markers a DELETE contributes (dts = 0 = assign later). */
+  private def deleteMarkers(colOpt: Option[String], where: String,
+      dts: Long): Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
-    val dts = usingTs.getOrElse(nextWt(spark, dir))
-    val markers = pks.toSeq.sorted.map { pk =>
+    pks.toSeq.sorted.map { pk =>
       (colOpt, ckEq, ckLo != Int.MinValue || ckHi != Int.MaxValue) match {
         case (Some(c), Some(ck), _) => // DELETE col ... AND ck = ?
           (pk, ck, s"!del:${c.toLowerCase}", 0L, dts)
@@ -302,6 +400,5 @@ object Cql {
           fail("DELETE <col> needs WHERE ... AND ck = ?")
       }
     }
-    appendCells(spark, dir, markers)
   }
 }

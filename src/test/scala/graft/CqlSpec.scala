@@ -121,6 +121,54 @@ class CqlSpec extends GraftSpec {
     assert(rows(d).contains((3L, 1, "qty", 55L)))
   }
 
+  test("LWT: IF NOT EXISTS / IF col = v route through CAS (C55)") {
+    val d = freshTable()
+    // first insert applies
+    val r1 = Cql.execute(spark,
+      s"INSERT INTO $d (pk, ck, qty) VALUES (42, 1, 5) IF NOT EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(r1 === ((true, None)))
+    // second insert refuses and reports the current value
+    val r2 = Cql.execute(spark,
+      s"INSERT INTO $d (pk, ck, qty) VALUES (42, 1, 9) IF NOT EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(r2 === ((false, Some(5L))))
+    // conditional update: wrong expectation refuses, right one applies
+    val r3 = Cql.execute(spark,
+      s"UPDATE $d SET qty = 6 WHERE pk = 42 AND ck = 1 IF qty = 99")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(r3 === ((false, Some(5L))))
+    val r4 = Cql.execute(spark,
+      s"UPDATE $d SET qty = 6 WHERE pk = 42 AND ck = 1 IF qty = 5")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(r4 === ((true, Some(5L))))
+    assert(rows(d).contains((42L, 1, "qty", 6L)))
+  }
+
+  test("BEGIN BATCH journals all statements at one writetime (C56)") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (50, 1, 11);
+         |  UPDATE $d SET qty = 12 WHERE pk = 50 AND ck = 2;
+         |  DELETE FROM $d WHERE pk = 1 AND ck = 1;
+         |APPLY BATCH""".stripMargin)
+    val r = rows(d)
+    assert(r.contains((50L, 1, "qty", 11L)))
+    assert(r.contains((50L, 2, "qty", 12L)))
+    assert(!r.exists(x => x._1 == 1L && x._2 == 1)) // row deleted
+    // one shared writetime across the batch's writes
+    val wts = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") === 50L)
+      .select("wt").as[Long].collect().toSet
+    assert(wts.size === 1, wts)
+    // the journal entry cleared after apply
+    val log = java.nio.file.Paths.get(d + ".batchlog")
+    assert(!java.nio.file.Files.isDirectory(log) ||
+      !java.nio.file.Files.list(log).iterator().hasNext)
+  }
+
   test("unsupported statements fail fast, never silently wrong") {
     val d = freshTable()
     intercept[IllegalArgumentException] {
