@@ -118,7 +118,7 @@ object Cql {
 
   private def lwtInsert(spark: SparkSession, dir: String,
       cols: String, vals: String): DataFrame = {
-    val cells = insertCells(cols, vals, 0L)
+    val cells = insertCells(cols, vals, AssignLater)
     if (cells.length != 1)
       fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
         "(the CAS cell)")
@@ -129,7 +129,7 @@ object Cql {
 
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifVal: String): DataFrame = {
-    val cells = updateCells(sets, where, 0L)
+    val cells = updateCells(sets, where, AssignLater)
     if (cells.length != 1)
       fail("UPDATE ... IF takes exactly one SET column and one pk")
     val (pk, ck, c, v, _) = cells.head
@@ -138,7 +138,7 @@ object Cql {
         "(the CAS cell)")
     lwtResult(spark, graft.sources.CellTransactions.cas(
       spark, dir, pk, ck, c,
-      expected = Some(literal(ifVal).asInstanceOf[Long]), newValue = v))
+      expected = Some(longLiteral(ifVal, "IF condition")), newValue = v))
   }
 
   // ---------------------------------------------------------------
@@ -156,13 +156,13 @@ object Cql {
       stmts.toSeq.map {
         case InsertRe(table, cols, vals, usingTs) =>
           (resolve(table), insertCells(cols, vals,
-            Option(usingTs).map(_.toLong).getOrElse(0L)))
+            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
         case UpdateRe(table, usingTs, sets, where) =>
           (resolve(table), updateCells(sets, where,
-            Option(usingTs).map(_.toLong).getOrElse(0L)))
+            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
         case DeleteRe(colOpt, table, usingTs, where) =>
           (resolve(table), deleteMarkers(Option(colOpt), where,
-            Option(usingTs).map(_.toLong).getOrElse(0L)))
+            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
       }
     // Cassandra's batch rule: one shared writetime for the whole
@@ -173,7 +173,7 @@ object Cql {
     val writes = parsed
       .map { case (dir, cells) =>
         (dir, cells.map { case (pk, ck, c, v, wt) =>
-          (pk, ck, c, v, if (wt == 0L) batchWt else wt)
+          (pk, ck, c, v, if (wt == AssignLater) batchWt else wt)
         })
       }
       .groupBy(_._1).toSeq.sortBy(_._1)
@@ -188,6 +188,13 @@ object Cql {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CQL: $msg")
 
+  /** "Assign the writetime later" sentinel for parsed cells. The CQL
+    * grammar here only admits non-negative `USING TIMESTAMP \d+`, so
+    * the sentinel can never collide with an explicit timestamp
+    * (`USING TIMESTAMP 0` stays 0 — lowest LWW priority, as written).
+    */
+  private val AssignLater = Long.MinValue
+
   // ---------------------------------------------------------------
   // literals & predicates
 
@@ -200,24 +207,47 @@ object Cql {
     else fail(s"unsupported literal: $t")
   }
 
+  /** A literal that must be a bigint (cell values, CAS conditions). */
+  private def longLiteral(s: String, what: String): Long =
+    literal(s) match {
+      case l: Long => l
+      case other => fail(s"$what must be a bigint literal, got: $other")
+    }
+
+  /** A literal that must fit the default layout's int ck — a silent
+    * `.toInt` wrap would tombstone/write a DIFFERENT row.
+    */
+  private def ckLiteral(s: String): Int = {
+    val l = longLiteral(s, "ck")
+    if (l < Int.MinValue || l > Int.MaxValue)
+      fail(s"ck $l is outside the int clustering-key range")
+    l.toInt
+  }
+
   private val PredRe =
     """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
 
-  private def predicates(where: String): Seq[Column] =
+  /** Parsed WHERE: the filter columns and their predicate list. */
+  private def predicates(where: String): Seq[(String, Column)] =
     // CQL WHERE is a pure AND-conjunction (no OR, no parens)
     where.split("(?i)\\s+AND\\s+").toSeq.map {
+      case InRe(c, vs) if c.equalsIgnoreCase("ck") =>
+        // the scan pushes In(pk) but not In(ck): refusing is honest,
+        // serving it as a residual full-partition filter is not
+        fail("ck IN is not served by the key read path in this subset")
       case InRe(c, vs) =>
-        col(c).isin(vs.split(',').map(literal).toIndexedSeq: _*)
+        (c.toLowerCase,
+          col(c).isin(splitValues(vs).map(literal).toIndexedSeq: _*))
       case PredRe(c, op, v) =>
         val l = lit(literal(v))
-        op match {
+        (c.toLowerCase, op match {
           case "=" => col(c) === l
           case "<" => col(c) < l
           case "<=" => col(c) <= l
           case ">" => col(c) > l
           case ">=" => col(c) >= l
-        }
+        })
       case p => fail(s"unsupported predicate: $p")
     }
 
@@ -232,13 +262,13 @@ object Cql {
     var ckHi = Int.MaxValue
     where.split("(?i)\\s+AND\\s+").foreach {
       case InRe(c, vs) if c.equalsIgnoreCase("pk") =>
-        pks ++= vs.split(',').map(v => literal(v).asInstanceOf[Long])
+        pks ++= splitValues(vs).map(longLiteral(_, "pk"))
       case PredRe(c, "=", v) if c.equalsIgnoreCase("pk") =>
-        pks += literal(v).asInstanceOf[Long]
+        pks += longLiteral(v, "pk")
       case PredRe(c, "=", v) if c.equalsIgnoreCase("ck") =>
-        ckEq = Some(literal(v).asInstanceOf[Long].toInt)
+        ckEq = Some(ckLiteral(v))
       case PredRe(c, op, v) if c.equalsIgnoreCase("ck") =>
-        val x = literal(v).asInstanceOf[Long].toInt
+        val x = ckLiteral(v)
         op match {
           case ">" => ckLo = math.max(ckLo, x + 1)
           case ">=" => ckLo = math.max(ckLo, x)
@@ -261,12 +291,21 @@ object Cql {
       cols: String, where: Option[String], group: Option[String],
       order: Option[String], ppl: Option[Int], lim: Option[Int],
       allowFiltering: Boolean): DataFrame = {
+    val preds = where.map(predicates).getOrElse(Seq.empty)
+    // PER PARTITION LIMIT counts rows INSIDE the merge cursor, i.e.
+    // before any residual data predicate — combining them would
+    // silently return wrong rows vs CQL (which filters first), so the
+    // combination refuses. Key predicates commute with the early-out.
+    if (ppl.isDefined && preds.exists { case (c, _) =>
+        c != "pk" && c != "ck" })
+      fail("PER PARTITION LIMIT cannot combine with non-key " +
+        "predicates (the limit counts rows before the filter)")
     var reader = spark.read.format(Fmt).option("reconcile", "true")
       .option("strictCql", (!allowFiltering).toString)
       .option("allowFiltering", allowFiltering.toString)
     ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
     var df = reader.load(dir)
-    where.foreach(w => predicates(w).foreach(p => df = df.filter(p)))
+    preds.foreach { case (_, p) => df = df.filter(p) }
     group match {
       case Some(g) =>
         val keys = g.split(',').map(_.trim).filter(_.nonEmpty)
@@ -331,7 +370,9 @@ object Cql {
       .coalesce(1).write.format(Fmt).mode("append").save(dir)
   }
 
-  /** Cells an INSERT contributes (wt = 0 means "assign later"). */
+  /** Cells an INSERT contributes (wt = AssignLater defers to the
+    * executing statement's writetime resolution).
+    */
   private def insertCells(cols: String, vals: String, wt: Long)
       : Seq[(Long, Int, String, Long, Long)] = {
     val names = cols.split(',').map(_.trim)
@@ -339,15 +380,15 @@ object Cql {
     if (names.length != values.length)
       fail(s"INSERT arity mismatch: ${names.length} columns, " +
         s"${values.length} values")
-    val kv = names.map(_.toLowerCase).zip(values.map(literal)).toMap
-    val pk = kv.getOrElse("pk", fail("INSERT must bind pk"))
-      .asInstanceOf[Long]
-    val ck = kv.getOrElse("ck", fail("INSERT must bind ck"))
-      .asInstanceOf[Long].toInt
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val ck = ckLiteral(kv.getOrElse("ck", fail("INSERT must bind ck")))
     val data = names.map(_.toLowerCase)
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    data.toSeq.map(c => (pk, ck, c, kv(c).asInstanceOf[Long], wt))
+    data.toSeq.map(c =>
+      (pk, ck, c, longLiteral(kv(c), s"value of $c"), wt))
   }
 
   /** Split a VALUES list on commas outside quotes. */
@@ -366,7 +407,7 @@ object Cql {
 
   private val SetRe = """(?is)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
 
-  /** Cells an UPDATE contributes (wt = 0 means "assign later"). */
+  /** Cells an UPDATE contributes (wt = AssignLater defers). */
   private def updateCells(sets: String, where: String, wt: Long)
       : Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
@@ -375,7 +416,7 @@ object Cql {
       s <- sets.split(',').toSeq
       (c, v) = s match {
         case SetRe(c, v) => (c.toLowerCase,
-          literal(v).asInstanceOf[Long])
+          longLiteral(v, s"value of $c"))
         case x => fail(s"unsupported SET item: $x")
       }
       pk <- pks.toSeq.sorted

@@ -183,5 +183,43 @@ class CqlSpec extends GraftSpec {
     intercept[IllegalArgumentException] {
       Cql.execute(spark, s"INSERT INTO $d (pk, ck) VALUES (1, 2)")
     }
+    // PER PARTITION LIMIT counts rows pre-filter: combining it with a
+    // data predicate would silently drop rows Cassandra returns
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE value = 10 " +
+        "PER PARTITION LIMIT 1 ALLOW FILTERING")
+    }
+    // an out-of-int-range ck must refuse, not wrap onto another row
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"DELETE FROM $d WHERE pk = 1 AND ck = 4294967297")
+    }
+    assert(e.getMessage.contains("range"), e.getMessage)
+    // ck IN is not key-served by this subset: refuse, don't full-scan
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE pk = 1 AND ck IN (1, 2)")
+    }
+    // a string where a bigint cell value is required: parse error, not
+    // a ClassCastException
+    val e2 = intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (1, 1, 'x')")
+    }
+    assert(e2.getMessage.startsWith("CQL:"), e2.getMessage)
+  }
+
+  test("BATCH honors an explicit USING TIMESTAMP 0 sub-statement") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (60, 1, 5) USING TIMESTAMP 0;
+         |  INSERT INTO $d (pk, ck, qty) VALUES (61, 1, 6);
+         |APPLY BATCH""".stripMargin)
+    val wts = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk").isin(60L, 61L))
+      .select("pk", "wt").as[(Long, Long)].collect().toMap
+    // the pinned timestamp stays 0 (lowest LWW priority, as written);
+    // the unpinned one gets the batch writetime
+    assert(wts(60L) === 0L, wts)
+    assert(wts(61L) > 100L, wts)
   }
 }
