@@ -36,6 +36,7 @@ object Registry {
       graft.queries.Tpch.all ++
       graft.queries.Sketches.all ++
       graft.queries.Mixing.all ++
+      graft.queries.ScriptTransform.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all

@@ -341,6 +341,14 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("Q_XFORM: script transform plans the streaming pipe operator") {
+    val p = plan(Registry.byName("Q_XFORM1_script_transform")
+      .fn(spark, sf()))
+    // per-partition subprocess pipe, then an ordinary partial agg
+    assert(p.contains("ScriptTransformation"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("TPC-H sweep: subquery shapes decorrelate, top-k avoids sorts") {
     // Q3: global top 10 must be TakeOrderedAndProject, never a full sort
     val p3 = plan(Registry.byName("Q_TPCH3_shipping_priority").fn(spark, sf()))
