@@ -37,6 +37,7 @@ object Registry {
       graft.queries.Sketches.all ++
       graft.queries.Mixing.all ++
       graft.queries.ScriptTransform.all ++
+      graft.queries.Bpe.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all

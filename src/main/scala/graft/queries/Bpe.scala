@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{GQuery, Tables}
+
+/** N_TOK3 — the BPE trainer's inner step: from a word-frequency
+  * table, find the highest-weight adjacent symbol pair, merge it
+  * corpus-wide, and repeat — two rounds here, emitting both learned
+  * merge rules with their weighted counts (the exact loop
+  * Sennrich-style subword tokenizers run to build their merges.txt).
+  *
+  * Symbol strings are `·`-delimited (`word` → `·w·o·r·d·`) and a pair
+  * (x, y) is searched as `·x·y·` — the delimiter makes the string
+  * replace SYMBOL-BOUNDARY-SAFE (a multi-char merged symbol can never
+  * be half-matched by a later pair search), and left-to-right
+  * non-overlapping `replace` is exactly BPE's greedy merge order.
+  *
+  * Scale notes: each round is (word-freq table) → explode adjacent
+  * pairs → one counting aggregation → a ONE-ROW top-1 that broadcasts
+  * into the next round's `replace`. The corpus-size work is the
+  * word-frequency table (computed once); rounds operate on the
+  * distinct-word relation (tiny), so adding rounds costs O(|vocab|)
+  * each — the standard trainer layout at any corpus size.
+  */
+object Bpe {
+
+  private def run(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    s.sql(
+      """WITH toks AS (
+        |  SELECT explode(split(text, ' ')) AS tok FROM documents_v),
+        |w AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE tok != '' GROUP BY tok),
+        |s0 AS (
+        |  SELECT concat('·', regexp_replace(tok, '(.)', '$1·')) AS sym,
+        |    freq
+        |  FROM w),
+        |p0 AS (
+        |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT explode(transform(sequence(1, size(syms) - 1),
+        |      i -> concat(element_at(syms, i), ' ',
+        |                  element_at(syms, i + 1)))) AS pr, freq
+        |    FROM (SELECT filter(split(sym, '·'), x -> x != '') AS syms,
+        |          freq FROM s0)
+        |    WHERE size(syms) >= 2)
+        |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+        |s1 AS (
+        |  SELECT replace(sym,
+        |    concat('·', replace(p0.pr, ' ', '·'), '·'),
+        |    concat('·', replace(p0.pr, ' ', ''), '·')) AS sym, freq
+        |  FROM s0 CROSS JOIN p0),
+        |p1 AS (
+        |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT explode(transform(sequence(1, size(syms) - 1),
+        |      i -> concat(element_at(syms, i), ' ',
+        |                  element_at(syms, i + 1)))) AS pr, freq
+        |    FROM (SELECT filter(split(sym, '·'), x -> x != '') AS syms,
+        |          freq FROM s1)
+        |    WHERE size(syms) >= 2)
+        |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1)
+        |SELECT p0.pr AS merge1, p0.cnt AS count1,
+        |       p1.pr AS merge2, p1.cnt AS count2
+        |FROM p0 CROSS JOIN p1""".stripMargin)
+  }
+
+  private val oracleSql =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |w AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |  FROM toks WHERE tok != '' GROUP BY tok),
+      |s0 AS (
+      |  SELECT '·' || regexp_replace(tok, '(.)', '\1·', 'g') AS sym,
+      |    freq
+      |  FROM w),
+      |e0 AS (
+      |  SELECT unnest(list_transform(range(1, len(syms)),
+      |      i -> syms[i] || ' ' || syms[i + 1])) AS pr, freq
+      |  FROM (SELECT list_filter(string_split(sym, '·'),
+      |          x -> x != '') AS syms, freq FROM s0)
+      |  WHERE len(syms) >= 2),
+      |p0 AS (
+      |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM e0
+      |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1),
+      |s1 AS (
+      |  SELECT replace(sym,
+      |    '·' || replace(p0.pr, ' ', '·') || '·',
+      |    '·' || replace(p0.pr, ' ', '') || '·') AS sym, freq
+      |  FROM s0 CROSS JOIN p0),
+      |e1 AS (
+      |  SELECT unnest(list_transform(range(1, len(syms)),
+      |      i -> syms[i] || ' ' || syms[i + 1])) AS pr, freq
+      |  FROM (SELECT list_filter(string_split(sym, '·'),
+      |          x -> x != '') AS syms, freq FROM s1)
+      |  WHERE len(syms) >= 2),
+      |p1 AS (
+      |  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM e1
+      |  GROUP BY pr ORDER BY cnt DESC, pr LIMIT 1)
+      |SELECT p0.pr AS merge1, p0.cnt AS count1,
+      |       p1.pr AS merge2, p1.cnt AS count2
+      |FROM p0 CROSS JOIN p1""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+    GQuery("N_TOK3_bpe_merges", run, Some(oracleSql)))
+}
