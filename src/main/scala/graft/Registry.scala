@@ -38,6 +38,7 @@ object Registry {
       graft.queries.Mixing.all ++
       graft.queries.ScriptTransform.all ++
       graft.queries.Bpe.all ++
+      graft.queries.HiveEtl.all ++
       graft.queries.Extras.all ++
       graft.queries.Quality.all ++
       graft.queries.Misc.all
