@@ -65,6 +65,21 @@ object Cql {
   private val BatchRe =
     """(?is)^\s*BEGIN\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
 
+  // ---- DDL (catalog-bound statements) ----
+
+  private val CreateKsRe =
+    ("""(?is)^\s*CREATE\s+KEYSPACE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)""" +
+      """(?:\s+WITH\s+.+)?\s*;?\s*$""").r
+  private val DropKsRe =
+    """(?is)^\s*DROP\s+KEYSPACE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  private val CreateTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """(\w+)\.(\w+)\s*\((.+)\)(?:\s*WITH\s+(.+?))?\s*;?\s*$""").r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+
   private val DeleteRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
@@ -187,6 +202,115 @@ object Cql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CQL: $msg")
+
+  // ---------------------------------------------------------------
+  // Catalog-bound execution: DDL routes through Spark SQL's catalog
+  // commands against a registered `CellCatalog`; DML resolves
+  // `ks.table` names to the catalog's table directories so every
+  // statement form works against catalog tables.
+
+  /** Execute one CQL statement (DDL or DML) against the cell catalog
+    * registered as `catalog` (`spark.sql.catalog.<name>` +
+    * `.root`). `CREATE/DROP KEYSPACE` ↔ namespaces, `CREATE TABLE`
+    * maps the CQL column list onto the cell layout (a `counter`
+    * column type sets the table's shard-SUM property, Cassandra's own
+    * rule that counter-ness is declared per table), `gc_grace_seconds`
+    * → the `gcGraceMs` property C17's compaction honors.
+    */
+  def catalogExecute(spark: SparkSession, cql: String,
+      catalog: String = "gcells"): DataFrame = {
+    def root: String = {
+      val k = s"spark.sql.catalog.$catalog.root"
+      spark.conf.getOption(k).getOrElse(fail(s"$k is not set"))
+    }
+    cql match {
+      case CreateKsRe(ifNot, ks) =>
+        spark.sql(s"CREATE NAMESPACE " +
+          (if (ifNot != null) "IF NOT EXISTS " else "") + s"$catalog.$ks")
+      case DropKsRe(ifEx, ks) =>
+        spark.sql(s"DROP NAMESPACE " +
+          (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks")
+      case CreateTableRe(ifNot, ks, t, colSpec, withOpts) =>
+        val (valueType, counter) = parseCreateColumns(colSpec)
+        val props = scala.collection.mutable.Map.empty[String, String]
+        if (counter) props += "counter" -> "true"
+        Option(withOpts).foreach {
+          _.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+            .foreach {
+              case SetRe(k, v) if k.equalsIgnoreCase("gc_grace_seconds") =>
+                props += "gcGraceMs" ->
+                  (longLiteral(v, "gc_grace_seconds") * 1000L).toString
+              case o => fail(s"unsupported table option: $o")
+            }
+        }
+        val tbl = s"(pk bigint, ck int, col string, value $valueType, " +
+          "wt bigint)"
+        val propSql = if (props.isEmpty) ""
+          else props.map { case (k, v) => s"'$k'='$v'" }
+            .mkString(" TBLPROPERTIES(", ", ", ")")
+        spark.sql(s"CREATE TABLE " +
+          (if (ifNot != null) "IF NOT EXISTS " else "") +
+          s"$catalog.$ks.$t $tbl$propSql")
+      case DropTableRe(ifEx, ks, t) =>
+        spark.sql(s"DROP TABLE " +
+          (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
+      case TruncateRe(ks, t) =>
+        spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
+      case dml =>
+        // ks.table in DML resolves to the catalog's table directory
+        execute(spark, dml, name =>
+          if (name.matches("\\w+\\.\\w+")) {
+            val Array(ks, t) = name.split("\\.")
+            s"$root/$ks/$t"
+          } else name)
+    }
+  }
+
+  private val ColDefRe = """(?is)^\s*(\w+)\s+(\w+)\s*$""".r
+
+  /** Parse a CQL column list + PRIMARY KEY clause onto the cell
+    * layout; only the default `((pk), ck)` shape is accepted, and the
+    * data columns must be the cell model's (col, value, wt).
+    */
+  private def parseCreateColumns(spec: String): (String, Boolean) = {
+    // split top-level commas (PRIMARY KEY ((pk), ck) nests parens)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val (pkClauses, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
+      .partition(_.toUpperCase.startsWith("PRIMARY KEY"))
+    val pkNorm = pkClauses.map(_.replaceAll("\\s+", "").toLowerCase)
+    if (!(pkNorm.isEmpty || pkNorm == Seq("primarykey((pk),ck)") ||
+        pkNorm == Seq("primarykey(pk,ck)")))
+      fail("only PRIMARY KEY ((pk), ck) is supported " +
+        s"(got ${pkClauses.mkString})")
+    val cols = colDefs.map {
+      case ColDefRe(n, t) => n.toLowerCase -> t.toLowerCase
+      case c => fail(s"unsupported column definition: $c")
+    }.toMap
+    if (cols.keySet != Set("pk", "ck", "col", "value", "wt"))
+      fail("cell tables need columns pk, ck, col, value, wt — got " +
+        cols.keys.mkString(", "))
+    def mapType(t: String): String = t match {
+      case "text" | "varchar" | "ascii" => "string"
+      case "bigint" | "int" | "double" | "boolean" => t
+      case "blob" => "binary"
+      case "counter" => "bigint"
+      case o => fail(s"unsupported CQL type: $o")
+    }
+    if (mapType(cols("pk")) != "bigint") fail("pk must be bigint")
+    if (mapType(cols("ck")) != "int") fail("ck must be int")
+    if (mapType(cols("col")) != "string") fail("col must be text")
+    if (mapType(cols("wt")) != "bigint") fail("wt must be bigint")
+    (mapType(cols("value")), cols("value") == "counter")
+  }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
     * grammar here only admits non-negative `USING TIMESTAMP \d+`, so

@@ -169,6 +169,58 @@ class CqlSpec extends GraftSpec {
       !java.nio.file.Files.list(log).iterator().hasNext)
   }
 
+  test("DDL: keyspace/table lifecycle through the catalog (C65 + C33)") {
+    val root = Files.createTempDirectory("cql-cat").toString
+    spark.conf.set("spark.sql.catalog.cqlcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlcat")
+      cq("CREATE KEYSPACE ks1")
+      cq("CREATE TABLE ks1.events (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck)) " +
+        "WITH gc_grace_seconds = 3600")
+      // gc_grace landed as the catalog property compaction honors
+      val props = new java.util.Properties()
+      val pf = java.nio.file.Paths.get(root, "ks1", "events", "_props")
+      props.load(Files.newBufferedReader(pf))
+      assert(props.getProperty("gcGraceMs") === "3600000")
+      // DML resolves ks.table through the same executor
+      cq("INSERT INTO ks1.events (pk, ck, qty) VALUES (1, 1, 10)")
+      cq("INSERT INTO ks1.events (pk, ck, qty) VALUES (2, 1, 20)")
+      val got = cq("SELECT pk, value FROM ks1.events ORDER BY pk")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 10L), (2L, 20L)))
+      // counter column type declares a counter table (shard-SUM)
+      cq("CREATE TABLE ks1.counts (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      val cprops = new java.util.Properties()
+      cprops.load(Files.newBufferedReader(
+        java.nio.file.Paths.get(root, "ks1", "counts", "_props")))
+      assert(cprops.getProperty("counter") === "true")
+      // TRUNCATE then DROP
+      cq("TRUNCATE ks1.events")
+      assert(cq("SELECT pk FROM ks1.events").count() === 0)
+      cq("DROP TABLE ks1.events")
+      // a dropped table's directory is gone: the catalog no longer
+      // lists it (path reads treat a missing dir as empty by design)
+      assert(!spark.sql("SHOW TABLES IN cqlcat.ks1").collect()
+        .map(_.getString(1)).contains("events"))
+      cq("DROP TABLE ks1.counts")
+      cq("DROP KEYSPACE ks1")
+      // unsupported DDL shapes fail fast
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks2.t (a int, PRIMARY KEY (a))")
+      }
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks2.t (pk bigint, ck int, col text, " +
+          "value bigint, wt bigint) WITH caching = 'ALL'")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlcat")
+      spark.conf.unset("spark.sql.catalog.cqlcat.root")
+    }
+  }
+
   test("unsupported statements fail fast, never silently wrong") {
     val d = freshTable()
     intercept[IllegalArgumentException] {
