@@ -58,11 +58,16 @@ object Sketches {
     val tri = triDistinct(s, d)
     val h = tri.select(col("lang"), col("g"),
       expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
-    val kth = h
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("lang")).orderBy(col("h"), col("g"))))
-      .filter(col("r") === KmvK)
-      .select(col("lang"), col("h").as("hk"))
+    // k smallest per language through the custom TopKPerKey operator:
+    // per-partition heaps prune to k rows per lang BEFORE the
+    // exchange (O(k·|langs|) shuffled), instead of a full per-lang
+    // window sort of the whole distinct-element relation
+    val kth = graft.operators.TopK
+      .perKey(h, Seq("lang"), Seq(("h", true), ("g", true)), KmvK)
+      .groupBy(col("lang"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).cast("long").as("kn"))
+      .filter(col("kn") === KmvK) // langs with < k elements can't estimate
+      .select(col("lang"), col("hk"))
     val exact = tri.groupBy(col("lang"))
       .agg(count(lit(1)).cast("long").as("exact_distinct"))
     exact.join(kth, "lang")

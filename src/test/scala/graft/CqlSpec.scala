@@ -221,6 +221,75 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("property: random CQL write programs match the sequential model") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Statement writetimes are strictly increasing (max-wt + 1), so
+    // LWW + tombstone shadowing must behave exactly like applying the
+    // statements sequentially to a mutable map — any divergence is a
+    // parser, marker-protocol, or merge bug.
+    sealed trait Op
+    case class Ins(pk: Long, ck: Int, c: String, v: Long) extends Op
+    case class DelRow(pk: Long, ck: Int) extends Op
+    case class DelPart(pk: Long) extends Op
+    case class DelCell(pk: Long, ck: Int, c: String) extends Op
+    case class DelRange(pk: Long, lo: Int, hi: Int) extends Op
+
+    val genOp: Gen[Op] = Gen.frequency(
+      5 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+        c <- Gen.oneOf("qty", "price"); v <- Gen.chooseNum(0L, 100L)
+      } yield Ins(pk, ck, c, v)),
+      2 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+      } yield DelRow(pk, ck)),
+      1 -> Gen.chooseNum(0L, 3L).map(DelPart.apply),
+      2 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+        c <- Gen.oneOf("qty", "price")
+      } yield DelCell(pk, ck, c)),
+      1 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); lo <- Gen.chooseNum(0, 2)
+        hi <- Gen.chooseNum(0, 2)
+      } yield DelRange(pk, math.min(lo, hi), math.max(lo, hi))))
+
+    val prop = Prop.forAll(Gen.listOfN(12, genOp)) { ops =>
+      val d = Files.createTempDirectory("cql-prop").toString
+      // seed row so nextWt always has a table to read
+      Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (0, 0, 1)")
+      val model = scala.collection.mutable.Map[(Long, Int, String), Long](
+        (0L, 0, "qty") -> 1L)
+      ops.foreach {
+        case Ins(pk, ck, c, v) =>
+          Cql.execute(spark,
+            s"INSERT INTO $d (pk, ck, $c) VALUES ($pk, $ck, $v)")
+          model((pk, ck, c)) = v
+        case DelRow(pk, ck) =>
+          Cql.execute(spark, s"DELETE FROM $d WHERE pk = $pk AND ck = $ck")
+          model.filterInPlace { case ((p, k, _), _) => p != pk || k != ck }
+        case DelPart(pk) =>
+          Cql.execute(spark, s"DELETE FROM $d WHERE pk = $pk")
+          model.filterInPlace { case ((p, _, _), _) => p != pk }
+        case DelCell(pk, ck, c) =>
+          Cql.execute(spark,
+            s"DELETE $c FROM $d WHERE pk = $pk AND ck = $ck")
+          model.remove((pk, ck, c))
+        case DelRange(pk, lo, hi) =>
+          Cql.execute(spark,
+            s"DELETE FROM $d WHERE pk = $pk AND ck >= $lo AND ck <= $hi")
+          model.filterInPlace { case ((p, k, _), _) =>
+            p != pk || k < lo || k > hi }
+      }
+      val got = Cql.execute(spark,
+        s"SELECT pk, ck, col, value FROM $d")
+        .as[(Long, Int, String, Long)].collect()
+        .map { case (p, k, c, v) => (p, k, c) -> v }.toMap
+      got == model.toMap
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unsupported statements fail fast, never silently wrong") {
     val d = freshTable()
     intercept[IllegalArgumentException] {
