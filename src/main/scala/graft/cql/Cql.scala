@@ -49,6 +49,10 @@ object Cql {
       """VALUES\s*\(([^)]*)\)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
 
+  private val InsertJsonRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s+JSON\s+'(.+?)'""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
+
   private val InsertIfNotExistsRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
       """VALUES\s*\(([^)]*)\)\s+IF\s+NOT\s+EXISTS\s*;?\s*$""").r
@@ -92,6 +96,11 @@ object Cql {
       resolve: String => String = identity): DataFrame = cql match {
     case BatchRe(body) =>
       batch(spark, body, resolve)
+      spark.emptyDataFrame
+    case InsertJsonRe(table, json, usingTs) =>
+      val dir = resolve(table)
+      val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
+      appendCells(spark, dir, jsonCells(json, wt))
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
       lwtInsert(spark, resolve(table), cols, vals)
@@ -513,6 +522,42 @@ object Cql {
     if (data.isEmpty) fail("INSERT needs at least one data column")
     data.toSeq.map(c =>
       (pk, ck, c, longLiteral(kv(c), s"value of $c"), wt))
+  }
+
+  /** Cells an `INSERT INTO t JSON '...'` contributes (C63's write
+    * half — Cassandra 2.2's JSON support). The document must bind pk
+    * and ck; every other field is a bigint data cell. Parsed with the
+    * Jackson shipped inside Spark — no extra dependency.
+    */
+  private def jsonCells(json: String, wt: Long)
+      : Seq[(Long, Int, String, Long, Long)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(json.replace("''", "'"))
+      catch { case e: Exception => fail(s"bad JSON document: ${e.getMessage}") }
+    if (node == null || !node.isObject) fail("INSERT JSON needs an object")
+    val fields = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(node.fields()).asScala.toSeq
+      .map(e => e.getKey.toLowerCase -> e.getValue)
+    val kv = fields.toMap
+    def num(k: String): Long = kv.get(k) match {
+      case Some(v) if v.canConvertToLong => v.asLong()
+      case Some(v) => fail(s"$k must be an integer, got $v")
+      case None => fail(s"INSERT JSON must bind $k")
+    }
+    val pk = num("pk")
+    val ck = {
+      val c = num("ck")
+      if (c < Int.MinValue || c > Int.MaxValue)
+        fail(s"ck $c is outside the int clustering-key range")
+      c.toInt
+    }
+    val data = fields.collect {
+      case (k, v) if k != "pk" && k != "ck" =>
+        if (!v.canConvertToLong) fail(s"$k must be an integer, got $v")
+        (pk, ck, k, v.asLong(), wt)
+    }
+    if (data.isEmpty) fail("INSERT JSON needs at least one data column")
+    data
   }
 
   /** Split a VALUES list on commas outside quotes. */

@@ -2396,6 +2396,9 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new WinnersMetric, new FanInMetric)
 
   // Runtime pk filtering commutes with the per-pk merge: a file that
   // provably holds NO queried pk (Summary range + bloom, per value)
@@ -3016,10 +3019,47 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
 }
 
 /** Row-at-a-time reconcile reader (`columnar=false` fallback). */
+/** Task-side scan metrics (Spark UI / `BatchScanExec.customMetrics`):
+  * the observability hooks a production engine exposes — winners
+  * emitted post-merge and the merge fan-in (files overlapping the
+  * task's token range after pruning, the number Cassandra calls
+  * "sstables per read").
+  */
+private[sources] case class CellTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
+private[sources] final class WinnersMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "winners_emitted"
+  override def description(): String =
+    "reconciled winners emitted (post-merge rows)"
+}
+
+private[sources] final class FanInMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "merge_fan_in"
+  override def description(): String =
+    "flush files k-way-merged across all tasks (sstables per read)"
+}
+
+private[sources] final class CellsReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "cells_read"
+  override def description(): String = "raw cell versions decoded"
+}
+
 class CellReconcileReader(part: CellReconcilePartition,
     cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[InternalRow] {
   private val cursor = ReconcileCursor.of(part, opts)
+  private var winners = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("winners_emitted", winners),
+      CellTaskMetric("merge_fan_in", part.fileParts.length.toLong))
   private val fullSchema = CellSource.schemaFor(
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale))
@@ -3029,6 +3069,7 @@ class CellReconcileReader(part: CellReconcilePartition,
 
   override def next(): Boolean = {
     if (!cursor.nextWinner()) return false
+    winners += 1
     val out = new Array[Any](projIdx.length)
     var i = 0
     while (i < projIdx.length) {
@@ -3060,6 +3101,11 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
     extends PartitionReader[ColumnarBatch] {
   private val BatchRows = 4096
   private val cursor = ReconcileCursor.of(part, opts)
+  private var winners = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("winners_emitted", winners),
+      CellTaskMetric("merge_fan_in", part.fileParts.length.toLong))
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)
@@ -3095,6 +3141,7 @@ class CellReconcileColumnarReader(part: CellReconcilePartition,
     val vectors = OnHeapColumnVector.allocateColumns(BatchRows, outSchema)
     var n = 0
     while (n < BatchRows && cursor.nextWinner()) {
+      winners += 1
       var i = 0
       while (i < projIdx.length) {
         projIdx(i) match {
@@ -3655,6 +3702,9 @@ class CellScan(path: String, pkLower: Long, pkUpper: Long,
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CellsReadMetric)
 
   // --- Runtime (DPP-style) pk filtering: when this scan is the probe
   // side of a broadcast join on pk, Spark hands the build side's pk
@@ -4194,6 +4244,10 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
   private val cursor = new ChunkCursor(part)
   private var remainingInChunk = 0
   private var row: InternalRow = _
+  private var cellsRead = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("cells_read", cellsRead))
   // Column projection is precomputed once: projIdx(i) = field of the
   // full record to emit at output position i (C9); 5 = the CEL10
   // pseudo-column `_expiry` (withTtl scans).
@@ -4219,6 +4273,7 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
         val wt = buf.getLong()
         val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
         if (pk >= pkLower && pk <= pkUpper) {
+          cellsRead += 1
           val full = Array[Any](pk, ck, colUtf8(colId), value, wt, exp)
           row = InternalRow.fromSeq(projIdx.map(full).toSeq)
           return true
@@ -4241,6 +4296,10 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
     pkUpper: Long, cols: Array[String])
     extends PartitionReader[ColumnarBatch] {
   private val cursor = new ChunkCursor(part)
+  private var cellsRead = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("cells_read", cellsRead))
   private val valueType: DataType =
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
   private val fullSchema = CellSource.schemaFor(valueType)
@@ -4310,6 +4369,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
             i += 1
           }
           n += 1
+          cellsRead += 1
         }
         r += 1
       }

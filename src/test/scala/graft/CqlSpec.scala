@@ -169,6 +169,25 @@ class CqlSpec extends GraftSpec {
       !java.nio.file.Files.list(log).iterator().hasNext)
   }
 
+  test("INSERT JSON writes cells like its VALUES twin (C63 write half)") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"""INSERT INTO $d JSON '{"pk": 70, "ck": 1, "qty": 7, "price": 9}'""")
+    assert(rows(d).contains((70L, 1, "qty", 7L)))
+    assert(rows(d).contains((70L, 1, "price", 9L)))
+    // pinned timestamp honored; JSON escaping of '' round-trips
+    Cql.execute(spark,
+      s"INSERT INTO $d JSON '" + """{"pk": 70, "ck": 1, "qty": 8}""" +
+        "' USING TIMESTAMP 50")
+    assert(rows(d).contains((70L, 1, "qty", 7L))) // past wt: shadowed
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"INSERT INTO $d JSON '[1, 2]'")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"""INSERT INTO $d JSON '{"pk": 1}'""")
+    }
+  }
+
   test("DDL: keyspace/table lifecycle through the catalog (C65 + C33)") {
     val root = Files.createTempDirectory("cql-cat").toString
     spark.conf.set("spark.sql.catalog.cqlcat", "graft.sources.CellCatalog")

@@ -2895,6 +2895,36 @@ class SourceSpec extends GraftSpec {
     assert(byCk.count() > 0)
   }
 
+  test("scan metrics: winners_emitted / merge_fan_in / cells_read") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val d = Files.createTempDirectory("cells-metrics").toString
+    Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    // a second flush rewriting (1,1): 3 raw versions, 2 winners
+    Seq((1L, 1, "qty", 11L, 200L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val rec = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+    assert(rec.collect().length === 2)
+    val recScan = rec.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(recScan.metrics("winners_emitted").value === 2,
+      recScan.metrics)
+    // both flush files overlapped the one token range → fan-in 2
+    assert(recScan.metrics("merge_fan_in").value === 2, recScan.metrics)
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+    assert(raw.collect().length === 3)
+    val rawScan = raw.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(rawScan.metrics("cells_read").value === 3, rawScan.metrics)
+  }
+
   test("GROUP BY pk + clustering prefix folds inside the scan (C49c)") {
     // Cassandra 3.10's `GROUP BY pk, ck`: one group per reconciled
     // row, still fully pushed (winners stream (pk, ck, col)-sorted,
