@@ -266,12 +266,15 @@ object Cql {
       case TruncateRe(ks, t) =>
         spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
       case dml =>
-        // ks.table in DML resolves to the catalog's table directory
+        // ks.table in DML resolves to the catalog's table directory;
+        // an unqualified name would silently become a cwd-relative
+        // path OUTSIDE the catalog root — refuse it
         execute(spark, dml, name =>
           if (name.matches("\\w+\\.\\w+")) {
             val Array(ks, t) = name.split("\\.")
             s"$root/$ks/$t"
-          } else name)
+          } else fail(s"catalog statements need keyspace.table " +
+            s"names, got: $name"))
     }
   }
 
@@ -540,7 +543,10 @@ object Cql {
       .map(e => e.getKey.toLowerCase -> e.getValue)
     val kv = fields.toMap
     def num(k: String): Long = kv.get(k) match {
-      case Some(v) if v.canConvertToLong => v.asLong()
+      // isIntegralNumber too: canConvertToLong alone passes 7.5 and
+      // asLong() would silently truncate it
+      case Some(v) if v.isIntegralNumber && v.canConvertToLong =>
+        v.asLong()
       case Some(v) => fail(s"$k must be an integer, got $v")
       case None => fail(s"INSERT JSON must bind $k")
     }
@@ -553,7 +559,8 @@ object Cql {
     }
     val data = fields.collect {
       case (k, v) if k != "pk" && k != "ck" =>
-        if (!v.canConvertToLong) fail(s"$k must be an integer, got $v")
+        if (!v.isIntegralNumber || !v.canConvertToLong)
+          fail(s"$k must be an integer, got $v")
         (pk, ck, k, v.asLong(), wt)
     }
     if (data.isEmpty) fail("INSERT JSON needs at least one data column")

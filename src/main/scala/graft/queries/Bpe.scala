@@ -6,14 +6,20 @@ import graft.{GQuery, Tables}
 /** N_TOK3 — the BPE trainer's inner step: from a word-frequency
   * table, find the highest-weight adjacent symbol pair, merge it
   * corpus-wide, and repeat — two rounds here, emitting both learned
-  * merge rules with their weighted counts (the exact loop
-  * Sennrich-style subword tokenizers run to build their merges.txt).
+  * merge rules with their weighted counts (the loop
+  * Sennrich-style subword tokenizers run to build their merges.txt,
+  * modulo the repeated-run caveat below).
   *
   * Symbol strings are `·`-delimited (`word` → `·w·o·r·d·`) and a pair
   * (x, y) is searched as `·x·y·` — the delimiter makes the string
   * replace SYMBOL-BOUNDARY-SAFE (a multi-char merged symbol can never
-  * be half-matched by a later pair search), and left-to-right
-  * non-overlapping `replace` is exactly BPE's greedy merge order.
+  * be half-matched by a later pair search). One documented deviation
+  * from a reference trainer: inside a RUN of ≥3 repeated symbols the
+  * consumed shared delimiter blocks the immediately-adjacent re-match
+  * (`a a a a` merges to `aa a a`, not `aa aa`, within one round) —
+  * RE2-compatible SQL string replace cannot express the
+  * lookahead-style merge, and BOTH engines compute this identical
+  * variant, so the oracle comparison stays exact.
   *
   * Scale notes: each round is (word-freq table) → explode adjacent
   * pairs → one counting aggregation → a ONE-ROW top-1 that broadcasts

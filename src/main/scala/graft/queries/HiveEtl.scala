@@ -21,7 +21,8 @@ object HiveEtl {
 
   private def multiInsert(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
-    val base = "/root/repo/target/multiins-" +
+    val base = sys.props.getOrElse("graft.multiins.dir",
+      "/root/repo/target/multiins") + "-" +
       Paths.get(d).getFileName.toString
     s.sql(
       s"""FROM orders_v

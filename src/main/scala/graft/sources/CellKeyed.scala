@@ -127,9 +127,14 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale),
     cols)
   private var row: InternalRow = _
+  private var cellsRead = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("cells_read", cellsRead))
 
   override def next(): Boolean = {
     if (!stream.advance(tokenLower, tokenUpper)) return false
+    cellsRead += 1
     row = proj.row(stream.token, stream.pkVals, stream.ckVals,
       stream.colName, stream.value, stream.wt, stream.expiry)
     true
@@ -209,6 +214,11 @@ class CellKeyedColumnarReader(part: CellInputPartition,
   private def put(vec: OnHeapColumnVector, n: Int, tag: Int, prec: Int,
       v: Any): Unit = KeyedVec.put(vec, n, tag, prec, v)
 
+  private var cellsRead = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("cells_read", cellsRead))
+
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
     var n = 0
@@ -239,6 +249,7 @@ class CellKeyedColumnarReader(part: CellInputPartition,
           part.decScale)
         val wt = buf.getLong()
         val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
+        cellsRead += 1 // decoded, whether or not the token filter keeps it
         if (token >= tokenLower && token <= tokenUpper) {
           var i = 0
           while (i < projIdx.length) {
@@ -677,8 +688,15 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
       cursor.decScale), cols)
   private var row: InternalRow = _
 
+  private var winners = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("winners_emitted", winners),
+      CellTaskMetric("merge_fan_in", part.fileParts.length.toLong))
+
   override def next(): Boolean = {
     if (!cursor.nextWinner()) return false
+    winners += 1
     // token arg unused: reconcile scans refuse `_token` (no single
     // source record for a merged winner)
     row = proj.row(0L, cursor.pkVals, cursor.ckVals, cursor.colName,
@@ -726,12 +744,18 @@ class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
   private val partPrec: Array[Int] =
     (spec.pkParts ++ spec.ckParts).map(_.prec).toArray
   private var batch: ColumnarBatch = _
+  private var winners = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CellTaskMetric("winners_emitted", winners),
+      CellTaskMetric("merge_fan_in", part.fileParts.length.toLong))
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
     val vectors = OnHeapColumnVector.allocateColumns(BatchRows, outSchema)
     var n = 0
     while (n < BatchRows && cursor.nextWinner()) {
+      winners += 1
       var i = 0
       while (i < projIdx.length) {
         val f = projIdx(i)

@@ -3018,7 +3018,6 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
   }
 }
 
-/** Row-at-a-time reconcile reader (`columnar=false` fallback). */
 /** Task-side scan metrics (Spark UI / `BatchScanExec.customMetrics`):
   * the observability hooks a production engine exposes — winners
   * emitted post-merge and the merge fan-in (files overlapping the
@@ -3051,6 +3050,7 @@ private[sources] final class CellsReadMetric
   override def description(): String = "raw cell versions decoded"
 }
 
+/** Row-at-a-time reconcile reader (`columnar=false` fallback). */
 class CellReconcileReader(part: CellReconcilePartition,
     cols: Array[String], opts: ReconcileOptions = ReconcileOptions())
     extends PartitionReader[InternalRow] {
@@ -4148,6 +4148,9 @@ private[sources] final class LimitedRowReader(
     n < limit && inner.next() && { n += 1; true }
   override def get(): InternalRow = inner.get()
   override def close(): Unit = inner.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 private[sources] final class LimitedBatchReader(
@@ -4164,7 +4167,11 @@ private[sources] final class LimitedBatchReader(
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = inner.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
+
 
 class CellReaderFactory(pkLower: Long, pkUpper: Long,
     cols: Array[String], columnar: Boolean,
@@ -4272,8 +4279,8 @@ class CellReader(part: CellInputPartition, pkLower: Long, pkUpper: Long,
           part.decScale)
         val wt = buf.getLong()
         val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
+        cellsRead += 1 // decoded, whether or not the pk filter keeps it
         if (pk >= pkLower && pk <= pkUpper) {
-          cellsRead += 1
           val full = Array[Any](pk, ck, colUtf8(colId), value, wt, exp)
           row = InternalRow.fromSeq(projIdx.map(full).toSeq)
           return true
@@ -4353,6 +4360,7 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
           part.decScale)
         val wt = buf.getLong()
         val exp = if (part.hasExpiry) buf.getLong() else Long.MaxValue
+        cellsRead += 1 // decoded, whether or not the pk filter keeps it
         if (pk >= pkLower && pk <= pkUpper) {
           var i = 0
           while (i < projIdx.length) {
@@ -4369,7 +4377,6 @@ class CellColumnarReader(part: CellInputPartition, pkLower: Long,
             i += 1
           }
           n += 1
-          cellsRead += 1
         }
         r += 1
       }

@@ -2923,6 +2923,17 @@ class SourceSpec extends GraftSpec {
       case b: BatchScanExec => b
     }.get
     assert(rawScan.metrics("cells_read").value === 3, rawScan.metrics)
+    // typed-key layouts report through the same metrics
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    val typed = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+    val n = typed.collect().length
+    val typedScan = typed.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(typedScan.metrics("winners_emitted").value === n,
+      typedScan.metrics)
+    assert(typedScan.metrics("merge_fan_in").value > 0)
   }
 
   test("GROUP BY pk + clustering prefix folds inside the scan (C49c)") {
