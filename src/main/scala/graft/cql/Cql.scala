@@ -114,7 +114,9 @@ object Cql {
     case InsertRe(table, cols, vals, usingTs) =>
       val dir = resolve(table)
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
-      appendCells(spark, dir, insertCells(cols, vals, wt))
+      val spec = graft.sources.CellSource.keySpec(dir)
+      if (spec.isDefault) appendCells(spark, dir, insertCells(cols, vals, wt))
+      else insertTyped(spark, dir, spec, cols, vals, wt)
       spark.emptyDataFrame
     case UpdateRe(table, usingTs, sets, where) =>
       val dir = resolve(table)
@@ -565,6 +567,57 @@ object Cql {
     }
     if (data.isEmpty) fail("INSERT JSON needs at least one data column")
     data
+  }
+
+  /** Typed-table (CEL6) INSERT: the column list must bind EVERY pk
+    * and ck part by name (CQL's own rule — an unbound key part is an
+    * error, not a null), and data values stay bigint. The append goes
+    * through the typed write path, which tokenizes, sorts, and
+    * indexes the flush exactly like a DataFrame write.
+    */
+  private def insertTyped(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec, cols: String, vals: String,
+      wt: Long): Unit = {
+    val names = cols.split(',').map(_.trim.toLowerCase)
+    val values = splitValues(vals).map(_.trim)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.zip(values).toMap
+    def keyVal(p: graft.sources.KeyPart): Any = {
+      val raw = kv.getOrElse(p.name.toLowerCase,
+        fail(s"INSERT must bind key part ${p.name}"))
+      (p.dataType, literal(raw)) match {
+        case (org.apache.spark.sql.types.StringType, s: String) => s
+        case (org.apache.spark.sql.types.LongType, l: Long) => l
+        case (org.apache.spark.sql.types.IntegerType, l: Long) =>
+          if (l < Int.MinValue || l > Int.MaxValue)
+            fail(s"${p.name} $l is outside the int range")
+          l.toInt
+        case (t, v) =>
+          fail(s"key part ${p.name} needs a ${t.simpleString} " +
+            s"literal, got $v")
+      }
+    }
+    val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
+    val keyVals = (spec.pkParts ++ spec.ckParts).map(keyVal)
+    val data = names.filterNot(keyNames.contains).toSeq
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    val schema = org.apache.spark.sql.types.StructType(
+      spec.keyFields ++ Seq(
+        org.apache.spark.sql.types.StructField("col",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("wt",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = data.map { c =>
+      org.apache.spark.sql.Row.fromSeq(keyVals ++
+        Seq(c, longLiteral(kv(c), s"value of $c"), wt))
+    }
+    spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      .coalesce(1).write.format(Fmt).mode("append").save(dir)
   }
 
   /** Split a VALUES list on commas outside quotes. */

@@ -626,6 +626,14 @@ object CellSource {
     */
   val Magic11 = 0x43454c3b
 
+  /** Public accessor: the table's key layout, resolved the way scans
+    * resolve it (manifest first, else the first file's header; empty
+    * dirs are default-keyed). Used by the CQL front door to route
+    * writes to the matching layout.
+    */
+  def keySpec(dir: String): KeySpec =
+    CellPlanning.keySpecOf(dir, CellPlanning.listFiles(dir))
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||

@@ -169,6 +169,48 @@ class CqlSpec extends GraftSpec {
       !java.nio.file.Files.list(log).iterator().hasNext)
   }
 
+  test("typed-key (CEL6) tables: SELECT probes and INSERT both serve") {
+    val kd = graft.sources.CellSnapshots.ensureKeyed(spark, sf())
+    // a typed point probe through the front door: the text-key
+    // equality pushes as a hashed-token lookup like any typed read
+    val df = Cql.execute(spark,
+      s"SELECT user, ck, col, value FROM $kd WHERE user = 'user-5' " +
+        "ORDER BY ck, col, value")
+    val direct = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(kd)
+      .filter(col("user") === "user-5")
+      .select("user", "ck", "col", "value")
+      .orderBy(col("ck"), col("col"), col("value"))
+      .collect().toSeq
+    assert(df.collect().toSeq === direct)
+    assert(direct.nonEmpty)
+    // typed INSERT routes through the typed write path (fresh table so
+    // the shared fixture stays untouched)
+    val td = Files.createTempDirectory("cql-typed").toString
+    Seq(("u-1", 1, "qty", 10L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)").option("keyType.user", "string")
+      .option("keyType.ck", "int")
+      .mode("append").save(td)
+    Cql.execute(spark,
+      s"INSERT INTO $td (user, ck, qty, price) VALUES ('u-2', 3, 7, 8)")
+    val back = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .filter(col("user") === "u-2")
+      .select("user", "ck", "col", "value")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(back === Set(("u-2", 3, "qty", 7L), ("u-2", 3, "price", 8L)))
+    // unbound key part fails fast (CQL's rule), as does a wrong-typed
+    // key literal
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"INSERT INTO $td (user, qty) VALUES ('u-3', 1)")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"INSERT INTO $td (user, ck, qty) VALUES (9, 1, 2)")
+    }
+  }
+
   test("INSERT JSON writes cells like its VALUES twin (C63 write half)") {
     val d = freshTable()
     Cql.execute(spark,
