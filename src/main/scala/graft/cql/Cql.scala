@@ -131,6 +131,40 @@ object Cql {
     case _ => fail(s"unsupported CQL statement: $cql")
   }
 
+  /** Run a multi-statement CQL script (cqlsh-style): statements split
+    * on `;` outside quotes — BEGIN BATCH … APPLY BATCH stays one
+    * statement — executed in order; the LAST statement's result is
+    * returned (empty for a write/DDL tail).
+    */
+  def executeScript(spark: SparkSession, script: String,
+      resolve: String => String = identity): DataFrame = {
+    val stmts = splitStatements(script)
+    if (stmts.isEmpty) fail("empty CQL script")
+    stmts.map(execute(spark, _, resolve)).last
+  }
+
+  /** Split on `;` outside single quotes, keeping BATCH blocks whole. */
+  private def splitStatements(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0 // BATCH nesting (BEGIN BATCH … APPLY BATCH)
+    val upper = script.toUpperCase
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (c == '\'') inQ = !inQ
+      if (!inQ && upper.startsWith("BEGIN BATCH", i)) depth += 1
+      if (!inQ && upper.startsWith("APPLY BATCH", i)) depth -= 1
+      if (c == ';' && !inQ && depth == 0) {
+        out += cur.toString; cur.clear()
+      } else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   // ---------------------------------------------------------------
   // LWT (C55) — `IF NOT EXISTS` / `IF col = v` route through the
   // ballot-locked compare-and-set; the result relation mirrors

@@ -351,6 +351,22 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("executeScript runs statements in order, batches stay whole") {
+    val d = freshTable()
+    val out = Cql.executeScript(spark,
+      s"""INSERT INTO $d (pk, ck, qty) VALUES (80, 1, 1);
+         |BEGIN BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (81, 1, 2);
+         |  DELETE FROM $d WHERE pk = 80 AND ck = 1;
+         |APPLY BATCH;
+         |SELECT pk, value FROM $d WHERE pk = 81 ORDER BY pk""".stripMargin)
+    assert(out.as[(Long, Long)].collect().toSeq === Seq((81L, 2L)))
+    assert(!rows(d).exists(_._1 == 80L)) // the batch's delete applied
+    intercept[IllegalArgumentException] {
+      Cql.executeScript(spark, "  ;;  ")
+    }
+  }
+
   test("unsupported statements fail fast, never silently wrong") {
     val d = freshTable()
     intercept[IllegalArgumentException] {
