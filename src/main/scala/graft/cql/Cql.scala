@@ -301,6 +301,19 @@ object Cql {
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
       case TruncateRe(ks, t) =>
         spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
+      case DeleteRe(colOpt, table, usingTs, where)
+          if colOpt == null && usingTs == null &&
+            table.matches("\\w+\\.\\w+") && {
+              val Array(ks, t) = table.split("\\.")
+              !graft.sources.CellSource.keySpec(s"$root/$ks/$t").isDefault
+            } =>
+        // TYPED-table DELETE: the default-layout marker writer can't
+        // encode typed keys, but Spark SQL DELETE against the catalog
+        // lands on SupportsDelete's typed tombstone path (C38) — same
+        // marker protocol, typed-key aware. (USING TIMESTAMP and
+        // single-cell DELETE keep the default-layout-only grammar.)
+        val Array(ks, t) = table.split("\\.")
+        spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
       case dml =>
         // ks.table in DML resolves to the catalog's table directory;
         // an unqualified name would silently become a cwd-relative

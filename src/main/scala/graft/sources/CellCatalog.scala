@@ -112,8 +112,12 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
   private def schemaOf(dir: Path): StructType =
     CellPlanning.listFiles(dir.toString).headOption match {
       case Some(f) =>
+        // carry the KEY SPEC too: a typed (CEL6/8) table loaded
+        // through the catalog must expose its named key parts, not
+        // the default (pk, ck) — without this, catalog reads/deletes
+        // of typed tables analyzed against the wrong columns
         val h = CellSource.readHeader(f)
-        CellSource.schemaFor(
+        CellSource.schemaFor(h.keySpec,
           ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale))
       case None =>
         val marker = dir.resolve("_type")

@@ -351,6 +351,29 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("catalog DELETE on a typed table routes through C38's SQL path") {
+    val root = Files.createTempDirectory("cql-cat-typed").toString
+    spark.conf.set("spark.sql.catalog.cqlct", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlct.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlct")
+      cq("CREATE KEYSPACE ks1")
+      Seq(("u-1", 1, "qty", 10L, 100L), ("u-2", 1, "qty", 20L, 100L))
+        .toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(s"$root/ks1/tt")
+      cq("DELETE FROM ks1.tt WHERE user = 'u-1' AND ck = 1")
+      val left = cq("SELECT user, value FROM ks1.tt")
+        .as[(String, Long)].collect().toSet
+      assert(left === Set(("u-2", 20L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlct")
+      spark.conf.unset("spark.sql.catalog.cqlct.root")
+    }
+  }
+
   test("executeScript runs statements in order, batches stay whole") {
     val d = freshTable()
     val out = Cql.executeScript(spark,
