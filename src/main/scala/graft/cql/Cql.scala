@@ -471,6 +471,8 @@ object Cql {
 
   private val AggRe = """(?is)^\s*(count|min|max|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
   private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
+  private val WriteTimeRe =
+    """(?is)^\s*WRITETIME\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
   private def select(spark: SparkSession, dir: String, json: Boolean,
       cols: String, where: Option[String], group: Option[String],
@@ -485,9 +487,20 @@ object Cql {
         c != "pk" && c != "ck" })
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
+    // WRITETIME(c) narrows the cell relation with an INTERNAL
+    // `col = c` filter — selecting a column by name is key-served in
+    // CQL, so that filter must not trip the strictCql guard. The
+    // guard's user-facing contract is enforced manually instead: the
+    // USER's predicates must still be key-only without ALLOW FILTERING.
+    val wtNarrows = group.isEmpty && cols != "*" &&
+      cols.split(',').exists(i => WriteTimeRe.findFirstIn(i).isDefined)
+    if (wtNarrows && !allowFiltering &&
+        preds.exists { case (c, _) => c != "pk" && c != "ck" })
+      fail("WRITETIME with data predicates needs ALLOW FILTERING")
+    val relaxed = allowFiltering || wtNarrows
     var reader = spark.read.format(Fmt).option("reconcile", "true")
-      .option("strictCql", (!allowFiltering).toString)
-      .option("allowFiltering", allowFiltering.toString)
+      .option("strictCql", (!relaxed).toString)
+      .option("allowFiltering", relaxed.toString)
     ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
     var df = reader.load(dir)
     preds.foreach { case (_, p) => df = df.filter(p) }
@@ -512,12 +525,43 @@ object Cql {
         df = df.groupBy(keys.map(col).toIndexedSeq: _*)
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       case None if cols != "*" =>
-        val items = cols.split(',').map(_.trim).map {
-          case ColRe(c, alias) =>
-            Option(alias).map(col(c).as(_)).getOrElse(col(c))
-          case c => fail(s"unsupported select item: $c")
+        val rawItems = cols.split(',').map(_.trim)
+        // CQL's WRITETIME(c): the named cell's writetime. The cell
+        // relation stores wt per cell, so the select narrows to that
+        // ONE data column (filter col = c) and projects value/wt —
+        // mixing data columns under WRITETIME needs the wide view and
+        // refuses here.
+        val wtCols = rawItems.collect {
+          case WriteTimeRe(c, _) => c.toLowerCase }
+        val dataCols = rawItems.collect {
+          case ColRe(c, _) if !Seq("pk", "ck", "col", "value", "wt",
+            "user").contains(c.toLowerCase) => c.toLowerCase
         }
-        df = df.select(items.toIndexedSeq: _*)
+        if (wtCols.nonEmpty) {
+          val targets = (wtCols ++ dataCols).distinct
+          if (targets.length != 1)
+            fail("WRITETIME selects exactly one data column per " +
+              s"statement, got: ${targets.mkString(", ")}")
+          val c = targets.head
+          df = df.filter(col("col") === c)
+          val items = rawItems.map {
+            case WriteTimeRe(_, alias) =>
+              col("wt").as(Option(alias).getOrElse(s"writetime($c)"))
+            case ColRe(n, alias) if n.equalsIgnoreCase(c) =>
+              col("value").as(Option(alias).getOrElse(c))
+            case ColRe(n, alias) =>
+              Option(alias).map(col(n).as(_)).getOrElse(col(n))
+            case x => fail(s"unsupported select item: $x")
+          }
+          df = df.select(items.toIndexedSeq: _*)
+        } else {
+          val items = rawItems.map {
+            case ColRe(c, alias) =>
+              Option(alias).map(col(c).as(_)).getOrElse(col(c))
+            case c => fail(s"unsupported select item: $c")
+          }
+          df = df.select(items.toIndexedSeq: _*)
+        }
       case None => // SELECT *
     }
     if (json) {

@@ -374,6 +374,25 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("WRITETIME(col) selects the named cell's writetime") {
+    val d = freshTable()
+    val got = Cql.execute(spark,
+      s"SELECT pk, ck, qty, WRITETIME(qty) FROM $d WHERE pk = 2")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 1, 30L, 100L)))
+    // a later rewrite moves the writetime with the winner
+    Cql.execute(spark, s"UPDATE $d SET qty = 31 WHERE pk = 2 AND ck = 1")
+    val after = Cql.execute(spark,
+      s"SELECT qty, WRITETIME(qty) AS wt_q FROM $d WHERE pk = 2")
+      .as[(Long, Long)].collect().head
+    assert(after._1 === 31L && after._2 > 100L, after)
+    // two different data columns under WRITETIME refuse
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"SELECT price, WRITETIME(qty) FROM $d WHERE pk = 2")
+    }
+  }
+
   test("executeScript runs statements in order, batches stay whole") {
     val d = freshTable()
     val out = Cql.executeScript(spark,
