@@ -143,19 +143,29 @@ object Cql {
     stmts.map(execute(spark, _, resolve)).last
   }
 
-  /** Split on `;` outside single quotes, keeping BATCH blocks whole. */
-  private def splitStatements(script: String): Seq[String] = {
+  /** Split on `;` outside single quotes, keeping BATCH blocks whole.
+    * Keyword detection uses length-preserving case-insensitive
+    * regionMatches — NOT a pre-uppercased copy, whose locale/Unicode
+    * case mappings can change string length (e.g. 'ß' → "SS" inside a
+    * quoted literal) and desynchronize positions.
+    */
+  private def splitStatements(script: String): Seq[String] =
+    splitOnSemis(script, batchAware = true)
+
+  private def splitOnSemis(script: String, batchAware: Boolean)
+      : Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
     var depth = 0 // BATCH nesting (BEGIN BATCH … APPLY BATCH)
-    val upper = script.toUpperCase
     var i = 0
     while (i < script.length) {
       val c = script.charAt(i)
       if (c == '\'') inQ = !inQ
-      if (!inQ && upper.startsWith("BEGIN BATCH", i)) depth += 1
-      if (!inQ && upper.startsWith("APPLY BATCH", i)) depth -= 1
+      if (batchAware && !inQ) {
+        if (script.regionMatches(true, i, "BEGIN BATCH", 0, 11)) depth += 1
+        if (script.regionMatches(true, i, "APPLY BATCH", 0, 11)) depth -= 1
+      }
       if (c == ';' && !inQ && depth == 0) {
         out += cur.toString; cur.clear()
       } else cur += c
@@ -210,7 +220,9 @@ object Cql {
   private def batch(spark: SparkSession, body: String,
       resolve: String => String): Unit = {
     import spark.implicits._
-    val stmts = body.split(';').map(_.trim).filter(_.nonEmpty)
+    // quote-aware split (same rules as the script splitter, minus the
+    // BATCH nesting) — a ';' inside a string literal is not a boundary
+    val stmts = splitOnSemis(body, batchAware = false)
     if (stmts.isEmpty) fail("empty BATCH")
     val parsed: Seq[(String, Seq[(Long, Int, String, Long, Long)])] =
       stmts.toSeq.map {
@@ -438,13 +450,18 @@ object Cql {
 
   /** Parse WHERE into (pkSet, ckEq, ckLo, ckHi) for the write paths —
     * the Cassandra-shaped key-only predicate DELETE/UPDATE require.
+    * Bounds are tracked as Longs so the exclusive-bound adjustment
+    * can't wrap at the int boundary: `ck > Int.MaxValue` yields
+    * lo > hi (a provably EMPTY range the caller must no-op on), never
+    * a wrapped bound that deleteMarkers would misread as "unbounded"
+    * and escalate to a partition tombstone.
     */
   private def keyPredicate(where: String)
-      : (Set[Long], Option[Int], Int, Int) = {
+      : (Set[Long], Option[Int], Long, Long) = {
     var pks = Set.empty[Long]
     var ckEq: Option[Int] = None
-    var ckLo = Int.MinValue
-    var ckHi = Int.MaxValue
+    var ckLo: Long = Int.MinValue
+    var ckHi: Long = Int.MaxValue
     where.split("(?i)\\s+AND\\s+").foreach {
       case InRe(c, vs) if c.equalsIgnoreCase("pk") =>
         pks ++= splitValues(vs).map(longLiteral(_, "pk"))
@@ -453,7 +470,7 @@ object Cql {
       case PredRe(c, "=", v) if c.equalsIgnoreCase("ck") =>
         ckEq = Some(ckLiteral(v))
       case PredRe(c, op, v) if c.equalsIgnoreCase("ck") =>
-        val x = ckLiteral(v)
+        val x: Long = ckLiteral(v)
         op match {
           case ">" => ckLo = math.max(ckLo, x + 1)
           case ">=" => ckLo = math.max(ckLo, x)
@@ -564,11 +581,9 @@ object Cql {
         }
       case None => // SELECT *
     }
-    if (json) {
-      val names = df.schema.fieldNames
-      df = df.select(
-        to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))
-    }
+    // ORDER BY / LIMIT run on the row relation BEFORE any JSON
+    // rendering (cqlsh orders rows, then renders each as JSON) — the
+    // ordering columns no longer exist after the to_json projection.
     order.foreach { o =>
       val keys = o.split(',').map(_.trim).filter(_.nonEmpty).map { k =>
         val parts = k.split("\\s+")
@@ -578,7 +593,13 @@ object Cql {
       }
       df = df.orderBy(keys.toIndexedSeq: _*)
     }
-    lim.map(df.limit).getOrElse(df)
+    lim.foreach(n => df = df.limit(n))
+    if (json) {
+      val names = df.schema.fieldNames
+      df = df.select(
+        to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))
+    }
+    df
   }
 
   // ---------------------------------------------------------------
@@ -595,6 +616,7 @@ object Cql {
   private def appendCells(spark: SparkSession, dir: String,
       rows: Seq[(Long, Int, String, Long, Long)]): Unit = {
     import spark.implicits._
+    if (rows.isEmpty) return // zero-row statement: no empty flush
     rows.toDF("pk", "ck", "col", "value", "wt")
       .coalesce(1).write.format(Fmt).mode("append").save(dir)
   }
@@ -743,10 +765,16 @@ object Cql {
     } yield (pk, ck, c, v, wt)
   }
 
-  /** Tombstone markers a DELETE contributes (dts = 0 = assign later). */
+  /** Tombstone markers a DELETE contributes (dts = 0 = assign later).
+    * An empty clustering range (lo > hi — e.g. `ck > Int.MaxValue`,
+    * which per CQL matches zero rows) contributes NO markers: falling
+    * through to the partition-tombstone case would silently wipe the
+    * whole partition for a statement that deletes nothing.
+    */
   private def deleteMarkers(colOpt: Option[String], where: String,
       dts: Long): Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
+    if (ckLo > ckHi) return Seq.empty // provably-empty range: no-op
     pks.toSeq.sorted.map { pk =>
       (colOpt, ckEq, ckLo != Int.MinValue || ckHi != Int.MaxValue) match {
         case (Some(c), Some(ck), _) => // DELETE col ... AND ck = ?

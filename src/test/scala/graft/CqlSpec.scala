@@ -462,4 +462,61 @@ class CqlSpec extends GraftSpec {
     assert(wts(60L) === 0L, wts)
     assert(wts(61L) > 100L, wts)
   }
+
+  test("DELETE with a boundary exclusive ck bound is a no-op, " +
+      "not a partition wipe") {
+    val d = freshTable()
+    val before = rows(d)
+    // ck > Int.MaxValue matches zero rows per CQL; the exclusive-bound
+    // +1 must not wrap to Int.MinValue and read as "no range bound"
+    // (which would escalate to a partition tombstone)
+    Cql.execute(spark,
+      s"DELETE FROM $d WHERE pk = 1 AND ck > 2147483647")
+    Cql.execute(spark,
+      s"DELETE FROM $d WHERE pk = 1 AND ck < -2147483648")
+    // a range that's empty by contradiction is also a no-op
+    Cql.execute(spark,
+      s"DELETE FROM $d WHERE pk = 1 AND ck > 5 AND ck < 3")
+    assert(rows(d) === before)
+  }
+
+  test("BATCH body split is quote-aware (';' inside a literal)") {
+    val d = freshTable()
+    // a string literal containing ';' must not split the sub-statement;
+    // reachable batch VALUES are bigint-only, so the correct outcome is
+    // the bigint-literal parse error for 'a;b' — NOT the mis-split
+    // "unsupported CQL statement" garbage
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  INSERT INTO $d (pk, ck, qty) VALUES (70, 1, 'a;b');
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e.getMessage.contains("bigint literal"), e.getMessage)
+  }
+
+  test("script split survives length-changing case mappings in " +
+      "literals") {
+    val d = freshTable()
+    // 'ß'.toUpperCase = "SS" lengthens an uppercased copy of the
+    // script; a splitter that indexed the original with positions from
+    // the uppercased string would desync statement boundaries after
+    // the literal. All statements after the ß must still run whole.
+    val out = Cql.executeScript(spark,
+      s"""SELECT pk, ck FROM $d WHERE pk = 1 AND col = 'straße' ALLOW FILTERING;
+         |INSERT INTO $d (pk, ck, qty) VALUES (91, 1, 8);
+         |SELECT pk, value FROM $d WHERE pk = 91""".stripMargin)
+    assert(out.as[(Long, Long)].collect().toSeq === Seq((91L, 8L)))
+  }
+
+  test("SELECT JSON with ORDER BY orders rows, then renders") {
+    val d = freshTable()
+    val j = Cql.execute(spark,
+      s"SELECT JSON pk, ck, value FROM $d WHERE pk = 1 " +
+        "ORDER BY ck DESC LIMIT 2")
+    assert(j.schema.fieldNames.toSeq === Seq("[json]"))
+    assert(j.as[String].collect().toSeq === Seq(
+      """{"pk":1,"ck":2,"value":20}""",
+      """{"pk":1,"ck":1,"value":10}"""))
+  }
 }
