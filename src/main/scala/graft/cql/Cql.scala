@@ -47,7 +47,7 @@ object Cql {
   private val InsertRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
       """VALUES\s*\(([^)]*)\)""" +
-      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+USING\s+(.+?))?\s*;?\s*$""").r
 
   private val InsertJsonRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s+JSON\s+'(.+?)'""" +
@@ -59,8 +59,35 @@ object Cql {
 
   private val UpdateRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
-      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** `USING TIMESTAMP n [AND TTL n]` (either order, either alone) →
+    * (timestamp, ttl). TTL is CQL's per-cell expiry grant; it is
+    * stored in the SAME unit as wt (the facade's writetimes are
+    * logical), so `INSERT ... USING TTL n` round-trips to
+    * `SELECT TTL(col) = n` — Cassandra's own behavior right after a
+    * write, made deterministic (no wall clock in the engine).
+    */
+  private val UsingTsRe = """(?is)^TIMESTAMP\s+(\d+)$""".r
+  private val UsingTtlRe = """(?is)^TTL\s+(\d+)$""".r
+  private def parseUsing(clause: Option[String])
+      : (Option[Long], Option[Long]) = {
+    var ts: Option[Long] = None
+    var ttl: Option[Long] = None
+    clause.foreach(_.split("(?i)\\s+AND\\s+").map(_.trim).foreach {
+      case UsingTsRe(v) =>
+        if (ts.isDefined) fail("duplicate USING TIMESTAMP")
+        ts = Some(v.toLong)
+      case UsingTtlRe(v) =>
+        if (ttl.isDefined) fail("duplicate USING TTL")
+        val t = v.toLong
+        if (t <= 0) fail("USING TTL must be positive")
+        ttl = Some(t)
+      case o => fail(s"unsupported USING option: $o")
+    })
+    (ts, ttl)
+  }
 
   private val UpdateIfRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
@@ -111,22 +138,31 @@ object Cql {
         Option(where), Option(group), Option(order),
         Option(ppl).map(_.toInt), Option(lim).map(_.toInt),
         Option(af).isDefined)
-    case InsertRe(table, cols, vals, usingTs) =>
+    case InsertRe(table, cols, vals, usingClause) =>
       val dir = resolve(table)
-      val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
+      val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
+      val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (spec.isDefault) appendCells(spark, dir, insertCells(cols, vals, wt))
-      else insertTyped(spark, dir, spec, cols, vals, wt)
+      if (spec.isDefault)
+        appendCells(spark, dir, insertCells(cols, vals, wt), ttlOpt)
+      else insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
       spark.emptyDataFrame
-    case UpdateRe(table, usingTs, sets, where) =>
+    case UpdateRe(table, usingClause, sets, where) =>
       val dir = resolve(table)
-      val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
-      appendCells(spark, dir, updateCells(sets, where, wt))
+      val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
+      val wt = tsOpt.getOrElse(nextWt(spark, dir))
+      val spec = graft.sources.CellSource.keySpec(dir)
+      if (spec.isDefault)
+        appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
+      else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
       val dir = resolve(table)
       val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
-      appendCells(spark, dir, deleteMarkers(Option(colOpt), where, dts))
+      val spec = graft.sources.CellSource.keySpec(dir)
+      if (spec.isDefault)
+        appendCells(spark, dir, deleteMarkers(Option(colOpt), where, dts))
+      else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
       spark.emptyDataFrame
     case _ => fail(s"unsupported CQL statement: $cql")
   }
@@ -226,12 +262,20 @@ object Cql {
     if (stmts.isEmpty) fail("empty BATCH")
     val parsed: Seq[(String, Seq[(Long, Int, String, Long, Long)])] =
       stmts.toSeq.map {
-        case InsertRe(table, cols, vals, usingTs) =>
+        case InsertRe(table, cols, vals, usingClause) =>
+          val (ts, ttl) = parseUsing(Option(usingClause))
+          if (ttl.isDefined)
+            fail("USING TTL is not supported inside BATCH (the " +
+              "journal carries the 5-column cell shape)")
           (resolve(table), insertCells(cols, vals,
-            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
-        case UpdateRe(table, usingTs, sets, where) =>
+            ts.getOrElse(AssignLater)))
+        case UpdateRe(table, usingClause, sets, where) =>
+          val (ts, ttl) = parseUsing(Option(usingClause))
+          if (ttl.isDefined)
+            fail("USING TTL is not supported inside BATCH (the " +
+              "journal carries the 5-column cell shape)")
           (resolve(table), updateCells(sets, where,
-            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
+            ts.getOrElse(AssignLater)))
         case DeleteRe(colOpt, table, usingTs, where) =>
           (resolve(table), deleteMarkers(Option(colOpt), where,
             Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
@@ -490,34 +534,48 @@ object Cql {
   private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
   private val WriteTimeRe =
     """(?is)^\s*WRITETIME\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+  private val TtlRe =
+    """(?is)^\s*TTL\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
   private def select(spark: SparkSession, dir: String, json: Boolean,
       cols: String, where: Option[String], group: Option[String],
       order: Option[String], ppl: Option[Int], lim: Option[Int],
       allowFiltering: Boolean): DataFrame = {
     val preds = where.map(predicates).getOrElse(Seq.empty)
+    // key columns of THIS table's layout (pk/ck on the default spec,
+    // the named parts on a typed one) — the ALLOW FILTERING guards
+    // below must not mistake a typed key predicate for a data one
+    val keyCols: Set[String] = {
+      val spec = graft.sources.CellSource.keySpec(dir)
+      (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase).toSet
+    }
     // PER PARTITION LIMIT counts rows INSIDE the merge cursor, i.e.
     // before any residual data predicate — combining them would
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
     if (ppl.isDefined && preds.exists { case (c, _) =>
-        c != "pk" && c != "ck" })
+        !keyCols.contains(c) })
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
-    // WRITETIME(c) narrows the cell relation with an INTERNAL
+    // WRITETIME(c) / TTL(c) narrow the cell relation with an INTERNAL
     // `col = c` filter — selecting a column by name is key-served in
     // CQL, so that filter must not trip the strictCql guard. The
     // guard's user-facing contract is enforced manually instead: the
     // USER's predicates must still be key-only without ALLOW FILTERING.
-    val wtNarrows = group.isEmpty && cols != "*" &&
+    val hasWt = group.isEmpty && cols != "*" &&
       cols.split(',').exists(i => WriteTimeRe.findFirstIn(i).isDefined)
-    if (wtNarrows && !allowFiltering &&
-        preds.exists { case (c, _) => c != "pk" && c != "ck" })
-      fail("WRITETIME with data predicates needs ALLOW FILTERING")
-    val relaxed = allowFiltering || wtNarrows
+    val hasTtl = group.isEmpty && cols != "*" &&
+      cols.split(',').exists(i => TtlRe.findFirstIn(i).isDefined)
+    val fnNarrows = hasWt || hasTtl
+    if (fnNarrows && !allowFiltering &&
+        preds.exists { case (c, _) => !keyCols.contains(c) })
+      fail("WRITETIME/TTL with data predicates needs ALLOW FILTERING")
+    val relaxed = allowFiltering || fnNarrows
     var reader = spark.read.format(Fmt).option("reconcile", "true")
       .option("strictCql", (!relaxed).toString)
       .option("allowFiltering", relaxed.toString)
+    // TTL(c) needs the winning cell's absolute expiry pseudo-column
+    if (hasTtl) reader = reader.option("withTtl", "true")
     ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
     var df = reader.load(dir)
     preds.foreach { case (_, p) => df = df.filter(p) }
@@ -543,27 +601,38 @@ object Cql {
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       case None if cols != "*" =>
         val rawItems = cols.split(',').map(_.trim)
-        // CQL's WRITETIME(c): the named cell's writetime. The cell
-        // relation stores wt per cell, so the select narrows to that
-        // ONE data column (filter col = c) and projects value/wt —
-        // mixing data columns under WRITETIME needs the wide view and
-        // refuses here.
+        // CQL's WRITETIME(c) / TTL(c): the named cell's writetime /
+        // stored ttl. The cell relation stores wt (and, under
+        // withTtl, the absolute `_expiry`) per cell, so the select
+        // narrows to that ONE data column (filter col = c) and
+        // projects value/wt/expiry — mixing data columns under these
+        // needs the wide view and refuses here. TTL(c) = expiry - wt
+        // (the ttl the cell was WRITTEN with, in wt-units; NULL for
+        // no expiry) — `USING TTL n` round-trips to n.
         val wtCols = rawItems.collect {
           case WriteTimeRe(c, _) => c.toLowerCase }
+        val ttlCols = rawItems.collect {
+          case TtlRe(c, _) => c.toLowerCase }
         val dataCols = rawItems.collect {
-          case ColRe(c, _) if !Seq("pk", "ck", "col", "value", "wt",
-            "user").contains(c.toLowerCase) => c.toLowerCase
+          case ColRe(c, _)
+              if !keyCols.contains(c.toLowerCase) &&
+                !Seq("col", "value", "wt").contains(c.toLowerCase) =>
+            c.toLowerCase
         }
-        if (wtCols.nonEmpty) {
-          val targets = (wtCols ++ dataCols).distinct
+        if (wtCols.nonEmpty || ttlCols.nonEmpty) {
+          val targets = (wtCols ++ ttlCols ++ dataCols).distinct
           if (targets.length != 1)
-            fail("WRITETIME selects exactly one data column per " +
+            fail("WRITETIME/TTL select exactly one data column per " +
               s"statement, got: ${targets.mkString(", ")}")
           val c = targets.head
           df = df.filter(col("col") === c)
           val items = rawItems.map {
             case WriteTimeRe(_, alias) =>
               col("wt").as(Option(alias).getOrElse(s"writetime($c)"))
+            case TtlRe(_, alias) =>
+              when(col("_expiry") === lit(Long.MaxValue), lit(null))
+                .otherwise(col("_expiry") - col("wt"))
+                .as(Option(alias).getOrElse(s"ttl($c)"))
             case ColRe(n, alias) if n.equalsIgnoreCase(c) =>
               col("value").as(Option(alias).getOrElse(c))
             case ColRe(n, alias) =>
@@ -614,11 +683,22 @@ object Cql {
   }
 
   private def appendCells(spark: SparkSession, dir: String,
-      rows: Seq[(Long, Int, String, Long, Long)]): Unit = {
+      rows: Seq[(Long, Int, String, Long, Long)],
+      ttl: Option[Long] = None): Unit = {
     import spark.implicits._
     if (rows.isEmpty) return // zero-row statement: no empty flush
-    rows.toDF("pk", "ck", "col", "value", "wt")
-      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    ttl match {
+      case None =>
+        rows.toDF("pk", "ck", "col", "value", "wt")
+          .coalesce(1).write.format(Fmt).mode("append").save(dir)
+      case Some(t) =>
+        // `USING TTL n` — the ttl=true write shape (CEL10): a
+        // trailing relative-ttl column; expiry = wt + ttl
+        rows.map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wt, t) }
+          .toDF("pk", "ck", "col", "value", "wt", "ttl")
+          .coalesce(1).write.format(Fmt).option("ttl", "true")
+          .mode("append").save(dir)
+    }
   }
 
   /** Cells an INSERT contributes (wt = AssignLater defers to the
@@ -682,55 +762,219 @@ object Cql {
     data
   }
 
+  /** Coerce a CQL literal onto a typed key part's type — the facade's
+    * typed-key slice is string / bigint / int parts; a silent wrap or
+    * cast would address a DIFFERENT row, so out-of-range refuses.
+    */
+  private def keyLiteral(p: graft.sources.KeyPart, raw: String,
+      what: String): Any =
+    (p.dataType, literal(raw)) match {
+      case (org.apache.spark.sql.types.StringType, s: String) => s
+      case (org.apache.spark.sql.types.LongType, l: Long) => l
+      case (org.apache.spark.sql.types.IntegerType, l: Long) =>
+        if (l < Int.MinValue || l > Int.MaxValue)
+          fail(s"${p.name} $l is outside the int range")
+        l.toInt
+      case (t, v) =>
+        fail(s"$what ${p.name} needs a ${t.simpleString} " +
+          s"literal, got $v")
+    }
+
+  /** The neutral value a typed marker row carries in a ck slot the
+    * marker does not address (rank ordering puts partition/range
+    * markers ahead of all data rows regardless of these).
+    */
+  private def neutralKey(dt: org.apache.spark.sql.types.DataType): Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType => ""
+      case org.apache.spark.sql.types.LongType => 0L
+      case org.apache.spark.sql.types.IntegerType => 0
+      case t => fail(s"unsupported typed key part type: $t")
+    }
+
+  /** Append fully-keyed typed cell rows (keyVals ++ (col, value, wt)
+    * [+ ttl]) through the typed write path, which tokenizes, sorts,
+    * and indexes the flush exactly like a DataFrame write.
+    */
+  private def typedWrite(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec, rows: Seq[Seq[Any]],
+      ttl: Option[Long]): Unit = {
+    if (rows.isEmpty) return
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      spec.keyFields ++ Seq(
+        StructField("col", StringType, nullable = false),
+        StructField("value", LongType, nullable = false),
+        StructField("wt", LongType, nullable = false)) ++
+        (if (ttl.isDefined)
+          Seq(StructField("ttl", LongType, nullable = true))
+        else Seq.empty))
+    val sparkRows = rows.map(r => org.apache.spark.sql.Row.fromSeq(
+      r ++ ttl.toSeq))
+    var w = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+        schema)
+      .coalesce(1).write.format(Fmt)
+    if (ttl.isDefined) w = w.option("ttl", "true")
+    w.mode("append").save(dir)
+  }
+
   /** Typed-table (CEL6) INSERT: the column list must bind EVERY pk
     * and ck part by name (CQL's own rule — an unbound key part is an
-    * error, not a null), and data values stay bigint. The append goes
-    * through the typed write path, which tokenizes, sorts, and
-    * indexes the flush exactly like a DataFrame write.
+    * error, not a null), and data values stay bigint. `USING TTL`
+    * lands on the CEL11 per-record expiry shape.
     */
   private def insertTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, cols: String, vals: String,
-      wt: Long): Unit = {
+      wt: Long, ttl: Option[Long] = None): Unit = {
     val names = cols.split(',').map(_.trim.toLowerCase)
     val values = splitValues(vals).map(_.trim)
     if (names.length != values.length)
       fail(s"INSERT arity mismatch: ${names.length} columns, " +
         s"${values.length} values")
     val kv = names.zip(values).toMap
-    def keyVal(p: graft.sources.KeyPart): Any = {
-      val raw = kv.getOrElse(p.name.toLowerCase,
-        fail(s"INSERT must bind key part ${p.name}"))
-      (p.dataType, literal(raw)) match {
-        case (org.apache.spark.sql.types.StringType, s: String) => s
-        case (org.apache.spark.sql.types.LongType, l: Long) => l
-        case (org.apache.spark.sql.types.IntegerType, l: Long) =>
-          if (l < Int.MinValue || l > Int.MaxValue)
-            fail(s"${p.name} $l is outside the int range")
-          l.toInt
-        case (t, v) =>
-          fail(s"key part ${p.name} needs a ${t.simpleString} " +
-            s"literal, got $v")
-      }
-    }
     val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
-    val keyVals = (spec.pkParts ++ spec.ckParts).map(keyVal)
+    val keyVals = (spec.pkParts ++ spec.ckParts).map(p =>
+      keyLiteral(p, kv.getOrElse(p.name.toLowerCase,
+        fail(s"INSERT must bind key part ${p.name}")), "key part"))
     val data = names.filterNot(keyNames.contains).toSeq
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    val schema = org.apache.spark.sql.types.StructType(
-      spec.keyFields ++ Seq(
-        org.apache.spark.sql.types.StructField("col",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("wt",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-    val rows = data.map { c =>
-      org.apache.spark.sql.Row.fromSeq(keyVals ++
-        Seq(c, longLiteral(kv(c), s"value of $c"), wt))
+    typedWrite(spark, dir, spec, data.map(c =>
+      keyVals ++ Seq(c, longLiteral(kv(c), s"value of $c"), wt)), ttl)
+  }
+
+  /** Parse a typed-table WHERE with NAMED key parts into (pk tuples,
+    * full-ck tuple, int-ck range). CQL shape: every pk part bound by
+    * equality (IN allowed on a single-part pk), clustering parts
+    * either ALL bound by equality, or a range on a single int ck, or
+    * unbound. Range bounds are Longs so exclusive-bound arithmetic
+    * can't wrap (lo > hi = provably empty, the caller no-ops).
+    */
+  private def typedKeyPredicate(spec: graft.sources.KeySpec,
+      where: String)
+      : (Seq[Seq[Any]], Option[Seq[Any]], Option[(Long, Long)]) = {
+    val pkParts = spec.pkParts
+    val ckParts = spec.ckParts
+    val pkNames = pkParts.map(_.name.toLowerCase)
+    val ckNames = ckParts.map(_.name.toLowerCase)
+    val intCk = ckParts match {
+      case p :: Nil
+        if p.dataType == org.apache.spark.sql.types.IntegerType => true
+      case _ => false
     }
-    spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-      .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    val eqs = scala.collection.mutable.Map.empty[String, Any]
+    var pkIn: Option[Seq[Any]] = None
+    var lo: Long = Int.MinValue
+    var hi: Long = Int.MaxValue
+    var hasRange = false
+    where.split("(?i)\\s+AND\\s+").foreach {
+      case InRe(c, vs)
+          if pkNames == List(c.toLowerCase) && pkIn.isEmpty =>
+        pkIn = Some(splitValues(vs).toSeq.map(v =>
+          keyLiteral(pkParts.head, v.trim, "key part")))
+      case PredRe(c, "=", v)
+          if pkNames.contains(c.toLowerCase) ||
+            ckNames.contains(c.toLowerCase) =>
+        val n = c.toLowerCase
+        if (eqs.contains(n)) fail(s"duplicate predicate on $n")
+        val part = (pkParts ++ ckParts)
+          .find(_.name.equalsIgnoreCase(c)).get
+        eqs(n) = keyLiteral(part, v, "key part")
+      case PredRe(c, op, v)
+          if intCk && ckNames.contains(c.toLowerCase) =>
+        val x: Long = keyLiteral(ckParts.head, v, "key part")
+          .asInstanceOf[Int].toLong
+        hasRange = true
+        op match {
+          case ">" => lo = math.max(lo, x + 1)
+          case ">=" => lo = math.max(lo, x)
+          case "<" => hi = math.min(hi, x - 1)
+          case "<=" => hi = math.min(hi, x)
+        }
+      case p => fail(s"typed write WHERE binds key parts only " +
+        s"(range on a single int clustering key), got: $p")
+    }
+    val pkTuples: Seq[Seq[Any]] =
+      if (pkIn.isDefined) {
+        if (pkNames.exists(eqs.contains))
+          fail("pk IN cannot combine with pk equality")
+        pkIn.get.map(Seq(_))
+      } else if (pkNames.forall(eqs.contains))
+        Seq(pkNames.map(eqs))
+      else fail("write WHERE must bind every partition-key part " +
+        s"(${pkParts.map(_.name).mkString(", ")})")
+    val boundCks = ckNames.filter(eqs.contains)
+    if (hasRange && boundCks.nonEmpty)
+      fail("clustering equality and range cannot combine")
+    val ckTuple =
+      if (boundCks.isEmpty) None
+      else if (boundCks.length == ckNames.length)
+        Some(ckNames.map(eqs))
+      else fail("bind every clustering-key part by equality, or none" +
+        s" (${ckParts.map(_.name).mkString(", ")})")
+    (pkTuples, ckTuple, if (hasRange) Some((lo, hi)) else None)
+  }
+
+  /** Typed-table UPDATE: WHERE binds the FULL primary key by name
+    * (CQL's own rule); each SET column contributes one typed cell.
+    */
+  private def updateTyped(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec, sets: String, where: String,
+      wt: Long, ttl: Option[Long]): Unit = {
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("UPDATE WHERE binds clustering keys by equality, not range")
+    val ck = ckOpt.getOrElse(
+      if (spec.ckParts.isEmpty) Seq.empty
+      else fail("UPDATE WHERE must bind every clustering-key part"))
+    val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
+    val setKvs = sets.split(',').toSeq.map {
+      case SetRe(c, v) =>
+        if (keyNames.contains(c.toLowerCase))
+          fail(s"cannot SET key part $c")
+        (c.toLowerCase, longLiteral(v, s"value of $c"))
+      case x => fail(s"unsupported SET item: $x")
+    }
+    typedWrite(spark, dir, spec, for {
+      pk <- pks
+      (c, v) <- setKvs
+    } yield pk ++ ck ++ Seq(c, v, wt), ttl)
+  }
+
+  /** Typed-table DELETE: the same marker protocol as the default
+    * layout — partition (`!del*`), row (`!delrow`), int-ck range
+    * (`!delr:lo:hi`), single cell (`!del:<col>`) — with typed keys.
+    * An empty range (lo > hi) contributes NO markers (CQL matches
+    * zero rows; escalating would wipe the partition).
+    */
+  private def deleteTyped(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec, colOpt: Option[String],
+      where: String, dts: Long): Unit = {
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    val ckZeros = spec.ckParts.map(p => neutralKey(p.dataType))
+    val rows: Seq[Seq[Any]] = (colOpt, ckOpt, range) match {
+      case (Some(c), Some(ck), None) =>
+        pks.map(pk => pk ++ ck ++
+          Seq(graft.sources.CellSource.CellTombstonePrefix +
+            c.toLowerCase, 0L, dts))
+      case (Some(_), _, _) =>
+        fail("DELETE <col> needs every clustering part bound by " +
+          "equality")
+      case (None, Some(ck), None) =>
+        pks.map(pk => pk ++ ck ++
+          Seq(graft.sources.CellSource.RowTombstone, 0L, dts))
+      case (None, None, Some((lo, hi))) =>
+        if (lo > hi) Seq.empty // provably-empty range: no-op
+        else pks.map(pk => pk ++ ckZeros ++
+          Seq(graft.sources.CellSource.rangeTombstoneCol(
+            lo.toInt, hi.toInt), 0L, dts))
+      case (None, None, None) =>
+        pks.map(pk => pk ++ ckZeros ++
+          Seq(graft.sources.CellSource.PartitionTombstone, 0L, dts))
+      case (None, Some(_), Some(_)) =>
+        fail("clustering equality and range cannot combine")
+    }
+    typedWrite(spark, dir, spec, rows, ttl = None)
   }
 
   /** Split a VALUES list on commas outside quotes. */

@@ -509,6 +509,148 @@ class CqlSpec extends GraftSpec {
     assert(out.as[(Long, Long)].collect().toSeq === Seq((91L, 8L)))
   }
 
+  test("USING TTL round-trips through TTL(col); expiry applies") {
+    val d = freshTable()
+    Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (7, 1, 3) " +
+      "USING TIMESTAMP 200 AND TTL 50")
+    // stored ttl comes back exactly (Cassandra right-after-write
+    // behavior, deterministic); a no-ttl cell reads NULL
+    val t = Cql.execute(spark, s"SELECT TTL(qty) AS t FROM $d WHERE pk = 7")
+    assert(t.as[Option[Long]].collect().toSeq === Seq(Some(50L)))
+    val none = Cql.execute(spark,
+      s"SELECT TTL(qty) AS t FROM $d WHERE pk = 1 AND ck = 1")
+    assert(none.as[Option[Long]].collect().toSeq === Seq(None))
+    // value + ttl together, plus WRITETIME alongside
+    val both = Cql.execute(spark,
+      s"SELECT qty, TTL(qty) AS t, WRITETIME(qty) AS w FROM $d " +
+        "WHERE pk = 7")
+    assert(both.as[(Long, Option[Long], Long)].collect().toSeq ===
+      Seq((3L, Some(50L), 200L)))
+    // the expiry is real: past wt + ttl the reconciling read drops it
+    val live = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "251")
+      .load(d).filter(col("pk") === 7L)
+    assert(live.count() === 0)
+    // UPDATE ... USING TTL writes the expiring shape too
+    Cql.execute(spark, s"UPDATE $d USING TIMESTAMP 300 AND TTL 10 " +
+      "SET qty = 4 WHERE pk = 8 AND ck = 1")
+    val t2 = Cql.execute(spark, s"SELECT TTL(qty) AS t FROM $d WHERE pk = 8")
+    assert(t2.as[Option[Long]].collect().toSeq === Seq(Some(10L)))
+    // refusals: TTL 0, TTL inside BATCH, unknown USING option
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 0")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 5;
+           |APPLY BATCH""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TIMEOUT 5")
+    }
+  }
+
+  private def freshTypedTable(): String = {
+    val td = Files.createTempDirectory("cql-typed2").toString
+    Seq(("u-1", 1, "qty", 10L, 100L), ("u-2", 3, "qty", 20L, 100L),
+        ("u-2", 3, "price", 5L, 100L), ("u-3", 1, "qty", 30L, 100L),
+        ("u-3", 2, "qty", 31L, 100L), ("u-3", 4, "qty", 34L, 100L),
+        ("u-4", 1, "qty", 40L, 100L), ("u-5", 1, "qty", 50L, 100L),
+        ("u-6", 1, "qty", 60L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    td
+  }
+
+  private def typedRows(td: String): Set[(String, Int, String, Long)] =
+    spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .select("user", "ck", "col", "value")
+      .as[(String, Int, String, Long)].collect().toSet
+
+  test("typed UPDATE lands on the typed write path") {
+    val td = freshTypedTable()
+    Cql.execute(spark,
+      s"UPDATE $td SET qty = 99 WHERE user = 'u-1' AND ck = 1")
+    assert(typedRows(td).contains(("u-1", 1, "qty", 99L)))
+    // a pinned PAST timestamp is shadowed by the existing wt=100 cell
+    Cql.execute(spark, s"UPDATE $td USING TIMESTAMP 50 " +
+      "SET qty = 1 WHERE user = 'u-2' AND ck = 3")
+    assert(typedRows(td).contains(("u-2", 3, "qty", 20L)))
+    // multi-SET; pk IN fans out
+    Cql.execute(spark, s"UPDATE $td SET qty = 7, price = 8 " +
+      "WHERE user IN ('u-5', 'u-6') AND ck = 1")
+    assert(typedRows(td).contains(("u-5", 1, "price", 8L)))
+    assert(typedRows(td).contains(("u-6", 1, "qty", 7L)))
+    // refusals: SET on a key part, unbound ck, range in UPDATE WHERE
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"UPDATE $td SET ck = 2 WHERE user = 'u-1' AND ck = 1")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"UPDATE $td SET qty = 1 WHERE user = 'u-1'")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"UPDATE $td SET qty = 1 WHERE user = 'u-1' AND ck > 2")
+    }
+  }
+
+  test("typed DELETE writes the typed marker protocol") {
+    val td = freshTypedTable()
+    // row tombstone at a typed (pk, ck)
+    Cql.execute(spark, s"DELETE FROM $td WHERE user = 'u-1' AND ck = 1")
+    assert(!typedRows(td).exists(_._1 == "u-1"))
+    // single-cell tombstone
+    Cql.execute(spark, s"DELETE price FROM $td WHERE user = 'u-2' AND ck = 3")
+    assert(!typedRows(td).contains(("u-2", 3, "price", 5L)))
+    assert(typedRows(td).contains(("u-2", 3, "qty", 20L)))
+    // int-ck range tombstone
+    Cql.execute(spark,
+      s"DELETE FROM $td WHERE user = 'u-3' AND ck >= 2 AND ck <= 5")
+    assert(typedRows(td).filter(_._1 == "u-3").map(_._2) === Set(1))
+    // partition tombstone
+    Cql.execute(spark, s"DELETE FROM $td WHERE user = 'u-4'")
+    assert(!typedRows(td).exists(_._1 == "u-4"))
+    // pk IN fans out
+    Cql.execute(spark, s"DELETE FROM $td WHERE user IN ('u-5', 'u-6')")
+    assert(!typedRows(td).exists(r => r._1 == "u-5" || r._1 == "u-6"))
+    // boundary exclusive bound: empty range = no-op, NOT a wipe
+    val before = typedRows(td)
+    Cql.execute(spark,
+      s"DELETE FROM $td WHERE user = 'u-2' AND ck > 2147483647")
+    assert(typedRows(td) === before)
+    // a write PAST the deletion survives it
+    Cql.execute(spark, s"INSERT INTO $td (user, ck, qty) VALUES ('u-4', 1, 41)")
+    assert(typedRows(td).contains(("u-4", 1, "qty", 41L)))
+    // refusals: DELETE <col> without full ck; non-key predicate
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"DELETE qty FROM $td WHERE user = 'u-2'")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"DELETE FROM $td WHERE value = 20")
+    }
+  }
+
+  test("typed INSERT USING TTL (CEL11) round-trips through TTL(col)") {
+    val td = freshTypedTable()
+    Cql.execute(spark, s"INSERT INTO $td (user, ck, qty) " +
+      "VALUES ('u-9', 1, 5) USING TIMESTAMP 400 AND TTL 30")
+    val t = Cql.execute(spark,
+      s"SELECT TTL(qty) AS t FROM $td WHERE user = 'u-9'")
+    assert(t.as[Option[Long]].collect().toSeq === Seq(Some(30L)))
+    // and the expiry is live at queryTime past wt + ttl
+    val live = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "431")
+      .load(td).filter(col("user") === "u-9")
+    assert(live.count() === 0)
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
