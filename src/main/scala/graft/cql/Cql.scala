@@ -110,6 +110,16 @@ object Cql {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val AlterDropRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+(\w+)""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
+  private val AlterAddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)\s+(\w+)\s*;?\s*$""".r
+  private val CreateIdxRe =
+    ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
+  private val DropIdxRe =
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
 
   private val DeleteRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
@@ -357,6 +367,71 @@ object Cql {
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
       case TruncateRe(ks, t) =>
         spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
+      case AlterDropRe(ks, t, c, usingTs) =>
+        // Cassandra's ALTER TABLE DROP: record the drop timestamp in
+        // system metadata; cells written at-or-before it become
+        // invisible to reads forever (the C58 dropped_columns rule,
+        // applied by the merge cursor from the `dropped.<col>` table
+        // property). The deterministic "now" is the table's current
+        // max wt, so every existing cell hides and the next write
+        // (max + 1) is visible — a later re-ADD sees only new data,
+        // Cassandra's own re-add behavior.
+        val colName = c.toLowerCase
+        if (Seq("pk", "ck", "col", "value", "wt").contains(colName))
+          fail(s"cannot drop cell-model column $colName")
+        val dir = s"$root/$ks/$t"
+        val ts = Option(usingTs).map(_.toLong)
+          .getOrElse(nextWt(spark, dir) - 1)
+        spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+          s"SET TBLPROPERTIES ('dropped.$colName' = '$ts')")
+      case AlterAddRe(ks, t, c, typ) =>
+        // ALTER TABLE ADD: the cell model's data columns are dynamic
+        // (any `col` value), so ADD is pure metadata — validate the
+        // names and type, keep any `dropped.<col>` timestamp in place
+        // (pre-drop cells STAY hidden after a re-add; new writes get
+        // fresh wts above the drop ts and are visible — Cassandra's
+        // re-add rule), and succeed without touching data.
+        val colName = c.toLowerCase
+        if (Seq("pk", "ck", "col", "value", "wt").contains(colName))
+          fail(s"cannot add cell-model column $colName")
+        typ.toLowerCase match {
+          case "text" | "varchar" | "ascii" | "bigint" | "int" |
+              "double" | "boolean" | "blob" | "counter" =>
+          case o => fail(s"unsupported CQL type: $o")
+        }
+        // existence check only — fails fast on an unknown table
+        spark.sql(s"DESCRIBE TABLE $catalog.$ks.$t")
+        spark.emptyDataFrame
+      case CreateIdxRe(ifNot, nameOpt, ks, t, c) =>
+        // CREATE INDEX → a C18 inverted index table next to its base
+        // (default name <table>_<col>_idx, Cassandra's own), built
+        // now and REGISTERED for write-through maintenance: every
+        // later committed write refreshes it from the write path
+        // (C18f); out-of-band flushes still heal on read (C18d).
+        val colName = c.toLowerCase
+        val idxName = Option(nameOpt).map(_.trim).filter(_.nonEmpty)
+          .getOrElse(s"${t}_${colName}_idx")
+        val baseDir = s"$root/$ks/$t"
+        val idxDir = s"$root/$ks/$idxName"
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(idxDir))) {
+          if (ifNot == null) fail(s"index $ks.$idxName already exists")
+        } else graft.sources.CellIndex.build(spark, baseDir, idxDir,
+          colName, writeThrough = true)
+        spark.emptyDataFrame
+      case DropIdxRe(ifEx, ks, name) =>
+        val idxDir = s"$root/$ks/$name"
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(idxDir))) {
+          if (ifEx == null) fail(s"index $ks.$name does not exist")
+        } else {
+          // refuse to DROP INDEX a non-index cell table (no _base
+          // metadata) — that would be a disguised DROP TABLE
+          if (graft.sources.CellIndex.baseOf(idxDir).isEmpty)
+            fail(s"$ks.$name is not a secondary index")
+          graft.sources.CellIndex.drop(idxDir)
+        }
+        spark.emptyDataFrame
       case DeleteRe(colOpt, table, usingTs, where)
           if colOpt == null && usingTs == null &&
             table.matches("\\w+\\.\\w+") && {

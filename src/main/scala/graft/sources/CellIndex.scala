@@ -64,6 +64,16 @@ import org.apache.spark.sql.types.LongType
   * their dense ck in a fresh EPOCH band (epoch · 2^20 + seq) so they
   * can never LWW-collapse with an earlier build's entries for the
   * same indexed value.
+  *
+  * Write-through maintenance (round 9, C18f): `build(...,
+  * writeThrough = true)` registers the index in the BASE table's
+  * `_indexes` file, and every committed base write then drives the
+  * SAME delta-epoch refresh from the write path
+  * ([[maintainAfterWrite]], called by the DSv2 batch commit) — real
+  * Cassandra updates 2i at write time. Registration is OPT-IN:
+  * lazy-heal-on-read stays the default (a bulk-load pipeline at
+  * 100 TB usually wants one post-load build, not per-flush index
+  * work), and an unregistered index behaves exactly as before.
   */
 object CellIndex {
   private val Fmt = "graft.sources.CellSource"
@@ -106,7 +116,8 @@ object CellIndex {
     * fresh-but-incomplete.
     */
   def build(spark: SparkSession, dir: String, idxDir: String,
-      column: String, files: Int = 8): Unit = {
+      column: String, files: Int = 8,
+      writeThrough: Boolean = false): Unit = {
     val gen = generation(dir)
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
@@ -120,6 +131,96 @@ object CellIndex {
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
       s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
+    if (writeThrough) register(dir, idxDir)
+  }
+
+  // ---- write-through registry (C18f) ----
+
+  private val RegistryFile = "_indexes"
+
+  /** Register `idxDir` for write-through maintenance: every committed
+    * write to `baseDir` will refresh it (delta epoch append). The
+    * registry is one normalized index dir per line in the base
+    * table's `_indexes` file. Idempotent.
+    */
+  def register(baseDir: String, idxDir: String): Unit = {
+    val f = Paths.get(CellPlanning.normalize(baseDir))
+      .resolve(RegistryFile)
+    val norm = CellPlanning.normalize(idxDir)
+    val existing =
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toList
+          .map(_.trim).filter(_.nonEmpty)
+      else Nil
+    if (!existing.contains(norm))
+      Files.writeString(f, (existing :+ norm).mkString("", "\n", "\n"))
+  }
+
+  /** Remove `idxDir` from the base's write-through registry. */
+  def unregister(baseDir: String, idxDir: String): Unit = {
+    val f = Paths.get(CellPlanning.normalize(baseDir))
+      .resolve(RegistryFile)
+    if (!Files.exists(f)) return
+    val norm = CellPlanning.normalize(idxDir)
+    val kept = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .toList.map(_.trim).filter(l => l.nonEmpty && l != norm)
+    if (kept.isEmpty) Files.deleteIfExists(f)
+    else Files.writeString(f, kept.mkString("", "\n", "\n"))
+  }
+
+  /** The base table's registered (still-valid) write-through indexes:
+    * registry entries whose `_base` metadata still points at this
+    * base. A dropped/retargeted index simply stops matching.
+    */
+  def registered(baseDir: String): Seq[String] = {
+    val norm = CellPlanning.normalize(baseDir)
+    val f = Paths.get(norm).resolve(RegistryFile)
+    if (!Files.exists(f)) return Seq.empty
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .filter(idx => readMeta(idx).exists(_.baseDir == norm))
+  }
+
+  /** The index's recorded base table dir (from `_base` metadata). */
+  def baseOf(idxDir: String): Option[String] =
+    readMeta(idxDir).map(_.baseDir)
+
+  /** Drop an index: unregister it from its base and delete its dir. */
+  def drop(idxDir: String): Unit = {
+    readMeta(idxDir).foreach(m => unregister(m.baseDir, idxDir))
+    val root = Paths.get(CellPlanning.normalize(idxDir))
+    if (!Files.isDirectory(root)) return
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Using.resource(Files.list(p)) {
+          _.iterator().asScala.toList.foreach(deleteTree)
+        }
+      Files.delete(p)
+    }
+    deleteTree(root)
+  }
+
+  /** Write-path 2i maintenance (called by the DSv2 batch commit
+    * AFTER the new generation is published): refresh every registered
+    * index — exactly the C18d delta-epoch protocol, so a single
+    * flush costs one delta-sized pass per index, never a rebuild.
+    * Best-effort by design: the DATA commit above is already durable,
+    * so throwing here would report a false write failure; a skipped
+    * refresh just leaves the index detectably stale (generation
+    * mismatch), which the next lookup heals — the same lazy path
+    * unregistered indexes always take.
+    */
+  def maintainAfterWrite(baseDir: String): Unit = {
+    val idxs = registered(baseDir)
+    if (idxs.isEmpty) return
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach { spark =>
+        idxs.foreach { idx =>
+          try refresh(spark, idx)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
   }
 
   /** Shared entry derivation + write: dense per-value ck in the

@@ -3517,6 +3517,11 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
     // a crash before this line leaves a stale manifest, which readers
     // detect and fall back from.
     CellManifest.refresh(path)
+    // Write-through 2i (C18f): registered indexes absorb the flushes
+    // just published, via the same delta-epoch refresh the read-side
+    // heal uses — Cassandra maintains 2i at write time. Unregistered
+    // indexes keep the lazy heal-on-read contract.
+    CellIndex.maintainAfterWrite(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -282,6 +282,71 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("DDL: ALTER TABLE DROP/ADD and CREATE/DROP INDEX (C58 + C18f)") {
+    val root = Files.createTempDirectory("cql-ddl2").toString
+    spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ddlcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ddlcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("INSERT INTO ks.t (pk, ck, qty, price) VALUES (1, 1, 10, 5)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
+      // ALTER TABLE DROP records the drop ts (= current max wt) as
+      // the C58 dropped_columns property
+      cq("ALTER TABLE ks.t DROP qty")
+      val props = new java.util.Properties()
+      props.load(Files.newBufferedReader(
+        java.nio.file.Paths.get(root, "ks", "t", "_props")))
+      val dropTs = props.getProperty("dropped.qty")
+      assert(dropTs != null && dropTs.toLong >= 2L, dropTs)
+      // the property drives hiding on a reconciled read (C58)
+      val hidden = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("droppedColumns", s"qty:$dropTs")
+        .load(s"$root/ks/t").select("col").as[String].collect().toSet
+      assert(hidden === Set("price"))
+      // re-ADD keeps the drop ts (old cells stay hidden); a write
+      // after the re-add is visible — Cassandra's re-add rule
+      cq("ALTER TABLE ks.t ADD qty bigint")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
+      val after = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("droppedColumns", s"qty:$dropTs")
+        .load(s"$root/ks/t")
+        .select("pk", "col").as[(Long, String)].collect().toSet
+      assert(after === Set((1L, "price"), (3L, "qty")))
+      // model columns refuse
+      intercept[IllegalArgumentException] { cq("ALTER TABLE ks.t DROP pk") }
+      intercept[IllegalArgumentException] {
+        cq("ALTER TABLE ks.t ADD extra uuid")
+      }
+      // CREATE INDEX (default Cassandra name) builds + registers for
+      // write-through: a plain CQL INSERT keeps it fresh, no refresh
+      cq("CREATE INDEX ON ks.t (price)")
+      val idxDir = s"$root/ks/t_price_idx"
+      assert(Files.isDirectory(java.nio.file.Paths.get(idxDir)))
+      cq("INSERT INTO ks.t (pk, ck, price) VALUES (4, 1, 5)")
+      assert(!graft.sources.CellIndex.isStale(idxDir))
+      assert(graft.sources.CellIndex
+        .lookupPks(spark, idxDir, 5L, onStale = "fail")
+        .as[Long].collect().toSet === Set(1L, 4L))
+      // IF NOT EXISTS tolerates the existing index; bare re-create fails
+      cq("CREATE INDEX IF NOT EXISTS ON ks.t (price)")
+      intercept[IllegalArgumentException] { cq("CREATE INDEX ON ks.t (price)") }
+      // DROP INDEX removes it; a non-index table refuses the disguise
+      intercept[IllegalArgumentException] { cq("DROP INDEX ks.t") }
+      cq("DROP INDEX ks.t_price_idx")
+      assert(!Files.isDirectory(java.nio.file.Paths.get(idxDir)))
+      intercept[IllegalArgumentException] { cq("DROP INDEX ks.t_price_idx") }
+      cq("DROP INDEX IF EXISTS ks.t_price_idx") // tolerated
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ddlcat")
+      spark.conf.unset("spark.sql.catalog.ddlcat.root")
+    }
+  }
+
   test("property: random CQL write programs match the sequential model") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}

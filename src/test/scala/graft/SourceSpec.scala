@@ -2076,6 +2076,54 @@ class SourceSpec extends GraftSpec {
     assert(!CellIndex.isStale(idx))
   }
 
+  test("write-through 2i: registered index stays fresh across " +
+      "writes; out-of-band flushes still heal (C18f)") {
+    import graft.sources.CellIndex
+    import java.nio.file.{Files => JF, Paths => JP}
+    val base = Files.createTempDirectory("cells-idxf-base").toString
+    val idx = Files.createTempDirectory("cells-idxf").toString
+    CellSource.writeSnapshot(base, Seq(
+      (1L, 1, "qty", 100L, 10L),
+      (2L, 1, "qty", 200L, 10L)), files = 1)
+    CellIndex.build(spark, base, idx, "qty", writeThrough = true)
+    // a PLAIN append through the DSv2 writer maintains the index from
+    // the write path: no refresh call, and onStale=fail proves it
+    Seq((9L, 1, "qty", 777L, 10L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 777L, onStale = "fail")
+      .as[Long].collect().toSet == Set(9L))
+    // out-of-band write (registry bypassed — simulates a file-level
+    // restore / foreign writer): staleness is detected and the lazy
+    // C18d heal still serves
+    val reg = JP.get(base).resolve("_indexes")
+    val regContent = JF.readString(reg)
+    JF.delete(reg)
+    Seq((8L, 1, "qty", 555L, 10L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    JF.writeString(reg, regContent)
+    assert(CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 555L) // default: heal
+      .as[Long].collect().toSet == Set(8L))
+    assert(!CellIndex.isStale(idx))
+    // write-through resumes after the heal
+    Seq((7L, 1, "qty", 444L, 10L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(base)
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 444L, onStale = "fail")
+      .as[Long].collect().toSet == Set(7L))
+    // drop unregisters and deletes
+    CellIndex.drop(idx)
+    assert(!JF.exists(JP.get(idx)))
+    assert(CellIndex.registered(base).isEmpty)
+  }
+
   test("typed ck zone maps prune chunks for slices (C37b/CEL8)") {
     val d = Files.createTempDirectory("cells-typed-ckzone").toString
     // ONE text-keyed partition, ck grows with record index → chunks
