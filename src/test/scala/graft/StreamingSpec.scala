@@ -300,6 +300,60 @@ class StreamingSpec extends GraftSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("typed-CDC stream (CEL6): flushes deliver incrementally and " +
+      "the LWW view converges") {
+    import graft.sources.CellSource
+    val d = java.nio.file.Files
+      .createTempDirectory("cdc-typed").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("cdc-typed-store").resolve("acc").toString
+    def flush(rows: Seq[(String, Int, String, Long, Long)]): Unit =
+      rows.toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(d)
+    flush(Seq(("u-1", 1, "qty", 10L, 100L), ("u-2", 1, "qty", 20L, 100L)))
+    var batches = 0
+    val q = spark.readStream.format("graft.sources.CellSource").load(d)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) batches += 1
+        batch.write.mode("append").parquet(store)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the LWW winner for (u-1, 1, qty) now lives in a LATER flush;
+      // u-3 is new — both must arrive as their own micro-batch
+      flush(Seq(("u-1", 1, "qty", 99L, 200L), ("u-3", 2, "price", 5L, 100L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches >= 2, s"expected incremental delivery, got $batches")
+    val streamed = spark.read.parquet(store)
+    // raw delivery is complete: every cell version arrived exactly once
+    val raw = spark.read.format("graft.sources.CellSource").load(d)
+      .select("user", "ck", "col", "value", "wt")
+      .as[(String, Int, String, Long, Long)].collect().toSeq.sorted
+    assert(streamed.select("user", "ck", "col", "value", "wt")
+      .as[(String, Int, String, Long, Long)]
+      .collect().toSeq.sorted === raw)
+    // LWW across micro-batches converges to the typed reconciled read
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user"), col("ck"), col("col"))
+      .orderBy(col("wt").desc)
+    val lww = streamed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user", "ck", "col", "value", "wt")
+      .as[(String, Int, String, Long, Long)].collect().toSet
+    val want = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("user", "ck", "col", "value", "wt")
+      .as[(String, Int, String, Long, Long)].collect().toSet
+    assert(lww === want)
+    assert(want.contains(("u-1", 1, "qty", 99L, 200L)))
+  }
+
   test("connector as streaming SINK: epochs publish as flushes") {
     val dir = java.nio.file.Files
       .createTempDirectory("cells-sink").toString
