@@ -374,4 +374,60 @@ class PlanSpec extends GraftSpec {
     assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate)"), p6)
     assert(p6.contains("partial_sum"), p6)
   }
+
+  test("registry-wide plan lint: no cartesian product or nested-loop " +
+      "join outside the audited allowlist") {
+    // The machine-checked "plans you'd want at 100x" bar: EVERY
+    // declared query is planned and refused if it contains a
+    // CartesianProduct or BroadcastNestedLoopJoin, unless the query
+    // is on this audited allowlist — each entry names WHY its
+    // nested-loop shape is bounded/intentional. A new query that
+    // accidentally plans a cross product fails this test, not the
+    // 100 TB cluster.
+    // Audited this round: each nested-loop's build side is an
+    // explicit broadcast() of a BOUNDED relation (one-row totals,
+    // k query vectors, m x 16 codebooks, <=256-row models) or a
+    // bounded dim pair — the shapes the 100 TB designs call for.
+    val allowed: Map[String, String] = Map(
+      "Q_JOIN7_cross" -> "explicit CROSS JOIN of region x nation (5 x 25)",
+      "Q_JOIN8_theta" -> ("theta self-join on supplier; banded twin " +
+        "is Q_JOIN15 (the scale path), documented at the query"),
+      "Q_SAMP1_tablesample" -> "sample crossJoin broadcast(one-row total)",
+      "N_SIM1_cosine_topk" -> "crossJoin broadcast(k query vectors)",
+      "N_SIM7_batch_topk" -> "crossJoin broadcast(5 query vectors)",
+      "N_SIM4_ivf_topk" -> "probe list: broadcast(codebook x query)",
+      "N_SIM5_quantized" -> "crossJoin broadcast(1 query vector)",
+      "N_SIM9_pq_rerank" -> "rerank joins broadcast(candidate ids)",
+      "N_DEDUP9_semdedup" -> ("cluster-blocked: crossJoin " +
+        "broadcast(centroids, k rows)"),
+      "N_TEXT2_tfidf" -> "idf crossJoin broadcast(one-row doc count)",
+      "N_TEXT8_bigram_pmi" -> "pmi crossJoin one-row total counts",
+      "N_UDF1_cosine_udf" -> "crossJoin broadcast(1 query vector)",
+      "S_STATE2_watermark" -> ("events crossJoin broadcast(one-row " +
+        "max event time)"),
+      "N_SKETCH4_kmv_jaccard" -> "one-row sketch crossJoin one-row exact",
+      "N_MIX1_domain_weights" -> "crossJoin broadcast(one-row total mass)",
+      "N_TOK3_bpe_merges" -> ("per round: crossJoin " +
+        "broadcast(ONE-ROW best pair)"),
+      "N_SCORE2_lm_perplexity" -> ("crossJoin one-row totals; " +
+        "model is a broadcast equi-join"),
+      "N_SCORE3_dsir_weights" -> "crossJoin one-row vocab size",
+      "N_SAMP4_dsir_resample" -> "crossJoin one-row weight total")
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    Registry.all.foreach { q =>
+      val p =
+        try plan(q.fn(spark, sf()))
+        catch {
+          case e: Throwable =>
+            fail(s"${q.name} failed to build/plan: ${e.getMessage}")
+        }
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin")
+      if ((cart || bnlj) && !allowed.contains(q.name))
+        bad += s"${q.name} (${if (cart) "cartesian" else "nested-loop"})"
+    }
+    assert(bad.isEmpty,
+      s"queries planning a cross-product shape without an audited " +
+        s"allowlist entry:\n  ${bad.mkString("\n  ")}")
+  }
 }
