@@ -268,7 +268,57 @@ object Streaming {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, start_ts""".stripMargin
 
+  // S_STATE4 — batch twin of the event-time-timer sessions
+  // (StreamingOps.timerSessions): the same 30-min-gap session close
+  // the SessionTimerProcessor implements, declared as gaps-and-
+  // islands so the session-close OUTPUT SHAPE (user_id, n, first_ms,
+  // last_ms — second-floored epoch ms, exactly the processor's
+  // `cast(ts as long) * 1000`) is hash-checked against the oracle.
+  // StreamingSpec drives the real timer machinery over an ordered
+  // multi-batch feed and asserts it converges to this twin.
+  private def timerSessionsTwin(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tsec", col("ts").cast("long"))
+      .withColumn("prev", lag(col("tsec"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tsec") - col("prev") > 1800, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("tsec")) * 1000).as("first_ms"),
+        (max(col("tsec")) * 1000).as("last_ms"))
+      .select(col("user_id"), col("n"), col("first_ms"), col("last_ms"))
+      .orderBy(col("user_id"), col("first_ms"))
+  }
+
+  private val timerSessionsTwinSql =
+    """WITH l AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, tsec, LAG(tsec) OVER (
+      |    PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+      |  FROM l),
+      |s AS (
+      |  SELECT user_id, tsec,
+      |    SUM(CASE WHEN prev IS NULL OR tsec - prev > 1800
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(tsec) * 1000 AS BIGINT) AS first_ms,
+      |  CAST(MAX(tsec) * 1000 AS BIGINT) AS last_ms
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, first_ms""".stripMargin
+
   def all: Seq[GQuery] = Seq(
+    GQuery("S_STATE4_timer_sessions", timerSessionsTwin,
+      Some(timerSessionsTwinSql)),
     GQuery("S_WIN4_session_native", sessionNative, Some(sessionNativeSql)),
     GQuery("S_JOIN1_interval_join", intervalJoin, Some(intervalJoinSql)),
     GQuery("S_JOIN2_stream_static", streamStatic, Some(streamStaticSql)),

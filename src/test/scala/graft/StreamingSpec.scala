@@ -200,6 +200,47 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("timer sessions converge to the S_STATE4 batch twin's " +
+      "gaps-and-islands output") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](spark)
+      val q = StreamingOps.timerSessions(spark, in.toDF()).writeStream
+        .outputMode("append").format("memory")
+        .queryName("timer_sessions_twin").start()
+      // ts-ordered feed; user 8 is the watermark ticker. Sessions:
+      // user 7 = {0,1,2} and {120,125}; user 9 = {60}.
+      in.addData(Ev(1, ts(0), 7, "c", 1.0), Ev(2, ts(1), 7, "c", 1.0),
+        Ev(3, ts(2), 7, "c", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts(50), 8, "c", 1.0)) // wm -> 40 > 2+30
+      q.processAllAvailable()
+      in.addData(Ev(5, ts(60), 9, "c", 1.0)) // 7's first session closes
+      q.processAllAvailable()
+      in.addData(Ev(6, ts(120), 7, "c", 1.0), Ev(7, ts(125), 7, "c", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(8, ts(170), 8, "c", 1.0)) // wm -> 160 > 125+30, 60+30
+      q.processAllAvailable()
+      in.addData(Ev(9, ts(171), 8, "c", 1.0)) // timers fire on new wm
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("timer_sessions_twin")
+        .filter(col("user_id").isin(7L, 9L))
+        .select("user_id", "n", "first_ms", "last_ms")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // exactly the gaps-and-islands sessions the S_STATE4 batch twin
+      // (S_STATE4_timer_sessions, queries/Streaming.scala) declares
+      val want = Set(
+        (7L, 3L, ts(0).getTime, ts(2).getTime),
+        (7L, 2L, ts(120).getTime, ts(125).getTime),
+        (9L, 1L, ts(60).getTime, ts(60).getTime))
+      assert(got === want)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join pairs clicks with purchases (S_JOIN1)") {
     val clicks = MemoryStream[Ev](spark)
     val purchases = MemoryStream[Ev](spark)
