@@ -46,10 +46,17 @@ object NorthStar {
       |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
       |  FROM toks),
       |sig AS (
-      |  SELECT doc_id, list_transform(range(0, 8), i ->
-      |    list_min(list_transform(shingles, s2 ->
-      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  FROM sh WHERE len(shingles) > 0),
+      |  -- 8 permutations = disjoint 8-hex windows of two digests per
+      |  -- shingle (md5(s) || md5(':' || s)), min per window — mirrors
+      |  -- Dedup.minhashSignaturesRelational. Docs with no shingles
+      |  -- drop naturally (unnest of an empty list emits no rows).
+      |  SELECT doc_id, [min(substr(h, 1, 8)), min(substr(h, 9, 8)),
+      |    min(substr(h, 17, 8)), min(substr(h, 25, 8)),
+      |    min(substr(h, 33, 8)), min(substr(h, 41, 8)),
+      |    min(substr(h, 49, 8)), min(substr(h, 57, 8))] AS sg
+      |  FROM (SELECT doc_id, md5(s2) || md5(':' || s2) AS h
+      |    FROM (SELECT doc_id, unnest(shingles) AS s2 FROM sh))
+      |  GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||
@@ -104,13 +111,18 @@ object NorthStar {
       |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
       |  FROM toks),
       |sig AS (
-      |  SELECT doc_id, list_transform(range(0, 8), i ->
-      |    list_min(list_transform(shingles, s2 ->
-      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  -- docs with no shingles are dropped, mirroring the Spark
-      |  -- pipeline (explode emits no rows) — without this, all-NULL
-      |  -- signatures band to md5('') and pair every short doc
-      |  FROM shl WHERE len(shingles) > 0),
+      |  -- 8 permutations = disjoint 8-hex windows of two digests per
+      |  -- shingle (md5(s) || md5(':' || s)), min per window — mirrors
+      |  -- Dedup.minhashSignaturesRelational. Docs with no shingles
+      |  -- drop naturally (unnest of an empty list emits no rows), so
+      |  -- all-NULL signatures can never band short docs together.
+      |  SELECT doc_id, [min(substr(h, 1, 8)), min(substr(h, 9, 8)),
+      |    min(substr(h, 17, 8)), min(substr(h, 25, 8)),
+      |    min(substr(h, 33, 8)), min(substr(h, 41, 8)),
+      |    min(substr(h, 49, 8)), min(substr(h, 57, 8))] AS sg
+      |  FROM (SELECT doc_id, md5(s2) || md5(':' || s2) AS h
+      |    FROM (SELECT doc_id, unnest(shingles) AS s2 FROM shl))
+      |  GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||
@@ -156,13 +168,18 @@ object NorthStar {
       |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
       |  FROM toks),
       |sig AS (
-      |  SELECT doc_id, list_transform(range(0, 8), i ->
-      |    list_min(list_transform(shingles, s2 ->
-      |      substr(md5(CAST(i AS VARCHAR) || ':' || s2), 1, 16)))) AS sg
-      |  -- docs with no shingles are dropped, mirroring the Spark
-      |  -- pipeline (explode emits no rows) — without this, all-NULL
-      |  -- signatures band to md5('') and pair every short doc
-      |  FROM shl WHERE len(shingles) > 0),
+      |  -- 8 permutations = disjoint 8-hex windows of two digests per
+      |  -- shingle (md5(s) || md5(':' || s)), min per window — mirrors
+      |  -- Dedup.minhashSignaturesRelational. Docs with no shingles
+      |  -- drop naturally (unnest of an empty list emits no rows), so
+      |  -- all-NULL signatures can never band short docs together.
+      |  SELECT doc_id, [min(substr(h, 1, 8)), min(substr(h, 9, 8)),
+      |    min(substr(h, 17, 8)), min(substr(h, 25, 8)),
+      |    min(substr(h, 33, 8)), min(substr(h, 41, 8)),
+      |    min(substr(h, 49, 8)), min(substr(h, 57, 8))] AS sg
+      |  FROM (SELECT doc_id, md5(s2) || md5(':' || s2) AS h
+      |    FROM (SELECT doc_id, unnest(shingles) AS s2 FROM shl))
+      |  GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
       |    CAST(b AS VARCHAR) || ':' ||
