@@ -36,7 +36,7 @@ object Cql {
   private val Fmt = "graft.sources.CellSource"
 
   private val SelectRe =
-    ("""(?is)^\s*SELECT\s+(JSON\s+)?(.+?)\s+FROM\s+(\S+?)""" +
+    ("""(?is)^\s*SELECT\s+(JSON\s+)?(DISTINCT\s+)?(.+?)\s+FROM\s+(\S+?)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+GROUP\s+BY\s+([\w\s,]+?))?""" +
       """(?:\s+ORDER\s+BY\s+([\w\s,]+?))?""" +
@@ -143,8 +143,10 @@ object Cql {
       lwtInsert(spark, resolve(table), cols, vals)
     case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
       lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
-    case SelectRe(json, cols, table, where, group, order, ppl, lim, af) =>
-      select(spark, resolve(table), Option(json).isDefined, cols.trim,
+    case SelectRe(json, dist, cols, table, where, group, order, ppl,
+        lim, af) =>
+      select(spark, resolve(table), Option(json).isDefined,
+        Option(dist).isDefined, cols.trim,
         Option(where), Option(group), Option(order),
         Option(ppl).map(_.toInt), Option(lim).map(_.toInt),
         Option(af).isDefined)
@@ -544,10 +546,10 @@ object Cql {
     """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
 
-  /** Parsed WHERE: the filter columns and their predicate list. */
-  private def predicates(where: String): Seq[(String, Column)] =
+  /** Parsed WHERE terms: the filter columns and their predicates. */
+  private def predicates(terms: Seq[String]): Seq[(String, Column)] =
     // CQL WHERE is a pure AND-conjunction (no OR, no parens)
-    where.split("(?i)\\s+AND\\s+").toSeq.map {
+    terms.map {
       case InRe(c, vs) if c.equalsIgnoreCase("ck") =>
         // the scan pushes In(pk) but not In(ck): refusing is honest,
         // serving it as a residual full-partition filter is not
@@ -612,24 +614,73 @@ object Cql {
   private val TtlRe =
     """(?is)^\s*TTL\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
+  private val TokenPredRe =
+    """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(=|<=|>=|<|>)\s*([-+]?\d+)\s*$""".r
+
   private def select(spark: SparkSession, dir: String, json: Boolean,
-      cols: String, where: Option[String], group: Option[String],
-      order: Option[String], ppl: Option[Int], lim: Option[Int],
-      allowFiltering: Boolean): DataFrame = {
-    val preds = where.map(predicates).getOrElse(Seq.empty)
+      distinct: Boolean, cols: String, where: Option[String],
+      group: Option[String], order: Option[String], ppl: Option[Int],
+      lim: Option[Int], allowFiltering: Boolean): DataFrame = {
+    val spec = graft.sources.CellSource.keySpec(dir)
     // key columns of THIS table's layout (pk/ck on the default spec,
     // the named parts on a typed one) — the ALLOW FILTERING guards
     // below must not mistake a typed key predicate for a data one
-    val keyCols: Set[String] = {
-      val spec = graft.sources.CellSource.keySpec(dir)
+    val keyCols: Set[String] =
       (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase).toSet
+    val modelCols = Set("col", "value", "wt")
+    val terms = where.map(_.split("(?i)\\s+AND\\s+").toSeq)
+      .getOrElse(Seq.empty)
+    // `token(pk[, ...])` range predicates → the C41 physical
+    // token-range scan (Cassandra's full-scan/paging/repair idiom).
+    // Bounds saturate at the ring edges: an exclusive bound AT the
+    // edge is a provably empty range, never a wrapped one.
+    var tokLo = Long.MinValue
+    var tokHi = Long.MaxValue
+    var tokEmpty = false
+    var hasTok = false
+    val nonTokenTerms = terms.filter {
+      case TokenPredRe(parts, op, v) =>
+        val named = parts.split(',').map(_.trim.toLowerCase).toSeq
+        if (named != spec.pkParts.map(_.name.toLowerCase))
+          fail("token() must name the partition key (" +
+            spec.pkParts.map(_.name).mkString(", ") + ")")
+        hasTok = true
+        val x = v.toLong
+        op match {
+          case "=" =>
+            tokLo = math.max(tokLo, x); tokHi = math.min(tokHi, x)
+          case ">" =>
+            if (x == Long.MaxValue) tokEmpty = true
+            else tokLo = math.max(tokLo, x + 1)
+          case ">=" => tokLo = math.max(tokLo, x)
+          case "<" =>
+            if (x == Long.MinValue) tokEmpty = true
+            else tokHi = math.min(tokHi, x - 1)
+          case "<=" => tokHi = math.min(tokHi, x)
+        }
+        false
+      case _ => true
     }
+    if (tokLo > tokHi) tokEmpty = true
+    // Equality on a column that is neither a key part nor a
+    // cell-model column = a DATA-column predicate; Cassandra serves
+    // it without ALLOW FILTERING iff a secondary index exists.
+    val idxPreds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Any)]
+    val regularTerms = nonTokenTerms.filter {
+      case PredRe(c, "=", v)
+          if !keyCols.contains(c.toLowerCase) &&
+            !modelCols.contains(c.toLowerCase) =>
+        idxPreds += ((c.toLowerCase, literal(v))); false
+      case _ => true
+    }
+    val preds = predicates(regularTerms)
     // PER PARTITION LIMIT counts rows INSIDE the merge cursor, i.e.
     // before any residual data predicate — combining them would
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
-    if (ppl.isDefined && preds.exists { case (c, _) =>
-        !keyCols.contains(c) })
+    if (ppl.isDefined && (idxPreds.nonEmpty || preds.exists {
+        case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
     // WRITETIME(c) / TTL(c) narrow the cell relation with an INTERNAL
@@ -645,16 +696,74 @@ object Cql {
     if (fnNarrows && !allowFiltering &&
         preds.exists { case (c, _) => !keyCols.contains(c) })
       fail("WRITETIME/TTL with data predicates needs ALLOW FILTERING")
-    val relaxed = allowFiltering || fnNarrows
-    var reader = spark.read.format(Fmt).option("reconcile", "true")
-      .option("strictCql", (!relaxed).toString)
-      .option("allowFiltering", relaxed.toString)
-    // TTL(c) needs the winning cell's absolute expiry pseudo-column
-    if (hasTtl) reader = reader.option("withTtl", "true")
-    ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
-    var df = reader.load(dir)
+    if (distinct) {
+      // CQL: SELECT DISTINCT <partition key parts> — nothing else
+      if (group.isDefined || fnNarrows)
+        fail("SELECT DISTINCT takes only the partition key")
+      val named = cols.split(',').map(_.trim.toLowerCase).toSeq
+      if (named != spec.pkParts.map(_.name.toLowerCase))
+        fail("SELECT DISTINCT must name exactly the partition key (" +
+          spec.pkParts.map(_.name).mkString(", ") + ")")
+    }
+    var df =
+      if (idxPreds.nonEmpty) {
+        // Index-routed read (C18): restrict the base to the hit pks
+        // via the registered index, then re-apply the predicate on
+        // the base cells — Cassandra's own index-then-fetch-then-
+        // filter contract (index false positives drop here).
+        if (idxPreds.length > 1)
+          fail("one indexed data predicate per statement")
+        val (ic, iv) = idxPreds.head
+        if (hasTok)
+          fail("token ranges cannot combine with an indexed predicate")
+        if (fnNarrows)
+          fail("WRITETIME/TTL cannot combine with an indexed predicate")
+        val idxDir = graft.sources.CellIndex.registered(dir)
+          .find(i => graft.sources.CellIndex.columnOf(i).contains(ic))
+          .getOrElse(fail(s"no secondary index on $ic — create one " +
+            "(CREATE INDEX) or use the cell-model columns with " +
+            "ALLOW FILTERING"))
+        graft.sources.CellIndex.lookupBase(spark, dir, idxDir, iv)
+          .filter(col("col") === ic && col("value") === lit(iv))
+      } else {
+        val relaxed = allowFiltering || fnNarrows
+        var reader = spark.read.format(Fmt).option("reconcile", "true")
+          .option("strictCql", (!relaxed).toString)
+          .option("allowFiltering", relaxed.toString)
+        // TTL(c) needs the winning cell's absolute expiry pseudo-column
+        if (hasTtl) reader = reader.option("withTtl", "true")
+        if (hasTok && !tokEmpty)
+          reader = reader.option("tokenRange", s"$tokLo:$tokHi")
+        ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
+        val loaded = reader.load(dir)
+        if (tokEmpty) loaded.filter(lit(false)) else loaded
+      }
     preds.foreach { case (_, p) => df = df.filter(p) }
+    if (distinct)
+      df = df.select(
+        spec.pkParts.map(p => col(p.name)).toIndexedSeq: _*).distinct()
     group match {
+      case _ if distinct => // projection handled above
+      case None if cols != "*" &&
+          cols.split(',').map(_.trim)
+            .forall(i => AggRe.findFirstIn(i).isDefined) =>
+        // global aggregates (no GROUP BY): SELECT count(*) / max(wt) …
+        // — count/max(wt) land on the C20 header-agg pushdown when
+        // the scan serves it
+        val aggs = cols.split(',').map(_.trim).map {
+          case AggRe(fn, arg, alias) =>
+            val e = fn.toLowerCase match {
+              case "count" => count(lit(1)).cast("long")
+              case "min" => min(col(arg))
+              case "max" => max(col(arg))
+              case "sum" => sum(col(arg))
+              case "avg" => avg(col(arg))
+            }
+            e.as(Option(alias).getOrElse(
+              s"${fn.toLowerCase}(${arg.toLowerCase})"))
+        }
+        df = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      case g => g match {
       case Some(g) =>
         val keys = g.split(',').map(_.trim).filter(_.nonEmpty)
         val aggs = cols.split(',').map(_.trim).flatMap {
@@ -724,6 +833,7 @@ object Cql {
           df = df.select(items.toIndexedSeq: _*)
         }
       case None => // SELECT *
+      }
     }
     // ORDER BY / LIMIT run on the row relation BEFORE any JSON
     // rendering (cqlsh orders rows, then renders each as JSON) — the

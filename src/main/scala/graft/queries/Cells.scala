@@ -1252,6 +1252,73 @@ object Cells {
       |  MAX(wt) AS last_wt
       |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
 
+  // C65c — CQL token-range paging through the front door: the
+  // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
+  // idiom lands on the C41 physical token-range scan (Summary/
+  // manifest pruning before the merge). Identity tokens on the
+  // default layout, so the oracle is a pk range.
+  private def cqlTokenRange(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT pk, ck, col, value FROM $dir " +
+        "WHERE token(pk) > 500 AND token(pk) <= 1500 " +
+        "ORDER BY pk, ck, col")
+  }
+
+  private val cqlTokenRangeSql = cte +
+    """SELECT pk, ck, col, value FROM merged
+      |WHERE pk > 500 AND pk <= 1500
+      |ORDER BY pk, ck, col""".stripMargin
+
+  // C65d — CQL `SELECT DISTINCT pk` (+ token paging, the Cassandra
+  // partition-enumeration idiom): distinct partition keys of the
+  // reconciled view — a tombstoned-away partition must NOT appear.
+  private def cqlDistinct(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT DISTINCT pk FROM $dir WHERE token(pk) > 1000 ORDER BY pk")
+  }
+
+  private val cqlDistinctSql = cte +
+    """SELECT DISTINCT pk FROM merged
+      |WHERE pk > 1000 ORDER BY pk""".stripMargin
+
+  // C65e — CQL global aggregates (no GROUP BY): count/min/max over
+  // the reconciled relation through the front door.
+  private def cqlGlobalAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT count(*) AS n_cells, min(wt) AS first_wt, " +
+        s"max(wt) AS last_wt FROM $dir")
+  }
+
+  private val cqlGlobalAggSql = cte +
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  MIN(wt) AS first_wt, MAX(wt) AS last_wt
+      |FROM merged""".stripMargin
+
+  // C65f — CQL data-column predicate served by a registered secondary
+  // index, no ALLOW FILTERING (Cassandra's own contract): the front
+  // door finds the index in the table's registry, restricts the base
+  // to the hit pks through the C18 point-scan machinery, and
+  // re-applies the predicate on the fetched cells (index false
+  // positives drop on the base re-read).
+  private def cqlIndexedWhere(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    val idx = CellSnapshots.ensureIndexed(s, d)
+    // idempotent: expose the fixture's index through the registry the
+    // front door consults (the snapshot is immutable after build, so
+    // registration adds no write-path work)
+    graft.sources.CellIndex.register(dir, idx)
+    graft.cql.Cql.execute(s,
+      s"SELECT pk, ck, value FROM $dir WHERE qty = 2500 ORDER BY pk, ck")
+  }
+
+  private val cqlIndexedWhereSql = cte +
+    """SELECT pk, ck, value FROM merged
+      |WHERE col = 'qty' AND value = 2500
+      |ORDER BY pk, ck""".stripMargin
+
   // C49c — grouped pushdown extended to a CLUSTERING-column prefix
   // (Cassandra 3.10's `GROUP BY pk, ck`): one group per reconciled
   // ROW, counting its live cells. Winners stream (pk, ck, col)-sorted
@@ -1324,6 +1391,11 @@ object Cells {
     GQuery("C64_contains_index", containsIndex, Some(containsIndexSql)),
     GQuery("C65_cql_select", cqlSelect, Some(cqlSelectSql)),
     GQuery("C65b_cql_group", cqlGroup, Some(cqlGroupSql)),
+    GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
+    GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
+    GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),
+    GQuery("C65f_cql_indexed_where", cqlIndexedWhere,
+      Some(cqlIndexedWhereSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

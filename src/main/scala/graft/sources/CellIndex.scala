@@ -185,6 +185,10 @@ object CellIndex {
   def baseOf(idxDir: String): Option[String] =
     readMeta(idxDir).map(_.baseDir)
 
+  /** The index's recorded indexed column (from `_base` metadata). */
+  def columnOf(idxDir: String): Option[String] =
+    readMeta(idxDir).map(_.column)
+
   /** Drop an index: unregister it from its base and delete its dir. */
   def drop(idxDir: String): Unit = {
     readMeta(idxDir).foreach(m => unregister(m.baseDir, idxDir))

@@ -716,6 +716,77 @@ class CqlSpec extends GraftSpec {
     assert(live.count() === 0)
   }
 
+  test("token() range predicates route to the C41 token-range scan") {
+    val d = freshTable()
+    val df = Cql.execute(spark,
+      s"SELECT pk, ck, col FROM $d WHERE token(pk) >= 2 " +
+        "AND token(pk) < 3 ORDER BY pk, ck, col")
+    // the range reached the scan as physical token bounds
+    assert(df.queryExecution.executedPlan.toString
+      .contains("tokenRange=[2,2]") ||
+      df.queryExecution.executedPlan.toString.contains("pkRange=[2,2]"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.as[(Long, Int, String)].collect().toSeq ===
+      Seq((2L, 1, "price"), (2L, 1, "qty")))
+    // an exclusive bound AT the ring edge is empty, never wrapped
+    val empty = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE token(pk) > 9223372036854775807")
+    assert(empty.count() === 0)
+    // token() must name the partition key
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE token(ck) > 0")
+    }
+  }
+
+  test("SELECT DISTINCT returns the partition keys, nothing else") {
+    val d = freshTable()
+    val df = Cql.execute(spark,
+      s"SELECT DISTINCT pk FROM $d ORDER BY pk")
+    assert(df.schema.fieldNames.toSeq === Seq("pk"))
+    assert(df.as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // DISTINCT composes with token paging (the Cassandra idiom)
+    val page = Cql.execute(spark,
+      s"SELECT DISTINCT pk FROM $d WHERE token(pk) > 1 ORDER BY pk")
+    assert(page.as[Long].collect().toSeq === Seq(2L, 3L))
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT DISTINCT ck FROM $d")
+    }
+  }
+
+  test("global aggregates without GROUP BY serve") {
+    val d = freshTable()
+    val g = Cql.execute(spark,
+      s"SELECT count(*) AS n, max(wt) AS mw FROM $d")
+    assert(g.as[(Long, Long)].collect().toSeq === Seq((5L, 100L)))
+    val k = Cql.execute(spark,
+      s"SELECT sum(value) AS s FROM $d WHERE pk = 1")
+    assert(k.as[Long].collect().toSeq === Seq(30L))
+  }
+
+  test("indexed data predicates serve without ALLOW FILTERING (C18)") {
+    val d = freshTable()
+    val idx = Files.createTempDirectory("cql-idx").toString
+    graft.sources.CellIndex.build(spark, d, idx, "qty",
+      writeThrough = true)
+    val df = Cql.execute(spark, s"SELECT pk, ck FROM $d WHERE qty = 10")
+    assert(df.as[(Long, Int)].collect().toSeq === Seq((1L, 1)))
+    // composes with a key predicate (applied on the fetched base)
+    val both = Cql.execute(spark,
+      s"SELECT pk, ck, value FROM $d WHERE qty = 30 AND pk = 2")
+    assert(both.as[(Long, Int, Long)].collect().toSeq ===
+      Seq((2L, 1, 30L)))
+    // write-through keeps the route fresh: insert then query again
+    Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 10)")
+    val fresh = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty = 10 ORDER BY pk")
+    assert(fresh.as[Long].collect().toSeq === Seq(1L, 9L))
+    // an unindexed data column still refuses
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE price = 5")
+    }
+    assert(e.getMessage.contains("no secondary index"), e.getMessage)
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
