@@ -164,9 +164,11 @@ object Cql {
       val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
       val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (spec.isDefault)
-        appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
-      else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      if (spec.isDefault) {
+        if (hasCollectionSyntax(sets))
+          collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
+        else appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
+      } else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
       val dir = resolve(table)
@@ -286,6 +288,9 @@ object Cql {
           if (ttl.isDefined)
             fail("USING TTL is not supported inside BATCH (the " +
               "journal carries the 5-column cell shape)")
+          if (hasCollectionSyntax(sets))
+            fail("collection updates are not supported inside BATCH " +
+              "(appends need the current collection state)")
           (resolve(table), updateCells(sets, where,
             ts.getOrElse(AssignLater)))
         case DeleteRe(colOpt, table, usingTs, where) =>
@@ -1192,6 +1197,145 @@ object Cql {
       }
       pk <- pks.toSeq.sorted
     } yield (pk, ck, c, v, wt)
+  }
+
+  // ---------------------------------------------------------------
+  // CQL collection writes (C11/C12/C13's element-per-cell encoding):
+  //  - `m[<'key'>] = v`       map put — the ROW is the map (C12:
+  //    entries are the (pk, ck) row's cells keyed by col), so a put
+  //    is one cell at (pk, ck, key, v); `DELETE <key> ... AND ck=?`
+  //    is already the entry delete.
+  //  - `lst = lst + [v, ...]` list append — elements are cells of
+  //    col = <lst> ordered by ck (C11); appends claim cks after the
+  //    partition's current max for that collection.
+  //  - `st = st + {v, ...}`   set add — same cell shape (C13 dedups
+  //    on read), so adding a present element is a no-op on the
+  //    reassembled set, Cassandra's own idempotence.
+  //  - `st = st - {v, ...}`   set remove — one `!del:<st>` cell
+  //    tombstone per matching element cell (found by a pk-pushed
+  //    point read, Cassandra's read-free remove is a tombstone too).
+
+  private val MapPutRe =
+    """(?is)^\s*(\w+)\s*\[\s*('(?:[^']|'')*')\s*\]\s*=\s*(.+?)\s*$""".r
+  private val ListAppendRe =
+    """(?is)^\s*(\w+)\s*=\s*(\w+)\s*\+\s*\[([^\]]*)\]\s*$""".r
+  private val SetAddRe =
+    """(?is)^\s*(\w+)\s*=\s*(\w+)\s*\+\s*\{([^}]*)\}\s*$""".r
+  private val SetRemoveRe =
+    """(?is)^\s*(\w+)\s*=\s*(\w+)\s*-\s*\{([^}]*)\}\s*$""".r
+
+  private def hasCollectionSyntax(sets: String): Boolean =
+    sets.split(',').exists { s =>
+      // note: element lists themselves contain ',' — a cheap contains
+      // check decides the ROUTE; the real parse re-splits carefully
+      s.contains("[") || s.contains("{") || s.contains("}")
+    }
+
+  /** Split SET items on commas OUTSIDE quotes, brackets and braces
+    * (collection literals contain commas).
+    */
+  private def splitSetItems(sets: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    sets.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case c @ ('[' | '{') if !inQ => depth += 1; cur += c
+      case c @ (']' | '}') if !inQ => depth -= 1; cur += c
+      case ',' if !inQ && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def collectionUpdate(spark: SparkSession, dir: String,
+      sets: String, where: String, wt: Long,
+      ttl: Option[Long]): Unit = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val pkSeq = pks.toSeq.sorted
+    val cells = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+    // bounded point reads against the reconciled view (pk-pushed):
+    // current max ck per (pk, collection) for appends, element cks
+    // for removes — the hit sets are per-statement small
+    def reconciled = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    splitSetItems(sets).foreach {
+      case MapPutRe(_, key, v) =>
+        val ck = ckEq.getOrElse(
+          fail("map put needs WHERE ... AND ck = ? (the row IS the map)"))
+        val k = literal(key) match {
+          case s: String => s
+          case o => fail(s"map key must be a text literal, got $o")
+        }
+        if (k.isEmpty || k.startsWith("!"))
+          fail(s"unsupported map key: '$k'")
+        pkSeq.foreach(pk =>
+          cells += ((pk, ck, k.toLowerCase, longLiteral(v, "map value"), wt)))
+      case ListAppendRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"list append must extend the same column ($n1 vs $n2)")
+        appendElements(reconciled, n1.toLowerCase, pkSeq,
+          splitValues(vs).toSeq.map(longLiteral(_, "list element")),
+          wt, cells)
+      case SetAddRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"set add must extend the same column ($n1 vs $n2)")
+        appendElements(reconciled, n1.toLowerCase, pkSeq,
+          splitValues(vs).toSeq.map(longLiteral(_, "set element")),
+          wt, cells)
+      case SetRemoveRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"set remove must shrink the same column ($n1 vs $n2)")
+        val name = n1.toLowerCase
+        val victims = splitValues(vs).toSeq
+          .map(longLiteral(_, "set element")).toSet
+        // element cells to shadow: (pk, ck) of matching live cells
+        val hits = reconciled
+          .filter(col("pk").isin(pkSeq.map(Long.box): _*) &&
+            col("col") === name &&
+            col("value").isin(victims.toSeq.map(Long.box): _*))
+          .select(col("pk"), col("ck"))
+          .collect() // bounded: <= removed-element cell count
+        hits.foreach(r =>
+          cells += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
+      case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
+        // plain scalar SET items compose with collection items
+        val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+        pkSeq.foreach(pk => cells +=
+          ((pk, ck, c.toLowerCase, longLiteral(v, s"value of $c"), wt)))
+      case x => fail(s"unsupported SET item: $x")
+    }
+    appendCells(spark, dir, cells.toSeq, ttl)
+  }
+
+  /** Append element cells for a list/set collection: claim the cks
+    * after the partition's current max for that collection column
+    * (list order = ck order, C11; sets dedup on read, C13).
+    */
+  private def appendElements(reconciled: => DataFrame, name: String,
+      pks: Seq[Long], values: Seq[Long], wt: Long,
+      out: scala.collection.mutable.ArrayBuffer[
+        (Long, Int, String, Long, Long)]): Unit = {
+    if (values.isEmpty) return
+    if (name.startsWith("!")) fail(s"unsupported collection name: $name")
+    val maxCks: Map[Long, Int] = reconciled
+      .filter(col("pk").isin(pks.map(Long.box): _*) &&
+        col("col") === name)
+      .groupBy(col("pk")).agg(max(col("ck")).as("m"))
+      .collect() // bounded: <= pk count
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pks.foreach { pk =>
+      var ck = maxCks.getOrElse(pk, 0)
+      values.foreach { v =>
+        if (ck == Int.MaxValue)
+          fail(s"collection $name of pk $pk is at the ck ceiling")
+        ck += 1
+        out += ((pk, ck, name, v, wt))
+      }
+    }
   }
 
   /** Tombstone markers a DELETE contributes (dts = 0 = assign later).

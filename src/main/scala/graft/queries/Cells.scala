@@ -1252,6 +1252,45 @@ object Cells {
       |  MAX(wt) AS last_wt
       |FROM merged GROUP BY pk ORDER BY pk""".stripMargin
 
+  // C11c — CQL collection WRITE grammar end-to-end: list appends
+  // (`tags = tags + [...]`, ck-ordered element cells), set add/remove
+  // (`st = st + {..}` / `- {..}`, the remove a `!del:` tombstone per
+  // matching element cell), all through the front door, then the
+  // reconciled reassembly (C11/C13) of what was written. The oracle
+  // is the EXPECTED collections literal — the engine must reproduce
+  // them exactly through append ck-claiming, LWW and tombstone
+  // shadowing.
+  private def cqlCollectionWrite(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cql-coll-q").toString
+    graft.cql.Cql.executeScript(s,
+      s"""INSERT INTO $dir (pk, ck, qty) VALUES (1, 0, 1);
+         |UPDATE $dir SET tags = tags + [10, 11, 12] WHERE pk IN (1, 2, 3);
+         |UPDATE $dir SET tags = tags + [13] WHERE pk IN (2, 3);
+         |UPDATE $dir SET st = st + {5, 6} WHERE pk IN (1, 2);
+         |UPDATE $dir SET st = st - {5} WHERE pk = 2;
+         |SELECT pk FROM $dir LIMIT 1""".stripMargin)
+    val m = s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    val lst = m.filter(col("col") === "tags")
+      .groupBy(col("pk"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(ck, value))), x -> " +
+        "cast(x.value as string))"), "|").as("tags"))
+    val st = m.filter(col("col") === "st")
+      .groupBy(col("pk"))
+      .agg(array_join(expr("array_sort(collect_set(value))")
+        .cast("array<string>"), "|").as("st"))
+    lst.join(st, Seq("pk"), "full_outer").orderBy(col("pk"))
+  }
+
+  private val cqlCollectionWriteSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, tags, st FROM (VALUES
+      |  (1, '10|11|12', '5|6'),
+      |  (2, '10|11|12|13', '6'),
+      |  (3, '10|11|12|13', CAST(NULL AS VARCHAR))) AS t(pk, tags, st)
+      |ORDER BY pk""".stripMargin
+
   // C65c — CQL token-range paging through the front door: the
   // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
   // idiom lands on the C41 physical token-range scan (Summary/
@@ -1391,6 +1430,8 @@ object Cells {
     GQuery("C64_contains_index", containsIndex, Some(containsIndexSql)),
     GQuery("C65_cql_select", cqlSelect, Some(cqlSelectSql)),
     GQuery("C65b_cql_group", cqlGroup, Some(cqlGroupSql)),
+    GQuery("C11c_cql_collection_write", cqlCollectionWrite,
+      Some(cqlCollectionWriteSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),

@@ -787,6 +787,60 @@ class CqlSpec extends GraftSpec {
     assert(e.getMessage.contains("no secondary index"), e.getMessage)
   }
 
+  test("collection writes: map put, list append, set add/remove " +
+      "(C11/C12/C13 encodings)") {
+    val d = freshTable()
+    // map put: the (pk, ck) row IS the map; a put is one cell at
+    // (pk, ck, key, v)
+    Cql.execute(spark,
+      s"UPDATE $d SET m['discount'] = 3 WHERE pk = 1 AND ck = 1")
+    assert(rows(d).contains((1L, 1, "discount", 3L)))
+    // map entry delete is the existing single-cell DELETE
+    Cql.execute(spark,
+      s"DELETE discount FROM $d WHERE pk = 1 AND ck = 1")
+    assert(!rows(d).exists(_._3 == "discount"))
+    // list append claims cks after the partition's current max for
+    // the collection column; a second append continues the order
+    Cql.execute(spark,
+      s"UPDATE $d SET tags = tags + [7, 8] WHERE pk = 5")
+    Cql.execute(spark,
+      s"UPDATE $d SET tags = tags + [9] WHERE pk = 5")
+    val lst = rows(d).filter(r => r._1 == 5L && r._3 == "tags")
+      .toSeq.sortBy(_._2)
+    assert(lst.map(r => (r._2, r._4)) === Seq((1, 7L), (2, 8L), (3, 9L)))
+    // set add + remove: removal tombstones the matching element
+    // cells; re-adding a removed element works (fresh ck, newer wt)
+    Cql.execute(spark,
+      s"UPDATE $d SET st = st + {40, 41} WHERE pk = 6")
+    Cql.execute(spark,
+      s"UPDATE $d SET st = st - {40} WHERE pk = 6")
+    assert(rows(d).filter(r => r._1 == 6L && r._3 == "st")
+      .map(_._4) === Set(41L))
+    Cql.execute(spark,
+      s"UPDATE $d SET st = st + {40} WHERE pk = 6")
+    assert(rows(d).filter(r => r._1 == 6L && r._3 == "st")
+      .map(_._4) === Set(40L, 41L))
+    // scalar SET items compose with collection items in one statement
+    Cql.execute(spark,
+      s"UPDATE $d SET qty = 99, m['x'] = 1 WHERE pk = 2 AND ck = 1")
+    assert(rows(d).contains((2L, 1, "qty", 99L)))
+    assert(rows(d).contains((2L, 1, "x", 1L)))
+    // refusals: map put without ck; BATCH; mismatched names
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"UPDATE $d SET m['k'] = 1 WHERE pk = 1")
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  UPDATE $d SET tags = tags + [1] WHERE pk = 5;
+           |APPLY BATCH""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"UPDATE $d SET tags = other + [1] WHERE pk = 5")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
