@@ -93,6 +93,14 @@ object Cql {
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(\w+)\s*=\s*(\S+?)\s*;?\s*$""").r
 
+  private val UpdateIfExistsRe =
+    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+EXISTS\s*;?\s*$""").r
+
+  private val DeleteIfRe =
+    ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+(?:(EXISTS)|(\w+)\s*=\s*(\S+?))\s*;?\s*$""").r
+
   private val BatchRe =
     """(?is)^\s*BEGIN\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
 
@@ -143,6 +151,11 @@ object Cql {
       lwtInsert(spark, resolve(table), cols, vals)
     case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
       lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
+    case UpdateIfExistsRe(table, sets, where) =>
+      lwtUpdateExists(spark, resolve(table), sets, where)
+    case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
+      lwtDelete(spark, resolve(table), Option(colOpt), where,
+        Option(exists).isDefined, Option(ifCol), Option(ifVal))
     case SelectRe(json, dist, cols, table, where, group, order, ppl,
         lim, af) =>
       select(spark, resolve(table), Option(json).isDefined,
@@ -259,6 +272,49 @@ object Cql {
     lwtResult(spark, graft.sources.CellTransactions.cas(
       spark, dir, pk, ck, c,
       expected = Some(longLiteral(ifVal, "IF condition")), newValue = v))
+  }
+
+  /** `UPDATE ... IF EXISTS` — Cassandra's row-level condition: apply
+    * iff the (pk, ck) row has ANY live cell.
+    */
+  private def lwtUpdateExists(spark: SparkSession, dir: String,
+      sets: String, where: String): DataFrame = {
+    val cells = updateCells(sets, where, AssignLater)
+    if (cells.length != 1)
+      fail("UPDATE ... IF EXISTS takes exactly one SET column and " +
+        "one pk (the CAS cell)")
+    val (pk, ck, c, v, _) = cells.head
+    lwtResult(spark, graft.sources.CellTransactions.casApply(
+      spark, dir, pk, ck, condCol = None,
+      cond = graft.sources.CellTransactions.CasCond.Present,
+      writeCol = c, writeValue = v))
+  }
+
+  /** Conditional DELETE — a CAS whose write is the tombstone:
+    * `IF EXISTS` tests ROW presence (Cassandra's rule), `IF col = v`
+    * tests the named cell's winner; the applied write is the row
+    * (`!delrow`) or single-cell (`!del:<col>`) marker.
+    */
+  private def lwtDelete(spark: SparkSession, dir: String,
+      colOpt: Option[String], where: String, exists: Boolean,
+      ifCol: Option[String], ifVal: Option[String]): DataFrame = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    if (pks.size != 1) fail("conditional DELETE binds exactly one pk")
+    val pk = pks.head
+    val ck = ckEq.getOrElse(
+      fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+    import graft.sources.CellTransactions.CasCond
+    val (condCol, cond) =
+      if (exists) (None, CasCond.Present)
+      else (Some(ifCol.get.toLowerCase),
+        CasCond.Equals(longLiteral(ifVal.get, "IF condition")))
+    val writeCol = colOpt match {
+      case Some(c) =>
+        graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
+      case None => graft.sources.CellSource.RowTombstone
+    }
+    lwtResult(spark, graft.sources.CellTransactions.casApply(
+      spark, dir, pk, ck, condCol, cond, writeCol, writeValue = 0L))
   }
 
   // ---------------------------------------------------------------

@@ -27,6 +27,17 @@ object CellTransactions {
     */
   final case class CasResult(applied: Boolean, current: Option[Long])
 
+  /** The CQL `IF` condition family (round 9): `IF NOT EXISTS`
+    * ([[CasCond.Absent]]), `IF EXISTS` ([[CasCond.Present]]),
+    * `IF col = v` ([[CasCond.Equals]]).
+    */
+  sealed trait CasCond
+  object CasCond {
+    case object Absent extends CasCond
+    case object Present extends CasCond
+    final case class Equals(v: Long) extends CasCond
+  }
+
   private val LockName = "_paxos.lock"
 
   /** C55 — LIGHTWEIGHT TRANSACTION: CQL's `INSERT ... IF NOT EXISTS` /
@@ -57,8 +68,31 @@ object CellTransactions {
       colName: String, expected: Option[Long], newValue: Long,
       lockTimeoutMs: Long = 30000L,
       nowMs: Long = System.currentTimeMillis(),
+      queryTimeMs: Long = Long.MaxValue): CasResult =
+    casApply(spark, dir, pk, ck, condCol = Some(colName),
+      cond = expected.map(CasCond.Equals.apply)
+        .getOrElse(CasCond.Absent),
+      writeCol = colName, writeValue = newValue,
+      lockTimeoutMs = lockTimeoutMs, nowMs = nowMs,
+      queryTimeMs = queryTimeMs)
+
+  /** The general LWT round (round 9): test `cond` against `condCol`'s
+    * current reconciled winner at (pk, ck) — `condCol = None` tests
+    * ROW presence (any live cell of the (pk, ck) row, Cassandra's
+    * `IF [NOT] EXISTS` on UPDATE/DELETE) — and on success append ONE
+    * cell `(pk, ck, writeCol, writeValue)` at table-max-wt + 1.
+    * `writeCol` may be a tombstone marker (`!delrow`, `!del:<col>`):
+    * a conditional DELETE is a CAS whose write is the tombstone.
+    * Same ballot lock, point read, and staged-link commit as [[cas]].
+    */
+  def casApply(spark: SparkSession, dir: String, pk: Long, ck: Int,
+      condCol: Option[String], cond: CasCond,
+      writeCol: String, writeValue: Long,
+      lockTimeoutMs: Long = 30000L,
+      nowMs: Long = System.currentTimeMillis(),
       queryTimeMs: Long = Long.MaxValue): CasResult = {
-    require(!colName.startsWith("!"), "CAS targets data cells, not markers")
+    require(condCol.forall(!_.startsWith("!")),
+      "CAS conditions target data cells, not markers")
     val norm = CellPlanning.normalize(dir)
     val d = Paths.get(norm)
     Files.createDirectories(d)
@@ -71,19 +105,33 @@ object CellTransactions {
     withBallot(d, lockTimeoutMs, nowMs) {
       val reader = spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")
-      val cur = (if (queryTimeMs != Long.MaxValue)
+      val row = (if (queryTimeMs != Long.MaxValue)
         reader.option("queryTime", queryTimeMs.toString) else reader)
         .load(norm)
-        .filter(col("pk") === pk && col("ck") === ck &&
-          col("col") === colName)
-        .select(col("value")).collect().headOption.map(_.getLong(0))
-      if (cur != expected) CasResult(applied = false, cur)
+        .filter(col("pk") === pk && col("ck") === ck)
+      // `cur` is the condition column's winner; for a row-presence
+      // condition it is None/Some(0) purely as an existence flag and
+      // the result row reports no current value (Cassandra's
+      // IF EXISTS miss row is just [applied] = false)
+      val cur: Option[Long] = condCol match {
+        case Some(c) => row.filter(col("col") === c)
+          .select(col("value")).collect().headOption.map(_.getLong(0))
+        case None =>
+          if (row.limit(1).collect().nonEmpty) Some(0L) else None
+      }
+      val ok = cond match {
+        case CasCond.Absent => cur.isEmpty
+        case CasCond.Present => cur.isDefined
+        case CasCond.Equals(v) => cur.contains(v)
+      }
+      def reported = if (condCol.isDefined) cur else None
+      if (!ok) CasResult(applied = false, reported)
       else {
         val files = CellPlanning.listFiles(norm)
         val wt = files.map(CellSource.readHeader).iterator
           .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
-        appendRow(d, files, pk, ck, colName, newValue, wt)
-        CasResult(applied = true, cur)
+        appendRow(d, files, pk, ck, writeCol, writeValue, wt)
+        CasResult(applied = true, reported)
       }
     }
   }

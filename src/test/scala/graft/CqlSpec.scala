@@ -841,6 +841,43 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("LWT tail: UPDATE IF EXISTS and conditional DELETE (C55)") {
+    val d = freshTable()
+    // row-level IF EXISTS: applies on a live row, not on an absent one
+    val hit = Cql.execute(spark,
+      s"UPDATE $d SET qty = 77 WHERE pk = 1 AND ck = 1 IF EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(hit === ((true, None)))
+    assert(rows(d).contains((1L, 1, "qty", 77L)))
+    val miss = Cql.execute(spark,
+      s"UPDATE $d SET qty = 1 WHERE pk = 50 AND ck = 1 IF EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(miss === ((false, None)))
+    assert(!rows(d).exists(_._1 == 50L))
+    // conditional cell DELETE: IF col = v gates the tombstone
+    val no = Cql.execute(spark,
+      s"DELETE price FROM $d WHERE pk = 2 AND ck = 1 IF price = 99")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(no === ((false, Some(5L)))) // current value reported
+    assert(rows(d).contains((2L, 1, "price", 5L)))
+    val yes = Cql.execute(spark,
+      s"DELETE price FROM $d WHERE pk = 2 AND ck = 1 IF price = 5")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(yes === ((true, Some(5L))))
+    assert(!rows(d).exists(_._3 == "price"))
+    // conditional row DELETE: IF EXISTS writes the row tombstone
+    val dead = Cql.execute(spark,
+      s"DELETE FROM $d WHERE pk = 3 AND ck = 1 IF EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(dead === ((true, None)))
+    assert(!rows(d).exists(_._1 == 3L))
+    // and refuses nothing silently: absent row → not applied, no write
+    val dead2 = Cql.execute(spark,
+      s"DELETE FROM $d WHERE pk = 3 AND ck = 1 IF EXISTS")
+      .as[(Boolean, Option[Long])].collect().head
+    assert(dead2 === ((false, None)))
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
