@@ -144,8 +144,113 @@ object Mixing {
       |FROM b GROUP BY lang, bucket
       |ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------
+  // N_MIX2 — token-budget mixture SELECTION: turn the temperature
+  // weights into an actual per-domain corpus pick. Budget = half the
+  // corpus; per-source share ∝ sqrt(natural mass) (the N_MIX1
+  // temperature, τ = 0.5); within a source, docs are taken in
+  // (n_chars DESC, doc_id) priority until the running total passes
+  // the source's budget. INTEGER arithmetic end to end — sqrt is
+  // quantized (×1000, floor) BEFORE the share sum, so no float-sum
+  // ordering can shift a budget across engines.
+  //
+  // Scale: one per-source aggregate, a ≤|sources| broadcast of
+  // budgets, and ONE window cumsum partitioned by source — the
+  // standard "materialize the recipe" pass at any corpus size.
+  private def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = docs(s, d).groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("m"))
+      .withColumn("q", floor(sqrt(col("m").cast("double")) * 1000)
+        .cast("long"))
+    val tot = mass.agg(sum(col("m")).cast("long").as("tm"),
+      sum(col("q")).cast("long").as("tq"))
+    // integer div end-to-end (Spark `/` on longs is a double divide);
+    // the product stays < 2^63 up to ~petabyte corpora — past that,
+    // divide tm first
+    val budgets = mass.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("(tm div 2) * q div tq").cast("long").as("budget_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget_chars"))
+      .groupBy(col("source"), col("budget_chars"))
+      .agg(count(lit(1)).as("n_picked"),
+        sum(col("n_chars")).cast("long").as("picked_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenBudgetSql =
+    """WITH mass AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS m,
+      |    CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1000)
+      |      AS BIGINT) AS q
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(m) AS BIGINT) AS tm,
+      |  CAST(sum(q) AS BIGINT) AS tq FROM mass),
+      |budgets AS (
+      |  SELECT source,
+      |    CAST(((tm // 2) * q) // tq AS BIGINT) AS budget_chars
+      |  FROM mass CROSS JOIN tot),
+      |cum AS (
+      |  SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents)
+      |SELECT c.source, b.budget_chars,
+      |  CAST(COUNT(*) AS BIGINT) AS n_picked,
+      |  CAST(SUM(c.n_chars) AS BIGINT) AS picked_chars
+      |FROM cum c JOIN budgets b ON c.source = b.source
+      |WHERE c.cum <= b.budget_chars
+      |GROUP BY c.source, b.budget_chars
+      |ORDER BY c.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // N_SPLIT1 — leakage-safe train/val/test split: the split key is
+  // the SOURCE (domain), hashed deterministically (md5 prefix →
+  // bucket mod 100, 80/10/10), so every document of a domain lands
+  // in ONE split — the standard guard against near-duplicate
+  // train/eval leakage through shared provenance. Stats per
+  // (split, lang) prove the assignment; stable across runs and
+  // engines by construction.
+  private def leakageSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("bucket",
+        expr("cast(conv(substr(md5(source), 1, 6), 16, 10) as bigint)" +
+          " % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"), col("lang"))
+
+  private val leakageSplitSql =
+    """WITH b AS (
+      |  SELECT *, CAST('0x' || substr(md5(source), 1, 6) AS BIGINT)
+      |    % 100 AS bucket
+      |  FROM documents),
+      |sp AS (
+      |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+      |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("N_MIX1_domain_weights", mixWeights, Some(mixWeightsSql)),
+    GQuery("N_MIX2_token_budget", tokenBudget, Some(tokenBudgetSql)),
+    GQuery("N_SPLIT1_leakage_split", leakageSplit, Some(leakageSplitSql)),
     GQuery("N_TOK2_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     GQuery("N_LEN1_length_histogram", lengthHistogram,
       Some(lengthHistogramSql)))
