@@ -225,6 +225,54 @@ object NorthStar {
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
        |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  // N_SIM11 — MUTUAL k-NN graph: per-vector top-k neighbors from the
+  // blocked candidate pairs, kept only when BOTH endpoints choose
+  // each other — the edge filter SemDeDup-style semantic clustering
+  // and local-intrinsic-dimension estimators build on (mutual edges
+  // are robust to hubness). One window top-k over the symmetric edge
+  // list + a self-join on the k-bounded survivors (O(n·k) rows, never
+  // O(pairs)); at 100 TB the per-node top-k runs through the
+  // TopKPerKey partial-heap operator instead of a full window sort.
+  private def simMutualKnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Similarity.blockedPairs(embs(s, d), 0.2)
+    val dirEdges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("score_r"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
+        col("score_r")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("score_r").desc, col("dst"))
+    val topk = dirEdges.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+        col("x.score_r").as("score_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simMutualKnnSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT id_a, id_b, ROUND(score, 4) + 0.0 AS score_r FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |      ${cosSql("a.v", "b.v")} AS score
+       |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  WHERE score >= 0.2),
+       |d AS (
+       |  SELECT id_a AS src, id_b AS dst, score_r FROM p
+       |  UNION ALL SELECT id_b, id_a, score_r FROM p),
+       |t AS (
+       |  SELECT src, dst, score_r, ROW_NUMBER() OVER (
+       |    PARTITION BY src ORDER BY score_r DESC, dst) AS rn
+       |  FROM d),
+       |k AS (SELECT src, dst, score_r FROM t WHERE rn <= 3)
+       |SELECT x.src AS id_a, x.dst AS id_b, x.score_r AS score_r
+       |FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
+       |WHERE x.src < x.dst ORDER BY id_a, id_b""".stripMargin
+
   // ---- similarity ------------------------------------------------------
 
   private def simTopK(s: SparkSession, d: String): DataFrame =
@@ -1466,6 +1514,7 @@ object NorthStar {
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
     GQuery("N_SIM7_batch_topk", simBatchTopK, Some(simBatchTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),
+    GQuery("N_SIM11_mutual_knn", simMutualKnn, Some(simMutualKnnSql)),
     GQuery("N_SIM3_centroids", simCentroids, Some(simCentroidsSql)),
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
