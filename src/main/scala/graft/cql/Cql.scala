@@ -808,9 +808,11 @@ object Cql {
       case None if cols != "*" &&
           cols.split(',').map(_.trim)
             .forall(i => AggRe.findFirstIn(i).isDefined) =>
-        // global aggregates (no GROUP BY): SELECT count(*) / max(wt) …
-        // — count/max(wt) land on the C20 header-agg pushdown when
-        // the scan serves it
+        // global aggregates (no GROUP BY): SELECT count(*) / max(wt)
+        // … over the RECONCILED relation — deliberately NOT the C20
+        // header pushdown (headers describe RAW cells; CQL aggregates
+        // are post-merge), so the plan is the column-pruned reconcile
+        // scan + map-side partial aggregation
         val aggs = cols.split(',').map(_.trim).map {
           case AggRe(fn, arg, alias) =>
             val e = fn.toLowerCase match {

@@ -757,6 +757,15 @@ class CqlSpec extends GraftSpec {
     val d = freshTable()
     val g = Cql.execute(spark,
       s"SELECT count(*) AS n, max(wt) AS mw FROM $d")
+    // the reconciled count CANNOT come from the C20 header agg (the
+    // headers describe RAW cells; CQL count(*) is post-merge), so the
+    // right plan is the column-pruned reconcile scan + a map-side
+    // partial aggregate — assert both
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("CellReconcileScan"), plan)
+    assert(plan.contains("cols=wt"), plan) // pruned to the one column
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      plan)
     assert(g.as[(Long, Long)].collect().toSeq === Seq((5L, 100L)))
     val k = Cql.execute(spark,
       s"SELECT sum(value) AS s FROM $d WHERE pk = 1")
