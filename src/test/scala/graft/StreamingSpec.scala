@@ -395,6 +395,38 @@ class StreamingSpec extends GraftSpec {
     assert(want.contains(("u-1", 1, "qty", 99L, 200L)))
   }
 
+  test("streaming sink epochs maintain a registered index (C18f)") {
+    import graft.sources.{CellIndex, CellSource}
+    val dir = java.nio.file.Files
+      .createTempDirectory("cells-sink-idx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cells-sink-idx-ckpt").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("cells-sink-idx-i").toString
+    CellSource.writeSnapshot(dir, Seq((1L, 1, "qty", 100L, 10L)),
+      files = 1)
+    CellIndex.build(spark, dir, idx, "qty", writeThrough = true)
+    val in = MemoryStream[(Long, Int, String, Long, Long)](spark)
+    val q = in.toDF().toDF("pk", "ck", "col", "value", "wt")
+      .writeStream.format("graft.sources.CellSource")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start(dir)
+    try {
+      // each streamed epoch is a flush; the shared batch commit runs
+      // the delta-epoch refresh, so the index never goes stale
+      in.addData((7L, 1, "qty", 555L, 20L))
+      q.processAllAvailable()
+      assert(!CellIndex.isStale(idx))
+      assert(CellIndex.lookupPks(spark, idx, 555L, onStale = "fail")
+        .as[Long].collect().toSet == Set(7L))
+      in.addData((8L, 1, "qty", 556L, 20L))
+      q.processAllAvailable()
+      assert(!CellIndex.isStale(idx))
+      assert(CellIndex.lookupPks(spark, idx, 556L, onStale = "fail")
+        .as[Long].collect().toSet == Set(8L))
+    } finally q.stop()
+  }
+
   test("connector as streaming SINK: epochs publish as flushes") {
     val dir = java.nio.file.Files
       .createTempDirectory("cells-sink").toString
