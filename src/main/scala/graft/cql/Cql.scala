@@ -168,6 +168,9 @@ object Cql {
       val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
       val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
+      if (isCounter(dir))
+        fail("counter tables take UPDATE increments, not INSERT " +
+          "(Cassandra's rule)")
       if (spec.isDefault)
         appendCells(spark, dir, insertCells(cols, vals, wt), ttlOpt)
       else insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
@@ -177,7 +180,16 @@ object Cql {
       val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
       val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (spec.isDefault) {
+      if (isCounter(dir)) {
+        // counter arithmetic: each increment is one SHARD-DELTA cell
+        // at a fresh writetime; the counter read mode SUMS shards
+        // (C10) — no read-modify-write anywhere. TTL on counters is
+        // refused (Cassandra's rule).
+        if (!spec.isDefault)
+          fail("counter increments are default-layout only here")
+        if (ttlOpt.isDefined) fail("counters cannot have TTL")
+        appendCells(spark, dir, counterUpdateCells(sets, where, wt))
+      } else if (spec.isDefault) {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
         else appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
@@ -347,6 +359,9 @@ object Cql {
           if (hasCollectionSyntax(sets))
             fail("collection updates are not supported inside BATCH " +
               "(appends need the current collection state)")
+          if (isCounter(resolve(table)))
+            fail("counter increments are not supported inside BATCH " +
+              "(the shared batch writetime would LWW-collapse shards)")
           (resolve(table), updateCells(sets, where,
             ts.getOrElse(AssignLater)))
         case DeleteRe(colOpt, table, usingTs, where) =>
@@ -376,6 +391,23 @@ object Cql {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CQL: $msg")
+
+  /** Catalog-persisted table properties (`_props`, written by the
+    * CellCatalog) of a table directory — the facade consults them for
+    * TABLE-LEVEL semantics Cassandra declares per table: counter-ness
+    * (the shard-SUM read mode + increment-only write grammar).
+    */
+  private def tableProps(dir: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(dir).resolve("_props")
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    scala.jdk.CollectionConverters.PropertiesHasAsScala(p).asScala.toMap
+  }
+
+  private def isCounter(dir: String): Boolean =
+    tableProps(dir).get("counter").contains("true")
 
   // ---------------------------------------------------------------
   // Catalog-bound execution: DDL routes through Spark SQL's catalog
@@ -791,6 +823,9 @@ object Cql {
         var reader = spark.read.format(Fmt).option("reconcile", "true")
           .option("strictCql", (!relaxed).toString)
           .option("allowFiltering", relaxed.toString)
+        // counter tables read in shard-SUM mode (C10): value = Σ
+        // deltas per (pk, ck, col), wt = max shard wt
+        if (isCounter(dir)) reader = reader.option("counter", "true")
         // TTL(c) needs the winning cell's absolute expiry pseudo-column
         if (hasTtl) reader = reader.option("withTtl", "true")
         if (hasTok && !tokEmpty)
@@ -1240,6 +1275,30 @@ object Cql {
   }
 
   private val SetRe = """(?is)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+
+  private val CounterIncRe =
+    """(?is)^\s*(\w+)\s*=\s*(\w+)\s*([+-])\s*(\d+)\s*$""".r
+
+  /** Shard-delta cells for counter-table UPDATE increments: CQL's
+    * `SET c = c + n` / `c = c - n` — each one cell whose value is the
+    * SIGNED delta; the counter read mode sums shards per (pk, ck,
+    * col), so increments never read, never lock, and commute (C10).
+    */
+  private def counterUpdateCells(sets: String, where: String, wt: Long)
+      : Seq[(Long, Int, String, Long, Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("counter UPDATE WHERE must bind ck"))
+    sets.split(',').toSeq.flatMap {
+      case CounterIncRe(c1, c2, sign, n) =>
+        if (!c1.equalsIgnoreCase(c2))
+          fail(s"counter increment must update the same column " +
+            s"($c1 vs $c2)")
+        val delta = (if (sign == "-") -1L else 1L) * n.toLong
+        pks.toSeq.sorted.map(pk => (pk, ck, c1.toLowerCase, delta, wt))
+      case x => fail("counter tables take only 'c = c + n' / " +
+        s"'c = c - n' SET items, got: $x")
+    }
+  }
 
   /** Cells an UPDATE contributes (wt = AssignLater defers). */
   private def updateCells(sets: String, where: String, wt: Long)

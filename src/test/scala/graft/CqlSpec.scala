@@ -887,6 +887,49 @@ class CqlSpec extends GraftSpec {
     assert(dead2 === ((false, None)))
   }
 
+  test("CQL counters: increments are shard deltas, reads sum (C10)") {
+    val root = Files.createTempDirectory("cql-cnt").toString
+    spark.conf.set("spark.sql.catalog.cntcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cntcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cntcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("UPDATE ks.c SET hits = hits + 5 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.c SET hits = hits + 3 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.c SET hits = hits - 2 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.c SET hits = hits + 7 WHERE pk = 2 AND ck = 1")
+      // the facade SELECT reads in shard-SUM mode
+      val got = cq("SELECT pk, value FROM ks.c ORDER BY pk")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 6L), (2L, 7L)))
+      // the shards stay distinct cells on disk (no read-modify-write)
+      val raw = spark.read.format("graft.sources.CellSource")
+        .load(s"$root/ks/c")
+      assert(raw.count() === 4)
+      // refusals: INSERT on a counter table, plain SET, TTL, BATCH
+      intercept[IllegalArgumentException] {
+        cq("INSERT INTO ks.c (pk, ck, hits) VALUES (3, 1, 9)")
+      }
+      intercept[IllegalArgumentException] {
+        cq("UPDATE ks.c SET hits = 9 WHERE pk = 1 AND ck = 1")
+      }
+      intercept[IllegalArgumentException] {
+        cq("UPDATE ks.c USING TTL 5 SET hits = hits + 1 " +
+          "WHERE pk = 1 AND ck = 1")
+      }
+      intercept[IllegalArgumentException] {
+        cq("""BEGIN BATCH
+             |  UPDATE ks.c SET hits = hits + 1 WHERE pk = 1 AND ck = 1;
+             |APPLY BATCH""".stripMargin)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cntcat")
+      spark.conf.unset("spark.sql.catalog.cntcat.root")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
