@@ -409,6 +409,10 @@ class PlanSpec extends GraftSpec {
       "N_MIX1_domain_weights" -> "crossJoin broadcast(one-row total mass)",
       "N_TOK3_bpe_merges" -> ("per round: crossJoin " +
         "broadcast(ONE-ROW best pair)"),
+      "N_TOK4_bpe_encode" -> ("same trainer shape: crossJoin " +
+        "broadcast(ONE-ROW best pair) per merge round"),
+      "N_MIX2_token_budget" -> ("crossJoin broadcast(one-row corpus " +
+        "totals); budgets are a <=|sources| broadcast equi-join"),
       "N_SCORE2_lm_perplexity" -> ("crossJoin one-row totals; " +
         "model is a broadcast equi-join"),
       "N_SCORE3_dsir_weights" -> "crossJoin one-row vocab size",
