@@ -253,8 +253,135 @@ object Sketches {
       |SELECT k_both, kmv_jaccard, exact_jaccard
       |FROM sk CROSS JOIN ex""".stripMargin
 
+  // ---------------------------------------------------------------
+  // N_SKETCH5 — KMV set ALGEBRA across every language pair: the
+  // theta-sketch union / intersection toolkit from per-lang k-min
+  // sketches. |A∪B| = (k−1)/frac of the MERGED sketch's k-th
+  // smallest; |A∩B| = theta intersection — sketch matches below
+  // θ = min(θ_A, θ_B) scaled back by the sampling fraction (every
+  // element of A∩B with h < θ is provably retained in BOTH sketches,
+  // so the match set is a uniform θ-rate sample of the
+  // intersection). Exacts emitted beside the estimates. All sketch
+  // relations are O(k·|langs|) — the pair work never touches the
+  // element stream again.
+  private def kmvSetAlgebra(s: SparkSession, d: String): DataFrame = {
+    val tri = triDistinct(s, d)
+    val h = tri.select(col("lang"), col("g"),
+      expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
+    val sk = graft.operators.TopK
+      .perKey(h, Seq("lang"), Seq(("h", true), ("g", true)), KmvK)
+    val theta = sk.groupBy(col("lang"))
+      .agg(max(col("h")).as("theta"), count(lit(1)).as("kn"))
+      .filter(col("kn") === KmvK)
+      .select(col("lang"), col("theta"))
+    val pairs = theta.as("a")
+      .join(theta.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("la"), col("b.lang").as("lb"),
+        least(col("a.theta"), col("b.theta")).as("th"))
+    // theta intersection: sketch elements shared by the pair, below th
+    val ska = sk.select(col("lang").as("la"), col("g"), col("h"))
+    val skb = sk.select(col("lang").as("lb"), col("g"))
+    val inter = ska.join(skb, "g").join(pairs, Seq("la", "lb"))
+      .filter(col("h") < col("th"))
+      .groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).cast("long").as("ni"))
+    // union sketch: k-th smallest of the pair's merged sketches
+    val sideA = pairs.select(col("la"), col("lb"))
+      .join(sk.withColumnRenamed("lang", "la"), "la")
+      .select(col("la"), col("lb"), col("g"), col("h"))
+    val sideB = pairs.select(col("la"), col("lb"))
+      .join(sk.withColumnRenamed("lang", "lb"), "lb")
+      .select(col("la"), col("lb"), col("g"), col("h"))
+    val unionKth = sideA.union(sideB).distinct()
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("la"), col("lb"))
+          .orderBy(col("h"), col("g"))))
+      .filter(col("r") === KmvK)
+      .select(col("la"), col("lb"), col("h").as("thu"))
+    // exacts from the distinct element stream
+    val cnt = tri.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val exInter = tri.select(col("lang").as("la"), col("g"))
+      .join(tri.select(col("lang").as("lb"), col("g")), "g")
+      .filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(count(lit(1)).cast("long").as("exact_inter"))
+    pairs
+      .join(cnt.withColumnRenamed("lang", "la")
+        .withColumnRenamed("n", "na"), "la")
+      .join(cnt.withColumnRenamed("lang", "lb")
+        .withColumnRenamed("n", "nb"), "lb")
+      .join(exInter, Seq("la", "lb"), "left_outer")
+      .join(inter, Seq("la", "lb"), "left_outer")
+      .join(unionKth, Seq("la", "lb"))
+      .select(col("la"), col("lb"),
+        (col("na") + col("nb") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        round(lit((KmvK - 1).toDouble) * lit(Pow48) / col("thu"), 2)
+          .as("union_est"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        round(coalesce(col("ni"), lit(0L)).cast("double") *
+          lit(Pow48) / col("th"), 2).as("inter_est"))
+      .orderBy(col("la"), col("lb"))
+  }
+
+  private val kmvSetAlgebraSql = triCte +
+    s"""tri AS (
+      |  SELECT lang, g,
+      |    ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM g),
+      |sk AS (
+      |  SELECT lang, g, h FROM (
+      |    SELECT lang, g, h,
+      |      row_number() OVER (PARTITION BY lang ORDER BY h, g) AS r
+      |    FROM tri)
+      |  WHERE r <= $KmvK),
+      |theta AS (
+      |  SELECT lang, max(h) AS theta FROM sk GROUP BY lang
+      |  HAVING count(*) = $KmvK),
+      |pairs AS (
+      |  SELECT a.lang AS la, b.lang AS lb,
+      |    least(a.theta, b.theta) AS th
+      |  FROM theta a JOIN theta b ON a.lang < b.lang),
+      |inter AS (
+      |  SELECT p.la, p.lb, CAST(count(*) AS BIGINT) AS ni
+      |  FROM sk a JOIN sk b ON a.g = b.g
+      |  JOIN pairs p ON a.lang = p.la AND b.lang = p.lb
+      |  WHERE a.h < p.th
+      |  GROUP BY p.la, p.lb),
+      |merged AS (
+      |  SELECT DISTINCT p.la, p.lb, s.g, s.h
+      |  FROM pairs p JOIN sk s ON s.lang = p.la OR s.lang = p.lb),
+      |ukth AS (
+      |  SELECT la, lb, h AS thu FROM (
+      |    SELECT la, lb, h,
+      |      row_number() OVER (PARTITION BY la, lb ORDER BY h, g) AS r
+      |    FROM merged)
+      |  WHERE r = $KmvK),
+      |cnt AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY lang),
+      |exi AS (
+      |  SELECT a.lang AS la, b.lang AS lb,
+      |    CAST(count(*) AS BIGINT) AS exact_inter
+      |  FROM g a JOIN g b ON a.g = b.g AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT p.la, p.lb,
+      |  ca.n + cb.n - COALESCE(exi.exact_inter, 0) AS exact_union,
+      |  round(${KmvK - 1}.0 * $Pow48 / ukth.thu, 2) AS union_est,
+      |  COALESCE(exi.exact_inter, 0) AS exact_inter,
+      |  round(CAST(COALESCE(inter.ni, 0) AS DOUBLE) * $Pow48 / p.th, 2)
+      |    AS inter_est
+      |FROM pairs p
+      |JOIN cnt ca ON ca.lang = p.la
+      |JOIN cnt cb ON cb.lang = p.lb
+      |LEFT JOIN exi ON exi.la = p.la AND exi.lb = p.lb
+      |LEFT JOIN inter ON inter.la = p.la AND inter.lb = p.lb
+      |JOIN ukth ON ukth.la = p.la AND ukth.lb = p.lb
+      |ORDER BY p.la, p.lb""".stripMargin
+
   def all: Seq[GQuery] = Seq(
     GQuery("N_SKETCH2_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     GQuery("N_SKETCH3_hll_registers", hllDistinct, Some(hllDistinctSql)),
-    GQuery("N_SKETCH4_kmv_jaccard", kmvJaccard, Some(kmvJaccardSql)))
+    GQuery("N_SKETCH4_kmv_jaccard", kmvJaccard, Some(kmvJaccardSql)),
+    GQuery("N_SKETCH5_kmv_set_algebra", kmvSetAlgebra,
+      Some(kmvSetAlgebraSql)))
 }

@@ -406,6 +406,9 @@ class PlanSpec extends GraftSpec {
       "S_STATE2_watermark" -> ("events crossJoin broadcast(one-row " +
         "max event time)"),
       "N_SKETCH4_kmv_jaccard" -> "one-row sketch crossJoin one-row exact",
+      "N_SKETCH5_kmv_set_algebra" -> ("lang-pair frame: non-equi " +
+        "self-join of the <=|langs|-row theta relation, and the " +
+        "OR-join of pairs x O(k*langs) sketch rows"),
       "N_MIX1_domain_weights" -> "crossJoin broadcast(one-row total mass)",
       "N_TOK3_bpe_merges" -> ("per round: crossJoin " +
         "broadcast(ONE-ROW best pair)"),
