@@ -1379,6 +1379,11 @@ object Cql {
     // for removes — the hit sets are per-statement small
     def reconciled = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
+    // next free ck per (pk, collection), shared ACROSS the statement's
+    // SET items: two appends to the same collection in one statement
+    // must claim disjoint cks — a collision would be two same-wt cells
+    // at one (pk, ck, col), an LWW tie that silently drops an element
+    val nextCk = scala.collection.mutable.Map.empty[(Long, String), Int]
     splitSetItems(sets).foreach {
       case MapPutRe(_, key, v) =>
         val ck = ckEq.getOrElse(
@@ -1396,13 +1401,13 @@ object Cql {
           fail(s"list append must extend the same column ($n1 vs $n2)")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(longLiteral(_, "list element")),
-          wt, cells)
+          wt, cells, nextCk)
       case SetAddRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(longLiteral(_, "set element")),
-          wt, cells)
+          wt, cells, nextCk)
       case SetRemoveRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set remove must shrink the same column ($n1 vs $n2)")
@@ -1435,23 +1440,31 @@ object Cql {
   private def appendElements(reconciled: => DataFrame, name: String,
       pks: Seq[Long], values: Seq[Long], wt: Long,
       out: scala.collection.mutable.ArrayBuffer[
-        (Long, Int, String, Long, Long)]): Unit = {
+        (Long, Int, String, Long, Long)],
+      nextCk: scala.collection.mutable.Map[(Long, String), Int])
+      : Unit = {
     if (values.isEmpty) return
     if (name.startsWith("!")) fail(s"unsupported collection name: $name")
-    val maxCks: Map[Long, Int] = reconciled
-      .filter(col("pk").isin(pks.map(Long.box): _*) &&
-        col("col") === name)
-      .groupBy(col("pk")).agg(max(col("ck")).as("m"))
-      .collect() // bounded: <= pk count
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val unseen = pks.filterNot(pk => nextCk.contains((pk, name)))
+    if (unseen.nonEmpty) {
+      val maxCks: Map[Long, Int] = reconciled
+        .filter(col("pk").isin(unseen.map(Long.box): _*) &&
+          col("col") === name)
+        .groupBy(col("pk")).agg(max(col("ck")).as("m"))
+        .collect() // bounded: <= pk count
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      unseen.foreach(pk =>
+        nextCk((pk, name)) = maxCks.getOrElse(pk, 0))
+    }
     pks.foreach { pk =>
-      var ck = maxCks.getOrElse(pk, 0)
+      var ck = nextCk((pk, name))
       values.foreach { v =>
         if (ck == Int.MaxValue)
           fail(s"collection $name of pk $pk is at the ck ceiling")
         ck += 1
         out += ((pk, ck, name, v, wt))
       }
+      nextCk((pk, name)) = ck
     }
   }
 

@@ -834,6 +834,13 @@ class CqlSpec extends GraftSpec {
       s"UPDATE $d SET qty = 99, m['x'] = 1 WHERE pk = 2 AND ck = 1")
     assert(rows(d).contains((2L, 1, "qty", 99L)))
     assert(rows(d).contains((2L, 1, "x", 1L)))
+    // two appends to the SAME collection in ONE statement claim
+    // disjoint cks (a ck collision at one wt would LWW-drop elements)
+    Cql.execute(spark,
+      s"UPDATE $d SET tg2 = tg2 + [1], tg2 = tg2 + [2] WHERE pk = 7")
+    assert(rows(d).filter(r => r._1 == 7L && r._3 == "tg2")
+      .toSeq.sortBy(_._2).map(r => (r._2, r._4)) ===
+      Seq((1, 1L), (2, 2L)))
     // refusals: map put without ck; BATCH; mismatched names
     intercept[IllegalArgumentException] {
       Cql.execute(spark, s"UPDATE $d SET m['k'] = 1 WHERE pk = 1")
