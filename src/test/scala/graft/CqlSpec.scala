@@ -907,14 +907,18 @@ class CqlSpec extends GraftSpec {
       cq("UPDATE ks.c SET hits = hits + 3 WHERE pk = 1 AND ck = 1")
       cq("UPDATE ks.c SET hits = hits - 2 WHERE pk = 1 AND ck = 1")
       cq("UPDATE ks.c SET hits = hits + 7 WHERE pk = 2 AND ck = 1")
+      // two increments of the SAME column in ONE statement: both
+      // shards land (same wt — counter mode sums ALL shards, no LWW)
+      cq("UPDATE ks.c SET hits = hits + 10, hits = hits + 20 " +
+        "WHERE pk = 3 AND ck = 1")
       // the facade SELECT reads in shard-SUM mode
       val got = cq("SELECT pk, value FROM ks.c ORDER BY pk")
         .as[(Long, Long)].collect().toSeq
-      assert(got === Seq((1L, 6L), (2L, 7L)))
+      assert(got === Seq((1L, 6L), (2L, 7L), (3L, 30L)))
       // the shards stay distinct cells on disk (no read-modify-write)
       val raw = spark.read.format("graft.sources.CellSource")
         .load(s"$root/ks/c")
-      assert(raw.count() === 4)
+      assert(raw.count() === 6)
       // refusals: INSERT on a counter table, plain SET, TTL, BATCH
       intercept[IllegalArgumentException] {
         cq("INSERT INTO ks.c (pk, ck, hits) VALUES (3, 1, 9)")
