@@ -128,6 +128,15 @@ object Cql {
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s+AS\s+SELECT\s+\*\s+""" +
+      """FROM\s+(\w+)\.(\w+)\s+WHERE\s+(\w+)\s+IS\s+NOT\s+NULL\s+""" +
+      """PRIMARY\s+KEY\s*\(\s*\(?\s*(\w+)\s*\)?\s*,\s*pk\s*,\s*ck\s*\)""" +
+      """\s*;?\s*$""").r
+  private val DropMvRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      """(\w+)\.(\w+)\s*;?\s*$""").r
 
   private val DeleteRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
@@ -513,6 +522,43 @@ object Cql {
           if (ifNot == null) fail(s"index $ks.$idxName already exists")
         } else graft.sources.CellIndex.build(spark, baseDir, idxDir,
           colName, writeThrough = true)
+        spark.emptyDataFrame
+      case CreateMvRe(ifNot, vks, vname, bks, bt, whereCol, pkCol) =>
+        // Cassandra's MV statement shape — the view re-keys the base
+        // by one column's value (C40): `WHERE <col> IS NOT NULL
+        // PRIMARY KEY ((<col>), pk, ck)`. Built now and REGISTERED
+        // for write-through maintenance: later committed base writes
+        // refresh it with the delta tombstone protocol; out-of-band
+        // flushes still heal on read.
+        if (!whereCol.equalsIgnoreCase(pkCol))
+          fail("materialized view WHERE column must be the view " +
+            s"partition key ($whereCol vs $pkCol)")
+        if (!vks.equalsIgnoreCase(bks))
+          fail("materialized view must live in its base keyspace " +
+            "(Cassandra's rule)")
+        val baseDir = s"$root/$bks/$bt"
+        val viewDir = s"$root/$vks/$vname"
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(viewDir))) {
+          if (ifNot == null)
+            fail(s"materialized view $vks.$vname already exists")
+        } else {
+          graft.sources.CellView.build(spark, baseDir, viewDir,
+            whereCol.toLowerCase)
+          graft.sources.CellView.register(baseDir, viewDir)
+        }
+        spark.emptyDataFrame
+      case DropMvRe(ifEx, ks, name) =>
+        val viewDir = s"$root/$ks/$name"
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(viewDir))) {
+          if (ifEx == null)
+            fail(s"materialized view $ks.$name does not exist")
+        } else {
+          if (graft.sources.CellView.baseOf(viewDir).isEmpty)
+            fail(s"$ks.$name is not a materialized view")
+          graft.sources.CellView.drop(viewDir)
+        }
         spark.emptyDataFrame
       case DropIdxRe(ifEx, ks, name) =>
         val idxDir = s"$root/$ks/$name"

@@ -3517,11 +3517,13 @@ class CellBatchWrite(path: String, truncateFirst: Boolean,
     // a crash before this line leaves a stale manifest, which readers
     // detect and fall back from.
     CellManifest.refresh(path)
-    // Write-through 2i (C18f): registered indexes absorb the flushes
-    // just published, via the same delta-epoch refresh the read-side
-    // heal uses — Cassandra maintains 2i at write time. Unregistered
-    // indexes keep the lazy heal-on-read contract.
+    // Write-through 2i and MV maintenance (C18f / C40): registered
+    // indexes and views absorb the flushes just published, via the
+    // same delta refresh the read-side heals use — Cassandra
+    // maintains both at write time. Unregistered ones keep the lazy
+    // heal-on-read contract.
     CellIndex.maintainAfterWrite(path)
+    CellView.maintainAfterWrite(path)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -121,6 +121,88 @@ object CellView {
   def isStale(viewDir: String): Boolean =
     readMeta(viewDir).exists(m => generation(m.baseDir) != m.gen)
 
+  // ---- write-through maintenance (round 9, the C18f pattern) ----
+  // Registered views are refreshed from the DSv2 batch commit with
+  // the same delta protocol the read-side heal uses — Cassandra
+  // maintains MVs at write time. A separate registry file from the
+  // 2i one: a view's refresh machinery is NOT an index refresh.
+
+  private val RegistryFile = "_views"
+
+  /** Register `viewDir` for write-through maintenance. Idempotent. */
+  def register(baseDir: String, viewDir: String): Unit = {
+    val f = Paths.get(CellPlanning.normalize(baseDir))
+      .resolve(RegistryFile)
+    val norm = CellPlanning.normalize(viewDir)
+    val existing =
+      if (Files.exists(f))
+        Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toList
+          .map(_.trim).filter(_.nonEmpty)
+      else Nil
+    if (!existing.contains(norm))
+      Files.writeString(f, (existing :+ norm).mkString("", "\n", "\n"))
+  }
+
+  /** Remove `viewDir` from the base's write-through registry. */
+  def unregister(baseDir: String, viewDir: String): Unit = {
+    val f = Paths.get(CellPlanning.normalize(baseDir))
+      .resolve(RegistryFile)
+    if (!Files.exists(f)) return
+    val norm = CellPlanning.normalize(viewDir)
+    val kept = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .toList.map(_.trim).filter(l => l.nonEmpty && l != norm)
+    if (kept.isEmpty) Files.deleteIfExists(f)
+    else Files.writeString(f, kept.mkString("", "\n", "\n"))
+  }
+
+  /** The base's registered (still-valid) write-through views. */
+  def registered(baseDir: String): Seq[String] = {
+    val norm = CellPlanning.normalize(baseDir)
+    val f = Paths.get(norm).resolve(RegistryFile)
+    if (!Files.exists(f)) return Seq.empty
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .filter(v => readMeta(v).exists(_.baseDir == norm))
+  }
+
+  /** The view's recorded base table dir (None = not a view). */
+  def baseOf(viewDir: String): Option[String] =
+    readMeta(viewDir).map(_.baseDir)
+
+  /** Drop a view: unregister from its base, delete its dir. */
+  def drop(viewDir: String): Unit = {
+    readMeta(viewDir).foreach(m => unregister(m.baseDir, viewDir))
+    val root = Paths.get(CellPlanning.normalize(viewDir))
+    if (!Files.isDirectory(root)) return
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        Using.resource(Files.list(p)) {
+          _.iterator().asScala.toList.foreach(deleteTree)
+        }
+      Files.delete(p)
+    }
+    deleteTree(root)
+  }
+
+  /** Write-path MV maintenance (called by the DSv2 batch commit after
+    * the new generation is published). Best-effort by design — the
+    * data commit is already durable; a skipped refresh leaves the
+    * view detectably stale and the next read heals it (the lazy path
+    * unregistered views always take).
+    */
+  def maintainAfterWrite(baseDir: String): Unit = {
+    val vs = registered(baseDir)
+    if (vs.isEmpty) return
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach { spark =>
+        vs.foreach { v =>
+          try refresh(spark, v)
+          catch { case scala.util.control.NonFatal(_) => }
+        }
+      }
+  }
+
   /** Same-filesystem scratch view over a file subset (hard links). */
   private def withScratch[A](baseDir: String, files: Seq[String])(
       f: String => A): A = {

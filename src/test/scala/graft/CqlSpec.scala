@@ -941,6 +941,67 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("CQL materialized views: DDL + write-through maintenance (C40)") {
+    val root = Files.createTempDirectory("cql-mv").toString
+    spark.conf.set("spark.sql.catalog.mvcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mvcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mvcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("INSERT INTO ks.t (pk, ck, qty, price) VALUES (1, 1, 100, 5)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 200)")
+      cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
+        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+      val viewDir = s"$root/ks/by_qty"
+      // view lookup answers WITHOUT the base table; full row present
+      val hit = graft.sources.CellView
+        .lookup(spark, viewDir, 100L, onStale = "fail")
+        .select("bpk", "col", "value")
+        .as[(Long, String, Long)].collect().toSet
+      assert(hit === Set((1L, "qty", 100L), (1L, "price", 5L)))
+      // write-through: a plain INSERT through the front door keeps
+      // the view fresh with NO refresh call
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 100)")
+      assert(!graft.sources.CellView.isStale(viewDir))
+      assert(graft.sources.CellView
+        .lookup(spark, viewDir, 100L, onStale = "fail")
+        .filter(col("col") === "qty")
+        .select("bpk").as[Long].collect().toSet === Set(1L, 3L))
+      // a MOVE (qty changes) relocates the row's view partition
+      cq("UPDATE ks.t SET qty = 300 WHERE pk = 2 AND ck = 1")
+      assert(!graft.sources.CellView.isStale(viewDir))
+      assert(graft.sources.CellView
+        .lookup(spark, viewDir, 200L, onStale = "fail").count() === 0)
+      assert(graft.sources.CellView
+        .lookup(spark, viewDir, 300L, onStale = "fail")
+        .filter(col("col") === "qty")
+        .select("bpk").as[Long].collect().toSet === Set(2L))
+      // refusals and lifecycle
+      intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
+          "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+      }
+      cq("CREATE MATERIALIZED VIEW IF NOT EXISTS ks.by_qty AS " +
+        "SELECT * FROM ks.t WHERE qty IS NOT NULL " +
+        "PRIMARY KEY ((qty), pk, ck)")
+      intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW ks.bad AS SELECT * FROM ks.t " +
+          "WHERE qty IS NOT NULL PRIMARY KEY ((price), pk, ck)")
+      }
+      cq("DROP MATERIALIZED VIEW ks.by_qty")
+      assert(!Files.isDirectory(java.nio.file.Paths.get(viewDir)))
+      intercept[IllegalArgumentException] {
+        cq("DROP MATERIALIZED VIEW ks.by_qty")
+      }
+      cq("DROP MATERIALIZED VIEW IF EXISTS ks.by_qty")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvcat")
+      spark.conf.unset("spark.sql.catalog.mvcat.root")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
