@@ -865,6 +865,11 @@ object Cql {
         graft.sources.CellIndex.lookupBase(spark, dir, idxDir, iv)
           .filter(col("col") === ic && col("value") === lit(iv))
       } else {
+        // a MATERIALIZED VIEW directory heals before serving — a
+        // stale view (out-of-band base flush that bypassed the
+        // write-through commit) must never answer silently wrong
+        if (graft.sources.CellView.isStale(dir))
+          graft.sources.CellView.refresh(spark, dir)
         val relaxed = allowFiltering || fnNarrows
         var reader = spark.read.format(Fmt).option("reconcile", "true")
           .option("strictCql", (!relaxed).toString)

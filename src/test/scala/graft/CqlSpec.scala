@@ -978,6 +978,18 @@ class CqlSpec extends GraftSpec {
         .lookup(spark, viewDir, 300L, onStale = "fail")
         .filter(col("col") === "qty")
         .select("bpk").as[Long].collect().toSet === Set(2L))
+      // the facade SELECT serves the view as a typed table — and
+      // heals an out-of-band staleness first (never silently stale):
+      // simulate a bypass by unregistering, writing, re-registering
+      graft.sources.CellView.unregister(s"$root/ks/t", viewDir)
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (4, 1, 300)")
+      graft.sources.CellView.register(s"$root/ks/t", viewDir)
+      assert(graft.sources.CellView.isStale(viewDir))
+      val sel = cq("SELECT vk, bpk FROM ks.by_qty WHERE vk = 300 " +
+        "ORDER BY bpk")
+      assert(sel.as[(Long, Long)].collect().toSeq ===
+        Seq((300L, 2L), (300L, 4L)))
+      assert(!graft.sources.CellView.isStale(viewDir))
       // refusals and lifecycle
       intercept[IllegalArgumentException] {
         cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
