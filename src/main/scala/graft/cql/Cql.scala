@@ -369,8 +369,10 @@ object Cql {
             fail("collection updates are not supported inside BATCH " +
               "(appends need the current collection state)")
           if (isCounter(resolve(table)))
-            fail("counter increments are not supported inside BATCH " +
-              "(the shared batch writetime would LWW-collapse shards)")
+            fail("counter increments are not supported inside a " +
+              "LOGGED BATCH (Cassandra's rule: shard deltas are not " +
+              "idempotent, so a crash-replay of the journal would " +
+              "double-count)")
           (resolve(table), updateCells(sets, where,
             ts.getOrElse(AssignLater)))
         case DeleteRe(colOpt, table, usingTs, where) =>

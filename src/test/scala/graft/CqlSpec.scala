@@ -639,6 +639,20 @@ class CqlSpec extends GraftSpec {
       .select("user", "ck", "col", "value")
       .as[(String, Int, String, Long)].collect().toSet
 
+  test("typed-table GROUP BY lands on the C49b typed grouped pushdown") {
+    val td = freshTypedTable()
+    val g = Cql.execute(spark,
+      s"SELECT user, count(*) AS n, max(wt) AS mw FROM $td " +
+        "GROUP BY user ORDER BY user")
+    assert(g.queryExecution.executedPlan.toString
+      .contains("CellGroupAggScan"),
+      g.queryExecution.executedPlan.toString)
+    val got = g.as[(String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) ===
+      Seq("u-1", "u-2", "u-3", "u-4", "u-5", "u-6"))
+    assert(got.find(_._1 == "u-3").get._2 === 3L)
+  }
+
   test("typed UPDATE lands on the typed write path") {
     val td = freshTypedTable()
     Cql.execute(spark,
