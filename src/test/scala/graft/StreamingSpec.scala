@@ -427,6 +427,45 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("a write-through materialized view is a CDC SOURCE: base " +
+      "writes stream out as view updates") {
+    import graft.sources.{CellSource, CellView}
+    val base = java.nio.file.Files
+      .createTempDirectory("mv-cdc-base").toString
+    val view = java.nio.file.Files
+      .createTempDirectory("mv-cdc-view").toString
+    val acc = java.nio.file.Files
+      .createTempDirectory("mv-cdc-acc").resolve("rows").toString
+    CellSource.writeSnapshot(base,
+      Seq((1L, 1, "qty", 100L, 10L)), files = 1)
+    CellView.build(spark, base, view, "qty")
+    CellView.register(base, view)
+    // the view is itself a cell table, so its refresh flushes are a
+    // micro-batch stream — MV maintenance composes with CDC for free
+    val q = spark.readStream.format("graft.sources.CellSource")
+      .load(view)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(acc)
+      }.start()
+    try {
+      q.processAllAvailable()
+      // a base write refreshes the view (write-through), and the view
+      // delta arrives as the stream's next batch
+      Seq((7L, 1, "qty", 300L, 20L))
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(base)
+      assert(!CellView.isStale(view))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(acc)
+        .select("vk", "bpk", "col", "value")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed.contains((100L, 1L, "qty", 100L)))
+      assert(streamed.contains((300L, 7L, "qty", 300L)))
+    } finally q.stop()
+  }
+
   test("connector as streaming SINK: epochs publish as flushes") {
     val dir = java.nio.file.Files
       .createTempDirectory("cells-sink").toString
