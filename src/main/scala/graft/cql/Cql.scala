@@ -104,6 +104,9 @@ object Cql {
   private val BatchRe =
     """(?is)^\s*BEGIN\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
 
+  private val UnloggedBatchRe =
+    """(?is)^\s*BEGIN\s+UNLOGGED\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
+
   // ---- DDL (catalog-bound statements) ----
 
   private val CreateKsRe =
@@ -148,6 +151,20 @@ object Cql {
     */
   def execute(spark: SparkSession, cql: String,
       resolve: String => String = identity): DataFrame = cql match {
+    case UnloggedBatchRe(body) =>
+      // UNLOGGED batch: no journal, no shared writetime, no atomicity
+      // — Cassandra's grouping-only form. Each sub-statement executes
+      // as itself (own deterministic writetime), which is exactly why
+      // counter batches REQUIRE this form: per-statement wts keep
+      // shard deltas distinct and nothing is crash-replayed.
+      val stmts = splitOnSemis(body, batchAware = false)
+      if (stmts.isEmpty) fail("empty BATCH")
+      stmts.foreach {
+        case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
+            DeleteRe(_, _, _, _)) => execute(spark, s, resolve)
+        case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+      }
+      spark.emptyDataFrame
     case BatchRe(body) =>
       batch(spark, body, resolve)
       spark.emptyDataFrame
@@ -247,7 +264,9 @@ object Cql {
       val c = script.charAt(i)
       if (c == '\'') inQ = !inQ
       if (batchAware && !inQ) {
-        if (script.regionMatches(true, i, "BEGIN BATCH", 0, 11)) depth += 1
+        if (script.regionMatches(true, i, "BEGIN BATCH", 0, 11) ||
+            script.regionMatches(true, i, "BEGIN UNLOGGED BATCH", 0, 20))
+          depth += 1
         if (script.regionMatches(true, i, "APPLY BATCH", 0, 11)) depth -= 1
       }
       if (c == ';' && !inQ && depth == 0) {
@@ -757,6 +776,8 @@ object Cql {
 
   private val TokenPredRe =
     """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(=|<=|>=|<|>)\s*([-+]?\d+)\s*$""".r
+  private val TokenSelRe =
+    """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
   private def select(spark: SparkSession, dir: String, json: Boolean,
       distinct: Boolean, cols: String, where: Option[String],
@@ -833,6 +854,12 @@ object Cql {
       cols.split(',').exists(i => WriteTimeRe.findFirstIn(i).isDefined)
     val hasTtl = group.isEmpty && cols != "*" &&
       cols.split(',').exists(i => TtlRe.findFirstIn(i).isDefined)
+    // token() in the SELECT list: the partition token column — pk
+    // itself on the default layout (identity tokens), the `_token`
+    // pseudo-column on typed layouts (hashed ring position)
+    val hasTokSel = group.isEmpty && !distinct && cols != "*" &&
+      cols.split(',').exists(i => TokenSelRe.findFirstIn(i).isDefined &&
+        TokenPredRe.findFirstIn(i).isEmpty)
     val fnNarrows = hasWt || hasTtl
     if (fnNarrows && !allowFiltering &&
         preds.exists { case (c, _) => !keyCols.contains(c) })
@@ -857,8 +884,9 @@ object Cql {
         val (ic, iv) = idxPreds.head
         if (hasTok)
           fail("token ranges cannot combine with an indexed predicate")
-        if (fnNarrows)
-          fail("WRITETIME/TTL cannot combine with an indexed predicate")
+        if (fnNarrows || hasTokSel)
+          fail("WRITETIME/TTL/token() projections cannot combine " +
+            "with an indexed predicate")
         val idxDir = graft.sources.CellIndex.registered(dir)
           .find(i => graft.sources.CellIndex.columnOf(i).contains(ic))
           .getOrElse(fail(s"no secondary index on $ic — create one " +
@@ -977,6 +1005,23 @@ object Cql {
           df = df.select(items.toIndexedSeq: _*)
         } else {
           val items = rawItems.map {
+            case t @ TokenSelRe(parts, alias)
+                if TokenPredRe.findFirstIn(t).isEmpty =>
+              val named = parts.split(',').map(_.trim.toLowerCase).toSeq
+              if (named != spec.pkParts.map(_.name.toLowerCase))
+                fail("token() must name the partition key (" +
+                  spec.pkParts.map(_.name).mkString(", ") + ")")
+              // identity tokens on the default layout; typed layouts
+              // compute the ring position with the connector's own
+              // codec (the C45 graft_token expression — part types
+              // come from the key columns, so type-strictness holds)
+              val src =
+                if (spec.isDefault) col("pk")
+                else {
+                  graft.GraftExtensions.register(spark)
+                  expr(s"graft_token(${named.mkString(", ")})")
+                }
+              src.as(Option(alias).getOrElse("token"))
             case ColRe(c, alias) =>
               Option(alias).map(col(c).as(_)).getOrElse(col(c))
             case c => fail(s"unsupported select item: $c")

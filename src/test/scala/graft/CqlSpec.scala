@@ -1028,6 +1028,79 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("token() in the select list projects the ring position") {
+    val d = freshTable()
+    // identity tokens on the default layout: token(pk) == pk
+    val t = Cql.execute(spark,
+      s"SELECT token(pk) AS t, pk, ck FROM $d WHERE pk = 2")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(t === Set((2L, 2L, 1)))
+    // typed layout: token(user) is the hashed ring position — must
+    // match the connector's own _token column exactly
+    val td = freshTypedTable()
+    val viaCql = Cql.execute(spark,
+      s"SELECT token(user) AS t, user FROM $td WHERE user = 'u-2'")
+      .as[(Long, String)].collect().toSet
+    val direct = spark.read.format("graft.sources.CellSource")
+      .option("withToken", "true").load(td) // plain scan: raw cells
+      .filter(col("user") === "u-2")
+      .select(col("_token"), col("user"))
+      .as[(Long, String)].collect().toSet
+    assert(viaCql === direct && viaCql.nonEmpty)
+    // token() must name the partition key
+    intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT token(ck) FROM $d")
+    }
+  }
+
+  test("UNLOGGED BATCH: grouping only, per-statement writetimes, " +
+      "counters allowed") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"""BEGIN UNLOGGED BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (60, 1, 5);
+         |  INSERT INTO $d (pk, ck, qty) VALUES (61, 1, 6);
+         |  DELETE FROM $d WHERE pk = 60 AND ck = 1;
+         |APPLY BATCH""".stripMargin)
+    // sequential per-statement writetimes: the later DELETE shadows
+    // the earlier insert (unlike the LOGGED batch's one shared wt)
+    assert(!rows(d).exists(_._1 == 60L))
+    assert(rows(d).contains((61L, 1, "qty", 6L)))
+    // scripts keep unlogged blocks whole
+    val out = Cql.executeScript(spark,
+      s"""BEGIN UNLOGGED BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (62, 1, 7);
+         |APPLY BATCH;
+         |SELECT pk, value FROM $d WHERE pk = 62""".stripMargin)
+    assert(out.as[(Long, Long)].collect().toSeq === Seq((62L, 7L)))
+    // counter batches are legal UNLOGGED (Cassandra's rule): each
+    // increment gets its own writetime, shards stay distinct
+    val root = Files.createTempDirectory("cql-ubatch").toString
+    spark.conf.set("spark.sql.catalog.ubcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ubcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ubcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("""BEGIN UNLOGGED BATCH
+           |  UPDATE ks.c SET hits = hits + 5 WHERE pk = 1 AND ck = 1;
+           |  UPDATE ks.c SET hits = hits + 3 WHERE pk = 1 AND ck = 1;
+           |APPLY BATCH""".stripMargin)
+      assert(cq("SELECT pk, value FROM ks.c")
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 8L)))
+      // LOGGED counter batch still refuses
+      intercept[IllegalArgumentException] {
+        cq("""BEGIN BATCH
+             |  UPDATE ks.c SET hits = hits + 1 WHERE pk = 1 AND ck = 1;
+             |APPLY BATCH""".stripMargin)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ubcat")
+      spark.conf.unset("spark.sql.catalog.ubcat.root")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
