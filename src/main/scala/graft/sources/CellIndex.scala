@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.LongType
   * a TYPED partition key via CEL6 — the index table is declared
   * `primaryKey ((pk),ck)` with the value's type, and the lookup
   * hashes the probe to its token like any typed point read. The BASE
-  * table must be default-keyed (its pk is the index entry's value).
+  * may be default-keyed OR typed (round 9) with a SINGLE-part
+  * partition key — the entry's `value` slot carries that part
+  * (typed CEL5 value), and the base re-read addresses it by name;
+  * multi-part partition keys stay refused.
   *
   * Staleness (round 7, C18c): `build` records the base table's
   * committed GENERATION — its flush-file listing, immutable per file
@@ -115,19 +118,31 @@ object CellIndex {
     * races the build leaves the index looking stale — never silently
     * fresh-but-incomplete.
     */
+  /** The base's key layout, for index entry derivation: exactly ONE
+    * partition-key part (default `pk: long`, or a typed single-part
+    * key — round 9 lifts the default-only restriction); multi-part
+    * partition keys stay refused (an index entry's `value` slot holds
+    * one base key part).
+    */
+  private def baseKey(dir: String): (String, Seq[String]) = {
+    val spec = CellSource.keySpec(dir)
+    require(spec.pkParts.length == 1,
+      s"secondary index needs a single-part partition key; $dir is " +
+        s"keyed (${spec.serial})")
+    (spec.pkParts.head.name,
+      (spec.pkParts ++ spec.ckParts).map(_.name))
+  }
+
   def build(spark: SparkSession, dir: String, idxDir: String,
       column: String, files: Int = 8,
       writeThrough: Boolean = false): Unit = {
     val gen = generation(dir)
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
-    require(base.schema.fieldNames.take(2).sameElements(
-        Array("pk", "ck")),
-      s"secondary index needs a default-keyed base table; $dir is " +
-        s"keyed (${base.schema.fieldNames.mkString(",")})")
+    val (keyCol, orderCols) = baseKey(dir)
     val valueIsLong = base.schema("value").dataType == LongType
     writeEntries(base, column, valueIsLong, files, idxDir,
-      epoch = 0, overwrite = true)
+      epoch = 0, overwrite = true, keyCol, orderCols)
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
       s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
@@ -229,29 +244,41 @@ object CellIndex {
 
   /** Shared entry derivation + write: dense per-value ck in the
     * epoch's band, value-typed partition key for non-long columns.
+    * `keyCol`/`orderCols` name the BASE's single pk part and its full
+    * key-part order (pk, ck on the default layout; the typed part
+    * names on a CEL6 base) — the entry's `value` slot carries the
+    * base pk part, whatever its type (CEL5 typed values).
     */
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean, keyCol: String = "pk",
+      orderCols: Seq[String] = Seq("pk", "ck")): Unit = {
     val entries = base.filter(col("col") === column)
       .select(
         col("value").as("pk"),
         (row_number().over(
           Window.partitionBy(col("value"))
-            .orderBy(col("pk"), col("ck"))) +
+            .orderBy(orderCols.map(col).toIndexedSeq: _*)) +
           lit(epoch * EpochBand)).as("ck"),
         lit("ref").as("col"),
-        col("pk").as("value"),
+        col(keyCol).as("value"),
         col("wt"))
       .repartitionByRange(files, col("pk"), col("ck"))
-    val writer = entries.write.format(Fmt)
+    var writer = entries.write.format(Fmt)
       .mode(if (overwrite) "overwrite" else "append")
     // non-long indexed values become a typed (CEL6) partition key;
     // keyType hints let schema inference agree on a still-empty dir
-    (if (valueIsLong) writer
-     else writer.option("primaryKey", "((pk),ck)")
-       .option("keyType.pk", base.schema("value").dataType.simpleString)
-       .option("keyType.ck", "int")).save(idxDir)
+    if (!valueIsLong)
+      writer = writer.option("primaryKey", "((pk),ck)")
+        .option("keyType.pk",
+          base.schema("value").dataType.simpleString)
+        .option("keyType.ck", "int")
+    // a non-long BASE key part makes the entry's value a typed CEL5
+    // value column — declare it so an empty index dir agrees
+    val keyDt = base.schema(keyCol).dataType
+    if (keyDt != LongType)
+      writer = writer.option("valueType", keyDt.simpleString)
+    writer.save(idxDir)
   }
 
   /** Incremental refresh (C18d): index ONLY the flushes the base
@@ -289,9 +316,10 @@ object CellIndex {
       }
       val delta = spark.read.format(Fmt)
         .option("reconcile", "true").load(scratch.toString)
+      val (keyCol, orderCols) = baseKey(m.baseDir)
       writeEntries(delta, m.column,
         delta.schema("value").dataType == LongType, files = 8, idxDir,
-        epoch = m.epoch + 1, overwrite = false)
+        epoch = m.epoch + 1, overwrite = false, keyCol, orderCols)
     } finally {
       Using.resource(Files.list(scratch)) { st =>
         st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
@@ -378,14 +406,26 @@ object CellIndex {
       lo: Long, hi: Long, multigetMax: Int = 128,
       onStale: String = "refresh"): DataFrame = {
     val hits = lookupPksRange(spark, idxDir, lo, hi, onStale)
-    val sample = hits.limit(multigetMax + 1).collect()
-      .map(_.getLong(0))
+    composeBase(spark, dir, hits, multigetMax)
+  }
+
+  /** Hit-set → base-read composition shared by the equality and range
+    * probes: small hit sets push `key IN (...)` into the base scan (k
+    * point reads, C8b); large ones fall back to the broadcast semi
+    * join. The base's single pk part is addressed BY NAME, so typed
+    * (CEL6) bases compose the same way as the default layout.
+    */
+  private def composeBase(spark: SparkSession, dir: String,
+      hits: DataFrame, multigetMax: Int): DataFrame = {
+    val keyCol = baseKey(dir)._1
+    val sample = hits.limit(multigetMax + 1).collect().map(_.get(0))
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
     if (sample.isEmpty) base.filter(lit(false))
     else if (sample.length <= multigetMax)
-      base.filter(col("pk").isin(sample.map(Long.box).toSeq: _*))
-    else base.join(hits, Seq("pk"), "left_semi")
+      base.filter(col(keyCol).isin(sample.toIndexedSeq: _*))
+    else base.join(hits.withColumnRenamed("pk", keyCol),
+      Seq(keyCol), "left_semi")
   }
 
   /** Index probe COMPOSED into the base read (round 7): when the hit
@@ -400,15 +440,7 @@ object CellIndex {
     */
   def lookupBase(spark: SparkSession, dir: String, idxDir: String,
       v: Any, multigetMax: Int = 128,
-      onStale: String = "refresh"): DataFrame = {
-    val hits = lookupPks(spark, idxDir, v, onStale)
-    val sample = hits.limit(multigetMax + 1).collect()
-      .map(_.getLong(0))
-    val base = spark.read.format(Fmt)
-      .option("reconcile", "true").load(dir)
-    if (sample.isEmpty) base.filter(lit(false))
-    else if (sample.length <= multigetMax)
-      base.filter(col("pk").isin(sample.map(Long.box).toSeq: _*))
-    else base.join(hits, Seq("pk"), "left_semi")
-  }
+      onStale: String = "refresh"): DataFrame =
+    composeBase(spark, dir, lookupPks(spark, idxDir, v, onStale),
+      multigetMax)
 }

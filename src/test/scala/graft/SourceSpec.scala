@@ -2124,6 +2124,51 @@ class SourceSpec extends GraftSpec {
     assert(CellIndex.registered(base).isEmpty)
   }
 
+  test("secondary index over a TYPED (CEL6) base: string keys in the " +
+      "entry value, lookups compose by part name (C18g)") {
+    import graft.sources.CellIndex
+    val base = Files.createTempDirectory("cells-idx-typed").toString
+    val idx = Files.createTempDirectory("cells-idx-typed-i").toString
+    def write(rows: Seq[(String, Int, String, Long, Long)],
+        start: Int = 0): Unit =
+      rows.toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(base)
+    write(Seq(("u-1", 1, "qty", 100L, 10L), ("u-2", 1, "qty", 200L, 10L),
+      ("u-3", 1, "qty", 100L, 10L), ("u-1", 1, "price", 5L, 10L)))
+    CellIndex.build(spark, base, idx, "qty", writeThrough = true)
+    // the hit set carries the base's STRING pk part
+    assert(CellIndex.lookupPks(spark, idx, 100L, onStale = "fail")
+      .as[String].collect().toSet == Set("u-1", "u-3"))
+    // the base re-read composes by part name: full rows of hit users
+    val hit = CellIndex.lookupBase(spark, base, idx, 100L)
+      .select("user", "col", "value")
+      .as[(String, String, Long)].collect().toSet
+    assert(hit == Set(("u-1", "qty", 100L), ("u-1", "price", 5L),
+      ("u-3", "qty", 100L)))
+    // write-through keeps the typed index fresh (delta epoch)
+    write(Seq(("u-9", 1, "qty", 100L, 10L)))
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupPks(spark, idx, 100L, onStale = "fail")
+      .as[String].collect().toSet == Set("u-1", "u-3", "u-9"))
+    // multi-part partition keys refuse
+    val multi = Files.createTempDirectory("cells-idx-multi").toString
+    Seq(("t1", 1L, 1, "qty", 10L, 10L))
+      .toDF("tenant", "day", "seq", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((tenant,day),seq)")
+      .option("keyType.tenant", "string").option("keyType.day", "bigint")
+      .option("keyType.seq", "int")
+      .mode("append").save(multi)
+    val e = intercept[IllegalArgumentException] {
+      CellIndex.build(spark, multi,
+        Files.createTempDirectory("cells-idx-m-i").toString, "qty")
+    }
+    assert(e.getMessage.contains("single-part"), e.getMessage)
+  }
+
   test("typed ck zone maps prune chunks for slices (C37b/CEL8)") {
     val d = Files.createTempDirectory("cells-typed-ckzone").toString
     // ONE text-keyed partition, ck grows with record index → chunks
