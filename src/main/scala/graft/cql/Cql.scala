@@ -1115,7 +1115,7 @@ object Cql {
       catch { case e: Exception => fail(s"bad JSON document: ${e.getMessage}") }
     if (node == null || !node.isObject) fail("INSERT JSON needs an object")
     val fields = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(node.fields()).asScala.toSeq
+      .CollectionHasAsScala(node.properties()).asScala.toSeq
       .map(e => e.getKey.toLowerCase -> e.getValue)
     val kv = fields.toMap
     def num(k: String): Long = kv.get(k) match {

@@ -1291,6 +1291,44 @@ object Cells {
       |  (3, '10|11|12|13', CAST(NULL AS VARCHAR))) AS t(pk, tags, st)
       |ORDER BY pk""".stripMargin
 
+  // C65g — CQL COUNTER round trip end-to-end: create a counter table
+  // through the catalog DDL, apply increments/decrements (each one a
+  // shard-delta cell, incl. an UNLOGGED counter batch — the legal
+  // form), and read the shard-SUM view back through the front door.
+  // The oracle is the expected totals literal — the engine must
+  // reproduce them exactly through delta append + shard-sum merge.
+  private def cqlCounter(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cnt"
+    // Spark's CatalogManager caches the catalog INSTANCE per name, so
+    // the registration happens once per session and the statements
+    // are idempotent against a reused root (TRUNCATE resets state)
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cnt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.c (pk bigint, ck int, col text, " +
+      "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+    cq("TRUNCATE ks.c")
+    cq("UPDATE ks.c SET hits = hits + 5 WHERE pk = 1 AND ck = 1")
+    cq("UPDATE ks.c SET hits = hits + 3, views = views + 2 " +
+      "WHERE pk = 1 AND ck = 1")
+    cq("UPDATE ks.c SET hits = hits - 2 WHERE pk = 1 AND ck = 1")
+    cq("""BEGIN UNLOGGED BATCH
+         |  UPDATE ks.c SET hits = hits + 10 WHERE pk = 2 AND ck = 1;
+         |  UPDATE ks.c SET hits = hits + 20 WHERE pk = 2 AND ck = 1;
+         |APPLY BATCH""".stripMargin)
+    cq("SELECT pk, col, value FROM ks.c ORDER BY pk, col")
+  }
+
+  private val cqlCounterSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, col, CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 'hits', 6), (1, 'views', 2), (2, 'hits', 30))
+      |  AS t(pk, col, v)
+      |ORDER BY pk, col""".stripMargin
+
   // C65c — CQL token-range paging through the front door: the
   // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
   // idiom lands on the C41 physical token-range scan (Summary/
@@ -1437,6 +1475,7 @@ object Cells {
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),
     GQuery("C65f_cql_indexed_where", cqlIndexedWhere,
       Some(cqlIndexedWhereSql)),
+    GQuery("C65g_cql_counter", cqlCounter, Some(cqlCounterSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
