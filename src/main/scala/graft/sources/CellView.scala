@@ -78,42 +78,65 @@ object CellView {
   private def reconciled(spark: SparkSession, dir: String): DataFrame =
     spark.read.format(Fmt).option("reconcile", "true").load(dir)
 
-  /** Base rows' cells re-keyed by their `column` value: the view
-    * relation `(vk, bpk, bck, col, value, wt)`.
+  /** The base's key layout for view derivation (round 9 lifts the
+    * default-only restriction): a SINGLE-part partition key plus any
+    * clustering parts; every base part appears in the view prefixed
+    * with 'b' (the default layout's parts become exactly the
+    * historical `bpk`/`bck`). Returns (name, typeSimpleString) pairs
+    * in key order.
     */
-  private def viewRows(base: DataFrame, column: String): DataFrame = {
+  private def baseParts(dir: String): Seq[(String, String)] = {
+    val spec = CellSource.keySpec(CellPlanning.normalize(dir))
+    require(spec.pkParts.length == 1,
+      s"materialized view needs a single-part partition key; $dir " +
+        s"is keyed (${spec.serial})")
+    (spec.pkParts ++ spec.ckParts)
+      .map(p => p.name -> p.dataType.simpleString)
+  }
+
+  /** Base rows' cells re-keyed by their `column` value: the view
+    * relation `(vk, b<part>..., col, value, wt)` — `(vk, bpk, bck,
+    * …)` on the default layout.
+    */
+  private def viewRows(base: DataFrame, column: String,
+      parts: Seq[String]): DataFrame = {
     val keys = base.filter(col("col") === column)
-      .select(col("pk"), col("ck"), col("value").as("vk"))
-    base.join(keys, Seq("pk", "ck"))
-      .select(col("vk"), col("pk").as("bpk"), col("ck").as("bck"),
-        col("col"), col("value"), col("wt"))
+      .select((parts.map(col) :+ col("value").as("vk"))
+        .toIndexedSeq: _*)
+    base.join(keys, parts)
+      .select((Seq(col("vk")) ++
+        parts.map(p => col(p).as("b" + p)) ++
+        Seq(col("col"), col("value"), col("wt"))).toIndexedSeq: _*)
   }
 
   private def writeView(rows: DataFrame, viewDir: String,
-      vkType: String, files: Int, overwrite: Boolean): Unit =
-    rows.repartitionByRange(files, col("vk"), col("bpk"), col("bck"))
+      vkType: String, parts: Seq[(String, String)], files: Int,
+      overwrite: Boolean): Unit = {
+    var w = rows
+      .repartitionByRange(files,
+        (col("vk") +: parts.map(p => col("b" + p._1)))
+          .toIndexedSeq: _*)
       .write.format(Fmt)
-      .option("primaryKey", "((vk),bpk,bck)")
+      .option("primaryKey",
+        s"((vk),${parts.map("b" + _._1).mkString(",")})")
       .option("keyType.vk", vkType)
-      .option("keyType.bpk", "bigint").option("keyType.bck", "int")
-      .mode(if (overwrite) "overwrite" else "append")
-      .save(viewDir)
+    parts.foreach { case (n, t) => w = w.option(s"keyType.b$n", t) }
+    w.mode(if (overwrite) "overwrite" else "append").save(viewDir)
+  }
 
-  /** Build (or rebuild) the view of `column` over the DEFAULT-keyed
-    * table at `dir` into the typed cell table at `viewDir`. The base
-    * generation is captured BEFORE the read — a racing flush leaves
-    * the view stale, never silently incomplete.
+  /** Build (or rebuild) the view of `column` over the table at `dir`
+    * (default-keyed or typed with a single-part partition key) into
+    * the typed cell table at `viewDir`. The base generation is
+    * captured BEFORE the read — a racing flush leaves the view stale,
+    * never silently incomplete.
     */
   def build(spark: SparkSession, dir: String, viewDir: String,
       column: String, files: Int = 8): Unit = {
     val gen = generation(dir)
     val base = reconciled(spark, dir)
-    require(base.schema.fieldNames.take(2).sameElements(
-        Array("pk", "ck")),
-      s"materialized view needs a default-keyed base table; $dir is " +
-        s"keyed (${base.schema.fieldNames.mkString(",")})")
-    writeView(viewRows(base, column), viewDir,
-      base.schema("value").dataType.simpleString, files,
+    val parts = baseParts(dir)
+    writeView(viewRows(base, column, parts.map(_._1)), viewDir,
+      base.schema("value").dataType.simpleString, parts, files,
       overwrite = true)
     writeMeta(viewDir, column, dir, gen)
   }
@@ -255,74 +278,82 @@ object CellView {
         build(spark, m.baseDir, viewDir, m.column, files)
         return
       }
-      // touched base rows: data rows name their (pk, ck) — as does a
+      // the base's named key parts: nm = (pk, ck) on the default
+      // layout, the typed part names on a CEL6 base; pkName is the
+      // single partition part
+      val parts = baseParts(m.baseDir)
+      val nm = parts.map(_._1)
+      val pkName = nm.head
+      def asB(df: DataFrame) = nm.foldLeft(df)((d, n) =>
+        d.withColumnRenamed(n, "b" + n))
+      def fromB(df: DataFrame) = nm.foldLeft(df)((d, n) =>
+        d.withColumnRenamed("b" + n, n))
+      // touched base rows: data rows name their full key — as does a
       // CELL tombstone (deleting just `column` moves the row OUT of
-      // the view); a row tombstone its (pk, ck); a partition
-      // tombstone every old row of its pk (resolved against the old
-      // generation below)
+      // the view); a row tombstone its full key; a partition
+      // tombstone every old row of its partition (resolved against
+      // the old generation below)
       val dataKeys = rawDelta
         .filter(!col("col").startsWith("!") ||
           col("col").startsWith(CellSource.CellTombstonePrefix))
-        .select(col("pk"), col("ck")).distinct()
+        .select(nm.map(col).toIndexedSeq: _*).distinct()
       val rowDels = rawDelta
         .filter(col("col") === CellSource.RowTombstone)
-        .groupBy(col("pk"), col("ck"))
+        .groupBy(nm.map(col).toIndexedSeq: _*)
         .agg(max(col("wt")).as("dts"))
       val partDels = rawDelta
         .filter(col("col") === CellSource.PartitionTombstone)
-        .groupBy(col("pk")).agg(max(col("wt")).as("pdts"))
+        .groupBy(col(pkName)).agg(max(col("wt")).as("pdts"))
       withScratch(m.baseDir, oldFiles) { oldDir =>
         val old = reconciled(spark, oldDir)
-        // the rows' OLD placement: old vk + max old wt per (pk, ck)
-        val oldState = viewRows(old, m.column)
-          .groupBy(col("bpk").as("pk"), col("bck").as("ck"),
-            col("vk"))
+        // the rows' OLD placement: old vk + max old wt per key
+        val oldState = fromB(viewRows(old, m.column, nm))
+          .groupBy((nm.map(col) :+ col("vk")).toIndexedSeq: _*)
           .agg(max(col("wt")).as("maxOldWt"))
         val cur = reconciled(spark, m.baseDir)
         val touched = dataKeys
-          .unionByName(rowDels.select(col("pk"), col("ck")))
+          .unionByName(rowDels.select(nm.map(col).toIndexedSeq: _*))
           .unionByName(partDels.join(
-            oldState.select(col("pk"), col("ck")).distinct(),
-            Seq("pk")).select(col("pk"), col("ck")))
+            oldState.select(nm.map(col).toIndexedSeq: _*).distinct(),
+            Seq(pkName)).select(nm.map(col).toIndexedSeq: _*))
           .distinct()
         // CURRENT cells of touched rows, under their current vk
-        val fresh = viewRows(cur.join(touched, Seq("pk", "ck")),
-          m.column)
+        val fresh = viewRows(cur.join(touched, nm), m.column, nm)
         // MOVEMENT tombstones: the row had vk=old but now has a
         // DIFFERENT vk (or none) — shadow every stale copy
-        val curKeys = fresh
-          .select(col("bpk").as("pk"), col("bck").as("ck"),
-            col("vk").as("newVk")).distinct()
-        val moved = oldState.join(touched, Seq("pk", "ck"))
-          .join(curKeys, Seq("pk", "ck"), "left_outer")
-          .filter(col("newVk").isNull || col("newVk") =!= col("vk"))
-          .select(col("vk"), col("pk").as("bpk"),
-            col("ck").as("bck"),
-            lit(CellSource.RowTombstone).as("col"),
-            // the view's value type is the base's; a marker's payload
-            // is meaningless but must type-check
-            (col("maxOldWt") * lit(0)).cast(
-              fresh.schema("value").dataType).as("value"),
-            col("maxOldWt").as("wt"))
+        val curKeys = fromB(fresh.withColumnRenamed("vk", "newVk"))
+          .select((nm.map(col) :+ col("newVk")).toIndexedSeq: _*)
+          .distinct()
+        val marker = lit(CellSource.RowTombstone).as("col")
+        val moved = asB(oldState.join(touched, nm)
+          .join(curKeys, nm, "left_outer")
+          .filter(col("newVk").isNull || col("newVk") =!= col("vk")))
+          .select((Seq(col("vk")) ++ nm.map(n => col("b" + n)) ++
+            Seq(marker,
+              // the view's value type is the base's; a marker's
+              // payload is meaningless but must type-check
+              (col("maxOldWt") * lit(0)).cast(
+                fresh.schema("value").dataType).as("value"),
+              col("maxOldWt").as("wt"))).toIndexedSeq: _*)
         // DELETION tombstones: base partition/row deletes, at the
         // marker's own ts (the base's exact shadowing window)
-        val delTombs = oldState
-          .join(rowDels, Seq("pk", "ck"))
-          .select(col("vk"), col("pk"), col("ck"), col("dts"))
-          .unionByName(oldState.join(partDels, Seq("pk"))
-            .select(col("vk"), col("pk"), col("ck"),
-              col("pdts").as("dts")))
-          .groupBy(col("vk"), col("pk"), col("ck"))
-          .agg(max(col("dts")).as("dts"))
-          .select(col("vk"), col("pk").as("bpk"),
-            col("ck").as("bck"),
-            lit(CellSource.RowTombstone).as("col"),
-            (col("dts") * lit(0)).cast(
-              fresh.schema("value").dataType).as("value"),
-            col("dts").as("wt"))
+        val delTombs = asB(oldState
+          .join(rowDels, nm)
+          .select((Seq(col("vk")) ++ nm.map(col) ++
+            Seq(col("dts"))).toIndexedSeq: _*)
+          .unionByName(oldState.join(partDels, Seq(pkName))
+            .select((Seq(col("vk")) ++ nm.map(col) ++
+              Seq(col("pdts").as("dts"))).toIndexedSeq: _*))
+          .groupBy((Seq(col("vk")) ++ nm.map(col)).toIndexedSeq: _*)
+          .agg(max(col("dts")).as("dts")))
+          .select((Seq(col("vk")) ++ nm.map(n => col("b" + n)) ++
+            Seq(marker,
+              (col("dts") * lit(0)).cast(
+                fresh.schema("value").dataType).as("value"),
+              col("dts").as("wt"))).toIndexedSeq: _*)
         writeView(fresh.unionByName(moved).unionByName(delTombs),
-          viewDir, cur.schema("value").dataType.simpleString, files,
-          overwrite = false)
+          viewDir, cur.schema("value").dataType.simpleString, parts,
+          files, overwrite = false)
       }
     }
     writeMeta(viewDir, m.column, m.baseDir, gen)

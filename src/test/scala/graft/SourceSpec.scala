@@ -2362,6 +2362,56 @@ class SourceSpec extends GraftSpec {
     assert(total == 14, total)
   }
 
+  test("materialized view over a TYPED (CEL6) base: build, refresh " +
+      "(update/move/delete), lookup (C40b)") {
+    import graft.sources.CellView
+    val d = Files.createTempDirectory("cells-mv-typed-base").toString
+    val vd = Files.createTempDirectory("cells-mv-typed-view").toString
+    def write(rows: Seq[(String, Int, String, Long, Long)],
+        start: Int = 0): Unit =
+      rows.toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(d)
+    write(Seq(
+      ("u-1", 1, "qty", 1L, 100L), ("u-1", 1, "price", 10L, 100L),
+      ("u-2", 1, "qty", 2L, 100L), ("u-2", 1, "price", 20L, 100L),
+      ("u-3", 1, "qty", 1L, 100L)))
+    CellView.build(spark, d, vd, "qty")
+    // view columns carry the typed base parts under the b-prefix
+    assert(CellView.read(spark, vd).schema.fieldNames.toSeq ===
+      Seq("vk", "buser", "bck", "col", "value", "wt"))
+    def vk(v: Long) = CellView.lookup(spark, vd, v)
+      .select("buser", "col", "value")
+      .as[(String, String, Long)].collect().toSet
+    assert(vk(1L) === Set(("u-1", "qty", 1L), ("u-1", "price", 10L),
+      ("u-3", "qty", 1L)))
+    // update (same partition), move (u-3 qty 1 -> 2), and the
+    // refresh heals delta-sized
+    write(Seq(("u-1", 1, "price", 999L, 200L),
+      ("u-3", 1, "qty", 2L, 200L)), start = 1)
+    assert(CellView.isStale(vd))
+    CellView.refresh(spark, vd)
+    assert(!CellView.isStale(vd))
+    assert(vk(1L) === Set(("u-1", "qty", 1L), ("u-1", "price", 999L)))
+    assert(vk(2L) === Set(("u-2", "qty", 2L), ("u-2", "price", 20L),
+      ("u-3", "qty", 2L)))
+    // typed row DELETE through the SQL path moves the row out
+    spark.conf.set("spark.sql.catalog.mvtb", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mvtb.root",
+      java.nio.file.Paths.get(d).getParent.toString)
+    try {
+      graft.cql.Cql.execute(spark,
+        s"DELETE FROM $d WHERE user = 'u-2' AND ck = 1")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mvtb")
+      spark.conf.unset("spark.sql.catalog.mvtb.root")
+    }
+    CellView.refresh(spark, vd)
+    assert(vk(2L) === Set(("u-3", "qty", 2L)))
+  }
+
   test("compactIfNeeded stcs policy: tier passes, cold file survives") {
     import graft.sources.CellMaintenance
     import java.nio.file.{Files => JF, Paths => JP}
