@@ -90,6 +90,13 @@ object CellView {
     require(spec.pkParts.length == 1,
       s"materialized view needs a single-part partition key; $dir " +
         s"is keyed (${spec.serial})")
+    val names = (spec.pkParts ++ spec.ckParts).map(_.name)
+    // the view adds its own vk column and b-prefixed base parts —
+    // refuse name shapes that would collide instead of mis-selecting
+    require(!names.exists(n => n == "vk" || n.startsWith("b")
+      && names.contains(n.substring(1))),
+      s"base key part names collide with view columns: " +
+        names.mkString(", "))
     (spec.pkParts ++ spec.ckParts)
       .map(p => p.name -> p.dataType.simpleString)
   }
