@@ -1101,6 +1101,59 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("CREATE INDEX / MATERIALIZED VIEW DDL over a TYPED table " +
+      "(C18g + C40b through the front door)") {
+    val root = Files.createTempDirectory("cql-tddl").toString
+    spark.conf.set("spark.sql.catalog.tddl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tddl.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tddl")
+      cq("CREATE KEYSPACE ks")
+      // a typed table under the catalog root (layout bootstrapped by
+      // the first write — the CQL CREATE TABLE grammar is
+      // default-layout only, a recorded round-10 item)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "ks"))
+      Seq(("u-1", 1, "qty", 100L, 10L), ("u-2", 1, "qty", 200L, 10L))
+        .toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(s"$root/ks/t")
+      // typed-base INDEX through the DDL + write-through freshness
+      cq("CREATE INDEX ON ks.t (qty)")
+      cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-9', 1, 100)")
+      val idxDir = s"$root/ks/t_qty_idx"
+      assert(!graft.sources.CellIndex.isStale(idxDir))
+      assert(graft.sources.CellIndex
+        .lookupPks(spark, idxDir, 100L, onStale = "fail")
+        .as[String].collect().toSet === Set("u-1", "u-9"))
+      // indexed data predicate through the facade, typed base
+      val sel = cq("SELECT user FROM ks.t WHERE qty = 100 ORDER BY user")
+      assert(sel.as[String].collect().toSeq === Seq("u-1", "u-9"))
+      // typed-base MATERIALIZED VIEW through the DDL; pk/ck in the
+      // PRIMARY KEY tail names the typed parts positionally — accept
+      // the canonical Cassandra statement with the base's own parts
+      cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
+        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+      val vd = s"$root/ks/by_qty"
+      assert(graft.sources.CellView
+        .lookup(spark, vd, 100L, onStale = "fail")
+        .select("buser").as[String].collect().toSet ===
+        Set("u-1", "u-9"))
+      // write-through maintains the typed view too
+      cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-5', 1, 100)")
+      assert(!graft.sources.CellView.isStale(vd))
+      assert(graft.sources.CellView
+        .lookup(spark, vd, 100L, onStale = "fail")
+        .select("buser").as[String].collect().toSet ===
+        Set("u-1", "u-9", "u-5"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tddl")
+      spark.conf.unset("spark.sql.catalog.tddl.root")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,
