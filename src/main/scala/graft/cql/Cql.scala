@@ -135,8 +135,8 @@ object Cql {
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" +
       """(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s+AS\s+SELECT\s+\*\s+""" +
       """FROM\s+(\w+)\.(\w+)\s+WHERE\s+(\w+)\s+IS\s+NOT\s+NULL\s+""" +
-      """PRIMARY\s+KEY\s*\(\s*\(?\s*(\w+)\s*\)?\s*,\s*pk\s*,\s*ck\s*\)""" +
-      """\s*;?\s*$""").r
+      """PRIMARY\s+KEY\s*\(\s*\(?\s*(\w+)\s*\)?\s*,\s*""" +
+      """([\w\s,]+?)\s*\)\s*;?\s*$""").r
   private val DropMvRe =
     ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
       """(\w+)\.(\w+)\s*;?\s*$""").r
@@ -160,6 +160,14 @@ object Cql {
       val stmts = splitOnSemis(body, batchAware = false)
       if (stmts.isEmpty) fail("empty BATCH")
       stmts.foreach {
+        // LWT forms must be refused BEFORE the plain-DML match:
+        // UpdateRe/DeleteRe's lazy WHERE group would absorb a
+        // trailing IF clause and run the CAS as an ordinary write.
+        // Cassandra rejects conditions in batches outright.
+        case s @ (InsertIfNotExistsRe(_, _, _) |
+            UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
+            DeleteIfRe(_, _, _, _, _, _)) =>
+          fail(s"conditional statements are not allowed in BATCH: $s")
         case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
             DeleteRe(_, _, _, _)) => execute(spark, s, resolve)
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
@@ -537,17 +545,37 @@ object Cql {
         val idxName = Option(nameOpt).map(_.trim).filter(_.nonEmpty)
           .getOrElse(s"${t}_${colName}_idx")
         val baseDir = s"$root/$ks/$t"
+        // Cassandra refuses 2i on counter tables — and so must we:
+        // the index build/refresh reads the base with reconcile-only
+        // LWW, which would bake in the last shard DELTA instead of
+        // the shard SUM, so index-routed reads would silently return
+        // wrong counter values.
+        if (isCounter(baseDir))
+          fail(s"secondary indexes are not supported on counter " +
+            s"table $ks.$t")
         val idxDir = s"$root/$ks/$idxName"
         if (java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(idxDir))) {
           if (ifNot == null) fail(s"index $ks.$idxName already exists")
+          // IF NOT EXISTS is only satisfied by THE SAME index: an
+          // unrelated table (or an index on a different base/column)
+          // squatting on the name must fail loudly, not let the DDL
+          // "succeed" without building anything.
+          if (!graft.sources.CellIndex.isIndexOf(idxDir, baseDir,
+              colName))
+            fail(s"$ks.$idxName exists but is not an index on " +
+              s"$ks.$t($colName)")
         } else graft.sources.CellIndex.build(spark, baseDir, idxDir,
           colName, writeThrough = true)
         spark.emptyDataFrame
-      case CreateMvRe(ifNot, vks, vname, bks, bt, whereCol, pkCol) =>
+      case CreateMvRe(ifNot, vks, vname, bks, bt, whereCol, pkCol,
+          keyTail) =>
         // Cassandra's MV statement shape — the view re-keys the base
         // by one column's value (C40): `WHERE <col> IS NOT NULL
-        // PRIMARY KEY ((<col>), pk, ck)`. Built now and REGISTERED
+        // PRIMARY KEY ((<col>), <base key parts>)`. The tail must
+        // name the base's OWN key parts in key order (`pk, ck` on
+        // the default layout — also accepted as the canonical
+        // positional form on typed bases). Built now and REGISTERED
         // for write-through maintenance: later committed base writes
         // refresh it with the delta tombstone protocol; out-of-band
         // flushes still heal on read.
@@ -558,11 +586,34 @@ object Cql {
           fail("materialized view must live in its base keyspace " +
             "(Cassandra's rule)")
         val baseDir = s"$root/$bks/$bt"
+        val tailParts = keyTail.split(',').map(_.trim.toLowerCase)
+          .toSeq.filter(_.nonEmpty)
+        val bspec = graft.sources.CellSource.keySpec(baseDir)
+        val baseNames = (bspec.pkParts ++ bspec.ckParts)
+          .map(_.name.toLowerCase)
+        if (tailParts != Seq("pk", "ck") && tailParts != baseNames)
+          fail(s"materialized view PRIMARY KEY tail must name the " +
+            s"base key parts (${baseNames.mkString(", ")}), got: " +
+            tailParts.mkString(", "))
+        // same counter refusal as CREATE INDEX: the view build and
+        // its delta refresh read the base reconcile-only (LWW), which
+        // merges counter shards wrongly. Cassandra refuses MVs on
+        // counter tables too.
+        if (isCounter(baseDir))
+          fail(s"materialized views are not supported on counter " +
+            s"table $bks.$bt")
         val viewDir = s"$root/$vks/$vname"
         if (java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(viewDir))) {
           if (ifNot == null)
             fail(s"materialized view $vks.$vname already exists")
+          // same rule as CREATE INDEX IF NOT EXISTS: only THE SAME
+          // view satisfies the clause — a name collision with an
+          // unrelated table or a differently-keyed view must fail.
+          if (!graft.sources.CellView.isViewOf(viewDir, baseDir,
+              whereCol.toLowerCase))
+            fail(s"$vks.$vname exists but is not a materialized view " +
+              s"of $bks.$bt keyed by $whereCol")
         } else {
           graft.sources.CellView.build(spark, baseDir, viewDir,
             whereCol.toLowerCase)
@@ -1492,8 +1543,11 @@ object Cql {
         }
         if (k.isEmpty || k.startsWith("!"))
           fail(s"unsupported map key: '$k'")
+        // map keys are DATA, not identifiers: store verbatim. Folding
+        // case here would silently collapse m['A'] and m['a'] into one
+        // entry; only identifier positions are case-insensitive in CQL.
         pkSeq.foreach(pk =>
-          cells += ((pk, ck, k.toLowerCase, longLiteral(v, "map value"), wt)))
+          cells += ((pk, ck, k, longLiteral(v, "map value"), wt)))
       case ListAppendRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"list append must extend the same column ($n1 vs $n2)")

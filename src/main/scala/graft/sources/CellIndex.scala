@@ -5,10 +5,14 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
+
+import graft.functions.{UdtPack, UdtUnpack}
 
 /** Connector-side secondary index (C18b — the Cassandra 2i story):
   * the inverted (value → primary pk) mapping of one column,
@@ -41,10 +45,12 @@ import org.apache.spark.sql.types.LongType
   * a TYPED partition key via CEL6 — the index table is declared
   * `primaryKey ((pk),ck)` with the value's type, and the lookup
   * hashes the probe to its token like any typed point read. The BASE
-  * may be default-keyed OR typed (round 9) with a SINGLE-part
-  * partition key — the entry's `value` slot carries that part
-  * (typed CEL5 value), and the base re-read addresses it by name;
-  * multi-part partition keys stay refused.
+  * may be default-keyed OR typed (round 9) — a SINGLE-part partition
+  * key rides in the entry's `value` slot directly (typed CEL5
+  * value); a MULTI-part key (round 10, the C36c `((tenant, day),
+  * seq)` shape) is C59-UDT-packed into one binary value and unpacked
+  * back into the named parts at lookup, so both layouts share the
+  * whole index lifecycle.
   *
   * Staleness (round 7, C18c): `build` records the base table's
   * committed GENERATION — its flush-file listing, immutable per file
@@ -118,20 +124,45 @@ object CellIndex {
     * races the build leaves the index looking stale — never silently
     * fresh-but-incomplete.
     */
-  /** The base's key layout, for index entry derivation: exactly ONE
-    * partition-key part (default `pk: long`, or a typed single-part
-    * key — round 9 lifts the default-only restriction); multi-part
-    * partition keys stay refused (an index entry's `value` slot holds
-    * one base key part).
+  /** The base's key layout, for index entry derivation. A SINGLE-part
+    * partition key (default `pk: long`, or typed — round 9) stores
+    * that part in the entry's `value` slot directly, as a typed CEL5
+    * value. A MULTI-part partition key (round 10 — the C36c
+    * `((tenant, day), seq)` shape) packs the parts into ONE binary
+    * value with the C59 UDT wire format (fields in declared order,
+    * each length-prefixed) — the lookup unpacks the blob back into
+    * the NAMED parts to address the base, so the index machinery
+    * (typed value probe, staleness, delta epochs) is identical in
+    * both layouts.
     */
-  private def baseKey(dir: String): (String, Seq[String]) = {
-    val spec = CellSource.keySpec(dir)
-    require(spec.pkParts.length == 1,
-      s"secondary index needs a single-part partition key; $dir is " +
-        s"keyed (${spec.serial})")
-    (spec.pkParts.head.name,
-      (spec.pkParts ++ spec.ckParts).map(_.name))
+  private case class BaseKey(spec: KeySpec) {
+    val pkParts: List[KeyPart] = spec.pkParts
+    def single: Boolean = pkParts.lengthCompare(1) == 0
+    def orderCols: Seq[String] =
+      (spec.pkParts ++ spec.ckParts).map(_.name)
+    /** C59 layout string of the pk parts (multi-part packing). */
+    def layout: String =
+      pkParts.map(p => s"${p.name} ${p.dataType.simpleString}")
+        .mkString(",")
+    /** The entry's `value` column: the single part verbatim, or the
+      * C59-packed tuple. Built as a direct Catalyst expression (via
+      * the bridge) so the connector never depends on the session
+      * carrying the SQL function registration.
+      */
+    def valueCol: Column =
+      if (single) col(pkParts.head.name)
+      else Bridge.column(UdtPack(Literal(layout),
+        pkParts.map(p => Bridge.expression(col(p.name)))))
+    /** Declared valueType so an empty index dir agrees on schema. */
+    def valueType: Option[String] =
+      if (!single) Some("binary")
+      else if (pkParts.head.dataType != LongType)
+        Some(pkParts.head.dataType.simpleString)
+      else None
   }
+
+  private def baseKey(dir: String): BaseKey =
+    BaseKey(CellSource.keySpec(dir))
 
   def build(spark: SparkSession, dir: String, idxDir: String,
       column: String, files: Int = 8,
@@ -139,10 +170,9 @@ object CellIndex {
     val gen = generation(dir)
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
-    val (keyCol, orderCols) = baseKey(dir)
     val valueIsLong = base.schema("value").dataType == LongType
     writeEntries(base, column, valueIsLong, files, idxDir,
-      epoch = 0, overwrite = true, keyCol, orderCols)
+      epoch = 0, overwrite = true, baseKey(dir))
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
       s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
@@ -204,6 +234,16 @@ object CellIndex {
   def columnOf(idxDir: String): Option[String] =
     readMeta(idxDir).map(_.column)
 
+  /** True iff `idxDir` IS a secondary index of exactly (base, column)
+    * — the CREATE INDEX IF NOT EXISTS identity test. An unrelated
+    * table (or an index on a different base/column) squatting on the
+    * name is NOT "the index already existing".
+    */
+  def isIndexOf(idxDir: String, baseDir: String,
+      column: String): Boolean =
+    baseOf(idxDir).contains(CellPlanning.normalize(baseDir)) &&
+      columnOf(idxDir).contains(column)
+
   /** Drop an index: unregister it from its base and delete its dir. */
   def drop(idxDir: String): Unit = {
     readMeta(idxDir).foreach(m => unregister(m.baseDir, idxDir))
@@ -237,31 +277,38 @@ object CellIndex {
       .foreach { spark =>
         idxs.foreach { idx =>
           try refresh(spark, idx)
-          catch { case scala.util.control.NonFatal(_) => }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // best-effort contract kept, but NEVER silently: a
+              // persistently failing refresh (bad registry entry,
+              // schema drift) otherwise degrades every read to the
+              // heal path with no trace of the root cause.
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"write-through index refresh failed for $idx " +
+                  s"(base $baseDir); lookups will heal lazily", e)
+          }
         }
       }
   }
 
   /** Shared entry derivation + write: dense per-value ck in the
     * epoch's band, value-typed partition key for non-long columns.
-    * `keyCol`/`orderCols` name the BASE's single pk part and its full
-    * key-part order (pk, ck on the default layout; the typed part
-    * names on a CEL6 base) — the entry's `value` slot carries the
-    * base pk part, whatever its type (CEL5 typed values).
+    * `key` carries the BASE's key layout — the entry's `value` slot
+    * holds the single pk part verbatim (typed CEL5 value), or the
+    * C59-packed tuple of a multi-part key as one binary value.
     */
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
-      overwrite: Boolean, keyCol: String = "pk",
-      orderCols: Seq[String] = Seq("pk", "ck")): Unit = {
+      overwrite: Boolean, key: BaseKey): Unit = {
     val entries = base.filter(col("col") === column)
       .select(
         col("value").as("pk"),
         (row_number().over(
           Window.partitionBy(col("value"))
-            .orderBy(orderCols.map(col).toIndexedSeq: _*)) +
+            .orderBy(key.orderCols.map(col).toIndexedSeq: _*)) +
           lit(epoch * EpochBand)).as("ck"),
         lit("ref").as("col"),
-        col(keyCol).as("value"),
+        key.valueCol.as("value"),
         col("wt"))
       .repartitionByRange(files, col("pk"), col("ck"))
     var writer = entries.write.format(Fmt)
@@ -273,11 +320,10 @@ object CellIndex {
         .option("keyType.pk",
           base.schema("value").dataType.simpleString)
         .option("keyType.ck", "int")
-    // a non-long BASE key part makes the entry's value a typed CEL5
-    // value column — declare it so an empty index dir agrees
-    val keyDt = base.schema(keyCol).dataType
-    if (keyDt != LongType)
-      writer = writer.option("valueType", keyDt.simpleString)
+    // a non-long (or packed multi-part) base key makes the entry's
+    // value a typed CEL5 value column — declare it so a still-empty
+    // index dir agrees on the schema
+    key.valueType.foreach(t => writer = writer.option("valueType", t))
     writer.save(idxDir)
   }
 
@@ -316,10 +362,9 @@ object CellIndex {
       }
       val delta = spark.read.format(Fmt)
         .option("reconcile", "true").load(scratch.toString)
-      val (keyCol, orderCols) = baseKey(m.baseDir)
       writeEntries(delta, m.column,
         delta.schema("value").dataType == LongType, files = 8, idxDir,
-        epoch = m.epoch + 1, overwrite = false, keyCol, orderCols)
+        epoch = m.epoch + 1, overwrite = false, baseKey(m.baseDir))
     } finally {
       Using.resource(Files.list(scratch)) { st =>
         st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
@@ -413,19 +458,43 @@ object CellIndex {
     * probes: small hit sets push `key IN (...)` into the base scan (k
     * point reads, C8b); large ones fall back to the broadcast semi
     * join. The base's single pk part is addressed BY NAME, so typed
-    * (CEL6) bases compose the same way as the default layout.
+    * (CEL6) bases compose the same way as the default layout. A
+    * MULTI-part base key arrives as C59-packed blobs — unpacked back
+    * into the named parts, the small-hit path becomes a bounded OR of
+    * per-tuple part conjunctions (each conjunction a full-equality
+    * point predicate) and the large path a semi join on all parts.
     */
   private def composeBase(spark: SparkSession, dir: String,
       hits: DataFrame, multigetMax: Int): DataFrame = {
-    val keyCol = baseKey(dir)._1
-    val sample = hits.limit(multigetMax + 1).collect().map(_.get(0))
+    val key = baseKey(dir)
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
-    if (sample.isEmpty) base.filter(lit(false))
-    else if (sample.length <= multigetMax)
-      base.filter(col(keyCol).isin(sample.toIndexedSeq: _*))
-    else base.join(hits.withColumnRenamed("pk", keyCol),
-      Seq(keyCol), "left_semi")
+    if (key.single) {
+      val keyCol = key.pkParts.head.name
+      val sample = hits.limit(multigetMax + 1).collect().map(_.get(0))
+      if (sample.isEmpty) base.filter(lit(false))
+      else if (sample.length <= multigetMax)
+        base.filter(col(keyCol).isin(sample.toIndexedSeq: _*))
+      else base.join(hits.withColumnRenamed("pk", keyCol),
+        Seq(keyCol), "left_semi")
+    } else {
+      val names = key.pkParts.map(_.name)
+      val unpacked = hits.select(
+        Bridge.column(UdtUnpack(Literal(key.layout),
+          Bridge.expression(col("pk")))).as("k"))
+        .select(names.map(n => col(s"k.$n").as(n)).toIndexedSeq: _*)
+      // bounded driver-side collect: ≤ multigetMax+1 decoded tuples
+      // of an already index-pruned hit set, same bound as the
+      // single-part multiget
+      val sample = unpacked.limit(multigetMax + 1).collect()
+      if (sample.isEmpty) base.filter(lit(false))
+      else if (sample.length <= multigetMax)
+        base.filter(sample.toIndexedSeq.map { r =>
+          names.zipWithIndex.map { case (n, i) =>
+            col(n) === lit(r.get(i)) }.reduce(_ && _)
+        }.reduce(_ || _))
+      else base.join(unpacked, names, "left_semi")
+    }
   }
 
   /** Index probe COMPOSED into the base read (round 7): when the hit

@@ -79,17 +79,17 @@ object CellView {
     spark.read.format(Fmt).option("reconcile", "true").load(dir)
 
   /** The base's key layout for view derivation (round 9 lifts the
-    * default-only restriction): a SINGLE-part partition key plus any
-    * clustering parts; every base part appears in the view prefixed
-    * with 'b' (the default layout's parts become exactly the
-    * historical `bpk`/`bck`). Returns (name, typeSimpleString) pairs
-    * in key order.
+    * default-only restriction; round 10 the single-part one): any
+    * partition-key parts plus any clustering parts; every base part
+    * appears in the view prefixed with 'b' (the default layout's
+    * parts become exactly the historical `bpk`/`bck`). The view's
+    * OWN partition key stays `vk` alone — all base parts become view
+    * clustering, so a multi-part base like `((tenant, day), seq)`
+    * views as `((vk), btenant, bday, bseq)`. Returns
+    * (name, typeSimpleString) pairs in key order.
     */
   private def baseParts(dir: String): Seq[(String, String)] = {
     val spec = CellSource.keySpec(CellPlanning.normalize(dir))
-    require(spec.pkParts.length == 1,
-      s"materialized view needs a single-part partition key; $dir " +
-        s"is keyed (${spec.serial})")
     val names = (spec.pkParts ++ spec.ckParts).map(_.name)
     // the view adds its own vk column and b-prefixed base parts —
     // refuse name shapes that would collide instead of mis-selecting
@@ -199,6 +199,18 @@ object CellView {
   def baseOf(viewDir: String): Option[String] =
     readMeta(viewDir).map(_.baseDir)
 
+  /** The view's recorded re-key column (None = not a view). */
+  def columnOf(viewDir: String): Option[String] =
+    readMeta(viewDir).map(_.column)
+
+  /** True iff `viewDir` IS a materialized view of exactly (base,
+    * column) — the CREATE MV IF NOT EXISTS identity test.
+    */
+  def isViewOf(viewDir: String, baseDir: String,
+      column: String): Boolean =
+    baseOf(viewDir).contains(CellPlanning.normalize(baseDir)) &&
+      columnOf(viewDir).contains(column)
+
   /** Drop a view: unregister from its base, delete its dir. */
   def drop(viewDir: String): Unit = {
     readMeta(viewDir).foreach(m => unregister(m.baseDir, viewDir))
@@ -228,7 +240,14 @@ object CellView {
       .foreach { spark =>
         vs.foreach { v =>
           try refresh(spark, v)
-          catch { case scala.util.control.NonFatal(_) => }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // best-effort, but logged — a silently failing refresh
+              // would push every read onto the heal path untraceably.
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"write-through view refresh failed for $v " +
+                  s"(base $baseDir); reads will heal lazily", e)
+          }
         }
       }
   }
@@ -286,11 +305,14 @@ object CellView {
         return
       }
       // the base's named key parts: nm = (pk, ck) on the default
-      // layout, the typed part names on a CEL6 base; pkName is the
-      // single partition part
+      // layout, the typed part names on a CEL6 base; pkNames are the
+      // partition parts (one or several — a partition tombstone
+      // names its whole partition key)
       val parts = baseParts(m.baseDir)
       val nm = parts.map(_._1)
-      val pkName = nm.head
+      val pkNames = CellSource
+        .keySpec(CellPlanning.normalize(m.baseDir))
+        .pkParts.map(_.name)
       def asB(df: DataFrame) = nm.foldLeft(df)((d, n) =>
         d.withColumnRenamed(n, "b" + n))
       def fromB(df: DataFrame) = nm.foldLeft(df)((d, n) =>
@@ -310,7 +332,8 @@ object CellView {
         .agg(max(col("wt")).as("dts"))
       val partDels = rawDelta
         .filter(col("col") === CellSource.PartitionTombstone)
-        .groupBy(col(pkName)).agg(max(col("wt")).as("pdts"))
+        .groupBy(pkNames.map(col).toIndexedSeq: _*)
+        .agg(max(col("wt")).as("pdts"))
       withScratch(m.baseDir, oldFiles) { oldDir =>
         val old = reconciled(spark, oldDir)
         // the rows' OLD placement: old vk + max old wt per key
@@ -322,7 +345,7 @@ object CellView {
           .unionByName(rowDels.select(nm.map(col).toIndexedSeq: _*))
           .unionByName(partDels.join(
             oldState.select(nm.map(col).toIndexedSeq: _*).distinct(),
-            Seq(pkName)).select(nm.map(col).toIndexedSeq: _*))
+            pkNames).select(nm.map(col).toIndexedSeq: _*))
           .distinct()
         // CURRENT cells of touched rows, under their current vk
         val fresh = viewRows(cur.join(touched, nm), m.column, nm)
@@ -348,7 +371,7 @@ object CellView {
           .join(rowDels, nm)
           .select((Seq(col("vk")) ++ nm.map(col) ++
             Seq(col("dts"))).toIndexedSeq: _*)
-          .unionByName(oldState.join(partDels, Seq(pkName))
+          .unionByName(oldState.join(partDels, pkNames)
             .select((Seq(col("vk")) ++ nm.map(col) ++
               Seq(col("pdts").as("dts"))).toIndexedSeq: _*))
           .groupBy((Seq(col("vk")) ++ nm.map(col)).toIndexedSeq: _*)

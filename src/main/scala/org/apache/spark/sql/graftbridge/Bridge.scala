@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset => CDataset,
-  SparkSession => CSparkSession}
+  ExpressionUtils, SparkSession => CSparkSession}
 
 /** Minimal `private[sql]` bridge (the standard library escape hatch for
   * Spark extensions that define their own logical operators): a custom
@@ -20,4 +21,14 @@ object Bridge {
   /** The analyzed logical plan backing a DataFrame. */
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[_]].queryExecution.analyzed
+
+  /** Wrap a Catalyst expression as a user-facing Column — lets
+    * connector internals use graft's own expressions (UDT pack/
+    * unpack) without requiring the session to carry the SQL
+    * extension registration.
+    */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }

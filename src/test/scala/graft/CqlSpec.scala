@@ -1154,6 +1154,176 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("CREATE INDEX / MATERIALIZED VIEW DDL over a MULTI-part " +
+      "partition key base (C18h + C40c through the front door)") {
+    val root = Files.createTempDirectory("cql-mddl").toString
+    spark.conf.set("spark.sql.catalog.mddl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mddl.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mddl")
+      cq("CREATE KEYSPACE ks")
+      // the C36c shape, bootstrapped by the first write (CQL CREATE
+      // TABLE grammar is default-layout only)
+      Seq(("t1", 1L, 1, "qty", 100L, 10L),
+          ("t1", 2L, 1, "qty", 200L, 10L),
+          ("t2", 1L, 1, "qty", 100L, 10L))
+        .toDF("tenant", "day", "seq", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((tenant,day),seq)")
+        .option("keyType.tenant", "string")
+        .option("keyType.day", "bigint").option("keyType.seq", "int")
+        .mode("append").save(s"$root/ks/t")
+      // multi-part 2i through the DDL; lookups + facade SELECT
+      cq("CREATE INDEX ON ks.t (qty)")
+      val sel = cq("SELECT tenant, day FROM ks.t WHERE qty = 100 " +
+        "ORDER BY tenant")
+      assert(sel.as[(String, Long)].collect().toSeq ===
+        Seq(("t1", 1L), ("t2", 1L)))
+      // multi-part MV: the PRIMARY KEY tail names the base's parts
+      cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
+        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), tenant, day, seq)")
+      val vd = s"$root/ks/by_qty"
+      assert(graft.sources.CellView
+        .lookup(spark, vd, 100L, onStale = "fail")
+        .select("btenant", "bday").as[(String, Long)].collect().toSet
+        === Set(("t1", 1L), ("t2", 1L)))
+      // write-through keeps both fresh
+      cq("INSERT INTO ks.t (tenant, day, seq, qty) " +
+        "VALUES ('t3', 5, 1, 100)")
+      assert(!graft.sources.CellIndex.isStale(s"$root/ks/t_qty_idx"))
+      assert(!graft.sources.CellView.isStale(vd))
+      assert(graft.sources.CellView
+        .lookup(spark, vd, 100L, onStale = "fail")
+        .select("btenant").as[String].collect().toSet ===
+        Set("t1", "t2", "t3"))
+      // a WRONG key tail refuses with the base's real part names
+      val e = intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW ks.bad AS SELECT * FROM ks.t " +
+          "WHERE qty IS NOT NULL PRIMARY KEY ((qty), tenant, seq)")
+      }
+      assert(e.getMessage.contains("tenant, day, seq"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mddl")
+      spark.conf.unset("spark.sql.catalog.mddl.root")
+    }
+  }
+
+  test("counter tables refuse 2i and MV DDL (Cassandra's rule)") {
+    // the index/view build reads the base reconcile-only (LWW), which
+    // on a counter table bakes in the last shard DELTA, not the sum —
+    // an index-routed read would then be silently wrong. Refuse.
+    val root = Files.createTempDirectory("cql-cntddl").toString
+    spark.conf.set("spark.sql.catalog.cdl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cdl.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cdl")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("UPDATE ks.c SET hits = hits + 5 WHERE pk = 1 AND ck = 1")
+      val e1 = intercept[IllegalArgumentException] {
+        cq("CREATE INDEX ON ks.c (hits)")
+      }
+      assert(e1.getMessage.contains("counter"))
+      val e2 = intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW ks.by_hits AS SELECT * FROM " +
+          "ks.c WHERE hits IS NOT NULL PRIMARY KEY ((hits), pk, ck)")
+      }
+      assert(e2.getMessage.contains("counter"))
+      // nothing was built or registered
+      assert(!Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/ks/c_hits_idx")))
+      assert(!Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/ks/by_hits")))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cdl")
+      spark.conf.unset("spark.sql.catalog.cdl.root")
+    }
+  }
+
+  test("UNLOGGED BATCH rejects conditional (LWT) sub-statements") {
+    // Cassandra refuses conditions in unlogged batches; before the
+    // guard, UpdateRe/DeleteRe's lazy WHERE group absorbed the IF
+    // clause and ran the CAS as a plain write.
+    val d = freshTable()
+    def ub(body: String) = Cql.execute(spark,
+      s"BEGIN UNLOGGED BATCH\n$body;\nAPPLY BATCH")
+    val e1 = intercept[IllegalArgumentException] {
+      ub(s"UPDATE $d SET qty = 9 WHERE pk = 1 AND ck = 1 IF qty = 10")
+    }
+    assert(e1.getMessage.contains("conditional"))
+    val e2 = intercept[IllegalArgumentException] {
+      ub(s"UPDATE $d SET qty = 9 WHERE pk = 1 AND ck = 1 IF EXISTS")
+    }
+    assert(e2.getMessage.contains("conditional"))
+    val e3 = intercept[IllegalArgumentException] {
+      ub(s"DELETE FROM $d WHERE pk = 1 AND ck = 1 IF EXISTS")
+    }
+    assert(e3.getMessage.contains("conditional"))
+    val e4 = intercept[IllegalArgumentException] {
+      ub(s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) IF NOT EXISTS")
+    }
+    assert(e4.getMessage.contains("conditional"))
+    // and none of the refused statements wrote anything
+    assert(rows(d).contains((1L, 1, "qty", 10L)))
+    assert(!rows(d).exists(_._1 == 9L))
+  }
+
+  test("map keys are data: m['A'] and m['a'] stay distinct entries") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"UPDATE $d SET m['A'] = 1, m['a'] = 2 WHERE pk = 7 AND ck = 1")
+    val entries = rows(d).filter(_._1 == 7L)
+      .map(r => (r._3, r._4))
+    assert(entries === Set(("A", 1L), ("a", 2L)))
+  }
+
+  test("CREATE INDEX/MV IF NOT EXISTS is satisfied only by the SAME " +
+      "index/view — a name collision fails loudly") {
+    val root = Files.createTempDirectory("cql-ifne").toString
+    spark.conf.set("spark.sql.catalog.ifne", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ifne.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ifne")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("CREATE TABLE ks.other (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 100)")
+      // an unrelated TABLE squatting on the index name: IF NOT EXISTS
+      // must NOT silently succeed (nothing would be built; later
+      // indexed SELECTs would fail despite the "successful" CREATE)
+      val e1 = intercept[IllegalArgumentException] {
+        cq("CREATE INDEX IF NOT EXISTS other ON ks.t (qty)")
+      }
+      assert(e1.getMessage.contains("not an index"))
+      // the REAL index: create, then IF NOT EXISTS is a no-op...
+      cq("CREATE INDEX qidx ON ks.t (qty)")
+      cq("CREATE INDEX IF NOT EXISTS qidx ON ks.t (qty)")
+      // ...but the same name requested for a DIFFERENT column fails
+      val e2 = intercept[IllegalArgumentException] {
+        cq("CREATE INDEX IF NOT EXISTS qidx ON ks.t (price)")
+      }
+      assert(e2.getMessage.contains("not an index"))
+      // same identity rule for materialized views
+      val e3 = intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW IF NOT EXISTS ks.other AS " +
+          "SELECT * FROM ks.t WHERE qty IS NOT NULL " +
+          "PRIMARY KEY ((qty), pk, ck)")
+      }
+      assert(e3.getMessage.contains("not a materialized view"))
+      cq("CREATE MATERIALIZED VIEW ks.byq AS SELECT * FROM ks.t " +
+        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+      cq("CREATE MATERIALIZED VIEW IF NOT EXISTS ks.byq AS " +
+        "SELECT * FROM ks.t WHERE qty IS NOT NULL " +
+        "PRIMARY KEY ((qty), pk, ck)")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ifne")
+      spark.conf.unset("spark.sql.catalog.ifne.root")
+    }
+  }
+
   test("SELECT JSON with ORDER BY orders rows, then renders") {
     val d = freshTable()
     val j = Cql.execute(spark,

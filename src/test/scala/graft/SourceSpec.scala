@@ -2153,20 +2153,56 @@ class SourceSpec extends GraftSpec {
     assert(!CellIndex.isStale(idx))
     assert(CellIndex.lookupPks(spark, idx, 100L, onStale = "fail")
       .as[String].collect().toSet == Set("u-1", "u-3", "u-9"))
-    // multi-part partition keys refuse
+  }
+
+  test("secondary index over a MULTI-part partition key: the entry " +
+      "value is the C59-packed key tuple (C18h)") {
+    import graft.sources.CellIndex
+    // the C36c shape: PRIMARY KEY ((tenant, day), seq)
     val multi = Files.createTempDirectory("cells-idx-multi").toString
-    Seq(("t1", 1L, 1, "qty", 10L, 10L))
-      .toDF("tenant", "day", "seq", "col", "value", "wt")
-      .coalesce(1).write.format("graft.sources.CellSource")
-      .option("primaryKey", "((tenant,day),seq)")
-      .option("keyType.tenant", "string").option("keyType.day", "bigint")
-      .option("keyType.seq", "int")
-      .mode("append").save(multi)
-    val e = intercept[IllegalArgumentException] {
-      CellIndex.build(spark, multi,
-        Files.createTempDirectory("cells-idx-m-i").toString, "qty")
-    }
-    assert(e.getMessage.contains("single-part"), e.getMessage)
+    val idx = Files.createTempDirectory("cells-idx-multi-i").toString
+    def write(rows: Seq[(String, Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("tenant", "day", "seq", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((tenant,day),seq)")
+        .option("keyType.tenant", "string")
+        .option("keyType.day", "bigint").option("keyType.seq", "int")
+        .mode("append").save(multi)
+    write(Seq(
+      ("t1", 1L, 1, "qty", 10L, 10L), ("t1", 1L, 1, "price", 7L, 10L),
+      ("t1", 2L, 1, "qty", 20L, 10L), ("t2", 1L, 1, "qty", 10L, 10L),
+      ("t2", 2L, 1, "qty", 30L, 10L)))
+    CellIndex.build(spark, multi, idx, "qty", writeThrough = true)
+    // the index table's value column is a BINARY packed tuple
+    val idxDf = spark.read.format("graft.sources.CellSource").load(idx)
+    assert(idxDf.schema("value").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    // lookupBase unpacks the tuples and re-reads the base by part
+    // name: full rows of the (tenant, day) partitions holding qty=10
+    val hit = CellIndex.lookupBase(spark, multi, idx, 10L)
+      .select("tenant", "day", "col", "value")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(hit === Set(("t1", 1L, "qty", 10L), ("t1", 1L, "price", 7L),
+      ("t2", 1L, "qty", 10L)))
+    // false-positive drop: the composed read re-applies nothing here
+    // (lookupBase returns whole rows); but a DIFFERENT value must not
+    // leak through the hit set
+    assert(CellIndex.lookupBase(spark, multi, idx, 20L)
+      .select("tenant", "day").as[(String, Long)].collect().toSet ===
+      Set(("t1", 2L)))
+    // write-through keeps the multi-part index fresh (delta epoch)
+    write(Seq(("t3", 9L, 1, "qty", 10L, 10L)))
+    assert(!CellIndex.isStale(idx))
+    assert(CellIndex.lookupBase(spark, multi, idx, 10L)
+      .filter($"col" === "qty")
+      .select("tenant", "day").as[(String, Long)].collect().toSet ===
+      Set(("t1", 1L), ("t2", 1L), ("t3", 9L)))
+    // the semi-join fallback path (multigetMax = 0 forces it) agrees
+    assert(CellIndex.lookupBase(spark, multi, idx, 10L,
+        multigetMax = 0)
+      .filter($"col" === "qty")
+      .select("tenant", "day").as[(String, Long)].collect().toSet ===
+      Set(("t1", 1L), ("t2", 1L), ("t3", 9L)))
   }
 
   test("typed ck zone maps prune chunks for slices (C37b/CEL8)") {
@@ -2410,6 +2446,57 @@ class SourceSpec extends GraftSpec {
     }
     CellView.refresh(spark, vd)
     assert(vk(2L) === Set(("u-3", "qty", 2L)))
+  }
+
+  test("materialized view over a MULTI-part partition key base: " +
+      "build, refresh (update/move/row+partition delete) (C40c)") {
+    import graft.sources.CellView
+    val d = Files.createTempDirectory("cells-mv-multi-base").toString
+    val vd = Files.createTempDirectory("cells-mv-multi-view").toString
+    def write(rows: Seq[(String, Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("tenant", "day", "seq", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((tenant,day),seq)")
+        .option("keyType.tenant", "string")
+        .option("keyType.day", "bigint").option("keyType.seq", "int")
+        .mode("append").save(d)
+    write(Seq(
+      ("t1", 1L, 1, "qty", 1L, 100L), ("t1", 1L, 1, "price", 10L, 100L),
+      ("t1", 2L, 1, "qty", 2L, 100L),
+      ("t2", 1L, 1, "qty", 1L, 100L),
+      ("t2", 2L, 1, "qty", 3L, 100L)))
+    CellView.build(spark, d, vd, "qty")
+    // view key: ((vk), btenant, bday, bseq) — vk alone partitions
+    assert(CellView.read(spark, vd).schema.fieldNames.toSeq ===
+      Seq("vk", "btenant", "bday", "bseq", "col", "value", "wt"))
+    def vk(v: Long) = CellView.lookup(spark, vd, v)
+      .select("btenant", "bday", "col", "value")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(vk(1L) === Set(("t1", 1L, "qty", 1L),
+      ("t1", 1L, "price", 10L), ("t2", 1L, "qty", 1L)))
+    // update in place + MOVE ((t2,1) qty 1 -> 5) heal delta-sized
+    write(Seq(("t1", 1L, 1, "price", 999L, 200L),
+      ("t2", 1L, 1, "qty", 5L, 200L)))
+    assert(CellView.isStale(vd))
+    CellView.refresh(spark, vd)
+    assert(!CellView.isStale(vd))
+    assert(vk(1L) === Set(("t1", 1L, "qty", 1L),
+      ("t1", 1L, "price", 999L)))
+    assert(vk(5L) === Set(("t2", 1L, "qty", 5L)))
+    // ROW tombstone on (t1, 2, 1) moves the row out of vk=2
+    write(Seq(("t1", 2L, 1, graft.sources.CellSource.RowTombstone,
+      0L, 300L)))
+    CellView.refresh(spark, vd)
+    assert(vk(2L) === Set.empty)
+    // PARTITION tombstone on (t2, 2) — the multi-part partition key
+    // names the whole partition — clears vk=3
+    write(Seq(("t2", 2L, 0, graft.sources.CellSource.PartitionTombstone,
+      0L, 300L)))
+    CellView.refresh(spark, vd)
+    assert(vk(3L) === Set.empty)
+    // survivors intact after all deltas
+    assert(vk(1L) === Set(("t1", 1L, "qty", 1L),
+      ("t1", 1L, "price", 999L)))
   }
 
   test("compactIfNeeded stcs policy: tier passes, cold file survives") {
