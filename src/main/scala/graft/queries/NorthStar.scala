@@ -234,16 +234,19 @@ object NorthStar {
   // O(pairs)); at 100 TB the per-node top-k runs through the
   // TopKPerKey partial-heap operator instead of a full window sort.
   private def simMutualKnn(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = Similarity.blockedPairs(embs(s, d), 0.2)
     val dirEdges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("score_r"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"),
         col("score_r")))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("score_r").desc, col("dst"))
-    val topk = dirEdges.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3).drop("rn")
+    // per-node k-NN through the partial-heap TopKPerKey operator
+    // (round 10, as the r9 comment promised): each partition prunes
+    // to ≤k rows per src BEFORE the shuffle, so the exchanged volume
+    // is O(n·k) instead of the full symmetric edge list a window
+    // sort would move — the 100 TB form. Persisted because the
+    // mutuality self-join consumes it twice.
+    val topk = graft.operators.TopK.perKey(dirEdges, Seq("src"),
+      Seq(("score_r", false), ("dst", true)), 3).persist()
     topk.as("x").join(topk.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .filter(col("x.src") < col("x.dst"))

@@ -265,7 +265,14 @@ object Sketches {
   // relations are O(k·|langs|) — the pair work never touches the
   // element stream again.
   private def kmvSetAlgebra(s: SparkSession, d: String): DataFrame = {
-    val tri = triDistinct(s, d)
+    // the distinct trigram relation feeds THREE branches (the sketch
+    // build, the exact per-lang counts, the exact intersection
+    // self-join) — persist it so the tokenize+explode+distinct runs
+    // ONCE (the Q_TPCH2 pattern; the InMemoryRelation keeps schema
+    // and stats visible to Catalyst, and repeated invocations reuse
+    // the same CacheManager entry). At 100 TB this is a pre-computed
+    // element-stream table.
+    val tri = triDistinct(s, d).persist()
     val h = tri.select(col("lang"), col("g"),
       expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))
     val sk = graft.operators.TopK

@@ -375,6 +375,16 @@ class PlanSpec extends GraftSpec {
     assert(p6.contains("partial_sum"), p6)
   }
 
+  test("N_SIM11 routes per-node k-NN through the TopKPerKey phases") {
+    // round 10: the mutual-kNN top-k runs on the partial-heap
+    // operator (prune to <=k per src BEFORE the shuffle), not a full
+    // window sort of the symmetric edge list
+    val p = plan(Registry.byName("N_SIM11_mutual_knn").fn(spark, sf()))
+    assert(p.contains("GraftTopKPerKeyPartial"), p)
+    assert(p.contains("GraftTopKPerKeyFinal"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("registry-wide plan lint: no cartesian product or nested-loop " +
       "join outside the audited allowlist") {
     // The machine-checked "plans you'd want at 100x" bar: EVERY
