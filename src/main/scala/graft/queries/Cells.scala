@@ -412,6 +412,47 @@ object Cells {
     """SELECT pk, ck, col, sval AS value, wt FROM str_merged
       |WHERE sval = 'XR' ORDER BY pk, ck""".stripMargin
 
+  // C18g — secondary index over a TYPED (string-keyed) BASE (round
+  // 9 machinery, hash-checked round 10): the index entry's value
+  // slot carries the base's STRING key part, and the lookup composes
+  // back into the typed base by part name. The filter re-applies the
+  // predicate (refresh-epoch false positives drop), so the oracle is
+  // the merged relation re-keyed and filtered directly.
+  private def typedBaseIdxScan(s: SparkSession, d: String): DataFrame = {
+    val hits = graft.sources.CellIndex.lookupPks(s,
+      CellSnapshots.ensureKeyedIndexed(s, d), 2500L)
+    CellSnapshots.readKeyedReconciled(s, d)
+      .join(hits.withColumnRenamed("pk", "user"), Seq("user"),
+        "left_semi")
+      .filter(col("col") === "qty" && col("value") === 2500)
+      .orderBy(col("user"), col("ck"))
+  }
+
+  private val typedBaseIdxSql = cte +
+    """SELECT 'user-' || pk AS user, ck, col, value, wt FROM merged
+      |WHERE col = 'qty' AND value = 2500
+      |ORDER BY user, ck""".stripMargin
+
+  // C18h — secondary index over a COMPOSITE ((tenant, day), seq)
+  // partition key (round 10): the entry's value is the C59-packed
+  // (tenant, day) tuple; the lookup unpacks it and composes the base
+  // read as bounded per-tuple point predicates (or a semi join past
+  // the multiget bound). Same re-applied predicate, same direct
+  // oracle.
+  private def compositeIdxScan(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensureComposite(s, d)
+    graft.sources.CellIndex.lookupBase(s, dir,
+      CellSnapshots.ensureCompositeIndexed(s, d), 2500L)
+      .filter(col("col") === "qty" && col("value") === 2500)
+      .orderBy(col("tenant"), col("day"), col("seq"))
+  }
+
+  private val compositeIdxSql = cte +
+    """SELECT 't' || (pk % 8) AS tenant, pk // 8 AS day, ck AS seq,
+      |  col, value, wt
+      |FROM merged WHERE col = 'qty' AND value = 2500
+      |ORDER BY tenant, day, seq""".stripMargin
+
   // C18e — SASI-style RANGE query through the secondary index: qty ∈
   // [1000, 1500]. The long-valued index table's pk IS the indexed
   // value with identity tokens, so the range pushes as a
@@ -784,6 +825,48 @@ object Cells {
       |FROM merged m JOIN vkeys k ON m.pk = k.pk AND m.ck = k.ck
       |WHERE k.vk % 50 = 0
       |ORDER BY vk, bpk, bck, col""".stripMargin
+
+  // C40b — MATERIALIZED VIEW over the TYPED (string-keyed) base
+  // (round 9 machinery, hash-checked round 10): view key
+  // `((vk), buser, bck)` — the base's string part rides in the view
+  // clustering under the b-prefix. Oracle: merged re-keyed through
+  // the same 'user-' derivation, self-joined on the qty keys.
+  private def typedBaseViewScan(s: SparkSession, d: String): DataFrame =
+    graft.sources.CellView.read(s,
+      CellSnapshots.ensureKeyedViewed(s, d))
+      .filter(col("vk") % 50 === 0)
+      .orderBy(col("vk"), col("buser"), col("bck"), col("col"))
+
+  private val typedBaseViewSql = cte +
+    """, vkeys AS (SELECT pk, ck, value AS vk FROM merged
+      |  WHERE col = 'qty')
+      |SELECT k.vk, 'user-' || m.pk AS buser, m.ck AS bck, m.col,
+      |  m.value, m.wt
+      |FROM merged m JOIN vkeys k ON m.pk = k.pk AND m.ck = k.ck
+      |WHERE k.vk % 50 = 0
+      |ORDER BY vk, buser, bck, col""".stripMargin
+
+  // C40c — MATERIALIZED VIEW over the COMPOSITE ((tenant, day), seq)
+  // base (round 10): view key `((vk), btenant, bday, bseq)` — every
+  // base part becomes view clustering, multi-part pks included.
+  private def compositeViewScan(s: SparkSession, d: String): DataFrame =
+    graft.sources.CellView.read(s,
+      CellSnapshots.ensureCompositeViewed(s, d))
+      .filter(col("vk") % 50 === 0)
+      .orderBy(col("vk"), col("btenant"), col("bday"), col("bseq"),
+        col("col"))
+
+  private val compositeViewSql = cte +
+    """, comp AS (SELECT 't' || (pk % 8) AS tenant, pk // 8 AS day,
+      |    ck AS seq, col, value, wt FROM merged),
+      |vkeys AS (SELECT tenant, day, seq, value AS vk FROM comp
+      |  WHERE col = 'qty')
+      |SELECT k.vk, m.tenant AS btenant, m.day AS bday, m.seq AS bseq,
+      |  m.col, m.value, m.wt
+      |FROM comp m JOIN vkeys k ON m.tenant = k.tenant
+      |  AND m.day = k.day AND m.seq = k.seq
+      |WHERE k.vk % 50 = 0
+      |ORDER BY vk, btenant, bday, bseq, col""".stripMargin
 
   // C41 — TOKEN-RANGE scan (round 7, second half): Cassandra's
   // full-scan/export unit — `WHERE token(pk) >= ? AND token(pk) <= ?`,
@@ -1497,6 +1580,14 @@ object Cells {
       Some(tokenSplitUnionSql)),
     GQuery("C40_materialized_view", materializedView,
       Some(materializedViewSql)),
+    GQuery("C40b_typed_base_view", typedBaseViewScan,
+      Some(typedBaseViewSql)),
+    GQuery("C40c_composite_base_view", compositeViewScan,
+      Some(compositeViewSql)),
+    GQuery("C18g_typed_base_index", typedBaseIdxScan,
+      Some(typedBaseIdxSql)),
+    GQuery("C18h_composite_base_index", compositeIdxScan,
+      Some(compositeIdxSql)),
     GQuery("C37b_typed_slice", typedSlice, Some(typedSliceSql)),
     GQuery("C38b_typed_delete", typedDelete, Some(typedDeleteSql)),
     GQuery("C39b_typed_reverse", typedReverse, Some(typedReverseSql)),

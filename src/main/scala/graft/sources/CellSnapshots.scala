@@ -856,6 +856,89 @@ object CellSnapshots {
       dir.toString
     }
 
+  // ---- C18g/C40b/C18h/C40c: typed- and composite-base 2i/MV ----
+  // Hash-checked twins of the r9/r10 flagship components: a 2i and an
+  // MV over the STRING-keyed base (single typed pk part) and over the
+  // COMPOSITE ((tenant, day), seq) base (multi-part pk — the index
+  // entry value is the C59-packed key tuple). Built once per sf from
+  // the same deterministic cell relation every other fixture derives
+  // from, so the DuckDB `merged` CTE re-keys into their exact oracle.
+
+  /** 2i of `qty` over the string-keyed base (C18g). */
+  def ensureKeyedIndexed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-kidx")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellIndex.build(s, ensureKeyed(s, sfDir), dir.toString, "qty")
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** MV of the string-keyed base re-keyed by `qty` (C40b). */
+  def ensureKeyedViewed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-kview")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellView.build(s, ensureKeyed(s, sfDir), dir.toString, "qty",
+          files = SnapshotFiles)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** 2i of `qty` over the composite ((tenant, day), seq) base
+    * (C18h): the entry value is the C59-packed (tenant, day) tuple.
+    */
+  def ensureCompositeIndexed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-cidx")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellIndex.build(s, ensureComposite(s, sfDir), dir.toString,
+          "qty")
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
+  /** MV of the composite base re-keyed by `qty` (C40c): view key
+    * `((vk), btenant, bday, bseq)`.
+    */
+  def ensureCompositeViewed(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val dir = Paths.get(root, s"v$Version-$sfName-cview")
+      val marker = dir.resolve("_OK")
+      if (!Files.exists(marker)) {
+        if (Files.exists(dir))
+          Using.resource(Files.list(dir)) {
+            _.iterator().asScala.toList.foreach(Files.delete)
+          }
+        CellView.build(s, ensureComposite(s, sfDir), dir.toString,
+          "qty", files = SnapshotFiles)
+        Files.writeString(marker, "ok")
+      }
+      dir.toString
+    }
+
   // ---- C61: range-movement fixture ----
   // Node A starts with the whole ring; tokens [2000, 5999] move to a
   // fresh node B (stream-then-cleanup, CellMaintenance.moveRange).
