@@ -880,11 +880,30 @@ object Cql {
     // it without ALLOW FILTERING iff a secondary index exists.
     val idxPreds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Any)]
+    // RANGE predicates on a data column served by a registered
+    // LONG-valued (identity-token) index — the C18e/SASI sparse rule:
+    // only that layout keeps adjacent values adjacent on the ring, so
+    // only it serves ranges without ALLOW FILTERING. Columns with a
+    // typed (hashed) index, or none, keep demanding ALLOW FILTERING.
+    val idxRanges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    def rangeIndexOf(c: String): Option[String] =
+      graft.sources.CellIndex.registered(dir)
+        .find(i => graft.sources.CellIndex.columnOf(i).contains(c) &&
+          graft.sources.CellIndex.servesRanges(i))
     val regularTerms = nonTokenTerms.filter {
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
         idxPreds += ((c.toLowerCase, literal(v))); false
+      case PredRe(c, op, v)
+          if op != "=" && !keyCols.contains(c.toLowerCase) &&
+            !modelCols.contains(c.toLowerCase) &&
+            literal(v).isInstanceOf[Long] &&
+            rangeIndexOf(c.toLowerCase).isDefined =>
+        idxRanges += ((c.toLowerCase, op,
+          literal(v).asInstanceOf[Long]))
+        false
       case _ => true
     }
     val preds = predicates(regularTerms)
@@ -892,8 +911,8 @@ object Cql {
     // before any residual data predicate — combining them would
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
-    if (ppl.isDefined && (idxPreds.nonEmpty || preds.exists {
-        case (c, _) => !keyCols.contains(c) }))
+    if (ppl.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
+        preds.exists { case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
     // WRITETIME(c) / TTL(c) narrow the cell relation with an INTERNAL
@@ -930,7 +949,7 @@ object Cql {
         // via the registered index, then re-apply the predicate on
         // the base cells — Cassandra's own index-then-fetch-then-
         // filter contract (index false positives drop here).
-        if (idxPreds.length > 1)
+        if (idxPreds.length > 1 || idxRanges.nonEmpty)
           fail("one indexed data predicate per statement")
         val (ic, iv) = idxPreds.head
         if (hasTok)
@@ -945,6 +964,41 @@ object Cql {
             "ALLOW FILTERING"))
         graft.sources.CellIndex.lookupBase(spark, dir, idxDir, iv)
           .filter(col("col") === ic && col("value") === lit(iv))
+      } else if (idxRanges.nonEmpty) {
+        // Indexed RANGE read (C18e through the front door): the value
+        // bounds push as a Summary-pruned pk range over the
+        // identity-token index — only index files OVERLAPPING the
+        // value range open — then the hit set composes into the base
+        // read and the predicate re-applies on the base cells
+        // (refresh-epoch false positives drop), Cassandra's
+        // index-then-fetch-then-filter, SASI sparse mode.
+        val rangeCols = idxRanges.map(_._1).distinct
+        if (rangeCols.length > 1)
+          fail("one indexed data column per statement")
+        val ic = rangeCols.head
+        if (hasTok)
+          fail("token ranges cannot combine with an indexed predicate")
+        if (fnNarrows || hasTokSel)
+          fail("WRITETIME/TTL/token() projections cannot combine " +
+            "with an indexed predicate")
+        var lo = Long.MinValue
+        var hi = Long.MaxValue
+        var empty = false
+        idxRanges.foreach { case (_, op, x) => op match {
+          case ">" =>
+            if (x == Long.MaxValue) empty = true
+            else lo = math.max(lo, x + 1)
+          case ">=" => lo = math.max(lo, x)
+          case "<" =>
+            if (x == Long.MinValue) empty = true
+            else hi = math.min(hi, x - 1)
+          case "<=" => hi = math.min(hi, x)
+        }}
+        if (empty || lo > hi) { lo = 1L; hi = 0L } // provably empty
+        graft.sources.CellIndex.lookupBaseRange(spark, dir,
+            rangeIndexOf(ic).get, lo, hi)
+          .filter(col("col") === ic &&
+            col("value") >= lo && col("value") <= hi)
       } else {
         // a MATERIALIZED VIEW directory heals before serving — a
         // stale view (out-of-band base flush that bypassed the

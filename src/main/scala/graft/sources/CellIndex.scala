@@ -234,6 +234,17 @@ object CellIndex {
   def columnOf(idxDir: String): Option[String] =
     readMeta(idxDir).map(_.column)
 
+  /** True when the index table's layout serves RANGE lookups: the
+    * default (long pk, IDENTITY token) layout, where adjacent values
+    * are adjacent on the ring — C18e / Cassandra SASI's
+    * sparse-numeric-mode rule. Typed (hashed) index layouts scatter
+    * adjacent values and refuse ranges.
+    */
+  def servesRanges(idxDir: String): Boolean = {
+    val norm = CellPlanning.normalize(idxDir)
+    CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm)).isDefault
+  }
+
   /** True iff `idxDir` IS a secondary index of exactly (base, column)
     * — the CREATE INDEX IF NOT EXISTS identity test. An unrelated
     * table (or an index on a different base/column) squatting on the

@@ -810,6 +810,61 @@ class CqlSpec extends GraftSpec {
     assert(e.getMessage.contains("no secondary index"), e.getMessage)
   }
 
+  test("indexed RANGE predicates serve through the sparse index " +
+      "without ALLOW FILTERING (C18e front door)") {
+    val d = Files.createTempDirectory("cql-rbase").toString
+    spark.range(1000)
+      .selectExpr("id AS pk", "1 AS ck", "'qty' AS col",
+        "id AS value", "100L AS wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val idx = Files.createTempDirectory("cql-ridx").toString
+    graft.sources.CellIndex.build(spark, d, idx, "qty",
+      writeThrough = true)
+    // only index files OVERLAPPING the value range open: the value IS
+    // the index pk (identity tokens), so the bounds push as a
+    // Summary-pruned pk range over the 8 range-partitioned files
+    val probe = spark.read.format("graft.sources.CellSource").load(idx)
+      .filter(col("pk") >= 100L && col("pk") <= 130L)
+    assert(probe.rdd.getNumPartitions <= 2,
+      s"probe opened ${probe.rdd.getNumPartitions} index splits")
+    // BETWEEN-shaped range serves with no ALLOW FILTERING clause
+    val df = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty >= 100 AND qty <= 130 ORDER BY pk")
+    assert(df.as[Long].collect().toSeq === (100L to 130L))
+    // strict bounds normalize to the closed interval
+    val open = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty > 100 AND qty < 104 ORDER BY pk")
+    assert(open.as[Long].collect().toSeq === Seq(101L, 102L, 103L))
+    // composes with a key predicate (re-applied on the fetched base)
+    val both = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty >= 100 AND qty <= 130 AND pk = 111")
+    assert(both.as[Long].collect().toSeq === Seq(111L))
+    // provably-empty range short-circuits to zero rows
+    assert(Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty > 50 AND qty < 50").count() === 0L)
+    // write-through keeps the range route fresh
+    Cql.execute(spark,
+      s"INSERT INTO $d (pk, ck, qty) VALUES (2000, 1, 115)")
+    val fresh = Cql.execute(spark,
+      s"SELECT pk FROM $d WHERE qty >= 114 AND qty <= 115 ORDER BY pk")
+    assert(fresh.as[Long].collect().toSeq === Seq(114L, 115L, 2000L))
+    // mixing an indexed equality with an indexed range refuses (one
+    // indexed predicate per statement, Cassandra's own rule)
+    val mix = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"SELECT pk FROM $d WHERE qty = 5 AND qty > 3")
+    }
+    assert(mix.getMessage.contains("one indexed data predicate"),
+      mix.getMessage)
+    // a range on an UNindexed column still demands ALLOW FILTERING
+    val d2 = freshTable()
+    val strict = Cql.execute(spark,
+      s"SELECT pk FROM $d2 WHERE value > 15")
+    val e2 = intercept[Exception] { strict.collect() }
+    assert(e2.getMessage.contains("allowFiltering"), e2.getMessage)
+  }
+
   test("collection writes: map put, list append, set add/remove " +
       "(C11/C12/C13 encodings)") {
     val d = freshTable()
