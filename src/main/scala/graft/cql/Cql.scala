@@ -42,6 +42,7 @@ object Cql {
       """(?:\s+ORDER\s+BY\s+([\w\s,]+?))?""" +
       """(?:\s+PER\s+PARTITION\s+LIMIT\s+(\d+))?""" +
       """(?:\s+LIMIT\s+(\d+))?""" +
+      """(?:\s+PAGE\s+AFTER\s+'([^']*)')?""" +
       """(\s+ALLOW\s+FILTERING)?\s*;?\s*$""").r
 
   private val InsertRe =
@@ -191,12 +192,12 @@ object Cql {
       lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
     case SelectRe(json, dist, cols, table, where, group, order, ppl,
-        lim, af) =>
+        lim, page, af) =>
       select(spark, resolve(table), Option(json).isDefined,
         Option(dist).isDefined, cols.trim,
         Option(where), Option(group), Option(order),
         Option(ppl).map(_.toInt), Option(lim).map(_.toInt),
-        Option(af).isDefined)
+        Option(page), Option(af).isDefined)
     case InsertRe(table, cols, vals, usingClause) =>
       val dir = resolve(table)
       val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
@@ -833,7 +834,8 @@ object Cql {
   private def select(spark: SparkSession, dir: String, json: Boolean,
       distinct: Boolean, cols: String, where: Option[String],
       group: Option[String], order: Option[String], ppl: Option[Int],
-      lim: Option[Int], allowFiltering: Boolean): DataFrame = {
+      lim: Option[Int], page: Option[String],
+      allowFiltering: Boolean): DataFrame = {
     val spec = graft.sources.CellSource.keySpec(dir)
     // key columns of THIS table's layout (pk/ck on the default spec,
     // the named parts on a typed one) — the ALLOW FILTERING guards
@@ -943,6 +945,20 @@ object Cql {
         fail("SELECT DISTINCT must name exactly the partition key (" +
           spec.pkParts.map(_.name).mkString(", ") + ")")
     }
+    // PAGE AFTER '<state>' — C52's paging state through the front
+    // door. The state is what a driver would hand back with a page:
+    // `pk:ck:col` on the default layout (C52), or per-part
+    // `name=value;...;col=<c>` pairs on a typed one (C52b). It lands
+    // verbatim on the scan's pageAfter options — the cursor narrows
+    // the MERGED read, so it composes with key predicates, but not
+    // with index routes or token ranges (each is its own read path
+    // with its own resume rules; Cassandra's paging state is likewise
+    // bound to the statement shape that produced it).
+    if (page.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty))
+      fail("PAGE AFTER cannot combine with an indexed predicate")
+    if (page.isDefined && hasTok)
+      fail("PAGE AFTER cannot combine with token() ranges (the " +
+        "cursor already fixes the resume position)")
     var df =
       if (idxPreds.nonEmpty) {
         // Index-routed read (C18): restrict the base to the hit pks
@@ -1016,6 +1032,22 @@ object Cql {
         if (hasTtl) reader = reader.option("withTtl", "true")
         if (hasTok && !tokEmpty)
           reader = reader.option("tokenRange", s"$tokLo:$tokHi")
+        page.foreach { st =>
+          if (st.contains("=")) {
+            // typed per-part form: name=value pairs, one per pk/ck
+            // part plus col — the scan validates completeness and
+            // parses each by the part's key type
+            st.split(';').iterator.map(_.trim).filter(_.nonEmpty)
+              .foreach { kv =>
+                val i = kv.indexOf('=')
+                if (i <= 0) fail(s"PAGE AFTER pair must be " +
+                  s"name=value, got '$kv'")
+                reader = reader.option(
+                  s"pageAfter.${kv.substring(0, i).trim.toLowerCase}",
+                  kv.substring(i + 1).trim)
+              }
+          } else reader = reader.option("pageAfter", st)
+        }
         ppl.foreach(n => reader = reader.option("perPartitionLimit", n))
         val loaded = reader.load(dir)
         if (tokEmpty) loaded.filter(lit(false)) else loaded

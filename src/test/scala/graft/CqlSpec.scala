@@ -865,6 +865,78 @@ class CqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("allowFiltering"), e2.getMessage)
   }
 
+  test("PAGE AFTER pages a SELECT through the C52 cursor and " +
+      "stitches back to the unpaged read") {
+    val d = Files.createTempDirectory("cql-page").toString
+    spark.range(100)
+      .selectExpr("id % 20 AS pk", "CAST(id / 20 AS INT) AS ck",
+        "'v' AS col", "id AS value", "100L AS wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val all = Cql.execute(spark,
+      s"SELECT pk, ck, col, value FROM $d ORDER BY pk, ck, col")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(all.size === 100)
+    // the CQL driver loop: page with LIMIT n, hand the last row's
+    // (pk, ck, col) back as the next page's state
+    var after: Option[(Long, Int, String)] = None
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long)]
+    var pages = 0
+    var done = false
+    while (!done) {
+      val clause =
+        after.fold("")(a => s" PAGE AFTER '${a._1}:${a._2}:${a._3}'")
+      val p = Cql.execute(spark,
+        s"SELECT pk, ck, col, value FROM $d " +
+          s"ORDER BY pk, ck, col LIMIT 37$clause")
+        .as[(Long, Int, String, Long)].collect().toSeq
+      seen ++= p
+      pages += 1
+      if (p.size < 37) done = true
+      else { val l = p.last; after = Some((l._1, l._2, l._3)) }
+    }
+    assert(pages === 3, s"expected 3 pages of 37, got $pages")
+    assert(seen.toSeq === all)
+    // typed layout (C52b): per-part name=value state — identity-token
+    // long key, so token order == key order and ORDER BY matches the
+    // cursor's resume order
+    val td = Files.createTempDirectory("cql-page-t").toString
+    spark.range(30)
+      .selectExpr("id AS id", "1 AS seq", "'qty' AS col",
+        "id AS value", "100L AS wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((id),seq)")
+      .option("keyType.id", "long").option("keyType.seq", "int")
+      .mode("append").save(td)
+    val tAll = Cql.execute(spark,
+      s"SELECT id, seq, col, value FROM $td ORDER BY id, seq, col")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    var tAfter: Option[(Long, Int, String)] = None
+    val tSeen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Long)]
+    done = false
+    while (!done) {
+      val clause = tAfter.fold("")(a =>
+        s" PAGE AFTER 'id=${a._1};seq=${a._2};col=${a._3}'")
+      val p = Cql.execute(spark,
+        s"SELECT id, seq, col, value FROM $td " +
+          s"ORDER BY id, seq, col LIMIT 11$clause")
+        .as[(Long, Int, String, Long)].collect().toSeq
+      tSeen ++= p
+      if (p.size < 11) done = true
+      else { val l = p.last; tAfter = Some((l._1, l._2, l._3)) }
+    }
+    assert(tSeen.toSeq === tAll)
+    // paging state is bound to the statement shape that produced it:
+    // token() ranges carry their own resume rule
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE token(pk) > 5 " +
+        "PAGE AFTER '1:0:v'")
+    }
+    assert(e.getMessage.contains("PAGE AFTER"), e.getMessage)
+  }
+
   test("collection writes: map put, list append, set add/remove " +
       "(C11/C12/C13 encodings)") {
     val d = freshTable()
