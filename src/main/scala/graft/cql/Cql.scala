@@ -181,16 +181,21 @@ object Cql {
       val dir = resolve(table)
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       appendCells(spark, dir, jsonCells(json, wt))
+      if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
-      lwtInsert(spark, resolve(table), cols, vals)
+      val r = lwtInsert(spark, resolve(table), cols, vals)
+      forgetWt(resolve(table)); r
     case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
-      lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
+      val r = lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
+      forgetWt(resolve(table)); r
     case UpdateIfExistsRe(table, sets, where) =>
-      lwtUpdateExists(spark, resolve(table), sets, where)
+      val r = lwtUpdateExists(spark, resolve(table), sets, where)
+      forgetWt(resolve(table)); r
     case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
-      lwtDelete(spark, resolve(table), Option(colOpt), where,
+      val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
+      forgetWt(resolve(table)); r
     case SelectRe(json, dist, cols, table, where, group, order, ppl,
         lim, page, af) =>
       select(spark, resolve(table), Option(json).isDefined,
@@ -209,6 +214,7 @@ object Cql {
       if (spec.isDefault)
         appendCells(spark, dir, insertCells(cols, vals, wt), ttlOpt)
       else insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
+      if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
     case UpdateRe(table, usingClause, sets, where) =>
       val dir = resolve(table)
@@ -229,6 +235,7 @@ object Cql {
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
         else appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
       } else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
       val dir = resolve(table)
@@ -237,6 +244,7 @@ object Cql {
       if (spec.isDefault)
         appendCells(spark, dir, deleteMarkers(Option(colOpt), where, dts))
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
+      if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case _ => fail(s"unsupported CQL statement: $cql")
   }
@@ -250,7 +258,12 @@ object Cql {
       resolve: String => String = identity): DataFrame = {
     val stmts = splitStatements(script)
     if (stmts.isEmpty) fail("empty CQL script")
-    stmts.map(execute(spark, _, resolve)).last
+    // per-script writetime allocator (see nextWt): re-entrant calls
+    // keep the outer script's counters
+    val fresh = scriptWts.get == null
+    if (fresh) scriptWts.set(scala.collection.mutable.Map.empty)
+    try stmts.map(execute(spark, _, resolve)).last
+    finally if (fresh) scriptWts.remove()
   }
 
   /** Split on `;` outside single quotes, keeping BATCH blocks whole.
@@ -426,6 +439,9 @@ object Cql {
       }
     val logDir = writes.head._1 + ".batchlog"
     graft.sources.CellTransactions.loggedBatch(spark, writes, logDir)
+    // the shared batch wt (and any member's explicit ts) moved the
+    // involved tables' max outside the allocator's local counters
+    parsed.map(_._1).distinct.foreach(forgetWt)
   }
 
   private def fail(msg: String): Nothing =
@@ -499,8 +515,10 @@ object Cql {
       case DropTableRe(ifEx, ks, t) =>
         spark.sql(s"DROP TABLE " +
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
+        forgetWt(s"$root/$ks/$t")
       case TruncateRe(ks, t) =>
         spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
+        forgetWt(s"$root/$ks/$t")
       case AlterDropRe(ks, t, c, usingTs) =>
         // Cassandra's ALTER TABLE DROP: record the drop timestamp in
         // system metadata; cells written at-or-before it become
@@ -515,7 +533,7 @@ object Cql {
           fail(s"cannot drop cell-model column $colName")
         val dir = s"$root/$ks/$t"
         val ts = Option(usingTs).map(_.toLong)
-          .getOrElse(nextWt(spark, dir) - 1)
+          .getOrElse(peekWt(spark, dir) - 1) // uses, doesn't consume
         spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
           s"SET TBLPROPERTIES ('dropped.$colName' = '$ts')")
       case AlterAddRe(ks, t, c, typ) =>
@@ -1194,8 +1212,52 @@ object Cql {
 
   /** CQL's deterministic default writetime: table max wt + 1 (the
     * C38 DELETE rule) — one header-agg-pushed scan, no data read.
+    *
+    * Inside [[executeScript]] the table max is resolved ONCE per
+    * target table and incremented locally: statements in a script
+    * are ordered, so the max+1 rule yields the identical writetime
+    * sequence while paying one planning round-trip per TABLE instead
+    * of one per STATEMENT (the job-count tax a cqlsh-style ingest
+    * script would otherwise pay, zero data bytes each). The local
+    * counter stays truthful because every consuming call site writes
+    * exactly at the returned value; sites that don't either peek
+    * ([[peekWt]], ALTER DROP's max-not-max-plus-one) or invalidate
+    * after ([[forgetWt]]: explicit USING TIMESTAMP, BATCH's shared
+    * wt, LWT's internal resolution, TRUNCATE/DROP).
     */
+  private val scriptWts =
+    new ThreadLocal[scala.collection.mutable.Map[String, Long]]
+
   private def nextWt(spark: SparkSession, dir: String): Long = {
+    val cache = scriptWts.get
+    if (cache == null) resolveNextWt(spark, dir)
+    else {
+      val n = cache.getOrElseUpdate(dir, resolveNextWt(spark, dir))
+      cache.update(dir, n + 1L)
+      n
+    }
+  }
+
+  /** Next writetime WITHOUT consuming it (repeatable, like the
+    * uncached read) — for statements that use the value as a
+    * timestamp but write no cell at it.
+    */
+  private def peekWt(spark: SparkSession, dir: String): Long = {
+    val cache = scriptWts.get
+    if (cache == null) resolveNextWt(spark, dir)
+    else cache.getOrElseUpdate(dir, resolveNextWt(spark, dir))
+  }
+
+  /** Drop the script-local counter for a table whose max wt changed
+    * outside the allocator's view (explicit-timestamp write, batch
+    * shared wt, LWT, truncate); the next [[nextWt]] re-resolves.
+    */
+  private def forgetWt(dir: String): Unit = {
+    val cache = scriptWts.get
+    if (cache != null) { cache.remove(dir); () }
+  }
+
+  private def resolveNextWt(spark: SparkSession, dir: String): Long = {
     val r = spark.read.format(Fmt).load(dir).agg(max(col("wt"))).collect()
     if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
   }
