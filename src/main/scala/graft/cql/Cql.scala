@@ -513,12 +513,12 @@ object Cql {
           (if (ifNot != null) "IF NOT EXISTS " else "") +
           s"$catalog.$ks.$t $tbl$propSql")
       case DropTableRe(ifEx, ks, t) =>
-        spark.sql(s"DROP TABLE " +
+        val r = spark.sql(s"DROP TABLE " +
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
-        forgetWt(s"$root/$ks/$t")
+        forgetWt(s"$root/$ks/$t"); r
       case TruncateRe(ks, t) =>
-        spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
-        forgetWt(s"$root/$ks/$t")
+        val r = spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
+        forgetWt(s"$root/$ks/$t"); r
       case AlterDropRe(ks, t, c, usingTs) =>
         // Cassandra's ALTER TABLE DROP: record the drop timestamp in
         // system metadata; cells written at-or-before it become
