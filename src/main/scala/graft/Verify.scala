@@ -31,6 +31,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any within-query persist() (N_SIM11, N_SKETCH5):
+      // queries are independent here, so pinned blocks are pure waste
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

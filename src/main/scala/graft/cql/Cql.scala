@@ -164,7 +164,8 @@ object Cql {
         // LWT forms must be refused BEFORE the plain-DML match:
         // UpdateRe/DeleteRe's lazy WHERE group would absorb a
         // trailing IF clause and run the CAS as an ordinary write.
-        // Cassandra rejects conditions in batches outright.
+        // (Cassandra allows single-partition conditional batches;
+        // this facade restricts to the unconditional subset.)
         case s @ (InsertIfNotExistsRe(_, _, _) |
             UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
             DeleteIfRe(_, _, _, _, _, _)) =>
@@ -394,6 +395,15 @@ object Cql {
     if (stmts.isEmpty) fail("empty BATCH")
     val parsed: Seq[(String, Seq[(Long, Int, String, Long, Long)])] =
       stmts.toSeq.map {
+        // LWT forms must be refused BEFORE the plain-DML match:
+        // UpdateRe/DeleteRe's lazy WHERE group would absorb a
+        // trailing IF clause and run the CAS as an ordinary write.
+        // (Cassandra allows single-partition conditional batches;
+        // this facade restricts to the unconditional subset.)
+        case s @ (InsertIfNotExistsRe(_, _, _) |
+            UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
+            DeleteIfRe(_, _, _, _, _, _)) =>
+          fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
           val (ts, ttl) = parseUsing(Option(usingClause))
           if (ttl.isDefined)
@@ -592,9 +602,10 @@ object Cql {
         // Cassandra's MV statement shape — the view re-keys the base
         // by one column's value (C40): `WHERE <col> IS NOT NULL
         // PRIMARY KEY ((<col>), <base key parts>)`. The tail must
-        // name the base's OWN key parts in key order (`pk, ck` on
-        // the default layout — also accepted as the canonical
-        // positional form on typed bases). Built now and REGISTERED
+        // name the base's OWN key parts in key order (`pk, ck` only
+        // on the default layout — on a typed/composite base the
+        // literal names are required, or the declared key would
+        // misdescribe the view). Built now and REGISTERED
         // for write-through maintenance: later committed base writes
         // refresh it with the delta tombstone protocol; out-of-band
         // flushes still heal on read.
@@ -610,7 +621,8 @@ object Cql {
         val bspec = graft.sources.CellSource.keySpec(baseDir)
         val baseNames = (bspec.pkParts ++ bspec.ckParts)
           .map(_.name.toLowerCase)
-        if (tailParts != Seq("pk", "ck") && tailParts != baseNames)
+        if ((tailParts != Seq("pk", "ck") || !bspec.isDefault) &&
+            tailParts != baseNames)
           fail(s"materialized view PRIMARY KEY tail must name the " +
             s"base key parts (${baseNames.mkString(", ")}), got: " +
             tailParts.mkString(", "))
@@ -1051,7 +1063,10 @@ object Cql {
         if (hasTok && !tokEmpty)
           reader = reader.option("tokenRange", s"$tokLo:$tokHi")
         page.foreach { st =>
-          if (st.contains("=")) {
+          // route on the TABLE's key layout, not the state string's
+          // content — on a default-layout table the col segment is a
+          // verbatim data cell and may itself contain '='
+          if (!spec.isDefault) {
             // typed per-part form: name=value pairs, one per pk/ck
             // part plus col — the scan validates completeness and
             // parses each by the part's key type
@@ -1228,12 +1243,24 @@ object Cql {
   private val scriptWts =
     new ThreadLocal[scala.collection.mutable.Map[String, Long]]
 
+  /** Canonical cache key for a table dir: two spellings of the same
+    * path within one script ('t' vs './t' vs 'file:t') must share
+    * one counter, or the sequential max+1 model silently breaks
+    * (two statements allocating the SAME writetime).
+    */
+  private def wtKey(dir: String): String = {
+    val p = if (dir.startsWith("file:")) dir.stripPrefix("file:") else dir
+    try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    catch { case _: Exception => p }
+  }
+
   private def nextWt(spark: SparkSession, dir: String): Long = {
     val cache = scriptWts.get
     if (cache == null) resolveNextWt(spark, dir)
     else {
-      val n = cache.getOrElseUpdate(dir, resolveNextWt(spark, dir))
-      cache.update(dir, n + 1L)
+      val k = wtKey(dir)
+      val n = cache.getOrElseUpdate(k, resolveNextWt(spark, dir))
+      cache.update(k, n + 1L)
       n
     }
   }
@@ -1245,7 +1272,7 @@ object Cql {
   private def peekWt(spark: SparkSession, dir: String): Long = {
     val cache = scriptWts.get
     if (cache == null) resolveNextWt(spark, dir)
-    else cache.getOrElseUpdate(dir, resolveNextWt(spark, dir))
+    else cache.getOrElseUpdate(wtKey(dir), resolveNextWt(spark, dir))
   }
 
   /** Drop the script-local counter for a table whose max wt changed
@@ -1254,7 +1281,7 @@ object Cql {
     */
   private def forgetWt(dir: String): Unit = {
     val cache = scriptWts.get
-    if (cache != null) { cache.remove(dir); () }
+    if (cache != null) { cache.remove(wtKey(dir)); () }
   }
 
   private def resolveNextWt(spark: SparkSession, dir: String): Long = {

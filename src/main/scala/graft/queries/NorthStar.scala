@@ -244,7 +244,10 @@ object NorthStar {
     // to ≤k rows per src BEFORE the shuffle, so the exchanged volume
     // is O(n·k) instead of the full symmetric edge list a window
     // sort would move — the 100 TB form. Persisted because the
-    // mutuality self-join consumes it twice.
+    // mutuality self-join consumes it twice; no local unpersist (the
+    // result is lazy — the consuming action runs in the caller), so
+    // residency is session-lifetime: Verify clearCache()s per query,
+    // Bench keeps it warm across reps and tears the session down.
     val topk = graft.operators.TopK.perKey(dirEdges, Seq("src"),
       Seq(("score_r", false), ("dst", true)), 3).persist()
     topk.as("x").join(topk.as("y"),

@@ -271,7 +271,9 @@ object Sketches {
     // ONCE (the Q_TPCH2 pattern; the InMemoryRelation keeps schema
     // and stats visible to Catalyst, and repeated invocations reuse
     // the same CacheManager entry). At 100 TB this is a pre-computed
-    // element-stream table.
+    // element-stream table. No local unpersist — the result is lazy,
+    // so residency is session-lifetime: Verify clearCache()s per
+    // query, Bench keeps it warm and tears the session down.
     val tri = triDistinct(s, d).persist()
     val h = tri.select(col("lang"), col("g"),
       expr("cast(conv(substr(md5(g), 1, 12), 16, 10) as bigint)").as("h"))

@@ -167,6 +167,12 @@ object CellIndex {
   def build(spark: SparkSession, dir: String, idxDir: String,
       column: String, files: Int = 8,
       writeThrough: Boolean = false): Unit = {
+    // same refusal as the CQL CREATE INDEX front door: the build (and
+    // every delta refresh) reads the base reconcile-only (LWW), which
+    // merges counter shards wrongly. Cassandra refuses 2i on counter
+    // tables too.
+    require(!CellPlanning.isCounterTable(dir),
+      s"secondary indexes are not supported on counter table $dir")
     val gen = generation(dir)
     val base = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)

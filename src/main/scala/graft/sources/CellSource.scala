@@ -3914,6 +3914,21 @@ private[sources] object CellPlanning {
   def normalize(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** Catalog-persisted counter-ness (`counter=true` in `_props`).
+    * Consulted by the 2i/MV builders: their reconcile-only (LWW)
+    * base reads merge counter shards wrongly, so counter tables
+    * refuse index/view builds — Cassandra's own rule.
+    */
+  def isCounterTable(dir: String): Boolean = {
+    val f = java.nio.file.Paths.get(normalize(dir)).resolve("_props")
+    java.nio.file.Files.exists(f) && {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      "true".equalsIgnoreCase(p.getProperty("counter"))
+    }
+  }
+
   /** Parsed numeric flush index of a `data-NNNN.cells` name; -1 for
     * anything else.
     */

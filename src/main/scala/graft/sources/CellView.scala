@@ -139,6 +139,12 @@ object CellView {
     */
   def build(spark: SparkSession, dir: String, viewDir: String,
       column: String, files: Int = 8): Unit = {
+    // same refusal as the CQL CREATE MATERIALIZED VIEW front door:
+    // the build (and every delta refresh) reads the base
+    // reconcile-only (LWW), which merges counter shards wrongly.
+    // Cassandra refuses MVs on counter tables too.
+    require(!CellPlanning.isCounterTable(dir),
+      s"materialized views are not supported on counter table $dir")
     val gen = generation(dir)
     val base = reconciled(spark, dir)
     val parts = baseParts(dir)

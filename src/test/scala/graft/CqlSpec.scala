@@ -1258,11 +1258,18 @@ class CqlSpec extends GraftSpec {
       // indexed data predicate through the facade, typed base
       val sel = cq("SELECT user FROM ks.t WHERE qty = 100 ORDER BY user")
       assert(sel.as[String].collect().toSeq === Seq("u-1", "u-9"))
-      // typed-base MATERIALIZED VIEW through the DDL; pk/ck in the
-      // PRIMARY KEY tail names the typed parts positionally — accept
-      // the canonical Cassandra statement with the base's own parts
+      // typed-base MATERIALIZED VIEW through the DDL: the PRIMARY KEY
+      // tail must name the base's REAL key parts — the positional
+      // 'pk, ck' shorthand is default-layout only (on a typed base it
+      // would misdescribe the view's actual clustering, and Cassandra
+      // refuses unknown columns)
+      val ep = intercept[IllegalArgumentException] {
+        cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
+          "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+      }
+      assert(ep.getMessage.contains("user, ck"), ep.getMessage)
       cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.t " +
-        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+        "WHERE qty IS NOT NULL PRIMARY KEY ((qty), user, ck)")
       val vd = s"$root/ks/by_qty"
       assert(graft.sources.CellView
         .lookup(spark, vd, 100L, onStale = "fail")
@@ -1362,6 +1369,18 @@ class CqlSpec extends GraftSpec {
         java.nio.file.Paths.get(s"$root/ks/c_hits_idx")))
       assert(!Files.isDirectory(
         java.nio.file.Paths.get(s"$root/ks/by_hits")))
+      // refusal PARITY: the path-based library entry points refuse
+      // the same counter base the DDL front door just did
+      val e3 = intercept[IllegalArgumentException] {
+        graft.sources.CellIndex.build(spark, s"$root/ks/c",
+          s"$root/ks/c_lib_idx", "hits")
+      }
+      assert(e3.getMessage.contains("counter"))
+      val e4 = intercept[IllegalArgumentException] {
+        graft.sources.CellView.build(spark, s"$root/ks/c",
+          s"$root/ks/c_lib_view", "hits")
+      }
+      assert(e4.getMessage.contains("counter"))
     } finally {
       spark.conf.unset("spark.sql.catalog.cdl")
       spark.conf.unset("spark.sql.catalog.cdl.root")
@@ -1460,5 +1479,162 @@ class CqlSpec extends GraftSpec {
     assert(j.as[String].collect().toSeq === Seq(
       """{"pk":1,"ck":2,"value":20}""",
       """{"pk":1,"ck":1,"value":10}"""))
+  }
+
+  // --- per-script writetime allocator -------------------------------
+
+  private def wtsOf(d: String, pk: Long): Map[(Int, String), Long] =
+    spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") === pk)
+      .select("ck", "col", "wt").as[(Int, String, Long)]
+      .collect().map { case (ck, c, wt) => ((ck, c), wt) }.toMap
+
+  /** Count Spark jobs submitted by `body`. Job-start events arrive on
+    * the async listener bus — poll until the count stabilizes.
+    */
+  private def countJobs(body: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1
+      var cur = n.get
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = n.get; spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("executeScript resolves the table max ONCE per table") {
+    // three standalone inserts pay three max-wt header scans; the
+    // same three statements in one script pay ONE — the allocator's
+    // whole point (a cqlsh-style ingest script's job-count tax)
+    val d1 = freshTable()
+    val individual = countJobs {
+      Cql.execute(spark, s"INSERT INTO $d1 (pk, ck, qty) VALUES (70, 1, 1)")
+      Cql.execute(spark, s"INSERT INTO $d1 (pk, ck, qty) VALUES (70, 2, 2)")
+      Cql.execute(spark, s"INSERT INTO $d1 (pk, ck, qty) VALUES (70, 3, 3)")
+    }
+    val d2 = freshTable()
+    val scripted = countJobs {
+      Cql.executeScript(spark,
+        s"""INSERT INTO $d2 (pk, ck, qty) VALUES (70, 1, 1);
+           |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 2, 2);
+           |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 3, 3)""".stripMargin)
+    }
+    // the saving is exactly two max-wt scans (3 → 1)
+    val d3 = freshTable()
+    val perScan = countJobs {
+      spark.read.format("graft.sources.CellSource").load(d3)
+        .agg(max(col("wt"))).collect()
+    }
+    assert(perScan > 0)
+    assert(individual - scripted === 2 * perScan,
+      s"individual=$individual scripted=$scripted perScan=$perScan")
+    // identical writetime sequence either way: max(100) + 1, 2, 3 —
+    // so in-script statement order still shadows correctly
+    assert(wtsOf(d2, 70L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L, (3, "qty") -> 103L))
+    assert(wtsOf(d1, 70L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L, (3, "qty") -> 103L))
+  }
+
+  test("script allocator: later statements shadow earlier ones") {
+    val d = freshTable()
+    Cql.executeScript(spark,
+      s"""INSERT INTO $d (pk, ck, qty) VALUES (71, 1, 5);
+         |DELETE FROM $d WHERE pk = 71 AND ck = 1;
+         |INSERT INTO $d (pk, ck, qty) VALUES (71, 1, 6)""".stripMargin)
+    // delete (wt 102) shadows the first insert (101); the re-insert
+    // (103) survives the delete — Cassandra's rewrite rule
+    assert(rows(d).filter(_._1 == 71L) === Set((71L, 1, "qty", 6L)))
+  }
+
+  test("script allocator invalidates on explicit USING TIMESTAMP") {
+    val d = freshTable()
+    Cql.executeScript(spark,
+      s"""INSERT INTO $d (pk, ck, qty) VALUES (72, 1, 1);
+         |INSERT INTO $d (pk, ck, qty) VALUES (72, 2, 2) USING TIMESTAMP 500;
+         |INSERT INTO $d (pk, ck, qty) VALUES (72, 3, 3)""".stripMargin)
+    // the explicit ts moved the table max outside the local counter's
+    // view — the third statement re-resolves to 501, NOT 102
+    assert(wtsOf(d, 72L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 500L, (3, "qty") -> 501L))
+  }
+
+  test("script allocator invalidates after an LWT statement") {
+    val d = freshTable()
+    Cql.executeScript(spark,
+      s"""INSERT INTO $d (pk, ck, qty) VALUES (73, 1, 1) IF NOT EXISTS;
+         |INSERT INTO $d (pk, ck, qty) VALUES (73, 2, 2)""".stripMargin)
+    // the CAS resolved its own wt (101) internally; the follower must
+    // continue PAST it, not reuse the stale pre-LWT counter
+    assert(wtsOf(d, 73L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L))
+  }
+
+  test("script allocator invalidates after logged and unlogged BATCH") {
+    val d = freshTable()
+    Cql.executeScript(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (74, 1, 1);
+         |  INSERT INTO $d (pk, ck, qty) VALUES (74, 2, 2);
+         |APPLY BATCH;
+         |INSERT INTO $d (pk, ck, qty) VALUES (74, 3, 3)""".stripMargin)
+    // the batch's shared wt (101) moved the max; the follower is 102
+    assert(wtsOf(d, 74L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 101L, (3, "qty") -> 102L))
+    val d2 = freshTable()
+    Cql.executeScript(spark,
+      s"""BEGIN UNLOGGED BATCH
+         |  INSERT INTO $d2 (pk, ck, qty) VALUES (75, 1, 1);
+         |  INSERT INTO $d2 (pk, ck, qty) VALUES (75, 2, 2);
+         |APPLY BATCH;
+         |INSERT INTO $d2 (pk, ck, qty) VALUES (75, 3, 3)""".stripMargin)
+    // unlogged: per-statement wts 101, 102 (each its own), then 103
+    assert(wtsOf(d2, 75L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L, (3, "qty") -> 103L))
+  }
+
+  test("re-entrant executeScript shares the outer script's counters") {
+    val d = freshTable()
+    var calls = 0
+    val res: String => String = { _ =>
+      calls += 1
+      if (calls == 2)
+        // mid-script nested call (same thread): must CONTINUE the
+        // outer allocator's sequence, not restart from the table max
+        Cql.executeScript(spark,
+          s"INSERT INTO $d (pk, ck, qty) VALUES (77, 9, 9)")
+      d
+    }
+    Cql.executeScript(spark,
+      """INSERT INTO t (pk, ck, qty) VALUES (76, 1, 1);
+        |INSERT INTO t (pk, ck, qty) VALUES (76, 2, 2)""".stripMargin, res)
+    assert(wtsOf(d, 76L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 103L))
+    assert(wtsOf(d, 77L) === Map((9, "qty") -> 102L))
+  }
+
+  test("script allocator: path aliases share one counter") {
+    val d = freshTable()
+    // 'a' and 'b' resolve to two spellings of the SAME directory —
+    // they must share a counter or both statements would allocate
+    // the same writetime (a later tombstone would tie, not shadow)
+    val res: String => String = n => if (n == "a") d else s"$d/."
+    Cql.executeScript(spark,
+      """INSERT INTO a (pk, ck, qty) VALUES (78, 1, 1);
+        |INSERT INTO b (pk, ck, qty) VALUES (78, 2, 2)""".stripMargin, res)
+    assert(wtsOf(d, 78L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L))
   }
 }
