@@ -147,6 +147,91 @@ object Cql {
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
 
+  // ---------------------------------------------------------------
+  // prepared statements (C65 — the driver wire-protocol form: every
+  // real client session PREPAREs once and BINDs per execution)
+
+  /** A prepared statement: the text split at positional `?` bind
+    * markers (markers inside single-quoted literals are data, not
+    * markers). `bind` renders each value as a typed CQL literal —
+    * strings are quoted with `''`-escaping, so injection-shaped
+    * values stay data — and returns the executable statement.
+    */
+  final class Prepared private[cql] (
+      private val parts: IndexedSeq[String]) {
+    /** Number of positional `?` markers. */
+    def markers: Int = parts.length - 1
+
+    def bind(values: Any*): String = {
+      if (values.length != markers)
+        fail(s"prepared statement has $markers bind markers, " +
+          s"got ${values.length} values")
+      val sb = new StringBuilder(parts.head)
+      values.iterator.zip(parts.iterator.drop(1)).foreach {
+        case (v, tail) => sb.append(renderBind(v)).append(tail)
+      }
+      sb.toString
+    }
+  }
+
+  private def renderBind(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Byte => b.toString
+    case s: Short => s.toString
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case f: Float => f.toString
+    case d: Double => d.toString
+    case b: BigInt => b.toString
+    case other => fail(
+      s"cannot bind value of type ${if (other == null) "null"
+        else other.getClass.getName} (bind null by omitting the " +
+        "column; collections bind as literals in the statement)")
+  }
+
+  /** Prepare a statement with positional `?` markers. The shape is
+    * checked NOW (Cassandra validates at prepare time): the text with
+    * every marker bound to a placeholder must parse as a known
+    * statement form. The returned [[Prepared]] is immutable and
+    * reusable across binds.
+    */
+  def prepare(stmt: String): Prepared = {
+    val parts = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    stmt.foreach { c =>
+      if (c == '\'') inQ = !inQ
+      if (c == '?' && !inQ) { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    parts += cur.toString
+    val p = new Prepared(parts.result())
+    // prepare-time shape check: a statement no form recognizes must
+    // fail HERE, not on the first bind in production
+    val probe = p.bind(Seq.fill(p.markers)(0L): _*)
+    if (!shapeKnown(probe))
+      fail(s"cannot prepare (no statement form matches): $stmt")
+    p
+  }
+
+  private def shapeKnown(s: String): Boolean = s match {
+    case UnloggedBatchRe(_) | BatchRe(_) | InsertJsonRe(_, _, _) |
+        InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _) |
+        UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) |
+        SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
+        InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
+        DeleteRe(_, _, _, _) => true
+    case _ => false
+  }
+
+  /** Prepare-bind-execute in one call (the session.execute(bound)
+    * shape): `values` substitute the `?` markers positionally.
+    */
+  def executePrepared(spark: SparkSession, stmt: String,
+      values: Seq[Any],
+      resolve: String => String = identity): DataFrame =
+    execute(spark, prepare(stmt).bind(values: _*), resolve)
+
   /** Execute one CQL statement. SELECT returns its result; writes
     * return an empty DataFrame after committing.
     */
@@ -793,9 +878,13 @@ object Cql {
     // CQL WHERE is a pure AND-conjunction (no OR, no parens)
     terms.map {
       case InRe(c, vs) if c.equalsIgnoreCase("ck") =>
-        // the scan pushes In(pk) but not In(ck): refusing is honest,
-        // serving it as a residual full-partition filter is not
-        fail("ck IN is not served by the key read path in this subset")
+        // CQL's clustering multiget: the scan pushes In(ck) as the
+        // bounding slice [min, max] at the merge cursor; the exact
+        // isin residual drops rows between the named values — key-
+        // served, no ALLOW FILTERING (typed ck parts keep the
+        // generic path below and its guards)
+        ("ck", col("ck").isin(
+          splitValues(vs).map(v => ckLiteral(v): Any).toIndexedSeq: _*))
       case InRe(c, vs) =>
         (c.toLowerCase,
           col(c).isin(splitValues(vs).map(literal).toIndexedSeq: _*))
@@ -947,6 +1036,13 @@ object Cql {
         preds.exists { case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
+    // ck IN pushes only its BOUNDING slice — the in-between rows drop
+    // in the residual, AFTER the cursor counted them
+    if (ppl.isDefined && regularTerms.exists {
+        case InRe(c, _) => c.equalsIgnoreCase("ck")
+        case _ => false })
+      fail("PER PARTITION LIMIT cannot combine with ck IN (the " +
+        "limit counts rows before the IN filter)")
     // WRITETIME(c) / TTL(c) narrow the cell relation with an INTERNAL
     // `col = c` filter — selecting a column by name is key-served in
     // CQL, so that filter must not trip the strictCql guard. The

@@ -1321,6 +1321,41 @@ object Cells {
       |WHERE pk >= 1000 AND pk <= 2000
       |ORDER BY pk, ck, col LIMIT 500""".stripMargin
 
+  // C65h — CQL PREPARED statements (bind markers) end-to-end: the
+  // driver wire-protocol form (every real client session prepares
+  // once and binds per execution). The Prepared object renders each
+  // bound value as a typed literal, so the bound execution must equal
+  // the literal statement — which the oracle expresses directly.
+  private def cqlPrepared(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    val p = graft.cql.Cql.prepare(
+      s"SELECT pk, ck, col, value, wt FROM $dir " +
+        "WHERE pk >= ? AND pk <= ? ORDER BY pk, ck, col LIMIT ?")
+    graft.cql.Cql.execute(s, p.bind(500L, 1500L, 400))
+  }
+
+  private val cqlPreparedSql = cte +
+    """SELECT pk, ck, col, value, wt FROM merged
+      |WHERE pk >= 500 AND pk <= 1500
+      |ORDER BY pk, ck, col LIMIT 400""".stripMargin
+
+  // C65i — CQL ck IN (the clustering multiget) through the front
+  // door: the scan pushes the bounding ck slice [min, max] at the
+  // merge cursor and the exact isin residual drops the rows between
+  // the named values — key-served, no ALLOW FILTERING.
+  private def cqlCkIn(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensure(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT pk, ck, col, value FROM $dir " +
+        "WHERE pk >= 1 AND pk <= 200 AND ck IN (1, 3, 5) " +
+        "ORDER BY pk, ck, col")
+  }
+
+  private val cqlCkInSql = cte +
+    """SELECT pk, ck, col, value FROM merged
+      |WHERE pk BETWEEN 1 AND 200 AND ck IN (1, 3, 5)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C65b — CQL GROUP BY through the front door: lands on the C49
   // zero-exchange grouped pushdown (CqlSpec asserts the plan).
   private def cqlGroup(s: SparkSession, d: String): DataFrame = {
@@ -1559,6 +1594,8 @@ object Cells {
     GQuery("C65f_cql_indexed_where", cqlIndexedWhere,
       Some(cqlIndexedWhereSql)),
     GQuery("C65g_cql_counter", cqlCounter, Some(cqlCounterSql)),
+    GQuery("C65h_cql_prepared", cqlPrepared, Some(cqlPreparedSql)),
+    GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

@@ -2011,6 +2011,12 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       // (Summary range + bloom), commuting with the reconcile merge
       case In("pk", vs) => vs.nonEmpty &&
         vs.forall(_.isInstanceOf[java.lang.Long])
+      // CQL's clustering multiget `ck IN (...)`: pushed as the
+      // bounding slice [min, max] (commutes with the merge like any
+      // ck slice); rows between the named values drop in the exact
+      // residual Spark re-applies above the scan
+      case In("ck", vs) => vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[java.lang.Integer])
       case _ => false
     }
     accepted.foreach {
@@ -2058,6 +2064,11 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
         ckUpper = math.min(ckUpper, v - 1)
       case LessThanOrEqual("ck", v: java.lang.Integer) =>
         ckUpper = math.min(ckUpper, v)
+      case In("ck", vs) =>
+        val ints = vs.iterator
+          .map(_.asInstanceOf[java.lang.Integer].intValue).toSeq
+        ckLower = math.max(ckLower, ints.min)
+        ckUpper = math.min(ckUpper, ints.max)
       case _ =>
     }
     pushed = accepted
@@ -2073,6 +2084,7 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       case LessThan(c, _) => c == "pk" || c == "ck"
       case LessThanOrEqual(c, _) => c == "pk" || c == "ck"
       case In("pk", _) => true
+      case In("ck", _) => true
       case _ => false
     })
     // Hand accepted filters back as residual too: file pruning is

@@ -40,12 +40,14 @@ import org.apache.spark.sql.functions._
   * A clustering-RANGE tombstone in the delta or a replaced base
   * generation (compaction/truncation) falls back to a full rebuild.
   *
-  * Known divergence, shared with Cassandra's own MV caveats: an
-  * A-B-A move (row leaves a view partition and later returns with
-  * cells whose writetimes predate the movement tombstone) can
-  * over-shadow — Cassandra needs "shadowable tombstones" for the
-  * same corner and still documents MVs as experimental. The refresh
-  * keeps the common paths (update / move / delete) exact.
+  * The A-B-A corner (row leaves a view partition and later returns
+  * with cells whose writetimes don't exceed the movement tombstone)
+  * is the one case the append protocol cannot express — Cassandra
+  * needs "shadowable tombstones" for it and still documents MVs as
+  * experimental. `refresh` DETECTS it exactly (an existing view row
+  * tombstone at-or-after a returning row's min fresh writetime) and
+  * falls back to a full rebuild, so views converge on every path;
+  * the common paths (update / move / delete) stay delta-sized.
   */
 object CellView {
   private val Fmt = "graft.sources.CellSource"
@@ -387,6 +389,32 @@ object CellView {
               (col("dts") * lit(0)).cast(
                 fresh.schema("value").dataType).as("value"),
               col("dts").as("wt"))).toIndexedSeq: _*)
+        // A-B-A guard (Cassandra's shadowable-tombstone corner): a
+        // row RETURNING to a view partition it once left can arrive
+        // with cell writetimes at-or-before the movement tombstone
+        // written at departure (maxOldWt is synthesized — it exists
+        // nowhere in the base), and LWW would over-shadow the
+        // returned row forever. Exact detection: any existing view
+        // row tombstone at-or-after a fresh cell of the same
+        // (vk, base key) — then the append path cannot converge, so
+        // rebuild. Deletion tombstones can't trigger this (their ts
+        // is the base marker's own, and the base reconcile already
+        // hides cells at-or-before it), so a triggered rebuild is
+        // always a genuine A-B-A.
+        val vkeyNames = "vk" +: nm.map("b" + _)
+        val priorTombs = spark.read.format(Fmt).load(viewDir)
+          .filter(col("col") === CellSource.RowTombstone)
+          .groupBy(vkeyNames.map(col).toIndexedSeq: _*)
+          .agg(max(col("wt")).as("tombWt"))
+        val shadowed = fresh
+          .groupBy(vkeyNames.map(col).toIndexedSeq: _*)
+          .agg(min(col("wt")).as("minFreshWt"))
+          .join(priorTombs, vkeyNames)
+          .filter(col("tombWt") >= col("minFreshWt"))
+        if (!shadowed.isEmpty) {
+          build(spark, m.baseDir, viewDir, m.column, files)
+          return
+        }
         writeView(fresh.unionByName(moved).unionByName(delTombs),
           viewDir, cur.schema("value").dataType.simpleString, parts,
           files, overwrite = false)

@@ -499,9 +499,11 @@ class CqlSpec extends GraftSpec {
       Cql.execute(spark, s"DELETE FROM $d WHERE pk = 1 AND ck = 4294967297")
     }
     assert(e.getMessage.contains("range"), e.getMessage)
-    // ck IN is not key-served by this subset: refuse, don't full-scan
+    // ck IN pushes only its bounding slice — with PER PARTITION
+    // LIMIT the cursor would count rows the residual then drops
     intercept[IllegalArgumentException] {
-      Cql.execute(spark, s"SELECT pk FROM $d WHERE pk = 1 AND ck IN (1, 2)")
+      Cql.execute(spark, s"SELECT pk FROM $d WHERE pk = 1 " +
+        "AND ck IN (1, 2) PER PARTITION LIMIT 1")
     }
     // a string where a bigint cell value is required: parse error, not
     // a ClassCastException
@@ -1479,6 +1481,111 @@ class CqlSpec extends GraftSpec {
     assert(j.as[String].collect().toSeq === Seq(
       """{"pk":1,"ck":2,"value":20}""",
       """{"pk":1,"ck":1,"value":10}"""))
+  }
+
+  test("ck IN serves as a pushed slice + exact residual (multiget)") {
+    val d = Files.createTempDirectory("cql-ckin").toString
+    Seq((1L, 1, "qty", 10L, 100L), (1L, 2, "qty", 20L, 100L),
+        (1L, 3, "qty", 30L, 100L), (1L, 4, "qty", 40L, 100L),
+        (2L, 1, "qty", 50L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(d)
+    val df = Cql.execute(spark,
+      s"SELECT pk, ck, value FROM $d WHERE pk = 1 AND ck IN (1, 3) " +
+        "ORDER BY ck")
+    // ck=2 (inside the bounding slice) dropped by the residual;
+    // ck=4 (outside) never read
+    assert(df.as[(Long, Int, Long)].collect().toSeq ===
+      Seq((1L, 1, 10L), (1L, 3, 30L)))
+    // the bounding slice reached the cursor: ckRange=[1,3]
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ckRange=[1,3]"), plan)
+    // no ALLOW FILTERING demanded — ck IN is key-served in CQL
+    assert(Cql.execute(spark,
+      s"SELECT value FROM $d WHERE pk = 2 AND ck IN (1)")
+      .as[Long].collect().toSeq === Seq(50L))
+  }
+
+  // --- prepared statements (bind markers) ---------------------------
+
+  test("prepared statements: bound execution equals the literal form") {
+    val d = freshTable()
+    // prepared SELECT, bound key
+    val p = Cql.prepare(
+      s"SELECT pk, ck, col, value FROM $d WHERE pk = ? ORDER BY ck, col")
+    assert(p.markers === 1)
+    val bound = Cql.execute(spark, p.bind(2L))
+      .as[(Long, Int, String, Long)].collect().toSeq
+    val lit = Cql.execute(spark,
+      s"SELECT pk, ck, col, value FROM $d WHERE pk = 2 ORDER BY ck, col")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(bound === lit && bound.nonEmpty)
+    // prepared INSERT + UPDATE, bound values (incl. LIMIT-style int)
+    Cql.executePrepared(spark,
+      s"INSERT INTO $d (pk, ck, qty) VALUES (?, ?, ?)", Seq(60L, 1, 7L))
+    assert(rows(d).contains((60L, 1, "qty", 7L)))
+    Cql.executePrepared(spark,
+      s"UPDATE $d SET qty = ? WHERE pk = ? AND ck = ?", Seq(8L, 60L, 1))
+    assert(rows(d).contains((60L, 1, "qty", 8L)))
+    val lim = Cql.executePrepared(spark,
+      s"SELECT pk FROM $d ORDER BY pk, ck, col LIMIT ?", Seq(2))
+    assert(lim.count() === 2)
+    // the Prepared object is reusable across binds
+    assert(Cql.execute(spark, p.bind(60L)).count() === 1)
+  }
+
+  test("prepared statements on typed tables; injection stays data") {
+    val td = Files.createTempDirectory("cql-prep-typed").toString
+    Seq(("u-1", 1, "qty", 10L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    // a hostile bound key: quotes and statement syntax stay DATA
+    val evil = "u' OR pk = 1; DROP TABLE t; --"
+    Cql.executePrepared(spark,
+      s"INSERT INTO $td (user, ck, qty) VALUES (?, ?, ?)",
+      Seq(evil, 3, 42L))
+    val back = Cql.executePrepared(spark,
+      s"SELECT user, ck, value FROM $td WHERE user = ? AND ck = ?",
+      Seq(evil, 3)).as[(String, Int, Long)].collect().toSeq
+    assert(back === Seq((evil, 3, 42L)))
+    // the pre-existing row is untouched (nothing executed as syntax)
+    assert(Cql.execute(spark,
+      s"SELECT value FROM $td WHERE user = 'u-1' AND ck = 1")
+      .as[Long].collect().toSeq === Seq(10L))
+  }
+
+  test("prepared statements: marker hygiene") {
+    val d = freshTable()
+    // '?' inside a string literal is data, not a marker
+    val td = Files.createTempDirectory("cql-prep-q").toString
+    Seq(("what?", 1, "qty", 1L, 10L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    val p = Cql.prepare(s"SELECT value FROM $td WHERE user = 'what?'")
+    assert(p.markers === 0)
+    assert(Cql.execute(spark, p.bind()).as[Long].collect().toSeq ===
+      Seq(1L))
+    // arity mismatch fails loudly
+    val p1 = Cql.prepare(s"SELECT pk FROM $d WHERE pk = ?")
+    val e1 = intercept[IllegalArgumentException] { p1.bind(1L, 2L) }
+    assert(e1.getMessage.contains("bind markers"))
+    // unpreparable shapes fail at PREPARE time, not first bind
+    val e2 = intercept[IllegalArgumentException] {
+      Cql.prepare("GRANT ALL ON ks.t TO ?")
+    }
+    assert(e2.getMessage.contains("cannot prepare"))
+    // unbindable value types fail with the type named
+    val e3 = intercept[IllegalArgumentException] {
+      Cql.prepare(s"SELECT pk FROM $d WHERE pk = ?").bind(Seq(1, 2))
+    }
+    assert(e3.getMessage.contains("cannot bind"))
   }
 
   // --- per-script writetime allocator -------------------------------

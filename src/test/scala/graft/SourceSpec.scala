@@ -2398,6 +2398,41 @@ class SourceSpec extends GraftSpec {
     assert(total == 14, total)
   }
 
+  test("materialized view A-B-A move converges (the shadowable-" +
+      "tombstone corner detects and rebuilds)") {
+    import graft.sources.CellView
+    val d = Files.createTempDirectory("cells-mv-aba-base").toString
+    val vd = Files.createTempDirectory("cells-mv-aba-view").toString
+    // row pk=1: a data cell at wt=10 and the view column at wt=5 —
+    // the movement tombstone (maxOldWt = 10) will EXCEED the data
+    // cell's writetime on return, the exact A-B-A trap
+    CellSource.writeSnapshot(d, Seq(
+      (1L, 1, "price", 77L, 10L),
+      (1L, 1, "qty", 100L, 5L)), files = 1)
+    CellView.build(spark, d, vd, "qty")
+    def vk(v: Long) = CellView.lookup(spark, vd, v)
+      .as[(Long, Long, Int, String, Long, Long)].collect()
+      .map(r => (r._2, r._4, r._5)).toSet
+    assert(vk(100L) === Set((1L, "price", 77L), (1L, "qty", 100L)))
+    // move OUT: qty 100 → 200 (wt 11); refresh writes a movement
+    // tombstone at (vk=100, pk=1) with wt = maxOldWt = 10
+    CellSource.writeSnapshot(d, Seq((1L, 1, "qty", 200L, 11L)),
+      files = 1, startIndex = 1)
+    CellView.refresh(spark, vd)
+    assert(vk(100L) === Set.empty[(Long, String, Long)])
+    assert(vk(200L) === Set((1L, "price", 77L), (1L, "qty", 200L)))
+    // move BACK: qty 200 → 100 (wt 12). The returning row's price
+    // cell still carries wt=10 — at-or-before the movement tombstone.
+    // The append protocol would over-shadow it forever; refresh must
+    // detect the corner and rebuild so the view converges.
+    CellSource.writeSnapshot(d, Seq((1L, 1, "qty", 100L, 12L)),
+      files = 1, startIndex = 2)
+    CellView.refresh(spark, vd)
+    assert(!CellView.isStale(vd))
+    assert(vk(100L) === Set((1L, "price", 77L), (1L, "qty", 100L)))
+    assert(vk(200L) === Set.empty[(Long, String, Long)])
+  }
+
   test("materialized view over a TYPED (CEL6) base: build, refresh " +
       "(update/move/delete), lookup (C40b)") {
     import graft.sources.CellView
