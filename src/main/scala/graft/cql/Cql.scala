@@ -587,9 +587,19 @@ object Cql {
         spark.sql(s"DROP NAMESPACE " +
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks")
       case CreateTableRe(ifNot, ks, t, colSpec, withOpts) =>
-        val (valueType, counter) = parseCreateColumns(colSpec)
+        val cc = parseCreateColumns(colSpec)
         val props = scala.collection.mutable.Map.empty[String, String]
-        if (counter) props += "counter" -> "true"
+        if (cc.counter) props += "counter" -> "true"
+        // a TYPED layout travels as table properties: the catalog
+        // persists them to `_props`, which serves the schema and the
+        // first write's key layout BEFORE any flush exists, and
+        // becomes read/write option defaults afterwards
+        cc.pkSyntax.foreach { syn =>
+          props += "primaryKey" -> syn
+          cc.keyParts.foreach { case (n, tp) =>
+            props += s"keyType.$n" -> tp
+          }
+        }
         Option(withOpts).foreach {
           _.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
             .foreach {
@@ -599,7 +609,11 @@ object Cql {
               case o => fail(s"unsupported table option: $o")
             }
         }
-        val tbl = s"(pk bigint, ck int, col string, value $valueType, " +
+        val keyCols =
+          if (cc.keyParts.isEmpty) "pk bigint, ck int"
+          else cc.keyParts.map { case (n, tp) => s"$n $tp" }
+            .mkString(", ")
+        val tbl = s"($keyCols, col string, value ${cc.valueType}, " +
           "wt bigint)"
         val propSql = if (props.isEmpty) ""
           else props.map { case (k, v) => s"'$k'='$v'" }
@@ -793,7 +807,17 @@ object Cql {
     * layout; only the default `((pk), ck)` shape is accepted, and the
     * data columns must be the cell model's (col, value, wt).
     */
-  private def parseCreateColumns(spec: String): (String, Boolean) = {
+  /** Parsed CREATE TABLE column section. The DEFAULT layout
+    * (`PRIMARY KEY ((pk), ck)` over bigint/int, or no clause) keeps
+    * `keyParts` empty; any other PRIMARY KEY declares a TYPED (CEL6/8)
+    * layout — `pkSyntax` is the connector's `((p1,p2),c1)` form and
+    * `keyParts` the (name, sparkType) pairs in key order.
+    */
+  private case class CreateCols(pkSyntax: Option[String],
+      keyParts: Seq[(String, String)], valueType: String,
+      counter: Boolean)
+
+  private def parseCreateColumns(spec: String): CreateCols = {
     // split top-level commas (PRIMARY KEY ((pk), ck) nests parens)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -807,18 +831,14 @@ object Cql {
     parts += cur.toString
     val (pkClauses, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
       .partition(_.toUpperCase.startsWith("PRIMARY KEY"))
-    val pkNorm = pkClauses.map(_.replaceAll("\\s+", "").toLowerCase)
-    if (!(pkNorm.isEmpty || pkNorm == Seq("primarykey((pk),ck)") ||
-        pkNorm == Seq("primarykey(pk,ck)")))
-      fail("only PRIMARY KEY ((pk), ck) is supported " +
-        s"(got ${pkClauses.mkString})")
+    if (pkClauses.length > 1) fail("multiple PRIMARY KEY clauses")
     val cols = colDefs.map {
       case ColDefRe(n, t) => n.toLowerCase -> t.toLowerCase
       case c => fail(s"unsupported column definition: $c")
-    }.toMap
-    if (cols.keySet != Set("pk", "ck", "col", "value", "wt"))
-      fail("cell tables need columns pk, ck, col, value, wt — got " +
-        cols.keys.mkString(", "))
+    }
+    val colMap = cols.toMap
+    if (colMap.size != cols.size)
+      fail("duplicate column in CREATE TABLE")
     def mapType(t: String): String = t match {
       case "text" | "varchar" | "ascii" => "string"
       case "bigint" | "int" | "double" | "boolean" => t
@@ -826,11 +846,65 @@ object Cql {
       case "counter" => "bigint"
       case o => fail(s"unsupported CQL type: $o")
     }
-    if (mapType(cols("pk")) != "bigint") fail("pk must be bigint")
-    if (mapType(cols("ck")) != "int") fail("ck must be int")
-    if (mapType(cols("col")) != "string") fail("col must be text")
-    if (mapType(cols("wt")) != "bigint") fail("wt must be bigint")
-    (mapType(cols("value")), cols("value") == "counter")
+    // key part names from the PRIMARY KEY clause: ((p1, p2), c1, …)
+    // with the one-part shorthand (p, c1, …); default when absent
+    val (pkNames, ckNames) = pkClauses.headOption match {
+      case None => (Seq("pk"), Seq("ck"))
+      case Some(clause) =>
+        val inner = clause.replaceAll("(?i)^PRIMARY\\s+KEY\\s*", "").trim
+        if (!(inner.startsWith("(") && inner.endsWith(")")))
+          fail(s"malformed PRIMARY KEY clause: $clause")
+        val body = inner.substring(1, inner.length - 1).trim
+        def names(x: String) = x.split(',').iterator.map(_.trim)
+          .filter(_.nonEmpty).map(_.toLowerCase).toSeq
+        if (body.startsWith("(")) {
+          val close = body.indexOf(')')
+          if (close < 0) fail(s"unclosed partition-key group: $clause")
+          (names(body.substring(1, close)),
+            names(body.substring(close + 1).dropWhile(c =>
+              c == ',' || c == ' ')))
+        } else {
+          val all = names(body)
+          (all.take(1), all.drop(1))
+        }
+    }
+    if (pkNames.isEmpty) fail("empty partition key")
+    val keyNames = pkNames ++ ckNames
+    if (keyNames.distinct.length != keyNames.length)
+      fail("duplicate key part in PRIMARY KEY")
+    // the cell-model tail every table carries
+    for (n <- Seq("col", "value", "wt"))
+      if (!colMap.contains(n))
+        fail(s"cell tables need a '$n' column — got " +
+          cols.map(_._1).mkString(", "))
+    if (mapType(colMap("col")) != "string") fail("col must be text")
+    if (mapType(colMap("wt")) != "bigint") fail("wt must be bigint")
+    val extras = cols.map(_._1)
+      .filterNot(n => keyNames.contains(n) ||
+        Seq("col", "value", "wt").contains(n))
+    if (extras.nonEmpty)
+      fail("columns outside the key and the (col, value, wt) cell " +
+        s"tail: ${extras.mkString(", ")} (data columns live in the " +
+        "cell model, not the table schema)")
+    val keyParts = keyNames.map { n =>
+      val t = colMap.getOrElse(n,
+        fail(s"PRIMARY KEY part '$n' is not a declared column"))
+      if (t == "counter") fail("a key part cannot be a counter")
+      n -> mapType(t)
+    }
+    val default = keyParts == Seq("pk" -> "bigint", "ck" -> "int")
+    keyParts.foreach { case (n, t) =>
+      if (!default && !Seq("string", "bigint", "int").contains(t))
+        fail(s"unsupported typed key part type for $n: $t " +
+          "(text/bigint/int)")
+    }
+    CreateCols(
+      if (default) None
+      else Some(s"((${pkNames.mkString(",")})" +
+        (if (ckNames.nonEmpty) s",${ckNames.mkString(",")}" else "") +
+        ")"),
+      if (default) Seq.empty else keyParts,
+      mapType(colMap("value")), colMap("value") == "counter")
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL

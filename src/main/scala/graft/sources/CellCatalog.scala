@@ -121,10 +121,15 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
           ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale))
       case None =>
         val marker = dir.resolve("_type")
-        if (Files.exists(marker))
-          CellSource.schemaFor(
-            ValueCodec.parseType(Files.readString(marker).trim))
-        else CellSource.Schema
+        val vt =
+          if (Files.exists(marker))
+            ValueCodec.parseType(Files.readString(marker).trim)
+          else org.apache.spark.sql.types.LongType
+        // a typed table created by DDL serves its declared layout
+        // (_props primaryKey/keyType.*) before the first flush
+        CellPlanning.propsKeySpec(dir.toString)
+          .map(sp => CellSource.schemaFor(sp, vt))
+          .getOrElse(CellSource.schemaFor(vt))
     }
 
   /** Catalog-persisted table properties (`_props`, java properties
@@ -162,15 +167,41 @@ class CellCatalog extends TableCatalog with SupportsNamespaces {
     require(partitions.isEmpty,
       "cell tables are pk-range organized; partitioning transforms " +
         "are not supported")
+    // a TYPED layout declared at CREATE time: `primaryKey` (+ per-part
+    // `keyType.<n>`) table properties — the declared schema must then
+    // carry exactly the named key parts plus the (col, value, wt) tail
+    val declaredSpec = Option(properties.get("primaryKey")).map { syn =>
+      KeySpec.fromSyntax(syn, n =>
+        Option(properties.get(s"keyType.$n"))
+          .map(ValueCodec.parseType)
+          .getOrElse(org.apache.spark.sql.types.LongType))
+    }
+    val wantNames = declaredSpec
+      .map(sp => CellSource.schemaFor(sp,
+        org.apache.spark.sql.types.LongType).fieldNames)
+      .getOrElse(CellSource.Schema.fieldNames)
     val resolved =
-      if (schema.isEmpty) CellSource.Schema // CREATE TABLE t (no cols)
+      if (schema.isEmpty) // CREATE TABLE t (no cols)
+        declaredSpec
+          .map(sp => CellSource.schemaFor(sp,
+            org.apache.spark.sql.types.LongType))
+          .getOrElse(CellSource.Schema)
       else {
         require(
-          schema.fieldNames.sameElements(CellSource.Schema.fieldNames),
+          schema.fieldNames.sameElements(wantNames),
           "cell tables need columns " +
-            s"${CellSource.Schema.fieldNames.mkString(",")}, got " +
+            s"${wantNames.mkString(",")}, got " +
             schema.fieldNames.mkString(","))
         ValueCodec.tagFor(schema("value").dataType) // validates support
+        declaredSpec.foreach { sp =>
+          (sp.pkParts ++ sp.ckParts).foreach { p =>
+            val dt = schema(p.name).dataType
+            require(ValueCodec.tagFor(dt) == p.tag,
+              s"key part ${p.name} declared " +
+                s"${p.dataType.simpleString} in keyType but " +
+                s"${dt.simpleString} in the column list")
+          }
+        }
         schema
       }
     Files.createDirectories(dir)

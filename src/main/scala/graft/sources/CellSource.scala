@@ -88,7 +88,12 @@ class CellSource extends TableProvider {
             (KeySpec.fromSyntax(pkSyntax, n =>
               Option(options.get(s"keyType.$n"))
                 .map(ValueCodec.parseType).getOrElse(LongType)), vt0)
-          case None => (KeySpec.Default, vt0)
+          case None =>
+            // … or from the layout DECLARED at CREATE time (_props),
+            // so a path-based read of a pre-first-flush typed table
+            // serves its typed schema
+            (Option(path).flatMap(CellPlanning.propsKeySpec)
+              .getOrElse(KeySpec.Default), vt0)
         }
     }
     val base = CellSource.schemaFor(spec, vt)
@@ -3261,8 +3266,20 @@ class CellWriteBuilder(path: String, schema: StructType,
         s"declared primaryKey (${d.serial}) does not match the " +
           s"existing table's key layout (${h.keySpec.serial}) in $path"))
     }
+    // a pre-first-flush table created with a declared layout
+    // (_props primaryKey/keyType.*): the first write must take it —
+    // and a contradicting per-write declaration is an error, same
+    // rule as contradicting an existing header
+    val fromProps =
+      if (existingHeader.isEmpty) CellPlanning.propsKeySpec(path)
+      else None
+    for (d <- declared; p <- fromProps) require(d == p,
+      s"declared primaryKey (${d.serial}) does not match the " +
+        s"table's CREATE-time key layout (${p.serial}) in $path")
     val spec = existingHeader.map(_.keySpec)
-      .orElse(declared).getOrElse(KeySpec.Default)
+      .orElse(declared)
+      .orElse(fromProps)
+      .getOrElse(KeySpec.Default)
     val want = CellSource.schemaFor(spec, valueType)
     // CQL `USING TTL` (CEL10 default / CEL11 typed): the base schema
     // may carry ONE trailing TTL column — `ttl` (relative ms; expiry
@@ -3926,6 +3943,27 @@ private[sources] object CellPlanning {
   def normalize(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** The key layout DECLARED at CREATE time (`primaryKey` +
+    * `keyType.<name>` entries in `_props`), for tables that hold no
+    * flush files yet — a CQL `CREATE TABLE … PRIMARY KEY ((user), ck)`
+    * must serve its typed schema (and accept typed writes) BEFORE the
+    * first flush writes a self-describing header. Once files exist,
+    * headers win everywhere this is consulted.
+    */
+  def propsKeySpec(path: String): Option[KeySpec] = {
+    val f = java.nio.file.Paths.get(normalize(path)).resolve("_props")
+    if (!java.nio.file.Files.exists(f)) return None
+    val p = new java.util.Properties()
+    scala.util.Using.resource(
+      java.nio.file.Files.newBufferedReader(f))(p.load)
+    Option(p.getProperty("primaryKey")).map { syn =>
+      KeySpec.fromSyntax(syn, n =>
+        Option(p.getProperty(s"keyType.$n"))
+          .map(ValueCodec.parseType)
+          .getOrElse(org.apache.spark.sql.types.LongType))
+    }
+  }
+
   /** Catalog-persisted counter-ness (`counter=true` in `_props`).
     * Consulted by the 2i/MV builders: their reconcile-only (LWW)
     * base reads merge counter shards wrongly, so counter tables
@@ -3987,7 +4025,7 @@ private[sources] object CellPlanning {
       CellManifest.current(path, files)
         .flatMap(_.headOption.map(_.keySpec))
         .getOrElse(CellSource.readHeader(f).keySpec)
-    }.getOrElse(KeySpec.Default)
+    }.getOrElse(propsKeySpec(path).getOrElse(KeySpec.Default))
 
   /** C2/C8/C16 per-file planning (see CellScan scaladoc): Summary range
     * check, bloom point-lookup check, sparse-index narrowing, wt

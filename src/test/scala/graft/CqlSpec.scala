@@ -282,6 +282,70 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("DDL: CREATE TABLE with a TYPED / composite PRIMARY KEY " +
+      "(the full CEL6/8 lifecycle from DDL alone)") {
+    val root = Files.createTempDirectory("cql-tcreate").toString
+    spark.conf.set("spark.sql.catalog.tcre", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tcre.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tcre")
+      cq("CREATE KEYSPACE ks")
+      // single-part typed partition key
+      cq("CREATE TABLE ks.users (user text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      // the declared layout serves BEFORE any flush: typed schema on
+      // the empty table, through the catalog AND the raw path
+      val empty = cq("SELECT user, ck, value FROM ks.users")
+      assert(empty.count() === 0)
+      assert(spark.read.format("graft.sources.CellSource")
+        .load(s"$root/ks/users").schema.fieldNames.toSeq ===
+        Seq("user", "ck", "col", "value", "wt"))
+      // first write takes the declared layout (no primaryKey option
+      // anywhere — it comes from _props)
+      cq("INSERT INTO ks.users (user, ck, qty) VALUES ('u-1', 1, 10)")
+      cq("INSERT INTO ks.users (user, ck, qty) VALUES ('u-2', 1, 20)")
+      val got = cq("SELECT user, value FROM ks.users " +
+        "WHERE user = 'u-2' AND ck = 1")
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq(("u-2", 20L)))
+      // typed DELETE through the same door
+      cq("DELETE FROM ks.users WHERE user = 'u-1' AND ck = 1")
+      assert(cq("SELECT user FROM ks.users WHERE user = 'u-1' AND ck = 1")
+        .count() === 0)
+      // composite partition key + clustering
+      cq("CREATE TABLE ks.byday (tenant text, day bigint, seq int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((tenant, day), seq))")
+      cq("INSERT INTO ks.byday (tenant, day, seq, qty) " +
+        "VALUES ('acme', 7, 1, 42)")
+      assert(cq("SELECT value FROM ks.byday " +
+        "WHERE tenant = 'acme' AND day = 7 AND seq = 1")
+        .as[Long].collect().toSeq === Seq(42L))
+      // the DDL-created typed base supports 2i/MV DDL like any other
+      cq("CREATE INDEX ON ks.users (qty)")
+      cq("INSERT INTO ks.users (user, ck, qty) VALUES ('u-9', 2, 20)")
+      assert(cq("SELECT user FROM ks.users WHERE qty = 20 ORDER BY user")
+        .as[String].collect().toSeq === Seq("u-2", "u-9"))
+      // refusals: an unknown key part, a counter key part, data
+      // columns outside the cell model
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.bad1 (user text, col text, value bigint, " +
+          "wt bigint, PRIMARY KEY ((user), ck))")
+      }
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.bad2 (user counter, ck int, col text, " +
+          "value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      }
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.bad3 (user text, ck int, name text, " +
+          "col text, value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tcre")
+      spark.conf.unset("spark.sql.catalog.tcre.root")
+    }
+  }
+
   test("DDL: ALTER TABLE DROP/ADD and CREATE/DROP INDEX (C58 + C18f)") {
     val root = Files.createTempDirectory("cql-ddl2").toString
     spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.CellCatalog")
