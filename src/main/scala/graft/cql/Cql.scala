@@ -397,29 +397,101 @@ object Cql {
     Seq((r.applied, r.current)).toDF("[applied]", "current")
   }
 
+  /** The CAS row of a TYPED table, from a WHERE that must bind every
+    * key part by equality (Cassandra's LWT rule) — (name, value)
+    * pairs in key order for [[graft.sources.CellTransactions
+    * .casApplyKeyed]].
+    */
+  private def typedCasKey(spec: graft.sources.KeySpec,
+      where: String): Seq[(String, Any)] = {
+    val (pkTuples, ckEq, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("conditional statements bind the CAS row exactly — no " +
+        "clustering ranges")
+    if (pkTuples.length != 1)
+      fail("conditional statements bind exactly one partition key")
+    if (spec.ckParts.nonEmpty && ckEq.isEmpty)
+      fail("conditional statements must bind every clustering part " +
+        "(the CAS row)")
+    (spec.pkParts.map(_.name.toLowerCase)
+      .zip(pkTuples.head)) ++
+      (spec.ckParts.map(_.name.toLowerCase)
+        .zip(ckEq.getOrElse(Seq.empty)))
+  }
+
+  /** The single `col = <bigint>` pair of a conditional SET clause. */
+  private def casSet(sets: String): (String, Long) = sets.trim match {
+    case SetRe(c, v) if !c.startsWith("!") =>
+      (c.toLowerCase, longLiteral(v, s"value of $c"))
+    case s => fail(s"conditional UPDATE takes exactly one " +
+      s"SET col = <bigint>, got: $s")
+  }
+
   private def lwtInsert(spark: SparkSession, dir: String,
       cols: String, vals: String): DataFrame = {
-    val cells = insertCells(cols, vals, AssignLater)
-    if (cells.length != 1)
-      fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
-        "(the CAS cell)")
-    val (pk, ck, c, v, _) = cells.head
-    lwtResult(spark, graft.sources.CellTransactions.cas(
-      spark, dir, pk, ck, c, expected = None, newValue = v))
+    val spec = graft.sources.CellSource.keySpec(dir)
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasCond
+    if (spec.isDefault) {
+      val cells = insertCells(cols, vals, AssignLater)
+      if (cells.length != 1)
+        fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
+          "(the CAS cell)")
+      val (pk, ck, c, v, _) = cells.head
+      lwtResult(spark, CellTransactions.cas(
+        spark, dir, pk, ck, c, expected = None, newValue = v))
+    } else {
+      // typed table: every key part bound by name + ONE data column
+      val names = cols.split(',').map(_.trim.toLowerCase)
+      val values = splitValues(vals).map(_.trim)
+      if (names.length != values.length)
+        fail(s"INSERT arity mismatch: ${names.length} columns, " +
+          s"${values.length} values")
+      val kv = names.zip(values).toMap
+      val keyParts = spec.pkParts ++ spec.ckParts
+      val keyNames = keyParts.map(_.name.toLowerCase)
+      val keyVals = keyParts.map(p =>
+        p.name.toLowerCase -> keyLiteral(p,
+          kv.getOrElse(p.name.toLowerCase,
+            fail(s"INSERT must bind key part ${p.name}")), "key part"))
+      val data = names.filterNot(keyNames.contains).toSeq
+      if (data.length != 1)
+        fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
+          "(the CAS cell)")
+      val c = data.head
+      lwtResult(spark, CellTransactions.casApplyKeyed(
+        spark, dir, keyVals, condCol = Some(c), cond = CasCond.Absent,
+        writeCol = c, writeValue = longLiteral(kv(c), s"value of $c")))
+    }
   }
 
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifVal: String): DataFrame = {
-    val cells = updateCells(sets, where, AssignLater)
-    if (cells.length != 1)
-      fail("UPDATE ... IF takes exactly one SET column and one pk")
-    val (pk, ck, c, v, _) = cells.head
-    if (!ifCol.equalsIgnoreCase(c))
-      fail("UPDATE ... IF condition must target the SET column " +
-        "(the CAS cell)")
-    lwtResult(spark, graft.sources.CellTransactions.cas(
-      spark, dir, pk, ck, c,
-      expected = Some(longLiteral(ifVal, "IF condition")), newValue = v))
+    val spec = graft.sources.CellSource.keySpec(dir)
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasCond
+    if (spec.isDefault) {
+      val cells = updateCells(sets, where, AssignLater)
+      if (cells.length != 1)
+        fail("UPDATE ... IF takes exactly one SET column and one pk")
+      val (pk, ck, c, v, _) = cells.head
+      if (!ifCol.equalsIgnoreCase(c))
+        fail("UPDATE ... IF condition must target the SET column " +
+          "(the CAS cell)")
+      lwtResult(spark, CellTransactions.cas(
+        spark, dir, pk, ck, c,
+        expected = Some(longLiteral(ifVal, "IF condition")),
+        newValue = v))
+    } else {
+      val (c, v) = casSet(sets)
+      if (!ifCol.equalsIgnoreCase(c))
+        fail("UPDATE ... IF condition must target the SET column " +
+          "(the CAS cell)")
+      lwtResult(spark, CellTransactions.casApplyKeyed(
+        spark, dir, typedCasKey(spec, where), condCol = Some(c),
+        cond = CasCond.Equals(longLiteral(ifVal, "IF condition")),
+        writeCol = c, writeValue = v))
+    }
   }
 
   /** `UPDATE ... IF EXISTS` — Cassandra's row-level condition: apply
@@ -427,15 +499,24 @@ object Cql {
     */
   private def lwtUpdateExists(spark: SparkSession, dir: String,
       sets: String, where: String): DataFrame = {
-    val cells = updateCells(sets, where, AssignLater)
-    if (cells.length != 1)
-      fail("UPDATE ... IF EXISTS takes exactly one SET column and " +
-        "one pk (the CAS cell)")
-    val (pk, ck, c, v, _) = cells.head
-    lwtResult(spark, graft.sources.CellTransactions.casApply(
-      spark, dir, pk, ck, condCol = None,
-      cond = graft.sources.CellTransactions.CasCond.Present,
-      writeCol = c, writeValue = v))
+    val spec = graft.sources.CellSource.keySpec(dir)
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasCond
+    if (spec.isDefault) {
+      val cells = updateCells(sets, where, AssignLater)
+      if (cells.length != 1)
+        fail("UPDATE ... IF EXISTS takes exactly one SET column and " +
+          "one pk (the CAS cell)")
+      val (pk, ck, c, v, _) = cells.head
+      lwtResult(spark, CellTransactions.casApply(
+        spark, dir, pk, ck, condCol = None, cond = CasCond.Present,
+        writeCol = c, writeValue = v))
+    } else {
+      val (c, v) = casSet(sets)
+      lwtResult(spark, CellTransactions.casApplyKeyed(
+        spark, dir, typedCasKey(spec, where), condCol = None,
+        cond = CasCond.Present, writeCol = c, writeValue = v))
+    }
   }
 
   /** Conditional DELETE — a CAS whose write is the tombstone:
@@ -446,11 +527,8 @@ object Cql {
   private def lwtDelete(spark: SparkSession, dir: String,
       colOpt: Option[String], where: String, exists: Boolean,
       ifCol: Option[String], ifVal: Option[String]): DataFrame = {
-    val (pks, ckEq, _, _) = keyPredicate(where)
-    if (pks.size != 1) fail("conditional DELETE binds exactly one pk")
-    val pk = pks.head
-    val ck = ckEq.getOrElse(
-      fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+    val spec = graft.sources.CellSource.keySpec(dir)
+    import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     val (condCol, cond) =
       if (exists) (None, CasCond.Present)
@@ -461,8 +539,18 @@ object Cql {
         graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
       case None => graft.sources.CellSource.RowTombstone
     }
-    lwtResult(spark, graft.sources.CellTransactions.casApply(
-      spark, dir, pk, ck, condCol, cond, writeCol, writeValue = 0L))
+    if (spec.isDefault) {
+      val (pks, ckEq, _, _) = keyPredicate(where)
+      if (pks.size != 1) fail("conditional DELETE binds exactly one pk")
+      val pk = pks.head
+      val ck = ckEq.getOrElse(
+        fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+      lwtResult(spark, CellTransactions.casApply(
+        spark, dir, pk, ck, condCol, cond, writeCol, writeValue = 0L))
+    } else
+      lwtResult(spark, CellTransactions.casApplyKeyed(
+        spark, dir, typedCasKey(spec, where), condCol, cond, writeCol,
+        writeValue = 0L))
   }
 
   // ---------------------------------------------------------------
@@ -777,6 +865,13 @@ object Cql {
         spark.emptyDataFrame
       case DeleteRe(colOpt, table, usingTs, where)
           if colOpt == null && usingTs == null &&
+            // a conditional DELETE must reach the LWT arm below —
+            // DeleteRe's lazy WHERE group would absorb the trailing
+            // IF clause and run the CAS as a plain SQL DELETE
+            (cql match {
+              case DeleteIfRe(_, _, _, _, _, _) => false
+              case _ => true
+            }) &&
             table.matches("\\w+\\.\\w+") && {
               val Array(ks, t) = table.split("\\.")
               !graft.sources.CellSource.keySpec(s"$root/$ks/$t").isDefault

@@ -136,6 +136,65 @@ object CellTransactions {
     }
   }
 
+  /** The TYPED-table (CEL6/8) LWT round: the same ballot lock, point
+    * read, test, and one-row staged-link flush as [[casApply]], with
+    * the CAS row addressed by NAMED key parts (every pk and ck part
+    * bound, Cassandra's own LWT rule). `keyVals` are (name, external
+    * value) pairs in key order; the read pushes as the typed point
+    * probe, and the applied cell writes through the keyed one-row
+    * flush — no Spark job.
+    */
+  def casApplyKeyed(spark: SparkSession, dir: String,
+      keyVals: Seq[(String, Any)],
+      condCol: Option[String], cond: CasCond,
+      writeCol: String, writeValue: Long,
+      lockTimeoutMs: Long = 30000L,
+      nowMs: Long = System.currentTimeMillis(),
+      queryTimeMs: Long = Long.MaxValue): CasResult = {
+    require(condCol.forall(!_.startsWith("!")),
+      "CAS conditions target data cells, not markers")
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    val spec = CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm))
+    require(!spec.isDefault,
+      s"$dir is default-keyed; use casApply(pk, ck, …)")
+    val names = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
+    require(keyVals.map(_._1.toLowerCase) == names,
+      s"CAS must bind every key part in key order " +
+        s"(${names.mkString(", ")}), got " +
+        keyVals.map(_._1).mkString(", "))
+    withBallot(d, lockTimeoutMs, nowMs) {
+      val reader = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      var row = (if (queryTimeMs != Long.MaxValue)
+        reader.option("queryTime", queryTimeMs.toString) else reader)
+        .load(norm)
+      keyVals.foreach { case (n, v) => row = row.filter(col(n) === v) }
+      val cur: Option[Long] = condCol match {
+        case Some(c) => row.filter(col("col") === c)
+          .select(col("value")).collect().headOption.map(_.getLong(0))
+        case None =>
+          if (row.limit(1).collect().nonEmpty) Some(0L) else None
+      }
+      val ok = cond match {
+        case CasCond.Absent => cur.isEmpty
+        case CasCond.Present => cur.isDefined
+        case CasCond.Equals(v) => cur.contains(v)
+      }
+      def reported = if (condCol.isDefined) cur else None
+      if (!ok) CasResult(applied = false, reported)
+      else {
+        val files = CellPlanning.listFiles(norm)
+        val wt = files.map(CellSource.readHeader).iterator
+          .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
+        appendRowKeyed(d, files, spec, keyVals.map(_._2), writeCol,
+          writeValue, wt)
+        CasResult(applied = true, reported)
+      }
+    }
+  }
+
   /** Claim the table's ballot lock, run `body`, release. A lock file
     * older than `timeoutMs` belongs to a dead coordinator and is
     * broken; an unexpired lock means an in-flight round — callers get
@@ -171,16 +230,49 @@ object CellTransactions {
     */
   private def appendRow(dir: Path, files: Seq[String], pk: Long, ck: Int,
       colName: String, value: Long, wt: Long): Unit = {
+    val (tag, prec, scale) = casValueType(files)
+    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
+    CellSource.writeFileTyped(staged,
+      Seq((pk, ck, colName, value, wt)), Array(colName), tag, prec,
+      scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
+    publishStaged(dir, files, staged)
+  }
+
+  /** Keyed twin of [[appendRow]]: one CEL8 record through the keyed
+    * file writer, same staged-link publish.
+    */
+  private def appendRowKeyed(dir: Path, files: Seq[String],
+      spec: KeySpec, keyValues: Seq[Any], colName: String, value: Long,
+      wt: Long): Unit = {
+    val (tag, prec, scale) = casValueType(files)
+    def internal(p: KeyPart, v: Any): Any =
+      KeyCodec.toInternal(p.tag, v).getOrElse(throw
+        new IllegalArgumentException(s"bad ${p.name} value $v"))
+    val pkIv = spec.pkParts.zip(keyValues.take(spec.pkParts.length))
+      .map { case (p, v) => internal(p, v) }.toArray
+    val ckIv = spec.ckParts.zip(keyValues.drop(spec.pkParts.length))
+      .map { case (p, v) => internal(p, v) }.toArray
+    val rec = CellSource.KeyedRec(KeyCodec.token(spec, pkIv), pkIv,
+      CellSource.rankOf(colName), ckIv, colName, value, wt)
+    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
+    CellSource.writeFileKeyed(staged, Seq(rec), spec, Array(colName),
+      tag, prec, scale, CellSource.DefaultIndexEvery,
+      CellSource.DefaultChunkRecords)
+    publishStaged(dir, files, staged)
+  }
+
+  private def casValueType(files: Seq[String]): (Int, Int, Int) = {
     val (tag, prec, scale) = files.headOption
       .map(CellSource.readHeader)
       .map(h => (h.valueTag, h.decPrec, h.decScale))
       .getOrElse((ValueCodec.LongTag, 0, 0))
     require(tag == ValueCodec.LongTag,
       s"CAS is defined on long-valued tables (found tag $tag)")
-    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
-    CellSource.writeFileTyped(staged,
-      Seq((pk, ck, colName, value, wt)), Array(colName), tag, prec,
-      scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
+    (tag, prec, scale)
+  }
+
+  private def publishStaged(dir: Path, files: Seq[String],
+      staged: Path): Unit = {
     var next = files.map(f =>
       CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
       .foldLeft(-1)(math.max) + 1

@@ -346,6 +346,61 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("LWT on TYPED tables: IF NOT EXISTS / IF col = v / IF EXISTS " +
+      "route through the keyed CAS (C55 over CEL6/8)") {
+    val root = Files.createTempDirectory("cql-tlwt").toString
+    spark.conf.set("spark.sql.catalog.tlwt", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tlwt.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tlwt")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (user text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      def cas(stmt: String) =
+        cq(stmt).as[(Boolean, Option[Long])].collect().head
+      // first insert applies — on a table with ZERO flushes (the CAS
+      // write itself is the first flush, taking the _props layout)
+      assert(cas("INSERT INTO ks.t (user, ck, qty) VALUES " +
+        "('u-1', 1, 5) IF NOT EXISTS") === ((true, None)))
+      // second refuses and reports the current value
+      assert(cas("INSERT INTO ks.t (user, ck, qty) VALUES " +
+        "('u-1', 1, 9) IF NOT EXISTS") === ((false, Some(5L))))
+      // conditional UPDATE: wrong expectation refuses, right applies
+      assert(cas("UPDATE ks.t SET qty = 6 WHERE user = 'u-1' " +
+        "AND ck = 1 IF qty = 99") === ((false, Some(5L))))
+      assert(cas("UPDATE ks.t SET qty = 6 WHERE user = 'u-1' " +
+        "AND ck = 1 IF qty = 5") === ((true, Some(5L))))
+      // IF EXISTS: hit applies, miss refuses
+      assert(cas("UPDATE ks.t SET qty = 7 WHERE user = 'u-1' " +
+        "AND ck = 1 IF EXISTS") === ((true, None)))
+      assert(cas("UPDATE ks.t SET qty = 7 WHERE user = 'ghost' " +
+        "AND ck = 1 IF EXISTS") === ((false, None)))
+      // conditional DELETE: the applied write IS the row tombstone
+      assert(cas("DELETE FROM ks.t WHERE user = 'u-1' AND ck = 1 " +
+        "IF qty = 7") === ((true, Some(7L))))
+      assert(cq("SELECT value FROM ks.t WHERE user = 'u-1' AND ck = 1")
+        .count() === 0)
+      // composite partition key CAS
+      cq("CREATE TABLE ks.c (tenant text, day bigint, seq int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((tenant, day), seq))")
+      assert(cas("INSERT INTO ks.c (tenant, day, seq, qty) VALUES " +
+        "('acme', 7, 1, 42) IF NOT EXISTS") === ((true, None)))
+      assert(cas("INSERT INTO ks.c (tenant, day, seq, qty) VALUES " +
+        "('acme', 7, 1, 43) IF NOT EXISTS") === ((false, Some(42L))))
+      // an unbound key part refuses (Cassandra's LWT rule)
+      val e = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.c SET qty = 1 WHERE tenant = 'acme' " +
+          "IF qty = 42")
+      }
+      assert(e.getMessage.contains("key part") ||
+        e.getMessage.contains("clustering"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tlwt")
+      spark.conf.unset("spark.sql.catalog.tlwt.root")
+    }
+  }
+
   test("DDL: ALTER TABLE DROP/ADD and CREATE/DROP INDEX (C58 + C18f)") {
     val root = Files.createTempDirectory("cql-ddl2").toString
     spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.CellCatalog")
