@@ -566,7 +566,14 @@ object Cql {
     // BATCH nesting) — a ';' inside a string literal is not a boundary
     val stmts = splitOnSemis(body, batchAware = false)
     if (stmts.isEmpty) fail("empty BATCH")
-    val parsed: Seq[(String, Seq[(Long, Int, String, Long, Long)])] =
+    // per-statement parse, by the TARGET table's key layout: a Left
+    // holds default (pk, ck, col, value, wt) cells, a Right typed
+    // rows (keyVals ++ (col, value, wt)) with the table's spec —
+    // tables of either layout mix freely in one batch
+    type Parsed = (String, Either[Seq[(Long, Int, String, Long, Long)],
+      (graft.sources.KeySpec, Seq[Seq[Any]])])
+    def spec(dir: String) = graft.sources.CellSource.keySpec(dir)
+    val parsed: Seq[Parsed] =
       stmts.toSeq.map {
         // LWT forms must be refused BEFORE the plain-DML match:
         // UpdateRe/DeleteRe's lazy WHERE group would absorb a
@@ -578,13 +585,19 @@ object Cql {
             DeleteIfRe(_, _, _, _, _, _)) =>
           fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
+          val dir = resolve(table)
           val (ts, ttl) = parseUsing(Option(usingClause))
           if (ttl.isDefined)
             fail("USING TTL is not supported inside BATCH (the " +
               "journal carries the 5-column cell shape)")
-          (resolve(table), insertCells(cols, vals,
-            ts.getOrElse(AssignLater)))
+          val sp = spec(dir)
+          if (sp.isDefault)
+            (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater))))
+          else
+            (dir, Right((sp, insertTypedRows(sp, cols, vals,
+              ts.getOrElse(AssignLater)))))
         case UpdateRe(table, usingClause, sets, where) =>
+          val dir = resolve(table)
           val (ts, ttl) = parseUsing(Option(usingClause))
           if (ttl.isDefined)
             fail("USING TTL is not supported inside BATCH (the " +
@@ -592,16 +605,27 @@ object Cql {
           if (hasCollectionSyntax(sets))
             fail("collection updates are not supported inside BATCH " +
               "(appends need the current collection state)")
-          if (isCounter(resolve(table)))
+          if (isCounter(dir))
             fail("counter increments are not supported inside a " +
               "LOGGED BATCH (Cassandra's rule: shard deltas are not " +
               "idempotent, so a crash-replay of the journal would " +
               "double-count)")
-          (resolve(table), updateCells(sets, where,
-            ts.getOrElse(AssignLater)))
+          val sp = spec(dir)
+          if (sp.isDefault)
+            (dir, Left(updateCells(sets, where,
+              ts.getOrElse(AssignLater))))
+          else
+            (dir, Right((sp, updateTypedRows(sp, sets, where,
+              ts.getOrElse(AssignLater)))))
         case DeleteRe(colOpt, table, usingTs, where) =>
-          (resolve(table), deleteMarkers(Option(colOpt), where,
-            Option(usingTs).map(_.toLong).getOrElse(AssignLater)))
+          val dir = resolve(table)
+          val dts = Option(usingTs).map(_.toLong).getOrElse(AssignLater)
+          val sp = spec(dir)
+          if (sp.isDefault)
+            (dir, Left(deleteMarkers(Option(colOpt), where, dts)))
+          else
+            (dir, Right((sp, deleteTypedRows(sp, Option(colOpt),
+              where, dts))))
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
       }
     // Cassandra's batch rule: one shared writetime for the whole
@@ -609,16 +633,21 @@ object Cql {
     // batch shadows everything any member table holds
     val batchWt = parsed.map(_._1).distinct
       .map(nextWt(spark, _)).max
+    def wtOf(wt: Long): Long = if (wt == AssignLater) batchWt else wt
     val writes = parsed
-      .map { case (dir, cells) =>
-        (dir, cells.map { case (pk, ck, c, v, wt) =>
-          (pk, ck, c, v, if (wt == AssignLater) batchWt else wt)
-        })
-      }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (dir, group) =>
-        (dir, group.flatMap(_._2)
-          .toDF("pk", "ck", "col", "value", "wt"))
+        group.head._2 match {
+          case Left(_) =>
+            (dir, group.flatMap(_._2.left.getOrElse(Seq.empty))
+              .map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wtOf(wt)) }
+              .toDF("pk", "ck", "col", "value", "wt"))
+          case Right((sp, _)) =>
+            val rows = group.flatMap(_._2.toOption.map(_._2)
+                .getOrElse(Seq.empty))
+              .map(r => r.init :+ wtOf(r.last.asInstanceOf[Long]))
+            (dir, typedDf(spark, sp, rows))
+        }
       }
     val logDir = writes.head._1 + ".batchlog"
     graft.sources.CellTransactions.loggedBatch(spark, writes, logDir)
@@ -1672,6 +1701,16 @@ object Cql {
       spec: graft.sources.KeySpec, rows: Seq[Seq[Any]],
       ttl: Option[Long]): Unit = {
     if (rows.isEmpty) return
+    var w = typedDf(spark, spec, rows, ttl).coalesce(1).write.format(Fmt)
+    if (ttl.isDefined) w = w.option("ttl", "true")
+    w.mode("append").save(dir)
+  }
+
+  /** The typed rows as a DataFrame in the table's write schema —
+    * shared by the direct write and the BATCH journal path.
+    */
+  private def typedDf(spark: SparkSession, spec: graft.sources.KeySpec,
+      rows: Seq[Seq[Any]], ttl: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(
       spec.keyFields ++ Seq(
@@ -1683,12 +1722,9 @@ object Cql {
         else Seq.empty))
     val sparkRows = rows.map(r => org.apache.spark.sql.Row.fromSeq(
       r ++ ttl.toSeq))
-    var w = spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
-        schema)
-      .coalesce(1).write.format(Fmt)
-    if (ttl.isDefined) w = w.option("ttl", "true")
-    w.mode("append").save(dir)
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+      schema)
   }
 
   /** Typed-table (CEL6) INSERT: the column list must bind EVERY pk
@@ -1698,7 +1734,15 @@ object Cql {
     */
   private def insertTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, cols: String, vals: String,
-      wt: Long, ttl: Option[Long] = None): Unit = {
+      wt: Long, ttl: Option[Long] = None): Unit =
+    typedWrite(spark, dir, spec,
+      insertTypedRows(spec, cols, vals, wt), ttl)
+
+  /** The typed INSERT's rows (keyVals ++ (col, value, wt)) — shared
+    * by the direct write and the BATCH journal path.
+    */
+  private def insertTypedRows(spec: graft.sources.KeySpec,
+      cols: String, vals: String, wt: Long): Seq[Seq[Any]] = {
     val names = cols.split(',').map(_.trim.toLowerCase)
     val values = splitValues(vals).map(_.trim)
     if (names.length != values.length)
@@ -1711,8 +1755,8 @@ object Cql {
         fail(s"INSERT must bind key part ${p.name}")), "key part"))
     val data = names.filterNot(keyNames.contains).toSeq
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    typedWrite(spark, dir, spec, data.map(c =>
-      keyVals ++ Seq(c, longLiteral(kv(c), s"value of $c"), wt)), ttl)
+    data.map(c =>
+      keyVals ++ Seq(c, longLiteral(kv(c), s"value of $c"), wt))
   }
 
   /** Parse a typed-table WHERE with NAMED key parts into (pk tuples,
@@ -1792,7 +1836,12 @@ object Cql {
     */
   private def updateTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, sets: String, where: String,
-      wt: Long, ttl: Option[Long]): Unit = {
+      wt: Long, ttl: Option[Long]): Unit =
+    typedWrite(spark, dir, spec,
+      updateTypedRows(spec, sets, where, wt), ttl)
+
+  private def updateTypedRows(spec: graft.sources.KeySpec,
+      sets: String, where: String, wt: Long): Seq[Seq[Any]] = {
     val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
     if (range.isDefined)
       fail("UPDATE WHERE binds clustering keys by equality, not range")
@@ -1807,10 +1856,10 @@ object Cql {
         (c.toLowerCase, longLiteral(v, s"value of $c"))
       case x => fail(s"unsupported SET item: $x")
     }
-    typedWrite(spark, dir, spec, for {
+    for {
       pk <- pks
       (c, v) <- setKvs
-    } yield pk ++ ck ++ Seq(c, v, wt), ttl)
+    } yield pk ++ ck ++ Seq(c, v, wt)
   }
 
   /** Typed-table DELETE: the same marker protocol as the default
@@ -1821,7 +1870,13 @@ object Cql {
     */
   private def deleteTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, colOpt: Option[String],
-      where: String, dts: Long): Unit = {
+      where: String, dts: Long): Unit =
+    typedWrite(spark, dir, spec,
+      deleteTypedRows(spec, colOpt, where, dts), ttl = None)
+
+  private def deleteTypedRows(spec: graft.sources.KeySpec,
+      colOpt: Option[String], where: String,
+      dts: Long): Seq[Seq[Any]] = {
     val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
     val ckZeros = spec.ckParts.map(p => neutralKey(p.dataType))
     val rows: Seq[Seq[Any]] = (colOpt, ckOpt, range) match {
@@ -1846,7 +1901,7 @@ object Cql {
       case (None, Some(_), Some(_)) =>
         fail("clustering equality and range cannot combine")
     }
-    typedWrite(spark, dir, spec, rows, ttl = None)
+    rows
   }
 
   /** Split a VALUES list on commas outside quotes. */

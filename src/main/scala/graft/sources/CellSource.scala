@@ -334,6 +334,16 @@ case class KeySpec(pkParts: List[KeyPart], ckParts: List[KeyPart]) {
         .mkString(",")
     s"${one(pkParts)};${one(ckParts)}"
   }
+
+  /** The `primaryKey` option syntax (`((p1,p2),c1)`) this spec would
+    * be declared with — part TYPES come from the accompanying schema,
+    * so this round-trips through [[KeySpec.fromSyntax]] only against
+    * a matching column set.
+    */
+  def syntax: String =
+    s"((${pkParts.map(_.name).mkString(",")})" +
+      (if (ckParts.nonEmpty) s",${ckParts.map(_.name).mkString(",")}"
+       else "") + ")"
 }
 
 object KeySpec {

@@ -329,10 +329,24 @@ object CellTransactions {
     Files.createDirectories(root)
     val id = f"batch-${System.nanoTime()}%016x"
     val staging = root.resolve(s".staging-$id")
-    writes.zipWithIndex.foreach { case ((_, df), k) =>
-      df.coalesce(1).write.format("graft.sources.CellSource")
+    writes.zipWithIndex.foreach { case ((t, df), k) =>
+      // a TYPED target's journal slice must stage with the target's
+      // key layout (a fresh staging dir would otherwise default);
+      // part types come from the DataFrame's own schema
+      val norm = CellPlanning.normalize(t)
+      val spec = CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm))
+      var w = df.coalesce(1).write.format("graft.sources.CellSource")
         .option("withTtl", withExpiry.toString)
-        .mode("append").save(staging.resolve(f"t$k%03d").toString)
+      if (!spec.isDefault) {
+        w = w.option("primaryKey", spec.syntax)
+        // schema inference on the fresh staging dir resolves part
+        // TYPES from keyType.<n> options (the write builder reads
+        // them from the input schema, but analysis runs first)
+        (spec.pkParts ++ spec.ckParts).foreach { p =>
+          w = w.option(s"keyType.${p.name}", p.dataType.simpleString)
+        }
+      }
+      w.mode("append").save(staging.resolve(f"t$k%03d").toString)
     }
     Files.writeString(staging.resolve("targets"),
       writes.zipWithIndex.map { case ((t, _), k) =>

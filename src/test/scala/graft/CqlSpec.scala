@@ -401,6 +401,52 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("BEGIN BATCH over TYPED tables: one shared writetime, typed " +
+      "journal slices, mixed layouts in one batch (C56 over CEL6/8)") {
+    val td = Files.createTempDirectory("cql-tbatch").toString
+    Seq(("u-0", 1, "qty", 1L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    val dd = freshTable() // default layout, max wt = 100
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $td (user, ck, qty) VALUES ('u-1', 1, 11);
+         |  UPDATE $td SET qty = 12 WHERE user = 'u-2' AND ck = 2;
+         |  DELETE FROM $td WHERE user = 'u-0' AND ck = 1;
+         |  INSERT INTO $dd (pk, ck, qty) VALUES (50, 1, 13);
+         |APPLY BATCH""".stripMargin)
+    val t = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .select("user", "ck", "col", "value", "wt")
+      .as[(String, Int, String, Long, Long)].collect().toSet
+    // typed writes landed; the typed row delete shadowed u-0
+    assert(t.map(r => (r._1, r._2, r._4)) ===
+      Set(("u-1", 1, 11L), ("u-2", 2, 12L)))
+    // ONE shared writetime across BOTH tables (max of their next wts)
+    val wts = t.map(_._5)
+    assert(wts.size === 1, wts)
+    val dwt = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dd)
+      .filter(col("pk") === 50L).select("wt").as[Long].collect().toSet
+    assert(dwt === wts)
+    // the journal entry cleared after apply
+    val log = java.nio.file.Paths.get(td + ".batchlog")
+    assert(!java.nio.file.Files.isDirectory(log) ||
+      !java.nio.file.Files.list(log).iterator().hasNext)
+    // conditional statements refuse inside the batch on typed
+    // tables too (the WHERE group must not absorb the IF clause)
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  UPDATE $td SET qty = 9 WHERE user = 'u-1' AND ck = 1 IF qty = 11;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e.getMessage.contains("conditional"), e.getMessage)
+  }
+
   test("DDL: ALTER TABLE DROP/ADD and CREATE/DROP INDEX (C58 + C18f)") {
     val root = Files.createTempDirectory("cql-ddl2").toString
     spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.CellCatalog")
