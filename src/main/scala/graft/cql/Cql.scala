@@ -312,10 +312,11 @@ object Cql {
         // at a fresh writetime; the counter read mode SUMS shards
         // (C10) — no read-modify-write anywhere. TTL on counters is
         // refused (Cassandra's rule).
-        if (!spec.isDefault)
-          fail("counter increments are default-layout only here")
         if (ttlOpt.isDefined) fail("counters cannot have TTL")
-        appendCells(spark, dir, counterUpdateCells(sets, where, wt))
+        if (spec.isDefault)
+          appendCells(spark, dir, counterUpdateCells(sets, where, wt))
+        else typedWrite(spark, dir, spec,
+          counterUpdateTypedRows(spec, sets, where, wt), ttl = None)
       } else if (spec.isDefault) {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
@@ -1939,6 +1940,30 @@ object Cql {
             s"($c1 vs $c2)")
         val delta = (if (sign == "-") -1L else 1L) * n.toLong
         pks.toSeq.sorted.map(pk => (pk, ck, c1.toLowerCase, delta, wt))
+      case x => fail("counter tables take only 'c = c + n' / " +
+        s"'c = c - n' SET items, got: $x")
+    }
+  }
+
+  /** Typed twin of [[counterUpdateCells]]: shard-delta rows with
+    * NAMED key parts — every pk and ck part bound by equality (the
+    * counter UPDATE addresses one row per pk tuple).
+    */
+  private def counterUpdateTypedRows(spec: graft.sources.KeySpec,
+      sets: String, where: String, wt: Long): Seq[Seq[Any]] = {
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("counter UPDATE WHERE binds clustering keys by equality")
+    val ck = ckOpt.getOrElse(
+      if (spec.ckParts.isEmpty) Seq.empty
+      else fail("counter UPDATE WHERE must bind every clustering part"))
+    sets.split(',').toSeq.flatMap {
+      case CounterIncRe(c1, c2, sign, n) =>
+        if (!c1.equalsIgnoreCase(c2))
+          fail(s"counter increment must update the same column " +
+            s"($c1 vs $c2)")
+        val delta = (if (sign == "-") -1L else 1L) * n.toLong
+        pks.map(pk => pk ++ ck ++ Seq(c1.toLowerCase, delta, wt))
       case x => fail("counter tables take only 'c = c + n' / " +
         s"'c = c - n' SET items, got: $x")
     }

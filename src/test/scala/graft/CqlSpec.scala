@@ -447,6 +447,49 @@ class CqlSpec extends GraftSpec {
     assert(e.getMessage.contains("conditional"), e.getMessage)
   }
 
+  test("counter arithmetic on TYPED tables: shard deltas, shard-SUM " +
+      "reads, unlogged counter batch (C10 over CEL6)") {
+    val root = Files.createTempDirectory("cql-tcnt").toString
+    spark.conf.set("spark.sql.catalog.tcnt", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tcnt.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tcnt")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.hits (page text, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((page), ck))")
+      cq("UPDATE ks.hits SET n = n + 5 WHERE page = 'home' AND ck = 1")
+      cq("UPDATE ks.hits SET n = n + 3 WHERE page = 'home' AND ck = 1")
+      cq("UPDATE ks.hits SET n = n - 2 WHERE page = 'home' AND ck = 1")
+      cq("UPDATE ks.hits SET n = n + 7 WHERE page = 'about' AND ck = 1")
+      // shard-SUM read through the front door
+      assert(cq("SELECT page, value FROM ks.hits ORDER BY page")
+        .as[(String, Long)].collect().toSeq ===
+        Seq(("about", 7L), ("home", 6L)))
+      // the legal counter batch form: UNLOGGED, per-statement wts
+      cq("""BEGIN UNLOGGED BATCH
+           |  UPDATE ks.hits SET n = n + 1 WHERE page = 'home' AND ck = 1;
+           |  UPDATE ks.hits SET n = n + 1 WHERE page = 'about' AND ck = 1;
+           |APPLY BATCH""".stripMargin)
+      assert(cq("SELECT page, value FROM ks.hits ORDER BY page")
+        .as[(String, Long)].collect().toSeq ===
+        Seq(("about", 8L), ("home", 7L)))
+      // refusals hold on typed counter tables: INSERT, logged batch
+      val e1 = intercept[IllegalArgumentException] {
+        cq("INSERT INTO ks.hits (page, ck, n) VALUES ('x', 1, 5)")
+      }
+      assert(e1.getMessage.contains("UPDATE increments"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("""BEGIN BATCH
+             |  UPDATE ks.hits SET n = n + 1 WHERE page = 'x' AND ck = 1;
+             |APPLY BATCH""".stripMargin)
+      }
+      assert(e2.getMessage.contains("LOGGED BATCH"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tcnt")
+      spark.conf.unset("spark.sql.catalog.tcnt.root")
+    }
+  }
+
   test("DDL: ALTER TABLE DROP/ADD and CREATE/DROP INDEX (C58 + C18f)") {
     val root = Files.createTempDirectory("cql-ddl2").toString
     spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.CellCatalog")
