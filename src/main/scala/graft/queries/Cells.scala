@@ -1447,6 +1447,107 @@ object Cells {
       |  AS t(pk, col, v)
       |ORDER BY pk, col""".stripMargin
 
+  // C55b — TYPED-table LWT round trip end-to-end: a DDL-created
+  // typed table, the full conditional-statement matrix (IF NOT
+  // EXISTS apply + refuse, IF col = v, IF EXISTS miss, conditional
+  // DELETE), and the final reconciled state read back through the
+  // front door. The oracle is the expected final-state literal — the
+  // engine must reproduce it through the keyed ballot-locked CAS.
+  private def typedLwt(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_tlwt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tlwt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (user text, ck int, " +
+      "col text, value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+    cq("TRUNCATE ks.t")
+    cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 1, 5) " +
+      "IF NOT EXISTS") // applies
+    cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 1, 9) " +
+      "IF NOT EXISTS") // refuses — 5 stays
+    cq("UPDATE ks.t SET qty = 6 WHERE user = 'u-1' AND ck = 1 " +
+      "IF qty = 5") // applies
+    cq("UPDATE ks.t SET qty = 7 WHERE user = 'ghost' AND ck = 1 " +
+      "IF EXISTS") // refuses — no row appears
+    cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-2', 1, 1) " +
+      "IF NOT EXISTS") // applies
+    cq("DELETE FROM ks.t WHERE user = 'u-2' AND ck = 1 " +
+      "IF qty = 1") // applies — the write IS the row tombstone
+    cq("SELECT user, ck, value FROM ks.t ORDER BY user, ck")
+  }
+
+  private val typedLwtSql =
+    """SELECT u AS "user", CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('u-1', 1, 6)) AS t(u, ck, v)
+      |ORDER BY u, ck""".stripMargin
+
+  // C56b — TYPED-table logged BATCH end-to-end: typed and default
+  // layouts mixed in one batch under ONE shared writetime; the typed
+  // row delete journals and shadows atomically with the data writes.
+  private def typedBatch(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_tbat"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tbat-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (user text, ck int, " +
+      "col text, value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+    cq("TRUNCATE ks.t")
+    cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-0', 1, 1)")
+    cq("""BEGIN BATCH
+         |  INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 1, 11);
+         |  UPDATE ks.t SET qty = 12 WHERE user = 'u-2' AND ck = 2;
+         |  DELETE FROM ks.t WHERE user = 'u-0' AND ck = 1;
+         |APPLY BATCH""".stripMargin)
+    cq("SELECT user, ck, value FROM ks.t ORDER BY user, ck")
+  }
+
+  private val typedBatchSql =
+    """SELECT u AS "user", CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('u-1', 1, 11), ('u-2', 2, 12)) AS t(u, ck, v)
+      |ORDER BY u, ck""".stripMargin
+
+  // C10c — TYPED-table counter round trip end-to-end: shard-delta
+  // increments with named key parts, shard-SUM reads, the legal
+  // UNLOGGED counter batch — C65g's lifecycle over a typed layout.
+  private def typedCounter(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_tcnt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tcnt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.hits (page text, ck int, " +
+      "col text, value counter, wt bigint, PRIMARY KEY ((page), ck))")
+    cq("TRUNCATE ks.hits")
+    cq("UPDATE ks.hits SET n = n + 5 WHERE page = 'home' AND ck = 1")
+    cq("UPDATE ks.hits SET n = n + 3, m = m + 2 " +
+      "WHERE page = 'home' AND ck = 1")
+    cq("UPDATE ks.hits SET n = n - 2 WHERE page = 'home' AND ck = 1")
+    cq("""BEGIN UNLOGGED BATCH
+         |  UPDATE ks.hits SET n = n + 10 WHERE page = 'about' AND ck = 1;
+         |  UPDATE ks.hits SET n = n + 20 WHERE page = 'about' AND ck = 1;
+         |APPLY BATCH""".stripMargin)
+    cq("SELECT page, col, value FROM ks.hits ORDER BY page, col")
+  }
+
+  private val typedCounterSql =
+    """SELECT p AS page, col, CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('about', 'n', 30), ('home', 'm', 2),
+      |  ('home', 'n', 6)) AS t(p, col, v)
+      |ORDER BY p, col""".stripMargin
+
   // C65c — CQL token-range paging through the front door: the
   // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
   // idiom lands on the C41 physical token-range scan (Summary/
@@ -1596,6 +1697,9 @@ object Cells {
     GQuery("C65g_cql_counter", cqlCounter, Some(cqlCounterSql)),
     GQuery("C65h_cql_prepared", cqlPrepared, Some(cqlPreparedSql)),
     GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
+    GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
+    GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
+    GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
