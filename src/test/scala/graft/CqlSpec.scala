@@ -624,6 +624,104 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: random TYPED write programs (incl. LWT) match the " +
+      "sequential model") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // The typed twin of the default-layout property: statement
+    // writetimes stay strictly increasing (max-wt + 1 — the keyed
+    // CAS resolves its own the same way), so LWW + typed marker
+    // shadowing + the ballot CAS must behave exactly like a mutable
+    // map — any divergence is a typed parser, marker, or CAS bug.
+    sealed trait Op
+    case class Ins(u: String, ck: Int, c: String, v: Long) extends Op
+    case class CasIns(u: String, ck: Int, c: String, v: Long) extends Op
+    case class CasUpd(u: String, ck: Int, c: String, exp: Long,
+        v: Long) extends Op
+    case class DelRow(u: String, ck: Int) extends Op
+    case class DelPart(u: String) extends Op
+    case class DelCell(u: String, ck: Int, c: String) extends Op
+    case class DelRange(u: String, lo: Int, hi: Int) extends Op
+
+    val genU = Gen.oneOf("u0", "u1", "u2")
+    val genC = Gen.oneOf("qty", "price")
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> (for {
+        u <- genU; ck <- Gen.chooseNum(0, 2); c <- genC
+        v <- Gen.chooseNum(0L, 100L)
+      } yield Ins(u, ck, c, v)),
+      2 -> (for {
+        u <- genU; ck <- Gen.chooseNum(0, 2); c <- genC
+        v <- Gen.chooseNum(0L, 100L)
+      } yield CasIns(u, ck, c, v)),
+      2 -> (for {
+        u <- genU; ck <- Gen.chooseNum(0, 2); c <- genC
+        exp <- Gen.chooseNum(0L, 100L); v <- Gen.chooseNum(0L, 100L)
+      } yield CasUpd(u, ck, c, exp, v)),
+      2 -> (for {
+        u <- genU; ck <- Gen.chooseNum(0, 2)
+      } yield DelRow(u, ck)),
+      1 -> genU.map(DelPart.apply),
+      2 -> (for {
+        u <- genU; ck <- Gen.chooseNum(0, 2); c <- genC
+      } yield DelCell(u, ck, c)),
+      1 -> (for {
+        u <- genU; lo <- Gen.chooseNum(0, 2); hi <- Gen.chooseNum(0, 2)
+      } yield DelRange(u, math.min(lo, hi), math.max(lo, hi))))
+
+    val prop = Prop.forAll(Gen.listOfN(10, genOp)) { ops =>
+      val d = Files.createTempDirectory("cql-tprop").toString
+      // seed flush establishes the typed layout (and nextWt's table)
+      Seq(("u0", 0, "qty", 1L, 100L))
+        .toDF("user", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((user),ck)")
+        .option("keyType.user", "string").option("keyType.ck", "int")
+        .mode("append").save(d)
+      val model = scala.collection.mutable
+        .Map[(String, Int, String), Long](("u0", 0, "qty") -> 1L)
+      ops.foreach {
+        case Ins(u, ck, c, v) =>
+          Cql.execute(spark,
+            s"INSERT INTO $d (user, ck, $c) VALUES ('$u', $ck, $v)")
+          model((u, ck, c)) = v
+        case CasIns(u, ck, c, v) =>
+          Cql.execute(spark, s"INSERT INTO $d (user, ck, $c) " +
+            s"VALUES ('$u', $ck, $v) IF NOT EXISTS")
+          // applies iff the CAS cell is absent
+          if (!model.contains((u, ck, c))) model((u, ck, c)) = v
+        case CasUpd(u, ck, c, exp, v) =>
+          Cql.execute(spark, s"UPDATE $d SET $c = $v " +
+            s"WHERE user = '$u' AND ck = $ck IF $c = $exp")
+          if (model.get((u, ck, c)).contains(exp)) model((u, ck, c)) = v
+        case DelRow(u, ck) =>
+          Cql.execute(spark,
+            s"DELETE FROM $d WHERE user = '$u' AND ck = $ck")
+          model.filterInPlace { case ((p, k, _), _) =>
+            p != u || k != ck }
+        case DelPart(u) =>
+          Cql.execute(spark, s"DELETE FROM $d WHERE user = '$u'")
+          model.filterInPlace { case ((p, _, _), _) => p != u }
+        case DelCell(u, ck, c) =>
+          Cql.execute(spark,
+            s"DELETE $c FROM $d WHERE user = '$u' AND ck = $ck")
+          model.remove((u, ck, c))
+        case DelRange(u, lo, hi) =>
+          Cql.execute(spark, s"DELETE FROM $d WHERE user = '$u' " +
+            s"AND ck >= $lo AND ck <= $hi")
+          model.filterInPlace { case ((p, k, _), _) =>
+            p != u || k < lo || k > hi }
+      }
+      val got = Cql.execute(spark,
+        s"SELECT user, ck, col, value FROM $d")
+        .as[(String, Int, String, Long)].collect()
+        .map { case (p, k, c, v) => (p, k, c) -> v }.toMap
+      got == model.toMap
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("catalog DELETE on a typed table routes through C38's SQL path") {
     val root = Files.createTempDirectory("cql-cat-typed").toString
     spark.conf.set("spark.sql.catalog.cqlct", "graft.sources.CellCatalog")
