@@ -266,7 +266,10 @@ object Cql {
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
-      appendCells(spark, dir, jsonCells(json, wt))
+      val spec = graft.sources.CellSource.keySpec(dir)
+      if (spec.isDefault) appendCells(spark, dir, jsonCells(json, wt))
+      else typedWrite(spark, dir, spec,
+        jsonCellsTyped(spec, json, wt), ttl = None)
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
@@ -570,9 +573,12 @@ object Cql {
     // per-statement parse, by the TARGET table's key layout: a Left
     // holds default (pk, ck, col, value, wt) cells, a Right typed
     // rows (keyVals ++ (col, value, wt)) with the table's spec —
-    // tables of either layout mix freely in one batch
-    type Parsed = (String, Either[Seq[(Long, Int, String, Long, Long)],
-      (graft.sources.KeySpec, Seq[Seq[Any]])])
+    // tables of either layout mix freely in one batch. Each row
+    // carries its statement's optional USING TTL (relative, wt-units)
+    // — resolved to an ABSOLUTE expiry once the batch wt is known.
+    type Parsed = (String, Either[
+      Seq[((Long, Int, String, Long, Long), Option[Long])],
+      (graft.sources.KeySpec, Seq[(Seq[Any], Option[Long])])])
     def spec(dir: String) = graft.sources.CellSource.keySpec(dir)
     val parsed: Seq[Parsed] =
       stmts.toSeq.map {
@@ -588,21 +594,16 @@ object Cql {
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
           val (ts, ttl) = parseUsing(Option(usingClause))
-          if (ttl.isDefined)
-            fail("USING TTL is not supported inside BATCH (the " +
-              "journal carries the 5-column cell shape)")
           val sp = spec(dir)
           if (sp.isDefault)
-            (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater))))
+            (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater))
+              .map((_, ttl))))
           else
             (dir, Right((sp, insertTypedRows(sp, cols, vals,
-              ts.getOrElse(AssignLater)))))
+              ts.getOrElse(AssignLater)).map((_, ttl)))))
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
           val (ts, ttl) = parseUsing(Option(usingClause))
-          if (ttl.isDefined)
-            fail("USING TTL is not supported inside BATCH (the " +
-              "journal carries the 5-column cell shape)")
           if (hasCollectionSyntax(sets))
             fail("collection updates are not supported inside BATCH " +
               "(appends need the current collection state)")
@@ -614,19 +615,20 @@ object Cql {
           val sp = spec(dir)
           if (sp.isDefault)
             (dir, Left(updateCells(sets, where,
-              ts.getOrElse(AssignLater))))
+              ts.getOrElse(AssignLater)).map((_, ttl))))
           else
             (dir, Right((sp, updateTypedRows(sp, sets, where,
-              ts.getOrElse(AssignLater)))))
+              ts.getOrElse(AssignLater)).map((_, ttl)))))
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
           val dts = Option(usingTs).map(_.toLong).getOrElse(AssignLater)
           val sp = spec(dir)
           if (sp.isDefault)
-            (dir, Left(deleteMarkers(Option(colOpt), where, dts)))
+            (dir, Left(deleteMarkers(Option(colOpt), where, dts)
+              .map((_, None: Option[Long]))))
           else
             (dir, Right((sp, deleteTypedRows(sp, Option(colOpt),
-              where, dts))))
+              where, dts).map((_, None: Option[Long])))))
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
       }
     // Cassandra's batch rule: one shared writetime for the whole
@@ -635,26 +637,72 @@ object Cql {
     val batchWt = parsed.map(_._1).distinct
       .map(nextWt(spark, _)).max
     def wtOf(wt: Long): Long = if (wt == AssignLater) batchWt else wt
+    // any USING TTL in the batch switches the WHOLE journal to the
+    // expiry-carrying shape (the maintenance paths' withExpiry form);
+    // rows without a TTL carry Long.MaxValue = never
+    val hasTtl = parsed.exists(_._2 match {
+      case Left(cells) => cells.exists(_._2.isDefined)
+      case Right((_, rows)) => rows.exists(_._2.isDefined)
+    })
     val writes = parsed
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (dir, group) =>
         group.head._2 match {
           case Left(_) =>
-            (dir, group.flatMap(_._2.left.getOrElse(Seq.empty))
-              .map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wtOf(wt)) }
-              .toDF("pk", "ck", "col", "value", "wt"))
+            val cells = group.flatMap(_._2.left.getOrElse(Seq.empty))
+            val df =
+              if (hasTtl)
+                cells.map { case ((pk, ck, c, v, wt), t) =>
+                  val w = wtOf(wt)
+                  // Long.MaxValue = never (the storage convention)
+                  (pk, ck, c, v, w, t.map(w + _).getOrElse(Long.MaxValue))
+                }.toDF("pk", "ck", "col", "value", "wt", "_expiry")
+              else
+                cells.map { case ((pk, ck, c, v, wt), _) =>
+                  (pk, ck, c, v, wtOf(wt))
+                }.toDF("pk", "ck", "col", "value", "wt")
+            (dir, df)
           case Right((sp, _)) =>
             val rows = group.flatMap(_._2.toOption.map(_._2)
                 .getOrElse(Seq.empty))
-              .map(r => r.init :+ wtOf(r.last.asInstanceOf[Long]))
-            (dir, typedDf(spark, sp, rows))
+              .map { case (r, t) =>
+                val w = wtOf(r.last.asInstanceOf[Long])
+                (r.init :+ w, t.map(w + _))
+              }
+            val df =
+              if (hasTtl) typedDfExpiry(spark, sp, rows)
+              else typedDf(spark, sp, rows.map(_._1))
+            (dir, df)
         }
       }
     val logDir = writes.head._1 + ".batchlog"
-    graft.sources.CellTransactions.loggedBatch(spark, writes, logDir)
+    graft.sources.CellTransactions.loggedBatch(spark, writes, logDir,
+      withExpiry = hasTtl)
     // the shared batch wt (and any member's explicit ts) moved the
     // involved tables' max outside the allocator's local counters
     parsed.map(_._1).distinct.foreach(forgetWt)
+  }
+
+  /** Typed rows with a per-row ABSOLUTE expiry (Long.MaxValue =
+    * never) — the BATCH journal's withExpiry shape.
+    */
+  private def typedDfExpiry(spark: SparkSession,
+      spec: graft.sources.KeySpec,
+      rows: Seq[(Seq[Any], Option[Long])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      spec.keyFields ++ Seq(
+        StructField("col", StringType, nullable = false),
+        StructField("value", LongType, nullable = false),
+        StructField("wt", LongType, nullable = false),
+        StructField("_expiry", LongType, nullable = false)))
+    val sparkRows = rows.map { case (r, e) =>
+      // Long.MaxValue = never (the storage convention)
+      org.apache.spark.sql.Row.fromSeq(r :+ e.getOrElse(Long.MaxValue))
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+      schema)
   }
 
   private def fail(msg: String): Nothing =
@@ -1659,6 +1707,49 @@ object Cql {
         if (!v.isIntegralNumber || !v.canConvertToLong)
           fail(s"$k must be an integer, got $v")
         (pk, ck, k, v.asLong(), wt)
+    }
+    if (data.isEmpty) fail("INSERT JSON needs at least one data column")
+    data
+  }
+
+  /** Typed twin of [[jsonCells]]: key parts bound by NAME and parsed
+    * by the part's key type (text parts take JSON strings, int/bigint
+    * parts integral numbers); data fields stay bigint cells.
+    */
+  private def jsonCellsTyped(spec: graft.sources.KeySpec, json: String,
+      wt: Long): Seq[Seq[Any]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(json.replace("''", "'"))
+      catch { case e: Exception =>
+        fail(s"bad JSON document: ${e.getMessage}") }
+    if (node == null || !node.isObject) fail("INSERT JSON needs an object")
+    val fields = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(node.properties()).asScala.toSeq
+      .map(e => e.getKey.toLowerCase -> e.getValue)
+    val kv = fields.toMap
+    val keyParts = spec.pkParts ++ spec.ckParts
+    val keyNames = keyParts.map(_.name.toLowerCase)
+    import org.apache.spark.sql.types._
+    val keyVals: Seq[Any] = keyParts.map { p =>
+      val v = kv.getOrElse(p.name.toLowerCase,
+        fail(s"INSERT JSON must bind key part ${p.name}"))
+      (p.dataType, v) match {
+        case (StringType, n) if n.isTextual => n.asText()
+        case (LongType, n) if n.isIntegralNumber &&
+            n.canConvertToLong => n.asLong()
+        case (IntegerType, n) if n.isIntegralNumber &&
+            n.canConvertToLong &&
+            n.asLong() >= Int.MinValue && n.asLong() <= Int.MaxValue =>
+          n.asLong().toInt
+        case (t, n) => fail(s"key part ${p.name} needs a " +
+          s"${t.simpleString} value, got $n")
+      }
+    }
+    val data = fields.collect {
+      case (k, v) if !keyNames.contains(k) =>
+        if (!v.isIntegralNumber || !v.canConvertToLong)
+          fail(s"$k must be an integer, got $v")
+        keyVals ++ Seq(k, v.asLong(), wt)
     }
     if (data.isEmpty) fail("INSERT JSON needs at least one data column")
     data

@@ -722,6 +722,35 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("INSERT JSON on TYPED tables binds key parts by name and type") {
+    val td = Files.createTempDirectory("cql-tjson").toString
+    Seq(("u-1", 1, "qty", 10L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    Cql.execute(spark,
+      s"""INSERT INTO $td JSON '{"user": "u-2", "ck": 3, "qty": 7, "price": 8}'""")
+    val got = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .filter(col("user") === "u-2")
+      .select("user", "ck", "col", "value")
+      .as[(String, Int, String, Long)].collect().toSet
+    assert(got === Set(("u-2", 3, "qty", 7L), ("u-2", 3, "price", 8L)))
+    // a JSON number where the text key part is required refuses
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""INSERT INTO $td JSON '{"user": 5, "ck": 1, "qty": 1}'""")
+    }
+    assert(e.getMessage.contains("string"), e.getMessage)
+    // an unbound key part refuses
+    val e2 = intercept[IllegalArgumentException] {
+      Cql.execute(spark, s"""INSERT INTO $td JSON '{"user": "u", "qty": 1}'""")
+    }
+    assert(e2.getMessage.contains("key part ck"), e2.getMessage)
+  }
+
   test("catalog DELETE on a typed table routes through C38's SQL path") {
     val root = Files.createTempDirectory("cql-cat-typed").toString
     spark.conf.set("spark.sql.catalog.cqlct", "graft.sources.CellCatalog")
@@ -909,21 +938,53 @@ class CqlSpec extends GraftSpec {
       "SET qty = 4 WHERE pk = 8 AND ck = 1")
     val t2 = Cql.execute(spark, s"SELECT TTL(qty) AS t FROM $d WHERE pk = 8")
     assert(t2.as[Option[Long]].collect().toSeq === Seq(Some(10L)))
-    // refusals: TTL 0, TTL inside BATCH, unknown USING option
+    // refusals: TTL 0, unknown USING option
     intercept[IllegalArgumentException] {
       Cql.execute(spark,
         s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 0")
     }
     intercept[IllegalArgumentException] {
       Cql.execute(spark,
-        s"""BEGIN BATCH
-           |  INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 5;
-           |APPLY BATCH""".stripMargin)
-    }
-    intercept[IllegalArgumentException] {
-      Cql.execute(spark,
         s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TIMEOUT 5")
     }
+  }
+
+  test("BATCH carries per-statement USING TTL (the expiry journal " +
+      "shape); rows without TTL never expire") {
+    val d = freshTable()
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $d (pk, ck, qty) VALUES (60, 1, 1) USING TTL 10;
+         |  INSERT INTO $d (pk, ck, qty) VALUES (61, 1, 2);
+         |APPLY BATCH""".stripMargin)
+    // both visible at the batch wt (101); TTL round-trips
+    val t = Cql.execute(spark,
+      s"SELECT TTL(qty) AS t FROM $d WHERE pk = 60")
+    assert(t.as[Option[Long]].collect().toSeq === Seq(Some(10L)))
+    // past wt + ttl the expiring row drops; the plain row survives
+    val late = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "112")
+      .load(d).filter(col("pk") >= 60L)
+      .select("pk").as[Long].collect().toSet
+    assert(late === Set(61L))
+    // a TYPED member in the same TTL-carrying batch expires too
+    val td = Files.createTempDirectory("cql-tbttl").toString
+    Seq(("u-1", 1, "qty", 1L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $td (user, ck, qty) VALUES ('u-9', 1, 9) USING TTL 5;
+         |  INSERT INTO $td (user, ck, qty) VALUES ('u-8', 1, 8);
+         |APPLY BATCH""".stripMargin)
+    val tlate = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "107")
+      .load(td).filter(col("ck") === 1)
+      .select("user").as[String].collect().toSet
+    assert(tlate === Set("u-1", "u-8"))
   }
 
   private def freshTypedTable(): String = {
