@@ -324,7 +324,9 @@ object Cql {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
         else appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
-      } else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      } else if (hasCollectionSyntax(sets))
+        collectionUpdateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
       if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
@@ -2194,6 +2196,130 @@ object Cql {
       case x => fail(s"unsupported SET item: $x")
     }
     appendCells(spark, dir, cells.toSeq, ttl)
+  }
+
+  /** Typed twin of [[collectionUpdate]] (r11): the same element-per-
+    * cell encodings over NAMED key parts. Map puts and plain scalar
+    * SETs work on ANY typed layout (the row IS the map — full key
+    * bound); list appends and set add/remove need a SINGLE INT
+    * clustering part (elements claim int cks after the partition max,
+    * the C11/C13 ordering dimension) and a WHERE that binds only the
+    * partition key. The bounded point reads (max ck per partition,
+    * element cks for removes) push as typed point probes.
+    */
+  private def collectionUpdateTyped(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec, sets: String, where: String,
+      wt: Long, ttl: Option[Long]): Unit = {
+    import org.apache.spark.sql.types.IntegerType
+    val intCk = spec.ckParts match {
+      case p :: Nil if p.dataType == IntegerType => true
+      case _ => false
+    }
+    val (pkTuples, ckOpt, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("collection UPDATE WHERE binds keys by equality")
+    val pkNames = spec.pkParts.map(_.name)
+    def reconciled = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    // the statement's partitions, as a pushed typed filter: a
+    // multi-tuple set only arises from IN on a single-part key
+    def keyed(df: DataFrame): DataFrame =
+      if (pkTuples.length == 1)
+        pkNames.zip(pkTuples.head).foldLeft(df) {
+          case (d, (n, v)) => d.filter(col(n) === v)
+        }
+      else df.filter(col(pkNames.head)
+        .isin(pkTuples.map(_.head).toIndexedSeq: _*))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val nextCk =
+      scala.collection.mutable.Map.empty[(Seq[Any], String), Int]
+    def fullCk: Seq[Any] = ckOpt.getOrElse(
+      if (spec.ckParts.isEmpty) Seq.empty
+      else fail("this SET item needs WHERE to bind every clustering " +
+        "part (the row IS the map)"))
+    def needIntCk(what: String): Unit =
+      if (!intCk) fail(s"$what needs a single int clustering key " +
+        s"(elements order on it); this layout has " +
+        (if (spec.ckParts.isEmpty) "none"
+         else spec.ckParts.map(p =>
+           s"${p.name} ${p.dataType.simpleString}").mkString(", ")))
+    def appendTyped(name: String, values: Seq[Long]): Unit = {
+      if (values.isEmpty) return
+      if (name.startsWith("!"))
+        fail(s"unsupported collection name: $name")
+      val unseen = pkTuples.filterNot(pk => nextCk.contains((pk, name)))
+      if (unseen.nonEmpty) {
+        val ckName = spec.ckParts.head.name
+        val maxCks: Map[Seq[Any], Int] = keyed(reconciled)
+          .filter(col("col") === name)
+          .groupBy(pkNames.map(col).toIndexedSeq: _*)
+          .agg(max(col(ckName)).as("m"))
+          .collect() // bounded: <= partition count of the statement
+          .map(r => pkNames.indices.map(r.get) -> r.getInt(pkNames.length))
+          .toMap
+        unseen.foreach(pk =>
+          nextCk((pk, name)) = maxCks.getOrElse(pk, 0))
+      }
+      pkTuples.foreach { pk =>
+        var ck = nextCk((pk, name))
+        values.foreach { v =>
+          if (ck == Int.MaxValue)
+            fail(s"collection $name is at the ck ceiling")
+          ck += 1
+          rows += pk ++ Seq(ck, name, v, wt)
+        }
+        nextCk((pk, name)) = ck
+      }
+    }
+    splitSetItems(sets).foreach {
+      case MapPutRe(_, key, v) =>
+        val ck = fullCk
+        val k = literal(key) match {
+          case s: String => s
+          case o => fail(s"map key must be a text literal, got $o")
+        }
+        if (k.isEmpty || k.startsWith("!"))
+          fail(s"unsupported map key: '$k'")
+        pkTuples.foreach(pk =>
+          rows += pk ++ ck ++ Seq(k, longLiteral(v, "map value"), wt))
+      case ListAppendRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"list append must extend the same column ($n1 vs $n2)")
+        needIntCk("list append")
+        appendTyped(n1.toLowerCase,
+          splitValues(vs).toSeq.map(longLiteral(_, "list element")))
+      case SetAddRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"set add must extend the same column ($n1 vs $n2)")
+        needIntCk("set add")
+        appendTyped(n1.toLowerCase,
+          splitValues(vs).toSeq.map(longLiteral(_, "set element")))
+      case SetRemoveRe(n1, n2, vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"set remove must shrink the same column ($n1 vs $n2)")
+        needIntCk("set remove")
+        val name = n1.toLowerCase
+        val victims = splitValues(vs).toSeq
+          .map(longLiteral(_, "set element"))
+        val ckName = spec.ckParts.head.name
+        val hits = keyed(reconciled)
+          .filter(col("col") === name &&
+            col("value").isin(victims.map(Long.box).toIndexedSeq: _*))
+          .select((pkNames.map(col) :+ col(ckName)).toIndexedSeq: _*)
+          .collect() // bounded: <= removed-element cell count
+        hits.foreach(r =>
+          rows += pkNames.indices.map(r.get) ++
+            Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
+      case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
+        val ck = fullCk
+        if ((spec.pkParts ++ spec.ckParts)
+            .exists(_.name.equalsIgnoreCase(c)))
+          fail(s"cannot SET key part $c")
+        pkTuples.foreach(pk => rows += pk ++ ck ++
+          Seq(c.toLowerCase, longLiteral(v, s"value of $c"), wt))
+      case x => fail(s"unsupported SET item: $x")
+    }
+    typedWrite(spark, dir, spec, rows.toSeq, ttl)
   }
 
   /** Append element cells for a list/set collection: claim the cks

@@ -751,6 +751,53 @@ class CqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("key part ck"), e2.getMessage)
   }
 
+  test("collection writes on TYPED tables: map put, list append, " +
+      "set add/remove over named key parts (C11/C12/C13 over CEL6)") {
+    val td = Files.createTempDirectory("cql-tcoll").toString
+    Seq(("u-1", 0, "qty", 1L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    def cells(u: String) = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .filter(col("user") === u)
+      .select("ck", "col", "value")
+      .as[(Int, String, Long)].collect().toSet
+    // list append claims cks after the partition max; a second append
+    // continues the sequence (list order = ck order)
+    Cql.execute(spark,
+      s"UPDATE $td SET tags = tags + [10, 11] WHERE user = 'u-1'")
+    Cql.execute(spark,
+      s"UPDATE $td SET tags = tags + [12] WHERE user = 'u-1'")
+    assert(cells("u-1").filter(_._2 == "tags") ===
+      Set((1, "tags", 10L), (2, "tags", 11L), (3, "tags", 12L)))
+    // set add + remove: the remove is one element tombstone per hit
+    Cql.execute(spark,
+      s"UPDATE $td SET st = st + {5, 6} WHERE user = 'u-2'")
+    Cql.execute(spark,
+      s"UPDATE $td SET st = st - {5} WHERE user = 'u-2'")
+    assert(cells("u-2").map(r => (r._2, r._3)) === Set(("st", 6L)))
+    // map put: the row IS the map — full key bound, entry key = col
+    Cql.execute(spark,
+      s"UPDATE $td SET m['color'] = 7 WHERE user = 'u-3' AND ck = 1")
+    assert(cells("u-3") === Set((1, "color", 7L)))
+    // a non-int clustering layout refuses list/set writes loudly
+    val sd = Files.createTempDirectory("cql-tcoll-s").toString
+    Seq(("u-1", "a", "qty", 1L, 100L))
+      .toDF("user", "tag", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),tag)")
+      .option("keyType.user", "string").option("keyType.tag", "string")
+      .mode("append").save(sd)
+    val e = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"UPDATE $sd SET l = l + [1] WHERE user = 'u-1'")
+    }
+    assert(e.getMessage.contains("int clustering"), e.getMessage)
+  }
+
   test("catalog DELETE on a typed table routes through C38's SQL path") {
     val root = Files.createTempDirectory("cql-cat-typed").toString
     spark.conf.set("spark.sql.catalog.cqlct", "graft.sources.CellCatalog")
