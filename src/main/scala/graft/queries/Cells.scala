@@ -1548,6 +1548,42 @@ object Cells {
       |  ('home', 'n', 6)) AS t(p, col, v)
       |ORDER BY p, col""".stripMargin
 
+  // C11d — TYPED-table collection writes end-to-end: list appends
+  // claim int cks after the partition max (list order = ck order,
+  // across statements), set add/remove are element cells + element
+  // tombstones, map puts land on the fully-bound row — C11/C12/C13's
+  // element-per-cell encodings over NAMED key parts, through a
+  // DDL-created typed table and read back via the front door.
+  private def typedCollections(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_tcoll"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tcoll-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (user text, ck int, " +
+      "col text, value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+    cq("TRUNCATE ks.t")
+    cq("UPDATE ks.t SET tags = tags + [10, 11] WHERE user = 'u-1'")
+    cq("UPDATE ks.t SET tags = tags + [12] WHERE user = 'u-1'")
+    cq("UPDATE ks.t SET st = st + {5, 6} WHERE user = 'u-2'")
+    cq("UPDATE ks.t SET st = st - {5} WHERE user = 'u-2'")
+    cq("UPDATE ks.t SET m['color'] = 7 WHERE user = 'u-3' AND ck = 1")
+    cq("UPDATE ks.t SET qty = 9 WHERE user = 'u-3' AND ck = 1")
+    cq("SELECT user, ck, col, value FROM ks.t ORDER BY user, ck, col")
+  }
+
+  private val typedCollectionsSql =
+    """SELECT u AS "user", CAST(ck AS INT) AS ck, col,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('u-1', 1, 'tags', 10), ('u-1', 2, 'tags', 11),
+      |  ('u-1', 3, 'tags', 12), ('u-2', 2, 'st', 6),
+      |  ('u-3', 1, 'color', 7), ('u-3', 1, 'qty', 9))
+      |  AS t(u, ck, col, v)
+      |ORDER BY u, ck, col""".stripMargin
+
   // C65c — CQL token-range paging through the front door: the
   // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
   // idiom lands on the C41 physical token-range scan (Summary/
@@ -1700,6 +1736,8 @@ object Cells {
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
+    GQuery("C11d_typed_collections", typedCollections,
+      Some(typedCollectionsSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),
