@@ -151,23 +151,52 @@ object Cql {
   // prepared statements (C65 — the driver wire-protocol form: every
   // real client session PREPAREs once and BINDs per execution)
 
-  /** A prepared statement: the text split at positional `?` bind
-    * markers (markers inside single-quoted literals are data, not
-    * markers). `bind` renders each value as a typed CQL literal —
-    * strings are quoted with `''`-escaping, so injection-shaped
-    * values stay data — and returns the executable statement.
+  /** A prepared statement: the text split at bind markers —
+    * positional `?` or named `:name` (markers inside single-quoted
+    * literals are data, not markers; one statement uses ONE style,
+    * the drivers' rule). `bind`/`bindNamed` render each value as a
+    * typed CQL literal — strings are quoted with `''`-escaping, so
+    * injection-shaped values stay data — and return the executable
+    * statement. A name repeated in the text binds ONE value, applied
+    * at every occurrence.
     */
   final class Prepared private[cql] (
-      private val parts: IndexedSeq[String]) {
-    /** Number of positional `?` markers. */
+      private val parts: IndexedSeq[String],
+      private val names: IndexedSeq[String]) {
+    /** Number of bind markers in the text. */
     def markers: Int = parts.length - 1
 
+    /** Distinct marker names, in first-occurrence order; empty for a
+      * positional statement. */
+    def markerNames: Seq[String] = names.distinct
+
     def bind(values: Any*): String = {
+      if (names.nonEmpty)
+        fail("this statement uses named markers (" +
+          markerNames.mkString(", ") + ") — bind them with bindNamed")
       if (values.length != markers)
         fail(s"prepared statement has $markers bind markers, " +
           s"got ${values.length} values")
+      render(values.toIndexedSeq)
+    }
+
+    def bindNamed(values: Map[String, Any]): String = {
+      if (names.isEmpty && markers > 0)
+        fail("this statement uses positional markers — bind with bind")
+      val known = markerNames.toSet
+      val unknown = values.keySet.map(_.toLowerCase) -- known
+      if (unknown.nonEmpty)
+        fail(s"unknown bind name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      val lower = values.map { case (k, v) => k.toLowerCase -> v }
+      val missing = known -- lower.keySet
+      if (missing.nonEmpty)
+        fail(s"unbound marker(s): ${missing.toSeq.sorted.mkString(", ")}")
+      render(names.map(lower))
+    }
+
+    private def render(vs: IndexedSeq[Any]): String = {
       val sb = new StringBuilder(parts.head)
-      values.iterator.zip(parts.iterator.drop(1)).foreach {
+      vs.iterator.zip(parts.iterator.drop(1)).foreach {
         case (v, tail) => sb.append(renderBind(v)).append(tail)
       }
       sb.toString
@@ -189,26 +218,46 @@ object Cql {
         "column; collections bind as literals in the statement)")
   }
 
-  /** Prepare a statement with positional `?` markers. The shape is
-    * checked NOW (Cassandra validates at prepare time): the text with
-    * every marker bound to a placeholder must parse as a known
+  /** Prepare a statement with positional `?` or named `:name` bind
+    * markers (one style per statement — the drivers' rule). The shape
+    * is checked NOW (Cassandra validates at prepare time): the text
+    * with every marker bound to a placeholder must parse as a known
     * statement form. The returned [[Prepared]] is immutable and
     * reusable across binds.
     */
   def prepare(stmt: String): Prepared = {
     val parts = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    val names = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    var positional = 0
     val cur = new StringBuilder
     var inQ = false
-    stmt.foreach { c =>
-      if (c == '\'') inQ = !inQ
-      if (c == '?' && !inQ) { parts += cur.toString; cur.clear() }
-      else cur += c
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (c == '\'') { inQ = !inQ; cur += c; i += 1 }
+      else if (!inQ && c == '?') {
+        parts += cur.toString; cur.clear(); positional += 1; i += 1
+      } else if (!inQ && c == ':' && i + 1 < stmt.length &&
+          (stmt.charAt(i + 1).isLetter || stmt.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < stmt.length && (stmt.charAt(j).isLetterOrDigit ||
+            stmt.charAt(j) == '_')) j += 1
+        parts += cur.toString; cur.clear()
+        names += stmt.substring(i + 1, j).toLowerCase
+        i = j
+      } else { cur += c; i += 1 }
     }
     parts += cur.toString
-    val p = new Prepared(parts.result())
+    val nm = names.result()
+    if (positional > 0 && nm.nonEmpty)
+      fail("cannot mix positional (?) and named (:name) bind " +
+        s"markers in one statement: $stmt")
+    val p = new Prepared(parts.result(), nm)
     // prepare-time shape check: a statement no form recognizes must
     // fail HERE, not on the first bind in production
-    val probe = p.bind(Seq.fill(p.markers)(0L): _*)
+    val probe =
+      if (nm.isEmpty) p.bind(Seq.fill(p.markers)(0L): _*)
+      else p.bindNamed(p.markerNames.map(_ -> (0L: Any)).toMap)
     if (!shapeKnown(probe))
       fail(s"cannot prepare (no statement form matches): $stmt")
     p
@@ -231,6 +280,12 @@ object Cql {
       values: Seq[Any],
       resolve: String => String = identity): DataFrame =
     execute(spark, prepare(stmt).bind(values: _*), resolve)
+
+  /** Named-marker form: `values` bind the `:name` markers by name. */
+  def executePrepared(spark: SparkSession, stmt: String,
+      values: Map[String, Any],
+      resolve: String => String): DataFrame =
+    execute(spark, prepare(stmt).bindNamed(values), resolve)
 
   /** Execute one CQL statement. SELECT returns its result; writes
     * return an empty DataFrame after committing.

@@ -2002,6 +2002,57 @@ class CqlSpec extends GraftSpec {
     assert(e3.getMessage.contains("cannot bind"))
   }
 
+  test("prepared statements: named markers (:name) bind by name") {
+    val d = freshTable()
+    // a repeated name binds ONE value at every occurrence
+    val p = Cql.prepare(s"SELECT pk, ck, value FROM $d " +
+      "WHERE pk = :key AND ck >= :lo AND ck <= :lo")
+    assert(p.markers === 3 && p.markerNames === Seq("key", "lo"))
+    val bound = Cql.execute(spark,
+        p.bindNamed(Map("key" -> 2L, "lo" -> 1)))
+      .as[(Long, Int, Long)].collect().toSeq
+    val lit = Cql.execute(spark, s"SELECT pk, ck, value FROM $d " +
+        "WHERE pk = 2 AND ck >= 1 AND ck <= 1")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(bound === lit && bound.nonEmpty)
+    // named INSERT on a typed table; injection-shaped value stays data
+    val td = Files.createTempDirectory("cql-prep-named").toString
+    Seq(("u-1", 1, "qty", 10L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    val evil = "u'; DROP TABLE t; --"
+    Cql.executePrepared(spark,
+      s"INSERT INTO $td (user, ck, qty) VALUES (:u, :c, :q)",
+      Map[String, Any]("u" -> evil, "c" -> 5, "q" -> 9L), identity)
+    assert(Cql.executePrepared(spark,
+        s"SELECT value FROM $td WHERE user = :u AND ck = :c",
+        Map[String, Any]("u" -> evil, "c" -> 5), identity)
+      .as[Long].collect().toSeq === Seq(9L))
+    // hygiene: ':' inside a quoted literal is data, not a marker
+    assert(Cql.prepare(
+      s"SELECT value FROM $td WHERE user = 'a:b'").markers === 0)
+    // mixing styles refuses at prepare time (the drivers' rule)
+    val e1 = intercept[IllegalArgumentException] {
+      Cql.prepare(s"SELECT pk FROM $d WHERE pk = ? AND ck = :c")
+    }
+    assert(e1.getMessage.contains("mix"), e1.getMessage)
+    // unknown and missing names refuse with the name
+    val e2 = intercept[IllegalArgumentException] {
+      p.bindNamed(Map("key" -> 1L, "lo" -> 1, "zz" -> 2))
+    }
+    assert(e2.getMessage.contains("zz"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      p.bindNamed(Map("key" -> 1L))
+    }
+    assert(e3.getMessage.contains("lo"), e3.getMessage)
+    // style cross-calls refuse
+    val e4 = intercept[IllegalArgumentException] { p.bind(1L, 2, 3) }
+    assert(e4.getMessage.contains("bindNamed"), e4.getMessage)
+  }
+
   // --- per-script writetime allocator -------------------------------
 
   private def wtsOf(d: String, pk: Long): Map[(Int, String), Long] =
