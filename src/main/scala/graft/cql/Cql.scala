@@ -83,11 +83,28 @@ object Cql {
       case UsingTtlRe(v) =>
         if (ttl.isDefined) fail("duplicate USING TTL")
         val t = v.toLong
-        if (t <= 0) fail("USING TTL must be positive")
+        if (t < 0) fail("USING TTL must be non-negative")
+        // TTL 0 is legal CQL: "no expiry", explicitly — the spelling
+        // that OVERRIDES a table default_time_to_live
         ttl = Some(t)
       case o => fail(s"unsupported USING option: $o")
     })
     (ts, ttl)
+  }
+
+  /** Cassandra's `default_time_to_live`: a DATA write without an
+    * explicit `USING TTL` takes the table's default grant (assigned
+    * AT WRITE TIME — a later ALTER never touches existing cells);
+    * `USING TTL 0` is the explicit "no expiry" override. Tombstone
+    * markers never take TTL — they are reclaimed by gc_grace
+    * compaction, and an EXPIRING tombstone would resurrect the data
+    * it shadows.
+    */
+  private def effectiveTtl(dir: String, ttl: Option[Long])
+      : Option[Long] = ttl match {
+    case Some(0L) => None
+    case s @ Some(_) => s
+    case None => graft.sources.CellSource.defaultTtl(dir)
   }
 
   private val UpdateIfRe =
@@ -127,6 +144,8 @@ object Cql {
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)\s+(\w+)\s*;?\s*$""".r
+  private val AlterWithRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WITH\s+(.+?)\s*;?\s*$""".r
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
@@ -322,9 +341,11 @@ object Cql {
       val dir = resolve(table)
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (spec.isDefault) appendCells(spark, dir, jsonCells(json, wt))
+      val ttlOpt = effectiveTtl(dir, None) // table default, if any
+      if (spec.isDefault)
+        appendCells(spark, dir, jsonCells(json, wt), ttlOpt)
       else typedWrite(spark, dir, spec,
-        jsonCellsTyped(spec, json, wt), ttl = None)
+        jsonCellsTyped(spec, json, wt), ttlOpt)
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
@@ -349,7 +370,8 @@ object Cql {
         Option(page), Option(af).isDefined)
     case InsertRe(table, cols, vals, usingClause) =>
       val dir = resolve(table)
-      val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
+      val (tsOpt, rawTtl) = parseUsing(Option(usingClause))
+      val ttlOpt = effectiveTtl(dir, rawTtl)
       val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       if (isCounter(dir))
@@ -362,7 +384,8 @@ object Cql {
       spark.emptyDataFrame
     case UpdateRe(table, usingClause, sets, where) =>
       val dir = resolve(table)
-      val (tsOpt, ttlOpt) = parseUsing(Option(usingClause))
+      val (tsOpt, rawTtl) = parseUsing(Option(usingClause))
+      val ttlOpt = effectiveTtl(dir, rawTtl)
       val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       if (isCounter(dir)) {
@@ -370,7 +393,7 @@ object Cql {
         // at a fresh writetime; the counter read mode SUMS shards
         // (C10) — no read-modify-write anywhere. TTL on counters is
         // refused (Cassandra's rule).
-        if (ttlOpt.isDefined) fail("counters cannot have TTL")
+        if (rawTtl.isDefined) fail("counters cannot have TTL")
         if (spec.isDefault)
           appendCells(spark, dir, counterUpdateCells(sets, where, wt))
         else typedWrite(spark, dir, spec,
@@ -650,7 +673,8 @@ object Cql {
           fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
-          val (ts, ttl) = parseUsing(Option(usingClause))
+          val (ts, rawTtl) = parseUsing(Option(usingClause))
+          val ttl = effectiveTtl(dir, rawTtl)
           val sp = spec(dir)
           if (sp.isDefault)
             (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater))
@@ -660,7 +684,8 @@ object Cql {
               ts.getOrElse(AssignLater)).map((_, ttl)))))
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
-          val (ts, ttl) = parseUsing(Option(usingClause))
+          val (ts, rawTtl) = parseUsing(Option(usingClause))
+          val ttl = effectiveTtl(dir, rawTtl)
           if (hasCollectionSyntax(sets))
             fail("collection updates are not supported inside BATCH " +
               "(appends need the current collection state)")
@@ -829,6 +854,18 @@ object Cql {
               case SetRe(k, v) if k.equalsIgnoreCase("gc_grace_seconds") =>
                 props += "gcGraceMs" ->
                   (longLiteral(v, "gc_grace_seconds") * 1000L).toString
+              case SetRe(k, v)
+                  if k.equalsIgnoreCase("default_time_to_live") =>
+                // wt units, like USING TTL (the facade's writetimes
+                // are logical); 0 = no default, Cassandra's own
+                val t = longLiteral(v, "default_time_to_live")
+                if (t < 0) fail("default_time_to_live must be " +
+                  "non-negative")
+                if (cc.counter && t > 0)
+                  fail("counter tables cannot have " +
+                    "default_time_to_live (Cassandra's rule: " +
+                    "counters cannot have TTL)")
+                if (t > 0) props += "defaultTtl" -> t.toString
               case o => fail(s"unsupported table option: $o")
             }
         }
@@ -885,6 +922,38 @@ object Cql {
         }
         // existence check only — fails fast on an unknown table
         spark.sql(s"DESCRIBE TABLE $catalog.$ks.$t")
+        spark.emptyDataFrame
+      case AlterWithRe(ks, t, opts) =>
+        // Cassandra's ALTER TABLE WITH: table properties change for
+        // FUTURE operations only — default_time_to_live is assigned
+        // at write time, so existing cells keep the grant they were
+        // written with; gc_grace_seconds steers the next compaction's
+        // tombstone GC. Setting default_time_to_live = 0 REMOVES the
+        // default (Cassandra's no-default spelling).
+        val dir = s"$root/$ks/$t"
+        opts.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+          .foreach {
+            case SetRe(k, v) if k.equalsIgnoreCase("gc_grace_seconds") =>
+              val ms = longLiteral(v, "gc_grace_seconds") * 1000L
+              spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                s"SET TBLPROPERTIES ('gcGraceMs' = '$ms')")
+            case SetRe(k, v)
+                if k.equalsIgnoreCase("default_time_to_live") =>
+              val n = longLiteral(v, "default_time_to_live")
+              if (n < 0) fail("default_time_to_live must be " +
+                "non-negative")
+              if (n > 0 && isCounter(dir))
+                fail("counter tables cannot have " +
+                  "default_time_to_live (Cassandra's rule: " +
+                  "counters cannot have TTL)")
+              if (n == 0)
+                spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                  "UNSET TBLPROPERTIES IF EXISTS ('defaultTtl')")
+              else
+                spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                  s"SET TBLPROPERTIES ('defaultTtl' = '$n')")
+            case o => fail(s"unsupported table option: $o")
+          }
         spark.emptyDataFrame
       case CreateIdxRe(ifNot, nameOpt, ks, t, c) =>
         // CREATE INDEX → a C18 inverted index table next to its base
@@ -2191,6 +2260,11 @@ object Cql {
     val pkSeq = pks.toSeq.sorted
     val cells = scala.collection.mutable
       .ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+    // tombstone markers write SEPARATELY, never under the statement's
+    // TTL (explicit or table default): an expiring tombstone would
+    // resurrect the removed elements at its expiry
+    val tombs = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Int, String, Long, Long)]
     // bounded point reads against the reconciled view (pk-pushed):
     // current max ck per (pk, collection) for appends, element cks
     // for removes — the hit sets are per-statement small
@@ -2242,7 +2316,7 @@ object Cql {
           .select(col("pk"), col("ck"))
           .collect() // bounded: <= removed-element cell count
         hits.foreach(r =>
-          cells += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
+          tombs += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
       case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
         // plain scalar SET items compose with collection items
         val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
@@ -2251,6 +2325,7 @@ object Cql {
       case x => fail(s"unsupported SET item: $x")
     }
     appendCells(spark, dir, cells.toSeq, ttl)
+    appendCells(spark, dir, tombs.toSeq, ttl = None)
   }
 
   /** Typed twin of [[collectionUpdate]] (r11): the same element-per-
@@ -2286,6 +2361,9 @@ object Cql {
       else df.filter(col(pkNames.head)
         .isin(pkTuples.map(_.head).toIndexedSeq: _*))
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    // tombstones write separately, never under TTL (see the default-
+    // layout twin: an expiring tombstone resurrects its elements)
+    val tombs = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     val nextCk =
       scala.collection.mutable.Map.empty[(Seq[Any], String), Int]
     def fullCk: Seq[Any] = ckOpt.getOrElse(
@@ -2363,7 +2441,7 @@ object Cql {
           .select((pkNames.map(col) :+ col(ckName)).toIndexedSeq: _*)
           .collect() // bounded: <= removed-element cell count
         hits.foreach(r =>
-          rows += pkNames.indices.map(r.get) ++
+          tombs += pkNames.indices.map(r.get) ++
             Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
       case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
         val ck = fullCk
@@ -2375,6 +2453,7 @@ object Cql {
       case x => fail(s"unsupported SET item: $x")
     }
     typedWrite(spark, dir, spec, rows.toSeq, ttl)
+    typedWrite(spark, dir, spec, tombs.toSeq, ttl = None)
   }
 
   /** Append element cells for a list/set collection: claim the cks

@@ -1548,6 +1548,38 @@ object Cells {
       |  ('home', 'n', 6)) AS t(p, col, v)
       |ORDER BY p, col""".stripMargin
 
+  // C28d — default_time_to_live end-to-end: a table-level TTL grant
+  // assigned AT WRITE TIME (Cassandra's rule — later ALTERs never
+  // touch existing cells): writes without USING TTL take the current
+  // default, explicit TTL overrides, TTL 0 explicitly disables, and
+  // an ALTER raises the default for future writes only.
+  private def defaultTtlLifecycle(s: SparkSession, d: String)
+      : DataFrame = {
+    val cat = "gq_dttl"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-dttl-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("DROP TABLE IF EXISTS ks.t")
+    cq("CREATE TABLE ks.t (pk bigint, ck int, col text, value bigint, " +
+      "wt bigint, PRIMARY KEY ((pk), ck)) " +
+      "WITH default_time_to_live = 50")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 1)")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 2) USING TTL 7")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 3) USING TTL 0")
+    cq("ALTER TABLE ks.t WITH default_time_to_live = 90")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (4, 1, 4)")
+    cq("SELECT pk, TTL(qty) AS t FROM ks.t ORDER BY pk")
+  }
+
+  private val defaultTtlSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(t AS BIGINT) AS t
+      |FROM (VALUES (1, 50), (2, 7), (3, NULL), (4, 90)) AS v(pk, t)
+      |ORDER BY pk""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -1738,6 +1770,7 @@ object Cells {
     GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
     GQuery("C11d_typed_collections", typedCollections,
       Some(typedCollectionsSql)),
+    GQuery("C28d_default_ttl", defaultTtlLifecycle, Some(defaultTtlSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

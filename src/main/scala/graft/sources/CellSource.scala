@@ -499,6 +499,24 @@ object KeyCodec {
 }
 
 object CellSource {
+  /** Catalog-persisted table-default TTL (`defaultTtl` in `_props`,
+    * wt units) — Cassandra's `default_time_to_live`: a data write
+    * without an explicit `USING TTL` takes this grant AT WRITE TIME
+    * (later ALTERs never touch existing cells, Cassandra's rule).
+    * Consulted by the CQL facade's write paths; absent = no default.
+    */
+  def defaultTtl(dir: String): Option[Long] = {
+    val f = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      Option(p.getProperty("defaultTtl")).map(_.toLong)
+    }
+  }
+
   def schemaFor(valueType: DataType): StructType =
     schemaFor(KeySpec.Default, valueType)
 

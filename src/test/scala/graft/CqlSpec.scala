@@ -985,10 +985,16 @@ class CqlSpec extends GraftSpec {
       "SET qty = 4 WHERE pk = 8 AND ck = 1")
     val t2 = Cql.execute(spark, s"SELECT TTL(qty) AS t FROM $d WHERE pk = 8")
     assert(t2.as[Option[Long]].collect().toSeq === Seq(Some(10L)))
-    // refusals: TTL 0, unknown USING option
+    // TTL 0 is legal CQL: "no expiry", explicitly (the spelling that
+    // overrides a table default_time_to_live)
+    Cql.execute(spark,
+      s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 0")
+    assert(Cql.execute(spark, s"SELECT TTL(qty) AS t FROM $d WHERE pk = 9")
+      .as[Option[Long]].collect().toSeq === Seq(None))
+    // refusals: negative TTL, unknown USING option
     intercept[IllegalArgumentException] {
       Cql.execute(spark,
-        s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL 0")
+        s"INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 1) USING TTL -1")
     }
     intercept[IllegalArgumentException] {
       Cql.execute(spark,
@@ -1032,6 +1038,94 @@ class CqlSpec extends GraftSpec {
       .load(td).filter(col("ck") === 1)
       .select("user").as[String].collect().toSet
     assert(tlate === Set("u-1", "u-8"))
+  }
+
+  test("default_time_to_live: writes without USING TTL take the " +
+      "table default at write time; TTL 0 overrides; ALTER is " +
+      "future-only") {
+    val root = Files.createTempDirectory("cql-dttl").toString
+    spark.conf.set("spark.sql.catalog.cqldttl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqldttl.root", root)
+    def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqldttl")
+    cq("CREATE KEYSPACE ks")
+    cq("CREATE TABLE ks.t (pk bigint, ck int, col text, value bigint, " +
+      "wt bigint, PRIMARY KEY ((pk), ck)) " +
+      "WITH default_time_to_live = 50")
+    def ttlOf(pk: Long): Option[Long] =
+      cq(s"SELECT TTL(qty) AS t FROM ks.t WHERE pk = $pk")
+        .as[Option[Long]].collect().head
+    // no USING TTL → the table default; explicit TTL overrides;
+    // TTL 0 explicitly disables
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 1)")
+    assert(ttlOf(1) === Some(50L))
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 2) USING TTL 7")
+    assert(ttlOf(2) === Some(7L))
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 3) USING TTL 0")
+    assert(ttlOf(3) === None)
+    // UPDATE and logged-BATCH members take the default too
+    cq("UPDATE ks.t SET qty = 9 WHERE pk = 4 AND ck = 1")
+    assert(ttlOf(4) === Some(50L))
+    cq("""BEGIN BATCH
+         |  INSERT INTO ks.t (pk, ck, qty) VALUES (5, 1, 5);
+         |  INSERT INTO ks.t (pk, ck, qty) VALUES (6, 1, 6) USING TTL 0;
+         |APPLY BATCH""".stripMargin)
+    assert(ttlOf(5) === Some(50L) && ttlOf(6) === None)
+    // ALTER raises the default for FUTURE writes only
+    cq("ALTER TABLE ks.t WITH default_time_to_live = 90")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (7, 1, 7)")
+    assert(ttlOf(7) === Some(90L) && ttlOf(1) === Some(50L))
+    // ALTER ... = 0 removes the default
+    cq("ALTER TABLE ks.t WITH default_time_to_live = 0")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (8, 1, 8)")
+    assert(ttlOf(8) === None)
+    // counter tables refuse the property (create AND alter)
+    val e1 = intercept[IllegalArgumentException] {
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck)) " +
+        "WITH default_time_to_live = 5")
+    }
+    assert(e1.getMessage.contains("counter"), e1.getMessage)
+    cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+      "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+    val e2 = intercept[IllegalArgumentException] {
+      cq("ALTER TABLE ks.c WITH default_time_to_live = 5")
+    }
+    assert(e2.getMessage.contains("counter"), e2.getMessage)
+  }
+
+  test("collection remove tombstones never take TTL (explicit or " +
+      "default) — an expiring tombstone would resurrect elements") {
+    val d = freshTable()
+    Cql.execute(spark, s"UPDATE $d SET st = st + {5, 6} WHERE pk = 70")
+    // the remove statement carries USING TTL: the DATA it writes may
+    // expire, its tombstone must not
+    Cql.execute(spark,
+      s"UPDATE $d USING TTL 5 SET st = st - {5} WHERE pk = 70")
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d).filter(col("pk") === 70L)
+    assert(raw.filter(col("col") === "!del:st")
+      .select("_expiry").as[Long].collect().toSeq === Seq(Long.MaxValue))
+    // far past any expiry, the removed element stays removed
+    val late = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", "100000")
+      .load(d).filter(col("pk") === 70L && col("col") === "st")
+      .select("value").as[Long].collect().toSet
+    assert(late === Set(6L))
+    // same invariant on the TYPED twin
+    val td = Files.createTempDirectory("cql-tcoll-ttl").toString
+    Seq(("u-1", 0, "qty", 1L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    Cql.execute(spark, s"UPDATE $td SET st = st + {5, 6} WHERE user = 'u-1'")
+    Cql.execute(spark,
+      s"UPDATE $td USING TTL 5 SET st = st - {5} WHERE user = 'u-1'")
+    val traw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(td)
+    assert(traw.filter(col("col") === "!del:st")
+      .select("_expiry").as[Long].collect().toSeq === Seq(Long.MaxValue))
   }
 
   private def freshTypedTable(): String = {
