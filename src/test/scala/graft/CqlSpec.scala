@@ -722,6 +722,85 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: random COLLECTION write programs match the " +
+      "sequential model (list order, set dedup, map entries)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Lists are ck-ordered element cells, sets dedup on read, maps
+    // key on the entry name, partition tombstones wipe them all —
+    // applying the statements to mutable list/set/map state must give
+    // exactly what the reconciled read reassembles. Any divergence is
+    // a ck-claiming, tombstone, or encoding bug.
+    sealed trait Op
+    case class LApp(pk: Long, vs: Seq[Long]) extends Op
+    case class SAdd(pk: Long, vs: Seq[Long]) extends Op
+    case class SRem(pk: Long, v: Long) extends Op
+    case class MPut(pk: Long, k: String, v: Long) extends Op
+    case class DelPart(pk: Long) extends Op
+
+    val genPk = Gen.chooseNum(0L, 2L)
+    val genV = Gen.chooseNum(0L, 9L)
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> (for {
+        pk <- genPk; n <- Gen.chooseNum(1, 3)
+        vs <- Gen.listOfN(n, genV)
+      } yield LApp(pk, vs)),
+      3 -> (for {
+        pk <- genPk; n <- Gen.chooseNum(1, 2)
+        vs <- Gen.listOfN(n, genV)
+      } yield SAdd(pk, vs)),
+      2 -> (for { pk <- genPk; v <- genV } yield SRem(pk, v)),
+      2 -> (for {
+        pk <- genPk; k <- Gen.oneOf("k0", "k1"); v <- genV
+      } yield MPut(pk, k, v)),
+      1 -> genPk.map(DelPart.apply))
+
+    val prop = Prop.forAll(Gen.listOfN(8, genOp)) { ops =>
+      val d = Files.createTempDirectory("cql-cprop").toString
+      Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (0, 0, 1)")
+      val lists = scala.collection.mutable
+        .Map.empty[Long, Vector[Long]].withDefaultValue(Vector.empty)
+      val sets = scala.collection.mutable
+        .Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      val maps = scala.collection.mutable.Map.empty[(Long, String), Long]
+      ops.foreach {
+        case LApp(pk, vs) =>
+          Cql.execute(spark, s"UPDATE $d SET tags = tags + " +
+            s"[${vs.mkString(", ")}] WHERE pk = $pk")
+          lists(pk) = lists(pk) ++ vs
+        case SAdd(pk, vs) =>
+          Cql.execute(spark, s"UPDATE $d SET st = st + " +
+            s"{${vs.mkString(", ")}} WHERE pk = $pk")
+          sets(pk) = sets(pk) ++ vs
+        case SRem(pk, v) =>
+          Cql.execute(spark,
+            s"UPDATE $d SET st = st - {$v} WHERE pk = $pk")
+          sets(pk) = sets(pk) - v
+        case MPut(pk, k, v) =>
+          Cql.execute(spark,
+            s"UPDATE $d SET m['$k'] = $v WHERE pk = $pk AND ck = 9")
+          maps((pk, k)) = v
+        case DelPart(pk) =>
+          Cql.execute(spark, s"DELETE FROM $d WHERE pk = $pk")
+          lists.remove(pk); sets.remove(pk)
+          maps.filterInPlace { case ((p, _), _) => p != pk }
+      }
+      val cells = Cql.execute(spark, s"SELECT pk, ck, col, value FROM $d")
+        .as[(Long, Int, String, Long)].collect()
+      val gotLists = cells.filter(_._3 == "tags").sortBy(c => (c._1, c._2))
+        .groupBy(_._1).view.mapValues(_.map(_._4).toVector).toMap
+      val gotSets = cells.filter(_._3 == "st")
+        .groupBy(_._1).view.mapValues(_.map(_._4).toSet).toMap
+      val gotMaps = cells.filter(c => c._3.startsWith("k"))
+        .map(c => (c._1, c._3) -> c._4).toMap
+      gotLists == lists.toMap.filter(_._2.nonEmpty) &&
+        gotSets == sets.toMap.filter(_._2.nonEmpty) &&
+        gotMaps == maps.toMap
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("INSERT JSON on TYPED tables binds key parts by name and type") {
     val td = Files.createTempDirectory("cql-tjson").toString
     Seq(("u-1", 1, "qty", 10L, 100L))
