@@ -162,9 +162,29 @@ object Cql {
       """(\w+)\.(\w+)\s*;?\s*$""").r
 
   private val DeleteRe =
-    ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)""" +
+    ("""(?is)^\s*DELETE\s*(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
+      """\s*FROM\s+(\S+?)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** DELETE's target-cell form: a plain column name is an IDENTIFIER
+    * (folds to lowercase); the map-entry form `m['K']` resolves to the
+    * entry KEY verbatim — map keys are DATA, stored case-sensitively
+    * (C12's rule), and the entry's cell col IS the key.
+    */
+  private val MapEntryRe =
+    """(?is)^\s*(\w+)\s*\[\s*('(?:[^']|'')*')\s*\]\s*$""".r
+  private def deleteColName(c: String): String = c match {
+    case MapEntryRe(_, kq) =>
+      val k = literal(kq) match {
+        case s: String => s
+        case o => fail(s"map key must be a text literal, got $o")
+      }
+      if (k.isEmpty || k.startsWith("!"))
+        fail(s"unsupported map key: '$k'")
+      k
+    case _ => c.toLowerCase
+  }
 
   // ---------------------------------------------------------------
   // prepared statements (C65 — the driver wire-protocol form: every
@@ -2101,7 +2121,7 @@ object Cql {
       case (Some(c), Some(ck), None) =>
         pks.map(pk => pk ++ ck ++
           Seq(graft.sources.CellSource.CellTombstonePrefix +
-            c.toLowerCase, 0L, dts))
+            deleteColName(c), 0L, dts))
       case (Some(_), _, _) =>
         fail("DELETE <col> needs every clustering part bound by " +
           "equality")
@@ -2234,6 +2254,42 @@ object Cql {
       s.contains("[") || s.contains("{") || s.contains("}")
     }
 
+  /** A brace literal whose content is QUOTED is a MAP form, not a
+    * set: set elements are bigint literals, map keys text — the
+    * quote is the unambiguous discriminator (`m + {'k': v}` /
+    * `m - {'k'}` vs `st + {5}`).
+    */
+  private def isMapLiteral(body: String): Boolean = body.contains("'")
+
+  private val KvRe =
+    """(?is)^\s*('(?:[^']|'')*')\s*:\s*(.+?)\s*$""".r
+
+  /** Map-literal entries `'k': v [, 'k2': v2 …]` → (verbatim key,
+    * value) pairs; keys are DATA (stored case-sensitively, C12).
+    */
+  private def mapEntries(body: String): Seq[(String, Long)] =
+    splitValues(body).toSeq.map {
+      case KvRe(kq, v) =>
+        val k = literal(kq) match {
+          case s: String => s
+          case o => fail(s"map key must be a text literal, got $o")
+        }
+        if (k.isEmpty || k.startsWith("!"))
+          fail(s"unsupported map key: '$k'")
+        (k, longLiteral(v, "map value"))
+      case e => fail(s"map literal entries are 'key': value, got: $e")
+    }
+
+  /** Map-subtract keys `'k' [, 'k2' …]` → verbatim keys. */
+  private def mapSubKeys(body: String): Seq[String] =
+    splitValues(body).toSeq.map { e =>
+      literal(e.trim) match {
+        case s: String if s.nonEmpty && !s.startsWith("!") => s
+        case s: String => fail(s"unsupported map key: '$s'")
+        case o => fail(s"map key must be a text literal, got $o")
+      }
+    }
+
   /** Split SET items on commas OUTSIDE quotes, brackets and braces
     * (collection literals contain commas).
     */
@@ -2296,6 +2352,25 @@ object Cql {
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(longLiteral(_, "list element")),
           wt, cells, nextCk)
+      // map-LITERAL forms (quoted braces): `m = m + {'k': v}` puts
+      // each entry (≡ m['k'] = v), `m = m - {'k'}` tombstones the
+      // entry cell — both on the fully-bound row (the row IS the map)
+      case SetAddRe(n1, n2, vs) if isMapLiteral(vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"map append must extend the same column ($n1 vs $n2)")
+        val ck = ckEq.getOrElse(
+          fail("map append needs WHERE ... AND ck = ? (the row IS " +
+            "the map)"))
+        mapEntries(vs).foreach { case (k, v) =>
+          pkSeq.foreach(pk => cells += ((pk, ck, k, v, wt))) }
+      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"map subtract must shrink the same column ($n1 vs $n2)")
+        val ck = ckEq.getOrElse(
+          fail("map subtract needs WHERE ... AND ck = ? (the row IS " +
+            "the map)"))
+        mapSubKeys(vs).foreach(k =>
+          pkSeq.foreach(pk => tombs += ((pk, ck, s"!del:$k", 0L, wt))))
       case SetAddRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
@@ -2421,6 +2496,20 @@ object Cql {
         needIntCk("list append")
         appendTyped(n1.toLowerCase,
           splitValues(vs).toSeq.map(longLiteral(_, "list element")))
+      // map-literal forms: see the default-layout twin
+      case SetAddRe(n1, n2, vs) if isMapLiteral(vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"map append must extend the same column ($n1 vs $n2)")
+        val ck = fullCk
+        mapEntries(vs).foreach { case (k, v) =>
+          pkTuples.foreach(pk => rows += pk ++ ck ++ Seq(k, v, wt)) }
+      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs) =>
+        if (!n1.equalsIgnoreCase(n2))
+          fail(s"map subtract must shrink the same column ($n1 vs $n2)")
+        val ck = fullCk
+        mapSubKeys(vs).foreach(k =>
+          pkTuples.foreach(pk => tombs += pk ++ ck ++
+            Seq(s"!del:$k", 0L, wt)))
       case SetAddRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
@@ -2503,8 +2592,8 @@ object Cql {
     if (ckLo > ckHi) return Seq.empty // provably-empty range: no-op
     pks.toSeq.sorted.map { pk =>
       (colOpt, ckEq, ckLo != Int.MinValue || ckHi != Int.MaxValue) match {
-        case (Some(c), Some(ck), _) => // DELETE col ... AND ck = ?
-          (pk, ck, s"!del:${c.toLowerCase}", 0L, dts)
+        case (Some(c), Some(ck), _) => // DELETE col|m['k'] ... AND ck = ?
+          (pk, ck, s"!del:${deleteColName(c)}", 0L, dts)
         case (None, Some(ck), _) => // row tombstone
           (pk, ck, "!delrow", 0L, dts)
         case (None, None, true) => // clustering-range tombstone

@@ -722,6 +722,67 @@ class CqlSpec extends GraftSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("map literals: m = m + {'k': v} puts entries, m = m - {'k'} " +
+      "removes them, DELETE m['k'] tombstones one entry") {
+    val d = freshTable()
+    // multi-entry put; keys are DATA — case-sensitive, '' unescapes
+    Cql.execute(spark, s"UPDATE $d SET m = m + " +
+      "{'color': 7, 'Size': 8, 'o''brien': 9} WHERE pk = 80 AND ck = 1")
+    def entries(pk: Long) = spark.read
+      .format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") === pk && col("ck") === 1 &&
+        !col("col").isin("qty", "price"))
+      .select("col", "value").as[(String, Long)].collect().toSet
+    assert(entries(80) ===
+      Set(("color", 7L), ("Size", 8L), ("o'brien", 9L)))
+    // map subtract tombstones the named entries (and only them)
+    Cql.execute(spark,
+      s"UPDATE $d SET m = m - {'Size'} WHERE pk = 80 AND ck = 1")
+    assert(entries(80) === Set(("color", 7L), ("o'brien", 9L)))
+    // DELETE m['k'] is the single-entry tombstone, key verbatim
+    Cql.execute(spark,
+      s"DELETE m['o''brien'] FROM $d WHERE pk = 80 AND ck = 1")
+    assert(entries(80) === Set(("color", 7L)))
+    // a map-subtract tombstone never carries TTL
+    Cql.execute(spark, s"UPDATE $d USING TTL 5 SET m = m - {'color'} " +
+      "WHERE pk = 80 AND ck = 1")
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d)
+      .filter(col("pk") === 80L && col("col") === "!del:color")
+    assert(raw.select("_expiry").as[Long].collect().toSeq ===
+      Seq(Long.MaxValue))
+    // TYPED twin: put + subtract + entry DELETE over named key parts
+    val td = Files.createTempDirectory("cql-mlit").toString
+    Seq(("u-1", 1, "qty", 1L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    Cql.execute(spark, s"UPDATE $td SET m = m + {'a': 1, 'B': 2} " +
+      "WHERE user = 'u-2' AND ck = 3")
+    Cql.execute(spark,
+      s"UPDATE $td SET m = m - {'a'} WHERE user = 'u-2' AND ck = 3")
+    Cql.execute(spark,
+      s"DELETE m['B'] FROM $td WHERE user = 'u-2' AND ck = 3")
+    val tleft = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .filter(col("user") === "u-2")
+    assert(tleft.count() === 0)
+    // refusals: unbound ck (the row IS the map), a malformed pair
+    val e1 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"UPDATE $d SET m = m + {'k': 1} WHERE pk = 80")
+    }
+    assert(e1.getMessage.contains("ck"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"UPDATE $d SET m = m + {'k'} WHERE pk = 80 AND ck = 1")
+    }
+    assert(e2.getMessage.contains("'key': value"), e2.getMessage)
+  }
+
   test("property: random COLLECTION write programs match the " +
       "sequential model (list order, set dedup, map entries)") {
     import org.scalacheck.{Gen, Prop}
