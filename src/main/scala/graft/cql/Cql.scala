@@ -146,6 +146,15 @@ object Cql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)\s+(\w+)\s*;?\s*$""".r
   private val AlterWithRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WITH\s+(.+?)\s*;?\s*$""".r
+  private val SysSchemaRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+system_schema\.(\w+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val DescTableStmtRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+TABLE\s+(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescKeyspacesRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+KEYSPACES\s*;?\s*$""".r
+  private val DescTablesRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+TABLES\s*;?\s*$""".r
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
@@ -1107,6 +1116,18 @@ object Cql {
         // single-cell DELETE keep the default-layout-only grammar.)
         val Array(ks, t) = table.split("\\.")
         spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
+      // C67 — the driver/cqlsh metadata round: `system_schema`
+      // virtual relations and DESCRIBE, served from catalog metadata
+      // (bounded by table count; no Spark job, no data read)
+      case SysSchemaRe(cols, rel, where) =>
+        SystemSchema.select(spark, catalog, rel, cols.trim,
+          Option(where))
+      case DescTableStmtRe(ks, t) =>
+        SystemSchema.describeTable(spark, catalog, ks, t)
+      case DescKeyspacesRe() =>
+        SystemSchema.describeKeyspaces(spark, catalog)
+      case DescTablesRe() =>
+        SystemSchema.describeTables(spark, catalog)
       case dml =>
         // ks.table in DML resolves to the catalog's table directory;
         // an unqualified name would silently become a cwd-relative

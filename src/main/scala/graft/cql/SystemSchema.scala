@@ -1,0 +1,255 @@
+package graft.cql
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** C67 — the cqlsh/driver METADATA surface: `DESCRIBE` statements and
+  * the `system_schema` virtual tables, served from CATALOG metadata
+  * (`_props` + self-describing flush headers) — never from data files.
+  *
+  * Every real client session performs this round at connect time
+  * (drivers build their token/metadata maps from `system_schema`;
+  * cqlsh renders `DESCRIBE`), so the front door must answer it.
+  *
+  * Scale: deliberately driver-side — the relations are bounded by
+  * TABLE COUNT, not data size (a schema registry, not a data scan),
+  * and every row is built from the same `_props`/header reads the
+  * catalog itself serves. No Spark job runs for a metadata query.
+  */
+private[cql] object SystemSchema {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CQL: $msg")
+
+  /** Spark → CQL type names (the inverse of the CREATE TABLE column
+    * grammar; unknown types render their Spark simpleString).
+    */
+  def cqlTypeName(dt: DataType): String = dt match {
+    case LongType => "bigint"
+    case IntegerType => "int"
+    case StringType => "text"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case BinaryType => "blob"
+    case TimestampType | TimestampNTZType => "timestamp"
+    case _: DecimalType => "decimal"
+    case o => o.simpleString
+  }
+
+  private def root(spark: SparkSession, catalog: String): String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalog.root")
+      .getOrElse(fail(s"spark.sql.catalog.$catalog.root is not set"))
+
+  private def props(dir: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(dir).resolve("_props")
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    scala.jdk.CollectionConverters.PropertiesHasAsScala(p).asScala.toMap
+  }
+
+  private def ksNames(spark: SparkSession, catalog: String): Seq[String] =
+    spark.sql(s"SHOW NAMESPACES IN $catalog").collect()
+      .map(_.getString(0)).toSeq.sorted
+      // USER keyspaces only: drop the catalog's synthetic namespaces
+      // — Spark session init materializes a `default` namespace and
+      // the connector synthesizes `system`; neither is a CQL keyspace
+      .filter(ks => ks != "default" && ks != "system" &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"${root(spark, catalog)}/$ks")))
+
+  private def tblNames(spark: SparkSession, catalog: String,
+      ks: String): Seq[String] =
+    spark.sql(s"SHOW TABLES IN $catalog.$ks").collect()
+      .map(_.getString(1)).toSeq.sorted
+
+  /** (keyspace, table, dir) triples, classified. An index or MV
+    * directory is excluded from `tables` and surfaced through its own
+    * relation — Cassandra's own split.
+    */
+  private def walk(spark: SparkSession, catalog: String)
+      : Seq[(String, String, String)] =
+    for {
+      ks <- ksNames(spark, catalog)
+      t <- tblNames(spark, catalog, ks)
+    } yield (ks, t, s"${root(spark, catalog)}/$ks/$t")
+
+  private def isIndex(dir: String): Boolean =
+    graft.sources.CellIndex.baseOf(dir).isDefined
+  private def isView(dir: String): Boolean =
+    graft.sources.CellView.baseOf(dir).isDefined
+
+  // ---- the five relations ------------------------------------------
+
+  def keyspaces(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false))),
+      ksNames(spark, catalog).map(Row(_)))
+
+  def tables(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("default_time_to_live", LongType, nullable = false),
+        StructField("gc_grace_seconds", LongType, nullable = true))),
+      walk(spark, catalog)
+        .filter { case (_, _, d) => !isIndex(d) && !isView(d) }
+        .map { case (ks, t, d) =>
+          val p = props(d)
+          Row(ks, t,
+            p.get("defaultTtl").map(_.toLong).getOrElse(0L),
+            p.get("gcGraceMs").map(ms => Long.box(ms.toLong / 1000L))
+              .orNull)
+        })
+
+  def columns(spark: SparkSession, catalog: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("keyspace_name", StringType, nullable = false),
+      StructField("table_name", StringType, nullable = false),
+      StructField("column_name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("position", IntegerType, nullable = false),
+      StructField("type", StringType, nullable = false)))
+    val rows = walk(spark, catalog)
+      .filter { case (_, _, d) => !isIndex(d) && !isView(d) }
+      .flatMap { case (ks, t, d) => columnRows(spark, ks, t, d) }
+    mk(spark, schema, rows)
+  }
+
+  private def columnRows(spark: SparkSession, ks: String, t: String,
+      dir: String): Seq[Row] = {
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val counter = props(dir).get("counter").contains("true")
+    val pk = spec.pkParts.zipWithIndex.map { case (p, i) =>
+      Row(ks, t, p.name, "partition_key", i, cqlTypeName(p.dataType)) }
+    val ck = spec.ckParts.zipWithIndex.map { case (p, i) =>
+      Row(ks, t, p.name, "clustering", i, cqlTypeName(p.dataType)) }
+    // the cell model's fixed data tail; `value` renders its declared
+    // type (counter tables: `counter`, Cassandra's own rendering)
+    val vt = if (counter) "counter" else valueTypeName(spark, dir)
+    val reg = Seq(
+      Row(ks, t, "col", "regular", -1, "text"),
+      Row(ks, t, "value", "regular", -1, vt),
+      Row(ks, t, "wt", "regular", -1, "bigint"))
+    pk ++ ck ++ reg
+  }
+
+  private def valueTypeName(spark: SparkSession, dir: String): String = {
+    // the connector's self-described read schema (headers win, _props
+    // before the first flush) — the same authority every scan uses
+    val sch = spark.read.format("graft.sources.CellSource").load(dir)
+      .schema
+    sch.fields.find(_.name == "value").map(f => cqlTypeName(f.dataType))
+      .getOrElse("bigint")
+  }
+
+  def views(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("view_name", StringType, nullable = false),
+        StructField("base_table_name", StringType, nullable = false))),
+      walk(spark, catalog).filter { case (_, _, d) => isView(d) }
+        .map { case (ks, v, d) =>
+          val base = graft.sources.CellView.baseOf(d).get
+          Row(ks, v, baseName(base)) })
+
+  def indexes(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false),
+        StructField("index_name", StringType, nullable = false),
+        StructField("target", StringType, nullable = true))),
+      walk(spark, catalog).filter { case (_, _, d) => isIndex(d) }
+        .map { case (ks, idx, d) =>
+          val base = graft.sources.CellIndex.baseOf(d).get
+          Row(ks, baseName(base), idx,
+            graft.sources.CellIndex.columnOf(d).orNull) })
+
+  private def baseName(baseDir: String): String =
+    baseDir.replace('\\', '/').split('/').last
+
+  private def mk(spark: SparkSession, schema: StructType,
+      rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+
+  // ---- the SELECT facade -------------------------------------------
+
+  private val EqRe = """(?is)^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
+
+  /** `SELECT cols FROM system_schema.<rel> [WHERE name = 'v' AND …]`:
+    * equality on the relation's own string columns, plain-column (or
+    * `*`) projection — the driver metadata-round subset; anything else
+    * refuses loudly.
+    */
+  def select(spark: SparkSession, catalog: String, rel: String,
+      cols: String, where: Option[String]): DataFrame = {
+    var df = rel.toLowerCase match {
+      case "keyspaces" => keyspaces(spark, catalog)
+      case "tables" => tables(spark, catalog)
+      case "columns" => columns(spark, catalog)
+      case "views" => views(spark, catalog)
+      case "indexes" => indexes(spark, catalog)
+      case o => fail(s"unknown system_schema relation: $o")
+    }
+    val names = df.schema.fieldNames.toSet
+    where.foreach {
+      _.split("(?i)\\s+AND\\s+").foreach {
+        case EqRe(c, v) if names.contains(c.toLowerCase) =>
+          df = df.filter(col(c.toLowerCase) === v)
+        case o => fail("system_schema WHERE takes column = 'value' " +
+          s"equalities, got: $o")
+      }
+    }
+    if (cols.trim != "*") {
+      val items = cols.split(',').map(_.trim.toLowerCase)
+      items.find(!names.contains(_)).foreach(c =>
+        fail(s"unknown system_schema.$rel column: $c"))
+      df = df.select(items.map(col).toIndexedSeq: _*)
+    }
+    df
+  }
+
+  // ---- DESCRIBE ----------------------------------------------------
+
+  /** The canonical CREATE TABLE statement of a table — round-trips
+    * through `catalogExecute` (the statement DESCRIBE prints is the
+    * statement that recreates the table).
+    */
+  def describeTable(spark: SparkSession, catalog: String, ks: String,
+      t: String): DataFrame = {
+    val dir = s"${root(spark, catalog)}/$ks/$t"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+      fail(s"table $ks.$t does not exist")
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val p = props(dir)
+    val counter = p.get("counter").contains("true")
+    val keyCols = (spec.pkParts ++ spec.ckParts)
+      .map(x => s"${x.name} ${cqlTypeName(x.dataType)}")
+    val vt = if (counter) "counter" else valueTypeName(spark, dir)
+    val pkSyn = "PRIMARY KEY ((" +
+      spec.pkParts.map(_.name).mkString(", ") + ")" +
+      (if (spec.ckParts.isEmpty) ""
+       else spec.ckParts.map(_.name).mkString(", ", ", ", "")) + ")"
+    val opts = Seq(
+      p.get("defaultTtl").map(v => s"default_time_to_live = $v"),
+      p.get("gcGraceMs").map(ms => s"gc_grace_seconds = ${ms.toLong / 1000L}")
+    ).flatten
+    val withClause =
+      if (opts.isEmpty) "" else opts.mkString(" WITH ", " AND ", "")
+    val stmt = s"CREATE TABLE $ks.$t (" +
+      (keyCols ++ Seq("col text", s"value $vt", "wt bigint"))
+        .mkString(", ") + s", $pkSyn)$withClause"
+    mk(spark, StructType(Seq(
+        StructField("create_statement", StringType, nullable = false))),
+      Seq(Row(stmt)))
+  }
+
+  def describeKeyspaces(spark: SparkSession, catalog: String): DataFrame =
+    keyspaces(spark, catalog)
+
+  def describeTables(spark: SparkSession, catalog: String): DataFrame =
+    tables(spark, catalog).select("keyspace_name", "table_name")
+}

@@ -1580,6 +1580,42 @@ object Cells {
       |FROM (VALUES (1, 50), (2, 7), (3, NULL), (4, 90)) AS v(pk, t)
       |ORDER BY pk""".stripMargin
 
+  // C67 — the driver/cqlsh metadata round end-to-end: DDL-created
+  // keyspace + typed table with options, then the system_schema
+  // columns relation (key parts with kind/position/type, the cell
+  // tail as regulars) read back through the front door. Bounded by
+  // table count — no Spark job, no data read.
+  private def systemSchemaRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_sysschema"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-ss-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (tenant text, day int, " +
+      "seq int, col text, value bigint, wt bigint, " +
+      "PRIMARY KEY ((tenant, day), seq)) " +
+      "WITH default_time_to_live = 50")
+    cq("SELECT column_name, kind, position, type " +
+      "FROM system_schema.columns " +
+      "WHERE keyspace_name = 'ks' AND table_name = 't'")
+      .orderBy(col("kind"), col("position"), col("column_name"))
+  }
+
+  private val systemSchemaSql =
+    """SELECT c AS column_name, k AS kind, CAST(p AS INT) AS position,
+      |  t AS type
+      |FROM (VALUES
+      |  ('seq', 'clustering', 0, 'int'),
+      |  ('tenant', 'partition_key', 0, 'text'),
+      |  ('day', 'partition_key', 1, 'int'),
+      |  ('col', 'regular', -1, 'text'),
+      |  ('value', 'regular', -1, 'bigint'),
+      |  ('wt', 'regular', -1, 'bigint')) AS v(c, k, p, t)
+      |ORDER BY k, p, c""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -1771,6 +1807,8 @@ object Cells {
     GQuery("C11d_typed_collections", typedCollections,
       Some(typedCollectionsSql)),
     GQuery("C28d_default_ttl", defaultTtlLifecycle, Some(defaultTtlSql)),
+    GQuery("C67_system_schema", systemSchemaRound,
+      Some(systemSchemaSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

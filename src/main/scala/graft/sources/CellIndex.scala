@@ -105,9 +105,12 @@ object CellIndex {
     if (!Files.exists(p)) return None
     try {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-      if (lines.size < 3) None
+      // the 4-line index format (…, epoch band): a MATERIALIZED VIEW
+      // writes a 3-line `_base` — without this check the two kinds
+      // alias and DROP INDEX would accept a view
+      if (lines.size < 4) None
       else Some(BaseMeta(lines.get(0), lines.get(1), lines.get(2),
-        if (lines.size >= 4) lines.get(3).trim.toInt else 0))
+        lines.get(3).trim.toInt))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

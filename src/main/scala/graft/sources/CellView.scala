@@ -66,7 +66,10 @@ object CellView {
     if (!Files.exists(p)) return None
     try {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-      if (lines.size < 3) None
+      // EXACTLY the 3-line view format: a secondary INDEX writes a
+      // 4-line `_base` (…, epoch band) — without this check the two
+      // kinds alias and DROP MATERIALIZED VIEW would accept an index
+      if (lines.size != 3) None
       else Some(ViewMeta(lines.get(0), lines.get(1), lines.get(2)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -2155,6 +2155,84 @@ class CqlSpec extends GraftSpec {
       .as[Long].collect().toSeq === Seq(50L))
   }
 
+  test("system_schema virtual tables + DESCRIBE serve the driver " +
+      "metadata round from catalog metadata (C67)") {
+    val root = Files.createTempDirectory("cql-sysschema").toString
+    spark.conf.set("spark.sql.catalog.cqlss", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlss.root", root)
+    def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlss")
+    cq("CREATE KEYSPACE ks")
+    cq("CREATE TABLE ks.t (user text, ck int, col text, value bigint, " +
+      "wt bigint, PRIMARY KEY ((user), ck)) " +
+      "WITH default_time_to_live = 50 AND gc_grace_seconds = 3600")
+    cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+    cq("INSERT INTO ks.plain (pk, ck, qty) VALUES (1, 1, 7)")
+    cq("CREATE INDEX ON ks.plain (qty)")
+    cq("CREATE MATERIALIZED VIEW ks.by_qty AS SELECT * FROM ks.plain " +
+      "WHERE qty IS NOT NULL PRIMARY KEY ((qty), pk, ck)")
+    // keyspaces / tables (indexes and views EXCLUDED — Cassandra's
+    // split), with the table options surfaced
+    assert(cq("SELECT keyspace_name FROM system_schema.keyspaces")
+      .as[String].collect().toSet === Set("ks"))
+    val tbl = cq("SELECT table_name, default_time_to_live " +
+      "FROM system_schema.tables WHERE keyspace_name = 'ks'")
+      .as[(String, Long)].collect().toSet
+    assert(tbl === Set(("t", 50L), ("plain", 0L)))
+    // columns: key parts with kind/position/type, the cell tail as
+    // regulars
+    val cols = cq("SELECT column_name, kind, position, type " +
+      "FROM system_schema.columns WHERE keyspace_name = 'ks' " +
+      "AND table_name = 't'")
+      .as[(String, String, Int, String)].collect().toSet
+    assert(cols === Set(
+      ("user", "partition_key", 0, "text"),
+      ("ck", "clustering", 0, "int"),
+      ("col", "regular", -1, "text"),
+      ("value", "regular", -1, "bigint"),
+      ("wt", "regular", -1, "bigint")), cols)
+    // views and indexes relations name their base
+    assert(cq("SELECT view_name, base_table_name " +
+        "FROM system_schema.views")
+      .as[(String, String)].collect().toSet === Set(("by_qty", "plain")))
+    assert(cq("SELECT index_name, table_name, target " +
+        "FROM system_schema.indexes")
+      .as[(String, String, String)].collect().toSet ===
+      Set(("plain_qty_idx", "plain", "qty")))
+    // DESCRIBE TABLE round-trips: the printed statement RECREATES an
+    // identical table (same DESCRIBE output modulo the name)
+    val stmt = cq("DESCRIBE TABLE ks.t").as[String].head()
+    assert(stmt.contains("PRIMARY KEY ((user), ck)") &&
+      stmt.contains("default_time_to_live = 50") &&
+      stmt.contains("gc_grace_seconds = 3600"), stmt)
+    cq(stmt.replace("ks.t ", "ks.t2 "))
+    assert(cq("DESCRIBE TABLE ks.t2").as[String].head() ===
+      stmt.replace("ks.t ", "ks.t2 "))
+    // DESCRIBE listings
+    assert(cq("DESC TABLES").as[(String, String)].collect().toSet ===
+      Set(("ks", "t"), ("ks", "plain"), ("ks", "t2")))
+    // kind disjointness: a view is NOT droppable as an index and
+    // vice versa (the 3-line vs 4-line `_base` discriminator)
+    val ed1 = intercept[IllegalArgumentException] {
+      cq("DROP MATERIALIZED VIEW ks.plain_qty_idx")
+    }
+    assert(ed1.getMessage.contains("not a materialized view"))
+    val ed2 = intercept[IllegalArgumentException] {
+      cq("DROP INDEX ks.by_qty")
+    }
+    assert(ed2.getMessage.contains("not a secondary index"))
+    // refusals: unknown relation/column, non-equality WHERE
+    val e1 = intercept[IllegalArgumentException] {
+      cq("SELECT x FROM system_schema.nope")
+    }
+    assert(e1.getMessage.contains("unknown system_schema"))
+    val e2 = intercept[IllegalArgumentException] {
+      cq("SELECT keyspace_name FROM system_schema.tables " +
+        "WHERE default_time_to_live > 5")
+    }
+    assert(e2.getMessage.contains("equalities"), e2.getMessage)
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
