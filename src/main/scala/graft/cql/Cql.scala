@@ -149,6 +149,9 @@ object Cql {
   private val SysSchemaRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+system_schema\.(\w+)""" +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val SysLocalRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+system\.(\w+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
   private val DescTableStmtRe =
     """(?is)^\s*DESC(?:RIBE)?\s+TABLE\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val DescKeyspacesRe =
@@ -1121,6 +1124,12 @@ object Cql {
       // (bounded by table count; no Spark job, no data read)
       case SysSchemaRe(cols, rel, where) =>
         SystemSchema.select(spark, catalog, rel, cols.trim,
+          Option(where))
+      // C67b — the connect round proper: system.local (one row —
+      // cluster name, partitioner, token map, schema fingerprint)
+      // and system.peers (empty; single-node topology)
+      case SysLocalRe(cols, rel, where) =>
+        SystemSchema.selectSystem(spark, catalog, rel, cols.trim,
           Option(where))
       case DescTableStmtRe(ks, t) =>
         SystemSchema.describeTable(spark, catalog, ks, t)

@@ -170,6 +170,114 @@ private[cql] object SystemSchema {
   private def baseName(baseDir: String): String =
     baseDir.replace('\\', '/').split('/').last
 
+  // ---- system.local / system.peers (the connect round, C67b) -------
+
+  /** 16 evenly spaced vnode tokens over the signed-64 ring — the
+    * single node owns the whole ring, so any deterministic spacing is
+    * a faithful token map; 2^64/16 = 2^60 per step.
+    */
+  private def ringTokens: Seq[String] =
+    (0 until 16).map(i => (Long.MinValue + i * (1L << 60)).toString)
+
+  private def nameUuid(s: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
+  /** The cluster-wide schema fingerprint drivers use for schema
+    * agreement: a name-UUID over every table's canonical CREATE
+    * statement (so any DDL — new table, option change, index, view —
+    * moves the version). Bounded by table count.
+    */
+  private def schemaVersion(spark: SparkSession,
+      catalog: String): String =
+    nameUuid(walk(spark, catalog).map { case (ks, t, d) =>
+      if (isIndex(d) || isView(d)) s"$ks.$t" // membership still counts
+      else describeTable(spark, catalog, ks, t)
+        .collect().head.getString(0)
+    }.mkString("\n"))
+
+  private val localSchema = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("bootstrapped", StringType, nullable = false),
+    StructField("cluster_name", StringType, nullable = false),
+    StructField("cql_version", StringType, nullable = false),
+    StructField("data_center", StringType, nullable = false),
+    StructField("host_id", StringType, nullable = false),
+    StructField("listen_address", StringType, nullable = false),
+    StructField("native_protocol_version", StringType, nullable = false),
+    StructField("partitioner", StringType, nullable = false),
+    StructField("rack", StringType, nullable = false),
+    StructField("release_version", StringType, nullable = false),
+    StructField("rpc_address", StringType, nullable = false),
+    StructField("schema_version", StringType, nullable = false),
+    StructField("tokens", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  /** `system.local` — the ONE row every driver reads first at connect
+    * (cluster name, partitioner, token map, schema version). All
+    * values deterministic: host_id names the catalog root, the token
+    * map is the whole ring, schema_version fingerprints the DDL.
+    */
+  def local(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, localSchema, Seq(Row(
+      "local", "COMPLETED",
+      spark.conf.getOption(s"spark.sql.catalog.$catalog.cluster_name")
+        .getOrElse("graft"),
+      "3.4.7", "datacenter1",
+      nameUuid(root(spark, catalog)),
+      "127.0.0.1", "5",
+      "graft.sources.Mix64Partitioner", "rack1",
+      "5.0-graft", "127.0.0.1",
+      schemaVersion(spark, catalog),
+      ringTokens)))
+
+  /** `system.peers` — empty on a single-node topology (the honest
+    * answer; drivers handle it as "no other nodes").
+    */
+  def peers(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+      StructField("peer", StringType, nullable = false),
+      StructField("data_center", StringType, nullable = false),
+      StructField("host_id", StringType, nullable = false),
+      StructField("rack", StringType, nullable = false),
+      StructField("release_version", StringType, nullable = false),
+      StructField("rpc_address", StringType, nullable = false),
+      StructField("schema_version", StringType, nullable = false),
+      StructField("tokens", ArrayType(StringType, containsNull = false),
+        nullable = false))), Seq.empty)
+
+  /** `SELECT cols FROM system.<local|peers> [WHERE key = 'local']` —
+    * same equality-and-projection subset as the system_schema facade.
+    */
+  def selectSystem(spark: SparkSession, catalog: String, rel: String,
+      cols: String, where: Option[String]): DataFrame = {
+    var df = rel.toLowerCase match {
+      case "local" => local(spark, catalog)
+      case "peers" => peers(spark, catalog)
+      // the C53 operational relations the catalog already serves as
+      // `<catalog>.system.*` — same front door, same WHERE subset
+      case s @ ("tables" | "snapshots" | "ring") =>
+        spark.table(s"$catalog.system.$s")
+      case o => fail(s"unknown system relation: $o")
+    }
+    val names = df.schema.fieldNames.toSet
+    where.foreach {
+      _.split("(?i)\\s+AND\\s+").foreach {
+        case EqRe(c, v) if names.contains(c.toLowerCase) =>
+          df = df.filter(col(c.toLowerCase) === v)
+        case o => fail("system WHERE takes column = 'value' " +
+          s"equalities, got: $o")
+      }
+    }
+    if (cols.trim != "*") {
+      val items = cols.split(',').map(_.trim.toLowerCase)
+      items.find(!names.contains(_)).foreach(c =>
+        fail(s"unknown system.$rel column: $c"))
+      df = df.select(items.map(col).toIndexedSeq: _*)
+    }
+    df
+  }
+
   private def mk(spark: SparkSession, schema: StructType,
       rows: Seq[Row]): DataFrame =
     spark.createDataFrame(

@@ -1616,6 +1616,36 @@ object Cells {
       |  ('wt', 'regular', -1, 'bigint')) AS v(c, k, p, t)
       |ORDER BY k, p, c""".stripMargin
 
+  // C67b — the connect round proper: `system.local` (the one row
+  // every driver reads first — cluster name, partitioner, release,
+  // topology) and `system.peers` (empty; single-node). Deterministic
+  // columns only; host_id/schema_version/tokens are CqlSpec-covered.
+  private def systemLocalRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_syslocal"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-sl-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+    val peerCount = cq("SELECT peer FROM system.peers").count()
+    cq("SELECT key, bootstrapped, cluster_name, data_center, " +
+      "partitioner, rack, release_version, native_protocol_version " +
+      "FROM system.local WHERE key = 'local'")
+      .withColumn("peer_count", lit(peerCount))
+  }
+
+  private val systemLocalSql =
+    """SELECT 'local' AS "key", 'COMPLETED' AS bootstrapped,
+      |  'graft' AS cluster_name, 'datacenter1' AS data_center,
+      |  'graft.sources.Mix64Partitioner' AS partitioner,
+      |  'rack1' AS rack, '5.0-graft' AS release_version,
+      |  '5' AS native_protocol_version,
+      |  CAST(0 AS BIGINT) AS peer_count""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -1809,6 +1839,8 @@ object Cells {
     GQuery("C28d_default_ttl", defaultTtlLifecycle, Some(defaultTtlSql)),
     GQuery("C67_system_schema", systemSchemaRound,
       Some(systemSchemaSql)),
+    GQuery("C67b_system_local", systemLocalRound,
+      Some(systemLocalSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

@@ -2233,6 +2233,65 @@ class CqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("equalities"), e2.getMessage)
   }
 
+  test("system.local / system.peers answer the connect round (C67b)") {
+    val root = Files.createTempDirectory("cql-syslocal").toString
+    spark.conf.set("spark.sql.catalog.cqlsl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlsl.root", root)
+    def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlsl")
+    cq("CREATE KEYSPACE ks")
+    // the exact statement every driver sends first
+    val row = cq("SELECT * FROM system.local WHERE key = 'local'")
+    assert(row.count() === 1)
+    val r = row.collect().head
+    assert(r.getAs[String]("key") === "local")
+    assert(r.getAs[String]("bootstrapped") === "COMPLETED")
+    assert(r.getAs[String]("cluster_name") === "graft")
+    assert(r.getAs[String]("partitioner") ===
+      "graft.sources.Mix64Partitioner")
+    // the single node owns a full deterministic token map
+    val tokens = r.getAs[scala.collection.Seq[String]]("tokens")
+    assert(tokens.length === 16 && tokens.distinct.length === 16)
+    assert(tokens.contains(Long.MinValue.toString))
+    // host_id is stable across reads (names the catalog root)
+    assert(cq("SELECT host_id FROM system.local").as[String].head() ===
+      r.getAs[String]("host_id"))
+    // schema_version fingerprints the DDL: stable across reads,
+    // MOVES on any schema change (the drivers' agreement check)
+    val v1 = cq("SELECT schema_version FROM system.local")
+      .as[String].head()
+    assert(v1 === r.getAs[String]("schema_version"))
+    cq("CREATE TABLE ks.t (pk bigint, ck int, col text, value bigint, " +
+      "wt bigint, PRIMARY KEY ((pk), ck))")
+    val v2 = cq("SELECT schema_version FROM system.local")
+      .as[String].head()
+    assert(v2 !== v1)
+    cq("ALTER TABLE ks.t WITH default_time_to_live = 9")
+    val v3 = cq("SELECT schema_version FROM system.local")
+      .as[String].head()
+    assert(v3 !== v2)
+    assert(v3 !== v1)
+    // peers: empty on the single-node topology, schema still served
+    val peers = cq("SELECT peer, tokens FROM system.peers")
+    assert(peers.count() === 0)
+    assert(peers.schema.fieldNames.toSeq === Seq("peer", "tokens"))
+    // WHERE misses filter (a foreign key returns nothing, not an error)
+    assert(cq("SELECT * FROM system.local WHERE key = 'other'")
+      .count() === 0)
+    // the C53 operational relations route through the same door
+    assert(cq("SELECT namespace, table FROM system.tables")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("ks", "t")))
+    // refusals: unknown relation / unknown column
+    val e1 = intercept[IllegalArgumentException] {
+      cq("SELECT * FROM system.size_estimates")
+    }
+    assert(e1.getMessage.contains("unknown system relation"))
+    val e2 = intercept[IllegalArgumentException] {
+      cq("SELECT nope FROM system.local")
+    }
+    assert(e2.getMessage.contains("unknown system.local column"))
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
