@@ -1118,7 +1118,17 @@ object Cql {
         // marker protocol, typed-key aware. (USING TIMESTAMP and
         // single-cell DELETE keep the default-layout-only grammar.)
         val Array(ks, t) = table.split("\\.")
-        spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
+        try spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            // canDeleteWhere refused — re-parse the WHERE as CQL to
+            // name the actual shape violation (prefix gap, unbound pk
+            // part, …) instead of Spark's generic cannot-delete; if
+            // the CQL parse PASSES the mismatch is ours, rethrow
+            typedKeyPredicate(graft.sources.CellSource
+              .keySpec(s"$root/$ks/$t"), where, ckPrefix = true)
+            throw e
+        }
       // C67 — the driver/cqlsh metadata round: `system_schema`
       // virtual relations and DESCRIBE, served from catalog metadata
       // (bounded by table count; no Spark job, no data read)
@@ -2035,7 +2045,7 @@ object Cql {
     * can't wrap (lo > hi = provably empty, the caller no-ops).
     */
   private def typedKeyPredicate(spec: graft.sources.KeySpec,
-      where: String)
+      where: String, ckPrefix: Boolean = false)
       : (Seq[Seq[Any]], Option[Seq[Any]], Option[(Long, Long)]) = {
     val pkParts = spec.pkParts
     val ckParts = spec.ckParts
@@ -2094,6 +2104,15 @@ object Cql {
       if (boundCks.isEmpty) None
       else if (boundCks.length == ckNames.length)
         Some(ckNames.map(eqs))
+      else if (ckPrefix && boundCks == ckNames.take(boundCks.length))
+        // Cassandra's multi-row DELETE shape: a CONTIGUOUS prefix of
+        // clustering parts, in declared order — the caller reads the
+        // shorter tuple as a prefix binding
+        Some(boundCks.map(eqs))
+      else if (ckPrefix)
+        fail("clustering parts must be bound front-to-back (" +
+          s"${ckParts.map(_.name).mkString(", ")}); cannot bind " +
+          boundCks.mkString(", ") + " without the parts before them")
       else fail("bind every clustering-key part by equality, or none" +
         s" (${ckParts.map(_.name).mkString(", ")})")
     (pkTuples, ckTuple, if (hasRange) Some((lo, hi)) else None)
@@ -2145,19 +2164,28 @@ object Cql {
   private def deleteTypedRows(spec: graft.sources.KeySpec,
       colOpt: Option[String], where: String,
       dts: Long): Seq[Seq[Any]] = {
-    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where,
+      ckPrefix = true)
     val ckZeros = spec.ckParts.map(p => neutralKey(p.dataType))
+    val nCk = spec.ckParts.length
     val rows: Seq[Seq[Any]] = (colOpt, ckOpt, range) match {
-      case (Some(c), Some(ck), None) =>
+      case (Some(c), Some(ck), None) if ck.length == nCk =>
         pks.map(pk => pk ++ ck ++
           Seq(graft.sources.CellSource.CellTombstonePrefix +
             deleteColName(c), 0L, dts))
       case (Some(_), _, _) =>
         fail("DELETE <col> needs every clustering part bound by " +
           "equality")
-      case (None, Some(ck), None) =>
+      case (None, Some(ck), None) if ck.length == nCk =>
         pks.map(pk => pk ++ ck ++
           Seq(graft.sources.CellSource.RowTombstone, 0L, dts))
+      case (None, Some(pfx), None) =>
+        // Cassandra's multi-row DELETE: a contiguous clustering-key
+        // PREFIX bound by equality — one prefix tombstone per pk,
+        // prefix values in the marker row's leading ck parts
+        pks.map(pk => pk ++ pfx ++ ckZeros.drop(pfx.length) ++
+          Seq(graft.sources.CellSource.prefixTombstoneCol(pfx.length),
+            0L, dts))
       case (None, None, Some((lo, hi))) =>
         if (lo > hi) Seq.empty // provably-empty range: no-op
         else pks.map(pk => pk ++ ckZeros ++

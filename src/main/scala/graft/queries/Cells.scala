@@ -1682,6 +1682,44 @@ object Cells {
       |  AS t(u, ck, col, v)
       |ORDER BY u, ck, col""".stripMargin
 
+  // C5d — clustering-PREFIX tombstones end-to-end: Cassandra's
+  // multi-row `DELETE ... WHERE pk = ? AND c1 = ?` on a multi-part
+  // clustering key (a RangeTombstone whose bounds are a clustering
+  // prefix). One `!delpfx:<j>` marker row per partition at rank 0;
+  // the typed merge cursor shadows every row whose first j clustering
+  // parts equal the marker's with wt <= deletion ts — later writes
+  // into the prefix stay visible, other partitions untouched.
+  private def prefixTombstoneLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_pfx"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-pfx-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.ev (tenant text, day bigint, " +
+      "seq int, col text, value bigint, wt bigint, " +
+      "PRIMARY KEY ((tenant), day, seq))")
+    cq("TRUNCATE ks.ev")
+    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 1, 10)")
+    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 2, 11)")
+    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 2, 1, 20)")
+    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('b', 1, 1, 30)")
+    cq("DELETE FROM ks.ev WHERE tenant = 'a' AND day = 1")
+    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 3, 99)")
+    cq("SELECT tenant, day, seq, value FROM ks.ev " +
+      "ORDER BY tenant, day, seq")
+  }
+
+  private val prefixTombstoneSql =
+    """SELECT t AS tenant, CAST(d AS BIGINT) AS day,
+      |  CAST(s AS INT) AS seq, CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('a', 1, 3, 99), ('a', 2, 1, 20), ('b', 1, 1, 30))
+      |  AS x(t, d, s, v)
+      |ORDER BY t, d, s""".stripMargin
+
   // C65c — CQL token-range paging through the front door: the
   // `WHERE token(pk) > ? AND token(pk) <= ?` full-scan/paging/repair
   // idiom lands on the C41 physical token-range scan (Summary/
@@ -1836,6 +1874,8 @@ object Cells {
     GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
     GQuery("C11d_typed_collections", typedCollections,
       Some(typedCollectionsSql)),
+    GQuery("C5d_prefix_tombstone", prefixTombstoneLifecycle,
+      Some(prefixTombstoneSql)),
     GQuery("C28d_default_ttl", defaultTtlLifecycle, Some(defaultTtlSql)),
     GQuery("C67_system_schema", systemSchemaRound,
       Some(systemSchemaSql)),

@@ -292,6 +292,9 @@ class CellKeyedColumnarReader(part: CellInputPartition,
   * bounds are unambiguous; other layouts consume the marker without
   * effect (writing one there is a modeling error, not data loss —
   * the marker survives compaction via keepMarkers either way).
+  * Clustering-PREFIX tombstones (`!delpfx:<j>`, multi-part ck
+  * layouts) shadow every row whose first j clustering parts equal
+  * the marker row's — Cassandra's prefix-bounded RangeTombstone.
   */
 /** What the keyed reconcile reader needs from a winner stream —
   * implemented by the forward merge cursor and its reversing wrapper
@@ -564,6 +567,10 @@ private[sources] final class CellKeyedMergeCursor(
   private var ttlMs = Long.MinValue
   private var cellDel = Map.empty[String, Long]
   private var rangeDel: List[(Int, Int, Long)] = Nil
+  // active clustering-PREFIX tombstones of the current pk — (prefix
+  // ck values, bound part count, ts); rank 0 completes the set before
+  // any data row of the pk
+  private var prefixDel: List[(Array[Any], Int, Long)] = Nil
   private var rowDelTs = Long.MinValue
   // PER PARTITION LIMIT — see [[CellMergeCursor]]; typed ck equality.
   private val ppLimit = opts.perPartitionLimit
@@ -577,7 +584,7 @@ private[sources] final class CellKeyedMergeCursor(
       if (pkChanged) {
         havePos = true; curToken = token; curPk = pkVals; curCk = ckVals
         pdts = Long.MinValue; ttlMs = Long.MinValue; cellDel = Map.empty
-        rangeDel = Nil; rowDelTs = Long.MinValue
+        rangeDel = Nil; prefixDel = Nil; rowDelTs = Long.MinValue
         cksEmitted = 0; lastEmitCk = null
       } else if (
           KeyCodec.compareParts(spec.ckParts, curCk, ckVals) != 0) {
@@ -608,6 +615,16 @@ private[sources] final class CellKeyedMergeCursor(
             }
           }
         }
+        else if (colName.startsWith(CellSource.PrefixTombstonePrefix)) {
+          // `!delpfx:<j>` — the first j clustering parts of THIS
+          // marker row are the bound prefix; j must be a proper
+          // prefix (a full binding would be a row tombstone)
+          val j = try colName.substring(
+            CellSource.PrefixTombstonePrefix.length).toInt
+          catch { case _: NumberFormatException => 0 }
+          if (j >= 1 && j < spec.ckParts.length)
+            prefixDel = (ckVals, j, wt) :: prefixDel
+        }
         else if (colName.startsWith(CellSource.CellTombstonePrefix)) {
           val target = colName.substring(
             CellSource.CellTombstonePrefix.length)
@@ -635,6 +652,10 @@ private[sources] final class CellKeyedMergeCursor(
             ck >= lo && ck <= hi && wt <= ts
           }
         }
+        val coveredByPrefix = prefixDel.nonEmpty && prefixDel.exists {
+          case (pfx, j, ts) => wt <= ts &&
+            KeyCodec.compareParts(spec.ckParts.take(j), ckVals, pfx) == 0
+        }
         // Effective expiry: a per-cell expiry (CEL11, `USING TTL`)
         // OVERRIDES the `!ttl*` table default — Cassandra's own
         // precedence — and the table default applies only to cells
@@ -651,7 +672,8 @@ private[sources] final class CellKeyedMergeCursor(
           opts.droppedColumns.nonEmpty &&
             opts.droppedColumns.get(colName).exists(wt <= _)
         if (!coveredByPk && !coveredByRow && !coveredByCell &&
-            !coveredByRange && !expired && !droppedHide) {
+            !coveredByRange && !coveredByPrefix && !expired &&
+            !droppedHide) {
           if (ppLimit == Int.MaxValue) return true
           if (lastEmitCk != null &&
               KeyCodec.compareParts(spec.ckParts, ckVals,

@@ -565,6 +565,23 @@ object CellSource {
   def rangeTombstoneCol(ckLo: Int, ckHi: Int): String =
     s"$RangeTombstonePrefix$ckLo:$ckHi"
 
+  /** Clustering-PREFIX tombstone marker (Cassandra's multi-row
+    * `DELETE ... WHERE pk = ? AND c1 = ?` on a multi-part clustering
+    * key — a RangeTombstone whose bounds are a clustering prefix):
+    * one `!delpfx:<j>` cell at rank 0 whose FIRST j clustering parts
+    * carry the bound prefix values (remaining parts neutral), wt =
+    * deletion ts. Shadows every row whose first j clustering parts
+    * equal the marker's, with wt <= deletion ts. Rank 0 puts the
+    * marker ahead of all data rows of its partition, so the merge
+    * cursor accumulates the active prefix set before any covered cell
+    * arrives. Typed (CEL6/8/11) layouts only — the default layout's
+    * single ck has no proper prefix.
+    */
+  val PrefixTombstonePrefix = "!delpfx:"
+
+  def prefixTombstoneCol(boundParts: Int): String =
+    s"$PrefixTombstonePrefix$boundParts"
+
   /** COLLECTION CONTRACT (C11b): CQL collections are element-per-cell
     * on disk — one cell per list/set element (ck/value-keyed), one per
     * map entry (col-keyed) — which is exactly this format's cell
@@ -670,7 +687,8 @@ object CellSource {
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
-        colName.startsWith(RangeTombstonePrefix)) 0 else 1
+        colName.startsWith(RangeTombstonePrefix) ||
+        colName.startsWith(PrefixTombstonePrefix)) 0 else 1
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
@@ -1426,7 +1444,13 @@ class CellTable(path: String,
       if (ckEq.isEmpty) None
       else if (ckParts.forall(p => ckEq.contains(p.name)))
         Some(ckParts.map(p => ckEq(p.name)).toArray)
-      else return None
+      else {
+        // a contiguous clustering-key PREFIX (Cassandra's multi-row
+        // DELETE shape): the shorter tuple signals a prefix tombstone
+        val bound = ckParts.takeWhile(p => ckEq.contains(p.name))
+        if (bound.length != ckEq.size) return None // gap in the prefix
+        Some(bound.map(p => ckEq(p.name)).toArray)
+      }
     Some((pkTuples, ckTuple,
       if (hasRange) Some((ckLo, ckHi)) else None))
   }
@@ -1483,7 +1507,13 @@ class CellTable(path: String,
     val marker = (ckRange, ckEq) match {
       case (Some((lo, hi)), _) =>
         (CellSource.rangeTombstoneCol(lo, hi), ckZeros)
-      case (None, Some(cks)) => (CellSource.RowTombstone, cks.toSeq)
+      case (None, Some(cks)) if cks.length == keySpec.ckParts.length =>
+        (CellSource.RowTombstone, cks.toSeq)
+      case (None, Some(pfx)) =>
+        // clustering-key PREFIX binding → prefix tombstone: bound
+        // values in the marker's leading ck parts, neutral tail
+        (CellSource.prefixTombstoneCol(pfx.length),
+          pfx.toSeq ++ ckZeros.drop(pfx.length))
       case (None, None) => (CellSource.PartitionTombstone, ckZeros)
     }
     val rows: java.util.List[org.apache.spark.sql.Row] =

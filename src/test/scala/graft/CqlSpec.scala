@@ -2292,6 +2292,68 @@ class CqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("unknown system.local column"))
   }
 
+  test("clustering-prefix DELETE shadows the bound prefix (C5d)") {
+    val root = Files.createTempDirectory("cql-pfx").toString
+    spark.conf.set("spark.sql.catalog.cqlpfx", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlpfx.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlpfx")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.ev (tenant text, day bigint, seq int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((tenant), day, seq))")
+      cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 1, 10)")
+      cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 2, 11)")
+      cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 2, 1, 20)")
+      cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('b', 1, 1, 30)")
+      def live(t: String): Set[(Long, Int, Long)] =
+        cq(s"SELECT day, seq, value FROM ks.ev WHERE tenant = '$t'")
+          .as[(Long, Int, Long)].collect().toSet
+      // Cassandra's multi-row DELETE: bind a clustering PREFIX
+      cq("DELETE FROM ks.ev WHERE tenant = 'a' AND day = 1")
+      assert(live("a") === Set((2L, 1, 20L)))
+      assert(live("b") === Set((1L, 1, 30L))) // other partitions untouched
+      // a LATER write into the deleted prefix is visible (wt ordering)
+      cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 3, 99)")
+      assert(live("a") === Set((2L, 1, 20L), (1L, 3, 99L)))
+      // the marker survives compaction (keepMarkers) and still
+      // shadows the ORIGINAL prefix rows, not the later write
+      graft.sources.CellMaintenance.compact(spark, s"$root/ks/ev")
+      assert(live("a") === Set((2L, 1, 20L), (1L, 3, 99L)))
+      // full-binding DELETE stays a row tombstone
+      cq("DELETE FROM ks.ev WHERE tenant = 'a' AND day = 2 AND seq = 1")
+      assert(live("a") === Set((1L, 3, 99L)))
+      // refusals: a gap in the prefix, DELETE <col> on a prefix,
+      // UPDATE on a prefix (Cassandra: UPDATE binds the full key)
+      val e1 = intercept[IllegalArgumentException] {
+        cq("DELETE FROM ks.ev WHERE tenant = 'a' AND seq = 1")
+      }
+      assert(e1.getMessage.contains("front-to-back"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("DELETE qty FROM ks.ev WHERE tenant = 'a' AND day = 1")
+      }
+      assert(e2.getMessage.contains("every clustering part"),
+        e2.getMessage)
+      intercept[IllegalArgumentException] {
+        cq("UPDATE ks.ev SET qty = 5 WHERE tenant = 'a' AND day = 1")
+      }
+      // composite partition key + two clustering parts: prefix on the
+      // first ck part only, both pk parts bound
+      cq("CREATE TABLE ks.ev2 (t text, d bigint, h bigint, s int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((t, d), h, s))")
+      cq("INSERT INTO ks.ev2 (t, d, h, s, qty) VALUES ('x', 1, 10, 1, 1)")
+      cq("INSERT INTO ks.ev2 (t, d, h, s, qty) VALUES ('x', 1, 10, 2, 2)")
+      cq("INSERT INTO ks.ev2 (t, d, h, s, qty) VALUES ('x', 1, 11, 1, 3)")
+      cq("DELETE FROM ks.ev2 WHERE t = 'x' AND d = 1 AND h = 10")
+      assert(cq("SELECT h, s, value FROM ks.ev2 WHERE t = 'x' AND d = 1")
+        .as[(Long, Int, Long)].collect().toSet === Set((11L, 1, 3L)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlpfx")
+      spark.conf.unset("spark.sql.catalog.cqlpfx.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
