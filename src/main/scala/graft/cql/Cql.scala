@@ -1305,6 +1305,8 @@ object Cql {
   private val PredRe =
     """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
+  private val ContainsRe =
+    """(?is)^\s*(\w+)\s+CONTAINS\s+(KEY\s+)?(.+?)\s*$""".r
 
   /** Parsed WHERE terms: the filter columns and their predicates. */
   private def predicates(terms: Seq[String]): Seq[(String, Column)] =
@@ -1445,7 +1447,41 @@ object Cql {
       graft.sources.CellIndex.registered(dir)
         .find(i => graft.sources.CellIndex.columnOf(i).contains(c) &&
           graft.sources.CellIndex.servesRanges(i))
+    // CONTAINS / CONTAINS KEY residual predicates (collections are
+    // element-per-cell, C11b: an element IS a (col, value) cell, a
+    // map entry's key IS its col name — so containment is a cell
+    // filter, and the result relation surfaces the MATCHING element
+    // cells, whose keys are exactly the rows Cassandra would return)
+    val containsPreds = scala.collection.mutable.ArrayBuffer
+      .empty[Column]
     val regularTerms = nonTokenTerms.filter {
+      case ContainsRe(c, kw, v)
+          if !keyCols.contains(c.toLowerCase) &&
+            !modelCols.contains(c.toLowerCase) =>
+        val cl = c.toLowerCase
+        if (kw == null && graft.sources.CellIndex.registered(dir)
+            .exists(i => graft.sources.CellIndex.columnOf(i)
+              .contains(cl))) {
+          // a secondary index on a collection column stores ELEMENT
+          // values (one entry per element cell), so a CONTAINS probe
+          // IS the index equality route — Cassandra's collection 2i
+          idxPreds += ((cl, literal(v)))
+        } else if (!allowFiltering)
+          fail(s"$cl CONTAINS ${if (kw != null) "KEY " else ""}" +
+            "needs ALLOW FILTERING (or a secondary index on " +
+            s"$cl for CONTAINS)")
+        else if (kw != null) {
+          // map-entry presence: entry keys are stored verbatim as
+          // col names on these layouts (the row IS the map)
+          val k = literal(v) match {
+            case s: String => s
+            case _ => fail(s"CONTAINS KEY takes a text key, got: $v")
+          }
+          containsPreds += (col("col") === k)
+        } else
+          containsPreds += (col("col") === cl &&
+            col("value") === lit(literal(v)))
+        false
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
@@ -1466,6 +1502,7 @@ object Cql {
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
     if (ppl.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
+        containsPreds.nonEmpty ||
         preds.exists { case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
@@ -1615,6 +1652,7 @@ object Cql {
         if (tokEmpty) loaded.filter(lit(false)) else loaded
       }
     preds.foreach { case (_, p) => df = df.filter(p) }
+    containsPreds.foreach(p => df = df.filter(p))
     if (distinct)
       df = df.select(
         spec.pkParts.map(p => col(p.name)).toIndexedSeq: _*).distinct()
@@ -2057,15 +2095,19 @@ object Cql {
       case _ => false
     }
     val eqs = scala.collection.mutable.Map.empty[String, Any]
-    var pkIn: Option[Seq[Any]] = None
+    // IN lists per pk part (Cassandra allows IN on ANY partition-key
+    // part; several INs form a cartesian product of partitions)
+    val pkIns = scala.collection.mutable.Map.empty[String, Seq[Any]]
     var lo: Long = Int.MinValue
     var hi: Long = Int.MaxValue
     var hasRange = false
     where.split("(?i)\\s+AND\\s+").foreach {
       case InRe(c, vs)
-          if pkNames == List(c.toLowerCase) && pkIn.isEmpty =>
-        pkIn = Some(splitValues(vs).toSeq.map(v =>
-          keyLiteral(pkParts.head, v.trim, "key part")))
+          if pkNames.contains(c.toLowerCase) &&
+            !pkIns.contains(c.toLowerCase) =>
+        val part = pkParts.find(_.name.equalsIgnoreCase(c)).get
+        pkIns(c.toLowerCase) = splitValues(vs).toSeq
+          .map(v => keyLiteral(part, v.trim, "key part")).distinct
       case PredRe(c, "=", v)
           if pkNames.contains(c.toLowerCase) ||
             ckNames.contains(c.toLowerCase) =>
@@ -2088,15 +2130,26 @@ object Cql {
       case p => fail(s"typed write WHERE binds key parts only " +
         s"(range on a single int clustering key), got: $p")
     }
-    val pkTuples: Seq[Seq[Any]] =
-      if (pkIn.isDefined) {
-        if (pkNames.exists(eqs.contains))
-          fail("pk IN cannot combine with pk equality")
-        pkIn.get.map(Seq(_))
-      } else if (pkNames.forall(eqs.contains))
-        Seq(pkNames.map(eqs))
-      else fail("write WHERE must bind every partition-key part " +
-        s"(${pkParts.map(_.name).mkString(", ")})")
+    val pkTuples: Seq[Seq[Any]] = {
+      pkNames.find(n => pkIns.contains(n) && eqs.contains(n))
+        .foreach(n => fail(s"$n cannot be bound by both IN and " +
+          "equality"))
+      val unbound = pkNames
+        .filterNot(n => pkIns.contains(n) || eqs.contains(n))
+      if (unbound.nonEmpty)
+        fail("write WHERE must bind every partition-key part " +
+          s"(${pkParts.map(_.name).mkString(", ")})")
+      // cartesian product over the IN lists, Cassandra's own
+      // semantics — bounded like its cartesian-product threshold
+      val combos = pkNames.foldLeft(Seq(Seq.empty[Any])) { (acc, n) =>
+        val vals = pkIns.getOrElse(n, Seq(eqs(n)))
+        acc.flatMap(t => vals.map(v => t :+ v))
+      }
+      if (combos.length > 128)
+        fail(s"IN restrictions form a cartesian product of " +
+          s"${combos.length} partitions (max 128)")
+      combos
+    }
     val boundCks = ckNames.filter(eqs.contains)
     if (hasRange && boundCks.nonEmpty)
       fail("clustering equality and range cannot combine")

@@ -1223,6 +1223,63 @@ object Cells {
       |FROM merged WHERE (pk // 8) % 5 = 0
       |ORDER BY tenant, day, seq, col""".stripMargin
 
+  // C8c — IN on a COMPOSITE partition key (r11): Cassandra allows IN
+  // on any partition-key part; with the other parts bound by equality
+  // the cartesian of candidate keys hashes to k tokens — the
+  // composite multiget (per-token Summary/bloom file pruning, k point
+  // reads; SourceSpec asserts the split pruning). Served through the
+  // CQL front door, key-served under the strict guard (no ALLOW
+  // FILTERING), exact residual above the scan.
+  private def compositeMultiget(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensureComposite(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT tenant, day, seq, col, value FROM $dir " +
+        "WHERE tenant = 't1' AND day IN (1, 3, 5, 7) " +
+        "ORDER BY day, seq, col")
+  }
+
+  private val compositeMultigetSql = cte +
+    """SELECT 't' || (pk % 8) AS tenant, pk // 8 AS day, ck AS seq,
+      |  col, value
+      |FROM merged WHERE pk % 8 = 1 AND pk // 8 IN (1, 3, 5, 7)
+      |ORDER BY day, seq, col""".stripMargin
+
+  // C64b — CQL CONTAINS / CONTAINS KEY (r11): collections are
+  // element-per-cell (C11b), so containment is a CELL filter — an
+  // element is a (col, value) cell, a map entry's key is its col
+  // name. The facade serves both under ALLOW FILTERING (or a
+  // collection 2i for CONTAINS, which routes the probe through the
+  // index since index entries ARE element values). The result
+  // relation surfaces the matching element cells, whose keys are the
+  // rows Cassandra returns.
+  private def containsLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cont"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cont-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint)")
+    cq("TRUNCATE ks.t")
+    cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
+    cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
+    cq("UPDATE ks.t SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
+    cq("SELECT pk, ck, value FROM ks.t WHERE tags CONTAINS 7 " +
+        "ALLOW FILTERING")
+      .unionAll(cq("SELECT pk, ck, value FROM ks.t " +
+        "WHERE m CONTAINS KEY 'color' ALLOW FILTERING"))
+      .orderBy("pk", "ck")
+  }
+
+  private val containsSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 2, 7), (2, 1, 7), (4, 1, 4)) AS t(pk, ck, v)
+      |ORDER BY pk, ck""".stripMargin
+
   // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
   // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
   // read-path aggregation): reconcile partitions are disjoint pk
@@ -1853,6 +1910,9 @@ object Cells {
       Some(typedPagedScanSql)),
     GQuery("C36c_composite_key_scan", compositeKeyScan,
       Some(compositeKeySql)),
+    GQuery("C8c_composite_multiget", compositeMultiget,
+      Some(compositeMultigetSql)),
+    GQuery("C64b_cql_contains", containsLifecycle, Some(containsSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),

@@ -1403,7 +1403,9 @@ class CellTable(path: String,
       case _ => false
     }
     val pkEq = scala.collection.mutable.Map.empty[String, Any]
-    var pkIn: Option[Seq[Any]] = None
+    // IN lists per pk part (Cassandra allows IN on ANY partition-key
+    // part; several INs form a cartesian product of partitions)
+    val pkIn = scala.collection.mutable.Map.empty[String, Seq[Any]]
     val ckEq = scala.collection.mutable.Map.empty[String, Any]
     var ckLo = Int.MinValue
     var ckHi = Int.MaxValue
@@ -1413,8 +1415,8 @@ class CellTable(path: String,
       case EqualTo(n, v) if pkNames.contains(n) =>
         if (pkEq.contains(n)) ok = false else pkEq(n) = v
       case In(n, vs)
-          if pkNames == List(n) && vs.nonEmpty && pkIn.isEmpty =>
-        pkIn = Some(vs.toSeq)
+          if pkNames.contains(n) && vs.nonEmpty && !pkIn.contains(n) =>
+        pkIn(n) = vs.toSeq.distinct
       case EqualTo(n, v)
           if ckNames.contains(n) && !ckEq.contains(n) =>
         ckEq(n) = v
@@ -1433,13 +1435,18 @@ class CellTable(path: String,
       case _ => ok = false
     }
     if (!ok || hasRange && ckEq.nonEmpty) return None
-    val pkTuples: Seq[Array[Any]] =
-      if (pkIn.isDefined && pkEq.isEmpty && pkParts.length == 1)
-        pkIn.get.map(v => Array[Any](v))
-      else if (pkIn.isEmpty &&
-          pkParts.forall(p => pkEq.contains(p.name)))
-        Seq(pkParts.map(p => pkEq(p.name)).toArray)
-      else return None
+    val pkTuples: Seq[Array[Any]] = {
+      if (pkNames.exists(n => pkIn.contains(n) && pkEq.contains(n)))
+        return None
+      if (pkNames.exists(n => !pkIn.contains(n) && !pkEq.contains(n)))
+        return None
+      val combos = pkParts.foldLeft(Seq(Seq.empty[Any])) { (acc, p) =>
+        val vals = pkIn.getOrElse(p.name, Seq(pkEq(p.name)))
+        acc.flatMap(t => vals.map(v => t :+ v))
+      }
+      if (combos.length > 128) return None // cartesian threshold
+      combos.map(_.toArray)
+    }
     val ckTuple =
       if (ckEq.isEmpty) None
       else if (ckParts.forall(p => ckEq.contains(p.name)))
@@ -1941,20 +1948,35 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
       }
     } else {
       // composite partition key: prune only when EVERY part is bound
-      // by equality (Cassandra's own rule — a partial partition key
-      // cannot be routed)
-      val eqs = filters.collect {
+      // — by equality or an IN list (Cassandra's own rule — a partial
+      // partition key cannot be routed). IN lists form a cartesian
+      // product of candidate keys, each hashed to its token (the
+      // composite multiget); an oversized product simply isn't pushed
+      // (the residual keeps correctness, the scan stays full-range).
+      val bound = filters.collect {
         case f @ EqualTo(c, v)
-            if spec.pkParts.exists(_.name == c) => (c, v, f)
+            if spec.pkParts.exists(_.name == c) => (c, Seq(v), f)
+        case f @ In(c, vs)
+            if spec.pkParts.exists(_.name == c) && vs.nonEmpty =>
+          (c, vs.toSeq.distinct, f)
       }
-      val byPart = eqs.groupBy(_._1)
+      val byPart = bound.groupBy(_._1)
       if (byPart.size == spec.pkParts.length) {
-        val ivs = spec.pkParts.map(p =>
-          KeyCodec.toInternal(p.tag, byPart(p.name).head._2))
-        if (ivs.forall(_.isDefined)) {
-          val t = KeyCodec.token(spec, ivs.map(_.get).toArray)
-          pkSet = Some(pkSet.fold(Set(t))(_ intersect Set(t)))
-          accepted ++= eqs.map(_._3)
+        val combos = spec.pkParts.foldLeft(
+          Option(Seq(Array.empty[Any]))) { (acc, p) =>
+          acc.flatMap { tuples =>
+            val ivs = byPart(p.name).head._2
+              .map(v => KeyCodec.toInternal(p.tag, v))
+            if (ivs.exists(_.isEmpty)) None
+            else if (tuples.length * ivs.length > 1024) None
+            else Some(for (t <- tuples; iv <- ivs)
+              yield t :+ iv.get)
+          }
+        }
+        combos.foreach { tuples =>
+          val s = tuples.map(KeyCodec.token(spec, _)).toSet
+          pkSet = Some(pkSet.fold(s)(_ intersect s))
+          accepted ++= byPart.values.map(_.head._3)
         }
       }
     }

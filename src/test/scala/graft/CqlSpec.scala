@@ -2354,6 +2354,104 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("IN on multi-part partition keys: cartesian multiget (C8c)") {
+    val root = Files.createTempDirectory("cql-pkin").toString
+    spark.conf.set("spark.sql.catalog.cqlpkin", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlpkin.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlpkin")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (t text, d bigint, s int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((t, d), s))")
+      for ((t, d, s, q) <- Seq(("x", 1, 1, 10), ("x", 2, 1, 20),
+          ("x", 3, 1, 30), ("y", 1, 1, 40), ("y", 2, 1, 50)))
+        cq(s"INSERT INTO ks.m (t, d, s, qty) VALUES ('$t', $d, $s, $q)")
+      // SELECT: IN on one part, equality on the other — Cassandra's
+      // composite multiget; key-served, no ALLOW FILTERING
+      assert(cq("SELECT value FROM ks.m WHERE t = 'x' AND d IN (1, 3)")
+        .as[Long].collect().toSet === Set(10L, 30L))
+      // two INs: cartesian product of partitions
+      assert(cq("SELECT value FROM ks.m " +
+        "WHERE t IN ('x', 'y') AND d IN (1, 2)")
+        .as[Long].collect().toSet === Set(10L, 20L, 40L, 50L))
+      // UPDATE across the product (full primary key per row)
+      cq("UPDATE ks.m SET qty = 7 WHERE t = 'y' AND d IN (1, 2) " +
+        "AND s = 1")
+      assert(cq("SELECT value FROM ks.m WHERE t = 'y' AND d IN (1, 2)")
+        .as[Long].collect().toSet === Set(7L))
+      // DELETE across the product: one partition tombstone each
+      cq("DELETE FROM ks.m WHERE t = 'x' AND d IN (1, 2)")
+      assert(cq("SELECT value FROM ks.m WHERE t IN ('x') " +
+        "AND d IN (1, 2, 3)").as[Long].collect().toSet === Set(30L))
+      // refusals: same part bound by IN and equality; unbounded
+      // cartesian product
+      val e1 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.m SET qty = 1 WHERE t = 'x' AND t IN ('y') " +
+          "AND d = 1 AND s = 1")
+      }
+      assert(e1.getMessage.contains("both IN and equality"),
+        e1.getMessage)
+      val big = (1 to 200).mkString(", ")
+      val e2 = intercept[IllegalArgumentException] {
+        cq(s"UPDATE ks.m SET qty = 1 WHERE t = 'x' AND d IN ($big) " +
+          "AND s = 1")
+      }
+      assert(e2.getMessage.contains("cartesian product"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlpkin")
+      spark.conf.unset("spark.sql.catalog.cqlpkin.root")
+    }
+  }
+
+  test("CONTAINS / CONTAINS KEY over element-per-cell collections (C64b)") {
+    val root = Files.createTempDirectory("cql-contains").toString
+    spark.conf.set("spark.sql.catalog.cqlcont", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlcont.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlcont")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
+      cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
+      cq("UPDATE ks.t SET st = st + {9} WHERE pk = 3")
+      cq("UPDATE ks.t SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
+      // element containment is a cell filter (elements are cells)
+      assert(cq("SELECT pk FROM ks.t WHERE tags CONTAINS 7 " +
+        "ALLOW FILTERING").as[Long].collect().toSet === Set(1L, 2L))
+      assert(cq("SELECT pk FROM ks.t WHERE st CONTAINS 9 " +
+        "ALLOW FILTERING").as[Long].collect().toSet === Set(3L))
+      // map-entry presence: entry keys ARE col names on this layout
+      assert(cq("SELECT pk FROM ks.t WHERE m CONTAINS KEY 'color' " +
+        "ALLOW FILTERING").as[Long].collect().toSet === Set(4L))
+      // without ALLOW FILTERING: Cassandra's refusal (no index)
+      val e1 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.t WHERE tags CONTAINS 7")
+      }
+      assert(e1.getMessage.contains("ALLOW FILTERING"), e1.getMessage)
+      // a collection 2i serves CONTAINS key-routed (index entries ARE
+      // element values) — no ALLOW FILTERING needed
+      cq("CREATE INDEX ON ks.t (tags)")
+      assert(cq("SELECT pk FROM ks.t WHERE tags CONTAINS 7")
+        .as[Long].collect().toSet === Set(1L, 2L))
+      // CONTAINS KEY takes a text key
+      val e2 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.t WHERE m CONTAINS KEY 5 ALLOW FILTERING")
+      }
+      assert(e2.getMessage.contains("text key"), e2.getMessage)
+      // combination guard: PER PARTITION LIMIT counts pre-filter
+      val e3 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.t WHERE tags CONTAINS 7 " +
+          "PER PARTITION LIMIT 1 ALLOW FILTERING")
+      }
+      assert(e3.getMessage.contains("PER PARTITION LIMIT"),
+        e3.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlcont")
+      spark.conf.unset("spark.sql.catalog.cqlcont.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {

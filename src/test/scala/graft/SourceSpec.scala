@@ -1163,6 +1163,37 @@ class SourceSpec extends GraftSpec {
     assert(lists === Map(1L -> Seq(10L, 99L, 30L), 2L -> Seq(5L)))
   }
 
+  test("composite-pk IN pushes the cartesian multiget (C8c)") {
+    val d = Files.createTempDirectory("cells-cpkin").toString
+    for ((t, day) <- Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)))
+      (0 until 20).map(s => (t, day, s, "qty", day * 100 + s, 10L))
+        .toDF("t", "d", "s", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .option("primaryKey", "((t,d),s)")
+        .option("keyType.t", "string").option("keyType.d", "bigint")
+        .option("keyType.s", "int")
+        .mode("append").save(d)
+    def read() = spark.read.format("graft.sources.CellSource").load(d)
+    // all four single-partition flushes planned on a full scan
+    assert(read().rdd.getNumPartitions === 4)
+    // IN on one part + equality on the other: the cartesian hashes to
+    // 2 tokens → per-token Summary/bloom pruning plans ≤ 2 splits
+    val two = read().filter(col("t") === "x" && col("d").isin(1L, 2L))
+    assert(two.rdd.getNumPartitions <= 2, "composite multiget pruning")
+    assert(two.select("value").as[Long].collect().toSet ===
+      (0 until 20).flatMap(s => Seq(100L + s, 200L + s)).toSet)
+    // two INs: 2×2 product → all four partitions, still key-served
+    val four = read().filter(col("t").isin("x", "y") &&
+      col("d").isin(1L, 2L))
+    assert(four.count() === 80)
+    // absent combinations bloom-prune to zero splits
+    val none = read().filter(col("t") === "z" && col("d").isin(1L, 2L))
+    assert(none.rdd.getNumPartitions === 0, "absent-combo pruning")
+    // a partial binding (missing d) cannot route: full scan, exact
+    // residual — Cassandra refuses this shape; the scan stays correct
+    assert(read().filter(col("t") === "x").rdd.getNumPartitions === 4)
+  }
+
   test("pk IN (...) pushes down and prunes files per value (C8b)") {
     val d = Files.createTempDirectory("cells-multiget").toString
     (0 until 4).foreach { i =>
