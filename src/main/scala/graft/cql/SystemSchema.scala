@@ -246,14 +246,78 @@ private[cql] object SystemSchema {
       StructField("tokens", ArrayType(StringType, containsNull = false),
         nullable = false))), Seq.empty)
 
-  /** `SELECT cols FROM system.<local|peers> [WHERE key = 'local']` —
-    * same equality-and-projection subset as the system_schema facade.
+  // ---- system.size_estimates (the split-planning round, C67c) ------
+
+  private val sizeEstSchema = StructType(Seq(
+    StructField("keyspace_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("range_start", StringType, nullable = false),
+    StructField("range_end", StringType, nullable = false),
+    StructField("mean_partition_size", LongType, nullable = false),
+    StructField("partitions_count", LongType, nullable = false)))
+
+  /** Fraction of the file's token span [mn, mx] inside the vnode
+    * range (lo, hi] — hi <= lo is the wrapping range. Doubles: spans
+    * can cover most of the signed-64 ring, so long arithmetic would
+    * overflow; estimates don't need exactness.
+    */
+  private def overlapFrac(mn: Long, mx: Long, lo: Long,
+      hi: Long): Double = {
+    def seg(a: Long, b: Long): Double = {
+      val l = math.max(mn, a); val r = math.min(mx, b)
+      if (l > r) 0.0 else r.toDouble - l.toDouble + 1
+    }
+    val ov =
+      if (lo < hi) seg(lo + 1, hi)
+      else seg(lo + 1, Long.MaxValue) + seg(Long.MinValue, hi)
+    ov / (mx.toDouble - mn.toDouble + 1)
+  }
+
+  /** `system.size_estimates` — the SPLIT-PLANNING round: per (table,
+    * vnode range) estimated partition count and mean partition size,
+    * which is what every Spark/Hadoop Cassandra connector reads to
+    * size its input splits. Served header-only (Summary bounds +
+    * sparse-index samples + on-disk file size — no data read): each
+    * file's estimate is attributed to the 16 primary ranges of the
+    * node's token map proportionally to token-span overlap. The
+    * product partitions_count × mean_partition_size reproduces the
+    * attributed on-disk bytes exactly — the number split planners
+    * actually consume; the count itself is the sparse-index
+    * boundary estimator (upper bound on wide-partition tables).
+    */
+  def sizeEstimates(spark: SparkSession, catalog: String): DataFrame = {
+    val toks = ringTokens.map(_.toLong)
+    val ranges = toks.zip(toks.tail :+ toks.head) // (start, end], wraps
+    val rows = walk(spark, catalog)
+      .filterNot { case (_, _, d) => isIndex(d) || isView(d) }
+      .flatMap { case (ks, t, d) =>
+        val stats = graft.sources.CellSource.dirEstimates(d)
+          .filter(_._5 > 0)
+        ranges.flatMap { case (lo, hi) =>
+          var parts = 0.0; var bytes = 0.0
+          stats.foreach { case (mn, mx, p, b, _) =>
+            val frac = overlapFrac(mn, mx, lo, hi)
+            parts += p * frac; bytes += b * frac
+          }
+          val pc = math.round(parts)
+          if (pc <= 0L) None
+          else Some(Row(ks, t, lo.toString, hi.toString,
+            math.round(bytes / pc), pc))
+        }
+      }
+    mk(spark, sizeEstSchema, rows)
+  }
+
+  /** `SELECT cols FROM system.<local|peers|size_estimates> [WHERE
+    * ...]` — same equality-and-projection subset as the system_schema
+    * facade.
     */
   def selectSystem(spark: SparkSession, catalog: String, rel: String,
       cols: String, where: Option[String]): DataFrame = {
     var df = rel.toLowerCase match {
       case "local" => local(spark, catalog)
       case "peers" => peers(spark, catalog)
+      case "size_estimates" => sizeEstimates(spark, catalog)
       // the C53 operational relations the catalog already serves as
       // `<catalog>.system.*` — same front door, same WHERE subset
       case s @ ("tables" | "snapshots" | "ring") =>

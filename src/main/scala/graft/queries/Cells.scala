@@ -1703,6 +1703,35 @@ object Cells {
       |  '5' AS native_protocol_version,
       |  CAST(0 AS BIGINT) AS peer_count""".stripMargin
 
+  // C67c — the split-planning round: `system.size_estimates`, the
+  // relation every Spark/Hadoop Cassandra connector reads to size its
+  // input splits. Header-only (Summary bounds + sparse-index samples
+  // + on-disk size; no data read); the oracle pins the estimated
+  // partition count (mean_partition_size is byte-encoding-dependent
+  // and CqlSpec-covered instead).
+  private def sizeEstimatesRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_sizeest"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-sz-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint)")
+    cq("TRUNCATE ks.t")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
+    cq("SELECT keyspace_name, table_name, partitions_count " +
+      "FROM system.size_estimates WHERE table_name = 't'")
+  }
+
+  private val sizeEstimatesSql =
+    """SELECT 'ks' AS keyspace_name, 't' AS table_name,
+      |  CAST(3 AS BIGINT) AS partitions_count""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -1941,6 +1970,8 @@ object Cells {
       Some(systemSchemaSql)),
     GQuery("C67b_system_local", systemLocalRound,
       Some(systemLocalSql)),
+    GQuery("C67c_size_estimates", sizeEstimatesRound,
+      Some(sizeEstimatesSql)),
     GQuery("C49b_typed_partition_stats", typedPartitionStats,
       Some(typedPartitionStatsSql)),
     GQuery("C48_read_repair", readRepairRead, Some(readRepairSql)),

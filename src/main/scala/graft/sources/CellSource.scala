@@ -684,6 +684,38 @@ object CellSource {
   def keySpec(dir: String): KeySpec =
     CellPlanning.keySpecOf(dir, CellPlanning.listFiles(dir))
 
+  /** Header-only per-file stats for the `system.size_estimates`
+    * relation (C67c): (token lo, token hi, estimated partitions,
+    * on-disk bytes, records). The partition estimator walks the
+    * sparse index's (token, record) samples bookended by the Summary
+    * bounds: a span whose endpoints share a token is ONE continuing
+    * partition (contributes nothing); a span whose endpoints differ
+    * contributes its record count — an upper bound, exact for
+    * small-partition tables, and the product partitions × mean size
+    * stays exactly the file's bytes either way (what split planners
+    * actually consume). No data bytes are read.
+    */
+  /** [[fileEstimate]] over every flush file of a table directory. */
+  def dirEstimates(dir: String): Seq[(Long, Long, Long, Long, Int)] =
+    CellPlanning.listFiles(CellPlanning.normalize(dir))
+      .map(fileEstimate(_))
+
+  def fileEstimate(file: String): (Long, Long, Long, Long, Int) = {
+    val h = readHeader(file)
+    val bytes = Files.size(Paths.get(file))
+    if (h.count == 0) return (h.minPk, h.maxPk, 0L, bytes, 0)
+    val ps = h.minPk +: h.indexPks :+ h.maxPk
+    val is = 0 +: h.indexIdx :+ (h.count - 1)
+    var est = 1L
+    var i = 0
+    while (i < ps.length - 1) {
+      if (ps(i) != ps(i + 1))
+        est += math.max(1, is(i + 1) - is(i)).toLong
+      i += 1
+    }
+    (h.minPk, h.maxPk, math.min(est, h.count.toLong), bytes, h.count)
+  }
+
   /** rank byte: 0 = partition-level marker row, 1 = normal row. */
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||

@@ -2283,13 +2283,67 @@ class CqlSpec extends GraftSpec {
       Set(("ks", "t")))
     // refusals: unknown relation / unknown column
     val e1 = intercept[IllegalArgumentException] {
-      cq("SELECT * FROM system.size_estimates")
+      cq("SELECT * FROM system.sstable_activity")
     }
     assert(e1.getMessage.contains("unknown system relation"))
     val e2 = intercept[IllegalArgumentException] {
       cq("SELECT nope FROM system.local")
     }
     assert(e2.getMessage.contains("unknown system.local column"))
+  }
+
+  test("system.size_estimates answers the split-planning round (C67c)") {
+    val root = Files.createTempDirectory("cql-sizeest").toString
+    spark.conf.set("spark.sql.catalog.cqlsz", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlsz.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlsz")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      // empty table: no estimate rows yet
+      assert(cq("SELECT * FROM system.size_estimates").count() === 0)
+      // identity tokens: small positive pks land in ONE vnode range
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
+      val est = cq("SELECT * FROM system.size_estimates " +
+        "WHERE keyspace_name = 'ks' AND table_name = 't'")
+        .as[(String, String, String, String, Long, Long)]
+        .collect().toSeq
+      assert(est.length === 1, est) // one covering range
+      val (_, _, lo, hi, mean, parts) = est.head
+      // three single-partition flushes → 3 partitions estimated
+      assert(parts === 3L, est)
+      assert(mean > 0L)
+      // the covering range contains the identity tokens 1..3
+      assert(lo.toLong < 1L && hi.toLong >= 3L)
+      // estimates are header-only and per-table: a second table's
+      // rows don't leak into the first's estimate
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.u (pk, ck, qty) VALUES (9, 1, 1)")
+      assert(cq("SELECT partitions_count FROM system.size_estimates " +
+        "WHERE table_name = 't'").as[Long].collect().toSeq === Seq(3L))
+      assert(cq("SELECT partitions_count FROM system.size_estimates " +
+        "WHERE table_name = 'u'").as[Long].collect().toSeq === Seq(1L))
+      // a wide partition written across many flushes: per-file
+      // estimates SUM (Cassandra's own per-SSTable overcount of a
+      // partition that spans sstables) — and compaction collapses it
+      // back to the true count
+      for (i <- 1 to 5)
+        cq(s"INSERT INTO ks.u (pk, ck, qty) VALUES (9, ${i + 1}, $i)")
+      assert(cq("SELECT partitions_count FROM system.size_estimates " +
+        "WHERE table_name = 'u'").as[Long].collect().toSeq === Seq(6L))
+      graft.sources.CellMaintenance.compact(spark, s"$root/ks/u")
+      val u = cq("SELECT partitions_count, mean_partition_size " +
+        "FROM system.size_estimates WHERE table_name = 'u'")
+        .as[(Long, Long)].collect().toSeq
+      assert(u.length === 1 && u.head._1 === 1L, u)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlsz")
+      spark.conf.unset("spark.sql.catalog.cqlsz.root")
+    }
   }
 
   test("clustering-prefix DELETE shadows the bound prefix (C5d)") {
