@@ -1280,6 +1280,27 @@ object Cells {
       |FROM (VALUES (1, 2, 7), (2, 1, 7), (4, 1, 4)) AS t(pk, ck, v)
       |ORDER BY pk, ck""".stripMargin
 
+  // C65j — ck IN over typed layouts (r11): the clustering multiget on
+  // named clustering parts — pushed as the BOUNDING slice [min, max]
+  // of the named values (CEL8 zone maps prune chunks, the typed merge
+  // cursor skips out-of-slice rows), exact isin residual above the
+  // scan; key-served under the strict guard. IN on the LAST part of a
+  // multi-part clustering key with the prior parts bound is accepted
+  // the same way (Cassandra's rule).
+  private def typedCkIn(s: SparkSession, d: String): DataFrame = {
+    val dir = CellSnapshots.ensureComposite(s, d)
+    graft.cql.Cql.execute(s,
+      s"SELECT tenant, day, seq, col, value FROM $dir " +
+        "WHERE tenant = 't1' AND day = 0 AND seq IN (3, 7) " +
+        "ORDER BY seq, col")
+  }
+
+  private val typedCkInSql = cte +
+    """SELECT 't' || (pk % 8) AS tenant, pk // 8 AS day, ck AS seq,
+      |  col, value
+      |FROM merged WHERE pk % 8 = 1 AND pk // 8 = 0 AND ck IN (3, 7)
+      |ORDER BY seq, col""".stripMargin
+
   // C49 — GROUP BY pk pushed COMPLETELY into the reconcile scan
   // (CQL's `SELECT pk, count(*) ... GROUP BY pk`, Cassandra 3.10
   // read-path aggregation): reconcile partitions are disjoint pk
@@ -1942,6 +1963,7 @@ object Cells {
     GQuery("C8c_composite_multiget", compositeMultiget,
       Some(compositeMultigetSql)),
     GQuery("C64b_cql_contains", containsLifecycle, Some(containsSql)),
+    GQuery("C65j_typed_ck_in", typedCkIn, Some(typedCkInSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),

@@ -2052,6 +2052,46 @@ class CellScanBuilder(path: String, subsplitRecords: Int, columnar: Boolean,
           if (high(v, inc = false)) accepted += f
         case f @ LessThanOrEqual(c, v) if c == ck.name =>
           if (high(v, inc = true)) accepted += f
+        // the typed clustering multiget (CQL `ck IN (...)`, C65i
+        // lifted to typed layouts): pushed as the BOUNDING slice
+        // [min, max] of the named values — commutes with the merge
+        // like any slice; rows between the values drop in the exact
+        // residual Spark re-applies above the scan
+        case f @ In(c, vs) if c == ck.name && vs.nonEmpty =>
+          val ivs = vs.flatMap(v => KeyCodec.toInternal(ck.tag, v))
+          if (ivs.length == vs.length) {
+            val cmp = (a: Any, b: Any) => ValueCodec.compare(ck.tag, a, b)
+            val lo = ivs.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+            val hi = ivs.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+            // the set's bounding slice [lo, hi] (inclusive both ends)
+            // INTERSECTS any existing slice: a strictly tighter bound
+            // replaces, an equal one keeps the stricter inclusivity
+            ckLoT match {
+              case None => ckLoT = Some(lo); ckLoInc = true
+              case Some(cur) if cmp(lo, cur) > 0 =>
+                ckLoT = Some(lo); ckLoInc = true
+              case _ => // existing bound is tighter or equal: keep it
+            }
+            ckHiT match {
+              case None => ckHiT = Some(hi); ckHiInc = true
+              case Some(cur) if cmp(hi, cur) < 0 =>
+                ckHiT = Some(hi); ckHiInc = true
+              case _ =>
+            }
+            accepted += f
+          }
+        // IN on the LAST clustering part with every preceding part
+        // bound by equality: Cassandra's key-served shape — the
+        // partition read is already bounded, the residual is exact
+        case f @ In(c, vs)
+            if vs.nonEmpty && spec.ckParts.length > 1 &&
+              c == spec.ckParts.last.name &&
+              spec.ckParts.dropRight(1).forall(p =>
+                filters.exists {
+                  case EqualTo(n, _) => n == p.name
+                  case _ => false
+                }) =>
+          accepted += f
         case _ =>
       }
     }

@@ -2506,6 +2506,50 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("ck IN on typed layouts: bounding slice + last-part IN (C65j)") {
+    val root = Files.createTempDirectory("cql-ckin").toString
+    spark.conf.set("spark.sql.catalog.cqlckin", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlckin.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlckin")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (user text, seq int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), seq))")
+      for (s <- Seq(1, 3, 5))
+        cq(s"INSERT INTO ks.t (user, seq, qty) VALUES ('u', $s, ${s * 10})")
+      // IN on the (single) clustering part: bounding slice pushed,
+      // exact residual — the in-between row (seq 3) must NOT return
+      assert(cq("SELECT seq, value FROM ks.t WHERE user = 'u' " +
+        "AND seq IN (1, 5)").as[(Int, Long)].collect().toSet ===
+        Set((1, 10L), (5, 50L)))
+      // multi-part clustering: IN on the LAST part with the prior
+      // part bound by equality (Cassandra's key-served shape)
+      cq("CREATE TABLE ks.m (t text, a bigint, b int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((t), a, b))")
+      for ((a, b) <- Seq((1, 1), (1, 2), (1, 3), (2, 1)))
+        cq(s"INSERT INTO ks.m (t, a, b, qty) VALUES ('x', $a, $b, " +
+          s"${a * 10 + b})")
+      assert(cq("SELECT value FROM ks.m WHERE t = 'x' AND a = 1 " +
+        "AND b IN (1, 3)").as[Long].collect().toSet === Set(11L, 13L))
+      // IN on the FIRST part alone: a bounding slice, key-served
+      assert(cq("SELECT value FROM ks.m WHERE t = 'x' AND a IN (1, 2)")
+        .as[Long].collect().toSet === Set(11L, 12L, 13L, 21L))
+      // IN on the last part WITHOUT binding the prior one: data
+      // filtering — Cassandra's refusal without ALLOW FILTERING
+      val e = intercept[Exception] {
+        cq("SELECT value FROM ks.m WHERE t = 'x' AND b IN (1, 3)")
+          .collect()
+      }
+      assert(e.getMessage.contains("data filtering"), e.getMessage)
+      assert(cq("SELECT value FROM ks.m WHERE t = 'x' AND b IN (1, 3) " +
+        "ALLOW FILTERING").as[Long].collect().toSet ===
+        Set(11L, 13L, 21L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlckin")
+      spark.conf.unset("spark.sql.catalog.cqlckin.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
