@@ -135,6 +135,12 @@ object Cql {
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(\w+)\.(\w+)\s*\((.+)\)(?:\s*WITH\s+(.+?))?\s*;?\s*$""").r
+  private val CopyToRe =
+    ("""(?is)^\s*COPY\s+(\w+)\.(\w+)\s+TO\s+'([^']+)'""" +
+      """(?:\s+WITH\s+HEADER\s*=\s*(\w+))?\s*;?\s*$""").r
+  private val CopyFromRe =
+    ("""(?is)^\s*COPY\s+(\w+)\.(\w+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+WITH\s+HEADER\s*=\s*(\w+))?\s*;?\s*$""").r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   private val TruncateRe =
@@ -410,7 +416,8 @@ object Cql {
         fail("counter tables take UPDATE increments, not INSERT " +
           "(Cassandra's rule)")
       if (spec.isDefault)
-        appendCells(spark, dir, insertCells(cols, vals, wt), ttlOpt)
+        appendCells(spark, dir,
+          insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
       else insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
       if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
@@ -433,7 +440,8 @@ object Cql {
       } else if (spec.isDefault) {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
-        else appendCells(spark, dir, updateCells(sets, where, wt), ttlOpt)
+        else appendCells(spark, dir,
+          updateCells(sets, where, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
       } else if (hasCollectionSyntax(sets))
         collectionUpdateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
       else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
@@ -444,7 +452,8 @@ object Cql {
       val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       if (spec.isDefault)
-        appendCells(spark, dir, deleteMarkers(Option(colOpt), where, dts))
+        appendCells(spark, dir,
+          deleteMarkers(Option(colOpt), where, dts, graft.sources.CellSource.staticCols(dir)))
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
@@ -507,6 +516,21 @@ object Cql {
   // ballot-locked compare-and-set; the result relation mirrors
   // Cassandra's `[applied]` row.
 
+  private def setColNames(sets: String): Seq[String] =
+    sets.split(',').toSeq.collect {
+      case SetRe(c, _) => c.toLowerCase }
+
+  /** Static columns address the partition; the CAS machinery here
+    * addresses one (pk, ck) cell — refuse loudly instead of writing a
+    * mispositioned cell.
+    */
+  private def refuseStaticLwt(dir: String, cols: Seq[String]): Unit = {
+    val st = graft.sources.CellSource.staticCols(dir)
+    if (st.nonEmpty && cols.exists(st.contains))
+      fail("static columns in conditional statements are not " +
+        "supported in this subset")
+  }
+
   private def lwtResult(spark: SparkSession,
       r: graft.sources.CellTransactions.CasResult): DataFrame = {
     import spark.implicits._
@@ -549,6 +573,7 @@ object Cql {
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
+      refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
       val cells = insertCells(cols, vals, AssignLater)
       if (cells.length != 1)
         fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
@@ -587,6 +612,7 @@ object Cql {
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
+      refuseStaticLwt(dir, setColNames(sets))
       val cells = updateCells(sets, where, AssignLater)
       if (cells.length != 1)
         fail("UPDATE ... IF takes exactly one SET column and one pk")
@@ -619,6 +645,7 @@ object Cql {
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
+      refuseStaticLwt(dir, setColNames(sets))
       val cells = updateCells(sets, where, AssignLater)
       if (cells.length != 1)
         fail("UPDATE ... IF EXISTS takes exactly one SET column and " +
@@ -709,8 +736,8 @@ object Cql {
           val ttl = effectiveTtl(dir, rawTtl)
           val sp = spec(dir)
           if (sp.isDefault)
-            (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater))
-              .map((_, ttl))))
+            (dir, Left(insertCells(cols, vals, ts.getOrElse(AssignLater),
+              graft.sources.CellSource.staticCols(dir)).map((_, ttl))))
           else
             (dir, Right((sp, insertTypedRows(sp, cols, vals,
               ts.getOrElse(AssignLater)).map((_, ttl)))))
@@ -729,7 +756,7 @@ object Cql {
           val sp = spec(dir)
           if (sp.isDefault)
             (dir, Left(updateCells(sets, where,
-              ts.getOrElse(AssignLater)).map((_, ttl))))
+              ts.getOrElse(AssignLater), graft.sources.CellSource.staticCols(dir)).map((_, ttl))))
           else
             (dir, Right((sp, updateTypedRows(sp, sets, where,
               ts.getOrElse(AssignLater)).map((_, ttl)))))
@@ -738,8 +765,8 @@ object Cql {
           val dts = Option(usingTs).map(_.toLong).getOrElse(AssignLater)
           val sp = spec(dir)
           if (sp.isDefault)
-            (dir, Left(deleteMarkers(Option(colOpt), where, dts)
-              .map((_, None: Option[Long]))))
+            (dir, Left(deleteMarkers(Option(colOpt), where, dts,
+              graft.sources.CellSource.staticCols(dir)).map((_, None: Option[Long]))))
           else
             (dir, Right((sp, deleteTypedRows(sp, Option(colOpt),
               where, dts).map((_, None: Option[Long])))))
@@ -870,6 +897,8 @@ object Cql {
         val cc = parseCreateColumns(colSpec)
         val props = scala.collection.mutable.Map.empty[String, String]
         if (cc.counter) props += "counter" -> "true"
+        if (cc.staticCols.nonEmpty)
+          props += "staticCols" -> cc.staticCols.mkString(",")
         // a TYPED layout travels as table properties: the catalog
         // persists them to `_props`, which serves the schema and the
         // first write's key layout BEFORE any flush exists, and
@@ -920,6 +949,53 @@ object Cql {
       case TruncateRe(ks, t) =>
         val r = spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
         forgetWt(s"$root/$ks/$t"); r
+      // C68 — cqlsh's bulk round. COPY TO exports the reconciled LIVE
+      // rows as CSV — a DIRECTORY of part files, the distributed twin
+      // of cqlsh's single file (at 100 TB one file is the bottleneck;
+      // cqlsh itself splits with NUMPROCESSES). The wt column rides
+      // along, so a TO→FROM round trip preserves writetimes — better
+      // than cqlsh, which re-stamps on load. COPY FROM appends
+      // through the catalog write path (write-through index/view
+      // maintenance included). HEADER defaults false, cqlsh's own.
+      case CopyToRe(ks, t, path, header) =>
+        val dir = s"$root/$ks/$t"
+        var reader = spark.read.format(Fmt).option("reconcile", "true")
+        if (isCounter(dir)) reader = reader.option("counter", "true")
+        val df = reader.load(dir)
+        df.write
+          .option("header",
+            (header != null && header.equalsIgnoreCase("true")).toString)
+          .mode("overwrite").csv(path)
+        val n = spark.read
+          .schema(df.schema)
+          .option("header",
+            (header != null && header.equalsIgnoreCase("true")).toString)
+          .csv(path).count()
+        spark.createDataFrame(
+          java.util.List.of(
+            org.apache.spark.sql.Row(n): org.apache.spark.sql.Row),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rows_exported",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      case CopyFromRe(ks, t, path, header) =>
+        val dir = s"$root/$ks/$t"
+        if (isCounter(dir))
+          fail("COPY FROM on counter tables is not supported (rows " +
+            "are shard SUMS; re-importing them as shards would " +
+            "double-count)")
+        val schema = spark.table(s"$catalog.$ks.$t").schema
+        val rows = spark.read
+          .option("header",
+            (header != null && header.equalsIgnoreCase("true")).toString)
+          .schema(schema).csv(path)
+        rows.writeTo(s"$catalog.$ks.$t").append()
+        val n = rows.count()
+        spark.createDataFrame(
+          java.util.List.of(
+            org.apache.spark.sql.Row(n): org.apache.spark.sql.Row),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rows_imported",
+              org.apache.spark.sql.types.LongType, nullable = false))))
       case AlterDropRe(ks, t, c, usingTs) =>
         // Cassandra's ALTER TABLE DROP: record the drop timestamp in
         // system metadata; cells written at-or-before it become
@@ -1160,7 +1236,8 @@ object Cql {
     }
   }
 
-  private val ColDefRe = """(?is)^\s*(\w+)\s+(\w+)\s*$""".r
+  private val ColDefRe =
+    """(?is)^\s*(\w+)\s+(\w+)(\s+STATIC)?\s*$""".r
 
   /** Parse a CQL column list + PRIMARY KEY clause onto the cell
     * layout; only the default `((pk), ck)` shape is accepted, and the
@@ -1174,7 +1251,7 @@ object Cql {
     */
   private case class CreateCols(pkSyntax: Option[String],
       keyParts: Seq[(String, String)], valueType: String,
-      counter: Boolean)
+      counter: Boolean, staticCols: Seq[String] = Seq.empty)
 
   private def parseCreateColumns(spec: String): CreateCols = {
     // split top-level commas (PRIMARY KEY ((pk), ck) nests parens)
@@ -1191,8 +1268,11 @@ object Cql {
     val (pkClauses, colDefs) = parts.map(_.trim).filter(_.nonEmpty)
       .partition(_.toUpperCase.startsWith("PRIMARY KEY"))
     if (pkClauses.length > 1) fail("multiple PRIMARY KEY clauses")
+    val statics = scala.collection.mutable.ArrayBuffer.empty[String]
     val cols = colDefs.map {
-      case ColDefRe(n, t) => n.toLowerCase -> t.toLowerCase
+      case ColDefRe(n, t, st) =>
+        if (st != null) statics += n.toLowerCase
+        n.toLowerCase -> t.toLowerCase
       case c => fail(s"unsupported column definition: $c")
     }
     val colMap = cols.toMap
@@ -1238,13 +1318,29 @@ object Cql {
           cols.map(_._1).mkString(", "))
     if (mapType(colMap("col")) != "string") fail("col must be text")
     if (mapType(colMap("wt")) != "bigint") fail("wt must be bigint")
+    // STATIC columns (C15b) are the one legal extra: per-partition
+    // cells at the marker position, declared here so writes/reads can
+    // route them (regular data columns stay dynamic in the cell model)
+    statics.foreach { n =>
+      if (keyNames.contains(n))
+        fail(s"a key part cannot be static: $n")
+      if (Seq("col", "value", "wt").contains(n))
+        fail(s"a cell-model column cannot be static: $n")
+      if (mapType(colMap(n)) != mapType(colMap("value")))
+        fail(s"static column $n must share the table's value type " +
+          s"(${colMap("value")}), got ${colMap(n)}")
+      if (colMap("value") == "counter")
+        fail("counter tables cannot declare static columns")
+    }
     val extras = cols.map(_._1)
       .filterNot(n => keyNames.contains(n) ||
-        Seq("col", "value", "wt").contains(n))
+        Seq("col", "value", "wt").contains(n) ||
+        statics.contains(n))
     if (extras.nonEmpty)
       fail("columns outside the key and the (col, value, wt) cell " +
         s"tail: ${extras.mkString(", ")} (data columns live in the " +
-        "cell model, not the table schema)")
+        "cell model, not the table schema; per-partition columns " +
+        "take the STATIC modifier)")
     val keyParts = keyNames.map { n =>
       val t = colMap.getOrElse(n,
         fail(s"PRIMARY KEY part '$n' is not a declared column"))
@@ -1257,13 +1353,17 @@ object Cql {
         fail(s"unsupported typed key part type for $n: $t " +
           "(text/bigint/int)")
     }
+    if (statics.nonEmpty && !default)
+      fail("static columns are supported on the default ((pk), ck) " +
+        "layout only in this subset")
     CreateCols(
       if (default) None
       else Some(s"((${pkNames.mkString(",")})" +
         (if (ckNames.nonEmpty) s",${ckNames.mkString(",")}" else "") +
         ")"),
       if (default) Seq.empty else keyParts,
-      mapType(colMap("value")), colMap("value") == "counter")
+      mapType(colMap("value")), colMap("value") == "counter",
+      statics.toSeq)
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
@@ -1522,16 +1622,26 @@ object Cql {
       cols.split(',').exists(i => WriteTimeRe.findFirstIn(i).isDefined)
     val hasTtl = group.isEmpty && cols != "*" &&
       cols.split(',').exists(i => TtlRe.findFirstIn(i).isDefined)
+    // STATIC columns (C15b): selecting a declared-static name narrows
+    // the cell relation to its partition-front `!s:<name>` cell, the
+    // same internal-filter contract as WRITETIME/TTL
+    val statics = graft.sources.CellSource.staticCols(dir)
+    val hasStatic = group.isEmpty && !distinct && cols != "*" &&
+      statics.nonEmpty && cols.split(',').exists {
+        case ColRe(c, _) => statics.contains(c.toLowerCase)
+        case _ => false
+      }
     // token() in the SELECT list: the partition token column — pk
     // itself on the default layout (identity tokens), the `_token`
     // pseudo-column on typed layouts (hashed ring position)
     val hasTokSel = group.isEmpty && !distinct && cols != "*" &&
       cols.split(',').exists(i => TokenSelRe.findFirstIn(i).isDefined &&
         TokenPredRe.findFirstIn(i).isEmpty)
-    val fnNarrows = hasWt || hasTtl
+    val fnNarrows = hasWt || hasTtl || hasStatic
     if (fnNarrows && !allowFiltering &&
         preds.exists { case (c, _) => !keyCols.contains(c) })
-      fail("WRITETIME/TTL with data predicates needs ALLOW FILTERING")
+      fail("WRITETIME/TTL/static with data predicates needs " +
+        "ALLOW FILTERING")
     if (distinct) {
       // CQL: SELECT DISTINCT <partition key parts> — nothing else
       if (group.isDefined || fnNarrows)
@@ -1719,13 +1829,18 @@ object Cql {
                 !Seq("col", "value", "wt").contains(c.toLowerCase) =>
             c.toLowerCase
         }
-        if (wtCols.nonEmpty || ttlCols.nonEmpty) {
+        if (wtCols.nonEmpty || ttlCols.nonEmpty ||
+            dataCols.exists(statics.contains)) {
           val targets = (wtCols ++ ttlCols ++ dataCols).distinct
           if (targets.length != 1)
-            fail("WRITETIME/TTL select exactly one data column per " +
-              s"statement, got: ${targets.mkString(", ")}")
+            fail("WRITETIME/TTL/static select exactly one data " +
+              s"column per statement, got: ${targets.mkString(", ")}")
           val c = targets.head
-          df = df.filter(col("col") === c)
+          val cellName =
+            if (statics.contains(c))
+              graft.sources.CellSource.StaticPrefix + c
+            else c
+          df = df.filter(col("col") === cellName)
           val items = rawItems.map {
             case WriteTimeRe(_, alias) =>
               col("wt").as(Option(alias).getOrElse(s"writetime($c)"))
@@ -1878,7 +1993,8 @@ object Cql {
   /** Cells an INSERT contributes (wt = AssignLater defers to the
     * executing statement's writetime resolution).
     */
-  private def insertCells(cols: String, vals: String, wt: Long)
+  private def insertCells(cols: String, vals: String, wt: Long,
+      statics: Set[String] = Set.empty)
       : Seq[(Long, Int, String, Long, Long)] = {
     val names = cols.split(',').map(_.trim)
     val values = splitValues(vals)
@@ -1888,12 +2004,21 @@ object Cql {
     val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
     val pk = longLiteral(
       kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
-    val ck = ckLiteral(kv.getOrElse("ck", fail("INSERT must bind ck")))
     val data = names.map(_.toLowerCase)
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    data.toSeq.map(c =>
-      (pk, ck, c, longLiteral(kv(c), s"value of $c"), wt))
+    val (st, reg) = data.toSeq.partition(statics.contains)
+    // ck binds the clustering row for REGULAR cells; a static-only
+    // INSERT addresses the partition alone (Cassandra's rule), and
+    // static cells land at the partition-front `!s:` position
+    // whatever ck says
+    lazy val ck =
+      ckLiteral(kv.getOrElse("ck", fail("INSERT must bind ck")))
+    reg.map(c =>
+      (pk, ck, c, longLiteral(kv(c), s"value of $c"), wt)) ++
+      st.map(c => (pk, Int.MinValue,
+        graft.sources.CellSource.StaticPrefix + c,
+        longLiteral(kv(c), s"value of $c"), wt))
   }
 
   /** Cells an `INSERT INTO t JSON '...'` contributes (C63's write
@@ -2318,10 +2443,13 @@ object Cql {
   }
 
   /** Cells an UPDATE contributes (wt = AssignLater defers). */
-  private def updateCells(sets: String, where: String, wt: Long)
+  private def updateCells(sets: String, where: String, wt: Long,
+      statics: Set[String] = Set.empty)
       : Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
-    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    // ck binds the clustering row for REGULAR cells only; static
+    // SETs address the partition (Cassandra's rule)
+    lazy val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
     for {
       s <- sets.split(',').toSeq
       (c, v) = s match {
@@ -2330,7 +2458,11 @@ object Cql {
         case x => fail(s"unsupported SET item: $x")
       }
       pk <- pks.toSeq.sorted
-    } yield (pk, ck, c, v, wt)
+    } yield
+      if (statics.contains(c))
+        (pk, Int.MinValue,
+          graft.sources.CellSource.StaticPrefix + c, v, wt)
+      else (pk, ck, c, v, wt)
   }
 
   // ---------------------------------------------------------------
@@ -2698,11 +2830,22 @@ object Cql {
     * whole partition for a statement that deletes nothing.
     */
   private def deleteMarkers(colOpt: Option[String], where: String,
-      dts: Long): Seq[(Long, Int, String, Long, Long)] = {
+      dts: Long, statics: Set[String] = Set.empty)
+      : Seq[(Long, Int, String, Long, Long)] = {
     val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
     if (ckLo > ckHi) return Seq.empty // provably-empty range: no-op
     pks.toSeq.sorted.map { pk =>
       (colOpt, ckEq, ckLo != Int.MinValue || ckHi != Int.MaxValue) match {
+        // DELETE <static> ... WHERE pk = ? — the static cell's own
+        // tombstone at the partition-front position (Cassandra: a
+        // static delete never binds a clustering row)
+        case (Some(c), None, false) if statics.contains(c.toLowerCase) =>
+          (pk, Int.MinValue, "!del:" +
+            graft.sources.CellSource.StaticPrefix + c.toLowerCase,
+            0L, dts)
+        case (Some(c), _, _) if statics.contains(c.toLowerCase) =>
+          fail(s"DELETE of static column $c binds the partition " +
+            "alone (no clustering predicate)")
         case (Some(c), Some(ck), _) => // DELETE col|m['k'] ... AND ck = ?
           (pk, ck, s"!del:${deleteColName(c)}", 0L, dts)
         case (None, Some(ck), _) => // row tombstone

@@ -1753,6 +1753,75 @@ object Cells {
     """SELECT 'ks' AS keyspace_name, 't' AS table_name,
       |  CAST(3 AS BIGINT) AS partitions_count""".stripMargin
 
+  // C15b — STATIC columns through the CQL front door (r11): one
+  // `!s:<name>` cell per (pk, static column) at the partition-front
+  // position, so per-partition LWW falls out of the ordinary
+  // (pk, ck, col) merge; static-only writes bind the partition alone,
+  // partition tombstones shadow statics (row tombstones never do),
+  // and SELECT of a declared-static name narrows to its cell.
+  private def staticCqlLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_static"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-static-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, s bigint STATIC)")
+    cq("TRUNCATE ks.t")
+    cq("INSERT INTO ks.t (pk, s) VALUES (1, 100)")
+    cq("UPDATE ks.t SET s = 111 WHERE pk = 1")
+    cq("INSERT INTO ks.t (pk, ck, qty, s) VALUES (2, 1, 5, 200)")
+    cq("INSERT INTO ks.t (pk, s) VALUES (3, 300)")
+    cq("DELETE FROM ks.t WHERE pk = 3")
+    cq("INSERT INTO ks.t (pk, s) VALUES (3, 301)")
+    cq("SELECT pk, s FROM ks.t ORDER BY pk")
+  }
+
+  private val staticCqlSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(s AS BIGINT) AS s
+      |FROM (VALUES (1, 111), (2, 200), (3, 301)) AS t(pk, s)
+      |ORDER BY pk""".stripMargin
+
+  // C68 — cqlsh's bulk round (COPY TO / COPY FROM): export the
+  // reconciled live rows as CSV, re-import through the catalog write
+  // path. The wt column rides along, so the round trip preserves
+  // writetimes exactly; tombstoned rows never export.
+  private def copyRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_copy"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-copy-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint)")
+    cq("CREATE TABLE IF NOT EXISTS ks.u (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint)")
+    cq("TRUNCATE ks.t")
+    cq("TRUNCATE ks.u")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
+    cq("DELETE FROM ks.t WHERE pk = 2")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
+    val out = java.nio.file.Files
+      .createTempDirectory("cql-copy-out").toString + "/t.csv"
+    cq(s"COPY ks.t TO '$out' WITH HEADER = TRUE")
+    cq(s"COPY ks.u FROM '$out' WITH HEADER = TRUE")
+    cq("SELECT pk, ck, col, value FROM ks.u ORDER BY pk")
+  }
+
+  private val copyRoundSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, col,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 1, 'qty', 10), (3, 1, 'qty', 30))
+      |  AS t(pk, ck, col, v)
+      |ORDER BY pk""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -1964,6 +2033,8 @@ object Cells {
       Some(compositeMultigetSql)),
     GQuery("C64b_cql_contains", containsLifecycle, Some(containsSql)),
     GQuery("C65j_typed_ck_in", typedCkIn, Some(typedCkInSql)),
+    GQuery("C15b_static_cql", staticCqlLifecycle, Some(staticCqlSql)),
+    GQuery("C68_copy", copyRound, Some(copyRoundSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),

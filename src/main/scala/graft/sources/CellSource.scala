@@ -517,6 +517,25 @@ object CellSource {
     }
   }
 
+  /** Catalog-persisted STATIC column names (`staticCols` in `_props`,
+    * comma-separated) — the columns CQL writes/reads at the
+    * partition-front `!s:<name>` position. Empty for tables without
+    * the modifier.
+    */
+  def staticCols(dir: String): Set[String] = {
+    val f = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      Option(p.getProperty("staticCols"))
+        .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+    }
+  }
+
   def schemaFor(valueType: DataType): StructType =
     schemaFor(KeySpec.Default, valueType)
 
@@ -581,6 +600,18 @@ object CellSource {
 
   def prefixTombstoneCol(boundParts: Int): String =
     s"$PrefixTombstonePrefix$boundParts"
+
+  /** STATIC column cells (C15b, CQL's `static` modifier): one
+    * `!s:<name>` cell per (pk, static column) at ck = Int.MinValue —
+    * the partition-front position markers use — so per-PARTITION LWW
+    * falls out of the same (pk, ck, col) merge that serves rows.
+    * Unlike markers, static cells are DATA: the reconcile cursor
+    * EMITS the winner (shadowed by partition tombstones and its own
+    * `!del:!s:<name>` cell tombstone, never by row/range tombstones —
+    * Cassandra's static row is not a clustering row) and it never
+    * counts toward PER PARTITION LIMIT or clustering slices.
+    */
+  val StaticPrefix = "!s:"
 
   /** COLLECTION CONTRACT (C11b): CQL collections are element-per-cell
     * on disk — one cell per list/set element (ck/value-keyed), one per
@@ -720,7 +751,8 @@ object CellSource {
   def rankOf(colName: String): Byte =
     if (colName == PartitionTombstone || colName == PartitionTtl ||
         colName.startsWith(RangeTombstonePrefix) ||
-        colName.startsWith(PrefixTombstonePrefix)) 0 else 1
+        colName.startsWith(PrefixTombstonePrefix) ||
+        colName.startsWith(StaticPrefix)) 0 else 1
   val RecordBytes = 29 // pk(8) ck(4) colId(1) value(8) wt(8) [CEL4/long]
   val BloomHashes = 7
   val DefaultIndexEvery = 4096
@@ -3106,6 +3138,24 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
         rowDelTs = Long.MinValue
       }
       if (colName.length > 0 && colName.charAt(0) == '!') {
+        if (colName.startsWith(CellSource.StaticPrefix)) {
+          // STATIC column cell (C15b): per-partition DATA at the
+          // marker position — EMIT the LWW winner unless shadowed by
+          // a partition tombstone or its own cell tombstone
+          // (`!del:!s:<name>`, which sorts before it) or expired.
+          // Row/range tombstones never cover it (the static row is
+          // not a clustering row), slices and PER PARTITION LIMIT
+          // never count it, and compaction always keeps survivors.
+          val covered = (pdts != Long.MinValue && wt <= pdts) ||
+            cellDel.get(colName).exists(wt <= _)
+          val effExp =
+            if (expiry != Long.MaxValue) expiry
+            else if (ttlMs != Long.MinValue) wt + ttlMs
+            else Long.MaxValue
+          val expired = effExp != Long.MaxValue &&
+            queryTime != Long.MaxValue && effExp < queryTime
+          if (!covered && (keepMarkers || !expired)) return true
+        } else {
         if (colName == CellSource.PartitionTombstone)
           pdts = math.max(pdts, wt)
         else if (colName == CellSource.PartitionTtl)
@@ -3141,6 +3191,7 @@ private[sources] final class CellMergeCursor(part: CellReconcilePartition,
           val inGrace = gcGraceMs == Long.MaxValue ||
             wt >= gcNowMs - gcGraceMs
           if (isTtl || inGrace) return true
+        }
         }
       } else if (ck < opts.ckLower || ck > opts.ckUpper) {
         // pushed clustering slice (C37): out-of-slice data rows are

@@ -2550,6 +2550,124 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("static columns: per-partition cells through the front door (C15b)") {
+    val root = Files.createTempDirectory("cql-static").toString
+    spark.conf.set("spark.sql.catalog.cqlstat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlstat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlstat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, s bigint STATIC)")
+      // a static-only INSERT addresses the partition — no ck bound
+      cq("INSERT INTO ks.t (pk, s) VALUES (1, 100)")
+      // mixed INSERT: the regular cell lands at (pk, ck), the static
+      // at the partition-front position
+      cq("INSERT INTO ks.t (pk, ck, qty, s) VALUES (2, 1, 5, 200)")
+      def sOf(pk: Long): Seq[Long] =
+        cq(s"SELECT s FROM ks.t WHERE pk = $pk").as[Long].collect().toSeq
+      assert(sOf(1) === Seq(100L))
+      assert(sOf(2) === Seq(200L))
+      // ONE static cell per partition however many rows exist
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 2, 6)")
+      assert(sOf(2) === Seq(200L))
+      // per-partition LWW: UPDATE without a ck binding
+      cq("UPDATE ks.t SET s = 111 WHERE pk = 1")
+      assert(sOf(1) === Seq(111L))
+      // WRITETIME of a static column narrows to the same cell
+      assert(cq("SELECT WRITETIME(s) FROM ks.t WHERE pk = 1")
+        .as[Long].head() > 0L)
+      // DELETE of the static column alone; regular cells untouched
+      cq("DELETE s FROM ks.t WHERE pk = 2")
+      assert(sOf(2) === Seq.empty)
+      assert(cq("SELECT value FROM ks.t WHERE pk = 2")
+        .as[Long].collect().toSet === Set(5L, 6L))
+      // a partition tombstone shadows the static cell too
+      cq("DELETE FROM ks.t WHERE pk = 1")
+      assert(sOf(1) === Seq.empty)
+      // ... and a LATER static write is visible again
+      cq("INSERT INTO ks.t (pk, s) VALUES (1, 7)")
+      assert(sOf(1) === Seq(7L))
+      // compaction preserves live statics and drops shadowed ones
+      graft.sources.CellMaintenance.compact(spark, s"$root/ks/t")
+      assert(sOf(1) === Seq(7L) && sOf(2) === Seq.empty)
+      // statics work inside a logged BATCH
+      cq("BEGIN BATCH " +
+        "INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 9); " +
+        "UPDATE ks.t SET s = 300 WHERE pk = 3; " +
+        "APPLY BATCH")
+      assert(sOf(3) === Seq(300L))
+      // refusals: static on a typed layout, static under LWT, DELETE
+      // of a static with a clustering predicate, static key part
+      val e1 = intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.bad1 (user text, ck int, col text, " +
+          "value bigint, wt bigint, s bigint STATIC, " +
+          "PRIMARY KEY ((user), ck))")
+      }
+      assert(e1.getMessage.contains("default"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.t SET s = 1 WHERE pk = 3 IF EXISTS")
+      }
+      assert(e2.getMessage.contains("static"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        cq("DELETE s FROM ks.t WHERE pk = 3 AND ck = 1")
+      }
+      assert(e3.getMessage.contains("partition alone"), e3.getMessage)
+      intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.bad2 (pk bigint STATIC, ck int, col text, " +
+          "value bigint, wt bigint)")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlstat")
+      spark.conf.unset("spark.sql.catalog.cqlstat.root")
+    }
+  }
+
+  test("COPY TO / COPY FROM: the cqlsh bulk round (C68)") {
+    val root = Files.createTempDirectory("cql-copy").toString
+    val out = Files.createTempDirectory("cql-copy-out").toString + "/t.csv"
+    spark.conf.set("spark.sql.catalog.cqlcopy", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlcopy.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlcopy")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
+      cq("DELETE FROM ks.t WHERE pk = 2") // tombstoned rows don't export
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
+      // export: live reconciled rows only
+      assert(cq(s"COPY ks.t TO '$out' WITH HEADER = TRUE")
+        .as[Long].head() === 2L)
+      // round trip into a fresh table — writetimes ride along
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      assert(cq(s"COPY ks.u FROM '$out' WITH HEADER = TRUE")
+        .as[Long].head() === 2L)
+      assert(cq("SELECT pk, ck, col, value FROM ks.u ORDER BY pk")
+        .as[(Long, Int, String, Long)].collect().toSeq ===
+        Seq((1L, 1, "qty", 10L), (3L, 1, "qty", 30L)))
+      // writetimes preserved exactly (better than cqlsh, which
+      // re-stamps on load)
+      assert(
+        cq("SELECT WRITETIME(qty) FROM ks.u WHERE pk = 1").as[Long]
+          .head() ===
+        cq("SELECT WRITETIME(qty) FROM ks.t WHERE pk = 1").as[Long]
+          .head())
+      // counter tables refuse COPY FROM (rows are shard sums)
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint)")
+      val e = intercept[IllegalArgumentException] {
+        cq(s"COPY ks.c FROM '$out'")
+      }
+      assert(e.getMessage.contains("counter"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlcopy")
+      spark.conf.unset("spark.sql.catalog.cqlcopy.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
