@@ -133,7 +133,10 @@ private[cql] object SystemSchema {
       Row(ks, t, "col", "regular", -1, "text"),
       Row(ks, t, "value", "regular", -1, vt),
       Row(ks, t, "wt", "regular", -1, "bigint"))
-    pk ++ ck ++ reg
+    // STATIC columns (C15b): Cassandra's own kind rendering
+    val st = graft.sources.CellSource.staticCols(dir).toSeq.sorted
+      .map(n => Row(ks, t, n, "static", -1, vt))
+    pk ++ ck ++ reg ++ st
   }
 
   private def valueTypeName(spark: SparkSession, dir: String): String = {
@@ -411,9 +414,11 @@ private[cql] object SystemSchema {
     ).flatten
     val withClause =
       if (opts.isEmpty) "" else opts.mkString(" WITH ", " AND ", "")
+    val statics = graft.sources.CellSource.staticCols(dir)
+      .toSeq.sorted.map(n => s"$n $vt static")
     val stmt = s"CREATE TABLE $ks.$t (" +
-      (keyCols ++ Seq("col text", s"value $vt", "wt bigint"))
-        .mkString(", ") + s", $pkSyn)$withClause"
+      (keyCols ++ Seq("col text", s"value $vt", "wt bigint") ++
+        statics).mkString(", ") + s", $pkSyn)$withClause"
     mk(spark, StructType(Seq(
         StructField("create_statement", StringType, nullable = false))),
       Seq(Row(stmt)))

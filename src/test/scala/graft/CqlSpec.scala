@@ -2597,6 +2597,17 @@ class CqlSpec extends GraftSpec {
         "UPDATE ks.t SET s = 300 WHERE pk = 3; " +
         "APPLY BATCH")
       assert(sOf(3) === Seq(300L))
+      // the metadata round surfaces statics: system_schema.columns
+      // lists kind='static', and DESCRIBE round-trips the modifier
+      assert(cq("SELECT column_name FROM system_schema.columns " +
+        "WHERE table_name = 't' AND kind = 'static'")
+        .as[String].collect().toSeq === Seq("s"))
+      val create = cq("DESCRIBE TABLE ks.t").as[String].head()
+      assert(create.contains("s bigint static"), create)
+      cq(create.replace("ks.t", "ks.t2"))
+      cq("INSERT INTO ks.t2 (pk, s) VALUES (1, 1)")
+      assert(cq("SELECT s FROM ks.t2 WHERE pk = 1")
+        .as[Long].collect().toSeq === Seq(1L))
       // refusals: static on a typed layout, static under LWT, DELETE
       // of a static with a clustering predicate, static key part
       val e1 = intercept[IllegalArgumentException] {
