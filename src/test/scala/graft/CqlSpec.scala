@@ -2679,6 +2679,77 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("property: random STATIC write programs match the sequential model") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // Statics are per-partition LWW cells: interleaving static and
+    // regular writes with partition tombstones must behave exactly
+    // like a mutable (statics, cells) pair applied sequentially.
+    sealed trait Op
+    case class InsS(pk: Long, v: Long) extends Op
+    case class UpdS(pk: Long, v: Long) extends Op
+    case class DelS(pk: Long) extends Op
+    case class DelPart(pk: Long) extends Op
+    case class InsReg(pk: Long, ck: Int, v: Long) extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      3 -> (for { pk <- Gen.chooseNum(0L, 2L); v <- Gen.chooseNum(0L, 99L) }
+        yield InsS(pk, v)),
+      2 -> (for { pk <- Gen.chooseNum(0L, 2L); v <- Gen.chooseNum(0L, 99L) }
+        yield UpdS(pk, v)),
+      1 -> Gen.chooseNum(0L, 2L).map(DelS.apply),
+      1 -> Gen.chooseNum(0L, 2L).map(DelPart.apply),
+      3 -> (for {
+        pk <- Gen.chooseNum(0L, 2L); ck <- Gen.chooseNum(0, 1)
+        v <- Gen.chooseNum(0L, 99L)
+      } yield InsReg(pk, ck, v)))
+    val root = Files.createTempDirectory("cql-statprop").toString
+    spark.conf.set("spark.sql.catalog.cqlsp", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlsp.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlsp")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.p (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, s bigint STATIC)")
+      val prop = Prop.forAll(Gen.listOfN(10, genOp)) { ops =>
+        cq("TRUNCATE ks.p")
+        cq("INSERT INTO ks.p (pk, ck, qty) VALUES (0, 0, 1)") // seed
+        val statics = scala.collection.mutable.Map.empty[Long, Long]
+        val cells = scala.collection.mutable
+          .Map[(Long, Int), Long]((0L, 0) -> 1L)
+        ops.foreach {
+          case InsS(pk, v) =>
+            cq(s"INSERT INTO ks.p (pk, s) VALUES ($pk, $v)")
+            statics(pk) = v
+          case UpdS(pk, v) =>
+            cq(s"UPDATE ks.p SET s = $v WHERE pk = $pk")
+            statics(pk) = v
+          case DelS(pk) =>
+            cq(s"DELETE s FROM ks.p WHERE pk = $pk")
+            statics.remove(pk)
+          case DelPart(pk) =>
+            cq(s"DELETE FROM ks.p WHERE pk = $pk")
+            statics.remove(pk)
+            cells.filterInPlace { case ((p, _), _) => p != pk }
+          case InsReg(pk, ck, v) =>
+            cq(s"INSERT INTO ks.p (pk, ck, qty) VALUES ($pk, $ck, $v)")
+            cells((pk, ck)) = v
+        }
+        val gotS = cq("SELECT pk, s FROM ks.p")
+          .as[(Long, Long)].collect().toMap
+        val gotC = cq("SELECT pk, ck, value FROM ks.p " +
+          "WHERE col = 'qty' ALLOW FILTERING")
+          .as[(Long, Int, Long)].collect()
+          .map { case (p, k, v) => (p, k) -> v }.toMap
+        gotS == statics.toMap && gotC == cells.toMap
+      }
+      val res = check(Parameters.default.withMinSuccessfulTests(6), prop)
+      assert(res.passed, res.status.toString)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlsp")
+      spark.conf.unset("spark.sql.catalog.cqlsp.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
