@@ -1642,15 +1642,25 @@ object Cql {
         preds.exists { case (c, _) => !keyCols.contains(c) })
       fail("WRITETIME/TTL/static with data predicates needs " +
         "ALLOW FILTERING")
-    if (distinct) {
-      // CQL: SELECT DISTINCT <partition key parts> — nothing else
-      if (group.isDefined || fnNarrows)
-        fail("SELECT DISTINCT takes only the partition key")
-      val named = cols.split(',').map(_.trim.toLowerCase).toSeq
-      if (named != spec.pkParts.map(_.name.toLowerCase))
-        fail("SELECT DISTINCT must name exactly the partition key (" +
-          spec.pkParts.map(_.name).mkString(", ") + ")")
-    }
+    // CQL: SELECT DISTINCT <partition key parts> [, <static cols>] —
+    // Cassandra's per-partition listing idiom; statics ride along
+    // because they are partition-scoped values (C15b)
+    val distinctStatics: Seq[String] =
+      if (!distinct) Seq.empty
+      else {
+        if (group.isDefined || fnNarrows)
+          fail("SELECT DISTINCT takes only the partition key")
+        val named = cols.split(',').map(_.trim.toLowerCase).toSeq
+        val pkN = spec.pkParts.map(_.name.toLowerCase)
+        if (named == pkN) Seq.empty
+        else if (named.take(pkN.length) == pkN &&
+            named.drop(pkN.length).nonEmpty &&
+            named.drop(pkN.length).forall(statics.contains))
+          named.drop(pkN.length)
+        else fail("SELECT DISTINCT must name exactly the partition " +
+          s"key (${spec.pkParts.map(_.name).mkString(", ")}), " +
+          "optionally followed by static columns")
+      }
     // PAGE AFTER '<state>' — C52's paging state through the front
     // door. The state is what a driver would hand back with a page:
     // `pk:ck:col` on the default layout (C52), or per-part
@@ -1727,7 +1737,8 @@ object Cql {
         // write-through commit) must never answer silently wrong
         if (graft.sources.CellView.isStale(dir))
           graft.sources.CellView.refresh(spark, dir)
-        val relaxed = allowFiltering || fnNarrows
+        val relaxed = allowFiltering || fnNarrows ||
+          distinctStatics.nonEmpty
         var reader = spark.read.format(Fmt).option("reconcile", "true")
           .option("strictCql", (!relaxed).toString)
           .option("allowFiltering", relaxed.toString)
@@ -1763,9 +1774,21 @@ object Cql {
       }
     preds.foreach { case (_, p) => df = df.filter(p) }
     containsPreds.foreach(p => df = df.filter(p))
-    if (distinct)
-      df = df.select(
-        spec.pkParts.map(p => col(p.name)).toIndexedSeq: _*).distinct()
+    if (distinct) {
+      val pkCols = spec.pkParts.map(p => col(p.name))
+      val base = df
+      df = df.select(pkCols.toIndexedSeq: _*).distinct()
+      // distinct partitions LEFT-JOIN their static cells (an absent
+      // static is null, Cassandra's own shape); both sides key on the
+      // partition key, so the join co-partitions with the distinct
+      distinctStatics.foreach { c =>
+        val sc = base
+          .filter(col("col") ===
+            (graft.sources.CellSource.StaticPrefix + c))
+          .select((pkCols :+ col("value").as(c)).toIndexedSeq: _*)
+        df = df.join(sc, spec.pkParts.map(_.name), "left")
+      }
+    }
     group match {
       case _ if distinct => // projection handled above
       case None if cols != "*" &&

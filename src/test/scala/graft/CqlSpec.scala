@@ -2608,6 +2608,16 @@ class CqlSpec extends GraftSpec {
       cq("INSERT INTO ks.t2 (pk, s) VALUES (1, 1)")
       assert(cq("SELECT s FROM ks.t2 WHERE pk = 1")
         .as[Long].collect().toSeq === Seq(1L))
+      // SELECT DISTINCT pk, s — the per-partition listing idiom:
+      // one row per partition, absent statics are null
+      val listing = cq("SELECT DISTINCT pk, s FROM ks.t")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(listing === Set((1L, Some(7L)), (2L, None), (3L, Some(300L))),
+        listing)
+      intercept[IllegalArgumentException] {
+        cq("SELECT DISTINCT pk, qty FROM ks.t") // non-static extras
+      }
       // refusals: static on a typed layout, static under LWT, DELETE
       // of a static with a clustering predicate, static key part
       val e1 = intercept[IllegalArgumentException] {
