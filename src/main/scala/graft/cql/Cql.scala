@@ -927,6 +927,11 @@ object Cql {
                     "default_time_to_live (Cassandra's rule: " +
                     "counters cannot have TTL)")
                 if (t > 0) props += "defaultTtl" -> t.toString
+              case SetRe(k, v) if k.equalsIgnoreCase("compaction") =>
+                val (pol, win) = parseCompaction(v)
+                props += "compaction" -> pol
+                win.foreach(w =>
+                  props += "compactionWindowMs" -> w.toString)
               case o => fail(s"unsupported table option: $o")
             }
         }
@@ -1060,6 +1065,22 @@ object Cql {
               else
                 spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
                   s"SET TBLPROPERTIES ('defaultTtl' = '$n')")
+            case SetRe(k, v) if k.equalsIgnoreCase("compaction") =>
+              // strategy changes steer FUTURE maintenance passes
+              // (Cassandra's rule; existing files stay put until the
+              // next pass reorganizes them)
+              val (pol, win) = parseCompaction(v)
+              spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                s"SET TBLPROPERTIES ('compaction' = '$pol')")
+              win match {
+                case Some(w) =>
+                  spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                    s"SET TBLPROPERTIES ('compactionWindowMs' = '$w')")
+                case None =>
+                  spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                    "UNSET TBLPROPERTIES IF EXISTS " +
+                    "('compactionWindowMs')")
+              }
             case o => fail(s"unsupported table option: $o")
           }
         spark.emptyDataFrame
@@ -2399,6 +2420,65 @@ object Cql {
         fail("clustering equality and range cannot combine")
     }
     rows
+  }
+
+  /** Parse Cassandra's `compaction = {'class': '...'}` map onto the
+    * engine's policy names (C51/C54's strategies, declared in DDL the
+    * way Cassandra declares them). The class is accepted short or
+    * fully-qualified; TWCS takes the window unit/size pair (default
+    * 1 DAY — Cassandra's own).
+    */
+  private def parseCompaction(v: String): (String, Option[Long]) = {
+    val body = v.trim
+    if (!(body.startsWith("{") && body.endsWith("}")))
+      fail(s"compaction takes a map, got: $v")
+    def unq(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val kvs = splitValues(body.substring(1, body.length - 1))
+      .map(_.trim).filter(_.nonEmpty).map { item =>
+        val i = item.indexOf(':')
+        if (i <= 0)
+          fail(s"compaction map entry must be 'k': 'v', got: $item")
+        (unq(item.substring(0, i)).toLowerCase,
+          unq(item.substring(i + 1)))
+      }.toMap
+    val cls = kvs.getOrElse("class",
+      fail("compaction map needs a 'class'")).split('.').last
+    val pol = cls match {
+      case "SizeTieredCompactionStrategy" => "stcs"
+      case "LeveledCompactionStrategy" => "lcs"
+      case "TimeWindowCompactionStrategy" => "twcs"
+      case o => fail(s"unknown compaction class: $o " +
+        "(SizeTiered/Leveled/TimeWindow)")
+    }
+    val extras = kvs.keySet --
+      Set("class", "compaction_window_unit", "compaction_window_size")
+    if (extras.nonEmpty)
+      fail(s"unsupported compaction options: ${extras.mkString(", ")}")
+    if (pol != "twcs" && kvs.size > 1)
+      fail("compaction_window_* options take " +
+        "TimeWindowCompactionStrategy")
+    val win =
+      if (pol != "twcs") None
+      else {
+        val unitMs = kvs.getOrElse("compaction_window_unit", "DAYS")
+          .toUpperCase match {
+            case "MINUTES" => 60000L
+            case "HOURS" => 3600000L
+            case "DAYS" => 86400000L
+            case o => fail(s"unknown compaction_window_unit: $o")
+          }
+        val n = try kvs.getOrElse("compaction_window_size", "1").toLong
+          catch { case _: NumberFormatException =>
+            fail("compaction_window_size must be an integer") }
+        if (n <= 0) fail("compaction_window_size must be positive")
+        Some(unitMs * n)
+      }
+    (pol, win)
   }
 
   /** Split a VALUES list on commas outside quotes. */

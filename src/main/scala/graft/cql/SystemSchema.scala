@@ -410,7 +410,24 @@ private[cql] object SystemSchema {
        else spec.ckParts.map(_.name).mkString(", ", ", ", "")) + ")"
     val opts = Seq(
       p.get("defaultTtl").map(v => s"default_time_to_live = $v"),
-      p.get("gcGraceMs").map(ms => s"gc_grace_seconds = ${ms.toLong / 1000L}")
+      p.get("gcGraceMs").map(ms => s"gc_grace_seconds = ${ms.toLong / 1000L}"),
+      p.get("compaction").map { pol =>
+        val cls = pol match {
+          case "stcs" => "SizeTieredCompactionStrategy"
+          case "lcs" => "LeveledCompactionStrategy"
+          case "twcs" => "TimeWindowCompactionStrategy"
+          case o => o
+        }
+        val win = p.get("compactionWindowMs").map(_.toLong).map { ms =>
+          val (u, n) =
+            if (ms % 86400000L == 0) ("DAYS", ms / 86400000L)
+            else if (ms % 3600000L == 0) ("HOURS", ms / 3600000L)
+            else ("MINUTES", ms / 60000L)
+          s", 'compaction_window_unit': '$u', " +
+            s"'compaction_window_size': '$n'"
+        }.getOrElse("")
+        s"compaction = {'class': '$cls'$win}"
+      }
     ).flatten
     val withClause =
       if (opts.isEmpty) "" else opts.mkString(" WITH ", " AND ", "")

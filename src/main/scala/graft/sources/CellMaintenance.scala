@@ -982,6 +982,28 @@ object CellMaintenance {
     * the count still exceeds `maxFiles` (pathological all-different-
     * size layout).
     */
+  /** Compaction steered by the table's DECLARED strategy — the CQL
+    * `WITH compaction = {'class': ...}` property (`compaction` in
+    * `_props`): stcs/lcs route through [[compactIfNeeded]]'s
+    * incremental passes, twcs through the time-window pass with the
+    * declared window, no declaration = count-triggered major. The
+    * operational entry point `nodetool compact` maps to.
+    */
+  def compactDeclared(spark: SparkSession, dir: String,
+      maxFiles: Int = 4): Option[(Int, Int)] =
+    tableProp(dir, "compaction") match {
+      case Some("twcs") =>
+        val win = tableProp(dir, "compactionWindowMs")
+          .map(_.toLong).getOrElse(86400000L)
+        val before = CellPlanning.listFiles(dir).size
+        compactWindows(spark, dir, win)
+        val after = CellPlanning.listFiles(dir).size
+        if (before == after) None else Some((before, after))
+      case Some(p @ ("stcs" | "lcs")) =>
+        compactIfNeeded(spark, dir, maxFiles, p)
+      case _ => compactIfNeeded(spark, dir, maxFiles)
+    }
+
   def compactIfNeeded(spark: SparkSession, dir: String,
       maxFiles: Int, policy: String = "major"): Option[(Int, Int)] =
     if (CellPlanning.listFiles(dir).size <= maxFiles) None

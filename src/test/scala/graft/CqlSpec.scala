@@ -2760,6 +2760,67 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("WITH compaction = {'class': ...} declares the strategy (C51b)") {
+    val root = Files.createTempDirectory("cql-compaction").toString
+    spark.conf.set("spark.sql.catalog.cqlcmp", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlcmp.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlcmp")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint) " +
+        "WITH compaction = {'class': 'LeveledCompactionStrategy'}")
+      // DESCRIBE round-trips the declaration (short class accepted)
+      val create = cq("DESCRIBE TABLE ks.t").as[String].head()
+      assert(create.contains("LeveledCompactionStrategy"), create)
+      cq(create.replace("ks.t", "ks.t2"))
+      // ALTER switches the strategy; TWCS carries its window
+      cq("ALTER TABLE ks.t WITH compaction = " +
+        "{'class': 'TimeWindowCompactionStrategy', " +
+        "'compaction_window_unit': 'HOURS', " +
+        "'compaction_window_size': '6'}")
+      val c2 = cq("DESCRIBE TABLE ks.t").as[String].head()
+      assert(c2.contains("TimeWindowCompactionStrategy") &&
+        c2.contains("'compaction_window_unit': 'HOURS'") &&
+        c2.contains("'compaction_window_size': '6'"), c2)
+      cq(c2.replace("ks.t", "ks.t3")) // TWCS round-trips too
+      // compactDeclared routes by the declared strategy: stcs leaves
+      // a cold file alone while merging the hot tier
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint) " +
+        "WITH compaction = {'class': 'SizeTieredCompactionStrategy'}")
+      for (i <- 1 to 6)
+        cq(s"INSERT INTO ks.s (pk, ck, qty) VALUES ($i, 1, $i)")
+      def nFiles: Int = {
+        import scala.jdk.CollectionConverters._
+        Files.list(java.nio.file.Paths.get(s"$root/ks/s")).iterator()
+          .asScala.count(_.toString.endsWith(".cells"))
+      }
+      val before = nFiles
+      val r = graft.sources.CellMaintenance
+        .compactDeclared(spark, s"$root/ks/s", maxFiles = 3)
+      assert(r.isDefined && r.get._1 === before && r.get._2 < before, r)
+      assert(cq("SELECT value FROM ks.s").as[Long].collect().toSet ===
+        (1L to 6L).toSet)
+      // refusals: unknown class, window options on non-TWCS
+      val e1 = intercept[IllegalArgumentException] {
+        cq("ALTER TABLE ks.t WITH compaction = " +
+          "{'class': 'MagicCompactionStrategy'}")
+      }
+      assert(e1.getMessage.contains("unknown compaction class"),
+        e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("ALTER TABLE ks.t WITH compaction = " +
+          "{'class': 'LeveledCompactionStrategy', " +
+          "'compaction_window_size': '3'}")
+      }
+      assert(e2.getMessage.contains("TimeWindow"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqlcmp")
+      spark.conf.unset("spark.sql.catalog.cqlcmp.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
