@@ -149,7 +149,8 @@ object Cql {
     ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+(\w+)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
   private val AlterAddRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)\s+(\w+)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)""" +
+      """\s+(\w+)(\s+STATIC)?\s*;?\s*$""").r
   private val AlterWithRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WITH\s+(.+?)\s*;?\s*$""".r
   private val SysSchemaRe =
@@ -1018,7 +1019,7 @@ object Cql {
           .getOrElse(peekWt(spark, dir) - 1) // uses, doesn't consume
         spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
           s"SET TBLPROPERTIES ('dropped.$colName' = '$ts')")
-      case AlterAddRe(ks, t, c, typ) =>
+      case AlterAddRe(ks, t, c, typ, static) =>
         // ALTER TABLE ADD: the cell model's data columns are dynamic
         // (any `col` value), so ADD is pure metadata — validate the
         // names and type, keep any `dropped.<col>` timestamp in place
@@ -1035,6 +1036,22 @@ object Cql {
         }
         // existence check only — fails fast on an unknown table
         spark.sql(s"DESCRIBE TABLE $catalog.$ks.$t")
+        if (static != null) {
+          // ALTER ... ADD <col> <type> STATIC (C15b): register the
+          // per-partition column so writes/reads route to the
+          // partition-front position; default layout only, and the
+          // type must share the table's value type (one value column)
+          val dir = s"$root/$ks/$t"
+          if (!graft.sources.CellSource.keySpec(dir).isDefault)
+            fail("static columns are supported on the default " +
+              "((pk), ck) layout only in this subset")
+          if (isCounter(dir))
+            fail("counter tables cannot declare static columns")
+          val st = graft.sources.CellSource.staticCols(dir) + colName
+          spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+            s"SET TBLPROPERTIES ('staticCols' = " +
+            s"'${st.toSeq.sorted.mkString(",")}')")
+        }
         spark.emptyDataFrame
       case AlterWithRe(ks, t, opts) =>
         // Cassandra's ALTER TABLE WITH: table properties change for

@@ -2618,6 +2618,14 @@ class CqlSpec extends GraftSpec {
       intercept[IllegalArgumentException] {
         cq("SELECT DISTINCT pk, qty FROM ks.t") // non-static extras
       }
+      // ALTER TABLE ADD ... STATIC registers a new per-partition
+      // column on an existing table
+      cq("ALTER TABLE ks.t ADD s2 bigint STATIC")
+      cq("UPDATE ks.t SET s2 = 42 WHERE pk = 1")
+      assert(cq("SELECT s2 FROM ks.t WHERE pk = 1")
+        .as[Long].collect().toSeq === Seq(42L))
+      assert(cq("DESCRIBE TABLE ks.t").as[String].head()
+        .contains("s2 bigint static"))
       // refusals: static on a typed layout, static under LWT, DELETE
       // of a static with a clustering predicate, static key part
       val e1 = intercept[IllegalArgumentException] {
