@@ -132,9 +132,13 @@ object Cql {
       """(?:\s+WITH\s+.+)?\s*;?\s*$""").r
   private val DropKsRe =
     """(?is)^\s*DROP\s+KEYSPACE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""".r
+  // the column group is LAZY so a parenthesized WITH option
+  // (CLUSTERING ORDER BY (ck DESC)) isn't swallowed by the column
+  // list's closing paren; backtracking still finds the true close of
+  // nested PRIMARY KEY groups because the remainder must parse
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """(\w+)\.(\w+)\s*\((.+)\)(?:\s*WITH\s+(.+?))?\s*;?\s*$""").r
+      """(\w+)\.(\w+)\s*\((.+?)\)(?:\s*WITH\s+(.+?))?\s*;?\s*$""").r
   private val CopyToRe =
     ("""(?is)^\s*COPY\s+(\w+)\.(\w+)\s+TO\s+'([^']+)'""" +
       """(?:\s+WITH\s+HEADER\s*=\s*(\w+))?\s*;?\s*$""").r
@@ -148,6 +152,8 @@ object Cql {
   private val AlterDropRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+DROP\s+(\w+)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?\s*;?\s*$""").r
+  private val ClusteringOrderRe =
+    """(?is)^\s*CLUSTERING\s+ORDER\s+BY\s*\(([^)]*)\)\s*$""".r
   private val AlterAddRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)""" +
       """\s+(\w+)(\s+STATIC)?\s*;?\s*$""").r
@@ -913,6 +919,37 @@ object Cql {
         Option(withOpts).foreach {
           _.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
             .foreach {
+              case ClusteringOrderRe(body) =>
+                // Cassandra's physical-order declaration: the read
+                // path serves partitions in this order (C39's reverse
+                // cursor when DESC); the list must name every
+                // clustering column in declared order
+                val cks: Seq[String] = cc.pkSyntax match {
+                  case None => Seq("ck")
+                  case Some(syn) =>
+                    val i = syn.indexOf("),")
+                    if (i < 0) Seq.empty
+                    else syn.substring(i + 2, syn.length - 1)
+                      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+                }
+                val items = body.split(',').map(_.trim)
+                  .filter(_.nonEmpty).map { it =>
+                    val ps = it.split("\\s+")
+                    if (ps.length != 2 ||
+                        !(ps(1).equalsIgnoreCase("ASC") ||
+                          ps(1).equalsIgnoreCase("DESC")))
+                      fail("CLUSTERING ORDER BY takes " +
+                        s"'<ck> ASC|DESC' items, got: $it")
+                    (ps(0).toLowerCase, ps(1).toUpperCase)
+                  }.toSeq
+                if (items.map(_._1) != cks)
+                  fail("CLUSTERING ORDER BY must name every " +
+                    s"clustering column in order (${cks.mkString(", ")})")
+                if (items.map(_._2).distinct.length > 1)
+                  fail("mixed ASC/DESC clustering order is not " +
+                    "supported in this subset")
+                if (items.headOption.exists(_._2 == "DESC"))
+                  props += "clusteringOrder" -> "desc"
               case SetRe(k, v) if k.equalsIgnoreCase("gc_grace_seconds") =>
                 props += "gcGraceMs" ->
                   (longLiteral(v, "gc_grace_seconds") * 1000L).toString
@@ -1780,6 +1817,18 @@ object Cql {
         var reader = spark.read.format(Fmt).option("reconcile", "true")
           .option("strictCql", (!relaxed).toString)
           .option("allowFiltering", relaxed.toString)
+        // WITH CLUSTERING ORDER BY (... DESC): serve the DECLARED
+        // order — partitions stream tail-first through the C39
+        // reverse cursor, so LIMIT takes the newest rows and PER
+        // PARTITION LIMIT keeps the last n (THE time-series idiom).
+        // Explicit ORDER BY, paging, DISTINCT and aggregates define
+        // their own order and skip the reversal.
+        val aggOnly = cols != "*" && cols.split(',').map(_.trim)
+          .forall(i => AggRe.findFirstIn(i).isDefined)
+        if (order.isEmpty && page.isEmpty && group.isEmpty &&
+            !distinct && !aggOnly &&
+            graft.sources.CellSource.clusteringDesc(dir))
+          reader = reader.option("reverse", "true")
         // counter tables read in shard-SUM mode (C10): value = Σ
         // deltas per (pk, ck, col), wt = max shard wt
         if (isCounter(dir)) reader = reader.option("counter", "true")

@@ -409,6 +409,10 @@ private[cql] object SystemSchema {
       (if (spec.ckParts.isEmpty) ""
        else spec.ckParts.map(_.name).mkString(", ", ", ", "")) + ")"
     val opts = Seq(
+      p.get("clusteringOrder").filter(_ == "desc").map { _ =>
+        "CLUSTERING ORDER BY (" +
+          spec.ckParts.map(c => s"${c.name} DESC").mkString(", ") + ")"
+      },
       p.get("defaultTtl").map(v => s"default_time_to_live = $v"),
       p.get("gcGraceMs").map(ms => s"gc_grace_seconds = ${ms.toLong / 1000L}"),
       p.get("compaction").map { pol =>

@@ -1785,6 +1785,36 @@ object Cells {
       |FROM (VALUES (1, 111), (2, 200), (3, 301)) AS t(pk, s)
       |ORDER BY pk""".stripMargin
 
+  // C39c — WITH CLUSTERING ORDER BY (ck DESC) end-to-end (r11): the
+  // declared physical order served by the C39 reverse cursor — LIMIT
+  // takes the newest rows, PER PARTITION LIMIT keeps the LAST n per
+  // partition (the time-series idiom), explicit ORDER BY overrides.
+  private def clusteringDescLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_desc"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-desc-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint) " +
+      "WITH CLUSTERING ORDER BY (ck DESC)")
+    cq("TRUNCATE ks.t")
+    for (c <- 1 to 4)
+      cq(s"INSERT INTO ks.t (pk, ck, qty) VALUES (1, $c, ${c * 10})")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 100)")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 2, 200)")
+    cq("SELECT pk, ck, value FROM ks.t PER PARTITION LIMIT 1")
+  }
+
+  private val clusteringDescSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 4, 40), (2, 2, 200)) AS t(pk, ck, v)""".stripMargin
+
   // C68 — cqlsh's bulk round (COPY TO / COPY FROM): export the
   // reconciled live rows as CSV, re-import through the catalog write
   // path. The wt column rides along, so the round trip preserves
@@ -2035,6 +2065,8 @@ object Cells {
     GQuery("C65j_typed_ck_in", typedCkIn, Some(typedCkInSql)),
     GQuery("C15b_static_cql", staticCqlLifecycle, Some(staticCqlSql)),
     GQuery("C68_copy", copyRound, Some(copyRoundSql)),
+    GQuery("C39c_clustering_desc", clusteringDescLifecycle,
+      Some(clusteringDescSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
     GQuery("C49c_row_stats", rowStats, Some(rowStatsSql)),
     GQuery("C63_select_json", selectJson, Some(selectJsonSql)),

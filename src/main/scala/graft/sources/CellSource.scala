@@ -517,6 +517,22 @@ object CellSource {
     }
   }
 
+  /** Declared clustering order (`clusteringOrder` in `_props`):
+    * true when the table was created `WITH CLUSTERING ORDER BY
+    * (... DESC)` — the read path serves partitions tail-first.
+    */
+  def clusteringDesc(dir: String): Boolean = {
+    val f = java.nio.file.Paths.get(CellPlanning.normalize(dir))
+      .resolve("_props")
+    if (!java.nio.file.Files.exists(f)) false
+    else {
+      val p = new java.util.Properties()
+      scala.util.Using.resource(
+        java.nio.file.Files.newBufferedReader(f))(p.load)
+      Option(p.getProperty("clusteringOrder")).contains("desc")
+    }
+  }
+
   /** Catalog-persisted STATIC column names (`staticCols` in `_props`,
     * comma-separated) — the columns CQL writes/reads at the
     * partition-front `!s:<name>` position. Empty for tables without

@@ -2829,6 +2829,68 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("WITH CLUSTERING ORDER BY (ck DESC): declared-order reads (C39c)") {
+    val root = Files.createTempDirectory("cql-desc").toString
+    spark.conf.set("spark.sql.catalog.cqldesc", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqldesc.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqldesc")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint) WITH CLUSTERING ORDER BY (ck DESC)")
+      for (c <- 1 to 4)
+        cq(s"INSERT INTO ks.t (pk, ck, qty) VALUES (1, $c, ${c * 10})")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 100)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 2, 200)")
+      // implicit reads serve the DECLARED order: partition tail-first
+      assert(cq("SELECT ck FROM ks.t WHERE pk = 1")
+        .as[Int].collect().toSeq === Seq(4, 3, 2, 1))
+      // LIMIT takes the NEWEST rows — the time-series idiom
+      assert(cq("SELECT ck FROM ks.t WHERE pk = 1 LIMIT 2")
+        .as[Int].collect().toSeq === Seq(4, 3))
+      // PER PARTITION LIMIT keeps the LAST n per partition
+      assert(cq("SELECT pk, ck FROM ks.t PER PARTITION LIMIT 1")
+        .as[(Long, Int)].collect().toSet === Set((1L, 4), (2L, 2)))
+      // explicit ORDER BY overrides the declaration
+      assert(cq("SELECT ck FROM ks.t WHERE pk = 1 ORDER BY ck ASC")
+        .as[Int].collect().toSeq === Seq(1, 2, 3, 4))
+      // DESCRIBE round-trips the declaration
+      val create = cq("DESCRIBE TABLE ks.t").as[String].head()
+      assert(create.contains("CLUSTERING ORDER BY (ck DESC)"), create)
+      cq(create.replace("ks.t", "ks.t2"))
+      cq("INSERT INTO ks.t2 (pk, ck, qty) VALUES (1, 1, 1)")
+      cq("INSERT INTO ks.t2 (pk, ck, qty) VALUES (1, 2, 2)")
+      assert(cq("SELECT ck FROM ks.t2 WHERE pk = 1 LIMIT 1")
+        .as[Int].head() === 2)
+      // ASC is the no-op spelling; typed single-ck tables declare too
+      cq("CREATE TABLE ks.a (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint) WITH CLUSTERING ORDER BY (ck ASC)")
+      cq("CREATE TABLE ks.ty (user text, seq int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), seq)) " +
+        "WITH CLUSTERING ORDER BY (seq DESC)")
+      for (sq <- Seq(1, 2, 3))
+        cq(s"INSERT INTO ks.ty (user, seq, qty) VALUES ('u', $sq, $sq)")
+      assert(cq("SELECT seq FROM ks.ty WHERE user = 'u' LIMIT 1")
+        .as[Int].head() === 3)
+      // refusals: a name that is not the clustering column; mixed
+      // directions
+      val e1 = intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.b1 (pk bigint, ck int, col text, " +
+          "value bigint, wt bigint) WITH CLUSTERING ORDER BY (pk DESC)")
+      }
+      assert(e1.getMessage.contains("clustering column"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("CREATE TABLE ks.b2 (t text, a bigint, b int, col text, " +
+          "value bigint, wt bigint, PRIMARY KEY ((t), a, b)) " +
+          "WITH CLUSTERING ORDER BY (a DESC, b ASC)")
+      }
+      assert(e2.getMessage.contains("mixed"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cqldesc")
+      spark.conf.unset("spark.sql.catalog.cqldesc.root")
+    }
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
