@@ -120,10 +120,13 @@ object Cql {
       """\s+IF\s+(?:(EXISTS)|(\w+)\s*=\s*(\S+?))\s*;?\s*$""").r
 
   private val BatchRe =
-    """(?is)^\s*BEGIN\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
+    ("""(?is)^\s*BEGIN\s+BATCH(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""").r
 
   private val UnloggedBatchRe =
-    """(?is)^\s*BEGIN\s+UNLOGGED\s+BATCH\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""".r
+    ("""(?is)^\s*BEGIN\s+UNLOGGED\s+BATCH""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""").r
 
   // ---- DDL (catalog-bound statements) ----
 
@@ -328,7 +331,7 @@ object Cql {
   }
 
   private def shapeKnown(s: String): Boolean = s match {
-    case UnloggedBatchRe(_) | BatchRe(_) | InsertJsonRe(_, _, _) |
+    case UnloggedBatchRe(_, _) | BatchRe(_, _) | InsertJsonRe(_, _, _) |
         InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _) |
         UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) |
         SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
@@ -356,7 +359,10 @@ object Cql {
     */
   def execute(spark: SparkSession, cql: String,
       resolve: String => String = identity): DataFrame = cql match {
-    case UnloggedBatchRe(body) =>
+    case UnloggedBatchRe(batchTs, body) =>
+      if (batchTs != null)
+        fail("batch-level USING TIMESTAMP takes a LOGGED batch (an " +
+          "unlogged batch has no shared writetime by definition here)")
       // UNLOGGED batch: no journal, no shared writetime, no atomicity
       // — Cassandra's grouping-only form. Each sub-statement executes
       // as itself (own deterministic writetime), which is exactly why
@@ -379,8 +385,8 @@ object Cql {
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
       }
       spark.emptyDataFrame
-    case BatchRe(body) =>
-      batch(spark, body, resolve)
+    case BatchRe(batchTs, body) =>
+      batch(spark, body, resolve, Option(batchTs).map(_.toLong))
       spark.emptyDataFrame
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
@@ -710,7 +716,16 @@ object Cql {
   // replay from the log.
 
   private def batch(spark: SparkSession, body: String,
-      resolve: String => String): Unit = {
+      resolve: String => String,
+      batchTs: Option[Long] = None): Unit = {
+    // Cassandra's rule: a timestamp is set either on the BATCH or on
+    // individual statements, never both
+    def stmtTs(own: Option[Long]): Option[Long] = {
+      if (batchTs.isDefined && own.isDefined)
+        fail("timestamp must be set either on BATCH or individual " +
+          "statements, not both")
+      own.orElse(batchTs)
+    }
     import spark.implicits._
     // quote-aware split (same rules as the script splitter, minus the
     // BATCH nesting) — a ';' inside a string literal is not a boundary
@@ -739,7 +754,8 @@ object Cql {
           fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
-          val (ts, rawTtl) = parseUsing(Option(usingClause))
+          val (ts0, rawTtl) = parseUsing(Option(usingClause))
+          val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
           val sp = spec(dir)
           if (sp.isDefault)
@@ -750,7 +766,8 @@ object Cql {
               ts.getOrElse(AssignLater)).map((_, ttl)))))
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
-          val (ts, rawTtl) = parseUsing(Option(usingClause))
+          val (ts0, rawTtl) = parseUsing(Option(usingClause))
+          val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
           if (hasCollectionSyntax(sets))
             fail("collection updates are not supported inside BATCH " +
@@ -769,7 +786,8 @@ object Cql {
               ts.getOrElse(AssignLater)).map((_, ttl)))))
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
-          val dts = Option(usingTs).map(_.toLong).getOrElse(AssignLater)
+          val dts = stmtTs(Option(usingTs).map(_.toLong))
+            .getOrElse(AssignLater)
           val sp = spec(dir)
           if (sp.isDefault)
             (dir, Left(deleteMarkers(Option(colOpt), where, dts,

@@ -2891,6 +2891,44 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("BEGIN BATCH USING TIMESTAMP: the batch-level writetime (C56c)") {
+    val d = Files.createTempDirectory("cql-batchts").toString
+    Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (0, 0, 1)")
+    // every member takes the batch timestamp verbatim
+    Cql.execute(spark,
+      s"""BEGIN BATCH USING TIMESTAMP 5000
+         |INSERT INTO $d (pk, ck, qty) VALUES (1, 1, 10);
+         |INSERT INTO $d (pk, ck, price) VALUES (1, 1, 20);
+         |APPLY BATCH""".stripMargin)
+    assert(Cql.execute(spark,
+      s"SELECT WRITETIME(qty) FROM $d WHERE pk = 1 AND ck = 1")
+      .as[Long].head() === 5000L)
+    assert(Cql.execute(spark,
+      s"SELECT WRITETIME(price) FROM $d WHERE pk = 1 AND ck = 1")
+      .as[Long].head() === 5000L)
+    // a LATER ordinary write shadows the batch-stamped cell
+    Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (1, 1, 99)")
+    assert(Cql.execute(spark,
+      s"SELECT value FROM $d WHERE pk = 1 AND ck = 1 AND col = 'qty' " +
+        "ALLOW FILTERING").as[Long].collect().toSeq === Seq(99L))
+    // refusals: both batch- and statement-level timestamps; the
+    // unlogged form has no shared writetime
+    val e1 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH USING TIMESTAMP 6000
+           |INSERT INTO $d (pk, ck, qty) VALUES (2, 1, 1) USING TIMESTAMP 7000;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e1.getMessage.contains("either on BATCH"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN UNLOGGED BATCH USING TIMESTAMP 6000
+           |INSERT INTO $d (pk, ck, qty) VALUES (2, 1, 1);
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e2.getMessage.contains("LOGGED"), e2.getMessage)
+  }
+
   // --- prepared statements (bind markers) ---------------------------
 
   test("prepared statements: bound execution equals the literal form") {
