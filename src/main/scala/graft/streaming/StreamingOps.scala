@@ -147,6 +147,40 @@ object StreamingOps {
       .parquet(dir)
   }
 
+  /** S_SINK2 — streaming writes INTO a cell table: the C19 CDC
+    * source's inverse (stream → Cassandra-model writes). Each
+    * micro-batch of (pk, ck, col, value, wt) cells appends through
+    * the ordinary DSv2 batch writer — flush-file publish protocol and
+    * write-through 2i/MV maintenance included — guarded by a
+    * per-query BATCH REGISTRY under the table
+    * (`_stream_commits/<queryId>/<batchId>`, written AFTER the
+    * append): a replayed micro-batch (foreachBatch's at-least-once
+    * contract) is detected and skipped. The registry is the fast
+    * path; correctness never depends on it — cells carry their
+    * writetimes, so a crash BETWEEN append and marker replays to
+    * byte-identical cells that LWW folds to the same winners
+    * (the same idempotence Cassandra's commit-log replay leans on).
+    * At scale each micro-batch is one flush generation; compaction
+    * (C17/C51/C54) owns the long-term file count, exactly as on the
+    * write-heavy native path.
+    */
+  def cellSinkBatch(batch: DataFrame, dir: String, queryId: String,
+      batchId: Long): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val reg = JP.get(dir, "_stream_commits",
+      java.util.UUID.nameUUIDFromBytes(
+        queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toString)
+    val marker = reg.resolve(batchId.toString)
+    if (JF.exists(marker)) return // replayed batch: already applied
+    if (!batch.isEmpty)
+      batch.write.format("graft.sources.CellSource")
+        .mode("append").save(dir)
+    JF.createDirectories(reg)
+    try JF.createFile(marker)
+    catch { case _: java.nio.file.FileAlreadyExistsException => }
+  }
+
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
   /** S_STATE3 twin, modern API — the same per-user running totals as a

@@ -29,6 +29,55 @@ class StreamingSpec extends GraftSpec {
     spark.table(name)
   }
 
+  test("cell-table streaming sink: batch registry + LWW replay safety (S_SINK2)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cellsink").toString
+    val in = MemoryStream[(Long, Int, String, Long, Long)](spark)
+    in.addData((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L))
+    val q = in.toDF().toDF("pk", "ck", "col", "value", "wt")
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.cellSinkBatch(batch, dir, "q-test", id)
+      }
+      .start()
+    q.processAllAvailable()
+    // a second micro-batch REWRITES pk 1 at a later writetime
+    in.addData((1L, 1, "qty", 77L, 200L))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    def live(): Set[(Long, Long)] = spark.read
+      .format("graft.sources.CellSource").option("reconcile", "true")
+      .load(dir).select(col("pk"), col("value"))
+      .as[(Long, Long)].collect().toSet
+    assert(live() === Set((1L, 77L), (2L, 20L)))
+    // the registry skips a REPLAYED batch id outright
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".cells"))
+    StreamingOps.cellSinkBatch(
+      Seq((9L, 9, "qty", 9L, 9L)).toDF("pk", "ck", "col", "value", "wt"),
+      dir, "q-test", 0L)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".cells")) === files)
+    assert(live() === Set((1L, 77L), (2L, 20L)))
+    // crash BETWEEN append and marker: the replay re-appends
+    // byte-identical cells — LWW folds them to the same winners
+    val crashBatch = Seq((3L, 1, "qty", 30L, 300L))
+      .toDF("pk", "ck", "col", "value", "wt")
+    crashBatch.write.format("graft.sources.CellSource")
+      .mode("append").save(dir) // the pre-crash append, marker lost
+    StreamingOps.cellSinkBatch(crashBatch, dir, "q-test", 99L)
+    assert(live() === Set((1L, 77L), (2L, 20L), (3L, 30L)))
+    // a different query id keeps its own registry
+    StreamingOps.cellSinkBatch(
+      Seq((4L, 1, "qty", 40L, 400L))
+        .toDF("pk", "ck", "col", "value", "wt"),
+      dir, "q-other", 0L)
+    assert(live() ===
+      Set((1L, 77L), (2L, 20L), (3L, 30L), (4L, 40L)))
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay (S_SINK1)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sink").toString
