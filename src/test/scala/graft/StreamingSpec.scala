@@ -78,6 +78,46 @@ class StreamingSpec extends GraftSpec {
       Set((1L, 77L), (2L, 20L), (3L, 30L), (4L, 40L)))
   }
 
+  test("table-to-table streaming replication: CDC source into cell sink") {
+    // the C19 CDC stream composed with the S_SINK2 cell sink IS
+    // cross-table replication: raw cells (tombstone markers included)
+    // flow verbatim, so the replica converges to the same winners
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_repl_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_repl_dst").toString
+    def put(rows: Seq[(Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(src)
+    put(Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L)))
+    put(Seq((1L, 1, "qty", 11L, 200L))) // rewrite
+    val q = spark.readStream.format("graft.sources.CellSource")
+      .load(src)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.cellSinkBatch(batch, dst, "repl", id)
+      }
+      .start()
+    def reconciled(d: String): Set[(Long, Int, String, Long, Long)] =
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(d)
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+    try {
+      q.processAllAvailable()
+      assert(reconciled(dst) === reconciled(src))
+      // live convergence: a DELETE on the source replicates as its
+      // marker cell and shadows on the replica too
+      graft.cql.Cql.execute(spark,
+        s"DELETE FROM $src WHERE pk = 2 AND ck = 1")
+      put(Seq((3L, 1, "qty", 30L, 900L)))
+      q.processAllAvailable()
+      assert(reconciled(dst) === reconciled(src))
+      assert(reconciled(dst).map(_._1) === Set(1L, 3L)) // pk 2 gone
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay (S_SINK1)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sink").toString
