@@ -731,6 +731,11 @@ object CellSource {
   def keySpec(dir: String): KeySpec =
     CellPlanning.keySpecOf(dir, CellPlanning.listFiles(dir))
 
+  /** [[fileEstimate]] over every flush file of a table directory. */
+  def dirEstimates(dir: String): Seq[(Long, Long, Long, Long, Int)] =
+    CellPlanning.listFiles(CellPlanning.normalize(dir))
+      .map(fileEstimate(_))
+
   /** Header-only per-file stats for the `system.size_estimates`
     * relation (C67c): (token lo, token hi, estimated partitions,
     * on-disk bytes, records). The partition estimator walks the
@@ -742,11 +747,6 @@ object CellSource {
     * stays exactly the file's bytes either way (what split planners
     * actually consume). No data bytes are read.
     */
-  /** [[fileEstimate]] over every flush file of a table directory. */
-  def dirEstimates(dir: String): Seq[(Long, Long, Long, Long, Int)] =
-    CellPlanning.listFiles(CellPlanning.normalize(dir))
-      .map(fileEstimate(_))
-
   def fileEstimate(file: String): (Long, Long, Long, Long, Int) = {
     val h = readHeader(file)
     val bytes = Files.size(Paths.get(file))
