@@ -188,6 +188,16 @@ object Cql {
   private val DropMvRe =
     ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
       """(\w+)\.(\w+)\s*;?\s*$""").r
+  // C59b — user-defined types through the front door. The TYPE is
+  // pure schema (a named field layout); values stay ONE frozen blob
+  // in the cell model (C59's storage rule), so CREATE TYPE touches no
+  // data machinery — it registers the layout the pack/unpack schema
+  // layer applies at statement boundaries.
+  private val CreateTypeRe =
+    ("""(?is)^\s*CREATE\s+TYPE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """(\w+)\.(\w+)\s*\((.+)\)\s*;?\s*$""").r
+  private val DropTypeRe =
+    """(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
 
   private val DeleteRe =
     ("""(?is)^\s*DELETE\s*(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
@@ -390,6 +400,7 @@ object Cql {
       spark.emptyDataFrame
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
+      refuseUdt(dir, "INSERT JSON")
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       val ttlOpt = effectiveTtl(dir, None) // table default, if any
@@ -400,15 +411,19 @@ object Cql {
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
+      refuseUdt(resolve(table), "lightweight transactions")
       val r = lwtInsert(spark, resolve(table), cols, vals)
       forgetWt(resolve(table)); r
     case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
+      refuseUdt(resolve(table), "lightweight transactions")
       val r = lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
       forgetWt(resolve(table)); r
     case UpdateIfExistsRe(table, sets, where) =>
+      refuseUdt(resolve(table), "lightweight transactions")
       val r = lwtUpdateExists(spark, resolve(table), sets, where)
       forgetWt(resolve(table)); r
     case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
+      refuseUdt(resolve(table), "lightweight transactions")
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
       forgetWt(resolve(table)); r
@@ -428,10 +443,16 @@ object Cql {
       if (isCounter(dir))
         fail("counter tables take UPDATE increments, not INSERT " +
           "(Cassandra's rule)")
-      if (spec.isDefault)
-        appendCells(spark, dir,
-          insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
-      else insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
+      udtLayoutOf(dir) match {
+        case Some(layout) => // frozen<udt> value (C59b): packed blobs
+          appendBinaryCells(spark, dir,
+            insertUdtCells(cols, vals, wt, layout), ttlOpt)
+        case None if spec.isDefault =>
+          appendCells(spark, dir,
+            insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
+        case None =>
+          insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
+      }
       if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
     case UpdateRe(table, usingClause, sets, where) =>
@@ -450,6 +471,11 @@ object Cql {
           appendCells(spark, dir, counterUpdateCells(sets, where, wt))
         else typedWrite(spark, dir, spec,
           counterUpdateTypedRows(spec, sets, where, wt), ttl = None)
+      } else if (udtLayoutOf(dir).isDefined) {
+        // frozen<udt> SET items are whole-value literals — routed
+        // BEFORE the collection sniff ({...} would read as a map)
+        appendBinaryCells(spark, dir,
+          udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get), ttlOpt)
       } else if (spec.isDefault) {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
@@ -464,7 +490,15 @@ object Cql {
       val dir = resolve(table)
       val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (spec.isDefault)
+      if (udtLayoutOf(dir).isDefined)
+        // tombstones on a binary-valued table carry an EMPTY blob —
+        // the marker col name is the whole message, and the append
+        // must match the table's value type
+        appendBinaryCells(spark, dir,
+          deleteMarkers(Option(colOpt), where, dts).map {
+            case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w)
+          })
+      else if (spec.isDefault)
         appendCells(spark, dir,
           deleteMarkers(Option(colOpt), where, dts, graft.sources.CellSource.staticCols(dir)))
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
@@ -754,6 +788,9 @@ object Cql {
           fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
+          // the journal's cell shape is scalar — frozen<udt> blobs
+          // would need a binary journal column; refuse (C59b subset)
+          refuseUdt(dir, "LOGGED BATCH")
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -766,6 +803,7 @@ object Cql {
               ts.getOrElse(AssignLater)).map((_, ttl)))))
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
+          refuseUdt(dir, "LOGGED BATCH")
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -786,6 +824,7 @@ object Cql {
               ts.getOrElse(AssignLater)).map((_, ttl)))))
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
+          refuseUdt(dir, "LOGGED BATCH")
           val dts = stmtTs(Option(usingTs).map(_.toLong))
             .getOrElse(AssignLater)
           val sp = spec(dir)
@@ -891,6 +930,45 @@ object Cql {
   private def isCounter(dir: String): Boolean =
     tableProps(dir).get("counter").contains("true")
 
+  /** The frozen-UDT value layout of a table, if its value column was
+    * declared `frozen<type>` (persisted as the `udtLayout` table
+    * property at CREATE TABLE).
+    */
+  private def udtLayoutOf(dir: String): Option[String] =
+    tableProps(dir).get("udtLayout")
+
+  private def refuseUdt(dir: String, what: String): Unit =
+    if (udtLayoutOf(dir).isDefined)
+      fail(s"$what is not supported on frozen<udt>-valued tables " +
+        "in this subset")
+
+  // Per-keyspace UDT registry: a `_types` java-properties file under
+  // the keyspace directory (name -> layout in the C59 `f1 t1,f2 t2`
+  // form) — catalog metadata, same residency class as `_props`.
+  // Driver-side by design: the registry is bounded by type count and
+  // consulted at statement-parse time only, never per row.
+  private def udtTypesPath(root: String, ks: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, ks, "_types")
+
+  private def udtLayouts(root: String, ks: String): Map[String, String] = {
+    val f = udtTypesPath(root, ks)
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    scala.jdk.CollectionConverters.PropertiesHasAsScala(p).asScala.toMap
+  }
+
+  private def writeUdts(root: String, ks: String,
+      types: Map[String, String]): Unit = {
+    val f = udtTypesPath(root, ks)
+    if (types.isEmpty) { java.nio.file.Files.deleteIfExists(f); return }
+    val p = new java.util.Properties()
+    types.foreach { case (k, v) => p.setProperty(k, v) }
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    try p.store(w, null) finally w.close()
+  }
+
   // ---------------------------------------------------------------
   // Catalog-bound execution: DDL routes through Spark SQL's catalog
   // commands against a registered `CellCatalog`; DML resolves
@@ -918,12 +996,86 @@ object Cql {
       case DropKsRe(ifEx, ks) =>
         spark.sql(s"DROP NAMESPACE " +
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks")
+      case CreateTypeRe(ifNot, ks, name, fieldSpec) =>
+        // CREATE TYPE (C59b): register the field layout under its
+        // keyspace. Field types are the CQL scalars the statement
+        // grammar can literal-ize (text/bigint/int/double); the
+        // layout string is UdtLayout's own form so pack/unpack and
+        // the C18h key packer consume it verbatim.
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(root, ks)))
+          fail(s"keyspace $ks does not exist")
+        val fields = fieldSpec.split(',').map(_.trim).filter(_.nonEmpty)
+          .map {
+            case ColDefRe(n, t, st) =>
+              if (st != null) fail("UDT fields cannot be STATIC")
+              val lt = t.toLowerCase match {
+                case "text" | "varchar" | "ascii" => "string"
+                case "bigint" | "int" | "double" => t.toLowerCase
+                case o => fail(s"unsupported UDT field type: $o " +
+                  "(text/bigint/int/double in this subset)")
+              }
+              n.toLowerCase -> lt
+            case f => fail(s"UDT field must be 'name type', got: $f")
+          }.toSeq
+        if (fields.isEmpty) fail("CREATE TYPE needs at least one field")
+        if (fields.map(_._1).distinct.length != fields.length)
+          fail("duplicate UDT field name")
+        val layout = fields.map { case (n, t) => s"$n $t" }
+          .mkString(",")
+        val existing = udtLayouts(root, ks)
+        existing.get(name.toLowerCase) match {
+          case Some(l) =>
+            if (ifNot == null) fail(s"type $ks.$name already exists")
+            // IF NOT EXISTS is satisfied only by THE SAME layout —
+            // the CREATE INDEX/MV rule: a different type squatting on
+            // the name must fail loudly, not no-op
+            if (l != layout)
+              fail(s"type $ks.$name exists with a different layout " +
+                s"($l)")
+          case None =>
+            writeUdts(root, ks, existing + (name.toLowerCase -> layout))
+        }
+        spark.emptyDataFrame
+      case DropTypeRe(ifEx, ks, name) =>
+        val existing = udtLayouts(root, ks)
+        if (!existing.contains(name.toLowerCase)) {
+          if (ifEx == null) fail(s"type $ks.$name does not exist")
+        } else {
+          // Cassandra refuses to drop a type a table still uses —
+          // the blobs would become undecodable. Bounded scan: one
+          // `_props` read per table in the keyspace (catalog-sized).
+          val ksDir = java.nio.file.Paths.get(root, ks)
+          val users = {
+            val s = java.nio.file.Files.list(ksDir)
+            try scala.jdk.CollectionConverters.IteratorHasAsScala(
+              s.iterator).asScala
+              .filter(java.nio.file.Files.isDirectory(_))
+              .filter(d => tableProps(d.toString).get("udtName")
+                .contains(name.toLowerCase))
+              .map(_.getFileName.toString).toSeq
+            finally s.close()
+          }
+          if (users.nonEmpty)
+            fail(s"type $ks.$name is still used by: " +
+              users.sorted.mkString(", "))
+          writeUdts(root, ks, existing - name.toLowerCase)
+        }
+        spark.emptyDataFrame
       case CreateTableRe(ifNot, ks, t, colSpec, withOpts) =>
-        val cc = parseCreateColumns(colSpec)
+        val cc = parseCreateColumns(colSpec,
+          n => udtLayouts(root, ks).get(n.toLowerCase))
         val props = scala.collection.mutable.Map.empty[String, String]
         if (cc.counter) props += "counter" -> "true"
         if (cc.staticCols.nonEmpty)
           props += "staticCols" -> cc.staticCols.mkString(",")
+        // frozen<udt> value (C59b): the type name + field layout ride
+        // as table properties — the schema layer the C59 storage
+        // model keeps OUTSIDE the cells
+        cc.udt.foreach { case (tn, layout) =>
+          props += "udtName" -> tn
+          props += "udtLayout" -> layout
+        }
         // a TYPED layout travels as table properties: the catalog
         // persists them to `_props`, which serves the schema and the
         // first write's key layout BEFORE any flush exists, and
@@ -1344,9 +1496,14 @@ object Cql {
     */
   private case class CreateCols(pkSyntax: Option[String],
       keyParts: Seq[(String, String)], valueType: String,
-      counter: Boolean, staticCols: Seq[String] = Seq.empty)
+      counter: Boolean, staticCols: Seq[String] = Seq.empty,
+      udt: Option[(String, String)] = None)
 
-  private def parseCreateColumns(spec: String): CreateCols = {
+  private val FrozenDefRe =
+    """(?is)^\s*(\w+)\s+frozen\s*<\s*(\w+)\s*>\s*$""".r
+
+  private def parseCreateColumns(spec: String,
+      resolveUdt: String => Option[String] = _ => None): CreateCols = {
     // split top-level commas (PRIMARY KEY ((pk), ck) nests parens)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -1362,10 +1519,16 @@ object Cql {
       .partition(_.toUpperCase.startsWith("PRIMARY KEY"))
     if (pkClauses.length > 1) fail("multiple PRIMARY KEY clauses")
     val statics = scala.collection.mutable.ArrayBuffer.empty[String]
+    // frozen<type> declarations (C59b): legal on the VALUE column
+    // only — keys and statics stay scalar in this subset
+    val frozen = scala.collection.mutable.Map.empty[String, String]
     val cols = colDefs.map {
       case ColDefRe(n, t, st) =>
         if (st != null) statics += n.toLowerCase
         n.toLowerCase -> t.toLowerCase
+      case FrozenDefRe(n, tn) =>
+        frozen(n.toLowerCase) = tn.toLowerCase
+        n.toLowerCase -> s"frozen<${tn.toLowerCase}>"
       case c => fail(s"unsupported column definition: $c")
     }
     val colMap = cols.toMap
@@ -1411,6 +1574,27 @@ object Cql {
           cols.map(_._1).mkString(", "))
     if (mapType(colMap("col")) != "string") fail("col must be text")
     if (mapType(colMap("wt")) != "bigint") fail("wt must be bigint")
+    // frozen<udt> (C59b): the VALUE column may be a frozen UDT — the
+    // cell stores ONE blob (byte-compared by LWW, C59's rule), the
+    // layout rides as table metadata. Keys/statics stay scalar.
+    if (frozen.keys.exists(_ != "value"))
+      fail("frozen<...> is supported for the value column only in " +
+        "this subset, got: " +
+        frozen.keys.filter(_ != "value").toSeq.sorted.mkString(", "))
+    val udtOpt: Option[(String, String)] = frozen.get("value").map {
+      tn =>
+        val layout = resolveUdt(tn).getOrElse(
+          fail(s"unknown type $tn (CREATE TYPE it first)"))
+        (tn, layout)
+    }
+    if (udtOpt.isEmpty)
+      resolveUdt(colMap("value")).foreach(_ =>
+        fail("non-frozen UDT values are not supported — declare " +
+          s"value frozen<${colMap("value")}> (Cassandra itself " +
+          "requires frozen for UDTs inside the storage engine)"))
+    if (statics.nonEmpty && udtOpt.isDefined)
+      fail("static columns cannot combine with a frozen<udt> value " +
+        "column in this subset")
     // STATIC columns (C15b) are the one legal extra: per-partition
     // cells at the marker position, declared here so writes/reads can
     // route them (regular data columns stay dynamic in the cell model)
@@ -1449,14 +1633,18 @@ object Cql {
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
+    if (udtOpt.isDefined && !default)
+      fail("frozen<udt> values are supported on the default " +
+        "((pk), ck) layout only in this subset")
     CreateCols(
       if (default) None
       else Some(s"((${pkNames.mkString(",")})" +
         (if (ckNames.nonEmpty) s",${ckNames.mkString(",")}" else "") +
         ")"),
       if (default) Seq.empty else keyParts,
-      mapType(colMap("value")), colMap("value") == "counter",
-      statics.toSeq)
+      if (udtOpt.isDefined) "binary" else mapType(colMap("value")),
+      colMap("value") == "counter",
+      statics.toSeq, udtOpt)
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
@@ -1568,6 +1756,11 @@ object Cql {
 
   private val AggRe = """(?is)^\s*(count|min|max|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
   private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
+  /** UDT field selection `c.f [AS alias]` (C59b) — Cassandra's own
+    * field-access projection on a frozen UDT column.
+    */
+  private val UdtFieldSelRe =
+    """(?is)^\s*(\w+)\.(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
   private val WriteTimeRe =
     """(?is)^\s*WRITETIME\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
   private val TtlRe =
@@ -1590,6 +1783,9 @@ object Cql {
     val keyCols: Set[String] =
       (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase).toSet
     val modelCols = Set("col", "value", "wt")
+    // frozen<udt> value layout (C59b): selecting the value column (or
+    // a field of it) unpacks through the schema layer
+    val udtL = udtLayoutOf(dir)
     val terms = where.map(_.split("(?i)\\s+AND\\s+").toSeq)
       .getOrElse(Seq.empty)
     // `token(pk[, ...])` range predicates → the C41 physical
@@ -1730,7 +1926,17 @@ object Cql {
     val hasTokSel = group.isEmpty && !distinct && cols != "*" &&
       cols.split(',').exists(i => TokenSelRe.findFirstIn(i).isDefined &&
         TokenPredRe.findFirstIn(i).isEmpty)
-    val fnNarrows = hasWt || hasTtl || hasStatic
+    // selecting a frozen<udt> data column (or a field of one, c.f)
+    // narrows to that cell — the same internal-filter contract as
+    // WRITETIME/TTL/static
+    val hasUdtSel = group.isEmpty && !distinct && cols != "*" &&
+      udtL.isDefined && cols.split(',').map(_.trim).exists {
+        case ColRe(c, _) => !keyCols.contains(c.toLowerCase) &&
+          !modelCols.contains(c.toLowerCase)
+        case UdtFieldSelRe(_, _, _) => true
+        case _ => false
+      }
+    val fnNarrows = hasWt || hasTtl || hasStatic || hasUdtSel
     if (fnNarrows && !allowFiltering &&
         preds.exists { case (c, _) => !keyCols.contains(c) })
       fail("WRITETIME/TTL/static with data predicates needs " +
@@ -1850,6 +2056,9 @@ object Cql {
         // counter tables read in shard-SUM mode (C10): value = Σ
         // deltas per (pk, ck, col), wt = max shard wt
         if (isCounter(dir)) reader = reader.option("counter", "true")
+        // a DDL-created frozen<udt> table serves binary cells BEFORE
+        // its first flush (headers win once they exist)
+        if (udtL.isDefined) reader = reader.option("valueType", "binary")
         // TTL(c) needs the winning cell's absolute expiry pseudo-column
         if (hasTtl) reader = reader.option("withTtl", "true")
         if (hasTok && !tokEmpty)
@@ -1957,9 +2166,19 @@ object Cql {
                 !Seq("col", "value", "wt").contains(c.toLowerCase) =>
             c.toLowerCase
         }
+        // UDT field selections c.f (C59b) target their parent column
+        val udtFields = rawItems.collect {
+          case UdtFieldSelRe(c, f, _) => (c.toLowerCase, f.toLowerCase)
+        }
+        if (udtFields.nonEmpty && udtL.isEmpty)
+          fail("field selection (column.field) needs a frozen<udt> " +
+            "value column")
         if (wtCols.nonEmpty || ttlCols.nonEmpty ||
-            dataCols.exists(statics.contains)) {
-          val targets = (wtCols ++ ttlCols ++ dataCols).distinct
+            dataCols.exists(statics.contains) ||
+            udtFields.nonEmpty ||
+            (udtL.isDefined && dataCols.nonEmpty)) {
+          val targets = (wtCols ++ ttlCols ++ dataCols ++
+            udtFields.map(_._1)).distinct
           if (targets.length != 1)
             fail("WRITETIME/TTL/static select exactly one data " +
               s"column per statement, got: ${targets.mkString(", ")}")
@@ -1969,6 +2188,13 @@ object Cql {
               graft.sources.CellSource.StaticPrefix + c
             else c
           df = df.filter(col("col") === cellName)
+          // frozen<udt> projection (C59b): unpack the winning blob
+          // through the schema layer — LWW ran on the BLOB (C59's
+          // byte-compare rule); only the projection knows fields
+          def udtUnpack: Column = {
+            graft.GraftExtensions.register(spark)
+            expr(s"graft_udt_unpack('${udtL.get}', value)")
+          }
           val items = rawItems.map {
             case WriteTimeRe(_, alias) =>
               col("wt").as(Option(alias).getOrElse(s"writetime($c)"))
@@ -1976,6 +2202,18 @@ object Cql {
               when(col("_expiry") === lit(Long.MaxValue), lit(null))
                 .otherwise(col("_expiry") - col("wt"))
                 .as(Option(alias).getOrElse(s"ttl($c)"))
+            case UdtFieldSelRe(nm, f, alias) if nm.equalsIgnoreCase(c) =>
+              val fn = f.toLowerCase
+              if (!graft.functions.UdtValues.fields(udtL.get)
+                  .contains(fn))
+                fail(s"unknown UDT field $fn of $c (declared: " +
+                  graft.functions.UdtValues.fields(udtL.get)
+                    .mkString(", ") + ")")
+              udtUnpack.getField(fn)
+                .as(Option(alias).getOrElse(s"$c.$fn"))
+            case ColRe(n, alias)
+                if n.equalsIgnoreCase(c) && udtL.isDefined =>
+              udtUnpack.as(Option(alias).getOrElse(c))
             case ColRe(n, alias) if n.equalsIgnoreCase(c) =>
               col("value").as(Option(alias).getOrElse(c))
             case ColRe(n, alias) =>
@@ -2116,6 +2354,105 @@ object Cql {
           .coalesce(1).write.format(Fmt).option("ttl", "true")
           .mode("append").save(dir)
     }
+  }
+
+  /** Binary-valued twin of [[appendCells]] — the write shape of
+    * frozen<udt> tables (C59b): the cell value IS the packed blob,
+    * same commit path, same write-through maintenance.
+    */
+  private def appendBinaryCells(spark: SparkSession, dir: String,
+      rows: Seq[(Long, Int, String, Array[Byte], Long)],
+      ttl: Option[Long] = None): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    // valueType steers the PRE-FIRST-FLUSH table resolution only
+    // (headers win once files exist) — without it the v2 write
+    // analysis would compare against the long default schema
+    ttl match {
+      case None =>
+        rows.toDF("pk", "ck", "col", "value", "wt")
+          .coalesce(1).write.format(Fmt)
+          .option("valueType", "binary").mode("append").save(dir)
+      case Some(t) =>
+        rows.map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wt, t) }
+          .toDF("pk", "ck", "col", "value", "wt", "ttl")
+          .coalesce(1).write.format(Fmt).option("ttl", "true")
+          .option("valueType", "binary").mode("append").save(dir)
+    }
+  }
+
+  /** A UDT literal `{field: value, ...}` against a declared layout →
+    * the packed C59 blob. Unnamed fields pack as null (Cassandra's
+    * unset-field rule); an unknown field name refuses.
+    */
+  private val UdtEntryRe = """(?is)^\s*(\w+)\s*:\s*(.+?)\s*$""".r
+
+  private def udtLiteral(layout: String, raw: String,
+      colName: String): Array[Byte] = {
+    val t = raw.trim
+    if (!(t.startsWith("{") && t.endsWith("}")))
+      fail(s"$colName takes a UDT literal {field: value, ...}, " +
+        s"got: $t")
+    val body = t.substring(1, t.length - 1).trim
+    val declared = graft.functions.UdtValues.fields(layout).toSet
+    val entries: Map[String, Any] =
+      if (body.isEmpty) Map.empty
+      else splitValues(body).toSeq.map {
+        case UdtEntryRe(f, v) =>
+          val fn = f.toLowerCase
+          if (!declared.contains(fn))
+            fail(s"unknown UDT field $fn (declared: " +
+              graft.functions.UdtValues.fields(layout)
+                .mkString(", ") + ")")
+          fn -> literal(v)
+        case e => fail(s"UDT literal entries are field: value, " +
+          s"got: $e")
+      }.toMap
+    try graft.functions.UdtValues.pack(layout, entries)
+    catch {
+      case e: IllegalArgumentException => fail(e.getMessage)
+    }
+  }
+
+  /** Cells a frozen<udt>-table INSERT contributes: same key grammar
+    * as [[insertCells]], data values are UDT literals packed to the
+    * C59 wire format.
+    */
+  private def insertUdtCells(cols: String, vals: String, wt: Long,
+      layout: String): Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val ck = ckLiteral(
+      kv.getOrElse("ck", fail("INSERT must bind ck")))
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.map(c => (pk, ck, c, udtLiteral(layout, kv(c), c), wt)).toSeq
+  }
+
+  /** Cells a frozen<udt>-table UPDATE contributes — SET items are
+    * whole-value UDT literals (frozen values replace, never patch:
+    * C59/Cassandra's frozen rule).
+    */
+  private def udtUpdateCells(sets: String, where: String, wt: Long,
+      layout: String): Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    for {
+      s <- splitSetItems(sets)
+      (c, v) = s match {
+        case SetRe(c, v) => (c.toLowerCase,
+          udtLiteral(layout, v, c.toLowerCase))
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks.toSeq.sorted
+    } yield (pk, ck, c, v, wt)
   }
 
   /** Cells an INSERT contributes (wt = AssignLater defers to the
@@ -2570,9 +2907,12 @@ object Cql {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
+    var depth = 0 // UDT literals ({f: v, ...}) nest commas (C59b)
     vals.foreach {
       case '\'' => inQ = !inQ; cur += '\''
-      case ',' if !inQ => out += cur.toString; cur.clear()
+      case c @ '{' if !inQ => depth += 1; cur += c
+      case c @ '}' if !inQ => depth -= 1; cur += c
+      case ',' if !inQ && depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
     out += cur.toString

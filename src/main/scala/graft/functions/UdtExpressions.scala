@@ -172,3 +172,50 @@ case class UdtUnpack(layoutExpr: Expression, blob: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(layoutExpr = newChildren(0), blob = newChildren(1))
 }
+
+/** The C59 wire format over PLAIN JVM values — the CQL front door's
+  * half of the UDT schema layer (C59b). [[UdtPack]] packs Catalyst
+  * internal rows inside a plan; the CQL grammar instead parses a UDT
+  * literal (`{q: 10, t: 'a'}`) into external values (Long / String /
+  * Double from the statement text) and packs them here, producing a
+  * blob byte-identical to what [[UdtPack]] would emit — so CQL-written
+  * cells and DataFrame-written cells LWW-merge and unpack uniformly.
+  */
+object UdtValues {
+  /** Declared field names, in layout order. */
+  def fields(layout: String): Seq[String] = UdtLayout.parse(layout).map(_._1)
+
+  /** Pack external-typed field values; absent / null fields encode as
+    * length −1 (Cassandra's unset-field null). Values must fit the
+    * declared field type — a mismatch is a statement error, not a
+    * coercion (CQL's own strictness), except the one widening CQL
+    * itself performs: an integer literal into a double field.
+    */
+  def pack(layout: String, values: Map[String, Any]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ds = new DataOutputStream(out)
+    UdtLayout.parse(layout).foreach { case (n, tag, _, _) =>
+      values.get(n).flatMap(Option(_)) match {
+        case None => ds.writeInt(-1)
+        case Some(v) =>
+          val internal = (tag, v) match {
+            case (ValueCodec.StringTag, s: String) =>
+              UTF8String.fromString(s)
+            case (ValueCodec.LongTag, l: Long) => l
+            case (ValueCodec.IntTag, l: Long)
+                if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+            case (ValueCodec.DoubleTag, d: Double) => d
+            case (ValueCodec.DoubleTag, l: Long) => l.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"UDT field $n does not accept $v (declared type " +
+                "mismatch)")
+          }
+          val fb = new ByteArrayOutputStream()
+          ValueCodec.write(new DataOutputStream(fb), tag, internal)
+          val b = fb.toByteArray
+          ds.writeInt(b.length); ds.write(b)
+      }
+    }
+    out.toByteArray
+  }
+}

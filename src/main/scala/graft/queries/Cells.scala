@@ -1087,6 +1087,48 @@ object Cells {
       |WHERE col = 'qty' AND pk % 10 = 0
       |ORDER BY pk, ck""".stripMargin
 
+
+  // C59b — frozen UDTs through the CQL front door (r12): CREATE TYPE
+  // registers the per-keyspace field layout, `value frozen<type>`
+  // declares a blob-valued table (C59's storage rule — LWW
+  // byte-compares the ONE packed blob; only the schema layer knows
+  // fields), INSERT/UPDATE pack UDT literals at parse time, SELECT
+  // `c.f` unpacks fields (unset fields are null — Cassandra's
+  // unset-field rule), and tombstones shadow blobs like any cell.
+  private def udtCqlLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_udt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TYPE IF NOT EXISTS ks.item (q bigint, t text)")
+    cq("CREATE TABLE IF NOT EXISTS ks.orders (pk bigint, ck int, " +
+      "col text, value frozen<item>, wt bigint)")
+    cq("TRUNCATE ks.orders")
+    cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (1, 1, " +
+      "{q: 10, t: 'a'})")
+    cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (1, 1, " +
+      "{q: 11, t: 'b'})") // LWW overwrites the whole blob
+    cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (2, 1, {q: 20})")
+    cq("UPDATE ks.orders SET qty = {q: 30, t: 'c'} " +
+      "WHERE pk = 3 AND ck = 1")
+    cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (4, 1, " +
+      "{q: 40, t: 'd'})")
+    cq("DELETE FROM ks.orders WHERE pk = 4 AND ck = 1")
+    cq("SELECT pk, ck, qty.q AS q, qty.t AS tag FROM ks.orders " +
+      "ORDER BY pk, ck")
+  }
+
+  private val udtCqlSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(q AS BIGINT) AS q, tag
+      |FROM (VALUES (1, 1, 11, 'b'), (2, 1, 20, NULL),
+      |  (3, 1, 30, 'c')) AS t(pk, ck, q, tag)
+      |ORDER BY pk, ck""".stripMargin
+
   // C61 — range movement (bootstrap/decommission): tokens [2000,5999]
   // streamed from node A to a fresh node B, then cleaned from A
   // (stream-first ordering — a crash leaves over-ownership, never
@@ -2106,6 +2148,7 @@ object Cells {
     GQuery("C58_dropped_columns", droppedColumnsScan,
       Some(droppedColumnsSql)),
     GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
+    GQuery("C59b_udt_cql", udtCqlLifecycle, Some(udtCqlSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),

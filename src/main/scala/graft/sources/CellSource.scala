@@ -1694,7 +1694,22 @@ class CellTable(path: String,
     val (tag, prec, scale) = files.headOption
       .map(CellSource.readHeader)
       .map(h => (h.valueTag, h.decPrec, h.decScale))
-      .getOrElse((ValueCodec.LongTag, 0, 0))
+      .getOrElse {
+        // created-but-never-flushed: the `_type` marker (written at
+        // catalog CREATE) is the value-type authority — stamping the
+        // long default here would lock a binary/string table out of
+        // its own first write
+        val marker = dir.resolve("_type")
+        val dt =
+          if (Files.exists(marker))
+            ValueCodec.parseType(Files.readString(marker).trim)
+          else LongType
+        dt match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            (ValueCodec.DecimalTag, d.precision, d.scale)
+          case other => (ValueCodec.tagFor(other), 0, 0)
+        }
+      }
     val spec = keySpec // resolve BEFORE the files vanish
     files.foreach(f => Files.delete(Paths.get(f)))
     val target = dir.resolve(f"data-$next%04d.cells")

@@ -3217,4 +3217,157 @@ class CqlSpec extends GraftSpec {
     assert(wtsOf(d, 78L) ===
       Map((1, "qty") -> 101L, (2, "qty") -> 102L))
   }
+
+  // -----------------------------------------------------------------
+  // C59b — UDTs through the front door: CREATE TYPE + frozen<udt>
+
+  test("UDT lifecycle: CREATE TYPE, frozen<udt> table, write/read (C59b)") {
+    val root = Files.createTempDirectory("cql-udt").toString
+    spark.conf.set("spark.sql.catalog.udtcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.orders (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint, PRIMARY KEY ((pk), ck))")
+      // the layout landed as table metadata (the C59 schema layer)
+      val props = new java.util.Properties()
+      props.load(Files.newBufferedReader(
+        java.nio.file.Paths.get(root, "ks", "orders", "_props")))
+      assert(props.getProperty("udtName") === "item")
+      assert(props.getProperty("udtLayout") === "q bigint,t string")
+      // pre-first-flush: the empty table already reads (binary value)
+      assert(cq("SELECT pk, ck FROM ks.orders").count() === 0)
+      // writes: INSERT packs; a later INSERT LWW-overwrites the BLOB
+      cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (1, 1, " +
+        "{q: 10, t: 'a'})")
+      cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (1, 1, " +
+        "{q: 11, t: 'b'})")
+      cq("INSERT INTO ks.orders (pk, ck, qty) VALUES (2, 1, {q: 20})")
+      cq("UPDATE ks.orders SET qty = {q: 30, t: 'c'} WHERE pk = 3 " +
+        "AND ck = 1")
+      // field selection c.f — Cassandra's own projection shape
+      val got = cq("SELECT pk, qty.q AS q, qty.t AS tag FROM ks.orders" +
+        " ORDER BY pk").as[(Long, Option[Long], Option[String])]
+        .collect().toSeq
+      assert(got === Seq((1L, Some(11L), Some("b")),
+        (2L, Some(20L), None), // unset field unpacks null
+        (3L, Some(30L), Some("c"))))
+      // bare column select projects the whole struct
+      val st = cq("SELECT pk, qty FROM ks.orders WHERE pk = 1")
+        .selectExpr("pk", "qty.q", "qty.t")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(st === Seq((1L, 11L, "b")))
+      // WRITETIME rides the cell wt, no decode
+      assert(cq("SELECT WRITETIME(qty) AS w FROM ks.orders " +
+        "WHERE pk = 1 AND ck = 1").as[Long].collect().toSeq.nonEmpty)
+      // DELETE tombstones (empty-blob markers) shadow
+      cq("DELETE FROM ks.orders WHERE pk = 1 AND ck = 1")
+      assert(cq("SELECT pk, qty.q AS q FROM ks.orders ORDER BY pk")
+        .as[(Long, Option[Long])].collect().toSeq ===
+        Seq((2L, Some(20L)), (3L, Some(30L))))
+      // UNLOGGED batch routes per-statement and so supports UDTs
+      cq("BEGIN UNLOGGED BATCH " +
+        "INSERT INTO ks.orders (pk, ck, qty) VALUES (4, 1, " +
+        "{q: 40, t: 'd'}); " +
+        "APPLY BATCH")
+      assert(cq("SELECT qty.q AS q FROM ks.orders WHERE pk = 4")
+        .as[Long].collect().toSeq === Seq(40L))
+    } finally spark.conf.unset("spark.sql.catalog.udtcat")
+  }
+
+  test("UDT wire format: CQL-written and expression-packed blobs merge (C59b)") {
+    val root = Files.createTempDirectory("cql-udt-wire").toString
+    spark.conf.set("spark.sql.catalog.udtw", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtw.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtw")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.pair (q bigint, t text)")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value frozen<pair>, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("INSERT INTO ks.m (pk, ck, v) VALUES (1, 1, {q: 5, t: 'x'})")
+      val dir = java.nio.file.Paths.get(root, "ks", "m").toString
+      // the CQL-packed blob is byte-identical to graft_udt_pack's
+      graft.GraftExtensions.register(spark)
+      val blob = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(dir)
+        .select("value").as[Array[Byte]].collect().head
+      val expected = spark.range(1)
+        .selectExpr("graft_udt_pack('q bigint,t string', " +
+          "CAST(5 AS BIGINT), 'x') AS b")
+        .as[Array[Byte]].collect().head
+      assert(blob.toSeq === expected.toSeq)
+      // a DataFrame-written blob at a higher wt LWW-wins over the
+      // CQL-written one and unpacks through the same SELECT
+      spark.range(1).selectExpr("CAST(1 AS BIGINT) AS pk",
+          "CAST(1 AS INT) AS ck", "'v' AS col",
+          "graft_udt_pack('q bigint,t string', CAST(9 AS BIGINT), " +
+            "'z') AS value", "CAST(999 AS BIGINT) AS wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(dir)
+      assert(cq("SELECT v.q AS q, v.t AS t FROM ks.m WHERE pk = 1")
+        .as[(Long, String)].collect().toSeq === Seq((9L, "z")))
+    } finally spark.conf.unset("spark.sql.catalog.udtw")
+  }
+
+  test("UDT refusals: type DDL, frozen placement, literals, LWT/BATCH/JSON (C59b)") {
+    val root = Files.createTempDirectory("cql-udt-ref").toString
+    spark.conf.set("spark.sql.catalog.udtr", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtr.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtr")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      refuse("CREATE TYPE noks.t (q bigint)", "does not exist")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      // duplicate / IF NOT EXISTS semantics (same-layout only)
+      refuse("CREATE TYPE ks.item (q bigint, t text)", "already exists")
+      cq("CREATE TYPE IF NOT EXISTS ks.item (q bigint, t text)") // no-op
+      refuse("CREATE TYPE IF NOT EXISTS ks.item (q bigint)",
+        "different layout")
+      refuse("CREATE TYPE ks.bad (q counter)", "unsupported UDT field")
+      refuse("CREATE TYPE ks.dup (q bigint, q bigint)", "duplicate")
+      // frozen placement rules
+      refuse("CREATE TABLE ks.t1 (pk bigint, ck int, col text, " +
+        "value frozen<nosuch>, wt bigint)", "unknown type")
+      refuse("CREATE TABLE ks.t2 (pk frozen<item>, ck int, col text, " +
+        "value bigint, wt bigint)", "value column only")
+      refuse("CREATE TABLE ks.t3 (pk bigint, ck int, col text, " +
+        "value item, wt bigint)", "non-frozen")
+      refuse("CREATE TABLE ks.t4 (pk bigint, name text, ck int, " +
+        "col text, value frozen<item>, wt bigint, " +
+        "PRIMARY KEY ((pk), name, ck))", "default ((pk), ck) layout")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      // literal rules
+      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, 5)",
+        "UDT literal")
+      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {z: 5})",
+        "unknown UDT field")
+      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 'x'})",
+        "does not accept")
+      // the refused-statement surface: LWT, LOGGED BATCH, INSERT JSON
+      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 5}) " +
+        "IF NOT EXISTS", "not supported on frozen<udt>")
+      refuse("BEGIN BATCH INSERT INTO ks.t (pk, ck, v) VALUES " +
+        "(1, 1, {q: 5}); APPLY BATCH", "not supported on frozen<udt>")
+      refuse("INSERT INTO ks.t JSON '{\"pk\": 1, \"ck\": 1, " +
+        "\"v\": 5}'", "not supported on frozen<udt>")
+      // field selection demands the udt layout
+      cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("SELECT v.q FROM ks.plain", "needs a frozen<udt>")
+      // DROP TYPE: refused while referenced, allowed after
+      refuse("DROP TYPE ks.item", "still used by")
+      cq("DROP TABLE ks.t")
+      cq("DROP TYPE ks.item") // last reference gone
+      refuse("DROP TYPE ks.item", "does not exist")
+      cq("DROP TYPE IF EXISTS ks.item") // no-op
+    } finally spark.conf.unset("spark.sql.catalog.udtr")
+  }
 }
