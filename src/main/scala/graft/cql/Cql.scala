@@ -176,7 +176,8 @@ object Cql {
     """(?is)^\s*DESC(?:RIBE)?\s+TABLES\s*;?\s*$""".r
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
+      """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
+      """(?:(values|keys)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   private val CreateMvRe =
@@ -1308,15 +1309,28 @@ object Cql {
             case o => fail(s"unsupported table option: $o")
           }
         spark.emptyDataFrame
-      case CreateIdxRe(ifNot, nameOpt, ks, t, c) =>
+      case CreateIdxRe(ifNot, nameOpt, ks, t, fnOpt, fnCol, plainCol) =>
         // CREATE INDEX → a C18 inverted index table next to its base
         // (default name <table>_<col>_idx, Cassandra's own), built
         // now and REGISTERED for write-through maintenance: every
         // later committed write refreshes it from the write path
         // (C18f); out-of-band flushes still heal on read (C18d).
-        val colName = c.toLowerCase
+        // Collection targets (C64c): `values(m)` IS the plain index
+        // on m — element cells carry col = m, value = element, so
+        // the element value is what a plain index stores; `keys(m)`
+        // indexes the cell's COL NAME (map-entry keys ARE col names
+        // in the C12 row-is-the-map encoding) for CONTAINS KEY.
+        val colName = Option(fnOpt).map(_.toLowerCase) match {
+          case Some("keys") => s"keys(${fnCol.toLowerCase})"
+          case Some(_) => fnCol.toLowerCase // values(m) == plain m
+          case None => plainCol.toLowerCase
+        }
         val idxName = Option(nameOpt).map(_.trim).filter(_.nonEmpty)
-          .getOrElse(s"${t}_${colName}_idx")
+          .getOrElse(Option(fnOpt).map(_.toLowerCase) match {
+            case Some("keys") => s"${t}_${fnCol.toLowerCase}_keys_idx"
+            case Some(_) => s"${t}_${fnCol.toLowerCase}_idx"
+            case None => s"${t}_${plainCol.toLowerCase}_idx"
+          })
         val baseDir = s"$root/$ks/$t"
         // Cassandra refuses 2i on counter tables — and so must we:
         // the index build/refresh reads the base with reconcile-only
@@ -1843,11 +1857,18 @@ object Cql {
     // cells, whose keys are exactly the rows Cassandra would return)
     val containsPreds = scala.collection.mutable.ArrayBuffer
       .empty[Column]
+    // CONTAINS KEY probes served by a keys(<map>) index (C64c): the
+    // entry key to look up, plus the map column for the message
+    val idxKeyPreds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
     val regularTerms = nonTokenTerms.filter {
       case ContainsRe(c, kw, v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
         val cl = c.toLowerCase
+        def keysIdx = graft.sources.CellIndex.registered(dir)
+          .exists(i => graft.sources.CellIndex.columnOf(i)
+            .contains(s"keys($cl)"))
         if (kw == null && graft.sources.CellIndex.registered(dir)
             .exists(i => graft.sources.CellIndex.columnOf(i)
               .contains(cl))) {
@@ -1855,10 +1876,19 @@ object Cql {
           // values (one entry per element cell), so a CONTAINS probe
           // IS the index equality route — Cassandra's collection 2i
           idxPreds += ((cl, literal(v)))
+        } else if (kw != null && keysIdx) {
+          // a keys(<map>) index stores entry KEYS (cell col names in
+          // the C12 row-is-the-map encoding) — CONTAINS KEY is its
+          // equality probe, Cassandra's map-key 2i
+          val k = literal(v) match {
+            case s: String => s
+            case _ => fail(s"CONTAINS KEY takes a text key, got: $v")
+          }
+          idxKeyPreds += ((cl, k))
         } else if (!allowFiltering)
           fail(s"$cl CONTAINS ${if (kw != null) "KEY " else ""}" +
             "needs ALLOW FILTERING (or a secondary index on " +
-            s"$cl for CONTAINS)")
+            s"$cl for CONTAINS, a keys($cl) index for CONTAINS KEY)")
         else if (kw != null) {
           // map-entry presence: entry keys are stored verbatim as
           // col names on these layouts (the row IS the map)
@@ -1891,7 +1921,7 @@ object Cql {
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
     if (ppl.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
-        containsPreds.nonEmpty ||
+        idxKeyPreds.nonEmpty || containsPreds.nonEmpty ||
         preds.exists { case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
@@ -1969,7 +1999,8 @@ object Cql {
     // with index routes or token ranges (each is its own read path
     // with its own resume rules; Cassandra's paging state is likewise
     // bound to the statement shape that produced it).
-    if (page.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty))
+    if (page.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
+        idxKeyPreds.nonEmpty))
       fail("PAGE AFTER cannot combine with an indexed predicate")
     if (page.isDefined && hasTok)
       fail("PAGE AFTER cannot combine with token() ranges (the " +
@@ -1980,7 +2011,8 @@ object Cql {
         // via the registered index, then re-apply the predicate on
         // the base cells — Cassandra's own index-then-fetch-then-
         // filter contract (index false positives drop here).
-        if (idxPreds.length > 1 || idxRanges.nonEmpty)
+        if (idxPreds.length > 1 || idxRanges.nonEmpty ||
+            idxKeyPreds.nonEmpty)
           fail("one indexed data predicate per statement")
         val (ic, iv) = idxPreds.head
         if (hasTok)
@@ -1995,6 +2027,26 @@ object Cql {
             "ALLOW FILTERING"))
         graft.sources.CellIndex.lookupBase(spark, dir, idxDir, iv)
           .filter(col("col") === ic && col("value") === lit(iv))
+      } else if (idxKeyPreds.nonEmpty) {
+        // keys-index route (C64c): restrict the base to the pks whose
+        // rows carry the entry key, then re-apply the col predicate
+        // on the base cells — the same index-then-fetch-then-filter
+        // contract as the values route (refresh-epoch false positives
+        // drop on the re-read). The result relation surfaces the
+        // matching ENTRY cells, as the ALLOW FILTERING form does.
+        if (idxKeyPreds.length > 1 || idxRanges.nonEmpty)
+          fail("one indexed data predicate per statement")
+        val (mc, k) = idxKeyPreds.head
+        if (hasTok)
+          fail("token ranges cannot combine with an indexed predicate")
+        if (fnNarrows || hasTokSel)
+          fail("WRITETIME/TTL/token() projections cannot combine " +
+            "with an indexed predicate")
+        val idxDir = graft.sources.CellIndex.registered(dir)
+          .find(i => graft.sources.CellIndex.columnOf(i)
+            .contains(s"keys($mc)")).get
+        graft.sources.CellIndex.lookupBase(spark, dir, idxDir, k)
+          .filter(col("col") === k)
       } else if (idxRanges.nonEmpty) {
         // Indexed RANGE read (C18e through the front door): the value
         // bounds push as a Summary-pruned pk range over the

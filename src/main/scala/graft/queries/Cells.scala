@@ -1322,6 +1322,51 @@ object Cells {
       |FROM (VALUES (1, 2, 7), (2, 1, 7), (4, 1, 4)) AS t(pk, ck, v)
       |ORDER BY pk, ck""".stripMargin
 
+
+  // C64c — collection secondary indexes (r12): `CREATE INDEX ON t
+  // (values(m))` / `(keys(m))` build C18 entry tables keyed by the
+  // element value / entry key (elements and entries ARE cells in the
+  // C11-C13 encoding, so the index build is a projection of them),
+  // and CONTAINS / CONTAINS KEY serve key-routed WITHOUT ALLOW
+  // FILTERING — Cassandra's collection-2i contract. The hit set
+  // composes into the base read as a pk multiget; the predicate
+  // re-applies on the base cells (index-then-fetch-then-filter).
+  private def containsIndexed(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c2i"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c2i-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint)")
+    cq("TRUNCATE ks.t")
+    cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
+    cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
+    cq("CREATE INDEX IF NOT EXISTS ON ks.t (values(tags))")
+    cq("CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint)")
+    cq("TRUNCATE ks.m")
+    cq("UPDATE ks.m SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
+    cq("UPDATE ks.m SET m['size'] = 9 WHERE pk = 5 AND ck = 1")
+    cq("CREATE INDEX IF NOT EXISTS ON ks.m (keys(m))")
+    // write-through keeps the index fresh for the probes below
+    cq("UPDATE ks.m SET m['color'] = 6 WHERE pk = 6 AND ck = 1")
+    cq("SELECT pk, ck, value FROM ks.t WHERE tags CONTAINS 7")
+      .unionAll(cq("SELECT pk, ck, value FROM ks.m " +
+        "WHERE m CONTAINS KEY 'color'"))
+      .orderBy("pk", "ck")
+  }
+
+  private val containsIndexedSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 2, 7), (2, 1, 7), (4, 1, 4), (6, 1, 6))
+      |  AS t(pk, ck, v)
+      |ORDER BY pk, ck""".stripMargin
+
   // C65j — ck IN over typed layouts (r11): the clustering multiget on
   // named clustering parts — pushed as the BOUNDING slice [min, max]
   // of the named values (CEL8 zone maps prune chunks, the typed merge
@@ -2104,6 +2149,8 @@ object Cells {
     GQuery("C8c_composite_multiget", compositeMultiget,
       Some(compositeMultigetSql)),
     GQuery("C64b_cql_contains", containsLifecycle, Some(containsSql)),
+    GQuery("C64c_contains_indexed", containsIndexed,
+      Some(containsIndexedSql)),
     GQuery("C65j_typed_ck_in", typedCkIn, Some(typedCkInSql)),
     GQuery("C15b_static_cql", staticCqlLifecycle, Some(staticCqlSql)),
     GQuery("C68_copy", copyRound, Some(copyRoundSql)),

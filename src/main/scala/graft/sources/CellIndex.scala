@@ -182,6 +182,10 @@ object CellIndex {
     val valueIsLong = base.schema("value").dataType == LongType
     writeEntries(base, column, valueIsLong, files, idxDir,
       epoch = 0, overwrite = true, baseKey(dir))
+    // a build over a column with ZERO matching cells writes no data
+    // files — the metadata must still land (the empty index is valid
+    // and serves empty hit sets)
+    Files.createDirectories(Paths.get(CellPlanning.normalize(idxDir)))
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
       s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
@@ -317,14 +321,32 @@ object CellIndex {
     * holds the single pk part verbatim (typed CEL5 value), or the
     * C59-packed tuple of a multi-part key as one binary value.
     */
+  /** A `keys(<map>)` index target (C64c): entries are keyed by the
+    * cell's COL NAME — map-entry keys ARE col names in the C12
+    * row-is-the-map encoding — so `CONTAINS KEY` probes it exactly
+    * like `CONTAINS` probes a values index.
+    */
+  private val KeysIdxRe = """^keys\((\w+)\)$""".r
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey): Unit = {
-    val entries = base.filter(col("col") === column)
+    // the indexed EXPRESSION: the cell value (plain/values index), or
+    // the col name (keys index — marker cells are not map entries)
+    val (hits, entryKey, entryKeyType) = column match {
+      case KeysIdxRe(_) =>
+        (base.filter(!col("col").startsWith("!")), col("col"),
+          org.apache.spark.sql.types.StringType:
+            org.apache.spark.sql.types.DataType)
+      case _ =>
+        (base.filter(col("col") === column), col("value"),
+          base.schema("value").dataType)
+    }
+    val entries = hits
       .select(
-        col("value").as("pk"),
+        entryKey.as("pk"),
         (row_number().over(
-          Window.partitionBy(col("value"))
+          Window.partitionBy(entryKey)
             .orderBy(key.orderCols.map(col).toIndexedSeq: _*)) +
           lit(epoch * EpochBand)).as("ck"),
         lit("ref").as("col"),
@@ -335,10 +357,9 @@ object CellIndex {
       .mode(if (overwrite) "overwrite" else "append")
     // non-long indexed values become a typed (CEL6) partition key;
     // keyType hints let schema inference agree on a still-empty dir
-    if (!valueIsLong)
+    if (entryKeyType != LongType)
       writer = writer.option("primaryKey", "((pk),ck)")
-        .option("keyType.pk",
-          base.schema("value").dataType.simpleString)
+        .option("keyType.pk", entryKeyType.simpleString)
         .option("keyType.ck", "int")
     // a non-long (or packed multi-part) base key makes the entry's
     // value a typed CEL5 value column — declare it so a still-empty

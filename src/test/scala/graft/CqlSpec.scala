@@ -3370,4 +3370,75 @@ class CqlSpec extends GraftSpec {
       cq("DROP TYPE IF EXISTS ks.item") // no-op
     } finally spark.conf.unset("spark.sql.catalog.udtr")
   }
+
+  test("collection 2i: values(m)/keys(m) serve CONTAINS without ALLOW FILTERING (C64c)") {
+    val root = Files.createTempDirectory("cql-c2i").toString
+    spark.conf.set("spark.sql.catalog.c2icat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.c2icat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "c2icat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
+      cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("UPDATE ks.m SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
+      cq("UPDATE ks.m SET m['size'] = 9 WHERE pk = 5 AND ck = 1")
+      // unindexed: both forms demand ALLOW FILTERING (Cassandra)
+      val e0 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.m WHERE m CONTAINS KEY 'color'")
+      }
+      assert(e0.getMessage.contains("ALLOW FILTERING"), e0.getMessage)
+      // values(tags): Cassandra's spelling of the element-value index
+      cq("CREATE INDEX ON ks.t (values(tags))")
+      val viaValues =
+        cq("SELECT pk, value FROM ks.t WHERE tags CONTAINS 7")
+      // the probe routed through the index: the hit set composed
+      // into the base read as a pk multiget (index-then-fetch), not
+      // an unrestricted base scan
+      assert(viaValues.queryExecution.executedPlan.toString
+        .contains("pk#"), viaValues.queryExecution.executedPlan)
+      assert(viaValues.queryExecution.executedPlan.toString
+        .matches("(?s).*pk#\\d+L IN \\(1,2\\).*"),
+        viaValues.queryExecution.executedPlan)
+      assert(viaValues.as[(Long, Long)].collect().toSet ===
+        Set((1L, 7L), (2L, 7L)))
+      // keys(m): the map-key index serves CONTAINS KEY key-routed
+      cq("CREATE INDEX ON ks.m (keys(m))")
+      val viaKeys =
+        cq("SELECT pk, value FROM ks.m WHERE m CONTAINS KEY 'color'")
+      // single hit composes as a point read: pkRange pushed to [4,4]
+      assert(viaKeys.queryExecution.executedPlan.toString
+        .contains("pkRange=[4,4]"),
+        viaKeys.queryExecution.executedPlan)
+      assert(viaKeys.as[(Long, Long)].collect().toSet ===
+        Set((4L, 4L)))
+      // write-through: a later entry is visible through the index
+      cq("UPDATE ks.m SET m['color'] = 6 WHERE pk = 6 AND ck = 1")
+      assert(cq("SELECT pk FROM ks.m WHERE m CONTAINS KEY 'color'")
+        .as[Long].collect().toSet === Set(4L, 6L))
+      // CONTAINS (values) on the map still demands ALLOW FILTERING —
+      // the keys index stores KEYS, not values
+      val e1 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.m WHERE m CONTAINS 4")
+      }
+      assert(e1.getMessage.contains("ALLOW FILTERING"), e1.getMessage)
+      // default names are Cassandra-shaped; IF NOT EXISTS accepts the
+      // SAME index and refuses a different target on the name
+      cq("CREATE INDEX IF NOT EXISTS ON ks.m (keys(m))")
+      val e2 = intercept[IllegalArgumentException] {
+        cq("CREATE INDEX m_m_keys_idx ON ks.m (values(m))")
+      }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      // an empty-hit-set index build still lands its metadata
+      cq("CREATE INDEX ON ks.m (values(nothere))")
+      assert(cq("SELECT pk FROM ks.m WHERE nothere CONTAINS 1")
+        .count() === 0)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.c2icat")
+      spark.conf.unset("spark.sql.catalog.c2icat.root")
+    }
+  }
 }
