@@ -985,12 +985,18 @@ object Cql {
     * → the `gcGraceMs` property C17's compaction honors.
     */
   def catalogExecute(spark: SparkSession, cql: String,
-      catalog: String = "gcells"): DataFrame = {
+      catalog: String = "gcells",
+      defaultKs: Option[String] = None): DataFrame = {
     def root: String = {
       val k = s"spark.sql.catalog.$catalog.root"
       spark.conf.getOption(k).getOrElse(fail(s"$k is not set"))
     }
     cql match {
+      case UseRe(_) =>
+        // USE is SESSION state — a single statement has no session
+        // to mutate; the script runner threads it (C65n)
+        fail("USE sets the script's ambient keyspace — run it " +
+          "inside catalogScript (a lone statement has no session)")
       case CreateKsRe(ifNot, ks) =>
         spark.sql(s"CREATE NAMESPACE " +
           (if (ifNot != null) "IF NOT EXISTS " else "") + s"$catalog.$ks")
@@ -1484,15 +1490,51 @@ object Cql {
         SystemSchema.describeTables(spark, catalog)
       case dml =>
         // ks.table in DML resolves to the catalog's table directory;
-        // an unqualified name would silently become a cwd-relative
-        // path OUTSIDE the catalog root — refuse it
+        // an unqualified name resolves against the script's USE
+        // keyspace (C65n) — without one it would silently become a
+        // cwd-relative path OUTSIDE the catalog root, so refuse
         execute(spark, dml, name =>
           if (name.matches("\\w+\\.\\w+")) {
             val Array(ks, t) = name.split("\\.")
             s"$root/$ks/$t"
-          } else fail(s"catalog statements need keyspace.table " +
-            s"names, got: $name"))
+          } else if (name.matches("\\w+") && defaultKs.isDefined)
+            s"$root/${defaultKs.get}/$name"
+          else fail(s"catalog statements need keyspace.table " +
+            s"names (or USE <keyspace> first in a script), " +
+            s"got: $name"))
     }
+  }
+
+  private val UseRe = """(?is)^\s*USE\s+(\w+)\s*;?\s*$""".r
+
+  /** cqlsh-session script against the catalog (C65n): statements run
+    * in order under one per-script writetime allocator; `USE <ks>`
+    * sets the AMBIENT keyspace, after which DML may name tables
+    * unqualified — Cassandra's session rule. DDL statements keep
+    * requiring qualified names in this subset (their grammar is
+    * qualified); an unqualified DML name without a prior USE fails
+    * fast, and USE of a missing keyspace fails AT the USE.
+    */
+  def catalogScript(spark: SparkSession, script: String,
+      catalog: String = "gcells"): DataFrame = {
+    val stmts = splitStatements(script)
+    if (stmts.isEmpty) fail("empty CQL script")
+    var current: Option[String] = None
+    val fresh = scriptWts.get == null
+    if (fresh) scriptWts.set(scala.collection.mutable.Map.empty)
+    try stmts.map {
+      case UseRe(ks) =>
+        val k = s"spark.sql.catalog.$catalog.root"
+        val root = spark.conf.getOption(k).getOrElse(
+          fail(s"$k is not set"))
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(root, ks.toLowerCase)))
+          fail(s"keyspace $ks does not exist")
+        current = Some(ks.toLowerCase)
+        spark.emptyDataFrame
+      case stmt => catalogExecute(spark, stmt, catalog, current)
+    }.last
+    finally if (fresh) scriptWts.remove()
   }
 
   private val ColDefRe =

@@ -3441,4 +3441,65 @@ class CqlSpec extends GraftSpec {
       spark.conf.unset("spark.sql.catalog.c2icat.root")
     }
   }
+
+  test("USE <keyspace>: ambient keyspace for unqualified DML (C65n)") {
+    val root = Files.createTempDirectory("cql-use").toString
+    spark.conf.set("spark.sql.catalog.usecat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.usecat.root", root)
+    try {
+      def cqs(script: String) =
+        Cql.catalogScript(spark, script, "usecat")
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "usecat")
+      cq("CREATE KEYSPACE ks1")
+      cq("CREATE KEYSPACE ks2")
+      cq("CREATE TABLE ks1.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("CREATE TABLE ks2.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      // unqualified DML under USE hits the ambient keyspace's table
+      cqs("""USE ks1;
+             INSERT INTO t (pk, ck, qty) VALUES (1, 1, 10);
+             USE ks2;
+             INSERT INTO t (pk, ck, qty) VALUES (2, 1, 20)""")
+      // equals the qualified form
+      assert(cqs("USE ks1; SELECT pk, value FROM t")
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+      assert(cq("SELECT pk, value FROM ks1.t")
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+      assert(cq("SELECT pk, value FROM ks2.t")
+        .as[(Long, Long)].collect().toSeq === Seq((2L, 20L)))
+      // qualified names still work under USE (and may cross it)
+      assert(cqs("USE ks2; SELECT pk, value FROM ks1.t")
+        .as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+      // unqualified without USE fails fast, in and out of scripts
+      val e1 = intercept[IllegalArgumentException] {
+        cqs("SELECT pk FROM t")
+      }
+      assert(e1.getMessage.contains("USE"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM t")
+      }
+      assert(e2.getMessage.contains("keyspace.table"), e2.getMessage)
+      // USE of a missing keyspace fails AT the USE
+      val e3 = intercept[IllegalArgumentException] {
+        cqs("USE nope; SELECT pk FROM t")
+      }
+      assert(e3.getMessage.contains("does not exist"), e3.getMessage)
+      // a lone USE outside a script has no session to mutate
+      val e4 = intercept[IllegalArgumentException] { cq("USE ks1") }
+      assert(e4.getMessage.contains("catalogScript"), e4.getMessage)
+      // the per-script allocator spans USE boundaries (one counter
+      // per TABLE, sequential writetimes within the script)
+      cqs("""USE ks1;
+             INSERT INTO t (pk, ck, qty) VALUES (3, 1, 30);
+             INSERT INTO ks1.t (pk, ck, qty) VALUES (3, 2, 31)""")
+      val wts = cq("SELECT pk, ck, wt FROM ks1.t WHERE pk = 3")
+        .as[(Long, Int, Long)].collect()
+        .map { case (p, c, w) => (p, c) -> w }.toMap
+      assert(wts((3L, 1)) + 1 === wts((3L, 2)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.usecat")
+      spark.conf.unset("spark.sql.catalog.usecat.root")
+    }
+  }
 }
