@@ -413,18 +413,22 @@ object Cql {
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals) =>
       refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table)) // CAS reads current state
       val r = lwtInsert(spark, resolve(table), cols, vals)
       forgetWt(resolve(table)); r
     case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
       refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table))
       val r = lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
       forgetWt(resolve(table)); r
     case UpdateIfExistsRe(table, sets, where) =>
       refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table))
       val r = lwtUpdateExists(spark, resolve(table), sets, where)
       forgetWt(resolve(table)); r
     case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
       refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table))
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
       forgetWt(resolve(table)); r
@@ -520,9 +524,21 @@ object Cql {
     // per-script writetime allocator (see nextWt): re-entrant calls
     // keep the outer script's counters
     val fresh = scriptWts.get == null
-    if (fresh) scriptWts.set(scala.collection.mutable.Map.empty)
-    try stmts.map(execute(spark, _, resolve)).last
-    finally if (fresh) scriptWts.remove()
+    if (fresh) {
+      scriptWts.set(scala.collection.mutable.Map.empty)
+      scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
+    }
+    try {
+      val r = stmts.map(execute(spark, _, resolve)).last
+      if (fresh) flushAllBuffered(spark)
+      r
+    } finally if (fresh) {
+      // error path: statements before the failure DID execute (CQL
+      // scripts have no atomicity) — their buffered cells must land
+      try flushAllBuffered(spark)
+      catch { case scala.util.control.NonFatal(_) => }
+      scriptWts.remove(); scriptBuf.remove()
+    }
   }
 
   /** Split on `;` outside single quotes, keeping BATCH blocks whole.
@@ -837,6 +853,10 @@ object Cql {
               where, dts).map((_, None: Option[Long])))))
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
       }
+    // the batch journal + shared-wt protocol writes directly; the
+    // involved tables' buffered cells must land first (and the wt
+    // resolution below reads table maxes)
+    parsed.map(_._1).distinct.foreach(flushBuffered(spark, _))
     // Cassandra's batch rule: one shared writetime for the whole
     // batch — the max of the involved tables' next writetimes, so the
     // batch shadows everything any member table holds
@@ -1163,10 +1183,14 @@ object Cql {
           (if (ifNot != null) "IF NOT EXISTS " else "") +
           s"$catalog.$ks.$t $tbl$propSql")
       case DropTableRe(ifEx, ks, t) =>
+        discardBuffered(s"$root/$ks/$t") // dropped with the table
         val r = spark.sql(s"DROP TABLE " +
           (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks.$t")
         forgetWt(s"$root/$ks/$t"); r
       case TruncateRe(ks, t) =>
+        // buffered cells all precede the TRUNCATE in script order —
+        // it shadows them wholesale, so discarding == flush+truncate
+        discardBuffered(s"$root/$ks/$t")
         val r = spark.sql(s"TRUNCATE TABLE $catalog.$ks.$t")
         forgetWt(s"$root/$ks/$t"); r
       // C68 — cqlsh's bulk round. COPY TO exports the reconciled LIVE
@@ -1179,6 +1203,7 @@ object Cql {
       // maintenance included). HEADER defaults false, cqlsh's own.
       case CopyToRe(ks, t, path, header) =>
         val dir = s"$root/$ks/$t"
+        flushBuffered(spark, dir) // the export reads the table
         var reader = spark.read.format(Fmt).option("reconcile", "true")
         if (isCounter(dir)) reader = reader.option("counter", "true")
         val df = reader.load(dir)
@@ -1338,6 +1363,7 @@ object Cql {
             case None => s"${t}_${plainCol.toLowerCase}_idx"
           })
         val baseDir = s"$root/$ks/$t"
+        flushBuffered(spark, baseDir) // the index build reads the base
         // Cassandra refuses 2i on counter tables — and so must we:
         // the index build/refresh reads the base with reconcile-only
         // LWW, which would bake in the last shard DELTA instead of
@@ -1380,6 +1406,7 @@ object Cql {
           fail("materialized view must live in its base keyspace " +
             "(Cassandra's rule)")
         val baseDir = s"$root/$bks/$bt"
+        flushBuffered(spark, baseDir) // the view build reads the base
         val tailParts = keyTail.split(',').map(_.trim.toLowerCase)
           .toSeq.filter(_.nonEmpty)
         val bspec = graft.sources.CellSource.keySpec(baseDir)
@@ -1459,6 +1486,12 @@ object Cql {
         // marker protocol, typed-key aware. (USING TIMESTAMP and
         // single-cell DELETE keep the default-layout-only grammar.)
         val Array(ks, t) = table.split("\\.")
+        flushBuffered(spark, s"$root/$ks/$t")
+        // the C38 path resolves its own deletion timestamp (table
+        // max + 1) OUTSIDE the script allocator — invalidate the
+        // script counter or the next statement would re-issue the
+        // tombstone's writetime and tie instead of shadowing
+        forgetWt(s"$root/$ks/$t")
         try spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
@@ -1474,15 +1507,18 @@ object Cql {
       // virtual relations and DESCRIBE, served from catalog metadata
       // (bounded by table count; no Spark job, no data read)
       case SysSchemaRe(cols, rel, where) =>
+        flushAllBuffered(spark) // catalog-wide metadata read
         SystemSchema.select(spark, catalog, rel, cols.trim,
           Option(where))
       // C67b — the connect round proper: system.local (one row —
       // cluster name, partitioner, token map, schema fingerprint)
       // and system.peers (empty; single-node topology)
       case SysLocalRe(cols, rel, where) =>
+        flushAllBuffered(spark)
         SystemSchema.selectSystem(spark, catalog, rel, cols.trim,
           Option(where))
       case DescTableStmtRe(ks, t) =>
+        flushBuffered(spark, s"$root/$ks/$t")
         SystemSchema.describeTable(spark, catalog, ks, t)
       case DescKeyspacesRe() =>
         SystemSchema.describeKeyspaces(spark, catalog)
@@ -1521,7 +1557,10 @@ object Cql {
     if (stmts.isEmpty) fail("empty CQL script")
     var current: Option[String] = None
     val fresh = scriptWts.get == null
-    if (fresh) scriptWts.set(scala.collection.mutable.Map.empty)
+    if (fresh) {
+      scriptWts.set(scala.collection.mutable.Map.empty)
+      scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
+    }
     try stmts.map {
       case UseRe(ks) =>
         val k = s"spark.sql.catalog.$catalog.root"
@@ -1534,7 +1573,11 @@ object Cql {
         spark.emptyDataFrame
       case stmt => catalogExecute(spark, stmt, catalog, current)
     }.last
-    finally if (fresh) scriptWts.remove()
+    finally if (fresh) {
+      try flushAllBuffered(spark)
+      catch { case scala.util.control.NonFatal(_) => }
+      scriptWts.remove(); scriptBuf.remove()
+    }
   }
 
   private val ColDefRe =
@@ -1832,6 +1875,9 @@ object Cql {
       group: Option[String], order: Option[String], ppl: Option[Int],
       lim: Option[Int], page: Option[String],
       allowFiltering: Boolean): DataFrame = {
+    // read-your-writes: a SELECT inside a script sees the script's
+    // buffered cells — flush them before the scan plans its files
+    flushBuffered(spark, dir)
     val spec = graft.sources.CellSource.keySpec(dir)
     // key columns of THIS table's layout (pk/ck on the default spec,
     // the named parts on a typed one) — the ALLOW FILTERING guards
@@ -2401,11 +2447,20 @@ object Cql {
     if (cache == null) resolveNextWt(spark, dir)
     else {
       val k = wtKey(dir)
-      val n = cache.getOrElseUpdate(k, resolveNextWt(spark, dir))
+      val n = cache.getOrElseUpdate(k, seedWt(spark, dir))
       cache.update(k, n + 1L)
       n
     }
   }
+
+  /** Allocator seed: the table max from FILES, raised past any
+    * BUFFERED rows — after a forgetWt (explicit timestamp, batch,
+    * LWT) the re-seed must not re-issue a writetime a buffered row
+    * already holds.
+    */
+  private def seedWt(spark: SparkSession, dir: String): Long =
+    math.max(resolveNextWt(spark, dir),
+      bufferedMaxWt(dir).map(_ + 1L).getOrElse(Long.MinValue))
 
   /** Next writetime WITHOUT consuming it (repeatable, like the
     * uncached read) — for statements that use the value as a
@@ -2414,7 +2469,7 @@ object Cql {
   private def peekWt(spark: SparkSession, dir: String): Long = {
     val cache = scriptWts.get
     if (cache == null) resolveNextWt(spark, dir)
-    else cache.getOrElseUpdate(wtKey(dir), resolveNextWt(spark, dir))
+    else cache.getOrElseUpdate(wtKey(dir), seedWt(spark, dir))
   }
 
   /** Drop the script-local counter for a table whose max wt changed
@@ -2431,23 +2486,113 @@ object Cql {
     if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
   }
 
+  // ---------------------------------------------------------------
+  // Per-script write buffering (r12) — the memtable analog. Inside a
+  // script, default-layout cell appends accumulate per TABLE and
+  // flush as ONE file at script end, instead of one Spark write job
+  // (and one flush file) per statement — the shape a cqlsh ingest
+  // script pays for on a real cluster too, where the memtable absorbs
+  // statements and the flush is the unit of I/O. Sequential-model
+  // correctness is preserved by two rules: (a) every statement that
+  // READS a table flushes its buffer first (read-your-writes), and
+  // (b) writetime allocation sees buffered rows ([[seedWt]]), so a
+  // post-forget re-seed can never re-issue a buffered wt. The LWW
+  // merge handles duplicate keys and tombstones WITHIN one file, so
+  // a buffered flush is semantically identical to N per-statement
+  // flushes at the same writetimes.
+
+  private type BufRow = (Long, Int, String, Long, Long, Option[Long])
+  /** One table's buffered cells — default (pk, ck) rows or typed
+    * (CEL6/8) rows with the table's key spec; a table is ONE layout,
+    * so the kinds never mix within a key.
+    */
+  private sealed trait Buffered { def maxWt: Long; def isEmpty: Boolean }
+  private final class BufDefault(
+      val rows: scala.collection.mutable.ArrayBuffer[BufRow])
+      extends Buffered {
+    def maxWt: Long = rows.iterator.map(_._5).max
+    def isEmpty: Boolean = rows.isEmpty
+  }
+  private final class BufTyped(val spec: graft.sources.KeySpec,
+      val rows: scala.collection.mutable
+        .ArrayBuffer[(Seq[Any], Option[Long])])
+      extends Buffered {
+    // the wt slot is the row's last element (keyVals ++ col,value,wt)
+    def maxWt: Long =
+      rows.iterator.map(_._1.last.asInstanceOf[Long]).max
+    def isEmpty: Boolean = rows.isEmpty
+  }
+  private val scriptBuf = new ThreadLocal[
+    scala.collection.mutable.LinkedHashMap[String, Buffered]]
+
+  private def writeBuffered(spark: SparkSession, dir: String,
+      b: Buffered): Unit = b match {
+    case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
+    case t: BufTyped => writeTypedRows(spark, dir, t.spec, t.rows.toSeq)
+  }
+
+  /** Flush (and drop) one table's buffered cells, if any. */
+  private def flushBuffered(spark: SparkSession, dir: String): Unit = {
+    val buf = scriptBuf.get
+    if (buf == null) return
+    buf.remove(wtKey(dir)).foreach(writeBuffered(spark, wtKey(dir), _))
+  }
+
+  /** Flush every buffered table (script end; catalog-wide reads). */
+  private def flushAllBuffered(spark: SparkSession): Unit = {
+    val buf = scriptBuf.get
+    if (buf == null) return
+    val pending = buf.toSeq // LinkedHashMap: first-write order
+    buf.clear()
+    pending.foreach { case (k, b) =>
+      if (!b.isEmpty) writeBuffered(spark, k, b) }
+  }
+
+  /** Discard a table's buffer (TRUNCATE/DROP shadow it wholesale). */
+  private def discardBuffered(dir: String): Unit = {
+    val buf = scriptBuf.get
+    if (buf != null) { buf.remove(wtKey(dir)); () }
+  }
+
+  /** Max buffered writetime for a table — the allocator's view of
+    * rows that exist but haven't flushed.
+    */
+  private def bufferedMaxWt(dir: String): Option[Long] = {
+    val buf = scriptBuf.get
+    if (buf == null) None
+    else buf.get(wtKey(dir)).filter(!_.isEmpty).map(_.maxWt)
+  }
+
+  private def writeCellRows(spark: SparkSession, dir: String,
+      rows: Seq[BufRow]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    if (rows.forall(_._6.isEmpty))
+      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format(Fmt).mode("append").save(dir)
+    else
+      // `USING TTL n` — the ttl=true write shape (CEL10): a trailing
+      // relative-ttl column, NULL = no expiry; expiry = wt + ttl
+      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
+        .coalesce(1).write.format(Fmt).option("ttl", "true")
+        .mode("append").save(dir)
+  }
+
   private def appendCells(spark: SparkSession, dir: String,
       rows: Seq[(Long, Int, String, Long, Long)],
       ttl: Option[Long] = None): Unit = {
-    import spark.implicits._
     if (rows.isEmpty) return // zero-row statement: no empty flush
-    ttl match {
-      case None =>
-        rows.toDF("pk", "ck", "col", "value", "wt")
-          .coalesce(1).write.format(Fmt).mode("append").save(dir)
-      case Some(t) =>
-        // `USING TTL n` — the ttl=true write shape (CEL10): a
-        // trailing relative-ttl column; expiry = wt + ttl
-        rows.map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wt, t) }
-          .toDF("pk", "ck", "col", "value", "wt", "ttl")
-          .coalesce(1).write.format(Fmt).option("ttl", "true")
-          .mode("append").save(dir)
-    }
+    val buffered = rows.map { case (pk, ck, c, v, wt) =>
+      (pk, ck, c, v, wt, ttl) }
+    val buf = scriptBuf.get
+    if (buf != null) {
+      buf.getOrElseUpdate(wtKey(dir), new BufDefault(
+        scala.collection.mutable.ArrayBuffer.empty)) match {
+        case d: BufDefault => d.rows ++= buffered
+        case _ => fail(s"layout mix-up buffering cells for $dir")
+      }
+    } else writeCellRows(spark, dir, buffered)
   }
 
   /** Binary-valued twin of [[appendCells]] — the write shape of
@@ -2701,9 +2846,45 @@ object Cql {
       spec: graft.sources.KeySpec, rows: Seq[Seq[Any]],
       ttl: Option[Long]): Unit = {
     if (rows.isEmpty) return
-    var w = typedDf(spark, spec, rows, ttl).coalesce(1).write.format(Fmt)
-    if (ttl.isDefined) w = w.option("ttl", "true")
-    w.mode("append").save(dir)
+    val buf = scriptBuf.get
+    if (buf != null) {
+      buf.getOrElseUpdate(wtKey(dir), new BufTyped(spec,
+        scala.collection.mutable.ArrayBuffer.empty)) match {
+        case t: BufTyped =>
+          if (t.spec != spec)
+            fail(s"layout mix-up buffering typed rows for $dir")
+          t.rows ++= rows.map((_, ttl))
+        case _ => fail(s"layout mix-up buffering typed rows for $dir")
+      }
+    } else writeTypedRows(spark, dir, spec, rows.map((_, ttl)))
+  }
+
+  /** One flush of typed rows with PER-ROW ttl grants (the buffer
+    * mixes statements): plain shape when no row carries one, the
+    * CEL11 nullable-ttl shape otherwise.
+    */
+  private def writeTypedRows(spark: SparkSession, dir: String,
+      spec: graft.sources.KeySpec,
+      rows: Seq[(Seq[Any], Option[Long])]): Unit = {
+    if (rows.isEmpty) return
+    if (rows.forall(_._2.isEmpty)) {
+      typedDf(spark, spec, rows.map(_._1)).coalesce(1)
+        .write.format(Fmt).mode("append").save(dir)
+    } else {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        spec.keyFields ++ Seq(
+          StructField("col", StringType, nullable = false),
+          StructField("value", LongType, nullable = false),
+          StructField("wt", LongType, nullable = false),
+          StructField("ttl", LongType, nullable = true)))
+      val sparkRows = rows.map { case (r, t) =>
+        org.apache.spark.sql.Row.fromSeq(r :+ t.map(Long.box).orNull) }
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+        schema).coalesce(1).write.format(Fmt).option("ttl", "true")
+        .mode("append").save(dir)
+    }
   }
 
   /** The typed rows as a DataFrame in the table's write schema —
@@ -3176,6 +3357,8 @@ object Cql {
   private def collectionUpdate(spark: SparkSession, dir: String,
       sets: String, where: String, wt: Long,
       ttl: Option[Long]): Unit = {
+    // list appends / set removes read the reconciled current state
+    flushBuffered(spark, dir)
     val (pks, ckEq, _, _) = keyPredicate(where)
     val pkSeq = pks.toSeq.sorted
     val cells = scala.collection.mutable
@@ -3279,6 +3462,7 @@ object Cql {
   private def collectionUpdateTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, sets: String, where: String,
       wt: Long, ttl: Option[Long]): Unit = {
+    flushBuffered(spark, dir) // reads the reconciled current state
     import org.apache.spark.sql.types.IntegerType
     val intCk = spec.ckParts match {
       case p :: Nil if p.dataType == IntegerType => true

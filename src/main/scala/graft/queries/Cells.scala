@@ -1302,13 +1302,17 @@ object Cells {
         java.nio.file.Files.createTempDirectory("cql-cont-q").toString)
     }
     def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
-      "col text, value bigint, wt bigint)")
-    cq("TRUNCATE ks.t")
-    cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
-    cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
-    cq("UPDATE ks.t SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
+    // writes as one SCRIPT (buffered flush); the two probe forms run
+    // against the flushed table afterwards
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1;
+        |UPDATE ks.t SET tags = tags + [7] WHERE pk = 2;
+        |UPDATE ks.t SET m['color'] = 4 WHERE pk = 4 AND ck = 1"""
+        .stripMargin, cat)
     cq("SELECT pk, ck, value FROM ks.t WHERE tags CONTAINS 7 " +
         "ALLOW FILTERING")
       .unionAll(cq("SELECT pk, ck, value FROM ks.t " +
@@ -1339,21 +1343,24 @@ object Cells {
         java.nio.file.Files.createTempDirectory("cql-c2i-q").toString)
     }
     def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
-      "col text, value bigint, wt bigint)")
-    cq("TRUNCATE ks.t")
-    cq("UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1")
-    cq("UPDATE ks.t SET tags = tags + [7] WHERE pk = 2")
-    cq("CREATE INDEX IF NOT EXISTS ON ks.t (values(tags))")
-    cq("CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int, " +
-      "col text, value bigint, wt bigint)")
-    cq("TRUNCATE ks.m")
-    cq("UPDATE ks.m SET m['color'] = 4 WHERE pk = 4 AND ck = 1")
-    cq("UPDATE ks.m SET m['size'] = 9 WHERE pk = 5 AND ck = 1")
-    cq("CREATE INDEX IF NOT EXISTS ON ks.m (keys(m))")
-    // write-through keeps the index fresh for the probes below
-    cq("UPDATE ks.m SET m['color'] = 6 WHERE pk = 6 AND ck = 1")
+    // writes as one SCRIPT (buffered; CREATE INDEX flushes its base
+    // before building); probes run against the flushed tables
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |UPDATE ks.t SET tags = tags + [5, 7] WHERE pk = 1;
+        |UPDATE ks.t SET tags = tags + [7] WHERE pk = 2;
+        |CREATE INDEX IF NOT EXISTS ON ks.t (values(tags));
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.m;
+        |UPDATE ks.m SET m['color'] = 4 WHERE pk = 4 AND ck = 1;
+        |UPDATE ks.m SET m['size'] = 9 WHERE pk = 5 AND ck = 1;
+        |CREATE INDEX IF NOT EXISTS ON ks.m (keys(m));
+        |UPDATE ks.m SET m['color'] = 6 WHERE pk = 6 AND ck = 1"""
+        .stripMargin, cat)
     cq("SELECT pk, ck, value FROM ks.t WHERE tags CONTAINS 7")
       .unionAll(cq("SELECT pk, ck, value FROM ks.m " +
         "WHERE m CONTAINS KEY 'color'"))
@@ -1726,18 +1733,20 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-dttl-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("DROP TABLE IF EXISTS ks.t")
-    cq("CREATE TABLE ks.t (pk bigint, ck int, col text, value bigint, " +
-      "wt bigint, PRIMARY KEY ((pk), ck)) " +
-      "WITH default_time_to_live = 50")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 1)")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 2) USING TTL 7")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 3) USING TTL 0")
-    cq("ALTER TABLE ks.t WITH default_time_to_live = 90")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (4, 1, 4)")
-    cq("SELECT pk, TTL(qty) AS t FROM ks.t ORDER BY pk")
+    // one SCRIPT: the buffer mixes per-row TTL grants in one flush
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |DROP TABLE IF EXISTS ks.t;
+        |CREATE TABLE ks.t (pk bigint, ck int, col text, value bigint,
+        |  wt bigint, PRIMARY KEY ((pk), ck))
+        |  WITH default_time_to_live = 50;
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 1);
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 2) USING TTL 7;
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 3) USING TTL 0;
+        |ALTER TABLE ks.t WITH default_time_to_live = 90;
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (4, 1, 4);
+        |SELECT pk, TTL(qty) AS t FROM ks.t ORDER BY pk""".stripMargin,
+      cat)
   }
 
   private val defaultTtlSql =
@@ -1824,16 +1833,19 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-sz-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
-      "value bigint, wt bigint)")
-    cq("TRUNCATE ks.t")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
-    cq("SELECT keyspace_name, table_name, partitions_count " +
-      "FROM system.size_estimates WHERE table_name = 't'")
+    // one SCRIPT: the size_estimates read flushes the buffered
+    // writes first (catalog-wide metadata reads flush everything)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text,
+        |  value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10);
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20);
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30);
+        |SELECT keyspace_name, table_name, partitions_count
+        |  FROM system.size_estimates WHERE table_name = 't'"""
+        .stripMargin, cat)
   }
 
   private val sizeEstimatesSql =
@@ -1853,18 +1865,20 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-static-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
-      "value bigint, wt bigint, s bigint STATIC)")
-    cq("TRUNCATE ks.t")
-    cq("INSERT INTO ks.t (pk, s) VALUES (1, 100)")
-    cq("UPDATE ks.t SET s = 111 WHERE pk = 1")
-    cq("INSERT INTO ks.t (pk, ck, qty, s) VALUES (2, 1, 5, 200)")
-    cq("INSERT INTO ks.t (pk, s) VALUES (3, 300)")
-    cq("DELETE FROM ks.t WHERE pk = 3")
-    cq("INSERT INTO ks.t (pk, s) VALUES (3, 301)")
-    cq("SELECT pk, s FROM ks.t ORDER BY pk")
+    // one SCRIPT: the per-script buffer folds the writes into one
+    // flush file (the memtable shape)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text,
+        |  value bigint, wt bigint, s bigint STATIC);
+        |TRUNCATE ks.t;
+        |INSERT INTO ks.t (pk, s) VALUES (1, 100);
+        |UPDATE ks.t SET s = 111 WHERE pk = 1;
+        |INSERT INTO ks.t (pk, ck, qty, s) VALUES (2, 1, 5, 200);
+        |INSERT INTO ks.t (pk, s) VALUES (3, 300);
+        |DELETE FROM ks.t WHERE pk = 3;
+        |INSERT INTO ks.t (pk, s) VALUES (3, 301);
+        |SELECT pk, s FROM ks.t ORDER BY pk""".stripMargin, cat)
   }
 
   private val staticCqlSql =
@@ -1884,17 +1898,19 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-desc-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, " +
-      "col text, value bigint, wt bigint) " +
-      "WITH CLUSTERING ORDER BY (ck DESC)")
-    cq("TRUNCATE ks.t")
-    for (c <- 1 to 4)
-      cq(s"INSERT INTO ks.t (pk, ck, qty) VALUES (1, $c, ${c * 10})")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 100)")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 2, 200)")
-    cq("SELECT pk, ck, value FROM ks.t PER PARTITION LIMIT 1")
+    val inserts = (1 to 4).map(c =>
+      s"INSERT INTO ks.t (pk, ck, qty) VALUES (1, $c, ${c * 10})")
+    graft.cql.Cql.catalogScript(s,
+      ("""CREATE KEYSPACE IF NOT EXISTS ks;
+         |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+         |  col text, value bigint, wt bigint)
+         |  WITH CLUSTERING ORDER BY (ck DESC);
+         |TRUNCATE ks.t""".stripMargin +:
+        inserts :+
+        "INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 100)" :+
+        "INSERT INTO ks.t (pk, ck, qty) VALUES (2, 2, 200)" :+
+        "SELECT pk, ck, value FROM ks.t PER PARTITION LIMIT 1")
+        .mkString(";\n"), cat)
   }
 
   private val clusteringDescSql =
@@ -1913,23 +1929,25 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-copy-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
-      "value bigint, wt bigint)")
-    cq("CREATE TABLE IF NOT EXISTS ks.u (pk bigint, ck int, col text, " +
-      "value bigint, wt bigint)")
-    cq("TRUNCATE ks.t")
-    cq("TRUNCATE ks.u")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20)")
-    cq("DELETE FROM ks.t WHERE pk = 2")
-    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30)")
     val out = java.nio.file.Files
       .createTempDirectory("cql-copy-out").toString + "/t.csv"
-    cq(s"COPY ks.t TO '$out' WITH HEADER = TRUE")
-    cq(s"COPY ks.u FROM '$out' WITH HEADER = TRUE")
-    cq("SELECT pk, ck, col, value FROM ks.u ORDER BY pk")
+    // one SCRIPT: the writes buffer until COPY TO's read flushes them
+    graft.cql.Cql.catalogScript(s,
+      s"""CREATE KEYSPACE IF NOT EXISTS ks;
+         |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text,
+         |  value bigint, wt bigint);
+         |CREATE TABLE IF NOT EXISTS ks.u (pk bigint, ck int, col text,
+         |  value bigint, wt bigint);
+         |TRUNCATE ks.t;
+         |TRUNCATE ks.u;
+         |INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10);
+         |INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 20);
+         |DELETE FROM ks.t WHERE pk = 2;
+         |INSERT INTO ks.t (pk, ck, qty) VALUES (3, 1, 30);
+         |COPY ks.t TO '$out' WITH HEADER = TRUE;
+         |COPY ks.u FROM '$out' WITH HEADER = TRUE;
+         |SELECT pk, ck, col, value FROM ks.u ORDER BY pk""".stripMargin,
+      cat)
   }
 
   private val copyRoundSql =
@@ -1952,18 +1970,22 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-tcoll-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.t (user text, ck int, " +
-      "col text, value bigint, wt bigint, PRIMARY KEY ((user), ck))")
-    cq("TRUNCATE ks.t")
-    cq("UPDATE ks.t SET tags = tags + [10, 11] WHERE user = 'u-1'")
-    cq("UPDATE ks.t SET tags = tags + [12] WHERE user = 'u-1'")
-    cq("UPDATE ks.t SET st = st + {5, 6} WHERE user = 'u-2'")
-    cq("UPDATE ks.t SET st = st - {5} WHERE user = 'u-2'")
-    cq("UPDATE ks.t SET m['color'] = 7 WHERE user = 'u-3' AND ck = 1")
-    cq("UPDATE ks.t SET qty = 9 WHERE user = 'u-3' AND ck = 1")
-    cq("SELECT user, ck, col, value FROM ks.t ORDER BY user, ck, col")
+    // one SCRIPT: appends/removes flush-then-read per statement
+    // (they read the current collection state), but the trailing map
+    // put and scalar SET buffer into the final flush
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (user text, ck int,
+        |  col text, value bigint, wt bigint, PRIMARY KEY ((user), ck));
+        |TRUNCATE ks.t;
+        |UPDATE ks.t SET tags = tags + [10, 11] WHERE user = 'u-1';
+        |UPDATE ks.t SET tags = tags + [12] WHERE user = 'u-1';
+        |UPDATE ks.t SET st = st + {5, 6} WHERE user = 'u-2';
+        |UPDATE ks.t SET st = st - {5} WHERE user = 'u-2';
+        |UPDATE ks.t SET m['color'] = 7 WHERE user = 'u-3' AND ck = 1;
+        |UPDATE ks.t SET qty = 9 WHERE user = 'u-3' AND ck = 1;
+        |SELECT user, ck, col, value FROM ks.t ORDER BY user, ck, col"""
+        .stripMargin, cat)
   }
 
   private val typedCollectionsSql =
@@ -1990,20 +2012,22 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-pfx-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TABLE IF NOT EXISTS ks.ev (tenant text, day bigint, " +
-      "seq int, col text, value bigint, wt bigint, " +
-      "PRIMARY KEY ((tenant), day, seq))")
-    cq("TRUNCATE ks.ev")
-    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 1, 10)")
-    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 2, 11)")
-    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 2, 1, 20)")
-    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('b', 1, 1, 30)")
-    cq("DELETE FROM ks.ev WHERE tenant = 'a' AND day = 1")
-    cq("INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 3, 99)")
-    cq("SELECT tenant, day, seq, value FROM ks.ev " +
-      "ORDER BY tenant, day, seq")
+    // one SCRIPT: the per-script buffer absorbs the writes into one
+    // flush (the memtable shape) instead of one write job each
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.ev (tenant text, day bigint,
+        |  seq int, col text, value bigint, wt bigint,
+        |  PRIMARY KEY ((tenant), day, seq));
+        |TRUNCATE ks.ev;
+        |INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 1, 10);
+        |INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 2, 11);
+        |INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 2, 1, 20);
+        |INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('b', 1, 1, 30);
+        |DELETE FROM ks.ev WHERE tenant = 'a' AND day = 1;
+        |INSERT INTO ks.ev (tenant, day, seq, qty) VALUES ('a', 1, 3, 99);
+        |SELECT tenant, day, seq, value FROM ks.ev
+        |  ORDER BY tenant, day, seq""".stripMargin, cat)
   }
 
   private val prefixTombstoneSql =

@@ -623,7 +623,12 @@ private[sources] final class CellKeyedMergeCursor(
             CellSource.PrefixTombstonePrefix.length).toInt
           catch { case _: NumberFormatException => 0 }
           if (j >= 1 && j < spec.ckParts.length)
-            prefixDel = (ckVals, j, wt) :: prefixDel
+            // copy the bound prefix rather than hold the row array:
+            // streams currently allocate per record, but this state
+            // outlives the row and must not depend on that detail
+            // (r12 buffered flushes put marker and data rows in ONE
+            // file, so same-file shadowing is now the common case)
+            prefixDel = (ckVals.take(j), j, wt) :: prefixDel
         }
         else if (colName.startsWith(CellSource.CellTombstonePrefix)) {
           val target = colName.substring(

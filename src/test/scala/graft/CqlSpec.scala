@@ -3111,15 +3111,22 @@ class CqlSpec extends GraftSpec {
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 2, 2);
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 3, 3)""".stripMargin)
     }
-    // the saving is exactly two max-wt scans (3 → 1)
+    // the saving is two max-wt scans (3 → 1) AND two flush writes
+    // (3 → 1, the r12 per-script buffer): a script pays ONE header
+    // scan and ONE memtable flush however many statements it holds
     val d3 = freshTable()
     val perScan = countJobs {
       spark.read.format("graft.sources.CellSource").load(d3)
         .agg(max(col("wt"))).collect()
     }
-    assert(perScan > 0)
-    assert(individual - scripted === 2 * perScan,
-      s"individual=$individual scripted=$scripted perScan=$perScan")
+    val perWrite = countJobs {
+      Cql.execute(spark, s"INSERT INTO $d3 (pk, ck, qty) VALUES (71, 1, 1)")
+    } - perScan
+    assert(perScan > 0 && perWrite > 0)
+    assert(individual === 3 * (perScan + perWrite),
+      s"individual=$individual perScan=$perScan perWrite=$perWrite")
+    assert(scripted === perScan + perWrite,
+      s"scripted=$scripted perScan=$perScan perWrite=$perWrite")
     // identical writetime sequence either way: max(100) + 1, 2, 3 —
     // so in-script statement order still shadows correctly
     assert(wtsOf(d2, 70L) ===
@@ -3501,5 +3508,124 @@ class CqlSpec extends GraftSpec {
       spark.conf.unset("spark.sql.catalog.usecat")
       spark.conf.unset("spark.sql.catalog.usecat.root")
     }
+  }
+
+  test("property: BUFFERED script programs match the sequential model (r12)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // The per-script buffer must be INVISIBLE semantically: a random
+    // program run as ONE script (writes buffered, one flush) must
+    // equal the same statements applied to a mutable map — with
+    // interleaved SELECTs forcing mid-script read-your-writes
+    // flushes, explicit USING TIMESTAMP exercising the forget+reseed
+    // path (a reseed must never re-issue a buffered writetime), and
+    // tombstones shadowing buffered cells within one flush file.
+    sealed trait Op
+    case class Ins(pk: Long, ck: Int, c: String, v: Long) extends Op
+    case class InsTs(pk: Long, ck: Int, c: String, v: Long, ts: Long)
+      extends Op
+    case class DelRow(pk: Long, ck: Int) extends Op
+    case class DelPart(pk: Long) extends Op
+    case object Peek extends Op // interleaved SELECT: flushes
+
+    val genOp: Gen[Op] = Gen.frequency(
+      6 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+        c <- Gen.oneOf("qty", "price"); v <- Gen.chooseNum(0L, 100L)
+      } yield Ins(pk, ck, c, v)),
+      1 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+        c <- Gen.oneOf("qty", "price"); v <- Gen.chooseNum(0L, 100L)
+        ts <- Gen.chooseNum(200L, 300L)
+      } yield InsTs(pk, ck, c, v, ts)),
+      2 -> (for {
+        pk <- Gen.chooseNum(0L, 3L); ck <- Gen.chooseNum(0, 2)
+      } yield DelRow(pk, ck)),
+      1 -> Gen.chooseNum(0L, 3L).map(DelPart.apply),
+      2 -> Gen.const(Peek))
+
+    val prop = Prop.forAll(Gen.listOfN(14, genOp)) { ops =>
+      val d = Files.createTempDirectory("cql-bufprop").toString
+      Cql.execute(spark, s"INSERT INTO $d (pk, ck, qty) VALUES (0, 0, 1)")
+      val model = scala.collection.mutable
+        .Map[(Long, Int, String), (Long, Long)]((0L, 0, "qty") -> (1L, 100L))
+      var wt = 100L // table max after the seed write
+      val dels = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+      ops.foreach {
+        case Ins(pk, ck, c, v) =>
+          wt += 1
+          stmts += s"INSERT INTO $d (pk, ck, $c) VALUES ($pk, $ck, $v)"
+          if (!model.get((pk, ck, c)).exists(_._2 > wt))
+            model((pk, ck, c)) = (v, wt)
+        case InsTs(pk, ck, c, v, ts) =>
+          stmts += s"INSERT INTO $d (pk, ck, $c) VALUES ($pk, $ck, $v)" +
+            s" USING TIMESTAMP $ts"
+          if (!model.get((pk, ck, c)).exists(_._2 > ts))
+            model((pk, ck, c)) = (v, ts)
+          wt = math.max(wt, ts) // allocator reseeds from max
+        case DelRow(pk, ck) =>
+          wt += 1
+          stmts += s"DELETE FROM $d WHERE pk = $pk AND ck = $ck"
+          val dts = wt
+          model.filterInPlace { case ((p, k, _), (_, w)) =>
+            p != pk || k != ck || w > dts }
+        case DelPart(pk) =>
+          wt += 1
+          stmts += s"DELETE FROM $d WHERE pk = $pk"
+          val dts = wt
+          model.filterInPlace { case ((p, _, _), (_, w)) =>
+            p != pk || w > dts }
+        case Peek =>
+          stmts += s"SELECT pk, ck, col, value FROM $d"
+      }
+      stmts += s"SELECT pk, ck, col, value FROM $d"
+      val got = Cql.executeScript(spark, stmts.mkString(";\n"))
+        .as[(Long, Int, String, Long)].collect()
+        .map { case (p, k, c, v) => (p, k, c) -> v }.toMap
+      val want = model.toMap.map { case (k, (v, _)) => k -> v }
+      if (got != want)
+        println(s"ops=$ops\ngot=$got\nwant=$want")
+      got == want
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("buffered typed script: prefix/row markers and data in ONE flush file (r12)") {
+    // a buffered script puts typed tombstone markers and the data
+    // rows they shadow (or must NOT shadow) into one flush file —
+    // the prefixDel state must COPY the marker's bound prefix out of
+    // the cursor's reused row buffer, or every same-file row at
+    // wt <= ts compares equal to "its own" prefix and vanishes
+    val d = Files.createTempDirectory("cql-bufpfx").toString
+    Seq(("t0", 0L, 0, "qty", 1L, 100L))
+      .toDF("tenant", "day", "seq", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((tenant),day,seq)")
+      .option("keyType.tenant", "string")
+      .option("keyType.day", "bigint").option("keyType.seq", "int")
+      .mode("append").save(d)
+    Cql.executeScript(spark,
+      s"""INSERT INTO $d (tenant, day, seq, qty) VALUES ('a', 1, 1, 10);
+         |INSERT INTO $d (tenant, day, seq, qty) VALUES ('a', 1, 2, 11);
+         |INSERT INTO $d (tenant, day, seq, qty) VALUES ('a', 2, 1, 20);
+         |INSERT INTO $d (tenant, day, seq, qty) VALUES ('a', 3, 1, 30);
+         |DELETE FROM $d WHERE tenant = 'a' AND day = 1;
+         |INSERT INTO $d (tenant, day, seq, qty) VALUES ('a', 1, 3, 99);
+         |DELETE FROM $d WHERE tenant = 'a' AND day = 2 AND seq = 1""".stripMargin)
+    // ONE flush file beyond the seed: markers + data cohabit
+    val files = new java.io.File(d).list().filter(_.endsWith(".cells"))
+    assert(files.length === 2, files.toSeq)
+    val got = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .select("tenant", "day", "seq", "value")
+      .as[(String, Long, Int, Long)].collect().toSet
+    // day=1 rows at wt <= prefix ts vanish; the later 99 survives;
+    // (a,2,1) row-tombstoned; (a,3,1) pre-delete but OUTSIDE the
+    // prefix — the row a stale stored-by-reference prefix would have
+    // swallowed; the seed partition untouched
+    assert(got === Set(("t0", 0L, 0, 1L), ("a", 1L, 3, 99L),
+      ("a", 3L, 1, 30L)))
   }
 }
