@@ -118,6 +118,112 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("replication survives a SOURCE compaction mid-stream (C19 offset contract composed)") {
+    // the C19 offset contract: compaction replaces the source's file
+    // generation at HIGHER indices (never reused), so a live stream's
+    // offsets stay valid — new flushes after the compaction deliver,
+    // nothing is lost, and any re-delivered compacted output is
+    // idempotent under the replica's LWW merge
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_repl_cmp_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_repl_cmp_dst").toString
+    def put(rows: Seq[(Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(src)
+    put(Seq((1L, 1, "qty", 10L, 100L), (2L, 1, "qty", 20L, 100L)))
+    put(Seq((1L, 1, "qty", 11L, 200L)))
+    put(Seq((2L, 1, "!del:qty", 0L, 300L))) // tombstone to fold
+    val q = spark.readStream.format("graft.sources.CellSource")
+      .load(src)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.cellSinkBatch(batch, dst, "replcmp", id)
+      }
+      .start()
+    def reconciled(d: String): Set[(Long, Int, String, Long, Long)] =
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(d)
+        .as[(Long, Int, String, Long, Long)].collect().toSet
+    try {
+      q.processAllAvailable()
+      assert(reconciled(dst) === reconciled(src))
+      // compact the SOURCE while the stream is live: 4 flushes fold
+      // into one file at the next generation index
+      val (before, after) =
+        graft.sources.CellMaintenance.compact(spark, src)
+      assert(before > after)
+      // post-compaction flushes keep delivering on the same offsets
+      put(Seq((3L, 1, "qty", 30L, 900L)))
+      graft.cql.Cql.execute(spark,
+        s"DELETE FROM $src WHERE pk = 1 AND ck = 1")
+      q.processAllAvailable()
+      assert(reconciled(dst) === reconciled(src))
+      assert(reconciled(dst).collect {
+        case (pk, _, c, _, _) if !c.startsWith("!") => pk } === Set(3L))
+    } finally q.stop()
+  }
+
+  test("replicated batches keep the SINK's write-through 2i and MV fresh") {
+    // cellSinkBatch appends through the ordinary DSv2 commit, so the
+    // sink's registered write-through index/view maintenance fires on
+    // every replicated micro-batch — the replica serves index-routed
+    // and view reads WITHOUT lazy healing
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_repl_wt_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_repl_wt_dst").toString
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_repl_wt_idx").toString + "/i"
+    val view = java.nio.file.Files
+      .createTempDirectory("graft_repl_wt_view").toString + "/v"
+    def put(rows: Seq[(Long, Int, String, Long, Long)]): Unit =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(src)
+    // seed the sink so index/view builds have a table to read
+    Seq((1L, 1, "qty", 10L, 100L))
+      .toDF("pk", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(dst)
+    graft.sources.CellIndex.build(spark, dst, idx, "qty",
+      writeThrough = true)
+    graft.sources.CellView.build(spark, dst, view, "qty")
+    graft.sources.CellView.register(dst, view)
+    put(Seq((2L, 1, "qty", 10L, 200L), (3L, 1, "qty", 30L, 200L)))
+    val q = spark.readStream.format("graft.sources.CellSource")
+      .load(src)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.cellSinkBatch(batch, dst, "replwt", id)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // fresh WITHOUT healing: the commit hook refreshed both
+      assert(!graft.sources.CellIndex.isStale(idx))
+      assert(!graft.sources.CellView.isStale(view))
+      // and they serve the replicated rows
+      val hits = graft.sources.CellIndex
+        .lookupBase(spark, dst, idx, 10L, onStale = "fail")
+        .filter(col("col") === "qty" && col("value") === 10L)
+        .select("pk").as[Long].collect().toSet
+      assert(hits === Set(1L, 2L))
+      // a second replicated batch stays fresh too
+      put(Seq((4L, 1, "qty", 10L, 300L)))
+      q.processAllAvailable()
+      assert(!graft.sources.CellIndex.isStale(idx))
+      assert(!graft.sources.CellView.isStale(view))
+      assert(graft.sources.CellIndex
+        .lookupBase(spark, dst, idx, 10L, onStale = "fail")
+        .filter(col("col") === "qty" && col("value") === 10L)
+        .select("pk").as[Long].collect().toSet === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent under batch replay (S_SINK1)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sink").toString
