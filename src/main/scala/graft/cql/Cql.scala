@@ -170,6 +170,8 @@ object Cql {
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
   private val DescTableStmtRe =
     """(?is)^\s*DESC(?:RIBE)?\s+TABLE\s+(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescTypeStmtRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+TYPE\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val DescKeyspacesRe =
     """(?is)^\s*DESC(?:RIBE)?\s+KEYSPACES\s*;?\s*$""".r
   private val DescTablesRe =
@@ -1520,6 +1522,8 @@ object Cql {
       case DescTableStmtRe(ks, t) =>
         flushBuffered(spark, s"$root/$ks/$t")
         SystemSchema.describeTable(spark, catalog, ks, t)
+      case DescTypeStmtRe(ks, n) =>
+        SystemSchema.describeType(spark, catalog, ks, n)
       case DescKeyspacesRe() =>
         SystemSchema.describeKeyspaces(spark, catalog)
       case DescTablesRe() =>

@@ -128,7 +128,11 @@ private[cql] object SystemSchema {
       Row(ks, t, p.name, "clustering", i, cqlTypeName(p.dataType)) }
     // the cell model's fixed data tail; `value` renders its declared
     // type (counter tables: `counter`, Cassandra's own rendering)
-    val vt = if (counter) "counter" else valueTypeName(spark, dir)
+    val vt =
+      if (counter) "counter"
+      else props(dir).get("udtName") // C59b: frozen<type> spelling
+        .map(n => s"frozen<$n>")
+        .getOrElse(valueTypeName(spark, dir))
     val reg = Seq(
       Row(ks, t, "col", "regular", -1, "text"),
       Row(ks, t, "value", "regular", -1, vt),
@@ -157,6 +161,61 @@ private[cql] object SystemSchema {
         .map { case (ks, v, d) =>
           val base = graft.sources.CellView.baseOf(d).get
           Row(ks, v, baseName(base)) })
+
+  /** `system_schema.types` — the UDT metadata relation a driver
+    * reads to decode frozen blobs (C67d): field names/types in
+    * declared order, from each keyspace's `_types` registry.
+    */
+  def types(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("type_name", StringType, nullable = false),
+        StructField("field_names",
+          ArrayType(StringType, containsNull = false), nullable = false),
+        StructField("field_types",
+          ArrayType(StringType, containsNull = false), nullable = false))),
+      ksNames(spark, catalog).flatMap { ks =>
+        udtsOf(root(spark, catalog), ks).map { case (n, layout) =>
+          val fields = layout.split(',').toSeq.map(_.trim)
+            .filter(_.nonEmpty).map { f =>
+              val sp = f.indexOf(' ')
+              (f.substring(0, sp), cqlOf(f.substring(sp + 1).trim))
+            }
+          Row(ks, n, fields.map(_._1), fields.map(_._2))
+        }
+      })
+
+  /** Layout-form type → CQL spelling (the registry stores the
+    * UdtLayout form; drivers expect CQL names).
+    */
+  private def cqlOf(t: String): String = t match {
+    case "string" => "text"
+    case o => o
+  }
+
+  private def udtsOf(root: String, ks: String): Seq[(String, String)] = {
+    val f = java.nio.file.Paths.get(root, ks, "_types")
+    if (!java.nio.file.Files.exists(f)) return Seq.empty
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    scala.jdk.CollectionConverters.PropertiesHasAsScala(p)
+      .asScala.toSeq.sortBy(_._1)
+  }
+
+  def describeType(spark: SparkSession, catalog: String, ks: String,
+      name: String): DataFrame = {
+    val layout = udtsOf(root(spark, catalog), ks).toMap
+      .getOrElse(name.toLowerCase, fail(s"type $ks.$name does not exist"))
+    val fields = layout.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { f =>
+        val sp = f.indexOf(' ')
+        s"${f.substring(0, sp)} ${cqlOf(f.substring(sp + 1).trim)}"
+      }
+    mk(spark, StructType(Seq(
+        StructField("create_statement", StringType, nullable = false))),
+      Seq(Row(s"CREATE TYPE $ks.$name (${fields.mkString(", ")})")))
+  }
 
   def indexes(spark: SparkSession, catalog: String): DataFrame =
     mk(spark, StructType(Seq(
@@ -367,6 +426,7 @@ private[cql] object SystemSchema {
       case "columns" => columns(spark, catalog)
       case "views" => views(spark, catalog)
       case "indexes" => indexes(spark, catalog)
+      case "types" => types(spark, catalog)
       case o => fail(s"unknown system_schema relation: $o")
     }
     val names = df.schema.fieldNames.toSet
@@ -403,7 +463,11 @@ private[cql] object SystemSchema {
     val counter = p.get("counter").contains("true")
     val keyCols = (spec.pkParts ++ spec.ckParts)
       .map(x => s"${x.name} ${cqlTypeName(x.dataType)}")
-    val vt = if (counter) "counter" else valueTypeName(spark, dir)
+    val vt =
+      if (counter) "counter"
+      else p.get("udtName") // C59b: the declared frozen<type> spelling
+        .map(n => s"frozen<$n>")
+        .getOrElse(valueTypeName(spark, dir))
     val pkSyn = "PRIMARY KEY ((" +
       spec.pkParts.map(_.name).mkString(", ") + ")" +
       (if (spec.ckParts.isEmpty) ""

@@ -1852,6 +1852,37 @@ object Cells {
     """SELECT 'ks' AS keyspace_name, 't' AS table_name,
       |  CAST(3 AS BIGINT) AS partitions_count""".stripMargin
 
+
+  // C67d — the UDT metadata round (r12): `system_schema.types` is
+  // what a driver reads to decode frozen blobs (field names/types in
+  // declared order), and DESCRIBE TYPE reconstructs the DDL. Bounded
+  // by type count — no Spark job, no data read.
+  private def udtMetadataRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_udtmeta"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udtm-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TYPE IF NOT EXISTS ks.item (q bigint, t text);
+        |CREATE TYPE IF NOT EXISTS ks.pair (a int, b double);
+        |SELECT keyspace_name, type_name, field_names, field_types
+        |  FROM system_schema.types""".stripMargin, cat)
+      .select(col("keyspace_name"), col("type_name"),
+        concat_ws(",", col("field_names")).as("fields"),
+        concat_ws(",", col("field_types")).as("types"))
+      .orderBy("type_name")
+  }
+
+  private val udtMetadataSql =
+    """SELECT ks AS keyspace_name, n AS type_name, f AS fields,
+      |  t AS types
+      |FROM (VALUES ('ks', 'item', 'q,t', 'bigint,text'),
+      |  ('ks', 'pair', 'a,b', 'int,double')) AS v(ks, n, f, t)
+      |ORDER BY type_name""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2220,6 +2251,7 @@ object Cells {
       Some(droppedColumnsSql)),
     GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
     GQuery("C59b_udt_cql", udtCqlLifecycle, Some(udtCqlSql)),
+    GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),

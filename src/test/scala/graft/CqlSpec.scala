@@ -3628,4 +3628,44 @@ class CqlSpec extends GraftSpec {
     assert(got === Set(("t0", 0L, 0, 1L), ("a", 1L, 3, 99L),
       ("a", 3L, 1, 30L)))
   }
+
+  test("UDT metadata: system_schema.types + DESCRIBE TYPE (C67d)") {
+    val root = Files.createTempDirectory("cql-udtm").toString
+    spark.conf.set("spark.sql.catalog.udtm", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtm.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtm")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      // the driver's decode round: field names/types in declared order
+      val row = cq("SELECT keyspace_name, type_name, field_names, " +
+        "field_types FROM system_schema.types")
+        .as[(String, String, Seq[String], Seq[String])].collect().toSeq
+      assert(row === Seq(("ks", "item", Seq("q", "t"),
+        Seq("bigint", "text"))))
+      // DESCRIBE TYPE reconstructs executable DDL — prove it by
+      // dropping the table+type and replaying the statement
+      val ddl = cq("DESCRIBE TYPE ks.item").as[String].collect().head
+      assert(ddl === "CREATE TYPE ks.item (q bigint, t text)")
+      cq("DROP TABLE ks.t")
+      cq("DROP TYPE ks.item")
+      cq(ddl) // round-trips
+      assert(cq("SELECT type_name FROM system_schema.types")
+        .as[String].collect().toSeq === Seq("item"))
+      // DESC TABLE and system_schema.columns render the frozen value
+      cq("CREATE TABLE ks.t2 (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      assert(cq("DESCRIBE TABLE ks.t2").as[String].collect().head
+        .contains("value frozen<item>"))
+      assert(cq("SELECT type FROM system_schema.columns WHERE " +
+        "table_name = 't2' AND column_name = 'value'")
+        .as[String].collect().toSeq === Seq("frozen<item>"))
+      val e = intercept[IllegalArgumentException] {
+        cq("DESCRIBE TYPE ks.nope")
+      }
+      assert(e.getMessage.contains("does not exist"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.udtm")
+  }
 }
