@@ -451,9 +451,14 @@ object Cql {
         fail("counter tables take UPDATE increments, not INSERT " +
           "(Cassandra's rule)")
       udtLayoutOf(dir) match {
-        case Some(layout) => // frozen<udt> value (C59b): packed blobs
+        case Some(layout) if spec.isDefault =>
+          // frozen<udt> value (C59b): packed blobs
           appendBinaryCells(spark, dir,
             insertUdtCells(cols, vals, wt, layout), ttlOpt)
+        case Some(layout) => // typed layout + frozen value (C59c)
+          typedWrite(spark, dir, spec,
+            insertUdtTypedRows(spec, cols, vals, wt, layout), ttlOpt,
+            org.apache.spark.sql.types.BinaryType)
         case None if spec.isDefault =>
           appendCells(spark, dir,
             insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
@@ -481,8 +486,14 @@ object Cql {
       } else if (udtLayoutOf(dir).isDefined) {
         // frozen<udt> SET items are whole-value literals — routed
         // BEFORE the collection sniff ({...} would read as a map)
-        appendBinaryCells(spark, dir,
-          udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get), ttlOpt)
+        if (spec.isDefault)
+          appendBinaryCells(spark, dir,
+            udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get),
+            ttlOpt)
+        else typedWrite(spark, dir, spec,
+          updateUdtTypedRows(spec, sets, where, wt,
+            udtLayoutOf(dir).get), ttlOpt,
+          org.apache.spark.sql.types.BinaryType)
       } else if (spec.isDefault) {
         if (hasCollectionSyntax(sets))
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
@@ -497,7 +508,7 @@ object Cql {
       val dir = resolve(table)
       val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (udtLayoutOf(dir).isDefined)
+      if (udtLayoutOf(dir).isDefined && spec.isDefault)
         // tombstones on a binary-valued table carry an EMPTY blob —
         // the marker col name is the whole message, and the append
         // must match the table's value type
@@ -505,6 +516,13 @@ object Cql {
           deleteMarkers(Option(colOpt), where, dts).map {
             case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w)
           })
+      else if (udtLayoutOf(dir).isDefined)
+        // typed frozen<udt> tombstones: same marker rows, empty-blob
+        // value slot (keyVals ++ (col, value, wt) — value is len-2)
+        typedWrite(spark, dir, spec,
+          deleteTypedRows(spec, Option(colOpt), where, dts)
+            .map(r => r.updated(r.length - 2, Array.empty[Byte]: Any)),
+          ttl = None, org.apache.spark.sql.types.BinaryType)
       else if (spec.isDefault)
         appendCells(spark, dir,
           deleteMarkers(Option(colOpt), where, dts, graft.sources.CellSource.staticCols(dir)))
@@ -1480,7 +1498,11 @@ object Cql {
             }) &&
             table.matches("\\w+\\.\\w+") && {
               val Array(ks, t) = table.split("\\.")
-              !graft.sources.CellSource.keySpec(s"$root/$ks/$t").isDefault
+              // frozen<udt> typed tables keep the CQL typed-delete
+              // path: its markers carry the table's BINARY value type
+              // (the C38 writer would stamp long-valued files)
+              !graft.sources.CellSource.keySpec(s"$root/$ks/$t").isDefault &&
+                udtLayoutOf(s"$root/$ks/$t").isEmpty
             } =>
         // TYPED-table DELETE: the default-layout marker writer can't
         // encode typed keys, but Spark SQL DELETE against the catalog
@@ -1736,9 +1758,6 @@ object Cql {
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
-    if (udtOpt.isDefined && !default)
-      fail("frozen<udt> values are supported on the default " +
-        "((pk), ck) layout only in this subset")
     CreateCols(
       if (default) None
       else Some(s"((${pkNames.mkString(",")})" +
@@ -2518,6 +2537,7 @@ object Cql {
     def isEmpty: Boolean = rows.isEmpty
   }
   private final class BufTyped(val spec: graft.sources.KeySpec,
+      val valueType: org.apache.spark.sql.types.DataType,
       val rows: scala.collection.mutable
         .ArrayBuffer[(Seq[Any], Option[Long])])
       extends Buffered {
@@ -2532,7 +2552,8 @@ object Cql {
   private def writeBuffered(spark: SparkSession, dir: String,
       b: Buffered): Unit = b match {
     case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
-    case t: BufTyped => writeTypedRows(spark, dir, t.spec, t.rows.toSeq)
+    case t: BufTyped =>
+      writeTypedRows(spark, dir, t.spec, t.valueType, t.rows.toSeq)
   }
 
   /** Flush (and drop) one table's buffered cells, if any. */
@@ -2698,6 +2719,55 @@ object Cql {
     } yield (pk, ck, c, v, wt)
   }
 
+  /** Typed-table (CEL6/8) frozen<udt> INSERT rows: the key grammar
+    * of [[insertTypedRows]], data values packed UDT literals (C59c).
+    */
+  private def insertUdtTypedRows(spec: graft.sources.KeySpec,
+      cols: String, vals: String, wt: Long,
+      layout: String): Seq[Seq[Any]] = {
+    val names = cols.split(',').map(_.trim.toLowerCase)
+    val values = splitValues(vals).map(_.trim)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.zip(values).toMap
+    val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
+    val keyVals = (spec.pkParts ++ spec.ckParts).map(p =>
+      keyLiteral(p, kv.getOrElse(p.name.toLowerCase,
+        fail(s"INSERT must bind key part ${p.name}")), "key part"))
+    val data = names.filterNot(keyNames.contains).toSeq
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.map(c =>
+      keyVals ++ Seq(c, udtLiteral(layout, kv(c), c), wt))
+  }
+
+  /** Typed-table frozen<udt> UPDATE rows — whole-value literals
+    * (frozen values replace, never patch).
+    */
+  private def updateUdtTypedRows(spec: graft.sources.KeySpec,
+      sets: String, where: String, wt: Long,
+      layout: String): Seq[Seq[Any]] = {
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("UPDATE WHERE binds clustering keys by equality, not range")
+    val ck = ckOpt.getOrElse(
+      if (spec.ckParts.isEmpty) Seq.empty
+      else fail("UPDATE WHERE must bind every clustering part (" +
+        spec.ckParts.map(_.name).mkString(", ") + ")"))
+    for {
+      item <- splitSetItems(sets)
+      (c, v) = item match {
+        case SetRe(c, v) =>
+          if ((spec.pkParts ++ spec.ckParts)
+              .exists(_.name.equalsIgnoreCase(c)))
+            fail(s"cannot SET key part $c")
+          (c.toLowerCase, udtLiteral(layout, v, c.toLowerCase))
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks
+    } yield pk ++ ck ++ Seq(c, v, wt)
+  }
+
   /** Cells an INSERT contributes (wt = AssignLater defers to the
     * executing statement's writetime resolution).
     */
@@ -2848,47 +2918,54 @@ object Cql {
     */
   private def typedWrite(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, rows: Seq[Seq[Any]],
-      ttl: Option[Long]): Unit = {
+      ttl: Option[Long],
+      valueType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): Unit = {
     if (rows.isEmpty) return
     val buf = scriptBuf.get
     if (buf != null) {
-      buf.getOrElseUpdate(wtKey(dir), new BufTyped(spec,
+      buf.getOrElseUpdate(wtKey(dir), new BufTyped(spec, valueType,
         scala.collection.mutable.ArrayBuffer.empty)) match {
         case t: BufTyped =>
-          if (t.spec != spec)
+          if (t.spec != spec || t.valueType != valueType)
             fail(s"layout mix-up buffering typed rows for $dir")
           t.rows ++= rows.map((_, ttl))
         case _ => fail(s"layout mix-up buffering typed rows for $dir")
       }
-    } else writeTypedRows(spark, dir, spec, rows.map((_, ttl)))
+    } else writeTypedRows(spark, dir, spec, valueType,
+      rows.map((_, ttl)))
   }
 
   /** One flush of typed rows with PER-ROW ttl grants (the buffer
     * mixes statements): plain shape when no row carries one, the
-    * CEL11 nullable-ttl shape otherwise.
+    * CEL11 nullable-ttl shape otherwise. `valueType` is long for
+    * ordinary typed tables, binary on frozen<udt> ones (C59b/C59c).
     */
   private def writeTypedRows(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec,
+      valueType: org.apache.spark.sql.types.DataType,
       rows: Seq[(Seq[Any], Option[Long])]): Unit = {
+    import org.apache.spark.sql.types._
     if (rows.isEmpty) return
-    if (rows.forall(_._2.isEmpty)) {
-      typedDf(spark, spec, rows.map(_._1)).coalesce(1)
-        .write.format(Fmt).mode("append").save(dir)
-    } else {
-      import org.apache.spark.sql.types._
-      val schema = StructType(
-        spec.keyFields ++ Seq(
-          StructField("col", StringType, nullable = false),
-          StructField("value", LongType, nullable = false),
-          StructField("wt", LongType, nullable = false),
-          StructField("ttl", LongType, nullable = true)))
-      val sparkRows = rows.map { case (r, t) =>
-        org.apache.spark.sql.Row.fromSeq(r :+ t.map(Long.box).orNull) }
-      spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
-        schema).coalesce(1).write.format(Fmt).option("ttl", "true")
-        .mode("append").save(dir)
-    }
+    val base = Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("value", valueType, nullable = false),
+      StructField("wt", LongType, nullable = false))
+    val withTtl = !rows.forall(_._2.isEmpty)
+    val schema = StructType(spec.keyFields ++ base ++
+      (if (withTtl) Seq(StructField("ttl", LongType, nullable = true))
+       else Seq.empty))
+    val sparkRows = rows.map { case (r, t) =>
+      org.apache.spark.sql.Row.fromSeq(
+        if (withTtl) r :+ t.map(Long.box).orNull else r) }
+    var w = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+      schema).coalesce(1).write.format(Fmt)
+    if (withTtl) w = w.option("ttl", "true")
+    // pre-first-flush type authority (headers win once files exist)
+    if (valueType != LongType)
+      w = w.option("valueType", valueType.simpleString)
+    w.mode("append").save(dir)
   }
 
   /** The typed rows as a DataFrame in the table's write schema —

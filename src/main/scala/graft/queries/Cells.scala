@@ -1853,6 +1853,48 @@ object Cells {
       |  CAST(3 AS BIGINT) AS partitions_count""".stripMargin
 
 
+
+  // C59c — frozen UDTs over TYPED layouts (r12): the C59b front door
+  // generalized to named key parts — INSERT/UPDATE pack literals into
+  // typed binary rows, tombstone markers carry empty blobs at the
+  // table's value type, DELETE (full-key AND prefix) routes the CQL
+  // typed marker path (the C38 Spark-SQL intercept would stamp
+  // long-valued files), field selection unpacks per row.
+  private def typedUdtLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_udtt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udtt-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TYPE IF NOT EXISTS ks.item (q bigint, t text);
+        |CREATE TABLE IF NOT EXISTS ks.ev (tenant text, seq int,
+        |  col text, value frozen<item>, wt bigint,
+        |  PRIMARY KEY ((tenant), seq));
+        |TRUNCATE ks.ev;
+        |INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 1,
+        |  {q: 10, t: 'x'});
+        |INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 1,
+        |  {q: 11, t: 'y'});
+        |INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 2, {q: 20});
+        |UPDATE ks.ev SET v = {q: 30, t: 'z'} WHERE tenant = 'b'
+        |  AND seq = 1;
+        |INSERT INTO ks.ev (tenant, seq, v) VALUES ('c', 1,
+        |  {q: 40, t: 'w'});
+        |DELETE FROM ks.ev WHERE tenant = 'c' AND seq = 1;
+        |SELECT tenant, seq, v.q AS q, v.t AS tag FROM ks.ev
+        |  ORDER BY tenant, seq""".stripMargin, cat)
+  }
+
+  private val typedUdtSql =
+    """SELECT tn AS tenant, CAST(sq AS INT) AS seq,
+      |  CAST(q AS BIGINT) AS q, tag
+      |FROM (VALUES ('a', 1, 11, 'y'), ('a', 2, 20, NULL),
+      |  ('b', 1, 30, 'z')) AS t(tn, sq, q, tag)
+      |ORDER BY tenant, seq""".stripMargin
+
   // C67d — the UDT metadata round (r12): `system_schema.types` is
   // what a driver reads to decode frozen blobs (field names/types in
   // declared order), and DESCRIBE TYPE reconstructs the DDL. Bounded
@@ -2252,6 +2294,7 @@ object Cells {
     GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
     GQuery("C59b_udt_cql", udtCqlLifecycle, Some(udtCqlSql)),
     GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
+    GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),
     GQuery("C42c_typed_repair", typedRepairRead, Some(typedRepairReadSql)),

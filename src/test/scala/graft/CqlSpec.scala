@@ -3346,9 +3346,11 @@ class CqlSpec extends GraftSpec {
         "value bigint, wt bigint)", "value column only")
       refuse("CREATE TABLE ks.t3 (pk bigint, ck int, col text, " +
         "value item, wt bigint)", "non-frozen")
-      refuse("CREATE TABLE ks.t4 (pk bigint, name text, ck int, " +
+      // typed layouts accept frozen values too (C59c) — and count
+      // as references for DROP TYPE
+      cq("CREATE TABLE ks.t4 (pk bigint, name text, ck int, " +
         "col text, value frozen<item>, wt bigint, " +
-        "PRIMARY KEY ((pk), name, ck))", "default ((pk), ck) layout")
+        "PRIMARY KEY ((pk), name, ck))")
       cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
         "value frozen<item>, wt bigint)")
       // literal rules
@@ -3372,6 +3374,8 @@ class CqlSpec extends GraftSpec {
       // DROP TYPE: refused while referenced, allowed after
       refuse("DROP TYPE ks.item", "still used by")
       cq("DROP TABLE ks.t")
+      refuse("DROP TYPE ks.item", "still used by") // t4 still does
+      cq("DROP TABLE ks.t4")
       cq("DROP TYPE ks.item") // last reference gone
       refuse("DROP TYPE ks.item", "does not exist")
       cq("DROP TYPE IF EXISTS ks.item") // no-op
@@ -3550,30 +3554,44 @@ class CqlSpec extends GraftSpec {
       val model = scala.collection.mutable
         .Map[(Long, Int, String), (Long, Long)]((0L, 0, "qty") -> (1L, 100L))
       var wt = 100L // table max after the seed write
-      val dels = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      // STANDING tombstones: an explicit-timestamp insert arriving
+      // AFTER a delete is still shadowed when its ts <= the deletion
+      // ts (Cassandra's rule — and the engine's, as this property
+      // itself proved when a naive model omitted it)
+      val partDel = scala.collection.mutable.Map.empty[Long, Long]
+      val rowDel = scala.collection.mutable.Map.empty[(Long, Int), Long]
+      def covered(pk: Long, ck: Int, ts: Long): Boolean =
+        partDel.get(pk).exists(ts <= _) ||
+          rowDel.get((pk, ck)).exists(ts <= _)
+      def ins(pk: Long, ck: Int, c: String, v: Long, ts: Long): Unit =
+        if (!covered(pk, ck, ts) &&
+            !model.get((pk, ck, c)).exists(_._2 > ts))
+          model((pk, ck, c)) = (v, ts)
       val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
       ops.foreach {
         case Ins(pk, ck, c, v) =>
           wt += 1
           stmts += s"INSERT INTO $d (pk, ck, $c) VALUES ($pk, $ck, $v)"
-          if (!model.get((pk, ck, c)).exists(_._2 > wt))
-            model((pk, ck, c)) = (v, wt)
+          ins(pk, ck, c, v, wt)
         case InsTs(pk, ck, c, v, ts) =>
           stmts += s"INSERT INTO $d (pk, ck, $c) VALUES ($pk, $ck, $v)" +
             s" USING TIMESTAMP $ts"
-          if (!model.get((pk, ck, c)).exists(_._2 > ts))
-            model((pk, ck, c)) = (v, ts)
+          ins(pk, ck, c, v, ts)
           wt = math.max(wt, ts) // allocator reseeds from max
         case DelRow(pk, ck) =>
           wt += 1
           stmts += s"DELETE FROM $d WHERE pk = $pk AND ck = $ck"
           val dts = wt
+          rowDel((pk, ck)) =
+            math.max(dts, rowDel.getOrElse((pk, ck), Long.MinValue))
           model.filterInPlace { case ((p, k, _), (_, w)) =>
             p != pk || k != ck || w > dts }
         case DelPart(pk) =>
           wt += 1
           stmts += s"DELETE FROM $d WHERE pk = $pk"
           val dts = wt
+          partDel(pk) =
+            math.max(dts, partDel.getOrElse(pk, Long.MinValue))
           model.filterInPlace { case ((p, _, _), (_, w)) =>
             p != pk || w > dts }
         case Peek =>
@@ -3667,5 +3685,48 @@ class CqlSpec extends GraftSpec {
       }
       assert(e.getMessage.contains("does not exist"), e.getMessage)
     } finally spark.conf.unset("spark.sql.catalog.udtm")
+  }
+
+  test("typed-layout frozen<udt>: lifecycle over named key parts (C59c)") {
+    val root = Files.createTempDirectory("cql-udt-typed").toString
+    spark.conf.set("spark.sql.catalog.udtt", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtt.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtt")
+      def cqs(script: String) = Cql.catalogScript(spark, script, "udtt")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.ev (tenant text, seq int, col text, " +
+        "value frozen<item>, wt bigint, PRIMARY KEY ((tenant), seq))")
+      // buffered script: typed binary rows + markers flush together
+      val got = cqs(
+        """INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 1, {q: 10, t: 'x'});
+          |INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 1, {q: 11, t: 'y'});
+          |INSERT INTO ks.ev (tenant, seq, v) VALUES ('a', 2, {q: 20});
+          |UPDATE ks.ev SET v = {q: 30, t: 'z'} WHERE tenant = 'b' AND seq = 1;
+          |INSERT INTO ks.ev (tenant, seq, v) VALUES ('c', 1, {q: 40, t: 'w'});
+          |DELETE FROM ks.ev WHERE tenant = 'c' AND seq = 1;
+          |SELECT tenant, seq, v.q AS q, v.t AS tag FROM ks.ev
+          |  ORDER BY tenant, seq""".stripMargin)
+        .as[(String, Int, Option[Long], Option[String])]
+        .collect().toSeq
+      assert(got === Seq(("a", 1, Some(11L), Some("y")),
+        ("a", 2, Some(20L), None),
+        ("b", 1, Some(30L), Some("z"))))
+      // prefix delete (typed marker, empty blob) composes too
+      cq("DELETE FROM ks.ev WHERE tenant = 'a'")
+      assert(cq("SELECT tenant, v.q AS q FROM ks.ev")
+        .as[(String, Long)].collect().toSeq === Seq(("b", 30L)))
+      // key parts cannot be SET; LWT still refuses
+      val e1 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.ev SET seq = 2 WHERE tenant = 'b' AND seq = 1")
+      }
+      assert(e1.getMessage.contains("key part"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("INSERT INTO ks.ev (tenant, seq, v) VALUES ('d', 1, " +
+          "{q: 5}) IF NOT EXISTS")
+      }
+      assert(e2.getMessage.contains("frozen<udt>"), e2.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.udtt")
   }
 }
