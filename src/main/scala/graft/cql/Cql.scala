@@ -2013,6 +2013,27 @@ object Cql {
             col("value") === lit(literal(v)))
         false
       case PredRe(c, "=", v)
+          if udtL.isDefined && v.trim.startsWith("{") &&
+            !keyCols.contains(c.toLowerCase) &&
+            !modelCols.contains(c.toLowerCase) =>
+        // frozen-UDT WHOLE-VALUE equality (C59b): frozen values
+        // compare as their blobs (C59's byte-compare rule), so the
+        // literal packs once at parse time and the probe is an
+        // ordinary binary cell filter — indexed if a value index
+        // exists, ALLOW FILTERING otherwise (Cassandra's contract)
+        val cl = c.toLowerCase
+        val blob = udtLiteral(udtL.get, v, cl)
+        if (graft.sources.CellIndex.registered(dir).exists(i =>
+            graft.sources.CellIndex.columnOf(i).contains(cl)))
+          idxPreds += ((cl, blob))
+        else if (!allowFiltering)
+          fail(s"$cl = <udt literal> needs ALLOW FILTERING (or a " +
+            s"secondary index on $cl)")
+        else
+          containsPreds += (col("col") === cl &&
+            col("value") === lit(blob))
+        false
+      case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
         idxPreds += ((c.toLowerCase, literal(v))); false

@@ -3729,4 +3729,36 @@ class CqlSpec extends GraftSpec {
       assert(e2.getMessage.contains("frozen<udt>"), e2.getMessage)
     } finally spark.conf.unset("spark.sql.catalog.udtt")
   }
+
+  test("frozen-UDT whole-value equality: ALLOW FILTERING and the value index (C59b)") {
+    val root = Files.createTempDirectory("cql-udt-eq").toString
+    spark.conf.set("spark.sql.catalog.udteq", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udteq.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udteq")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 5, t: 'x'})")
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (2, 1, {q: 5, t: 'x'})")
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (3, 1, {q: 9, t: 'x'})")
+      // frozen values compare as blobs: field-order-normalized pack
+      assert(cq("SELECT pk FROM ks.t WHERE v = {t: 'x', q: 5} " +
+        "ALLOW FILTERING").as[Long].collect().toSet === Set(1L, 2L))
+      // unindexed without ALLOW FILTERING refuses
+      val e = intercept[IllegalArgumentException] {
+        cq("SELECT pk FROM ks.t WHERE v = {q: 5, t: 'x'}")
+      }
+      assert(e.getMessage.contains("ALLOW FILTERING"), e.getMessage)
+      // a value index serves the probe key-routed
+      cq("CREATE INDEX ON ks.t (v)")
+      assert(cq("SELECT pk FROM ks.t WHERE v = {q: 5, t: 'x'}")
+        .as[Long].collect().toSet === Set(1L, 2L))
+      // unset fields pack as null and distinguish
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (4, 1, {q: 5})")
+      assert(cq("SELECT pk FROM ks.t WHERE v = {q: 5}")
+        .as[Long].collect().toSet === Set(4L))
+    } finally spark.conf.unset("spark.sql.catalog.udteq")
+  }
 }
