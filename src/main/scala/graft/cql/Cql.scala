@@ -383,7 +383,15 @@ object Cql {
       // shard deltas distinct and nothing is crash-replayed.
       val stmts = splitOnSemis(body, batchAware = false)
       if (stmts.isEmpty) fail("empty BATCH")
-      stmts.foreach {
+      // Cassandra's grouping-only form groups the I/O too: the batch
+      // body runs under its own write buffer (when no script already
+      // provides one), so its appends land as ONE flush per table
+      val freshBuf = scriptBuf.get == null
+      if (freshBuf) {
+        scriptWts.set(scala.collection.mutable.Map.empty)
+        scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
+      }
+      try stmts.foreach {
         // LWT forms must be refused BEFORE the plain-DML match:
         // UpdateRe/DeleteRe's lazy WHERE group would absorb a
         // trailing IF clause and run the CAS as an ordinary write.
@@ -396,6 +404,10 @@ object Cql {
         case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
             DeleteRe(_, _, _, _)) => execute(spark, s, resolve)
         case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+      } finally if (freshBuf) {
+        try flushAllBuffered(spark)
+        catch { case scala.util.control.NonFatal(_) => }
+        scriptWts.remove(); scriptBuf.remove()
       }
       spark.emptyDataFrame
     case BatchRe(batchTs, body) =>

@@ -3761,4 +3761,25 @@ class CqlSpec extends GraftSpec {
         .as[Long].collect().toSet === Set(4L))
     } finally spark.conf.unset("spark.sql.catalog.udteq")
   }
+
+  test("UNLOGGED BATCH groups its writes into one flush per table (r12)") {
+    // Cassandra's grouping-only form exists FOR the I/O grouping:
+    // the body runs under its own write buffer, so N inserts land as
+    // one flush file (per-statement writetimes preserved)
+    val d = freshTable()
+    val before = new java.io.File(d).list()
+      .count(_.endsWith(".cells"))
+    Cql.execute(spark,
+      s"""BEGIN UNLOGGED BATCH
+         |INSERT INTO $d (pk, ck, qty) VALUES (50, 1, 1);
+         |INSERT INTO $d (pk, ck, qty) VALUES (50, 2, 2);
+         |INSERT INTO $d (pk, ck, qty) VALUES (50, 3, 3);
+         |APPLY BATCH""".stripMargin)
+    val after = new java.io.File(d).list()
+      .count(_.endsWith(".cells"))
+    assert(after === before + 1, s"before=$before after=$after")
+    // per-statement writetimes, not a shared one (the unlogged form)
+    assert(wtsOf(d, 50L) ===
+      Map((1, "qty") -> 101L, (2, "qty") -> 102L, (3, "qty") -> 103L))
+  }
 }
