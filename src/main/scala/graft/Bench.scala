@@ -197,7 +197,10 @@ object Bench {
           floors.get(k).filter(f => v >= f * 3 && v - f >= 0.5)
             .map(f => (k, v, f))
         }.sortBy { case (_, v, f) => f - v } // worst ratio first-ish
-        val rq = regressed.take(12).map { case (k, v, f) =>
+        // Every flagged query is named with its floor (r12 verdict:
+        // the take(12) cap left 42 of 54 flags unnameable from the
+        // artifact, defeating the TimeQ refutation protocol).
+        val rq = regressed.map { case (k, v, f) =>
           "\"" + k + "\":{\"sec\":" + r3(v) + ",\"floor\":" + r3(f) + "}"
         }.mkString("{", ",", "}")
         val total = results.map(_._2).sum

@@ -202,11 +202,17 @@ object Cql {
   private val DropTypeRe =
     """(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
 
+  // the target-cell group admits `col`, `m['key']`, and (for
+  // unfrozen UDT columns, C59d) `col.field` — the arm validates
+  // the dotted form against the table's layout
   private val DeleteRe =
-    ("""(?is)^\s*DELETE\s*(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
+    ("""(?is)^\s*DELETE\s*(\w+(?:\.\w+)?(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
       """\s*FROM\s+(\S+?)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** `col.field` DELETE target form (C59d field tombstone). */
+  private val UdtFieldDelRe = """(?is)^\s*(\w+)\.(\w+)\s*$""".r
 
   /** DELETE's target-cell form: a plain column name is an IDENTIFIER
     * (folds to lowercase); the map-entry form `m['K']` resolves to the
@@ -224,6 +230,12 @@ object Cql {
       if (k.isEmpty || k.startsWith("!"))
         fail(s"unsupported map key: '$k'")
       k
+    case UdtFieldDelRe(_, _) =>
+      // the unfrozen-UDT field form is expanded by ITS caller
+      // (execute's DeleteRe arm) — reaching here means the table has
+      // no field cells (plain/typed/batch paths), where a dotted
+      // marker would silently tombstone nothing
+      fail(s"per-field DELETE ($c) needs a non-frozen UDT value column")
     case _ => c.toLowerCase
   }
 
@@ -391,22 +403,32 @@ object Cql {
         scriptWts.set(scala.collection.mutable.Map.empty)
         scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
       }
-      try stmts.foreach {
-        // LWT forms must be refused BEFORE the plain-DML match:
-        // UpdateRe/DeleteRe's lazy WHERE group would absorb a
-        // trailing IF clause and run the CAS as an ordinary write.
-        // (Cassandra allows single-partition conditional batches;
-        // this facade restricts to the unconditional subset.)
-        case s @ (InsertIfNotExistsRe(_, _, _) |
-            UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
-            DeleteIfRe(_, _, _, _, _, _)) =>
-          fail(s"conditional statements are not allowed in BATCH: $s")
-        case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
-            DeleteRe(_, _, _, _)) => execute(spark, s, resolve)
-        case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+      try {
+        stmts.foreach {
+          // LWT forms must be refused BEFORE the plain-DML match:
+          // UpdateRe/DeleteRe's lazy WHERE group would absorb a
+          // trailing IF clause and run the CAS as an ordinary write.
+          // (Cassandra allows single-partition conditional batches —
+          // that form is the LOGGED `BEGIN BATCH`; an UNLOGGED batch
+          // refuses conditions exactly as Cassandra does.)
+          case s @ (InsertIfNotExistsRe(_, _, _) |
+              UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
+              DeleteIfRe(_, _, _, _, _, _)) =>
+            fail("conditional statements are not allowed in an " +
+              s"UNLOGGED BATCH: $s")
+          case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
+              DeleteRe(_, _, _, _)) => execute(spark, s, resolve)
+          case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+        }
+        // success path: flush HERE so an I/O failure propagates to
+        // the caller instead of vanishing in the finally (r13 fix —
+        // a swallowed flush failure silently dropped the whole batch
+        // while the statement reported success)
+        if (freshBuf) flushAllBuffered(spark)
       } finally if (freshBuf) {
         try flushAllBuffered(spark)
-        catch { case scala.util.control.NonFatal(_) => }
+        catch { case scala.util.control.NonFatal(e) =>
+          warnFlushFailure("UNLOGGED BATCH", e) }
         scriptWts.remove(); scriptBuf.remove()
       }
       spark.emptyDataFrame
@@ -464,9 +486,12 @@ object Cql {
           "(Cassandra's rule)")
       udtLayoutOf(dir) match {
         case Some(layout) if spec.isDefault =>
-          // frozen<udt> value (C59b): packed blobs
+          // frozen<udt> value (C59b): packed blobs; unfrozen (C59d):
+          // field cells + unset-field tombstones (whole overwrite)
           appendBinaryCells(spark, dir,
-            insertUdtCells(cols, vals, wt, layout), ttlOpt)
+            if (udtUnfrozenOf(dir))
+              insertUnfrozenUdtCells(cols, vals, wt, layout)
+            else insertUdtCells(cols, vals, wt, layout), ttlOpt)
         case Some(layout) => // typed layout + frozen value (C59c)
           typedWrite(spark, dir, spec,
             insertUdtTypedRows(spec, cols, vals, wt, layout), ttlOpt,
@@ -497,10 +522,14 @@ object Cql {
           counterUpdateTypedRows(spec, sets, where, wt), ttl = None)
       } else if (udtLayoutOf(dir).isDefined) {
         // frozen<udt> SET items are whole-value literals — routed
-        // BEFORE the collection sniff ({...} would read as a map)
+        // BEFORE the collection sniff ({...} would read as a map);
+        // unfrozen (C59d) additionally patches single fields
         if (spec.isDefault)
           appendBinaryCells(spark, dir,
-            udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get),
+            if (udtUnfrozenOf(dir))
+              unfrozenUdtUpdateCells(sets, where, wt,
+                udtLayoutOf(dir).get)
+            else udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get),
             ttlOpt)
         else typedWrite(spark, dir, spec,
           updateUdtTypedRows(spec, sets, where, wt,
@@ -520,14 +549,50 @@ object Cql {
       val dir = resolve(table)
       val dts = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
-      if (udtLayoutOf(dir).isDefined && spec.isDefault)
+      Option(colOpt).collect {
+        case UdtFieldDelRe(c, f) => (c.toLowerCase, f.toLowerCase)
+      }.foreach { case (c, f) =>
+        if (!(spec.isDefault && udtUnfrozenOf(dir)))
+          fail(s"DELETE $c.$f needs a non-frozen UDT value column " +
+            "(frozen values delete whole; other layouts have no " +
+            "field cells)")
+        val declared = graft.functions.UdtValues
+          .fields(udtLayoutOf(dir).get)
+        if (!declared.contains(f))
+          fail(s"unknown UDT field $f of $c (declared: " +
+            declared.mkString(", ") + ")")
+      }
+      if (udtLayoutOf(dir).isDefined && spec.isDefault) {
         // tombstones on a binary-valued table carry an EMPTY blob —
         // the marker col name is the whole message, and the append
-        // must match the table's value type
-        appendBinaryCells(spark, dir,
-          deleteMarkers(Option(colOpt), where, dts).map {
-            case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w)
-          })
+        // must match the table's value type. Unfrozen columns (C59d)
+        // tombstone per FIELD CELL: `DELETE c.f` marks that one
+        // field, `DELETE c` expands to every declared field.
+        val unfrozenTargets: Option[Seq[String]] =
+          Option(colOpt).filter(_ => udtUnfrozenOf(dir)).map {
+            case UdtFieldDelRe(c, f) =>
+              Seq(s"${c.toLowerCase}.${f.toLowerCase}")
+            case c =>
+              graft.functions.UdtValues
+                .fields(udtLayoutOf(dir).get)
+                .map(f => s"${c.toLowerCase}.$f")
+          }
+        val markers = unfrozenTargets match {
+          case Some(ts) =>
+            val (pks, ckEq, _, _) = keyPredicate(where)
+            val ck = ckEq.getOrElse(
+              fail("DELETE <col> needs WHERE ... AND ck = ?"))
+            for {
+              pk <- pks.toSeq.sorted; t <- ts
+            } yield (pk, ck, s"!del:$t", Array.empty[Byte], dts)
+          case None =>
+            deleteMarkers(Option(colOpt), where, dts).map {
+              case (pk, ck, c, _, w) =>
+                (pk, ck, c, Array.empty[Byte], w)
+            }
+        }
+        appendBinaryCells(spark, dir, markers)
+      }
       else if (udtLayoutOf(dir).isDefined)
         // typed frozen<udt> tombstones: same marker rows, empty-blob
         // value slot (keyVals ++ (col, value, wt) — value is len-2)
@@ -566,12 +631,25 @@ object Cql {
       r
     } finally if (fresh) {
       // error path: statements before the failure DID execute (CQL
-      // scripts have no atomicity) — their buffered cells must land
+      // scripts have no atomicity) — their buffered cells must land;
+      // a failure of THIS flush is logged, not rethrown, so it cannot
+      // mask the original statement error (the success path above
+      // already flushed and propagated)
       try flushAllBuffered(spark)
-      catch { case scala.util.control.NonFatal(_) => }
+      catch { case scala.util.control.NonFatal(e) =>
+        warnFlushFailure("CQL script", e) }
       scriptWts.remove(); scriptBuf.remove()
     }
   }
+
+  /** An end-of-script flush failed on an already-failing path: the
+    * original error is about to propagate, so surface this one on
+    * stderr instead of rethrowing over it (r13 — previously swallowed
+    * silently, an error-path data-loss hole).
+    */
+  private def warnFlushFailure(where: String, e: Throwable): Unit =
+    System.err.println(s"graft.cql: $where end-of-script flush " +
+      s"failed — unflushed buffered writes were lost: $e")
 
   /** Split on `;` outside single quotes, keeping BATCH blocks whole.
     * Keyword detection uses length-preserving case-insensitive
@@ -990,6 +1068,13 @@ object Cql {
   private def udtLayoutOf(dir: String): Option[String] =
     tableProps(dir).get("udtLayout")
 
+  /** True for a NON-frozen UDT value column (C59d): field-per-cell
+    * storage, per-field updates/tombstones; frozen tables stay
+    * whole-blob (C59b).
+    */
+  private def udtUnfrozenOf(dir: String): Boolean =
+    tableProps(dir).get("udtUnfrozen").contains("true")
+
   private def refuseUdt(dir: String, what: String): Unit =
     if (udtLayoutOf(dir).isDefined)
       fail(s"$what is not supported on frozen<udt>-valued tables " +
@@ -1135,6 +1220,9 @@ object Cql {
           props += "udtName" -> tn
           props += "udtLayout" -> layout
         }
+        // non-frozen udt (C59d): same blob-valued cell layer, but the
+        // write/read paths route per FIELD CELL instead of per blob
+        if (cc.udtUnfrozen) props += "udtUnfrozen" -> "true"
         // a TYPED layout travels as table properties: the catalog
         // persists them to `_props`, which serves the schema and the
         // first write's key layout BEFORE any flush exists, and
@@ -1599,21 +1687,28 @@ object Cql {
       scriptWts.set(scala.collection.mutable.Map.empty)
       scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
     }
-    try stmts.map {
-      case UseRe(ks) =>
-        val k = s"spark.sql.catalog.$catalog.root"
-        val root = spark.conf.getOption(k).getOrElse(
-          fail(s"$k is not set"))
-        if (!java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(root, ks.toLowerCase)))
-          fail(s"keyspace $ks does not exist")
-        current = Some(ks.toLowerCase)
-        spark.emptyDataFrame
-      case stmt => catalogExecute(spark, stmt, catalog, current)
-    }.last
-    finally if (fresh) {
+    try {
+      val r = stmts.map {
+        case UseRe(ks) =>
+          val k = s"spark.sql.catalog.$catalog.root"
+          val root = spark.conf.getOption(k).getOrElse(
+            fail(s"$k is not set"))
+          if (!java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(root, ks.toLowerCase)))
+            fail(s"keyspace $ks does not exist")
+          current = Some(ks.toLowerCase)
+          spark.emptyDataFrame
+        case stmt => catalogExecute(spark, stmt, catalog, current)
+      }.last
+      // success path: flush before returning so a flush failure
+      // propagates (r13 — mirroring executeScript; previously the
+      // only flush sat in the finally with errors swallowed)
+      if (fresh) flushAllBuffered(spark)
+      r
+    } finally if (fresh) {
       try flushAllBuffered(spark)
-      catch { case scala.util.control.NonFatal(_) => }
+      catch { case scala.util.control.NonFatal(e) =>
+        warnFlushFailure("catalog script", e) }
       scriptWts.remove(); scriptBuf.remove()
     }
   }
@@ -1634,7 +1729,8 @@ object Cql {
   private case class CreateCols(pkSyntax: Option[String],
       keyParts: Seq[(String, String)], valueType: String,
       counter: Boolean, staticCols: Seq[String] = Seq.empty,
-      udt: Option[(String, String)] = None)
+      udt: Option[(String, String)] = None,
+      udtUnfrozen: Boolean = false)
 
   private val FrozenDefRe =
     """(?is)^\s*(\w+)\s+frozen\s*<\s*(\w+)\s*>\s*$""".r
@@ -1724,13 +1820,19 @@ object Cql {
           fail(s"unknown type $tn (CREATE TYPE it first)"))
         (tn, layout)
     }
-    if (udtOpt.isEmpty)
-      resolveUdt(colMap("value")).foreach(_ =>
-        fail("non-frozen UDT values are not supported — declare " +
-          s"value frozen<${colMap("value")}> (Cassandra itself " +
-          "requires frozen for UDTs inside the storage engine)"))
-    if (statics.nonEmpty && udtOpt.isDefined)
-      fail("static columns cannot combine with a frozen<udt> value " +
+    // UNFROZEN udt value (C59d): `value <type>` without frozen<> —
+    // Cassandra 3.x stores non-frozen UDT fields as SEPARATE cells
+    // (one cell per set field, per-field writetimes and tombstones),
+    // which is exactly this engine's element-per-cell encoding: each
+    // field cell is `<col>.<field>` holding a single-field blob,
+    // per-field LWW falls out of the ordinary cell merge.
+    val unfrozenOpt: Option[(String, String)] =
+      if (udtOpt.isDefined) None
+      else resolveUdt(colMap("value")).map { layout =>
+        (colMap("value"), layout)
+      }
+    if (statics.nonEmpty && (udtOpt.isDefined || unfrozenOpt.isDefined))
+      fail("static columns cannot combine with a UDT value " +
         "column in this subset")
     // STATIC columns (C15b) are the one legal extra: per-partition
     // cells at the marker position, declared here so writes/reads can
@@ -1770,15 +1872,21 @@ object Cql {
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
+    if (unfrozenOpt.isDefined && !default)
+      fail("non-frozen UDT values are supported on the default " +
+        "((pk), ck) layout only in this subset — typed layouts " +
+        s"take value frozen<${colMap("value")}>")
     CreateCols(
       if (default) None
       else Some(s"((${pkNames.mkString(",")})" +
         (if (ckNames.nonEmpty) s",${ckNames.mkString(",")}" else "") +
         ")"),
       if (default) Seq.empty else keyParts,
-      if (udtOpt.isDefined) "binary" else mapType(colMap("value")),
+      if (udtOpt.isDefined || unfrozenOpt.isDefined) "binary"
+      else mapType(colMap("value")),
       colMap("value") == "counter",
-      statics.toSeq, udtOpt)
+      statics.toSeq, udtOpt.orElse(unfrozenOpt),
+      udtUnfrozen = unfrozenOpt.isDefined)
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
@@ -2034,6 +2142,10 @@ object Cql {
         // ordinary binary cell filter — indexed if a value index
         // exists, ALLOW FILTERING otherwise (Cassandra's contract)
         val cl = c.toLowerCase
+        if (udtUnfrozenOf(dir))
+          fail("whole-value equality byte-compares FROZEN blobs — " +
+            s"an unfrozen UDT column ($cl) stores per-field cells; " +
+            "compare fields in the application after selecting them")
         val blob = udtLiteral(udtL.get, v, cl)
         if (graft.sources.CellIndex.registered(dir).exists(i =>
             graft.sources.CellIndex.columnOf(i).contains(cl)))
@@ -2367,9 +2479,62 @@ object Cql {
           case UdtFieldSelRe(c, f, _) => (c.toLowerCase, f.toLowerCase)
         }
         if (udtFields.nonEmpty && udtL.isEmpty)
-          fail("field selection (column.field) needs a frozen<udt> " +
+          fail("field selection (column.field) needs a UDT " +
             "value column")
-        if (wtCols.nonEmpty || ttlCols.nonEmpty ||
+        if (udtL.isDefined && udtUnfrozenOf(dir) &&
+            (udtFields.nonEmpty || dataCols.nonEmpty)) {
+          // UNFROZEN udt projection (C59d): the value lives as one
+          // cell PER FIELD (`c.f` → single-field blob), so the select
+          // pivots the row's live field cells back into one output
+          // row — group by the key, one agg slot per declared field
+          // (the reconcile merge already picked each field's LWW
+          // winner, so the agg sees at most one cell per slot). A row
+          // with NO live field cells has no cells to group — it
+          // disappears, exactly like a fully-shadowed frozen blob.
+          if (wtCols.nonEmpty || ttlCols.nonEmpty)
+            fail("WRITETIME/TTL of an unfrozen UDT column is not " +
+              "supported in this subset (each field cell carries " +
+              "its own writetime)")
+          val targets = (udtFields.map(_._1) ++ dataCols).distinct
+          if (targets.length != 1)
+            fail("select exactly one UDT data column per " +
+              s"statement, got: ${targets.mkString(", ")}")
+          val c = targets.head
+          val layout = udtL.get
+          val declared = graft.functions.UdtValues.fields(layout)
+          udtFields.foreach { case (_, f) =>
+            if (!declared.contains(f))
+              fail(s"unknown UDT field $f of $c (declared: " +
+                declared.mkString(", ") + ")")
+          }
+          graft.GraftExtensions.register(spark)
+          val fieldCells = declared.map(f => s"$c.$f")
+          val cells = df.filter(
+            col("col").isin(fieldCells.map(x => x: Any): _*))
+          val aggs = declared.map(f =>
+            max(when(col("col") === s"$c.$f", col("value")))
+              .as(s"_b_$f"))
+          val grouped = cells.groupBy(col("pk"), col("ck"))
+            .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+          def fieldOf(f: String): Column =
+            expr(s"graft_udt_unpack('$layout', _b_$f)").getField(f)
+          val items = rawItems.map {
+            case UdtFieldSelRe(nm, f, alias)
+                if nm.equalsIgnoreCase(c) =>
+              fieldOf(f.toLowerCase)
+                .as(Option(alias).getOrElse(s"$c.${f.toLowerCase}"))
+            case ColRe(n, alias) if n.equalsIgnoreCase(c) =>
+              // whole-column selection re-assembles the struct from
+              // the per-field slots (Cassandra renders the same row)
+              struct(declared.map(f => fieldOf(f).as(f))
+                .toIndexedSeq: _*).as(Option(alias).getOrElse(c))
+            case ColRe(n, alias) if keyCols.contains(n.toLowerCase) =>
+              Option(alias).map(col(n).as(_)).getOrElse(col(n))
+            case x => fail("unsupported select item with an " +
+              s"unfrozen UDT column: $x")
+          }
+          df = grouped.select(items.toIndexedSeq: _*)
+        } else if (wtCols.nonEmpty || ttlCols.nonEmpty ||
             dataCols.exists(statics.contains) ||
             udtFields.nonEmpty ||
             (udtL.isDefined && dataCols.nonEmpty)) {
@@ -2569,6 +2734,17 @@ object Cql {
     def maxWt: Long = rows.iterator.map(_._5).max
     def isEmpty: Boolean = rows.isEmpty
   }
+  private type BinRow = (Long, Int, String, Array[Byte], Long, Option[Long])
+  /** Binary-valued (frozen<udt>, C59b) twin of [[BufDefault]] — r13:
+    * UDT appends previously bypassed the buffer and paid one flush
+    * file per statement while every other layout paid one per script.
+    */
+  private final class BufBinary(
+      val rows: scala.collection.mutable.ArrayBuffer[BinRow])
+      extends Buffered {
+    def maxWt: Long = rows.iterator.map(_._5).max
+    def isEmpty: Boolean = rows.isEmpty
+  }
   private final class BufTyped(val spec: graft.sources.KeySpec,
       val valueType: org.apache.spark.sql.types.DataType,
       val rows: scala.collection.mutable
@@ -2585,6 +2761,7 @@ object Cql {
   private def writeBuffered(spark: SparkSession, dir: String,
       b: Buffered): Unit = b match {
     case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
+    case bb: BufBinary => writeBinaryCellRows(spark, dir, bb.rows.toSeq)
     case t: BufTyped =>
       writeTypedRows(spark, dir, t.spec, t.valueType, t.rows.toSeq)
   }
@@ -2596,14 +2773,22 @@ object Cql {
     buf.remove(wtKey(dir)).foreach(writeBuffered(spark, wtKey(dir), _))
   }
 
-  /** Flush every buffered table (script end; catalog-wide reads). */
+  /** Flush every buffered table (script end; catalog-wide reads).
+    * Write-then-remove, NOT clear-then-write (r13): each table's
+    * entry leaves the buffer only after its write lands, so a
+    * mid-loop I/O failure keeps the remaining tables' cells
+    * recoverable by a later flush instead of silently dropping them.
+    */
   private def flushAllBuffered(spark: SparkSession): Unit = {
     val buf = scriptBuf.get
     if (buf == null) return
-    val pending = buf.toSeq // LinkedHashMap: first-write order
-    buf.clear()
-    pending.foreach { case (k, b) =>
-      if (!b.isEmpty) writeBuffered(spark, k, b) }
+    val pending = buf.keys.toSeq // LinkedHashMap: first-write order
+    pending.foreach { k =>
+      buf.get(k).foreach { b =>
+        if (!b.isEmpty) writeBuffered(spark, k, b)
+      }
+      buf.remove(k)
+    }
   }
 
   /** Discard a table's buffer (TRUNCATE/DROP shadow it wholesale). */
@@ -2655,27 +2840,42 @@ object Cql {
 
   /** Binary-valued twin of [[appendCells]] — the write shape of
     * frozen<udt> tables (C59b): the cell value IS the packed blob,
-    * same commit path, same write-through maintenance.
+    * same commit path, same write-through maintenance. Buffers
+    * per-script like every other layout (r13 — previously wrote one
+    * flush file per statement, ~2× the buffered lifecycles' floor).
     */
   private def appendBinaryCells(spark: SparkSession, dir: String,
       rows: Seq[(Long, Int, String, Array[Byte], Long)],
       ttl: Option[Long] = None): Unit = {
+    if (rows.isEmpty) return
+    val buffered = rows.map { case (pk, ck, c, v, wt) =>
+      (pk, ck, c, v, wt, ttl) }
+    val buf = scriptBuf.get
+    if (buf != null) {
+      buf.getOrElseUpdate(wtKey(dir), new BufBinary(
+        scala.collection.mutable.ArrayBuffer.empty)) match {
+        case b: BufBinary => b.rows ++= buffered
+        case _ => fail(s"layout mix-up buffering binary cells for $dir")
+      }
+    } else writeBinaryCellRows(spark, dir, buffered)
+  }
+
+  private def writeBinaryCellRows(spark: SparkSession, dir: String,
+      rows: Seq[BinRow]): Unit = {
     import spark.implicits._
     if (rows.isEmpty) return
     // valueType steers the PRE-FIRST-FLUSH table resolution only
     // (headers win once files exist) — without it the v2 write
     // analysis would compare against the long default schema
-    ttl match {
-      case None =>
-        rows.toDF("pk", "ck", "col", "value", "wt")
-          .coalesce(1).write.format(Fmt)
-          .option("valueType", "binary").mode("append").save(dir)
-      case Some(t) =>
-        rows.map { case (pk, ck, c, v, wt) => (pk, ck, c, v, wt, t) }
-          .toDF("pk", "ck", "col", "value", "wt", "ttl")
-          .coalesce(1).write.format(Fmt).option("ttl", "true")
-          .option("valueType", "binary").mode("append").save(dir)
-    }
+    if (rows.forall(_._6.isEmpty))
+      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format(Fmt)
+        .option("valueType", "binary").mode("append").save(dir)
+    else
+      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
+        .coalesce(1).write.format(Fmt).option("ttl", "true")
+        .option("valueType", "binary").mode("append").save(dir)
   }
 
   /** A UDT literal `{field: value, ...}` against a declared layout →
@@ -2685,31 +2885,68 @@ object Cql {
   private val UdtEntryRe = """(?is)^\s*(\w+)\s*:\s*(.+?)\s*$""".r
 
   private def udtLiteral(layout: String, raw: String,
-      colName: String): Array[Byte] = {
+      colName: String): Array[Byte] =
+    try graft.functions.UdtValues.pack(layout,
+      udtEntries(layout, raw, colName))
+    catch {
+      case e: IllegalArgumentException => fail(e.getMessage)
+    }
+
+  /** Parse a UDT literal into its (lowercased) field → value entries
+    * WITHOUT packing — the unfrozen write path (C59d) expands these
+    * into one cell per field instead of one blob.
+    */
+  private def udtEntries(layout: String, raw: String,
+      colName: String): Map[String, Any] = {
     val t = raw.trim
     if (!(t.startsWith("{") && t.endsWith("}")))
       fail(s"$colName takes a UDT literal {field: value, ...}, " +
         s"got: $t")
     val body = t.substring(1, t.length - 1).trim
     val declared = graft.functions.UdtValues.fields(layout).toSet
-    val entries: Map[String, Any] =
-      if (body.isEmpty) Map.empty
-      else splitValues(body).toSeq.map {
-        case UdtEntryRe(f, v) =>
-          val fn = f.toLowerCase
-          if (!declared.contains(fn))
-            fail(s"unknown UDT field $fn (declared: " +
-              graft.functions.UdtValues.fields(layout)
-                .mkString(", ") + ")")
-          fn -> literal(v)
-        case e => fail(s"UDT literal entries are field: value, " +
-          s"got: $e")
-      }.toMap
-    try graft.functions.UdtValues.pack(layout, entries)
+    if (body.isEmpty) Map.empty
+    else splitValues(body).toSeq.map {
+      case UdtEntryRe(f, v) =>
+        val fn = f.toLowerCase
+        if (!declared.contains(fn))
+          fail(s"unknown UDT field $fn (declared: " +
+            graft.functions.UdtValues.fields(layout)
+              .mkString(", ") + ")")
+        fn -> literal(v)
+      case e => fail(s"UDT literal entries are field: value, " +
+        s"got: $e")
+    }.toMap
+  }
+
+  /** Pack ONE field's scalar as a single-field blob: the full layout
+    * with only that field set — so [[graft.functions.UdtUnpack]]
+    * reads field cells and whole frozen blobs with the same codec.
+    */
+  private def udtFieldBlob(layout: String, field: String,
+      v: Any): Array[Byte] =
+    try graft.functions.UdtValues.pack(layout, Map(field -> v))
     catch {
       case e: IllegalArgumentException => fail(e.getMessage)
     }
-  }
+
+  /** One UDT-literal write on an UNFROZEN column (C59d), expanded to
+    * the field cells Cassandra 3.x writes for a whole-value UDT
+    * mutation: set fields become value cells `<col>.<field>`, UNSET
+    * declared fields become field tombstones at the same writetime —
+    * the whole value is overwritten, per-field LWW does the rest.
+    * (Cassandra emits a range tombstone over the UDT path plus the
+    * set field cells; with the layout bounded, per-field markers
+    * state the same shadow exactly.)
+    */
+  private def expandUnfrozenUdtWrite(pk: Long, ck: Int, c: String,
+      entries: Map[String, Any], layout: String, wt: Long)
+      : Seq[(Long, Int, String, Array[Byte], Long)] =
+    graft.functions.UdtValues.fields(layout).map { f =>
+      entries.get(f).flatMap(Option(_)) match {
+        case Some(v) => (pk, ck, s"$c.$f", udtFieldBlob(layout, f, v), wt)
+        case None => (pk, ck, s"!del:$c.$f", Array.empty[Byte], wt)
+      }
+    }
 
   /** Cells a frozen<udt>-table INSERT contributes: same key grammar
     * as [[insertCells]], data values are UDT literals packed to the
@@ -2731,6 +2968,72 @@ object Cql {
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
     data.map(c => (pk, ck, c, udtLiteral(layout, kv(c), c), wt)).toSeq
+  }
+
+  /** Cells an UNFROZEN-udt-table INSERT contributes (C59d): one cell
+    * per SET field, one tombstone per unset declared field — the
+    * whole-value-overwrite shape of [[expandUnfrozenUdtWrite]].
+    */
+  private def insertUnfrozenUdtCells(cols: String, vals: String,
+      wt: Long, layout: String)
+      : Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val ck = ckLiteral(
+      kv.getOrElse("ck", fail("INSERT must bind ck")))
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.flatMap { c =>
+      if (c.contains("."))
+        fail(s"INSERT binds whole UDT values — use UPDATE SET $c " +
+          "for a single field")
+      expandUnfrozenUdtWrite(pk, ck, c,
+        udtEntries(layout, kv(c), c), layout, wt)
+    }.toSeq
+  }
+
+  /** SET items an unfrozen-udt UPDATE accepts (C59d): whole-value
+    * `c = {f: v, ...}` (overwrite — field cells + unset-field
+    * tombstones) or per-field `c.f = <scalar>` (ONE field cell, the
+    * other fields untouched — Cassandra's non-frozen patch, the whole
+    * point of leaving a UDT unfrozen).
+    */
+  private val UdtFieldSetRe =
+    """(?is)^\s*(\w+)\.(\w+)\s*=\s*(.+?)\s*$""".r
+
+  private def unfrozenUdtUpdateCells(sets: String, where: String,
+      wt: Long, layout: String)
+      : Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    val declared = graft.functions.UdtValues.fields(layout)
+    for {
+      item <- splitSetItems(sets)
+      cell <- item match {
+        case UdtFieldSetRe(c, f, v) =>
+          val fn = f.toLowerCase
+          if (!declared.contains(fn))
+            fail(s"unknown UDT field $fn of ${c.toLowerCase} " +
+              s"(declared: ${declared.mkString(", ")})")
+          val value = literal(v)
+          pks.toSeq.sorted.map(pk => (pk, ck,
+            s"${c.toLowerCase}.$fn",
+            udtFieldBlob(layout, fn, value), wt))
+        case SetRe(c, v) =>
+          val entries = udtEntries(layout, v, c.toLowerCase)
+          pks.toSeq.sorted.flatMap(pk =>
+            expandUnfrozenUdtWrite(pk, ck, c.toLowerCase, entries,
+              layout, wt))
+        case x => fail(s"unsupported SET item: $x")
+      }
+    } yield cell
   }
 
   /** Cells a frozen<udt>-table UPDATE contributes — SET items are

@@ -1129,6 +1129,57 @@ object Cells {
       |  (3, 1, 30, 'c')) AS t(pk, ck, q, tag)
       |ORDER BY pk, ck""".stripMargin
 
+  // C59d — UNFROZEN UDTs (r13): `value item` without frozen<> stores
+  // one cell PER FIELD (`qty.q`, `qty.t` — Cassandra 3.x's non-frozen
+  // layout, which is exactly this engine's element-per-cell shape):
+  // per-field UPDATE patches one cell and leaves the others, a
+  // whole-value write overwrites every declared field (unset fields
+  // tombstone), DELETE c.f drops one field, DELETE c drops them all,
+  // and the SELECT pivots the live field cells back into the row.
+  private def unfrozenUdtLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_udt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TYPE IF NOT EXISTS ks.item2 (q bigint, t text)")
+    cq("CREATE TABLE IF NOT EXISTS ks.orders2 (pk bigint, ck int, " +
+      "col text, value item2, wt bigint)")
+    cq("TRUNCATE ks.orders2")
+    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (1, 1, " +
+      "{q: 10, t: 'a'})")
+    cq("UPDATE ks.orders2 SET qty.q = 11 WHERE pk = 1 AND ck = 1")
+    // ^ per-field patch: q changes, t stays 'a' (the unfrozen point)
+    cq("UPDATE ks.orders2 SET qty.t = 'z' WHERE pk = 2 AND ck = 1")
+    // ^ a field write alone creates the row (q unset -> null)
+    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (3, 1, " +
+      "{q: 30, t: 'c'})")
+    cq("UPDATE ks.orders2 SET qty = {q: 31} WHERE pk = 3 AND ck = 1")
+    // ^ whole-value overwrite: unset t tombstones the old 'c'
+    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (4, 1, " +
+      "{q: 40, t: 'd'})")
+    cq("DELETE qty.t FROM ks.orders2 WHERE pk = 4 AND ck = 1")
+    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (5, 1, " +
+      "{q: 50, t: 'e'})")
+    cq("DELETE qty FROM ks.orders2 WHERE pk = 5 AND ck = 1")
+    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (6, 1, " +
+      "{q: 60, t: 'f'})")
+    cq("DELETE FROM ks.orders2 WHERE pk = 6 AND ck = 1")
+    cq("SELECT pk, ck, qty.q AS q, qty.t AS tag FROM ks.orders2 " +
+      "ORDER BY pk, ck")
+  }
+
+  private val unfrozenUdtSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(q AS BIGINT) AS q, tag
+      |FROM (VALUES (1, 1, 11, 'a'), (2, 1, NULL, 'z'),
+      |  (3, 1, 31, NULL), (4, 1, 40, NULL)) AS t(pk, ck, q, tag)
+      |ORDER BY pk, ck""".stripMargin
+
   // C61 — range movement (bootstrap/decommission): tokens [2000,5999]
   // streamed from node A to a fresh node B, then cleaned from A
   // (stream-first ordering — a crash leaves over-ownership, never
@@ -2293,6 +2344,8 @@ object Cells {
       Some(droppedColumnsSql)),
     GQuery("C59_frozen_udt", frozenUdtScan, Some(frozenUdtSql)),
     GQuery("C59b_udt_cql", udtCqlLifecycle, Some(udtCqlSql)),
+    GQuery("C59d_unfrozen_udt", unfrozenUdtLifecycle,
+      Some(unfrozenUdtSql)),
     GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
