@@ -434,7 +434,6 @@ object Cql {
       spark.emptyDataFrame
     case BatchRe(batchTs, body) =>
       batch(spark, body, resolve, Option(batchTs).map(_.toLong))
-      spark.emptyDataFrame
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       refuseUdt(dir, "INSERT JSON")
@@ -572,16 +571,39 @@ object Cql {
           Option(colOpt).filter(_ => udtUnfrozenOf(dir)).map {
             case UdtFieldDelRe(c, f) =>
               Seq(s"${c.toLowerCase}.${f.toLowerCase}")
+            case c if !c.trim.matches("""\w+""") =>
+              // collection/entry targets (m['k'], l[0]) have no field
+              // cells on an unfrozen-UDT table — refuse rather than
+              // mint `!del:m['k'].f` markers that can never shadow a
+              // written cell. Plain identifiers stay dynamic: the
+              // cell model declares no data-column names, and
+              // `SELECT <c>.<f>` reads back exactly the cells any
+              // spelling of <c> wrote, so an unknown-but-well-formed
+              // name shadows-nothing by the same rule as every other
+              // layout's DELETE.
+              fail(s"DELETE ${c.trim} is not a UDT column delete — " +
+                "an unfrozen UDT table takes DELETE <col> or " +
+                "DELETE <col>.<field> (collection/entry deletes " +
+                "need a collection-valued table)")
             case c =>
               graft.functions.UdtValues
                 .fields(udtLayoutOf(dir).get)
-                .map(f => s"${c.toLowerCase}.$f")
+                .map(f => s"${c.trim.toLowerCase}.$f")
           }
         val markers = unfrozenTargets match {
           case Some(ts) =>
-            val (pks, ckEq, _, _) = keyPredicate(where)
+            val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
+            // a field-cell delete addresses exactly one row — a
+            // clustering RANGE alongside (ignored before r14) now
+            // refuses, mirroring deleteMarkers' statement-shape
+            // strictness instead of silently dropping the bounds
+            if (ckLo != Int.MinValue || ckHi != Int.MaxValue)
+              fail(s"DELETE ${ts.head} takes WHERE pk = ? AND " +
+                "ck = ? exactly — clustering ranges cannot combine " +
+                "with a field-cell delete")
             val ck = ckEq.getOrElse(
-              fail("DELETE <col> needs WHERE ... AND ck = ?"))
+              fail(s"DELETE ${ts.mkString(", ")} needs " +
+                "WHERE ... AND ck = ?"))
             for {
               pk <- pks.toSeq.sorted; t <- ts
             } yield (pk, ck, s"!del:$t", Array.empty[Byte], dts)
@@ -878,7 +900,7 @@ object Cql {
 
   private def batch(spark: SparkSession, body: String,
       resolve: String => String,
-      batchTs: Option[Long] = None): Unit = {
+      batchTs: Option[Long] = None): DataFrame = {
     // Cassandra's rule: a timestamp is set either on the BATCH or on
     // individual statements, never both
     def stmtTs(own: Option[Long]): Option[Long] = {
@@ -892,6 +914,18 @@ object Cql {
     // BATCH nesting) — a ';' inside a string literal is not a boundary
     val stmts = splitOnSemis(body, batchAware = false)
     if (stmts.isEmpty) fail("empty BATCH")
+    // conditional (LWT) forms route to the single-partition CAS
+    // round (C56d) — matched BEFORE the plain-DML parse, whose lazy
+    // WHERE group would absorb a trailing IF clause and run the CAS
+    // as an ordinary write
+    val conditional = stmts.exists {
+      case InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _) |
+          UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) =>
+        true
+      case _ => false
+    }
+    if (conditional)
+      return conditionalBatch(spark, stmts.toSeq, resolve, batchTs)
     // per-statement parse, by the TARGET table's key layout: a Left
     // holds default (pk, ck, col, value, wt) cells, a Right typed
     // rows (keyVals ++ (col, value, wt)) with the table's spec —
@@ -904,15 +938,6 @@ object Cql {
     def spec(dir: String) = graft.sources.CellSource.keySpec(dir)
     val parsed: Seq[Parsed] =
       stmts.toSeq.map {
-        // LWT forms must be refused BEFORE the plain-DML match:
-        // UpdateRe/DeleteRe's lazy WHERE group would absorb a
-        // trailing IF clause and run the CAS as an ordinary write.
-        // (Cassandra allows single-partition conditional batches;
-        // this facade restricts to the unconditional subset.)
-        case s @ (InsertIfNotExistsRe(_, _, _) |
-            UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
-            DeleteIfRe(_, _, _, _, _, _)) =>
-          fail(s"conditional statements are not allowed in BATCH: $s")
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
           // the journal's cell shape is scalar — frozen<udt> blobs
@@ -1017,6 +1042,132 @@ object Cql {
     // the shared batch wt (and any member's explicit ts) moved the
     // involved tables' max outside the allocator's local counters
     parsed.map(_._1).distinct.foreach(forgetWt)
+    spark.emptyDataFrame
+  }
+
+  /** C56d — CONDITIONAL (LWT) LOGGED BATCH: Cassandra allows IF
+    * forms inside `BEGIN BATCH` when every statement addresses the
+    * SAME PARTITION of the SAME TABLE — one Paxos round arbitrates
+    * the whole batch — and refuses spanning batches and custom
+    * timestamps outright. This facade mirrors that: all conditions
+    * (each addressing its own clustering row) are tested against the
+    * partition's current reconciled state under one ballot, and on
+    * success every statement's cells land all-or-nothing at ONE
+    * shared writetime ([[graft.sources.CellTransactions.casBatch]]).
+    * Unconditional INSERT/UPDATE/DELETE statements may ride along
+    * (their writes join the atomic apply). Subset: default layout +
+    * long values (the CAS machinery's contract), no USING
+    * TIMESTAMP/TTL, no counters/collections/statics — each refusal
+    * names its rule.
+    */
+  private def conditionalBatch(spark: SparkSession,
+      stmts: Seq[String], resolve: String => String,
+      batchTs: Option[Long]): DataFrame = {
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasCond
+    if (batchTs.isDefined)
+      fail("cannot provide custom timestamps for conditional BATCH " +
+        "(Cassandra's rule)")
+    def noUsing(usingClause: String, what: String): Unit =
+      if (usingClause != null)
+        fail(s"$what in a conditional BATCH cannot carry USING " +
+          "TIMESTAMP/TTL (Cassandra refuses custom timestamps on " +
+          "conditional batches; TTL is outside this subset)")
+    type Cond = (Int, Option[String], CasCond)
+    type Cells = Seq[(Long, Int, String, Long, Long)]
+    val parsed: Seq[(String, Seq[Cond], Cells)] = stmts.map {
+      case InsertIfNotExistsRe(table, cols, vals) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
+        val cells = insertCells(cols, vals, AssignLater)
+        // IF NOT EXISTS tests ROW presence at the insert's (pk, ck)
+        (dir, Seq((cells.head._2, None: Option[String],
+          CasCond.Absent: CasCond)), cells)
+      case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        if (hasCollectionSyntax(sets))
+          fail("collection updates are not supported inside BATCH " +
+            "(appends need the current collection state)")
+        refuseStaticLwt(dir, setColNames(sets))
+        val cells = updateCells(sets, where, AssignLater)
+        (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
+          CasCond.Equals(longLiteral(ifVal, "IF condition")): CasCond)),
+          cells)
+      case UpdateIfExistsRe(table, sets, where) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        if (hasCollectionSyntax(sets))
+          fail("collection updates are not supported inside BATCH " +
+            "(appends need the current collection state)")
+        refuseStaticLwt(dir, setColNames(sets))
+        val cells = updateCells(sets, where, AssignLater)
+        (dir, Seq((cells.head._2, None: Option[String],
+          CasCond.Present: CasCond)), cells)
+      case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        val (pks, ckEq, _, _) = keyPredicate(where)
+        if (pks.size != 1)
+          fail("conditional DELETE binds exactly one pk")
+        val ck = ckEq.getOrElse(
+          fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+        val cond: Cond =
+          if (exists != null) (ck, None, CasCond.Present)
+          else (ck, Some(ifCol.toLowerCase),
+            CasCond.Equals(longLiteral(ifVal, "IF condition")))
+        val writeCol = Option(colOpt) match {
+          case Some(c) =>
+            graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
+          case None => graft.sources.CellSource.RowTombstone
+        }
+        (dir, Seq(cond), Seq((pks.head, ck, writeCol, 0L, AssignLater)))
+      case InsertRe(table, cols, vals, usingClause) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        noUsing(usingClause, "INSERT")
+        refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
+        (dir, Seq.empty, insertCells(cols, vals, AssignLater))
+      case UpdateRe(table, usingClause, sets, where) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        noUsing(usingClause, "UPDATE")
+        if (hasCollectionSyntax(sets))
+          fail("collection updates are not supported inside BATCH " +
+            "(appends need the current collection state)")
+        refuseStaticLwt(dir, setColNames(sets))
+        (dir, Seq.empty, updateCells(sets, where, AssignLater))
+      case DeleteRe(colOpt, table, usingTs, where) =>
+        val dir = resolve(table)
+        refuseUdt(dir, "lightweight transactions")
+        if (usingTs != null) noUsing(usingTs, "DELETE")
+        (dir, Seq.empty,
+          deleteMarkers(Option(colOpt), where, AssignLater))
+      case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+    }
+    val dirs = parsed.map(_._1).distinct
+    if (dirs.size != 1)
+      fail("batch with conditions cannot span multiple tables " +
+        "(Cassandra's rule: one Paxos round arbitrates one partition)")
+    val dir = dirs.head
+    if (isCounter(dir))
+      fail("counters do not support conditional updates " +
+        "(Cassandra's rule)")
+    if (!graft.sources.CellSource.keySpec(dir).isDefault)
+      fail("conditional BATCH supports the default ((pk), ck) " +
+        "layout only in this subset")
+    val allCells = parsed.flatMap(_._3)
+    val pks = allCells.map(_._1).distinct
+    if (pks.size != 1)
+      fail("batch with conditions cannot span multiple partitions " +
+        "(Cassandra's rule)")
+    flushBuffered(spark, dir) // the CAS round reads current state
+    val r = CellTransactions.casBatch(spark, dir, pks.head,
+      parsed.flatMap(_._2),
+      allCells.map(c => (c._2, c._3, c._4)))
+    forgetWt(dir)
+    lwtResult(spark, r)
   }
 
   /** Typed rows with a per-row ABSOLUTE expiry (Long.MaxValue =
@@ -2482,7 +2633,8 @@ object Cql {
           fail("field selection (column.field) needs a UDT " +
             "value column")
         if (udtL.isDefined && udtUnfrozenOf(dir) &&
-            (udtFields.nonEmpty || dataCols.nonEmpty)) {
+            (udtFields.nonEmpty || dataCols.nonEmpty ||
+             wtCols.nonEmpty || ttlCols.nonEmpty)) {
           // UNFROZEN udt projection (C59d): the value lives as one
           // cell PER FIELD (`c.f` → single-field blob), so the select
           // pivots the row's live field cells back into one output
@@ -2727,7 +2879,16 @@ object Cql {
     * (CEL6/8) rows with the table's key spec; a table is ONE layout,
     * so the kinds never mix within a key.
     */
-  private sealed trait Buffered { def maxWt: Long; def isEmpty: Boolean }
+  private sealed trait Buffered {
+    def maxWt: Long; def isEmpty: Boolean
+    /** Set once the buffer has been HANDED to a writer. A flush retry
+      * after a commit-then-throw must not blindly re-write COUNTER
+      * buffers: shard deltas SUM on read (C10), so a duplicate file
+      * double-applies increments — unlike LWW cell layouts, where a
+      * duplicate flush merges away. See [[flushAllBuffered]].
+      */
+    var writeAttempted: Boolean = false
+  }
   private final class BufDefault(
       val rows: scala.collection.mutable.ArrayBuffer[BufRow])
       extends Buffered {
@@ -2758,7 +2919,23 @@ object Cql {
   private val scriptBuf = new ThreadLocal[
     scala.collection.mutable.LinkedHashMap[String, Buffered]]
 
+  /** Test-only fault injection (CqlSpec): buffered flushes whose
+    * canonical table dir this predicate matches throw before reaching
+    * the writer — proving the write-then-remove flush contract
+    * (earlier tables land, the error propagates, the error-path warn
+    * fires) without manufacturing real I/O faults.
+    */
+  @volatile private[graft] var failFlushOf: String => Boolean =
+    _ => false
+
   private def writeBuffered(spark: SparkSession, dir: String,
+      b: Buffered): Unit = {
+    if (failFlushOf(dir))
+      throw new java.io.IOException(s"injected flush failure: $dir")
+    writeBufferedReal(spark, dir, b)
+  }
+
+  private def writeBufferedReal(spark: SparkSession, dir: String,
       b: Buffered): Unit = b match {
     case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
     case bb: BufBinary => writeBinaryCellRows(spark, dir, bb.rows.toSeq)
@@ -2766,11 +2943,19 @@ object Cql {
       writeTypedRows(spark, dir, t.spec, t.valueType, t.rows.toSeq)
   }
 
-  /** Flush (and drop) one table's buffered cells, if any. */
+  /** Flush (and drop) one table's buffered cells, if any.
+    * Write-then-remove, like [[flushAllBuffered]]: a throw leaves the
+    * buffer intact for the finally-path flush to retry (counter
+    * buffers excepted — see [[Buffered.writeAttempted]]).
+    */
   private def flushBuffered(spark: SparkSession, dir: String): Unit = {
     val buf = scriptBuf.get
     if (buf == null) return
-    buf.remove(wtKey(dir)).foreach(writeBuffered(spark, wtKey(dir), _))
+    buf.get(wtKey(dir)).foreach { b =>
+      if (!b.isEmpty) { b.writeAttempted = true
+        writeBuffered(spark, wtKey(dir), b) }
+    }
+    buf.remove(wtKey(dir)); ()
   }
 
   /** Flush every buffered table (script end; catalog-wide reads).
@@ -2783,12 +2968,30 @@ object Cql {
     val buf = scriptBuf.get
     if (buf == null) return
     val pending = buf.keys.toSeq // LinkedHashMap: first-write order
+    var firstErr: Throwable = null
     pending.foreach { k =>
-      buf.get(k).foreach { b =>
-        if (!b.isEmpty) writeBuffered(spark, k, b)
+      try {
+        buf.get(k).foreach { b =>
+          if (!b.isEmpty) {
+            if (b.writeAttempted && isCounter(k))
+              // a prior attempt may have committed before throwing;
+              // counter shard deltas SUM on read, so a blind re-write
+              // double-applies increments — drop the retry (the first
+              // attempt either landed, or its increments are lost
+              // with the error the caller already saw)
+              ()
+            else { b.writeAttempted = true; writeBuffered(spark, k, b) }
+          }
+        }
+        buf.remove(k); ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        // keep the failed table buffered (write-then-remove) and KEEP
+        // GOING — one table's writer failure must not drop the other
+        // tables' buffered cells; the first error still surfaces
+        if (firstErr == null) firstErr = e
       }
-      buf.remove(k)
     }
+    if (firstErr != null) throw firstErr
   }
 
   /** Discard a table's buffer (TRUNCATE/DROP shadow it wholesale). */
@@ -2994,6 +3197,13 @@ object Cql {
       if (c.contains("."))
         fail(s"INSERT binds whole UDT values — use UPDATE SET $c " +
           "for a single field")
+      // names stay dynamic (the cell model declares no data columns —
+      // SELECT <c>.<f> reads back whatever <c> the write used), but a
+      // bracketed/quoted token would mint unreadable `<c>['k'].f`
+      // cells, so only plain identifiers expand
+      if (!c.matches("""\w+"""))
+        fail(s"INSERT column $c is not a plain identifier — an " +
+          "unfrozen UDT table binds whole UDT values to named columns")
       expandUnfrozenUdtWrite(pk, ck, c,
         udtEntries(layout, kv(c), c), layout, wt)
     }.toSeq
@@ -3004,6 +3214,13 @@ object Cql {
     * tombstones) or per-field `c.f = <scalar>` (ONE field cell, the
     * other fields untouched — Cassandra's non-frozen patch, the whole
     * point of leaving a UDT unfrozen).
+    *
+    * Column NAMES stay dynamic, as on every other cell layout: the
+    * cell model declares no data columns at CREATE TABLE (they are
+    * refused as "extras"), so `SET c.f = v` accepts any identifier c
+    * and `SELECT c.f` reads those exact cells back — there is no
+    * declared-column list to validate against, only the field list
+    * of the table's single UDT layout (which IS validated).
     */
   private val UdtFieldSetRe =
     """(?is)^\s*(\w+)\.(\w+)\s*=\s*(.+?)\s*$""".r

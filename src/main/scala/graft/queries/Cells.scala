@@ -1739,6 +1739,48 @@ object Cells {
       |FROM (VALUES ('u-1', 1, 11), ('u-2', 2, 12)) AS t(u, ck, v)
       |ORDER BY u, ck""".stripMargin
 
+  // C56d — CONDITIONAL (LWT) LOGGED BATCH end-to-end (r14): IF
+  // forms inside BEGIN BATCH, every statement bound to ONE partition
+  // (Cassandra's rule — one Paxos round arbitrates the whole batch).
+  // A failing condition applies NOTHING; a passing matrix applies
+  // every statement's cells at one shared writetime, unconditional
+  // riders included. The oracle is the expected final-state literal.
+  private def conditionalBatchLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_cbat"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cbat-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.cart (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint)")
+    cq("TRUNCATE ks.cart")
+    cq("INSERT INTO ks.cart (pk, ck, qty) VALUES (1, 1, 10)")
+    cq("""BEGIN BATCH
+         |  INSERT INTO ks.cart (pk, ck, qty) VALUES (1, 2, 20) IF NOT EXISTS;
+         |  UPDATE ks.cart SET qty = 11 WHERE pk = 1 AND ck = 1;
+         |APPLY BATCH""".stripMargin) // applies: row (1,2) absent
+    cq("""BEGIN BATCH
+         |  UPDATE ks.cart SET qty = 99 WHERE pk = 1 AND ck = 1 IF qty = 5;
+         |  INSERT INTO ks.cart (pk, ck, qty) VALUES (1, 3, 30);
+         |APPLY BATCH""".stripMargin) // refused: qty is 11, not 5
+    cq("""BEGIN BATCH
+         |  UPDATE ks.cart SET qty = 12 WHERE pk = 1 AND ck = 1 IF qty = 11;
+         |  DELETE FROM ks.cart WHERE pk = 1 AND ck = 2 IF EXISTS;
+         |  INSERT INTO ks.cart (pk, ck, qty) VALUES (1, 4, 40);
+         |APPLY BATCH""".stripMargin) // applies: both conditions hold
+    cq("SELECT pk, ck, value FROM ks.cart ORDER BY pk, ck")
+  }
+
+  private val conditionalBatchSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 1, 12), (1, 4, 40)) AS t(pk, ck, v)
+      |ORDER BY pk, ck""".stripMargin
+
   // C10c — TYPED-table counter round trip end-to-end: shard-delta
   // increments with named key parts, shard-SUM reads, the legal
   // UNLOGGED counter batch — C65g's lifecycle over a typed layout.
@@ -2322,6 +2364,8 @@ object Cells {
     GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
+    GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
+      Some(conditionalBatchSql)),
     GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
     GQuery("C11d_typed_collections", typedCollections,
       Some(typedCollectionsSql)),

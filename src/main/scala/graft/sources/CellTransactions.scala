@@ -195,6 +195,81 @@ object CellTransactions {
     }
   }
 
+  /** C56d — SINGLE-PARTITION CONDITIONAL BATCH (Cassandra's LWT
+    * batch form): every condition is tested against the partition's
+    * current reconciled state under ONE ballot round, and on success
+    * the batch's writes land ALL-or-NOTHING as one staged-link flush
+    * at table-max-wt + 1 — one shared writetime, the batch-wide
+    * version of the CAS "wins LWW now" rule. Cassandra runs exactly
+    * this as one Paxos round over the partition (which is why it
+    * refuses conditional batches that span partitions); the
+    * single-filesystem coordinator form reuses [[casApply]]'s ballot
+    * lock + pushed partition read + staged commit, generalized to N
+    * conditions (each addressing its own clustering row) and N
+    * written cells. The one partition read is bounded by CQL's own
+    * partition-size discipline — the same statement-scoped point-read
+    * collect every LWT round here performs.
+    *
+    * `conds`: (ck, condCol, cond) — `condCol = None` tests ROW
+    * presence at ck. `writes`: (ck, col, value) — col may be a
+    * tombstone marker. Returns `applied` plus the FIRST failing
+    * condition's current value (Cassandra reports the unmet row).
+    */
+  def casBatch(spark: SparkSession, dir: String, pk: Long,
+      conds: Seq[(Int, Option[String], CasCond)],
+      writes: Seq[(Int, String, Long)],
+      lockTimeoutMs: Long = 30000L,
+      nowMs: Long = System.currentTimeMillis(),
+      queryTimeMs: Long = Long.MaxValue): CasResult = {
+    require(writes.nonEmpty, "an empty conditional batch is a no-op")
+    require(conds.forall(_._2.forall(!_.startsWith("!"))),
+      "CAS conditions target data cells, not markers")
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    require(CellPlanning.keySpecOf(norm,
+      CellPlanning.listFiles(norm)).isDefault,
+      s"conditional BATCH supports default-keyed tables " +
+        s"(pk bigint, ck int); $dir is typed")
+    withBallot(d, lockTimeoutMs, nowMs) {
+      val reader = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+      val part = (if (queryTimeMs != Long.MaxValue)
+        reader.option("queryTime", queryTimeMs.toString) else reader)
+        .load(norm)
+        .filter(col("pk") === pk)
+        .select(col("ck"), col("col"), col("value"))
+        .collect()
+      val byCell: Map[(Int, String), Long] = part.iterator
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val liveCks: Set[Int] = part.iterator.map(_.getInt(0)).toSet
+      val failed = conds.iterator.map { case (ck, condCol, cond) =>
+        val cur: Option[Long] = condCol match {
+          case Some(c) => byCell.get((ck, c))
+          case None => if (liveCks(ck)) Some(0L) else None
+        }
+        val ok = cond match {
+          case CasCond.Absent => cur.isEmpty
+          case CasCond.Present => cur.isDefined
+          case CasCond.Equals(v) => cur.contains(v)
+        }
+        (ok, condCol, cur)
+      }.find(!_._1)
+      failed match {
+        case Some((_, condCol, cur)) =>
+          CasResult(applied = false,
+            if (condCol.isDefined) cur else None)
+        case None =>
+          val files = CellPlanning.listFiles(norm)
+          val wt = files.map(CellSource.readHeader).iterator
+            .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
+          appendRows(d, files,
+            writes.map { case (ck, c, v) => (pk, ck, c, v) }, wt)
+          CasResult(applied = true, None)
+      }
+    }
+  }
+
   /** Claim the table's ballot lock, run `body`, release. A lock file
     * older than `timeoutMs` belongs to a dead coordinator and is
     * broken; an unexpired lock means an in-flight round — callers get
@@ -235,6 +310,22 @@ object CellTransactions {
     CellSource.writeFileTyped(staged,
       Seq((pk, ck, colName, value, wt)), Array(colName), tag, prec,
       scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
+    publishStaged(dir, files, staged)
+  }
+
+  /** Multi-row sibling of [[appendRow]]: the conditional batch's
+    * cells as ONE staged-link flush — all at the shared writetime,
+    * sorted to the file contract (pk, ck, col).
+    */
+  private def appendRows(dir: Path, files: Seq[String],
+      cells: Seq[(Long, Int, String, Long)], wt: Long): Unit = {
+    val (tag, prec, scale) = casValueType(files)
+    val rows = cells.sortBy(c => (c._1, c._2, c._3))
+      .map { case (pk, ck, c, v) => (pk, ck, c, v: Any, wt) }
+    val cols = cells.map(_._3).distinct.sorted.toArray
+    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
+    CellSource.writeFileTyped(staged, rows, cols, tag, prec, scale,
+      CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
     publishStaged(dir, files, staged)
   }
 

@@ -2037,6 +2037,85 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("conditional LOGGED BATCH: single-partition CAS round (C56d)") {
+    val d = freshTable()
+    def cb(body: String) = Cql.execute(spark,
+      s"BEGIN BATCH\n$body;\nAPPLY BATCH")
+    def applied(body: String): (Boolean, Option[Long]) =
+      cb(body).as[(Boolean, Option[Long])].collect().head
+    // all conditions pass -> every statement's cells land, at ONE
+    // shared writetime (the batch-wide CAS rule)
+    val r1 = applied(
+      s"""INSERT INTO $d (pk, ck, qty) VALUES (7, 1, 70) IF NOT EXISTS;
+         |UPDATE $d SET qty = 71 WHERE pk = 7 AND ck = 2;
+         |INSERT INTO $d (pk, ck, price) VALUES (7, 3, 72)""".stripMargin)
+    assert(r1 === ((true, None)))
+    val r = rows(d)
+    assert(r.contains((7L, 1, "qty", 70L)))
+    assert(r.contains((7L, 2, "qty", 71L)))
+    assert(r.contains((7L, 3, "price", 72L)))
+    val wts = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") === 7L).select("wt").as[Long].collect().toSet
+    assert(wts.size === 1, wts)
+    // one failing condition applies NOTHING (and reports the current
+    // value of the unmet condition's cell)
+    val r2 = applied(
+      s"""UPDATE $d SET qty = 99 WHERE pk = 7 AND ck = 1 IF qty = 1;
+         |INSERT INTO $d (pk, ck, qty) VALUES (7, 9, 9)""".stripMargin)
+    assert(r2 === ((false, Some(70L))))
+    assert(!rows(d).exists(x => x._1 == 7L && x._2 == 9))
+    assert(rows(d).contains((7L, 1, "qty", 70L)))
+    // several conditions, each on its own clustering row
+    val r3 = applied(
+      s"""UPDATE $d SET qty = 75 WHERE pk = 7 AND ck = 1 IF qty = 70;
+         |DELETE FROM $d WHERE pk = 7 AND ck = 3 IF EXISTS""".stripMargin)
+    assert(r3._1 === true)
+    assert(rows(d).contains((7L, 1, "qty", 75L)))
+    assert(!rows(d).exists(x => x._1 == 7L && x._2 == 3))
+    // a row-presence miss refuses the whole batch
+    val r4 = applied(
+      s"""UPDATE $d SET qty = 1 WHERE pk = 7 AND ck = 55 IF EXISTS;
+         |UPDATE $d SET qty = 2 WHERE pk = 7 AND ck = 1""".stripMargin)
+    assert(r4 === ((false, None)))
+    assert(rows(d).contains((7L, 1, "qty", 75L)))
+    // conditional single-column DELETE rides the same round
+    val r5 = applied(
+      s"DELETE qty FROM $d WHERE pk = 7 AND ck = 1 IF qty = 75")
+    assert(r5._1 === true)
+    assert(!rows(d).exists(x => x._1 == 7L && x._2 == 1 && x._3 == "qty"))
+    // refusals: Cassandra's spanning rules + timestamp rules
+    def refuse(stmt: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Cql.execute(spark, stmt) }
+      assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+    }
+    refuse(s"BEGIN BATCH\nUPDATE $d SET qty = 1 WHERE pk = 1 AND " +
+      s"ck = 1 IF qty = 10;\nUPDATE $d SET qty = 2 WHERE pk = 2 AND " +
+      "ck = 1;\nAPPLY BATCH", "cannot span multiple partitions")
+    val d2 = freshTable()
+    refuse(s"BEGIN BATCH\nUPDATE $d SET qty = 1 WHERE pk = 1 AND " +
+      s"ck = 1 IF qty = 10;\nUPDATE $d2 SET qty = 2 WHERE pk = 1 AND " +
+      "ck = 1;\nAPPLY BATCH", "cannot span multiple tables")
+    refuse(s"BEGIN BATCH USING TIMESTAMP 5\nUPDATE $d SET qty = 1 " +
+      "WHERE pk = 1 AND ck = 1 IF qty = 10;\nAPPLY BATCH",
+      "custom timestamps")
+    refuse(s"BEGIN BATCH\nINSERT INTO $d (pk, ck, qty) VALUES " +
+      s"(1, 8, 1) USING TIMESTAMP 5;\nUPDATE $d SET qty = 1 WHERE " +
+      "pk = 1 AND ck = 1 IF qty = 10;\nAPPLY BATCH", "USING")
+    // contention: an unexpired ballot (in-flight round) surfaces as
+    // ContentionException, Cassandra's CAS-contention WriteTimeout
+    val lock = java.nio.file.Paths.get(d, "_paxos.lock")
+    java.nio.file.Files.createFile(lock)
+    try intercept[graft.sources.CellTransactions.ContentionException] {
+      cb(s"UPDATE $d SET qty = 1 WHERE pk = 7 AND ck = 2 IF qty = 71")
+    } finally java.nio.file.Files.deleteIfExists(lock)
+    // the ballot released: the same batch now applies
+    val r6 = applied(
+      s"UPDATE $d SET qty = 1 WHERE pk = 7 AND ck = 2 IF qty = 71")
+    assert(r6._1 === true)
+  }
+
   test("UNLOGGED BATCH rejects conditional (LWT) sub-statements") {
     // Cassandra refuses conditions in unlogged batches; before the
     // guard, UpdateRe/DeleteRe's lazy WHERE group absorbed the IF
@@ -3344,8 +3423,18 @@ class CqlSpec extends GraftSpec {
         "value frozen<nosuch>, wt bigint)", "unknown type")
       refuse("CREATE TABLE ks.t2 (pk frozen<item>, ck int, col text, " +
         "value bigint, wt bigint)", "value column only")
-      refuse("CREATE TABLE ks.t3 (pk bigint, ck int, col text, " +
-        "value item, wt bigint)", "non-frozen")
+      // `value item` WITHOUT frozen<> is the r13 C59d feature —
+      // ACCEPTED on the default layout (field-per-cell storage; the
+      // per-field matrix has its own test), and the table counts as
+      // a type reference like any frozen one
+      cq("CREATE TABLE ks.t3 (pk bigint, ck int, col text, " +
+        "value item, wt bigint)")
+      refuse("DROP TYPE ks.item", "still used by") // t3 references it
+      cq("DROP TABLE ks.t3")
+      // …but NOT on typed layouts (C59d is a default-layout subset)
+      refuse("CREATE TABLE ks.t3b (pk bigint, name text, ck int, " +
+        "col text, value item, wt bigint, " +
+        "PRIMARY KEY ((pk), name, ck))", "default ((pk), ck)")
       // typed layouts accept frozen values too (C59c) — and count
       // as references for DROP TYPE
       cq("CREATE TABLE ks.t4 (pk bigint, name text, ck int, " +
@@ -3370,7 +3459,7 @@ class CqlSpec extends GraftSpec {
       // field selection demands the udt layout
       cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
         "value bigint, wt bigint)")
-      refuse("SELECT v.q FROM ks.plain", "needs a frozen<udt>")
+      refuse("SELECT v.q FROM ks.plain", "needs a UDT")
       // DROP TYPE: refused while referenced, allowed after
       refuse("DROP TYPE ks.item", "still used by")
       cq("DROP TABLE ks.t")
@@ -3380,6 +3469,164 @@ class CqlSpec extends GraftSpec {
       refuse("DROP TYPE ks.item", "does not exist")
       cq("DROP TYPE IF EXISTS ks.item") // no-op
     } finally spark.conf.unset("spark.sql.catalog.udtr")
+  }
+
+  test("unfrozen UDT per-field matrix: LWW, tombstone precedence, compaction, refusals (C59d)") {
+    val root = Files.createTempDirectory("cql-udt-nf").toString
+    spark.conf.set("spark.sql.catalog.udtnf", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtnf.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtnf")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      // one row's (q, t) through the pivot — None = the row vanished
+      // (no live field cells), Some((None, …)) = a null field
+      def row(pk: Long): Option[(Option[Long], Option[String])] =
+        cq(s"SELECT v.q AS q, v.t AS t FROM ks.t WHERE pk = $pk")
+          .collect().headOption.map(r =>
+            (Option(r.get(0)).map(_.asInstanceOf[Long]),
+             Option(r.get(1)).map(_.toString)))
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value item, wt bigint)")
+      // (1) per-field LWW ACROSS FLUSHES: each catalogExecute call is
+      // its own script, so each write lands in its own file — the
+      // patched field's later cell wins, the untouched field's cell
+      // survives from the earlier file (the whole point of C59d)
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 10, t: 'a'})")
+      cq("UPDATE ks.t SET v.q = 11 WHERE pk = 1 AND ck = 1")
+      assert(row(1) === Some((Some(11L), Some("a"))))
+      cq("UPDATE ks.t SET v.t = 'b' WHERE pk = 1 AND ck = 1")
+      assert(row(1) === Some((Some(11L), Some("b"))))
+      // (2) whole-value overwrite: the unset field gets a tombstone
+      // at the same writetime — 'b' dies even though its cell is in
+      // an older file
+      cq("UPDATE ks.t SET v = {q: 12} WHERE pk = 1 AND ck = 1")
+      assert(row(1) === Some((Some(12L), None)))
+      // …and a LATER per-field patch revives exactly that field
+      cq("UPDATE ks.t SET v.t = 'c' WHERE pk = 1 AND ck = 1")
+      assert(row(1) === Some((Some(12L), Some("c"))))
+      // (3) delete precedence — field vs whole-column vs row
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (2, 1, {q: 20, t: 'd'})")
+      cq("DELETE v.q FROM ks.t WHERE pk = 2 AND ck = 1")
+      assert(row(2) === Some((None, Some("d")))) // one field gone
+      cq("UPDATE ks.t SET v.q = 21 WHERE pk = 2 AND ck = 1")
+      assert(row(2) === Some((Some(21L), Some("d")))) // later write wins
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (3, 1, {q: 30, t: 'e'})")
+      cq("DELETE v FROM ks.t WHERE pk = 3 AND ck = 1")
+      assert(row(3) === None) // every field tombstoned -> row vanishes
+      cq("UPDATE ks.t SET v.t = 'f' WHERE pk = 3 AND ck = 1")
+      assert(row(3) === Some((None, Some("f")))) // field write revives
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (4, 1, {q: 40, t: 'g'})")
+      cq("DELETE FROM ks.t WHERE pk = 4 AND ck = 1") // row tombstone
+      assert(row(4) === None)
+      cq("UPDATE ks.t SET v.q = 41 WHERE pk = 4 AND ck = 1")
+      assert(row(4) === Some((Some(41L), None))) // later field survives
+      // a whole-value overwrite AFTER a field tombstone restores both
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (5, 1, {q: 50, t: 'h'})")
+      cq("DELETE v.t FROM ks.t WHERE pk = 5 AND ck = 1")
+      cq("UPDATE ks.t SET v = {q: 51, t: 'i'} WHERE pk = 5 AND ck = 1")
+      assert(row(5) === Some((Some(51L), Some("i"))))
+      // (4) compaction: live field cells survive, field tombstones
+      // survive (default gc_grace retains them) and still shadow a
+      // write that arrives AFTERWARDS with a pre-deletion timestamp
+      cq("INSERT INTO ks.t (pk, ck, v) VALUES (6, 1, {q: 60, t: 'j'})")
+      cq("DELETE v.t FROM ks.t WHERE pk = 6 AND ck = 1")
+      val pre = (1L to 6L).map(row)
+      graft.sources.CellMaintenance.compact(spark, s"$root/ks/t")
+      assert((1L to 6L).map(row) === pre) // nothing resurrected/lost
+      cq("UPDATE ks.t USING TIMESTAMP 1 SET v.t = 'late' " +
+        "WHERE pk = 6 AND ck = 1") // stale wt, post-compaction
+      assert(row(6) === Some((Some(60L), None))) // still shadowed
+      // (5) the refusal arms
+      refuse("DELETE v.zz FROM ks.t WHERE pk = 1 AND ck = 1",
+        "unknown UDT field")
+      refuse("UPDATE ks.t SET v.zz = 5 WHERE pk = 1 AND ck = 1",
+        "unknown UDT field")
+      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (9, 1, {zz: 5})",
+        "unknown UDT field")
+      // field-cell deletes address one row exactly
+      refuse("DELETE v.q FROM ks.t WHERE pk = 1",
+        "v.q needs WHERE")
+      refuse("DELETE v.q FROM ks.t WHERE pk = 1 AND ck = 1 AND ck >= 0",
+        "clustering ranges cannot combine")
+      // collection/entry targets have no field cells here
+      refuse("DELETE v['k'] FROM ks.t WHERE pk = 1 AND ck = 1",
+        "not a UDT column delete")
+      refuse("INSERT INTO ks.t (pk, ck, v['k']) VALUES (9, 1, {q: 5})",
+        "not a plain identifier")
+      // dotted deletes demand field cells: frozen and plain refuse
+      cq("CREATE TABLE ks.fz (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      refuse("DELETE v.q FROM ks.fz WHERE pk = 1 AND ck = 1",
+        "non-frozen UDT value column")
+      cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("DELETE v.q FROM ks.plain WHERE pk = 1 AND ck = 1",
+        "non-frozen UDT value column")
+      // unfrozen columns byte-compare per FIELD, never whole-value
+      refuse("SELECT pk FROM ks.t WHERE v = {q: 12} ALLOW FILTERING",
+        "per-field cells")
+      // WRITETIME/TTL are per-field concepts on this layout
+      refuse("SELECT WRITETIME(v) FROM ks.t",
+        "unfrozen UDT column")
+    } finally spark.conf.unset("spark.sql.catalog.udtnf")
+  }
+
+  test("buffered flush under an injected writer failure (r13 write-then-remove)") {
+    val root = Files.createTempDirectory("cql-flushfail").toString
+    spark.conf.set("spark.sql.catalog.ffcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ffcat.root", root)
+    try {
+      def script(s: String) = Cql.catalogScript(spark, s, "ffcat")
+      script("CREATE KEYSPACE ks; " +
+        "CREATE TABLE ks.a (pk bigint, ck int, col text, value bigint, wt bigint); " +
+        "CREATE TABLE ks.b (pk bigint, ck int, col text, value bigint, wt bigint)")
+      def liveRows(t: String): Set[(Long, Long)] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .select("pk", "value").as[(Long, Long)].collect().toSet
+      // (a)+(b): table a is buffered FIRST (first-write order), b's
+      // writer throws at the success-path flush — a's cells must have
+      // landed, and the failure must propagate to the caller
+      Cql.failFlushOf = _.endsWith("/ks/b")
+      val e = intercept[java.io.IOException] {
+        script("INSERT INTO ks.a (pk, ck, qty) VALUES (1, 1, 10); " +
+          "INSERT INTO ks.b (pk, ck, qty) VALUES (2, 1, 20); " +
+          "INSERT INTO ks.a (pk, ck, qty) VALUES (3, 1, 30)")
+      }
+      assert(e.getMessage.contains("injected flush failure"))
+      assert(liveRows("a") === Set((1L, 10L), (3L, 30L)))
+      assert(liveRows("b") === Set.empty)
+      // (c): on an already-failing script, a flush failure is warned,
+      // not rethrown — the ORIGINAL statement error propagates and
+      // the healthy table's buffer still lands from the finally-path
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val savedErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val e2 = try intercept[IllegalArgumentException] {
+        script("INSERT INTO ks.b (pk, ck, qty) VALUES (4, 1, 40); " +
+          "INSERT INTO ks.a (pk, ck, qty) VALUES (5, 1, 50); " +
+          "SYNTAX ERROR HERE")
+      } finally System.setErr(savedErr)
+      assert(e2.getMessage.contains("unsupported CQL statement"))
+      assert(errBuf.toString.contains("flush failed"),
+        s"expected the flush warning on stderr, got: $errBuf")
+      assert(liveRows("a") === Set((1L, 10L), (3L, 30L), (5L, 50L)))
+      // b: the 20/40 cells were lost WITH an error each time — never
+      // silently (propagated in the first script, warned in the second)
+      assert(liveRows("b") === Set.empty)
+      // clean writer again: everything flows
+      Cql.failFlushOf = _ => false
+      script("INSERT INTO ks.b (pk, ck, qty) VALUES (6, 1, 60)")
+      assert(liveRows("b") === Set((6L, 60L)))
+    } finally {
+      Cql.failFlushOf = _ => false
+      spark.conf.unset("spark.sql.catalog.ffcat")
+    }
   }
 
   test("collection 2i: values(m)/keys(m) serve CONTAINS without ALLOW FILTERING (C64c)") {
