@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, ShingleGenerator, UdtPack, UdtUnpack}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, Prefix64, ShingleGenerator, UdtPack, UdtUnpack}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -57,6 +57,9 @@ object GraftExtensions {
     ("graft_udt_unpack",
       new ExpressionInfo(classOf[UdtUnpack].getName, "graft_udt_unpack"),
       (args: Seq[Expression]) => UdtUnpack(args(0), args(1))),
+    ("graft_prefix64",
+      new ExpressionInfo(classOf[Prefix64].getName, "graft_prefix64"),
+      (args: Seq[Expression]) => Prefix64(args.head)),
     ("graft_collect_set_bounded",
       new ExpressionInfo(classOf[BoundedCollectSet].getName,
         "graft_collect_set_bounded"),

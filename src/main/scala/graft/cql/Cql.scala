@@ -179,7 +179,7 @@ object Cql {
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
-      """(?:(values|keys)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
+      """(?:(values|keys|prefix)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   private val CreateMvRe =
@@ -201,6 +201,11 @@ object Cql {
       """(\w+)\.(\w+)\s*\((.+)\)\s*;?\s*$""").r
   private val DropTypeRe =
     """(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val AlterTypeAddRe =
+    """(?is)^\s*ALTER\s+TYPE\s+(\w+)\.(\w+)\s+ADD\s+(\w+)\s+(\w+)\s*;?\s*$""".r
+  private val AlterTypeRenameRe =
+    ("""(?is)^\s*ALTER\s+TYPE\s+(\w+)\.(\w+)\s+RENAME\s+(\w+)\s+""" +
+      """TO\s+(\w+)\s*;?\s*$""").r
 
   // the target-cell group admits `col`, `m['key']`, and (for
   // unfrozen UDT columns, C59d) `col.field` — the arm validates
@@ -1248,6 +1253,41 @@ object Cql {
     scala.jdk.CollectionConverters.PropertiesHasAsScala(p).asScala.toMap
   }
 
+  /** Table dirs in `ks` whose `udtName` property references `name` —
+    * ALTER/DROP TYPE's reference scan (one `_props` read per table in
+    * the keyspace, catalog-sized).
+    */
+  private def typeUsers(root: String, ks: String,
+      name: String): Seq[String] = {
+    val ksDir = java.nio.file.Paths.get(root, ks)
+    if (!java.nio.file.Files.isDirectory(ksDir)) return Seq.empty
+    val s = java.nio.file.Files.list(ksDir)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator)
+      .asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.toString)
+      .filter(d => tableProps(d).get("udtName").contains(name))
+      .toSeq
+    finally s.close()
+  }
+
+  /** Rewrite ONE key of a table's `_props` — ALTER TYPE propagates
+    * the evolved layout to every referencing table, as Cassandra
+    * pushes type changes into table metadata.
+    */
+  private def updateTableProp(dir: String, key: String,
+      value: String): Unit = {
+    val f = java.nio.file.Paths.get(dir).resolve("_props")
+    val p = new java.util.Properties()
+    if (java.nio.file.Files.exists(f)) {
+      val r = java.nio.file.Files.newBufferedReader(f)
+      try p.load(r) finally r.close()
+    }
+    p.setProperty(key, value)
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    try p.store(w, null) finally w.close()
+  }
+
   private def writeUdts(root: String, ks: String,
       types: Map[String, String]): Unit = {
     val f = udtTypesPath(root, ks)
@@ -1356,6 +1396,63 @@ object Cql {
               users.sorted.mkString(", "))
           writeUdts(root, ks, existing - name.toLowerCase)
         }
+        spark.emptyDataFrame
+      case AlterTypeAddRe(ks, name, f, t) =>
+        // ALTER TYPE ADD appends at the END of the layout — the C59
+        // wire format's evolution rule: pre-evolution blobs unpack
+        // the new trailing field as null (frozen whole-value blobs
+        // AND C59d single-field cells alike), so no data rewrite is
+        // needed, exactly as in Cassandra. The evolved layout
+        // propagates to every referencing table's `_props` and to
+        // system_schema.types/DESCRIBE (both read the registry).
+        val existing = udtLayouts(root, ks)
+        val layout = existing.getOrElse(name.toLowerCase,
+          fail(s"type $ks.$name does not exist"))
+        val lt = t.toLowerCase match {
+          case "text" | "varchar" | "ascii" => "string"
+          case "bigint" | "int" | "double" => t.toLowerCase
+          case o => fail(s"unsupported UDT field type: $o " +
+            "(text/bigint/int/double in this subset)")
+        }
+        val fn = f.toLowerCase
+        if (graft.functions.UdtValues.fields(layout).contains(fn))
+          fail(s"field $fn already exists in $ks.$name")
+        val grown = s"$layout,$fn $lt"
+        writeUdts(root, ks, existing + (name.toLowerCase -> grown))
+        typeUsers(root, ks, name.toLowerCase)
+          .foreach(updateTableProp(_, "udtLayout", grown))
+        spark.emptyDataFrame
+      case AlterTypeRenameRe(ks, name, from, to) =>
+        val existing = udtLayouts(root, ks)
+        val layout = existing.getOrElse(name.toLowerCase,
+          fail(s"type $ks.$name does not exist"))
+        val (fn, tn) = (from.toLowerCase, to.toLowerCase)
+        val fields = graft.functions.UdtValues.fields(layout)
+        if (!fields.contains(fn))
+          fail(s"unknown UDT field $fn of $ks.$name (declared: " +
+            fields.mkString(", ") + ")")
+        if (fields.contains(tn))
+          fail(s"field $tn already exists in $ks.$name")
+        val users = typeUsers(root, ks, name.toLowerCase)
+        // frozen blobs pack fields POSITIONALLY — a rename is
+        // metadata-only for them — but a NON-frozen column names its
+        // cells `<col>.<field>`: renaming would orphan every stored
+        // field cell, so it refuses while such a table references
+        // the type (drop-and-recreate territory in this subset)
+        val unfrozenUsers = users.filter(d =>
+          tableProps(d).get("udtUnfrozen").contains("true"))
+        if (unfrozenUsers.nonEmpty)
+          fail(s"cannot rename a field of $ks.$name: non-frozen UDT " +
+            "columns store per-field cells under the field name " +
+            "(used by: " + unfrozenUsers.map(p =>
+              java.nio.file.Paths.get(p).getFileName.toString)
+              .sorted.mkString(", ") + ")")
+        val renamed = layout.split(',').map(_.trim).map { fd =>
+          val Array(n, ft) = fd.split("\\s+", 2)
+          if (n == fn) s"$tn $ft" else fd
+        }.mkString(",")
+        writeUdts(root, ks, existing + (name.toLowerCase -> renamed))
+        users.foreach(updateTableProp(_, "udtLayout", renamed))
         spark.emptyDataFrame
       case CreateTableRe(ifNot, ks, t, colSpec, withOpts) =>
         val cc = parseCreateColumns(colSpec,
@@ -1622,14 +1719,20 @@ object Cql {
         // the element value is what a plain index stores; `keys(m)`
         // indexes the cell's COL NAME (map-entry keys ARE col names
         // in the C12 row-is-the-map encoding) for CONTAINS KEY.
+        // `prefix(c)` (C18i): SASI-PREFIX-mode index — entries keyed
+        // by the text value's order-preserving 64-bit code, so
+        // `LIKE 'p%'` serves as one pruned pk range over the index
         val colName = Option(fnOpt).map(_.toLowerCase) match {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
+          case Some("prefix") => s"prefix(${fnCol.toLowerCase})"
           case Some(_) => fnCol.toLowerCase // values(m) == plain m
           case None => plainCol.toLowerCase
         }
         val idxName = Option(nameOpt).map(_.trim).filter(_.nonEmpty)
           .getOrElse(Option(fnOpt).map(_.toLowerCase) match {
             case Some("keys") => s"${t}_${fnCol.toLowerCase}_keys_idx"
+            case Some("prefix") =>
+              s"${t}_${fnCol.toLowerCase}_prefix_idx"
             case Some(_) => s"${t}_${fnCol.toLowerCase}_idx"
             case None => s"${t}_${plainCol.toLowerCase}_idx"
           })
@@ -2079,6 +2182,9 @@ object Cql {
   private val PredRe =
     """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
+  /** `col LIKE '<pattern>'` (C18i — served by a prefix index only). */
+  private val LikeRe =
+    """(?is)^\s*(\w+)\s+LIKE\s+('(?:[^']|'')*')\s*$""".r
   private val ContainsRe =
     """(?is)^\s*(\w+)\s+CONTAINS\s+(KEY\s+)?(.+?)\s*$""".r
 
@@ -2232,6 +2338,10 @@ object Cql {
       graft.sources.CellIndex.registered(dir)
         .find(i => graft.sources.CellIndex.columnOf(i).contains(c) &&
           graft.sources.CellIndex.servesRanges(i))
+    // `col LIKE 'p%'` probes served by a prefix(<col>) index (C18i —
+    // SASI PREFIX mode): (column, prefix, index dir)
+    val idxLikes = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
     // CONTAINS / CONTAINS KEY residual predicates (collections are
     // element-per-cell, C11b: an element IS a (col, value) cell, a
     // map entry's key IS its col name — so containment is a cell
@@ -2308,6 +2418,34 @@ object Cql {
           containsPreds += (col("col") === cl &&
             col("value") === lit(blob))
         false
+      case LikeRe(c, q)
+          if !keyCols.contains(c.toLowerCase) &&
+            !modelCols.contains(c.toLowerCase) =>
+        // LIKE serves ONLY from a SASI-style prefix index (C18i) —
+        // Cassandra's rule: LIKE needs a properly indexed column,
+        // and ALLOW FILTERING does not unlock it
+        val cl = c.toLowerCase
+        val pat = literal(q) match {
+          case s: String => s
+          case o => fail(s"LIKE takes a text pattern, got: $o")
+        }
+        if (!pat.endsWith("%") ||
+            pat.dropRight(1).exists(ch => ch == '%' || ch == '_'))
+          fail("only prefix patterns are supported: LIKE " +
+            "'<literal>%' (SASI PREFIX mode)")
+        val prefix = pat.dropRight(1)
+        if (prefix.isEmpty)
+          fail("LIKE '%' matches every row — scan without the " +
+            "predicate instead")
+        val idx = graft.sources.CellIndex.registered(dir).find(i =>
+          graft.sources.CellIndex.columnOf(i)
+            .contains(s"prefix($cl)"))
+          .getOrElse(fail(s"$cl LIKE needs a prefix index (CREATE " +
+            s"INDEX ... ON <table> (prefix($cl))) — hash-keyed " +
+            "indexes scatter adjacent values and cannot serve " +
+            "prefixes (SASI's order-preserving PREFIX mode)"))
+        idxLikes += ((cl, prefix, idx))
+        false
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
@@ -2328,7 +2466,8 @@ object Cql {
     // silently return wrong rows vs CQL (which filters first), so the
     // combination refuses. Key predicates commute with the early-out.
     if (ppl.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
-        idxKeyPreds.nonEmpty || containsPreds.nonEmpty ||
+        idxLikes.nonEmpty || idxKeyPreds.nonEmpty ||
+        containsPreds.nonEmpty ||
         preds.exists { case (c, _) => !keyCols.contains(c) }))
       fail("PER PARTITION LIMIT cannot combine with non-key " +
         "predicates (the limit counts rows before the filter)")
@@ -2407,7 +2546,7 @@ object Cql {
     // with its own resume rules; Cassandra's paging state is likewise
     // bound to the statement shape that produced it).
     if (page.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
-        idxKeyPreds.nonEmpty))
+        idxLikes.nonEmpty || idxKeyPreds.nonEmpty))
       fail("PAGE AFTER cannot combine with an indexed predicate")
     if (page.isDefined && hasTok)
       fail("PAGE AFTER cannot combine with token() ranges (the " +
@@ -2419,7 +2558,7 @@ object Cql {
         // the base cells — Cassandra's own index-then-fetch-then-
         // filter contract (index false positives drop here).
         if (idxPreds.length > 1 || idxRanges.nonEmpty ||
-            idxKeyPreds.nonEmpty)
+            idxLikes.nonEmpty || idxKeyPreds.nonEmpty)
           fail("one indexed data predicate per statement")
         val (ic, iv) = idxPreds.head
         if (hasTok)
@@ -2441,7 +2580,8 @@ object Cql {
         // contract as the values route (refresh-epoch false positives
         // drop on the re-read). The result relation surfaces the
         // matching ENTRY cells, as the ALLOW FILTERING form does.
-        if (idxKeyPreds.length > 1 || idxRanges.nonEmpty)
+        if (idxKeyPreds.length > 1 || idxRanges.nonEmpty ||
+            idxLikes.nonEmpty)
           fail("one indexed data predicate per statement")
         val (mc, k) = idxKeyPreds.head
         if (hasTok)
@@ -2463,7 +2603,7 @@ object Cql {
         // (refresh-epoch false positives drop), Cassandra's
         // index-then-fetch-then-filter, SASI sparse mode.
         val rangeCols = idxRanges.map(_._1).distinct
-        if (rangeCols.length > 1)
+        if (rangeCols.length > 1 || idxLikes.nonEmpty)
           fail("one indexed data column per statement")
         val ic = rangeCols.head
         if (hasTok)
@@ -2489,6 +2629,25 @@ object Cql {
             rangeIndexOf(ic).get, lo, hi)
           .filter(col("col") === ic &&
             col("value") >= lo && col("value") <= hi)
+      } else if (idxLikes.nonEmpty) {
+        // Indexed PREFIX read (C18i through the front door): the
+        // pattern's prefix becomes ONE closed pk range over the
+        // order-preserving prefix index — the exact C18e plan shape,
+        // Summary-pruned — then the hit set composes into the base
+        // read and the LIKE predicate re-applies on the base cells
+        // (8-byte key collisions and refresh-epoch false positives
+        // drop), SASI's index-then-fetch-then-filter in PREFIX mode.
+        if (idxLikes.length > 1)
+          fail("one indexed data predicate per statement")
+        val (lc, prefix, idxDir) = idxLikes.head
+        if (hasTok)
+          fail("token ranges cannot combine with an indexed predicate")
+        if (fnNarrows || hasTokSel)
+          fail("WRITETIME/TTL/token() projections cannot combine " +
+            "with an indexed predicate")
+        graft.sources.CellIndex.lookupBasePrefix(spark, dir, idxDir,
+            prefix)
+          .filter(col("col") === lc && col("value").startsWith(prefix))
       } else {
         // a MATERIALIZED VIEW directory heals before serving — a
         // stale view (out-of-band base flush that bypassed the

@@ -2018,6 +2018,101 @@ object Cells {
       |  ('ks', 'pair', 'a,b', 'int,double')) AS v(ks, n, f, t)
       |ORDER BY type_name""".stripMargin
 
+  // C67e — ALTER TYPE ADD/RENAME FIELD (r14): layout evolution
+  // through the front door. Write-old → ADD → read-both (the
+  // pre-evolution rows unpack the added trailing field as null —
+  // frozen whole-value blobs and unfrozen single-field cells alike,
+  // the C59 wire format's evolution rule) → write-new; then RENAME
+  // against the frozen table (blobs are positional — the rename is
+  // metadata-only, old data serves under the new name with no
+  // rewrite). Re-runnable: the lifecycle drops and recreates its
+  // types each pass.
+  private def alterTypeLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_udtev"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udtev-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("DROP TABLE IF EXISTS ks.evf")
+    cq("DROP TABLE IF EXISTS ks.evn")
+    cq("DROP TYPE IF EXISTS ks.ev")
+    cq("DROP TYPE IF EXISTS ks.evu")
+    cq("CREATE TYPE ks.ev (q bigint)")
+    cq("CREATE TYPE ks.evu (q bigint)")
+    cq("CREATE TABLE ks.evf (pk bigint, ck int, col text, " +
+      "value frozen<ev>, wt bigint)")
+    cq("CREATE TABLE ks.evn (pk bigint, ck int, col text, " +
+      "value evu, wt bigint)")
+    cq("INSERT INTO ks.evf (pk, ck, v) VALUES (1, 1, {q: 5})")
+    cq("INSERT INTO ks.evn (pk, ck, v) VALUES (1, 1, {q: 7})")
+    cq("ALTER TYPE ks.ev ADD t text")
+    cq("ALTER TYPE ks.evu ADD t text")
+    cq("INSERT INTO ks.evf (pk, ck, v) VALUES (2, 1, {q: 6, t: 'x'})")
+    cq("UPDATE ks.evn SET v.t = 'y' WHERE pk = 1 AND ck = 1")
+    // frozen-only reference: the rename is pure metadata
+    cq("ALTER TYPE ks.ev RENAME q TO amount")
+    val fz = cq("SELECT pk, v.amount AS q, v.t AS tag FROM ks.evf")
+      .withColumn("tbl", lit("fz"))
+    val nf = cq("SELECT pk, v.q AS q, v.t AS tag FROM ks.evn")
+      .withColumn("tbl", lit("nf"))
+    fz.unionAll(nf).select(col("tbl"), col("pk"), col("q"), col("tag"))
+      .orderBy(col("tbl"), col("pk"))
+  }
+
+  private val alterTypeSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, CAST(q AS BIGINT) AS q,
+      |  tag
+      |FROM (VALUES ('fz', 1, 5, NULL), ('fz', 2, 6, 'x'),
+      |  ('nf', 1, 7, 'y')) AS t(tbl, pk, q, tag)
+      |ORDER BY tbl, pk""".stripMargin
+
+  // C18i — SASI prefix LIKE (r14): an ORDER-PRESERVING text index
+  // (entries keyed by the value's first-8-byte code with identity
+  // tokens) serves `WHERE word LIKE 'p%'` as ONE Summary-pruned pk
+  // range over the index — the C18e sparse-numeric plan shape, in
+  // SASI PREFIX mode — then the LIKE predicate re-applies on the
+  // fetched base rows (8-byte collisions drop). Hash-keyed text
+  // indexes keep refusing LIKE. Re-runnable: drops and recreates its
+  // index and base each pass.
+  private def prefixLike(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_pfx"
+    val rootKey = s"spark.sql.catalog.$cat.root"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(rootKey,
+        java.nio.file.Files.createTempDirectory("cql-pfx-q").toString)
+    }
+    val root = s.conf.get(rootKey)
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("DROP INDEX IF EXISTS ks.wp_word_prefix_idx")
+    cq("DROP TABLE IF EXISTS ks.wp")
+    cq("CREATE TABLE ks.wp (pk bigint, ck int, col text, " +
+      "value text, wt bigint)")
+    import s.implicits._
+    Seq((1L, "cat"), (2L, "car"), (3L, "cart"), (4L, "dog"),
+      (5L, "ca"), (6L, "carbonated"))
+      .map { case (pk, w) => (pk, 1, "word", w, 100L) }
+      .toDF("pk", "ck", "col", "value", "wt").coalesce(1)
+      .write.format("graft.sources.CellSource")
+      .option("valueType", "string").mode("append")
+      .save(s"$root/ks/wp")
+    cq("CREATE INDEX ON ks.wp (prefix(word))")
+    cq("SELECT pk, ck, value FROM ks.wp WHERE word LIKE 'car%' " +
+      "ORDER BY pk, ck")
+  }
+
+  private val prefixLikeSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  w AS value
+      |FROM (VALUES (2, 1, 'car'), (3, 1, 'cart'),
+      |  (6, 1, 'carbonated')) AS t(pk, ck, w)
+      |ORDER BY pk, ck""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2391,6 +2486,8 @@ object Cells {
     GQuery("C59d_unfrozen_udt", unfrozenUdtLifecycle,
       Some(unfrozenUdtSql)),
     GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
+    GQuery("C67e_alter_type", alterTypeLifecycle, Some(alterTypeSql)),
+    GQuery("C18i_prefix_like", prefixLike, Some(prefixLikeSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

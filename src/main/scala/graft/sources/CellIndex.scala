@@ -328,6 +328,17 @@ object CellIndex {
     */
   private val KeysIdxRe = """^keys\((\w+)\)$""".r
 
+  /** A `prefix(<col>)` index target (C18i, SASI PREFIX mode): the
+    * entry key is the cell value's ORDER-PRESERVING 64-bit code
+    * ([[graft.functions.PrefixCodec]]) — a long, so the index table
+    * takes the default identity-token layout and a text prefix
+    * serves as one Summary-pruned pk RANGE over it, the same plan
+    * shape as the C18e numeric sparse range. Strings sharing their
+    * first 8 bytes collide into one key — bounded false positives
+    * the base re-read's LIKE re-check drops.
+    */
+  private val PrefixIdxRe = """^prefix\((\w+)\)$""".r
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey): Unit = {
@@ -338,6 +349,16 @@ object CellIndex {
         (base.filter(!col("col").startsWith("!")), col("col"),
           org.apache.spark.sql.types.StringType:
             org.apache.spark.sql.types.DataType)
+      case PrefixIdxRe(c) =>
+        require(base.schema("value").dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"prefix($c) indexes a TEXT-valued table (SASI PREFIX " +
+            "mode); this base stores " +
+            base.schema("value").dataType.simpleString)
+        graft.GraftExtensions.register(base.sparkSession)
+        (base.filter(col("col") === c),
+          org.apache.spark.sql.functions.expr("graft_prefix64(value)"),
+          LongType: org.apache.spark.sql.types.DataType)
       case _ =>
         (base.filter(col("col") === column), col("value"),
           base.schema("value").dataType)
@@ -493,6 +514,24 @@ object CellIndex {
       onStale: String = "refresh"): DataFrame = {
     val hits = lookupPksRange(spark, idxDir, lo, hi, onStale)
     composeBase(spark, dir, hits, multigetMax)
+  }
+
+  /** C18i — SASI-PREFIX probe composed into the base read: base rows
+    * whose indexed TEXT value starts with `prefix`, served as ONE
+    * closed pk range over the order-preserving prefix index (the
+    * prefix's [[graft.functions.PrefixCodec]] bounds) — the exact
+    * [[lookupBaseRange]] machinery, Summary-pruned the same way. The
+    * caller re-applies the LIKE predicate on the base rows (8-byte
+    * key collisions and refresh-epoch entries drop there).
+    */
+  def lookupBasePrefix(spark: SparkSession, dir: String,
+      idxDir: String, prefix: String, multigetMax: Int = 128,
+      onStale: String = "refresh"): DataFrame = {
+    val b = org.apache.spark.unsafe.types.UTF8String
+      .fromString(prefix).getBytes
+    lookupBaseRange(spark, dir, idxDir,
+      graft.functions.PrefixCodec.lowBound(b),
+      graft.functions.PrefixCodec.highBound(b), multigetMax, onStale)
   }
 
   /** Hit-set → base-read composition shared by the equality and range

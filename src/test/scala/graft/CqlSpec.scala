@@ -3629,6 +3629,76 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("SASI prefix LIKE: order-preserving text index (C18i)") {
+    val root = Files.createTempDirectory("cql-pfx").toString
+    spark.conf.set("spark.sql.catalog.pfxcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.pfxcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "pfxcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.words (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      def put(rows: (Long, String)*): Unit =
+        rows.toSeq.map { case (pk, w) => (pk, 1, "word", w, 100L) }
+          .toDF("pk", "ck", "col", "value", "wt").coalesce(1)
+          .write.format("graft.sources.CellSource")
+          .option("valueType", "string").mode("append")
+          .save(s"$root/ks/words")
+      put((1L, "cat"), (2L, "car"), (3L, "cart"), (4L, "dog"),
+        (5L, "ca"), (6L, "carbonated"))
+      // no index: LIKE refuses — Cassandra's rule, ALLOW FILTERING
+      // does not unlock it
+      refuse("SELECT pk FROM ks.words WHERE word LIKE 'ca%'",
+        "needs a prefix index")
+      refuse("SELECT pk FROM ks.words WHERE word LIKE 'ca%' " +
+        "ALLOW FILTERING", "needs a prefix index")
+      cq("CREATE INDEX ON ks.words (prefix(word))")
+      def hits(pat: String): Set[Long] =
+        cq(s"SELECT pk FROM ks.words WHERE word LIKE '$pat'")
+          .as[Long].collect().toSet
+      assert(hits("car%") === Set(2L, 3L, 6L))
+      assert(hits("ca%") === Set(1L, 2L, 3L, 5L, 6L))
+      assert(hits("cat%") === Set(1L))
+      // prefix longer than the 8-byte key: superset range + re-filter
+      assert(hits("carbonate%") === Set(6L))
+      assert(hits("zz%") === Set.empty)
+      // freshness: a post-build flush heals on the next probe
+      put((7L, "cab"))
+      assert(hits("ca%") === Set(1L, 2L, 3L, 5L, 6L, 7L))
+      // the probe is a Summary-PRUNED pk range over the index files,
+      // never an index scan (the C18e plan shape)
+      val idxDir = s"$root/ks/words_word_prefix_idx"
+      val b = "car".getBytes("UTF-8")
+      val probe = graft.sources.CellIndex.lookupPksRange(spark, idxDir,
+        graft.functions.PrefixCodec.lowBound(b),
+        graft.functions.PrefixCodec.highBound(b))
+      assert(probe.queryExecution.executedPlan.toString
+        .contains("pkRange="))
+      // only SASI PREFIX-mode patterns serve
+      refuse("SELECT pk FROM ks.words WHERE word LIKE '%car'",
+        "only prefix patterns")
+      refuse("SELECT pk FROM ks.words WHERE word LIKE 'c_r%'",
+        "only prefix patterns")
+      refuse("SELECT pk FROM ks.words WHERE word LIKE '%'",
+        "matches every row")
+      // the codec really is order-preserving, and the registered SQL
+      // expression computes the same code the index build wrote
+      val ws = Seq("", "a", "ab", "abc", "abcdefgh", "abcdefghz",
+        "b", "zz")
+      val codes = ws.map(w =>
+        graft.functions.PrefixCodec.lowBound(w.getBytes("UTF-8")))
+      assert(codes === codes.sorted)
+      graft.GraftExtensions.register(spark)
+      assert(spark.range(1).selectExpr("graft_prefix64('abc')")
+        .as[Long].collect().head ===
+        graft.functions.PrefixCodec.lowBound("abc".getBytes("UTF-8")))
+    } finally spark.conf.unset("spark.sql.catalog.pfxcat")
+  }
+
   test("collection 2i: values(m)/keys(m) serve CONTAINS without ALLOW FILTERING (C64c)") {
     val root = Files.createTempDirectory("cql-c2i").toString
     spark.conf.set("spark.sql.catalog.c2icat", "graft.sources.CellCatalog")
@@ -3932,6 +4002,64 @@ class CqlSpec extends GraftSpec {
       }
       assert(e.getMessage.contains("does not exist"), e.getMessage)
     } finally spark.conf.unset("spark.sql.catalog.udtm")
+  }
+
+  test("ALTER TYPE ADD/RENAME FIELD: layout evolution front door (C67e)") {
+    val root = Files.createTempDirectory("cql-udtev").toString
+    spark.conf.set("spark.sql.catalog.udtev", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtev.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtev")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint)")
+      cq("CREATE TABLE ks.fz (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint)")
+      cq("CREATE TABLE ks.nf (pk bigint, ck int, col text, " +
+        "value item, wt bigint)")
+      // write-old: rows packed under the one-field layout
+      cq("INSERT INTO ks.fz (pk, ck, v) VALUES (1, 1, {q: 5})")
+      cq("INSERT INTO ks.nf (pk, ck, v) VALUES (1, 1, {q: 7})")
+      cq("ALTER TYPE ks.item ADD t text")
+      // read-both: pre-evolution data unpacks the new field as null
+      // — frozen whole-value blobs AND unfrozen single-field cells
+      def qt(table: String): Seq[(Option[Long], Option[String])] =
+        cq(s"SELECT v.q AS q, v.t AS t FROM ks.$table").collect()
+          .toSeq.map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+            Option(r.get(1)).map(_.toString)))
+      assert(qt("fz") === Seq((Some(5L), None)))
+      assert(qt("nf") === Seq((Some(7L), None)))
+      // write-new: the evolved layout serves new whole values and
+      // per-field patches of the ADDED field on pre-evolution rows
+      cq("INSERT INTO ks.fz (pk, ck, v) VALUES (2, 1, {q: 6, t: 'x'})")
+      cq("UPDATE ks.nf SET v.t = 'y' WHERE pk = 1 AND ck = 1")
+      assert(qt("fz").toSet === Set((Some(5L), None),
+        (Some(6L), Some("x"))))
+      assert(qt("nf") === Seq((Some(7L), Some("y"))))
+      // the registry surfaces the evolution (C67d reads it)
+      assert(cq("DESCRIBE TYPE ks.item").as[String].collect().head ===
+        "CREATE TYPE ks.item (q bigint, t text)")
+      // RENAME: refused while a NON-frozen table references the type
+      // (its field cells are named by field), metadata-only otherwise
+      refuse("ALTER TYPE ks.item RENAME q TO amount", "per-field cells")
+      cq("DROP TABLE ks.nf")
+      cq("ALTER TYPE ks.item RENAME q TO amount")
+      assert(cq("DESCRIBE TYPE ks.item").as[String].collect().head ===
+        "CREATE TYPE ks.item (amount bigint, t text)")
+      // frozen blobs are positional: old data serves under the new
+      // field name with no rewrite
+      assert(cq("SELECT v.amount AS a FROM ks.fz WHERE pk = 1")
+        .as[Long].collect().toSeq === Seq(5L))
+      // refusal arms
+      refuse("ALTER TYPE ks.nope ADD x int", "does not exist")
+      refuse("ALTER TYPE ks.item ADD amount int", "already exists")
+      refuse("ALTER TYPE ks.item ADD b blob", "unsupported UDT field")
+      refuse("ALTER TYPE ks.item RENAME zz TO aa", "unknown UDT field")
+      refuse("ALTER TYPE ks.item RENAME t TO amount", "already exists")
+    } finally spark.conf.unset("spark.sql.catalog.udtev")
   }
 
   test("typed-layout frozen<udt>: lifecycle over named key parts (C59c)") {
