@@ -442,6 +442,9 @@ object Cql {
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       refuseUdt(dir, "INSERT JSON")
+      if (isStringValued(dir))
+        fail("INSERT JSON binds bigint data cells — text-valued " +
+          "tables are outside this subset")
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       val ttlOpt = effectiveTtl(dir, None) // table default, if any
@@ -501,7 +504,11 @@ object Cql {
             insertUdtTypedRows(spec, cols, vals, wt, layout), ttlOpt,
             org.apache.spark.sql.types.BinaryType)
         case None if spec.isDefault =>
-          appendCells(spark, dir,
+          if (isStringValued(dir))
+            appendStringCells(spark, dir, insertStringCells(cols,
+              vals, wt, graft.sources.CellSource.staticCols(dir)),
+              ttlOpt)
+          else appendCells(spark, dir,
             insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
         case None =>
           insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
@@ -540,8 +547,15 @@ object Cql {
             udtLayoutOf(dir).get), ttlOpt,
           org.apache.spark.sql.types.BinaryType)
       } else if (spec.isDefault) {
-        if (hasCollectionSyntax(sets))
+        if (hasCollectionSyntax(sets)) {
+          if (isStringValued(dir))
+            fail("collection writes on a text-valued table are " +
+              "outside this subset (element cells are bigint-valued)")
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
+        } else if (isStringValued(dir))
+          appendStringCells(spark, dir, updateStringCells(sets,
+            where, wt, graft.sources.CellSource.staticCols(dir)),
+            ttlOpt)
         else appendCells(spark, dir,
           updateCells(sets, where, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
       } else if (hasCollectionSyntax(sets))
@@ -627,9 +641,17 @@ object Cql {
           deleteTypedRows(spec, Option(colOpt), where, dts)
             .map(r => r.updated(r.length - 2, Array.empty[Byte]: Any)),
           ttl = None, org.apache.spark.sql.types.BinaryType)
-      else if (spec.isDefault)
-        appendCells(spark, dir,
-          deleteMarkers(Option(colOpt), where, dts, graft.sources.CellSource.staticCols(dir)))
+      else if (spec.isDefault) {
+        val markers = deleteMarkers(Option(colOpt), where, dts,
+          graft.sources.CellSource.staticCols(dir))
+        if (isStringValued(dir))
+          // text-valued tombstones carry the EMPTY STRING in the
+          // value slot (the marker col name is the whole message) —
+          // the string twin of the binary tables' empty blob
+          appendStringCells(spark, dir, markers.map {
+            case (pk, ck, c, _, w) => (pk, ck, c, "", w) })
+        else appendCells(spark, dir, markers)
+      }
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
@@ -1078,11 +1100,21 @@ object Cql {
         fail(s"$what in a conditional BATCH cannot carry USING " +
           "TIMESTAMP/TTL (Cassandra refuses custom timestamps on " +
           "conditional batches; TTL is outside this subset)")
+    // layout gate BEFORE any per-statement parse: the default-layout
+    // cell parsers would otherwise reject a typed WHERE with a
+    // misleading keys-only error
+    def resolveDefault(table: String): String = {
+      val dir = resolve(table)
+      if (!graft.sources.CellSource.keySpec(dir).isDefault)
+        fail("conditional BATCH supports the default ((pk), ck) " +
+          "layout only in this subset")
+      dir
+    }
     type Cond = (Int, Option[String], CasCond)
     type Cells = Seq[(Long, Int, String, Long, Long)]
     val parsed: Seq[(String, Seq[Cond], Cells)] = stmts.map {
       case InsertIfNotExistsRe(table, cols, vals) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
         val cells = insertCells(cols, vals, AssignLater)
@@ -1090,7 +1122,7 @@ object Cql {
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Absent: CasCond)), cells)
       case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
           fail("collection updates are not supported inside BATCH " +
@@ -1101,7 +1133,7 @@ object Cql {
           CasCond.Equals(longLiteral(ifVal, "IF condition")): CasCond)),
           cells)
       case UpdateIfExistsRe(table, sets, where) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
           fail("collection updates are not supported inside BATCH " +
@@ -1111,7 +1143,7 @@ object Cql {
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Present: CasCond)), cells)
       case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         val (pks, ckEq, _, _) = keyPredicate(where)
         if (pks.size != 1)
@@ -1129,13 +1161,13 @@ object Cql {
         }
         (dir, Seq(cond), Seq((pks.head, ck, writeCol, 0L, AssignLater)))
       case InsertRe(table, cols, vals, usingClause) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         noUsing(usingClause, "INSERT")
         refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
         (dir, Seq.empty, insertCells(cols, vals, AssignLater))
       case UpdateRe(table, usingClause, sets, where) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         noUsing(usingClause, "UPDATE")
         if (hasCollectionSyntax(sets))
@@ -1144,7 +1176,7 @@ object Cql {
         refuseStaticLwt(dir, setColNames(sets))
         (dir, Seq.empty, updateCells(sets, where, AssignLater))
       case DeleteRe(colOpt, table, usingTs, where) =>
-        val dir = resolve(table)
+        val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (usingTs != null) noUsing(usingTs, "DELETE")
         (dir, Seq.empty,
@@ -3065,6 +3097,19 @@ object Cql {
     def maxWt: Long = rows.iterator.map(_._5).max
     def isEmpty: Boolean = rows.isEmpty
   }
+  private type StrRow = (Long, Int, String, String, Long, Option[Long])
+  /** String-valued twin of [[BufDefault]] (C65o, r14): TEXT-valued
+    * default-layout tables write text cells through the same
+    * buffered commit path — the value slot is the string itself
+    * (byte-ordered LWW tie-break, UTF8Type's compare for the ASCII
+    * range), tombstones carry the empty string.
+    */
+  private final class BufString(
+      val rows: scala.collection.mutable.ArrayBuffer[StrRow])
+      extends Buffered {
+    def maxWt: Long = rows.iterator.map(_._5).max
+    def isEmpty: Boolean = rows.isEmpty
+  }
   private final class BufTyped(val spec: graft.sources.KeySpec,
       val valueType: org.apache.spark.sql.types.DataType,
       val rows: scala.collection.mutable
@@ -3098,6 +3143,7 @@ object Cql {
       b: Buffered): Unit = b match {
     case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
     case bb: BufBinary => writeBinaryCellRows(spark, dir, bb.rows.toSeq)
+    case s: BufString => writeStringCellRows(spark, dir, s.rows.toSeq)
     case t: BufTyped =>
       writeTypedRows(spark, dir, t.spec, t.valueType, t.rows.toSeq)
   }
@@ -3220,6 +3266,42 @@ object Cql {
         case _ => fail(s"layout mix-up buffering binary cells for $dir")
       }
     } else writeBinaryCellRows(spark, dir, buffered)
+  }
+
+  /** String-valued twin of [[appendCells]] (C65o): TEXT-valued
+    * default-layout tables take the same buffered commit path; the
+    * write declares valueType=string so a still-empty dir resolves
+    * to the text schema (headers win once files exist).
+    */
+  private def appendStringCells(spark: SparkSession, dir: String,
+      rows: Seq[(Long, Int, String, String, Long)],
+      ttl: Option[Long] = None): Unit = {
+    if (rows.isEmpty) return
+    val buffered = rows.map { case (pk, ck, c, v, wt) =>
+      (pk, ck, c, v, wt, ttl) }
+    val buf = scriptBuf.get
+    if (buf != null) {
+      buf.getOrElseUpdate(wtKey(dir), new BufString(
+        scala.collection.mutable.ArrayBuffer.empty)) match {
+        case s: BufString => s.rows ++= buffered
+        case _ => fail(s"layout mix-up buffering cells for $dir")
+      }
+    } else writeStringCellRows(spark, dir, buffered)
+  }
+
+  private def writeStringCellRows(spark: SparkSession, dir: String,
+      rows: Seq[StrRow]): Unit = {
+    import spark.implicits._
+    if (rows.isEmpty) return
+    if (rows.forall(_._6.isEmpty))
+      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
+        .toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format(Fmt)
+        .option("valueType", "string").mode("append").save(dir)
+    else
+      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
+        .coalesce(1).write.format(Fmt).option("ttl", "true")
+        .option("valueType", "string").mode("append").save(dir)
   }
 
   private def writeBinaryCellRows(spark: SparkSession, dir: String,
@@ -4038,6 +4120,71 @@ object Cql {
   }
 
   /** Cells an UPDATE contributes (wt = AssignLater defers). */
+  /** True for a TEXT-valued plain table (C65o): text write grammar,
+    * empty-string tombstones. UDT/counter tables route earlier in
+    * every statement arm, so only the plain paths consult this.
+    */
+  private def isStringValued(dir: String): Boolean =
+    graft.sources.CellSource.valueTypeOf(dir) ==
+      org.apache.spark.sql.types.StringType
+
+  private def stringLiteral(raw: String, what: String): String =
+    literal(raw) match {
+      case s: String => s
+      case o => fail(s"$what takes a text literal on a text-valued " +
+        s"table, got: $o")
+    }
+
+  /** TEXT-valued INSERT cells (C65o): [[insertCells]]'s key/static
+    * grammar with text literals in the value slot.
+    */
+  private def insertStringCells(cols: String, vals: String, wt: Long,
+      statics: Set[String])
+      : Seq[(Long, Int, String, String, Long)] = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    val (st, reg) = data.toSeq.partition(statics.contains)
+    lazy val ck =
+      ckLiteral(kv.getOrElse("ck", fail("INSERT must bind ck")))
+    reg.map(c =>
+      (pk, ck, c, stringLiteral(kv(c), s"value of $c"), wt)) ++
+      st.map(c => (pk, Int.MinValue,
+        graft.sources.CellSource.StaticPrefix + c,
+        stringLiteral(kv(c), s"value of $c"), wt))
+  }
+
+  /** TEXT-valued UPDATE cells (C65o): [[updateCells]]'s grammar with
+    * text literals.
+    */
+  private def updateStringCells(sets: String, where: String, wt: Long,
+      statics: Set[String])
+      : Seq[(Long, Int, String, String, Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    lazy val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    for {
+      s <- sets.split(',').toSeq
+      (c, v) = s match {
+        case SetRe(c, v) => (c.toLowerCase,
+          stringLiteral(v, s"value of $c"))
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks.toSeq.sorted
+    } yield
+      if (statics.contains(c))
+        (pk, Int.MinValue,
+          graft.sources.CellSource.StaticPrefix + c, v, wt)
+      else (pk, ck, c, v, wt)
+  }
+
   private def updateCells(sets: String, where: String, wt: Long,
       statics: Set[String] = Set.empty)
       : Seq[(Long, Int, String, Long, Long)] = {

@@ -258,9 +258,16 @@ object Cells {
   // C15 — static columns: per-partition metadata surfaced on every
   // clustering row (CQL `static` semantics).
   private def statics(s: SparkSession, d: String): DataFrame =
+    // the pk % 20 partition filter COMMUTES with per-(pk,ck,col) LWW
+    // and with the per-pk static aggregate (each groups WITHIN one
+    // partition), so it applies at the SOURCE on both branches —
+    // 1/20th of the cells enter the window shuffle instead of all of
+    // them (pre-r14 it ran post-merge, and C15 carried a floor flag
+    // for three straight rounds)
     CM.withStatics(
-      CM.wideView(CM.lwwMerge(CM.cells(s, d))).filter(col("pk") % 20 === 0),
-      CM.staticCells(s, d))
+      CM.wideView(CM.lwwMerge(
+        CM.cells(s, d).filter(col("pk") % 20 === 0))),
+      CM.staticCells(s, d).filter(col("pk") % 20 === 0))
       .select(col("pk"), col("ck"), col("qty"), col("price"),
         col("last_wt"))
       .orderBy(col("pk"), col("ck"))
@@ -1144,33 +1151,33 @@ object Cells {
       s.conf.set(s"spark.sql.catalog.$cat.root",
         java.nio.file.Files.createTempDirectory("cql-udt-q").toString)
     }
-    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
-    cq("CREATE KEYSPACE IF NOT EXISTS ks")
-    cq("CREATE TYPE IF NOT EXISTS ks.item2 (q bigint, t text)")
-    cq("CREATE TABLE IF NOT EXISTS ks.orders2 (pk bigint, ck int, " +
-      "col text, value item2, wt bigint)")
-    cq("TRUNCATE ks.orders2")
-    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (1, 1, " +
-      "{q: 10, t: 'a'})")
-    cq("UPDATE ks.orders2 SET qty.q = 11 WHERE pk = 1 AND ck = 1")
-    // ^ per-field patch: q changes, t stays 'a' (the unfrozen point)
-    cq("UPDATE ks.orders2 SET qty.t = 'z' WHERE pk = 2 AND ck = 1")
-    // ^ a field write alone creates the row (q unset -> null)
-    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (3, 1, " +
-      "{q: 30, t: 'c'})")
-    cq("UPDATE ks.orders2 SET qty = {q: 31} WHERE pk = 3 AND ck = 1")
-    // ^ whole-value overwrite: unset t tombstones the old 'c'
-    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (4, 1, " +
-      "{q: 40, t: 'd'})")
-    cq("DELETE qty.t FROM ks.orders2 WHERE pk = 4 AND ck = 1")
-    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (5, 1, " +
-      "{q: 50, t: 'e'})")
-    cq("DELETE qty FROM ks.orders2 WHERE pk = 5 AND ck = 1")
-    cq("INSERT INTO ks.orders2 (pk, ck, qty) VALUES (6, 1, " +
-      "{q: 60, t: 'f'})")
-    cq("DELETE FROM ks.orders2 WHERE pk = 6 AND ck = 1")
-    cq("SELECT pk, ck, qty.q AS q, qty.t AS tag FROM ks.orders2 " +
-      "ORDER BY pk, ck")
+    // ONE buffered script (the r12 memtable analog — r14: this ran
+    // statement-per-statement and paid one flush file each; buffered,
+    // the 11 writes land as one flush and the floor halves)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TYPE IF NOT EXISTS ks.item2 (q bigint, t text);
+        |CREATE TABLE IF NOT EXISTS ks.orders2 (pk bigint, ck int,
+        |  col text, value item2, wt bigint);
+        |TRUNCATE ks.orders2;
+        |INSERT INTO ks.orders2 (pk, ck, qty) VALUES (1, 1,
+        |  {q: 10, t: 'a'});
+        |UPDATE ks.orders2 SET qty.q = 11 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.orders2 SET qty.t = 'z' WHERE pk = 2 AND ck = 1;
+        |INSERT INTO ks.orders2 (pk, ck, qty) VALUES (3, 1,
+        |  {q: 30, t: 'c'});
+        |UPDATE ks.orders2 SET qty = {q: 31} WHERE pk = 3 AND ck = 1;
+        |INSERT INTO ks.orders2 (pk, ck, qty) VALUES (4, 1,
+        |  {q: 40, t: 'd'});
+        |DELETE qty.t FROM ks.orders2 WHERE pk = 4 AND ck = 1;
+        |INSERT INTO ks.orders2 (pk, ck, qty) VALUES (5, 1,
+        |  {q: 50, t: 'e'});
+        |DELETE qty FROM ks.orders2 WHERE pk = 5 AND ck = 1;
+        |INSERT INTO ks.orders2 (pk, ck, qty) VALUES (6, 1,
+        |  {q: 60, t: 'f'});
+        |DELETE FROM ks.orders2 WHERE pk = 6 AND ck = 1;
+        |SELECT pk, ck, qty.q AS q, qty.t AS tag FROM ks.orders2
+        |  ORDER BY pk, ck""".stripMargin, cat)
   }
 
   private val unfrozenUdtSql =
@@ -2113,6 +2120,43 @@ object Cells {
       |  (6, 1, 'carbonated')) AS t(pk, ck, w)
       |ORDER BY pk, ck""".stripMargin
 
+  // C65o — TEXT-valued tables through the CQL front door (r14):
+  // `value text` tables take INSERT/UPDATE/DELETE with text literals
+  // — text cells through the same buffered commit path, byte-ordered
+  // LWW, empty-string tombstone markers — closing the front door's
+  // bigint-only write gap (reads always served any value type).
+  private def textValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_txt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-txt-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.prof (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |TRUNCATE ks.prof;
+        |INSERT INTO ks.prof (pk, ck, name, city) VALUES (1, 1,
+        |  'alice', 'york');
+        |UPDATE ks.prof SET city = 'leeds' WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.prof (pk, ck, name, city) VALUES (2, 1,
+        |  'bob', 'rome');
+        |DELETE city FROM ks.prof WHERE pk = 2 AND ck = 1;
+        |INSERT INTO ks.prof (pk, ck, name) VALUES (3, 1, 'eve');
+        |DELETE FROM ks.prof WHERE pk = 3 AND ck = 1;
+        |SELECT pk, ck, col, value FROM ks.prof
+        |  ORDER BY pk, ck, col""".stripMargin, cat)
+  }
+
+  private val textValuesSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  col, value
+      |FROM (VALUES (1, 1, 'city', 'leeds'), (1, 1, 'name', 'alice'),
+      |  (2, 1, 'name', 'bob')) AS t(pk, ck, col, value)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2488,6 +2532,8 @@ object Cells {
     GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
     GQuery("C67e_alter_type", alterTypeLifecycle, Some(alterTypeSql)),
     GQuery("C18i_prefix_like", prefixLike, Some(prefixLikeSql)),
+    GQuery("C65o_text_values", textValuesLifecycle,
+      Some(textValuesSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -731,6 +731,26 @@ object CellSource {
   def keySpec(dir: String): KeySpec =
     CellPlanning.keySpecOf(dir, CellPlanning.listFiles(dir))
 
+  /** The table's stored/declared VALUE type: the first file header's
+    * tag once files exist, the catalog's `_type` marker before the
+    * first flush, long otherwise (the default layout's default). The
+    * CQL front door routes its write grammar by it (C65o — text
+    * values write text cells).
+    */
+  def valueTypeOf(dir: String): org.apache.spark.sql.types.DataType = {
+    val norm = CellPlanning.normalize(dir)
+    CellPlanning.listFiles(norm).headOption match {
+      case Some(f) =>
+        val h = readHeader(f)
+        ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale)
+      case None =>
+        val m = java.nio.file.Paths.get(norm).resolve("_type")
+        if (java.nio.file.Files.exists(m))
+          ValueCodec.parseType(java.nio.file.Files.readString(m).trim)
+        else org.apache.spark.sql.types.LongType
+    }
+  }
+
   /** [[fileEstimate]] over every flush file of a table directory. */
   def dirEstimates(dir: String): Seq[(Long, Long, Long, Long, Int)] =
     CellPlanning.listFiles(CellPlanning.normalize(dir))

@@ -3629,6 +3629,75 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("text-valued tables through the CQL front door (C65o)") {
+    val root = Files.createTempDirectory("cql-txt").toString
+    spark.conf.set("spark.sql.catalog.txtcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.txtcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "txtcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.profiles (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      // INSERT/UPDATE write text cells; later statements LWW-shadow
+      cq("INSERT INTO ks.profiles (pk, ck, name, city) VALUES " +
+        "(1, 1, 'alice', 'york')")
+      cq("UPDATE ks.profiles SET city = 'leeds' WHERE pk = 1 AND ck = 1")
+      cq("INSERT INTO ks.profiles (pk, ck, name) VALUES (2, 1, 'bob')")
+      def row(pk: Long, c: String): Option[String] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/profiles")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption.map(_.getString(0))
+      assert(row(1, "name") === Some("alice"))
+      assert(row(1, "city") === Some("leeds")) // LWW shadowed 'york'
+      assert(row(2, "name") === Some("bob"))
+      // cell and row deletes tombstone with empty-string markers
+      cq("DELETE city FROM ks.profiles WHERE pk = 1 AND ck = 1")
+      assert(row(1, "city") === None)
+      assert(row(1, "name") === Some("alice"))
+      cq("DELETE FROM ks.profiles WHERE pk = 2 AND ck = 1")
+      assert(row(2, "name") === None)
+      // a buffered script lands its writes as ONE flush per table
+      def nFiles: Int = new java.io.File(s"$root/ks/profiles")
+        .list().count(_.endsWith(".cells"))
+      val before = nFiles
+      Cql.catalogScript(spark,
+        """INSERT INTO ks.profiles (pk, ck, name) VALUES (3, 1, 'cara');
+          |INSERT INTO ks.profiles (pk, ck, name) VALUES (4, 1, 'dan');
+          |UPDATE ks.profiles SET name = 'carla' WHERE pk = 3 AND ck = 1
+          |""".stripMargin, "txtcat")
+      assert(nFiles === before + 1)
+      assert(row(3, "name") === Some("carla"))
+      assert(row(4, "name") === Some("dan"))
+      // WRITETIME projects; the text 2i serves equality lookups
+      assert(cq("SELECT WRITETIME(name) AS w FROM ks.profiles " +
+        "WHERE pk = 3 AND ck = 1").as[Long].collect().nonEmpty)
+      cq("CREATE INDEX ON ks.profiles (name)")
+      assert(cq("SELECT pk FROM ks.profiles WHERE name = 'carla'")
+        .as[Long].collect().toSeq === Seq(3L))
+      // USING TTL expires text cells like any other layout
+      cq("INSERT INTO ks.profiles (pk, ck, name) VALUES " +
+        "(9, 1, 'ghost') USING TTL 1")
+      val raw = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").option("withTtl", "true")
+        .load(s"$root/ks/profiles").filter(col("pk") === 9L)
+      assert(raw.count() === 1) // written, expiry recorded
+      // refusals: type mismatches and the out-of-subset shapes
+      refuse("INSERT INTO ks.profiles (pk, ck, age) VALUES (5, 1, 30)",
+        "takes a text literal")
+      refuse("UPDATE ks.profiles SET age = 30 WHERE pk = 5 AND ck = 1",
+        "takes a text literal")
+      refuse("UPDATE ks.profiles SET tags = tags + ['a'] " +
+        "WHERE pk = 5 AND ck = 1", "text-valued table")
+      refuse("INSERT INTO ks.profiles JSON " +
+        "'{\"pk\": 5, \"ck\": 1, \"name\": 7}'", "text-valued")
+    } finally spark.conf.unset("spark.sql.catalog.txtcat")
+  }
+
   test("SASI prefix LIKE: order-preserving text index (C18i)") {
     val root = Files.createTempDirectory("cql-pfx").toString
     spark.conf.set("spark.sql.catalog.pfxcat", "graft.sources.CellCatalog")
