@@ -499,10 +499,13 @@ object Cql {
             if (udtUnfrozenOf(dir))
               insertUnfrozenUdtCells(cols, vals, wt, layout)
             else insertUdtCells(cols, vals, wt, layout), ttlOpt)
-        case Some(layout) => // typed layout + frozen value (C59c)
+        case Some(layout) => // typed layout: frozen blobs (C59c) or
+          // unfrozen per-field cells + unset-field markers (C59e)
           typedWrite(spark, dir, spec,
-            insertUdtTypedRows(spec, cols, vals, wt, layout), ttlOpt,
-            org.apache.spark.sql.types.BinaryType)
+            if (udtUnfrozenOf(dir))
+              insertUnfrozenUdtTypedRows(spec, cols, vals, wt, layout)
+            else insertUdtTypedRows(spec, cols, vals, wt, layout),
+            ttlOpt, org.apache.spark.sql.types.BinaryType)
         case None if spec.isDefault =>
           if (isStringValued(dir))
             appendStringCells(spark, dir, insertStringCells(cols,
@@ -543,7 +546,10 @@ object Cql {
             else udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get),
             ttlOpt)
         else typedWrite(spark, dir, spec,
-          updateUdtTypedRows(spec, sets, where, wt,
+          if (udtUnfrozenOf(dir))
+            unfrozenUdtUpdateTypedRows(spec, sets, where, wt,
+              udtLayoutOf(dir).get)
+          else updateUdtTypedRows(spec, sets, where, wt,
             udtLayoutOf(dir).get), ttlOpt,
           org.apache.spark.sql.types.BinaryType)
       } else if (spec.isDefault) {
@@ -570,9 +576,9 @@ object Cql {
       Option(colOpt).collect {
         case UdtFieldDelRe(c, f) => (c.toLowerCase, f.toLowerCase)
       }.foreach { case (c, f) =>
-        if (!(spec.isDefault && udtUnfrozenOf(dir)))
+        if (!udtUnfrozenOf(dir))
           fail(s"DELETE $c.$f needs a non-frozen UDT value column " +
-            "(frozen values delete whole; other layouts have no " +
+            "(frozen values delete whole; plain layouts have no " +
             "field cells)")
         val declared = graft.functions.UdtValues
           .fields(udtLayoutOf(dir).get)
@@ -586,30 +592,7 @@ object Cql {
         // must match the table's value type. Unfrozen columns (C59d)
         // tombstone per FIELD CELL: `DELETE c.f` marks that one
         // field, `DELETE c` expands to every declared field.
-        val unfrozenTargets: Option[Seq[String]] =
-          Option(colOpt).filter(_ => udtUnfrozenOf(dir)).map {
-            case UdtFieldDelRe(c, f) =>
-              Seq(s"${c.toLowerCase}.${f.toLowerCase}")
-            case c if !c.trim.matches("""\w+""") =>
-              // collection/entry targets (m['k'], l[0]) have no field
-              // cells on an unfrozen-UDT table — refuse rather than
-              // mint `!del:m['k'].f` markers that can never shadow a
-              // written cell. Plain identifiers stay dynamic: the
-              // cell model declares no data-column names, and
-              // `SELECT <c>.<f>` reads back exactly the cells any
-              // spelling of <c> wrote, so an unknown-but-well-formed
-              // name shadows-nothing by the same rule as every other
-              // layout's DELETE.
-              fail(s"DELETE ${c.trim} is not a UDT column delete — " +
-                "an unfrozen UDT table takes DELETE <col> or " +
-                "DELETE <col>.<field> (collection/entry deletes " +
-                "need a collection-valued table)")
-            case c =>
-              graft.functions.UdtValues
-                .fields(udtLayoutOf(dir).get)
-                .map(f => s"${c.trim.toLowerCase}.$f")
-          }
-        val markers = unfrozenTargets match {
+        val markers = unfrozenDeleteTargets(dir, Option(colOpt)) match {
           case Some(ts) =>
             val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
             // a field-cell delete addresses exactly one row — a
@@ -634,13 +617,33 @@ object Cql {
         }
         appendBinaryCells(spark, dir, markers)
       }
-      else if (udtLayoutOf(dir).isDefined)
-        // typed frozen<udt> tombstones: same marker rows, empty-blob
-        // value slot (keyVals ++ (col, value, wt) — value is len-2)
-        typedWrite(spark, dir, spec,
-          deleteTypedRows(spec, Option(colOpt), where, dts)
-            .map(r => r.updated(r.length - 2, Array.empty[Byte]: Any)),
-          ttl = None, org.apache.spark.sql.types.BinaryType)
+      else if (udtLayoutOf(dir).isDefined) {
+        // typed udt tombstones: frozen tables reuse the plain typed
+        // marker rows with an empty-blob value slot; unfrozen (C59e)
+        // expands per-FIELD markers over the named key parts, the
+        // typed twin of the default branch above
+        val rows = unfrozenDeleteTargets(dir, Option(colOpt)) match {
+          case Some(ts) =>
+            val (pks, ckOpt, range) = typedKeyPredicate(spec, where,
+              ckPrefix = true)
+            if (range.isDefined)
+              fail(s"DELETE ${ts.head} takes every key part by " +
+                "equality — clustering ranges cannot combine with " +
+                "a field-cell delete")
+            val ck = ckOpt.filter(_.length == spec.ckParts.length)
+              .getOrElse(fail(s"DELETE ${ts.mkString(", ")} needs " +
+                "every clustering part bound by equality"))
+            for { pk <- pks; t <- ts }
+              yield pk ++ ck ++
+                Seq(s"!del:$t", Array.empty[Byte]: Any, dts)
+          case None =>
+            deleteTypedRows(spec, Option(colOpt), where, dts)
+              .map(r =>
+                r.updated(r.length - 2, Array.empty[Byte]: Any))
+        }
+        typedWrite(spark, dir, spec, rows, ttl = None,
+          org.apache.spark.sql.types.BinaryType)
+      }
       else if (spec.isDefault) {
         val markers = deleteMarkers(Option(colOpt), where, dts,
           graft.sources.CellSource.staticCols(dir))
@@ -2158,10 +2161,10 @@ object Cql {
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
-    if (unfrozenOpt.isDefined && !default)
-      fail("non-frozen UDT values are supported on the default " +
-        "((pk), ck) layout only in this subset — typed layouts " +
-        s"take value frozen<${colMap("value")}>")
+    // non-frozen UDT values work on BOTH layouts: the default
+    // ((pk), ck) spec (C59d) and typed/composite named-part specs
+    // (C59e) — field cells are `<col>.<field>` rows of the table's
+    // own key layout either way
     CreateCols(
       if (default) None
       else Some(s"((${pkNames.mkString(",")})" +
@@ -2857,7 +2860,11 @@ object Cql {
           val aggs = declared.map(f =>
             max(when(col("col") === s"$c.$f", col("value")))
               .as(s"_b_$f"))
-          val grouped = cells.groupBy(col("pk"), col("ck"))
+          // group by THIS table's key layout: (pk, ck) on the
+          // default spec, the named parts on a typed one (C59e)
+          val keyParts = (spec.pkParts ++ spec.ckParts).map(_.name)
+          val grouped = cells
+            .groupBy(keyParts.map(col).toIndexedSeq: _*)
             .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
           def fieldOf(f: String): Column =
             expr(s"graft_udt_unpack('$layout', _b_$f)").getField(f)
@@ -3448,6 +3455,124 @@ object Cql {
       expandUnfrozenUdtWrite(pk, ck, c,
         udtEntries(layout, kv(c), c), layout, wt)
     }.toSeq
+  }
+
+  /** DELETE targets of an unfrozen-UDT table, expanded to FIELD-cell
+    * marker suffixes: `c.f` → that one field, a bare column → every
+    * declared field (Cassandra's whole-column delete); None when the
+    * table is not unfrozen or the DELETE has no column target.
+    * Collection/entry targets (m['k'], l[0]) refuse — they have no
+    * field cells to shadow, and minting `!del:m['k'].f` markers
+    * would silently delete nothing. Plain identifiers stay dynamic:
+    * the cell model declares no data-column names, and
+    * `SELECT <c>.<f>` reads back exactly the cells any spelling of
+    * <c> wrote, so an unknown-but-well-formed name shadows-nothing
+    * by the same rule as every other layout's DELETE.
+    */
+  private def unfrozenDeleteTargets(dir: String,
+      colOpt: Option[String]): Option[Seq[String]] =
+    colOpt.filter(_ => udtUnfrozenOf(dir)).map {
+      case UdtFieldDelRe(c, f) =>
+        Seq(s"${c.toLowerCase}.${f.toLowerCase}")
+      case c if !c.trim.matches("""\w+""") =>
+        fail(s"DELETE ${c.trim} is not a UDT column delete — " +
+          "an unfrozen UDT table takes DELETE <col> or " +
+          "DELETE <col>.<field> (collection/entry deletes " +
+          "need a collection-valued table)")
+      case c =>
+        graft.functions.UdtValues
+          .fields(udtLayoutOf(dir).get)
+          .map(f => s"${c.trim.toLowerCase}.$f")
+    }
+
+  /** Typed-layout (CEL6/8) twin of [[insertUnfrozenUdtCells]]
+    * (C59e): one BINARY row per SET field, one `!del:` field marker
+    * per unset declared field — the whole-value overwrite over named
+    * key parts.
+    */
+  private def insertUnfrozenUdtTypedRows(spec: graft.sources.KeySpec,
+      cols: String, vals: String, wt: Long,
+      layout: String): Seq[Seq[Any]] = {
+    val names = cols.split(',').map(_.trim.toLowerCase)
+    val values = splitValues(vals).map(_.trim)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.zip(values).toMap
+    val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
+    val keyVals = (spec.pkParts ++ spec.ckParts).map(p =>
+      keyLiteral(p, kv.getOrElse(p.name.toLowerCase,
+        fail(s"INSERT must bind key part ${p.name}")), "key part"))
+    val data = names.filterNot(keyNames.contains).toSeq
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.flatMap { c =>
+      if (c.contains("."))
+        fail(s"INSERT binds whole UDT values — use UPDATE SET $c " +
+          "for a single field")
+      if (!c.matches("""\w+"""))
+        fail(s"INSERT column $c is not a plain identifier — an " +
+          "unfrozen UDT table binds whole UDT values to named columns")
+      val entries = udtEntries(layout, kv(c), c)
+      graft.functions.UdtValues.fields(layout).map { f =>
+        entries.get(f).flatMap(Option(_)) match {
+          case Some(v) =>
+            keyVals ++ Seq(s"$c.$f", udtFieldBlob(layout, f, v), wt)
+          case None =>
+            keyVals ++ Seq(s"!del:$c.$f", Array.empty[Byte], wt)
+        }
+      }
+    }
+  }
+
+  /** Typed-layout twin of [[unfrozenUdtUpdateCells]] (C59e):
+    * per-field `c.f = v` patches ONE field cell, whole-value
+    * `c = {…}` overwrites every declared field — over named key
+    * parts, every clustering part bound by equality.
+    */
+  private def unfrozenUdtUpdateTypedRows(spec: graft.sources.KeySpec,
+      sets: String, where: String, wt: Long,
+      layout: String): Seq[Seq[Any]] = {
+    val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
+    if (range.isDefined)
+      fail("UPDATE WHERE binds clustering keys by equality, not range")
+    val ck = ckOpt.getOrElse(
+      if (spec.ckParts.isEmpty) Seq.empty
+      else fail("UPDATE WHERE must bind every clustering part (" +
+        spec.ckParts.map(_.name).mkString(", ") + ")"))
+    val declared = graft.functions.UdtValues.fields(layout)
+    def notKey(c: String): String = {
+      if ((spec.pkParts ++ spec.ckParts)
+          .exists(_.name.equalsIgnoreCase(c)))
+        fail(s"cannot SET key part $c")
+      c.toLowerCase
+    }
+    for {
+      item <- splitSetItems(sets)
+      pk <- pks
+      row <- item match {
+        case UdtFieldSetRe(c, f, v) =>
+          val cl = notKey(c)
+          val fn = f.toLowerCase
+          if (!declared.contains(fn))
+            fail(s"unknown UDT field $fn of $cl " +
+              s"(declared: ${declared.mkString(", ")})")
+          Seq(pk ++ ck ++ Seq(s"$cl.$fn",
+            udtFieldBlob(layout, fn, literal(v)), wt))
+        case SetRe(c, v) =>
+          val cl = notKey(c)
+          val entries = udtEntries(layout, v, cl)
+          declared.map { f =>
+            entries.get(f).flatMap(Option(_)) match {
+              case Some(x) =>
+                pk ++ ck ++ Seq(s"$cl.$f",
+                  udtFieldBlob(layout, f, x), wt)
+              case None =>
+                pk ++ ck ++ Seq(s"!del:$cl.$f", Array.empty[Byte], wt)
+            }
+          }
+        case x => fail(s"unsupported SET item: $x")
+      }
+    } yield row
   }
 
   /** SET items an unfrozen-udt UPDATE accepts (C59d): whole-value

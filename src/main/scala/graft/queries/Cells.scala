@@ -1187,6 +1187,53 @@ object Cells {
       |  (3, 1, 31, NULL), (4, 1, 40, NULL)) AS t(pk, ck, q, tag)
       |ORDER BY pk, ck""".stripMargin
 
+  // C59e — UNFROZEN UDTs over TYPED layouts (r14): the C59d
+  // field-per-cell model generalized to named key parts — per-field
+  // patches, whole-value overwrites with unset-field tombstones,
+  // field/column/row deletes, and the pivot grouping by the table's
+  // own key layout instead of (pk, ck).
+  private def typedUnfrozenUdtLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_udt_te"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-udt-te-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TYPE IF NOT EXISTS ks.item3 (q bigint, t text);
+        |CREATE TABLE IF NOT EXISTS ks.carts (user text, ck int,
+        |  col text, value item3, wt bigint,
+        |  PRIMARY KEY ((user), ck));
+        |TRUNCATE ks.carts;
+        |INSERT INTO ks.carts (user, ck, v) VALUES ('u1', 1,
+        |  {q: 10, t: 'a'});
+        |UPDATE ks.carts SET v.q = 11 WHERE user = 'u1' AND ck = 1;
+        |UPDATE ks.carts SET v.t = 'z' WHERE user = 'u2' AND ck = 1;
+        |INSERT INTO ks.carts (user, ck, v) VALUES ('u3', 1,
+        |  {q: 30, t: 'c'});
+        |UPDATE ks.carts SET v = {q: 31} WHERE user = 'u3' AND ck = 1;
+        |INSERT INTO ks.carts (user, ck, v) VALUES ('u4', 1,
+        |  {q: 40, t: 'd'});
+        |DELETE v.t FROM ks.carts WHERE user = 'u4' AND ck = 1;
+        |INSERT INTO ks.carts (user, ck, v) VALUES ('u5', 1,
+        |  {q: 50, t: 'e'});
+        |DELETE v FROM ks.carts WHERE user = 'u5' AND ck = 1;
+        |INSERT INTO ks.carts (user, ck, v) VALUES ('u6', 1,
+        |  {q: 60, t: 'f'});
+        |DELETE FROM ks.carts WHERE user = 'u6' AND ck = 1;
+        |SELECT user, ck, v.q AS q, v.t AS tag FROM ks.carts
+        |  ORDER BY user, ck""".stripMargin, cat)
+  }
+
+  private val typedUnfrozenUdtSql =
+    """SELECT u AS "user", CAST(ck AS INT) AS ck,
+      |  CAST(q AS BIGINT) AS q, tag
+      |FROM (VALUES ('u1', 1, 11, 'a'), ('u2', 1, NULL, 'z'),
+      |  ('u3', 1, 31, NULL), ('u4', 1, 40, NULL)) AS t(u, ck, q, tag)
+      |ORDER BY u, ck""".stripMargin
+
   // C61 — range movement (bootstrap/decommission): tokens [2000,5999]
   // streamed from node A to a fresh node B, then cleaned from A
   // (stream-first ordering — a crash leaves over-ownership, never
@@ -2529,6 +2576,8 @@ object Cells {
     GQuery("C59b_udt_cql", udtCqlLifecycle, Some(udtCqlSql)),
     GQuery("C59d_unfrozen_udt", unfrozenUdtLifecycle,
       Some(unfrozenUdtSql)),
+    GQuery("C59e_typed_unfrozen_udt", typedUnfrozenUdtLifecycle,
+      Some(typedUnfrozenUdtSql)),
     GQuery("C67d_udt_metadata", udtMetadataRound, Some(udtMetadataSql)),
     GQuery("C67e_alter_type", alterTypeLifecycle, Some(alterTypeSql)),
     GQuery("C18i_prefix_like", prefixLike, Some(prefixLikeSql)),

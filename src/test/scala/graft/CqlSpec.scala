@@ -3431,10 +3431,12 @@ class CqlSpec extends GraftSpec {
         "value item, wt bigint)")
       refuse("DROP TYPE ks.item", "still used by") // t3 references it
       cq("DROP TABLE ks.t3")
-      // …but NOT on typed layouts (C59d is a default-layout subset)
-      refuse("CREATE TABLE ks.t3b (pk bigint, name text, ck int, " +
+      // …and on TYPED layouts too (C59e, r14 — previously refused)
+      cq("CREATE TABLE ks.t3b (pk bigint, name text, ck int, " +
         "col text, value item, wt bigint, " +
-        "PRIMARY KEY ((pk), name, ck))", "default ((pk), ck)")
+        "PRIMARY KEY ((pk), name, ck))")
+      refuse("DROP TYPE ks.item", "still used by") // t3b references it
+      cq("DROP TABLE ks.t3b")
       // typed layouts accept frozen values too (C59c) — and count
       // as references for DROP TYPE
       cq("CREATE TABLE ks.t4 (pk bigint, name text, ck int, " +
@@ -3574,6 +3576,65 @@ class CqlSpec extends GraftSpec {
       refuse("SELECT WRITETIME(v) FROM ks.t",
         "unfrozen UDT column")
     } finally spark.conf.unset("spark.sql.catalog.udtnf")
+  }
+
+  test("unfrozen UDT over TYPED layouts: per-field matrix (C59e)") {
+    val root = Files.createTempDirectory("cql-udt-te").toString
+    spark.conf.set("spark.sql.catalog.udtte", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.udtte.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "udtte")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def row(user: String): Option[(Option[Long], Option[String])] =
+        cq("SELECT v.q AS q, v.t AS t FROM ks.t WHERE " +
+          s"user = '$user' AND ck = 1")
+          .collect().headOption.map(r =>
+            (Option(r.get(0)).map(_.asInstanceOf[Long]),
+             Option(r.get(1)).map(_.toString)))
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.t (user text, ck int, col text, " +
+        "value item, wt bigint, PRIMARY KEY ((user), ck))")
+      // per-field LWW across statements over a NAMED text pk
+      cq("INSERT INTO ks.t (user, ck, v) VALUES ('u1', 1, " +
+        "{q: 10, t: 'a'})")
+      cq("UPDATE ks.t SET v.q = 11 WHERE user = 'u1' AND ck = 1")
+      assert(row("u1") === Some((Some(11L), Some("a"))))
+      // whole-value overwrite tombstones the unset field
+      cq("UPDATE ks.t SET v = {q: 12} WHERE user = 'u1' AND ck = 1")
+      assert(row("u1") === Some((Some(12L), None)))
+      // field write alone creates a row; keys pivot by NAMED parts
+      cq("UPDATE ks.t SET v.t = 'z' WHERE user = 'u2' AND ck = 1")
+      assert(row("u2") === Some((None, Some("z"))))
+      // field / whole-column / row deletes
+      cq("INSERT INTO ks.t (user, ck, v) VALUES ('u3', 1, " +
+        "{q: 30, t: 'c'})")
+      cq("DELETE v.t FROM ks.t WHERE user = 'u3' AND ck = 1")
+      assert(row("u3") === Some((Some(30L), None)))
+      cq("INSERT INTO ks.t (user, ck, v) VALUES ('u4', 1, " +
+        "{q: 40, t: 'd'})")
+      cq("DELETE v FROM ks.t WHERE user = 'u4' AND ck = 1")
+      assert(row("u4") === None)
+      cq("INSERT INTO ks.t (user, ck, v) VALUES ('u5', 1, " +
+        "{q: 50, t: 'e'})")
+      cq("DELETE FROM ks.t WHERE user = 'u5' AND ck = 1")
+      assert(row("u5") === None)
+      // whole-column selection reassembles the struct per named key
+      val whole = cq("SELECT user, v FROM ks.t WHERE user = 'u1' " +
+        "AND ck = 1").collect().head
+      assert(whole.getString(0) === "u1")
+      assert(whole.getStruct(1).getLong(0) === 12L)
+      // refusals carry over: unknown field, missing ck, ranges
+      refuse("UPDATE ks.t SET v.zz = 5 WHERE user = 'u1' AND ck = 1",
+        "unknown UDT field")
+      refuse("DELETE v.q FROM ks.t WHERE user = 'u1'",
+        "every clustering part")
+      refuse("DELETE v.q FROM ks.t WHERE user = 'u1' AND ck >= 0",
+        "clustering ranges cannot combine")
+    } finally spark.conf.unset("spark.sql.catalog.udtte")
   }
 
   test("buffered flush under an injected writer failure (r13 write-then-remove)") {
