@@ -2295,10 +2295,14 @@ object Cql {
     */
   private val UdtFieldSelRe =
     """(?is)^\s*(\w+)\.(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
+  // the argument admits `col` and (r14, non-frozen UDTs) `col.field`
+  // — a FIELD CELL carries its own writetime/expiry, so the per-field
+  // form narrows to that one cell exactly like a plain column's
   private val WriteTimeRe =
-    """(?is)^\s*WRITETIME\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+    ("""(?is)^\s*WRITETIME\s*\(\s*(\w+(?:\.\w+)?)\s*\)""" +
+      """\s*(?:AS\s+(\w+))?\s*$""").r
   private val TtlRe =
-    """(?is)^\s*TTL\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+    """(?is)^\s*TTL\s*\(\s*(\w+(?:\.\w+)?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
   private val TokenPredRe =
     """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(=|<=|>=|<|>)\s*([-+]?\d+)\s*$""".r
@@ -2826,9 +2830,30 @@ object Cql {
         if (udtFields.nonEmpty && udtL.isEmpty)
           fail("field selection (column.field) needs a UDT " +
             "value column")
+        // per-FIELD WRITETIME/TTL (r14): `WRITETIME(c.f)` on a
+        // NON-frozen UDT column narrows to that one field cell —
+        // which carries its own writetime/expiry by construction —
+        // through the ordinary narrowing path below; frozen/plain
+        // tables refuse the dotted form (one cell, one writetime)
+        val dottedFns = (wtCols ++ ttlCols).filter(_.contains("."))
+        if (dottedFns.nonEmpty) {
+          if (udtL.isEmpty || !udtUnfrozenOf(dir))
+            fail("WRITETIME/TTL(col.field) needs a non-frozen UDT " +
+              "column (frozen values carry ONE writetime — use " +
+              "WRITETIME(col))")
+          val declared = graft.functions.UdtValues.fields(udtL.get)
+          dottedFns.foreach { t =>
+            val f = t.substring(t.indexOf('.') + 1)
+            if (!declared.contains(f))
+              fail(s"unknown UDT field $f of " +
+                s"${t.takeWhile(_ != '.')} (declared: " +
+                declared.mkString(", ") + ")")
+          }
+        }
         if (udtL.isDefined && udtUnfrozenOf(dir) &&
             (udtFields.nonEmpty || dataCols.nonEmpty ||
-             wtCols.nonEmpty || ttlCols.nonEmpty)) {
+             wtCols.exists(!_.contains(".")) ||
+             ttlCols.exists(!_.contains(".")))) {
           // UNFROZEN udt projection (C59d): the value lives as one
           // cell PER FIELD (`c.f` → single-field blob), so the select
           // pivots the row's live field cells back into one output
@@ -2838,9 +2863,9 @@ object Cql {
           // with NO live field cells has no cells to group — it
           // disappears, exactly like a fully-shadowed frozen blob.
           if (wtCols.nonEmpty || ttlCols.nonEmpty)
-            fail("WRITETIME/TTL of an unfrozen UDT column is not " +
-              "supported in this subset (each field cell carries " +
-              "its own writetime)")
+            fail("WRITETIME/TTL of an unfrozen UDT column takes a " +
+              "FIELD — WRITETIME(col.field) — each field cell " +
+              "carries its own writetime; the whole column has none")
           val targets = (udtFields.map(_._1) ++ dataCols).distinct
           if (targets.length != 1)
             fail("select exactly one UDT data column per " +

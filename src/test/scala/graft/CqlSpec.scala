@@ -3572,9 +3572,19 @@ class CqlSpec extends GraftSpec {
       // unfrozen columns byte-compare per FIELD, never whole-value
       refuse("SELECT pk FROM ks.t WHERE v = {q: 12} ALLOW FILTERING",
         "per-field cells")
-      // WRITETIME/TTL are per-field concepts on this layout
+      // WRITETIME/TTL are per-FIELD on this layout (r14): each field
+      // cell carries its own writetime — the q patch at pk=1 is
+      // newer than the t patch before it
+      val wq = cq("SELECT WRITETIME(v.q) AS w FROM ks.t " +
+        "WHERE pk = 1 AND ck = 1").as[Long].collect().head
+      val wtq = cq("SELECT WRITETIME(v.t) AS w FROM ks.t " +
+        "WHERE pk = 1 AND ck = 1").as[Long].collect().head
+      assert(wtq > wq, s"t patched after q: $wtq > $wq") // 'c' was last
       refuse("SELECT WRITETIME(v) FROM ks.t",
         "unfrozen UDT column")
+      refuse("SELECT WRITETIME(v.zz) FROM ks.t", "unknown UDT field")
+      refuse("SELECT WRITETIME(v.q) FROM ks.fz",
+        "frozen values carry ONE writetime")
     } finally spark.conf.unset("spark.sql.catalog.udtnf")
   }
 
