@@ -553,12 +553,11 @@ object Cql {
             udtLayoutOf(dir).get), ttlOpt,
           org.apache.spark.sql.types.BinaryType)
       } else if (spec.isDefault) {
-        if (hasCollectionSyntax(sets)) {
-          if (isStringValued(dir))
-            fail("collection writes on a text-valued table are " +
-              "outside this subset (element cells are bigint-valued)")
+        if (hasCollectionSyntax(sets))
+          // element cells take the table's value type: bigint on the
+          // default, TEXT on a text-valued table (C65o, r14)
           collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
-        } else if (isStringValued(dir))
+        else if (isStringValued(dir))
           appendStringCells(spark, dir, updateStringCells(sets,
             where, wt, graft.sources.CellSource.staticCols(dir)),
             ttlOpt)
@@ -4390,11 +4389,22 @@ object Cql {
     }
 
   /** A brace literal whose content is QUOTED is a MAP form, not a
-    * set: set elements are bigint literals, map keys text — the
-    * quote is the unambiguous discriminator (`m + {'k': v}` /
-    * `m - {'k'}` vs `st + {5}`).
+    * set: on a bigint-valued table set elements are bigint literals
+    * and map keys text — the quote is the unambiguous discriminator
+    * (`m + {'k': v}` / `m - {'k'}` vs `st + {5}`). On a TEXT-valued
+    * table (C65o collections, r14) set elements are quoted too, so
+    * the discriminator is the `'k': v` COLON form: `{'a', 'b'}` is a
+    * set of strings, `{'k': 'v'}` a map entry — and the subtract form
+    * is always SET-remove there (map entries delete via
+    * `DELETE m['k']`, which is unambiguous on every layout).
     */
-  private def isMapLiteral(body: String): Boolean = body.contains("'")
+  private def isMapLiteral(body: String,
+      stringValued: Boolean): Boolean =
+    if (!stringValued) body.contains("'")
+    else splitValues(body).headOption.exists {
+      case KvRe(_, _) => true
+      case _ => false
+    }
 
   private val KvRe =
     """(?is)^\s*('(?:[^']|'')*')\s*:\s*(.+?)\s*$""".r
@@ -4402,7 +4412,8 @@ object Cql {
   /** Map-literal entries `'k': v [, 'k2': v2 …]` → (verbatim key,
     * value) pairs; keys are DATA (stored case-sensitively, C12).
     */
-  private def mapEntries(body: String): Seq[(String, Long)] =
+  private def mapEntries(body: String,
+      stringValued: Boolean): Seq[(String, Any)] =
     splitValues(body).toSeq.map {
       case KvRe(kq, v) =>
         val k = literal(kq) match {
@@ -4411,7 +4422,7 @@ object Cql {
         }
         if (k.isEmpty || k.startsWith("!"))
           fail(s"unsupported map key: '$k'")
-        (k, longLiteral(v, "map value"))
+        (k, collValue(stringValued)(v, "map value"))
       case e => fail(s"map literal entries are 'key': value, got: $e")
     }
 
@@ -4444,20 +4455,30 @@ object Cql {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** The collection element/value parser for a table: text literals
+    * on TEXT-valued tables (C65o collections, r14), bigint elsewhere.
+    */
+  private def collValue(stringValued: Boolean)(
+      raw: String, what: String): Any =
+    if (stringValued) stringLiteral(raw, what)
+    else longLiteral(raw, what)
+
   private def collectionUpdate(spark: SparkSession, dir: String,
       sets: String, where: String, wt: Long,
       ttl: Option[Long]): Unit = {
     // list appends / set removes read the reconciled current state
     flushBuffered(spark, dir)
+    val str = isStringValued(dir)
+    val lit = collValue(str) _
     val (pks, ckEq, _, _) = keyPredicate(where)
     val pkSeq = pks.toSeq.sorted
     val cells = scala.collection.mutable
-      .ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+      .ArrayBuffer.empty[(Long, Int, String, Any, Long)]
     // tombstone markers write SEPARATELY, never under the statement's
     // TTL (explicit or table default): an expiring tombstone would
     // resurrect the removed elements at its expiry
     val tombs = scala.collection.mutable
-      .ArrayBuffer.empty[(Long, Int, String, Long, Long)]
+      .ArrayBuffer.empty[(Long, Int, String, Any, Long)]
     // bounded point reads against the reconciled view (pk-pushed):
     // current max ck per (pk, collection) for appends, element cks
     // for removes — the hit sets are per-statement small
@@ -4482,25 +4503,25 @@ object Cql {
         // case here would silently collapse m['A'] and m['a'] into one
         // entry; only identifier positions are case-insensitive in CQL.
         pkSeq.foreach(pk =>
-          cells += ((pk, ck, k, longLiteral(v, "map value"), wt)))
+          cells += ((pk, ck, k, lit(v, "map value"), wt)))
       case ListAppendRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"list append must extend the same column ($n1 vs $n2)")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
-          splitValues(vs).toSeq.map(longLiteral(_, "list element")),
+          splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, nextCk)
       // map-LITERAL forms (quoted braces): `m = m + {'k': v}` puts
       // each entry (≡ m['k'] = v), `m = m - {'k'}` tombstones the
       // entry cell — both on the fully-bound row (the row IS the map)
-      case SetAddRe(n1, n2, vs) if isMapLiteral(vs) =>
+      case SetAddRe(n1, n2, vs) if isMapLiteral(vs, str) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map append must extend the same column ($n1 vs $n2)")
         val ck = ckEq.getOrElse(
           fail("map append needs WHERE ... AND ck = ? (the row IS " +
             "the map)"))
-        mapEntries(vs).foreach { case (k, v) =>
+        mapEntries(vs, str).foreach { case (k, v) =>
           pkSeq.foreach(pk => cells += ((pk, ck, k, v, wt))) }
-      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs) =>
+      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs, str) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map subtract must shrink the same column ($n1 vs $n2)")
         val ck = ckEq.getOrElse(
@@ -4512,19 +4533,19 @@ object Cql {
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
-          splitValues(vs).toSeq.map(longLiteral(_, "set element")),
+          splitValues(vs).toSeq.map(lit(_, "set element")),
           wt, cells, nextCk)
       case SetRemoveRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set remove must shrink the same column ($n1 vs $n2)")
         val name = n1.toLowerCase
         val victims = splitValues(vs).toSeq
-          .map(longLiteral(_, "set element")).toSet
+          .map(lit(_, "set element")).toSet
         // element cells to shadow: (pk, ck) of matching live cells
         val hits = reconciled
           .filter(col("pk").isin(pkSeq.map(Long.box): _*) &&
             col("col") === name &&
-            col("value").isin(victims.toSeq.map(Long.box): _*))
+            col("value").isin(victims.toSeq: _*))
           .select(col("pk"), col("ck"))
           .collect() // bounded: <= removed-element cell count
         hits.foreach(r =>
@@ -4533,11 +4554,23 @@ object Cql {
         // plain scalar SET items compose with collection items
         val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
         pkSeq.foreach(pk => cells +=
-          ((pk, ck, c.toLowerCase, longLiteral(v, s"value of $c"), wt)))
+          ((pk, ck, c.toLowerCase, lit(v, s"value of $c"), wt)))
       case x => fail(s"unsupported SET item: $x")
     }
-    appendCells(spark, dir, cells.toSeq, ttl)
-    appendCells(spark, dir, tombs.toSeq, ttl = None)
+    if (str) {
+      appendStringCells(spark, dir, cells.toSeq.map {
+        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[String], w)
+      }, ttl)
+      appendStringCells(spark, dir, tombs.toSeq.map {
+        case (pk, ck, c, _, w) => (pk, ck, c, "", w) }, ttl = None)
+    } else {
+      appendCells(spark, dir, cells.toSeq.map {
+        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+      }, ttl)
+      appendCells(spark, dir, tombs.toSeq.map {
+        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+      }, ttl = None)
+    }
   }
 
   /** Typed twin of [[collectionUpdate]] (r11): the same element-per-
@@ -4635,13 +4668,15 @@ object Cql {
         appendTyped(n1.toLowerCase,
           splitValues(vs).toSeq.map(longLiteral(_, "list element")))
       // map-literal forms: see the default-layout twin
-      case SetAddRe(n1, n2, vs) if isMapLiteral(vs) =>
+      case SetAddRe(n1, n2, vs)
+          if isMapLiteral(vs, stringValued = false) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map append must extend the same column ($n1 vs $n2)")
         val ck = fullCk
-        mapEntries(vs).foreach { case (k, v) =>
+        mapEntries(vs, stringValued = false).foreach { case (k, v) =>
           pkTuples.foreach(pk => rows += pk ++ ck ++ Seq(k, v, wt)) }
-      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs) =>
+      case SetRemoveRe(n1, n2, vs)
+          if isMapLiteral(vs, stringValued = false) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map subtract must shrink the same column ($n1 vs $n2)")
         val ck = fullCk
@@ -4688,9 +4723,9 @@ object Cql {
     * (list order = ck order, C11; sets dedup on read, C13).
     */
   private def appendElements(reconciled: => DataFrame, name: String,
-      pks: Seq[Long], values: Seq[Long], wt: Long,
+      pks: Seq[Long], values: Seq[Any], wt: Long,
       out: scala.collection.mutable.ArrayBuffer[
-        (Long, Int, String, Long, Long)],
+        (Long, Int, String, Any, Long)],
       nextCk: scala.collection.mutable.Map[(Long, String), Int])
       : Unit = {
     if (values.isEmpty) return

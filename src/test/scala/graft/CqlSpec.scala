@@ -3757,13 +3757,43 @@ class CqlSpec extends GraftSpec {
         .option("reconcile", "true").option("withTtl", "true")
         .load(s"$root/ks/profiles").filter(col("pk") === 9L)
       assert(raw.count() === 1) // written, expiry recorded
+      // collections with TEXT elements (r14): the same element-per-
+      // cell encodings, elements/values parsed as text literals
+      def coll(pk: Long, c: String): Seq[String] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/profiles")
+          .filter(col("pk") === pk && col("col") === c)
+          .orderBy(col("ck")).select("value")
+          .collect().map(_.getString(0)).toSeq
+      cq("UPDATE ks.profiles SET tags = tags + ['red', 'blue'] " +
+        "WHERE pk = 6")
+      cq("UPDATE ks.profiles SET tags = tags + ['green'] " +
+        "WHERE pk = 6")
+      assert(coll(6, "tags") === Seq("red", "blue", "green"))
+      // set add/remove: remove tombstones matching element cells
+      cq("UPDATE ks.profiles SET colors = colors + {'red', 'blue'} " +
+        "WHERE pk = 7")
+      cq("UPDATE ks.profiles SET colors = colors - {'red'} " +
+        "WHERE pk = 7")
+      assert(coll(7, "colors") === Seq("blue"))
+      // map with TEXT values: bracket put, literal put, entry delete
+      cq("UPDATE ks.profiles SET attrs['hair'] = 'brown' " +
+        "WHERE pk = 8 AND ck = 1")
+      cq("UPDATE ks.profiles SET attrs = attrs + {'eyes': 'green'} " +
+        "WHERE pk = 8 AND ck = 1")
+      assert(coll(8, "hair") === Seq("brown"))
+      assert(coll(8, "eyes") === Seq("green"))
+      cq("DELETE attrs['hair'] FROM ks.profiles WHERE pk = 8 AND " +
+        "ck = 1")
+      assert(coll(8, "hair") === Seq.empty)
+      assert(coll(8, "eyes") === Seq("green"))
       // refusals: type mismatches and the out-of-subset shapes
       refuse("INSERT INTO ks.profiles (pk, ck, age) VALUES (5, 1, 30)",
         "takes a text literal")
       refuse("UPDATE ks.profiles SET age = 30 WHERE pk = 5 AND ck = 1",
         "takes a text literal")
-      refuse("UPDATE ks.profiles SET tags = tags + ['a'] " +
-        "WHERE pk = 5 AND ck = 1", "text-valued table")
+      refuse("UPDATE ks.profiles SET tags = tags + [7] " +
+        "WHERE pk = 5 AND ck = 1", "takes a text literal")
       refuse("INSERT INTO ks.profiles JSON " +
         "'{\"pk\": 5, \"ck\": 1, \"name\": 7}'", "text-valued")
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
