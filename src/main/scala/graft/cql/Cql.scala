@@ -759,7 +759,15 @@ object Cql {
   private def lwtResult(spark: SparkSession,
       r: graft.sources.CellTransactions.CasResult): DataFrame = {
     import spark.implicits._
-    Seq((r.applied, r.current)).toDF("[applied]", "current")
+    // the current-value column takes the TABLE's value type: text
+    // tables report text (r14), everything else bigint
+    r.current match {
+      case Some(v: String) =>
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case _ =>
+        Seq((r.applied, r.current.map(_.asInstanceOf[Long])))
+          .toDF("[applied]", "current")
+    }
   }
 
   /** The CAS row of a TYPED table, from a WHERE that must bind every
@@ -799,13 +807,25 @@ object Cql {
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
-      val cells = insertCells(cols, vals, AssignLater)
-      if (cells.length != 1)
-        fail("INSERT ... IF NOT EXISTS takes exactly one data column " +
-          "(the CAS cell)")
-      val (pk, ck, c, v, _) = cells.head
-      lwtResult(spark, CellTransactions.cas(
-        spark, dir, pk, ck, c, expected = None, newValue = v))
+      // text-valued tables (C65o, r14) CAS text cells; the condition
+      // and write ride the same generalized round
+      val (pk, ck, c, v) =
+        if (isStringValued(dir)) {
+          val cs = insertStringCells(cols, vals, AssignLater, Set.empty)
+          if (cs.length != 1)
+            fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+              "column (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else {
+          val cs = insertCells(cols, vals, AssignLater)
+          if (cs.length != 1)
+            fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+              "column (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        }
+      lwtResult(spark, CellTransactions.casApply(
+        spark, dir, pk, ck, condCol = Some(c), cond = CasCond.Absent,
+        writeCol = c, writeValue = v))
     } else {
       // typed table: every key part bound by name + ONE data column
       val names = cols.split(',').map(_.trim.toLowerCase)
@@ -838,17 +858,29 @@ object Cql {
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, setColNames(sets))
-      val cells = updateCells(sets, where, AssignLater)
-      if (cells.length != 1)
-        fail("UPDATE ... IF takes exactly one SET column and one pk")
-      val (pk, ck, c, v, _) = cells.head
+      val str = isStringValued(dir)
+      val (pk, ck, c, v) =
+        if (str) {
+          val cs = updateStringCells(sets, where, AssignLater,
+            Set.empty)
+          if (cs.length != 1)
+            fail("UPDATE ... IF takes exactly one SET column and " +
+              "one pk")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else {
+          val cs = updateCells(sets, where, AssignLater)
+          if (cs.length != 1)
+            fail("UPDATE ... IF takes exactly one SET column and " +
+              "one pk")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        }
       if (!ifCol.equalsIgnoreCase(c))
         fail("UPDATE ... IF condition must target the SET column " +
           "(the CAS cell)")
-      lwtResult(spark, CellTransactions.cas(
-        spark, dir, pk, ck, c,
-        expected = Some(longLiteral(ifVal, "IF condition")),
-        newValue = v))
+      lwtResult(spark, CellTransactions.casApply(
+        spark, dir, pk, ck, condCol = Some(c),
+        cond = CasCond.Equals(collValue(str)(ifVal, "IF condition")),
+        writeCol = c, writeValue = v))
     } else {
       val (c, v) = casSet(sets)
       if (!ifCol.equalsIgnoreCase(c))
@@ -871,11 +903,21 @@ object Cql {
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, setColNames(sets))
-      val cells = updateCells(sets, where, AssignLater)
-      if (cells.length != 1)
-        fail("UPDATE ... IF EXISTS takes exactly one SET column and " +
-          "one pk (the CAS cell)")
-      val (pk, ck, c, v, _) = cells.head
+      val (pk, ck, c, v) =
+        if (isStringValued(dir)) {
+          val cs = updateStringCells(sets, where, AssignLater,
+            Set.empty)
+          if (cs.length != 1)
+            fail("UPDATE ... IF EXISTS takes exactly one SET column " +
+              "and one pk (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else {
+          val cs = updateCells(sets, where, AssignLater)
+          if (cs.length != 1)
+            fail("UPDATE ... IF EXISTS takes exactly one SET column " +
+              "and one pk (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        }
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = None, cond = CasCond.Present,
         writeCol = c, writeValue = v))
@@ -901,7 +943,9 @@ object Cql {
     val (condCol, cond) =
       if (exists) (None, CasCond.Present)
       else (Some(ifCol.get.toLowerCase),
-        CasCond.Equals(longLiteral(ifVal.get, "IF condition")))
+        CasCond.Equals(collValue(
+          spec.isDefault && isStringValued(dir))(
+          ifVal.get, "IF condition")))
     val writeCol = colOpt match {
       case Some(c) =>
         graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
@@ -1110,6 +1154,9 @@ object Cql {
       if (!graft.sources.CellSource.keySpec(dir).isDefault)
         fail("conditional BATCH supports the default ((pk), ck) " +
           "layout only in this subset")
+      if (isStringValued(dir))
+        fail("conditional BATCH supports bigint-valued tables in " +
+          "this subset (single-statement LWT serves text tables)")
       dir
     }
     type Cond = (Int, Option[String], CasCond)

@@ -25,7 +25,7 @@ object CellTransactions {
     * `applied = false` carries the value that caused the miss (the
     * current winner), exactly what `IF` returns to a CQL client.
     */
-  final case class CasResult(applied: Boolean, current: Option[Long])
+  final case class CasResult(applied: Boolean, current: Option[Any])
 
   /** The CQL `IF` condition family (round 9): `IF NOT EXISTS`
     * ([[CasCond.Absent]]), `IF EXISTS` ([[CasCond.Present]]),
@@ -35,7 +35,7 @@ object CellTransactions {
   object CasCond {
     case object Absent extends CasCond
     case object Present extends CasCond
-    final case class Equals(v: Long) extends CasCond
+    final case class Equals(v: Any) extends CasCond
   }
 
   private val LockName = "_paxos.lock"
@@ -87,7 +87,7 @@ object CellTransactions {
     */
   def casApply(spark: SparkSession, dir: String, pk: Long, ck: Int,
       condCol: Option[String], cond: CasCond,
-      writeCol: String, writeValue: Long,
+      writeCol: String, writeValue: Any,
       lockTimeoutMs: Long = 30000L,
       nowMs: Long = System.currentTimeMillis(),
       queryTimeMs: Long = Long.MaxValue): CasResult = {
@@ -113,9 +113,9 @@ object CellTransactions {
       // condition it is None/Some(0) purely as an existence flag and
       // the result row reports no current value (Cassandra's
       // IF EXISTS miss row is just [applied] = false)
-      val cur: Option[Long] = condCol match {
+      val cur: Option[Any] = condCol match {
         case Some(c) => row.filter(col("col") === c)
-          .select(col("value")).collect().headOption.map(_.getLong(0))
+          .select(col("value")).collect().headOption.map(_.get(0))
         case None =>
           if (row.limit(1).collect().nonEmpty) Some(0L) else None
       }
@@ -171,9 +171,9 @@ object CellTransactions {
         reader.option("queryTime", queryTimeMs.toString) else reader)
         .load(norm)
       keyVals.foreach { case (n, v) => row = row.filter(col(n) === v) }
-      val cur: Option[Long] = condCol match {
+      val cur: Option[Any] = condCol match {
         case Some(c) => row.filter(col("col") === c)
-          .select(col("value")).collect().headOption.map(_.getLong(0))
+          .select(col("value")).collect().headOption.map(_.get(0))
         case None =>
           if (row.limit(1).collect().nonEmpty) Some(0L) else None
       }
@@ -304,14 +304,40 @@ object CellTransactions {
     * path's exact protocol, C38) — no Spark job for a single cell.
     */
   private def appendRow(dir: Path, files: Seq[String], pk: Long, ck: Int,
-      colName: String, value: Long, wt: Long): Unit = {
+      colName: String, value: Any, wt: Long): Unit = {
     val (tag, prec, scale) = casValueType(files)
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
     CellSource.writeFileTyped(staged,
-      Seq((pk, ck, colName, value, wt)), Array(colName), tag, prec,
+      Seq((pk, ck, colName, casCoerce(tag, value, colName), wt)),
+      Array(colName), tag, prec,
       scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
     publishStaged(dir, files, staged)
   }
+
+  /** The CAS write value against the table's value tag: a tombstone
+    * marker's value slot is inert (the col name is the whole message)
+    * and takes the tag's neutral; a DATA write must already carry the
+    * right type — a mismatch is a caller bug, not data.
+    */
+  private def casCoerce(tag: Int, v: Any, colName: String): Any =
+    tag match {
+      case ValueCodec.LongTag =>
+        require(v.isInstanceOf[Long] || colName.startsWith("!"),
+          s"CAS write of $v to a bigint-valued table")
+        if (v.isInstanceOf[Long]) v else 0L
+      case ValueCodec.StringTag => v match {
+        // the file writer consumes Spark-INTERNAL strings
+        case s: String =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case u: org.apache.spark.unsafe.types.UTF8String => u
+        case _ =>
+          require(colName.startsWith("!"),
+            s"CAS write of $v to a text-valued table")
+          org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      }
+      case t => throw new IllegalArgumentException(
+        s"CAS is defined on bigint- and text-valued tables (tag $t)")
+    }
 
   /** Multi-row sibling of [[appendRow]]: the conditional batch's
     * cells as ONE staged-link flush — all at the shared writetime,
@@ -357,8 +383,9 @@ object CellTransactions {
       .map(CellSource.readHeader)
       .map(h => (h.valueTag, h.decPrec, h.decScale))
       .getOrElse((ValueCodec.LongTag, 0, 0))
-    require(tag == ValueCodec.LongTag,
-      s"CAS is defined on long-valued tables (found tag $tag)")
+    require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag,
+      s"CAS is defined on bigint- and text-valued tables " +
+        s"(found tag $tag)")
     (tag, prec, scale)
   }
 

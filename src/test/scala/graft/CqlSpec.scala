@@ -3787,6 +3787,32 @@ class CqlSpec extends GraftSpec {
         "ck = 1")
       assert(coll(8, "hair") === Seq.empty)
       assert(coll(8, "eyes") === Seq("green"))
+      // LWT on text cells (r14): IF NOT EXISTS / IF col = 'v' route
+      // through the same ballot round, conditions compare strings
+      // and the miss row reports the current TEXT value
+      val r1 = cq("INSERT INTO ks.profiles (pk, ck, status) VALUES " +
+        "(20, 1, 'pending') IF NOT EXISTS")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r1 === ((true, None)))
+      val r2 = cq("INSERT INTO ks.profiles (pk, ck, status) VALUES " +
+        "(20, 1, 'done') IF NOT EXISTS")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r2 === ((false, Some("pending"))))
+      val r3 = cq("UPDATE ks.profiles SET status = 'done' WHERE " +
+        "pk = 20 AND ck = 1 IF status = 'wrong'")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r3 === ((false, Some("pending"))))
+      val r4 = cq("UPDATE ks.profiles SET status = 'done' WHERE " +
+        "pk = 20 AND ck = 1 IF status = 'pending'")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r4 === ((true, Some("pending"))))
+      assert(row(20, "status") === Some("done"))
+      // conditional DELETE: the write is the tombstone
+      val r5 = cq("DELETE FROM ks.profiles WHERE pk = 20 AND ck = 1 " +
+        "IF status = 'done'")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r5._1 === true)
+      assert(row(20, "status") === None)
       // refusals: type mismatches and the out-of-subset shapes
       refuse("INSERT INTO ks.profiles (pk, ck, age) VALUES (5, 1, 30)",
         "takes a text literal")
