@@ -442,14 +442,18 @@ object Cql {
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       refuseUdt(dir, "INSERT JSON")
-      if (isStringValued(dir))
-        fail("INSERT JSON binds bigint data cells — text-valued " +
-          "tables are outside this subset")
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       val ttlOpt = effectiveTtl(dir, None) // table default, if any
-      if (spec.isDefault)
-        appendCells(spark, dir, jsonCells(json, wt), ttlOpt)
+      if (spec.isDefault) {
+        // the document's own types carry the cell type (Cassandra's
+        // INSERT JSON rule): numbers on bigint tables, strings on
+        // text-valued ones (C65o, r14)
+        if (isStringValued(dir))
+          appendStringCells(spark, dir, jsonStringCells(json, wt),
+            ttlOpt)
+        else appendCells(spark, dir, jsonCells(json, wt), ttlOpt)
+      }
       else typedWrite(spark, dir, spec,
         jsonCellsTyped(spec, json, wt), ttlOpt)
       if (usingTs != null) forgetWt(dir)
@@ -3824,6 +3828,46 @@ object Cql {
         if (!v.isIntegralNumber || !v.canConvertToLong)
           fail(s"$k must be an integer, got $v")
         (pk, ck, k, v.asLong(), wt)
+    }
+    if (data.isEmpty) fail("INSERT JSON needs at least one data column")
+    data
+  }
+
+  /** TEXT-valued twin of [[jsonCells]] (C65o, r14): data values are
+    * JSON STRINGS — the document's own type system carries the cell
+    * type, exactly Cassandra's INSERT JSON typing rule.
+    */
+  private def jsonStringCells(json: String, wt: Long)
+      : Seq[(Long, Int, String, String, Long)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(json.replace("''", "'"))
+      catch { case e: Exception =>
+        fail(s"bad JSON document: ${e.getMessage}") }
+    if (node == null || !node.isObject)
+      fail("INSERT JSON needs an object")
+    val fields = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(node.properties()).asScala.toSeq
+      .map(e => e.getKey.toLowerCase -> e.getValue)
+    val kv = fields.toMap
+    def num(k: String): Long = kv.get(k) match {
+      case Some(v) if v.isIntegralNumber && v.canConvertToLong =>
+        v.asLong()
+      case Some(v) => fail(s"$k must be an integer, got $v")
+      case None => fail(s"INSERT JSON must bind $k")
+    }
+    val pk = num("pk")
+    val ck = {
+      val c = num("ck")
+      if (c < Int.MinValue || c > Int.MaxValue)
+        fail(s"ck $c is outside the int clustering-key range")
+      c.toInt
+    }
+    val data = fields.collect {
+      case (k, v) if k != "pk" && k != "ck" =>
+        if (!v.isTextual)
+          fail(s"$k must be a JSON string on a text-valued table, " +
+            s"got $v")
+        (pk, ck, k, v.asText(), wt)
     }
     if (data.isEmpty) fail("INSERT JSON needs at least one data column")
     data

@@ -3820,8 +3820,13 @@ class CqlSpec extends GraftSpec {
         "takes a text literal")
       refuse("UPDATE ks.profiles SET tags = tags + [7] " +
         "WHERE pk = 5 AND ck = 1", "takes a text literal")
+      // INSERT JSON carries the cell type in the DOCUMENT
+      // (Cassandra's rule): strings write, numbers refuse here
+      cq("INSERT INTO ks.profiles JSON " +
+        "'{\"pk\": 21, \"ck\": 1, \"name\": \"judy\"}'")
+      assert(row(21, "name") === Some("judy"))
       refuse("INSERT INTO ks.profiles JSON " +
-        "'{\"pk\": 5, \"ck\": 1, \"name\": 7}'", "text-valued")
+        "'{\"pk\": 5, \"ck\": 1, \"name\": 7}'", "JSON string")
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
