@@ -1020,6 +1020,10 @@ object Cql {
           // the journal's cell shape is scalar — frozen<udt> blobs
           // would need a binary journal column; refuse (C59b subset)
           refuseUdt(dir, "LOGGED BATCH")
+          if (isStringValued(dir))
+            fail("LOGGED BATCH journals bigint cells — text-valued " +
+              "tables take UNLOGGED BATCH or single statements in " +
+              "this subset")
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -1033,6 +1037,10 @@ object Cql {
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
+          if (isStringValued(dir))
+            fail("LOGGED BATCH journals bigint cells — text-valued " +
+              "tables take UNLOGGED BATCH or single statements in " +
+              "this subset")
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -1054,6 +1062,10 @@ object Cql {
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
+          if (isStringValued(dir))
+            fail("LOGGED BATCH journals bigint cells — text-valued " +
+              "tables take UNLOGGED BATCH or single statements in " +
+              "this subset")
           val dts = stmtTs(Option(usingTs).map(_.toLong))
             .getOrElse(AssignLater)
           val sp = spec(dir)

@@ -3820,6 +3820,17 @@ class CqlSpec extends GraftSpec {
         "takes a text literal")
       refuse("UPDATE ks.profiles SET tags = tags + [7] " +
         "WHERE pk = 5 AND ck = 1", "takes a text literal")
+      // UNLOGGED batch executes per statement, so text writes flow;
+      // the LOGGED form journals bigint cells and refuses by name
+      cq("BEGIN UNLOGGED BATCH\n" +
+        "INSERT INTO ks.profiles (pk, ck, name) VALUES (22, 1, 'kim');\n" +
+        "UPDATE ks.profiles SET name = 'lee' WHERE pk = 23 AND ck = 1;\n" +
+        "APPLY BATCH")
+      assert(row(22, "name") === Some("kim"))
+      assert(row(23, "name") === Some("lee"))
+      refuse("BEGIN BATCH\nINSERT INTO ks.profiles (pk, ck, name) " +
+        "VALUES (24, 1, 'x');\nAPPLY BATCH",
+        "UNLOGGED BATCH or single")
       // INSERT JSON carries the cell type in the DOCUMENT
       // (Cassandra's rule): strings write, numbers refuse here
       cq("INSERT INTO ks.profiles JSON " +
