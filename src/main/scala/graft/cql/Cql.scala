@@ -515,6 +515,9 @@ object Cql {
             appendStringCells(spark, dir, insertStringCells(cols,
               vals, wt, graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
+          else if (isBlobValued(dir))
+            appendBinaryCells(spark, dir,
+              insertBlobCells(cols, vals, wt), ttlOpt)
           else appendCells(spark, dir,
             insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
         case None =>
@@ -565,6 +568,9 @@ object Cql {
           appendStringCells(spark, dir, updateStringCells(sets,
             where, wt, graft.sources.CellSource.staticCols(dir)),
             ttlOpt)
+        else if (isBlobValued(dir))
+          appendBinaryCells(spark, dir,
+            updateBlobCells(sets, where, wt), ttlOpt)
         else appendCells(spark, dir,
           updateCells(sets, where, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
       } else if (hasCollectionSyntax(sets))
@@ -656,6 +662,10 @@ object Cql {
           // the string twin of the binary tables' empty blob
           appendStringCells(spark, dir, markers.map {
             case (pk, ck, c, _, w) => (pk, ck, c, "", w) })
+        else if (isBlobValued(dir))
+          // blob tombstones: the binary tables' empty-blob marker
+          appendBinaryCells(spark, dir, markers.map {
+            case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w) })
         else appendCells(spark, dir, markers)
       }
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
@@ -2198,6 +2208,9 @@ object Cql {
           s"(${colMap("value")}), got ${colMap(n)}")
       if (colMap("value") == "counter")
         fail("counter tables cannot declare static columns")
+      if (mapType(colMap("value")) == "binary")
+        fail("blob tables cannot declare static columns in this " +
+          "subset")
     }
     val extras = cols.map(_._1)
       .filterNot(n => keyNames.contains(n) ||
@@ -2254,10 +2267,30 @@ object Cql {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
       t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.matches("0[xX][0-9a-fA-F]*")) blobBytes(t)
     else if (t.matches("[-+]?\\d+")) t.toLong
     else if (t.matches("[-+]?\\d*\\.\\d+")) t.toDouble
     else fail(s"unsupported literal: $t")
   }
+
+  /** CQL's blob literal `0x<hex>` → bytes (C65p — blob-valued
+    * tables through the front door). `0x` alone is the empty blob,
+    * Cassandra's own.
+    */
+  private def blobBytes(t: String): Array[Byte] = {
+    val hex = t.substring(2)
+    if (hex.length % 2 != 0)
+      fail(s"blob literal needs an even number of hex digits: $t")
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  }
+
+  /** A literal that must be a blob (cell values on blob tables). */
+  private def blobLiteral(s: String, what: String): Array[Byte] =
+    literal(s) match {
+      case b: Array[Byte] => b
+      case o => fail(s"$what takes a 0x<hex> blob literal on a " +
+        s"blob-valued table, got: $o")
+    }
 
   /** A literal that must be a bigint (cell values, CAS conditions). */
   private def longLiteral(s: String, what: String): Long =
@@ -4379,6 +4412,54 @@ object Cql {
   private def isStringValued(dir: String): Boolean =
     graft.sources.CellSource.valueTypeOf(dir) ==
       org.apache.spark.sql.types.StringType
+
+  /** True for a BLOB-valued plain table (C65p): `0x<hex>` write
+    * grammar, empty-blob tombstones. UDT tables are binary-valued
+    * too, but they route earlier via their layout property.
+    */
+  private def isBlobValued(dir: String): Boolean =
+    udtLayoutOf(dir).isEmpty &&
+      graft.sources.CellSource.valueTypeOf(dir) ==
+        org.apache.spark.sql.types.BinaryType
+
+  /** BLOB-valued INSERT cells (C65p): [[insertCells]]'s key grammar
+    * with `0x<hex>` literals in the value slot (statics are outside
+    * this subset on blob tables).
+    */
+  private def insertBlobCells(cols: String, vals: String, wt: Long)
+      : Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val ck = ckLiteral(
+      kv.getOrElse("ck", fail("INSERT must bind ck")))
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.map(c =>
+      (pk, ck, c, blobLiteral(kv(c), s"value of $c"), wt)).toSeq
+  }
+
+  /** BLOB-valued UPDATE cells (C65p). */
+  private def updateBlobCells(sets: String, where: String, wt: Long)
+      : Seq[(Long, Int, String, Array[Byte], Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    for {
+      item <- sets.split(',').toSeq
+      (c, v) = item match {
+        case SetRe(c, v) => (c.toLowerCase,
+          blobLiteral(v, s"value of $c"))
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks.toSeq.sorted
+    } yield (pk, ck, c, v, wt)
+  }
 
   private def stringLiteral(raw: String, what: String): String =
     literal(raw) match {

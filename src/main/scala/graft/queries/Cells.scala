@@ -2204,6 +2204,42 @@ object Cells {
       |  (2, 1, 'name', 'bob')) AS t(pk, ck, col, value)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C65p — BLOB-valued tables through the CQL front door (r14):
+  // `value blob` tables take INSERT/UPDATE with Cassandra's 0x<hex>
+  // literals, riding the binary buffered commit path; tombstones
+  // carry the empty blob. The result projects hex so the DuckDB
+  // oracle compares text, not driver-specific binary encodings.
+  private def blobValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_blob"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-blob-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.pb (pk bigint, ck int,
+        |  col text, value blob, wt bigint);
+        |TRUNCATE ks.pb;
+        |INSERT INTO ks.pb (pk, ck, payload) VALUES (1, 1, 0xCAFE);
+        |UPDATE ks.pb SET payload = 0xCAFEBABE WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.pb (pk, ck, payload) VALUES (2, 1, 0x00FF);
+        |INSERT INTO ks.pb (pk, ck, payload) VALUES (3, 1, 0xDEAD);
+        |DELETE payload FROM ks.pb WHERE pk = 3 AND ck = 1;
+        |SELECT pk, ck, col, value FROM ks.pb
+        |  ORDER BY pk, ck, col""".stripMargin, cat)
+      .select(col("pk"), col("ck"), col("col"),
+        upper(hex(col("value"))).as("hexv"))
+  }
+
+  private val blobValuesSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  col, h AS hexv
+      |FROM (VALUES (1, 1, 'payload', 'CAFEBABE'),
+      |  (2, 1, 'payload', '00FF')) AS t(pk, ck, col, h)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2583,6 +2619,8 @@ object Cells {
     GQuery("C18i_prefix_like", prefixLike, Some(prefixLikeSql)),
     GQuery("C65o_text_values", textValuesLifecycle,
       Some(textValuesSql)),
+    GQuery("C65p_blob_values", blobValuesLifecycle,
+      Some(blobValuesSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

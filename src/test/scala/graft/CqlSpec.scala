@@ -3841,6 +3841,62 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("blob-valued tables through the CQL front door (C65p)") {
+    val root = Files.createTempDirectory("cql-blob").toString
+    spark.conf.set("spark.sql.catalog.blobcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.blobcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "blobcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.blobs (pk bigint, ck int, col text, " +
+        "value blob, wt bigint)")
+      def row(pk: Long, c: String): Option[Seq[Byte]] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/blobs")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption
+          .map(_.getAs[Array[Byte]](0).toSeq)
+      // INSERT/UPDATE with 0x literals; later writes LWW-shadow
+      cq("INSERT INTO ks.blobs (pk, ck, payload) VALUES " +
+        "(1, 1, 0xCAFE)")
+      cq("UPDATE ks.blobs SET payload = 0xCAFEBABE " +
+        "WHERE pk = 1 AND ck = 1")
+      assert(row(1, "payload") ===
+        Some(Seq(0xCA.toByte, 0xFE.toByte, 0xBA.toByte, 0xBE.toByte)))
+      // 0x alone is the EMPTY blob (Cassandra's own)
+      cq("INSERT INTO ks.blobs (pk, ck, payload) VALUES (2, 1, 0x)")
+      assert(row(2, "payload") === Some(Seq.empty))
+      // cell/row deletes tombstone with empty-blob markers
+      cq("DELETE payload FROM ks.blobs WHERE pk = 1 AND ck = 1")
+      assert(row(1, "payload") === None)
+      cq("DELETE FROM ks.blobs WHERE pk = 2 AND ck = 1")
+      assert(row(2, "payload") === None)
+      // buffered script: one flush per table
+      def nFiles: Int = new java.io.File(s"$root/ks/blobs")
+        .list().count(_.endsWith(".cells"))
+      val before = nFiles
+      Cql.catalogScript(spark,
+        """INSERT INTO ks.blobs (pk, ck, payload) VALUES (3, 1, 0x01);
+          |INSERT INTO ks.blobs (pk, ck, payload) VALUES (4, 1, 0x02);
+          |UPDATE ks.blobs SET payload = 0x03 WHERE pk = 3 AND ck = 1
+          |""".stripMargin, "blobcat")
+      assert(nFiles === before + 1)
+      assert(row(3, "payload") === Some(Seq(3.toByte)))
+      // refusals: literal shape, odd digits, statics, non-blob value
+      refuse("INSERT INTO ks.blobs (pk, ck, payload) VALUES (5, 1, 7)",
+        "blob literal")
+      refuse("INSERT INTO ks.blobs (pk, ck, payload) VALUES " +
+        "(5, 1, 0xABC)", "even number of hex digits")
+      refuse("CREATE TABLE ks.bs (pk bigint, ck int, col text, " +
+        "value blob, wt bigint, meta blob static)",
+        "blob tables cannot declare static")
+    } finally spark.conf.unset("spark.sql.catalog.blobcat")
+  }
+
   test("SASI prefix LIKE: order-preserving text index (C18i)") {
     val root = Files.createTempDirectory("cql-pfx").toString
     spark.conf.set("spark.sql.catalog.pfxcat", "graft.sources.CellCatalog")
