@@ -518,8 +518,13 @@ object Cql {
           else if (isBlobValued(dir))
             appendBinaryCells(spark, dir,
               insertBlobCells(cols, vals, wt), ttlOpt)
-          else appendCells(spark, dir,
-            insertCells(cols, vals, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
+          else otherScalarType(dir) match {
+            case Some(vt) => appendAnyCells(spark, dir, vt,
+              insertScalarCells(vt, cols, vals, wt), ttlOpt)
+            case None => appendCells(spark, dir,
+              insertCells(cols, vals, wt,
+                graft.sources.CellSource.staticCols(dir)), ttlOpt)
+          }
         case None =>
           insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
       }
@@ -571,8 +576,13 @@ object Cql {
         else if (isBlobValued(dir))
           appendBinaryCells(spark, dir,
             updateBlobCells(sets, where, wt), ttlOpt)
-        else appendCells(spark, dir,
-          updateCells(sets, where, wt, graft.sources.CellSource.staticCols(dir)), ttlOpt)
+        else otherScalarType(dir) match {
+          case Some(vt) => appendAnyCells(spark, dir, vt,
+            updateScalarCells(vt, sets, where, wt), ttlOpt)
+          case None => appendCells(spark, dir,
+            updateCells(sets, where, wt,
+              graft.sources.CellSource.staticCols(dir)), ttlOpt)
+        }
       } else if (hasCollectionSyntax(sets))
         collectionUpdateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
       else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
@@ -666,7 +676,13 @@ object Cql {
           // blob tombstones: the binary tables' empty-blob marker
           appendBinaryCells(spark, dir, markers.map {
             case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w) })
-        else appendCells(spark, dir, markers)
+        else otherScalarType(dir) match {
+          case Some(vt) =>
+            appendAnyCells(spark, dir, vt, markers.map {
+              case (pk, ck, c, _, w) =>
+                (pk, ck, c, scalarNeutral(vt), w) })
+          case None => appendCells(spark, dir, markers)
+        }
       }
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
       if (usingTs != null) forgetWt(dir)
@@ -2131,6 +2147,7 @@ object Cql {
     def mapType(t: String): String = t match {
       case "text" | "varchar" | "ascii" => "string"
       case "bigint" | "int" | "double" | "boolean" => t
+      case "timestamp" => "timestamp"
       case "blob" => "binary"
       case "counter" => "bigint"
       case o => fail(s"unsupported CQL type: $o")
@@ -2268,6 +2285,8 @@ object Cql {
     if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
       t.substring(1, t.length - 1).replace("''", "'")
     else if (t.matches("0[xX][0-9a-fA-F]*")) blobBytes(t)
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
     else if (t.matches("[-+]?\\d+")) t.toLong
     else if (t.matches("[-+]?\\d*\\.\\d+")) t.toDouble
     else fail(s"unsupported literal: $t")
@@ -3237,6 +3256,18 @@ object Cql {
     def maxWt: Long = rows.iterator.map(_._5).max
     def isEmpty: Boolean = rows.isEmpty
   }
+  private type AnyRow = (Long, Int, String, Any, Long, Option[Long])
+  /** Generic scalar twin of [[BufDefault]] (C65q, r14): double/
+    * boolean/timestamp cells share ONE buffered path — the writer is
+    * value-tagged, only the literal grammar differs per type.
+    */
+  private final class BufAny(
+      val vt: org.apache.spark.sql.types.DataType,
+      val rows: scala.collection.mutable.ArrayBuffer[AnyRow])
+      extends Buffered {
+    def maxWt: Long = rows.iterator.map(_._5).max
+    def isEmpty: Boolean = rows.isEmpty
+  }
   private final class BufTyped(val spec: graft.sources.KeySpec,
       val valueType: org.apache.spark.sql.types.DataType,
       val rows: scala.collection.mutable
@@ -3271,6 +3302,7 @@ object Cql {
     case d: BufDefault => writeCellRows(spark, dir, d.rows.toSeq)
     case bb: BufBinary => writeBinaryCellRows(spark, dir, bb.rows.toSeq)
     case s: BufString => writeStringCellRows(spark, dir, s.rows.toSeq)
+    case a: BufAny => writeAnyCellRows(spark, dir, a.vt, a.rows.toSeq)
     case t: BufTyped =>
       writeTypedRows(spark, dir, t.spec, t.valueType, t.rows.toSeq)
   }
@@ -3414,6 +3446,54 @@ object Cql {
         case _ => fail(s"layout mix-up buffering cells for $dir")
       }
     } else writeStringCellRows(spark, dir, buffered)
+  }
+
+  /** C65q twin of [[appendCells]] for double/boolean/timestamp
+    * tables — one generic buffered path, value-tagged writer.
+    */
+  private def appendAnyCells(spark: SparkSession, dir: String,
+      vt: org.apache.spark.sql.types.DataType,
+      rows: Seq[(Long, Int, String, Any, Long)],
+      ttl: Option[Long] = None): Unit = {
+    if (rows.isEmpty) return
+    val buffered = rows.map { case (pk, ck, c, v, wt) =>
+      (pk, ck, c, v, wt, ttl) }
+    val buf = scriptBuf.get
+    if (buf != null) {
+      buf.getOrElseUpdate(wtKey(dir), new BufAny(vt,
+        scala.collection.mutable.ArrayBuffer.empty)) match {
+        case a: BufAny => a.rows ++= buffered
+        case _ => fail(s"layout mix-up buffering cells for $dir")
+      }
+    } else writeAnyCellRows(spark, dir, vt, buffered)
+  }
+
+  private def writeAnyCellRows(spark: SparkSession, dir: String,
+      vt: org.apache.spark.sql.types.DataType,
+      rows: Seq[AnyRow]): Unit = {
+    import org.apache.spark.sql.types._
+    if (rows.isEmpty) return
+    val hasTtl = rows.exists(_._6.isDefined)
+    val schema = StructType(Seq(
+      StructField("pk", LongType, nullable = false),
+      StructField("ck", IntegerType, nullable = false),
+      StructField("col", StringType, nullable = false),
+      StructField("value", vt, nullable = false),
+      StructField("wt", LongType, nullable = false)) ++
+      (if (hasTtl) Seq(StructField("ttl", LongType, nullable = true))
+       else Seq.empty))
+    val sparkRows = rows.map { case (pk, ck, c, v, wt, t) =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(pk, ck, c, v, wt) ++
+          (if (hasTtl) Seq(t.map(Long.box).orNull) else Seq.empty))
+    }
+    var w = spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
+        schema)
+      .coalesce(1).write.format(Fmt)
+      .option("valueType", vt.simpleString)
+    if (hasTtl) w = w.option("ttl", "true")
+    w.mode("append").save(dir)
   }
 
   private def writeStringCellRows(spark: SparkSession, dir: String,
@@ -4421,6 +4501,110 @@ object Cql {
     udtLayoutOf(dir).isEmpty &&
       graft.sources.CellSource.valueTypeOf(dir) ==
         org.apache.spark.sql.types.BinaryType
+
+  /** The remaining front-door scalar value types (C65q, r14):
+    * double, boolean, timestamp — one generic cell path serves all
+    * three (the file writer is value-tagged already; only the
+    * LITERAL grammar is type-specific).
+    */
+  private def otherScalarType(dir: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    if (udtLayoutOf(dir).isDefined || isCounter(dir)) None
+    else graft.sources.CellSource.valueTypeOf(dir) match {
+      case t @ (org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.BooleanType |
+          org.apache.spark.sql.types.TimestampType) => Some(t)
+      case _ => None
+    }
+
+  /** CQL literal for a C65q scalar type: doubles widen bigint
+    * literals (CQL's own rule), booleans take true/false, timestamps
+    * take epoch millis or an ISO-8601 instant string (UTC — the
+    * session timezone everywhere here).
+    */
+  private def scalarLiteral(
+      vt: org.apache.spark.sql.types.DataType)(
+      raw: String, what: String): Any = vt match {
+    case org.apache.spark.sql.types.DoubleType => literal(raw) match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case o => fail(s"$what takes a double literal, got: $o")
+    }
+    case org.apache.spark.sql.types.BooleanType => literal(raw) match {
+      case b: Boolean => b
+      case o => fail(s"$what takes true/false, got: $o")
+    }
+    case org.apache.spark.sql.types.TimestampType =>
+      literal(raw) match {
+        case l: Long => new java.sql.Timestamp(l)
+        case str: String =>
+          // ISO-8601 instant; the space form and a missing zone
+          // normalize to UTC (the session timezone everywhere here)
+          val iso0 = if (str.contains("T")) str
+            else str.trim.replace(" ", "T")
+          val iso = if (iso0.endsWith("Z") || iso0.contains("+"))
+            iso0 else iso0 + "Z"
+          try java.sql.Timestamp.from(java.time.Instant.parse(iso))
+          catch { case _: Exception =>
+            fail(s"$what takes epoch millis or an ISO-8601 " +
+              s"instant ('2020-01-02T03:04:05Z'), got: '$str'")
+          }
+        case o => fail(s"$what takes epoch millis or an ISO-8601 " +
+          s"instant, got: $o")
+      }
+    case t => fail(s"unsupported scalar value type: $t")
+  }
+
+  /** The type's inert marker value (tombstone value slots). */
+  private def scalarNeutral(
+      vt: org.apache.spark.sql.types.DataType): Any = vt match {
+    case org.apache.spark.sql.types.DoubleType => 0.0
+    case org.apache.spark.sql.types.BooleanType => false
+    case org.apache.spark.sql.types.TimestampType =>
+      new java.sql.Timestamp(0L)
+    case t => fail(s"unsupported scalar value type: $t")
+  }
+
+  /** C65q INSERT cells: [[insertCells]]'s key grammar with the
+    * type's literal in the value slot (statics excluded).
+    */
+  private def insertScalarCells(
+      vt: org.apache.spark.sql.types.DataType, cols: String,
+      vals: String, wt: Long)
+      : Seq[(Long, Int, String, Any, Long)] = {
+    val names = cols.split(',').map(_.trim)
+    val values = splitValues(vals)
+    if (names.length != values.length)
+      fail(s"INSERT arity mismatch: ${names.length} columns, " +
+        s"${values.length} values")
+    val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
+    val pk = longLiteral(
+      kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+    val ck = ckLiteral(
+      kv.getOrElse("ck", fail("INSERT must bind ck")))
+    val data = names.map(_.toLowerCase)
+      .filterNot(n => n == "pk" || n == "ck")
+    if (data.isEmpty) fail("INSERT needs at least one data column")
+    data.map(c =>
+      (pk, ck, c, scalarLiteral(vt)(kv(c), s"value of $c"), wt)).toSeq
+  }
+
+  /** C65q UPDATE cells. */
+  private def updateScalarCells(
+      vt: org.apache.spark.sql.types.DataType, sets: String,
+      where: String, wt: Long): Seq[(Long, Int, String, Any, Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    for {
+      item <- sets.split(',').toSeq
+      (c, v) = item match {
+        case SetRe(c, v) => (c.toLowerCase,
+          scalarLiteral(vt)(v, s"value of $c"))
+        case x => fail(s"unsupported SET item: $x")
+      }
+      pk <- pks.toSeq.sorted
+    } yield (pk, ck, c, v, wt)
+  }
 
   /** BLOB-valued INSERT cells (C65p): [[insertCells]]'s key grammar
     * with `0x<hex>` literals in the value slot (statics are outside

@@ -2240,6 +2240,60 @@ object Cells {
       |  (2, 1, 'payload', '00FF')) AS t(pk, ck, col, h)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C65q — DOUBLE/BOOLEAN/TIMESTAMP value types through the CQL
+  // front door (r14): the remaining scalar types ride one generic
+  // value-tagged cell path; only the literal grammar is
+  // type-specific (decimals widen bigints, true/false, epoch millis
+  // or ISO instants). Projections render to deterministic text so
+  // the DuckDB oracle compares exactly.
+  private def scalarValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_scalar"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-scalar-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.sd (pk bigint, ck int,
+        |  col text, value double, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.sb (pk bigint, ck int,
+        |  col text, value boolean, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.st (pk bigint, ck int,
+        |  col text, value timestamp, wt bigint);
+        |TRUNCATE ks.sd; TRUNCATE ks.sb; TRUNCATE ks.st;
+        |INSERT INTO ks.sd (pk, ck, score) VALUES (10, 1, 1.5);
+        |UPDATE ks.sd SET score = 3.5 WHERE pk = 10 AND ck = 1;
+        |INSERT INTO ks.sd (pk, ck, score) VALUES (11, 1, 2.5);
+        |INSERT INTO ks.sd (pk, ck, score) VALUES (12, 1, 9.5);
+        |DELETE score FROM ks.sd WHERE pk = 12 AND ck = 1;
+        |INSERT INTO ks.sb (pk, ck, active) VALUES (1, 1, true);
+        |UPDATE ks.sb SET active = false WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.st (pk, ck, seen) VALUES (1, 1,
+        |  '2020-01-02T03:04:05Z');
+        |INSERT INTO ks.st (pk, ck, seen) VALUES (2, 1,
+        |  1577934245000)""".stripMargin, cat)
+    val dd = cq("SELECT pk, value FROM ks.sd")
+      .select(lit("d").as("tbl"), col("pk"),
+        col("value").cast("string").as("v"))
+    val bb = cq("SELECT pk, value FROM ks.sb")
+      .select(lit("b").as("tbl"), col("pk"),
+        col("value").cast("string").as("v"))
+    val tt = cq("SELECT pk, value FROM ks.st")
+      .select(lit("ts").as("tbl"), col("pk"),
+        expr("unix_millis(value)").cast("string").as("v"))
+    dd.unionAll(bb).unionAll(tt).orderBy(col("tbl"), col("pk"))
+  }
+
+  private val scalarValuesSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES ('b', 1, 'false'), ('d', 10, '3.5'),
+      |  ('d', 11, '2.5'), ('ts', 1, '1577934245000'),
+      |  ('ts', 2, '1577934245000')) AS t(tbl, pk, v)
+      |ORDER BY tbl, pk""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2621,6 +2675,8 @@ object Cells {
       Some(textValuesSql)),
     GQuery("C65p_blob_values", blobValuesLifecycle,
       Some(blobValuesSql)),
+    GQuery("C65q_scalar_values", scalarValuesLifecycle,
+      Some(scalarValuesSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -3841,6 +3841,72 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("double/boolean/timestamp tables through the CQL front door (C65q)") {
+    val root = Files.createTempDirectory("cql-scalar").toString
+    spark.conf.set("spark.sql.catalog.sccat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.sccat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "sccat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cell(t: String, pk: Long, c: String): Option[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption.map(_.get(0))
+      cq("CREATE KEYSPACE ks")
+      // DOUBLE: decimal literals write, bigint literals widen
+      cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
+        "value double, wt bigint)")
+      cq("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 0.5)")
+      cq("UPDATE ks.d SET score = 2 WHERE pk = 1 AND ck = 1")
+      assert(cell("d", 1, "score") === Some(2.0))
+      cq("DELETE score FROM ks.d WHERE pk = 1 AND ck = 1")
+      assert(cell("d", 1, "score") === None)
+      refuse("INSERT INTO ks.d (pk, ck, score) VALUES (2, 1, 'x')",
+        "takes a double literal")
+      // BOOLEAN: true/false literals
+      cq("CREATE TABLE ks.b (pk bigint, ck int, col text, " +
+        "value boolean, wt bigint)")
+      cq("INSERT INTO ks.b (pk, ck, active) VALUES (1, 1, true)")
+      cq("UPDATE ks.b SET active = false WHERE pk = 1 AND ck = 1")
+      assert(cell("b", 1, "active") === Some(false))
+      refuse("UPDATE ks.b SET active = 7 WHERE pk = 1 AND ck = 1",
+        "takes true/false")
+      // TIMESTAMP: epoch millis and ISO instants, both UTC
+      cq("CREATE TABLE ks.ts (pk bigint, ck int, col text, " +
+        "value timestamp, wt bigint)")
+      cq("INSERT INTO ks.ts (pk, ck, seen) VALUES (1, 1, " +
+        "'2020-01-02T03:04:05Z')")
+      cq("INSERT INTO ks.ts (pk, ck, seen) VALUES (2, 1, " +
+        "'2020-01-02 03:04:05')")
+      cq("INSERT INTO ks.ts (pk, ck, seen) VALUES (3, 1, " +
+        "1577934245000)")
+      val expect = java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-01-02T03:04:05Z"))
+      Seq(1L, 2L, 3L).foreach { pk =>
+        assert(cell("ts", pk, "seen") === Some(expect), s"pk $pk")
+      }
+      cq("DELETE FROM ks.ts WHERE pk = 3 AND ck = 1")
+      assert(cell("ts", 3, "seen") === None)
+      refuse("INSERT INTO ks.ts (pk, ck, seen) VALUES (4, 1, " +
+        "'yesterday')", "ISO-8601")
+      // buffered script: one flush per table
+      def nFiles: Int = new java.io.File(s"$root/ks/d")
+        .list().count(_.endsWith(".cells"))
+      val before = nFiles
+      Cql.catalogScript(spark,
+        """INSERT INTO ks.d (pk, ck, score) VALUES (10, 1, 1.5);
+          |INSERT INTO ks.d (pk, ck, score) VALUES (11, 1, 2.5);
+          |UPDATE ks.d SET score = 3.5 WHERE pk = 10 AND ck = 1
+          |""".stripMargin, "sccat")
+      assert(nFiles === before + 1)
+      assert(cell("d", 10, "score") === Some(3.5))
+    } finally spark.conf.unset("spark.sql.catalog.sccat")
+  }
+
   test("blob-valued tables through the CQL front door (C65p)") {
     val root = Files.createTempDirectory("cql-blob").toString
     spark.conf.set("spark.sql.catalog.blobcat", "graft.sources.CellCatalog")
