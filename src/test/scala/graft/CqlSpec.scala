@@ -4000,6 +4000,10 @@ class CqlSpec extends GraftSpec {
       // prefix longer than the 8-byte key: superset range + re-filter
       assert(hits("carbonate%") === Set(6L))
       assert(hits("zz%") === Set.empty)
+      // key predicates compose with the LIKE route (the residual
+      // filter applies after the index-then-fetch)
+      assert(cq("SELECT pk FROM ks.words WHERE pk = 2 AND " +
+        "word LIKE 'ca%'").as[Long].collect().toSet === Set(2L))
       // freshness: a post-build flush heals on the next probe
       put((7L, "cab"))
       assert(hits("ca%") === Set(1L, 2L, 3L, 5L, 6L, 7L))
