@@ -832,6 +832,7 @@ object Cql {
 
   private def lwtInsert(spark: SparkSession, dir: String,
       cols: String, vals: String): DataFrame = {
+    refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
@@ -883,6 +884,7 @@ object Cql {
 
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifVal: String): DataFrame = {
+    refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
@@ -928,6 +930,7 @@ object Cql {
     */
   private def lwtUpdateExists(spark: SparkSession, dir: String,
       sets: String, where: String): DataFrame = {
+    refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
@@ -967,6 +970,7 @@ object Cql {
   private def lwtDelete(spark: SparkSession, dir: String,
       colOpt: Option[String], where: String, exists: Boolean,
       ifCol: Option[String], ifVal: Option[String]): DataFrame = {
+    refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
@@ -1199,6 +1203,7 @@ object Cql {
       if (isStringValued(dir))
         fail("conditional BATCH supports bigint-valued tables in " +
           "this subset (single-statement LWT serves text tables)")
+      refuseLwtValueType(dir, allowText = false)
       dir
     }
     type Cond = (Int, Option[String], CasCond)
@@ -4485,6 +4490,25 @@ object Cql {
   }
 
   /** Cells an UPDATE contributes (wt = AssignLater defers). */
+  /** LWT value-type gate: lightweight transactions serve bigint- and
+    * text-valued plain tables; conditional BATCH bigint only. Refuse
+    * every other DECLARED value type up front — before the partition
+    * read — so a double/boolean/timestamp/blob table gets this
+    * message instead of a read-path ClassCastException, and a FRESH
+    * non-bigint table can never have an integer-literal CAS stamp a
+    * bigint-tagged first file over its declared `_type`.
+    */
+  private def refuseLwtValueType(dir: String,
+      allowText: Boolean): Unit = {
+    val dt = graft.sources.CellSource.valueTypeOf(dir)
+    val ok = dt == org.apache.spark.sql.types.LongType ||
+      (allowText && dt == org.apache.spark.sql.types.StringType)
+    if (!ok)
+      fail("lightweight transactions serve bigint- and text-valued " +
+        "tables (conditional BATCH: bigint only); table's value " +
+        s"type is ${dt.simpleString}")
+  }
+
   /** True for a TEXT-valued plain table (C65o): text write grammar,
     * empty-string tombstones. UDT/counter tables route earlier in
     * every statement arm, so only the plain paths consult this.
@@ -4517,6 +4541,12 @@ object Cql {
       case _ => None
     }
 
+  /** An explicit trailing UTC offset ('-05:00', '+0530') on an
+    * ISO-8601 timestamp literal — the one zone form a bare
+    * contains("+") test misses is the negative offset.
+    */
+  private val TrailingOffsetRe = "[+-]\\d{2}:?\\d{2}$".r
+
   /** CQL literal for a C65q scalar type: doubles widen bigint
     * literals (CQL's own rule), booleans take true/false, timestamps
     * take epoch millis or an ISO-8601 instant string (UTC — the
@@ -4539,11 +4569,16 @@ object Cql {
         case l: Long => new java.sql.Timestamp(l)
         case str: String =>
           // ISO-8601 instant; the space form and a missing zone
-          // normalize to UTC (the session timezone everywhere here)
+          // normalize to UTC (the session timezone everywhere here).
+          // An EXPLICIT trailing offset — including a negative one
+          // like '-05:00', which a bare contains("+") check misses —
+          // must not get a 'Z' appended (Java 17's Instant.parse
+          // accepts non-Z offsets directly).
           val iso0 = if (str.contains("T")) str
             else str.trim.replace(" ", "T")
-          val iso = if (iso0.endsWith("Z") || iso0.contains("+"))
-            iso0 else iso0 + "Z"
+          val hasZone = iso0.endsWith("Z") || iso0.contains("+") ||
+            TrailingOffsetRe.findFirstIn(iso0).isDefined
+          val iso = if (hasZone) iso0 else iso0 + "Z"
           try java.sql.Timestamp.from(java.time.Instant.parse(iso))
           catch { case _: Exception =>
             fail(s"$what takes epoch millis or an ISO-8601 " +

@@ -231,6 +231,14 @@ object CellTransactions {
       CellPlanning.listFiles(norm)).isDefault,
       s"conditional BATCH supports default-keyed tables " +
         s"(pk bigint, ck int); $dir is typed")
+    // validate the value tag BEFORE the partition read: the batch's
+    // writes are bigint cells, and the condition evaluator below
+    // reads `value` as long — a text/double table must refuse here,
+    // not throw from getLong or land a mistagged flush
+    require(casValueType(d, CellPlanning.listFiles(norm))._1 ==
+      ValueCodec.LongTag,
+      s"conditional BATCH is defined on bigint-valued tables; " +
+        s"$dir is not")
     withBallot(d, lockTimeoutMs, nowMs) {
       val reader = spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")
@@ -305,7 +313,7 @@ object CellTransactions {
     */
   private def appendRow(dir: Path, files: Seq[String], pk: Long, ck: Int,
       colName: String, value: Any, wt: Long): Unit = {
-    val (tag, prec, scale) = casValueType(files)
+    val (tag, prec, scale) = casValueType(dir, files)
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
     CellSource.writeFileTyped(staged,
       Seq((pk, ck, colName, casCoerce(tag, value, colName), wt)),
@@ -345,7 +353,7 @@ object CellTransactions {
     */
   private def appendRows(dir: Path, files: Seq[String],
       cells: Seq[(Long, Int, String, Long)], wt: Long): Unit = {
-    val (tag, prec, scale) = casValueType(files)
+    val (tag, prec, scale) = casValueType(dir, files)
     val rows = cells.sortBy(c => (c._1, c._2, c._3))
       .map { case (pk, ck, c, v) => (pk, ck, c, v: Any, wt) }
     val cols = cells.map(_._3).distinct.sorted.toArray
@@ -361,7 +369,12 @@ object CellTransactions {
   private def appendRowKeyed(dir: Path, files: Seq[String],
       spec: KeySpec, keyValues: Seq[Any], colName: String, value: Long,
       wt: Long): Unit = {
-    val (tag, prec, scale) = casValueType(files)
+    val (tag, prec, scale) = casValueType(dir, files)
+    // the keyed CAS round writes bigint cells (its value parameter is
+    // Long); a text-valued typed table must refuse rather than hand a
+    // Long to the string codec
+    require(tag == ValueCodec.LongTag,
+      "keyed CAS writes bigint cells; table is not bigint-valued")
     def internal(p: KeyPart, v: Any): Any =
       KeyCodec.toInternal(p.tag, v).getOrElse(throw
         new IllegalArgumentException(s"bad ${p.name} value $v"))
@@ -378,11 +391,28 @@ object CellTransactions {
     publishStaged(dir, files, staged)
   }
 
-  private def casValueType(files: Seq[String]): (Int, Int, Int) = {
+  /** The table's value layout for a CAS write: the first file
+    * header's tag once files exist, else the catalog `_type` marker —
+    * the SAME resolution order as [[CellSource.valueTypeOf]]. Reading
+    * the marker here matters on the canonical first-write LWT
+    * (`CREATE TABLE (… v text); INSERT … IF NOT EXISTS`): defaulting
+    * to long would refuse the text write, and worse, an integer LWT
+    * on a fresh double/boolean/timestamp table would stamp a
+    * bigint-tagged first file that permanently outranks the declared
+    * type. Non-long/text declared types are refused up front.
+    */
+  private def casValueType(dir: Path, files: Seq[String]): (Int, Int, Int) = {
     val (tag, prec, scale) = files.headOption
       .map(CellSource.readHeader)
       .map(h => (h.valueTag, h.decPrec, h.decScale))
-      .getOrElse((ValueCodec.LongTag, 0, 0))
+      .getOrElse {
+        val marker = dir.resolve("_type")
+        val dt =
+          if (Files.exists(marker))
+            ValueCodec.parseType(Files.readString(marker).trim)
+          else org.apache.spark.sql.types.LongType
+        (ValueCodec.tagFor(dt), 0, 0)
+      }
     require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag,
       s"CAS is defined on bigint- and text-valued tables " +
         s"(found tag $tag)")

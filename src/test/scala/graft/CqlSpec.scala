@@ -3841,6 +3841,76 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("LWT value-type guards (r15): fresh-table _type routing, " +
+    "non-bigint refusals, offset timestamps") {
+    val root = Files.createTempDirectory("cql-lwtguard").toString
+    spark.conf.set("spark.sql.catalog.lgcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.lgcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "lgcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cell(t: String, pk: Long, c: String): Option[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption.map(_.get(0))
+      cq("CREATE KEYSPACE ks")
+      // (1) the canonical LWT idiom on a FRESH text table: no flush
+      // file exists yet, so the CAS value layout must come from the
+      // catalog `_type` marker (not the long default) — the write
+      // lands as a TEXT cell and the miss row reports the string
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      val r1 = cq("INSERT INTO ks.t (pk, ck, status) VALUES " +
+        "(1, 1, 'pending') IF NOT EXISTS")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r1 === ((true, None)))
+      val r2 = cq("INSERT INTO ks.t (pk, ck, status) VALUES " +
+        "(1, 1, 'done') IF NOT EXISTS")
+        .as[(Boolean, Option[String])].collect().head
+      assert(r2 === ((false, Some("pending"))))
+      assert(cell("t", 1, "status") === Some("pending"))
+      // (2) a FRESH double table refuses integer-literal LWT instead
+      // of silently stamping a bigint first file over the declared
+      // type; the declared type then survives for the plain write
+      cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
+        "value double, wt bigint)")
+      refuse("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 5) " +
+        "IF NOT EXISTS", "bigint- and text-valued")
+      cq("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 0.5)")
+      assert(cell("d", 1, "score") === Some(0.5))
+      // (3) POPULATED double table: single-statement LWT and
+      // conditional BATCH refuse up front (no read-path class-cast)
+      refuse("UPDATE ks.d SET score = 2 WHERE pk = 1 AND ck = 1 " +
+        "IF score = 1", "bigint- and text-valued")
+      refuse("DELETE FROM ks.d WHERE pk = 1 AND ck = 1 IF EXISTS",
+        "bigint- and text-valued")
+      refuse("BEGIN BATCH\nINSERT INTO ks.d (pk, ck, score) VALUES " +
+        "(2, 1, 3) IF NOT EXISTS;\nAPPLY BATCH",
+        "conditional BATCH: bigint only")
+      // conditional BATCH on a fresh TEXT table routes to the same
+      // refusal (text is served by single-statement LWT only)
+      refuse("BEGIN BATCH\nINSERT INTO ks.t (pk, ck, s) VALUES " +
+        "(2, 1, 5) IF NOT EXISTS;\nAPPLY BATCH",
+        "single-statement LWT serves text tables")
+      // (4) ISO-8601 instants with EXPLICIT offsets — including the
+      // negative form a bare '+' test misses — normalize to UTC
+      cq("CREATE TABLE ks.ts (pk bigint, ck int, col text, " +
+        "value timestamp, wt bigint)")
+      cq("INSERT INTO ks.ts (pk, ck, seen) VALUES (1, 1, " +
+        "'2020-01-02T03:04:05-05:00')")
+      cq("INSERT INTO ks.ts (pk, ck, seen) VALUES (2, 1, " +
+        "'2020-01-02T03:04:05+02:00')")
+      assert(cell("ts", 1, "seen") === Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-01-02T08:04:05Z"))))
+      assert(cell("ts", 2, "seen") === Some(java.sql.Timestamp.from(
+        java.time.Instant.parse("2020-01-02T01:04:05Z"))))
+    } finally spark.conf.unset("spark.sql.catalog.lgcat")
+  }
+
   test("double/boolean/timestamp tables through the CQL front door (C65q)") {
     val root = Files.createTempDirectory("cql-scalar").toString
     spark.conf.set("spark.sql.catalog.sccat", "graft.sources.CellCatalog")
