@@ -442,6 +442,21 @@ object Cql {
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       refuseUdt(dir, "INSERT JSON")
+      // the JSON document's own types carry the cell type, and the
+      // two grammars here produce bigint and text cells — any other
+      // declared value type must refuse, or the long/string writer
+      // would stamp a wrong-tagged flush over the declared type
+      // (the same silent-flip class the r15 LWT guard closed)
+      locally {
+        val vt = graft.sources.CellSource.valueTypeOf(dir)
+        if (cqlValueTypeOf(dir).isDefined ||
+            (vt != org.apache.spark.sql.types.LongType &&
+             vt != org.apache.spark.sql.types.StringType))
+          fail("INSERT JSON serves bigint- and text-valued tables " +
+            "in this subset; table's value type is " +
+            cqlValueTypeOf(dir).getOrElse(
+              SystemSchema.cqlTypeName(vt)))
+      }
       val wt = Option(usingTs).map(_.toLong).getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       val ttlOpt = effectiveTtl(dir, None) // table default, if any
@@ -511,19 +526,28 @@ object Cql {
             else insertUdtTypedRows(spec, cols, vals, wt, layout),
             ttlOpt, org.apache.spark.sql.types.BinaryType)
         case None if spec.isDefault =>
-          if (isStringValued(dir))
-            appendStringCells(spark, dir, insertStringCells(cols,
-              vals, wt, graft.sources.CellSource.staticCols(dir)),
+          // mapped types (C65r) route FIRST: a uuid table stores
+          // text but must validate uuid literals, not accept any
+          // string the text grammar would
+          mappedValueType(dir) match {
+            case Some((ct, vt)) => appendAnyCells(spark, dir, vt,
+              insertScalarCells(mappedLiteral(ct), cols, vals, wt),
               ttlOpt)
-          else if (isBlobValued(dir))
-            appendBinaryCells(spark, dir,
-              insertBlobCells(cols, vals, wt), ttlOpt)
-          else otherScalarType(dir) match {
-            case Some(vt) => appendAnyCells(spark, dir, vt,
-              insertScalarCells(vt, cols, vals, wt), ttlOpt)
-            case None => appendCells(spark, dir,
-              insertCells(cols, vals, wt,
-                graft.sources.CellSource.staticCols(dir)), ttlOpt)
+            case None if isStringValued(dir) =>
+              appendStringCells(spark, dir, insertStringCells(cols,
+                vals, wt, graft.sources.CellSource.staticCols(dir)),
+                ttlOpt)
+            case None if isBlobValued(dir) =>
+              appendBinaryCells(spark, dir,
+                insertBlobCells(cols, vals, wt), ttlOpt)
+            case None => otherScalarType(dir) match {
+              case Some(vt) => appendAnyCells(spark, dir, vt,
+                insertScalarCells(scalarLiteral(vt), cols, vals, wt),
+                ttlOpt)
+              case None => appendCells(spark, dir,
+                insertCells(cols, vals, wt,
+                  graft.sources.CellSource.staticCols(dir)), ttlOpt)
+            }
           }
         case None =>
           insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
@@ -565,23 +589,35 @@ object Cql {
             udtLayoutOf(dir).get), ttlOpt,
           org.apache.spark.sql.types.BinaryType)
       } else if (spec.isDefault) {
-        if (hasCollectionSyntax(sets))
-          // element cells take the table's value type: bigint on the
-          // default, TEXT on a text-valued table (C65o, r14)
-          collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
-        else if (isStringValued(dir))
-          appendStringCells(spark, dir, updateStringCells(sets,
-            where, wt, graft.sources.CellSource.staticCols(dir)),
-            ttlOpt)
-        else if (isBlobValued(dir))
-          appendBinaryCells(spark, dir,
-            updateBlobCells(sets, where, wt), ttlOpt)
-        else otherScalarType(dir) match {
-          case Some(vt) => appendAnyCells(spark, dir, vt,
-            updateScalarCells(vt, sets, where, wt), ttlOpt)
-          case None => appendCells(spark, dir,
-            updateCells(sets, where, wt,
-              graft.sources.CellSource.staticCols(dir)), ttlOpt)
+        mappedValueType(dir) match {
+          case Some((ct, vt)) =>
+            // mapped types (C65r): scalar cells only — collection
+            // element cells would need a per-element mapped grammar
+            if (hasCollectionSyntax(sets))
+              fail(s"collections on $ct-valued tables are outside " +
+                "this subset")
+            appendAnyCells(spark, dir, vt,
+              updateScalarCells(mappedLiteral(ct), sets, where, wt),
+              ttlOpt)
+          case None if hasCollectionSyntax(sets) =>
+            // element cells take the table's value type: bigint on
+            // the default, TEXT on a text-valued table (C65o, r14)
+            collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
+          case None if isStringValued(dir) =>
+            appendStringCells(spark, dir, updateStringCells(sets,
+              where, wt, graft.sources.CellSource.staticCols(dir)),
+              ttlOpt)
+          case None if isBlobValued(dir) =>
+            appendBinaryCells(spark, dir,
+              updateBlobCells(sets, where, wt), ttlOpt)
+          case None => otherScalarType(dir) match {
+            case Some(vt) => appendAnyCells(spark, dir, vt,
+              updateScalarCells(scalarLiteral(vt), sets, where, wt),
+              ttlOpt)
+            case None => appendCells(spark, dir,
+              updateCells(sets, where, wt,
+                graft.sources.CellSource.staticCols(dir)), ttlOpt)
+          }
         }
       } else if (hasCollectionSyntax(sets))
         collectionUpdateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
@@ -666,22 +702,31 @@ object Cql {
       else if (spec.isDefault) {
         val markers = deleteMarkers(Option(colOpt), where, dts,
           graft.sources.CellSource.staticCols(dir))
-        if (isStringValued(dir))
-          // text-valued tombstones carry the EMPTY STRING in the
-          // value slot (the marker col name is the whole message) —
-          // the string twin of the binary tables' empty blob
-          appendStringCells(spark, dir, markers.map {
-            case (pk, ck, c, _, w) => (pk, ck, c, "", w) })
-        else if (isBlobValued(dir))
-          // blob tombstones: the binary tables' empty-blob marker
-          appendBinaryCells(spark, dir, markers.map {
-            case (pk, ck, c, _, w) => (pk, ck, c, Array.empty[Byte], w) })
-        else otherScalarType(dir) match {
-          case Some(vt) =>
+        mappedValueType(dir) match {
+          case Some((_, vt)) =>
+            // mapped-type tombstones (C65r): the storage layout's
+            // neutral in the value slot, same as the C65q scalars
             appendAnyCells(spark, dir, vt, markers.map {
               case (pk, ck, c, _, w) =>
                 (pk, ck, c, scalarNeutral(vt), w) })
-          case None => appendCells(spark, dir, markers)
+          case None if isStringValued(dir) =>
+            // text-valued tombstones carry the EMPTY STRING in the
+            // value slot (the marker col name is the whole message)
+            // — the string twin of the binary tables' empty blob
+            appendStringCells(spark, dir, markers.map {
+              case (pk, ck, c, _, w) => (pk, ck, c, "", w) })
+          case None if isBlobValued(dir) =>
+            // blob tombstones: the binary tables' empty-blob marker
+            appendBinaryCells(spark, dir, markers.map {
+              case (pk, ck, c, _, w) =>
+                (pk, ck, c, Array.empty[Byte], w) })
+          case None => otherScalarType(dir) match {
+            case Some(vt) =>
+              appendAnyCells(spark, dir, vt, markers.map {
+                case (pk, ck, c, _, w) =>
+                  (pk, ck, c, scalarNeutral(vt), w) })
+            case None => appendCells(spark, dir, markers)
+          }
         }
       }
       else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
@@ -1200,6 +1245,9 @@ object Cql {
       if (!graft.sources.CellSource.keySpec(dir).isDefault)
         fail("conditional BATCH supports the default ((pk), ck) " +
           "layout only in this subset")
+      cqlValueTypeOf(dir).foreach(ct =>
+        fail(s"conditional BATCH on $ct-valued tables is outside " +
+          "this subset"))
       if (isStringValued(dir))
         fail("conditional BATCH supports bigint-valued tables in " +
           "this subset (single-statement LWT serves text tables)")
@@ -1599,6 +1647,13 @@ object Cql {
         // non-frozen udt (C59d): same blob-valued cell layer, but the
         // write/read paths route per FIELD CELL instead of per blob
         if (cc.udtUnfrozen) props += "udtUnfrozen" -> "true"
+        // mapped declared types (C65r/C36d): the declared CQL names
+        // drive the literal grammar and DESCRIBE; storage rides the
+        // schema/keyType props like any other table
+        cc.cqlValue.foreach(ct => props += "cqlValueType" -> ct)
+        cc.cqlKeys.foreach { case (n, ct) =>
+          props += s"cqlKeyType.$n" -> ct
+        }
         // a TYPED layout travels as table properties: the catalog
         // persists them to `_props`, which serves the schema and the
         // first write's key layout BEFORE any flush exists, and
@@ -1766,7 +1821,9 @@ object Cql {
           fail(s"cannot add cell-model column $colName")
         typ.toLowerCase match {
           case "text" | "varchar" | "ascii" | "bigint" | "int" |
-              "double" | "boolean" | "blob" | "counter" =>
+              "double" | "boolean" | "blob" | "counter" |
+              "timestamp" =>
+          case m if MappedCqlTypes.contains(m) => // C65r names
           case o => fail(s"unsupported CQL type: $o")
         }
         // existence check only — fails fast on an unknown table
@@ -1998,7 +2055,8 @@ object Cql {
         // script counter or the next statement would re-issue the
         // tombstone's writetime and tie instead of shadowing
         forgetWt(s"$root/$ks/$t")
-        try spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE $where")
+        try spark.sql(s"DELETE FROM $catalog.$ks.$t WHERE " +
+          quoteUuidLiterals(where))
         catch {
           case e: org.apache.spark.sql.AnalysisException =>
             // canDeleteWhere refused — re-parse the WHERE as CQL to
@@ -2112,7 +2170,12 @@ object Cql {
       keyParts: Seq[(String, String)], valueType: String,
       counter: Boolean, staticCols: Seq[String] = Seq.empty,
       udt: Option[(String, String)] = None,
-      udtUnfrozen: Boolean = false)
+      udtUnfrozen: Boolean = false,
+      // C65r/C36d: DECLARED CQL names of mapped value/key types
+      // (uuid, decimal, float, ...) — storage rides keyParts/
+      // valueType; these drive the literal grammar and DESCRIBE
+      cqlValue: Option[String] = None,
+      cqlKeys: Seq[(String, String)] = Seq.empty)
 
   private val FrozenDefRe =
     """(?is)^\s*(\w+)\s+frozen\s*<\s*(\w+)\s*>\s*$""".r
@@ -2155,6 +2218,11 @@ object Cql {
       case "timestamp" => "timestamp"
       case "blob" => "binary"
       case "counter" => "bigint"
+      // mapped types (C65r): uuid/timeuuid/inet store as text,
+      // float as double, decimal as decimal(18,6), varint/time as
+      // bigint, date/smallint/tinyint as int — the declared name
+      // rides as a table property for grammar + DESCRIBE
+      case m if MappedCqlTypes.contains(m) => MappedCqlTypes(m)
       case o => fail(s"unsupported CQL type: $o")
     }
     // key part names from the PRIMARY KEY clause: ((p1, p2), c1, …)
@@ -2217,6 +2285,20 @@ object Cql {
     if (statics.nonEmpty && (udtOpt.isDefined || unfrozenOpt.isDefined))
       fail("static columns cannot combine with a UDT value " +
         "column in this subset")
+    // mapped value type (C65r): the declared CQL name when the type
+    // stores as another scalar layout (only for plain-value tables —
+    // UDT branches routed above)
+    val mappedV: Option[String] =
+      if (udtOpt.isDefined || unfrozenOpt.isDefined) None
+      else Some(colMap("value")).filter(MappedCqlTypes.contains)
+    if (statics.nonEmpty && mappedV.isDefined)
+      fail(s"static columns on ${mappedV.get}-valued tables are " +
+        "outside this subset")
+    statics.foreach { n =>
+      if (MappedCqlTypes.contains(colMap(n)))
+        fail(s"static column $n: mapped CQL types " +
+          s"(${colMap(n)}) cannot be static in this subset")
+    }
     // STATIC columns (C15b) are the one legal extra: per-partition
     // cells at the marker position, declared here so writes/reads can
     // route them (regular data columns stay dynamic in the cell model)
@@ -2249,12 +2331,26 @@ object Cql {
       if (t == "counter") fail("a key part cannot be a counter")
       n -> mapType(t)
     }
-    val default = keyParts == Seq("pk" -> "bigint", "ck" -> "int")
+    // mapped KEY types (C36d): uuid/timeuuid/inet/varint/time/date/
+    // smallint/tinyint parts ride the typed comparator as their
+    // storage layout; the declared name is kept for DESCRIBE and a
+    // mapped `pk`/`ck` pair must NOT collapse to the default layout
+    // (the default has no _props to carry the declared names)
+    val cqlKeys: Seq[(String, String)] = keyNames
+      .filter(n => MappedCqlTypes.contains(colMap(n)))
+      .map(n => n -> colMap(n))
+    val default = keyParts == Seq("pk" -> "bigint", "ck" -> "int") &&
+      cqlKeys.isEmpty
     keyParts.foreach { case (n, t) =>
       if (!default && !Seq("string", "bigint", "int").contains(t))
         fail(s"unsupported typed key part type for $n: $t " +
-          "(text/bigint/int)")
+          "(text/bigint/int/uuid/timeuuid/inet/varint/time/date/" +
+          "smallint/tinyint)")
     }
+    if (mappedV.isDefined && !default)
+      fail(s"${mappedV.get}-valued tables are supported on the " +
+        "default ((pk), ck) layout only in this subset (typed " +
+        "layouts serve mapped KEY types)")
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
@@ -2272,7 +2368,8 @@ object Cql {
       else mapType(colMap("value")),
       colMap("value") == "counter",
       statics.toSeq, udtOpt.orElse(unfrozenOpt),
-      udtUnfrozen = unfrozenOpt.isDefined)
+      udtUnfrozen = unfrozenOpt.isDefined,
+      cqlValue = mappedV, cqlKeys = cqlKeys)
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
@@ -2285,6 +2382,27 @@ object Cql {
   // ---------------------------------------------------------------
   // literals & predicates
 
+  /** CQL uuid literals are UNQUOTED (`123e4567-e89b-12d3-a456-...`)
+    * — the canonical 8-4-4-4-12 hex shape, recognized here so uuid
+    * keys and values parse everywhere a literal does (C65r/C36d).
+    */
+  private val UuidShapeRe = java.util.regex.Pattern.compile(
+    "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+
+  /** Unquoted uuid literals quoted (and lowercased) for splicing a
+    * CQL WHERE into a Spark SQL statement — Spark's parser reads the
+    * bare 8-4-4-4-12 form as a malformed exponent literal. Quoted
+    * segments pass through untouched.
+    */
+  private def quoteUuidLiterals(s: String): String =
+    s.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 0)
+        UuidShapeRe.matcher(seg).replaceAll(m =>
+          "'" + m.group().toLowerCase + "'")
+      else seg
+    }.mkString("'")
+
   private def literal(s: String): Any = {
     val t = s.trim
     if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
@@ -2294,6 +2412,9 @@ object Cql {
     else if (t.equalsIgnoreCase("false")) false
     else if (t.matches("[-+]?\\d+")) t.toLong
     else if (t.matches("[-+]?\\d*\\.\\d+")) t.toDouble
+    // unquoted uuid (CQL's own form) → its canonical lowercase text
+    // (uuids STORE as text cells / text key parts in this subset)
+    else if (UuidShapeRe.matcher(t).matches()) t.toLowerCase
     else fail(s"unsupported literal: $t")
   }
 
@@ -2343,7 +2464,9 @@ object Cql {
     """(?is)^\s*(\w+)\s+CONTAINS\s+(KEY\s+)?(.+?)\s*$""".r
 
   /** Parsed WHERE terms: the filter columns and their predicates. */
-  private def predicates(terms: Seq[String]): Seq[(String, Column)] =
+  private def predicates(terms: Seq[String],
+      vLit: (String, String) => Any = (_, v) => literal(v))
+      : Seq[(String, Column)] =
     // CQL WHERE is a pure AND-conjunction (no OR, no parens)
     terms.map {
       case InRe(c, vs) if c.equalsIgnoreCase("ck") =>
@@ -2356,9 +2479,10 @@ object Cql {
           splitValues(vs).map(v => ckLiteral(v): Any).toIndexedSeq: _*))
       case InRe(c, vs) =>
         (c.toLowerCase,
-          col(c).isin(splitValues(vs).map(literal).toIndexedSeq: _*))
+          col(c).isin(splitValues(vs).map(vLit(c.toLowerCase, _))
+            .toIndexedSeq: _*))
       case PredRe(c, op, v) =>
-        val l = lit(literal(v))
+        val l = lit(vLit(c.toLowerCase, v))
         (c.toLowerCase, op match {
           case "=" => col(c) === l
           case "<" => col(c) < l
@@ -2446,6 +2570,17 @@ object Cql {
     // frozen<udt> value layout (C59b): selecting the value column (or
     // a field of it) unpacks through the schema layer
     val udtL = udtLayoutOf(dir)
+    // mapped declared value type (C65r): DATA-column literals in the
+    // WHERE parse through the declared grammar, producing the
+    // storage-typed compare value (a date predicate must compare as
+    // the stored day count, not the raw string); key and cell-model
+    // columns keep the plain literal grammar
+    val mappedCt = cqlValueTypeOf(dir)
+    def dataLit(c: String, v: String): Any =
+      if (mappedCt.isDefined && !keyCols.contains(c) &&
+          c != "col" && c != "wt")
+        mappedLiteral(mappedCt.get)(v, s"$c predicate")
+      else literal(v)
     val terms = where.map(_.split("(?i)\\s+AND\\s+").toSeq)
       .getOrElse(Seq.empty)
     // `token(pk[, ...])` range predicates → the C41 physical
@@ -2607,7 +2742,8 @@ object Cql {
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
-        idxPreds += ((c.toLowerCase, literal(v))); false
+        idxPreds += ((c.toLowerCase, dataLit(c.toLowerCase, v)))
+        false
       case PredRe(c, op, v)
           if op != "=" && !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) &&
@@ -2618,7 +2754,7 @@ object Cql {
         false
       case _ => true
     }
-    val preds = predicates(regularTerms)
+    val preds = predicates(regularTerms, dataLit)
     // PER PARTITION LIMIT counts rows INSIDE the merge cursor, i.e.
     // before any residual data predicate — combining them would
     // silently return wrong rows vs CQL (which filters first), so the
@@ -4500,6 +4636,13 @@ object Cql {
     */
   private def refuseLwtValueType(dir: String,
       allowText: Boolean): Unit = {
+    // mapped declared types (C65r) refuse even when their STORAGE is
+    // text/bigint: the LWT grammar would bypass the declared type's
+    // literal validation (any quoted string into a uuid cell)
+    cqlValueTypeOf(dir).foreach(ct =>
+      fail(s"lightweight transactions on $ct-valued tables are " +
+        "outside this subset (uuid-KEYED tables serve LWT through " +
+        "the typed CAS round)"))
     val dt = graft.sources.CellSource.valueTypeOf(dir)
     val ok = dt == org.apache.spark.sql.types.LongType ||
       (allowText && dt == org.apache.spark.sql.types.StringType)
@@ -4540,6 +4683,165 @@ object Cql {
           org.apache.spark.sql.types.TimestampType) => Some(t)
       case _ => None
     }
+
+  // ---------------------------------------------------------------
+  // C65r — MAPPED CQL value types: uuid/timeuuid/inet/float/decimal/
+  // varint/time/date/smallint/tinyint STORE as one of the cell
+  // layer's existing scalar layouts (the file format gains nothing);
+  // the DECLARED name rides as the `cqlValueType` table property and
+  // drives the literal grammar, refusals, and DESCRIBE/system_schema
+  // rendering. Mapped KEY parts (`cqlKeyType.<n>`) work the same way
+  // over the CEL6 typed comparator — a uuid key is a text key whose
+  // literals happen to be unquoted and shape-validated (C36d).
+
+  /** declared CQL type → storage layout (a `valueType` option /
+    * `keyType.<n>` Spark type string).
+    */
+  private val MappedCqlTypes: Map[String, String] = Map(
+    "uuid" -> "string", "timeuuid" -> "string", "inet" -> "string",
+    "float" -> "double", "decimal" -> "decimal(18,6)",
+    "varint" -> "bigint", "time" -> "bigint",
+    "date" -> "int", "smallint" -> "int", "tinyint" -> "int")
+
+  /** The DECLARED mapped value type of a table, if any (`_props`
+    * `cqlValueType`, written at CREATE TABLE).
+    */
+  private def cqlValueTypeOf(dir: String): Option[String] =
+    tableProps(dir).get("cqlValueType")
+
+  /** (declared CQL name, storage DataType) for a mapped-value table
+    * — the write paths route literals by the declared name and hand
+    * storage-typed values to the generic value-tagged cell path.
+    */
+  private def mappedValueType(dir: String)
+      : Option[(String, org.apache.spark.sql.types.DataType)] =
+    cqlValueTypeOf(dir).map(ct =>
+      (ct, graft.sources.CellSource.valueTypeOf(dir)))
+
+  /** Validated literal for a mapped CQL type, producing the STORAGE
+    * external value. Each arm enforces the declared type's own
+    * grammar — this is where `uuid` differs from the text it stores
+    * as: a non-uuid string refuses instead of writing garbage.
+    */
+  private def mappedLiteral(ct: String)(raw: String, what: String)
+      : Any = {
+    val t = raw.trim
+    ct match {
+      case "uuid" | "timeuuid" =>
+        val s = literal(t) match {
+          case s: String => s
+          case o => fail(s"$what takes a uuid literal " +
+            "(xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx), got: $o")
+        }
+        val u = try java.util.UUID.fromString(s)
+          catch { case _: Exception =>
+            fail(s"$what takes a uuid literal, got: '$s'") }
+        if (ct == "timeuuid" && u.version != 1)
+          fail(s"$what takes a version-1 (time-based) uuid, got " +
+            s"version ${u.version}: $s")
+        u.toString // canonical lowercase
+      case "inet" =>
+        val s = literal(t) match {
+          case s: String => s
+          case o => fail(s"$what takes a quoted IPv4/IPv6 address " +
+            s"literal, got: $o")
+        }
+        if (!isInetLiteral(s))
+          fail(s"$what takes an IPv4/IPv6 address literal, got: '$s'")
+        s.toLowerCase
+      case "float" => literal(t) match {
+        // Cassandra's float is 32-bit: the literal ROUNDS to float
+        // precision, then stores as its exact double widening
+        case d: Double => d.toFloat.toDouble
+        case l: Long => l.toFloat.toDouble
+        case o => fail(s"$what takes a float literal, got: $o")
+      }
+      case "decimal" =>
+        if (!t.matches("[-+]?\\d+(\\.\\d+)?"))
+          fail(s"$what takes a decimal literal, got: $t")
+        val bd = new java.math.BigDecimal(t)
+        val scaled = try bd.setScale(6,
+            java.math.RoundingMode.UNNECESSARY)
+          catch { case _: ArithmeticException =>
+            fail(s"$what: scale beyond 6 digits is outside this " +
+              s"subset's decimal(18,6) layout: $t") }
+        if (scaled.precision > 18)
+          fail(s"$what: precision beyond 18 digits is outside this " +
+            s"subset's decimal(18,6) layout: $t")
+        scaled
+      case "varint" =>
+        if (!t.matches("[-+]?\\d+"))
+          fail(s"$what takes an integer literal, got: $t")
+        val bi = BigInt(t)
+        if (!bi.isValidLong)
+          fail(s"$what: varint beyond 64 bits is outside this " +
+            s"subset (bigint-backed): $t")
+        bi.toLong
+      case "time" => literal(t) match {
+        // Cassandra's own representation: nanos since midnight
+        case l: Long =>
+          if (l < 0 || l >= 86400L * 1000000000L)
+            fail(s"$what: nanos-since-midnight out of range: $l")
+          l
+        case s: String =>
+          try java.time.LocalTime.parse(s).toNanoOfDay
+          catch { case _: Exception =>
+            fail(s"$what takes 'HH:MM:SS[.fffffffff]' or nanos " +
+              s"since midnight, got: '$s'") }
+        case o => fail(s"$what takes a time literal, got: $o")
+      }
+      case "date" => literal(t) match {
+        // days since epoch (signed int — Cassandra stores unsigned
+        // epoch-centered; the SIGNED day count is this subset's
+        // storage, same ordering)
+        case s: String =>
+          val d = try java.time.LocalDate.parse(s).toEpochDay
+            catch { case _: Exception =>
+              fail(s"$what takes a 'YYYY-MM-DD' date literal, " +
+                s"got: '$s'") }
+          if (d < Int.MinValue || d > Int.MaxValue)
+            fail(s"$what: date out of range: $s")
+          d.toInt
+        case o => fail(s"$what takes a 'YYYY-MM-DD' date literal, " +
+          s"got: $o")
+      }
+      case "smallint" => literal(t) match {
+        case l: Long =>
+          if (l < Short.MinValue || l > Short.MaxValue)
+            fail(s"$what: $l is outside the smallint range")
+          l.toInt
+        case o => fail(s"$what takes a smallint literal, got: $o")
+      }
+      case "tinyint" => literal(t) match {
+        case l: Long =>
+          if (l < Byte.MinValue || l > Byte.MaxValue)
+            fail(s"$what: $l is outside the tinyint range")
+          l.toInt
+        case o => fail(s"$what takes a tinyint literal, got: $o")
+      }
+      case o => fail(s"unsupported mapped CQL type: $o")
+    }
+  }
+
+  /** Textual IPv4/IPv6 address validation — REGEX-SHAPED on purpose:
+    * InetAddress.getByName resolves non-address strings through DNS,
+    * which a literal parser must never do.
+    */
+  private def isInetLiteral(s: String): Boolean = {
+    val v4 = s.split('.')
+    if (v4.length == 4 && v4.forall(p => p.nonEmpty && p.length <= 3 &&
+        p.forall(_.isDigit) && p.toInt <= 255))
+      return true
+    if (!s.contains(':')) return false
+    val compressed = s.indexOf("::")
+    if (compressed >= 0 && s.indexOf("::", compressed + 1) >= 0)
+      return false // at most one '::'
+    val groups = s.split(":", -1).filter(_.nonEmpty)
+    groups.nonEmpty && groups.length <= 8 &&
+      (compressed >= 0 || groups.length == 8) &&
+      groups.forall(g => g.length <= 4 &&
+        g.forall(c => Character.digit(c, 16) >= 0))
+  }
 
   /** An explicit trailing UTC offset ('-05:00', '+0530') on an
     * ISO-8601 timestamp literal — the one zone form a bare
@@ -4597,6 +4899,13 @@ object Cql {
     case org.apache.spark.sql.types.BooleanType => false
     case org.apache.spark.sql.types.TimestampType =>
       new java.sql.Timestamp(0L)
+    // mapped-type storage layouts (C65r): the tombstone value slot
+    // is inert — the marker col name is the whole message
+    case org.apache.spark.sql.types.StringType => ""
+    case org.apache.spark.sql.types.IntegerType => 0
+    case org.apache.spark.sql.types.LongType => 0L
+    case d: org.apache.spark.sql.types.DecimalType =>
+      new java.math.BigDecimal(java.math.BigInteger.ZERO, d.scale)
     case t => fail(s"unsupported scalar value type: $t")
   }
 
@@ -4604,7 +4913,7 @@ object Cql {
     * type's literal in the value slot (statics excluded).
     */
   private def insertScalarCells(
-      vt: org.apache.spark.sql.types.DataType, cols: String,
+      parse: (String, String) => Any, cols: String,
       vals: String, wt: Long)
       : Seq[(Long, Int, String, Any, Long)] = {
     val names = cols.split(',').map(_.trim)
@@ -4621,12 +4930,12 @@ object Cql {
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
     data.map(c =>
-      (pk, ck, c, scalarLiteral(vt)(kv(c), s"value of $c"), wt)).toSeq
+      (pk, ck, c, parse(kv(c), s"value of $c"), wt)).toSeq
   }
 
   /** C65q UPDATE cells. */
   private def updateScalarCells(
-      vt: org.apache.spark.sql.types.DataType, sets: String,
+      parse: (String, String) => Any, sets: String,
       where: String, wt: Long): Seq[(Long, Int, String, Any, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
     val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
@@ -4634,7 +4943,7 @@ object Cql {
       item <- sets.split(',').toSeq
       (c, v) = item match {
         case SetRe(c, v) => (c.toLowerCase,
-          scalarLiteral(vt)(v, s"value of $c"))
+          parse(v, s"value of $c"))
         case x => fail(s"unsupported SET item: $x")
       }
       pk <- pks.toSeq.sorted

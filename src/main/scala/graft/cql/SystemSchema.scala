@@ -121,16 +121,21 @@ private[cql] object SystemSchema {
   private def columnRows(spark: SparkSession, ks: String, t: String,
       dir: String): Seq[Row] = {
     val spec = graft.sources.CellSource.keySpec(dir)
-    val counter = props(dir).get("counter").contains("true")
+    val pr = props(dir)
+    val counter = pr.get("counter").contains("true")
+    // mapped key parts (C36d) render their DECLARED CQL name (uuid,
+    // date, ...) rather than the storage layout's
+    def keyType(p: graft.sources.KeyPart): String =
+      pr.getOrElse(s"cqlKeyType.${p.name}", cqlTypeName(p.dataType))
     val pk = spec.pkParts.zipWithIndex.map { case (p, i) =>
-      Row(ks, t, p.name, "partition_key", i, cqlTypeName(p.dataType)) }
+      Row(ks, t, p.name, "partition_key", i, keyType(p)) }
     val ck = spec.ckParts.zipWithIndex.map { case (p, i) =>
-      Row(ks, t, p.name, "clustering", i, cqlTypeName(p.dataType)) }
+      Row(ks, t, p.name, "clustering", i, keyType(p)) }
     // the cell model's fixed data tail; `value` renders its declared
     // type (counter tables: `counter`, Cassandra's own rendering)
     val vt =
       if (counter) "counter"
-      else props(dir).get("udtName") // C59b: frozen<type> spelling
+      else pr.get("udtName") // C59b: frozen<type> spelling
         .map(n => s"frozen<$n>")
         .getOrElse(valueTypeName(spark, dir))
     val reg = Seq(
@@ -143,14 +148,19 @@ private[cql] object SystemSchema {
     pk ++ ck ++ reg ++ st
   }
 
-  private def valueTypeName(spark: SparkSession, dir: String): String = {
-    // the connector's self-described read schema (headers win, _props
-    // before the first flush) — the same authority every scan uses
-    val sch = spark.read.format("graft.sources.CellSource").load(dir)
-      .schema
-    sch.fields.find(_.name == "value").map(f => cqlTypeName(f.dataType))
-      .getOrElse("bigint")
-  }
+  private def valueTypeName(spark: SparkSession, dir: String): String =
+    // a mapped declared type (C65r) outranks the storage layout —
+    // DESCRIBE must print the statement that recreates the table
+    props(dir).get("cqlValueType").getOrElse {
+      // the connector's self-described read schema (headers win,
+      // _props before the first flush) — the same authority every
+      // scan uses
+      val sch = spark.read.format("graft.sources.CellSource").load(dir)
+        .schema
+      sch.fields.find(_.name == "value")
+        .map(f => cqlTypeName(f.dataType))
+        .getOrElse("bigint")
+    }
 
   def views(spark: SparkSession, catalog: String): DataFrame =
     mk(spark, StructType(Seq(
@@ -462,7 +472,8 @@ private[cql] object SystemSchema {
     val p = props(dir)
     val counter = p.get("counter").contains("true")
     val keyCols = (spec.pkParts ++ spec.ckParts)
-      .map(x => s"${x.name} ${cqlTypeName(x.dataType)}")
+      .map(x => s"${x.name} " +
+        p.getOrElse(s"cqlKeyType.${x.name}", cqlTypeName(x.dataType)))
     val vt =
       if (counter) "counter"
       else p.get("udtName") // C59b: the declared frozen<type> spelling

@@ -2294,6 +2294,142 @@ object Cells {
       |  ('ts', 2, '1577934245000')) AS t(tbl, pk, v)
       |ORDER BY tbl, pk""".stripMargin
 
+  // C65r — MAPPED CQL value types through the front door (r15):
+  // uuid/timeuuid/inet/float/decimal/varint/time/date/smallint/
+  // tinyint STORE as the cell layer's existing scalar layouts (text,
+  // double, decimal(18,6), bigint, int) — the declared name rides as
+  // the `cqlValueType` table property and drives a VALIDATED literal
+  // grammar (a non-uuid string refuses instead of writing garbage),
+  // tombstone neutrals, DESCRIBE rendering, and WHERE-value parsing.
+  // Projections render to deterministic text for the DuckDB oracle.
+  private def mappedValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_mapped"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-mapped-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.mu (pk bigint, ck int,
+        |  col text, value uuid, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mdc (pk bigint, ck int,
+        |  col text, value decimal, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mf (pk bigint, ck int,
+        |  col text, value float, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mdt (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mtm (pk bigint, ck int,
+        |  col text, value time, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mip (pk bigint, ck int,
+        |  col text, value inet, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mvi (pk bigint, ck int,
+        |  col text, value varint, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.msi (pk bigint, ck int,
+        |  col text, value smallint, wt bigint);
+        |TRUNCATE ks.mu; TRUNCATE ks.mdc; TRUNCATE ks.mf;
+        |TRUNCATE ks.mdt; TRUNCATE ks.mtm; TRUNCATE ks.mip;
+        |TRUNCATE ks.mvi; TRUNCATE ks.msi;
+        |INSERT INTO ks.mu (pk, ck, id) VALUES (1, 1,
+        |  123E4567-E89B-12D3-A456-426614174000);
+        |UPDATE ks.mu SET id = 00000000-0000-1000-8000-000000000001
+        |  WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.mu (pk, ck, id) VALUES (2, 1,
+        |  00000000-0000-1000-8000-000000000002);
+        |INSERT INTO ks.mu (pk, ck, id) VALUES (3, 1,
+        |  00000000-0000-1000-8000-000000000003);
+        |DELETE id FROM ks.mu WHERE pk = 3 AND ck = 1;
+        |INSERT INTO ks.mdc (pk, ck, price) VALUES (1, 1, 12.345);
+        |UPDATE ks.mdc SET price = 99 WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.mdc (pk, ck, price) VALUES (2, 1, -0.000001);
+        |INSERT INTO ks.mf (pk, ck, ratio) VALUES (1, 1, 1.5);
+        |INSERT INTO ks.mf (pk, ck, ratio) VALUES (2, 1, -0.25);
+        |INSERT INTO ks.mdt (pk, ck, day) VALUES (1, 1, '1970-01-11');
+        |INSERT INTO ks.mdt (pk, ck, day) VALUES (2, 1, '1969-12-31');
+        |INSERT INTO ks.mtm (pk, ck, at) VALUES (1, 1, '01:02:03');
+        |INSERT INTO ks.mtm (pk, ck, at) VALUES (2, 1, 42);
+        |INSERT INTO ks.mip (pk, ck, addr) VALUES (1, 1,
+        |  '192.168.0.1');
+        |INSERT INTO ks.mip (pk, ck, addr) VALUES (2, 1,
+        |  '2001:DB8::8:800:200C:417A');
+        |INSERT INTO ks.mvi (pk, ck, n) VALUES (1, 1,
+        |  -9223372036854775808);
+        |INSERT INTO ks.msi (pk, ck, n) VALUES (1, 1, -32768)
+        |""".stripMargin, cat)
+    def part(tbl: String, tag: String): DataFrame =
+      cq(s"SELECT pk, value FROM ks.$tbl")
+        .select(lit(tag).as("tbl"), col("pk"),
+          col("value").cast("string").as("v"))
+    part("mu", "u").unionAll(part("mdc", "dc"))
+      .unionAll(part("mf", "f")).unionAll(part("mdt", "dt"))
+      .unionAll(part("mtm", "tm")).unionAll(part("mip", "ip"))
+      .unionAll(part("mvi", "vi")).unionAll(part("msi", "si"))
+      .orderBy(col("tbl"), col("pk"))
+  }
+
+  private val mappedValuesSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('u', 1, '00000000-0000-1000-8000-000000000001'),
+      |  ('u', 2, '00000000-0000-1000-8000-000000000002'),
+      |  ('dc', 1, '99.000000'), ('dc', 2, '-0.000001'),
+      |  ('f', 1, '1.5'), ('f', 2, '-0.25'),
+      |  ('dt', 1, '10'), ('dt', 2, '-1'),
+      |  ('tm', 1, '3723000000000'), ('tm', 2, '42'),
+      |  ('ip', 1, '192.168.0.1'),
+      |  ('ip', 2, '2001:db8::8:800:200c:417a'),
+      |  ('vi', 1, '-9223372036854775808'),
+      |  ('si', 1, '-32768')) AS t(tbl, pk, v)
+      |ORDER BY tbl, pk""".stripMargin
+
+  // C36d — UUID-KEYED typed tables through the front door (r15):
+  // `id uuid` key parts ride the CEL6 typed comparator as their text
+  // storage; the unquoted canonical uuid literal binds them in every
+  // statement (uppercase input canonicalizes to the same key), the
+  // keyed CAS round serves Cassandra's canonical uuid-keyed
+  // INSERT ... IF NOT EXISTS, and DESCRIBE renders `id uuid`.
+  private def uuidKeysLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_uuidkey"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-uuidkey-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.ev (id uuid, seq int,
+        |  col text, value bigint, wt bigint, PRIMARY KEY ((id), seq));
+        |TRUNCATE ks.ev;
+        |INSERT INTO ks.ev (id, seq, qty) VALUES
+        |  (123e4567-e89b-12d3-a456-426614174000, 1, 10);
+        |INSERT INTO ks.ev (id, seq, qty) VALUES
+        |  (123E4567-E89B-12D3-A456-426614174000, 2, 20);
+        |INSERT INTO ks.ev (id, seq, qty) VALUES
+        |  (00000000-0000-1000-8000-000000000002, 1, 30);
+        |UPDATE ks.ev SET qty = 11 WHERE
+        |  id = 123e4567-e89b-12d3-a456-426614174000 AND seq = 1;
+        |DELETE FROM ks.ev WHERE
+        |  id = 123e4567-e89b-12d3-a456-426614174000 AND seq = 2;
+        |INSERT INTO ks.ev (id, seq, qty) VALUES
+        |  (00000000-0000-1000-8000-000000000002, 9, 90) IF NOT EXISTS;
+        |INSERT INTO ks.ev (id, seq, qty) VALUES
+        |  (00000000-0000-1000-8000-000000000002, 9, 91) IF NOT EXISTS;
+        |SELECT id, seq, value FROM ks.ev""".stripMargin, cat)
+      .orderBy(col("id"), col("seq"))
+  }
+
+  private val uuidKeysSql =
+    """SELECT id, CAST(seq AS INT) AS seq, CAST(v AS BIGINT) AS value
+      |FROM (VALUES
+      |  ('00000000-0000-1000-8000-000000000002', 1, 30),
+      |  ('00000000-0000-1000-8000-000000000002', 9, 90),
+      |  ('123e4567-e89b-12d3-a456-426614174000', 1, 11))
+      |  AS t(id, seq, v)
+      |ORDER BY id, seq""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2677,6 +2813,9 @@ object Cells {
       Some(blobValuesSql)),
     GQuery("C65q_scalar_values", scalarValuesLifecycle,
       Some(scalarValuesSql)),
+    GQuery("C65r_mapped_values", mappedValuesLifecycle,
+      Some(mappedValuesSql)),
+    GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -528,7 +528,9 @@ class CqlSpec extends GraftSpec {
       // model columns refuse
       intercept[IllegalArgumentException] { cq("ALTER TABLE ks.t DROP pk") }
       intercept[IllegalArgumentException] {
-        cq("ALTER TABLE ks.t ADD extra uuid")
+        // uuid is a supported ADD type since r15 (C65r); duration
+        // stays outside the subset
+        cq("ALTER TABLE ks.t ADD extra duration")
       }
       // CREATE INDEX (default Cassandra name) builds + registers for
       // write-through: a plain CQL INSERT keeps it fresh, no refresh
@@ -3839,6 +3841,228 @@ class CqlSpec extends GraftSpec {
       refuse("INSERT INTO ks.profiles JSON " +
         "'{\"pk\": 5, \"ck\": 1, \"name\": 7}'", "JSON string")
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
+  }
+
+  test("mapped CQL value types (C65r): uuid/timeuuid/inet/float/" +
+    "decimal/varint/time/date/smallint/tinyint lifecycles + grammar") {
+    val root = Files.createTempDirectory("cql-mapped").toString
+    spark.conf.set("spark.sql.catalog.mpcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mpcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mpcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cell(t: String, pk: Long, c: String): Option[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption.map(_.get(0))
+      cq("CREATE KEYSPACE ks")
+      // ---- uuid: unquoted canonical literals, validated + lowered
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      cq("INSERT INTO ks.u (pk, ck, id) VALUES (1, 1, " +
+        "123E4567-E89B-12D3-A456-426614174000)")
+      assert(cell("u", 1, "id") ===
+        Some("123e4567-e89b-12d3-a456-426614174000"))
+      cq("UPDATE ks.u SET id = 00000000-0000-1000-8000-000000000001 " +
+        "WHERE pk = 1 AND ck = 1")
+      assert(cell("u", 1, "id") ===
+        Some("00000000-0000-1000-8000-000000000001"))
+      cq("DELETE id FROM ks.u WHERE pk = 1 AND ck = 1")
+      assert(cell("u", 1, "id") === None)
+      refuse("INSERT INTO ks.u (pk, ck, id) VALUES (2, 1, 'nope')",
+        "uuid literal")
+      refuse("INSERT INTO ks.u (pk, ck, id) VALUES (2, 1, 7)",
+        "uuid literal")
+      // value-equality predicates parse through the uuid grammar on
+      // BOTH routes: the cell-model ALLOW FILTERING form and an
+      // indexed data column (the index entry stores the canonical
+      // lowercase form, so an UPPERCASE probe must still hit)
+      cq("INSERT INTO ks.u (pk, ck, id) VALUES (3, 1, " +
+        "123e4567-e89b-12d3-a456-426614174000)")
+      val hit = cq("SELECT pk FROM ks.u WHERE col = 'id' AND value = " +
+        "123E4567-E89B-12D3-A456-426614174000 ALLOW FILTERING")
+        .collect().map(_.getLong(0)).toSeq
+      assert(hit === Seq(3L))
+      cq("CREATE INDEX uidx ON ks.u (id)")
+      val ihit = cq("SELECT pk FROM ks.u WHERE id = " +
+        "123E4567-E89B-12D3-A456-426614174000")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ihit === Seq(3L))
+      // DESCRIBE + system_schema render the DECLARED type
+      assert(cq("DESCRIBE TABLE ks.u").collect().head.getString(0)
+        .contains("value uuid"))
+      val colType = cq("SELECT type FROM system_schema.columns " +
+        "WHERE table_name = 'u' AND column_name = 'value'")
+        .collect().map(_.getString(0)).toSeq
+      assert(colType === Seq("uuid"))
+      // out-of-subset shapes refuse by name
+      refuse("INSERT INTO ks.u (pk, ck, id) VALUES (5, 1, " +
+        "123e4567-e89b-12d3-a456-426614174000) IF NOT EXISTS",
+        "uuid-valued tables")
+      refuse("INSERT INTO ks.u JSON '{\"pk\": 5, \"ck\": 1, " +
+        "\"id\": \"x\"}'", "value type is uuid")
+      refuse("UPDATE ks.u SET tags = tags + ['red'] WHERE pk = 5 " +
+        "AND ck = 1", "collections on uuid-valued")
+      refuse("CREATE TABLE ks.us (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint, s uuid STATIC)",
+        "static columns on uuid-valued")
+      // ---- timeuuid: version-1 only
+      cq("CREATE TABLE ks.tu (pk bigint, ck int, col text, " +
+        "value timeuuid, wt bigint)")
+      cq("INSERT INTO ks.tu (pk, ck, ts) VALUES (1, 1, " +
+        "58e0a7d7-eebc-11d8-9669-0800200c9a66)")
+      assert(cell("tu", 1, "ts") ===
+        Some("58e0a7d7-eebc-11d8-9669-0800200c9a66"))
+      refuse("INSERT INTO ks.tu (pk, ck, ts) VALUES (2, 1, " +
+        "123e4567-e89b-42d3-a456-426614174000)", "version-1")
+      // ---- inet: textual v4/v6, validated shape
+      cq("CREATE TABLE ks.ip (pk bigint, ck int, col text, " +
+        "value inet, wt bigint)")
+      cq("INSERT INTO ks.ip (pk, ck, addr) VALUES (1, 1, " +
+        "'192.168.0.1')")
+      cq("INSERT INTO ks.ip (pk, ck, addr) VALUES (2, 1, " +
+        "'2001:DB8::8:800:200C:417A')")
+      assert(cell("ip", 1, "addr") === Some("192.168.0.1"))
+      assert(cell("ip", 2, "addr") === Some("2001:db8::8:800:200c:417a"))
+      refuse("INSERT INTO ks.ip (pk, ck, addr) VALUES (3, 1, " +
+        "'999.1.1.1')", "IPv4/IPv6")
+      refuse("INSERT INTO ks.ip (pk, ck, addr) VALUES (3, 1, " +
+        "'not-an-ip')", "IPv4/IPv6")
+      // ---- float: literals ROUND to 32-bit precision
+      cq("CREATE TABLE ks.f (pk bigint, ck int, col text, " +
+        "value float, wt bigint)")
+      cq("INSERT INTO ks.f (pk, ck, ratio) VALUES (1, 1, 1.1)")
+      assert(cell("f", 1, "ratio") === Some(1.1f.toDouble))
+      refuse("INSERT INTO ks.f (pk, ck, ratio) VALUES (2, 1, 'x')",
+        "float literal")
+      // ---- decimal: fixed decimal(18,6) layout, exact arithmetic
+      cq("CREATE TABLE ks.dc (pk bigint, ck int, col text, " +
+        "value decimal, wt bigint)")
+      cq("INSERT INTO ks.dc (pk, ck, price) VALUES (1, 1, 12.345)")
+      cq("UPDATE ks.dc SET price = 99 WHERE pk = 1 AND ck = 1")
+      assert(cell("dc", 1, "price").map(_.toString) ===
+        Some("99.000000"))
+      refuse("INSERT INTO ks.dc (pk, ck, price) VALUES (2, 1, " +
+        "0.1234567)", "scale beyond 6")
+      refuse("INSERT INTO ks.dc (pk, ck, price) VALUES (2, 1, " +
+        "1234567890123.456789)", "precision beyond 18")
+      // ---- varint: bigint-backed subset, 64-bit bound named
+      cq("CREATE TABLE ks.vi (pk bigint, ck int, col text, " +
+        "value varint, wt bigint)")
+      cq("INSERT INTO ks.vi (pk, ck, n) VALUES (1, 1, " +
+        "-9223372036854775808)")
+      assert(cell("vi", 1, "n") === Some(Long.MinValue))
+      refuse("INSERT INTO ks.vi (pk, ck, n) VALUES (2, 1, " +
+        "99999999999999999999)", "beyond 64 bits")
+      // ---- time: nanos since midnight, both literal forms
+      cq("CREATE TABLE ks.tm (pk bigint, ck int, col text, " +
+        "value time, wt bigint)")
+      cq("INSERT INTO ks.tm (pk, ck, at) VALUES (1, 1, '01:02:03')")
+      cq("INSERT INTO ks.tm (pk, ck, at) VALUES (2, 1, 3723000000000)")
+      assert(cell("tm", 1, "at") === Some(3723000000000L))
+      assert(cell("tm", 2, "at") === Some(3723000000000L))
+      refuse("INSERT INTO ks.tm (pk, ck, at) VALUES (3, 1, " +
+        "86400000000000)", "out of range")
+      // ---- date: 'YYYY-MM-DD' → signed day count; predicates parse
+      // through the same grammar (compare as the stored days)
+      cq("CREATE TABLE ks.dt (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      cq("INSERT INTO ks.dt (pk, ck, d) VALUES (1, 1, '1970-01-11')")
+      assert(cell("dt", 1, "d") === Some(10))
+      val dhit = cq("SELECT pk FROM ks.dt WHERE col = 'd' AND " +
+        "value = '1970-01-11' ALLOW FILTERING")
+        .collect().map(_.getLong(0)).toSeq
+      assert(dhit === Seq(1L))
+      refuse("INSERT INTO ks.dt (pk, ck, d) VALUES (2, 1, " +
+        "'not-a-date')", "YYYY-MM-DD")
+      // ---- smallint/tinyint: range-checked int storage
+      cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+        "value smallint, wt bigint)")
+      cq("INSERT INTO ks.si (pk, ck, n) VALUES (1, 1, -32768)")
+      assert(cell("si", 1, "n") === Some(-32768))
+      refuse("INSERT INTO ks.si (pk, ck, n) VALUES (2, 1, 32768)",
+        "smallint range")
+      cq("CREATE TABLE ks.ti (pk bigint, ck int, col text, " +
+        "value tinyint, wt bigint)")
+      cq("INSERT INTO ks.ti (pk, ck, n) VALUES (1, 1, 127)")
+      assert(cell("ti", 1, "n") === Some(127))
+      refuse("UPDATE ks.ti SET n = 128 WHERE pk = 1 AND ck = 1",
+        "tinyint range")
+      // buffered script over a mapped table: one flush, LWW inside
+      def nFiles: Int = new java.io.File(s"$root/ks/u")
+        .list().count(_.endsWith(".cells"))
+      val before = nFiles
+      Cql.catalogScript(spark,
+        """INSERT INTO ks.u (pk, ck, id) VALUES (10, 1,
+          |  00000000-0000-1000-8000-00000000000a);
+          |UPDATE ks.u SET id = 00000000-0000-1000-8000-00000000000b
+          |  WHERE pk = 10 AND ck = 1
+          |""".stripMargin, "mpcat")
+      assert(nFiles === before + 1)
+      assert(cell("u", 10, "id") ===
+        Some("00000000-0000-1000-8000-00000000000b"))
+    } finally spark.conf.unset("spark.sql.catalog.mpcat")
+  }
+
+  test("uuid-keyed typed tables (C36d): unquoted uuid key literals " +
+    "through the CEL6 comparator, LWT, DESCRIBE") {
+    val root = Files.createTempDirectory("cql-uuidkey").toString
+    spark.conf.set("spark.sql.catalog.ukcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ukcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ukcat")
+      val u1 = "123e4567-e89b-12d3-a456-426614174000"
+      val u2 = "00000000-0000-1000-8000-000000000002"
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.events (id uuid, seq int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((id), seq))")
+      // unquoted uuid literals bind the typed text-storage key part;
+      // uppercase input canonicalizes to the same key
+      cq(s"INSERT INTO ks.events (id, seq, qty) VALUES ($u1, 1, 10)")
+      cq("INSERT INTO ks.events (id, seq, qty) VALUES " +
+        s"(${u1.toUpperCase}, 2, 20)")
+      cq(s"INSERT INTO ks.events (id, seq, qty) VALUES ($u2, 1, 30)")
+      val rows = cq(s"SELECT seq, value FROM ks.events WHERE id = $u1")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+      assert(rows === Seq((1, 10L), (2, 20L)))
+      // LWT through the keyed CAS round — the canonical Cassandra
+      // idiom: uuid-keyed INSERT ... IF NOT EXISTS
+      val r1 = cq(s"INSERT INTO ks.events (id, seq, qty) VALUES " +
+        s"($u2, 9, 90) IF NOT EXISTS")
+        .as[(Boolean, Option[Long])].collect().head
+      assert(r1 === ((true, None)))
+      val r2 = cq(s"INSERT INTO ks.events (id, seq, qty) VALUES " +
+        s"($u2, 9, 91) IF NOT EXISTS")
+        .as[(Boolean, Option[Long])].collect().head
+      assert(r2 === ((false, Some(90L))))
+      // UPDATE/DELETE address the uuid key
+      cq(s"UPDATE ks.events SET qty = 11 WHERE id = $u1 AND seq = 1")
+      cq(s"DELETE FROM ks.events WHERE id = $u1 AND seq = 2")
+      val after = cq(s"SELECT seq, value FROM ks.events WHERE id = $u1")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+      assert(after === Seq((1, 11L)))
+      // DESCRIBE + system_schema render the DECLARED key type
+      assert(cq("DESCRIBE TABLE ks.events").collect().head.getString(0)
+        .contains("id uuid"))
+      val kt = cq("SELECT type FROM system_schema.columns " +
+        "WHERE table_name = 'events' AND column_name = 'id'")
+        .collect().map(_.getString(0)).toSeq
+      assert(kt === Seq("uuid"))
+      // a varint/smallint pk-ck pair maps to bigint/int STORAGE (the
+      // default layout's shape — writes ride the default grammar),
+      // while the DECLARED names still ride as props and render
+      cq("CREATE TABLE ks.vk (pk varint, ck smallint, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("INSERT INTO ks.vk (pk, ck, qty) VALUES (5, 1, 7)")
+      assert(cq("SELECT value FROM ks.vk WHERE pk = 5 AND ck = 1")
+        .collect().map(_.getLong(0)).toSeq === Seq(7L))
+      assert(cq("DESCRIBE TABLE ks.vk").collect().head.getString(0)
+        .contains("pk varint"))
+    } finally spark.conf.unset("spark.sql.catalog.ukcat")
   }
 
   test("LWT value-type guards (r15): fresh-table _type routing, " +
