@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, Prefix64, ShingleGenerator, UdtPack, UdtUnpack}
+import graft.functions.{BoundedCollectList, BoundedCollectSet, CosineSim, DotProduct, PartitionToken, Prefix64, ShingleGenerator, UdtPack, UdtUnpack, VecBucket, VecDecode}
 
 /** The library's `SparkSessionExtensions` hook — how a user of the
   * engine gets graft's native expressions in plain SQL:
@@ -60,6 +60,12 @@ object GraftExtensions {
     ("graft_prefix64",
       new ExpressionInfo(classOf[Prefix64].getName, "graft_prefix64"),
       (args: Seq[Expression]) => Prefix64(args.head)),
+    ("graft_vec_decode",
+      new ExpressionInfo(classOf[VecDecode].getName, "graft_vec_decode"),
+      (args: Seq[Expression]) => VecDecode(args.head)),
+    ("graft_vec_bucket",
+      new ExpressionInfo(classOf[VecBucket].getName, "graft_vec_bucket"),
+      (args: Seq[Expression]) => VecBucket(args.head)),
     ("graft_collect_set_bounded",
       new ExpressionInfo(classOf[BoundedCollectSet].getName,
         "graft_collect_set_bounded"),

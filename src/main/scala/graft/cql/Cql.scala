@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
 object Cql {
   private val Fmt = "graft.sources.CellSource"
 
+  /** C70 — `SELECT <cols> FROM ks.t ORDER BY <v> ANN OF [..] LIMIT k`
+    * (Cassandra 5's vector search statement). Matched BEFORE the
+    * general SELECT so the bracket literal never reaches the plain
+    * ORDER BY grammar.
+    */
+  private val AnnSelectRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+ORDER\s+BY\s+""" +
+      """(\w+)\s+ANN\s+OF\s*(\[[^\]]*\])\s+LIMIT\s+(\d+)\s*;?\s*$""").r
+
   private val SelectRe =
     ("""(?is)^\s*SELECT\s+(JSON\s+)?(DISTINCT\s+)?(.+?)\s+FROM\s+(\S+?)""" +
       """(?:\s+WHERE\s+(.+?))?""" +
@@ -179,7 +188,7 @@ object Cql {
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
-      """(?:(values|keys|prefix)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
+      """(?:(values|keys|prefix|ann)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   private val CreateMvRe =
@@ -494,6 +503,9 @@ object Cql {
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
       forgetWt(resolve(table)); r
+    case AnnSelectRe(cols, table, vcol, vec, k) =>
+      annSelect(spark, resolve(table), cols.trim, vcol.toLowerCase,
+        vec, k.toInt)
     case SelectRe(json, dist, cols, table, where, group, order, ppl,
         lim, page, af) =>
       select(spark, resolve(table), Option(json).isDefined,
@@ -592,8 +604,9 @@ object Cql {
         mappedValueType(dir) match {
           case Some((ct, vt)) =>
             // mapped types (C65r): scalar cells only — collection
-            // element cells would need a per-element mapped grammar
-            if (hasCollectionSyntax(sets))
+            // element cells would need a per-element mapped grammar.
+            // On a VECTOR table the bracket form IS the literal.
+            if (hasCollectionSyntax(sets) && !ct.startsWith("vector<"))
               fail(s"collections on $ct-valued tables are outside " +
                 "this subset")
             appendAnyCells(spark, dir, vt,
@@ -1910,6 +1923,7 @@ object Cql {
         val colName = Option(fnOpt).map(_.toLowerCase) match {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
           case Some("prefix") => s"prefix(${fnCol.toLowerCase})"
+          case Some("ann") => s"ann(${fnCol.toLowerCase})"
           case Some(_) => fnCol.toLowerCase // values(m) == plain m
           case None => plainCol.toLowerCase
         }
@@ -1918,6 +1932,7 @@ object Cql {
             case Some("keys") => s"${t}_${fnCol.toLowerCase}_keys_idx"
             case Some("prefix") =>
               s"${t}_${fnCol.toLowerCase}_prefix_idx"
+            case Some("ann") => s"${t}_${fnCol.toLowerCase}_ann_idx"
             case Some(_) => s"${t}_${fnCol.toLowerCase}_idx"
             case None => s"${t}_${plainCol.toLowerCase}_idx"
           })
@@ -2156,6 +2171,11 @@ object Cql {
   private val ColDefRe =
     """(?is)^\s*(\w+)\s+(\w+)(\s+STATIC)?\s*$""".r
 
+  /** `<name> vector<float, n>` (C70) — Cassandra 5's vector type. */
+  private val VectorDefRe =
+    ("""(?is)^\s*(\w+)\s+vector\s*<\s*float\s*,\s*(\d+)\s*>""" +
+      """(\s+STATIC)?\s*$""").r
+
   /** Parse a CQL column list + PRIMARY KEY clause onto the cell
     * layout; only the default `((pk), ck)` shape is accepted, and the
     * data columns must be the cell model's (col, value, wt).
@@ -2182,13 +2202,16 @@ object Cql {
 
   private def parseCreateColumns(spec: String,
       resolveUdt: String => Option[String] = _ => None): CreateCols = {
-    // split top-level commas (PRIMARY KEY ((pk), ck) nests parens)
+    // split top-level commas (PRIMARY KEY ((pk), ck) nests parens;
+    // vector<float, n> (C70) nests one in angle brackets)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     val cur = new StringBuilder
     spec.foreach {
       case '(' => depth += 1; cur += '('
       case ')' => depth -= 1; cur += ')'
+      case '<' => depth += 1; cur += '<'
+      case '>' => depth -= 1; cur += '>'
       case ',' if depth == 0 => parts += cur.toString; cur.clear()
       case c => cur += c
     }
@@ -2204,6 +2227,14 @@ object Cql {
       case ColDefRe(n, t, st) =>
         if (st != null) statics += n.toLowerCase
         n.toLowerCase -> t.toLowerCase
+      case VectorDefRe(n, dim, st) =>
+        if (st != null)
+          fail(s"static column ${n.toLowerCase}: mapped CQL types " +
+            s"(vector<float,${dim.toInt}>) cannot be static in " +
+            "this subset")
+        if (dim.toInt < 1 || dim.toInt > 16384)
+          fail(s"vector dimension must be in [1, 16384], got $dim")
+        n.toLowerCase -> s"vector<float,${dim.toInt}>"
       case FrozenDefRe(n, tn) =>
         frozen(n.toLowerCase) = tn.toLowerCase
         n.toLowerCase -> s"frozen<${tn.toLowerCase}>"
@@ -2223,6 +2254,8 @@ object Cql {
       // bigint, date/smallint/tinyint as int — the declared name
       // rides as a table property for grammar + DESCRIBE
       case m if MappedCqlTypes.contains(m) => MappedCqlTypes(m)
+      // vector<float, n> (C70): 4n-byte IEEE-754 wire form
+      case v if v.startsWith("vector<") => "binary"
       case o => fail(s"unsupported CQL type: $o")
     }
     // key part names from the PRIMARY KEY clause: ((p1, p2), c1, …)
@@ -2290,12 +2323,14 @@ object Cql {
     // UDT branches routed above)
     val mappedV: Option[String] =
       if (udtOpt.isDefined || unfrozenOpt.isDefined) None
-      else Some(colMap("value")).filter(MappedCqlTypes.contains)
+      else Some(colMap("value")).filter(t =>
+        MappedCqlTypes.contains(t) || t.startsWith("vector<"))
     if (statics.nonEmpty && mappedV.isDefined)
       fail(s"static columns on ${mappedV.get}-valued tables are " +
         "outside this subset")
     statics.foreach { n =>
-      if (MappedCqlTypes.contains(colMap(n)))
+      if (MappedCqlTypes.contains(colMap(n)) ||
+          colMap(n).startsWith("vector<"))
         fail(s"static column $n: mapped CQL types " +
           s"(${colMap(n)}) cannot be static in this subset")
     }
@@ -2551,6 +2586,66 @@ object Cql {
     """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(=|<=|>=|<|>)\s*([-+]?\d+)\s*$""".r
   private val TokenSelRe =
     """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+
+  /** C70 — `SELECT … ORDER BY <v> ANN OF [..] LIMIT k`: Cassandra 5's
+    * vector search, served index-then-fetch-then-rerank. The query
+    * vector's LSH bucket plus its nearest Hamming neighbors
+    * ([[graft.functions.VectorCodec.probeOrder]], nprobe = 4 of 16)
+    * probe the `ann(v)` index as pruned pk point reads; the bounded
+    * candidate set re-reads from the base (false positives and
+    * refresh epochs drop there) and reranks by EXACT cosine inside
+    * whole-stage codegen (`graft_vec_decode` + higher-order
+    * aggregate), rounded and key-tie-broken for determinism. An ANN
+    * statement without a vector index refuses — Cassandra's own rule.
+    *
+    * Scale: the probe bounds the index read to nprobe/2^planes of the
+    * entries; the fetch is the C8b multiget; the rerank touches only
+    * candidates. Nothing trains, nothing broadcasts but the literal.
+    */
+  private def annSelect(spark: SparkSession, dir: String, cols: String,
+      vcol: String, vecLit: String, k: Int): DataFrame = {
+    flushBuffered(spark, dir)
+    if (k < 1) fail("ANN LIMIT must be positive")
+    val ct = cqlValueTypeOf(dir).filter(_.startsWith("vector<"))
+      .getOrElse(fail("ORDER BY ... ANN OF serves " +
+        "vector<float, n>-valued tables"))
+    val idxDir = graft.sources.CellIndex.registered(dir).find(i =>
+      graft.sources.CellIndex.columnOf(i).contains(s"ann($vcol)"))
+      .getOrElse(fail(s"ANN OF needs a vector index on $vcol " +
+        s"(CREATE INDEX ... ON <table> (ann($vcol))) — Cassandra " +
+        "refuses vector search without one"))
+    val qBytes = mappedLiteral(ct)(vecLit, "ANN OF vector")
+      .asInstanceOf[Array[Byte]]
+    val probes = graft.functions.VectorCodec
+      .probeOrder(graft.functions.VectorCodec.bucket(qBytes))
+      .take(graft.functions.VectorCodec.DefaultProbes)
+    val cand = graft.sources.CellIndex
+      .lookupBaseAnn(spark, dir, idxDir, probes)
+      .filter(col("col") === vcol)
+    graft.GraftExtensions.register(spark)
+    val dim = ct.stripPrefix("vector<float,").stripSuffix(">").toInt
+    val qArr = (0 until dim).map(i =>
+      graft.functions.VectorCodec.floatAt(qBytes, i).toDouble)
+    val qLit = qArr.mkString("array(", "D, ", "D)")
+    val qNorm = math.sqrt(qArr.map(x => x * x).sum)
+    val ranked = cand
+      .withColumn("__vec",
+        expr("cast(graft_vec_decode(value) as array<double>)"))
+      .withColumn("__dot", expr(s"aggregate(zip_with(__vec, $qLit, " +
+        "(x, y) -> x * y), 0D, (s, v) -> s + v)"))
+      .withColumn("__norm", expr("sqrt(aggregate(zip_with(__vec, " +
+        "__vec, (x, y) -> x * y), 0D, (s, v) -> s + v))"))
+      .withColumn("__score",
+        round(col("__dot") / (col("__norm") * lit(qNorm)), 6))
+      .orderBy(col("__score").desc, col("pk"), col("ck"))
+      .limit(k)
+    val names =
+      if (cols.trim == "*") Seq("pk", "ck", "value")
+      else cols.split(',').map(_.trim.toLowerCase).toSeq
+    names.foreach(n => if (!Set("pk", "ck", "value").contains(n))
+      fail(s"ANN SELECT projects pk/ck/value in this subset, got: $n"))
+    ranked.select(names.map(col).toIndexedSeq: _*)
+  }
 
   private def select(spark: SparkSession, dir: String, json: Boolean,
       distinct: Boolean, cols: String, where: Option[String],
@@ -4568,6 +4663,9 @@ object Cql {
       case '\'' => inQ = !inQ; cur += '\''
       case c @ '{' if !inQ => depth += 1; cur += c
       case c @ '}' if !inQ => depth -= 1; cur += c
+      // vector literals (C70) nest commas in brackets too
+      case c @ '[' if !inQ => depth += 1; cur += c
+      case c @ ']' if !inQ => depth -= 1; cur += c
       case ',' if !inQ && depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
@@ -4819,6 +4917,24 @@ object Cql {
           l.toInt
         case o => fail(s"$what takes a tinyint literal, got: $o")
       }
+      case v if v.startsWith("vector<") =>
+        // `[f1, f2, ...]` with exactly the declared dimension; wire
+        // form = 4n bytes IEEE-754 big-endian (Cassandra's own)
+        val dim = v.stripPrefix("vector<float,").stripSuffix(">").toInt
+        if (!(t.startsWith("[") && t.endsWith("]")))
+          fail(s"$what takes a vector literal [f1, f2, ...], got: $t")
+        val items = t.substring(1, t.length - 1).split(',')
+          .map(_.trim).filter(_.nonEmpty)
+        if (items.length != dim)
+          fail(s"$what: vector literal has ${items.length} " +
+            s"components, the declared type $v takes $dim")
+        val fs = items.map(x => literal(x) match {
+          case d: Double => d.toFloat
+          case l: Long => l.toFloat
+          case o => fail(s"$what: vector components are floats, " +
+            s"got: $o")
+        })
+        graft.functions.VectorCodec.encode(fs)
       case o => fail(s"unsupported mapped CQL type: $o")
     }
   }
@@ -4904,6 +5020,7 @@ object Cql {
     case org.apache.spark.sql.types.StringType => ""
     case org.apache.spark.sql.types.IntegerType => 0
     case org.apache.spark.sql.types.LongType => 0L
+    case org.apache.spark.sql.types.BinaryType => Array.empty[Byte]
     case d: org.apache.spark.sql.types.DecimalType =>
       new java.math.BigDecimal(java.math.BigInteger.ZERO, d.scale)
     case t => fail(s"unsupported scalar value type: $t")
@@ -4933,14 +5050,16 @@ object Cql {
       (pk, ck, c, parse(kv(c), s"value of $c"), wt)).toSeq
   }
 
-  /** C65q UPDATE cells. */
+  /** C65q UPDATE cells. SET items split bracket-aware — a vector
+    * literal (C70) nests commas.
+    */
   private def updateScalarCells(
       parse: (String, String) => Any, sets: String,
       where: String, wt: Long): Seq[(Long, Int, String, Any, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
     val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
     for {
-      item <- sets.split(',').toSeq
+      item <- splitValues(sets).toSeq
       (c, v) = item match {
         case SetRe(c, v) => (c.toLowerCase,
           parse(v, s"value of $c"))

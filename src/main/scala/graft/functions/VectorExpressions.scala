@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for cosine similarity of two
   * `array<double>` columns — the hot-path primitive of every
@@ -140,4 +140,172 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+/** The C70 vector wire format and its LSH bucketing.
+  *
+  * A CQL `vector<float, n>` cell stores exactly `4*n` bytes —
+  * IEEE-754 floats big-endian in declared order (Cassandra's own
+  * serialization of the type). Decode is a per-row primitive-array
+  * copy; the LSH bucket is 4 sign bits of fixed MD5-derived
+  * hyperplanes — deterministic with NO trained state, so the index
+  * build, write-through refresh, and the query-time probe order all
+  * derive identical buckets with nothing persisted but the entries
+  * (the same derivation as [[graft.sim.Similarity.hyperplaneBuckets]],
+  * kept bit-compatible in spirit: sign = first md5 hex digit of
+  * `"plane:pos"` >= '8').
+  *
+  * Scale: sign-LSH buckets are the stateless corner of IVF — cosine
+  * neighbors share sign patterns, so probing the query's bucket plus
+  * its nearest Hamming neighbors bounds the candidate read to
+  * nprobe/2^planes of the index while high-cosine rows stay
+  * reachable. The codebook that FAISS would train is replaced by
+  * arithmetic; nothing broadcasts, nothing drifts stale.
+  */
+object VectorCodec {
+  /** Hyperplane count — 2^Planes buckets. */
+  val Planes = 4
+
+  /** Buckets probed by an ANN read (the query's bucket plus its
+    * nearest Hamming neighbors) — 1/4 of the 16 buckets.
+    */
+  val DefaultProbes = 4
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
+
+  /** The `Planes` hyperplane sign vectors for dimension `dim` —
+    * derived once per (JVM, dim), embedded nowhere, identical on
+    * every node and every session.
+    */
+  private def signs(dim: Int): Array[Array[Float]] =
+    signCache.computeIfAbsent(dim, d => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(Planes) { p =>
+        Array.tabulate(d) { i =>
+          val h = md.digest(s"$p:$i".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          // first hex digit >= '8' == top bit of the first byte set
+          if ((h(0) & 0x80) != 0) 1.0f else -1.0f
+        }
+      }
+    })
+
+  def dims(bytes: Array[Byte]): Int = bytes.length / 4
+
+  def floatAt(bytes: Array[Byte], i: Int): Float = {
+    val o = i * 4
+    java.lang.Float.intBitsToFloat(
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff))
+  }
+
+  /** Encode floats to the wire form (the literal parser's writer). */
+  def encode(vs: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](vs.length * 4)
+    var i = 0
+    while (i < vs.length) {
+      val b = java.lang.Float.floatToIntBits(vs(i))
+      out(i * 4) = (b >>> 24).toByte
+      out(i * 4 + 1) = (b >>> 16).toByte
+      out(i * 4 + 2) = (b >>> 8).toByte
+      out(i * 4 + 3) = b.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** `graft_vec_decode`'s kernel: wire bytes → float ArrayData. */
+  def decode(bytes: Array[Byte]): ArrayData = {
+    val n = dims(bytes)
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = floatAt(bytes, i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** `graft_vec_bucket`'s kernel: the vector's LSH bucket in
+    * `[0, 2^Planes)` — bit p set iff the dot with hyperplane p is
+    * non-negative.
+    */
+  def bucket(bytes: Array[Byte]): Long = {
+    val n = dims(bytes)
+    val sg = signs(n)
+    var b = 0L
+    var p = 0
+    while (p < Planes) {
+      var s = 0.0
+      var i = 0
+      val row = sg(p)
+      while (i < n) { s += floatAt(bytes, i) * row(i); i += 1 }
+      if (s >= 0.0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+
+  /** Probe order for a query bucket: every bucket sorted by Hamming
+    * distance to it (ties by id) — multi-probe LSH's standard order.
+    */
+  def probeOrder(queryBucket: Long): Seq[Long] =
+    (0L until (1L << Planes)).sortBy(b =>
+      (java.lang.Long.bitCount(b ^ queryBucket), b))
+}
+
+/** `graft_vec_decode(binary)` → `array<float>` — the wire form back
+  * to a transformable array, codegen'd (the ANN rerank scores
+  * candidates with it inside whole-stage codegen).
+  */
+case class VecDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_decode takes binary, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(FloatType,
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorCodec.decode(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorCodec.decode($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+
+  override def prettyName: String = "graft_vec_decode"
+}
+
+/** `graft_vec_bucket(binary)` → `bigint` — the vector's LSH bucket;
+  * the C70 ANN index derives one entry key per vector cell with it
+  * (per-row on the build/refresh delta, so codegen matters).
+  */
+case class VecBucket(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_bucket takes binary, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorCodec.bucket(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorCodec.bucket($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+
+  override def prettyName: String = "graft_vec_bucket"
 }

@@ -2430,6 +2430,55 @@ object Cells {
       |  AS t(id, seq, v)
       |ORDER BY id, seq""".stripMargin
 
+  // C70 — vector<float, n> + ANN search through the CQL front door
+  // (r15): Cassandra 5's vector surface tied to the engine's ANN
+  // machinery. Vectors store as 4n-byte IEEE-754 cells; `CREATE INDEX
+  // (ann(v))` builds the LSH-bucket index (entry key = deterministic
+  // hyperplane signs, a long — identity-token pruned probes);
+  // `ORDER BY v ANN OF [..] LIMIT k` probes the query's bucket + its
+  // Hamming neighbors and reranks candidates by EXACT cosine
+  // (N_SIM9's two-stage trick — exactness on the candidate set makes
+  // the result oracle-checkable: positive multiples of the query
+  // share its bucket by construction and tie at cosine 1.0, broken
+  // by pk).
+  private def vectorAnnLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_vec"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-vec-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.emb (pk bigint, ck int,
+        |  col text, value vector<float, 4>, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (ann(v));
+        |TRUNCATE ks.emb;
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1,
+        |  [2.0, 1.0, 0.5, 0.25]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1,
+        |  [3.0, 1.5, 0.75, 0.375]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (4, 1,
+        |  [8.0, -4.0, 2.0, -1.0]);
+        |UPDATE ks.emb SET v = [0.5, 0.25, 0.125, 0.0625]
+        |  WHERE pk = 4 AND ck = 1;
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (5, 1,
+        |  [-1.0, -0.5, -0.25, -0.125]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (6, 1,
+        |  [1.0, 0.5, 0.25, 0.125]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (7, 1,
+        |  [8.0, -4.0, 2.0, -1.0]);
+        |SELECT pk FROM ks.emb ORDER BY v ANN OF
+        |  [1.0, 0.5, 0.25, 0.125] LIMIT 4""".stripMargin, cat)
+      .orderBy(col("pk"))
+  }
+
+  private val vectorAnnSql =
+    """SELECT CAST(pk AS BIGINT) AS pk
+      |FROM (VALUES (2), (3), (4), (6)) AS t(pk)
+      |ORDER BY pk""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2816,6 +2865,7 @@ object Cells {
     GQuery("C65r_mapped_values", mappedValuesLifecycle,
       Some(mappedValuesSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
+    GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

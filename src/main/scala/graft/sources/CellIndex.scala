@@ -339,6 +339,20 @@ object CellIndex {
     */
   private val PrefixIdxRe = """^prefix\((\w+)\)$""".r
 
+  /** An `ann(<col>)` index target (C70, the vector-search analog of
+    * Cassandra 5's SAI vector index): the entry key is the vector
+    * cell's deterministic LSH BUCKET
+    * ([[graft.functions.VectorCodec.bucket]]) — a long in
+    * [0, 2^planes), so the index table keeps the default
+    * identity-token layout and an ANN probe of `nprobe` buckets plans
+    * as nprobe Summary-pruned pk point reads over the index, bounding
+    * the candidate fetch to nprobe/2^planes of the corpus. The base
+    * re-read reranks candidates by EXACT cosine (index false
+    * positives and refresh epochs drop there) — Cassandra's own
+    * index-then-fetch-then-filter contract, lifted to vectors.
+    */
+  private val AnnIdxRe = """^ann\((\w+)\)$""".r
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey): Unit = {
@@ -358,6 +372,16 @@ object CellIndex {
         graft.GraftExtensions.register(base.sparkSession)
         (base.filter(col("col") === c),
           org.apache.spark.sql.functions.expr("graft_prefix64(value)"),
+          LongType: org.apache.spark.sql.types.DataType)
+      case AnnIdxRe(c) =>
+        require(base.schema("value").dataType ==
+          org.apache.spark.sql.types.BinaryType,
+          s"ann($c) indexes a VECTOR-valued (binary wire form) " +
+            "table; this base stores " +
+            base.schema("value").dataType.simpleString)
+        graft.GraftExtensions.register(base.sparkSession)
+        (base.filter(col("col") === c),
+          org.apache.spark.sql.functions.expr("graft_vec_bucket(value)"),
           LongType: org.apache.spark.sql.types.DataType)
       case _ =>
         (base.filter(col("col") === column), col("value"),
@@ -592,4 +616,28 @@ object CellIndex {
       onStale: String = "refresh"): DataFrame =
     composeBase(spark, dir, lookupPks(spark, idxDir, v, onStale),
       multigetMax)
+
+  /** C70 — ANN candidate fetch: base rows whose vector landed in one
+    * of the `buckets` (the query's multi-probe set), served as
+    * |buckets| pruned point reads of the index composed into the base
+    * multiget. The CALLER reranks by exact cosine and applies LIMIT k
+    * — this returns the candidate superset only.
+    */
+  def lookupBaseAnn(spark: SparkSession, dir: String, idxDir: String,
+      buckets: Seq[Long], multigetMax: Int = 128,
+      onStale: String = "refresh"): DataFrame = {
+    readMeta(idxDir).foreach { m =>
+      if (generation(m.baseDir) != m.gen) onStale match {
+        case "refresh" => refresh(spark, idxDir)
+        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "fail" => throw new IllegalStateException(
+          s"secondary index at $idxDir is STALE (see lookupPks)")
+        case _ =>
+      }
+    }
+    val hits = spark.read.format(Fmt).load(idxDir)
+      .filter(col("pk").isin(buckets.toIndexedSeq: _*))
+      .select(col("value").as("pk")).distinct()
+    composeBase(spark, dir, hits, multigetMax)
+  }
 }

@@ -78,8 +78,22 @@ class CellSource extends TableProvider {
           }
         (sp, ValueCodec.dataTypeFor(tag, prec, scale))
       case None =>
+        // empty dir: the valueType option wins, else the `_type`
+        // marker DECLARED at CREATE time — the value-type twin of the
+        // propsKeySpec fallback below, so a path-based read (e.g. an
+        // index build) of a created-but-never-flushed table serves
+        // its declared value schema, not the long default
         val vt0 = Option(options.get("valueType"))
-          .map(ValueCodec.parseType).getOrElse(LongType)
+          .map(ValueCodec.parseType)
+          .orElse(Option(path).flatMap { p =>
+            val m = java.nio.file.Paths
+              .get(CellPlanning.normalize(p)).resolve("_type")
+            if (java.nio.file.Files.exists(m))
+              Some(ValueCodec.parseType(
+                java.nio.file.Files.readString(m).trim))
+            else None
+          })
+          .getOrElse(LongType)
         Option(options.get("primaryKey")) match {
           case Some(pkSyntax) =>
             // A fresh typed table: the intended key layout comes from

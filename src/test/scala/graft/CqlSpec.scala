@@ -4065,6 +4065,102 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.ukcat")
   }
 
+  test("vector<float, n> values + ANN search (C70): wire form, " +
+    "ann(v) index, probe pruning, rerank order") {
+    val root = Files.createTempDirectory("cql-vec").toString
+    spark.conf.set("spark.sql.catalog.veccat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.veccat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "veccat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cell(pk: Long, c: String): Option[Seq[Byte]] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/emb")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption
+          .map(_.getAs[Array[Byte]](0).toSeq)
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.emb (pk bigint, ck int, col text, " +
+        "value vector<float, 4>, wt bigint)")
+      // wire form: 4 IEEE-754 floats big-endian; UPDATE overwrites
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1, " +
+        "[1.0, 2.0, 3.0, 4.0])")
+      cq("UPDATE ks.emb SET v = [2.0, 4.0, 6.0, 8.0] " +
+        "WHERE pk = 1 AND ck = 1")
+      assert(cell(1, "v") === Some(graft.functions.VectorCodec
+        .encode(Array(2f, 4f, 6f, 8f)).toSeq))
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (9, 1, " +
+        "[0.0, 0.0, 0.0, 1.0])")
+      cq("DELETE v FROM ks.emb WHERE pk = 9 AND ck = 1")
+      assert(cell(9, "v") === None)
+      // grammar refusals: dimension, component type, non-vector shapes
+      refuse("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, [1.0])",
+        "takes 4")
+      refuse("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, " +
+        "[1.0, 'x', 2.0, 3.0])", "components are floats")
+      refuse("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, 7)",
+        "vector literal")
+      refuse("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, " +
+        "[1.0, 2.0, 3.0, 4.0]) IF NOT EXISTS",
+        "vector<float,4>-valued tables")
+      refuse("CREATE TABLE ks.bad (pk vector<float, 2>, ck int, " +
+        "col text, value bigint, wt bigint, PRIMARY KEY ((pk), ck))",
+        "unsupported typed key part type")
+      refuse("CREATE TABLE ks.bs (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint, s vector<float, 2> " +
+        "STATIC)", "cannot be static")
+      // DESCRIBE renders the declared type
+      assert(cq("DESCRIBE TABLE ks.emb").collect().head.getString(0)
+        .contains("value vector<float,4>"))
+      // ANN refuses without a vector index (Cassandra's rule)
+      refuse("SELECT pk FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 2", "needs a vector index")
+      cq("CREATE INDEX ON ks.emb (ann(v))")
+      val idxDir = s"$root/ks/emb_v_ann_idx"
+      assert(Files.isDirectory(java.nio.file.Paths.get(idxDir)))
+      // positives: exact positive multiples of the query — cosine
+      // 1.000000 after rounding, SAME LSH bucket as the query by
+      // construction (sign(h·cv) == sign(h·q) for c > 0); the
+      // negative multiple lands in the complement bucket (Hamming 4)
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, " +
+        "[2.0, 1.0, 0.5, 0.25])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1, " +
+        "[3.0, 1.5, 0.75, 0.375])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (4, 1, " +
+        "[0.5, 0.25, 0.125, 0.0625])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (5, 1, " +
+        "[-1.0, -0.5, -0.25, -0.125])")
+      // write-through kept the index fresh across those plain INSERTs
+      assert(!graft.sources.CellIndex.isStale(idxDir))
+      // rank order: ties at cosine 1.0 break by pk ascending
+      val top = cq("SELECT pk FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 3")
+        .collect().map(_.getLong(0)).toSeq
+      assert(top === Seq(2L, 3L, 4L))
+      // PROBE PRUNING: the opposite vector (pk 5, Hamming distance 4
+      // from the query's bucket) is OUTSIDE the 4-bucket probe set —
+      // a brute-force top-10 of 5 rows would include it; ANN must not
+      val wide = cq("SELECT pk FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 10")
+        .collect().map(_.getLong(0)).toSeq
+      assert(!wide.contains(5L), s"opposite-bucket row not pruned: $wide")
+      assert(Seq(2L, 3L, 4L).forall(wide.contains))
+      // projection subset + refusal
+      assert(cq("SELECT pk, ck FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 1").collect().head.getInt(1) === 1)
+      refuse("SELECT wt FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 1", "projects pk/ck/value")
+      // ANN on a non-vector table refuses
+      cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("SELECT pk FROM ks.plain ORDER BY v ANN OF [1.0] LIMIT 1",
+        "vector<float, n>-valued tables")
+    } finally spark.conf.unset("spark.sql.catalog.veccat")
+  }
+
   test("LWT value-type guards (r15): fresh-table _type routing, " +
     "non-bigint refusals, offset timestamps") {
     val root = Files.createTempDirectory("cql-lwtguard").toString
