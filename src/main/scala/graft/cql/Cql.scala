@@ -191,6 +191,29 @@ object Cql {
       """(?:(values|keys|prefix|ann)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  // C71 — function/aggregate DDL (Cassandra 2.2+ surface)
+  private val CreateFnRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s*\(([^)]*)\)\s+""" +
+      """(RETURNS\s+NULL\s+ON\s+NULL\s+INPUT|CALLED\s+ON\s+NULL\s+INPUT)\s+""" +
+      """RETURNS\s+(\w+)\s+LANGUAGE\s+(\w+)\s+AS\s+'(.*)'\s*;?\s*$""").r
+  private val DropFnRe =
+    """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val CreateAggRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?AGGREGATE\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s+""" +
+      """SFUNC\s+(\w+)\s+STYPE\s+(\w+)""" +
+      """(?:\s+FINALFUNC\s+(\w+))?(?:\s+INITCOND\s+([^;]+?))?\s*;?\s*$""").r
+  private val DropAggRe =
+    """(?is)^\s*DROP\s+AGGREGATE\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescFnsRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+FUNCTIONS\s*;?\s*$""".r
+  private val DescFnRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+FUNCTION\s+(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescAggsRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+AGGREGATES\s*;?\s*$""".r
+  private val DescAggRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+AGGREGATE\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val CreateMvRe =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+""" +
       """(IF\s+NOT\s+EXISTS\s+)?(\w+)\.(\w+)\s+AS\s+SELECT\s+\*\s+""" +
@@ -1477,6 +1500,181 @@ object Cql {
     try p.store(w, null) finally w.close()
   }
 
+  // ---------------------------------------------------------------
+  // C71 — CQL user-defined FUNCTIONS and AGGREGATES (Cassandra 2.2+),
+  // as a DETERMINISTIC EXPRESSION subset: a function body is one
+  // scalar SQL expression over its named arguments (LANGUAGE sql —
+  // the java bodies Cassandra executes in a sandbox are outside this
+  // subset and refuse by name), validated at CREATE time to parse,
+  // resolve over exactly the declared arguments, be deterministic,
+  // and evaluate to the declared RETURNS type. An aggregate composes
+  // registered functions Cassandra's way: SFUNC folds (state, value)
+  // → state over the group's rows IN CLUSTERING ORDER (the
+  // coordinator's own fold order), FINALFUNC maps the final state.
+  //
+  // Scale: a UDF applies inside whole-stage codegen like any
+  // expression; a UDA evaluates as `aggregate(sorted collect_list)`,
+  // bounded per group by CQL's partition-size discipline (the C11
+  // collection bound) — the fold is sequential BY CONTRACT, which is
+  // why Cassandra itself cannot distribute it either.
+  // Registries are per-keyspace java-properties files (`_functions`,
+  // `_aggregates`) — catalog metadata, the `_types` residency class.
+
+  private[cql] final case class CqlFn(args: Seq[(String, String)],
+      returns: String, body: String, calledOnNull: Boolean)
+
+  private[cql] final case class CqlAgg(argType: String, sfunc: String,
+      stype: String, finalFunc: Option[String], initcond: String)
+
+  /** Registry field separator: a control character no validated
+    * SQL body can contain.
+    */
+  private val FnSep = "\u0001"
+
+  private def loadRegistry(f: java.nio.file.Path)
+      : Map[String, String] = {
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    scala.jdk.CollectionConverters.PropertiesHasAsScala(p).asScala.toMap
+  }
+
+  private def storeRegistry(f: java.nio.file.Path,
+      m: Map[String, String]): Unit = {
+    if (m.isEmpty) { java.nio.file.Files.deleteIfExists(f); return }
+    val p = new java.util.Properties()
+    m.foreach { case (k, v) => p.setProperty(k, v) }
+    val w = java.nio.file.Files.newBufferedWriter(f)
+    try p.store(w, null) finally w.close()
+  }
+
+  private[cql] def fnsOf(ksDir: java.nio.file.Path)
+      : Map[String, CqlFn] =
+    loadRegistry(ksDir.resolve("_functions")).map { case (n, enc) =>
+      val Array(argSpec, ret, called, body) = enc.split(FnSep, 4)
+      val args = argSpec.split(',').filter(_.nonEmpty).toSeq
+        .map { a => val Array(an, at) = a.split(':'); (an, at) }
+      n -> CqlFn(args, ret, body, called == "true")
+    }
+
+  private[cql] def aggsOf(ksDir: java.nio.file.Path)
+      : Map[String, CqlAgg] =
+    loadRegistry(ksDir.resolve("_aggregates")).map { case (n, enc) =>
+      val Array(at, sf, st, ff, init) = enc.split(FnSep, 5)
+      n -> CqlAgg(at, sf, st, Some(ff).filter(_.nonEmpty), init)
+    }
+
+  private def writeFns(ksDir: java.nio.file.Path,
+      m: Map[String, CqlFn]): Unit =
+    storeRegistry(ksDir.resolve("_functions"), m.map { case (n, f) =>
+      n -> (f.args.map { case (an, at) => s"$an:$at" }.mkString(",") +
+        FnSep + f.returns + FnSep + f.calledOnNull + FnSep + f.body)
+    })
+
+  private def writeAggs(ksDir: java.nio.file.Path,
+      m: Map[String, CqlAgg]): Unit =
+    storeRegistry(ksDir.resolve("_aggregates"), m.map { case (n, a) =>
+      n -> (a.argType + FnSep + a.sfunc + FnSep + a.stype + FnSep +
+        a.finalFunc.getOrElse("") + FnSep + a.initcond)
+    })
+
+  /** The UDF/UDA type subset → Spark types (scalars the expression
+    * layer evaluates natively).
+    */
+  private def fnTypeToSpark(t: String)
+      : org.apache.spark.sql.types.DataType = t match {
+    case "bigint" => org.apache.spark.sql.types.LongType
+    case "int" => org.apache.spark.sql.types.IntegerType
+    case "double" => org.apache.spark.sql.types.DoubleType
+    case "boolean" => org.apache.spark.sql.types.BooleanType
+    case "text" | "varchar" | "ascii" =>
+      org.apache.spark.sql.types.StringType
+    case o => fail(s"unsupported function argument/return type: $o " +
+      "(bigint/int/double/boolean/text in this subset)")
+  }
+
+  /** CREATE-time body validation: parses, resolves over EXACTLY the
+    * declared arguments, deterministic, no subqueries, evaluates to
+    * the declared RETURNS type.
+    */
+  private def validateFnBody(spark: SparkSession,
+      args: Seq[(String, String)], returns: String,
+      body: String): Unit = {
+    if ("""(?i)\bselect\b""".r.findFirstIn(body).isDefined)
+      fail("function bodies are scalar expressions over their " +
+        "arguments — subqueries are outside this subset")
+    val base = spark.range(1).select(args.map { case (n, t) =>
+      org.apache.spark.sql.functions.lit(null)
+        .cast(fnTypeToSpark(t)).as(n) }.toIndexedSeq: _*)
+    val out =
+      try {
+        val d = base.select(
+          org.apache.spark.sql.functions.expr(body).as("r"))
+        d.queryExecution.analyzed // force analysis
+        d
+      } catch {
+        case e: Exception => fail("function body does not " +
+          s"parse/resolve over its arguments: ${e.getMessage}")
+      }
+    if (!out.queryExecution.analyzed.expressions
+        .forall(_.deterministic))
+      fail("function bodies must be DETERMINISTIC — no now()/rand()/" +
+        "uuid() (Cassandra executes java UDFs; this subset promises " +
+        "replayable expressions)")
+    val rt = out.schema("r").dataType
+    val want = fnTypeToSpark(returns)
+    if (rt != want)
+      fail(s"function body evaluates to ${rt.simpleString}; " +
+        s"declared RETURNS $returns is ${want.simpleString} — " +
+        "cast explicitly in the body")
+  }
+
+  /** A registered scalar function APPLIED to actual column
+    * expressions: each argument binds through a one-element
+    * `transform(array(<actual>), <argname> -> …)` wrap, so the body
+    * evaluates verbatim with its own argument names as lambda
+    * variables — no textual substitution, no collision with column
+    * names, still whole-stage codegen.
+    */
+  private def applyFnSql(fn: CqlFn, actuals: Seq[String]): String = {
+    // RETURNS NULL ON NULL INPUT skips the body when any argument is
+    // null (Cassandra's contract) — expressed as a null guard so
+    // e.g. a coalesce() body still returns null on null input
+    val guarded =
+      if (fn.calledOnNull) s"(${fn.body})"
+      else "IF(" + fn.args.map(_._1).map(a => s"$a IS NULL")
+        .mkString(" OR ") + s", NULL, (${fn.body}))"
+    fn.args.zip(actuals).foldRight(guarded) {
+      case (((an, _), actual), acc) =>
+        s"transform(array($actual), $an -> $acc)[0]"
+    }
+  }
+
+  /** A registered aggregate over `argCol` of the current relation:
+    * Cassandra's UDA contract — fold the group's values in CLUSTERING
+    * order through SFUNC from INITCOND, then FINALFUNC. The sort is
+    * by the table's own key columns (+ col), so the fold order is the
+    * row order a coordinator would stream.
+    */
+  private def udaFoldSql(ksDir: java.nio.file.Path, agg: CqlAgg,
+      argCol: String, orderCols: Seq[String]): String = {
+    val fns = fnsOf(ksDir)
+    val sf = fns(agg.sfunc)
+    val stypeSql = fnTypeToSpark(agg.stype).sql
+    val sorted = "transform(array_sort(collect_list(struct(" +
+      (orderCols :+ argCol).mkString(", ") +
+      s"))), s -> s.$argCol)"
+    val Seq((accN, _), (valN, _)) = sf.args
+    val fold = s"aggregate($sorted, CAST((${agg.initcond}) AS " +
+      s"$stypeSql), ($accN, $valN) -> (${sf.body}))"
+    agg.finalFunc.map { fname =>
+      val ff = fns(fname)
+      val fa = ff.args.head._1
+      s"transform(array($fold), $fa -> (${ff.body}))[0]"
+    }.getOrElse(fold)
+  }
+
   private def writeUdts(root: String, ks: String,
       types: Map[String, String]): Unit = {
     val f = udtTypesPath(root, ks)
@@ -1906,6 +2104,130 @@ object Cql {
             case o => fail(s"unsupported table option: $o")
           }
         spark.emptyDataFrame
+      // ---- C71: CREATE/DROP FUNCTION / AGGREGATE + DESCRIBE -------
+      case CreateFnRe(orRepl, ifNot, ks, name, argSpec, nullClause,
+          returns, lang, bodyRaw) =>
+        val ksDir = java.nio.file.Paths.get(root, ks)
+        if (!java.nio.file.Files.isDirectory(ksDir))
+          fail(s"keyspace $ks does not exist")
+        if (!lang.equalsIgnoreCase("sql"))
+          fail(s"LANGUAGE ${lang.toLowerCase} is outside this " +
+            "subset — deterministic expression UDFs take LANGUAGE sql")
+        val n = name.toLowerCase
+        val body = bodyRaw.replace("''", "'").trim
+        if (body.isEmpty) fail("empty function body")
+        val args = argSpec.split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.map { a =>
+            val ps = a.split("\\s+")
+            if (ps.length != 2)
+              fail(s"function argument must be 'name type', got: $a")
+            (ps(0).toLowerCase, ps(1).toLowerCase)
+          }
+        if (args.isEmpty)
+          fail("functions take at least one argument in this subset")
+        if (args.map(_._1).distinct.length != args.length)
+          fail("duplicate function argument name")
+        args.foreach { case (_, t) => fnTypeToSpark(t) }
+        val ret = returns.toLowerCase
+        fnTypeToSpark(ret)
+        validateFnBody(spark, args, ret, body)
+        val fns = fnsOf(ksDir)
+        if (fns.contains(n) && ifNot != null) {
+          // IF NOT EXISTS: a no-op, Cassandra's own
+        } else {
+          if (fns.contains(n) && orRepl == null)
+            fail(s"function $ks.$n already exists " +
+              "(CREATE OR REPLACE to replace it)")
+          if (fns.contains(n)) {
+            val refs = aggsOf(ksDir).filter { case (_, a) =>
+              a.sfunc == n || a.finalFunc.contains(n) }
+            if (refs.nonEmpty)
+              fail(s"function $ks.$n is used by aggregate(s) " +
+                refs.keys.toSeq.sorted.mkString(", ") +
+                " — drop them first (Cassandra's dependency rule)")
+          }
+          writeFns(ksDir, fns.updated(n, CqlFn(args, ret, body,
+            nullClause.toUpperCase.startsWith("CALLED"))))
+        }
+        spark.emptyDataFrame
+      case DropFnRe(ifEx, ks, name) =>
+        val ksDir = java.nio.file.Paths.get(root, ks)
+        val n = name.toLowerCase
+        val fns = fnsOf(ksDir)
+        if (!fns.contains(n)) {
+          if (ifEx == null) fail(s"function $ks.$n does not exist")
+        } else {
+          val refs = aggsOf(ksDir).filter { case (_, a) =>
+            a.sfunc == n || a.finalFunc.contains(n) }
+          if (refs.nonEmpty)
+            fail(s"function $ks.$n is still used by aggregate(s) " +
+              refs.keys.toSeq.sorted.mkString(", ") +
+              " (Cassandra's dependency rule)")
+          writeFns(ksDir, fns - n)
+        }
+        spark.emptyDataFrame
+      case CreateAggRe(orRepl, ifNot, ks, name, argType, sfunc,
+          stype, finalFn, initcond) =>
+        val ksDir = java.nio.file.Paths.get(root, ks)
+        if (!java.nio.file.Files.isDirectory(ksDir))
+          fail(s"keyspace $ks does not exist")
+        val n = name.toLowerCase
+        val at = argType.toLowerCase
+        val st = stype.toLowerCase
+        fnTypeToSpark(at); fnTypeToSpark(st)
+        val fns = fnsOf(ksDir)
+        val sfn = sfunc.toLowerCase
+        val sf = fns.getOrElse(sfn,
+          fail(s"SFUNC $sfn is not a registered function in $ks"))
+        if (sf.args.length != 2 || sf.args(0)._2 != st ||
+            sf.args(1)._2 != at || sf.returns != st)
+          fail(s"SFUNC must take ($st, $at) and return $st (the " +
+            s"state-transition shape); $sfn is " +
+            s"(${sf.args.map(_._2).mkString(", ")}) -> ${sf.returns}")
+        val ffnOpt = Option(finalFn).map(_.toLowerCase)
+        ffnOpt.foreach { f =>
+          val ff = fns.getOrElse(f,
+            fail(s"FINALFUNC $f is not a registered function in $ks"))
+          if (ff.args.length != 1 || ff.args.head._2 != st)
+            fail(s"FINALFUNC must take ($st); $f is " +
+              s"(${ff.args.map(_._2).mkString(", ")})")
+        }
+        val init = Option(initcond).map(_.trim).filter(_.nonEmpty)
+          .getOrElse(fail("INITCOND is required in this subset (a " +
+            "null initial state needs java CALLED ON NULL INPUT " +
+            "semantics)"))
+        // the initcond is a deterministic literal castable to STYPE
+        validateFnBody(spark, Seq(("__x", st)), st,
+          s"CAST(($init) AS ${fnTypeToSpark(st).sql})")
+        val aggs = aggsOf(ksDir)
+        if (aggs.contains(n) && ifNot != null) {
+          // IF NOT EXISTS: a no-op
+        } else {
+          if (aggs.contains(n) && orRepl == null)
+            fail(s"aggregate $ks.$n already exists " +
+              "(CREATE OR REPLACE to replace it)")
+          writeAggs(ksDir, aggs.updated(n,
+            CqlAgg(at, sfn, st, ffnOpt, init)))
+        }
+        spark.emptyDataFrame
+      case DropAggRe(ifEx, ks, name) =>
+        val ksDir = java.nio.file.Paths.get(root, ks)
+        val n = name.toLowerCase
+        val aggs = aggsOf(ksDir)
+        if (!aggs.contains(n)) {
+          if (ifEx == null) fail(s"aggregate $ks.$n does not exist")
+        } else writeAggs(ksDir, aggs - n)
+        spark.emptyDataFrame
+      case DescFnsRe() =>
+        SystemSchema.describeFunctions(spark, catalog)
+      case DescFnRe(ks, name) =>
+        SystemSchema.describeFunction(spark, catalog, ks,
+          name.toLowerCase)
+      case DescAggsRe() =>
+        SystemSchema.describeAggregates(spark, catalog)
+      case DescAggRe(ks, name) =>
+        SystemSchema.describeAggregate(spark, catalog, ks,
+          name.toLowerCase)
       case CreateIdxRe(ifNot, nameOpt, ks, t, fnOpt, fnCol, plainCol) =>
         // CREATE INDEX → a C18 inverted index table next to its base
         // (default name <table>_<col>_idx, Cassandra's own), built
@@ -2567,6 +2889,31 @@ object Cql {
   // SELECT
 
   private val AggRe = """(?is)^\s*(count|min|max|sum|avg)\s*\(\s*(\*|\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+
+  /** A registered-function/aggregate CALL in a select list (C71):
+    * `name(col[, col…]) [AS alias]` — only treated as a UDF/UDA when
+    * the name resolves in the keyspace registry (builtin aggregates
+    * and WRITETIME/TTL/token keep their own shapes).
+    */
+  private val FnCallRe =
+    """(?is)^\s*(\w+)\s*\(\s*([\w\s,]*?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+
+  /** Select-list items split on TOP-LEVEL commas — a multi-argument
+    * function call (C71) nests commas in parens.
+    */
+  private def splitItems(cols: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    cols.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
   private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
   /** UDT field selection `c.f [AS alias]` (C59b) — Cassandra's own
     * field-access projection on a frozen UDT column.
@@ -2676,6 +3023,34 @@ object Cql {
           c != "col" && c != "wt")
         mappedLiteral(mappedCt.get)(v, s"$c predicate")
       else literal(v)
+    // C71 UDF/UDA registries of this table's keyspace (a property
+    // read, catalog-sized; absent file = empty map)
+    val ksDirPath = java.nio.file.Paths
+      .get(dir).toAbsolutePath.normalize.getParent
+    lazy val udfs: Map[String, CqlFn] =
+      if (ksDirPath == null) Map.empty else fnsOf(ksDirPath)
+    lazy val udas: Map[String, CqlAgg] =
+      if (ksDirPath == null) Map.empty else aggsOf(ksDirPath)
+    def udaItem(i: String): Option[(String, String, Option[String])] =
+      i match {
+        case FnCallRe(f, arg, alias)
+            if udas.contains(f.toLowerCase) &&
+              arg.matches("\\w+") =>
+          Some((f.toLowerCase, arg.toLowerCase, Option(alias)))
+        case _ => None
+      }
+    def udfItem(i: String)
+        : Option[(String, Seq[String], Option[String])] = i match {
+      case FnCallRe(f, argsCsv, alias)
+          if udfs.contains(f.toLowerCase) =>
+        Some((f.toLowerCase, argsCsv.split(',').map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSeq, Option(alias)))
+      case _ => None
+    }
+    def isAggItem(i: String): Boolean =
+      AggRe.findFirstIn(i).isDefined || udaItem(i).isDefined
+    def udaOrder: Seq[String] =
+      (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase) :+ "col"
     val terms = where.map(_.split("(?i)\\s+AND\\s+").toSeq)
       .getOrElse(Seq.empty)
     // `token(pk[, ...])` range predicates → the C41 physical
@@ -3054,8 +3429,7 @@ object Cql {
         // PARTITION LIMIT keeps the last n (THE time-series idiom).
         // Explicit ORDER BY, paging, DISTINCT and aggregates define
         // their own order and skip the reversal.
-        val aggOnly = cols != "*" && cols.split(',').map(_.trim)
-          .forall(i => AggRe.findFirstIn(i).isDefined)
+        val aggOnly = cols != "*" && splitItems(cols).forall(isAggItem)
         if (order.isEmpty && page.isEmpty && group.isEmpty &&
             !distinct && !aggOnly &&
             graft.sources.CellSource.clusteringDesc(dir))
@@ -3112,47 +3486,92 @@ object Cql {
     }
     group match {
       case _ if distinct => // projection handled above
-      case None if cols != "*" &&
-          cols.split(',').map(_.trim)
-            .forall(i => AggRe.findFirstIn(i).isDefined) =>
+      case None if cols != "*" && splitItems(cols).forall(isAggItem) =>
         // global aggregates (no GROUP BY): SELECT count(*) / max(wt)
         // … over the RECONCILED relation — deliberately NOT the C20
         // header pushdown (headers describe RAW cells; CQL aggregates
         // are post-merge), so the plan is the column-pruned reconcile
-        // scan + map-side partial aggregation
-        val aggs = cols.split(',').map(_.trim).map {
-          case AggRe(fn, arg, alias) =>
-            val e = fn.toLowerCase match {
-              case "count" => count(lit(1)).cast("long")
-              case "min" => min(col(arg))
-              case "max" => max(col(arg))
-              case "sum" => sum(col(arg))
-              case "avg" => avg(col(arg))
+        // scan + map-side partial aggregation. Registered UDAs (C71)
+        // fold in clustering order via the sorted-collect aggregate.
+        val aggs = splitItems(cols).map { item =>
+          udaItem(item) match {
+            case Some((f, arg, alias)) =>
+              expr(udaFoldSql(ksDirPath, udas(f), arg, udaOrder))
+                .as(alias.getOrElse(s"$f($arg)"))
+            case None => item match {
+              case AggRe(fn, arg, alias) =>
+                val e = fn.toLowerCase match {
+                  case "count" => count(lit(1)).cast("long")
+                  case "min" => min(col(arg))
+                  case "max" => max(col(arg))
+                  case "sum" => sum(col(arg))
+                  case "avg" => avg(col(arg))
+                }
+                e.as(Option(alias).getOrElse(
+                  s"${fn.toLowerCase}(${arg.toLowerCase})"))
             }
-            e.as(Option(alias).getOrElse(
-              s"${fn.toLowerCase}(${arg.toLowerCase})"))
+          }
         }
         df = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       case g => g match {
       case Some(g) =>
         val keys = g.split(',').map(_.trim).filter(_.nonEmpty)
-        val aggs = cols.split(',').map(_.trim).flatMap {
-          case ColRe(c, _) if keys.exists(_.equalsIgnoreCase(c)) => None
-          case AggRe(fn, arg, alias) =>
-            val e = fn.toLowerCase match {
-              case "count" => count(lit(1)).cast("long")
-              case "min" => min(col(arg))
-              case "max" => max(col(arg))
-              case "sum" => sum(col(arg))
-              case "avg" => avg(col(arg))
+        val aggs = splitItems(cols).flatMap { item =>
+          udaItem(item) match {
+            case Some((f, arg, alias)) =>
+              Some(expr(udaFoldSql(ksDirPath, udas(f), arg, udaOrder))
+                .as(alias.getOrElse(s"$f($arg)")))
+            case None => item match {
+              case ColRe(c, _)
+                  if keys.exists(_.equalsIgnoreCase(c)) => None
+              case AggRe(fn, arg, alias) =>
+                val e = fn.toLowerCase match {
+                  case "count" => count(lit(1)).cast("long")
+                  case "min" => min(col(arg))
+                  case "max" => max(col(arg))
+                  case "sum" => sum(col(arg))
+                  case "avg" => avg(col(arg))
+                }
+                Some(e.as(Option(alias).getOrElse(
+                  s"${fn.toLowerCase}(${arg.toLowerCase})")))
+              case c =>
+                fail(s"non-aggregate select item under GROUP BY: $c")
             }
-            Some(e.as(Option(alias).getOrElse(
-              s"${fn.toLowerCase}(${arg.toLowerCase})")))
-          case c => fail(s"non-aggregate select item under GROUP BY: $c")
+          }
         }
         if (aggs.isEmpty) fail("GROUP BY needs at least one aggregate")
         df = df.groupBy(keys.map(col).toIndexedSeq: _*)
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      case None if cols != "*" &&
+          splitItems(cols).exists(i => udfItem(i).isDefined) =>
+        // C71 scalar UDFs in the select list: registered function
+        // calls over key/cell-model columns, mixed with plain
+        // columns; each call binds its declared argument names as
+        // one-element-transform lambda variables, so the validated
+        // body applies verbatim inside whole-stage codegen
+        val legal = keyCols ++ modelCols
+        val items = splitItems(cols).map { i =>
+          udfItem(i) match {
+            case Some((f, actuals, alias)) =>
+              val fn = udfs(f)
+              if (actuals.length != fn.args.length)
+                fail(s"$f takes ${fn.args.length} argument(s), " +
+                  s"got ${actuals.length}")
+              actuals.foreach(a => if (!legal.contains(a))
+                fail(s"$f arguments are key/cell-model columns, " +
+                  s"got: $a"))
+              expr(applyFnSql(fn, actuals))
+                .as(alias.getOrElse(s"$f(${actuals.mkString(", ")})"))
+            case None => i match {
+              case ColRe(c, alias) if legal.contains(c.toLowerCase) =>
+                col(c.toLowerCase)
+                  .as(Option(alias).getOrElse(c.toLowerCase))
+              case o => fail("cannot combine " + o + " with UDF " +
+                "projections in this subset")
+            }
+          }
+        }
+        df = df.select(items.toIndexedSeq: _*)
       case None if cols != "*" =>
         val rawItems = cols.split(',').map(_.trim)
         // CQL's WRITETIME(c) / TTL(c): the named cell's writetime /

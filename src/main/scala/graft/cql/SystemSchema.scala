@@ -419,6 +419,102 @@ private[cql] object SystemSchema {
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
 
+  // ---- C71: UDF/UDA metadata (system_schema.functions/aggregates,
+  // DESCRIBE FUNCTION/AGGREGATE) — served from the per-keyspace
+  // `_functions`/`_aggregates` registries, the `_types` residency
+  // class (bounded by function count, no Spark job).
+
+  private def ksPath(spark: SparkSession, catalog: String,
+      ks: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root(spark, catalog), ks)
+
+  def functions(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("function_name", StringType, nullable = false),
+        StructField("argument_names", StringType, nullable = false),
+        StructField("argument_types", StringType, nullable = false),
+        StructField("return_type", StringType, nullable = false),
+        StructField("language", StringType, nullable = false),
+        StructField("called_on_null_input", BooleanType,
+          nullable = false),
+        StructField("body", StringType, nullable = false))),
+      for {
+        ks <- ksNames(spark, catalog)
+        (n, f) <- Cql.fnsOf(ksPath(spark, catalog, ks)).toSeq
+          .sortBy(_._1)
+      } yield Row(ks, n, f.args.map(_._1).mkString(", "),
+        f.args.map(_._2).mkString(", "), f.returns, "sql",
+        f.calledOnNull, f.body))
+
+  def aggregates(spark: SparkSession, catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("keyspace_name", StringType, nullable = false),
+        StructField("aggregate_name", StringType, nullable = false),
+        StructField("argument_types", StringType, nullable = false),
+        StructField("state_func", StringType, nullable = false),
+        StructField("state_type", StringType, nullable = false),
+        StructField("final_func", StringType, nullable = true),
+        StructField("initcond", StringType, nullable = false))),
+      for {
+        ks <- ksNames(spark, catalog)
+        (n, a) <- Cql.aggsOf(ksPath(spark, catalog, ks)).toSeq
+          .sortBy(_._1)
+      } yield Row(ks, n, a.argType, a.sfunc, a.stype,
+        a.finalFunc.orNull, a.initcond))
+
+  private def fnCreateStmt(ks: String, n: String,
+      f: Cql.CqlFn): String =
+    s"CREATE FUNCTION $ks.$n (" +
+      f.args.map { case (an, at) => s"$an $at" }.mkString(", ") +
+      ") " +
+      (if (f.calledOnNull) "CALLED ON NULL INPUT"
+       else "RETURNS NULL ON NULL INPUT") +
+      s" RETURNS ${f.returns} LANGUAGE sql AS '" +
+      f.body.replace("'", "''") + "'"
+
+  private def aggCreateStmt(ks: String, n: String,
+      a: Cql.CqlAgg): String =
+    s"CREATE AGGREGATE $ks.$n (${a.argType}) SFUNC ${a.sfunc} " +
+      s"STYPE ${a.stype}" +
+      a.finalFunc.map(f => s" FINALFUNC $f").getOrElse("") +
+      s" INITCOND ${a.initcond}"
+
+  private val OneStmt = StructType(Seq(
+    StructField("create_statement", StringType, nullable = false)))
+
+  def describeFunctions(spark: SparkSession,
+      catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("function", StringType, nullable = false))),
+      for {
+        ks <- ksNames(spark, catalog)
+        n <- Cql.fnsOf(ksPath(spark, catalog, ks)).keys.toSeq.sorted
+      } yield Row(s"$ks.$n"))
+
+  def describeFunction(spark: SparkSession, catalog: String,
+      ks: String, n: String): DataFrame = {
+    val f = Cql.fnsOf(ksPath(spark, catalog, ks)).getOrElse(n,
+      fail(s"function $ks.$n does not exist"))
+    mk(spark, OneStmt, Seq(Row(fnCreateStmt(ks, n, f))))
+  }
+
+  def describeAggregates(spark: SparkSession,
+      catalog: String): DataFrame =
+    mk(spark, StructType(Seq(
+        StructField("aggregate", StringType, nullable = false))),
+      for {
+        ks <- ksNames(spark, catalog)
+        n <- Cql.aggsOf(ksPath(spark, catalog, ks)).keys.toSeq.sorted
+      } yield Row(s"$ks.$n"))
+
+  def describeAggregate(spark: SparkSession, catalog: String,
+      ks: String, n: String): DataFrame = {
+    val a = Cql.aggsOf(ksPath(spark, catalog, ks)).getOrElse(n,
+      fail(s"aggregate $ks.$n does not exist"))
+    mk(spark, OneStmt, Seq(Row(aggCreateStmt(ks, n, a))))
+  }
+
   // ---- the SELECT facade -------------------------------------------
 
   private val EqRe = """(?is)^\s*(\w+)\s*=\s*'([^']*)'\s*$""".r
@@ -437,6 +533,8 @@ private[cql] object SystemSchema {
       case "views" => views(spark, catalog)
       case "indexes" => indexes(spark, catalog)
       case "types" => types(spark, catalog)
+      case "functions" => functions(spark, catalog)
+      case "aggregates" => aggregates(spark, catalog)
       case o => fail(s"unknown system_schema relation: $o")
     }
     val names = df.schema.fieldNames.toSet

@@ -2479,6 +2479,61 @@ object Cells {
       |FROM (VALUES (2), (3), (4), (6)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C71 — CQL user-defined functions/aggregates (r15): CREATE
+  // FUNCTION registers a deterministic scalar SQL expression over
+  // named arguments (validated at CREATE: parses, resolves over
+  // exactly the args, deterministic, typed); CREATE AGGREGATE
+  // composes registered functions Cassandra's way — SFUNC folds
+  // (state, value) -> state over the rows IN CLUSTERING ORDER from
+  // INITCOND, FINALFUNC maps the final state. The digit fold below is
+  // non-commutative on purpose: its value pins the fold order.
+  private def cqlFunctionsLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_fn"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-fn-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5);
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (1, 2, 7);
+        |INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 10);
+        |DROP AGGREGATE IF EXISTS ks.digits;
+        |CREATE OR REPLACE FUNCTION ks.double_it (x bigint)
+        |  RETURNS NULL ON NULL INPUT RETURNS bigint
+        |  LANGUAGE sql AS 'x * 2';
+        |CREATE OR REPLACE FUNCTION ks.acc_digits (acc bigint,
+        |  v bigint) RETURNS NULL ON NULL INPUT RETURNS bigint
+        |  LANGUAGE sql AS 'acc * 100 + v';
+        |CREATE OR REPLACE FUNCTION ks.fin_neg (st bigint)
+        |  RETURNS NULL ON NULL INPUT RETURNS bigint
+        |  LANGUAGE sql AS 'st * -1';
+        |CREATE AGGREGATE ks.digits (bigint) SFUNC acc_digits
+        |  STYPE bigint FINALFUNC fin_neg INITCOND 0""".stripMargin,
+      cat)
+    val f = cq("SELECT pk, ck, double_it(value) AS v FROM ks.t")
+      .select(lit("f").as("tag"), col("pk"),
+        col("ck").cast("int").as("ck"), col("v"))
+    val a = cq("SELECT digits(value) AS v FROM ks.t")
+      .select(lit("a").as("tag"), lit(0L).as("pk"),
+        lit(0).as("ck"), col("v"))
+    f.unionAll(a).orderBy(col("tag"), col("pk"), col("ck"))
+  }
+
+  private val cqlFunctionsSql =
+    """SELECT tag, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(v AS BIGINT) AS v
+      |FROM (VALUES ('a', 0, 0, -50710),
+      |  ('f', 1, 1, 10), ('f', 1, 2, 14), ('f', 2, 1, 20))
+      |  AS t(tag, pk, ck, v)
+      |ORDER BY tag, pk, ck""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2866,6 +2921,8 @@ object Cells {
       Some(mappedValuesSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
+    GQuery("C71_cql_functions", cqlFunctionsLifecycle,
+      Some(cqlFunctionsSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

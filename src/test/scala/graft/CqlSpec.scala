@@ -4161,6 +4161,125 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.veccat")
   }
 
+  test("CQL user-defined functions and aggregates (C71): " +
+    "deterministic expression subset, clustering-order folds") {
+    val root = Files.createTempDirectory("cql-fn").toString
+    spark.conf.set("spark.sql.catalog.fncat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.fncat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "fncat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 2, 7)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 10)")
+      // scalar UDF: validated body, applied in the select list
+      cq("CREATE FUNCTION ks.double_it (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'x * 2'")
+      val d = cq("SELECT pk, double_it(value) AS d FROM ks.t " +
+        "WHERE pk = 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(d === Seq((1L, 10L), (1L, 14L)))
+      // multi-argument UDF over two columns
+      cq("CREATE FUNCTION ks.weighted (x bigint, w int) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'x * CAST(w AS BIGINT)'")
+      val w = cq("SELECT weighted(value, ck) AS v FROM ks.t " +
+        "WHERE pk = 1").collect().map(_.getLong(0)).toSeq.sorted
+      assert(w === Seq(5L, 14L))
+      // UDA: SFUNC folds (state, value) -> state from INITCOND
+      cq("CREATE FUNCTION ks.acc_sumsq (acc bigint, v bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'acc + v * v'")
+      cq("CREATE AGGREGATE ks.sumsq (bigint) SFUNC acc_sumsq " +
+        "STYPE bigint INITCOND 0")
+      assert(cq("SELECT sumsq(value) FROM ks.t").collect()
+        .head.getLong(0) === 174L) // 25 + 49 + 100
+      val g = cq("SELECT pk, sumsq(value) AS s FROM ks.t GROUP BY pk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(g === Seq((1L, 74L), (2L, 100L)))
+      // FINALFUNC maps the final state
+      cq("CREATE FUNCTION ks.fin_neg (s bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 's * -1'")
+      cq("CREATE AGGREGATE ks.sumsq_neg (bigint) SFUNC acc_sumsq " +
+        "STYPE bigint FINALFUNC fin_neg INITCOND 0")
+      assert(cq("SELECT sumsq_neg(value) FROM ks.t").collect()
+        .head.getLong(0) === -174L)
+      // the fold runs in CLUSTERING order (Cassandra's coordinator
+      // order): a non-commutative digit fold proves it
+      cq("CREATE FUNCTION ks.acc_digits (acc bigint, v bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'acc * 100 + v'")
+      cq("CREATE AGGREGATE ks.digits (bigint) SFUNC acc_digits " +
+        "STYPE bigint INITCOND 0")
+      assert(cq("SELECT digits(value) FROM ks.t").collect()
+        .head.getLong(0) === 50710L) // 5, then 7, then 10
+      // metadata: system_schema relations + DESCRIBE round-trips
+      val fnames = cq("SELECT function_name FROM " +
+        "system_schema.functions").collect()
+        .map(_.getString(0)).toSeq.sorted
+      assert(fnames === Seq("acc_digits", "acc_sumsq", "double_it",
+        "fin_neg", "weighted"))
+      val anames = cq("SELECT aggregate_name FROM " +
+        "system_schema.aggregates").collect()
+        .map(_.getString(0)).toSeq.sorted
+      assert(anames === Seq("digits", "sumsq", "sumsq_neg"))
+      val desc = cq("DESCRIBE FUNCTION ks.double_it").collect()
+        .head.getString(0)
+      assert(desc.contains("LANGUAGE sql AS 'x * 2'"), desc)
+      cq(desc.replace("ks.double_it", "ks.double_rt")) // round-trips
+      assert(cq("DESCRIBE AGGREGATE ks.sumsq").collect()
+        .head.getString(0).contains("SFUNC acc_sumsq"))
+      // OR REPLACE takes effect; bare re-create refuses
+      refuse("CREATE FUNCTION ks.double_it (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'x * 9'", "already exists")
+      cq("CREATE OR REPLACE FUNCTION ks.double_it (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'x * 3'")
+      assert(cq("SELECT double_it(value) AS d FROM ks.t " +
+        "WHERE pk = 2").collect().head.getLong(0) === 30L)
+      // dependency rules: a function used by an aggregate is pinned
+      refuse("CREATE OR REPLACE FUNCTION ks.acc_sumsq (acc bigint, " +
+        "v bigint) RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'acc + v'", "used by aggregate")
+      refuse("DROP FUNCTION ks.acc_sumsq", "still used by")
+      cq("DROP AGGREGATE ks.sumsq")
+      cq("DROP AGGREGATE ks.sumsq_neg")
+      refuse("SELECT sumsq(value) FROM ks.t", "unsupported")
+      // validation refusals, each by name
+      refuse("CREATE FUNCTION ks.bad (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE java AS 'return x;'", "LANGUAGE java is outside")
+      refuse("CREATE FUNCTION ks.bad (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'x + CAST(rand() * 0 AS BIGINT)'",
+        "must be DETERMINISTIC")
+      refuse("CREATE FUNCTION ks.bad (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'y + 1'", "does not parse/resolve")
+      refuse("CREATE FUNCTION ks.bad (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS double " +
+        "LANGUAGE sql AS 'x * 2'", "cast explicitly")
+      refuse("CREATE FUNCTION ks.bad (x bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS '(SELECT 1)'", "subqueries are outside")
+      refuse("CREATE AGGREGATE ks.badagg (bigint) SFUNC double_it " +
+        "STYPE bigint INITCOND 0", "state-transition shape")
+      refuse("CREATE AGGREGATE ks.badagg (bigint) SFUNC acc_sumsq " +
+        "STYPE bigint", "INITCOND is required")
+      refuse("CREATE AGGREGATE ks.badagg (bigint) SFUNC nosuch " +
+        "STYPE bigint INITCOND 0", "not a registered function")
+    } finally spark.conf.unset("spark.sql.catalog.fncat")
+  }
+
   test("LWT value-type guards (r15): fresh-table _type routing, " +
     "non-bigint refusals, offset timestamps") {
     val root = Files.createTempDirectory("cql-lwtguard").toString
