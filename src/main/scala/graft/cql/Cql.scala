@@ -188,7 +188,7 @@ object Cql {
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
-      """(?:(values|keys|prefix|ann)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
+      """(?:(values|keys|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   // C71 — function/aggregate DDL (Cassandra 2.2+ surface)
@@ -551,13 +551,15 @@ object Cql {
           // field cells + unset-field tombstones (whole overwrite)
           appendBinaryCells(spark, dir,
             if (udtUnfrozenOf(dir))
-              insertUnfrozenUdtCells(cols, vals, wt, layout)
+              insertUnfrozenUdtCells(cols, vals, wt, layout,
+                storageField(dir))
             else insertUdtCells(cols, vals, wt, layout), ttlOpt)
         case Some(layout) => // typed layout: frozen blobs (C59c) or
           // unfrozen per-field cells + unset-field markers (C59e)
           typedWrite(spark, dir, spec,
             if (udtUnfrozenOf(dir))
-              insertUnfrozenUdtTypedRows(spec, cols, vals, wt, layout)
+              insertUnfrozenUdtTypedRows(spec, cols, vals, wt, layout,
+                storageField(dir))
             else insertUdtTypedRows(spec, cols, vals, wt, layout),
             ttlOpt, org.apache.spark.sql.types.BinaryType)
         case None if spec.isDefault =>
@@ -613,13 +615,13 @@ object Cql {
           appendBinaryCells(spark, dir,
             if (udtUnfrozenOf(dir))
               unfrozenUdtUpdateCells(sets, where, wt,
-                udtLayoutOf(dir).get)
+                udtLayoutOf(dir).get, storageField(dir))
             else udtUpdateCells(sets, where, wt, udtLayoutOf(dir).get),
             ttlOpt)
         else typedWrite(spark, dir, spec,
           if (udtUnfrozenOf(dir))
             unfrozenUdtUpdateTypedRows(spec, sets, where, wt,
-              udtLayoutOf(dir).get)
+              udtLayoutOf(dir).get, storageField(dir))
           else updateUdtTypedRows(spec, sets, where, wt,
             udtLayoutOf(dir).get), ttlOpt,
           org.apache.spark.sql.types.BinaryType)
@@ -1443,6 +1445,32 @@ object Cql {
   private def udtUnfrozenOf(dir: String): Boolean =
     tableProps(dir).get("udtUnfrozen").contains("true")
 
+  /** C67e field-RENAME alias (r15): a non-frozen UDT column stores
+    * one cell PER FIELD under the field's name, so a rename keeps the
+    * STORED name and serves the new declared name through a per-table
+    * `udtAlias.<declared> = <storage>` property — old cells keep
+    * LWW-merging with new writes because both address the SAME cell
+    * name. Declared field name -> storage field name (identity when
+    * never renamed). SELECT * surfaces the storage cell names (the
+    * raw cell view); field-ADDRESSED reads/writes serve the declared
+    * name — documented subset shape, test-pinned.
+    */
+  private def storageField(dir: String)(f: String): String =
+    tableProps(dir).getOrElse(s"udtAlias.$f", f)
+
+  /** Remove ONE `_props` key (the RENAME alias handover). */
+  private def removeTableProp(dir: String, key: String): Unit = {
+    val f = java.nio.file.Paths.get(dir).resolve("_props")
+    if (!java.nio.file.Files.exists(f)) return
+    val p = new java.util.Properties()
+    val r = java.nio.file.Files.newBufferedReader(f)
+    try p.load(r) finally r.close()
+    if (p.remove(key) != null) {
+      val w = java.nio.file.Files.newBufferedWriter(f)
+      try p.store(w, null) finally w.close()
+    }
+  }
+
   private def refuseUdt(dir: String, what: String): Unit =
     if (udtLayoutOf(dir).isDefined)
       fail(s"$what is not supported on frozen<udt>-valued tables " +
@@ -1823,17 +1851,19 @@ object Cql {
         val users = typeUsers(root, ks, name.toLowerCase)
         // frozen blobs pack fields POSITIONALLY — a rename is
         // metadata-only for them — but a NON-frozen column names its
-        // cells `<col>.<field>`: renaming would orphan every stored
-        // field cell, so it refuses while such a table references
-        // the type (drop-and-recreate territory in this subset)
+        // cells `<col>.<field>`, so the rename records a per-table
+        // ALIAS (r15): stored cells KEEP their original name, the new
+        // declared name serves them through `udtAlias.<new>`, and new
+        // writes land under the STORED name so LWW keeps folding old
+        // and new versions of the field together. Chained renames
+        // resolve to the original storage name.
         val unfrozenUsers = users.filter(d =>
           tableProps(d).get("udtUnfrozen").contains("true"))
-        if (unfrozenUsers.nonEmpty)
-          fail(s"cannot rename a field of $ks.$name: non-frozen UDT " +
-            "columns store per-field cells under the field name " +
-            "(used by: " + unfrozenUsers.map(p =>
-              java.nio.file.Paths.get(p).getFileName.toString)
-              .sorted.mkString(", ") + ")")
+        unfrozenUsers.foreach { d =>
+          val storage = tableProps(d).getOrElse(s"udtAlias.$fn", fn)
+          updateTableProp(d, s"udtAlias.$tn", storage)
+          removeTableProp(d, s"udtAlias.$fn")
+        }
         val renamed = layout.split(',').map(_.trim).map { fd =>
           val Array(n, ft) = fd.split("\\s+", 2)
           if (n == fn) s"$tn $ft" else fd
@@ -2246,6 +2276,7 @@ object Cql {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
           case Some("prefix") => s"prefix(${fnCol.toLowerCase})"
           case Some("ann") => s"ann(${fnCol.toLowerCase})"
+          case Some("contains") => s"contains(${fnCol.toLowerCase})"
           case Some(_) => fnCol.toLowerCase // values(m) == plain m
           case None => plainCol.toLowerCase
         }
@@ -2255,6 +2286,8 @@ object Cql {
             case Some("prefix") =>
               s"${t}_${fnCol.toLowerCase}_prefix_idx"
             case Some("ann") => s"${t}_${fnCol.toLowerCase}_ann_idx"
+            case Some("contains") =>
+              s"${t}_${fnCol.toLowerCase}_contains_idx"
             case Some(_) => s"${t}_${fnCol.toLowerCase}_idx"
             case None => s"${t}_${plainCol.toLowerCase}_idx"
           })
@@ -3101,10 +3134,11 @@ object Cql {
       graft.sources.CellIndex.registered(dir)
         .find(i => graft.sources.CellIndex.columnOf(i).contains(c) &&
           graft.sources.CellIndex.servesRanges(i))
-    // `col LIKE 'p%'` probes served by a prefix(<col>) index (C18i —
-    // SASI PREFIX mode): (column, prefix, index dir)
+    // `col LIKE 'p%'` / `'%s%'` probes served by a prefix(<col>) /
+    // contains(<col>) index (C18i/C18j — SASI PREFIX and CONTAINS
+    // modes): (column, needle, index dir, mode)
     val idxLikes = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String)]
+      .empty[(String, String, String, String)]
     // CONTAINS / CONTAINS KEY residual predicates (collections are
     // element-per-cell, C11b: an element IS a (col, value) cell, a
     // map entry's key IS its col name — so containment is a cell
@@ -3192,22 +3226,33 @@ object Cql {
           case s: String => s
           case o => fail(s"LIKE takes a text pattern, got: $o")
         }
-        if (!pat.endsWith("%") ||
-            pat.dropRight(1).exists(ch => ch == '%' || ch == '_'))
-          fail("only prefix patterns are supported: LIKE " +
-            "'<literal>%' (SASI PREFIX mode)")
-        val prefix = pat.dropRight(1)
-        if (prefix.isEmpty)
+        // classify: 'p%' = PREFIX mode (C18i), '%s%' = CONTAINS
+        // mode (C18j, suffix index); other wildcard shapes refuse
+        val isContains = pat.length > 2 && pat.startsWith("%") &&
+          pat.endsWith("%") &&
+          !pat.substring(1, pat.length - 1)
+            .exists(ch => ch == '%' || ch == '_')
+        val isPrefix = !isContains && pat.endsWith("%") &&
+          !pat.dropRight(1).exists(ch => ch == '%' || ch == '_')
+        if (!isContains && !isPrefix)
+          fail("supported LIKE shapes: '<literal>%' (SASI PREFIX " +
+            "mode) and '%<literal>%' (SASI CONTAINS mode)")
+        val needle =
+          if (isContains) pat.substring(1, pat.length - 1)
+          else pat.dropRight(1)
+        if (needle.isEmpty)
           fail("LIKE '%' matches every row — scan without the " +
             "predicate instead")
+        val mode = if (isContains) "contains" else "prefix"
         val idx = graft.sources.CellIndex.registered(dir).find(i =>
           graft.sources.CellIndex.columnOf(i)
-            .contains(s"prefix($cl)"))
-          .getOrElse(fail(s"$cl LIKE needs a prefix index (CREATE " +
-            s"INDEX ... ON <table> (prefix($cl))) — hash-keyed " +
+            .contains(s"$mode($cl)"))
+          .getOrElse(fail(s"$cl LIKE needs a $mode index (CREATE " +
+            s"INDEX ... ON <table> ($mode($cl))) — hash-keyed " +
             "indexes scatter adjacent values and cannot serve " +
-            "prefixes (SASI's order-preserving PREFIX mode)"))
-        idxLikes += ((cl, prefix, idx))
+            s"LIKE (SASI's order-preserving ${mode.toUpperCase} " +
+            "mode)"))
+        idxLikes += ((cl, needle, idx, mode))
         false
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
@@ -3403,15 +3448,20 @@ object Cql {
         // drop), SASI's index-then-fetch-then-filter in PREFIX mode.
         if (idxLikes.length > 1)
           fail("one indexed data predicate per statement")
-        val (lc, prefix, idxDir) = idxLikes.head
+        val (lc, needle, idxDir, mode) = idxLikes.head
         if (hasTok)
           fail("token ranges cannot combine with an indexed predicate")
         if (fnNarrows || hasTokSel)
           fail("WRITETIME/TTL/token() projections cannot combine " +
             "with an indexed predicate")
+        // CONTAINS mode (C18j) rides the SAME closed code range —
+        // `sub` is a substring iff it PREFIXES one of the indexed
+        // suffixes — with the residual re-check being contains()
         graft.sources.CellIndex.lookupBasePrefix(spark, dir, idxDir,
-            prefix)
-          .filter(col("col") === lc && col("value").startsWith(prefix))
+            needle)
+          .filter(col("col") === lc &&
+            (if (mode == "contains") col("value").contains(needle)
+             else col("value").startsWith(needle)))
       } else {
         // a MATERIALIZED VIEW directory heals before serving — a
         // stale view (out-of-band base flush that bypassed the
@@ -3648,12 +3698,15 @@ object Cql {
                 declared.mkString(", ") + ")")
           }
           graft.GraftExtensions.register(spark)
-          val fieldCells = declared.map(f => s"$c.$f")
+          // the cells live under the STORAGE field names (C67e
+          // rename alias); output slots keep the declared names
+          val fieldCells = declared.map(f =>
+            s"$c.${storageField(dir)(f)}")
           val cells = df.filter(
             col("col").isin(fieldCells.map(x => x: Any): _*))
           val aggs = declared.map(f =>
-            max(when(col("col") === s"$c.$f", col("value")))
-              .as(s"_b_$f"))
+            max(when(col("col") === s"$c.${storageField(dir)(f)}",
+              col("value"))).as(s"_b_$f"))
           // group by THIS table's key layout: (pk, ck) on the
           // default spec, the named parts on a typed one (C59e)
           val keyParts = (spec.pkParts ++ spec.ckParts).map(_.name)
@@ -3691,7 +3744,13 @@ object Cql {
           val cellName =
             if (statics.contains(c))
               graft.sources.CellSource.StaticPrefix + c
-            else c
+            else if (c.contains(".") && udtUnfrozenOf(dir)) {
+              // per-field narrowing addresses the STORAGE field name
+              // (C67e rename alias)
+              val i = c.indexOf('.')
+              c.substring(0, i + 1) +
+                storageField(dir)(c.substring(i + 1))
+            } else c
           df = df.filter(col("col") === cellName)
           // frozen<udt> projection (C59b): unpack the winning blob
           // through the schema layer — LWW ran on the BLOB (C59's
@@ -3846,10 +3905,15 @@ object Cql {
     if (cache != null) { cache.remove(wtKey(dir)); () }
   }
 
-  private def resolveNextWt(spark: SparkSession, dir: String): Long = {
-    val r = spark.read.format(Fmt).load(dir).agg(max(col("wt"))).collect()
-    if (r.isEmpty || r(0).isNullAt(0)) 1L else r(0).getLong(0) + 1L
-  }
+  /** Table max wt + 1, HEADER-served (r15): the per-chunk max-wt
+    * stats every flush header carries replace the previous
+    * max(wt)-scan Spark job — a write statement's timestamp mint is
+    * now #files small header reads on the driver, zero data bytes,
+    * zero job scheduling (the C55 CAS round always resolved its
+    * ballot writetime this way; the allocator now matches it).
+    */
+  private def resolveNextWt(spark: SparkSession, dir: String): Long =
+    graft.sources.CellSource.maxWt(dir).map(_ + 1L).getOrElse(1L)
 
   // ---------------------------------------------------------------
   // Per-script write buffering (r12) — the memtable analog. Inside a
@@ -4245,12 +4309,15 @@ object Cql {
     * state the same shadow exactly.)
     */
   private def expandUnfrozenUdtWrite(pk: Long, ck: Int, c: String,
-      entries: Map[String, Any], layout: String, wt: Long)
+      entries: Map[String, Any], layout: String, wt: Long,
+      sf: String => String)
       : Seq[(Long, Int, String, Array[Byte], Long)] =
     graft.functions.UdtValues.fields(layout).map { f =>
       entries.get(f).flatMap(Option(_)) match {
-        case Some(v) => (pk, ck, s"$c.$f", udtFieldBlob(layout, f, v), wt)
-        case None => (pk, ck, s"!del:$c.$f", Array.empty[Byte], wt)
+        case Some(v) =>
+          (pk, ck, s"$c.${sf(f)}", udtFieldBlob(layout, f, v), wt)
+        case None =>
+          (pk, ck, s"!del:$c.${sf(f)}", Array.empty[Byte], wt)
       }
     }
 
@@ -4281,7 +4348,7 @@ object Cql {
     * whole-value-overwrite shape of [[expandUnfrozenUdtWrite]].
     */
   private def insertUnfrozenUdtCells(cols: String, vals: String,
-      wt: Long, layout: String)
+      wt: Long, layout: String, sf: String => String)
       : Seq[(Long, Int, String, Array[Byte], Long)] = {
     val names = cols.split(',').map(_.trim)
     val values = splitValues(vals)
@@ -4308,7 +4375,7 @@ object Cql {
         fail(s"INSERT column $c is not a plain identifier — an " +
           "unfrozen UDT table binds whole UDT values to named columns")
       expandUnfrozenUdtWrite(pk, ck, c,
-        udtEntries(layout, kv(c), c), layout, wt)
+        udtEntries(layout, kv(c), c), layout, wt, sf)
     }.toSeq
   }
 
@@ -4328,7 +4395,8 @@ object Cql {
       colOpt: Option[String]): Option[Seq[String]] =
     colOpt.filter(_ => udtUnfrozenOf(dir)).map {
       case UdtFieldDelRe(c, f) =>
-        Seq(s"${c.toLowerCase}.${f.toLowerCase}")
+        Seq(s"${c.toLowerCase}." +
+          storageField(dir)(f.toLowerCase))
       case c if !c.trim.matches("""\w+""") =>
         fail(s"DELETE ${c.trim} is not a UDT column delete — " +
           "an unfrozen UDT table takes DELETE <col> or " +
@@ -4337,7 +4405,7 @@ object Cql {
       case c =>
         graft.functions.UdtValues
           .fields(udtLayoutOf(dir).get)
-          .map(f => s"${c.trim.toLowerCase}.$f")
+          .map(f => s"${c.trim.toLowerCase}.${storageField(dir)(f)}")
     }
 
   /** Typed-layout (CEL6/8) twin of [[insertUnfrozenUdtCells]]
@@ -4347,7 +4415,7 @@ object Cql {
     */
   private def insertUnfrozenUdtTypedRows(spec: graft.sources.KeySpec,
       cols: String, vals: String, wt: Long,
-      layout: String): Seq[Seq[Any]] = {
+      layout: String, sf: String => String): Seq[Seq[Any]] = {
     val names = cols.split(',').map(_.trim.toLowerCase)
     val values = splitValues(vals).map(_.trim)
     if (names.length != values.length)
@@ -4371,9 +4439,10 @@ object Cql {
       graft.functions.UdtValues.fields(layout).map { f =>
         entries.get(f).flatMap(Option(_)) match {
           case Some(v) =>
-            keyVals ++ Seq(s"$c.$f", udtFieldBlob(layout, f, v), wt)
+            keyVals ++ Seq(s"$c.${sf(f)}",
+              udtFieldBlob(layout, f, v), wt)
           case None =>
-            keyVals ++ Seq(s"!del:$c.$f", Array.empty[Byte], wt)
+            keyVals ++ Seq(s"!del:$c.${sf(f)}", Array.empty[Byte], wt)
         }
       }
     }
@@ -4386,7 +4455,7 @@ object Cql {
     */
   private def unfrozenUdtUpdateTypedRows(spec: graft.sources.KeySpec,
       sets: String, where: String, wt: Long,
-      layout: String): Seq[Seq[Any]] = {
+      layout: String, sf: String => String): Seq[Seq[Any]] = {
     val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
     if (range.isDefined)
       fail("UPDATE WHERE binds clustering keys by equality, not range")
@@ -4411,7 +4480,7 @@ object Cql {
           if (!declared.contains(fn))
             fail(s"unknown UDT field $fn of $cl " +
               s"(declared: ${declared.mkString(", ")})")
-          Seq(pk ++ ck ++ Seq(s"$cl.$fn",
+          Seq(pk ++ ck ++ Seq(s"$cl.${sf(fn)}",
             udtFieldBlob(layout, fn, literal(v)), wt))
         case SetRe(c, v) =>
           val cl = notKey(c)
@@ -4419,10 +4488,11 @@ object Cql {
           declared.map { f =>
             entries.get(f).flatMap(Option(_)) match {
               case Some(x) =>
-                pk ++ ck ++ Seq(s"$cl.$f",
+                pk ++ ck ++ Seq(s"$cl.${sf(f)}",
                   udtFieldBlob(layout, f, x), wt)
               case None =>
-                pk ++ ck ++ Seq(s"!del:$cl.$f", Array.empty[Byte], wt)
+                pk ++ ck ++ Seq(s"!del:$cl.${sf(f)}",
+                  Array.empty[Byte], wt)
             }
           }
         case x => fail(s"unsupported SET item: $x")
@@ -4447,7 +4517,7 @@ object Cql {
     """(?is)^\s*(\w+)\.(\w+)\s*=\s*(.+?)\s*$""".r
 
   private def unfrozenUdtUpdateCells(sets: String, where: String,
-      wt: Long, layout: String)
+      wt: Long, layout: String, sf: String => String)
       : Seq[(Long, Int, String, Array[Byte], Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
     val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
@@ -4462,13 +4532,13 @@ object Cql {
               s"(declared: ${declared.mkString(", ")})")
           val value = literal(v)
           pks.toSeq.sorted.map(pk => (pk, ck,
-            s"${c.toLowerCase}.$fn",
+            s"${c.toLowerCase}.${sf(fn)}",
             udtFieldBlob(layout, fn, value), wt))
         case SetRe(c, v) =>
           val entries = udtEntries(layout, v, c.toLowerCase)
           pks.toSeq.sorted.flatMap(pk =>
             expandUnfrozenUdtWrite(pk, ck, c.toLowerCase, entries,
-              layout, wt))
+              layout, wt, sf))
         case x => fail(s"unsupported SET item: $x")
       }
     } yield cell

@@ -2534,6 +2534,47 @@ object Cells {
       |  AS t(tag, pk, ck, v)
       |ORDER BY tag, pk, ck""".stripMargin
 
+  // C18j — SASI CONTAINS-mode substring LIKE (r15): the suffix index
+  // over the C18i order-preserving codes — `LIKE '%sub%'` serves as
+  // ONE closed code range over the contains(<col>) index (a
+  // substring is a PREFIX of one of the value's indexed suffixes),
+  // base re-read drops collisions/epochs via the contains re-check.
+  private def containsLikeLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_contains"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-ct-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.docs (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.docs (contains(name));
+        |TRUNCATE ks.docs;
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (1, 1, 'alpha');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (2, 1, 'banana');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (3, 1, 'cabana');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (4, 1, 'zebra');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (5, 1, 'ban');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (6, 1, 'panther')
+        |""".stripMargin, cat)
+    def like(pat: String, tag: String): DataFrame =
+      cq(s"SELECT pk FROM ks.docs WHERE name LIKE '$pat'")
+        .select(lit(tag).as("pat"), col("pk"))
+    like("%an%", "an").unionAll(like("%zeb%", "zeb"))
+      .unionAll(like("%anth%", "anth"))
+      .orderBy(col("pat"), col("pk"))
+  }
+
+  private val containsLikeSql =
+    """SELECT pat, CAST(pk AS BIGINT) AS pk
+      |FROM (VALUES ('an', 2), ('an', 3), ('an', 5), ('an', 6),
+      |  ('anth', 6), ('zeb', 4)) AS t(pat, pk)
+      |ORDER BY pat, pk""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -2923,6 +2964,8 @@ object Cells {
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
+    GQuery("C18j_contains_like", containsLikeLifecycle,
+      Some(containsLikeSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -353,6 +353,18 @@ object CellIndex {
     */
   private val AnnIdxRe = """^ann\((\w+)\)$""".r
 
+  /** A `contains(<col>)` index target (C18j, SASI CONTAINS mode):
+    * one entry per SUFFIX of each text value, keyed by the suffix's
+    * order-preserving 64-bit code — `LIKE '%sub%'` then serves as ONE
+    * closed code range over the index (`sub` is a substring of a
+    * value iff it is a PREFIX of one of its suffixes), the exact
+    * C18i/C18e pruned-range plan shape. Storage is Σ len(value)
+    * entries — SASI CONTAINS mode's own suffix-indexing cost, which
+    * is why Cassandra gates the mode per index. 8-byte collisions and
+    * refresh epochs drop on the base re-read's LIKE re-check.
+    */
+  private val ContainsIdxRe = """^contains\((\w+)\)$""".r
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey): Unit = {
@@ -382,6 +394,23 @@ object CellIndex {
         graft.GraftExtensions.register(base.sparkSession)
         (base.filter(col("col") === c),
           org.apache.spark.sql.functions.expr("graft_vec_bucket(value)"),
+          LongType: org.apache.spark.sql.types.DataType)
+      case ContainsIdxRe(c) =>
+        require(base.schema("value").dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"contains($c) indexes a TEXT-valued table (SASI CONTAINS " +
+            "mode); this base stores " +
+            base.schema("value").dataType.simpleString)
+        graft.GraftExtensions.register(base.sparkSession)
+        // one entry per suffix (empty values index nothing)
+        val exploded = base
+          .filter(col("col") === c &&
+            org.apache.spark.sql.functions.length(col("value")) > 0)
+          .withColumn("__k", org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(1, length(value)), " +
+                "i -> graft_prefix64(substring(value, i)))")))
+        (exploded, col("__k"),
           LongType: org.apache.spark.sql.types.DataType)
       case _ =>
         (base.filter(col("col") === column), col("value"),

@@ -765,6 +765,23 @@ object CellSource {
     }
   }
 
+  /** The table's maximum stored writetime, served from FILE HEADERS
+    * alone (per-chunk max-wt stats — the same authority the C55 CAS
+    * round's "wins LWW now" rule reads): one small header read per
+    * flush file, zero data bytes, NO Spark job. None for an
+    * empty/missing table. The CQL front door's per-statement
+    * writetime allocator resolves with this instead of scheduling a
+    * max(wt) scan job per statement — at 100 TB a write statement's
+    * timestamp mint must not cost a cluster round.
+    */
+  def maxWt(dir: String): Option[Long] = {
+    val files = CellPlanning.listFiles(CellPlanning.normalize(dir))
+    val m = files.iterator.map(readHeader)
+      .flatMap(_.chunkMaxWt.iterator)
+      .foldLeft(Long.MinValue)(math.max)
+    if (m == Long.MinValue) None else Some(m)
+  }
+
   /** [[fileEstimate]] over every flush file of a table directory. */
   def dirEstimates(dir: String): Seq[(Long, Long, Long, Long, Int)] =
     CellPlanning.listFiles(CellPlanning.normalize(dir))

@@ -3176,9 +3176,11 @@ class CqlSpec extends GraftSpec {
   }
 
   test("executeScript resolves the table max ONCE per table") {
-    // three standalone inserts pay three max-wt header scans; the
-    // same three statements in one script pay ONE — the allocator's
-    // whole point (a cqlsh-style ingest script's job-count tax)
+    // r15: the timestamp mint is HEADER-served (CellSource.maxWt) —
+    // NO Spark job per statement at all. Three standalone inserts pay
+    // three WRITE jobs; the same three statements in one script pay
+    // ONE (the r12 per-script buffer) — and neither pays a max-wt
+    // scan job anymore
     val d1 = freshTable()
     val individual = countJobs {
       Cql.execute(spark, s"INSERT INTO $d1 (pk, ck, qty) VALUES (70, 1, 1)")
@@ -3192,22 +3194,15 @@ class CqlSpec extends GraftSpec {
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 2, 2);
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 3, 3)""".stripMargin)
     }
-    // the saving is two max-wt scans (3 → 1) AND two flush writes
-    // (3 → 1, the r12 per-script buffer): a script pays ONE header
-    // scan and ONE memtable flush however many statements it holds
     val d3 = freshTable()
-    val perScan = countJobs {
-      spark.read.format("graft.sources.CellSource").load(d3)
-        .agg(max(col("wt"))).collect()
-    }
     val perWrite = countJobs {
       Cql.execute(spark, s"INSERT INTO $d3 (pk, ck, qty) VALUES (71, 1, 1)")
-    } - perScan
-    assert(perScan > 0 && perWrite > 0)
-    assert(individual === 3 * (perScan + perWrite),
-      s"individual=$individual perScan=$perScan perWrite=$perWrite")
-    assert(scripted === perScan + perWrite,
-      s"scripted=$scripted perScan=$perScan perWrite=$perWrite")
+    }
+    assert(perWrite > 0)
+    assert(individual === 3 * perWrite,
+      s"individual=$individual perWrite=$perWrite")
+    assert(scripted === perWrite,
+      s"scripted=$scripted perWrite=$perWrite")
     // identical writetime sequence either way: max(100) + 1, 2, 3 —
     // so in-script statement order still shadows correctly
     assert(wtsOf(d2, 70L) ===
@@ -4280,6 +4275,129 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.fncat")
   }
 
+  test("SASI CONTAINS-mode substring LIKE (C18j): suffix index, " +
+    "pruned code-range probe, residual re-check") {
+    val root = Files.createTempDirectory("cql-contains").toString
+    spark.conf.set("spark.sql.catalog.ctcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ctcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ctcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.docs (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (1, 1, 'alpha')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (2, 1, 'banana')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (3, 1, 'cabana')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (4, 1, 'zebra')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (5, 1, 'ban')")
+      // Cassandra's rule: LIKE needs the properly-MODED index
+      refuse("SELECT pk FROM ks.docs WHERE name LIKE '%an%'",
+        "needs a contains index")
+      cq("CREATE INDEX ON ks.docs (contains(name))")
+      assert(Files.isDirectory(java.nio.file.Paths
+        .get(s"$root/ks/docs_name_contains_idx")))
+      def like(pat: String): Seq[Long] =
+        cq(s"SELECT pk FROM ks.docs WHERE name LIKE '$pat'")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      assert(like("%an%") === Seq(2L, 3L, 5L))
+      assert(like("%ban%") === Seq(2L, 3L, 5L))
+      assert(like("%zeb%") === Seq(4L))
+      assert(like("%alpha%") === Seq(1L))
+      assert(like("%qq%") === Seq.empty)
+      // write-through keeps the suffix index fresh
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (6, 1, 'panther')")
+      assert(like("%anth%") === Seq(6L))
+      // an 8-byte code collision is a FALSE POSITIVE the base
+      // re-read's contains() re-check must drop: the needle and the
+      // stored suffix share their first 8 bytes but differ at the 9th
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (7, 1, " +
+        "'xx12345678ay')")
+      assert(like("%12345678b%") === Seq.empty)
+      assert(like("%12345678a%") === Seq(7L))
+      // a PREFIX pattern still needs the PREFIX-mode index
+      refuse("SELECT pk FROM ks.docs WHERE name LIKE 'ban%'",
+        "needs a prefix index")
+      // unsupported wildcard shapes refuse by name
+      refuse("SELECT pk FROM ks.docs WHERE name LIKE '%a_b%'",
+        "supported LIKE shapes")
+      refuse("SELECT pk FROM ks.docs WHERE name LIKE 'a%b'",
+        "supported LIKE shapes")
+    } finally spark.conf.unset("spark.sql.catalog.ctcat")
+  }
+
+  test("writetime minting is header-served (r15): no Spark job per " +
+    "statement timestamp") {
+    val root = Files.createTempDirectory("cql-wtmint").toString
+    spark.conf.set("spark.sql.catalog.wmcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.wmcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "wmcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5)")
+      cq("INSERT INTO ks.t (pk, ck, price) VALUES (1, 1, 9)")
+      // the header fold equals the table's true max writetime
+      val scanMax = spark.read.format("graft.sources.CellSource")
+        .load(s"$root/ks/t")
+        .agg(org.apache.spark.sql.functions.max(col("wt")))
+        .collect().head.getLong(0)
+      assert(graft.sources.CellSource.maxWt(s"$root/ks/t") ===
+        Some(scanMax))
+      // ALTER ... DROP mints a drop timestamp via the allocator but
+      // runs NO data work — with the header-served resolver it must
+      // schedule ZERO Spark jobs. The bus is FIFO: once the marker
+      // action's job event is visible, any job the ALTER had started
+      // would be visible too.
+      @volatile var jobs = 0
+      val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart)
+            : Unit = {
+          jobs += 1
+          descs.add(Option(j.properties)
+            .map(_.getProperty("spark.job.description", "?"))
+            .getOrElse("?") + " / " + Option(j.properties)
+            .map(_.getProperty("callSite.short", "?")).getOrElse("?"))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // a tagged marker action whose EVENTS we wait for — the bus
+        // is FIFO, so once its events land, every earlier job event
+        // landed too (pre-registration events drain in phase one)
+        def marker(tag: String): Int = {
+          spark.sparkContext.setJobDescription(tag)
+          try spark.range(1).count()
+          finally spark.sparkContext.setJobDescription(null)
+          val dl = System.currentTimeMillis() + 30000
+          def tagged = descs.toArray.count(_.toString.startsWith(tag))
+          while (tagged == 0 && System.currentTimeMillis() < dl)
+            Thread.sleep(50)
+          Thread.sleep(200) // let the marker's sibling jobs land too
+          assert(tagged > 0, "listener bus drain timeout")
+          tagged
+        }
+        marker("wtmint-drain") // flush pre-registration events
+        val before = descs.size
+        cq("ALTER TABLE ks.t DROP price")
+        marker("wtmint-after")
+        // EVERY job event after the drain point is the marker's own:
+        // the ALTER (and its timestamp mint) scheduled none
+        val newJobs = descs.toArray.drop(before).map(_.toString)
+        assert(newJobs.nonEmpty &&
+          newJobs.forall(_.startsWith("wtmint-after")),
+          s"ALTER DROP's timestamp mint scheduled job(s): " +
+            newJobs.mkString(" | "))
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally spark.conf.unset("spark.sql.catalog.wmcat")
+  }
+
   test("LWT value-type guards (r15): fresh-table _type routing, " +
     "non-bigint refusals, offset timestamps") {
     val root = Files.createTempDirectory("cql-lwtguard").toString
@@ -4527,9 +4645,9 @@ class CqlSpec extends GraftSpec {
         .contains("pkRange="))
       // only SASI PREFIX-mode patterns serve
       refuse("SELECT pk FROM ks.words WHERE word LIKE '%car'",
-        "only prefix patterns")
+        "supported LIKE shapes")
       refuse("SELECT pk FROM ks.words WHERE word LIKE 'c_r%'",
-        "only prefix patterns")
+        "supported LIKE shapes")
       refuse("SELECT pk FROM ks.words WHERE word LIKE '%'",
         "matches every row")
       // the codec really is order-preserving, and the registered SQL
@@ -4889,23 +5007,56 @@ class CqlSpec extends GraftSpec {
       // the registry surfaces the evolution (C67d reads it)
       assert(cq("DESCRIBE TYPE ks.item").as[String].collect().head ===
         "CREATE TYPE ks.item (q bigint, t text)")
-      // RENAME: refused while a NON-frozen table references the type
-      // (its field cells are named by field), metadata-only otherwise
-      refuse("ALTER TYPE ks.item RENAME q TO amount", "per-field cells")
-      cq("DROP TABLE ks.nf")
+      // RENAME with a NON-frozen reference (r15): the stored field
+      // cells KEEP their original name; the new declared name serves
+      // them through the per-table alias, and new writes LWW-fold
+      // with the old cells because both address the same cell name
       cq("ALTER TYPE ks.item RENAME q TO amount")
       assert(cq("DESCRIBE TYPE ks.item").as[String].collect().head ===
         "CREATE TYPE ks.item (amount bigint, t text)")
+      def qa(table: String): Seq[(Option[Long], Option[String])] =
+        cq(s"SELECT v.amount AS a, v.t AS t FROM ks.$table").collect()
+          .toSeq.map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+            Option(r.get(1)).map(_.toString)))
+      // old cells read under the NEW name
+      assert(qa("nf") === Seq((Some(7L), Some("y"))))
+      // a new per-field write under the new name SHADOWS the old cell
+      cq("UPDATE ks.nf SET v.amount = 8 WHERE pk = 1 AND ck = 1")
+      assert(qa("nf") === Seq((Some(8L), Some("y"))))
+      // raw-cell pin: the STORAGE cell name stays v.q (the alias is a
+      // facade; SELECT * style cell listings surface storage names)
+      val rawCols = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/nf")
+        .filter(col("pk") === 1).select("col").collect()
+        .map(_.getString(0)).toSet
+      assert(rawCols.contains("v.q") && !rawCols.contains("v.amount"),
+        rawCols.toString)
+      // whole-value writes, per-field WRITETIME, and field deletes
+      // all address the new name
+      cq("INSERT INTO ks.nf (pk, ck, v) VALUES (2, 1, " +
+        "{amount: 9, t: 'z'})")
+      assert(qa("nf").toSet === Set((Some(8L), Some("y")),
+        (Some(9L), Some("z"))))
+      assert(cq("SELECT WRITETIME(v.amount) AS w FROM ks.nf " +
+        "WHERE pk = 2 AND ck = 1").collect().head.get(0) != null)
+      cq("DELETE v.amount FROM ks.nf WHERE pk = 2 AND ck = 1")
+      assert(qa("nf").toSet === Set((Some(8L), Some("y")),
+        (None, Some("z"))))
+      // a CHAINED rename resolves to the ORIGINAL storage name
+      cq("ALTER TYPE ks.item RENAME amount TO qty")
+      assert(cq("SELECT v.qty AS a FROM ks.nf WHERE pk = 1")
+        .as[Long].collect().toSeq === Seq(8L))
+      cq("DROP TABLE ks.nf")
       // frozen blobs are positional: old data serves under the new
       // field name with no rewrite
-      assert(cq("SELECT v.amount AS a FROM ks.fz WHERE pk = 1")
+      assert(cq("SELECT v.qty AS a FROM ks.fz WHERE pk = 1")
         .as[Long].collect().toSeq === Seq(5L))
       // refusal arms
       refuse("ALTER TYPE ks.nope ADD x int", "does not exist")
-      refuse("ALTER TYPE ks.item ADD amount int", "already exists")
+      refuse("ALTER TYPE ks.item ADD qty int", "already exists")
       refuse("ALTER TYPE ks.item ADD b blob", "unsupported UDT field")
       refuse("ALTER TYPE ks.item RENAME zz TO aa", "unknown UDT field")
-      refuse("ALTER TYPE ks.item RENAME t TO amount", "already exists")
+      refuse("ALTER TYPE ks.item RENAME t TO qty", "already exists")
     } finally spark.conf.unset("spark.sql.catalog.udtev")
   }
 
