@@ -2301,6 +2301,14 @@ object Cql {
         if (isCounter(baseDir))
           fail(s"secondary indexes are not supported on counter " +
             s"table $ks.$t")
+        // duration values refuse every index mode: a plain/values
+        // index would serve equality probes on a non-comparable type,
+        // and the base STORES text so the prefix/contains modes'
+        // text-valued check alone would wrongly admit it
+        if (cqlValueTypeOf(baseDir).contains("duration"))
+          fail(s"secondary indexes are not supported on " +
+            s"duration-valued table $ks.$t (durations are not " +
+            "comparable)")
         val idxDir = s"$root/$ks/$idxName"
         if (java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(idxDir))) {
@@ -2719,6 +2727,9 @@ object Cql {
       val t = colMap.getOrElse(n,
         fail(s"PRIMARY KEY part '$n' is not a declared column"))
       if (t == "counter") fail("a key part cannot be a counter")
+      if (t == "duration")
+        fail(s"duration is not supported for PRIMARY KEY part $n " +
+          "(durations are not comparable — Cassandra's rule)")
       n -> mapType(t)
     }
     // mapped KEY types (C36d): uuid/timeuuid/inet/varint/time/date/
@@ -3053,9 +3064,23 @@ object Cql {
     val mappedCt = cqlValueTypeOf(dir)
     def dataLit(c: String, v: String): Any =
       if (mappedCt.isDefined && !keyCols.contains(c) &&
-          c != "col" && c != "wt")
+          c != "col" && c != "wt") {
+        // durations are NOT comparable — a (months, days, nanos)
+        // triple has no total order (Cassandra refuses duration
+        // restrictions outright), so no predicate may compare the
+        // canonical rendering either
+        if (mappedCt.contains("duration"))
+          fail(s"predicates on duration cells are not supported " +
+            "(durations are not comparable)")
         mappedLiteral(mappedCt.get)(v, s"$c predicate")
-      else literal(v)
+      } else literal(v)
+    // min/max order and sum/avg arithmetic are both undefined on the
+    // duration triple — count alone is legal (Cassandra's rule)
+    def checkAgg(fn: String, arg: String): Unit =
+      if (mappedCt.contains("duration") && fn.toLowerCase != "count" &&
+          !keyCols.contains(arg.toLowerCase) && arg.toLowerCase != "wt")
+        fail(s"${fn.toLowerCase}() over duration cells is not " +
+          "supported (durations are not comparable)")
     // C71 UDF/UDA registries of this table's keyspace (a property
     // read, catalog-sized; absent file = empty map)
     val ksDirPath = java.nio.file.Paths
@@ -3550,6 +3575,7 @@ object Cql {
                 .as(alias.getOrElse(s"$f($arg)"))
             case None => item match {
               case AggRe(fn, arg, alias) =>
+                checkAgg(fn, arg)
                 val e = fn.toLowerCase match {
                   case "count" => count(lit(1)).cast("long")
                   case "min" => min(col(arg))
@@ -3575,6 +3601,7 @@ object Cql {
               case ColRe(c, _)
                   if keys.exists(_.equalsIgnoreCase(c)) => None
               case AggRe(fn, arg, alias) =>
+                checkAgg(fn, arg)
                 val e = fn.toLowerCase match {
                   case "count" => count(lit(1)).cast("long")
                   case "min" => min(col(arg))
@@ -5288,7 +5315,11 @@ object Cql {
     "uuid" -> "string", "timeuuid" -> "string", "inet" -> "string",
     "float" -> "double", "decimal" -> "decimal(18,6)",
     "varint" -> "bigint", "time" -> "bigint",
-    "date" -> "int", "smallint" -> "int", "tinyint" -> "int")
+    "date" -> "int", "smallint" -> "int", "tinyint" -> "int",
+    // duration (C65s): canonical (months, days, nanos) rendering as
+    // text — durations are NOT comparable (Cassandra's rule), so the
+    // WHERE/index/agg paths refuse rather than compare the rendering
+    "duration" -> "string")
 
   /** The DECLARED mapped value type of a table, if any (`_props`
     * `cqlValueType`, written at CREATE TABLE).
@@ -5406,6 +5437,7 @@ object Cql {
           l.toInt
         case o => fail(s"$what takes a tinyint literal, got: $o")
       }
+      case "duration" => durationLiteral(t, what)
       case v if v.startsWith("vector<") =>
         // `[f1, f2, ...]` with exactly the declared dimension; wire
         // form = 4n bytes IEEE-754 big-endian (Cassandra's own)
@@ -5426,6 +5458,116 @@ object Cql {
         graft.functions.VectorCodec.encode(fs)
       case o => fail(s"unsupported mapped CQL type: $o")
     }
+  }
+
+  /** One `<n><unit>` component of Cassandra's duration grammar. */
+  private val DurUnitRe = """(\d+)(y|mo|w|d|h|ms|us|µs|ns|m|s)""".r
+
+  /** ISO-8601 duration (`P1Y2M3DT4H5M6.5S`, weeks form `PnW`). */
+  private val DurIsoRe = ("""(?i)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?""" +
+    """(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)(?:\.(\d{1,9}))?S)?)?""").r
+  private val DurIsoWeeksRe = """(?i)P(\d+)W""".r
+
+  /** Cassandra duration literal → the canonical text rendering this
+    * subset stores. Two public grammars (Cassandra's own): the
+    * unit-suffixed form `12h30m` (units y mo w d h m s ms us µs ns in
+    * strictly DESCENDING order, optional leading `-` negating the
+    * whole value) and ISO-8601 (`P1Y2M3DT4H5M6S`, `P2W`). Durations
+    * decompose into Cassandra's (months, days, nanoseconds) triple —
+    * three INDEPENDENT axes (a month is not a fixed day count), which
+    * is why durations are not comparable and every ordering path
+    * refuses. The canonical rendering mirrors Cassandra's own
+    * Duration.toString: nonzero components largest-unit-first.
+    */
+  private def durationLiteral(raw: String, what: String): String = {
+    val t0 = raw.trim
+    // the quoted form is accepted too (cqlsh renders both)
+    val t1 = if (t0.startsWith("'") && t0.endsWith("'") &&
+        t0.length >= 2)
+      t0.substring(1, t0.length - 1).replace("''", "'").trim else t0
+    val neg = t1.startsWith("-")
+    val t = (if (neg) t1.substring(1) else t1).trim
+    if (t.isEmpty) fail(s"$what takes a duration literal " +
+      "(e.g. 12h30m, P1Y2M3D), got an empty string")
+    var months = 0L; var days = 0L; var nanos = 0L
+    def add(unit: String, n: Long): Unit = unit match {
+      case "y" => months = Math.addExact(months, Math.multiplyExact(n, 12L))
+      case "mo" => months = Math.addExact(months, n)
+      case "w" => days = Math.addExact(days, Math.multiplyExact(n, 7L))
+      case "d" => days = Math.addExact(days, n)
+      case "h" => nanos = Math.addExact(nanos,
+        Math.multiplyExact(n, 3600000000000L))
+      case "m" => nanos = Math.addExact(nanos,
+        Math.multiplyExact(n, 60000000000L))
+      case "s" => nanos = Math.addExact(nanos,
+        Math.multiplyExact(n, 1000000000L))
+      case "ms" => nanos = Math.addExact(nanos,
+        Math.multiplyExact(n, 1000000L))
+      case "us" | "µs" => nanos = Math.addExact(nanos,
+        Math.multiplyExact(n, 1000L))
+      case "ns" => nanos = Math.addExact(nanos, n)
+    }
+    try t match {
+      case DurIsoWeeksRe(w) => add("w", w.toLong)
+      case DurIsoRe(y, mo, d, h, mi, s, frac)
+          if Seq(y, mo, d, h, mi, s).exists(_ != null) =>
+        if (y != null) add("y", y.toLong)
+        if (mo != null) add("mo", mo.toLong)
+        if (d != null) add("d", d.toLong)
+        if (h != null) add("h", h.toLong)
+        if (mi != null) add("m", mi.toLong)
+        if (s != null) add("s", s.toLong)
+        if (frac != null) add("ns", frac.padTo(9, '0').toLong)
+      case _ =>
+        // unit-suffixed form: the whole string must be consumed by
+        // `<n><unit>` components in strictly descending unit order
+        // (Cassandra's parser refuses `1m2h` and repeated units)
+        val unitRank = Map("y" -> 0, "mo" -> 1, "w" -> 2, "d" -> 3,
+          "h" -> 4, "m" -> 5, "s" -> 6, "ms" -> 7, "us" -> 8,
+          "µs" -> 8, "ns" -> 9)
+        var pos = 0; var lastRank = -1
+        val lower = t.toLowerCase
+        val m = DurUnitRe.pattern.matcher(lower)
+        while (pos < lower.length) {
+          if (!m.find(pos) || m.start != pos)
+            fail(s"$what takes a duration literal (digits + units " +
+              s"y/mo/w/d/h/m/s/ms/us/ns, or ISO-8601 P...), got: '$t1'")
+          val rank = unitRank(m.group(2))
+          if (rank <= lastRank)
+            fail(s"$what: duration units must appear once, in " +
+              s"descending order (y mo w d h m s ms us ns): '$t1'")
+          lastRank = rank
+          add(m.group(2), m.group(1).toLong)
+          pos = m.end
+        }
+    } catch { case _: ArithmeticException =>
+      fail(s"$what: duration overflows the (months, days, nanos) " +
+        s"representation: '$t1'")
+    }
+    renderDuration(neg && (months | days | nanos) != 0L,
+      months, days, nanos)
+  }
+
+  /** Canonical rendering of a (months, days, nanos) duration —
+    * Cassandra's Duration.toString shape: nonzero components
+    * largest-unit-first (`1y2mo3d4h5m6s7ms8us9ns`), `0s` for zero.
+    */
+  private def renderDuration(neg: Boolean, months: Long, days: Long,
+      nanos: Long): String = {
+    if ((months | days | nanos) == 0L) return "0s"
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (months / 12 > 0) sb.append(months / 12).append('y')
+    if (months % 12 > 0) sb.append(months % 12).append("mo")
+    if (days > 0) sb.append(days).append('d')
+    var ns = nanos
+    def part(div: Long, unit: String): Unit = {
+      if (ns / div > 0) sb.append(ns / div).append(unit)
+      ns %= div
+    }
+    part(3600000000000L, "h"); part(60000000000L, "m")
+    part(1000000000L, "s"); part(1000000L, "ms"); part(1000L, "us")
+    if (ns > 0) sb.append(ns).append("ns")
+    sb.toString
   }
 
   /** Textual IPv4/IPv6 address validation — REGEX-SHAPED on purpose:

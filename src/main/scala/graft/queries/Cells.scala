@@ -2384,6 +2384,58 @@ object Cells {
       |  ('si', 1, '-32768')) AS t(tbl, pk, v)
       |ORDER BY tbl, pk""".stripMargin
 
+  // C65s — the DURATION value type through the front door (r15):
+  // Cassandra's (months, days, nanos) triple, stored as its canonical
+  // text rendering (`1y2mo3d4h5m6s`). Both public literal grammars
+  // parse to one canonical form — the unit-suffixed `12h30m` (strictly
+  // descending units, optional leading '-') and ISO-8601 `P1Y2M3DT4H`
+  // / `PnW`. Durations are NOT comparable (three independent axes), so
+  // WHERE predicates, secondary indexes, and min/max/sum/avg refuse —
+  // the lifecycle exercises write/overwrite/delete plus both grammars
+  // and count(*), the one legal aggregate.
+  private def durationValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_duration"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-duration-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.du (pk bigint, ck int,
+        |  col text, value duration, wt bigint);
+        |TRUNCATE ks.du;
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (1, 1, 12h30m);
+        |UPDATE ks.du SET uptime = 1y2mo3d4h5m6s
+        |  WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (2, 1, P1Y2M3DT4H);
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (3, 1, P2W);
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (4, 1, -90m);
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (5, 1,
+        |  '25h61m61s500ms');
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (6, 1, 0s);
+        |INSERT INTO ks.du (pk, ck, uptime) VALUES (7, 1, 14mo);
+        |DELETE uptime FROM ks.du WHERE pk = 6 AND ck = 1""".stripMargin,
+      cat)
+    val rows = cq("SELECT pk, value FROM ks.du")
+      .select(lit("v").as("tbl"), col("pk"), col("value").as("v"))
+    val cnt = cq("SELECT count(*) AS n FROM ks.du")
+      .select(lit("n").as("tbl"), lit(0L).as("pk"),
+        col("n").cast("string").as("v"))
+    rows.unionAll(cnt).orderBy(col("tbl"), col("pk"))
+  }
+
+  private val durationValuesSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('n', 0, '6'),
+      |  ('v', 1, '1y2mo3d4h5m6s'), ('v', 2, '1y2mo3d4h'),
+      |  ('v', 3, '14d'), ('v', 4, '-1h30m'),
+      |  ('v', 5, '26h2m1s500ms'), ('v', 7, '1y2mo')) AS t(tbl, pk, v)
+      |ORDER BY tbl, pk""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -2960,6 +3012,8 @@ object Cells {
       Some(scalarValuesSql)),
     GQuery("C65r_mapped_values", mappedValuesLifecycle,
       Some(mappedValuesSql)),
+    GQuery("C65s_duration_values", durationValuesLifecycle,
+      Some(durationValuesSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,

@@ -3838,6 +3838,96 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("duration value type (C65s): both literal grammars, canonical " +
+    "rendering, non-comparability refusals") {
+    val root = Files.createTempDirectory("cql-duration").toString
+    spark.conf.set("spark.sql.catalog.ducat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ducat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ducat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def v(pk: Long): Option[String] =
+        cq(s"SELECT value FROM ks.du WHERE pk = $pk AND ck = 1")
+          .collect().headOption.map(_.getString(0))
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.du (pk bigint, ck int, col text, " +
+        "value duration, wt bigint)")
+      // ---- unit-suffixed grammar, canonical largest-unit rendering
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (1, 1, 12h30m)")
+      assert(v(1) === Some("12h30m"))
+      cq("UPDATE ks.du SET up = 90m WHERE pk = 1 AND ck = 1")
+      assert(v(1) === Some("1h30m")) // canonicalized, LWW overwrote
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (2, 1, " +
+        "1y2mo3d4h5m6s7ms8us9ns)")
+      assert(v(2) === Some("1y2mo3d4h5m6s7ms8us9ns"))
+      // months/days/nanos are INDEPENDENT axes: 26h stays 26h (no
+      // day roll-up), 14mo folds to years (a fixed 12:1 ratio)
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (3, 1, 26h)")
+      assert(v(3) === Some("26h"))
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (4, 1, 14mo)")
+      assert(v(4) === Some("1y2mo"))
+      // negative durations negate the whole value; -0 is 0
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (5, 1, -1d12h)")
+      assert(v(5) === Some("-1d12h"))
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (6, 1, -0s)")
+      assert(v(6) === Some("0s"))
+      // ---- ISO-8601 grammar (both forms), quoted variant
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (7, 1, P1Y2M3DT4H5M6S)")
+      assert(v(7) === Some("1y2mo3d4h5m6s"))
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (8, 1, P2W)")
+      assert(v(8) === Some("14d"))
+      cq("INSERT INTO ks.du (pk, ck, up) VALUES (9, 1, 'PT1.5S')")
+      assert(v(9) === Some("1s500ms"))
+      // deletes write the text tombstone neutral like any text cell
+      cq("DELETE up FROM ks.du WHERE pk = 9 AND ck = 1")
+      assert(v(9) === None)
+      // count is the one legal aggregate
+      assert(cq("SELECT count(*) AS n FROM ks.du").collect()
+        .head.getLong(0) === 8L)
+      // ---- grammar refusals
+      refuse("INSERT INTO ks.du (pk, ck, up) VALUES (10, 1, 1m2h)",
+        "descending order")
+      refuse("INSERT INTO ks.du (pk, ck, up) VALUES (10, 1, 2h3h)",
+        "descending order")
+      refuse("INSERT INTO ks.du (pk, ck, up) VALUES (10, 1, 'bogus')",
+        "duration literal")
+      refuse("INSERT INTO ks.du (pk, ck, up) VALUES (10, 1, 5)",
+        "duration literal")
+      // ---- non-comparability refusals: WHERE, index, min/max/sum/avg
+      refuse("SELECT pk FROM ks.du WHERE col = 'up' AND value = 26h " +
+        "ALLOW FILTERING", "not comparable")
+      refuse("SELECT pk FROM ks.du WHERE up = 26h ALLOW FILTERING",
+        "not comparable")
+      refuse("CREATE INDEX duidx ON ks.du (up)", "not comparable")
+      refuse("CREATE INDEX dupfx ON ks.du (prefix(up))",
+        "not comparable")
+      refuse("SELECT min(value) FROM ks.du", "not comparable")
+      refuse("SELECT pk, sum(value) FROM ks.du GROUP BY pk",
+        "not comparable")
+      // max(wt) stays legal — the refusal narrows to duration CELLS
+      assert(cq("SELECT max(wt) AS w FROM ks.du").collect()
+        .head.getLong(0) > 0L)
+      // ---- placement refusals: keys, statics, LWT, JSON
+      refuse("CREATE TABLE ks.dk (pk duration, ck int, col text, " +
+        "value bigint, wt bigint)", "PRIMARY KEY")
+      refuse("CREATE TABLE ks.ds (pk bigint, ck int, col text, " +
+        "value duration, s duration STATIC, wt bigint)", "static")
+      refuse("INSERT INTO ks.du (pk, ck, up) VALUES (11, 1, 1h) " +
+        "IF NOT EXISTS", "duration-valued tables")
+      refuse("INSERT INTO ks.du JSON '{\"pk\": 11, \"ck\": 1, " +
+        "\"up\": \"1h\"}'", "value type")
+      // DESCRIBE + system_schema render the declared name
+      assert(cq("DESCRIBE TABLE ks.du").collect().head.getString(0)
+        .contains("value duration"))
+      assert(cq("SELECT type FROM system_schema.columns WHERE " +
+        "table_name = 'du' AND column_name = 'value'")
+        .collect().map(_.getString(0)).toSeq === Seq("duration"))
+    } finally spark.conf.unset("spark.sql.catalog.ducat")
+  }
+
   test("mapped CQL value types (C65r): uuid/timeuuid/inet/float/" +
     "decimal/varint/time/date/smallint/tinyint lifecycles + grammar") {
     val root = Files.createTempDirectory("cql-mapped").toString
