@@ -2959,6 +2959,12 @@ object Cql {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
   private val ColRe = """(?is)^\s*(\w+)\s*(?:AS\s+(\w+))?\s*$""".r
+  /** `CAST(col AS type) [AS alias]` in a select list (C65t —
+    * Cassandra 3.2+ selection casts).
+    */
+  private val CastRe =
+    ("""(?is)^\s*CAST\s*\(\s*(\w+)\s+AS\s+(\w+)\s*\)""" +
+      """\s*(?:AS\s+(\w+))?\s*$""").r
   /** UDT field selection `c.f [AS alias]` (C59b) — Cassandra's own
     * field-access projection on a frozen UDT column.
     */
@@ -3649,6 +3655,70 @@ object Cql {
           }
         }
         df = df.select(items.toIndexedSeq: _*)
+      case None if cols != "*" &&
+          splitItems(cols).exists(CastRe.findFirstIn(_).isDefined) =>
+        // C65t — CAST(col AS type) selection casts (Cassandra 3.2+):
+        // a PROJECTION-ONLY rewrite over key/cell-model columns, so
+        // the cast runs inside whole-stage codegen on the reconciled
+        // relation and never touches the scan's pushdown. The target
+        // subset is text/bigint/int/double with Cassandra's own
+        // direction rules: numerics cast anywhere (narrowing
+        // TRUNCATES toward zero — Java/Cassandra semantics),
+        // boolean/timestamp render to text only, text casts to text
+        // alone (string-to-number casts are NOT in Cassandra's CAST
+        // matrix), binary refuses. Mapped declared types (C65r)
+        // refuse: their storage is a rendering, and casting the
+        // rendering would bypass the declared type's semantics
+        // (CAST(date-as-int AS text) must not print the day count).
+        if (mappedCt.isDefined)
+          fail(s"CAST on ${mappedCt.get}-valued tables is outside " +
+            "this subset (mapped declared types render through " +
+            "their own grammar)")
+        if (udtL.isDefined || udtUnfrozenOf(dir))
+          fail("CAST on UDT-valued tables is outside this subset")
+        val castLegal = keyCols ++ modelCols
+        def sparkCastTarget(t: String)
+            : org.apache.spark.sql.types.DataType = t match {
+          case "text" | "varchar" | "ascii" =>
+            org.apache.spark.sql.types.StringType
+          case "bigint" => org.apache.spark.sql.types.LongType
+          case "int" => org.apache.spark.sql.types.IntegerType
+          case "double" => org.apache.spark.sql.types.DoubleType
+          case o => fail(s"CAST target $o is outside this subset " +
+            "(text/bigint/int/double)")
+        }
+        val castItems = splitItems(cols).map {
+          case CastRe(c0, t0, alias) =>
+            val c = c0.toLowerCase
+            val t = t0.toLowerCase
+            if (!castLegal.contains(c))
+              fail("CAST argument must be a key or cell-model " +
+                s"column, got: $c")
+            val src = df.schema(c).dataType
+            val tgt = sparkCastTarget(t)
+            import org.apache.spark.sql.types._
+            val ok = src match {
+              case LongType | IntegerType | DoubleType => true
+              case BooleanType | TimestampType => tgt == StringType
+              case StringType => tgt == StringType
+              case _ => false
+            }
+            if (!ok)
+              fail(s"cannot CAST ${SystemSchema.cqlTypeName(src)} " +
+                s"column $c to $t (Cassandra's CAST matrix: " +
+                "numerics anywhere, boolean/timestamp to text, " +
+                "text to text)")
+            col(c).cast(tgt)
+              .as(Option(alias).getOrElse(s"cast($c as $t)"))
+          case i => i match {
+            case ColRe(c, alias) if castLegal.contains(c.toLowerCase) =>
+              col(c.toLowerCase)
+                .as(Option(alias).getOrElse(c.toLowerCase))
+            case o => fail("cannot combine " + o + " with CAST " +
+              "projections in this subset")
+          }
+        }
+        df = df.select(castItems.toIndexedSeq: _*)
       case None if cols != "*" =>
         val rawItems = cols.split(',').map(_.trim)
         // CQL's WRITETIME(c) / TTL(c): the named cell's writetime /

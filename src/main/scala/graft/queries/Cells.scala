@@ -2436,6 +2436,55 @@ object Cells {
       |  ('v', 5, '26h2m1s500ms'), ('v', 7, '1y2mo')) AS t(tbl, pk, v)
       |ORDER BY tbl, pk""".stripMargin
 
+  // C65t — CAST(col AS type) selection casts (r15, Cassandra 3.2+):
+  // a projection-only rewrite over key/cell-model columns, run inside
+  // whole-stage codegen on the reconciled relation. Target subset
+  // text/bigint/int/double with Cassandra's direction rules (numerics
+  // anywhere with truncation-toward-zero narrowing, boolean/timestamp
+  // to text, text to text; string-to-number is NOT in the matrix).
+  private def cqlCastLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_cast"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cast-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.cb (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.cd (pk bigint, ck int,
+        |  col text, value double, wt bigint);
+        |TRUNCATE ks.cb; TRUNCATE ks.cd;
+        |INSERT INTO ks.cb (pk, ck, n) VALUES (1, 1, 41);
+        |INSERT INTO ks.cb (pk, ck, n) VALUES (2, 1, -7);
+        |INSERT INTO ks.cd (pk, ck, x) VALUES (1, 1, 2.75);
+        |INSERT INTO ks.cd (pk, ck, x) VALUES (2, 1, -1.25)""".stripMargin,
+      cat)
+    val cb = cq("SELECT pk, CAST(value AS text) AS c1, " +
+      "CAST(value AS double) AS c2, CAST(value AS int) AS c3 " +
+      "FROM ks.cb")
+      .select(lit("b").as("tbl"), col("pk"), col("c1"),
+        col("c2").cast("string").as("c2"),
+        col("c3").cast("string").as("c3"))
+    val cd = cq("SELECT pk, CAST(pk AS text) AS c1, " +
+      "CAST(value AS bigint) AS c2, CAST(value AS text) AS c3 " +
+      "FROM ks.cd")
+      .select(lit("d").as("tbl"), col("pk"), col("c1"),
+        col("c2").cast("string").as("c2"), col("c3"))
+    cb.unionAll(cd).orderBy(col("tbl"), col("pk"))
+  }
+
+  private val cqlCastSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, c1, c2, c3
+      |FROM (VALUES
+      |  ('b', 1, '41', '41.0', '41'), ('b', 2, '-7', '-7.0', '-7'),
+      |  ('d', 1, '1', '2', '2.75'),
+      |  ('d', 2, '2', '-1', '-1.25')) AS t(tbl, pk, c1, c2, c3)
+      |ORDER BY tbl, pk""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -3014,6 +3063,7 @@ object Cells {
       Some(mappedValuesSql)),
     GQuery("C65s_duration_values", durationValuesLifecycle,
       Some(durationValuesSql)),
+    GQuery("C65t_cql_cast", cqlCastLifecycle, Some(cqlCastSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,

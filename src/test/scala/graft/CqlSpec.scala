@@ -3838,6 +3838,70 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("CAST(col AS type) selection casts (C65t): direction matrix, " +
+    "truncation, aliases, refusals") {
+    val root = Files.createTempDirectory("cql-cast").toString
+    spark.conf.set("spark.sql.catalog.cstcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cstcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cstcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.cb (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.cb (pk, ck, n) VALUES (1, 1, 41)")
+      // numeric → text/double/int; default + explicit alias; a plain
+      // column mixes in
+      val r = cq("SELECT pk, CAST(value AS text), " +
+        "CAST(value AS double) AS d, CAST(value AS int) AS i, " +
+        "CAST(wt AS text) AS w FROM ks.cb WHERE pk = 1").collect().head
+      assert(r.getLong(0) === 1L)
+      assert(r.getString(1) === "41")
+      assert(r.getDouble(2) === 41.0)
+      assert(r.getInt(3) === 41)
+      assert(r.getString(4).toLong > 0L)
+      // the default output name is Cassandra's cast(col as type)
+      val names = cq("SELECT CAST(value AS text) FROM ks.cb")
+        .schema.fieldNames.toSeq
+      assert(names === Seq("cast(value as text)"))
+      // narrowing truncates toward zero (Java/Cassandra semantics)
+      cq("CREATE TABLE ks.cd (pk bigint, ck int, col text, " +
+        "value double, wt bigint)")
+      cq("INSERT INTO ks.cd (pk, ck, x) VALUES (1, 1, 2.75)")
+      cq("INSERT INTO ks.cd (pk, ck, x) VALUES (2, 1, -1.25)")
+      val tr = cq("SELECT pk, CAST(value AS int) AS i FROM ks.cd")
+        .collect().map(x => (x.getLong(0), x.getInt(1))).toMap
+      assert(tr === Map(1L -> 2, 2L -> -1))
+      // boolean/text sources render to text only
+      cq("CREATE TABLE ks.bo (pk bigint, ck int, col text, " +
+        "value boolean, wt bigint)")
+      cq("INSERT INTO ks.bo (pk, ck, f) VALUES (1, 1, true)")
+      assert(cq("SELECT CAST(value AS text) AS t FROM ks.bo")
+        .collect().head.getString(0) === "true")
+      refuse("SELECT CAST(value AS int) FROM ks.bo",
+        "Cassandra's CAST matrix")
+      cq("CREATE TABLE ks.tx (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.tx (pk, ck, s) VALUES (1, 1, '42')")
+      refuse("SELECT CAST(value AS bigint) FROM ks.tx",
+        "Cassandra's CAST matrix")
+      assert(cq("SELECT CAST(value AS text) AS t FROM ks.tx")
+        .collect().head.getString(0) === "42")
+      // unsupported targets / arguments / table kinds refuse by name
+      refuse("SELECT CAST(value AS blob) FROM ks.cb",
+        "outside this subset")
+      refuse("SELECT CAST(nope AS text) FROM ks.cb",
+        "key or cell-model column")
+      cq("CREATE TABLE ks.mu (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      refuse("SELECT CAST(value AS text) FROM ks.mu",
+        "uuid-valued tables")
+    } finally spark.conf.unset("spark.sql.catalog.cstcat")
+  }
+
   test("duration value type (C65s): both literal grammars, canonical " +
     "rendering, non-comparability refusals") {
     val root = Files.createTempDirectory("cql-duration").toString
