@@ -188,7 +188,8 @@ object Cql {
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
-      """(?:(values|keys|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)\s*;?\s*$""").r
+      """(?:(values|keys|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)""" +
+      """(?:\s+WITH\s+OPTIONS\s*=\s*\{([^}]*)\})?\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   // C71 — function/aggregate DDL (Cassandra 2.2+ surface)
@@ -2258,7 +2259,8 @@ object Cql {
       case DescAggRe(ks, name) =>
         SystemSchema.describeAggregate(spark, catalog, ks,
           name.toLowerCase)
-      case CreateIdxRe(ifNot, nameOpt, ks, t, fnOpt, fnCol, plainCol) =>
+      case CreateIdxRe(ifNot, nameOpt, ks, t, fnOpt, fnCol, plainCol,
+          optsOpt) =>
         // CREATE INDEX → a C18 inverted index table next to its base
         // (default name <table>_<col>_idx, Cassandra's own), built
         // now and REGISTERED for write-through maintenance: every
@@ -2272,11 +2274,46 @@ object Cql {
         // `prefix(c)` (C18i): SASI-PREFIX-mode index — entries keyed
         // by the text value's order-preserving 64-bit code, so
         // `LIKE 'p%'` serves as one pruned pk range over the index
+        // SASI analyzer options (C18k): case_sensitive is the one
+        // supported OPTION, honored by the order-preserving LIKE
+        // modes only — a case-insensitive index stores
+        // lower(value) codes, so probes lowercase the needle and
+        // the base re-read re-checks on lower(value)
+        val ciOpt: Boolean = Option(optsOpt) match {
+          case None => false
+          case Some(body) =>
+            val opts = body.split(',').map(_.trim).filter(_.nonEmpty)
+              .map { kv =>
+                kv.split(':') match {
+                  case Array(k, v) =>
+                    (literal(k).toString.toLowerCase,
+                      literal(v).toString.toLowerCase)
+                  case _ => fail(s"malformed index option: $kv")
+                }
+              }.toMap
+            val unknown = opts.keySet - "case_sensitive"
+            if (unknown.nonEmpty)
+              fail("unsupported index OPTIONS: " +
+                unknown.toSeq.sorted.mkString(", ") +
+                " (case_sensitive is the supported analyzer option)")
+            opts.get("case_sensitive") match {
+              case Some("false") => true
+              case Some("true") | None => false
+              case Some(o) => fail("case_sensitive takes 'true' or " +
+                s"'false', got: '$o'")
+            }
+        }
+        if (ciOpt && !Seq("prefix", "contains")
+            .contains(Option(fnOpt).map(_.toLowerCase).getOrElse("")))
+          fail("case_sensitive = false applies to the SASI LIKE " +
+            "modes only (prefix(col) / contains(col))")
+        val ci = if (ciOpt) "_ci" else ""
         val colName = Option(fnOpt).map(_.toLowerCase) match {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
-          case Some("prefix") => s"prefix(${fnCol.toLowerCase})"
+          case Some("prefix") => s"prefix$ci(${fnCol.toLowerCase})"
           case Some("ann") => s"ann(${fnCol.toLowerCase})"
-          case Some("contains") => s"contains(${fnCol.toLowerCase})"
+          case Some("contains") =>
+            s"contains$ci(${fnCol.toLowerCase})"
           case Some(_) => fnCol.toLowerCase // values(m) == plain m
           case None => plainCol.toLowerCase
         }
@@ -2284,10 +2321,10 @@ object Cql {
           .getOrElse(Option(fnOpt).map(_.toLowerCase) match {
             case Some("keys") => s"${t}_${fnCol.toLowerCase}_keys_idx"
             case Some("prefix") =>
-              s"${t}_${fnCol.toLowerCase}_prefix_idx"
+              s"${t}_${fnCol.toLowerCase}_prefix${ci}_idx"
             case Some("ann") => s"${t}_${fnCol.toLowerCase}_ann_idx"
             case Some("contains") =>
-              s"${t}_${fnCol.toLowerCase}_contains_idx"
+              s"${t}_${fnCol.toLowerCase}_contains${ci}_idx"
             case Some(_) => s"${t}_${fnCol.toLowerCase}_idx"
             case None => s"${t}_${plainCol.toLowerCase}_idx"
           })
@@ -3274,14 +3311,19 @@ object Cql {
         if (needle.isEmpty)
           fail("LIKE '%' matches every row — scan without the " +
             "predicate instead")
-        val mode = if (isContains) "contains" else "prefix"
-        val idx = graft.sources.CellIndex.registered(dir).find(i =>
-          graft.sources.CellIndex.columnOf(i)
-            .contains(s"$mode($cl)"))
-          .getOrElse(fail(s"$cl LIKE needs a $mode index (CREATE " +
-            s"INDEX ... ON <table> ($mode($cl))) — hash-keyed " +
+        val mode0 = if (isContains) "contains" else "prefix"
+        val reg = graft.sources.CellIndex.registered(dir)
+        def byCol(m: String) = reg.find(i =>
+          graft.sources.CellIndex.columnOf(i).contains(s"$m($cl)"))
+        // a case-SENSITIVE index serves the pattern verbatim; absent
+        // that, a case-insensitive one (C18k) serves it with the
+        // LOWERCASED needle and a lower(value) residual re-check
+        val (idx, mode) = byCol(mode0).map((_, mode0))
+          .orElse(byCol(mode0 + "_ci").map((_, mode0 + "_ci")))
+          .getOrElse(fail(s"$cl LIKE needs a $mode0 index (CREATE " +
+            s"INDEX ... ON <table> ($mode0($cl))) — hash-keyed " +
             "indexes scatter adjacent values and cannot serve " +
-            s"LIKE (SASI's order-preserving ${mode.toUpperCase} " +
+            s"LIKE (SASI's order-preserving ${mode0.toUpperCase} " +
             "mode)"))
         idxLikes += ((cl, needle, idx, mode))
         false
@@ -3487,12 +3529,19 @@ object Cql {
             "with an indexed predicate")
         // CONTAINS mode (C18j) rides the SAME closed code range —
         // `sub` is a substring iff it PREFIXES one of the indexed
-        // suffixes — with the residual re-check being contains()
+        // suffixes — with the residual re-check being contains().
+        // The _ci analyzer modes (C18k) indexed lower(value), so the
+        // probe lowercases the needle and the re-check compares on
+        // lower(value).
+        val ciMode = mode.endsWith("_ci")
+        val probe = if (ciMode) needle.toLowerCase else needle
         graft.sources.CellIndex.lookupBasePrefix(spark, dir, idxDir,
-            needle)
-          .filter(col("col") === lc &&
-            (if (mode == "contains") col("value").contains(needle)
-             else col("value").startsWith(needle)))
+            probe)
+          .filter(col("col") === lc && {
+            val v = if (ciMode) lower(col("value")) else col("value")
+            if (mode.startsWith("contains")) v.contains(probe)
+            else v.startsWith(probe)
+          })
       } else {
         // a MATERIALIZED VIEW directory heals before serving — a
         // stale view (out-of-band base flush that bypassed the

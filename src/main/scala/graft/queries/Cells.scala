@@ -2676,6 +2676,54 @@ object Cells {
       |  ('anth', 6), ('zeb', 4)) AS t(pat, pk)
       |ORDER BY pat, pk""".stripMargin
 
+  // C18k — SASI case-insensitive analyzer (r15): CREATE INDEX ...
+  // WITH OPTIONS = {'case_sensitive': 'false'} on the LIKE modes
+  // stores lower(value) order-preserving codes; probes lowercase the
+  // needle and the base re-read re-checks on lower(value), so
+  // mixed-case rows serve mixed-case patterns over the same
+  // Summary-pruned code-range plan as C18i/C18j.
+  private def ciLikeLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cilike"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-ci-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.docs (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.docs (prefix(name))
+        |  WITH OPTIONS = {'case_sensitive': 'false'};
+        |CREATE INDEX IF NOT EXISTS ON ks.docs (contains(name))
+        |  WITH OPTIONS = {'case_sensitive': 'false'};
+        |TRUNCATE ks.docs;
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (1, 1, 'Apple pie');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (2, 1, 'apricot JAM');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (3, 1, 'Banana');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (4, 1,
+        |  'GRAPE apple tart');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (5, 1, 'APRIL');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (6, 1, 'grape')
+        |""".stripMargin, cat)
+    def like(pat: String, tag: String): DataFrame =
+      cq(s"SELECT pk FROM ks.docs WHERE name LIKE '$pat'")
+        .select(lit(tag).as("pat"), col("pk"))
+    like("ap%", "p_ap").unionAll(like("APR%", "p_apr"))
+      .unionAll(like("%APPLE%", "c_apple"))
+      .unionAll(like("%Rape%", "c_rape"))
+      .orderBy(col("pat"), col("pk"))
+  }
+
+  private val ciLikeSql =
+    """SELECT pat, CAST(pk AS BIGINT) AS pk
+      |FROM (VALUES ('c_apple', 1), ('c_apple', 4),
+      |  ('c_rape', 4), ('c_rape', 6),
+      |  ('p_ap', 1), ('p_ap', 2), ('p_ap', 5),
+      |  ('p_apr', 2), ('p_apr', 5)) AS t(pat, pk)
+      |ORDER BY pat, pk""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -3070,6 +3118,7 @@ object Cells {
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,
       Some(containsLikeSql)),
+    GQuery("C18k_ci_like", ciLikeLifecycle, Some(ciLikeSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -365,6 +365,15 @@ object CellIndex {
     */
   private val ContainsIdxRe = """^contains\((\w+)\)$""".r
 
+  /** Case-insensitive analyzer variants (C18k, SASI's
+    * `case_sensitive: false` option on the LIKE modes): entries key
+    * the LOWERCASED value's order-preserving code — the probe side
+    * lowercases the needle, and the base re-read re-checks on
+    * lower(value), so mixed-case rows serve mixed-case patterns.
+    */
+  private val PrefixCiIdxRe = """^prefix_ci\((\w+)\)$""".r
+  private val ContainsCiIdxRe = """^contains_ci\((\w+)\)$""".r
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey): Unit = {
@@ -384,6 +393,17 @@ object CellIndex {
         graft.GraftExtensions.register(base.sparkSession)
         (base.filter(col("col") === c),
           org.apache.spark.sql.functions.expr("graft_prefix64(value)"),
+          LongType: org.apache.spark.sql.types.DataType)
+      case PrefixCiIdxRe(c) =>
+        require(base.schema("value").dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"prefix_ci($c) indexes a TEXT-valued table (SASI PREFIX " +
+            "mode); this base stores " +
+            base.schema("value").dataType.simpleString)
+        graft.GraftExtensions.register(base.sparkSession)
+        (base.filter(col("col") === c),
+          org.apache.spark.sql.functions.expr(
+            "graft_prefix64(lower(value))"),
           LongType: org.apache.spark.sql.types.DataType)
       case AnnIdxRe(c) =>
         require(base.schema("value").dataType ==
@@ -410,6 +430,23 @@ object CellIndex {
             org.apache.spark.sql.functions.expr(
               "transform(sequence(1, length(value)), " +
                 "i -> graft_prefix64(substring(value, i)))")))
+        (exploded, col("__k"),
+          LongType: org.apache.spark.sql.types.DataType)
+      case ContainsCiIdxRe(c) =>
+        require(base.schema("value").dataType ==
+          org.apache.spark.sql.types.StringType,
+          s"contains_ci($c) indexes a TEXT-valued table (SASI " +
+            "CONTAINS mode); this base stores " +
+            base.schema("value").dataType.simpleString)
+        graft.GraftExtensions.register(base.sparkSession)
+        // suffixes of the LOWERCASED value — probes lowercase too
+        val exploded = base
+          .filter(col("col") === c &&
+            org.apache.spark.sql.functions.length(col("value")) > 0)
+          .withColumn("__k", org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.expr(
+              "transform(sequence(1, length(value)), " +
+                "i -> graft_prefix64(substring(lower(value), i)))")))
         (exploded, col("__k"),
           LongType: org.apache.spark.sql.types.DataType)
       case _ =>

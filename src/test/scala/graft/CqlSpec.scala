@@ -3838,6 +3838,75 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("SASI case-insensitive analyzer (C18k): _ci LIKE modes, " +
+    "sensitive-index precedence, option refusals") {
+    val root = Files.createTempDirectory("cql-cilike").toString
+    spark.conf.set("spark.sql.catalog.cicat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cicat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cicat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def pks(sel: String): Seq[Long] =
+        cq(sel).collect().map(_.getLong(0)).toSeq.sorted
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.d (pk, ck, name) VALUES (1, 1, 'Apple')")
+      cq("INSERT INTO ks.d (pk, ck, name) VALUES (2, 1, 'apricot')")
+      cq("INSERT INTO ks.d (pk, ck, name) VALUES (3, 1, 'GRAPE jam')")
+      // without any index LIKE still refuses
+      refuse("SELECT pk FROM ks.d WHERE name LIKE 'ap%'",
+        "needs a prefix index")
+      cq("CREATE INDEX ON ks.d (prefix(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'false'}")
+      cq("CREATE INDEX ON ks.d (contains(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'false'}")
+      // the default index names carry the _ci marker
+      assert(cq("SELECT index_name FROM system_schema.indexes " +
+        "WHERE table_name = 'd'").collect().map(_.getString(0)).sorted
+        === Array("d_name_contains_ci_idx", "d_name_prefix_ci_idx"))
+      // mixed-case probes hit mixed-case rows in BOTH modes
+      assert(pks("SELECT pk FROM ks.d WHERE name LIKE 'AP%'") ===
+        Seq(1L, 2L))
+      assert(pks("SELECT pk FROM ks.d WHERE name LIKE '%grape%'") ===
+        Seq(3L))
+      assert(pks("SELECT pk FROM ks.d WHERE name LIKE '%E JA%'") ===
+        Seq(3L))
+      // write-through freshness: a later write serves immediately
+      cq("INSERT INTO ks.d (pk, ck, name) VALUES (4, 1, 'APEX')")
+      assert(pks("SELECT pk FROM ks.d WHERE name LIKE 'ap%'") ===
+        Seq(1L, 2L, 4L))
+      // a case-SENSITIVE index on the same column takes precedence
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.s (pk, ck, name) VALUES (1, 1, 'Apple')")
+      cq("INSERT INTO ks.s (pk, ck, name) VALUES (2, 1, 'apple')")
+      cq("CREATE INDEX ON ks.s (prefix(name))")
+      cq("CREATE INDEX sci ON ks.s (prefix(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'false'}")
+      assert(pks("SELECT pk FROM ks.s WHERE name LIKE 'appl%'") ===
+        Seq(2L)) // verbatim match only — the sensitive index serves
+      // option refusals
+      refuse("CREATE INDEX ON ks.d (name) " +
+        "WITH OPTIONS = {'case_sensitive': 'false'}",
+        "SASI LIKE modes only")
+      refuse("CREATE INDEX ON ks.d (prefix(name)) " +
+        "WITH OPTIONS = {'mode': 'SPARSE'}",
+        "unsupported index OPTIONS")
+      refuse("CREATE INDEX ON ks.d (prefix(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'maybe'}",
+        "takes 'true' or 'false'")
+      // case_sensitive: 'true' is the plain index (no _ci marker)
+      cq("CREATE INDEX ON ks.s (contains(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'true'}")
+      assert(pks("SELECT pk FROM ks.s WHERE name LIKE '%ppl%'") ===
+        Seq(1L, 2L))
+    } finally spark.conf.unset("spark.sql.catalog.cicat")
+  }
+
   test("CAST(col AS type) selection casts (C65t): direction matrix, " +
     "truncation, aliases, refusals") {
     val root = Files.createTempDirectory("cql-cast").toString
