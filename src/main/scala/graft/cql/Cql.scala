@@ -475,18 +475,18 @@ object Cql {
     case InsertJsonRe(table, json, usingTs) =>
       val dir = resolve(table)
       refuseUdt(dir, "INSERT JSON")
-      // the JSON document's own types carry the cell type, and the
-      // two grammars here produce bigint and text cells — any other
-      // declared value type must refuse, or the long/string writer
-      // would stamp a wrong-tagged flush over the declared type
-      // (the same silent-flip class the r15 LWT guard closed)
+      // blob/counter/vector documents have no JSON grammar in this
+      // subset; every SCALAR declared type routes below through its
+      // own literal grammar (C63b) — Cassandra's INSERT JSON contract
+      // (the COLUMN type interprets the JSON value)
       locally {
         val vt = graft.sources.CellSource.valueTypeOf(dir)
-        if (cqlValueTypeOf(dir).isDefined ||
-            (vt != org.apache.spark.sql.types.LongType &&
-             vt != org.apache.spark.sql.types.StringType))
-          fail("INSERT JSON serves bigint- and text-valued tables " +
-            "in this subset; table's value type is " +
+        if (cqlValueTypeOf(dir).exists(_.startsWith("vector<")) ||
+            (cqlValueTypeOf(dir).isEmpty &&
+              vt == org.apache.spark.sql.types.BinaryType) ||
+            isCounter(dir))
+          fail("INSERT JSON serves scalar-valued tables in this " +
+            "subset; table's value type is " +
             cqlValueTypeOf(dir).getOrElse(
               SystemSchema.cqlTypeName(vt)))
       }
@@ -496,11 +496,22 @@ object Cql {
       if (spec.isDefault) {
         // the document's own types carry the cell type (Cassandra's
         // INSERT JSON rule): numbers on bigint tables, strings on
-        // text-valued ones (C65o, r14)
-        if (isStringValued(dir))
-          appendStringCells(spark, dir, jsonStringCells(json, wt),
-            ttlOpt)
-        else appendCells(spark, dir, jsonCells(json, wt), ttlOpt)
+        // text-valued ones (C65o, r14); mapped and C65q scalar
+        // declared types re-route each field through the SAME
+        // literal grammar INSERT VALUES uses (C63b, r15)
+        mappedValueType(dir) match {
+          case Some((ct, vt)) => appendAnyCells(spark, dir, vt,
+            jsonAnyCells(json, wt, mappedLiteral(ct)), ttlOpt)
+          case None if isStringValued(dir) =>
+            appendStringCells(spark, dir, jsonStringCells(json, wt),
+              ttlOpt)
+          case None => otherScalarType(dir) match {
+            case Some(vt) => appendAnyCells(spark, dir, vt,
+              jsonAnyCells(json, wt, scalarLiteral(vt)), ttlOpt)
+            case None =>
+              appendCells(spark, dir, jsonCells(json, wt), ttlOpt)
+          }
+        }
       }
       else typedWrite(spark, dir, spec,
         jsonCellsTyped(spec, json, wt), ttlOpt)
@@ -3973,6 +3984,14 @@ object Cql {
     }
     lim.foreach(n => df = df.limit(n))
     if (json) {
+      // C63b: a DATE-typed value column renders as Cassandra's JSON
+      // date string, not the stored day count — the one mapped type
+      // whose storage is not already its JSON rendering in this
+      // subset (uuid/inet/duration are their text, the numerics are
+      // their numbers; timestamps take to_json's ISO instant form)
+      if (mappedCt.contains("date") &&
+          df.schema.fieldNames.contains("value"))
+        df = df.withColumn("value", expr("date_from_unix_date(value)"))
       val names = df.schema.fieldNames
       df = df.select(
         to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))
@@ -4864,6 +4883,53 @@ object Cql {
           fail(s"$k must be a JSON string on a text-valued table, " +
             s"got $v")
         (pk, ck, k, v.asText(), wt)
+    }
+    if (data.isEmpty) fail("INSERT JSON needs at least one data column")
+    data
+  }
+
+  /** Declared-type twin of [[jsonCells]] (C63b, r15): data values
+    * route through the table's OWN literal grammar — a JSON string
+    * re-quotes as a CQL string literal, numbers and booleans pass
+    * verbatim — so a uuid document field gets uuid validation, a date
+    * field day-count storage, a double field CQL's bigint-widening
+    * rule: exactly the typing INSERT VALUES would apply. This is
+    * Cassandra's INSERT JSON contract (the column type interprets
+    * the JSON value) generalized past bigint/text.
+    */
+  private def jsonAnyCells(json: String, wt: Long,
+      parse: (String, String) => Any)
+      : Seq[(Long, Int, String, Any, Long)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = try mapper.readTree(json.replace("''", "'"))
+      catch { case e: Exception =>
+        fail(s"bad JSON document: ${e.getMessage}") }
+    if (node == null || !node.isObject)
+      fail("INSERT JSON needs an object")
+    val fields = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(node.properties()).asScala.toSeq
+      .map(e => e.getKey.toLowerCase -> e.getValue)
+    val kv = fields.toMap
+    def num(k: String): Long = kv.get(k) match {
+      case Some(v) if v.isIntegralNumber && v.canConvertToLong =>
+        v.asLong()
+      case Some(v) => fail(s"$k must be an integer, got $v")
+      case None => fail(s"INSERT JSON must bind $k")
+    }
+    val pk = num("pk")
+    val ck = {
+      val c = num("ck")
+      if (c < Int.MinValue || c > Int.MaxValue)
+        fail(s"ck $c is outside the int clustering-key range")
+      c.toInt
+    }
+    val data = fields.collect {
+      case (k, v) if k != "pk" && k != "ck" =>
+        val lit =
+          if (v.isTextual) "'" + v.asText().replace("'", "''") + "'"
+          else if (v.isNumber || v.isBoolean) v.asText()
+          else fail(s"$k: unsupported JSON value $v")
+        (pk, ck, k, parse(lit, s"JSON value of $k"), wt)
     }
     if (data.isEmpty) fail("INSERT JSON needs at least one data column")
     data

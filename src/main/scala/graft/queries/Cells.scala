@@ -2485,6 +2485,58 @@ object Cells {
       |  ('d', 2, '2', '-1', '-1.25')) AS t(tbl, pk, c1, c2, c3)
       |ORDER BY tbl, pk""".stripMargin
 
+  // C63b — JSON over the declared value types (r15): INSERT JSON
+  // routes each document field through the table's OWN literal
+  // grammar (uuid documents get uuid validation, date strings store
+  // as day counts, doubles take CQL's widening rule — exactly the
+  // typing INSERT VALUES applies), and SELECT JSON renders the
+  // declared semantics (a date value renders as its ISO date string,
+  // not the stored day count).
+  private def typedJsonLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_tjson"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tjson-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.jd (pk bigint, ck int,
+        |  col text, value double, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.jdt (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ju (pk bigint, ck int,
+        |  col text, value uuid, wt bigint);
+        |TRUNCATE ks.jd; TRUNCATE ks.jdt; TRUNCATE ks.ju;
+        |INSERT INTO ks.jd JSON '{"pk": 1, "ck": 1, "score": 2.5}';
+        |INSERT INTO ks.jd JSON '{"pk": 2, "ck": 1, "score": -4}';
+        |INSERT INTO ks.jdt JSON
+        |  '{"pk": 1, "ck": 1, "day": "2020-03-01"}';
+        |INSERT INTO ks.jdt JSON
+        |  '{"pk": 2, "ck": 1, "day": "1969-12-31"}';
+        |INSERT INTO ks.ju JSON '{"pk": 1, "ck": 1,
+        |  "id": "123E4567-E89B-12D3-A456-426614174000"}'""".stripMargin,
+      cat)
+    def js(t: String, tag: String): DataFrame =
+      cq(s"SELECT JSON pk, value FROM ks.$t")
+        .select(lit(tag).as("tbl"), col("[json]").as("j"))
+    js("jd", "d").unionAll(js("jdt", "dt")).unionAll(js("ju", "u"))
+      .orderBy(col("tbl"), col("j"))
+  }
+
+  private val typedJsonSql =
+    """SELECT tbl, j
+      |FROM (VALUES
+      |  ('d', '{"pk":1,"value":2.5}'), ('d', '{"pk":2,"value":-4.0}'),
+      |  ('dt', '{"pk":1,"value":"2020-03-01"}'),
+      |  ('dt', '{"pk":2,"value":"1969-12-31"}'),
+      |  ('u', '{"pk":1,"value":' ||
+      |    '"123e4567-e89b-12d3-a456-426614174000"}'))
+      |  AS t(tbl, j)
+      |ORDER BY tbl, j""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -3112,6 +3164,7 @@ object Cells {
     GQuery("C65s_duration_values", durationValuesLifecycle,
       Some(durationValuesSql)),
     GQuery("C65t_cql_cast", cqlCastLifecycle, Some(cqlCastSql)),
+    GQuery("C63b_typed_json", typedJsonLifecycle, Some(typedJsonSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,

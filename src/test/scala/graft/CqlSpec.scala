@@ -3838,6 +3838,62 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("JSON over declared value types (C63b): document fields route " +
+    "through the table's literal grammar; SELECT JSON renders " +
+    "declared semantics") {
+    val root = Files.createTempDirectory("cql-tjson").toString
+    spark.conf.set("spark.sql.catalog.tjcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tjcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tjcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cell(t: String, pk: Long, c: String): Option[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().headOption.map(_.get(0))
+      cq("CREATE KEYSPACE ks")
+      // booleans: JSON booleans write, numbers refuse
+      cq("CREATE TABLE ks.b (pk bigint, ck int, col text, " +
+        "value boolean, wt bigint)")
+      cq("INSERT INTO ks.b JSON '{\"pk\": 1, \"ck\": 1, \"f\": true}'")
+      assert(cell("b", 1, "f") === Some(true))
+      refuse("INSERT INTO ks.b JSON '{\"pk\": 2, \"ck\": 1, \"f\": 1}'",
+        "true/false")
+      // timestamps: ISO strings and epoch-millis numbers land equal
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value timestamp, wt bigint)")
+      cq("INSERT INTO ks.t JSON '{\"pk\": 1, \"ck\": 1, " +
+        "\"seen\": \"2020-01-02T03:04:05Z\"}'")
+      cq("INSERT INTO ks.t JSON '{\"pk\": 2, \"ck\": 1, " +
+        "\"seen\": 1577934245000}'")
+      assert(cell("t", 1, "seen") === cell("t", 2, "seen"))
+      // floats: JSON numbers write, strings refuse (no string-typed
+      // numerics — the document's type must agree with the grammar)
+      cq("CREATE TABLE ks.f (pk bigint, ck int, col text, " +
+        "value float, wt bigint)")
+      cq("INSERT INTO ks.f JSON '{\"pk\": 1, \"ck\": 1, \"x\": 2.5}'")
+      assert(cell("f", 1, "x") === Some(2.5))
+      refuse("INSERT INTO ks.f JSON '{\"pk\": 2, \"ck\": 1, " +
+        "\"x\": \"2.5\"}'", "float literal")
+      // SELECT JSON renders a date value as its ISO string
+      cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      cq("INSERT INTO ks.d JSON '{\"pk\": 1, \"ck\": 1, " +
+        "\"day\": \"2020-03-01\"}'")
+      assert(cq("SELECT JSON pk, value FROM ks.d").collect()
+        .head.getString(0) === "{\"pk\":1,\"value\":\"2020-03-01\"}")
+      // blob/counter/vector documents stay outside the subset
+      cq("CREATE TABLE ks.bl (pk bigint, ck int, col text, " +
+        "value blob, wt bigint)")
+      refuse("INSERT INTO ks.bl JSON '{\"pk\": 1, \"ck\": 1, " +
+        "\"v\": \"0x00\"}'", "scalar-valued")
+    } finally spark.conf.unset("spark.sql.catalog.tjcat")
+  }
+
   test("SASI case-insensitive analyzer (C18k): _ci LIKE modes, " +
     "sensitive-index precedence, option refusals") {
     val root = Files.createTempDirectory("cql-cilike").toString
@@ -4050,8 +4106,13 @@ class CqlSpec extends GraftSpec {
         "value duration, s duration STATIC, wt bigint)", "static")
       refuse("INSERT INTO ks.du (pk, ck, up) VALUES (11, 1, 1h) " +
         "IF NOT EXISTS", "duration-valued tables")
-      refuse("INSERT INTO ks.du JSON '{\"pk\": 11, \"ck\": 1, " +
-        "\"up\": \"1h\"}'", "value type")
+      // INSERT JSON routes through the duration grammar (C63b):
+      // string documents canonicalize, numbers refuse
+      cq("INSERT INTO ks.du JSON '{\"pk\": 11, \"ck\": 1, " +
+        "\"up\": \"90m\"}'")
+      assert(v(11) === Some("1h30m"))
+      refuse("INSERT INTO ks.du JSON '{\"pk\": 12, \"ck\": 1, " +
+        "\"up\": 5}'", "duration literal")
       // DESCRIBE + system_schema render the declared name
       assert(cq("DESCRIBE TABLE ks.du").collect().head.getString(0)
         .contains("value duration"))
@@ -4121,8 +4182,15 @@ class CqlSpec extends GraftSpec {
       refuse("INSERT INTO ks.u (pk, ck, id) VALUES (5, 1, " +
         "123e4567-e89b-12d3-a456-426614174000) IF NOT EXISTS",
         "uuid-valued tables")
+      // INSERT JSON routes through the uuid grammar (C63b): a valid
+      // document writes, a non-uuid string refuses with the same
+      // message INSERT VALUES gives
+      cq("INSERT INTO ks.u JSON '{\"pk\": 6, \"ck\": 1, \"id\": " +
+        "\"123E4567-E89B-12D3-A456-426614174000\"}'")
+      assert(cell("u", 6, "id") ===
+        Some("123e4567-e89b-12d3-a456-426614174000"))
       refuse("INSERT INTO ks.u JSON '{\"pk\": 5, \"ck\": 1, " +
-        "\"id\": \"x\"}'", "value type is uuid")
+        "\"id\": \"x\"}'", "uuid literal")
       refuse("UPDATE ks.u SET tags = tags + ['red'] WHERE pk = 5 " +
         "AND ck = 1", "collections on uuid-valued")
       refuse("CREATE TABLE ks.us (pk bigint, ck int, col text, " +
