@@ -927,16 +927,25 @@ object Cql {
 
   private def lwtInsert(spark: SparkSession, dir: String,
       cols: String, vals: String): DataFrame = {
-    refuseLwtValueType(dir, allowText = true)
+    val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
       // text-valued tables (C65o, r14) CAS text cells; the condition
-      // and write ride the same generalized round
+      // and write ride the same generalized round. Text-storage
+      // mapped types (C55c, r15) ride it too — through their OWN
+      // validated literal grammar.
       val (pk, ck, c, v) =
-        if (isStringValued(dir)) {
+        if (mappedCas.isDefined) {
+          val cs = insertScalarCells(mappedLiteral(mappedCas.get),
+            cols, vals, AssignLater)
+          if (cs.length != 1)
+            fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+              "column (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else if (isStringValued(dir)) {
           val cs = insertStringCells(cols, vals, AssignLater, Set.empty)
           if (cs.length != 1)
             fail("INSERT ... IF NOT EXISTS takes exactly one data " +
@@ -979,7 +988,7 @@ object Cql {
 
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifVal: String): DataFrame = {
-    refuseLwtValueType(dir, allowText = true)
+    val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
@@ -987,7 +996,14 @@ object Cql {
       refuseStaticLwt(dir, setColNames(sets))
       val str = isStringValued(dir)
       val (pk, ck, c, v) =
-        if (str) {
+        if (mappedCas.isDefined) {
+          val cs = updateScalarCells(mappedLiteral(mappedCas.get),
+            sets, where, AssignLater)
+          if (cs.length != 1)
+            fail("UPDATE ... IF takes exactly one SET column and " +
+              "one pk")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else if (str) {
           val cs = updateStringCells(sets, where, AssignLater,
             Set.empty)
           if (cs.length != 1)
@@ -1006,7 +1022,9 @@ object Cql {
           "(the CAS cell)")
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = Some(c),
-        cond = CasCond.Equals(collValue(str)(ifVal, "IF condition")),
+        cond = CasCond.Equals(mappedCas
+          .map(ct => mappedLiteral(ct)(ifVal, "IF condition"))
+          .getOrElse(collValue(str)(ifVal, "IF condition"))),
         writeCol = c, writeValue = v))
     } else {
       val (c, v) = casSet(sets)
@@ -1025,14 +1043,21 @@ object Cql {
     */
   private def lwtUpdateExists(spark: SparkSession, dir: String,
       sets: String, where: String): DataFrame = {
-    refuseLwtValueType(dir, allowText = true)
+    val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, setColNames(sets))
       val (pk, ck, c, v) =
-        if (isStringValued(dir)) {
+        if (mappedCas.isDefined) {
+          val cs = updateScalarCells(mappedLiteral(mappedCas.get),
+            sets, where, AssignLater)
+          if (cs.length != 1)
+            fail("UPDATE ... IF EXISTS takes exactly one SET column " +
+              "and one pk (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        } else if (isStringValued(dir)) {
           val cs = updateStringCells(sets, where, AssignLater,
             Set.empty)
           if (cs.length != 1)
@@ -1065,16 +1090,18 @@ object Cql {
   private def lwtDelete(spark: SparkSession, dir: String,
       colOpt: Option[String], where: String, exists: Boolean,
       ifCol: Option[String], ifVal: Option[String]): DataFrame = {
-    refuseLwtValueType(dir, allowText = true)
+    val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     val (condCol, cond) =
       if (exists) (None, CasCond.Present)
       else (Some(ifCol.get.toLowerCase),
-        CasCond.Equals(collValue(
-          spec.isDefault && isStringValued(dir))(
-          ifVal.get, "IF condition")))
+        CasCond.Equals(mappedCas
+          .map(ct => mappedLiteral(ct)(ifVal.get, "IF condition"))
+          .getOrElse(collValue(
+            spec.isDefault && isStringValued(dir))(
+            ifVal.get, "IF condition"))))
     val writeCol = colOpt match {
       case Some(c) =>
         graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
@@ -5433,15 +5460,37 @@ object Cql {
     * non-bigint table can never have an integer-literal CAS stamp a
     * bigint-tagged first file over its declared `_type`.
     */
+  /** The mapped declared types LWT can serve (C55c, r15): text
+    * STORAGE + well-defined equality on the canonical rendering, so
+    * the existing string CAS round works verbatim once the
+    * statements' literals parse through the declared grammar.
+    * (duration stays out — not comparable; the numerics stay out —
+    * their storage tags are outside the CAS machinery's Long/String
+    * pair.)
+    */
+  private val LwtMappedCts = Set("uuid", "timeuuid", "inet")
+
+  /** LWT value-type gate. Returns the declared mapped type when the
+    * single-statement CAS round can serve it through its validated
+    * grammar (C55c); refuses every other non-bigint/text declared
+    * type up front — before the partition read — so a
+    * double/boolean/timestamp/blob table gets this message instead
+    * of a read-path ClassCastException, and a FRESH non-bigint table
+    * can never have an integer-literal CAS stamp a bigint-tagged
+    * first file over its declared `_type`.
+    */
   private def refuseLwtValueType(dir: String,
-      allowText: Boolean): Unit = {
-    // mapped declared types (C65r) refuse even when their STORAGE is
-    // text/bigint: the LWT grammar would bypass the declared type's
-    // literal validation (any quoted string into a uuid cell)
-    cqlValueTypeOf(dir).foreach(ct =>
-      fail(s"lightweight transactions on $ct-valued tables are " +
-        "outside this subset (uuid-KEYED tables serve LWT through " +
-        "the typed CAS round)"))
+      allowText: Boolean): Option[String] = {
+    cqlValueTypeOf(dir) match {
+      case Some(ct) if allowText && LwtMappedCts.contains(ct) =>
+        return Some(ct)
+      case Some(ct) =>
+        fail(s"lightweight transactions on $ct-valued tables are " +
+          "outside this subset (text-storage uuid/timeuuid/inet " +
+          "serve single-statement LWT; conditional BATCH is bigint " +
+          "only)")
+      case None =>
+    }
     val dt = graft.sources.CellSource.valueTypeOf(dir)
     val ok = dt == org.apache.spark.sql.types.LongType ||
       (allowText && dt == org.apache.spark.sql.types.StringType)
@@ -5449,6 +5498,7 @@ object Cql {
       fail("lightweight transactions serve bigint- and text-valued " +
         "tables (conditional BATCH: bigint only); table's value " +
         s"type is ${dt.simpleString}")
+    None
   }
 
   /** True for a TEXT-valued plain table (C65o): text write grammar,

@@ -2537,6 +2537,65 @@ object Cells {
       |  AS t(tbl, j)
       |ORDER BY tbl, j""".stripMargin
 
+  // C55c — LWT over text-storage mapped value types (r15): the CAS
+  // round generalizes to uuid/timeuuid/inet VALUES — statements'
+  // literals parse through the declared grammar (a non-uuid string
+  // refuses inside the round), conditions compare the canonical
+  // rendering, and the [applied]=false row reports the current
+  // canonical value.
+  private def mappedLwtLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_mlwt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-mlwt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.mu (pk bigint, ck int, " +
+      "col text, value uuid, wt bigint)")
+    cq("TRUNCATE ks.mu")
+    val miss = cq("INSERT INTO ks.mu (pk, ck, id) VALUES (1, 1, " +
+      "123E4567-E89B-12D3-A456-426614174000) IF NOT EXISTS")
+      .select(lit("1_miss").as("step"),
+        col("[applied]").cast("string").as("v"))
+    val hit = cq("INSERT INTO ks.mu (pk, ck, id) VALUES (1, 1, " +
+      "00000000-0000-1000-8000-000000000002) IF NOT EXISTS")
+      .select(lit("2_hit").as("step"),
+        concat_ws("|", col("[applied]").cast("string"),
+          col("current")).as("v"))
+    val cas = cq("UPDATE ks.mu SET id = " +
+      "00000000-0000-1000-8000-000000000009 WHERE pk = 1 AND ck = 1 " +
+      "IF id = 123e4567-e89b-12d3-a456-426614174000")
+      .select(lit("3_cas").as("step"),
+        col("[applied]").cast("string").as("v"))
+    // the verification SELECT is LAZY (it evaluates with the final
+    // union), so the conditional DELETE targets a SEPARATE row —
+    // pk 1's state is stable once the statements above ran
+    val ver = cq("SELECT value FROM ks.mu WHERE pk = 1 AND ck = 1")
+      .select(lit("4_value").as("step"), col("value").as("v"))
+    cq("INSERT INTO ks.mu (pk, ck, id) VALUES (2, 1, " +
+      "00000000-0000-1000-8000-00000000000a)")
+    val del = cq("DELETE FROM ks.mu WHERE pk = 2 AND ck = 1 " +
+      "IF id = 00000000-0000-1000-8000-00000000000a")
+      .select(lit("5_del").as("step"),
+        col("[applied]").cast("string").as("v"))
+    val cnt = cq("SELECT count(*) AS n FROM ks.mu")
+      .select(lit("6_count").as("step"), col("n").cast("string").as("v"))
+    miss.unionAll(hit).unionAll(cas).unionAll(ver).unionAll(del)
+      .unionAll(cnt).orderBy(col("step"))
+  }
+
+  private val mappedLwtSql =
+    """SELECT step, v FROM (VALUES
+      |  ('1_miss', 'true'),
+      |  ('2_hit', 'false|123e4567-e89b-12d3-a456-426614174000'),
+      |  ('3_cas', 'true'),
+      |  ('4_value', '00000000-0000-1000-8000-000000000009'),
+      |  ('5_del', 'true'), ('6_count', '1')) AS t(step, v)
+      |ORDER BY step""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -3165,6 +3224,7 @@ object Cells {
       Some(durationValuesSql)),
     GQuery("C65t_cql_cast", cqlCastLifecycle, Some(cqlCastSql)),
     GQuery("C63b_typed_json", typedJsonLifecycle, Some(typedJsonSql)),
+    GQuery("C55c_mapped_lwt", mappedLwtLifecycle, Some(mappedLwtSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,

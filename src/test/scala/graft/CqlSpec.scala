@@ -527,10 +527,12 @@ class CqlSpec extends GraftSpec {
       assert(after === Set((1L, "price"), (3L, "qty")))
       // model columns refuse
       intercept[IllegalArgumentException] { cq("ALTER TABLE ks.t DROP pk") }
+      // uuid (C65r) and duration (C65s) are supported ADD types
+      // since r15 — ADD is pure metadata; a genuinely unsupported
+      // type still refuses
+      cq("ALTER TABLE ks.t ADD extra duration")
       intercept[IllegalArgumentException] {
-        // uuid is a supported ADD type since r15 (C65r); duration
-        // stays outside the subset
-        cq("ALTER TABLE ks.t ADD extra duration")
+        cq("ALTER TABLE ks.t ADD extra2 tuple")
       }
       // CREATE INDEX (default Cassandra name) builds + registers for
       // write-through: a plain CQL INSERT keeps it fresh, no refresh
@@ -4178,10 +4180,36 @@ class CqlSpec extends GraftSpec {
         "WHERE table_name = 'u' AND column_name = 'value'")
         .collect().map(_.getString(0)).toSeq
       assert(colType === Seq("uuid"))
-      // out-of-subset shapes refuse by name
-      refuse("INSERT INTO ks.u (pk, ck, id) VALUES (5, 1, " +
-        "123e4567-e89b-12d3-a456-426614174000) IF NOT EXISTS",
-        "uuid-valued tables")
+      // LWT serves text-storage mapped types through the validated
+      // grammar (C55c, r15): IF NOT EXISTS miss + hit, UPDATE IF on
+      // the canonical form, invalid literals refuse inside the round
+      val ap1 = cq("INSERT INTO ks.u (pk, ck, id) VALUES (5, 1, " +
+        "123E4567-E89B-12D3-A456-426614174000) IF NOT EXISTS")
+        .collect().head
+      assert(ap1.getBoolean(ap1.fieldIndex("[applied]")))
+      assert(cell("u", 5, "id") ===
+        Some("123e4567-e89b-12d3-a456-426614174000"))
+      val ap2 = cq("INSERT INTO ks.u (pk, ck, id) VALUES (5, 1, " +
+        "00000000-0000-1000-8000-00000000000f) IF NOT EXISTS")
+        .collect().head
+      assert(!ap2.getBoolean(ap2.fieldIndex("[applied]")))
+      // the [applied]=false row surfaces the CURRENT canonical value
+      assert(ap2.getString(ap2.fieldIndex("current")) ===
+        "123e4567-e89b-12d3-a456-426614174000")
+      val ap3 = cq("UPDATE ks.u SET id = " +
+        "00000000-0000-1000-8000-000000000009 WHERE pk = 5 AND " +
+        "ck = 1 IF id = 123e4567-E89B-12d3-a456-426614174000")
+        .collect().head
+      assert(ap3.getBoolean(ap3.fieldIndex("[applied]")))
+      assert(cell("u", 5, "id") ===
+        Some("00000000-0000-1000-8000-000000000009"))
+      refuse("INSERT INTO ks.u (pk, ck, id) VALUES (6, 1, 'nope') " +
+        "IF NOT EXISTS", "uuid literal")
+      refuse("UPDATE ks.u SET id = " +
+        "00000000-0000-1000-8000-000000000009 WHERE pk = 5 AND " +
+        "ck = 1 IF id = 'nope'", "uuid literal")
+      // non-text-storage mapped types still refuse LWT by name
+      // (validated later in this test once ks.dc exists)
       // INSERT JSON routes through the uuid grammar (C63b): a valid
       // document writes, a non-uuid string refuses with the same
       // message INSERT VALUES gives
