@@ -2596,6 +2596,69 @@ object Cells {
       |  ('5_del', 'true'), ('6_count', '1')) AS t(step, v)
       |ORDER BY step""".stripMargin
 
+  // C65u — CQL aggregates over MAPPED value types (r15): min/max on
+  // date compares the day-count storage (numeric order IS date
+  // order), sum/avg on float ride the double storage with CQL's
+  // widening, sum on decimal keeps the declared (18,6) scale, max on
+  // time compares nanos-since-midnight — the aggregate arms work on
+  // declared types because each mapped storage preserves the
+  // declared ORDER (duration, the one that doesn't, refuses — pinned
+  // in CqlSpec).
+  private def mappedAggsLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_maggs"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-maggs-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.ad (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.af (pk bigint, ck int,
+        |  col text, value float, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ac (pk bigint, ck int,
+        |  col text, value decimal, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.at (pk bigint, ck int,
+        |  col text, value time, wt bigint);
+        |TRUNCATE ks.ad; TRUNCATE ks.af; TRUNCATE ks.ac; TRUNCATE ks.at;
+        |INSERT INTO ks.ad (pk, ck, day) VALUES (1, 1, '2020-01-01');
+        |INSERT INTO ks.ad (pk, ck, day) VALUES (2, 1, '2019-12-31');
+        |INSERT INTO ks.ad (pk, ck, day) VALUES (3, 1, '2020-06-15');
+        |INSERT INTO ks.af (pk, ck, x) VALUES (1, 1, 1.5);
+        |INSERT INTO ks.af (pk, ck, x) VALUES (2, 1, 2.25);
+        |INSERT INTO ks.af (pk, ck, x) VALUES (3, 1, -0.75);
+        |INSERT INTO ks.ac (pk, ck, p) VALUES (1, 1, 1.1);
+        |INSERT INTO ks.ac (pk, ck, p) VALUES (2, 1, 2.2);
+        |INSERT INTO ks.at (pk, ck, t) VALUES (1, 1, '01:02:03');
+        |INSERT INTO ks.at (pk, ck, t) VALUES (2, 1, '23:59:59')
+        |""".stripMargin, cat)
+    val dd = cq("SELECT min(value) AS lo, max(value) AS hi FROM ks.ad")
+      .select(lit("date").as("tbl"),
+        expr("date_from_unix_date(lo)").cast("string").as("a"),
+        expr("date_from_unix_date(hi)").cast("string").as("b"))
+    val ff = cq("SELECT sum(value) AS s, avg(value) AS a FROM ks.af")
+      .select(lit("float").as("tbl"),
+        col("s").cast("string").as("a"), col("a").cast("string").as("b"))
+    val cc = cq("SELECT sum(value) AS s, count(*) AS n FROM ks.ac")
+      .select(lit("decimal").as("tbl"),
+        col("s").cast("string").as("a"), col("n").cast("string").as("b"))
+    val tt = cq("SELECT min(value) AS lo, max(value) AS hi FROM ks.at")
+      .select(lit("time").as("tbl"),
+        col("lo").cast("string").as("a"), col("hi").cast("string").as("b"))
+    dd.unionAll(ff).unionAll(cc).unionAll(tt).orderBy(col("tbl"))
+  }
+
+  private val mappedAggsSql =
+    """SELECT tbl, a, b FROM (VALUES
+      |  ('date', '2019-12-31', '2020-06-15'),
+      |  ('decimal', '3.300000', '2'),
+      |  ('float', '3.0', '1.0'),
+      |  ('time', '3723000000000', '86399000000000')) AS t(tbl, a, b)
+      |ORDER BY tbl""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -3225,6 +3288,8 @@ object Cells {
     GQuery("C65t_cql_cast", cqlCastLifecycle, Some(cqlCastSql)),
     GQuery("C63b_typed_json", typedJsonLifecycle, Some(typedJsonSql)),
     GQuery("C55c_mapped_lwt", mappedLwtLifecycle, Some(mappedLwtSql)),
+    GQuery("C65u_mapped_aggs", mappedAggsLifecycle,
+      Some(mappedAggsSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
