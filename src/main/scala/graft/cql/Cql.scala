@@ -4019,6 +4019,18 @@ object Cql {
       if (mappedCt.contains("date") &&
           df.schema.fieldNames.contains("value"))
         df = df.withColumn("value", expr("date_from_unix_date(value)"))
+      // ... and a TIME value as Cassandra's fixed-width
+      // HH:MM:SS.fffffffff form (nanos always 9 digits), not the
+      // stored nanos-since-midnight count
+      if (mappedCt.contains("time") &&
+          df.schema.fieldNames.contains("value"))
+        df = df.withColumn("value", expr(
+          "concat(lpad(cast(value div 3600000000000 as string), 2, " +
+            "'0'), ':', " +
+          "lpad(cast(value div 60000000000 % 60 as string), 2, '0'), " +
+            "':', " +
+          "lpad(cast(value div 1000000000 % 60 as string), 2, '0'), " +
+          "'.', lpad(cast(value % 1000000000 as string), 9, '0'))"))
       val names = df.schema.fieldNames
       df = df.select(
         to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))

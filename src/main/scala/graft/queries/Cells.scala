@@ -2509,7 +2509,10 @@ object Cells {
         |  col text, value date, wt bigint);
         |CREATE TABLE IF NOT EXISTS ks.ju (pk bigint, ck int,
         |  col text, value uuid, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.jt (pk bigint, ck int,
+        |  col text, value time, wt bigint);
         |TRUNCATE ks.jd; TRUNCATE ks.jdt; TRUNCATE ks.ju;
+        |TRUNCATE ks.jt;
         |INSERT INTO ks.jd JSON '{"pk": 1, "ck": 1, "score": 2.5}';
         |INSERT INTO ks.jd JSON '{"pk": 2, "ck": 1, "score": -4}';
         |INSERT INTO ks.jdt JSON
@@ -2517,12 +2520,15 @@ object Cells {
         |INSERT INTO ks.jdt JSON
         |  '{"pk": 2, "ck": 1, "day": "1969-12-31"}';
         |INSERT INTO ks.ju JSON '{"pk": 1, "ck": 1,
-        |  "id": "123E4567-E89B-12D3-A456-426614174000"}'""".stripMargin,
+        |  "id": "123E4567-E89B-12D3-A456-426614174000"}';
+        |INSERT INTO ks.jt JSON
+        |  '{"pk": 1, "ck": 1, "at": "13:30:00.5"}'""".stripMargin,
       cat)
     def js(t: String, tag: String): DataFrame =
       cq(s"SELECT JSON pk, value FROM ks.$t")
         .select(lit(tag).as("tbl"), col("[json]").as("j"))
     js("jd", "d").unionAll(js("jdt", "dt")).unionAll(js("ju", "u"))
+      .unionAll(js("jt", "t"))
       .orderBy(col("tbl"), col("j"))
   }
 
@@ -2532,6 +2538,7 @@ object Cells {
       |  ('d', '{"pk":1,"value":2.5}'), ('d', '{"pk":2,"value":-4.0}'),
       |  ('dt', '{"pk":1,"value":"2020-03-01"}'),
       |  ('dt', '{"pk":2,"value":"1969-12-31"}'),
+      |  ('t', '{"pk":1,"value":"13:30:00.500000000"}'),
       |  ('u', '{"pk":1,"value":' ||
       |    '"123e4567-e89b-12d3-a456-426614174000"}'))
       |  AS t(tbl, j)

@@ -3888,6 +3888,15 @@ class CqlSpec extends GraftSpec {
         "\"day\": \"2020-03-01\"}'")
       assert(cq("SELECT JSON pk, value FROM ks.d").collect()
         .head.getString(0) === "{\"pk\":1,\"value\":\"2020-03-01\"}")
+      // ... and a time value as the fixed-width HH:MM:SS.fffffffff
+      // form (Cassandra's TimeSerializer shape), not stored nanos
+      cq("CREATE TABLE ks.tm (pk bigint, ck int, col text, " +
+        "value time, wt bigint)")
+      cq("INSERT INTO ks.tm JSON '{\"pk\": 1, \"ck\": 1, " +
+        "\"at\": \"01:02:03\"}'")
+      assert(cq("SELECT JSON pk, value FROM ks.tm").collect()
+        .head.getString(0) ===
+        "{\"pk\":1,\"value\":\"01:02:03.000000000\"}")
       // blob/counter/vector documents stay outside the subset
       cq("CREATE TABLE ks.bl (pk bigint, ck int, col text, " +
         "value blob, wt bigint)")
