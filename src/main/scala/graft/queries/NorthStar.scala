@@ -374,6 +374,42 @@ object NorthStar {
        |FROM e JOIN probed USING (label) CROSS JOIN q
        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  // N_SIM12 — FILTERED (metadata-constrained) ANN: the retrieval
+  // shape training-data pipelines actually issue ("nearest neighbors
+  // within this language/domain slice"). The metadata predicate
+  // applies BEFORE the IVF machinery — it pushes into the parquet
+  // scan, the coarse codebook is built over the FILTERED slice (so
+  // probes stay calibrated to what is searchable — FAISS's
+  // IDSelector PRE-filter semantics, never post-filtering a k-list
+  // that can come back short), and the probed fraction bounds the
+  // scan to nprobe/cells OF THE SLICE. Pure composition: filter +
+  // ivfTopK, zero new machinery — the Spark-first answer.
+  private def simFilteredAnn(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(
+      // IN-list, not an expression filter: In pushes into the
+      // parquet scan as a row-group-pruning PushedFilter (a modulo
+      // would evaluate post-scan — wrong at 100 TB)
+      embs(s, d).filter(col("label").isin(1, 3, 5, 7, 9)),
+      embs(s, d).filter(col("vec_id") === 0), k = 15, nprobe = 2)
+
+  private val simFilteredAnnSql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+       |  FROM embeddings WHERE label IN (1, 3, 5, 7, 9)),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |ex AS (SELECT label, generate_subscripts(v, 1) - 1 AS pos,
+       |  unnest(v) AS x FROM e),
+       |cb AS (SELECT label, list(m ORDER BY pos) AS centroid FROM (
+       |  SELECT label, pos, AVG(x) AS m FROM ex GROUP BY label, pos)
+       |  GROUP BY label),
+       |probed AS (SELECT label FROM (
+       |    SELECT cb.label, ROUND(${cosSql("centroid", "qv")}, 6) AS cdist
+       |    FROM cb CROSS JOIN q)
+       |  ORDER BY cdist DESC, label LIMIT 2)
+       |SELECT vec_id, label, ROUND(${cosSql("v", "qv")}, 4) + 0.0 AS score
+       |FROM e JOIN probed USING (label) CROSS JOIN q
+       |ORDER BY score DESC, vec_id LIMIT 15""".stripMargin
+
   // N_SIM8 — product quantization (Similarity.pqTopK scaladoc has the
   // full design): 8 subspaces × 16-entry deterministic codebooks, m
   // 4-bit codes per vector (32× smaller store), ADC lookup-table
@@ -1525,6 +1561,8 @@ object NorthStar {
     GQuery("N_SIM4_ivf_topk", simIvf, Some(simIvfSql)),
     GQuery("N_SIM5_quantized", simQuantized, Some(simQuantizedSql)),
     GQuery("N_SIM8_product_quant", simPq, Some(simPqSql)),
+    GQuery("N_SIM12_filtered_ann", simFilteredAnn,
+      Some(simFilteredAnnSql)),
     GQuery("N_SIM9_pq_rerank", simPqRerank, Some(simPqRerankSql)),
     GQuery("N_DEDUP9_semdedup", dedupSemantic, Some(dedupSemanticSql)),
     GQuery("N_EVAL3_bloom_decontam", evalBloomDecontam,

@@ -53,6 +53,14 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("N_SIM12 filtered ANN: the metadata IN-list reaches the " +
+    "parquet scan as a PushedFilter; top-k avoids a global sort") {
+    val p = plan(Registry.byName("N_SIM12_filtered_ann")
+      .fn(spark, sf()))
+    assert(p.contains("PushedFilters: [In(label"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("C1/C8 scan-layer queries run on the DSv2 CellScan") {
     val p1 = plan(Registry.byName("C1_sstable_scan").fn(spark, sf()))
     assert(p1.contains("CellScan"), p1)
