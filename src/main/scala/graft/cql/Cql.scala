@@ -1127,6 +1127,25 @@ object Cql {
   // machinery: one shared batch writetime, journal-then-apply, crash
   // replay from the log.
 
+  /** LOGGED-batch value-type gate (r15): the journal's cell shape is
+    * the bigint default, and the per-statement parse below uses the
+    * bigint grammar — EVERY other declared value type must refuse up
+    * front, or an int-storage table (date/smallint/tinyint) would get
+    * a long-typed journal write stamped over its declared layout (the
+    * silent-type-flip class the r15 LWT guard closed), and a
+    * bigint-STORAGE mapped type (varint/time) would bypass its
+    * declared range validation.
+    */
+  private def refuseBatchValueType(dir: String): Unit = {
+    val ct = cqlValueTypeOf(dir)
+    val vt = graft.sources.CellSource.valueTypeOf(dir)
+    if (ct.isDefined || vt != org.apache.spark.sql.types.LongType)
+      fail("LOGGED BATCH journals bigint cells — " +
+        ct.getOrElse(SystemSchema.cqlTypeName(vt)) +
+        "-valued tables take UNLOGGED BATCH or single statements " +
+        "in this subset")
+  }
+
   private def batch(spark: SparkSession, body: String,
       resolve: String => String,
       batchTs: Option[Long] = None): DataFrame = {
@@ -1172,10 +1191,7 @@ object Cql {
           // the journal's cell shape is scalar — frozen<udt> blobs
           // would need a binary journal column; refuse (C59b subset)
           refuseUdt(dir, "LOGGED BATCH")
-          if (isStringValued(dir))
-            fail("LOGGED BATCH journals bigint cells — text-valued " +
-              "tables take UNLOGGED BATCH or single statements in " +
-              "this subset")
+          refuseBatchValueType(dir)
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -1189,10 +1205,7 @@ object Cql {
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
-          if (isStringValued(dir))
-            fail("LOGGED BATCH journals bigint cells — text-valued " +
-              "tables take UNLOGGED BATCH or single statements in " +
-              "this subset")
+          refuseBatchValueType(dir)
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
@@ -1214,10 +1227,7 @@ object Cql {
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
-          if (isStringValued(dir))
-            fail("LOGGED BATCH journals bigint cells — text-valued " +
-              "tables take UNLOGGED BATCH or single statements in " +
-              "this subset")
+          refuseBatchValueType(dir)
           val dts = stmtTs(Option(usingTs).map(_.toLong))
             .getOrElse(AssignLater)
           val sp = spec(dir)

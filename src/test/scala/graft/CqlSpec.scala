@@ -3840,6 +3840,57 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.txtcat")
   }
 
+  test("LOGGED BATCH value-type gate (r15): every non-bigint declared " +
+    "type refuses up front; UNLOGGED serves mapped tables") {
+    val root = Files.createTempDirectory("cql-batchguard").toString
+    spark.conf.set("spark.sql.catalog.bgcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.bgcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "bgcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      // int-STORAGE mapped type: a long-typed journal write would
+      // stamp over the declared int layout (silent type flip)
+      cq("CREATE TABLE ks.md (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      refuse("BEGIN BATCH\nINSERT INTO ks.md (pk, ck, day) VALUES " +
+        "(1, 1, '2020-01-01');\nAPPLY BATCH",
+        "date-valued tables take UNLOGGED")
+      // C65q scalar (double): same class
+      cq("CREATE TABLE ks.sd (pk bigint, ck int, col text, " +
+        "value double, wt bigint)")
+      refuse("BEGIN BATCH\nINSERT INTO ks.sd (pk, ck, x) VALUES " +
+        "(1, 1, 5);\nAPPLY BATCH", "double-valued tables take UNLOGGED")
+      // bigint-STORAGE mapped type (varint): would bypass the
+      // declared range validation
+      cq("CREATE TABLE ks.mv (pk bigint, ck int, col text, " +
+        "value varint, wt bigint)")
+      refuse("BEGIN BATCH\nUPDATE ks.mv SET n = 5 WHERE pk = 1 AND " +
+        "ck = 1;\nAPPLY BATCH", "varint-valued tables take UNLOGGED")
+      refuse("BEGIN BATCH\nDELETE n FROM ks.mv WHERE pk = 1 AND " +
+        "ck = 1;\nAPPLY BATCH", "varint-valued tables take UNLOGGED")
+      // the pointed-to alternative works: UNLOGGED routes each
+      // statement through the full mapped grammar and buffers into
+      // one flush
+      cq("BEGIN UNLOGGED BATCH\n" +
+        "INSERT INTO ks.md (pk, ck, day) VALUES (1, 1, '2020-01-01');\n" +
+        "INSERT INTO ks.md (pk, ck, day) VALUES (2, 1, '2020-01-02');\n" +
+        "APPLY BATCH")
+      assert(cq("SELECT count(*) AS n FROM ks.md").collect()
+        .head.getLong(0) === 2L)
+      // a plain bigint table still serves LOGGED BATCH
+      cq("CREATE TABLE ks.b (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("BEGIN BATCH\nINSERT INTO ks.b (pk, ck, n) VALUES " +
+        "(1, 1, 5);\nAPPLY BATCH")
+      assert(cq("SELECT count(*) AS n FROM ks.b").collect()
+        .head.getLong(0) === 1L)
+    } finally spark.conf.unset("spark.sql.catalog.bgcat")
+  }
+
   test("JSON over declared value types (C63b): document fields route " +
     "through the table's literal grammar; SELECT JSON renders " +
     "declared semantics") {
