@@ -181,6 +181,8 @@ object Cql {
     """(?is)^\s*DESC(?:RIBE)?\s+TABLE\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val DescTypeStmtRe =
     """(?is)^\s*DESC(?:RIBE)?\s+TYPE\s+(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescIndexStmtRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+INDEX\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val DescKeyspacesRe =
     """(?is)^\s*DESC(?:RIBE)?\s+KEYSPACES\s*;?\s*$""".r
   private val DescTablesRe =
@@ -2549,6 +2551,8 @@ object Cql {
         SystemSchema.describeTable(spark, catalog, ks, t)
       case DescTypeStmtRe(ks, n) =>
         SystemSchema.describeType(spark, catalog, ks, n)
+      case DescIndexStmtRe(ks, n) =>
+        SystemSchema.describeIndex(spark, catalog, ks, n.toLowerCase)
       case DescKeyspacesRe() =>
         SystemSchema.describeKeyspaces(spark, catalog)
       case DescTablesRe() =>

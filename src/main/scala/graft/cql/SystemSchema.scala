@@ -618,6 +618,34 @@ private[cql] object SystemSchema {
       Seq(Row(stmt)))
   }
 
+  /** DESCRIBE INDEX (C67f): render the index's CREATE statement in
+    * this subset's own grammar — round-trippable, the C71/C67d
+    * DESCRIBE philosophy. The `_ci` analyzer targets (C18k) render
+    * back as their `WITH OPTIONS = {'case_sensitive': 'false'}`
+    * spelling.
+    */
+  private val CiTargetRe = """^(prefix|contains)_ci\((\w+)\)$""".r
+
+  def describeIndex(spark: SparkSession, catalog: String, ks: String,
+      name: String): DataFrame = {
+    val dir = s"${root(spark, catalog)}/$ks/$name"
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir)) || !isIndex(dir))
+      fail(s"index $ks.$name does not exist")
+    val base = baseName(graft.sources.CellIndex.baseOf(dir).get)
+    val target = graft.sources.CellIndex.columnOf(dir).getOrElse(
+      fail(s"index $ks.$name carries no target metadata"))
+    val (tgt, opts) = target match {
+      case CiTargetRe(mode, c) =>
+        (s"$mode($c)", " WITH OPTIONS = {'case_sensitive': 'false'}")
+      case o => (o, "")
+    }
+    val stmt = s"CREATE INDEX $name ON $ks.$base ($tgt)$opts"
+    mk(spark, StructType(Seq(
+        StructField("create_statement", StringType, nullable = false))),
+      Seq(Row(stmt)))
+  }
+
   def describeKeyspaces(spark: SparkSession, catalog: String): DataFrame =
     keyspaces(spark, catalog)
 

@@ -2905,6 +2905,49 @@ object Cells {
       |  ('p_apr', 2), ('p_apr', 5)) AS t(pat, pk)
       |ORDER BY pat, pk""".stripMargin
 
+  // C67f — DESCRIBE INDEX (r15): render each index's CREATE statement
+  // in this subset's own round-trippable grammar; _ci analyzer
+  // targets render back as their WITH OPTIONS spelling, and
+  // system_schema.indexes lists all three.
+  private def indexMetadataRound(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_idxmeta"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-idxmeta-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |INSERT INTO ks.t (pk, ck, name) VALUES (1, 1, 'a');
+        |CREATE INDEX IF NOT EXISTS plainx ON ks.t (name);
+        |CREATE INDEX IF NOT EXISTS pfx ON ks.t (prefix(name));
+        |CREATE INDEX IF NOT EXISTS ctci ON ks.t (contains(name))
+        |  WITH OPTIONS = {'case_sensitive': 'false'}""".stripMargin,
+      cat)
+    def desc(n: String): DataFrame =
+      cq(s"DESCRIBE INDEX ks.$n")
+        .select(lit(n).as("idx"), col("create_statement").as("stmt"))
+    val listed = cq("SELECT index_name FROM system_schema.indexes " +
+      "WHERE table_name = 't'")
+      .select(lit("zz_list").as("idx"), col("index_name").as("stmt"))
+    desc("plainx").unionAll(desc("pfx")).unionAll(desc("ctci"))
+      .unionAll(listed).orderBy(col("idx"), col("stmt"))
+  }
+
+  private val indexMetadataSql =
+    """SELECT idx, stmt FROM (VALUES
+      |  ('ctci', 'CREATE INDEX ctci ON ks.t (contains(name)) ' ||
+      |    'WITH OPTIONS = {''case_sensitive'': ''false''}'),
+      |  ('pfx', 'CREATE INDEX pfx ON ks.t (prefix(name))'),
+      |  ('plainx', 'CREATE INDEX plainx ON ks.t (name)'),
+      |  ('zz_list', 'ctci'), ('zz_list', 'pfx'),
+      |  ('zz_list', 'plainx')) AS t(idx, stmt)
+      |ORDER BY idx, stmt""".stripMargin
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -3297,6 +3340,8 @@ object Cells {
     GQuery("C55c_mapped_lwt", mappedLwtLifecycle, Some(mappedLwtSql)),
     GQuery("C65u_mapped_aggs", mappedAggsLifecycle,
       Some(mappedAggsSql)),
+    GQuery("C67f_index_metadata", indexMetadataRound,
+      Some(indexMetadataSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
