@@ -1957,7 +1957,7 @@ object Cql {
           }
         }
         Option(withOpts).foreach {
-          _.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+          splitWithOptions(_)
             .foreach {
               case ClusteringOrderRe(body) =>
                 // Cassandra's physical-order declaration: the read
@@ -2010,6 +2010,16 @@ object Cql {
                 props += "compaction" -> pol
                 win.foreach(w =>
                   props += "compactionWindowMs" -> w.toString)
+              case SetRe(k, v) if k.equalsIgnoreCase("comment") =>
+                val c = literal(v) match {
+                  case s: String => s
+                  case o => fail(s"comment takes a quoted string, " +
+                    s"got: $o")
+                }
+                if (c.nonEmpty) props += "comment" -> c
+              case SetRe(k, v)
+                  if InertTableOptions.contains(k.toLowerCase) =>
+                props += s"tblopt.${k.toLowerCase}" -> v.trim
               case o => fail(s"unsupported table option: $o")
             }
         }
@@ -2019,8 +2029,12 @@ object Cql {
             .mkString(", ")
         val tbl = s"($keyCols, col string, value ${cc.valueType}, " +
           "wt bigint)"
+        // comment text may carry quotes/backslashes — escape for the
+        // Spark SQL literal (backslash first: Spark processes
+        // backslash escapes in single-quoted strings)
         val propSql = if (props.isEmpty) ""
-          else props.map { case (k, v) => s"'$k'='$v'" }
+          else props.map { case (k, v) =>
+            s"'$k'='${v.replace("\\", "\\\\").replace("'", "''")}'" }
             .mkString(" TBLPROPERTIES(", ", ", ")")
         spark.sql(s"CREATE TABLE " +
           (if (ifNot != null) "IF NOT EXISTS " else "") +
@@ -2145,7 +2159,7 @@ object Cql {
         // tombstone GC. Setting default_time_to_live = 0 REMOVES the
         // default (Cassandra's no-default spelling).
         val dir = s"$root/$ks/$t"
-        opts.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+        splitWithOptions(opts)
           .foreach {
             case SetRe(k, v) if k.equalsIgnoreCase("gc_grace_seconds") =>
               val ms = longLiteral(v, "gc_grace_seconds") * 1000L
@@ -2182,6 +2196,25 @@ object Cql {
                     "UNSET TBLPROPERTIES IF EXISTS " +
                     "('compactionWindowMs')")
               }
+            case SetRe(k, v) if k.equalsIgnoreCase("comment") =>
+              val c = literal(v) match {
+                case s: String => s
+                case o => fail(s"comment takes a quoted string, " +
+                  s"got: $o")
+              }
+              if (c.isEmpty)
+                spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                  "UNSET TBLPROPERTIES IF EXISTS ('comment')")
+              else
+                spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                  "SET TBLPROPERTIES ('comment' = '" +
+                  c.replace("\\", "\\\\").replace("'", "''") + "')")
+            case SetRe(k, v)
+                if InertTableOptions.contains(k.toLowerCase) =>
+              // accepted-and-recorded physical tuning knobs (C51c)
+              spark.sql(s"ALTER TABLE $catalog.$ks.$t " +
+                s"SET TBLPROPERTIES ('tblopt.${k.toLowerCase}' = '" +
+                v.trim.replace("\\", "\\\\").replace("'", "''") + "')")
             case o => fail(s"unsupported table option: $o")
           }
         spark.emptyDataFrame
@@ -5428,6 +5461,46 @@ object Cql {
   }
 
   private val SetRe = """(?is)^\s*(\w+)\s*=\s*(.+?)\s*$""".r
+
+  /** WITH-clause split on top-level AND — quote- and brace-aware, so
+    * a `comment = 'orders AND lineitems'` or a `caching = {...}` map
+    * never splits mid-option (the bare regex split would).
+    */
+  private def splitWithOptions(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { cur += c; if (c == '\'') inQ = false }
+      else if (c == '\'') { inQ = true; cur += c }
+      else if (c == '{') { depth += 1; cur += c }
+      else if (c == '}') { depth -= 1; cur += c }
+      else if (depth == 0 && (c == 'A' || c == 'a') &&
+          s.regionMatches(true, i, "AND", 0, 3) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          i + 3 < s.length && s.charAt(i + 3).isWhitespace) {
+        out += cur.toString; cur.clear(); i += 2
+      } else cur += c
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Real-world schema dumps carry physical-storage tuning knobs this
+    * parquet-backed engine has no analog for — ACCEPTED and RECORDED
+    * verbatim (as `tblopt.<name>` properties) so `cqlsh -e 'DESC
+    * KEYSPACE'` output replays through the front door, and DESCRIBE
+    * renders them back (C51c).
+    */
+  private val InertTableOptions = Set("caching", "compression",
+    "speculative_retry", "read_repair", "memtable_flush_period_in_ms",
+    "bloom_filter_fp_chance", "crc_check_chance", "max_index_interval",
+    "min_index_interval", "cdc", "additional_write_policy",
+    "memtable", "allow_auto_snapshot", "incremental_backups")
 
   private val CounterIncRe =
     """(?is)^\s*(\w+)\s*=\s*(\w+)\s*([+-])\s*(\d+)\s*$""".r

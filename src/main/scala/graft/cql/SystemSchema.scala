@@ -581,11 +581,20 @@ private[cql] object SystemSchema {
       spec.pkParts.map(_.name).mkString(", ") + ")" +
       (if (spec.ckParts.isEmpty) ""
        else spec.ckParts.map(_.name).mkString(", ", ", ", "")) + ")"
+    // accepted-and-recorded physical tuning knobs (C51c) render back
+    // verbatim, in option-name order; the comment re-quotes with ''
+    // escaping — both make DESC output replayable through the parser
+    val inert = p.toSeq
+      .collect { case (k, v) if k.startsWith("tblopt.") =>
+        s"${k.stripPrefix("tblopt.")} = $v" }
+      .sorted.map(Some(_))
     val opts = Seq(
       p.get("clusteringOrder").filter(_ == "desc").map { _ =>
         "CLUSTERING ORDER BY (" +
           spec.ckParts.map(c => s"${c.name} DESC").mkString(", ") + ")"
       },
+      p.get("comment").map(c =>
+        "comment = '" + c.replace("'", "''") + "'"),
       p.get("defaultTtl").map(v => s"default_time_to_live = $v"),
       p.get("gcGraceMs").map(ms => s"gc_grace_seconds = ${ms.toLong / 1000L}"),
       p.get("compaction").map { pol =>
@@ -605,7 +614,7 @@ private[cql] object SystemSchema {
         }.getOrElse("")
         s"compaction = {'class': '$cls'$win}"
       }
-    ).flatten
+    ).++(inert).flatten
     val withClause =
       if (opts.isEmpty) "" else opts.mkString(" WITH ", " AND ", "")
     val statics = graft.sources.CellSource.staticCols(dir)

@@ -2905,6 +2905,73 @@ object Cells {
       |  ('p_apr', 2), ('p_apr', 5)) AS t(pat, pk)
       |ORDER BY pat, pk""".stripMargin
 
+  // C51c — real-world table options (r15): comment is parsed,
+  // stored, and DESC-rendered with '' escaping; the physical tuning
+  // knobs every production schema dump carries (caching, compression,
+  // speculative_retry, bloom_filter_fp_chance, ...) are ACCEPTED and
+  // RECORDED verbatim, so `cqlsh -e 'DESC KEYSPACE'` output replays
+  // through the front door and DESCRIBE round-trips it.
+  private def tableOptionsRound(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_tblopts"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tblopts-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    // DROP + CREATE (not IF NOT EXISTS): the lifecycle mutates table
+    // PROPERTIES, so each run must start from the declared options
+    cq("DROP TABLE IF EXISTS ks.t")
+    cq("CREATE TABLE ks.t (pk bigint, ck int, " +
+      "col text, value bigint, wt bigint) WITH " +
+      "comment = 'orders AND it''s lineitems' AND " +
+      "caching = {'keys': 'ALL', 'rows_per_partition': 'NONE'} AND " +
+      "compression = {'class': 'LZ4Compressor'} AND " +
+      "bloom_filter_fp_chance = 0.01 AND " +
+      "speculative_retry = '99p'")
+    val d1 = cq("DESCRIBE TABLE ks.t")
+      .select(lit("1_create").as("step"),
+        col("create_statement").as("v"))
+    cq("ALTER TABLE ks.t WITH comment = 'updated' AND " +
+      "memtable_flush_period_in_ms = 60000")
+    val d2 = cq("DESCRIBE TABLE ks.t")
+      .select(lit("2_alter").as("step"), col("create_statement").as("v"))
+    cq("ALTER TABLE ks.t WITH comment = ''") // Cassandra's removal
+    val d3 = cq("DESCRIBE TABLE ks.t")
+      .select(lit("3_uncomment").as("step"),
+        col("create_statement").as("v"))
+    d1.unionAll(d2).unionAll(d3).orderBy(col("step"))
+  }
+
+  private val tableOptionsSql = {
+    // assemble the EXPECTED rendered statements once, escape once —
+    // the renderer emits comment first (after clustering order),
+    // then the recorded knobs in option-name order; the memtable
+    // knob added by the ALTER persists through the comment removal
+    def dq(s: String) = s.replace("'", "''")
+    val base = "CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, PRIMARY KEY ((pk), ck)) WITH "
+    val knobs0 = Seq(
+      "bloom_filter_fp_chance = 0.01",
+      "caching = {'keys': 'ALL', 'rows_per_partition': 'NONE'}",
+      "compression = {'class': 'LZ4Compressor'}",
+      "speculative_retry = '99p'")
+    val knobs1 =
+      (knobs0 :+ "memtable_flush_period_in_ms = 60000").sorted
+    val s1 = base + (("comment = 'orders AND it''s lineitems'" +:
+      knobs0)).mkString(" AND ")
+    val s2 = base + (("comment = 'updated'" +: knobs1))
+      .mkString(" AND ")
+    val s3 = base + knobs1.mkString(" AND ")
+    s"""SELECT step, v FROM (VALUES
+       |  ('1_create', '${dq(s1)}'),
+       |  ('2_alter', '${dq(s2)}'),
+       |  ('3_uncomment', '${dq(s3)}')) AS t(step, v)
+       |ORDER BY step""".stripMargin
+  }
+
   // C67f — DESCRIBE INDEX (r15): render each index's CREATE statement
   // in this subset's own round-trippable grammar; _ci analyzer
   // targets render back as their WITH OPTIONS spelling, and
@@ -3342,6 +3409,8 @@ object Cells {
       Some(mappedAggsSql)),
     GQuery("C67f_index_metadata", indexMetadataRound,
       Some(indexMetadataSql)),
+    GQuery("C51c_table_options", tableOptionsRound,
+      Some(tableOptionsSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
