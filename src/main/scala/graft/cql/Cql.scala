@@ -183,6 +183,8 @@ object Cql {
     """(?is)^\s*DESC(?:RIBE)?\s+TYPE\s+(\w+)\.(\w+)\s*;?\s*$""".r
   private val DescIndexStmtRe =
     """(?is)^\s*DESC(?:RIBE)?\s+INDEX\s+(\w+)\.(\w+)\s*;?\s*$""".r
+  private val DescKeyspaceStmtRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+KEYSPACE\s+(\w+)\s*;?\s*$""".r
   private val DescKeyspacesRe =
     """(?is)^\s*DESC(?:RIBE)?\s+KEYSPACES\s*;?\s*$""".r
   private val DescTablesRe =
@@ -1795,8 +1797,22 @@ object Cql {
         spark.sql(s"CREATE NAMESPACE " +
           (if (ifNot != null) "IF NOT EXISTS " else "") + s"$catalog.$ks")
       case DropKsRe(ifEx, ks) =>
+        // Cassandra's DROP KEYSPACE drops everything inside it
+        // (implicit cascade) — a plain DROP NAMESPACE would refuse a
+        // non-empty keyspace. Buffered writes to its tables are
+        // dropped with it, and their writetime counters forget.
+        val ksDir = java.nio.file.Paths.get(root, ks)
+        if (java.nio.file.Files.isDirectory(ksDir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(ksDir).iterator.asScala
+            .filter(java.nio.file.Files.isDirectory(_))
+            .foreach { d =>
+              discardBuffered(d.toString); forgetWt(d.toString)
+            }
+        }
         spark.sql(s"DROP NAMESPACE " +
-          (if (ifEx != null) "IF EXISTS " else "") + s"$catalog.$ks")
+          (if (ifEx != null) "IF EXISTS " else "") +
+          s"$catalog.$ks CASCADE")
       case CreateTypeRe(ifNot, ks, name, fieldSpec) =>
         // CREATE TYPE (C59b): register the field layout under its
         // keyspace. Field types are the CQL scalars the statement
@@ -2586,6 +2602,11 @@ object Cql {
         SystemSchema.describeType(spark, catalog, ks, n)
       case DescIndexStmtRe(ks, n) =>
         SystemSchema.describeIndex(spark, catalog, ks, n.toLowerCase)
+      case DescKeyspaceStmtRe(ks) =>
+        // the schema-export round reads every table's metadata —
+        // buffered DDL-adjacent writes must land first
+        flushAllBuffered(spark)
+        SystemSchema.describeKeyspace(spark, catalog, ks.toLowerCase)
       case DescKeyspacesRe() =>
         SystemSchema.describeKeyspaces(spark, catalog)
       case DescTablesRe() =>

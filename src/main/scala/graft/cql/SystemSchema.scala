@@ -655,6 +655,60 @@ private[cql] object SystemSchema {
       Seq(Row(stmt)))
   }
 
+  /** The view's round-trippable CREATE statement — the exact
+    * CreateMvRe grammar, so a DESC KEYSPACE dump replays.
+    */
+  private def mvCreateStmt(ks: String, v: String,
+      viewDir: String): String = {
+    val base = baseName(graft.sources.CellView.baseOf(viewDir).get)
+    val c = graft.sources.CellView.columnOf(viewDir).getOrElse(
+      fail(s"view $ks.$v carries no column metadata"))
+    val bspec = graft.sources.CellSource.keySpec(
+      graft.sources.CellView.baseOf(viewDir).get)
+    val tail = (bspec.pkParts ++ bspec.ckParts).map(_.name)
+      .mkString(", ")
+    s"CREATE MATERIALIZED VIEW $ks.$v AS SELECT * FROM $ks.$base " +
+      s"WHERE $c IS NOT NULL PRIMARY KEY (($c), $tail)"
+  }
+
+  /** DESCRIBE KEYSPACE (C67g) — cqlsh's schema-export command: ONE
+    * row per CREATE statement, in dependency order (keyspace, types,
+    * tables, indexes, views, functions, aggregates), every statement
+    * in this subset's own round-trippable grammar so the dump replays
+    * through `executeScript`. The keyspace line renders the
+    * single-node replication this engine presents in system.local.
+    */
+  def describeKeyspace(spark: SparkSession, catalog: String,
+      ks: String): DataFrame = {
+    val r = root(spark, catalog)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, ks)))
+      fail(s"keyspace $ks does not exist")
+    def one(df: DataFrame): String = df.collect()(0).getString(0)
+    val entries = walk(spark, catalog).filter(_._1 == ks)
+    val tableNames = entries
+      .filter { case (_, _, d) => !isIndex(d) && !isView(d) }
+      .map(_._2).sorted
+    val idxNames = entries.filter { case (_, _, d) => isIndex(d) }
+      .map(_._2).sorted
+    val viewEntries = entries.filter { case (_, _, d) => isView(d) }
+      .sortBy(_._2)
+    val fns = Cql.fnsOf(ksPath(spark, catalog, ks))
+    val aggs = Cql.aggsOf(ksPath(spark, catalog, ks))
+    val stmts =
+      Seq(s"CREATE KEYSPACE $ks WITH replication = {'class': " +
+        "'SimpleStrategy', 'replication_factor': '1'}") ++
+      udtsOf(r, ks).map(_._1).sorted
+        .map(n => one(describeType(spark, catalog, ks, n))) ++
+      tableNames.map(t => one(describeTable(spark, catalog, ks, t))) ++
+      idxNames.map(i => one(describeIndex(spark, catalog, ks, i))) ++
+      viewEntries.map { case (_, v, d) => mvCreateStmt(ks, v, d) } ++
+      fns.keys.toSeq.sorted
+        .map(n => one(describeFunction(spark, catalog, ks, n))) ++
+      aggs.keys.toSeq.sorted
+        .map(n => one(describeAggregate(spark, catalog, ks, n)))
+    mk(spark, OneStmt, stmts.map(Row(_)))
+  }
+
   def describeKeyspaces(spark: SparkSession, catalog: String): DataFrame =
     keyspaces(spark, catalog)
 

@@ -3015,6 +3015,67 @@ object Cells {
       |  ('zz_list', 'plainx')) AS t(idx, stmt)
       |ORDER BY idx, stmt""".stripMargin
 
+  // C67g — DESCRIBE KEYSPACE (r15): cqlsh's schema-export command.
+  // One row per CREATE statement in dependency order, every statement
+  // in the subset's own grammar — proven by REPLAYING the dump into a
+  // SECOND catalog and dumping again: both dumps must be identical.
+  private def keyspaceDumpRound(s: SparkSession,
+      d: String): DataFrame = {
+    val catA = "gq_ksdump_a"
+    val catB = "gq_ksdump_b"
+    Seq(catA, catB).foreach { c =>
+      if (s.conf.getOption(s"spark.sql.catalog.$c").isEmpty) {
+        s.conf.set(s"spark.sql.catalog.$c", "graft.sources.CellCatalog")
+        s.conf.set(s"spark.sql.catalog.$c.root",
+          java.nio.file.Files.createTempDirectory(s"cql-$c").toString)
+      }
+    }
+    def ca(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, catA)
+    def cb(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, catB)
+    ca("DROP KEYSPACE IF EXISTS ks"); cb("DROP KEYSPACE IF EXISTS ks")
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE ks;
+        |CREATE TYPE ks.item (q bigint, t text);
+        |CREATE TABLE ks.t (pk bigint, ck int, col text,
+        |  value bigint, wt bigint) WITH comment = 'demo';
+        |CREATE INDEX pidx ON ks.t (price);
+        |CREATE MATERIALIZED VIEW ks.byp AS SELECT * FROM ks.t
+        |  WHERE price IS NOT NULL PRIMARY KEY ((price), pk, ck);
+        |CREATE FUNCTION ks.plus1 (x bigint) RETURNS NULL ON NULL
+        |  INPUT RETURNS bigint LANGUAGE sql AS 'x + 1'""".stripMargin,
+      catA)
+    val dumpA = ca("DESCRIBE KEYSPACE ks").collect()
+      .map(_.getString(0)).toSeq
+    // the dump REPLAYS verbatim — the round-trippability proof
+    graft.cql.Cql.catalogScript(s, dumpA.mkString(";\n"), catB)
+    val dumpB = cb("DESCRIBE KEYSPACE ks").collect()
+      .map(_.getString(0)).toSeq
+    import s.implicits._
+    (dumpA.map(("a", _)) ++ dumpB.map(("b", _)))
+      .toDF("src", "stmt").orderBy(col("src"), col("stmt"))
+  }
+
+  private val keyspaceDumpSql = {
+    def dq(x: String) = x.replace("'", "''")
+    val stmts = Seq(
+      "CREATE KEYSPACE ks WITH replication = {'class': " +
+        "'SimpleStrategy', 'replication_factor': '1'}",
+      "CREATE TYPE ks.item (q bigint, t text)",
+      "CREATE TABLE ks.t (pk bigint, ck int, col text, value " +
+        "bigint, wt bigint, PRIMARY KEY ((pk), ck)) WITH " +
+        "comment = 'demo'",
+      "CREATE INDEX pidx ON ks.t (price)",
+      "CREATE MATERIALIZED VIEW ks.byp AS SELECT * FROM ks.t " +
+        "WHERE price IS NOT NULL PRIMARY KEY ((price), pk, ck)",
+      "CREATE FUNCTION ks.plus1 (x bigint) RETURNS NULL ON NULL " +
+        "INPUT RETURNS bigint LANGUAGE sql AS 'x + 1'")
+    val rows = for (src <- Seq("a", "b"); st <- stmts)
+      yield s"('$src', '${dq(st)}')"
+    s"""SELECT src, stmt FROM (VALUES
+       |  ${rows.mkString(",\n  ")}) AS t(src, stmt)
+       |ORDER BY src, stmt""".stripMargin
+  }
+
   // C15b — STATIC columns through the CQL front door (r11): one
   // `!s:<name>` cell per (pk, static column) at the partition-front
   // position, so per-partition LWW falls out of the ordinary
@@ -3411,6 +3472,8 @@ object Cells {
       Some(indexMetadataSql)),
     GQuery("C51c_table_options", tableOptionsRound,
       Some(tableOptionsSql)),
+    GQuery("C67g_keyspace_dump", keyspaceDumpRound,
+      Some(keyspaceDumpSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,

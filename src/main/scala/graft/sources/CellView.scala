@@ -156,6 +156,11 @@ object CellView {
     writeView(viewRows(base, column, parts.map(_._1)), viewDir,
       base.schema("value").dataType.simpleString, parts, files,
       overwrite = true)
+    // an EMPTY base writes zero view rows, so the writer may never
+    // create the directory — the metadata must still land (Cassandra
+    // allows creating an MV on an empty table; writes then maintain
+    // it through the registry)
+    Files.createDirectories(Paths.get(CellPlanning.normalize(viewDir)))
     writeMeta(viewDir, column, dir, gen)
   }
 

@@ -273,8 +273,10 @@ class CqlSpec extends GraftSpec {
         cq("CREATE TABLE ks2.t (a int, PRIMARY KEY (a))")
       }
       intercept[IllegalArgumentException] {
+        // caching/compression/... are ACCEPTED since C51c (r15);
+        // a genuinely unknown option still fails fast
         cq("CREATE TABLE ks2.t (pk bigint, ck int, col text, " +
-          "value bigint, wt bigint) WITH caching = 'ALL'")
+          "value bigint, wt bigint) WITH nonsense_knob = 'ALL'")
       }
     } finally {
       spark.conf.unset("spark.sql.catalog.cqlcat")

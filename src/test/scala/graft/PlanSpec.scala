@@ -414,6 +414,8 @@ class PlanSpec extends GraftSpec {
       "N_SIM1_cosine_topk" -> "crossJoin broadcast(k query vectors)",
       "N_SIM7_batch_topk" -> "crossJoin broadcast(5 query vectors)",
       "N_SIM4_ivf_topk" -> "probe list: broadcast(codebook x query)",
+      "N_SIM12_filtered_ann" -> ("N_SIM4's shape over the filtered " +
+        "slice: broadcast(codebook x query)"),
       "N_SIM5_quantized" -> "crossJoin broadcast(1 query vector)",
       "N_SIM9_pq_rerank" -> "rerank joins broadcast(candidate ids)",
       "N_DEDUP9_semdedup" -> ("cluster-blocked: crossJoin " +
