@@ -41,7 +41,8 @@ object Cql {
     * ORDER BY grammar.
     */
   private val AnnSelectRe =
-    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+ORDER\s+BY\s+""" +
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s+ORDER\s+BY\s+""" +
       """(\w+)\s+ANN\s+OF\s*(\[[^\]]*\])\s+LIMIT\s+(\d+)\s*;?\s*$""").r
 
   private val SelectRe =
@@ -542,9 +543,9 @@ object Cql {
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifVal))
       forgetWt(resolve(table)); r
-    case AnnSelectRe(cols, table, vcol, vec, k) =>
+    case AnnSelectRe(cols, table, where, vcol, vec, k) =>
       annSelect(spark, resolve(table), cols.trim, vcol.toLowerCase,
-        vec, k.toInt)
+        vec, k.toInt, Option(where))
     case SelectRe(json, dist, cols, table, where, group, order, ppl,
         lim, page, af) =>
       select(spark, resolve(table), Option(json).isDefined,
@@ -3143,7 +3144,8 @@ object Cql {
     * candidates. Nothing trains, nothing broadcasts but the literal.
     */
   private def annSelect(spark: SparkSession, dir: String, cols: String,
-      vcol: String, vecLit: String, k: Int): DataFrame = {
+      vcol: String, vecLit: String, k: Int,
+      whereOpt: Option[String] = None): DataFrame = {
     flushBuffered(spark, dir)
     if (k < 1) fail("ANN LIMIT must be positive")
     val ct = cqlValueTypeOf(dir).filter(_.startsWith("vector<"))
@@ -3159,9 +3161,28 @@ object Cql {
     val probes = graft.functions.VectorCodec
       .probeOrder(graft.functions.VectorCodec.bucket(qBytes))
       .take(graft.functions.VectorCodec.DefaultProbes)
-    val cand = graft.sources.CellIndex
-      .lookupBaseAnn(spark, dir, idxDir, probes)
-      .filter(col("col") === vcol)
+    val cand = whereOpt match {
+      case Some(w) =>
+        // partition-RESTRICTED ANN (C70b, Cassandra 5's WHERE +
+        // ANN OF): the restriction bounds the read EXACTLY, so the
+        // pruned partition point read replaces the LSH probe — the
+        // rerank is over the partition's own vectors, recall 1
+        // within the slice. The vector index must still exist
+        // (Cassandra's planner rule, kept above). ck restrictions
+        // refuse: ANN's output order is similarity, not clustering.
+        val (pks, ckEq, ckLo, ckHi) = keyPredicate(w)
+        if (ckEq.isDefined || ckLo != Int.MinValue.toLong ||
+            ckHi != Int.MaxValue.toLong)
+          fail("ANN WHERE takes partition-key restrictions only " +
+            "(pk = ... / pk IN (...))")
+        spark.read.format(Fmt).option("reconcile", "true").load(dir)
+          .filter(col("pk").isin(pks.toSeq: _*) &&
+            col("col") === vcol)
+      case None =>
+        graft.sources.CellIndex
+          .lookupBaseAnn(spark, dir, idxDir, probes)
+          .filter(col("col") === vcol)
+    }
     graft.GraftExtensions.register(spark)
     val dim = ct.stripPrefix("vector<float,").stripSuffix(">").toInt
     val qArr = (0 until dim).map(i =>
@@ -3753,6 +3774,18 @@ object Cql {
       case g => g match {
       case Some(g) =>
         val keys = g.split(',').map(_.trim).filter(_.nonEmpty)
+        // Cassandra's GROUP BY rule (3.10+): the group columns must
+        // be a PREFIX of the primary key — partition parts first,
+        // then clustering parts in declared order. Grouping by a
+        // data column has no single-pass order to exploit and
+        // Cassandra refuses it.
+        val keyOrder = (spec.pkParts ++ spec.ckParts)
+          .map(_.name.toLowerCase).toSeq
+        if (keys.map(_.toLowerCase).toSeq !=
+            keyOrder.take(keys.length))
+          fail("GROUP BY must name a primary-key prefix (" +
+            keyOrder.mkString(", ") + "), got: " +
+            keys.mkString(", "))
         val aggs = splitItems(cols).flatMap { item =>
           udaItem(item) match {
             case Some((f, arg, alias)) =>

@@ -2761,6 +2761,47 @@ object Cells {
       |FROM (VALUES (2), (3), (4), (6)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C70b — partition-RESTRICTED ANN (r15): `WHERE pk = ? ORDER BY v
+  // ANN OF [...] LIMIT k` — the restriction bounds the read exactly
+  // (a pruned partition point read replaces the LSH probe; recall 1
+  // within the slice), the rerank stays exact cosine, and the index
+  // must still exist (Cassandra's planner rule).
+  private def restrictedAnnLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_rvec"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-rvec-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.emb (pk bigint, ck int,
+        |  col text, value vector<float, 4>, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (ann(v));
+        |TRUNCATE ks.emb;
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1,
+        |  [1.0, 0.5, 0.25, 0.125]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (1, 2,
+        |  [-1.0, -0.5, -0.25, -0.125]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (1, 3,
+        |  [0.5, 1.0, -0.25, 0.125]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1,
+        |  [2.0, 1.0, 0.5, 0.25]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1,
+        |  [1.0, 0.5, 0.25, 0.126]);
+        |SELECT pk, ck FROM ks.emb WHERE pk = 1 ORDER BY v ANN OF
+        |  [1.0, 0.5, 0.25, 0.125] LIMIT 2""".stripMargin, cat)
+      .orderBy(col("pk"), col("ck"))
+  }
+
+  // partition 1's vectors rank ck=1 (cosine 1.0) then ck=3; the
+  // better match in partition 3 is excluded by the restriction
+  private val restrictedAnnSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck
+      |FROM (VALUES (1, 1), (1, 3)) AS t(pk, ck)
+      |ORDER BY pk, ck""".stripMargin
+
   // C71 — CQL user-defined functions/aggregates (r15): CREATE
   // FUNCTION registers a deterministic scalar SQL expression over
   // named arguments (validated at CREATE: parses, resolves over
@@ -3476,6 +3517,8 @@ object Cells {
       Some(keyspaceDumpSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
+    GQuery("C70b_restricted_ann", restrictedAnnLifecycle,
+      Some(restrictedAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -4441,6 +4441,81 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.ukcat")
   }
 
+  test("partition-restricted ANN (C70b): WHERE pk = ? bounds the " +
+    "rerank to the partition; ck restrictions refuse") {
+    val root = Files.createTempDirectory("cql-rvec").toString
+    spark.conf.set("spark.sql.catalog.rvcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.rvcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "rvcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.e (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      // the index is still REQUIRED with a restriction (Cassandra's
+      // planner rule) — pinned before it exists
+      refuse("SELECT pk, ck FROM ks.e WHERE pk = 1 ORDER BY v " +
+        "ANN OF [1.0, 0.0] LIMIT 2", "needs a vector index")
+      cq("CREATE INDEX ON ks.e (ann(v))")
+      cq("INSERT INTO ks.e (pk, ck, v) VALUES (1, 1, [1.0, 0.0])")
+      cq("INSERT INTO ks.e (pk, ck, v) VALUES (1, 2, [0.0, 1.0])")
+      cq("INSERT INTO ks.e (pk, ck, v) VALUES (1, 3, [0.9, 0.1])")
+      cq("INSERT INTO ks.e (pk, ck, v) VALUES (2, 1, [1.0, 0.0])")
+      // the partition bound excludes pk 2's perfect match; rank
+      // within pk 1 is ck 1 (cos 1.0) then ck 3
+      val hits = cq("SELECT pk, ck FROM ks.e WHERE pk = 1 " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(hits === Seq((1L, 1), (1L, 3)))
+      // pk IN widens the slice
+      val in2 = cq("SELECT pk, ck FROM ks.e WHERE pk IN (1, 2) " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(in2 === Set((1L, 1), (2L, 1)))
+      // clustering restrictions refuse: ANN's output order is
+      // similarity, not clustering
+      refuse("SELECT pk, ck FROM ks.e WHERE pk = 1 AND ck = 1 " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2",
+        "partition-key restrictions only")
+      refuse("SELECT pk, ck FROM ks.e WHERE pk = 1 AND ck > 1 " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2",
+        "partition-key restrictions only")
+    } finally spark.conf.unset("spark.sql.catalog.rvcat")
+  }
+
+  test("GROUP BY must name a primary-key prefix (Cassandra 3.10 rule)") {
+    val root = Files.createTempDirectory("cql-gby").toString
+    spark.conf.set("spark.sql.catalog.gbcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.gbcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "gbcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 1, 5)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 2, 7)")
+      // prefixes serve: (pk) and (pk, ck)
+      assert(cq("SELECT pk, count(*) AS n FROM ks.t GROUP BY pk")
+        .collect().head.getLong(1) === 2L)
+      assert(cq("SELECT pk, ck, count(*) AS n FROM ks.t " +
+        "GROUP BY pk, ck").collect().length === 2)
+      // non-prefix shapes refuse
+      refuse("SELECT ck, count(*) FROM ks.t GROUP BY ck",
+        "primary-key prefix")
+      refuse("SELECT col, count(*) FROM ks.t GROUP BY col",
+        "primary-key prefix")
+      refuse("SELECT pk, count(*) FROM ks.t GROUP BY ck, pk",
+        "primary-key prefix")
+    } finally spark.conf.unset("spark.sql.catalog.gbcat")
+  }
+
   test("vector<float, n> values + ANN search (C70): wire form, " +
     "ann(v) index, probe pruning, rerank order") {
     val root = Files.createTempDirectory("cql-vec").toString
