@@ -2751,7 +2751,9 @@ object Cql {
     if (colMap.size != cols.size)
       fail("duplicate column in CREATE TABLE")
     def mapType(t: String): String = t match {
-      case "text" | "varchar" | "ascii" => "string"
+      // ascii is a MAPPED type since C65v (r15): same text storage,
+      // but its own US-ASCII-validating literal grammar + rendering
+      case "text" | "varchar" => "string"
       case "bigint" | "int" | "double" | "boolean" => t
       case "timestamp" => "timestamp"
       case "blob" => "binary"
@@ -5621,7 +5623,7 @@ object Cql {
     * their storage tags are outside the CAS machinery's Long/String
     * pair.)
     */
-  private val LwtMappedCts = Set("uuid", "timeuuid", "inet")
+  private val LwtMappedCts = Set("uuid", "timeuuid", "inet", "ascii")
 
   /** LWT value-type gate. Returns the declared mapped type when the
     * single-statement CAS round can serve it through its validated
@@ -5707,7 +5709,9 @@ object Cql {
     // duration (C65s): canonical (months, days, nanos) rendering as
     // text — durations are NOT comparable (Cassandra's rule), so the
     // WHERE/index/agg paths refuse rather than compare the rendering
-    "duration" -> "string")
+    "duration" -> "string",
+    // ascii (C65v): text storage + a US-ASCII-validating grammar
+    "ascii" -> "string")
 
   /** The DECLARED mapped value type of a table, if any (`_props`
     * `cqlValueType`, written at CREATE TABLE).
@@ -5826,6 +5830,14 @@ object Cql {
         case o => fail(s"$what takes a tinyint literal, got: $o")
       }
       case "duration" => durationLiteral(t, what)
+      case "ascii" => literal(t) match {
+        case s: String =>
+          s.find(_ > 127).foreach(c =>
+            fail(f"$what: ascii values take US-ASCII only, got " +
+              f"'$c' (U+${c.toInt}%04X)"))
+          s
+        case o => fail(s"$what takes a quoted ascii string, got: $o")
+      }
       case v if v.startsWith("vector<") =>
         // `[f1, f2, ...]` with exactly the declared dimension; wire
         // form = 4n bytes IEEE-754 big-endian (Cassandra's own)

@@ -2666,6 +2666,53 @@ object Cells {
       |  ('time', '3723000000000', '86399000000000')) AS t(tbl, a, b)
       |ORDER BY tbl""".stripMargin
 
+  // C65v — the ASCII value type as its own DECLARED type (r15): same
+  // text storage, but a US-ASCII-validating literal grammar (a
+  // non-ASCII character refuses with its code point — Cassandra
+  // validates ascii on write) and the distinct name in
+  // DESCRIBE/system_schema; LWT serves it (text-storage equality).
+  private def asciiValuesLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_ascii"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-ascii-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.a (pk bigint, ck int,
+        |  col text, value ascii, wt bigint);
+        |TRUNCATE ks.a;
+        |INSERT INTO ks.a (pk, ck, tag) VALUES (1, 1, 'alpha');
+        |UPDATE ks.a SET tag = 'beta' WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.a (pk, ck, tag) VALUES (2, 1, 'Type-7_OK!');
+        |INSERT INTO ks.a (pk, ck, tag) VALUES (3, 1, 'gone');
+        |DELETE tag FROM ks.a WHERE pk = 3 AND ck = 1""".stripMargin,
+      cat)
+    val rows = cq("SELECT pk, value FROM ks.a")
+      .select(lit("v").as("step"), col("pk"), col("value").as("x"))
+    val lwt = cq("INSERT INTO ks.a (pk, ck, tag) VALUES (4, 1, " +
+      "'cas') IF NOT EXISTS")
+      .select(lit("lwt").as("step"), lit(4L).as("pk"),
+        col("[applied]").cast("string").as("x"))
+    val ty = cq("SELECT type FROM system_schema.columns WHERE " +
+      "table_name = 'a' AND column_name = 'value'")
+      .select(lit("type").as("step"), lit(0L).as("pk"),
+        col("type").as("x"))
+    rows.unionAll(lwt).unionAll(ty).orderBy(col("step"), col("pk"))
+  }
+
+  // the rows SELECT is LAZY, so the eager LWT insert of pk 4 lands
+  // in its output too (deliberate — it pins the CAS write's cell)
+  private val asciiValuesSql =
+    """SELECT step, CAST(pk AS BIGINT) AS pk, x FROM (VALUES
+      |  ('lwt', 4, 'true'), ('type', 0, 'ascii'),
+      |  ('v', 1, 'beta'), ('v', 2, 'Type-7_OK!'),
+      |  ('v', 4, 'cas')) AS t(step, pk, x)
+      |ORDER BY step, pk""".stripMargin
+
   // C36d — UUID-KEYED typed tables through the front door (r15):
   // `id uuid` key parts ride the CEL6 typed comparator as their text
   // storage; the unquoted canonical uuid literal binds them in every
@@ -3504,6 +3551,8 @@ object Cells {
       Some(mappedValuesSql)),
     GQuery("C65s_duration_values", durationValuesLifecycle,
       Some(durationValuesSql)),
+    GQuery("C65v_ascii_values", asciiValuesLifecycle,
+      Some(asciiValuesSql)),
     GQuery("C65t_cql_cast", cqlCastLifecycle, Some(cqlCastSql)),
     GQuery("C63b_typed_json", typedJsonLifecycle, Some(typedJsonSql)),
     GQuery("C55c_mapped_lwt", mappedLwtLifecycle, Some(mappedLwtSql)),

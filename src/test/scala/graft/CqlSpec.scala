@@ -4091,6 +4091,46 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.cstcat")
   }
 
+  test("ascii value type (C65v): US-ASCII validation, distinct " +
+    "rendering, LWT") {
+    val root = Files.createTempDirectory("cql-ascii").toString
+    spark.conf.set("spark.sql.catalog.ascat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ascat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ascat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.a (pk bigint, ck int, col text, " +
+        "value ascii, wt bigint)")
+      cq("INSERT INTO ks.a (pk, ck, tag) VALUES (1, 1, 'plain')")
+      // non-ASCII refuses with the code point — Cassandra validates
+      // ascii on write
+      refuse("INSERT INTO ks.a (pk, ck, tag) VALUES (2, 1, 'café')",
+        "US-ASCII only")
+      refuse("UPDATE ks.a SET tag = 'über' WHERE pk = 1 AND ck = 1",
+        "US-ASCII only")
+      refuse("INSERT INTO ks.a JSON '{\"pk\": 2, \"ck\": 1, " +
+        "\"tag\": \"naïve\"}'", "US-ASCII only")
+      // WHERE probes parse through the same grammar
+      assert(cq("SELECT pk FROM ks.a WHERE col = 'tag' AND " +
+        "value = 'plain' ALLOW FILTERING").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L))
+      refuse("SELECT pk FROM ks.a WHERE col = 'tag' AND " +
+        "value = 'é' ALLOW FILTERING", "US-ASCII only")
+      // distinct declared rendering + text alias unchanged
+      assert(cq("DESCRIBE TABLE ks.a").collect().head.getString(0)
+        .contains("value ascii"))
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, s) VALUES (1, 1, 'café')")
+      assert(cq("DESCRIBE TABLE ks.t").collect().head.getString(0)
+        .contains("value text"))
+    } finally spark.conf.unset("spark.sql.catalog.ascat")
+  }
+
   test("duration value type (C65s): both literal grammars, canonical " +
     "rendering, non-comparability refusals") {
     val root = Files.createTempDirectory("cql-duration").toString
