@@ -4122,6 +4122,13 @@ object Cql {
       if (mappedCt.contains("date") &&
           df.schema.fieldNames.contains("value"))
         df = df.withColumn("value", expr("date_from_unix_date(value)"))
+      // ... and a VECTOR value as its float array (Cassandra's JSON
+      // form), not the 4n-byte wire blob
+      if (mappedCt.exists(_.startsWith("vector<")) &&
+          df.schema.fieldNames.contains("value")) {
+        graft.GraftExtensions.register(spark)
+        df = df.withColumn("value", expr("graft_vec_decode(value)"))
+      }
       // ... and a TIME value as Cassandra's fixed-width
       // HH:MM:SS.fffffffff form (nanos always 9 digits), not the
       // stored nanos-since-midnight count

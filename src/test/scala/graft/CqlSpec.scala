@@ -3955,6 +3955,13 @@ class CqlSpec extends GraftSpec {
         "value blob, wt bigint)")
       refuse("INSERT INTO ks.bl JSON '{\"pk\": 1, \"ck\": 1, " +
         "\"v\": \"0x00\"}'", "scalar-valued")
+      // SELECT JSON renders a vector value as its float array
+      // (Cassandra's JSON form), not the wire blob
+      cq("CREATE TABLE ks.ve (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("INSERT INTO ks.ve (pk, ck, v) VALUES (1, 1, [1.0, 0.5])")
+      assert(cq("SELECT JSON pk, value FROM ks.ve").collect()
+        .head.getString(0) === "{\"pk\":1,\"value\":[1.0,0.5]}")
     } finally spark.conf.unset("spark.sql.catalog.tjcat")
   }
 
