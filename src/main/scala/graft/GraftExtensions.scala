@@ -65,7 +65,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecDecode(args.head)),
     ("graft_vec_bucket",
       new ExpressionInfo(classOf[VecBucket].getName, "graft_vec_bucket"),
-      (args: Seq[Expression]) => VecBucket(args.head)),
+      (args: Seq[Expression]) =>
+        if (args.length >= 2) VecBucket(args.head,
+          args(1).eval().asInstanceOf[Number].intValue())
+        else VecBucket(args.head)),
     ("graft_collect_set_bounded",
       new ExpressionInfo(classOf[BoundedCollectSet].getName,
         "graft_collect_set_bounded"),

@@ -486,9 +486,18 @@ object Cql {
       // (the COLUMN type interprets the JSON value)
       locally {
         val vt = graft.sources.CellSource.valueTypeOf(dir)
+        // an UNDECLARED storage type (no cqlValueType property) must
+        // be one the bigint/text/C65q document grammars below can
+        // serve — an int-storage table falling through to the bigint
+        // path would stamp a long-typed flush over its layout (the
+        // silent-type-flip class the batch gate closes)
+        val undeclaredOk = vt == org.apache.spark.sql.types.LongType ||
+          vt == org.apache.spark.sql.types.StringType ||
+          vt == org.apache.spark.sql.types.DoubleType ||
+          vt == org.apache.spark.sql.types.BooleanType ||
+          vt == org.apache.spark.sql.types.TimestampType
         if (cqlValueTypeOf(dir).exists(_.startsWith("vector<")) ||
-            (cqlValueTypeOf(dir).isEmpty &&
-              vt == org.apache.spark.sql.types.BinaryType) ||
+            (cqlValueTypeOf(dir).isEmpty && !undeclaredOk) ||
             isCounter(dir))
           fail("INSERT JSON serves scalar-valued tables in this " +
             "subset; table's value type is " +
@@ -1738,15 +1747,24 @@ object Cql {
     * order through SFUNC from INITCOND, then FINALFUNC. The sort is
     * by the table's own key columns (+ col), so the fold order is the
     * row order a coordinator would stream.
+    *
+    * The per-group buffer is the WIDTH-GUARDED collect
+    * ([[graft.functions.BoundedCollectList]], the C23 machinery): a
+    * coordinator-style fold buffers the whole group, and an
+    * adversarially wide partition must raise the named
+    * `graft.maxGroupWidth` error instead of an executor OOM.
     */
-  private def udaFoldSql(ksDir: java.nio.file.Path, agg: CqlAgg,
+  private def udaFoldSql(spark: SparkSession,
+      ksDir: java.nio.file.Path, agg: CqlAgg,
       argCol: String, orderCols: Seq[String]): String = {
+    graft.GraftExtensions.register(spark)
+    val limit = graft.functions.BoundedCollect.maxGroupWidth(spark)
     val fns = fnsOf(ksDir)
     val sf = fns(agg.sfunc)
     val stypeSql = fnTypeToSpark(agg.stype).sql
-    val sorted = "transform(array_sort(collect_list(struct(" +
+    val sorted = "transform(array_sort(graft_collect_bounded(struct(" +
       (orderCols :+ argCol).mkString(", ") +
-      s"))), s -> s.$argCol)"
+      s"), $limit)), s -> s.$argCol)"
     val Seq((accN, _), (valN, _)) = sf.args
     val fold = s"aggregate($sorted, CAST((${agg.initcond}) AS " +
       s"$stypeSql), ($accN, $valN) -> (${sf.body}))"
@@ -1805,11 +1823,14 @@ object Cql {
         val ksDir = java.nio.file.Paths.get(root, ks)
         if (java.nio.file.Files.isDirectory(ksDir)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(ksDir).iterator.asScala
-            .filter(java.nio.file.Files.isDirectory(_))
-            .foreach { d =>
-              discardBuffered(d.toString); forgetWt(d.toString)
-            }
+          scala.util.Using.resource(
+              java.nio.file.Files.list(ksDir)) { s =>
+            s.iterator.asScala
+              .filter(java.nio.file.Files.isDirectory(_))
+              .foreach { d =>
+                discardBuffered(d.toString); forgetWt(d.toString)
+              }
+          }
         }
         spark.sql(s"DROP NAMESPACE " +
           (if (ifEx != null) "IF EXISTS " else "") +
@@ -2379,10 +2400,10 @@ object Cql {
         // modes only — a case-insensitive index stores
         // lower(value) codes, so probes lowercase the needle and
         // the base re-read re-checks on lower(value)
-        val ciOpt: Boolean = Option(optsOpt) match {
-          case None => false
+        val opts: Map[String, String] = Option(optsOpt) match {
+          case None => Map.empty
           case Some(body) =>
-            val opts = body.split(',').map(_.trim).filter(_.nonEmpty)
+            body.split(',').map(_.trim).filter(_.nonEmpty)
               .map { kv =>
                 kv.split(':') match {
                   case Array(k, v) =>
@@ -2391,22 +2412,60 @@ object Cql {
                   case _ => fail(s"malformed index option: $kv")
                 }
               }.toMap
-            val unknown = opts.keySet - "case_sensitive"
-            if (unknown.nonEmpty)
-              fail("unsupported index OPTIONS: " +
-                unknown.toSeq.sorted.mkString(", ") +
-                " (case_sensitive is the supported analyzer option)")
-            opts.get("case_sensitive") match {
-              case Some("false") => true
-              case Some("true") | None => false
-              case Some(o) => fail("case_sensitive takes 'true' or " +
-                s"'false', got: '$o'")
-            }
+        }
+        val isAnnIdx = Option(fnOpt).exists(_.equalsIgnoreCase("ann"))
+        // per-mode option vocabulary: the SASI LIKE modes take the
+        // case_sensitive analyzer option; an ann index takes its LSH
+        // geometry — planes (bucket count = 2^planes, persisted in
+        // the index metadata so build/refresh/probe agree) and
+        // probes (Hamming-ball width read per query)
+        val legalOpts =
+          if (isAnnIdx) Set("planes", "probes") else Set("case_sensitive")
+        locally {
+          val unknown = opts.keySet -- legalOpts
+          if (unknown.nonEmpty)
+            fail("unsupported index OPTIONS: " +
+              unknown.toSeq.sorted.mkString(", ") +
+              (if (isAnnIdx) " (an ann index takes planes/probes)"
+               else " (case_sensitive is the supported analyzer " +
+                 "option)"))
+        }
+        val ciOpt: Boolean = opts.get("case_sensitive") match {
+          case Some("false") => true
+          case Some("true") | None => false
+          case Some(o) => fail("case_sensitive takes 'true' or " +
+            s"'false', got: '$o'")
         }
         if (ciOpt && !Seq("prefix", "contains")
             .contains(Option(fnOpt).map(_.toLowerCase).getOrElse("")))
           fail("case_sensitive = false applies to the SASI LIKE " +
             "modes only (prefix(col) / contains(col))")
+        // ann geometry options, validated here and persisted by the
+        // build: a bad plane count must refuse at CREATE INDEX, not
+        // surface as a malformed probe later
+        val annOpts: Map[String, String] = if (!isAnnIdx) Map.empty
+        else {
+          val planes = opts.get("planes").map { p =>
+            val n = try p.toInt catch { case _: NumberFormatException =>
+              fail(s"planes takes an integer, got: '$p'") }
+            if (n < 1 || n > graft.functions.VectorCodec.MaxPlanes)
+              fail(s"planes must be in [1, " +
+                s"${graft.functions.VectorCodec.MaxPlanes}], got $n")
+            n
+          }
+          val probes = opts.get("probes").map { p =>
+            val n = try p.toInt catch { case _: NumberFormatException =>
+              fail(s"probes takes an integer, got: '$p'") }
+            if (n < 1) fail(s"probes must be positive, got $n")
+            val cap = 1L << planes.getOrElse(
+              graft.functions.VectorCodec.Planes)
+            if (n > cap)
+              fail(s"probes must be <= 2^planes ($cap), got $n")
+            n
+          }
+          planes.map(p => "planes" -> p.toString).toMap ++
+            probes.map(p => "probes" -> p.toString).toMap
+        }
         val ci = if (ciOpt) "_ci" else ""
         val colName = Option(fnOpt).map(_.toLowerCase) match {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
@@ -2459,7 +2518,7 @@ object Cql {
             fail(s"$ks.$idxName exists but is not an index on " +
               s"$ks.$t($colName)")
         } else graft.sources.CellIndex.build(spark, baseDir, idxDir,
-          colName, writeThrough = true)
+          colName, writeThrough = true, opts = annOpts)
         spark.emptyDataFrame
       case CreateMvRe(ifNot, vks, vname, bks, bt, whereCol, pkCol,
           keyTail) =>
@@ -3160,9 +3219,17 @@ object Cql {
         "refuses vector search without one"))
     val qBytes = mappedLiteral(ct)(vecLit, "ANN OF vector")
       .asInstanceOf[Array[Byte]]
-    val probes = graft.functions.VectorCodec
-      .probeOrder(graft.functions.VectorCodec.bucket(qBytes))
-      .take(graft.functions.VectorCodec.DefaultProbes)
+    // the index's DECLARED LSH geometry (persisted at CREATE INDEX):
+    // the probe must bucket over the same planes the build wrote —
+    // a mismatch would probe buckets no entry ever keyed
+    val idxOpts = graft.sources.CellIndex.optionsOf(idxDir)
+    val planes = idxOpts.get("planes").map(_.toInt)
+      .getOrElse(graft.functions.VectorCodec.Planes)
+    val nprobe = idxOpts.get("probes").map(_.toInt)
+      .getOrElse(graft.functions.VectorCodec.DefaultProbes)
+    val probes = graft.functions.VectorCodec.probeBuckets(
+      graft.functions.VectorCodec.bucket(qBytes, planes), planes,
+      nprobe)
     val cand = whereOpt match {
       case Some(w) =>
         // partition-RESTRICTED ANN (C70b, Cassandra 5's WHERE +
@@ -3190,16 +3257,17 @@ object Cql {
     val qArr = (0 until dim).map(i =>
       graft.functions.VectorCodec.floatAt(qBytes, i).toDouble)
     val qLit = qArr.mkString("array(", "D, ", "D)")
-    val qNorm = math.sqrt(qArr.map(x => x * x).sum)
+    // exact-cosine rerank via the NATIVE fused expression
+    // ([[graft.functions.CosineSim]]) — bit-identical to the HOF
+    // aggregate/zip_with fold (same ascending accumulation order),
+    // but one primitive loop per candidate instead of three
+    // lambda-bound array passes; at scale the rerank loop is the
+    // dominant per-candidate cost
     val ranked = cand
       .withColumn("__vec",
         expr("cast(graft_vec_decode(value) as array<double>)"))
-      .withColumn("__dot", expr(s"aggregate(zip_with(__vec, $qLit, " +
-        "(x, y) -> x * y), 0D, (s, v) -> s + v)"))
-      .withColumn("__norm", expr("sqrt(aggregate(zip_with(__vec, " +
-        "__vec, (x, y) -> x * y), 0D, (s, v) -> s + v))"))
       .withColumn("__score",
-        round(col("__dot") / (col("__norm") * lit(qNorm)), 6))
+        round(expr(s"graft_cosine(__vec, $qLit)"), 6))
       .orderBy(col("__score").desc, col("pk"), col("ck"))
       .limit(k)
     val names =
@@ -3663,7 +3731,13 @@ object Cql {
         // probe lowercases the needle and the re-check compares on
         // lower(value).
         val ciMode = mode.endsWith("_ci")
-        val probe = if (ciMode) needle.toLowerCase else needle
+        // Locale.ROOT: the index side lowercases with Spark's
+        // lower() (locale-independent UTF8String semantics) — a
+        // locale-sensitive default here (Turkish dotted/dotless I)
+        // would derive a DIFFERENT probe code and miss matches
+        val probe =
+          if (ciMode) needle.toLowerCase(java.util.Locale.ROOT)
+          else needle
         graft.sources.CellIndex.lookupBasePrefix(spark, dir, idxDir,
             probe)
           .filter(col("col") === lc && {
@@ -3755,7 +3829,7 @@ object Cql {
         val aggs = splitItems(cols).map { item =>
           udaItem(item) match {
             case Some((f, arg, alias)) =>
-              expr(udaFoldSql(ksDirPath, udas(f), arg, udaOrder))
+              expr(udaFoldSql(spark, ksDirPath, udas(f), arg, udaOrder))
                 .as(alias.getOrElse(s"$f($arg)"))
             case None => item match {
               case AggRe(fn, arg, alias) =>
@@ -3788,10 +3862,17 @@ object Cql {
           fail("GROUP BY must name a primary-key prefix (" +
             keyOrder.mkString(", ") + "), got: " +
             keys.mkString(", "))
+        // a PARTIAL partition key never groups: Cassandra's rule —
+        // partitions hash on the WHOLE key, so pk1 of ((pk1, pk2))
+        // rows are scattered and no single-pass order exists
+        if (keys.length < spec.pkParts.length)
+          fail("Group by is not supported on only a part of the " +
+            "partition key (bind all of " +
+            spec.pkParts.map(_.name.toLowerCase).mkString(", ") + ")")
         val aggs = splitItems(cols).flatMap { item =>
           udaItem(item) match {
             case Some((f, arg, alias)) =>
-              Some(expr(udaFoldSql(ksDirPath, udas(f), arg, udaOrder))
+              Some(expr(udaFoldSql(spark, ksDirPath, udas(f), arg, udaOrder))
                 .as(alias.getOrElse(s"$f($arg)")))
             case None => item match {
               case ColRe(c, _)
@@ -5623,12 +5704,12 @@ object Cql {
     * bigint-tagged first file over its declared `_type`.
     */
   /** The mapped declared types LWT can serve (C55c, r15): text
-    * STORAGE + well-defined equality on the canonical rendering, so
-    * the existing string CAS round works verbatim once the
-    * statements' literals parse through the declared grammar.
-    * (duration stays out — not comparable; the numerics stay out —
-    * their storage tags are outside the CAS machinery's Long/String
-    * pair.)
+    * STORAGE + well-defined equality on the canonical rendering —
+    * uuid, timeuuid, inet AND ascii — so the existing string CAS
+    * round works verbatim once the statements' literals parse
+    * through the declared grammar. (duration stays out — not
+    * comparable; the numerics stay out — their storage tags are
+    * outside the CAS machinery's Long/String pair.)
     */
   private val LwtMappedCts = Set("uuid", "timeuuid", "inet", "ascii")
 
@@ -5648,9 +5729,8 @@ object Cql {
         return Some(ct)
       case Some(ct) =>
         fail(s"lightweight transactions on $ct-valued tables are " +
-          "outside this subset (text-storage uuid/timeuuid/inet " +
-          "serve single-statement LWT; conditional BATCH is bigint " +
-          "only)")
+          "outside this subset (text-storage uuid/timeuuid/inet/" +
+          "ascii serve single-statement LWT and conditional BATCH)")
       case None =>
     }
     val dt = graft.sources.CellSource.valueTypeOf(dir)
@@ -5951,6 +6031,12 @@ object Cql {
       fail(s"$what: duration overflows the (months, days, nanos) " +
         s"representation: '$t1'")
     }
+    // Cassandra's Duration is (int months, int days, long nanos) —
+    // month/day counts beyond 32 bits are invalid upstream and must
+    // not round-trip here as if they were representable
+    if (months > Int.MaxValue || days > Int.MaxValue)
+      fail(s"$what: duration overflows the (months, days, nanos) " +
+        s"representation (months and days are 32-bit): '$t1'")
     renderDuration(neg && (months | days | nanos) != 0L,
       months, days, nanos)
   }

@@ -647,7 +647,14 @@ private[cql] object SystemSchema {
     val (tgt, opts) = target match {
       case CiTargetRe(mode, c) =>
         (s"$mode($c)", " WITH OPTIONS = {'case_sensitive': 'false'}")
-      case o => (o, "")
+      case o =>
+        // ann geometry options (planes/probes) persisted at CREATE
+        // INDEX render back so the dump replays with the same buckets
+        val persisted = graft.sources.CellIndex.optionsOf(dir)
+        if (persisted.isEmpty) (o, "")
+        else (o, persisted.toSeq.sorted
+          .map { case (k, v) => s"'$k': '$v'" }
+          .mkString(" WITH OPTIONS = {", ", ", "}"))
     }
     val stmt = s"CREATE INDEX $name ON $ks.$base ($tgt)$opts"
     mk(spark, StructType(Seq(

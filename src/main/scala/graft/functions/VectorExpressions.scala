@@ -163,25 +163,42 @@ case class DotProduct(left: Expression, right: Expression)
   * arithmetic; nothing broadcasts, nothing drifts stale.
   */
 object VectorCodec {
-  /** Hyperplane count — 2^Planes buckets. */
+  /** Default hyperplane count — 2^Planes buckets. Kept at 4 for
+    * compatibility with indexes built before the per-index option
+    * existed; a production-scale index declares its own count
+    * (`CREATE INDEX … WITH OPTIONS = {'planes': '12'}`) persisted in
+    * the index metadata, so build, write-through refresh and the
+    * query-time probe all derive identical buckets.
+    */
   val Planes = 4
 
+  /** Hard ceiling on the declared plane count: 2^20 buckets is
+    * already far past any single table's useful bucket granularity,
+    * and the probe-order enumeration stays trivially cheap below it.
+    */
+  val MaxPlanes = 20
+
   /** Buckets probed by an ANN read (the query's bucket plus its
-    * nearest Hamming neighbors) — 1/4 of the 16 buckets.
+    * nearest Hamming neighbors). At the default 4 planes this is
+    * 1/4 of the 16 buckets; a 12-plane index at the same nprobe
+    * reads 4/4096 ≈ 0.1% of the entries — the scale lever.
     */
   val DefaultProbes = 4
 
-  private val signCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
+  private val signCache = new java.util.concurrent
+    .ConcurrentHashMap[(Int, Int), Array[Array[Float]]]()
 
-  /** The `Planes` hyperplane sign vectors for dimension `dim` —
-    * derived once per (JVM, dim), embedded nowhere, identical on
-    * every node and every session.
+  /** The first `planes` hyperplane sign vectors for dimension `dim`
+    * — derived once per (JVM, dim, planes), embedded nowhere,
+    * identical on every node and every session. Plane `p`'s signs do
+    * not depend on the TOTAL plane count (each hashes `"p:i"`), so a
+    * 4-plane bucket is exactly the low 4 bits of the same vector's
+    * 12-plane bucket.
     */
-  private def signs(dim: Int): Array[Array[Float]] =
-    signCache.computeIfAbsent(dim, d => {
+  private def signs(dim: Int, planes: Int): Array[Array[Float]] =
+    signCache.computeIfAbsent((dim, planes), { case (d, np) =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(Planes) { p =>
+      Array.tabulate(np) { p =>
         Array.tabulate(d) { i =>
           val h = md.digest(s"$p:$i".getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
@@ -226,15 +243,15 @@ object VectorCodec {
   }
 
   /** `graft_vec_bucket`'s kernel: the vector's LSH bucket in
-    * `[0, 2^Planes)` — bit p set iff the dot with hyperplane p is
+    * `[0, 2^planes)` — bit p set iff the dot with hyperplane p is
     * non-negative.
     */
-  def bucket(bytes: Array[Byte]): Long = {
+  def bucket(bytes: Array[Byte], planes: Int): Long = {
     val n = dims(bytes)
-    val sg = signs(n)
+    val sg = signs(n, planes)
     var b = 0L
     var p = 0
-    while (p < Planes) {
+    while (p < planes) {
       var s = 0.0
       var i = 0
       val row = sg(p)
@@ -245,12 +262,58 @@ object VectorCodec {
     b
   }
 
+  /** Default-plane-count bucket (pre-option indexes). */
+  def bucket(bytes: Array[Byte]): Long = bucket(bytes, Planes)
+
   /** Probe order for a query bucket: every bucket sorted by Hamming
     * distance to it (ties by id) — multi-probe LSH's standard order.
     */
   def probeOrder(queryBucket: Long): Seq[Long] =
     (0L until (1L << Planes)).sortBy(b =>
       (java.lang.Long.bitCount(b ^ queryBucket), b))
+
+  /** The first `nprobe` buckets of the Hamming ball around
+    * `queryBucket` over `planes` planes — enumerated distance-first
+    * (ties by bucket id, the same order [[probeOrder]] sorts into)
+    * WITHOUT materializing all 2^planes buckets, so a 20-plane index
+    * probes in microseconds. Multi-probe LSH's standard order.
+    */
+  def probeBuckets(queryBucket: Long, planes: Int,
+      nprobe: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= MaxPlanes,
+      s"planes must be in [1, $MaxPlanes], got $planes")
+    val total = 1L << planes
+    val want = math.min(nprobe.toLong, total).toInt
+    val out = new scala.collection.mutable.ArrayBuffer[Long](want)
+    var d = 0
+    while (out.length < want && d <= planes) {
+      // all masks with d of `planes` bits set, ascending by the
+      // RESULTING bucket id: collect this distance ring, sort, take
+      val ring = combinations(planes, d).map(_ ^ queryBucket).sorted
+      ring.iterator.take(want - out.length).foreach(out += _)
+      d += 1
+    }
+    out.toSeq
+  }
+
+  /** All `width`-bit masks with exactly `bits` bits set. Ring sizes
+    * are C(planes, d) — bounded by the caller's early exit at
+    * `nprobe`, which is always tiny relative to 2^planes.
+    */
+  private def combinations(width: Int, bits: Int): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rec(start: Int, left: Int, acc: Long): Unit =
+      if (left == 0) out += acc
+      else {
+        var i = start
+        while (i <= width - left) {
+          rec(i + 1, left - 1, acc | (1L << i))
+          i += 1
+        }
+      }
+    rec(0, bits, 0L)
+    out.toSeq
+  }
 }
 
 /** `graft_vec_decode(binary)` → `array<float>` — the wire form back
@@ -282,27 +345,35 @@ case class VecDecode(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_vec_decode"
 }
 
-/** `graft_vec_bucket(binary)` → `bigint` — the vector's LSH bucket;
-  * the C70 ANN index derives one entry key per vector cell with it
-  * (per-row on the build/refresh delta, so codegen matters).
+/** `graft_vec_bucket(binary[, planes])` → `bigint` — the vector's
+  * LSH bucket over the index's declared plane count; the C70 ANN
+  * index derives one entry key per vector cell with it (per-row on
+  * the build/refresh delta, so codegen matters). The plane count is
+  * a PLAN-TIME constant (read from the index metadata), not a
+  * column — it bakes into the generated code.
   */
-case class VecBucket(child: Expression) extends UnaryExpression {
+case class VecBucket(child: Expression,
+    planes: Int = VectorCodec.Planes) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != BinaryType) TypeCheckResult.TypeCheckFailure(
       s"graft_vec_bucket takes binary, got " +
         child.dataType.simpleString)
+    else if (planes < 1 || planes > VectorCodec.MaxPlanes)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_bucket planes must be in " +
+          s"[1, ${VectorCodec.MaxPlanes}], got $planes")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorCodec.bucket(input.asInstanceOf[Array[Byte]])
+    VectorCodec.bucket(input.asInstanceOf[Array[Byte]], planes)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorCodec.bucket($c)")
+      c => s"graft.functions.VectorCodec.bucket($c, $planes)")
 
   override protected def withNewChildInternal(
       newChild: Expression): Expression = copy(child = newChild)

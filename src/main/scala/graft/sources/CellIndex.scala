@@ -98,21 +98,42 @@ object CellIndex {
       .mkString(",")
 
   private case class BaseMeta(column: String, baseDir: String,
-      gen: String, epoch: Int)
+      gen: String, epoch: Int,
+      opts: Map[String, String] = Map.empty)
+
+  /** Options line form: `k=v;k=v` (sorted) — line 5 of `_base`,
+    * absent on pre-option indexes.
+    */
+  private def renderOpts(opts: Map[String, String]): String =
+    opts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  private def parseOpts(line: String): Map[String, String] =
+    line.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
 
   private def readMeta(idxDir: String): Option[BaseMeta] = {
     val p = Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile)
     if (!Files.exists(p)) return None
     try {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
-      // the 4-line index format (…, epoch band): a MATERIALIZED VIEW
-      // writes a 3-line `_base` — without this check the two kinds
-      // alias and DROP INDEX would accept a view
+      // the 4/5-line index format (…, epoch band[, options]): a
+      // MATERIALIZED VIEW writes a 3-line `_base` — without this
+      // check the two kinds alias and DROP INDEX would accept a view
       if (lines.size < 4) None
       else Some(BaseMeta(lines.get(0), lines.get(1), lines.get(2),
-        lines.get(3).trim.toInt))
+        lines.get(3).trim.toInt,
+        if (lines.size >= 5) parseOpts(lines.get(4)) else Map.empty))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** The index's persisted per-index options (`planes`/`probes` on
+    * an ann index) — what the probe side must read so the query
+    * derives the SAME buckets the build wrote.
+    */
+  def optionsOf(idxDir: String): Map[String, String] =
+    readMeta(idxDir).map(_.opts).getOrElse(Map.empty)
 
   /** Epoch band width: one build/refresh may index up to 2^20 rows
     * of ONE indexed value; the next epoch's cks start a band up.
@@ -169,7 +190,8 @@ object CellIndex {
 
   def build(spark: SparkSession, dir: String, idxDir: String,
       column: String, files: Int = 8,
-      writeThrough: Boolean = false): Unit = {
+      writeThrough: Boolean = false,
+      opts: Map[String, String] = Map.empty): Unit = {
     // same refusal as the CQL CREATE INDEX front door: the build (and
     // every delta refresh) reads the base reconcile-only (LWW), which
     // merges counter shards wrongly. Cassandra refuses 2i on counter
@@ -181,14 +203,15 @@ object CellIndex {
       .option("reconcile", "true").load(dir)
     val valueIsLong = base.schema("value").dataType == LongType
     writeEntries(base, column, valueIsLong, files, idxDir,
-      epoch = 0, overwrite = true, baseKey(dir))
+      epoch = 0, overwrite = true, baseKey(dir), opts)
     // a build over a column with ZERO matching cells writes no data
     // files — the metadata must still land (the empty index is valid
     // and serves empty hit sets)
     Files.createDirectories(Paths.get(CellPlanning.normalize(idxDir)))
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
-      s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n")
+      s"$column\n${CellPlanning.normalize(dir)}\n$gen\n0\n" +
+        (if (opts.nonEmpty) renderOpts(opts) + "\n" else ""))
     if (writeThrough) register(dir, idxDir)
   }
 
@@ -376,7 +399,8 @@ object CellIndex {
 
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
-      overwrite: Boolean, key: BaseKey): Unit = {
+      overwrite: Boolean, key: BaseKey,
+      opts: Map[String, String] = Map.empty): Unit = {
     // the indexed EXPRESSION: the cell value (plain/values index), or
     // the col name (keys index — marker cells are not map entries)
     val (hits, entryKey, entryKeyType) = column match {
@@ -412,8 +436,14 @@ object CellIndex {
             "table; this base stores " +
             base.schema("value").dataType.simpleString)
         graft.GraftExtensions.register(base.sparkSession)
+        // the DECLARED plane count (persisted in `_base` options) —
+        // build, write-through refresh and the query-side probe must
+        // all derive buckets over the same planes
+        val planes = opts.getOrElse("planes",
+          graft.functions.VectorCodec.Planes.toString).toInt
         (base.filter(col("col") === c),
-          org.apache.spark.sql.functions.expr("graft_vec_bucket(value)"),
+          org.apache.spark.sql.functions.expr(
+            s"graft_vec_bucket(value, $planes)"),
           LongType: org.apache.spark.sql.types.DataType)
       case ContainsIdxRe(c) =>
         require(base.schema("value").dataType ==
@@ -497,8 +527,9 @@ object CellIndex {
     val oldNames = m.gen.split(',').filter(_.nonEmpty).toSet
     if (liveNames.toSet == oldNames) return // not stale
     if (!oldNames.subsetOf(liveNames.toSet)) {
-      // generation replaced (compaction/truncate): delta undefined
-      build(spark, m.baseDir, idxDir, m.column)
+      // generation replaced (compaction/truncate): delta undefined;
+      // the rebuild keeps the index's declared options (plane count)
+      build(spark, m.baseDir, idxDir, m.column, opts = m.opts)
       return
     }
     val gen = liveNames.mkString(",")
@@ -516,7 +547,8 @@ object CellIndex {
         .option("reconcile", "true").load(scratch.toString)
       writeEntries(delta, m.column,
         delta.schema("value").dataType == LongType, files = 8, idxDir,
-        epoch = m.epoch + 1, overwrite = false, baseKey(m.baseDir))
+        epoch = m.epoch + 1, overwrite = false, baseKey(m.baseDir),
+        m.opts)
     } finally {
       Using.resource(Files.list(scratch)) { st =>
         st.iterator().asScala.toList.foreach(Files.deleteIfExists(_))
@@ -526,7 +558,8 @@ object CellIndex {
     Files.writeString(
       Paths.get(CellPlanning.normalize(idxDir)).resolve(BaseFile),
       s"${m.column}\n${CellPlanning.normalize(m.baseDir)}\n$gen\n" +
-        s"${m.epoch + 1}\n")
+        s"${m.epoch + 1}\n" +
+        (if (m.opts.nonEmpty) renderOpts(m.opts) + "\n" else ""))
   }
 
   /** True when the base table has flushed files since the recorded
@@ -547,7 +580,8 @@ object CellIndex {
     readMeta(idxDir).foreach { m =>
       if (generation(m.baseDir) != m.gen) onStale match {
         case "refresh" => refresh(spark, idxDir)
-        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "rebuild" =>
+          build(spark, m.baseDir, idxDir, m.column, opts = m.opts)
         case "fail" => throw new IllegalStateException(
           s"secondary index at $idxDir is STALE: base table " +
             s"${m.baseDir} has flushed since the index build " +
@@ -583,7 +617,8 @@ object CellIndex {
     readMeta(idxDir).foreach { m =>
       if (generation(m.baseDir) != m.gen) onStale match {
         case "refresh" => refresh(spark, idxDir)
-        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "rebuild" =>
+          build(spark, m.baseDir, idxDir, m.column, opts = m.opts)
         case "fail" => throw new IllegalStateException(
           s"secondary index at $idxDir is STALE (see lookupPks)")
         case _ =>
@@ -695,7 +730,8 @@ object CellIndex {
     readMeta(idxDir).foreach { m =>
       if (generation(m.baseDir) != m.gen) onStale match {
         case "refresh" => refresh(spark, idxDir)
-        case "rebuild" => build(spark, m.baseDir, idxDir, m.column)
+        case "rebuild" =>
+          build(spark, m.baseDir, idxDir, m.column, opts = m.opts)
         case "fail" => throw new IllegalStateException(
           s"secondary index at $idxDir is STALE (see lookupPks)")
         case _ =>

@@ -4659,6 +4659,92 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.veccat")
   }
 
+  test("ann index geometry options (C70 planes/probes lifecycle): " +
+    "persisted plane count, Hamming-ball probes, write-through, " +
+    "file-level probe pruning, DESCRIBE round-trip") {
+    val root = Files.createTempDirectory("cql-planes").toString
+    spark.conf.set("spark.sql.catalog.plcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.plcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "plcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.emb (pk bigint, ck int, col text, " +
+        "value vector<float, 4>, wt bigint)")
+      // option validation refuses at CREATE INDEX, before any build
+      refuse("CREATE INDEX ON ks.emb (ann(v)) WITH OPTIONS = " +
+        "{'planes': '0'}", "planes must be in [1, 20]")
+      refuse("CREATE INDEX ON ks.emb (ann(v)) WITH OPTIONS = " +
+        "{'planes': '25'}", "planes must be in [1, 20]")
+      refuse("CREATE INDEX ON ks.emb (ann(v)) WITH OPTIONS = " +
+        "{'planes': '4', 'probes': '20'}", "probes must be <= 2^planes")
+      refuse("CREATE INDEX ON ks.emb (ann(v)) WITH OPTIONS = " +
+        "{'case_sensitive': 'false'}", "an ann index takes planes/probes")
+      cq("CREATE INDEX ON ks.emb (ann(v)) WITH OPTIONS = " +
+        "{'planes': '6', 'probes': '2'}")
+      val idxDir = s"$root/ks/emb_v_ann_idx"
+      // the geometry is PERSISTED in the index metadata — the probe
+      // side must derive the same buckets the build wrote
+      assert(graft.sources.CellIndex.optionsOf(idxDir) ===
+        Map("planes" -> "6", "probes" -> "2"))
+      // positives bucket with the query (positive multiples share
+      // every hyperplane sign); the negation flips ALL 6 bits
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, " +
+        "[2.0, 1.0, 0.5, 0.25])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1, " +
+        "[3.0, 1.5, 0.75, 0.375])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (4, 1, " +
+        "[0.5, 0.25, 0.125, 0.0625])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (5, 1, " +
+        "[-1.0, -0.5, -0.25, -0.125])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (6, 1, " +
+        "[-2.0, -1.0, -0.5, -0.25])")
+      // write-through refresh derived 6-plane buckets (a 4-plane
+      // refresh would key buckets the probe never opens)
+      assert(!graft.sources.CellIndex.isStale(idxDir))
+      val q = Array(1.0f, 0.5f, 0.25f, 0.125f)
+      val qb = graft.functions.VectorCodec.bucket(
+        graft.functions.VectorCodec.encode(q), 6)
+      val idx = spark.read.format("graft.sources.CellSource")
+        .load(idxDir)
+      val buckets = idx.select(col("pk")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(buckets.contains(qb))
+      assert(buckets.contains(qb ^ 0x3fL)) // the all-flipped bucket
+      // file-level probe pruning: the 2-bucket Hamming-ball probe
+      // plans STRICTLY fewer index files than the full index scan
+      val probes = graft.functions.VectorCodec.probeBuckets(qb, 6, 2)
+      val allParts = idx.rdd.getNumPartitions
+      val probeParts = idx
+        .filter(col("pk").isin(probes.map(Long.box): _*))
+        .rdd.getNumPartitions
+      assert(allParts >= 2, s"index landed in $allParts file(s)")
+      assert(probeParts < allParts,
+        s"probe planned $probeParts of $allParts index files")
+      // the 2-probe ball excludes the negated vectors (Hamming 6);
+      // exact-cosine rerank orders the positives, ties by pk
+      val top = cq("SELECT pk FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 10")
+        .collect().map(_.getLong(0)).toSeq
+      assert(top === Seq(2L, 3L, 4L),
+        s"expected pruned positives-only rank, got $top")
+      // DESCRIBE renders the persisted geometry, round-trippable
+      val desc = cq("DESCRIBE INDEX ks.emb_v_ann_idx")
+        .collect().head.getString(0)
+      assert(desc.contains("ann(v)") &&
+        desc.contains("'planes': '6'") && desc.contains("'probes': '2'"),
+        desc)
+      // planes/probes refuse outside ann mode
+      cq("CREATE TABLE ks.txt (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      refuse("CREATE INDEX ON ks.txt (prefix(value)) WITH OPTIONS = " +
+        "{'planes': '6'}", "unsupported index OPTIONS")
+    } finally spark.conf.unset("spark.sql.catalog.plcat")
+  }
+
   test("CQL user-defined functions and aggregates (C71): " +
     "deterministic expression subset, clustering-order folds") {
     val root = Files.createTempDirectory("cql-fn").toString
@@ -4776,6 +4862,46 @@ class CqlSpec extends GraftSpec {
       refuse("CREATE AGGREGATE ks.badagg (bigint) SFUNC nosuch " +
         "STYPE bigint INITCOND 0", "not a registered function")
     } finally spark.conf.unset("spark.sql.catalog.fncat")
+  }
+
+  test("C71 UDA fold is width-guarded: an over-wide group fails by " +
+    "name (graft.maxGroupWidth), not by executor OOM") {
+    val root = Files.createTempDirectory("cql-uda-w").toString
+    spark.conf.set("spark.sql.catalog.fwcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.fwcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "fwcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 1, 5)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 2, 7)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 3, 9)")
+      cq("CREATE FUNCTION ks.acc (a bigint, v bigint) " +
+        "RETURNS NULL ON NULL INPUT RETURNS bigint " +
+        "LANGUAGE sql AS 'a + v'")
+      cq("CREATE AGGREGATE ks.total (bigint) SFUNC acc " +
+        "STYPE bigint INITCOND 0")
+      // default width: the 3-row group folds fine
+      assert(cq("SELECT total(value) FROM ks.t").collect()
+        .head.getLong(0) === 21L)
+      // lowered width: the SAME fold raises the NAMED guard error —
+      // the coordinator-style buffer is graft_collect_bounded, so a
+      // pathological wide partition diagnoses instead of OOMing
+      spark.conf.set("graft.maxGroupWidth", "2")
+      try {
+        val e = intercept[Exception] {
+          cq("SELECT total(value) FROM ks.t").collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Seq.empty
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("graft.maxGroupWidth")),
+          msgs(e).mkString(" | "))
+      } finally spark.conf.unset("graft.maxGroupWidth")
+      assert(cq("SELECT total(value) FROM ks.t").collect()
+        .head.getLong(0) === 21L)
+    } finally spark.conf.unset("spark.sql.catalog.fwcat")
   }
 
   test("SASI CONTAINS-mode substring LIKE (C18j): suffix index, " +

@@ -184,4 +184,45 @@ class ExpressionSpec extends GraftSpec {
         .collect()
     }
   }
+
+  test("VectorCodec parameterized planes: prefix buckets, " +
+    "Hamming-ball probe order, SQL 2-arg form") {
+    import graft.functions.VectorCodec
+    val v = VectorCodec.encode(Array(1.5f, -2.25f, 0.5f, 3f, -1f, 4f))
+    // plane p's signs hash "p:i" independent of the TOTAL count, so
+    // the 4-plane bucket is exactly the low 4 bits of the 12-plane one
+    assert(VectorCodec.bucket(v) === VectorCodec.bucket(v, 4))
+    assert((VectorCodec.bucket(v, 12) & 0xfL) === VectorCodec.bucket(v, 4))
+    // probeBuckets reproduces probeOrder's (distance, id) order at the
+    // default geometry for every prefix length
+    val q = VectorCodec.bucket(v, 4)
+    val full = VectorCodec.probeOrder(q)
+    for (n <- 1 to 16)
+      assert(VectorCodec.probeBuckets(q, 4, n) === full.take(n))
+    // 12 planes: ball is distance-first, ties ascending by bucket id
+    val q12 = VectorCodec.bucket(v, 12)
+    val ball = VectorCodec.probeBuckets(q12, 12, 8)
+    assert(ball.head === q12)
+    val dists = ball.map(b => java.lang.Long.bitCount(b ^ q12))
+    assert(dists === dists.sorted)
+    assert(ball.distinct.length === 8)
+    assert(ball.tail.forall(b => java.lang.Long.bitCount(b ^ q12) <= 2))
+    // nprobe past the bucket count truncates to the full ring set
+    assert(VectorCodec.probeBuckets(0L, 2, 99).sorted === Seq(0L, 1L, 2L, 3L))
+    // out-of-range planes refuse by name
+    intercept[IllegalArgumentException] {
+      VectorCodec.probeBuckets(0L, 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      VectorCodec.probeBuckets(0L, VectorCodec.MaxPlanes + 1, 1)
+    }
+    // SQL: the optional second argument selects the plane count
+    GraftExtensions.register(spark)
+    val hex = v.map("%02x".format(_)).mkString
+    val row = spark.sql(
+      s"SELECT graft_vec_bucket(unhex('$hex')) AS b4, " +
+        s"graft_vec_bucket(unhex('$hex'), 12) AS b12").head()
+    assert(row.getLong(0) === VectorCodec.bucket(v, 4))
+    assert(row.getLong(1) === VectorCodec.bucket(v, 12))
+  }
 }
