@@ -3231,6 +3231,43 @@ object Cql {
       graft.functions.VectorCodec.bucket(qBytes, planes), planes,
       nprobe)
     val cand = whereOpt match {
+      case Some(PredRe(c, "=", rv))
+          if !Seq("pk", "ck").contains(c.toLowerCase) =>
+        // FILTERED ANN (C70c, Cassandra 5's SAI + vector shape:
+        // `WHERE <indexed col> = ? ORDER BY v ANN OF … LIMIT k`).
+        // PRE-filter semantics — the FAISS IDSelector rule N_SIM12
+        // follows: resolve the restriction to its row set through
+        // the column's OWN secondary index FIRST, then rerank that
+        // slice's vectors by exact cosine; never post-filter a
+        // short k-list (which would under-fill k whenever the
+        // filter is selective). Recall is 1 within the slice, so
+        // the result stays oracle-hashable. The restriction value
+        // parses through the table's declared grammar (every data
+        // cell of a vector table IS vector-valued in the cell
+        // model); the base re-read re-applies the predicate, so
+        // index false positives drop before the rerank.
+        val cl = c.toLowerCase
+        if (cl == vcol)
+          fail(s"ANN orders by $vcol — filtering on the same " +
+            "column selects exact matches; use a plain indexed " +
+            "equality SELECT for that")
+        val iv = mappedLiteral(ct)(rv, s"$cl predicate")
+        val idx2 = graft.sources.CellIndex.registered(dir)
+          .find(i => graft.sources.CellIndex.columnOf(i).contains(cl))
+          .getOrElse(fail(s"ANN with a $cl restriction needs a " +
+            s"secondary index on $cl (CREATE INDEX ... ON <table> " +
+            s"($cl)) — the filter resolves through its index, " +
+            "never by scanning (Cassandra's SAI rule)"))
+        val fetched = graft.sources.CellIndex
+          .lookupBase(spark, dir, idx2, iv)
+        val rows = fetched
+          .filter(col("col") === cl && col("value") === lit(iv))
+          .select(col("pk"), col("ck"))
+        // the row set is index-pruned small: broadcast it onto the
+        // slice's vector cells — no shuffle, pre-filter intersection
+        fetched.filter(col("col") === vcol)
+          .join(org.apache.spark.sql.functions.broadcast(rows),
+            Seq("pk", "ck"), "left_semi")
       case Some(w) =>
         // partition-RESTRICTED ANN (C70b, Cassandra 5's WHERE +
         // ANN OF): the restriction bounds the read EXACTLY, so the
@@ -3243,7 +3280,8 @@ object Cql {
         if (ckEq.isDefined || ckLo != Int.MinValue.toLong ||
             ckHi != Int.MaxValue.toLong)
           fail("ANN WHERE takes partition-key restrictions only " +
-            "(pk = ... / pk IN (...))")
+            "(pk = ... / pk IN (...)) or ONE indexed data-column " +
+            "equality")
         spark.read.format(Fmt).option("reconcile", "true").load(dir)
           .filter(col("pk").isin(pks.toSeq: _*) &&
             col("col") === vcol)

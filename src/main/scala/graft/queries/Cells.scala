@@ -2849,6 +2849,58 @@ object Cells {
       |FROM (VALUES (1, 1), (1, 3)) AS t(pk, ck)
       |ORDER BY pk, ck""".stripMargin
 
+  // C70c — FILTERED ANN (r16): Cassandra 5's SAI + vector shape,
+  // `WHERE <indexed col> = ? ORDER BY v ANN OF [..] LIMIT k`. The
+  // restriction resolves through the column's OWN secondary index to
+  // a row set FIRST (FAISS IDSelector PRE-filter semantics, the
+  // N_SIM12 rule through the front door), then the slice's vectors
+  // rerank by exact cosine — never post-filtering a short k-list.
+  // pk 1 ties the best cosine but carries the OTHER tag: a
+  // post-filter over a global top-k would surface it first and then
+  // drop it, under-filling k; pre-filter returns exactly the
+  // matching rows ranked 2 (cos 1.0), 3, 4 (cos -1.0).
+  private def filteredAnnLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_fvec"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-fvec-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.emb (pk bigint, ck int,
+        |  col text, value vector<float, 4>, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (ann(v));
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (tag);
+        |TRUNCATE ks.emb;
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1,
+        |  [1.0, 0.5, 0.25, 0.125]);
+        |INSERT INTO ks.emb (pk, ck, tag) VALUES (1, 1,
+        |  [1.0, 0.0, 0.0, 0.0]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1,
+        |  [2.0, 1.0, 0.5, 0.25]);
+        |INSERT INTO ks.emb (pk, ck, tag) VALUES (2, 1,
+        |  [0.0, 1.0, 0.0, 0.0]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1,
+        |  [0.5, 1.0, -0.25, 0.125]);
+        |INSERT INTO ks.emb (pk, ck, tag) VALUES (3, 1,
+        |  [0.0, 1.0, 0.0, 0.0]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (4, 1,
+        |  [-1.0, -0.5, -0.25, -0.125]);
+        |INSERT INTO ks.emb (pk, ck, tag) VALUES (4, 1,
+        |  [0.0, 1.0, 0.0, 0.0]);
+        |SELECT pk FROM ks.emb WHERE tag = [0.0, 1.0, 0.0, 0.0]
+        |  ORDER BY v ANN OF [1.0, 0.5, 0.25, 0.125] LIMIT 3"""
+        .stripMargin, cat)
+      .orderBy(col("pk"))
+  }
+
+  private val filteredAnnSql =
+    """SELECT CAST(pk AS BIGINT) AS pk
+      |FROM (VALUES (2), (3), (4)) AS t(pk)
+      |ORDER BY pk""".stripMargin
+
   // C71 — CQL user-defined functions/aggregates (r15): CREATE
   // FUNCTION registers a deterministic scalar SQL expression over
   // named arguments (validated at CREATE: parses, resolves over
@@ -3568,6 +3620,8 @@ object Cells {
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
     GQuery("C70b_restricted_ann", restrictedAnnLifecycle,
       Some(restrictedAnnSql)),
+    GQuery("C70c_filtered_ann", filteredAnnLifecycle,
+      Some(filteredAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -4533,6 +4533,60 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.rvcat")
   }
 
+  test("filtered ANN (C70c): pre-filter through the column's 2i, " +
+    "never a post-filtered short k-list; refusals by name") {
+    val root = Files.createTempDirectory("cql-fann").toString
+    spark.conf.set("spark.sql.catalog.facat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.facat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "facat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.emb (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("CREATE INDEX ON ks.emb (ann(v))")
+      // pk 1: the globally BEST match, but tagged [1, 0]
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1, [1.0, 0.0])")
+      cq("INSERT INTO ks.emb (pk, ck, tag) VALUES (1, 1, [1.0, 0.0])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, [0.9, 0.1])")
+      cq("INSERT INTO ks.emb (pk, ck, tag) VALUES (2, 1, [0.0, 1.0])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1, [0.0, 1.0])")
+      cq("INSERT INTO ks.emb (pk, ck, tag) VALUES (3, 1, [0.0, 1.0])")
+      // the filter resolves through ITS index — refuse without one
+      refuse("SELECT pk FROM ks.emb WHERE tag = [0.0, 1.0] " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2",
+        "needs a secondary index on tag")
+      cq("CREATE INDEX ON ks.emb (tag)")
+      // PRE-filter semantics: k = 2 fills entirely from the tagged
+      // slice (pks 2, 3) even though pk 1 beats both on cosine — a
+      // post-filter of the global top-2 would return pk 2 alone
+      val hits = cq("SELECT pk FROM ks.emb WHERE tag = [0.0, 1.0] " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2")
+        .collect().map(_.getLong(0)).toSeq
+      assert(hits === Seq(2L, 3L), s"pre-filter top-k, got $hits")
+      // the predicate re-applies on the base: rows whose tag was
+      // OVERWRITTEN away drop even while the 2i still lists them
+      cq("UPDATE ks.emb SET tag = [1.0, 0.0] WHERE pk = 3 AND ck = 1")
+      val after = cq("SELECT pk FROM ks.emb WHERE tag = [0.0, 1.0] " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after === Seq(2L), s"stale index entry not dropped: $after")
+      // filtering on the ANN column itself refuses
+      refuse("SELECT pk FROM ks.emb WHERE v = [1.0, 0.0] " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 2",
+        "filtering on the same column")
+      // the vector index stays mandatory with a filter present
+      cq("CREATE TABLE ks.emb2 (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("INSERT INTO ks.emb2 (pk, ck, tag) VALUES (1, 1, [1.0, 0.0])")
+      refuse("SELECT pk FROM ks.emb2 WHERE tag = [1.0, 0.0] " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 1", "needs a vector index")
+    } finally spark.conf.unset("spark.sql.catalog.facat")
+  }
+
   test("GROUP BY must name a primary-key prefix (Cassandra 3.10 rule)") {
     val root = Files.createTempDirectory("cql-gby").toString
     spark.conf.set("spark.sql.catalog.gbcat", "graft.sources.CellCatalog")
