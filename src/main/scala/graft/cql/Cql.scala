@@ -594,7 +594,8 @@ object Cql {
           // string the text grammar would
           mappedValueType(dir) match {
             case Some((ct, vt)) => appendAnyCells(spark, dir, vt,
-              insertScalarCells(mappedLiteral(ct), cols, vals, wt),
+              insertScalarCells(mappedLiteral(ct), cols, vals, wt,
+                graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
             case None if isStringValued(dir) =>
               appendStringCells(spark, dir, insertStringCells(cols,
@@ -605,7 +606,8 @@ object Cql {
                 insertBlobCells(cols, vals, wt), ttlOpt)
             case None => otherScalarType(dir) match {
               case Some(vt) => appendAnyCells(spark, dir, vt,
-                insertScalarCells(scalarLiteral(vt), cols, vals, wt),
+                insertScalarCells(scalarLiteral(vt), cols, vals, wt,
+                  graft.sources.CellSource.staticCols(dir)),
                 ttlOpt)
               case None => appendCells(spark, dir,
                 insertCells(cols, vals, wt,
@@ -654,14 +656,16 @@ object Cql {
       } else if (spec.isDefault) {
         mappedValueType(dir) match {
           case Some((ct, vt)) =>
-            // mapped types (C65r): scalar cells only — collection
-            // element cells would need a per-element mapped grammar.
-            // On a VECTOR table the bracket form IS the literal.
+            // mapped types (C65r/C65x): element cells parse through
+            // the DECLARED grammar — `set<inet>` adds validated
+            // addresses, `map<text, date>` entries store day counts.
+            // On a VECTOR table the bracket form IS the literal, so
+            // collection syntax never routes there.
             if (hasCollectionSyntax(sets) && !ct.startsWith("vector<"))
-              fail(s"collections on $ct-valued tables are outside " +
-                "this subset")
-            appendAnyCells(spark, dir, vt,
-              updateScalarCells(mappedLiteral(ct), sets, where, wt),
+              collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
+            else appendAnyCells(spark, dir, vt,
+              updateScalarCells(mappedLiteral(ct), sets, where, wt,
+                graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
           case None if hasCollectionSyntax(sets) =>
             // element cells take the table's value type: bigint on
@@ -676,7 +680,8 @@ object Cql {
               updateBlobCells(sets, where, wt), ttlOpt)
           case None => otherScalarType(dir) match {
             case Some(vt) => appendAnyCells(spark, dir, vt,
-              updateScalarCells(scalarLiteral(vt), sets, where, wt),
+              updateScalarCells(scalarLiteral(vt), sets, where, wt,
+                graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
             case None => appendCells(spark, dir,
               updateCells(sets, where, wt,
@@ -2893,14 +2898,22 @@ object Cql {
       if (udtOpt.isDefined || unfrozenOpt.isDefined) None
       else Some(colMap("value")).filter(t =>
         MappedCqlTypes.contains(t) || t.startsWith("vector<"))
-    if (statics.nonEmpty && mappedV.isDefined)
-      fail(s"static columns on ${mappedV.get}-valued tables are " +
-        "outside this subset")
+    // static columns over mapped declared types (C65x, r16): legal
+    // when the static's declared type MATCHES the table's declared
+    // value type exactly — the static cell then parses through the
+    // same validated grammar as regular cells and stores the same
+    // layout. Vector statics stay out (a per-partition embedding has
+    // no write grammar distinct from the value column's).
     statics.foreach { n =>
-      if (MappedCqlTypes.contains(colMap(n)) ||
-          colMap(n).startsWith("vector<"))
-        fail(s"static column $n: mapped CQL types " +
-          s"(${colMap(n)}) cannot be static in this subset")
+      if (colMap(n).startsWith("vector<") ||
+          colMap("value").startsWith("vector<"))
+        fail(s"static column $n: vector types cannot be static in " +
+          "this subset")
+      if ((MappedCqlTypes.contains(colMap(n)) ||
+          MappedCqlTypes.contains(colMap("value"))) &&
+          colMap(n) != colMap("value"))
+        fail(s"static column $n must share the table's declared " +
+          s"value type (${colMap("value")}), got ${colMap(n)}")
     }
     // STATIC columns (C15b) are the one legal extra: per-partition
     // cells at the marker position, declared here so writes/reads can
@@ -6188,12 +6201,16 @@ object Cql {
     case t => fail(s"unsupported scalar value type: $t")
   }
 
-  /** C65q INSERT cells: [[insertCells]]'s key grammar with the
-    * type's literal in the value slot (statics excluded).
+  /** C65q/C65r INSERT cells: [[insertCells]]'s key/static grammar
+    * with the type's literal in the value slot. Static columns
+    * (C65x) land at the partition's marker position exactly as on
+    * bigint/text tables — the literal parses through the SAME
+    * declared grammar as regular cells.
     */
   private def insertScalarCells(
       parse: (String, String) => Any, cols: String,
-      vals: String, wt: Long)
+      vals: String, wt: Long,
+      statics: Set[String] = Set.empty)
       : Seq[(Long, Int, String, Any, Long)] = {
     val names = cols.split(',').map(_.trim)
     val values = splitValues(vals)
@@ -6203,23 +6220,30 @@ object Cql {
     val kv = names.map(_.toLowerCase).zip(values.map(_.trim)).toMap
     val pk = longLiteral(
       kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
-    val ck = ckLiteral(
-      kv.getOrElse("ck", fail("INSERT must bind ck")))
     val data = names.map(_.toLowerCase)
       .filterNot(n => n == "pk" || n == "ck")
     if (data.isEmpty) fail("INSERT needs at least one data column")
-    data.map(c =>
-      (pk, ck, c, parse(kv(c), s"value of $c"), wt)).toSeq
+    val (st, reg) = data.toSeq.partition(statics.contains)
+    lazy val ck = ckLiteral(
+      kv.getOrElse("ck", fail("INSERT must bind ck")))
+    reg.map(c =>
+      (pk, ck, c, parse(kv(c), s"value of $c"), wt)) ++
+      st.map(c => (pk, Int.MinValue,
+        graft.sources.CellSource.StaticPrefix + c,
+        parse(kv(c), s"value of $c"), wt))
   }
 
-  /** C65q UPDATE cells. SET items split bracket-aware — a vector
-    * literal (C70) nests commas.
+  /** C65q/C65r UPDATE cells. SET items split bracket-aware — a
+    * vector literal (C70) nests commas. Static SETs (C65x) address
+    * the partition (Cassandra's rule), so ck stays lazily bound.
     */
   private def updateScalarCells(
       parse: (String, String) => Any, sets: String,
-      where: String, wt: Long): Seq[(Long, Int, String, Any, Long)] = {
+      where: String, wt: Long,
+      statics: Set[String] = Set.empty)
+      : Seq[(Long, Int, String, Any, Long)] = {
     val (pks, ckEq, _, _) = keyPredicate(where)
-    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    lazy val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
     for {
       item <- splitValues(sets).toSeq
       (c, v) = item match {
@@ -6228,7 +6252,11 @@ object Cql {
         case x => fail(s"unsupported SET item: $x")
       }
       pk <- pks.toSeq.sorted
-    } yield (pk, ck, c, v, wt)
+    } yield
+      if (statics.contains(c))
+        (pk, Int.MinValue,
+          graft.sources.CellSource.StaticPrefix + c, v, wt)
+      else (pk, ck, c, v, wt)
   }
 
   /** BLOB-valued INSERT cells (C65p): [[insertCells]]'s key grammar
@@ -6403,10 +6431,11 @@ object Cql {
     """(?is)^\s*('(?:[^']|'')*')\s*:\s*(.+?)\s*$""".r
 
   /** Map-literal entries `'k': v [, 'k2': v2 …]` → (verbatim key,
-    * value) pairs; keys are DATA (stored case-sensitively, C12).
+    * value) pairs; keys are DATA (stored case-sensitively, C12),
+    * values parse through the table's element grammar (`parse`).
     */
   private def mapEntries(body: String,
-      stringValued: Boolean): Seq[(String, Any)] =
+      parse: (String, String) => Any): Seq[(String, Any)] =
     splitValues(body).toSeq.map {
       case KvRe(kq, v) =>
         val k = literal(kq) match {
@@ -6415,7 +6444,7 @@ object Cql {
         }
         if (k.isEmpty || k.startsWith("!"))
           fail(s"unsupported map key: '$k'")
-        (k, collValue(stringValued)(v, "map value"))
+        (k, parse(v, "map value"))
       case e => fail(s"map literal entries are 'key': value, got: $e")
     }
 
@@ -6461,8 +6490,21 @@ object Cql {
       ttl: Option[Long]): Unit = {
     // list appends / set removes read the reconciled current state
     flushBuffered(spark, dir)
-    val str = isStringValued(dir)
-    val lit = collValue(str) _
+    // element grammar (C65x): a mapped declared type parses elements
+    // through ITS validated grammar (`set<inet>` refuses non-
+    // addresses) and stores the canonical storage rendering; plain
+    // tables keep the text/bigint element grammar
+    val mapped = mappedValueType(dir)
+    val str = mapped.isEmpty && isStringValued(dir)
+    // brace-literal discriminator: quoted-element types (text AND
+    // every mapped grammar with quoted literals) distinguish map
+    // from set by the 'k': v colon form; bare-number tables by the
+    // quote itself (C65o's rule, extended)
+    val quotedElems = str || mapped.isDefined
+    val lit: (String, String) => Any = mapped match {
+      case Some((ct, _)) => mappedLiteral(ct)
+      case None => collValue(str)
+    }
     val (pks, ckEq, _, _) = keyPredicate(where)
     val pkSeq = pks.toSeq.sorted
     val cells = scala.collection.mutable
@@ -6506,15 +6548,15 @@ object Cql {
       // map-LITERAL forms (quoted braces): `m = m + {'k': v}` puts
       // each entry (≡ m['k'] = v), `m = m - {'k'}` tombstones the
       // entry cell — both on the fully-bound row (the row IS the map)
-      case SetAddRe(n1, n2, vs) if isMapLiteral(vs, str) =>
+      case SetAddRe(n1, n2, vs) if isMapLiteral(vs, quotedElems) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map append must extend the same column ($n1 vs $n2)")
         val ck = ckEq.getOrElse(
           fail("map append needs WHERE ... AND ck = ? (the row IS " +
             "the map)"))
-        mapEntries(vs, str).foreach { case (k, v) =>
+        mapEntries(vs, lit).foreach { case (k, v) =>
           pkSeq.foreach(pk => cells += ((pk, ck, k, v, wt))) }
-      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs, str) =>
+      case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs, quotedElems) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map subtract must shrink the same column ($n1 vs $n2)")
         val ck = ckEq.getOrElse(
@@ -6550,19 +6592,30 @@ object Cql {
           ((pk, ck, c.toLowerCase, lit(v, s"value of $c"), wt)))
       case x => fail(s"unsupported SET item: $x")
     }
-    if (str) {
-      appendStringCells(spark, dir, cells.toSeq.map {
-        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[String], w)
-      }, ttl)
-      appendStringCells(spark, dir, tombs.toSeq.map {
-        case (pk, ck, c, _, w) => (pk, ck, c, "", w) }, ttl = None)
-    } else {
-      appendCells(spark, dir, cells.toSeq.map {
-        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
-      }, ttl)
-      appendCells(spark, dir, tombs.toSeq.map {
-        case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
-      }, ttl = None)
+    mapped match {
+      case Some((_, vt)) =>
+        // mapped element cells ride the value-tagged buffered path
+        // every other write on this table uses; tombstone value
+        // slots carry the storage layout's neutral (never the TTL —
+        // an expiring tombstone would resurrect removed elements)
+        appendAnyCells(spark, dir, vt, cells.toSeq, ttl)
+        appendAnyCells(spark, dir, vt, tombs.toSeq.map {
+          case (pk, ck, c, _, w) => (pk, ck, c, scalarNeutral(vt), w)
+        }, ttl = None)
+      case None if str =>
+        appendStringCells(spark, dir, cells.toSeq.map {
+          case (pk, ck, c, v, w) =>
+            (pk, ck, c, v.asInstanceOf[String], w)
+        }, ttl)
+        appendStringCells(spark, dir, tombs.toSeq.map {
+          case (pk, ck, c, _, w) => (pk, ck, c, "", w) }, ttl = None)
+      case None =>
+        appendCells(spark, dir, cells.toSeq.map {
+          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+        }, ttl)
+        appendCells(spark, dir, tombs.toSeq.map {
+          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+        }, ttl = None)
     }
   }
 
@@ -6666,8 +6719,9 @@ object Cql {
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map append must extend the same column ($n1 vs $n2)")
         val ck = fullCk
-        mapEntries(vs, stringValued = false).foreach { case (k, v) =>
-          pkTuples.foreach(pk => rows += pk ++ ck ++ Seq(k, v, wt)) }
+        mapEntries(vs, collValue(stringValued = false))
+          .foreach { case (k, v) =>
+            pkTuples.foreach(pk => rows += pk ++ ck ++ Seq(k, v, wt)) }
       case SetRemoveRe(n1, n2, vs)
           if isMapLiteral(vs, stringValued = false) =>
         if (!n1.equalsIgnoreCase(n2))

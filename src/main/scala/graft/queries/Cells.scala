@@ -2384,6 +2384,70 @@ object Cells {
       |  ('si', 1, '-32768')) AS t(tbl, pk, v)
       |ORDER BY tbl, pk""".stripMargin
 
+  // C65x — COLLECTIONS and STATICS over mapped declared types (r16):
+  // `set<inet>` adds/removes parse elements through the inet grammar
+  // (validated + canonicalized), `map<text, date>` entry values store
+  // day counts through the date grammar, a `static uuid` column rides
+  // the partition-marker position with uuid-validated literals — the
+  // C11/C12/C13 element-per-cell encodings and the C15b static cells,
+  // lifted over the C65r grammar matrix with zero new storage.
+  private def mappedCollectionsLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c65x"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c65x-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.si (pk bigint, ck int,
+        |  col text, value inet, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.md (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.su (pk bigint, ck int,
+        |  col text, value uuid, wt bigint, owner uuid STATIC);
+        |TRUNCATE ks.si; TRUNCATE ks.md; TRUNCATE ks.su;
+        |UPDATE ks.si SET ips = ips + {'10.0.0.1', '10.0.0.2'}
+        |  WHERE pk = 1;
+        |UPDATE ks.si SET ips = ips + {'2001:DB8::1'} WHERE pk = 1;
+        |UPDATE ks.si SET ips = ips - {'10.0.0.2'} WHERE pk = 1;
+        |UPDATE ks.si SET ips = ips + {'10.0.0.1'} WHERE pk = 2;
+        |UPDATE ks.md SET m['start'] = '2024-01-29'
+        |  WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.md SET m = m + {'a': '1970-01-02',
+        |  'b': '1969-12-31'} WHERE pk = 1 AND ck = 1;
+        |DELETE a FROM ks.md WHERE pk = 1 AND ck = 1;
+        |INSERT INTO ks.su (pk, ck, id, owner) VALUES (1, 1,
+        |  00000000-0000-1000-8000-000000000001,
+        |  123E4567-E89B-12D3-A456-426614174000);
+        |UPDATE ks.su SET owner =
+        |  00000000-0000-1000-8000-00000000beef WHERE pk = 2
+        |""".stripMargin, cat)
+    cq("SELECT pk, col, value FROM ks.si")
+      .select(lit("si").as("tbl"), col("pk"), col("col").as("k"),
+        col("value").cast("string").as("v"))
+      .unionAll(cq("SELECT pk, col, value FROM ks.md")
+        .select(lit("md").as("tbl"), col("pk"), col("col").as("k"),
+          col("value").cast("string").as("v")))
+      .unionAll(cq("SELECT DISTINCT pk, owner FROM ks.su")
+        .select(lit("su").as("tbl"), col("pk"), lit("owner").as("k"),
+          col("owner").cast("string").as("v")))
+      .orderBy(col("tbl"), col("pk"), col("k"), col("v"))
+  }
+
+  private val mappedCollectionsSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, k, v
+      |FROM (VALUES
+      |  ('md', 1, 'b', '-1'), ('md', 1, 'start', '19751'),
+      |  ('si', 1, 'ips', '10.0.0.1'), ('si', 1, 'ips', '2001:db8::1'),
+      |  ('si', 2, 'ips', '10.0.0.1'),
+      |  ('su', 1, 'owner', '123e4567-e89b-12d3-a456-426614174000'),
+      |  ('su', 2, 'owner', '00000000-0000-1000-8000-00000000beef'))
+      |  AS t(tbl, pk, k, v)
+      |ORDER BY tbl, pk, k, v""".stripMargin
+
   // C65s — the DURATION value type through the front door (r15):
   // Cassandra's (months, days, nanos) triple, stored as its canonical
   // text rendering (`1y2mo3d4h5m6s`). Both public literal grammars
@@ -3599,6 +3663,8 @@ object Cells {
       Some(blobValuesSql)),
     GQuery("C65q_scalar_values", scalarValuesLifecycle,
       Some(scalarValuesSql)),
+    GQuery("C65x_mapped_collections", mappedCollectionsLifecycle,
+      Some(mappedCollectionsSql)),
     GQuery("C65r_mapped_values", mappedValuesLifecycle,
       Some(mappedValuesSql)),
     GQuery("C65s_duration_values", durationValuesLifecycle,

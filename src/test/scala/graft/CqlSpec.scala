@@ -4328,11 +4328,22 @@ class CqlSpec extends GraftSpec {
         Some("123e4567-e89b-12d3-a456-426614174000"))
       refuse("INSERT INTO ks.u JSON '{\"pk\": 5, \"ck\": 1, " +
         "\"id\": \"x\"}'", "uuid literal")
+      // collections over mapped types (C65x, r16): elements parse
+      // through the DECLARED grammar — a non-uuid element refuses
       refuse("UPDATE ks.u SET tags = tags + ['red'] WHERE pk = 5 " +
-        "AND ck = 1", "collections on uuid-valued")
-      refuse("CREATE TABLE ks.us (pk bigint, ck int, col text, " +
-        "value uuid, wt bigint, s uuid STATIC)",
-        "static columns on uuid-valued")
+        "AND ck = 1", "uuid literal")
+      cq("UPDATE ks.u SET tags = tags + " +
+        "[00000000-0000-1000-8000-0000000000aa] WHERE pk = 5 AND " +
+        "ck = 1")
+      assert(cell("u", 5, "tags") ===
+        Some("00000000-0000-1000-8000-0000000000aa"))
+      // statics over mapped types (C65x): legal when the declared
+      // type matches the table's value type; a mismatch refuses
+      cq("CREATE TABLE ks.us (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint, s uuid STATIC)")
+      refuse("CREATE TABLE ks.us2 (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint, s inet STATIC)",
+        "must share the table's declared value type")
       // ---- timeuuid: version-1 only
       cq("CREATE TABLE ks.tu (pk bigint, ck int, col text, " +
         "value timeuuid, wt bigint)")
@@ -4711,6 +4722,101 @@ class CqlSpec extends GraftSpec {
       refuse("SELECT pk FROM ks.plain ORDER BY v ANN OF [1.0] LIMIT 1",
         "vector<float, n>-valued tables")
     } finally spark.conf.unset("spark.sql.catalog.veccat")
+  }
+
+  test("mapped-type collections and statics (C65x): set<inet> " +
+    "add/remove through the declared grammar, map<text,date> " +
+    "entries, static mapped columns, tombstone-neutral pins") {
+    val root = Files.createTempDirectory("cql-c65x").toString
+    spark.conf.set("spark.sql.catalog.xcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.xcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "xcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cells(t: String, pk: Long, c: String): Seq[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().map(_.get(0)).toSeq
+      cq("CREATE KEYSPACE ks")
+      // ---- set<inet>: the C13 element-per-cell encoding over the
+      // inet grammar — elements validate and canonicalize
+      cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+        "value inet, wt bigint)")
+      cq("UPDATE ks.si SET ips = ips + {'10.0.0.1', '10.0.0.2'} " +
+        "WHERE pk = 1")
+      refuse("UPDATE ks.si SET ips = ips + {'999.1.1.300'} " +
+        "WHERE pk = 1", "IPv4/IPv6 address literal")
+      // canonicalization: uppercase v6 stores lowercase
+      cq("UPDATE ks.si SET ips = ips + {'2001:DB8::1'} WHERE pk = 1")
+      assert(cells("si", 1, "ips").toSet ===
+        Set("10.0.0.1", "10.0.0.2", "2001:db8::1"))
+      // set REMOVE tombstones the matching element cells; the
+      // tombstone never carries the statement TTL (an expiring
+      // tombstone would resurrect the element)
+      cq("UPDATE ks.si USING TTL 3600 SET ips = ips - {'10.0.0.2'} " +
+        "WHERE pk = 1")
+      assert(cells("si", 1, "ips").toSet ===
+        Set("10.0.0.1", "2001:db8::1"))
+      // re-adding a present element is idempotent on the read
+      cq("UPDATE ks.si SET ips = ips + {'10.0.0.1'} WHERE pk = 1")
+      assert(cells("si", 1, "ips").count(_ == "10.0.0.1") >= 1)
+      // ---- map<text, date>: the row IS the map (C12); entry VALUES
+      // parse through the date grammar and store day counts
+      cq("CREATE TABLE ks.md (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      cq("UPDATE ks.md SET m['start'] = '2024-01-29' " +
+        "WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.md SET m = m + {'a': '1970-01-02', " +
+        "'b': '1969-12-31'} WHERE pk = 1 AND ck = 1")
+      refuse("UPDATE ks.md SET m['bad'] = 'not-a-date' " +
+        "WHERE pk = 1 AND ck = 1", "date literal")
+      assert(cells("md", 1, "a") === Seq(1))
+      assert(cells("md", 1, "b") === Seq(-1))
+      assert(cells("md", 1, "start") ===
+        Seq(java.time.LocalDate.parse("2024-01-29").toEpochDay.toInt))
+      // map-entry delete: entry keys ARE col names (the row IS the
+      // map), so the unambiguous entry delete is the DELETE form —
+      // the quoted-brace subtract stays SET-remove on quoted-element
+      // tables, C65o's documented rule
+      cq("DELETE a FROM ks.md WHERE pk = 1 AND ck = 1")
+      assert(cells("md", 1, "a") === Seq.empty)
+      // list append over a bigint-storage mapped type (varint)
+      cq("CREATE TABLE ks.lv (pk bigint, ck int, col text, " +
+        "value varint, wt bigint)")
+      cq("UPDATE ks.lv SET xs = xs + [7, 8] WHERE pk = 1")
+      cq("UPDATE ks.lv SET xs = xs + [9] WHERE pk = 1")
+      assert(cells("lv", 1, "xs") === Seq(7L, 8L, 9L))
+      // ---- static mapped columns: partition-level cells through
+      // the declared grammar (INSERT and UPDATE forms)
+      cq("CREATE TABLE ks.su (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint, owner uuid STATIC)")
+      cq("INSERT INTO ks.su (pk, ck, id, owner) VALUES (1, 1, " +
+        "00000000-0000-1000-8000-000000000001, " +
+        "123E4567-E89B-12D3-A456-426614174000)")
+      def static0(t: String, pk: Long, c: String): Seq[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk &&
+            col("col") === ("!s:" + c))
+          .select("value").collect().map(_.get(0)).toSeq
+      assert(static0("su", 1, "owner") ===
+        Seq("123e4567-e89b-12d3-a456-426614174000"))
+      // static UPDATE addresses the partition (no ck needed)
+      cq("UPDATE ks.su SET owner = " +
+        "00000000-0000-1000-8000-00000000beef WHERE pk = 1")
+      assert(static0("su", 1, "owner") ===
+        Seq("00000000-0000-1000-8000-00000000beef"))
+      refuse("UPDATE ks.su SET owner = 'nope' WHERE pk = 1",
+        "uuid literal")
+      // SELECT DISTINCT pk + static serves the declared rendering
+      val d = cq("SELECT DISTINCT pk, owner FROM ks.su").collect()
+      assert(d.length === 1 && d.head.getString(1) ===
+        "00000000-0000-1000-8000-00000000beef")
+    } finally spark.conf.unset("spark.sql.catalog.xcat")
   }
 
   test("ann index geometry options (C70 planes/probes lifecycle): " +
