@@ -1345,29 +1345,54 @@ object Cql {
           "conditional batches; TTL is outside this subset)")
     // layout gate BEFORE any per-statement parse: the default-layout
     // cell parsers would otherwise reject a typed WHERE with a
-    // misleading keys-only error
+    // misleading keys-only error. Value types (C56e, r16): the same
+    // Long/String pair the single-statement CAS serves — bigint,
+    // text, and the text-storage mapped grammars (uuid/timeuuid/
+    // inet/ascii); everything else refuses by name up front.
     def resolveDefault(table: String): String = {
       val dir = resolve(table)
       if (!graft.sources.CellSource.keySpec(dir).isDefault)
         fail("conditional BATCH supports the default ((pk), ck) " +
           "layout only in this subset")
-      cqlValueTypeOf(dir).foreach(ct =>
-        fail(s"conditional BATCH on $ct-valued tables is outside " +
-          "this subset"))
-      if (isStringValued(dir))
-        fail("conditional BATCH supports bigint-valued tables in " +
-          "this subset (single-statement LWT serves text tables)")
-      refuseLwtValueType(dir, allowText = false)
+      refuseLwtValueType(dir, allowText = true)
       dir
     }
+    // the table's member-literal grammar: the declared mapped
+    // grammar, text, or bigint — exactly lwtInsert/lwtUpdate's
+    // routing, applied per statement
+    def mappedCtOf(dir: String): Option[String] =
+      cqlValueTypeOf(dir).filter(LwtMappedCts.contains)
+    def parseIns(dir: String, cols: String, vals: String)
+        : Seq[(Long, Int, String, Any, Long)] =
+      mappedCtOf(dir) match {
+        case Some(ct) =>
+          insertScalarCells(mappedLiteral(ct), cols, vals, AssignLater)
+        case None if isStringValued(dir) =>
+          insertStringCells(cols, vals, AssignLater, Set.empty)
+        case None => insertCells(cols, vals, AssignLater)
+      }
+    def parseUpd(dir: String, sets: String, where: String)
+        : Seq[(Long, Int, String, Any, Long)] =
+      mappedCtOf(dir) match {
+        case Some(ct) =>
+          updateScalarCells(mappedLiteral(ct), sets, where, AssignLater)
+        case None if isStringValued(dir) =>
+          updateStringCells(sets, where, AssignLater, Set.empty)
+        case None => updateCells(sets, where, AssignLater)
+      }
+    def condLit(dir: String, raw: String): Any =
+      mappedCtOf(dir) match {
+        case Some(ct) => mappedLiteral(ct)(raw, "IF condition")
+        case None => collValue(isStringValued(dir))(raw, "IF condition")
+      }
     type Cond = (Int, Option[String], CasCond)
-    type Cells = Seq[(Long, Int, String, Long, Long)]
+    type Cells = Seq[(Long, Int, String, Any, Long)]
     val parsed: Seq[(String, Seq[Cond], Cells)] = stmts.map {
       case InsertIfNotExistsRe(table, cols, vals) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
-        val cells = insertCells(cols, vals, AssignLater)
+        val cells = parseIns(dir, cols, vals)
         // IF NOT EXISTS tests ROW presence at the insert's (pk, ck)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Absent: CasCond)), cells)
@@ -1378,9 +1403,9 @@ object Cql {
           fail("collection updates are not supported inside BATCH " +
             "(appends need the current collection state)")
         refuseStaticLwt(dir, setColNames(sets))
-        val cells = updateCells(sets, where, AssignLater)
+        val cells = parseUpd(dir, sets, where)
         (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
-          CasCond.Equals(longLiteral(ifVal, "IF condition")): CasCond)),
+          CasCond.Equals(condLit(dir, ifVal)): CasCond)),
           cells)
       case UpdateIfExistsRe(table, sets, where) =>
         val dir = resolveDefault(table)
@@ -1389,7 +1414,7 @@ object Cql {
           fail("collection updates are not supported inside BATCH " +
             "(appends need the current collection state)")
         refuseStaticLwt(dir, setColNames(sets))
-        val cells = updateCells(sets, where, AssignLater)
+        val cells = parseUpd(dir, sets, where)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Present: CasCond)), cells)
       case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
@@ -1403,19 +1428,20 @@ object Cql {
         val cond: Cond =
           if (exists != null) (ck, None, CasCond.Present)
           else (ck, Some(ifCol.toLowerCase),
-            CasCond.Equals(longLiteral(ifVal, "IF condition")))
+            CasCond.Equals(condLit(dir, ifVal)))
         val writeCol = Option(colOpt) match {
           case Some(c) =>
             graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
           case None => graft.sources.CellSource.RowTombstone
         }
-        (dir, Seq(cond), Seq((pks.head, ck, writeCol, 0L, AssignLater)))
+        (dir, Seq(cond),
+          Seq((pks.head, ck, writeCol, 0L: Any, AssignLater)))
       case InsertRe(table, cols, vals, usingClause) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         noUsing(usingClause, "INSERT")
         refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
-        (dir, Seq.empty, insertCells(cols, vals, AssignLater))
+        (dir, Seq.empty, parseIns(dir, cols, vals))
       case UpdateRe(table, usingClause, sets, where) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
@@ -1424,13 +1450,14 @@ object Cql {
           fail("collection updates are not supported inside BATCH " +
             "(appends need the current collection state)")
         refuseStaticLwt(dir, setColNames(sets))
-        (dir, Seq.empty, updateCells(sets, where, AssignLater))
+        (dir, Seq.empty, parseUpd(dir, sets, where))
       case DeleteRe(colOpt, table, usingTs, where) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (usingTs != null) noUsing(usingTs, "DELETE")
         (dir, Seq.empty,
-          deleteMarkers(Option(colOpt), where, AssignLater))
+          deleteMarkers(Option(colOpt), where, AssignLater)
+            .map { case (pk, ck, c, v, w) => (pk, ck, c, v: Any, w) })
       case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
     }
     val dirs = parsed.map(_._1).distinct
@@ -5788,9 +5815,9 @@ object Cql {
     val ok = dt == org.apache.spark.sql.types.LongType ||
       (allowText && dt == org.apache.spark.sql.types.StringType)
     if (!ok)
-      fail("lightweight transactions serve bigint- and text-valued " +
-        "tables (conditional BATCH: bigint only); table's value " +
-        s"type is ${dt.simpleString}")
+      fail("lightweight transactions and conditional BATCH serve " +
+        "bigint- and text-valued tables; table's value type is " +
+        dt.simpleString)
     None
   }
 

@@ -2965,6 +2965,72 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C56e — CONDITIONAL BATCH over text-storage value types (r16):
+  // the C56d single-partition CAS round generalized to the SAME
+  // Long/String value pair the single-statement LWT serves — text
+  // tables and the text-storage mapped grammars (uuid here). Member
+  // literals and IF values parse through the declared grammar;
+  // a failing condition applies NOTHING (the second batch below);
+  // tombstone members ride the atomic apply (the third).
+  private def textConditionalBatchLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c56e"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c56e-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.jobs (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ids (pk bigint, ck int,
+        |  col text, value uuid, wt bigint);
+        |TRUNCATE ks.jobs; TRUNCATE ks.ids;
+        |BEGIN BATCH
+        |  INSERT INTO ks.jobs (pk, ck, state) VALUES (1, 1, 'new')
+        |    IF NOT EXISTS;
+        |  UPDATE ks.jobs SET note = 'first' WHERE pk = 1 AND ck = 2;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  UPDATE ks.jobs SET state = 'done' WHERE pk = 1 AND ck = 1
+        |    IF state = 'other';
+        |  UPDATE ks.jobs SET note = 'never' WHERE pk = 1 AND ck = 2;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  UPDATE ks.jobs SET state = 'done' WHERE pk = 1 AND ck = 1
+        |    IF state = 'new';
+        |  DELETE note FROM ks.jobs WHERE pk = 1 AND ck = 2;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  INSERT INTO ks.ids (pk, ck, id) VALUES (1, 1,
+        |    123E4567-E89B-12D3-A456-426614174000) IF NOT EXISTS;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  UPDATE ks.ids SET id =
+        |    00000000-0000-1000-8000-000000000002
+        |    WHERE pk = 1 AND ck = 1
+        |    IF id = 123e4567-E89B-12d3-A456-426614174000;
+        |APPLY BATCH
+        |""".stripMargin, cat)
+    cq("SELECT pk, ck, col, value FROM ks.jobs")
+      .select(lit("jobs").as("tbl"), col("pk"), col("ck"),
+        col("col").as("c"), col("value").as("v"))
+      .unionAll(cq("SELECT pk, ck, col, value FROM ks.ids")
+        .select(lit("ids").as("tbl"), col("pk"), col("ck"),
+          col("col").as("c"), col("value").as("v")))
+      .orderBy(col("tbl"), col("pk"), col("ck"), col("c"))
+  }
+
+  private val textConditionalBatchSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  c, v
+      |FROM (VALUES
+      |  ('ids', 1, 1, 'id', '00000000-0000-1000-8000-000000000002'),
+      |  ('jobs', 1, 1, 'state', 'done')) AS t(tbl, pk, ck, c, v)
+      |ORDER BY tbl, pk, ck, c""".stripMargin
+
   // C71 — CQL user-defined functions/aggregates (r15): CREATE
   // FUNCTION registers a deterministic scalar SQL expression over
   // named arguments (validated at CREATE: parses, resolves over
@@ -3688,6 +3754,8 @@ object Cells {
       Some(restrictedAnnSql)),
     GQuery("C70c_filtered_ann", filteredAnnLifecycle,
       Some(filteredAnnSql)),
+    GQuery("C56e_text_conditional_batch", textConditionalBatchLifecycle,
+      Some(textConditionalBatchSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

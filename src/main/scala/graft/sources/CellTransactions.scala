@@ -217,7 +217,7 @@ object CellTransactions {
     */
   def casBatch(spark: SparkSession, dir: String, pk: Long,
       conds: Seq[(Int, Option[String], CasCond)],
-      writes: Seq[(Int, String, Long)],
+      writes: Seq[(Int, String, Any)],
       lockTimeoutMs: Long = 30000L,
       nowMs: Long = System.currentTimeMillis(),
       queryTimeMs: Long = Long.MaxValue): CasResult = {
@@ -231,14 +231,14 @@ object CellTransactions {
       CellPlanning.listFiles(norm)).isDefault,
       s"conditional BATCH supports default-keyed tables " +
         s"(pk bigint, ck int); $dir is typed")
-    // validate the value tag BEFORE the partition read: the batch's
-    // writes are bigint cells, and the condition evaluator below
-    // reads `value` as long — a text/double table must refuse here,
-    // not throw from getLong or land a mistagged flush
-    require(casValueType(d, CellPlanning.listFiles(norm))._1 ==
-      ValueCodec.LongTag,
-      s"conditional BATCH is defined on bigint-valued tables; " +
-        s"$dir is not")
+    // validate the value tag BEFORE the partition read (casValueType
+    // itself admits only the Long/String pair the CAS machinery
+    // serves — a double/boolean/timestamp table refuses here, not
+    // from a read-path ClassCastException or a mistagged flush);
+    // since r16 the batch round carries the SAME Long/String value
+    // pair the single-statement CAS does, so text-storage tables
+    // (incl. the uuid/inet/ascii mapped grammars) ride it too
+    casValueType(d, CellPlanning.listFiles(norm))
     withBallot(d, lockTimeoutMs, nowMs) {
       val reader = spark.read.format("graft.sources.CellSource")
         .option("reconcile", "true")
@@ -248,11 +248,11 @@ object CellTransactions {
         .filter(col("pk") === pk)
         .select(col("ck"), col("col"), col("value"))
         .collect()
-      val byCell: Map[(Int, String), Long] = part.iterator
-        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val byCell: Map[(Int, String), Any] = part.iterator
+        .map(r => (r.getInt(0), r.getString(1)) -> r.get(2)).toMap
       val liveCks: Set[Int] = part.iterator.map(_.getInt(0)).toSet
       val failed = conds.iterator.map { case (ck, condCol, cond) =>
-        val cur: Option[Long] = condCol match {
+        val cur: Option[Any] = condCol match {
           case Some(c) => byCell.get((ck, c))
           case None => if (liveCks(ck)) Some(0L) else None
         }
@@ -349,13 +349,15 @@ object CellTransactions {
 
   /** Multi-row sibling of [[appendRow]]: the conditional batch's
     * cells as ONE staged-link flush — all at the shared writetime,
-    * sorted to the file contract (pk, ck, col).
+    * sorted to the file contract (pk, ck, col). Values coerce
+    * through [[casCoerce]] per cell, so text-valued batches carry
+    * Spark-internal strings and tombstone members the tag's neutral.
     */
   private def appendRows(dir: Path, files: Seq[String],
-      cells: Seq[(Long, Int, String, Long)], wt: Long): Unit = {
+      cells: Seq[(Long, Int, String, Any)], wt: Long): Unit = {
     val (tag, prec, scale) = casValueType(dir, files)
     val rows = cells.sortBy(c => (c._1, c._2, c._3))
-      .map { case (pk, ck, c, v) => (pk, ck, c, v: Any, wt) }
+      .map { case (pk, ck, c, v) => (pk, ck, c, casCoerce(tag, v, c), wt) }
     val cols = cells.map(_._3).distinct.sorted.toArray
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
     CellSource.writeFileTyped(staged, rows, cols, tag, prec, scale,

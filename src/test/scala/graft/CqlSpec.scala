@@ -4724,6 +4724,100 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.veccat")
   }
 
+  test("conditional BATCH over text-storage value types (C56e): " +
+    "apply/refuse matrix, mapped-uuid variant, all-or-nothing") {
+    val root = Files.createTempDirectory("cql-c56e").toString
+    spark.conf.set("spark.sql.catalog.cbcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cbcat.root", root)
+    try {
+      import spark.implicits._
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cbcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cells(t: String, pk: Long): Seq[(Int, String, Any)] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk)
+          .select("ck", "col", "value").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.get(2))).toSeq
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      // all conditions pass -> every member lands at ONE writetime
+      val r1 = cq("BEGIN BATCH\n" +
+        "INSERT INTO ks.t (pk, ck, state) VALUES (1, 1, 'new') " +
+        "IF NOT EXISTS;\n" +
+        "UPDATE ks.t SET note = 'first' WHERE pk = 1 AND ck = 2;\n" +
+        "APPLY BATCH").as[(Boolean, Option[String])].collect().head
+      assert(r1 === ((true, None)))
+      assert(cells("t", 1).toSet === Set((1, "state", "new"),
+        (2, "note", "first")))
+      val wts = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/t")
+        .filter(col("pk") === 1L).select("wt").as[Long].collect().toSet
+      assert(wts.size === 1)
+      // a failing condition applies NOTHING and reports the current
+      // TEXT value of the unmet cell
+      val r2 = cq("BEGIN BATCH\n" +
+        "UPDATE ks.t SET state = 'done' WHERE pk = 1 AND ck = 1 " +
+        "IF state = 'other';\n" +
+        "UPDATE ks.t SET note = 'second' WHERE pk = 1 AND ck = 2;\n" +
+        "APPLY BATCH").as[(Boolean, Option[String])].collect().head
+      assert(r2 === ((false, Some("new"))))
+      assert(cells("t", 1).toSet === Set((1, "state", "new"),
+        (2, "note", "first")))
+      // matching condition + tombstone member: the delete rides the
+      // CAS round as its write
+      val r3 = cq("BEGIN BATCH\n" +
+        "UPDATE ks.t SET state = 'done' WHERE pk = 1 AND ck = 1 " +
+        "IF state = 'new';\n" +
+        "DELETE note FROM ks.t WHERE pk = 1 AND ck = 2;\n" +
+        "APPLY BATCH").as[(Boolean, Option[String])].collect().head
+      assert(r3 === ((true, None)))
+      assert(cells("t", 1).toSet === Set((1, "state", "done")))
+      // spanning partitions refuses (one Paxos round, one partition)
+      refuse("BEGIN BATCH\n" +
+        "INSERT INTO ks.t (pk, ck, s) VALUES (1, 5, 'x') " +
+        "IF NOT EXISTS;\n" +
+        "INSERT INTO ks.t (pk, ck, s) VALUES (2, 5, 'y');\n" +
+        "APPLY BATCH", "cannot span multiple partitions")
+      // ---- mapped-uuid variant: member literals parse through the
+      // DECLARED grammar (canonical lowercase), the IF value too
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      val u1 = cq("BEGIN BATCH\n" +
+        "INSERT INTO ks.u (pk, ck, id) VALUES (1, 1, " +
+        "123E4567-E89B-12D3-A456-426614174000) IF NOT EXISTS;\n" +
+        "APPLY BATCH").as[(Boolean, Option[String])].collect().head
+      assert(u1 === ((true, None)))
+      assert(cells("u", 1) === Seq((1, "id",
+        "123e4567-e89b-12d3-a456-426614174000")))
+      // IF compares the canonical rendering regardless of literal case
+      val u2 = cq("BEGIN BATCH\n" +
+        "UPDATE ks.u SET id = 00000000-0000-1000-8000-000000000002 " +
+        "WHERE pk = 1 AND ck = 1 " +
+        "IF id = 123e4567-E89B-12d3-A456-426614174000;\n" +
+        "APPLY BATCH").as[(Boolean, Option[String])].collect().head
+      assert(u2 === ((true, None)))
+      // grammar refusals inside the batch, by name
+      refuse("BEGIN BATCH\n" +
+        "INSERT INTO ks.u (pk, ck, id) VALUES (2, 1, 'nope') " +
+        "IF NOT EXISTS;\nAPPLY BATCH", "uuid literal")
+      refuse("BEGIN BATCH\n" +
+        "UPDATE ks.u SET id = 00000000-0000-1000-8000-000000000003 " +
+        "WHERE pk = 1 AND ck = 1 IF id = 'nope';\n" +
+        "APPLY BATCH", "uuid literal")
+      // non-text-storage mapped types keep refusing by name
+      cq("CREATE TABLE ks.dt (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      refuse("BEGIN BATCH\n" +
+        "INSERT INTO ks.dt (pk, ck, d) VALUES (1, 1, '2024-01-01') " +
+        "IF NOT EXISTS;\nAPPLY BATCH", "date-valued tables")
+    } finally spark.conf.unset("spark.sql.catalog.cbcat")
+  }
+
   test("mapped-type collections and statics (C65x): set<inet> " +
     "add/remove through the declared grammar, map<text,date> " +
     "entries, static mapped columns, tombstone-neutral pins") {
@@ -5236,12 +5330,18 @@ class CqlSpec extends GraftSpec {
         "bigint- and text-valued")
       refuse("BEGIN BATCH\nINSERT INTO ks.d (pk, ck, score) VALUES " +
         "(2, 1, 3) IF NOT EXISTS;\nAPPLY BATCH",
-        "conditional BATCH: bigint only")
-      // conditional BATCH on a fresh TEXT table routes to the same
-      // refusal (text is served by single-statement LWT only)
+        "bigint- and text-valued")
+      // conditional BATCH on a TEXT table serves since C56e (r16) —
+      // the member literal parses through the text grammar, so a
+      // bare integer still refuses by grammar
       refuse("BEGIN BATCH\nINSERT INTO ks.t (pk, ck, s) VALUES " +
         "(2, 1, 5) IF NOT EXISTS;\nAPPLY BATCH",
-        "single-statement LWT serves text tables")
+        "text literal")
+      val tb = cq("BEGIN BATCH\nINSERT INTO ks.t (pk, ck, s) VALUES " +
+        "(2, 1, 'queued') IF NOT EXISTS;\nAPPLY BATCH")
+        .as[(Boolean, Option[String])].collect().head
+      assert(tb === ((true, None)))
+      assert(cell("t", 2, "s") === Some("queued"))
       // (4) ISO-8601 instants with EXPLICIT offsets — including the
       // negative form a bare '+' test misses — normalize to UTC
       cq("CREATE TABLE ks.ts (pk bigint, ck int, col text, " +
