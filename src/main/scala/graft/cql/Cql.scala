@@ -615,7 +615,15 @@ object Cql {
             }
           }
         case None =>
-          insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
+          // typed vector tables (C70d): the bracket literal parses
+          // through the declared grammar and writes binary cells
+          mappedValueType(dir) match {
+            case Some((ct, vt)) => typedWrite(spark, dir, spec,
+              insertTypedRows(spec, cols, vals, wt,
+                mappedLiteral(ct)), ttlOpt, vt)
+            case None =>
+              insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
+          }
       }
       if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
@@ -688,9 +696,18 @@ object Cql {
                 graft.sources.CellSource.staticCols(dir)), ttlOpt)
           }
         }
-      } else if (hasCollectionSyntax(sets))
-        collectionUpdateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
-      else updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      } else mappedValueType(dir) match {
+        // typed vector tables (C70d) route BEFORE the collection
+        // sniff — the bracket form IS the vector literal
+        case Some((ct, vt)) => typedWrite(spark, dir, spec,
+          updateTypedRows(spec, sets, where, wt, mappedLiteral(ct)),
+          ttlOpt, vt)
+        case None if hasCollectionSyntax(sets) =>
+          collectionUpdateTyped(spark, dir, spec, sets, where, wt,
+            ttlOpt)
+        case None =>
+          updateTyped(spark, dir, spec, sets, where, wt, ttlOpt)
+      }
       if (tsOpt.isDefined) forgetWt(dir)
       spark.emptyDataFrame
     case DeleteRe(colOpt, table, usingTs, where) =>
@@ -798,7 +815,19 @@ object Cql {
           }
         }
       }
-      else deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
+      else mappedValueType(dir) match {
+        // typed vector tombstones (C70d): the marker's value slot
+        // carries the binary layout's empty blob
+        case Some((_, vt))
+            if vt == org.apache.spark.sql.types.BinaryType =>
+          typedWrite(spark, dir, spec,
+            deleteTypedRows(spec, Option(colOpt), where, dts)
+              .map(r => r.updated(r.length - 2,
+                Array.empty[Byte]: Any)),
+            ttl = None, vt)
+        case _ =>
+          deleteTyped(spark, dir, spec, Option(colOpt), where, dts)
+      }
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case _ => fail(s"unsupported CQL statement: $cql")
@@ -2993,10 +3022,13 @@ object Cql {
           "(text/bigint/int/uuid/timeuuid/inet/varint/time/date/" +
           "smallint/tinyint)")
     }
-    if (mappedV.isDefined && !default)
+    // vector values ride TYPED layouts too (C70d, r16 — the
+    // embedding store's `id uuid PRIMARY KEY, v vector<float, n>`
+    // shape); the other mapped value types stay default-layout only
+    if (mappedV.exists(v => !v.startsWith("vector<")) && !default)
       fail(s"${mappedV.get}-valued tables are supported on the " +
         "default ((pk), ck) layout only in this subset (typed " +
-        "layouts serve mapped KEY types)")
+        "layouts serve mapped KEY types and vector values)")
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
@@ -3252,6 +3284,13 @@ object Cql {
     val ct = cqlValueTypeOf(dir).filter(_.startsWith("vector<"))
       .getOrElse(fail("ORDER BY ... ANN OF serves " +
         "vector<float, n>-valued tables"))
+    // typed layouts (C70d, r16): the embedding store's natural shape
+    // is `id uuid PRIMARY KEY, v vector<float, n>` — key columns are
+    // the spec's NAMED parts; the rerank tie-breaks and the legal
+    // projection follow the table's own key layout
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val keyNames = (spec.pkParts ++ spec.ckParts)
+      .map(_.name.toLowerCase)
     val idxDir = graft.sources.CellIndex.registered(dir).find(i =>
       graft.sources.CellIndex.columnOf(i).contains(s"ann($vcol)"))
       .getOrElse(fail(s"ANN OF needs a vector index on $vcol " +
@@ -3272,7 +3311,7 @@ object Cql {
       nprobe)
     val cand = whereOpt match {
       case Some(PredRe(c, "=", rv))
-          if !Seq("pk", "ck").contains(c.toLowerCase) =>
+          if !keyNames.contains(c.toLowerCase) =>
         // FILTERED ANN (C70c, Cassandra 5's SAI + vector shape:
         // `WHERE <indexed col> = ? ORDER BY v ANN OF … LIMIT k`).
         // PRE-filter semantics — the FAISS IDSelector rule N_SIM12
@@ -3302,13 +3341,13 @@ object Cql {
           .lookupBase(spark, dir, idx2, iv)
         val rows = fetched
           .filter(col("col") === cl && col("value") === lit(iv))
-          .select(col("pk"), col("ck"))
+          .select(keyNames.map(col).toIndexedSeq: _*)
         // the row set is index-pruned small: broadcast it onto the
         // slice's vector cells — no shuffle, pre-filter intersection
         fetched.filter(col("col") === vcol)
           .join(org.apache.spark.sql.functions.broadcast(rows),
-            Seq("pk", "ck"), "left_semi")
-      case Some(w) =>
+            keyNames, "left_semi")
+      case Some(w) if spec.isDefault =>
         // partition-RESTRICTED ANN (C70b, Cassandra 5's WHERE +
         // ANN OF): the restriction bounds the read EXACTLY, so the
         // pruned partition point read replaces the LSH probe — the
@@ -3325,6 +3364,20 @@ object Cql {
         spark.read.format(Fmt).option("reconcile", "true").load(dir)
           .filter(col("pk").isin(pks.toSeq: _*) &&
             col("col") === vcol)
+      case Some(w) =>
+        // typed-layout partition restriction (C70d): every pk part
+        // bound by name (IN allowed) — the typed point read bounds
+        // the rerank exactly; ck bindings/ranges refuse as above
+        val (pks, ckOpt, range) = typedKeyPredicate(spec, w)
+        if (ckOpt.isDefined || range.isDefined)
+          fail("ANN WHERE takes partition-key restrictions only " +
+            "(every partition-key part by = / IN) or ONE indexed " +
+            "data-column equality")
+        val pkNames = spec.pkParts.map(_.name)
+        spark.read.format(Fmt).option("reconcile", "true").load(dir)
+          .filter(col("col") === vcol &&
+            pks.map(t => pkNames.zip(t).map { case (n, v) =>
+              col(n) === lit(v) }.reduce(_ && _)).reduce(_ || _))
       case None =>
         graft.sources.CellIndex
           .lookupBaseAnn(spark, dir, idxDir, probes)
@@ -3346,13 +3399,16 @@ object Cql {
         expr("cast(graft_vec_decode(value) as array<double>)"))
       .withColumn("__score",
         round(expr(s"graft_cosine(__vec, $qLit)"), 6))
-      .orderBy(col("__score").desc, col("pk"), col("ck"))
+      .orderBy((col("__score").desc +:
+        keyNames.map(col)).toIndexedSeq: _*)
       .limit(k)
+    val legal = keyNames.toSet + "value"
     val names =
-      if (cols.trim == "*") Seq("pk", "ck", "value")
+      if (cols.trim == "*") keyNames :+ "value"
       else cols.split(',').map(_.trim.toLowerCase).toSeq
-    names.foreach(n => if (!Set("pk", "ck", "value").contains(n))
-      fail(s"ANN SELECT projects pk/ck/value in this subset, got: $n"))
+    names.foreach(n => if (!legal.contains(n))
+      fail(s"ANN SELECT projects key parts and value in this " +
+        s"subset (${(keyNames :+ "value").mkString(", ")}), got: $n"))
     ranked.select(names.map(col).toIndexedSeq: _*)
   }
 
@@ -5408,7 +5464,9 @@ object Cql {
     * by the direct write and the BATCH journal path.
     */
   private def insertTypedRows(spec: graft.sources.KeySpec,
-      cols: String, vals: String, wt: Long): Seq[Seq[Any]] = {
+      cols: String, vals: String, wt: Long,
+      parseValue: (String, String) => Any = longLiteral)
+      : Seq[Seq[Any]] = {
     val names = cols.split(',').map(_.trim.toLowerCase)
     val values = splitValues(vals).map(_.trim)
     if (names.length != values.length)
@@ -5422,7 +5480,7 @@ object Cql {
     val data = names.filterNot(keyNames.contains).toSeq
     if (data.isEmpty) fail("INSERT needs at least one data column")
     data.map(c =>
-      keyVals ++ Seq(c, longLiteral(kv(c), s"value of $c"), wt))
+      keyVals ++ Seq(c, parseValue(kv(c), s"value of $c"), wt))
   }
 
   /** Parse a typed-table WHERE with NAMED key parts into (pk tuples,
@@ -5531,7 +5589,9 @@ object Cql {
       updateTypedRows(spec, sets, where, wt), ttl)
 
   private def updateTypedRows(spec: graft.sources.KeySpec,
-      sets: String, where: String, wt: Long): Seq[Seq[Any]] = {
+      sets: String, where: String, wt: Long,
+      parseValue: (String, String) => Any = longLiteral)
+      : Seq[Seq[Any]] = {
     val (pks, ckOpt, range) = typedKeyPredicate(spec, where)
     if (range.isDefined)
       fail("UPDATE WHERE binds clustering keys by equality, not range")
@@ -5539,11 +5599,13 @@ object Cql {
       if (spec.ckParts.isEmpty) Seq.empty
       else fail("UPDATE WHERE must bind every clustering-key part"))
     val keyNames = (spec.pkParts ++ spec.ckParts).map(_.name.toLowerCase)
-    val setKvs = sets.split(',').toSeq.map {
+    // SET items split bracket-aware — a vector literal (C70d) nests
+    // commas inside its brackets
+    val setKvs = splitValues(sets).toSeq.map {
       case SetRe(c, v) =>
         if (keyNames.contains(c.toLowerCase))
           fail(s"cannot SET key part $c")
-        (c.toLowerCase, longLiteral(v, s"value of $c"))
+        (c.toLowerCase, parseValue(v, s"value of $c"))
       case x => fail(s"unsupported SET item: $x")
     }
     for {
@@ -5567,10 +5629,20 @@ object Cql {
   private def deleteTypedRows(spec: graft.sources.KeySpec,
       colOpt: Option[String], where: String,
       dts: Long): Seq[Seq[Any]] = {
-    val (pks, ckOpt, range) = typedKeyPredicate(spec, where,
+    val (pks, ckOpt0, range) = typedKeyPredicate(spec, where,
       ckPrefix = true)
     val ckZeros = spec.ckParts.map(p => neutralKey(p.dataType))
     val nCk = spec.ckParts.length
+    // a CK-LESS layout (C70d's `id uuid PRIMARY KEY` shape) binds
+    // its full — empty — clustering tuple implicitly: a CELL DELETE
+    // with every pk part bound addresses the row exactly. Row-level
+    // deletes keep the partition-tombstone shape (a partition IS the
+    // row there).
+    val ckOpt =
+      if (nCk == 0 && colOpt.isDefined && ckOpt0.isEmpty &&
+          range.isEmpty)
+        Some(Seq.empty[Any])
+      else ckOpt0
     val rows: Seq[Seq[Any]] = (colOpt, ckOpt, range) match {
       case (Some(c), Some(ck), None) if ck.length == nCk =>
         pks.map(pk => pk ++ ck ++

@@ -2965,6 +2965,62 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C70d — VECTOR TABLES OVER TYPED LAYOUTS (r16): the production
+  // embedding-store shape `id uuid PRIMARY KEY, v vector<float, n>`.
+  // Vector cells ride the typed binary write path (C59c's valueType
+  // plumbing), the ann index derives entries over the typed base
+  // (C18g's typed key in the entry value slot), and the ANN rerank
+  // tie-breaks by the table's OWN named key parts. The overwrite and
+  // tombstone below pin typed LWW and the binary marker shape.
+  private def typedVectorAnnLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_tvec"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tvec-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.emb (id uuid, col text,
+        |  value vector<float, 4>, wt bigint, PRIMARY KEY ((id)));
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (ann(v));
+        |TRUNCATE ks.emb;
+        |INSERT INTO ks.emb (id, v) VALUES
+        |  (00000000-0000-1000-8000-000000000002,
+        |   [2.0, 1.0, 0.5, 0.25]);
+        |INSERT INTO ks.emb (id, v) VALUES
+        |  (00000000-0000-1000-8000-000000000003,
+        |   [3.0, 1.5, 0.75, 0.375]);
+        |INSERT INTO ks.emb (id, v) VALUES
+        |  (00000000-0000-1000-8000-000000000004,
+        |   [8.0, -4.0, 2.0, -1.0]);
+        |UPDATE ks.emb SET v = [0.5, 0.25, 0.125, 0.0625]
+        |  WHERE id = 00000000-0000-1000-8000-000000000004;
+        |INSERT INTO ks.emb (id, v) VALUES
+        |  (00000000-0000-1000-8000-000000000005,
+        |   [-1.0, -0.5, -0.25, -0.125]);
+        |INSERT INTO ks.emb (id, v) VALUES
+        |  (00000000-0000-1000-8000-000000000006,
+        |   [1.0, 0.5, 0.25, 0.125]);
+        |DELETE v FROM ks.emb
+        |  WHERE id = 00000000-0000-1000-8000-000000000006;
+        |SELECT id FROM ks.emb ORDER BY v ANN OF
+        |  [1.0, 0.5, 0.25, 0.125] LIMIT 4""".stripMargin, cat)
+      .orderBy(col("id"))
+  }
+
+  // positive multiples of the query share its bucket and tie at
+  // cosine 1.0 (ties break by id); the deleted id 6 must not
+  // resurface; the negation (id 5) is outside the probe ball
+  private val typedVectorAnnSql =
+    """SELECT id
+      |FROM (VALUES
+      |  ('00000000-0000-1000-8000-000000000002'),
+      |  ('00000000-0000-1000-8000-000000000003'),
+      |  ('00000000-0000-1000-8000-000000000004')) AS t(id)
+      |ORDER BY id""".stripMargin
+
   // C56e — CONDITIONAL BATCH over text-storage value types (r16):
   // the C56d single-partition CAS round generalized to the SAME
   // Long/String value pair the single-statement LWT serves — text
@@ -3756,6 +3812,8 @@ object Cells {
       Some(filteredAnnSql)),
     GQuery("C56e_text_conditional_batch", textConditionalBatchLifecycle,
       Some(textConditionalBatchSql)),
+    GQuery("C70d_typed_vector_ann", typedVectorAnnLifecycle,
+      Some(typedVectorAnnSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -4715,13 +4715,78 @@ class CqlSpec extends GraftSpec {
       assert(cq("SELECT pk, ck FROM ks.emb ORDER BY v ANN OF " +
         "[1.0, 0.5, 0.25, 0.125] LIMIT 1").collect().head.getInt(1) === 1)
       refuse("SELECT wt FROM ks.emb ORDER BY v ANN OF " +
-        "[1.0, 0.5, 0.25, 0.125] LIMIT 1", "projects pk/ck/value")
+        "[1.0, 0.5, 0.25, 0.125] LIMIT 1",
+        "ANN SELECT projects key parts and value")
       // ANN on a non-vector table refuses
       cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
         "value bigint, wt bigint)")
       refuse("SELECT pk FROM ks.plain ORDER BY v ANN OF [1.0] LIMIT 1",
         "vector<float, n>-valued tables")
     } finally spark.conf.unset("spark.sql.catalog.veccat")
+  }
+
+  test("vector tables over typed layouts (C70d): uuid-keyed ANN " +
+    "lifecycle — writes, index freshness, restriction, tombstones") {
+    val root = Files.createTempDirectory("cql-c70d").toString
+    spark.conf.set("spark.sql.catalog.tvcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tvcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tvcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def u(n: Int) = f"00000000-0000-1000-8000-${n}%012d"
+      cq("CREATE KEYSPACE ks")
+      // the production embedding-store shape: uuid pk, no ck
+      cq("CREATE TABLE ks.emb (id uuid, col text, " +
+        "value vector<float, 2>, wt bigint, PRIMARY KEY ((id)))")
+      cq("CREATE INDEX ON ks.emb (ann(v))")
+      cq(s"INSERT INTO ks.emb (id, v) VALUES (${u(1)}, [1.0, 0.0])")
+      cq(s"INSERT INTO ks.emb (id, v) VALUES (${u(2)}, [0.0, 1.0])")
+      cq(s"INSERT INTO ks.emb (id, v) VALUES (${u(3)}, [2.0, 0.0])")
+      cq(s"INSERT INTO ks.emb (id, v) VALUES (${u(4)}, [0.9, 0.1])")
+      val idxDir = s"$root/ks/emb_v_ann_idx"
+      // write-through refresh kept the typed-base index fresh
+      assert(!graft.sources.CellIndex.isStale(idxDir))
+      // exact-cosine rank: u1 and u3 tie at 1.0 (tie broken by id),
+      // then u4; the orthogonal u2 is outside the probe ball
+      val top = cq("SELECT id FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.0] LIMIT 3").collect().map(_.getString(0)).toSeq
+      assert(top === Seq(u(1), u(3), u(4)), top)
+      // UPDATE overwrites through the declared grammar; the rank
+      // follows (u1 moves off-axis, u3 now leads)
+      cq(s"UPDATE ks.emb SET v = [0.0, 2.0] WHERE id = ${u(1)}")
+      val top2 = cq("SELECT id FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.0] LIMIT 2").collect().map(_.getString(0)).toSeq
+      assert(top2 === Seq(u(3), u(4)), top2)
+      // typed partition restriction (the C70b form over named parts)
+      val one = cq(s"SELECT id FROM ks.emb WHERE id = ${u(2)} " +
+        "ORDER BY v ANN OF [1.0, 0.0] LIMIT 5")
+        .collect().map(_.getString(0)).toSeq
+      assert(one === Seq(u(2)), one)
+      // vector tombstone over the typed layout
+      cq(s"DELETE v FROM ks.emb WHERE id = ${u(3)}")
+      val afterDel = cq("SELECT id FROM ks.emb ORDER BY v ANN OF " +
+        "[1.0, 0.0] LIMIT 5").collect().map(_.getString(0)).toSeq
+      assert(!afterDel.contains(u(3)), afterDel)
+      // projection refusals name the typed key parts
+      refuse("SELECT wt FROM ks.emb ORDER BY v ANN OF [1.0, 0.0] " +
+        "LIMIT 1", "ANN SELECT projects key parts and value")
+      // clustering restrictions still refuse on a ck-bearing layout
+      cq("CREATE TABLE ks.embs (id uuid, seq int, col text, " +
+        "value vector<float, 2>, wt bigint, PRIMARY KEY ((id), seq))")
+      cq("CREATE INDEX ON ks.embs (ann(v))")
+      cq(s"INSERT INTO ks.embs (id, seq, v) VALUES (${u(7)}, 1, " +
+        "[1.0, 0.0])")
+      refuse(s"SELECT id FROM ks.embs WHERE id = ${u(7)} AND " +
+        "seq = 1 ORDER BY v ANN OF [1.0, 0.0] LIMIT 1",
+        "partition-key restrictions only")
+      // non-vector mapped values stay default-layout only
+      refuse("CREATE TABLE ks.bad (id uuid, seq int, col text, " +
+        "value date, wt bigint, PRIMARY KEY ((id), seq))",
+        "default ((pk), ck) layout only")
+    } finally spark.conf.unset("spark.sql.catalog.tvcat")
   }
 
   test("conditional BATCH over text-storage value types (C56e): " +
