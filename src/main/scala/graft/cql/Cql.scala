@@ -3276,6 +3276,19 @@ object Cql {
     * entries; the fetch is the C8b multiget; the rerank touches only
     * candidates. Nothing trains, nothing broadcasts but the literal.
     */
+  /** Cassandra's fixed-width time rendering (HH:MM:SS.fffffffff,
+    * nanos always 9 digits) over the stored nanos-since-midnight
+    * count — shared by the SELECT JSON renderer (C63b) and the
+    * declared-semantics CAST (C65y).
+    */
+  private val TimeRenderSql =
+    "concat(lpad(cast(value div 3600000000000 as string), 2, '0'), " +
+      "':', " +
+      "lpad(cast(value div 60000000000 % 60 as string), 2, '0'), " +
+      "':', " +
+      "lpad(cast(value div 1000000000 % 60 as string), 2, '0'), " +
+      "'.', lpad(cast(value % 1000000000 as string), 9, '0'))"
+
   private def annSelect(spark: SparkSession, dir: String, cols: String,
       vcol: String, vecLit: String, k: Int,
       whereOpt: Option[String] = None): DataFrame = {
@@ -4071,16 +4084,24 @@ object Cql {
         // TRUNCATES toward zero — Java/Cassandra semantics),
         // boolean/timestamp render to text only, text casts to text
         // alone (string-to-number casts are NOT in Cassandra's CAST
-        // matrix), binary refuses. Mapped declared types (C65r)
-        // refuse: their storage is a rendering, and casting the
-        // rendering would bypass the declared type's semantics
-        // (CAST(date-as-int AS text) must not print the day count).
-        if (mappedCt.isDefined)
-          fail(s"CAST on ${mappedCt.get}-valued tables is outside " +
-            "this subset (mapped declared types render through " +
-            "their own grammar)")
+        // matrix), binary refuses.
+        //
+        // MAPPED declared types serve through their DECLARED
+        // semantics (C65y, r16) — never the storage rendering:
+        // `CAST(value AS text)` on a date table prints the ISO date
+        // (Cassandra's own CAST(date AS text)), a time value its
+        // fixed-width HH:MM:SS.fffffffff, uuid/timeuuid/inet/ascii
+        // their canonical text; the numeric-storage mapped types
+        // (float/decimal/varint/smallint/tinyint) cast exactly as
+        // their numeric storage does (the declared semantics ARE the
+        // number); duration and vector refuse — outside Cassandra's
+        // CAST matrix.
         if (udtL.isDefined || udtUnfrozenOf(dir))
           fail("CAST on UDT-valued tables is outside this subset")
+        if (mappedCt.exists(t => t == "duration" ||
+            t.startsWith("vector<")))
+          fail(s"CAST on ${mappedCt.get}-valued tables is outside " +
+            "Cassandra's CAST matrix")
         val castLegal = keyCols ++ modelCols
         def sparkCastTarget(t: String)
             : org.apache.spark.sql.types.DataType = t match {
@@ -4099,22 +4120,49 @@ object Cql {
             if (!castLegal.contains(c))
               fail("CAST argument must be a key or cell-model " +
                 s"column, got: $c")
-            val src = df.schema(c).dataType
             val tgt = sparkCastTarget(t)
             import org.apache.spark.sql.types._
-            val ok = src match {
-              case LongType | IntegerType | DoubleType => true
-              case BooleanType | TimestampType => tgt == StringType
-              case StringType => tgt == StringType
-              case _ => false
+            val outName = Option(alias).getOrElse(s"cast($c as $t)")
+            val declared = mappedCt.filter(_ => c == "value")
+            declared match {
+              // declared-semantics renderings: text targets only
+              case Some("date") =>
+                if (tgt != StringType)
+                  fail(s"cannot CAST date column $c to $t " +
+                    "(date casts to text in this subset)")
+                expr("cast(date_from_unix_date(value) as string)")
+                  .as(outName)
+              case Some("time") =>
+                if (tgt != StringType)
+                  fail(s"cannot CAST time column $c to $t " +
+                    "(time casts to text in this subset)")
+                expr(TimeRenderSql).as(outName)
+              case Some(dt @ ("uuid" | "timeuuid" | "inet" |
+                  "ascii")) =>
+                if (tgt != StringType)
+                  fail(s"cannot CAST $dt column $c to $t " +
+                    s"($dt casts to text)")
+                col(c).as(outName)
+              case _ =>
+                // plain columns, and the numeric-storage mapped
+                // types whose declared semantics ARE the number
+                val src = df.schema(c).dataType
+                val ok = src match {
+                  case LongType | IntegerType | DoubleType |
+                      _: DecimalType => true
+                  case BooleanType | TimestampType =>
+                    tgt == StringType
+                  case StringType => tgt == StringType
+                  case _ => false
+                }
+                if (!ok)
+                  fail(s"cannot CAST " +
+                    s"${SystemSchema.cqlTypeName(src)} " +
+                    s"column $c to $t (Cassandra's CAST matrix: " +
+                    "numerics anywhere, boolean/timestamp to text, " +
+                    "text to text)")
+                col(c).cast(tgt).as(outName)
             }
-            if (!ok)
-              fail(s"cannot CAST ${SystemSchema.cqlTypeName(src)} " +
-                s"column $c to $t (Cassandra's CAST matrix: " +
-                "numerics anywhere, boolean/timestamp to text, " +
-                "text to text)")
-            col(c).cast(tgt)
-              .as(Option(alias).getOrElse(s"cast($c as $t)"))
           case i => i match {
             case ColRe(c, alias) if castLegal.contains(c.toLowerCase) =>
               col(c.toLowerCase)
@@ -4349,13 +4397,7 @@ object Cql {
       // stored nanos-since-midnight count
       if (mappedCt.contains("time") &&
           df.schema.fieldNames.contains("value"))
-        df = df.withColumn("value", expr(
-          "concat(lpad(cast(value div 3600000000000 as string), 2, " +
-            "'0'), ':', " +
-          "lpad(cast(value div 60000000000 % 60 as string), 2, '0'), " +
-            "':', " +
-          "lpad(cast(value div 1000000000 % 60 as string), 2, '0'), " +
-          "'.', lpad(cast(value % 1000000000 as string), 9, '0'))"))
+        df = df.withColumn("value", expr(TimeRenderSql))
       val names = df.schema.fieldNames
       df = df.select(
         to_json(struct(names.map(col).toIndexedSeq: _*)).as("[json]"))

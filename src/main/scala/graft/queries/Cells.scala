@@ -2965,6 +2965,63 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C65y — CAST over MAPPED declared types (r16): Cassandra's CAST
+  // matrix applied to DECLARED semantics, never the storage
+  // rendering — CAST(value AS text) on a date table prints the ISO
+  // date (not the stored day count), time prints the fixed-width
+  // HH:MM:SS.fffffffff, uuid its canonical text; the numeric-storage
+  // mapped types cast as numbers (decimal truncates toward zero for
+  // int, renders its declared (18,6) scale for text).
+  private def mappedCastLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c65y"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c65y-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.mdt (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mtm (pk bigint, ck int,
+        |  col text, value time, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mu (pk bigint, ck int,
+        |  col text, value uuid, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.mdc (pk bigint, ck int,
+        |  col text, value decimal, wt bigint);
+        |TRUNCATE ks.mdt; TRUNCATE ks.mtm; TRUNCATE ks.mu;
+        |TRUNCATE ks.mdc;
+        |INSERT INTO ks.mdt (pk, ck, day) VALUES (1, 1, '2024-01-29');
+        |INSERT INTO ks.mdt (pk, ck, day) VALUES (2, 1, '1969-12-31');
+        |INSERT INTO ks.mtm (pk, ck, at) VALUES (1, 1, '01:02:03.5');
+        |INSERT INTO ks.mu (pk, ck, id) VALUES (1, 1,
+        |  123E4567-E89B-12D3-A456-426614174000);
+        |INSERT INTO ks.mdc (pk, ck, price) VALUES (1, 1, -12.9)
+        |""".stripMargin, cat)
+    cq("SELECT pk, CAST(value AS text) AS v FROM ks.mdt")
+      .select(lit("dt").as("tbl"), col("pk"), col("v"))
+      .unionAll(cq("SELECT pk, CAST(value AS text) AS v FROM ks.mtm")
+        .select(lit("tm").as("tbl"), col("pk"), col("v")))
+      .unionAll(cq("SELECT pk, CAST(value AS text) AS v FROM ks.mu")
+        .select(lit("u").as("tbl"), col("pk"), col("v")))
+      .unionAll(cq("SELECT pk, CAST(value AS int) AS i FROM ks.mdc")
+        .select(lit("dc").as("tbl"), col("pk"),
+          col("i").cast("string").as("v")))
+      .orderBy(col("tbl"), col("pk"))
+  }
+
+  private val mappedCastSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('dc', 1, '-12'),
+      |  ('dt', 1, '2024-01-29'), ('dt', 2, '1969-12-31'),
+      |  ('tm', 1, '01:02:03.500000000'),
+      |  ('u', 1, '123e4567-e89b-12d3-a456-426614174000'))
+      |  AS t(tbl, pk, v)
+      |ORDER BY tbl, pk""".stripMargin
+
   // C70d — VECTOR TABLES OVER TYPED LAYOUTS (r16): the production
   // embedding-store shape `id uuid PRIMARY KEY, v vector<float, n>`.
   // Vector cells ride the typed binary write path (C59c's valueType
@@ -3814,6 +3871,8 @@ object Cells {
       Some(textConditionalBatchSql)),
     GQuery("C70d_typed_vector_ann", typedVectorAnnLifecycle,
       Some(typedVectorAnnSql)),
+    GQuery("C65y_mapped_cast", mappedCastLifecycle,
+      Some(mappedCastSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

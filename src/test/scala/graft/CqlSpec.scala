@@ -4091,10 +4091,46 @@ class CqlSpec extends GraftSpec {
         "outside this subset")
       refuse("SELECT CAST(nope AS text) FROM ks.cb",
         "key or cell-model column")
+      // CAST over MAPPED declared types (C65y, r16): declared
+      // SEMANTICS, never the storage rendering
       cq("CREATE TABLE ks.mu (pk bigint, ck int, col text, " +
         "value uuid, wt bigint)")
-      refuse("SELECT CAST(value AS text) FROM ks.mu",
-        "uuid-valued tables")
+      cq("INSERT INTO ks.mu (pk, ck, id) VALUES (1, 1, " +
+        "123E4567-E89B-12D3-A456-426614174000)")
+      assert(cq("SELECT CAST(value AS text) AS t FROM ks.mu")
+        .collect().head.getString(0) ===
+        "123e4567-e89b-12d3-a456-426614174000")
+      refuse("SELECT CAST(value AS bigint) FROM ks.mu",
+        "uuid casts to text")
+      cq("CREATE TABLE ks.mdt (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      cq("INSERT INTO ks.mdt (pk, ck, d) VALUES (1, 1, '2024-01-29')")
+      // the ISO date, NOT the stored day count 19751
+      assert(cq("SELECT CAST(value AS text) AS t FROM ks.mdt")
+        .collect().head.getString(0) === "2024-01-29")
+      refuse("SELECT CAST(value AS int) FROM ks.mdt",
+        "date casts to text")
+      cq("CREATE TABLE ks.mtm (pk bigint, ck int, col text, " +
+        "value time, wt bigint)")
+      cq("INSERT INTO ks.mtm (pk, ck, at) VALUES (1, 1, '01:02:03')")
+      assert(cq("SELECT CAST(value AS text) AS t FROM ks.mtm")
+        .collect().head.getString(0) === "01:02:03.000000000")
+      cq("CREATE TABLE ks.msi (pk bigint, ck int, col text, " +
+        "value smallint, wt bigint)")
+      cq("INSERT INTO ks.msi (pk, ck, n) VALUES (1, 1, -7)")
+      assert(cq("SELECT CAST(value AS bigint) AS b FROM ks.msi")
+        .collect().head.getLong(0) === -7L)
+      cq("CREATE TABLE ks.mdc (pk bigint, ck int, col text, " +
+        "value decimal, wt bigint)")
+      cq("INSERT INTO ks.mdc (pk, ck, p) VALUES (1, 1, 12.9)")
+      val dec = cq("SELECT CAST(value AS int) AS i, " +
+        "CAST(value AS text) AS t FROM ks.mdc").collect().head
+      assert(dec.getInt(0) === 12) // truncation toward zero
+      assert(dec.getString(1) === "12.900000") // declared (18,6) scale
+      cq("CREATE TABLE ks.mdu (pk bigint, ck int, col text, " +
+        "value duration, wt bigint)")
+      refuse("SELECT CAST(value AS text) FROM ks.mdu",
+        "outside Cassandra's CAST matrix")
     } finally spark.conf.unset("spark.sql.catalog.cstcat")
   }
 
@@ -4213,8 +4249,26 @@ class CqlSpec extends GraftSpec {
       // ---- placement refusals: keys, statics, LWT, JSON
       refuse("CREATE TABLE ks.dk (pk duration, ck int, col text, " +
         "value bigint, wt bigint)", "PRIMARY KEY")
-      refuse("CREATE TABLE ks.ds (pk bigint, ck int, col text, " +
-        "value duration, s duration STATIC, wt bigint)", "static")
+      // statics over mapped types serve since C65x (r16) when the
+      // declared types MATCH — durations are values, not orderings,
+      // so a partition-level duration cell is legal; a mismatch
+      // still refuses by name, and collections parse the duration
+      // grammar (element equality on the canonical rendering)
+      cq("CREATE TABLE ks.ds (pk bigint, ck int, col text, " +
+        "value duration, s duration STATIC, wt bigint)")
+      cq("INSERT INTO ks.ds (pk, ck, up, s) VALUES (1, 1, 1h, P2W)")
+      assert(spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/ds")
+        .filter(col("col") === "!s:s").select("value")
+        .collect().map(_.getString(0)).toSeq === Seq("14d"))
+      refuse("CREATE TABLE ks.ds2 (pk bigint, ck int, col text, " +
+        "value duration, s date STATIC, wt bigint)",
+        "must share the table's declared value type")
+      cq("UPDATE ks.ds SET ups = ups + {26h, P1Y} WHERE pk = 1")
+      assert(spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/ds")
+        .filter(col("col") === "ups").select("value")
+        .collect().map(_.getString(0)).toSet === Set("26h", "1y"))
       refuse("INSERT INTO ks.du (pk, ck, up) VALUES (11, 1, 1h) " +
         "IF NOT EXISTS", "duration-valued tables")
       // INSERT JSON routes through the duration grammar (C63b):
