@@ -1185,6 +1185,9 @@ object Cql {
     * declared range validation.
     */
   private def refuseBatchValueType(dir: String): Unit = {
+    cqlCollectionOf(dir).foreach(sp =>
+      fail(s"LOGGED BATCH on $sp collection columns is outside " +
+        "this subset (collection writes need the current state)"))
     val ct = cqlValueTypeOf(dir)
     val vt = graft.sources.CellSource.valueTypeOf(dir)
     if (ct.isDefined || vt != org.apache.spark.sql.types.LongType)
@@ -2042,6 +2045,9 @@ object Cql {
         // drive the literal grammar and DESCRIBE; storage rides the
         // schema/keyType props like any other table
         cc.cqlValue.foreach(ct => props += "cqlValueType" -> ct)
+        // declared collection spelling (C65z): gates the write forms
+        // and outranks cqlValueType in DESCRIBE's value rendering
+        cc.cqlCollection.foreach(sp => props += "cqlCollection" -> sp)
         cc.cqlKeys.foreach { case (n, ct) =>
           props += s"cqlKeyType.$n" -> ct
         }
@@ -2822,10 +2828,23 @@ object Cql {
       // (uuid, decimal, float, ...) — storage rides keyParts/
       // valueType; these drive the literal grammar and DESCRIBE
       cqlValue: Option[String] = None,
-      cqlKeys: Seq[(String, String)] = Seq.empty)
+      cqlKeys: Seq[(String, String)] = Seq.empty,
+      // C65z: the DECLARED collection spelling of the value column
+      // (`set<inet>` / `list<uuid>` / `map<text, date>`) — storage
+      // is the ELEMENT type's layout; the kind gates the write forms
+      // and DESCRIBE renders the spelling
+      cqlCollection: Option[String] = None)
 
   private val FrozenDefRe =
     """(?is)^\s*(\w+)\s+frozen\s*<\s*(\w+)\s*>\s*$""".r
+
+  /** `name set<T>` / `list<T>` / `map<text, T>` column definitions
+    * (C65z) — the everyday Cassandra collection spellings over this
+    * engine's element-per-cell encodings.
+    */
+  private val CollectionDefRe =
+    ("""(?is)^\s*(\w+)\s+(set|list|map)\s*<\s*([\w\s,]+?)\s*>""" +
+      """(\s+STATIC)?\s*$""").r
 
   private def parseCreateColumns(spec: String,
       resolveUdt: String => Option[String] = _ => None): CreateCols = {
@@ -2854,6 +2873,38 @@ object Cql {
       case ColDefRe(n, t, st) =>
         if (st != null) statics += n.toLowerCase
         n.toLowerCase -> t.toLowerCase
+      case CollectionDefRe(n, kind, elemSpec, st) =>
+        // declared collections (C65z): storage is the ELEMENT type's
+        // layout; Cassandra needs frozen<> for static collections —
+        // outside this subset, so statics refuse
+        if (st != null)
+          fail(s"static column ${n.toLowerCase}: collection types " +
+            "cannot be static in this subset (Cassandra requires " +
+            "frozen<> there)")
+        val k = kind.toLowerCase
+        val elems = elemSpec.split(',').map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSeq
+        val elem = k match {
+          case "map" =>
+            if (elems.length != 2 ||
+                !Seq("text", "varchar").contains(elems.head))
+              fail(s"map columns take map<text, T> in this subset " +
+                "(entry keys ARE cell col names), got: " +
+                s"map<${elems.mkString(", ")}>")
+            elems(1)
+          case _ =>
+            if (elems.length != 1)
+              fail(s"$k columns take one element type, got: " +
+                s"$k<${elems.mkString(", ")}>")
+            elems.head
+        }
+        if (!(MappedCqlTypes.contains(elem) ||
+            Seq("text", "varchar", "bigint").contains(elem)))
+          fail(s"unsupported collection element type: $elem " +
+            "(text/bigint and the mapped scalar types)")
+        val spelled =
+          if (k == "map") s"map<text, $elem>" else s"$k<$elem>"
+        n.toLowerCase -> spelled
       case VectorDefRe(n, dim, st) =>
         if (st != null)
           fail(s"static column ${n.toLowerCase}: mapped CQL types " +
@@ -2870,7 +2921,19 @@ object Cql {
     val colMap = cols.toMap
     if (colMap.size != cols.size)
       fail("duplicate column in CREATE TABLE")
+    // declared collection spelling -> (kind, element type) (C65z)
+    def collectionElem(t: String): Option[(String, String)] =
+      if (t.startsWith("set<")) Some(("set",
+        t.stripPrefix("set<").stripSuffix(">")))
+      else if (t.startsWith("list<")) Some(("list",
+        t.stripPrefix("list<").stripSuffix(">")))
+      else if (t.startsWith("map<text, ")) Some(("map",
+        t.stripPrefix("map<text, ").stripSuffix(">")))
+      else None
     def mapType(t: String): String = t match {
+      // declared collections (C65z) store their ELEMENT type's layout
+      case c if collectionElem(c).isDefined =>
+        mapType(collectionElem(c).get._2)
       // ascii is a MAPPED type since C65v (r15): same text storage,
       // but its own US-ASCII-validating literal grammar + rendering
       case "text" | "varchar" => "string"
@@ -2950,10 +3013,19 @@ object Cql {
     // mapped value type (C65r): the declared CQL name when the type
     // stores as another scalar layout (only for plain-value tables —
     // UDT branches routed above)
+    val collV: Option[(String, String)] =
+      if (udtOpt.isDefined || unfrozenOpt.isDefined) None
+      else collectionElem(colMap("value"))
     val mappedV: Option[String] =
       if (udtOpt.isDefined || unfrozenOpt.isDefined) None
-      else Some(colMap("value")).filter(t =>
-        MappedCqlTypes.contains(t) || t.startsWith("vector<"))
+      else collV match {
+        // a declared collection's GRAMMAR is its element's (C65x
+        // machinery); text/bigint elements keep the plain grammar
+        case Some((_, elem)) =>
+          Some(elem).filter(MappedCqlTypes.contains)
+        case None => Some(colMap("value")).filter(t =>
+          MappedCqlTypes.contains(t) || t.startsWith("vector<"))
+      }
     // static columns over mapped declared types (C65x, r16): legal
     // when the static's declared type MATCHES the table's declared
     // value type exactly — the static cell then parses through the
@@ -3001,6 +3073,9 @@ object Cql {
       val t = colMap.getOrElse(n,
         fail(s"PRIMARY KEY part '$n' is not a declared column"))
       if (t == "counter") fail("a key part cannot be a counter")
+      if (collectionElem(t).isDefined)
+        fail(s"a key part cannot be a collection: $n (Cassandra " +
+          "requires frozen<> there; outside this subset)")
       if (t == "duration")
         fail(s"duration is not supported for PRIMARY KEY part $n " +
           "(durations are not comparable — Cassandra's rule)")
@@ -3032,6 +3107,9 @@ object Cql {
     if (statics.nonEmpty && !default)
       fail("static columns are supported on the default ((pk), ck) " +
         "layout only in this subset")
+    if (collV.isDefined && !default)
+      fail("declared collection columns are supported on the " +
+        "default ((pk), ck) layout only in this subset")
     // non-frozen UDT values work on BOTH layouts: the default
     // ((pk), ck) spec (C59d) and typed/composite named-part specs
     // (C59e) — field cells are `<col>.<field>` rows of the table's
@@ -3047,7 +3125,8 @@ object Cql {
       colMap("value") == "counter",
       statics.toSeq, udtOpt.orElse(unfrozenOpt),
       udtUnfrozen = unfrozenOpt.isDefined,
-      cqlValue = mappedV, cqlKeys = cqlKeys)
+      cqlValue = mappedV, cqlKeys = cqlKeys,
+      cqlCollection = collV.map(_ => colMap("value")))
   }
 
   /** "Assign the writetime later" sentinel for parsed cells. The CQL
@@ -5916,6 +5995,10 @@ object Cql {
     */
   private def refuseLwtValueType(dir: String,
       allowText: Boolean): Option[String] = {
+    cqlCollectionOf(dir).foreach(sp =>
+      fail(s"lightweight transactions on $sp collection columns " +
+        "are outside this subset (conditions on collections are " +
+        "not in the facade)"))
     cqlValueTypeOf(dir) match {
       case Some(ct) if allowText && LwtMappedCts.contains(ct) =>
         return Some(ct)
@@ -5997,6 +6080,12 @@ object Cql {
     */
   private def cqlValueTypeOf(dir: String): Option[String] =
     tableProps(dir).get("cqlValueType")
+
+  /** The DECLARED collection spelling of a table's value column
+    * (C65z — `set<inet>` / `list<uuid>` / `map<text, date>`), if any.
+    */
+  private def cqlCollectionOf(dir: String): Option[String] =
+    tableProps(dir).get("cqlCollection")
 
   /** (declared CQL name, storage DataType) for a mapped-value table
     * — the write paths route literals by the declared name and hand
@@ -6646,6 +6735,15 @@ object Cql {
       case Some((ct, _)) => mappedLiteral(ct)
       case None => collValue(str)
     }
+    // declared-kind gating (C65z): a `set<inet>` column refuses the
+    // list/map write forms by name (Cassandra's own type errors);
+    // undeclared tables keep serving every form (the pre-C65z model)
+    val declaredColl = cqlCollectionOf(dir)
+    val declKind = declaredColl.map(_.takeWhile(_ != '<'))
+    def requireKind(k: String, form: String): Unit =
+      declKind.foreach(dk => if (dk != k)
+        fail(s"$form does not apply to a ${declaredColl.get} " +
+          s"column (declared $dk writes only)"))
     val (pks, ckEq, _, _) = keyPredicate(where)
     val pkSeq = pks.toSeq.sorted
     val cells = scala.collection.mutable
@@ -6667,6 +6765,7 @@ object Cql {
     val nextCk = scala.collection.mutable.Map.empty[(Long, String), Int]
     splitSetItems(sets).foreach {
       case MapPutRe(_, key, v) =>
+        requireKind("map", "map put m['k'] = v")
         val ck = ckEq.getOrElse(
           fail("map put needs WHERE ... AND ck = ? (the row IS the map)"))
         val k = literal(key) match {
@@ -6683,6 +6782,7 @@ object Cql {
       case ListAppendRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"list append must extend the same column ($n1 vs $n2)")
+        requireKind("list", "list append c = c + [..]")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, nextCk)
@@ -6692,6 +6792,7 @@ object Cql {
       case SetAddRe(n1, n2, vs) if isMapLiteral(vs, quotedElems) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map append must extend the same column ($n1 vs $n2)")
+        requireKind("map", "map append c = c + {'k': v}")
         val ck = ckEq.getOrElse(
           fail("map append needs WHERE ... AND ck = ? (the row IS " +
             "the map)"))
@@ -6700,6 +6801,7 @@ object Cql {
       case SetRemoveRe(n1, n2, vs) if isMapLiteral(vs, quotedElems) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"map subtract must shrink the same column ($n1 vs $n2)")
+        requireKind("map", "map subtract c = c - {'k'}")
         val ck = ckEq.getOrElse(
           fail("map subtract needs WHERE ... AND ck = ? (the row IS " +
             "the map)"))
@@ -6708,12 +6810,14 @@ object Cql {
       case SetAddRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
+        requireKind("set", "set add c = c + {..}")
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(lit(_, "set element")),
           wt, cells, nextCk)
       case SetRemoveRe(n1, n2, vs) =>
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set remove must shrink the same column ($n1 vs $n2)")
+        requireKind("set", "set remove c = c - {..}")
         val name = n1.toLowerCase
         val victims = splitValues(vs).toSeq
           .map(lit(_, "set element")).toSet

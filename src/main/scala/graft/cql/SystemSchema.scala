@@ -149,9 +149,11 @@ private[cql] object SystemSchema {
   }
 
   private def valueTypeName(spark: SparkSession, dir: String): String =
-    // a mapped declared type (C65r) outranks the storage layout —
-    // DESCRIBE must print the statement that recreates the table
-    props(dir).get("cqlValueType").getOrElse {
+    // the declared COLLECTION spelling (C65z) outranks the mapped
+    // element type, which outranks the storage layout — DESCRIBE
+    // must print the statement that recreates the table
+    props(dir).get("cqlCollection")
+      .orElse(props(dir).get("cqlValueType")).getOrElse {
       // the connector's self-described read schema (headers win,
       // _props before the first flush) — the same authority every
       // scan uses

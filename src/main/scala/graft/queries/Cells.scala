@@ -2965,6 +2965,68 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C65z — DECLARED collection column types (r16): the everyday
+  // Cassandra spellings `set<inet>` / `list<uuid>` / `map<text,
+  // date>` as the VALUE column's declared type — storage is the
+  // ELEMENT type's layout (the C65x machinery unchanged), the
+  // declared KIND gates the write forms (a list append on a set
+  // column refuses with Cassandra's own type-error shape), and
+  // DESCRIBE renders the collection spelling round-trippably.
+  private def declaredCollectionsLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c65z"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c65z-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.si (pk bigint, ck int,
+        |  col text, value set<inet>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.lu (pk bigint, ck int,
+        |  col text, value list<uuid>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.md (pk bigint, ck int,
+        |  col text, value map<text, date>, wt bigint);
+        |TRUNCATE ks.si; TRUNCATE ks.lu; TRUNCATE ks.md;
+        |UPDATE ks.si SET ips = ips + {'10.0.0.1', '10.0.0.2'}
+        |  WHERE pk = 1;
+        |UPDATE ks.si SET ips = ips - {'10.0.0.2'} WHERE pk = 1;
+        |UPDATE ks.lu SET xs = xs +
+        |  [00000000-0000-1000-8000-000000000002,
+        |   00000000-0000-1000-8000-000000000001] WHERE pk = 1;
+        |UPDATE ks.md SET m['start'] = '1970-01-02'
+        |  WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.md SET m = m + {'end': '1969-12-31'}
+        |  WHERE pk = 1 AND ck = 1;
+        |DELETE start FROM ks.md WHERE pk = 1 AND ck = 1
+        |""".stripMargin, cat)
+    cq("SELECT pk, ck, col, value FROM ks.si")
+      .select(lit("si").as("tbl"), col("pk"), col("ck"),
+        col("col").as("k"), col("value").cast("string").as("v"))
+      .unionAll(cq("SELECT pk, ck, col, value FROM ks.lu")
+        .select(lit("lu").as("tbl"), col("pk"), col("ck"),
+          col("col").as("k"), col("value").cast("string").as("v")))
+      .unionAll(cq("SELECT pk, ck, col, value FROM ks.md")
+        .select(lit("md").as("tbl"), col("pk"), col("ck"),
+          col("col").as("k"), col("value").cast("string").as("v")))
+      .orderBy(col("tbl"), col("pk"), col("ck"), col("k"), col("v"))
+  }
+
+  // list cks preserve APPEND order, so the two uuids keep their
+  // written order (ck 1 then 2); the removed inet and the deleted
+  // map entry never surface
+  private val declaredCollectionsSql =
+    """SELECT tbl, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  k, v
+      |FROM (VALUES
+      |  ('lu', 1, 1, 'xs', '00000000-0000-1000-8000-000000000002'),
+      |  ('lu', 1, 2, 'xs', '00000000-0000-1000-8000-000000000001'),
+      |  ('md', 1, 1, 'end', '-1'),
+      |  ('si', 1, 1, 'ips', '10.0.0.1')) AS t(tbl, pk, ck, k, v)
+      |ORDER BY tbl, pk, ck, k, v""".stripMargin
+
   // C65y — CAST over MAPPED declared types (r16): Cassandra's CAST
   // matrix applied to DECLARED semantics, never the storage
   // rendering — CAST(value AS text) on a date table prints the ISO
@@ -3873,6 +3935,8 @@ object Cells {
       Some(typedVectorAnnSql)),
     GQuery("C65y_mapped_cast", mappedCastLifecycle,
       Some(mappedCastSql)),
+    GQuery("C65z_declared_collections", declaredCollectionsLifecycle,
+      Some(declaredCollectionsSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

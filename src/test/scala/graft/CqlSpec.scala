@@ -4843,6 +4843,91 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.tvcat")
   }
 
+  test("declared collection column types (C65z): set<inet> / " +
+    "list<uuid> / map<text,date> spellings, kind-gated write forms, " +
+    "DESCRIBE round-trip") {
+    val root = Files.createTempDirectory("cql-c65z").toString
+    spark.conf.set("spark.sql.catalog.zcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.zcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "zcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def cells(t: String, pk: Long, c: String): Seq[Any] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").collect().map(_.get(0)).toSeq
+      cq("CREATE KEYSPACE ks")
+      // ---- set<inet>: the declared spelling; elements validate
+      cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+        "value set<inet>, wt bigint)")
+      cq("UPDATE ks.si SET ips = ips + {'10.0.0.1', '10.0.0.2'} " +
+        "WHERE pk = 1")
+      cq("UPDATE ks.si SET ips = ips - {'10.0.0.2'} WHERE pk = 1")
+      assert(cells("si", 1, "ips") === Seq("10.0.0.1"))
+      refuse("UPDATE ks.si SET ips = ips + {'bogus'} WHERE pk = 1",
+        "IPv4/IPv6 address literal")
+      // kind gating: list/map forms refuse by name on a set column
+      refuse("UPDATE ks.si SET ips = ips + ['10.0.0.3'] WHERE pk = 1",
+        "does not apply to a set<inet> column")
+      refuse("UPDATE ks.si SET m['k'] = '10.0.0.3' " +
+        "WHERE pk = 1 AND ck = 1",
+        "does not apply to a set<inet> column")
+      assert(cq("DESCRIBE TABLE ks.si").collect().head.getString(0)
+        .contains("value set<inet>"))
+      // ---- list<uuid>
+      cq("CREATE TABLE ks.lu (pk bigint, ck int, col text, " +
+        "value list<uuid>, wt bigint)")
+      cq("UPDATE ks.lu SET xs = xs + " +
+        "[00000000-0000-1000-8000-000000000001, " +
+        "00000000-0000-1000-8000-000000000002] WHERE pk = 1")
+      assert(cells("lu", 1, "xs") ===
+        Seq("00000000-0000-1000-8000-000000000001",
+          "00000000-0000-1000-8000-000000000002"))
+      refuse("UPDATE ks.lu SET xs = xs + " +
+        "{00000000-0000-1000-8000-000000000003} WHERE pk = 1",
+        "does not apply to a list<uuid> column")
+      assert(cq("DESCRIBE TABLE ks.lu").collect().head.getString(0)
+        .contains("value list<uuid>"))
+      // ---- map<text, date>: entry values through the date grammar
+      cq("CREATE TABLE ks.md (pk bigint, ck int, col text, " +
+        "value map<text, date>, wt bigint)")
+      cq("UPDATE ks.md SET m['start'] = '1970-01-02' " +
+        "WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.md SET m = m + {'end': '1969-12-31'} " +
+        "WHERE pk = 1 AND ck = 1")
+      assert(cells("md", 1, "start") === Seq(1))
+      assert(cells("md", 1, "end") === Seq(-1))
+      refuse("UPDATE ks.md SET m = m + {'1970-01-05'} " +
+        "WHERE pk = 1", "does not apply to a map<text, date> column")
+      assert(cq("DESCRIBE TABLE ks.md").collect().head.getString(0)
+        .contains("value map<text, date>"))
+      // LWT and LOGGED BATCH refuse on declared collections by name
+      refuse("INSERT INTO ks.si (pk, ck, ips) VALUES (9, 1, " +
+        "'10.9.9.9') IF NOT EXISTS", "collection columns")
+      refuse("BEGIN BATCH\nINSERT INTO ks.si (pk, ck, ips) VALUES " +
+        "(9, 1, '10.9.9.9');\nAPPLY BATCH", "collection columns")
+      // declaration refusals, each by name
+      refuse("CREATE TABLE ks.b1 (pk bigint, ck int, col text, " +
+        "value map<int, text>, wt bigint)", "map<text, T>")
+      refuse("CREATE TABLE ks.b2 (pk bigint, ck int, col text, " +
+        "value set<blob>, wt bigint)",
+        "unsupported collection element type")
+      refuse("CREATE TABLE ks.b3 (pk set<inet>, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((pk), ck))",
+        "cannot be a collection")
+      refuse("CREATE TABLE ks.b4 (pk bigint, ck int, col text, " +
+        "value set<inet>, s set<inet> STATIC, wt bigint)",
+        "cannot be static")
+      refuse("CREATE TABLE ks.b5 (user text, seq int, col text, " +
+        "value set<inet>, wt bigint, PRIMARY KEY ((user), seq))",
+        "default ((pk), ck) layout only")
+    } finally spark.conf.unset("spark.sql.catalog.zcat")
+  }
+
   test("conditional BATCH over text-storage value types (C56e): " +
     "apply/refuse matrix, mapped-uuid variant, all-or-nothing") {
     val root = Files.createTempDirectory("cql-c56e").toString
