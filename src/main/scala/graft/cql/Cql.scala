@@ -193,7 +193,7 @@ object Cql {
   private val CreateIdxRe =
     ("""(?is)^\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
-      """(?:(values|keys|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)""" +
+      """(?:(values|keys|entries|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)""" +
       """(?:\s+WITH\s+OPTIONS\s*=\s*\{([^}]*)\})?\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
@@ -2536,6 +2536,7 @@ object Cql {
         val ci = if (ciOpt) "_ci" else ""
         val colName = Option(fnOpt).map(_.toLowerCase) match {
           case Some("keys") => s"keys(${fnCol.toLowerCase})"
+          case Some("entries") => s"entries(${fnCol.toLowerCase})"
           case Some("prefix") => s"prefix$ci(${fnCol.toLowerCase})"
           case Some("ann") => s"ann(${fnCol.toLowerCase})"
           case Some("contains") =>
@@ -2543,9 +2544,19 @@ object Cql {
           case Some(_) => fnCol.toLowerCase // values(m) == plain m
           case None => plainCol.toLowerCase
         }
+        // entries() is Cassandra's MAP-entry mode: a declared
+        // non-map collection (C65z) refuses by name; undeclared
+        // tables serve it (the row IS the map in the C12 encoding)
+        if (Option(fnOpt).exists(_.equalsIgnoreCase("entries")))
+          cqlCollectionOf(s"$root/$ks/$t").foreach(sp =>
+            if (!sp.startsWith("map<"))
+              fail(s"entries(...) indexes map columns; " +
+                s"${fnCol.toLowerCase} is declared $sp"))
         val idxName = Option(nameOpt).map(_.trim).filter(_.nonEmpty)
           .getOrElse(Option(fnOpt).map(_.toLowerCase) match {
             case Some("keys") => s"${t}_${fnCol.toLowerCase}_keys_idx"
+            case Some("entries") =>
+              s"${t}_${fnCol.toLowerCase}_entries_idx"
             case Some("prefix") =>
               s"${t}_${fnCol.toLowerCase}_prefix${ci}_idx"
             case Some("ann") => s"${t}_${fnCol.toLowerCase}_ann_idx"
@@ -3214,6 +3225,13 @@ object Cql {
   private val PredRe =
     """(?is)^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val InRe = """(?is)^\s*(\w+)\s+IN\s*\(([^)]*)\)\s*$""".r
+
+  /** `m['key'] = v` WHERE terms (C64d — Cassandra's map-entry
+    * restriction, served by an entries(<map>) index).
+    */
+  private val MapEntryPredRe =
+    ("""(?is)^\s*(\w+)\s*\[\s*('(?:[^']|'')*')\s*\]""" +
+      """\s*=\s*(.+?)\s*$""").r
   /** `col LIKE '<pattern>'` (C18i — served by a prefix index only). */
   private val LikeRe =
     """(?is)^\s*(\w+)\s+LIKE\s+('(?:[^']|'')*')\s*$""".r
@@ -3641,6 +3659,10 @@ object Cql {
     // entry key to look up, plus the map column for the message
     val idxKeyPreds = scala.collection.mutable.ArrayBuffer
       .empty[(String, String)]
+    // `m['k'] = v` probes served by an entries(<map>) index (C64d):
+    // (map column, entry key, storage-typed value)
+    val idxEntryPreds = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Any)]
     val regularTerms = nonTokenTerms.filter {
       case ContainsRe(c, kw, v)
           if !keyCols.contains(c.toLowerCase) &&
@@ -3750,6 +3772,32 @@ object Cql {
             "mode)"))
         idxLikes += ((cl, needle, idx, mode))
         false
+      case MapEntryPredRe(mc, kq, v)
+          if !keyCols.contains(mc.toLowerCase) &&
+            !modelCols.contains(mc.toLowerCase) =>
+        // map-ENTRY restriction (C64d): `m['k'] = v` — entry keys
+        // ARE col names (the row IS the map), so the probe is a
+        // (col, value) pair; an entries(<map>) index serves it as
+        // one typed point read, ALLOW FILTERING as a cell filter
+        val cl = mc.toLowerCase
+        val k = literal(kq) match {
+          case ks: String => ks
+          case o => fail(s"map entry key must be a text literal, " +
+            s"got $o")
+        }
+        if (k.isEmpty || k.startsWith("!"))
+          fail(s"unsupported map key: '$k'")
+        val pv = dataLit(k, v)
+        if (graft.sources.CellIndex.registered(dir)
+            .exists(i => graft.sources.CellIndex.columnOf(i)
+              .contains(s"entries($cl)")))
+          idxEntryPreds += ((cl, k, pv))
+        else if (!allowFiltering)
+          fail(s"$cl['$k'] = ? needs ALLOW FILTERING (or an " +
+            s"entries($cl) index — Cassandra's map-entry 2i)")
+        else containsPreds += (col("col") === k &&
+          col("value") === lit(pv))
+        false
       case PredRe(c, "=", v)
           if !keyCols.contains(c.toLowerCase) &&
             !modelCols.contains(c.toLowerCase) =>
@@ -3851,7 +3899,8 @@ object Cql {
     // with its own resume rules; Cassandra's paging state is likewise
     // bound to the statement shape that produced it).
     if (page.isDefined && (idxPreds.nonEmpty || idxRanges.nonEmpty ||
-        idxLikes.nonEmpty || idxKeyPreds.nonEmpty))
+        idxLikes.nonEmpty || idxKeyPreds.nonEmpty ||
+        idxEntryPreds.nonEmpty))
       fail("PAGE AFTER cannot combine with an indexed predicate")
     if (page.isDefined && hasTok)
       fail("PAGE AFTER cannot combine with token() ranges (the " +
@@ -3863,7 +3912,8 @@ object Cql {
         // the base cells — Cassandra's own index-then-fetch-then-
         // filter contract (index false positives drop here).
         if (idxPreds.length > 1 || idxRanges.nonEmpty ||
-            idxLikes.nonEmpty || idxKeyPreds.nonEmpty)
+            idxLikes.nonEmpty || idxKeyPreds.nonEmpty ||
+            idxEntryPreds.nonEmpty)
           fail("one indexed data predicate per statement")
         val (ic, iv) = idxPreds.head
         if (hasTok)
@@ -3878,6 +3928,36 @@ object Cql {
             "ALLOW FILTERING"))
         graft.sources.CellIndex.lookupBase(spark, dir, idxDir, iv)
           .filter(col("col") === ic && col("value") === lit(iv))
+      } else if (idxEntryPreds.nonEmpty) {
+        // entries-index route (C64d): the (key, value) pair packs to
+        // the SAME bytes the build wrote (the C59 wire format), so
+        // the probe is ONE typed point read of the index — then the
+        // hit set composes into the base multiget and the (col,
+        // value) predicate re-applies on the base cells (refresh
+        // epochs and overwritten entries drop there). The result
+        // relation surfaces the matching ENTRY cells.
+        if (idxEntryPreds.length > 1 || idxRanges.nonEmpty ||
+            idxLikes.nonEmpty || idxKeyPreds.nonEmpty)
+          fail("one indexed data predicate per statement")
+        val (mc, k, pv) = idxEntryPreds.head
+        if (hasTok)
+          fail("token ranges cannot combine with an indexed predicate")
+        if (fnNarrows || hasTokSel)
+          fail("WRITETIME/TTL/token() projections cannot combine " +
+            "with an indexed predicate")
+        val idxDir = graft.sources.CellIndex.registered(dir)
+          .find(i => graft.sources.CellIndex.columnOf(i)
+            .contains(s"entries($mc)")).get
+        val lt = graft.sources.CellIndex.entriesLayoutType(
+          graft.sources.CellSource.valueTypeOf(dir))
+        val packExternal: Any = pv match {
+          case i: Int => i.toLong // the pack layer's int-field input
+          case o => o
+        }
+        val packed = graft.functions.UdtValues.pack(
+          s"k string,v $lt", Map("k" -> k, "v" -> packExternal))
+        graft.sources.CellIndex.lookupBase(spark, dir, idxDir, packed)
+          .filter(col("col") === k && col("value") === lit(pv))
       } else if (idxKeyPreds.nonEmpty) {
         // keys-index route (C64c): restrict the base to the pks whose
         // rows carry the entry key, then re-apply the col predicate

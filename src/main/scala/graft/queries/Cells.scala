@@ -2965,6 +2965,52 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C64d — the ENTRIES(map) index (r16): Cassandra's map-entry 2i.
+  // Entry cells are (col = key, value) pairs in the C12 row-is-the-
+  // map encoding; the index keys each pair as ONE C59-packed binary
+  // typed partition key, so `m['k'] = v` probes as a single typed
+  // point read (hash-routed, Summary/bloom pruned) and the base
+  // re-read drops overwritten entries — pk 1's color was rewritten
+  // 1 → 9 AFTER the index build (write-through refreshed it), so
+  // the 'color' = 1 probe returns nothing and 9 returns pk 1.
+  private def entriesIndexLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c64d"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c64d-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.m (entries(m));
+        |TRUNCATE ks.m;
+        |UPDATE ks.m SET m['color'] = 1 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.m SET m['color'] = 2 WHERE pk = 2 AND ck = 1;
+        |UPDATE ks.m SET m['size'] = 1 WHERE pk = 3 AND ck = 1;
+        |UPDATE ks.m SET m['color'] = 2 WHERE pk = 4 AND ck = 1;
+        |UPDATE ks.m SET m['color'] = 9 WHERE pk = 1 AND ck = 1
+        |""".stripMargin, cat)
+    cq("SELECT pk, value FROM ks.m WHERE m['color'] = 2")
+      .select(lit("c2").as("probe"), col("pk"), col("value"))
+      .unionAll(cq("SELECT pk, value FROM ks.m WHERE m['color'] = 1")
+        .select(lit("c1").as("probe"), col("pk"), col("value")))
+      .unionAll(cq("SELECT pk, value FROM ks.m WHERE m['color'] = 9")
+        .select(lit("c9").as("probe"), col("pk"), col("value")))
+      .orderBy(col("probe"), col("pk"))
+  }
+
+  private val entriesIndexSql =
+    """SELECT probe, CAST(pk AS BIGINT) AS pk,
+      |  CAST(value AS BIGINT) AS value
+      |FROM (VALUES
+      |  ('c2', 2, 2), ('c2', 4, 2),
+      |  ('c9', 1, 9)) AS t(probe, pk, value)
+      |ORDER BY probe, pk""".stripMargin
+
   // C65z — DECLARED collection column types (r16): the everyday
   // Cassandra spellings `set<inet>` / `list<uuid>` / `map<text,
   // date>` as the VALUE column's declared type — storage is the
@@ -3937,6 +3983,8 @@ object Cells {
       Some(mappedCastSql)),
     GQuery("C65z_declared_collections", declaredCollectionsLifecycle,
       Some(declaredCollectionsSql)),
+    GQuery("C64d_entries_index", entriesIndexLifecycle,
+      Some(entriesIndexSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -351,6 +351,18 @@ object CellIndex {
     */
   private val KeysIdxRe = """^keys\((\w+)\)$""".r
 
+  /** An `entries(<map>)` index target (C64d, Cassandra's map-entry
+    * 2i): one entry per map ENTRY, keyed by the C59-packed (key,
+    * value) PAIR — map-entry keys ARE col names in the C12
+    * row-is-the-map encoding, so the pair is (col, value) packed as
+    * one binary typed partition key, and `m['k'] = v` probes it as
+    * ONE typed point read (hash-routed, Summary/bloom pruned), the
+    * exact machinery a values/keys probe uses. The base re-read
+    * re-applies the (col, value) predicate, dropping refresh-epoch
+    * false positives — index-then-fetch-then-filter, Cassandra's own.
+    */
+  private val EntriesIdxRe = """^entries\((\w+)\)$""".r
+
   /** A `prefix(<col>)` index target (C18i, SASI PREFIX mode): the
     * entry key is the cell value's ORDER-PRESERVING 64-bit code
     * ([[graft.functions.PrefixCodec]]) — a long, so the index table
@@ -397,6 +409,21 @@ object CellIndex {
   private val PrefixCiIdxRe = """^prefix_ci\((\w+)\)$""".r
   private val ContainsCiIdxRe = """^contains_ci\((\w+)\)$""".r
 
+  /** The C59 layout spelling of an entries-index value slot — the
+    * pack layer's subset; other storages (decimal/boolean/timestamp/
+    * binary) refuse by name at build time.
+    */
+  def entriesLayoutType(
+      dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.StringType => "string"
+    case org.apache.spark.sql.types.LongType => "bigint"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case o => throw new IllegalArgumentException(
+      s"entries(...) indexes text/bigint/int/double-storage " +
+        s"tables; this base stores ${o.simpleString}")
+  }
+
   private def writeEntries(base: DataFrame, column: String,
       valueIsLong: Boolean, files: Int, idxDir: String, epoch: Int,
       overwrite: Boolean, key: BaseKey,
@@ -407,6 +434,17 @@ object CellIndex {
       case KeysIdxRe(_) =>
         (base.filter(!col("col").startsWith("!")), col("col"),
           org.apache.spark.sql.types.StringType:
+            org.apache.spark.sql.types.DataType)
+      case EntriesIdxRe(_) =>
+        // map entries = ALL non-marker cells of the base (the row IS
+        // the map); the pair packs with the C59 wire format so the
+        // CQL probe can pack the same bytes driver-side
+        val lt = entriesLayoutType(base.schema("value").dataType)
+        graft.GraftExtensions.register(base.sparkSession)
+        (base.filter(!col("col").startsWith("!")),
+          org.apache.spark.sql.functions.expr(
+            s"graft_udt_pack('k string,v $lt', col, value)"),
+          org.apache.spark.sql.types.BinaryType:
             org.apache.spark.sql.types.DataType)
       case PrefixIdxRe(c) =>
         require(base.schema("value").dataType ==

@@ -4843,6 +4843,73 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.tvcat")
   }
 
+  test("entries(m) index (C64d): m['k'] = v served as one typed " +
+    "point probe; re-check drops stale entries; refusals") {
+    val root = Files.createTempDirectory("cql-c64d").toString
+    spark.conf.set("spark.sql.catalog.encat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.encat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "encat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("UPDATE ks.m SET m['color'] = 1 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.m SET m['color'] = 2 WHERE pk = 2 AND ck = 1")
+      cq("UPDATE ks.m SET m['size'] = 1 WHERE pk = 3 AND ck = 1")
+      // without the index: ALLOW FILTERING or refuse by name
+      refuse("SELECT pk FROM ks.m WHERE m['color'] = 1",
+        "entries(m) index")
+      assert(cq("SELECT pk FROM ks.m WHERE m['color'] = 1 " +
+        "ALLOW FILTERING").collect().map(_.getLong(0)).toSeq ===
+        Seq(1L))
+      cq("CREATE INDEX ON ks.m (entries(m))")
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$root/ks/m_m_entries_idx")))
+      // the entry PAIR routes: same key, different values disambiguate
+      assert(cq("SELECT pk FROM ks.m WHERE m['color'] = 1")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(cq("SELECT pk FROM ks.m WHERE m['color'] = 2")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // same value under a DIFFERENT key stays invisible
+      assert(cq("SELECT pk FROM ks.m WHERE m['size'] = 2")
+        .collect().isEmpty)
+      // write-through keeps it fresh; overwritten entries drop on
+      // the base re-check even while the index still lists them
+      cq("UPDATE ks.m SET m['color'] = 9 WHERE pk = 1 AND ck = 1")
+      assert(cq("SELECT pk FROM ks.m WHERE m['color'] = 1")
+        .collect().isEmpty)
+      assert(cq("SELECT pk FROM ks.m WHERE m['color'] = 9")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // text-valued tables pack string pairs
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("UPDATE ks.t SET m['lang'] = 'en' WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.t SET m['lang'] = 'fr' WHERE pk = 2 AND ck = 1")
+      cq("CREATE INDEX ON ks.t (entries(m))")
+      assert(cq("SELECT pk FROM ks.t WHERE m['lang'] = 'fr'")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // a declared NON-map collection refuses the mode by name
+      cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+        "value set<inet>, wt bigint)")
+      refuse("CREATE INDEX ON ks.si (entries(ips))",
+        "entries(...) indexes map columns")
+      // a declared map<text, date> serves with the date grammar
+      cq("CREATE TABLE ks.md (pk bigint, ck int, col text, " +
+        "value map<text, date>, wt bigint)")
+      cq("UPDATE ks.md SET m['start'] = '1970-01-02' " +
+        "WHERE pk = 1 AND ck = 1")
+      cq("CREATE INDEX ON ks.md (entries(m))")
+      assert(cq("SELECT pk FROM ks.md WHERE m['start'] = " +
+        "'1970-01-02'").collect().map(_.getLong(0)).toSeq === Seq(1L))
+      assert(cq("SELECT pk FROM ks.md WHERE m['start'] = " +
+        "'1970-01-03'").collect().isEmpty)
+    } finally spark.conf.unset("spark.sql.catalog.encat")
+  }
+
   test("declared collection column types (C65z): set<inet> / " +
     "list<uuid> / map<text,date> spellings, kind-gated write forms, " +
     "DESCRIBE round-trip") {
