@@ -119,7 +119,14 @@ object Cql {
 
   private val UpdateIfRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(\w+)\s*=\s*(\S+?)\s*;?\s*$""").r
+      """\s+IF\s+(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*;?\s*$""").r
+
+  /** `UPDATE ... IF col IN (v1, v2, ...)` — Cassandra's IN condition
+    * (r16). Matched before [[UpdateIfRe]] in the dispatcher.
+    */
+  private val UpdateIfInRe =
+    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*$""").r
 
   private val UpdateIfExistsRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
@@ -400,7 +407,8 @@ object Cql {
 
   private def shapeKnown(s: String): Boolean = s match {
     case UnloggedBatchRe(_, _) | BatchRe(_, _) | InsertJsonRe(_, _, _) |
-        InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _) |
+        InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _, _) |
+        UpdateIfInRe(_, _, _, _, _) |
         UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) |
         SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
         InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
@@ -455,7 +463,8 @@ object Cql {
           // that form is the LOGGED `BEGIN BATCH`; an UNLOGGED batch
           // refuses conditions exactly as Cassandra does.)
           case s @ (InsertIfNotExistsRe(_, _, _) |
-              UpdateIfRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
+              UpdateIfRe(_, _, _, _, _, _) |
+              UpdateIfInRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
               DeleteIfRe(_, _, _, _, _, _)) =>
             fail("conditional statements are not allowed in an " +
               s"UNLOGGED BATCH: $s")
@@ -536,10 +545,17 @@ object Cql {
       flushBuffered(spark, resolve(table)) // CAS reads current state
       val r = lwtInsert(spark, resolve(table), cols, vals)
       forgetWt(resolve(table)); r
-    case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
+    case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
-      val r = lwtUpdate(spark, resolve(table), sets, where, ifCol, ifVal)
+      val r = lwtUpdateIn(spark, resolve(table), sets, where, ifCol,
+        ifVals)
+      forgetWt(resolve(table)); r
+    case UpdateIfRe(table, sets, where, ifCol, ifOp, ifVal) =>
+      refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table))
+      val r = lwtUpdate(spark, resolve(table), sets, where, ifCol,
+        ifOp, ifVal)
       forgetWt(resolve(table)); r
     case UpdateIfExistsRe(table, sets, where) =>
       refuseUdt(resolve(table), "lightweight transactions")
@@ -1034,12 +1050,63 @@ object Cql {
     }
   }
 
+  /** The IF condition's literal parser for a table: the declared
+    * mapped grammar, text, or bigint — what `=`/`!=`/`IN` members
+    * parse through (C55d, r16).
+    */
+  private def casCondLit(mappedCas: Option[String], str: Boolean)(
+      raw: String): Any = mappedCas
+    .map(ct => mappedLiteral(ct)(raw, "IF condition"))
+    .getOrElse(collValue(str)(raw, "IF condition"))
+
+  /** Build the operator condition (C55d): `=`/`!=` parse through the
+    * table's grammar (an ABSENT cell satisfies `!=`, Cassandra's
+    * null rule); the ORDERED comparisons serve bigint cells only —
+    * the text-storage renderings do not carry the declared type's
+    * order (a timeuuid's canonical text does not sort by time).
+    */
+  private def casOpCond(mappedCas: Option[String], str: Boolean,
+      op: String, raw: String)
+      : graft.sources.CellTransactions.CasCond = {
+    import graft.sources.CellTransactions.CasCond
+    op match {
+      case "=" => CasCond.Equals(casCondLit(mappedCas, str)(raw))
+      case "!=" => CasCond.NotEquals(casCondLit(mappedCas, str)(raw))
+      case o =>
+        if (mappedCas.isDefined || str)
+          fail(s"IF $o serves bigint cells only in this subset " +
+            "(text-storage renderings do not carry the declared " +
+            "type's order)")
+        CasCond.Cmp(o, longLiteral(raw, "IF condition"))
+    }
+  }
+
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
-      where: String, ifCol: String, ifVal: String): DataFrame = {
+      where: String, ifCol: String, ifOp: String,
+      ifVal: String): DataFrame =
+    lwtUpdateCond(spark, dir, sets, where, ifCol,
+      (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal))
+
+  /** `UPDATE ... IF col IN (v1, ...)` (C55d): the condition holds
+    * when the cell's current winner equals ANY member; members parse
+    * through the table's grammar. An empty IN list never applies
+    * (Cassandra's semantics).
+    */
+  private def lwtUpdateIn(spark: SparkSession, dir: String,
+      sets: String, where: String, ifCol: String,
+      ifVals: String): DataFrame =
+    lwtUpdateCond(spark, dir, sets, where, ifCol,
+      (mappedCas, str) => graft.sources.CellTransactions.CasCond.In(
+        splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
+          .map(casCondLit(mappedCas, str))))
+
+  private def lwtUpdateCond(spark: SparkSession, dir: String,
+      sets: String, where: String, ifCol: String,
+      mkCond: (Option[String], Boolean) =>
+        graft.sources.CellTransactions.CasCond): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
-    import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
       refuseStaticLwt(dir, setColNames(sets))
       val str = isStringValued(dir)
@@ -1070,9 +1137,7 @@ object Cql {
           "(the CAS cell)")
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = Some(c),
-        cond = CasCond.Equals(mappedCas
-          .map(ct => mappedLiteral(ct)(ifVal, "IF condition"))
-          .getOrElse(collValue(str)(ifVal, "IF condition"))),
+        cond = mkCond(mappedCas, str),
         writeCol = c, writeValue = v))
     } else {
       val (c, v) = casSet(sets)
@@ -1081,7 +1146,7 @@ object Cql {
           "(the CAS cell)")
       lwtResult(spark, CellTransactions.casApplyKeyed(
         spark, dir, typedCasKey(spec, where), condCol = Some(c),
-        cond = CasCond.Equals(longLiteral(ifVal, "IF condition")),
+        cond = mkCond(None, false),
         writeCol = c, writeValue = v))
     }
   }
@@ -1218,7 +1283,8 @@ object Cql {
     // WHERE group would absorb a trailing IF clause and run the CAS
     // as an ordinary write
     val conditional = stmts.exists {
-      case InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _) |
+      case InsertIfNotExistsRe(_, _, _) |
+          UpdateIfRe(_, _, _, _, _, _) | UpdateIfInRe(_, _, _, _, _) |
           UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) =>
         true
       case _ => false
@@ -1428,7 +1494,7 @@ object Cql {
         // IF NOT EXISTS tests ROW presence at the insert's (pk, ck)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Absent: CasCond)), cells)
-      case UpdateIfRe(table, sets, where, ifCol, ifVal) =>
+      case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
@@ -1437,7 +1503,20 @@ object Cql {
         refuseStaticLwt(dir, setColNames(sets))
         val cells = parseUpd(dir, sets, where)
         (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
-          CasCond.Equals(condLit(dir, ifVal)): CasCond)),
+          CasCond.In(splitValues(ifVals).toSeq.map(_.trim)
+            .filter(_.nonEmpty).map(condLit(dir, _))): CasCond)),
+          cells)
+      case UpdateIfRe(table, sets, where, ifCol, ifOp, ifVal) =>
+        val dir = resolveDefault(table)
+        refuseUdt(dir, "lightweight transactions")
+        if (hasCollectionSyntax(sets))
+          fail("collection updates are not supported inside BATCH " +
+            "(appends need the current collection state)")
+        refuseStaticLwt(dir, setColNames(sets))
+        val cells = parseUpd(dir, sets, where)
+        (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
+          casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
+            ifVal): CasCond)),
           cells)
       case UpdateIfExistsRe(table, sets, where) =>
         val dir = resolveDefault(table)

@@ -2965,6 +2965,48 @@ object Cells {
       |FROM (VALUES (2), (3), (4)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C55d — LWT OPERATOR conditions (r16): Cassandra's full IF
+  // grammar — `!=` (an ABSENT cell IS not-equal, the null rule),
+  // the ordered comparisons over bigint cells (absent compares
+  // FALSE), and `IN (..)` with members through the table's grammar.
+  // The lifecycle's counter only moves when its guard holds, so the
+  // final value pins every operator's semantics.
+  private def lwtOperatorsLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c55d"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c55d-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |INSERT INTO ks.t (pk, ck, n) VALUES (1, 1, 10);
+        |UPDATE ks.t SET n = 11 WHERE pk = 1 AND ck = 1 IF n > 5;
+        |UPDATE ks.t SET n = 99 WHERE pk = 1 AND ck = 1 IF n < 11;
+        |UPDATE ks.t SET n = 12 WHERE pk = 1 AND ck = 1 IF n <= 11;
+        |UPDATE ks.t SET n = 13 WHERE pk = 1 AND ck = 1 IF n != 99;
+        |UPDATE ks.t SET n = 77 WHERE pk = 1 AND ck = 1 IF n != 13;
+        |UPDATE ks.t SET n = 14 WHERE pk = 1 AND ck = 1
+        |  IF n IN (12, 13);
+        |UPDATE ks.t SET n = 88 WHERE pk = 1 AND ck = 1 IF n IN ();
+        |UPDATE ks.t SET n = 1 WHERE pk = 2 AND ck = 1 IF n != 7;
+        |UPDATE ks.t SET n = 1 WHERE pk = 3 AND ck = 1 IF n > 0;
+        |SELECT pk, value FROM ks.t""".stripMargin, cat)
+      .orderBy(col("pk"))
+  }
+
+  // pk 1 walks 10 -> 11 (>5) -> 12 (<=11) -> 13 (!=99) -> 14 (IN);
+  // the guarded 99/77/88 writes never apply; pk 2 exists via the
+  // absent-cell != rule; pk 3 never does (absent < > compare false)
+  private val lwtOperatorsSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(value AS BIGINT) AS value
+      |FROM (VALUES (1, 14), (2, 1)) AS t(pk, value)
+      |ORDER BY pk""".stripMargin
+
   // C64d — the ENTRIES(map) index (r16): Cassandra's map-entry 2i.
   // Entry cells are (col = key, value) pairs in the C12 row-is-the-
   // map encoding; the index keys each pair as ONE C59-packed binary
@@ -3985,6 +4027,8 @@ object Cells {
       Some(declaredCollectionsSql)),
     GQuery("C64d_entries_index", entriesIndexLifecycle,
       Some(entriesIndexSql)),
+    GQuery("C55d_lwt_operators", lwtOperatorsLifecycle,
+      Some(lwtOperatorsSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -27,16 +27,43 @@ object CellTransactions {
     */
   final case class CasResult(applied: Boolean, current: Option[Any])
 
-  /** The CQL `IF` condition family (round 9): `IF NOT EXISTS`
-    * ([[CasCond.Absent]]), `IF EXISTS` ([[CasCond.Present]]),
-    * `IF col = v` ([[CasCond.Equals]]).
+  /** The CQL `IF` condition family (round 9; operators r16):
+    * `IF NOT EXISTS` ([[CasCond.Absent]]), `IF EXISTS`
+    * ([[CasCond.Present]]), `IF col = v` ([[CasCond.Equals]]),
+    * `IF col != v` ([[CasCond.NotEquals]] — an ABSENT cell IS not
+    * equal, Cassandra's null-handling), `IF col IN (..)`
+    * ([[CasCond.In]]), and the ordered comparisons over bigint
+    * cells ([[CasCond.Cmp]] — absent cells compare FALSE).
     */
   sealed trait CasCond
   object CasCond {
     case object Absent extends CasCond
     case object Present extends CasCond
     final case class Equals(v: Any) extends CasCond
+    final case class NotEquals(v: Any) extends CasCond
+    final case class In(vs: Seq[Any]) extends CasCond
+    /** op: one of "<", "<=", ">", ">=" over Long cell values. */
+    final case class Cmp(op: String, v: Long) extends CasCond
   }
+
+  /** Evaluate a condition against the cell's current winner. */
+  private def condHolds(cond: CasCond, cur: Option[Any]): Boolean =
+    cond match {
+      case CasCond.Absent => cur.isEmpty
+      case CasCond.Present => cur.isDefined
+      case CasCond.Equals(v) => cur.contains(v)
+      case CasCond.NotEquals(v) => !cur.contains(v)
+      case CasCond.In(vs) => cur.exists(vs.contains)
+      case CasCond.Cmp(op, v) => cur.exists {
+        case l: Long => op match {
+          case "<" => l < v
+          case "<=" => l <= v
+          case ">" => l > v
+          case ">=" => l >= v
+        }
+        case _ => false
+      }
+    }
 
   private val LockName = "_paxos.lock"
 
@@ -119,11 +146,7 @@ object CellTransactions {
         case None =>
           if (row.limit(1).collect().nonEmpty) Some(0L) else None
       }
-      val ok = cond match {
-        case CasCond.Absent => cur.isEmpty
-        case CasCond.Present => cur.isDefined
-        case CasCond.Equals(v) => cur.contains(v)
-      }
+      val ok = condHolds(cond, cur)
       def reported = if (condCol.isDefined) cur else None
       if (!ok) CasResult(applied = false, reported)
       else {
@@ -177,11 +200,7 @@ object CellTransactions {
         case None =>
           if (row.limit(1).collect().nonEmpty) Some(0L) else None
       }
-      val ok = cond match {
-        case CasCond.Absent => cur.isEmpty
-        case CasCond.Present => cur.isDefined
-        case CasCond.Equals(v) => cur.contains(v)
-      }
+      val ok = condHolds(cond, cur)
       def reported = if (condCol.isDefined) cur else None
       if (!ok) CasResult(applied = false, reported)
       else {
@@ -256,11 +275,7 @@ object CellTransactions {
           case Some(c) => byCell.get((ck, c))
           case None => if (liveCks(ck)) Some(0L) else None
         }
-        val ok = cond match {
-          case CasCond.Absent => cur.isEmpty
-          case CasCond.Present => cur.isDefined
-          case CasCond.Equals(v) => cur.contains(v)
-        }
+        val ok = condHolds(cond, cur)
         (ok, condCol, cur)
       }.find(!_._1)
       failed match {

@@ -4843,6 +4843,95 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.tvcat")
   }
 
+  test("LWT operator conditions (C55d): != / < / <= / > / >= / IN " +
+    "with Cassandra's null semantics; ordered ops bigint-only") {
+    val root = Files.createTempDirectory("cql-c55d").toString
+    spark.conf.set("spark.sql.catalog.opcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.opcat.root", root)
+    try {
+      import spark.implicits._
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "opcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      def n(pk: Long): Option[Long] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/t")
+          .filter(col("pk") === pk && col("col") === "n")
+          .select("value").as[Long].collect().headOption
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, n) VALUES (1, 1, 10)")
+      // ordered comparisons gate on the CURRENT winner
+      assert(applied("UPDATE ks.t SET n = 11 WHERE pk = 1 AND " +
+        "ck = 1 IF n > 5"))
+      assert(!applied("UPDATE ks.t SET n = 99 WHERE pk = 1 AND " +
+        "ck = 1 IF n < 11"))
+      assert(applied("UPDATE ks.t SET n = 12 WHERE pk = 1 AND " +
+        "ck = 1 IF n <= 11"))
+      assert(applied("UPDATE ks.t SET n = 13 WHERE pk = 1 AND " +
+        "ck = 1 IF n >= 12"))
+      assert(n(1) === Some(13L))
+      // != : an ABSENT cell IS not-equal (Cassandra's null rule)
+      assert(applied("UPDATE ks.t SET n = 1 WHERE pk = 2 AND " +
+        "ck = 1 IF n != 7"))
+      assert(!applied("UPDATE ks.t SET n = 2 WHERE pk = 2 AND " +
+        "ck = 1 IF n != 1"))
+      // ...but an ordered comparison against an absent cell is FALSE
+      assert(!applied("UPDATE ks.t SET n = 1 WHERE pk = 3 AND " +
+        "ck = 1 IF n > 0"))
+      // IN: any member matches; the empty list never applies
+      assert(applied("UPDATE ks.t SET n = 20 WHERE pk = 1 AND " +
+        "ck = 1 IF n IN (12, 13, 14)"))
+      assert(!applied("UPDATE ks.t SET n = 30 WHERE pk = 1 AND " +
+        "ck = 1 IF n IN (1, 2)"))
+      assert(!applied("UPDATE ks.t SET n = 30 WHERE pk = 1 AND " +
+        "ck = 1 IF n IN ()"))
+      assert(n(1) === Some(20L))
+      // the miss row still reports the current value
+      val miss = cq("UPDATE ks.t SET n = 9 WHERE pk = 1 AND ck = 1 " +
+        "IF n != 20").collect().head
+      assert(!miss.getBoolean(0) &&
+        miss.getLong(miss.fieldIndex("current")) === 20L)
+      // text cells: equality family serves, ordered refuses by name
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.s (pk, ck, st) VALUES (1, 1, 'new')")
+      assert(applied("UPDATE ks.s SET st = 'run' WHERE pk = 1 AND " +
+        "ck = 1 IF st != 'done'"))
+      assert(applied("UPDATE ks.s SET st = 'done' WHERE pk = 1 AND " +
+        "ck = 1 IF st IN ('run', 'paused')"))
+      refuse("UPDATE ks.s SET st = 'x' WHERE pk = 1 AND ck = 1 " +
+        "IF st < 'zzz'", "bigint cells only")
+      // mapped grammar rides the IN members (canonical uuid compare)
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      cq("INSERT INTO ks.u (pk, ck, id) VALUES (1, 1, " +
+        "123e4567-e89b-12d3-a456-426614174000)")
+      assert(applied("UPDATE ks.u SET id = " +
+        "00000000-0000-1000-8000-000000000002 WHERE pk = 1 AND " +
+        "ck = 1 IF id IN (123E4567-E89B-12D3-A456-426614174000, " +
+        "00000000-0000-1000-8000-000000000009)"))
+      refuse("UPDATE ks.u SET id = " +
+        "00000000-0000-1000-8000-000000000003 WHERE pk = 1 AND " +
+        "ck = 1 IF id != 'nope'", "uuid literal")
+      refuse("UPDATE ks.u SET id = " +
+        "00000000-0000-1000-8000-000000000003 WHERE pk = 1 AND " +
+        "ck = 1 IF id > 00000000-0000-1000-8000-000000000001",
+        "bigint cells only")
+      // operator conditions ride the conditional BATCH round too
+      val b = cq("BEGIN BATCH\n" +
+        "UPDATE ks.t SET n = 21 WHERE pk = 1 AND ck = 1 IF n >= 20;\n" +
+        "APPLY BATCH").collect().head
+      assert(b.getBoolean(0))
+      assert(n(1) === Some(21L))
+    } finally spark.conf.unset("spark.sql.catalog.opcat")
+  }
+
   test("entries(m) index (C64d): m['k'] = v served as one typed " +
     "point probe; re-check drops stale entries; refusals") {
     val root = Files.createTempDirectory("cql-c64d").toString
