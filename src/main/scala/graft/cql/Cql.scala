@@ -128,6 +128,23 @@ object Cql {
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*$""").r
 
+  /** `UPDATE ... IF a = 1 AND b > 2 AND ...` — Cassandra's
+    * MULTI-condition LWT (C55e, r16): every condition tested against
+    * the row's current state under ONE ballot. The tail requires a
+    * literal ` AND `, so single-condition forms keep their own
+    * regexes (an AND inside a quoted literal is outside this
+    * subset's grammar).
+    */
+  private val UpdateIfMultiRe =
+    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+(.+?\s+AND\s+.+?)\s*;?\s*$""").r
+
+  /** One IF-condition term: `col <op> value` with the full operator
+    * family (C55d/C55e).
+    */
+  private val LwtCondRe =
+    """(?is)^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*$""".r
+
   private val UpdateIfExistsRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+EXISTS\s*;?\s*$""").r
@@ -408,7 +425,7 @@ object Cql {
   private def shapeKnown(s: String): Boolean = s match {
     case UnloggedBatchRe(_, _) | BatchRe(_, _) | InsertJsonRe(_, _, _) |
         InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _, _) |
-        UpdateIfInRe(_, _, _, _, _) |
+        UpdateIfInRe(_, _, _, _, _) | UpdateIfMultiRe(_, _, _, _) |
         UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) |
         SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
         InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
@@ -464,7 +481,8 @@ object Cql {
           // refuses conditions exactly as Cassandra does.)
           case s @ (InsertIfNotExistsRe(_, _, _) |
               UpdateIfRe(_, _, _, _, _, _) |
-              UpdateIfInRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _) |
+              UpdateIfInRe(_, _, _, _, _) |
+              UpdateIfMultiRe(_, _, _, _) | UpdateIfExistsRe(_, _, _) |
               DeleteIfRe(_, _, _, _, _, _)) =>
             fail("conditional statements are not allowed in an " +
               s"UNLOGGED BATCH: $s")
@@ -544,6 +562,12 @@ object Cql {
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table)) // CAS reads current state
       val r = lwtInsert(spark, resolve(table), cols, vals)
+      forgetWt(resolve(table)); r
+    case UpdateIfMultiRe(table, sets, where, ifTail) =>
+      refuseUdt(resolve(table), "lightweight transactions")
+      flushBuffered(spark, resolve(table))
+      val r = lwtUpdateMulti(spark, resolve(table), sets, where,
+        ifTail)
       forgetWt(resolve(table)); r
     case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
       refuseUdt(resolve(table), "lightweight transactions")
@@ -1100,6 +1124,60 @@ object Cql {
         splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
           .map(casCondLit(mappedCas, str))))
 
+  /** Parse the multi-condition IF tail (C55e): ` AND `-separated
+    * terms, each an operator or IN condition on ANY data column of
+    * the CAS row; every member literal routes through the table's
+    * declared grammar.
+    */
+  private def lwtCondTerms(mappedCas: Option[String], str: Boolean,
+      ck: Int, ifTail: String): Seq[(Int, Option[String],
+        graft.sources.CellTransactions.CasCond)] = {
+    import graft.sources.CellTransactions.CasCond
+    ifTail.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+      .filter(_.nonEmpty).map {
+        case InRe(cc, vs) => (ck, Some(cc.toLowerCase):
+          Option[String],
+          CasCond.In(splitValues(vs).toSeq.map(_.trim)
+            .filter(_.nonEmpty)
+            .map(casCondLit(mappedCas, str))): CasCond)
+        case LwtCondRe(cc, op, raw) => (ck,
+          Some(cc.toLowerCase): Option[String],
+          casOpCond(mappedCas, str, op, raw))
+        case t => fail(s"unsupported IF condition: $t")
+      }
+  }
+
+  /** `UPDATE ... IF a = 1 AND b > 2 ...` (C55e) — every condition
+    * tested against the row's current reconciled state under ONE
+    * ballot; the write applies only when ALL hold (the miss row
+    * reports the FIRST failing condition's current value). Rides the
+    * conditional-batch CAS machinery — a multi-condition statement
+    * IS a one-write conditional batch.
+    */
+  private def lwtUpdateMulti(spark: SparkSession, dir: String,
+      sets: String, where: String, ifTail: String): DataFrame = {
+    val mappedCas = refuseLwtValueType(dir, allowText = true)
+    if (!graft.sources.CellSource.keySpec(dir).isDefault)
+      fail("multi-condition LWT supports the default ((pk), ck) " +
+        "layout only in this subset")
+    refuseStaticLwt(dir, setColNames(sets))
+    val str = isStringValued(dir)
+    val cs =
+      if (mappedCas.isDefined)
+        updateScalarCells(mappedLiteral(mappedCas.get), sets, where,
+          AssignLater)
+      else if (str)
+        updateStringCells(sets, where, AssignLater, Set.empty)
+      else updateCells(sets, where, AssignLater)
+    if (cs.length != 1)
+      fail("UPDATE ... IF takes exactly one SET column and one pk")
+    val (pk, ck, c, v) =
+      (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+    lwtResult(spark, graft.sources.CellTransactions.casBatch(
+      spark, dir, pk, lwtCondTerms(mappedCas, str, ck, ifTail),
+      Seq((ck, c, v))))
+  }
+
   private def lwtUpdateCond(spark: SparkSession, dir: String,
       sets: String, where: String, ifCol: String,
       mkCond: (Option[String], Boolean) =>
@@ -1132,20 +1210,17 @@ object Cql {
               "one pk")
           (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
         }
-      if (!ifCol.equalsIgnoreCase(c))
-        fail("UPDATE ... IF condition must target the SET column " +
-          "(the CAS cell)")
+      // the condition may target ANY data column of the row —
+      // Cassandra's own rule (C55e lifts the old SET-column pin)
       lwtResult(spark, CellTransactions.casApply(
-        spark, dir, pk, ck, condCol = Some(c),
+        spark, dir, pk, ck, condCol = Some(ifCol.toLowerCase),
         cond = mkCond(mappedCas, str),
         writeCol = c, writeValue = v))
     } else {
       val (c, v) = casSet(sets)
-      if (!ifCol.equalsIgnoreCase(c))
-        fail("UPDATE ... IF condition must target the SET column " +
-          "(the CAS cell)")
       lwtResult(spark, CellTransactions.casApplyKeyed(
-        spark, dir, typedCasKey(spec, where), condCol = Some(c),
+        spark, dir, typedCasKey(spec, where),
+        condCol = Some(ifCol.toLowerCase),
         cond = mkCond(None, false),
         writeCol = c, writeValue = v))
     }
@@ -1285,6 +1360,7 @@ object Cql {
     val conditional = stmts.exists {
       case InsertIfNotExistsRe(_, _, _) |
           UpdateIfRe(_, _, _, _, _, _) | UpdateIfInRe(_, _, _, _, _) |
+          UpdateIfMultiRe(_, _, _, _) |
           UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) =>
         true
       case _ => false
@@ -1494,6 +1570,16 @@ object Cql {
         // IF NOT EXISTS tests ROW presence at the insert's (pk, ck)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Absent: CasCond)), cells)
+      case UpdateIfMultiRe(table, sets, where, ifTail) =>
+        val dir = resolveDefault(table)
+        refuseUdt(dir, "lightweight transactions")
+        if (hasCollectionSyntax(sets))
+          fail("collection updates are not supported inside BATCH " +
+            "(appends need the current collection state)")
+        refuseStaticLwt(dir, setColNames(sets))
+        val cells = parseUpd(dir, sets, where)
+        (dir, lwtCondTerms(mappedCtOf(dir), isStringValued(dir),
+          cells.head._2, ifTail), cells)
       case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")

@@ -3007,6 +3007,46 @@ object Cells {
       |FROM (VALUES (1, 14), (2, 1)) AS t(pk, value)
       |ORDER BY pk""".stripMargin
 
+  // C55e — MULTI-condition LWT + conditions on NON-SET columns
+  // (r16): every condition tested against the row's current state
+  // under ONE ballot; the write applies only when ALL hold. The
+  // state machine below only advances when its owner AND state
+  // guards both hold, so the final state pins the semantics.
+  private def lwtMultiLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_c55e"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c55e-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |TRUNCATE ks.t;
+        |INSERT INTO ks.t (pk, ck, state, owner) VALUES (1, 1, 1, 7);
+        |UPDATE ks.t SET state = 2 WHERE pk = 1 AND ck = 1
+        |  IF owner = 7;
+        |UPDATE ks.t SET state = 9 WHERE pk = 1 AND ck = 1
+        |  IF owner = 8;
+        |UPDATE ks.t SET state = 3 WHERE pk = 1 AND ck = 1
+        |  IF state = 2 AND owner = 7;
+        |UPDATE ks.t SET state = 9 WHERE pk = 1 AND ck = 1
+        |  IF state = 3 AND owner != 7;
+        |UPDATE ks.t SET state = 4 WHERE pk = 1 AND ck = 1
+        |  IF owner >= 7 AND state < 9 AND retries != 0;
+        |SELECT pk, col, value FROM ks.t""".stripMargin, cat)
+      .orderBy(col("pk"), col("col"))
+  }
+
+  private val lwtMultiSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, col,
+      |  CAST(value AS BIGINT) AS value
+      |FROM (VALUES (1, 'owner', 7), (1, 'state', 4)) AS t(pk, col,
+      |  value)
+      |ORDER BY pk, col""".stripMargin
+
   // C64d — the ENTRIES(map) index (r16): Cassandra's map-entry 2i.
   // Entry cells are (col = key, value) pairs in the C12 row-is-the-
   // map encoding; the index keys each pair as ONE C59-packed binary
@@ -4029,6 +4069,7 @@ object Cells {
       Some(entriesIndexSql)),
     GQuery("C55d_lwt_operators", lwtOperatorsLifecycle,
       Some(lwtOperatorsSql)),
+    GQuery("C55e_lwt_multi", lwtMultiLifecycle, Some(lwtMultiSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

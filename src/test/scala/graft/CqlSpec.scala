@@ -4932,6 +4932,64 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.opcat")
   }
 
+  test("multi-condition LWT + non-SET-column conditions (C55e): " +
+    "one ballot, all-or-nothing, first-miss reporting") {
+    val root = Files.createTempDirectory("cql-c55e").toString
+    spark.conf.set("spark.sql.catalog.mccat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mccat.root", root)
+    try {
+      import spark.implicits._
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mccat")
+      def cell(pk: Long, c: String): Option[Long] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/t")
+          .filter(col("pk") === pk && col("col") === c)
+          .select("value").as[Long].collect().headOption
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.t (pk, ck, state, owner) VALUES (1, 1, 1, 7)")
+      // the condition may target a NON-SET column (Cassandra's rule)
+      val r1 = cq("UPDATE ks.t SET state = 2 WHERE pk = 1 AND " +
+        "ck = 1 IF owner = 7").collect().head
+      assert(r1.getBoolean(0) && cell(1, "state") === Some(2L))
+      // ...and the miss row reports the CONDITION column's value
+      val r2 = cq("UPDATE ks.t SET state = 9 WHERE pk = 1 AND " +
+        "ck = 1 IF owner = 8").collect().head
+      assert(!r2.getBoolean(0) &&
+        r2.getLong(r2.fieldIndex("current")) === 7L)
+      // multi-condition: both hold -> applies
+      val r3 = cq("UPDATE ks.t SET state = 3 WHERE pk = 1 AND " +
+        "ck = 1 IF state = 2 AND owner = 7").collect().head
+      assert(r3.getBoolean(0) && cell(1, "state") === Some(3L))
+      // one fails -> NOTHING applies, first failing value reported
+      val r4 = cq("UPDATE ks.t SET state = 9 WHERE pk = 1 AND " +
+        "ck = 1 IF state = 3 AND owner != 7").collect().head
+      assert(!r4.getBoolean(0) && cell(1, "state") === Some(3L))
+      // operator mix across columns, incl. an absent third column
+      val r5 = cq("UPDATE ks.t SET state = 4 WHERE pk = 1 AND " +
+        "ck = 1 IF owner >= 7 AND state < 9 AND retries != 0")
+        .collect().head
+      assert(r5.getBoolean(0) && cell(1, "state") === Some(4L))
+      // inside a conditional BATCH
+      val rb = cq("BEGIN BATCH\n" +
+        "UPDATE ks.t SET state = 5 WHERE pk = 1 AND ck = 1 " +
+        "IF state = 4 AND owner IN (6, 7);\n" +
+        "UPDATE ks.t SET note = 1 WHERE pk = 1 AND ck = 2;\n" +
+        "APPLY BATCH").collect().head
+      assert(rb.getBoolean(0))
+      assert(cell(1, "state") === Some(5L) &&
+        cell(1, "note").isDefined)
+      // bad term shapes refuse by name
+      val e = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.t SET state = 9 WHERE pk = 1 AND ck = 1 " +
+          "IF state LIKE 3 AND owner = 7")
+      }
+      assert(e.getMessage.contains("unsupported IF condition"),
+        e.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.mccat")
+  }
+
   test("entries(m) index (C64d): m['k'] = v served as one typed " +
     "point probe; re-check drops stale entries; refusals") {
     val root = Files.createTempDirectory("cql-c64d").toString
