@@ -151,7 +151,8 @@ object Cql {
 
   private val DeleteIfRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(?:(EXISTS)|(\w+)\s*=\s*(\S+?))\s*;?\s*$""").r
+      """\s+IF\s+(?:(EXISTS)|(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?))""" +
+      """\s*;?\s*$""").r
 
   private val BatchRe =
     ("""(?is)^\s*BEGIN\s+BATCH(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
@@ -426,7 +427,7 @@ object Cql {
     case UnloggedBatchRe(_, _) | BatchRe(_, _) | InsertJsonRe(_, _, _) |
         InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _, _) |
         UpdateIfInRe(_, _, _, _, _) | UpdateIfMultiRe(_, _, _, _) |
-        UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) |
+        UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _, _) |
         SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
         InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
         DeleteRe(_, _, _, _) => true
@@ -483,7 +484,7 @@ object Cql {
               UpdateIfRe(_, _, _, _, _, _) |
               UpdateIfInRe(_, _, _, _, _) |
               UpdateIfMultiRe(_, _, _, _) | UpdateIfExistsRe(_, _, _) |
-              DeleteIfRe(_, _, _, _, _, _)) =>
+              DeleteIfRe(_, _, _, _, _, _, _)) =>
             fail("conditional statements are not allowed in an " +
               s"UNLOGGED BATCH: $s")
           case s @ (InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
@@ -586,11 +587,13 @@ object Cql {
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateExists(spark, resolve(table), sets, where)
       forgetWt(resolve(table)); r
-    case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
+    case DeleteIfRe(colOpt, table, where, exists, ifCol, ifOp,
+        ifVal) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
-        Option(exists).isDefined, Option(ifCol), Option(ifVal))
+        Option(exists).isDefined, Option(ifCol), Option(ifOp),
+        Option(ifVal))
       forgetWt(resolve(table)); r
     case AnnSelectRe(cols, table, where, vcol, vec, k) =>
       annSelect(spark, resolve(table), cols.trim, vcol.toLowerCase,
@@ -1277,19 +1280,18 @@ object Cql {
     */
   private def lwtDelete(spark: SparkSession, dir: String,
       colOpt: Option[String], where: String, exists: Boolean,
-      ifCol: Option[String], ifVal: Option[String]): DataFrame = {
+      ifCol: Option[String], ifOp: Option[String],
+      ifVal: Option[String]): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     val (condCol, cond) =
-      if (exists) (None, CasCond.Present)
+      if (exists) (None, CasCond.Present: CasCond)
       else (Some(ifCol.get.toLowerCase),
-        CasCond.Equals(mappedCas
-          .map(ct => mappedLiteral(ct)(ifVal.get, "IF condition"))
-          .getOrElse(collValue(
-            spec.isDefault && isStringValued(dir))(
-            ifVal.get, "IF condition"))))
+        // the C55d operator family serves conditional DELETE too
+        casOpCond(mappedCas, spec.isDefault && isStringValued(dir),
+          ifOp.get, ifVal.get))
     val writeCol = colOpt match {
       case Some(c) =>
         graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
@@ -1361,7 +1363,7 @@ object Cql {
       case InsertIfNotExistsRe(_, _, _) |
           UpdateIfRe(_, _, _, _, _, _) | UpdateIfInRe(_, _, _, _, _) |
           UpdateIfMultiRe(_, _, _, _) |
-          UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _) =>
+          UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _, _) =>
         true
       case _ => false
     }
@@ -1614,7 +1616,8 @@ object Cql {
         val cells = parseUpd(dir, sets, where)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Present: CasCond)), cells)
-      case DeleteIfRe(colOpt, table, where, exists, ifCol, ifVal) =>
+      case DeleteIfRe(colOpt, table, where, exists, ifCol, ifOp,
+          ifVal) =>
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         val (pks, ckEq, _, _) = keyPredicate(where)
@@ -1625,7 +1628,8 @@ object Cql {
         val cond: Cond =
           if (exists != null) (ck, None, CasCond.Present)
           else (ck, Some(ifCol.toLowerCase),
-            CasCond.Equals(condLit(dir, ifVal)))
+            casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
+              ifVal))
         val writeCol = Option(colOpt) match {
           case Some(c) =>
             graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
@@ -2849,7 +2853,7 @@ object Cql {
             // DeleteRe's lazy WHERE group would absorb the trailing
             // IF clause and run the CAS as a plain SQL DELETE
             (cql match {
-              case DeleteIfRe(_, _, _, _, _, _) => false
+              case DeleteIfRe(_, _, _, _, _, _, _) => false
               case _ => true
             }) &&
             table.matches("\\w+\\.\\w+") && {

@@ -4929,6 +4929,13 @@ class CqlSpec extends GraftSpec {
         "APPLY BATCH").collect().head
       assert(b.getBoolean(0))
       assert(n(1) === Some(21L))
+      // ...and conditional DELETE (the write is the tombstone)
+      assert(!cq("DELETE n FROM ks.t WHERE pk = 1 AND ck = 1 " +
+        "IF n < 21").collect().head.getBoolean(0))
+      assert(n(1) === Some(21L))
+      assert(cq("DELETE n FROM ks.t WHERE pk = 1 AND ck = 1 " +
+        "IF n != 99").collect().head.getBoolean(0))
+      assert(n(1) === None)
     } finally spark.conf.unset("spark.sql.catalog.opcat")
   }
 
