@@ -163,6 +163,11 @@ object Cql {
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""").r
 
+  private val CounterBatchRe =
+    ("""(?is)^\s*BEGIN\s+COUNTER\s+BATCH""" +
+      """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
+      """\s+(.+?)\s+APPLY\s+BATCH\s*;?\s*$""").r
+
   // ---- DDL (catalog-bound statements) ----
 
   private val CreateKsRe =
@@ -424,7 +429,8 @@ object Cql {
   }
 
   private def shapeKnown(s: String): Boolean = s match {
-    case UnloggedBatchRe(_, _) | BatchRe(_, _) | InsertJsonRe(_, _, _) |
+    case UnloggedBatchRe(_, _) | BatchRe(_, _) | CounterBatchRe(_, _) |
+        InsertJsonRe(_, _, _) |
         InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _, _) |
         UpdateIfInRe(_, _, _, _, _) | UpdateIfMultiRe(_, _, _, _) |
         UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _, _) |
@@ -453,6 +459,43 @@ object Cql {
     */
   def execute(spark: SparkSession, cql: String,
       resolve: String => String = identity): DataFrame = cql match {
+    case CounterBatchRe(batchTs, body) =>
+      // C10d — `BEGIN COUNTER BATCH`: Cassandra's dedicated grouping
+      // form for counter increments. Counters are never journaled
+      // (shard deltas are not idempotent, so a crash-replay would
+      // double-count) and never take client timestamps (the shard
+      // coordinate IS server-assigned), so the form is grouping-only
+      // — exactly the UNLOGGED execution shape — and every statement
+      // MUST be a counter UPDATE (Cassandra: "Cannot include
+      // non-counter statement in a counter batch").
+      if (batchTs != null)
+        fail("Cannot provide custom timestamp for counter batches " +
+          "(counter shard writetimes are server-assigned)")
+      val stmts = splitOnSemis(body, batchAware = false)
+      if (stmts.isEmpty) fail("empty BATCH")
+      stmts.foreach {
+        case UpdateRe(table, _, _, _) =>
+          if (!isCounter(resolve(table)))
+            fail("Cannot include non-counter statement in a " +
+              s"counter batch (UPDATE on non-counter table $table)")
+        case s => fail("Cannot include non-counter statement in a " +
+          s"counter batch: $s")
+      }
+      val freshBuf = scriptBuf.get == null
+      if (freshBuf) {
+        scriptWts.set(scala.collection.mutable.Map.empty)
+        scriptBuf.set(scala.collection.mutable.LinkedHashMap.empty)
+      }
+      try {
+        stmts.foreach(s => execute(spark, s, resolve))
+        if (freshBuf) flushAllBuffered(spark)
+      } finally if (freshBuf) {
+        try flushAllBuffered(spark)
+        catch { case scala.util.control.NonFatal(e) =>
+          warnFlushFailure("COUNTER BATCH", e) }
+        scriptWts.remove(); scriptBuf.remove()
+      }
+      spark.emptyDataFrame
     case UnloggedBatchRe(batchTs, body) =>
       if (batchTs != null)
         fail("batch-level USING TIMESTAMP takes a LOGGED batch (an " +
@@ -464,6 +507,22 @@ object Cql {
       // shard deltas distinct and nothing is crash-replayed.
       val stmts = splitOnSemis(body, batchAware = false)
       if (stmts.isEmpty) fail("empty BATCH")
+      // Cassandra's batch-type rule: counter and non-counter
+      // operations never share a batch (their write paths differ —
+      // shard deltas vs LWW cells — so one batch cannot give both
+      // their semantics). A PURE-counter UNLOGGED batch stays legal
+      // (it IS what BEGIN COUNTER BATCH desugars to); a mixed one
+      // refuses with Cassandra's own message.
+      val counterOps = stmts.map {
+        case InsertRe(t, _, _, _) => isCounter(resolve(t))
+        case UpdateRe(t, _, _, _) => isCounter(resolve(t))
+        case DeleteRe(_, t, _, _) => isCounter(resolve(t))
+        case _ => false
+      }
+      if (counterOps.contains(true) && counterOps.contains(false))
+        fail("Cannot mix counter operations and non-counter " +
+          "operations in a batch (counters take BEGIN COUNTER BATCH " +
+          "or a pure-counter UNLOGGED batch)")
       // Cassandra's grouping-only form groups the I/O too: the batch
       // body runs under its own write buffer (when no script already
       // provides one), so its appends land as ONE flush per table
@@ -939,7 +998,8 @@ object Cql {
       if (c == '\'') inQ = !inQ
       if (batchAware && !inQ) {
         if (script.regionMatches(true, i, "BEGIN BATCH", 0, 11) ||
-            script.regionMatches(true, i, "BEGIN UNLOGGED BATCH", 0, 20))
+            script.regionMatches(true, i, "BEGIN UNLOGGED BATCH", 0, 20) ||
+            script.regionMatches(true, i, "BEGIN COUNTER BATCH", 0, 19))
           depth += 1
         if (script.regionMatches(true, i, "APPLY BATCH", 0, 11)) depth -= 1
       }
@@ -3816,7 +3876,7 @@ object Cql {
     // contains(<col>) index (C18i/C18j — SASI PREFIX and CONTAINS
     // modes): (column, needle, index dir, mode)
     val idxLikes = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, String, String)]
+      .empty[(String, String, String, String, String)]
     // CONTAINS / CONTAINS KEY residual predicates (collections are
     // element-per-cell, C11b: an element IS a (col, value) cell, a
     // map entry's key IS its col name — so containment is a cell
@@ -3909,23 +3969,36 @@ object Cql {
           case o => fail(s"LIKE takes a text pattern, got: $o")
         }
         // classify: 'p%' = PREFIX mode (C18i), '%s%' = CONTAINS
-        // mode (C18j, suffix index); other wildcard shapes refuse
+        // mode (C18j, suffix index), '%s' = SUFFIX (C18l — served
+        // from the SAME suffix-entry index with a NARROWER probe:
+        // value ends with s iff s IS one of its indexed suffixes, so
+        // the probe is the single code point, not a range); other
+        // wildcard shapes refuse
         val isContains = pat.length > 2 && pat.startsWith("%") &&
           pat.endsWith("%") &&
           !pat.substring(1, pat.length - 1)
             .exists(ch => ch == '%' || ch == '_')
-        val isPrefix = !isContains && pat.endsWith("%") &&
+        val isSuffix = !isContains && pat.startsWith("%") &&
+          !pat.drop(1).exists(ch => ch == '%' || ch == '_')
+        val isPrefix = !isContains && !isSuffix && pat.endsWith("%") &&
           !pat.dropRight(1).exists(ch => ch == '%' || ch == '_')
-        if (!isContains && !isPrefix)
+        if (!isContains && !isPrefix && !isSuffix)
           fail("supported LIKE shapes: '<literal>%' (SASI PREFIX " +
-            "mode) and '%<literal>%' (SASI CONTAINS mode)")
+            "mode), '%<literal>%' and '%<literal>' (SASI CONTAINS " +
+            "mode)")
         val needle =
           if (isContains) pat.substring(1, pat.length - 1)
+          else if (isSuffix) pat.drop(1)
           else pat.dropRight(1)
         if (needle.isEmpty)
           fail("LIKE '%' matches every row — scan without the " +
             "predicate instead")
-        val mode0 = if (isContains) "contains" else "prefix"
+        // the suffix shape is served by the CONTAINS-mode index
+        // (its entries ARE the suffixes)
+        val mode0 = if (isPrefix) "prefix" else "contains"
+        val kind =
+          if (isContains) "contains"
+          else if (isSuffix) "suffix" else "prefix"
         val reg = graft.sources.CellIndex.registered(dir)
         def byCol(m: String) = reg.find(i =>
           graft.sources.CellIndex.columnOf(i).contains(s"$m($cl)"))
@@ -3939,7 +4012,7 @@ object Cql {
             "indexes scatter adjacent values and cannot serve " +
             s"LIKE (SASI's order-preserving ${mode0.toUpperCase} " +
             "mode)"))
-        idxLikes += ((cl, needle, idx, mode))
+        idxLikes += ((cl, needle, idx, mode, kind))
         false
       case MapEntryPredRe(mc, kq, v)
           if !keyCols.contains(mc.toLowerCase) &&
@@ -4193,7 +4266,7 @@ object Cql {
         // drop), SASI's index-then-fetch-then-filter in PREFIX mode.
         if (idxLikes.length > 1)
           fail("one indexed data predicate per statement")
-        val (lc, needle, idxDir, mode) = idxLikes.head
+        val (lc, needle, idxDir, mode, kind) = idxLikes.head
         if (hasTok)
           fail("token ranges cannot combine with an indexed predicate")
         if (fnNarrows || hasTokSel)
@@ -4202,6 +4275,11 @@ object Cql {
         // CONTAINS mode (C18j) rides the SAME closed code range —
         // `sub` is a substring iff it PREFIXES one of the indexed
         // suffixes — with the residual re-check being contains().
+        // The SUFFIX shape (C18l) narrows further: `s` is a suffix
+        // iff it EQUALS one of the indexed suffixes, so the probe is
+        // the single code POINT [encode(s), encode(s)] (plus 8-byte
+        // collisions the endswith re-check drops) — one pruned point
+        // read instead of a range.
         // The _ci analyzer modes (C18k) indexed lower(value), so the
         // probe lowercases the needle and the re-check compares on
         // lower(value).
@@ -4213,12 +4291,24 @@ object Cql {
         val probe =
           if (ciMode) needle.toLowerCase(java.util.Locale.ROOT)
           else needle
-        graft.sources.CellIndex.lookupBasePrefix(spark, dir, idxDir,
-            probe)
+        val hits =
+          if (kind == "suffix") {
+            val code = graft.functions.PrefixCodec.lowBound(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(probe).getBytes)
+            graft.sources.CellIndex.lookupBaseRange(spark, dir,
+              idxDir, code, code)
+          } else
+            graft.sources.CellIndex.lookupBasePrefix(spark, dir,
+              idxDir, probe)
+        hits
           .filter(col("col") === lc && {
             val v = if (ciMode) lower(col("value")) else col("value")
-            if (mode.startsWith("contains")) v.contains(probe)
-            else v.startsWith(probe)
+            kind match {
+              case "contains" => v.contains(probe)
+              case "suffix" => v.endsWith(probe)
+              case _ => v.startsWith(probe)
+            }
           })
       } else {
         // a MATERIALIZED VIEW directory heals before serving — a

@@ -1724,6 +1724,47 @@ object Cells {
       |  AS t(pk, col, v)
       |ORDER BY pk, col""".stripMargin
 
+  // C10d — BEGIN COUNTER BATCH (r16): Cassandra's dedicated grouping
+  // form for counter increments. Counters are never journaled (shard
+  // deltas are not idempotent — a crash-replay would double-count)
+  // and never take client timestamps, so the form is grouping-only:
+  // each statement lands as its own shard-delta cell, the batch body
+  // shares ONE flush per table, and any non-counter statement in the
+  // body refuses with Cassandra's own message ("Cannot include
+  // non-counter statement in a counter batch"). The read back is the
+  // C10 shard-SUM merge.
+  private def counterBatch(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cntb"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cntb-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.c (pk bigint, ck int, col text, " +
+      "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+    cq("TRUNCATE ks.c")
+    cq("UPDATE ks.c SET hits = hits + 1 WHERE pk = 1 AND ck = 1")
+    cq("""BEGIN COUNTER BATCH
+         |  UPDATE ks.c SET hits = hits + 7 WHERE pk = 1 AND ck = 1;
+         |  UPDATE ks.c SET views = views + 4, hits = hits - 2
+         |    WHERE pk = 1 AND ck = 1;
+         |  UPDATE ks.c SET hits = hits + 100 WHERE pk = 9 AND ck = 2;
+         |APPLY BATCH""".stripMargin)
+    cq("""BEGIN COUNTER BATCH
+         |  UPDATE ks.c SET views = views - 1 WHERE pk = 9 AND ck = 2;
+         |APPLY BATCH""".stripMargin)
+    cq("SELECT pk, ck, col, value FROM ks.c ORDER BY pk, ck, col")
+  }
+
+  private val counterBatchSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, col,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 1, 'hits', 6), (1, 1, 'views', 4),
+      |  (9, 2, 'hits', 100), (9, 2, 'views', -1)) AS t(pk, ck, col, v)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C55b — TYPED-table LWT round trip end-to-end: a DDL-created
   // typed table, the full conditional-statement matrix (IF NOT
   // EXISTS apply + refuse, IF col = v, IF EXISTS miss, conditional
@@ -3478,6 +3519,54 @@ object Cells {
       |  ('p_apr', 2), ('p_apr', 5)) AS t(pat, pk)
       |ORDER BY pat, pk""".stripMargin
 
+  // C18l — SASI suffix LIKE (r16): `LIKE '%s'` serves from the SAME
+  // contains(<col>) suffix index as C18j with a NARROWER probe — a
+  // value ends with s iff s IS one of its indexed suffixes, so the
+  // probe is the single order-preserving code POINT (one
+  // Summary-pruned index point read, not a range) and the base
+  // re-read's endswith re-check drops 8-byte-code collisions
+  // (exercised below with two >8-byte needles sharing their first
+  // 8 bytes).
+  private def suffixLikeLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_suffix"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-sfx-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.docs (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.docs (contains(name));
+        |TRUNCATE ks.docs;
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (1, 1, 'alpha');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (2, 1, 'banana');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (3, 1, 'cabana');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (4, 1, 'zebra');
+        |INSERT INTO ks.docs (pk, ck, name) VALUES (5, 1, 'ban');
+        |INSERT INTO ks.docs (pk, ck, name)
+        |  VALUES (6, 1, 'documentation-x');
+        |INSERT INTO ks.docs (pk, ck, name)
+        |  VALUES (7, 1, 'documentation-y')
+        |""".stripMargin, cat)
+    def like(pat: String, tag: String): DataFrame =
+      cq(s"SELECT pk FROM ks.docs WHERE name LIKE '$pat'")
+        .select(lit(tag).as("pat"), col("pk"))
+    like("%ana", "ana").unionAll(like("%an", "an"))
+      .unionAll(like("%ra", "ra"))
+      .unionAll(like("%mentation-x", "mx"))
+      .orderBy(col("pat"), col("pk"))
+  }
+
+  private val suffixLikeSql =
+    """SELECT pat, CAST(pk AS BIGINT) AS pk
+      |FROM (VALUES ('an', 5), ('ana', 2), ('ana', 3),
+      |  ('mx', 6), ('ra', 4)) AS t(pat, pk)
+      |ORDER BY pat, pk""".stripMargin
+
   // C51c — real-world table options (r15): comment is parsed,
   // stored, and DESC-rendered with '' escaping; the physical tuning
   // knobs every production schema dump carries (caching, compression,
@@ -3991,6 +4080,7 @@ object Cells {
     GQuery("C65f_cql_indexed_where", cqlIndexedWhere,
       Some(cqlIndexedWhereSql)),
     GQuery("C65g_cql_counter", cqlCounter, Some(cqlCounterSql)),
+    GQuery("C10d_counter_batch", counterBatch, Some(counterBatchSql)),
     GQuery("C65h_cql_prepared", cqlPrepared, Some(cqlPreparedSql)),
     GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
@@ -4075,6 +4165,7 @@ object Cells {
     GQuery("C18j_contains_like", containsLikeLifecycle,
       Some(containsLikeSql)),
     GQuery("C18k_ci_like", ciLikeLifecycle, Some(ciLikeSql)),
+    GQuery("C18l_suffix_like", suffixLikeLifecycle, Some(suffixLikeSql)),
     GQuery("C59c_typed_udt", typedUdtLifecycle, Some(typedUdtSql)),
     GQuery("C61_range_movement", rangeMovementRead,
       Some(rangeMovementSql)),

@@ -5637,6 +5637,135 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.ctcat")
   }
 
+  test("SASI suffix LIKE (C18l): '%s' is one code-point probe of the " +
+    "contains index, endswith residual") {
+    val root = Files.createTempDirectory("cql-suffix").toString
+    spark.conf.set("spark.sql.catalog.sfcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.sfcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "sfcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.docs (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (1, 1, 'alpha')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (2, 1, 'banana')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (3, 1, 'cabana')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (4, 1, 'ban')")
+      // the suffix shape rides the CONTAINS-mode index — refuses
+      // without one, naming it
+      refuse("SELECT pk FROM ks.docs WHERE name LIKE '%ana'",
+        "needs a contains index")
+      cq("CREATE INDEX ON ks.docs (contains(name))")
+      def like(pat: String): Seq[Long] =
+        cq(s"SELECT pk FROM ks.docs WHERE name LIKE '$pat'")
+          .collect().map(_.getLong(0)).toSeq.sorted
+      // endswith, NOT contains: 'cabana'/'banana' end with 'ana';
+      // 'ban' does not (though it contains 'an' shapes)
+      assert(like("%ana") === Seq(2L, 3L))
+      assert(like("%an") === Seq(4L))
+      assert(like("%alpha") === Seq(1L))
+      assert(like("%banana") === Seq(2L))
+      assert(like("%qq") === Seq.empty)
+      // a contains match that is NOT a suffix must not serve: 'zeb'
+      // is inside 'zebra' but no value ENDS with 'zeb'
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (5, 1, 'zebra')")
+      assert(like("%zeb") === Seq.empty)
+      assert(like("%zebra") === Seq(5L))
+      // >8-byte needles share a first-8-byte code — the endswith
+      // residual drops the collision partner
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (6, 1, " +
+        "'documentation-x')")
+      cq("INSERT INTO ks.docs (pk, ck, name) VALUES (7, 1, " +
+        "'documentation-y')")
+      assert(like("%mentation-x") === Seq(6L))
+      assert(like("%mentation-y") === Seq(7L))
+      // case-insensitive analyzer composes (C18k): second column
+      // cannot exist on the cell model — use a fresh table
+      cq("CREATE TABLE ks.ci (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("CREATE INDEX ON ks.ci (contains(name)) " +
+        "WITH OPTIONS = {'case_sensitive': 'false'}")
+      cq("INSERT INTO ks.ci (pk, ck, name) VALUES (1, 1, 'Apple')")
+      cq("INSERT INTO ks.ci (pk, ck, name) VALUES (2, 1, 'PineAPPLE')")
+      cq("INSERT INTO ks.ci (pk, ck, name) VALUES (3, 1, 'applet')")
+      val ci = cq("SELECT pk FROM ks.ci WHERE name LIKE '%PLE'")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ci === Seq(1L, 2L))
+    } finally spark.conf.unset("spark.sql.catalog.sfcat")
+  }
+
+  test("COUNTER BATCH (C10d): grouping-only counter form, " +
+    "non-counter statements and custom timestamps refuse, " +
+    "unlogged mixing refuses") {
+    val root = Files.createTempDirectory("cql-cntbatch").toString
+    spark.conf.set("spark.sql.catalog.cbcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cbcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cbcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("""BEGIN COUNTER BATCH
+           |  UPDATE ks.c SET hits = hits + 5 WHERE pk = 1 AND ck = 1;
+           |  UPDATE ks.c SET hits = hits + 3 WHERE pk = 1 AND ck = 1;
+           |  UPDATE ks.c SET hits = hits - 1 WHERE pk = 2 AND ck = 1;
+           |APPLY BATCH""".stripMargin)
+      val rows = cq("SELECT pk, value FROM ks.c ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows === Seq((1L, 8L), (2L, -1L)))
+      // Cassandra's batch-type rules, by name
+      refuse("""BEGIN COUNTER BATCH
+               |  INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5);
+               |APPLY BATCH""".stripMargin,
+        "Cannot include non-counter statement in a counter batch")
+      refuse("""BEGIN COUNTER BATCH
+               |  UPDATE ks.t SET qty = 5 WHERE pk = 1 AND ck = 1;
+               |APPLY BATCH""".stripMargin,
+        "Cannot include non-counter statement in a counter batch")
+      refuse("""BEGIN COUNTER BATCH USING TIMESTAMP 99
+               |  UPDATE ks.c SET hits = hits + 1 WHERE pk = 1 AND ck = 1;
+               |APPLY BATCH""".stripMargin,
+        "Cannot provide custom timestamp for counter batches")
+      // UNLOGGED: pure-counter stays legal, MIXING refuses
+      cq("""BEGIN UNLOGGED BATCH
+           |  UPDATE ks.c SET hits = hits + 2 WHERE pk = 1 AND ck = 1;
+           |APPLY BATCH""".stripMargin)
+      refuse("""BEGIN UNLOGGED BATCH
+               |  UPDATE ks.c SET hits = hits + 1 WHERE pk = 1 AND ck = 1;
+               |  INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5);
+               |APPLY BATCH""".stripMargin,
+        "Cannot mix counter operations and non-counter operations")
+      val after = cq("SELECT value FROM ks.c WHERE pk = 1 AND ck = 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after === Seq(10L))
+      // the failed mixed batch wrote NOTHING to the plain table
+      assert(cq("SELECT pk FROM ks.t").collect().isEmpty)
+      // a counter batch inside a SCRIPT splits on its own APPLY
+      cq("CREATE TABLE ks.c2 (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      Cql.catalogScript(spark,
+        """BEGIN COUNTER BATCH
+          |  UPDATE ks.c2 SET n = n + 4 WHERE pk = 7 AND ck = 1;
+          |  UPDATE ks.c2 SET n = n + 6 WHERE pk = 7 AND ck = 1;
+          |APPLY BATCH;
+          |UPDATE ks.c2 SET n = n + 30 WHERE pk = 8 AND ck = 1
+          |""".stripMargin, "cbcat")
+      val s = cq("SELECT pk, value FROM ks.c2 ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(s === Seq((7L, 10L), (8L, 30L)))
+    } finally spark.conf.unset("spark.sql.catalog.cbcat")
+  }
+
   test("writetime minting is header-served (r15): no Spark job per " +
     "statement timestamp") {
     val root = Files.createTempDirectory("cql-wtmint").toString
