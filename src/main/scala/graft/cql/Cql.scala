@@ -279,10 +279,15 @@ object Cql {
   // unfrozen UDT columns, C59d) `col.field` — the arm validates
   // the dotted form against the table's layout
   private val DeleteRe =
-    ("""(?is)^\s*DELETE\s*(\w+(?:\.\w+)?(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
+    ("""(?is)^\s*DELETE\s*(\w+(?:\.\w+)?""" +
+      """(?:\s*\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])?)?""" +
       """\s*FROM\s+(\S+?)""" +
       """(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** `l[i]` DELETE target form (C11e index-addressed element). */
+  private val ListIdxDelRe =
+    """(?is)^\s*(\w+)\s*\[\s*(\d+)\s*\]\s*$""".r
 
   /** `col.field` DELETE target form (C59d field tombstone). */
   private val UdtFieldDelRe = """(?is)^\s*(\w+)\.(\w+)\s*$""".r
@@ -888,8 +893,36 @@ object Cql {
           org.apache.spark.sql.types.BinaryType)
       }
       else if (spec.isDefault) {
-        val markers = deleteMarkers(Option(colOpt), where, dts,
-          graft.sources.CellSource.staticCols(dir))
+        // index-addressed element delete (C11e): `DELETE l[i]`
+        // tombstones the i-th LIVE element's cell — the target ck is
+        // STATE-derived (Cassandra's read-before-write list
+        // operation), so it cannot ride the pure marker builder
+        val listIdxDel = Option(colOpt).collect {
+          case ListIdxDelRe(c, i) => (c.toLowerCase, i.toInt) }
+        val markers = listIdxDel match {
+          case Some((name, idx)) =>
+            if (name.startsWith("!"))
+              fail(s"unsupported collection name: $name")
+            cqlCollectionOf(dir).foreach(dc =>
+              if (!dc.startsWith("list"))
+                fail(s"DELETE $name[$idx] does not apply to a $dc " +
+                  "column (declared list deletes only)"))
+            val (pks, ckEq, ckLo, ckHi) = keyPredicate(where)
+            if (ckEq.isDefined || ckLo != Int.MinValue ||
+                ckHi != Int.MaxValue)
+              fail(s"DELETE $name[$idx] binds the partition alone " +
+                "(the index addresses the element row)")
+            // the read below must see this script's buffered writes
+            flushBuffered(spark, dir)
+            def reconciled = spark.read.format(Fmt)
+              .option("reconcile", "true").load(dir)
+            listIndexTargets(reconciled, name, pks.toSeq.sorted, idx)
+              .map { case (pk, ck) =>
+                (pk, ck, s"!del:$name", 0L, dts) }
+          case None =>
+            deleteMarkers(Option(colOpt), where, dts,
+              graft.sources.CellSource.staticCols(dir))
+        }
         mappedValueType(dir) match {
           case Some((_, vt)) =>
             // mapped-type tombstones (C65r): the storage layout's
@@ -6964,6 +6997,8 @@ object Cql {
 
   private val MapPutRe =
     """(?is)^\s*(\w+)\s*\[\s*('(?:[^']|'')*')\s*\]\s*=\s*(.+?)\s*$""".r
+  private val ListIdxSetRe =
+    """(?is)^\s*(\w+)\s*\[\s*(\d+)\s*\]\s*=\s*(.+?)\s*$""".r
   private val ListAppendRe =
     """(?is)^\s*(\w+)\s*=\s*(\w+)\s*\+\s*\[([^\]]*)\]\s*$""".r
   private val SetAddRe =
@@ -7125,6 +7160,26 @@ object Cql {
         appendElements(reconciled, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, nextCk)
+      // index-addressed element write (C11e): `l[i] = v` overwrites
+      // the i-th live element's cell IN PLACE (same ck, fresh wt) —
+      // Cassandra's own read-before-write list operation; `l[i] =
+      // null` is the index-addressed REMOVE (an element tombstone,
+      // exactly `DELETE l[i]`)
+      case ListIdxSetRe(n, idxS, v) =>
+        requireKind("list", "list index set c[i] = v")
+        val name = n.toLowerCase
+        if (name.startsWith("!"))
+          fail(s"unsupported collection name: $name")
+        val targets = listIndexTargets(reconciled, name, pkSeq,
+          idxS.toInt)
+        if (v.trim.equalsIgnoreCase("null"))
+          targets.foreach { case (pk, ck) =>
+            tombs += ((pk, ck, s"!del:$name", 0L, wt)) }
+        else {
+          val pv = lit(v, "list element")
+          targets.foreach { case (pk, ck) =>
+            cells += ((pk, ck, name, pv, wt)) }
+        }
       // map-LITERAL forms (quoted braces): `m = m + {'k': v}` puts
       // each entry (≡ m['k'] = v), `m = m - {'k'}` tombstones the
       // entry cell — both on the fully-bound row (the row IS the map)
@@ -7353,6 +7408,34 @@ object Cql {
     * after the partition's current max for that collection column
     * (list order = ck order, C11; sets dedup on read, C13).
     */
+  /** The i-th (0-based, CQL's position order) LIVE element cell of
+    * each pk's list `name` — the (pk, ck) coordinates an
+    * index-addressed operation targets (C11e: `SET l[i] = v`,
+    * `DELETE l[i]`). Cassandra's own list-index semantics: the
+    * operation reads the list first (its documented
+    * read-before-write cost — why Cassandra discourages the idiom)
+    * and refuses out-of-bounds with the upstream message. The
+    * collect is bounded by the addressed lists' element count.
+    */
+  private def listIndexTargets(reconciled: => DataFrame, name: String,
+      pks: Seq[Long], idx: Int): Seq[(Long, Int)] = {
+    val rows = reconciled
+      .filter(col("pk").isin(pks.map(Long.box): _*) &&
+        col("col") === name)
+      .select(col("pk"), col("ck"))
+      .collect() // bounded: the addressed lists' element count
+    val byPk: Map[Long, Seq[Int]] = rows.toSeq
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    pks.map { pk =>
+      val cks = byPk.getOrElse(pk, Seq.empty)
+      if (idx >= cks.length)
+        fail(s"List index $idx out of bound, list has size " +
+          s"${cks.length}")
+      (pk, cks(idx))
+    }
+  }
+
   private def appendElements(reconciled: => DataFrame, name: String,
       pks: Seq[Long], values: Seq[Any], wt: Long,
       out: scala.collection.mutable.ArrayBuffer[

@@ -1686,6 +1686,40 @@ object Cells {
       |  (3, '10|11|12|13', CAST(NULL AS VARCHAR))) AS t(pk, tags, st)
       |ORDER BY pk""".stripMargin
 
+  // C11e — index-addressed list operations (r16): `SET l[i] = v`
+  // overwrites the i-th LIVE element's cell in place (same ck, fresh
+  // wt), `l[i] = null` and `DELETE l[i]` tombstone it — Cassandra's
+  // read-before-write list ops. Position order is the ck order of
+  // live element cells, so a remove SHIFTS later indexes down
+  // (exercised: after deleting index 0, the old second element is
+  // the new [0] and the follow-up SET lands on it).
+  private def listIndexOps(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cql-lidx-q").toString
+    graft.cql.Cql.executeScript(s,
+      s"""UPDATE $dir SET tags = tags + [10, 11, 12, 13]
+         |  WHERE pk IN (1, 2);
+         |UPDATE $dir SET tags[1] = 99 WHERE pk = 1;
+         |DELETE tags[0] FROM $dir WHERE pk = 1;
+         |UPDATE $dir SET tags[0] = 77 WHERE pk = 1;
+         |UPDATE $dir SET tags[3] = null WHERE pk = 2;
+         |SELECT pk FROM $dir LIMIT 1""".stripMargin)
+    val m = s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    m.filter(col("col") === "tags")
+      .groupBy(col("pk"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(ck, value))), x -> " +
+        "cast(x.value as string))"), "|").as("tags"))
+      .orderBy(col("pk"))
+  }
+
+  private val listIndexOpsSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, tags FROM (VALUES
+      |  (1, '77|12|13'),
+      |  (2, '10|11|12')) AS t(pk, tags)
+      |ORDER BY pk""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -4074,6 +4108,7 @@ object Cells {
     GQuery("C65b_cql_group", cqlGroup, Some(cqlGroupSql)),
     GQuery("C11c_cql_collection_write", cqlCollectionWrite,
       Some(cqlCollectionWriteSql)),
+    GQuery("C11e_list_index_ops", listIndexOps, Some(listIndexOpsSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),

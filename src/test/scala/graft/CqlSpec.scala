@@ -5698,6 +5698,72 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.sfcat")
   }
 
+  test("list index operations (C11e): SET l[i] = v in place, " +
+    "l[i] = null and DELETE l[i] tombstone, shifts, bounds refuse") {
+    val dir = Files.createTempDirectory("cql-lidx").toString
+    def script(sc: String) = Cql.executeScript(spark, sc)
+    def refuse(sc: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { script(sc) }
+      assert(e.getMessage.contains(frag), s"$sc -> ${e.getMessage}")
+    }
+    def tags(pk: Long): Seq[Long] =
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(dir)
+        .filter(col("pk") === pk && col("col") === "tags")
+        .orderBy(col("ck")).collect().map(_.getAs[Long]("value")).toSeq
+    script(s"UPDATE $dir SET tags = tags + [10, 11, 12] WHERE pk = 1")
+    // in-place overwrite: same position, new value
+    script(s"UPDATE $dir SET tags[1] = 99 WHERE pk = 1")
+    assert(tags(1) === Seq(10L, 99L, 12L))
+    // DELETE l[i] tombstones the i-th element; later indexes shift
+    script(s"DELETE tags[0] FROM $dir WHERE pk = 1")
+    assert(tags(1) === Seq(99L, 12L))
+    // the shifted view is what the next index addresses
+    script(s"UPDATE $dir SET tags[0] = 77 WHERE pk = 1")
+    assert(tags(1) === Seq(77L, 12L))
+    // l[i] = null is the index-addressed remove
+    script(s"UPDATE $dir SET tags[1] = null WHERE pk = 1")
+    assert(tags(1) === Seq(77L))
+    // out-of-bounds refuses with Cassandra's message (SET and DELETE)
+    refuse(s"UPDATE $dir SET tags[5] = 1 WHERE pk = 1",
+      "List index 5 out of bound, list has size 1")
+    refuse(s"DELETE tags[3] FROM $dir WHERE pk = 1",
+      "List index 3 out of bound, list has size 1")
+    // an empty (absent) list refuses index 0 too
+    refuse(s"UPDATE $dir SET tags[0] = 1 WHERE pk = 9",
+      "List index 0 out of bound, list has size 0")
+    // the element delete binds the partition alone
+    refuse(s"DELETE tags[0] FROM $dir WHERE pk = 1 AND ck = 2",
+      "binds the partition alone")
+    // declared-kind gate: a set<int> column refuses the list forms
+    val root = Files.createTempDirectory("cql-lidx-cat").toString
+    spark.conf.set("spark.sql.catalog.licat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.licat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "licat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value set<inet>, wt bigint)")
+      cq("UPDATE ks.s SET st = st + {'10.0.0.1'} WHERE pk = 1")
+      val e1 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.s SET st[0] = '10.0.0.2' WHERE pk = 1") }
+      assert(e1.getMessage.contains("does not apply"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("DELETE st[0] FROM ks.s WHERE pk = 1") }
+      assert(e2.getMessage.contains("declared list deletes only"),
+        e2.getMessage)
+      // a DECLARED list<bigint> column serves the index ops
+      cq("CREATE TABLE ks.l (pk bigint, ck int, col text, " +
+        "value list<bigint>, wt bigint)")
+      cq("UPDATE ks.l SET xs = xs + [7, 8] WHERE pk = 1")
+      cq("UPDATE ks.l SET xs[0] = 70 WHERE pk = 1")
+      cq("DELETE xs[1] FROM ks.l WHERE pk = 1")
+      val xs = cq("SELECT pk, value FROM ks.l ORDER BY pk")
+        .collect().map(_.get(1).toString).toSeq
+      assert(xs === Seq("70"))
+    } finally spark.conf.unset("spark.sql.catalog.licat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
