@@ -920,8 +920,37 @@ object Cql {
               .map { case (pk, ck) =>
                 (pk, ck, s"!del:$name", 0L, dts) }
           case None =>
-            deleteMarkers(Option(colOpt), where, dts,
-              graft.sources.CellSource.staticCols(dir))
+            // whole-collection DELETE (C11f): on a DECLARED list/set
+            // table, `DELETE c FROM t WHERE pk = ?` (no clustering
+            // bound — elements own the cks) shadows every live
+            // element cell, the per-cell trade replace makes; with a
+            // ck bound, or on undeclared tables, the plain per-cell
+            // marker semantics below stay
+            val (pks0, ckEq0, ckLo0, ckHi0) = keyPredicate(where)
+            val statics = graft.sources.CellSource.staticCols(dir)
+            val wholeColl = Option(colOpt).filter(c =>
+              c.matches("""(?s)\w+""") &&
+                ckEq0.isEmpty && ckLo0 == Int.MinValue &&
+                ckHi0 == Int.MaxValue &&
+                !statics.contains(c.toLowerCase) &&
+                cqlCollectionOf(dir).exists(dc =>
+                  dc.startsWith("list") || dc.startsWith("set")))
+            wholeColl match {
+              case Some(c) =>
+                val name = c.toLowerCase
+                flushBuffered(spark, dir)
+                spark.read.format(Fmt).option("reconcile", "true")
+                  .load(dir)
+                  .filter(col("pk").isin(
+                    pks0.toSeq.sorted.map(Long.box): _*) &&
+                    col("col") === name)
+                  .select(col("pk"), col("ck"))
+                  .collect() // bounded: the collection's element count
+                  .toSeq.map(r => (r.getLong(0), r.getInt(1),
+                    s"!del:$name", 0L, dts))
+              case None =>
+                deleteMarkers(Option(colOpt), where, dts, statics)
+            }
         }
         mappedValueType(dir) match {
           case Some((_, vt)) =>
@@ -7005,6 +7034,12 @@ object Cql {
     """(?is)^\s*(\w+)\s*=\s*(\w+)\s*\+\s*\{([^}]*)\}\s*$""".r
   private val SetRemoveRe =
     """(?is)^\s*(\w+)\s*=\s*(\w+)\s*-\s*\{([^}]*)\}\s*$""".r
+  // whole-collection REPLACE (C11f): a DIRECT literal assignment
+  // (`l = [..]` / `st = {..}`), vs the self-referencing +/- forms
+  private val ListReplaceRe =
+    """(?is)^\s*(\w+)\s*=\s*\[([^\]]*)\]\s*$""".r
+  private val BraceReplaceRe =
+    """(?is)^\s*(\w+)\s*=\s*\{([^}]*)\}\s*$""".r
 
   private def hasCollectionSyntax(sets: String): Boolean =
     sets.split(',').exists { s =>
@@ -7224,6 +7259,33 @@ object Cql {
           .collect() // bounded: <= removed-element cell count
         hits.foreach(r =>
           tombs += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
+      // whole-collection REPLACE (C11f): `l = [..]` / `st = {..}`
+      // shadows every LIVE element cell of the collection (one
+      // element tombstone each — the same bounded point-read trade
+      // set-remove makes vs Cassandra's read-free complex deletion)
+      // and writes the new elements at positions ABOVE every
+      // shadowed ck, so the fresh cells never collide with their own
+      // same-writetime tombstones. An empty literal (`l = []` /
+      // `st = {}`) is the CQL collection CLEAR.
+      case ListReplaceRe(n, vs) =>
+        requireKind("list", "list replace c = [..]")
+        replaceElements(reconciled, n.toLowerCase, pkSeq,
+          if (vs.trim.isEmpty) Seq.empty
+          else splitValues(vs).toSeq.map(lit(_, "list element")),
+          wt, cells, tombs, nextCk)
+      case BraceReplaceRe(n, vs) if isMapLiteral(vs, quotedElems) =>
+        // map entries are COLUMN-keyed cells sharing the row — the
+        // engine cannot tell entry cells from scalar columns to
+        // clear them; the additive forms stay available
+        fail("map replace m = {'k': v, ..} is outside this subset " +
+          "(entry cells are column-keyed — use m = m + {..} puts " +
+          "and DELETE m['k'] removes)")
+      case BraceReplaceRe(n, vs) =>
+        requireKind("set", "set replace c = {..}")
+        replaceElements(reconciled, n.toLowerCase, pkSeq,
+          if (vs.trim.isEmpty) Seq.empty
+          else splitValues(vs).toSeq.map(lit(_, "set element")),
+          wt, cells, tombs, nextCk)
       case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
         // plain scalar SET items compose with collection items
         val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
@@ -7434,6 +7496,32 @@ object Cql {
           s"${cks.length}")
       (pk, cks(idx))
     }
+  }
+
+  /** C11f — whole-collection replace: one element tombstone per LIVE
+    * cell of the collection (the bounded point-read trade set-remove
+    * already makes vs Cassandra's read-free complex deletion), then
+    * the new elements appended at positions above every shadowed ck
+    * — same-writetime tombstones never cover the fresh cells because
+    * they live at different (pk, ck) coordinates.
+    */
+  private def replaceElements(reconciled: => DataFrame, name: String,
+      pks: Seq[Long], values: Seq[Any], wt: Long,
+      cells: scala.collection.mutable.ArrayBuffer[
+        (Long, Int, String, Any, Long)],
+      tombs: scala.collection.mutable.ArrayBuffer[
+        (Long, Int, String, Any, Long)],
+      nextCk: scala.collection.mutable.Map[(Long, String), Int])
+      : Unit = {
+    if (name.startsWith("!")) fail(s"unsupported collection name: $name")
+    val old = reconciled
+      .filter(col("pk").isin(pks.map(Long.box): _*) &&
+        col("col") === name)
+      .select(col("pk"), col("ck"))
+      .collect() // bounded: the replaced collections' element count
+    old.foreach(r =>
+      tombs += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
+    appendElements(reconciled, name, pks, values, wt, cells, nextCk)
   }
 
   private def appendElements(reconciled: => DataFrame, name: String,

@@ -1720,6 +1720,42 @@ object Cells {
       |  (2, '10|11|12')) AS t(pk, tags)
       |ORDER BY pk""".stripMargin
 
+  // C11f — whole-collection replace (r16): `l = [..]` / `st = {..}`
+  // (and the empty-literal CLEAR) — one element tombstone per live
+  // cell plus the new elements at positions above every shadowed ck,
+  // the same bounded point-read trade set-remove makes vs Cassandra's
+  // read-free complex deletion. pk 2's clear leaves no tags row at
+  // all (full_outer keeps its st side).
+  private def collectionReplace(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cql-crep-q").toString
+    graft.cql.Cql.executeScript(s,
+      s"""UPDATE $dir SET tags = tags + [1, 2, 3] WHERE pk IN (1, 2);
+         |UPDATE $dir SET st = st + {5, 6} WHERE pk IN (1, 3);
+         |UPDATE $dir SET tags = [7, 8] WHERE pk = 1;
+         |UPDATE $dir SET tags = [] WHERE pk = 2;
+         |UPDATE $dir SET st = {9} WHERE pk = 1;
+         |SELECT pk FROM $dir LIMIT 1""".stripMargin)
+    val m = s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(dir)
+    val lst = m.filter(col("col") === "tags")
+      .groupBy(col("pk"))
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(ck, value))), x -> " +
+        "cast(x.value as string))"), "|").as("tags"))
+    val st = m.filter(col("col") === "st")
+      .groupBy(col("pk"))
+      .agg(array_join(expr("array_sort(collect_set(value))")
+        .cast("array<string>"), "|").as("st"))
+    lst.join(st, Seq("pk"), "full_outer").orderBy(col("pk"))
+  }
+
+  private val collectionReplaceSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, tags, st FROM (VALUES
+      |  (1, '7|8', '9'),
+      |  (3, CAST(NULL AS VARCHAR), '5|6')) AS t(pk, tags, st)
+      |ORDER BY pk""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -4109,6 +4145,8 @@ object Cells {
     GQuery("C11c_cql_collection_write", cqlCollectionWrite,
       Some(cqlCollectionWriteSql)),
     GQuery("C11e_list_index_ops", listIndexOps, Some(listIndexOpsSql)),
+    GQuery("C11f_collection_replace", collectionReplace,
+      Some(collectionReplaceSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),

@@ -5764,6 +5764,62 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.licat")
   }
 
+  test("whole-collection replace (C11f): l = [..] / st = {..}, " +
+    "empty clear, whole-collection DELETE, map replace refuses") {
+    val dir = Files.createTempDirectory("cql-crep").toString
+    def script(sc: String) = Cql.executeScript(spark, sc)
+    def cells(pk: Long, name: String): Seq[Long] =
+      spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(dir)
+        .filter(col("pk") === pk && col("col") === name)
+        .orderBy(col("ck")).collect().map(_.getAs[Long]("value")).toSeq
+    script(s"UPDATE $dir SET tags = tags + [1, 2, 3] WHERE pk = 1")
+    // replace drops every old element, keeps the new order
+    script(s"UPDATE $dir SET tags = [7, 8] WHERE pk = 1")
+    assert(cells(1, "tags") === Seq(7L, 8L))
+    // replace of a replace (the shadowed cks stay shadowed)
+    script(s"UPDATE $dir SET tags = [9] WHERE pk = 1")
+    assert(cells(1, "tags") === Seq(9L))
+    // the empty literal is the CQL clear
+    script(s"UPDATE $dir SET tags = [] WHERE pk = 1")
+    assert(cells(1, "tags") === Seq.empty)
+    // replace on an ABSENT collection is a plain write
+    script(s"UPDATE $dir SET st = {4, 5} WHERE pk = 2")
+    assert(cells(2, "st").sorted === Seq(4L, 5L))
+    script(s"UPDATE $dir SET st = {6} WHERE pk = 2")
+    assert(cells(2, "st").sorted === Seq(6L))
+    // map replace refuses by name (entry cells are column-keyed)
+    val e = intercept[IllegalArgumentException] {
+      script(s"UPDATE $dir SET m = {'k': 1} WHERE pk = 3 AND ck = 1") }
+    assert(e.getMessage.contains("map replace"), e.getMessage)
+    // whole-collection DELETE serves DECLARED list/set tables
+    val root = Files.createTempDirectory("cql-crep-cat").toString
+    spark.conf.set("spark.sql.catalog.crcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.crcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "crcat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.l (pk bigint, ck int, col text, " +
+        "value list<bigint>, wt bigint)")
+      cq("UPDATE ks.l SET xs = xs + [7, 8] WHERE pk = 1")
+      cq("UPDATE ks.l SET xs = xs + [9] WHERE pk = 2")
+      cq("DELETE xs FROM ks.l WHERE pk = 1")
+      val left = cq("SELECT pk, value FROM ks.l ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+      assert(left === Seq((2L, "9")))
+      // and the REPLACE forms ride the declared grammar too
+      cq("UPDATE ks.l SET xs = [70] WHERE pk = 2")
+      val rep = cq("SELECT pk, value FROM ks.l ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.get(1).toString)).toSeq
+      assert(rep === Seq((2L, "70")))
+      // on an UNDECLARED table the ck-less column delete still
+      // refuses (a scalar column needs its row)
+      val e2 = intercept[IllegalArgumentException] {
+        script(s"DELETE tags FROM $dir WHERE pk = 1") }
+      assert(e2.getMessage.contains("needs WHERE"), e2.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.crcat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
