@@ -671,13 +671,42 @@ object Cql {
         Option(page), Option(af).isDefined)
     case InsertRe(table, cols, vals, usingClause) =>
       val dir = resolve(table)
-      val (tsOpt, rawTtl) = parseUsing(Option(usingClause))
-      val ttlOpt = effectiveTtl(dir, rawTtl)
-      val wt = tsOpt.getOrElse(nextWt(spark, dir))
       val spec = graft.sources.CellSource.keySpec(dir)
       if (isCounter(dir))
         fail("counter tables take UPDATE increments, not INSERT " +
           "(Cassandra's rule)")
+      // INSERT with COLLECTION literals (C11f): `INSERT ... (pk, ck,
+      // qty, tags) VALUES (1, 2, 5, [7, 8])` — Cassandra's insert
+      // semantics on a collection column ARE replace (complex
+      // deletion + new cells), and in this engine INSERT and UPDATE
+      // write identical cells, so the statement desugars to the
+      // UPDATE replace form: scalar columns become plain SET items,
+      // collection literals the C11f replace items, keys the WHERE.
+      // Vector (the bracket IS the scalar literal) and UDT (the
+      // brace IS the value literal) tables are excluded — their own
+      // arms below parse those shapes.
+      if (spec.isDefault && udtLayoutOf(dir).isEmpty &&
+          !mappedValueType(dir).exists(_._1.startsWith("vector<"))) {
+        val names = cols.split(',').map(_.trim.toLowerCase)
+        val values = splitValues(vals).map(_.trim)
+        if (names.length == values.length && names.contains("pk") &&
+            values.exists(v => v.startsWith("[") || v.startsWith("{"))) {
+          val kv = names.zip(values)
+          val where = "pk = " + kv.toMap.apply("pk") +
+            kv.toMap.get("ck").map(c => s" AND ck = $c").getOrElse("")
+          val sets = kv.toSeq.filterNot { case (n, _) =>
+            n == "pk" || n == "ck" }
+            .map { case (n, v) => s"$n = $v" }.mkString(", ")
+          if (sets.isEmpty) fail("INSERT needs at least one data column")
+          val using = Option(usingClause).map(" USING " + _.trim)
+            .getOrElse("")
+          return execute(spark,
+            s"UPDATE $table$using SET $sets WHERE $where", resolve)
+        }
+      }
+      val (tsOpt, rawTtl) = parseUsing(Option(usingClause))
+      val ttlOpt = effectiveTtl(dir, rawTtl)
+      val wt = tsOpt.getOrElse(nextWt(spark, dir))
       udtLayoutOf(dir) match {
         case Some(layout) if spec.isDefault =>
           // frozen<udt> value (C59b): packed blobs; unfrozen (C59d):

@@ -1735,6 +1735,7 @@ object Cells {
          |UPDATE $dir SET tags = [7, 8] WHERE pk = 1;
          |UPDATE $dir SET tags = [] WHERE pk = 2;
          |UPDATE $dir SET st = {9} WHERE pk = 1;
+         |INSERT INTO $dir (pk, ck, qty, tags) VALUES (4, 1, 5, [41, 42]);
          |SELECT pk FROM $dir LIMIT 1""".stripMargin)
     val m = s.read.format("graft.sources.CellSource")
       .option("reconcile", "true").load(dir)
@@ -1753,7 +1754,8 @@ object Cells {
   private val collectionReplaceSql =
     """SELECT CAST(pk AS BIGINT) AS pk, tags, st FROM (VALUES
       |  (1, '7|8', '9'),
-      |  (3, CAST(NULL AS VARCHAR), '5|6')) AS t(pk, tags, st)
+      |  (3, CAST(NULL AS VARCHAR), '5|6'),
+      |  (4, '41|42', CAST(NULL AS VARCHAR))) AS t(pk, tags, st)
       |ORDER BY pk""".stripMargin
 
   // C65g — CQL COUNTER round trip end-to-end: create a counter table

@@ -5792,6 +5792,15 @@ class CqlSpec extends GraftSpec {
     val e = intercept[IllegalArgumentException] {
       script(s"UPDATE $dir SET m = {'k': 1} WHERE pk = 3 AND ck = 1") }
     assert(e.getMessage.contains("map replace"), e.getMessage)
+    // INSERT with collection literals desugars to the replace form;
+    // scalar columns ride along as plain cells
+    script(s"INSERT INTO $dir (pk, ck, qty, tags) " +
+      "VALUES (5, 1, 9, [31, 32])")
+    assert(cells(5, "tags") === Seq(31L, 32L))
+    assert(cells(5, "qty") === Seq(9L))
+    // the INSERT's collection half is replace, not append
+    script(s"INSERT INTO $dir (pk, tags) VALUES (5, [33])")
+    assert(cells(5, "tags") === Seq(33L))
     // whole-collection DELETE serves DECLARED list/set tables
     val root = Files.createTempDirectory("cql-crep-cat").toString
     spark.conf.set("spark.sql.catalog.crcat", "graft.sources.CellCatalog")
