@@ -1284,19 +1284,28 @@ object Cql {
     * declared grammar.
     */
   private def lwtCondTerms(mappedCas: Option[String], str: Boolean,
-      ck: Int, ifTail: String): Seq[(Int, Option[String],
+      ck: Int, ifTail: String, statics: Set[String] = Set.empty)
+      : Seq[(Int, Option[String],
         graft.sources.CellTransactions.CasCond)] = {
     import graft.sources.CellTransactions.CasCond
+    // a STATIC condition column (C55f) addresses the partition-front
+    // coordinate, not the CAS row
+    def coord(cc: String): (Int, Option[String]) =
+      if (statics.contains(cc.toLowerCase))
+        (Int.MinValue, Some(
+          graft.sources.CellSource.StaticPrefix + cc.toLowerCase))
+      else (ck, Some(cc.toLowerCase))
     ifTail.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
       .filter(_.nonEmpty).map {
-        case InRe(cc, vs) => (ck, Some(cc.toLowerCase):
-          Option[String],
-          CasCond.In(splitValues(vs).toSeq.map(_.trim)
-            .filter(_.nonEmpty)
-            .map(casCondLit(mappedCas, str))): CasCond)
-        case LwtCondRe(cc, op, raw) => (ck,
-          Some(cc.toLowerCase): Option[String],
-          casOpCond(mappedCas, str, op, raw))
+        case InRe(cc, vs) =>
+          val (k, c) = coord(cc)
+          (k, c,
+            CasCond.In(splitValues(vs).toSeq.map(_.trim)
+              .filter(_.nonEmpty)
+              .map(casCondLit(mappedCas, str))): CasCond)
+        case LwtCondRe(cc, op, raw) =>
+          val (k, c) = coord(cc)
+          (k, c, casOpCond(mappedCas, str, op, raw))
         case t => fail(s"unsupported IF condition: $t")
       }
   }
@@ -1314,23 +1323,48 @@ object Cql {
     if (!graft.sources.CellSource.keySpec(dir).isDefault)
       fail("multi-condition LWT supports the default ((pk), ck) " +
         "layout only in this subset")
-    refuseStaticLwt(dir, setColNames(sets))
+    val statics = graft.sources.CellSource.staticCols(dir)
     val str = isStringValued(dir)
     val cs =
       if (mappedCas.isDefined)
         updateScalarCells(mappedLiteral(mappedCas.get), sets, where,
-          AssignLater)
+          AssignLater, statics)
       else if (str)
-        updateStringCells(sets, where, AssignLater, Set.empty)
-      else updateCells(sets, where, AssignLater)
+        updateStringCells(sets, where, AssignLater, statics)
+      else updateCells(sets, where, AssignLater, statics)
     if (cs.length != 1)
       fail("UPDATE ... IF takes exactly one SET column and one pk")
-    val (pk, ck, c, v) =
+    val (pk, wck, c, v) =
       (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+    // non-static conditions address the CAS row — its ck comes from
+    // the WHERE (a static SET's write ck is the partition front, so
+    // it cannot stand in for the row)
+    lazy val rowCk = {
+      val (_, ckEq, _, _) = keyPredicate(where)
+      ckEq.getOrElse(fail("a condition on a regular column needs " +
+        "WHERE ... AND ck = ? (the CAS row)"))
+    }
+    val condCk =
+      if (ifTailNamesOnlyStatics(ifTail, statics)) Int.MinValue
+      else rowCk
     lwtResult(spark, graft.sources.CellTransactions.casBatch(
-      spark, dir, pk, lwtCondTerms(mappedCas, str, ck, ifTail),
-      Seq((ck, c, v))))
+      spark, dir, pk,
+      lwtCondTerms(mappedCas, str, condCk, ifTail, statics),
+      Seq((wck, c, v))))
   }
+
+  /** True when every IF term names a static column — then the
+    * statement never needs a bound clustering key (Cassandra's
+    * static-only conditional update binds the partition alone).
+    */
+  private def ifTailNamesOnlyStatics(ifTail: String,
+      statics: Set[String]): Boolean =
+    statics.nonEmpty && ifTail.split("(?i)\\s+AND\\s+").toSeq
+      .map(_.trim).filter(_.nonEmpty).forall {
+        case InRe(cc, _) => statics.contains(cc.toLowerCase)
+        case LwtCondRe(cc, _, _) => statics.contains(cc.toLowerCase)
+        case _ => false
+      }
 
   private def lwtUpdateCond(spark: SparkSession, dir: String,
       sets: String, where: String, ifCol: String,
@@ -1340,8 +1374,44 @@ object Cql {
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     if (spec.isDefault) {
-      refuseStaticLwt(dir, setColNames(sets))
+      val statics = graft.sources.CellSource.staticCols(dir)
       val str = isStringValued(dir)
+      val staticIf = statics.contains(ifCol.toLowerCase)
+      val staticSet = setColNames(sets).exists(statics.contains)
+      // STATIC columns in LWT (C55f): Cassandra serves conditions on
+      // static columns (the partition-level flag idiom) and static
+      // SETs under the same ballot. Statics live at the
+      // partition-front coordinate, so the condition and the write
+      // carry DIFFERENT cks — the one-write conditional-batch round
+      // (casBatch) is the machinery with per-cell coordinates.
+      if (staticIf || staticSet) {
+        val cs =
+          if (mappedCas.isDefined)
+            updateScalarCells(mappedLiteral(mappedCas.get), sets,
+              where, AssignLater, statics)
+          else if (str)
+            updateStringCells(sets, where, AssignLater, statics)
+          else updateCells(sets, where, AssignLater, statics)
+        if (cs.length != 1)
+          fail("UPDATE ... IF takes exactly one SET column and one pk")
+        val (pk, wck, wc, wv) =
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
+        val condCoord: (Int, String) =
+          if (staticIf)
+            (Int.MinValue,
+              graft.sources.CellSource.StaticPrefix + ifCol.toLowerCase)
+          else {
+            val (_, ckEq, _, _) = keyPredicate(where)
+            (ckEq.getOrElse(fail("a condition on a regular column " +
+              "needs WHERE ... AND ck = ? (the CAS row)")),
+              ifCol.toLowerCase)
+          }
+        return lwtResult(spark, CellTransactions.casBatch(
+          spark, dir, pk,
+          Seq((condCoord._1, Some(condCoord._2),
+            mkCond(mappedCas, str))),
+          Seq((wck, wc, wv))))
+      }
       val (pk, ck, c, v) =
         if (mappedCas.isDefined) {
           val cs = updateScalarCells(mappedLiteral(mappedCas.get),

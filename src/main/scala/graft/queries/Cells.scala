@@ -3844,6 +3844,45 @@ object Cells {
       |FROM (VALUES (1, 111), (2, 200), (3, 301)) AS t(pk, s)
       |ORDER BY pk""".stripMargin
 
+  // C55f — STATIC columns in LWT (r16): conditions on a static
+  // column (the partition-level flag idiom) and static SETs ride the
+  // one-write conditional-batch round — the condition and the write
+  // carry their OWN coordinates, so a static condition reads the
+  // partition-front cell while the write lands on the CAS row (or
+  // vice versa). A static-only condition binds the partition alone.
+  private def staticLwtLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_slwt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-slwt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, flag bigint STATIC)")
+    cq("TRUNCATE ks.t")
+    cq("UPDATE ks.t SET flag = 1 WHERE pk = 1")
+    cq("UPDATE ks.t SET qty = 10 WHERE pk = 1 AND ck = 1 " +
+      "IF flag = 1") // applies — static condition, row write
+    cq("UPDATE ks.t SET qty = 99 WHERE pk = 1 AND ck = 1 " +
+      "IF flag = 2") // refuses — flag is 1
+    cq("UPDATE ks.t SET flag = 5 WHERE pk = 1 AND ck = 1 " +
+      "IF qty = 10") // applies — regular condition, static write
+    cq("UPDATE ks.t SET flag = 7 WHERE pk = 2 AND ck = 1 " +
+      "IF flag = 5") // refuses — pk 2 has no flag cell
+    cq("UPDATE ks.t SET qty = 11 WHERE pk = 1 AND ck = 1 " +
+      "IF flag = 5 AND qty = 10") // applies — mixed multi-condition
+    cq("SELECT pk, ck, col, value FROM ks.t ORDER BY pk, ck, col")
+  }
+
+  private val staticLwtSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  col, CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, -2147483648, '!s:flag', 5), (1, 1, 'qty', 11))
+      |  AS t(pk, ck, col, v)
+      |ORDER BY pk, ck, col""".stripMargin
+
   // C39c — WITH CLUSTERING ORDER BY (ck DESC) end-to-end (r11): the
   // declared physical order served by the C39 reverse cursor — LIMIT
   // takes the newest rows, PER PARTITION LIMIT keeps the LAST n per
@@ -4159,6 +4198,7 @@ object Cells {
     GQuery("C65h_cql_prepared", cqlPrepared, Some(cqlPreparedSql)),
     GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
+    GQuery("C55f_static_lwt", staticLwtLifecycle, Some(staticLwtSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),

@@ -241,7 +241,11 @@ object CellTransactions {
       nowMs: Long = System.currentTimeMillis(),
       queryTimeMs: Long = Long.MaxValue): CasResult = {
     require(writes.nonEmpty, "an empty conditional batch is a no-op")
-    require(conds.forall(_._2.forall(!_.startsWith("!"))),
+    // STATIC cells (C55f) are data at the partition-front coordinate
+    // (ck = Int.MinValue, `!s:<name>`) — legal condition targets and
+    // write columns; every OTHER marker prefix stays refused
+    require(conds.forall(_._2.forall(c => !c.startsWith("!") ||
+        c.startsWith(CellSource.StaticPrefix))),
       "CAS conditions target data cells, not markers")
     val norm = CellPlanning.normalize(dir)
     val d = Paths.get(norm)

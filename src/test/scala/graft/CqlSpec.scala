@@ -5829,14 +5829,64 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.crcat")
   }
 
+  test("static columns in LWT (C55f): static conditions, static " +
+    "writes, mixed multi-condition, partition-alone static-only IF") {
+    val root = Files.createTempDirectory("cql-slwt").toString
+    spark.conf.set("spark.sql.catalog.slcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.slcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "slcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, flag bigint STATIC)")
+      cq("UPDATE ks.t SET flag = 1 WHERE pk = 1")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+      // static condition gates a row write
+      assert(applied("UPDATE ks.t SET qty = 20 " +
+        "WHERE pk = 1 AND ck = 1 IF flag = 1"))
+      assert(!applied("UPDATE ks.t SET qty = 99 " +
+        "WHERE pk = 1 AND ck = 1 IF flag = 2"))
+      // regular condition gates a STATIC write
+      assert(applied("UPDATE ks.t SET flag = 5 " +
+        "WHERE pk = 1 AND ck = 1 IF qty = 20"))
+      val f = cq("SELECT pk, flag FROM ks.t ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(f === Seq((1L, 5L)))
+      // an absent static cell: = misses, != holds (Cassandra nulls)
+      assert(!applied("UPDATE ks.t SET qty = 1 " +
+        "WHERE pk = 2 AND ck = 1 IF flag = 5"))
+      assert(applied("UPDATE ks.t SET qty = 1 " +
+        "WHERE pk = 2 AND ck = 1 IF flag != 5"))
+      // mixed multi-condition: static AND regular under one ballot
+      assert(applied("UPDATE ks.t SET qty = 21 " +
+        "WHERE pk = 1 AND ck = 1 IF flag = 5 AND qty = 20"))
+      assert(!applied("UPDATE ks.t SET qty = 98 " +
+        "WHERE pk = 1 AND ck = 1 IF flag = 5 AND qty = 7"))
+      // static-only condition + static SET binds the partition alone
+      assert(applied("UPDATE ks.t SET flag = 6 " +
+        "WHERE pk = 1 IF flag = 5"))
+      assert(!applied("UPDATE ks.t SET flag = 7 " +
+        "WHERE pk = 1 IF flag IN (1, 2)"))
+      val f2 = cq("SELECT pk, flag FROM ks.t ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(f2.contains((1L, 6L)))
+      // a regular condition still demands the CAS row's ck
+      val e = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.t SET flag = 9 WHERE pk = 1 IF qty = 21") }
+      assert(e.getMessage.contains("needs WHERE"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.slcat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
     val root = Files.createTempDirectory("cql-cntbatch").toString
-    spark.conf.set("spark.sql.catalog.cbcat", "graft.sources.CellCatalog")
-    spark.conf.set("spark.sql.catalog.cbcat.root", root)
+    spark.conf.set("spark.sql.catalog.cntbcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cntbcat.root", root)
     try {
-      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cbcat")
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cntbcat")
       def refuse(stmt: String, frag: String): Unit = {
         val e = intercept[IllegalArgumentException] { cq(stmt) }
         assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
@@ -5890,11 +5940,11 @@ class CqlSpec extends GraftSpec {
           |  UPDATE ks.c2 SET n = n + 6 WHERE pk = 7 AND ck = 1;
           |APPLY BATCH;
           |UPDATE ks.c2 SET n = n + 30 WHERE pk = 8 AND ck = 1
-          |""".stripMargin, "cbcat")
+          |""".stripMargin, "cntbcat")
       val s = cq("SELECT pk, value FROM ks.c2 ORDER BY pk")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(s === Seq((7L, 10L), (8L, 30L)))
-    } finally spark.conf.unset("spark.sql.catalog.cbcat")
+    } finally spark.conf.unset("spark.sql.catalog.cntbcat")
   }
 
   test("writetime minting is header-served (r15): no Spark job per " +
@@ -6217,9 +6267,11 @@ class CqlSpec extends GraftSpec {
         graft.functions.PrefixCodec.highBound(b))
       assert(probe.queryExecution.executedPlan.toString
         .contains("pkRange="))
-      // only SASI PREFIX-mode patterns serve
+      // a SUFFIX pattern (C18l) is a supported shape since r16, but
+      // serves from the CONTAINS-mode index — this table has only
+      // the prefix one, so it refuses by the missing index's name
       refuse("SELECT pk FROM ks.words WHERE word LIKE '%car'",
-        "supported LIKE shapes")
+        "needs a contains index")
       refuse("SELECT pk FROM ks.words WHERE word LIKE 'c_r%'",
         "supported LIKE shapes")
       refuse("SELECT pk FROM ks.words WHERE word LIKE '%'",
