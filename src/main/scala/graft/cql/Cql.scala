@@ -7468,6 +7468,21 @@ object Cql {
         (if (spec.ckParts.isEmpty) "none"
          else spec.ckParts.map(p =>
            s"${p.name} ${p.dataType.simpleString}").mkString(", ")))
+    // C11f typed twin: per-cell tombstones over every live element,
+    // then the fresh elements at cks above every shadowed one
+    def replaceTyped(name: String, values: Seq[Long]): Unit = {
+      if (name.startsWith("!"))
+        fail(s"unsupported collection name: $name")
+      val ckName = spec.ckParts.head.name
+      val old = keyed(reconciled)
+        .filter(col("col") === name)
+        .select((pkNames.map(col) :+ col(ckName)).toIndexedSeq: _*)
+        .collect() // bounded: the replaced collections' element count
+      old.foreach(r =>
+        tombs += pkNames.indices.map(r.get) ++
+          Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
+      appendTyped(name, values)
+    }
     def appendTyped(name: String, values: Seq[Long]): Unit = {
       if (values.isEmpty) return
       if (name.startsWith("!"))
@@ -7552,6 +7567,26 @@ object Cql {
         hits.foreach(r =>
           tombs += pkNames.indices.map(r.get) ++
             Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
+      // whole-collection REPLACE (C11f, typed twin): shadow every
+      // live element cell, append the new elements above every
+      // shadowed ck — see the default-layout arms
+      case ListReplaceRe(n, vs) =>
+        needIntCk("list replace")
+        replaceTyped(n.toLowerCase,
+          if (vs.trim.isEmpty) Seq.empty
+          else splitValues(vs).toSeq
+            .map(longLiteral(_, "list element")))
+      case BraceReplaceRe(_, vs)
+          if isMapLiteral(vs, stringValued = false) =>
+        fail("map replace m = {'k': v, ..} is outside this subset " +
+          "(entry cells are column-keyed — use m = m + {..} puts " +
+          "and DELETE m['k'] removes)")
+      case BraceReplaceRe(n, vs) =>
+        needIntCk("set replace")
+        replaceTyped(n.toLowerCase,
+          if (vs.trim.isEmpty) Seq.empty
+          else splitValues(vs).toSeq
+            .map(longLiteral(_, "set element")))
       case plain @ SetRe(c, v) if !hasCollectionSyntax(plain) =>
         val ck = fullCk
         if ((spec.pkParts ++ spec.ckParts)

@@ -5826,6 +5826,20 @@ class CqlSpec extends GraftSpec {
       val e2 = intercept[IllegalArgumentException] {
         script(s"DELETE tags FROM $dir WHERE pk = 1") }
       assert(e2.getMessage.contains("needs WHERE"), e2.getMessage)
+      // the TYPED-layout twin: replace and clear over named key parts
+      cq("CREATE TABLE ks.tt (page text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((page), ck))")
+      cq("UPDATE ks.tt SET xs = xs + [1, 2, 3] WHERE page = 'a'")
+      cq("UPDATE ks.tt SET xs = [8, 9] WHERE page = 'a'")
+      val t1 = cq("SELECT ck, value FROM ks.tt WHERE page = 'a' " +
+        "ORDER BY ck").collect().map(_.getLong(1)).toSeq
+      assert(t1 === Seq(8L, 9L))
+      cq("UPDATE ks.tt SET xs = [] WHERE page = 'a'")
+      assert(cq("SELECT value FROM ks.tt WHERE page = 'a'")
+        .collect().isEmpty)
+      val e3 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.tt SET m = {'k': 1} WHERE page = 'a' AND ck = 1") }
+      assert(e3.getMessage.contains("map replace"), e3.getMessage)
     } finally spark.conf.unset("spark.sql.catalog.crcat")
   }
 
