@@ -4268,7 +4268,20 @@ object Cql {
         case UdtFieldSelRe(_, _, _) => true
         case _ => false
       }
-    val fnNarrows = hasWt || hasTtl || hasStatic || hasUdtSel
+    // a reassembled collection SELECT (C11g) narrows to the named
+    // collection's cells — the same relaxed-reader class as the
+    // static/WRITETIME narrowing (the col filter is the narrowing,
+    // not an unbounded data-filter scan)
+    val hasCollSel = group.isEmpty && !distinct && cols != "*" &&
+      cqlCollectionOf(dir).isDefined &&
+      cols.split(',').map(_.trim).exists {
+        case ColRe(c, _) => !keyCols.contains(c.toLowerCase) &&
+          !modelCols.contains(c.toLowerCase) &&
+          !statics.contains(c.toLowerCase)
+        case _ => false
+      }
+    val fnNarrows = hasWt || hasTtl || hasStatic || hasUdtSel ||
+      hasCollSel
     if (fnNarrows && !allowFiltering &&
         preds.exists { case (c, _) => !keyCols.contains(c) })
       fail("WRITETIME/TTL/static with data predicates needs " +
@@ -4860,6 +4873,63 @@ object Cql {
               s"unfrozen UDT column: $x")
           }
           df = grouped.select(items.toIndexedSeq: _*)
+        } else if (cqlCollectionOf(dir).isDefined && dataCols.nonEmpty &&
+            wtCols.isEmpty && ttlCols.isEmpty &&
+            !dataCols.exists(statics.contains)) {
+          // C11g — REASSEMBLED collection SELECT (r16): on a DECLARED
+          // collection table (C65z), naming the column returns the
+          // whole collection per row — Cassandra's own result shape —
+          // instead of the element-cell relation. Lists reassemble in
+          // ck (position) order, sets sorted-distinct, maps as the
+          // (pk, ck) row's entries sorted by key. The groupBy keys on
+          // the partition (the collection's owner), so a pk-restricted
+          // statement stays a pushed point read + tiny local agg.
+          val kind = cqlCollectionOf(dir).get.takeWhile(_ != '<')
+          if (dataCols.length != 1)
+            fail("select exactly one collection column per " +
+              s"statement, got: ${dataCols.mkString(", ")}")
+          val c = dataCols.head
+          val groupKeys =
+            if (kind == "map") Seq("pk", "ck") else Seq("pk")
+          rawItems.foreach {
+            case ColRe(n, _) if n.equalsIgnoreCase(c) ||
+                groupKeys.contains(n.toLowerCase) =>
+            case x => fail(s"a reassembled $kind select takes " +
+              s"${groupKeys.mkString(", ")} and the collection " +
+              s"column, got: $x")
+          }
+          // graft_collect_bounded: the fold is bounded by the
+          // collection's element count — an adversarially wide one
+          // fails by name instead of an executor OOM (the C71/C11
+          // wide-partition guard)
+          graft.GraftExtensions.register(spark)
+          val lim = graft.functions.BoundedCollect.maxGroupWidth(spark)
+          val assembled = kind match {
+            case "list" =>
+              df.filter(col("col") === c)
+                .groupBy(col("pk"))
+                .agg(expr("transform(array_sort(" +
+                  s"graft_collect_bounded(struct(ck, value), $lim)), " +
+                  "x -> x.value)").as(c))
+            case "set" =>
+              df.filter(col("col") === c)
+                .groupBy(col("pk"))
+                .agg(expr("array_sort(array_distinct(" +
+                  s"graft_collect_bounded(value, $lim)))").as(c))
+            case _ => // map: the (pk, ck) row IS the map, entries
+              // col-keyed; '!'-prefixed markers never reach a
+              // reconciled read
+              df.groupBy(col("pk"), col("ck"))
+                .agg(expr("map_from_entries(array_sort(" +
+                  s"graft_collect_bounded(struct(col, value), $lim)))")
+                  .as(c))
+          }
+          val items = rawItems.map {
+            case ColRe(n, alias) =>
+              Option(alias).map(col(n.toLowerCase).as(_))
+                .getOrElse(col(n.toLowerCase))
+          }
+          df = assembled.select(items.toIndexedSeq: _*)
         } else if (wtCols.nonEmpty || ttlCols.nonEmpty ||
             dataCols.exists(statics.contains) ||
             udtFields.nonEmpty ||

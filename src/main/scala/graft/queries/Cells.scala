@@ -1758,6 +1758,59 @@ object Cells {
       |  (4, '41|42', CAST(NULL AS VARCHAR))) AS t(pk, tags, st)
       |ORDER BY pk""".stripMargin
 
+  // C11g — REASSEMBLED collection SELECT (r16): on a DECLARED
+  // collection table, naming the column through the front door
+  // returns the whole collection per row — Cassandra's own result
+  // shape (lists in position order, sets sorted-distinct, maps as
+  // the row's entries) — instead of the element-cell relation. The
+  // declared query stringifies the arrays for the oracle compare;
+  // the front-door values ARE typed arrays/maps.
+  private def collectionSelect(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cselect"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-csel-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.l (pk bigint, ck int, col text,
+        |  value list<bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.s (pk bigint, ck int, col text,
+        |  value set<bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int, col text,
+        |  value map<text, bigint>, wt bigint);
+        |TRUNCATE ks.l;
+        |TRUNCATE ks.s;
+        |TRUNCATE ks.m;
+        |UPDATE ks.l SET xs = xs + [5, 6, 7] WHERE pk = 1;
+        |UPDATE ks.l SET xs = xs + [9] WHERE pk = 2;
+        |DELETE xs[0] FROM ks.l WHERE pk = 1;
+        |UPDATE ks.s SET st = st + {4, 4, 2} WHERE pk = 1;
+        |UPDATE ks.m SET m['b'] = 2 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.m SET m['a'] = 1 WHERE pk = 1 AND ck = 1
+        |""".stripMargin, cat)
+    val l = cq("SELECT pk, xs FROM ks.l ORDER BY pk")
+      .select(lit("l").as("item"), col("pk"),
+        array_join(col("xs").cast("array<string>"), "|").as("v"))
+    val st = cq("SELECT pk, st FROM ks.s ORDER BY pk")
+      .select(lit("s").as("item"), col("pk"),
+        array_join(col("st").cast("array<string>"), "|").as("v"))
+    val m = cq("SELECT pk, ck, m FROM ks.m WHERE pk = 1 AND ck = 1")
+      .select(lit("m").as("item"), col("pk"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, '=', e.value)), '|')").as("v"))
+    l.unionAll(st).unionAll(m).orderBy(col("item"), col("pk"))
+  }
+
+  private val collectionSelectSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, v FROM (VALUES
+      |  ('l', 1, '6|7'), ('l', 2, '9'),
+      |  ('m', 1, 'a=1|b=2'),
+      |  ('s', 1, '2|4')) AS t(item, pk, v)
+      |ORDER BY item, pk""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -4188,6 +4241,8 @@ object Cells {
     GQuery("C11e_list_index_ops", listIndexOps, Some(listIndexOpsSql)),
     GQuery("C11f_collection_replace", collectionReplace,
       Some(collectionReplaceSql)),
+    GQuery("C11g_collection_select", collectionSelect,
+      Some(collectionSelectSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),

@@ -5893,6 +5893,46 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.slcat")
   }
 
+  test("reassembled collection SELECT (C11g): lists in position " +
+    "order, sets sorted-distinct, maps as entries") {
+    val root = Files.createTempDirectory("cql-csel").toString
+    spark.conf.set("spark.sql.catalog.cscat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cscat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cscat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.l (pk bigint, ck int, col text, " +
+        "value list<bigint>, wt bigint)")
+      cq("UPDATE ks.l SET xs = xs + [5, 6, 7] WHERE pk = 1")
+      cq("UPDATE ks.l SET xs = xs + [9] WHERE pk = 2")
+      val l = cq("SELECT pk, xs FROM ks.l ORDER BY pk")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(l === Seq((1L, Seq(5L, 6L, 7L)), (2L, Seq(9L))))
+      // removes shift the reassembled view
+      cq("DELETE xs[0] FROM ks.l WHERE pk = 1")
+      val l2 = cq("SELECT pk, xs FROM ks.l WHERE pk = 1")
+        .collect().map(_.getSeq[Long](1)).toSeq
+      assert(l2 === Seq(Seq(6L, 7L)))
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value set<bigint>, wt bigint)")
+      cq("UPDATE ks.s SET st = st + {4, 4, 2} WHERE pk = 1")
+      val st = cq("SELECT pk, st FROM ks.s")
+        .collect().map(_.getSeq[Long](1)).toSeq
+      assert(st === Seq(Seq(2L, 4L)))
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint)")
+      cq("UPDATE ks.m SET m['b'] = 2 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.m SET m['a'] = 1 WHERE pk = 1 AND ck = 1")
+      val m = cq("SELECT pk, ck, m FROM ks.m WHERE pk = 1 AND ck = 1")
+        .collect().map(_.getMap[String, Long](2)).head
+      assert(m === Map("a" -> 1L, "b" -> 2L))
+      // a non-key extra item refuses by name
+      val e = intercept[IllegalArgumentException] {
+        cq("SELECT ck, xs FROM ks.l") }
+      assert(e.getMessage.contains("reassembled list"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.cscat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
