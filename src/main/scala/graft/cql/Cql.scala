@@ -66,7 +66,8 @@ object Cql {
 
   private val InsertIfNotExistsRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
-      """VALUES\s*\(([^)]*)\)\s+IF\s+NOT\s+EXISTS\s*;?\s*$""").r
+      """VALUES\s*\(([^)]*)\)\s+IF\s+NOT\s+EXISTS""" +
+      """(?:\s+USING\s+(.+?))?\s*;?\s*$""").r
 
   private val UpdateRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
@@ -118,14 +119,18 @@ object Cql {
   }
 
   private val UpdateIfRe =
-    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+    ("""(?is)^\s*UPDATE\s+(\S+?)""" +
+      """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*;?\s*$""").r
 
   /** `UPDATE ... IF col IN (v1, v2, ...)` — Cassandra's IN condition
     * (r16). Matched before [[UpdateIfRe]] in the dispatcher.
     */
   private val UpdateIfInRe =
-    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+    ("""(?is)^\s*UPDATE\s+(\S+?)""" +
+      """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*$""").r
 
   /** `UPDATE ... IF a = 1 AND b > 2 AND ...` — Cassandra's
@@ -136,7 +141,9 @@ object Cql {
     * subset's grammar).
     */
   private val UpdateIfMultiRe =
-    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+    ("""(?is)^\s*UPDATE\s+(\S+?)""" +
+      """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(.+?\s+AND\s+.+?)\s*;?\s*$""").r
 
   /** One IF-condition term: `col <op> value` with the full operator
@@ -146,7 +153,9 @@ object Cql {
     """(?is)^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*$""".r
 
   private val UpdateIfExistsRe =
-    ("""(?is)^\s*UPDATE\s+(\S+?)\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
+    ("""(?is)^\s*UPDATE\s+(\S+?)""" +
+      """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
+      """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+EXISTS\s*;?\s*$""").r
 
   private val DeleteIfRe =
@@ -436,9 +445,9 @@ object Cql {
   private def shapeKnown(s: String): Boolean = s match {
     case UnloggedBatchRe(_, _) | BatchRe(_, _) | CounterBatchRe(_, _) |
         InsertJsonRe(_, _, _) |
-        InsertIfNotExistsRe(_, _, _) | UpdateIfRe(_, _, _, _, _, _) |
-        UpdateIfInRe(_, _, _, _, _) | UpdateIfMultiRe(_, _, _, _) |
-        UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _, _) |
+        InsertIfNotExistsRe(_, _, _, _) | UpdateIfRe(_, _, _, _, _, _, _) |
+        UpdateIfInRe(_, _, _, _, _, _) | UpdateIfMultiRe(_, _, _, _, _) |
+        UpdateIfExistsRe(_, _, _, _) | DeleteIfRe(_, _, _, _, _, _, _) |
         SelectRe(_, _, _, _, _, _, _, _, _, _, _) |
         InsertRe(_, _, _, _) | UpdateRe(_, _, _, _) |
         DeleteRe(_, _, _, _) => true
@@ -544,10 +553,10 @@ object Cql {
           // (Cassandra allows single-partition conditional batches —
           // that form is the LOGGED `BEGIN BATCH`; an UNLOGGED batch
           // refuses conditions exactly as Cassandra does.)
-          case s @ (InsertIfNotExistsRe(_, _, _) |
-              UpdateIfRe(_, _, _, _, _, _) |
-              UpdateIfInRe(_, _, _, _, _) |
-              UpdateIfMultiRe(_, _, _, _) | UpdateIfExistsRe(_, _, _) |
+          case s @ (InsertIfNotExistsRe(_, _, _, _) |
+              UpdateIfRe(_, _, _, _, _, _, _) |
+              UpdateIfInRe(_, _, _, _, _, _) |
+              UpdateIfMultiRe(_, _, _, _, _) | UpdateIfExistsRe(_, _, _, _) |
               DeleteIfRe(_, _, _, _, _, _, _)) =>
             fail("conditional statements are not allowed in an " +
               s"UNLOGGED BATCH: $s")
@@ -623,33 +632,37 @@ object Cql {
         jsonCellsTyped(spec, json, wt), ttlOpt)
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
-    case InsertIfNotExistsRe(table, cols, vals) =>
+    case InsertIfNotExistsRe(table, cols, vals, usingClause) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table)) // CAS reads current state
-      val r = lwtInsert(spark, resolve(table), cols, vals)
+      val r = lwtInsert(spark, resolve(table), cols, vals,
+        lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
-    case UpdateIfMultiRe(table, sets, where, ifTail) =>
+    case UpdateIfMultiRe(table, usingClause, sets, where, ifTail) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateMulti(spark, resolve(table), sets, where,
-        ifTail)
+        ifTail, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
-    case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
+    case UpdateIfInRe(table, usingClause, sets, where, ifCol,
+        ifVals) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateIn(spark, resolve(table), sets, where, ifCol,
-        ifVals)
+        ifVals, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
-    case UpdateIfRe(table, sets, where, ifCol, ifOp, ifVal) =>
+    case UpdateIfRe(table, usingClause, sets, where, ifCol, ifOp,
+        ifVal) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdate(spark, resolve(table), sets, where, ifCol,
-        ifOp, ifVal)
+        ifOp, ifVal, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
-    case UpdateIfExistsRe(table, sets, where) =>
+    case UpdateIfExistsRe(table, usingClause, sets, where) =>
       refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
-      val r = lwtUpdateExists(spark, resolve(table), sets, where)
+      val r = lwtUpdateExists(spark, resolve(table), sets, where,
+        lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case DeleteIfRe(colOpt, table, where, exists, ifCol, ifOp,
         ifVal) =>
@@ -1123,6 +1136,21 @@ object Cql {
         "supported in this subset")
   }
 
+  /** The optional USING clause of a conditional statement (C55g):
+    * Cassandra serves TTL on conditional writes but never custom
+    * timestamps (the CAS winner's coordinate IS the ballot's own
+    * "wins LWW now" writetime). The table's default_time_to_live
+    * applies exactly as on plain writes.
+    */
+  private def lwtTtl(dir: String, usingClause: String): Option[Long] = {
+    val (ts, rawTtl) = parseUsing(Option(usingClause))
+    if (ts.isDefined)
+      fail("Cannot provide custom timestamp for conditional updates " +
+        "(Cassandra's rule: the CAS winner takes the ballot's " +
+        "writetime)")
+    effectiveTtl(dir, rawTtl)
+  }
+
   private def lwtResult(spark: SparkSession,
       r: graft.sources.CellTransactions.CasResult): DataFrame = {
     import spark.implicits._
@@ -1168,7 +1196,8 @@ object Cql {
   }
 
   private def lwtInsert(spark: SparkSession, dir: String,
-      cols: String, vals: String): DataFrame = {
+      cols: String, vals: String,
+      ttl: Option[Long] = None): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1202,8 +1231,11 @@ object Cql {
         }
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = Some(c), cond = CasCond.Absent,
-        writeCol = c, writeValue = v))
+        writeCol = c, writeValue = v, ttlWt = ttl))
     } else {
+      if (ttl.isDefined)
+        fail("LWT USING TTL serves the default ((pk), ck) layout " +
+          "in this subset")
       // typed table: every key part bound by name + ONE data column
       val names = cols.split(',').map(_.trim.toLowerCase)
       val values = splitValues(vals).map(_.trim)
@@ -1261,9 +1293,10 @@ object Cql {
 
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifOp: String,
-      ifVal: String): DataFrame =
+      ifVal: String, ttl: Option[Long] = None): DataFrame =
     lwtUpdateCond(spark, dir, sets, where, ifCol,
-      (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal))
+      (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal),
+      ttl)
 
   /** `UPDATE ... IF col IN (v1, ...)` (C55d): the condition holds
     * when the cell's current winner equals ANY member; members parse
@@ -1272,11 +1305,11 @@ object Cql {
     */
   private def lwtUpdateIn(spark: SparkSession, dir: String,
       sets: String, where: String, ifCol: String,
-      ifVals: String): DataFrame =
+      ifVals: String, ttl: Option[Long] = None): DataFrame =
     lwtUpdateCond(spark, dir, sets, where, ifCol,
       (mappedCas, str) => graft.sources.CellTransactions.CasCond.In(
         splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
-          .map(casCondLit(mappedCas, str))))
+          .map(casCondLit(mappedCas, str))), ttl)
 
   /** Parse the multi-condition IF tail (C55e): ` AND `-separated
     * terms, each an operator or IN condition on ANY data column of
@@ -1318,7 +1351,8 @@ object Cql {
     * IS a one-write conditional batch.
     */
   private def lwtUpdateMulti(spark: SparkSession, dir: String,
-      sets: String, where: String, ifTail: String): DataFrame = {
+      sets: String, where: String, ifTail: String,
+      ttl: Option[Long] = None): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     if (!graft.sources.CellSource.keySpec(dir).isDefault)
       fail("multi-condition LWT supports the default ((pk), ck) " +
@@ -1350,7 +1384,7 @@ object Cql {
     lwtResult(spark, graft.sources.CellTransactions.casBatch(
       spark, dir, pk,
       lwtCondTerms(mappedCas, str, condCk, ifTail, statics),
-      Seq((wck, c, v))))
+      Seq((wck, c, v)), ttlWt = ttl))
   }
 
   /** True when every IF term names a static column — then the
@@ -1369,7 +1403,8 @@ object Cql {
   private def lwtUpdateCond(spark: SparkSession, dir: String,
       sets: String, where: String, ifCol: String,
       mkCond: (Option[String], Boolean) =>
-        graft.sources.CellTransactions.CasCond): DataFrame = {
+        graft.sources.CellTransactions.CasCond,
+      ttl: Option[Long] = None): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1410,7 +1445,7 @@ object Cql {
           spark, dir, pk,
           Seq((condCoord._1, Some(condCoord._2),
             mkCond(mappedCas, str))),
-          Seq((wck, wc, wv))))
+          Seq((wck, wc, wv)), ttlWt = ttl))
       }
       val (pk, ck, c, v) =
         if (mappedCas.isDefined) {
@@ -1439,8 +1474,11 @@ object Cql {
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = Some(ifCol.toLowerCase),
         cond = mkCond(mappedCas, str),
-        writeCol = c, writeValue = v))
+        writeCol = c, writeValue = v, ttlWt = ttl))
     } else {
+      if (ttl.isDefined)
+        fail("LWT USING TTL serves the default ((pk), ck) layout " +
+          "in this subset")
       val (c, v) = casSet(sets)
       lwtResult(spark, CellTransactions.casApplyKeyed(
         spark, dir, typedCasKey(spec, where),
@@ -1454,7 +1492,8 @@ object Cql {
     * iff the (pk, ck) row has ANY live cell.
     */
   private def lwtUpdateExists(spark: SparkSession, dir: String,
-      sets: String, where: String): DataFrame = {
+      sets: String, where: String,
+      ttl: Option[Long] = None): DataFrame = {
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1485,8 +1524,11 @@ object Cql {
         }
       lwtResult(spark, CellTransactions.casApply(
         spark, dir, pk, ck, condCol = None, cond = CasCond.Present,
-        writeCol = c, writeValue = v))
+        writeCol = c, writeValue = v, ttlWt = ttl))
     } else {
+      if (ttl.isDefined)
+        fail("LWT USING TTL serves the default ((pk), ck) layout " +
+          "in this subset")
       val (c, v) = casSet(sets)
       lwtResult(spark, CellTransactions.casApplyKeyed(
         spark, dir, typedCasKey(spec, where), condCol = None,
@@ -1581,10 +1623,10 @@ object Cql {
     // WHERE group would absorb a trailing IF clause and run the CAS
     // as an ordinary write
     val conditional = stmts.exists {
-      case InsertIfNotExistsRe(_, _, _) |
-          UpdateIfRe(_, _, _, _, _, _) | UpdateIfInRe(_, _, _, _, _) |
-          UpdateIfMultiRe(_, _, _, _) |
-          UpdateIfExistsRe(_, _, _) | DeleteIfRe(_, _, _, _, _, _, _) =>
+      case InsertIfNotExistsRe(_, _, _, _) |
+          UpdateIfRe(_, _, _, _, _, _, _) | UpdateIfInRe(_, _, _, _, _, _) |
+          UpdateIfMultiRe(_, _, _, _, _) |
+          UpdateIfExistsRe(_, _, _, _) | DeleteIfRe(_, _, _, _, _, _, _) =>
         true
       case _ => false
     }
@@ -1785,7 +1827,8 @@ object Cql {
     type Cond = (Int, Option[String], CasCond)
     type Cells = Seq[(Long, Int, String, Any, Long)]
     val parsed: Seq[(String, Seq[Cond], Cells)] = stmts.map {
-      case InsertIfNotExistsRe(table, cols, vals) =>
+      case InsertIfNotExistsRe(table, cols, vals, usingClause) =>
+        noUsing(usingClause, "INSERT ... IF NOT EXISTS")
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
@@ -1793,7 +1836,8 @@ object Cql {
         // IF NOT EXISTS tests ROW presence at the insert's (pk, ck)
         (dir, Seq((cells.head._2, None: Option[String],
           CasCond.Absent: CasCond)), cells)
-      case UpdateIfMultiRe(table, sets, where, ifTail) =>
+      case UpdateIfMultiRe(table, usingClause, sets, where, ifTail) =>
+        noUsing(usingClause, "UPDATE ... IF")
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
@@ -1803,7 +1847,9 @@ object Cql {
         val cells = parseUpd(dir, sets, where)
         (dir, lwtCondTerms(mappedCtOf(dir), isStringValued(dir),
           cells.head._2, ifTail), cells)
-      case UpdateIfInRe(table, sets, where, ifCol, ifVals) =>
+      case UpdateIfInRe(table, usingClause, sets, where, ifCol,
+          ifVals) =>
+        noUsing(usingClause, "UPDATE ... IF")
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
@@ -1815,7 +1861,9 @@ object Cql {
           CasCond.In(splitValues(ifVals).toSeq.map(_.trim)
             .filter(_.nonEmpty).map(condLit(dir, _))): CasCond)),
           cells)
-      case UpdateIfRe(table, sets, where, ifCol, ifOp, ifVal) =>
+      case UpdateIfRe(table, usingClause, sets, where, ifCol, ifOp,
+          ifVal) =>
+        noUsing(usingClause, "UPDATE ... IF")
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))
@@ -1827,7 +1875,8 @@ object Cql {
           casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
             ifVal): CasCond)),
           cells)
-      case UpdateIfExistsRe(table, sets, where) =>
+      case UpdateIfExistsRe(table, usingClause, sets, where) =>
+        noUsing(usingClause, "UPDATE ... IF EXISTS")
         val dir = resolveDefault(table)
         refuseUdt(dir, "lightweight transactions")
         if (hasCollectionSyntax(sets))

@@ -3936,6 +3936,43 @@ object Cells {
       |  AS t(pk, ck, col, v)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C55g — LWT with USING TTL (r16): Cassandra serves TTL on
+  // conditional writes (the expiring-lock idiom: INSERT ... IF NOT
+  // EXISTS USING TTL n) but never custom timestamps. The applied
+  // cell carries expiry = ballot-wt + ttl, so TTL(col) round-trips
+  // the granted TTL; a refused statement leaves the standing grant.
+  private def lwtTtlLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_lwttl"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-lwttl-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.t (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint)")
+    cq("TRUNCATE ks.t")
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 5) " +
+      "IF NOT EXISTS USING TTL 100") // applies, grant 100
+    cq("UPDATE ks.t USING TTL 50 SET qty = 6 " +
+      "WHERE pk = 1 AND ck = 1 IF qty = 5") // applies, grant 50
+    cq("UPDATE ks.t USING TTL 7 SET qty = 9 " +
+      "WHERE pk = 1 AND ck = 1 IF qty = 99") // refuses — 50 stands
+    cq("INSERT INTO ks.t (pk, ck, qty) VALUES (2, 1, 7) " +
+      "IF NOT EXISTS") // applies, NO grant
+    val a = cq("SELECT pk, TTL(qty) AS t FROM ks.t WHERE pk = 1 " +
+      "AND ck = 1")
+    val b = cq("SELECT pk, TTL(qty) AS t FROM ks.t WHERE pk = 2 " +
+      "AND ck = 1")
+    a.unionAll(b).orderBy(col("pk"))
+  }
+
+  private val lwtTtlSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(t AS BIGINT) AS t
+      |FROM (VALUES (1, 50), (2, CAST(NULL AS BIGINT))) AS t(pk, t)
+      |ORDER BY pk""".stripMargin
+
   // C39c — WITH CLUSTERING ORDER BY (ck DESC) end-to-end (r11): the
   // declared physical order served by the C39 reverse cursor — LIMIT
   // takes the newest rows, PER PARTITION LIMIT keeps the LAST n per
@@ -4254,6 +4291,7 @@ object Cells {
     GQuery("C65i_cql_ck_in", cqlCkIn, Some(cqlCkInSql)),
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
     GQuery("C55f_static_lwt", staticLwtLifecycle, Some(staticLwtSql)),
+    GQuery("C55g_lwt_ttl", lwtTtlLifecycle, Some(lwtTtlSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),

@@ -117,7 +117,11 @@ object CellTransactions {
       writeCol: String, writeValue: Any,
       lockTimeoutMs: Long = 30000L,
       nowMs: Long = System.currentTimeMillis(),
-      queryTimeMs: Long = Long.MaxValue): CasResult = {
+      queryTimeMs: Long = Long.MaxValue,
+      ttlWt: Option[Long] = None): CasResult = {
+    require(ttlWt.isEmpty || !writeCol.startsWith("!"),
+      "tombstone markers never take TTL (an expiring tombstone " +
+        "would resurrect the data it shadows)")
     require(condCol.forall(!_.startsWith("!")),
       "CAS conditions target data cells, not markers")
     val norm = CellPlanning.normalize(dir)
@@ -153,7 +157,8 @@ object CellTransactions {
         val files = CellPlanning.listFiles(norm)
         val wt = files.map(CellSource.readHeader).iterator
           .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
-        appendRow(d, files, pk, ck, writeCol, writeValue, wt)
+        appendRow(d, files, pk, ck, writeCol, writeValue, wt,
+          ttlWt.map(wt + _).getOrElse(Long.MaxValue))
         CasResult(applied = true, reported)
       }
     }
@@ -239,8 +244,12 @@ object CellTransactions {
       writes: Seq[(Int, String, Any)],
       lockTimeoutMs: Long = 30000L,
       nowMs: Long = System.currentTimeMillis(),
-      queryTimeMs: Long = Long.MaxValue): CasResult = {
+      queryTimeMs: Long = Long.MaxValue,
+      ttlWt: Option[Long] = None): CasResult = {
     require(writes.nonEmpty, "an empty conditional batch is a no-op")
+    require(ttlWt.isEmpty || writes.forall(!_._2.startsWith("!")),
+      "tombstone markers never take TTL (an expiring tombstone " +
+        "would resurrect the data it shadows)")
     // STATIC cells (C55f) are data at the partition-front coordinate
     // (ck = Int.MinValue, `!s:<name>`) — legal condition targets and
     // write columns; every OTHER marker prefix stays refused
@@ -291,7 +300,8 @@ object CellTransactions {
           val wt = files.map(CellSource.readHeader).iterator
             .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
           appendRows(d, files,
-            writes.map { case (ck, c, v) => (pk, ck, c, v) }, wt)
+            writes.map { case (ck, c, v) => (pk, ck, c, v) }, wt,
+            ttlWt.map(wt + _).getOrElse(Long.MaxValue))
           CasResult(applied = true, None)
       }
     }
@@ -331,11 +341,13 @@ object CellTransactions {
     * path's exact protocol, C38) — no Spark job for a single cell.
     */
   private def appendRow(dir: Path, files: Seq[String], pk: Long, ck: Int,
-      colName: String, value: Any, wt: Long): Unit = {
+      colName: String, value: Any, wt: Long,
+      expiry: Long = Long.MaxValue): Unit = {
     val (tag, prec, scale) = casValueType(dir, files)
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
-    CellSource.writeFileTyped(staged,
-      Seq((pk, ck, colName, casCoerce(tag, value, colName), wt)),
+    CellSource.writeFileTypedE(staged,
+      Seq((pk, ck, colName, casCoerce(tag, value, colName), wt,
+        expiry)),
       Array(colName), tag, prec,
       scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
     publishStaged(dir, files, staged)
@@ -373,13 +385,17 @@ object CellTransactions {
     * Spark-internal strings and tombstone members the tag's neutral.
     */
   private def appendRows(dir: Path, files: Seq[String],
-      cells: Seq[(Long, Int, String, Any)], wt: Long): Unit = {
+      cells: Seq[(Long, Int, String, Any)], wt: Long,
+      expiry: Long = Long.MaxValue): Unit = {
     val (tag, prec, scale) = casValueType(dir, files)
     val rows = cells.sortBy(c => (c._1, c._2, c._3))
-      .map { case (pk, ck, c, v) => (pk, ck, c, casCoerce(tag, v, c), wt) }
+      .map { case (pk, ck, c, v) =>
+        // tombstone markers riding an expiring batch keep NO expiry
+        (pk, ck, c, casCoerce(tag, v, c), wt,
+          if (c.startsWith("!")) Long.MaxValue else expiry) }
     val cols = cells.map(_._3).distinct.sorted.toArray
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
-    CellSource.writeFileTyped(staged, rows, cols, tag, prec, scale,
+    CellSource.writeFileTypedE(staged, rows, cols, tag, prec, scale,
       CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
     publishStaged(dir, files, staged)
   }

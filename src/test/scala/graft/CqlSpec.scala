@@ -5933,6 +5933,57 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.cscat")
   }
 
+  test("LWT USING TTL (C55g): expiring conditional writes, " +
+    "timestamp refusal, expiry-driven death") {
+    val root = Files.createTempDirectory("cql-lwttl").toString
+    spark.conf.set("spark.sql.catalog.ltcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ltcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ltcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      // the expiring-lock idiom
+      cq("INSERT INTO ks.t (pk, ck, lock) VALUES (1, 1, 7) " +
+        "IF NOT EXISTS USING TTL 10")
+      val t1 = cq("SELECT pk, TTL(lock) AS t FROM ks.t " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(1)
+      assert(t1 === 10L)
+      // TTL on the operator/IN/EXISTS/multi forms
+      cq("UPDATE ks.t USING TTL 20 SET lock = 8 " +
+        "WHERE pk = 1 AND ck = 1 IF lock = 7")
+      cq("UPDATE ks.t USING TTL 21 SET lock = 9 " +
+        "WHERE pk = 1 AND ck = 1 IF lock IN (8)")
+      cq("UPDATE ks.t USING TTL 22 SET lock = 10 " +
+        "WHERE pk = 1 AND ck = 1 IF EXISTS")
+      cq("UPDATE ks.t USING TTL 23 SET lock = 11 " +
+        "WHERE pk = 1 AND ck = 1 IF lock = 10 AND lock != 3")
+      val t2 = cq("SELECT pk, TTL(lock) AS t FROM ks.t " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(1)
+      assert(t2 === 23L)
+      // custom timestamps refuse with Cassandra's message
+      refuse("UPDATE ks.t USING TIMESTAMP 99 SET lock = 1 " +
+        "WHERE pk = 1 AND ck = 1 IF lock = 11",
+        "Cannot provide custom timestamp for conditional updates")
+      // the expiring cell DIES at wt + ttl under a queryTime read —
+      // the C6 rule on the CAS-written expiry
+      val dir = s"$root/ks/t"
+      val aliveNow = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(dir)
+        .filter(col("pk") === 1).count()
+      assert(aliveNow === 1L)
+      val afterExpiry = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("queryTime", "1000000").load(dir)
+        .filter(col("pk") === 1).count()
+      assert(afterExpiry === 0L)
+    } finally spark.conf.unset("spark.sql.catalog.ltcat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
