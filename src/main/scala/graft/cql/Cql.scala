@@ -57,7 +57,7 @@ object Cql {
 
   private val InsertRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
-      """VALUES\s*\(([^)]*)\)""" +
+      """VALUES\s*\(((?:[^)]|\([^()]*\))*)\)""" +
       """(?:\s+USING\s+(.+?))?\s*;?\s*$""").r
 
   private val InsertJsonRe =
@@ -66,7 +66,8 @@ object Cql {
 
   private val InsertIfNotExistsRe =
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
-      """VALUES\s*\(([^)]*)\)\s+IF\s+NOT\s+EXISTS""" +
+      """VALUES\s*\(((?:[^)]|\([^()]*\))*)\)""" +
+      """\s+IF\s+NOT\s+EXISTS""" +
       """(?:\s+USING\s+(.+?))?\s*;?\s*$""").r
 
   private val UpdateRe =
@@ -743,7 +744,7 @@ object Cql {
           // string the text grammar would
           mappedValueType(dir) match {
             case Some((ct, vt)) => appendAnyCells(spark, dir, vt,
-              insertScalarCells(mappedLiteral(ct), cols, vals, wt,
+              insertScalarCells(fcallLiteral(ct, wt), cols, vals, wt,
                 graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
             case None if isStringValued(dir) =>
@@ -769,7 +770,7 @@ object Cql {
           mappedValueType(dir) match {
             case Some((ct, vt)) => typedWrite(spark, dir, spec,
               insertTypedRows(spec, cols, vals, wt,
-                mappedLiteral(ct)), ttlOpt, vt)
+                fcallLiteral(ct, wt)), ttlOpt, vt)
             case None =>
               insertTyped(spark, dir, spec, cols, vals, wt, ttlOpt)
           }
@@ -821,7 +822,7 @@ object Cql {
             if (hasCollectionSyntax(sets) && !ct.startsWith("vector<"))
               collectionUpdate(spark, dir, sets, where, wt, ttlOpt)
             else appendAnyCells(spark, dir, vt,
-              updateScalarCells(mappedLiteral(ct), sets, where, wt,
+              updateScalarCells(fcallLiteral(ct, wt), sets, where, wt,
                 graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
           case None if hasCollectionSyntax(sets) =>
@@ -849,7 +850,7 @@ object Cql {
         // typed vector tables (C70d) route BEFORE the collection
         // sniff — the bracket form IS the vector literal
         case Some((ct, vt)) => typedWrite(spark, dir, spec,
-          updateTypedRows(spec, sets, where, wt, mappedLiteral(ct)),
+          updateTypedRows(spec, sets, where, wt, fcallLiteral(ct, wt)),
           ttlOpt, vt)
         case None if hasCollectionSyntax(sets) =>
           collectionUpdateTyped(spark, dir, spec, sets, where, wt,
@@ -6720,6 +6721,49 @@ object Cql {
     * grammar — this is where `uuid` differs from the text it stores
     * as: a non-uuid string refuses instead of writing garbage.
     */
+  /** C72 — deterministic FUNCTION-CALL literals: `now()` mints a
+    * version-1 timeuuid whose 60-bit time IS the statement's
+    * writetime coordinate (the engine's logical clock — no wall
+    * time, so lifecycles replay bit-identically), `uuid()` a
+    * version-4 uuid derived from the same coordinate. Every call in
+    * ONE statement returns the SAME value — Cassandra's own rule
+    * (all now() calls in a statement are identical). The node field
+    * is a fixed engine constant; uniqueness rides the writetime,
+    * which is unique per statement by construction.
+    */
+  def mintTimeuuid(wt: Long): String = {
+    val time = wt & 0x0FFFFFFFFFFFFFFFL
+    f"${time & 0xFFFFFFFFL}%08x-${(time >> 32) & 0xFFFFL}%04x-" +
+      f"${((time >> 48) & 0x0FFFL) | 0x1000L}%04x-8000-677261667401"
+  }
+
+  def mintUuid(wt: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"uuid:$wt".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    h(6) = ((h(6) & 0x0f) | 0x40).toByte // version 4
+    h(8) = ((h(8) & 0x3f) | 0x80).toByte // variant 10
+    val bb = java.nio.ByteBuffer.wrap(h)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
+  /** The mapped grammar extended with the fcall literals (C72):
+    * `now()` serves timeuuid AND uuid columns (a timeuuid IS a uuid,
+    * Cassandra's own assignability), `uuid()` uuid columns only.
+    * Everything else parses through the declared grammar unchanged.
+    */
+  private def fcallLiteral(ct: String, wt: Long)(
+      raw: String, what: String): Any = raw.trim.toLowerCase match {
+    case "now()" if ct == "uuid" || ct == "timeuuid" =>
+      mappedLiteral(ct)(s"'${mintTimeuuid(wt)}'", what)
+    case "uuid()" if ct == "uuid" =>
+      mappedLiteral(ct)(s"'${mintUuid(wt)}'", what)
+    case "uuid()" if ct == "timeuuid" =>
+      fail(s"$what: uuid() mints a version-4 uuid — a timeuuid " +
+        "column takes now()")
+    case _ => mappedLiteral(ct)(raw, what)
+  }
+
   private def mappedLiteral(ct: String)(raw: String, what: String)
       : Any = {
     val t = raw.trim

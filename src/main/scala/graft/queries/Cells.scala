@@ -3973,6 +3973,50 @@ object Cells {
       |FROM (VALUES (1, 50), (2, CAST(NULL AS BIGINT))) AS t(pk, t)
       |ORDER BY pk""".stripMargin
 
+  // C72 — function-call literals (r16): `now()` mints a version-1
+  // timeuuid whose time IS the statement's writetime coordinate
+  // (the engine's logical clock — lifecycles replay bit-identically,
+  // which is exactly why the oracle below can be a literal), `uuid()`
+  // a version-4 uuid from the same coordinate; a timeuuid is
+  // assignable to a uuid column (Cassandra's rule).
+  private def fcallLiterals(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_fcall"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-fcall-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.e (pk bigint, ck int, col text, " +
+      "value timeuuid, wt bigint)")
+    cq("CREATE TABLE IF NOT EXISTS ks.u (pk bigint, ck int, col text, " +
+      "value uuid, wt bigint)")
+    cq("TRUNCATE ks.e")
+    cq("TRUNCATE ks.u")
+    cq("INSERT INTO ks.e (pk, ck, ev) VALUES (1, 1, now())")
+    cq("INSERT INTO ks.e (pk, ck, ev) VALUES (1, 2, now())")
+    cq("UPDATE ks.e SET ev = now() WHERE pk = 2 AND ck = 1")
+    cq("INSERT INTO ks.u (pk, ck, id) VALUES (1, 1, uuid())")
+    cq("INSERT INTO ks.u (pk, ck, id) VALUES (2, 1, now())")
+    val e = cq("SELECT pk, ck, value FROM ks.e ORDER BY pk, ck")
+      .select(lit("e").as("t"), col("pk"), col("ck"), col("value"))
+    val u = cq("SELECT pk, ck, value FROM ks.u ORDER BY pk, ck")
+      .select(lit("u").as("t"), col("pk"), col("ck"), col("value"))
+    e.unionAll(u).orderBy(col("t"), col("pk"), col("ck"))
+  }
+
+  private val fcallLiteralsSql =
+    """SELECT t, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, value
+      |FROM (VALUES
+      |  ('e', 1, 1, '00000001-0000-1000-8000-677261667401'),
+      |  ('e', 1, 2, '00000002-0000-1000-8000-677261667401'),
+      |  ('e', 2, 1, '00000003-0000-1000-8000-677261667401'),
+      |  ('u', 1, 1, '14406096-3ab9-4051-aa3c-3a2fbba1f8ad'),
+      |  ('u', 2, 1, '00000002-0000-1000-8000-677261667401'))
+      |  AS t(t, pk, ck, value)
+      |ORDER BY t, pk, ck""".stripMargin
+
   // C39c — WITH CLUSTERING ORDER BY (ck DESC) end-to-end (r11): the
   // declared physical order served by the C39 reverse cursor — LIMIT
   // takes the newest rows, PER PARTITION LIMIT keeps the LAST n per
@@ -4292,6 +4336,7 @@ object Cells {
     GQuery("C55b_typed_lwt", typedLwt, Some(typedLwtSql)),
     GQuery("C55f_static_lwt", staticLwtLifecycle, Some(staticLwtSql)),
     GQuery("C55g_lwt_ttl", lwtTtlLifecycle, Some(lwtTtlSql)),
+    GQuery("C72_fcall_literals", fcallLiterals, Some(fcallLiteralsSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),

@@ -5984,6 +5984,50 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.ltcat")
   }
 
+  test("function-call literals (C72): now()/uuid() mint from the " +
+    "statement writetime; same statement, same value") {
+    val root = Files.createTempDirectory("cql-fcall").toString
+    spark.conf.set("spark.sql.catalog.fccat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.fccat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "fccat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.e (pk bigint, ck int, col text, " +
+        "value timeuuid, wt bigint)")
+      cq("INSERT INTO ks.e (pk, ck, ev) VALUES (1, 1, now())")
+      val v1 = cq("SELECT value FROM ks.e WHERE pk = 1 AND ck = 1")
+        .collect().head.getString(0)
+      assert(v1 === Cql.mintTimeuuid(1))
+      assert(java.util.UUID.fromString(v1).version === 1)
+      // every call in ONE statement mints the SAME value
+      cq("INSERT INTO ks.e (pk, ck, a, b) VALUES (5, 1, now(), now())")
+      val ab = cq("SELECT value FROM ks.e WHERE pk = 5 AND ck = 1")
+        .collect().map(_.getString(0)).toSeq
+      assert(ab.length === 2 && ab.distinct.length === 1)
+      // uuid() is not a timeuuid (version rule)
+      refuse("INSERT INTO ks.e (pk, ck, ev) VALUES (9, 1, uuid())",
+        "a timeuuid column takes now()")
+      // uuid columns take BOTH (a timeuuid IS a uuid)
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      cq("INSERT INTO ks.u (pk, ck, id) VALUES (1, 1, uuid())")
+      cq("INSERT INTO ks.u (pk, ck, id) VALUES (2, 1, now())")
+      val us = cq("SELECT pk, value FROM ks.u ORDER BY pk")
+        .collect().map(_.getString(1)).toSeq
+      assert(us === Seq(Cql.mintUuid(1), Cql.mintTimeuuid(2)))
+      assert(java.util.UUID.fromString(us.head).version === 4)
+      // UPDATE mints through the same wrapper
+      cq("UPDATE ks.u SET id = now() WHERE pk = 2 AND ck = 1")
+      val uv = cq("SELECT value FROM ks.u WHERE pk = 2 AND ck = 1")
+        .collect().head.getString(0)
+      assert(uv === Cql.mintTimeuuid(3))
+    } finally spark.conf.unset("spark.sql.catalog.fccat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
