@@ -192,6 +192,10 @@ object Cql {
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """(\w+)\.(\w+)\s*\((.+?)\)(?:\s*WITH\s+(.+?))?\s*;?\s*$""").r
+  /** `CREATE TABLE new LIKE src` (C51d, Cassandra 5's CEP-43). */
+  private val CreateLikeRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """(\w+)\.(\w+)\s+LIKE\s+(\w+)\.(\w+)\s*;?\s*$""").r
   private val CopyToRe =
     ("""(?is)^\s*COPY\s+(\w+)\.(\w+)\s+TO\s+'([^']+)'""" +
       """(?:\s+WITH\s+HEADER\s*=\s*(\w+))?\s*;?\s*$""").r
@@ -2464,6 +2468,35 @@ object Cql {
         writeUdts(root, ks, existing + (name.toLowerCase -> renamed))
         users.foreach(updateTableProp(_, "udtLayout", renamed))
         spark.emptyDataFrame
+      // C51d — Cassandra 5's `CREATE TABLE ... LIKE` (CEP-43): the
+      // new table copies the source's COLUMNS and recorded OPTIONS by
+      // rendering the source through the round-trippable DESCRIBE and
+      // replaying it under the new name — LIKE is definitionally
+      // consistent with DESC output. Data, indexes and views are NOT
+      // copied (upstream's rule); views and index tables refuse as
+      // sources. Matched BEFORE the parenthesized CREATE form.
+      case CreateLikeRe(ifNot, dks, dt, sks, st) =>
+        val srcDir = s"$root/$sks/$st"
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(srcDir)))
+          fail(s"table $sks.$st does not exist")
+        if (graft.sources.CellView.baseOf(srcDir).isDefined)
+          fail(s"$sks.$st is a materialized view — CREATE TABLE " +
+            "LIKE copies tables only (Cassandra's rule)")
+        if (graft.sources.CellIndex.columnOf(srcDir).isDefined)
+          fail(s"$sks.$st is an index table — CREATE TABLE LIKE " +
+            "copies tables only")
+        flushBuffered(spark, srcDir)
+        val stmt = SystemSchema.describeTable(spark, catalog, sks, st)
+          .collect().head.getString(0)
+        val prefix = s"CREATE TABLE $sks.$st ("
+        if (!stmt.startsWith(prefix))
+          fail(s"cannot render source $sks.$st for LIKE")
+        catalogExecute(spark,
+          "CREATE TABLE " +
+            (if (ifNot != null) "IF NOT EXISTS " else "") +
+            s"$dks.$dt (" + stmt.stripPrefix(prefix),
+          catalog, defaultKs)
       case CreateTableRe(ifNot, ks, t, colSpec, withOpts) =>
         val cc = parseCreateColumns(colSpec,
           n => udtLayouts(root, ks).get(n.toLowerCase))

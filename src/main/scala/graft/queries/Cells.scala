@@ -3936,6 +3936,54 @@ object Cells {
       |  AS t(pk, ck, col, v)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C51d — CREATE TABLE ... LIKE (r16, Cassandra 5's CEP-43): the
+  // new table copies the source's columns, statics and recorded
+  // options by replaying the source's round-trippable DESCRIBE under
+  // the new name — data is NOT copied. The clone takes writes
+  // independently and inherits option semantics (the copied
+  // default_time_to_live grants TTL on the clone's own writes).
+  private def createLike(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_clike"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-clike-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("DROP TABLE IF EXISTS ks.src")
+    cq("DROP TABLE IF EXISTS ks.dst")
+    cq("CREATE TABLE ks.src (pk bigint, ck int, col text, " +
+      "value bigint, wt bigint, flag bigint STATIC) " +
+      "WITH comment = 'the source' AND default_time_to_live = 9")
+    cq("INSERT INTO ks.src (pk, ck, qty) VALUES (1, 1, 5)")
+    cq("CREATE TABLE ks.dst LIKE ks.src")
+    cq("INSERT INTO ks.dst (pk, ck, qty) VALUES (7, 1, 70)")
+    val s1 = cq("DESCRIBE TABLE ks.src").collect().head.getString(0)
+    val s2 = cq("DESCRIBE TABLE ks.dst").collect().head.getString(0)
+    val schemaCopied =
+      if (s2 == s1.replace("CREATE TABLE ks.src", "CREATE TABLE ks.dst"))
+        1L else 0L
+    val src = cq("SELECT pk, value FROM ks.src ORDER BY pk")
+      .select(lit("src").as("item"), col("pk"), col("value").as("v"))
+    val dst = cq("SELECT pk, value FROM ks.dst ORDER BY pk")
+      .select(lit("dst").as("item"), col("pk"), col("value").as("v"))
+    // the copied default TTL grants on the CLONE's own writes
+    val ttl = cq("SELECT pk, TTL(qty) AS t FROM ks.dst " +
+      "WHERE pk = 7 AND ck = 1")
+      .select(lit("dst_ttl").as("item"), col("pk"), col("t").as("v"))
+    val sm = src.limit(1).select(lit("schema_copied").as("item"),
+      lit(schemaCopied).as("pk"), lit(0L).as("v"))
+    src.unionAll(dst).unionAll(ttl).unionAll(sm)
+      .orderBy(col("item"), col("pk"))
+  }
+
+  private val createLikeSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, CAST(v AS BIGINT) AS v
+      |FROM (VALUES ('dst', 7, 70), ('dst_ttl', 7, 9),
+      |  ('schema_copied', 1, 0), ('src', 1, 5)) AS t(item, pk, v)
+      |ORDER BY item, pk""".stripMargin
+
   // C55g — LWT with USING TTL (r16): Cassandra serves TTL on
   // conditional writes (the expiring-lock idiom: INSERT ... IF NOT
   // EXISTS USING TTL n) but never custom timestamps. The applied
@@ -4337,6 +4385,7 @@ object Cells {
     GQuery("C55f_static_lwt", staticLwtLifecycle, Some(staticLwtSql)),
     GQuery("C55g_lwt_ttl", lwtTtlLifecycle, Some(lwtTtlSql)),
     GQuery("C72_fcall_literals", fcallLiterals, Some(fcallLiteralsSql)),
+    GQuery("C51d_create_like", createLike, Some(createLikeSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),

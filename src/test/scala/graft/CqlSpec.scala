@@ -6028,6 +6028,48 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.fccat")
   }
 
+  test("CREATE TABLE ... LIKE (C51d): schema+options copied via the " +
+    "round-trippable DESCRIBE, data not copied, view/missing refuse") {
+    val root = Files.createTempDirectory("cql-clike").toString
+    spark.conf.set("spark.sql.catalog.clcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.clcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "clcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.src (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint) WITH comment = 'c' AND " +
+        "gc_grace_seconds = 7")
+      cq("INSERT INTO ks.src (pk, ck, qty) VALUES (1, 1, 5)")
+      cq("CREATE TABLE ks.dst LIKE ks.src")
+      val d1 = cq("DESCRIBE TABLE ks.src").collect().head.getString(0)
+      val d2 = cq("DESCRIBE TABLE ks.dst").collect().head.getString(0)
+      assert(d2 === d1.replace("ks.src", "ks.dst"))
+      // data is NOT copied; the clone takes its own writes
+      assert(cq("SELECT pk FROM ks.dst").collect().isEmpty)
+      cq("INSERT INTO ks.dst (pk, ck, qty) VALUES (2, 1, 9)")
+      assert(cq("SELECT value FROM ks.dst WHERE pk = 2 AND ck = 1")
+        .collect().head.getLong(0) === 9L)
+      // IF NOT EXISTS tolerates the existing clone
+      cq("CREATE TABLE IF NOT EXISTS ks.dst LIKE ks.src")
+      refuse("CREATE TABLE ks.d2 LIKE ks.ghost", "does not exist")
+      // a materialized view is not a LIKE source
+      cq("CREATE MATERIALIZED VIEW ks.v AS SELECT * FROM ks.src " +
+        "WHERE value IS NOT NULL PRIMARY KEY (value, pk, ck)")
+      refuse("CREATE TABLE ks.d3 LIKE ks.v", "materialized view")
+      // the copy carries a DECLARED type: a uuid source clones to a
+      // uuid-validating table
+      cq("CREATE TABLE ks.us (pk bigint, ck int, col text, " +
+        "value uuid, wt bigint)")
+      cq("CREATE TABLE ks.ud LIKE ks.us")
+      refuse("INSERT INTO ks.ud (pk, ck, id) VALUES (1, 1, 'junk')",
+        "uuid literal")
+    } finally spark.conf.unset("spark.sql.catalog.clcat")
+  }
+
   test("COUNTER BATCH (C10d): grouping-only counter form, " +
     "non-counter statements and custom timestamps refuse, " +
     "unlogged mixing refuses") {
