@@ -6067,6 +6067,17 @@ class CqlSpec extends GraftSpec {
       cq("CREATE TABLE ks.ud LIKE ks.us")
       refuse("INSERT INTO ks.ud (pk, ck, id) VALUES (1, 1, 'junk')",
         "uuid literal")
+      // a COUNTER source clones to a counter table (shard-delta
+      // semantics, INSERT refusal and all)
+      cq("CREATE TABLE ks.cs (pk bigint, ck int, col text, " +
+        "value counter, wt bigint, PRIMARY KEY ((pk), ck))")
+      cq("CREATE TABLE ks.cd LIKE ks.cs")
+      cq("UPDATE ks.cd SET hits = hits + 4 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.cd SET hits = hits + 3 WHERE pk = 1 AND ck = 1")
+      assert(cq("SELECT value FROM ks.cd WHERE pk = 1 AND ck = 1")
+        .collect().head.getLong(0) === 7L)
+      refuse("INSERT INTO ks.cd (pk, ck, hits) VALUES (1, 1, 5)",
+        "counter tables take UPDATE increments")
     } finally spark.conf.unset("spark.sql.catalog.clcat")
   }
 
