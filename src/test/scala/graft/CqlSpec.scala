@@ -5930,6 +5930,11 @@ class CqlSpec extends GraftSpec {
       val e = intercept[IllegalArgumentException] {
         cq("SELECT ck, xs FROM ks.l") }
       assert(e.getMessage.contains("reassembled list"), e.getMessage)
+      // the pk restriction pushes into the reconcile scan UNDER the
+      // reassembly agg — a pruned point read, not a table scan
+      val plan = cq("SELECT pk, xs FROM ks.l WHERE pk = 1")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("pkRange=[1,1]"), plan)
     } finally spark.conf.unset("spark.sql.catalog.cscat")
   }
 
