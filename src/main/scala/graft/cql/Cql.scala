@@ -56,8 +56,11 @@ object Cql {
       """(\s+ALLOW\s+FILTERING)?\s*;?\s*$""").r
 
   private val InsertRe =
+    // the VALUES group admits TWO paren-nesting levels — the C72b
+    // fcall-composition literals (`toTimestamp(now())`) nest a call
+    // inside a call; C72's flat `now()` needs one
     ("""(?is)^\s*INSERT\s+INTO\s+(\S+?)\s*\(([^)]*)\)\s*""" +
-      """VALUES\s*\(((?:[^)]|\([^()]*\))*)\)""" +
+      """VALUES\s*\(((?:[^)]|\((?:[^()]|\([^()]*\))*\))*)\)""" +
       """(?:\s+USING\s+(.+?))?\s*;?\s*$""").r
 
   private val InsertJsonRe =
@@ -760,7 +763,7 @@ object Cql {
                 insertBlobCells(cols, vals, wt), ttlOpt)
             case None => otherScalarType(dir) match {
               case Some(vt) => appendAnyCells(spark, dir, vt,
-                insertScalarCells(scalarLiteral(vt), cols, vals, wt,
+                insertScalarCells(fcallScalar(vt, wt), cols, vals, wt,
                   graft.sources.CellSource.staticCols(dir)),
                 ttlOpt)
               case None => appendCells(spark, dir,
@@ -842,7 +845,7 @@ object Cql {
               updateBlobCells(sets, where, wt), ttlOpt)
           case None => otherScalarType(dir) match {
             case Some(vt) => appendAnyCells(spark, dir, vt,
-              updateScalarCells(scalarLiteral(vt), sets, where, wt,
+              updateScalarCells(fcallScalar(vt, wt), sets, where, wt,
                 graft.sources.CellSource.staticCols(dir)),
               ttlOpt)
             case None => appendCells(spark, dir,
@@ -982,8 +985,23 @@ object Cql {
                 !statics.contains(c.toLowerCase) &&
                 cqlCollectionOf(dir).exists(dc =>
                   dc.startsWith("list") || dc.startsWith("set")))
-            wholeColl match {
-              case Some(c) =>
+            // whole-MAP delete (C11h): on a DECLARED map column the
+            // row's non-marker cells ARE the entries — the CK-LESS
+            // `DELETE m FROM t WHERE pk = ?` clears every row's map
+            // of the partition. The ck-BOUND bare-name form stays
+            // the ENTRY delete (`DELETE start … AND ck = ?` shadows
+            // the col-keyed entry cell — the pre-C11h contract C65z
+            // depends on; the row-scoped clear is `SET m = {}`).
+            // Statics are '!s:'-prefixed, so the marker filter
+            // spares them.
+            val wholeMap = Option(colOpt).filter(c =>
+              c.matches("""(?s)\w+""") &&
+                ckEq0.isEmpty &&
+                ckLo0 == Int.MinValue && ckHi0 == Int.MaxValue &&
+                !statics.contains(c.toLowerCase) &&
+                cqlCollectionOf(dir).exists(_.startsWith("map")))
+            (wholeColl, wholeMap) match {
+              case (Some(c), _) =>
                 val name = c.toLowerCase
                 flushBuffered(spark, dir)
                 spark.read.format(Fmt).option("reconcile", "true")
@@ -995,7 +1013,18 @@ object Cql {
                   .collect() // bounded: the collection's element count
                   .toSeq.map(r => (r.getLong(0), r.getInt(1),
                     s"!del:$name", 0L, dts))
-              case None =>
+              case (None, Some(_)) =>
+                flushBuffered(spark, dir)
+                spark.read.format(Fmt)
+                  .option("reconcile", "true").load(dir)
+                  .filter(col("pk").isin(
+                    pks0.toSeq.sorted.map(Long.box): _*) &&
+                    !col("col").startsWith("!"))
+                  .select(col("pk"), col("ck"), col("col"))
+                  .collect() // bounded: the cleared maps' entry count
+                  .toSeq.map(r => (r.getLong(0), r.getInt(1),
+                    s"!del:${r.getString(2)}", 0L, dts))
+              case _ =>
                 deleteMarkers(Option(colOpt), where, dts, statics)
             }
         }
@@ -1829,6 +1858,19 @@ object Cql {
         case Some(ct) => mappedLiteral(ct)(raw, "IF condition")
         case None => collValue(isStringValued(dir))(raw, "IF condition")
       }
+    // a STATIC condition column (C55f) addresses the partition-front
+    // coordinate, not the statement's CAS row — the batch path must
+    // resolve it exactly as the front-door lwtUpdateMulti does, or
+    // `IF <static> = v` would read a nonexistent regular cell at the
+    // row ck and silently report not-applied
+    def condCoord(dir: String, ck: Int, ifCol: String)
+        : (Int, Option[String]) = {
+      val c = ifCol.toLowerCase
+      if (graft.sources.CellSource.staticCols(dir).contains(c))
+        (Int.MinValue,
+          Some(graft.sources.CellSource.StaticPrefix + c))
+      else (ck, Some(c))
+    }
     type Cond = (Int, Option[String], CasCond)
     type Cells = Seq[(Long, Int, String, Any, Long)]
     val parsed: Seq[(String, Seq[Cond], Cells)] = stmts.map {
@@ -1851,7 +1893,8 @@ object Cql {
         refuseStaticLwt(dir, setColNames(sets))
         val cells = parseUpd(dir, sets, where)
         (dir, lwtCondTerms(mappedCtOf(dir), isStringValued(dir),
-          cells.head._2, ifTail), cells)
+          cells.head._2, ifTail,
+          graft.sources.CellSource.staticCols(dir)), cells)
       case UpdateIfInRe(table, usingClause, sets, where, ifCol,
           ifVals) =>
         noUsing(usingClause, "UPDATE ... IF")
@@ -1862,7 +1905,8 @@ object Cql {
             "(appends need the current collection state)")
         refuseStaticLwt(dir, setColNames(sets))
         val cells = parseUpd(dir, sets, where)
-        (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
+        val (inCk, inCol) = condCoord(dir, cells.head._2, ifCol)
+        (dir, Seq((inCk, inCol,
           CasCond.In(splitValues(ifVals).toSeq.map(_.trim)
             .filter(_.nonEmpty).map(condLit(dir, _))): CasCond)),
           cells)
@@ -1876,7 +1920,8 @@ object Cql {
             "(appends need the current collection state)")
         refuseStaticLwt(dir, setColNames(sets))
         val cells = parseUpd(dir, sets, where)
-        (dir, Seq((cells.head._2, Some(ifCol.toLowerCase),
+        val (opCk, opCol) = condCoord(dir, cells.head._2, ifCol)
+        (dir, Seq((opCk, opCol,
           casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
             ifVal): CasCond)),
           cells)
@@ -1902,9 +1947,12 @@ object Cql {
           fail("conditional DELETE WHERE must bind ck (the CAS row)"))
         val cond: Cond =
           if (exists != null) (ck, None, CasCond.Present)
-          else (ck, Some(ifCol.toLowerCase),
-            casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
-              ifVal))
+          else {
+            val (dCk, dCol) = condCoord(dir, ck, ifCol)
+            (dCk, dCol,
+              casOpCond(mappedCtOf(dir), isStringValued(dir), ifOp,
+                ifVal))
+          }
         val writeCol = Option(colOpt) match {
           case Some(c) =>
             graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
@@ -3826,6 +3874,28 @@ object Cql {
   private val TtlRe =
     """(?is)^\s*TTL\s*\(\s*(\w+(?:\.\w+)?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
 
+  /** C72b — `minTimeuuid(ts)` / `maxTimeuuid(ts)` WHERE bounds on a
+    * timeuuid clustering part: Cassandra's documented "fake
+    * inequality" idiom (`t > minTimeuuid(x) AND t < maxTimeuuid(y)`
+    * selects rows whose TIME component lies in [x, y]). The argument
+    * is a timestamp literal (ISO-8601 or epoch millis — the same
+    * grammar timestamp values take).
+    */
+  private val TimeuuidBoundRe =
+    ("""(?is)^\s*(\w+)\s*(<=|>=|<|>)\s*(MIN|MAX)TIMEUUID\s*\(\s*""" +
+      """('(?:[^']|'')*'|\d+)\s*\)\s*$""").r
+
+  /** Cassandra 5's similarity functions in a select list (C70e):
+    * `similarity_cosine(v, [q…]) [AS alias]` (and the euclidean /
+    * dot_product variants) — the standard companion to `ORDER BY v
+    * ANN OF` (reading the score of each hit), also served on a bare
+    * key-restricted read. The vector literal dim-checks at parse
+    * through the declared grammar.
+    */
+  private val SimilaritySelRe =
+    ("""(?is)^\s*SIMILARITY_(COSINE|EUCLIDEAN|DOT_PRODUCT)\s*\(\s*""" +
+      """(\w+)\s*,\s*(\[[^\]]*\])\s*\)\s*(?:AS\s+(\w+))?\s*$""").r
+
   private val TokenPredRe =
     """(?is)^\s*TOKEN\s*\(\s*([\w\s,]+?)\s*\)\s*(=|<=|>=|<|>)\s*([-+]?\d+)\s*$""".r
   private val TokenSelRe =
@@ -3986,13 +4056,218 @@ object Cql {
         keyNames.map(col)).toIndexedSeq: _*)
       .limit(k)
     val legal = keyNames.toSet + "value"
-    val names =
-      if (cols.trim == "*") keyNames :+ "value"
-      else cols.split(',').map(_.trim.toLowerCase).toSeq
-    names.foreach(n => if (!legal.contains(n))
-      fail(s"ANN SELECT projects key parts and value in this " +
-        s"subset (${(keyNames :+ "value").mkString(", ")}), got: $n"))
-    ranked.select(names.map(col).toIndexedSeq: _*)
+    // C70e: similarity_* items render the hit's score through the
+    // SAME native expressions the rerank ranks by — `__vec` is still
+    // in scope on `ranked`, so the score column is one more codegen'd
+    // projection, not a second decode pass
+    val proj: Seq[org.apache.spark.sql.Column] =
+      if (cols.trim == "*") (keyNames :+ "value").map(col)
+      else splitItems(cols).map {
+        case SimilaritySelRe(kind, c, vlit, alias) =>
+          val cl = c.toLowerCase
+          if (cl != vcol && cl != "value")
+            fail(s"similarity functions score the ANN column " +
+              s"($vcol), got: $cl")
+          simScore(ct, kind, vlit).as(Option(alias)
+            .getOrElse(s"similarity_${kind.toLowerCase}"))
+        case ColRe(n, alias) if legal.contains(n.toLowerCase) =>
+          Option(alias).map(col(n.toLowerCase).as(_))
+            .getOrElse(col(n.toLowerCase))
+        case x =>
+          fail(s"ANN SELECT projects key parts and value (plus " +
+            s"similarity functions) in this subset " +
+            s"(${(keyNames :+ "value").mkString(", ")}), got: $x")
+      }
+    ranked.select(proj.toIndexedSeq: _*)
+  }
+
+  /** The rendered score of one similarity select item (C70e) over
+    * the decoded candidate vector `__vec` — Lucene's score
+    * normalizations, which are what Cassandra 5 serves: cosine
+    * (1+cos)/2, dot_product (1+dot)/2, euclidean 1/(1+d²). The
+    * query literal parses (and dim-checks) through the declared
+    * vector grammar; everything folds into the native codegen'd
+    * graft_cosine/graft_dot expressions, so the score is one fused
+    * loop per candidate. Rounded like annSelect's rank key for
+    * deterministic hashing.
+    */
+  private def simScore(ct: String, kind: String,
+      vecLit: String): org.apache.spark.sql.Column = {
+    val dim = ct.stripPrefix("vector<float,").stripSuffix(">").toInt
+    val qBytes = mappedLiteral(ct)(vecLit,
+      s"similarity_${kind.toLowerCase} vector")
+      .asInstanceOf[Array[Byte]]
+    val arr = (0 until dim).map(i =>
+      graft.functions.VectorCodec.floatAt(qBytes, i).toDouble)
+    val q = arr.mkString("array(", "D, ", "D)")
+    val raw = kind.toLowerCase match {
+      case "cosine" => s"(1.0D + graft_cosine(__vec, $q)) / 2.0D"
+      case "dot_product" => s"(1.0D + graft_dot(__vec, $q)) / 2.0D"
+      case _ => // euclidean: d² = |v|² + |q|² − 2·v·q, all dot folds
+        val qq = arr.map(x => x * x).sum
+        s"1.0D / (1.0D + graft_dot(__vec, __vec) + ${qq}D - " +
+          s"2.0D * graft_dot(__vec, $q))"
+    }
+    round(expr(raw), 6)
+  }
+
+  /** C70e — the BARE similarity select (no ANN ordering): `SELECT
+    * pk, similarity_cosine(v, [q…]) FROM t WHERE pk = ?` scores the
+    * restriction's own rows. The read is the ordinary pushed point
+    * read narrowed to the scored column's cells; no index is
+    * consulted (the key restriction bounds the read exactly —
+    * Cassandra's rule that a non-ANN select never scans for scores).
+    */
+  private def similaritySelect(spark: SparkSession, dir: String,
+      cols: String, whereOpt: Option[String],
+      lim: Option[Int]): DataFrame = {
+    val ct = cqlValueTypeOf(dir).filter(_.startsWith("vector<"))
+      .getOrElse(fail("similarity functions serve " +
+        "vector<float, n>-valued tables"))
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val keyNames = (spec.pkParts ++ spec.ckParts)
+      .map(_.name.toLowerCase)
+    val items = splitItems(cols)
+    val simCols = items.collect {
+      case SimilaritySelRe(_, c, _, _) => c.toLowerCase }.distinct
+    val target = simCols match {
+      case Seq(c) => c
+      case cs => fail("similarity functions score ONE vector " +
+        s"column per statement, got: ${cs.mkString(", ")}")
+    }
+    if (keyNames.contains(target))
+      fail(s"similarity functions take a vector data column, " +
+        s"$target is a key part")
+    val w = whereOpt.getOrElse(
+      fail("a bare similarity SELECT binds its rows (WHERE on the " +
+        "key) — the scan form is ORDER BY <v> ANN OF [..] LIMIT k"))
+    val base = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    val cand =
+      if (spec.isDefault) {
+        val (pks, ckEq, ckLo, ckHi) = keyPredicate(w)
+        var d = base.filter(col("pk").isin(pks.toSeq: _*) &&
+          col("col") === target)
+        ckEq.foreach(ck => d = d.filter(col("ck") === ck))
+        if (ckEq.isEmpty &&
+            (ckLo != Int.MinValue || ckHi != Int.MaxValue))
+          d = d.filter(col("ck") >= ckLo && col("ck") <= ckHi)
+        d
+      } else {
+        val (pks, ckOpt, range) = typedKeyPredicate(spec, w)
+        if (range.isDefined)
+          fail("a bare similarity SELECT binds keys by equality")
+        val pkNames = spec.pkParts.map(_.name)
+        var d = base.filter(col("col") === target &&
+          pks.map(t => pkNames.zip(t).map { case (n, v) =>
+            col(n) === lit(v) }.reduce(_ && _)).reduce(_ || _))
+        ckOpt.foreach(ckVals => spec.ckParts.map(_.name).zip(ckVals)
+          .foreach { case (n, v) => d = d.filter(col(n) === v) })
+        d
+      }
+    graft.GraftExtensions.register(spark)
+    val scored = cand.withColumn("__vec",
+      expr("cast(graft_vec_decode(value) as array<double>)"))
+    val proj = items.map {
+      case SimilaritySelRe(kind, _, vlit, alias) =>
+        simScore(ct, kind, vlit).as(Option(alias)
+          .getOrElse(s"similarity_${kind.toLowerCase}"))
+      case ColRe(n, alias) if keyNames.contains(n.toLowerCase) =>
+        Option(alias).map(col(n.toLowerCase).as(_))
+          .getOrElse(col(n.toLowerCase))
+      case x => fail(s"a similarity SELECT projects key parts and " +
+        s"similarity functions, got: $x")
+    }
+    val out = scored.select(proj.toIndexedSeq: _*)
+    lim.map(out.limit).getOrElse(out)
+  }
+
+  /** C72b — the timeuuid range-probe SELECT: `WHERE <pk parts by
+    * equality> AND <ck> > minTimeuuid('ts') [AND <ck> <
+    * maxTimeuuid('ts')]` on a typed table whose single clustering
+    * part is a DECLARED timeuuid. Comparison is by the 60-bit TIME
+    * component (Cassandra's timeuuid comparator is time-first) —
+    * extracted from the stored canonical text, because canonical
+    * text order is NOT time order (time-low renders first; pushing
+    * a text range would select garbage). The partition probe still
+    * pushes to the typed scan; the time bound is a residual over
+    * the partition's own rows — the same bounded-read class as
+    * every other ck residual here. Bound semantics are Cassandra's:
+    * `>`/`>=` minTimeuuid(x) → time >= x, `<`/`<=` minTimeuuid(x) →
+    * time < x, `>`/`>=` maxTimeuuid(x) → time > x, `<`/`<=`
+    * maxTimeuuid(x) → time <= x (no real uuid ever equals the
+    * minted extremes).
+    */
+  private def timeuuidRangeSelect(spark: SparkSession, dir: String,
+      cols: String, w: String, lim: Option[Int]): DataFrame = {
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val props = tableProps(dir)
+    if (spec.isDefault)
+      fail("minTimeuuid/maxTimeuuid bounds serve a timeuuid " +
+        "clustering part (typed layouts) — the default ck is int")
+    val ckName = spec.ckParts match {
+      case p :: Nil if props.get(s"cqlKeyType.${p.name.toLowerCase}")
+          .contains("timeuuid") => p.name.toLowerCase
+      case _ => fail("minTimeuuid/maxTimeuuid bounds need a SINGLE " +
+        "clustering part declared timeuuid")
+    }
+    val pkNames = spec.pkParts.map(_.name.toLowerCase)
+    // the 60-bit time of the canonical rendering: hi12 (chars 16-18,
+    // behind the version nibble) << 48 | mid16 (10-13) << 32 |
+    // low32 (1-8)
+    def time60(c: String): String =
+      s"(cast(conv(substring($c, 16, 3), 16, 10) as bigint) * " +
+        "281474976710656 + " +
+        s"cast(conv(substring($c, 10, 4), 16, 10) as bigint) * " +
+        "4294967296 + " +
+        s"cast(conv(substring($c, 1, 8), 16, 10) as bigint))"
+    var lo = Long.MinValue // inclusive time lower bound
+    var hi = Long.MaxValue // inclusive time upper bound
+    val pkTerms = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Any)]
+    w.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty)
+      .foreach {
+        case TimeuuidBoundRe(c, op, kind, raw) =>
+          if (c.toLowerCase != ckName)
+            fail(s"minTimeuuid/maxTimeuuid bounds apply to the " +
+              s"timeuuid clustering part ($ckName), got: $c")
+          val t = scalarLiteral(
+            org.apache.spark.sql.types.TimestampType)(raw,
+            s"${kind.toLowerCase}Timeuuid argument")
+            .asInstanceOf[java.sql.Timestamp].getTime
+          (op, kind.toLowerCase) match {
+            case (">" | ">=", "min") => lo = math.max(lo, t)
+            case ("<" | "<=", "min") => hi = math.min(hi, t - 1)
+            case (">" | ">=", "max") => lo = math.max(lo, t + 1)
+            case _ => hi = math.min(hi, t) // < / <= maxTimeuuid
+          }
+        case PredRe(c, "=", v) if pkNames.contains(c.toLowerCase) =>
+          val part = spec.pkParts.find(_.name.equalsIgnoreCase(c)).get
+          pkTerms += ((c.toLowerCase, keyLiteral(part, v, "key part")))
+        case t => fail("a timeuuid range SELECT binds every " +
+          "partition-key part by equality plus min/maxTimeuuid " +
+          s"bounds on $ckName, got: $t")
+      }
+    if (pkTerms.map(_._1).toSet != pkNames.toSet)
+      fail("a timeuuid range SELECT binds every partition-key part " +
+        s"(${pkNames.mkString(", ")})")
+    var df = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    pkTerms.foreach { case (n, v) => df = df.filter(col(n) === v) }
+    if (lo != Long.MinValue)
+      df = df.filter(expr(time60(ckName)) >= lo)
+    if (hi != Long.MaxValue)
+      df = df.filter(expr(time60(ckName)) <= hi)
+    val legal = pkNames.toSet + ckName ++ Set("col", "value", "wt")
+    val items = splitItems(cols).map {
+      case ColRe(n, alias) if legal.contains(n.toLowerCase) =>
+        Option(alias).map(col(n.toLowerCase).as(_))
+          .getOrElse(col(n.toLowerCase))
+      case x => fail(s"a timeuuid range SELECT projects key parts " +
+        s"and cell columns, got: $x")
+    }
+    val out = df.select(items.toIndexedSeq: _*)
+    lim.map(out.limit).getOrElse(out)
   }
 
   private def select(spark: SparkSession, dir: String, json: Boolean,
@@ -4003,6 +4278,28 @@ object Cql {
     // read-your-writes: a SELECT inside a script sees the script's
     // buffered cells — flush them before the scan plans its files
     flushBuffered(spark, dir)
+    // C70e: similarity functions in a bare select list route to
+    // their own narrowed read (the ANN statement serves the ordered
+    // form; this one scores a key-restricted row set)
+    if (splitItems(cols)
+        .exists(SimilaritySelRe.findFirstIn(_).isDefined)) {
+      if (json || distinct || group.isDefined || order.isDefined ||
+          ppl.isDefined || page.isDefined || allowFiltering)
+        fail("similarity functions serve plain selects (optionally " +
+          "LIMIT) in this subset")
+      return similaritySelect(spark, dir, cols, where, lim)
+    }
+    // C72b: minTimeuuid/maxTimeuuid WHERE bounds route to the
+    // timeuuid range probe (time-component comparison — the text
+    // comparator must never see these)
+    if (where.exists(w => w.toLowerCase.contains("mintimeuuid(") ||
+        w.toLowerCase.contains("maxtimeuuid("))) {
+      if (json || distinct || group.isDefined || order.isDefined ||
+          ppl.isDefined || page.isDefined)
+        fail("min/maxTimeuuid bounds serve plain selects " +
+          "(optionally LIMIT) in this subset")
+      return timeuuidRangeSelect(spark, dir, cols, where.get, lim)
+    }
     val spec = graft.sources.CellSource.keySpec(dir)
     // key columns of THIS table's layout (pk/ck on the default spec,
     // the named parts on a typed one) — the ALLOW FILTERING guards
@@ -5000,9 +5297,14 @@ object Cql {
                 .agg(expr("array_sort(array_distinct(" +
                   s"graft_collect_bounded(value, $lim)))").as(c))
             case _ => // map: the (pk, ck) row IS the map, entries
-              // col-keyed; '!'-prefixed markers never reach a
-              // reconciled read
-              df.groupBy(col("pk"), col("ck"))
+              // col-keyed. Tombstone markers never reach a
+              // reconciled read, but STATIC cells (`!s:<name>`,
+              // C15b) are data and DO — without the filter a map
+              // table with a static column would emit a phantom
+              // (pk, Int.MinValue) row whose "map" holds the
+              // static's marker-prefixed cell
+              df.filter(!col("col").startsWith("!"))
+                .groupBy(col("pk"), col("ck"))
                 .agg(expr("map_from_entries(array_sort(" +
                   s"graft_collect_bounded(struct(col, value), $lim)))")
                   .as(c))
@@ -5940,10 +6242,10 @@ object Cql {
     lazy val ck =
       ckLiteral(kv.getOrElse("ck", fail("INSERT must bind ck")))
     reg.map(c =>
-      (pk, ck, c, longLiteral(kv(c), s"value of $c"), wt)) ++
+      (pk, ck, c, longFcall(wt)(kv(c), s"value of $c"), wt)) ++
       st.map(c => (pk, Int.MinValue,
         graft.sources.CellSource.StaticPrefix + c,
-        longLiteral(kv(c), s"value of $c"), wt))
+        longFcall(wt)(kv(c), s"value of $c"), wt))
   }
 
   /** Cells an `INSERT INTO t JSON '...'` contributes (C63's write
@@ -6794,8 +7096,41 @@ object Cql {
     case "uuid()" if ct == "timeuuid" =>
       fail(s"$what: uuid() mints a version-4 uuid — a timeuuid " +
         "column takes now()")
+    // C72b — toDate(now()): the statement clock read as epoch
+    // milliseconds (the SAME coordinate now()'s 60-bit time is),
+    // rendered as its UTC day through the declared date grammar
+    case "todate(now())" if ct == "date" =>
+      mappedLiteral(ct)(s"'${java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(wt, 86400000L)).toString}'", what)
     case _ => mappedLiteral(ct)(raw, what)
   }
+
+  /** C72b — the fcall family over the OTHER scalar value types:
+    * `toTimestamp(now())` on timestamp columns mints the instant
+    * epoch + wt milliseconds — the statement's writetime coordinate
+    * read as a clock, exactly the C72 rule (every call in one
+    * statement returns the same value; lifecycles replay
+    * bit-identically because no wall time is consulted). Everything
+    * else parses through the plain scalar grammar.
+    */
+  private def fcallScalar(vt: org.apache.spark.sql.types.DataType,
+      wt: Long)(raw: String, what: String): Any =
+    raw.trim.toLowerCase match {
+      case "totimestamp(now())"
+          if vt == org.apache.spark.sql.types.TimestampType =>
+        new java.sql.Timestamp(wt)
+      case _ => scalarLiteral(vt)(raw, what)
+    }
+
+  /** C72b — `toUnixTimestamp(now())` on plain bigint columns: the
+    * statement clock's epoch-millisecond reading IS the writetime
+    * coordinate, so the minted value is `wt` itself.
+    */
+  private def longFcall(wt: Long)(raw: String, what: String): Long =
+    raw.trim.toLowerCase match {
+      case "tounixtimestamp(now())" => wt
+      case _ => longLiteral(raw, what)
+    }
 
   private def mappedLiteral(ct: String)(raw: String, what: String)
       : Any = {
@@ -7292,7 +7627,7 @@ object Cql {
       s <- sets.split(',').toSeq
       (c, v) = s match {
         case SetRe(c, v) => (c.toLowerCase,
-          longLiteral(v, s"value of $c"))
+          longFcall(wt)(v, s"value of $c"))
         case x => fail(s"unsupported SET item: $x")
       }
       pk <- pks.toSeq.sorted
@@ -7467,6 +7802,32 @@ object Cql {
     // must claim disjoint cks — a collision would be two same-wt cells
     // at one (pk, ck, col), an LWW tie that silently drops an element
     val nextCk = scala.collection.mutable.Map.empty[(Long, String), Int]
+    // C11h — whole-map replace/clear on a DECLARED map column: the
+    // fully-bound (pk, ck) row IS the map, so the clear set is the
+    // row's live non-marker cells (statics are '!s:'-prefixed and
+    // partition-front — excluded twice over). One bounded point read
+    // per statement, the same trade set-remove makes.
+    def replaceMapRow(name: String,
+        entries: Seq[(String, Any)]): Unit = {
+      if (name.startsWith("!"))
+        fail(s"unsupported collection name: $name")
+      val ck = ckEq.getOrElse(
+        fail("map replace needs WHERE ... AND ck = ? (the row IS " +
+          "the map)"))
+      // duplicate keys in one literal: last occurrence wins
+      // (Cassandra's map-literal rule)
+      val ents = scala.collection.immutable.ListMap(entries: _*)
+      val old = reconciled
+        .filter(col("pk").isin(pkSeq.map(Long.box): _*) &&
+          col("ck") === ck && !col("col").startsWith("!"))
+        .select(col("pk"), col("col"))
+        .collect() // bounded: the replaced maps' entry count
+      old.filterNot(r => ents.contains(r.getString(1))).foreach(r =>
+        tombs += ((r.getLong(0), ck, s"!del:${r.getString(1)}", 0L,
+          wt)))
+      ents.foreach { case (k, v) =>
+        pkSeq.foreach(pk => cells += ((pk, ck, k, v, wt))) }
+    }
     splitSetItems(sets).foreach {
       case MapPutRe(_, key, v) =>
         requireKind("map", "map put m['k'] = v")
@@ -7568,13 +7929,28 @@ object Cql {
           if (vs.trim.isEmpty) Seq.empty
           else splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, tombs, nextCk)
+      // whole-MAP replace/clear (C11h): on a DECLARED map<text, T>
+      // column (C65z) the row's data cells ARE the entries — the
+      // schema enumerates every key/static column, so the clear set
+      // is computable: tombstone each live entry col the literal
+      // does not re-put, then write the puts at the statement
+      // writetime. A re-put key skips its tombstone so the fresh
+      // cell never ties its own same-writetime shadow. Undeclared
+      // tables keep the refusal (entry cells are indistinguishable
+      // from scalar columns there).
       case BraceReplaceRe(n, vs) if isMapLiteral(vs, quotedElems) =>
-        // map entries are COLUMN-keyed cells sharing the row — the
-        // engine cannot tell entry cells from scalar columns to
-        // clear them; the additive forms stay available
-        fail("map replace m = {'k': v, ..} is outside this subset " +
-          "(entry cells are column-keyed — use m = m + {..} puts " +
-          "and DELETE m['k'] removes)")
+        requireKind("map", "map replace m = {'k': v, ..}")
+        if (!declKind.contains("map"))
+          fail("map replace m = {'k': v, ..} needs a DECLARED " +
+            "map<text, T> column (on undeclared tables entry cells " +
+            "are indistinguishable from scalar columns — use " +
+            "m = m + {..} puts and DELETE m['k'] removes)")
+        replaceMapRow(n.toLowerCase, mapEntries(vs, lit))
+      // `m = {}` on a declared map column is the CQL map CLEAR —
+      // the empty brace is otherwise the set form
+      case BraceReplaceRe(n, vs)
+          if vs.trim.isEmpty && declKind.contains("map") =>
+        replaceMapRow(n.toLowerCase, Seq.empty)
       case BraceReplaceRe(n, vs) =>
         requireKind("set", "set replace c = {..}")
         replaceElements(reconciled, n.toLowerCase, pkSeq,
@@ -7774,9 +8150,10 @@ object Cql {
             .map(longLiteral(_, "list element")))
       case BraceReplaceRe(_, vs)
           if isMapLiteral(vs, stringValued = false) =>
-        fail("map replace m = {'k': v, ..} is outside this subset " +
-          "(entry cells are column-keyed — use m = m + {..} puts " +
-          "and DELETE m['k'] removes)")
+        fail("map replace m = {'k': v, ..} needs a DECLARED " +
+          "map<text, T> column (default layout, C65z) — on typed " +
+          "layouts entry cells are indistinguishable from scalar " +
+          "columns; use m = m + {..} puts and DELETE m['k'] removes")
       case BraceReplaceRe(n, vs) =>
         needIntCk("set replace")
         replaceTyped(n.toLowerCase,

@@ -1811,6 +1811,65 @@ object Cells {
       |  ('s', 1, '2|4')) AS t(item, pk, v)
       |ORDER BY item, pk""".stripMargin
 
+  // C11h — whole-MAP replace/clear/delete (r17): on a DECLARED
+  // map<text, T> column (C65z) the schema enumerates every key and
+  // static column, so the clear set is computable — the row's live
+  // non-marker cells ARE the entries. `m = {'k': v, ..}` tombstones
+  // each entry the literal does not re-put and writes the puts at
+  // the statement writetime (a re-put key skips its tombstone —
+  // never an LWW tie with its own shadow); `m = {}` is the
+  // row-scoped CLEAR; the CK-LESS `DELETE m` clears every row's map
+  // of the partition (the ck-bound bare-name DELETE stays the ENTRY
+  // delete — C65z's contract); INSERT with a map literal desugars
+  // to the replace (Cassandra's insert semantics on a collection).
+  // The static column survives every clear (statics are
+  // partition-front '!s:'-cells, not entries).
+  private def mapReplace(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_mrep"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-mrep-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int, col text,
+        |  value map<text, bigint>, wt bigint, tag bigint STATIC);
+        |TRUNCATE ks.m;
+        |UPDATE ks.m SET tag = 77 WHERE pk = 1;
+        |UPDATE ks.m SET m['a'] = 1, m['b'] = 2 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.m SET m = {'b': 20, 'c': 30} WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.m SET m['x'] = 9 WHERE pk = 1 AND ck = 2;
+        |UPDATE ks.m SET m = {} WHERE pk = 1 AND ck = 2;
+        |UPDATE ks.m SET m['q'] = 5 WHERE pk = 2 AND ck = 1;
+        |INSERT INTO ks.m (pk, ck, m) VALUES (2, 1, {'r': 6});
+        |UPDATE ks.m SET m['z'] = 1 WHERE pk = 3 AND ck = 1;
+        |UPDATE ks.m SET m['z2'] = 2 WHERE pk = 3 AND ck = 2;
+        |DELETE m FROM ks.m WHERE pk = 3;
+        |UPDATE ks.m SET m['k1'] = 4 WHERE pk = 4 AND ck = 1;
+        |UPDATE ks.m SET m['k2'] = 5 WHERE pk = 4 AND ck = 2;
+        |UPDATE ks.m SET m = {} WHERE pk = 4 AND ck = 1
+        |""".stripMargin, cat)
+    val maps = cq("SELECT pk, ck, m FROM ks.m")
+      .select(lit("m").as("item"), col("pk"), col("ck"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, '=', e.value)), '|')").as("v"))
+    val st = cq("SELECT pk, tag FROM ks.m WHERE pk = 1")
+      .select(lit("s").as("item"), col("pk"), lit(0).as("ck"),
+        col("tag").cast("string").as("v"))
+    maps.unionAll(st).orderBy(col("item"), col("pk"), col("ck"))
+  }
+
+  private val mapReplaceSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, v
+      |FROM (VALUES
+      |  ('m', 1, 1, 'b=20|c=30'),
+      |  ('m', 2, 1, 'r=6'),
+      |  ('m', 4, 2, 'k2=5'),
+      |  ('s', 1, 0, '77')) AS t(item, pk, ck, v)
+      |ORDER BY item, pk, ck""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -3038,6 +3097,62 @@ object Cells {
       |FROM (VALUES (2), (3), (4), (6)) AS t(pk)
       |ORDER BY pk""".stripMargin
 
+  // C70e — similarity functions in the select list (r17):
+  // Cassandra 5's `similarity_cosine(v, [q…])` (+ euclidean /
+  // dot_product) — the standard companion to ORDER BY v ANN OF
+  // (reading each hit's score), also served on a bare key-restricted
+  // read. Scores are Lucene's normalizations (what Cassandra
+  // serves): cosine (1+cos)/2, dot (1+dot)/2, euclidean 1/(1+d²) —
+  // all rendered through the SAME native codegen'd graft_cosine /
+  // graft_dot expressions the ANN rerank ranks by, rounded like the
+  // rank key. pk 2's vector is exactly 2× the query, so the scores
+  // are closed-form: cos 1, dot (1+2.65625)/2, euclid 1/2.328125.
+  private def similaritySelectLifecycle(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_simsel"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-simsel-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.emb (pk bigint, ck int,
+        |  col text, value vector<float, 4>, wt bigint);
+        |CREATE INDEX IF NOT EXISTS ON ks.emb (ann(v));
+        |TRUNCATE ks.emb;
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1,
+        |  [2.0, 1.0, 0.5, 0.25]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1,
+        |  [3.0, 1.5, 0.75, 0.375]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (4, 1,
+        |  [0.5, 0.25, 0.125, 0.0625]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (5, 1,
+        |  [-1.0, -0.5, -0.25, -0.125])""".stripMargin, cat)
+    val ann = cq("SELECT pk, similarity_cosine(v, " +
+      "[1.0, 0.5, 0.25, 0.125]) AS score FROM ks.emb " +
+      "ORDER BY v ANN OF [1.0, 0.5, 0.25, 0.125] LIMIT 3")
+      .select(lit("ann").as("item"), col("pk"), col("score"))
+    val bare = cq("SELECT pk, " +
+      "similarity_cosine(v, [1.0, 0.5, 0.25, 0.125]) AS c, " +
+      "similarity_dot_product(v, [1.0, 0.5, 0.25, 0.125]) AS d, " +
+      "similarity_euclidean(v, [1.0, 0.5, 0.25, 0.125]) AS e " +
+      "FROM ks.emb WHERE pk = 2 AND ck = 1")
+      .selectExpr("pk",
+        "stack(3, 'cos', c, 'dot', d, 'euc', e) AS (item, score)")
+      .select(col("item"), col("pk"), col("score"))
+    ann.unionAll(bare).orderBy(col("item"), col("pk"))
+  }
+
+  private val similaritySelectSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk,
+      |  CAST(score AS DOUBLE) AS score FROM (VALUES
+      |  ('ann', 2, 1.0), ('ann', 3, 1.0), ('ann', 4, 1.0),
+      |  ('cos', 2, 1.0), ('dot', 2, 1.828125),
+      |  ('euc', 2, 0.42953)) AS t(item, pk, score)
+      |ORDER BY item, pk""".stripMargin
+
   // C70b — partition-RESTRICTED ANN (r15): `WHERE pk = ? ORDER BY v
   // ANN OF [...] LIMIT k` — the restriction bounds the read exactly
   // (a pruned partition point read replaces the LSH probe; recall 1
@@ -3936,6 +4051,84 @@ object Cells {
       |  AS t(pk, ck, col, v)
       |ORDER BY pk, ck, col""".stripMargin
 
+  // C72b — the REST of the function-call literal family (r17), all
+  // minted from the statement writetime coordinate read as epoch
+  // milliseconds (the SAME clock C72's now() mints its 60-bit time
+  // from — no wall time, so lifecycles replay bit-identically):
+  // toTimestamp(now()) on timestamp columns = the instant
+  // epoch+wt ms, toDate(now()) on date columns = its UTC day,
+  // toUnixTimestamp(now()) on bigint columns = wt itself; and the
+  // WHERE-side minTimeuuid('ts')/maxTimeuuid('ts') range probes on
+  // a timeuuid clustering part — compared by the 60-bit TIME
+  // component (Cassandra's timeuuid comparator is time-first; the
+  // canonical TEXT order would select garbage), with the partition
+  // probe still pushed to the typed scan.
+  private def fcallFamily(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_fcfam"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-fcfam-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.ts (pk bigint, ck int,
+        |  col text, value timestamp, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.dt (pk bigint, ck int,
+        |  col text, value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ux (pk bigint, ck int,
+        |  col text, value bigint, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ev (sensor bigint,
+        |  ev timeuuid, col text, value bigint, wt bigint,
+        |  PRIMARY KEY ((sensor), ev));
+        |TRUNCATE ks.ts; TRUNCATE ks.dt; TRUNCATE ks.ux;
+        |TRUNCATE ks.ev;
+        |INSERT INTO ks.ts (pk, ck, at) VALUES (1, 1,
+        |  toTimestamp(now()));
+        |UPDATE ks.ts SET at = toTimestamp(now())
+        |  WHERE pk = 2 AND ck = 1;
+        |INSERT INTO ks.dt (pk, ck, day) VALUES (1, 1, toDate(now()));
+        |INSERT INTO ks.ux (pk, ck, at) VALUES (1, 1,
+        |  toUnixTimestamp(now()));
+        |UPDATE ks.ux SET at = toUnixTimestamp(now())
+        |  WHERE pk = 2 AND ck = 1;
+        |INSERT INTO ks.ev (sensor, ev, reading) VALUES (1,
+        |  00000064-0000-1000-8000-000000000001, 10);
+        |INSERT INTO ks.ev (sensor, ev, reading) VALUES (1,
+        |  000000c8-0000-1000-8000-000000000001, 20);
+        |INSERT INTO ks.ev (sensor, ev, reading) VALUES (1,
+        |  0000012c-0000-1000-8000-000000000001, 30)
+        |""".stripMargin, cat)
+    val ts = cq("SELECT pk, value FROM ks.ts")
+      .select(lit("ts").as("item"), col("pk"),
+        expr("unix_millis(value)").as("v"))
+    val dt = cq("SELECT pk, value FROM ks.dt")
+      .select(lit("dt").as("item"), col("pk"),
+        col("value").cast("long").as("v"))
+    val ux = cq("SELECT pk, value FROM ks.ux")
+      .select(lit("ux").as("item"), col("pk"),
+        col("value").as("v"))
+    // rows at times 100/200/300 ms; the bounds select [50, 200] —
+    // millis argument on one side, ISO instant on the other
+    val ev = cq("SELECT sensor, value FROM ks.ev WHERE sensor = 1 " +
+      "AND ev > minTimeuuid(50) " +
+      "AND ev <= maxTimeuuid('1970-01-01T00:00:00.200Z')")
+      .select(lit("ev").as("item"), col("sensor").as("pk"),
+        col("value").as("v"))
+    ts.unionAll(dt).unionAll(ux).unionAll(ev)
+      .orderBy(col("item"), col("pk"), col("v"))
+  }
+
+  private val fcallFamilySql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, CAST(v AS BIGINT) AS v
+      |FROM (VALUES
+      |  ('dt', 1, 0),
+      |  ('ev', 1, 10), ('ev', 1, 20),
+      |  ('ts', 1, 1), ('ts', 2, 2),
+      |  ('ux', 1, 1), ('ux', 2, 2)) AS t(item, pk, v)
+      |ORDER BY item, pk, v""".stripMargin
+
   // C51d — CREATE TABLE ... LIKE (r16, Cassandra 5's CEP-43): the
   // new table copies the source's columns, statics and recorded
   // options by replaying the source's round-trippable DESCRIBE under
@@ -4372,6 +4565,7 @@ object Cells {
       Some(collectionReplaceSql)),
     GQuery("C11g_collection_select", collectionSelect,
       Some(collectionSelectSql)),
+    GQuery("C11h_map_replace", mapReplace, Some(mapReplaceSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),
@@ -4385,6 +4579,7 @@ object Cells {
     GQuery("C55f_static_lwt", staticLwtLifecycle, Some(staticLwtSql)),
     GQuery("C55g_lwt_ttl", lwtTtlLifecycle, Some(lwtTtlSql)),
     GQuery("C72_fcall_literals", fcallLiterals, Some(fcallLiteralsSql)),
+    GQuery("C72b_fcall_family", fcallFamily, Some(fcallFamilySql)),
     GQuery("C51d_create_like", createLike, Some(createLikeSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
@@ -4445,6 +4640,8 @@ object Cells {
       Some(keyspaceDumpSql)),
     GQuery("C36d_uuid_keys", uuidKeysLifecycle, Some(uuidKeysSql)),
     GQuery("C70_vector_ann", vectorAnnLifecycle, Some(vectorAnnSql)),
+    GQuery("C70e_similarity_select", similaritySelectLifecycle,
+      Some(similaritySelectSql)),
     GQuery("C70b_restricted_ann", restrictedAnnLifecycle,
       Some(restrictedAnnSql)),
     GQuery("C70c_filtered_ann", filteredAnnLifecycle,

@@ -119,7 +119,11 @@ object CellTransactions {
       nowMs: Long = System.currentTimeMillis(),
       queryTimeMs: Long = Long.MaxValue,
       ttlWt: Option[Long] = None): CasResult = {
-    require(ttlWt.isEmpty || !writeCol.startsWith("!"),
+    // static cells (`!s:<name>`, C55f) are DATA at the partition-front
+    // coordinate — they take TTL like any cell; only real tombstone
+    // markers (`!del…`, `!delrow`) must never expire
+    require(ttlWt.isEmpty || !writeCol.startsWith("!") ||
+        writeCol.startsWith(CellSource.StaticPrefix),
       "tombstone markers never take TTL (an expiring tombstone " +
         "would resurrect the data it shadows)")
     require(condCol.forall(!_.startsWith("!")),
@@ -247,7 +251,11 @@ object CellTransactions {
       queryTimeMs: Long = Long.MaxValue,
       ttlWt: Option[Long] = None): CasResult = {
     require(writes.nonEmpty, "an empty conditional batch is a no-op")
-    require(ttlWt.isEmpty || writes.forall(!_._2.startsWith("!")),
+    // static write columns (`!s:<name>`, C55f) are DATA — Cassandra
+    // serves TTL on static LWT writes; only real markers refuse
+    require(ttlWt.isEmpty || writes.forall(w =>
+        !w._2.startsWith("!") ||
+          w._2.startsWith(CellSource.StaticPrefix)),
       "tombstone markers never take TTL (an expiring tombstone " +
         "would resurrect the data it shadows)")
     // STATIC cells (C55f) are data at the partition-front coordinate
@@ -390,9 +398,12 @@ object CellTransactions {
     val (tag, prec, scale) = casValueType(dir, files)
     val rows = cells.sortBy(c => (c._1, c._2, c._3))
       .map { case (pk, ck, c, v) =>
-        // tombstone markers riding an expiring batch keep NO expiry
+        // tombstone markers riding an expiring batch keep NO expiry;
+        // static cells (`!s:`) are data and DO carry it (C55f + C55g)
         (pk, ck, c, casCoerce(tag, v, c), wt,
-          if (c.startsWith("!")) Long.MaxValue else expiry) }
+          if (c.startsWith("!") &&
+              !c.startsWith(CellSource.StaticPrefix)) Long.MaxValue
+          else expiry) }
     val cols = cells.map(_._3).distinct.sorted.toArray
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
     CellSource.writeFileTypedE(staged, rows, cols, tag, prec, scale,

@@ -6988,4 +6988,353 @@ class CqlSpec extends GraftSpec {
     assert(wtsOf(d, 50L) ===
       Map((1, "qty") -> 101L, (2, "qty") -> 102L, (3, "qty") -> 103L))
   }
+
+  test("static LWT writes take TTL (C55f + C55g): static cells are " +
+    "data, not markers — expiry lands and drives death") {
+    val root = Files.createTempDirectory("cql-sttl").toString
+    spark.conf.set("spark.sql.catalog.stcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.stcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "stcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, flag bigint STATIC)")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+      // regular condition gates a STATIC write under TTL — the exact
+      // shape that used to crash the casBatch marker require
+      assert(applied("UPDATE ks.t USING TTL 10 SET flag = 5 " +
+        "WHERE pk = 1 AND ck = 1 IF qty = 10"))
+      val t1 = cq("SELECT pk, TTL(flag) AS t FROM ks.t WHERE pk = 1")
+        .collect().head.getLong(1)
+      assert(t1 === 10L)
+      // static-only IF + static SET + TTL (partition-alone binding)
+      assert(applied("UPDATE ks.t USING TTL 20 SET flag = 6 " +
+        "WHERE pk = 1 IF flag = 5"))
+      assert(cq("SELECT pk, TTL(flag) AS t FROM ks.t WHERE pk = 1")
+        .collect().head.getLong(1) === 20L)
+      // the expiring STATIC cell dies at wt + ttl; the regular cell
+      // (written without TTL) survives
+      val dir = s"$root/ks/t"
+      val late = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("queryTime", "1000000").load(dir)
+        .filter(col("pk") === 1)
+        .select("col").as[String].collect().toSet
+      assert(late === Set("qty"), late.toString)
+    } finally spark.conf.unset("spark.sql.catalog.stcat")
+  }
+
+  test("static conditions inside conditional BATCH (C55f advice " +
+    "fix): resolve to the partition-front cell, matching the front " +
+    "door") {
+    val root = Files.createTempDirectory("cql-sbatch").toString
+    spark.conf.set("spark.sql.catalog.sbcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.sbcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "sbcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint, flag bigint STATIC)")
+      cq("UPDATE ks.t SET flag = 1 WHERE pk = 1")
+      cq("INSERT INTO ks.t (pk, ck, qty) VALUES (1, 1, 10)")
+      // operator form: IF <static> = v inside BEGIN BATCH used to
+      // read a nonexistent regular cell and silently not apply
+      assert(applied(
+        """BEGIN BATCH
+          |UPDATE ks.t SET qty = 20 WHERE pk = 1 AND ck = 1 IF flag = 1;
+          |APPLY BATCH""".stripMargin))
+      assert(cq("SELECT value FROM ks.t WHERE pk = 1 AND ck = 1")
+        .collect().head.getLong(0) === 20L)
+      // a missing static condition reports not-applied (not a crash)
+      assert(!applied(
+        """BEGIN BATCH
+          |UPDATE ks.t SET qty = 99 WHERE pk = 1 AND ck = 1 IF flag = 2;
+          |APPLY BATCH""".stripMargin))
+      // IN form and the multi-condition form resolve statics too
+      assert(applied(
+        """BEGIN BATCH
+          |UPDATE ks.t SET qty = 21 WHERE pk = 1 AND ck = 1
+          |  IF flag IN (1, 2);
+          |APPLY BATCH""".stripMargin))
+      assert(applied(
+        """BEGIN BATCH
+          |UPDATE ks.t SET qty = 22 WHERE pk = 1 AND ck = 1
+          |  IF flag = 1 AND qty = 21;
+          |APPLY BATCH""".stripMargin))
+      assert(!applied(
+        """BEGIN BATCH
+          |UPDATE ks.t SET qty = 98 WHERE pk = 1 AND ck = 1
+          |  IF flag = 1 AND qty = 7;
+          |APPLY BATCH""".stripMargin))
+      assert(cq("SELECT value FROM ks.t WHERE pk = 1 AND ck = 1")
+        .collect().head.getLong(0) === 22L)
+      // conditional DELETE on a static condition
+      assert(applied(
+        """BEGIN BATCH
+          |DELETE qty FROM ks.t WHERE pk = 1 AND ck = 1 IF flag = 1;
+          |APPLY BATCH""".stripMargin))
+      assert(cq("SELECT value FROM ks.t WHERE pk = 1 AND ck = 1")
+        .collect().isEmpty)
+    } finally spark.conf.unset("spark.sql.catalog.sbcat")
+  }
+
+  test("reassembled map SELECT excludes static cells (C11g advice " +
+    "fix): no phantom partition-front row") {
+    val root = Files.createTempDirectory("cql-mstat").toString
+    spark.conf.set("spark.sql.catalog.mscat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mscat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mscat")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint, tag bigint STATIC)")
+      cq("UPDATE ks.m SET tag = 7 WHERE pk = 1")
+      cq("UPDATE ks.m SET m['a'] = 1 WHERE pk = 1 AND ck = 1")
+      val got = cq("SELECT pk, ck, m FROM ks.m")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getMap[String, Long](2).toString)).toSeq
+      // exactly the real map row — no (1, Int.MinValue) phantom
+      // carrying a '!s:tag' key
+      assert(got === Seq((1L, 1, Map("a" -> 1L).toString)), got)
+      // the static still reads through its own select path
+      assert(cq("SELECT pk, tag FROM ks.m WHERE pk = 1")
+        .collect().head.getLong(1) === 7L)
+    } finally spark.conf.unset("spark.sql.catalog.mscat")
+  }
+
+  test("whole-map replace/clear/delete (C11h): declared map tables " +
+    "compute the clear set; undeclared tables keep the refusal") {
+    val root = Files.createTempDirectory("cql-mrep").toString
+    spark.conf.set("spark.sql.catalog.mrcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mrcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mrcat")
+      def mapOf(pk: Long, ck: Int): Map[String, Long] = {
+        val r = cq(s"SELECT pk, ck, m FROM ks.m WHERE pk = $pk " +
+          s"AND ck = $ck").collect()
+        if (r.isEmpty) Map.empty
+        else r.head.getMap[String, Long](2).toMap
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint, tag bigint STATIC)")
+      cq("UPDATE ks.m SET tag = 9 WHERE pk = 1")
+      cq("UPDATE ks.m SET m['a'] = 1, m['b'] = 2 " +
+        "WHERE pk = 1 AND ck = 1")
+      // replace: drops 'a', RE-PUTS 'b' (no same-wt self-shadow),
+      // adds 'c'
+      cq("UPDATE ks.m SET m = {'b': 20, 'c': 30} " +
+        "WHERE pk = 1 AND ck = 1")
+      assert(mapOf(1, 1) === Map("b" -> 20L, "c" -> 30L))
+      // replace of a replace
+      cq("UPDATE ks.m SET m = {'z': 9} WHERE pk = 1 AND ck = 1")
+      assert(mapOf(1, 1) === Map("z" -> 9L))
+      // duplicate keys in one literal: last occurrence wins
+      cq("UPDATE ks.m SET m = {'d': 1, 'd': 2} WHERE pk = 1 AND ck = 1")
+      assert(mapOf(1, 1) === Map("d" -> 2L))
+      // the empty literal is the CQL map CLEAR; the static survives
+      cq("UPDATE ks.m SET m = {} WHERE pk = 1 AND ck = 1")
+      assert(mapOf(1, 1) === Map.empty)
+      assert(cq("SELECT pk, tag FROM ks.m WHERE pk = 1")
+        .collect().head.getLong(1) === 9L)
+      // INSERT with a map literal desugars to the replace
+      cq("UPDATE ks.m SET m['q'] = 5 WHERE pk = 2 AND ck = 1")
+      cq("INSERT INTO ks.m (pk, ck, m) VALUES (2, 1, {'r': 6})")
+      assert(mapOf(2, 1) === Map("r" -> 6L))
+      // the ck-BOUND bare-name DELETE stays the ENTRY delete
+      // (C65z's contract); the row-scoped clear is SET m = {}
+      cq("UPDATE ks.m SET m['k1'] = 4 WHERE pk = 4 AND ck = 1")
+      cq("UPDATE ks.m SET m['k2'] = 5 WHERE pk = 4 AND ck = 2")
+      cq("DELETE k1 FROM ks.m WHERE pk = 4 AND ck = 1")
+      assert(mapOf(4, 1) === Map.empty)
+      assert(mapOf(4, 2) === Map("k2" -> 5L))
+      // ck-less DELETE m clears every row's map of the partition
+      cq("UPDATE ks.m SET m['z1'] = 1 WHERE pk = 3 AND ck = 1")
+      cq("UPDATE ks.m SET m['z2'] = 2 WHERE pk = 3 AND ck = 2")
+      cq("DELETE m FROM ks.m WHERE pk = 3")
+      assert(mapOf(3, 1) === Map.empty && mapOf(3, 2) === Map.empty)
+      // tombstones never take the statement's TTL: a TTL'd replace
+      // expires the fresh entries, but the cleared old entries stay
+      // dead after the expiry window
+      cq("UPDATE ks.m SET m['old'] = 1 WHERE pk = 5 AND ck = 1")
+      cq("UPDATE ks.m USING TTL 10 SET m = {'new': 2} " +
+        "WHERE pk = 5 AND ck = 1")
+      val dir = s"$root/ks/m"
+      val late = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true")
+        .option("queryTime", "100000000").load(dir)
+        .filter(col("pk") === 5).count()
+      assert(late === 0L)
+      // undeclared tables keep the refusal (entry cells are
+      // indistinguishable from scalar columns there)
+      val d = freshTable()
+      val e = intercept[IllegalArgumentException] {
+        Cql.execute(spark,
+          s"UPDATE $d SET m = {'k': 1} WHERE pk = 3 AND ck = 1") }
+      assert(e.getMessage.contains("DECLARED"), e.getMessage)
+      // a map replace without the ck bound refuses (the row IS the
+      // map)
+      val e2 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.m SET m = {'k': 1} WHERE pk = 1") }
+      assert(e2.getMessage.contains("needs WHERE"), e2.getMessage)
+      // map replace on a declared SET column refuses by kind
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value set<bigint>, wt bigint)")
+      val e3 = intercept[IllegalArgumentException] {
+        cq("UPDATE ks.s SET st = {'k': 1} WHERE pk = 1 AND ck = 1") }
+      assert(e3.getMessage.contains("does not apply"), e3.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.mrcat")
+  }
+
+  test("similarity functions in the select list (C70e): ANN score " +
+    "parity, bare key-restricted form, refusals") {
+    val root = Files.createTempDirectory("cql-simsel").toString
+    spark.conf.set("spark.sql.catalog.sscat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.sscat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "sscat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.emb (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      // full-coverage probe geometry: recall 1 keeps the rank
+      // assertions exact
+      cq("CREATE INDEX ON ks.emb (ann(v)) " +
+        "WITH OPTIONS = {'planes': '2', 'probes': '4'}")
+      // distinct cosines against q = [1, 0]: pk 1 parallel (cos 1),
+      // pk 2 diagonal (cos ~0.7071), pk 3 orthogonal-ish via bucket
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1, [2.0, 0.0])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, [1.0, 1.0])")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (3, 1, [4.0, 0.0])")
+      // score column parity with the rerank order: scores descend
+      // exactly as the hits rank, and the value matches (1+cos)/2
+      val hits = cq("SELECT pk, similarity_cosine(v, [1.0, 0.0]) " +
+        "AS s FROM ks.emb ORDER BY v ANN OF [1.0, 0.0] LIMIT 3")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(hits.map(_._2) === hits.map(_._2).sorted.reverse, hits)
+      assert(hits.take(2).map(_._1).toSet === Set(1L, 3L), hits)
+      assert(hits.take(2).forall(_._2 === 1.0), hits)
+      assert(hits.find(_._1 == 2L).map(_._2)
+        .contains(0.853553), hits) // (1 + 0.70710678) / 2 @ 6dp
+      // the bare key-restricted form: all three functions, aliased,
+      // with the pushed point read
+      val bare = cq("SELECT pk, " +
+        "similarity_cosine(v, [1.0, 0.0]) AS c, " +
+        "similarity_dot_product(v, [1.0, 0.0]) AS d, " +
+        "similarity_euclidean(v, [1.0, 0.0]) AS e " +
+        "FROM ks.emb WHERE pk = 1 AND ck = 1")
+      assert(bare.queryExecution.executedPlan.toString
+        .contains("pkRange=[1,1]"))
+      val r = bare.collect().head
+      assert(r.getDouble(1) === 1.0) // cos([2,0],[1,0]) = 1
+      assert(r.getDouble(2) === 1.5) // (1 + 2·1)/2
+      assert(r.getDouble(3) === 0.5) // 1/(1 + (2−1)²)
+      // a non-vector table refuses by name
+      cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("SELECT pk, similarity_cosine(v, [1.0, 0.0]) " +
+        "FROM ks.plain WHERE pk = 1",
+        "vector<float, n>-valued tables")
+      // scoring a column other than the ANN column refuses
+      refuse("SELECT pk, similarity_cosine(other, [1.0, 0.0]) " +
+        "FROM ks.emb ORDER BY v ANN OF [1.0, 0.0] LIMIT 2",
+        "score the ANN column")
+      // the bare form demands a key restriction (no scan scoring)
+      refuse("SELECT pk, similarity_cosine(v, [1.0, 0.0]) " +
+        "FROM ks.emb", "binds its rows")
+      // the literal dim-checks through the declared grammar
+      refuse("SELECT pk, similarity_cosine(v, [1.0]) " +
+        "FROM ks.emb WHERE pk = 1", "components")
+    } finally spark.conf.unset("spark.sql.catalog.sscat")
+  }
+
+  test("fcall family (C72b): toTimestamp/toDate/toUnixTimestamp " +
+    "mint from the statement clock; min/maxTimeuuid range probes") {
+    val root = Files.createTempDirectory("cql-fcfam").toString
+    spark.conf.set("spark.sql.catalog.ffcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ffcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ffcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.ts (pk bigint, ck int, col text, " +
+        "value timestamp, wt bigint)")
+      // same-statement call identity: both cells carry ONE instant
+      cq("INSERT INTO ks.ts (pk, ck, a, b) VALUES (1, 1, " +
+        "toTimestamp(now()), toTimestamp(now()))")
+      val ab = cq("SELECT value FROM ks.ts WHERE pk = 1 AND ck = 1")
+        .collect().map(_.getTimestamp(0).getTime).toSeq
+      assert(ab.length === 2 && ab.distinct.length === 1, ab)
+      // the minted instant IS the writetime coordinate read as
+      // epoch millis
+      val wt1 = cq("SELECT WRITETIME(a) AS w FROM ks.ts " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0)
+      assert(ab.head === wt1)
+      // toUnixTimestamp(now()) on a bigint column = the coordinate
+      cq("CREATE TABLE ks.ux (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.ux (pk, ck, at) VALUES (1, 1, " +
+        "toUnixTimestamp(now()))")
+      val ux = cq("SELECT value FROM ks.ux WHERE pk = 1 AND ck = 1")
+        .collect().head.getLong(0)
+      val uxWt = cq("SELECT WRITETIME(at) AS w FROM ks.ux " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0)
+      assert(ux === uxWt)
+      // toDate(now()) on a date column = the clock's UTC day
+      cq("CREATE TABLE ks.dt (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      cq("INSERT INTO ks.dt (pk, ck, day) VALUES (1, 1, " +
+        "toDate(now()))")
+      assert(cq("SELECT value FROM ks.dt WHERE pk = 1 AND ck = 1")
+        .collect().head.getInt(0) === 0) // epoch day of a small wt
+      // wrong-type fcalls refuse through the declared grammar
+      refuse("INSERT INTO ks.ts (pk, ck, a) VALUES (9, 1, " +
+        "toDate(now()))", "literal")
+      refuse("INSERT INTO ks.dt (pk, ck, day) VALUES (9, 1, " +
+        "toUnixTimestamp(now()))", "literal")
+      // ---- min/maxTimeuuid range probes on a timeuuid clustering
+      cq("CREATE TABLE ks.ev (sensor bigint, ev timeuuid, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((sensor), ev))")
+      cq("INSERT INTO ks.ev (sensor, ev, reading) VALUES (1, " +
+        "00000064-0000-1000-8000-000000000001, 10)") // t = 100 ms
+      cq("INSERT INTO ks.ev (sensor, ev, reading) VALUES (1, " +
+        "000000c8-0000-1000-8000-000000000001, 20)") // t = 200 ms
+      cq("INSERT INTO ks.ev (sensor, ev, reading) VALUES (1, " +
+        "0000012c-0000-1000-8000-000000000001, 30)") // t = 300 ms
+      val mid = cq("SELECT value FROM ks.ev WHERE sensor = 1 " +
+        "AND ev > minTimeuuid(150) AND ev < maxTimeuuid(250)")
+      assert(mid.collect().map(_.getLong(0)).toSeq === Seq(20L))
+      // the partition probe still pushes to the typed scan — a
+      // POINT probe (equal token bounds), never a table scan
+      val plan = mid.queryExecution.executedPlan.toString
+      assert(plan.matches("(?s).*pkRange=\\[(-?\\d+),\\1\\].*"), plan)
+      // inclusive semantics: > minTimeuuid(t) includes time == t
+      // (real uuids outrank the minted minimum), < maxTimeuuid(t)
+      // includes time == t
+      val incl = cq("SELECT value FROM ks.ev WHERE sensor = 1 " +
+        "AND ev >= minTimeuuid(100) AND ev <= " +
+        "maxTimeuuid('1970-01-01T00:00:00.200Z')")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(incl === Seq(10L, 20L))
+      // an empty window selects nothing
+      assert(cq("SELECT value FROM ks.ev WHERE sensor = 1 " +
+        "AND ev > maxTimeuuid(300)").collect().isEmpty)
+      // bounds on a non-timeuuid clustering refuse by name
+      refuse("SELECT value FROM ks.ux WHERE pk = 1 " +
+        "AND ck > minTimeuuid(100)", "timeuuid")
+      // every pk part must bind
+      refuse("SELECT value FROM ks.ev WHERE ev > minTimeuuid(100)",
+        "partition-key part")
+    } finally spark.conf.unset("spark.sql.catalog.ffcat")
+  }
 }
