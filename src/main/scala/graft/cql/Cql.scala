@@ -219,6 +219,14 @@ object Cql {
       """\s+(\w+)(\s+STATIC)?\s*;?\s*$""").r
   private val AlterWithRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+WITH\s+(.+?)\s*;?\s*$""".r
+  /** C51e — `ALTER TABLE ks.t RENAME a TO b [AND c TO d …]`:
+    * Cassandra's one legal column rename (PRIMARY KEY parts only).
+    */
+  private val AlterRenameRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\.(\w+)\s+RENAME\s+""" +
+      """(.+?)\s*;?\s*$""").r
+  private val RenamePairRe =
+    """(?is)^\s*(\w+)\s+TO\s+(\w+)\s*$""".r
   private val SysSchemaRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+system_schema\.(\w+)""" +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
@@ -2777,6 +2785,70 @@ object Cql {
             s"'${st.toSeq.sorted.mkString(",")}')")
         }
         spark.emptyDataFrame
+      case AlterRenameRe(ks, t, pairs) =>
+        // C51e — PRIMARY-KEY column renames (Cassandra's one legal
+        // rename; it exists to fix legacy key names). Pure metadata:
+        // file headers keep their STORAGE names forever and the
+        // table-level spec serves the DECLARED names through the
+        // `keyRename.<storage>` props (CellPlanning.applyKeyRenames),
+        // so every key-addressed path — WHERE, DESCRIBE,
+        // system_schema, INSERT/UPDATE/JSON, LWT, paging — resolves
+        // the new name with zero data movement. Chained renames
+        // re-point every history entry here, so reads stay one hop.
+        val dir = s"$root/$ks/$t"
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir)))
+          fail(s"table $ks.$t does not exist")
+        flushBuffered(spark, dir)
+        val spec0 = graft.sources.CellSource.keySpec(dir)
+        if (spec0.isDefault)
+          fail("RENAME serves typed layouts in this subset (the " +
+            "default ((pk), ck) names ARE the layout)")
+        // Cassandra refuses renames of columns materialized views or
+        // secondary indexes depend on; key parts are in every view
+        // and every index entry here, so any registration refuses
+        if (graft.sources.CellIndex.registered(dir).nonEmpty)
+          fail(s"cannot rename a column of $ks.$t: secondary " +
+            "indexes depend on it (drop them first — Cassandra's " +
+            "rule)")
+        if (graft.sources.CellView.registered(dir).nonEmpty)
+          fail(s"cannot rename a column of $ks.$t: materialized " +
+            "views depend on it (drop them first — Cassandra's rule)")
+        pairs.split("(?i)\\s+AND\\s+").map(_.trim)
+          .filter(_.nonEmpty).foreach {
+            case RenamePairRe(from0, to0) =>
+              val (from, to) = (from0.toLowerCase, to0.toLowerCase)
+              // resolve against the CURRENT spec each pair — chained
+              // pairs in one statement compose left to right
+              val spec = graft.sources.CellSource.keySpec(dir)
+              val keyNames = (spec.pkParts ++ spec.ckParts)
+                .map(_.name.toLowerCase)
+              if (!keyNames.contains(from))
+                fail(s"cannot rename non PRIMARY KEY column $from " +
+                  "(Cassandra's rule: RENAME serves primary key " +
+                  "columns only)")
+              if (keyNames.contains(to) ||
+                  Seq("col", "value", "wt").contains(to) ||
+                  graft.sources.CellSource.staticCols(dir)
+                    .contains(to))
+                fail(s"cannot rename $from to $to: a column of " +
+                  "that name already exists")
+              // re-point every storage name currently serving `from`
+              val renames = graft.sources.CellSource.keyRenames(dir)
+              val storages = renames.filter(_._2 == from).keys.toSeq
+              val targets =
+                if (storages.isEmpty) Seq(from) else storages
+              targets.foreach(s =>
+                updateTableProp(dir, s"keyRename.$s", to))
+              // the declared CQL type rides the DECLARED name
+              tableProps(dir).get(s"cqlKeyType.$from").foreach { ct =>
+                updateTableProp(dir, s"cqlKeyType.$to", ct)
+                removeTableProp(dir, s"cqlKeyType.$from")
+              }
+            case p => fail(s"RENAME takes <old> TO <new> pairs, " +
+              s"got: $p")
+          }
+        spark.emptyDataFrame
       case AlterWithRe(ks, t, opts) =>
         // Cassandra's ALTER TABLE WITH: table properties change for
         // FUTURE operations only — default_time_to_live is assigned
@@ -3116,8 +3188,37 @@ object Cql {
               colName))
             fail(s"$ks.$idxName exists but is not an index on " +
               s"$ks.$t($colName)")
-        } else graft.sources.CellIndex.build(spark, baseDir, idxDir,
-          colName, writeThrough = true, opts = annOpts)
+        } else {
+          // ANN auto-geometry (r17): an index created WITHOUT an
+          // explicit plane count derives it from the corpus — planes
+          // = clamp(ceil(log2(rows / 1024)), 4, 20), targeting ~1K
+          // vectors per bucket — and PERSISTS the derived value like
+          // an explicit option, so build, write-through refresh and
+          // the query-time probe all read the same geometry. The old
+          // fixed default (4 planes = 16 buckets) was the one
+          // 100 TB scale hazard left on this surface: a 1B-row
+          // corpus would probe 25% of itself. The count is one
+          // column-narrowed reconcile read at CREATE INDEX time —
+          // the build scans the same rows right after.
+          val effOpts: Map[String, String] =
+            if (!isAnnIdx || annOpts.contains("planes")) annOpts
+            else {
+              val rows = spark.read.format(Fmt)
+                .option("reconcile", "true").load(baseDir)
+                .filter(col("col") === fnCol.toLowerCase).count()
+              val buckets = math.max(1L, rows / 1024L)
+              val lg =
+                if (buckets <= 1L) 0
+                else 64 - java.lang.Long.numberOfLeadingZeros(
+                  buckets - 1L)
+              val derived = math.min(
+                graft.functions.VectorCodec.MaxPlanes,
+                math.max(graft.functions.VectorCodec.Planes, lg))
+              annOpts + ("planes" -> derived.toString)
+            }
+          graft.sources.CellIndex.build(spark, baseDir, idxDir,
+            colName, writeThrough = true, opts = effOpts)
+        }
         spark.emptyDataFrame
       case CreateMvRe(ifNot, vks, vname, bks, bt, whereCol, pkCol,
           keyTail) =>

@@ -4129,6 +4129,46 @@ object Cells {
       |  ('ux', 1, 1), ('ux', 2, 2)) AS t(item, pk, v)
       |ORDER BY item, pk, v""".stripMargin
 
+  // C51e — ALTER TABLE RENAME (r17): Cassandra's one legal column
+  // rename (PRIMARY KEY parts only), pure metadata — file headers
+  // keep their STORAGE names forever and the table-level spec serves
+  // the DECLARED names through the keyRename props, so every
+  // key-addressed path (WHERE, writes, DESCRIBE, system_schema, LWT)
+  // resolves the new name with zero data movement. Chained renames
+  // re-point every history entry, so reads stay one hop. The
+  // lifecycle DROPs first (renames are table-property mutations —
+  // the r15 rule: CREATE IF NOT EXISTS would accrete them).
+  private def alterRename(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_rename"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-rename-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |DROP TABLE IF EXISTS ks.ev;
+        |CREATE TABLE ks.ev (sensor bigint, seq int, col text,
+        |  value bigint, wt bigint, PRIMARY KEY ((sensor), seq));
+        |INSERT INTO ks.ev (sensor, seq, reading) VALUES (1, 1, 10);
+        |INSERT INTO ks.ev (sensor, seq, reading) VALUES (1, 2, 20);
+        |ALTER TABLE ks.ev RENAME sensor TO device;
+        |INSERT INTO ks.ev (device, seq, reading) VALUES (2, 1, 30);
+        |ALTER TABLE ks.ev RENAME device TO node AND seq TO pos;
+        |INSERT INTO ks.ev (node, pos, reading) VALUES (3, 1, 40)
+        |""".stripMargin, cat)
+    cq("SELECT node, pos, value FROM ks.ev")
+      .orderBy(col("node"), col("pos"))
+  }
+
+  private val alterRenameSql =
+    """SELECT CAST(node AS BIGINT) AS node, CAST(pos AS INT) AS pos,
+      |  CAST(v AS BIGINT) AS value FROM (VALUES
+      |  (1, 1, 10), (1, 2, 20), (2, 1, 30), (3, 1, 40))
+      |  AS t(node, pos, v)
+      |ORDER BY node, pos""".stripMargin
+
   // C51d — CREATE TABLE ... LIKE (r16, Cassandra 5's CEP-43): the
   // new table copies the source's columns, statics and recorded
   // options by replaying the source's round-trippable DESCRIBE under
@@ -4581,6 +4621,7 @@ object Cells {
     GQuery("C72_fcall_literals", fcallLiterals, Some(fcallLiteralsSql)),
     GQuery("C72b_fcall_family", fcallFamily, Some(fcallFamilySql)),
     GQuery("C51d_create_like", createLike, Some(createLikeSql)),
+    GQuery("C51e_alter_rename", alterRename, Some(alterRenameSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),

@@ -207,6 +207,69 @@ object NorthStar {
       |  MIN(id) AS keep_id
       |FROM l3 GROUP BY lbl HAVING COUNT(*) >= 2 ORDER BY cluster""".stripMargin
 
+  // N_DEDUP10 — dedup clusters at the LABEL FIXPOINT (r17): the
+  // production form of N_DEDUP6. The capped form splits any component
+  // whose diameter exceeds its round count; the fixpoint form stops
+  // exactly when a round changes zero labels, so every component is
+  // fully merged — which IS oracle-expressible: converged min-label
+  // propagation = connected components = a recursive reachability
+  // CTE min-aggregated per node (DuckDB's WITH RECURSIVE terminates
+  // on the same fixpoint). Per round the engine runs one shuffle
+  // join + one min-agg with an eager localCheckpoint, so lineage
+  // stays one round deep and the driver holds only the loop counter.
+  private def dedupClustersFixpoint(s: SparkSession,
+      d: String): DataFrame = {
+    val sigs = Dedup.minhashSignaturesRelational(
+      docs(s, d).select(col("doc_id").as("id"), col("text")))
+    val cand = Dedup.lshCandidatePairs(
+      sigs.withColumn("bands", Dedup.lshBands("sig")))
+    Dedup.dedupClustersFixpoint(cand, maxRounds = 30)
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("cluster"))
+  }
+
+  private val dedupClustersFixpointSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(0, len(t) - 2),
+      |      i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END AS shingles
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, [min(substr(h, 1, 8)), min(substr(h, 9, 8)),
+      |    min(substr(h, 17, 8)), min(substr(h, 25, 8)),
+      |    min(substr(h, 33, 8)), min(substr(h, 41, 8)),
+      |    min(substr(h, 49, 8)), min(substr(h, 57, 8))] AS sg
+      |  FROM (SELECT doc_id, md5(s2) || md5(':' || s2) AS h
+      |    FROM (SELECT doc_id, unnest(shingles) AS s2 FROM shl))
+      |  GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    CAST(b AS VARCHAR) || ':' ||
+      |    md5(array_to_string(list_slice(sg, b*2+1, b*2+2), '|')))) AS band
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL SELECT id_b, id_a FROM cand),
+      |-- reachable-label closure: UNION dedups, so the recursion
+      |-- terminates at the fixpoint; min per node = its component's
+      |-- smallest id, exactly the engine's converged min-propagation
+      |reach AS (
+      |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src AS id, r.lbl FROM edges e
+      |    JOIN reach r ON e.dst = r.id),
+      |labels AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+      |SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  MIN(id) AS keep_id
+      |FROM labels GROUP BY lbl HAVING COUNT(*) >= 2
+      |ORDER BY cluster""".stripMargin
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.blockedPairs(embs(s, d), 0.4)
       .select(col("id_a"), col("id_b"), col("score_r"))
@@ -1553,6 +1616,8 @@ object NorthStar {
     GQuery("N_DEDUP5_embedding_neardup", dedupEmbedding,
       Some(dedupEmbeddingSql)),
     GQuery("N_DEDUP6_clusters", dedupClusters, Some(dedupClustersSql)),
+    GQuery("N_DEDUP10_clusters_fixpoint", dedupClustersFixpoint,
+      Some(dedupClustersFixpointSql)),
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
     GQuery("N_SIM7_batch_topk", simBatchTopK, Some(simBatchTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),

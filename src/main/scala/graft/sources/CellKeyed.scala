@@ -123,7 +123,10 @@ class CellKeyedReader(part: CellInputPartition, tokenLower: Long,
     tokenUpper: Long, cols: Array[String])
     extends PartitionReader[InternalRow] {
   private val stream = new CellKeyedStream(part)
-  private val proj = new KeyedProjection(part.keySpec,
+  // the projection serves the table-level (declared, C51e-renamed)
+  // names; the header spec keeps storage names
+  private val proj = new KeyedProjection(
+    CellPlanning.declaredSpecFor(part.file, part.keySpec),
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale),
     cols)
   private var row: InternalRow = _
@@ -181,7 +184,8 @@ class CellKeyedColumnarReader(part: CellInputPartition,
       org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
-  private val spec = part.keySpec
+  private val spec =
+    CellPlanning.declaredSpecFor(part.file, part.keySpec)
   private val cursor = new ChunkCursor(part)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(part.valueTag, part.decPrec, part.decScale)
@@ -709,7 +713,8 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
   private val cursor = KeyedCursor.of(part, opts)
   private val spec =
     if (part.fileParts.isEmpty) KeySpec.Default
-    else part.fileParts(0).keySpec
+    else CellPlanning.declaredSpecFor(part.fileParts(0).file,
+      part.fileParts(0).keySpec)
   private val proj = new KeyedProjection(spec,
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale), cols)
@@ -750,7 +755,8 @@ class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
   private val cursor = KeyedCursor.of(part, opts)
   private val spec =
     if (part.fileParts.isEmpty) KeySpec.Default
-    else part.fileParts(0).keySpec
+    else CellPlanning.declaredSpecFor(part.fileParts(0).file,
+      part.fileParts(0).keySpec)
   private val valueType: DataType =
     ValueCodec.dataTypeFor(cursor.valueTag, cursor.decPrec,
       cursor.decScale)

@@ -110,7 +110,12 @@ class CellSource extends TableProvider {
               .getOrElse(KeySpec.Default), vt0)
         }
     }
-    val base = CellSource.schemaFor(spec, vt)
+    // the DECLARED part names (C51e renames) serve the schema; file
+    // headers (and the propsKeySpec CREATE record) keep storage names
+    val declaredSpec =
+      if (path == null) spec
+      else CellPlanning.applyKeyRenames(path, spec)
+    val base = CellSource.schemaFor(declaredSpec, vt)
     // `withToken=true`: surface the record's physical partition TOKEN
     // as a `_token` long column — the CQL `token(pk)` analogue (ring
     // position for range exports, bucketed anti-entropy, split
@@ -745,6 +750,12 @@ object CellSource {
   def keySpec(dir: String): KeySpec =
     CellPlanning.keySpecOf(dir, CellPlanning.listFiles(dir))
 
+  /** Public accessor for the C51e rename map (storage → declared) —
+    * the CQL DDL arm composes chained renames through it.
+    */
+  def keyRenames(dir: String): Map[String, String] =
+    CellPlanning.keyRenames(dir)
+
   /** The table's stored/declared VALUE type: the first file header's
     * tag once files exist, the catalog's `_type` marker before the
     * first flush, long otherwise (the default layout's default). The
@@ -1145,9 +1156,15 @@ object CellSource {
     * [[keyedLess]].
     */
   private[sources] def writeFileKeyed(target: java.nio.file.Path,
-      rows: Seq[KeyedRec], spec: KeySpec, colNames: Array[String],
+      rows: Seq[KeyedRec], spec0: KeySpec, colNames: Array[String],
       valueTag: Int, decPrec: Int, decScale: Int, indexEvery: Int,
       chunkRecords: Int): Unit = {
+    // headers ALWAYS carry the STORAGE part names — a caller holding
+    // the table-level (declared, C51e-renamed) spec must not stamp a
+    // mixed-name header set; part types/order are identical, so the
+    // records need nothing
+    val spec = CellPlanning.storageKeySpec(
+      target.getParent.toString, spec0)
     require(colNames.length <= 255, "at most 255 distinct cell columns")
     val colId: Map[String, Int] = colNames.zipWithIndex.toMap
     // CEL11: the magic IS the has-expiry flag — typed tables with no
@@ -2797,7 +2814,10 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
       s"reconcile scan needs a uniform value type across files in " +
         s"$path${if (replicas.nonEmpty) replicas.mkString(" + ", ",", "")
         else ""}")
-    require(opened.forall(_._2.keySpec == spec),
+    // headers carry STORAGE part names; the scan's spec serves the
+    // DECLARED names (C51e renames) — compare through the rename map
+    require(opened.forall(h =>
+        CellPlanning.applyKeyRenames(path, h._2.keySpec) == spec),
       s"replica dirs must share the table's key layout (${spec.serial})")
     val headers = opened.filter { case (_, h) =>
       h.count > 0 && h.maxPk >= pkLo && h.minPk <= pkHi &&
@@ -3547,7 +3567,10 @@ class CellWriteBuilder(path: String, schema: StructType,
           s"existing table value type " +
           ValueCodec.dataTypeFor(h.valueTag, h.decPrec, h.decScale)
             .simpleString + s" in $path (overwrite to change the type)")
-      declared.foreach(d => require(d == h.keySpec,
+      // a declared layout may name the parts in STORAGE or DECLARED
+      // (post-rename, C51e) terms — both are the same layout
+      declared.foreach(d => require(d == h.keySpec ||
+          d == CellPlanning.applyKeyRenames(path, h.keySpec),
         s"declared primaryKey (${d.serial}) does not match the " +
           s"existing table's key layout (${h.keySpec.serial}) in $path"))
     }
@@ -3558,14 +3581,21 @@ class CellWriteBuilder(path: String, schema: StructType,
     val fromProps =
       if (existingHeader.isEmpty) CellPlanning.propsKeySpec(path)
       else None
-    for (d <- declared; p <- fromProps) require(d == p,
+    for (d <- declared; p <- fromProps) require(d == p ||
+        d == CellPlanning.applyKeyRenames(path, p),
       s"declared primaryKey (${d.serial}) does not match the " +
         s"table's CREATE-time key layout (${p.serial}) in $path")
-    val spec = existingHeader.map(_.keySpec)
-      .orElse(declared)
-      .orElse(fromProps)
-      .getOrElse(KeySpec.Default)
-    val want = CellSource.schemaFor(spec, valueType)
+    // `spec` (written into file headers) stays in STORAGE names; the
+    // INPUT schema arrives in DECLARED names (C51e renames), so the
+    // validation schema resolves through the rename map. Records
+    // extract positionally, so the name difference ends here.
+    val spec = CellPlanning.storageKeySpec(path,
+      existingHeader.map(_.keySpec)
+        .orElse(declared)
+        .orElse(fromProps)
+        .getOrElse(KeySpec.Default))
+    val declaredSpec = CellPlanning.applyKeyRenames(path, spec)
+    val want = CellSource.schemaFor(declaredSpec, valueType)
     // CQL `USING TTL` (CEL10 default / CEL11 typed): the base schema
     // may carry ONE trailing TTL column — `ttl` (relative ms; expiry
     // = wt + ttl) on user writes, or `_expiry` (absolute ms) on
@@ -3587,7 +3617,7 @@ class CellWriteBuilder(path: String, schema: StructType,
       require(schema.fields.last.dataType == LongType,
         s"'${schema.fieldNames.last}' must be bigint (ms), got " +
           schema.fields.last.dataType.simpleString)
-    (spec.pkParts ++ spec.ckParts).foreach(p =>
+    (declaredSpec.pkParts ++ declaredSpec.ckParts).foreach(p =>
       require(ValueCodec.tagFor(schema(p.name).dataType) == p.tag,
         s"key part '${p.name}' is ${schema(p.name).dataType.simpleString}" +
           s", table expects ${p.dataType.simpleString}"))
@@ -4249,6 +4279,64 @@ private[sources] object CellPlanning {
     }
   }
 
+  /** C51e — declared key-part renames (`keyRename.<storage> =
+    * <declared>` in `_props`, written by `ALTER TABLE … RENAME`):
+    * file headers keep their STORAGE part names forever (the format
+    * never rewrites data); the TABLE-level spec serves the DECLARED
+    * names. Resolution is storage → declared, one hop — the DDL arm
+    * re-points every history entry on a chained rename, so no entry
+    * ever needs transitive resolution.
+    */
+  def keyRenames(path: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(normalize(path)).resolve("_props")
+    if (!java.nio.file.Files.exists(f)) return Map.empty
+    val p = new java.util.Properties()
+    scala.util.Using.resource(
+      java.nio.file.Files.newBufferedReader(f))(p.load)
+    val it = scala.jdk.CollectionConverters
+      .SetHasAsScala(p.stringPropertyNames()).asScala.iterator
+    it.filter(_.startsWith("keyRename."))
+      .map(k => k.stripPrefix("keyRename.") -> p.getProperty(k))
+      .toMap
+  }
+
+  /** The table's spec in DECLARED names: every part whose storage
+    * name has a recorded rename serves under the new name. Identity
+    * when no renames exist (the common case pays one exists()).
+    */
+  def applyKeyRenames(path: String, spec: KeySpec): KeySpec = {
+    val m = keyRenames(path)
+    if (m.isEmpty) spec
+    else KeySpec(
+      spec.pkParts.map(p => m.get(p.name).fold(p)(n => p.copy(name = n))),
+      spec.ckParts.map(p => m.get(p.name).fold(p)(n => p.copy(name = n))))
+  }
+
+  /** The DECLARED spec for a reader holding one FILE's header spec:
+    * renames resolve against the file's parent (table) directory.
+    * Executor-side cost is one tiny `_props` read per reader — the
+    * data file it sits next to is already being opened.
+    */
+  def declaredSpecFor(file: String, spec: KeySpec): KeySpec = {
+    val parent = java.nio.file.Paths.get(file).getParent
+    if (parent == null) spec else applyKeyRenames(parent.toString, spec)
+  }
+
+  /** Inverse of [[applyKeyRenames]]: declared names back to the
+    * STORAGE names every file header must carry — the direct file
+    * writers route through this so a renamed table never stamps a
+    * mixed-name header set.
+    */
+  def storageKeySpec(path: String, spec: KeySpec): KeySpec = {
+    val inv = keyRenames(path).map(_.swap)
+    if (inv.isEmpty) spec
+    else KeySpec(
+      spec.pkParts.map(p =>
+        inv.get(p.name).fold(p)(n => p.copy(name = n))),
+      spec.ckParts.map(p =>
+        inv.get(p.name).fold(p)(n => p.copy(name = n))))
+  }
+
   /** Catalog-persisted counter-ness (`counter=true` in `_props`).
     * Consulted by the 2i/MV builders: their reconcile-only (LWW)
     * base reads merge counter shards wrongly, so counter tables
@@ -4306,11 +4394,12 @@ private[sources] object CellPlanning {
     * first committed file speaks for the directory.
     */
   def keySpecOf(path: String, files: Seq[String]): KeySpec =
-    files.headOption.map { f =>
-      CellManifest.current(path, files)
-        .flatMap(_.headOption.map(_.keySpec))
-        .getOrElse(CellSource.readHeader(f).keySpec)
-    }.getOrElse(propsKeySpec(path).getOrElse(KeySpec.Default))
+    applyKeyRenames(path,
+      files.headOption.map { f =>
+        CellManifest.current(path, files)
+          .flatMap(_.headOption.map(_.keySpec))
+          .getOrElse(CellSource.readHeader(f).keySpec)
+      }.getOrElse(propsKeySpec(path).getOrElse(KeySpec.Default)))
 
   /** C2/C8/C16 per-file planning (see CellScan scaladoc): Summary range
     * check, bloom point-lookup check, sparse-index narrowing, wt

@@ -7258,10 +7258,10 @@ class CqlSpec extends GraftSpec {
   test("fcall family (C72b): toTimestamp/toDate/toUnixTimestamp " +
     "mint from the statement clock; min/maxTimeuuid range probes") {
     val root = Files.createTempDirectory("cql-fcfam").toString
-    spark.conf.set("spark.sql.catalog.ffcat", "graft.sources.CellCatalog")
-    spark.conf.set("spark.sql.catalog.ffcat.root", root)
+    spark.conf.set("spark.sql.catalog.fc72cat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.fc72cat.root", root)
     try {
-      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ffcat")
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "fc72cat")
       def refuse(stmt: String, frag: String): Unit = {
         val e = intercept[IllegalArgumentException] { cq(stmt) }
         assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
@@ -7335,6 +7335,138 @@ class CqlSpec extends GraftSpec {
       // every pk part must bind
       refuse("SELECT value FROM ks.ev WHERE ev > minTimeuuid(100)",
         "partition-key part")
-    } finally spark.conf.unset("spark.sql.catalog.ffcat")
+    } finally spark.conf.unset("spark.sql.catalog.fc72cat")
+  }
+
+  test("ALTER TABLE RENAME (C51e): primary-key column renames via " +
+    "the storage-name alias — lifecycle, chained, refusals, DESCRIBE") {
+    val root = Files.createTempDirectory("cql-rename").toString
+    spark.conf.set("spark.sql.catalog.rncat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.rncat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "rncat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.ev (sensor bigint, seq int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((sensor), seq))")
+      cq("INSERT INTO ks.ev (sensor, seq, reading) VALUES (1, 1, 10)")
+      cq("INSERT INTO ks.ev (sensor, seq, reading) VALUES (1, 2, 20)")
+      cq("ALTER TABLE ks.ev RENAME sensor TO device")
+      // the renamed part serves every key-addressed path: pushed
+      // point read, write binding, LWT, DESCRIBE
+      val got = cq("SELECT device, seq, value FROM ks.ev " +
+        "WHERE device = 1 ORDER BY seq")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(got.toSeq === Seq((1L, 1, 10L), (1L, 2, 20L)))
+      // writes bind the NEW name (the old one is no longer a key)
+      cq("INSERT INTO ks.ev (device, seq, reading) VALUES (2, 1, 30)")
+      assert(cq("SELECT value FROM ks.ev WHERE device = 2 AND seq = 1")
+        .collect().head.getLong(0) === 30L)
+      refuse("INSERT INTO ks.ev (sensor, seq, reading) VALUES " +
+        "(3, 1, 9)", "must bind key part device")
+      // the old name reads as an (unindexed) DATA column now — the
+      // key route is gone
+      refuse("SELECT value FROM ks.ev WHERE sensor = 1 AND seq = 1",
+        "ALLOW FILTERING")
+      // chained rename composes to ONE storage hop
+      cq("ALTER TABLE ks.ev RENAME device TO node")
+      assert(cq("SELECT value FROM ks.ev WHERE node = 2 AND seq = 1")
+        .collect().head.getLong(0) === 30L)
+      assert(graft.sources.CellSource.keyRenames(s"$root/ks/ev")
+        === Map("sensor" -> "node"))
+      // clustering part + multi-pair form in one statement
+      cq("ALTER TABLE ks.ev RENAME node TO dev AND seq TO pos")
+      assert(cq("SELECT value FROM ks.ev WHERE dev = 1 AND pos = 2")
+        .collect().head.getLong(0) === 20L)
+      // DESCRIBE renders the declared names only
+      val desc = cq("DESCRIBE TABLE ks.ev").collect().head.getString(0)
+      assert(desc.contains("dev") && desc.contains("pos"), desc)
+      assert(!desc.contains("sensor") && !desc.contains("node"), desc)
+      // system_schema.columns serves the renamed parts
+      val sysCols = cq("SELECT column_name FROM " +
+        "system_schema.columns WHERE keyspace_name = 'ks' AND " +
+        "table_name = 'ev'")
+        .collect().map(_.getString(0)).toSet
+      assert(sysCols.contains("dev") && sysCols.contains("pos"),
+        sysCols.toString)
+      // LWT binds the renamed parts
+      assert(cq("UPDATE ks.ev SET reading = 11 WHERE dev = 1 AND " +
+        "pos = 1 IF EXISTS").collect().head.getBoolean(0))
+      assert(cq("SELECT value FROM ks.ev WHERE dev = 1 AND pos = 1")
+        .collect().head.getLong(0) === 11L)
+      // a mapped key type rides the rename (cqlKeyType prop moves)
+      cq("CREATE TABLE ks.tu (id uuid, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((id), ck))")
+      cq("ALTER TABLE ks.tu RENAME id TO ident")
+      val descTu = cq("DESCRIBE TABLE ks.tu")
+        .collect().head.getString(0)
+      assert(descTu.contains("ident uuid"), descTu)
+      // refusals: non-pk column, default layout, dependent index
+      refuse("ALTER TABLE ks.ev RENAME reading TO r",
+        "non PRIMARY KEY column")
+      refuse("ALTER TABLE ks.ev RENAME dev TO pos",
+        "already exists")
+      cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("ALTER TABLE ks.d RENAME pk TO id", "default")
+      cq("CREATE TABLE ks.w (page text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((page), ck))")
+      cq("INSERT INTO ks.w (page, ck, hits) VALUES ('a', 1, 5)")
+      cq("CREATE INDEX ON ks.w (hits)")
+      refuse("ALTER TABLE ks.w RENAME page TO url",
+        "indexes depend")
+    } finally spark.conf.unset("spark.sql.catalog.rncat")
+  }
+
+  test("ANN auto-geometry (C70f): an index created without planes " +
+    "derives them from the corpus; small corpora keep the floor") {
+    val root = Files.createTempDirectory("cql-annauto").toString
+    spark.conf.set("spark.sql.catalog.aacat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.aacat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "aacat")
+      cq("CREATE KEYSPACE ks")
+      // small corpus: the floor (4 planes) holds
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("INSERT INTO ks.s (pk, ck, v) VALUES (1, 1, [1.0, 0.0])")
+      cq("INSERT INTO ks.s (pk, ck, v) VALUES (2, 1, [2.0, 0.0])")
+      cq("CREATE INDEX ON ks.s (ann(v))")
+      val sOpts = graft.sources.CellIndex.optionsOf(
+        s"$root/ks/s_v_ann_idx")
+      assert(sOpts.get("planes").contains("4"), sOpts.toString)
+      // DESCRIBE renders the derived geometry like an explicit one
+      val desc = cq("DESCRIBE INDEX ks.s_v_ann_idx")
+        .collect().head.getString(0)
+      assert(desc.contains("'planes': '4'"), desc)
+      // and the probe works against the auto-sized index
+      val hits = cq("SELECT pk FROM ks.s ORDER BY v ANN OF " +
+        "[1.0, 0.0] LIMIT 2").collect().map(_.getLong(0)).toSet
+      assert(hits === Set(1L, 2L))
+      // large corpus: planes = ceil(log2(rows / 1024)) — 40000 rows
+      // -> 39 target buckets -> 6 planes (64 buckets)
+      cq("CREATE TABLE ks.big (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      val vec = Array.fill[Byte](8)(0x3f.toByte) // any 2-float wire
+      val rows = (1L to 40000L).map(i => (i, 1, "v", vec, 100L))
+      rows.toDF("pk", "ck", "col", "value", "wt")
+        .coalesce(1).write.format("graft.sources.CellSource")
+        .mode("append").save(s"$root/ks/big")
+      cq("CREATE INDEX ON ks.big (ann(v))")
+      val bOpts = graft.sources.CellIndex.optionsOf(
+        s"$root/ks/big_v_ann_idx")
+      assert(bOpts.get("planes").contains("6"), bOpts.toString)
+      // an EXPLICIT plane count still wins over the auto-size
+      cq("CREATE TABLE ks.e (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("INSERT INTO ks.e (pk, ck, v) VALUES (1, 1, [1.0, 0.0])")
+      cq("CREATE INDEX ON ks.e (ann(v)) " +
+        "WITH OPTIONS = {'planes': '9'}")
+      assert(graft.sources.CellIndex.optionsOf(
+        s"$root/ks/e_v_ann_idx").get("planes").contains("9"))
+    } finally spark.conf.unset("spark.sql.catalog.aacat")
   }
 }

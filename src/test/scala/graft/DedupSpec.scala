@@ -70,8 +70,14 @@ class DedupSpec extends GraftSpec {
     val capped = Dedup.dedupClusters(pairs, iterations = 3)
       .as[(Long, Long)].collect().toMap
     assert(capped.values.toSet.size > 1) // honest cap: still split
-    val fixed = Dedup.dedupClustersFixpoint(pairs)
-      .as[(Long, Long)].collect().toMap
+    val fixed0 = Dedup.dedupClustersFixpoint(pairs)
+    // the eager per-round localCheckpoint keeps lineage ONE round
+    // deep: whatever the round count, the returned plan is a
+    // checkpointed leaf, never a per-round-doubling join tree
+    val plan = fixed0.queryExecution.optimizedPlan
+    assert(plan.collectLeaves().length == 1 &&
+      plan.treeString.linesIterator.length <= 3, plan.treeString)
+    val fixed = fixed0.as[(Long, Long)].collect().toMap
     assert(fixed == (1L to 6L).map(_ -> 1L).toMap)
   }
 
