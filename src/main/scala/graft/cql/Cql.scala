@@ -250,6 +250,19 @@ object Cql {
       """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*""" +
       """(?:(values|keys|entries|prefix|ann|contains)\s*\(\s*(\w+)\s*\)|(\w+))\s*\)""" +
       """(?:\s+WITH\s+OPTIONS\s*=\s*\{([^}]*)\})?\s*;?\s*$""").r
+  /** C18m — `CREATE CUSTOM INDEX … USING '<class>'`: the spelling
+    * real Cassandra applications write. SASIIndex desugars to the
+    * order-preserving LIKE modes (PREFIX is SASI's default mode,
+    * CONTAINS the substring one; SPARSE is the plain identity-token
+    * index), StorageAttachedIndex (Cassandra 5's SAI) to the plain
+    * equality index — or the ann(c) vector index when the column is
+    * vector-typed (SAI IS the vector index upstream).
+    */
+  private val CreateCustomIdxRe =
+    ("""(?is)^\s*CREATE\s+CUSTOM\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """(?:(\w+)\s+)?ON\s+(\w+)\.(\w+)\s*\(\s*(\w+)\s*\)\s+""" +
+      """USING\s+'([^']+)'""" +
+      """(?:\s+WITH\s+OPTIONS\s*=\s*\{([^}]*)\})?\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
   // C71 — function/aggregate DDL (Cassandra 2.2+ surface)
@@ -3040,6 +3053,83 @@ object Cql {
       case DescAggRe(ks, name) =>
         SystemSchema.describeAggregate(spark, catalog, ks,
           name.toLowerCase)
+      case CreateCustomIdxRe(ifNot, nameOpt, ks, t, c, clazz,
+          optsOpt) =>
+        // C18m — desugar to the canonical CREATE INDEX form and
+        // recurse: one index machinery, two spellings. Options parse
+        // with the same quoted-map grammar as the canonical arm.
+        val opts: Map[String, String] = Option(optsOpt) match {
+          case None => Map.empty
+          case Some(body) =>
+            body.split(',').map(_.trim).filter(_.nonEmpty)
+              .map { kv =>
+                kv.split(':') match {
+                  case Array(k, v) =>
+                    (literal(k).toString.toLowerCase,
+                      literal(v).toString)
+                  case _ => fail(s"malformed OPTIONS entry: $kv")
+                }
+              }.toMap
+        }
+        val col0 = c.toLowerCase
+        val short = clazz.trim
+          .substring(clazz.trim.lastIndexOf('.') + 1).toLowerCase
+        val (target, keep) = short match {
+          case "sasiindex" =>
+            val mode = opts.getOrElse("mode", "PREFIX").toUpperCase
+            val rest = opts - "mode" - "case_sensitive"
+            if (rest.nonEmpty)
+              fail("unsupported SASI OPTIONS: " +
+                rest.keys.toSeq.sorted.mkString(", ") +
+                " (mode and case_sensitive are the supported ones)")
+            val cs = opts.get("case_sensitive")
+              .map(v => Map("case_sensitive" -> v))
+              .getOrElse(Map.empty[String, String])
+            mode match {
+              case "PREFIX" => (s"prefix($col0)", cs)
+              case "CONTAINS" => (s"contains($col0)", cs)
+              case "SPARSE" =>
+                // SASI SPARSE serves numeric ranges — exactly the
+                // plain identity-token index's contract (C18e)
+                if (cs.nonEmpty)
+                  fail("case_sensitive applies to the SASI LIKE " +
+                    "modes only (PREFIX/CONTAINS)")
+                (col0, Map.empty[String, String])
+              case o => fail(s"unsupported SASI mode: $o " +
+                "(PREFIX, CONTAINS, SPARSE)")
+            }
+          case "storageattachedindex" =>
+            val isVec = cqlValueTypeOf(s"$root/$ks/$t")
+              .exists(_.startsWith("vector<"))
+            if (isVec) {
+              opts.get("similarity_function").foreach(f =>
+                if (!f.equalsIgnoreCase("cosine"))
+                  fail(s"similarity_function '$f' is outside this " +
+                    "subset (cosine is the rerank metric)"))
+              val rest = opts - "similarity_function"
+              if (rest.nonEmpty)
+                fail("unsupported SAI vector OPTIONS: " +
+                  rest.keys.toSeq.sorted.mkString(", "))
+              (s"ann($col0)", Map.empty[String, String])
+            } else {
+              if (opts.nonEmpty)
+                fail("unsupported SAI OPTIONS: " +
+                  opts.keys.toSeq.sorted.mkString(", "))
+              (col0, Map.empty[String, String])
+            }
+          case o => fail(s"unsupported custom index class: $o " +
+            "(SASIIndex and StorageAttachedIndex are the public " +
+            "classes this subset serves)")
+        }
+        val keepS =
+          if (keep.isEmpty) ""
+          else keep.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"'$k': '$v'" }
+            .mkString(" WITH OPTIONS = {", ", ", "}")
+        catalogExecute(spark,
+          s"CREATE INDEX ${if (ifNot != null) "IF NOT EXISTS " else ""}" +
+            Option(nameOpt).map(_ + " ").getOrElse("") +
+            s"ON $ks.$t ($target)$keepS", catalog)
       case CreateIdxRe(ifNot, nameOpt, ks, t, fnOpt, fnCol, plainCol,
           optsOpt) =>
         // CREATE INDEX → a C18 inverted index table next to its base
@@ -3974,6 +4064,22 @@ object Cql {
       """\s*(?:AS\s+(\w+))?\s*$""").r
   private val TtlRe =
     """(?is)^\s*TTL\s*\(\s*(\w+(?:\.\w+)?)\s*\)\s*(?:AS\s+(\w+))?\s*$""".r
+  /** C15c — WRITETIME/TTL/MAXWRITETIME of a MAP ENTRY (Cassandra
+    * 4.2's collection-element selection): `WRITETIME(m['k'])` — the
+    * entry IS its own cell in the C12 row-is-the-map encoding, so
+    * the fn narrows to that cell exactly like a plain column's.
+    */
+  private val WtFnEntryRe =
+    ("""(?is)^\s*(MAXWRITETIME|WRITETIME|TTL)\s*\(\s*(\w+)\s*\[\s*""" +
+      """('(?:[^']|'')*')\s*\]\s*\)\s*(?:AS\s+(\w+))?\s*$""").r
+  /** C15c — `MAXWRITETIME(c)` (Cassandra 4.1): the row's largest
+    * writetime across the column's cells — identical to WRITETIME on
+    * a scalar column (one cell), a per-owner max over a DECLARED
+    * collection's element cells.
+    */
+  private val MaxWriteTimeRe =
+    ("""(?is)^\s*MAXWRITETIME\s*\(\s*(\w+)\s*\)""" +
+      """\s*(?:AS\s+(\w+))?\s*$""").r
 
   /** C72b — `minTimeuuid(ts)` / `maxTimeuuid(ts)` WHERE bounds on a
     * timeuuid clustering part: Cassandra's documented "fake
@@ -3985,6 +4091,17 @@ object Cql {
   private val TimeuuidBoundRe =
     ("""(?is)^\s*(\w+)\s*(<=|>=|<|>)\s*(MIN|MAX)TIMEUUID\s*\(\s*""" +
       """('(?:[^']|'')*'|\d+)\s*\)\s*$""").r
+
+  /** C72c — Cassandra's timeuuid TIME-EXTRACTION functions in a
+    * select list: `toTimestamp(c)` / `toDate(c)` /
+    * `toUnixTimestamp(c)` and the legacy `dateOf(c)` /
+    * `unixTimestampOf(c)` spellings. The argument is a plain column
+    * (never `now()` — that is the C72 VALUE-side literal), so the
+    * regexes cannot collide.
+    */
+  private val TimeFnSelRe =
+    ("""(?is)^\s*(TOTIMESTAMP|TODATE|TOUNIXTIMESTAMP|DATEOF|""" +
+      """UNIXTIMESTAMPOF)\s*\(\s*(\w+)\s*\)\s*(?:AS\s+(\w+))?\s*$""").r
 
   /** Cassandra 5's similarity functions in a select list (C70e):
     * `similarity_cosine(v, [q…]) [AS alias]` (and the euclidean /
@@ -4283,6 +4400,99 @@ object Cql {
     lim.map(out.limit).getOrElse(out)
   }
 
+  /** C72c — the timeuuid time-extraction SELECT: `SELECT pk,
+    * toUnixTimestamp(ev) FROM t WHERE …` reads the 60-bit time of a
+    * timeuuid column as the C72 clock (epoch ms) and renders it as
+    * the target type — toTimestamp/dateOf → the instant, toDate →
+    * its UTC day, toUnixTimestamp/unixTimestampOf → the millis. The
+    * column may be a DECLARED timeuuid KEY part (the expression
+    * reads the key column directly — typed layouts) or the table's
+    * timeuuid VALUE column (the select narrows to its cells, the
+    * WRITETIME contract). Key restrictions push exactly as on a
+    * plain select of the same shape.
+    */
+  private def timeuuidFnSelect(spark: SparkSession, dir: String,
+      cols: String, whereOpt: Option[String],
+      lim: Option[Int]): DataFrame = {
+    val spec = graft.sources.CellSource.keySpec(dir)
+    val keyNames = (spec.pkParts ++ spec.ckParts)
+      .map(_.name.toLowerCase)
+    val props = tableProps(dir)
+    val items = splitItems(cols)
+    val fnCols = items.collect {
+      case TimeFnSelRe(_, c, _) => c.toLowerCase }.distinct
+    val target = fnCols match {
+      case Seq(c) => c
+      case cs => fail("time-extraction functions serve ONE timeuuid " +
+        s"column per statement, got: ${cs.mkString(", ")}")
+    }
+    val isKey = keyNames.contains(target)
+    if (isKey) {
+      if (!props.get(s"cqlKeyType.$target").contains("timeuuid"))
+        fail(s"toTimestamp/toDate/toUnixTimestamp serve timeuuid " +
+          s"columns; key part $target is declared " +
+          props.getOrElse(s"cqlKeyType.$target", "bigint/int/text"))
+    } else if (!cqlValueTypeOf(dir).contains("timeuuid"))
+      fail("toTimestamp/toDate/toUnixTimestamp serve timeuuid " +
+        "columns; this table's value column is declared " +
+        cqlValueTypeOf(dir).getOrElse(
+          graft.cql.SystemSchema.cqlTypeName(
+            graft.sources.CellSource.valueTypeOf(dir))))
+    val base = spark.read.format(Fmt)
+      .option("reconcile", "true").load(dir)
+    var df = if (isKey) base else base.filter(col("col") === target)
+    whereOpt.foreach { w =>
+      if (spec.isDefault) {
+        val (pks, ckEq, ckLo, ckHi) = keyPredicate(w)
+        df = df.filter(col("pk").isin(pks.toSeq: _*))
+        ckEq.foreach(ck => df = df.filter(col("ck") === ck))
+        if (ckEq.isEmpty &&
+            (ckLo != Int.MinValue || ckHi != Int.MaxValue))
+          df = df.filter(col("ck") >= ckLo && col("ck") <= ckHi)
+      } else {
+        val (pks, ckOpt, range) = typedKeyPredicate(spec, w)
+        if (range.isDefined)
+          fail("a time-extraction SELECT binds keys by equality")
+        val pkNames = spec.pkParts.map(_.name)
+        df = df.filter(
+          pks.map(t => pkNames.zip(t).map { case (n, v) =>
+            col(n) === lit(v) }.reduce(_ && _)).reduce(_ || _))
+        ckOpt.foreach(ckVals => spec.ckParts.map(_.name).zip(ckVals)
+          .foreach { case (n, v) => df = df.filter(col(n) === v) })
+      }
+    }
+    // the canonical rendering's 60-bit time — hi12 << 48 | mid16
+    // << 32 | low32 (see timeuuidRangeSelect)
+    val src = if (isKey) target else "value"
+    val t60 =
+      s"(cast(conv(substring($src, 16, 3), 16, 10) as bigint) * " +
+        "281474976710656 + " +
+        s"cast(conv(substring($src, 10, 4), 16, 10) as bigint) * " +
+        "4294967296 + " +
+        s"cast(conv(substring($src, 1, 8), 16, 10) as bigint))"
+    def rendered(fn: String): org.apache.spark.sql.Column =
+      fn.toLowerCase match {
+        case "tounixtimestamp" | "unixtimestampof" => expr(t60)
+        case "totimestamp" | "dateof" =>
+          expr(s"timestamp_millis($t60)")
+        case _ => // toDate: the instant's UTC day
+          expr(s"date_from_unix_date(cast($t60 div 86400000 as int))")
+      }
+    val legal = keyNames.toSet ++ Set("col", "value", "wt")
+    val proj = items.map {
+      case TimeFnSelRe(fn, _, alias) =>
+        rendered(fn).as(Option(alias)
+          .getOrElse(s"${fn.toLowerCase}($target)"))
+      case ColRe(n, alias) if legal.contains(n.toLowerCase) =>
+        Option(alias).map(col(n.toLowerCase).as(_))
+          .getOrElse(col(n.toLowerCase))
+      case x => fail(s"a time-extraction SELECT projects key parts " +
+        s"and cell columns, got: $x")
+    }
+    val out = df.select(proj.toIndexedSeq: _*)
+    lim.map(out.limit).getOrElse(out)
+  }
+
   /** C72b — the timeuuid range-probe SELECT: `WHERE <pk parts by
     * equality> AND <ck> > minTimeuuid('ts') [AND <ck> <
     * maxTimeuuid('ts')]` on a typed table whose single clustering
@@ -4389,6 +4599,16 @@ object Cql {
         fail("similarity functions serve plain selects (optionally " +
           "LIMIT) in this subset")
       return similaritySelect(spark, dir, cols, where, lim)
+    }
+    // C72c: time-extraction functions in the select list route to
+    // their own narrowed read
+    if (splitItems(cols)
+        .exists(TimeFnSelRe.findFirstIn(_).isDefined)) {
+      if (json || distinct || group.isDefined || order.isDefined ||
+          ppl.isDefined || page.isDefined || allowFiltering)
+        fail("time-extraction functions serve plain selects " +
+          "(optionally LIMIT) in this subset")
+      return timeuuidFnSelect(spark, dir, cols, where, lim)
     }
     // C72b: minTimeuuid/maxTimeuuid WHERE bounds route to the
     // timeuuid range probe (time-component comparison — the text
@@ -4721,9 +4941,15 @@ object Cql {
     // guard's user-facing contract is enforced manually instead: the
     // USER's predicates must still be key-only without ALLOW FILTERING.
     val hasWt = group.isEmpty && cols != "*" &&
-      cols.split(',').exists(i => WriteTimeRe.findFirstIn(i).isDefined)
+      cols.split(',').exists(i =>
+        WriteTimeRe.findFirstIn(i).isDefined ||
+        MaxWriteTimeRe.findFirstIn(i).isDefined ||
+        WtFnEntryRe.findFirstIn(i).isDefined)
     val hasTtl = group.isEmpty && cols != "*" &&
-      cols.split(',').exists(i => TtlRe.findFirstIn(i).isDefined)
+      cols.split(',').exists(i => i.trim match {
+        case WtFnEntryRe(fn, _, _, _) => fn.equalsIgnoreCase("TTL")
+        case _ => TtlRe.findFirstIn(i).isDefined
+      })
     // STATIC columns (C15b): selecting a declared-static name narrows
     // the cell relation to its partition-front `!s:<name>` cell, the
     // same internal-filter contract as WRITETIME/TTL
@@ -5259,6 +5485,33 @@ object Cql {
           case WriteTimeRe(c, _) => c.toLowerCase }
         val ttlCols = rawItems.collect {
           case TtlRe(c, _) => c.toLowerCase }
+        // C15c — entry-addressed fns (`WRITETIME(m['k'])`): the
+        // target cell is the ENTRY's own (col = key, case preserved
+        // — map keys are data); declared non-map collections refuse
+        val entryFns: Seq[(String, String, String)] =
+          rawItems.toSeq.collect {
+            case WtFnEntryRe(fn, m, kq, _) =>
+              val k = literal(kq) match {
+                case s: String => s
+                case o => fail(s"map entry key must be a text " +
+                  s"literal, got $o")
+              }
+              if (k.isEmpty || k.startsWith("!"))
+                fail(s"unsupported map key: '$k'")
+              cqlCollectionOf(dir).foreach(sp =>
+                if (!sp.startsWith("map<"))
+                  fail(s"${fn.toLowerCase}(${m.toLowerCase}['…']) " +
+                    s"addresses map entries; ${m.toLowerCase} is " +
+                    s"declared $sp"))
+              (fn.toLowerCase, m.toLowerCase, k)
+          }
+        // C15c — MAXWRITETIME(c): scalar columns ride the ordinary
+        // narrowing (one cell = its writetime); declared collections
+        // take the grouped-max arm below
+        val maxWtCols = rawItems.collect {
+          case MaxWriteTimeRe(c, _)
+              if !keyCols.contains(c.toLowerCase) &&
+                !modelCols.contains(c.toLowerCase) => c.toLowerCase }
         val dataCols = rawItems.collect {
           case ColRe(c, _)
               if !keyCols.contains(c.toLowerCase) &&
@@ -5416,11 +5669,45 @@ object Cql {
                 .getOrElse(col(n.toLowerCase))
           }
           df = assembled.select(items.toIndexedSeq: _*)
+        } else if (maxWtCols.nonEmpty &&
+            cqlCollectionOf(dir).isDefined) {
+          // C15c — MAXWRITETIME over a DECLARED collection: the
+          // row's largest element writetime, a per-owner max over
+          // the collection's cells (the C11g owner-key discipline:
+          // lists/sets own per pk, maps per (pk, ck) row); the
+          // filter IS the narrowing, statics/markers excluded
+          val kind = cqlCollectionOf(dir).get.takeWhile(_ != '<')
+          if (maxWtCols.length != 1 || wtCols.nonEmpty ||
+              ttlCols.nonEmpty || dataCols.nonEmpty ||
+              entryFns.nonEmpty)
+            fail("MAXWRITETIME of a collection selects exactly one " +
+              "column per statement")
+          val c = maxWtCols.head
+          val groupKeys =
+            if (kind == "map") Seq("pk", "ck") else Seq("pk")
+          val grouped = (kind match {
+            case "map" => df.filter(!col("col").startsWith("!"))
+              .groupBy(col("pk"), col("ck"))
+            case _ => df.filter(col("col") === c).groupBy(col("pk"))
+          }).agg(max(col("wt")).as("__mwt"))
+          val items = rawItems.map {
+            case MaxWriteTimeRe(_, alias) =>
+              col("__mwt").as(Option(alias)
+                .getOrElse(s"maxwritetime($c)"))
+            case ColRe(n, alias) if groupKeys.contains(n.toLowerCase) =>
+              Option(alias).map(col(n.toLowerCase).as(_))
+                .getOrElse(col(n.toLowerCase))
+            case x => fail(s"MAXWRITETIME of a collection projects " +
+              s"${groupKeys.mkString(", ")} and the function, got: $x")
+          }
+          df = grouped.select(items.toIndexedSeq: _*)
         } else if (wtCols.nonEmpty || ttlCols.nonEmpty ||
+            maxWtCols.nonEmpty || entryFns.nonEmpty ||
             dataCols.exists(statics.contains) ||
             udtFields.nonEmpty ||
             (udtL.isDefined && dataCols.nonEmpty)) {
-          val targets = (wtCols ++ ttlCols ++ dataCols ++
+          val targets = (wtCols ++ ttlCols ++ maxWtCols ++
+            entryFns.map(_._3) ++ dataCols ++
             udtFields.map(_._1)).distinct
           if (targets.length != 1)
             fail("WRITETIME/TTL/static select exactly one data " +
@@ -5451,6 +5738,21 @@ object Cql {
               when(col("_expiry") === lit(Long.MaxValue), lit(null))
                 .otherwise(col("_expiry") - col("wt"))
                 .as(Option(alias).getOrElse(s"ttl($c)"))
+            // C15c — entry fns narrow to the entry's own cell: its
+            // writetime IS the max (one cell), TTL reads its expiry
+            case WtFnEntryRe(fn, m, kq, alias) =>
+              val k = literal(kq).asInstanceOf[String]
+              val name = Option(alias).getOrElse(
+                s"${fn.toLowerCase}(${m.toLowerCase}['$k'])")
+              if (fn.equalsIgnoreCase("TTL"))
+                when(col("_expiry") === lit(Long.MaxValue), lit(null))
+                  .otherwise(col("_expiry") - col("wt")).as(name)
+              else col("wt").as(name)
+            // C15c — MAXWRITETIME on a scalar column: one cell per
+            // row, so the max IS the writetime
+            case MaxWriteTimeRe(n, alias) if n.equalsIgnoreCase(c) =>
+              col("wt").as(Option(alias)
+                .getOrElse(s"maxwritetime($c)"))
             case UdtFieldSelRe(nm, f, alias) if nm.equalsIgnoreCase(c) =>
               val fn = f.toLowerCase
               if (!graft.functions.UdtValues.fields(udtL.get)

@@ -4129,6 +4129,155 @@ object Cells {
       |  ('ux', 1, 1), ('ux', 2, 2)) AS t(item, pk, v)
       |ORDER BY item, pk, v""".stripMargin
 
+  // C72c — the SELECT-side time-extraction functions (r17):
+  // toTimestamp(c)/toDate(c)/toUnixTimestamp(c) (+ the legacy
+  // dateOf/unixTimestampOf spellings) read a timeuuid column's
+  // 60-bit time as the C72 clock (epoch ms) — over a DECLARED
+  // timeuuid KEY part (the expression reads the key column; the
+  // partition probe pushes) or the table's timeuuid VALUE column
+  // (the select narrows to its cells, the WRITETIME contract). The
+  // lifecycle pins the MINT INVERSION: extracting a now()-minted
+  // cell returns the statement's writetime coordinate exactly.
+  private def fcallSelect(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_fcsel"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-fcsel-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.ev (sensor bigint,
+        |  ev timeuuid, col text, value bigint, wt bigint,
+        |  PRIMARY KEY ((sensor), ev));
+        |CREATE TABLE IF NOT EXISTS ks.tu (pk bigint, ck int,
+        |  col text, value timeuuid, wt bigint);
+        |TRUNCATE ks.ev; TRUNCATE ks.tu;
+        |INSERT INTO ks.ev (sensor, ev, reading) VALUES (1,
+        |  05265c00-0000-1000-8000-000000000001, 10);
+        |INSERT INTO ks.ev (sensor, ev, reading) VALUES (1,
+        |  000000c8-0000-1000-8000-000000000001, 20);
+        |INSERT INTO ks.tu (pk, ck, at) VALUES (7, 1, now());
+        |INSERT INTO ks.tu (pk, ck, at) VALUES (8, 1, now())
+        |""".stripMargin, cat)
+    // key-part extraction: times 86400000 ms (= 1970-01-02) and
+    // 200 ms; value-column extraction inverts the now() mints
+    // (wt 1 and 2 on the truncated table)
+    val k = cq("SELECT sensor, toUnixTimestamp(ev) AS u, " +
+      "toDate(ev) AS d FROM ks.ev WHERE sensor = 1")
+      .select(lit("k").as("item"), col("sensor").as("pk"),
+        col("u").as("v"), col("d").cast("string").as("s"))
+    val v = cq("SELECT pk, toUnixTimestamp(at) AS u, " +
+      "toTimestamp(at) AS t FROM ks.tu")
+      .select(lit("v").as("item"), col("pk"), col("u").as("v"),
+        expr("cast(unix_millis(t) as string)").as("s"))
+    k.unionAll(v).orderBy(col("item"), col("pk"), col("v"))
+  }
+
+  private val fcallSelectSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, CAST(v AS BIGINT) AS v,
+      |  s FROM (VALUES
+      |  ('k', 1, 200, '1970-01-01'),
+      |  ('k', 1, 86400000, '1970-01-02'),
+      |  ('v', 7, 1, '1'), ('v', 8, 2, '2')) AS t(item, pk, v, s)
+      |ORDER BY item, pk, v""".stripMargin
+
+  // C15c — entry writetime + MAXWRITETIME (r17): Cassandra 4.2's
+  // collection-element selection (`WRITETIME(m['k'])` / `TTL(m['k'])`
+  // — the entry IS its own cell in the C12 row-is-the-map encoding,
+  // so the fn narrows to that cell exactly like a plain column's)
+  // and 4.1's MAXWRITETIME(c) — the row's largest writetime across
+  // the column's cells: identical to WRITETIME on a scalar (one
+  // cell), a per-owner grouped max over a declared collection's
+  // element cells (lists per pk, maps per (pk, ck) row).
+  private def entryWritetime(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_mwt"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-mwt-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int,
+        |  col text, value map<text, bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.l (pk bigint, ck int,
+        |  col text, value list<bigint>, wt bigint);
+        |TRUNCATE ks.m; TRUNCATE ks.l;
+        |UPDATE ks.m SET m['a'] = 1 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.m USING TTL 50 SET m['b'] = 2
+        |  WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.l SET xs = xs + [7] WHERE pk = 1;
+        |UPDATE ks.l SET xs = xs + [8, 9] WHERE pk = 1
+        |""".stripMargin, cat)
+    val ew = cq("SELECT WRITETIME(m['a']) AS v FROM ks.m " +
+      "WHERE pk = 1 AND ck = 1")
+      .select(lit("wt_a").as("item"), col("v"))
+    val et = cq("SELECT TTL(m['b']) AS v FROM ks.m " +
+      "WHERE pk = 1 AND ck = 1")
+      .select(lit("ttl_b").as("item"), col("v"))
+    val mm = cq("SELECT pk, ck, MAXWRITETIME(m) AS v FROM ks.m " +
+      "WHERE pk = 1 AND ck = 1")
+      .select(lit("max_m").as("item"), col("v"))
+    val ml = cq("SELECT pk, MAXWRITETIME(xs) AS v FROM ks.l " +
+      "WHERE pk = 1")
+      .select(lit("max_l").as("item"), col("v"))
+    ew.unionAll(et).unionAll(mm).unionAll(ml).orderBy(col("item"))
+  }
+
+  private val entryWritetimeSql =
+    """SELECT item, CAST(v AS BIGINT) AS v FROM (VALUES
+      |  ('max_l', 2), ('max_m', 2), ('ttl_b', 50), ('wt_a', 1))
+      |  AS t(item, v)
+      |ORDER BY item""".stripMargin
+
+  // C18m — CREATE CUSTOM INDEX (r17): the `USING '<class>'` spelling
+  // real Cassandra apps write, desugared to the canonical index
+  // modes — SASIIndex → prefix/contains/plain (PREFIX is SASI's
+  // default mode; SPARSE is the identity-token range index),
+  // StorageAttachedIndex → plain equality, or ann() on a vector
+  // column (Cassandra 5's SAI vector form). One index machinery,
+  // two spellings; probes serve identically.
+  private def customIndex(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_cidx"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-cidx-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.w (pk bigint, ck int,
+        |  col text, value text, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.emb (pk bigint, ck int,
+        |  col text, value vector<float, 2>, wt bigint);
+        |TRUNCATE ks.w; TRUNCATE ks.emb;
+        |INSERT INTO ks.w (pk, ck, word) VALUES (1, 1, 'carpet');
+        |INSERT INTO ks.w (pk, ck, word) VALUES (2, 1, 'cargo');
+        |INSERT INTO ks.w (pk, ck, word) VALUES (3, 1, 'magic');
+        |CREATE CUSTOM INDEX IF NOT EXISTS ON ks.w (word) USING
+        |  'org.apache.cassandra.index.sasi.SASIIndex';
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1, [1.0, 0.0]);
+        |INSERT INTO ks.emb (pk, ck, v) VALUES (2, 1, [-1.0, 0.0]);
+        |CREATE CUSTOM INDEX IF NOT EXISTS ON ks.emb (v) USING
+        |  'StorageAttachedIndex'
+        |""".stripMargin, cat)
+    val pfx = cq("SELECT pk FROM ks.w WHERE word LIKE 'car%'")
+      .select(lit("sasi").as("item"), col("pk"))
+    val ann = cq("SELECT pk FROM ks.emb ORDER BY v ANN OF " +
+      "[1.0, 0.0] LIMIT 1")
+      .select(lit("sai").as("item"), col("pk"))
+    pfx.unionAll(ann).orderBy(col("item"), col("pk"))
+  }
+
+  private val customIndexSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk FROM (VALUES
+      |  ('sai', 1), ('sasi', 1), ('sasi', 2)) AS t(item, pk)
+      |ORDER BY item, pk""".stripMargin
+
   // C51e — ALTER TABLE RENAME (r17): Cassandra's one legal column
   // rename (PRIMARY KEY parts only), pure metadata — file headers
   // keep their STORAGE names forever and the table-level spec serves
@@ -4620,6 +4769,10 @@ object Cells {
     GQuery("C55g_lwt_ttl", lwtTtlLifecycle, Some(lwtTtlSql)),
     GQuery("C72_fcall_literals", fcallLiterals, Some(fcallLiteralsSql)),
     GQuery("C72b_fcall_family", fcallFamily, Some(fcallFamilySql)),
+    GQuery("C72c_fcall_select", fcallSelect, Some(fcallSelectSql)),
+    GQuery("C18m_custom_index", customIndex, Some(customIndexSql)),
+    GQuery("C15c_entry_writetime", entryWritetime,
+      Some(entryWritetimeSql)),
     GQuery("C51d_create_like", createLike, Some(createLikeSql)),
     GQuery("C51e_alter_rename", alterRename, Some(alterRenameSql)),
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),

@@ -7469,4 +7469,192 @@ class CqlSpec extends GraftSpec {
         s"$root/ks/e_v_ann_idx").get("planes").contains("9"))
     } finally spark.conf.unset("spark.sql.catalog.aacat")
   }
+
+  test("time-extraction functions (C72c): toTimestamp/toDate/" +
+    "toUnixTimestamp over timeuuid keys and values; mint inversion") {
+    val root = Files.createTempDirectory("cql-timefn").toString
+    spark.conf.set("spark.sql.catalog.tfcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tfcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tfcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      // a DECLARED timeuuid KEY part — the expression reads the key
+      cq("CREATE TABLE ks.ev (sensor bigint, ev timeuuid, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((sensor), ev))")
+      cq("INSERT INTO ks.ev (sensor, ev, reading) VALUES (1, " +
+        "00000064-0000-1000-8000-000000000001, 10)") // t = 100 ms
+      cq("INSERT INTO ks.ev (sensor, ev, reading) VALUES (1, " +
+        "000000c8-0000-1000-8000-000000000001, 20)") // t = 200 ms
+      val k = cq("SELECT sensor, toUnixTimestamp(ev) AS u, " +
+        "toTimestamp(ev) AS t, toDate(ev) AS d FROM ks.ev " +
+        "WHERE sensor = 1")
+        .collect().map(r => (r.getLong(1),
+          r.getTimestamp(2).getTime, r.getDate(3).toString)).toSeq
+      assert(k.sortBy(_._1) === Seq((100L, 100L, "1970-01-01"),
+        (200L, 200L, "1970-01-01")), k)
+      // the VALUE-column case + mint inversion: extraction of a
+      // now()-minted timeuuid returns the statement's writetime
+      // coordinate exactly (the C72 clock round-trips)
+      cq("CREATE TABLE ks.tu (pk bigint, ck int, col text, " +
+        "value timeuuid, wt bigint)")
+      cq("INSERT INTO ks.tu (pk, ck, at) VALUES (1, 1, now())")
+      val u = cq("SELECT pk, toUnixTimestamp(at) AS u FROM ks.tu " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(1)
+      val w = cq("SELECT WRITETIME(at) AS w FROM ks.tu " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0)
+      assert(u === w)
+      // legacy spellings ride the same arms
+      val leg = cq("SELECT unixTimestampOf(at) AS u, dateOf(at) AS t " +
+        "FROM ks.tu WHERE pk = 1 AND ck = 1").collect().head
+      assert(leg.getLong(0) === w &&
+        leg.getTimestamp(1).getTime === w)
+      // refusals: non-timeuuid targets, mixed targets
+      refuse("SELECT toUnixTimestamp(reading) FROM ks.ev " +
+        "WHERE sensor = 1", "timeuuid")
+      refuse("SELECT toUnixTimestamp(sensor) FROM ks.ev " +
+        "WHERE sensor = 1", "timeuuid")
+      cq("INSERT INTO ks.tu (pk, ck, at2) VALUES (2, 1, now())")
+      refuse("SELECT toUnixTimestamp(at), toUnixTimestamp(at2) " +
+        "FROM ks.tu WHERE pk = 1 AND ck = 1", "ONE timeuuid")
+    } finally spark.conf.unset("spark.sql.catalog.tfcat")
+  }
+
+  test("CREATE CUSTOM INDEX (C18m): the SASI/SAI spellings desugar " +
+    "to the canonical index modes") {
+    val root = Files.createTempDirectory("cql-cidx").toString
+    spark.conf.set("spark.sql.catalog.cidx17cat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cidx17cat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cidx17cat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.w (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.w (pk, ck, word) VALUES (1, 1, 'carpet')")
+      cq("INSERT INTO ks.w (pk, ck, word) VALUES (2, 1, 'Carbon')")
+      cq("INSERT INTO ks.w (pk, ck, word) VALUES (3, 1, 'magic')")
+      // SASI default mode IS PREFIX; the FQCN spelling
+      cq("CREATE CUSTOM INDEX ON ks.w (word) USING " +
+        "'org.apache.cassandra.index.sasi.SASIIndex'")
+      assert(cq("SELECT pk FROM ks.w WHERE word LIKE 'car%'")
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+      // CONTAINS mode + the case-insensitive analyzer, custom name
+      cq("CREATE CUSTOM INDEX wci ON ks.w (word) USING 'SASIIndex' " +
+        "WITH OPTIONS = {'mode': 'CONTAINS', " +
+        "'case_sensitive': 'false'}")
+      assert(cq("SELECT pk FROM ks.w WHERE word LIKE '%arb%'")
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // DESCRIBE renders the canonical round-trippable form (the
+      // desugar is total — no CUSTOM spelling survives)
+      val d = cq("DESCRIBE INDEX ks.wci").collect().head.getString(0)
+      assert(d.contains("contains(word)") &&
+        d.contains("'case_sensitive': 'false'"), d)
+      // SPARSE = the plain identity-token (range-serving) index
+      cq("CREATE TABLE ks.n (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.n (pk, ck, qty) VALUES (1, 1, 5)")
+      cq("INSERT INTO ks.n (pk, ck, qty) VALUES (2, 1, 50)")
+      cq("CREATE CUSTOM INDEX ON ks.n (qty) USING 'SASIIndex' " +
+        "WITH OPTIONS = {'mode': 'SPARSE'}")
+      assert(cq("SELECT pk FROM ks.n WHERE qty > 10")
+        .collect().map(_.getLong(0)).toSet === Set(2L))
+      // SAI on a scalar column = the plain equality index
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.s (pk, ck, tag) VALUES (1, 1, 7)")
+      cq("CREATE CUSTOM INDEX ON ks.s (tag) USING " +
+        "'StorageAttachedIndex'")
+      assert(cq("SELECT pk FROM ks.s WHERE tag = 7")
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+      // SAI on a VECTOR column = the ann index (Cassandra 5's form)
+      cq("CREATE TABLE ks.emb (pk bigint, ck int, col text, " +
+        "value vector<float, 2>, wt bigint)")
+      cq("INSERT INTO ks.emb (pk, ck, v) VALUES (1, 1, [1.0, 0.0])")
+      cq("CREATE CUSTOM INDEX ON ks.emb (v) USING " +
+        "'org.apache.cassandra.index.sai.StorageAttachedIndex' " +
+        "WITH OPTIONS = {'similarity_function': 'cosine'}")
+      assert(cq("SELECT pk FROM ks.emb ORDER BY v ANN OF [1.0, 0.0] " +
+        "LIMIT 1").collect().map(_.getLong(0)).toSeq === Seq(1L))
+      // IF NOT EXISTS tolerates the SAME desugared index
+      cq("CREATE CUSTOM INDEX IF NOT EXISTS ON ks.emb (v) USING " +
+        "'StorageAttachedIndex'")
+      // refusals: unknown class, unknown SASI mode, stray options
+      refuse("CREATE CUSTOM INDEX ON ks.s (tag) USING 'MyIndex'",
+        "custom index class")
+      refuse("CREATE CUSTOM INDEX ON ks.w (word) USING 'SASIIndex' " +
+        "WITH OPTIONS = {'mode': 'SUFFIX'}", "SASI mode")
+      refuse("CREATE CUSTOM INDEX ON ks.w (word) USING 'SASIIndex' " +
+        "WITH OPTIONS = {'analyzer_class': 'x'}", "SASI OPTIONS")
+      refuse("CREATE CUSTOM INDEX ON ks.emb (v) USING " +
+        "'StorageAttachedIndex' WITH OPTIONS = " +
+        "{'similarity_function': 'euclidean'}", "cosine")
+    } finally spark.conf.unset("spark.sql.catalog.cidx17cat")
+  }
+
+  test("entry writetime + MAXWRITETIME (C15c): WRITETIME/TTL of a " +
+    "map entry; per-owner max over collections; scalar identity") {
+    val root = Files.createTempDirectory("cql-mwt").toString
+    spark.conf.set("spark.sql.catalog.mwcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mwcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mwcat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint)")
+      cq("UPDATE ks.m SET m['a'] = 1 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.m USING TTL 50 SET m['b'] = 2 " +
+        "WHERE pk = 1 AND ck = 1")
+      // entry writetime: each entry cell carries its own coordinate
+      val wts = cq("SELECT WRITETIME(m['a']) AS wa FROM ks.m " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0)
+      val wtb = cq("SELECT WRITETIME(m['b']) AS wb FROM ks.m " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0)
+      assert(wtb === wts + 1)
+      // entry TTL round-trips the grant; the un-granted entry is null
+      assert(cq("SELECT TTL(m['b']) AS t FROM ks.m " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(0) === 50L)
+      assert(cq("SELECT TTL(m['a']) AS t FROM ks.m " +
+        "WHERE pk = 1 AND ck = 1").collect().head.isNullAt(0))
+      // MAXWRITETIME over the map = the newest entry's coordinate,
+      // per (pk, ck) row
+      assert(cq("SELECT pk, ck, MAXWRITETIME(m) AS mw FROM ks.m " +
+        "WHERE pk = 1 AND ck = 1").collect().head.getLong(2) === wtb)
+      // ... and over a LIST, per partition
+      cq("CREATE TABLE ks.l (pk bigint, ck int, col text, " +
+        "value list<bigint>, wt bigint)")
+      cq("UPDATE ks.l SET xs = xs + [7] WHERE pk = 1")
+      cq("UPDATE ks.l SET xs = xs + [8] WHERE pk = 1")
+      val lw = cq("SELECT pk, MAXWRITETIME(xs) AS mw FROM ks.l " +
+        "WHERE pk = 1").collect().head
+      val lWts = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/l")
+        .filter(col("pk") === 1).agg(max(col("wt")))
+        .collect().head.getLong(0)
+      assert(lw.getLong(1) === lWts)
+      // on a SCALAR column MAXWRITETIME(c) == WRITETIME(c)
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.s (pk, ck, qty) VALUES (1, 1, 5)")
+      val sr = cq("SELECT MAXWRITETIME(qty) AS m, WRITETIME(qty) " +
+        "AS w FROM ks.s WHERE pk = 1 AND ck = 1").collect().head
+      assert(sr.getLong(0) === sr.getLong(1))
+      // entry fns refuse on a declared NON-map collection
+      cq("CREATE TABLE ks.st (pk bigint, ck int, col text, " +
+        "value set<bigint>, wt bigint)")
+      cq("UPDATE ks.st SET s = s + {1} WHERE pk = 1")
+      refuse("SELECT WRITETIME(s['k']) FROM ks.st WHERE pk = 1",
+        "map entries")
+    } finally spark.conf.unset("spark.sql.catalog.mwcat")
+  }
 }
