@@ -291,6 +291,45 @@ object Dedup {
     labels
   }
 
+  /** N_DEDUP11 — repeated-span detection: the exact-substring
+    * duplication measure of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022), relationally — a
+    * doc's word n-gram spans that appear in ≥ 2 DISTINCT docs are
+    * duplicated text. Returns one row per AFFECTED doc: (doc_id,
+    * n_spans, dup_spans, dup_ratio). Intra-doc repetition does not
+    * count (per-doc spans dedup first); docs shorter than n tokens
+    * have no spans and never surface.
+    *
+    * Scale shape: one explode + one hash-keyed agg + one left join
+    * back — every stage hash-partitions on the span, no pairwise
+    * work (the suffix-array original is superlinear in memory; the
+    * fixed-n relaxation is the standard scale-out form). The span
+    * relation persists once — it feeds both the hot-span agg and the
+    * join back, N_DEDUP6's materialize-once discipline; at cluster
+    * scale the persist becomes a checkpoint.
+    *
+    * @param docs (id, text) — whitespace-tokenized text
+    */
+  def repeatedSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("id"), graft.text.TextOps.tokens(col("text"))
+        .as("toks"))
+      .select(col("id"),
+        explode(graft.text.TextOps.shingles("toks", n)).as("span"))
+      .distinct()
+      .persist()
+    val hot = sh.groupBy(col("span"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    sh.join(hot, Seq("span"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(col("n_docs")).as("dup_spans"))
+      .filter(col("dup_spans") > 0)
+      .select(col("id"), col("n_spans"), col("dup_spans"),
+        round(col("dup_spans") / col("n_spans"), 6).as("dup_ratio"))
+  }
+
   /** Exact Jaccard verification restricted to blocked candidate pairs
     * (verify-after-block — the only all-corpus-safe shape). Intersection
     * sizes come from joins THROUGH the candidate list: candidates ⋈

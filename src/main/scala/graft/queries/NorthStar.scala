@@ -270,6 +270,48 @@ object NorthStar {
       |FROM labels GROUP BY lbl HAVING COUNT(*) >= 2
       |ORDER BY cluster""".stripMargin
 
+  // N_DEDUP11 — repeated-span detection (r17): the EXACT-substring
+  // duplication measure of "Deduplicating Training Data Makes
+  // Language Models Better" (Lee et al., 2022), relationally: a
+  // doc's 5-gram spans that appear in ≥ 2 DISTINCT docs are
+  // duplicated text; report each affected doc's span count,
+  // duplicated-span count, and ratio. One explode + one hash-keyed
+  // groupBy + one left join back — every stage hash-partitions on
+  // the span, no pairwise work, so the shape survives 100 TB (the
+  // suffix-array original is superlinear in memory; the fixed-n
+  // n-gram relaxation is the standard scale-out form). The span
+  // relation is persisted once (it feeds both the hot-span agg and
+  // the join back), the same materialize-once discipline as
+  // N_DEDUP6's edge list.
+  private def dedupRepeatedSpans(s: SparkSession,
+      d: String): DataFrame =
+    Dedup.repeatedSpans(
+      docs(s, d).select(col("doc_id").as("id"), col("text")))
+      .select(col("id").as("doc_id"), col("n_spans"),
+        col("dup_spans"), col("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val dedupRepeatedSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, span FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) < 5
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(0, len(t) - 4),
+      |        i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+      |      END) AS span
+      |    FROM toks)),
+      |hot AS (
+      |  SELECT span FROM sh GROUP BY span
+      |  HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(COUNT(h.span) AS BIGINT) AS dup_spans,
+      |  ROUND(COUNT(h.span) * 1.0 / COUNT(*), 6) AS dup_ratio
+      |FROM sh s LEFT JOIN hot h ON s.span = h.span
+      |GROUP BY s.doc_id HAVING COUNT(h.span) > 0
+      |ORDER BY s.doc_id""".stripMargin
+
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.blockedPairs(embs(s, d), 0.4)
       .select(col("id_a"), col("id_b"), col("score_r"))
@@ -1618,6 +1660,8 @@ object NorthStar {
     GQuery("N_DEDUP6_clusters", dedupClusters, Some(dedupClustersSql)),
     GQuery("N_DEDUP10_clusters_fixpoint", dedupClustersFixpoint,
       Some(dedupClustersFixpointSql)),
+    GQuery("N_DEDUP11_repeated_spans", dedupRepeatedSpans,
+      Some(dedupRepeatedSpansSql)),
     GQuery("N_SIM1_cosine_topk", simTopK, Some(simTopKSql)),
     GQuery("N_SIM7_batch_topk", simBatchTopK, Some(simBatchTopKSql)),
     GQuery("N_SIM2_blocked_pairs", simPairs, Some(simPairsSql)),

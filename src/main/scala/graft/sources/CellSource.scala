@@ -4287,17 +4287,36 @@ private[sources] object CellPlanning {
     * re-points every history entry on a chained rename, so no entry
     * ever needs transitive resolution.
     */
+  // (dir `_props` path, mtime) → rename map. keySpecOf sits on every
+  // planning path and the keyed readers resolve renames per
+  // partition, so the common no-rename case must not re-parse the
+  // props file per call; an ALTER RENAME bumps the mtime, which IS
+  // the invalidation. Bounded: cleared wholesale past 4096 entries
+  // (test suites churn thousands of tmp tables; the maps are tiny).
+  private val renameCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long), Map[String, String]]()
+
   def keyRenames(path: String): Map[String, String] = {
     val f = java.nio.file.Paths.get(normalize(path)).resolve("_props")
     if (!java.nio.file.Files.exists(f)) return Map.empty
-    val p = new java.util.Properties()
-    scala.util.Using.resource(
-      java.nio.file.Files.newBufferedReader(f))(p.load)
-    val it = scala.jdk.CollectionConverters
-      .SetHasAsScala(p.stringPropertyNames()).asScala.iterator
-    it.filter(_.startsWith("keyRename."))
-      .map(k => k.stripPrefix("keyRename.") -> p.getProperty(k))
-      .toMap
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(f).toMillis
+      catch { case _: java.io.IOException => return Map.empty }
+    if (renameCache.size > 4096) renameCache.clear()
+    renameCache.computeIfAbsent((f.toString, mtime), { _ =>
+      try {
+        val p = new java.util.Properties()
+        scala.util.Using.resource(
+          java.nio.file.Files.newBufferedReader(f))(p.load)
+        val it = scala.jdk.CollectionConverters
+          .SetHasAsScala(p.stringPropertyNames()).asScala.iterator
+        it.filter(_.startsWith("keyRename."))
+          .map(k => k.stripPrefix("keyRename.") -> p.getProperty(k))
+          .toMap
+      } catch { // a racing DROP between exists() and the read
+        case _: java.io.IOException => Map.empty
+      }
+    })
   }
 
   /** The table's spec in DECLARED names: every part whose storage

@@ -86,7 +86,7 @@ object DumpPlans {
     "C11h_map_replace", "C70e_similarity_select", "C72b_fcall_family",
     "C51e_alter_rename", "N_DEDUP10_clusters_fixpoint",
     "C72c_fcall_select", "C18m_custom_index",
-    "C15c_entry_writetime")
+    "C15c_entry_writetime", "N_DEDUP11_repeated_spans")
 
   /** Hand-written sections (memos) after this marker are preserved
     * across regeneration.

@@ -81,6 +81,25 @@ class DedupSpec extends GraftSpec {
     assert(fixed == (1L to 6L).map(_ -> 1L).toMap)
   }
 
+  test("repeatedSpans: cross-doc 5-grams flag, intra-doc repetition " +
+    "and short docs do not") {
+    val docs = Seq(
+      // docs 1 and 2 share exactly one 5-gram ("a b c d e"); each
+      // has 2 spans total
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"),
+      // doc 3 repeats ITS OWN 5-gram (w x y z w x y z w) — intra-doc
+      // repetition dedups away, no cross-doc duplicate
+      (3L, "w x y z w x y z w"),
+      // doc 4 is shorter than 5 tokens — no spans at all
+      (4L, "tiny doc")
+    ).toDF("id", "text")
+    val out = Dedup.repeatedSpans(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)),
+      out.toSeq)
+  }
+
   test("jaccardOnCandidates: no forced broadcast, hot bucket completes") {
     // 40 docs sharing one hot band → 780 candidate pairs; the verify
     // join must complete without a broadcast HINT on the candidate
