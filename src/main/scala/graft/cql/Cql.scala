@@ -265,6 +265,22 @@ object Cql {
       """(?:\s+WITH\s+OPTIONS\s*=\s*\{([^}]*)\})?\s*;?\s*$""").r
   private val DropIdxRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\.(\w+)\s*;?\s*$""".r
+
+  /** The quoted-map OPTIONS body (`'k': 'v', …`) of a CREATE INDEX —
+    * ONE parser for the canonical and CUSTOM (C18m) spellings, keys
+    * and values lowercased (every recognized option value is an
+    * identifier-class token: modes, booleans, integers).
+    */
+  private def parseIndexOptions(body: String): Map[String, String] =
+    body.split(',').map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        kv.split(':') match {
+          case Array(k, v) =>
+            (literal(k).toString.toLowerCase,
+              literal(v).toString.toLowerCase)
+          case _ => fail(s"malformed index option: $kv")
+        }
+      }.toMap
   // C71 — function/aggregate DDL (Cassandra 2.2+ surface)
   private val CreateFnRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+""" +
@@ -2846,13 +2862,38 @@ object Cql {
                     .contains(to))
                 fail(s"cannot rename $from to $to: a column of " +
                   "that name already exists")
-              // re-point every storage name currently serving `from`
               val renames = graft.sources.CellSource.keyRenames(dir)
+              // the table's STORAGE name set = every part's header
+              // name. Renaming onto ANOTHER part's storage name is
+              // refused: the storage→declared map would stop being
+              // a bijection and the writers' inverse would stamp
+              // duplicate header names. Renaming a part back to its
+              // OWN storage name is the UNDO — the recorded entries
+              // just drop.
+              def storageOf(n: String): String =
+                renames.find(_._2 == n).map(_._1).getOrElse(n)
               val storages = renames.filter(_._2 == from).keys.toSeq
-              val targets =
-                if (storages.isEmpty) Seq(from) else storages
-              targets.foreach(s =>
-                updateTableProp(dir, s"keyRename.$s", to))
+              if (to == storageOf(from)) {
+                storages.foreach(s =>
+                  removeTableProp(dir, s"keyRename.$s"))
+              } else {
+                val allStorage = keyNames.map(storageOf).toSet
+                if (allStorage.contains(to))
+                  fail(s"cannot rename $from to $to: $to is a " +
+                    "recorded STORAGE name of this table's key " +
+                    "layout (file headers keep it forever; reusing " +
+                    "it would make the rename map ambiguous)")
+                // re-point every storage name currently serving
+                // `from`
+                val targets =
+                  if (storages.isEmpty) Seq(from) else storages
+                targets.foreach(s =>
+                  updateTableProp(dir, s"keyRename.$s", to))
+              }
+              // the mtime cache key has ms granularity — chained
+              // pairs and back-to-back statements must see THIS
+              // pair's map immediately
+              graft.sources.CellSource.forgetKeyRenames(dir)
               // the declared CQL type rides the DECLARED name
               tableProps(dir).get(s"cqlKeyType.$from").foreach { ct =>
                 updateTableProp(dir, s"cqlKeyType.$to", ct)
@@ -3056,21 +3097,11 @@ object Cql {
       case CreateCustomIdxRe(ifNot, nameOpt, ks, t, c, clazz,
           optsOpt) =>
         // C18m — desugar to the canonical CREATE INDEX form and
-        // recurse: one index machinery, two spellings. Options parse
-        // with the same quoted-map grammar as the canonical arm.
-        val opts: Map[String, String] = Option(optsOpt) match {
-          case None => Map.empty
-          case Some(body) =>
-            body.split(',').map(_.trim).filter(_.nonEmpty)
-              .map { kv =>
-                kv.split(':') match {
-                  case Array(k, v) =>
-                    (literal(k).toString.toLowerCase,
-                      literal(v).toString)
-                  case _ => fail(s"malformed OPTIONS entry: $kv")
-                }
-              }.toMap
-        }
+        // recurse: one index machinery, two spellings, ONE options
+        // parser (shared with the canonical arm so the grammars can
+        // never drift).
+        val opts: Map[String, String] = Option(optsOpt)
+          .map(parseIndexOptions).getOrElse(Map.empty)
         val col0 = c.toLowerCase
         val short = clazz.trim
           .substring(clazz.trim.lastIndexOf('.') + 1).toLowerCase
@@ -3150,19 +3181,8 @@ object Cql {
         // modes only — a case-insensitive index stores
         // lower(value) codes, so probes lowercase the needle and
         // the base re-read re-checks on lower(value)
-        val opts: Map[String, String] = Option(optsOpt) match {
-          case None => Map.empty
-          case Some(body) =>
-            body.split(',').map(_.trim).filter(_.nonEmpty)
-              .map { kv =>
-                kv.split(':') match {
-                  case Array(k, v) =>
-                    (literal(k).toString.toLowerCase,
-                      literal(v).toString.toLowerCase)
-                  case _ => fail(s"malformed index option: $kv")
-                }
-              }.toMap
-        }
+        val opts: Map[String, String] = Option(optsOpt)
+          .map(parseIndexOptions).getOrElse(Map.empty)
         val isAnnIdx = Option(fnOpt).exists(_.equalsIgnoreCase("ann"))
         // per-mode option vocabulary: the SASI LIKE modes take the
         // case_sensitive analyzer option; an ann index takes its LSH
@@ -4400,6 +4420,19 @@ object Cql {
     lim.map(out.limit).getOrElse(out)
   }
 
+  /** The canonical timeuuid rendering's 60-bit time as a SQL
+    * expression — hi12 (chars 16-18, behind the version nibble)
+    * << 48 | mid16 (chars 10-13) << 32 | low32 (chars 1-8). ONE
+    * definition: the C72b range probe and the C72c extraction
+    * functions must never drift on these offsets.
+    */
+  private def timeuuid60(c: String): String =
+    s"(cast(conv(substring($c, 16, 3), 16, 10) as bigint) * " +
+      "281474976710656 + " +
+      s"cast(conv(substring($c, 10, 4), 16, 10) as bigint) * " +
+      "4294967296 + " +
+      s"cast(conv(substring($c, 1, 8), 16, 10) as bigint))"
+
   /** C72c — the timeuuid time-extraction SELECT: `SELECT pk,
     * toUnixTimestamp(ev) FROM t WHERE …` reads the 60-bit time of a
     * timeuuid column as the C72 clock (epoch ms) and renders it as
@@ -4461,15 +4494,8 @@ object Cql {
           .foreach { case (n, v) => df = df.filter(col(n) === v) })
       }
     }
-    // the canonical rendering's 60-bit time — hi12 << 48 | mid16
-    // << 32 | low32 (see timeuuidRangeSelect)
     val src = if (isKey) target else "value"
-    val t60 =
-      s"(cast(conv(substring($src, 16, 3), 16, 10) as bigint) * " +
-        "281474976710656 + " +
-        s"cast(conv(substring($src, 10, 4), 16, 10) as bigint) * " +
-        "4294967296 + " +
-        s"cast(conv(substring($src, 1, 8), 16, 10) as bigint))"
+    val t60 = timeuuid60(src)
     def rendered(fn: String): org.apache.spark.sql.Column =
       fn.toLowerCase match {
         case "tounixtimestamp" | "unixtimestampof" => expr(t60)
@@ -4523,15 +4549,7 @@ object Cql {
         "clustering part declared timeuuid")
     }
     val pkNames = spec.pkParts.map(_.name.toLowerCase)
-    // the 60-bit time of the canonical rendering: hi12 (chars 16-18,
-    // behind the version nibble) << 48 | mid16 (10-13) << 32 |
-    // low32 (1-8)
-    def time60(c: String): String =
-      s"(cast(conv(substring($c, 16, 3), 16, 10) as bigint) * " +
-        "281474976710656 + " +
-        s"cast(conv(substring($c, 10, 4), 16, 10) as bigint) * " +
-        "4294967296 + " +
-        s"cast(conv(substring($c, 1, 8), 16, 10) as bigint))"
+    def time60(c: String): String = timeuuid60(c)
     var lo = Long.MinValue // inclusive time lower bound
     var hi = Long.MaxValue // inclusive time upper bound
     val pkTerms = scala.collection.mutable.ArrayBuffer.empty[
@@ -4612,11 +4630,14 @@ object Cql {
     }
     // C72b: minTimeuuid/maxTimeuuid WHERE bounds route to the
     // timeuuid range probe (time-component comparison — the text
-    // comparator must never see these)
-    if (where.exists(w => w.toLowerCase.contains("mintimeuuid(") ||
-        w.toLowerCase.contains("maxtimeuuid("))) {
+    // comparator must never see these). Detection matches PARSED
+    // terms against the bound grammar, never the raw text — a quoted
+    // string literal containing "minTimeuuid(" must not hijack an
+    // ordinary select.
+    if (where.exists(_.split("(?i)\\s+AND\\s+").exists(t =>
+        TimeuuidBoundRe.findFirstIn(t.trim).isDefined))) {
       if (json || distinct || group.isDefined || order.isDefined ||
-          ppl.isDefined || page.isDefined)
+          ppl.isDefined || page.isDefined || allowFiltering)
         fail("min/maxTimeuuid bounds serve plain selects " +
           "(optionally LIMIT) in this subset")
       return timeuuidRangeSelect(spark, dir, cols, where.get, lim)
@@ -5670,7 +5691,11 @@ object Cql {
           }
           df = assembled.select(items.toIndexedSeq: _*)
         } else if (maxWtCols.nonEmpty &&
-            cqlCollectionOf(dir).isDefined) {
+            cqlCollectionOf(dir).isDefined &&
+            !maxWtCols.exists(statics.contains)) {
+          // (a STATIC target on a collection table is NOT the
+          // collection — it falls to the scalar arm below, whose
+          // cellName routes to the '!s:' partition-front cell)
           // C15c — MAXWRITETIME over a DECLARED collection: the
           // row's largest element writetime, a per-owner max over
           // the collection's cells (the C11g owner-key discipline:

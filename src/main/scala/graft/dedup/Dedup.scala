@@ -244,8 +244,9 @@ object Dedup {
     * labels (so every component is fully merged), with a hard
     * `maxRounds` cap as the runaway guard (rounds needed = max
     * component diameter; near-dup components are short chains, so the
-    * cap should never bind in practice — when it does, the result is
-    * the same best-effort answer the capped form gives).
+    * cap should never bind in practice — when it does, the function
+    * FAILS BY NAME rather than silently returning a split result that
+    * claims fixpoint semantics).
     *
     * Per round: one shuffle join (neighbor labels) + one min-aggregate,
     * then an EAGER localCheckpoint so the lineage stays one round deep
@@ -288,6 +289,17 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    // the cap is a RUNAWAY GUARD, not a silent result mode: an
+    // unconverged return would split components exactly like the
+    // capped form while claiming fixpoint semantics (and diverge
+    // from N_DEDUP10's recursive-CTE oracle). Fail by name instead —
+    // callers raise maxRounds (rounds needed = max component
+    // diameter).
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClustersFixpoint did not converge within $maxRounds " +
+          s"rounds ($changed labels still changing) — a component's " +
+          "diameter exceeds the cap; raise maxRounds")
     labels
   }
 
@@ -321,13 +333,20 @@ object Dedup {
     val hot = sh.groupBy(col("span"))
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-    sh.join(hot, Seq("span"), "left_outer")
+    val out = sh.join(hot, Seq("span"), "left_outer")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         count(col("n_docs")).as("dup_spans"))
       .filter(col("dup_spans") > 0)
       .select(col("id"), col("n_spans"), col("dup_spans"),
         round(col("dup_spans") / col("n_spans"), 6).as("dup_ratio"))
+      // materialize the (small: one row per affected doc) result and
+      // RELEASE the span cache — the dedupClusters discipline: a
+      // long-lived session must not leak one pinned span relation
+      // per invocation
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Exact Jaccard verification restricted to blocked candidate pairs

@@ -713,6 +713,9 @@ class CellKeyedReconcileReader(part: CellReconcilePartition,
   private val cursor = KeyedCursor.of(part, opts)
   private val spec =
     if (part.fileParts.isEmpty) KeySpec.Default
+    else if (part.tablePath.nonEmpty)
+      CellPlanning.applyKeyRenames(part.tablePath,
+        part.fileParts(0).keySpec)
     else CellPlanning.declaredSpecFor(part.fileParts(0).file,
       part.fileParts(0).keySpec)
   private val proj = new KeyedProjection(spec,
@@ -755,6 +758,9 @@ class CellKeyedReconcileColumnarReader(part: CellReconcilePartition,
   private val cursor = KeyedCursor.of(part, opts)
   private val spec =
     if (part.fileParts.isEmpty) KeySpec.Default
+    else if (part.tablePath.nonEmpty)
+      CellPlanning.applyKeyRenames(part.tablePath,
+        part.fileParts(0).keySpec)
     else CellPlanning.declaredSpecFor(part.fileParts(0).file,
       part.fileParts(0).keySpec)
   private val valueType: DataType =

@@ -756,6 +756,12 @@ object CellSource {
   def keyRenames(dir: String): Map[String, String] =
     CellPlanning.keyRenames(dir)
 
+  /** Public face of [[CellPlanning.forgetKeyRenames]] — the ALTER
+    * RENAME arm invalidates after every `_props` rewrite.
+    */
+  def forgetKeyRenames(dir: String): Unit =
+    CellPlanning.forgetKeyRenames(dir)
+
   /** The table's stored/declared VALUE type: the first file header's
     * tag once files exist, the catalog's `_type` marker before the
     * first flush, long otherwise (the default layout's default). The
@@ -2859,8 +2865,8 @@ class CellReconcileScan(path: String, pkLower: Long, pkUpper: Long,
             Long.MinValue, Long.MaxValue)
         }.map(_.asInstanceOf[CellInputPartition])
         if (fileParts.isEmpty) None
-        else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray)
-          : InputPartition)
+        else Some(CellReconcilePartition(rlo, rhi, fileParts.toArray,
+          tablePath = path): InputPartition)
       }.toArray
     }
   }
@@ -2926,8 +2932,15 @@ class CellReconcileReaderFactory(cols: Array[String], columnar: Boolean,
 /** One disjoint pk range plus the chunk-narrowed piece of every flush
   * file overlapping it.
   */
+/** `tablePath` is the PRIMARY table directory the scan serves — the
+  * readers resolve C51e renames against IT, never a file's parent: a
+  * partition whose first file comes from a REPLICA dir (the C47
+  * quorum read / heal path) must still serve the primary's declared
+  * names. Empty = legacy/default (resolve via the file's parent).
+  */
 case class CellReconcilePartition(pkLo: Long, pkHi: Long,
-    fileParts: Array[CellInputPartition]) extends InputPartition
+    fileParts: Array[CellInputPartition],
+    tablePath: String = "") extends InputPartition
 
 /** What the reconcile readers need from a winner stream — the k-way
   * merge cursor and its reversing wrapper both provide it.
@@ -4295,6 +4308,20 @@ private[sources] object CellPlanning {
   // (test suites churn thousands of tmp tables; the maps are tiny).
   private val renameCache = new java.util.concurrent
     .ConcurrentHashMap[(String, Long), Map[String, String]]()
+
+  /** Drop the cached rename map for a table — the ALTER RENAME arm
+    * calls this after rewriting `_props`, because the mtime key has
+    * MILLISECOND granularity: a rename followed by a read inside the
+    * same millisecond (routine for back-to-back script statements and
+    * for the chained `AND c TO d` pairs of one statement) would
+    * otherwise serve the pre-write map.
+    */
+  def forgetKeyRenames(path: String): Unit = {
+    val f = java.nio.file.Paths.get(normalize(path))
+      .resolve("_props").toString
+    val it = renameCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == f) it.remove()
+  }
 
   def keyRenames(path: String): Map[String, String] = {
     val f = java.nio.file.Paths.get(normalize(path)).resolve("_props")

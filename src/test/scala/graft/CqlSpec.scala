@@ -7335,6 +7335,15 @@ class CqlSpec extends GraftSpec {
       // every pk part must bind
       refuse("SELECT value FROM ks.ev WHERE ev > minTimeuuid(100)",
         "partition-key part")
+      // a QUOTED literal containing the token never hijacks the
+      // route — detection matches parsed terms, not raw text
+      cq("CREATE TABLE ks.txt (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.txt (pk, ck, note) VALUES (1, 1, " +
+        "'minTimeuuid(5)')")
+      assert(cq("SELECT pk FROM ks.txt WHERE pk = 1 AND value = " +
+        "'minTimeuuid(5)' ALLOW FILTERING")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
     } finally spark.conf.unset("spark.sql.catalog.fc72cat")
   }
 
@@ -7418,6 +7427,20 @@ class CqlSpec extends GraftSpec {
       cq("CREATE INDEX ON ks.w (hits)")
       refuse("ALTER TABLE ks.w RENAME page TO url",
         "indexes depend")
+      // renaming onto ANOTHER part's recorded STORAGE name refuses
+      // (file headers keep it forever — reuse would make the rename
+      // map ambiguous and the writers' inverse would stamp duplicate
+      // header names): 'seq' is pos's storage name, freed as a
+      // DECLARED name but never as a header name
+      refuse("ALTER TABLE ks.ev RENAME dev TO seq",
+        "STORAGE name")
+      // renaming a part back to its OWN storage name is the UNDO —
+      // the recorded entries drop and the original name serves again
+      cq("ALTER TABLE ks.ev RENAME dev TO sensor")
+      assert(graft.sources.CellSource.keyRenames(s"$root/ks/ev")
+        === Map("seq" -> "pos"))
+      assert(cq("SELECT value FROM ks.ev WHERE sensor = 1 AND " +
+        "pos = 1").collect().head.getLong(0) === 11L)
     } finally spark.conf.unset("spark.sql.catalog.rncat")
   }
 
@@ -7655,6 +7678,17 @@ class CqlSpec extends GraftSpec {
       cq("UPDATE ks.st SET s = s + {1} WHERE pk = 1")
       refuse("SELECT WRITETIME(s['k']) FROM ks.st WHERE pk = 1",
         "map entries")
+      // MAXWRITETIME of a STATIC column on a collection table reads
+      // the '!s:' partition-front cell, NOT the collection's max
+      cq("CREATE TABLE ks.ms (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint, tag bigint STATIC)")
+      cq("UPDATE ks.ms SET tag = 9 WHERE pk = 1")
+      cq("UPDATE ks.ms SET m['a'] = 1 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.ms SET m['b'] = 2 WHERE pk = 1 AND ck = 1")
+      val tagWt = cq("SELECT WRITETIME(tag) AS w FROM ks.ms " +
+        "WHERE pk = 1").collect().head.getLong(0)
+      assert(cq("SELECT MAXWRITETIME(tag) AS mw FROM ks.ms " +
+        "WHERE pk = 1").collect().head.getLong(0) === tagWt)
     } finally spark.conf.unset("spark.sql.catalog.mwcat")
   }
 }

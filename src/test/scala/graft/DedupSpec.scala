@@ -79,6 +79,11 @@ class DedupSpec extends GraftSpec {
       plan.treeString.linesIterator.length <= 3, plan.treeString)
     val fixed = fixed0.as[(Long, Long)].collect().toMap
     assert(fixed == (1L to 6L).map(_ -> 1L).toMap)
+    // the runaway cap FAILS BY NAME instead of silently returning a
+    // split result under fixpoint semantics
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClustersFixpoint(pairs, maxRounds = 2) }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
 
   test("repeatedSpans: cross-doc 5-grams flag, intra-doc repetition " +
