@@ -4677,6 +4677,46 @@ object Cql {
           !keyCols.contains(arg.toLowerCase) && arg.toLowerCase != "wt")
         fail(s"${fn.toLowerCase}() over duration cells is not " +
           "supported (durations are not comparable)")
+    // The aggregate expression for one select item (r17 tightening
+    // of C65u): timeuuid is the SECOND mapped type whose storage
+    // does not preserve the declared order (the canonical text
+    // renders time-low first), so min/max compare by the 60-bit
+    // TIME then the text (Cassandra's time-first comparator) via
+    // min_by/max_by — one pass, codegen'd — and sum/avg refuse; and
+    // sum/avg refuse on EVERY non-numeric value storage (Cassandra:
+    // arithmetic aggregates take numeric types; Spark's silent
+    // cast-to-double would return nulls).
+    def aggColumn(fn: String, arg: String): Column = {
+      checkAgg(fn, arg)
+      val a = arg.toLowerCase
+      val tu = (a == "value" && mappedCt.contains("timeuuid")) ||
+        (keyCols.contains(a) && tableProps(dir)
+          .get(s"cqlKeyType.$a").contains("timeuuid"))
+      def numericValue: Boolean = {
+        import org.apache.spark.sql.types._
+        graft.sources.CellSource.valueTypeOf(dir) match {
+          case LongType | IntegerType | DoubleType => true
+          case _: DecimalType => true
+          case _ => false
+        }
+      }
+      fn.toLowerCase match {
+        case "count" => count(lit(1)).cast("long")
+        case "min" if tu =>
+          expr(s"min_by($a, struct(${timeuuid60(a)}, $a))")
+        case "max" if tu =>
+          expr(s"max_by($a, struct(${timeuuid60(a)}, $a))")
+        case "min" => min(col(arg))
+        case "max" => max(col(arg))
+        case f @ ("sum" | "avg")
+            if tu || (a == "value" && !numericValue) =>
+          fail(s"$f() takes numeric types — value is declared " +
+            mappedCt.getOrElse(SystemSchema.cqlTypeName(
+              graft.sources.CellSource.valueTypeOf(dir))))
+        case "sum" => sum(col(arg))
+        case _ => avg(col(arg))
+      }
+    }
     // C71 UDF/UDA registries of this table's keyspace (a property
     // read, catalog-sized; absent file = empty map)
     val ksDirPath = java.nio.file.Paths
@@ -5300,15 +5340,7 @@ object Cql {
                 .as(alias.getOrElse(s"$f($arg)"))
             case None => item match {
               case AggRe(fn, arg, alias) =>
-                checkAgg(fn, arg)
-                val e = fn.toLowerCase match {
-                  case "count" => count(lit(1)).cast("long")
-                  case "min" => min(col(arg))
-                  case "max" => max(col(arg))
-                  case "sum" => sum(col(arg))
-                  case "avg" => avg(col(arg))
-                }
-                e.as(Option(alias).getOrElse(
+                aggColumn(fn, arg).as(Option(alias).getOrElse(
                   s"${fn.toLowerCase}(${arg.toLowerCase})"))
             }
           }
@@ -5345,15 +5377,7 @@ object Cql {
               case ColRe(c, _)
                   if keys.exists(_.equalsIgnoreCase(c)) => None
               case AggRe(fn, arg, alias) =>
-                checkAgg(fn, arg)
-                val e = fn.toLowerCase match {
-                  case "count" => count(lit(1)).cast("long")
-                  case "min" => min(col(arg))
-                  case "max" => max(col(arg))
-                  case "sum" => sum(col(arg))
-                  case "avg" => avg(col(arg))
-                }
-                Some(e.as(Option(alias).getOrElse(
+                Some(aggColumn(fn, arg).as(Option(alias).getOrElse(
                   s"${fn.toLowerCase}(${arg.toLowerCase})")))
               case c =>
                 fail(s"non-aggregate select item under GROUP BY: $c")

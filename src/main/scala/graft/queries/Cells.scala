@@ -2892,14 +2892,17 @@ object Cells {
       |  ('5_del', 'true'), ('6_count', '1')) AS t(step, v)
       |ORDER BY step""".stripMargin
 
-  // C65u — CQL aggregates over MAPPED value types (r15): min/max on
-  // date compares the day-count storage (numeric order IS date
-  // order), sum/avg on float ride the double storage with CQL's
-  // widening, sum on decimal keeps the declared (18,6) scale, max on
-  // time compares nanos-since-midnight — the aggregate arms work on
-  // declared types because each mapped storage preserves the
-  // declared ORDER (duration, the one that doesn't, refuses — pinned
-  // in CqlSpec).
+  // C65u — CQL aggregates over MAPPED value types (r15; tightened
+  // r17): min/max on date compares the day-count storage (numeric
+  // order IS date order), sum/avg on float ride the double storage
+  // with CQL's widening, sum on decimal keeps the declared (18,6)
+  // scale, max on time compares nanos-since-midnight — most mapped
+  // storages preserve the declared ORDER. The two that don't:
+  // duration refuses (not comparable), and TIMEUUID min/max compare
+  // by the 60-bit TIME component via min_by/max_by (the canonical
+  // text renders time-low first — text order is NOT time order);
+  // sum/avg refuse on every non-numeric storage (no silent
+  // cast-to-double nulls).
   private def mappedAggsLifecycle(s: SparkSession,
       d: String): DataFrame = {
     val cat = "gq_maggs"
@@ -2944,7 +2947,24 @@ object Cells {
     val tt = cq("SELECT min(value) AS lo, max(value) AS hi FROM ks.at")
       .select(lit("time").as("tbl"),
         col("lo").cast("string").as("a"), col("hi").cast("string").as("b"))
-    dd.unionAll(ff).unionAll(cc).unionAll(tt).orderBy(col("tbl"))
+    // timeuuid (r17 tightening): min/max order by the 60-bit TIME
+    // component, never the text — the fixture's TEXT order inverts
+    // its TIME order (time 2^32 renders "00000000-0001-…", lexically
+    // below time 2's "00000002-0000-…"), so a text-ordered engine
+    // returns the swapped pair
+    cq("CREATE TABLE IF NOT EXISTS ks.au (pk bigint, ck int, " +
+      "col text, value timeuuid, wt bigint)")
+    cq("TRUNCATE ks.au")
+    cq("INSERT INTO ks.au (pk, ck, at) VALUES (1, 1, " +
+      "00000000-0001-1000-8000-000000000001)") // time = 2^32
+    cq("INSERT INTO ks.au (pk, ck, at) VALUES (2, 1, " +
+      "00000002-0000-1000-8000-000000000001)") // time = 2
+    val uu = cq("SELECT min(value) AS lo, max(value) AS hi FROM ks.au")
+      .select(lit("timeuuid").as("tbl"),
+        col("lo").cast("string").as("a"),
+        col("hi").cast("string").as("b"))
+    dd.unionAll(ff).unionAll(cc).unionAll(tt).unionAll(uu)
+      .orderBy(col("tbl"))
   }
 
   private val mappedAggsSql =
@@ -2952,7 +2972,9 @@ object Cells {
       |  ('date', '2019-12-31', '2020-06-15'),
       |  ('decimal', '3.300000', '2'),
       |  ('float', '3.0', '1.0'),
-      |  ('time', '3723000000000', '86399000000000')) AS t(tbl, a, b)
+      |  ('time', '3723000000000', '86399000000000'),
+      |  ('timeuuid', '00000002-0000-1000-8000-000000000001',
+      |   '00000000-0001-1000-8000-000000000001')) AS t(tbl, a, b)
       |ORDER BY tbl""".stripMargin
 
   // C65v — the ASCII value type as its own DECLARED type (r15): same

@@ -7546,6 +7546,46 @@ class CqlSpec extends GraftSpec {
     } finally spark.conf.unset("spark.sql.catalog.tfcat")
   }
 
+  test("timeuuid aggregates order by TIME (C65u tightening): " +
+    "min/max via the 60-bit component; sum/avg refuse non-numerics") {
+    val root = Files.createTempDirectory("cql-tuagg").toString
+    spark.conf.set("spark.sql.catalog.tacat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tacat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tacat")
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.tu (pk bigint, ck int, col text, " +
+        "value timeuuid, wt bigint)")
+      // TEXT order inverts TIME order here: the canonical rendering
+      // puts time-LOW first, so time 2^32 (mid field = 1) renders
+      // "00000000-0001-…" — lexically BELOW time 2's
+      // "00000002-0000-…" while being the larger instant
+      val big = "00000000-0001-1000-8000-000000000001" // time = 2^32
+      val small = "00000002-0000-1000-8000-000000000001" // time = 2
+      cq(s"INSERT INTO ks.tu (pk, ck, at) VALUES (1, 1, $big)")
+      cq(s"INSERT INTO ks.tu (pk, ck, at) VALUES (2, 1, $small)")
+      val r = cq("SELECT min(value) AS lo, max(value) AS hi " +
+        "FROM ks.tu").collect().head
+      assert(r.getString(0) === small && r.getString(1) === big,
+        r.toString) // text order would have swapped them
+      // arithmetic aggregates refuse on timeuuid — and on every
+      // non-numeric value storage (no silent cast-to-double nulls)
+      refuse("SELECT sum(value) FROM ks.tu", "numeric types")
+      cq("CREATE TABLE ks.tx (pk bigint, ck int, col text, " +
+        "value text, wt bigint)")
+      cq("INSERT INTO ks.tx (pk, ck, w) VALUES (1, 1, 'abc')")
+      refuse("SELECT avg(value) FROM ks.tx", "numeric types")
+      // lexical min/max on plain text stays (Cassandra's bytewise
+      // text comparator IS lexical)
+      assert(cq("SELECT min(value) AS lo FROM ks.tx")
+        .collect().head.getString(0) === "abc")
+    } finally spark.conf.unset("spark.sql.catalog.tacat")
+  }
+
   test("CREATE CUSTOM INDEX (C18m): the SASI/SAI spellings desugar " +
     "to the canonical index modes") {
     val root = Files.createTempDirectory("cql-cidx").toString
