@@ -1230,6 +1230,8 @@ object Cql {
     r.current match {
       case Some(v: String) =>
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: java.sql.Timestamp) =>
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
       case _ =>
         Seq((r.applied, r.current.map(_.asInstanceOf[Long])))
           .toDF("[applied]", "current")
@@ -1342,9 +1344,11 @@ object Cql {
 
   /** Build the operator condition (C55d): `=`/`!=` parse through the
     * table's grammar (an ABSENT cell satisfies `!=`, Cassandra's
-    * null rule); the ORDERED comparisons serve bigint cells only —
-    * the text-storage renderings do not carry the declared type's
-    * order (a timeuuid's canonical text does not sort by time).
+    * null rule); the ORDERED comparisons compare in the DECLARED
+    * type's order (C55h, r18) — bigint cells numerically, and the
+    * text-storage renderings decode-then-compare (a timeuuid by its
+    * 60-bit time, an inet by its address bytes — the canonical text
+    * itself does not sort by the declared order).
     */
   private def casOpCond(mappedCas: Option[String], str: Boolean,
       op: String, raw: String)
@@ -1353,12 +1357,79 @@ object Cql {
     op match {
       case "=" => CasCond.Equals(casCondLit(mappedCas, str)(raw))
       case "!=" => CasCond.NotEquals(casCondLit(mappedCas, str)(raw))
-      case o =>
-        if (mappedCas.isDefined || str)
-          fail(s"IF $o serves bigint cells only in this subset " +
-            "(text-storage renderings do not carry the declared " +
-            "type's order)")
-        CasCond.Cmp(o, longLiteral(raw, "IF condition"))
+      case o => mappedCas match {
+        case Some(ct) =>
+          CasCond.CmpBy(o, mappedLiteral(ct)(raw, "IF condition"),
+            declaredOrder(ct))
+        case None if str =>
+          CasCond.CmpBy(o,
+            collValue(stringValued = true)(raw, "IF condition"),
+            declaredOrder("text"))
+        case None => CasCond.Cmp(o, longLiteral(raw, "IF condition"))
+      }
+    }
+  }
+
+  /** C55h — the DECLARED type's total order over its text STORAGE
+    * rendering, for ordered LWT conditions (Cassandra serves
+    * `IF c > ?` on every scalar type; the rendering alone cannot
+    * stand in — a timeuuid's canonical hex does not sort by time).
+    * One comparator per admitted type:
+    *   - timeuuid: the 60-bit time (Cassandra's TimeUUIDType order),
+    *     canonical-text tiebreak;
+    *   - uuid: version, then v1 time, then the unsigned 128-bit
+    *     value — which the canonical lowercase rendering's lexical
+    *     order equals (fixed-width hex, hyphens at fixed offsets);
+    *   - inet: the address BYTES, unsigned lexicographic (an IPv4
+    *     before the longer IPv6 on a shared prefix);
+    *   - ascii / text: UTF-8 byte order (for ASCII, String order).
+    * Both sides are validated renderings: the stored cell went
+    * through the write grammar, the literal through
+    * [[mappedLiteral]].
+    */
+  private def declaredOrder(ct: String): (Any, Any) => Int = {
+    def u(x: Any) = java.util.UUID.fromString(x.asInstanceOf[String])
+    def utf8Cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    ct match {
+      case "timeuuid" => (a, b) => {
+        val (ua, ub) = (u(a), u(b))
+        val d = java.lang.Long.compare(ua.timestamp(), ub.timestamp())
+        if (d != 0) d
+        else ua.toString.compareTo(ub.toString)
+      }
+      case "uuid" => (a, b) => {
+        val (ua, ub) = (u(a), u(b))
+        val dv = Integer.compare(ua.version, ub.version)
+        if (dv != 0) dv
+        else if (ua.version == 1) {
+          val dt = java.lang.Long.compare(ua.timestamp(), ub.timestamp())
+          if (dt != 0) dt else ua.toString.compareTo(ub.toString)
+        } else ua.toString.compareTo(ub.toString)
+      }
+      case "inet" => (a, b) => utf8Cmp(
+        java.net.InetAddress.getByName(a.asInstanceOf[String])
+          .getAddress,
+        java.net.InetAddress.getByName(b.asInstanceOf[String])
+          .getAddress)
+      case "ascii" | "text" => (a, b) => utf8Cmp(
+        a.asInstanceOf[String].getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+        b.asInstanceOf[String].getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      case "timestamp" => (a, b) =>
+        a.asInstanceOf[java.sql.Timestamp]
+          .compareTo(b.asInstanceOf[java.sql.Timestamp])
+      case t => fail(s"IF <ordered> on $t-valued tables is outside " +
+        "this subset")
     }
   }
 
@@ -1660,18 +1731,73 @@ object Cql {
     * bigint-STORAGE mapped type (varint/time) would bypass its
     * declared range validation.
     */
-  private def refuseBatchValueType(dir: String): Unit = {
-    cqlCollectionOf(dir).foreach(sp =>
-      fail(s"LOGGED BATCH on $sp collection columns is outside " +
-        "this subset (collection writes need the current state)"))
-    val ct = cqlValueTypeOf(dir)
-    val vt = graft.sources.CellSource.valueTypeOf(dir)
-    if (ct.isDefined || vt != org.apache.spark.sql.types.LongType)
-      fail("LOGGED BATCH journals bigint cells — " +
-        ct.getOrElse(SystemSchema.cqlTypeName(vt)) +
-        "-valued tables take UNLOGGED BATCH or single statements " +
-        "in this subset")
+  private def refuseBatchValueType(dir: String): Unit =
+    cqlCollectionOf(dir) match {
+      case Some(_) =>
+        // C11i (r18): bigint-element declared collections journal
+        // plain long cells like any other statement — only non-long
+        // element storage keeps the refusal
+        refuseBatchCollectionStorage(dir)
+      case None =>
+        val ct = cqlValueTypeOf(dir)
+        val vt = graft.sources.CellSource.valueTypeOf(dir)
+        if (ct.isDefined || vt != org.apache.spark.sql.types.LongType)
+          fail("LOGGED BATCH journals bigint cells — " +
+            ct.getOrElse(SystemSchema.cqlTypeName(vt)) +
+            "-valued tables take UNLOGGED BATCH or single statements " +
+            "in this subset")
+    }
+
+  /** C11i storage gate: batched collection updates journal through
+    * the C56 default cell shape — (pk, ck, col, bigint value, wt) —
+    * so only the default key layout with bigint element storage
+    * qualifies; mapped grammars (`set<inet>`), text elements and
+    * typed layouts refuse by name (their journal shapes differ).
+    */
+  private def refuseBatchCollectionStorage(dir: String): Unit = {
+    if (!graft.sources.CellSource.keySpec(dir).isDefault)
+      fail("batched collection updates need the default ((pk), ck) " +
+        "layout — typed layouts take single statements in this subset")
+    if (mappedValueType(dir).isDefined || isStringValued(dir) ||
+        graft.sources.CellSource.valueTypeOf(dir) !=
+          org.apache.spark.sql.types.LongType)
+      fail("LOGGED BATCH journals bigint cells — collection updates " +
+        "on " + cqlValueTypeOf(dir).getOrElse(
+          SystemSchema.cqlTypeName(
+            graft.sources.CellSource.valueTypeOf(dir))) +
+        "-element tables take single statements in this subset")
   }
+
+  /** C11i DELETE-form gate: on a declared-collection table the
+    * marker-expressible forms (entry `m['k']`, ck-bound element,
+    * row/partition tombstones) journal fine; the STATE-DERIVED forms
+    * — index-addressed `DELETE l[i]` and the ck-less
+    * whole-collection clear, which read the live element set — stay
+    * single-statement. Non-collection tables keep the plain
+    * value-type gate.
+    */
+  private def refuseBatchDeleteForm(dir: String,
+      colOpt: Option[String], where: String): Unit =
+    cqlCollectionOf(dir) match {
+      case Some(_) =>
+        refuseBatchCollectionStorage(dir)
+        colOpt.foreach {
+          case ListIdxDelRe(c, i) =>
+            fail(s"DELETE $c[$i] inside BATCH is outside this " +
+              "subset (the index addresses a state-derived element " +
+              "row — use a single statement)")
+          case c =>
+            val (_, ckEq, ckLo, ckHi) = keyPredicate(where)
+            if (c.matches("""(?s)\w+""") && ckEq.isEmpty &&
+                ckLo == Int.MinValue && ckHi == Int.MaxValue &&
+                !graft.sources.CellSource.staticCols(dir)
+                  .contains(c.toLowerCase))
+              fail(s"whole-collection DELETE $c inside BATCH is " +
+                "outside this subset (the clear set is " +
+                "state-derived — use a single statement)")
+        }
+      case None => refuseBatchValueType(dir)
+    }
 
   private def batch(spark: SparkSession, body: String,
       resolve: String => String,
@@ -1713,8 +1839,43 @@ object Cql {
       Seq[((Long, Int, String, Long, Long), Option[Long])],
       (graft.sources.KeySpec, Seq[(Seq[Any], Option[Long])])])
     def spec(dir: String) = graft.sources.CellSource.keySpec(dir)
+    // C11i — one append-position map per table, shared across the
+    // batch's collection statements: two appends to the same
+    // (pk, collection) claim disjoint cks in statement order, so
+    // both elements land (Cassandra's same-batch appends are
+    // distinct timeuuid cells in generation order)
+    val batchNextCk = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.Map[(Long, String), Int]]
+    // C11i — INSERT with collection literals desugars to the UPDATE
+    // replace form, exactly as the single-statement front door does
+    // (Cassandra's INSERT on a collection column IS replace); the
+    // rewrite happens pre-parse so the collection arm below serves it
+    def desugarCollInsert(stmt: String): String = stmt match {
+      case InsertRe(table, cols, vals, usingClause) =>
+        val dir = resolve(table)
+        if (!(spec(dir).isDefault && udtLayoutOf(dir).isEmpty &&
+            !mappedValueType(dir).exists(_._1.startsWith("vector<"))))
+          return stmt
+        val names = cols.split(',').map(_.trim.toLowerCase)
+        val values = splitValues(vals).map(_.trim)
+        if (names.length == values.length && names.contains("pk") &&
+            values.exists(v => v.startsWith("[") || v.startsWith("{"))) {
+          val kv = names.zip(values)
+          val where = "pk = " + kv.toMap.apply("pk") +
+            kv.toMap.get("ck").map(c => s" AND ck = $c").getOrElse("")
+          val sets = kv.toSeq.filterNot { case (n, _) =>
+            n == "pk" || n == "ck" }
+            .map { case (n, v) => s"$n = $v" }.mkString(", ")
+          if (sets.isEmpty)
+            fail("INSERT needs at least one data column")
+          val using = Option(usingClause).map(" USING " + _.trim)
+            .getOrElse("")
+          s"UPDATE $table$using SET $sets WHERE $where"
+        } else stmt
+      case s => s
+    }
     val parsed: Seq[Parsed] =
-      stmts.toSeq.map {
+      stmts.toSeq.map(desugarCollInsert).map {
         case InsertRe(table, cols, vals, usingClause) =>
           val dir = resolve(table)
           // the journal's cell shape is scalar — frozen<udt> blobs
@@ -1734,29 +1895,54 @@ object Cql {
         case UpdateRe(table, usingClause, sets, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
-          refuseBatchValueType(dir)
           val (ts0, rawTtl) = parseUsing(Option(usingClause))
           val ts = stmtTs(ts0)
           val ttl = effectiveTtl(dir, rawTtl)
-          if (hasCollectionSyntax(sets))
-            fail("collection updates are not supported inside BATCH " +
-              "(appends need the current collection state)")
           if (isCounter(dir))
             fail("counter increments are not supported inside a " +
               "LOGGED BATCH (Cassandra's rule: shard deltas are not " +
               "idempotent, so a crash-replay of the journal would " +
               "double-count)")
-          val sp = spec(dir)
-          if (sp.isDefault)
-            (dir, Left(updateCells(sets, where,
-              ts.getOrElse(AssignLater), graft.sources.CellSource.staticCols(dir)).map((_, ttl))))
-          else
-            (dir, Right((sp, updateTypedRows(sp, sets, where,
-              ts.getOrElse(AssignLater)).map((_, ttl)))))
+          if (hasCollectionSyntax(sets)) {
+            // C11i — collection updates inside a LOGGED BATCH: the
+            // single-statement read-before-write machinery (C11c-h)
+            // stages its cells and tombstones, and they land
+            // atomically under the C56 journal at the batch
+            // writetime. Every statement reads the PRE-BATCH
+            // reconciled state (Cassandra's batch semantics: no
+            // intra-batch read-your-writes — a same-batch replace
+            // does not clear a same-batch append); append positions
+            // share one per-batch map so two appends to the same
+            // collection claim disjoint cks in statement order
+            // (Cassandra's same-batch appends land as distinct
+            // timeuuid cells in generation order).
+            refuseBatchCollectionStorage(dir)
+            val (cc, tt) = stageCollectionCells(spark, dir, sets,
+              where, ts.getOrElse(AssignLater),
+              batchNextCk.getOrElseUpdate(dir,
+                scala.collection.mutable.Map.empty))
+            // tombstone markers never carry the statement TTL — an
+            // expiring tombstone would resurrect removed elements
+            (dir, Left(
+              cc.map { case (pk, ck, c, v, w) =>
+                ((pk, ck, c, v.asInstanceOf[Long], w), ttl) } ++
+              tt.map { case (pk, ck, c, v, w) =>
+                ((pk, ck, c, v.asInstanceOf[Long], w),
+                  None: Option[Long]) }))
+          } else {
+            refuseBatchValueType(dir)
+            val sp = spec(dir)
+            if (sp.isDefault)
+              (dir, Left(updateCells(sets, where,
+                ts.getOrElse(AssignLater), graft.sources.CellSource.staticCols(dir)).map((_, ttl))))
+            else
+              (dir, Right((sp, updateTypedRows(sp, sets, where,
+                ts.getOrElse(AssignLater)).map((_, ttl)))))
+          }
         case DeleteRe(colOpt, table, usingTs, where) =>
           val dir = resolve(table)
           refuseUdt(dir, "LOGGED BATCH")
-          refuseBatchValueType(dir)
+          refuseBatchDeleteForm(dir, Option(colOpt), where)
           val dts = stmtTs(Option(usingTs).map(_.toLong))
             .getOrElse(AssignLater)
           val sp = spec(dir)
@@ -1848,6 +2034,33 @@ object Cql {
     if (batchTs.isDefined)
       fail("cannot provide custom timestamps for conditional BATCH " +
         "(Cassandra's rule)")
+    // C56f (r18): typed/composite key layouts route to the keyed CAS
+    // round — the table set is peeked BEFORE the default-layout
+    // parse, whose cell parsers would reject a typed WHERE with a
+    // misleading keys-only error
+    locally {
+      val tables = stmts.flatMap {
+        case InsertIfNotExistsRe(t, _, _, _) => Some(t)
+        case UpdateIfMultiRe(t, _, _, _, _) => Some(t)
+        case UpdateIfInRe(t, _, _, _, _, _) => Some(t)
+        case UpdateIfRe(t, _, _, _, _, _, _) => Some(t)
+        case UpdateIfExistsRe(t, _, _, _) => Some(t)
+        case DeleteIfRe(_, t, _, _, _, _, _) => Some(t)
+        case InsertRe(t, _, _, _) => Some(t)
+        case UpdateRe(t, _, _, _) => Some(t)
+        case DeleteRe(_, t, _, _) => Some(t)
+        case _ => None
+      }
+      val dirs = tables.map(resolve).distinct
+      val anyTyped = dirs.exists(d =>
+        !graft.sources.CellSource.keySpec(d).isDefault)
+      if (anyTyped && dirs.size != 1)
+        fail("batch with conditions cannot span multiple tables " +
+          "(Cassandra's rule: one Paxos round arbitrates one " +
+          "partition)")
+      if (anyTyped)
+        return conditionalBatchTyped(spark, stmts, resolve, dirs.head)
+    }
     def noUsing(usingClause: String, what: String): Unit =
       if (usingClause != null)
         fail(s"$what in a conditional BATCH cannot carry USING " +
@@ -1868,10 +2081,13 @@ object Cql {
       dir
     }
     // the table's member-literal grammar: the declared mapped
-    // grammar, text, or bigint — exactly lwtInsert/lwtUpdate's
-    // routing, applied per statement
+    // grammar, the timestamp scalar (C55h), text, or bigint —
+    // exactly lwtInsert/lwtUpdate's routing, applied per statement
     def mappedCtOf(dir: String): Option[String] =
       cqlValueTypeOf(dir).filter(LwtMappedCts.contains)
+        .orElse(Some("timestamp").filter(_ =>
+          graft.sources.CellSource.valueTypeOf(dir) ==
+            org.apache.spark.sql.types.TimestampType))
     def parseIns(dir: String, cols: String, vals: String)
         : Seq[(Long, Int, String, Any, Long)] =
       mappedCtOf(dir) match {
@@ -2041,6 +2257,181 @@ object Cql {
     val r = CellTransactions.casBatch(spark, dir, pks.head,
       parsed.flatMap(_._2),
       allCells.map(c => (c._2, c._3, c._4)))
+    forgetWt(dir)
+    lwtResult(spark, r)
+  }
+
+  /** C56f (r18) — conditional BATCH over a TYPED (CEL6/8) key
+    * layout: each member statement parses through the typed
+    * single-statement LWT machinery (C55b) — every key part bound by
+    * NAME, bigint data cells — and the whole set arbitrates under
+    * ONE keyed ballot round
+    * ([[graft.sources.CellTransactions.casBatchKeyed]]): conditions
+    * read the partition's current reconciled state, and on success
+    * all writes land as ONE staged keyed flush at a single shared
+    * writetime. Cassandra's rules hold: one partition (every
+    * statement binds the SAME pk part values), no USING
+    * TIMESTAMP/TTL, counters refuse, and every condition/write
+    * addresses a fully-bound clustering row. Typed layouts declare
+    * no STATIC columns (the CREATE gate), so every IF column is a
+    * data cell of its CAS row — no partition-front special case.
+    */
+  private def conditionalBatchTyped(spark: SparkSession,
+      stmts: Seq[String], resolve: String => String,
+      dir: String): DataFrame = {
+    import graft.sources.CellTransactions
+    import graft.sources.CellTransactions.CasCond
+    refuseUdt(dir, "lightweight transactions")
+    if (isCounter(dir))
+      fail("counters do not support conditional updates " +
+        "(Cassandra's rule)")
+    // the keyed CAS flush journals bigint cells only — the same
+    // contract the single-statement typed LWT carries (casSet parses
+    // bigint); declared collections / mapped / text storage refuse
+    // by name up front
+    cqlCollectionOf(dir).foreach(sp =>
+      fail(s"conditional BATCH on $sp collection columns is outside " +
+        "this subset"))
+    cqlValueTypeOf(dir).foreach(ct =>
+      fail("conditional BATCH on typed layouts serves bigint cells " +
+        s"only in this subset; table is $ct-valued (single " +
+        "statements serve the mapped grammars)"))
+    if (graft.sources.CellSource.valueTypeOf(dir) !=
+        org.apache.spark.sql.types.LongType)
+      fail("conditional BATCH on typed layouts serves bigint cells " +
+        "only in this subset; table's value type is " +
+        graft.sources.CellSource.valueTypeOf(dir).simpleString)
+    val spec = graft.sources.CellSource.keySpec(dir)
+    def noUsing(usingClause: String, what: String): Unit =
+      if (usingClause != null)
+        fail(s"$what in a conditional BATCH cannot carry USING " +
+          "TIMESTAMP/TTL (Cassandra refuses custom timestamps on " +
+          "conditional batches; TTL is outside this subset)")
+    // the statement's fully-bound key, split into named pk parts and
+    // clustering values — typedCasKey enforces the CAS-row shape
+    // (one partition, every clustering part bound by equality)
+    def splitKey(where: String): (Seq[(String, Any)], Seq[Any]) = {
+      val kv = typedCasKey(spec, where)
+      val (pkKv, ckKv) = kv.splitAt(spec.pkParts.length)
+      (pkKv, ckKv.map(_._2))
+    }
+    def inCond(vs: String): CasCond =
+      CasCond.In(splitValues(vs).toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(casCondLit(None, str = false)))
+    type Cond = (Seq[Any], Option[String], CasCond)
+    type Write = (Seq[Any], String, Long)
+    // multi-condition IF tail: every term addresses a data column of
+    // the statement's CAS row (bigint grammar — ordered comparisons
+    // included, the C55d rule)
+    def multiConds(ckVals: Seq[Any], ifTail: String): Seq[Cond] =
+      ifTail.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map {
+          case InRe(cc, vs) =>
+            (ckVals, Some(cc.toLowerCase), inCond(vs))
+          case LwtCondRe(cc, op, raw) =>
+            (ckVals, Some(cc.toLowerCase),
+              casOpCond(None, str = false, op, raw))
+          case t => fail(s"unsupported IF condition: $t")
+        }
+    // a typed-parser row (pk parts ++ ck parts ++ (col, value, wt))
+    // split into the keyed-CAS write shape
+    def rowWrite(row: Seq[Any]): (Seq[(String, Any)], Write) = {
+      val keyLen = spec.pkParts.length + spec.ckParts.length
+      val pkKv = spec.pkParts.map(_.name.toLowerCase)
+        .zip(row.take(spec.pkParts.length))
+      (pkKv, (row.slice(spec.pkParts.length, keyLen),
+        row(keyLen).asInstanceOf[String],
+        row(keyLen + 1).asInstanceOf[Long]))
+    }
+    val parsed: Seq[(Seq[(String, Any)], Seq[Cond], Seq[Write])] =
+      stmts.map {
+        case InsertIfNotExistsRe(table, cols, vals, usingClause) =>
+          noUsing(usingClause, "INSERT ... IF NOT EXISTS")
+          val rows = insertTypedRows(spec, cols, vals, AssignLater)
+          if (rows.length != 1)
+            fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+              "column (the CAS cell)")
+          val (pkKv, w) = rowWrite(rows.head)
+          // IF NOT EXISTS tests ROW presence at the insert's row
+          (pkKv, Seq((w._1, None: Option[String],
+            CasCond.Absent: CasCond)), Seq(w))
+        case UpdateIfMultiRe(table, usingClause, sets, where, ifTail) =>
+          noUsing(usingClause, "UPDATE ... IF")
+          val (pkKv, ck) = splitKey(where)
+          val (c, v) = casSet(sets)
+          (pkKv, multiConds(ck, ifTail), Seq((ck, c, v)))
+        case UpdateIfInRe(table, usingClause, sets, where, ifCol,
+            ifVals) =>
+          noUsing(usingClause, "UPDATE ... IF")
+          val (pkKv, ck) = splitKey(where)
+          val (c, v) = casSet(sets)
+          (pkKv, Seq((ck, Some(ifCol.toLowerCase),
+            inCond(ifVals): CasCond)), Seq((ck, c, v)))
+        case UpdateIfRe(table, usingClause, sets, where, ifCol, ifOp,
+            ifVal) =>
+          noUsing(usingClause, "UPDATE ... IF")
+          val (pkKv, ck) = splitKey(where)
+          val (c, v) = casSet(sets)
+          (pkKv, Seq((ck, Some(ifCol.toLowerCase),
+            casOpCond(None, str = false, ifOp, ifVal))), Seq((ck, c, v)))
+        case UpdateIfExistsRe(table, usingClause, sets, where) =>
+          noUsing(usingClause, "UPDATE ... IF EXISTS")
+          val (pkKv, ck) = splitKey(where)
+          val (c, v) = casSet(sets)
+          (pkKv, Seq((ck, None: Option[String],
+            CasCond.Present: CasCond)), Seq((ck, c, v)))
+        case DeleteIfRe(colOpt, table, where, exists, ifCol, ifOp,
+            ifVal) =>
+          val (pkKv, ck) = splitKey(where)
+          val cond: Cond =
+            if (exists != null) (ck, None, CasCond.Present)
+            else (ck, Some(ifCol.toLowerCase),
+              casOpCond(None, str = false, ifOp, ifVal))
+          val writeCol = Option(colOpt) match {
+            case Some(c) =>
+              graft.sources.CellSource.CellTombstonePrefix +
+                c.toLowerCase
+            case None => graft.sources.CellSource.RowTombstone
+          }
+          (pkKv, Seq(cond), Seq((ck, writeCol, 0L)))
+        case InsertRe(table, cols, vals, usingClause) =>
+          noUsing(usingClause, "INSERT")
+          val ws = insertTypedRows(spec, cols, vals, AssignLater)
+            .map(rowWrite)
+          (ws.head._1, Seq.empty[Cond], ws.map(_._2))
+        case UpdateRe(table, usingClause, sets, where) =>
+          noUsing(usingClause, "UPDATE")
+          val ws = updateTypedRows(spec, sets, where, AssignLater)
+            .map(rowWrite)
+          // an IN over pk parts fans out to several partitions —
+          // the one-ballot rule catches it here, not at the tail
+          // distinct check (which only sees each statement's head)
+          if (ws.map(_._1).distinct.length != 1)
+            fail("batch with conditions cannot span multiple " +
+              "partitions (Cassandra's rule)")
+          (ws.head._1, Seq.empty[Cond], ws.map(_._2))
+        case DeleteRe(colOpt, table, usingTs, where) =>
+          if (usingTs != null) noUsing(usingTs, "DELETE")
+          // the CAS-row delete shapes only: a single cell's tombstone
+          // or the row tombstone at a FULLY-bound key (the default
+          // layout's conditional-batch rule, typed)
+          val (pkKv, ck) = splitKey(where)
+          val writeCol = Option(colOpt) match {
+            case Some(c) =>
+              graft.sources.CellSource.CellTombstonePrefix +
+                c.toLowerCase
+            case None => graft.sources.CellSource.RowTombstone
+          }
+          (pkKv, Seq.empty[Cond], Seq((ck, writeCol, 0L)))
+        case s => fail(s"BATCH accepts INSERT/UPDATE/DELETE, got: $s")
+      }
+    val pkSets = parsed.map(_._1).distinct
+    if (pkSets.size != 1)
+      fail("batch with conditions cannot span multiple partitions " +
+        "(Cassandra's rule)")
+    flushBuffered(spark, dir) // the CAS round reads current state
+    val r = CellTransactions.casBatchKeyed(spark, dir, pkSets.head,
+      parsed.flatMap(_._2), parsed.flatMap(_._3))
     forgetWt(dir)
     lwtResult(spark, r)
   }
@@ -7416,12 +7807,17 @@ object Cql {
       case None =>
     }
     val dt = graft.sources.CellSource.valueTypeOf(dir)
+    // timestamp-valued tables (C55h, r18) ride the LWT round through
+    // the scalar grammar — the returned selector routes their
+    // literals exactly as a declared mapped type's
+    if (allowText && dt == org.apache.spark.sql.types.TimestampType)
+      return Some("timestamp")
     val ok = dt == org.apache.spark.sql.types.LongType ||
       (allowText && dt == org.apache.spark.sql.types.StringType)
     if (!ok)
       fail("lightweight transactions and conditional BATCH serve " +
-        "bigint- and text-valued tables; table's value type is " +
-        dt.simpleString)
+        "bigint-, text- and timestamp-valued tables; table's value " +
+        "type is " + dt.simpleString)
     None
   }
 
@@ -7681,6 +8077,11 @@ object Cql {
         case o => fail(s"$what takes a tinyint literal, got: $o")
       }
       case "duration" => durationLiteral(t, what)
+      // timestamp (C55h, r18): not a declared MAPPED type — storage
+      // IS TimestampType — but the LWT grammar selector routes its
+      // literals here so every CAS path shares one parser
+      case "timestamp" =>
+        scalarLiteral(org.apache.spark.sql.types.TimestampType)(t, what)
       case "ascii" => literal(t) match {
         case s: String =>
           s.find(_ > 127).foreach(c =>
@@ -8209,6 +8610,54 @@ object Cql {
   private def collectionUpdate(spark: SparkSession, dir: String,
       sets: String, where: String, wt: Long,
       ttl: Option[Long]): Unit = {
+    val (cells, tombs) = stageCollectionCells(spark, dir, sets, where,
+      wt, scala.collection.mutable.Map.empty)
+    val mapped = mappedValueType(dir)
+    val str = mapped.isEmpty && isStringValued(dir)
+    mapped match {
+      case Some((_, vt)) =>
+        // mapped element cells ride the value-tagged buffered path
+        // every other write on this table uses; tombstone value
+        // slots carry the storage layout's neutral (never the TTL —
+        // an expiring tombstone would resurrect removed elements)
+        appendAnyCells(spark, dir, vt, cells, ttl)
+        appendAnyCells(spark, dir, vt, tombs.map {
+          case (pk, ck, c, _, w) => (pk, ck, c, scalarNeutral(vt), w)
+        }, ttl = None)
+      case None if str =>
+        appendStringCells(spark, dir, cells.map {
+          case (pk, ck, c, v, w) =>
+            (pk, ck, c, v.asInstanceOf[String], w)
+        }, ttl)
+        appendStringCells(spark, dir, tombs.map {
+          case (pk, ck, c, _, w) => (pk, ck, c, "", w) }, ttl = None)
+      case None =>
+        appendCells(spark, dir, cells.map {
+          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+        }, ttl)
+        appendCells(spark, dir, tombs.map {
+          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
+        }, ttl = None)
+    }
+  }
+
+  /** The parse/read/stage core of [[collectionUpdate]]: resolves the
+    * statement's SET items against the table's CURRENT reconciled
+    * state (flushing this script's buffered writes first) and returns
+    * the data cells and tombstone markers WITHOUT writing — the
+    * single-statement path appends them through the table's value
+    * path; the LOGGED-BATCH path (C11i) stages them under the C56
+    * journal so they land atomically at the batch writetime.
+    * `nextCk` carries append positions ACROSS statements of one batch
+    * (Cassandra's same-batch appends land as distinct elements in
+    * statement order; a shared map gives each append a disjoint ck —
+    * a per-call empty map restores single-statement behavior).
+    */
+  private def stageCollectionCells(spark: SparkSession, dir: String,
+      sets: String, where: String, wt: Long,
+      nextCk: scala.collection.mutable.Map[(Long, String), Int])
+      : (Seq[(Long, Int, String, Any, Long)],
+        Seq[(Long, Int, String, Any, Long)]) = {
     // list appends / set removes read the reconciled current state
     flushBuffered(spark, dir)
     // element grammar (C65x): a mapped declared type parses elements
@@ -8250,10 +8699,10 @@ object Cql {
     def reconciled = spark.read.format(Fmt)
       .option("reconcile", "true").load(dir)
     // next free ck per (pk, collection), shared ACROSS the statement's
-    // SET items: two appends to the same collection in one statement
-    // must claim disjoint cks — a collision would be two same-wt cells
-    // at one (pk, ck, col), an LWW tie that silently drops an element
-    val nextCk = scala.collection.mutable.Map.empty[(Long, String), Int]
+    // SET items (and, via the caller-owned map, across a BATCH's
+    // statements): two appends to the same collection must claim
+    // disjoint cks — a collision would be two same-wt cells at one
+    // (pk, ck, col), an LWW tie that silently drops an element
     // C11h — whole-map replace/clear on a DECLARED map column: the
     // fully-bound (pk, ck) row IS the map, so the clear set is the
     // row's live non-marker cells (statics are '!s:'-prefixed and
@@ -8416,31 +8865,7 @@ object Cql {
           ((pk, ck, c.toLowerCase, lit(v, s"value of $c"), wt)))
       case x => fail(s"unsupported SET item: $x")
     }
-    mapped match {
-      case Some((_, vt)) =>
-        // mapped element cells ride the value-tagged buffered path
-        // every other write on this table uses; tombstone value
-        // slots carry the storage layout's neutral (never the TTL —
-        // an expiring tombstone would resurrect removed elements)
-        appendAnyCells(spark, dir, vt, cells.toSeq, ttl)
-        appendAnyCells(spark, dir, vt, tombs.toSeq.map {
-          case (pk, ck, c, _, w) => (pk, ck, c, scalarNeutral(vt), w)
-        }, ttl = None)
-      case None if str =>
-        appendStringCells(spark, dir, cells.toSeq.map {
-          case (pk, ck, c, v, w) =>
-            (pk, ck, c, v.asInstanceOf[String], w)
-        }, ttl)
-        appendStringCells(spark, dir, tombs.toSeq.map {
-          case (pk, ck, c, _, w) => (pk, ck, c, "", w) }, ttl = None)
-      case None =>
-        appendCells(spark, dir, cells.toSeq.map {
-          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
-        }, ttl)
-        appendCells(spark, dir, tombs.toSeq.map {
-          case (pk, ck, c, v, w) => (pk, ck, c, v.asInstanceOf[Long], w)
-        }, ttl = None)
-    }
+    (cells.toSeq, tombs.toSeq)
   }
 
   /** Typed twin of [[collectionUpdate]] (r11): the same element-per-

@@ -1870,6 +1870,81 @@ object Cells {
       |  ('s', 1, 0, '77')) AS t(item, pk, ck, v)
       |ORDER BY item, pk, ck""".stripMargin
 
+  // C11i — collection updates inside a LOGGED BATCH (r18): the
+  // single-statement read-before-write machinery (C11c-h) stages its
+  // element cells and tombstone markers under the C56 batch journal,
+  // so `BEGIN BATCH … SET l = l + [x] … APPLY BATCH` applies
+  // atomically at ONE shared batch writetime. Cassandra's batch
+  // semantics hold: every statement reads the PRE-batch reconciled
+  // state (no intra-batch read-your-writes — a same-batch append
+  // survives a same-batch replace, which only shadows pre-batch
+  // cells), and two same-batch appends to one collection land as
+  // DISTINCT elements in statement order (a shared per-batch
+  // append-position map mirrors Cassandra's generation-ordered
+  // timeuuid cell names). INSERT with a collection literal desugars
+  // to the replace form inside the batch exactly as the
+  // single-statement front door does.
+  private def batchCollections(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_bcoll"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-bcoll-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.bl (pk bigint, ck int, col text,
+        |  value list<bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.bm (pk bigint, ck int, col text,
+        |  value map<text, bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.bs (pk bigint, ck int, col text,
+        |  value set<bigint>, wt bigint);
+        |TRUNCATE ks.bl;
+        |TRUNCATE ks.bm;
+        |TRUNCATE ks.bs;
+        |UPDATE ks.bl SET l = l + [1, 2] WHERE pk = 1;
+        |UPDATE ks.bm SET m['a'] = 1 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.bm SET m['drop'] = 9 WHERE pk = 1 AND ck = 1;
+        |UPDATE ks.bs SET st = st + {1, 2} WHERE pk = 1;
+        |BEGIN BATCH
+        |  UPDATE ks.bl SET l = l + [3] WHERE pk = 1;
+        |  UPDATE ks.bl SET l = l + [4] WHERE pk = 1;
+        |  INSERT INTO ks.bl (pk, l) VALUES (2, [7, 8]);
+        |  UPDATE ks.bm SET m['b'] = 2, m['a'] = 11 WHERE pk = 1 AND ck = 1;
+        |  DELETE m['drop'] FROM ks.bm WHERE pk = 1 AND ck = 1;
+        |  UPDATE ks.bm SET m = {'only': 5} WHERE pk = 2 AND ck = 1;
+        |  UPDATE ks.bs SET st = st + {3} WHERE pk = 1;
+        |  UPDATE ks.bs SET st = st - {2} WHERE pk = 1;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  UPDATE ks.bl SET l = [100] WHERE pk = 1;
+        |  UPDATE ks.bl SET l = l + [101] WHERE pk = 1;
+        |APPLY BATCH
+        |""".stripMargin, cat)
+    val l = cq("SELECT pk, l FROM ks.bl ORDER BY pk")
+      .select(lit("l").as("item"), col("pk"), lit(0).as("ck"),
+        array_join(col("l").cast("array<string>"), "|").as("v"))
+    val m = cq("SELECT pk, ck, m FROM ks.bm ORDER BY pk")
+      .select(lit("m").as("item"), col("pk"), col("ck"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, '=', e.value)), '|')").as("v"))
+    val st = cq("SELECT pk, st FROM ks.bs ORDER BY pk")
+      .select(lit("s").as("item"), col("pk"), lit(0).as("ck"),
+        array_join(col("st").cast("array<string>"), "|").as("v"))
+    l.unionAll(m).unionAll(st).orderBy(col("item"), col("pk"), col("ck"))
+  }
+
+  private val batchCollectionsSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, v
+      |FROM (VALUES
+      |  ('l', 1, 0, '100|101'),
+      |  ('l', 2, 0, '7|8'),
+      |  ('m', 1, 1, 'a=11|b=2'),
+      |  ('m', 2, 1, 'only=5'),
+      |  ('s', 1, 0, '1|3')) AS t(item, pk, ck, v)
+      |ORDER BY item, pk, ck""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -2059,6 +2134,55 @@ object Cells {
       |  CAST(v AS BIGINT) AS value
       |FROM (VALUES (1, 1, 12), (1, 4, 40)) AS t(pk, ck, v)
       |ORDER BY pk, ck""".stripMargin
+
+  // C56f — conditional (LWT) LOGGED BATCH over a TYPED / composite
+  // key layout (r18): the C56d lifecycle with every key part bound by
+  // NAME, arbitrated by ONE keyed ballot round (casBatchKeyed). A
+  // failing condition applies NOTHING (unconditional riders
+  // included); a passing matrix lands every statement's cells at one
+  // shared writetime. The oracle is the expected final-state literal.
+  private def conditionalBatchTyped(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_tcbat"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tcbat-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    cq("CREATE KEYSPACE IF NOT EXISTS ks")
+    cq("CREATE TABLE IF NOT EXISTS ks.cart (tenant text, day bigint, " +
+      "slot int, col text, value bigint, wt bigint, " +
+      "PRIMARY KEY ((tenant, day), slot))")
+    cq("TRUNCATE ks.cart")
+    cq("INSERT INTO ks.cart (tenant, day, slot, qty) " +
+      "VALUES ('acme', 7, 1, 10)")
+    cq("""BEGIN BATCH
+         |  INSERT INTO ks.cart (tenant, day, slot, qty) VALUES ('acme', 7, 2, 20) IF NOT EXISTS;
+         |  UPDATE ks.cart SET qty = 11 WHERE tenant = 'acme' AND day = 7 AND slot = 1;
+         |APPLY BATCH""".stripMargin) // applies: row (…, 2) absent
+    cq("""BEGIN BATCH
+         |  UPDATE ks.cart SET qty = 99 WHERE tenant = 'acme' AND day = 7 AND slot = 1 IF qty = 5;
+         |  INSERT INTO ks.cart (tenant, day, slot, qty) VALUES ('acme', 7, 3, 30);
+         |APPLY BATCH""".stripMargin) // refused: qty is 11, not 5
+    cq("""BEGIN BATCH
+         |  UPDATE ks.cart SET qty = 12 WHERE tenant = 'acme' AND day = 7 AND slot = 1 IF qty = 11 AND qty > 10;
+         |  DELETE FROM ks.cart WHERE tenant = 'acme' AND day = 7 AND slot = 2 IF EXISTS;
+         |  INSERT INTO ks.cart (tenant, day, slot, qty) VALUES ('acme', 7, 4, 40);
+         |APPLY BATCH""".stripMargin) // applies: both conditions hold
+    cq("""BEGIN BATCH
+         |  UPDATE ks.cart SET qty = 13 WHERE tenant = 'acme' AND day = 7 AND slot = 1 IF qty IN (12, 99);
+         |  DELETE qty FROM ks.cart WHERE tenant = 'acme' AND day = 7 AND slot = 4 IF qty = 40;
+         |APPLY BATCH""".stripMargin) // applies: IN hit + cell delete
+    cq("SELECT tenant, day, slot, value FROM ks.cart")
+      .orderBy("slot")
+  }
+
+  private val conditionalBatchTypedSql =
+    """SELECT tenant, CAST(day AS BIGINT) AS day,
+      |  CAST(slot AS INT) AS slot, CAST(v AS BIGINT) AS value
+      |FROM (VALUES ('acme', 7, 1, 13)) AS t(tenant, day, slot, v)
+      |ORDER BY slot""".stripMargin
 
   // C10c — TYPED-table counter round trip end-to-end: shard-delta
   // increments with named key parts, shard-SUM reads, the legal
@@ -3309,6 +3433,83 @@ object Cells {
     """SELECT CAST(pk AS BIGINT) AS pk, CAST(value AS BIGINT) AS value
       |FROM (VALUES (1, 14), (2, 1)) AS t(pk, value)
       |ORDER BY pk""".stripMargin
+
+  // C55h — ordered LWT conditions in the DECLARED type's order
+  // (r18): `IF c > ?` on text-storage mapped types decodes then
+  // compares — a timeuuid by its 60-bit time (its canonical text
+  // does NOT sort by time), an inet by its address bytes ('9.0.0.0'
+  // sorts below '10.0.0.0' numerically, above it textually) — and
+  // timestamp-valued tables ride the whole LWT round as instants.
+  // Each table walks a guarded state machine whose wrong-order
+  // branches never apply, so the final state pins the order used.
+  private def lwtOrderedMapped(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c55h"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c55h-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.tu (pk bigint, ck int, col text,
+        |  value timeuuid, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ip (pk bigint, ck int, col text,
+        |  value inet, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.ts (pk bigint, ck int, col text,
+        |  value timestamp, wt bigint);
+        |TRUNCATE ks.tu;
+        |TRUNCATE ks.ip;
+        |TRUNCATE ks.ts;
+        |INSERT INTO ks.tu (pk, ck, id)
+        |  VALUES (1, 1, 00000001-0000-1000-8000-000000000000);
+        |UPDATE ks.tu SET id = 00000000-0001-1000-8000-000000000000
+        |  WHERE pk = 1 AND ck = 1
+        |  IF id < 00000000-0001-1000-8000-000000000000;
+        |UPDATE ks.tu SET id = 00000000-0000-1001-8000-000000000000
+        |  WHERE pk = 1 AND ck = 1
+        |  IF id > 00000001-0000-1000-8000-000000000000;
+        |UPDATE ks.tu SET id = 99999999-9999-1999-8999-999999999999
+        |  WHERE pk = 1 AND ck = 1
+        |  IF id < 00000001-0000-1000-8000-000000000000;
+        |INSERT INTO ks.ip (pk, ck, addr) VALUES (1, 1, '9.0.0.0');
+        |UPDATE ks.ip SET addr = '10.0.0.0' WHERE pk = 1 AND ck = 1
+        |  IF addr < '10.0.0.0';
+        |UPDATE ks.ip SET addr = '1.1.1.1' WHERE pk = 1 AND ck = 1
+        |  IF addr > '200.0.0.0';
+        |UPDATE ks.ip SET addr = 'ffff::1' WHERE pk = 1 AND ck = 1
+        |  IF addr >= '10.0.0.0';
+        |INSERT INTO ks.ts (pk, ck, seen)
+        |  VALUES (1, 1, '2020-06-01T12:00:00Z') IF NOT EXISTS;
+        |UPDATE ks.ts SET seen = '2021-01-01T00:00:00Z'
+        |  WHERE pk = 1 AND ck = 1 IF seen < '2020-06-02T00:00:00Z';
+        |UPDATE ks.ts SET seen = '1999-01-01T00:00:00Z'
+        |  WHERE pk = 1 AND ck = 1 IF seen > '2021-06-01T00:00:00Z';
+        |UPDATE ks.ts SET seen = 86400000
+        |  WHERE pk = 1 AND ck = 1 IF seen <= '2021-01-01T00:00:00Z'
+        |""".stripMargin, cat)
+    val tu = cq("SELECT pk, value FROM ks.tu WHERE pk = 1 AND ck = 1")
+      .select(lit("timeuuid").as("item"), col("pk"),
+        col("value").as("v"))
+    val ip = cq("SELECT pk, value FROM ks.ip WHERE pk = 1 AND ck = 1")
+      .select(lit("inet").as("item"), col("pk"), col("value").as("v"))
+    val ts = cq("SELECT pk, value FROM ks.ts WHERE pk = 1 AND ck = 1")
+      .select(lit("timestamp").as("item"), col("pk"),
+        unix_millis(col("value")).cast("string").as("v"))
+    tu.unionAll(ip).unionAll(ts).orderBy("item")
+  }
+
+  // the guarded wrong-order branches never fire: timeuuid ends at
+  // the time_hi bump (time 2^48), inet at ffff::1, timestamp at
+  // epoch+1d (the 86400000-millis literal)
+  private val lwtOrderedMappedSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('inet', 1, 'ffff::1'),
+      |  ('timestamp', 1, '86400000'),
+      |  ('timeuuid', 1, '00000000-0000-1001-8000-000000000000'))
+      |  AS t(item, pk, v)
+      |ORDER BY item""".stripMargin
 
   // C55e — MULTI-condition LWT + conditions on NON-SET columns
   // (r16): every condition tested against the row's current state
@@ -4777,6 +4978,8 @@ object Cells {
     GQuery("C11g_collection_select", collectionSelect,
       Some(collectionSelectSql)),
     GQuery("C11h_map_replace", mapReplace, Some(mapReplaceSql)),
+    GQuery("C11i_batch_collections", batchCollections,
+      Some(batchCollectionsSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),
@@ -4800,6 +5003,8 @@ object Cells {
     GQuery("C56b_typed_batch", typedBatch, Some(typedBatchSql)),
     GQuery("C56d_conditional_batch", conditionalBatchLifecycle,
       Some(conditionalBatchSql)),
+    GQuery("C56f_conditional_batch_typed", conditionalBatchTyped,
+      Some(conditionalBatchTypedSql)),
     GQuery("C10c_typed_counter", typedCounter, Some(typedCounterSql)),
     GQuery("C11d_typed_collections", typedCollections,
       Some(typedCollectionsSql)),
@@ -4875,6 +5080,8 @@ object Cells {
     GQuery("C55d_lwt_operators", lwtOperatorsLifecycle,
       Some(lwtOperatorsSql)),
     GQuery("C55e_lwt_multi", lwtMultiLifecycle, Some(lwtMultiSql)),
+    GQuery("C55h_lwt_ordered_mapped", lwtOrderedMapped,
+      Some(lwtOrderedMappedSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

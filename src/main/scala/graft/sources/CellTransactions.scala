@@ -44,6 +44,16 @@ object CellTransactions {
     final case class In(vs: Seq[Any]) extends CasCond
     /** op: one of "<", "<=", ">", ">=" over Long cell values. */
     final case class Cmp(op: String, v: Long) extends CasCond
+    /** Ordered comparison in a DECLARED type's order (C55h, r18):
+      * `cmp` compares the stored representation against the parsed
+      * literal — the CALLER owns the decode (a timeuuid's 60-bit
+      * time, an inet's address bytes), so a text STORAGE rendering
+      * never has to carry the declared order itself. An absent cell
+      * never satisfies an ordered condition (Cassandra's null rule,
+      * same as [[Cmp]]).
+      */
+    final case class CmpBy(op: String, v: Any,
+        cmp: (Any, Any) => Int) extends CasCond
   }
 
   /** Evaluate a condition against the cell's current winner. */
@@ -62,6 +72,15 @@ object CellTransactions {
           case ">=" => l >= v
         }
         case _ => false
+      }
+      case CasCond.CmpBy(op, v, cmp) => cur.exists { c =>
+        val r = cmp(c, v)
+        op match {
+          case "<" => r < 0
+          case "<=" => r <= 0
+          case ">" => r > 0
+          case ">=" => r >= 0
+        }
       }
     }
 
@@ -315,6 +334,85 @@ object CellTransactions {
     }
   }
 
+  /** C56d, TYPED twin (r18) — the single-partition conditional batch
+    * over a CEL6/8 typed-key table: the same ONE-ballot round as
+    * [[casBatch]], with the partition addressed by NAMED pk parts
+    * and each condition/write row by its clustering parts' external
+    * values. Conditions resolve as typed point probes (the same
+    * pushed reads [[casApplyKeyed]] performs) under the single
+    * ballot — a consistent partition state, since every write to the
+    * table rides the ballot or the ordinary append path and the
+    * ballot holder sees a frozen file set. On success every write
+    * lands as ONE staged-link keyed flush at table-max-wt + 1.
+    * Bigint-valued typed tables only (the keyed CAS contract).
+    *
+    * `pkVals`: (name, external value) per partition-key part.
+    * `conds`: (ckVals, condCol, cond) — ckVals in declared
+    * clustering order; `condCol = None` tests ROW presence.
+    * `writes`: (ckVals, col, value) — col may be a tombstone marker.
+    */
+  def casBatchKeyed(spark: SparkSession, dir: String,
+      pkVals: Seq[(String, Any)],
+      conds: Seq[(Seq[Any], Option[String], CasCond)],
+      writes: Seq[(Seq[Any], String, Long)],
+      lockTimeoutMs: Long = 30000L,
+      nowMs: Long = System.currentTimeMillis(),
+      queryTimeMs: Long = Long.MaxValue): CasResult = {
+    require(writes.nonEmpty, "an empty conditional batch is a no-op")
+    require(conds.forall(_._2.forall(c => !c.startsWith("!"))),
+      "CAS conditions target data cells, not markers")
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    val spec = CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm))
+    require(!spec.isDefault,
+      s"$dir is default-keyed; use casBatch(pk, …)")
+    require(pkVals.map(_._1.toLowerCase) ==
+        spec.pkParts.map(_.name.toLowerCase),
+      "conditional BATCH must bind every partition-key part in " +
+        s"key order (${spec.pkParts.map(_.name).mkString(", ")})")
+    require(conds.forall(_._1.length == spec.ckParts.length) &&
+        writes.forall(_._1.length == spec.ckParts.length),
+      "every conditional-BATCH row binds all clustering parts " +
+        s"(${spec.ckParts.map(_.name).mkString(", ")})")
+    withBallot(d, lockTimeoutMs, nowMs) {
+      def rowOf(ckVals: Seq[Any]) = {
+        val reader = spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true")
+        var row = (if (queryTimeMs != Long.MaxValue)
+          reader.option("queryTime", queryTimeMs.toString) else reader)
+          .load(norm)
+        pkVals.foreach { case (n, v) => row = row.filter(col(n) === v) }
+        spec.ckParts.zip(ckVals).foreach { case (p, v) =>
+          row = row.filter(col(p.name) === v) }
+        row
+      }
+      val failed = conds.iterator.map { case (ckVals, condCol, cond) =>
+        val row = rowOf(ckVals)
+        val cur: Option[Any] = condCol match {
+          case Some(c) => row.filter(col("col") === c)
+            .select(col("value")).collect().headOption.map(_.get(0))
+          case None =>
+            if (row.limit(1).collect().nonEmpty) Some(0L) else None
+        }
+        (condHolds(cond, cur), condCol, cur)
+      }.find(!_._1)
+      failed match {
+        case Some((_, condCol, cur)) =>
+          CasResult(applied = false,
+            if (condCol.isDefined) cur else None)
+        case None =>
+          val files = CellPlanning.listFiles(norm)
+          val wt = files.map(CellSource.readHeader).iterator
+            .flatMap(_.chunkMaxWt.iterator).foldLeft(0L)(math.max) + 1
+          appendRowsKeyed(d, files, spec,
+            writes.map { case (ckVals, c, v) =>
+              (pkVals.map(_._2) ++ ckVals, c, v) }, wt)
+          CasResult(applied = true, None)
+      }
+    }
+  }
+
   /** Claim the table's ballot lock, run `body`, release. A lock file
     * older than `timeoutMs` belongs to a dead coordinator and is
     * broken; an unexpired lock means an in-flight round — callers get
@@ -382,8 +480,21 @@ object CellTransactions {
             s"CAS write of $v to a text-valued table")
           org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
       }
+      case ValueCodec.TimestampTag => v match {
+        // internal representation: epoch MICROS (the file writer's
+        // long slot) — C55h timestamp LWT
+        case t: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t)
+        case l: Long => l
+        case _ =>
+          require(colName.startsWith("!"),
+            s"CAS write of $v to a timestamp-valued table")
+          0L
+      }
       case t => throw new IllegalArgumentException(
-        s"CAS is defined on bigint- and text-valued tables (tag $t)")
+        s"CAS is defined on bigint-, text- and timestamp-valued " +
+          s"tables (tag $t)")
     }
 
   /** Multi-row sibling of [[appendRow]]: the conditional batch's
@@ -439,6 +550,35 @@ object CellTransactions {
     publishStaged(dir, files, staged)
   }
 
+  /** Multi-row sibling of [[appendRowKeyed]] (r18): the typed
+    * conditional batch's cells as ONE staged-link keyed flush — all
+    * at the shared writetime, sorted to the keyed file contract.
+    */
+  private def appendRowsKeyed(dir: Path, files: Seq[String],
+      spec: KeySpec, rows: Seq[(Seq[Any], String, Long)],
+      wt: Long): Unit = {
+    val (tag, prec, scale) = casValueType(dir, files)
+    require(tag == ValueCodec.LongTag,
+      "keyed CAS writes bigint cells; table is not bigint-valued")
+    def internal(p: KeyPart, v: Any): Any =
+      KeyCodec.toInternal(p.tag, v).getOrElse(throw
+        new IllegalArgumentException(s"bad ${p.name} value $v"))
+    val recs = rows.map { case (keyValues, colName, value) =>
+      val pkIv = spec.pkParts.zip(keyValues.take(spec.pkParts.length))
+        .map { case (p, v) => internal(p, v) }.toArray
+      val ckIv = spec.ckParts.zip(keyValues.drop(spec.pkParts.length))
+        .map { case (p, v) => internal(p, v) }.toArray
+      CellSource.KeyedRec(KeyCodec.token(spec, pkIv), pkIv,
+        CellSource.rankOf(colName), ckIv, colName, value, wt)
+    }.sortWith(CellSource.keyedLess(spec))
+    val cols = recs.iterator.map(_.col).toArray.distinct.sorted
+    val staged = Files.createTempFile(dir, ".cas-", ".tmp")
+    CellSource.writeFileKeyed(staged, recs, spec, cols, tag, prec,
+      scale, CellSource.DefaultIndexEvery,
+      CellSource.DefaultChunkRecords)
+    publishStaged(dir, files, staged)
+  }
+
   /** The table's value layout for a CAS write: the first file
     * header's tag once files exist, else the catalog `_type` marker —
     * the SAME resolution order as [[CellSource.valueTypeOf]]. Reading
@@ -461,9 +601,10 @@ object CellTransactions {
           else org.apache.spark.sql.types.LongType
         (ValueCodec.tagFor(dt), 0, 0)
       }
-    require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag,
-      s"CAS is defined on bigint- and text-valued tables " +
-        s"(found tag $tag)")
+    require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag ||
+        tag == ValueCodec.TimestampTag,
+      s"CAS is defined on bigint-, text- and timestamp-valued " +
+        s"tables (found tag $tag)")
     (tag, prec, scale)
   }
 

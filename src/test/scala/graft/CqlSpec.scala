@@ -438,15 +438,19 @@ class CqlSpec extends GraftSpec {
     val log = java.nio.file.Paths.get(td + ".batchlog")
     assert(!java.nio.file.Files.isDirectory(log) ||
       !java.nio.file.Files.list(log).iterator().hasNext)
-    // conditional statements refuse inside the batch on typed
-    // tables too (the WHERE group must not absorb the IF clause)
-    val e = intercept[IllegalArgumentException] {
-      Cql.execute(spark,
-        s"""BEGIN BATCH
-           |  UPDATE $td SET qty = 9 WHERE user = 'u-1' AND ck = 1 IF qty = 11;
-           |APPLY BATCH""".stripMargin)
-    }
-    assert(e.getMessage.contains("conditional"), e.getMessage)
+    // conditional statements on typed tables route to the keyed CAS
+    // round (C56f, r18) — and the WHERE group must not absorb the IF
+    // clause (the condition really gates)
+    val rc = Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $td SET qty = 9 WHERE user = 'u-1' AND ck = 1 IF qty = 11;
+         |APPLY BATCH""".stripMargin).collect().head
+    assert(rc.getBoolean(0))
+    val rm = Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $td SET qty = 8 WHERE user = 'u-1' AND ck = 1 IF qty = 11;
+         |APPLY BATCH""".stripMargin).collect().head
+    assert(!rm.getBoolean(0)) // qty is 9 now — the guard holds
   }
 
   test("counter arithmetic on TYPED tables: shard deltas, shard-SUM " +
@@ -1184,6 +1188,183 @@ class CqlSpec extends GraftSpec {
       .load(td).filter(col("ck") === 1)
       .select("user").as[String].collect().toSet
     assert(tlate === Set("u-1", "u-8"))
+  }
+
+  test("BEGIN BATCH with collection updates: appends, puts and " +
+      "removes land atomically at ONE batch writetime (C11i)") {
+    val d = freshTable()
+    // pre-batch state the batch's reads resolve against
+    Cql.execute(spark, s"UPDATE $d SET lst = lst + [1, 2] WHERE pk = 7")
+    Cql.execute(spark, s"UPDATE $d SET m['a'] = 1, m['drop'] = 9 " +
+      "WHERE pk = 7 AND ck = 50")
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $d SET lst = lst + [3] WHERE pk = 7;
+         |  UPDATE $d SET lst = lst + [4] WHERE pk = 7;
+         |  UPDATE $d SET m['b'] = 2, m['a'] = 11 WHERE pk = 7 AND ck = 50;
+         |  DELETE m['drop'] FROM $d WHERE pk = 7 AND ck = 50;
+         |  UPDATE $d SET qty = 99 WHERE pk = 7 AND ck = 60;
+         |APPLY BATCH""".stripMargin)
+    def live = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d).filter(col("pk") === 7L)
+    // two same-batch appends to ONE list land as DISTINCT elements,
+    // in statement order (the shared per-batch append-position map)
+    val lst = live.filter(col("col") === "lst")
+      .orderBy("ck").select("value").as[Long].collect().toSeq
+    assert(lst === Seq(1L, 2L, 3L, 4L))
+    // map puts applied; the entry delete removed 'drop'
+    val ents = live.filter(col("ck") === 50 && col("col") =!= "lst")
+      .select("col", "value").as[(String, Long)].collect().toSet
+    assert(ents === Set(("a", 11L), ("b", 2L)))
+    // ONE shared writetime across every cell the batch wrote —
+    // including the entry-delete marker (raw read)
+    val freshWts = live
+      .filter((col("col") === "lst" && col("value") >= 3L) ||
+        (col("ck") === 50 && col("col").isin("a", "b")) ||
+        col("col") === "qty")
+      .select("wt").as[Long].collect().toSet
+    assert(freshWts.size === 1, freshWts)
+    val markerWt = spark.read.format("graft.sources.CellSource")
+      .load(d).filter(col("pk") === 7L && col("col") === "!del:drop")
+      .select("wt").as[Long].collect().toSet
+    assert(markerWt === freshWts)
+  }
+
+  test("batched collection replace reads PRE-batch state: a " +
+      "same-batch append survives the replace (C11i)") {
+    val d = freshTable()
+    Cql.execute(spark, s"UPDATE $d SET lst = lst + [1, 2] WHERE pk = 8")
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $d SET lst = [100] WHERE pk = 8;
+         |  UPDATE $d SET lst = lst + [101] WHERE pk = 8;
+         |APPLY BATCH""".stripMargin)
+    val lst = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d)
+      .filter(col("pk") === 8L && col("col") === "lst")
+      .orderBy("ck").select("value").as[Long].collect().toSeq
+    // the replace shadows only the PRE-batch elements; the
+    // same-batch append lands above it (Cassandra's batch rule: no
+    // intra-batch read-your-writes)
+    assert(lst === Seq(100L, 101L))
+  }
+
+  test("INSERT with collection literals inside BATCH desugars to " +
+      "the replace form (C11i)") {
+    val d = freshTable()
+    Cql.execute(spark, s"UPDATE $d SET lst = lst + [5] WHERE pk = 9")
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  INSERT INTO $d (pk, lst) VALUES (9, [7, 8]);
+         |  INSERT INTO $d (pk, ck, qty) VALUES (9, 1, 42);
+         |APPLY BATCH""".stripMargin)
+    val r = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(d).filter(col("pk") === 9L)
+    assert(r.filter(col("col") === "lst").orderBy("ck")
+      .select("value").as[Long].collect().toSeq === Seq(7L, 8L))
+    assert(r.filter(col("col") === "qty")
+      .select("value").as[Long].collect().toSeq === Seq(42L))
+  }
+
+  test("batched collection writes carry per-statement TTL; their " +
+      "tombstone markers never expire (C11i)") {
+    val d = freshTable()
+    Cql.execute(spark, s"UPDATE $d SET st = st + {5, 6} WHERE pk = 11")
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $d USING TTL 10 SET st = st + {7} WHERE pk = 11;
+         |  UPDATE $d SET st = st - {5} WHERE pk = 11;
+         |APPLY BATCH""".stripMargin)
+    val raw = spark.read.format("graft.sources.CellSource")
+      .option("withTtl", "true").load(d).filter(col("pk") === 11L)
+    // the TTL'd element expires at wt + 10; the remove marker never
+    val el7 = raw.filter(col("col") === "st" && col("value") === 7L)
+      .select(col("_expiry") - col("wt")).as[Long].collect().toSeq
+    assert(el7 === Seq(10L))
+    assert(raw.filter(col("col") === "!del:st")
+      .select("_expiry").as[Long].collect().toSeq ===
+      Seq(Long.MaxValue))
+    // reconciled now: {6, 7}; past the expiry the TTL'd element
+    // drops and the removed one STAYS removed
+    val wt = raw.filter(col("col") === "st" && col("value") === 7L)
+      .select("wt").as[Long].collect().head
+    def setAt(t: Long) = spark.read
+      .format("graft.sources.CellSource")
+      .option("reconcile", "true").option("queryTime", t.toString)
+      .load(d).filter(col("pk") === 11L && col("col") === "st")
+      .select("value").as[Long].collect().toSet
+    assert(setAt(wt) === Set(6L, 7L))
+    assert(setAt(wt + 11) === Set(6L))
+  }
+
+  test("batched collection refusals stay scoped (C11i)") {
+    // typed layouts: single statements only
+    val td = Files.createTempDirectory("cql-bcoll-t").toString
+    Seq(("u-1", 1, "qty", 10L, 100L))
+      .toDF("user", "ck", "col", "value", "wt")
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .option("primaryKey", "((user),ck)")
+      .option("keyType.user", "string").option("keyType.ck", "int")
+      .mode("append").save(td)
+    val e1 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  UPDATE $td SET lst = lst + [1] WHERE user = 'u-1';
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e1.getMessage.contains("default ((pk), ck) layout"))
+    // non-bigint element storage: refuses by name
+    val root = Files.createTempDirectory("cql-bcoll-c").toString
+    spark.conf.set("spark.sql.catalog.cqlbcoll",
+      "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.cqlbcoll.root", root)
+    def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "cqlbcoll")
+    cq("CREATE KEYSPACE ks")
+    cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+      "value set<inet>, wt bigint)")
+    val e2 = intercept[IllegalArgumentException] {
+      cq("""BEGIN BATCH
+           |  UPDATE ks.si SET st = st + {'10.0.0.1'} WHERE pk = 1;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e2.getMessage.contains("bigint cells"))
+    // state-derived DELETE forms stay single-statement
+    cq("CREATE TABLE ks.bl (pk bigint, ck int, col text, " +
+      "value list<bigint>, wt bigint)")
+    cq("UPDATE ks.bl SET l = l + [1, 2] WHERE pk = 1")
+    val e3 = intercept[IllegalArgumentException] {
+      cq("""BEGIN BATCH
+           |  DELETE l[0] FROM ks.bl WHERE pk = 1;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e3.getMessage.contains("inside BATCH is outside this subset"))
+    val e4 = intercept[IllegalArgumentException] {
+      cq("""BEGIN BATCH
+           |  DELETE l FROM ks.bl WHERE pk = 1;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e4.getMessage.contains("whole-collection DELETE"))
+    // conditional BATCH still excludes collection updates
+    val d = freshTable()
+    val e5 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  UPDATE $d SET lst = lst + [1] WHERE pk = 1 IF qty = 10;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e5.getMessage.contains(
+      "collection updates are not supported inside BATCH"))
+    // counter exclusion unchanged
+    val cd = Files.createTempDirectory("cql-bcoll-cnt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cd, "_props"), "counter=true\n")
+    val e6 = intercept[IllegalArgumentException] {
+      Cql.execute(spark,
+        s"""BEGIN BATCH
+           |  UPDATE $cd SET hits = hits + 1 WHERE pk = 1 AND ck = 1;
+           |APPLY BATCH""".stripMargin)
+    }
+    assert(e6.getMessage.contains("counter increments"))
   }
 
   test("default_time_to_live: writes without USING TTL take the " +
@@ -2120,6 +2301,144 @@ class CqlSpec extends GraftSpec {
     val r6 = applied(
       s"UPDATE $d SET qty = 1 WHERE pk = 7 AND ck = 2 IF qty = 71")
     assert(r6._1 === true)
+  }
+
+  test("conditional BATCH over TYPED / composite key layouts: one " +
+      "keyed ballot round arbitrates the partition (C56f)") {
+    val root = Files.createTempDirectory("cql-tcbat").toString
+    spark.conf.set("spark.sql.catalog.tcbat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tcbat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tcbat")
+      def cas(stmt: String) =
+        cq(stmt).as[(Boolean, Option[Long])].collect().head
+      def cb(body: String) =
+        cas(s"BEGIN BATCH\n$body;\nAPPLY BATCH")
+      cq("CREATE KEYSPACE ks")
+      // ---- typed single-part pk ----
+      cq("CREATE TABLE ks.t (user text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      cq("INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 1, 10)")
+      // all conditions pass: every statement's cells land at ONE
+      // shared writetime, unconditional riders included
+      assert(cb(
+        """INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 2, 20) IF NOT EXISTS;
+          |UPDATE ks.t SET qty = 11 WHERE user = 'u-1' AND ck = 1 IF qty = 10;
+          |INSERT INTO ks.t (user, ck, price) VALUES ('u-1', 3, 30)"""
+          .stripMargin) === ((true, None)))
+      def cells(t: String) = cq(s"SELECT ck, col, value FROM ks.$t " +
+        "WHERE user = 'u-1'").as[(Int, String, Long)].collect().toSet
+      assert(cells("t") === Set((1, "qty", 11L), (2, "qty", 20L),
+        (3, "price", 30L)))
+      // every reconciled winner is a batch cell (the UPDATE shadowed
+      // the seed), and all share ONE batch writetime
+      val wts = spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/t")
+        .select("wt").as[Long].collect().toSet
+      assert(wts.size === 1, wts)
+      // one failing condition applies NOTHING (reports the unmet
+      // cell's current value), unconditional riders included
+      assert(cb(
+        """UPDATE ks.t SET qty = 99 WHERE user = 'u-1' AND ck = 1 IF qty = 5;
+          |INSERT INTO ks.t (user, ck, qty) VALUES ('u-1', 9, 9)"""
+          .stripMargin) === ((false, Some(11L))))
+      assert(!cells("t").exists(_._1 == 9))
+      // multi-condition terms, IF IN, IF EXISTS, conditional DELETE
+      // (cell + row forms) all ride the keyed round
+      assert(cb(
+        """UPDATE ks.t SET extra = 7 WHERE user = 'u-1' AND ck = 1 IF qty = 11 AND qty > 10;
+          |UPDATE ks.t SET qty = 21 WHERE user = 'u-1' AND ck = 2 IF qty IN (19, 20);
+          |DELETE FROM ks.t WHERE user = 'u-1' AND ck = 3 IF EXISTS"""
+          .stripMargin) === ((true, None)))
+      assert(cells("t") === Set((1, "qty", 11L), (1, "extra", 7L),
+        (2, "qty", 21L)))
+      assert(cb(
+        """DELETE extra FROM ks.t WHERE user = 'u-1' AND ck = 1 IF extra = 7;
+          |UPDATE ks.t SET qty = 12 WHERE user = 'u-1' AND ck = 1 IF EXISTS"""
+          .stripMargin) === ((true, None)))
+      assert(cells("t") === Set((1, "qty", 12L), (2, "qty", 21L)))
+      // a row-presence miss refuses the whole batch
+      assert(cb(
+        """UPDATE ks.t SET qty = 1 WHERE user = 'u-1' AND ck = 55 IF EXISTS;
+          |UPDATE ks.t SET qty = 2 WHERE user = 'u-1' AND ck = 1"""
+          .stripMargin) === ((false, None)))
+      assert(cells("t").contains((1, "qty", 12L)))
+      // ---- composite pk, two clustering parts ----
+      cq("CREATE TABLE ks.c (tenant text, day bigint, seq int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((tenant, day), seq))")
+      cq("INSERT INTO ks.c (tenant, day, seq, qty) " +
+        "VALUES ('acme', 7, 1, 42)")
+      assert(cb(
+        """UPDATE ks.c SET qty = 43 WHERE tenant = 'acme' AND day = 7 AND seq = 1 IF qty = 42;
+          |INSERT INTO ks.c (tenant, day, seq, qty) VALUES ('acme', 7, 2, 50) IF NOT EXISTS"""
+          .stripMargin) === ((true, None)))
+      assert(cq("SELECT seq, value FROM ks.c WHERE tenant = 'acme' " +
+        "AND day = 7").as[(Int, Long)].collect().toSet ===
+        Set((1, 43L), (2, 50L)))
+      // refusals: Cassandra's spanning rules, typed edition
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      refuse("""BEGIN BATCH
+          |UPDATE ks.c SET qty = 1 WHERE tenant = 'acme' AND day = 7 AND seq = 1 IF qty = 43;
+          |UPDATE ks.c SET qty = 2 WHERE tenant = 'acme' AND day = 8 AND seq = 1;
+          |APPLY BATCH""".stripMargin, "cannot span multiple partitions")
+      refuse("""BEGIN BATCH
+          |UPDATE ks.c SET qty = 1 WHERE tenant = 'acme' AND day IN (7, 8) AND seq = 1;
+          |UPDATE ks.c SET qty = 2 WHERE tenant = 'acme' AND day = 7 AND seq = 1 IF qty = 43;
+          |APPLY BATCH""".stripMargin, "cannot span multiple partitions")
+      refuse("""BEGIN BATCH
+          |UPDATE ks.t SET qty = 1 WHERE user = 'u-1' AND ck = 1 IF qty = 12;
+          |UPDATE ks.c SET qty = 2 WHERE tenant = 'acme' AND day = 7 AND seq = 1;
+          |APPLY BATCH""".stripMargin, "cannot span multiple tables")
+      refuse("""BEGIN BATCH
+          |UPDATE ks.t USING TIMESTAMP 5 SET qty = 1 WHERE user = 'u-1' AND ck = 1 IF qty = 12;
+          |APPLY BATCH""".stripMargin, "USING")
+      refuse("""BEGIN BATCH
+          |UPDATE ks.t SET qty = 1 WHERE user = 'u-1' IF qty = 12;
+          |APPLY BATCH""".stripMargin, "clustering")
+      // value-type gate: a text-valued typed table refuses by name
+      cq("CREATE TABLE ks.s (user text, ck int, col text, " +
+        "value text, wt bigint, PRIMARY KEY ((user), ck))")
+      refuse("""BEGIN BATCH
+          |UPDATE ks.s SET name = 'x' WHERE user = 'u' AND ck = 1 IF name = 'y';
+          |APPLY BATCH""".stripMargin, "bigint cells")
+      // statics never reach the typed batch: typed layouts cannot
+      // declare them (the CREATE gate) — asserted here so the
+      // no-partition-front-case assumption above stays pinned
+      refuse("CREATE TABLE ks.st (user text, ck int, flag bigint " +
+        "STATIC, col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((user), ck))", "static columns are supported " +
+        "on the default")
+      // ck-less typed layout: the partition IS the CAS row
+      cq("CREATE TABLE ks.one (id text, col text, value bigint, " +
+        "wt bigint, PRIMARY KEY ((id)))")
+      assert(cb(
+        """INSERT INTO ks.one (id, n) VALUES ('a', 1) IF NOT EXISTS;
+          |UPDATE ks.one SET m = 2 WHERE id = 'a'"""
+          .stripMargin) === ((true, None)))
+      assert(cb(
+        "INSERT INTO ks.one (id, n) VALUES ('a', 9) IF NOT EXISTS")
+        === ((false, None)))
+      assert(cq("SELECT col, value FROM ks.one WHERE id = 'a'")
+        .as[(String, Long)].collect().toSet ===
+        Set(("n", 1L), ("m", 2L)))
+      // contention: an unexpired ballot surfaces as the CAS
+      // ContentionException on the keyed round too
+      val lock = java.nio.file.Paths.get(root, "ks", "t", "_paxos.lock")
+      java.nio.file.Files.createFile(lock)
+      try intercept[graft.sources.CellTransactions.ContentionException] {
+        cb("UPDATE ks.t SET qty = 1 WHERE user = 'u-1' AND ck = 1 " +
+          "IF qty = 12")
+      } finally java.nio.file.Files.deleteIfExists(lock)
+      assert(cb("UPDATE ks.t SET qty = 13 WHERE user = 'u-1' AND " +
+        "ck = 1 IF qty = 12") === ((true, None)))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tcbat")
+      spark.conf.unset("spark.sql.catalog.tcbat.root")
+    }
   }
 
   test("UNLOGGED BATCH rejects conditional (LWT) sub-statements") {
@@ -4897,7 +5216,8 @@ class CqlSpec extends GraftSpec {
         "IF n != 20").collect().head
       assert(!miss.getBoolean(0) &&
         miss.getLong(miss.fieldIndex("current")) === 20L)
-      // text cells: equality family serves, ordered refuses by name
+      // text cells: the whole operator family serves — ordered
+      // compares in UTF-8 byte order (C55h)
       cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
         "value text, wt bigint)")
       cq("INSERT INTO ks.s (pk, ck, st) VALUES (1, 1, 'new')")
@@ -4905,8 +5225,10 @@ class CqlSpec extends GraftSpec {
         "ck = 1 IF st != 'done'"))
       assert(applied("UPDATE ks.s SET st = 'done' WHERE pk = 1 AND " +
         "ck = 1 IF st IN ('run', 'paused')"))
-      refuse("UPDATE ks.s SET st = 'x' WHERE pk = 1 AND ck = 1 " +
-        "IF st < 'zzz'", "bigint cells only")
+      assert(applied("UPDATE ks.s SET st = 'x' WHERE pk = 1 AND " +
+        "ck = 1 IF st < 'zzz'"))
+      assert(!applied("UPDATE ks.s SET st = 'y' WHERE pk = 1 AND " +
+        "ck = 1 IF st > 'x'"))
       // mapped grammar rides the IN members (canonical uuid compare)
       cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
         "value uuid, wt bigint)")
@@ -4919,10 +5241,11 @@ class CqlSpec extends GraftSpec {
       refuse("UPDATE ks.u SET id = " +
         "00000000-0000-1000-8000-000000000003 WHERE pk = 1 AND " +
         "ck = 1 IF id != 'nope'", "uuid literal")
-      refuse("UPDATE ks.u SET id = " +
+      // ordered uuid: both v1 with zero time — the unsigned-value
+      // tiebreak decides (C55h)
+      assert(applied("UPDATE ks.u SET id = " +
         "00000000-0000-1000-8000-000000000003 WHERE pk = 1 AND " +
-        "ck = 1 IF id > 00000000-0000-1000-8000-000000000001",
-        "bigint cells only")
+        "ck = 1 IF id > 00000000-0000-1000-8000-000000000001"))
       // operator conditions ride the conditional BATCH round too
       val b = cq("BEGIN BATCH\n" +
         "UPDATE ks.t SET n = 21 WHERE pk = 1 AND ck = 1 IF n >= 20;\n" +
@@ -4937,6 +5260,95 @@ class CqlSpec extends GraftSpec {
         "IF n != 99").collect().head.getBoolean(0))
       assert(n(1) === None)
     } finally spark.conf.unset("spark.sql.catalog.opcat")
+  }
+
+  test("ordered LWT conditions in the DECLARED type's order (C55h): " +
+    "timeuuid by 60-bit time, inet by address bytes, timestamp as " +
+    "instants — where text order disagrees") {
+    val root = Files.createTempDirectory("cql-c55h").toString
+    spark.conf.set("spark.sql.catalog.ohcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ohcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ohcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      cq("CREATE KEYSPACE ks")
+      // --- timeuuid: 60-bit TIME order, not canonical-text order ---
+      // A's time is 1 (time_low = 1); B's is 2^32 (time_mid = 1).
+      // Textually A > B, by time A < B — the condition must follow
+      // the time.
+      val tA = "00000001-0000-1000-8000-000000000000"
+      val tB = "00000000-0001-1000-8000-000000000000"
+      cq("CREATE TABLE ks.ev (pk bigint, ck int, col text, " +
+        "value timeuuid, wt bigint)")
+      cq(s"INSERT INTO ks.ev (pk, ck, id) VALUES (1, 1, $tA)")
+      assert(applied("UPDATE ks.ev SET id = " +
+        s"$tA WHERE pk = 1 AND ck = 1 IF id < $tB"))
+      assert(!applied("UPDATE ks.ev SET id = " +
+        s"$tB WHERE pk = 1 AND ck = 1 IF id > $tB"))
+      // --- inet: numeric address order, not text order ---
+      // '9.0.0.0' > '10.0.0.0' textually but < numerically.
+      cq("CREATE TABLE ks.ip (pk bigint, ck int, col text, " +
+        "value inet, wt bigint)")
+      cq("INSERT INTO ks.ip (pk, ck, addr) VALUES (1, 1, '9.0.0.0')")
+      assert(applied("UPDATE ks.ip SET addr = '9.0.0.1' WHERE " +
+        "pk = 1 AND ck = 1 IF addr < '10.0.0.0'"))
+      assert(applied("UPDATE ks.ip SET addr = '10.0.0.0' WHERE " +
+        "pk = 1 AND ck = 1 IF addr >= '9.0.0.1'"))
+      assert(!applied("UPDATE ks.ip SET addr = '1.1.1.1' WHERE " +
+        "pk = 1 AND ck = 1 IF addr > '200.0.0.0'"))
+      // mixed families compare by address BYTES: 10.0.0.0 starts
+      // with byte 10 — above ::ff's zero prefix, below ffff::1's 0xff
+      assert(applied("UPDATE ks.ip SET addr = '10.0.0.1' WHERE " +
+        "pk = 1 AND ck = 1 IF addr < 'ffff::1'"))
+      assert(!applied("UPDATE ks.ip SET addr = '1.1.1.1' WHERE " +
+        "pk = 1 AND ck = 1 IF addr < '::ff'"))
+      // --- ascii: byte order (== text order on the ASCII subset) ---
+      cq("CREATE TABLE ks.an (pk bigint, ck int, col text, " +
+        "value ascii, wt bigint)")
+      cq("INSERT INTO ks.an (pk, ck, tag) VALUES (1, 1, 'beta')")
+      assert(applied("UPDATE ks.an SET tag = 'gamma' WHERE pk = 1 " +
+        "AND ck = 1 IF tag > 'alpha'"))
+      assert(!applied("UPDATE ks.an SET tag = 'x' WHERE pk = 1 " +
+        "AND ck = 1 IF tag <= 'delta'"))
+      // --- timestamp tables ride the LWT round as instants (C55h):
+      // IF NOT EXISTS, equality, ordered, and the reported current
+      cq("CREATE TABLE ks.ts (pk bigint, ck int, col text, " +
+        "value timestamp, wt bigint)")
+      assert(applied("INSERT INTO ks.ts (pk, ck, seen) VALUES " +
+        "(1, 1, '2020-06-01T12:00:00Z') IF NOT EXISTS"))
+      assert(!applied("INSERT INTO ks.ts (pk, ck, seen) VALUES " +
+        "(1, 1, '2099-01-01T00:00:00Z') IF NOT EXISTS"))
+      // ordered: the space form and an explicit offset both parse;
+      // +02:00 on 13:00 IS 11:00Z, before the stored noon
+      assert(applied("UPDATE ks.ts SET seen = '2021-01-01 00:00:00' " +
+        "WHERE pk = 1 AND ck = 1 IF seen < '2020-06-02T00:00:00Z'"))
+      assert(applied("UPDATE ks.ts SET seen = '2022-01-01T00:00:00Z' " +
+        "WHERE pk = 1 AND ck = 1 IF seen > '2020-12-31T13:00:00+02:00'"))
+      assert(!applied("UPDATE ks.ts SET seen = '2000-01-01T00:00:00Z' " +
+        "WHERE pk = 1 AND ck = 1 IF seen != '2022-01-01T00:00:00Z'"))
+      // epoch-millis literals parse too; equality applies
+      assert(applied("UPDATE ks.ts SET seen = 0 " +
+        "WHERE pk = 1 AND ck = 1 IF seen = '2022-01-01T00:00:00Z'"))
+      val miss = cq("UPDATE ks.ts SET seen = 1 WHERE pk = 1 AND " +
+        "ck = 1 IF seen > '2020-01-01T00:00:00Z'").collect().head
+      assert(!miss.getBoolean(0))
+      assert(miss.getTimestamp(miss.fieldIndex("current")) ===
+        java.sql.Timestamp.from(java.time.Instant.EPOCH))
+      // conditional DELETE + conditional BATCH ride it too
+      assert(applied("BEGIN BATCH\nUPDATE ks.ts SET seen = 5 WHERE " +
+        "pk = 1 AND ck = 1 IF seen <= 0;\nAPPLY BATCH"))
+      assert(applied("DELETE seen FROM ks.ts WHERE pk = 1 AND " +
+        "ck = 1 IF seen = 5"))
+      assert(cq("SELECT value FROM ks.ts WHERE pk = 1 AND ck = 1")
+        .count() === 0)
+      // an ordered condition against an ABSENT cell stays FALSE
+      assert(!applied("UPDATE ks.ts SET seen = 9 WHERE pk = 1 AND " +
+        "ck = 1 IF seen < '2099-01-01T00:00:00Z'"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ohcat")
+      spark.conf.unset("spark.sql.catalog.ohcat.root")
+    }
   }
 
   test("multi-condition LWT + non-SET-column conditions (C55e): " +

@@ -3751,6 +3751,36 @@ class SourceSpec extends GraftSpec {
     assert(rec(t1).select("value").as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("batchlog replay applies collection element cells and their " +
+      "tombstone markers atomically (C11i)") {
+    import graft.sources.CellTransactions
+    val t = Files.createTempDirectory("cells-bcoll").toString
+    val log = Files.createTempDirectory("cells-bcolllog").toString
+    def cells(rows: Seq[(Long, Int, String, Long, Long)]) =
+      rows.toDF("pk", "ck", "col", "value", "wt")
+    // pre-existing list elements [5, 6] at cks 1, 2
+    cells(Seq((1L, 1, "lst", 5L, 100L), (1L, 2, "lst", 6L, 100L)))
+      .coalesce(1).write.format("graft.sources.CellSource")
+      .mode("append").save(t)
+    // "crash" after journal publish: the batch removes the element
+    // at ck 1 (a !del: marker) and appends one at ck 3
+    CellTransactions.loggedBatch(spark, Seq(
+      t -> cells(Seq((1L, 1, "!del:lst", 0L, 200L),
+        (1L, 3, "lst", 7L, 200L)))), log, applyNow = false)
+    def lst = spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(t)
+      .filter(col("col") === "lst").orderBy("ck")
+      .select("value").as[Long].collect().toSeq
+    // isolation before publish: a read still sees the pre-batch list
+    assert(lst == Seq(5L, 6L))
+    // recovery applies marker and element together
+    assert(CellTransactions.replayBatchlog(spark, log) == 1)
+    assert(lst == Seq(6L, 7L))
+    // idempotent
+    assert(CellTransactions.replayBatchlog(spark, log) == 0)
+    assert(lst == Seq(6L, 7L))
+  }
+
   test("counter tables are refused in logged batches") {
     import graft.sources.CellTransactions
     val t = Files.createTempDirectory("cells-bcounter").toString
