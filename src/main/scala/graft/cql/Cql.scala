@@ -122,11 +122,14 @@ object Cql {
     case None => graft.sources.CellSource.defaultTtl(dir)
   }
 
+  // the IF value admits brace literals (packed frozen<udt> values,
+  // C55i) alongside the scalar `\S+` forms
   private val UpdateIfRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
       """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*;?\s*$""").r
+      """\s+IF\s+(\w+)\s*(!=|<=|>=|=|<|>)\s*(\{[^{}]*\}|\S+?)""" +
+      """\s*;?\s*$""").r
 
   /** `UPDATE ... IF col IN (v1, v2, ...)` — Cassandra's IN condition
     * (r16). Matched before [[UpdateIfRe]] in the dispatcher.
@@ -154,7 +157,8 @@ object Cql {
     * family (C55d/C55e).
     */
   private val LwtCondRe =
-    """(?is)^\s*(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?)\s*$""".r
+    ("""(?is)^\s*(\w+)\s*(!=|<=|>=|=|<|>)""" +
+      """\s*(\{[^{}]*\}|\S+?)\s*$""").r
 
   private val UpdateIfExistsRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
@@ -164,8 +168,8 @@ object Cql {
 
   private val DeleteIfRe =
     ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(?:(EXISTS)|(\w+)\s*(!=|<=|>=|=|<|>)\s*(\S+?))""" +
-      """\s*;?\s*$""").r
+      """\s+IF\s+(?:(EXISTS)|(\w+)\s*(!=|<=|>=|=|<|>)""" +
+      """\s*(\{[^{}]*\}|\S+?))\s*;?\s*$""").r
 
   private val BatchRe =
     ("""(?is)^\s*BEGIN\s+BATCH(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
@@ -678,40 +682,34 @@ object Cql {
       if (usingTs != null) forgetWt(dir)
       spark.emptyDataFrame
     case InsertIfNotExistsRe(table, cols, vals, usingClause) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table)) // CAS reads current state
       val r = lwtInsert(spark, resolve(table), cols, vals,
         lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case UpdateIfMultiRe(table, usingClause, sets, where, ifTail) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateMulti(spark, resolve(table), sets, where,
         ifTail, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case UpdateIfInRe(table, usingClause, sets, where, ifCol,
         ifVals) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateIn(spark, resolve(table), sets, where, ifCol,
         ifVals, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case UpdateIfRe(table, usingClause, sets, where, ifCol, ifOp,
         ifVal) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdate(spark, resolve(table), sets, where, ifCol,
         ifOp, ifVal, lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case UpdateIfExistsRe(table, usingClause, sets, where) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtUpdateExists(spark, resolve(table), sets, where,
         lwtTtl(resolve(table), usingClause))
       forgetWt(resolve(table)); r
     case DeleteIfRe(colOpt, table, where, exists, ifCol, ifOp,
         ifVal) =>
-      refuseUdt(resolve(table), "lightweight transactions")
       flushBuffered(spark, resolve(table))
       val r = lwtDelete(spark, resolve(table), Option(colOpt), where,
         Option(exists).isDefined, Option(ifCol), Option(ifOp),
@@ -1232,6 +1230,8 @@ object Cql {
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
       case Some(v: java.sql.Timestamp) =>
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: Array[Byte]) => // packed frozen<udt> blob (C55i)
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
       case _ =>
         Seq((r.applied, r.current.map(_.asInstanceOf[Long])))
           .toDF("[applied]", "current")
@@ -1271,6 +1271,18 @@ object Cql {
   private def lwtInsert(spark: SparkSession, dir: String,
       cols: String, vals: String,
       ttl: Option[Long] = None): DataFrame = {
+    udtCasLayout(dir).foreach { layout =>
+      // frozen<udt> (C55i): IF NOT EXISTS over the packed-blob cell
+      val cs = insertUdtCells(cols, vals, AssignLater, layout)
+      if (cs.length != 1)
+        fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+          "column (the CAS cell)")
+      return lwtResult(spark, graft.sources.CellTransactions.casApply(
+        spark, dir, cs.head._1, cs.head._2,
+        condCol = Some(cs.head._3),
+        cond = graft.sources.CellTransactions.CasCond.Absent,
+        writeCol = cs.head._3, writeValue = cs.head._4, ttlWt = ttl))
+    }
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1436,9 +1448,14 @@ object Cql {
   private def lwtUpdate(spark: SparkSession, dir: String, sets: String,
       where: String, ifCol: String, ifOp: String,
       ifVal: String, ttl: Option[Long] = None): DataFrame =
-    lwtUpdateCond(spark, dir, sets, where, ifCol,
-      (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal),
-      ttl)
+    udtCasLayout(dir) match {
+      case Some(layout) => udtCas(spark, dir, layout, sets, where,
+        Some(ifCol.toLowerCase), udtOpCond(layout, ifCol, ifOp, ifVal),
+        ttl)
+      case None => lwtUpdateCond(spark, dir, sets, where, ifCol,
+        (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal),
+        ttl)
+    }
 
   /** `UPDATE ... IF col IN (v1, ...)` (C55d): the condition holds
     * when the cell's current winner equals ANY member; members parse
@@ -1448,10 +1465,17 @@ object Cql {
   private def lwtUpdateIn(spark: SparkSession, dir: String,
       sets: String, where: String, ifCol: String,
       ifVals: String, ttl: Option[Long] = None): DataFrame =
-    lwtUpdateCond(spark, dir, sets, where, ifCol,
-      (mappedCas, str) => graft.sources.CellTransactions.CasCond.In(
-        splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
-          .map(casCondLit(mappedCas, str))), ttl)
+    udtCasLayout(dir) match {
+      case Some(layout) => udtCas(spark, dir, layout, sets, where,
+        Some(ifCol.toLowerCase),
+        graft.sources.CellTransactions.CasCond.In(
+          splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(udtLiteral(layout, _, ifCol))), ttl)
+      case None => lwtUpdateCond(spark, dir, sets, where, ifCol,
+        (mappedCas, str) => graft.sources.CellTransactions.CasCond.In(
+          splitValues(ifVals).toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(casCondLit(mappedCas, str))), ttl)
+    }
 
   /** Parse the multi-condition IF tail (C55e): ` AND `-separated
     * terms, each an operator or IN condition on ANY data column of
@@ -1495,6 +1519,29 @@ object Cql {
   private def lwtUpdateMulti(spark: SparkSession, dir: String,
       sets: String, where: String, ifTail: String,
       ttl: Option[Long] = None): DataFrame = {
+    udtCasLayout(dir).foreach { layout =>
+      // frozen<udt> (C55i): every term is an equality-family
+      // condition over packed values at the CAS row
+      val cs = udtUpdateCells(sets, where, AssignLater, layout)
+      if (cs.length != 1)
+        fail("UPDATE ... IF takes exactly one SET column and one pk")
+      import graft.sources.CellTransactions.CasCond
+      val conds = ifTail.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+        .filter(_.nonEmpty).map {
+          case InRe(cc, vs) =>
+            (cs.head._2, Some(cc.toLowerCase),
+              CasCond.In(splitValues(vs).toSeq.map(_.trim)
+                .filter(_.nonEmpty)
+                .map(udtLiteral(layout, _, cc))): CasCond)
+          case LwtCondRe(cc, op, raw) =>
+            (cs.head._2, Some(cc.toLowerCase),
+              udtOpCond(layout, cc, op, raw))
+          case t => fail(s"unsupported IF condition: $t")
+        }
+      return lwtResult(spark, graft.sources.CellTransactions.casBatch(
+        spark, dir, cs.head._1, conds,
+        Seq((cs.head._2, cs.head._3, cs.head._4: Any)), ttlWt = ttl))
+    }
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     if (!graft.sources.CellSource.keySpec(dir).isDefault)
       fail("multi-condition LWT supports the default ((pk), ck) " +
@@ -1636,6 +1683,9 @@ object Cql {
   private def lwtUpdateExists(spark: SparkSession, dir: String,
       sets: String, where: String,
       ttl: Option[Long] = None): DataFrame = {
+    udtCasLayout(dir).foreach(layout =>
+      return udtCas(spark, dir, layout, sets, where, condCol = None,
+        cond = graft.sources.CellTransactions.CasCond.Present, ttl))
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1687,6 +1737,29 @@ object Cql {
       colOpt: Option[String], where: String, exists: Boolean,
       ifCol: Option[String], ifOp: Option[String],
       ifVal: Option[String]): DataFrame = {
+    udtCasLayout(dir).foreach { layout =>
+      // frozen<udt> (C55i): the applied write is the tombstone; the
+      // condition is row presence or packed-value equality
+      val (pks, ckEq, _, _) = keyPredicate(where)
+      if (pks.size != 1)
+        fail("conditional DELETE binds exactly one pk")
+      val ck = ckEq.getOrElse(
+        fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+      val (condCol, cond) =
+        if (exists) (None,
+          graft.sources.CellTransactions.CasCond.Present
+            : graft.sources.CellTransactions.CasCond)
+        else (Some(ifCol.get.toLowerCase),
+          udtOpCond(layout, ifCol.get, ifOp.get, ifVal.get))
+      val writeCol = colOpt match {
+        case Some(c) =>
+          graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
+        case None => graft.sources.CellSource.RowTombstone
+      }
+      return lwtResult(spark, graft.sources.CellTransactions.casApply(
+        spark, dir, pks.head, ck, condCol, cond, writeCol,
+        writeValue = 0L))
+    }
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -2077,6 +2150,9 @@ object Cql {
       if (!graft.sources.CellSource.keySpec(dir).isDefault)
         fail("conditional BATCH supports the default ((pk), ck) " +
           "layout only in this subset")
+      // the udt refusal carries the clearer message — fire it before
+      // the generic value-type gate sees the binary storage
+      refuseUdt(dir, "conditional BATCH")
       refuseLwtValueType(dir, allowText = true)
       dir
     }
@@ -2522,6 +2598,60 @@ object Cql {
     if (udtLayoutOf(dir).isDefined)
       fail(s"$what is not supported on frozen<udt>-valued tables " +
         "in this subset")
+
+  /** C55i (r18) — LWT on frozen<udt>-valued tables. Cassandra serves
+    * conditions on such tables, so the old table-wide refusal is now
+    * SCOPED: whole-value equality (`IF c = {…}` / `!=` / `IN`) and
+    * row presence ride the CAS round over the packed-blob cells
+    * (frozen values compare as whole serialized values — Cassandra's
+    * own frozen<> equality). Still out, each failing by name: the
+    * non-frozen layout (its field-cell writes would need
+    * read-modify-write under the ballot), typed key layouts (the
+    * keyed CAS flush is bigint-only), and ordered comparisons (no
+    * blob order in this subset). Returns the layout when the table
+    * routes through the udt CAS arm.
+    */
+  private def udtCasLayout(dir: String): Option[String] =
+    udtLayoutOf(dir).map { layout =>
+      if (udtUnfrozenOf(dir))
+        fail("lightweight transactions on non-frozen udt tables are " +
+          "outside this subset (field-cell writes need " +
+          "read-modify-write under the ballot)")
+      if (!graft.sources.CellSource.keySpec(dir).isDefault)
+        fail("LWT on frozen<udt> tables serves the default " +
+          "((pk), ck) layout in this subset")
+      layout
+    }
+
+  /** The C55d operator family over packed frozen<udt> values:
+    * equality family packs the literal through the type's layout,
+    * ordered comparisons refuse (no blob order).
+    */
+  private def udtOpCond(layout: String, col: String, op: String,
+      raw: String): graft.sources.CellTransactions.CasCond = {
+    import graft.sources.CellTransactions.CasCond
+    op match {
+      case "=" => CasCond.Equals(udtLiteral(layout, raw, col))
+      case "!=" => CasCond.NotEquals(udtLiteral(layout, raw, col))
+      case o => fail(s"IF $o on frozen<udt> values is outside this " +
+        "subset (frozen blobs carry no order here)")
+    }
+  }
+
+  /** One-condition UDT CAS update: exactly one `SET c = {…}` packed
+    * write, the condition against the row's current packed winner.
+    */
+  private def udtCas(spark: SparkSession, dir: String, layout: String,
+      sets: String, where: String, condCol: Option[String],
+      cond: graft.sources.CellTransactions.CasCond,
+      ttl: Option[Long]): DataFrame = {
+    val cs = udtUpdateCells(sets, where, AssignLater, layout)
+    if (cs.length != 1)
+      fail("UPDATE ... IF takes exactly one SET column and one pk")
+    lwtResult(spark, graft.sources.CellTransactions.casApply(
+      spark, dir, cs.head._1, cs.head._2, condCol, cond,
+      writeCol = cs.head._3, writeValue = cs.head._4, ttlWt = ttl))
+  }
 
   // Per-keyspace UDT registry: a `_types` java-properties file under
   // the keyspace directory (name -> layout in the C59 `f1 t1,f2 t2`
@@ -3135,16 +3265,31 @@ object Cql {
               org.apache.spark.sql.types.LongType, nullable = false))))
       case CopyFromRe(ks, t, path, header) =>
         val dir = s"$root/$ks/$t"
-        if (isCounter(dir))
-          fail("COPY FROM on counter tables is not supported (rows " +
-            "are shard SUMS; re-importing them as shards would " +
-            "double-count)")
         val schema = spark.table(s"$catalog.$ks.$t").schema
         val rows = spark.read
           .option("header",
             (header != null && header.equalsIgnoreCase("true")).toString)
           .schema(schema).csv(path)
-        rows.writeTo(s"$catalog.$ks.$t").append()
+        if (isCounter(dir)) {
+          // C68b (r18) — cqlsh's own counter semantics: each imported
+          // row is an INCREMENT (a fresh shard-delta cell), so a
+          // TO→FROM round trip DOUBLES the counts. Shard writetimes
+          // are server-assigned (Cassandra refuses client timestamps
+          // on counters), so the CSV's wt column is ignored; same-key
+          // rows pre-aggregate — counter addition commutes, and two
+          // same-wt shards at one (key, col) would LWW-collapse
+          // instead of summing.
+          val keyCols = schema.fieldNames.toSeq
+            .filterNot(n => n == "value" || n == "wt")
+          val wt = nextWt(spark, dir)
+          val deltas = rows
+            .groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+            .agg(org.apache.spark.sql.functions.sum("value").as("value"))
+            .withColumn("wt", org.apache.spark.sql.functions.lit(wt))
+            .select(schema.fieldNames.toSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+          deltas.writeTo(s"$catalog.$ks.$t").append()
+        } else rows.writeTo(s"$catalog.$ks.$t").append()
         val n = rows.count()
         spark.createDataFrame(
           java.util.List.of(

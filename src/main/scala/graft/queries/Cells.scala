@@ -3511,6 +3511,52 @@ object Cells {
       |  AS t(item, pk, v)
       |ORDER BY item""".stripMargin
 
+  // C55i — LWT on frozen<udt>-valued tables (r18): whole-value
+  // equality (packed-blob compare — Cassandra's frozen<> equality),
+  // IN, row presence and conditional DELETE all ride the CAS round;
+  // the old table-wide refusal is scoped to the genuinely
+  // unservable shapes (ordered blob compare, non-frozen layouts).
+  // The guarded wrong-value writes never fire, so the final state
+  // pins the semantics.
+  private def udtLwtLifecycle(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c55i"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c55i-q").toString)
+    }
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TYPE IF NOT EXISTS ks.pt (q bigint, t text);
+        |CREATE TABLE IF NOT EXISTS ks.o (pk bigint, ck int, col text,
+        |  value frozen<pt>, wt bigint);
+        |TRUNCATE ks.o;
+        |INSERT INTO ks.o (pk, ck, v) VALUES (1, 1, {q: 10, t: 'a'})
+        |  IF NOT EXISTS;
+        |INSERT INTO ks.o (pk, ck, v) VALUES (1, 1, {q: 99, t: 'z'})
+        |  IF NOT EXISTS;
+        |UPDATE ks.o SET v = {q: 11, t: 'b'} WHERE pk = 1 AND ck = 1
+        |  IF v = {q: 10, t: 'a'};
+        |UPDATE ks.o SET v = {q: 77, t: 'x'} WHERE pk = 1 AND ck = 1
+        |  IF v = {q: 10, t: 'a'};
+        |UPDATE ks.o SET v = {q: 12, t: 'c'} WHERE pk = 1 AND ck = 1
+        |  IF v IN ({q: 11, t: 'b'}, {q: 1, t: 'q'});
+        |UPDATE ks.o SET v = {q: 13, t: 'd'} WHERE pk = 1 AND ck = 1
+        |  IF v = {q: 12, t: 'c'} AND v != {q: 0, t: 'n'};
+        |INSERT INTO ks.o (pk, ck, v) VALUES (2, 1, {q: 20, t: 'x'})
+        |  IF NOT EXISTS;
+        |DELETE FROM ks.o WHERE pk = 2 AND ck = 1
+        |  IF v = {q: 20, t: 'x'};
+        |SELECT pk, ck, v.q AS q, v.t AS t FROM ks.o""".stripMargin,
+      cat).orderBy(col("pk"), col("ck"))
+  }
+
+  private val udtLwtSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck,
+      |  CAST(q AS BIGINT) AS q, t
+      |FROM (VALUES (1, 1, 13, 'd')) AS x(pk, ck, q, t)
+      |ORDER BY pk, ck""".stripMargin
+
   // C55e — MULTI-condition LWT + conditions on NON-SET columns
   // (r16): every condition tested against the row's current state
   // under ONE ballot; the write applies only when ALL hold. The
@@ -4741,6 +4787,43 @@ object Cells {
       |  AS t(pk, ck, col, v)
       |ORDER BY pk""".stripMargin
 
+  // C68b — COPY FROM on COUNTER tables (r18): cqlsh's own semantics —
+  // every imported row is an INCREMENT (a fresh shard-delta cell at a
+  // server-assigned writetime; the CSV's wt is ignored), so a TO→FROM
+  // round trip onto the same table DOUBLES the counts and a second
+  // import triples them.
+  private def copyCounterRound(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_copyc"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-copyc-q").toString)
+    }
+    val out = java.nio.file.Files
+      .createTempDirectory("cql-copyc-out").toString + "/c.csv"
+    graft.cql.Cql.catalogScript(s,
+      s"""CREATE KEYSPACE IF NOT EXISTS ks;
+         |CREATE TABLE IF NOT EXISTS ks.c (pk bigint, ck int, col text,
+         |  value counter, wt bigint);
+         |TRUNCATE ks.c;
+         |UPDATE ks.c SET n = n + 5 WHERE pk = 1 AND ck = 1;
+         |UPDATE ks.c SET n = n + 3 WHERE pk = 1 AND ck = 1;
+         |UPDATE ks.c SET m = m + 2 WHERE pk = 2 AND ck = 1;
+         |COPY ks.c TO '$out';
+         |COPY ks.c FROM '$out';
+         |COPY ks.c FROM '$out';
+         |SELECT pk, ck, col, value FROM ks.c ORDER BY pk""".stripMargin,
+      cat)
+  }
+
+  // 8 and 2 exported; two imports add 2× more: 8*3 = 24, 2*3 = 6
+  private val copyCounterRoundSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, col,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES (1, 1, 'n', 24), (2, 1, 'm', 6))
+      |  AS t(pk, ck, col, v)
+      |ORDER BY pk""".stripMargin
+
   // C11d — TYPED-table collection writes end-to-end: list appends
   // claim int cks after the partition max (list order = ck order,
   // across statements), set add/remove are element cells + element
@@ -4962,6 +5045,8 @@ object Cells {
     GQuery("C65j_typed_ck_in", typedCkIn, Some(typedCkInSql)),
     GQuery("C15b_static_cql", staticCqlLifecycle, Some(staticCqlSql)),
     GQuery("C68_copy", copyRound, Some(copyRoundSql)),
+    GQuery("C68b_copy_counter", copyCounterRound,
+      Some(copyCounterRoundSql)),
     GQuery("C39c_clustering_desc", clusteringDescLifecycle,
       Some(clusteringDescSql)),
     GQuery("C49_partition_stats", partitionStats, Some(partitionStatsSql)),
@@ -5082,6 +5167,7 @@ object Cells {
     GQuery("C55e_lwt_multi", lwtMultiLifecycle, Some(lwtMultiSql)),
     GQuery("C55h_lwt_ordered_mapped", lwtOrderedMapped,
       Some(lwtOrderedMappedSql)),
+    GQuery("C55i_udt_lwt", udtLwtLifecycle, Some(udtLwtSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -56,14 +56,23 @@ object CellTransactions {
         cmp: (Any, Any) => Int) extends CasCond
   }
 
+  /** Value equality for condition evaluation: byte arrays (packed
+    * frozen<udt> blobs, C55i) compare by CONTENT — Array.equals is
+    * reference identity, which would make every blob condition miss.
+    */
+  private def valEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a == b
+  }
+
   /** Evaluate a condition against the cell's current winner. */
   private def condHolds(cond: CasCond, cur: Option[Any]): Boolean =
     cond match {
       case CasCond.Absent => cur.isEmpty
       case CasCond.Present => cur.isDefined
-      case CasCond.Equals(v) => cur.contains(v)
-      case CasCond.NotEquals(v) => !cur.contains(v)
-      case CasCond.In(vs) => cur.exists(vs.contains)
+      case CasCond.Equals(v) => cur.exists(valEq(_, v))
+      case CasCond.NotEquals(v) => !cur.exists(valEq(_, v))
+      case CasCond.In(vs) => cur.exists(c => vs.exists(valEq(c, _)))
       case CasCond.Cmp(op, v) => cur.exists {
         case l: Long => op match {
           case "<" => l < v
@@ -492,9 +501,17 @@ object CellTransactions {
             s"CAS write of $v to a timestamp-valued table")
           0L
       }
+      case ValueCodec.BinaryTag => v match {
+        // packed frozen<udt> blobs (C55i) — internal IS the array
+        case b: Array[Byte] => b
+        case _ =>
+          require(colName.startsWith("!"),
+            s"CAS write of $v to a binary-valued table")
+          Array.empty[Byte]
+      }
       case t => throw new IllegalArgumentException(
-        s"CAS is defined on bigint-, text- and timestamp-valued " +
-          s"tables (tag $t)")
+        s"CAS is defined on bigint-, text-, timestamp- and " +
+          s"binary-valued tables (tag $t)")
     }
 
   /** Multi-row sibling of [[appendRow]]: the conditional batch's
@@ -602,9 +619,9 @@ object CellTransactions {
         (ValueCodec.tagFor(dt), 0, 0)
       }
     require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag ||
-        tag == ValueCodec.TimestampTag,
-      s"CAS is defined on bigint-, text- and timestamp-valued " +
-        s"tables (found tag $tag)")
+        tag == ValueCodec.TimestampTag || tag == ValueCodec.BinaryTag,
+      s"CAS is defined on bigint-, text-, timestamp- and " +
+        s"binary-valued tables (found tag $tag)")
     (tag, prec, scale)
   }
 

@@ -3088,13 +3088,25 @@ class CqlSpec extends GraftSpec {
           .head() ===
         cq("SELECT WRITETIME(qty) FROM ks.t WHERE pk = 1").as[Long]
           .head())
-      // counter tables refuse COPY FROM (rows are shard sums)
+      // counter tables: COPY FROM imports each row as an INCREMENT
+      // (C68b, r18 — cqlsh's own semantics), so a TO→FROM round trip
+      // onto the same table DOUBLES the counts
       cq("CREATE TABLE ks.c (pk bigint, ck int, col text, " +
         "value counter, wt bigint)")
-      val e = intercept[IllegalArgumentException] {
-        cq(s"COPY ks.c FROM '$out'")
-      }
-      assert(e.getMessage.contains("counter"), e.getMessage)
+      cq("UPDATE ks.c SET n = n + 5 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.c SET n = n + 3 WHERE pk = 1 AND ck = 1")
+      cq("UPDATE ks.c SET m = m + 2 WHERE pk = 2 AND ck = 1")
+      val cout = Files.createTempDirectory("cql-copy-cnt").toString +
+        "/c.csv"
+      assert(cq(s"COPY ks.c TO '$cout'").as[Long].head() === 2L)
+      assert(cq(s"COPY ks.c FROM '$cout'").as[Long].head() === 2L)
+      assert(cq("SELECT pk, col, value FROM ks.c ORDER BY pk")
+        .as[(Long, String, Long)].collect().toSeq ===
+        Seq((1L, "n", 16L), (2L, "m", 4L)))
+      // ...and a second import keeps incrementing (8 more on pk 1)
+      assert(cq(s"COPY ks.c FROM '$cout'").as[Long].head() === 2L)
+      assert(cq("SELECT value FROM ks.c WHERE pk = 1 AND ck = 1")
+        .as[Long].head() === 24L)
     } finally {
       spark.conf.unset("spark.sql.catalog.cqlcopy")
       spark.conf.unset("spark.sql.catalog.cqlcopy.root")
@@ -3625,6 +3637,79 @@ class CqlSpec extends GraftSpec {
   }
 
   // -----------------------------------------------------------------
+  test("LWT on frozen<udt>-valued tables (C55i): whole-value " +
+      "equality + presence ride the CAS round; the refusal is " +
+      "scoped, not table-wide") {
+    val root = Files.createTempDirectory("cql-udtlwt").toString
+    spark.conf.set("spark.sql.catalog.ulcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ulcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ulcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TYPE ks.item (q bigint, t text)")
+      cq("CREATE TABLE ks.o (pk bigint, ck int, col text, " +
+        "value frozen<item>, wt bigint, PRIMARY KEY ((pk), ck))")
+      // IF NOT EXISTS: first applies, replay refuses
+      assert(applied("INSERT INTO ks.o (pk, ck, v) VALUES (1, 1, " +
+        "{q: 10, t: 'a'}) IF NOT EXISTS"))
+      assert(!applied("INSERT INTO ks.o (pk, ck, v) VALUES (1, 1, " +
+        "{q: 99, t: 'z'}) IF NOT EXISTS"))
+      // whole-value equality: frozen values compare as whole packed
+      // blobs — a matching literal applies, a mismatch refuses
+      assert(applied("UPDATE ks.o SET v = {q: 11, t: 'b'} WHERE " +
+        "pk = 1 AND ck = 1 IF v = {q: 10, t: 'a'}"))
+      assert(!applied("UPDATE ks.o SET v = {q: 77, t: 'x'} WHERE " +
+        "pk = 1 AND ck = 1 IF v = {q: 10, t: 'a'}"))
+      // != (absent satisfies — Cassandra's null rule) and IN
+      assert(applied("UPDATE ks.o SET v = {q: 1, t: 'n'} WHERE " +
+        "pk = 2 AND ck = 1 IF v != {q: 1, t: 'n'}"))
+      assert(applied("UPDATE ks.o SET v = {q: 12, t: 'c'} WHERE " +
+        "pk = 1 AND ck = 1 IF v IN ({q: 9, t: 'q'}, {q: 11, t: 'b'})"))
+      assert(!applied("UPDATE ks.o SET v = {q: 99, t: 'z'} WHERE " +
+        "pk = 1 AND ck = 1 IF v IN ({q: 1, t: 'a'})"))
+      // IF EXISTS / multi-term equality over the packed value
+      assert(applied("UPDATE ks.o SET v = {q: 13, t: 'd'} WHERE " +
+        "pk = 1 AND ck = 1 IF EXISTS"))
+      assert(!applied("UPDATE ks.o SET v = {q: 1, t: 'e'} WHERE " +
+        "pk = 9 AND ck = 1 IF EXISTS"))
+      assert(applied("UPDATE ks.o SET v = {q: 14, t: 'e'} WHERE " +
+        "pk = 1 AND ck = 1 IF v = {q: 13, t: 'd'} AND " +
+        "v != {q: 1, t: 'x'}"))
+      // conditional DELETE: the applied write is the tombstone
+      assert(!applied("DELETE FROM ks.o WHERE pk = 1 AND ck = 1 " +
+        "IF v = {q: 1, t: 'nope'}"))
+      assert(applied("DELETE FROM ks.o WHERE pk = 1 AND ck = 1 " +
+        "IF v = {q: 14, t: 'e'}"))
+      assert(cq("SELECT pk FROM ks.o WHERE pk = 1 AND ck = 1")
+        .count() === 0)
+      // scoped refusals, each by name: ordered blob comparison,
+      // non-frozen layout, typed key layout
+      refuse("UPDATE ks.o SET v = {q: 1, t: 'a'} WHERE pk = 2 AND " +
+        "ck = 1 IF v > {q: 0, t: 'a'}", "no order")
+      cq("CREATE TABLE ks.u (pk bigint, ck int, col text, " +
+        "value item, wt bigint, PRIMARY KEY ((pk), ck))")
+      refuse("UPDATE ks.u SET v = {q: 1, t: 'a'} WHERE pk = 1 AND " +
+        "ck = 1 IF EXISTS", "non-frozen")
+      cq("CREATE TABLE ks.t (user text, ck int, col text, " +
+        "value frozen<item>, wt bigint, PRIMARY KEY ((user), ck))")
+      refuse("UPDATE ks.t SET v = {q: 1, t: 'a'} WHERE " +
+        "user = 'u' AND ck = 1 IF EXISTS", "default ((pk), ck)")
+      // conditional BATCH keeps the table-wide refusal (scoped out)
+      refuse("BEGIN BATCH\nUPDATE ks.o SET v = {q: 1, t: 'a'} " +
+        "WHERE pk = 2 AND ck = 1 IF EXISTS;\nAPPLY BATCH",
+        "frozen<udt>")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ulcat")
+      spark.conf.unset("spark.sql.catalog.ulcat.root")
+    }
+  }
+
   // C59b — UDTs through the front door: CREATE TYPE + frozen<udt>
 
   test("UDT lifecycle: CREATE TYPE, frozen<udt> table, write/read (C59b)") {
@@ -3771,9 +3856,10 @@ class CqlSpec extends GraftSpec {
         "unknown UDT field")
       refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 'x'})",
         "does not accept")
-      // the refused-statement surface: LWT, LOGGED BATCH, INSERT JSON
-      refuse("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 5}) " +
-        "IF NOT EXISTS", "not supported on frozen<udt>")
+      // the refused-statement surface: LOGGED BATCH, INSERT JSON —
+      // LWT serves since C55i (r18; whole-value CAS, its own test)
+      assert(cq("INSERT INTO ks.t (pk, ck, v) VALUES (1, 1, {q: 5}) " +
+        "IF NOT EXISTS").collect().head.getBoolean(0))
       refuse("BEGIN BATCH INSERT INTO ks.t (pk, ck, v) VALUES " +
         "(1, 1, {q: 5}); APPLY BATCH", "not supported on frozen<udt>")
       refuse("INSERT INTO ks.t JSON '{\"pk\": 1, \"ck\": 1, " +
