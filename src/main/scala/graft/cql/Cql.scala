@@ -1230,8 +1230,17 @@ object Cql {
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
       case Some(v: java.sql.Timestamp) =>
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
-      case Some(v: Array[Byte]) => // packed frozen<udt> blob (C55i)
+      case Some(v: Array[Byte]) => // packed udt / 0x blob (C55i/j)
         Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: Int) => // int-storage declared types (C55j)
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: Double) =>
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: Boolean) =>
+        Seq((r.applied, Option(v))).toDF("[applied]", "current")
+      case Some(v: java.math.BigDecimal) =>
+        Seq((r.applied, Option(scala.math.BigDecimal(v))))
+          .toDF("[applied]", "current")
       case _ =>
         Seq((r.applied, r.current.map(_.asInstanceOf[Long])))
           .toDF("[applied]", "current")
@@ -1440,6 +1449,20 @@ object Cql {
       case "timestamp" => (a, b) =>
         a.asInstanceOf[java.sql.Timestamp]
           .compareTo(b.asInstanceOf[java.sql.Timestamp])
+      // C55j — the remaining declared scalar orders, all numeric /
+      // byte-wise (each type's own Cassandra order)
+      case "varint" | "time" => (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case "date" | "smallint" | "tinyint" | "int" => (a, b) =>
+        Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case "float" | "double" => (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case "decimal" => (a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])
+      case "boolean" => (a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case "blob" => (a, b) => utf8Cmp(a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[Array[Byte]])
       case t => fail(s"IF <ordered> on $t-valued tables is outside " +
         "this subset")
     }
@@ -2156,14 +2179,11 @@ object Cql {
       refuseLwtValueType(dir, allowText = true)
       dir
     }
-    // the table's member-literal grammar: the declared mapped
-    // grammar, the timestamp scalar (C55h), text, or bigint —
-    // exactly lwtInsert/lwtUpdate's routing, applied per statement
+    // the table's member-literal grammar — the SAME selector the
+    // single-statement LWT paths use (every declared scalar type
+    // since C55j), applied per statement
     def mappedCtOf(dir: String): Option[String] =
-      cqlValueTypeOf(dir).filter(LwtMappedCts.contains)
-        .orElse(Some("timestamp").filter(_ =>
-          graft.sources.CellSource.valueTypeOf(dir) ==
-            org.apache.spark.sql.types.TimestampType))
+      refuseLwtValueType(dir, allowText = true)
     def parseIns(dir: String, cols: String, vals: String)
         : Seq[(Long, Int, String, Any, Long)] =
       mappedCtOf(dir) match {
@@ -7936,34 +7956,51 @@ object Cql {
     * can never have an integer-literal CAS stamp a bigint-tagged
     * first file over its declared `_type`.
     */
+  /** The LWT value-grammar selector (generalized to EVERY declared
+    * scalar type in C55j, r18 — Cassandra serves conditions on all
+    * of them): returns Some(grammar-name) when the CAS paths must
+    * parse literals through [[mappedLiteral]] (the declared mapped
+    * types, the C65q scalars, timestamps, plain int storage, blobs);
+    * None for plain bigint (longLiteral) and plain text (the str
+    * routing). Refuses by name: collections (conditions on
+    * collections are not in the facade), counters (Cassandra's own
+    * rule), durations (not comparable — Cassandra refuses conditions
+    * on them too), and vectors.
+    */
   private def refuseLwtValueType(dir: String,
       allowText: Boolean): Option[String] = {
     cqlCollectionOf(dir).foreach(sp =>
       fail(s"lightweight transactions on $sp collection columns " +
         "are outside this subset (conditions on collections are " +
         "not in the facade)"))
+    if (isCounter(dir))
+      fail("conditional updates are not supported on counter " +
+        "tables (Cassandra's rule)")
     cqlValueTypeOf(dir) match {
-      case Some(ct) if allowText && LwtMappedCts.contains(ct) =>
-        return Some(ct)
-      case Some(ct) =>
-        fail(s"lightweight transactions on $ct-valued tables are " +
-          "outside this subset (text-storage uuid/timeuuid/inet/" +
-          "ascii serve single-statement LWT and conditional BATCH)")
+      case Some("duration") =>
+        fail("lightweight transactions on duration-valued tables " +
+          "are outside this subset (durations are not comparable — " +
+          "Cassandra's rule)")
+      case Some(ct) if ct.startsWith("vector<") =>
+        fail("lightweight transactions on vector-valued tables are " +
+          "outside this subset")
+      case Some(ct) => return Some(ct)
       case None =>
     }
-    val dt = graft.sources.CellSource.valueTypeOf(dir)
-    // timestamp-valued tables (C55h, r18) ride the LWT round through
-    // the scalar grammar — the returned selector routes their
-    // literals exactly as a declared mapped type's
-    if (allowText && dt == org.apache.spark.sql.types.TimestampType)
-      return Some("timestamp")
-    val ok = dt == org.apache.spark.sql.types.LongType ||
-      (allowText && dt == org.apache.spark.sql.types.StringType)
-    if (!ok)
-      fail("lightweight transactions and conditional BATCH serve " +
-        "bigint-, text- and timestamp-valued tables; table's value " +
-        "type is " + dt.simpleString)
-    None
+    import org.apache.spark.sql.types._
+    graft.sources.CellSource.valueTypeOf(dir) match {
+      case LongType => None
+      case StringType if allowText => None
+      case TimestampType => Some("timestamp") // C55h
+      case DoubleType => Some("double") // C55j: the C65q scalars
+      case BooleanType => Some("boolean")
+      case IntegerType => Some("int")
+      case BinaryType => Some("blob") // plain 0x tables (udt routed
+                                      // earlier via udtCasLayout)
+      case dt =>
+        fail("lightweight transactions and conditional BATCH do " +
+          "not serve this storage type: " + dt.simpleString)
+    }
   }
 
   /** True for a TEXT-valued plain table (C65o): text write grammar,
@@ -8222,11 +8259,23 @@ object Cql {
         case o => fail(s"$what takes a tinyint literal, got: $o")
       }
       case "duration" => durationLiteral(t, what)
-      // timestamp (C55h, r18): not a declared MAPPED type — storage
-      // IS TimestampType — but the LWT grammar selector routes its
-      // literals here so every CAS path shares one parser
+      // C55h/C55j (r18): not declared MAPPED types — their storage
+      // IS the Spark type — but the LWT grammar selector routes
+      // their literals here so every CAS path shares one parser
       case "timestamp" =>
         scalarLiteral(org.apache.spark.sql.types.TimestampType)(t, what)
+      case "double" =>
+        scalarLiteral(org.apache.spark.sql.types.DoubleType)(t, what)
+      case "boolean" =>
+        scalarLiteral(org.apache.spark.sql.types.BooleanType)(t, what)
+      case "int" => literal(t) match {
+        case l: Long =>
+          if (l < Int.MinValue || l > Int.MaxValue)
+            fail(s"$what: $l is outside the int range")
+          l.toInt
+        case o => fail(s"$what takes an int literal, got: $o")
+      }
+      case "blob" => blobLiteral(t, what)
       case "ascii" => literal(t) match {
         case s: String =>
           s.find(_ > 127).foreach(c =>

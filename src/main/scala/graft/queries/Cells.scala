@@ -3557,6 +3557,86 @@ object Cells {
       |FROM (VALUES (1, 1, 13, 'd')) AS x(pk, ck, q, t)
       |ORDER BY pk, ck""".stripMargin
 
+  // C55j — LWT over EVERY declared scalar value type (r18):
+  // Cassandra serves conditions on all of them, so the old
+  // bigint/text-only gate is gone — date/smallint/tinyint (int
+  // storage), varint/time (bigint storage), float/decimal, the C65q
+  // double/boolean scalars and 0x blobs all ride the CAS round
+  // through their DECLARED grammars, ordered comparisons in each
+  // type's own order. Guarded wrong-order writes never fire; the
+  // final state pins the semantics per type.
+  private def lwtScalarTypes(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c55j"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c55j-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.dt (pk bigint, ck int, col text,
+        |  value date, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.de (pk bigint, ck int, col text,
+        |  value decimal, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.bo (pk bigint, ck int, col text,
+        |  value boolean, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.bl (pk bigint, ck int, col text,
+        |  value blob, wt bigint);
+        |TRUNCATE ks.dt;
+        |TRUNCATE ks.de;
+        |TRUNCATE ks.bo;
+        |TRUNCATE ks.bl;
+        |INSERT INTO ks.dt (pk, ck, d) VALUES (1, 1, '2024-03-01')
+        |  IF NOT EXISTS;
+        |UPDATE ks.dt SET d = '2024-04-01' WHERE pk = 1 AND ck = 1
+        |  IF d < '2024-03-15';
+        |UPDATE ks.dt SET d = '1999-01-01' WHERE pk = 1 AND ck = 1
+        |  IF d > '2024-04-01';
+        |INSERT INTO ks.de (pk, ck, amt) VALUES (1, 1, 1.50)
+        |  IF NOT EXISTS;
+        |UPDATE ks.de SET amt = 2.25 WHERE pk = 1 AND ck = 1
+        |  IF amt = 1.5;
+        |UPDATE ks.de SET amt = 9 WHERE pk = 1 AND ck = 1
+        |  IF amt < 2.25;
+        |INSERT INTO ks.bo (pk, ck, flag) VALUES (1, 1, false)
+        |  IF NOT EXISTS;
+        |UPDATE ks.bo SET flag = true WHERE pk = 1 AND ck = 1
+        |  IF flag < true;
+        |INSERT INTO ks.bl (pk, ck, b) VALUES (1, 1, 0x0a0b)
+        |  IF NOT EXISTS;
+        |UPDATE ks.bl SET b = 0xff01 WHERE pk = 1 AND ck = 1
+        |  IF b = 0x0a0b;
+        |UPDATE ks.bl SET b = 0x00 WHERE pk = 1 AND ck = 1
+        |  IF b < 0x0aff
+        |""".stripMargin, cat)
+    val dt = cq("SELECT pk, value FROM ks.dt WHERE pk = 1 AND ck = 1")
+      .select(lit("date").as("item"), col("pk"),
+        col("value").cast("string").as("v"))
+    val de = cq("SELECT pk, value FROM ks.de WHERE pk = 1 AND ck = 1")
+      .select(lit("decimal").as("item"), col("pk"),
+        col("value").cast("string").as("v"))
+    val bo = cq("SELECT pk, value FROM ks.bo WHERE pk = 1 AND ck = 1")
+      .select(lit("boolean").as("item"), col("pk"),
+        col("value").cast("string").as("v"))
+    val bl = cq("SELECT pk, value FROM ks.bl WHERE pk = 1 AND ck = 1")
+      .select(lit("blob").as("item"), col("pk"),
+        lower(hex(col("value"))).as("v"))
+    dt.unionAll(de).unionAll(bo).unionAll(bl).orderBy("item")
+  }
+
+  // date ends at the applied < branch (the > guard misses); decimal
+  // at 2.25 (the < guard misses); boolean flips to true; the blob's
+  // ordered guard misses (ff01 > 0aff), so equality's write stands
+  private val lwtScalarTypesSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('blob', 1, 'ff01'),
+      |  ('boolean', 1, 'true'),
+      |  ('date', 1, '19814'),
+      |  ('decimal', 1, '2.250000')) AS t(item, pk, v)
+      |ORDER BY item""".stripMargin
+
   // C55e — MULTI-condition LWT + conditions on NON-SET columns
   // (r16): every condition tested against the row's current state
   // under ONE ballot; the write applies only when ALL hold. The
@@ -5168,6 +5248,8 @@ object Cells {
     GQuery("C55h_lwt_ordered_mapped", lwtOrderedMapped,
       Some(lwtOrderedMappedSql)),
     GQuery("C55i_udt_lwt", udtLwtLifecycle, Some(udtLwtSql)),
+    GQuery("C55j_lwt_scalar_types", lwtScalarTypes,
+      Some(lwtScalarTypesSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

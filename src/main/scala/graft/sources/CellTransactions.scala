@@ -461,7 +461,7 @@ object CellTransactions {
     val (tag, prec, scale) = casValueType(dir, files)
     val staged = Files.createTempFile(dir, ".cas-", ".tmp")
     CellSource.writeFileTypedE(staged,
-      Seq((pk, ck, colName, casCoerce(tag, value, colName), wt,
+      Seq((pk, ck, colName, casCoerce(tag, prec, scale, value, colName), wt,
         expiry)),
       Array(colName), tag, prec,
       scale, CellSource.DefaultIndexEvery, CellSource.DefaultChunkRecords)
@@ -471,23 +471,42 @@ object CellTransactions {
   /** The CAS write value against the table's value tag: a tombstone
     * marker's value slot is inert (the col name is the whole message)
     * and takes the tag's neutral; a DATA write must already carry the
-    * right type — a mismatch is a caller bug, not data.
+    * right type — a mismatch is a caller bug, not data. Since C55j
+    * (r18) every storage tag coerces: the EXTERNAL value the facade's
+    * literal grammar produced becomes the file writer's INTERNAL
+    * representation (UTF8String for text, epoch micros for
+    * timestamps, unscaled Decimal for decimals).
     */
-  private def casCoerce(tag: Int, v: Any, colName: String): Any =
+  private def casCoerce(tag: Int, prec: Int, scale: Int, v: Any,
+      colName: String): Any = {
+    def marker(kind: String): Any = {
+      require(colName.startsWith("!"),
+        s"CAS write of $v to a $kind-valued table")
+      ValueCodec.zeroOf(tag, prec, scale)
+    }
     tag match {
-      case ValueCodec.LongTag =>
-        require(v.isInstanceOf[Long] || colName.startsWith("!"),
-          s"CAS write of $v to a bigint-valued table")
-        if (v.isInstanceOf[Long]) v else 0L
+      case ValueCodec.LongTag => v match {
+        case l: Long => l
+        case _ => marker("bigint")
+      }
+      case ValueCodec.IntTag => v match {
+        case i: Int => i
+        case _ => marker("int")
+      }
+      case ValueCodec.DoubleTag => v match {
+        case d: Double => d
+        case _ => marker("double")
+      }
+      case ValueCodec.BoolTag => v match {
+        case b: Boolean => b
+        case _ => marker("boolean")
+      }
       case ValueCodec.StringTag => v match {
         // the file writer consumes Spark-INTERNAL strings
         case s: String =>
           org.apache.spark.unsafe.types.UTF8String.fromString(s)
         case u: org.apache.spark.unsafe.types.UTF8String => u
-        case _ =>
-          require(colName.startsWith("!"),
-            s"CAS write of $v to a text-valued table")
-          org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        case _ => marker("text")
       }
       case ValueCodec.TimestampTag => v match {
         // internal representation: epoch MICROS (the file writer's
@@ -496,23 +515,24 @@ object CellTransactions {
           org.apache.spark.sql.catalyst.util.DateTimeUtils
             .fromJavaTimestamp(t)
         case l: Long => l
-        case _ =>
-          require(colName.startsWith("!"),
-            s"CAS write of $v to a timestamp-valued table")
-          0L
+        case _ => marker("timestamp")
       }
       case ValueCodec.BinaryTag => v match {
-        // packed frozen<udt> blobs (C55i) — internal IS the array
+        // packed frozen<udt> blobs (C55i) / plain 0x blobs (C55j)
         case b: Array[Byte] => b
-        case _ =>
-          require(colName.startsWith("!"),
-            s"CAS write of $v to a binary-valued table")
-          Array.empty[Byte]
+        case _ => marker("binary")
+      }
+      case ValueCodec.DecimalTag => v match {
+        case bd: java.math.BigDecimal =>
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(bd), prec, scale)
+        case d: org.apache.spark.sql.types.Decimal => d
+        case _ => marker("decimal")
       }
       case t => throw new IllegalArgumentException(
-        s"CAS is defined on bigint-, text-, timestamp- and " +
-          s"binary-valued tables (tag $t)")
+        s"unknown cell value tag $t")
     }
+  }
 
   /** Multi-row sibling of [[appendRow]]: the conditional batch's
     * cells as ONE staged-link flush — all at the shared writetime,
@@ -528,7 +548,7 @@ object CellTransactions {
       .map { case (pk, ck, c, v) =>
         // tombstone markers riding an expiring batch keep NO expiry;
         // static cells (`!s:`) are data and DO carry it (C55f + C55g)
-        (pk, ck, c, casCoerce(tag, v, c), wt,
+        (pk, ck, c, casCoerce(tag, prec, scale, v, c), wt,
           if (c.startsWith("!") &&
               !c.startsWith(CellSource.StaticPrefix)) Long.MaxValue
           else expiry) }
@@ -606,8 +626,8 @@ object CellTransactions {
     * bigint-tagged first file that permanently outranks the declared
     * type. Non-long/text declared types are refused up front.
     */
-  private def casValueType(dir: Path, files: Seq[String]): (Int, Int, Int) = {
-    val (tag, prec, scale) = files.headOption
+  private def casValueType(dir: Path, files: Seq[String]): (Int, Int, Int) =
+    files.headOption
       .map(CellSource.readHeader)
       .map(h => (h.valueTag, h.decPrec, h.decScale))
       .getOrElse {
@@ -616,14 +636,17 @@ object CellTransactions {
           if (Files.exists(marker))
             ValueCodec.parseType(Files.readString(marker).trim)
           else org.apache.spark.sql.types.LongType
-        (ValueCodec.tagFor(dt), 0, 0)
+        // the canonical first-write LWT on a DECLARED decimal table
+        // must stamp the declared precision/scale, not (0, 0)
+        dt match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            (ValueCodec.DecimalTag, d.precision, d.scale)
+          case _ => (ValueCodec.tagFor(dt), 0, 0)
+        }
       }
-    require(tag == ValueCodec.LongTag || tag == ValueCodec.StringTag ||
-        tag == ValueCodec.TimestampTag || tag == ValueCodec.BinaryTag,
-      s"CAS is defined on bigint-, text-, timestamp- and " +
-        s"binary-valued tables (found tag $tag)")
-    (tag, prec, scale)
-  }
+    // every cell tag serves the CAS round since C55j (r18): the
+    // facade gates which DECLARED types are legal; this layer only
+    // coerces values to the storage layout (casCoerce)
 
   private def publishStaged(dir: Path, files: Seq[String],
       staged: Path): Unit = {

@@ -5437,6 +5437,103 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("LWT over every declared scalar value type (C55j): date/" +
+    "smallint/varint/time/float/decimal/boolean/blob ride the CAS " +
+    "round through their declared grammars") {
+    val root = Files.createTempDirectory("cql-c55j").toString
+    spark.conf.set("spark.sql.catalog.ojcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ojcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ojcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      // date (int storage): day-count order, fresh-table _type route
+      cq("CREATE TABLE ks.dt (pk bigint, ck int, col text, " +
+        "value date, wt bigint)")
+      assert(applied("INSERT INTO ks.dt (pk, ck, d) VALUES (1, 1, " +
+        "'2024-03-01') IF NOT EXISTS"))
+      assert(applied("UPDATE ks.dt SET d = '2024-04-01' WHERE " +
+        "pk = 1 AND ck = 1 IF d < '2024-03-15'"))
+      assert(!applied("UPDATE ks.dt SET d = '1999-01-01' WHERE " +
+        "pk = 1 AND ck = 1 IF d <= '2024-03-15'"))
+      val dmiss = cq("UPDATE ks.dt SET d = '2000-01-01' WHERE " +
+        "pk = 1 AND ck = 1 IF d = '2024-03-15'").collect().head
+      assert(!dmiss.getBoolean(0) &&
+        dmiss.getInt(dmiss.fieldIndex("current")) === 19814)
+      // varint (bigint storage): numeric order
+      cq("CREATE TABLE ks.vi (pk bigint, ck int, col text, " +
+        "value varint, wt bigint)")
+      assert(applied("INSERT INTO ks.vi (pk, ck, n) VALUES " +
+        "(1, 1, 100) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.vi SET n = 200 WHERE pk = 1 AND " +
+        "ck = 1 IF n >= 100"))
+      // smallint: range-validated grammar + ordered compare
+      cq("CREATE TABLE ks.si (pk bigint, ck int, col text, " +
+        "value smallint, wt bigint)")
+      assert(applied("INSERT INTO ks.si (pk, ck, n) VALUES " +
+        "(1, 1, 7) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.si SET n = 8 WHERE pk = 1 AND " +
+        "ck = 1 IF n IN (6, 7)"))
+      refuse("UPDATE ks.si SET n = 99999 WHERE pk = 1 AND ck = 1 " +
+        "IF n = 8", "smallint range")
+      // decimal(18,6): exact decimal order and equality
+      cq("CREATE TABLE ks.de (pk bigint, ck int, col text, " +
+        "value decimal, wt bigint)")
+      assert(applied("INSERT INTO ks.de (pk, ck, amt) VALUES " +
+        "(1, 1, 1.50) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.de SET amt = 2.25 WHERE pk = 1 AND " +
+        "ck = 1 IF amt = 1.5"))
+      assert(applied("UPDATE ks.de SET amt = 3 WHERE pk = 1 AND " +
+        "ck = 1 IF amt > 2.2"))
+      assert(!applied("UPDATE ks.de SET amt = 9 WHERE pk = 1 AND " +
+        "ck = 1 IF amt < 3"))
+      // boolean: false < true (Cassandra's order)
+      cq("CREATE TABLE ks.bo (pk bigint, ck int, col text, " +
+        "value boolean, wt bigint)")
+      assert(applied("INSERT INTO ks.bo (pk, ck, flag) VALUES " +
+        "(1, 1, false) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.bo SET flag = true WHERE pk = 1 " +
+        "AND ck = 1 IF flag < true"))
+      assert(!applied("UPDATE ks.bo SET flag = false WHERE pk = 1 " +
+        "AND ck = 1 IF flag != true"))
+      // blob: whole-value equality + unsigned byte order
+      cq("CREATE TABLE ks.bl (pk bigint, ck int, col text, " +
+        "value blob, wt bigint)")
+      assert(applied("INSERT INTO ks.bl (pk, ck, b) VALUES " +
+        "(1, 1, 0x0a0b) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.bl SET b = 0xff01 WHERE pk = 1 AND " +
+        "ck = 1 IF b = 0x0a0b"))
+      assert(applied("UPDATE ks.bl SET b = 0x00 WHERE pk = 1 AND " +
+        "ck = 1 IF b > 0x0aff"))
+      assert(applied("DELETE b FROM ks.bl WHERE pk = 1 AND ck = 1 " +
+        "IF b = 0x00"))
+      // time (bigint nanos) rides the varint/time numeric order
+      cq("CREATE TABLE ks.tm (pk bigint, ck int, col text, " +
+        "value time, wt bigint)")
+      assert(applied("INSERT INTO ks.tm (pk, ck, t) VALUES " +
+        "(1, 1, '01:00:00') IF NOT EXISTS"))
+      assert(applied("UPDATE ks.tm SET t = '02:00:00' WHERE " +
+        "pk = 1 AND ck = 1 IF t < '01:30:00'"))
+      // counters refuse (Cassandra's rule), durations refuse by name
+      cq("CREATE TABLE ks.cn (pk bigint, ck int, col text, " +
+        "value counter, wt bigint)")
+      refuse("UPDATE ks.cn SET n = 5 WHERE pk = 1 AND ck = 1 " +
+        "IF n = 3", "counter")
+      cq("CREATE TABLE ks.du (pk bigint, ck int, col text, " +
+        "value duration, wt bigint)")
+      refuse("UPDATE ks.du SET d = 12h WHERE pk = 1 AND ck = 1 " +
+        "IF EXISTS", "not comparable")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ojcat")
+      spark.conf.unset("spark.sql.catalog.ojcat.root")
+    }
+  }
+
   test("multi-condition LWT + non-SET-column conditions (C55e): " +
     "one ballot, all-or-nothing, first-miss reporting") {
     val root = Files.createTempDirectory("cql-c55e").toString
@@ -5732,12 +5829,17 @@ class CqlSpec extends GraftSpec {
         "UPDATE ks.u SET id = 00000000-0000-1000-8000-000000000003 " +
         "WHERE pk = 1 AND ck = 1 IF id = 'nope';\n" +
         "APPLY BATCH", "uuid literal")
-      // non-text-storage mapped types keep refusing by name
+      // non-text-storage mapped types serve since C55j (r18) — the
+      // member literal parses through the DECLARED grammar, and a
+      // wrong-grammar literal still refuses by name
       cq("CREATE TABLE ks.dt (pk bigint, ck int, col text, " +
         "value date, wt bigint)")
-      refuse("BEGIN BATCH\n" +
+      assert(cq("BEGIN BATCH\n" +
         "INSERT INTO ks.dt (pk, ck, d) VALUES (1, 1, '2024-01-01') " +
-        "IF NOT EXISTS;\nAPPLY BATCH", "date-valued tables")
+        "IF NOT EXISTS;\nAPPLY BATCH").collect().head.getBoolean(0))
+      refuse("BEGIN BATCH\n" +
+        "INSERT INTO ks.dt (pk, ck, d) VALUES (2, 1, 'nope') " +
+        "IF NOT EXISTS;\nAPPLY BATCH", "date literal")
     } finally spark.conf.unset("spark.sql.catalog.cbcat")
   }
 
@@ -6753,24 +6855,38 @@ class CqlSpec extends GraftSpec {
         .as[(Boolean, Option[String])].collect().head
       assert(r2 === ((false, Some("pending"))))
       assert(cell("t", 1, "status") === Some("pending"))
-      // (2) a FRESH double table refuses integer-literal LWT instead
-      // of silently stamping a bigint first file over the declared
-      // type; the declared type then survives for the plain write
+      // (2) a FRESH double table serves LWT since C55j — through the
+      // C65q double grammar (the integer literal WIDENS, CQL's own
+      // rule), with the CAS value layout from the catalog _type
+      // marker, so the first file is double-tagged, never a stamped
+      // bigint over the declared type
       cq("CREATE TABLE ks.d (pk bigint, ck int, col text, " +
         "value double, wt bigint)")
-      refuse("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 5) " +
-        "IF NOT EXISTS", "bigint- and text-valued")
+      val rd = cq("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 5) " +
+        "IF NOT EXISTS").as[(Boolean, Option[Double])].collect().head
+      assert(rd === ((true, None)))
+      assert(cell("d", 1, "score") === Some(5.0))
       cq("INSERT INTO ks.d (pk, ck, score) VALUES (1, 1, 0.5)")
       assert(cell("d", 1, "score") === Some(0.5))
-      // (3) POPULATED double table: single-statement LWT and
-      // conditional BATCH refuse up front (no read-path class-cast)
-      refuse("UPDATE ks.d SET score = 2 WHERE pk = 1 AND ck = 1 " +
-        "IF score = 1", "bigint- and text-valued")
-      refuse("DELETE FROM ks.d WHERE pk = 1 AND ck = 1 IF EXISTS",
-        "bigint- and text-valued")
-      refuse("BEGIN BATCH\nINSERT INTO ks.d (pk, ck, score) VALUES " +
-        "(2, 1, 3) IF NOT EXISTS;\nAPPLY BATCH",
-        "bigint- and text-valued")
+      // (3) POPULATED double table: the operator family compares in
+      // double order, the miss row reports the double, non-numeric
+      // literals refuse by grammar, and conditional BATCH + DELETE
+      // ride the same round
+      val rm = cq("UPDATE ks.d SET score = 2 WHERE pk = 1 AND " +
+        "ck = 1 IF score = 1")
+        .as[(Boolean, Option[Double])].collect().head
+      assert(rm === ((false, Some(0.5))))
+      assert(cq("UPDATE ks.d SET score = 2.5 WHERE pk = 1 AND " +
+        "ck = 1 IF score < 1").collect().head.getBoolean(0))
+      refuse("UPDATE ks.d SET score = 3 WHERE pk = 1 AND ck = 1 " +
+        "IF score = 'x'", "double literal")
+      assert(cq("BEGIN BATCH\nINSERT INTO ks.d (pk, ck, score) " +
+        "VALUES (2, 1, 3) IF NOT EXISTS;\nAPPLY BATCH")
+        .collect().head.getBoolean(0))
+      assert(cell("d", 2, "score") === Some(3.0))
+      assert(cq("DELETE FROM ks.d WHERE pk = 2 AND ck = 1 IF EXISTS")
+        .collect().head.getBoolean(0))
+      assert(cell("d", 2, "score") === None)
       // conditional BATCH on a TEXT table serves since C56e (r16) —
       // the member literal parses through the text grammar, so a
       // bare integer still refuses by grammar
