@@ -123,12 +123,14 @@ object Cql {
   }
 
   // the IF value admits brace literals (packed frozen<udt> values,
-  // C55i) alongside the scalar `\S+` forms
+  // C55i) alongside the scalar `\S+` forms; the IF column admits the
+  // map-entry form `m['k']` (C11j)
   private val UpdateIfRe =
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
       """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(\w+)\s*(!=|<=|>=|=|<|>)\s*(\{[^{}]*\}|\S+?)""" +
+      """\s+IF\s+(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)""" +
+      """\s*(!=|<=|>=|=|<|>)\s*(\{[^{}]*\}|\S+?)""" +
       """\s*;?\s*$""").r
 
   /** `UPDATE ... IF col IN (v1, v2, ...)` — Cassandra's IN condition
@@ -138,7 +140,8 @@ object Cql {
     ("""(?is)^\s*UPDATE\s+(\S+?)""" +
       """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*$""").r
+      """\s+IF\s+(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)""" +
+      """\s+IN\s*\(([^)]*)\)\s*;?\s*$""").r
 
   /** `UPDATE ... IF a = 1 AND b > 2 AND ...` — Cassandra's
     * MULTI-condition LWT (C55e, r16): every condition tested against
@@ -167,8 +170,11 @@ object Cql {
       """\s+IF\s+EXISTS\s*;?\s*$""").r
 
   private val DeleteIfRe =
-    ("""(?is)^\s*DELETE\s*(\w+)?\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
-      """\s+IF\s+(?:(EXISTS)|(\w+)\s*(!=|<=|>=|=|<|>)""" +
+    ("""(?is)^\s*DELETE\s*""" +
+      """(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)?""" +
+      """\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
+      """\s+IF\s+(?:(EXISTS)|(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)""" +
+      """\s*(!=|<=|>=|=|<|>)""" +
       """\s*(\{[^{}]*\}|\S+?))\s*;?\s*$""").r
 
   private val BatchRe =
@@ -1296,6 +1302,41 @@ object Cql {
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
+    if (spec.isDefault && isMapDeclared(dir)) {
+      // declared-map INSERT {…} IF NOT EXISTS (C11j): the write
+      // applies only when the row is ABSENT, so the replace form's
+      // clear set is EMPTY by construction — the literal's entry
+      // puts are the whole write, and the row-absence condition + N
+      // entry cells ride ONE casBatch round at one writetime
+      val names = cols.split(',').map(_.trim.toLowerCase)
+      val values = splitValues(vals).map(_.trim)
+      if (names.length != values.length)
+        fail(s"INSERT arity mismatch: ${names.length} columns, " +
+          s"${values.length} values")
+      val kv = names.zip(values).toMap
+      val pk = longLiteral(
+        kv.getOrElse("pk", fail("INSERT must bind pk")), "pk")
+      val ck = ckLiteral(
+        kv.getOrElse("ck", fail("INSERT must bind ck")))
+      val data = names.filterNot(n => n == "pk" || n == "ck").toSeq
+      if (data.length != 1)
+        fail("INSERT ... IF NOT EXISTS takes exactly one data " +
+          "column (the map literal)")
+      val raw = kv(data.head)
+      if (!(raw.startsWith("{") && raw.endsWith("}")))
+        fail("INSERT on a declared map table takes a map literal " +
+          s"{'k': v, …}, got: $raw")
+      val entries = mapEntries(raw.substring(1, raw.length - 1),
+        lwtValueParse(mappedCas, isStringValued(dir)))
+      if (entries.isEmpty)
+        fail("INSERT of an empty map literal under IF NOT EXISTS " +
+          "writes nothing")
+      return lwtResult(spark, CellTransactions.casBatch(
+        spark, dir, pk,
+        Seq((ck, None: Option[String], CasCond.Absent: CasCond)),
+        entries.map { case (k, v) => (ck, k, v) },
+        ttlWt = ttl))
+    }
     if (spec.isDefault) {
       refuseStaticLwt(dir, cols.split(',').map(_.trim.toLowerCase))
       // text-valued tables (C65o, r14) CAS text cells; the condition
@@ -1659,8 +1700,23 @@ object Cql {
             mkCond(mappedCas, str))),
           Seq((wck, wc, wv)), ttlWt = ttl))
       }
+      val entrySets = splitValues(sets).exists {
+        case EntrySetRe(_, _, _) => true
+        case _ => false
+      }
       val (pk, ck, c, v) =
-        if (mappedCas.isDefined) {
+        if (entrySets) {
+          // declared-map ENTRY puts (C11j) — the key is the cell col
+          if (!isMapDeclared(dir))
+            fail("entry writes (m['k'] = v) under IF need a " +
+              "DECLARED map<text, T> column")
+          val cs = mapEntrySetCells(lwtValueParse(mappedCas, str),
+            sets, where)
+          if (cs.length != 1)
+            fail("UPDATE ... IF takes exactly one SET column and " +
+              "one pk")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4)
+        } else if (mappedCas.isDefined) {
           val cs = updateScalarCells(mappedLiteral(mappedCas.get),
             sets, where, AssignLater)
           if (cs.length != 1)
@@ -1682,9 +1738,10 @@ object Cql {
           (cs.head._1, cs.head._2, cs.head._3, cs.head._4: Any)
         }
       // the condition may target ANY data column of the row —
-      // Cassandra's own rule (C55e lifts the old SET-column pin)
+      // Cassandra's own rule (C55e lifts the old SET-column pin) —
+      // including a map ENTRY (C11j: `IF m['k'] = v`)
       lwtResult(spark, CellTransactions.casApply(
-        spark, dir, pk, ck, condCol = Some(ifCol.toLowerCase),
+        spark, dir, pk, ck, condCol = Some(lwtCondCol(dir, ifCol)),
         cond = mkCond(mappedCas, str),
         writeCol = c, writeValue = v, ttlWt = ttl))
     } else {
@@ -1714,9 +1771,24 @@ object Cql {
     import graft.sources.CellTransactions
     import graft.sources.CellTransactions.CasCond
     if (spec.isDefault) {
-      refuseStaticLwt(dir, setColNames(sets))
+      val entrySets = splitValues(sets).exists {
+        case EntrySetRe(_, _, _) => true
+        case _ => false
+      }
+      if (!entrySets) refuseStaticLwt(dir, setColNames(sets))
       val (pk, ck, c, v) =
-        if (mappedCas.isDefined) {
+        if (entrySets) {
+          // declared-map ENTRY put under IF EXISTS (C11j)
+          if (!isMapDeclared(dir))
+            fail("entry writes (m['k'] = v) under IF need a " +
+              "DECLARED map<text, T> column")
+          val cs = mapEntrySetCells(
+            lwtValueParse(mappedCas, isStringValued(dir)), sets, where)
+          if (cs.length != 1)
+            fail("UPDATE ... IF EXISTS takes exactly one SET column " +
+              "and one pk (the CAS cell)")
+          (cs.head._1, cs.head._2, cs.head._3, cs.head._4)
+        } else if (mappedCas.isDefined) {
           val cs = updateScalarCells(mappedLiteral(mappedCas.get),
             sets, where, AssignLater)
           if (cs.length != 1)
@@ -1789,13 +1861,16 @@ object Cql {
     import graft.sources.CellTransactions.CasCond
     val (condCol, cond) =
       if (exists) (None, CasCond.Present: CasCond)
-      else (Some(ifCol.get.toLowerCase),
+      else (Some(lwtCondCol(dir, ifCol.get)),
         // the C55d operator family serves conditional DELETE too
         casOpCond(mappedCas, spec.isDefault && isStringValued(dir),
           ifOp.get, ifVal.get))
     val writeCol = colOpt match {
       case Some(c) =>
-        graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
+        // entry-aware (C11j): `DELETE m['k'] … IF …` tombstones the
+        // ENTRY cell (the key, case-preserved)
+        graft.sources.CellSource.CellTombstonePrefix +
+          lwtCondCol(dir, c)
       case None => graft.sources.CellSource.RowTombstone
     }
     if (spec.isDefault) {
@@ -2655,6 +2730,63 @@ object Cql {
       case "!=" => CasCond.NotEquals(udtLiteral(layout, raw, col))
       case o => fail(s"IF $o on frozen<udt> values is outside this " +
         "subset (frozen blobs carry no order here)")
+    }
+  }
+
+  /** C11j (r18) — map ENTRY addressing in LWT statements on a
+    * DECLARED map<text, T> table: the entry key IS the cell col name
+    * (case-preserved DATA — never lowercased), so `IF m['k'] = v`
+    * conditions and `SET m['k'] = v` writes ride the ordinary CAS
+    * round with col = 'k' and the ELEMENT type's literal grammar.
+    */
+  private def isMapDeclared(dir: String): Boolean =
+    cqlCollectionOf(dir).exists(_.toLowerCase.startsWith("map"))
+
+  /** An IF/DELETE column reference, entry-aware: the `m['k']` form
+    * resolves to the entry's cell col (needs a declared map column);
+    * bare names lowercase as usual.
+    */
+  private def lwtCondCol(dir: String, ref: String): String = ref match {
+    case MapEntryRe(_, _) =>
+      if (!isMapDeclared(dir))
+        fail(s"entry conditions ($ref) need a DECLARED map<text, T> " +
+          "column")
+      deleteColName(ref)
+    case c => c.toLowerCase
+  }
+
+  /** `m['k'] = v` entry-put SET item of a conditional UPDATE. */
+  private val EntrySetRe =
+    """(?is)^\s*(\w+)\s*\[\s*('(?:[^']|'')*')\s*\]\s*=\s*(.+?)\s*$""".r
+
+  /** The element-grammar value parser of a table — what LWT entry
+    * writes and conditions parse through.
+    */
+  private def lwtValueParse(mappedCas: Option[String],
+      str: Boolean): (String, String) => Any =
+    mappedCas match {
+      case Some(ct) => mappedLiteral(ct)
+      case None if str => collValue(stringValued = true)
+      case None => longLiteral
+    }
+
+  /** Entry-put SET items (`m['k'] = v`) of a conditional UPDATE on a
+    * declared-map table, through the ELEMENT grammar.
+    */
+  private def mapEntrySetCells(parse: (String, String) => Any,
+      sets: String, where: String)
+      : Seq[(Long, Int, String, Any, Long)] = {
+    val (pks, ckEq, _, _) = keyPredicate(where)
+    if (pks.size != 1)
+      fail("conditional statements bind exactly one partition key")
+    val ck = ckEq.getOrElse(fail("UPDATE WHERE must bind ck"))
+    splitValues(sets).toSeq.map {
+      case e @ EntrySetRe(m, kq, raw) =>
+        val key = deleteColName(s"$m[$kq]")
+        (pks.head, ck, key, parse(raw, s"value of $m[$kq]"),
+          AssignLater)
+      case x => fail("conditional updates on a declared map table " +
+        s"take entry puts (m['k'] = v), got: $x")
     }
   }
 
@@ -7969,10 +8101,16 @@ object Cql {
     */
   private def refuseLwtValueType(dir: String,
       allowText: Boolean): Option[String] = {
-    cqlCollectionOf(dir).foreach(sp =>
-      fail(s"lightweight transactions on $sp collection columns " +
-        "are outside this subset (conditions on collections are " +
-        "not in the facade)"))
+    cqlCollectionOf(dir).foreach { sp =>
+      // declared MAP columns serve ENTRY conditions/writes (C11j):
+      // the entry key IS the cell col name and the ELEMENT type the
+      // grammar, so the selector below routes them like any scalar;
+      // set/list conditions (CONTAINS, index addressing) stay out
+      if (!sp.toLowerCase.startsWith("map"))
+        fail(s"lightweight transactions on $sp collection columns " +
+          "are outside this subset (conditions on collections are " +
+          "not in the facade)")
+    }
     if (isCounter(dir))
       fail("conditional updates are not supported on counter " +
         "tables (Cassandra's rule)")

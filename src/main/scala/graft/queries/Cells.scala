@@ -3637,6 +3637,57 @@ object Cells {
       |  ('decimal', 1, '2.250000')) AS t(item, pk, v)
       |ORDER BY item""".stripMargin
 
+  // C11j — map ENTRY conditions and writes in LWT (r18): on a
+  // DECLARED map<text, T> table the entry key IS the cell col name,
+  // so `IF m['k'] = v` conditions, `SET m['k'] = v` puts,
+  // conditional entry deletes, and `INSERT {…} IF NOT EXISTS`
+  // (row-absence makes the replace's clear set empty — the entry
+  // puts ride one casBatch round) all serve through the ordinary
+  // CAS machinery with the ELEMENT type's grammar. Guarded
+  // wrong-value writes never fire.
+  private def mapEntryLwt(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c11j"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c11j-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.m (pk bigint, ck int, col text,
+        |  value map<text, bigint>, wt bigint);
+        |TRUNCATE ks.m;
+        |INSERT INTO ks.m (pk, ck, m) VALUES (1, 1, {'a': 1, 'b': 2})
+        |  IF NOT EXISTS;
+        |INSERT INTO ks.m (pk, ck, m) VALUES (1, 1, {'z': 9})
+        |  IF NOT EXISTS;
+        |UPDATE ks.m SET m['a'] = 10 WHERE pk = 1 AND ck = 1
+        |  IF m['b'] = 2;
+        |UPDATE ks.m SET m['a'] = 99 WHERE pk = 1 AND ck = 1
+        |  IF m['b'] = 7;
+        |UPDATE ks.m SET m['c'] = 3 WHERE pk = 1 AND ck = 1
+        |  IF m['a'] > 5;
+        |UPDATE ks.m SET m['d'] = 4 WHERE pk = 1 AND ck = 1
+        |  IF m['nope'] != 7;
+        |DELETE m['d'] FROM ks.m WHERE pk = 1 AND ck = 1
+        |  IF m['d'] = 4;
+        |DELETE m['c'] FROM ks.m WHERE pk = 1 AND ck = 1
+        |  IF m['c'] = 99
+        |""".stripMargin, cat)
+    cq("SELECT pk, ck, m FROM ks.m WHERE pk = 1 AND ck = 1")
+      .select(col("pk"), col("ck"),
+        expr("array_join(transform(array_sort(map_entries(m)), " +
+          "e -> concat(e.key, '=', e.value)), '|')").as("v"))
+  }
+
+  // a=10 (guarded by b=2), b=2, c=3 (a>5) survive; d put then
+  // conditionally deleted; the guarded 99-writes and the second
+  // INSERT never fire
+  private val mapEntryLwtSql =
+    """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, v
+      |FROM (VALUES (1, 1, 'a=10|b=2|c=3')) AS t(pk, ck, v)""".stripMargin
+
   // C55e — MULTI-condition LWT + conditions on NON-SET columns
   // (r16): every condition tested against the row's current state
   // under ONE ballot; the write applies only when ALL hold. The
@@ -5250,6 +5301,7 @@ object Cells {
     GQuery("C55i_udt_lwt", udtLwtLifecycle, Some(udtLwtSql)),
     GQuery("C55j_lwt_scalar_types", lwtScalarTypes,
       Some(lwtScalarTypesSql)),
+    GQuery("C11j_map_entry_lwt", mapEntryLwt, Some(mapEntryLwtSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

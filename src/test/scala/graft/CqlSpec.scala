@@ -5534,6 +5534,93 @@ class CqlSpec extends GraftSpec {
     }
   }
 
+  test("map ENTRY conditions and writes in LWT (C11j): IF m['k'] " +
+    "= v gates entry puts, entry deletes, and INSERT literals on " +
+    "declared map tables") {
+    val root = Files.createTempDirectory("cql-c11j").toString
+    spark.conf.set("spark.sql.catalog.mecat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.mecat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "mecat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      def entries(t: String, pk: Long): Map[String, Long] =
+        spark.read.format("graft.sources.CellSource")
+          .option("reconcile", "true").load(s"$root/ks/$t")
+          .filter(col("pk") === pk && !col("col").startsWith("!"))
+          .select("col", "value").as[(String, Long)].collect().toMap
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint)")
+      // INSERT {..} IF NOT EXISTS: row-absence + entry puts ride ONE
+      // round; the replay refuses and writes nothing
+      assert(applied("INSERT INTO ks.m (pk, ck, m) VALUES (1, 1, " +
+        "{'a': 1, 'B': 2}) IF NOT EXISTS"))
+      assert(!applied("INSERT INTO ks.m (pk, ck, m) VALUES (1, 1, " +
+        "{'z': 9}) IF NOT EXISTS"))
+      assert(entries("m", 1) === Map("a" -> 1L, "B" -> 2L))
+      // entry condition gates an entry put; keys stay case-sensitive
+      assert(applied("UPDATE ks.m SET m['a'] = 10 WHERE pk = 1 AND " +
+        "ck = 1 IF m['B'] = 2"))
+      assert(!applied("UPDATE ks.m SET m['a'] = 99 WHERE pk = 1 " +
+        "AND ck = 1 IF m['b'] = 2")) // 'b' ≠ 'B' — absent, = misses
+      assert(entries("m", 1) === Map("a" -> 10L, "B" -> 2L))
+      // ordered + IN + != over entry values (the element grammar)
+      assert(applied("UPDATE ks.m SET m['c'] = 3 WHERE pk = 1 AND " +
+        "ck = 1 IF m['a'] > 5"))
+      assert(applied("UPDATE ks.m SET m['c'] = 4 WHERE pk = 1 AND " +
+        "ck = 1 IF m['c'] IN (2, 3)"))
+      assert(applied("UPDATE ks.m SET m['d'] = 5 WHERE pk = 1 AND " +
+        "ck = 1 IF m['nope'] != 7")) // absent entry satisfies !=
+      // IF EXISTS gates an entry put at the row level
+      assert(applied("UPDATE ks.m SET m['e'] = 6 WHERE pk = 1 AND " +
+        "ck = 1 IF EXISTS"))
+      assert(!applied("UPDATE ks.m SET m['x'] = 1 WHERE pk = 9 AND " +
+        "ck = 1 IF EXISTS"))
+      // conditional ENTRY delete: the applied write is the entry's
+      // tombstone; the row's other entries survive
+      assert(!applied("DELETE m['e'] FROM ks.m WHERE pk = 1 AND " +
+        "ck = 1 IF m['e'] = 99"))
+      assert(applied("DELETE m['e'] FROM ks.m WHERE pk = 1 AND " +
+        "ck = 1 IF m['e'] = 6"))
+      assert(entries("m", 1) ===
+        Map("a" -> 10L, "B" -> 2L, "c" -> 4L, "d" -> 5L))
+      // the miss row reports the entry's current value
+      val miss = cq("UPDATE ks.m SET m['a'] = 0 WHERE pk = 1 AND " +
+        "ck = 1 IF m['a'] = 1").collect().head
+      assert(!miss.getBoolean(0) &&
+        miss.getLong(miss.fieldIndex("current")) === 10L)
+      // mapped ELEMENT grammars ride too (map<text, date>)
+      cq("CREATE TABLE ks.md (pk bigint, ck int, col text, " +
+        "value map<text, date>, wt bigint)")
+      assert(applied("INSERT INTO ks.md (pk, ck, m) VALUES (1, 1, " +
+        "{'start': '2024-01-01'}) IF NOT EXISTS"))
+      assert(applied("UPDATE ks.md SET m['end'] = '2024-06-01' " +
+        "WHERE pk = 1 AND ck = 1 IF m['start'] < '2024-02-01'"))
+      refuse("UPDATE ks.md SET m['end'] = 'nope' WHERE pk = 1 AND " +
+        "ck = 1 IF m['start'] = '2024-01-01'", "date literal")
+      // refusals by name: entry forms on non-map tables, set/list
+      // collections, undeclared map tables
+      cq("CREATE TABLE ks.plain (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      refuse("UPDATE ks.plain SET n = 1 WHERE pk = 1 AND ck = 1 " +
+        "IF m['k'] = 2", "DECLARED map")
+      refuse("UPDATE ks.plain SET m['k'] = 1 WHERE pk = 1 AND " +
+        "ck = 1 IF n = 2", "DECLARED map")
+      cq("CREATE TABLE ks.st (pk bigint, ck int, col text, " +
+        "value set<bigint>, wt bigint)")
+      refuse("UPDATE ks.st SET s = s + {1} WHERE pk = 1 AND ck = 1 " +
+        "IF EXISTS", "outside this subset")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mecat")
+      spark.conf.unset("spark.sql.catalog.mecat.root")
+    }
+  }
+
   test("multi-condition LWT + non-SET-column conditions (C55e): " +
     "one ballot, all-or-nothing, first-miss reporting") {
     val root = Files.createTempDirectory("cql-c55e").toString
