@@ -1926,9 +1926,6 @@ object Cql {
     * typed layouts refuse by name (their journal shapes differ).
     */
   private def refuseBatchCollectionStorage(dir: String): Unit = {
-    if (!graft.sources.CellSource.keySpec(dir).isDefault)
-      fail("batched collection updates need the default ((pk), ck) " +
-        "layout — typed layouts take single statements in this subset")
     if (mappedValueType(dir).isDefined || isStringValued(dir) ||
         graft.sources.CellSource.valueTypeOf(dir) !=
           org.apache.spark.sql.types.LongType)
@@ -1957,7 +1954,8 @@ object Cql {
             fail(s"DELETE $c[$i] inside BATCH is outside this " +
               "subset (the index addresses a state-derived element " +
               "row — use a single statement)")
-          case c =>
+          case c
+              if graft.sources.CellSource.keySpec(dir).isDefault =>
             val (_, ckEq, ckLo, ckHi) = keyPredicate(where)
             if (c.matches("""(?s)\w+""") && ckEq.isEmpty &&
                 ckLo == Int.MinValue && ckHi == Int.MaxValue &&
@@ -1966,6 +1964,11 @@ object Cql {
               fail(s"whole-collection DELETE $c inside BATCH is " +
                 "outside this subset (the clear set is " +
                 "state-derived — use a single statement)")
+          case _ =>
+            // typed layouts (r18): every colOpt delete demands a
+            // fully-bound ck (deleteTypedRows), so it is always the
+            // marker-expressible ENTRY/CELL form — no state-derived
+            // whole-collection clear exists there
         }
       case None => refuseBatchValueType(dir)
     }
@@ -2017,6 +2020,9 @@ object Cql {
     // distinct timeuuid cells in generation order)
     val batchNextCk = scala.collection.mutable.Map.empty[
       String, scala.collection.mutable.Map[(Long, String), Int]]
+    // the TYPED twin (r18): append positions keyed by named pk tuple
+    val batchNextCkTyped = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.Map[(Seq[Any], String), Int]]
     // C11i — INSERT with collection literals desugars to the UPDATE
     // replace form, exactly as the single-statement front door does
     // (Cassandra's INSERT on a collection column IS replace); the
@@ -2088,18 +2094,31 @@ object Cql {
             // (Cassandra's same-batch appends land as distinct
             // timeuuid cells in generation order).
             refuseBatchCollectionStorage(dir)
-            val (cc, tt) = stageCollectionCells(spark, dir, sets,
-              where, ts.getOrElse(AssignLater),
-              batchNextCk.getOrElseUpdate(dir,
-                scala.collection.mutable.Map.empty))
-            // tombstone markers never carry the statement TTL — an
-            // expiring tombstone would resurrect removed elements
-            (dir, Left(
-              cc.map { case (pk, ck, c, v, w) =>
-                ((pk, ck, c, v.asInstanceOf[Long], w), ttl) } ++
-              tt.map { case (pk, ck, c, v, w) =>
-                ((pk, ck, c, v.asInstanceOf[Long], w),
-                  None: Option[Long]) }))
+            val sp0 = spec(dir)
+            if (sp0.isDefault) {
+              val (cc, tt) = stageCollectionCells(spark, dir, sets,
+                where, ts.getOrElse(AssignLater),
+                batchNextCk.getOrElseUpdate(dir,
+                  scala.collection.mutable.Map.empty))
+              // tombstone markers never carry the statement TTL — an
+              // expiring tombstone would resurrect removed elements
+              (dir, Left(
+                cc.map { case (pk, ck, c, v, w) =>
+                  ((pk, ck, c, v.asInstanceOf[Long], w), ttl) } ++
+                tt.map { case (pk, ck, c, v, w) =>
+                  ((pk, ck, c, v.asInstanceOf[Long], w),
+                    None: Option[Long]) }))
+            } else {
+              // TYPED layouts (r18): the typed staging core journals
+              // typed rows + tombstone rows under the same contract
+              val (rr, tt) = stageCollectionRowsTyped(spark, dir,
+                sp0, sets, where, ts.getOrElse(AssignLater),
+                batchNextCkTyped.getOrElseUpdate(dir,
+                  scala.collection.mutable.Map.empty))
+              (dir, Right((sp0,
+                rr.map((_, ttl)) ++
+                tt.map((_, None: Option[Long])))))
+            }
           } else {
             refuseBatchValueType(dir)
             val sp = spec(dir)
@@ -8120,7 +8139,7 @@ object Cql {
           "are outside this subset (durations are not comparable — " +
           "Cassandra's rule)")
       case Some(ct) if ct.startsWith("vector<") =>
-        fail("lightweight transactions on vector-valued tables are " +
+        fail(s"lightweight transactions on $ct-valued tables are " +
           "outside this subset")
       case Some(ct) => return Some(ct)
       case None =>
@@ -9212,6 +9231,26 @@ object Cql {
   private def collectionUpdateTyped(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec, sets: String, where: String,
       wt: Long, ttl: Option[Long]): Unit = {
+    val (rows, tombs) = stageCollectionRowsTyped(spark, dir, spec,
+      sets, where, wt, scala.collection.mutable.Map.empty)
+    typedWrite(spark, dir, spec, rows, ttl)
+    typedWrite(spark, dir, spec, tombs, ttl = None)
+  }
+
+  /** The parse/read/stage core of [[collectionUpdateTyped]] — the
+    * typed twin of [[stageCollectionCells]] (C11i, r18): resolves
+    * the SET items against the CURRENT reconciled state and returns
+    * typed data rows and tombstone rows WITHOUT writing, so the
+    * LOGGED-BATCH path can journal them atomically at the batch
+    * writetime. `nextCk` carries append positions across a batch's
+    * statements (a per-call empty map restores single-statement
+    * behavior).
+    */
+  private def stageCollectionRowsTyped(spark: SparkSession,
+      dir: String, spec: graft.sources.KeySpec, sets: String,
+      where: String, wt: Long,
+      nextCk: scala.collection.mutable.Map[(Seq[Any], String), Int])
+      : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
     flushBuffered(spark, dir) // reads the reconciled current state
     import org.apache.spark.sql.types.IntegerType
     val intCk = spec.ckParts match {
@@ -9237,8 +9276,6 @@ object Cql {
     // tombstones write separately, never under TTL (see the default-
     // layout twin: an expiring tombstone resurrects its elements)
     val tombs = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    val nextCk =
-      scala.collection.mutable.Map.empty[(Seq[Any], String), Int]
     def fullCk: Seq[Any] = ckOpt.getOrElse(
       if (spec.ckParts.isEmpty) Seq.empty
       else fail("this SET item needs WHERE to bind every clustering " +
@@ -9378,8 +9415,7 @@ object Cql {
           Seq(c.toLowerCase, longLiteral(v, s"value of $c"), wt))
       case x => fail(s"unsupported SET item: $x")
     }
-    typedWrite(spark, dir, spec, rows.toSeq, ttl)
-    typedWrite(spark, dir, spec, tombs.toSeq, ttl = None)
+    (rows.toSeq, tombs.toSeq)
   }
 
   /** Append element cells for a list/set collection: claim the cks

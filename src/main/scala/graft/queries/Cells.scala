@@ -1945,6 +1945,64 @@ object Cells {
       |  ('s', 1, 0, '1|3')) AS t(item, pk, ck, v)
       |ORDER BY item, pk, ck""".stripMargin
 
+  // C11i typed twin (r18) — batched collection updates over a TYPED
+  // (CEL6) key layout: the same journal contract as the default
+  // twin — appends claim cks after the partition max in statement
+  // order, a batched replace reads PRE-batch state (the same-batch
+  // append survives it), set removes tombstone pre-batch elements —
+  // all landing atomically at ONE batch writetime through the typed
+  // journal slice.
+  private def batchCollectionsTyped(s: SparkSession,
+      d: String): DataFrame = {
+    val cat = "gq_tbcoll"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-tbcoll-q")
+          .toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.t (user text, ck int, col text,
+        |  value bigint, wt bigint, PRIMARY KEY ((user), ck));
+        |TRUNCATE ks.t;
+        |UPDATE ks.t SET l = l + [1, 2] WHERE user = 'u';
+        |UPDATE ks.t SET st = st + {7} WHERE user = 'u';
+        |BEGIN BATCH
+        |  UPDATE ks.t SET l = l + [3] WHERE user = 'u';
+        |  UPDATE ks.t SET l = l + [4] WHERE user = 'u';
+        |  UPDATE ks.t SET st = st - {7} WHERE user = 'u';
+        |  UPDATE ks.t SET st = st + {8} WHERE user = 'u';
+        |  UPDATE ks.t SET m['k'] = 5 WHERE user = 'u' AND ck = 1;
+        |APPLY BATCH;
+        |BEGIN BATCH
+        |  UPDATE ks.t SET l = [100] WHERE user = 'u';
+        |  UPDATE ks.t SET l = l + [101] WHERE user = 'u';
+        |APPLY BATCH
+        |""".stripMargin, cat)
+    // raw reconciled read (the facade's strict guard refuses the
+    // marker-prefix filter as an unkeyed pushdown)
+    s.read.format("graft.sources.CellSource")
+      .option("reconcile", "true")
+      .load(s.conf.get(s"spark.sql.catalog.$cat.root") + "/ks/t")
+      .filter(!col("col").startsWith("!"))
+      .select(col("user"), col("ck"), col("col"), col("value"))
+      .orderBy(col("col"), col("ck"))
+  }
+
+  // the replace shadows pre-batch l (1-4), its same-batch append
+  // survives; st = {8} after the batched remove+add; the map entry
+  // k=5 at the bound row
+  private val batchCollectionsTypedSql =
+    """SELECT user, CAST(ck AS INT) AS ck, col,
+      |  CAST(v AS BIGINT) AS value
+      |FROM (VALUES
+      |  ('u', 1, 'k', 5),
+      |  ('u', 5, 'l', 100), ('u', 6, 'l', 101),
+      |  ('u', 2, 'st', 8)) AS t(user, ck, col, v)
+      |ORDER BY col, ck""".stripMargin
+
   // C65g — CQL COUNTER round trip end-to-end: create a counter table
   // through the catalog DDL, apply increments/decrements (each one a
   // shard-delta cell, incl. an UNLOGGED counter batch — the legal
@@ -5196,6 +5254,8 @@ object Cells {
     GQuery("C11h_map_replace", mapReplace, Some(mapReplaceSql)),
     GQuery("C11i_batch_collections", batchCollections,
       Some(batchCollectionsSql)),
+    GQuery("C11i_batch_collections_typed", batchCollectionsTyped,
+      Some(batchCollectionsTypedSql)),
     GQuery("C65c_cql_token_range", cqlTokenRange, Some(cqlTokenRangeSql)),
     GQuery("C65d_cql_distinct", cqlDistinct, Some(cqlDistinctSql)),
     GQuery("C65e_cql_global_agg", cqlGlobalAgg, Some(cqlGlobalAggSql)),

@@ -1298,7 +1298,8 @@ class CqlSpec extends GraftSpec {
   }
 
   test("batched collection refusals stay scoped (C11i)") {
-    // typed layouts: single statements only
+    // typed layouts journal too since the r18 typed twin — the
+    // append claims a ck after the partition max, at the batch wt
     val td = Files.createTempDirectory("cql-bcoll-t").toString
     Seq(("u-1", 1, "qty", 10L, 100L))
       .toDF("user", "ck", "col", "value", "wt")
@@ -1306,13 +1307,14 @@ class CqlSpec extends GraftSpec {
       .option("primaryKey", "((user),ck)")
       .option("keyType.user", "string").option("keyType.ck", "int")
       .mode("append").save(td)
-    val e1 = intercept[IllegalArgumentException] {
-      Cql.execute(spark,
-        s"""BEGIN BATCH
-           |  UPDATE $td SET lst = lst + [1] WHERE user = 'u-1';
-           |APPLY BATCH""".stripMargin)
-    }
-    assert(e1.getMessage.contains("default ((pk), ck) layout"))
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $td SET lst = lst + [1] WHERE user = 'u-1';
+         |APPLY BATCH""".stripMargin)
+    assert(spark.read.format("graft.sources.CellSource")
+      .option("reconcile", "true").load(td)
+      .filter(col("col") === "lst")
+      .select("value").as[Long].collect().toSeq === Seq(1L))
     // non-bigint element storage: refuses by name
     val root = Files.createTempDirectory("cql-bcoll-c").toString
     spark.conf.set("spark.sql.catalog.cqlbcoll",
@@ -1819,16 +1821,17 @@ class CqlSpec extends GraftSpec {
     assert(rows(d).filter(r => r._1 == 7L && r._3 == "tg2")
       .toSeq.sortBy(_._2).map(r => (r._2, r._4)) ===
       Seq((1, 1L), (2, 2L)))
-    // refusals: map put without ck; BATCH; mismatched names
+    // refusals: map put without ck; mismatched names. (Batched
+    // appends JOURNAL since C11i — asserted in their own tests.)
     intercept[IllegalArgumentException] {
       Cql.execute(spark, s"UPDATE $d SET m['k'] = 1 WHERE pk = 1")
     }
-    intercept[IllegalArgumentException] {
-      Cql.execute(spark,
-        s"""BEGIN BATCH
-           |  UPDATE $d SET tags = tags + [1] WHERE pk = 5;
-           |APPLY BATCH""".stripMargin)
-    }
+    Cql.execute(spark,
+      s"""BEGIN BATCH
+         |  UPDATE $d SET tags = tags + [1] WHERE pk = 5;
+         |APPLY BATCH""".stripMargin)
+    assert(rows(d).exists(r => r._1 == 5L && r._3 == "tags" &&
+      r._4 == 1L))
     intercept[IllegalArgumentException] {
       Cql.execute(spark,
         s"UPDATE $d SET tags = other + [1] WHERE pk = 5")
@@ -2301,6 +2304,75 @@ class CqlSpec extends GraftSpec {
     val r6 = applied(
       s"UPDATE $d SET qty = 1 WHERE pk = 7 AND ck = 2 IF qty = 71")
     assert(r6._1 === true)
+  }
+
+  test("BEGIN BATCH collection updates over TYPED layouts (C11i " +
+      "typed twin): appends, puts, removes and replaces journal at " +
+      "ONE batch writetime") {
+    val root = Files.createTempDirectory("cql-tbcoll").toString
+    spark.conf.set("spark.sql.catalog.tbcl", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.tbcl.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "tbcl")
+      cq("CREATE KEYSPACE ks")
+      cq("CREATE TABLE ks.t (user text, ck int, col text, " +
+        "value bigint, wt bigint, PRIMARY KEY ((user), ck))")
+      // pre-batch state: a list with two elements
+      cq("UPDATE ks.t SET l = l + [1, 2] WHERE user = 'u'")
+      cq("""BEGIN BATCH
+        |  UPDATE ks.t SET l = l + [3] WHERE user = 'u';
+        |  UPDATE ks.t SET l = l + [4] WHERE user = 'u';
+        |  UPDATE ks.t SET st = st + {7, 8} WHERE user = 'u';
+        |  UPDATE ks.t SET m['k'] = 5 WHERE user = 'u' AND ck = 1;
+        |APPLY BATCH""".stripMargin)
+      def cells(u: String) = spark.read
+        .format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/t")
+        .filter(col("user") === u)
+        .select("ck", "col", "value", "wt")
+        .as[(Int, String, Long, Long)].collect().toSeq
+      val c1 = cells("u")
+      // same-batch appends claimed DISJOINT cks in statement order
+      assert(c1.filter(_._2 == "l").sortBy(_._1).map(_._3) ===
+        Seq(1L, 2L, 3L, 4L))
+      assert(c1.filter(_._2 == "st").map(_._3).toSet === Set(7L, 8L))
+      assert(c1.filter(_._2 == "k").map(_._3) === Seq(5L))
+      // ONE shared writetime for every batch cell
+      val batchWts = c1.filter(r => r._3 >= 3L || r._2 == "k")
+        .map(_._4).toSet
+      assert(batchWts.size === 1, batchWts)
+      // a batched REPLACE reads PRE-batch state: the same-batch
+      // append survives it (only pre-batch cells shadow)
+      cq("""BEGIN BATCH
+        |  UPDATE ks.t SET l = [100] WHERE user = 'u';
+        |  UPDATE ks.t SET l = l + [101] WHERE user = 'u';
+        |APPLY BATCH""".stripMargin)
+      assert(cells("u").filter(_._2 == "l").sortBy(_._1).map(_._3)
+        === Seq(100L, 101L))
+      // set REMOVE inside a batch tombstones the pre-batch element
+      cq("""BEGIN BATCH
+        |  UPDATE ks.t SET st = st - {7} WHERE user = 'u';
+        |  UPDATE ks.t SET st = st + {9} WHERE user = 'u';
+        |APPLY BATCH""".stripMargin)
+      assert(cells("u").filter(_._2 == "st").map(_._3).toSet ===
+        Set(8L, 9L))
+      // composite partition key rides too
+      cq("CREATE TABLE ks.c (tenant text, day bigint, seq int, " +
+        "col text, value bigint, wt bigint, " +
+        "PRIMARY KEY ((tenant, day), seq))")
+      cq("""BEGIN BATCH
+        |  UPDATE ks.c SET m['a'] = 1 WHERE tenant = 'x' AND day = 7 AND seq = 1;
+        |  UPDATE ks.c SET m['b'] = 2 WHERE tenant = 'x' AND day = 7 AND seq = 1;
+        |APPLY BATCH""".stripMargin)
+      assert(spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/c")
+        .filter(!col("col").startsWith("!"))
+        .select("col", "value").as[(String, Long)].collect().toMap ===
+        Map("a" -> 1L, "b" -> 2L))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tbcl")
+      spark.conf.unset("spark.sql.catalog.tbcl.root")
+    }
   }
 
   test("conditional BATCH over TYPED / composite key layouts: one " +
@@ -5808,11 +5880,14 @@ class CqlSpec extends GraftSpec {
         "WHERE pk = 1", "does not apply to a map<text, date> column")
       assert(cq("DESCRIBE TABLE ks.md").collect().head.getString(0)
         .contains("value map<text, date>"))
-      // LWT and LOGGED BATCH refuse on declared collections by name
+      // LWT and LOGGED BATCH refuse on declared SET collections by
+      // name (map ENTRIES serve LWT since C11j; non-bigint element
+      // storage keeps batches single-statement since C11i)
       refuse("INSERT INTO ks.si (pk, ck, ips) VALUES (9, 1, " +
         "'10.9.9.9') IF NOT EXISTS", "collection columns")
       refuse("BEGIN BATCH\nINSERT INTO ks.si (pk, ck, ips) VALUES " +
-        "(9, 1, '10.9.9.9');\nAPPLY BATCH", "collection columns")
+        "(9, 1, '10.9.9.9');\nAPPLY BATCH",
+        "take single statements")
       // declaration refusals, each by name
       refuse("CREATE TABLE ks.b1 (pk bigint, ck int, col text, " +
         "value map<int, text>, wt bigint)", "map<text, T>")
