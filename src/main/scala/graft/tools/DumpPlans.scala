@@ -86,7 +86,12 @@ object DumpPlans {
     "C11h_map_replace", "C70e_similarity_select", "C72b_fcall_family",
     "C51e_alter_rename", "N_DEDUP10_clusters_fixpoint",
     "C72c_fcall_select", "C18m_custom_index",
-    "C15c_entry_writetime", "N_DEDUP11_repeated_spans")
+    "C15c_entry_writetime", "N_DEDUP11_repeated_spans",
+    // round 18
+    "C11i_batch_collections", "C11i_batch_collections_typed",
+    "C11j_map_entry_lwt", "C55h_lwt_ordered_mapped",
+    "C55i_udt_lwt", "C55j_lwt_scalar_types",
+    "C56f_conditional_batch_typed", "C68b_copy_counter")
 
   /** Hand-written sections (memos) after this marker are preserved
     * across regeneration.
