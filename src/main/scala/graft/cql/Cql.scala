@@ -130,7 +130,7 @@ object Cql {
       """(?:\s+USING\s+((?:TIMESTAMP|TTL).+?))?""" +
       """\s+SET\s+(.+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)""" +
-      """\s*(!=|<=|>=|=|<|>)\s*(\{[^{}]*\}|\S+?)""" +
+      """\s*(!=|<=|>=|=|<|>)\s*(\{[^{}]*\}|\[[^\[\]]*\]|\S+?)""" +
       """\s*;?\s*$""").r
 
   /** `UPDATE ... IF col IN (v1, v2, ...)` — Cassandra's IN condition
@@ -175,7 +175,7 @@ object Cql {
       """\s*FROM\s+(\S+?)\s+WHERE\s+(.+?)""" +
       """\s+IF\s+(?:(EXISTS)|(\w+(?:\s*\[\s*'(?:[^']|'')*'\s*\])?)""" +
       """\s*(!=|<=|>=|=|<|>)""" +
-      """\s*(\{[^{}]*\}|\S+?))\s*;?\s*$""").r
+      """\s*(\{[^{}]*\}|\[[^\[\]]*\]|\S+?))\s*;?\s*$""").r
 
   private val BatchRe =
     ("""(?is)^\s*BEGIN\s+BATCH(?:\s+USING\s+TIMESTAMP\s+(\d+))?""" +
@@ -1516,9 +1516,22 @@ object Cql {
       case Some(layout) => udtCas(spark, dir, layout, sets, where,
         Some(ifCol.toLowerCase), udtOpCond(layout, ifCol, ifOp, ifVal),
         ttl)
-      case None => lwtUpdateCond(spark, dir, sets, where, ifCol,
-        (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal),
-        ttl)
+      case None =>
+        // C11k: a whole-collection equality condition, or a
+        // collection WRITE beyond the entry-put form (C11j owns
+        // those) — both ride the staged casBatch route
+        val collCond = collCondOf(dir, ifCol, ifOp, ifVal)
+        val entryOnly = splitValues(sets).forall {
+          case EntrySetRe(_, _, _) => true
+          case _ => false
+        }
+        if (collCond.isDefined ||
+            (hasCollectionSyntax(sets) && !entryOnly))
+          lwtCollUpdate(spark, dir, sets, where, collCond, ifCol,
+            ifOp, ifVal, ttl)
+        else lwtUpdateCond(spark, dir, sets, where, ifCol,
+          (mappedCas, str) => casOpCond(mappedCas, str, ifOp, ifVal),
+          ttl)
     }
 
   /** `UPDATE ... IF col IN (v1, ...)` (C55d): the condition holds
@@ -1766,6 +1779,40 @@ object Cql {
     udtCasLayout(dir).foreach(layout =>
       return udtCas(spark, dir, layout, sets, where, condCol = None,
         cond = graft.sources.CellTransactions.CasCond.Present, ttl))
+    locally {
+      // C11k: collection writes under IF EXISTS (append-if-row-
+      // exists) — staged cells ride the casBatch round; the row
+      // presence tests the WHERE's bound ck
+      val entryOnly = splitValues(sets).forall {
+        case EntrySetRe(_, _, _) => true
+        case _ => false
+      }
+      if (hasCollectionSyntax(sets) && !entryOnly) {
+        import graft.sources.CellTransactions
+        if (!graft.sources.CellSource.keySpec(dir).isDefault)
+          fail("conditional collection updates serve the default " +
+            "((pk), ck) layout in this subset")
+        val (cc, tt) = stageCollectionCells(spark, dir, sets, where,
+          AssignLater, scala.collection.mutable.Map.empty)
+        val writes = cc.map(c => (c._2, c._3, c._4)) ++
+          tt.map(c => (c._2, c._3, c._4))
+        if (writes.isEmpty)
+          fail("this conditional collection statement writes nothing")
+        val pks = (cc ++ tt).map(_._1).distinct
+        if (pks.length != 1)
+          fail("conditional statements bind exactly one partition key")
+        val (_, ckEq, _, _) = keyPredicate(where)
+        val condCk = ckEq.getOrElse(
+          fail("UPDATE ... IF EXISTS needs WHERE ... AND ck = ? " +
+            "(the CAS row)"))
+        return lwtResult(spark, CellTransactions.casBatch(spark, dir,
+          pks.head,
+          Seq((condCk, None: Option[String],
+            CellTransactions.CasCond.Present
+              : CellTransactions.CasCond)),
+          writes, ttlWt = ttl))
+      }
+    }
     val mappedCas = refuseLwtValueType(dir, allowText = true)
     val spec = graft.sources.CellSource.keySpec(dir)
     import graft.sources.CellTransactions
@@ -1832,6 +1879,37 @@ object Cql {
       colOpt: Option[String], where: String, exists: Boolean,
       ifCol: Option[String], ifOp: Option[String],
       ifVal: Option[String]): DataFrame = {
+    // C11k: a whole-collection equality condition gating a DELETE —
+    // the tombstone write rides the partition-reading casBatch
+    // round. UDT tables route below (their brace literal is a packed
+    // VALUE, not a collection).
+    if (!exists && udtLayoutOf(dir).isEmpty)
+      collCondOf(dir, ifCol.get, ifOp.get, ifVal.get).foreach { cc =>
+        import graft.sources.CellTransactions
+        if (!graft.sources.CellSource.keySpec(dir).isDefault)
+          fail("conditional collection statements serve the default " +
+            "((pk), ck) layout in this subset")
+        val (pks, ckEq, _, _) = keyPredicate(where)
+        if (pks.size != 1)
+          fail("conditional DELETE binds exactly one pk")
+        // the tombstone write addresses a ROW either way, so the ck
+        // binds regardless of the condition's kind
+        val ck = ckEq.getOrElse(
+          fail("conditional DELETE WHERE must bind ck (the CAS row)"))
+        val writeCol = colOpt match {
+          case Some(c) =>
+            graft.sources.CellSource.CellTombstonePrefix +
+              lwtCondCol(dir, c)
+          case None => graft.sources.CellSource.RowTombstone
+        }
+        flushBuffered(spark, dir)
+        val r = CellTransactions.casBatch(spark, dir, pks.head,
+          Seq((ck, None: Option[String],
+            cc: CellTransactions.CasCond)),
+          Seq((ck, writeCol, 0L)))
+        forgetWt(dir)
+        return lwtResult(spark, r)
+      }
     udtCasLayout(dir).foreach { layout =>
       // frozen<udt> (C55i): the applied write is the tombstone; the
       // condition is row presence or packed-value equality
@@ -2807,6 +2885,108 @@ object Cql {
       case x => fail("conditional updates on a declared map table " +
         s"take entry puts (m['k'] = v), got: $x")
     }
+  }
+
+  /** C11k (r18) — whole-collection EQUALITY conditions: Cassandra's
+    * `IF tags = {…}` / `IF l = […]` / `IF m = {…}` (and `!=`). The
+    * collection is a SET OF CELLS, so the condition rides the
+    * partition-reading casBatch round as a [[graft.sources
+    * .CellTransactions.CasCond.CollEq]]; literals parse through the
+    * DECLARED element grammar. Returns None when the IF value is not
+    * a collection literal (the scalar machinery owns it).
+    */
+  private def collCondOf(dir: String, ifCol: String, op: String,
+      raw: String)
+      : Option[graft.sources.CellTransactions.CasCond.CollEq] = {
+    import graft.sources.CellTransactions.CasCond
+    val t = raw.trim
+    val bracket = t.startsWith("[") && t.endsWith("]")
+    val brace = t.startsWith("{") && t.endsWith("}")
+    if (!bracket && !brace) return None
+    val sp = cqlCollectionOf(dir).getOrElse(
+      fail(s"IF $ifCol $op <collection literal> needs a DECLARED " +
+        "collection column"))
+    val kind = sp.takeWhile(_ != '<').trim.toLowerCase
+    val negate = op match {
+      case "=" => false
+      case "!=" => true
+      case o => fail(s"IF $o does not apply to collection literals " +
+        "(the equality family only)")
+    }
+    val parse = collElementParse(dir)
+    val body = t.substring(1, t.length - 1)
+    def vals(what: String): Seq[Any] =
+      if (body.trim.isEmpty) Seq.empty
+      else splitValues(body).toSeq.map(parse(_, what))
+    Some(kind match {
+      case "list" =>
+        if (!bracket) fail(s"a $sp condition takes a [..] literal")
+        CasCond.CollEq("list", ifCol.toLowerCase, vals("list element"),
+          Seq.empty, negate)
+      case "set" =>
+        if (!brace) fail(s"a $sp condition takes a {..} literal")
+        CasCond.CollEq("set", ifCol.toLowerCase, vals("set element"),
+          Seq.empty, negate)
+      case "map" =>
+        if (!brace) fail(s"a $sp condition takes a {'k': v, ..} " +
+          "literal")
+        CasCond.CollEq("map", ifCol.toLowerCase, Seq.empty,
+          if (body.trim.isEmpty) Seq.empty else mapEntries(body, parse),
+          negate)
+      case k => fail(s"unknown collection kind: $k")
+    })
+  }
+
+  /** The declared ELEMENT grammar of a collection table (bypasses
+    * the scalar-LWT selector's set/list refusal — C11k's paths own
+    * their shapes).
+    */
+  private def collElementParse(dir: String): (String, String) => Any =
+    cqlValueTypeOf(dir) match {
+      case Some(ct) => mappedLiteral(ct)
+      case None if isStringValued(dir) => collValue(stringValued = true)
+      case None => longLiteral
+    }
+
+  /** C11k — a collection WRITE under a condition (`UPDATE … SET
+    * l = l + [9] … IF …`) and/or a whole-collection equality
+    * condition: the staged read-before-write cells + tombstones ride
+    * ONE casBatch round, applied all-or-nothing at the ballot
+    * writetime. The condition is the CollEq, or a scalar cell of the
+    * bound CAS row.
+    */
+  private def lwtCollUpdate(spark: SparkSession, dir: String,
+      sets: String, where: String,
+      collCond: Option[graft.sources.CellTransactions.CasCond.CollEq],
+      ifCol: String, ifOp: String, ifVal: String,
+      ttl: Option[Long]): DataFrame = {
+    import graft.sources.CellTransactions
+    if (!graft.sources.CellSource.keySpec(dir).isDefault)
+      fail("conditional collection updates serve the default " +
+        "((pk), ck) layout in this subset")
+    val (cc, tt) = stageCollectionCells(spark, dir, sets, where,
+      AssignLater, scala.collection.mutable.Map.empty)
+    val writes = cc.map(c => (c._2, c._3, c._4)) ++
+      tt.map(c => (c._2, c._3, c._4))
+    if (writes.isEmpty)
+      fail("this conditional collection statement writes nothing " +
+        "(empty literal against an empty collection)")
+    val pks = (cc ++ tt).map(_._1).distinct
+    if (pks.length != 1)
+      fail("conditional statements bind exactly one partition key")
+    val cond: CellTransactions.CasCond = collCond.getOrElse {
+      casOpCond(cqlValueTypeOf(dir).filter(MappedCqlTypes.contains),
+        isStringValued(dir), ifOp, ifVal)
+    }
+    val (_, ckEq, _, _) = keyPredicate(where)
+    val condCk = ckEq.getOrElse(
+      if (collCond.exists(_.kind != "map")) 0
+      else fail("this condition needs WHERE ... AND ck = ? (the " +
+        "CAS row)"))
+    val condCol =
+      if (collCond.isDefined) None else Some(lwtCondCol(dir, ifCol))
+    lwtResult(spark, CellTransactions.casBatch(spark, dir, pks.head,
+      Seq((condCk, condCol, cond)), writes, ttlWt = ttl))
   }
 
   /** One-condition UDT CAS update: exactly one `SET c = {…}` packed

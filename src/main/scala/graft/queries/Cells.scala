@@ -3746,6 +3746,60 @@ object Cells {
     """SELECT CAST(pk AS BIGINT) AS pk, CAST(ck AS INT) AS ck, v
       |FROM (VALUES (1, 1, 'a=10|b=2|c=3')) AS t(pk, ck, v)""".stripMargin
 
+  // C11k — whole-collection equality conditions + collection writes
+  // under IF (r18): `IF tags = {…}` (set semantics, order-free),
+  // `IF l = […]` (list semantics, ordered), `IF m = {…}` (the bound
+  // row's entries) gate STAGED collection updates riding one
+  // casBatch round; scalar conditions gate collection appends too.
+  // Guarded wrong-state writes never fire.
+  private def collEqLwt(s: SparkSession, d: String): DataFrame = {
+    val cat = "gq_c11k"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CellCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        java.nio.file.Files.createTempDirectory("cql-c11k-q").toString)
+    }
+    def cq(stmt: String) = graft.cql.Cql.catalogExecute(s, stmt, cat)
+    graft.cql.Cql.catalogScript(s,
+      """CREATE KEYSPACE IF NOT EXISTS ks;
+        |CREATE TABLE IF NOT EXISTS ks.s (pk bigint, ck int, col text,
+        |  value set<bigint>, wt bigint);
+        |CREATE TABLE IF NOT EXISTS ks.l (pk bigint, ck int, col text,
+        |  value list<bigint>, wt bigint);
+        |TRUNCATE ks.s;
+        |TRUNCATE ks.l;
+        |UPDATE ks.s SET tags = tags + {1, 2} WHERE pk = 1;
+        |UPDATE ks.s SET tags = tags + {3} WHERE pk = 1
+        |  IF tags = {2, 1};
+        |UPDATE ks.s SET tags = tags + {9} WHERE pk = 1
+        |  IF tags = {1, 2};
+        |UPDATE ks.s SET tags = tags - {1} WHERE pk = 1
+        |  IF tags != {1, 2};
+        |UPDATE ks.l SET l = l + [10, 20] WHERE pk = 1;
+        |UPDATE ks.l SET l = l + [30] WHERE pk = 1 IF l = [20, 10];
+        |UPDATE ks.l SET l = l + [40] WHERE pk = 1 IF l = [10, 20];
+        |UPDATE ks.l SET l = l + [1] WHERE pk = 2 IF l = []
+        |""".stripMargin, cat)
+    val st = cq("SELECT pk, tags FROM ks.s WHERE pk = 1")
+      .select(lit("set").as("item"), col("pk"),
+        array_join(col("tags").cast("array<string>"), "|").as("v"))
+    val ls = cq("SELECT pk, l FROM ks.l ORDER BY pk")
+      .select(lit("list").as("item"), col("pk"),
+        array_join(col("l").cast("array<string>"), "|").as("v"))
+    st.unionAll(ls).orderBy("item", "pk")
+  }
+
+  // set walks {1,2}→{1,2,3} (order-free hit) →{2,3} (!= hit; the {9}
+  // guard missed); list appends 40 on the ordered hit (the [20,10]
+  // guard missed); pk 2 exists via the empty-equals-absent rule
+  private val collEqLwtSql =
+    """SELECT item, CAST(pk AS BIGINT) AS pk, v
+      |FROM (VALUES
+      |  ('list', 1, '10|20|40'),
+      |  ('list', 2, '1'),
+      |  ('set', 1, '2|3')) AS t(item, pk, v)
+      |ORDER BY item, pk""".stripMargin
+
   // C55e — MULTI-condition LWT + conditions on NON-SET columns
   // (r16): every condition tested against the row's current state
   // under ONE ballot; the write applies only when ALL hold. The
@@ -5362,6 +5416,7 @@ object Cells {
     GQuery("C55j_lwt_scalar_types", lwtScalarTypes,
       Some(lwtScalarTypesSql)),
     GQuery("C11j_map_entry_lwt", mapEntryLwt, Some(mapEntryLwtSql)),
+    GQuery("C11k_coll_eq_lwt", collEqLwt, Some(collEqLwtSql)),
     GQuery("C71_cql_functions", cqlFunctionsLifecycle,
       Some(cqlFunctionsSql)),
     GQuery("C18j_contains_like", containsLikeLifecycle,

@@ -54,6 +54,20 @@ object CellTransactions {
       */
     final case class CmpBy(op: String, v: Any,
         cmp: (Any, Any) => Int) extends CasCond
+    /** Whole-collection equality (C11k, r18) — Cassandra's
+      * `IF tags = {…}` / `IF l = […]` / `IF m = {…}` conditions:
+      * the collection is a SET OF CELLS, so the condition evaluates
+      * against the partition state ([[casBatch]] only — the
+      * single-cell rounds refuse). `kind`: "list" (ck-ordered
+      * element cells of col `name`), "set" (their distinct values),
+      * or "map" (the CAS row's live non-marker cells as key→value —
+      * the C11h row-is-the-map contract). An ABSENT collection
+      * equals the EMPTY literal (Cassandra: an empty non-frozen
+      * collection IS null). `negate` = the `!=` form.
+      */
+    final case class CollEq(kind: String, name: String,
+        vals: Seq[Any], entries: Seq[(String, Any)],
+        negate: Boolean) extends CasCond
   }
 
   /** Value equality for condition evaluation: byte arrays (packed
@@ -65,9 +79,16 @@ object CellTransactions {
     case _ => a == b
   }
 
-  /** Evaluate a condition against the cell's current winner. */
+  /** Evaluate a condition against the cell's current winner.
+    * [[CasCond.CollEq]] never reaches here — it evaluates against
+    * PARTITION state inside [[casBatch]]'s loop; the single-cell
+    * rounds refuse it loudly.
+    */
   private def condHolds(cond: CasCond, cur: Option[Any]): Boolean =
     cond match {
+      case _: CasCond.CollEq => throw new IllegalArgumentException(
+        "collection conditions evaluate against partition state " +
+          "(the casBatch round)")
       case CasCond.Absent => cur.isEmpty
       case CasCond.Present => cur.isDefined
       case CasCond.Equals(v) => cur.exists(valEq(_, v))
@@ -320,12 +341,45 @@ object CellTransactions {
         .map(r => (r.getInt(0), r.getString(1)) -> r.get(2)).toMap
       val liveCks: Set[Int] = part.iterator.map(_.getInt(0)).toSet
       val failed = conds.iterator.map { case (ck, condCol, cond) =>
-        val cur: Option[Any] = condCol match {
-          case Some(c) => byCell.get((ck, c))
-          case None => if (liveCks(ck)) Some(0L) else None
+        cond match {
+          case c: CasCond.CollEq =>
+            // whole-collection equality (C11k): the collection is a
+            // SET OF CELLS of the partition read, never one cur
+            val holds0 = c.kind match {
+              case "list" =>
+                val vs = byCell.iterator.collect {
+                  case ((k, col), v) if col == c.name => (k, v)
+                }.toSeq.sortBy(_._1).map(_._2)
+                vs.size == c.vals.size &&
+                  vs.zip(c.vals).forall { case (a, b) => valEq(a, b) }
+              case "set" =>
+                val vs = byCell.iterator.collect {
+                  case ((_, col), v) if col == c.name => v }.toSet
+                val want = c.vals
+                vs.size == want.toSet.size &&
+                  want.forall(w => vs.exists(valEq(_, w)))
+              case "map" =>
+                // the CAS row's live non-marker cells ARE the map
+                // (the C11h contract; statics are '!'-prefixed)
+                val got = byCell.iterator.collect {
+                  case ((k, col), v)
+                      if k == ck && !col.startsWith("!") =>
+                    (col, v) }.toMap
+                got.size == c.entries.size &&
+                  c.entries.forall { case (ek, ev) =>
+                    got.get(ek).exists(valEq(_, ev)) }
+              case k => throw new IllegalArgumentException(
+                s"unknown collection kind $k")
+            }
+            (holds0 != c.negate, None: Option[String],
+              None: Option[Any])
+          case _ =>
+            val cur: Option[Any] = condCol match {
+              case Some(c) => byCell.get((ck, c))
+              case None => if (liveCks(ck)) Some(0L) else None
+            }
+            (condHolds(cond, cur), condCol, cur)
         }
-        val ok = condHolds(cond, cur)
-        (ok, condCol, cur)
       }.find(!_._1)
       failed match {
         case Some((_, condCol, cur)) =>

@@ -5683,13 +5683,106 @@ class CqlSpec extends GraftSpec {
         "IF m['k'] = 2", "DECLARED map")
       refuse("UPDATE ks.plain SET m['k'] = 1 WHERE pk = 1 AND " +
         "ck = 1 IF n = 2", "DECLARED map")
+      // set-collection writes under IF serve since C11k (their own
+      // test); the row-presence guard still gates
       cq("CREATE TABLE ks.st (pk bigint, ck int, col text, " +
         "value set<bigint>, wt bigint)")
-      refuse("UPDATE ks.st SET s = s + {1} WHERE pk = 1 AND ck = 1 " +
-        "IF EXISTS", "outside this subset")
+      assert(!applied("UPDATE ks.st SET s = s + {1} WHERE pk = 1 " +
+        "AND ck = 1 IF EXISTS")) // absent row — nothing written
     } finally {
       spark.conf.unset("spark.sql.catalog.mecat")
       spark.conf.unset("spark.sql.catalog.mecat.root")
+    }
+  }
+
+  test("whole-collection equality conditions + collection writes " +
+    "under IF (C11k): IF tags = {..} / IF l = [..] / IF m = {..} " +
+    "gate staged collection updates") {
+    val root = Files.createTempDirectory("cql-c11k").toString
+    spark.conf.set("spark.sql.catalog.ckcat", "graft.sources.CellCatalog")
+    spark.conf.set("spark.sql.catalog.ckcat.root", root)
+    try {
+      def cq(stmt: String) = Cql.catalogExecute(spark, stmt, "ckcat")
+      def applied(stmt: String): Boolean =
+        cq(stmt).collect().head.getBoolean(0)
+      def refuse(stmt: String, frag: String): Unit = {
+        val e = intercept[IllegalArgumentException] { cq(stmt) }
+        assert(e.getMessage.contains(frag), s"$stmt -> ${e.getMessage}")
+      }
+      cq("CREATE KEYSPACE ks")
+      // ---- declared set: {..} equality in set semantics ----
+      cq("CREATE TABLE ks.s (pk bigint, ck int, col text, " +
+        "value set<bigint>, wt bigint)")
+      cq("UPDATE ks.s SET tags = tags + {1, 2} WHERE pk = 1")
+      assert(applied("UPDATE ks.s SET tags = tags + {3} WHERE " +
+        "pk = 1 IF tags = {2, 1}")) // order-free
+      assert(!applied("UPDATE ks.s SET tags = tags + {9} WHERE " +
+        "pk = 1 IF tags = {1, 2}")) // now {1,2,3}
+      assert(applied("UPDATE ks.s SET tags = tags - {1} WHERE " +
+        "pk = 1 IF tags != {1, 2}"))
+      def setVals: Set[Long] = spark.read
+        .format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/s")
+        .filter(col("col") === "tags" && !col("col").startsWith("!"))
+        .select("value").as[Long].collect().toSet
+      assert(setVals === Set(2L, 3L))
+      // ---- declared list: [..] equality is ORDERED ----
+      cq("CREATE TABLE ks.l (pk bigint, ck int, col text, " +
+        "value list<bigint>, wt bigint)")
+      cq("UPDATE ks.l SET l = l + [10, 20] WHERE pk = 1")
+      assert(!applied("UPDATE ks.l SET l = l + [30] WHERE pk = 1 " +
+        "IF l = [20, 10]")) // wrong order
+      assert(applied("UPDATE ks.l SET l = l + [30] WHERE pk = 1 " +
+        "IF l = [10, 20]"))
+      // an ABSENT list equals the EMPTY literal (empty IS null)
+      assert(applied("UPDATE ks.l SET l = l + [1] WHERE pk = 2 " +
+        "IF l = []"))
+      assert(!applied("UPDATE ks.l SET l = l + [9] WHERE pk = 3 " +
+        "IF l = [1]"))
+      // ---- declared map: whole-map equality at the bound row ----
+      cq("CREATE TABLE ks.m (pk bigint, ck int, col text, " +
+        "value map<text, bigint>, wt bigint)")
+      cq("UPDATE ks.m SET m['a'] = 1, m['b'] = 2 WHERE pk = 1 AND " +
+        "ck = 1")
+      assert(applied("UPDATE ks.m SET m['c'] = 3 WHERE pk = 1 AND " +
+        "ck = 1 IF m = {'b': 2, 'a': 1}"))
+      assert(!applied("UPDATE ks.m SET m['z'] = 9 WHERE pk = 1 AND " +
+        "ck = 1 IF m = {'a': 1, 'b': 2}")) // c joined since
+      // conditional DELETE gated by collection equality
+      assert(!applied("DELETE FROM ks.m WHERE pk = 1 AND ck = 1 " +
+        "IF m = {'a': 1}"))
+      assert(applied("DELETE FROM ks.m WHERE pk = 1 AND ck = 1 " +
+        "IF m = {'a': 1, 'b': 2, 'c': 3}"))
+      assert(cq("SELECT pk FROM ks.m WHERE pk = 1 AND ck = 1")
+        .count() === 0)
+      // scalar condition gating a collection write (append-if)
+      cq("CREATE TABLE ks.p (pk bigint, ck int, col text, " +
+        "value bigint, wt bigint)")
+      cq("INSERT INTO ks.p (pk, ck, ver) VALUES (1, 0, 3)")
+      assert(applied("UPDATE ks.p SET hist = hist + [100] WHERE " +
+        "pk = 1 AND ck = 0 IF ver = 3"))
+      assert(!applied("UPDATE ks.p SET hist = hist + [200] WHERE " +
+        "pk = 1 AND ck = 0 IF ver = 4"))
+      assert(spark.read.format("graft.sources.CellSource")
+        .option("reconcile", "true").load(s"$root/ks/p")
+        .filter(col("col") === "hist")
+        .select("value").as[Long].collect().toSeq === Seq(100L))
+      // IF EXISTS gating a collection write
+      assert(applied("UPDATE ks.p SET hist = hist + [300] WHERE " +
+        "pk = 1 AND ck = 0 IF EXISTS"))
+      assert(!applied("UPDATE ks.p SET hist = hist + [1] WHERE " +
+        "pk = 9 AND ck = 0 IF EXISTS"))
+      // refusals: ordered ops on collection literals, undeclared
+      // tables, grammar mismatches
+      refuse("UPDATE ks.s SET tags = tags + {5} WHERE pk = 1 " +
+        "IF tags > {1}", "equality family only")
+      refuse("UPDATE ks.p SET n = 1 WHERE pk = 1 AND ck = 0 " +
+        "IF x = {1, 2}", "DECLARED collection")
+      refuse("UPDATE ks.s SET tags = tags + {5} WHERE pk = 1 " +
+        "IF tags = [1]", "takes a {..} literal")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ckcat")
+      spark.conf.unset("spark.sql.catalog.ckcat.root")
     }
   }
 
