@@ -1789,6 +1789,9 @@ object Cql {
       }
       if (hasCollectionSyntax(sets) && !entryOnly) {
         import graft.sources.CellTransactions
+        if (isCounter(dir))
+          fail("conditional updates are not supported on counter " +
+            "tables (Cassandra's rule)")
         if (!graft.sources.CellSource.keySpec(dir).isDefault)
           fail("conditional collection updates serve the default " +
             "((pk), ck) layout in this subset")
@@ -1898,8 +1901,10 @@ object Cql {
           fail("conditional DELETE WHERE must bind ck (the CAS row)"))
         val writeCol = colOpt match {
           case Some(c) =>
+            // entry-capable on ANY table (deleteColName — the same
+            // resolution the unconditional DELETE uses)
             graft.sources.CellSource.CellTombstonePrefix +
-              lwtCondCol(dir, c)
+              deleteColName(c)
           case None => graft.sources.CellSource.RowTombstone
         }
         flushBuffered(spark, dir)
@@ -1946,9 +1951,12 @@ object Cql {
     val writeCol = colOpt match {
       case Some(c) =>
         // entry-aware (C11j): `DELETE m['k'] … IF …` tombstones the
-        // ENTRY cell (the key, case-preserved)
+        // ENTRY cell (the key, case-preserved) — deleteColName, the
+        // same resolution the unconditional DELETE uses, so entry
+        // deletes under scalar conditions serve on undeclared
+        // row-is-map tables too
         graft.sources.CellSource.CellTombstonePrefix +
-          lwtCondCol(dir, c)
+          deleteColName(c)
       case None => graft.sources.CellSource.RowTombstone
     }
     if (spec.isDefault) {
@@ -2476,7 +2484,11 @@ object Cql {
           }
         val writeCol = Option(colOpt) match {
           case Some(c) =>
-            graft.sources.CellSource.CellTombstonePrefix + c.toLowerCase
+            // entry-capable (C11j harmonization): a widened colOpt
+            // group can carry m['k'] — resolve like the
+            // unconditional DELETE does
+            graft.sources.CellSource.CellTombstonePrefix +
+              deleteColName(c)
           case None => graft.sources.CellSource.RowTombstone
         }
         (dir, Seq(cond),
@@ -2658,7 +2670,7 @@ object Cql {
           val writeCol = Option(colOpt) match {
             case Some(c) =>
               graft.sources.CellSource.CellTombstonePrefix +
-                c.toLowerCase
+                deleteColName(c)
             case None => graft.sources.CellSource.RowTombstone
           }
           (pkKv, Seq(cond), Seq((ck, writeCol, 0L)))
@@ -2687,7 +2699,7 @@ object Cql {
           val writeCol = Option(colOpt) match {
             case Some(c) =>
               graft.sources.CellSource.CellTombstonePrefix +
-                c.toLowerCase
+                deleteColName(c)
             case None => graft.sources.CellSource.RowTombstone
           }
           (pkKv, Seq.empty[Cond], Seq((ck, writeCol, 0L)))
@@ -2930,8 +2942,17 @@ object Cql {
       case "map" =>
         if (!brace) fail(s"a $sp condition takes a {'k': v, ..} " +
           "literal")
-        CasCond.CollEq("map", ifCol.toLowerCase, Seq.empty,
-          if (body.trim.isEmpty) Seq.empty else mapEntries(body, parse),
+        // duplicate literal keys keep the LAST value (Cassandra's
+        // map-literal rule) — an inflated pair count would make the
+        // size compare unsatisfiable
+        val entries =
+          if (body.trim.isEmpty) Seq.empty[(String, Any)]
+          else {
+            val pairs = mapEntries(body, parse)
+            val last = pairs.toMap
+            pairs.map(_._1).distinct.map(k => k -> last(k))
+          }
+        CasCond.CollEq("map", ifCol.toLowerCase, Seq.empty, entries,
           negate)
       case k => fail(s"unknown collection kind: $k")
     })
@@ -2961,6 +2982,9 @@ object Cql {
       ifCol: String, ifOp: String, ifVal: String,
       ttl: Option[Long]): DataFrame = {
     import graft.sources.CellTransactions
+    if (isCounter(dir))
+      fail("conditional updates are not supported on counter " +
+        "tables (Cassandra's rule)")
     if (!graft.sources.CellSource.keySpec(dir).isDefault)
       fail("conditional collection updates serve the default " +
         "((pk), ck) layout in this subset")
