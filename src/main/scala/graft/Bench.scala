@@ -14,14 +14,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Shark-style in-memory columnar cache (SURVEY Q_SRC2,
-    // [SHARK13] §3.2): materialize every base table once before the
-    // timed loop; plan-level cache lookup makes each query's
-    // spark.read.parquet(...) hit the InMemoryRelation.
-    Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).cache().count()
-      catch { case _: Throwable => }
-    }
+    // r18 OPTIMIZATION-ROUND METHODOLOGY FIX: the warm-up used to
+    // .cache() every base table plus the shared C-family (cells /
+    // lwwMerge) and dedup (signatures / shingles / LSH pairs) subtrees
+    // off the clock, so timed queries read InMemoryRelations instead of
+    // computing from parquet. The optimization-round contract forbids
+    // caching inputs or intermediates outside the timed region — all of
+    // it is removed; every timed query now computes from the parquet
+    // inputs, and clearCache() between queries (same policy as Verify)
+    // guarantees in-query persist()s never leak into another query's
+    // number. Fixture construction (CellSnapshots.ensure*, the
+    // round-trip file prep below) stays: those create the INPUT files
+    // the connector queries read, they cache no query result.
     // Spark 4's collation-aware string functions static-initialize the
     // ICU subsystem (BreakIterator + resource-bundle classpath scan) on
     // first use — observed at 200+ s under this sandbox, serializing
@@ -31,13 +35,7 @@ object Bench {
       .selectExpr("lower('Warm')", "upper('warm')", "initcap('warm')",
         "md5('warm')", "split('a b', ' ')")
       .collect()
-    // The synthetic cell table and its LWW merge are shared subtrees
-    // of all 10 table-C queries; caching them once lets Spark's
-    // plan-level cache lookup serve every C query from memory.
     try {
-      graft.cassandra.CellModel.cells(spark, sfDir).cache().count()
-      graft.cassandra.CellModel.lwwMerge(
-        graft.cassandra.CellModel.cells(spark, sfDir)).cache().count()
       // Materialize the SSTable-lite snapshots (fixture prep, not an
       // operator) so the C-scan queries time the connector only —
       // including the typed, tombstoned, TTL'd, and full-read-path
@@ -76,22 +74,6 @@ object Bench {
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
-      // The MinHash signature relation is the shared subtree of
-      // N_DEDUP2/4/6; cache it once so plan-level cache lookup serves
-      // all three (same Shark-style policy as the base tables).
-      locally {
-        import org.apache.spark.sql.functions.col
-        val idText = Tables.documents(spark, sfDir)
-          .select(col("doc_id").as("id"), col("text"))
-        val sigs = graft.dedup.Dedup.minhashSignaturesRelational(idText)
-        sigs.cache().count()
-        // N_DEDUP4's verify-side shingle relation, same policy.
-        graft.dedup.Dedup.shingleRows(idText).cache().count()
-        // The LSH candidate-pair relation N_DEDUP2/4/6 all rebuild.
-        graft.dedup.Dedup.lshCandidatePairs(
-          sigs.withColumn("bands", graft.dedup.Dedup.lshBands("sig")))
-          .cache().count()
-      }
     } catch { case _: Throwable => }
     // The sandbox host injects random multi-minute CPU-stall windows
     // (same query: 5 s one run, 200-470 s another while RUNNABLE), so a
@@ -104,12 +86,44 @@ object Bench {
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query independence (r18): release any in-query persist()
+      // the action left behind, so the next query (and any retry of
+      // this one) computes from the parquet inputs — Verify's policy.
+      // Outside the timer: the query already paid for building the
+      // blocks; dropping them is inter-query cleanup.
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      dt
+    }
+    // Per-query FLOORS (BASELINE.md: min over recorded clean runs) —
+    // loaded up front: they both gate the retry sweep (below) and feed
+    // the floor_delta report line.
+    val floors: Map[String, Double] = {
+      val floorsFile = Seq("BASELINE_floors.json",
+        "/root/repo/BASELINE_floors.json")
+        .map(java.nio.file.Paths.get(_))
+        .find(java.nio.file.Files.exists(_))
+      floorsFile.map { p =>
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val p1 = ordered.map { case (name, fn) => name -> time(fn) }
     val p1Total = p1.map(_._2).sum
     val retryThreshold = 2.0
+    // A query is worth re-timing when it is slow in absolute terms OR
+    // sits at flag level (≥3× floor and ≥0.5 s over) — the r17 flag
+    // protocol's criterion. Before r18 only the absolute threshold
+    // retried, so a 1-2 s stall-inflated reading of a 0.2 s-floor query
+    // kept its pass-1 number and surfaced as a spurious flag (11 of
+    // them in BENCH_r17, all TimeQ-refuted afterwards by hand); now the
+    // canary-gated sweep re-measures those too.
+    def flaggedVsFloor(name: String, t: Double): Boolean =
+      floors.get(name).exists(f => t >= f * 3 && t - f >= 0.5)
+    def needsRetry(name: String, t: Double): Boolean =
+      t > retryThreshold || flaggedVsFloor(name, t)
     // CANARY-GATED retry sweeps. Round-2 post-mortem: the stall window
     // that inflated S_WIN2/3/4 + q1 (60/34/43/35 s vs ~1-2 s floors)
     // also covered their retry sweep, so "no retry improved ≥30%" ended
@@ -151,12 +165,12 @@ object Bench {
     var sweeps = 0
     var keepGoing = true
     while (keepGoing && sweeps < 8 && retryWallLeft > 0 &&
-        results.exists(_._2 > retryThreshold)) {
+        results.exists { case (n, t) => needsRetry(n, t) }) {
       sweeps += 1
       var improved = false
       var anyStalled = false
       results = results.map { case (name, t) =>
-        if (t <= retryThreshold || retryWallLeft <= 0) name -> t
+        if (!needsRetry(name, t) || retryWallLeft <= 0) name -> t
         else {
           if (!waitClear()) { anyStalled = true; name -> t }
           else {
@@ -175,21 +189,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"per_query","queries":$qs,"sf":"$sfDir"}""")
-    // Per-query FLOORS (BASELINE.md: min over recorded clean runs):
-    // emit the measured-vs-floor comparison so a stall-inflated total
-    // is distinguishable from a real regression — queries ≥3× floor
+    // Measured-vs-floor comparison, so a stall-inflated total is
+    // distinguishable from a real regression — queries ≥3× floor
     // (and ≥0.5 s over it) are named with their floor. This line goes
     // BEFORE the final summary: the driver tail-parses the LAST line.
     locally {
-      val floorsFile = Seq("BASELINE_floors.json",
-        "/root/repo/BASELINE_floors.json")
-        .map(java.nio.file.Paths.get(_))
-        .find(java.nio.file.Files.exists(_))
-      val floors: Map[String, Double] = floorsFile.map { p =>
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
       if (floors.nonEmpty) {
         val floorTotal =
           results.flatMap { case (k, _) => floors.get(k) }.sum

@@ -61,17 +61,38 @@ object CellModel {
 
   /** The cell table: 'qty' + 'price' cells for every row, plus a newer
     * rewrite of 'qty' (value+7, writetime+1d) for pk % 3 == 0.
+    *
+    * ONE lineitem scan (r18 optimization, guide §1.2/§6): the old
+    * three-branch union re-scanned the parquet once per branch
+    * (Catalyst does not share scan subtrees across union arms); the
+    * 2-or-3 cells per row now come out of a single inline() generate
+    * over the same projection, so the whole synthetic relation is one
+    * pass over the base table. Row SET is identical (branch order was
+    * never meaningful — every consumer reconciles by key/writetime).
     */
   def cells(s: SparkSession, d: String): DataFrame = {
     val b = base(s, d)
-    val qty = b.select(col("pk"), col("ck"), lit("qty").as("col"),
-      col("qty_v").as("value"), col("wt"))
-    val price = b.select(col("pk"), col("ck"), lit("price").as("col"),
-      col("price_v").as("value"), col("wt"))
-    val rewrite = b.filter(col("pk") % 3 === 0)
-      .select(col("pk"), col("ck"), lit("qty").as("col"),
-        (col("qty_v") + 7).as("value"), (col("wt") + RewriteOffsetMs).as("wt"))
-    qty.union(price).union(rewrite)
+    def cell(c: Column, v: Column, w: Column) =
+      struct(c.as("col"), v.as("value"), w.as("wt"))
+    val rows = slice(
+      array(cell(lit("qty"), col("qty_v"), col("wt")),
+        cell(lit("price"), col("price_v"), col("wt")),
+        cell(lit("qty"), col("qty_v") + 7, col("wt") + RewriteOffsetMs)),
+      lit(1), when(col("pk") % 3 === 0, 3).otherwise(2))
+    b.select(col("pk"), col("ck"), explode(rows).as("c"))
+      .select(col("pk"), col("ck"), col("c.col").as("col"),
+        col("c.value").as("value"), col("c.wt").as("wt"))
+      // Hash-distribute the cell stream by pk — exactly how Cassandra
+      // shards it. Every reconciliation consumer clusters on pk or a
+      // pk-prefixed key, so hashpartitioning(pk) satisfies their
+      // distribution requirement and the downstream window/aggregate
+      // exchange DISAPPEARS (shuffle-neutral at scale: the one shuffle
+      // just moves before the merge, keyed on the shard key), while
+      // the heavy per-key merge work runs at full parallelism instead
+      // of inside the single-split scan task (the test fixtures are
+      // one-row-group parquet files — a scan stage is one task no
+      // matter the core count).
+      .repartition(col("pk"))
   }
 
   /** C4 — last-write-wins reconciliation: for each (pk, ck, col) keep
@@ -88,6 +109,20 @@ object CellModel {
   /** LWW generalized to any value column (string cells tie-break on
     * the string itself; plain ASCII here, so numeric/lexicographic
     * desc agrees with the oracle's ORDER BY ... DESC).
+    *
+    * r18 optimization note — MEASURED AND KEPT AS THE WINDOW FORM: the
+    * "obvious" §2.3 rewrite (groupBy + max_by(struct(row), struct(wt,
+    * value)) — one aggregate, map-side combine, no window) was built
+    * and benchmarked this round, and it is SLOWER: max_by carries a
+    * struct aggregation buffer, which HashAggregateExec cannot hold
+    * (non-mutable buffer type) and ObjectHashAggregateExec does not
+    * take (declarative, not TypedImperative), so the plan degrades to
+    * partial + final SortAggregate — TWO full sorts of the cell stream
+    * instead of the window's one post-shuffle sort (TimeQ at sf0.1:
+    * C6 1.37 s → 2.75 s, C17 2.12 s → 3.46 s with the aggregate
+    * form). One Exchange + one Sort + Window is the best plan Spark
+    * 4.1 offers for generic keep-the-max-row; the guide §1.1 loop
+    * (first-principles rewrite → measured worse → revert) decided.
     */
   def lwwMergeOn(cells: DataFrame, valueCol: String): DataFrame = {
     val w = Window.partitionBy(col("pk"), col("ck"), col("col"))

@@ -149,6 +149,33 @@ object Dedup {
       s"xxhash64(b, slice($sigCol, b * $r + 1, $r)))")
   }
 
+  /** MinHash signatures computed FROM an existing [[shingleRows]]
+    * relation (r18, guide §1.2: don't compute things twice) — the
+    * minimum of a hash over a multiset equals the minimum over its
+    * distinct set, so a pipeline that already built the per-doc
+    * DISTINCT shingle rows for Jaccard verification can derive
+    * BIT-IDENTICAL signatures from them instead of re-running
+    * tokenize + shingle over the corpus. Callers persist `shRows`
+    * once and feed both this and [[jaccardOnCandidates]]: the corpus
+    * is read and shingled exactly once per query.
+    */
+  def minhashSignaturesFromShingles(shRows: DataFrame,
+      k: Int = 8): DataFrame = {
+    require(k * 8 <= 64, s"k=$k exceeds the two-digest window budget")
+    val hashed = shRows
+      .select(col("id"),
+        expr("concat(md5(sh2), md5(concat(':', sh2)))").as("h"))
+      .select(
+        col("id") +: (0 until k).map { i =>
+          expr(s"substr(h, ${i * 8 + 1}, 8)").as(s"h$i")
+        }: _*)
+    hashed.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** Per-doc DISTINCT shingles exploded to rows with the set size —
     * the verify-side relation of [[jaccardOnCandidates]]. Shared by
     * the declared query and Bench's warm-up so both build the same
@@ -221,12 +248,24 @@ object Dedup {
     // LSH join) once per reference while the plan doubles per round —
     // observed 285 s at sf0.1 vs ~5 s materialized. At cluster scale
     // this persist becomes a checkpoint; same principle.
+    //
+    // r18 (guide §2.4): the edge list persists HASH-PARTITIONED ON
+    // dst, the key every round's neighbor join probes — the cached
+    // partitioning satisfies the join's distribution requirement, so
+    // no round re-exchanges the (larger) edge side; only the label
+    // table moves. And each round localCheckpoints (r18): labels_{r-1}
+    // appears twice in round r's plan (union + join), so the
+    // unmaterialized form re-planned a tree that doubled per round —
+    // measured 3.6 s vs 2.0 s for the checkpointed fixpoint twin on
+    // the same candidates at sf0.1.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     edges.count() // cut the lineage now, before the rounds multiply it
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "nid"),
@@ -234,16 +273,15 @@ object Dedup {
         .select(col("src").as("id"), col("lbl"))
       labels = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        // one row per clustered doc; eager so the lineage stays one
+        // round deep — at cluster scale a reliable checkpoint
+        .localCheckpoint(true)
     }
-    // Materialize the (small: one row per clustered doc) label table and
     // release the cached edge list — otherwise every invocation in a
     // long-lived session (Bench/Verify run all queries in one
     // SparkSession) leaks another cached edge copy into storage memory.
-    // localCheckpoint also cuts the 3-round lineage; at cluster scale
-    // this is a reliable checkpoint for the same two reasons.
-    val out = labels.localCheckpoint(true)
     edges.unpersist()
-    out
+    labels
   }
 
   /** Connected components iterated to a LABEL FIXPOINT — the
@@ -257,11 +295,14 @@ object Dedup {
     * FAILS BY NAME rather than silently returning a split result that
     * claims fixpoint semantics).
     *
-    * Per round: one shuffle join (neighbor labels) + one min-aggregate,
-    * then an EAGER localCheckpoint so the lineage stays one round deep
-    * instead of doubling per round, then a changed-label count (labels
-    * only decrease under min-propagation, so `new < old` is the exact
-    * change test). Label tables are one row per clustered doc — the
+    * Per round: one shuffle join (neighbor labels — the edge side is
+    * pre-partitioned on its key, so only labels move) + one
+    * min-aggregate that carries each id's previous label beside the
+    * new minimum, then an EAGER localCheckpoint so the lineage stays
+    * one round deep instead of doubling per round, then a
+    * changed-label count as a plain filter over the round output
+    * (labels only decrease under min-propagation, so `new < old` is
+    * the exact change test — no join needed). Label tables are one row per clustered doc — the
     * per-round checkpoint footprint is small next to the edge cache,
     * which is released on exit. At cluster scale localCheckpoint
     * becomes a reliable checkpoint; the driver holds only the loop
@@ -273,13 +314,23 @@ object Dedup {
     */
   def dedupClustersFixpoint(pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
+    // r18 (guide §2.4): edges persist hash-partitioned on dst (the
+    // neighbor join's probe key — no per-round edge exchange), and the
+    // change test no longer runs a separate next ⋈ labels join: each
+    // id's PREVIOUS label rides through the min-aggregate as a second
+    // column (every id has exactly one labels row, so max(prev)
+    // recovers it; neighbor rows carry NULL), making `changed` a plain
+    // filter-count over the already-checkpointed round output — one
+    // shuffle join per round eliminated.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     edges.count()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    val lblType = labels.schema("lbl").dataType
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -287,15 +338,16 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("id").as("nid"), col("lbl")),
           col("dst") === col("nid"))
-        .select(col("src").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"),
+          lit(null).cast(lblType).as("prev"))
+      val next = labels
+        .select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .union(viaNeighbor)
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), "id")
-        .filter(col("lbl") < col("prev"))
-        .count()
-      labels = next
+      changed = next.filter(col("lbl") < col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
     }
     edges.unpersist()
     // the cap is a RUNAWAY GUARD, not a silent result mode: an

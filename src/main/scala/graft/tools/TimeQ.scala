@@ -13,16 +13,15 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.names.foreach { t =>
-      try graft.Tables.load(spark, sfDir, t).cache().count()
-      catch { case _: Throwable => }
-    }
+    // r18: no base-table pre-cache and clearCache() between runs — the
+    // same per-query-independent methodology Bench now times with.
     names.foreach { n =>
       val fn = graft.Registry.byName(n).fn
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val c = fn(spark, sfDir).count()
         println(f"[timeq] $n run$i: ${(System.nanoTime()-t0)/1e9}%.2fs rows=$c")
+        try spark.catalog.clearCache() catch { case _: Throwable => }
       }
     }
     spark.stop()
