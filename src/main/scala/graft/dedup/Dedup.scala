@@ -387,6 +387,9 @@ object Dedup {
     val sh = docs
       .select(col("id"), graft.text.TextOps.tokens(col("text"))
         .as("toks"))
+      // r18 barrier: distribute before the span explode + partial
+      // distinct (otherwise one scan task does the whole corpus' work)
+      .repartition(col("id"))
       .select(col("id"),
         explode(graft.text.TextOps.shingles("toks", n)).as("span"))
       .distinct()

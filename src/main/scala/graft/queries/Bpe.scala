@@ -31,7 +31,11 @@ import graft.{GQuery, Tables}
 object Bpe {
 
   private def run(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    // r18 barrier: distribute the corpus before the word explode +
+    // word-frequency aggregate (one-task scan stage otherwise)
+    Tables.documents(s, d)
+      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .createOrReplaceTempView("documents_v")
     s.sql(
       """WITH toks AS (
         |  SELECT explode(split(text, ' ')) AS tok FROM documents_v),
@@ -117,7 +121,11 @@ object Bpe {
     * table.
     */
   private def encode(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("documents_v")
+    // r18 barrier: distribute the corpus before the word explode +
+    // word-frequency aggregate (one-task scan stage otherwise)
+    Tables.documents(s, d)
+      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .createOrReplaceTempView("documents_v")
     s.sql(
       """WITH toks AS (
         |  SELECT explode(split(text, ' ')) AS tok FROM documents_v),

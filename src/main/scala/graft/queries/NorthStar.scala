@@ -746,6 +746,10 @@ object NorthStar {
 
   private def cmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val counts = docs(s, d)
+      .select(col("doc_id"), col("text"))
+      // r18 barrier: distribute before the token explode (the scan
+      // stage is one task on the single-row-group fixtures)
+      .repartition(col("doc_id"))
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val hashed = counts
@@ -848,6 +852,12 @@ object NorthStar {
 
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
     val tok = docs(s, d)
+      .select(col("doc_id"), col("text"))
+      // r18 barrier: both aggregations (tf, df) consume this explode —
+      // distributing first moves the tokenize + partial-agg work out of
+      // the one-task scan stage, and the identical exchange subtree is
+      // shared by the two branches (ReuseExchange)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
     val tf = tok.filter(col("doc_id") % 5 === 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -1439,6 +1449,9 @@ object NorthStar {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-3, 0)
     d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      // r18 barrier: distribute before the positional shingle explode
+      // (otherwise the one-task scan stage hashes the whole corpus)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(TextOps.shingles("toks")).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),
@@ -1474,6 +1487,8 @@ object NorthStar {
     val train = trainSplit(all).select(col("doc_id"))
     val grams = all
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // r18 barrier: distribute before the 13-gram explode + md5
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .distinct()
@@ -1563,6 +1578,8 @@ object NorthStar {
     val train = trainSplit(all).select(col("doc_id"))
     val grams = all
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      // r18 barrier: distribute before the 13-gram explode + md5
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .distinct()

@@ -218,6 +218,10 @@ object Quality {
 
   private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val words = docs(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      // r18 barrier: distribute before the word explode + md5 bucket
+      // (otherwise the one-task scan stage hashes the whole corpus)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("b", expr(dsirBucket))
@@ -531,8 +535,14 @@ object Quality {
     // UTF8String (multibyte-aware scan from the start), which makes
     // positional extraction O(L²) per document — element_at on the
     // split array is O(1), so trigram extraction is O(L).
+    // r18: hash-distribute docs BEFORE the char-trigram explode (the
+    // dedup pipelines' barrier pattern) — the explode and the partial
+    // (doc,trigram) aggregate otherwise run inside the scan stage,
+    // which is ONE task on the single-row-group fixture files, and the
+    // whole corpus' per-char work serializes no matter the core count.
     val ch = docs(s, d).select(col("doc_id"),
       split(lower(col("text")), "").as("a"))
+      .repartition(col("doc_id"))
     val tri = ch
       .select(col("doc_id"), explode(when(size(col("a")) >= 3,
         expr("transform(sequence(1, size(a) - 2), i -> " +

@@ -33,7 +33,11 @@ object Sketches {
     */
   private def triDistinct(s: SparkSession, d: String): DataFrame =
     docs(s, d)
-      .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
+      // r18 barrier (the dedup-pipeline pattern): distribute BEFORE the
+      // shingle explode + partial distinct, which otherwise serialize
+      // in the one-task scan stage of the single-row-group fixtures.
+      .repartition(col("doc_id"))
       .select(col("lang"), explode(TextOps.shingles("t", 3)).as("g"))
       .distinct()
 

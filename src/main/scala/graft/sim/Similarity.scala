@@ -304,11 +304,18 @@ object Similarity {
     val d2q = round((expr(dotS("sv", "sv")) -
       expr(dotS("sv", "cent")) * 2 + expr(dotS("cent", "cent"))) *
       lit(1000000.0)).cast("long")
+    // r18: the argmin used to be min_by(c, struct(d2q, c)) — a STRUCT
+    // aggregation buffer, which forces the SortAggregate fallback
+    // (HashAggregate needs mutable buffer types). d2q is a rounded
+    // L2² — provably non-negative — and c < nc = 16, so (d2q, c)
+    // lexicographic order IS the numeric order of d2q*16 + c: one
+    // plain min() over a BIGINT, hash-aggregated with map-side
+    // combine, bit-identical argmin and tie-break.
     val codes = subs.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("label"), col("s"), col("c"),
-        d2q.as("d2q"))
+      .select(col("vec_id"), col("label"), col("s"),
+        (d2q * lit(16L) + col("c")).as("packed"))
       .groupBy(col("vec_id"), col("label"), col("s"))
-      .agg(min_by(col("c"), struct(col("d2q"), col("c"))).as("c"))
+      .agg((min(col("packed")) % 16).cast("int").as("c"))
     val qsub = query
       .select(col("embedding").cast("array<double>").as("qv"))
       .select(explode(split("qv", "qsv")).as("x"))
@@ -385,12 +392,18 @@ object Similarity {
     // expanded dot form matches the oracle's list_dot_product shape
     val d2q = round((dot("v", "v") - dot("v", "cent") * 2 +
       dot("cent", "cent")) * lit(1000000.0)).cast("long")
+    // r18: argmin as ONE packed BIGINT min (d2q ≥ 0, cell < nc, so
+    // (d2q, cell) lexicographic = numeric order of d2q*nc + cell) —
+    // hash-aggregated instead of the struct-buffered min_by's
+    // SortAggregate fallback. The vector rides along via first(): it
+    // comes from the vec_id side of the cross join, so every row of a
+    // group carries the IDENTICAL v and first() is deterministic here.
     val assigned = e.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("v"), col("cell"), d2q.as("d2q"))
       .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("v")),
-        struct(col("d2q"), col("cell"))).as("w"))
-      .select(col("vec_id"), col("w.cell").as("cell"), col("w.v").as("v"))
+      .agg((min(col("d2q") * nc + col("cell")) % nc).cast("int")
+        .as("cell"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("cell"), col("v"))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
