@@ -35,6 +35,24 @@ class DedupSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("signatures from the distinct-shingle relation are bit-identical " +
+    "to the relational pipeline (r18)") {
+    // min over a multiset = min over its distinct set, so the shared
+    // one-corpus-pass form (minhashSignaturesFromShingles over
+    // shingleRows) must reproduce minhashSignaturesRelational exactly —
+    // including repeated shingles ("the quick" twice in doc 1) and the
+    // no-shingle doc 4 being absent from BOTH outputs.
+    val idText = Seq(
+      (1L, "the quick brown fox the quick brown cat"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox"),
+      (4L, "too short")).toDF("id", "text")
+    val a = Dedup.minhashSignaturesRelational(idText)
+    val b = Dedup.minhashSignaturesFromShingles(Dedup.shingleRows(idText))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 3 && a.filter(col("id") === 4L).isEmpty)
+  }
+
   test("exact dedup groups only true duplicates (incl. case/trim)") {
     val out = Dedup.exact(
       Seq((1L, "Hello World"), (2L, "  hello world "), (3L, "bye"))
