@@ -83,9 +83,17 @@ object Bench {
     // finish under the threshold, and the cheap majority keeps its
     // (already warm) pass-1 number, so retries cost a fraction of a
     // full second sweep.
+    // r19 (ADVICE item 1): a query that THROWS returns a NEGATIVE
+    // sentinel (-elapsed) instead of recording its fast failure as a
+    // valid timing — previously a transient failure could become the
+    // per-query min, propagate through refloor.py into a bogus low
+    // floor, and poison future rounds' flag/retry logic. Sentinels
+    // never win a min (see better() below) and are visible in the
+    // per_query line as negatives.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Per-query independence (r18): release any in-query persist()
       // the action left behind, so the next query (and any retry of
@@ -93,8 +101,13 @@ object Bench {
       // Outside the timer: the query already paid for building the
       // blocks; dropping them is inter-query cleanup.
       try spark.catalog.clearCache() catch { case _: Throwable => }
-      dt
+      if (ok) dt else -dt
     }
+    // min over clean runs, where a failed run (negative sentinel)
+    // never beats a successful one, and a success always replaces a
+    // sentinel.
+    def better(a: Double, b: Double): Double =
+      if (a <= 0) b else if (b <= 0) a else math.min(a, b)
     // Per-query FLOORS (BASELINE.md: min over recorded clean runs) —
     // loaded up front: they both gate the retry sweep (below) and feed
     // the floor_delta report line.
@@ -123,7 +136,7 @@ object Bench {
     def flaggedVsFloor(name: String, t: Double): Boolean =
       floors.get(name).exists(f => t >= f * 3 && t - f >= 0.5)
     def needsRetry(name: String, t: Double): Boolean =
-      t > retryThreshold || flaggedVsFloor(name, t)
+      t <= 0 || t > retryThreshold || flaggedVsFloor(name, t)
     // CANARY-GATED retry sweeps. Round-2 post-mortem: the stall window
     // that inflated S_WIN2/3/4 + q1 (60/34/43/35 s vs ~1-2 s floors)
     // also covered their retry sweep, so "no retry improved ≥30%" ended
@@ -175,8 +188,8 @@ object Bench {
           if (!waitClear()) { anyStalled = true; name -> t }
           else {
             val t2 = time(SparkEntry.queries(name))
-            if (t2 < t * 0.7) improved = true
-            name -> math.min(t, t2)
+            if (t2 > 0 && t2 < t * 0.7) improved = true
+            name -> better(t, t2)
           }
         }
       }
@@ -202,15 +215,21 @@ object Bench {
       // warm; a stall window longer than 8 tiny queries still gets
       // caught before it can inflate many re-measures — and min()
       // means an inflated re-measure is merely wasted, never recorded)
-      var lastClear = true
-      var i = 0
-      for (name <- order if retryWallLeft > 0) {
-        if (i % 8 == 0) lastClear = waitClear()
-        i += 1
-        if (lastClear) {
+      // r19 (ADVICE item 4): a stalled canary probe no longer burns
+      // the next 7 queries' only polish visit — the queue only
+      // advances when a measurement actually ran, and a failed probe
+      // loops straight back into waitClear() (which itself sleeps out
+      // the stall, bounded by the retry budget).
+      val queue = scala.collection.mutable.Queue(order: _*)
+      var sinceProbe = 0
+      while (queue.nonEmpty && retryWallLeft > 0) {
+        val clear = if (sinceProbe == 0) waitClear() else true
+        if (clear) {
+          val name = queue.dequeue()
           val t2 = time(SparkEntry.queries(name))
-          if (t2 > 0 && t2 < m(name)) m(name) = t2
-        }
+          m(name) = better(m(name), t2)
+          sinceProbe = (sinceProbe + 1) % 8
+        } else sinceProbe = 0
       }
       results = results.map { case (n, _) => n -> m(n) }
     }

@@ -436,6 +436,69 @@ object Tpch {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
 
+  // DataFrame form of the Q21 shape (r19, VERDICT item 3). The SQL
+  // form's EXISTS + NOT EXISTS pair decorrelates into one left-semi
+  // and one left-anti join, EACH shuffling lineitem on l_orderkey —
+  // three full fact shuffles for one logical pass. Both branch
+  // predicates are per-ORDER set properties, so one aggregation
+  // computes them instead:
+  //   per (l_orderkey, l_suppkey): late_cnt = # lines shipped > 60
+  //     days after the order date;
+  //   per l_orderkey (window over the aggregate, same partitioning):
+  //     ns  = # distinct suppliers in the order,
+  //     nls = # distinct suppliers with a late line.
+  // A supplier's l1 rows survive the original predicate pair iff
+  //   late_cnt > 0           (l1 itself exists and is late)
+  //   ns > 1                 (EXISTS: some other supplier in order —
+  //                           l1's supplier is in the set, so >1 ⟺
+  //                           another exists)
+  //   nls = 1                (NOT EXISTS other late supplier: l1's
+  //                           supplier IS late, so the late set is
+  //                           exactly {l1.l_suppkey} ⟺ size 1)
+  // and count(*) per supplier = Σ late_cnt (every late line of the
+  // qualifying (order, supplier) pair is one l1 row; the supplier ⋈
+  // nation join is key-unique so it multiplies nothing). lineitem
+  // moves ONCE: the explicit repartition(l_orderkey) is the shard-key
+  // exchange, the orders join (broadcast locally, co-partitioned SMJ
+  // at scale), the (l_orderkey, l_suppkey) aggregate (subset
+  // clustering) and the order-window all reuse it. Oracle text
+  // unchanged — DuckDB still runs the EXISTS/NOT EXISTS form and the
+  // driver bit-compares.
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oF = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val base = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .repartition(col("l_orderkey"))
+      .join(oF, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 60 DAY")).as("late"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val qualifying = base
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(count(when(col("late"), lit(1))).as("late_cnt"))
+      .withColumn("ns", count(lit(1)).over(w))
+      .withColumn("nls",
+        count(when(col("late_cnt") > 0, lit(1))).over(w))
+      .filter(col("late_cnt") > 0 && col("ns") > 1 && col("nls") === 1)
+    val su = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .filter(col("n_name").like("NATION_1%"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    // su is unhinted: at fixture scale the size estimate broadcasts
+    // it; at 100 TB supplier scales with the data and the planner
+    // must be free to shuffle the (already aggregated, filtered)
+    // sides instead of force-broadcasting a fact-scaled relation.
+    qualifying.join(su, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_cnt")).cast("bigint").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   // ---------------------------------------------------------------
   // Q22 shape — global sales opportunity: scalar-subquery threshold +
   // NOT EXISTS anti join, grouped by a derived code (name suffix
@@ -471,9 +534,25 @@ object Tpch {
   // reliable checkpoint or a pre-computed supply table. Same oracle
   // text as q2Sql.
   private def q2(s: SparkSession, d: String): DataFrame = {
+    // r19 (VERDICT item 4): distribute-before-aggregate barrier keyed
+    // on l_partkey. The supply aggregation used to run its partial
+    // phase inside the scan stage — one task on the single-row-group
+    // fixtures — then exchange on (partkey, suppkey), and minPerPart
+    // below paid a SECOND exchange on partkey. hashpartitioning(
+    // partkey) satisfies ClusteredDistribution for BOTH aggregates
+    // (subset clustering), so the barrier replaces the two aggregate
+    // exchanges with one shard-key exchange and every downstream
+    // stage runs at full parallelism. Trade (documented, same family
+    // as the r18 change-6 barriers): the exchange now carries raw
+    // (partkey, suppkey, price) rows instead of map-side-combined
+    // partials (~7× more rows at TPC-H row ratios); at 100 TB the
+    // right production layout is lineitem bucketed by partkey, which
+    // makes this exchange — and the debate — disappear.
     val supply = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("su_partkey"),
-        col("l_suppkey").as("su_suppkey"))
+      .select(col("l_partkey").as("su_partkey"),
+        col("l_suppkey").as("su_suppkey"), col("l_extendedprice"))
+      .repartition(col("su_partkey"))
+      .groupBy(col("su_partkey"), col("su_suppkey"))
       .agg(min(col("l_extendedprice")).as("su_cost"))
       .persist()
     val eurSupp = Tables.supplier(s, d)
@@ -513,6 +592,6 @@ object Tpch {
     GQuery("Q_TPCH16_supplier_cnt", sparkSql(q16Sql), Some(q16Sql)),
     GQuery("Q_TPCH19_disjunctive", q19, Some(q19Sql)),
     GQuery("Q_TPCH20_nested_having", sparkSql(q20Sql), Some(q20Sql)),
-    GQuery("Q_TPCH21_waiting_supplier", sparkSql(q21Sql), Some(q21Sql)),
+    GQuery("Q_TPCH21_waiting_supplier", q21, Some(q21Sql)),
     GQuery("Q_TPCH22_sales_opportunity", sparkSql(q22Sql), Some(q22Sql)))
 }

@@ -301,9 +301,16 @@ object Similarity {
         col("sv").as("cent"))
     // encode: quantized L2² argmin per (vector, subspace); the
     // expanded dot form matches the oracle's list_dot_product shape
-    val d2q = round((expr(dotS("sv", "sv")) -
+    // greatest(·, 0): identity on every mathematically possible
+    // input (d2q is a squared L2 distance) — guards the packing
+    // against an FP-rounded negative, which would corrupt the packed
+    // argmin and the `% 16` decode (r19, ADVICE item 2). Overflow
+    // headroom: d2q ≤ Long.Max/16 needs ‖sv−cent‖² ≤ ~7.2e10 at the
+    // 1e6 fixed-point factor — subvector norms up to ~2.7e5, far
+    // above any real embedding (PackedArgminSpec).
+    val d2q = greatest(round((expr(dotS("sv", "sv")) -
       expr(dotS("sv", "cent")) * 2 + expr(dotS("cent", "cent"))) *
-      lit(1000000.0)).cast("long")
+      lit(1000000.0)).cast("long"), lit(0L))
     // r18: the argmin used to be min_by(c, struct(d2q, c)) — a STRUCT
     // aggregation buffer, which forces the SortAggregate fallback
     // (HashAggregate needs mutable buffer types). d2q is a rounded
@@ -390,19 +397,38 @@ object Similarity {
     // quantized-L2 argmin (fixed-point BIGINT before the min_by, cell
     // tie-break) — the same determinism discipline as PQ encoding; the
     // expanded dot form matches the oracle's list_dot_product shape
-    val d2q = round((dot("v", "v") - dot("v", "cent") * 2 +
-      dot("cent", "cent")) * lit(1000000.0)).cast("long")
+    // Clamp before packing (r19, ADVICE): d2q is mathematically ≥ 0
+    // (a squared L2 distance), but the expanded FP form a·a − 2a·b +
+    // b·b can round to a small negative for near-identical
+    // large-norm vectors, and a negative packed key would corrupt
+    // both the argmin and the `% nc` decode. greatest(·, 0) is the
+    // identity on every mathematically possible input. Overflow
+    // headroom: packing needs d2q ≤ Long.Max/nc ≈ 1.15e18/nc; with
+    // the 1e6 fixed-point factor that bounds ‖v−cent‖² ≤ ~1.15e11,
+    // i.e. coordinate norms up to ~10⁵ at dim 64 — far above any
+    // real embedding (PackedArgminSpec pins the equivalence).
+    val d2q = greatest(round((dot("v", "v") - dot("v", "cent") * 2 +
+      dot("cent", "cent")) * lit(1000000.0)).cast("long"), lit(0L))
     // r18: argmin as ONE packed BIGINT min (d2q ≥ 0, cell < nc, so
     // (d2q, cell) lexicographic = numeric order of d2q*nc + cell) —
     // hash-aggregated instead of the struct-buffered min_by's
-    // SortAggregate fallback. The vector rides along via first(): it
-    // comes from the vec_id side of the cross join, so every row of a
-    // group carries the IDENTICAL v and first() is deterministic here.
+    // SortAggregate fallback.
+    // r19: the vector payload no longer rides the aggregate — a
+    // first(v) over array<double> is itself a non-mutable buffer, so
+    // HashAggregateExec still refused and the assignment stayed a
+    // SortAggregate (two full sorts of the vec×centroid stream at
+    // scale). The aggregate now carries ONLY the packed BIGINT
+    // (hash-aggregable, map-side partials) and the winning cell
+    // re-joins the embedding relation on vec_id — a single
+    // shuffled-hash join building the small (vec_id, cell) side,
+    // probe side exchanged once on vec_id, no sorts anywhere.
     val assigned = e.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("v"), col("cell"), d2q.as("d2q"))
+      .select(col("vec_id"), col("cell"), d2q.as("d2q"))
       .groupBy(col("vec_id"))
       .agg((min(col("d2q") * nc + col("cell")) % nc).cast("int")
-        .as("cell"), first(col("v")).as("v"))
+        .as("cell"))
+      .hint("shuffle_hash")
+      .join(e, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), col("v"))
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"))
