@@ -1005,9 +1005,7 @@ object Cql {
                 "(the index addresses the element row)")
             // the read below must see this script's buffered writes
             flushBuffered(spark, dir)
-            def reconciled = spark.read.format(Fmt)
-              .option("reconcile", "true").load(dir)
-            listIndexTargets(reconciled, name, pks.toSeq.sorted, idx)
+            listIndexTargets(dir, name, pks.toSeq.sorted, idx)
               .map { case (pk, ck) =>
                 (pk, ck, s"!del:$name", 0L, dts) }
           case None =>
@@ -1045,25 +1043,15 @@ object Cql {
               case (Some(c), _) =>
                 val name = c.toLowerCase
                 flushBuffered(spark, dir)
-                spark.read.format(Fmt).option("reconcile", "true")
-                  .load(dir)
-                  .filter(col("pk").isin(
-                    pks0.toSeq.sorted.map(Long.box): _*) &&
-                    col("col") === name)
-                  .select(col("pk"), col("ck"))
-                  .collect() // bounded: the collection's element count
-                  .toSeq.map(r => (r.getLong(0), r.getInt(1),
+                localReconciled(dir, pks0.toSeq)
+                  .filter(_.getString(2) == name)
+                  .map(r => (r.getLong(0), r.getInt(1),
                     s"!del:$name", 0L, dts))
               case (None, Some(_)) =>
                 flushBuffered(spark, dir)
-                spark.read.format(Fmt)
-                  .option("reconcile", "true").load(dir)
-                  .filter(col("pk").isin(
-                    pks0.toSeq.sorted.map(Long.box): _*) &&
-                    !col("col").startsWith("!"))
-                  .select(col("pk"), col("ck"), col("col"))
-                  .collect() // bounded: the cleared maps' entry count
-                  .toSeq.map(r => (r.getLong(0), r.getInt(1),
+                localReconciled(dir, pks0.toSeq)
+                  .filter(r => !r.getString(2).startsWith("!"))
+                  .map(r => (r.getLong(0), r.getInt(1),
                     s"!del:${r.getString(2)}", 0L, dts))
               case _ =>
                 deleteMarkers(Option(colOpt), where, dts, statics)
@@ -2252,19 +2240,16 @@ object Cql {
       .map { case (dir, group) =>
         group.head._2 match {
           case Left(_) =>
+            // r19: default-layout slices journal as ROWS — the
+            // staging write runs driver-local (loggedBatchSlices /
+            // localAppendCells), no one-task Spark job per table.
             val cells = group.flatMap(_._2.left.getOrElse(Seq.empty))
-            val df =
-              if (hasTtl)
-                cells.map { case ((pk, ck, c, v, wt), t) =>
-                  val w = wtOf(wt)
-                  // Long.MaxValue = never (the storage convention)
-                  (pk, ck, c, v, w, t.map(w + _).getOrElse(Long.MaxValue))
-                }.toDF("pk", "ck", "col", "value", "wt", "_expiry")
-              else
-                cells.map { case ((pk, ck, c, v, wt), _) =>
-                  (pk, ck, c, v, wtOf(wt))
-                }.toDF("pk", "ck", "col", "value", "wt")
-            (dir, df)
+            val rows = cells.map { case ((pk, ck, c, v, wt), t) =>
+              val w = wtOf(wt)
+              // Long.MaxValue = never (the storage convention)
+              (pk, ck, c, v, w, t.map(w + _).getOrElse(Long.MaxValue))
+            }
+            (dir, Left(rows))
           case Right((sp, _)) =>
             val rows = group.flatMap(_._2.toOption.map(_._2)
                 .getOrElse(Seq.empty))
@@ -2275,12 +2260,12 @@ object Cql {
             val df =
               if (hasTtl) typedDfExpiry(spark, sp, rows)
               else typedDf(spark, sp, rows.map(_._1))
-            (dir, df)
+            (dir, Right(df))
         }
       }
     val logDir = writes.head._1 + ".batchlog"
-    graft.sources.CellTransactions.loggedBatch(spark, writes, logDir,
-      withExpiry = hasTtl)
+    graft.sources.CellTransactions.loggedBatchSlices(spark, writes,
+      logDir, withExpiry = hasTtl)
     // the shared batch wt (and any member's explicit ts) moved the
     // involved tables' max outside the allocator's local counters
     parsed.map(_._1).distinct.foreach(forgetWt)
@@ -7060,20 +7045,21 @@ object Cql {
     else buf.get(wtKey(dir)).filter(!_.isEmpty).map(_.maxWt)
   }
 
+  // r19: the memtable flush is a NODE-LOCAL write — every default-
+  // layout flush routes through CellSource.localAppendCells (the
+  // driver-local twin of the DSv2 commit: same roll sort, same file
+  // writer, same staged-link publish, same manifest + write-through
+  // 2i/MV maintenance) instead of scheduling a one-task Spark write
+  // job per flushed table. `USING TTL n` becomes the absolute expiry
+  // wt + ttl, exactly the CEL10 ttl=true write shape computed.
   private def writeCellRows(spark: SparkSession, dir: String,
       rows: Seq[BufRow]): Unit = {
-    import spark.implicits._
     if (rows.isEmpty) return
-    if (rows.forall(_._6.isEmpty))
-      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
-        .toDF("pk", "ck", "col", "value", "wt")
-        .coalesce(1).write.format(Fmt).mode("append").save(dir)
-    else
-      // `USING TTL n` — the ttl=true write shape (CEL10): a trailing
-      // relative-ttl column, NULL = no expiry; expiry = wt + ttl
-      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
-        .coalesce(1).write.format(Fmt).option("ttl", "true")
-        .mode("append").save(dir)
+    graft.sources.CellSource.localAppendCells(dir,
+      org.apache.spark.sql.types.LongType,
+      rows.map { case (pk, ck, c, v, wt, t) =>
+        (pk, ck, c, v: Any, wt, t.map(wt + _).getOrElse(Long.MaxValue))
+      })
   }
 
   private def appendCells(spark: SparkSession, dir: String,
@@ -7158,62 +7144,31 @@ object Cql {
   private def writeAnyCellRows(spark: SparkSession, dir: String,
       vt: org.apache.spark.sql.types.DataType,
       rows: Seq[AnyRow]): Unit = {
-    import org.apache.spark.sql.types._
     if (rows.isEmpty) return
-    val hasTtl = rows.exists(_._6.isDefined)
-    val schema = StructType(Seq(
-      StructField("pk", LongType, nullable = false),
-      StructField("ck", IntegerType, nullable = false),
-      StructField("col", StringType, nullable = false),
-      StructField("value", vt, nullable = false),
-      StructField("wt", LongType, nullable = false)) ++
-      (if (hasTtl) Seq(StructField("ttl", LongType, nullable = true))
-       else Seq.empty))
-    val sparkRows = rows.map { case (pk, ck, c, v, wt, t) =>
-      org.apache.spark.sql.Row.fromSeq(
-        Seq(pk, ck, c, v, wt) ++
-          (if (hasTtl) Seq(t.map(Long.box).orNull) else Seq.empty))
-    }
-    var w = spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
-        schema)
-      .coalesce(1).write.format(Fmt)
-      .option("valueType", vt.simpleString)
-    if (hasTtl) w = w.option("ttl", "true")
-    w.mode("append").save(dir)
+    graft.sources.CellSource.localAppendCells(dir, vt,
+      rows.map { case (pk, ck, c, v, wt, t) =>
+        (pk, ck, c, v, wt, t.map(wt + _).getOrElse(Long.MaxValue))
+      })
   }
 
   private def writeStringCellRows(spark: SparkSession, dir: String,
       rows: Seq[StrRow]): Unit = {
-    import spark.implicits._
     if (rows.isEmpty) return
-    if (rows.forall(_._6.isEmpty))
-      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
-        .toDF("pk", "ck", "col", "value", "wt")
-        .coalesce(1).write.format(Fmt)
-        .option("valueType", "string").mode("append").save(dir)
-    else
-      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
-        .coalesce(1).write.format(Fmt).option("ttl", "true")
-        .option("valueType", "string").mode("append").save(dir)
+    graft.sources.CellSource.localAppendCells(dir,
+      org.apache.spark.sql.types.StringType,
+      rows.map { case (pk, ck, c, v, wt, t) =>
+        (pk, ck, c, v: Any, wt, t.map(wt + _).getOrElse(Long.MaxValue))
+      })
   }
 
   private def writeBinaryCellRows(spark: SparkSession, dir: String,
       rows: Seq[BinRow]): Unit = {
-    import spark.implicits._
     if (rows.isEmpty) return
-    // valueType steers the PRE-FIRST-FLUSH table resolution only
-    // (headers win once files exist) — without it the v2 write
-    // analysis would compare against the long default schema
-    if (rows.forall(_._6.isEmpty))
-      rows.map { case (pk, ck, c, v, wt, _) => (pk, ck, c, v, wt) }
-        .toDF("pk", "ck", "col", "value", "wt")
-        .coalesce(1).write.format(Fmt)
-        .option("valueType", "binary").mode("append").save(dir)
-    else
-      rows.toDF("pk", "ck", "col", "value", "wt", "ttl")
-        .coalesce(1).write.format(Fmt).option("ttl", "true")
-        .option("valueType", "binary").mode("append").save(dir)
+    graft.sources.CellSource.localAppendCells(dir,
+      org.apache.spark.sql.types.BinaryType,
+      rows.map { case (pk, ck, c, v, wt, t) =>
+        (pk, ck, c, v: Any, wt, t.map(wt + _).getOrElse(Long.MaxValue))
+      })
   }
 
   /** A UDT literal `{field: value, ...}` against a declared layout →
@@ -9273,14 +9228,11 @@ object Cql {
       // duplicate keys in one literal: last occurrence wins
       // (Cassandra's map-literal rule)
       val ents = scala.collection.immutable.ListMap(entries: _*)
-      val old = reconciled
-        .filter(col("pk").isin(pkSeq.map(Long.box): _*) &&
-          col("ck") === ck && !col("col").startsWith("!"))
-        .select(col("pk"), col("col"))
-        .collect() // bounded: the replaced maps' entry count
-      old.filterNot(r => ents.contains(r.getString(1))).foreach(r =>
-        tombs += ((r.getLong(0), ck, s"!del:${r.getString(1)}", 0L,
-          wt)))
+      val old = localReconciled(dir, pkSeq)
+        .filter(r => r.getInt(1) == ck && !r.getString(2).startsWith("!"))
+        .map(r => (r.getLong(0), r.getString(2)))
+      old.filterNot(r => ents.contains(r._2)).foreach(r =>
+        tombs += ((r._1, ck, s"!del:${r._2}", 0L, wt)))
       ents.foreach { case (k, v) =>
         pkSeq.foreach(pk => cells += ((pk, ck, k, v, wt))) }
     }
@@ -9304,7 +9256,7 @@ object Cql {
         if (!n1.equalsIgnoreCase(n2))
           fail(s"list append must extend the same column ($n1 vs $n2)")
         requireKind("list", "list append c = c + [..]")
-        appendElements(reconciled, n1.toLowerCase, pkSeq,
+        appendElements(dir, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, nextCk)
       // index-addressed element write (C11e): `l[i] = v` overwrites
@@ -9317,7 +9269,7 @@ object Cql {
         val name = n.toLowerCase
         if (name.startsWith("!"))
           fail(s"unsupported collection name: $name")
-        val targets = listIndexTargets(reconciled, name, pkSeq,
+        val targets = listIndexTargets(dir, name, pkSeq,
           idxS.toInt)
         if (v.trim.equalsIgnoreCase("null"))
           targets.foreach { case (pk, ck) =>
@@ -9352,7 +9304,7 @@ object Cql {
         if (!n1.equalsIgnoreCase(n2))
           fail(s"set add must extend the same column ($n1 vs $n2)")
         requireKind("set", "set add c = c + {..}")
-        appendElements(reconciled, n1.toLowerCase, pkSeq,
+        appendElements(dir, n1.toLowerCase, pkSeq,
           splitValues(vs).toSeq.map(lit(_, "set element")),
           wt, cells, nextCk)
       case SetRemoveRe(n1, n2, vs) =>
@@ -9381,7 +9333,7 @@ object Cql {
       // `st = {}`) is the CQL collection CLEAR.
       case ListReplaceRe(n, vs) =>
         requireKind("list", "list replace c = [..]")
-        replaceElements(reconciled, n.toLowerCase, pkSeq,
+        replaceElements(dir, n.toLowerCase, pkSeq,
           if (vs.trim.isEmpty) Seq.empty
           else splitValues(vs).toSeq.map(lit(_, "list element")),
           wt, cells, tombs, nextCk)
@@ -9409,7 +9361,7 @@ object Cql {
         replaceMapRow(n.toLowerCase, Seq.empty)
       case BraceReplaceRe(n, vs) =>
         requireKind("set", "set replace c = {..}")
-        replaceElements(reconciled, n.toLowerCase, pkSeq,
+        replaceElements(dir, n.toLowerCase, pkSeq,
           if (vs.trim.isEmpty) Seq.empty
           else splitValues(vs).toSeq.map(lit(_, "set element")),
           wt, cells, tombs, nextCk)
@@ -9635,14 +9587,27 @@ object Cql {
     * and refuses out-of-bounds with the upstream message. The
     * collect is bounded by the addressed lists' element count.
     */
-  private def listIndexTargets(reconciled: => DataFrame, name: String,
+  /** r19 — bounded point reads of DEFAULT-layout tables run DRIVER-
+    * LOCAL through the connector's own reconcile planner and merge
+    * readers ([[graft.sources.CellSource.localReconciledRows]]):
+    * identical semantics to `spark.read...option("reconcile","true")
+    * .load(dir).filter(pk IN ...).collect()` (same planning, same
+    * pruning, same external row types), zero Spark jobs. Callers
+    * must flush the script buffer first — exactly the discipline the
+    * DataFrame sites already followed. Rows are (pk, ck, col, value,
+    * wt).
+    */
+  private def localReconciled(dir: String,
+      pks: Seq[Long]): Seq[org.apache.spark.sql.Row] =
+    graft.sources.CellSource.localReconciledRows(dir, Some(pks.toSet))
+
+  private def listIndexTargets(dir: String, name: String,
       pks: Seq[Long], idx: Int): Seq[(Long, Int)] = {
-    val rows = reconciled
-      .filter(col("pk").isin(pks.map(Long.box): _*) &&
-        col("col") === name)
-      .select(col("pk"), col("ck"))
-      .collect() // bounded: the addressed lists' element count
-    val byPk: Map[Long, Seq[Int]] = rows.toSeq
+    // r19: driver-local bounded point read (localReconciled) — same
+    // reconcile front door, zero Spark jobs per statement
+    val rows = localReconciled(dir, pks)
+      .filter(_.getString(2) == name)
+    val byPk: Map[Long, Seq[Int]] = rows
       .map(r => (r.getLong(0), r.getInt(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     pks.map { pk =>
@@ -9661,7 +9626,7 @@ object Cql {
     * — same-writetime tombstones never cover the fresh cells because
     * they live at different (pk, ck) coordinates.
     */
-  private def replaceElements(reconciled: => DataFrame, name: String,
+  private def replaceElements(dir: String, name: String,
       pks: Seq[Long], values: Seq[Any], wt: Long,
       cells: scala.collection.mutable.ArrayBuffer[
         (Long, Int, String, Any, Long)],
@@ -9670,17 +9635,14 @@ object Cql {
       nextCk: scala.collection.mutable.Map[(Long, String), Int])
       : Unit = {
     if (name.startsWith("!")) fail(s"unsupported collection name: $name")
-    val old = reconciled
-      .filter(col("pk").isin(pks.map(Long.box): _*) &&
-        col("col") === name)
-      .select(col("pk"), col("ck"))
-      .collect() // bounded: the replaced collections' element count
+    val old = localReconciled(dir, pks)
+      .filter(_.getString(2) == name)
     old.foreach(r =>
       tombs += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
-    appendElements(reconciled, name, pks, values, wt, cells, nextCk)
+    appendElements(dir, name, pks, values, wt, cells, nextCk)
   }
 
-  private def appendElements(reconciled: => DataFrame, name: String,
+  private def appendElements(dir: String, name: String,
       pks: Seq[Long], values: Seq[Any], wt: Long,
       out: scala.collection.mutable.ArrayBuffer[
         (Long, Int, String, Any, Long)],
@@ -9690,12 +9652,10 @@ object Cql {
     if (name.startsWith("!")) fail(s"unsupported collection name: $name")
     val unseen = pks.filterNot(pk => nextCk.contains((pk, name)))
     if (unseen.nonEmpty) {
-      val maxCks: Map[Long, Int] = reconciled
-        .filter(col("pk").isin(unseen.map(Long.box): _*) &&
-          col("col") === name)
-        .groupBy(col("pk")).agg(max(col("ck")).as("m"))
-        .collect() // bounded: <= pk count
-        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val maxCks: Map[Long, Int] = localReconciled(dir, unseen)
+        .filter(_.getString(2) == name)
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.iterator.map(_.getInt(1)).max).toMap
       unseen.foreach(pk =>
         nextCk((pk, name)) = maxCks.getOrElse(pk, 0))
     }

@@ -782,6 +782,174 @@ object CellSource {
     }
   }
 
+  /** Driver-LOCAL reconciled point read (r19) — the CQL front door's
+    * bounded read-before-write statements (collection appends/
+    * replaces, list index addressing, LWT current-state reads) used
+    * to schedule one Spark JOB each over a handful of rows; at sf0.1
+    * a 10-statement lifecycle spent ~80 ms of driver-side planning
+    * and scheduling PER JOB with <15 ms of actual task work
+    * (StageStats, r19), and at 100 TB a single-partition point read
+    * must not cost a cluster round — it is a replica-local read,
+    * the same authority [[maxWt]] already serves header stats from.
+    *
+    * This goes through the EXACT same front door as a DataFrame
+    * read — inferSchema → CellTable.newScanBuilder (table-prop
+    * defaults, dropped columns, renames) → pushed `pk IN` pruning
+    * (Summary range + bloom + sparse index) → the reconcile merge
+    * readers — only executed on the driver thread instead of through
+    * the scheduler. Rows come back EXTERNAL-typed via the same
+    * Catalyst converter collect() uses, so call sites compare values
+    * exactly as before.
+    *
+    * DEFAULT key layout only (pk bigint, ck int): the typed readers
+    * have named key parts and keep the DataFrame path.
+    */
+  def localReconciledRows(dir: String, pks: Option[Set[Long]],
+      queryTime: Long = Long.MaxValue)
+      : Seq[org.apache.spark.sql.Row] = {
+    val norm = CellPlanning.normalize(dir)
+    require(CellPlanning.keySpecOf(norm,
+        CellPlanning.listFiles(norm)).isDefault,
+      s"localReconciledRows serves default-keyed tables only; $dir " +
+        "is typed (use the DataFrame read)")
+    val omap = new java.util.HashMap[String, String]()
+    omap.put("path", norm)
+    omap.put("reconcile", "true")
+    omap.put("columnar", "false")
+    if (queryTime != Long.MaxValue)
+      omap.put("queryTime", queryTime.toString)
+    val cis = new CaseInsensitiveStringMap(omap)
+    val provider = new CellSource
+    val schema = provider.inferSchema(cis)
+    val sb = provider.getTable(schema, Array.empty, omap)
+      .asInstanceOf[SupportsRead].newScanBuilder(cis)
+    pks.foreach { s =>
+      sb.asInstanceOf[SupportsPushDownFilters].pushFilters(
+        Array(In("pk",
+          s.toSeq.sorted.map(v => Long.box(v): Any).toArray)))
+    }
+    val batch = sb.build().toBatch
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val rf = batch.createReaderFactory()
+    val out = Vector.newBuilder[org.apache.spark.sql.Row]
+    batch.planInputPartitions().foreach { p =>
+      val r = rf.createReader(p)
+      try {
+        while (r.next())
+          out += conv(r.get().copy())
+            .asInstanceOf[org.apache.spark.sql.Row]
+      } finally r.close()
+    }
+    out.result()
+  }
+
+  /** Driver-LOCAL memtable flush (r19) — the CQL script buffer's
+    * flush used to run as a one-task Spark WRITE JOB per table
+    * (`toDF.coalesce(1).write`): ~80 ms of scheduling for a
+    * few-dozen-row flush file. A memtable flush is a NODE-LOCAL
+    * write in the system being modeled, so this writes the flush
+    * file directly on the driver with the exact contract of the
+    * DSv2 path it replaces, step for step:
+    *  - the same roll sort ((pk, ck, col, wt, value-compare) — the
+    *    [[CellDataWriter.roll]] comparator) and the same
+    *    [[writeFileTypedE]] file writer;
+    *  - the batch commit's append type/layout check (a mixed
+    *    generation must not publish);
+    *  - the monotonic staged-link publish (never reuses a flush
+    *    index, atomic under racers — [[CellTransactions]]' protocol);
+    *  - manifest refresh + write-through 2i/MV maintenance
+    *    ([[CellIndex.maintainAfterWrite]] /
+    *    [[CellView.maintainAfterWrite]]), exactly what the DSv2
+    *    commit runs.
+    * DEFAULT key layout only; values are the EXTERNAL forms the CQL
+    * literal grammars produce and coerce to file-internal reps here
+    * (same table as the CAS writer's casCoerce).
+    */
+  def localAppendCells(dir: String,
+      valueType: org.apache.spark.sql.types.DataType,
+      rows: Seq[(Long, Int, String, Any, Long, Long)]): Unit = {
+    if (rows.isEmpty) return
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    val (tag, prec, scale) = valueType match {
+      case dt: DecimalType =>
+        (ValueCodec.DecimalTag, dt.precision, dt.scale)
+      case t => (ValueCodec.tagFor(t), 0, 0)
+    }
+    val files = CellPlanning.listFiles(norm)
+    require(CellPlanning.keySpecOf(norm, files).isDefault,
+      s"localAppendCells writes default-keyed tables only; $dir " +
+        "is typed")
+    files.headOption.foreach { f =>
+      val h = readHeader(f)
+      require((h.valueTag, h.decPrec, h.decScale) ==
+          ((tag, prec, scale)),
+        s"append value type does not match existing table in $dir")
+    }
+    // External → file-internal coercion, STRICT: an unexpected value
+    // type throws (the DataFrame encoder it replaces would have),
+    // never silently writes a neutral.
+    def coerce(v: Any): Any = tag match {
+      case ValueCodec.StringTag => v match {
+        case s: String => UTF8String.fromString(s)
+        case u: UTF8String => u
+        case o => throw new IllegalArgumentException(
+          s"text cell value of unexpected type: $o")
+      }
+      case ValueCodec.TimestampTag => v match {
+        case t: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t)
+        case l: Long => l
+        case o => throw new IllegalArgumentException(
+          s"timestamp cell value of unexpected type: $o")
+      }
+      case ValueCodec.DecimalTag => v match {
+        case bd: java.math.BigDecimal =>
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(bd), prec, scale)
+        case bd: scala.math.BigDecimal =>
+          org.apache.spark.sql.types.Decimal(bd, prec, scale)
+        case dec: org.apache.spark.sql.types.Decimal => dec
+        case o => throw new IllegalArgumentException(
+          s"decimal cell value of unexpected type: $o")
+      }
+      case _ => v
+    }
+    val coerced = rows.map { case (pk, ck, c, v, wt, exp) =>
+      (pk, ck, c, coerce(v), wt, exp) }
+    val sorted = coerced.sortWith { (a, b) =>
+      if (a._1 != b._1) a._1 < b._1
+      else if (a._2 != b._2) a._2 < b._2
+      else if (a._3 != b._3) a._3 < b._3
+      else if (a._5 != b._5) a._5 < b._5
+      else ValueCodec.compare(tag, a._4, b._4) < 0
+    }
+    val colNames = sorted.iterator.map(_._3).toArray.distinct.sorted
+    val staged = Files.createTempFile(d, ".memtable-", ".cells.tmp")
+    writeFileTypedE(staged, sorted, colNames, tag, prec, scale,
+      DefaultIndexEvery, DefaultChunkRecords)
+    var next = files.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    var done = false
+    while (!done) {
+      try {
+        Files.createLink(d.resolve(f"data-$next%04d.cells"), staged)
+        Files.delete(staged)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+      next += 1
+    }
+    CellManifest.refresh(norm)
+    CellIndex.maintainAfterWrite(norm)
+    CellView.maintainAfterWrite(norm)
+  }
+
   /** The table's maximum stored writetime, served from FILE HEADERS
     * alone (per-chunk max-wt stats — the same authority the C55 CAS
     * round's "wins LWW now" rule reads): one small header read per

@@ -187,21 +187,25 @@ object CellTransactions {
       s"CAS supports default-keyed tables (pk bigint, ck int); " +
         s"$dir is typed")
     withBallot(d, lockTimeoutMs, nowMs) {
-      val reader = spark.read.format("graft.sources.CellSource")
-        .option("reconcile", "true")
-      val row = (if (queryTimeMs != Long.MaxValue)
-        reader.option("queryTime", queryTimeMs.toString) else reader)
-        .load(norm)
-        .filter(col("pk") === pk && col("ck") === ck)
+      // r19: the CAS round's current-state read runs DRIVER-LOCAL
+      // through the same reconcile front door
+      // (CellSource.localReconciledRows — identical planning, merge
+      // and external value types as the DataFrame read it replaces):
+      // an LWT's point read is a replica-local read, not a cluster
+      // job, and at sf0.1 the scheduled job was ~80 ms of pure
+      // driver latency per statement.
+      val row = CellSource
+        .localReconciledRows(norm, Some(Set(pk)), queryTimeMs)
+        .filter(_.getInt(1) == ck)
       // `cur` is the condition column's winner; for a row-presence
       // condition it is None/Some(0) purely as an existence flag and
       // the result row reports no current value (Cassandra's
       // IF EXISTS miss row is just [applied] = false)
       val cur: Option[Any] = condCol match {
-        case Some(c) => row.filter(col("col") === c)
-          .select(col("value")).collect().headOption.map(_.get(0))
+        case Some(c) =>
+          row.find(_.getString(2) == c).map(_.get(3))
         case None =>
-          if (row.limit(1).collect().nonEmpty) Some(0L) else None
+          if (row.nonEmpty) Some(0L) else None
       }
       val ok = condHolds(cond, cur)
       def reported = if (condCol.isDefined) cur else None
@@ -329,17 +333,14 @@ object CellTransactions {
     // (incl. the uuid/inet/ascii mapped grammars) ride it too
     casValueType(d, CellPlanning.listFiles(norm))
     withBallot(d, lockTimeoutMs, nowMs) {
-      val reader = spark.read.format("graft.sources.CellSource")
-        .option("reconcile", "true")
-      val part = (if (queryTimeMs != Long.MaxValue)
-        reader.option("queryTime", queryTimeMs.toString) else reader)
-        .load(norm)
-        .filter(col("pk") === pk)
-        .select(col("ck"), col("col"), col("value"))
-        .collect()
+      // r19: driver-local partition read — same reconcile front door
+      // as the DataFrame read it replaces, zero Spark jobs (see
+      // casApply).
+      val part = CellSource
+        .localReconciledRows(norm, Some(Set(pk)), queryTimeMs)
       val byCell: Map[(Int, String), Any] = part.iterator
-        .map(r => (r.getInt(0), r.getString(1)) -> r.get(2)).toMap
-      val liveCks: Set[Int] = part.iterator.map(_.getInt(0)).toSet
+        .map(r => (r.getInt(1), r.getString(2)) -> r.get(3)).toMap
+      val liveCks: Set[Int] = part.iterator.map(_.getInt(1)).toSet
       val failed = conds.iterator.map { case (ck, condCol, cond) =>
         cond match {
           case c: CasCond.CollEq =>
@@ -749,6 +750,26 @@ object CellTransactions {
   def loggedBatch(spark: SparkSession,
       writes: Seq[(String, DataFrame)], logDir: String,
       applyNow: Boolean = true,
+      withExpiry: Boolean = false): String =
+    loggedBatchSlices(spark,
+      writes.map { case (t, df) => (t, Right(df)) }, logDir,
+      applyNow, withExpiry)
+
+  /** [[loggedBatch]] with per-slice choice of staging path (r19):
+    * `Left(rows)` — DEFAULT-layout long-valued cells (pk, ck, col,
+    * value, wt, absolute expiry; Long.MaxValue = never) staged
+    * DRIVER-LOCALLY through [[CellSource.localAppendCells]] (a batch
+    * statement's few cells must not cost a one-task write job);
+    * `Right(df)` — the DSv2 staging write (typed layouts, and any
+    * caller that already holds a DataFrame). Journal protocol
+    * identical either way: same staging layout, same atomic publish,
+    * same replay.
+    */
+  def loggedBatchSlices(spark: SparkSession,
+      writes: Seq[(String,
+        Either[Seq[(Long, Int, String, Long, Long, Long)], DataFrame])],
+      logDir: String,
+      applyNow: Boolean = true,
       withExpiry: Boolean = false): String = {
     require(writes.nonEmpty, "an empty batch is a no-op — refuse loudly")
     writes.foreach { case (t, _) =>
@@ -760,24 +781,35 @@ object CellTransactions {
     Files.createDirectories(root)
     val id = f"batch-${System.nanoTime()}%016x"
     val staging = root.resolve(s".staging-$id")
-    writes.zipWithIndex.foreach { case ((t, df), k) =>
-      // a TYPED target's journal slice must stage with the target's
-      // key layout (a fresh staging dir would otherwise default);
-      // part types come from the DataFrame's own schema
-      val norm = CellPlanning.normalize(t)
-      val spec = CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm))
-      var w = df.coalesce(1).write.format("graft.sources.CellSource")
-        .option("withTtl", withExpiry.toString)
-      if (!spec.isDefault) {
-        w = w.option("primaryKey", spec.syntax)
-        // schema inference on the fresh staging dir resolves part
-        // TYPES from keyType.<n> options (the write builder reads
-        // them from the input schema, but analysis runs first)
-        (spec.pkParts ++ spec.ckParts).foreach { p =>
-          w = w.option(s"keyType.${p.name}", p.dataType.simpleString)
-        }
+    writes.zipWithIndex.foreach { case ((t, slice), k) =>
+      val slot = staging.resolve(f"t$k%03d").toString
+      slice match {
+        case Left(rows) =>
+          Files.createDirectories(staging)
+          CellSource.localAppendCells(slot,
+            org.apache.spark.sql.types.LongType,
+            rows.map { case (pk, ck, c, v, wt, exp) =>
+              (pk, ck, c, v: Any, wt, exp) })
+        case Right(df) =>
+          // a TYPED target's journal slice must stage with the
+          // target's key layout (a fresh staging dir would otherwise
+          // default); part types come from the DataFrame's own schema
+          val norm = CellPlanning.normalize(t)
+          val spec =
+            CellPlanning.keySpecOf(norm, CellPlanning.listFiles(norm))
+          var w = df.coalesce(1).write.format("graft.sources.CellSource")
+            .option("withTtl", withExpiry.toString)
+          if (!spec.isDefault) {
+            w = w.option("primaryKey", spec.syntax)
+            // schema inference on the fresh staging dir resolves part
+            // TYPES from keyType.<n> options (the write builder reads
+            // them from the input schema, but analysis runs first)
+            (spec.pkParts ++ spec.ckParts).foreach { p =>
+              w = w.option(s"keyType.${p.name}", p.dataType.simpleString)
+            }
+          }
+          w.mode("append").save(slot)
       }
-      w.mode("append").save(staging.resolve(f"t$k%03d").toString)
     }
     Files.writeString(staging.resolve("targets"),
       writes.zipWithIndex.map { case ((t, _), k) =>
@@ -814,15 +846,52 @@ object CellTransactions {
   private def applyEntry(spark: SparkSession, entry: Path): Unit = {
     val lines = Files.readAllLines(entry.resolve("targets")).asScala
     lines.filter(_.nonEmpty).foreach { line =>
-      val Array(slot, target, expiry) = line.split("\t", 3)
-      // read the slice with the expiry column iff the batch carried
-      // one — the read and write schemas must agree either way
-      val df = spark.read.format("graft.sources.CellSource")
-        .option("withTtl", expiry).load(entry.resolve(slot).toString)
-      if (!df.isEmpty)
-        df.coalesce(1).write.format("graft.sources.CellSource")
-          .option("withTtl", expiry)
-          .mode("append").save(target)
+      val Array(slot, target, _) = line.split("\t", 3)
+      // r19: a journal slice IS a flush-file set in the target's
+      // exact layout (staged with its key spec and value type), so
+      // applying it is a FILE-LEVEL publish through the commit
+      // protocol — type/layout check, monotonic staged-link indices,
+      // manifest refresh, write-through 2i/MV maintenance — instead
+      // of the read-job + rewrite-job pair per slice it used to
+      // schedule. Bit-identical cells (no re-encode), and replay
+      // over-application stays LWW-idempotent exactly as before.
+      // deleteTree below unlinks only the ENTRY's names; the linked
+      // target generations persist.
+      val slotFiles = CellPlanning
+        .listFiles(entry.resolve(slot).toString)
+        .filter(f => CellSource.readHeader(f).count > 0)
+      if (slotFiles.nonEmpty) {
+        val tNorm = CellPlanning.normalize(target)
+        val tDir = Paths.get(tNorm)
+        Files.createDirectories(tDir)
+        val existing = CellPlanning.listFiles(tNorm)
+        existing.headOption.foreach { ef =>
+          val ht = CellSource.readHeader(ef)
+          val hs = CellSource.readHeader(slotFiles.head)
+          require((ht.valueTag, ht.decPrec, ht.decScale, ht.keySpec) ==
+              ((hs.valueTag, hs.decPrec, hs.decScale, hs.keySpec)),
+            s"batch slice layout does not match target $target")
+        }
+        var next = existing.map(f =>
+          CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+          .foldLeft(-1)(math.max) + 1
+        slotFiles.foreach { s =>
+          var done = false
+          while (!done) {
+            try {
+              Files.createLink(
+                tDir.resolve(f"data-$next%04d.cells"), Paths.get(s))
+              done = true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+            }
+            next += 1
+          }
+        }
+        CellManifest.refresh(tNorm)
+        CellIndex.maintainAfterWrite(tNorm)
+        CellView.maintainAfterWrite(tNorm)
+      }
     }
     deleteTree(entry)
   }

@@ -3584,10 +3584,13 @@ class CqlSpec extends GraftSpec {
 
   test("executeScript resolves the table max ONCE per table") {
     // r15: the timestamp mint is HEADER-served (CellSource.maxWt) —
-    // NO Spark job per statement at all. Three standalone inserts pay
-    // three WRITE jobs; the same three statements in one script pay
-    // ONE (the r12 per-script buffer) — and neither pays a max-wt
-    // scan job anymore
+    // NO Spark job per statement at all. r19: the memtable FLUSH is
+    // node-local too (CellSource.localAppendCells — the driver-local
+    // twin of the DSv2 commit), so a default-layout INSERT schedules
+    // ZERO Spark jobs whether standalone or scripted; what this pin
+    // now protects is that no job sneaks back into the statement
+    // path, and that the per-script allocator still mints the same
+    // writetime sequence either way.
     val d1 = freshTable()
     val individual = countJobs {
       Cql.execute(spark, s"INSERT INTO $d1 (pk, ck, qty) VALUES (70, 1, 1)")
@@ -3601,15 +3604,10 @@ class CqlSpec extends GraftSpec {
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 2, 2);
            |INSERT INTO $d2 (pk, ck, qty) VALUES (70, 3, 3)""".stripMargin)
     }
-    val d3 = freshTable()
-    val perWrite = countJobs {
-      Cql.execute(spark, s"INSERT INTO $d3 (pk, ck, qty) VALUES (71, 1, 1)")
-    }
-    assert(perWrite > 0)
-    assert(individual === 3 * perWrite,
-      s"individual=$individual perWrite=$perWrite")
-    assert(scripted === perWrite,
-      s"scripted=$scripted perWrite=$perWrite")
+    assert(individual === 0,
+      s"a default-layout INSERT must not schedule jobs, got $individual")
+    assert(scripted === 0,
+      s"a buffered script flush must not schedule jobs, got $scripted")
     // identical writetime sequence either way: max(100) + 1, 2, 3 —
     // so in-script statement order still shadows correctly
     assert(wtsOf(d2, 70L) ===
