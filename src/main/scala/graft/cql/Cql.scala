@@ -7795,31 +7795,23 @@ object Cql {
     * CEL11 nullable-ttl shape otherwise. `valueType` is long for
     * ordinary typed tables, binary on frozen<udt> ones (C59b/C59c).
     */
+  // r19: typed memtable flushes are node-local too —
+  // CellSource.localAppendKeyedCells is the keyed twin of the
+  // default-layout local flush (same staged-link commit contract,
+  // same KeyCodec/value coercions as the keyed CAS writer).
   private def writeTypedRows(spark: SparkSession, dir: String,
       spec: graft.sources.KeySpec,
       valueType: org.apache.spark.sql.types.DataType,
       rows: Seq[(Seq[Any], Option[Long])]): Unit = {
-    import org.apache.spark.sql.types._
     if (rows.isEmpty) return
-    val base = Seq(
-      StructField("col", StringType, nullable = false),
-      StructField("value", valueType, nullable = false),
-      StructField("wt", LongType, nullable = false))
-    val withTtl = !rows.forall(_._2.isEmpty)
-    val schema = StructType(spec.keyFields ++ base ++
-      (if (withTtl) Seq(StructField("ttl", LongType, nullable = true))
-       else Seq.empty))
-    val sparkRows = rows.map { case (r, t) =>
-      org.apache.spark.sql.Row.fromSeq(
-        if (withTtl) r :+ t.map(Long.box).orNull else r) }
-    var w = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(sparkRows).asJava,
-      schema).coalesce(1).write.format(Fmt)
-    if (withTtl) w = w.option("ttl", "true")
-    // pre-first-flush type authority (headers win once files exist)
-    if (valueType != LongType)
-      w = w.option("valueType", valueType.simpleString)
-    w.mode("append").save(dir)
+    val nKey = spec.pkParts.length + spec.ckParts.length
+    graft.sources.CellSource.localAppendKeyedCells(dir, spec,
+      valueType,
+      rows.map { case (r, t) =>
+        val wt = r(nKey + 2).asInstanceOf[Long]
+        (r.take(nKey), r(nKey).asInstanceOf[String], r(nKey + 1),
+          wt, t.map(wt + _).getOrElse(Long.MaxValue))
+      })
   }
 
   /** The typed rows as a DataFrame in the table's write schema —

@@ -844,6 +844,158 @@ object CellSource {
     out.result()
   }
 
+  /** [[localReconciledRows]] generalized to ANY key layout (r19):
+    * the typed LWT/collection point reads bind key parts by NAME, so
+    * the filter set is (name, external value) equalities — pushed
+    * into the scan builder exactly as the DataFrame filters were
+    * (typed point probes prune files/chunks) AND re-applied here on
+    * the external rows (pushed filters may legally be inexact;
+    * re-applying an equality is idempotent). Returns the schema the
+    * read served (declared names, renames applied) and the rows.
+    */
+  def localReconciledRowsWhere(dir: String, eq: Seq[(String, Any)],
+      queryTime: Long = Long.MaxValue)
+      : (StructType, Seq[org.apache.spark.sql.Row]) = {
+    val norm = CellPlanning.normalize(dir)
+    val omap = new java.util.HashMap[String, String]()
+    omap.put("path", norm)
+    omap.put("reconcile", "true")
+    omap.put("columnar", "false")
+    if (queryTime != Long.MaxValue)
+      omap.put("queryTime", queryTime.toString)
+    val cis = new CaseInsensitiveStringMap(omap)
+    val provider = new CellSource
+    val schema = provider.inferSchema(cis)
+    val sb = provider.getTable(schema, Array.empty, omap)
+      .asInstanceOf[SupportsRead].newScanBuilder(cis)
+    if (eq.nonEmpty)
+      sb.asInstanceOf[SupportsPushDownFilters].pushFilters(
+        eq.map { case (n, v) => EqualTo(n, v): Filter }.toArray)
+    val batch = sb.build().toBatch
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    val idx = eq.map { case (n, v) =>
+      val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(n))
+      require(i >= 0, s"no column $n in ${schema.fieldNames.mkString(",")}")
+      (i, v)
+    }
+    def same(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) =>
+        java.util.Arrays.equals(x, y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y) == 0
+      case _ => a == b
+    }
+    val rf = batch.createReaderFactory()
+    val out = Vector.newBuilder[org.apache.spark.sql.Row]
+    batch.planInputPartitions().foreach { p =>
+      val r = rf.createReader(p)
+      try {
+        while (r.next()) {
+          val row = conv(r.get().copy())
+            .asInstanceOf[org.apache.spark.sql.Row]
+          if (idx.forall { case (i, v) => same(row.get(i), v) })
+            out += row
+        }
+      } finally r.close()
+    }
+    (schema, out.result())
+  }
+
+  /** Keyed (CEL6/8) twin of [[localAppendCells]] (r19): the typed
+    * memtable flush as a driver-local staged-link publish. Rows are
+    * the table's write-schema rows — key part EXTERNAL values in
+    * key order, then (col, value, wt) — plus the absolute expiry
+    * (Long.MaxValue = never); coercion to file-internal reps runs
+    * through the same KeyCodec/value tables the keyed CAS writer
+    * uses.
+    */
+  def localAppendKeyedCells(dir: String, declaredSpec: KeySpec,
+      valueType: org.apache.spark.sql.types.DataType,
+      rows: Seq[(Seq[Any], String, Any, Long, Long)]): Unit = {
+    if (rows.isEmpty) return
+    val norm = CellPlanning.normalize(dir)
+    val d = Paths.get(norm)
+    Files.createDirectories(d)
+    // C51e renames: file headers NEVER carry declared names — write
+    // with the STORAGE spec, exactly as the DSv2 write builder does.
+    val spec = CellPlanning.storageKeySpec(norm, declaredSpec)
+    val (tag, prec, scale) = valueType match {
+      case dt: DecimalType =>
+        (ValueCodec.DecimalTag, dt.precision, dt.scale)
+      case t => (ValueCodec.tagFor(t), 0, 0)
+    }
+    val files = CellPlanning.listFiles(norm)
+    files.headOption.foreach { f =>
+      val h = readHeader(f)
+      require(h.keySpec == spec,
+        s"append key layout does not match existing table in $dir")
+      require((h.valueTag, h.decPrec, h.decScale) ==
+          ((tag, prec, scale)),
+        s"append value type does not match existing table in $dir")
+    }
+    def internalKey(p: KeyPart, v: Any): Any =
+      KeyCodec.toInternal(p.tag, v).getOrElse(throw
+        new IllegalArgumentException(s"bad ${p.name} value $v"))
+    def internalVal(v: Any): Any = tag match {
+      case ValueCodec.StringTag => v match {
+        case s: String => UTF8String.fromString(s)
+        case u: UTF8String => u
+        case o => throw new IllegalArgumentException(
+          s"text cell value of unexpected type: $o")
+      }
+      case ValueCodec.TimestampTag => v match {
+        case t: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t)
+        case l: Long => l
+        case o => throw new IllegalArgumentException(
+          s"timestamp cell value of unexpected type: $o")
+      }
+      case ValueCodec.DecimalTag => v match {
+        case bd: java.math.BigDecimal =>
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(bd), prec, scale)
+        case bd: scala.math.BigDecimal =>
+          org.apache.spark.sql.types.Decimal(bd, prec, scale)
+        case dec: org.apache.spark.sql.types.Decimal => dec
+        case o => throw new IllegalArgumentException(
+          s"decimal cell value of unexpected type: $o")
+      }
+      case _ => v
+    }
+    val nPk = spec.pkParts.length
+    val recs = rows.map { case (keyVals, colName, value, wt, exp) =>
+      val pkIv = spec.pkParts.zip(keyVals.take(nPk))
+        .map { case (p, v) => internalKey(p, v) }.toArray
+      val ckIv = spec.ckParts.zip(keyVals.drop(nPk))
+        .map { case (p, v) => internalKey(p, v) }.toArray
+      KeyedRec(KeyCodec.token(spec, pkIv), pkIv, rankOf(colName),
+        ckIv, colName, internalVal(value), wt, exp)
+    }.sortWith(keyedLess(spec))
+    val colNames = recs.iterator.map(_.col).toArray.distinct.sorted
+    val staged = Files.createTempFile(d, ".memtable-", ".cells.tmp")
+    writeFileKeyed(staged, recs, spec, colNames, tag, prec, scale,
+      DefaultIndexEvery, DefaultChunkRecords)
+    var next = files.map(f =>
+      CellPlanning.fileIndex(Paths.get(f).getFileName.toString))
+      .foldLeft(-1)(math.max) + 1
+    var done = false
+    while (!done) {
+      try {
+        Files.createLink(d.resolve(f"data-$next%04d.cells"), staged)
+        Files.delete(staged)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+      }
+      next += 1
+    }
+    CellManifest.refresh(norm)
+    CellIndex.maintainAfterWrite(norm)
+    CellView.maintainAfterWrite(norm)
+  }
+
   /** Driver-LOCAL memtable flush (r19) — the CQL script buffer's
     * flush used to run as a one-task Spark WRITE JOB per table
     * (`toDF.coalesce(1).write`): ~80 ms of scheduling for a

@@ -250,17 +250,19 @@ object CellTransactions {
         s"(${names.mkString(", ")}), got " +
         keyVals.map(_._1).mkString(", "))
     withBallot(d, lockTimeoutMs, nowMs) {
-      val reader = spark.read.format("graft.sources.CellSource")
-        .option("reconcile", "true")
-      var row = (if (queryTimeMs != Long.MaxValue)
-        reader.option("queryTime", queryTimeMs.toString) else reader)
-        .load(norm)
-      keyVals.foreach { case (n, v) => row = row.filter(col(n) === v) }
+      // r19: the typed point probe runs DRIVER-LOCAL through the
+      // same reconcile front door (pushed key-part equalities, same
+      // merge readers, collect()-identical external values) — see
+      // casApply.
+      val (schema, row) = CellSource.localReconciledRowsWhere(
+        norm, keyVals, queryTimeMs)
+      val colIdx = schema.fieldIndex("col")
+      val valIdx = schema.fieldIndex("value")
       val cur: Option[Any] = condCol match {
-        case Some(c) => row.filter(col("col") === c)
-          .select(col("value")).collect().headOption.map(_.get(0))
+        case Some(c) =>
+          row.find(_.getString(colIdx) == c).map(_.get(valIdx))
         case None =>
-          if (row.limit(1).collect().nonEmpty) Some(0L) else None
+          if (row.nonEmpty) Some(0L) else None
       }
       val ok = condHolds(cond, cur)
       def reported = if (condCol.isDefined) cur else None
@@ -440,24 +442,24 @@ object CellTransactions {
       "every conditional-BATCH row binds all clustering parts " +
         s"(${spec.ckParts.map(_.name).mkString(", ")})")
     withBallot(d, lockTimeoutMs, nowMs) {
-      def rowOf(ckVals: Seq[Any]) = {
-        val reader = spark.read.format("graft.sources.CellSource")
-          .option("reconcile", "true")
-        var row = (if (queryTimeMs != Long.MaxValue)
-          reader.option("queryTime", queryTimeMs.toString) else reader)
-          .load(norm)
-        pkVals.foreach { case (n, v) => row = row.filter(col(n) === v) }
-        spec.ckParts.zip(ckVals).foreach { case (p, v) =>
-          row = row.filter(col(p.name) === v) }
-        row
-      }
+      // r19: ONE driver-local partition read serves every condition
+      // (it used to be one Spark job per condition) — same reconcile
+      // front door, pushed pk-part equalities, external values.
+      val (schema, part) = CellSource.localReconciledRowsWhere(
+        norm, pkVals, queryTimeMs)
+      val colIdx = schema.fieldIndex("col")
+      val valIdx = schema.fieldIndex("value")
+      val ckIdx = spec.ckParts.map(p =>
+        schema.fields.indexWhere(_.name.equalsIgnoreCase(p.name)))
+      def sameCk(r: org.apache.spark.sql.Row,
+          ckVals: Seq[Any]): Boolean =
+        ckIdx.zip(ckVals).forall { case (i, v) => r.get(i) == v }
       val failed = conds.iterator.map { case (ckVals, condCol, cond) =>
-        val row = rowOf(ckVals)
+        val row = part.filter(sameCk(_, ckVals))
         val cur: Option[Any] = condCol match {
-          case Some(c) => row.filter(col("col") === c)
-            .select(col("value")).collect().headOption.map(_.get(0))
-          case None =>
-            if (row.limit(1).collect().nonEmpty) Some(0L) else None
+          case Some(c) =>
+            row.find(_.getString(colIdx) == c).map(_.get(valIdx))
+          case None => if (row.nonEmpty) Some(0L) else None
         }
         (condHolds(cond, cur), condCol, cur)
       }.find(!_._1)
