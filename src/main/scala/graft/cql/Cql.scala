@@ -9305,14 +9305,21 @@ object Cql {
         requireKind("set", "set remove c = c - {..}")
         val name = n1.toLowerCase
         val victims = splitValues(vs).toSeq
-          .map(lit(_, "set element")).toSet
-        // element cells to shadow: (pk, ck) of matching live cells
-        val hits = reconciled
-          .filter(col("pk").isin(pkSeq.map(Long.box): _*) &&
-            col("col") === name &&
-            col("value").isin(victims.toSeq: _*))
-          .select(col("pk"), col("ck"))
-          .collect() // bounded: <= removed-element cell count
+          .map(lit(_, "set element"))
+        // element cells to shadow: (pk, ck) of matching live cells —
+        // r19 driver-local read; value equality on the external
+        // values (byte[]/BigDecimal need structural compare, like
+        // the pushed isin's semantics)
+        def sameVal(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) =>
+            java.util.Arrays.equals(x, y)
+          case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+            x.compareTo(y) == 0
+          case _ => a == b
+        }
+        val hits = localReconciled(dir, pkSeq)
+          .filter(r => r.getString(2) == name &&
+            victims.exists(sameVal(_, r.get(3))))
         hits.foreach(r =>
           tombs += ((r.getLong(0), r.getInt(1), s"!del:$name", 0L, wt)))
       // whole-collection REPLACE (C11f): `l = [..]` / `st = {..}`
@@ -9409,17 +9416,24 @@ object Cql {
     if (range.isDefined)
       fail("collection UPDATE WHERE binds keys by equality")
     val pkNames = spec.pkParts.map(_.name)
-    def reconciled = spark.read.format(Fmt)
-      .option("reconcile", "true").load(dir)
-    // the statement's partitions, as a pushed typed filter: a
-    // multi-tuple set only arises from IN on a single-part key
-    def keyed(df: DataFrame): DataFrame =
-      if (pkTuples.length == 1)
-        pkNames.zip(pkTuples.head).foldLeft(df) {
-          case (d, (n, v)) => d.filter(col(n) === v)
-        }
-      else df.filter(col(pkNames.head)
-        .isin(pkTuples.map(_.head).toIndexedSeq: _*))
+    // r19: the statement's bounded typed point reads run DRIVER-
+    // LOCAL (CellSource.localReconciledRowsWhere — same pushed
+    // point-probe planning, same merge readers, zero Spark jobs);
+    // one probe per partition tuple (a multi-tuple set only arises
+    // from IN on a single-part key, so per-tuple equality is exactly
+    // the old pushed isin).
+    lazy val keyedLocal: (org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row]) = {
+      val per = pkTuples.map(t => graft.sources.CellSource
+        .localReconciledRowsWhere(dir, pkNames.zip(t)))
+      (per.head._1, per.toSeq.flatMap(_._2))
+    }
+    def fieldIdx(n: String): Int = {
+      val i = keyedLocal._1.fields
+        .indexWhere(_.name.equalsIgnoreCase(n))
+      require(i >= 0, s"no column $n in the typed read schema")
+      i
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
     // tombstones write separately, never under TTL (see the default-
     // layout twin: an expiring tombstone resurrects its elements)
@@ -9439,14 +9453,13 @@ object Cql {
     def replaceTyped(name: String, values: Seq[Long]): Unit = {
       if (name.startsWith("!"))
         fail(s"unsupported collection name: $name")
-      val ckName = spec.ckParts.head.name
-      val old = keyed(reconciled)
-        .filter(col("col") === name)
-        .select((pkNames.map(col) :+ col(ckName)).toIndexedSeq: _*)
-        .collect() // bounded: the replaced collections' element count
+      val ckIdx = fieldIdx(spec.ckParts.head.name)
+      val colIdx = fieldIdx("col")
+      val pkIdx = pkNames.map(fieldIdx)
+      val old = keyedLocal._2.filter(_.getString(colIdx) == name)
       old.foreach(r =>
-        tombs += pkNames.indices.map(r.get) ++
-          Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
+        tombs += pkIdx.map(r.get) ++
+          Seq(r.getInt(ckIdx), s"!del:$name", 0L, wt))
       appendTyped(name, values)
     }
     def appendTyped(name: String, values: Seq[Long]): Unit = {
@@ -9455,14 +9468,13 @@ object Cql {
         fail(s"unsupported collection name: $name")
       val unseen = pkTuples.filterNot(pk => nextCk.contains((pk, name)))
       if (unseen.nonEmpty) {
-        val ckName = spec.ckParts.head.name
-        val maxCks: Map[Seq[Any], Int] = keyed(reconciled)
-          .filter(col("col") === name)
-          .groupBy(pkNames.map(col).toIndexedSeq: _*)
-          .agg(max(col(ckName)).as("m"))
-          .collect() // bounded: <= partition count of the statement
-          .map(r => pkNames.indices.map(r.get) -> r.getInt(pkNames.length))
-          .toMap
+        val ckIdx = fieldIdx(spec.ckParts.head.name)
+        val colIdx = fieldIdx("col")
+        val pkIdx = pkNames.map(fieldIdx)
+        val maxCks: Map[Seq[Any], Int] = keyedLocal._2
+          .filter(_.getString(colIdx) == name)
+          .groupBy(r => pkIdx.map(r.get): Seq[Any]).view
+          .mapValues(_.iterator.map(_.getInt(ckIdx)).max).toMap
         unseen.foreach(pk =>
           nextCk((pk, name)) = maxCks.getOrElse(pk, 0))
       }
@@ -9523,16 +9535,17 @@ object Cql {
         needIntCk("set remove")
         val name = n1.toLowerCase
         val victims = splitValues(vs).toSeq
-          .map(longLiteral(_, "set element"))
-        val ckName = spec.ckParts.head.name
-        val hits = keyed(reconciled)
-          .filter(col("col") === name &&
-            col("value").isin(victims.map(Long.box).toIndexedSeq: _*))
-          .select((pkNames.map(col) :+ col(ckName)).toIndexedSeq: _*)
-          .collect() // bounded: <= removed-element cell count
+          .map(longLiteral(_, "set element")).toSet
+        val ckIdx = fieldIdx(spec.ckParts.head.name)
+        val colIdx = fieldIdx("col")
+        val valIdx = fieldIdx("value")
+        val pkIdx = pkNames.map(fieldIdx)
+        val hits = keyedLocal._2.filter(r =>
+          r.getString(colIdx) == name &&
+            victims.contains(r.getLong(valIdx)))
         hits.foreach(r =>
-          tombs += pkNames.indices.map(r.get) ++
-            Seq(r.getInt(pkNames.length), s"!del:$name", 0L, wt))
+          tombs += pkIdx.map(r.get) ++
+            Seq(r.getInt(ckIdx), s"!del:$name", 0L, wt))
       // whole-collection REPLACE (C11f, typed twin): shadow every
       // live element cell, append the new elements above every
       // shadowed ck — see the default-layout arms
