@@ -92,7 +92,7 @@ object CellModel {
       // of inside the single-split scan task (the test fixtures are
       // one-row-group parquet files — a scan stage is one task no
       // matter the core count).
-      .repartition(col("pk"))
+      .transform(graft.operators.Distribute.by(_, col("pk")))
   }
 
   /** C4 — last-write-wins reconciliation: for each (pk, ck, col) keep

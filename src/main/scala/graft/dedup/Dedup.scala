@@ -77,11 +77,18 @@ object Dedup {
   def minhashSignaturesRelational(docsIdText: DataFrame,
       k: Int = 8): DataFrame = {
     val shingleRows = docsIdText
+      // r19: the barrier moved BELOW tokenize — shuffling raw
+      // (id, text) instead of (id, toks) costs the same bytes, but
+      // tokenization now runs in the post-exchange 32-way stage
+      // instead of the single-split scan task (StageStats r19: the
+      // 1-task scan stage carried ~2.4 s of the 3.9 s N_DEDUP4
+      // wall). tokens() feeds exactly one Generate, so projection
+      // collapse evaluates it once per doc either way (and
+      // CollapseProject never inlines the multiply-referenced md5
+      // digest below).
+      .transform(graft.operators.Distribute.by(_, col("id")))
       .select(col("id"),
         graft.text.TextOps.tokens(col("text")).as("toks"))
-      // Exchange = materialization barrier: toks computed exactly once
-      // per doc, and downstream shingle work is distributed.
-      .repartition(col("id"))
       .withColumn("sh2", explode(graft.text.TextOps.shingles("toks")))
       .select(col("id"), col("sh2"))
     // The k permutation hashes are COLUMNS of the shingle row, folded
@@ -92,19 +99,43 @@ object Dedup {
     // digests (see [[minhashSignature]]) — 2 MessageDigest calls per
     // shingle instead of k, the round-9 perf pass.
     require(k * 8 <= 64, s"k=$k exceeds the two-digest window budget")
-    val hashed = shingleRows
+    val hashed = hashedWindows(shingleRows, k)
+    minWindowsToSig(hashed.groupBy(col("id")), k)
+  }
+
+  /** The k permutation hashes as BIGINT columns (r19): each window is
+    * 8 LOWERCASE-hex chars = one 32-bit value, and fixed-width
+    * lowercase hex is ordered exactly like its numeric value — so
+    * `min` over the parsed BIGINT is bit-equivalent to `min` over the
+    * hex string. The point: a STRING min carries an immutable
+    * aggregation buffer, which HashAggregateExec refuses — the whole
+    * signature aggregate (the dominant dedup compute) ran as
+    * Sort + partial/final SortAggregate; the BIGINT form
+    * hash-aggregates with map-side partials and no sort.
+    */
+  private def hashedWindows(shingleRows: DataFrame, k: Int): DataFrame =
+    shingleRows
       .select(col("id"),
         expr("concat(md5(sh2), md5(concat(':', sh2)))").as("h"))
       .select(
         col("id") +: (0 until k).map { i =>
-          expr(s"substr(h, ${i * 8 + 1}, 8)").as(s"h$i")
+          expr(s"cast(conv(substr(h, ${i * 8 + 1}, 8), 16, 10) " +
+            "as bigint)").as(s"h$i")
         }: _*)
-    hashed.groupBy(col("id"))
+
+  /** min each window numerically, then render back to the exact
+    * 8-hex-lowercase strings the oracle (and every band hash built
+    * on them) expects — a lossless round trip for 32-bit windows.
+    */
+  private def minWindowsToSig(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      k: Int): DataFrame =
+    grouped
       .agg(min(col("h0")).as("m0"),
         (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
       .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        array((0 until k).map(i =>
+          expr(s"lower(lpad(hex(m$i), 8, '0'))")): _*).as("sig"))
 
   /** PRODUCTION-path MinHash signatures: the same relational shape as
     * [[minhashSignaturesRelational]] (shingles as rows, k parallel
@@ -124,9 +155,9 @@ object Dedup {
   def minhashSignaturesFast(docsIdText: DataFrame,
       k: Int = 8): DataFrame = {
     val shingleRows = docsIdText
+      .transform(graft.operators.Distribute.by(_, col("id"))) // r19: barrier below tokenize
       .select(col("id"),
         graft.text.TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("id"))
       .withColumn("sh2", explode(graft.text.TextOps.shingles("toks")))
       .select(col("id"), col("sh2"))
     val hashed = shingleRows.select(
@@ -162,18 +193,9 @@ object Dedup {
   def minhashSignaturesFromShingles(shRows: DataFrame,
       k: Int = 8): DataFrame = {
     require(k * 8 <= 64, s"k=$k exceeds the two-digest window budget")
-    val hashed = shRows
-      .select(col("id"),
-        expr("concat(md5(sh2), md5(concat(':', sh2)))").as("h"))
-      .select(
-        col("id") +: (0 until k).map { i =>
-          expr(s"substr(h, ${i * 8 + 1}, 8)").as(s"h$i")
-        }: _*)
-    hashed.groupBy(col("id"))
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-      .select(col("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // same BIGINT-window form as the relational pipeline (r19):
+    // hash-aggregable mins, bit-identical hex render
+    minWindowsToSig(hashedWindows(shRows, k).groupBy(col("id")), k)
   }
 
   /** Per-doc DISTINCT shingles exploded to rows with the set size —
@@ -183,13 +205,28 @@ object Dedup {
     */
   def shingleRows(docsIdText: DataFrame): DataFrame =
     docsIdText
+      .transform(graft.operators.Distribute.by(_, col("id"))) // r19: barrier below tokenize — the
+      // raw (id, text) shuffle moves tokenization out of the 1-task
+      // scan stage (see minhashSignaturesRelational)
       .select(col("id"), graft.text.TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("id")) // barrier: tokenize once per doc
       .withColumn("sh",
         array_distinct(graft.text.TextOps.shingles("toks")))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("sh2"))
+      // r19, measured 10× (Probe3: 3.8 s → 0.35 s for this relation):
+      // (a) no size() > 0 pre-filter — explode() already emits zero
+      // rows for an empty array, and the pushed-down filter re-ran
+      // the whole shingle pipeline below the barrier; (b) n_sh rides
+      // INSIDE the exploded struct instead of alongside the explode —
+      // `size(sh) AS n_sh` next to `explode(sh)` forces the Generate
+      // to carry the full shingle ARRAY on every exploded row
+      // (O(shingles²) bytes per doc, the actual 3 s), while
+      // transform(sh, x -> struct(x, size(sh))) builds one struct
+      // array per doc and each output row carries only its own
+      // (sh2, n_sh).
+      .select(col("id"), explode(expr(
+        "transform(sh, x -> struct(x AS sh2, size(sh) AS n_sh))"))
+        .as("t"))
+      .select(col("id"), col("t.n_sh").as("n_sh"),
+        col("t.sh2").as("sh2"))
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Input must carry (id, bands); output (id_a, id_b) distinct, a<b.
@@ -260,7 +297,7 @@ object Dedup {
     // the same candidates at sf0.1.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(col("dst"))
+      .transform(graft.operators.Distribute.by(_, col("dst")))
       .persist()
     edges.count() // cut the lineage now, before the rounds multiply it
     var labels = edges.select(col("src").as("id")).distinct()
@@ -324,7 +361,7 @@ object Dedup {
     // shuffle join per round eliminated.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(col("dst"))
+      .transform(graft.operators.Distribute.by(_, col("dst")))
       .persist()
     edges.count()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -389,7 +426,7 @@ object Dedup {
         .as("toks"))
       // r18 barrier: distribute before the span explode + partial
       // distinct (otherwise one scan task does the whole corpus' work)
-      .repartition(col("id"))
+      .transform(graft.operators.Distribute.by(_, col("id")))
       .select(col("id"),
         explode(graft.text.TextOps.shingles("toks", n)).as("span"))
       .distinct()

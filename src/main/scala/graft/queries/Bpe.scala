@@ -34,7 +34,7 @@ object Bpe {
     // r18 barrier: distribute the corpus before the word explode +
     // word-frequency aggregate (one-task scan stage otherwise)
     Tables.documents(s, d)
-      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, org.apache.spark.sql.functions.col("doc_id")))
       .createOrReplaceTempView("documents_v")
     s.sql(
       """WITH toks AS (
@@ -124,7 +124,7 @@ object Bpe {
     // r18 barrier: distribute the corpus before the word explode +
     // word-frequency aggregate (one-task scan stage otherwise)
     Tables.documents(s, d)
-      .repartition(org.apache.spark.sql.functions.col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, org.apache.spark.sql.functions.col("doc_id")))
       .createOrReplaceTempView("documents_v")
     s.sql(
       """WITH toks AS (

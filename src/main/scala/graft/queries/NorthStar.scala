@@ -71,7 +71,7 @@ object NorthStar {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // exchange barrier: stop projection collapse from inlining the
       // tokenizer into all 16 per-bit aggregate lambdas
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"), TextOps.simhash16("toks").as("simhash"))
       .orderBy(col("doc_id"))
 
@@ -749,7 +749,7 @@ object NorthStar {
       .select(col("doc_id"), col("text"))
       // r18 barrier: distribute before the token explode (the scan
       // stage is one task on the single-row-group fixtures)
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val hashed = counts
@@ -803,7 +803,7 @@ object NorthStar {
   private def textBigramPmi(s: SparkSession, d: String): DataFrame = {
     val toks = docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .repartition(col("doc_id")) // barrier: tokenize once per doc
+      .transform(graft.operators.Distribute.by(_, col("doc_id"))) // barrier: tokenize once per doc
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val bg = toks.select(explode(TextOps.shingles("t", 2)).as("bg"))
@@ -857,7 +857,7 @@ object NorthStar {
       // distributing first moves the tokenize + partial-agg work out of
       // the one-task scan stage, and the identical exchange subtree is
       // shared by the two branches (ReuseExchange)
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
     val tf = tok.filter(col("doc_id") % 5 === 0)
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -950,7 +950,7 @@ object NorthStar {
     docs(s, d)
       .select(col("doc_id"), col("n_chars"),
         TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("doc_id")) // barrier: tokenize once per doc
+      .transform(graft.operators.Distribute.by(_, col("doc_id"))) // barrier: tokenize once per doc
       .select(
         col("doc_id"), col("n_chars"),
         size(col("toks")).as("n_tokens"),
@@ -1234,7 +1234,7 @@ object NorthStar {
     docs(s, d)
       .filter(col("doc_id") % 50 === 0)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .repartition(col("doc_id")) // barrier: tokenize once per doc
+      .transform(graft.operators.Distribute.by(_, col("doc_id"))) // barrier: tokenize once per doc
       .select(col("doc_id"), explode(TextOps.shingles("toks"))
         .as("shingle"))
       .orderBy(col("doc_id"), col("shingle"))
@@ -1451,7 +1451,7 @@ object NorthStar {
     d.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       // r18 barrier: distribute before the positional shingle explode
       // (otherwise the one-task scan stage hashes the whole corpus)
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"),
         posexplode(TextOps.shingles("toks")).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"),
@@ -1488,7 +1488,7 @@ object NorthStar {
     val grams = all
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       // r18 barrier: distribute before the 13-gram explode + md5
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .distinct()
@@ -1579,7 +1579,7 @@ object NorthStar {
     val grams = all
       .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       // r18 barrier: distribute before the 13-gram explode + md5
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"), explode(TextOps.shingles("t", 13)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("h"))
       .distinct()

@@ -221,7 +221,7 @@ object Quality {
       .select(col("doc_id"), col("lang"), col("text"))
       // r18 barrier: distribute before the word explode + md5 bucket
       // (otherwise the one-task scan stage hashes the whole corpus)
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .withColumn("b", expr(dsirBucket))
@@ -542,7 +542,7 @@ object Quality {
     // whole corpus' per-char work serializes no matter the core count.
     val ch = docs(s, d).select(col("doc_id"),
       split(lower(col("text")), "").as("a"))
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
     val tri = ch
       .select(col("doc_id"), explode(when(size(col("a")) >= 3,
         expr("transform(sequence(1, size(a) - 2), i -> " +

@@ -37,7 +37,7 @@ object Sketches {
       // r18 barrier (the dedup-pipeline pattern): distribute BEFORE the
       // shingle explode + partial distinct, which otherwise serialize
       // in the one-task scan stage of the single-row-group fixtures.
-      .repartition(col("doc_id"))
+      .transform(graft.operators.Distribute.by(_, col("doc_id")))
       .select(col("lang"), explode(TextOps.shingles("t", 3)).as("g"))
       .distinct()
 

@@ -471,7 +471,7 @@ object Tpch {
       .select(col("o_orderkey"), col("o_orderdate"))
     val base = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      .repartition(col("l_orderkey"))
+      .transform(graft.operators.Distribute.by(_, col("l_orderkey")))
       .join(oF, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") +
@@ -551,7 +551,7 @@ object Tpch {
     val supply = Tables.lineitem(s, d)
       .select(col("l_partkey").as("su_partkey"),
         col("l_suppkey").as("su_suppkey"), col("l_extendedprice"))
-      .repartition(col("su_partkey"))
+      .transform(graft.operators.Distribute.by(_, col("su_partkey")))
       .groupBy(col("su_partkey"), col("su_suppkey"))
       .agg(min(col("l_extendedprice")).as("su_cost"))
       .persist()

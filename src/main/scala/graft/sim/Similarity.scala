@@ -89,7 +89,7 @@ object Similarity {
       // loop would run on a single task (and the score filter gets
       // pushed into the join condition, evaluated per candidate pair).
       // Spreading the probe side parallelizes the O(pairs) work.
-      .repartition(col("vec_id"))
+      .transform(graft.operators.Distribute.by(_, col("vec_id")))
     val a = e.select(col("vec_id").as("id_a"), col("label"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),

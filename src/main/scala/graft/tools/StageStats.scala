@@ -42,6 +42,7 @@ object StageStats {
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val stages =
       mutable.ArrayBuffer[(Int, Int, Long, Long)]() // id, nTasks, taskMs, wallMs
+    val stageNames = mutable.Map[Int, String]() // stageId -> top RDD scopes
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
@@ -55,6 +56,9 @@ object StageStats {
         stages.synchronized {
           stages += ((si.stageId, si.numTasks,
             si.taskMetrics.executorRunTime, wall))
+          stageNames(si.stageId) = si.rddInfos.sortBy(_.id)
+            .map(_.name.takeWhile(_ != '\n').take(40))
+            .distinct.take(6).mkString(">")
         }
         ()
       }
@@ -74,7 +78,7 @@ object StageStats {
         val snap = stages.synchronized(stages.toList)
         val nTasks = snap.map(_._2).sum
         val top = snap.sortBy(-_._3).take(8).map { case (id, nt, tm, w) =>
-          s"(s$id tasks=$nt taskMs=$tm wallMs=$w)"
+          s"(s$id tasks=$nt taskMs=$tm wallMs=$w ${stageNames.getOrElse(id, "?")})"
         }.mkString(" ")
         println(f"[stagestats] $n cpus=$cpus run$r: ${dt}%.2fs rows=$c " +
           s"jobs=${jobs.get()} stages=${snap.size} tasks=$nTasks | $top")
